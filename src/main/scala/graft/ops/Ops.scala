@@ -1,0 +1,271 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.meta.FieldFilter
+
+/** The operator catalog: every data-shaping operation from the reference
+  * (Stiivi/bubbles, see SURVEY.md §2), re-expressed as pure
+  * `DataFrame => DataFrame` functions over the Spark DataFrame API.
+  *
+  * Design stance (SURVEY.md §7.1): the reference dispatched each named
+  * operation over per-representation implementations (`rows` iterators vs
+  * composable `sql` statements). On Spark there is exactly one
+  * representation — the lazily-composed logical plan — so the catalog is a
+  * flat set of plan-building functions and Catalyst supplies pushdown,
+  * pruning, join strategy, codegen, shuffle and spill.
+  *
+  * Scale notes are attached per-operator; everything here is
+  * shuffle-minimal and 100 TB-safe unless explicitly documented otherwise.
+  */
+object Ops {
+
+  // ---------------------------------------------------------------- project
+
+  /** Keep/drop/rename columns (reference: `ops/rows.py::field_filter` and
+    * `backends/sql/ops.py::field_filter`). One Project node; column pruning
+    * reaches the scan. */
+  def fieldFilter(
+      keep: Seq[String] = Nil,
+      drop: Seq[String] = Nil,
+      rename: Map[String, String] = Map.empty)(df: DataFrame): DataFrame =
+    FieldFilter(keep, drop, rename)(df)
+
+  /** Derived column (reference: derive-style row transform). Catalyst folds
+    * consecutive withColumn-projects into one. */
+  def derive(name: String, expr: Column)(df: DataFrame): DataFrame =
+    df.withColumn(name, expr)
+
+  // ---------------------------------------------------------------- filters
+
+  /** Keep (or with discard=true, remove) rows where field == value
+    * (reference: `ops/rows.py::filter_by_value`). Null-safe: a null field
+    * value never matches, matching the reference's `==` semantics. Pushed
+    * down to the scan by Catalyst. */
+  def filterByValue(field: String, value: Any, discard: Boolean = false)(
+      df: DataFrame): DataFrame = {
+    val p = col(field) === lit(value)
+    df.filter(if (discard) !coalesce(p, lit(false)) else p)
+  }
+
+  /** Set membership filter (reference: `ops/rows.py::filter_by_set`). */
+  def filterBySet(field: String, values: Seq[Any], discard: Boolean = false)(
+      df: DataFrame): DataFrame = {
+    val p = col(field).isin(values: _*)
+    df.filter(if (discard) !coalesce(p, lit(false)) else p)
+  }
+
+  /** Half-open range filter: low <= field < high (reference:
+    * `ops/rows.py::filter_by_range`; bound openness chosen here and encoded
+    * identically in every oracle query — SURVEY.md §7.4 risk 1). */
+  def filterByRange(field: String, low: Any, high: Any, discard: Boolean = false)(
+      df: DataFrame): DataFrame = {
+    val p = col(field) >= lit(low) && col(field) < lit(high)
+    df.filter(if (discard) !coalesce(p, lit(false)) else p)
+  }
+
+  /** Drop rows whose field is NULL or empty string (reference:
+    * `ops/rows.py::filter_not_empty`). */
+  def filterNotEmpty(field: String)(df: DataFrame): DataFrame =
+    df.filter(col(field).isNotNull && col(field).cast("string") =!= "")
+
+  /** Keep only rows whose field is NULL or empty string (reference:
+    * `ops/rows.py::filter_empty`). */
+  def filterEmpty(field: String)(df: DataFrame): DataFrame =
+    df.filter(col(field).isNull || col(field).cast("string") === "")
+
+  /** Arbitrary predicate filter — the reference's UDF surface
+    * (`ops/rows.py::filter_by_predicate`). Prefer the Column-based filters
+    * above: a lambda is a black box to Catalyst (no pushdown, breaks
+    * codegen), so this exists only for genuinely non-expressible
+    * predicates. */
+  def filterByPredicate(predicate: org.apache.spark.sql.Row => Boolean)(
+      df: DataFrame): DataFrame =
+    df.filter(predicate)
+
+  // ------------------------------------------------------------------ joins
+
+  /** Master–detail lookup join — the reference's single join
+    * (`ops/rows.py::join_details`, `backends/sql/ops.py::join_details`):
+    * LEFT OUTER equi-join, detail on the build side. The reference's rows
+    * implementation materializes the detail into an in-process dict — i.e.
+    * a broadcast hash join — so `broadcastDetail=true` reproduces exactly
+    * that strategy, shuffle-free, and is the right call for dimension
+    * tables at any master scale. Set it false for detail tables too large
+    * to broadcast; Catalyst then plans a shuffled hash/sort-merge join. */
+  def joinDetails(
+      detail: DataFrame,
+      masterKey: String,
+      detailKey: String,
+      joinType: String = "left_outer",
+      broadcastDetail: Boolean = true)(master: DataFrame): DataFrame = {
+    val d = if (broadcastDetail) broadcast(detail) else detail
+    master.join(d, master(masterKey) === d(detailKey), joinType)
+  }
+
+  /** Fold of master–detail joins over a chain of dimensions (the
+    * reference's multi-detail variant): each step broadcasts its detail, so
+    * an N-dim star lookup is N broadcast joins and zero shuffles of the
+    * fact table. */
+  def joinDetailsChain(details: Seq[(DataFrame, String, String)])(
+      master: DataFrame): DataFrame =
+    details.foldLeft(master) { case (m, (d, mk, dk)) => joinDetails(d, mk, dk)(m) }
+
+  // ------------------------------------------------------------- aggregates
+
+  /** Aggregation functions supported by the reference's `aggregate`
+    * (`sum`, `min`, `max`, `average`). Output columns follow the
+    * reference's naming convention `<field>_<function>`. */
+  val aggregateFunctions: Set[String] = Set("sum", "min", "max", "average")
+
+  /** GROUP BY + measures (reference: `ops/rows.py::aggregate`,
+    * `backends/sql/ops.py::aggregate`). `measures` is (field, function)
+    * with function in [[aggregateFunctions]]; a `record_count` column is
+    * always appended unless includeCount=false, exactly as the reference
+    * defaults `include_count=True`.
+    *
+    * Scale: hash aggregation with map-side partial aggregation — one
+    * shuffle of the (small) partial-aggregate state, never of the raw
+    * rows. Spill-safe via Spark's external aggregation. */
+  def aggregate(
+      keys: Seq[String],
+      measures: Seq[(String, String)],
+      includeCount: Boolean = true,
+      countField: String = "record_count")(df: DataFrame): DataFrame = {
+    val aggs = measures.map {
+      case (f, "sum")     => sum(col(f)).as(s"${f}_sum")
+      case (f, "min")     => min(col(f)).as(s"${f}_min")
+      case (f, "max")     => max(col(f)).as(s"${f}_max")
+      case (f, "average") => avg(col(f)).as(s"${f}_average")
+      case (_, fn) =>
+        throw new IllegalArgumentException(
+          s"unsupported aggregate function '$fn' (supported: $aggregateFunctions)")
+    } ++ (if (includeCount) Seq(count(lit(1)).as(countField)) else Nil)
+    require(aggs.nonEmpty, "aggregate needs at least one measure or record_count")
+    if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Distinct values of the given key fields; with no keys, whole-row
+    * distinct (reference: `ops/rows.py::distinct` / `distinct_rows`).
+    * Plans as a hash aggregate with partial aggregation — dedup happens
+    * map-side before the shuffle. */
+  def distinct(keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    if (keys.isEmpty) df.distinct() else df.select(keys.map(col): _*).distinct()
+
+  // ---------------------------------------------------------- sort / sample
+
+  /** Order by (field, ascending) pairs (reference: `ops/rows.py::sort`).
+    * Nulls sort first on ascending and last on descending keys — stated
+    * explicitly because oracle SQL must pin the same placement. Spark plans
+    * a range-partitioned distributed sort (sampled bounds, external
+    * spill) — the reference's in-memory `sorted()` at any scale. */
+  def sort(keys: Seq[(String, Boolean)])(df: DataFrame): DataFrame =
+    df.orderBy(keys.map { case (f, asc) =>
+      if (asc) col(f).asc_nulls_first else col(f).desc_nulls_last
+    }: _*)
+
+  /** Row sampling (reference: `ops/rows.py::sample`): mode "first" takes
+    * the first n rows (LIMIT — only deterministic after a sort), "random"
+    * takes an approximate fraction with a fixed seed, "nth" every n-th row
+    * by current partition order (inherits the reference's caveat that
+    * physical order is not a contract). */
+  def sample(n: Long, mode: String = "first", seed: Long = 42L)(
+      df: DataFrame): DataFrame = mode match {
+    case "first" => df.limit(n.toInt)
+    case "random" =>
+      val total = df.count()
+      if (total == 0) df
+      else df.sample(withReplacement = false, math.min(1.0, n.toDouble / total), seed)
+    case "nth" =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(monotonically_increasing_id())
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") % n === 1)
+        .drop("__rn")
+    case other => throw new IllegalArgumentException(s"unknown sample mode: $other")
+  }
+
+  // ------------------------------------------------------------------- sets
+
+  /** Concatenate objects with identical field lists — UNION ALL, no dedup
+    * (reference: `ops/rows.py::append`, `sql/ops.py::append`). Matches by
+    * column name (`unionByName`) since the reference matches FieldLists;
+    * narrow-dependency only, no shuffle. */
+  def append(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "append of zero objects")
+    dfs.reduce(_.unionByName(_))
+  }
+
+  // ------------------------------------------- scalar / transform operators
+
+  /** Explode a date/timestamp field into `<f>_year`, `<f>_month`, `<f>_day`
+    * integer columns (reference: `ops/rows.py::split_date`). Parts
+    * configurable like the reference. */
+  def splitDate(field: String, parts: Seq[String] = Seq("year", "month", "day"))(
+      df: DataFrame): DataFrame =
+    parts.foldLeft(df) { (d, p) =>
+      val e = p match {
+        case "year"  => year(col(field))
+        case "month" => month(col(field))
+        case "day"   => dayofmonth(col(field))
+        case other   => throw new IllegalArgumentException(s"unknown date part: $other")
+      }
+      d.withColumn(s"${field}_$p", e)
+    }
+
+  /** Strip leading/trailing whitespace (or given characters) on string
+    * fields (reference: `ops/rows.py::string_strip`). */
+  def stringStrip(fields: Seq[String], chars: Option[String] = None)(
+      df: DataFrame): DataFrame =
+    fields.foldLeft(df) { (d, f) =>
+      d.withColumn(f, chars match {
+        case None     => trim(col(f))
+        case Some(cs) => trim(col(f), cs)
+      })
+    }
+
+  /** Apply an ordered list of regex substitutions to a field (reference:
+    * `ops/rows.py::text_substitute`). */
+  def textSubstitute(field: String, substitutions: Seq[(String, String)])(
+      df: DataFrame): DataFrame =
+    df.withColumn(
+      field,
+      substitutions.foldLeft(col(field)) { case (c, (pat, rep)) =>
+        regexp_replace(c, pat, rep)
+      })
+
+  /** Empty string -> NULL on the given string fields (reference:
+    * `ops/rows.py::empty_to_missing`). */
+  def emptyToMissing(fields: Seq[String])(df: DataFrame): DataFrame =
+    fields.foldLeft(df) { (d, f) =>
+      d.withColumn(f, when(col(f) === "", lit(null)).otherwise(col(f)))
+    }
+
+  /** Parse a string field into a date with the given format (reference:
+    * string-to-date row transform). */
+  def stringToDate(field: String, format: String, target: Option[String] = None)(
+      df: DataFrame): DataFrame =
+    df.withColumn(target.getOrElse(field), to_date(col(field), format))
+
+  /** Bin a numeric field against two cut points into "low" / "pass" /
+    * "high" (reference: `ops/rows.py::threshold`). Semantics chosen and
+    * documented (SURVEY.md §7.4 risk 1): value < low -> "low",
+    * value > high -> "high", else "pass"; bounds themselves pass. */
+  def threshold(
+      field: String,
+      low: Double,
+      high: Double,
+      target: Option[String] = None)(df: DataFrame): DataFrame =
+    df.withColumn(
+      target.getOrElse(s"${field}_bin"),
+      when(col(field) < low, "low")
+        .when(col(field) > high, "high")
+        .otherwise("pass"))
+
+  // ------------------------------------------------------------------ debug
+
+  /** Formatted table to stdout (reference: `ops/rows.py::pretty_print`).
+    * Debug sink; truncation-free like the reference. */
+  def prettyPrint(n: Int = 20)(df: DataFrame): Unit = df.show(n, truncate = false)
+}

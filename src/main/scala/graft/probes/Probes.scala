@@ -1,0 +1,102 @@
+package graft.probes
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Data-quality probing — a headline feature of the reference (its README
+  * bills itself for "data quality probing"; SURVEY.md §2.10). Audit and
+  * duplicate statistics return DataFrames; assertions throw
+  * [[ProbeAssertionError]] so a pipeline fails fast.
+  */
+final class ProbeAssertionError(msg: String) extends RuntimeException(msg)
+
+object Probes {
+
+  /** Per-field quality statistics (reference: `ops/rows.py::audit`): for
+    * each audited field — record count, null count & ratio, empty-string
+    * count (string fields only), and exact distinct count, reported only
+    * when it does not exceed `distinctThreshold` (the reference caps the
+    * distinct scan the same way; NULL means "above threshold").
+    *
+    * Implementation: ONE aggregation pass computes every stat for every
+    * field (the multi-count-distinct plans via Catalyst's Expand — an
+    * O(fields) row multiplier on the map side but still a single shuffle
+    * of partial aggregates, so it scales to arbitrary row counts), then a
+    * local inline() reshapes the single result row to long format. */
+  def audit(fields: Seq[String], distinctThreshold: Long = 1000000L)(
+      df: DataFrame): DataFrame = {
+    val schema = df.schema
+    val aggs = count(lit(1)).as("__rc") +: fields.flatMap { f =>
+      val isString = schema(f).dataType == StringType
+      Seq(
+        count(when(col(f).isNull, 1)).as(s"__null_$f"),
+        (if (isString) count(when(col(f) === "", 1)) else lit(0L).cast("long"))
+          .as(s"__empty_$f"),
+        countDistinct(col(f)).as(s"__distinct_$f"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.map { f =>
+      struct(
+        lit(f).as("field_name"),
+        col("__rc").as("record_count"),
+        col(s"__null_$f").as("null_count"),
+        (col(s"__null_$f").cast("double") / col("__rc")).as("null_ratio"),
+        col(s"__empty_$f").as("empty_string_count"),
+        when(col(s"__distinct_$f") <= distinctThreshold, col(s"__distinct_$f"))
+          .as("distinct_count"))
+    }
+    one.select(inline(array(rows: _*))).orderBy("field_name")
+  }
+
+  /** Keys + occurrence count for groups appearing more than `threshold`
+    * times (reference: `ops/rows.py::count_duplicates`, default threshold
+    * 1, SQL variant = GROUP BY + HAVING). Partial aggregation makes this a
+    * shuffle of group states, not rows. */
+  def countDuplicates(keys: Seq[String], threshold: Long = 1L)(
+      df: DataFrame): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("duplicate_count"))
+      .filter(col("duplicate_count") > threshold)
+
+  /** Duplication summary over the key (reference:
+    * `ops/rows.py::duplicate_stats`): total records, distinct keys, and
+    * surplus records (total - distinct). */
+  def duplicateStats(keys: Seq[String])(df: DataFrame): DataFrame =
+    df.agg(
+        count(lit(1)).as("record_count"),
+        countDistinct(col(keys.head), keys.tail.map(col): _*).as("distinct_count"))
+      .withColumn("duplicate_count", col("record_count") - col("distinct_count"))
+
+  /** Rows whose key occurs more than once — the evidence set behind
+    * assertUnique, useful as a queryable probe. */
+  def uniqueViolations(keys: Seq[String])(df: DataFrame): DataFrame =
+    countDuplicates(keys)(df)
+
+  /** Fail the pipeline when the key is not unique (reference:
+    * `ops/rows.py::assert_unique`). Pass-through on success so probes
+    * compose inside pipelines. */
+  def assertUnique(keys: Seq[String])(df: DataFrame): DataFrame = {
+    val dupes = countDuplicates(keys)(df).limit(1).count()
+    if (dupes > 0)
+      throw new ProbeAssertionError(
+        s"assert_unique failed: key ${keys.mkString("(", ",", ")")} has duplicates")
+    df
+  }
+
+  /** Fail unless (field, value) occurs at least once (reference:
+    * `ops/rows.py::assert_contains`). */
+  def assertContains(field: String, value: Any)(df: DataFrame): DataFrame = {
+    if (df.filter(col(field) === lit(value)).limit(1).count() == 0)
+      throw new ProbeAssertionError(s"assert_contains failed: $field=$value absent")
+    df
+  }
+
+  /** Fail if (field, value) occurs (reference:
+    * `ops/rows.py::assert_missing`). */
+  def assertMissing(field: String, value: Any)(df: DataFrame): DataFrame = {
+    if (df.filter(col(field) === lit(value)).limit(1).count() > 0)
+      throw new ProbeAssertionError(s"assert_missing failed: $field=$value present")
+    df
+  }
+}
