@@ -243,10 +243,14 @@ object Ops {
     }
 
   /** Parse a string field into a date with the given format (reference:
-    * string-to-date row transform). */
+    * string-to-date row transform). Unparseable values yield NULL
+    * (try_to_date) rather than failing the job under ANSI mode — the
+    * pipeline-friendly choice; pair with [[graft.probes.Probes.audit]] to
+    * count the resulting nulls. */
   def stringToDate(field: String, format: String, target: Option[String] = None)(
       df: DataFrame): DataFrame =
-    df.withColumn(target.getOrElse(field), to_date(col(field), format))
+    df.withColumn(target.getOrElse(field),
+      try_to_timestamp(col(field), lit(format)).cast("date"))
 
   /** Bin a numeric field against two cut points into "low" / "pass" /
     * "high" (reference: `ops/rows.py::threshold`). Semantics chosen and

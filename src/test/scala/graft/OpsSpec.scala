@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops.Ops
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sales = Seq(
+    ("books", "r1", 10.0, "2023-12-31"),
+    ("books", "r2", -5.0, "2024-01-01"),
+    ("toys", "r3", 0.0, "2024-02-29"),
+    ("toys", "r4", 7.5, "2024-03-01"),
+    ("", "r5", 3.0, "2024-03-01"),
+    (null, "r6", 1.0, null))
+    .toDF("category", "ref", "amount", "day")
+
+  test("fieldFilter keeps, drops and renames in one projection") {
+    val out = Ops.fieldFilter(keep = Seq("ref", "amount"),
+      rename = Map("amount" -> "value"))(sales)
+    assert(out.columns.toSeq == Seq("ref", "value"))
+    assert(out.count() == 6)
+    val dropped = Ops.fieldFilter(drop = Seq("day"))(sales)
+    assert(dropped.columns.toSeq == Seq("category", "ref", "amount"))
+  }
+
+  test("filterByValue keeps matches; discard inverts and keeps nulls out of matches") {
+    assert(Ops.filterByValue("category", "books")(sales).count() == 2)
+    // discard: null category row is NOT equal to the value, so it survives
+    val kept = Ops.filterByValue("category", "books", discard = true)(sales)
+    assert(kept.count() == 4)
+    assert(kept.filter($"category".isNull).count() == 1)
+  }
+
+  test("filterBySet membership and discard") {
+    assert(Ops.filterBySet("category", Seq("books", "toys"))(sales).count() == 4)
+    assert(Ops.filterBySet("category", Seq("books", "toys"), discard = true)(
+      sales).count() == 2)
+  }
+
+  test("filterByRange is half-open [low, high)") {
+    val out = Ops.filterByRange("amount", 0.0, 7.5)(sales)
+    // 0.0 included, 7.5 excluded, negatives excluded
+    assert(out.select("ref").as[String].collect().toSet == Set("r3", "r5", "r6"))
+  }
+
+  test("filterNotEmpty drops null and empty; filterEmpty keeps only them") {
+    assert(Ops.filterNotEmpty("category")(sales).count() == 4)
+    assert(Ops.filterEmpty("category")(sales).count() == 2)
+  }
+
+  test("joinDetails is left-outer with broadcast detail") {
+    val detail = Seq(("books", "B"), ("toys", "T")).toDF("cat", "code")
+    val out = Ops.joinDetails(detail, "category", "cat")(sales)
+    assert(out.count() == 6)
+    assert(out.filter($"code".isNull).count() == 2) // "", null have no match
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("aggregate follows <field>_<fn> naming and appends record_count") {
+    val out = Ops.aggregate(Seq("category"),
+      Seq("amount" -> "sum", "amount" -> "average", "amount" -> "min",
+        "amount" -> "max"))(sales)
+    assert(out.columns.toSeq == Seq("category", "amount_sum", "amount_average",
+      "amount_min", "amount_max", "record_count"))
+    val books = out.filter($"category" === "books").head()
+    assert(books.getAs[Double]("amount_sum") == 5.0)
+    assert(books.getAs[Double]("amount_average") == 2.5)
+    assert(books.getAs[Double]("amount_min") == -5.0)
+    assert(books.getAs[Long]("record_count") == 2L)
+    // single-row group
+    assert(Ops.aggregate(Seq("ref"), Nil)(sales)
+      .filter($"record_count" =!= 1).count() == 0)
+    // global aggregate (no keys)
+    assert(Ops.aggregate(Nil, Seq("amount" -> "sum"))(sales)
+      .head().getAs[Double]("amount_sum") == 16.5)
+  }
+
+  test("aggregate rejects unknown functions") {
+    intercept[IllegalArgumentException] {
+      Ops.aggregate(Seq("category"), Seq("amount" -> "median"))(sales)
+    }
+  }
+
+  test("distinct on keys and whole rows") {
+    assert(Ops.distinct(Seq("category"))(sales).count() == 4)
+    assert(Ops.distinct()(sales.union(sales)).count() == 6)
+  }
+
+  test("sort places nulls first on asc, last on desc") {
+    val ascFirst = Ops.sort(Seq("category" -> true))(sales)
+      .select("category").head()
+    assert(ascFirst.isNullAt(0))
+    val descLast = Ops.sort(Seq("category" -> false))(sales)
+      .select("category").collect().last
+    assert(descLast.isNullAt(0))
+  }
+
+  test("sample modes") {
+    val sorted = Ops.sort(Seq("ref" -> true))(sales)
+    assert(Ops.sample(3)(sorted).count() == 3)
+    assert(Ops.sample(2, "nth")(sorted).count() == 3) // rows 1,3,5
+    assert(Ops.sample(3, "random")(sorted).count() <= 6)
+    intercept[IllegalArgumentException](Ops.sample(1, "bogus")(sales))
+  }
+
+  test("append is UNION ALL by name") {
+    val reordered = sales.select("day", "ref", "amount", "category")
+    assert(Ops.append(Seq(sales, reordered)).count() == 12)
+    // no dedup
+    assert(Ops.append(Seq(sales, sales)).count() == 12)
+  }
+
+  test("splitDate emits <f>_year/_month/_day and handles leap day") {
+    val df = sales.withColumn("day", to_date($"day"))
+    val out = Ops.splitDate("day")(df)
+    assert(out.columns.containsSlice(Seq("day_year", "day_month", "day_day")))
+    val leap = out.filter($"ref" === "r3").head()
+    assert(leap.getAs[Int]("day_year") == 2024)
+    assert(leap.getAs[Int]("day_month") == 2)
+    assert(leap.getAs[Int]("day_day") == 29)
+    assert(out.filter($"ref" === "r6").head().isNullAt(out.columns.indexOf("day_year")))
+  }
+
+  test("stringStrip trims whitespace and custom chars") {
+    val df = Seq(("  a  ", "xxbxx")).toDF("s", "t")
+    val out = Ops.stringStrip(Seq("s"))(Ops.stringStrip(Seq("t"), Some("x"))(df))
+    assert(out.head() == Row("a", "b"))
+  }
+
+  test("textSubstitute applies substitutions in order") {
+    val df = Seq("abcabc").toDF("s")
+    val out = Ops.textSubstitute("s", Seq("a" -> "b", "bb" -> "x"))(df)
+    assert(out.head().getString(0) == "xcxc")
+  }
+
+  test("emptyToMissing turns empty strings into nulls") {
+    val out = Ops.emptyToMissing(Seq("category"))(sales)
+    assert(out.filter($"category".isNull).count() == 2)
+    assert(out.filter($"category" === "").count() == 0)
+  }
+
+  test("stringToDate parses with format, invalid -> null") {
+    val df = Seq("31/12/2023", "oops").toDF("d")
+    val out = Ops.stringToDate("d", "dd/MM/yyyy", Some("parsed"))(df)
+    assert(out.filter($"parsed".isNotNull).count() == 1)
+  }
+
+  test("threshold bins low/pass/high with inclusive bounds passing") {
+    val df = Seq(-1.0, 0.0, 5.0, 10.0, 11.0).toDF("v")
+    val out = Ops.threshold("v", 0.0, 10.0)(df)
+    assert(out.select("v_bin").as[String].collect().toSeq ==
+      Seq("low", "pass", "pass", "pass", "high"))
+  }
+
+  test("derive adds a computed column") {
+    val out = Ops.derive("double_amount", $"amount" * 2)(sales)
+    assert(out.filter($"ref" === "r1").head().getAs[Double]("double_amount") == 20.0)
+  }
+}

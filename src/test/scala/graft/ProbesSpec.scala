@@ -1,0 +1,58 @@
+package graft
+
+import graft.probes.{Probes, ProbeAssertionError}
+
+class ProbesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", "x", 1.0), ("a", "", 2.0), ("b", null, 3.0),
+    ("b", "y", 3.0), ("c", "x", 5.0))
+    .toDF("k", "s", "v")
+
+  test("audit reports per-field stats in long format") {
+    val out = Probes.audit(Seq("k", "s", "v"))(df).collect()
+    assert(out.map(_.getAs[String]("field_name")).toSeq == Seq("k", "s", "v"))
+    val s = out(1)
+    assert(s.getAs[Long]("record_count") == 5L)
+    assert(s.getAs[Long]("null_count") == 1L)
+    assert(s.getAs[Double]("null_ratio") == 0.2)
+    assert(s.getAs[Long]("empty_string_count") == 1L)
+    assert(s.getAs[Long]("distinct_count") == 3L) // "", x, y — null excluded
+    val v = out(2)
+    assert(v.getAs[Long]("empty_string_count") == 0L) // non-string field
+    assert(v.getAs[Long]("distinct_count") == 4L)
+  }
+
+  test("audit distinct threshold caps to null") {
+    val out = Probes.audit(Seq("v"), distinctThreshold = 2)(df).head()
+    assert(out.isNullAt(out.fieldIndex("distinct_count")))
+  }
+
+  test("countDuplicates finds groups above threshold") {
+    val out = Probes.countDuplicates(Seq("k"))(df)
+    assert(out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 2L, "b" -> 2L))
+    assert(Probes.countDuplicates(Seq("k"), threshold = 2)(df).count() == 0)
+  }
+
+  test("duplicateStats summarizes total vs distinct") {
+    val r = Probes.duplicateStats(Seq("k"))(df).head()
+    assert(r.getAs[Long]("record_count") == 5L)
+    assert(r.getAs[Long]("distinct_count") == 3L)
+    assert(r.getAs[Long]("duplicate_count") == 2L)
+  }
+
+  test("assertUnique passes on unique key, throws on duplicates") {
+    val unique = Seq("a", "b").toDF("k")
+    assert(Probes.assertUnique(Seq("k"))(unique).count() == 2)
+    intercept[ProbeAssertionError](Probes.assertUnique(Seq("k"))(df))
+  }
+
+  test("assertContains / assertMissing") {
+    assert(Probes.assertContains("k", "a")(df).count() == 5)
+    intercept[ProbeAssertionError](Probes.assertContains("k", "zzz")(df))
+    assert(Probes.assertMissing("k", "zzz")(df).count() == 5)
+    intercept[ProbeAssertionError](Probes.assertMissing("k", "a")(df))
+  }
+}
