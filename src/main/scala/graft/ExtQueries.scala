@@ -1,0 +1,311 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, TextOps}
+import graft.ops.{Ops, WindowOps}
+
+/** Extension-surface queries (SURVEY.md §2.12 / north-star): dedup,
+  * similarity search, text analysis, window ops, JSON events. Merged into
+  * [[SparkEntry.queries]]; every query has an exact DuckDB oracle built on
+  * the shared md5 hash and IEEE-deterministic fold shapes. */
+object ExtQueries {
+  import SparkEntry.table
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis ----------------------------------------------------
+    "text_stats" -> { (s, dir) =>
+      TextOps.textStats("text")(table(s, dir, "documents"))
+        .select("doc_id", "token_count", "distinct_token_count",
+          "bpeish_token_count", "char_count", "mean_token_length")
+        .orderBy("doc_id")
+    },
+    "lang_id" -> { (s, dir) =>
+      TextOps.withLangId("text")(table(s, dir, "documents"))
+        .select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+    },
+    "quality_score" -> { (s, dir) =>
+      TextOps.withQuality("text")(table(s, dir, "documents"))
+        .select("doc_id", "quality").orderBy("doc_id")
+    },
+    "fingerprint_dedup" -> { (s, dir) =>
+      Dedup.exact(Seq("fingerprint"), "doc_id")(
+        TextOps.withFingerprint("text")(table(s, dir, "documents")))
+        .select("doc_id", "lang", "fingerprint").orderBy("doc_id")
+    },
+    // ---- dedup ------------------------------------------------------------
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Seq("user_id", "event_type"), "event_id")(
+        table(s, dir, "events"))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("user_id", "event_type")
+    },
+    "minhash_pairs" -> { (s, dir) =>
+      Dedup.minhashNearDuplicates("doc_id", "text", threshold = 0.2)(
+        table(s, dir, "documents"))
+        .orderBy("id_a", "id_b")
+    },
+    "simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashNearDuplicates("doc_id", "text", maxHamming = 10,
+        prefixBits = 12)(table(s, dir, "documents"))
+        .orderBy("id_a", "id_b")
+    },
+    "ngram_jaccard_pairs" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs("doc_id", "text", "lang", threshold = 0.3)(
+        table(s, dir, "documents"))
+        .orderBy("id_a", "id_b")
+    },
+    "embedding_dedup" -> { (s, dir) =>
+      Dedup.embeddingNearDuplicates("vec_id", "embedding", threshold = 0.4)(
+        table(s, dir, "embeddings"))
+        .orderBy("id_a", "id_b")
+    },
+    // ---- similarity search -------------------------------------------------
+    "similarity_topk" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
+        queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
+        queryVec = "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    "similarity_lsh" -> { (s, dir) =>
+      Similarity.lshTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, planes = 6, dim = 64)
+        .orderBy("query_id", "rank")
+    },
+    // ---- events: JSON + windows + sessions ---------------------------------
+    "events_json_agg" -> { (s, dir) =>
+      table(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("record_count"))
+        .orderBy("event_type")
+    },
+    "topk_per_group" -> { (s, dir) =>
+      WindowOps.topKPerGroup(Seq("o_orderpriority"), "o_totalprice",
+        "o_orderkey", 3)(table(s, dir, "orders"))
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+        .orderBy("o_orderpriority", "rank")
+    },
+    "running_sum" -> { (s, dir) =>
+      WindowOps.runningSum(Seq("l_suppkey"),
+        Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"),
+        "l_quantity")(table(s, dir, "lineitem"))
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity", "running_sum")
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity", "running_sum")
+    },
+    "sessionize" -> { (s, dir) =>
+      WindowOps.sessionize("user_id", "ts", gapSeconds = 1800,
+        tieBreak = Seq("event_id"))(table(s, dir, "events"))
+        .select("user_id", "event_id", "session_id")
+        .orderBy("user_id", "event_id")
+    }
+  )
+
+  private val hex8 =
+    """list_sum(list_transform(range(1,9), j ->
+       (strpos('0123456789abcdef', substr(md5(%s), j, 1)) - 1)
+       * CAST(16**(8-j) AS BIGINT)))"""
+
+  /** Shingle list (word 3-grams, distinct) — mirrors TextOps.shingles. */
+  private val shinglesSql =
+    """list_distinct(list_transform(
+         range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+         i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))"""
+
+  /** Sequential double fold matching Spark's aggregate(…, 0.0, _+_). */
+  private def foldSum(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
+
+  private def cosineSql(a: String, b: String): String = {
+    val d = foldSum(s"list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+    val na = s"sqrt(${foldSum(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+    val nb = s"sqrt(${foldSum(s"list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+    s"CASE WHEN $na = CAST(0 AS DOUBLE) OR $nb = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE $d / ($na * $nb) END"
+  }
+
+  private def stopRatio(lst: String): String =
+    s"""CASE WHEN len(string_split(text,' ')) = 0 THEN CAST(0 AS DOUBLE)
+        ELSE CAST(len(list_intersect(list_distinct(string_split(text,' ')), $lst)) AS DOUBLE)
+             / len(list_distinct(string_split(text,' '))) END"""
+
+  def oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text,' ')) AS INTEGER) AS token_count,
+         CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS distinct_token_count,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS INTEGER) AS bpeish_token_count,
+         CAST(length(text) AS INTEGER) AS char_count,
+         CASE WHEN len(string_split(text,' ')) = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) END AS mean_token_length
+         FROM documents ORDER BY doc_id""",
+    "lang_id" -> s"""
+      WITH r AS (SELECT doc_id, lang,
+        ${stopRatio("['der','die','das','und','zu','in','ist']")} AS r_de,
+        ${stopRatio("['the','a','of','and','to','in','is']")} AS r_en,
+        ${stopRatio("['el','la','de','y','que','en','es']")} AS r_es,
+        ${stopRatio("['le','la','de','et','que','en','est']")} AS r_fr,
+        ${stopRatio("['de','le','shi','he','zai','you','wo']")} AS r_zh
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN greatest(r_de,r_en,r_es,r_fr,r_zh) = CAST(0 AS DOUBLE) THEN 'und'
+             WHEN r_zh = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'zh'
+             WHEN r_fr = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'fr'
+             WHEN r_es = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'es'
+             WHEN r_en = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'en'
+             ELSE 'de' END AS lang_pred
+      FROM r ORDER BY doc_id""",
+    "quality_score" -> s"""
+      WITH q AS (SELECT doc_id,
+        least(len(string_split(text,' ')) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) AS len_score,
+        CASE WHEN len(string_split(text,' ')) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) END AS mean_len,
+        least(${stopRatio("['the','a','of','and','to','in','is']")} * CAST(5 AS DOUBLE),
+              CAST(1 AS DOUBLE)) AS stop_score
+        FROM documents)
+      SELECT doc_id,
+        len_score * 4e-1
+        + (CASE WHEN mean_len >= CAST(3 AS DOUBLE) AND mean_len <= CAST(10 AS DOUBLE)
+                THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 3e-1
+        + stop_score * 3e-1 AS quality
+      FROM q ORDER BY doc_id""",
+    "fingerprint_dedup" ->
+      """SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
+         FROM documents
+         QUALIFY row_number() OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+           ORDER BY doc_id) = 1
+         ORDER BY doc_id""",
+    "dedup_exact" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         QUALIFY row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY event_id) = 1
+         ORDER BY user_id, event_type""",
+    "minhash_pairs" -> s"""
+      WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+      sig AS (SELECT doc_id, sh,
+        list_transform(range(0,8), i ->
+          list_min(list_transform(sh, t ->
+            ${hex8.format("CAST(i AS VARCHAR) || '|' || t")}))) AS sig
+        FROM sh),
+      banded AS (SELECT doc_id, b, md5(array_to_string(sig[b*2+1 : b*2+2], ',')) AS bucket
+        FROM sig, range(0,4) t(b)),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY b, bucket) AS n FROM banded),
+      pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM sized x JOIN sized y ON x.b = y.b AND x.bucket = y.bucket
+        WHERE x.doc_id < y.doc_id AND x.n <= 64 AND y.n <= 64),
+      joined AS (SELECT id_a, id_b,
+        CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
+        FROM pairs JOIN sh a ON pairs.id_a = a.doc_id
+                   JOIN sh b ON pairs.id_b = b.doc_id)
+      SELECT id_a, id_b, jaccard FROM joined
+      WHERE jaccard >= 2e-1 ORDER BY id_a, id_b""",
+    "simhash_pairs" -> s"""
+      WITH hs AS (SELECT doc_id,
+        list_transform(list_distinct(string_split(text,' ')), t ->
+          CAST(list_sum(list_transform(range(1,16), j ->
+            (strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1)
+            * CAST(16**(15-j) AS BIGINT))) AS BIGINT)) AS hs
+        FROM documents),
+      sig AS (SELECT doc_id,
+        CAST(list_sum(list_transform(range(0,60), b ->
+          CASE WHEN list_sum(list_transform(hs, h ->
+                 CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+               THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        FROM hs),
+      bk AS (SELECT doc_id, sig, sig >> 48 AS bucket FROM sig)
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        CAST(bit_count(xor(a.sig, c.sig)) AS INTEGER) AS hamming
+      FROM bk a JOIN bk c ON a.bucket = c.bucket
+      WHERE a.doc_id < c.doc_id AND bit_count(xor(a.sig, c.sig)) <= 10
+      ORDER BY id_a, id_b""",
+    "ngram_jaccard_pairs" -> s"""
+      WITH sh AS (SELECT doc_id, lang, $shinglesSql AS sh FROM documents),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
+        FROM sh a JOIN sh b ON a.lang = b.lang WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM pairs
+      WHERE jaccard >= 3e-1 ORDER BY id_a, id_b""",
+    "embedding_dedup" -> s"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ${cosineSql("a.embedding", "b.embedding")} AS cosine
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND ${cosineSql("a.embedding", "b.embedding")} >= 4e-1
+      ORDER BY id_a, id_b""",
+    "similarity_topk" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      scored AS (SELECT query_id, c.vec_id AS item_id,
+        ${cosineSql("qe", "c.embedding")} AS cosine
+        FROM embeddings c, q WHERE query_id <> c.vec_id),
+      ranked AS (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn
+        FROM scored)
+      SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
+      FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
+    "similarity_lsh" -> s"""
+      WITH bucketed AS (SELECT vec_id, embedding,
+        CAST(list_sum(list_transform(range(0,6), p ->
+          CASE WHEN ${foldSum("""list_transform(range(0,64), d ->
+            CAST(embedding[d+1] AS DOUBLE)
+            * (CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1
+               AS DOUBLE) - 75e-1))""")} >= CAST(0 AS DOUBLE)
+          THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+        FROM embeddings),
+      cand AS (SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+        ${cosineSql("a.embedding", "b.embedding")} AS cosine
+        FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+        WHERE a.vec_id <> b.vec_id),
+      ranked AS (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn
+        FROM cand)
+      SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
+      FROM ranked WHERE rn <= 3 ORDER BY query_id, rank""",
+    "events_json_agg" ->
+      """SELECT event_type,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+         count(*) AS record_count
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rank
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_orderpriority, rank""",
+    "running_sum" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+         sum(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate ASC NULLS FIRST, l_orderkey ASC NULLS FIRST,
+             l_linenumber ASC NULLS FIRST, l_quantity ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
+         FROM lineitem
+         ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+           running_sum""",
+    "sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev
+         FROM events),
+         st AS (SELECT user_id, event_id, ts,
+           CASE WHEN prev IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS s
+         FROM o)
+         SELECT user_id, event_id,
+           CAST(sum(s) OVER (PARTITION BY user_id
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM st ORDER BY user_id, event_id"""
+  )
+}

@@ -1,0 +1,174 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (extension surface,
+  * SURVEY.md §2.12): exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: every variant is expressed so that the only shuffles are
+  * on dedup/bucket keys with map-side partial aggregation, and candidate
+  * generation is LSH-bucketed (never all-pairs) on the 100 TB path. The
+  * brute-force pairwise forms exist as oracle baselines and for small
+  * blocked groups. Hashing is md5-based so the DuckDB oracle reproduces
+  * results bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup on key columns, keeping per group the row with the
+    * minimum tie-break value — deterministic, unlike dropDuplicates.
+    * Implemented as hash aggregation with min_by (partial aggregation on
+    * the map side), NOT a window sort: one shuffle of one struct per
+    * distinct key. */
+  def exact(keys: Seq[String], tieBreak: String)(df: DataFrame): DataFrame = {
+    val all = struct(df.columns.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(all, col(tieBreak)).as("__row"))
+      .select("__row.*")
+  }
+
+  /** Exact content dedup via md5 fingerprint of normalized text. */
+  def byFingerprint(textField: String, tieBreak: String)(df: DataFrame): DataFrame =
+    exact(Seq("__fp"), tieBreak)(
+      df.withColumn("__fp", TextOps.fingerprint(col(textField))))
+      .drop("__fp")
+
+  /** MinHash signature over word n-gram shingles: element i is
+    * min over shingles of hash(i | shingle). One projection, no shuffle. */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
+    val sh = TextOps.shingles(text, shingleSize)
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, t => TextOps.tokenHash(t, lit(i))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs from MinHash signatures: split the signature
+    * into `bands`, bucket docs by (band index, band hash), emit distinct
+    * id pairs sharing any bucket. The shuffle key is the band bucket —
+    * with b bands of r rows, collision probability is 1-(1-s^r)^b for
+    * true similarity s, and no all-pairs comparison ever happens.
+    * `maxBucket` caps degenerate buckets (shingle-free or boilerplate
+    * docs) to bound worst-case skew — the capped buckets are dropped, a
+    * deliberate recall/robustness trade documented for the oracle. */
+  def minhashLshPairs(
+      idField: String,
+      textField: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      maxBucket: Int = 64)(df: DataFrame): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignature(col(textField), numHashes, shingleSize)
+    val banded = df
+      .select(col(idField).as("__id"), sig.as("__sig"))
+      .select(col("__id"), posexplode(
+        array((0 until bands).map(b =>
+          md5(concat_ws(",", slice(col("__sig"), b * rows + 1, rows)))): _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+    val sized = banded
+      .withColumn("__n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("__band", "__bucket")))
+      .filter(col("__n") <= maxBucket)
+    val a = sized.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
+    val b = sized.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
+    a.join(b, Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs verified with exact n-gram Jaccard ≥
+    * threshold. The verify join re-reads only candidate docs. */
+  def minhashNearDuplicates(
+      idField: String,
+      textField: String,
+      threshold: Double,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3)(df: DataFrame): DataFrame = {
+    val cands = minhashLshPairs(idField, textField, numHashes, bands, shingleSize)(df)
+    val docs = df.select(col(idField), TextOps.shingles(col(textField), shingleSize).as("__sh"))
+    cands
+      .join(docs.select(col(idField).as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(docs.select(col(idField).as("id_b"), col("__sh").as("__shb")), "id_b")
+      .withColumn("jaccard", TextOps.jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Brute-force n-gram Jaccard pairs within a blocking key — the oracle
+    * baseline for LSH recall. All-pairs inside each block: only usable
+    * when blocks are small; the LSH path is the scale path. */
+  def ngramJaccardPairs(
+      idField: String,
+      textField: String,
+      blockField: String,
+      threshold: Double,
+      shingleSize: Int = 3)(df: DataFrame): DataFrame = {
+    val docs = df.select(col(blockField).as("__blk"), col(idField),
+      TextOps.shingles(col(textField), shingleSize).as("__sh"))
+    val a = docs.select(col("__blk"), col(idField).as("id_a"), col("__sh").as("__sha"))
+    val b = docs.select(col("__blk"), col(idField).as("id_b"), col("__sh").as("__shb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", TextOps.jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 60-bit SimHash over whitespace tokens (60 = 15 md5 hex chars, the
+    * widest that stays inside a signed 64-bit long in both engines).
+    * Bit b of the fingerprint is the sign of the vote sum over token
+    * hashes' bit b. Token hashes are computed once per row, then 60
+    * bit-folds run over the cached array — one projection, no shuffle. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextOps.tokenSet(text),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    // static per-bit shiftright keeps everything in exact long arithmetic
+    // (dividing via pow() doubles would corrupt bits past the 53-bit mantissa)
+    (0 until 60).map { b =>
+      val votes = aggregate(hashes, lit(0), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(votes >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: bucket by the top `prefixBits` bits (cheap
+    * LSH), then verify hamming distance ≤ maxHamming within buckets. */
+  def simhashNearDuplicates(
+      idField: String,
+      textField: String,
+      maxHamming: Int = 3,
+      prefixBits: Int = 16)(df: DataFrame): DataFrame = {
+    val withSig = df.select(col(idField).as("__id"),
+      simhash(col(textField)).as("__sig"))
+    val bucketed = withSig.withColumn("__bucket",
+      shiftright(col("__sig"), 60 - prefixBits))
+    val a = bucketed.select(col("__bucket"), col("__id").as("id_a"),
+      col("__sig").as("__siga"))
+    val b = bucketed.select(col("__bucket"), col("__id").as("id_b"),
+      col("__sig").as("__sigb"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("__siga").bitwiseXOR(col("__sigb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding near-dup pairs: cosine similarity above threshold within
+    * a blocking key (brute force; the ANN path for scale lives in
+    * [[Similarity]]). */
+  def embeddingNearDuplicates(
+      idField: String,
+      vecField: String,
+      threshold: Double)(df: DataFrame): DataFrame = {
+    val docs = df.select(col(idField), col(vecField))
+    val a = docs.select(col(idField).as("id_a"), col(vecField).as("__va"))
+    val b = docs.select(col(idField).as("id_b"), col(vecField).as("__vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

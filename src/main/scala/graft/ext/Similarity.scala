@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (extension surface,
+  * SURVEY.md §2.12): brute-force cosine top-k as the exact baseline, and
+  * a sign-LSH bucketed variant as the scale path.
+  *
+  * Vectors are `array<float>`; all arithmetic is widened to double and
+  * folded in index order so the DuckDB oracle reproduces scores
+  * bit-for-bit. Pure higher-order-function expressions — no UDFs.
+  */
+object Similarity {
+
+  /** Dot product: sequential left fold over zip_with products. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity; 0.0 for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b); val na = norm(a); val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    *
+    * Scale shape: the query set is broadcast (it is the small side by
+    * construction); the corpus is scanned once with no shuffle of raw
+    * vectors, and the only shuffle carries (query, candidate, score)
+    * rows for the per-query top-k window. For corpus-×-corpus jobs use
+    * [[lshTopK]] instead. */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus
+      .select(col(corpusId).as("item_id"), col(corpusVec).as("__cv"))
+      .crossJoin(broadcast(queries
+        .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))))
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("item_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * md5 nibble mapped to [-7.5, 7.5] — reproducible in the oracle. */
+  private def planeWeight(plane: Int, d: Column): Column =
+    (conv(substring(md5(concat_ws("_", lit(plane), d)), 1, 1), 16, 10)
+      .cast("double") - 7.5)
+
+  /** Sign-LSH bucket id: one bit per hyperplane = sign of the projection
+    * of the vector on a deterministic pseudo-random plane. */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, transform(sequence(lit(0), lit(dim - 1)),
+          d => planeWeight(p, d)), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates share the sign-LSH bucket, then exact
+    * cosine re-ranks within buckets. With p planes the corpus shards into
+    * 2^p buckets; the join key is the bucket, so cost is corpus-linear
+    * with bucket-local pair generation instead of all-pairs. Recall is
+    * tunable via planes (fewer planes = bigger buckets = higher recall).
+    * A production variant unions several independent LSH tables;
+    * single-table keeps the oracle tractable and the shape identical. */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, planes: Int = 6, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = corpus.select(col(corpusId).as("__id"),
+      col(corpusVec).as("__v"),
+      lshBucket(col(corpusVec), planes, dim).as("__bucket"))
+    val a = bucketed.select(col("__bucket"), col("__id").as("query_id"),
+      col("__v").as("__qv"))
+    val b = bucketed.select(col("__bucket"), col("__id").as("item_id"),
+      col("__v").as("__cv"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("item_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (extension surface, SURVEY.md §2.12 / BASELINE.json north-star).
+  *
+  * Everything here is pure Column expressions — whole-stage-codegen
+  * friendly, no UDFs — so a 100 TB corpus pays one projection pass with
+  * no shuffle. The only cross-engine primitive is md5 (identical hex
+  * output in Spark and DuckDB), which makes every operator exactly
+  * reproducible by the DuckDB oracle.
+  */
+object TextOps {
+
+  /** Whitespace tokens. Both engines split identically on single spaces. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct whitespace tokens (set semantics for jaccard). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles: join of each n-token window. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(ts) - (n - 1), lit(0))),
+        i => array_join(slice(ts, i, n), " ")))
+  }
+
+  /** Jaccard similarity of two token arrays, on distinct elements:
+    * |A ∩ B| / |A ∪ B| as double. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(array_distinct(a)) + size(array_distinct(b)) - inter
+    when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)
+  }
+
+  /** Deterministic 32-bit token hash shared with the oracle: value of the
+    * first 8 hex chars of md5(prefix|token). */
+  def tokenHash(token: Column, salt: Column): Column =
+    conv(substring(md5(concat_ws("|", salt, token)), 1, 8), 16, 10).cast("long")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * other non-space characters — the shape of a byte-pair pre-tokenizer.
+    * Regex kept to syntax shared by Java regex and RE2. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  /** Stopword list used by quality scoring and language ID. Tiny on
+    * purpose: a broadcastable lookup evaluated inline per row. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "est"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ist"),
+    "zh" -> Seq("de", "le", "shi", "he", "zai", "you", "wo"))
+
+  private def ratioIn(ts: Column, words: Seq[String]): Column = {
+    val hits = size(array_intersect(array_distinct(ts),
+      array(words.map(lit): _*)))
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(array_distinct(ts)))
+  }
+
+  /** Heuristic language ID: argmax over per-language stopword hit ratio,
+    * lexicographic tie-break (deterministic; 'und' when nothing hits).
+    * A real pipeline swaps the token lists for char-n-gram profiles —
+    * the operator shape (pure projection, no shuffle) is the point. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(ratioIn(ts, words).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on (score, lang) structs: max score, then max lang; to get
+    // the lexicographically SMALLEST lang on ties, compare on (score, rev)
+    val best = array_max(array(scored.map(s =>
+      struct(s.getField("score").as("score"),
+        // reverse lexicographic via negated char codes is overkill here:
+        // ties across languages with equal nonzero ratios are resolved to
+        // the lexicographically greatest language; documented + mirrored
+        // in the oracle.
+        s.getField("lang").as("lang"))): _*))
+    when(best.getField("score") === 0.0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Quality score in [0,1]: blend of length saturation, mean token
+    * length plausibility, and stopword presence — the standard cheap
+    * pre-filter shape for training corpora. Pure double arithmetic,
+    * bit-reproducible in the oracle. */
+  def qualityScore(text: Column): Column = {
+    val ts = tokens(text)
+    val nTok = size(ts).cast("double")
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val meanLen = when(nTok === 0, lit(0.0))
+      .otherwise(length(text).cast("double") / nTok)
+    val meanLenScore = when(meanLen >= 3.0 && meanLen <= 10.0, lit(1.0))
+      .otherwise(lit(0.0))
+    val stopScore = least(ratioIn(ts, stopwords("en")) * lit(5.0), lit(1.0))
+    (lenScore * 0.4 + meanLenScore * 0.3 + stopScore * 0.3).as("quality")
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text.
+    * Identical normalization + digest in the oracle; exact-dup detection
+    * is then a groupBy on this column. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), " +", " "))
+
+  /** Rolling-window fingerprint (winnowing-style): minimum token-hash of
+    * each document — a 1-int sketch usable for cheap prefiltering. */
+  def minTokenHash(text: Column): Column =
+    array_min(transform(tokenSet(text), t => tokenHash(t, lit(0))))
+
+  // ------------------------------------------------------------ DataFrame ops
+
+  /** Standard text-statistics projection over a corpus. */
+  def textStats(textField: String)(df: DataFrame): DataFrame = {
+    val t = col(textField)
+    df.withColumn("token_count", tokenCount(t))
+      .withColumn("distinct_token_count", size(tokenSet(t)))
+      .withColumn("bpeish_token_count", bpeishTokenCount(t))
+      .withColumn("char_count", length(t))
+      .withColumn("mean_token_length",
+        when(size(tokens(t)) === 0, 0.0)
+          .otherwise(length(t).cast("double") / size(tokens(t))))
+  }
+
+  def withLangId(textField: String, target: String = "lang_pred")(
+      df: DataFrame): DataFrame = df.withColumn(target, langId(col(textField)))
+
+  def withQuality(textField: String, target: String = "quality")(
+      df: DataFrame): DataFrame = df.withColumn(target, qualityScore(col(textField)))
+
+  def withFingerprint(textField: String, target: String = "fingerprint")(
+      df: DataFrame): DataFrame = df.withColumn(target, fingerprint(col(textField)))
+}
