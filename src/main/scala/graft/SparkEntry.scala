@@ -16,8 +16,17 @@ import graft.probes.Probes
   */
 object SparkEntry {
 
+  /** Fixture loader. The events fixture carries a TIMESTAMP(NANOS) column,
+    * which Spark's parquet reader rejects (it only models micros); read it
+    * as raw long nanos and convert with integer division — nanos epochs
+    * (~1.7e18) overflow a double's 53-bit mantissa, so no floating-point
+    * detour is allowed on that path. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Exact, order-insensitive sum of a fixed-point-decimal double column:
     * scale to integers (exact round), sum as long (exact), divide back
@@ -31,7 +40,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("aggregate_flagship")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ ExtQueries.queries
+
+  def oracleSql: Map[String, String] = baseOracleSql ++ ExtQueries.oracleSql
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.5 aggregate --------------------------------------------------
     "aggregate_flagship" -> { (s, dir) =>
       // reference ops/rows.py::aggregate semantics + naming (<f>_<fn>, record_count)
@@ -216,7 +230,7 @@ object SparkEntry {
     * needs the 'g' flag to match Spark's replace-all; DuckDB sum(BIGINT)
     * returns HUGEINT so it is cast back to BIGINT; ascending sorts pin
     * NULLS FIRST (Spark's default) and descending NULLS LAST. */
-  def oracleSql: Map[String, String] = Map(
+  private def baseOracleSql: Map[String, String] = Map(
     "aggregate_flagship" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS l_quantity_sum,

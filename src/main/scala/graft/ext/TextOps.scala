@@ -26,7 +26,7 @@ object TextOps {
     array_distinct(
       transform(
         sequence(lit(1), greatest(size(ts) - (n - 1), lit(0))),
-        i => array_join(slice(ts, i, n), " ")))
+        i => array_join(slice(ts, i, lit(n)), " ")))
   }
 
   /** Jaccard similarity of two token arrays, on distinct elements:
