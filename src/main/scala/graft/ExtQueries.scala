@@ -50,14 +50,18 @@ object ExtQueries {
         prefixBits = 12)(table(s, dir, "documents"))
         .orderBy("id_a", "id_b")
     },
+    // n-gram (bigram) Jaccard near-dup, shipped as LSH candidates + exact
+    // Jaccard verify — the blocked brute-force form is a unit-test-only
+    // recall baseline (Dedup.ngramJaccardPairs).
     "ngram_jaccard_pairs" -> { (s, dir) =>
-      Dedup.ngramJaccardPairs("doc_id", "text", "lang", threshold = 0.3)(
+      Dedup.minhashNearDuplicates("doc_id", "text", threshold = 0.3,
+        numHashes = 8, bands = 4, shingleSize = 2)(
         table(s, dir, "documents"))
         .orderBy("id_a", "id_b")
     },
     "embedding_dedup" -> { (s, dir) =>
-      Dedup.embeddingNearDuplicates("vec_id", "embedding", threshold = 0.4)(
-        table(s, dir, "embeddings"))
+      Dedup.embeddingNearDuplicates("vec_id", "embedding", threshold = 0.4,
+        planes = 6, dim = 64)(table(s, dir, "embeddings"))
         .orderBy("id_a", "id_b")
     },
     // ---- similarity search -------------------------------------------------
@@ -105,16 +109,51 @@ object ExtQueries {
     }
   )
 
-  private val hex8 =
-    """list_sum(list_transform(range(1,9), j ->
-       (strpos('0123456789abcdef', substr(md5(%s), j, 1)) - 1)
-       * CAST(16**(8-j) AS BIGINT)))"""
+  /** Shingle list (distinct word n-grams) — mirrors TextOps.shingles. */
+  private def shinglesSql(n: Int): String =
+    s"""list_distinct(list_transform(
+         range(1, greatest(len(string_split(text,' ')) - ${n - 1}, 0) + 1),
+         i -> array_to_string((string_split(text,' '))[i:i+${n - 1}], ' ')))"""
 
-  /** Shingle list (word 3-grams, distinct) — mirrors TextOps.shingles. */
-  private val shinglesSql =
-    """list_distinct(list_transform(
-         range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
-         i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))"""
+  /** MinHash signature — mirrors Dedup.minhashSignature: element i is the
+    * min over shingles of the 32-bit word at offset (i%4)*8 of
+    * md5((i/4) || '|' || shingle); shingle-free docs get the
+    * Long.MaxValue sentinel. */
+  private def minhashSigSql(numHashes: Int): String =
+    s"""list_transform(range(0, $numHashes), i ->
+        coalesce(list_min(list_transform(sh, t ->
+          list_sum(list_transform(range(1,9), j ->
+            (strpos('0123456789abcdef',
+               substr(md5(CAST((i // 4) AS VARCHAR) || '|' || t),
+                      (i % 4) * 8 + j, 1)) - 1)
+            * CAST(16**(8-j) AS BIGINT))))), 9223372036854775807))"""
+
+  /** Full MinHash-LSH near-dup pipeline — mirrors
+    * Dedup.minhashNearDuplicates (banded buckets, maxBucket=64 skew cap,
+    * exact Jaccard verify). */
+  private def minhashNearDupSql(
+      shingleN: Int, threshold: String,
+      numHashes: Int = 8, bands: Int = 4): String = {
+    val rows = numHashes / bands
+    s"""
+      WITH sh AS (SELECT doc_id, ${shinglesSql(shingleN)} AS sh FROM documents),
+      sig AS (SELECT doc_id, sh, ${minhashSigSql(numHashes)} AS sig FROM sh),
+      banded AS (SELECT doc_id, b,
+          md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')) AS bucket
+        FROM sig, range(0,$bands) t(b)),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY b, bucket) AS n FROM banded),
+      pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM sized x JOIN sized y ON x.b = y.b AND x.bucket = y.bucket
+        WHERE x.doc_id < y.doc_id AND x.n <= 64 AND y.n <= 64),
+      joined AS (SELECT id_a, id_b,
+        CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
+        FROM pairs JOIN sh a ON pairs.id_a = a.doc_id
+                   JOIN sh b ON pairs.id_b = b.doc_id)
+      SELECT id_a, id_b, jaccard FROM joined
+      WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
+  }
 
   /** Sequential double fold matching Spark's aggregate(…, 0.0, _+_). */
   private def foldSum(listExpr: String): String =
@@ -126,6 +165,17 @@ object ExtQueries {
     val nb = s"sqrt(${foldSum(s"list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
     s"CASE WHEN $na = CAST(0 AS DOUBLE) OR $nb = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE $d / ($na * $nb) END"
   }
+
+  /** Sign-LSH bucket over `embedding` — mirrors Similarity.lshBucket
+    * (6 planes, dim 64, md5-nibble plane weights). */
+  private val lshBucketSql: String =
+    s"""CAST(list_sum(list_transform(range(0,6), p ->
+          CASE WHEN ${foldSum("""list_transform(range(0,64), d ->
+            CAST(embedding[d+1] AS DOUBLE)
+            * (CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1
+               AS DOUBLE) - 75e-1))""")} >= CAST(0 AS DOUBLE)
+          THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
 
   private def stopRatio(lst: String): String =
     s"""CASE WHEN len(string_split(text,' ')) = 0 THEN CAST(0 AS DOUBLE)
@@ -185,27 +235,7 @@ object ExtQueries {
          QUALIFY row_number() OVER (
            PARTITION BY user_id, event_type ORDER BY event_id) = 1
          ORDER BY user_id, event_type""",
-    "minhash_pairs" -> s"""
-      WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
-      sig AS (SELECT doc_id, sh,
-        list_transform(range(0,8), i ->
-          list_min(list_transform(sh, t ->
-            ${hex8.format("CAST(i AS VARCHAR) || '|' || t")}))) AS sig
-        FROM sh),
-      banded AS (SELECT doc_id, b, md5(array_to_string(sig[b*2+1 : b*2+2], ',')) AS bucket
-        FROM sig, range(0,4) t(b)),
-      sized AS (SELECT *, count(*) OVER (PARTITION BY b, bucket) AS n FROM banded),
-      pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM sized x JOIN sized y ON x.b = y.b AND x.bucket = y.bucket
-        WHERE x.doc_id < y.doc_id AND x.n <= 64 AND y.n <= 64),
-      joined AS (SELECT id_a, id_b,
-        CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
-        FROM pairs JOIN sh a ON pairs.id_a = a.doc_id
-                   JOIN sh b ON pairs.id_b = b.doc_id)
-      SELECT id_a, id_b, jaccard FROM joined
-      WHERE jaccard >= 2e-1 ORDER BY id_a, id_b""",
+    "minhash_pairs" -> minhashNearDupSql(shingleN = 3, threshold = "2e-1"),
     "simhash_pairs" -> s"""
       WITH hs AS (SELECT doc_id,
         list_transform(list_distinct(string_split(text,' ')), t ->
@@ -225,19 +255,13 @@ object ExtQueries {
       FROM bk a JOIN bk c ON a.bucket = c.bucket
       WHERE a.doc_id < c.doc_id AND bit_count(xor(a.sig, c.sig)) <= 10
       ORDER BY id_a, id_b""",
-    "ngram_jaccard_pairs" -> s"""
-      WITH sh AS (SELECT doc_id, lang, $shinglesSql AS sh FROM documents),
-      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
-        FROM sh a JOIN sh b ON a.lang = b.lang WHERE a.doc_id < b.doc_id)
-      SELECT id_a, id_b, jaccard FROM pairs
-      WHERE jaccard >= 3e-1 ORDER BY id_a, id_b""",
+    "ngram_jaccard_pairs" -> minhashNearDupSql(shingleN = 2, threshold = "3e-1"),
     "embedding_dedup" -> s"""
+      WITH bucketed AS (SELECT vec_id, embedding, $lshBucketSql AS bucket
+        FROM embeddings)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         ${cosineSql("a.embedding", "b.embedding")} AS cosine
-      FROM embeddings a, embeddings b
+      FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
       WHERE a.vec_id < b.vec_id
         AND ${cosineSql("a.embedding", "b.embedding")} >= 4e-1
       ORDER BY id_a, id_b""",
@@ -252,14 +276,7 @@ object ExtQueries {
       SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
       FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
     "similarity_lsh" -> s"""
-      WITH bucketed AS (SELECT vec_id, embedding,
-        CAST(list_sum(list_transform(range(0,6), p ->
-          CASE WHEN ${foldSum("""list_transform(range(0,64), d ->
-            CAST(embedding[d+1] AS DOUBLE)
-            * (CAST(strpos('0123456789abcdef',
-                 substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1
-               AS DOUBLE) - 75e-1))""")} >= CAST(0 AS DOUBLE)
-          THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+      WITH bucketed AS (SELECT vec_id, embedding, $lshBucketSql AS bucket
         FROM embeddings),
       cand AS (SELECT a.vec_id AS query_id, b.vec_id AS item_id,
         ${cosineSql("a.embedding", "b.embedding")} AS cosine

@@ -33,13 +33,30 @@ object Dedup {
       df.withColumn("__fp", TextOps.fingerprint(col(textField))))
       .drop("__fp")
 
-  /** MinHash signature over word n-gram shingles: element i is
-    * min over shingles of hash(i | shingle). One projection, no shuffle. */
+  /** MinHash signature over word n-gram shingles, computed in a SINGLE
+    * fold over the shingle array: the accumulator is the array of running
+    * minima, and each shingle contributes `numHashes` 32-bit hash values
+    * carved out of ceil(numHashes/4) md5 digests (md5 = 32 hex chars =
+    * four 8-hex words). One md5 per (shingle, digest) instead of one per
+    * (shingle, hash) — 4× fewer digest evaluations than the per-hash
+    * form, and no reliance on Catalyst CSE across separate lambda
+    * functions. One projection, no shuffle. Shingle-free docs yield a
+    * signature of Long.MaxValue sentinels (mirrored by coalesce in the
+    * oracle). */
   def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
+    val nDigests = (numHashes + 3) / 4
     val sh = TextOps.shingles(text, shingleSize)
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, t => TextOps.tokenHash(t, lit(i))))
-    }: _*)
+    aggregate(
+      sh,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, t) => {
+        val hex = concat((0 until nDigests).map(d =>
+          md5(concat_ws("|", lit(d), t))): _*)
+        zip_with(acc, sequence(lit(0), lit(numHashes - 1)), (m, i) =>
+          least(m, conv(
+            call_function("substring", hex, i * lit(8) + lit(1), lit(8)),
+            16, 10).cast("long")))
+      })
   }
 
   /** LSH candidate pairs from MinHash signatures: split the signature
@@ -96,9 +113,12 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Brute-force n-gram Jaccard pairs within a blocking key — the oracle
-    * baseline for LSH recall. All-pairs inside each block: only usable
-    * when blocks are small; the LSH path is the scale path. */
+  /** Brute-force n-gram Jaccard pairs within a blocking key. All-pairs
+    * inside each block — O(n²/|blocks|) compares and a |blocks|-key
+    * shuffle, quadratic and skew-prone at scale. Exists ONLY as the
+    * exact-recall baseline for unit tests of [[minhashNearDuplicates]]
+    * (which is the shipped n-gram Jaccard path: LSH candidates + exact
+    * Jaccard verify); never ship this form against a corpus. */
   def ngramJaccardPairs(
       idField: String,
       textField: String,
@@ -119,18 +139,26 @@ object Dedup {
   /** 60-bit SimHash over whitespace tokens (60 = 15 md5 hex chars, the
     * widest that stays inside a signed 64-bit long in both engines).
     * Bit b of the fingerprint is the sign of the vote sum over token
-    * hashes' bit b. Token hashes are computed once per row, then 60
-    * bit-folds run over the cached array — one projection, no shuffle. */
+    * hashes' bit b. Computed in a SINGLE fold over the token array: the
+    * accumulator is the array of 60 vote counters, so each token's md5 is
+    * evaluated exactly once (the previous per-bit-fold form re-hashed
+    * every token 60 times — Catalyst does not CSE across separate
+    * higher-order lambdas). Shifts stay in exact long arithmetic
+    * (pow() doubles would corrupt bits past the 53-bit mantissa).
+    * One projection, no shuffle. */
   def simhash(text: Column): Column = {
     val hashes = transform(TextOps.tokenSet(text),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    // static per-bit shiftright keeps everything in exact long arithmetic
-    // (dividing via pow() doubles would corrupt bits past the 53-bit mantissa)
-    (0 until 60).map { b =>
-      val votes = aggregate(hashes, lit(0), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(votes >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 60),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(59)), (v, b) =>
+        v + when(call_function("shiftright", h, b)
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(59)), (v, b) =>
+        when(v >= 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** SimHash near-dup pairs: bucket by the top `prefixBits` bits (cheap
@@ -155,10 +183,37 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Embedding near-dup pairs: cosine similarity above threshold within
-    * a blocking key (brute force; the ANN path for scale lives in
-    * [[Similarity]]). */
+  /** Embedding near-dup pairs at scale: sign-LSH bucketing
+    * ([[Similarity.lshBucket]]) generates candidates — the join key is
+    * the bucket, so cost is corpus-linear with bucket-local pair
+    * generation — then exact cosine ≥ threshold verifies within buckets.
+    * Single-table LSH: pairs whose vectors land in different buckets are
+    * missed (the standard recall trade, tunable via `planes`; a
+    * production variant unions several independent tables). The oracle
+    * mirrors the bucket expression exactly. */
   def embeddingNearDuplicates(
+      idField: String,
+      vecField: String,
+      threshold: Double,
+      planes: Int = 6,
+      dim: Int = 64)(df: DataFrame): DataFrame = {
+    val bucketed = df.select(col(idField), col(vecField),
+      Similarity.lshBucket(col(vecField), planes, dim).as("__bucket"))
+    val a = bucketed.select(col("__bucket"), col(idField).as("id_a"),
+      col(vecField).as("__va"))
+    val b = bucketed.select(col("__bucket"), col(idField).as("id_b"),
+      col(vecField).as("__vb"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** All-pairs embedding near-dup — O(n²) cartesian product. Exists ONLY
+    * as the exact-recall baseline for unit tests of
+    * [[embeddingNearDuplicates]]; never ship it against a corpus. */
+  def embeddingNearDuplicatesBrute(
       idField: String,
       vecField: String,
       threshold: Double)(df: DataFrame): DataFrame = {
