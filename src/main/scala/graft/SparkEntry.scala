@@ -128,6 +128,12 @@ object SparkEntry {
       Ops.filterNotEmpty("p_type")(cleaned)
         .select("p_partkey", "p_type").orderBy("p_partkey")
     },
+    "filter_empty" -> { (s, dir) =>
+      val cleaned = Ops.textSubstitute("p_type", Seq("^SMALL$" -> ""))(
+        table(s, dir, "part"))
+      Ops.filterEmpty("p_type")(cleaned)
+        .select("p_partkey", "p_type").orderBy("p_partkey")
+    },
     "empty_to_missing" -> { (s, dir) =>
       val cleaned = Ops.textSubstitute("p_type", Seq("^SMALL$" -> ""))(
         table(s, dir, "part"))
@@ -171,6 +177,20 @@ object SparkEntry {
           "l_quantity" -> true))(
           table(s, dir, "lineitem")
             .select("l_orderkey", "l_linenumber", "l_quantity")))
+    },
+    "sample_random" -> { (s, dir) =>
+      // deterministic seeded sample: content-keyed hash filter, not RNG
+      Ops.sampleHash("o_orderkey", fraction = 0.1)(
+        table(s, dir, "orders").select("o_orderkey", "o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    "sample_nth" -> { (s, dir) =>
+      // every 7th row of the o_orderkey total order — zipWithIndex plan,
+      // no single-partition window
+      Ops.sample(7, "nth")(
+        Ops.sort(Seq("o_orderkey" -> true))(
+          table(s, dir, "orders").select("o_orderkey", "o_totalprice")))
+        .orderBy("o_orderkey")
     },
     // ---- §2.8 append ------------------------------------------------------
     "append_slices" -> { (s, dir) =>
@@ -292,6 +312,12 @@ object SparkEntry {
          WHERE regexp_replace(p_type, '^SMALL$', '', 'g') IS NOT NULL
            AND regexp_replace(p_type, '^SMALL$', '', 'g') <> ''
          ORDER BY p_partkey""",
+    "filter_empty" ->
+      """SELECT p_partkey, regexp_replace(p_type, '^SMALL$', '', 'g') AS p_type
+         FROM part
+         WHERE regexp_replace(p_type, '^SMALL$', '', 'g') IS NULL
+            OR regexp_replace(p_type, '^SMALL$', '', 'g') = ''
+         ORDER BY p_partkey""",
     "empty_to_missing" ->
       """SELECT p_partkey, NULLIF(regexp_replace(p_type, '^SMALL$', '', 'g'), '') AS p_type
          FROM part ORDER BY p_partkey""",
@@ -350,6 +376,19 @@ object SparkEntry {
          ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
            l_quantity ASC NULLS FIRST
          LIMIT 100""",
+    "sample_random" ->
+      // md5-prefix uint32 < 0.1 * 2^32 — mirrors Ops.sampleHash exactly
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE list_sum(list_transform(range(1,9), j ->
+           (strpos('0123456789abcdef',
+              substr(md5(CAST(o_orderkey AS VARCHAR)), j, 1)) - 1)
+           * CAST(16**(8-j) AS BIGINT))) < 429496729
+         ORDER BY o_orderkey""",
+    "sample_nth" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+           SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+         WHERE (rn - 1) % 7 = 0 ORDER BY o_orderkey""",
     "append_slices" ->
       """SELECT * FROM (
            SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,

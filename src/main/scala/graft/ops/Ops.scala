@@ -165,25 +165,47 @@ object Ops {
       if (asc) col(f).asc_nulls_first else col(f).desc_nulls_last
     }: _*)
 
-  /** Row sampling (reference: `ops/rows.py::sample`): mode "first" takes
-    * the first n rows (LIMIT — only deterministic after a sort), "random"
-    * takes an approximate fraction with a fixed seed, "nth" every n-th row
-    * by current partition order (inherits the reference's caveat that
-    * physical order is not a contract). */
-  def sample(n: Long, mode: String = "first", seed: Long = 42L)(
-      df: DataFrame): DataFrame = mode match {
-    case "first" => df.limit(n.toInt)
-    case "random" =>
-      val total = df.count()
-      if (total == 0) df
-      else df.sample(withReplacement = false, math.min(1.0, n.toDouble / total), seed)
+  /** Row sampling (reference: `ops/rows.py::sample`).
+    *  - "first": first n rows (LIMIT — deterministic only after a sort).
+    *  - "random": seeded Bernoulli sample of `fraction`. The reference took
+    *    an absolute count, which would force a full count() job at *plan
+    *    construction* time; a fraction keeps composition lazy. Approximate
+    *    size and engine-specific RNG — for a deterministic, cross-engine
+    *    reproducible sample use [[sampleHash]].
+    *  - "nth": every n-th row of the current order (rows 1, n+1, 2n+1, …).
+    *    Implemented with RDD `zipWithIndex` — one lightweight extra job to
+    *    compute per-partition offsets, then a distributed filter — NOT a
+    *    global single-partition window, so it survives any scale.
+    *    Deterministic when the input carries a total order on a unique key
+    *    (the sort's range partitioning fixes both partition boundaries and
+    *    in-partition order). */
+  def sample(
+      n: Long,
+      mode: String = "first",
+      seed: Long = 42L,
+      fraction: Double = 0.1)(df: DataFrame): DataFrame = mode match {
+    case "first"  => df.limit(n.toInt)
+    case "random" => df.sample(withReplacement = false, fraction, seed)
     case "nth" =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(monotonically_increasing_id())
-      df.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") % n === 1)
-        .drop("__rn")
+      val spark = df.sparkSession
+      val schema = df.schema
+      spark.createDataFrame(
+        df.rdd.zipWithIndex().filter(_._2 % n == 0).map(_._1), schema)
     case other => throw new IllegalArgumentException(s"unknown sample mode: $other")
+  }
+
+  /** Deterministic content-keyed Bernoulli sample: keep rows whose
+    * md5(salt || key) 32-bit prefix falls below fraction·2³². The same rows
+    * survive on every engine and every run (change `salt` to draw a fresh
+    * sample) — this is the oracle-comparable "seeded random" sample. Pure
+    * filter: no shuffle, no count job, and Catalyst pushes the surviving
+    * predicate structure down to the scan where formats allow. */
+  def sampleHash(field: String, fraction: Double, salt: String = "")(
+      df: DataFrame): DataFrame = {
+    val cutoff = (fraction * 4294967296.0).toLong
+    df.filter(
+      conv(substring(md5(concat(lit(salt), col(field).cast("string"))), 1, 8),
+        16, 10).cast("long") < cutoff)
   }
 
   // ------------------------------------------------------------------- sets

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** OKFN/Frictionless Data Package loader (reference:
+  * `bubbles/datapackage.py` — reads `datapackage.json` resources as
+  * store objects). The descriptor is a small driver-side JSON file; the
+  * data itself is read as a fully distributed Spark scan with the
+  * descriptor's Table Schema mapped to an explicit `StructType`, so no
+  * inference pass touches the (potentially huge) resource files.
+  *
+  * Supported per the spec subset the reference handled: CSV resources
+  * with `schema.fields[].{name,type}`, optional `dialect.delimiter` and
+  * `dialect.header`. Unknown field types degrade to string (the
+  * reference's behavior for unknown storage types).
+  */
+object DataPackage {
+
+  /** Frictionless Table Schema type -> Spark type. */
+  private[sources] def sparkType(t: String): DataType = t match {
+    case "integer"            => LongType
+    case "number"             => DoubleType
+    case "boolean"            => BooleanType
+    case "date"               => DateType
+    case "datetime" | "time"  => TimestampType
+    case _                    => StringType // string, any, unknown
+  }
+
+  final case class Resource(
+      name: String,
+      path: String,
+      schema: StructType,
+      delimiter: String,
+      header: Boolean)
+
+  private def parseResource(node: JsonNode): Resource = {
+    val fields = node.path("schema").path("fields").elements().asScala.map { f =>
+      StructField(f.path("name").asText(), sparkType(f.path("type").asText("string")))
+    }.toArray
+    val dialect = node.path("dialect")
+    Resource(
+      name = node.path("name").asText(),
+      path = node.path("path").asText(),
+      schema = StructType(fields),
+      delimiter = Option(dialect.path("delimiter").asText(null)).getOrElse(","),
+      header = dialect.path("header").asBoolean(true))
+  }
+
+  /** Parse `<dir>/datapackage.json` into resource descriptors. */
+  def describe(dir: String): Seq[Resource] = {
+    val json = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "datapackage.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val root = new ObjectMapper().readTree(json)
+    root.path("resources").elements().asScala.map(parseResource).toSeq
+  }
+
+  /** Open a package directory as a read-only [[DataStore]]: one object per
+    * resource, read with the descriptor schema (no inference pass). */
+  def open(spark: SparkSession, dir: String): DataPackageStore =
+    DataPackageStore(spark, dir, describe(dir))
+}
+
+/** Read-only store over a Data Package's resources (reference:
+  * `bubbles/datapackage.py` resource-as-object semantics). */
+final case class DataPackageStore(
+    spark: SparkSession,
+    dir: String,
+    resources: Seq[DataPackage.Resource]) extends DataStore {
+  private val byName = resources.map(r => r.name -> r).toMap
+  def objectNames: Seq[String] = resources.map(_.name)
+  def getObject(name: String): DataFrame = {
+    val r = byName.getOrElse(name,
+      throw new NoSuchElementException(s"no resource '$name' in package $dir"))
+    spark.read
+      .option("header", r.header)
+      .option("sep", r.delimiter)
+      .schema(r.schema)
+      .csv(s"$dir/${r.path}")
+  }
+  def create(name: String, from: DataFrame, replace: Boolean = false): Unit =
+    throw new UnsupportedOperationException("data packages are read-only")
+  def appendInto(name: String, rows: DataFrame): Unit =
+    throw new UnsupportedOperationException("data packages are read-only")
+}

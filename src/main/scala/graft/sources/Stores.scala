@@ -70,10 +70,10 @@ final case class CsvStore(
 }
 
 /** The Spark session catalog as a store (reference: the SQL backend,
-  * `bubbles/backends/sql/objects.py::SQLDataStore`). The reference's
-  * lazily composed `SQLStatement` objects are exactly Catalyst logical
-  * plans here, so `sql()` returns a composable DataFrame. JDBC variants of
-  * get/create are exposed for external RDBMS parity. */
+  * `bubbles/backends/sql/objects.py::SQLDataStore`, when the "database"
+  * is Spark's own catalog). The reference's lazily composed `SQLStatement`
+  * objects are exactly Catalyst logical plans here, so `sql()` returns a
+  * composable DataFrame. For an external RDBMS use [[JdbcStore]]. */
 final case class CatalogStore(spark: SparkSession) extends DataStore {
   def objectNames: Seq[String] = spark.catalog.listTables().collect().map(_.name).toSeq.sorted
   override def exists(name: String): Boolean = spark.catalog.tableExists(name)
@@ -84,6 +84,64 @@ final case class CatalogStore(spark: SparkSession) extends DataStore {
       .saveAsTable(name)
   def appendInto(name: String, rows: DataFrame): Unit =
     rows.write.mode(SaveMode.Append).saveAsTable(name)
+}
+
+/** External RDBMS store over JDBC — the reference's primary backend
+  * (`bubbles/backends/sql/objects.py::SQLDataStore`, SQLAlchemy engine ↔
+  * JDBC url + properties here).
+  *
+  *  - [[getObject]] plans a JDBC scan; Catalyst pushes filters and column
+  *    pruning into the generated database query.
+  *  - A plain JDBC scan is ONE task no matter the cluster size, so the
+  *    partitioned overload (`partitionColumn`/bounds/`numPartitions`) is
+  *    the only shape that scales: Spark issues `numPartitions` range
+  *    predicates in parallel. Always use it for tables beyond a few
+  *    hundred MB.
+  *  - [[statement]] is the reference's `SQLStatement`: a SELECT pushed to
+  *    the database as a subquery, still lazily composable on the Spark
+  *    side.
+  *  - Writes go through `df.write.jdbc`; `batchsize` in `properties`
+  *    controls insert batching.
+  */
+final case class JdbcStore(
+    spark: SparkSession,
+    url: String,
+    properties: java.util.Properties = new java.util.Properties)
+  extends DataStore {
+  def objectNames: Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url, properties)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString("TABLE_NAME")).toList
+      names.sorted
+    } finally conn.close()
+  }
+  def getObject(name: String): DataFrame =
+    spark.read.jdbc(url, name, properties)
+  /** Parallel partitioned read — the scale path (see class doc). */
+  def getObject(
+      name: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int): DataFrame =
+    spark.read.jdbc(url, name, partitionColumn, lowerBound, upperBound,
+      numPartitions, properties)
+  /** Lazily composed SELECT executed by the database (reference:
+    * `SQLStatement`). */
+  def statement(sql: String): DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", url).option("query", sql)
+    properties.stringPropertyNames().toArray(Array.empty[String])
+      .foldLeft(reader)((r, k) => r.option(k, properties.getProperty(k)))
+      .load()
+  }
+  def create(name: String, from: DataFrame, replace: Boolean = false): Unit =
+    from.write.mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .jdbc(url, name, properties)
+  def appendInto(name: String, rows: DataFrame): Unit =
+    rows.write.mode(SaveMode.Append).jdbc(url, name, properties)
 }
 
 /** In-memory objects (reference: `bubbles/objects.py::RowListDataObject` /
@@ -102,6 +160,37 @@ final class MemoryStore(val spark: SparkSession) extends DataStore {
     objects(name) = objects.get(name).map(_.unionByName(rows)).getOrElse(rows)
 }
 
+/** One-shot local sources (reference: `bubbles/objects.py::
+  * {IterableDataSource, IterableRecordsDataSource, RowListDataObject}`):
+  * wrap a driver-local iterator/collection + schema into a DataFrame.
+  * The reference marked these *consumable* (single pass); Spark plans are
+  * re-computable so consumability disappears — for genuinely one-pass
+  * feeds use Structured Streaming (`graft.streaming`). Driver-local data
+  * only: anything sizable belongs in a real distributed source. */
+object LocalData {
+  import org.apache.spark.sql.Row
+  import scala.jdk.CollectionConverters._
+
+  def fromRows(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(rows.asJava, schema)
+
+  /** Iterator variant (`IterableDataSource`): drained once at plan
+    * construction — the DataFrame is then re-computable. */
+  def fromIterator(spark: SparkSession, it: Iterator[Row], schema: StructType): DataFrame =
+    fromRows(spark, it.toSeq, schema)
+
+  /** Records variant (`IterableRecordsDataSource`): name→value maps;
+    * missing keys become NULLs, extra keys are ignored — the reference's
+    * dict-row semantics. */
+  def fromRecords(
+      spark: SparkSession,
+      records: Seq[Map[String, Any]],
+      schema: StructType): DataFrame = {
+    val names = schema.fieldNames.toSeq
+    fromRows(spark, records.map(m => Row.fromSeq(names.map(m.getOrElse(_, null)))), schema)
+  }
+}
+
 object Stores {
   /** Factory mirroring the reference's `open_store(type, ...)`. */
   def open(spark: SparkSession, storeType: String, location: String = ""): DataStore =
@@ -109,6 +198,7 @@ object Stores {
       case "parquet" => ParquetStore(spark, location)
       case "csv"     => CsvStore(spark, location)
       case "catalog" | "sql" => CatalogStore(spark)
+      case "jdbc"    => JdbcStore(spark, location)
       case "memory"  => new MemoryStore(spark)
       case other => throw new IllegalArgumentException(s"unknown store type: $other")
     }

@@ -100,9 +100,25 @@ class OpsSpec extends SparkSpec {
   test("sample modes") {
     val sorted = Ops.sort(Seq("ref" -> true))(sales)
     assert(Ops.sample(3)(sorted).count() == 3)
-    assert(Ops.sample(2, "nth")(sorted).count() == 3) // rows 1,3,5
-    assert(Ops.sample(3, "random")(sorted).count() <= 6)
+    // nth keeps rows 1, n+1, 2n+1 of the sorted order
+    assert(Ops.sample(2, "nth")(sorted).select("ref").as[String]
+      .collect().toSeq == Seq("r1", "r3", "r5"))
+    assert(Ops.sample(3, "random", fraction = 1.0)(sorted).count() == 6)
     intercept[IllegalArgumentException](Ops.sample(1, "bogus")(sales))
+  }
+
+  test("sampleHash is deterministic and roughly proportional") {
+    val ids = (1 to 2000).toDF("id")
+    val a = Ops.sampleHash("id", 0.25)(ids).as[Int].collect().toSet
+    val b = Ops.sampleHash("id", 0.25)(ids).as[Int].collect().toSet
+    assert(a == b) // same rows every run — content-keyed, no RNG
+    assert(a.size > 350 && a.size < 650) // ~500 expected
+    // different salt draws a different sample
+    val c = Ops.sampleHash("id", 0.25, salt = "s2")(ids).as[Int].collect().toSet
+    assert(a != c)
+    // growing the fraction only adds rows (nested samples)
+    val d = Ops.sampleHash("id", 0.5)(ids).as[Int].collect().toSet
+    assert(a.subsetOf(d))
   }
 
   test("append is UNION ALL by name") {

@@ -1,7 +1,9 @@
 package graft
 
 import java.nio.file.Files
-import graft.sources.{Stores, MemoryStore}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.sources.{DataPackage, JdbcStore, LocalData, MemoryStore, Stores}
 import graft.pipeline.Pipeline
 
 class StoresSpec extends SparkSpec {
@@ -39,6 +41,64 @@ class StoresSpec extends SparkSpec {
     store.appendInto("m", df)
     assert(store.getObject("m").count() == 4)
     intercept[IllegalStateException](store.create("m", df))
+  }
+
+  test("jdbc store round-trip against embedded Derby") {
+    // in-memory Derby: its driver ships with Spark, so this exercises the
+    // real spark.read.jdbc / write.jdbc path with zero extra deps
+    val store = JdbcStore(spark, "jdbc:derby:memory:graftdb;create=true")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    store.create("T1", df)
+    assert(store.exists("T1"))
+    assert(store.getObject("T1").count() == 3)
+    store.appendInto("T1", df)
+    assert(store.getObject("T1").count() == 6)
+    // SQLStatement parity: SELECT pushed to the database as a subquery.
+    // Spark's JDBC writer quotes column names, so Derby stores them
+    // case-sensitively — the raw statement must quote them too.
+    val stmt = store.statement("""SELECT "id", "name" FROM T1 WHERE "id" > 1""")
+    assert(stmt.count() == 4)
+    // partitioned parallel read: same rows, several range predicates
+    val part = store.getObject("T1", "id", 1L, 4L, 3)
+    assert(part.count() == 6 && part.rdd.getNumPartitions == 3)
+    store.create("T1", df, replace = true)
+    assert(store.getObject("T1").count() == 3)
+  }
+
+  test("data package store maps table schema to typed csv reads") {
+    val dir = Files.createTempDirectory("graft-dp")
+    Files.writeString(dir.resolve("sales.csv"),
+      "id,amount,day\n1,10.5,2024-01-01\n2,3.25,2024-02-29\n")
+    Files.writeString(dir.resolve("datapackage.json"),
+      """{"name": "fixture", "resources": [{
+           "name": "sales", "path": "sales.csv",
+           "dialect": {"delimiter": ",", "header": true},
+           "schema": {"fields": [
+             {"name": "id", "type": "integer"},
+             {"name": "amount", "type": "number"},
+             {"name": "day", "type": "date"}]}}]}""")
+    val store = DataPackage.open(spark, dir.toString)
+    assert(store.objectNames == Seq("sales"))
+    val df = store.getObject("sales")
+    assert(df.schema == StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType),
+      StructField("day", DateType))))
+    assert(df.count() == 2)
+    assert(df.filter($"day" === "2024-02-29").head().getAs[Double]("amount") == 3.25)
+    intercept[UnsupportedOperationException](store.create("x", df))
+  }
+
+  test("local iterator and records sources") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))
+    val fromIt = LocalData.fromIterator(spark,
+      Iterator(Row(1, "a"), Row(2, "b")), schema)
+    assert(fromIt.count() == 2 && fromIt.count() == 2) // re-computable
+    val fromRec = LocalData.fromRecords(spark,
+      Seq(Map("id" -> 3, "name" -> "c"), Map("id" -> 4, "extra" -> "zz")), schema)
+    assert(fromRec.count() == 2)
+    // missing key -> NULL, extra key ignored
+    assert(fromRec.filter($"id" === 4).head().isNullAt(1))
   }
 
   test("pipeline facade composes catalog operators") {

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $s:00")
+
+  test("windowed counts with watermark over a memory stream") {
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = Streaming.windowedEventCounts(
+      input.toDF().toDF("ts", "event_type"),
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        ts("10:01") -> "click", ts("10:03") -> "click",
+        ts("10:04") -> "view", ts("10:11") -> "click")
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .orderBy("window_start", "event_type").collect()
+      assert(rows.map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("event_count"))).toSeq == Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 10:00:00.0", "view", 1L),
+        ("2024-01-01 10:10:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows close after the gap") {
+    val input = MemoryStream[(Timestamp, String)]
+    val sessions = Streaming.sessionCounts(
+      input.toDF().toDF("ts", "user_id"),
+      gap = "10 minutes", watermarkDelay = "5 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      // u1: two events 5 min apart (one session), then one 30 min later
+      input.addData(
+        ts("09:00") -> "u1", ts("09:05") -> "u1", ts("09:35") -> "u1",
+        ts("09:00") -> "u2")
+      q.processAllAvailable()
+      val rows = spark.table("sess").orderBy("session_start", "user_id").collect()
+      assert(rows.length == 3)
+      val u1 = rows.filter(_.getAs[String]("user_id") == "u1")
+      assert(u1.map(_.getAs[Long]("event_count")).toSeq == Seq(2L, 1L))
+      // session end = last event + gap
+      assert(u1.head.getAs[Timestamp]("session_end").toString ==
+        "2024-01-01 09:15:00.0")
+    } finally q.stop()
+  }
+
+  test("windowed counts build the identical plan on a batch frame") {
+    val batch = Seq(
+      ts("10:01") -> "click", ts("10:03") -> "click", ts("10:11") -> "view")
+      .toDF("ts", "event_type")
+    val out = Streaming.windowedEventCounts(
+      batch, windowLength = "10 minutes", watermarkDelay = "5 minutes")
+      .orderBy("window_start", "event_type").collect()
+    assert(out.map(_.getAs[Long]("event_count")).toSeq == Seq(2L, 1L))
+  }
+}
