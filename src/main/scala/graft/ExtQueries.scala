@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Similarity, TextOps}
-import graft.ops.{Ops, WindowOps}
+import graft.ops.{Ops, TemporalOps, WindowOps}
 
 /** Extension-surface queries (SURVEY.md §2.12 / north-star): dedup,
   * similarity search, text analysis, window ops, JSON events. Merged into
@@ -106,6 +106,32 @@ object ExtQueries {
         tieBreak = Seq("event_id"))(table(s, dir, "events"))
         .select("user_id", "event_id", "session_id")
         .orderBy("user_id", "event_id")
+    },
+    // ---- temporal joins ----------------------------------------------------
+    "asof_join" -> { (s, dir) =>
+      val e = table(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts", "value")
+      TemporalOps.asOfJoin(signups, "user_id", "ts", "ts",
+        rightVals = Seq("event_id", "value"), rightTieBreak = "event_id")(
+        purchases)
+        .select("event_id", "user_id", "asof_event_id", "asof_value")
+        .orderBy("user_id", "event_id")
+    },
+    "band_join" -> { (s, dir) =>
+      val e = table(s, dir, "events")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      TemporalOps.bandJoin(purchases, "user_id", "ts", "ts",
+        widthSeconds = 3600)(signups)
+        .select(col("l_event_id").as("signup_id"),
+          col("r_event_id").as("purchase_id"),
+          col("l_user_id").as("user_id"), col("delta_us"))
+        .orderBy("user_id", "signup_id", "purchase_id")
     }
   )
 
@@ -323,6 +349,37 @@ object ExtQueries {
            CAST(sum(s) OVER (PARTITION BY user_id
              ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         FROM st ORDER BY user_id, event_id"""
+         FROM st ORDER BY user_id, event_id""",
+    // Mirrors TemporalOps.asOfJoin's union+window shape exactly (DuckDB's
+    // ASOF JOIN leaves equal-timestamp tie-breaks unspecified; the window
+    // form pins them). CAST(ts AS TIMESTAMP) truncates the fixture's nanos
+    // to micros the same way SparkEntry.table does.
+    "asof_join" -> """
+      WITH u AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
+               CAST(event_id AS VARCHAR) AS tb,
+               event_id AS r_event_id, value AS r_value,
+               NULL::BIGINT AS l_event_id
+        FROM events WHERE event_type = 'signup'
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP), 1, NULL, NULL, NULL, event_id
+        FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT user_id, side, l_event_id,
+              last_value(r_event_id IGNORE NULLS) OVER w AS asof_event_id,
+              last_value(r_value IGNORE NULLS) OVER w AS asof_value
+            FROM u
+            WINDOW w AS (PARTITION BY user_id
+              ORDER BY t ASC NULLS FIRST, side ASC, tb ASC NULLS FIRST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT l_event_id AS event_id, user_id, asof_event_id, asof_value
+      FROM m WHERE side = 1 ORDER BY user_id, event_id""",
+    "band_join" -> """
+      SELECT a.event_id AS signup_id, b.event_id AS purchase_id, a.user_id,
+        epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS delta_us
+      FROM events a JOIN events b ON a.user_id = b.user_id
+      WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+        AND epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))
+            BETWEEN 0 AND 3600000000
+      ORDER BY a.user_id, signup_id, purchase_id"""
   )
 }

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal join operators — absent from the reference (SURVEY.md §2.4
+  * lists them as extension-surface joins Spark lacks as built-ins) but
+  * essential for event/time-series pipelines at scale.
+  *
+  * Both operators avoid the naive broadcast-nested-loop / cross-join plan
+  * a non-equi condition would otherwise produce:
+  *
+  *  - [[asOfJoin]] is the union + ordered-window technique: one shuffle of
+  *    each side on the join key, a per-key sort, and `last(_, ignoreNulls)`
+  *    carries the most recent right row forward — O(n log n) per key,
+  *    never O(n²).
+  *  - [[bandJoin]] buckets both sides by `floor(time / width)` so a band
+  *    predicate `0 <= rightTime - leftTime <= width` becomes an equi-join
+  *    on (key, bucket) with the left side exploded into its two candidate
+  *    buckets — the shuffle key carries the time bucket, so skew is bounded
+  *    by bucket population, not by key population.
+  */
+object TemporalOps {
+
+  /** Backward as-of join: for every left row, attach the latest right row
+    * of the same `key` with `rightTime <= leftTime` (inclusive).
+    *
+    * Implementation (SURVEY.md §2.4): union both sides tagged
+    * (right=0, left=1), window per key ordered by
+    * (time ASC, side ASC, rightTieBreak ASC) in a ROWS UNBOUNDED
+    * PRECEDING frame, and take `last(rightStruct, ignoreNulls)`. Ordering
+    * right before left at equal timestamps makes the match inclusive; the
+    * tie-break makes the winning right row deterministic when right rows
+    * share a timestamp. Left rows with no prior right row get NULLs.
+    *
+    * Scale: one shuffle per side on `key`, spillable sort — the same cost
+    * as a single window aggregation; no non-equi join is ever planned.
+    *
+    * @param rightVals right columns carried onto left rows, emitted as
+    *                  `<prefix><col>`.
+    * @param rightTieBreak right column ordering later-wins among right rows
+    *                      with equal timestamps (must be unique per
+    *                      (key, time) for determinism).
+    */
+  def asOfJoin(
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      rightTieBreak: String,
+      prefix: String = "asof_")(left: DataFrame): DataFrame = {
+    val rvStruct = StructType(rightVals.map(c => right.schema(c)))
+    val r = right.select(
+      col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+      col(rightTieBreak).cast("string").as("__tb"),
+      struct(rightVals.map(col): _*).as("__rv"),
+      lit(null).cast(StructType(left.schema.fields)).as("__lrow"))
+    val l = left.select(
+      col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+      lit(null).cast("string").as("__tb"),
+      lit(null).cast(rvStruct).as("__rv"),
+      struct(left.columns.map(col): _*).as("__lrow"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc_nulls_first, col("__side").asc,
+        col("__tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = r.unionByName(l)
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val leftCols = left.columns.map(c => col(s"__lrow.$c").as(c))
+    val rightCols = rightVals.map(c => col(s"__m.$c").as(s"$prefix$c"))
+    matched.select(leftCols ++ rightCols: _*)
+  }
+
+  /** Band (range) join: pairs of (left, right) rows with the same `key`
+    * where `0 <= rightTime - leftTime <= widthSeconds` (both inclusive).
+    *
+    * Implementation: both sides bucket by `floor(epochSeconds / width)`;
+    * a qualifying right row lives in the left row's bucket or the next
+    * one, so the left side is exploded into those two candidate buckets
+    * and the join becomes a pure equi-join on (key, bucket) with the band
+    * predicate as a post-filter. Each qualifying pair appears exactly once
+    * (a right row has one bucket). Cost: 2× the left rows through one
+    * equi-join shuffle — no broadcast-nested-loop, no cross product; at
+    * 100 TB the shuffle key (key, bucket) also bounds per-reducer work by
+    * time locality instead of one reducer per hot key. */
+  def bandJoin(
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      widthSeconds: Long,
+      leftPrefix: String = "l_",
+      rightPrefix: String = "r_")(left: DataFrame): DataFrame = {
+    // floor(epochSeconds / width); floor-of-double is exact here (epoch
+    // seconds ≪ 2^53). Column./ is double division, hence the floor.
+    def bucket(c: org.apache.spark.sql.Column) =
+      floor(unix_timestamp(c) / widthSeconds).cast("long")
+    val lSel = left.columns.map(c => col(c).as(s"$leftPrefix$c"))
+    val rSel = right.columns.map(c => col(c).as(s"$rightPrefix$c"))
+    val l = left.select(lSel: _*)
+      .withColumn("__k", col(s"$leftPrefix$key"))
+      .withColumn("__bucket",
+        explode(array(bucket(col(s"$leftPrefix$leftTime")),
+          bucket(col(s"$leftPrefix$leftTime")) + 1)))
+    val r = right.select(rSel: _*)
+      .withColumn("__k", col(s"$rightPrefix$key"))
+      .withColumn("__bucket", bucket(col(s"$rightPrefix$rightTime")))
+    val delta = unix_micros(col(s"$rightPrefix$rightTime")) -
+      unix_micros(col(s"$leftPrefix$leftTime"))
+    l.join(r, Seq("__k", "__bucket"))
+      .filter(delta >= 0 && delta <= widthSeconds * 1000000L)
+      .drop("__k", "__bucket")
+      .withColumn("delta_us", delta)
+  }
+}

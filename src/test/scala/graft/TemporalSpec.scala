@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.TemporalOps
+
+/** Unit tests for the temporal join operators on tiny literal fixtures:
+  * tie semantics, no-match NULLs, band boundaries, bucket crossings. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin attaches latest right row at or before left time") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // after two signups -> latest wins
+      (2L, 10L, ts("2024-01-01 08:30:00")), // between the two
+      (3L, 10L, ts("2024-01-01 07:00:00")), // before any -> nulls
+      (4L, 20L, ts("2024-01-01 09:00:00"))  // exact tie -> inclusive
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 08:00:00"), 1.0),
+      (101L, 10L, ts("2024-01-01 09:00:00"), 2.0),
+      (102L, 20L, ts("2024-01-01 09:00:00"), 3.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = TemporalOps.asOfJoin(right, "user_id", "ts", "ts",
+      Seq("event_id", "value"), "event_id")(left)
+      .select("event_id", "asof_event_id", "asof_value")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(out === Set(
+      (1L, 101L, 2.0), (2L, 100L, 1.0), (3L, -1L, -1.0), (4L, 102L, 3.0)))
+  }
+
+  test("asOfJoin breaks equal-timestamp right ties by tieBreak, later wins") {
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (5L, 1L, ts("2024-01-01 09:00:00"), 5.0),
+      (9L, 1L, ts("2024-01-01 09:00:00"), 9.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = TemporalOps.asOfJoin(right, "user_id", "ts", "ts",
+      Seq("event_id", "value"), "event_id")(left)
+      .select("asof_event_id").as[Long].collect()
+    assert(out.toSeq === Seq(9L))
+  }
+
+  test("bandJoin keeps pairs within [0, width] inclusive, across buckets") {
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:30"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:30")), // delta 0 -> keep
+      (11L, 1L, ts("2024-01-01 10:01:30")), // delta 60 = width -> keep (next bucket)
+      (12L, 1L, ts("2024-01-01 10:01:31")), // delta 61 -> drop
+      (13L, 1L, ts("2024-01-01 10:00:29")), // negative -> drop
+      (14L, 2L, ts("2024-01-01 10:00:40"))  // other key -> drop
+    ).toDF("event_id", "user_id", "ts")
+    val out = TemporalOps.bandJoin(right, "user_id", "ts", "ts", 60L)(left)
+      .select("r_event_id").as[Long].collect().toSet
+    assert(out === Set(10L, 11L))
+  }
+
+  test("bandJoin emits each qualifying pair exactly once") {
+    val left = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((2L, 1L, ts("2024-01-01 00:00:10"))).toDF("event_id", "user_id", "ts")
+    val out = TemporalOps.bandJoin(right, "user_id", "ts", "ts", 3600L)(left)
+    assert(out.count() === 1L)
+    assert(out.select("delta_us").as[Long].head() === 10000000L)
+  }
+}
