@@ -132,6 +132,43 @@ object ExtQueries {
           col("r_event_id").as("purchase_id"),
           col("l_user_id").as("user_id"), col("delta_us"))
         .orderBy("user_id", "signup_id", "purchase_id")
+    },
+    // ---- set ops / rollup / pivot / percentile -----------------------------
+    "intersect_keys" -> { (s, dir) =>
+      val c = table(s, dir, "customer")
+      Ops.intersect(c.filter(col("c_acctbal") > 5000).select("c_custkey"))(
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
+        .orderBy("c_custkey")
+    },
+    "except_keys" -> { (s, dir) =>
+      // BUILDING customers minus high-balance customers (non-empty slice)
+      val c = table(s, dir, "customer")
+      Ops.except(c.filter(col("c_acctbal") > 5000).select("c_custkey"))(
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
+        .orderBy("c_custkey")
+    },
+    "rollup_agg" -> { (s, dir) =>
+      // min/max measures are order-insensitive and exact on doubles, so the
+      // rollup needs no money-scaling to hash-match.
+      Ops.aggregateRollup(Seq("o_orderstatus", "o_orderpriority"),
+        Seq("o_totalprice" -> "min", "o_totalprice" -> "max"))(
+        table(s, dir, "orders"))
+        .orderBy(col("grouping_id"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    "pivot_status" -> { (s, dir) =>
+      // money-scaled sums (SparkEntry.scala moneySum pattern) so the wide
+      // cells are bit-identical across engines
+      val money = (sum(round(col("o_totalprice") * 1e2, 0).cast("long"))
+        .cast("long") / 1e2)
+      Ops.pivot(Seq("o_orderpriority"), "o_orderstatus", Seq("F", "O", "P"),
+        money, suffix = "_total")(table(s, dir, "orders"))
+        .orderBy("o_orderpriority")
+    },
+    "percentile_price" -> { (s, dir) =>
+      Ops.percentileAgg(Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.9))(table(s, dir, "lineitem"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -380,6 +417,42 @@ object ExtQueries {
       WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
         AND epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))
             BETWEEN 0 AND 3600000000
-      ORDER BY a.user_id, signup_id, purchase_id"""
+      ORDER BY a.user_id, signup_id, purchase_id""",
+    "intersect_keys" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         ORDER BY c_custkey""",
+    "except_keys" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         ORDER BY c_custkey""",
+    "rollup_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         min(o_totalprice) AS o_totalprice_min,
+         max(o_totalprice) AS o_totalprice_max,
+         count(*) AS record_count,
+         CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id
+         FROM orders
+         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY grouping_id, o_orderstatus ASC NULLS FIRST,
+           o_orderpriority ASC NULLS FIRST""",
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'F'
+           THEN CAST(round(o_totalprice * 1e2, 0) AS BIGINT) END) AS BIGINT) / 1e2 AS F_total,
+         CAST(sum(CASE WHEN o_orderstatus = 'O'
+           THEN CAST(round(o_totalprice * 1e2, 0) AS BIGINT) END) AS BIGINT) / 1e2 AS O_total,
+         CAST(sum(CASE WHEN o_orderstatus = 'P'
+           THEN CAST(round(o_totalprice * 1e2, 0) AS BIGINT) END) AS BIGINT) / 1e2 AS P_total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "percentile_price" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.25) AS l_extendedprice_p25,
+         quantile_cont(l_extendedprice, 0.5) AS l_extendedprice_p50,
+         quantile_cont(l_extendedprice, 0.9) AS l_extendedprice_p90,
+         count(*) AS record_count
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

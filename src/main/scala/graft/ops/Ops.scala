@@ -219,6 +219,75 @@ object Ops {
     dfs.reduce(_.unionByName(_))
   }
 
+  /** Set intersection with SQL INTERSECT (distinct) semantics — extension
+    * op (SURVEY.md §2.8 lists it as absent from the reference). Plans as a
+    * left-semi hash join after per-side dedup; one shuffle per side. */
+  def intersect(other: DataFrame)(df: DataFrame): DataFrame = df.intersect(other)
+
+  /** Set difference with SQL EXCEPT (distinct) semantics — extension op
+    * (SURVEY.md §2.8). Left-anti hash join after dedup. */
+  def except(other: DataFrame)(df: DataFrame): DataFrame = df.except(other)
+
+  /** ROLLUP aggregation — extension op (SURVEY.md §2.5 "not in
+    * reference"): subtotal rows per key prefix plus a grand total, with
+    * `grouping_id` disambiguating subtotal levels from genuine NULL keys.
+    * Same naming convention as [[aggregate]]. Spark plans one Expand (one
+    * extra map-side row per rollup level) and a single hash-agg shuffle —
+    * no per-level re-scan, safe at any scale. */
+  def aggregateRollup(
+      keys: Seq[String],
+      measures: Seq[(String, String)],
+      includeCount: Boolean = true,
+      countField: String = "record_count")(df: DataFrame): DataFrame = {
+    val aggs = measures.map {
+      case (f, "sum")     => sum(col(f)).as(s"${f}_sum")
+      case (f, "min")     => min(col(f)).as(s"${f}_min")
+      case (f, "max")     => max(col(f)).as(s"${f}_max")
+      case (f, "average") => avg(col(f)).as(s"${f}_average")
+      case (_, fn) =>
+        throw new IllegalArgumentException(s"unsupported aggregate function '$fn'")
+    } ++ (if (includeCount) Seq(count(lit(1)).as(countField)) else Nil) :+
+      grouping_id().as("grouping_id")
+    df.rollup(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Pivot with an explicit value list — extension op. The value list is
+    * mandatory: without it Spark runs an eager distinct job at plan time
+    * to discover columns, which is both nondeterministic in column order
+    * and a hidden scan at scale. Output columns are `<value><suffix>`.
+    * Plans as a single hash aggregation (one conditional agg per value);
+    * no shuffle beyond the groupBy. */
+  def pivot(
+      groupKeys: Seq[String],
+      pivotField: String,
+      values: Seq[String],
+      agg: Column,
+      suffix: String = "")(df: DataFrame): DataFrame = {
+    val wide = df.groupBy(groupKeys.map(col): _*)
+      .pivot(pivotField, values).agg(agg)
+    if (suffix.isEmpty) wide
+    else wide.select(groupKeys.map(col) ++
+      values.map(v => col(s"`$v`").as(s"$v$suffix")): _*)
+  }
+
+  /** Exact percentiles per group — extension op (SURVEY.md §2.5 lists
+    * percentile as a Spark built-in beyond the reference). Linear
+    * interpolation, matching DuckDB's quantile_cont bit-for-bit (verified
+    * on the fixtures). Output columns `<field>_p<pct>`. Exact percentile
+    * buffers each group's values — at 100 TB prefer approx_percentile;
+    * this is the oracle-comparable form. */
+  def percentileAgg(
+      keys: Seq[String],
+      field: String,
+      percentiles: Seq[Double],
+      includeCount: Boolean = true)(df: DataFrame): DataFrame = {
+    val aggs = percentiles.map(p =>
+      percentile(col(field), lit(p))
+        .as(s"${field}_p${(p * 100).round}")) ++
+      (if (includeCount) Seq(count(lit(1)).as("record_count")) else Nil)
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   // ------------------------------------------- scalar / transform operators
 
   /** Explode a date/timestamp field into `<f>_year`, `<f>_month`, `<f>_day`

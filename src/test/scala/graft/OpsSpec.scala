@@ -174,4 +174,38 @@ class OpsSpec extends SparkSpec {
     val out = Ops.derive("double_amount", $"amount" * 2)(sales)
     assert(out.filter($"ref" === "r1").head().getAs[Double]("double_amount") == 20.0)
   }
+
+  test("intersect and except have SQL set (distinct) semantics") {
+    val a = Seq(1, 2, 2, 3).toDF("k")
+    val b = Seq(2, 3, 3, 4).toDF("k")
+    assert(Ops.intersect(b)(a).as[Int].collect().sorted.toSeq == Seq(2, 3))
+    assert(Ops.except(b)(a).as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("aggregateRollup emits detail, subtotal and grand-total rows with grouping_id") {
+    val out = Ops.aggregateRollup(Seq("category", "ref"), Seq("amount" -> "sum"))(
+      sales.filter($"category" === "books"))
+    // 2 detail + 1 per-category + 1 grand total
+    assert(out.count() == 4)
+    val gids = out.select("grouping_id").as[Long].collect().sorted.toSeq
+    assert(gids == Seq(0L, 0L, 1L, 3L))
+    val grand = out.filter($"grouping_id" === 3).head()
+    assert(grand.getAs[Double]("amount_sum") == 5.0)
+    assert(grand.getAs[Long]("record_count") == 2L)
+  }
+
+  test("pivot widens explicit values with suffix naming, absent combos null") {
+    val out = Ops.pivot(Seq("category"), "ref", Seq("r1", "r2", "r3"),
+      sum($"amount"), "_sum")(sales.filter($"category".isNotNull))
+    assert(out.columns.toSeq == Seq("category", "r1_sum", "r2_sum", "r3_sum"))
+    val books = out.filter($"category" === "books").head()
+    assert(books.getAs[Double]("r1_sum") == 10.0 && books.isNullAt(3))
+  }
+
+  test("percentileAgg interpolates linearly per group") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)).toDF("g", "v")
+    val out = Ops.percentileAgg(Seq("g"), "v", Seq(0.5))(df).head()
+    assert(out.getAs[Double]("v_p50") == 2.5)
+    assert(out.getAs[Long]("record_count") == 4L)
+  }
 }
