@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Similarity, TextOps}
+import graft.ext.{BinaryOps, Dedup, Similarity, TextOps}
 import graft.ops.{Ops, TemporalOps, WindowOps}
 
 /** Extension-surface queries (SURVEY.md §2.12 / north-star): dedup,
@@ -169,6 +169,29 @@ object ExtQueries {
       Ops.percentileAgg(Seq("l_returnflag"), "l_extendedprice",
         Seq(0.25, 0.5, 0.9))(table(s, dir, "lineitem"))
         .orderBy("l_returnflag")
+    },
+    // ---- binary / multimodal ----------------------------------------------
+    "binary_stats" -> { (s, dir) =>
+      val blob = BinaryOps.toBlob(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), BinaryOps.blobSize(blob).as("byte_count"),
+          BinaryOps.blobDigest(blob).as("digest"))
+        .orderBy("doc_id")
+    },
+    "binary_chunk_fps" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          BinaryOps.chunkFingerprints(BinaryOps.toBlob(col("text")), 64)))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk_md5")
+        .orderBy("doc_id", "chunk_idx")
+    },
+    "binary_dedup" -> { (s, dir) =>
+      BinaryOps.dedupByBytes("blob", "doc_id")(
+        table(s, dir, "documents")
+          .select(col("doc_id"), BinaryOps.toBlob(col("text")).as("blob")))
+        .select(col("doc_id"), BinaryOps.blobSize(col("blob")).as("byte_count"))
+        .orderBy("doc_id")
     }
   )
 
@@ -453,6 +476,26 @@ object ExtQueries {
          quantile_cont(l_extendedprice, 0.5) AS l_extendedprice_p50,
          quantile_cont(l_extendedprice, 0.9) AS l_extendedprice_p90,
          count(*) AS record_count
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // DuckDB's md5 takes VARCHAR only; the fixture text is pure ASCII
+    // (verified: octet_length(encode(text)) == length(text) at every SF),
+    // so md5(text) == md5 of the UTF-8 blob and substr-by-chars mirrors
+    // Spark's substring-by-bytes exactly.
+    "binary_stats" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_count,
+         md5(text) AS digest
+         FROM documents ORDER BY doc_id""",
+    "binary_chunk_fps" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS chunk_md5
+         FROM (SELECT doc_id, text,
+                 unnest(range(0, greatest(CAST(ceil(length(text) / 64e0) AS BIGINT), 1))) AS i
+               FROM documents)
+         ORDER BY doc_id, chunk_idx""",
+    "binary_dedup" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_count
+         FROM documents
+         QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+         ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal binary-column operators (extension surface, SURVEY.md
+  * §2.12): images/audio/video travel as opaque `binary` columns with
+  * typed metadata, and every transformation here is either a pure
+  * codegen projection (size/digest/chunk fingerprints) or a
+  * partition-batched map (feature extraction) — the two shapes a 100 TB
+  * media pipeline actually runs.
+  *
+  * The fixtures carry no real media bytes, so [[toBlob]] manufactures
+  * blobs from text (the bytes are then honest UTF-8) and
+  * [[extractFeaturesStub]] stands in for a codec: the container ships no
+  * image/audio libraries, so decode is a clearly-marked deterministic
+  * stub while the Spark-side plumbing — BinaryType in, typed struct out,
+  * per-partition batched iteration, schema evolution — is the production
+  * shape and is what the tests pin down.
+  */
+object BinaryOps {
+
+  /** String -> UTF-8 bytes (`binary`). Real pipelines read blobs from
+    * parquet/object storage directly; this exists so the text fixtures
+    * can exercise the binary operators. */
+  def toBlob(c: Column): Column = encode(c, "UTF-8")
+
+  /** Byte length of a blob — metadata projection, pushdown-friendly. */
+  def blobSize(c: Column): Column = octet_length(c)
+
+  /** Content digest of the raw bytes (md5 hex). Over UTF-8 blobs this
+    * equals md5 of the source string, which is how the DuckDB oracle
+    * (whose md5 takes VARCHAR only) reproduces it. */
+  def blobDigest(c: Column): Column = md5(c)
+
+  /** Fixed-size chunk fingerprints: md5 of each `chunkBytes` slice, in
+    * order — the rsync/CDC-shaped primitive for delta dedup of large
+    * blobs. Pure projection: `substring` on binary slices BYTES, so one
+    * row costs O(len/chunk) digests and nothing shuffles. (True
+    * content-defined chunking needs a rolling hash over bytes — a custom
+    * Expression if ever needed; fixed-size chunks keep the oracle
+    * expressible and the plan identical.) */
+  def chunkFingerprints(blob: Column, chunkBytes: Int): Column = {
+    val nChunks = ceil(octet_length(blob).cast("double") / chunkBytes).cast("int")
+    transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+      i => md5(substring(blob, i * chunkBytes + 1, lit(chunkBytes))))
+  }
+
+  /** Byte-exact dedup: keep one row per distinct blob content,
+    * deterministic min-tie-break — one hash-agg shuffle keyed on the
+    * 16-byte digest, never on the blob itself (the shuffle carries
+    * digests + one surviving row per group, not the media bytes twice). */
+  def dedupByBytes(blobField: String, tieBreak: String)(df: DataFrame): DataFrame =
+    Dedup.exact(Seq("__digest"), tieBreak)(
+      df.withColumn("__digest", blobDigest(col(blobField))))
+      .drop("__digest")
+
+  /** Extracted-feature schema appended by [[extractFeaturesStub]]:
+    * the typed-metadata half of a multimodal column. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("byte_count", IntegerType, nullable = false),
+    StructField("header", BinaryType, nullable = true),
+    StructField("feature", ArrayType(FloatType, containsNull = false),
+      nullable = true)))
+
+  /** Partition-batched media feature extraction.
+    *
+    * STUB DECODE: a production deployment replaces the body of
+    * `decodeOne` with a real codec call (libjpeg/ffmpeg via JNI, or an
+    * ONNX vision encoder); none of those ship in this container, so the
+    * "features" are a deterministic projection of the raw bytes. Every
+    * scale-relevant property is real: rows stream through
+    * `mapPartitions` one partition per task (the batch-inference shape —
+    * amortize model/codec init per partition, not per row), the blob
+    * column is read once, and the output schema appends a typed struct.
+    */
+  def extractFeaturesStub(
+      blobField: String, dim: Int, target: String = "media")(
+      df: DataFrame): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(target, featureSchema, nullable = true)
+    val blobIdx = inSchema.fieldIndex(blobField)
+    val out = df.mapPartitions { rows =>
+      // per-partition init happens HERE (codec handles, model session)
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](blobIdx)
+        val media = if (bytes == null) null else decodeOne(bytes, dim)
+        Row.fromSeq(row.toSeq :+ media)
+      }
+    }(Encoders.row(outSchema))
+    out
+  }
+
+  /** The stub "codec": deterministic pseudo-features from raw bytes —
+    * byte count, an 8-byte header slice, and `dim` floats folded from
+    * the byte stream. Replace with a real decoder in production. */
+  private def decodeOne(bytes: Array[Byte], dim: Int): Row = {
+    val header = bytes.take(8)
+    val feature = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      feature(i % dim) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    Row(bytes.length, header, feature.toSeq)
+  }
+}
