@@ -78,6 +78,17 @@ object ExtQueries {
         k = 3, planes = 6, dim = 64)
         .orderBy("query_id", "rank")
     },
+    "similarity_ivf" -> { (s, dir) =>
+      Similarity.ivfTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nCentroids = 8, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+    "winnow_fingerprints" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.winnowFingerprints(col("text"), k = 8, w = 4)).as("fp"))
+        .orderBy("doc_id", "fp")
+    },
     // ---- events: JSON + windows + sessions ---------------------------------
     "events_json_agg" -> { (s, dir) =>
       table(s, dir, "events")
@@ -241,6 +252,13 @@ object ExtQueries {
       WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
   }
 
+  /** 32-bit hash shared with TextOps.tokenHash/winnowFingerprints: value
+    * of the first 8 hex chars of md5(expr). */
+  private def hash32Sql(s: String): String =
+    s"""CAST(list_sum(list_transform(range(1,9), j ->
+        (strpos('0123456789abcdef', substr(md5($s), j, 1)) - 1)
+        * CAST(16**(8-j) AS BIGINT))) AS BIGINT)"""
+
   /** Sequential double fold matching Spark's aggregate(…, 0.0, _+_). */
   private def foldSum(listExpr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
@@ -373,6 +391,36 @@ object ExtQueries {
         FROM cand)
       SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
       FROM ranked WHERE rn <= 3 ORDER BY query_id, rank""",
+    "similarity_ivf" -> s"""
+      WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                 WHERE vec_id < 8),
+      sc AS (SELECT e.vec_id AS id, e.embedding AS vec, cid,
+               ${cosineSql("e.embedding", "cvec")} AS cs
+             FROM embeddings e, c),
+      rk AS (SELECT id, vec, cid, cs,
+               row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid ASC) AS rn
+             FROM sc),
+      assign AS (SELECT id, vec, cid FROM rk WHERE rn = 1),
+      probe AS (SELECT id AS query_id, vec AS qv, cid FROM rk WHERE rn <= 2),
+      cand AS (SELECT query_id, a.id AS item_id,
+                 ${cosineSql("qv", "a.vec")} AS cosine
+               FROM probe p JOIN assign a ON p.cid = a.cid
+               WHERE query_id <> a.id),
+      ranked AS (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn
+        FROM cand)
+      SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
+      FROM ranked WHERE rn <= 3 ORDER BY query_id, rank""",
+    "winnow_fingerprints" -> s"""
+      WITH g AS (SELECT doc_id,
+          list_transform(range(1, greatest(length(text) - 7, 1) + 1), i ->
+            ${hash32Sql("substr(text, CAST(i AS INT), 8)")}) AS grams
+        FROM documents),
+      w AS (SELECT doc_id,
+          list_distinct(list_transform(range(0, greatest(len(grams) - 4, 0) + 1), j ->
+            list_min(grams[CAST(j + 1 AS INT) : CAST(j + 4 AS INT)]))) AS fps
+        FROM g)
+      SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""",
     "events_json_agg" ->
       """SELECT event_type,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

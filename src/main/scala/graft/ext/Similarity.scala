@@ -73,6 +73,58 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path next to [[lshTopK]]: partition the corpus into coarse cells
+    * around centroids, then search only the `nprobe` cells closest to
+    * each query.
+    *
+    *  - **Centroids**: the rows with `id < nCentroids` — a deterministic,
+    *    oracle-reproducible stand-in for a k-means training job (swap in
+    *    MLlib KMeans centers in production; every downstream stage is
+    *    unchanged). Centroids are broadcast — they are tiny by
+    *    construction.
+    *  - **Assignment** (the index build): one pass over the corpus
+    *    against the broadcast centroids, argmax cosine with a
+    *    deterministic tie-break, reduced via `max_by` partial
+    *    aggregation — the only full-corpus shuffle, one row per vector.
+    *  - **Probe + rerank**: each query ranks its `nprobe` closest cells
+    *    (window per query id), joins cell-to-cell against the
+    *    assignment — an equi-join on the cell id, never all-pairs — and
+    *    exact cosine re-ranks within candidates.
+    *
+    * Cost at scale: corpus-linear index build, then per-query work
+    * bounded by the population of `nprobe` cells. Recall is tunable via
+    * nCentroids/nprobe exactly like any IVF index. */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, nCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = corpus.select(col(corpusId).as("__id"), col(corpusVec).as("__v"))
+    val centroids = broadcast(base.filter(col("__id") < nCentroids)
+      .select(col("__id").as("__cid"), col("__v").as("__cv")))
+    val scored = base.crossJoin(centroids)
+      .withColumn("__cs", cosine(col("__v"), col("__cv")))
+    // argmax centroid per vector: max_by over (score, -cid) = best score,
+    // smallest cid on ties; partial-aggregates map-side, one shuffled row
+    // per corpus vector
+    val assign = scored.groupBy(col("__id"))
+      .agg(max_by(col("__cid"), struct(col("__cs"), -col("__cid"))).as("__cid"),
+        first(col("__v")).as("__v"))
+    val probe = scored
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__cs").desc, col("__cid").asc)))
+      .filter(col("__pr") <= nprobe)
+      .select(col("__id").as("query_id"), col("__v").as("__qv"), col("__cid"))
+    probe.join(assign, "__cid")
+      .filter(col("query_id") =!= col("__id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__v")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("__id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("__id").as("item_id"), col("cosine"), col("rank"))
+  }
+
   /** Approximate top-k: candidates share the sign-LSH bucket, then exact
     * cosine re-ranks within buckets. With p planes the corpus shards into
     * 2^p buckets; the join key is the bucket, so cost is corpus-linear

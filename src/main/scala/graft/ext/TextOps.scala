@@ -117,6 +117,28 @@ object TextOps {
   def minTokenHash(text: Column): Column =
     array_min(transform(tokenSet(text), t => tokenHash(t, lit(0))))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    * scheme): hash every `k`-byte character gram, slide a window of `w`
+    * consecutive gram hashes, keep each window's minimum, and emit the
+    * distinct selected hashes. Guarantees any shared substring of length
+    * ≥ k + w - 1 contributes at least one common fingerprint — the
+    * standard near-copy detector for code/text corpora.
+    *
+    * Pure projection (O(n·w) comparisons per row, no shuffle); documents
+    * shorter than one window yield the minimum over what exists. The
+    * gram hash is the shared md5-prefix primitive so the oracle
+    * reproduces fingerprints bit-for-bit. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => conv(substring(md5(substring(text, i, lit(k))), 1, 8), 16, 10)
+        .cast("long"))
+    val mins = transform(
+      sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      j => array_min(slice(grams, j + 1, lit(w))))
+    array_distinct(mins)
+  }
+
   // ------------------------------------------------------------ DataFrame ops
 
   /** Standard text-statistics projection over a corpus. */

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Similarity, TextOps}
+
+/** Semantics tests for the newest extension operators: IVF ANN and
+  * winnowing fingerprints. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    // two tight clusters on orthogonal axes + ids 0,1 as "centroids"
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.8f, 0.2f, 0.0f, 0.0f)),
+    (4L, Array(0.1f, 0.9f, 0.0f, 0.0f)),
+    (5L, Array(0.2f, 0.8f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("ivfTopK finds cluster-mates with nprobe=1") {
+    val out = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      k = 2, nCentroids = 2, nprobe = 1)
+      .select("query_id", "item_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val top1 = out.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    // within the x-axis cell {0,2,3}: 2's nearest is the axis vector 0,
+    // 3's nearest is 2 (cos(3,2)=.991 > cos(3,0)=.970); mirrored on y
+    assert(top1(2L) === 0L && top1(3L) === 2L)
+    assert(top1(4L) === 1L && top1(5L) === 4L)
+    // no query ranks itself
+    assert(out.forall(t => t._1 != t._2))
+  }
+
+  test("ivfTopK nprobe=2 reaches across cells") {
+    val out = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      k = 5, nCentroids = 2, nprobe = 2)
+    // probing both cells makes every other vector a candidate
+    assert(out.filter($"query_id" === 2L).count() === 5)
+  }
+
+  test("winnowFingerprints guarantees a shared fingerprint for long shared substrings") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"CCCCCC $shared DD"),
+      (3L, "totally unrelated text with no overlap at all zzz")
+    ).toDF("doc_id", "text")
+    val fps = df.select($"doc_id",
+      TextOps.winnowFingerprints($"text", k = 8, w = 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // shared substring of length >= k+w-1 = 11 chars -> common fingerprint
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
+  test("winnowFingerprints handles docs shorter than one window") {
+    val fps = Seq((1L, "tiny")).toDF("doc_id", "text")
+      .select(TextOps.winnowFingerprints($"text", 8, 4).as("fps"))
+      .head().getSeq[Long](0)
+    assert(fps.length === 1) // one gram (whole doc), one window
+  }
+}
