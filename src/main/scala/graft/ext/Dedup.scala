@@ -52,10 +52,15 @@ object Dedup {
       (acc, t) => {
         val hex = concat((0 until nDigests).map(d =>
           md5(concat_ws("|", lit(d), t))): _*)
-        zip_with(acc, sequence(lit(0), lit(numHashes - 1)), (m, i) =>
-          least(m, conv(
-            call_function("substring", hex, i * lit(8) + lit(1), lit(8)),
-            16, 10).cast("long")))
+        // bind the concatenated digest: referenced inside the zip_with
+        // lambda it would otherwise be re-hashed once PER SIGNATURE SLOT
+        // (numHashes×), not once per shingle — no CSE across HOF lambdas
+        graft.functions.GraftFunctions.bind(hex) { h =>
+          zip_with(acc, sequence(lit(0), lit(numHashes - 1)), (m, i) =>
+            least(m, conv(
+              call_function("substring", h, i * lit(8) + lit(1), lit(8)),
+              16, 10).cast("long")))
+        }
       })
   }
 

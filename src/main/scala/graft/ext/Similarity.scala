@@ -22,8 +22,18 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity; 0.0 for zero vectors. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0.0 for zero vectors. Lowered to the native
+    * codegen expression [[graft.functions.CosineSimilarity]] — one fused
+    * loop inside whole-stage codegen instead of three higher-order-
+    * function folds. Bit-identical to [[cosineHof]] (asserted in
+    * FunctionsSpec) and to the DuckDB oracle. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine(a, b)
+
+  /** The higher-order-function form of [[cosine]] — the executable
+    * specification the native expression is tested against. Works on any
+    * numeric array type (the native form is array<float> only). */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b); val na = norm(a); val nb = norm(b)
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
   }
@@ -55,18 +65,25 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * md5 nibble mapped to [-7.5, 7.5] — reproducible in the oracle. */
-  private def planeWeight(plane: Int, d: Column): Column =
-    (conv(substring(md5(concat_ws("_", lit(plane), d)), 1, 1), 16, 10)
-      .cast("double") - 7.5)
+    * first md5 hex nibble of "p_d" mapped to [-7.5, 7.5]. Computed
+    * driver-side and embedded as a literal — the oracle computes the
+    * identical md5 nibble in SQL, and the previous in-plan form cost
+    * planes×dim md5 evaluations PER ROW for what is a constant. */
+  private def planeWeight(plane: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$d".getBytes("UTF-8"))
+    ((digest(0) >> 4) & 0xf).toDouble - 7.5
+  }
 
   /** Sign-LSH bucket id: one bit per hyperplane = sign of the projection
-    * of the vector on a deterministic pseudo-random plane. */
+    * of the vector on a deterministic pseudo-random plane. The plane
+    * weights are literal arrays (constants), so a row costs exactly
+    * planes×dim fused multiply-adds inside codegen. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
+      val weights = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
       val proj = aggregate(
-        zip_with(vec, transform(sequence(lit(0), lit(dim - 1)),
-          d => planeWeight(p, d)), (x, w) => x.cast("double") * w),
+        zip_with(vec, weights, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }

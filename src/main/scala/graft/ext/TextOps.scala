@@ -20,14 +20,21 @@ object TextOps {
   /** Distinct whitespace tokens (set semantics for jaccard). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Word n-gram shingles: join of each n-token window. */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(ts) - (n - 1), lit(0))),
-        i => array_join(slice(ts, i, lit(n)), " ")))
-  }
+  /** Word n-gram shingles: join of each n-token window. The token array
+    * is bound once per row ([[graft.functions.GraftFunctions.bind]]) —
+    * referencing `tokens(text)` inside the window lambda would re-split
+    * the text at every shingle position (no CSE across HOF lambdas).
+    * Docs with fewer than n tokens yield an empty array (guarded
+    * explicitly: Spark's `sequence(1, 0)` is DESCENDING `[1, 0]`, which
+    * would crash `slice` — unlike the oracle's empty `range(1, 1)`). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.bind(tokens(text)) { ts =>
+      when(size(ts) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(
+            sequence(lit(1), size(ts) - (n - 1)),
+            i => array_join(slice(ts, i, lit(n)), " "))))
+    }
 
   /** Jaccard similarity of two token arrays, on distinct elements:
     * |A ∩ B| / |A ∪ B| as double. */
@@ -133,10 +140,17 @@ object TextOps {
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => conv(substring(md5(substring(text, i, lit(k))), 1, 8), 16, 10)
         .cast("long"))
-    val mins = transform(
-      sequence(lit(0), greatest(size(grams) - w, lit(0))),
-      j => array_min(slice(grams, j + 1, lit(w))))
-    array_distinct(mins)
+    // Bind the gram array to a lambda variable (via a 1-element array
+    // wrapper) so it is computed ONCE per row: referencing `grams`
+    // directly inside the window lambda would re-evaluate the whole
+    // hash array at every window position — Catalyst does not CSE
+    // across higher-order-function lambdas (O(n²·w) md5s per row).
+    element_at(
+      transform(array(grams), g =>
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(g) - w, lit(0))),
+          j => array_min(slice(g, j + 1, lit(w)))))),
+      1)
   }
 
   // ------------------------------------------------------------ DataFrame ops

@@ -281,11 +281,17 @@ object Ops {
       field: String,
       percentiles: Seq[Double],
       includeCount: Boolean = true)(df: DataFrame): DataFrame = {
-    val aggs = percentiles.map(p =>
-      percentile(col(field), lit(p))
-        .as(s"${field}_p${(p * 100).round}")) ++
+    // one percentile agg over the percentage ARRAY: the group's values
+    // are buffered and sorted once, not once per requested percentile
+    val aggs = Seq(percentile(col(field),
+      array(percentiles.map(lit): _*)).as("__ps")) ++
       (if (includeCount) Seq(count(lit(1)).as("record_count")) else Nil)
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val wide = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val outCols = keys.map(col) ++
+      percentiles.zipWithIndex.map { case (p, i) =>
+        element_at(col("__ps"), i + 1).as(s"${field}_p${(p * 100).round}")
+      } ++ (if (includeCount) Seq(col("record_count")) else Nil)
+    wide.select(outCols: _*)
   }
 
   // ------------------------------------------- scalar / transform operators

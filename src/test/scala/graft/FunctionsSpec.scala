@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+import graft.functions.GraftFunctions
+
+/** Native CosineSimilarity expression: bit-parity with the HOF spec
+  * form, null semantics, SQL registration, and codegen coverage. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randVecs(n: Int, dim: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong,
+      Array.fill(dim)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+  }
+
+  test("native cosine is bit-identical to the HOF form") {
+    val df = randVecs(200, 64, seed = 7)
+    val a = df.select($"id", $"v")
+    val b = randVecs(200, 64, seed = 8).select($"id", $"v".as("w"))
+    val joined = a.join(b, "id")
+    val diffs = joined.select(
+      Similarity.cosine($"v", $"w").as("native"),
+      Similarity.cosineHof($"v", $"w").as("hof"))
+      .filter($"native" =!= $"hof") // exact double comparison
+      .count()
+    assert(diffs === 0L)
+  }
+
+  test("native cosine handles zero vectors and nulls") {
+    val df = Seq(
+      (Array(0f, 0f), Array(1f, 1f)),
+      (null, Array(1f, 1f))
+    ).toDF("a", "b")
+    val out = df.select(Similarity.cosine($"a", $"b")).collect()
+    assert(out(0).getDouble(0) === 0.0)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("native cosine yields NULL on length mismatch") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    assert(df.select(Similarity.cosine($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("graft_cosine is callable from SQL after register()") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(
+           CAST(array(1.0, 0.0) AS array<float>),
+           CAST(array(1.0, 0.0) AS array<float>)) AS c""").head().getDouble(0)
+    assert(r === 1.0)
+  }
+
+  test("native cosine stays inside whole-stage codegen") {
+    // spark.range (a real source) rather than a local relation, which the
+    // optimizer folds before any codegen happens
+    val df = spark.range(100).select(
+      expr("cast(array(id, id + 1, id + 2) as array<float>)").as("v"))
+    val plan = df.select(Similarity.cosine($"v", $"v").as("c"))
+      .queryExecution.executedPlan
+    val wscg = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wscg.nonEmpty, s"no WholeStageCodegen in:\n$plan")
+  }
+}
