@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface — the SURVEY §2.9/§2.12 north star. The
@@ -65,4 +66,45 @@ object Streaming {
     * pay an inference pass per batch. */
   def readParquetStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+
+  /** Running totals per user — the custom-state shape
+    * (`mapGroupsWithState`) for logic the native windows can't express.
+    * State is one tiny struct per key, carried across micro-batches by
+    * the state store; on a batch input the same code runs with empty
+    * initial state (asserted equal to a groupBy in the spec). Streaming
+    * output mode must be `update`. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val prior = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          var n = prior.events
+          var sum = prior.value_sum
+          rows.foreach { e => n += 1; sum += e.value }
+          val updated = UserTotals(user, n, sum)
+          state.update(updated)
+          updated
+      }
+  }
+
+  /** Exactly-once dedup on key columns over an unbounded stream: Spark's
+    * state-store-backed `dropDuplicates`, with the watermark bounding
+    * how long each key is remembered — without it state grows forever.
+    * The batch equivalent is `dropDuplicates(keys)` (the exact operator
+    * `Dedup.exact` refines with a deterministic keeper). */
+  def streamingDedup(
+      events: DataFrame,
+      keys: Seq[String],
+      tsField: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsField, watermarkDelay)
+      .dropDuplicates(keys :+ tsField)
 }
+
+/** Input row for [[Streaming.runningUserTotals]]. */
+case class UserEvent(user_id: Long, value: Double)
+
+/** Per-user state/output of [[Streaming.runningUserTotals]]. */
+case class UserTotals(user_id: Long, events: Long, value_sum: Double)

@@ -55,6 +55,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningUserTotals carries custom state across micro-batches") {
+    import graft.streaming.{UserEvent, UserTotals}
+    val input = MemoryStream[UserEvent]
+    val totals = Streaming.runningUserTotals(input.toDS())
+    val q = totals.writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    try {
+      input.addData(UserEvent(1L, 2.0), UserEvent(1L, 3.0), UserEvent(2L, 1.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, 5.0)) // second batch: state must accumulate
+      q.processAllAvailable()
+      val last = spark.table("totals")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("events").as("events"),
+          org.apache.spark.sql.functions.max("value_sum").as("value_sum"))
+        .as[UserTotals].collect().sortBy(_.user_id)
+      assert(last.toSeq == Seq(UserTotals(1L, 3L, 10.0), UserTotals(2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("runningUserTotals on a batch dataset equals a plain groupBy") {
+    import graft.streaming.{UserEvent, UserTotals}
+    val ds = Seq(UserEvent(1L, 2.0), UserEvent(1L, 3.0), UserEvent(2L, 1.0)).toDS()
+    val out = Streaming.runningUserTotals(ds).collect().sortBy(_.user_id).toSeq
+    assert(out == Seq(UserTotals(1L, 2L, 5.0), UserTotals(2L, 1L, 1.0)))
+  }
+
+  test("streamingDedup drops in-stream duplicates with bounded state") {
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = Streaming.streamingDedup(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      keys = Seq("user_id", "event_type"), watermarkDelay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("10:00"), 1L, "click"), (ts("10:00"), 1L, "click"),
+        (ts("10:01"), 1L, "view"))
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+    } finally q.stop()
+  }
+
   test("windowed counts build the identical plan on a batch frame") {
     val batch = Seq(
       ts("10:01") -> "click", ts("10:03") -> "click", ts("10:11") -> "view")
