@@ -18,6 +18,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session OUTSIDE the timed region (JVM/codegen/parquet
+    // reader/noop-sink init otherwise lands on whichever query runs
+    // first and distorts its number by several seconds).
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey").count()
+      .write.mode("overwrite").format("noop").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()

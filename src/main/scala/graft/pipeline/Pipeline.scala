@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.storage.StorageLevel
-import graft.ops.Ops
+import graft.ops.{Ops, TemporalOps}
 import graft.probes.Probes
 
 /** Thin fluent façade over the operator catalog, for API parity with the
@@ -48,6 +48,23 @@ final case class Pipeline(df: DataFrame) {
     >>(Ops.stringToDate(field, format))
   def threshold(field: String, low: Double, high: Double): Pipeline =
     >>(Ops.threshold(field, low, high))
+  def sampleHash(field: String, fraction: Double, salt: String = ""): Pipeline =
+    >>(Ops.sampleHash(field, fraction, salt))
+  def intersect(other: DataFrame): Pipeline = >>(Ops.intersect(other))
+  def except(other: DataFrame): Pipeline = >>(Ops.except(other))
+  def aggregateRollup(keys: Seq[String], measures: Seq[(String, String)]): Pipeline =
+    >>(Ops.aggregateRollup(keys, measures))
+  def pivot(groupKeys: Seq[String], pivotField: String, values: Seq[String],
+      agg: Column, suffix: String = ""): Pipeline =
+    >>(Ops.pivot(groupKeys, pivotField, values, agg, suffix))
+  def percentileAgg(keys: Seq[String], field: String, ps: Seq[Double]): Pipeline =
+    >>(Ops.percentileAgg(keys, field, ps))
+  def asOfJoin(right: DataFrame, key: String, leftTime: String, rightTime: String,
+      rightVals: Seq[String], rightTieBreak: String): Pipeline =
+    >>(TemporalOps.asOfJoin(right, key, leftTime, rightTime, rightVals, rightTieBreak))
+  def bandJoin(right: DataFrame, key: String, leftTime: String, rightTime: String,
+      widthSeconds: Long): Pipeline =
+    >>(TemporalOps.bandJoin(right, key, leftTime, rightTime, widthSeconds))
   def audit(fields: String*): Pipeline = >>(Probes.audit(fields))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
