@@ -43,7 +43,14 @@ object Dedup {
     * functions. One projection, no shuffle. Shingle-free docs yield a
     * signature of Long.MaxValue sentinels (mirrored by coalesce in the
     * oracle). */
-  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
+    graft.functions.GraftFunctions.minhashSignature(
+      TextOps.shingles(text, shingleSize), numHashes)
+
+  /** Higher-order-function form of [[minhashSignature]] — the executable
+    * specification the native kernel is tested against
+    * (HashExpressionsSpec). */
+  def minhashSignatureHof(text: Column, numHashes: Int, shingleSize: Int): Column = {
     val nDigests = (numHashes + 3) / 4
     val sh = TextOps.shingles(text, shingleSize)
     aggregate(
@@ -88,15 +95,22 @@ object Dedup {
         array((0 until bands).map(b =>
           md5(concat_ws(",", slice(col("__sig"), b * rows + 1, rows)))): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
-    val sized = banded
-      .withColumn("__n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("__band", "__bucket")))
-      .filter(col("__n") <= maxBucket)
-    val a = sized.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
-    val b = sized.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
-    a.join(b, Seq("__band", "__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // One hash-agg collects each bucket's ids, the cap drops degenerate
+    // buckets, and ordered pairs are generated bucket-locally from the
+    // collected list. Compared to the previous self-join on the bucket
+    // key this computes the signature pipeline ONCE (a self-join's two
+    // branches each recompute their input) and shuffles once. Memory per
+    // group is bounded by the same skew exposure the windowed count had
+    // (a hot bucket concentrates on one reducer before the cap drops
+    // it); the cap itself is the mitigation, as before.
+    banded.groupBy(col("__band"), col("__bucket"))
+      .agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("__ids"), x =>
+        transform(filter(col("__ids"), y => x < y), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .distinct()
   }
 
   /** MinHash-LSH near-dup pairs verified with exact n-gram Jaccard ≥
@@ -151,7 +165,12 @@ object Dedup {
     * higher-order lambdas). Shifts stay in exact long arithmetic
     * (pow() doubles would corrupt bits past the 53-bit mantissa).
     * One projection, no shuffle. */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.GraftFunctions.simhash60(TextOps.tokenSet(text))
+
+  /** Higher-order-function form of [[simhash]] — the executable
+    * specification the native kernel is tested against. */
+  def simhashHof(text: Column): Column = {
     val hashes = transform(TextOps.tokenSet(text),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
     val votes = aggregate(

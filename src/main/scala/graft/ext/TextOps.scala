@@ -135,7 +135,12 @@ object TextOps {
     * shorter than one window yield the minimum over what exists. The
     * gram hash is the shared md5-prefix primitive so the oracle
     * reproduces fingerprints bit-for-bit. */
-  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    graft.functions.GraftFunctions.winnowFingerprints(text, k, w)
+
+  /** Higher-order-function form of [[winnowFingerprints]] — the
+    * executable specification the native kernel is tested against. */
+  def winnowFingerprintsHof(text: Column, k: Int, w: Int): Column = {
     val grams = transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => conv(substring(md5(substring(text, i, lit(k))), 1, 8), 16, 10)

@@ -30,6 +30,20 @@ object GraftFunctions {
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Native MinHash signature over a shingle array (see
+    * [[MinHashSignature]]). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
+
+  /** Native 60-bit SimHash over a token array (see [[SimHash60]]). */
+  def simhash60(tokens: Column): Column =
+    Bridge.column(SimHash60(Bridge.expression(tokens)))
+
+  /** Native winnowing fingerprints over a string (see
+    * [[WinnowFingerprints]]). */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w))
+
   /** Evaluate `c` ONCE per row and hand it to `f` as a bound lambda
     * variable (via a one-element array + transform + element_at).
     *

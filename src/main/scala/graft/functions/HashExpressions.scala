@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.commons.codec.digest.DigestUtils
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for graft's md5-based sketching primitives.
+  *
+  * The higher-order-function forms (kept as `*Hof` in `graft.ext` and
+  * asserted bit-identical in HashExpressionsSpec) pay per-element lambda
+  * dispatch, `conv`'s BigInteger hex parsing, and an intermediate array
+  * allocation per fold step. Each expression here runs the identical md5
+  * arithmetic — so every DuckDB oracle is unchanged — in one tight Java
+  * loop per row. Codegen emits a single kernel call via a reference
+  * object, keeping the surrounding stage inside whole-stage codegen.
+  */
+object HashKernels {
+  /** Value of the first 8 hex chars of md5Hex(bytes) — the shared 32-bit
+    * hash primitive (`strpos`-parsed identically by the oracle). */
+  def hash32(bytes: Array[Byte]): Long =
+    java.lang.Long.parseLong(DigestUtils.md5Hex(bytes).substring(0, 8), 16)
+}
+
+/** MinHash signature over a shingle array: element i is the minimum over
+  * shingles of the 32-bit word at offset i of the concatenated digests
+  * md5("0|s"), md5("1|s"), … — exactly
+  * [[graft.ext.Dedup.minhashSignatureHof]]. Shingle-free docs yield the
+  * Long.MaxValue sentinel signature. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  def compute(shingles: ArrayData): ArrayData = {
+    val nDigests = (numHashes + 3) / 4
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    val n = shingles.numElements()
+    while (s < n) {
+      val t = shingles.getUTF8String(s).toString
+      var d = 0
+      while (d < nDigests) {
+        val hex = DigestUtils.md5Hex((d.toString + "|" + t).getBytes("UTF-8"))
+        var w = 0
+        while (w < 4 && d * 4 + w < numHashes) {
+          val v = java.lang.Long.parseLong(hex.substring(w * 8, w * 8 + 8), 16)
+          val slot = d * 4 + w
+          if (v < sig(slot)) sig(slot) = v
+          w += 1
+        }
+        d += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashKernel", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash over a (distinct) token array: bit b of the result is
+  * the sign of the vote sum over tokens of bit b of the token's 60-bit
+  * hash (first 15 hex chars of md5) — exactly
+  * [[graft.ext.Dedup.simhashHof]]. */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  def compute(tokens: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val hex = DigestUtils.md5Hex(tokens.getUTF8String(i).getBytes)
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) >= 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhashKernel", this, classOf[SimHash60].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprints over a string: 32-bit hashes of the k-char
+  * grams, minima of each w-gram sliding window, distinct in first-seen
+  * order — exactly [[graft.ext.TextOps.winnowFingerprintsHof]].
+  * Character (not byte) gram boundaries, matching Spark's substring. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  def compute(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    val nGrams = math.max(len - k + 1, 1)
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val gram = s.substring(i, math.min(i + k, len))
+      grams(i) = HashKernels.hash32(gram.getBytes("UTF-8"))
+      i += 1
+    }
+    val nWindows = math.max(nGrams - w, 0) + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < nWindows) {
+      var m = Long.MaxValue
+      var x = j
+      val end = math.min(j + w, nGrams)
+      while (x < end) {
+        if (grams(x) < m) m = grams(x)
+        x += 1
+      }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnowKernel", this, classOf[WinnowFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextOps}
+
+/** Bit-parity of the native hash kernels against their HOF specification
+  * forms, over generated texts plus the edge cases (empty text, single
+  * token, shorter than one shingle/window). */
+class HashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "the", "of")
+    val gen = (1 to 50).map(i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ")))
+    val edges = Seq((100L, ""), (101L, "one"), (102L, "two words"),
+      (103L, "tiny"), (104L, "exactly eight"))
+    (gen ++ edges).toDF("id", "text")
+  }
+
+  test("native minhash signature equals the HOF form") {
+    val diffs = corpus.select(
+      Dedup.minhashSignature($"text", 8, 3).as("n"),
+      Dedup.minhashSignatureHof($"text", 8, 3).as("h"))
+      .filter($"n" =!= $"h").count()
+    assert(diffs === 0L)
+  }
+
+  test("native minhash bigram signature equals the HOF form") {
+    val diffs = corpus.select(
+      Dedup.minhashSignature($"text", 8, 2).as("n"),
+      Dedup.minhashSignatureHof($"text", 8, 2).as("h"))
+      .filter($"n" =!= $"h").count()
+    assert(diffs === 0L)
+  }
+
+  test("native simhash equals the HOF form") {
+    val diffs = corpus.select(
+      Dedup.simhash($"text").as("n"), Dedup.simhashHof($"text").as("h"))
+      .filter($"n" =!= $"h").count()
+    assert(diffs === 0L)
+  }
+
+  test("native winnow fingerprints equal the HOF form") {
+    val diffs = corpus.filter(length($"text") > 0).select(
+      TextOps.winnowFingerprints($"text", 8, 4).as("n"),
+      TextOps.winnowFingerprintsHof($"text", 8, 4).as("h"))
+      .filter($"n" =!= $"h").count()
+    assert(diffs === 0L)
+  }
+
+  test("shingle-free doc yields the sentinel signature") {
+    val sig = Seq("a b").toDF("text") // 2 tokens < shingleSize 3
+      .select(Dedup.minhashSignature($"text", 8, 3)).head().getSeq[Long](0)
+    assert(sig === Seq.fill(8)(Long.MaxValue))
+  }
+}
