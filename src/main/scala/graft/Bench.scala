@@ -18,12 +18,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session OUTSIDE the timed region (JVM/codegen/parquet
-    // reader/noop-sink init otherwise lands on whichever query runs
-    // first and distorts its number by several seconds).
-    spark.read.parquet(s"$sfDir/nation.parquet")
-      .groupBy("n_regionkey").count()
-      .write.mode("overwrite").format("noop").save()
+    // Warm-up pass OUTSIDE the timed region: run every query once at the
+    // smallest scale factor so JVM/codegen/broadcast/window/noop-sink
+    // initialization does not land on whichever query happens to run
+    // first (observed to distort a first query by 3-6 s). Timed numbers
+    // below are steady-state execution at the target SF.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
