@@ -12,25 +12,36 @@ import graft.ops.{Ops, TemporalOps, WindowOps}
 object ExtQueries {
   import SparkEntry.table
 
+  /** Corpus loader for the sketch/similarity-heavy queries: the fixture
+    * tables are single-row-group parquet files, which Spark cannot split
+    * — every scan becomes ONE task and per-row hashing runs
+    * single-threaded. A production corpus arrives as thousands of row
+    * groups and parallelizes naturally; the explicit round-robin
+    * repartition restores that shape here (the sub-MB shuffle is noise
+    * next to the per-row compute it parallelizes). Row-order independent
+    * and output-order pinned, so oracle determinism is unaffected. */
+  private def corpus(s: SparkSession, dir: String, name: String): DataFrame =
+    table(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----------------------------------------------------
     "text_stats" -> { (s, dir) =>
-      TextOps.textStats("text")(table(s, dir, "documents"))
+      TextOps.textStats("text")(corpus(s, dir, "documents"))
         .select("doc_id", "token_count", "distinct_token_count",
           "bpeish_token_count", "char_count", "mean_token_length")
         .orderBy("doc_id")
     },
     "lang_id" -> { (s, dir) =>
-      TextOps.withLangId("text")(table(s, dir, "documents"))
+      TextOps.withLangId("text")(corpus(s, dir, "documents"))
         .select("doc_id", "lang", "lang_pred").orderBy("doc_id")
     },
     "quality_score" -> { (s, dir) =>
-      TextOps.withQuality("text")(table(s, dir, "documents"))
+      TextOps.withQuality("text")(corpus(s, dir, "documents"))
         .select("doc_id", "quality").orderBy("doc_id")
     },
     "fingerprint_dedup" -> { (s, dir) =>
       Dedup.exact(Seq("fingerprint"), "doc_id")(
-        TextOps.withFingerprint("text")(table(s, dir, "documents")))
+        TextOps.withFingerprint("text")(corpus(s, dir, "documents")))
         .select("doc_id", "lang", "fingerprint").orderBy("doc_id")
     },
     // ---- dedup ------------------------------------------------------------
@@ -42,12 +53,12 @@ object ExtQueries {
     },
     "minhash_pairs" -> { (s, dir) =>
       Dedup.minhashNearDuplicates("doc_id", "text", threshold = 0.2)(
-        table(s, dir, "documents"))
+        corpus(s, dir, "documents"))
         .orderBy("id_a", "id_b")
     },
     "simhash_pairs" -> { (s, dir) =>
       Dedup.simhashNearDuplicates("doc_id", "text", maxHamming = 10,
-        prefixBits = 12)(table(s, dir, "documents"))
+        prefixBits = 12)(corpus(s, dir, "documents"))
         .orderBy("id_a", "id_b")
     },
     // n-gram (bigram) Jaccard near-dup, shipped as LSH candidates + exact
@@ -56,17 +67,17 @@ object ExtQueries {
     "ngram_jaccard_pairs" -> { (s, dir) =>
       Dedup.minhashNearDuplicates("doc_id", "text", threshold = 0.3,
         numHashes = 8, bands = 4, shingleSize = 2)(
-        table(s, dir, "documents"))
+        corpus(s, dir, "documents"))
         .orderBy("id_a", "id_b")
     },
     "embedding_dedup" -> { (s, dir) =>
       Dedup.embeddingNearDuplicates("vec_id", "embedding", threshold = 0.4,
-        planes = 6, dim = 64)(table(s, dir, "embeddings"))
+        planes = 6, dim = 64)(corpus(s, dir, "embeddings"))
         .orderBy("id_a", "id_b")
     },
     // ---- similarity search -------------------------------------------------
     "similarity_topk" -> { (s, dir) =>
-      val e = table(s, dir, "embeddings")
+      val e = corpus(s, dir, "embeddings")
       Similarity.bruteForceTopK(
         corpus = e, corpusId = "vec_id", corpusVec = "embedding",
         queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
@@ -74,17 +85,17 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
     "similarity_lsh" -> { (s, dir) =>
-      Similarity.lshTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+      Similarity.lshTopK(corpus(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, planes = 6, dim = 64)
         .orderBy("query_id", "rank")
     },
     "similarity_ivf" -> { (s, dir) =>
-      Similarity.ivfTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+      Similarity.ivfTopK(corpus(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, nCentroids = 8, nprobe = 2)
         .orderBy("query_id", "rank")
     },
     "winnow_fingerprints" -> { (s, dir) =>
-      table(s, dir, "documents")
+      corpus(s, dir, "documents")
         .select(col("doc_id"),
           explode(TextOps.winnowFingerprints(col("text"), k = 8, w = 4)).as("fp"))
         .orderBy("doc_id", "fp")
@@ -181,16 +192,25 @@ object ExtQueries {
         Seq(0.25, 0.5, 0.9))(table(s, dir, "lineitem"))
         .orderBy("l_returnflag")
     },
+    "salted_agg" -> { (s, dir) =>
+      // 3-value key = aggregation skew by construction; l_quantity is
+      // integral-valued so double sums are exact in any order
+      Ops.saltedAggregate(Seq("l_returnflag"),
+        Seq("l_quantity" -> "sum", "l_quantity" -> "average"),
+        saltSource = col("l_orderkey"), buckets = 16)(
+        table(s, dir, "lineitem"))
+        .orderBy("l_returnflag")
+    },
     // ---- binary / multimodal ----------------------------------------------
     "binary_stats" -> { (s, dir) =>
       val blob = BinaryOps.toBlob(col("text"))
-      table(s, dir, "documents")
+      corpus(s, dir, "documents")
         .select(col("doc_id"), BinaryOps.blobSize(blob).as("byte_count"),
           BinaryOps.blobDigest(blob).as("digest"))
         .orderBy("doc_id")
     },
     "binary_chunk_fps" -> { (s, dir) =>
-      table(s, dir, "documents")
+      corpus(s, dir, "documents")
         .select(col("doc_id"), posexplode(
           BinaryOps.chunkFingerprints(BinaryOps.toBlob(col("text")), 64)))
         .withColumnRenamed("pos", "chunk_idx")
@@ -199,7 +219,7 @@ object ExtQueries {
     },
     "binary_dedup" -> { (s, dir) =>
       BinaryOps.dedupByBytes("blob", "doc_id")(
-        table(s, dir, "documents")
+        corpus(s, dir, "documents")
           .select(col("doc_id"), BinaryOps.toBlob(col("text")).as("blob")))
         .select(col("doc_id"), BinaryOps.blobSize(col("blob")).as("byte_count"))
         .orderBy("doc_id")
@@ -523,6 +543,12 @@ object ExtQueries {
          quantile_cont(l_extendedprice, 0.25) AS l_extendedprice_p25,
          quantile_cont(l_extendedprice, 0.5) AS l_extendedprice_p50,
          quantile_cont(l_extendedprice, 0.9) AS l_extendedprice_p90,
+         count(*) AS record_count
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "salted_agg" ->
+      """SELECT l_returnflag,
+         sum(l_quantity) AS l_quantity_sum,
+         avg(l_quantity) AS l_quantity_average,
          count(*) AS record_count
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // DuckDB's md5 takes VARCHAR only; the fixture text is pure ASCII

@@ -128,6 +128,15 @@ object SparkEntry {
       Ops.filterNotEmpty("p_type")(cleaned)
         .select("p_partkey", "p_type").orderBy("p_partkey")
     },
+    "filter_by_predicate" -> { (s, dir) =>
+      // the UDF surface (SURVEY §2.3/§2.11): a typed Row predicate —
+      // opaque to Catalyst (no pushdown), which is why the Column-based
+      // filters above are preferred; oracle mirrors the semantics in SQL
+      Ops.filterByPredicate(r => r.getAs[Double]("l_quantity") >= 30.0)(
+        table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    },
     "filter_empty" -> { (s, dir) =>
       val cleaned = Ops.textSubstitute("p_type", Seq("^SMALL$" -> ""))(
         table(s, dir, "part"))
@@ -312,6 +321,10 @@ object SparkEntry {
          WHERE regexp_replace(p_type, '^SMALL$', '', 'g') IS NOT NULL
            AND regexp_replace(p_type, '^SMALL$', '', 'g') <> ''
          ORDER BY p_partkey""",
+    "filter_by_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+         FROM lineitem WHERE l_quantity >= 30
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "filter_empty" ->
       """SELECT p_partkey, regexp_replace(p_type, '^SMALL$', '', 'g') AS p_type
          FROM part

@@ -146,6 +146,49 @@ object Ops {
     else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Skew-resistant two-stage aggregation: stage 1 aggregates on
+    * (keys, salt) — `pmod(hash(saltSource), buckets)` spreads a hot key
+    * over `buckets` reducers — and stage 2 combines the partial states
+    * on the true keys. Same results as [[aggregate]] for the decomposable
+    * functions (sum/min/max/count; average = final sum/count), exact for
+    * integer/scaled-long sums.
+    *
+    * When to reach for it at 100 TB: a groupBy whose key histogram has a
+    * few giant keys that AQE's skew handling can't split (aggregation
+    * skew, not join skew). For uniform keys plain [[aggregate]]'s
+    * map-side partial aggregation is already optimal — salting adds one
+    * extra (small) shuffle stage. */
+  def saltedAggregate(
+      keys: Seq[String],
+      measures: Seq[(String, String)],
+      saltSource: Column,
+      buckets: Int = 16,
+      includeCount: Boolean = true,
+      countField: String = "record_count")(df: DataFrame): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
+    val partials = measures.distinct.flatMap {
+      case (f, "sum")     => Seq(sum(col(f)).as(s"__p_${f}_sum"))
+      case (f, "min")     => Seq(min(col(f)).as(s"__p_${f}_min"))
+      case (f, "max")     => Seq(max(col(f)).as(s"__p_${f}_max"))
+      case (f, "average") => Seq(sum(col(f)).as(s"__p_${f}_asum"),
+        count(col(f)).as(s"__p_${f}_cnt")) // avg ignores nulls: non-null count
+      case (_, fn) =>
+        throw new IllegalArgumentException(s"unsupported aggregate function '$fn'")
+    } :+ count(lit(1)).as("__p_n")
+    val stage1 = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    val finals = measures.map {
+      case (f, "sum")     => sum(col(s"__p_${f}_sum")).as(s"${f}_sum")
+      case (f, "min")     => min(col(s"__p_${f}_min")).as(s"${f}_min")
+      case (f, "max")     => max(col(s"__p_${f}_max")).as(s"${f}_max")
+      case (f, "average") =>
+        (sum(col(s"__p_${f}_asum")) / sum(col(s"__p_${f}_cnt")))
+          .as(s"${f}_average")
+      case (f, fn) => throw new IllegalArgumentException(s"$f/$fn")
+    } ++ (if (includeCount) Seq(sum(col("__p_n")).as(countField)) else Nil)
+    stage1.groupBy(keys.map(col): _*).agg(finals.head, finals.tail: _*)
+  }
+
   /** Distinct values of the given key fields; with no keys, whole-row
     * distinct (reference: `ops/rows.py::distinct` / `distinct_rows`).
     * Plans as a hash aggregate with partial aggregation — dedup happens

@@ -84,6 +84,22 @@ final case class CatalogStore(spark: SparkSession) extends DataStore {
       .saveAsTable(name)
   def appendInto(name: String, rows: DataFrame): Unit =
     rows.write.mode(SaveMode.Append).saveAsTable(name)
+  /** Bucketed + sorted table: joins and aggregations on the bucket keys
+    * between co-bucketed tables plan with NO shuffle (asserted in
+    * StoresSpec) — the static co-location strategy for fact-fact joins
+    * repeated across many queries, where paying one bucketed write
+    * amortizes every later shuffle. Bucket count should be sized so one
+    * bucket ≈ one task's worth of data at the target scale. */
+  def createBucketed(
+      name: String,
+      from: DataFrame,
+      bucketKeys: Seq[String],
+      numBuckets: Int,
+      replace: Boolean = false): Unit =
+    from.write.mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .bucketBy(numBuckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .saveAsTable(name)
 }
 
 /** External RDBMS store over JDBC — the reference's primary backend

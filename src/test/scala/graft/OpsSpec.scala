@@ -202,6 +202,20 @@ class OpsSpec extends SparkSpec {
     assert(books.getAs[Double]("r1_sum") == 10.0 && books.isNullAt(3))
   }
 
+  test("saltedAggregate matches plain aggregate incl. null handling for average") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(2.0)), ("b", Some(4.0))
+    ).toDF("k", "v")
+    val salted = Ops.saltedAggregate(Seq("k"),
+      Seq("v" -> "sum", "v" -> "min", "v" -> "max", "v" -> "average"),
+      saltSource = $"v", buckets = 4)(df).orderBy("k").collect()
+    val plain = Ops.aggregate(Seq("k"),
+      Seq("v" -> "sum", "v" -> "min", "v" -> "max", "v" -> "average"))(df)
+      .orderBy("k").collect()
+    assert(salted.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
+  }
+
   test("percentileAgg interpolates linearly per group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)).toDF("g", "v")
     val out = Ops.percentileAgg(Seq("g"), "v", Seq(0.5))(df).head()

@@ -34,6 +34,20 @@ class StoresSpec extends SparkSpec {
       back.schema("id").dataType.typeName == "long")
   }
 
+  test("bucketed catalog tables join without a shuffle") {
+    val store = graft.sources.CatalogStore(spark)
+    val facts = (1L to 200L).map(i => (i % 20, i, i * 2.0)).toDF("k", "id", "v")
+    store.createBucketed("b_left", facts, Seq("k"), 4, replace = true)
+    store.createBucketed("b_right", facts, Seq("k"), 4, replace = true)
+    val joined = store.getObject("b_left").join(store.getObject("b_right"), "k")
+    val exchanges = joined.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed join should not shuffle:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() === 200L * 10) // 10 co-bucket matches per row
+  }
+
   test("memory store append and replace semantics") {
     val store = new MemoryStore(spark)
     val df = Seq(1, 2).toDF("v")
