@@ -36,6 +36,18 @@ class StoresSpec extends SparkSpec {
 
   test("bucketed catalog tables join without a shuffle") {
     val store = graft.sources.CatalogStore(spark)
+    // clean both the catalog entry and any orphan warehouse location a
+    // previous JVM left behind (the embedded metastore is per-JVM, the
+    // warehouse directory is not)
+    for (t <- Seq("b_left", "b_right")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     val facts = (1L to 200L).map(i => (i % 20, i, i * 2.0)).toDF("k", "id", "v")
     store.createBucketed("b_left", facts, Seq("k"), 4, replace = true)
     store.createBucketed("b_right", facts, Seq("k"), 4, replace = true)
