@@ -100,6 +100,23 @@ object ExtQueries {
           explode(TextOps.winnowFingerprints(col("text"), k = 8, w = 4)).as("fp"))
         .orderBy("doc_id", "fp")
     },
+    "top_ngrams" -> { (s, dir) =>
+      // shingles are distinct per doc, so the count is document
+      // frequency; orderBy+limit plans TakeOrderedAndProject (top-k
+      // without a global sort)
+      corpus(s, dir, "documents")
+        .select(explode(TextOps.shingles(col("text"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("ngram").asc)
+        .limit(20)
+    },
+    "stratified_sample" -> { (s, dir) =>
+      Ops.sampleStratifiedHash("o_orderstatus", "o_orderkey",
+        Map("F" -> 0.05, "O" -> 0.2, "P" -> 0.5))(
+        table(s, dir, "orders"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
     // ---- events: JSON + windows + sessions ---------------------------------
     "events_json_agg" -> { (s, dir) =>
       table(s, dir, "events")
@@ -545,6 +562,24 @@ object ExtQueries {
          quantile_cont(l_extendedprice, 0.9) AS l_extendedprice_p90,
          count(*) AS record_count
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "top_ngrams" -> s"""
+      SELECT ngram, count(*) AS doc_freq
+      FROM (SELECT unnest(${shinglesSql(2)}) AS ngram FROM documents)
+      GROUP BY ngram
+      ORDER BY doc_freq DESC, ngram ASC
+      LIMIT 20""",
+    // md5-prefix uint32 cutoff per stratum — mirrors Ops.sampleStratifiedHash
+    "stratified_sample" -> """
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE list_sum(list_transform(range(1,9), j ->
+          (strpos('0123456789abcdef',
+             substr(md5(CAST(o_orderkey AS VARCHAR)), j, 1)) - 1)
+          * CAST(16**(8-j) AS BIGINT)))
+        < (CASE WHEN o_orderstatus = 'F' THEN 214748364
+                WHEN o_orderstatus = 'O' THEN 858993459
+                WHEN o_orderstatus = 'P' THEN 2147483648
+                ELSE 0 END)
+      ORDER BY o_orderkey""",
     "salted_agg" ->
       """SELECT l_returnflag,
          sum(l_quantity) AS l_quantity_sum,

@@ -251,6 +251,27 @@ object Ops {
         16, 10).cast("long") < cutoff)
   }
 
+  /** Deterministic stratified sample: per-stratum Bernoulli fractions,
+    * decided by the same content-keyed md5 filter as [[sampleHash]] so
+    * the identical rows survive on every engine and run. Strata not in
+    * `fractions` fall back to `defaultFraction`. Pure filter — one scan,
+    * no count jobs, no per-stratum passes (Spark's own `stat.sampleBy`
+    * is RNG-based and engine-specific, so it cannot be oracle-checked). */
+  def sampleStratifiedHash(
+      strataField: String,
+      keyField: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = "")(df: DataFrame): DataFrame = {
+    def cut(f: Double) = lit((f * 4294967296.0).toLong)
+    val cutoff = fractions.toSeq.sortBy(_._1).foldLeft(cut(defaultFraction)) {
+      case (acc, (k, f)) => when(col(strataField) === k, cut(f)).otherwise(acc)
+    }
+    df.filter(
+      conv(substring(md5(concat(lit(salt), col(keyField).cast("string"))), 1, 8),
+        16, 10).cast("long") < cutoff)
+  }
+
   // ------------------------------------------------------------------- sets
 
   /** Concatenate objects with identical field lists — UNION ALL, no dedup

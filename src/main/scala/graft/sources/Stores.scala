@@ -36,6 +36,19 @@ final case class ParquetStore(spark: SparkSession, dir: String) extends DataStor
       .parquet(path(name))
   def appendInto(name: String, rows: DataFrame): Unit =
     rows.write.mode(SaveMode.Append).parquet(path(name))
+  /** Hive-style partitioned layout (`<name>.parquet/<col>=<val>/…`):
+    * filters on the partition columns prune whole directories at plan
+    * time (the scan's `PartitionFilters` — asserted in StoresSpec), the
+    * primary data-skipping lever for append-heavy fact tables. Choose
+    * low-cardinality columns; a high-cardinality partition key explodes
+    * the file count and kills the driver's file listing at scale. */
+  def createPartitioned(
+      name: String,
+      from: DataFrame,
+      partitionCols: Seq[String],
+      replace: Boolean = false): Unit =
+    from.write.mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .partitionBy(partitionCols: _*).parquet(path(name))
 }
 
 /** Directory of CSV objects (reference: the CSV source/target backend,

@@ -23,6 +23,21 @@ class StoresSpec extends SparkSpec {
     assert(store.getObject("t1").count() == 2)
   }
 
+  test("partitioned parquet layout prunes partitions at plan time") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val store = graft.sources.ParquetStore(spark, dir)
+    val df = Seq((1L, "F", 1.0), (2L, "O", 2.0), (3L, "P", 3.0), (4L, "F", 4.0))
+      .toDF("id", "status", "v")
+    store.createPartitioned("facts", df, Seq("status"))
+    val read = store.getObject("facts").filter($"status" === "F")
+    assert(read.count() === 2)
+    val scan = read.queryExecution.executedPlan.toString
+    // the status predicate must land in PartitionFilters (directory
+    // pruning), not in the data filters
+    assert(scan.contains("PartitionFilters: [isnotnull(status"),
+      s"partition filter missing:\n$scan")
+  }
+
   test("csv store honors inferFields and header") {
     val dir = Files.createTempDirectory("graft-csv").toString
     val store = Stores.open(spark, "csv", dir)
