@@ -70,6 +70,14 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("id_a", "id_b")
     },
+    "dedup_clusters" -> { (s, dir) =>
+      val docs = corpus(s, dir, "documents")
+      val pairs = Dedup.minhashNearDuplicates("doc_id", "text",
+        threshold = 0.2)(docs).select("id_a", "id_b")
+      Dedup.connectedComponents(pairs, docs.select(col("doc_id")))
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_rep"))
+        .orderBy("doc_id")
+    },
     "embedding_dedup" -> { (s, dir) =>
       Dedup.embeddingNearDuplicates("vec_id", "embedding", threshold = 0.4,
         planes = 6, dim = 64)(corpus(s, dir, "embeddings"))
@@ -377,6 +385,20 @@ object ExtQueries {
            PARTITION BY user_id, event_type ORDER BY event_id) = 1
          ORDER BY user_id, event_type""",
     "minhash_pairs" -> minhashNearDupSql(shingleN = 3, threshold = "2e-1"),
+    // components of the near-dup graph via recursive min-label closure —
+    // a pure function of the pair set, so it mirrors Spark's iterative
+    // label propagation exactly
+    "dedup_clusters" -> s"""
+      WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM (${minhashNearDupSql(shingleN = 3, threshold = "2e-1")}) t),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src)
+      SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_rep
+      FROM reach GROUP BY node ORDER BY doc_id""",
     "simhash_pairs" -> s"""
       WITH hs AS (SELECT doc_id,
         list_transform(list_distinct(string_split(text,' ')), t ->

@@ -234,6 +234,66 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Connected components of an undirected near-dup pair graph by
+    * iterative min-label propagation: every node starts labeled with its
+    * own id; each round every node takes the minimum label among itself
+    * and its neighbors; at fixpoint a node's label is the minimum id of
+    * its component — the canonical cluster representative.
+    *
+    * This is the step that turns pairwise near-dup output into "keep one
+    * document per duplicate CLUSTER" (pairs alone can't: near-dup is not
+    * transitive). Rounds needed = component diameter (small for dup
+    * clusters); each round is one shuffled aggregation over
+    * |edges|+|nodes| rows, with `localCheckpoint` cutting the lineage so
+    * plan size stays constant — the standard large-graph CC recipe when
+    * a graph library isn't on the classpath. The result is a pure
+    * function of the pair set, so the DuckDB oracle reproduces it with a
+    * recursive CTE.
+    *
+    * @param pairs `(id_a, id_b)` undirected edges
+    * @param nodes one `id` column; superset of pair endpoints (nodes
+    *              without pairs become singleton clusters) */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col(nodes.columns.head).as("node"),
+      col(nodes.columns.head).as("lbl")).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val next = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+        .unionByName(labels)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("lbl", "__prev"), "node")
+        .filter(col("lbl") < col("__prev"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+    }
+    labels
+  }
+
+  /** One row per near-dup cluster: [[connectedComponents]] over the
+    * LSH near-dup pairs, keeping the minimum-id document per cluster. */
+  def clusterDedup(
+      idField: String,
+      textField: String,
+      threshold: Double,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3)(df: DataFrame): DataFrame = {
+    val pairs = minhashNearDuplicates(idField, textField, threshold,
+      numHashes, bands, shingleSize)(df).select("id_a", "id_b")
+    val comps = connectedComponents(pairs, df.select(col(idField)))
+    df.join(comps, df(idField) === comps("node"))
+      .filter(col("node") === col("lbl"))
+      .drop("node", "lbl")
+  }
+
   /** All-pairs embedding near-dup — O(n²) cartesian product. Exists ONLY
     * as the exact-recall baseline for unit tests of
     * [[embeddingNearDuplicates]]; never ship it against a corpus. */

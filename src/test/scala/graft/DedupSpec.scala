@@ -49,6 +49,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L))) // identical vectors share every bucket
   }
 
+  test("connectedComponents labels every node with its component minimum") {
+    val pairs = Seq((2L, 5L), (5L, 9L), (3L, 7L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("id")
+    val labels = Dedup.connectedComponents(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    // chain 2-5-9 -> rep 2 (takes two propagation rounds); pair 3-7 -> 3;
+    // singleton 1 -> itself
+    assert(labels === Map(1L -> 1L, 2L -> 2L, 5L -> 2L, 9L -> 2L,
+      3L -> 3L, 7L -> 3L))
+  }
+
+  test("clusterDedup keeps exactly one doc per near-dup cluster") {
+    val kept = Dedup.clusterDedup("doc_id", "text", threshold = 0.5,
+      shingleSize = 2)(docs)
+      .select("doc_id").as[Long].collect().toSet
+    // 1,2,4 form one cluster (rep 1); 3 and 5 are singletons
+    assert(kept === Set(1L, 3L, 5L))
+  }
+
   test("sampleStratifiedHash applies per-stratum fractions deterministically") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "big" else "none"))
       .toDF("id", "stratum")
