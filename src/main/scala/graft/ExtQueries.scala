@@ -108,6 +108,22 @@ object ExtQueries {
           explode(TextOps.winnowFingerprints(col("text"), k = 8, w = 4)).as("fp"))
         .orderBy("doc_id", "fp")
     },
+    "train_split" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(TextOps.hashSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .groupBy("split").agg(count(lit(1)).as("record_count"))
+        .orderBy("split")
+    },
+    "pii_scrub" -> { (s, dir) =>
+      // the fixture text carries no PII, so synthesize the leak shapes
+      // from the doc id and verify the scrubbed output cross-engine
+      val noisy = concat(substring(col("text"), 1, 40),
+        lit(" user"), col("doc_id"), lit("@example.com at 192.168.0.1 ref 123456789"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.scrubPii(noisy).as("clean"))
+        .orderBy("doc_id")
+    },
     "top_ngrams" -> { (s, dir) =>
       // shingles are distinct per doc, so the count is document
       // frequency; orderBy+limit plans TakeOrderedAndProject (top-k
@@ -584,6 +600,27 @@ object ExtQueries {
          quantile_cont(l_extendedprice, 0.9) AS l_extendedprice_p90,
          count(*) AS record_count
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "train_split" -> s"""
+      SELECT split, count(*) AS record_count FROM (
+        SELECT CASE WHEN h < 3435973836 THEN 'train'
+                    WHEN h < 3865470566 THEN 'val'
+                    WHEN h < 4294967296 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM (SELECT list_sum(list_transform(range(1,9), j ->
+                (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+                * CAST(16**(8-j) AS BIGINT))) AS h
+              FROM documents))
+      GROUP BY split ORDER BY split""",
+    "pii_scrub" -> """
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(
+          substr(text, 1, 40) || ' user' || CAST(doc_id AS VARCHAR)
+            || '@example.com at 192.168.0.1 ref 123456789',
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+          '[0-9]{7,}', '<NUM>', 'g') AS clean
+      FROM documents ORDER BY doc_id""",
     "top_ngrams" -> s"""
       SELECT ngram, count(*) AS doc_freq
       FROM (SELECT unnest(${shinglesSql(2)}) AS ngram FROM documents)

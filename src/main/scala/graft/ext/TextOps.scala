@@ -158,6 +158,44 @@ object TextOps {
       1)
   }
 
+  /** Deterministic train/validation/test split: the md5-prefix hash of a
+    * stable key buckets each row into labeled fractions — reproducible
+    * across engines, runs and cluster sizes, unlike `randomSplit` (RNG
+    * per partition). `splits` maps label -> fraction; fractions are laid
+    * out as consecutive hash ranges in label order, remainder rows get
+    * `defaultLabel`. Pure projection. */
+  def hashSplit(
+      key: Column,
+      splits: Seq[(String, Double)],
+      defaultLabel: String = "train",
+      salt: String = ""): Column = {
+    val h = conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+    val cases = splits.zip(bounds.sliding(2).toSeq).map {
+      case ((label, _), Seq(lo, hi)) =>
+        (label, (lo * 4294967296.0).toLong, (hi * 4294967296.0).toLong)
+    }
+    cases.foldRight(lit(defaultLabel): Column) { case ((label, lo, hi), acc) =>
+      when(h >= lo && h < hi, lit(label)).otherwise(acc)
+    }
+  }
+
+  /** PII scrubbing: ordered regex substitutions for the common leak
+    * shapes (emails, long digit runs, bare IPv4s), kept to syntax shared
+    * by Java regex and RE2 so the oracle applies the identical patterns.
+    * Pattern lists are a starting point, not a compliance guarantee —
+    * extend per corpus. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>",
+    "[0-9]{7,}" -> "<NUM>")
+
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
   // ------------------------------------------------------------ DataFrame ops
 
   /** Standard text-statistics projection over a corpus. */

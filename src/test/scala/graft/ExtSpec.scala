@@ -54,6 +54,26 @@ class ExtSpec extends SparkSpec {
     assert((fps(1L) intersect fps(3L)).isEmpty)
   }
 
+  test("hashSplit covers every row, is deterministic, and roughly proportional") {
+    val df = spark.range(5000).toDF("id")
+    val split = df.select(TextOps.hashSplit($"id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+    val counts = split.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 5000L)
+    assert(counts("train") > 3800 && counts("train") < 4200)
+    assert(counts("val") > 350 && counts("val") < 650)
+    val again = df.select(TextOps.hashSplit($"id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(again === counts)
+  }
+
+  test("scrubPii masks emails, IPs and long digit runs") {
+    val out = Seq("mail bob.smith+x@corp.example.org or 10.0.0.1 acct 123456789 ok 42")
+      .toDF("t").select(TextOps.scrubPii($"t")).as[String].head()
+    assert(out === "mail <EMAIL> or <IP> acct <NUM> ok 42")
+  }
+
   test("winnowFingerprints handles docs shorter than one window") {
     val fps = Seq((1L, "tiny")).toDF("doc_id", "text")
       .select(TextOps.winnowFingerprints($"text", 8, 4).as("fps"))
