@@ -37,8 +37,15 @@ object TextOps {
     }
 
   /** Jaccard similarity of two token arrays, on distinct elements:
-    * |A ∩ B| / |A ∪ B| as double. */
-  def jaccard(a: Column, b: Column): Column = {
+    * |A ∩ B| / |A ∪ B| as double. Lowered to the native one-pass kernel
+    * ([[graft.functions.ArrayJaccard]]); [[jaccardHof]] is the spec
+    * form. */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.arrayJaccard(a, b)
+
+  /** Higher-order-function form of [[jaccard]] — the executable
+    * specification the native kernel is tested against. */
+  def jaccardHof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     val union = size(array_distinct(a)) + size(array_distinct(b)) - inter
     when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)

@@ -35,6 +35,11 @@ object GraftFunctions {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
 
+  /** Native distinct-element Jaccard over two string arrays (see
+    * [[ArrayJaccard]]). */
+  def arrayJaccard(a: Column, b: Column): Column =
+    Bridge.column(ArrayJaccard(Bridge.expression(a), Bridge.expression(b)))
+
   /** Native 60-bit SimHash over a token array (see [[SimHash60]]). */
   def simhash60(tokens: Column): Column =
     Bridge.column(SimHash60(Bridge.expression(tokens)))

@@ -118,6 +118,49 @@ case class SimHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** Jaccard similarity of two string arrays on distinct elements —
+  * |A ∩ B| / |A ∪ B| as double, 0.0 when both are empty; exactly
+  * [[graft.ext.TextOps.jaccardHof]]. One hash-set pass instead of
+  * array_intersect + two array_distinct traversals — the hot scalar of
+  * the near-dup verify stage, where every LSH candidate pair pays it
+  * over shingle arrays. */
+case class ArrayJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val sa = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < a.numElements()) { sa.add(a.getUTF8String(i)); i += 1 }
+    val sb = new java.util.HashSet[UTF8String]()
+    var inter = 0
+    var j = 0
+    while (j < b.numElements()) {
+      val e = b.getUTF8String(j)
+      if (sb.add(e) && sa.contains(e)) inter += 1
+      j += 1
+    }
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("jaccardKernel", this, classOf[ArrayJaccard].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Winnowing fingerprints over a string: 32-bit hashes of the k-char
   * grams, minima of each w-gram sliding window, distinct in first-seen
   * order — exactly [[graft.ext.TextOps.winnowFingerprintsHof]].

@@ -51,6 +51,22 @@ class HashExpressionsSpec extends SparkSpec {
     assert(diffs === 0L)
   }
 
+  test("native jaccard equals the HOF form incl. empties and duplicates") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("b", "b", "a")), // dup elements -> distinct sets
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("x"), Seq.empty[String])
+    ).toDF("a", "b")
+    val rows = df.select(
+      TextOps.jaccard($"a", $"b").as("n"),
+      TextOps.jaccardHof($"a", $"b").as("h")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    assert(rows(0).getDouble(0) === 0.5)
+    assert(rows(1).getDouble(0) === 1.0)
+    assert(rows(2).getDouble(0) === 0.0)
+  }
+
   test("shingle-free doc yields the sentinel signature") {
     val sig = Seq("a b").toDF("text") // 2 tokens < shingleSize 3
       .select(Dedup.minhashSignature($"text", 8, 3)).head().getSeq[Long](0)
