@@ -17,6 +17,13 @@ trait DataStore {
   def getObject(name: String): DataFrame
   def create(name: String, from: DataFrame, replace: Boolean = false): Unit
   def appendInto(name: String, rows: DataFrame): Unit
+  /** Remove all rows, keep the object + schema (reference:
+    * `DataObject.truncate`). Default: overwrite with an empty frame of
+    * the same schema. */
+  def truncate(name: String): Unit =
+    create(name, spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      getObject(name).schema), replace = true)
 }
 
 /** Directory of parquet files, one object per `<name>.parquet` — the

@@ -62,6 +62,43 @@ class PropertySpec extends SparkSpec {
     assert(r1.collect().toSeq == r2.collect().toSeq)
   }
 
+  test("saltedAggregate equals plain aggregate on random data") {
+    for (xs <- draws(rowsGen) if xs.nonEmpty) {
+      val df = xs.toDF("k", "v")
+      val plain = Ops.aggregate(Seq("k"),
+        Seq("v" -> "sum", "v" -> "min", "v" -> "max"))(df)
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      val salted = Ops.saltedAggregate(Seq("k"),
+        Seq("v" -> "sum", "v" -> "min", "v" -> "max"),
+        saltSource = col("v"), buckets = 3)(df)
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      assert(salted == plain)
+    }
+  }
+
+  test("hashSplit labels partition the input for any fraction layout") {
+    import graft.ext.TextOps
+    for (xs <- draws(rowsGen) if xs.nonEmpty) {
+      val df = xs.toDF("k", "v")
+      val out = df.select(TextOps.hashSplit(col("v"),
+        Seq("a" -> 0.3, "b" -> 0.3, "c" -> 0.4)).as("s"))
+      assert(out.filter(col("s").isin("a", "b", "c", "train")).count() == xs.size)
+      // same key -> same label, regardless of surrounding rows
+      val one = df.limit(1).select(TextOps.hashSplit(col("v"),
+        Seq("a" -> 0.3, "b" -> 0.3, "c" -> 0.4)).as("s"))
+      assert(out.head().getString(0) == one.head().getString(0))
+    }
+  }
+
+  test("intersect/except partition the distinct left side") {
+    for (Seq(xs, ys) <- draws(Gen.zip(rowsGen, rowsGen)).map(t => Seq(t._1, t._2))) {
+      val a = xs.toDF("k", "v"); val b = ys.toDF("k", "v")
+      val inter = Ops.intersect(b)(a).count()
+      val exc = Ops.except(b)(a).count()
+      assert(inter + exc == a.distinct().count())
+    }
+  }
+
   test("threshold bins cover every row exactly once") {
     for (xs <- draws(rowsGen)) {
       val df = xs.map(_._2.toDouble).toDF("v")

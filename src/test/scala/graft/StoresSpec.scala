@@ -21,6 +21,9 @@ class StoresSpec extends SparkSpec {
     intercept[Exception](store.create("t1", df)) // no replace
     store.create("t1", df, replace = true)
     assert(store.getObject("t1").count() == 2)
+    store.truncate("t1")
+    assert(store.getObject("t1").count() == 0)
+    assert(store.getObject("t1").schema.fieldNames.toSeq == Seq("id", "name"))
   }
 
   test("partitioned parquet layout prunes partitions at plan time") {
