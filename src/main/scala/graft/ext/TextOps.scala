@@ -179,9 +179,13 @@ object TextOps {
     val h = conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8),
       16, 10).cast("long")
     val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+    // a cumulative sum meant to be 1.0 can land at 0.999… in IEEE
+    // arithmetic, whose cutoff (2^32 - 1) would misroute the one-in-2^32
+    // row with the maximal hash prefix; snap to the exact top
+    def cut(f: Double): Long =
+      if (f >= 1.0 - 1e-9) 4294967296L else (f * 4294967296.0).toLong
     val cases = splits.zip(bounds.sliding(2).toSeq).map {
-      case ((label, _), Seq(lo, hi)) =>
-        (label, (lo * 4294967296.0).toLong, (hi * 4294967296.0).toLong)
+      case ((label, _), Seq(lo, hi)) => (label, cut(lo), cut(hi))
     }
     cases.foldRight(lit(defaultLabel): Column) { case ((label, lo, hi), acc) =>
       when(h >= lo && h < hi, lit(label)).otherwise(acc)

@@ -173,14 +173,16 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "graft_winnow"
 
   def compute(text: UTF8String): ArrayData = {
-    val s = text.toString
-    val len = s.length
+    // UTF8String.substringSQL counts code points exactly like Spark's
+    // substring expression (a Java String slice counts UTF-16 units and
+    // diverges on non-BMP text)
+    val len = text.numChars()
     val nGrams = math.max(len - k + 1, 1)
     val grams = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
-      val gram = s.substring(i, math.min(i + k, len))
-      grams(i) = HashKernels.hash32(gram.getBytes("UTF-8"))
+      val gram = text.substringSQL(i + 1, k)
+      grams(i) = HashKernels.hash32(gram.getBytes)
       i += 1
     }
     val nWindows = math.max(nGrams - w, 0) + 1

@@ -16,7 +16,8 @@ class HashExpressionsSpec extends SparkSpec {
       (i.toLong, (0 until rnd.nextInt(40)).map(_ => words(rnd.nextInt(words.size)))
         .mkString(" ")))
     val edges = Seq((100L, ""), (101L, "one"), (102L, "two words"),
-      (103L, "tiny"), (104L, "exactly eight"))
+      (103L, "tiny"), (104L, "exactly eight"),
+      (105L, "héllo wörld ünïcode tèxt ça va plus encore du texte"))
     (gen ++ edges).toDF("id", "text")
   }
 
