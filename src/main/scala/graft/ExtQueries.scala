@@ -540,10 +540,10 @@ object ExtQueries {
     "asof_join" -> """
       WITH u AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
-               CAST(event_id AS VARCHAR) AS tb,
+               event_id AS tb,
                event_id AS r_event_id, value AS r_value,
                NULL::BIGINT AS l_event_id
-        FROM events WHERE event_type = 'signup'
+        FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
         UNION ALL
         SELECT user_id, CAST(ts AS TIMESTAMP), 1, NULL, NULL, NULL, event_id
         FROM events WHERE event_type = 'purchase'),

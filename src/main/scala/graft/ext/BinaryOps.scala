@@ -43,8 +43,11 @@ object BinaryOps {
     * expressible and the plan identical.) */
   def chunkFingerprints(blob: Column, chunkBytes: Int): Column = {
     val nChunks = ceil(octet_length(blob).cast("double") / chunkBytes).cast("int")
-    transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
-      i => md5(substring(blob, i * chunkBytes + 1, lit(chunkBytes))))
+    // explicit null guard: greatest(NULL, 1) is 1 (greatest skips nulls),
+    // which would turn a NULL blob into a spurious [null] fingerprint
+    when(blob.isNull, lit(null).cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+        i => md5(substring(blob, i * chunkBytes + 1, lit(chunkBytes)))))
   }
 
   /** Byte-exact dedup: keep one row per distinct blob content,
@@ -78,6 +81,7 @@ object BinaryOps {
   def extractFeaturesStub(
       blobField: String, dim: Int, target: String = "media")(
       df: DataFrame): DataFrame = {
+    require(dim > 0, s"feature dim must be positive, got $dim")
     val inSchema = df.schema
     val outSchema = inSchema.add(target, featureSchema, nullable = true)
     val blobIdx = inSchema.fieldIndex(blobField)

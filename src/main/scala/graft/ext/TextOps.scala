@@ -176,8 +176,7 @@ object TextOps {
       splits: Seq[(String, Double)],
       defaultLabel: String = "train",
       salt: String = ""): Column = {
-    val h = conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8),
-      16, 10).cast("long")
+    val h = graft.functions.GraftFunctions.md5Prefix32(key, salt)
     val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
     // a cumulative sum meant to be 1.0 can land at 0.999… in IEEE
     // arithmetic, whose cutoff (2^32 - 1) would misroute the one-in-2^32

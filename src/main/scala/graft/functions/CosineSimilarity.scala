@@ -1,7 +1,8 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -20,19 +21,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * dense).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
-  // return type inferred: Seq[ArrayType] <: Seq[AbstractDataType]
-  // (AbstractDataType itself is private[sql])
-  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  // accepts array<float> AND array<double> — a fixed float-only
+  // signature would reject double embeddings the HOF form handled (an
+  // implicit cast double->float would silently lose precision instead)
+  private def isNumericArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isNumericArray(left.dataType) && isNumericArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> or array<double> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+
   override def dataType: DataType = DoubleType
   // NULL on length mismatch even for non-null inputs
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  @transient private lazy val leftIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(x: ArrayData, y: ArrayData): Any = {
     val n = x.numElements()
     if (n != y.numElements()) return null
     var dot = 0.0
@@ -40,8 +56,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
       na += xi * xi
       nb += yi * yi
@@ -51,6 +67,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val snb = math.sqrt(nb)
     if (sna == 0.0 || snb == 0.0) 0.0 else dot / (sna * snb)
   }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
@@ -63,6 +82,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val sna = ctx.freshName("sna")
       val snb = ctx.freshName("snb")
+      // element accessors specialize on the input types at codegen time
+      val xGet = if (leftIsFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val yGet = if (rightIsFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
          |final int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -72,8 +94,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $na = 0.0;
          |  double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    final double $xi = (double) $x.getFloat($i);
-         |    final double $yi = (double) $y.getFloat($i);
+         |    final double $xi = $xGet;
+         |    final double $yi = $yGet;
          |    $dot += $xi * $yi;
          |    $na += $xi * $xi;
          |    $nb += $yi * $yi;

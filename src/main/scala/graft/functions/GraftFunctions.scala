@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
 /** Entry points for graft's native Catalyst expressions.
@@ -61,9 +62,16 @@ object GraftFunctions {
     * expression (a hash array, a tokenization) feeds a transform/
     * aggregate/zip_with body. */
   def bind(c: Column)(f: Column => Column): Column =
-    org.apache.spark.sql.functions.element_at(
-      org.apache.spark.sql.functions.transform(
-        org.apache.spark.sql.functions.array(c), f), 1)
+    element_at(transform(array(c), f), 1)
+
+  /** The shared deterministic 32-bit content hash: unsigned value of the
+    * first 8 hex chars of md5(salt || key) — the single definition behind
+    * every hash-keyed sampler/splitter ([[graft.ops.Ops.sampleHash]],
+    * `sampleStratifiedHash`, `TextOps.hashSplit`) and their oracle
+    * mirrors; cutoff = fraction · 2³². */
+  def md5Prefix32(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
 
   /** Register `graft_cosine` for SQL use in this session (idempotent). */
   def register(spark: SparkSession): Unit =

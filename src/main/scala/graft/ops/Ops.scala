@@ -210,11 +210,12 @@ object Ops {
 
   /** Row sampling (reference: `ops/rows.py::sample`).
     *  - "first": first n rows (LIMIT — deterministic only after a sort).
-    *  - "random": seeded Bernoulli sample of `fraction`. The reference took
-    *    an absolute count, which would force a full count() job at *plan
-    *    construction* time; a fraction keeps composition lazy. Approximate
-    *    size and engine-specific RNG — for a deterministic, cross-engine
-    *    reproducible sample use [[sampleHash]].
+    *  - "random": seeded Bernoulli sample of `fraction` — `n` is IGNORED
+    *    in this mode. The reference took an absolute count, which would
+    *    force a full count() job at *plan construction* time; a fraction
+    *    keeps composition lazy. Approximate size and engine-specific
+    *    RNG — for a deterministic, cross-engine reproducible sample use
+    *    [[sampleHash]].
     *  - "nth": every n-th row of the current order (rows 1, n+1, 2n+1, …).
     *    Implemented with RDD `zipWithIndex` — one lightweight extra job to
     *    compute per-partition offsets, then a distributed filter — NOT a
@@ -247,8 +248,7 @@ object Ops {
       df: DataFrame): DataFrame = {
     val cutoff = (fraction * 4294967296.0).toLong
     df.filter(
-      conv(substring(md5(concat(lit(salt), col(field).cast("string"))), 1, 8),
-        16, 10).cast("long") < cutoff)
+      graft.functions.GraftFunctions.md5Prefix32(col(field), salt) < cutoff)
   }
 
   /** Deterministic stratified sample: per-stratum Bernoulli fractions,
@@ -268,8 +268,7 @@ object Ops {
       case (acc, (k, f)) => when(col(strataField) === k, cut(f)).otherwise(acc)
     }
     df.filter(
-      conv(substring(md5(concat(lit(salt), col(keyField).cast("string"))), 1, 8),
-        16, 10).cast("long") < cutoff)
+      graft.functions.GraftFunctions.md5Prefix32(col(keyField), salt) < cutoff)
   }
 
   // ------------------------------------------------------------------- sets

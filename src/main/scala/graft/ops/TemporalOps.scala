@@ -53,14 +53,22 @@ object TemporalOps {
       rightTieBreak: String,
       prefix: String = "asof_")(left: DataFrame): DataFrame = {
     val rvStruct = StructType(rightVals.map(c => right.schema(c)))
-    val r = right.select(
-      col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
-      col(rightTieBreak).cast("string").as("__tb"),
-      struct(rightVals.map(col): _*).as("__rv"),
-      lit(null).cast(StructType(left.schema.fields)).as("__lrow"))
+    val tbType = right.schema(rightTieBreak).dataType
+    val r = right
+      // a right row with a NULL timestamp can never satisfy rt <= lt;
+      // unfiltered it would sort first (nulls first) and masquerade as
+      // the "earliest" match
+      .filter(col(rightTime).isNotNull)
+      .select(
+        col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+        // keep the tie-break's NATIVE type: a string cast would order
+        // numeric ids lexicographically ("10" < "9")
+        col(rightTieBreak).as("__tb"),
+        struct(rightVals.map(col): _*).as("__rv"),
+        lit(null).cast(StructType(left.schema.fields)).as("__lrow"))
     val l = left.select(
       col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
-      lit(null).cast("string").as("__tb"),
+      lit(null).cast(tbType).as("__tb"),
       lit(null).cast(rvStruct).as("__rv"),
       struct(left.columns.map(col): _*).as("__lrow"))
     val w = Window.partitionBy(col("__k"))

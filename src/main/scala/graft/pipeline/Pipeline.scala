@@ -36,7 +36,8 @@ final case class Pipeline(df: DataFrame) {
     >>(Ops.aggregate(keys, measures, includeCount))
   def distinct(keys: Seq[String] = Nil): Pipeline = >>(Ops.distinct(keys))
   def sort(keys: Seq[(String, Boolean)]): Pipeline = >>(Ops.sort(keys))
-  def sample(n: Long, mode: String = "first"): Pipeline = >>(Ops.sample(n, mode))
+  def sample(n: Long, mode: String = "first", fraction: Double = 0.1): Pipeline =
+    >>(Ops.sample(n, mode, fraction = fraction))
   def append(others: DataFrame*): Pipeline = Pipeline(Ops.append(df +: others))
   def splitDate(field: String, parts: Seq[String] = Seq("year", "month", "day")): Pipeline =
     >>(Ops.splitDate(field, parts))

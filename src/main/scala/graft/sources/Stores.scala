@@ -104,6 +104,10 @@ final case class CatalogStore(spark: SparkSession) extends DataStore {
       .saveAsTable(name)
   def appendInto(name: String, rows: DataFrame): Unit =
     rows.write.mode(SaveMode.Append).saveAsTable(name)
+  /** Catalog-native TRUNCATE — preserves table metadata (bucketing,
+    * partitioning) the trait default's overwrite would discard. */
+  override def truncate(name: String): Unit =
+    spark.sql(s"TRUNCATE TABLE $name")
   /** Bucketed + sorted table: joins and aggregations on the bucket keys
     * between co-bucketed tables plan with NO shuffle (asserted in
     * StoresSpec) — the static co-location strategy for fact-fact joins
@@ -178,6 +182,16 @@ final case class JdbcStore(
       .jdbc(url, name, properties)
   def appendInto(name: String, rows: DataFrame): Unit =
     rows.write.mode(SaveMode.Append).jdbc(url, name, properties)
+  /** SQL TRUNCATE on the database — the trait default (overwrite with an
+    * empty frame) would DROP and recreate the table, losing indexes,
+    * constraints and DBA-defined column types. */
+  override def truncate(name: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, properties)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"TRUNCATE TABLE $name") finally st.close()
+    } finally conn.close()
+  }
 }
 
 /** In-memory objects (reference: `bubbles/objects.py::RowListDataObject` /

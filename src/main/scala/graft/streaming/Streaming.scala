@@ -89,18 +89,20 @@ object Streaming {
       }
   }
 
-  /** Exactly-once dedup on key columns over an unbounded stream: Spark's
-    * state-store-backed `dropDuplicates`, with the watermark bounding
-    * how long each key is remembered — without it state grows forever.
-    * The batch equivalent is `dropDuplicates(keys)` (the exact operator
-    * `Dedup.exact` refines with a deterministic keeper). */
+  /** Exactly-once dedup on key columns over an unbounded stream:
+    * `dropDuplicatesWithinWatermark` keeps state only for the watermark
+    * window, so a duplicate key is dropped even when it arrives with a
+    * fresh event timestamp (a plain `dropDuplicates(keys :+ ts)` would
+    * pass retransmissions whose ts differs). The batch equivalent is
+    * `dropDuplicates(keys)` (the exact operator `Dedup.exact` refines
+    * it with a deterministic keeper). */
   def streamingDedup(
       events: DataFrame,
       keys: Seq[String],
       tsField: String = "ts",
       watermarkDelay: String = "1 hour"): DataFrame =
     events.withWatermark(tsField, watermarkDelay)
-      .dropDuplicates(keys :+ tsField)
+      .dropDuplicatesWithinWatermark(keys)
 }
 
 /** Input row for [[Streaming.runningUserTotals]]. */

@@ -107,6 +107,12 @@ class StoresSpec extends SparkSpec {
     assert(part.count() == 6 && part.rdd.getNumPartitions == 3)
     store.create("T1", df, replace = true)
     assert(store.getObject("T1").count() == 3)
+    // truncate issues SQL TRUNCATE (no drop/recreate): rows gone, table
+    // + schema intact, appends still work
+    store.truncate("T1")
+    assert(store.getObject("T1").count() == 0)
+    store.appendInto("T1", df)
+    assert(store.getObject("T1").count() == 3)
   }
 
   test("data package store maps table schema to typed csv reads") {

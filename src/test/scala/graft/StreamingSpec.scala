@@ -91,6 +91,8 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData(
         (ts("10:00"), 1L, "click"), (ts("10:00"), 1L, "click"),
+        // retransmission with a FRESH timestamp — must still be dropped
+        (ts("10:02"), 1L, "click"),
         (ts("10:01"), 1L, "view"))
       q.processAllAvailable()
       assert(spark.table("dd").count() == 2)

@@ -45,6 +45,19 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq(9L))
   }
 
+  test("asOfJoin tie-break is numeric, not lexicographic, and ignores null-ts right rows") {
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (9L, 1L, Some(ts("2024-01-01 09:00:00")), 9.0),
+      (10L, 1L, Some(ts("2024-01-01 09:00:00")), 10.0), // 10 > 9 numerically
+      (99L, 1L, None, 99.0) // null ts must never match
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = TemporalOps.asOfJoin(right, "user_id", "ts", "ts",
+      Seq("event_id", "value"), "event_id")(left)
+      .select("asof_event_id").as[Long].collect()
+    assert(out.toSeq === Seq(10L))
+  }
+
   test("bandJoin keeps pairs within [0, width] inclusive, across buckets") {
     val left = Seq((1L, 1L, ts("2024-01-01 10:00:30"))).toDF("event_id", "user_id", "ts")
     val right = Seq(
