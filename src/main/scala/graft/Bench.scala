@@ -30,6 +30,10 @@ object Bench {
         catch { case _: Throwable => () }
       }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // GC outside the timed region: heap churn from the previous query
+      // otherwise lands on whichever query runs next (observed to swing
+      // a heavy aggregation 2-12s run-to-run)
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
