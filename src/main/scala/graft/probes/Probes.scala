@@ -49,6 +49,39 @@ object Probes {
     one.select(inline(array(rows: _*))).orderBy("field_name")
   }
 
+  /** Sketch-based [[audit]] for the 100 TB path: HyperLogLog++
+    * (`approx_count_distinct`) replaces exact distinct counts, collapsing
+    * the Expand-based multi-countDistinct plan to ONE ordinary
+    * aggregation pass — no map-side row multiplication, constant memory
+    * per field regardless of cardinality. `relativeSD` is the standard
+    * HLL error knob (default 5%). The exact [[audit]] remains the
+    * oracle-checked form; approximate counts cannot hash-match a DuckDB
+    * oracle, so this variant is unit-tested against the exact one within
+    * tolerance. */
+  def auditApprox(fields: Seq[String], relativeSD: Double = 0.05)(
+      df: DataFrame): DataFrame = {
+    val schema = df.schema
+    val aggs = count(lit(1)).as("__rc") +: fields.flatMap { f =>
+      val isString = schema(f).dataType == StringType
+      Seq(
+        count(when(col(f).isNull, 1)).as(s"__null_$f"),
+        (if (isString) count(when(col(f) === "", 1)) else lit(0L).cast("long"))
+          .as(s"__empty_$f"),
+        approx_count_distinct(col(f), relativeSD).as(s"__distinct_$f"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.map { f =>
+      struct(
+        lit(f).as("field_name"),
+        col("__rc").as("record_count"),
+        col(s"__null_$f").as("null_count"),
+        (col(s"__null_$f").cast("double") / col("__rc")).as("null_ratio"),
+        col(s"__empty_$f").as("empty_string_count"),
+        col(s"__distinct_$f").as("approx_distinct_count"))
+    }
+    one.select(inline(array(rows: _*))).orderBy("field_name")
+  }
+
   /** Keys + occurrence count for groups appearing more than `threshold`
     * times (reference: `ops/rows.py::count_duplicates`, default threshold
     * 1, SQL variant = GROUP BY + HAVING). Partial aggregation makes this a

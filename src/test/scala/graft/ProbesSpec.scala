@@ -24,6 +24,18 @@ class ProbesSpec extends SparkSpec {
     assert(v.getAs[Long]("distinct_count") == 4L)
   }
 
+  test("auditApprox tracks exact audit within HLL tolerance") {
+    import spark.implicits._
+    val wide = (1 to 2000).map(i => (s"k${i % 700}", i.toDouble)).toDF("k", "v")
+    val exact = Probes.audit(Seq("k"))(wide).head()
+    val approx = Probes.auditApprox(Seq("k"))(wide).head()
+    assert(approx.getAs[Long]("record_count") === exact.getAs[Long]("record_count"))
+    assert(approx.getAs[Long]("null_count") === exact.getAs[Long]("null_count"))
+    val e = exact.getAs[Long]("distinct_count").toDouble
+    val a = approx.getAs[Long]("approx_distinct_count").toDouble
+    assert(math.abs(a - e) / e < 0.15, s"approx $a vs exact $e")
+  }
+
   test("audit distinct threshold caps to null") {
     val out = Probes.audit(Seq("v"), distinctThreshold = 2)(df).head()
     assert(out.isNullAt(out.fieldIndex("distinct_count")))
