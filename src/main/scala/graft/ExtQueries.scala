@@ -210,6 +210,20 @@ object ExtQueries {
         c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
         .orderBy("c_custkey")
     },
+    "intersect_all_keys" -> { (s, dir) =>
+      val o = table(s, dir, "orders")
+      Ops.intersectAll(
+        o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))(
+        o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+    "except_all_keys" -> { (s, dir) =>
+      val o = table(s, dir, "orders").select(col("o_custkey"))
+      val b = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      Ops.exceptAll(b)(o).orderBy("o_custkey")
+    },
     "rollup_agg" -> { (s, dir) =>
       // min/max measures are order-insensitive and exact on doubles, so the
       // rollup needs no money-scaling to hash-match.
@@ -574,6 +588,16 @@ object ExtQueries {
          EXCEPT
          SELECT c_custkey FROM customer WHERE c_acctbal > 5000
          ORDER BY c_custkey""",
+    "intersect_all_keys" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT ALL
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_custkey""",
+    "except_all_keys" ->
+      """SELECT o_custkey FROM orders
+         EXCEPT ALL
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         ORDER BY o_custkey""",
     "rollup_agg" ->
       """SELECT o_orderstatus, o_orderpriority,
          min(o_totalprice) AS o_totalprice_min,

@@ -127,6 +127,12 @@ object Dedup {
     cands
       .join(docs.select(col(idField).as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(docs.select(col(idField).as("id_b"), col("__sh").as("__shb")), "id_b")
+      // size-ratio prefilter IMPLIED by the threshold: J(A,B) >= t forces
+      // t <= |A|/|B| <= 1/t, so size comparisons (O(1)) discard pairs the
+      // exact set intersection (O(n)) would reject anyway — result set
+      // identical, oracle unchanged
+      .filter(size(col("__sha")).cast("double") >= size(col("__shb")) * threshold &&
+        size(col("__shb")).cast("double") >= size(col("__sha")) * threshold)
       .withColumn("jaccard", TextOps.jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -98,9 +98,16 @@ object Ops {
       masterKey: String,
       detailKey: String,
       joinType: String = "left_outer",
-      broadcastDetail: Boolean = true)(master: DataFrame): DataFrame = {
+      broadcastDetail: Boolean = true,
+      nullSafe: Boolean = false)(master: DataFrame): DataFrame = {
     val d = if (broadcastDetail) broadcast(detail) else detail
-    master.join(d, master(masterKey) === d(detailKey), joinType)
+    // nullSafe reproduces the reference's dict-lookup faithfully: a
+    // Python dict happily keys on None, so a None master key DID match a
+    // None detail key there; SQL equality never matches NULLs. Default
+    // stays SQL semantics (what the oracle mirrors).
+    val cond = if (nullSafe) master(masterKey) <=> d(detailKey)
+               else master(masterKey) === d(detailKey)
+    master.join(d, cond, joinType)
   }
 
   /** Fold of master–detail joins over a chain of dimensions (the
@@ -290,6 +297,16 @@ object Ops {
   /** Set difference with SQL EXCEPT (distinct) semantics — extension op
     * (SURVEY.md §2.8). Left-anti hash join after dedup. */
   def except(other: DataFrame)(df: DataFrame): DataFrame = df.except(other)
+
+  /** Multiset INTERSECT ALL: each common row kept min(countLeft,
+    * countRight) times. */
+  def intersectAll(other: DataFrame)(df: DataFrame): DataFrame =
+    df.intersectAll(other)
+
+  /** Multiset EXCEPT ALL: each right occurrence cancels one left
+    * occurrence. */
+  def exceptAll(other: DataFrame)(df: DataFrame): DataFrame =
+    df.exceptAll(other)
 
   /** ROLLUP aggregation — extension op (SURVEY.md §2.5 "not in
     * reference"): subtotal rows per key prefix plus a grand total, with

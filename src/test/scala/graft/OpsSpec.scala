@@ -182,6 +182,22 @@ class OpsSpec extends SparkSpec {
     assert(Ops.except(b)(a).as[Int].collect().toSeq == Seq(1))
   }
 
+  test("intersectAll and exceptAll have multiset semantics") {
+    val a = Seq(1, 2, 2, 2, 3).toDF("k")
+    val b = Seq(2, 2, 3, 3).toDF("k")
+    assert(Ops.intersectAll(b)(a).as[Int].collect().sorted.toSeq == Seq(2, 2, 3))
+    assert(Ops.exceptAll(b)(a).as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("joinDetails nullSafe matches the reference's None-keyed dict lookup") {
+    val master = Seq(Some("a"), None).toDF("mk")
+    val detail = Seq((Some("a"), 1), (None, 2)).toDF("dk", "v")
+    val strict = Ops.joinDetails(detail, "mk", "dk")(master)
+    assert(strict.filter($"mk".isNull && $"v".isNotNull).count() == 0)
+    val nullSafe = Ops.joinDetails(detail, "mk", "dk", nullSafe = true)(master)
+    assert(nullSafe.filter($"mk".isNull).head().getAs[Int]("v") == 2)
+  }
+
   test("aggregateRollup emits detail, subtotal and grand-total rows with grouping_id") {
     val out = Ops.aggregateRollup(Seq("category", "ref"), Seq("amount" -> "sum"))(
       sales.filter($"category" === "books"))
