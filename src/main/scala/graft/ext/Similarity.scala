@@ -119,18 +119,17 @@ object Similarity {
     val base = corpus.select(col(corpusId).as("__id"), col(corpusVec).as("__v"))
     val centroids = broadcast(base.filter(col("__id") < nCentroids)
       .select(col("__id").as("__cid"), col("__v").as("__cv")))
-    val scored = base.crossJoin(centroids)
+    // one ranking of centroids per vector serves BOTH roles: rank 1 is
+    // the cell assignment (argmax cosine, smallest cid on ties), ranks
+    // <= nprobe are the probed cells — a single window over one shuffled
+    // pass instead of a separate max_by aggregation branch
+    val ranked = base.crossJoin(centroids)
       .withColumn("__cs", cosine(col("__v"), col("__cv")))
-    // argmax centroid per vector: max_by over (score, -cid) = best score,
-    // smallest cid on ties; partial-aggregates map-side, one shuffled row
-    // per corpus vector
-    val assign = scored.groupBy(col("__id"))
-      .agg(max_by(col("__cid"), struct(col("__cs"), -col("__cid"))).as("__cid"),
-        first(col("__v")).as("__v"))
-    val probe = scored
       .withColumn("__pr", row_number().over(
         Window.partitionBy("__id").orderBy(col("__cs").desc, col("__cid").asc)))
-      .filter(col("__pr") <= nprobe)
+    val assign = ranked.filter(col("__pr") === 1)
+      .select(col("__cid"), col("__id"), col("__v"))
+    val probe = ranked.filter(col("__pr") <= nprobe)
       .select(col("__id").as("query_id"), col("__v").as("__qv"), col("__cid"))
     probe.join(assign, "__cid")
       .filter(col("query_id") =!= col("__id"))

@@ -374,6 +374,29 @@ object Ops {
     wide.select(outCols: _*)
   }
 
+  /** Sketch-based percentiles for the 100 TB path: `approx_percentile`
+    * (t-digest-like GK summaries, bounded memory per group) instead of
+    * [[percentileAgg]]'s exact buffered form. `accuracy` trades memory
+    * for error (10000 ≈ 0.01% rank error). Approximate results cannot
+    * hash-match an oracle; unit-tested against the exact form within
+    * tolerance. */
+  def percentileApproxAgg(
+      keys: Seq[String],
+      field: String,
+      percentiles: Seq[Double],
+      accuracy: Int = 10000,
+      includeCount: Boolean = true)(df: DataFrame): DataFrame = {
+    val aggs = Seq(percentile_approx(col(field),
+      array(percentiles.map(lit): _*), lit(accuracy)).as("__ps")) ++
+      (if (includeCount) Seq(count(lit(1)).as("record_count")) else Nil)
+    val wide = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val outCols = keys.map(col) ++
+      percentiles.zipWithIndex.map { case (p, i) =>
+        element_at(col("__ps"), i + 1).as(s"${field}_p${(p * 100).round}")
+      } ++ (if (includeCount) Seq(col("record_count")) else Nil)
+    wide.select(outCols: _*)
+  }
+
   // ------------------------------------------- scalar / transform operators
 
   /** Explode a date/timestamp field into `<f>_year`, `<f>_month`, `<f>_day`

@@ -238,4 +238,13 @@ class OpsSpec extends SparkSpec {
     assert(out.getAs[Double]("v_p50") == 2.5)
     assert(out.getAs[Long]("record_count") == 4L)
   }
+
+  test("percentileApproxAgg tracks the exact form within tolerance") {
+    val df = (1 to 5000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val exact = Ops.percentileAgg(Seq("g"), "v", Seq(0.5, 0.9))(df).head()
+    val approx = Ops.percentileApproxAgg(Seq("g"), "v", Seq(0.5, 0.9))(df).head()
+    for (c <- Seq("v_p50", "v_p90"))
+      assert(math.abs(approx.getAs[Double](c) - exact.getAs[Double](c))
+        / exact.getAs[Double](c) < 0.02, c)
+  }
 }
