@@ -130,7 +130,10 @@ object Dedup {
       // size-ratio prefilter IMPLIED by the threshold: J(A,B) >= t forces
       // t <= |A|/|B| <= 1/t, so size comparisons (O(1)) discard pairs the
       // exact set intersection (O(n)) would reject anyway — result set
-      // identical, oracle unchanged
+      // identical, oracle unchanged. INVARIANT: the bound holds for
+      // DISTINCT-set sizes, and raw array sizes qualify only because
+      // TextOps.shingles array_distincts its output; do not reuse this
+      // filter on non-deduplicated arrays
       .filter(size(col("__sha")).cast("double") >= size(col("__shb")) * threshold &&
         size(col("__shb")).cast("double") >= size(col("__sha")) * threshold)
       .withColumn("jaccard", TextOps.jaccard(col("__sha"), col("__shb")))

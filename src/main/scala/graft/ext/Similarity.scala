@@ -100,14 +100,14 @@ object Similarity {
     *    MLlib KMeans centers in production; every downstream stage is
     *    unchanged). Centroids are broadcast — they are tiny by
     *    construction.
-    *  - **Assignment** (the index build): one pass over the corpus
-    *    against the broadcast centroids, argmax cosine with a
-    *    deterministic tie-break, reduced via `max_by` partial
-    *    aggregation — the only full-corpus shuffle, one row per vector.
-    *  - **Probe + rerank**: each query ranks its `nprobe` closest cells
-    *    (window per query id), joins cell-to-cell against the
-    *    assignment — an equi-join on the cell id, never all-pairs — and
-    *    exact cosine re-ranks within candidates.
+    *  - **Assignment + probe** (the index build): one pass over the
+    *    corpus against the broadcast centroids ranks each vector's
+    *    centroids by cosine (deterministic tie-break); rank 1 is the
+    *    cell assignment and ranks ≤ nprobe the probed cells. One window
+    *    over one shuffle carrying nCentroids scored rows per vector.
+    *  - **Rerank**: probe joins cell-to-cell against the assignment —
+    *    an equi-join on the cell id, never all-pairs — and exact cosine
+    *    re-ranks within candidates.
     *
     * Cost at scale: corpus-linear index build, then per-query work
     * bounded by the population of `nprobe` cells. Recall is tunable via

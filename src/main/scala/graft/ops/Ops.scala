@@ -360,11 +360,21 @@ object Ops {
       keys: Seq[String],
       field: String,
       percentiles: Seq[Double],
-      includeCount: Boolean = true)(df: DataFrame): DataFrame = {
+      includeCount: Boolean = true)(df: DataFrame): DataFrame =
     // one percentile agg over the percentage ARRAY: the group's values
     // are buffered and sorted once, not once per requested percentile
-    val aggs = Seq(percentile(col(field),
-      array(percentiles.map(lit): _*)).as("__ps")) ++
+    percentileWide(keys, field, percentiles, includeCount,
+      percentile(col(field), array(percentiles.map(lit): _*)))(df)
+
+  /** Shared wide-to-columns plumbing for the exact and approximate
+    * percentile aggregates — only the aggregate expression differs. */
+  private def percentileWide(
+      keys: Seq[String],
+      field: String,
+      percentiles: Seq[Double],
+      includeCount: Boolean,
+      pAgg: Column)(df: DataFrame): DataFrame = {
+    val aggs = Seq(pAgg.as("__ps")) ++
       (if (includeCount) Seq(count(lit(1)).as("record_count")) else Nil)
     val wide = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val outCols = keys.map(col) ++
@@ -385,17 +395,10 @@ object Ops {
       field: String,
       percentiles: Seq[Double],
       accuracy: Int = 10000,
-      includeCount: Boolean = true)(df: DataFrame): DataFrame = {
-    val aggs = Seq(percentile_approx(col(field),
-      array(percentiles.map(lit): _*), lit(accuracy)).as("__ps")) ++
-      (if (includeCount) Seq(count(lit(1)).as("record_count")) else Nil)
-    val wide = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val outCols = keys.map(col) ++
-      percentiles.zipWithIndex.map { case (p, i) =>
-        element_at(col("__ps"), i + 1).as(s"${field}_p${(p * 100).round}")
-      } ++ (if (includeCount) Seq(col("record_count")) else Nil)
-    wide.select(outCols: _*)
-  }
+      includeCount: Boolean = true)(df: DataFrame): DataFrame =
+    percentileWide(keys, field, percentiles, includeCount,
+      percentile_approx(col(field), array(percentiles.map(lit): _*),
+        lit(accuracy)))(df)
 
   // ------------------------------------------- scalar / transform operators
 

@@ -25,7 +25,22 @@ object Probes {
     * of partial aggregates, so it scales to arbitrary row counts), then a
     * local inline() reshapes the single result row to long format. */
   def audit(fields: Seq[String], distinctThreshold: Long = 1000000L)(
-      df: DataFrame): DataFrame = {
+      df: DataFrame): DataFrame =
+    auditStats(fields,
+      distinctAgg = countDistinct(_),
+      distinctFinal = f =>
+        when(col(s"__distinct_$f") <= distinctThreshold, col(s"__distinct_$f")),
+      distinctColName = "distinct_count")(df)
+
+  /** Shared audit skeleton: one aggregation pass over every field, then
+    * a local inline() reshape to long format. The distinct-count
+    * strategy is the only thing [[audit]] and [[auditApprox]] differ
+    * in. */
+  private def auditStats(
+      fields: Seq[String],
+      distinctAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      distinctFinal: String => org.apache.spark.sql.Column,
+      distinctColName: String)(df: DataFrame): DataFrame = {
     val schema = df.schema
     val aggs = count(lit(1)).as("__rc") +: fields.flatMap { f =>
       val isString = schema(f).dataType == StringType
@@ -33,7 +48,7 @@ object Probes {
         count(when(col(f).isNull, 1)).as(s"__null_$f"),
         (if (isString) count(when(col(f) === "", 1)) else lit(0L).cast("long"))
           .as(s"__empty_$f"),
-        countDistinct(col(f)).as(s"__distinct_$f"))
+        distinctAgg(col(f)).as(s"__distinct_$f"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = fields.map { f =>
@@ -43,8 +58,7 @@ object Probes {
         col(s"__null_$f").as("null_count"),
         (col(s"__null_$f").cast("double") / col("__rc")).as("null_ratio"),
         col(s"__empty_$f").as("empty_string_count"),
-        when(col(s"__distinct_$f") <= distinctThreshold, col(s"__distinct_$f"))
-          .as("distinct_count"))
+        distinctFinal(f).as(distinctColName))
     }
     one.select(inline(array(rows: _*))).orderBy("field_name")
   }
@@ -59,28 +73,11 @@ object Probes {
     * oracle, so this variant is unit-tested against the exact one within
     * tolerance. */
   def auditApprox(fields: Seq[String], relativeSD: Double = 0.05)(
-      df: DataFrame): DataFrame = {
-    val schema = df.schema
-    val aggs = count(lit(1)).as("__rc") +: fields.flatMap { f =>
-      val isString = schema(f).dataType == StringType
-      Seq(
-        count(when(col(f).isNull, 1)).as(s"__null_$f"),
-        (if (isString) count(when(col(f) === "", 1)) else lit(0L).cast("long"))
-          .as(s"__empty_$f"),
-        approx_count_distinct(col(f), relativeSD).as(s"__distinct_$f"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = fields.map { f =>
-      struct(
-        lit(f).as("field_name"),
-        col("__rc").as("record_count"),
-        col(s"__null_$f").as("null_count"),
-        (col(s"__null_$f").cast("double") / col("__rc")).as("null_ratio"),
-        col(s"__empty_$f").as("empty_string_count"),
-        col(s"__distinct_$f").as("approx_distinct_count"))
-    }
-    one.select(inline(array(rows: _*))).orderBy("field_name")
-  }
+      df: DataFrame): DataFrame =
+    auditStats(fields,
+      distinctAgg = approx_count_distinct(_, relativeSD),
+      distinctFinal = f => col(s"__distinct_$f"),
+      distinctColName = "approx_distinct_count")(df)
 
   /** Keys + occurrence count for groups appearing more than `threshold`
     * times (reference: `ops/rows.py::count_duplicates`, default threshold
