@@ -75,6 +75,13 @@ object SparkEntry {
         table(s, dir, "lineitem"))
         .orderBy("l_returnflag", "l_linestatus")
     },
+    "aggregate_distinct" -> { (s, dir) =>
+      Ops.aggregate(
+        keys = Seq("l_returnflag"),
+        measures = Seq("l_suppkey" -> "count_distinct", "l_suppkey" -> "count",
+          "l_quantity" -> "sum"))(table(s, dir, "lineitem"))
+        .orderBy("l_returnflag")
+    },
     "aggregate_money" -> { (s, dir) =>
       val l = table(s, dir, "lineitem")
       l.groupBy("l_returnflag", "l_linestatus").agg(
@@ -287,6 +294,13 @@ object SparkEntry {
          count(*) AS record_count
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "aggregate_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_suppkey) AS l_suppkey_count_distinct,
+         count(l_suppkey) AS l_suppkey_count,
+         sum(l_quantity) AS l_quantity_sum,
+         count(*) AS record_count
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "aggregate_money" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(round(l_extendedprice * 1e2, 0) AS BIGINT)) AS BIGINT) / 1e2 AS base_price_sum,

@@ -121,9 +121,11 @@ object Ops {
   // ------------------------------------------------------------- aggregates
 
   /** Aggregation functions supported by the reference's `aggregate`
-    * (`sum`, `min`, `max`, `average`). Output columns follow the
-    * reference's naming convention `<field>_<function>`. */
-  val aggregateFunctions: Set[String] = Set("sum", "min", "max", "average")
+    * (`sum`, `min`, `max`, `average`; SURVEY §2.5 marks per-measure
+    * `count`/`count_distinct` as probable [M] — included). Output columns
+    * follow the reference's naming convention `<field>_<function>`. */
+  val aggregateFunctions: Set[String] =
+    Set("sum", "min", "max", "average", "count", "count_distinct")
 
   /** GROUP BY + measures (reference: `ops/rows.py::aggregate`,
     * `backends/sql/ops.py::aggregate`). `measures` is (field, function)
@@ -144,6 +146,11 @@ object Ops {
       case (f, "min")     => min(col(f)).as(s"${f}_min")
       case (f, "max")     => max(col(f)).as(s"${f}_max")
       case (f, "average") => avg(col(f)).as(s"${f}_average")
+      case (f, "count")   => count(col(f)).as(s"${f}_count") // non-null count
+      case (f, "count_distinct") =>
+        // exact (oracle-parity); swap for approx_count_distinct beyond
+        // memory bounds at scale
+        countDistinct(col(f)).as(s"${f}_count_distinct")
       case (_, fn) =>
         throw new IllegalArgumentException(
           s"unsupported aggregate function '$fn' (supported: $aggregateFunctions)")

@@ -77,6 +77,17 @@ class OpsSpec extends SparkSpec {
       .head().getAs[Double]("amount_sum") == 16.5)
   }
 
+  test("aggregate count is non-null count; count_distinct is exact") {
+    val df = Seq(("a", Some(1)), ("a", Some(1)), ("a", None), ("b", Some(2)))
+      .toDF("k", "v")
+    val out = Ops.aggregate(Seq("k"),
+      Seq("v" -> "count", "v" -> "count_distinct"))(df)
+      .orderBy("k").collect()
+    assert(out(0).getAs[Long]("v_count") == 2L) // null excluded
+    assert(out(0).getAs[Long]("v_count_distinct") == 1L)
+    assert(out(0).getAs[Long]("record_count") == 3L) // null row counted
+  }
+
   test("aggregate rejects unknown functions") {
     intercept[IllegalArgumentException] {
       Ops.aggregate(Seq("category"), Seq("amount" -> "median"))(sales)
