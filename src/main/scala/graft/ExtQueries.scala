@@ -149,6 +149,16 @@ object ExtQueries {
         .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("record_count"))
         .orderBy("event_type")
     },
+    "events_json_struct" -> { (s, dir) =>
+      // document storage type (SURVEY §1.2): JSON text parsed on demand
+      // with an explicit schema via from_json — typed struct access, no
+      // per-field re-parse
+      table(s, dir, "events")
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+        .select(col("event_id"), col("p.k").as("k"))
+        .orderBy("event_id")
+    },
     "topk_per_group" -> { (s, dir) =>
       WindowOps.topKPerGroup(Seq("o_orderpriority"), "o_totalprice",
         "o_orderkey", 3)(table(s, dir, "orders"))
@@ -515,6 +525,10 @@ object ExtQueries {
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
          count(*) AS record_count
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "events_json_struct" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
     "topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rank
          FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,

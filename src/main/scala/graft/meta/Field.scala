@@ -97,6 +97,27 @@ object Field {
       nullable = sf.nullable)
   }
 
+  /** Tag a DataFrame column with an analytical type in its
+    * `StructField.metadata` (preserving existing metadata) — the hook
+    * that lets metadata-driven operators
+    * ([[graft.ops.Ops.aggregateMeasures]]) find measures/dimensions. */
+  def tag(df: org.apache.spark.sql.DataFrame, column: String,
+      analyticalType: String): org.apache.spark.sql.DataFrame = {
+    require(analyticalTypes.contains(analyticalType),
+      s"unknown analytical type: $analyticalType")
+    val existing = df.schema(column).metadata
+    val md = new MetadataBuilder().withMetadata(existing)
+      .putString(AnalyticalTypeKey, analyticalType).build()
+    df.withColumn(column, df.col(column).as(column, md))
+  }
+
+  /** Columns of `df` tagged with the given analytical type. */
+  def taggedAs(df: org.apache.spark.sql.DataFrame, analyticalType: String): Seq[String] =
+    df.schema.fields.filter(f =>
+      f.metadata.contains(AnalyticalTypeKey) &&
+        f.metadata.getString(AnalyticalTypeKey) == analyticalType)
+      .map(_.name).toSeq
+
   /** Shorthand coercion mirroring the reference's `to_field`: a bare name
     * (unknown-typed until bound), a `(name, storage_type)` pair, or a full
     * Field. */

@@ -160,6 +160,20 @@ object Ops {
     else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Metadata-driven aggregation: aggregates every column tagged
+    * `analytical_type = "measure"` (via [[graft.meta.Field.tag]] or a
+    * [[graft.meta.FieldList]] schema) with the given functions — the
+    * reference's analytical-type metadata actually driving execution, as
+    * its `aggregate` did when called without explicit measures. */
+  def aggregateMeasures(
+      keys: Seq[String],
+      functions: Seq[String] = Seq("sum", "average"))(df: DataFrame): DataFrame = {
+    val measures = graft.meta.Field.taggedAs(df, "measure")
+    require(measures.nonEmpty,
+      "no columns tagged analytical_type=measure (see Field.tag)")
+    aggregate(keys, measures.flatMap(m => functions.map(m -> _)))(df)
+  }
+
   /** Skew-resistant two-stage aggregation: stage 1 aggregates on
     * (keys, salt) — `pmod(hash(saltSource), buckets)` spreads a hot key
     * over `buckets` reducers — and stage 2 combines the partial states

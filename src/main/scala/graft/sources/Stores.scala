@@ -89,6 +89,30 @@ final case class CsvStore(
       .option("sep", delimiter).csv(path(name))
 }
 
+/** Directory of JSON-lines objects — the third text format next to CSV;
+  * `inferFields` maps to Spark's per-pass schema inference exactly as in
+  * [[CsvStore]] (prefer an explicit schema at scale). */
+final case class JsonStore(
+    spark: SparkSession,
+    dir: String,
+    inferFields: Boolean = true) extends DataStore {
+  private def path(name: String) = s"$dir/$name.json"
+  def objectNames: Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.list()).map(_.toSeq).getOrElse(Nil)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
+  }
+  override def exists(name: String): Boolean = new java.io.File(path(name)).exists()
+  def getObject(name: String): DataFrame = spark.read.json(path(name))
+  def getObject(name: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path(name))
+  def create(name: String, from: DataFrame, replace: Boolean = false): Unit =
+    from.write.mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .json(path(name))
+  def appendInto(name: String, rows: DataFrame): Unit =
+    rows.write.mode(SaveMode.Append).json(path(name))
+}
+
 /** The Spark session catalog as a store (reference: the SQL backend,
   * `bubbles/backends/sql/objects.py::SQLDataStore`, when the "database"
   * is Spark's own catalog). The reference's lazily composed `SQLStatement`
@@ -247,9 +271,19 @@ object Stores {
     storeType match {
       case "parquet" => ParquetStore(spark, location)
       case "csv"     => CsvStore(spark, location)
+      case "json"    => JsonStore(spark, location)
       case "catalog" | "sql" => CatalogStore(spark)
       case "jdbc"    => JdbcStore(spark, location)
       case "memory"  => new MemoryStore(spark)
       case other => throw new IllegalArgumentException(s"unknown store type: $other")
     }
+
+  /** Store-to-store ETL (reference EP3: `create(..., from_obj=)` /
+    * `append_from`): on Spark this is a fully distributed read → write
+    * with no driver-side row loop, whatever the two backends are. */
+  def copy(
+      source: DataStore, from: String,
+      target: DataStore, to: String,
+      replace: Boolean = false): Unit =
+    target.create(to, source.getObject(from), replace)
 }

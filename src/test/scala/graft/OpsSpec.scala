@@ -88,6 +88,16 @@ class OpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("record_count") == 3L) // null row counted
   }
 
+  test("aggregateMeasures aggregates exactly the measure-tagged columns") {
+    import graft.meta.Field
+    val tagged = Field.tag(Field.tag(sales, "amount", "measure"),
+      "category", "nominal")
+    val out = Ops.aggregateMeasures(Seq("category"))(tagged)
+    assert(out.columns.toSeq ==
+      Seq("category", "amount_sum", "amount_average", "record_count"))
+    intercept[IllegalArgumentException](Ops.aggregateMeasures(Seq("category"))(sales))
+  }
+
   test("aggregate rejects unknown functions") {
     intercept[IllegalArgumentException] {
       Ops.aggregate(Seq("category"), Seq("amount" -> "median"))(sales)

@@ -78,6 +78,20 @@ class StoresSpec extends SparkSpec {
     assert(joined.count() === 200L * 10) // 10 co-bucket matches per row
   }
 
+  test("json store round-trip and store-to-store copy") {
+    val jdir = Files.createTempDirectory("graft-json").toString
+    val pdir = Files.createTempDirectory("graft-pq2").toString
+    val json = Stores.open(spark, "json", jdir)
+    val pq = Stores.open(spark, "parquet", pdir)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    json.create("t", df)
+    assert(json.getObject("t").count() == 2)
+    // EP3: distributed store-to-store copy, json -> parquet
+    Stores.copy(json, "t", pq, "t_copy")
+    assert(pq.getObject("t_copy").count() == 2)
+    assert(pq.getObject("t_copy").columns.sorted.toSeq == Seq("id", "name"))
+  }
+
   test("memory store append and replace semantics") {
     val store = new MemoryStore(spark)
     val df = Seq(1, 2).toDF("v")
