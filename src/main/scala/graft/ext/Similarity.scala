@@ -123,16 +123,18 @@ object Similarity {
     // the cell assignment (argmax cosine, smallest cid on ties), ranks
     // <= nprobe are the probed cells — a single window over one shuffled
     // pass instead of a separate max_by aggregation branch
-    // materialize the index ONCE (localCheckpoint): assignment and probe
-    // both consume the ranking, and without materialization each would
-    // re-scan the full corpus and re-rank — a real IVF index is built
-    // and stored, not recomputed per consumer
+    // cache the index: assignment and probe both consume the ranking,
+    // and without caching each would re-scan the full corpus and
+    // re-rank — a real IVF index is built once, not recomputed per
+    // consumer. persist (not localCheckpoint): lazy, and lineage stays
+    // intact so lost executors recompute their blocks instead of
+    // failing the query.
     val ranked = base.crossJoin(centroids)
       .withColumn("__cs", cosine(col("__v"), col("__cv")))
       .withColumn("__pr", row_number().over(
         Window.partitionBy("__id").orderBy(col("__cs").desc, col("__cid").asc)))
       .filter(col("__pr") <= math.max(nprobe, 1))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assign = ranked.filter(col("__pr") === 1)
       .select(col("__cid"), col("__id"), col("__v"))
     val probe = ranked.filter(col("__pr") <= nprobe)

@@ -168,9 +168,12 @@ object Ops {
   def aggregateMeasures(
       keys: Seq[String],
       functions: Seq[String] = Seq("sum", "average"))(df: DataFrame): DataFrame = {
+    // grouping keys are dimensions by definition — never self-aggregate
+    // a measure-tagged column that is also a key
     val measures = graft.meta.Field.taggedAs(df, "measure")
+      .filterNot(keys.contains)
     require(measures.nonEmpty,
-      "no columns tagged analytical_type=measure (see Field.tag)")
+      "no non-key columns tagged analytical_type=measure (see Field.tag)")
     aggregate(keys, measures.flatMap(m => functions.map(m -> _)))(df)
   }
 

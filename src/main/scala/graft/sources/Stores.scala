@@ -89,13 +89,15 @@ final case class CsvStore(
       .option("sep", delimiter).csv(path(name))
 }
 
-/** Directory of JSON-lines objects — the third text format next to CSV;
-  * `inferFields` maps to Spark's per-pass schema inference exactly as in
-  * [[CsvStore]] (prefer an explicit schema at scale). */
+/** Directory of JSON-lines objects — the third text format next to CSV.
+  * Unlike CSV's header row, bare JSON lines carry no schema: a
+  * schema-less read always pays an inference pass (use the
+  * explicit-schema [[getObject(name:String,schema*]] overload at scale),
+  * and [[truncate]] is unsupported because zero data lines leave nothing
+  * to infer a schema from. */
 final case class JsonStore(
     spark: SparkSession,
-    dir: String,
-    inferFields: Boolean = true) extends DataStore {
+    dir: String) extends DataStore {
   private def path(name: String) = s"$dir/$name.json"
   def objectNames: Seq[String] = {
     val d = new java.io.File(dir)
@@ -111,6 +113,11 @@ final case class JsonStore(
       .json(path(name))
   def appendInto(name: String, rows: DataFrame): Unit =
     rows.write.mode(SaveMode.Append).json(path(name))
+  override def truncate(name: String): Unit =
+    throw new UnsupportedOperationException(
+      "JSON-lines carries no schema; a truncated object would be " +
+        "unreadable. Overwrite with create(name, emptyDf, replace = true) " +
+        "and re-read with the explicit-schema getObject instead.")
 }
 
 /** The Spark session catalog as a store (reference: the SQL backend,
@@ -218,9 +225,12 @@ final case class JdbcStore(
   }
 }
 
-/** In-memory objects (reference: `bubbles/objects.py::RowListDataObject` /
-  * `IterableDataSource`). Spark DataFrames are re-computable, so the
-  * reference's consumable/one-pass accounting disappears. */
+/** In-memory objects (reference: `bubbles/objects.py::RowListDataObject`,
+  * which held MATERIALIZED rows). `create` snapshots the input via
+  * `localCheckpoint` so a stored object is a completed copy, not a live
+  * plan over its source — replacing or deleting the source afterwards
+  * cannot change (or break) what was stored, matching the reference and
+  * making [[Stores.copy]] into a memory target a real copy. */
 final class MemoryStore(val spark: SparkSession) extends DataStore {
   private val objects = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
   def objectNames: Seq[String] = objects.keys.toSeq
@@ -228,10 +238,11 @@ final class MemoryStore(val spark: SparkSession) extends DataStore {
   def create(name: String, from: DataFrame, replace: Boolean = false): Unit = {
     if (!replace && objects.contains(name))
       throw new IllegalStateException(s"object '$name' exists")
-    objects(name) = from
+    objects(name) = from.localCheckpoint()
   }
   def appendInto(name: String, rows: DataFrame): Unit =
-    objects(name) = objects.get(name).map(_.unionByName(rows)).getOrElse(rows)
+    objects(name) = objects.get(name)
+      .map(_.unionByName(rows.localCheckpoint())).getOrElse(rows.localCheckpoint())
 }
 
 /** One-shot local sources (reference: `bubbles/objects.py::
