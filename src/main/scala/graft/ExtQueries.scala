@@ -243,6 +243,23 @@ object ExtQueries {
         .orderBy(col("grouping_id"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     },
+    "cube_agg" -> { (s, dir) =>
+      Ops.aggregateCube(Seq("o_orderstatus", "o_orderpriority"),
+        Seq("o_totalprice" -> "max"))(table(s, dir, "orders"))
+        .orderBy(col("grouping_id"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    "events_time_buckets" -> { (s, dir) =>
+      // batch form of the streaming tumbling window; 6h buckets align
+      // across engines (DuckDB's time_bucket origin 2000-01-01 is a
+      // whole number of 6h periods past Spark's 1970 epoch origin)
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("event_count"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("event_count"))
+        .orderBy("window_start", "event_type")
+    },
     "pivot_status" -> { (s, dir) =>
       // money-scaled sums (SparkEntry.scala moneySum pattern) so the wide
       // cells are bit-identical across engines
@@ -622,6 +639,20 @@ object ExtQueries {
          GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          ORDER BY grouping_id, o_orderstatus ASC NULLS FIRST,
            o_orderpriority ASC NULLS FIRST""",
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         max(o_totalprice) AS o_totalprice_max,
+         count(*) AS record_count,
+         CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id
+         FROM orders
+         GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY grouping_id, o_orderstatus ASC NULLS FIRST,
+           o_orderpriority ASC NULLS FIRST""",
+    "events_time_buckets" ->
+      """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type, count(*) AS event_count
+         FROM events
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "pivot_status" ->
       """SELECT o_orderpriority,
          CAST(sum(CASE WHEN o_orderstatus = 'F'

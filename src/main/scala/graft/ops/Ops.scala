@@ -355,6 +355,24 @@ object Ops {
     df.rollup(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** CUBE aggregation — every key-subset total, not just prefixes
+    * (ROLLUP ⊂ CUBE). Same Expand + single-shuffle plan shape as
+    * [[aggregateRollup]] with 2^keys levels; keep the key list short. */
+  def aggregateCube(
+      keys: Seq[String],
+      measures: Seq[(String, String)],
+      includeCount: Boolean = true,
+      countField: String = "record_count")(df: DataFrame): DataFrame = {
+    val aggs = measures.map {
+      case (f, "min") => min(col(f)).as(s"${f}_min")
+      case (f, "max") => max(col(f)).as(s"${f}_max")
+      case (f, fn) => throw new IllegalArgumentException(
+        s"cube supports order-insensitive exact measures (min/max), got $f/$fn")
+    } ++ (if (includeCount) Seq(count(lit(1)).as(countField)) else Nil) :+
+      grouping_id().as("grouping_id")
+    df.cube(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Pivot with an explicit value list — extension op. The value list is
     * mandatory: without it Spark runs an eager distinct job at plan time
     * to discover columns, which is both nondeterministic in column order

@@ -231,6 +231,16 @@ class OpsSpec extends SparkSpec {
     assert(grand.getAs[Long]("record_count") == 2L)
   }
 
+  test("aggregateCube emits every key-subset level") {
+    val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0))
+      .toDF("k1", "k2", "v")
+    val out = Ops.aggregateCube(Seq("k1", "k2"), Seq("v" -> "max"))(df)
+    // 3 detail + 2 k1-totals + 2 k2-totals + 1 grand total
+    assert(out.count() === 8)
+    val gids = out.select("grouping_id").as[Long].collect().sorted.toSeq
+    assert(gids === Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 3L))
+  }
+
   test("pivot widens explicit values with suffix naming, absent combos null") {
     val out = Ops.pivot(Seq("category"), "ref", Seq("r1", "r2", "r3"),
       sum($"amount"), "_sum")(sales.filter($"category".isNotNull))
