@@ -83,6 +83,13 @@ object ExtQueries {
         planes = 6, dim = 64)(corpus(s, dir, "embeddings"))
         .orderBy("id_a", "id_b")
     },
+    "embedding_dedup_multi" -> { (s, dir) =>
+      // 2 independent plane sets: recovers near pairs the single table's
+      // hyperplane cuts split (recall asserted vs brute force in DedupSpec)
+      Dedup.embeddingNearDuplicates("vec_id", "embedding", threshold = 0.4,
+        planes = 6, dim = 64, tables = 2)(corpus(s, dir, "embeddings"))
+        .orderBy("id_a", "id_b")
+    },
     // ---- similarity search -------------------------------------------------
     "similarity_topk" -> { (s, dir) =>
       val e = corpus(s, dir, "embeddings")
@@ -95,6 +102,11 @@ object ExtQueries {
     "similarity_lsh" -> { (s, dir) =>
       Similarity.lshTopK(corpus(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, planes = 6, dim = 64)
+        .orderBy("query_id", "rank")
+    },
+    "similarity_lsh_multi" -> { (s, dir) =>
+      Similarity.lshTopK(corpus(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, planes = 6, dim = 64, tables = 2)
         .orderBy("query_id", "rank")
     },
     "similarity_ivf" -> { (s, dir) =>
@@ -249,6 +261,17 @@ object ExtQueries {
         .orderBy(col("grouping_id"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     },
+    "cube_money" -> { (s, dir) =>
+      // sum/average across every cube level via integer-scaled exact
+      // sums (Ops.scaledSum) — order-insensitive, so all 2^k grouping
+      // levels hash-match the oracle bit-for-bit
+      Ops.aggregateCube(Seq("o_orderstatus", "o_orderpriority"),
+        Seq("o_totalprice" -> "sum", "o_totalprice" -> "average",
+          "o_totalprice" -> "min"),
+        scales = Map("o_totalprice" -> 1e2))(table(s, dir, "orders"))
+        .orderBy(col("grouping_id"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
     "events_time_buckets" -> { (s, dir) =>
       // batch form of the streaming tumbling window; 6h buckets align
       // across engines (DuckDB's time_bucket origin 2000-01-01 is a
@@ -373,13 +396,15 @@ object ExtQueries {
   }
 
   /** Sign-LSH bucket over `embedding` — mirrors Similarity.lshBucket
-    * (6 planes, dim 64, md5-nibble plane weights). */
-  private val lshBucketSql: String =
+    * (6 planes, dim 64, md5-nibble plane weights); `offset` selects the
+    * independent plane set (table t -> offset 6t), exactly lshBucket's
+    * planeOffset. */
+  private def lshBucketSql(offset: Int = 0): String =
     s"""CAST(list_sum(list_transform(range(0,6), p ->
-          CASE WHEN ${foldSum("""list_transform(range(0,64), d ->
+          CASE WHEN ${foldSum(s"""list_transform(range(0,64), d ->
             CAST(embedding[d+1] AS DOUBLE)
             * (CAST(strpos('0123456789abcdef',
-                 substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1
+                 substr(md5(CAST(p + $offset AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1
                AS DOUBLE) - 75e-1))""")} >= CAST(0 AS DOUBLE)
           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
 
@@ -469,22 +494,51 @@ object ExtQueries {
                  CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
         FROM hs),
-      bk AS (SELECT doc_id, sig, sig >> 48 AS bucket FROM sig)
+      bk AS (SELECT doc_id, sig, sig >> 48 AS bucket FROM sig),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS n FROM bk)
       SELECT a.doc_id AS id_a, c.doc_id AS id_b,
         CAST(bit_count(xor(a.sig, c.sig)) AS INTEGER) AS hamming
-      FROM bk a JOIN bk c ON a.bucket = c.bucket
-      WHERE a.doc_id < c.doc_id AND bit_count(xor(a.sig, c.sig)) <= 10
+      FROM sized a JOIN sized c ON a.bucket = c.bucket
+      WHERE a.doc_id < c.doc_id AND a.n <= 64
+        AND bit_count(xor(a.sig, c.sig)) <= 10
       ORDER BY id_a, id_b""",
     "ngram_jaccard_pairs" -> minhashNearDupSql(shingleN = 2, threshold = "3e-1"),
+    // maxBucket=64 cap mirrored via the window count, exactly
+    // Dedup.embeddingNearDuplicates' between(2, maxBucket)
     "embedding_dedup" -> s"""
-      WITH bucketed AS (SELECT vec_id, embedding, $lshBucketSql AS bucket
-        FROM embeddings)
+      WITH bucketed AS (SELECT vec_id, embedding, ${lshBucketSql()} AS bucket
+        FROM embeddings),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS n FROM bucketed)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         ${cosineSql("a.embedding", "b.embedding")} AS cosine
-      FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
-      WHERE a.vec_id < b.vec_id
+      FROM sized a JOIN sized b ON a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id AND a.n <= 64
         AND ${cosineSql("a.embedding", "b.embedding")} >= 4e-1
       ORDER BY id_a, id_b""",
+    // two independent plane sets (offsets 0 and 6), candidate pairs
+    // deduplicated by the UNION before the exact-cosine verify —
+    // mirrors Dedup.embeddingNearDuplicates(tables = 2)
+    "embedding_dedup_multi" -> s"""
+      WITH b0 AS (SELECT vec_id, embedding, ${lshBucketSql(0)} AS bucket
+        FROM embeddings),
+      s0 AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS n FROM b0),
+      b1 AS (SELECT vec_id, embedding, ${lshBucketSql(6)} AS bucket
+        FROM embeddings),
+      s1 AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS n FROM b1),
+      cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM s0 a JOIN s0 b ON a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id AND a.n <= 64
+        UNION
+        SELECT a.vec_id, b.vec_id
+        FROM s1 a JOIN s1 b ON a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id AND a.n <= 64),
+      scored AS (SELECT id_a, id_b,
+        ${cosineSql("a.embedding", "b.embedding")} AS cosine
+        FROM cand JOIN embeddings a ON cand.id_a = a.vec_id
+                  JOIN embeddings b ON cand.id_b = b.vec_id)
+      SELECT id_a, id_b, cosine FROM scored
+      WHERE cosine >= 4e-1 ORDER BY id_a, id_b""",
     "similarity_topk" -> s"""
       WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
       scored AS (SELECT query_id, c.vec_id AS item_id,
@@ -496,7 +550,7 @@ object ExtQueries {
       SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
       FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
     "similarity_lsh" -> s"""
-      WITH bucketed AS (SELECT vec_id, embedding, $lshBucketSql AS bucket
+      WITH bucketed AS (SELECT vec_id, embedding, ${lshBucketSql()} AS bucket
         FROM embeddings),
       cand AS (SELECT a.vec_id AS query_id, b.vec_id AS item_id,
         ${cosineSql("a.embedding", "b.embedding")} AS cosine
@@ -505,6 +559,29 @@ object ExtQueries {
       ranked AS (SELECT *, row_number() OVER (
           PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn
         FROM cand)
+      SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
+      FROM ranked WHERE rn <= 3 ORDER BY query_id, rank""",
+    // two independent plane sets; directed candidate pairs deduplicated
+    // by the UNION before the exact-cosine rerank — mirrors
+    // Similarity.lshTopK(tables = 2)
+    "similarity_lsh_multi" -> s"""
+      WITH b0 AS (SELECT vec_id, embedding, ${lshBucketSql(0)} AS bucket
+        FROM embeddings),
+      b1 AS (SELECT vec_id, embedding, ${lshBucketSql(6)} AS bucket
+        FROM embeddings),
+      cand AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS item_id
+        FROM b0 a JOIN b0 b ON a.bucket = b.bucket WHERE a.vec_id <> b.vec_id
+        UNION
+        SELECT a.vec_id, b.vec_id
+        FROM b1 a JOIN b1 b ON a.bucket = b.bucket WHERE a.vec_id <> b.vec_id),
+      scored AS (SELECT query_id, item_id,
+        ${cosineSql("q.embedding", "c.embedding")} AS cosine
+        FROM cand JOIN embeddings q ON cand.query_id = q.vec_id
+                  JOIN embeddings c ON cand.item_id = c.vec_id),
+      ranked AS (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn
+        FROM scored)
       SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
       FROM ranked WHERE rn <= 3 ORDER BY query_id, rank""",
     "similarity_ivf" -> s"""
@@ -642,6 +719,18 @@ object ExtQueries {
     "cube_agg" ->
       """SELECT o_orderstatus, o_orderpriority,
          max(o_totalprice) AS o_totalprice_max,
+         count(*) AS record_count,
+         CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id
+         FROM orders
+         GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY grouping_id, o_orderstatus ASC NULLS FIRST,
+           o_orderpriority ASC NULLS FIRST""",
+    "cube_money" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(sum(CAST(round(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) / 1e2 AS o_totalprice_sum,
+         (CAST(sum(CAST(round(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) / 1e2)
+           / count(o_totalprice) AS o_totalprice_average,
+         min(o_totalprice) AS o_totalprice_min,
          count(*) AS record_count,
          CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id
          FROM orders

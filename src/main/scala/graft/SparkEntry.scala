@@ -18,9 +18,11 @@ object SparkEntry {
 
   /** Conf that lets Spark's parquet reader surface TIMESTAMP(NANOS)
     * columns (which it cannot model — micros only) as raw long nanos
-    * instead of failing. Set once per session; [[Verify]]/[[Bench]] set it
-    * in their builders, and [[table]] guards it for driver-owned smoke
-    * sessions. */
+    * instead of failing. Session-builder-scoped: [[Verify]]/[[Bench]] and
+    * the test harness set it in their builders. [[table]] does NOT
+    * mutate the session (an unscoped `conf.set` inside a loader is racy
+    * under concurrent queries); a session that reads the nanos fixtures
+    * (`events`) must carry this conf from construction. */
   val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
 
   /** Fixture loader. Nanos timestamp columns (the events fixture's `ts`)
@@ -35,8 +37,6 @@ object SparkEntry {
     * are lost to the oracle (which reads full nanos) — irrelevant for the
     * fixtures, noted for the sessionize oracle. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (spark.conf.get(NanosAsLongKey, "false") != "true")
-      spark.conf.set(NanosAsLongKey, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f =>
       f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
@@ -46,12 +46,11 @@ object SparkEntry {
     }
   }
 
-  /** Exact, order-insensitive sum of a fixed-point-decimal double column:
-    * scale to integers (exact round), sum as long (exact), divide back
-    * (IEEE-deterministic). Matches oracle pattern
+  /** Exact, order-insensitive sum of a fixed-point-decimal double column
+    * — see [[Ops.scaledSum]]; matches oracle pattern
     * `CAST(SUM(CAST(round(x*1eS,0) AS BIGINT)) AS BIGINT)/1eS`. */
   private def moneySum(c: Column, scale: Double): Column =
-    sum(round(c * scale, 0).cast("long")) / scale
+    Ops.scaledSum(c, scale)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference README's flagship: source -> aggregate -> output. */

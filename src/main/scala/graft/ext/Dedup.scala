@@ -195,49 +195,79 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: bucket by the top `prefixBits` bits (cheap
-    * LSH), then verify hamming distance ≤ maxHamming within buckets. */
+    * LSH), then verify hamming distance ≤ maxHamming within buckets.
+    *
+    * Pair generation is the same capped collect_list shape as
+    * [[minhashLshPairs]] — one hash-agg collects each bucket's (id, sig)
+    * structs, `maxBucket` drops degenerate buckets, and ordered pairs
+    * come out bucket-locally. The previous bucket self-join had no cap:
+    * one boilerplate-heavy prefix bucket (all-identical headers, empty
+    * docs) put O(n²) pairs on a single reducer at 100×. The cap is a
+    * deliberate recall/robustness trade mirrored exactly in the oracle. */
   def simhashNearDuplicates(
       idField: String,
       textField: String,
       maxHamming: Int = 3,
-      prefixBits: Int = 16)(df: DataFrame): DataFrame = {
-    val withSig = df.select(col(idField).as("__id"),
-      simhash(col(textField)).as("__sig"))
-    val bucketed = withSig.withColumn("__bucket",
-      shiftright(col("__sig"), 60 - prefixBits))
-    val a = bucketed.select(col("__bucket"), col("__id").as("id_a"),
-      col("__sig").as("__siga"))
-    val b = bucketed.select(col("__bucket"), col("__id").as("id_b"),
-      col("__sig").as("__sigb"))
-    a.join(b, Seq("__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("__siga").bitwiseXOR(col("__sigb"))))
+      prefixBits: Int = 16,
+      maxBucket: Int = 64)(df: DataFrame): DataFrame = {
+    val bucketed = df
+      .select(col(idField).as("__id"), simhash(col(textField)).as("__sig"))
+      .withColumn("__bucket", shiftright(col("__sig"), 60 - prefixBits))
+    bucketed.groupBy("__bucket")
+      .agg(collect_list(struct(col("__id"), col("__sig"))).as("__docs"))
+      .filter(size(col("__docs")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("__docs"), x =>
+        transform(filter(col("__docs"), y => x("__id") < y("__id")), y =>
+          struct(x("__id").as("id_a"), y("__id").as("id_b"),
+            bit_count(x("__sig").bitwiseXOR(y("__sig"))).as("hamming"))))))
+        .as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
+        col("__p.hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 
   /** Embedding near-dup pairs at scale: sign-LSH bucketing
-    * ([[Similarity.lshBucket]]) generates candidates — the join key is
+    * ([[Similarity.lshBucket]]) generates candidates — the shuffle key is
     * the bucket, so cost is corpus-linear with bucket-local pair
-    * generation — then exact cosine ≥ threshold verifies within buckets.
-    * Single-table LSH: pairs whose vectors land in different buckets are
-    * missed (the standard recall trade, tunable via `planes`; a
-    * production variant unions several independent tables). The oracle
-    * mirrors the bucket expression exactly. */
+    * generation — then exact cosine ≥ threshold verifies each candidate.
+    *
+    * Scale hardening, both mirrored exactly in the oracle:
+    *  - `maxBucket` caps degenerate buckets (a pile of zero/duplicate
+    *    vectors collapses into one bucket; uncapped, that is O(n²) pairs
+    *    on one reducer) with the same collect_list + between(2, cap)
+    *    pair generation as [[minhashLshPairs]].
+    *  - `tables` > 1 unions independent plane sets (disjoint hyperplanes
+    *    via planeOffset) to recover pairs a single table's cuts split —
+    *    the standard LSH recall fix. One scan computes every table's
+    *    bucket (posexplode); candidate pairs are deduplicated BEFORE the
+    *    cosine verify so each pair is scored once. */
   def embeddingNearDuplicates(
       idField: String,
       vecField: String,
       threshold: Double,
       planes: Int = 6,
-      dim: Int = 64)(df: DataFrame): DataFrame = {
-    val bucketed = df.select(col(idField), col(vecField),
-      Similarity.lshBucket(col(vecField), planes, dim).as("__bucket"))
-    val a = bucketed.select(col("__bucket"), col(idField).as("id_a"),
-      col(vecField).as("__va"))
-    val b = bucketed.select(col("__bucket"), col(idField).as("id_b"),
-      col(vecField).as("__vb"))
-    a.join(b, Seq("__bucket"))
-      .filter(col("id_a") < col("id_b"))
+      dim: Int = 64,
+      maxBucket: Int = 64,
+      tables: Int = 1)(df: DataFrame): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    val buckets = array((0 until tables).map(t =>
+      Similarity.lshBucket(col("__v"), planes, dim, t * planes)): _*)
+    val bucketed = df
+      .select(col(idField).as("__id"), col(vecField).as("__v"))
+      .select(col("__id"), col("__v"), posexplode(buckets))
+      .withColumnRenamed("pos", "__t").withColumnRenamed("col", "__bucket")
+    val pairs = bucketed.groupBy("__t", "__bucket")
+      .agg(collect_list(struct(col("__id"), col("__v"))).as("__docs"))
+      .filter(size(col("__docs")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("__docs"), x =>
+        transform(filter(col("__docs"), y => x("__id") < y("__id")), y =>
+          struct(x("__id").as("id_a"), y("__id").as("id_b"),
+            x("__v").as("va"), y("__v").as("vb")))))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
+        col("__p.va").as("__va"), col("__p.vb").as("__vb"))
+    val cands =
+      if (tables == 1) pairs else pairs.dropDuplicates("id_a", "id_b")
+    cands
       .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
@@ -252,36 +282,61 @@ object Dedup {
     * This is the step that turns pairwise near-dup output into "keep one
     * document per duplicate CLUSTER" (pairs alone can't: near-dup is not
     * transitive). Rounds needed = component diameter (small for dup
-    * clusters); each round is one shuffled aggregation over
-    * |edges|+|nodes| rows, with `localCheckpoint` cutting the lineage so
-    * plan size stays constant — the standard large-graph CC recipe when
-    * a graph library isn't on the classpath. The result is a pure
-    * function of the pair set, so the DuckDB oracle reproduces it with a
-    * recursive CTE.
+    * clusters); each round is ONE shuffled aggregation over
+    * |edges|+|nodes| rows. Convergence detection rides inside that same
+    * aggregation: each node's own current label travels with the
+    * neighbor contributions (tagged via a null-able second column, so
+    * `min` recovers it for free), and the round's changed-node test is a
+    * filter over the already-materialized result — no separate
+    * join-and-recompute job per round, which halved the per-round job
+    * count vs the previous form. Checkpointing cuts the lineage so plan
+    * size stays constant.
+    *
+    * Durability: `localCheckpoint` stores blocks on executors only — the
+    * right default on a healthy cluster (no DFS round-trip), but one
+    * lost executor kills the query mid-iteration. For long cluster-scale
+    * runs pass `checkpointDir` to use reliable `checkpoint()` to a DFS
+    * path instead; lineage is already cut, so the only cost is the DFS
+    * write per round. The result is a pure function of the pair set, so
+    * the DuckDB oracle reproduces it with a recursive CTE.
     *
     * @param pairs `(id_a, id_b)` undirected edges
     * @param nodes one `id` column; superset of pair endpoints (nodes
-    *              without pairs become singleton clusters) */
-  def connectedComponents(pairs: DataFrame, nodes: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col(nodes.columns.head).as("node"),
-      col(nodes.columns.head).as("lbl")).localCheckpoint()
+    *              without pairs become singleton clusters)
+    * @param checkpointDir reliable-checkpoint location (HDFS/S3/local
+    *              path); None = executor-local checkpoints */
+  def connectedComponents(
+      pairs: DataFrame,
+      nodes: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = nodes.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = materialize(nodes.select(col(nodes.columns.head).as("node"),
+      col(nodes.columns.head).as("lbl")))
     var converged = false
     while (!converged) {
-      val next = edges
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("lbl"))
-        .unionByName(labels)
-        .groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("lbl", "__prev"), "node")
-        .filter(col("lbl") < col("__prev"))
-        .limit(1).count()
-      converged = changed == 0
-      labels = next
+      // neighbor contributions carry own=null; the node's own row carries
+      // own=lbl. min(own) ignores nulls -> each node's previous label is
+      // recovered in the SAME aggregation that computes the new minimum,
+      // so convergence needs no join against the previous round.
+      val next = materialize(
+        edges
+          .join(labels.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), col("lbl"),
+            lit(null).cast("long").as("__own"))
+          .unionByName(labels.select(col("node"), col("lbl"),
+            col("lbl").as("__own")))
+          .groupBy("node")
+          .agg(min("lbl").as("lbl"), min("__own").as("__prev")))
+      // reads the checkpointed blocks just materialized — a cheap scan,
+      // not a recompute; limit(1) short-circuits on the first change
+      converged = next.filter(col("lbl") < col("__prev")).limit(1).isEmpty
+      labels = next.select("node", "lbl")
     }
     labels
   }

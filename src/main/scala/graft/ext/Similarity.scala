@@ -78,10 +78,15 @@ object Similarity {
   /** Sign-LSH bucket id: one bit per hyperplane = sign of the projection
     * of the vector on a deterministic pseudo-random plane. The plane
     * weights are literal arrays (constants), so a row costs exactly
-    * planes×dim fused multiply-adds inside codegen. */
-  def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
+    * planes×dim fused multiply-adds inside codegen.
+    *
+    * `planeOffset` selects an independent plane set (table t uses offset
+    * t·planes) — the multi-table LSH recall lever: each table's buckets
+    * are drawn from disjoint hyperplanes, so a near pair split by one
+    * table's cuts has an independent chance to collide in another. */
+  def lshBucket(vec: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      val weights = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
+      val weights = array((0 until dim).map(d => lit(planeWeight(p + planeOffset, d))): _*)
       val proj = aggregate(
         zip_with(vec, weights, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
@@ -149,26 +154,40 @@ object Similarity {
       .select(col("query_id"), col("__id").as("item_id"), col("cosine"), col("rank"))
   }
 
-  /** Approximate top-k: candidates share the sign-LSH bucket, then exact
-    * cosine re-ranks within buckets. With p planes the corpus shards into
-    * 2^p buckets; the join key is the bucket, so cost is corpus-linear
-    * with bucket-local pair generation instead of all-pairs. Recall is
-    * tunable via planes (fewer planes = bigger buckets = higher recall).
-    * A production variant unions several independent LSH tables;
-    * single-table keeps the oracle tractable and the shape identical. */
+  /** Approximate top-k: candidates share a sign-LSH bucket, then exact
+    * cosine re-ranks within buckets. With p planes each table shards the
+    * corpus into 2^p buckets; the join key is (table, bucket), so cost is
+    * corpus-linear with bucket-local pair generation instead of
+    * all-pairs. Recall is tunable two ways: fewer planes = bigger buckets
+    * = higher recall per table, and `tables` > 1 unions independent plane
+    * sets (disjoint hyperplanes via [[lshBucket]]'s planeOffset) —
+    * candidate pairs are deduplicated before the exact-cosine rerank, so
+    * extra tables buy recall without re-scoring duplicates. One scan of
+    * the corpus computes every table's bucket (posexplode), not one scan
+    * per table. */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
-      k: Int, planes: Int = 6, dim: Int = 64): DataFrame = {
+      k: Int, planes: Int = 6, dim: Int = 64, tables: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = corpus.select(col(corpusId).as("__id"),
-      col(corpusVec).as("__v"),
-      lshBucket(col(corpusVec), planes, dim).as("__bucket"))
-    val a = bucketed.select(col("__bucket"), col("__id").as("query_id"),
-      col("__v").as("__qv"))
-    val b = bucketed.select(col("__bucket"), col("__id").as("item_id"),
-      col("__v").as("__cv"))
-    a.join(b, Seq("__bucket"))
+    require(tables >= 1, "tables must be >= 1")
+    val buckets = array((0 until tables).map(t =>
+      lshBucket(col("__v"), planes, dim, t * planes)): _*)
+    val bucketed = corpus
+      .select(col(corpusId).as("__id"), col(corpusVec).as("__v"))
+      .select(col("__id"), col("__v"), posexplode(buckets))
+      .withColumnRenamed("pos", "__t").withColumnRenamed("col", "__bucket")
+    val a = bucketed.select(col("__t"), col("__bucket"),
+      col("__id").as("query_id"), col("__v").as("__qv"))
+    val b = bucketed.select(col("__t"), col("__bucket"),
+      col("__id").as("item_id"), col("__v").as("__cv"))
+    val joined = a.join(b, Seq("__t", "__bucket"))
       .filter(col("query_id") =!= col("item_id"))
+    // multi-table: the same pair can collide in several tables — dedup
+    // BEFORE the exact-cosine verify so each candidate is scored once
+    // (vectors ride along; every copy of a pair carries identical ones)
+    val cands =
+      if (tables == 1) joined else joined.dropDuplicates("query_id", "item_id")
+    cands
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")

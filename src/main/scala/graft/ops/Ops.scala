@@ -201,6 +201,7 @@ object Ops {
       case (f, "sum")     => Seq(sum(col(f)).as(s"__p_${f}_sum"))
       case (f, "min")     => Seq(min(col(f)).as(s"__p_${f}_min"))
       case (f, "max")     => Seq(max(col(f)).as(s"__p_${f}_max"))
+      case (f, "count")   => Seq(count(col(f)).as(s"__p_${f}_count"))
       case (f, "average") => Seq(sum(col(f)).as(s"__p_${f}_asum"),
         count(col(f)).as(s"__p_${f}_cnt")) // avg ignores nulls: non-null count
       case (_, fn) =>
@@ -208,10 +209,13 @@ object Ops {
     } :+ count(lit(1)).as("__p_n")
     val stage1 = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head, partials.tail: _*)
-    val finals = measures.map {
+    // distinct like the partials: a duplicated (field, fn) entry must not
+    // emit two identically-named output columns
+    val finals = measures.distinct.map {
       case (f, "sum")     => sum(col(s"__p_${f}_sum")).as(s"${f}_sum")
       case (f, "min")     => min(col(s"__p_${f}_min")).as(s"${f}_min")
       case (f, "max")     => max(col(s"__p_${f}_max")).as(s"${f}_max")
+      case (f, "count")   => sum(col(s"__p_${f}_count")).as(s"${f}_count")
       case (f, "average") =>
         (sum(col(s"__p_${f}_asum")) / sum(col(s"__p_${f}_cnt")))
           .as(s"${f}_average")
@@ -355,19 +359,43 @@ object Ops {
     df.rollup(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact, order-insensitive sum of a fixed-point-decimal double column:
+    * scale to integers (exact round), sum as long (exact), divide back
+    * (IEEE-deterministic). The pattern that makes double sums
+    * hash-matchable across engines regardless of summation order; oracle
+    * mirror is `CAST(SUM(CAST(round(x*s,0) AS BIGINT)) AS BIGINT)/s`. */
+  def scaledSum(c: Column, scale: Double): Column =
+    sum(round(c * scale, 0).cast("long")) / scale
+
   /** CUBE aggregation — every key-subset total, not just prefixes
     * (ROLLUP ⊂ CUBE). Same Expand + single-shuffle plan shape as
-    * [[aggregateRollup]] with 2^keys levels; keep the key list short. */
+    * [[aggregateRollup]] with 2^keys levels; keep the key list short.
+    *
+    * min/max/count are order-insensitive as-is. sum/average over double
+    * measures are made exact and order-insensitive via [[scaledSum]] when
+    * `scales` carries the field's fixed-point scale (1e2 for cents);
+    * without a scale entry a plain sum/avg is used — exact only for
+    * integral values, fine for engine-internal use but supply a scale
+    * whenever results must hash-match another engine. */
   def aggregateCube(
       keys: Seq[String],
       measures: Seq[(String, String)],
       includeCount: Boolean = true,
-      countField: String = "record_count")(df: DataFrame): DataFrame = {
+      countField: String = "record_count",
+      scales: Map[String, Double] = Map.empty)(df: DataFrame): DataFrame = {
     val aggs = measures.map {
       case (f, "min") => min(col(f)).as(s"${f}_min")
       case (f, "max") => max(col(f)).as(s"${f}_max")
+      case (f, "count") => count(col(f)).as(s"${f}_count")
+      case (f, "sum") => scales.get(f)
+        .map(s => scaledSum(col(f), s)).getOrElse(sum(col(f)))
+        .as(s"${f}_sum")
+      case (f, "average") => scales.get(f)
+        // avg ignores nulls -> divide the exact sum by the non-null count
+        .map(s => (scaledSum(col(f), s) / count(col(f))))
+        .getOrElse(avg(col(f))).as(s"${f}_average")
       case (f, fn) => throw new IllegalArgumentException(
-        s"cube supports order-insensitive exact measures (min/max), got $f/$fn")
+        s"cube supports min/max/count/sum/average, got $f/$fn")
     } ++ (if (includeCount) Seq(count(lit(1)).as(countField)) else Nil) :+
       grouping_id().as("grouping_id")
     df.cube(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)

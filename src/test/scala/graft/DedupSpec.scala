@@ -49,6 +49,53 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L))) // identical vectors share every bucket
   }
 
+  test("degenerate buckets are capped: pair counts stay bounded") {
+    // 100 identical empty-ish docs land in ONE simhash bucket and ONE
+    // embedding LSH bucket; uncapped that is 4950 pairs on one reducer —
+    // the cap drops the bucket entirely (documented recall trade)
+    val giant = (1L to 100L).map(i => (i, "a a a a a a")).toDF("doc_id", "text")
+    val sim = Dedup.simhashNearDuplicates("doc_id", "text",
+      maxHamming = 60, prefixBits = 12, maxBucket = 64)(giant)
+    assert(sim.count() === 0)
+    // under the cap the same corpus yields all pairs
+    val small = (1L to 10L).map(i => (i, "a a a a a a")).toDF("doc_id", "text")
+    val simSmall = Dedup.simhashNearDuplicates("doc_id", "text",
+      maxHamming = 60, prefixBits = 12, maxBucket = 64)(small)
+    assert(simSmall.count() === 45)
+
+    val giantVecs = (1L to 100L).map(i => (i, Array.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val emb = Dedup.embeddingNearDuplicates("vec_id", "embedding", 0.0,
+      planes = 6, dim = 64, maxBucket = 64)(giantVecs)
+    assert(emb.count() === 0)
+    val smallVecs = (1L to 10L).map(i => (i, Array.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val embSmall = Dedup.embeddingNearDuplicates("vec_id", "embedding", 0.0,
+      planes = 6, dim = 64, maxBucket = 64)(smallVecs)
+    assert(embSmall.count() === 45)
+  }
+
+  test("multi-table LSH recall >= single-table, still subset of brute force") {
+    // vectors drawn to straddle hyperplane cuts: near pairs that one
+    // plane set splits get an independent chance in the second table
+    val rnd = new scala.util.Random(7)
+    val base = Array.tabulate(64)(_ => rnd.nextFloat() * 2 - 1)
+    val vecs = (1L to 40L).map { i =>
+      val eps = Array.tabulate(64)(_ => (rnd.nextFloat() * 2 - 1) * 0.35f)
+      (i, base.indices.map(d => base(d) + eps(d)).toArray)
+    }.toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDuplicatesBrute("vec_id", "embedding", 0.9)(vecs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def lsh(tables: Int) = Dedup.embeddingNearDuplicates("vec_id", "embedding",
+      0.9, planes = 6, dim = 64, tables = tables)(vecs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = lsh(1)
+    val multi = lsh(2)
+    assert(single.subsetOf(brute) && multi.subsetOf(brute))
+    assert(single.subsetOf(multi)) // extra tables only ADD candidates
+    assert(brute.nonEmpty && multi.size >= single.size)
+  }
+
   test("connectedComponents labels every node with its component minimum") {
     val pairs = Seq((2L, 5L), (5L, 9L), (3L, 7L)).toDF("id_a", "id_b")
     val nodes = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("id")
@@ -58,6 +105,19 @@ class DedupSpec extends SparkSpec {
     // singleton 1 -> itself
     assert(labels === Map(1L -> 1L, 2L -> 2L, 5L -> 2L, 9L -> 2L,
       3L -> 3L, 7L -> 3L))
+  }
+
+  test("connectedComponents reliable-checkpoint mode matches local mode") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    val pairs = Seq((2L, 5L), (5L, 9L), (3L, 7L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("id")
+    val labels = Dedup.connectedComponents(pairs, nodes,
+      checkpointDir = Some(tmp.toString)).as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 2L, 5L -> 2L, 9L -> 2L,
+      3L -> 3L, 7L -> 3L))
+    // reliable mode actually wrote checkpoint data to the DFS path
+    val wrote = java.nio.file.Files.walk(tmp).filter(_.toFile.isFile).count()
+    assert(wrote > 0)
   }
 
   test("clusterDedup keeps exactly one doc per near-dup cluster") {
