@@ -42,6 +42,7 @@ object BinaryOps {
     * Expression if ever needed; fixed-size chunks keep the oracle
     * expressible and the plan identical.) */
   def chunkFingerprints(blob: Column, chunkBytes: Int): Column = {
+    require(chunkBytes > 0, s"chunkBytes must be positive, got $chunkBytes")
     val nChunks = ceil(octet_length(blob).cast("double") / chunkBytes).cast("int")
     // explicit null guard: greatest(NULL, 1) is 1 (greatest skips nulls),
     // which would turn a NULL blob into a spurious [null] fingerprint
@@ -49,6 +50,20 @@ object BinaryOps {
       .otherwise(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
         i => md5(substring(blob, i * chunkBytes + 1, lit(chunkBytes)))))
   }
+
+  /** Content-defined chunk fingerprints — the rolling-hash variant of
+    * [[chunkFingerprints]]: boundaries follow content, so an insert or
+    * delete re-chunks only the edit's neighborhood and every other
+    * chunk's fingerprint survives for delta dedup. Emits
+    * `array<struct<offset,length,fp>>`; native codegen kernel
+    * ([[graft.functions.CdcChunkFingerprints]]), oracle-exempt (the
+    * rolling state machine is not SQL-expressible) — boundary-shift
+    * invariance is spec-asserted. Expected chunk ≈ minBytes + 2^avgBits. */
+  def contentChunkFingerprints(
+      blob: Column, minBytes: Int = 2048, avgBits: Int = 12,
+      maxBytes: Int = 65536): Column =
+    graft.functions.GraftFunctions.cdcChunkFingerprints(
+      blob, minBytes, avgBits, maxBytes)
 
   /** Byte-exact dedup: keep one row per distinct blob content,
     * deterministic min-tie-break — one hash-agg shuffle keyed on the

@@ -95,54 +95,85 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
-    * path next to [[lshTopK]]: partition the corpus into coarse cells
-    * around centroids, then search only the `nprobe` cells closest to
-    * each query.
-    *
-    *  - **Centroids**: the rows with `id < nCentroids` — a deterministic,
-    *    oracle-reproducible stand-in for a k-means training job (swap in
-    *    MLlib KMeans centers in production; every downstream stage is
-    *    unchanged). Centroids are broadcast — they are tiny by
-    *    construction.
-    *  - **Assignment + probe** (the index build): one pass over the
-    *    corpus against the broadcast centroids ranks each vector's
-    *    centroids by cosine (deterministic tie-break); rank 1 is the
-    *    cell assignment and ranks ≤ nprobe the probed cells. One window
-    *    over one shuffle carrying nCentroids scored rows per vector.
-    *  - **Rerank**: probe joins cell-to-cell against the assignment —
-    *    an equi-join on the cell id, never all-pairs — and exact cosine
-    *    re-ranks within candidates.
-    *
-    * Cost at scale: corpus-linear index build, then per-query work
-    * bounded by the population of `nprobe` cells. Recall is tunable via
-    * nCentroids/nprobe exactly like any IVF index. */
-  def ivfTopK(
+  /** A built IVF index: the persisted per-vector centroid ranking that
+    * assignment and probe both consume. Hold the handle to control the
+    * cache — [[unpersist]] releases the blocks when the index is no
+    * longer queried (a long-lived session that rebuilds indexes without
+    * releasing them accumulates cached blocks until eviction pressure). */
+  final case class IvfIndex private[ext] (ranked: DataFrame, nprobe: Int) {
+    def unpersist(blocking: Boolean = false): Unit = {
+      ranked.unpersist(blocking); ()
+    }
+  }
+
+  /** Deterministic centroid stand-in: the corpus rows with
+    * `id < nCentroids`. Oracle-reproducible (no training job), which is
+    * why the verified query surface uses it; production swaps in
+    * [[kmeansCentroids]] with every downstream stage unchanged. */
+  def standinCentroids(
       corpus: DataFrame, corpusId: String, corpusVec: String,
-      k: Int, nCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+      nCentroids: Int): DataFrame =
+    corpus.filter(col(corpusId) < nCentroids)
+      .select(col(corpusId).cast("long").as("cid"), col(corpusVec).as("center"))
+
+  /** Trained centroids via MLlib k-means (fixed seed): the production
+    * centroid source for [[ivfTopK]]. The fit is one distributed job over
+    * the corpus (`array_to_vector` keeps the conversion in codegen); the
+    * k centers come back to the driver — k·dim floats, tiny — and ship
+    * as a broadcastable two-column frame matching [[standinCentroids]]'s
+    * shape. Not oracle-expressible (iterative training), so the verified
+    * query keeps the stand-in; recall vs brute force is spec-asserted. */
+  def kmeansCentroids(
+      corpus: DataFrame, vecField: String, k: Int,
+      maxIter: Int = 20, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(array_to_vector(col(vecField)).as("features"))
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features").fit(feats)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toDF("cid", "center")
+  }
+
+  /** Build an IVF index: one pass over the corpus against the broadcast
+    * centroids ranks each vector's centroids by cosine (deterministic
+    * tie-break) — rank 1 is the cell assignment and ranks ≤ nprobe the
+    * probed cells, so a single window over one shuffle serves both
+    * roles. The ranking persists (MEMORY_AND_DISK): a real IVF index is
+    * built once, not recomputed per consumer. persist, not
+    * localCheckpoint — lazy, and lineage stays intact so lost executors
+    * recompute their blocks instead of failing the query.
+    *
+    * `centroids` is any (cid, center) frame: [[standinCentroids]] or
+    * [[kmeansCentroids]]. Release the cache via [[IvfIndex.unpersist]]. */
+  def ivfBuild(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      centroids: DataFrame, nprobe: Int): IvfIndex = {
     import org.apache.spark.sql.expressions.Window
     val base = corpus.select(col(corpusId).as("__id"), col(corpusVec).as("__v"))
-    val centroids = broadcast(base.filter(col("__id") < nCentroids)
-      .select(col("__id").as("__cid"), col("__v").as("__cv")))
-    // one ranking of centroids per vector serves BOTH roles: rank 1 is
-    // the cell assignment (argmax cosine, smallest cid on ties), ranks
-    // <= nprobe are the probed cells — a single window over one shuffled
-    // pass instead of a separate max_by aggregation branch
-    // cache the index: assignment and probe both consume the ranking,
-    // and without caching each would re-scan the full corpus and
-    // re-rank — a real IVF index is built once, not recomputed per
-    // consumer. persist (not localCheckpoint): lazy, and lineage stays
-    // intact so lost executors recompute their blocks instead of
-    // failing the query.
-    val ranked = base.crossJoin(centroids)
+    val cents = broadcast(centroids.select(
+      col(centroids.columns(0)).as("__cid"),
+      col(centroids.columns(1)).as("__cv")))
+    val ranked = base.crossJoin(cents)
       .withColumn("__cs", cosine(col("__v"), col("__cv")))
       .withColumn("__pr", row_number().over(
         Window.partitionBy("__id").orderBy(col("__cs").desc, col("__cid").asc)))
       .filter(col("__pr") <= math.max(nprobe, 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assign = ranked.filter(col("__pr") === 1)
+    IvfIndex(ranked, nprobe)
+  }
+
+  /** Query an IVF index: probe joins cell-to-cell against the assignment
+    * — an equi-join on the cell id, never all-pairs — and exact cosine
+    * re-ranks within candidates. */
+  def ivfQuery(index: IvfIndex, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assign = index.ranked.filter(col("__pr") === 1)
       .select(col("__cid"), col("__id"), col("__v"))
-    val probe = ranked.filter(col("__pr") <= nprobe)
+    val probe = index.ranked.filter(col("__pr") <= index.nprobe)
       .select(col("__id").as("query_id"), col("__v").as("__qv"), col("__cid"))
     probe.join(assign, "__cid")
       .filter(col("query_id") =!= col("__id"))
@@ -152,6 +183,28 @@ object Similarity {
           .orderBy(col("cosine").desc, col("__id").asc)))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("__id").as("item_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path next to [[lshTopK]]: partition the corpus into coarse cells
+    * around centroids ([[ivfBuild]]), then search only the `nprobe` cells
+    * closest to each query ([[ivfQuery]]).
+    *
+    * Cost at scale: corpus-linear index build, then per-query work
+    * bounded by the population of `nprobe` cells. Recall is tunable via
+    * nCentroids/nprobe exactly like any IVF index.
+    *
+    * Convenience one-shot: the index it builds stays persisted for the
+    * session (the result is lazy, so it cannot be released here). Callers
+    * managing a long-lived session should use [[ivfBuild]]/[[ivfQuery]]
+    * directly and [[IvfIndex.unpersist]] after the last query. */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, nCentroids: Int = 8, nprobe: Int = 2,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      standinCentroids(corpus, corpusId, corpusVec, nCentroids))
+    ivfQuery(ivfBuild(corpus, corpusId, corpusVec, cents, nprobe), k)
   }
 
   /** Approximate top-k: candidates share a sign-LSH bucket, then exact

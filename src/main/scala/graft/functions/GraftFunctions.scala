@@ -50,6 +50,13 @@ object GraftFunctions {
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w))
 
+  /** Native content-defined chunk fingerprints over a blob (see
+    * [[CdcChunkFingerprints]]). */
+  def cdcChunkFingerprints(
+      blob: Column, minBytes: Int, avgBits: Int, maxBytes: Int): Column =
+    Bridge.column(CdcChunkFingerprints(
+      Bridge.expression(blob), minBytes, avgBits, maxBytes))
+
   /** Evaluate `c` ONCE per row and hand it to `f` as a bound lambda
     * variable (via a one-element array + transform + element_at).
     *

@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.commons.codec.digest.DigestUtils
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native kernels for graft's md5-based sketching primitives.
@@ -42,18 +43,23 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     var s = 0
     val n = shingles.numElements()
     while (s < n) {
-      val t = shingles.getUTF8String(s).toString
-      var d = 0
-      while (d < nDigests) {
-        val hex = DigestUtils.md5Hex((d.toString + "|" + t).getBytes("UTF-8"))
-        var w = 0
-        while (w < 4 && d * 4 + w < numHashes) {
-          val v = java.lang.Long.parseLong(hex.substring(w * 8, w * 8 + 8), 16)
-          val slot = d * 4 + w
-          if (v < sig(slot)) sig(slot) = v
-          w += 1
+      // null elements contribute nothing, like the HOF form (md5(null) is
+      // null and least() ignores it) — internal callers never produce
+      // them, but the function surface accepts arbitrary array<string>
+      if (!shingles.isNullAt(s)) {
+        val t = shingles.getUTF8String(s).toString
+        var d = 0
+        while (d < nDigests) {
+          val hex = DigestUtils.md5Hex((d.toString + "|" + t).getBytes("UTF-8"))
+          var w = 0
+          while (w < 4 && d * 4 + w < numHashes) {
+            val v = java.lang.Long.parseLong(hex.substring(w * 8, w * 8 + 8), 16)
+            val slot = d * 4 + w
+            if (v < sig(slot)) sig(slot) = v
+            w += 1
+          }
+          d += 1
         }
-        d += 1
       }
       s += 1
     }
@@ -88,12 +94,15 @@ case class SimHash60(child: Expression)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val hex = DigestUtils.md5Hex(tokens.getUTF8String(i).getBytes)
-      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      var b = 0
-      while (b < 60) {
-        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      // null tokens cast no vote, matching the HOF form's null-skip
+      if (!tokens.isNullAt(i)) {
+        val hex = DigestUtils.md5Hex(tokens.getUTF8String(i).getBytes)
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        var b = 0
+        while (b < 60) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -159,6 +168,89 @@ case class ArrayJaccard(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayJaccard =
     copy(left = newLeft, right = newRight)
+}
+
+/** Content-defined chunking (FastCDC-style gear hash) over a blob:
+  * slices the byte stream at positions where a rolling gear hash hits a
+  * boundary pattern, so chunk boundaries are a function of CONTENT, not
+  * offset — inserting or deleting bytes re-chunks only the neighborhood
+  * of the edit, and every downstream chunk fingerprint survives (the
+  * delta-dedup property fixed-size [[graft.ext.BinaryOps.chunkFingerprints]]
+  * cannot give: there one inserted byte shifts every later boundary).
+  *
+  * Per chunk: `(offset, length, fp)` with fp = md5 hex of the chunk
+  * bytes — offsets make the output usable as a real chunk index, and the
+  * md5 matches the fixed-size form's fingerprints.
+  *
+  * Rolling hash: `h = h << 1 + gear(byte)` with a deterministic gear
+  * table (md5 of the byte value — the repo's single hash primitive); a
+  * boundary fires when the top `avgBits` bits of `h` are all zero (mask
+  * test) and the chunk has reached `minBytes`; `maxBytes` force-cuts
+  * pathological content (e.g. all-zero bytes never matching the mask).
+  * Expected chunk size ≈ minBytes + 2^avgBits. Oracle-exempt: the
+  * rolling state machine is not SQL-expressible; boundary-shift
+  * invariance and slice integrity are spec-asserted instead. */
+case class CdcChunkFingerprints(
+    child: Expression, minBytes: Int, avgBits: Int, maxBytes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(minBytes > 0 && maxBytes >= minBytes && avgBits > 0 && avgBits < 32,
+    s"invalid CDC parameters: min=$minBytes avgBits=$avgBits max=$maxBytes")
+
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("offset", IntegerType, nullable = false),
+    StructField("length", IntegerType, nullable = false),
+    StructField("fp", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  // mask over the TOP bits (FastCDC observation: high bits mix better
+  // under the shift-accumulate recurrence than low bits)
+  private val mask: Long = ((1L << avgBits) - 1) << (64 - avgBits)
+
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var start = 0
+    var i = 0
+    var h = 0L
+    while (i < bytes.length) {
+      h = (h << 1) + CdcChunkFingerprints.Gear(bytes(i) & 0xff)
+      i += 1
+      val len = i - start
+      if ((len >= minBytes && (h & mask) == 0L) || len >= maxBytes) {
+        out += chunkRow(bytes, start, len)
+        start = i
+        h = 0L
+      }
+    }
+    if (start < bytes.length || bytes.length == 0)
+      out += chunkRow(bytes, start, bytes.length - start)
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  private def chunkRow(bytes: Array[Byte], start: Int, len: Int): InternalRow =
+    InternalRow(start, len, UTF8String.fromString(
+      DigestUtils.md5Hex(java.util.Arrays.copyOfRange(bytes, start, start + len))))
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cdcKernel", this, classOf[CdcChunkFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkFingerprints =
+    copy(child = newChild)
+}
+
+object CdcChunkFingerprints {
+  /** Deterministic gear table: 64-bit value of the first 16 hex chars of
+    * md5 of the byte value — fixed across JVMs and sessions, so chunk
+    * boundaries are engine-reproducible. */
+  private val Gear: Array[Long] = Array.tabulate(256) { b =>
+    java.lang.Long.parseUnsignedLong(
+      DigestUtils.md5Hex(b.toString).substring(0, 16), 16)
+  }
 }
 
 /** Winnowing fingerprints over a string: 32-bit hashes of the k-char

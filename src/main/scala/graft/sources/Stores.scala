@@ -215,12 +215,23 @@ final case class JdbcStore(
     rows.write.mode(SaveMode.Append).jdbc(url, name, properties)
   /** SQL TRUNCATE on the database — the trait default (overwrite with an
     * empty frame) would DROP and recreate the table, losing indexes,
-    * constraints and DBA-defined column types. */
+    * constraints and DBA-defined column types. The object name is quoted
+    * through Spark's dialect layer (it may come from untrusted config)
+    * and the statement comes from the dialect's own truncate form;
+    * dialects whose backend lacks TRUNCATE fall back to DELETE FROM,
+    * which also keeps the table object intact. */
   override def truncate(name: String): Unit = {
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    val quoted = name.split('.').map(dialect.quoteIdentifier).mkString(".")
     val conn = java.sql.DriverManager.getConnection(url, properties)
     try {
       val st = conn.createStatement()
-      try st.executeUpdate(s"TRUNCATE TABLE $name") finally st.close()
+      try st.executeUpdate(dialect.getTruncateQuery(quoted))
+      catch {
+        case _: java.sql.SQLException =>
+          val del = conn.createStatement()
+          try del.executeUpdate(s"DELETE FROM $quoted") finally del.close()
+      } finally st.close()
     } finally conn.close()
   }
 }

@@ -37,6 +37,54 @@ class BinaryOpsSpec extends SparkSpec {
     assert(fps === expected)
   }
 
+  test("contentChunkFingerprints slices are contiguous, bounded, and byte-exact") {
+    val rnd = new scala.util.Random(3)
+    val blob = Array.fill[Byte](20000)((rnd.nextInt(256) - 128).toByte)
+    val rows = Seq(Tuple1(blob)).toDF("b")
+      .select(explode(BinaryOps.contentChunkFingerprints(
+        $"b", minBytes = 64, avgBits = 8, maxBytes = 1024)).as("c"))
+      .select("c.offset", "c.length", "c.fp")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    // contiguous cover of the whole blob
+    assert(rows.head._1 === 0)
+    assert(rows.sliding(2).forall { case Array(a, b) => a._1 + a._2 === b._1 })
+    assert(rows.last._1 + rows.last._2 === blob.length)
+    // every chunk but the last respects [min, max]
+    assert(rows.init.forall(c => c._2 >= 64 && c._2 <= 1024))
+    assert(rows.last._2 <= 1024)
+    // fingerprints are md5 of the exact slice
+    rows.take(3).foreach { case (off, len, fp) =>
+      val exp = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.util.Arrays.copyOfRange(blob, off, off + len))
+        .map("%02x".format(_)).mkString
+      assert(fp === exp)
+    }
+  }
+
+  test("contentChunkFingerprints boundaries survive a prefix insert (CDC property)") {
+    val rnd = new scala.util.Random(9)
+    val base = Array.fill[Byte](30000)((rnd.nextInt(256) - 128).toByte)
+    val shifted = Array.fill[Byte](7)((rnd.nextInt(256) - 128).toByte) ++ base
+    def fps(b: Array[Byte]): Set[String] =
+      Seq(Tuple1(b)).toDF("b")
+        .select(explode(BinaryOps.contentChunkFingerprints(
+          $"b", minBytes = 64, avgBits = 8, maxBytes = 1024)).as("c"))
+        .select("c.fp").as[String].collect().toSet
+    val a = fps(base); val b = fps(shifted)
+    // content-defined boundaries realign right after the edit: nearly
+    // every chunk fingerprint survives the 7-byte prefix insert (a
+    // fixed-size chunker would lose all of them)
+    val survived = (a intersect b).size.toDouble / a.size
+    assert(survived > 0.9, s"only ${(survived * 100).round}% of chunks survived")
+    // degenerate content (never matches the mask) still terminates via
+    // the max-size force cut
+    val zeros = Seq(Tuple1(Array.fill[Byte](5000)(0))).toDF("b")
+      .select(size(BinaryOps.contentChunkFingerprints(
+        $"b", minBytes = 64, avgBits = 8, maxBytes = 1024)).as("n"))
+      .as[Int].head()
+    assert(zeros === 5)
+  }
+
   test("dedupByBytes keeps one row per distinct content, min tie-break") {
     val df = Seq((3L, "same"), (1L, "same"), (2L, "other"))
       .toDF("id", "t").select($"id", BinaryOps.toBlob($"t").as("blob"))

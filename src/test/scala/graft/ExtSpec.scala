@@ -39,6 +39,42 @@ class ExtSpec extends SparkSpec {
     assert(out.filter($"query_id" === 2L).count() === 5)
   }
 
+  test("kmeans-trained centroids drive IVF to near-exact top-1 recall") {
+    // three well-separated clusters; k-means should recover them, and
+    // with nprobe=1 each query's true nearest neighbor then lives in its
+    // own cell — recall vs brute force close to 1 (the trained-centroid
+    // path the stand-in advertises; oracle keeps the stand-in)
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(
+      Array.tabulate(16)(d => if (d < 5) 1.0f else 0.0f),
+      Array.tabulate(16)(d => if (d >= 5 && d < 10) 1.0f else 0.0f),
+      Array.tabulate(16)(d => if (d >= 10) 1.0f else 0.0f))
+    val points = (0 until 30).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansCentroids(points, "embedding", k = 3)
+    assert(trained.count() === 3)
+    val ivf = Similarity.ivfTopK(points, "vec_id", "embedding",
+      k = 1, nprobe = 1, centroids = Some(trained))
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    val brute = Similarity.bruteForceTopK(points, "vec_id", "embedding",
+      points, "vec_id", "embedding", k = 1)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    val hits = brute.count { case (q, nn) => ivf.get(q).contains(nn) }
+    assert(hits >= 27, s"IVF top-1 recall too low: $hits/30")
+  }
+
+  test("ivfBuild exposes the persisted index for explicit release") {
+    import org.apache.spark.storage.StorageLevel
+    val idx = Similarity.ivfBuild(vecs, "vec_id", "embedding",
+      Similarity.standinCentroids(vecs, "vec_id", "embedding", 2), nprobe = 1)
+    assert(Similarity.ivfQuery(idx, k = 2).count() > 0)
+    assert(idx.ranked.storageLevel != StorageLevel.NONE)
+    idx.unpersist(blocking = true)
+    assert(idx.ranked.storageLevel == StorageLevel.NONE)
+  }
+
   test("winnowFingerprints guarantees a shared fingerprint for long shared substrings") {
     val shared = "the quick brown fox jumps over the lazy dog"
     val df = Seq(

@@ -68,6 +68,24 @@ class HashExpressionsSpec extends SparkSpec {
     assert(rows(2).getDouble(0) === 0.0)
   }
 
+  test("kernels skip null array elements instead of failing") {
+    // the public function surface accepts arbitrary array<string>; null
+    // elements must contribute nothing, exactly like the HOF forms
+    import graft.functions.GraftFunctions
+    val df = Seq(1).toDF("i").select(
+      array(lit("alpha"), lit(null).cast("string"), lit("beta")).as("withNull"),
+      array(lit("alpha"), lit("beta")).as("clean"))
+    val r = df.select(
+      GraftFunctions.minhashSignature($"withNull", 8).as("mn"),
+      GraftFunctions.minhashSignature($"clean", 8).as("mc"),
+      GraftFunctions.simhash60($"withNull").as("sn"),
+      GraftFunctions.simhash60($"clean").as("sc"),
+      GraftFunctions.arrayJaccard($"withNull", $"clean").as("j")).head()
+    assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    assert(r.getLong(2) === r.getLong(3))
+    assert(!r.isNullAt(4))
+  }
+
   test("shingle-free doc yields the sentinel signature") {
     val sig = Seq("a b").toDF("text") // 2 tokens < shingleSize 3
       .select(Dedup.minhashSignature($"text", 8, 3)).head().getSeq[Long](0)

@@ -129,6 +129,22 @@ class StoresSpec extends SparkSpec {
     assert(store.getObject("T1").count() == 3)
   }
 
+  test("jdbc reads push filters and column pruning into the database") {
+    val store = JdbcStore(spark, "jdbc:derby:memory:graftpd;create=true")
+    store.create("T2", Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "v"), replace = true)
+    val q = store.getObject("T2").filter($"id" > 1).select("name")
+    // the filter must ship to the database as SQL, not run Spark-side...
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters:") && scan.contains("GreaterThan(id,1"),
+      s"filter not pushed to JDBC source:\n$scan")
+    // ...and the generated SELECT must prune to the referenced columns
+    // (id rides along for the pushed predicate; v must not be fetched)
+    assert(scan.contains("ReadSchema:") && !scan.contains("v#"),
+      s"column pruning missing from JDBC scan:\n$scan")
+    assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
+  }
+
   test("data package store maps table schema to typed csv reads") {
     val dir = Files.createTempDirectory("graft-dp")
     Files.writeString(dir.resolve("sales.csv"),
