@@ -328,6 +328,19 @@ object ExtQueries {
           .select(col("doc_id"), BinaryOps.toBlob(col("text")).as("blob")))
         .select(col("doc_id"), BinaryOps.blobSize(col("blob")).as("byte_count"))
         .orderBy("doc_id")
+    },
+    "binary_cdc_chunks" -> { (s, dir) =>
+      // content-defined chunking: oracle-exempt (rolling-hash state
+      // machine is not SQL-expressible; rows-only check) — slice
+      // integrity and boundary-shift invariance are spec-asserted in
+      // BinaryOpsSpec
+      corpus(s, dir, "documents")
+        .select(col("doc_id"), explode(BinaryOps.contentChunkFingerprints(
+          BinaryOps.toBlob(col("text")),
+          minBytes = 16, avgBits = 6, maxBytes = 256)).as("c"))
+        .select(col("doc_id"), col("c.offset").as("chunk_offset"),
+          col("c.length").as("chunk_len"), col("c.fp").as("chunk_md5"))
+        .orderBy("doc_id", "chunk_offset")
     }
   )
 
