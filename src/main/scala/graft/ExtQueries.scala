@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{BinaryOps, Dedup, Similarity, TextOps}
 import graft.ops.{Ops, TemporalOps, WindowOps}
+import graft.probes.Probes
 
 /** Extension-surface queries (SURVEY.md §2.12 / north-star): dedup,
   * similarity search, text analysis, window ops, JSON events. Merged into
@@ -35,6 +36,11 @@ object ExtQueries {
       TextOps.withLangId("text")(corpus(s, dir, "documents"))
         .select("doc_id", "lang", "lang_pred").orderBy("doc_id")
     },
+    "tfidf_top_terms" -> { (s, dir) =>
+      TextOps.tfidfTopTerms("doc_id", "text", k = 3)(
+        corpus(s, dir, "documents"))
+        .orderBy("doc_id", "rank")
+    },
     "quality_score" -> { (s, dir) =>
       TextOps.withQuality("text")(corpus(s, dir, "documents"))
         .select("doc_id", "quality").orderBy("doc_id")
@@ -43,6 +49,17 @@ object ExtQueries {
       Dedup.exact(Seq("fingerprint"), "doc_id")(
         TextOps.withFingerprint("text")(corpus(s, dir, "documents")))
         .select("doc_id", "lang", "fingerprint").orderBy("doc_id")
+    },
+    "incremental_dedup" -> { (s, dir) =>
+      // crawl N+1 against the crawl-N fingerprint index: docs < 250 are
+      // "already ingested" (only their 16-byte fingerprints persist),
+      // docs >= 250 are the new batch
+      val docs = corpus(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") < 250)
+        .select(TextOps.fingerprint(col("text")).as("fingerprint")).distinct()
+      Dedup.incrementalByFingerprint("text", "doc_id", seen)(
+        docs.filter(col("doc_id") >= 250))
+        .select("doc_id", "lang").orderBy("doc_id")
     },
     // ---- dedup ------------------------------------------------------------
     "dedup_exact" -> { (s, dir) =>
@@ -306,6 +323,10 @@ object ExtQueries {
         table(s, dir, "lineitem"))
         .orderBy("l_returnflag")
     },
+    "key_skew" -> { (s, dir) =>
+      // the salting-decision diagnostic: heaviest customer keys in orders
+      Probes.keySkew(Seq("o_custkey"), topN = 20)(table(s, dir, "orders"))
+    },
     // ---- binary / multimodal ----------------------------------------------
     "binary_stats" -> { (s, dir) =>
       val blob = BinaryOps.toBlob(col("text"))
@@ -436,6 +457,27 @@ object ExtQueries {
          CASE WHEN len(string_split(text,' ')) = 0 THEN CAST(0 AS DOUBLE)
               ELSE CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) END AS mean_token_length
          FROM documents ORDER BY doc_id""",
+    // rational idf ((N+1)/(df+1)) on purpose — one integer product + one
+    // IEEE division, exact on both engines, where libm vs JVM ln can
+    // differ in the last ulp (see TextOps.tfidfTopTerms)
+    "tfidf_top_terms" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+           WHERE term <> ''
+           GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf * (n.n + 1) AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE) AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+           FROM scored)
+         SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INTEGER) AS rank
+         FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank""",
     "lang_id" -> s"""
       WITH r AS (SELECT doc_id, lang,
         ${stopRatio("['der','die','das','und','zu','in','ist']")} AS r_de,
@@ -473,6 +515,16 @@ object ExtQueries {
          QUALIFY row_number() OVER (
            PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
            ORDER BY doc_id) = 1
+         ORDER BY doc_id""",
+    "incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id, lang,
+           md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS f
+           FROM documents),
+         fresh AS (
+           SELECT * FROM fp WHERE doc_id >= 250
+             AND f NOT IN (SELECT f FROM fp WHERE doc_id < 250))
+         SELECT doc_id, lang FROM fresh
+         QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
          ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT event_id, user_id, event_type, value FROM events
@@ -816,6 +868,14 @@ object ExtQueries {
          avg(l_quantity) AS l_quantity_average,
          count(*) AS record_count
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "key_skew" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS key_count
+           FROM orders GROUP BY o_custkey),
+         t AS (SELECT count(*) AS total FROM orders)
+         SELECT o_custkey, key_count,
+           CAST(key_count AS DOUBLE) / CAST(total AS DOUBLE) AS share
+         FROM c CROSS JOIN t
+         ORDER BY key_count DESC, o_custkey ASC LIMIT 20""",
     // DuckDB's md5 takes VARCHAR only; the fixture text is pure ASCII
     // (verified: octet_length(encode(text)) == length(text) at every SF),
     // so md5(text) == md5 of the UTF-8 blob and substr-by-chars mirrors

@@ -33,6 +33,30 @@ object Dedup {
       df.withColumn("__fp", TextOps.fingerprint(col(textField))))
       .drop("__fp")
 
+  /** Incremental dedup — the shape every recurring ingest (crawl N+1)
+    * runs: drop batch rows whose content fingerprint already exists in
+    * `seen` (the historical index), then dedup within the batch itself.
+    *
+    * Scale design: the historical state is fingerprints ONLY (16 bytes
+    * per document ever seen — the corpus itself is never re-read), the
+    * membership test is one left_anti equi-join shuffling digests (both
+    * sides uniformly distributed by construction; AQE broadcasts the
+    * index when it fits), and the in-batch pass is [[exact]]'s single
+    * min_by hash-agg. Append the survivors' fingerprints to the index
+    * and the next batch runs against it.
+    *
+    * @param seen one fingerprint column (any name), e.g. a previous
+    *             run's `fingerprint` output or a dedicated index table */
+  def incrementalByFingerprint(
+      textField: String, tieBreak: String, seen: DataFrame)(
+      batch: DataFrame): DataFrame = {
+    val indexed = seen.select(col(seen.columns.head).as("__fp"))
+    val fresh = batch
+      .withColumn("__fp", TextOps.fingerprint(col(textField)))
+      .join(indexed, Seq("__fp"), "left_anti")
+    exact(Seq("__fp"), tieBreak)(fresh).drop("__fp")
+  }
+
   /** MinHash signature over word n-gram shingles, computed in a SINGLE
     * fold over the shingle array: the accumulator is the array of running
     * minima, and each shingle contributes `numHashes` 32-bit hash values

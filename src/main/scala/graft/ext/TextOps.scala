@@ -220,6 +220,42 @@ object TextOps {
           .otherwise(length(t).cast("double") / size(tokens(t))))
   }
 
+  /** Per-document top-k terms by tf·idf over whitespace tokens.
+    *
+    * idf is the RATIONAL form `(N+1)/(df+1)`, not its logarithm: the
+    * score is then one integer product and one IEEE division — exact and
+    * identical across engines — where a libm `ln` (DuckDB) vs JVM
+    * `Math.log` can differ in the last ulp and break hash-match. Rational
+    * idf weights rare terms more aggressively than log-idf; for top-k
+    * ranking that is the standard aggressive-idf trade, documented here.
+    *
+    * Scale shape: explode → one (doc, term) hash-agg for tf → one term
+    * hash-agg for df (both with map-side partials) → equi-join back on
+    * term (term cardinality ≪ token count) → per-doc top-k window. The
+    * corpus size N rides along as a broadcast one-row aggregate, not a
+    * driver-side action, so the whole plan stays lazy. */
+  def tfidfTopTerms(idField: String, textField: String, k: Int)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idField).as("doc_id"),
+        explode(tokens(col(textField))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = df.agg(countDistinct(col(idField)).as("__n"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        (col("tf") * (col("__n") + 1)).cast("double") /
+          (col("df") + 1).cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+  }
+
   def withLangId(textField: String, target: String = "lang_pred")(
       df: DataFrame): DataFrame = df.withColumn(target, langId(col(textField)))
 

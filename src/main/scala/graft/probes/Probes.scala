@@ -103,6 +103,28 @@ object Probes {
   def uniqueViolations(keys: Seq[String])(df: DataFrame): DataFrame =
     countDuplicates(keys)(df)
 
+  /** Key-skew diagnostic: the `topN` heaviest key groups with their row
+    * counts and share of the table — the number you look at before
+    * deciding a join needs salting or AQE skew handling. One hash-agg
+    * shuffle (map-side partials) collapses the table to one row per
+    * distinct key; the share denominator rides along as a broadcast
+    * one-row count (over parquet that is a metadata-only scan — NOT an
+    * empty-partition window over the aggregated keys, which would funnel
+    * every distinct key through one task at scale); top-N plans as
+    * TakeOrderedAndProject. Share is one IEEE division of two exact
+    * longs — hash-matchable across engines. */
+  def keySkew(keys: Seq[String], topN: Int = 20)(df: DataFrame): DataFrame = {
+    val total = df.agg(count(lit(1)).as("__total"))
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("key_count"))
+      .crossJoin(broadcast(total))
+      .withColumn("share",
+        col("key_count").cast("double") / col("__total").cast("double"))
+      .drop("__total")
+      .orderBy(col("key_count").desc +: keys.map(col(_).asc): _*)
+      .limit(topN)
+  }
+
   /** Fail the pipeline when the key is not unique (reference:
     * `ops/rows.py::assert_unique`). Pass-through on success so probes
     * compose inside pipelines. */

@@ -49,6 +49,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L))) // identical vectors share every bucket
   }
 
+  test("incrementalByFingerprint drops seen content then dedups in-batch") {
+    // index holds the fingerprint of doc 1's content; the batch carries
+    // a copy of it (6), an internal dup pair (7,8), and fresh content (9)
+    val seen = docs.filter($"doc_id" === 1L)
+      .select(graft.ext.TextOps.fingerprint($"text").as("fp"))
+    val batch = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog", "en"), // seen
+      (7L, "brand new never seen before text", "en"),
+      (8L, "brand new never seen before text", "en"), // in-batch dup of 7
+      (9L, "another genuinely fresh document", "en")
+    ).toDF("doc_id", "text", "lang")
+    val kept = Dedup.incrementalByFingerprint("text", "doc_id", seen)(batch)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(7L, 9L))
+  }
+
   test("degenerate buckets are capped: pair counts stay bounded") {
     // 100 identical empty-ish docs land in ONE simhash bucket and ONE
     // embedding LSH bucket; uncapped that is 4950 pairs on one reducer —

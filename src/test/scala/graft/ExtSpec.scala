@@ -75,6 +75,23 @@ class ExtSpec extends SparkSpec {
     assert(idx.ranked.storageLevel == StorageLevel.NONE)
   }
 
+  test("tfidfTopTerms surfaces document-distinctive terms over ubiquitous ones") {
+    val docs = Seq(
+      (1L, "spark spark spark common common"),
+      (2L, "duck duck common common common"),
+      (3L, "flink flink common")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms("doc_id", "text", k = 1)(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("tfidf"))).toMap
+    // each doc's top term is its unique word, never "common" (df = 3)
+    assert(out(1L)._1 === "spark" && out(2L)._1 === "duck" && out(3L)._1 === "flink")
+    // rational idf, exact arithmetic: tf * (N+1) / (df+1) = 3 * 4 / 2
+    assert(out(1L)._4 === 6.0)
+    assert(out(1L)._2 === 3L && out(1L)._3 === 1L)
+  }
+
   test("winnowFingerprints guarantees a shared fingerprint for long shared substrings") {
     val shared = "the quick brown fox jumps over the lazy dog"
     val df = Seq(

@@ -55,6 +55,14 @@ class ProbesSpec extends SparkSpec {
     assert(r.getAs[Long]("duplicate_count") == 2L)
   }
 
+  test("keySkew ranks heavy keys with exact shares") {
+    val skewed = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val rows = Probes.keySkew(Seq("k"), topN = 2)(skewed)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq(("hot", 6L, 0.6), ("warm", 3L, 0.3)))
+  }
+
   test("assertUnique passes on unique key, throws on duplicates") {
     val unique = Seq("a", "b").toDF("k")
     assert(Probes.assertUnique(Seq("k"))(unique).count() == 2)
