@@ -365,6 +365,79 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star
+    * contraction — same contract as [[connectedComponents]]
+    * (node → component-minimum label), different round complexity:
+    * O(log n) alternation rounds instead of rounds = component DIAMETER.
+    *
+    * Label propagation is the right default for near-dup clusters (tiny
+    * diameter, one cheap aggregation per round). This is the variant you
+    * switch to when components can be long chains — reference graphs,
+    * link graphs, session stitching — where diameter-many rounds at
+    * cluster scale means hundreds of shuffles. Per round:
+    *  - **large-star**: every node u links its LARGER neighbors to
+    *    m(u) = min(Γ(u) ∪ u) — long chains fold toward local minima;
+    *  - **small-star**: every node u re-links its smaller neighbors and
+    *    itself to its minimum smaller neighbor — stars flatten.
+    * The fixed point is the star forest rooting every node at its
+    * component minimum. Edges stay canonical `(big, small)` so each
+    * round is two aggregate+join passes over |E| rows, keys uniformly
+    * hashed; the change test is one count plus a left_anti probe of the
+    * (already materialized) new edge set. Deterministic: min-based, no
+    * tie-breaks.
+    *
+    * @param pairs `(id_a, id_b)` undirected edges
+    * @param nodes one `id` column; superset of pair endpoints
+    * @param checkpointDir as in [[connectedComponents]] */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      nodes: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = nodes.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("big").as("x"), col("small").as("y"))
+        .unionByName(e.select(col("small").as("x"), col("big").as("y")))
+      val m = nbrs.groupBy("x").agg(min("y").as("__mn"))
+        .select(col("x"), least(col("__mn"), col("x")).as("__m"))
+      nbrs.join(m, "x").filter(col("y") > col("x"))
+        .select(col("y").as("big"), col("__m").as("small")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical edges: node x's strictly-smaller neighbors are exactly
+      // the rows with big = x
+      val m = e.groupBy("big").agg(min("small").as("__m"))
+      e.join(m, "big")
+        .select(col("small").as("node"), col("__m"))
+        .unionByName(m.select(col("big").as("node"), col("__m")))
+        .filter(col("node") =!= col("__m"))
+        .select(col("node").as("big"), col("__m").as("small")).distinct()
+    }
+
+    var edges = materialize(pairs
+      .select(greatest(col("id_a"), col("id_b")).as("big"),
+        least(col("id_a"), col("id_b")).as("small"))
+      .filter(col("big") =!= col("small")).distinct())
+    var converged = edges.isEmpty
+    while (!converged) {
+      val next = materialize(smallStar(largeStar(edges)))
+      // set equality on the materialized rounds: equal cardinality plus
+      // an empty one-way anti-join (both sides are distinct by
+      // construction); limit(1) short-circuits on the first difference
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("big", "small"), "left_anti").limit(1).isEmpty
+      edges = next
+    }
+    nodes.select(col(nodes.columns.head).as("node"))
+      .join(edges.select(col("big").as("node"), col("small").as("__lbl")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__lbl"), col("node")).as("lbl"))
+  }
+
   /** One row per near-dup cluster: [[connectedComponents]] over the
     * LSH near-dup pairs, keeping the minimum-id document per cluster. */
   def clusterDedup(

@@ -123,6 +123,28 @@ class DedupSpec extends SparkSpec {
       3L -> 3L, 7L -> 3L))
   }
 
+  test("connectedComponentsStar handles high-diameter chains and matches label propagation") {
+    // 40-node path: diameter 39 — label propagation would need 39 rounds,
+    // the star alternation collapses it in O(log n)
+    val path = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val pathNodes = (1L to 40L).toDF("id")
+    val starLabels = Dedup.connectedComponentsStar(path, pathNodes)
+      .as[(Long, Long)].collect().toMap
+    assert(starLabels === (1L to 40L).map(_ -> 1L).toMap)
+
+    // random sparse graph: same labels as the label-propagation variant
+    val rnd = new scala.util.Random(5)
+    val pairs = (1 to 60).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val nodes = (0L until 50L).toDF("id")
+    val star = Dedup.connectedComponentsStar(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.connectedComponents(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+  }
+
   test("connectedComponents reliable-checkpoint mode matches local mode") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
     val pairs = Seq((2L, 5L), (5L, 9L), (3L, 7L)).toDF("id_a", "id_b")
