@@ -56,6 +56,26 @@ final case class ParquetStore(spark: SparkSession, dir: String) extends DataStor
       replace: Boolean = false): Unit =
     from.write.mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .partitionBy(partitionCols: _*).parquet(path(name))
+  /** Range-clustered layout: `repartitionByRange` + `sortWithinPartitions`
+    * on the cluster columns before the write, so each output file covers
+    * a disjoint key range and rows are sorted inside it. Parquet then
+    * records tight min/max stats per file and row group, and any range or
+    * point predicate on the cluster key skips everything else at read
+    * time — the data-skipping lever for HIGH-cardinality keys, where
+    * Hive partitioning ([[createPartitioned]]) would explode the file
+    * count. `numFiles` sizes the layout (aim for ~128 MB-1 GB files at
+    * scale); range boundaries come from Spark's reservoir sample of the
+    * key distribution, so skewed keys still yield balanced files. */
+  def createClustered(
+      name: String,
+      from: DataFrame,
+      clusterCols: Seq[String],
+      numFiles: Int,
+      replace: Boolean = false): Unit =
+    from.repartitionByRange(numFiles, clusterCols.map(from.col): _*)
+      .sortWithinPartitions(clusterCols.map(from.col): _*)
+      .write.mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .parquet(path(name))
 }
 
 /** Directory of CSV objects (reference: the CSV source/target backend,

@@ -103,6 +103,32 @@ object Streaming {
       watermarkDelay: String = "1 hour"): DataFrame =
     events.withWatermark(tsField, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming incremental dedup — the streaming half of
+    * [[graft.ext.Dedup.incrementalByFingerprint]]: drop stream rows whose
+    * content fingerprint is already in the historical index (a STATIC
+    * frame: stream-static left_anti joins are stateless, so no watermark
+    * is needed for that step and the index can be arbitrarily large),
+    * then drop in-stream repeats with watermark-bounded state. Every
+    * micro-batch therefore sees exactly the semantics the batch operator
+    * applies per crawl. The index is re-read per micro-batch only as the
+    * join's build side dictates (broadcast when it fits); refreshing it
+    * between batches is a swap of the underlying table, not a query
+    * change. */
+  def streamingIncrementalDedup(
+      stream: DataFrame,
+      textField: String,
+      seen: DataFrame,
+      tsField: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val indexed = seen.select(col(seen.columns.head).as("__fp"))
+    stream
+      .withColumn("__fp", graft.ext.TextOps.fingerprint(col(textField)))
+      .join(indexed, Seq("__fp"), "left_anti")
+      .withWatermark(tsField, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("__fp"))
+      .drop("__fp")
+  }
 }
 
 /** Input row for [[Streaming.runningUserTotals]]. */

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import graft.sources.{DataPackage, JdbcStore, LocalData, MemoryStore, Stores}
 import graft.pipeline.Pipeline
@@ -39,6 +40,31 @@ class StoresSpec extends SparkSpec {
     // pruning), not in the data filters
     assert(scan.contains("PartitionFilters: [isnotnull(status"),
       s"partition filter missing:\n$scan")
+  }
+
+  test("clustered parquet layout yields disjoint sorted key ranges per file") {
+    val dir = Files.createTempDirectory("graft-clu").toString
+    val store = graft.sources.ParquetStore(spark, dir)
+    val df = spark.range(10000).toDF("id")
+      .withColumn("k", (col("id") * 7919) % 10000) // scrambled key order
+      .withColumn("v", col("id") * 2)
+    store.createClustered("facts", df, Seq("k"), numFiles = 4)
+    val files = new java.io.File(s"$dir/facts.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    assert(files.size === 4)
+    // each file covers a disjoint k-range (tight parquet min/max stats ->
+    // row-group skipping for range predicates) and is sorted inside
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f).select("k").as[Long].collect()
+      assert(ks.toSeq === ks.sorted.toSeq, s"file $f not sorted")
+      (ks.min, ks.max)
+    }
+    val sortedRanges = ranges.sortBy(_._1)
+    sortedRanges.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 < b._1, s"overlapping file ranges $a vs $b")
+    }
+    // nothing lost in the re-layout
+    assert(store.getObject("facts").count() === 10000)
   }
 
   test("csv store honors inferFields and header") {

@@ -99,6 +99,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIncrementalDedup drops indexed content and in-stream repeats") {
+    val seen = Seq("already ingested document")
+      .toDF("t").select(graft.ext.TextOps.fingerprint($"t").as("fp"))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = Streaming.streamingIncrementalDedup(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      textField = "text", seen = seen, watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sid")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("10:00"), 1L, "already ingested document"), // in the index
+        (ts("10:01"), 2L, "fresh content one"),
+        (ts("10:02"), 3L, "fresh content one"),         // in-stream repeat
+        (ts("10:03"), 4L, "fresh content two"))
+      q.processAllAvailable()
+      assert(spark.table("sid").select("doc_id").as[Long].collect().sorted
+        .toSeq == Seq(2L, 4L))
+    } finally q.stop()
+  }
+
   test("windowed counts build the identical plan on a batch frame") {
     val batch = Seq(
       ts("10:01") -> "click", ts("10:03") -> "click", ts("10:11") -> "view")
