@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.storage.StorageLevel
+import graft.ext.{Dedup, TextOps}
 import graft.ops.{Ops, TemporalOps}
 import graft.probes.Probes
 
@@ -67,6 +68,18 @@ final case class Pipeline(df: DataFrame) {
       widthSeconds: Long): Pipeline =
     >>(TemporalOps.bandJoin(right, key, leftTime, rightTime, widthSeconds))
   def audit(fields: String*): Pipeline = >>(Probes.audit(fields))
+  def keySkew(keys: Seq[String], topN: Int = 20): Pipeline =
+    >>(Probes.keySkew(keys, topN))
+  def dedupExact(keys: Seq[String], tieBreak: String): Pipeline =
+    >>(Dedup.exact(keys, tieBreak))
+  def dedupByFingerprint(textField: String, tieBreak: String): Pipeline =
+    >>(Dedup.byFingerprint(textField, tieBreak))
+  def dedupIncremental(textField: String, tieBreak: String,
+      seen: DataFrame): Pipeline =
+    >>(Dedup.incrementalByFingerprint(textField, tieBreak, seen))
+  def textStats(textField: String): Pipeline = >>(TextOps.textStats(textField))
+  def tfidfTopTerms(idField: String, textField: String, k: Int): Pipeline =
+    >>(TextOps.tfidfTopTerms(idField, textField, k))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 import graft.sources.{DataPackage, JdbcStore, LocalData, MemoryStore, Stores}
 import graft.pipeline.Pipeline
@@ -219,5 +219,17 @@ class StoresSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("k")).toSeq == Seq("a", "b"))
     assert(rows.head.getAs[Double]("v_sum") == 3.0)
     assert(rows.head.getAs[Long]("record_count") == 2L)
+  }
+
+  test("pipeline facade reaches the extension surface") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other words"))
+      .toDF("doc_id", "text")
+    val deduped = Pipeline(docs).dedupByFingerprint("text", "doc_id")
+      .result.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(deduped == Seq(1L, 3L))
+    val skew = Pipeline(docs.withColumn("k", lit("hot")))
+      .keySkew(Seq("k"), topN = 1).result.head()
+    assert(skew.getAs[Long]("key_count") == 3L &&
+      skew.getAs[Double]("share") == 1.0)
   }
 }
