@@ -1,0 +1,72 @@
+package graft
+
+/** Automated plan hygiene over the ENTIRE query surface: every query in
+  * [[SparkEntry.queries]] is planned against the smallest fixtures and
+  * its physical plan is scanned for the anti-patterns that kill a job at
+  * 100 TB. A regression that sneaks a cartesian product, an accidental
+  * nested-loop join, or a Scala UDF into any query fails here — the
+  * plan-shape guarantees the Scaladoc claims stop being prose and become
+  * assertions.
+  *
+  * Allowed exceptions are explicit and minimal:
+  *  - `BroadcastNestedLoopJoin` only where the build side is a one-row
+  *    aggregate or a bounded query/centroid set (brute-force topk's
+  *    broadcast query side, IVF's centroid ranking, tfidf/key_skew's
+  *    corpus-count scalar) — those are cross joins by construction with
+  *    a provably tiny side.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose plan legitimately contains a broadcast nested-loop
+    * join against a PROVABLY bounded side (one-row count or an
+    * explicitly filtered query/centroid subset). */
+  private val boundedBroadcastCross = Set(
+    "similarity_topk",   // broadcast query set (vec_id < 10)
+    "similarity_ivf",    // broadcast centroid ranking (id < nCentroids)
+    "tfidf_top_terms",   // broadcast one-row corpus count
+    "key_skew")          // broadcast one-row total count
+
+  test("no query plans a cartesian product or an unbounded nested-loop join") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      if (!boundedBroadcastCross(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
+  test("no query plans a Scala UDF except the documented predicate surface") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      // filter_by_predicate IS the reference's UDF surface; its query
+      // exists exactly to pin those semantics
+      if (name != "filter_by_predicate") {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        assert(!plan.contains("UDF("), s"$name plans a Scala UDF:\n$plan")
+      }
+    }
+  }
+
+  test("parquet scans prune columns: no query reads every fixture column blindly") {
+    // The widest fixture is lineitem (16 columns). Any query that touches
+    // lineitem must scan a strict subset unless it explicitly selects all.
+    val wideReaders = SparkEntry.queries.keys.filterNot(Set(
+      "derive_disc_price", "filter_by_predicate", "join_details_large"))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (wideReaders.exists(_ == name)) {
+        val df = fn(spark, dir)
+        val scans = df.queryExecution.executedPlan.collectLeaves()
+          .map(_.toString).filter(_.contains("lineitem"))
+        scans.foreach { s =>
+          val readSchema = "ReadSchema: struct<([^>]*)>".r
+            .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+          val nCols = if (readSchema.isEmpty) 0 else readSchema.split(",").length
+          assert(nCols < 16, s"$name reads all 16 lineitem columns:\n$s")
+        }
+      }
+    }
+  }
+}
