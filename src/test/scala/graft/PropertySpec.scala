@@ -106,4 +106,47 @@ class PropertySpec extends SparkSpec {
       assert(out.filter(col("v_bin").isin("low", "pass", "high")).count() == xs.size)
     }
   }
+
+  private val blobGen: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 8000).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+
+  test("CDC chunks always tile the blob and respect size bounds") {
+    import graft.ext.BinaryOps
+    for (blob <- draws(blobGen, n = 8)) {
+      val rows = Seq(Tuple1(blob)).toDF("b")
+        .select(explode(BinaryOps.contentChunkFingerprints(
+          col("b"), minBytes = 32, avgBits = 7, maxBytes = 512)).as("c"))
+        .select("c.offset", "c.length")
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      // contiguous tiling from 0 to len, even for the empty blob
+      assert(rows.head._1 == 0)
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a._1 + a._2 == b._1)
+        case _ => ()
+      }
+      assert(rows.last._1 + rows.last._2 == blob.length)
+      // every chunk but the last inside [min, max]; last only bounded above
+      rows.init.foreach { case (_, len) => assert(len >= 32 && len <= 512) }
+      assert(rows.last._2 <= 512)
+    }
+  }
+
+  test("CDC fingerprints mostly survive a random middle edit") {
+    import graft.ext.BinaryOps
+    def fps(b: Array[Byte]): Seq[String] =
+      Seq(Tuple1(b)).toDF("b")
+        .select(explode(BinaryOps.contentChunkFingerprints(
+          col("b"), minBytes = 32, avgBits = 6, maxBytes = 512)).as("c"))
+        .select("c.fp").as[String].collect().toSeq
+    for (blob <- draws(blobGen, n = 5) if blob.length > 2000) {
+      val at = blob.length / 2
+      val edited = blob.take(at) ++ Array[Byte](1, 2, 3) ++ blob.drop(at)
+      val (a, b) = (fps(blob), fps(edited))
+      val survived = (a.toSet intersect b.toSet).size.toDouble / a.size
+      // only the edit's neighborhood re-chunks; the tails stay identical
+      assert(survived >= 0.5,
+        s"len=${blob.length}: only ${(survived * 100).round}% survived")
+    }
+  }
 }
