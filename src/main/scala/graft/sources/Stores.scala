@@ -316,6 +316,7 @@ object Stores {
       case "json"    => JsonStore(spark, location)
       case "catalog" | "sql" => CatalogStore(spark)
       case "jdbc"    => JdbcStore(spark, location)
+      case "xlsx"    => XlsxStore(spark, location)
       case "memory"  => new MemoryStore(spark)
       case other => throw new IllegalArgumentException(s"unknown store type: $other")
     }

@@ -171,6 +171,72 @@ class StoresSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
   }
 
+  test("xlsx store round-trips typed data and infers column types") {
+    val dir = Files.createTempDirectory("graft-xlsx").toString
+    val store = graft.sources.XlsxStore(spark, dir)
+    val df = Seq((1L, "alice & <co>", 1.5), (2L, "bob \"quoted\"", 2.0),
+      (3L, "carol", 3.25)).toDF("id", "name", "score")
+    store.create("people", df)
+    assert(store.exists("people") && store.objectNames == Seq("people"))
+    val back = store.getObject("people")
+    assert(back.schema.map(f => f.name -> f.dataType.typeName).toSeq ==
+      Seq("id" -> "long", "name" -> "string", "score" -> "double"))
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "alice & <co>", 1.5), (2L, "bob \"quoted\"", 2.0),
+        (3L, "carol", 3.25)))
+    intercept[Exception](store.create("people", df)) // no replace
+    store.appendInto("people", Seq((4L, "dan", 0.5)).toDF("id", "name", "score"))
+    assert(store.getObject("people").count() == 4)
+    store.truncate("people")
+    assert(store.getObject("people").count() == 0)
+    assert(store.getObject("people").schema.fieldNames.toSeq ==
+      Seq("id", "name", "score"))
+  }
+
+  test("xlsx reader handles shared strings and blank cells") {
+    // hand-built workbook exercising the parts OUR writer never emits:
+    // sharedStrings.xml references and sparse rows with gaps
+    val dir = Files.createTempDirectory("graft-xlsx2")
+    val f = dir.resolve("ext.xlsx").toFile
+    val zip = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+    put("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3"><si><t>city</t></si><si><t>pop</t></si><si><r><t>New </t></r><r><t>York</t></r></si></sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row><row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>8000000</v></c></row><row r="3"><c r="B3"><v>42</v></c></row></sheetData></worksheet>""")
+    zip.close()
+    val back = graft.sources.XlsxStore(spark, dir.toString).getObject("ext")
+    assert(back.schema.map(f => f.name -> f.dataType.typeName).toSeq ==
+      Seq("city" -> "string", "pop" -> "long"))
+    val rows = back.orderBy("pop").collect()
+    // rich-text shared string reassembled; missing A3 cell -> null
+    assert(rows.map(r => Option(r.get(0)) -> r.getLong(1)).toSeq ==
+      Seq(None -> 42L, Some("New York") -> 8000000L))
+  }
+
+  test("xlsx participates in store-to-store copy") {
+    val pq = Stores.open(spark, "parquet",
+      Files.createTempDirectory("graft-c1").toString)
+    val xl = Stores.open(spark, "xlsx",
+      Files.createTempDirectory("graft-c2").toString)
+    pq.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    Stores.copy(pq, "t", xl, "t")
+    assert(xl.getObject("t").orderBy("id").collect().map(_.getString(1)).toSeq
+      == Seq("a", "b"))
+  }
+
   test("data package store maps table schema to typed csv reads") {
     val dir = Files.createTempDirectory("graft-dp")
     Files.writeString(dir.resolve("sales.csv"),
