@@ -19,13 +19,58 @@ import org.apache.spark.sql.graft.Bridge
   */
 object GraftFunctions {
 
-  private val cosineInfo = new ExpressionInfo(
-    classOf[CosineSimilarity].getName, "graft_cosine")
-
-  private val cosineBuilder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2, "graft_cosine expects exactly 2 arguments")
-    CosineSimilarity(children.head, children(1))
+  /** Extract a literal Int argument of a SQL-registered kernel (the
+    * structural parameters — hash counts, gram sizes, chunk bounds —
+    * must be constants: they shape the expression, not the data). */
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
   }
+
+  private def arity(fn: String, children: Seq[Expression], n: Int): Unit =
+    require(children.length == n, s"$fn expects exactly $n arguments")
+
+  /** Every SQL-registrable native kernel: name -> (info, builder).
+    * Structural Int parameters arrive as literals in SQL. */
+  private[functions] val sqlFunctions: Seq[
+      (String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      { children: Seq[Expression] =>
+        arity("graft_cosine", children, 2)
+        CosineSimilarity(children.head, children(1)) }),
+    ("graft_minhash",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      { children: Seq[Expression] =>
+        arity("graft_minhash", children, 2)
+        MinHashSignature(children.head,
+          litInt(children(1), "graft_minhash", "numHashes")) }),
+    ("graft_simhash",
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),
+      { children: Seq[Expression] =>
+        arity("graft_simhash", children, 1)
+        SimHash60(children.head) }),
+    ("graft_jaccard",
+      new ExpressionInfo(classOf[ArrayJaccard].getName, "graft_jaccard"),
+      { children: Seq[Expression] =>
+        arity("graft_jaccard", children, 2)
+        ArrayJaccard(children.head, children(1)) }),
+    ("graft_winnow",
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      { children: Seq[Expression] =>
+        arity("graft_winnow", children, 3)
+        WinnowFingerprints(children.head,
+          litInt(children(1), "graft_winnow", "k"),
+          litInt(children(2), "graft_winnow", "w")) }),
+    ("graft_cdc_chunks",
+      new ExpressionInfo(classOf[CdcChunkFingerprints].getName, "graft_cdc_chunks"),
+      { children: Seq[Expression] =>
+        arity("graft_cdc_chunks", children, 4)
+        CdcChunkFingerprints(children.head,
+          litInt(children(1), "graft_cdc_chunks", "minBytes"),
+          litInt(children(2), "graft_cdc_chunks", "avgBits"),
+          litInt(children(3), "graft_cdc_chunks", "maxBytes")) }))
 
   /** Native codegen cosine similarity over two `array<float>` columns. */
   def cosine(a: Column, b: Column): Column =
@@ -80,19 +125,20 @@ object GraftFunctions {
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
       .cast("long")
 
-  /** Register `graft_cosine` for SQL use in this session (idempotent). */
+  /** Register every native kernel for SQL use in this session
+    * (idempotent): graft_cosine, graft_minhash, graft_simhash,
+    * graft_jaccard, graft_winnow, graft_cdc_chunks. */
   def register(spark: SparkSession): Unit =
-    Bridge.registerFunction(spark, "graft_cosine", cosineInfo, cosineBuilder)
+    sqlFunctions.foreach { case (name, info, builder) =>
+      Bridge.registerFunction(spark, name, info, builder)
+    }
 }
 
 /** `spark.sql.extensions` injector: registers graft's native functions
   * at session build on every node of a cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      { children: Seq[Expression] =>
-        require(children.length == 2, "graft_cosine expects exactly 2 arguments")
-        CosineSimilarity(children.head, children(1))
-      }))
+    GraftFunctions.sqlFunctions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
 }

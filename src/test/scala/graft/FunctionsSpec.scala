@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.ext.Similarity
 import graft.functions.GraftFunctions
@@ -50,6 +51,28 @@ class FunctionsSpec extends SparkSpec {
            CAST(array(1.0, 0.0) AS array<float>),
            CAST(array(1.0, 0.0) AS array<float>)) AS c""").head().getDouble(0)
     assert(r === 1.0)
+  }
+
+  test("every native kernel is callable from SQL after register()") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+           graft_minhash(array('ab', 'bc'), 4) AS mh,
+           graft_simhash(array('ab', 'bc')) AS sh,
+           graft_jaccard(array('a', 'b'), array('b', 'c')) AS j,
+           graft_winnow('abcdefgh', 4, 2) AS w,
+           graft_cdc_chunks(encode('hello world', 'UTF-8'), 2, 3, 8) AS c""")
+      .head()
+    assert(r.getSeq[Long](0).length === 4)
+    assert(r.getLong(1) !== 0L)
+    assert(r.getDouble(2) === 1.0 / 3.0)
+    assert(r.getSeq[Long](3).nonEmpty)
+    // chunks tile the 11-byte blob
+    val chunks = r.getSeq[Row](4)
+    assert(chunks.map(_.getInt(1)).sum === 11)
+    // structural args must be literals
+    intercept[Exception](spark.sql(
+      "SELECT graft_minhash(array('a'), CAST(rand() * 4 AS INT))").collect())
   }
 
   test("native cosine stays inside whole-stage codegen") {
