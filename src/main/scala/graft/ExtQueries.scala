@@ -45,6 +45,13 @@ object ExtQueries {
       TextOps.withQuality("text")(corpus(s, dir, "documents"))
         .select("doc_id", "quality").orderBy("doc_id")
     },
+    "repetition_stats" -> { (s, dir) =>
+      val (dupFrac, topShare) = TextOps.repetitionStats(col("text"))
+      corpus(s, dir, "documents")
+        .select(col("doc_id"), dupFrac.as("dup_token_fraction"),
+          topShare.as("top_bigram_share"))
+        .orderBy("doc_id")
+    },
     "fingerprint_dedup" -> { (s, dir) =>
       Dedup.exact(Seq("fingerprint"), "doc_id")(
         TextOps.withFingerprint("text")(corpus(s, dir, "documents")))
@@ -278,6 +285,17 @@ object ExtQueries {
         .orderBy(col("grouping_id"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     },
+    "grouping_sets_agg" -> { (s, dir) =>
+      // by-status and by-priority in ONE pass — the level list ROLLUP and
+      // CUBE cannot express (no (status, priority) level, no total)
+      Ops.aggregateGroupingSets(
+        Seq(Seq("o_orderstatus"), Seq("o_orderpriority")),
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq("o_totalprice" -> "sum", "o_totalprice" -> "max"),
+        scales = Map("o_totalprice" -> 1e2))(table(s, dir, "orders"))
+        .orderBy(col("grouping_id"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
     "cube_money" -> { (s, dir) =>
       // sum/average across every cube level via integer-scaled exact
       // sums (Ops.scaledSum) — order-insensitive, so all 2^k grouping
@@ -457,6 +475,24 @@ object ExtQueries {
          CASE WHEN len(string_split(text,' ')) = 0 THEN CAST(0 AS DOUBLE)
               ELSE CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) END AS mean_token_length
          FROM documents ORDER BY doc_id""",
+    // both signals are one integer count over another — exact on both
+    // engines; bigram list built positionally exactly like the Spark
+    // transform-with-index form
+    "repetition_stats" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      b AS (SELECT doc_id, toks,
+        list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+          i -> array_to_string(toks[i:i+1], ' ')) AS bgs
+        FROM t)
+      SELECT doc_id,
+        CASE WHEN len(toks) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) END
+          AS dup_token_fraction,
+        CASE WHEN len(bgs) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(list_max(list_transform(list_distinct(bgs),
+                    g -> len(list_filter(bgs, x -> x = g)))) AS DOUBLE) / len(bgs) END
+          AS top_bigram_share
+      FROM b ORDER BY doc_id""",
     // rational idf ((N+1)/(df+1)) on purpose — one integer product + one
     // IEEE division, exact on both engines, where libm vs JVM ln can
     // differ in the last ulp (see TextOps.tfidfTopTerms)
@@ -788,6 +824,16 @@ object ExtQueries {
          CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id
          FROM orders
          GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY grouping_id, o_orderstatus ASC NULLS FIRST,
+           o_orderpriority ASC NULLS FIRST""",
+    "grouping_sets_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(sum(CAST(round(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) / 1e2 AS o_totalprice_sum,
+         max(o_totalprice) AS o_totalprice_max,
+         count(*) AS record_count,
+         CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
          ORDER BY grouping_id, o_orderstatus ASC NULLS FIRST,
            o_orderpriority ASC NULLS FIRST""",
     "cube_money" ->

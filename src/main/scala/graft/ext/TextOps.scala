@@ -120,6 +120,42 @@ object TextOps {
     (lenScore * 0.4 + meanLenScore * 0.3 + stopScore * 0.3).as("quality")
   }
 
+  /** Repetition quality signals (the Gopher-style repetition filters):
+    *  - `dup_token_fraction`: 1 − distinct/total whitespace tokens —
+    *    boilerplate and keyword-stuffed docs score high;
+    *  - `top_bigram_share`: occurrences of the most frequent word bigram
+    *    over total bigrams — catches looping generation and templated
+    *    text that token-level stats miss.
+    * Both are one integer count divided by another — exact and
+    * hash-matchable across engines (no logs, no floats in the numerator).
+    * Pure projection over the shingle arrays; no shuffle, no UDF: the
+    * bigram mode count folds with `aggregate` over the distinct bigrams,
+    * each scored by a `filter(...).size` pass — O(b²) per doc on b
+    * bigrams, the right trade below the ~1e3-token docs this gate runs
+    * on (a groupBy-explode variant exists for book-length docs at the
+    * cost of a shuffle). */
+  def repetitionStats(text: Column): (Column, Column) = {
+    import graft.functions.GraftFunctions.bind
+    // bind evaluates the split ONCE per row; a bare `tokens(text)` inside
+    // the lambda bodies would re-split per element (SURVEY §8 CSE hazard)
+    val dupFrac = bind(tokens(text)) { ts =>
+      val nTok = size(ts)
+      when(nTok === 0, lit(0.0))
+        .otherwise((nTok - size(array_distinct(ts))).cast("double") / nTok)
+    }
+    val topShare = bind(tokens(text)) { ts =>
+      bind(filter(transform(ts, (t, i) =>
+          when(i < size(ts) - 1, concat_ws(" ", t, element_at(ts, i + 2)))),
+        _.isNotNull)) { all =>
+        val topCount = aggregate(array_distinct(all), lit(0),
+          (acc, g) => greatest(acc, size(filter(all, x => x === g))))
+        when(size(all) === 0, lit(0.0))
+          .otherwise(topCount.cast("double") / size(all))
+      }
+    }
+    (dupFrac, topShare)
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Identical normalization + digest in the oracle; exact-dup detection
     * is then a groupBy on this column. */

@@ -377,13 +377,15 @@ object Ops {
     * without a scale entry a plain sum/avg is used — exact only for
     * integral values, fine for engine-internal use but supply a scale
     * whenever results must hash-match another engine. */
-  def aggregateCube(
-      keys: Seq[String],
+  /** Shared measure list for the multi-level aggregates (cube / grouping
+    * sets): min/max/count as-is, sum/average exact-and-order-insensitive
+    * via [[scaledSum]] when a fixed-point scale is supplied. */
+  private def levelAggs(
       measures: Seq[(String, String)],
-      includeCount: Boolean = true,
-      countField: String = "record_count",
-      scales: Map[String, Double] = Map.empty)(df: DataFrame): DataFrame = {
-    val aggs = measures.map {
+      scales: Map[String, Double],
+      includeCount: Boolean,
+      countField: String): Seq[Column] =
+    measures.map {
       case (f, "min") => min(col(f)).as(s"${f}_min")
       case (f, "max") => max(col(f)).as(s"${f}_max")
       case (f, "count") => count(col(f)).as(s"${f}_count")
@@ -395,10 +397,37 @@ object Ops {
         .map(s => (scaledSum(col(f), s) / count(col(f))))
         .getOrElse(avg(col(f))).as(s"${f}_average")
       case (f, fn) => throw new IllegalArgumentException(
-        s"cube supports min/max/count/sum/average, got $f/$fn")
+        s"multi-level aggregates support min/max/count/sum/average, got $f/$fn")
     } ++ (if (includeCount) Seq(count(lit(1)).as(countField)) else Nil) :+
       grouping_id().as("grouping_id")
+
+  def aggregateCube(
+      keys: Seq[String],
+      measures: Seq[(String, String)],
+      includeCount: Boolean = true,
+      countField: String = "record_count",
+      scales: Map[String, Double] = Map.empty)(df: DataFrame): DataFrame = {
+    val aggs = levelAggs(measures, scales, includeCount, countField)
     df.cube(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Arbitrary GROUPING SETS — the general form ROLLUP and CUBE are
+    * special cases of: aggregate at exactly the listed key subsets (e.g.
+    * by-status and by-priority in one pass, no (status, priority)
+    * level). Same single-shuffle Expand plan as [[aggregateCube]] but
+    * with rows × |sets| instead of rows × 2^keys — at scale the reason
+    * to enumerate the levels you need rather than cube over everything.
+    * Measures follow [[levelAggs]] (scaled exact sums for hash-match). */
+  def aggregateGroupingSets(
+      sets: Seq[Seq[String]],
+      keys: Seq[String],
+      measures: Seq[(String, String)],
+      includeCount: Boolean = true,
+      countField: String = "record_count",
+      scales: Map[String, Double] = Map.empty)(df: DataFrame): DataFrame = {
+    val aggs = levelAggs(measures, scales, includeCount, countField)
+    df.groupingSets(sets.map(_.map(col)), keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Pivot with an explicit value list — extension op. The value list is

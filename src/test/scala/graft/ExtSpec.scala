@@ -92,6 +92,24 @@ class ExtSpec extends SparkSpec {
     assert(out(1L)._2 === 3L && out(1L)._3 === 1L)
   }
 
+  test("repetitionStats flags looping text and passes diverse text") {
+    val (dupFrac, topShare) = TextOps.repetitionStats($"text")
+    val out = Seq(
+      (1L, "buy now buy now buy now"),            // looping generation
+      (2L, "all tokens here are fully distinct"), // clean
+      (3L, "one"),                                // no bigrams
+      (4L, "")                                    // empty
+    ).toDF("doc_id", "text")
+      .select($"doc_id", dupFrac.as("df"), topShare.as("ts"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // doc 1: 6 tokens, 2 distinct -> dup 4/6; bigrams: "buy now"×3,
+    // "now buy"×2 of 5 total -> top share 3/5
+    assert(out(1L) === ((4.0 / 6.0, 3.0 / 5.0)))
+    assert(out(2L) === ((0.0, 1.0 / 5.0))) // every bigram unique
+    assert(out(3L) === ((0.0, 0.0)))
+    assert(out(4L) === ((0.0, 0.0)))
+  }
+
   test("winnowFingerprints guarantees a shared fingerprint for long shared substrings") {
     val shared = "the quick brown fox jumps over the lazy dog"
     val df = Seq(

@@ -241,6 +241,20 @@ class OpsSpec extends SparkSpec {
     assert(gids === Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 3L))
   }
 
+  test("aggregateGroupingSets emits exactly the listed levels") {
+    val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0))
+      .toDF("k1", "k2", "v")
+    val out = Ops.aggregateGroupingSets(
+      Seq(Seq("k1"), Seq("k2")), Seq("k1", "k2"), Seq("v" -> "max"))(df)
+    // 2 k1-levels + 2 k2-levels; no detail level, no grand total
+    assert(out.count() === 4)
+    assert(out.select("grouping_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 1L, 2L, 2L))
+    val k1 = out.filter($"grouping_id" === 1L)
+      .select("k1", "v_max").as[(String, Double)].collect().toMap
+    assert(k1 === Map("a" -> 2.0, "b" -> 3.0))
+  }
+
   test("pivot widens explicit values with suffix naming, absent combos null") {
     val out = Ops.pivot(Seq("category"), "ref", Seq("r1", "r2", "r3"),
       sum($"amount"), "_sum")(sales.filter($"category".isNotNull))
