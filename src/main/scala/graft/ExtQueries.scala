@@ -57,6 +57,15 @@ object ExtQueries {
         TextOps.withFingerprint("text")(corpus(s, dir, "documents")))
         .select("doc_id", "lang", "fingerprint").orderBy("doc_id")
     },
+    "decontaminate" -> { (s, dir) =>
+      // docs < 100 stand in for the benchmark/eval set; the batch keeps
+      // only docs sharing no 8-gram with it
+      val docs = corpus(s, dir, "documents")
+      TextOps.decontaminate("doc_id", "text", n = 8,
+        benchmark = docs.filter(col("doc_id") < 100), benchTextField = "text")(
+        docs.filter(col("doc_id") >= 100))
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
     "incremental_dedup" -> { (s, dir) =>
       // crawl N+1 against the crawl-N fingerprint index: docs < 250 are
       // "already ingested" (only their 16-byte fingerprints persist),
@@ -552,6 +561,20 @@ object ExtQueries {
            PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
            ORDER BY doc_id) = 1
          ORDER BY doc_id""",
+    "decontaminate" -> s"""
+      WITH bg AS (
+        SELECT DISTINCT md5(g) AS h FROM (
+          SELECT unnest(${shinglesSql(8)}) AS g
+          FROM documents WHERE doc_id < 100)),
+      cg AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id, md5(g) AS h FROM (
+            SELECT doc_id, unnest(${shinglesSql(8)}) AS g
+            FROM documents WHERE doc_id >= 100))
+        JOIN bg USING (h))
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM cg)
+      ORDER BY doc_id""",
     "incremental_dedup" ->
       """WITH fp AS (SELECT doc_id, lang,
            md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS f

@@ -292,6 +292,35 @@ object TextOps {
       .select("doc_id", "term", "tf", "df", "tfidf", "rank")
   }
 
+  /** Benchmark decontamination — drop batch documents that share ANY
+    * word n-gram with the benchmark/eval corpus, the standard guard
+    * against test-set leakage into training data.
+    *
+    * Scale shape: the benchmark's distinct n-grams are FINGERPRINTS
+    * (md5), not strings — a 13-gram is ~80 bytes, its digest 32, so the
+    * shuffle and the build side shrink ~2.5× with identical oracle
+    * arithmetic. Contamination is one hash semi-join of the batch's
+    * exploded gram digests against that set (AQE broadcasts it when the
+    * benchmark is small, the common case), one distinct on contaminated
+    * ids, one left_anti back to the batch. Never quadratic, no per-doc
+    * driver work. */
+  def decontaminate(
+      idField: String, textField: String, n: Int,
+      benchmark: DataFrame, benchTextField: String)(
+      batch: DataFrame): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingles(col(benchTextField), n)).as("__g"))
+      .select(md5(col("__g")).as("__h")).distinct()
+    val contaminated = batch
+      .select(col(idField).as("__cid"),
+        explode(shingles(col(textField), n)).as("__g"))
+      .select(col("__cid"), md5(col("__g")).as("__h"))
+      .join(benchGrams, "__h")
+      .select("__cid").distinct()
+    batch.join(contaminated, batch(idField) === contaminated("__cid"),
+      "left_anti")
+  }
+
   def withLangId(textField: String, target: String = "lang_pred")(
       df: DataFrame): DataFrame = df.withColumn(target, langId(col(textField)))
 

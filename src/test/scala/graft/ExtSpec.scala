@@ -92,6 +92,20 @@ class ExtSpec extends SparkSpec {
     assert(out(1L)._2 === 3L && out(1L)._3 === 1L)
   }
 
+  test("decontaminate drops only docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "the secret eval answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "prefix words the secret eval answer is forty two exactly suffix"),
+      (2L, "completely unrelated training document with clean text"),
+      (3L, "the secret eval answer differs here by one token yes")
+    ).toDF("doc_id", "text")
+    val kept = TextOps.decontaminate("doc_id", "text", n = 8, bench, "text")(batch)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // doc 1 contains the full benchmark 8-gram; doc 3 shares at most 7
+    assert(kept === Seq(2L, 3L))
+  }
+
   test("repetitionStats flags looping text and passes diverse text") {
     val (dupFrac, topShare) = TextOps.repetitionStats($"text")
     val out = Seq(
