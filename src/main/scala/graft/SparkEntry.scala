@@ -37,7 +37,20 @@ object SparkEntry {
     * are lost to the oracle (which reads full nanos) — irrelevant for the
     * fixtures, noted for the sessionize oracle. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // no per-read option exists for nanos columns (SQLConf-only), so the
+    // best a loader can do without mutating session state is turn the
+    // reader's opaque failure into an actionable one
+    val df =
+      try spark.read.parquet(s"$dir/$name.parquet")
+      catch {
+        case e: Throwable
+            if spark.conf.get(NanosAsLongKey, "false") != "true" &&
+              String.valueOf(e.getMessage).contains("NANOS") =>
+          throw new IllegalStateException(
+            s"$name.parquet carries TIMESTAMP(NANOS) columns: build the session " +
+              s"with .config(\"$NanosAsLongKey\", \"true\") (see SparkEntry.NanosAsLongKey)",
+            e)
+      }
     df.schema.fields.find(f =>
       f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>

@@ -50,6 +50,10 @@ object Dedup {
   def incrementalByFingerprint(
       textField: String, tieBreak: String, seen: DataFrame)(
       batch: DataFrame): DataFrame = {
+    // a multi-column frame here would silently join against whatever
+    // happens to be first (e.g. an id column) and dedup nothing
+    require(seen.columns.length == 1,
+      s"seen must be a single fingerprint column, got ${seen.columns.mkString(", ")}")
     val indexed = seen.select(col(seen.columns.head).as("__fp"))
     val fresh = batch
       .withColumn("__fp", TextOps.fingerprint(col(textField)))
@@ -319,28 +323,33 @@ object Dedup {
     * Durability: `localCheckpoint` stores blocks on executors only — the
     * right default on a healthy cluster (no DFS round-trip), but one
     * lost executor kills the query mid-iteration. For long cluster-scale
-    * runs pass `checkpointDir` to use reliable `checkpoint()` to a DFS
-    * path instead; lineage is already cut, so the only cost is the DFS
-    * write per round. The result is a pure function of the pair set, so
-    * the DuckDB oracle reproduces it with a recursive CTE.
+    * runs pass `checkpointDir` and each round materializes as parquet
+    * under a per-call unique subdirectory instead (NOT via
+    * `sc.setCheckpointDir`, which is session-global and racy across
+    * concurrent callers): superseded rounds are deleted as soon as the
+    * next round lands, so storage is bounded at two rounds, and the
+    * final round's files back the returned frame — the caller deletes
+    * the subdirectory (returned nowhere, it is under their
+    * `checkpointDir`) after consuming the result. The result is a pure
+    * function of the pair set, so the DuckDB oracle reproduces it with a
+    * recursive CTE.
     *
     * @param pairs `(id_a, id_b)` undirected edges
     * @param nodes one `id` column; superset of pair endpoints (nodes
     *              without pairs become singleton clusters)
-    * @param checkpointDir reliable-checkpoint location (HDFS/S3/local
-    *              path); None = executor-local checkpoints */
+    * @param checkpointDir durable-materialization location (HDFS/S3/
+    *              local path); None = executor-local checkpoints */
   def connectedComponents(
       pairs: DataFrame,
       nodes: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = nodes.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val edges = materialize(
+    val mat = new Materializer(spark, checkpointDir, "graft-cc")
+    val edges = mat.keep(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = materialize(nodes.select(col(nodes.columns.head).as("node"),
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      "edges")
+    var labels = mat.round(nodes.select(col(nodes.columns.head).as("node"),
       col(nodes.columns.head).as("lbl")))
     var converged = false
     while (!converged) {
@@ -348,7 +357,7 @@ object Dedup {
       // own=lbl. min(own) ignores nulls -> each node's previous label is
       // recovered in the SAME aggregation that computes the new minimum,
       // so convergence needs no join against the previous round.
-      val next = materialize(
+      val next = mat.round(
         edges
           .join(labels.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), col("lbl"),
@@ -357,12 +366,64 @@ object Dedup {
             col("lbl").as("__own")))
           .groupBy("node")
           .agg(min("lbl").as("lbl"), min("__own").as("__prev")))
-      // reads the checkpointed blocks just materialized — a cheap scan,
+      // reads the materialized blocks/files just written — a cheap scan,
       // not a recompute; limit(1) short-circuits on the first change
       converged = next.filter(col("lbl") < col("__prev")).limit(1).isEmpty
       labels = next.select("node", "lbl")
     }
+    mat.finish()
     labels
+  }
+
+  /** Round-materialization for the iterative graph algorithms.
+    *
+    * Local mode (`dir = None`): `localCheckpoint` — executor-memory
+    * blocks, no DFS round-trip, the right default on a healthy cluster.
+    * Durable mode: each round writes parquet under
+    * `<dir>/<tag>-<uuid>/` — a PER-CALL unique path, so concurrent
+    * callers never clobber each other and nothing touches the
+    * session-global `sc.setCheckpointDir`. The previous round's files
+    * are deleted as soon as the next round is on disk (storage bounded
+    * at two rounds + pinned frames); [[finish]] removes everything
+    * except what the returned frame still reads. */
+  private final class Materializer(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: Option[String],
+      tag: String) {
+    private val runDir = dir.map(d => s"$d/$tag-${java.util.UUID.randomUUID}")
+    private var seq = 0
+    private var previous: Option[String] = None
+    private var current: Option[String] = None
+
+    private def delete(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+      ()
+    }
+    private def write(df: DataFrame, p: String): DataFrame = {
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    /** Materialize a frame pinned for the whole run (e.g. the edge set). */
+    def keep(df: DataFrame, name: String): DataFrame = runDir match {
+      case None => df.localCheckpoint()
+      case Some(rd) => write(df, s"$rd/$name")
+    }
+    /** Materialize one iteration; the round before last is deleted. */
+    def round(df: DataFrame): DataFrame = runDir match {
+      case None => df.localCheckpoint()
+      case Some(rd) =>
+        seq += 1
+        val out = write(df, s"$rd/round-$seq")
+        previous.foreach(delete)
+        previous = current
+        current = Some(s"$rd/round-$seq")
+        out
+    }
+    /** Drop every round except the last, which backs the returned frame —
+      * the caller removes the run directory after consuming the result. */
+    def finish(): Unit = previous.foreach { p => delete(p); previous = None }
   }
 
   /** Connected components via alternating large-star / small-star
@@ -394,9 +455,7 @@ object Dedup {
       nodes: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = nodes.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val mat = new Materializer(spark, checkpointDir, "graft-ccstar")
 
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.select(col("big").as("x"), col("small").as("y"))
@@ -418,13 +477,13 @@ object Dedup {
         .select(col("node").as("big"), col("__m").as("small")).distinct()
     }
 
-    var edges = materialize(pairs
+    var edges = mat.round(pairs
       .select(greatest(col("id_a"), col("id_b")).as("big"),
         least(col("id_a"), col("id_b")).as("small"))
       .filter(col("big") =!= col("small")).distinct())
     var converged = edges.isEmpty
     while (!converged) {
-      val next = materialize(smallStar(largeStar(edges)))
+      val next = mat.round(smallStar(largeStar(edges)))
       // set equality on the materialized rounds: equal cardinality plus
       // an empty one-way anti-join (both sides are distinct by
       // construction); limit(1) short-circuits on the first difference
@@ -432,6 +491,7 @@ object Dedup {
         next.join(edges, Seq("big", "small"), "left_anti").limit(1).isEmpty
       edges = next
     }
+    mat.finish()
     nodes.select(col(nodes.columns.head).as("node"))
       .join(edges.select(col("big").as("node"), col("small").as("__lbl")),
         Seq("node"), "left")

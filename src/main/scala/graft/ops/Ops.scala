@@ -367,25 +367,18 @@ object Ops {
   def scaledSum(c: Column, scale: Double): Column =
     sum(round(c * scale, 0).cast("long")) / scale
 
-  /** CUBE aggregation — every key-subset total, not just prefixes
-    * (ROLLUP ⊂ CUBE). Same Expand + single-shuffle plan shape as
-    * [[aggregateRollup]] with 2^keys levels; keep the key list short.
-    *
-    * min/max/count are order-insensitive as-is. sum/average over double
-    * measures are made exact and order-insensitive via [[scaledSum]] when
-    * `scales` carries the field's fixed-point scale (1e2 for cents);
-    * without a scale entry a plain sum/avg is used — exact only for
-    * integral values, fine for engine-internal use but supply a scale
-    * whenever results must hash-match another engine. */
   /** Shared measure list for the multi-level aggregates (cube / grouping
     * sets): min/max/count as-is, sum/average exact-and-order-insensitive
-    * via [[scaledSum]] when a fixed-point scale is supplied. */
+    * via [[scaledSum]] when a fixed-point scale is supplied. Duplicated
+    * (field, fn) entries collapse to one output column (like
+    * [[saltedAggregate]] — two identically-named columns would make
+    * every later by-name reference ambiguous). */
   private def levelAggs(
       measures: Seq[(String, String)],
       scales: Map[String, Double],
       includeCount: Boolean,
       countField: String): Seq[Column] =
-    measures.map {
+    measures.distinct.map {
       case (f, "min") => min(col(f)).as(s"${f}_min")
       case (f, "max") => max(col(f)).as(s"${f}_max")
       case (f, "count") => count(col(f)).as(s"${f}_count")
@@ -401,6 +394,16 @@ object Ops {
     } ++ (if (includeCount) Seq(count(lit(1)).as(countField)) else Nil) :+
       grouping_id().as("grouping_id")
 
+  /** CUBE aggregation — every key-subset total, not just prefixes
+    * (ROLLUP ⊂ CUBE). Same Expand + single-shuffle plan shape as
+    * [[aggregateRollup]] with 2^keys levels; keep the key list short.
+    *
+    * min/max/count are order-insensitive as-is. sum/average over double
+    * measures are made exact and order-insensitive via [[scaledSum]] when
+    * `scales` carries the field's fixed-point scale (1e2 for cents);
+    * without a scale entry a plain sum/avg is used — exact only for
+    * integral values, fine for engine-internal use but supply a scale
+    * whenever results must hash-match another engine. */
   def aggregateCube(
       keys: Seq[String],
       measures: Seq[(String, String)],

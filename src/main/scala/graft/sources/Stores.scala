@@ -248,9 +248,17 @@ final case class JdbcStore(
       val st = conn.createStatement()
       try st.executeUpdate(dialect.getTruncateQuery(quoted))
       catch {
-        case _: java.sql.SQLException =>
+        case truncateFailure: java.sql.SQLException =>
           val del = conn.createStatement()
-          try del.executeUpdate(s"DELETE FROM $quoted") finally del.close()
+          // if the fallback fails too (missing table, FK restriction,
+          // permissions), surface BOTH causes rather than masking the
+          // original TRUNCATE error with the second one
+          try del.executeUpdate(s"DELETE FROM $quoted")
+          catch {
+            case deleteFailure: java.sql.SQLException =>
+              deleteFailure.addSuppressed(truncateFailure)
+              throw deleteFailure
+          } finally del.close()
       } finally st.close()
     } finally conn.close()
   }

@@ -43,7 +43,17 @@ final case class XlsxStore(spark: SparkSession, dir: String) extends DataStore {
     if (cells.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[Row](), StructType(Nil))
-    val header = cells.head.map(_.getOrElse(""))
+    // sanitize header names: blanks get positional names (the CSV `_cN`
+    // convention) and duplicates a numeric suffix — either would
+    // otherwise make every by-name reference on the frame ambiguous
+    val raw = cells.head.map(_.getOrElse(""))
+    val seen = mutable.Map.empty[String, Int]
+    val header = raw.zipWithIndex.map { case (h0, i) =>
+      val h = if (h0.trim.isEmpty) s"_c$i" else h0
+      val n = seen.getOrElse(h, 0)
+      seen(h) = n + 1
+      if (n == 0) h else s"${h}_$n"
+    }
     val width = header.length
     val body = cells.tail.map(r => r.padTo(width, None).take(width))
     val fields = (0 until width).map { c =>
@@ -122,8 +132,25 @@ object XlsxStore {
           (0 until ts.getLength).map(j => ts.item(j).getTextContent).mkString
         }.toVector
       }.getOrElse(Vector.empty)
-      val sheet = parse("xl/worksheets/sheet1.xml").getOrElse(
-        throw new IllegalArgumentException(s"$file: no xl/worksheets/sheet1.xml"))
+      // resolve the FIRST sheet through the workbook relationships —
+      // sheet deletion/reordering in Excel leaves the surviving first
+      // sheet stored as sheetN.xml for arbitrary N, so a hardcoded
+      // sheet1.xml would miss it or read the wrong part
+      val firstSheetPart: String = (for {
+        wb <- parse("xl/workbook.xml")
+        sheets = wb.getElementsByTagName("sheet")
+        if sheets.getLength > 0
+        rid = sheets.item(0).asInstanceOf[org.w3c.dom.Element]
+          .getAttribute("r:id")
+        rels <- parse("xl/_rels/workbook.xml.rels")
+        rs = rels.getElementsByTagName("Relationship")
+        target <- (0 until rs.getLength)
+          .map(i => rs.item(i).asInstanceOf[org.w3c.dom.Element])
+          .find(_.getAttribute("Id") == rid).map(_.getAttribute("Target"))
+      } yield if (target.startsWith("/")) target.stripPrefix("/")
+        else s"xl/$target").getOrElse("xl/worksheets/sheet1.xml")
+      val sheet = parse(firstSheetPart).getOrElse(
+        throw new IllegalArgumentException(s"$file: no $firstSheetPart"))
       val rowNodes = sheet.getElementsByTagName("row")
       (0 until rowNodes.getLength).map { r =>
         val row = rowNodes.item(r).asInstanceOf[org.w3c.dom.Element]
@@ -187,7 +214,13 @@ object XlsxStore {
       case n: Int => s"""<c r="$ref"><v>$n</v></c>"""
       case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
       case n: Float => s"""<c r="$ref"><v>$n</v></c>"""
+      case n: java.math.BigDecimal => s"""<c r="$ref"><v>${n.toPlainString}</v></c>"""
       case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+      // everything else (dates, timestamps, ...) writes its canonical
+      // string form — xlsx cells have no richer type system than
+      // number/bool/string without a style table, so a round-trip
+      // re-infers long/double/string; this store is a small-report
+      // interchange sink, not a schema-preserving format
       case other =>
         s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(other.toString)}</t></is></c>"""
     }

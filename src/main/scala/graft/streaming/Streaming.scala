@@ -121,6 +121,8 @@ object Streaming {
       seen: DataFrame,
       tsField: String = "ts",
       watermarkDelay: String = "1 hour"): DataFrame = {
+    require(seen.columns.length == 1,
+      s"seen must be a single fingerprint column, got ${seen.columns.mkString(", ")}")
     val indexed = seen.select(col(seen.columns.head).as("__fp"))
     stream
       .withColumn("__fp", graft.ext.TextOps.fingerprint(col(textField)))

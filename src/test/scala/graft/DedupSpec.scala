@@ -63,6 +63,9 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.incrementalByFingerprint("text", "doc_id", seen)(batch)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept === Seq(7L, 9L))
+    // a multi-column index frame would silently join on the wrong column
+    intercept[IllegalArgumentException](
+      Dedup.incrementalByFingerprint("text", "doc_id", docs)(batch))
   }
 
   test("degenerate buckets are capped: pair counts stay bounded") {

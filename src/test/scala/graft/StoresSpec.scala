@@ -226,6 +226,33 @@ class StoresSpec extends SparkSpec {
       Seq(None -> 42L, Some("New York") -> 8000000L))
   }
 
+  test("xlsx reader resolves the first sheet via relationships and fixes headers") {
+    // sheet stored as sheet7.xml (as Excel leaves it after deletions),
+    // rId chain points to it; header has a blank and a duplicate name
+    val dir = Files.createTempDirectory("graft-xlsx3")
+    val f = dir.resolve("odd.xlsx").toFile
+    val zip = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet7.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+    put("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Survivor" sheetId="7" r:id="rId9"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId9" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet7.xml"/></Relationships>""")
+    put("xl/worksheets/sheet7.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c><c r="C1" t="inlineStr"><is><t>k</t></is></c></row><row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c><c r="C2"><v>3</v></c></row></sheetData></worksheet>""")
+    zip.close()
+    val back = graft.sources.XlsxStore(spark, dir.toString).getObject("odd")
+    // blank B1 -> _c1; duplicate k -> k_1; numbers inferred long
+    assert(back.schema.fieldNames.toSeq == Seq("k", "_c1", "k_1"))
+    assert(back.select("k", "_c1", "k_1").head() == Row(1L, 2L, 3L))
+  }
+
   test("xlsx participates in store-to-store copy") {
     val pq = Stores.open(spark, "parquet",
       Files.createTempDirectory("graft-c1").toString)
