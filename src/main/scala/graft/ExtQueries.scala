@@ -225,6 +225,12 @@ object ExtQueries {
         .select("user_id", "event_id", "session_id")
         .orderBy("user_id", "event_id")
     },
+    "event_deltas" -> { (s, dir) =>
+      WindowOps.eventDeltas("user_id", "ts", tieBreak = Seq("event_id"))(
+        table(s, dir, "events"))
+        .select("user_id", "event_id", "delta_seconds")
+        .orderBy("user_id", "event_id")
+    },
     // ---- temporal joins ----------------------------------------------------
     "asof_join" -> { (s, dir) =>
       val e = table(s, dir, "events")
@@ -763,6 +769,13 @@ object ExtQueries {
          FROM lineitem
          ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
            running_sum""",
+    "event_deltas" ->
+      """SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST))) AS BIGINT)
+           AS delta_seconds
+         FROM events ORDER BY user_id, event_id""",
     "sessionize" ->
       """WITH o AS (SELECT user_id, event_id, ts,
            lag(ts) OVER (PARTITION BY user_id

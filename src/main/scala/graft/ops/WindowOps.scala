@@ -60,4 +60,21 @@ object WindowOps {
           byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__start")
   }
+
+  /** Per-key event time deltas: whole seconds since the key's previous
+    * event (null on each key's first event) — the inter-arrival series
+    * behind rate limiting, bot detection, and session-gap tuning (plot
+    * its distribution to pick [[sessionize]]'s `gapSeconds`). Same
+    * single-shuffle lag window as sessionize; integer seconds keep the
+    * column exact across engines. */
+  def eventDeltas(
+      keyField: String, tsField: String,
+      target: String = "delta_seconds", tieBreak: Seq[String] = Nil)(
+      df: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy(col(keyField))
+      .orderBy((tsField +: tieBreak).map(col(_).asc_nulls_first): _*)
+    val prevTs = lag(col(tsField), 1).over(byKey)
+    df.withColumn(target,
+      unix_timestamp(col(tsField)) - unix_timestamp(prevTs))
+  }
 }

@@ -11,6 +11,22 @@ class TemporalSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("eventDeltas yields per-key inter-arrival seconds, null on first event") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 10:00:45")),
+      (1L, 12L, ts("2024-01-01 10:02:00")),
+      (2L, 20L, ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val out = graft.ops.WindowOps.eventDeltas("user_id", "ts",
+      tieBreak = Seq("event_id"))(events)
+      .select("event_id", "delta_seconds").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out === Map(10L -> None, 11L -> Some(45L), 12L -> Some(75L),
+      20L -> None))
+  }
+
   test("asOfJoin attaches latest right row at or before left time") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")), // after two signups -> latest wins
