@@ -153,6 +153,15 @@ object ExtQueries {
           explode(TextOps.winnowFingerprints(col("text"), k = 8, w = 4)).as("fp"))
         .orderBy("doc_id", "fp")
     },
+    "winnow_pairs" -> { (s, dir) =>
+      // shared-passage near-dup (MOSS): pairs sharing >= 30 winnowing
+      // fingerprints (the 99.9th-percentile overlap on this corpus — the
+      // dense shared vocabulary makes low counts ubiquitous), ubiquitous
+      // fingerprints capped out
+      Dedup.winnowOverlapPairs("doc_id", "text", k = 8, w = 4,
+        minShared = 30, maxBucket = 64)(corpus(s, dir, "documents"))
+        .orderBy("id_a", "id_b")
+    },
     "train_split" -> { (s, dir) =>
       table(s, dir, "documents")
         .select(TextOps.hashSplit(col("doc_id"),
@@ -744,6 +753,26 @@ object ExtQueries {
             list_min(grams[CAST(j + 1 AS INT) : CAST(j + 4 AS INT)]))) AS fps
         FROM g)
       SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""",
+    // maxBucket=64 via the window count, exactly Dedup.winnowOverlapPairs'
+    // between(2, maxBucket); fingerprints are per-doc distinct, so the
+    // pair count is the number of SHARED fingerprints
+    "winnow_pairs" -> s"""
+      WITH g AS (SELECT doc_id,
+          list_transform(range(1, greatest(length(text) - 7, 1) + 1), i ->
+            ${hash32Sql("substr(text, CAST(i AS INT), 8)")}) AS grams
+        FROM documents),
+      w AS (SELECT doc_id,
+          list_distinct(list_transform(range(0, greatest(len(grams) - 4, 0) + 1), j ->
+            list_min(grams[CAST(j + 1 AS INT) : CAST(j + 4 AS INT)]))) AS fps
+        FROM g),
+      f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY fp) AS n FROM f)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        count(*) AS shared_fingerprints
+      FROM sized a JOIN sized b ON a.fp = b.fp
+      WHERE a.doc_id < b.doc_id AND a.n <= 64
+      GROUP BY 1, 2 HAVING count(*) >= 30
+      ORDER BY id_a, id_b""",
     "events_json_agg" ->
       """SELECT event_type,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

@@ -254,6 +254,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** MOSS-style near-dup pairs: documents sharing at least `minShared`
+    * winnowing fingerprints ([[TextOps.winnowFingerprints]]). The
+    * character-gram complement to token-set MinHash: winnowing guarantees
+    * a shared fingerprint for any shared substring of length ≥ k+w−1, so
+    * this catches copied PASSAGES inside otherwise-different documents —
+    * the plagiarism/boilerplate case where whole-document Jaccard stays
+    * low and MinHash-LSH never buckets the pair.
+    *
+    * Same capped-bucket shape as every shipped near-dup path: explode to
+    * (fingerprint, id), one hash-agg collects each fingerprint's ids,
+    * `maxBucket` drops degenerate fingerprints (ubiquitous boilerplate
+    * grams — exactly the ones that would pair everything with
+    * everything), bucket-local ordered pairs, then one count-agg keyed on
+    * the pair. Never all-pairs; shuffle keys are 32-bit fingerprints. */
+  def winnowOverlapPairs(
+      idField: String,
+      textField: String,
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxBucket: Int = 64)(df: DataFrame): DataFrame = {
+    df.select(col(idField).as("__id"),
+        explode(TextOps.winnowFingerprints(col(textField), k, w)).as("__fp"))
+      .groupBy("__fp")
+      .agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("__ids"), x =>
+        transform(filter(col("__ids"), y => x < y), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .groupBy(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   /** Embedding near-dup pairs at scale: sign-LSH bucketing
     * ([[Similarity.lshBucket]]) generates candidates — the shuffle key is
     * the bucket, so cost is corpus-linear with bucket-local pair

@@ -49,6 +49,21 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L))) // identical vectors share every bucket
   }
 
+  test("winnowOverlapPairs finds shared passages that whole-doc Jaccard misses") {
+    val passage = "the exact same long copied passage appears in here"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta $passage epsilon zeta eta theta"),
+      (2L, s"one two three four five $passage six seven eight nine ten"),
+      (3L, "entirely unrelated words that overlap with nothing above zzz")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs("doc_id", "text", k = 8, w = 4,
+      minShared = 3, maxBucket = 64)(corpus)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // docs 1 and 2 share only the passage — low whole-doc similarity,
+    // but winnowing guarantees shared fingerprints for substrings >= k+w-1
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("incrementalByFingerprint drops seen content then dedups in-batch") {
     // index holds the fingerprint of doc 1's content; the batch carries
     // a copy of it (6), an internal dup pair (7,8), and fresh content (9)
