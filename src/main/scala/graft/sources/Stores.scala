@@ -78,6 +78,26 @@ final case class ParquetStore(spark: SparkSession, dir: String) extends DataStor
       .parquet(path(name))
 }
 
+/** Directory of ORC files, one object per `<name>.orc` — the other
+  * columnar lake format Spark executes natively (same predicate
+  * pushdown, column pruning, and vectorized read path as parquet; choose
+  * it when the surrounding ecosystem is Hive/ORC-based). */
+final case class OrcStore(spark: SparkSession, dir: String) extends DataStore {
+  private def path(name: String) = s"$dir/$name.orc"
+  def objectNames: Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.list()).map(_.toSeq).getOrElse(Nil)
+      .filter(_.endsWith(".orc")).map(_.stripSuffix(".orc")).sorted
+  }
+  override def exists(name: String): Boolean = new java.io.File(path(name)).exists()
+  def getObject(name: String): DataFrame = spark.read.orc(path(name))
+  def create(name: String, from: DataFrame, replace: Boolean = false): Unit =
+    from.write.mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .orc(path(name))
+  def appendInto(name: String, rows: DataFrame): Unit =
+    rows.write.mode(SaveMode.Append).orc(path(name))
+}
+
 /** Directory of CSV objects (reference: the CSV source/target backend,
   * `bubbles/backends/text/objects.py::{CSVSource, CSVTarget}`), with the
   * reference's `infer_fields` flag mapped to Spark's schema inference.
@@ -320,6 +340,7 @@ object Stores {
   def open(spark: SparkSession, storeType: String, location: String = ""): DataStore =
     storeType match {
       case "parquet" => ParquetStore(spark, location)
+      case "orc"     => OrcStore(spark, location)
       case "csv"     => CsvStore(spark, location)
       case "json"    => JsonStore(spark, location)
       case "catalog" | "sql" => CatalogStore(spark)

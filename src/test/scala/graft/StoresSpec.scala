@@ -42,6 +42,24 @@ class StoresSpec extends SparkSpec {
       s"partition filter missing:\n$scan")
   }
 
+  test("orc store round-trip with pushdown reaching the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val store = Stores.open(spark, "orc", dir)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    store.create("t1", df)
+    assert(store.exists("t1") && store.getObject("t1").count() == 3)
+    store.appendInto("t1", df)
+    assert(store.getObject("t1").count() == 6)
+    store.truncate("t1")
+    assert(store.getObject("t1").count() == 0)
+    store.create("t1", df, replace = true)
+    val q = store.getObject("t1").filter($"id" > 1).select("name")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters:") && scan.contains("GreaterThan(id,1"),
+      s"filter not pushed to ORC scan:\n$scan")
+    assert(q.count() === 2)
+  }
+
   test("clustered parquet layout yields disjoint sorted key ranges per file") {
     val dir = Files.createTempDirectory("graft-clu").toString
     val store = graft.sources.ParquetStore(spark, dir)
