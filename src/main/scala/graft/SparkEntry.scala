@@ -465,7 +465,7 @@ object SparkEntry {
       """SELECT c_custkey, c_acctbal,
          CASE WHEN c_acctbal < 0e0 THEN 'low'
               WHEN c_acctbal > 5e3 THEN 'high'
-              ELSE 'pass' END AS c_acctbal_bin
+              WHEN c_acctbal IS NOT NULL THEN 'pass' END AS c_acctbal_bin
          FROM customer ORDER BY c_custkey""",
     "derive_disc_price" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,

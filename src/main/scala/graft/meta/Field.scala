@@ -77,6 +77,7 @@ object Field {
     case BooleanType                     => "boolean"
     case DateType                        => "date"
     case _: TimestampType                => "datetime"
+    case TimestampNTZType                => "datetime"
     case BinaryType                      => "binary"
     case _: ArrayType                    => "array"
     case _: MapType | _: StructType      => "document"
@@ -87,6 +88,17 @@ object Field {
     val m = sf.metadata
     def opt(key: String): Option[String] =
       if (m.contains(key)) Some(m.getString(key)) else None
+    // recover info.* annotations (Metadata exposes no key enumeration,
+    // so go through its canonical JSON form) — without this the
+    // toStructField/fromStructField round trip silently drops info
+    val info: Map[String, String] =
+      org.json4s.jackson.JsonMethods.parse(m.json) match {
+        case org.json4s.JObject(fields) => fields.collect {
+          case (k, org.json4s.JString(v)) if k.startsWith("info.") =>
+            k.stripPrefix("info.") -> v
+        }.toMap
+        case _ => Map.empty
+      }
     Field(
       name = sf.name,
       storageType = opt(StorageTypeKey).getOrElse(dataTypeToStorage(sf.dataType)),
@@ -94,6 +106,7 @@ object Field {
       label = opt(LabelKey),
       missingValues =
         if (m.contains(MissingValuesKey)) m.getStringArray(MissingValuesKey).toSeq else Nil,
+      info = info,
       nullable = sf.nullable)
   }
 

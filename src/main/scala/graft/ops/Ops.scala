@@ -141,7 +141,10 @@ object Ops {
       measures: Seq[(String, String)],
       includeCount: Boolean = true,
       countField: String = "record_count")(df: DataFrame): DataFrame = {
-    val aggs = measures.map {
+    // distinct: a duplicated (field, fn) entry must not emit two
+    // identically-named columns (every later by-name reference would be
+    // ambiguous) — same guard as saltedAggregate/levelAggs
+    val aggs = measures.distinct.map {
       case (f, "sum")     => sum(col(f)).as(s"${f}_sum")
       case (f, "min")     => min(col(f)).as(s"${f}_min")
       case (f, "max")     => max(col(f)).as(s"${f}_max")
@@ -263,9 +266,15 @@ object Ops {
       mode: String = "first",
       seed: Long = 42L,
       fraction: Double = 0.1)(df: DataFrame): DataFrame = mode match {
-    case "first"  => df.limit(n.toInt)
+    case "first" =>
+      // limit takes an Int; a silent n.toInt would truncate (or go
+      // negative) for billion-row requests
+      require(n >= 0 && n <= Int.MaxValue,
+        s"sample(first) supports 0 <= n <= ${Int.MaxValue}, got $n")
+      df.limit(n.toInt)
     case "random" => df.sample(withReplacement = false, fraction, seed)
     case "nth" =>
+      require(n > 0, s"sample(nth) needs a positive stride, got $n")
       val spark = df.sparkSession
       val schema = df.schema
       spark.createDataFrame(
@@ -347,7 +356,7 @@ object Ops {
       measures: Seq[(String, String)],
       includeCount: Boolean = true,
       countField: String = "record_count")(df: DataFrame): DataFrame = {
-    val aggs = measures.map {
+    val aggs = measures.distinct.map {
       case (f, "sum")     => sum(col(f)).as(s"${f}_sum")
       case (f, "min")     => min(col(f)).as(s"${f}_min")
       case (f, "max")     => max(col(f)).as(s"${f}_max")
@@ -481,7 +490,13 @@ object Ops {
     val wide = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val outCols = keys.map(col) ++
       percentiles.zipWithIndex.map { case (p, i) =>
-        element_at(col("__ps"), i + 1).as(s"${field}_p${(p * 100).round}")
+        // non-integral percents keep their fraction in the label
+        // (p12_5) — rounding would collide 0.125 and 0.13 into one name
+        val pct = p * 100
+        val label =
+          if (pct == math.rint(pct)) math.round(pct).toString
+          else pct.toString.replace('.', '_')
+        element_at(col("__ps"), i + 1).as(s"${field}_p$label")
       } ++ (if (includeCount) Seq(col("record_count")) else Nil)
     wide.select(outCols: _*)
   }
@@ -568,9 +583,11 @@ object Ops {
       target: Option[String] = None)(df: DataFrame): DataFrame =
     df.withColumn(
       target.getOrElse(s"${field}_bin"),
+      // NULL in -> NULL bin: a missing measurement is not "within
+      // bounds" (otherwise() would silently classify it as pass)
       when(col(field) < low, "low")
         .when(col(field) > high, "high")
-        .otherwise("pass"))
+        .when(col(field).isNotNull, "pass"))
 
   // ------------------------------------------------------------------ debug
 

@@ -16,15 +16,18 @@ import org.apache.spark.sql.functions._
 object WindowOps {
 
   /** Top-k rows per group by `orderField` (desc), deterministic tie-break
-    * on `tieBreak` (asc). Spark plans partial top-k pushdown
-    * (WindowGroupLimit) before the shuffle since 3.5 — no full sort of
-    * losing rows. */
+    * on `tieBreak` (asc). The rank IS part of the output (callers whose
+    * input already carries a column named `target` must pick another
+    * name — withColumn would overwrite it). Spark plans partial top-k
+    * pushdown (WindowGroupLimit) before the shuffle since 3.5 — no full
+    * sort of losing rows. */
   def topKPerGroup(
-      groupFields: Seq[String], orderField: String, tieBreak: String, k: Int)(
+      groupFields: Seq[String], orderField: String, tieBreak: String, k: Int,
+      target: String = "rank")(
       df: DataFrame): DataFrame = {
     val w = Window.partitionBy(groupFields.map(col): _*)
       .orderBy(col(orderField).desc_nulls_last, col(tieBreak).asc_nulls_first)
-    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    df.withColumn(target, row_number().over(w)).filter(col(target) <= k)
   }
 
   /** Running aggregate per group in a ROWS UNBOUNDED PRECEDING frame over
@@ -40,10 +43,14 @@ object WindowOps {
   }
 
   /** Gap-based sessionization: a new session starts when the time since
-    * the previous event of the same key exceeds `gapSeconds`. Session ids
-    * are `<key ordinal semantics left to caller>`: a running count of
-    * session starts per key — the standard lag + cumulative-sum shape,
-    * one shuffle on the key. */
+    * the previous event of the same key exceeds `gapSeconds`. Gap
+    * arithmetic is on WHOLE-SECOND timestamps (`unix_timestamp`
+    * truncates sub-second fractions — mirrored exactly by the oracle's
+    * `floor(epoch(...))`), so a 30.8 s wall-clock gap between
+    * fractional-second events compares as 30; use a sub-second gap
+    * resolution only if both engines compare fractional epochs. Session
+    * ids are a running count of session starts per key — the standard
+    * lag + cumulative-sum shape, one shuffle on the key. */
   def sessionize(
       keyField: String, tsField: String, gapSeconds: Long,
       target: String = "session_id", tieBreak: Seq[String] = Nil)(

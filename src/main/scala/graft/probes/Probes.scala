@@ -93,9 +93,13 @@ object Probes {
     * `ops/rows.py::duplicate_stats`): total records, distinct keys, and
     * surplus records (total - distinct). */
   def duplicateStats(keys: Seq[String])(df: DataFrame): DataFrame =
+    // distinct over a STRUCT of the keys: bare countDistinct skips rows
+    // where any key is NULL, which would report every null-keyed row as
+    // a duplicate — contradicting countDuplicates/assertUnique, which
+    // group NULL as an ordinary key value
     df.agg(
         count(lit(1)).as("record_count"),
-        countDistinct(col(keys.head), keys.tail.map(col): _*).as("distinct_count"))
+        countDistinct(struct(keys.map(col): _*)).as("distinct_count"))
       .withColumn("duplicate_count", col("record_count") - col("distinct_count"))
 
   /** Rows whose key occurs more than once — the evidence set behind

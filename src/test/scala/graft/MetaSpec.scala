@@ -18,12 +18,14 @@ class MetaSpec extends SparkSpec {
 
   test("Field metadata round-trips through StructField") {
     val f = Field("amt", "float", "measure", label = Some("Amount"),
-      missingValues = Seq("N/A"))
+      missingValues = Seq("N/A"),
+      info = Map("source" -> "crm", "owner" -> "ops"))
     val back = Field.fromStructField(f.toStructField)
     assert(back.storageType == "float")
     assert(back.analyticalType == "measure")
     assert(back.label.contains("Amount"))
     assert(back.missingValues == Seq("N/A"))
+    assert(back.info == Map("source" -> "crm", "owner" -> "ops"))
   }
 
   test("FieldList lookup, index, mask and concatenation") {

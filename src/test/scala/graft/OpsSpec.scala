@@ -185,10 +185,13 @@ class OpsSpec extends SparkSpec {
   }
 
   test("threshold bins low/pass/high with inclusive bounds passing") {
-    val df = Seq(-1.0, 0.0, 5.0, 10.0, 11.0).toDF("v")
+    val df = Seq(Some(-1.0), Some(0.0), Some(5.0), Some(10.0), Some(11.0), None)
+      .toDF("v")
     val out = Ops.threshold("v", 0.0, 10.0)(df)
-    assert(out.select("v_bin").as[String].collect().toSeq ==
-      Seq("low", "pass", "pass", "pass", "high"))
+    // NULL measurement -> NULL bin, never "pass"
+    assert(out.select("v_bin").as[Option[String]].collect().toSeq ==
+      Seq(Some("low"), Some("pass"), Some("pass"), Some("pass"), Some("high"),
+        None))
   }
 
   test("derive adds a computed column") {

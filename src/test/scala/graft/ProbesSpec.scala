@@ -55,6 +55,16 @@ class ProbesSpec extends SparkSpec {
     assert(r.getAs[Long]("duplicate_count") == 2L)
   }
 
+  test("duplicateStats counts NULL as an ordinary key value") {
+    // one unique NULL-keyed row is NOT a duplicate (consistent with
+    // countDuplicates/assertUnique, which group NULL as a key)
+    val withNull = Seq(Some("a"), Some("a"), None).toDF("k")
+    val r = Probes.duplicateStats(Seq("k"))(withNull).head()
+    assert(r.getAs[Long]("record_count") == 3L)
+    assert(r.getAs[Long]("distinct_count") == 2L)
+    assert(r.getAs[Long]("duplicate_count") == 1L)
+  }
+
   test("keySkew ranks heavy keys with exact shares") {
     val skewed = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
       .toDF("k")
