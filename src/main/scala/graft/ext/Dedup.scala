@@ -17,13 +17,24 @@ object Dedup {
 
   /** Exact dedup on key columns, keeping per group the row with the
     * minimum tie-break value — deterministic, unlike dropDuplicates.
-    * Implemented as hash aggregation with min_by (partial aggregation on
-    * the map side), NOT a window sort: one shuffle of one struct per
-    * distinct key. */
+    * Implemented as a single min aggregation over
+    * `(tieBreak-null-flag, tieBreak, whole-row)` structs (partial
+    * aggregation on the map side), NOT a window sort: one shuffle of one
+    * struct per distinct key.
+    *
+    * The ordering key is a struct, not the bare tie-break: min_by SKIPS
+    * rows whose ordering value is NULL, so a group whose tie-breaks are
+    * all NULL would come back as one fabricated all-NULL row (the
+    * group's real data silently dropped). A struct is never NULL even
+    * when its fields are, so every row participates: the null flag keeps
+    * min_by's prefer-non-null semantics, and the row's JSON form breaks
+    * remaining ties deterministically (JSON, not the row struct itself,
+    * so frames with unorderable column types like maps still work). */
   def exact(keys: Seq[String], tieBreak: String)(df: DataFrame): DataFrame = {
     val all = struct(df.columns.map(col): _*)
     df.groupBy(keys.map(col): _*)
-      .agg(min_by(all, col(tieBreak)).as("__row"))
+      .agg(min_by(all, struct(col(tieBreak).isNull, col(tieBreak),
+        to_json(all))).as("__row"))
       .select("__row.*")
   }
 

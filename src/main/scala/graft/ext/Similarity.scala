@@ -44,17 +44,22 @@ object Similarity {
     * construction); the corpus is scanned once with no shuffle of raw
     * vectors, and the only shuffle carries (query, candidate, score)
     * rows for the per-query top-k window. For corpus-×-corpus jobs use
-    * [[lshTopK]] instead. */
+    * [[lshTopK]] instead.
+    *
+    * `excludeSelf` (default true) drops candidates whose id EQUALS the
+    * query id — right when queries are drawn from the corpus. Pass false
+    * when the two frames are different tables whose id spaces merely
+    * coincide numerically, or legitimate matches vanish. */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = corpus
       .select(col(corpusId).as("item_id"), col(corpusVec).as("__cv"))
       .crossJoin(broadcast(queries
         .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))))
-      .filter(col("query_id") =!= col("item_id"))
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("item_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
     scored
       .withColumn("rank", row_number().over(
@@ -92,7 +97,13 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    // fail fast on a dim mismatch: zip_with pads the short side with
+    // NULLs, NULL poisons the projection sum, and when(NULL >= 0)
+    // otherwise(0) would silently drop EVERY vector into bucket 0 —
+    // zero recall (capped paths) or one quadratic bucket (uncapped)
+    when(size(vec) === dim, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"lshBucket: expected $dim-dim vector, got "), size(vec).cast("string"))))
   }
 
   /** A built IVF index: the persisted per-vector centroid ranking that
@@ -163,7 +174,9 @@ object Similarity {
         Window.partitionBy("__id").orderBy(col("__cs").desc, col("__cid").asc)))
       .filter(col("__pr") <= math.max(nprobe, 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    IvfIndex(ranked, nprobe)
+    // clamp here too: a raw nprobe <= 0 would make ivfQuery's
+    // __pr <= nprobe filter silently empty after paying the build cost
+    IvfIndex(ranked, math.max(nprobe, 1))
   }
 
   /** Query an IVF index: probe joins cell-to-cell against the assignment
@@ -217,7 +230,17 @@ object Similarity {
     * candidate pairs are deduplicated before the exact-cosine rerank, so
     * extra tables buy recall without re-scoring duplicates. One scan of
     * the corpus computes every table's bucket (posexplode), not one scan
-    * per table. */
+    * per table — the join's two branches share one exchange at runtime
+    * (AQE ReusedExchange; verified on the executed plan).
+    *
+    * Skew: unlike the near-dup pair paths, the bucket join carries no
+    * maxBucket cap — dropping a bucket here would drop CANDIDATES (wrong
+    * for top-k, which owes every query its k best from the buckets it
+    * landed in). A degenerate bucket therefore costs O(|bucket|²)
+    * candidate rows; AQE's skew-join split spreads them across tasks
+    * rather than one reducer. If the corpus carries masses of identical/
+    * zero vectors, dedup them first ([[Dedup.exact]] on the vector) —
+    * identical vectors add no top-k information. */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       k: Int, planes: Int = 6, dim: Int = 64, tables: Int = 1): DataFrame = {

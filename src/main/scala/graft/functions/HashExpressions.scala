@@ -32,6 +32,7 @@ object HashKernels {
   * Long.MaxValue sentinel signature. */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
 
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -43,9 +44,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     var s = 0
     val n = shingles.numElements()
     while (s < n) {
-      // null elements contribute nothing, like the HOF form (md5(null) is
-      // null and least() ignores it) — internal callers never produce
-      // them, but the function surface accepts arbitrary array<string>
+      // null elements contribute nothing — the DOCUMENTED kernel
+      // semantics for the public array<string> surface. The HOF spec
+      // form takes TEXT and builds its shingle array itself (split +
+      // distinct, never null elements), so kernel-vs-HOF bit-parity is
+      // unaffected by this choice.
       if (!shingles.isNullAt(s)) {
         val t = shingles.getUTF8String(s).toString
         var d = 0
@@ -94,7 +97,8 @@ case class SimHash60(child: Expression)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      // null tokens cast no vote, matching the HOF form's null-skip
+      // null tokens cast no vote — documented kernel semantics; the HOF
+      // spec form builds its token array from text (never null elements)
       if (!tokens.isNullAt(i)) {
         val hex = DigestUtils.md5Hex(tokens.getUTF8String(i).getBytes)
         val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
@@ -259,6 +263,7 @@ object CdcChunkFingerprints {
   * Character (not byte) gram boundaries, matching Spark's substring. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0 && w > 0, s"gram size and window must be positive, got k=$k w=$w")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

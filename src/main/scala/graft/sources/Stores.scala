@@ -127,6 +127,17 @@ final case class CsvStore(
   def appendInto(name: String, rows: DataFrame): Unit =
     rows.write.mode(SaveMode.Append).option("header", header)
       .option("sep", delimiter).csv(path(name))
+  /** With a header row the trait default (overwrite empty) keeps the
+    * column NAMES (types re-infer as string until rows return — inherent
+    * to CSV, same caveat as any inference read). Headerless CSV has
+    * nowhere to keep the schema at all, so truncate would leave an
+    * object whose next read has no columns — refuse, like JsonStore. */
+  override def truncate(name: String): Unit = {
+    if (!header) throw new UnsupportedOperationException(
+      "truncate on a headerless CSV store would lose the schema entirely " +
+        "(no header row to rewrite); create(replace = true) instead")
+    super.truncate(name)
+  }
 }
 
 /** Directory of JSON-lines objects — the third text format next to CSV.

@@ -47,12 +47,16 @@ final case class XlsxStore(spark: SparkSession, dir: String) extends DataStore {
     // convention) and duplicates a numeric suffix — either would
     // otherwise make every by-name reference on the frame ambiguous
     val raw = cells.head.map(_.getOrElse(""))
-    val seen = mutable.Map.empty[String, Int]
+    val seen = mutable.Set.empty[String]
     val header = raw.zipWithIndex.map { case (h0, i) =>
-      val h = if (h0.trim.isEmpty) s"_c$i" else h0
-      val n = seen.getOrElse(h, 0)
-      seen(h) = n + 1
-      if (n == 0) h else s"${h}_$n"
+      val base = if (h0.trim.isEmpty) s"_c$i" else h0
+      // probe suffixes until unique: a plain occurrence counter could
+      // still collide with a LITERAL later header (["a","a","a_1"])
+      var candidate = base
+      var n = 1
+      while (seen(candidate)) { candidate = s"${base}_$n"; n += 1 }
+      seen += candidate
+      candidate
     }
     val width = header.length
     val body = cells.tail.map(r => r.padTo(width, None).take(width))
@@ -156,9 +160,15 @@ object XlsxStore {
         val row = rowNodes.item(r).asInstanceOf[org.w3c.dom.Element]
         val cellNodes = row.getElementsByTagName("c")
         val byCol = mutable.SortedMap.empty[Int, String]
+        // cells without an r= reference (legal xlsx; several producers
+        // omit it) occupy the next column after the previous cell
+        var lastCol = -1
         (0 until cellNodes.getLength).foreach { ci =>
           val c = cellNodes.item(ci).asInstanceOf[org.w3c.dom.Element]
-          val colIdx = colIndex(c.getAttribute("r"))
+          val ref = c.getAttribute("r")
+          val colIdx = if (ref.isEmpty || !ref.head.isLetter) lastCol + 1
+            else colIndex(ref)
+          lastCol = colIdx
           val t = c.getAttribute("t")
           val text: Option[String] = t match {
             case "inlineStr" =>

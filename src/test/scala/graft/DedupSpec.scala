@@ -49,6 +49,27 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L))) // identical vectors share every bucket
   }
 
+  test("exact keeps a real row when a group's tie-breaks are all NULL") {
+    // min_by alone would fabricate an all-NULL row for group "b" and
+    // silently drop its data
+    val df = Seq(("a", Some(2L), "keepA2"), ("a", Some(1L), "keepA1"),
+      ("b", None, "keepB1"), ("b", None, "keepB2"))
+      .toDF("k", "tb", "payload")
+    val out = Dedup.exact(Seq("k"), "tb")(df)
+      .collect().map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(out("a") === Some("keepA1")) // non-null min wins as before
+    // all-NULL group: a REAL row survives (deterministic JSON tie-break)
+    assert(out("b").isDefined && out("b").get.startsWith("keepB"))
+  }
+
+  test("lshBucket rejects vectors whose length differs from dim") {
+    val bad = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      Dedup.embeddingNearDuplicates("vec_id", "embedding", 0.5,
+        planes = 6, dim = 64)(bad).collect())
+    assert(e.getMessage != null || e.getCause != null) // fails, not bucket 0
+  }
+
   test("winnowOverlapPairs finds shared passages that whole-doc Jaccard misses") {
     val passage = "the exact same long copied passage appears in here"
     val corpus = Seq(
