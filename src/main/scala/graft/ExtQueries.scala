@@ -45,6 +45,16 @@ object ExtQueries {
       TextOps.withQuality("text")(corpus(s, dir, "documents"))
         .select("doc_id", "quality").orderBy("doc_id")
     },
+    "pack_sequences" -> { (s, dir) =>
+      // pack docs into 2048-token training bins, sharded by language
+      // (the column training files are already split by)
+      val docs = corpus(s, dir, "documents")
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      TextOps.packSequences("n_tokens", budget = 2048,
+        shardField = "lang", orderBy = Seq("doc_id"))(docs)
+        .select("doc_id", "lang", "n_tokens", "bin")
+        .orderBy("doc_id")
+    },
     "repetition_stats" -> { (s, dir) =>
       val (dupFrac, topShare) = TextOps.repetitionStats(col("text"))
       corpus(s, dir, "documents")
@@ -498,6 +508,14 @@ object ExtQueries {
          CAST(length(text) AS INTEGER) AS char_count,
          CASE WHEN len(string_split(text,' ')) = 0 THEN CAST(0 AS DOUBLE)
               ELSE CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) END AS mean_token_length
+         FROM documents ORDER BY doc_id""",
+    "pack_sequences" ->
+      """SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(floor((sum(len(string_split(text, ' '))) OVER (
+             PARTITION BY lang ORDER BY doc_id ASC NULLS FIRST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - len(string_split(text, ' '))) / 2048) AS BIGINT) AS bin
          FROM documents ORDER BY doc_id""",
     // both signals are one integer count over another — exact on both
     // engines; bigram list built positionally exactly like the Spark

@@ -321,6 +321,35 @@ object TextOps {
       "left_anti")
   }
 
+  /** Sequential sequence packing: assign documents to fixed-token-budget
+    * training bins — the concat-and-chunk step that turns a filtered
+    * corpus into training sequences. Documents are laid out in
+    * `orderBy` order (make it a total order for determinism); each doc's
+    * bin is the number of whole budgets before its start offset in the
+    * running token stream, i.e. docs fill bin 0 until `budget` tokens
+    * are consumed, then bin 1, and a doc whose tokens straddle a budget
+    * boundary belongs to the bin its FIRST token lands in (greedy
+    * sequential packing — the streaming-friendly discipline; bin-packing
+    * heuristics that reorder docs trade determinism for fill rate).
+    *
+    * One cumulative-sum window per `shardField` partition: token offsets
+    * are per-shard, so bins are too — shard by the column you already
+    * shard training files by and each task packs independently. Exact
+    * integer arithmetic, hash-matchable. */
+  def packSequences(
+      tokenCountField: String, budget: Long,
+      shardField: String, orderBy: Seq[String],
+      target: String = "bin")(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = Window.partitionBy(col(shardField))
+      .orderBy(orderBy.map(col(_).asc_nulls_first): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(target,
+      floor((sum(col(tokenCountField)).over(w) - col(tokenCountField))
+        / budget))
+  }
+
   def withLangId(textField: String, target: String = "lang_pred")(
       df: DataFrame): DataFrame = df.withColumn(target, langId(col(textField)))
 

@@ -106,6 +106,20 @@ class ExtSpec extends SparkSpec {
     assert(kept === Seq(2L, 3L))
   }
 
+  test("packSequences fills budget bins sequentially per shard") {
+    val docs = Seq(
+      (1L, "s", 1000), (2L, "s", 1000), (3L, "s", 100), // doc3 starts at 2000
+      (4L, "s", 2048),                                  // exactly one budget
+      (5L, "t", 5000)                                   // other shard, bin 0
+    ).toDF("doc_id", "shard", "n")
+    val bins = graft.ext.TextOps.packSequences("n", budget = 2048,
+      shardField = "shard", orderBy = Seq("doc_id"))(docs)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // doc 2 STRADDLES the 2048 boundary but starts at offset 1000 -> bin 0;
+    // doc 3 starts at 2000 < 2048 -> still bin 0; doc 4 starts at 2100 -> bin 1
+    assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("repetitionStats flags looping text and passes diverse text") {
     val (dupFrac, topShare) = TextOps.repetitionStats($"text")
     val out = Seq(
