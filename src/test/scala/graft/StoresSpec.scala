@@ -96,6 +96,35 @@ class StoresSpec extends SparkSpec {
       back.schema("id").dataType.typeName == "long")
   }
 
+  test("headerless csv store refuses truncate instead of losing the schema") {
+    val dir = Files.createTempDirectory("graft-csvnh").toString
+    val store = graft.sources.CsvStore(spark, dir, header = false)
+    store.create("t1", Seq((1L, "a")).toDF("id", "name"))
+    intercept[UnsupportedOperationException](store.truncate("t1"))
+    // header mode keeps column names through truncate
+    val withHeader = graft.sources.CsvStore(spark, dir + "-h", header = true)
+    withHeader.create("t1", Seq((1L, "a")).toDF("id", "name"))
+    withHeader.truncate("t1")
+    assert(withHeader.getObject("t1").schema.fieldNames.toSeq ==
+      Seq("id", "name"))
+  }
+
+  test("xlsx cells without an r reference take sequential columns") {
+    val dir = Files.createTempDirectory("graft-xlsx4")
+    val f = dir.resolve("seq.xlsx").toFile
+    val zip = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row><c t="inlineStr"><is><t>x</t></is></c><c t="inlineStr"><is><t>y</t></is></c></row><row><c><v>7</v></c><c><v>8</v></c></row></sheetData></worksheet>""")
+    zip.close()
+    val back = graft.sources.XlsxStore(spark, dir.toString).getObject("seq")
+    assert(back.schema.fieldNames.toSeq == Seq("x", "y"))
+    assert(back.head() == Row(7L, 8L))
+  }
+
   test("bucketed catalog tables join without a shuffle") {
     val store = graft.sources.CatalogStore(spark)
     // clean both the catalog entry and any orphan warehouse location a
