@@ -80,6 +80,12 @@ final case class Pipeline(df: DataFrame) {
   def textStats(textField: String): Pipeline = >>(TextOps.textStats(textField))
   def tfidfTopTerms(idField: String, textField: String, k: Int): Pipeline =
     >>(TextOps.tfidfTopTerms(idField, textField, k))
+  def decontaminate(idField: String, textField: String, n: Int,
+      benchmark: DataFrame, benchTextField: String): Pipeline =
+    >>(TextOps.decontaminate(idField, textField, n, benchmark, benchTextField))
+  def packSequences(tokenCountField: String, budget: Long,
+      shardField: String, orderBy: Seq[String]): Pipeline =
+    >>(TextOps.packSequences(tokenCountField, budget, shardField, orderBy))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =
