@@ -543,18 +543,29 @@ object Dedup {
       .select(col("node"), coalesce(col("__lbl"), col("node")).as("lbl"))
   }
 
-  /** One row per near-dup cluster: [[connectedComponents]] over the
-    * LSH near-dup pairs, keeping the minimum-id document per cluster. */
+  /** One row per near-dup cluster: connected components over the LSH
+    * near-dup pairs, keeping the minimum-id document per cluster.
+    * `algorithm`: "labelprop" ([[connectedComponents]] — default; dup
+    * clusters have tiny diameter, one cheap aggregation per round) or
+    * "star" ([[connectedComponentsStar]] — O(log n) rounds when
+    * components can be long chains). */
   def clusterDedup(
       idField: String,
       textField: String,
       threshold: Double,
       numHashes: Int = 8,
       bands: Int = 4,
-      shingleSize: Int = 3)(df: DataFrame): DataFrame = {
+      shingleSize: Int = 3,
+      algorithm: String = "labelprop")(df: DataFrame): DataFrame = {
     val pairs = minhashNearDuplicates(idField, textField, threshold,
       numHashes, bands, shingleSize)(df).select("id_a", "id_b")
-    val comps = connectedComponents(pairs, df.select(col(idField)))
+    val nodes = df.select(col(idField))
+    val comps = algorithm match {
+      case "labelprop" => connectedComponents(pairs, nodes)
+      case "star"      => connectedComponentsStar(pairs, nodes)
+      case other => throw new IllegalArgumentException(
+        s"unknown CC algorithm: $other (labelprop | star)")
+    }
     df.join(comps, df(idField) === comps("node"))
       .filter(col("node") === col("lbl"))
       .drop("node", "lbl")

@@ -203,6 +203,11 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     // 1,2,4 form one cluster (rep 1); 3 and 5 are singletons
     assert(kept === Set(1L, 3L, 5L))
+    // the star CC algorithm yields the identical result
+    val keptStar = Dedup.clusterDedup("doc_id", "text", threshold = 0.5,
+      shingleSize = 2, algorithm = "star")(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptStar === kept)
   }
 
   test("sampleStratifiedHash applies per-stratum fractions deterministically") {
