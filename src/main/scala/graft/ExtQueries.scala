@@ -773,7 +773,10 @@ object ExtQueries {
       SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""",
     // maxBucket=64 via the window count, exactly Dedup.winnowOverlapPairs'
     // between(2, maxBucket); fingerprints are per-doc distinct, so the
-    // pair count is the number of SHARED fingerprints
+    // pair count is the number of SHARED fingerprints. The len(fps) >= 30
+    // floor mirrors the minShared size prefilter: sub-floor docs can never
+    // reach minShared shared fingerprints, and the bucket cap counts
+    // pair-eligible docs only.
     "winnow_pairs" -> s"""
       WITH g AS (SELECT doc_id,
           list_transform(range(1, greatest(length(text) - 7, 1) + 1), i ->
@@ -783,7 +786,7 @@ object ExtQueries {
           list_distinct(list_transform(range(0, greatest(len(grams) - 4, 0) + 1), j ->
             list_min(grams[CAST(j + 1 AS INT) : CAST(j + 4 AS INT)]))) AS fps
         FROM g),
-      f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+      f AS (SELECT doc_id, unnest(fps) AS fp FROM w WHERE len(fps) >= 30),
       sized AS (SELECT *, count(*) OVER (PARTITION BY fp) AS n FROM f)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         count(*) AS shared_fingerprints

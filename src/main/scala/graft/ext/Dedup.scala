@@ -124,12 +124,27 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 4,
       shingleSize: Int = 3,
-      maxBucket: Int = 64)(df: DataFrame): DataFrame = {
+      maxBucket: Int = 64)(df: DataFrame): DataFrame =
+    lshPairsFromShingles(
+      df.select(col(idField).as("__id"),
+        TextOps.shingles(col(textField), shingleSize).as("__sh")),
+      numHashes, bands, maxBucket)
+
+  /** [[minhashLshPairs]] over an already-computed `(__id, __sh)` shingle
+    * frame — the shared entry point that lets [[minhashNearDuplicates]]
+    * materialize the shingle projection ONCE and reuse it for candidate
+    * generation and both verify joins (shingling is the dominant cost of
+    * the whole pipeline; recomputing it per consumer tripled it). */
+  private def lshPairsFromShingles(
+      docs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignature(col(textField), numHashes, shingleSize)
-    val banded = df
-      .select(col(idField).as("__id"), sig.as("__sig"))
+    val sig = graft.functions.GraftFunctions.minhashSignature(col("__sh"), numHashes)
+    val banded = docs
+      .select(col("__id"), sig.as("__sig"))
       .select(col("__id"), posexplode(
         array((0 until bands).map(b =>
           md5(concat_ws(",", slice(col("__sig"), b * rows + 1, rows)))): _*)))
@@ -153,7 +168,16 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs verified with exact n-gram Jaccard ≥
-    * threshold. The verify join re-reads only candidate docs. */
+    * threshold. The verify join re-reads only candidate docs.
+    *
+    * The `(id, shingles)` projection is materialized ONCE
+    * (`localCheckpoint` — executor blocks, freed when the frame is
+    * GC'd) and feeds candidate generation AND both verify sides: the
+    * shingle computation (tokenize + n-token windows + array_distinct,
+    * the dominant cost) would otherwise run three times, once per
+    * consumer, because Catalyst does not share subtrees across join
+    * branches. At 100 TB the materialized form is the id plus the
+    * shingle array — the corpus text itself is scanned exactly once. */
   def minhashNearDuplicates(
       idField: String,
       textField: String,
@@ -161,11 +185,13 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 4,
       shingleSize: Int = 3)(df: DataFrame): DataFrame = {
-    val cands = minhashLshPairs(idField, textField, numHashes, bands, shingleSize)(df)
-    val docs = df.select(col(idField), TextOps.shingles(col(textField), shingleSize).as("__sh"))
+    val docs = df.select(col(idField).as("__id"),
+      TextOps.shingles(col(textField), shingleSize).as("__sh"))
+      .localCheckpoint()
+    val cands = lshPairsFromShingles(docs, numHashes, bands, maxBucket = 64)
     cands
-      .join(docs.select(col(idField).as("id_a"), col("__sh").as("__sha")), "id_a")
-      .join(docs.select(col(idField).as("id_b"), col("__sh").as("__shb")), "id_b")
+      .join(docs.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(docs.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
       // size-ratio prefilter IMPLIED by the threshold: J(A,B) >= t forces
       // t <= |A|/|B| <= 1/t, so size comparisons (O(1)) discard pairs the
       // exact set intersection (O(n)) would reject anyway — result set
@@ -287,7 +313,22 @@ object Dedup {
       minShared: Int = 2,
       maxBucket: Int = 64)(df: DataFrame): DataFrame = {
     df.select(col(idField).as("__id"),
-        explode(TextOps.winnowFingerprints(col(textField), k, w)).as("__fp"))
+        TextOps.winnowFingerprints(col(textField), k, w).as("__fps"))
+      // size prefilter IMPLIED by minShared: a pair's shared count is at
+      // most the smaller doc's TOTAL fingerprint count, so a doc carrying
+      // < minShared fingerprints can never appear in a surviving pair —
+      // drop it BEFORE the explode+shuffle (O(1) per doc vs its share of
+      // O(bucket²) pair explosion). Documented consequence, mirrored in
+      // the oracle: the maxBucket cap counts PAIR-ELIGIBLE docs, so a
+      // bucket pushed over the cap only by sub-floor docs still pairs.
+      // The 1-element-array explode is a deliberate BARRIER: Catalyst
+      // pushes the size() filter through the defining Project by alias
+      // substitution, which would evaluate the winnow kernel twice per
+      // row (filter + explode); a Generate output attribute is never
+      // substituted, so the kernel runs exactly once.
+      .select(col("__id"), explode(array(col("__fps"))).as("__fps"))
+      .filter(size(col("__fps")) >= minShared)
+      .select(col("__id"), explode(col("__fps")).as("__fp"))
       .groupBy("__fp")
       .agg(collect_list(col("__id")).as("__ids"))
       .filter(size(col("__ids")).between(2, maxBucket))

@@ -19,10 +19,46 @@ import org.apache.spark.unsafe.types.UTF8String
   * object, keeping the surrounding stage inside whole-stage codegen.
   */
 object HashKernels {
+  // One MessageDigest per thread: getInstance per call costs an allocation
+  // + provider lookup, and these kernels digest millions of tiny inputs
+  // per task. reset() + update(off, len) also avoids the copyOfRange a
+  // DigestUtils range-less call would force on every gram.
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Raw 16-byte md5 of a byte range, via the thread-local digest. */
+  def md5Range(bytes: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(bytes, off, len)
+    md.digest()
+  }
+
+  /** Raw 16-byte md5 of `prefix ++ bytes` without materializing the
+    * concatenation. */
+  def md5Prefixed(prefix: Array[Byte], bytes: Array[Byte]): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(prefix)
+    md.update(bytes)
+    md.digest()
+  }
+
+  /** Unsigned big-endian 32-bit word at byte offset `off` of a digest —
+    * identical to parsing hex chars [2·off, 2·off+8) of the hex form. */
+  def word32(digest: Array[Byte], off: Int): Long =
+    ((digest(off) & 0xffL) << 24) | ((digest(off + 1) & 0xffL) << 16) |
+      ((digest(off + 2) & 0xffL) << 8) | (digest(off + 3) & 0xffL)
+
   /** Value of the first 8 hex chars of md5Hex(bytes) — the shared 32-bit
-    * hash primitive (`strpos`-parsed identically by the oracle). */
-  def hash32(bytes: Array[Byte]): Long =
-    java.lang.Long.parseLong(DigestUtils.md5Hex(bytes).substring(0, 8), 16)
+    * hash primitive (`strpos`-parsed identically by the oracle). Computed
+    * from the raw digest bytes: the first 8 hex chars ARE the first 4
+    * digest bytes, so no hex string is ever built or parsed. */
+  def hash32(bytes: Array[Byte]): Long = hash32Range(bytes, 0, bytes.length)
+
+  /** [[hash32]] over a byte range (no slice allocation). */
+  def hash32Range(bytes: Array[Byte], off: Int, len: Int): Long =
+    word32(md5Range(bytes, off, len), 0)
 }
 
 /** MinHash signature over a shingle array: element i is the minimum over
@@ -38,6 +74,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
+  // "<d>|" prefixes precomputed once: the digested stream is the UTF-8
+  // bytes of d.toString + "|" + shingle, fed to md5 as two updates
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate((numHashes + 3) / 4)(d => (d.toString + "|").getBytes("UTF-8"))
+
   def compute(shingles: ArrayData): ArrayData = {
     val nDigests = (numHashes + 3) / 4
     val sig = Array.fill(numHashes)(Long.MaxValue)
@@ -50,13 +91,14 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       // distinct, never null elements), so kernel-vs-HOF bit-parity is
       // unaffected by this choice.
       if (!shingles.isNullAt(s)) {
-        val t = shingles.getUTF8String(s).toString
+        val tb = shingles.getUTF8String(s).getBytes
         var d = 0
         while (d < nDigests) {
-          val hex = DigestUtils.md5Hex((d.toString + "|" + t).getBytes("UTF-8"))
+          // hex chars [8w, 8w+8) of the digest are its bytes [4w, 4w+4)
+          val dig = HashKernels.md5Prefixed(prefixes(d), tb)
           var w = 0
           while (w < 4 && d * 4 + w < numHashes) {
-            val v = java.lang.Long.parseLong(hex.substring(w * 8, w * 8 + 8), 16)
+            val v = HashKernels.word32(dig, w * 4)
             val slot = d * 4 + w
             if (v < sig(slot)) sig(slot) = v
             w += 1
@@ -100,8 +142,11 @@ case class SimHash60(child: Expression)
       // null tokens cast no vote — documented kernel semantics; the HOF
       // spec form builds its token array from text (never null elements)
       if (!tokens.isNullAt(i)) {
-        val hex = DigestUtils.md5Hex(tokens.getUTF8String(i).getBytes)
-        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        // first 15 hex chars = the top 60 bits of the first 8 digest
+        // bytes: drop the 16th hex char by shifting out its nibble
+        val tb = tokens.getUTF8String(i).getBytes
+        val dig = HashKernels.md5Range(tb, 0, tb.length)
+        val h = ((HashKernels.word32(dig, 0) << 32) | HashKernels.word32(dig, 4)) >>> 4
         var b = 0
         while (b < 60) {
           if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -270,16 +315,30 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "graft_winnow"
 
   def compute(text: UTF8String): ArrayData = {
-    // UTF8String.substringSQL counts code points exactly like Spark's
-    // substring expression (a Java String slice counts UTF-16 units and
-    // diverges on non-BMP text)
+    // Gram boundaries are CODE POINTS, exactly like Spark's substring
+    // expression (a Java String slice counts UTF-16 units and diverges on
+    // non-BMP text). Precompute every code point's byte offset in one
+    // pass, then hash each gram straight out of the byte array:
+    // substringSQL(i+1, k) per gram would re-seek from the string start
+    // every call — O(len²) byte scans per document.
+    val bytes = text.getBytes
     val len = text.numChars()
+    val offsets = new Array[Int](len + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < bytes.length && ci < len) {
+      offsets(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offsets(len) = bytes.length
     val nGrams = math.max(len - k + 1, 1)
     val grams = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
-      val gram = text.substringSQL(i + 1, k)
-      grams(i) = HashKernels.hash32(gram.getBytes)
+      val start = offsets(i)
+      val end = offsets(math.min(i + k, len))
+      grams(i) = HashKernels.hash32Range(bytes, start, end - start)
       i += 1
     }
     val nWindows = math.max(nGrams - w, 0) + 1
