@@ -14,8 +14,12 @@ import scala.jdk.CollectionConverters._
   *
   * Supported per the spec subset the reference handled: CSV resources
   * with `schema.fields[].{name,type}`, optional `dialect.delimiter` and
-  * `dialect.header`. Unknown field types degrade to string (the
-  * reference's behavior for unknown storage types).
+  * `dialect.header`; plus inline `data` resources (array-of-objects
+  * keyed by field name, or array-of-arrays positional against the
+  * schema, honoring `dialect.header` for the first row) — inline data
+  * is descriptor-embedded and therefore driver-sized by definition.
+  * Unknown field types degrade to string (the reference's behavior for
+  * unknown storage types).
   */
 object DataPackage {
 
@@ -34,7 +38,8 @@ object DataPackage {
       path: String,
       schema: StructType,
       delimiter: String,
-      header: Boolean)
+      header: Boolean,
+      data: Option[Vector[JsonNode]] = None)
 
   private def parseResource(node: JsonNode): Resource = {
     val fields = node.path("schema").path("fields").elements().asScala.map { f =>
@@ -46,7 +51,48 @@ object DataPackage {
       path = node.path("path").asText(),
       schema = StructType(fields),
       delimiter = Option(dialect.path("delimiter").asText(null)).getOrElse(","),
-      header = dialect.path("header").asBoolean(true))
+      header = dialect.path("header").asBoolean(true),
+      data = if (node.has("data"))
+        Some(node.path("data").elements().asScala.toVector) else None)
+  }
+
+  /** One JSON scalar -> the schema's external type (null-preserving;
+    * date/datetime accept ISO forms). */
+  private def convert(v: JsonNode, dt: DataType): Any =
+    if (v == null || v.isNull) null
+    else dt match {
+      case LongType => v.asLong()
+      case DoubleType => v.asDouble()
+      case BooleanType => v.asBoolean()
+      case DateType => java.sql.Date.valueOf(v.asText())
+      case TimestampType =>
+        java.sql.Timestamp.valueOf(v.asText().replace("T", " "))
+      case _ => v.asText()
+    }
+
+  /** Materialize an inline `data` resource. Array-of-objects rows are
+    * keyed by field name; array-of-arrays rows are positional against
+    * the schema (with the first row dropped when `dialect.header` holds,
+    * exactly like the CSV path). A resource with inline data but no
+    * Table Schema degrades to all-string columns in the first row's key
+    * order — the same inference-free stance as the file path: the
+    * descriptor IS the schema, we never guess types from values. */
+  private[sources] def inlineFrame(
+      spark: SparkSession, r: Resource, rows: Vector[JsonNode]): DataFrame = {
+    val schema =
+      if (r.schema.nonEmpty) r.schema
+      else StructType(rows.headOption.filter(_.isObject).toSeq.flatMap(
+        _.fieldNames.asScala.toSeq.map(StructField(_, StringType))))
+    val body = rows.headOption match {
+      case Some(h) if h.isArray && r.header => rows.drop(1)
+      case _ => rows
+    }
+    val converted = body.map { n =>
+      org.apache.spark.sql.Row.fromSeq(schema.fields.zipWithIndex.map {
+        case (f, i) => convert(if (n.isArray) n.get(i) else n.get(f.name), f.dataType)
+      }.toSeq)
+    }
+    spark.createDataFrame(converted.asJava, schema)
   }
 
   /** Parse `<dir>/datapackage.json` into resource descriptors. */
@@ -76,11 +122,15 @@ final case class DataPackageStore(
   def getObject(name: String): DataFrame = {
     val r = byName.getOrElse(name,
       throw new NoSuchElementException(s"no resource '$name' in package $dir"))
-    spark.read
-      .option("header", r.header)
-      .option("sep", r.delimiter)
-      .schema(r.schema)
-      .csv(s"$dir/${r.path}")
+    r.data match {
+      case Some(rows) => DataPackage.inlineFrame(spark, r, rows)
+      case None =>
+        spark.read
+          .option("header", r.header)
+          .option("sep", r.delimiter)
+          .schema(r.schema)
+          .csv(s"$dir/${r.path}")
+    }
   }
   def create(name: String, from: DataFrame, replace: Boolean = false): Unit =
     throw new UnsupportedOperationException("data packages are read-only")

@@ -300,6 +300,97 @@ class StoresSpec extends SparkSpec {
     assert(back.select("k", "_c1", "k_1").head() == Row(1L, 2L, 3L))
   }
 
+  test("xlsx round-trips date and timestamp columns via date-styled serials") {
+    val dir = Files.createTempDirectory("graft-xlsxdt").toString
+    val store = graft.sources.XlsxStore(spark, dir)
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-02-29"),
+        java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789")),
+      (2L, java.sql.Date.valueOf("1899-12-31"),
+        java.sql.Timestamp.valueOf("1970-01-01 00:00:00.001")))
+      .toDF("id", "d", "ts")
+    store.create("dates", df)
+    val back = store.getObject("dates")
+    assert(back.schema.map(f => f.name -> f.dataType.typeName).toSeq ==
+      Seq("id" -> "long", "d" -> "date", "ts" -> "timestamp"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.map(_.getDate(1).toString).toSeq ==
+      Seq("2024-02-29", "1899-12-31"))
+    // compare instants (getTime), not rendered strings: serials are UTC
+    // on both sides, so the absolute time must survive exactly (ms)
+    assert(rows.map(_.getTimestamp(2).getTime).toSeq ==
+      df.collect().sortBy(_.getLong(0)).map(_.getTimestamp(2).getTime).toSeq)
+    // a second round-trip must keep the temporal types (write side emits
+    // date-styled serials, not strings)
+    store.create("dates2", back, replace = true)
+    assert(store.getObject("dates2").schema.map(_.dataType.typeName).toSeq ==
+      Seq("long", "date", "timestamp"))
+  }
+
+  test("xlsx reads a named worksheet and lists sheet names") {
+    val dir = Files.createTempDirectory("graft-xlsxms")
+    val f = dir.resolve("wb.xlsx").toFile
+    val zip = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Main" sheetId="1" r:id="rId1"/><sheet name="Other" sheetId="2" r:id="rId2"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/></Relationships>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row><c t="inlineStr"><is><t>a</t></is></c></row><row><c><v>1</v></c></row></sheetData></worksheet>""")
+    put("xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row><c t="inlineStr"><is><t>b</t></is></c></row><row><c><v>2</v></c></row></sheetData></worksheet>""")
+    zip.close()
+    val store = graft.sources.XlsxStore(spark, dir.toString)
+    assert(store.sheetNames("wb") == Seq("Main", "Other"))
+    assert(store.getObject("wb").schema.fieldNames.toSeq == Seq("a"))
+    assert(store.getObject("wb", Some("Other")).head() == Row(2L))
+    val err = intercept[IllegalArgumentException](
+      store.getObject("wb", Some("Nope")))
+    assert(err.getMessage.contains("Main, Other"))
+  }
+
+  test("xlsx refuses workbooks with doctype declarations (XXE hardening)") {
+    val dir = Files.createTempDirectory("graft-xlsxxe")
+    val f = dir.resolve("evil.xlsx").toFile
+    val zip = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    // classic XXE payload: external entity reading a local file
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><!DOCTYPE x [<!ENTITY xxe SYSTEM "file:///etc/hostname">]><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row><c t="inlineStr"><is><t>&xxe;</t></is></c></row></sheetData></worksheet>""")
+    zip.close()
+    val e = intercept[Exception](
+      graft.sources.XlsxStore(spark, dir.toString).getObject("evil"))
+    assert(e.getMessage != null && e.getMessage.toLowerCase.contains("doctype"))
+  }
+
+  test("xlsx append casts drifting column types to the inference lattice") {
+    val dir = Files.createTempDirectory("graft-xlsxap").toString
+    val store = graft.sources.XlsxStore(spark, dir)
+    store.create("t", Seq((1L, 10L)).toDF("id", "v"))
+    // long column receives string rows -> both sides cast to string
+    // explicitly (no silent union promotion), schema stays stable after
+    store.appendInto("t", Seq((2L, "x")).toDF("id", "v"))
+    val back = store.getObject("t")
+    assert(back.schema("v").dataType == StringType)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("10", "x"))
+    // long + double widens numerically instead of stringifying
+    store.create("n", Seq((1L, 10L)).toDF("id", "v"))
+    store.appendInto("n", Seq((2L, 0.5)).toDF("id", "v"))
+    assert(store.getObject("n").schema("v").dataType == DoubleType)
+    // a missing incoming column fails with an attributable message
+    val err = intercept[IllegalArgumentException](
+      store.appendInto("n", Seq(3L).toDF("id")))
+    assert(err.getMessage.contains("column 'v' missing"))
+  }
+
   test("xlsx participates in store-to-store copy") {
     val pq = Stores.open(spark, "parquet",
       Files.createTempDirectory("graft-c1").toString)
@@ -332,6 +423,41 @@ class StoresSpec extends SparkSpec {
     assert(df.count() == 2)
     assert(df.filter($"day" === "2024-02-29").head().getAs[Double]("amount") == 3.25)
     intercept[UnsupportedOperationException](store.create("x", df))
+  }
+
+  test("data package inline-data resources: objects, arrays, schemaless") {
+    val dir = Files.createTempDirectory("graft-dpi")
+    Files.writeString(dir.resolve("datapackage.json"),
+      """{"name": "inline", "resources": [
+           {"name": "obj",
+            "data": [{"id": 1, "city": "rome"}, {"id": 2, "city": null}],
+            "schema": {"fields": [
+              {"name": "id", "type": "integer"},
+              {"name": "city", "type": "string"}]}},
+           {"name": "arr",
+            "data": [["id", "amount"], [1, 10.5], [2, 3.25]],
+            "dialect": {"header": true},
+            "schema": {"fields": [
+              {"name": "id", "type": "integer"},
+              {"name": "amount", "type": "number"}]}},
+           {"name": "bare",
+            "data": [{"k": "a", "v": "x"}, {"k": "b", "v": "y"}]}]}""")
+    val store = DataPackage.open(spark, dir.toString)
+    assert(store.objectNames == Seq("obj", "arr", "bare"))
+    val obj = store.getObject("obj")
+    assert(obj.schema == StructType(Seq(
+      StructField("id", LongType), StructField("city", StringType))))
+    assert(obj.orderBy("id").collect().map(r => Option(r.get(1))).toSeq ==
+      Seq(Some("rome"), None))
+    // array form: header row dropped, positional against the schema
+    val arr = store.getObject("arr")
+    assert(arr.count() == 2 &&
+      arr.filter($"id" === 2).head().getDouble(1) == 3.25)
+    // no schema -> all-string columns in first-row key order
+    val bare = store.getObject("bare")
+    assert(bare.schema == StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType))))
+    assert(bare.orderBy("k").collect().map(_.getString(1)).toSeq == Seq("x", "y"))
   }
 
   test("local iterator and records sources") {
