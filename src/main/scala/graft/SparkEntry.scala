@@ -220,6 +220,13 @@ object SparkEntry {
           table(s, dir, "orders").select("o_orderkey", "o_totalprice")))
         .orderBy("o_orderkey")
     },
+    "sample_n_exact" -> { (s, dir) =>
+      // exact-count deterministic sample: 200 smallest content hashes —
+      // TakeOrderedAndProject, no global sort
+      Ops.sampleHashTopN("o_orderkey", 200)(
+        table(s, dir, "orders").select("o_orderkey", "o_totalprice"))
+        .orderBy("o_orderkey")
+    },
     // ---- §2.8 append ------------------------------------------------------
     "append_slices" -> { (s, dir) =>
       val o = table(s, dir, "orders")
@@ -428,6 +435,17 @@ object SparkEntry {
            SELECT o_orderkey, o_totalprice,
              row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
          WHERE (rn - 1) % 7 = 0 ORDER BY o_orderkey""",
+    "sample_n_exact" ->
+      // 200 smallest md5-prefix hashes, key-ascending tie-break —
+      // mirrors Ops.sampleHashTopN exactly
+      """SELECT o_orderkey, o_totalprice FROM (
+           SELECT o_orderkey, o_totalprice FROM orders
+           ORDER BY list_sum(list_transform(range(1,9), j ->
+             (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), j, 1)) - 1)
+             * CAST(16**(8-j) AS BIGINT))) ASC, o_orderkey ASC
+           LIMIT 200)
+         ORDER BY o_orderkey""",
     "append_slices" ->
       """SELECT * FROM (
            SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,

@@ -40,29 +40,44 @@ object Ops {
 
   /** Keep (or with discard=true, remove) rows where field == value
     * (reference: `ops/rows.py::filter_by_value`). Null-safe: a null field
-    * value never matches, matching the reference's `==` semantics. Pushed
-    * down to the scan by Catalyst. */
+    * value never matches (so discard KEEPS nulls), matching the
+    * reference's `==` semantics. The discard form is expressed as
+    * `field IS NULL OR field <> value` — NOT `!coalesce(p, false)` —
+    * because coalesce is opaque to the source filter API while IsNull /
+    * Not(EqualTo) / Or all translate, so both directions reach the
+    * parquet scan as PushedFilters (asserted in PlanAuditSpec). A null
+    * `value` matches nothing, handled explicitly for the same reason. */
   def filterByValue(field: String, value: Any, discard: Boolean = false)(
-      df: DataFrame): DataFrame = {
-    val p = col(field) === lit(value)
-    df.filter(if (discard) !coalesce(p, lit(false)) else p)
-  }
+      df: DataFrame): DataFrame =
+    if (value == null) { if (discard) df else df.filter(lit(false)) }
+    else if (discard) df.filter(col(field).isNull || col(field) =!= lit(value))
+    else df.filter(col(field) === lit(value))
 
-  /** Set membership filter (reference: `ops/rows.py::filter_by_set`). */
+  /** Set membership filter (reference: `ops/rows.py::filter_by_set`).
+    * Same null contract and pushdown-friendly discard shape as
+    * [[filterByValue]]; null entries in `values` match nothing and are
+    * dropped up front (a null inside `isin` would turn non-matches into
+    * NULL and silently flip the discard branch). */
   def filterBySet(field: String, values: Seq[Any], discard: Boolean = false)(
       df: DataFrame): DataFrame = {
-    val p = col(field).isin(values: _*)
-    df.filter(if (discard) !coalesce(p, lit(false)) else p)
+    val vs = values.filterNot(_ == null)
+    if (vs.isEmpty) { if (discard) df else df.filter(lit(false)) }
+    else if (discard) df.filter(col(field).isNull || !col(field).isin(vs: _*))
+    else df.filter(col(field).isin(vs: _*))
   }
 
   /** Half-open range filter: low <= field < high (reference:
     * `ops/rows.py::filter_by_range`; bound openness chosen here and encoded
-    * identically in every oracle query — SURVEY.md §7.4 risk 1). */
+    * identically in every oracle query — SURVEY.md §7.4 risk 1). Same
+    * null contract and pushdown-friendly discard shape as
+    * [[filterByValue]]; a null bound matches nothing. */
   def filterByRange(field: String, low: Any, high: Any, discard: Boolean = false)(
-      df: DataFrame): DataFrame = {
-    val p = col(field) >= lit(low) && col(field) < lit(high)
-    df.filter(if (discard) !coalesce(p, lit(false)) else p)
-  }
+      df: DataFrame): DataFrame =
+    if (low == null || high == null) { if (discard) df else df.filter(lit(false)) }
+    else if (discard)
+      df.filter(col(field).isNull ||
+        col(field) < lit(low) || col(field) >= lit(high))
+    else df.filter(col(field) >= lit(low) && col(field) < lit(high))
 
   /** Drop rows whose field is NULL or empty string (reference:
     * `ops/rows.py::filter_not_empty`). */
@@ -253,7 +268,8 @@ object Ops {
     *    force a full count() job at *plan construction* time; a fraction
     *    keeps composition lazy. Approximate size and engine-specific
     *    RNG — for a deterministic, cross-engine reproducible sample use
-    *    [[sampleHash]].
+    *    [[sampleHash]] (fraction) or [[sampleHashTopN]] (exact count,
+    *    the reference's absolute-n semantics).
     *  - "nth": every n-th row of the current order (rows 1, n+1, 2n+1, …).
     *    Implemented with RDD `zipWithIndex` — one lightweight extra job to
     *    compute per-partition offsets, then a distributed filter — NOT a
@@ -293,6 +309,21 @@ object Ops {
     val cutoff = (fraction * 4294967296.0).toLong
     df.filter(
       graft.functions.GraftFunctions.md5Prefix32(col(field), salt) < cutoff)
+  }
+
+  /** Deterministic EXACT-count "random" sample — the reference's
+    * `sample(random, n)` absolute-count semantics, engine-reproducibly:
+    * keep the `n` rows whose content hash md5(salt || key) 32-bit prefix
+    * is smallest (key ascending breaks hash ties, so the selection is
+    * total). Plans as TakeOrderedAndProject — per-partition top-n then a
+    * driver merge of n·partitions rows — never a global sort, so it
+    * survives any input scale for the report-sized n this exists for.
+    * Change `salt` to draw a fresh sample. */
+  def sampleHashTopN(field: String, n: Int, salt: String = "")(
+      df: DataFrame): DataFrame = {
+    require(n >= 0, s"sample size must be >= 0, got $n")
+    df.orderBy(graft.functions.GraftFunctions.md5Prefix32(col(field), salt).asc,
+      col(field).asc_nulls_first).limit(n)
   }
 
   /** Deterministic stratified sample: per-stratum Bernoulli fractions,

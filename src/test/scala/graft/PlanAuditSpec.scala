@@ -50,6 +50,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("§2.3 filter queries push their predicates into the parquet scan") {
+    // filter_by_predicate is excluded by construction: a Scala UDF is
+    // opaque to the source API, which is exactly why it is the
+    // last-resort surface. Every declarative filter op must reach the
+    // scan as a pushed source filter — a scan with PushedFilters: []
+    // reads and materializes every row group before filtering.
+    // filter_empty is absent: its query filters a regexp_replace-derived
+    // column, and a predicate over a computed expression has no source
+    // column to push to — the op itself pushes when given a raw column
+    // (filter_not_empty, same code path, is asserted below).
+    val declarativeFilters = Seq("filter_by_value", "filter_by_value_discard",
+      "filter_by_set", "filter_by_range", "filter_not_empty")
+    declarativeFilters.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+        .filter(_.contains("PushedFilters"))
+      assert(scans.nonEmpty, s"$name has no file scan with pushdown support")
+      scans.foreach { s =>
+        val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+          .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+        assert(pushed.trim.nonEmpty,
+          s"$name scan has empty PushedFilters:\n$s")
+      }
+    }
+  }
+
   test("parquet scans prune columns: no query reads every fixture column blindly") {
     // The widest fixture is lineitem (16 columns). Any query that touches
     // lineitem must scan a strict subset unless it explicitly selects all.
