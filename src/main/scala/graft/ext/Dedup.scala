@@ -29,7 +29,16 @@ object Dedup {
     * when its fields are, so every row participates: the null flag keeps
     * min_by's prefer-non-null semantics, and the row's JSON form breaks
     * remaining ties deterministically (JSON, not the row struct itself,
-    * so frames with unorderable column types like maps still work). */
+    * so frames with unorderable column types like maps still work).
+    *
+    * MAP-column caveat: to_json serializes map entries in the map's
+    * internal order, which is NOT canonical — two rows whose maps are
+    * equal as key→value sets can serialize differently, so for frames
+    * where tied rows differ only in map entry ORDER the winner is
+    * deterministic per serialized form, not per logical map value.
+    * Canonicalize upstream (e.g. map_entries + array_sort into a
+    * struct array) if that distinction matters; non-map frames are
+    * fully deterministic. */
   def exact(keys: Seq[String], tieBreak: String)(df: DataFrame): DataFrame = {
     val all = struct(df.columns.map(col): _*)
     df.groupBy(keys.map(col): _*)

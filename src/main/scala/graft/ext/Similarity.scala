@@ -100,8 +100,15 @@ object Similarity {
     // fail fast on a dim mismatch: zip_with pads the short side with
     // NULLs, NULL poisons the projection sum, and when(NULL >= 0)
     // otherwise(0) would silently drop EVERY vector into bucket 0 —
-    // zero recall (capped paths) or one quadratic bucket (uncapped)
-    when(size(vec) === dim, bits.reduce(_ + _))
+    // zero recall (capped paths) or one quadratic bucket (uncapped).
+    // A NULL vector gets its own branch: size(NULL) is NULL, so the
+    // dim-mismatch message would misleadingly read "got null" — raise a
+    // distinct, attributable error instead (callers filter null
+    // embeddings before bucketing; silently propagating NULL would park
+    // them all in one NULL bucket downstream).
+    when(vec.isNull, raise_error(lit(
+        "lshBucket: null embedding vector (filter null vectors before bucketing)")))
+      .when(size(vec) === dim, bits.reduce(_ + _))
       .otherwise(raise_error(concat(
         lit(s"lshBucket: expected $dim-dim vector, got "), size(vec).cast("string"))))
   }

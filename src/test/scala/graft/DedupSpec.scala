@@ -70,6 +70,21 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage != null || e.getCause != null) // fails, not bucket 0
   }
 
+  test("lshBucket raises an attributable error for a NULL vector") {
+    val withNull = Seq((1L, Some(Array.fill(4)(1.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      Dedup.embeddingNearDuplicates("vec_id", "embedding", 0.5,
+        planes = 2, dim = 4)(withNull).collect())
+    // the message must name the null vector, not a misleading dim
+    // mismatch reading "got null"
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("null embedding vector")),
+      s"unexpected error chain: ${messages(e).mkString(" | ")}")
+  }
+
   test("winnowOverlapPairs finds shared passages that whole-doc Jaccard misses") {
     val passage = "the exact same long copied passage appears in here"
     val corpus = Seq(

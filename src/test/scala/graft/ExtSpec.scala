@@ -65,6 +65,36 @@ class ExtSpec extends SparkSpec {
     assert(hits >= 27, s"IVF top-1 recall too low: $hits/30")
   }
 
+  test("kmeans-IVF recall floors on unstructured vectors") {
+    // The SURVEY §8 dossier numbers, pinned: on the UNSTRUCTURED fixture
+    // embeddings (uniform noise — the adversarial case for cell pruning)
+    // recall must track the probed fraction. Floors sit ~0.1 under the
+    // measured values (0.56 at 1/4 probed, 0.80 at 1/2) to absorb float
+    // nondeterminism in the distributed k-means fit.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val k = 10
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id".cast("long"), $"item_id".cast("long"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val brute = topk(Similarity.bruteForceTopK(
+      e, "vec_id", "embedding", e, "vec_id", "embedding", k))
+    def recallAt(nprobe: Int): Double = {
+      val cents = Similarity.kmeansCentroids(e, "embedding", k = 16)
+      val ivf = topk(Similarity.ivfTopK(e, "vec_id", "embedding", k,
+        nprobe = nprobe, centroids = Some(cents)))
+      val hits = brute.map { case (q, bf) =>
+        ivf.getOrElse(q, Set.empty).intersect(bf).size }.sum
+      hits.toDouble / brute.values.map(_.size).sum
+    }
+    val quarter = recallAt(4)
+    val half = recallAt(8)
+    assert(quarter >= 0.45, s"recall at nprobe=4 too low: $quarter")
+    assert(half >= 0.70, s"recall at nprobe=8 too low: $half")
+    // more cells probed must buy recall, not just cost
+    assert(half > quarter, s"recall not monotone in nprobe: $quarter vs $half")
+  }
+
   test("ivfBuild exposes the persisted index for explicit release") {
     import org.apache.spark.storage.StorageLevel
     val idx = Similarity.ivfBuild(vecs, "vec_id", "embedding",
