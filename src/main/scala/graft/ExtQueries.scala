@@ -87,6 +87,16 @@ object ExtQueries {
         docs.filter(col("doc_id") >= 250))
         .select("doc_id", "lang").orderBy("doc_id")
     },
+    "incremental_dedup_bloom" -> { (s, dir) =>
+      // same contract as incremental_dedup (oracle shared verbatim):
+      // bloom prefilter proves most new docs absent without the join
+      val docs = corpus(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") < 250)
+        .select(TextOps.fingerprint(col("text")).as("fingerprint")).distinct()
+      Dedup.incrementalByFingerprintBloom("text", "doc_id", seen,
+        expectedItems = 100000L)(docs.filter(col("doc_id") >= 250))
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
     // ---- dedup ------------------------------------------------------------
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(Seq("user_id", "event_type"), "event_id")(
@@ -463,6 +473,19 @@ object ExtQueries {
       WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
   }
 
+  /** Shared by incremental_dedup and incremental_dedup_bloom: the bloom
+    * prefilter never changes the result, only the plan. */
+  private val IncrementalDedupSql: String =
+    """WITH fp AS (SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS f
+         FROM documents),
+       fresh AS (
+         SELECT * FROM fp WHERE doc_id >= 250
+           AND f NOT IN (SELECT f FROM fp WHERE doc_id < 250))
+       SELECT doc_id, lang FROM fresh
+       QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+       ORDER BY doc_id"""
+
   /** 32-bit hash shared with TextOps.tokenHash/winnowFingerprints: value
     * of the first 8 hex chars of md5(expr). */
   private def hash32Sql(s: String): String =
@@ -608,16 +631,11 @@ object ExtQueries {
       SELECT doc_id, lang FROM documents
       WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM cg)
       ORDER BY doc_id""",
-    "incremental_dedup" ->
-      """WITH fp AS (SELECT doc_id, lang,
-           md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS f
-           FROM documents),
-         fresh AS (
-           SELECT * FROM fp WHERE doc_id >= 250
-             AND f NOT IN (SELECT f FROM fp WHERE doc_id < 250))
-         SELECT doc_id, lang FROM fresh
-         QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
-         ORDER BY doc_id""",
+    "incremental_dedup" -> IncrementalDedupSql,
+    // the bloom prefilter is semantically transparent (false = proven
+    // absent; maybes fall through to the exact anti-join), so the oracle
+    // is incremental_dedup's, verbatim
+    "incremental_dedup_bloom" -> IncrementalDedupSql,
     "dedup_exact" ->
       """SELECT event_id, user_id, event_type, value FROM events
          QUALIFY row_number() OVER (

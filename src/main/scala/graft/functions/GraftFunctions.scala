@@ -102,6 +102,38 @@ object GraftFunctions {
     Bridge.column(CdcChunkFingerprints(
       Bridge.expression(blob), minBytes, avgBits, maxBytes))
 
+  /** Bloom-filter aggregate over a PRE-HASHED long column (use
+    * `xxhash64(col)` — the insert primitive is putLong, so build and
+    * probe must hash identically): one binary sketch row sized by
+    * Spark's own optimal-bits formula for (expectedItems, fpp). This is
+    * Spark's internal runtime-filter aggregate
+    * (`BloomFilterAggregate`), surfaced because the SQL registry keeps
+    * it private. */
+  def bloomFilterAgg(hashed: Column, expectedItems: Long, fpp: Double): Column = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        Bridge.expression(hashed),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits))
+        .toAggregateExpression())
+  }
+
+  /** Membership probe against a serialized bloom sketch (the bytes
+    * [[bloomFilterAgg]] produced): true = maybe present, false =
+    * DEFINITELY absent. The sketch ships as a foldable binary literal —
+    * the form `BloomFilterMightContain` accepts — and is broadcast with
+    * the plan exactly like Spark's own injected runtime filters. */
+  def bloomMightContain(bloom: Array[Byte], hashed: Column): Column =
+    Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloom, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(hashed)))
+
   /** Evaluate `c` ONCE per row and hand it to `f` as a bound lambda
     * variable (via a one-element array + transform + element_at).
     *

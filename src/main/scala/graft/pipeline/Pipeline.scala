@@ -50,6 +50,8 @@ final case class Pipeline(df: DataFrame) {
     >>(Ops.stringToDate(field, format))
   def threshold(field: String, low: Double, high: Double): Pipeline =
     >>(Ops.threshold(field, low, high))
+  def sampleHashTopN(field: String, n: Int, salt: String = ""): Pipeline =
+    >>(Ops.sampleHashTopN(field, n, salt))
   def sampleHash(field: String, fraction: Double, salt: String = ""): Pipeline =
     >>(Ops.sampleHash(field, fraction, salt))
   def intersect(other: DataFrame): Pipeline = >>(Ops.intersect(other))
@@ -74,6 +76,11 @@ final case class Pipeline(df: DataFrame) {
     >>(Dedup.exact(keys, tieBreak))
   def dedupByFingerprint(textField: String, tieBreak: String): Pipeline =
     >>(Dedup.byFingerprint(textField, tieBreak))
+  def dedupIncrementalBloom(textField: String, tieBreak: String,
+      seen: DataFrame, expectedItems: Long = 1000000L,
+      fpp: Double = 0.03): Pipeline =
+    >>(Dedup.incrementalByFingerprintBloom(textField, tieBreak, seen,
+      expectedItems, fpp))
   def dedupIncremental(textField: String, tieBreak: String,
       seen: DataFrame): Pipeline =
     >>(Dedup.incrementalByFingerprint(textField, tieBreak, seen))

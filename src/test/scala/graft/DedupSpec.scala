@@ -119,6 +119,35 @@ class DedupSpec extends SparkSpec {
       Dedup.incrementalByFingerprint("text", "doc_id", docs)(batch))
   }
 
+  test("bloom-prefiltered incremental dedup is result-identical to the anti-join") {
+    val seen = docs.filter($"doc_id" === 1L)
+      .select(graft.ext.TextOps.fingerprint($"text").as("fp"))
+    val batch = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog", "en"), // seen
+      (7L, "brand new never seen before text", "en"),
+      (8L, "brand new never seen before text", "en"), // in-batch dup of 7
+      (9L, "another genuinely fresh document", "en")
+    ).toDF("doc_id", "text", "lang")
+    val kept = Dedup.incrementalByFingerprintBloom("text", "doc_id", seen,
+      expectedItems = 1000L)(batch)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(7L, 9L))
+    // empty index: the sketch aggregate yields NULL, everything is new
+    // modulo in-batch dedup — must not NPE or drop the batch
+    val none = seen.filter(lit(false))
+    val keptEmpty = Dedup.incrementalByFingerprintBloom(
+      "text", "doc_id", none)(batch)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptEmpty === Seq(6L, 7L, 9L))
+    // saturation honesty: a deliberately undersized filter (expected 2,
+    // fed 1 real entry, probed with 4) can only ADD maybes — the
+    // anti-join still decides, so the result cannot change
+    val keptTiny = Dedup.incrementalByFingerprintBloom("text", "doc_id", seen,
+      expectedItems = 2L, fpp = 0.5)(batch)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptTiny === Seq(7L, 9L))
+  }
+
   test("degenerate buckets are capped: pair counts stay bounded") {
     // 100 identical empty-ish docs land in ONE simhash bucket and ONE
     // embedding LSH bucket; uncapped that is 4950 pairs on one reducer —
