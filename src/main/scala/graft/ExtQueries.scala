@@ -87,6 +87,22 @@ object ExtQueries {
         docs.filter(col("doc_id") >= 250))
         .select("doc_id", "lang").orderBy("doc_id")
     },
+    "contamination_report" -> { (s, dir) =>
+      // the audit BEFORE decontaminate drops anything: per batch doc,
+      // matched vs total distinct 8-gram digests against the benchmark
+      val docs = corpus(s, dir, "documents")
+      TextOps.contaminationReport("doc_id", "text", n = 8,
+        benchmark = docs.filter(col("doc_id") < 100), benchTextField = "text")(
+        docs.filter(col("doc_id") >= 100))
+        .orderBy("doc_id")
+    },
+    "quota_sample" -> { (s, dir) =>
+      // absolute per-language cap (50 docs each), content-hash chosen —
+      // the domain/source mixture cap, engine-reproducible
+      Ops.quotaSample("lang", "doc_id", n = 50)(
+        table(s, dir, "documents").select("doc_id", "lang"))
+        .orderBy("doc_id")
+    },
     "incremental_dedup_bloom" -> { (s, dir) =>
       // same contract as incremental_dedup (oracle shared verbatim):
       // bloom prefilter proves most new docs absent without the join
@@ -631,6 +647,37 @@ object ExtQueries {
       SELECT doc_id, lang FROM documents
       WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM cg)
       ORDER BY doc_id""",
+    // integer gram counts only — exact cross-engine, no float folds;
+    // zero-gram docs surface as (0, 0) via the outer join
+    "contamination_report" -> s"""
+      WITH bg AS (
+        SELECT DISTINCT md5(g) AS h FROM (
+          SELECT unnest(${shinglesSql(8)}) AS g
+          FROM documents WHERE doc_id < 100)),
+      grams AS (SELECT doc_id, md5(g) AS h FROM (
+          SELECT doc_id, unnest(${shinglesSql(8)}) AS g
+          FROM documents WHERE doc_id >= 100)),
+      agg AS (SELECT doc_id,
+          CAST(sum(CASE WHEN h IN (SELECT h FROM bg) THEN 1 ELSE 0 END) AS BIGINT)
+            AS matched_ngrams,
+          count(*) AS total_ngrams
+        FROM grams GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(agg.matched_ngrams, CAST(0 AS BIGINT)) AS matched_ngrams,
+        coalesce(agg.total_ngrams, CAST(0 AS BIGINT)) AS total_ngrams
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      WHERE d.doc_id >= 100 ORDER BY d.doc_id""",
+    // md5-prefix hash order per language partition, doc_id tie-break —
+    // mirrors Ops.quotaSample exactly
+    "quota_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, row_number() OVER (
+             PARTITION BY lang ORDER BY list_sum(list_transform(range(1,9), j ->
+               (strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+               * CAST(16**(8-j) AS BIGINT))) ASC, doc_id ASC) AS rk
+           FROM documents)
+         WHERE rk <= 50 ORDER BY doc_id""",
     "incremental_dedup" -> IncrementalDedupSql,
     // the bloom prefilter is semantically transparent (false = proven
     // absent; maybes fall through to the exact anti-join), so the oracle

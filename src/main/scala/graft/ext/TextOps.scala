@@ -321,6 +321,34 @@ object TextOps {
       "left_anti")
   }
 
+  /** Per-document contamination REPORT — the audit you run before
+    * [[decontaminate]] drops anything: for every batch document, how
+    * many of its distinct n-gram digests appear in the benchmark set
+    * (`matched_ngrams`) out of how many it has (`total_ngrams`). Same
+    * digest semi-join shape as decontaminate (never quadratic; AQE
+    * broadcasts the benchmark side when small), one count aggregation
+    * keyed on the doc. Counts are integers, so the result is exact
+    * cross-engine — compute any ratio downstream where float semantics
+    * are the consumer's problem. Zero-gram docs report (0, 0). */
+  def contaminationReport(
+      idField: String, textField: String, n: Int,
+      benchmark: DataFrame, benchTextField: String)(
+      batch: DataFrame): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingles(col(benchTextField), n)).as("__g"))
+      .select(md5(col("__g")).as("__h")).distinct()
+      .withColumn("__hit", lit(1))
+    batch
+      .select(col(idField),
+        explode_outer(shingles(col(textField), n)).as("__g"))
+      .select(col(idField), md5(col("__g")).as("__h"))
+      .join(benchGrams, Seq("__h"), "left")
+      .groupBy(col(idField))
+      .agg(
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("matched_ngrams"),
+        count(col("__h")).as("total_ngrams"))
+  }
+
   /** Sequential sequence packing: assign documents to fixed-token-budget
     * training bins — the concat-and-chunk step that turns a filtered
     * corpus into training sequences. Documents are laid out in

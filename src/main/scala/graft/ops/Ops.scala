@@ -326,6 +326,28 @@ object Ops {
       col(field).asc_nulls_first).limit(n)
   }
 
+  /** Deterministic per-group quota cap — the training-mixture "domain
+    * cap": keep at most `n` rows per group (source, domain, language),
+    * chosen by content-hash order so the SAME rows survive on every
+    * engine and run. Complements [[sampleStratifiedHash]]: fractions
+    * rebalance proportions, quotas bound ABSOLUTE volume (one crawl
+    * domain cannot flood the mixture no matter how large it is).
+    * One window shuffle on the group key; the rank predicate reaches
+    * WindowGroupLimit, so per-group top-n losers drop before the full
+    * sort materializes. Ties cannot occur: the key column ascending
+    * breaks equal hash prefixes. */
+  def quotaSample(groupField: String, keyField: String, n: Int,
+      salt: String = "")(df: DataFrame): DataFrame = {
+    require(n > 0, s"quota must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupField)).orderBy(
+          graft.functions.GraftFunctions.md5Prefix32(col(keyField), salt).asc,
+          col(keyField).asc_nulls_first)))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Deterministic stratified sample: per-stratum Bernoulli fractions,
     * decided by the same content-keyed md5 filter as [[sampleHash]] so
     * the identical rows survive on every engine and run. Strata not in

@@ -50,6 +50,9 @@ final case class Pipeline(df: DataFrame) {
     >>(Ops.stringToDate(field, format))
   def threshold(field: String, low: Double, high: Double): Pipeline =
     >>(Ops.threshold(field, low, high))
+  def quotaSample(groupField: String, keyField: String, n: Int,
+      salt: String = ""): Pipeline =
+    >>(Ops.quotaSample(groupField, keyField, n, salt))
   def sampleHashTopN(field: String, n: Int, salt: String = ""): Pipeline =
     >>(Ops.sampleHashTopN(field, n, salt))
   def sampleHash(field: String, fraction: Double, salt: String = ""): Pipeline =
@@ -87,6 +90,10 @@ final case class Pipeline(df: DataFrame) {
   def textStats(textField: String): Pipeline = >>(TextOps.textStats(textField))
   def tfidfTopTerms(idField: String, textField: String, k: Int): Pipeline =
     >>(TextOps.tfidfTopTerms(idField, textField, k))
+  def contaminationReport(idField: String, textField: String, n: Int,
+      benchmark: DataFrame, benchTextField: String): Pipeline =
+    >>(TextOps.contaminationReport(idField, textField, n,
+      benchmark, benchTextField))
   def decontaminate(idField: String, textField: String, n: Int,
       benchmark: DataFrame, benchTextField: String): Pipeline =
     >>(TextOps.decontaminate(idField, textField, n, benchmark, benchTextField))

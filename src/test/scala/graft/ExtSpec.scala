@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ext.{Similarity, TextOps}
+import graft.ops.Ops
 
 /** Semantics tests for the newest extension operators: IVF ANN and
   * winnowing fingerprints. */
@@ -134,6 +135,41 @@ class ExtSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     // doc 1 contains the full benchmark 8-gram; doc 3 shares at most 7
     assert(kept === Seq(2L, 3L))
+  }
+
+  test("contaminationReport counts matched vs total grams, (0,0) for gramless docs") {
+    val bench = Seq((100L, "the secret eval answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // 11 tokens -> 4 distinct 8-grams; the 8-token benchmark has
+      // exactly one gram ("the secret ... exactly"), present in doc 1
+      (1L, "prefix words the secret eval answer is forty two exactly suffix"),
+      (2L, "completely unrelated training document with clean and tidy text"),
+      (3L, "short") // < 8 tokens: no grams at all
+    ).toDF("doc_id", "text")
+    val out = TextOps.contaminationReport("doc_id", "text", n = 8,
+      bench, "text")(batch)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((1L, 4L)))
+    assert(out(2L)._1 === 0L && out(2L)._2 > 0L)
+    assert(out(3L) === ((0L, 0L)))
+  }
+
+  test("quotaSample caps each group deterministically by content hash") {
+    val df = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
+      .toDF("id", "grp")
+    val a = Ops.quotaSample("grp", "id", n = 15)(df)
+    val b = Ops.quotaSample("grp", "id", n = 15)(df)
+    val byGrp = a.groupBy("grp").count().as[(String, Long)].collect().toMap
+    // the 90-row group is capped, the 10-row group survives whole
+    assert(byGrp === Map("big" -> 15L, "small" -> 10L))
+    // same rows every run (content-hash order, not RNG)
+    assert(a.select("id").as[Long].collect().sorted.toSeq ===
+      b.select("id").as[Long].collect().sorted.toSeq)
+    // a different salt draws a different capped subset
+    val salted = Ops.quotaSample("grp", "id", n = 15, salt = "s2")(df)
+    assert(salted.select("id").as[Long].collect().sorted.toSeq !==
+      a.select("id").as[Long].collect().sorted.toSeq)
   }
 
   test("packSequences fills budget bins sequentially per shard") {
