@@ -147,6 +147,14 @@ object ExtQueries {
         .select(col("node").as("doc_id"), col("lbl").as("cluster_rep"))
         .orderBy("doc_id")
     },
+    "fuzzy_key_pairs" -> { (s, dir) =>
+      // entity resolution on customer names: every pair within one edit
+      // (typo'd / off-by-one-digit ids), deletion-neighborhood blocked
+      Dedup.fuzzyKeyPairs("c_custkey", "c_name")(
+        table(s, dir, "customer").select("c_custkey", "c_name"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    },
     "embedding_dedup" -> { (s, dir) =>
       Dedup.embeddingNearDuplicates("vec_id", "embedding", threshold = 0.4,
         planes = 6, dim = 64)(corpus(s, dir, "embeddings"))
@@ -725,6 +733,27 @@ object ExtQueries {
         AND bit_count(xor(a.sig, c.sig)) <= 10
       ORDER BY id_a, id_b""",
     "ngram_jaccard_pairs" -> minhashNearDupSql(shingleN = 2, threshold = "3e-1"),
+    // {self} ∪ del-1 variants (distinct), maxBucket=64 via the window
+    // count, pair-dedup before the levenshtein verify — mirrors
+    // Dedup.fuzzyKeyPairs exactly (levenshtein is integer-exact in both
+    // engines)
+    "fuzzy_key_pairs" ->
+      """WITH v AS (
+           SELECT c_custkey AS id, c_name AS key,
+             unnest(list_distinct(list_prepend(c_name,
+               CASE WHEN length(c_name) = 0 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(range(1, length(c_name) + 1), i ->
+                   substr(c_name, 1, CAST(i - 1 AS INT))
+                   || substr(c_name, CAST(i + 1 AS INT), length(c_name)))
+               END))) AS var
+           FROM customer WHERE c_name IS NOT NULL),
+         sized AS (SELECT *, count(*) OVER (PARTITION BY var) AS n FROM v),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.key AS key_a, b.key AS key_b
+           FROM sized a JOIN sized b ON a.var = b.var
+           WHERE a.id < b.id AND a.n <= 64)
+         SELECT id_a, id_b FROM cand
+         WHERE levenshtein(key_a, key_b) <= 1 ORDER BY id_a, id_b""",
     // maxBucket=64 cap mirrored via the window count, exactly
     // Dedup.embeddingNearDuplicates' between(2, maxBucket)
     "embedding_dedup" -> s"""

@@ -391,6 +391,52 @@ object Dedup {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
+  /** Fuzzy key pairs at edit distance ≤ 1 via DELETION-NEIGHBORHOOD
+    * blocking — the entity-resolution primitive (near-identical names,
+    * ids with one typo) expressed without any all-pairs comparison: two
+    * strings within one edit (substitution, insertion or deletion)
+    * always share a member of each other's {self} ∪ {delete-one-char}
+    * variant set, so bucketing on the distinct variants yields a
+    * complete candidate set and `levenshtein ≤ 1` verifies exactly.
+    *
+    * Same capped-bucket shape as every near-dup path: explode to
+    * (variant, id, key), one hash-agg collects each variant's docs,
+    * `maxBucket` drops degenerate variants (e.g. mass-deleting from a
+    * constant prefix), bucket-local ordered pairs, pair-level dedup
+    * BEFORE the levenshtein verify. Cost: (len+1) variant rows per key
+    * — keys are short strings by contract (names, ids, titles), not
+    * documents. NULL keys produce no pairs. */
+  def fuzzyKeyPairs(
+      idField: String,
+      keyField: String,
+      maxBucket: Int = 64)(df: DataFrame): DataFrame = {
+    // {key} ∪ del-1 neighborhood, deduplicated (repeated chars collapse:
+    // "aa" yields "a" twice); empty keys guard the sequence(1, 0)
+    // DESCENDING trap exactly like TextOps.shingles
+    val key = col("__key")
+    val variants = array_distinct(concat(
+      array(key),
+      when(length(key) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(key)), i =>
+          concat(
+            call_function("substring", key, lit(1), i - 1),
+            call_function("substring", key, i + 1, length(key)))))))
+    df.select(col(idField).as("__id"), col(keyField).as("__key"))
+      .filter(col("__key").isNotNull)
+      .select(col("__id"), col("__key"), explode(variants).as("__var"))
+      .groupBy("__var")
+      .agg(collect_list(struct(col("__id"), col("__key"))).as("__docs"))
+      .filter(size(col("__docs")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("__docs"), x =>
+        transform(filter(col("__docs"), y => x("__id") < y("__id")), y =>
+          struct(x("__id").as("id_a"), x("__key").as("key_a"),
+            y("__id").as("id_b"), y("__key").as("key_b")))))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
+        col("__p.key_a").as("key_a"), col("__p.key_b").as("key_b"))
+      .distinct()
+      .filter(levenshtein(col("key_a"), col("key_b")) <= 1)
+  }
+
   /** Embedding near-dup pairs at scale: sign-LSH bucketing
     * ([[Similarity.lshBucket]]) generates candidates — the shuffle key is
     * the bucket, so cost is corpus-linear with bucket-local pair

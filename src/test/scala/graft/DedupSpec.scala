@@ -148,6 +148,27 @@ class DedupSpec extends SparkSpec {
     assert(keptTiny === Seq(7L, 9L))
   }
 
+  test("fuzzyKeyPairs catches every one-edit neighbor, nothing farther") {
+    val rows = Seq(
+      (1L, "jonathan"),
+      (2L, "jonathon"),  // substitution of 1
+      (3L, "jonathan "), // insertion vs 1 (trailing space)
+      (4L, "jonatha"),   // deletion vs 1
+      (5L, "jonathan"),  // exact dup of 1 (distance 0)
+      (6L, "completely-different"),
+      (7L, "jonathXn Y") // distance 2 from 1: must NOT pair with it
+    ).toDF("id", "name")
+    val pairs = Dedup.fuzzyKeyPairs("id", "name")(rows)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((1L, 4L)) && pairs.contains((1L, 5L)))
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+    assert(!pairs.contains((1L, 7L)))
+    // transitive one-edit neighbors of each other also pair (2-4 are
+    // distance 2 apart: must NOT appear)
+    assert(!pairs.contains((2L, 4L)))
+  }
+
   test("degenerate buckets are capped: pair counts stay bounded") {
     // 100 identical empty-ish docs land in ONE simhash bucket and ONE
     // embedding LSH bucket; uncapped that is 4950 pairs on one reducer —
