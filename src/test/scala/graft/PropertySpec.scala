@@ -132,6 +132,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fuzzyKeyPairs equals brute-force levenshtein pairs on random keys") {
+    // small alphabet + short lengths force collisions, near-misses, and
+    // exact dups; the blocking must find EXACTLY the distance<=1 pairs
+    val keyGen = Gen.listOfN(40,
+      Gen.chooseNum(2, 6).flatMap(n =>
+        Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c'))))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (keys <- draws(keyGen, n = 3)) {
+      val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("id", "key")
+      // uncapped buckets: the equivalence claim is about recall, and the
+      // tiny alphabet makes hot variants routine
+      val got = graft.ext.Dedup.fuzzyKeyPairs("id", "key",
+        maxBucket = 10000)(df)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (a, i) <- keys.zipWithIndex; (b, j) <- keys.zipWithIndex
+        if i < j && lev(a, b) <= 1
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got === want)
+    }
+  }
+
+  test("quotaSample keeps min(cap, group size) rows and the hash-smallest ids") {
+    val grpGen: Gen[List[(Long, String)]] = Gen.listOfN(50,
+      Gen.zip(Gen.chooseNum(1L, 1000000L), Gen.oneOf("x", "y", "z")))
+    for (xs0 <- draws(grpGen, n = 3)) {
+      val xs = xs0.distinctBy(_._1) // unique keys: quota is per distinct row
+      val df = xs.toDF("id", "grp")
+      val out = Ops.quotaSample("grp", "id", n = 7)(df)
+        .as[(Long, String)].collect().toSeq
+      val byGrp = xs.groupBy(_._2)
+      out.groupBy(_._2).foreach { case (g, rows) =>
+        assert(rows.size == math.min(7, byGrp(g).size))
+      }
+      // the survivors are exactly the 7 hash-smallest ids per group —
+      // recompute the md5-prefix order on the driver
+      def h(id: Long): Long = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(id.toString).substring(0, 8), 16)
+      byGrp.foreach { case (g, rows) =>
+        val expect = rows.map(_._1).sortBy(id => (h(id), id)).take(7).toSet
+        assert(out.filter(_._2 == g).map(_._1).toSet === expect)
+      }
+    }
+  }
+
   test("CDC fingerprints mostly survive a random middle edit") {
     import graft.ext.BinaryOps
     def fps(b: Array[Byte]): Seq[String] =
