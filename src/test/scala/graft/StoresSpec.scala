@@ -327,6 +327,33 @@ class StoresSpec extends SparkSpec {
       Seq("long", "date", "timestamp"))
   }
 
+  test("xlsx maps custom date format codes to dates, General numerics to longs") {
+    val dir = Files.createTempDirectory("graft-xlsxfmt")
+    val f = dir.resolve("fmt.xlsx").toFile
+    val zip = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    // style 1 -> custom numFmt 164 "dd/mm/yyyy" (a date by token
+    // heuristic), style 2 -> builtin 0 General (NOT a date)
+    put("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><numFmts count="1"><numFmt numFmtId="164" formatCode="dd/mm/yyyy"/></numFmts><cellStyleXfs count="1"><xf numFmtId="14"/></cellStyleXfs><cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="164"/><xf numFmtId="0"/></cellXfs></styleSheet>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row><c t="inlineStr"><is><t>d</t></is></c><c t="inlineStr"><is><t>n</t></is></c></row><row><c s="1"><v>45352</v></c><c s="2"><v>45352</v></c></row></sheetData></worksheet>""")
+    zip.close()
+    val back = graft.sources.XlsxStore(spark, dir.toString).getObject("fmt")
+    assert(back.schema.map(f0 => f0.name -> f0.dataType.typeName).toSeq ==
+      Seq("d" -> "date", "n" -> "long"))
+    // serial 45352 in the 1900 system = 2024-03-01; the same number under
+    // General must stay the raw long
+    val r = back.head()
+    assert(r.getDate(0).toString == "2024-03-01" && r.getLong(1) == 45352L)
+    // cellStyleXfs' xf (numFmtId 14) must NOT leak into the cell-style
+    // table: only cellXfs children count — a leak would shift indices
+    // and misread style 2 as a date
+  }
+
   test("xlsx reads a named worksheet and lists sheet names") {
     val dir = Files.createTempDirectory("graft-xlsxms")
     val f = dir.resolve("wb.xlsx").toFile
