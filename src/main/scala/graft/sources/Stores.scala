@@ -76,6 +76,34 @@ final case class ParquetStore(spark: SparkSession, dir: String) extends DataStor
       .sortWithinPartitions(clusterCols.map(from.col): _*)
       .write.mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .parquet(path(name))
+
+  /** Bounded-shard layout for training-data export: no output file
+    * exceeds `maxRecordsPerShard` rows (Spark rolls a new file when a
+    * task hits the bound), and rows are laid out in `orderBy` order
+    * within each shard when given — the "fixed-size shards a trainer's
+    * data loader can schedule uniformly" contract. Row-count, not byte,
+    * bounded: pick the bound from the corpus' rows-per-target-shard-size
+    * (bytes-per-row × bound ≈ shard bytes). `numShards` presizes the
+    * parallel write; tasks above the record bound split into multiple
+    * files, so the bound holds regardless. */
+  def createSharded(
+      name: String,
+      from: DataFrame,
+      maxRecordsPerShard: Long,
+      numShards: Int,
+      orderBy: Seq[String] = Nil,
+      replace: Boolean = false): Unit = {
+    require(maxRecordsPerShard > 0, "maxRecordsPerShard must be positive")
+    require(numShards > 0, "numShards must be positive")
+    val laid =
+      if (orderBy.isEmpty) from.repartition(numShards)
+      else from.repartitionByRange(numShards, orderBy.map(from.col): _*)
+        .sortWithinPartitions(orderBy.map(from.col): _*)
+    laid.write
+      .option("maxRecordsPerFile", maxRecordsPerShard)
+      .mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .parquet(path(name))
+  }
 }
 
 /** Directory of ORC files, one object per `<name>.orc` — the other

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, sum}
 import org.apache.spark.sql.types._
 import graft.sources.{DataPackage, JdbcStore, LocalData, MemoryStore, Stores}
 import graft.pipeline.Pipeline
@@ -325,6 +325,26 @@ class StoresSpec extends SparkSpec {
     store.create("dates2", back, replace = true)
     assert(store.getObject("dates2").schema.map(_.dataType.typeName).toSeq ==
       Seq("long", "date", "timestamp"))
+  }
+
+  test("sharded layout bounds rows per file and preserves content") {
+    val dir = Files.createTempDirectory("graft-shard").toString
+    val store = graft.sources.ParquetStore(spark, dir)
+    val df = (1L to 1000L).map(i => (i, s"doc$i")).toDF("id", "text")
+    store.createSharded("shards", df, maxRecordsPerShard = 100L,
+      numShards = 4, orderBy = Seq("id"))
+    val files = new java.io.File(s"$dir/shards.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // 4 range partitions x 250 rows, rolled at 100 -> every file <= 100
+    assert(files.length >= 10)
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 100, s"${f.getName} has $n rows")
+    }
+    // nothing lost or duplicated
+    assert(store.getObject("shards").count() === 1000L)
+    assert(store.getObject("shards").agg(sum("id")).head.getLong(0) ===
+      (1L to 1000L).sum)
   }
 
   test("xlsx maps custom date format codes to dates, General numerics to longs") {
