@@ -70,7 +70,26 @@ object GraftFunctions {
         CdcChunkFingerprints(children.head,
           litInt(children(1), "graft_cdc_chunks", "minBytes"),
           litInt(children(2), "graft_cdc_chunks", "avgBits"),
-          litInt(children(3), "graft_cdc_chunks", "maxBytes")) }))
+          litInt(children(3), "graft_cdc_chunks", "maxBytes")) }),
+    // Spark's internal runtime-filter bloom pair, surfaced for SQL: the
+    // analyzer wraps a returned AggregateFunction itself, so the builder
+    // hands back the bare aggregate
+    ("graft_bloom_agg",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      { children: Seq[Expression] =>
+        arity("graft_bloom_agg", children, 3)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2)) }),
+    ("graft_might_contain",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      { children: Seq[Expression] =>
+        arity("graft_might_contain", children, 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1)) }))
 
   /** Native codegen cosine similarity over two `array<float>` columns. */
   def cosine(a: Column, b: Column): Column =

@@ -79,6 +79,9 @@ final case class Pipeline(df: DataFrame) {
     >>(Dedup.exact(keys, tieBreak))
   def dedupByFingerprint(textField: String, tieBreak: String): Pipeline =
     >>(Dedup.byFingerprint(textField, tieBreak))
+  def fuzzyKeyPairs(idField: String, keyField: String,
+      maxBucket: Int = 64): Pipeline =
+    >>(Dedup.fuzzyKeyPairs(idField, keyField, maxBucket))
   def dedupIncrementalBloom(textField: String, tieBreak: String,
       seen: DataFrame, expectedItems: Long = 1000000L,
       fpp: Double = 0.03): Pipeline =

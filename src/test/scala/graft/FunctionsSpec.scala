@@ -75,6 +75,25 @@ class FunctionsSpec extends SparkSpec {
       "SELECT graft_minhash(array('a'), CAST(rand() * 4 AS INT))").collect())
   }
 
+  test("bloom agg + might_contain are callable from SQL after register()") {
+    GraftFunctions.register(spark)
+    // membership via a scalar subquery — the form BloomFilterMightContain
+    // is built for; 7 is in range(50), 999 is not (no false positive at
+    // this sizing)
+    val r = spark.sql(
+      """SELECT
+           graft_might_contain(
+             (SELECT graft_bloom_agg(xxhash64(CAST(id AS STRING)), 50L, 4000L)
+              FROM range(50)),
+             xxhash64(CAST(7 AS STRING))) AS hit,
+           graft_might_contain(
+             (SELECT graft_bloom_agg(xxhash64(CAST(id AS STRING)), 50L, 4000L)
+              FROM range(50)),
+             xxhash64(CAST(999 AS STRING))) AS miss""").head()
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false)
+  }
+
   test("native cosine stays inside whole-stage codegen") {
     // spark.range (a real source) rather than a local relation, which the
     // optimizer folds before any codegen happens
