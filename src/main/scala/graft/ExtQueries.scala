@@ -395,6 +395,18 @@ object ExtQueries {
         money, suffix = "_total")(table(s, dir, "orders"))
         .orderBy("o_orderpriority")
     },
+    "unpivot_lineitem" -> { (s, dir) =>
+      // melt four measure columns to (variable, value) rows — pure
+      // reshaping, values pass through bit-identically
+      Ops.unpivot(Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))(
+        table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax"))
+        // (l_orderkey, l_linenumber) is NOT unique in lineitem: order by
+        // every output column for a total order
+        .orderBy("l_orderkey", "l_linenumber", "variable", "value")
+    },
     "percentile_price" -> { (s, dir) =>
       Ops.percentileAgg(Seq("l_returnflag"), "l_extendedprice",
         Seq(0.25, 0.5, 0.9))(table(s, dir, "lineitem"))
@@ -1042,6 +1054,18 @@ object ExtQueries {
          CAST(sum(CASE WHEN o_orderstatus = 'P'
            THEN CAST(round(o_totalprice * 1e2, 0) AS BIGINT) END) AS BIGINT) / 1e2 AS P_total
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // dialect-portable melt: one UNION ALL branch per measure column
+    "unpivot_lineitem" ->
+      """SELECT l_orderkey, l_linenumber, variable, value FROM (
+           SELECT l_orderkey, l_linenumber,
+             'l_quantity' AS variable, l_quantity AS value FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber,
+             'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber,
+             'l_discount', l_discount FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber,
+             'l_tax', l_tax FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber, variable, value""",
     "percentile_price" ->
       """SELECT l_returnflag,
          quantile_cont(l_extendedprice, 0.25) AS l_extendedprice_p25,

@@ -514,6 +514,19 @@ object Ops {
       values.map(v => col(s"`$v`").as(s"$v$suffix")): _*)
   }
 
+  /** Unpivot (melt) — [[pivot]]'s inverse, extension op: widen-format
+    * measure columns become (variable, value) rows. Pure reshaping, one
+    * Expand node (rows × |values|) with NO shuffle and no arithmetic —
+    * values pass through bit-identically, so even double columns
+    * hash-match cross-engine. All melted columns must share a type (cast
+    * upstream if mixing). */
+  def unpivot(
+      ids: Seq[String],
+      values: Seq[String],
+      varName: String = "variable",
+      valName: String = "value")(df: DataFrame): DataFrame =
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName)
+
   /** Exact percentiles per group — extension op (SURVEY.md §2.5 lists
     * percentile as a Spark built-in beyond the reference). Linear
     * interpolation, matching DuckDB's quantile_cont bit-for-bit (verified

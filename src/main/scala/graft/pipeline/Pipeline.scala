@@ -64,6 +64,9 @@ final case class Pipeline(df: DataFrame) {
   def pivot(groupKeys: Seq[String], pivotField: String, values: Seq[String],
       agg: Column, suffix: String = ""): Pipeline =
     >>(Ops.pivot(groupKeys, pivotField, values, agg, suffix))
+  def unpivot(ids: Seq[String], values: Seq[String],
+      varName: String = "variable", valName: String = "value"): Pipeline =
+    >>(Ops.unpivot(ids, values, varName, valName))
   def percentileAgg(keys: Seq[String], field: String, ps: Seq[Double]): Pipeline =
     >>(Ops.percentileAgg(keys, field, ps))
   def asOfJoin(right: DataFrame, key: String, leftTime: String, rightTime: String,
