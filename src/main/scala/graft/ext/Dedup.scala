@@ -433,7 +433,11 @@ object Dedup {
             y("__id").as("id_b"), y("__key").as("key_b")))))).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
         col("__p.key_a").as("key_a"), col("__p.key_b").as("key_b"))
-      .distinct()
+      // dedup on the id pair alone — keys are functions of the ids, so
+      // any surviving row carries THE keys (deterministic despite
+      // first()-style selection) and the aggregate compares two longs
+      // instead of two longs + two strings
+      .dropDuplicates("id_a", "id_b")
       .filter(levenshtein(col("key_a"), col("key_b")) <= 1)
   }
 
