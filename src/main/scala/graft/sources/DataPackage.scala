@@ -57,13 +57,17 @@ object DataPackage {
   }
 
   /** One JSON scalar -> the schema's external type (null-preserving;
-    * date/datetime accept ISO forms). */
+    * date/datetime accept ISO forms). Non-coercible values THROW:
+    * Jackson's asLong/asDouble default mismatches to 0, which would
+    * silently zero garbage cells instead of surfacing the bad
+    * descriptor. */
   private def convert(v: JsonNode, dt: DataType): Any =
     if (v == null || v.isNull) null
     else dt match {
-      case LongType => v.asLong()
-      case DoubleType => v.asDouble()
-      case BooleanType => v.asBoolean()
+      case LongType => if (v.isNumber) v.asLong() else v.asText().toLong
+      case DoubleType => if (v.isNumber) v.asDouble() else v.asText().toDouble
+      case BooleanType =>
+        if (v.isBoolean) v.asBoolean() else v.asText().toBoolean
       case DateType => java.sql.Date.valueOf(v.asText())
       case TimestampType =>
         java.sql.Timestamp.valueOf(v.asText().replace("T", " "))

@@ -141,6 +141,14 @@ final case class XlsxStore(spark: SparkSession, dir: String) extends DataStore {
     val merged =
       if (exists(name)) {
         val existing = getObject(name)
+        // both directions must fail loudly: a missing incoming column has
+        // no values to append, and an EXTRA incoming column would
+        // otherwise vanish silently when the lattice projects to the
+        // sheet's columns
+        val extra = rows.columns.filterNot(existing.columns.contains)
+        if (extra.nonEmpty) throw new IllegalArgumentException(
+          s"xlsx append into $name: incoming columns ${extra.mkString(", ")} " +
+            s"do not exist in the sheet (${existing.columns.mkString(", ")})")
         val joined = existing.schema.fields.map { f =>
           rows.schema.fields.find(_.name == f.name) match {
             case Some(in) => f.name -> XlsxStore.lattice(f.dataType, in.dataType)

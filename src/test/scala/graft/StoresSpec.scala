@@ -436,6 +436,10 @@ class StoresSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](
       store.appendInto("n", Seq(3L).toDF("id")))
     assert(err.getMessage.contains("column 'v' missing"))
+    // an EXTRA incoming column must fail too, not silently vanish
+    val err2 = intercept[IllegalArgumentException](
+      store.appendInto("n", Seq((3L, 1.0, "x")).toDF("id", "v", "extra")))
+    assert(err2.getMessage.contains("extra"))
   }
 
   test("xlsx participates in store-to-store copy") {
@@ -505,6 +509,13 @@ class StoresSpec extends SparkSpec {
     assert(bare.schema == StructType(Seq(
       StructField("k", StringType), StructField("v", StringType))))
     assert(bare.orderBy("k").collect().map(_.getString(1)).toSeq == Seq("x", "y"))
+    // a non-numeric value in an integer field must throw, not zero out
+    Files.writeString(dir.resolve("datapackage.json"),
+      """{"name": "bad", "resources": [{"name": "b",
+           "data": [{"id": "notanumber"}],
+           "schema": {"fields": [{"name": "id", "type": "integer"}]}}]}""")
+    intercept[NumberFormatException](
+      DataPackage.open(spark, dir.toString).getObject("b").collect())
   }
 
   test("local iterator and records sources") {
