@@ -39,6 +39,23 @@ class OpsSpec extends SparkSpec {
       sales).count() == 2)
   }
 
+  test("null filter arguments match nothing (keep empty, discard all)") {
+    // a null comparison value / bound / set entry can never match —
+    // handled as explicit branches so the pushdown-friendly discard
+    // shapes never see a NULL literal flipping their semantics
+    assert(Ops.filterByValue("category", null)(sales).count() == 0)
+    assert(Ops.filterByValue("category", null, discard = true)(sales)
+      .count() == sales.count())
+    assert(Ops.filterByRange("amount", null, 10.0)(sales).count() == 0)
+    assert(Ops.filterByRange("amount", null, 10.0, discard = true)(sales)
+      .count() == sales.count())
+    // null set entries are dropped; the rest of the set still filters
+    assert(Ops.filterBySet("category", Seq(null, "books"))(sales).count() ==
+      Ops.filterBySet("category", Seq("books"))(sales).count())
+    assert(Ops.filterBySet("category", Seq(null), discard = true)(sales)
+      .count() == sales.count())
+  }
+
   test("filterByRange is half-open [low, high)") {
     val out = Ops.filterByRange("amount", 0.0, 7.5)(sales)
     // 0.0 included, 7.5 excluded, negatives excluded
