@@ -94,11 +94,19 @@ object Dedup {
     * Scale accounting (documented, not hidden): the sketch materializes
     * on the driver and ships as a plan literal, exactly like Spark's own
     * injected runtime filters — bits = −n·ln(fpp)/ln²2, so 10⁹ index
-    * entries at 3% cost ~0.9 GiB. Size `expectedItems`/`fpp` to the
-    * driver's memory, or shard the index and union; exactness never
-    * depends on the sketch (an undersized filter only degrades the
-    * prefilter's selectivity — BloomFilterAggregate saturates, false
-    * positives rise, and the anti-join still decides). */
+    * entries at 3% cost ~0.9 GiB. Two knobs bound the sketch:
+    *  - the session confs `spark.sql.optimizer.runtime.bloomFilter
+    *    .maxNumItems`/`.maxNumBits` (defaults 4M / 64M bits ≈ 8 MiB ≈
+    *    9.3M entries at 3%) — [[graft.functions.GraftFunctions
+    *    .bloomFilterAgg]] REFUSES requests above them rather than let
+    *    `BloomFilterAggregate` silently clamp and saturate, so going to
+    *    10⁹ entries means raising both confs first;
+    *  - the driver's memory for the materialized literal. Size
+    *    `expectedItems`/`fpp` to both, or shard the index and union.
+    * Exactness never depends on the sketch: an UNDER-ESTIMATED
+    * `expectedItems` (more distinct entries arrive than declared) only
+    * degrades the prefilter's selectivity — false positives rise and
+    * the anti-join still decides. */
   def incrementalByFingerprintBloom(
       textField: String, tieBreak: String, seen: DataFrame,
       expectedItems: Long = 1000000L, fpp: Double = 0.03)(

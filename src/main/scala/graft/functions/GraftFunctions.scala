@@ -73,7 +73,11 @@ object GraftFunctions {
           litInt(children(3), "graft_cdc_chunks", "maxBytes")) }),
     // Spark's internal runtime-filter bloom pair, surfaced for SQL: the
     // analyzer wraps a returned AggregateFunction itself, so the builder
-    // hands back the bare aggregate
+    // hands back the bare aggregate. NOTE this raw (hashed, items, bits)
+    // form inherits BloomFilterAggregate's silent clamp at the
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/.maxNumBits
+    // session caps; [[bloomFilterAgg]] is the validated surface that
+    // refuses over-cap sizings instead
     ("graft_bloom_agg",
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -127,12 +131,34 @@ object GraftFunctions {
     * Spark's own optimal-bits formula for (expectedItems, fpp). This is
     * Spark's internal runtime-filter aggregate
     * (`BloomFilterAggregate`), surfaced because the SQL registry keeps
-    * it private. */
+    * it private.
+    *
+    * SIZE CAPS: `BloomFilterAggregate` silently clamps its arguments to
+    * the session confs `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems` / `.maxNumBits` (defaults 4M items / 64M bits ≈
+    * 8 MiB). A clamped sketch stays *correct* but saturates — the
+    * false-positive rate climbs toward 1 and the prefilter silently
+    * stops filtering — so instead of inheriting that foot-gun this
+    * builder REFUSES requests above the caps. To build a bigger sketch,
+    * raise both confs on the session first (they exist to bound what
+    * Spark's own injected runtime filters broadcast; a deliberate
+    * index sketch may legitimately be much larger). */
   def bloomFilterAgg(hashed: Column, expectedItems: Long, fpp: Double): Column = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     val bits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
+    val conf = org.apache.spark.sql.SparkSession.active.conf
+    val maxItems =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(expectedItems <= maxItems && bits <= maxBits,
+      s"bloom sketch for $expectedItems items at fpp=$fpp needs $bits bits, " +
+        s"over the session caps (maxNumItems=$maxItems, maxNumBits=$maxBits); " +
+        "BloomFilterAggregate would silently clamp and saturate. Raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/.maxNumBits " +
+        "before building the plan.")
     Bridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         Bridge.expression(hashed),

@@ -94,6 +94,26 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getBoolean(1) === false)
   }
 
+  test("bloomFilterAgg refuses sizings over the session bloom caps") {
+    // default caps: 4M items / 64M bits. 10^9 items needs ~7.3G bits —
+    // BloomFilterAggregate would silently clamp to 8 MiB and saturate;
+    // the builder must refuse instead
+    val e = intercept[IllegalArgumentException](
+      GraftFunctions.bloomFilterAgg(xxhash64(lit("x")), 1000000000L, 0.03))
+    assert(e.getMessage.contains("maxNumBits"))
+    // raising the caps makes the same sizing legal
+    val items = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (i0, b0) = (spark.conf.get(items), spark.conf.get(bits))
+    try {
+      spark.conf.set(items, 1000000000L)
+      spark.conf.set(bits, 8000000000L)
+      GraftFunctions.bloomFilterAgg(xxhash64(lit("x")), 1000000000L, 0.03)
+    } finally {
+      spark.conf.set(items, i0); spark.conf.set(bits, b0)
+    }
+  }
+
   test("native cosine stays inside whole-stage codegen") {
     // spark.range (a real source) rather than a local relation, which the
     // optimizer folds before any codegen happens
