@@ -142,17 +142,26 @@ object GraftFunctions {
     * builder REFUSES requests above the caps. To build a bigger sketch,
     * raise both confs on the session first (they exist to bound what
     * Spark's own injected runtime filters broadcast; a deliberate
-    * index sketch may legitimately be much larger). */
+    * index sketch may legitimately be much larger).
+    *
+    * The caps are read the same way `BloomFilterAggregate` itself reads
+    * them — `SQLConf.get`, which resolves to the active session's conf
+    * when one exists and to the compiled defaults otherwise — so this
+    * stays a session-free Column builder. The check runs at
+    * Column-construction time only: lowering the caps (or executing on
+    * a different session with lower caps) AFTER building the Column
+    * reintroduces the aggregate's own clamp-and-saturate behavior,
+    * because the aggregate re-reads the confs lazily at execution. */
   def bloomFilterAgg(hashed: Column, expectedItems: Long, fpp: Double): Column = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     val bits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
-    val conf = org.apache.spark.sql.SparkSession.active.conf
+    val conf = org.apache.spark.sql.internal.SQLConf.get
     val maxItems =
-      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+      conf.getConf(org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
     val maxBits =
-      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+      conf.getConf(org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
     require(expectedItems <= maxItems && bits <= maxBits,
       s"bloom sketch for $expectedItems items at fpp=$fpp needs $bits bits, " +
         s"over the session caps (maxNumItems=$maxItems, maxNumBits=$maxBits); " +

@@ -97,7 +97,12 @@ class FunctionsSpec extends SparkSpec {
   test("bloomFilterAgg refuses sizings over the session bloom caps") {
     // default caps: 4M items / 64M bits. 10^9 items needs ~7.3G bits —
     // BloomFilterAggregate would silently clamp to 8 MiB and saturate;
-    // the builder must refuse instead
+    // the builder must refuse instead. The builder reads the caps via
+    // SQLConf.get (session conf when active, compiled defaults when
+    // not), so both branches below hold with or without a session; the
+    // cap-raise branch still needs `spark` initialized first so the
+    // conf.set lands on the conf SQLConf.get resolves to.
+    spark.sparkContext // force the shared lazy session before anything else
     val e = intercept[IllegalArgumentException](
       GraftFunctions.bloomFilterAgg(xxhash64(lit("x")), 1000000000L, 0.03))
     assert(e.getMessage.contains("maxNumBits"))
