@@ -239,6 +239,33 @@ object ExtQueries {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
     },
+    "duplicate_spans" -> { (s, dir) =>
+      // exact-substring dedup audit: maximal token spans covered by
+      // 8-grams occurring in >= 2 distinct documents
+      TextOps.duplicateSpans("doc_id", "text", n = 8)(
+        corpus(s, dir, "documents"))
+        .orderBy("doc_id", "span_start")
+    },
+    "strip_duplicate_spans" -> { (s, dir) =>
+      // apply form: min-doc_id canon keeps each duplicated passage once
+      TextOps.stripDuplicateSpans("doc_id", "text", n = 8)(
+        corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+    "bm25_topk" -> { (s, dir) =>
+      TextOps.bm25TopK("doc_id", "text",
+        Seq("spark", "stream", "vector"), k = 10)(
+        corpus(s, dir, "documents"))
+        .orderBy("rank")
+    },
+    "cross_corpus_pairs" -> { (s, dir) =>
+      // near-dup the "new crawl" (>= 250) against the "reference corpus"
+      // (< 250) — candidates only ever span the two sides
+      val docs = corpus(s, dir, "documents")
+      Dedup.crossCorpusNearDuplicates("doc_id", "text", threshold = 0.2)(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+        .orderBy("id_a", "id_b")
+    },
     // ---- events: JSON + windows + sessions ---------------------------------
     "events_json_agg" -> { (s, dir) =>
       table(s, dir, "events")
@@ -505,6 +532,88 @@ object ExtQueries {
                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
         FROM pairs JOIN sh a ON pairs.id_a = a.doc_id
                    JOIN sh b ON pairs.id_b = b.doc_id)
+      SELECT id_a, id_b, jaccard FROM joined
+      WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
+  }
+
+  /** Positional word n-grams — mirrors TextOps.positionedGrams: one md5
+    * per gram start position (0-based), NOT distinct. */
+  private def posGramsSql(n: Int): String =
+    s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          md5(array_to_string(t[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ')) AS h
+        FROM (SELECT doc_id, string_split(text,' ') AS t,
+                unnest(range(1, greatest(len(string_split(text,' ')) - ${n - 1}, 0) + 1)) AS i
+              FROM documents)"""
+
+  /** Double literal that parses to the EXACT same IEEE-754 bits as the
+    * Scala double `v`: Double.toString round-trips, and CAST from
+    * VARCHAR avoids DuckDB's bare-decimal-literal DECIMAL typing. */
+  private def litD(v: Double): String = s"CAST('$v' AS DOUBLE)"
+
+  /** BM25 top-k — mirrors TextOps.bm25TopK term for term: rational idf
+    * (no log), every aggregate an exact integer in a double, score
+    * expression tree and fold order identical to the Column form, so
+    * scores hash-match bit-for-bit. */
+  private def bm25Sql(
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val ts = terms.distinct.sorted
+    val tfCols = ts.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text,' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }
+    val dfCols = ts.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+    val score = ts.indices.map { i =>
+      s"((n - df$i) + ${litD(0.5)}) / (df$i + ${litD(0.5)}) * (tf$i * ${litD(k1 + 1.0)}) / (tf$i + ${litD(k1)} * (${litD(1.0 - b)} + ${litD(b)} * (dl / (sumdl / n))))"
+    }.reduce((a, bb) => s"($a + $bb)")
+    s"""
+      WITH base AS (SELECT doc_id,
+          CAST(len(string_split(text,' ')) AS DOUBLE) AS dl,
+          ${tfCols.mkString(",\n          ")}
+        FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+          ${dfCols.mkString(",\n          ")}
+        FROM base),
+      scored AS (SELECT doc_id, $score AS score FROM base CROSS JOIN stats)
+      SELECT doc_id, score,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+      FROM scored WHERE score > 0
+      QUALIFY rank <= $k
+      ORDER BY rank"""
+  }
+
+  /** Cross-corpus LSH near-dup — mirrors Dedup.crossCorpusNearDuplicates
+    * (same banding as minhashNearDupSql, per-SIDE maxBucket=64 cap,
+    * candidates only ever pair left with right). */
+  private def crossCorpusNearDupSql(
+      shingleN: Int, threshold: String, splitId: Int,
+      numHashes: Int = 8, bands: Int = 4): String = {
+    val rows = numHashes / bands
+    def side(name: String, pred: String) =
+      s"""$name AS (SELECT doc_id, ${shinglesSql(shingleN)} AS sh
+            FROM documents WHERE $pred)"""
+    def banded(name: String, sig: String) =
+      s"""$name AS (SELECT doc_id, b,
+            md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')) AS bucket
+          FROM $sig, range(0,$bands) t(b))"""
+    s"""
+      WITH ${side("shl", s"doc_id < $splitId")},
+      ${side("shr", s"doc_id >= $splitId")},
+      sigl AS (SELECT doc_id, sh, ${minhashSigSql(numHashes)} AS sig FROM shl),
+      sigr AS (SELECT doc_id, sh, ${minhashSigSql(numHashes)} AS sig FROM shr),
+      ${banded("bl", "sigl")},
+      ${banded("br", "sigr")},
+      szl AS (SELECT *, count(*) OVER (PARTITION BY b, bucket) AS n FROM bl),
+      szr AS (SELECT *, count(*) OVER (PARTITION BY b, bucket) AS n FROM br),
+      pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM szl x JOIN szr y ON x.b = y.b AND x.bucket = y.bucket
+        WHERE x.n <= 64 AND y.n <= 64),
+      joined AS (SELECT id_a, id_b,
+        CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
+        FROM pairs JOIN shl a ON pairs.id_a = a.doc_id
+                   JOIN shr b ON pairs.id_b = b.doc_id)
       SELECT id_a, id_b, jaccard FROM joined
       WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
   }
@@ -1100,6 +1209,51 @@ object ExtQueries {
       GROUP BY ngram
       ORDER BY doc_freq DESC, ngram ASC
       LIMIT 20""",
+    // duplicated 8-gram gaps-and-islands — a new span starts where the
+    // gap between consecutive duplicated gram starts exceeds n
+    "duplicate_spans" -> s"""
+      WITH g AS (${posGramsSql(8)}),
+      dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      hit AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+      brk AS (SELECT doc_id, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+               THEN 1 ELSE 0 END AS b
+        FROM hit),
+      isl AS (SELECT doc_id, pos,
+          sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        FROM brk)
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        (max(pos) + 7) - min(pos) + 1 AS span_tokens
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""",
+    // min-doc_id canon per duplicated digest; non-canon occurrences mark
+    // their n covered token positions for removal
+    "strip_duplicate_spans" -> s"""
+      WITH g AS (${posGramsSql(8)}),
+      canon AS (SELECT h, min(doc_id) AS keep FROM g
+        GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      rem AS (SELECT DISTINCT g.doc_id, g.pos + r.off AS tp
+        FROM g JOIN canon ON g.h = canon.h AND g.doc_id <> canon.keep
+        CROSS JOIN range(0, 8) r(off)),
+      toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tp, t[CAST(i AS INT)] AS tok
+        FROM (SELECT doc_id, string_split(text,' ') AS t,
+                unnest(range(1, len(string_split(text,' ')) + 1)) AS i
+              FROM documents)),
+      kept AS (SELECT doc_id, tp, tok FROM toks
+        WHERE NOT EXISTS (SELECT 1 FROM rem
+          WHERE rem.doc_id = toks.doc_id AND rem.tp = toks.tp)),
+      rebuilt AS (SELECT doc_id, count(*) AS kept,
+          string_agg(tok, ' ' ORDER BY tp) AS clean
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+        CAST(len(string_split(d.text,' ')) - coalesce(r.kept, 0) AS BIGINT) AS n_removed,
+        coalesce(r.clean, '') AS clean_text
+      FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+      ORDER BY d.doc_id""",
+    "bm25_topk" -> bm25Sql(Seq("spark", "stream", "vector"), k = 10),
+    "cross_corpus_pairs" ->
+      crossCorpusNearDupSql(shingleN = 3, threshold = "2e-1", splitId = 250),
     // md5-prefix uint32 cutoff per stratum — mirrors Ops.sampleStratifiedHash
     "stratified_sample" -> """
       SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -194,20 +194,30 @@ object Dedup {
     * materialize the shingle projection ONCE and reuse it for candidate
     * generation and both verify joins (shingling is the dominant cost of
     * the whole pipeline; recomputing it per consumer tripled it). */
-  private def lshPairsFromShingles(
-      docs: DataFrame,
-      numHashes: Int,
-      bands: Int,
-      maxBucket: Int): DataFrame = {
+  /** (__id, __band, __bucket) for a (__id, __sh) projection: the MinHash
+    * signature sliced into `bands` equal bands, each band's slice folded
+    * to one md5 bucket key. Shared by the in-corpus and cross-corpus LSH
+    * paths — identical banding is what makes their candidate sets
+    * comparable. */
+  private def bandedBuckets(
+      docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = graft.functions.GraftFunctions.minhashSignature(col("__sh"), numHashes)
-    val banded = docs
+    docs
       .select(col("__id"), sig.as("__sig"))
       .select(col("__id"), posexplode(
         array((0 until bands).map(b =>
           md5(concat_ws(",", slice(col("__sig"), b * rows + 1, rows)))): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+  }
+
+  private def lshPairsFromShingles(
+      docs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      maxBucket: Int): DataFrame = {
+    val banded = bandedBuckets(docs, numHashes, bands)
     // One hash-agg collects each bucket's ids, the cap drops degenerate
     // buckets, and ordered pairs are generated bucket-locally from the
     // collected list. Compared to the previous self-join on the bucket
@@ -258,6 +268,58 @@ object Dedup {
       // DISTINCT-set sizes, and raw array sizes qualify only because
       // TextOps.shingles array_distincts its output; do not reuse this
       // filter on non-deduplicated arrays
+      .filter(size(col("__sha")).cast("double") >= size(col("__shb")) * threshold &&
+        size(col("__shb")).cast("double") >= size(col("__sha")) * threshold)
+      .withColumn("jaccard", TextOps.jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Cross-corpus MinHash-LSH near-dup pairs: candidates are (left,
+    * right) documents sharing a band bucket, verified with exact n-gram
+    * Jaccard ≥ threshold — the fuzzy companion to
+    * [[incrementalByFingerprint]] (dedup a new crawl against a reference
+    * corpus when byte-identity is too strict) and the near-dup form of
+    * benchmark decontamination. Never compares within a side, so it is
+    * NOT minhashNearDuplicates on the union: |L|·|R| bucket collisions
+    * bound the work, and each side's own duplicates are invisible.
+    *
+    * Same banding as [[minhashNearDuplicates]] ([[bandedBuckets]]);
+    * each side's bucket membership is collected separately and the
+    * skew cap applies PER SIDE (a bucket contributes pairs only when
+    * both sides hold ≤ maxBucket members — mirrored in the oracle).
+    * Both shingle projections materialize once (localCheckpoint) and
+    * feed candidate generation plus their verify side, so each corpus'
+    * text is scanned exactly once. */
+  def crossCorpusNearDuplicates(
+      idField: String,
+      textField: String,
+      threshold: Double,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      maxBucket: Int = 64)(left: DataFrame, right: DataFrame): DataFrame = {
+    def proj(d: DataFrame) = d.select(col(idField).as("__id"),
+      TextOps.shingles(col(textField), shingleSize).as("__sh"))
+      .localCheckpoint()
+    val dl = proj(left); val dr = proj(right)
+    def buckets(d: DataFrame, out: String) =
+      bandedBuckets(d, numHashes, bands)
+        .groupBy(col("__band"), col("__bucket"))
+        .agg(collect_list(col("__id")).as(out))
+        .filter(size(col(out)).between(1, maxBucket))
+    val cands = buckets(dl, "__la")
+      .join(buckets(dr, "__lb"), Seq("__band", "__bucket"))
+      .select(explode(flatten(transform(col("__la"), x =>
+        transform(col("__lb"), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .distinct()
+    cands
+      .join(dl.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(dr.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
+      // same DISTINCT-size prefilter as minhashNearDuplicates (see the
+      // invariant there: only valid because shingles() array_distincts)
       .filter(size(col("__sha")).cast("double") >= size(col("__shb")) * threshold &&
         size(col("__shb")).cast("double") >= size(col("__sha")) * threshold)
       .withColumn("jaccard", TextOps.jaccard(col("__sha"), col("__shb")))

@@ -378,6 +378,171 @@ object TextOps {
         / budget))
   }
 
+  /** Word n-gram digests in POSITION order: element i is
+    * md5(tokens[i..i+n-1] joined by space), one per gram start position,
+    * 0-based via posexplode downstream. NOT distinct — [[shingles]]'
+    * set semantics would lose the positions span detection needs. Docs
+    * with fewer than n tokens yield an empty array (same descending-
+    * sequence guard as [[shingles]]). */
+  def gramDigests(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.bind(tokens(text)) { ts =>
+      when(size(ts) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          i => md5(array_join(slice(ts, i, lit(n)), " "))))
+    }
+
+  /** (id, 0-based gram start position as long, gram digest) — the
+    * exploded positional gram stream [[duplicateSpans]] and
+    * [[stripDuplicateSpans]] share. One projection + explode, ~|tokens|
+    * rows per doc; digests (32 bytes) shuffle, never gram strings. */
+  private def positionedGrams(
+      idField: String, textField: String, n: Int)(df: DataFrame): DataFrame =
+    df.select(col(idField).as("__id"),
+      posexplode(gramDigests(col(textField), n)).as(Seq("__pos", "__h")))
+      .select(col("__id"), col("__pos").cast("long").as("__pos"), col("__h"))
+
+  /** Exact substring (duplicated-passage) detection, the span-level
+    * companion to document-level dedup: maximal token spans covered by
+    * word n-grams that occur in at least `minDocs` DISTINCT documents
+    * (in-document repetition alone is not duplication — that's
+    * [[repetitionStats]]' job). The span report behind
+    * suffix-array-style training-data dedup, re-expressed for Spark:
+    * instead of a global suffix array (a sequential build), duplicated
+    * n-grams are found with one hash aggregation on gram digests and
+    * merged into maximal spans with one per-document window
+    * (gaps-and-islands: a new span starts where the gap between
+    * consecutive duplicated gram starts exceeds n, i.e. coverage
+    * breaks). Returns (id, span_start, span_end, span_tokens) in token
+    * coordinates, span_end inclusive.
+    *
+    * Scale shape: explode is linear in corpus tokens; the digest
+    * aggregation shuffles 32-byte digests; the window partitions by doc
+    * (bounded by doc length). No all-pairs stage anywhere — cost is
+    * independent of HOW MANY documents share a span. */
+  def duplicateSpans(
+      idField: String, textField: String, n: Int, minDocs: Int = 2)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val grams = positionedGrams(idField, textField, n)(df)
+    val dup = grams.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__h")
+    val byPos = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    grams.join(dup, "__h")
+      .select("__id", "__pos")
+      .withColumn("__brk",
+        when(col("__pos") - lag(col("__pos"), 1).over(byPos) > n, 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__island"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + (n - 1)).as("span_end"))
+      .select(col("__id").as(idField), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Apply form of [[duplicateSpans]]: remove cross-document duplicated
+    * passages, keeping ONE canonical copy corpus-wide. For each
+    * duplicated gram digest the canonical holder is the document with
+    * the smallest id (deterministic, engine-reproducible); every other
+    * document drops all tokens covered by its occurrences of that gram.
+    * Returns every input document as (id, n_tokens, n_removed,
+    * clean_text) — clean_text is the kept tokens re-joined by single
+    * spaces, "" when everything was duplicated elsewhere's canon.
+    *
+    * Scale shape: two linear explodes (grams, then tokens), digest-keyed
+    * aggregation for canon election, anti-join on (doc, position), and a
+    * per-document sort-rebuild whose memory is bounded by the longest
+    * document. The rebuild is the unavoidable cost of emitting TEXT
+    * again; pipelines that only need the mask should use
+    * [[duplicateSpans]] and skip it. */
+  def stripDuplicateSpans(
+      idField: String, textField: String, n: Int)(df: DataFrame): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val grams = positionedGrams(idField, textField, n)(df)
+    val canon = grams.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__nd"), min(col("__id")).as("__keep"))
+      .filter(col("__nd") >= 2)
+      .select("__h", "__keep")
+    val removed = grams.join(canon, "__h")
+      .filter(col("__id") =!= col("__keep"))
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__tp"))
+      .distinct()
+    val toks = df.select(col(idField).as("__id"),
+      posexplode(tokens(col(textField))).as(Seq("__tp", "__tok")))
+      .select(col("__id"), col("__tp").cast("long").as("__tp"), col("__tok"))
+    val rebuilt = toks.join(removed, Seq("__id", "__tp"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__tp"), col("__tok")))),
+          s => s.getField("__tok"))).as("__clean"))
+    df.select(col(idField).as("__id"),
+      size(tokens(col(textField))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idField), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
+  /** BM25 ranked retrieval over the corpus: top-k documents for a bag of
+    * query terms. Classic Okapi shape with one deliberate change for
+    * cross-engine exactness: the idf factor is the RATIONAL
+    * (N − df + 0.5)/(df + 0.5) rather than its log (same per-term
+    * monotonicity, so a single-term ranking is identical; multi-term
+    * rankings weight rare terms more sharply — documented, like
+    * [[tfidfTopTerms]]' rational idf). Every aggregate the score reads
+    * (N, Σdl, per-term df) is an integer in a double, so partial
+    * aggregation order cannot perturb it, and the score itself is a
+    * fixed expression tree of IEEE ops evaluated identically by Spark
+    * and the oracle — scores hash-match bit-for-bit.
+    *
+    * Scale shape: one projection computes per-doc tf for each query
+    * term (terms are literals in the plan — a handful per query), one
+    * single-row global aggregate broadcasts (N, Σdl, df…), score is a
+    * stateless projection, and top-k plans as TakeOrderedAndProject
+    * (per-partition heaps, never a full sort). The rank window runs on
+    * the ≤ k survivors only. */
+  def bm25TopK(
+      idField: String, textField: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val terms = queryTerms.distinct.sorted
+    val base = df.select(col(idField).as("__id"), tokens(col(textField)).as("__ts"))
+      .select(Seq(col("__id"), size(col("__ts")).cast("double").as("__dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__ts"), x => x === lit(t))).cast("double").as(s"__tf$i")
+        }: _*)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__dl")).as("__sumdl") +: terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1).otherwise(0)).cast("double").as(s"__df$i")): _*)
+    val avgdl = col("__sumdl") / col("__n")
+    def termScore(i: Int): Column = {
+      val tf = col(s"__tf$i"); val dfc = col(s"__df$i")
+      val idf = (col("__n") - dfc + lit(0.5)) / (dfc + lit(0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl") / avgdl)))
+    }
+    val score = terms.indices.map(termScore).reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("__id"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("__id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("__id").asc)).cast("int"))
+      .select(col("__id").as(idField), col("score"), col("rank"))
+  }
+
   def withLangId(textField: String, target: String = "lang_pred")(
       df: DataFrame): DataFrame = df.withColumn(target, langId(col(textField)))
 
