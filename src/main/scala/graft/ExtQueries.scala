@@ -246,6 +246,14 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("doc_id", "span_start")
     },
+    "duplicate_spans_min" -> { (s, dir) =>
+      // paragraph granularity: short incidental overlaps (< 12 tokens)
+      // dropped engine-side after island merging
+      TextOps.duplicateSpans("doc_id", "text", n = 8, minDocs = 2,
+        minSpanTokens = 12)(
+        corpus(s, dir, "documents"))
+        .orderBy("doc_id", "span_start")
+    },
     "strip_duplicate_spans" -> { (s, dir) =>
       // apply form: min-doc_id canon keeps each duplicated passage once
       TextOps.stripDuplicateSpans("doc_id", "text", n = 8)(
@@ -544,6 +552,31 @@ object ExtQueries {
         FROM (SELECT doc_id, string_split(text,' ') AS t,
                 unnest(range(1, greatest(len(string_split(text,' ')) - ${n - 1}, 0) + 1)) AS i
               FROM documents)"""
+
+  /** Duplicated n-gram gaps-and-islands (mirrors TextOps.duplicateSpans):
+    * a new span starts where the gap between consecutive duplicated gram
+    * starts exceeds n; minSpanTokens > n drops short spans AFTER merging. */
+  private def dupSpansSql(n: Int, minSpanTokens: Int): String = {
+    val having =
+      if (minSpanTokens > n)
+        s"HAVING (max(pos) + ${n - 1}) - min(pos) + 1 >= $minSpanTokens"
+      else ""
+    s"""
+      WITH g AS (${posGramsSql(n)}),
+      dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      hit AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+      brk AS (SELECT doc_id, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $n
+               THEN 1 ELSE 0 END AS b
+        FROM hit),
+      isl AS (SELECT doc_id, pos,
+          sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        FROM brk)
+      SELECT doc_id, min(pos) AS span_start, max(pos) + ${n - 1} AS span_end,
+        (max(pos) + ${n - 1}) - min(pos) + 1 AS span_tokens
+      FROM isl GROUP BY doc_id, island $having
+      ORDER BY doc_id, span_start"""
+  }
 
   /** Double literal that parses to the EXACT same IEEE-754 bits as the
     * Scala double `v`: Double.toString round-trips, and CAST from
@@ -1211,21 +1244,10 @@ object ExtQueries {
       LIMIT 20""",
     // duplicated 8-gram gaps-and-islands — a new span starts where the
     // gap between consecutive duplicated gram starts exceeds n
-    "duplicate_spans" -> s"""
-      WITH g AS (${posGramsSql(8)}),
-      dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-      hit AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
-      brk AS (SELECT doc_id, pos,
-          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
-               THEN 1 ELSE 0 END AS b
-        FROM hit),
-      isl AS (SELECT doc_id, pos,
-          sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-        FROM brk)
-      SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
-        (max(pos) + 7) - min(pos) + 1 AS span_tokens
-      FROM isl GROUP BY doc_id, island
-      ORDER BY doc_id, span_start""",
+    "duplicate_spans" -> dupSpansSql(8, minSpanTokens = 0),
+    // same, paragraph granularity: spans shorter than 12 tokens dropped
+    // AFTER island merging (mirrors duplicateSpans' minSpanTokens)
+    "duplicate_spans_min" -> dupSpansSql(8, minSpanTokens = 12),
     // min-doc_id canon per duplicated digest; non-canon occurrences mark
     // their n covered token positions for removal
     "strip_duplicate_spans" -> s"""

@@ -290,7 +290,14 @@ object Dedup {
     * both sides hold ≤ maxBucket members — mirrored in the oracle).
     * Both shingle projections materialize once (localCheckpoint) and
     * feed candidate generation plus their verify side, so each corpus'
-    * text is scanned exactly once. */
+    * text is scanned exactly once.
+    *
+    * The two sides are expected to be DISJOINT id spaces (a crawl vs a
+    * reference corpus). A document present on both sides would otherwise
+    * surface as a trivial self-pair with jaccard 1.0, so id_a == id_b
+    * candidates are dropped defensively before the verify join; distinct
+    * documents that happen to share an id across sides are therefore not
+    * comparable — re-key one side first. */
   def crossCorpusNearDuplicates(
       idField: String,
       textField: String,
@@ -314,6 +321,7 @@ object Dedup {
         transform(col("__lb"), y =>
           struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
       .distinct()
     cands
       .join(dl.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")

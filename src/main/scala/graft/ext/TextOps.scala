@@ -385,12 +385,17 @@ object TextOps {
     * with fewer than n tokens yield an empty array (same descending-
     * sequence guard as [[shingles]]). */
   def gramDigests(text: Column, n: Int): Column =
-    graft.functions.GraftFunctions.bind(tokens(text)) { ts =>
-      when(size(ts) < n, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(1), size(ts) - (n - 1)),
-          i => md5(array_join(slice(ts, i, lit(n)), " "))))
-    }
+    graft.functions.GraftFunctions.bind(tokens(text))(gramDigestsOfTokens(_, n))
+
+  /** [[gramDigests]] over an already-tokenized array — used when the
+    * token projection is materialized once and shared (so re-splitting
+    * the text would defeat the materialization). `ts` must be a bound
+    * attribute (not an expression), or it is re-evaluated per reference. */
+  def gramDigestsOfTokens(ts: Column, n: Int): Column =
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(ts) - (n - 1)),
+        i => md5(array_join(slice(ts, i, lit(n)), " "))))
 
   /** (id, 0-based gram start position as long, gram digest) — the
     * exploded positional gram stream [[duplicateSpans]] and
@@ -416,12 +421,19 @@ object TextOps {
     * breaks). Returns (id, span_start, span_end, span_tokens) in token
     * coordinates, span_end inclusive.
     *
+    * `minSpanTokens` drops spans shorter than the given token count
+    * AFTER island merging — the paragraph-granularity knob: incidental
+    * short overlaps (a shared sentence) are filtered engine-side instead
+    * of shipping every n-token hit to the consumer. 0 (default) keeps
+    * every span; values ≤ n are no-ops (n is the minimum possible span).
+    *
     * Scale shape: explode is linear in corpus tokens; the digest
     * aggregation shuffles 32-byte digests; the window partitions by doc
     * (bounded by doc length). No all-pairs stage anywhere — cost is
     * independent of HOW MANY documents share a span. */
   def duplicateSpans(
-      idField: String, textField: String, n: Int, minDocs: Int = 2)(
+      idField: String, textField: String, n: Int, minDocs: Int = 2,
+      minSpanTokens: Int = 0)(
       df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"gram size must be >= 1, got $n")
@@ -432,7 +444,7 @@ object TextOps {
       .filter(col("__nd") >= minDocs)
       .select("__h")
     val byPos = Window.partitionBy(col("__id")).orderBy(col("__pos"))
-    grams.join(dup, "__h")
+    val spans = grams.join(dup, "__h")
       .select("__id", "__pos")
       .withColumn("__brk",
         when(col("__pos") - lag(col("__pos"), 1).over(byPos) > n, 1)
@@ -444,6 +456,8 @@ object TextOps {
         (max(col("__pos")) + (n - 1)).as("span_end"))
       .select(col("__id").as(idField), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
+    if (minSpanTokens > n) spans.filter(col("span_tokens") >= minSpanTokens)
+    else spans
   }
 
   /** Apply form of [[duplicateSpans]]: remove cross-document duplicated
@@ -460,11 +474,24 @@ object TextOps {
     * per-document sort-rebuild whose memory is bounded by the longest
     * document. The rebuild is the unavoidable cost of emitting TEXT
     * again; pipelines that only need the mask should use
-    * [[duplicateSpans]] and skip it. */
+    * [[duplicateSpans]] and skip it.
+    *
+    * The tokenized projection materializes ONCE (localCheckpoint) and
+    * feeds all three consumers — gram explode, token rebuild, and the
+    * per-doc header. Without it the source is scanned and re-tokenized
+    * three times (the exact triple-scan that cost ngram_jaccard_pairs
+    * 2.2× before its r5 fix). Checkpoint size is the tokenized corpus —
+    * same order as the text itself. */
   def stripDuplicateSpans(
       idField: String, textField: String, n: Int)(df: DataFrame): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
-    val grams = positionedGrams(idField, textField, n)(df)
+    val tokenized = df.select(col(idField).as("__id"),
+      tokens(col(textField)).as("__ts"))
+      .localCheckpoint()
+    val grams = tokenized
+      .select(col("__id"),
+        posexplode(gramDigestsOfTokens(col("__ts"), n)).as(Seq("__pos", "__h")))
+      .select(col("__id"), col("__pos").cast("long").as("__pos"), col("__h"))
     val canon = grams.groupBy(col("__h"))
       .agg(countDistinct(col("__id")).as("__nd"), min(col("__id")).as("__keep"))
       .filter(col("__nd") >= 2)
@@ -474,8 +501,8 @@ object TextOps {
       .select(col("__id"),
         explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__tp"))
       .distinct()
-    val toks = df.select(col(idField).as("__id"),
-      posexplode(tokens(col(textField))).as(Seq("__tp", "__tok")))
+    val toks = tokenized
+      .select(col("__id"), posexplode(col("__ts")).as(Seq("__tp", "__tok")))
       .select(col("__id"), col("__tp").cast("long").as("__tp"), col("__tok"))
     val rebuilt = toks.join(removed, Seq("__id", "__tp"), "left_anti")
       .groupBy(col("__id"))
@@ -483,8 +510,7 @@ object TextOps {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("__tp"), col("__tok")))),
           s => s.getField("__tok"))).as("__clean"))
-    df.select(col(idField).as("__id"),
-      size(tokens(col(textField))).cast("long").as("n_tokens"))
+    tokenized.select(col("__id"), size(col("__ts")).cast("long").as("n_tokens"))
       .join(rebuilt, Seq("__id"), "left")
       .select(col("__id").as(idField), col("n_tokens"),
         (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"),

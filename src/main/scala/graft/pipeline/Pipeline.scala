@@ -106,6 +106,22 @@ final case class Pipeline(df: DataFrame) {
   def packSequences(tokenCountField: String, budget: Long,
       shardField: String, orderBy: Seq[String]): Pipeline =
     >>(TextOps.packSequences(tokenCountField, budget, shardField, orderBy))
+  def duplicateSpans(idField: String, textField: String, n: Int,
+      minDocs: Int = 2, minSpanTokens: Int = 0): Pipeline =
+    >>(TextOps.duplicateSpans(idField, textField, n, minDocs, minSpanTokens))
+  def stripDuplicateSpans(idField: String, textField: String, n: Int): Pipeline =
+    >>(TextOps.stripDuplicateSpans(idField, textField, n))
+  def bm25TopK(idField: String, textField: String, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): Pipeline =
+    >>(TextOps.bm25TopK(idField, textField, queryTerms, k, k1, b))
+  /** Two-frame entry point: `this` is the new crawl (left side), `reference`
+    * the corpus it is deduplicated against. Sides must be disjoint id
+    * spaces — see [[graft.ext.Dedup.crossCorpusNearDuplicates]]. */
+  def crossCorpusNearDuplicates(reference: DataFrame, idField: String,
+      textField: String, threshold: Double, numHashes: Int = 8,
+      bands: Int = 4, shingleSize: Int = 3, maxBucket: Int = 64): Pipeline =
+    Pipeline(Dedup.crossCorpusNearDuplicates(idField, textField, threshold,
+      numHashes, bands, shingleSize, maxBucket)(df, reference))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_topk",   // broadcast query set (vec_id < 10)
     "similarity_ivf",    // broadcast centroid ranking (id < nCentroids)
     "tfidf_top_terms",   // broadcast one-row corpus count
-    "key_skew")          // broadcast one-row total count
+    "key_skew",          // broadcast one-row total count
+    "bm25_topk")         // broadcast one-row (N, avgdl, df…) stats aggregate
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -36,6 +37,20 @@ class PlanAuditSpec extends SparkSpec {
       if (!boundedBroadcastCross(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
+  test("top-k queries select via TakeOrderedAndProject, not a global sort") {
+    // The Scaladocs claim these queries' top-k selection is per-partition
+    // heaps merged on the driver (TakeOrderedAndProject) — at 100 TB a
+    // global Sort feeding a Limit is a full shuffle of the corpus. A
+    // trailing orderBy over the ≤ k survivors (oracle determinism) may
+    // still plan a Sort; the pin is that the SELECTION node is present.
+    Seq("bm25_topk", "sample_n_exact", "top_ngrams").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name does not plan TakeOrderedAndProject:\n$plan")
     }
   }
 

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextOps}
+import graft.pipeline.Pipeline
+
+/** Semantics tests for the span-level dedup family and BM25 retrieval —
+  * the edge cases the sf0.01 oracle corpus cannot probe: sub-n documents,
+  * island-merge boundaries at exactly the gram size, minDocs > 2, canon
+  * retention, score ties, and the per-side cross-corpus bucket cap.
+  */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1: shared grams "a b c" (pos 0) and "d e f" (pos 3) — gap == n,
+  //   coverage touches, islands MERGE into one span 0..5
+  // doc 2: same grams at pos 0 and 4 — gap == n+1, coverage breaks,
+  //   two spans with a one-token hole at pos 3
+  private def gapDocs = Seq(
+    (1L, "a b c d e f"),
+    (2L, "a b c z d e f")
+  ).toDF("doc_id", "text")
+
+  test("duplicateSpans merges islands at gap == n and splits at n+1") {
+    val out = TextOps.duplicateSpans("doc_id", "text", n = 3)(gapDocs)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array(
+      (1L, 0L, 5L, 6L),           // merged: one maximal span
+      (2L, 0L, 2L, 3L), (2L, 4L, 6L, 3L))) // split by the z hole
+  }
+
+  test("duplicateSpans: docs shorter than n yield no grams and no spans") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    assert(TextOps.duplicateSpans("doc_id", "text", n = 3)(docs).count() === 0)
+  }
+
+  test("duplicateSpans minDocs=3 requires three distinct holders") {
+    val two = Seq((1L, "a b c d"), (2L, "x a b c")).toDF("doc_id", "text")
+    assert(TextOps.duplicateSpans("doc_id", "text", n = 3, minDocs = 3)(two)
+      .count() === 0)
+    val three = two.union(Seq((3L, "a b c y")).toDF("doc_id", "text"))
+    val spans = TextOps.duplicateSpans("doc_id", "text", n = 3, minDocs = 3)(three)
+    // "a b c" now lives in all three docs; each doc reports its own span
+    assert(spans.select("doc_id").as[Long].collect().sorted === Array(1L, 2L, 3L))
+  }
+
+  test("duplicateSpans minSpanTokens drops short spans after merging") {
+    val filtered = TextOps.duplicateSpans("doc_id", "text", n = 3,
+      minSpanTokens = 4)(gapDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // doc 1's merged 6-token span survives; doc 2's two 3-token spans drop
+    assert(filtered === Array((1L, 6L)))
+    // values <= n are no-ops: the minimum possible span is n tokens
+    assert(TextOps.duplicateSpans("doc_id", "text", n = 3,
+      minSpanTokens = 3)(gapDocs).count() === 3)
+  }
+
+  test("duplicateSpans refuses invalid n and minDocs") {
+    intercept[IllegalArgumentException] {
+      TextOps.duplicateSpans("doc_id", "text", n = 0)(gapDocs)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.duplicateSpans("doc_id", "text", n = 3, minDocs = 1)(gapDocs)
+    }
+  }
+
+  test("stripDuplicateSpans: canon doc keeps all tokens, exact dup strips to empty") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // min doc_id: canonical holder of every gram
+      (2L, "a b c d e f"),   // exact duplicate: fully stripped
+      (3L, "x y a b c w"),   // shares only "a b c" (pos 2..4)
+      (4L, "p q")            // shorter than n: untouched
+    ).toDF("doc_id", "text")
+    val out = TextOps.stripDuplicateSpans("doc_id", "text", n = 3)(docs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      (1L, 6L, 0L, "a b c d e f"),
+      (2L, 6L, 6L, ""),
+      (3L, 6L, 3L, "x y w"),
+      (4L, 2L, 0L, "p q")))
+  }
+
+  test("bm25TopK ties break deterministically by id and zero scores drop") {
+    val docs = Seq(
+      (2L, "apple banana"),  // identical content => identical score
+      (1L, "apple banana"),
+      (3L, "cherry date"))   // tf = 0 => score 0 => filtered
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25TopK("doc_id", "text", Seq("apple"), k = 3)(docs)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(out === Array((1L, 1), (2L, 2)))
+  }
+
+  test("bm25TopK ranks higher term frequency above lower at equal length") {
+    val docs = Seq(
+      (1L, "apple apple pie"),
+      (2L, "apple tart pie"),
+      (3L, "plum tart pie")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK("doc_id", "text", Seq("apple"), k = 2)(docs)
+      .orderBy("rank").select("doc_id").as[Long].collect()
+    assert(out === Array(1L, 2L))
+  }
+
+  test("bm25TopK refuses empty query terms and non-positive k") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.bm25TopK("doc_id", "text", Nil, k = 1)(docs)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.bm25TopK("doc_id", "text", Seq("a"), k = 0)(docs)
+    }
+  }
+
+  private val dupText = "the quick brown fox jumps over the lazy dog"
+
+  test("crossCorpusNearDuplicates never pairs within a side") {
+    val left = Seq((1L, dupText), (2L, dupText)).toDF("doc_id", "text")
+    val right = Seq((10L, dupText)).toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusNearDuplicates("doc_id", "text",
+      threshold = 0.5)(left, right)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // both left dups pair with the right doc; (1,2) is invisible
+    assert(pairs.sorted === Array((1L, 10L), (2L, 10L)))
+  }
+
+  test("crossCorpusNearDuplicates bucket cap applies per side") {
+    val left = Seq((1L, dupText), (2L, dupText)).toDF("doc_id", "text")
+    val right = Seq((10L, dupText)).toDF("doc_id", "text")
+    // identical docs share every band bucket: left holds 2 > maxBucket=1,
+    // so every candidate bucket is suppressed even though right fits
+    assert(Dedup.crossCorpusNearDuplicates("doc_id", "text",
+      threshold = 0.5, maxBucket = 1)(left, right).count() === 0)
+  }
+
+  test("crossCorpusNearDuplicates drops id collisions instead of self-pairs") {
+    val left = Seq((1L, dupText)).toDF("doc_id", "text")
+    val right = Seq((1L, dupText), (2L, dupText)).toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusNearDuplicates("doc_id", "text",
+      threshold = 0.5)(left, right)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs === Array((1L, 2L))) // no (1,1)
+  }
+
+  test("Pipeline façade exposes the span-dedup and retrieval surface") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c z d e f"))
+      .toDF("doc_id", "text")
+    assert(Pipeline(docs).duplicateSpans("doc_id", "text", n = 3)
+      .result.count() === 3)
+    assert(Pipeline(docs).stripDuplicateSpans("doc_id", "text", n = 3)
+      .result.count() === 2)
+    assert(Pipeline(docs).bm25TopK("doc_id", "text", Seq("z"), k = 1)
+      .result.select("doc_id").as[Long].collect() === Array(2L))
+    val right = Seq((10L, dupText)).toDF("doc_id", "text")
+    assert(Pipeline(Seq((1L, dupText)).toDF("doc_id", "text"))
+      .crossCorpusNearDuplicates(right, "doc_id", "text", threshold = 0.5)
+      .result.count() === 1)
+  }
+}
