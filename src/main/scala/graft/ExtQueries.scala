@@ -274,6 +274,36 @@ object ExtQueries {
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
         .orderBy("id_a", "id_b")
     },
+    "semantic_dedup" -> { (s, dir) =>
+      // SemDeDup shape: LSH near-dup pairs -> connected components ->
+      // min-id survivor per embedding cluster
+      Dedup.semanticDedup("vec_id", "embedding", threshold = 0.4,
+        planes = 6, dim = 64)(corpus(s, dir, "embeddings"))
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+    "cluster_dedup_best" -> { (s, dir) =>
+      // quality-weighted canonical election: of each near-dup cluster
+      // keep the highest-quality doc (ties -> min doc_id), not min-id
+      val docs = corpus(s, dir, "documents")
+      Dedup.clusterDedupByQuality("doc_id", "text",
+        TextOps.qualityScore(col("text")), threshold = 0.2)(docs)
+        .select("doc_id", "source", "cluster_size")
+        .orderBy("doc_id")
+    },
+    "token_budget_mix" -> { (s, dir) =>
+      // data mixing: deterministic 1000-token budget per source (prefix
+      // of the md5 shuffle order)
+      TextOps.tokenBudgetMix("doc_id", "text", "source",
+        tokensPerSource = 1000)(corpus(s, dir, "documents"))
+        .orderBy("source", "doc_id")
+    },
+    "source_overlap" -> { (s, dir) =>
+      // cross-source trigram Jaccard matrix (mirror/scrape diagnostic)
+      TextOps.sourceOverlap("source", "text", n = 3)(
+        corpus(s, dir, "documents"))
+        .orderBy("source_a", "source_b")
+    },
     // ---- events: JSON + windows + sessions ---------------------------------
     "events_json_agg" -> { (s, dir) =>
       table(s, dir, "events")
@@ -700,6 +730,25 @@ object ExtQueries {
         ELSE CAST(len(list_intersect(list_distinct(string_split(text,' ')), $lst)) AS DOUBLE)
              / len(list_distinct(string_split(text,' '))) END"""
 
+  /** Per-document quality score — mirrors TextOps.qualityScore term for
+    * term (same blend weights, same fold order, every intermediate an
+    * exact double), so scores hash-match bit-for-bit and are safe to
+    * ORDER BY in keeper elections. One `(doc_id, quality)` row per
+    * document. */
+  private def qualityPerDocSql: String = s"""
+      SELECT doc_id,
+        len_score * 4e-1
+        + (CASE WHEN mean_len >= CAST(3 AS DOUBLE) AND mean_len <= CAST(10 AS DOUBLE)
+                THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 3e-1
+        + stop_score * 3e-1 AS quality
+      FROM (SELECT doc_id,
+        least(len(string_split(text,' ')) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) AS len_score,
+        CASE WHEN len(string_split(text,' ')) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) END AS mean_len,
+        least(${stopRatio("['the','a','of','and','to','in','is']")} * CAST(5 AS DOUBLE),
+              CAST(1 AS DOUBLE)) AS stop_score
+        FROM documents) __qbase"""
+
   def oracleSql: Map[String, String] = Map(
     "text_stats" ->
       """SELECT doc_id,
@@ -773,20 +822,8 @@ object ExtQueries {
              WHEN r_en = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'en'
              ELSE 'de' END AS lang_pred
       FROM r ORDER BY doc_id""",
-    "quality_score" -> s"""
-      WITH q AS (SELECT doc_id,
-        least(len(string_split(text,' ')) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) AS len_score,
-        CASE WHEN len(string_split(text,' ')) = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) END AS mean_len,
-        least(${stopRatio("['the','a','of','and','to','in','is']")} * CAST(5 AS DOUBLE),
-              CAST(1 AS DOUBLE)) AS stop_score
-        FROM documents)
-      SELECT doc_id,
-        len_score * 4e-1
-        + (CASE WHEN mean_len >= CAST(3 AS DOUBLE) AND mean_len <= CAST(10 AS DOUBLE)
-                THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 3e-1
-        + stop_score * 3e-1 AS quality
-      FROM q ORDER BY doc_id""",
+    "quality_score" ->
+      s"SELECT doc_id, quality FROM ($qualityPerDocSql) q ORDER BY doc_id",
     "fingerprint_dedup" ->
       """SELECT doc_id, lang,
          md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
@@ -1276,6 +1313,78 @@ object ExtQueries {
     "bm25_topk" -> bm25Sql(Seq("spark", "stream", "vector"), k = 10),
     "cross_corpus_pairs" ->
       crossCorpusNearDupSql(shingleN = 3, threshold = "2e-1", splitId = 250),
+    // LSH near-dup pairs -> recursive min-label closure -> min-id
+    // survivors — mirrors Dedup.semanticDedup (pair generation identical
+    // to the embedding_dedup oracle, closure identical to dedup_clusters)
+    "semantic_dedup" -> s"""
+      WITH RECURSIVE bucketed AS (SELECT vec_id, embedding, ${lshBucketSql()} AS bucket
+        FROM embeddings),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS n FROM bucketed),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sized a JOIN sized b ON a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id AND a.n <= 64
+          AND ${cosineSql("a.embedding", "b.embedding")} >= 4e-1),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+      reach(node, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+      comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+      SELECT e.vec_id, e.label FROM embeddings e
+      JOIN comp c ON e.vec_id = c.node
+      WHERE c.lbl = c.node ORDER BY e.vec_id""",
+    // quality-weighted keeper per near-dup cluster (ties -> min doc_id);
+    // cluster label closure identical to dedup_clusters, quality
+    // expression identical to quality_score (bit-exact ORDER BY)
+    "cluster_dedup_best" -> s"""
+      WITH RECURSIVE pr AS (
+        SELECT id_a, id_b FROM (${minhashNearDupSql(shingleN = 3, threshold = "2e-1")}) t),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                UNION ALL SELECT id_b, id_a FROM pr),
+      reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+      comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+      q AS ($qualityPerDocSql),
+      ranked AS (SELECT comp.node AS doc_id, comp.lbl,
+          count(*) OVER (PARTITION BY comp.lbl) AS cluster_size,
+          row_number() OVER (PARTITION BY comp.lbl
+            ORDER BY q.quality DESC, comp.node ASC) AS rn
+        FROM comp JOIN q ON comp.node = q.doc_id)
+      SELECT d.doc_id, d.source, CAST(r.cluster_size AS BIGINT) AS cluster_size
+      FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+      WHERE r.rn = 1 ORDER BY d.doc_id""",
+    // prefix of the per-source md5 shuffle order with cumulative tokens
+    // <= budget — mirrors TextOps.tokenBudgetMix(salt = "mix")
+    "token_budget_mix" -> """
+      WITH t AS (SELECT source, doc_id,
+          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+          md5('mix|' || CAST(doc_id AS VARCHAR)) AS rk
+        FROM documents),
+      c AS (SELECT source, doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM t)
+      SELECT source, doc_id, n_tokens, cum_tokens FROM c
+      WHERE cum_tokens <= 1000 ORDER BY source, doc_id""",
+    // distinct (source, trigram-digest) sets -> pairwise intersection /
+    // union — mirrors TextOps.sourceOverlap (jaccard is int/int, exact)
+    "source_overlap" -> s"""
+      WITH sg AS (SELECT DISTINCT source, md5(g) AS h FROM (
+          SELECT source, unnest(${shinglesSql(3)}) AS g FROM documents) u),
+      tot AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+      inter AS (SELECT a.source AS source_a, b.source AS source_b,
+          count(*) AS n_common
+        FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, CAST(n_common AS BIGINT) AS n_common,
+        CAST(n_common AS DOUBLE) / (ta.n + tb.n - n_common) AS jaccard
+      FROM inter
+      JOIN tot ta ON source_a = ta.source
+      JOIN tot tb ON source_b = tb.source
+      ORDER BY source_a, source_b""",
     // md5-prefix uint32 cutoff per stratum — mirrors Ops.sampleStratifiedHash
     "stratified_sample" -> """
       SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -1,0 +1,62 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.TextOps
+
+/** Linear-scaling probe for the span-dedup family: times
+  * `duplicateSpans` and `stripDuplicateSpans` on the sf0.1 documents
+  * corpus replicated ×1/×2/×4 (replica doc_ids shifted into disjoint
+  * ranges, so every cross-replica passage is a REAL duplicated span —
+  * the adversarial case: duplication density grows with scale instead
+  * of staying constant). A linear operator shows ~2× wall per doubling
+  * here; a hidden all-pairs stage would show ~4×. Feeds the SURVEY §8
+  * scale dossier. Usage: runMain graft.ScaleBench [sfDir]. */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(SparkEntry.NanosAsLongKey, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val n = base.count() // also warms the scan
+    def replicated(k: Int): DataFrame =
+      (0 until k).map(i => base.select(
+        (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        col("text")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+
+    def time(f: => Unit): Double = {
+      System.gc()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // warm-up at x1 so codegen/noop-sink init doesn't land on the x1 cell
+    TextOps.duplicateSpans("doc_id", "text", n = 8)(replicated(1))
+      .write.mode("overwrite").format("noop").save()
+
+    val rows = for (k <- Seq(1, 2, 4)) yield {
+      val docs = replicated(k).localCheckpoint() // exclude replication cost
+      val tSpans = time {
+        TextOps.duplicateSpans("doc_id", "text", n = 8)(docs)
+          .write.mode("overwrite").format("noop").save()
+      }
+      val tStrip = time {
+        TextOps.stripDuplicateSpans("doc_id", "text", n = 8)(docs)
+          .write.mode("overwrite").format("noop").save()
+      }
+      docs.unpersist()
+      (k, n * k, tSpans, tStrip)
+    }
+    println("corpus_x,docs,duplicate_spans_sec,strip_duplicate_spans_sec")
+    rows.foreach { case (k, d, a, b) => println(f"$k,$d,$a%.2f,$b%.2f") }
+    spark.stop()
+  }
+}

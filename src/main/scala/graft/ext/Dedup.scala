@@ -791,6 +791,81 @@ object Dedup {
       .drop("node", "lbl")
   }
 
+  /** Semantic dedup (the SemDeDup shape): one survivor per cluster of
+    * embedding-near-duplicate vectors — paraphrases and re-renderings
+    * that no lexical dedup catches. Composition of the two pieces this
+    * library already ships: [[embeddingNearDuplicates]] generates the
+    * near-dup pair graph (sign-LSH buckets + exact-cosine verify, never
+    * all-pairs) and [[connectedComponents]] closes it into clusters
+    * (cosine-above-threshold is not transitive, so pairs alone cannot
+    * elect one keeper per duplicate GROUP). The minimum-id row of each
+    * component survives; singletons (no near-dup) survive untouched.
+    *
+    * Scale shape: inherits both parents' — LSH candidate generation
+    * shuffles bucket keys with capped degenerate buckets, and each CC
+    * round is one aggregation over |pairs|+|nodes| rows with rounds =
+    * component diameter (tiny for dup clusters). Nothing new
+    * materializes beyond the pair set, which for a threshold worth
+    * deduping at is FAR smaller than the corpus. */
+  def semanticDedup(
+      idField: String,
+      vecField: String,
+      threshold: Double,
+      planes: Int = 6,
+      dim: Int = 64,
+      maxBucket: Int = 64,
+      tables: Int = 1,
+      checkpointDir: Option[String] = None)(df: DataFrame): DataFrame = {
+    val pairs = embeddingNearDuplicates(idField, vecField, threshold,
+      planes, dim, maxBucket, tables)(df).select("id_a", "id_b")
+    val comps = connectedComponents(pairs, df.select(col(idField)),
+      checkpointDir)
+    df.join(comps, df(idField) === comps("node"))
+      .filter(col("node") === col("lbl"))
+      .drop("node", "lbl")
+  }
+
+  /** [[clusterDedup]] with QUALITY-weighted canonical election: per
+    * near-dup cluster keep the highest-`quality` row (ties → minimum id)
+    * instead of the minimum-id row — the keeper policy production
+    * pipelines actually want (of N near-identical crawls of a page, keep
+    * the cleanest, not the one that happened to get the smallest id).
+    * Appends `cluster_size` (rows in the keeper's cluster; 1 = was never
+    * a duplicate) so downstream mixing can weight by how duplicated a
+    * surviving document was.
+    *
+    * The election is ONE min_by hash-aggregation over
+    * `(-quality, id, row)` — partial aggregation map-side, one struct
+    * per cluster shuffles, no per-cluster window sort. `quality` must be
+    * non-null and non-NaN on every row (NaN poisons IEEE ordering;
+    * [[graft.ext.TextOps.qualityScore]] guarantees both): `require`-like
+    * guarding per-row would cost a pass, so the precondition is
+    * documented instead.
+    *
+    * @param quality a non-null numeric Column evaluated against `df`
+    *                (e.g. `TextOps.qualityScore(col("text"))`) */
+  def clusterDedupByQuality(
+      idField: String,
+      textField: String,
+      quality: Column,
+      threshold: Double,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      checkpointDir: Option[String] = None)(df: DataFrame): DataFrame = {
+    val pairs = minhashNearDuplicates(idField, textField, threshold,
+      numHashes, bands, shingleSize)(df).select("id_a", "id_b")
+    val comps = connectedComponents(pairs, df.select(col(idField)),
+      checkpointDir)
+    val all = struct(df.columns.map(col): _*)
+    df.join(comps, df(idField) === comps("node"))
+      .groupBy(col("lbl"))
+      .agg(
+        min_by(all, struct(negate(quality), col(idField))).as("__row"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("__row.*"), col("cluster_size"))
+  }
+
   /** All-pairs embedding near-dup — O(n²) cartesian product. Exists ONLY
     * as the exact-recall baseline for unit tests of
     * [[embeddingNearDuplicates]]; never ship it against a corpus. */

@@ -378,6 +378,88 @@ object TextOps {
         / budget))
   }
 
+  /** Deterministic per-source token-budget sampling — the data-MIXING
+    * step of training-corpus assembly: given a token budget per source,
+    * keep a reproducible pseudo-random subset of each source's documents
+    * whose token counts fill (but never exceed) that budget. Documents
+    * are ranked inside each source by `md5(salt|id)` — a uniform,
+    * engine-portable shuffle order — and the kept set is the maximal
+    * PREFIX of that order with cumulative tokens ≤ `tokensPerSource`
+    * (prefix semantics: once the running sum crosses the budget, later
+    * docs are excluded even if small — that keeps the kept set a pure
+    * function of (salt, budget) rather than of a bin-packing heuristic,
+    * so two runs, or a rerun after an upstream fix, select identical
+    * documents). Returns (source, id, n_tokens, cum_tokens) under the
+    * caller's column names.
+    *
+    * Scale shape: one hash-partition shuffle on source + a per-source
+    * sort for the cumulative window. Sources are few and can be huge, so
+    * the sort is the cost driver; since the rank key is uniform md5, the
+    * cluster-scale refinement is a two-pass cutoff (approx-quantile the
+    * rank column to find the hash value where the budget lands, keep
+    * everything below, run the exact window only on the boundary
+    * sliver). This form is the exact single-pass spec of that
+    * refinement. */
+  def tokenBudgetMix(
+      idField: String, textField: String, sourceField: String,
+      tokensPerSource: Long, salt: String = "mix")(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tokensPerSource > 0,
+      s"token budget must be positive, got $tokensPerSource")
+    val w = Window.partitionBy(col(sourceField))
+      .orderBy(col("__rk"), col(idField))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(sourceField), col(idField),
+        tokenCount(col(textField)).cast("long").as("n_tokens"),
+        md5(concat_ws("|", lit(salt), col(idField).cast("string")))
+          .as("__rk"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= tokensPerSource)
+      .drop("__rk")
+  }
+
+  /** Pairwise cross-source n-gram overlap — the corpus diagnostic run
+    * before mixing: which sources are near-copies of each other
+    * (mirrors, scrapes of the same upstream) and how much marginal
+    * content each contributes. For every unordered source pair, the
+    * Jaccard similarity of their DISTINCT word-n-gram-digest sets plus
+    * the raw intersection size.
+    *
+    * Shape: grams are md5 digests (32-byte shuffle keys, never gram
+    * strings), one groupBy(gram) collects the ≤|sources| distinct
+    * sources containing it, pairs explode inside that bounded list
+    * (the LSH-bucket pattern — per-gram work is O(sources²), NOT
+    * O(docs²)), and per-source distinct-gram totals arrive by broadcast
+    * (one row per source). Two digest-keyed shuffles total, both with
+    * map-side partial aggregation; no all-pairs stage over documents
+    * anywhere. Jaccard is integer/integer — exact across engines. */
+  def sourceOverlap(
+      sourceField: String, textField: String, n: Int = 3)(
+      df: DataFrame): DataFrame = {
+    val grams = df.select(col(sourceField).as("source"),
+      explode(shingles(col(textField), n)).as("__g"))
+      .select(col("source"), md5(col("__g")).as("__h"))
+    val totals = grams.groupBy("source")
+      .agg(count_distinct(col("__h")).as("__n"))
+    val pairCounts = grams.groupBy("__h")
+      .agg(collect_set(col("source")).as("__ss"))
+      .filter(size(col("__ss")) >= 2)
+      .select(explode(flatten(transform(col("__ss"), a =>
+        transform(filter(col("__ss"), b => a < b), b =>
+          struct(a.as("source_a"), b.as("source_b")))))).as("__p"))
+      .groupBy(col("__p.source_a").as("source_a"),
+        col("__p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairCounts
+      .join(broadcast(totals.select(col("source").as("source_a"),
+        col("__n").as("__na"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("source").as("source_b"),
+        col("__n").as("__nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        (col("n_common").cast("double")
+          / (col("__na") + col("__nb") - col("n_common"))).as("jaccard"))
+  }
+
   /** Word n-gram digests in POSITION order: element i is
     * md5(tokens[i..i+n-1] joined by space), one per gram start position,
     * 0-based via posexplode downstream. NOT distinct — [[shingles]]'

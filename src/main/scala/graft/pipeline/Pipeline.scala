@@ -122,6 +122,23 @@ final case class Pipeline(df: DataFrame) {
       bands: Int = 4, shingleSize: Int = 3, maxBucket: Int = 64): Pipeline =
     Pipeline(Dedup.crossCorpusNearDuplicates(idField, textField, threshold,
       numHashes, bands, shingleSize, maxBucket)(df, reference))
+  def semanticDedup(idField: String, vecField: String, threshold: Double,
+      planes: Int = 6, dim: Int = 64, maxBucket: Int = 64,
+      tables: Int = 1): Pipeline =
+    >>(Dedup.semanticDedup(idField, vecField, threshold, planes, dim,
+      maxBucket, tables))
+  def clusterDedupByQuality(idField: String, textField: String,
+      quality: Column, threshold: Double, numHashes: Int = 8,
+      bands: Int = 4, shingleSize: Int = 3): Pipeline =
+    >>(Dedup.clusterDedupByQuality(idField, textField, quality, threshold,
+      numHashes, bands, shingleSize))
+  def tokenBudgetMix(idField: String, textField: String, sourceField: String,
+      tokensPerSource: Long, salt: String = "mix"): Pipeline =
+    >>(TextOps.tokenBudgetMix(idField, textField, sourceField,
+      tokensPerSource, salt))
+  def sourceOverlap(sourceField: String, textField: String,
+      n: Int = 3): Pipeline =
+    >>(TextOps.sourceOverlap(sourceField, textField, n))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

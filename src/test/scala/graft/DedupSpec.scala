@@ -275,6 +275,53 @@ class DedupSpec extends SparkSpec {
     assert(keptStar === kept)
   }
 
+  test("semanticDedup keeps one min-id survivor per embedding cluster") {
+    val vecs = Seq(
+      (1L, Array.fill(64)(1.0f)),
+      (2L, Array.fill(64)(1.0f)),              // dup of 1
+      (3L, Array.tabulate(64)(i => if (i == 0) 0.99f else 1.0f)), // near 1
+      (4L, Array.fill(64)(-1.0f)),             // own cluster
+      (5L, Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f)) // singleton
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup("vec_id", "embedding", threshold = 0.9,
+      planes = 4, dim = 64)(vecs)
+      .select("vec_id").as[Long].collect().toSet
+    // {1,2,3} collapse via transitive closure even if (2,3) alone were
+    // below threshold; 4 and 5 survive untouched
+    assert(kept === Set(1L, 4L, 5L))
+  }
+
+  test("clusterDedupByQuality keeps the best-quality doc, ties break to min id") {
+    // doc 2 gets a long high-quality text; 1 and 4 are its near-dups
+    // (identical shingles) with shorter/lower-quality text
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog wakes up to chase the fox across the field of tall grass"
+    val frame = Seq(
+      (1L, base, "en"),
+      (2L, base + " " + base, "en"), // longer -> higher lenScore
+      (4L, base, "en"),
+      (9L, "totally unrelated words live here in this sentence", "en")
+    ).toDF("doc_id", "text", "lang")
+    val kept = Dedup.clusterDedupByQuality("doc_id", "text",
+      graft.ext.TextOps.qualityScore(col("text")), threshold = 0.5,
+      shingleSize = 2)(frame)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(keptIds === Set(2L, 9L)) // NOT min-id 1: quality elects 2
+    val sizes = kept.select("doc_id", "cluster_size")
+      .as[(Long, Long)].collect().toMap
+    assert(sizes === Map(2L -> 3L, 9L -> 1L))
+
+    // equal quality everywhere -> tie-break to minimum id
+    val tied = Seq(
+      (7L, base, "en"), (3L, base, "en"), (8L, base, "en")
+    ).toDF("doc_id", "text", "lang")
+    val keptTied = Dedup.clusterDedupByQuality("doc_id", "text",
+      graft.ext.TextOps.qualityScore(col("text")), threshold = 0.5,
+      shingleSize = 2)(tied)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTied === Set(3L))
+  }
+
   test("sampleStratifiedHash applies per-stratum fractions deterministically") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "big" else "none"))
       .toDF("id", "stratum")

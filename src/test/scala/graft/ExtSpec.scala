@@ -245,4 +245,44 @@ class ExtSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(fps.length === 1) // one gram (whole doc), one window
   }
+
+  test("tokenBudgetMix keeps the maximal per-source prefix of the hash order") {
+    val df = Seq(
+      (1L, "a b c d", "s1"),  // 4 tokens each
+      (2L, "e f g h", "s1"),
+      (3L, "i j k l", "s1"),
+      (4L, "m n o p", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.tokenBudgetMix("doc_id", "text", "source",
+      tokensPerSource = 8)(df)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // s1 has 12 tokens against a budget of 8 -> exactly 2 of its 3 docs
+    // survive, and which 2 is a pure function of md5("mix|id")
+    val s1 = out.filter(_._1 == "s1")
+    assert(s1.length === 2 && s1.map(_._4).max === 8L)
+    assert(out.filter(_._1 == "s2").map(_._2).toSeq === Seq(4L))
+    // prefix semantics: re-run selects the identical documents
+    val again = TextOps.tokenBudgetMix("doc_id", "text", "source",
+      tokensPerSource = 8)(df)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out.map(_._2).toSet)
+    // budget below the smallest doc -> that source contributes nothing
+    val tiny = TextOps.tokenBudgetMix("doc_id", "text", "source",
+      tokensPerSource = 3)(df).count()
+    assert(tiny === 0L)
+  }
+
+  test("sourceOverlap reports exact pairwise n-gram Jaccard") {
+    val df = Seq(
+      (1L, "a b c d e", "s1"),   // s1 trigrams: {abc bcd cde}
+      (2L, "a b c x y", "s2"),   // s2: {abc bcx cxy}
+      (3L, "p q r s t", "s3")    // s3: disjoint
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlap("source", "text", n = 3)(df)
+      .as[(String, String, Long, Double)].collect()
+    // only the (s1, s2) pair shares grams: 1 common of 5 distinct total
+    assert(out.toSeq === Seq(("s2", "s1", 1L, 0.2))
+      || out.toSeq === Seq(("s1", "s2", 1L, 0.2)))
+  }
 }

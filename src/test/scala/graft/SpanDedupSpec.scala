@@ -158,4 +158,25 @@ class SpanDedupSpec extends SparkSpec {
       .crossCorpusNearDuplicates(right, "doc_id", "text", threshold = 0.5)
       .result.count() === 1)
   }
+
+  test("Pipeline façade exposes the round-8 mixing and dedup surface") {
+    val docs = Seq((1L, "a b c d", "s1"), (2L, "e f g h", "s1"))
+      .toDF("doc_id", "text", "source")
+    assert(Pipeline(docs)
+      .tokenBudgetMix("doc_id", "text", "source", tokensPerSource = 4)
+      .result.count() === 1)
+    assert(Pipeline(docs).sourceOverlap("source", "text", n = 2)
+      .result.count() === 0) // one source, no pairs
+    val vecs = Seq((1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Pipeline(vecs)
+      .semanticDedup("vec_id", "embedding", threshold = 0.9, planes = 2,
+        dim = 8)
+      .result.count() === 1)
+    assert(Pipeline(docs)
+      .clusterDedupByQuality("doc_id", "text",
+        graft.ext.TextOps.qualityScore(org.apache.spark.sql.functions
+          .col("text")), threshold = 0.9, shingleSize = 2)
+      .result.count() === 2) // no near-dups: both survive
+  }
 }
