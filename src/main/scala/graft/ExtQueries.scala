@@ -304,6 +304,27 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("source_a", "source_b")
     },
+    "cluster_safe_split" -> { (s, dir) =>
+      // leakage-safe split: near-dup clusters can never straddle splits
+      Dedup.clusterSafeSplit("doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        threshold = 0.2)(corpus(s, dir, "documents"))
+        .select("doc_id", "cluster_rep", "split")
+        .orderBy("doc_id")
+    },
+    "packed_texts" -> { (s, dir) =>
+      // pack_sequences' apply form: one concatenated row per 2048-token
+      // training bin, sharded by language
+      TextOps.packTexts("doc_id", "text", "lang", budget = 2048)(
+        corpus(s, dir, "documents"))
+        .orderBy("lang", "bin")
+    },
+    "unigram_cf_quality" -> { (s, dir) =>
+      // perplexity-proxy quality: mean corpus unigram frequency per doc
+      TextOps.unigramCfQuality("doc_id", "text")(
+        corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
     // ---- events: JSON + windows + sessions ---------------------------------
     "events_json_agg" -> { (s, dir) =>
       table(s, dir, "events")
@@ -1385,6 +1406,56 @@ object ExtQueries {
       JOIN tot ta ON source_a = ta.source
       JOIN tot tb ON source_b = tb.source
       ORDER BY source_a, source_b""",
+    // cluster closure identical to dedup_clusters; split cutoffs
+    // identical to train_split but hashed on the CLUSTER label —
+    // mirrors Dedup.clusterSafeSplit
+    "cluster_safe_split" -> s"""
+      WITH RECURSIVE pr AS (
+        SELECT id_a, id_b FROM (${minhashNearDupSql(shingleN = 3, threshold = "2e-1")}) t),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                UNION ALL SELECT id_b, id_a FROM pr),
+      reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+      comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+      hashed AS (SELECT node, lbl,
+          list_sum(list_transform(range(1,9), j ->
+            (strpos('0123456789abcdef',
+               substr(md5(CAST(lbl AS VARCHAR)), j, 1)) - 1)
+            * CAST(16**(8-j) AS BIGINT))) AS h
+        FROM comp)
+      SELECT node AS doc_id, CAST(lbl AS BIGINT) AS cluster_rep,
+        CASE WHEN h < 3435973836 THEN 'train'
+             WHEN h < 3865470566 THEN 'val'
+             WHEN h < 4294967296 THEN 'test'
+             ELSE 'train' END AS split
+      FROM hashed ORDER BY doc_id""",
+    // bin assignment identical to pack_sequences; concat order is the
+    // doc_id sort — mirrors TextOps.packTexts
+    "packed_texts" -> """
+      WITH b AS (SELECT doc_id, lang, text,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST(floor((sum(len(string_split(text, ' '))) OVER (
+              PARTITION BY lang ORDER BY doc_id ASC NULLS FIRST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - len(string_split(text, ' '))) / 2048) AS BIGINT) AS bin
+        FROM documents)
+      SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        string_agg(text, ' ' ORDER BY doc_id) AS text
+      FROM b GROUP BY lang, bin ORDER BY lang, bin""",
+    // integer corpus-frequency counts, one double division at the end —
+    // mirrors TextOps.unigramCfQuality
+    "unigram_cf_quality" -> """
+      WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      cf AS (SELECT t, count(*) AS cf FROM tk GROUP BY t)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(cf) AS BIGINT) AS cf_sum,
+        CAST(sum(cf) AS DOUBLE) / count(*) AS mean_cf
+      FROM tk JOIN cf USING (t)
+      GROUP BY doc_id ORDER BY doc_id""",
     // md5-prefix uint32 cutoff per stratum — mirrors Ops.sampleStratifiedHash
     "stratified_sample" -> """
       SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -866,6 +866,41 @@ object Dedup {
       .select(col("__row.*"), col("cluster_size"))
   }
 
+  /** Leakage-safe train/val/test split: route every document of a
+    * near-dup CLUSTER to the same split by hashing the cluster
+    * representative instead of the document id. Per-document hash
+    * splitting ([[graft.ext.TextOps.hashSplit]]) silently leaks when the
+    * corpus has near-duplicates — two 95%-identical crawls land in train
+    * and test with probability 2·p·(1−p) each, and the eval set stops
+    * measuring generalization. Closing the near-dup graph first
+    * ([[connectedComponents]]) and hashing the component label makes
+    * straddling impossible BY CONSTRUCTION while keeping the split
+    * deterministic, rerun-stable, and oracle-reproducible.
+    *
+    * Returns every input row + `cluster_rep` (the component's minimum
+    * id) + `split`. Singletons hash their own id — identical routing to
+    * plain hashSplit for the non-duplicated bulk of the corpus. */
+  def clusterSafeSplit(
+      idField: String,
+      textField: String,
+      splits: Seq[(String, Double)],
+      threshold: Double,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      salt: String = "",
+      checkpointDir: Option[String] = None)(df: DataFrame): DataFrame = {
+    val pairs = minhashNearDuplicates(idField, textField, threshold,
+      numHashes, bands, shingleSize)(df).select("id_a", "id_b")
+    val comps = connectedComponents(pairs, df.select(col(idField)),
+      checkpointDir)
+    df.join(comps, df(idField) === comps("node"))
+      .withColumn("split",
+        TextOps.hashSplit(col("lbl"), splits, salt = salt))
+      .drop("node")
+      .withColumnRenamed("lbl", "cluster_rep")
+  }
+
   /** All-pairs embedding near-dup — O(n²) cartesian product. Exists ONLY
     * as the exact-recall baseline for unit tests of
     * [[embeddingNearDuplicates]]; never ship it against a corpus. */

@@ -378,6 +378,60 @@ object TextOps {
         / budget))
   }
 
+  /** Apply form of [[packSequences]]: materialize each training bin as
+    * ONE row — documents concatenated in id order with `sep` — plus the
+    * bin's doc and token counts. This is the "pack and write" step that
+    * turns a cleaned corpus into fixed-budget training sequences.
+    *
+    * One window (the bin assignment, per-shard cumulative sum) plus one
+    * hash aggregation on (shard, bin). The concat builds each bin's text
+    * once from a collect_list sorted in-memory per bin — safe because a
+    * bin is ≤ `budget` tokens BY CONSTRUCTION (the one aggregation shape
+    * where collect_list is provably bounded). Deterministic: bin
+    * membership is a pure function of (shard, id order, budget) and the
+    * concat order is the id sort. */
+  def packTexts(
+      idField: String, textField: String, shardField: String,
+      budget: Long, sep: String = " ")(df: DataFrame): DataFrame = {
+    val binned = packSequences("__n", budget, shardField, Seq(idField))(
+      df.select(col(idField), col(textField), col(shardField),
+        tokenCount(col(textField)).cast("long").as("__n")))
+    binned.groupBy(col(shardField), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col(idField),
+            col(textField)))), x => x.getField(textField)),
+          sep).as("text"))
+  }
+
+  /** Mean corpus unigram frequency per document — the cheap statistical
+    * stand-in for LM-perplexity quality filtering (CCNet's shape): a
+    * document whose tokens are all corpus-rare (OCR noise, mojibake,
+    * random identifiers) scores low; ordinary prose scores high. All
+    * integer counts until the final division, so scores are bit-exact
+    * across engines — unlike a real log-prob, which would not be.
+    *
+    * Two token-keyed shuffles: one count per distinct token (partial
+    * aggregation makes this cheap), one re-join of the exploded corpus
+    * against that frequency table. Hot tokens ("the") make the join key
+    * skewed by construction — AQE's skew-join split handles it (the hot
+    * side is the exploded corpus, split freely; the build row is tiny);
+    * with AQE off, salt the join. The frequency table is |vocab| rows —
+    * broadcast it when it fits and the second shuffle disappears. */
+  def unigramCfQuality(
+      idField: String, textField: String)(df: DataFrame): DataFrame = {
+    val toks = df.select(col(idField).as("__id"),
+      explode(tokens(col(textField))).as("__t"))
+    val cf = toks.groupBy("__t").agg(count(lit(1)).as("__cf"))
+    toks.join(cf, "__t")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"), sum("__cf").as("cf_sum"))
+      .select(col("__id").as(idField), col("n_tokens"), col("cf_sum"),
+        (col("cf_sum").cast("double") / col("n_tokens")).as("mean_cf"))
+  }
+
   /** Deterministic per-source token-budget sampling — the data-MIXING
     * step of training-corpus assembly: given a token budget per source,
     * keep a reproducible pseudo-random subset of each source's documents
@@ -578,11 +632,30 @@ object TextOps {
       .agg(countDistinct(col("__id")).as("__nd"), min(col("__id")).as("__keep"))
       .filter(col("__nd") >= 2)
       .select("__h", "__keep")
+    // Merge duplicated gram hits into disjoint coverage islands per doc
+    // (the duplicateSpans gaps-and-islands window) BEFORE exploding token
+    // positions, so each removed position ships into the anti-join
+    // exactly once. Exploding per-gram ranges directly would emit every
+    // covered position up to n times (overlapping grams) — measured 3×
+    // slower at 4× corpus replication, where nearly every token is
+    // covered; a distinct() instead would pay a full extra shuffle of
+    // that same n-fold stream. Hit positions are unique per doc (one
+    // gram row per position), so the lag-based island window is exact.
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("__id")).orderBy(col("__pos"))
     val removed = grams.join(canon, "__h")
       .filter(col("__id") =!= col("__keep"))
+      .select(col("__id"), col("__pos"))
+      .withColumn("__brk",
+        when(col("__pos") - lag(col("__pos"), 1).over(byPos) > n, 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__island"))
+      .agg(min(col("__pos")).as("__s"),
+        (max(col("__pos")) + (n - 1)).as("__e"))
       .select(col("__id"),
-        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__tp"))
-      .distinct()
+        explode(sequence(col("__s"), col("__e"))).as("__tp"))
     val toks = tokenized
       .select(col("__id"), posexplode(col("__ts")).as(Seq("__tp", "__tok")))
       .select(col("__id"), col("__tp").cast("long").as("__tp"), col("__tok"))

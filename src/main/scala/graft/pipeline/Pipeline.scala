@@ -139,6 +139,17 @@ final case class Pipeline(df: DataFrame) {
   def sourceOverlap(sourceField: String, textField: String,
       n: Int = 3): Pipeline =
     >>(TextOps.sourceOverlap(sourceField, textField, n))
+  def packTexts(idField: String, textField: String, shardField: String,
+      budget: Long, sep: String = " "): Pipeline =
+    >>(TextOps.packTexts(idField, textField, shardField, budget, sep))
+  def unigramCfQuality(idField: String, textField: String): Pipeline =
+    >>(TextOps.unigramCfQuality(idField, textField))
+  def clusterSafeSplit(idField: String, textField: String,
+      splits: Seq[(String, Double)], threshold: Double,
+      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
+      salt: String = ""): Pipeline =
+    >>(Dedup.clusterSafeSplit(idField, textField, splits, threshold,
+      numHashes, bands, shingleSize, salt))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

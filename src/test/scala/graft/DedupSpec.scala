@@ -322,6 +322,29 @@ class DedupSpec extends SparkSpec {
     assert(keptTied === Set(3L))
   }
 
+  test("clusterSafeSplit routes every near-dup cluster member to one split") {
+    // 40 docs in 20 near-dup pairs: (2k, 2k+1) share text; tokens are
+    // unique per pair so clusters never bridge
+    val frame = (0L until 40L).map { i =>
+      val k = i / 2
+      (i, s"a$k b$k c$k d$k e$k a$k b$k c$k d$k e$k")
+    }.toDF("doc_id", "text")
+    val out = Dedup.clusterSafeSplit("doc_id", "text",
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25),
+      threshold = 0.5, shingleSize = 2)(frame)
+      .select("doc_id", "cluster_rep", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length === 40)
+    // every pair shares a cluster rep (the even id) and thus a split
+    out.groupBy(_._1 / 2).values.foreach { pair =>
+      assert(pair.map(_._2).toSet.size === 1)
+      assert(pair.map(_._3).toSet.size === 1)
+      assert(pair.map(_._2).head === pair.map(_._1).min)
+    }
+    // the splits actually disagree across clusters (hash is doing work)
+    assert(out.map(_._3).toSet.size > 1)
+  }
+
   test("sampleStratifiedHash applies per-stratum fractions deterministically") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "big" else "none"))
       .toDF("id", "stratum")

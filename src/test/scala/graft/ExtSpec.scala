@@ -273,6 +273,33 @@ class ExtSpec extends SparkSpec {
     assert(tiny === 0L)
   }
 
+  test("packTexts concatenates each bin in id order with exact counts") {
+    val df = Seq(
+      (2L, "c d", "en"),   // 2 tokens
+      (1L, "a b", "en"),   // 2 tokens — packs first (id order)
+      (3L, "e f g", "en"), // overflows the 4-token bin -> bin 1
+      (4L, "x y", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.packTexts("doc_id", "text", "lang", budget = 4)(df)
+      .select("lang", "bin", "n_docs", "n_tokens", "text")
+      .as[(String, Long, Long, Long, String)].collect().toSet
+    assert(out === Set(
+      ("en", 0L, 2L, 4L, "a b c d"),
+      ("en", 1L, 1L, 3L, "e f g"),
+      ("de", 0L, 1L, 2L, "x y")))
+  }
+
+  test("unigramCfQuality scores corpus-common tokens above rare ones") {
+    val df = Seq(
+      (1L, "the the the"), // cf(the)=4 -> mean 4
+      (2L, "the zzz")      // (4 + 1) / 2
+    ).toDF("doc_id", "text")
+    val out = TextOps.unigramCfQuality("doc_id", "text")(df)
+      .select("doc_id", "n_tokens", "cf_sum", "mean_cf")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 3L, 12L, 4.0), (2L, 2L, 5L, 2.5)))
+  }
+
   test("sourceOverlap reports exact pairwise n-gram Jaccard") {
     val df = Seq(
       (1L, "a b c d e", "s1"),   // s1 trigrams: {abc bcd cde}

@@ -178,5 +178,9 @@ class SpanDedupSpec extends SparkSpec {
         graft.ext.TextOps.qualityScore(org.apache.spark.sql.functions
           .col("text")), threshold = 0.9, shingleSize = 2)
       .result.count() === 2) // no near-dups: both survive
+    assert(Pipeline(docs).packTexts("doc_id", "text", "source", budget = 8)
+      .result.count() === 1) // both docs fit one s1 bin
+    assert(Pipeline(docs).unigramCfQuality("doc_id", "text")
+      .result.count() === 2)
   }
 }
