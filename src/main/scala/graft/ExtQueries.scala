@@ -319,6 +319,12 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("lang", "bin")
     },
+    "chunk_texts" -> { (s, dir) =>
+      // RAG-shape chunking: 32-token windows, stride 24 (8-token overlap)
+      TextOps.chunkTexts("doc_id", "text", chunkTokens = 32, stride = 24)(
+        corpus(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_idx")
+    },
     "unigram_cf_quality" -> { (s, dir) =>
       // perplexity-proxy quality: mean corpus unigram frequency per doc
       TextOps.unigramCfQuality("doc_id", "text")(
@@ -1431,6 +1437,17 @@ object ExtQueries {
              WHEN h < 4294967296 THEN 'test'
              ELSE 'train' END AS split
       FROM hashed ORDER BY doc_id""",
+    // window starts step by stride; last window clamps — mirrors
+    // TextOps.chunkTexts (slice and list-slicing clamp identically)
+    "chunk_texts" -> """
+      SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+        CAST(s AS BIGINT) AS chunk_start,
+        CAST(least(32, len(t) - s) AS BIGINT) AS chunk_tokens,
+        array_to_string(t[CAST(s + 1 AS INT):CAST(s + 32 AS INT)], ' ') AS chunk_text
+      FROM (SELECT doc_id, string_split(text, ' ') AS t,
+              unnest(range(0, len(string_split(text, ' ')), 24)) AS s
+            FROM documents)
+      ORDER BY doc_id, chunk_idx""",
     // bin assignment identical to pack_sequences; concat order is the
     // doc_id sort — mirrors TextOps.packTexts
     "packed_texts" -> """

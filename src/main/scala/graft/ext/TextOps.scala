@@ -432,6 +432,37 @@ object TextOps {
         (col("cf_sum").cast("double") / col("n_tokens")).as("mean_cf"))
   }
 
+  /** Sliding-window document chunking — the embedding/retrieval-pipeline
+    * primitive: split each document into `chunkTokens`-token windows
+    * whose starts step by `stride` tokens (stride < chunkTokens =
+    * overlapping chunks, the usual RAG shape; stride = chunkTokens =
+    * disjoint). Every token is covered; the last window of a document
+    * may be shorter. Emits (id, chunk_idx, chunk_start, chunk_tokens,
+    * chunk_text) with chunk_idx dense from 0 in document order.
+    *
+    * Pure projection + explode — no shuffle, no UDF, codegen end to
+    * end; output volume is ~`chunkTokens/stride` × corpus, the caller's
+    * overlap choice. */
+  def chunkTexts(
+      idField: String, textField: String, chunkTokens: Int, stride: Int)(
+      df: DataFrame): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import graft.functions.GraftFunctions.bind
+    df.select(col(idField),
+        posexplode(bind(tokens(col(textField))) { ts =>
+          transform(sequence(lit(0), size(ts) - 1, lit(stride)), s =>
+            struct(s.cast("long").as("chunk_start"),
+              least(lit(chunkTokens), size(ts) - s).cast("long")
+                .as("chunk_tokens"),
+              array_join(slice(ts, s + 1, lit(chunkTokens)), " ")
+                .as("chunk_text")))
+        }).as(Seq("chunk_idx", "__c")))
+      .select(col(idField), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__c.chunk_start"), col("__c.chunk_tokens"),
+        col("__c.chunk_text"))
+  }
+
   /** Deterministic per-source token-budget sampling — the data-MIXING
     * step of training-corpus assembly: given a token budget per source,
     * keep a reproducible pseudo-random subset of each source's documents

@@ -142,6 +142,9 @@ final case class Pipeline(df: DataFrame) {
   def packTexts(idField: String, textField: String, shardField: String,
       budget: Long, sep: String = " "): Pipeline =
     >>(TextOps.packTexts(idField, textField, shardField, budget, sep))
+  def chunkTexts(idField: String, textField: String, chunkTokens: Int,
+      stride: Int): Pipeline =
+    >>(TextOps.chunkTexts(idField, textField, chunkTokens, stride))
   def unigramCfQuality(idField: String, textField: String): Pipeline =
     >>(TextOps.unigramCfQuality(idField, textField))
   def clusterSafeSplit(idField: String, textField: String,

@@ -300,6 +300,21 @@ class ExtSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 3L, 12L, 4.0), (2L, 2L, 5L, 2.5)))
   }
 
+  test("chunkTexts slides overlapping windows and clamps the tail") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextOps.chunkTexts("doc_id", "text", chunkTokens = 4,
+      stride = 3)(df)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_tokens",
+        "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 3L, 4L, "d e f g"),  // 1-token overlap with chunk 0
+      (1L, 2L, 6L, 1L, "g"),        // clamped tail
+      (2L, 0L, 0L, 1L, "x")))       // doc shorter than one chunk
+  }
+
   test("sourceOverlap reports exact pairwise n-gram Jaccard") {
     val df = Seq(
       (1L, "a b c d e", "s1"),   // s1 trigrams: {abc bcd cde}
