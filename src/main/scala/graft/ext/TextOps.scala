@@ -644,11 +644,11 @@ object TextOps {
     * [[duplicateSpans]] and skip it.
     *
     * The tokenized projection materializes ONCE (localCheckpoint) and
-    * feeds all three consumers — gram explode, token rebuild, and the
-    * per-doc header. Without it the source is scanned and re-tokenized
-    * three times (the exact triple-scan that cost ngram_jaccard_pairs
-    * 2.2× before its r5 fix). Checkpoint size is the tokenized corpus —
-    * same order as the text itself. */
+    * feeds both consumers — the gram explode and the token rebuild.
+    * Without it the source is scanned and re-tokenized per consumer
+    * (the exact multi-scan that cost ngram_jaccard_pairs 2.2× before
+    * its r5 fix). Checkpoint size is the tokenized corpus — same order
+    * as the text itself. */
   def stripDuplicateSpans(
       idField: String, textField: String, n: Int)(df: DataFrame): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
@@ -690,17 +690,25 @@ object TextOps {
     val toks = tokenized
       .select(col("__id"), posexplode(col("__ts")).as(Seq("__tp", "__tok")))
       .select(col("__id"), col("__tp").cast("long").as("__tp"), col("__tok"))
-    val rebuilt = toks.join(removed, Seq("__id", "__tp"), "left_anti")
+    // One left join + ONE aggregation rebuilds every document: removed
+    // positions are unique (disjoint islands), so the join never
+    // duplicates a token row; collect_list skips the nulls the `when`
+    // produces for removed tokens, so kept-token filtering happens
+    // INSIDE the aggregation. Every doc keeps >= 1 token row (empty
+    // text tokenizes to [""]), so no separate header join is needed for
+    // fully-stripped documents — their kept count is 0 and clean_text
+    // concatenates the empty list to "".
+    toks.join(removed.withColumn("__rm", lit(1)), Seq("__id", "__tp"), "left")
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("__kept"),
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__rm").isNull, 1)).as("__kept"),
         concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("__tp"), col("__tok")))),
-          s => s.getField("__tok"))).as("__clean"))
-    tokenized.select(col("__id"), size(col("__ts")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("__id"), "left")
+          array_sort(collect_list(when(col("__rm").isNull,
+            struct(col("__tp"), col("__tok"))))),
+          s => s.getField("__tok"))).as("clean_text"))
       .select(col("__id").as(idField), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
-        coalesce(col("__clean"), lit("")).as("clean_text"))
+        (col("n_tokens") - col("__kept")).as("n_removed"),
+        col("clean_text"))
   }
 
   /** BM25 ranked retrieval over the corpus: top-k documents for a bag of
