@@ -260,6 +260,13 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("doc_id")
     },
+    "strip_self_repeats" -> { (s, dir) =>
+      // in-doc looping/boilerplate cleanup: later occurrences of any
+      // trigram within the same doc are stripped, first kept
+      TextOps.stripSelfRepeats("doc_id", "text", n = 3)(
+        corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
     "bm25_topk" -> { (s, dir) =>
       TextOps.bm25TopK("doc_id", "text",
         Seq("spark", "stream", "vector"), k = 10)(
@@ -1321,6 +1328,33 @@ object ExtQueries {
       rem AS (SELECT DISTINCT g.doc_id, g.pos + r.off AS tp
         FROM g JOIN canon ON g.h = canon.h AND g.doc_id <> canon.keep
         CROSS JOIN range(0, 8) r(off)),
+      toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tp, t[CAST(i AS INT)] AS tok
+        FROM (SELECT doc_id, string_split(text,' ') AS t,
+                unnest(range(1, len(string_split(text,' ')) + 1)) AS i
+              FROM documents)),
+      kept AS (SELECT doc_id, tp, tok FROM toks
+        WHERE NOT EXISTS (SELECT 1 FROM rem
+          WHERE rem.doc_id = toks.doc_id AND rem.tp = toks.tp)),
+      rebuilt AS (SELECT doc_id, count(*) AS kept,
+          string_agg(tok, ' ' ORDER BY tp) AS clean
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+        CAST(len(string_split(d.text,' ')) - coalesce(r.kept, 0) AS BIGINT) AS n_removed,
+        coalesce(r.clean, '') AS clean_text
+      FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+      ORDER BY d.doc_id""",
+    // later in-doc occurrences of a trigram drop their covered span;
+    // rebuild identical to strip_duplicate_spans — mirrors
+    // TextOps.stripSelfRepeats
+    "strip_self_repeats" -> s"""
+      WITH g AS (${posGramsSql(3)}),
+      firsts AS (SELECT doc_id, h, min(pos) AS p0 FROM g
+        GROUP BY doc_id, h HAVING count(*) >= 2),
+      rem AS (SELECT DISTINCT g.doc_id, g.pos + r.off AS tp
+        FROM g JOIN firsts f ON g.doc_id = f.doc_id AND g.h = f.h
+        CROSS JOIN range(0, 3) r(off)
+        WHERE g.pos > f.p0),
       toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tp, t[CAST(i AS INT)] AS tok
         FROM (SELECT doc_id, string_split(text,' ') AS t,
                 unnest(range(1, len(string_split(text,' ')) + 1)) AS i

@@ -663,20 +663,58 @@ object TextOps {
       .agg(countDistinct(col("__id")).as("__nd"), min(col("__id")).as("__keep"))
       .filter(col("__nd") >= 2)
       .select("__h", "__keep")
-    // Merge duplicated gram hits into disjoint coverage islands per doc
-    // (the duplicateSpans gaps-and-islands window) BEFORE exploding token
-    // positions, so each removed position ships into the anti-join
-    // exactly once. Exploding per-gram ranges directly would emit every
-    // covered position up to n times (overlapping grams) — measured 3×
-    // slower at 4× corpus replication, where nearly every token is
-    // covered; a distinct() instead would pay a full extra shuffle of
-    // that same n-fold stream. Hit positions are unique per doc (one
-    // gram row per position), so the lag-based island window is exact.
-    import org.apache.spark.sql.expressions.Window
-    val byPos = Window.partitionBy(col("__id")).orderBy(col("__pos"))
-    val removed = grams.join(canon, "__h")
+    val hits = grams.join(canon, "__h")
       .filter(col("__id") =!= col("__keep"))
       .select(col("__id"), col("__pos"))
+    rebuildDropping(tokenized, coveragePositions(hits, n), idField)
+  }
+
+  /** In-DOCUMENT repeated-passage removal — the looping-generation /
+    * boilerplate cleanup [[repetitionStats]] only reports: every token
+    * span covered by a word n-gram's SECOND and later occurrences within
+    * the same document is dropped, keeping the first. Cross-document
+    * duplication is untouched (that's [[stripDuplicateSpans]]); the two
+    * compose in either order. Returns the same (id, n_tokens, n_removed,
+    * clean_text) contract as [[stripDuplicateSpans]].
+    *
+    * Scale shape: one gram explode, one (doc, digest) hash-agg keeping
+    * only digests with ≥2 in-doc occurrences (the join build side
+    * shrinks to actual repeats), island merge, and the shared one-pass
+    * rebuild. Everything is per-document — no cross-document shuffle
+    * key anywhere, so the op is embarrassingly parallel over docs. */
+  def stripSelfRepeats(
+      idField: String, textField: String, n: Int)(df: DataFrame): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val tokenized = df.select(col(idField).as("__id"),
+      tokens(col(textField)).as("__ts"))
+      .localCheckpoint()
+    val grams = tokenized
+      .select(col("__id"),
+        posexplode(gramDigestsOfTokens(col("__ts"), n)).as(Seq("__pos", "__h")))
+      .select(col("__id"), col("__pos").cast("long").as("__pos"), col("__h"))
+    val firsts = grams.groupBy(col("__id"), col("__h"))
+      .agg(min(col("__pos")).as("__p0"), count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2)
+      .select(col("__id"), col("__h"), col("__p0"))
+    val hits = grams.join(firsts, Seq("__id", "__h"))
+      .filter(col("__pos") > col("__p0"))
+      .select(col("__id"), col("__pos"))
+    rebuildDropping(tokenized, coveragePositions(hits, n), idField)
+  }
+
+  /** Merge per-document hit positions into disjoint coverage islands
+    * (the [[duplicateSpans]] gaps-and-islands window) and explode each
+    * covered token position EXACTLY once. Exploding per-gram ranges
+    * directly would emit every covered position up to n times
+    * (overlapping grams) — measured 3× slower at 4× corpus replication,
+    * where nearly every token is covered; a distinct() instead would pay
+    * a full extra shuffle of that same n-fold stream. Hit positions must
+    * be unique per doc (one gram row per position), which makes the
+    * lag-based island window exact. */
+  private def coveragePositions(hits: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    hits
       .withColumn("__brk",
         when(col("__pos") - lag(col("__pos"), 1).over(byPos) > n, 1)
           .otherwise(0))
@@ -687,17 +725,22 @@ object TextOps {
         (max(col("__pos")) + (n - 1)).as("__e"))
       .select(col("__id"),
         explode(sequence(col("__s"), col("__e"))).as("__tp"))
+  }
+
+  /** One left join + ONE aggregation rebuilds every document from its
+    * tokenized form minus the removed positions: removed positions are
+    * unique (disjoint islands), so the join never duplicates a token
+    * row; collect_list skips the nulls the `when` produces for removed
+    * tokens, so kept-token filtering happens INSIDE the aggregation.
+    * Every doc keeps ≥ 1 token row (empty text tokenizes to [""]), so
+    * no separate header join is needed for fully-stripped documents —
+    * their kept count is 0 and clean_text concatenates the empty list
+    * to "". */
+  private def rebuildDropping(
+      tokenized: DataFrame, removed: DataFrame, idField: String): DataFrame = {
     val toks = tokenized
       .select(col("__id"), posexplode(col("__ts")).as(Seq("__tp", "__tok")))
       .select(col("__id"), col("__tp").cast("long").as("__tp"), col("__tok"))
-    // One left join + ONE aggregation rebuilds every document: removed
-    // positions are unique (disjoint islands), so the join never
-    // duplicates a token row; collect_list skips the nulls the `when`
-    // produces for removed tokens, so kept-token filtering happens
-    // INSIDE the aggregation. Every doc keeps >= 1 token row (empty
-    // text tokenizes to [""]), so no separate header join is needed for
-    // fully-stripped documents — their kept count is 0 and clean_text
-    // concatenates the empty list to "".
     toks.join(removed.withColumn("__rm", lit(1)), Seq("__id", "__tp"), "left")
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_tokens"),

@@ -111,6 +111,8 @@ final case class Pipeline(df: DataFrame) {
     >>(TextOps.duplicateSpans(idField, textField, n, minDocs, minSpanTokens))
   def stripDuplicateSpans(idField: String, textField: String, n: Int): Pipeline =
     >>(TextOps.stripDuplicateSpans(idField, textField, n))
+  def stripSelfRepeats(idField: String, textField: String, n: Int): Pipeline =
+    >>(TextOps.stripSelfRepeats(idField, textField, n))
   def bm25TopK(idField: String, textField: String, queryTerms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): Pipeline =
     >>(TextOps.bm25TopK(idField, textField, queryTerms, k, k1, b))

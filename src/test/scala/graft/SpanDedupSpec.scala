@@ -159,6 +159,31 @@ class SpanDedupSpec extends SparkSpec {
       .result.count() === 1)
   }
 
+  test("stripSelfRepeats drops later in-doc occurrences, keeps the first") {
+    val docs = Seq(
+      (1L, "a b a b a b"),       // bigram "a b" repeats; "b a" repeats
+      (2L, "x y z w"),           // no repeats
+      (3L, "p q p q r p q")      // "p q" at 0, 2, 5
+    ).toDF("doc_id", "text")
+    val out = TextOps.stripSelfRepeats("doc_id", "text", n = 2)(docs)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // doc 1: grams (0,"a b") (1,"b a") (2,"a b") (3,"b a") (4,"a b");
+    // later occurrences at 2,3,4 cover tokens 2..5 -> "a b" remains
+    assert(out(0) === ((1L, 6L, 4L, "a b")))
+    assert(out(1) === ((2L, 4L, 0L, "x y z w")))
+    // doc 3: "p q" repeats at 2 and 5 -> tokens 2,3 and 5,6 drop
+    assert(out(2) === ((3L, 7L, 4L, "p q r")))
+
+    // composes with cross-doc stripping: a doc that is pure self-repeat
+    // of a passage another doc owns ends empty after both passes
+    val both = TextOps.stripSelfRepeats("doc_id", "clean_text", n = 2)(
+      TextOps.stripDuplicateSpans("doc_id", "text", n = 2)(
+        Seq((1L, "m n m n"), (2L, "m n")).toDF("doc_id", "text")))
+    assert(both.filter(col("doc_id") === 2).select("clean_text")
+      .as[String].head() === "")
+  }
+
   test("Pipeline façade exposes the round-8 mixing and dedup surface") {
     val docs = Seq((1L, "a b c d", "s1"), (2L, "e f g h", "s1"))
       .toDF("doc_id", "text", "source")
