@@ -273,6 +273,19 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("rank")
     },
+    "bm25_batch" -> { (s, dir) =>
+      // data-driven retrieval: three query-term bags, one shared
+      // posting-list build, per-query top-5
+      import s.implicits._
+      val queries = Seq(
+        (0L, Seq("spark", "stream")),
+        (1L, Seq("vector", "merge", "window")),
+        (2L, Seq("customer"))
+      ).toDF("query_id", "terms")
+      TextOps.bm25BatchTopK("doc_id", "text", queries, "query_id", "terms",
+        k = 5)(corpus(s, dir, "documents"))
+        .orderBy("query_id", "rank")
+    },
     "cross_corpus_pairs" -> { (s, dir) =>
       // near-dup the "new crawl" (>= 250) against the "reference corpus"
       // (< 250) — candidates only ever span the two sides
@@ -1372,6 +1385,37 @@ object ExtQueries {
       FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
       ORDER BY d.doc_id""",
     "bm25_topk" -> bm25Sql(Seq("spark", "stream", "vector"), k = 10),
+    // posting-list build + per-term score tree identical to bm25_topk;
+    // the per-(query, doc) sum folds a term-ORDERED list left from 0.0
+    // (list_reduce) exactly like the Spark aggregate() fold — float
+    // addition order is pinned, scores hash-match bit-for-bit
+    "bm25_batch" -> s"""
+      WITH posts AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t
+              FROM documents) u
+        GROUP BY doc_id, t),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM posts GROUP BY doc_id),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl FROM dl),
+      dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM posts GROUP BY t),
+      q(query_id, terms) AS (VALUES
+        (CAST(0 AS BIGINT), ['spark', 'stream']),
+        (1, ['vector', 'merge', 'window']),
+        (2, ['customer'])),
+      qt AS (SELECT query_id, unnest(list_distinct(terms)) AS t FROM q),
+      scored AS (SELECT query_id, doc_id, t,
+          ((n - df) + ${litD(0.5)}) / (df + ${litD(0.5)})
+            * (tf * ${litD(1.2 + 1.0)})
+            / (tf + ${litD(1.2)} * (${litD(1.0 - 0.75)} + ${litD(0.75)} * (dl / (sumdl / n)))) AS s
+        FROM qt JOIN posts USING (t) JOIN dfq USING (t)
+          JOIN dl USING (doc_id) CROSS JOIN stats),
+      agg AS (SELECT query_id, doc_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s ORDER BY t)),
+            (a, x) -> a + x) AS score
+        FROM scored GROUP BY query_id, doc_id)
+      SELECT query_id, doc_id, score,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+      FROM agg QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "cross_corpus_pairs" ->
       crossCorpusNearDupSql(shingleN = 3, threshold = "2e-1", splitId = 250),
     // LSH near-dup pairs -> recursive min-label closure -> min-id

@@ -806,6 +806,71 @@ object TextOps {
       .select(col("__id").as(idField), col("score"), col("rank"))
   }
 
+  /** Batched BM25: top-k documents for EVERY query in a query table —
+    * the data-driven form of [[bm25TopK]], whose terms are plan
+    * literals and therefore cap at a handful per compile. Here terms
+    * arrive as data ((queryId, array<term>) rows), so thousands of
+    * queries retrieve in one job over a shared posting-list build. Same
+    * rational idf as [[bm25TopK]] (documented there); identical
+    * expression tree per term.
+    *
+    * Cross-engine exactness under data-driven terms: a per-(query, doc)
+    * score is the sum of per-term doubles, and float addition is not
+    * associative — a plain `sum()` would expose partial-aggregation
+    * order. The fold is therefore DETERMINISTIC by construction: terms
+    * collect per (query, doc), sort by term, and fold left from 0.0 —
+    * and the oracle folds the identically-ordered list with
+    * `list_reduce`, so scores hash-match bit-for-bit.
+    *
+    * Scale shape: one corpus explode builds (doc, term, tf) postings,
+    * materialized ONCE (localCheckpoint) for its three consumers (dl,
+    * df, the retrieval join); per-doc length and per-term df are
+    * integer-in-double aggregates (order-immune); the global (N, Σdl)
+    * one-row aggregate broadcasts. The retrieval join is candidates =
+    * Σ_t df(t) per query — the classic unpruned BM25 cost; hot query
+    * terms skew the posting join and AQE splits them. Top-k is a
+    * per-query window over each query's candidates (WindowGroupLimit
+    * prunes losers before the final shuffle), never a global sort. */
+  def bm25BatchTopK(
+      idField: String, textField: String,
+      queries: DataFrame, queryIdField: String, termsField: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val posts = df
+      .select(col(idField).as("__doc"), explode(tokens(col(textField))).as("__t"))
+      .groupBy(col("__doc"), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+      .localCheckpoint()
+    val dl = posts.groupBy(col("__doc")).agg(sum(col("__tf")).as("__dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("__dl")).as("__sumdl"))
+    val dfreq = posts.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val qt = queries.select(col(queryIdField).as("query_id"),
+      explode(array_distinct(col(termsField))).as("__t"))
+    val avgdl = col("__sumdl") / col("__n")
+    val idf = (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))
+    val termScore = idf * (col("__tf") * lit(k1 + 1.0)) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl") / avgdl)))
+    qt.join(posts, "__t")
+      .join(dfreq, "__t")
+      .join(dl, "__doc")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("__doc"), col("__t"), termScore.as("__s"))
+      .groupBy(col("query_id"), col("__doc"))
+      .agg(collect_list(struct(col("__t"), col("__s"))).as("__terms"))
+      .select(col("query_id"), col("__doc"),
+        aggregate(array_sort(col("__terms")), lit(0.0),
+          (acc, x) => acc + x.getField("__s")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("__doc").asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("__doc").as(idField), col("score"),
+        col("rank"))
+  }
+
   def withLangId(textField: String, target: String = "lang_pred")(
       df: DataFrame): DataFrame = df.withColumn(target, langId(col(textField)))
 

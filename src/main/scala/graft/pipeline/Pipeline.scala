@@ -116,6 +116,11 @@ final case class Pipeline(df: DataFrame) {
   def bm25TopK(idField: String, textField: String, queryTerms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): Pipeline =
     >>(TextOps.bm25TopK(idField, textField, queryTerms, k, k1, b))
+  def bm25BatchTopK(idField: String, textField: String, queries: DataFrame,
+      queryIdField: String, termsField: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): Pipeline =
+    >>(TextOps.bm25BatchTopK(idField, textField, queries, queryIdField,
+      termsField, k, k1, b))
   /** Two-frame entry point: `this` is the new crawl (left side), `reference`
     * the corpus it is deduplicated against. Sides must be disjoint id
     * spaces — see [[graft.ext.Dedup.crossCorpusNearDuplicates]]. */

@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_ivf",    // broadcast centroid ranking (id < nCentroids)
     "tfidf_top_terms",   // broadcast one-row corpus count
     "key_skew",          // broadcast one-row total count
-    "bm25_topk")         // broadcast one-row (N, avgdl, df…) stats aggregate
+    "bm25_topk",         // broadcast one-row (N, avgdl, df…) stats aggregate
+    "bm25_batch")        // broadcast one-row (N, Σdl) stats aggregate
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -184,6 +184,40 @@ class SpanDedupSpec extends SparkSpec {
       .as[String].head() === "")
   }
 
+  test("bm25BatchTopK matches the literal-terms form on a single-term query") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian elderberry fig")
+    ).toDF("doc_id", "text")
+    val queries = Seq((7L, Seq("apple"))).toDF("query_id", "terms")
+    val batch = TextOps.bm25BatchTopK("doc_id", "text", queries,
+      "query_id", "terms", k = 3)(docs)
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    val single = TextOps.bm25TopK("doc_id", "text", Seq("apple"), k = 3)(docs)
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    // same candidates, same ranking, BIT-identical scores
+    assert(batch.toSeq === single.toSeq)
+
+    // multi-query: each query ranks independently; non-matching docs absent
+    val multi = TextOps.bm25BatchTopK("doc_id", "text",
+      Seq((0L, Seq("apple")), (1L, Seq("fig", "cherry")))
+        .toDF("query_id", "terms"),
+      "query_id", "terms", k = 3)(docs)
+      .select("query_id", "doc_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(multi === Set((0L, 1L, 1), (0L, 2L, 2),
+      (1L, 2L, 1), (1L, 3L, 2)))
+    // determinism: identical scores on a rerun (fold order is pinned)
+    val again = TextOps.bm25BatchTopK("doc_id", "text", queries,
+      "query_id", "terms", k = 3)(docs)
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(again.toSeq === batch.toSeq)
+  }
+
   test("Pipeline façade exposes the round-8 mixing and dedup surface") {
     val docs = Seq((1L, "a b c d", "s1"), (2L, "e f g h", "s1"))
       .toDF("doc_id", "text", "source")
