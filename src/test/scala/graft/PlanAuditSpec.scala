@@ -55,6 +55,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("per-group top-k queries plan WindowGroupLimit partial pushdown") {
+    // rank-filter windows must prune losers BEFORE the window shuffle
+    // (per-partition heaps) — at 100 TB ranking every candidate through
+    // a full window sort, then filtering, shuffles the whole candidate
+    // set for nothing.
+    Seq("bm25_batch", "topk_per_group", "tfidf_top_terms").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name does not plan WindowGroupLimit:\n$plan")
+    }
+  }
+
   test("no query plans a Scala UDF except the documented predicate surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       // filter_by_predicate IS the reference's UDF surface; its query

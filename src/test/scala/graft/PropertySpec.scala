@@ -203,4 +203,112 @@ class PropertySpec extends SparkSpec {
         s"len=${blob.length}: only ${(survived * 100).round}% survived")
     }
   }
+
+  // random word-salad corpora for the span/chunk/mix invariants: small
+  // vocabulary forces real repeats and cross-doc duplication
+  private val corpusGen: Gen[List[(Long, String)]] =
+    Gen.zip(Gen.chooseNum(3, 12), Gen.chooseNum(5, 40)).flatMap {
+      case (nDocs, maxLen) =>
+        Gen.sequence[List[(Long, String)], (Long, String)](
+          (0 until nDocs).toList.map { i =>
+            Gen.nonEmptyListOf(Gen.oneOf("u", "v", "w", "x", "y", "z"))
+              .map(ts => (i.toLong, ts.take(maxLen).mkString(" ")))
+          })
+    }
+
+  test("chunkTexts with stride == chunkTokens partitions every document exactly") {
+    import graft.ext.TextOps
+    for (xs <- draws(corpusGen, n = 4)) {
+      val df = xs.toDF("doc_id", "text")
+      val chunks = TextOps.chunkTexts("doc_id", "text", chunkTokens = 5,
+        stride = 5)(df)
+        .select("doc_id", "chunk_idx", "chunk_tokens", "chunk_text")
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      xs.foreach { case (id, text) =>
+        val mine = chunks(id)
+        // disjoint stride: re-concatenating the chunks rebuilds the doc
+        assert(mine.map(_._4).mkString(" ") === text)
+        // token counts partition the doc's token count
+        assert(mine.map(_._3).sum === text.split(" ").length.toLong)
+      }
+    }
+  }
+
+  test("strip operators conserve tokens: kept + removed = total") {
+    import graft.ext.TextOps
+    for (xs <- draws(corpusGen, n = 4)) {
+      val df = xs.toDF("doc_id", "text")
+      Seq(TextOps.stripDuplicateSpans("doc_id", "text", n = 3)(df),
+        TextOps.stripSelfRepeats("doc_id", "text", n = 3)(df))
+        .foreach { out =>
+          val rows = out.select("doc_id", "n_tokens", "n_removed", "clean_text")
+            .as[(Long, Long, Long, String)].collect()
+          assert(rows.length === xs.size) // every doc comes back
+          rows.foreach { case (id, nTok, nRem, clean) =>
+            val original = xs.find(_._1 == id).get._2
+            assert(nTok === original.split(" ").length.toLong)
+            val keptTokens = if (clean.isEmpty) 0L
+              else clean.split(" ").length.toLong
+            assert(keptTokens === nTok - nRem,
+              s"doc $id: kept $keptTokens != $nTok - $nRem")
+            // kept text is a subsequence of the original tokens
+            val origToks = original.split(" ")
+            val cleanToks =
+              if (clean.isEmpty) Array.empty[String] else clean.split(" ")
+            var oi = 0
+            val isSubseq = cleanToks.forall { t =>
+              while (oi < origToks.length && origToks(oi) != t) oi += 1
+              val ok = oi < origToks.length
+              if (ok) oi += 1
+              ok
+            }
+            assert(isSubseq,
+              s"doc $id: '$clean' not a subsequence of '$original'")
+          }
+        }
+    }
+  }
+
+  test("duplicateSpans islands stay in bounds and respect the merge gap") {
+    import graft.ext.TextOps
+    for (xs <- draws(corpusGen, n = 4)) {
+      val df = xs.toDF("doc_id", "text")
+      val spans = TextOps.duplicateSpans("doc_id", "text", n = 3)(df)
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .as[(Long, Long, Long, Long)].collect()
+      spans.groupBy(_._1).foreach { case (id, ss) =>
+        val nTok = xs.find(_._1 == id).get._2.split(" ").length
+        val sorted = ss.sortBy(_._2)
+        sorted.foreach { case (_, s, e, t) =>
+          assert(s >= 0 && e < nTok && t === e - s + 1 && t >= 3)
+        }
+        // islands are maximal: consecutive spans are > n apart at the
+        // gram level, so their token ranges never touch
+        sorted.sliding(2).foreach {
+          case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 + 1)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("tokenBudgetMix never exceeds the budget and selects a stable prefix") {
+    import graft.ext.TextOps
+    for (xs <- draws(corpusGen, n = 4)) {
+      val df = xs.map { case (id, t) => (id, t, s"s${id % 3}") }
+        .toDF("doc_id", "text", "source")
+      val out = TextOps.tokenBudgetMix("doc_id", "text", "source",
+        tokensPerSource = 12)(df)
+        .select("source", "doc_id", "cum_tokens")
+        .as[(String, Long, Long)].collect()
+      out.groupBy(_._1).foreach { case (_, rows) =>
+        assert(rows.map(_._3).max <= 12L)
+      }
+      val again = TextOps.tokenBudgetMix("doc_id", "text", "source",
+        tokensPerSource = 12)(df)
+        .select("doc_id").as[Long].collect().toSet
+      assert(again === out.map(_._2).toSet)
+    }
+  }
 }
