@@ -294,6 +294,25 @@ object ExtQueries {
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
         .orderBy("id_a", "id_b")
     },
+    "mean_pool_embeddings" -> { (s, dir) =>
+      // chunk->embed->pool: per-label mean vector via a deterministic
+      // sorted fold (one row per dimension, scalar-typed)
+      Similarity.meanPool("vec_id", "embedding", "label")(
+        corpus(s, dir, "embeddings"))
+        .orderBy("label", "dim")
+    },
+    "filter_funnel" -> { (s, dir) =>
+      // the cleaning-chain attrition report: independent + cumulative
+      // pass counts per rule, one aggregation pass
+      val (dupFrac, _) = TextOps.repetitionStats(col("text"))
+      Probes.filterFunnel(Seq(
+        "min_tokens" -> (TextOps.tokenCount(col("text")) >= 20),
+        "english" -> (col("lang") === "en"),
+        "quality" -> (TextOps.qualityScore(col("text")) > 0.45),
+        "not_repetitive" -> (dupFrac < 0.4)))(
+        corpus(s, dir, "documents"))
+        .orderBy("step")
+    },
     "semantic_dedup" -> { (s, dir) =>
       // SemDeDup shape: LSH near-dup pairs -> connected components ->
       // min-id survivor per embedding cluster
@@ -1418,6 +1437,52 @@ object ExtQueries {
       FROM agg QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "cross_corpus_pairs" ->
       crossCorpusNearDupSql(shingleN = 3, threshold = "2e-1", splitId = 250),
+    // vectors fold in vec_id order from the first element (list_reduce),
+    // cast to double first, divide at the end — the identical IEEE
+    // addition sequence as Similarity.meanPool's sorted zip_with fold
+    "mean_pool_embeddings" -> """
+      WITH folded AS (SELECT label,
+          list_reduce(
+            list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id),
+            (a, x) -> list_transform(range(1, len(a) + 1), i -> a[i] + x[i])) AS s,
+          CAST(count(*) AS DOUBLE) AS n
+        FROM embeddings GROUP BY label)
+      SELECT label, CAST(u.i - 1 AS BIGINT) AS dim,
+        s[CAST(u.i AS INT)] / n AS mean_val
+      FROM folded, unnest(range(1, len(s) + 1)) u(i)
+      ORDER BY label, dim""",
+    // independent + cumulative rule counters in one aggregation; quality
+    // and dup-fraction expressions identical to quality_score /
+    // repetition_stats — mirrors Probes.filterFunnel
+    "filter_funnel" -> s"""
+      WITH q AS ($qualityPerDocSql),
+      sig AS (SELECT d.doc_id,
+          len(string_split(d.text, ' ')) AS n_tok,
+          d.lang, q.quality,
+          CASE WHEN len(string_split(d.text, ' ')) = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(len(string_split(d.text, ' '))
+                         - len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+                    / len(string_split(d.text, ' ')) END AS dup_frac
+        FROM documents d JOIN q ON d.doc_id = q.doc_id),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS total,
+          CAST(sum(CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+          CAST(sum(CASE WHEN quality > 45e-2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+          CAST(sum(CASE WHEN dup_frac < 4e-1 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+          CAST(sum(CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+          CAST(sum(CASE WHEN n_tok >= 20 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(sum(CASE WHEN n_tok >= 20 AND lang = 'en' AND quality > 45e-2
+              THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+          CAST(sum(CASE WHEN n_tok >= 20 AND lang = 'en' AND quality > 45e-2
+                   AND dup_frac < 4e-1 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+        FROM sig)
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS step, 'min_tokens' AS rule,
+          p0 AS pass_count, c0 AS surviving_count, total FROM agg
+        UNION ALL SELECT 1, 'english', p1, c1, total FROM agg
+        UNION ALL SELECT 2, 'quality', p2, c2, total FROM agg
+        UNION ALL SELECT 3, 'not_repetitive', p3, c3, total FROM agg) t
+      ORDER BY step""",
     // LSH near-dup pairs -> recursive min-label closure -> min-id
     // survivors — mirrors Dedup.semanticDedup (pair generation identical
     // to the embedding_dedup oracle, closure identical to dedup_clusters)

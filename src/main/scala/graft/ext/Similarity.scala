@@ -278,4 +278,45 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "item_id", "cosine", "rank")
   }
+
+  /** Mean-pool embeddings per group — the "chunk → embed → pool" step
+    * of document/multimodal pipelines (a document's vector as the mean
+    * of its chunk vectors; a class centroid as the mean of its members).
+    * Returns (group, dim, mean_val): one row per vector DIMENSION,
+    * deliberately exploded so the result is scalar-typed and
+    * hash-comparable — reassemble with collect_list over dim downstream
+    * if an array is needed.
+    *
+    * Float summation is not associative, so a naive per-dimension
+    * `sum()` would expose partial-aggregation order. The fold is
+    * deterministic by construction: vectors collect per group, sort by
+    * id, cast to double, and fold left pairwise (`zip_with(_ + _)`)
+    * starting FROM THE FIRST VECTOR — and the oracle folds the
+    * identically-ordered list with `list_reduce`, pinning the same IEEE
+    * addition sequence, so means hash-match bit-for-bit.
+    *
+    * Scale shape: one hash aggregation; per-group memory is the group's
+    * vectors (chunks of one doc / members of one class — bounded by the
+    * caller's grouping). All vectors in a group must share a dimension
+    * (zip_with nulls on mismatch — surfaces immediately). */
+  def meanPool(
+      idField: String, vecField: String, groupField: String)(
+      df: DataFrame): DataFrame = {
+    val grouped = df.groupBy(col(groupField).as("__g"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        array_sort(collect_list(struct(col(idField).as("__id"),
+          transform(col(vecField), _.cast("double")).as("__v"))))
+          .as("__vs"))
+    grouped
+      .select(col("__g"), col("__n"),
+        aggregate(
+          slice(col("__vs"), lit(2), size(col("__vs")) - 1),
+          element_at(col("__vs"), 1).getField("__v"),
+          (acc, x) => zip_with(acc, x.getField("__v"), _ + _)).as("__sum"))
+      .select(col("__g").as(groupField),
+        posexplode(transform(col("__sum"), v => v / col("__n")))
+          .as(Seq("dim", "mean_val")))
+      .select(col(groupField), col("dim").cast("long").as("dim"),
+        col("mean_val"))
+  }
 }

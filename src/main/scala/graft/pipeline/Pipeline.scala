@@ -152,6 +152,10 @@ final case class Pipeline(df: DataFrame) {
   def chunkTexts(idField: String, textField: String, chunkTokens: Int,
       stride: Int): Pipeline =
     >>(TextOps.chunkTexts(idField, textField, chunkTokens, stride))
+  def meanPool(idField: String, vecField: String, groupField: String): Pipeline =
+    >>(graft.ext.Similarity.meanPool(idField, vecField, groupField))
+  def filterFunnel(rules: Seq[(String, Column)]): Pipeline =
+    >>(Probes.filterFunnel(rules))
   def unigramCfQuality(idField: String, textField: String): Pipeline =
     >>(TextOps.unigramCfQuality(idField, textField))
   def clusterSafeSplit(idField: String, textField: String,

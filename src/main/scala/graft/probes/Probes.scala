@@ -1,6 +1,6 @@
 package graft.probes
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -154,5 +154,33 @@ object Probes {
     if (df.filter(col(field) === lit(value)).limit(1).count() > 0)
       throw new ProbeAssertionError(s"assert_missing failed: $field=$value present")
     df
+  }
+
+  /** Filter-funnel report — the "why was data dropped" observability a
+    * filter CHAIN needs: for every named rule, how many rows pass it
+    * independently (`pass_count`) and how many survive it AND every rule
+    * before it (`surviving_count`, the funnel). A cleaning pipeline
+    * publishes this next to its output so a sudden corpus shrink is
+    * attributable to the rule that caused it.
+    *
+    * ONE aggregation pass computes all 2×rules counters (map-side
+    * partials; no per-rule job, no second scan), then a local explode
+    * reshapes the single result row to one row per rule in chain order.
+    * Rule columns must be deterministic predicates over the row. */
+  def filterFunnel(rules: Seq[(String, Column)])(df: DataFrame): DataFrame = {
+    require(rules.nonEmpty, "rules must be non-empty")
+    val cums = rules.scanLeft(lit(true): Column) {
+      case (acc, (_, c)) => acc && c
+    }.tail
+    val counters = rules.zipWithIndex.flatMap { case ((_, c), i) => Seq(
+      sum(when(c, 1).otherwise(0)).cast("long").as(s"__p$i"),
+      sum(when(cums(i), 1).otherwise(0)).cast("long").as(s"__c$i"))
+    }
+    df.agg(count(lit(1)).as("__total"), counters: _*)
+      .select(posexplode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule"), col(s"__p$i").as("pass_count"),
+          col(s"__c$i").as("surviving_count"), col("__total").as("total"))
+      }: _*)).as(Seq("step", "__r")))
+      .select(col("step").cast("long").as("step"), col("__r.*"))
   }
 }

@@ -315,6 +315,35 @@ class ExtSpec extends SparkSpec {
       (2L, 0L, 0L, 1L, "x")))       // doc shorter than one chunk
   }
 
+  test("meanPool averages vectors per group with a deterministic fold") {
+    val df = Seq(
+      (3L, Array(1.0f, 2.0f), "a"),
+      (1L, Array(3.0f, 4.0f), "a"),
+      (2L, Array(10.0f, 20.0f), "b")
+    ).toDF("vec_id", "embedding", "grp")
+    val out = Similarity.meanPool("vec_id", "embedding", "grp")(df)
+      .select("grp", "dim", "mean_val")
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      ("a", 0L, 2.0), ("a", 1L, 3.0),   // (3+1)/2, (4+2)/2
+      ("b", 0L, 10.0), ("b", 1L, 20.0))) // singleton = itself
+  }
+
+  test("filterFunnel reports independent and cumulative rule counts") {
+    import graft.probes.Probes
+    val df = Seq(
+      (1L, 10, "en"), (2L, 30, "en"), (3L, 30, "de"), (4L, 50, "en")
+    ).toDF("id", "len", "lang")
+    val out = Probes.filterFunnel(Seq(
+      "long_enough" -> (col("len") >= 30),
+      "english" -> (col("lang") === "en")))(df)
+      .select("step", "rule", "pass_count", "surviving_count", "total")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (0L, "long_enough", 3L, 3L, 4L),
+      (1L, "english", 3L, 2L, 4L))) // en&long: docs 2 and 4
+  }
+
   test("sourceOverlap reports exact pairwise n-gram Jaccard") {
     val df = Seq(
       (1L, "a b c d e", "s1"),   // s1 trigrams: {abc bcd cde}
