@@ -57,6 +57,28 @@ object ScaleBench {
     }
     println("corpus_x,docs,duplicate_spans_sec,strip_duplicate_spans_sec")
     rows.foreach { case (k, d, a, b) => println(f"$k,$d,$a%.2f,$b%.2f") }
+
+    // Retrieval scaling: fixed query set, growing corpus — the posting
+    // build is corpus-linear and the per-query window cost tracks
+    // candidate counts, so the curve should be bounded by linear.
+    import spark.implicits._
+    val queries = Seq(
+      (0L, Seq("spark", "stream")),
+      (1L, Seq("vector", "merge", "window")),
+      (2L, Seq("customer"))
+    ).toDF("query_id", "terms")
+    val bmRows = for (k <- Seq(1, 2, 4)) yield {
+      val docs = replicated(k).localCheckpoint()
+      val t = time {
+        TextOps.bm25BatchTopK("doc_id", "text", queries, "query_id",
+          "terms", k = 10)(docs)
+          .write.mode("overwrite").format("noop").save()
+      }
+      docs.unpersist()
+      (k, n * k, t)
+    }
+    println("corpus_x,docs,bm25_batch_sec")
+    bmRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
     spark.stop()
   }
 }

@@ -436,7 +436,9 @@ object TextOps {
     * primitive: split each document into `chunkTokens`-token windows
     * whose starts step by `stride` tokens (stride < chunkTokens =
     * overlapping chunks, the usual RAG shape; stride = chunkTokens =
-    * disjoint). Every token is covered; the last window of a document
+    * disjoint partition; stride > chunkTokens = window SUBSAMPLING with
+    * gaps — legal, for sketching very long docs). Whenever stride ≤
+    * chunkTokens every token is covered; the last window of a document
     * may be shorter. Emits (id, chunk_idx, chunk_start, chunk_tokens,
     * chunk_text) with chunk_idx dense from 0 in document order.
     *
