@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextOps}
+import graft.probes.Probes
+
+/** The whole-pipeline composition test: every stage of a real
+  * training-data assembly chained on the sf0.001 fixture, asserting the
+  * invariants a pipeline operator relies on between stages (row
+  * conservation/attrition, schema contracts, end-to-end determinism).
+  * Individual operators are verified by their own specs and the DuckDB
+  * oracle; THIS spec pins that they compose — the "a user of the
+  * reference could switch" property. */
+class EndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel -> gate -> strip -> dedup -> decontaminate -> split -> mix -> pack composes") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+    assert(total > 0)
+
+    // 1. attrition report on the raw corpus (observability, not a filter)
+    val funnel = Probes.filterFunnel(Seq(
+      "min_tokens" -> (TextOps.tokenCount(col("text")) >= 10),
+      "english" -> (col("lang") === "en")))(docs)
+      .select("rule", "pass_count", "surviving_count", "total")
+      .as[(String, Long, Long, Long)].collect()
+    assert(funnel.length === 2 && funnel.forall(_._4 === total))
+    assert(funnel(1)._3 <= funnel(0)._3) // the funnel narrows
+
+    // 2. quality gate
+    val gated = TextOps.withQuality("text")(docs)
+      .filter(col("quality") > 0.2)
+    val nGated = gated.count()
+    assert(nGated > 0 && nGated <= total)
+
+    // 3. span-level cleanup (cross-doc passages, then in-doc loops)
+    val crossClean = TextOps.stripDuplicateSpans("doc_id", "text", n = 8)(gated)
+    assert(crossClean.count() === nGated) // strip never drops documents
+    val cleaned = TextOps.stripSelfRepeats("doc_id", "clean_text", n = 3)(
+      crossClean.select("doc_id", "clean_text"))
+      .withColumnRenamed("clean_text", "text")
+    assert(cleaned.count() === nGated)
+
+    // 4. near-dup cluster dedup on the CLEANED text, lowest id kept
+    val deduped = Dedup.clusterDedup("doc_id", "text", threshold = 0.2)(
+      cleaned.select("doc_id", "text"))
+    val nDeduped = deduped.count()
+    assert(nDeduped > 0 && nDeduped <= nGated)
+
+    // 5. decontaminate against an "eval set" carved from the corpus: the
+    // eval docs' own survivors must all be flagged out (they share every
+    // gram with themselves)
+    val evalSet = docs.filter(col("doc_id") < 3).select("text")
+    val decon = TextOps.decontaminate("doc_id", "text", n = 8,
+      benchmark = evalSet, benchTextField = "text")(deduped)
+    val nDecon = decon.count()
+    assert(nDecon <= nDeduped)
+
+    // 6. leakage-safe split on the surviving corpus
+    val split = Dedup.clusterSafeSplit("doc_id", "text",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      threshold = 0.2)(decon)
+    assert(split.count() === nDecon) // routing drops nothing
+    assert(split.select("split").distinct().as[String].collect()
+      .toSet.subsetOf(Set("train", "val", "test")))
+
+    // 7. per-source token-budget mix of the train partition (the strip
+    // stages return the (id, counts, clean_text) contract, so metadata
+    // columns like source re-join from the upstream table by id)
+    val train = split.filter(col("split") === "train")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val mixed = TextOps.tokenBudgetMix("doc_id", "text", "source",
+      tokensPerSource = 500)(train)
+    assert(mixed.count() <= train.count())
+    assert(mixed.select(max("cum_tokens")).as[Long].head() <= 500L)
+
+    // 8. pack the mixed selection into training bins
+    val packed = TextOps.packTexts("doc_id", "text", "source",
+      budget = 256)(
+      train.join(mixed.select("doc_id"), "doc_id"))
+    assert(packed.count() > 0)
+    assert(packed.select(max("n_tokens")).as[Long].head() <= 500L)
+
+    // end-to-end determinism: the full chain reselects the identical
+    // document set on a rerun
+    val rerun = {
+      val g = TextOps.withQuality("text")(docs).filter(col("quality") > 0.2)
+      val cc = TextOps.stripDuplicateSpans("doc_id", "text", n = 8)(g)
+      val cl = TextOps.stripSelfRepeats("doc_id", "clean_text", n = 3)(
+        cc.select("doc_id", "clean_text"))
+        .withColumnRenamed("clean_text", "text")
+      val dd = Dedup.clusterDedup("doc_id", "text", threshold = 0.2)(
+        cl.select("doc_id", "text"))
+      TextOps.decontaminate("doc_id", "text", n = 8,
+        benchmark = evalSet, benchTextField = "text")(dd)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(rerun === decon.select("doc_id").as[Long].collect().toSet)
+  }
+}
