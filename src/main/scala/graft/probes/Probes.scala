@@ -172,9 +172,12 @@ object Probes {
     val cums = rules.scanLeft(lit(true): Column) {
       case (acc, (_, c)) => acc && c
     }.tail
+    // coalesce: sum over ZERO rows is NULL, and an empty input must
+    // report 0-counts, not a row of nulls
     val counters = rules.zipWithIndex.flatMap { case ((_, c), i) => Seq(
-      sum(when(c, 1).otherwise(0)).cast("long").as(s"__p$i"),
-      sum(when(cums(i), 1).otherwise(0)).cast("long").as(s"__c$i"))
+      coalesce(sum(when(c, 1).otherwise(0)), lit(0)).cast("long").as(s"__p$i"),
+      coalesce(sum(when(cums(i), 1).otherwise(0)), lit(0)).cast("long")
+        .as(s"__c$i"))
     }
     df.agg(count(lit(1)).as("__total"), counters: _*)
       .select(posexplode(array(rules.zipWithIndex.map { case ((name, _), i) =>

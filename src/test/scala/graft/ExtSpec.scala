@@ -342,6 +342,13 @@ class ExtSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (0L, "long_enough", 3L, 3L, 4L),
       (1L, "english", 3L, 2L, 4L))) // en&long: docs 2 and 4
+
+    // empty input reports 0-counts, not a row of nulls
+    val empty = Probes.filterFunnel(Seq("any" -> (col("len") >= 0)))(
+      df.filter(col("len") < 0))
+      .select("pass_count", "surviving_count", "total")
+      .as[(Long, Long, Long)].collect()
+    assert(empty.toSeq === Seq((0L, 0L, 0L)))
   }
 
   test("sourceOverlap reports exact pairwise n-gram Jaccard") {
