@@ -129,4 +129,33 @@ class StreamingSpec extends SparkSpec {
       .orderBy("window_start", "event_type").collect()
     assert(out.map(_.getAs[Long]("event_count")).toSeq == Seq(2L, 1L))
   }
+
+  test("the stateless cleaning surface runs unchanged on a stream") {
+    // chunking, quality scoring, and PII scrubbing are pure projections,
+    // so the SAME operator calls lift to Structured Streaming with no
+    // code changes — the property that makes the batch cleaning chain
+    // reusable for live ingest.
+    import graft.ext.TextOps
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    val cleaned = TextOps.chunkTexts("doc_id", "text", chunkTokens = 2,
+      stride = 2)(
+      input.toDF().toDF("doc_id", "text")
+        .withColumn("text", TextOps.scrubPii(col("text")))
+        .withColumn("quality", TextOps.qualityScore(col("text"))))
+    val q = cleaned.writeStream.format("memory").queryName("clean")
+      .outputMode("append").start()
+    try {
+      input.addData(1L -> "contact bob@corp.example.org for the details",
+        2L -> "a b c")
+      q.processAllAvailable()
+      val rows = spark.table("clean")
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+      // scrub ran before chunking: the email never reaches a chunk
+      assert(rows.filter(_._1 == 1L).map(_._3).mkString(" ")
+        === "contact <EMAIL> for the details")
+      assert(rows.filter(_._1 == 2L).map(_._3).toSeq === Seq("a b", "c"))
+    } finally q.stop()
+  }
 }
