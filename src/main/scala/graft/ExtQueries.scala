@@ -260,6 +260,15 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("doc_id")
     },
+    "strip_contaminated_spans" -> { (s, dir) =>
+      // surgical decontamination: strip only the spans shared with the
+      // eval carve (docs < 100), keep the rest of each batch doc
+      val docs = corpus(s, dir, "documents")
+      TextOps.stripContaminatedSpans("doc_id", "text", n = 8,
+        benchmark = docs.filter(col("doc_id") < 100), benchTextField = "text")(
+        docs.filter(col("doc_id") >= 100))
+        .orderBy("doc_id")
+    },
     "strip_self_repeats" -> { (s, dir) =>
       // in-doc looping/boilerplate cleanup: later occurrences of any
       // trigram within the same doc are stripped, first kept
@@ -1375,6 +1384,38 @@ object ExtQueries {
         CAST(len(string_split(d.text,' ')) - coalesce(r.kept, 0) AS BIGINT) AS n_removed,
         coalesce(r.clean, '') AS clean_text
       FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+      ORDER BY d.doc_id""",
+    // batch 8-grams matching the eval carve's distinct gram digests drop
+    // their covered span; rebuild identical to strip_duplicate_spans —
+    // mirrors TextOps.stripContaminatedSpans
+    "strip_contaminated_spans" -> s"""
+      WITH g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          md5(array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS h
+        FROM (SELECT doc_id, string_split(text,' ') AS t,
+                unnest(range(1, greatest(len(string_split(text,' ')) - 7, 0) + 1)) AS i
+              FROM documents WHERE doc_id >= 100)),
+      bench AS (SELECT DISTINCT md5(gr) AS h FROM (
+          SELECT unnest(${shinglesSql(8)}) AS gr
+          FROM documents WHERE doc_id < 100) b),
+      rem AS (SELECT DISTINCT g.doc_id, g.pos + r.off AS tp
+        FROM g JOIN bench ON g.h = bench.h
+        CROSS JOIN range(0, 8) r(off)),
+      toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tp, t[CAST(i AS INT)] AS tok
+        FROM (SELECT doc_id, string_split(text,' ') AS t,
+                unnest(range(1, len(string_split(text,' ')) + 1)) AS i
+              FROM documents WHERE doc_id >= 100)),
+      kept AS (SELECT doc_id, tp, tok FROM toks
+        WHERE NOT EXISTS (SELECT 1 FROM rem
+          WHERE rem.doc_id = toks.doc_id AND rem.tp = toks.tp)),
+      rebuilt AS (SELECT doc_id, count(*) AS kept,
+          string_agg(tok, ' ' ORDER BY tp) AS clean
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+        CAST(len(string_split(d.text,' ')) - coalesce(r.kept, 0) AS BIGINT) AS n_removed,
+        coalesce(r.clean, '') AS clean_text
+      FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+      WHERE d.doc_id >= 100
       ORDER BY d.doc_id""",
     // later in-doc occurrences of a trigram drop their covered span;
     // rebuild identical to strip_duplicate_spans — mirrors

@@ -704,6 +704,39 @@ object TextOps {
     rebuildDropping(tokenized, coveragePositions(hits, n), idField)
   }
 
+  /** SPAN-level decontamination — the surgical form of [[decontaminate]]:
+    * instead of DROPPING every batch document that shares an n-gram with
+    * the benchmark/eval corpus, strip only the contaminated token spans
+    * and keep the rest of the document. The right trade when the corpus
+    * is expensive and contamination is a quoted sentence, not the whole
+    * page; pair with [[contaminationReport]] to decide per-corpus which
+    * form to run. Same (id, n_tokens, n_removed, clean_text) contract as
+    * the other strip operators.
+    *
+    * Scale shape: benchmark n-grams participate as DISTINCT 32-byte
+    * digests (never strings), the membership test is one digest
+    * equi-join (AQE broadcasts an eval set that fits — the usual case),
+    * and removal reuses the shared island-merge + one-pass rebuild. */
+  def stripContaminatedSpans(
+      idField: String, textField: String, n: Int,
+      benchmark: DataFrame, benchTextField: String)(
+      batch: DataFrame): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val tokenized = batch.select(col(idField).as("__id"),
+      tokens(col(textField)).as("__ts"))
+      .localCheckpoint()
+    val grams = tokenized
+      .select(col("__id"),
+        posexplode(gramDigestsOfTokens(col("__ts"), n)).as(Seq("__pos", "__h")))
+      .select(col("__id"), col("__pos").cast("long").as("__pos"), col("__h"))
+    val benchGrams = benchmark
+      .select(explode(shingles(col(benchTextField), n)).as("__g"))
+      .select(md5(col("__g")).as("__h")).distinct()
+    val hits = grams.join(benchGrams, "__h")
+      .select(col("__id"), col("__pos"))
+    rebuildDropping(tokenized, coveragePositions(hits, n), idField)
+  }
+
   /** Merge per-document hit positions into disjoint coverage islands
     * (the [[duplicateSpans]] gaps-and-islands window) and explode each
     * covered token position EXACTLY once. Exploding per-gram ranges

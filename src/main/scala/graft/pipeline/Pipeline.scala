@@ -113,6 +113,10 @@ final case class Pipeline(df: DataFrame) {
     >>(TextOps.stripDuplicateSpans(idField, textField, n))
   def stripSelfRepeats(idField: String, textField: String, n: Int): Pipeline =
     >>(TextOps.stripSelfRepeats(idField, textField, n))
+  def stripContaminatedSpans(idField: String, textField: String, n: Int,
+      benchmark: DataFrame, benchTextField: String): Pipeline =
+    >>(TextOps.stripContaminatedSpans(idField, textField, n, benchmark,
+      benchTextField))
   def bm25TopK(idField: String, textField: String, queryTerms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): Pipeline =
     >>(TextOps.bm25TopK(idField, textField, queryTerms, k, k1, b))

@@ -218,6 +218,27 @@ class SpanDedupSpec extends SparkSpec {
     assert(again.toSeq === batch.toSeq)
   }
 
+  test("stripContaminatedSpans removes only the benchmark spans") {
+    val bench = Seq((100L, "the secret eval answer is forty two")).toDF("bid", "text")
+    val batch = Seq(
+      (1L, "intro words then the secret eval answer is forty two and more"),
+      (2L, "totally clean document with original content here"),
+      (3L, "the secret eval answer is forty two")  // pure contamination
+    ).toDF("doc_id", "text")
+    val out = TextOps.stripContaminatedSpans("doc_id", "text", n = 4,
+      benchmark = bench, benchTextField = "text")(batch)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // doc 1: the 7-token quoted passage strips, the frame survives
+    assert(out(0)._4 === "intro words then and more")
+    assert(out(0)._3 === 7L)
+    // doc 2: untouched
+    assert(out(1) === ((2L, 7L, 0L,
+      "totally clean document with original content here")))
+    // doc 3: fully contaminated -> empty
+    assert(out(2) === ((3L, 7L, 7L, "")))
+  }
+
   test("Pipeline façade exposes the round-8 mixing and dedup surface") {
     val docs = Seq((1L, "a b c d", "s1"), (2L, "e f g h", "s1"))
       .toDF("doc_id", "text", "source")
