@@ -835,15 +835,18 @@ object Dedup {
     * surviving document was.
     *
     * The election is ONE min_by hash-aggregation over
-    * `(-quality, id, row)` — partial aggregation map-side, one struct
-    * per cluster shuffles, no per-cluster window sort. `quality` must be
-    * non-null and non-NaN on every row (NaN poisons IEEE ordering;
-    * [[graft.ext.TextOps.qualityScore]] guarantees both): `require`-like
-    * guarding per-row would cost a pass, so the precondition is
-    * documented instead.
+    * `(quality-null-flag, -quality, id, row)` — partial aggregation
+    * map-side, one struct per cluster shuffles, no per-cluster window
+    * sort. A NULL quality row LOSES to any real candidate (the null
+    * flag sorts it last — the same struct pattern as [[exact]]; the
+    * bare `-quality` form would let NULL sort first and win), and a
+    * NaN quality loses too (NaN is the greatest double in Spark's
+    * ordering, so `-NaN` sorts after every real negation). Rows keep
+    * deterministic min-id election within each flag class.
     *
-    * @param quality a non-null numeric Column evaluated against `df`
-    *                (e.g. `TextOps.qualityScore(col("text"))`) */
+    * @param quality a numeric Column evaluated against `df`
+    *                (e.g. `TextOps.qualityScore(col("text"))`);
+    *                NULL/NaN values lose elections, never win them */
   def clusterDedupByQuality(
       idField: String,
       textField: String,
@@ -861,7 +864,8 @@ object Dedup {
     df.join(comps, df(idField) === comps("node"))
       .groupBy(col("lbl"))
       .agg(
-        min_by(all, struct(negate(quality), col(idField))).as("__row"),
+        min_by(all, struct(quality.isNull, negate(quality), col(idField)))
+          .as("__row"),
         count(lit(1)).as("cluster_size"))
       .select(col("__row.*"), col("cluster_size"))
   }

@@ -413,21 +413,31 @@ object TextOps {
     * integer counts until the final division, so scores are bit-exact
     * across engines — unlike a real log-prob, which would not be.
     *
-    * Two token-keyed shuffles: one count per distinct token (partial
-    * aggregation makes this cheap), one re-join of the exploded corpus
-    * against that frequency table. Hot tokens ("the") make the join key
-    * skewed by construction — AQE's skew-join split handles it (the hot
-    * side is the exploded corpus, split freely; the build row is tiny);
-    * with AQE off, salt the join. The frequency table is |vocab| rows —
-    * broadcast it when it fits and the second shuffle disappears. */
+    * The corpus is scanned and exploded EXACTLY once: the exploded
+    * token stream collapses immediately to per-(doc, token) occurrence
+    * counts — the smallest frame that still determines both outputs —
+    * and that frame materializes (localCheckpoint) for its two
+    * consumers, the corpus-frequency aggregation and the re-join.
+    * (The naive shape feeds the raw exploded stream to both and
+    * Catalyst recomputes the dominant scan → explode stage twice.)
+    * Hot tokens ("the") make the join key skewed by construction —
+    * AQE's skew-join split handles it (the hot side is the per-doc
+    * frame, split freely; the build row is tiny); with AQE off, salt
+    * the join. The frequency table is |vocab| rows — broadcast it when
+    * it fits and the join shuffle disappears. */
   def unigramCfQuality(
       idField: String, textField: String)(df: DataFrame): DataFrame = {
-    val toks = df.select(col(idField).as("__id"),
+    val perDoc = df.select(col(idField).as("__id"),
       explode(tokens(col(textField))).as("__t"))
-    val cf = toks.groupBy("__t").agg(count(lit(1)).as("__cf"))
-    toks.join(cf, "__t")
+      .groupBy("__id", "__t").agg(count(lit(1)).as("__k"))
+      .localCheckpoint()
+    val cf = perDoc.groupBy("__t").agg(sum("__k").as("__cf"))
+    perDoc.join(cf, "__t")
       .groupBy("__id")
-      .agg(count(lit(1)).as("n_tokens"), sum("__cf").as("cf_sum"))
+      // sum of per-token occurrence counts ≡ count over the raw exploded
+      // stream; Σ k·cf ≡ summing cf once per occurrence — both integer
+      .agg(sum("__k").as("n_tokens"),
+        sum(col("__k") * col("__cf")).as("cf_sum"))
       .select(col("__id").as(idField), col("n_tokens"), col("cf_sum"),
         (col("cf_sum").cast("double") / col("n_tokens")).as("mean_cf"))
   }
@@ -517,19 +527,31 @@ object TextOps {
     * sources containing it, pairs explode inside that bounded list
     * (the LSH-bucket pattern — per-gram work is O(sources²), NOT
     * O(docs²)), and per-source distinct-gram totals arrive by broadcast
-    * (one row per source). Two digest-keyed shuffles total, both with
-    * map-side partial aggregation; no all-pairs stage over documents
-    * anywhere. Jaccard is integer/integer — exact across engines. */
+    * (one row per source). The corpus is scanned and exploded EXACTLY
+    * once: the per-gram source-set aggregation materializes
+    * (localCheckpoint — |distinct grams| rows, each a digest plus a
+    * ≤|sources| set) and BOTH outputs derive from it — per-source
+    * totals by re-exploding the tiny sets, pair counts by pairing
+    * within them. Without the materialization Catalyst recomputes the
+    * dominant scan → explode → md5 stage once per consumer (the
+    * multi-scan ngram_jaccard_pairs/stripDuplicateSpans already fixed).
+    * Jaccard is integer/integer — exact across engines. */
   def sourceOverlap(
       sourceField: String, textField: String, n: Int = 3)(
       df: DataFrame): DataFrame = {
-    val grams = df.select(col(sourceField).as("source"),
+    val byGram = df.select(col(sourceField).as("source"),
       explode(shingles(col(textField), n)).as("__g"))
       .select(col("source"), md5(col("__g")).as("__h"))
-    val totals = grams.groupBy("source")
-      .agg(count_distinct(col("__h")).as("__n"))
-    val pairCounts = grams.groupBy("__h")
+      .groupBy("__h")
       .agg(collect_set(col("source")).as("__ss"))
+      .localCheckpoint()
+    // count_distinct(source-per-gram) ≡ count over the exploded distinct
+    // sets: each (source, gram) pair appears exactly once in __ss
+    val totals = byGram
+      .select(explode(col("__ss")).as("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("__n"))
+    val pairCounts = byGram
       .filter(size(col("__ss")) >= 2)
       .select(explode(flatten(transform(col("__ss"), a =>
         transform(filter(col("__ss"), b => a < b), b =>
@@ -655,7 +677,7 @@ object TextOps {
       idField: String, textField: String, n: Int)(df: DataFrame): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
     val tokenized = df.select(col(idField).as("__id"),
-      tokens(col(textField)).as("__ts"))
+      tokens(coalesce(col(textField), lit(""))).as("__ts"))
       .localCheckpoint()
     val grams = tokenized
       .select(col("__id"),
@@ -688,7 +710,7 @@ object TextOps {
       idField: String, textField: String, n: Int)(df: DataFrame): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
     val tokenized = df.select(col(idField).as("__id"),
-      tokens(col(textField)).as("__ts"))
+      tokens(coalesce(col(textField), lit(""))).as("__ts"))
       .localCheckpoint()
     val grams = tokenized
       .select(col("__id"),
@@ -723,7 +745,7 @@ object TextOps {
       batch: DataFrame): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
     val tokenized = batch.select(col(idField).as("__id"),
-      tokens(col(textField)).as("__ts"))
+      tokens(coalesce(col(textField), lit(""))).as("__ts"))
       .localCheckpoint()
     val grams = tokenized
       .select(col("__id"),
@@ -767,10 +789,12 @@ object TextOps {
     * unique (disjoint islands), so the join never duplicates a token
     * row; collect_list skips the nulls the `when` produces for removed
     * tokens, so kept-token filtering happens INSIDE the aggregation.
-    * Every doc keeps ≥ 1 token row (empty text tokenizes to [""]), so
-    * no separate header join is needed for fully-stripped documents —
+    * Every doc keeps ≥ 1 token row (the strip operators coalesce NULL
+    * text to "" before tokenizing, and "" tokenizes to [""]), so no
+    * separate header join is needed for fully-stripped documents —
     * their kept count is 0 and clean_text concatenates the empty list
-    * to "". */
+    * to "". A NULL-text doc therefore comes back as (id, 1, 0, "")
+    * rather than silently vanishing. */
   private def rebuildDropping(
       tokenized: DataFrame, removed: DataFrame, idField: String): DataFrame = {
     val toks = tokenized

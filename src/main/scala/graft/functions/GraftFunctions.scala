@@ -86,14 +86,25 @@ object GraftFunctions {
         arity("graft_bloom_agg", children, 3)
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           children.head, children(1), children(2)) }),
+    // a binary-LITERAL sketch takes Spark's BloomFilterMightContain
+    // (whose codegen is correct for that shape — the Scala path,
+    // [[bloomMightContain]], always ships literals); any other sketch
+    // shape (the documented scalar-subquery form) takes
+    // [[GraftMightContain]], whose interpreted probe is DELIBERATE —
+    // BloomFilterMightContain's doGenCode emits invalid Java for a
+    // user-written subquery child and falls back with two
+    // `ERROR CodeGenerator` lines per query (see GraftMightContain)
     ("graft_might_contain",
       new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-        "graft_might_contain"),
+        classOf[GraftMightContain].getName, "graft_might_contain"),
       { children: Seq[Expression] =>
         arity("graft_might_contain", children, 2)
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children.head, children(1)) }))
+        children.head match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+            org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+              lit, children(1))
+          case other => GraftMightContain(other, children(1))
+        } }))
 
   /** Native codegen cosine similarity over two `array<float>` columns. */
   def cosine(a: Column, b: Column): Column =

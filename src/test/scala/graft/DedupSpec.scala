@@ -322,6 +322,23 @@ class DedupSpec extends SparkSpec {
     assert(keptTied === Set(3L))
   }
 
+  test("clusterDedupByQuality: NULL and NaN quality lose to any real candidate") {
+    // negate(NULL) is NULL, which sorts FIRST in a bare ascending struct
+    // — a row missing quality would beat every real candidate; the
+    // null-flag struct makes it lose instead, and NaN (the greatest
+    // double in Spark's ordering) loses on the negated key
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog wakes up to chase the fox across the field of tall grass"
+    val frame = Seq((1L, base), (2L, base), (4L, base)).toDF("doc_id", "text")
+    val q = when(col("doc_id") === 1L, lit(null).cast("double"))
+      .when(col("doc_id") === 2L, lit(Double.NaN))
+      .otherwise(lit(0.5))
+    val kept = Dedup.clusterDedupByQuality("doc_id", "text", q,
+      threshold = 0.5, shingleSize = 2)(frame)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(4L)) // NOT 1 (NULL) or 2 (NaN), despite smaller ids
+  }
+
   test("clusterSafeSplit routes every near-dup cluster member to one split") {
     // 40 docs in 20 near-dup pairs: (2k, 2k+1) share text; tokens are
     // unique per pair so clusters never bridge

@@ -94,6 +94,61 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getBoolean(1) === false)
   }
 
+  /** Run `body` with an appender on the log4j2 root logger and return
+    * (result, ERROR-level messages logged by the janino CodeGenerator) —
+    * a failed whole-stage compile is not an exception, just an ERROR log
+    * plus silent interpreted fallback, so tests that pin "no codegen
+    * regression" must watch the log. */
+  private def captureCodegenErrors[A](body: => A): (A, Seq[String]) = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
+    val appender = new AbstractAppender(
+        "graft-codegen-capture", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(event: LogEvent): Unit =
+        if (event.getLevel.isMoreSpecificThan(Level.ERROR) &&
+            event.getLoggerName.contains("CodeGenerator"))
+          errors.synchronized {
+            errors += event.getMessage.getFormattedMessage
+          }
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val root = ctx.getConfiguration.getRootLogger
+    root.addAppender(appender, Level.ERROR, null)
+    ctx.updateLoggers()
+    try { (body, errors.toSeq) }
+    finally {
+      root.removeAppender("graft-codegen-capture")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+  }
+
+  test("graft_might_contain's subquery form emits zero codegen errors") {
+    // Spark's BloomFilterMightContain handed a user-written scalar
+    // subquery compiles to invalid Java (janino: "java.lang.Long is not
+    // an rvalue") and silently falls back interpreted with two ERROR
+    // CodeGenerator lines per query; the registered builder must route
+    // that shape to the deliberate CodegenFallback probe instead
+    GraftFunctions.register(spark)
+    val (rows, errors) = captureCodegenErrors {
+      spark.sql(
+        """SELECT id, graft_might_contain(
+             (SELECT graft_bloom_agg(xxhash64(CAST(id AS STRING)), 50L, 4000L)
+              FROM range(50)),
+             xxhash64(CAST(id AS STRING))) AS hit
+           FROM range(60)""").collect()
+    }
+    assert(errors.isEmpty,
+      s"whole-stage codegen ERRORs:\n${errors.mkString("\n")}")
+    // every built id probes true; false positives above 50 are possible
+    // but bounded, and 999-style clean misses are pinned in the test above
+    assert(rows.filter(_.getLong(0) < 50).forall(_.getBoolean(1)))
+  }
+
   test("bloomFilterAgg refuses sizings over the session bloom caps") {
     // default caps: 4M items / 64M bits. 10^9 items needs ~7.3G bits —
     // BloomFilterAggregate would silently clamp to 8 MiB and saturate;

@@ -68,6 +68,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("source_overlap and unigram_cf_quality scan the corpus exactly once") {
+    // Both ops feed one expensive exploded projection to TWO consumers;
+    // without materialization Catalyst recomputes the dominant
+    // scan → explode stage once per consumer (the r8 verdict's heaviest
+    // bench finding). The ops localCheckpoint the shared frame, so the
+    // executed plan must contain ZERO parquet scans of the corpus —
+    // the single scan happened once, at checkpoint materialization —
+    // and every consumer branch must read the checkpointed RDD.
+    Seq("source_overlap", "unigram_cf_quality").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("FileScan") && !plan.contains("documents"),
+        s"$name re-scans the corpus instead of its checkpoint:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"$name shows no checkpointed-RDD scan:\n$plan")
+    }
+  }
+
   test("no query plans a Scala UDF except the documented predicate surface") {
     SparkEntry.queries.foreach { case (name, fn) =>
       // filter_by_predicate IS the reference's UDF surface; its query

@@ -239,6 +239,27 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(2) === ((3L, 7L, 7L, "")))
   }
 
+  test("strip ops keep NULL-text docs as (id, 1, 0, \"\")") {
+    // tokens(NULL) is NULL and posexplode of NULL emits nothing, so a
+    // NULL-text doc would silently vanish from the rebuild; the strip
+    // ops coalesce to "" first, and "" tokenizes to [""] — one empty
+    // token row that survives as (n_tokens=1, n_removed=0, "")
+    val docs = Seq((1L, "a b c d a b c d"), (2L, null: String))
+      .toDF("doc_id", "text")
+    for (out <- Seq(
+        TextOps.stripSelfRepeats("doc_id", "text", n = 3)(docs),
+        TextOps.stripDuplicateSpans("doc_id", "text", n = 3)(docs),
+        TextOps.stripContaminatedSpans("doc_id", "text", n = 3,
+          benchmark = Seq("x y z").toDF("text"), benchTextField = "text")(
+          docs))) {
+      val rows = out.orderBy("doc_id")
+        .select("doc_id", "n_tokens", "n_removed", "clean_text")
+        .as[(Long, Long, Long, String)].collect()
+      assert(rows.length === 2, "NULL-text doc must not vanish")
+      assert(rows(1) === ((2L, 1L, 0L, "")))
+    }
+  }
+
   test("Pipeline façade exposes the round-8 mixing and dedup surface") {
     val docs = Seq((1L, "a b c d", "s1"), (2L, "e f g h", "s1"))
       .toDF("doc_id", "text", "source")
