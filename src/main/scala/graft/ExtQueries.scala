@@ -303,6 +303,19 @@ object ExtQueries {
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
         .orderBy("id_a", "id_b")
     },
+    "incremental_near_dup" -> { (s, dir) =>
+      // crawl N+1 near-dup'd against the ACCUMULATED corpus: docs < 250
+      // persist only as MinHash signature index rows (no text); docs
+      // >= 250 are the new batch, dropped when estimated Jaccard
+      // (matching signature slots / 8) >= 0.5 against the index or any
+      // smaller-id batch doc
+      val docs = corpus(s, dir, "documents")
+      val index = Dedup.minhashIndexRows("doc_id", "text")(
+        docs.filter(col("doc_id") < 250))
+      Dedup.incrementalNearDup("doc_id", "text", index, threshold = 0.5)(
+        docs.filter(col("doc_id") >= 250))
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
     "mean_pool_embeddings" -> { (s, dir) =>
       // chunk->embed->pool: per-label mean vector via a deterministic
       // sorted fold (one row per dimension, scalar-typed)
@@ -754,6 +767,50 @@ object ExtQueries {
                    JOIN shr b ON pairs.id_b = b.doc_id)
       SELECT id_a, id_b, jaccard FROM joined
       WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
+  }
+
+  /** Incremental near-dup vs a persisted signature index — mirrors
+    * Dedup.incrementalNearDup: the index side (doc_id < splitId)
+    * participates as signatures only, the batch (>= splitId) is dropped
+    * on estimated Jaccard (matching slots / numHashes, one integer count
+    * over another — exact) >= threshold against the index or a
+    * smaller-id batch doc. Banding identical to crossCorpusNearDupSql;
+    * per-side cap on the cross leg, bucket size in [2, cap] in-batch. */
+  private def incrementalNearDupSql(
+      shingleN: Int, threshold: String, splitId: Int,
+      numHashes: Int = 8, bands: Int = 4): String = {
+    val rows = numHashes / bands
+    val estJ = s"""CAST(len(list_filter(range(1, ${numHashes + 1}),
+        i -> a.sig[i] = bb.sig[i])) AS DOUBLE) / $numHashes"""
+    s"""
+      WITH sh AS (SELECT doc_id, ${shinglesSql(shingleN)} AS sh FROM documents),
+      sig AS (SELECT doc_id, ${minhashSigSql(numHashes)} AS sig FROM sh),
+      banded AS (SELECT doc_id, b,
+          md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')) AS bucket
+        FROM sig, range(0,$bands) t(b)),
+      szi AS (SELECT *, count(*) OVER (PARTITION BY b, bucket) AS n
+        FROM banded WHERE doc_id < $splitId),
+      szb AS (SELECT *, count(*) OVER (PARTITION BY b, bucket) AS n
+        FROM banded WHERE doc_id >= $splitId),
+      crossp AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM szi x JOIN szb y ON x.b = y.b AND x.bucket = y.bucket
+        WHERE x.n <= 64 AND y.n <= 64 AND x.doc_id <> y.doc_id),
+      inp AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM szb x JOIN szb y ON x.b = y.b AND x.bucket = y.bucket
+        WHERE x.doc_id < y.doc_id AND x.n BETWEEN 2 AND 64),
+      dup AS (SELECT DISTINCT id_b FROM (
+          SELECT p.id_b FROM crossp p
+            JOIN sig a ON p.id_a = a.doc_id
+            JOIN sig bb ON p.id_b = bb.doc_id
+          WHERE $estJ >= $threshold
+          UNION ALL
+          SELECT p.id_b FROM inp p
+            JOIN sig a ON p.id_a = a.doc_id
+            JOIN sig bb ON p.id_b = bb.doc_id
+          WHERE $estJ >= $threshold))
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id >= $splitId AND doc_id NOT IN (SELECT id_b FROM dup)
+      ORDER BY doc_id"""
   }
 
   /** Shared by incremental_dedup and incremental_dedup_bloom: the bloom
@@ -1478,6 +1535,8 @@ object ExtQueries {
       FROM agg QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "cross_corpus_pairs" ->
       crossCorpusNearDupSql(shingleN = 3, threshold = "2e-1", splitId = 250),
+    "incremental_near_dup" ->
+      incrementalNearDupSql(shingleN = 3, threshold = "5e-1", splitId = 250),
     // vectors fold in vec_id order from the first element (list_reduce),
     // cast to double first, divide at the end — the identical IEEE
     // addition sequence as Similarity.meanPool's sorted zip_with fold

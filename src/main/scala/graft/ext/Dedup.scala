@@ -131,6 +131,106 @@ object Dedup {
     exact(Seq("__fp"), tieBreak)(deduped).drop("__fp")
   }
 
+  /** Near-dup signature index rows for a corpus: `(id, sig)`, one row
+    * per document, `sig` the MinHash signature ([[minhashSignature]]).
+    * This is the PERSISTED STATE of the incremental near-dup story —
+    * the fuzzy analog of [[incrementalByFingerprint]]'s fingerprint
+    * column: ~8·numHashes + id bytes per document ever ingested (72 B
+    * per doc at the default 8 hashes — 10⁹ historical docs is a ~70 GB
+    * table, trivially storable; the corpus text is never re-read).
+    * Write these rows to the index table after ingesting a corpus, and
+    * after each [[incrementalNearDup]] batch append the SURVIVORS' rows
+    * (this same function on the surviving batch) so the next batch
+    * dedupes against history ∪ everything kept so far. */
+  def minhashIndexRows(
+      idField: String, textField: String,
+      numHashes: Int = 8, shingleSize: Int = 3)(df: DataFrame): DataFrame =
+    df.select(col(idField).as("id"),
+      minhashSignature(col(textField), numHashes, shingleSize).as("sig"))
+
+  /** Incremental NEAR-dup dedup against a persisted signature index —
+    * the missing half of the incremental story: a recurring crawl must
+    * drop each new batch's near-duplicates of the ACCUMULATED corpus,
+    * not just byte-identical re-fetches ([[incrementalByFingerprint]]).
+    * The history participates as MinHash signatures only
+    * ([[minhashIndexRows]]) — the index IS the state, no historical
+    * text is ever re-read.
+    *
+    * A batch document is dropped when its ESTIMATED Jaccard — matching
+    * signature slots / numHashes, the textbook MinHash estimator, one
+    * integer count over another so it is exact cross-engine — reaches
+    * `threshold` against (a) any index document sharing a band bucket,
+    * or (b) any SMALLER-id batch document sharing a band bucket (the
+    * greedy in-batch election: a doc with any smaller near-dup
+    * neighbor loses, no transitive closure — a signature index cannot
+    * support exact-Jaccard verify, so the criterion is uniformly the
+    * estimator on BOTH legs rather than exact in-batch and estimated
+    * against history). Estimate granularity is 1/numHashes; raise
+    * numHashes for finer thresholds. Survivors return with all batch
+    * columns; append their [[minhashIndexRows]] to the index for the
+    * next batch.
+    *
+    * Scale shape: the batch's shingle+signature projection computes
+    * ONCE (localCheckpoint); candidates arrive from band-bucket joins
+    * with the [[crossCorpusNearDuplicates]] per-side cap (never
+    * all-pairs, index×batch only on the cross leg); the verify legs
+    * join signatures (8 longs), not text; and the index side is one
+    * scan of a stored table per batch. Shingle-free docs carry the
+    * sentinel signature and estimate 1.0 against each other — cap and
+    * threshold behavior identical to the live-corpus LSH ops. */
+  def incrementalNearDup(
+      idField: String, textField: String, index: DataFrame,
+      threshold: Double, numHashes: Int = 8, bands: Int = 4,
+      shingleSize: Int = 3, maxBucket: Int = 64)(batch: DataFrame): DataFrame = {
+    require(index.columns.length == 2,
+      s"index must be (id, signature) rows, got ${index.columns.mkString(", ")}")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val idxSigs = index.select(col(index.columns(0)).as("__id"),
+      col(index.columns(1)).as("__sig"))
+    val batchSigs = batch.select(col(idField).as("__id"),
+      minhashSignature(col(textField), numHashes, shingleSize).as("__sig"))
+      .localCheckpoint()
+    def est(sa: Column, sb: Column): Column =
+      size(filter(zip_with(sa, sb, (x, y) => x === y), m => m))
+        .cast("double") / numHashes
+    def buckets(d: DataFrame, out: String, minSize: Int) =
+      bandedBucketsOfSigs(d, numHashes, bands)
+        .groupBy(col("__band"), col("__bucket"))
+        .agg(collect_list(col("__id")).as(out))
+        .filter(size(col(out)).between(minSize, maxBucket))
+    // history × batch candidates (per-side cap, disjoint id spaces
+    // expected — id collisions are dropped defensively, as in
+    // crossCorpusNearDuplicates)
+    val crossCands = buckets(idxSigs, "__la", minSize = 1)
+      .join(buckets(batchSigs, "__lb", minSize = 1), Seq("__band", "__bucket"))
+      .select(explode(flatten(transform(col("__la"), x =>
+        transform(col("__lb"), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    // in-batch candidates: ordered pairs, smaller id survives
+    val inCands = buckets(batchSigs, "__ids", minSize = 2)
+      .select(explode(flatten(transform(col("__ids"), x =>
+        transform(filter(col("__ids"), y => x < y), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .distinct()
+    def losers(cands: DataFrame, aSigs: DataFrame) = cands
+      .join(aSigs.select(col("__id").as("id_a"), col("__sig").as("__siga")),
+        "id_a")
+      .join(batchSigs.select(col("__id").as("id_b"), col("__sig").as("__sigb")),
+        "id_b")
+      .filter(est(col("__siga"), col("__sigb")) >= threshold)
+      .select(col("id_b"))
+    val dups = losers(crossCands, idxSigs)
+      .unionByName(losers(inCands, batchSigs))
+      .distinct()
+    batch.join(dups, batch(idField) === dups("id_b"), "left_anti")
+  }
+
   /** MinHash signature over word n-gram shingles, computed in a SINGLE
     * fold over the shingle array: the accumulator is the array of running
     * minima, and each shingle contributes `numHashes` 32-bit hash values
@@ -200,12 +300,24 @@ object Dedup {
     * paths — identical banding is what makes their candidate sets
     * comparable. */
   private def bandedBuckets(
-      docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+      docs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandedBucketsOfSigs(
+      docs.select(col("__id"),
+        graft.functions.GraftFunctions.minhashSignature(col("__sh"), numHashes)
+          .as("__sig")),
+      numHashes, bands)
+
+  /** Banding over an ALREADY-COMPUTED `(__id, __sig)` signature frame —
+    * the entry point for signatures read back from a persisted index
+    * ([[incrementalNearDup]]), where no shingle projection exists to
+    * derive them from. Identical band keys to [[bandedBuckets]] (which
+    * now routes through here), so live-corpus and index-side candidate
+    * sets stay comparable. */
+  private def bandedBucketsOfSigs(
+      sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = graft.functions.GraftFunctions.minhashSignature(col("__sh"), numHashes)
-    docs
-      .select(col("__id"), sig.as("__sig"))
+    sigs
       .select(col("__id"), posexplode(
         array((0 until bands).map(b =>
           md5(concat_ws(",", slice(col("__sig"), b * rows + 1, rows)))): _*)))

@@ -133,6 +133,16 @@ final case class Pipeline(df: DataFrame) {
       bands: Int = 4, shingleSize: Int = 3, maxBucket: Int = 64): Pipeline =
     Pipeline(Dedup.crossCorpusNearDuplicates(idField, textField, threshold,
       numHashes, bands, shingleSize, maxBucket)(df, reference))
+  /** `this` is the new batch; `index` the persisted `(id, sig)` signature
+    * rows ([[graft.ext.Dedup.minhashIndexRows]]). */
+  def incrementalNearDup(idField: String, textField: String,
+      index: DataFrame, threshold: Double, numHashes: Int = 8,
+      bands: Int = 4, shingleSize: Int = 3, maxBucket: Int = 64): Pipeline =
+    >>(Dedup.incrementalNearDup(idField, textField, index, threshold,
+      numHashes, bands, shingleSize, maxBucket))
+  def minhashIndexRows(idField: String, textField: String,
+      numHashes: Int = 8, shingleSize: Int = 3): Pipeline =
+    >>(Dedup.minhashIndexRows(idField, textField, numHashes, shingleSize))
   def semanticDedup(idField: String, vecField: String, threshold: Double,
       planes: Int = 6, dim: Int = 64, maxBucket: Int = 64,
       tables: Int = 1): Pipeline =

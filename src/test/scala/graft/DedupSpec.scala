@@ -322,6 +322,37 @@ class DedupSpec extends SparkSpec {
     assert(keptTied === Set(3L))
   }
 
+  test("incrementalNearDup dedupes each batch against index ∪ in-batch and the index updates by appending survivors") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight"
+    val c = "red green blue yellow purple orange pink cyan"
+    // batch 1 against an EMPTY index: only the in-batch leg fires —
+    // doc 2 duplicates doc 1 (identical signature, est = 1.0) and the
+    // smaller id survives
+    val batch1 = Seq((1L, a, "en"), (2L, a, "en"), (3L, b, "en"))
+      .toDF("doc_id", "text", "lang")
+    val emptyIndex = Seq.empty[(Long, Seq[Long])].toDF("id", "sig")
+    val kept1 = Dedup.incrementalNearDup("doc_id", "text", emptyIndex,
+      threshold = 0.9)(batch1)
+    assert(kept1.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    // index update = append the SURVIVORS' signature rows; batch 2's
+    // re-crawl of doc 1's text (id 10) now drops via the index leg,
+    // and 12 drops in-batch against 11 — no historical text re-read
+    val index = emptyIndex.unionByName(
+      Dedup.minhashIndexRows("doc_id", "text")(kept1))
+    val batch2 = Seq((10L, a, "en"), (11L, c, "en"), (12L, c, "en"))
+      .toDF("doc_id", "text", "lang")
+    val kept2 = Dedup.incrementalNearDup("doc_id", "text", index,
+      threshold = 0.9)(batch2)
+    assert(kept2.select("doc_id").as[Long].collect().toSet === Set(11L))
+    // survivors keep every batch column
+    assert(kept2.columns.toSeq === Seq("doc_id", "text", "lang"))
+    // a malformed index (not (id, sig)) is refused, not silently joined
+    intercept[IllegalArgumentException](
+      Dedup.incrementalNearDup("doc_id", "text",
+        batch1, threshold = 0.9)(batch2))
+  }
+
   test("clusterDedupByQuality: NULL and NaN quality lose to any real candidate") {
     // negate(NULL) is NULL, which sorts FIRST in a bare ascending struct
     // — a row missing quality would beat every real candidate; the
