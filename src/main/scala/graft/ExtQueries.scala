@@ -96,6 +96,19 @@ object ExtQueries {
         docs.filter(col("doc_id") >= 100))
         .orderBy("doc_id")
     },
+    "contamination_by_benchmark" -> { (s, dir) =>
+      // the per-benchmark breakdown: the eval carve (< 100) split into
+      // one "benchmark" per language; matched counts attribute to the
+      // benchmark, so one suite's grams can be dropped without dropping
+      // every contaminated doc
+      val docs = corpus(s, dir, "documents")
+      TextOps.contaminationReportPerBenchmark("doc_id", "text", n = 8,
+        benchmark = docs.filter(col("doc_id") < 100)
+          .select(col("lang").as("bench_id"), col("text")),
+        benchTextField = "text", benchIdField = "bench_id")(
+        docs.filter(col("doc_id") >= 100))
+        .orderBy("doc_id", "bench_id")
+    },
     "quota_sample" -> { (s, dir) =>
       // absolute per-language cap (50 docs each), content-hash chosen —
       // the domain/source mixture cap, engine-reproducible
@@ -359,6 +372,14 @@ object ExtQueries {
         tokensPerSource = 1000)(corpus(s, dir, "documents"))
         .orderBy("source", "doc_id")
     },
+    "token_budget_mix_2p" -> { (s, dir) =>
+      // the cluster-scale two-pass form: identical selection and
+      // cum_tokens (oracle shared verbatim), per-source global sort
+      // replaced by rank-prefix bucket offsets + 256-way windows
+      TextOps.tokenBudgetMixTwoPass("doc_id", "text", "source",
+        tokensPerSource = 1000)(corpus(s, dir, "documents"))
+        .orderBy("source", "doc_id")
+    },
     "source_overlap" -> { (s, dir) =>
       // cross-source trigram Jaccard matrix (mirror/scrape diagnostic)
       TextOps.sourceOverlap("source", "text", n = 3)(
@@ -390,6 +411,15 @@ object ExtQueries {
       // perplexity-proxy quality: mean corpus unigram frequency per doc
       TextOps.unigramCfQuality("doc_id", "text")(
         corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+    "bpe_token_count" -> { (s, dir) =>
+      // vocabulary-true greedy BPE counts under the shared 10-merge
+      // demo table — what a tokenizer with that vocabulary would bill
+      corpus(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.bpeTokenCount(col("text"), TextOps.demoBpeMerges)
+            .as("n_bpe_tokens"))
         .orderBy("doc_id")
     },
     // ---- events: JSON + windows + sessions ---------------------------------
@@ -813,6 +843,43 @@ object ExtQueries {
       ORDER BY doc_id"""
   }
 
+  /** Greedy BPE subword count — mirrors TextOps.bpeTokenCount: per
+    * whitespace word, character split, merges applied in RANK order,
+    * each pass merging left-to-right non-overlapping. DuckDB's
+    * list_reduce takes no initial accumulator (it seeds from the first
+    * element), so elements wrap as single-item lists and the seed [c1]
+    * is exactly the state Spark's empty-seeded fold reaches after one
+    * step — the folds are step-for-step identical. The merge table is
+    * the SAME Scala value on both sides (TextOps.demoBpeMerges). */
+  private def bpeCountSql(merges: Seq[(String, String)]): String = {
+    val chars = "list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))"
+    val folded = merges.foldLeft(chars) { case (prev, (a, b)) =>
+      s"""list_reduce(list_transform($prev, c -> [c]),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '$a' AND x[1] = '$b'
+                      THEN acc[1:len(acc)-1] || ['${a + b}']
+                      ELSE acc || x END)"""
+    }
+    // list_reduce errors on an empty list; zero-length words count 0
+    s"""SELECT doc_id, CAST(list_sum(list_transform(string_split(text, ' '),
+          w -> CASE WHEN length(w) = 0 THEN 0 ELSE len($folded) END)) AS BIGINT)
+          AS n_bpe_tokens
+        FROM documents ORDER BY doc_id"""
+  }
+
+  /** Shared by token_budget_mix and token_budget_mix_2p: the two-pass
+    * bucket-offset rewrite never changes the result, only the plan. */
+  private val TokenBudgetMixSql: String = """
+      WITH t AS (SELECT source, doc_id,
+          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+          md5('mix|' || CAST(doc_id AS VARCHAR)) AS rk
+        FROM documents),
+      c AS (SELECT source, doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM t)
+      SELECT source, doc_id, n_tokens, cum_tokens FROM c
+      WHERE cum_tokens <= 1000 ORDER BY source, doc_id"""
+
   /** Shared by incremental_dedup and incremental_dedup_bloom: the bloom
     * prefilter never changes the result, only the plan. */
   private val IncrementalDedupSql: String =
@@ -998,6 +1065,25 @@ object ExtQueries {
         coalesce(agg.total_ngrams, CAST(0 AS BIGINT)) AS total_ngrams
       FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
       WHERE d.doc_id >= 100 ORDER BY d.doc_id""",
+    // per-(doc, benchmark) match counts over distinct gram digests; only
+    // contaminated pairs emitted — mirrors
+    // TextOps.contaminationReportPerBenchmark (bench_id = lang carve)
+    "contamination_by_benchmark" -> s"""
+      WITH bg AS (
+        SELECT DISTINCT lang AS bench_id, md5(g) AS h FROM (
+          SELECT lang, unnest(${shinglesSql(8)}) AS g
+          FROM documents WHERE doc_id < 100)),
+      grams AS (SELECT doc_id, md5(g) AS h FROM (
+          SELECT doc_id, unnest(${shinglesSql(8)}) AS g
+          FROM documents WHERE doc_id >= 100)),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_ngrams
+        FROM grams GROUP BY doc_id),
+      m AS (SELECT doc_id, bench_id,
+          CAST(count(*) AS BIGINT) AS matched_ngrams
+        FROM grams JOIN bg USING (h) GROUP BY doc_id, bench_id)
+      SELECT m.doc_id, m.bench_id, m.matched_ngrams, t.total_ngrams
+      FROM m JOIN tot t ON m.doc_id = t.doc_id
+      ORDER BY m.doc_id, m.bench_id""",
     // md5-prefix hash order per language partition, doc_id tie-break —
     // mirrors Ops.quotaSample exactly
     "quota_sample" ->
@@ -1628,17 +1714,10 @@ object ExtQueries {
       WHERE r.rn = 1 ORDER BY d.doc_id""",
     // prefix of the per-source md5 shuffle order with cumulative tokens
     // <= budget — mirrors TextOps.tokenBudgetMix(salt = "mix")
-    "token_budget_mix" -> """
-      WITH t AS (SELECT source, doc_id,
-          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-          md5('mix|' || CAST(doc_id AS VARCHAR)) AS rk
-        FROM documents),
-      c AS (SELECT source, doc_id, n_tokens,
-          CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
-            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-        FROM t)
-      SELECT source, doc_id, n_tokens, cum_tokens FROM c
-      WHERE cum_tokens <= 1000 ORDER BY source, doc_id""",
+    "token_budget_mix" -> TokenBudgetMixSql,
+    // the two-pass form is output-identical BY DESIGN: the oracle is
+    // shared verbatim (same discipline as incremental_dedup_bloom)
+    "token_budget_mix_2p" -> TokenBudgetMixSql,
     // distinct (source, trigram-digest) sets -> pairwise intersection /
     // union — mirrors TextOps.sourceOverlap (jaccard is int/int, exact)
     "source_overlap" -> s"""
@@ -1705,6 +1784,7 @@ object ExtQueries {
         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         string_agg(text, ' ' ORDER BY doc_id) AS text
       FROM b GROUP BY lang, bin ORDER BY lang, bin""",
+    "bpe_token_count" -> bpeCountSql(graft.ext.TextOps.demoBpeMerges),
     // integer corpus-frequency counts, one double division at the end —
     // mirrors TextOps.unigramCfQuality
     "unigram_cf_quality" -> """

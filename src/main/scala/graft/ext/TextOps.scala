@@ -66,6 +66,59 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
 
+  /** VOCABULARY-TRUE byte-pair-encoding token count: the number of
+    * subword tokens a greedy BPE encoder with the given merge table
+    * produces. Every budget/packing operator in this library counts
+    * whitespace tokens by default, and [[bpeishTokenCount]] is a
+    * regex heuristic — neither matches what a trained tokenizer will
+    * bill; this counter does, for its vocabulary.
+    *
+    * Semantics (per whitespace word — the usual pre-tokenizer
+    * boundary): split to characters, then apply each merge `(a, b) →
+    * ab` in RANK ORDER, each pass merging occurrences left to right,
+    * non-overlapping (the pass over "a a a" with merge (a,a) yields
+    * ["aa","a"]). The document's count is the sum of its words'
+    * final symbol counts.
+    *
+    * Shape: one pure projection — merges fold into a fixed expression
+    * tree (one HOF pass per rank, O(ranks × word length) per row), no
+    * shuffle, no UDF, oracle-expressible with the same table. The tree
+    * grows linearly with the vocabulary: the right harness for the
+    * ~10–100-merge vocabularies of tests/specs and domain token
+    * counters; a 50k-merge production vocabulary wants a native kernel
+    * (same contract, [[graft.functions]] — not yet built) rather than
+    * a 50k-deep expression. Zero-length words count 0 (the empty
+    * char split is guarded — Spark's `sequence(1, 0)` is descending,
+    * unlike the oracle's empty `range`). */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    import graft.functions.GraftFunctions.bind
+    require(merges.nonEmpty, "merge table must be non-empty")
+    def applyMerge(arr: Column, a: String, b: String): Column =
+      aggregate(arr, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    def wordTokens(w: Column): Column = {
+      val chars = when(length(w) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(w)),
+          i => call_function("substring", w, i, lit(1))))
+      val merged = merges.foldLeft(chars) {
+        case (acc, (a, b)) => applyMerge(acc, a, b)
+      }
+      size(merged).cast("long")
+    }
+    bind(tokens(text)) { ts =>
+      aggregate(ts, lit(0L), (acc, w) => acc + wordTokens(w))
+    }
+  }
+
+  /** Demonstration BPE merge table (10 common English merges, rank
+    * order) — the shared vocabulary of the `bpe_token_count` query and
+    * its oracle. Real pipelines pass their tokenizer's merge list. */
+  val demoBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "o" -> "n", "e" -> "r", "r" -> "e", "o" -> "r", "s" -> "t")
+
   /** Stopword list used by quality scoring and language ID. Tiny on
     * purpose: a broadcastable lookup evaluated inline per row. */
   val stopwords: Map[String, Seq[String]] = Map(
@@ -349,6 +402,57 @@ object TextOps {
         count(col("__h")).as("total_ngrams"))
   }
 
+  /** Per-BENCHMARK contamination breakdown — [[contaminationReport]]
+    * resolved one level finer: for every (batch document, benchmark)
+    * pair with at least one shared n-gram, how many of the document's
+    * distinct gram digests that benchmark claims (`matched_ngrams`) out
+    * of the document's total (`total_ngrams`). This is the report that
+    * lets a pipeline drop ONE benchmark's grams (or quarantine one
+    * eval suite) without dropping every contaminated document —
+    * per-document aggregate auditing stays [[contaminationReport]]'s
+    * job. Only contaminated pairs are emitted; clean documents are
+    * absent by construction (emitting |docs|×|benchmarks| zero rows
+    * would dwarf the signal).
+    *
+    * `benchIdField` names the benchmark/eval-suite id column of
+    * `benchmark`; it is carried through the digest semi-join and kept
+    * under the same name in the output. A gram shared by several
+    * benchmarks counts once PER benchmark (digests are distinct per
+    * (bench, gram), so double-counting within one benchmark is
+    * impossible).
+    *
+    * Scale shape: the batch's shingle projection materializes ONCE
+    * (localCheckpoint — id + distinct gram array, the same frame
+    * near-dup verification checkpoints) and feeds both consumers:
+    * per-doc totals read the array LENGTH (no explode), matches explode
+    * it against the benchmark digest set (AQE broadcasts an eval set
+    * that fits — the usual case). Counts are integers — exact
+    * cross-engine. */
+  def contaminationReportPerBenchmark(
+      idField: String, textField: String, n: Int,
+      benchmark: DataFrame, benchTextField: String, benchIdField: String)(
+      batch: DataFrame): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val docs = batch.select(col(idField).as("__id"),
+      shingles(col(textField), n).as("__sh"))
+      .localCheckpoint()
+    val benchGrams = benchmark
+      .select(col(benchIdField).as("__bid"),
+        explode(shingles(col(benchTextField), n)).as("__g"))
+      .select(col("__bid"), md5(col("__g")).as("__h"))
+      .distinct()
+    val totals = docs.select(col("__id"),
+      size(col("__sh")).cast("long").as("total_ngrams"))
+    docs.select(col("__id"), explode(col("__sh")).as("__g"))
+      .select(col("__id"), md5(col("__g")).as("__h"))
+      .join(benchGrams, "__h")
+      .groupBy(col("__id"), col("__bid"))
+      .agg(count(lit(1)).as("matched_ngrams"))
+      .join(totals, "__id")
+      .select(col("__id").as(idField), col("__bid").as(benchIdField),
+        col("matched_ngrams"), col("total_ngrams"))
+  }
+
   /** Sequential sequence packing: assign documents to fixed-token-budget
     * training bins — the concat-and-chunk step that turns a filtered
     * corpus into training sequences. Documents are laid out in
@@ -392,10 +496,11 @@ object TextOps {
     * concat order is the id sort. */
   def packTexts(
       idField: String, textField: String, shardField: String,
-      budget: Long, sep: String = " ")(df: DataFrame): DataFrame = {
+      budget: Long, sep: String = " ",
+      counter: Column => Column = tokenCount)(df: DataFrame): DataFrame = {
     val binned = packSequences("__n", budget, shardField, Seq(idField))(
       df.select(col(idField), col(textField), col(shardField),
-        tokenCount(col(textField)).cast("long").as("__n")))
+        counter(col(textField)).cast("long").as("__n")))
     binned.groupBy(col(shardField), col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -487,19 +592,23 @@ object TextOps {
     * function of (salt, budget) rather than of a bin-packing heuristic,
     * so two runs, or a rerun after an upstream fix, select identical
     * documents). Returns (source, id, n_tokens, cum_tokens) under the
-    * caller's column names.
+    * caller's column names. `counter` swaps the whitespace counter for
+    * any pure counting Column (e.g. [[bpeTokenCount]] with a merge
+    * vocabulary — budgets become vocabulary-true); [[packTexts]] takes
+    * the same knob, and [[packSequences]] is counter-agnostic by
+    * construction (it reads a precomputed count field).
     *
     * Scale shape: one hash-partition shuffle on source + a per-source
     * sort for the cumulative window. Sources are few and can be huge, so
-    * the sort is the cost driver; since the rank key is uniform md5, the
-    * cluster-scale refinement is a two-pass cutoff (approx-quantile the
-    * rank column to find the hash value where the budget lands, keep
-    * everything below, run the exact window only on the boundary
-    * sliver). This form is the exact single-pass spec of that
-    * refinement. */
+    * the sort is the cost driver — [[tokenBudgetMixTwoPass]] is the
+    * cluster-scale form (rank-prefix bucket offsets, 256-way parallel
+    * windows, sub-budget buckets pruned before any sort) with
+    * bit-identical output; this single-pass form is its executable
+    * spec and the right choice when every source fits a task. */
   def tokenBudgetMix(
       idField: String, textField: String, sourceField: String,
-      tokensPerSource: Long, salt: String = "mix")(df: DataFrame): DataFrame = {
+      tokensPerSource: Long, salt: String = "mix",
+      counter: Column => Column = tokenCount)(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tokensPerSource > 0,
       s"token budget must be positive, got $tokensPerSource")
@@ -507,12 +616,70 @@ object TextOps {
       .orderBy(col("__rk"), col(idField))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(sourceField), col(idField),
-        tokenCount(col(textField)).cast("long").as("n_tokens"),
+        counter(col(textField)).cast("long").as("n_tokens"),
         md5(concat_ws("|", lit(salt), col(idField).cast("string")))
           .as("__rk"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= tokensPerSource)
       .drop("__rk")
+  }
+
+  /** Cluster-scale form of [[tokenBudgetMix]] — IDENTICAL output, the
+    * per-source GLOBAL sort window replaced. The single-pass form sorts
+    * every source end to end for its cumulative window; sources are few
+    * and huge at 100 TB, so that window serializes each source onto one
+    * task. Here the md5 rank's first two hex chars carve every source
+    * into 256 rank-prefix buckets whose string order IS the rank order,
+    * and the cumulative sum splits exactly:
+    *
+    *  1. one hash-aggregation computes per-(source, bucket) token sums,
+    *     and a per-source window over ≤ 256 bucket rows (trivially
+    *     small) turns them into EXACT bucket start offsets;
+    *  2. buckets whose offset already exceeds the budget drop before
+    *     any sort — with budget ≪ source size, that is almost all of
+    *     them (the "boundary sliver" refinement the single-pass op
+    *     documents, made deterministic: prefix-bucket offsets are exact
+    *     where an approx-quantile boundary would need a correction
+    *     pass);
+    *  3. the doc-level cumulative window partitions by (source,
+    *     BUCKET) — 256-way parallel per source — and adds the offset,
+    *     reproducing the single-pass `cum_tokens` bit for bit (same
+    *     (rank, id) order: equal ranks share a prefix, so bucket order
+    *     never contradicts rank order).
+    *
+    * Selection and output are a pure function of (salt, budget),
+    * identical to [[tokenBudgetMix]] — the oracle is shared verbatim
+    * and the spec asserts row-level equality. */
+  def tokenBudgetMixTwoPass(
+      idField: String, textField: String, sourceField: String,
+      tokensPerSource: Long, salt: String = "mix",
+      counter: Column => Column = tokenCount)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tokensPerSource > 0,
+      s"token budget must be positive, got $tokensPerSource")
+    val base = df.select(col(sourceField), col(idField),
+        counter(col(textField)).cast("long").as("n_tokens"),
+        md5(concat_ws("|", lit(salt), col(idField).cast("string")))
+          .as("__rk"))
+      .withColumn("__bkt", substring(col("__rk"), 1, 2))
+    // cumsum-minus-own rather than an unboundedPreceding..-1 frame: the
+    // first bucket's offset must be 0, not the empty-frame NULL
+    val bw = Window.partitionBy(col(sourceField)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy(col(sourceField), col("__bkt"))
+      .agg(sum(col("n_tokens")).as("__bsum"))
+      .withColumn("__off", sum(col("__bsum")).over(bw) - col("__bsum"))
+      .filter(col("__off") <= tokensPerSource)
+      .select(col(sourceField), col("__bkt"), col("__off"))
+    val ww = Window.partitionBy(col(sourceField), col("__bkt"))
+      .orderBy(col("__rk"), col(idField))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq(sourceField, "__bkt"))
+      .withColumn("cum_tokens",
+        col("__off") + sum(col("n_tokens")).over(ww))
+      .filter(col("cum_tokens") <= tokensPerSource)
+      .select(col(sourceField), col(idField), col("n_tokens"),
+        col("cum_tokens"))
   }
 
   /** Pairwise cross-source n-gram overlap — the corpus diagnostic run

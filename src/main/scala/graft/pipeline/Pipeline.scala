@@ -96,6 +96,11 @@ final case class Pipeline(df: DataFrame) {
   def textStats(textField: String): Pipeline = >>(TextOps.textStats(textField))
   def tfidfTopTerms(idField: String, textField: String, k: Int): Pipeline =
     >>(TextOps.tfidfTopTerms(idField, textField, k))
+  def contaminationReportPerBenchmark(idField: String, textField: String,
+      n: Int, benchmark: DataFrame, benchTextField: String,
+      benchIdField: String): Pipeline =
+    >>(TextOps.contaminationReportPerBenchmark(idField, textField, n,
+      benchmark, benchTextField, benchIdField))
   def contaminationReport(idField: String, textField: String, n: Int,
       benchmark: DataFrame, benchTextField: String): Pipeline =
     >>(TextOps.contaminationReport(idField, textField, n,
@@ -156,6 +161,11 @@ final case class Pipeline(df: DataFrame) {
   def tokenBudgetMix(idField: String, textField: String, sourceField: String,
       tokensPerSource: Long, salt: String = "mix"): Pipeline =
     >>(TextOps.tokenBudgetMix(idField, textField, sourceField,
+      tokensPerSource, salt))
+  def tokenBudgetMixTwoPass(idField: String, textField: String,
+      sourceField: String, tokensPerSource: Long,
+      salt: String = "mix"): Pipeline =
+    >>(TextOps.tokenBudgetMixTwoPass(idField, textField, sourceField,
       tokensPerSource, salt))
   def sourceOverlap(sourceField: String, textField: String,
       n: Int = 3): Pipeline =

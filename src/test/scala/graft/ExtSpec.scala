@@ -155,6 +155,34 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L)))
   }
 
+  test("contaminationReportPerBenchmark attributes matches to each benchmark") {
+    val bench = Seq(
+      ("suiteA", "the secret eval answer is forty two exactly"),
+      ("suiteB", "another holdout question nobody should train on here"),
+      // suiteB shares doc 1's gram TOO (both suites claim it): the pair
+      // counts once per benchmark, never twice within one
+      ("suiteB", "the secret eval answer is forty two exactly")
+    ).toDF("bench_id", "text")
+    val batch = Seq(
+      // 11 tokens -> 4 distinct 8-grams, one of them the shared gram
+      (1L, "prefix words the secret eval answer is forty two exactly suffix"),
+      (2L, "another holdout question nobody should train on here verbatim"),
+      (3L, "completely unrelated training document with clean and tidy text")
+    ).toDF("doc_id", "text")
+    val out = TextOps.contaminationReportPerBenchmark("doc_id", "text", n = 8,
+      bench, "text", "bench_id")(batch)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // doc 1's shared gram attributes to BOTH suites, once each
+    assert(out((1L, "suiteA")) === ((1L, 4L)))
+    assert(out((1L, "suiteB")) === ((1L, 4L)))
+    // doc 2 (9 tokens -> 2 grams) matches suiteB's single gram only
+    assert(out((2L, "suiteB")) === ((1L, 2L)))
+    assert(!out.contains((2L, "suiteA")))
+    // clean docs are absent by construction
+    assert(!out.keys.exists(_._1 == 3L))
+  }
+
   test("quotaSample caps each group deterministically by content hash") {
     val df = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
       .toDF("id", "grp")
@@ -271,6 +299,87 @@ class ExtSpec extends SparkSpec {
     val tiny = TextOps.tokenBudgetMix("doc_id", "text", "source",
       tokensPerSource = 3)(df).count()
     assert(tiny === 0L)
+  }
+
+  test("bpeTokenCount applies merges in rank order, greedy left-to-right") {
+    def count(text: String, merges: Seq[(String, String)]): Long =
+      Seq(Tuple1(text)).toDF("text")
+        .select(TextOps.bpeTokenCount(col("text"), merges).as("n"))
+        .head().getLong(0)
+    // rank order: (t,h) then (th,e) -> "the" collapses to ONE token;
+    // with the ranks reversed (th,e) can never fire first
+    assert(count("the", Seq("t" -> "h", "th" -> "e")) === 1L)
+    assert(count("the", Seq("th" -> "e", "t" -> "h")) === 2L)
+    // greedy non-overlapping within a pass: aaa -> [aa, a]
+    assert(count("aaa", Seq("a" -> "a")) === 2L)
+    // merges stop at word boundaries; unmergeable chars stay chars
+    assert(count("th th", Seq("t" -> "h")) === 2L)
+    assert(count("xyz", Seq("t" -> "h")) === 3L)
+    // later ranks see earlier ranks' symbols: (a,b) then (ab,c)
+    assert(count("abc", Seq("a" -> "b", "ab" -> "c")) === 1L)
+    // empty text: the single empty word counts zero subwords
+    assert(count("", Seq("t" -> "h")) === 0L)
+  }
+
+  test("tokenBudgetMix accepts a pluggable counter (vocabulary-true budgets)") {
+    // "the the the" = 3 whitespace tokens but 3 single BPE tokens under
+    // (t,h)+(th,e) — and 9 characters under NO merges... use a 1-merge
+    // vocab where each word is 2 subwords: budgets bite differently
+    val df = Seq(
+      (1L, "th th th", "s"),   // 3 ws tokens; 3 bpe tokens with (t,h)
+      (2L, "ab ab ab", "s")    // 3 ws tokens; 6 bpe tokens with (t,h)
+    ).toDF("doc_id", "text", "source")
+    val bpe = (c: org.apache.spark.sql.Column) =>
+      TextOps.bpeTokenCount(c, Seq("t" -> "h"))
+    val out = TextOps.tokenBudgetMix("doc_id", "text", "source",
+      tokensPerSource = 7, counter = bpe)(df)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    // billed counts are vocabulary-true, and whichever doc the hash
+    // ranks first, the other (3 + 6 > 7) cannot also fit
+    out.foreach { case (id, n) =>
+      assert(n === (if (id == 1L) 3L else 6L))
+    }
+    assert(out.size === 1 && out.values.sum <= 7L)
+    // the two-pass form takes the same knob and selects identically
+    val twoPass = TextOps.tokenBudgetMixTwoPass("doc_id", "text", "source",
+      tokensPerSource = 7, counter = bpe)(df)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(twoPass === out)
+    // packTexts bins by the plugged counter too
+    val bins = TextOps.packTexts("doc_id", "text", "source", budget = 6,
+      counter = bpe)(df)
+    assert(bins.count() >= 1)
+  }
+
+  test("tokenBudgetMixTwoPass selects identically to the single-pass form and drops the per-source global sort") {
+    // 300 docs across 3 skew-heavy sources with varying token counts —
+    // enough rows that bucket boundaries land mid-source and several
+    // rank-prefix buckets are populated per source
+    val df = (1L to 300L).map { i =>
+      val src = if (i <= 200) "big" else if (i <= 280) "mid" else "small"
+      (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "), src)
+    }.toDF("doc_id", "text", "source")
+    for (budget <- Seq(10L, 97L, 1000L)) {
+      val one = TextOps.tokenBudgetMix("doc_id", "text", "source",
+        tokensPerSource = budget)(df)
+        .as[(String, Long, Long, Long)].collect().toSet
+      val two = TextOps.tokenBudgetMixTwoPass("doc_id", "text", "source",
+        tokensPerSource = budget)(df)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(two === one, s"two-pass selection diverges at budget $budget")
+    }
+    // the doc-level cumulative window must partition by (source, bucket),
+    // never by source alone — the per-source global sort is the thing
+    // this form exists to remove (the only source-only window left is
+    // the <=256-row bucket-offset one, which orders by __bkt)
+    val plan = TextOps.tokenBudgetMixTwoPass("doc_id", "text", "source",
+      tokensPerSource = 97)(df).queryExecution.executedPlan.toString
+    val docWindows = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("__rk"))
+      .toSeq
+    assert(docWindows.nonEmpty, s"no doc-level window found:\n$plan")
+    docWindows.foreach(l => assert(l.contains("__bkt"),
+      s"doc-level window not bucket-partitioned:\n$l"))
   }
 
   test("packTexts concatenates each bin in id order with exact counts") {
