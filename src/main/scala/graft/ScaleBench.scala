@@ -79,6 +79,60 @@ object ScaleBench {
     }
     println("corpus_x,docs,bm25_batch_sec")
     bmRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+
+    // Cluster-election scaling (the LSH pairs -> connected components ->
+    // election family). Replication is ADVERSARIAL for CC: every replica
+    // of a document is an exact near-dup of every other, so component
+    // SIZES grow linearly with scale (each duplicated doc's cluster
+    // gains k members) while component DIAMETER stays ~1 (replicas
+    // collide in the same LSH buckets and pair completely) — the
+    // "rounds = diameter stays tiny" claim is what a super-linear curve
+    // here would falsify. Cells are medians of 3 (single cells swing up
+    // to ~3× on this box).
+    import graft.ext.Dedup
+    def median3(f: => Unit): Double =
+      (1 to 3).map(_ => time(f)).sorted.apply(1)
+    val vecsBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val nv = vecsBase.count()
+    def replicatedVecs(k: Int): DataFrame =
+      (0 until k).map(i => vecsBase.select(
+        (col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+        col("embedding")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def electBest(docs: DataFrame): Unit =
+      Dedup.clusterDedupByQuality("doc_id", "text",
+        TextOps.qualityScore(col("text")), threshold = 0.2)(docs)
+        .write.mode("overwrite").format("noop").save()
+    def electSplit(docs: DataFrame): Unit =
+      Dedup.clusterSafeSplit("doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        threshold = 0.2)(docs)
+        .write.mode("overwrite").format("noop").save()
+    def electSem(vecs: DataFrame): Unit =
+      Dedup.semanticDedup("vec_id", "embedding", threshold = 0.4,
+        planes = 6, dim = 64)(vecs)
+        .write.mode("overwrite").format("noop").save()
+    // warm each op once so the ×1 cells don't absorb plan/codegen init
+    locally {
+      val d1 = replicated(1).localCheckpoint(); val v1 = replicatedVecs(1).localCheckpoint()
+      electBest(d1); electSplit(d1); electSem(v1)
+      d1.unpersist(); v1.unpersist()
+    }
+    val ccRows = for (k <- Seq(1, 2, 4)) yield {
+      val docs = replicated(k).localCheckpoint()
+      val vecs = replicatedVecs(k).localCheckpoint()
+      val tBest = median3(electBest(docs))
+      val tSplit = median3(electSplit(docs))
+      val tSem = median3(electSem(vecs))
+      docs.unpersist(); vecs.unpersist()
+      (k, n * k, nv * k, tBest, tSplit, tSem)
+    }
+    println("corpus_x,docs,vecs,cluster_dedup_best_sec,cluster_safe_split_sec,semantic_dedup_sec")
+    ccRows.foreach { case (k, d, v, a, b, c) =>
+      println(f"$k,$d,$v,$a%.2f,$b%.2f,$c%.2f")
+    }
     spark.stop()
   }
 }
