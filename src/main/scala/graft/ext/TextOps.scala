@@ -80,17 +80,31 @@ object TextOps {
     * ["aa","a"]). The document's count is the sum of its words'
     * final symbol counts.
     *
+    * Lowered to the native kernel ([[graft.functions.BpeTokenCount]]):
+    * the merge table lives in a hash map referenced once per row, cost
+    * independent of vocabulary size — a 50k-merge tokenizer vocabulary
+    * is fine. The kernel REQUIRES a rank-consistent table (multi-char
+    * operands formed by earlier merges, distinct outputs — what real
+    * learned vocabularies look like); [[bpeTokenCountHof]] is the
+    * HOF spec form it is tested bit-identical against, which also
+    * accepts arbitrary tables with pass-per-rank semantics. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.GraftFunctions.bpeTokenCount(text, merges)
+
+  /** Higher-order-function form of [[bpeTokenCount]] — the executable
+    * specification the native kernel is tested against, and the form
+    * the DuckDB oracle mirrors fold for fold.
+    *
     * Shape: one pure projection — merges fold into a fixed expression
     * tree (one HOF pass per rank, O(ranks × word length) per row), no
     * shuffle, no UDF, oracle-expressible with the same table. The tree
     * grows linearly with the vocabulary: the right harness for the
     * ~10–100-merge vocabularies of tests/specs and domain token
-    * counters; a 50k-merge production vocabulary wants a native kernel
-    * (same contract, [[graft.functions]] — not yet built) rather than
-    * a 50k-deep expression. Zero-length words count 0 (the empty
-    * char split is guarded — Spark's `sequence(1, 0)` is descending,
-    * unlike the oracle's empty `range`). */
-  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    * counters; production vocabularies take the kernel. Zero-length
+    * words count 0 (the empty char split is guarded — Spark's
+    * `sequence(1, 0)` is descending, unlike the oracle's empty
+    * `range`). */
+  def bpeTokenCountHof(text: Column, merges: Seq[(String, String)]): Column = {
     import graft.functions.GraftFunctions.bind
     require(merges.nonEmpty, "merge table must be non-empty")
     def applyMerge(arr: Column, a: String, b: String): Column =

@@ -86,6 +86,27 @@ object GraftFunctions {
         arity("graft_bloom_agg", children, 3)
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           children.head, children(1), children(2)) }),
+    // the merge table must be foldable — it shapes the expression (a
+    // hash map built once), not the data; elements are 'left right'
+    ("graft_bpe_count",
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_bpe_count"),
+      { children: Seq[Expression] =>
+        arity("graft_bpe_count", children, 2)
+        val m = children(1)
+        require(m.foldable &&
+            m.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          "graft_bpe_count: merges must be a foldable array of 'left right' strings")
+        val arr = m.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(arr != null, "graft_bpe_count: merges must not be null")
+        val merges = (0 until arr.numElements()).map { i =>
+          val s = arr.getUTF8String(i).toString
+          val sp = s.indexOf(' ')
+          require(sp > 0 && sp < s.length - 1,
+            s"graft_bpe_count: merge '$s' must be 'left right'")
+          (s.substring(0, sp), s.substring(sp + 1))
+        }
+        BpeTokenCount(children.head, merges) }),
     // a binary-LITERAL sketch takes Spark's BloomFilterMightContain
     // (whose codegen is correct for that shape — the Scala path,
     // [[bloomMightContain]], always ships literals); any other sketch
@@ -135,6 +156,11 @@ object GraftFunctions {
       blob: Column, minBytes: Int, avgBits: Int, maxBytes: Int): Column =
     Bridge.column(CdcChunkFingerprints(
       Bridge.expression(blob), minBytes, avgBits, maxBytes))
+
+  /** Native greedy-BPE token count over whitespace words (see
+    * [[BpeTokenCount]]; requires a rank-consistent merge table). */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeTokenCount(Bridge.expression(text), merges))
 
   /** Bloom-filter aggregate over a PRE-HASHED long column (use
     * `xxhash64(col)` — the insert primitive is putLong, so build and
@@ -224,7 +250,8 @@ object GraftFunctions {
 
   /** Register every native kernel for SQL use in this session
     * (idempotent): graft_cosine, graft_minhash, graft_simhash,
-    * graft_jaccard, graft_winnow, graft_cdc_chunks. */
+    * graft_jaccard, graft_winnow, graft_cdc_chunks, graft_bpe_count,
+    * and the bloom pair graft_bloom_agg / graft_might_contain. */
   def register(spark: SparkSession): Unit =
     sqlFunctions.foreach { case (name, info, builder) =>
       Bridge.registerFunction(spark, name, info, builder)

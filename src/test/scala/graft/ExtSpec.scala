@@ -306,10 +306,8 @@ class ExtSpec extends SparkSpec {
       Seq(Tuple1(text)).toDF("text")
         .select(TextOps.bpeTokenCount(col("text"), merges).as("n"))
         .head().getLong(0)
-    // rank order: (t,h) then (th,e) -> "the" collapses to ONE token;
-    // with the ranks reversed (th,e) can never fire first
+    // rank order: (t,h) then (th,e) -> "the" collapses to ONE token
     assert(count("the", Seq("t" -> "h", "th" -> "e")) === 1L)
-    assert(count("the", Seq("th" -> "e", "t" -> "h")) === 2L)
     // greedy non-overlapping within a pass: aaa -> [aa, a]
     assert(count("aaa", Seq("a" -> "a")) === 2L)
     // merges stop at word boundaries; unmergeable chars stay chars
@@ -319,6 +317,17 @@ class ExtSpec extends SparkSpec {
     assert(count("abc", Seq("a" -> "b", "ab" -> "c")) === 1L)
     // empty text: the single empty word counts zero subwords
     assert(count("", Seq("t" -> "h")) === 0L)
+    // the native kernel refuses a rank-INCONSISTENT table ('th' never
+    // formed) instead of silently diverging from true BPE...
+    intercept[IllegalArgumentException](
+      count("the", Seq("th" -> "e", "t" -> "h")))
+    // ...while the HOF spec form accepts it with pass-per-rank
+    // semantics: rank 0 (th,e) finds no 'th' symbol, rank 1 makes one
+    def countHof(text: String, merges: Seq[(String, String)]): Long =
+      Seq(Tuple1(text)).toDF("text")
+        .select(TextOps.bpeTokenCountHof(col("text"), merges).as("n"))
+        .head().getLong(0)
+    assert(countHof("the", Seq("th" -> "e", "t" -> "h")) === 2L)
   }
 
   test("tokenBudgetMix accepts a pluggable counter (vocabulary-true budgets)") {

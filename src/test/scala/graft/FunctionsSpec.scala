@@ -61,7 +61,8 @@ class FunctionsSpec extends SparkSpec {
            graft_simhash(array('ab', 'bc')) AS sh,
            graft_jaccard(array('a', 'b'), array('b', 'c')) AS j,
            graft_winnow('abcdefgh', 4, 2) AS w,
-           graft_cdc_chunks(encode('hello world', 'UTF-8'), 2, 3, 8) AS c""")
+           graft_cdc_chunks(encode('hello world', 'UTF-8'), 2, 3, 8) AS c,
+           graft_bpe_count('the theme', array('t h', 'th e')) AS bpe""")
       .head()
     assert(r.getSeq[Long](0).length === 4)
     assert(r.getLong(1) !== 0L)
@@ -70,9 +71,13 @@ class FunctionsSpec extends SparkSpec {
     // chunks tile the 11-byte blob
     val chunks = r.getSeq[Row](4)
     assert(chunks.map(_.getInt(1)).sum === 11)
+    // 'the' -> [the]; 'theme' -> [the, m, e]
+    assert(r.getLong(5) === 4L)
     // structural args must be literals
     intercept[Exception](spark.sql(
       "SELECT graft_minhash(array('a'), CAST(rand() * 4 AS INT))").collect())
+    intercept[Exception](spark.sql(
+      "SELECT graft_bpe_count('x', array(CAST(rand() AS STRING)))").collect())
   }
 
   test("bloom agg + might_contain are callable from SQL after register()") {

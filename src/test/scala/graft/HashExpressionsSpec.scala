@@ -52,6 +52,25 @@ class HashExpressionsSpec extends SparkSpec {
     assert(diffs === 0L)
   }
 
+  test("native bpe count equals the HOF form on rank-consistent vocabularies") {
+    // the generated corpus is rich in 'the'/'alpha'/'beta' so every
+    // merge in the demo table fires somewhere; unicode rows exercise
+    // the codepoint (not UTF-16 unit) symbol split
+    val diffs = corpus.select(
+      TextOps.bpeTokenCount($"text", TextOps.demoBpeMerges).as("n"),
+      TextOps.bpeTokenCountHof($"text", TextOps.demoBpeMerges).as("h"))
+      .filter($"n" =!= $"h").count()
+    assert(diffs === 0L)
+    // a deeper chain than the demo table: each rank consumes the
+    // previous rank's output symbol
+    val chain = Seq("a" -> "l", "al" -> "p", "alp" -> "h", "alph" -> "a")
+    val chainDiffs = corpus.select(
+      TextOps.bpeTokenCount($"text", chain).as("n"),
+      TextOps.bpeTokenCountHof($"text", chain).as("h"))
+      .filter($"n" =!= $"h").count()
+    assert(chainDiffs === 0L)
+  }
+
   test("native jaccard equals the HOF form incl. empties and duplicates") {
     val df = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),
