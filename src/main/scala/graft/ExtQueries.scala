@@ -386,6 +386,14 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("source_a", "source_b")
     },
+    "source_overlap_sampled" -> { (s, dir) =>
+      // the 100 TB estimator form: only the deterministic quarter of
+      // the gram-digest space participates — jaccard estimates the
+      // full-matrix value, shuffle volume shrinks 4x
+      TextOps.sourceOverlap("source", "text", n = 3,
+        gramFraction = 0.25)(corpus(s, dir, "documents"))
+        .orderBy("source_a", "source_b")
+    },
     "cluster_safe_split" -> { (s, dir) =>
       // leakage-safe split: near-dup clusters can never straddle splits
       Dedup.clusterSafeSplit("doc_id", "text",
@@ -841,6 +849,35 @@ object ExtQueries {
       SELECT doc_id, lang FROM documents
       WHERE doc_id >= $splitId AND doc_id NOT IN (SELECT id_b FROM dup)
       ORDER BY doc_id"""
+  }
+
+  /** Cross-source overlap matrix — mirrors TextOps.sourceOverlap.
+    * `cutoff` Some(c) keeps only gram digests whose leading-32-bit
+    * value (parsed from the first 8 hex chars, exactly Spark's
+    * `conv(substring(h,1,8),16,10)`) is under c — the deterministic
+    * subspace-sampling mode. */
+  private def sourceOverlapSql(cutoff: Option[Long]): String = {
+    // filters on md5(g), not the h alias (alias visibility in WHERE is
+    // not guaranteed); DISTINCT applies after the row filter either way
+    val filter = cutoff.map(c =>
+      s"""WHERE list_sum(list_transform(range(1,9), j ->
+            (strpos('0123456789abcdef', substr(md5(g), j, 1)) - 1)
+            * CAST(16**(8-j) AS BIGINT))) < $c""").getOrElse("")
+    s"""
+      WITH sg AS (SELECT DISTINCT source, md5(g) AS h FROM (
+          SELECT source, unnest(${shinglesSql(3)}) AS g FROM documents) u
+        $filter),
+      tot AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+      inter AS (SELECT a.source AS source_a, b.source AS source_b,
+          count(*) AS n_common
+        FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, CAST(n_common AS BIGINT) AS n_common,
+        CAST(n_common AS DOUBLE) / (ta.n + tb.n - n_common) AS jaccard
+      FROM inter
+      JOIN tot ta ON source_a = ta.source
+      JOIN tot tb ON source_b = tb.source
+      ORDER BY source_a, source_b"""
   }
 
   /** Greedy BPE subword count — mirrors TextOps.bpeTokenCount: per
@@ -1720,20 +1757,10 @@ object ExtQueries {
     "token_budget_mix_2p" -> TokenBudgetMixSql,
     // distinct (source, trigram-digest) sets -> pairwise intersection /
     // union — mirrors TextOps.sourceOverlap (jaccard is int/int, exact)
-    "source_overlap" -> s"""
-      WITH sg AS (SELECT DISTINCT source, md5(g) AS h FROM (
-          SELECT source, unnest(${shinglesSql(3)}) AS g FROM documents) u),
-      tot AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
-      inter AS (SELECT a.source AS source_a, b.source AS source_b,
-          count(*) AS n_common
-        FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source
-        GROUP BY 1, 2)
-      SELECT source_a, source_b, CAST(n_common AS BIGINT) AS n_common,
-        CAST(n_common AS DOUBLE) / (ta.n + tb.n - n_common) AS jaccard
-      FROM inter
-      JOIN tot ta ON source_a = ta.source
-      JOIN tot tb ON source_b = tb.source
-      ORDER BY source_a, source_b""",
+    "source_overlap" -> sourceOverlapSql(cutoff = None),
+    // deterministic quarter of the digest space (leading 32 bits <
+    // 2^30) — mirrors TextOps.sourceOverlap(gramFraction = 0.25)
+    "source_overlap_sampled" -> sourceOverlapSql(cutoff = Some(1073741824L)),
     // cluster closure identical to dedup_clusters; split cutoffs
     // identical to train_split but hashed on the CLUSTER label —
     // mirrors Dedup.clusterSafeSplit

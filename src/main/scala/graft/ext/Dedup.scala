@@ -309,11 +309,12 @@ object Dedup {
 
   /** Banding over an ALREADY-COMPUTED `(__id, __sig)` signature frame —
     * the entry point for signatures read back from a persisted index
-    * ([[incrementalNearDup]]), where no shingle projection exists to
-    * derive them from. Identical band keys to [[bandedBuckets]] (which
-    * now routes through here), so live-corpus and index-side candidate
-    * sets stay comparable. */
-  private def bandedBucketsOfSigs(
+    * ([[incrementalNearDup]], and the streaming form in
+    * [[graft.streaming.Streaming.streamingIncrementalNearDup]]), where
+    * no shingle projection exists to derive them from. Identical band
+    * keys to [[bandedBuckets]] (which now routes through here), so
+    * live-corpus and index-side candidate sets stay comparable. */
+  private[graft] def bandedBucketsOfSigs(
       sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands

@@ -716,13 +716,34 @@ object TextOps {
     * within them. Without the materialization Catalyst recomputes the
     * dominant scan → explode → md5 stage once per consumer (the
     * multi-scan ngram_jaccard_pairs/stripDuplicateSpans already fixed).
-    * Jaccard is integer/integer — exact across engines. */
+    * Jaccard is integer/integer — exact across engines.
+    *
+    * `gramFraction < 1` switches the matrix to a DETERMINISTIC
+    * subspace estimate: only gram digests whose leading-32-bit value
+    * falls under `fraction · 2³²` participate (the digest itself is
+    * the uniform hash — no re-hashing). Sampling the gram ID space at
+    * rate f keeps ~f of every per-source set AND ~f of every pairwise
+    * intersection, so the reported `jaccard` is a consistent
+    * bottom-k-style estimator of the true value while `n_common`
+    * scales by f; the filter lands BEFORE the per-gram aggregation, so
+    * shuffle volume — the whole cost at 100 TB — shrinks by the same
+    * factor. Deterministic: reruns and the oracle see the identical
+    * subspace. */
   def sourceOverlap(
-      sourceField: String, textField: String, n: Int = 3)(
+      sourceField: String, textField: String, n: Int = 3,
+      gramFraction: Double = 1.0)(
       df: DataFrame): DataFrame = {
-    val byGram = df.select(col(sourceField).as("source"),
+    require(gramFraction > 0 && gramFraction <= 1,
+      s"gramFraction must be in (0, 1], got $gramFraction")
+    val hashed = df.select(col(sourceField).as("source"),
       explode(shingles(col(textField), n)).as("__g"))
       .select(col("source"), md5(col("__g")).as("__h"))
+    val sampled =
+      if (gramFraction >= 1.0) hashed
+      else hashed.filter(
+        conv(substring(col("__h"), 1, 8), 16, 10).cast("long")
+          < (gramFraction * 4294967296.0).toLong)
+    val byGram = sampled
       .groupBy("__h")
       .agg(collect_set(col("source")).as("__ss"))
       .localCheckpoint()

@@ -168,8 +168,8 @@ final case class Pipeline(df: DataFrame) {
     >>(TextOps.tokenBudgetMixTwoPass(idField, textField, sourceField,
       tokensPerSource, salt))
   def sourceOverlap(sourceField: String, textField: String,
-      n: Int = 3): Pipeline =
-    >>(TextOps.sourceOverlap(sourceField, textField, n))
+      n: Int = 3, gramFraction: Double = 1.0): Pipeline =
+    >>(TextOps.sourceOverlap(sourceField, textField, n, gramFraction))
   def packTexts(idField: String, textField: String, shardField: String,
       budget: Long, sep: String = " "): Pipeline =
     >>(TextOps.packTexts(idField, textField, shardField, budget, sep))

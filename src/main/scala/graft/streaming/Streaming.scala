@@ -131,6 +131,67 @@ object Streaming {
       .dropDuplicatesWithinWatermark(Seq("__fp"))
       .drop("__fp")
   }
+
+  /** Streaming incremental NEAR-dup dedup — the streaming half of
+    * [[graft.ext.Dedup.incrementalNearDup]], against the same persisted
+    * `(id, sig)` MinHash signature index
+    * ([[graft.ext.Dedup.minhashIndexRows]]).
+    *
+    * Semantics differ from the batch form in one DOCUMENTED way: a
+    * stream row is dropped when it shares ANY band bucket with an index
+    * document — the LSH *candidate* criterion, with no estimator verify
+    * leg. Verification needs the colliding pair on one side of a join;
+    * streaming-side that would be a stream-derived self-join, which
+    * Structured Streaming cannot run statelessly. The band geometry is
+    * therefore the operating-point knob: collision probability for true
+    * Jaccard s is 1-(1-s^r)^b per index doc (r = numHashes/bands) — at
+    * the default 4×2 a 0.9-similar doc is caught w.p. ≈ 0.99 while a
+    * 0.3-similar doc fires ≈ 0.3 per band; bands = 1 tightens to
+    * full-signature equality (est = 1.0 only). Use the batch operator
+    * for estimator-thresholded precision; use this form where a
+    * conservative (recall-leaning) drop is the right trade, which
+    * training-corpus ingest usually is.
+    *
+    * Shape: ONE stateless stream-static left_anti equi-join per band
+    * (each on a plain per-row bucket column vs the index's distinct
+    * bucket set for that band — AQE broadcasts when it fits), then
+    * watermark-bounded in-stream dedup on the FULL signature (exact
+    * signature repeats only; cross-micro-batch near-dups are covered by
+    * periodically folding survivors' [[graft.ext.Dedup.minhashIndexRows]]
+    * into the index, exactly like the batch cycle). */
+  def streamingIncrementalNearDup(
+      stream: DataFrame,
+      textField: String,
+      index: DataFrame,
+      tsField: String = "ts",
+      watermarkDelay: String = "1 hour",
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    require(index.columns.length == 2,
+      s"index must be (id, signature) rows, got ${index.columns.mkString(", ")}")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val idxBuckets = graft.ext.Dedup.bandedBucketsOfSigs(
+      index.select(col(index.columns(0)).as("__id"),
+        col(index.columns(1)).as("__sig")),
+      numHashes, bands)
+    var out = stream.withColumn("__sig",
+      graft.ext.Dedup.minhashSignature(col(textField), numHashes, shingleSize))
+    (0 until bands).foreach { b =>
+      out = out
+        .withColumn(s"__bk$b",
+          md5(concat_ws(",", slice(col("__sig"), b * rows + 1, rows))))
+        .join(idxBuckets.filter(col("__band") === b)
+          .select(col("__bucket").as(s"__bk$b")).distinct(),
+          Seq(s"__bk$b"), "left_anti")
+    }
+    out
+      .withColumn("__sigkey", md5(concat_ws(",", col("__sig"))))
+      .withWatermark(tsField, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("__sigkey"))
+      .drop((0 until bands).map(b => s"__bk$b") ++ Seq("__sig", "__sigkey"): _*)
+  }
 }
 
 /** Input row for [[Streaming.runningUserTotals]]. */

@@ -481,4 +481,33 @@ class ExtSpec extends SparkSpec {
     assert(out.toSeq === Seq(("s2", "s1", 1L, 0.2))
       || out.toSeq === Seq(("s1", "s2", 1L, 0.2)))
   }
+
+  test("sourceOverlap gram sampling estimates the full jaccard deterministically") {
+    // two sources sharing exactly half their grams: s1 and s2 each hold
+    // the 200 shared words' trigram stream plus 200 private words
+    val rnd = new scala.util.Random(7)
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag${rnd.nextInt(99999)}_$i")
+    val shared = words("sh", 400).mkString(" ")
+    val df = Seq(
+      (1L, shared + " " + words("a", 400).mkString(" "), "s1"),
+      (2L, shared + " " + words("b", 400).mkString(" "), "s2")
+    ).toDF("doc_id", "text", "source")
+    val full = TextOps.sourceOverlap("source", "text", n = 3)(df)
+      .select("jaccard").as[Double].head()
+    val est = TextOps.sourceOverlap("source", "text", n = 3,
+      gramFraction = 0.5)(df)
+      .select("jaccard").as[Double].head()
+    // a consistent estimator: within a loose band of the true value at
+    // this sample size (~400 sampled grams per source)
+    assert(math.abs(est - full) < 0.15,
+      s"estimate $est too far from full $full")
+    // deterministic subspace: rerun is bit-identical
+    val again = TextOps.sourceOverlap("source", "text", n = 3,
+      gramFraction = 0.5)(df)
+      .select("jaccard").as[Double].head()
+    assert(again === est)
+    // fraction bounds enforced
+    intercept[IllegalArgumentException](
+      TextOps.sourceOverlap("source", "text", 3, gramFraction = 0.0)(df))
+  }
 }

@@ -76,7 +76,8 @@ class PlanAuditSpec extends SparkSpec {
     // executed plan must contain ZERO parquet scans of the corpus —
     // the single scan happened once, at checkpoint materialization —
     // and every consumer branch must read the checkpointed RDD.
-    Seq("source_overlap", "unigram_cf_quality").foreach { name =>
+    Seq("source_overlap", "source_overlap_sampled",
+        "unigram_cf_quality").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("FileScan") && !plan.contains("documents"),

@@ -120,6 +120,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIncrementalNearDup drops band collisions with the index and exact-signature repeats") {
+    // the index holds one doc; a NEAR-dup of it (one word changed out
+    // of many) shares band buckets and is dropped; unrelated text
+    // survives; an identical-text in-stream repeat (same signature)
+    // is dropped with watermark-bounded state
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog wakes up to chase the fox across the field of tall grass"
+    val near = base.replace("tall", "short")
+    val index = graft.ext.Dedup.minhashIndexRows("doc_id", "text")(
+      Seq((100L, base)).toDF("doc_id", "text"))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = Streaming.streamingIncrementalNearDup(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      textField = "text", index = index, watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sind")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("10:00"), 1L, near),                 // near-dup of the index
+        (ts("10:01"), 2L, "totally new words here nothing shared at all"),
+        (ts("10:02"), 3L, "totally new words here nothing shared at all"),
+        (ts("10:03"), 4L, "other novel content with its own vocabulary"))
+      q.processAllAvailable()
+      assert(spark.table("sind").select("doc_id").as[Long].collect().sorted
+        .toSeq == Seq(2L, 4L))
+      // output carries the original columns only — no helper columns
+      assert(spark.table("sind").columns.toSeq == Seq("ts", "doc_id", "text"))
+    } finally q.stop()
+  }
+
   test("windowed counts build the identical plan on a batch frame") {
     val batch = Seq(
       ts("10:01") -> "click", ts("10:03") -> "click", ts("10:11") -> "view")
