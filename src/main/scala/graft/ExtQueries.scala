@@ -189,6 +189,16 @@ object ExtQueries {
         queryVec = "embedding", k = 5)
         .orderBy("query_id", "rank")
     },
+    "similarity_topk_q8" -> { (s, dir) =>
+      // the memory-bound form: int8 codes (4x less IO), integer dot +
+      // one IEEE division — scales cancel, so exact cross-engine
+      val e = corpus(s, dir, "embeddings")
+      Similarity.bruteForceTopKQuantized(
+        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
+        queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
+        queryVec = "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
     "similarity_lsh" -> { (s, dir) =>
       Similarity.lshTopK(corpus(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, planes = 6, dim = 64)
@@ -1241,6 +1251,33 @@ object ExtQueries {
       scored AS (SELECT query_id, c.vec_id AS item_id,
         ${cosineSql("qe", "c.embedding")} AS cosine
         FROM embeddings c, q WHERE query_id <> c.vec_id),
+      ranked AS (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn
+        FROM scored)
+      SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
+      FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
+    // int8 symmetric quantization (floor(x*127/amax + 0.5) — the shared
+    // round-half-up), integer dot/norms, one double division — mirrors
+    // Similarity.bruteForceTopKQuantized; scales cancel so no floats
+    // beyond the final ratio
+    "similarity_topk_q8" -> """
+      WITH c AS (SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+          embedding FROM embeddings),
+      q8 AS (SELECT vec_id,
+          CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+               ELSE list_transform(embedding, x ->
+                 CAST(floor(CAST(x AS DOUBLE) * 127 / amax + 5e-1) AS INT)) END AS codes
+        FROM c),
+      n AS (SELECT vec_id, codes,
+          CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS nn
+        FROM q8),
+      scored AS (SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+          CASE WHEN q.nn = 0 OR i.nn = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(CAST(list_sum(list_transform(range(1, 65), j ->
+                   CAST(q.codes[CAST(j AS INT)] AS BIGINT) * i.codes[CAST(j AS INT)])) AS BIGINT) AS DOUBLE)
+                 / (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(i.nn AS DOUBLE))) END AS cosine
+        FROM n q, n i WHERE q.vec_id < 10 AND q.vec_id <> i.vec_id),
       ranked AS (SELECT *, row_number() OVER (
           PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn
         FROM scored)

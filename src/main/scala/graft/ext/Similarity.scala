@@ -279,6 +279,75 @@ object Similarity {
       .select("query_id", "item_id", "cosine", "rank")
   }
 
+  /** Symmetric int8 scalar quantization of an embedding — the standard
+    * 4× storage/IO compression for vector search at scale: codes_i =
+    * round-half-up(x_i · 127 / max|x|), so codes span [-127, 127] with
+    * the per-vector scale implied by the max-magnitude element. The
+    * scale itself is NOT materialized because [[quantizedCosine]] never
+    * needs it — per-vector scales cancel out of the cosine ratio, which
+    * is why quantized cosine is pure integer arithmetic plus one IEEE
+    * division (exact cross-engine, no float-fold ordering anywhere).
+    * Zero vectors quantize to all-zero codes. floor(x + 0.5) is the
+    * shared round-half-up both engines compute identically (their
+    * native `round` functions disagree on halves). */
+  def quantizeInt8(vec: Column): Column = {
+    import graft.functions.GraftFunctions.bind
+    // bind: amax referenced once per ELEMENT inside the transform lambda
+    // would otherwise recompute the max per element (no CSE across HOFs)
+    bind(array_max(transform(vec, x => abs(x.cast("double"))))) { amax =>
+      when(amax === 0.0, transform(vec, _ => lit(0)))
+        .otherwise(transform(vec, x =>
+          floor(x.cast("double") * 127 / amax + 0.5).cast("int")))
+    }
+  }
+
+  /** Cosine over int8 code arrays ([[quantizeInt8]]): integer dot and
+    * norms (exact — addition order free), one double division at the
+    * end. 0.0 when either norm is zero. The per-vector quantization
+    * scales cancel, so this equals the cosine of the DEQUANTIZED
+    * vectors exactly. */
+  def quantizedCosine(a: Column, b: Column): Column = {
+    import graft.functions.GraftFunctions.bind
+    def sq(v: Column): Column =
+      aggregate(v, lit(0L), (acc, x) => acc + (x * x).cast("long"))
+    val d = aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+      (acc, x) => acc + x.cast("long"))
+    bind(sq(a)) { na =>
+      bind(sq(b)) { nb =>
+        when(na === 0L || nb === 0L, lit(0.0))
+          .otherwise(d.cast("double")
+            / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+      }
+    }
+  }
+
+  /** [[bruteForceTopK]] over int8-quantized codes — the memory-bound
+    * form: the corpus scan carries 1-byte codes instead of 4-byte
+    * floats (4× less IO, integer dot products), at a small, deterministic
+    * ranking perturbation from the rounding (spec measures recall vs the
+    * full-precision top-k). Same broadcast-queries / per-query-window
+    * shape as the exact form; quantization happens in the scan
+    * projection, so nothing full-precision shuffles. */
+  def bruteForceTopKQuantized(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    corpus
+      .select(col(corpusId).as("item_id"),
+        quantizeInt8(col(corpusVec)).as("__cq"))
+      .crossJoin(broadcast(queries
+        .select(col(queryId).as("query_id"),
+          quantizeInt8(col(queryVec)).as("__qq"))))
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("item_id"))
+      .withColumn("cosine", quantizedCosine(col("__qq"), col("__cq")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("item_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "cosine", "rank")
+  }
+
   /** Mean-pool embeddings per group — the "chunk → embed → pool" step
     * of document/multimodal pipelines (a document's vector as the mean
     * of its chunk vectors; a class centroid as the mean of its members).

@@ -178,6 +178,12 @@ final case class Pipeline(df: DataFrame) {
     >>(TextOps.chunkTexts(idField, textField, chunkTokens, stride))
   def meanPool(idField: String, vecField: String, groupField: String): Pipeline =
     >>(graft.ext.Similarity.meanPool(idField, vecField, groupField))
+  /** `this` is the corpus; int8-quantized brute-force top-k. */
+  def bruteForceTopKQuantized(corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int,
+      excludeSelf: Boolean = true): Pipeline =
+    >>(c => graft.ext.Similarity.bruteForceTopKQuantized(c, corpusId,
+      corpusVec, queries, queryId, queryVec, k, excludeSelf))
   def filterFunnel(rules: Seq[(String, Column)]): Pipeline =
     >>(Probes.filterFunnel(rules))
   def unigramCfQuality(idField: String, textField: String): Pipeline =

@@ -96,6 +96,48 @@ class ExtSpec extends SparkSpec {
     assert(half > quarter, s"recall not monotone in nprobe: $quarter vs $half")
   }
 
+  test("int8 quantization: scale-invariant codes, exact self-similarity, high top-k agreement") {
+    // scale cancels: v and 3v quantize to identical codes
+    val pair = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(1.5f, -3.0f, 0.75f, 0.0f))
+    ).toDF("vec_id", "embedding")
+      .select(Similarity.quantizeInt8($"embedding").as("codes"))
+      .as[Seq[Int]].collect()
+    assert(pair(0) === pair(1))
+    assert(pair(0) === Seq(64, -127, 32, 0)) // floor(x*127/1.0 + 0.5)
+    // identical codes score ~1.0 (integer dot == both norms; the only
+    // slack is sqrt(x)*sqrt(x) ≠ x in the last ulp)
+    val self = Seq((Seq(64, -127, 32, 0), Seq(64, -127, 32, 0)))
+      .toDF("a", "b")
+      .select(Similarity.quantizedCosine($"a", $"b")).head().getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+    // zero vector -> all-zero codes, cosine 0.0 against anything
+    val zero = Seq((Array(0f, 0f, 0f, 0f), Array(1f, 2f, 3f, 4f)))
+      .toDF("z", "v")
+      .select(Similarity.quantizedCosine(
+        Similarity.quantizeInt8($"z"), Similarity.quantizeInt8($"v")))
+      .head().getDouble(0)
+    assert(zero === 0.0)
+    // ranking agreement with full precision on the fixture embeddings:
+    // int8 rounding perturbs cosine by ~1e-2, so top-5 sets agree almost
+    // everywhere on unstructured vectors
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id".cast("long"), $"item_id".cast("long"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val full = sets(Similarity.bruteForceTopK(
+      e, "vec_id", "embedding", q, "vec_id", "embedding", k = 5))
+    val quant = sets(Similarity.bruteForceTopKQuantized(
+      e, "vec_id", "embedding", q, "vec_id", "embedding", k = 5))
+    val hits = full.map { case (k, bf) =>
+      quant.getOrElse(k, Set.empty).intersect(bf).size }.sum
+    val recall = hits.toDouble / full.values.map(_.size).sum
+    assert(recall >= 0.85, s"quantized top-5 recall too low: $recall")
+  }
+
   test("ivfBuild exposes the persisted index for explicit release") {
     import org.apache.spark.storage.StorageLevel
     val idx = Similarity.ivfBuild(vecs, "vec_id", "embedding",

@@ -24,6 +24,7 @@ class PlanAuditSpec extends SparkSpec {
     * explicitly filtered query/centroid subset). */
   private val boundedBroadcastCross = Set(
     "similarity_topk",   // broadcast query set (vec_id < 10)
+    "similarity_topk_q8", // same broadcast query set, int8 codes
     "similarity_ivf",    // broadcast centroid ranking (id < nCentroids)
     "tfidf_top_terms",   // broadcast one-row corpus count
     "key_skew",          // broadcast one-row total count
