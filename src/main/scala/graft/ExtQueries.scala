@@ -62,6 +62,11 @@ object ExtQueries {
           topShare.as("top_bigram_share"))
         .orderBy("doc_id")
     },
+    "gopher_rules" -> { (s, dir) =>
+      // the heuristic rule battery with per-rule signals AND verdicts
+      TextOps.gopherRules("doc_id", "text")(corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
     "fingerprint_dedup" -> { (s, dir) =>
       Dedup.exact(Seq("fingerprint"), "doc_id")(
         TextOps.withFingerprint("text")(corpus(s, dir, "documents")))
@@ -345,6 +350,24 @@ object ExtQueries {
       Similarity.meanPool("vec_id", "embedding", "label")(
         corpus(s, dir, "embeddings"))
         .orderBy("label", "dim")
+    },
+    "knn_label" -> { (s, dir) =>
+      // kNN majority-vote labeling: queries labeled by their 5 nearest
+      // corpus neighbors' labels, ties to the smallest label
+      val e = corpus(s, dir, "embeddings")
+      Similarity.knnClassify(e, "vec_id", "embedding", "label",
+        queries = e.filter(col("vec_id") < 50), queryId = "vec_id",
+        queryVec = "embedding", k = 5)
+        .orderBy("query_id")
+    },
+    "centroid_assign" -> { (s, dir) =>
+      // nearest-class-mean routing: every vector to its best centroid
+      val e = corpus(s, dir, "embeddings")
+      Similarity.centroidAssign("embedding",
+        Similarity.classCentroids("vec_id", "embedding", "label")(e),
+        "label", "centroid")(e.select("vec_id", "embedding"))
+        .select("vec_id", "centroid_label", "centroid_cos")
+        .orderBy("vec_id")
     },
     "filter_funnel" -> { (s, dir) =>
       // the cleaning-chain attrition report: independent + cumulative
@@ -1070,6 +1093,37 @@ object ExtQueries {
       FROM r ORDER BY doc_id""",
     "quality_score" ->
       s"SELECT doc_id, quality FROM ($qualityPerDocSql) q ORDER BY doc_id",
+    // every signal is integer counts until ONE double division, flag
+    // thresholds compare those exact doubles — mirrors TextOps.gopherRules
+    "gopher_rules" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(ts) AS BIGINT) AS n_tokens,
+          CASE WHEN len(ts) = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(CAST(list_sum(list_transform(ts, w -> length(w))) AS BIGINT) AS DOUBLE)
+                    / len(ts) END AS mean_word_len,
+          CASE WHEN len(ts) = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                    / len(ts) END AS alpha_frac,
+          CAST(len(list_intersect(list_distinct(ts),
+            ['the','a','of','and','to','in','is'])) AS BIGINT) AS stop_hits,
+          CASE WHEN len(ts) = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(len(ts) - len(list_distinct(ts)) AS DOUBLE)
+                    / len(ts) END AS dup_frac
+        FROM t),
+      f AS (SELECT *,
+          CAST(CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS pass_length,
+          CAST(CASE WHEN mean_word_len >= CAST(3 AS DOUBLE)
+                     AND mean_word_len <= CAST(10 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS pass_mean_len,
+          CAST(CASE WHEN alpha_frac >= 8e-1 THEN 1 ELSE 0 END AS BIGINT) AS pass_alpha,
+          CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass_stopwords,
+          CAST(CASE WHEN dup_frac <= 9e-1 THEN 1 ELSE 0 END AS BIGINT) AS pass_repetition
+        FROM m)
+      SELECT doc_id, n_tokens, mean_word_len, alpha_frac, stop_hits, dup_frac,
+        pass_length, pass_mean_len, pass_alpha, pass_stopwords, pass_repetition,
+        CAST(pass_length * pass_mean_len * pass_alpha * pass_stopwords
+             * pass_repetition AS BIGINT) AS passes_gopher
+      FROM f ORDER BY doc_id""",
     "fingerprint_dedup" ->
       """SELECT doc_id, lang,
          md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
@@ -1711,6 +1765,46 @@ object ExtQueries {
         s[CAST(u.i AS INT)] / n AS mean_val
       FROM folded, unnest(range(1, len(s) + 1)) u(i)
       ORDER BY label, dim""",
+    // top-5 neighbor selection identical to similarity_topk (vec_id < 50
+    // queries), then one vote count per (query, label); the winner rule
+    // (max votes, ties to the smallest label) mirrors Similarity.labelVote
+    "knn_label" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 50),
+      scored AS (SELECT query_id, c.vec_id AS item_id,
+        ${cosineSql("qe", "c.embedding")} AS cosine
+        FROM embeddings c, q WHERE query_id <> c.vec_id),
+      nn AS (SELECT query_id, item_id FROM scored
+        QUALIFY row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) <= 5),
+      votes AS (SELECT nn.query_id, e.label, CAST(count(*) AS BIGINT) AS votes
+        FROM nn JOIN embeddings e ON nn.item_id = e.vec_id
+        GROUP BY nn.query_id, e.label)
+      SELECT query_id, label AS predicted_label, votes FROM votes
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, label ASC) = 1
+      ORDER BY query_id""",
+    // centroids fold exactly like mean_pool_embeddings (vec_id-ordered
+    // list_reduce — the identical IEEE addition sequence as meanPool),
+    // then every vector routes to its max-cosine centroid, ties to the
+    // smallest label — mirrors Similarity.centroidAssign's argmax fold
+    "centroid_assign" -> s"""
+      WITH folded AS (SELECT label,
+          list_reduce(
+            list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id),
+            (a, x) -> list_transform(range(1, len(a) + 1), i -> a[i] + x[i])) AS s,
+          CAST(count(*) AS DOUBLE) AS n
+        FROM embeddings GROUP BY label),
+      cent AS (SELECT label AS c_label,
+          list_transform(range(1, len(s) + 1), i -> s[CAST(i AS INT)] / n) AS cv
+        FROM folded),
+      scored AS (SELECT e.vec_id, c.c_label,
+          ${cosineSql("e.embedding", "c.cv")} AS centroid_cos
+        FROM embeddings e, cent c)
+      SELECT vec_id, c_label AS centroid_label, centroid_cos FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY centroid_cos DESC, c_label ASC) = 1
+      ORDER BY vec_id""",
     // independent + cumulative rule counters in one aggregation; quality
     // and dup-fraction expressions identical to quality_score /
     // repetition_stats — mirrors Probes.filterFunnel

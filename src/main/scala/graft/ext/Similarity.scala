@@ -388,4 +388,118 @@ object Similarity {
       .select(col(groupField), col("dim").cast("long").as("dim"),
         col("mean_val"))
   }
+
+  /** Majority-vote labeling over a precomputed neighbor table — the
+    * second half of kNN classification, factored out so ANY top-k
+    * engine feeds it: [[bruteForceTopK]] for exactness, [[lshTopK]] /
+    * [[ivfTopK]] at corpus scale (the neighbor table is the expensive
+    * part; the vote is one hash aggregation over k rows per query).
+    *
+    * `neighbors` must carry `query_id` and `item_id`; `labels` maps
+    * `labelId` → `labelField`. The winner per query is the label with
+    * the most neighbor votes, ties broken toward the SMALLEST label
+    * (deterministic): one min_by hash-agg over `(-votes, label)` —
+    * votes is a count (never null/NaN), so the bare negation is safe.
+    * Neighbors without a label row vote for nothing (inner join —
+    * matches the "labeled reference set" semantics). */
+  def labelVote(
+      neighbors: DataFrame, labels: DataFrame,
+      labelId: String, labelField: String): DataFrame = {
+    val voted = neighbors
+      .join(labels.select(col(labelId).as("item_id"),
+        col(labelField).as("label")), "item_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    voted
+      .groupBy("query_id")
+      .agg(min_by(struct(col("label"), col("votes")),
+        struct(negate(col("votes")), col("label"))).as("__w"))
+      .select(col("query_id"), col("__w.label").as("predicted_label"),
+        col("__w.votes").as("votes"))
+  }
+
+  /** kNN classification: label each query vector by the majority label
+    * of its k nearest corpus neighbors ([[bruteForceTopK]] +
+    * [[labelVote]]) — the standard embedding-space labeler for data
+    * curation (propagate a small hand-labeled set over a corpus:
+    * quality tiers, topics, contamination flags).
+    *
+    * This convenience form is exact and broadcast-bounded (query side
+    * small by construction). At corpus scale, compute neighbors with
+    * [[lshTopK]]/[[ivfTopK]] and call [[labelVote]] directly. */
+  def knnClassify(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      labelField: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame =
+    labelVote(
+      bruteForceTopK(corpus, corpusId, corpusVec,
+        queries, queryId, queryVec, k),
+      corpus, corpusId, labelField)
+
+  /** Per-class mean-embedding centroids as ARRAYS — [[meanPool]]'s
+    * deterministic fold (bit-exact cross-engine), reassembled from its
+    * exploded (group, dim, mean_val) form. One extra tiny shuffle of
+    * |classes| × dim scalar rows — nothing at corpus scale. */
+  def classCentroids(
+      idField: String, vecField: String, labelField: String)(
+      df: DataFrame): DataFrame =
+    meanPool(idField, vecField, labelField)(df)
+      .groupBy(labelField)
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean_val")))),
+        s => s.getField("mean_val")).as("centroid"))
+
+  /** Nearest-centroid assignment: route every vector to the centroid
+    * with the highest cosine — topic/cluster assignment for mixing and
+    * analysis, and exactly IVF's routing step ([[ivfBuild]]) surfaced
+    * as a standalone operator.
+    *
+    * Scale shape: the centroid set collapses to ONE broadcast row (an
+    * id-sorted array of (cid, vector) structs — |classes| entries,
+    * provably tiny), so the assignment is a pure per-row argmax fold
+    * over that array: the corpus is scanned once with NO shuffle at
+    * all — routing a 100 TB corpus is one embarrassingly-parallel
+    * projection pass. The join-then-aggregate alternative would shuffle
+    * every corpus row just to group it back by id. Per-row cost is
+    * O(|centroids| × dim); for centroid sets past ~10k use [[ivfTopK]]
+    * with k=1 instead.
+    *
+    * The fold keeps strictly-better candidates, so ties break toward
+    * the seed / earlier array position — the SMALLEST centroid id
+    * (id-sorted array) — and the equal-cosine smaller-id rule is
+    * applied explicitly for exactness. Cosine is never null/NaN (zero
+    * norms score 0.0); centroids must be non-empty. Returns every
+    * input column plus (`centroid_label`, `centroid_cos`). */
+  def centroidAssign(
+      vecField: String,
+      centroids: DataFrame, centroidId: String, centroidVec: String)(
+      df: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.bind
+    val centArr = centroids.agg(
+      array_sort(collect_list(struct(
+        col(centroidId).as("cid"),
+        transform(col(centroidVec), _.cast("double")).as("cv"))))
+        .as("__cents"))
+    val best =
+      bind(transform(col(vecField), _.cast("double"))) { v =>
+        bind(col("__cents")) { cents =>
+          val first = element_at(cents, 1)
+          val seed = struct(
+            cosineHof(v, first.getField("cv")).as("cos"),
+            first.getField("cid").as("cid"))
+          aggregate(slice(cents, lit(2), size(cents) - 1), seed, (acc, c) =>
+            bind(cosineHof(v, c.getField("cv"))) { cc =>
+              when(cc > acc.getField("cos"),
+                struct(cc.as("cos"), c.getField("cid").as("cid")))
+                .otherwise(acc)
+            })
+        }
+      }
+    df.crossJoin(broadcast(centArr))
+      .withColumn("__w", best)
+      .select(df.columns.map(col) :+
+        col("__w.cid").as("centroid_label") :+
+        col("__w.cos").as("centroid_cos"): _*)
+  }
 }

@@ -223,6 +223,64 @@ object TextOps {
     (dupFrac, topShare)
   }
 
+  /** Gopher-style multi-rule document quality gate: the standard
+    * heuristic battery a web-scale corpus runs BEFORE any model-based
+    * scoring, with each rule's signal AND verdict exposed per document
+    * (observability first — downstream callers threshold, re-weight, or
+    * funnel-report the individual rules rather than trusting one opaque
+    * score; compose with [[graft.probes.Probes.filterFunnel]]).
+    *
+    * Signals (one bound token split per row — pure projection, no
+    * shuffle, no UDF):
+    *  - `n_tokens`, gated to [50, 100000] (`pass_length`);
+    *  - `mean_word_len` = Σ word chars / words, gated to [3, 10]
+    *    (`pass_mean_len`) — gibberish and minified blobs fall outside;
+    *  - `alpha_frac` = words containing a letter / words, gated ≥ 0.8
+    *    (`pass_alpha`) — symbol/number dumps fail;
+    *  - `stop_hits` = distinct English stopwords present, gated ≥ 2
+    *    (`pass_stopwords`) — the classic "real prose" tripwire;
+    *  - `dup_frac` = 1 − distinct/total tokens, gated ≤ 0.9
+    *    (`pass_repetition`) — the keyword-stuffing backstop (tighter
+    *    repetition gates live in [[repetitionStats]]).
+    * `passes_gopher` is the conjunction. Flags are 0/1 BIGINT (summable
+    * into funnel counts). Every signal is integer arithmetic until one
+    * final division — bit-exact cross-engine. */
+  def gopherRules(idField: String, textField: String)(df: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.bind
+    // NULL text gates like empty text (fails length/stopwords) instead
+    // of poisoning every signal NULL — same doctrine as the strip ops
+    val metrics = bind(tokens(coalesce(col(textField), lit("")))) { ts =>
+      val n = size(ts).cast("long")
+      val sumLen = aggregate(ts, lit(0L), (acc, w) => acc + length(w))
+      val nAlpha = size(filter(ts, w => w.rlike("[A-Za-z]"))).cast("long")
+      val nDistinct = size(array_distinct(ts)).cast("long")
+      val stopHits = size(array_intersect(array_distinct(ts),
+        array(stopwords("en").map(lit): _*))).cast("long")
+      struct(
+        n.as("n_tokens"),
+        when(n === 0L, lit(0.0))
+          .otherwise(sumLen.cast("double") / n).as("mean_word_len"),
+        when(n === 0L, lit(0.0))
+          .otherwise(nAlpha.cast("double") / n).as("alpha_frac"),
+        stopHits.as("stop_hits"),
+        when(n === 0L, lit(0.0))
+          .otherwise((n - nDistinct).cast("double") / n).as("dup_frac"))
+    }
+    def flag(c: Column): Column = when(c, lit(1L)).otherwise(lit(0L))
+    df.select(col(idField), metrics.as("__m"))
+      .select(col(idField), col("__m.*"))
+      .withColumn("pass_length",
+        flag(col("n_tokens") >= 50L && col("n_tokens") <= 100000L))
+      .withColumn("pass_mean_len",
+        flag(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0))
+      .withColumn("pass_alpha", flag(col("alpha_frac") >= 0.8))
+      .withColumn("pass_stopwords", flag(col("stop_hits") >= 2L))
+      .withColumn("pass_repetition", flag(col("dup_frac") <= 0.9))
+      .withColumn("passes_gopher",
+        col("pass_length") * col("pass_mean_len") * col("pass_alpha")
+          * col("pass_stopwords") * col("pass_repetition"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Identical normalization + digest in the oracle; exact-dup detection
     * is then a groupBy on this column. */

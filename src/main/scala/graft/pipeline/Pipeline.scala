@@ -184,6 +184,20 @@ final case class Pipeline(df: DataFrame) {
       excludeSelf: Boolean = true): Pipeline =
     >>(c => graft.ext.Similarity.bruteForceTopKQuantized(c, corpusId,
       corpusVec, queries, queryId, queryVec, k, excludeSelf))
+  def gopherRules(idField: String, textField: String): Pipeline =
+    >>(TextOps.gopherRules(idField, textField))
+  /** `this` is the labeled corpus; kNN majority-vote labels for `queries`. */
+  def knnClassify(corpusId: String, corpusVec: String, labelField: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int): Pipeline =
+    >>(c => graft.ext.Similarity.knnClassify(c, corpusId, corpusVec,
+      labelField, queries, queryId, queryVec, k))
+  def classCentroids(idField: String, vecField: String,
+      labelField: String): Pipeline =
+    >>(graft.ext.Similarity.classCentroids(idField, vecField, labelField))
+  def centroidAssign(vecField: String, centroids: DataFrame,
+      centroidId: String, centroidVec: String): Pipeline =
+    >>(graft.ext.Similarity.centroidAssign(vecField, centroids,
+      centroidId, centroidVec))
   def filterFunnel(rules: Seq[(String, Column)]): Pipeline =
     >>(Probes.filterFunnel(rules))
   def unigramCfQuality(idField: String, textField: String): Pipeline =

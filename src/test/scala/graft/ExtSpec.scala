@@ -138,6 +138,80 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.85, s"quantized top-5 recall too low: $recall")
   }
 
+  test("gopherRules: each rule gates its own signal; NULL text fails like empty") {
+    // 60 distinct-ish prose tokens with stopwords -> passes everything
+    val good = (1 to 53).map(i => s"word$i").mkString(" ") +
+      " the cat sat on a mat and"
+    val short = "the a brief note"                  // fails length only
+    val noStop = (1 to 60).map(i => s"tok$i").mkString(" ") // fails stopwords
+    val df = Seq((1L, good), (2L, short), (3L, noStop), (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherRules("doc_id", "text")(df)
+      .orderBy("doc_id")
+      .select("doc_id", "pass_length", "pass_mean_len", "pass_alpha",
+        "pass_stopwords", "pass_repetition", "passes_gopher")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out(0) === ((1L, 1L, 1L, 1L, 1L, 1L, 1L)))
+    assert(out(1)._2 === 0L && out(1)._7 === 0L)    // short: length fails
+    assert(out(2)._5 === 0L && out(2)._7 === 0L)    // noStop: stopwords fail
+    assert(out(3)._2 === 0L && out(3)._7 === 0L)    // NULL: gates, not NULLs
+    val sig = TextOps.gopherRules("doc_id", "text")(df)
+      .filter($"doc_id" === 1L)
+      .select("n_tokens", "stop_hits").as[(Long, Long)].head()
+    assert(sig._1 === 60L && sig._2 >= 2L)
+  }
+
+  test("labelVote elects the majority label, ties to the smallest label") {
+    val neighbors = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),   // labels 7, 7, 9 -> 7 by majority
+      (2L, 10L), (2L, 12L), (2L, 13L), (2L, 14L)) // 2 x 7, 2 x 9 -> tie -> 7
+      .toDF("query_id", "item_id")
+    val labels = Seq((10L, 7), (11L, 7), (12L, 9), (13L, 9), (14L, 7))
+      .toDF("vec_id", "label")
+    val out = Similarity.labelVote(neighbors, labels, "vec_id", "label")
+      .orderBy("query_id")
+      .select("query_id", "predicted_label", "votes")
+      .as[(Long, Int, Long)].collect()
+    assert(out(0) === ((1L, 7, 2L)))
+    assert(out(1) === ((2L, 7, 2L)))  // tie on votes -> smaller label
+  }
+
+  test("centroidAssign routes to the max-cosine centroid, ties to the smaller id") {
+    val cents = Seq((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)))
+      .toDF("label", "centroid")
+      .select($"label", transform($"centroid", _.cast("double")).as("centroid"))
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),   // -> centroid 0
+      (2L, Array(0.1f, 0.9f, 0f, 0f)),   // -> centroid 1
+      (3L, Array(1f, 1f, 0f, 0f)))       // exact tie -> centroid 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.centroidAssign("embedding", cents, "label", "centroid")(
+      vecs).orderBy("vec_id")
+      .select("vec_id", "centroid_label").as[(Long, Int)].collect()
+    assert(out === Array((1L, 0), (2L, 1), (3L, 0)))
+  }
+
+  test("classCentroids + knnClassify agree with labels on separated clusters") {
+    // two tight clusters in 4-d; every vector's 3-NN shares its label
+    val rows = (0 until 12).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 0f, 1f, 0f)
+      (i.toLong, base.map(_ + (i / 100.0f)), i % 2)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.classCentroids("vec_id", "embedding", "label")(df)
+    assert(cents.count() === 2)
+    val assigned = Similarity.centroidAssign("embedding", cents,
+      "label", "centroid")(df.withColumnRenamed("label", "true_label"))
+      .select("true_label", "centroid_label").as[(Int, Int)].collect()
+    assert(assigned.forall { case (t, c) => t === c })
+    val knn = Similarity.knnClassify(df, "vec_id", "embedding", "label",
+      queries = df.filter($"vec_id" < 4), queryId = "vec_id",
+      queryVec = "embedding", k = 3)
+      .join(df.select($"vec_id".as("query_id"), $"label"), "query_id")
+      .select("predicted_label", "label").as[(Int, Int)].collect()
+    assert(knn.length === 4 && knn.forall { case (p, t) => p === t })
+  }
+
   test("ivfBuild exposes the persisted index for explicit release") {
     import org.apache.spark.storage.StorageLevel
     val idx = Similarity.ivfBuild(vecs, "vec_id", "embedding",
