@@ -67,6 +67,27 @@ object ExtQueries {
       TextOps.gopherRules("doc_id", "text")(corpus(s, dir, "documents"))
         .orderBy("doc_id")
     },
+    "quality_percentiles" -> { (s, dir) =>
+      // per-source percentile calibration of the quality score
+      TextOps.scorePercentiles("source", "quality")(
+        TextOps.withQuality("text")(corpus(s, dir, "documents")))
+        .select("doc_id", "source", "quality", "score_pct")
+        .orderBy("doc_id")
+    },
+    "mix_report" -> { (s, dir) =>
+      // volumes, shares, and the sampling ratios a mixer must apply
+      TextOps.mixReport("source", "text",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))(
+        corpus(s, dir, "documents"))
+        .orderBy("source")
+    },
+    "truncate_tokens" -> { (s, dir) =>
+      // context-window truncation at 40 tokens, originals pass through
+      TextOps.truncateTokens("text", maxTokens = 40)(
+        corpus(s, dir, "documents"))
+        .select("doc_id", "n_tokens", "text_trunc")
+        .orderBy("doc_id")
+    },
     "fingerprint_dedup" -> { (s, dir) =>
       Dedup.exact(Seq("fingerprint"), "doc_id")(
         TextOps.withFingerprint("text")(corpus(s, dir, "documents")))
@@ -202,6 +223,16 @@ object ExtQueries {
         corpus = e, corpusId = "vec_id", corpusVec = "embedding",
         queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
         queryVec = "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    "similarity_hamming" -> { (s, dir) =>
+      // sign-sketch coarse rank (8 bytes/vector scanned) + exact cosine
+      // rerank of the top-50 sliver
+      val e = corpus(s, dir, "embeddings")
+      Similarity.hammingTopK(
+        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
+        queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
+        queryVec = "embedding", k = 5, rerank = 10)
         .orderBy("query_id", "rank")
     },
     "similarity_lsh" -> { (s, dir) =>
@@ -1124,6 +1155,36 @@ object ExtQueries {
         CAST(pass_length * pass_mean_len * pass_alpha * pass_stopwords
              * pass_repetition AS BIGINT) AS passes_gopher
       FROM f ORDER BY doc_id""",
+    // percent_rank IS the semantic spec the histogram-CDF form equals:
+    // rows strictly below / (n-1), ties share a rank
+    "quality_percentiles" -> s"""
+      WITH q AS (SELECT d.doc_id, d.source, qq.quality
+        FROM documents d JOIN ($qualityPerDocSql) qq ON d.doc_id = qq.doc_id)
+      SELECT doc_id, source, quality,
+        percent_rank() OVER (PARTITION BY source ORDER BY quality) AS score_pct
+      FROM q ORDER BY doc_id""",
+    "mix_report" -> """
+      WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+      x AS (SELECT source, n_docs, n_tokens,
+          CAST(n_tokens AS DOUBLE) / t AS token_share,
+          CASE WHEN source = 'src0' THEN 5e-1
+               WHEN source = 'src1' THEN 25e-2
+               WHEN source = 'src2' THEN 25e-2
+               ELSE CAST(0 AS DOUBLE) END AS target_share
+        FROM per, tot)
+      SELECT source, n_docs, n_tokens, token_share, target_share,
+        target_share / token_share AS sampling_ratio
+      FROM x ORDER BY source""",
+    "truncate_tokens" -> """
+      SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        CASE WHEN len(ts) <= 40 THEN text
+             ELSE array_to_string(ts[1:40], ' ') END AS text_trunc
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ts
+            FROM documents) t
+      ORDER BY doc_id""",
     "fingerprint_dedup" ->
       """SELECT doc_id, lang,
          md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
@@ -1337,6 +1398,32 @@ object ExtQueries {
         FROM scored)
       SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
       FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
+    // hamming = count of disagreeing sign bits (the packed-XOR popcount
+    // computed dimension-wise — same integer), candidates = best 50 per
+    // query by (hamming, item), rerank by exact cosine — mirrors
+    // Similarity.hammingTopK
+    "similarity_hamming" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 10),
+      ham AS (SELECT query_id, c.vec_id AS item_id,
+          CAST(list_sum(list_transform(range(1, 65), i ->
+            CASE WHEN (c.embedding[CAST(i AS INT)] >= 0)
+                   <> (qe[CAST(i AS INT)] >= 0)
+                 THEN 1 ELSE 0 END)) AS INTEGER) AS hamming,
+          c.embedding AS ce, qe
+        FROM embeddings c, q WHERE query_id <> c.vec_id),
+      cand AS (SELECT * FROM ham
+        QUALIFY row_number() OVER (
+          PARTITION BY query_id ORDER BY hamming ASC, item_id ASC) <= 50),
+      scored AS (SELECT query_id, item_id, hamming,
+          ${cosineSql("qe", "ce")} AS cosine
+        FROM cand)
+      SELECT query_id, item_id, hamming, cosine,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC)
+          AS INTEGER) AS rank
+      FROM scored
+      QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "similarity_lsh" -> s"""
       WITH bucketed AS (SELECT vec_id, embedding, ${lshBucketSql()} AS bucket
         FROM embeddings),

@@ -348,6 +348,71 @@ object Similarity {
       .select("query_id", "item_id", "cosine", "rank")
   }
 
+  /** 64-bit sign sketch of an embedding: bit d set iff `vec[d] >= 0` —
+    * the 1-bit-per-dimension binarization that compresses a float32
+    * vector 32× (one BIGINT per vector). Hamming distance between
+    * sketches approximates angular distance (each agreeing sign bit is
+    * one agreeing half-space), which makes the sketch table the
+    * coarse-ranking structure of [[hammingTopK]]. Pure integer bit
+    * arithmetic — exact cross-engine. Dims past 64 are ignored
+    * (`dim` ≤ 64); the multi-word generalization is a long-array of
+    * these. */
+  def signSketch(vec: Column, dim: Int = 64): Column = {
+    require(dim >= 1 && dim <= 64, s"sketch packs 1..64 dims, got $dim")
+    aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, d) =>
+      acc.bitwiseOR(
+        when(element_at(vec, d + 1) >= lit(0f),
+          call_function("shiftleft", lit(1L), d)).otherwise(lit(0L))))
+  }
+
+  /** Two-stage ANN: coarse-rank every candidate by Hamming distance
+    * between 64-bit [[signSketch]]es (popcount of XOR — integer-exact),
+    * keep the best `rerank × k` per query, then rerank ONLY those by
+    * exact cosine over the original vectors. The memory-bound ladder's
+    * bottom rung: the corpus-wide pass touches 8 BYTES per vector
+    * (32× less IO than float32, 4× less than int8 codes), and full
+    * vectors are read for just the candidate sliver.
+    *
+    * Scale shape: query sketches broadcast; the sketch scan shuffles
+    * only (query, item, hamming) survivors of the per-query window
+    * (WindowGroupLimit prunes losers map-side); the rerank joins the
+    * TINY candidate set (broadcast) against the corpus, so original
+    * vectors never shuffle. Ties: coarse stage (hamming asc, item asc),
+    * final (cosine desc, item asc) — both deterministic. */
+  def hammingTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, rerank: Int = 10, dim: Int = 64,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = corpus
+      .select(col(corpusId).as("item_id"),
+        signSketch(col(corpusVec), dim).as("__cs"))
+      .crossJoin(broadcast(queries
+        .select(col(queryId).as("query_id"),
+          signSketch(col(queryVec), dim).as("__qs"))))
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("item_id"))
+      .withColumn("hamming",
+        call_function("bit_count", col("__cs").bitwiseXOR(col("__qs")))
+          .cast("int"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("hamming").asc, col("item_id").asc)))
+      .filter(col("__r") <= k * rerank)
+      .select("query_id", "item_id", "hamming")
+    corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("__cv"))
+      .join(broadcast(cand), "item_id")
+      .join(broadcast(queries
+        .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))),
+        "query_id")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("item_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "hamming", "cosine", "rank")
+  }
+
   /** Mean-pool embeddings per group — the "chunk → embed → pool" step
     * of document/multimodal pipelines (a document's vector as the mean
     * of its chunk vectors; a class centroid as the mean of its members).

@@ -281,6 +281,88 @@ object TextOps {
           * col("pass_stopwords") * col("pass_repetition"))
   }
 
+  /** Per-source percentile rank of a score column (`score_pct` ∈ [0,1],
+    * `percent_rank` semantics: rows strictly below / (n−1), ties share
+    * a rank) — threshold-free quality calibration: "keep each source's
+    * top 30%" survives sources with wildly different score
+    * distributions, where one global cutoff would empty some and
+    * keep all of others.
+    *
+    * Scale shape: the naive window (`percent_rank` partitioned by
+    * source over the DOC table) sends every row of a source through one
+    * reducer — the few-huge-sources killer. This op instead aggregates
+    * to the per-(source, score) HISTOGRAM, runs the cumulative window
+    * over those distinct-value rows only, and joins the percentile back
+    * by (source, score): the doc table sees one hash-agg and one
+    * equi-join, never a per-source sort. Distinct-score cardinality
+    * bounds the window input; quantize near-continuous scores first
+    * (e.g. `round(score, 4)`) to keep the histogram tiny. Scores must
+    * be non-null/non-NaN. Integer counts divide once at the end —
+    * bit-exact vs the oracle's percent_rank. */
+  def scorePercentiles(
+      sourceField: String, scoreField: String)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(sourceField).as("__s"), col(scoreField).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cdf = hist
+      .withColumn("__below",
+        sum("__c").over(Window.partitionBy("__s").orderBy("__v")) - col("__c"))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("__s")))
+      .select(col("__s"), col("__v"),
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise(col("__below").cast("double") / (col("__n") - 1L))
+          .as("score_pct"))
+    df.join(cdf,
+      col(sourceField) === col("__s") && col(scoreField) === col("__v"))
+      .drop("__s", "__v")
+  }
+
+  /** Per-source mixing report: document/token volumes, each source's
+    * token share, the caller's target share, and the sampling ratio
+    * (target/actual) a mixer must apply — the observability half of
+    * [[tokenBudgetMix]] (decide the budgets from this, then mix).
+    * Sources absent from `targets` get target 0. One hash-agg over the
+    * corpus plus a one-row broadcast total; counts stay integer until
+    * the share divisions. */
+  def mixReport(
+      sourceField: String, textField: String,
+      targets: Map[String, Double] = Map.empty)(df: DataFrame): DataFrame = {
+    val perSource = df.groupBy(col(sourceField).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textField)).cast("long")).as("n_tokens"))
+    val total = perSource.agg(sum("n_tokens").as("__tot"))
+    val target = targets.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (s, w)) => when(col("source") === s, lit(w)).otherwise(acc)
+    }
+    perSource.crossJoin(broadcast(total))
+      .withColumn("token_share", col("n_tokens").cast("double") / col("__tot"))
+      .withColumn("target_share", target)
+      .withColumn("sampling_ratio",
+        col("target_share") / col("token_share"))
+      .select("source", "n_docs", "n_tokens", "token_share",
+        "target_share", "sampling_ratio")
+  }
+
+  /** Context-window truncation: keep the first `maxTokens` whitespace
+    * tokens, pass shorter documents through UNTOUCHED (the explicit
+    * short-circuit keeps their text bit-identical rather than
+    * re-joined). Adds `n_tokens` (the ORIGINAL count — truncation
+    * observability) and the truncated text. Pure projection: no
+    * shuffle, codegen end to end. */
+  def truncateTokens(
+      textField: String, maxTokens: Int,
+      outField: String = "text_trunc")(df: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.bind
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    df.withColumn("__t", bind(tokens(col(textField))) { ts =>
+      struct(size(ts).cast("long").as("n_tokens"),
+        when(size(ts) <= maxTokens, col(textField))
+          .otherwise(array_join(slice(ts, 1, maxTokens), " "))
+          .as(outField))
+    }).select(df.columns.map(col) :+ col("__t.n_tokens") :+
+      col(s"__t.$outField"): _*)
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Identical normalization + digest in the oracle; exact-dup detection
     * is then a groupBy on this column. */

@@ -184,8 +184,22 @@ final case class Pipeline(df: DataFrame) {
       excludeSelf: Boolean = true): Pipeline =
     >>(c => graft.ext.Similarity.bruteForceTopKQuantized(c, corpusId,
       corpusVec, queries, queryId, queryVec, k, excludeSelf))
+  /** `this` is the corpus; sign-sketch coarse rank + cosine rerank. */
+  def hammingTopK(corpusId: String, corpusVec: String, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int, rerank: Int = 10,
+      dim: Int = 64, excludeSelf: Boolean = true): Pipeline =
+    >>(c => graft.ext.Similarity.hammingTopK(c, corpusId, corpusVec,
+      queries, queryId, queryVec, k, rerank, dim, excludeSelf))
   def gopherRules(idField: String, textField: String): Pipeline =
     >>(TextOps.gopherRules(idField, textField))
+  def scorePercentiles(sourceField: String, scoreField: String): Pipeline =
+    >>(TextOps.scorePercentiles(sourceField, scoreField))
+  def mixReport(sourceField: String, textField: String,
+      targets: Map[String, Double] = Map.empty): Pipeline =
+    >>(TextOps.mixReport(sourceField, textField, targets))
+  def truncateTokens(textField: String, maxTokens: Int,
+      outField: String = "text_trunc"): Pipeline =
+    >>(TextOps.truncateTokens(textField, maxTokens, outField))
   /** `this` is the labeled corpus; kNN majority-vote labels for `queries`. */
   def knnClassify(corpusId: String, corpusVec: String, labelField: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int): Pipeline =

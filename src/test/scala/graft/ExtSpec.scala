@@ -138,6 +138,36 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.85, s"quantized top-5 recall too low: $recall")
   }
 
+  test("signSketch packs sign bits; hammingTopK recall vs brute force") {
+    // bit d set iff vec[d] >= 0 (zero counts positive)
+    val codes = Seq((1L, Array(1f, -1f, 0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+      .select(Similarity.signSketch($"embedding", dim = 4)).head().getLong(0)
+    assert(codes === 5L) // bits 0 and 2 (1.0 and 0.0), not 1 and 3
+    // opposite vectors differ in every packed bit
+    val ham = Seq((Array(1f, 1f, -1f, -1f), Array(-1f, -1f, 1f, 1f)))
+      .toDF("a", "b")
+      .select(call_function("bit_count",
+        Similarity.signSketch($"a", 4).bitwiseXOR(
+          Similarity.signSketch($"b", 4)))).head().getInt(0)
+    assert(ham === 4)
+    // coarse-rank + rerank finds most of the exact top-5 on the fixture
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id".cast("long"), $"item_id".cast("long"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val full = sets(Similarity.bruteForceTopK(
+      e, "vec_id", "embedding", q, "vec_id", "embedding", k = 5))
+    val coarse = sets(Similarity.hammingTopK(
+      e, "vec_id", "embedding", q, "vec_id", "embedding", k = 5, rerank = 10))
+    val hits = full.map { case (k, bf) =>
+      coarse.getOrElse(k, Set.empty).intersect(bf).size }.sum
+    val recall = hits.toDouble / full.values.map(_.size).sum
+    assert(recall >= 0.5, s"hamming-rerank top-5 recall too low: $recall")
+  }
+
   test("gopherRules: each rule gates its own signal; NULL text fails like empty") {
     // 60 distinct-ish prose tokens with stopwords -> passes everything
     val good = (1 to 53).map(i => s"word$i").mkString(" ") +
@@ -159,6 +189,38 @@ class ExtSpec extends SparkSpec {
       .filter($"doc_id" === 1L)
       .select("n_tokens", "stop_hits").as[(Long, Long)].head()
     assert(sig._1 === 60L && sig._2 >= 2L)
+  }
+
+  test("scorePercentiles matches percent_rank semantics incl. ties") {
+    val df = Seq(
+      ("a", 1L, 0.1), ("a", 2L, 0.2), ("a", 3L, 0.2), ("a", 4L, 0.4),
+      ("b", 5L, 0.9)).toDF("source", "id", "score")
+    val out = TextOps.scorePercentiles("source", "score")(df)
+      .orderBy("id").select("id", "score_pct").as[(Long, Double)].collect()
+    // a: 4 rows -> below/(n-1): 0/3, 1/3, 1/3 (tie), 3/3; b: single row -> 0
+    assert(out === Array((1L, 0.0), (2L, 1.0 / 3), (3L, 1.0 / 3),
+      (4L, 1.0), (5L, 0.0)))
+  }
+
+  test("mixReport shares sum to 1 and sampling ratios invert actual shares") {
+    val df = Seq(
+      ("s1", "a b c d"), ("s1", "e f"), ("s2", "g h")).toDF("source", "text")
+    val out = TextOps.mixReport("source", "text", Map("s2" -> 0.75))(df)
+      .orderBy("source")
+      .select("source", "n_docs", "n_tokens", "token_share",
+        "target_share", "sampling_ratio")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(out(0) === (("s1", 2L, 6L, 0.75, 0.0, 0.0)))
+    assert(out(1) === (("s2", 1L, 2L, 0.25, 0.75, 3.0)))
+  }
+
+  test("truncateTokens clips long docs, passes short and NULL-free text through") {
+    val df = Seq((1L, "a b c d e"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextOps.truncateTokens("text", maxTokens = 3)(df)
+      .orderBy("doc_id").select("doc_id", "n_tokens", "text_trunc")
+      .as[(Long, Long, String)].collect()
+    assert(out(0) === ((1L, 5L, "a b c")))
+    assert(out(1) === ((2L, 2L, "x y"))) // untouched, not re-joined
   }
 
   test("labelVote elects the majority label, ties to the smallest label") {

@@ -27,6 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_topk_q8", // same broadcast query set, int8 codes
     "knn_label",         // broadcast query set (vec_id < 50)
     "centroid_assign",   // broadcast ONE-row centroid array
+    "similarity_hamming", // broadcast query sketch set (vec_id < 10)
+    "mix_report",        // broadcast one-row corpus token total
     "similarity_ivf",    // broadcast centroid ranking (id < nCentroids)
     "tfidf_top_terms",   // broadcast one-row corpus count
     "key_skew",          // broadcast one-row total count
