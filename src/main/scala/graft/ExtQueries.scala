@@ -88,6 +88,17 @@ object ExtQueries {
         .select("doc_id", "n_tokens", "text_trunc")
         .orderBy("doc_id")
     },
+    "novelty_scores" -> { (s, dir) =>
+      // fraction of each doc's 8-grams unique to it corpus-wide
+      TextOps.noveltyScores("doc_id", "text", n = 8)(
+        corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+    "token_histogram" -> { (s, dir) =>
+      // power-of-two doc-length histogram per source
+      TextOps.tokenHistogram("source", "text")(corpus(s, dir, "documents"))
+        .orderBy("source", "bin_lo")
+    },
     "fingerprint_dedup" -> { (s, dir) =>
       Dedup.exact(Seq("fingerprint"), "doc_id")(
         TextOps.withFingerprint("text")(corpus(s, dir, "documents")))
@@ -1185,6 +1196,32 @@ object ExtQueries {
       FROM (SELECT doc_id, text, string_split(text, ' ') AS ts
             FROM documents) t
       ORDER BY doc_id""",
+    // df-1 grams over the same distinct-shingle digests; gram-less docs
+    // survive the LEFT JOIN as (0, 0, 0.0) — mirrors TextOps.noveltyScores
+    "novelty_scores" -> s"""
+      WITH g AS (SELECT doc_id, md5(gg) AS h FROM (
+          SELECT doc_id, unnest(${shinglesSql(8)}) AS gg FROM documents) u),
+      dft AS (SELECT h, CAST(count(*) AS BIGINT) AS dfc FROM g GROUP BY h),
+      per AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        FROM g JOIN dft USING (h) GROUP BY g.doc_id)
+      SELECT d.doc_id,
+        coalesce(per.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+        coalesce(per.n_unique, CAST(0 AS BIGINT)) AS n_unique,
+        CASE WHEN coalesce(per.n_grams, 0) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(per.n_unique AS DOUBLE) / per.n_grams END AS novelty
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      ORDER BY d.doc_id""",
+    // floor(log2(n)) as length(bin(n)) - 1: integer/string arithmetic,
+    // no floating log — mirrors TextOps.tokenHistogram
+    "token_histogram" -> """
+      WITH t AS (SELECT source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+      SELECT source,
+        CAST(CAST(1 AS BIGINT) << (length(bin(n)) - 1) AS BIGINT) AS bin_lo,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source, bin_lo ORDER BY source, bin_lo""",
     "fingerprint_dedup" ->
       """SELECT doc_id, lang,
          md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint

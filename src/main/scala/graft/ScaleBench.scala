@@ -133,6 +133,46 @@ object ScaleBench {
     ccRows.foreach { case (k, d, v, a, b, c) =>
       println(f"$k,$d,$v,$a%.2f,$b%.2f,$c%.2f")
     }
+
+    // ANN-ladder scaling: fixed 10-query set, growing corpus, one cell
+    // per precision rung (float32 cosine / int8 codes / 64-bit sign
+    // sketch + rerank). All three are corpus-linear by construction
+    // (broadcast queries, no corpus shuffle); these cells pin the
+    // CONSTANT factors. Caveat the docs state too: local[32] reads from
+    // page cache, so the int8/sketch rungs show their compute cost
+    // here, not the 4×/32× scan-IO win — that materializes when codes/
+    // sketches are STORED columns on a real cluster.
+    import graft.ext.Similarity
+    val annQ = vecsBase.filter(col("vec_id") < 10)
+    def annFloat(vecs: DataFrame): Unit =
+      Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        annQ, "vec_id", "embedding", k = 5)
+        .write.mode("overwrite").format("noop").save()
+    def annQ8(vecs: DataFrame): Unit =
+      Similarity.bruteForceTopKQuantized(vecs, "vec_id", "embedding",
+        annQ, "vec_id", "embedding", k = 5)
+        .write.mode("overwrite").format("noop").save()
+    def annHam(vecs: DataFrame): Unit =
+      Similarity.hammingTopK(vecs, "vec_id", "embedding",
+        annQ, "vec_id", "embedding", k = 5, rerank = 10)
+        .write.mode("overwrite").format("noop").save()
+    locally {
+      val v1 = replicatedVecs(1).localCheckpoint()
+      annFloat(v1); annQ8(v1); annHam(v1)
+      v1.unpersist()
+    }
+    val annRows = for (k <- Seq(1, 2, 4)) yield {
+      val vecs = replicatedVecs(k).localCheckpoint()
+      val tF = median3(annFloat(vecs))
+      val tQ = median3(annQ8(vecs))
+      val tH = median3(annHam(vecs))
+      vecs.unpersist()
+      (k, nv * k, tF, tQ, tH)
+    }
+    println("corpus_x,vecs,ann_float_sec,ann_int8_sec,ann_hamming_sec")
+    annRows.foreach { case (k, v, a, b, c) =>
+      println(f"$k,$v,$a%.2f,$b%.2f,$c%.2f")
+    }
     spark.stop()
   }
 }

@@ -363,6 +363,58 @@ object TextOps {
       col(s"__t.$outField"): _*)
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * n-gram digests that occur NOWHERE else in the corpus (document
+    * frequency 1) — the inverse of a contamination/duplication signal,
+    * used to up-weight genuinely new material and to catch templated
+    * sources whose every document says the same thing (novelty ≈ 0).
+    *
+    * Single-scan discipline: the distinct (doc, gram-digest) projection
+    * materializes ONCE (localCheckpoint) and feeds both the
+    * document-frequency aggregation and the re-join — the same shape
+    * (and fix) as `unigramCfQuality`. Digests shuffle, never gram
+    * strings. Documents with fewer than n tokens keep a row
+    * (explode_outer + left join): (0, 0, 0.0) — nothing silently
+    * vanishes. Integer counts, one final division — exact
+    * cross-engine. */
+  def noveltyScores(
+      idField: String, textField: String, n: Int = 8)(
+      df: DataFrame): DataFrame = {
+    val grams = df.select(col(idField).as("__id"),
+      explode_outer(shingles(col(textField), n)).as("__g"))
+      .select(col("__id"), md5(col("__g")).as("__h"))
+      .localCheckpoint()
+    val dfTab = grams.filter(col("__h").isNotNull)
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+    grams.join(dfTab, Seq("__h"), "left")
+      .groupBy("__id")
+      .agg(count(col("__h")).as("n_grams"),
+        coalesce(sum(when(col("__df") === 1L, 1L)), lit(0L)).as("n_unique"))
+      .select(col("__id").as(idField), col("n_grams"), col("n_unique"),
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(col("n_unique").cast("double") / col("n_grams"))
+          .as("novelty"))
+  }
+
+  /** Power-of-two token-length histogram per source: one row per
+    * (source, bin) with the doc count and token volume whose length
+    * falls in [2^k, 2^(k+1)) — the input to packing-budget and
+    * shuffle-partition sizing decisions (how much of each source is
+    * short-tail vs book-length). `bin_lo` is the bin's lower bound.
+    * floor(log2) computes as `length(bin(n)) - 1` — pure integer/string
+    * arithmetic, identical in both engines (no floating log). One
+    * hash-agg of |sources × ~20 bins| rows; token counts are ≥ 1 by
+    * split semantics, so the log is total. */
+  def tokenHistogram(
+      sourceField: String, textField: String)(df: DataFrame): DataFrame = {
+    val n = tokenCount(col(textField)).cast("long")
+    val k = (length(bin(n)) - 1).cast("int")
+    df.select(col(sourceField).as("source"), n.as("__n"),
+      call_function("shiftleft", lit(1L), k).as("bin_lo"))
+      .groupBy("source", "bin_lo")
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Identical normalization + digest in the oracle; exact-dup detection
     * is then a groupBy on this column. */

@@ -200,6 +200,10 @@ final case class Pipeline(df: DataFrame) {
   def truncateTokens(textField: String, maxTokens: Int,
       outField: String = "text_trunc"): Pipeline =
     >>(TextOps.truncateTokens(textField, maxTokens, outField))
+  def noveltyScores(idField: String, textField: String, n: Int = 8): Pipeline =
+    >>(TextOps.noveltyScores(idField, textField, n))
+  def tokenHistogram(sourceField: String, textField: String): Pipeline =
+    >>(TextOps.tokenHistogram(sourceField, textField))
   /** `this` is the labeled corpus; kNN majority-vote labels for `queries`. */
   def knnClassify(corpusId: String, corpusVec: String, labelField: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int): Pipeline =

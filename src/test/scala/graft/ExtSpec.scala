@@ -223,6 +223,38 @@ class ExtSpec extends SparkSpec {
     assert(out(1) === ((2L, 2L, "x y"))) // untouched, not re-joined
   }
 
+  test("noveltyScores: dup docs score 0, unique docs 1, short docs keep a row") {
+    val df = Seq(
+      (1L, "a b c d e f"),  // trigrams shared with doc 2 -> novelty 0
+      (2L, "a b c d e f"),
+      (3L, "q r s t u v"),  // all trigrams unique -> novelty 1
+      (4L, "x y")           // no trigram -> (0, 0, 0.0), still present
+    ).toDF("doc_id", "text")
+    val out = TextOps.noveltyScores("doc_id", "text", n = 3)(df)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_unique", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out(0) === ((1L, 4L, 0L, 0.0)))
+    assert(out(1) === ((2L, 4L, 0L, 0.0)))
+    assert(out(2) === ((3L, 4L, 4L, 1.0)))
+    assert(out(3) === ((4L, 0L, 0L, 0.0)))
+  }
+
+  test("tokenHistogram bins doc lengths at powers of two") {
+    val df = Seq(
+      ("s1", "a"),            // 1 token  -> bin 1
+      ("s1", "a b c"),        // 3 tokens -> bin 2
+      ("s1", "a b"),          // 2 tokens -> bin 2
+      ("s2", "a b c d e f g h")) // 8 tokens -> bin 8
+      .toDF("source", "text")
+    val out = TextOps.tokenHistogram("source", "text")(df)
+      .orderBy("source", "bin_lo")
+      .select("source", "bin_lo", "n_docs", "n_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out === Array(
+      ("s1", 1L, 1L, 1L), ("s1", 2L, 2L, 5L), ("s2", 8L, 1L, 8L)))
+  }
+
   test("labelVote elects the majority label, ties to the smallest label") {
     val neighbors = Seq(
       (1L, 10L), (1L, 11L), (1L, 12L),   // labels 7, 7, 9 -> 7 by majority
