@@ -348,7 +348,8 @@ object Similarity {
       .select("query_id", "item_id", "cosine", "rank")
   }
 
-  /** 64-bit sign sketch of an embedding: bit d set iff `vec[d] >= 0` —
+  /** 64-bit sign sketch of an embedding: bit d set iff `vec[d] >= 0`
+    * (IEEE: -0.0 counts positive, NaN never sets a bit) —
     * the 1-bit-per-dimension binarization that compresses a float32
     * vector 32× (one BIGINT per vector). Hamming distance between
     * sketches approximates angular distance (each agreeing sign bit is
@@ -356,12 +357,29 @@ object Similarity {
     * coarse-ranking structure of [[hammingTopK]]. Pure integer bit
     * arithmetic — exact cross-engine. Dims past 64 are ignored
     * (`dim` ≤ 64); the multi-word generalization is a long-array of
-    * these. */
-  def signSketch(vec: Column, dim: Int = 64): Column = {
+    * these. Lowered to the native codegen kernel
+    * ([[graft.functions.SignSketch64]]) — the HOF fold is a
+    * CodegenFallback `ArrayAggregate` that pays per-element lambda
+    * dispatch on every corpus row; [[signSketchHof]] is the executable
+    * spec the kernel is tested bit-identical against. */
+  def signSketch(vec: Column, dim: Int = 64): Column =
+    graft.functions.GraftFunctions.signSketch64(vec, dim)
+
+  /** Higher-order-function form of [[signSketch]] — the executable
+    * specification the native kernel is tested against. The sign test
+    * is IEEE `>= 0` (NaN sets no bit, -0.0 does) — NOT Spark SQL's
+    * total-order `>=`, which ranks NaN above everything and -0.0 below
+    * 0.0; the spec spells the IEEE semantics out via the explicit
+    * isnan / equals-zero branches (Spark's `===` treats -0.0 = 0.0).
+    * Dimensions past the array length contribute 0 (out-of-range
+    * `try_element_at` is NULL — ANSI `element_at` would throw — and
+    * NULL falls through to the 0 branch). */
+  def signSketchHof(vec: Column, dim: Int = 64): Column = {
     require(dim >= 1 && dim <= 64, s"sketch packs 1..64 dims, got $dim")
     aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, d) =>
       acc.bitwiseOR(
-        when(element_at(vec, d + 1) >= lit(0f),
+        when(graft.functions.GraftFunctions.bind(try_element_at(vec, d + 1)) {
+            x => !isnan(x) && (x >= lit(0f) || x === lit(0f)) },
           call_function("shiftleft", lit(1L), d)).otherwise(lit(0L))))
   }
 

@@ -56,6 +56,12 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         arity("graft_jaccard", children, 2)
         ArrayJaccard(children.head, children(1)) }),
+    ("graft_sign_sketch",
+      new ExpressionInfo(classOf[SignSketch64].getName, "graft_sign_sketch"),
+      { children: Seq[Expression] =>
+        arity("graft_sign_sketch", children, 2)
+        SignSketch64(children.head,
+          litInt(children(1), "graft_sign_sketch", "dim")) }),
     ("graft_winnow",
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
       { children: Seq[Expression] =>
@@ -140,6 +146,11 @@ object GraftFunctions {
     * [[ArrayJaccard]]). */
   def arrayJaccard(a: Column, b: Column): Column =
     Bridge.column(ArrayJaccard(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Native 64-bit sign sketch over a numeric array (see
+    * [[SignSketch64]]). */
+  def signSketch64(vec: Column, dim: Int): Column =
+    Bridge.column(SignSketch64(Bridge.expression(vec), dim))
 
   /** Native 60-bit SimHash over a token array (see [[SimHash60]]). */
   def simhash60(tokens: Column): Column =

@@ -44,6 +44,30 @@ class HashExpressionsSpec extends SparkSpec {
     assert(diffs === 0L)
   }
 
+  test("native sign sketch equals the HOF form incl. zeros, negatives, short arrays") {
+    import graft.ext.Similarity
+    val rnd = new scala.util.Random(7)
+    val gen = (1 to 60).map(i => (i.toLong,
+      Array.fill(rnd.nextInt(70))((rnd.nextFloat() - 0.5f) * 4f)))
+    val edges = Seq(
+      (100L, Array.empty[Float]),            // no dims -> sketch 0
+      (101L, Array(0f, -0f, Float.NaN)),     // 0 and -0 set bits, NaN not
+      (102L, Array.fill(64)(-1f)),           // all-negative full width
+      (103L, Array.fill(70)(1f)))            // dims past 64 ignored
+    val vecs = (gen ++ edges).toDF("id", "vec")
+    for (dim <- Seq(8, 64)) {
+      val diffs = vecs.select(
+        Similarity.signSketch($"vec", dim).as("n"),
+        Similarity.signSketchHof($"vec", dim).as("h"))
+        .filter($"n" =!= $"h").count()
+      assert(diffs === 0L, s"sign sketch mismatch at dim=$dim")
+    }
+    // spot-pin the bit semantics: 0 and -0 count positive, NaN does not
+    val s = vecs.filter($"id" === 101L)
+      .select(Similarity.signSketch($"vec", 4)).head().getLong(0)
+    assert(s === 3L)
+  }
+
   test("native winnow fingerprints equal the HOF form") {
     val diffs = corpus.filter(length($"text") > 0).select(
       TextOps.winnowFingerprints($"text", 8, 4).as("n"),
