@@ -99,6 +99,14 @@ object ExtQueries {
       TextOps.tokenHistogram("source", "text")(corpus(s, dir, "documents"))
         .orderBy("source", "bin_lo")
     },
+    "downsample_mix" -> { (s, dir) =>
+      // drop-to-target mixing: src0 near its actual share, src1/src2
+      // down-sampled, every other source to zero
+      TextOps.downsampleToTargets("doc_id", "source", "text",
+        Map("src0" -> 0.05, "src1" -> 0.02, "src2" -> 0.02))(
+        corpus(s, dir, "documents"))
+        .select("doc_id", "source").orderBy("doc_id")
+    },
     "fingerprint_dedup" -> { (s, dir) =>
       Dedup.exact(Seq("fingerprint"), "doc_id")(
         TextOps.withFingerprint("text")(corpus(s, dir, "documents")))
@@ -1212,6 +1220,31 @@ object ExtQueries {
              ELSE CAST(per.n_unique AS DOUBLE) / per.n_grams END AS novelty
       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       ORDER BY d.doc_id""",
+    // sampling ratio = least(target/actual-share, 1), keep iff the
+    // salted 32-bit md5 prefix < p * 2^32 — mirrors
+    // TextOps.downsampleToTargets/hashBernoulli (salt 'bern')
+    "downsample_mix" -> """
+      WITH per AS (SELECT source,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+      r AS (SELECT source AS src,
+          least((CASE WHEN source = 'src0' THEN 5e-2
+                      WHEN source = 'src1' THEN 2e-2
+                      WHEN source = 'src2' THEN 2e-2
+                      ELSE CAST(0 AS DOUBLE) END)
+                / (CAST(n_tokens AS DOUBLE) / t),
+            CAST(1 AS DOUBLE)) AS p
+        FROM per, tot)
+      SELECT doc_id, source FROM (
+        SELECT d.doc_id, d.source, r.p,
+          list_sum(list_transform(range(1, 9), j ->
+            (strpos('0123456789abcdef',
+               substr(md5('bern' || CAST(d.doc_id AS VARCHAR)), j, 1)) - 1)
+            * CAST(16**(8-j) AS BIGINT))) AS h
+        FROM documents d JOIN r ON d.source = r.src) x
+      WHERE CAST(h AS DOUBLE) < p * CAST(4294967296 AS DOUBLE)
+      ORDER BY doc_id""",
     // floor(log2(n)) as length(bin(n)) - 1: integer/string arithmetic,
     // no floating log — mirrors TextOps.tokenHistogram
     "token_histogram" -> """

@@ -415,6 +415,41 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
   }
 
+  /** Deterministic per-row Bernoulli keep-predicate: keep iff the
+    * row's 32-bit md5 hash prefix falls below `prob × 2^32` — sampling
+    * with a PER-ROW probability column (no RNG state, rerun-identical,
+    * keep decisions independent of partitioning and row order; the
+    * same md5-prefix primitive as [[hashSplit]]). `prob ≥ 1` keeps
+    * everything, `≤ 0` drops everything. The weighted-sampling shape
+    * logs would otherwise force — exp-draw A-ES sampling — is
+    * deliberately avoided (no libm in scores); per-row probabilities
+    * cover the mixing/down-sampling uses. */
+  def hashBernoulli(key: Column, prob: Column, salt: String = "bern"): Column =
+    graft.functions.GraftFunctions.md5Prefix32(key, salt).cast("double") <
+      prob * lit(4294967296.0)
+
+  /** Down-sample every source to its target token share in one pass:
+    * [[mixReport]] computes each source's sampling ratio
+    * (target/actual, capped at 1 — this op only removes), the tiny
+    * per-source ratio table broadcasts back onto the corpus, and
+    * [[hashBernoulli]] keeps each document with that probability —
+    * deterministic, rerun-identical, no shuffle of the corpus beyond
+    * the report's one hash-agg. The standard "hit the target mixture
+    * by dropping" mixer; for hard token-budget prefixes use
+    * [[tokenBudgetMix]] instead (exact budgets, heavier machinery).
+    * Sources absent from `targets` sample at 0 and vanish. */
+  def downsampleToTargets(
+      idField: String, sourceField: String, textField: String,
+      targets: Map[String, Double], salt: String = "bern")(
+      df: DataFrame): DataFrame = {
+    val ratios = mixReport(sourceField, textField, targets)(df)
+      .select(col("source").as("__src"),
+        least(col("sampling_ratio"), lit(1.0)).as("__p"))
+    df.join(broadcast(ratios), col(sourceField) === col("__src"))
+      .filter(hashBernoulli(col(idField), col("__p"), salt))
+      .drop("__src", "__p")
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Identical normalization + digest in the oracle; exact-dup detection
     * is then a groupBy on this column. */

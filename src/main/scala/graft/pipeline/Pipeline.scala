@@ -202,6 +202,14 @@ final case class Pipeline(df: DataFrame) {
     >>(TextOps.truncateTokens(textField, maxTokens, outField))
   def noveltyScores(idField: String, textField: String, n: Int = 8): Pipeline =
     >>(TextOps.noveltyScores(idField, textField, n))
+  def hashBernoulli(key: Column, prob: Column,
+      salt: String = "bern"): Pipeline =
+    >>(_.filter(TextOps.hashBernoulli(key, prob, salt)))
+  def downsampleToTargets(idField: String, sourceField: String,
+      textField: String, targets: Map[String, Double],
+      salt: String = "bern"): Pipeline =
+    >>(TextOps.downsampleToTargets(idField, sourceField, textField,
+      targets, salt))
   def tokenHistogram(sourceField: String, textField: String): Pipeline =
     >>(TextOps.tokenHistogram(sourceField, textField))
   /** `this` is the labeled corpus; kNN majority-vote labels for `queries`. */

@@ -255,6 +255,31 @@ class ExtSpec extends SparkSpec {
       ("s1", 1L, 1L, 1L), ("s1", 2L, 2L, 5L), ("s2", 8L, 1L, 8L)))
   }
 
+  test("hashBernoulli: p>=1 keeps all, p<=0 drops all, rates track p, rerun-identical") {
+    val df = (1L to 2000L).toDF("id")
+    assert(df.filter(TextOps.hashBernoulli($"id", lit(1.0))).count() === 2000L)
+    assert(df.filter(TextOps.hashBernoulli($"id", lit(0.0))).count() === 0L)
+    val kept = df.filter(TextOps.hashBernoulli($"id", lit(0.3))).count()
+    assert(kept > 450 && kept < 750, s"0.3-sample kept $kept of 2000")
+    val again = df.filter(TextOps.hashBernoulli($"id", lit(0.3))).count()
+    assert(again === kept) // deterministic, no RNG state
+  }
+
+  test("downsampleToTargets hits target shares and zeroes unlisted sources") {
+    val docs = (1L to 3000L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 13}", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    // equal thirds; targets: s0 fully kept (cap at 1), s1 halved, s2 dropped
+    val out = TextOps.downsampleToTargets("doc_id", "source", "text",
+      Map("s0" -> 0.5, "s1" -> 0.1666))(docs)
+    val bySrc = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc.getOrElse("s2", 0L) === 0L)
+    assert(bySrc("s0") === 1000L)                 // ratio capped at 1
+    assert(bySrc("s1") > 350L && bySrc("s1") < 650L) // ~ half
+    assert(out.columns.toSeq === Seq("doc_id", "text", "source"))
+  }
+
   test("labelVote elects the majority label, ties to the smallest label") {
     val neighbors = Seq(
       (1L, 10L), (1L, 11L), (1L, 12L),   // labels 7, 7, 9 -> 7 by majority

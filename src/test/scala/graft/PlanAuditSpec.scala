@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "centroid_assign",   // broadcast ONE-row centroid array
     "similarity_hamming", // broadcast query sketch set (vec_id < 10)
     "mix_report",        // broadcast one-row corpus token total
+    "downsample_mix",    // same one-row total inside its mixReport
     "similarity_ivf",    // broadcast centroid ranking (id < nCentroids)
     "tfidf_top_terms",   // broadcast one-row corpus count
     "key_skew",          // broadcast one-row total count

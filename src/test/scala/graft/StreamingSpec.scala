@@ -188,4 +188,29 @@ class StreamingSpec extends SparkSpec {
       assert(rows.filter(_._1 == 2L).map(_._3).toSeq === Seq("a b", "c"))
     } finally q.stop()
   }
+
+  test("gopher gating, truncation, and Bernoulli sampling lift to a stream") {
+    // the round-9 stateless ops are pure projections/filters too — the
+    // same calls run per micro-batch with no state store
+    import graft.ext.TextOps
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    val gated = TextOps.truncateTokens("text", maxTokens = 3)(
+      input.toDF().toDF("doc_id", "text")
+        .filter(TextOps.hashBernoulli(col("doc_id"), lit(1.0))))
+    val q = gated.writeStream.format("memory").queryName("gated")
+      .outputMode("append").start()
+    try {
+      input.addData(1L -> "a b c d e", 2L -> "x y")
+      q.processAllAvailable()
+      val rows = spark.table("gated")
+        .select("doc_id", "n_tokens", "text_trunc")
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+      assert(rows.toSeq === Seq((1L, 5L, "a b c"), (2L, 2L, "x y")))
+      // gopherRules streams too (projection only); smoke the plan lifts
+      val g = TextOps.gopherRules("doc_id", "text")(
+        input.toDF().toDF("doc_id", "text"))
+      assert(g.isStreaming)
+    } finally q.stop()
+  }
 }
