@@ -321,15 +321,20 @@ object TextOps {
     * token share, the caller's target share, and the sampling ratio
     * (target/actual) a mixer must apply — the observability half of
     * [[tokenBudgetMix]] (decide the budgets from this, then mix).
-    * Sources absent from `targets` get target 0. One hash-agg over the
-    * corpus plus a one-row broadcast total; counts stay integer until
-    * the share divisions. */
+    * Sources absent from `targets` get target 0. ONE hash-agg over the
+    * corpus: the per-source frame materializes (localCheckpoint —
+    * |sources| rows) before the one-row total derives from it, so the
+    * corpus is scanned exactly once (the naive shape re-runs the
+    * token-count aggregation under the total — the multi-scan class
+    * `source_overlap`/`unigramCfQuality` already fixed). Counts stay
+    * integer until the share divisions. */
   def mixReport(
       sourceField: String, textField: String,
       targets: Map[String, Double] = Map.empty)(df: DataFrame): DataFrame = {
     val perSource = df.groupBy(col(sourceField).as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCount(col(textField)).cast("long")).as("n_tokens"))
+      .localCheckpoint()
     val total = perSource.agg(sum("n_tokens").as("__tot"))
     val target = targets.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
       case (acc, (s, w)) => when(col("source") === s, lit(w)).otherwise(acc)

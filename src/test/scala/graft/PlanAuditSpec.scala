@@ -83,7 +83,7 @@ class PlanAuditSpec extends SparkSpec {
     // the single scan happened once, at checkpoint materialization —
     // and every consumer branch must read the checkpointed RDD.
     Seq("source_overlap", "source_overlap_sampled",
-        "unigram_cf_quality").foreach { name =>
+        "unigram_cf_quality", "mix_report").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("FileScan") && !plan.contains("documents"),
@@ -91,6 +91,12 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains("ExistingRDD"),
         s"$name shows no checkpointed-RDD scan:\n$plan")
     }
+    // downsample_mix joins the corpus against its checkpointed report:
+    // exactly ONE corpus scan (the join leg), the report side none
+    val dsPlan = SparkEntry.queries("downsample_mix")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(dsPlan.linesIterator.count(_.contains("FileScan")) === 1,
+      s"downsample_mix should scan the corpus exactly once:\n$dsPlan")
   }
 
   test("no query plans a Scala UDF except the documented predicate surface") {
