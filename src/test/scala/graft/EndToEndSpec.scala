@@ -99,4 +99,65 @@ class EndToEndSpec extends SparkSpec {
     }
     assert(rerun === decon.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("gopher gate -> percentile calibration -> downsample -> truncate composes") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+
+    // 1. rule battery is observability: one row per doc, then the caller
+    // chooses which verdicts to gate on
+    val rules = TextOps.gopherRules("doc_id", "text")(docs)
+    assert(rules.count() === total)
+    val keep = rules.filter(col("pass_repetition") === 1L
+      && col("pass_alpha") === 1L).select("doc_id")
+    val nKeep = keep.count()
+    assert(nKeep > 0 && nKeep <= total)
+
+    // 2. per-source percentile calibration of the quality score: the
+    // "top half of every source" gate no global threshold can express
+    val scored = TextOps.scorePercentiles("source", "quality")(
+      TextOps.withQuality("text")(docs.join(keep, "doc_id")))
+    assert(scored.count() === nKeep) // calibration drops nothing
+    val pcts = scored.select("score_pct").as[Double].collect()
+    assert(pcts.forall(p => p >= 0.0 && p <= 1.0))
+    val top = scored.filter(col("score_pct") >= 0.5)
+    assert(top.count() > 0 && top.count() < nKeep)
+
+    // 3. novelty joins on as a weighting signal, one row per doc, [0,1]
+    val nov = TextOps.noveltyScores("doc_id", "text")(docs)
+    assert(nov.count() === total)
+    assert(nov.select("novelty").as[Double].collect()
+      .forall(v => v >= 0.0 && v <= 1.0))
+
+    // 4. drop-to-target mixing keeps only targeted sources, a subset of
+    // its input, deterministically
+    val sampled = TextOps.downsampleToTargets("doc_id", "source", "text",
+      Map("src0" -> 0.2, "src1" -> 0.1))(
+      top.select("doc_id", "text", "source"))
+    val srcs = sampled.select("source").distinct().as[String].collect().toSet
+    assert(srcs.subsetOf(Set("src0", "src1")))
+    val topIds = top.select("doc_id").as[Long].collect().toSet
+    val sampledIds = sampled.select("doc_id").as[Long].collect().toSet
+    assert(sampledIds.subsetOf(topIds))
+
+    // 5. context-window truncation: row-conserving, never grows a doc
+    val trunc = TextOps.truncateTokens("text", maxTokens = 30)(sampled)
+    assert(trunc.count() === sampled.count())
+    val widths = trunc.select(
+      TextOps.tokenCount(col("text_trunc")).cast("long"), col("n_tokens"))
+      .as[(Long, Long)].collect()
+    assert(widths.forall { case (w, n) => w <= 30L.min(n).max(1L) })
+
+    // 6. histogram observability on the final selection conserves counts
+    val hist = TextOps.tokenHistogram("source", "text")(sampled)
+    assert(hist.agg(sum("n_docs")).as[Long].head() === sampled.count())
+
+    // end-to-end determinism of the selection
+    val rerun = TextOps.downsampleToTargets("doc_id", "source", "text",
+      Map("src0" -> 0.2, "src1" -> 0.1))(
+      top.select("doc_id", "text", "source"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(rerun === sampledIds)
+  }
 }
