@@ -132,6 +132,15 @@ object ExtQueries {
         docs.filter(col("doc_id") >= 250))
         .select("doc_id", "lang").orderBy("doc_id")
     },
+    "dedup_map" -> { (s, dir) =>
+      // a batch where docs < 50 arrive twice (re-crawl): the provenance
+      // map re-points every replica to its canonical smallest-id copy
+      val docs = corpus(s, dir, "documents")
+      val batch = docs.unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.duplicateMapByFingerprint("text", "doc_id")(batch)
+        .orderBy("dup_id", "kept_id")
+    },
     "contamination_report" -> { (s, dir) =>
       // the audit BEFORE decontaminate drops anything: per batch doc,
       // matched vs total distinct 8-gram digests against the benchmark
@@ -1337,6 +1346,21 @@ object ExtQueries {
          QUALIFY row_number() OVER (
            PARTITION BY user_id, event_type ORDER BY event_id) = 1
          ORDER BY user_id, event_type""",
+    // winner = min id per fingerprint group; one (dup, kept) row per
+    // non-winner — mirrors Dedup.duplicateMapByFingerprint
+    "dedup_map" -> """
+      WITH batch AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        WHERE doc_id < 50),
+      f AS (SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+        FROM batch),
+      w AS (SELECT fp, CAST(min(doc_id) AS BIGINT) AS kept_id
+        FROM f GROUP BY fp)
+      SELECT f.doc_id AS dup_id, w.kept_id FROM f JOIN w USING (fp)
+      WHERE f.doc_id <> w.kept_id ORDER BY dup_id, kept_id""",
     "minhash_pairs" -> minhashNearDupSql(shingleN = 3, threshold = "2e-1"),
     // components of the near-dup graph via recursive min-label closure —
     // a pure function of the pair set, so it mirrors Spark's iterative

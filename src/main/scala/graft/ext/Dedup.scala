@@ -53,6 +53,33 @@ object Dedup {
       df.withColumn("__fp", TextOps.fingerprint(col(textField))))
       .drop("__fp")
 
+  /** Duplicate PROVENANCE map: one row per dropped duplicate,
+    * `(dup_id, kept_id)` — the redirect table a dedup pass should emit
+    * alongside its survivors, so downstream references (citations,
+    * labels, URL maps) re-point to the canonical document instead of
+    * dangling. Winner per key group = the smallest id, matching
+    * [[exact]]'s min-id election when id is the tie-break.
+    *
+    * Scale shape: the (keys, id) projection materializes once
+    * (localCheckpoint), winners are one min hash-agg over it, and the
+    * map is an equi-join of the two — digest-sized rows only, no text
+    * shuffles, no per-group collect (heavy-duplication keys cost join
+    * fan-out, not driver memory). */
+  def duplicateMap(keys: Seq[String], idField: String)(df: DataFrame): DataFrame = {
+    val slim = df.select((keys :+ idField).map(col): _*).localCheckpoint()
+    val winners = slim.groupBy(keys.map(col): _*)
+      .agg(min(col(idField)).as("kept_id"))
+    slim.join(winners, keys)
+      .filter(col(idField) =!= col("kept_id"))
+      .select(col(idField).as("dup_id"), col("kept_id"))
+  }
+
+  /** [[duplicateMap]] keyed by the normalized-text fingerprint. */
+  def duplicateMapByFingerprint(
+      textField: String, idField: String)(df: DataFrame): DataFrame =
+    duplicateMap(Seq("__fp"), idField)(
+      df.withColumn("__fp", TextOps.fingerprint(col(textField))))
+
   /** Incremental dedup — the shape every recurring ingest (crawl N+1)
     * runs: drop batch rows whose content fingerprint already exists in
     * `seen` (the historical index), then dedup within the batch itself.

@@ -234,6 +234,10 @@ final case class Pipeline(df: DataFrame) {
       salt: String = ""): Pipeline =
     >>(Dedup.clusterSafeSplit(idField, textField, splits, threshold,
       numHashes, bands, shingleSize, salt))
+  def duplicateMap(keys: Seq[String], idField: String): Pipeline =
+    >>(Dedup.duplicateMap(keys, idField))
+  def duplicateMapByFingerprint(textField: String, idField: String): Pipeline =
+    >>(Dedup.duplicateMapByFingerprint(textField, idField))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

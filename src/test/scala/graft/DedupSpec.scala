@@ -353,6 +353,22 @@ class DedupSpec extends SparkSpec {
         batch1, threshold = 0.9)(batch2))
   }
 
+  test("duplicateMap emits one (dup, kept) row per dropped row and partitions with exact") {
+    val df = Seq(
+      (1L, "k1"), (5L, "k1"), (3L, "k1"),  // kept 1; dups 3, 5
+      (2L, "k2"),                          // unique: no map row
+      (7L, "k3"), (4L, "k3"))              // kept 4; dup 7
+      .toDF("id", "key")
+    val map = Dedup.duplicateMap(Seq("key"), "id")(df)
+      .orderBy("dup_id").as[(Long, Long)].collect()
+    assert(map.toSeq === Seq((3L, 1L), (5L, 1L), (7L, 4L)))
+    // survivors (min-id election) and dup_ids partition the input ids
+    val kept = Dedup.exact(Seq("key"), "id")(df)
+      .select("id").as[Long].collect().toSet
+    assert(kept ++ map.map(_._1) === Set(1L, 2L, 3L, 4L, 5L, 7L))
+    assert(kept.intersect(map.map(_._1).toSet).isEmpty)
+  }
+
   test("clusterDedupByQuality: NULL and NaN quality lose to any real candidate") {
     // negate(NULL) is NULL, which sorts FIRST in a bare ascending struct
     // — a row missing quality would beat every real candidate; the
