@@ -311,4 +311,72 @@ class PropertySpec extends SparkSpec {
       assert(again === out.map(_._2).toSet)
     }
   }
+
+  test("quantized cosine tracks exact cosine within int8 rounding error") {
+    import graft.ext.Similarity
+    val vecGen: Gen[List[(Array[Float], Array[Float])]] = Gen.listOfN(25,
+      Gen.zip(
+        Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 250.0f)).map(_.toArray),
+        Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 250.0f)).map(_.toArray)))
+    for (pairs <- draws(vecGen, 3)) {
+      val rows = pairs.toDF("a", "b")
+        .select(
+          Similarity.cosineHof($"a", $"b").as("exact"),
+          Similarity.quantizedCosine(
+            Similarity.quantizeInt8($"a"), Similarity.quantizeInt8($"b"))
+            .as("q8"))
+        .as[(Double, Double)].collect()
+      // int8 rounding perturbs each normalized coordinate by <= 1/254,
+      // so over 16 dims the cosine moves by a small bounded amount
+      rows.foreach { case (e, q) =>
+        assert(math.abs(e - q) < 0.12, s"quantized cosine drifted: $e vs $q")
+        assert(q >= -1.0000001 && q <= 1.0000001)
+      }
+    }
+  }
+
+  test("sign-sketch hamming is a bounded symmetric pseudo-metric") {
+    import graft.ext.Similarity
+    val vecGen: Gen[List[(Long, Array[Float])]] = Gen.listOfN(20,
+      Gen.zip(Gen.chooseNum(1L, 1000000L),
+        Gen.listOfN(32, Gen.chooseNum(-500, 500).map(_ / 100.0f)).map(_.toArray)))
+    for (vecs <- draws(vecGen, 3)) {
+      val df = vecs.toDF("id", "v")
+        .select(Similarity.signSketch($"v", dim = 32).as("s"))
+      val sketches = df.as[Long].collect()
+      // bounded by dim; self-distance 0; symmetric by construction
+      for (a <- sketches; b <- sketches) {
+        val h = java.lang.Long.bitCount(a ^ b)
+        assert(h >= 0 && h <= 32)
+        assert(h === java.lang.Long.bitCount(b ^ a))
+      }
+      assert(sketches.forall(s => java.lang.Long.bitCount(s ^ s) === 0))
+    }
+  }
+
+  test("gopherRules verdicts are pure functions of their exposed signals") {
+    import graft.ext.TextOps
+    val textGen: Gen[List[(Long, String)]] = Gen.listOfN(15,
+      Gen.zip(Gen.chooseNum(1L, 1000000L),
+        Gen.chooseNum(0, 80).flatMap(n => Gen.listOfN(n,
+          Gen.oneOf("the", "a", "of", "tok", "zq", "07", "##"))
+          .map(_.mkString(" ")))))
+    for (docs <- draws(textGen, 3)) {
+      val out = TextOps.gopherRules("doc_id", "text")(
+        docs.toDF("doc_id", "text"))
+        .select("n_tokens", "mean_word_len", "alpha_frac", "stop_hits",
+          "dup_frac", "pass_length", "pass_mean_len", "pass_alpha",
+          "pass_stopwords", "pass_repetition", "passes_gopher")
+        .as[(Long, Double, Double, Long, Double, Long, Long, Long, Long, Long, Long)]
+        .collect()
+      out.foreach { case (n, mwl, af, sh, dup, pl, pm, pa, ps, pr, all) =>
+        assert(pl === (if (n >= 50 && n <= 100000) 1L else 0L))
+        assert(pm === (if (mwl >= 3.0 && mwl <= 10.0) 1L else 0L))
+        assert(pa === (if (af >= 0.8) 1L else 0L))
+        assert(ps === (if (sh >= 2) 1L else 0L))
+        assert(pr === (if (dup <= 0.9) 1L else 0L))
+        assert(all === pl * pm * pa * ps * pr)
+      }
+    }
+  }
 }
