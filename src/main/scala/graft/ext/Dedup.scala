@@ -64,7 +64,10 @@ object Dedup {
     * (localCheckpoint), winners are one min hash-agg over it, and the
     * map is an equi-join of the two — digest-sized rows only, no text
     * shuffles, no per-group collect (heavy-duplication keys cost join
-    * fan-out, not driver memory). */
+    * fan-out, not driver memory). Keys must be non-null: a NULL key
+    * groups in the aggregation but vanishes from the null-unsafe
+    * equi-join, so null-keyed rows get no map rows (fingerprints and
+    * digests are never null; coalesce other keys upstream). */
   def duplicateMap(keys: Seq[String], idField: String)(df: DataFrame): DataFrame = {
     val slim = df.select((keys :+ idField).map(col): _*).localCheckpoint()
     val winners = slim.groupBy(keys.map(col): _*)

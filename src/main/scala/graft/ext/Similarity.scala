@@ -484,13 +484,17 @@ object Similarity {
     * (deterministic): one min_by hash-agg over `(-votes, label)` —
     * votes is a count (never null/NaN), so the bare negation is safe.
     * Neighbors without a label row vote for nothing (inner join —
-    * matches the "labeled reference set" semantics). */
+    * matches the "labeled reference set" semantics), and NULL labels
+    * are dropped up front: "unlabeled" must not be a candidate a tie
+    * election can return (a NULL label would sort FIRST in the min_by
+    * struct and beat every real label). */
   def labelVote(
       neighbors: DataFrame, labels: DataFrame,
       labelId: String, labelField: String): DataFrame = {
     val voted = neighbors
-      .join(labels.select(col(labelId).as("item_id"),
-        col(labelField).as("label")), "item_id")
+      .join(labels.filter(col(labelField).isNotNull)
+        .select(col(labelId).as("item_id"),
+          col(labelField).as("label")), "item_id")
       .groupBy(col("query_id"), col("label"))
       .agg(count(lit(1)).as("votes"))
     voted

@@ -352,19 +352,22 @@ object TextOps {
     * tokens, pass shorter documents through UNTOUCHED (the explicit
     * short-circuit keeps their text bit-identical rather than
     * re-joined). Adds `n_tokens` (the ORIGINAL count — truncation
-    * observability) and the truncated text. Pure projection: no
-    * shuffle, codegen end to end. */
+    * observability) and the truncated text. NULL text behaves like
+    * empty text — (1, "") — instead of poisoning both outputs NULL
+    * (the same coalesce doctrine as the strip ops and gopherRules).
+    * Pure projection: no shuffle, codegen end to end. */
   def truncateTokens(
       textField: String, maxTokens: Int,
       outField: String = "text_trunc")(df: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.bind
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
-    df.withColumn("__t", bind(tokens(col(textField))) { ts =>
-      struct(size(ts).cast("long").as("n_tokens"),
-        when(size(ts) <= maxTokens, col(textField))
-          .otherwise(array_join(slice(ts, 1, maxTokens), " "))
-          .as(outField))
-    }).select(df.columns.map(col) :+ col("__t.n_tokens") :+
+    df.withColumn("__t",
+      bind(tokens(coalesce(col(textField), lit("")))) { ts =>
+        struct(size(ts).cast("long").as("n_tokens"),
+          when(size(ts) <= maxTokens, coalesce(col(textField), lit("")))
+            .otherwise(array_join(slice(ts, 1, maxTokens), " "))
+            .as(outField))
+      }).select(df.columns.map(col) :+ col("__t.n_tokens") :+
       col(s"__t.$outField"): _*)
   }
 

@@ -221,6 +221,12 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long, String)].collect()
     assert(out(0) === ((1L, 5L, "a b c")))
     assert(out(1) === ((2L, 2L, "x y"))) // untouched, not re-joined
+    // NULL text gates like empty text instead of poisoning outputs NULL
+    val nulls = TextOps.truncateTokens("text", maxTokens = 3)(
+      Seq((9L, null: String)).toDF("doc_id", "text"))
+      .select("doc_id", "n_tokens", "text_trunc")
+      .as[(Long, Long, String)].head()
+    assert(nulls === ((9L, 1L, "")))
   }
 
   test("noveltyScores: dup docs score 0, unique docs 1, short docs keep a row") {
@@ -293,6 +299,17 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect()
     assert(out(0) === ((1L, 7, 2L)))
     assert(out(1) === ((2L, 7, 2L)))  // tie on votes -> smaller label
+    // a NULL label must never win an election (it would sort first in
+    // the min_by struct); unlabeled rows simply don't vote
+    val partial = Seq((10L, Option.empty[Int]), (11L, Some(7)),
+      (12L, Some(9)), (13L, Some(9)), (14L, Some(7)))
+      .toDF("vec_id", "label")
+    val nullSafe = Similarity.labelVote(neighbors, partial, "vec_id", "label")
+      .orderBy("query_id")
+      .select("query_id", "predicted_label", "votes")
+      .as[(Long, Int, Long)].collect()
+    assert(nullSafe(0) === ((1L, 7, 1L)))  // 10 abstains; 7:1, 9:1 -> tie -> 7
+    assert(nullSafe(1) === ((2L, 9, 2L)))  // 10 abstains; 9:2 beats 7:1
   }
 
   test("centroidAssign routes to the max-cosine centroid, ties to the smaller id") {
