@@ -1034,7 +1034,10 @@ object ExtQueries {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
 
   private def cosineSql(a: String, b: String): String = {
-    val d = foldSum(s"list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+    // the index range derives from the array's own length (not a
+    // hard-coded fixture dim), so a dimension change fails loudly via
+    // NULL-vs-value mismatches instead of silently zipping past the end
+    val d = foldSum(s"list_transform(range(1,len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
     val na = s"sqrt(${foldSum(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
     val nb = s"sqrt(${foldSum(s"list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
     s"CASE WHEN $na = CAST(0 AS DOUBLE) OR $nb = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE $d / ($na * $nb) END"
@@ -1258,7 +1261,8 @@ object ExtQueries {
     // no floating log — mirrors TextOps.tokenHistogram
     "token_histogram" -> """
       WITH t AS (SELECT source,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+          CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n
+        FROM documents)
       SELECT source,
         CAST(CAST(1 AS BIGINT) << (length(bin(n)) - 1) AS BIGINT) AS bin_lo,
         CAST(count(*) AS BIGINT) AS n_docs,
@@ -1483,7 +1487,7 @@ object ExtQueries {
         FROM q8),
       scored AS (SELECT q.vec_id AS query_id, i.vec_id AS item_id,
           CASE WHEN q.nn = 0 OR i.nn = 0 THEN CAST(0 AS DOUBLE)
-               ELSE CAST(CAST(list_sum(list_transform(range(1, 65), j ->
+               ELSE CAST(CAST(list_sum(list_transform(range(1, len(q.codes) + 1), j ->
                    CAST(q.codes[CAST(j AS INT)] AS BIGINT) * i.codes[CAST(j AS INT)])) AS BIGINT) AS DOUBLE)
                  / (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(i.nn AS DOUBLE))) END AS cosine
         FROM n q, n i WHERE q.vec_id < 10 AND q.vec_id <> i.vec_id),
@@ -1500,9 +1504,11 @@ object ExtQueries {
       WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         FROM embeddings WHERE vec_id < 10),
       ham AS (SELECT query_id, c.vec_id AS item_id,
-          CAST(list_sum(list_transform(range(1, 65), i ->
-            CASE WHEN (c.embedding[CAST(i AS INT)] >= 0)
-                   <> (qe[CAST(i AS INT)] >= 0)
+          CAST(list_sum(list_transform(range(1, len(c.embedding) + 1), i ->
+            CASE WHEN (NOT isnan(c.embedding[CAST(i AS INT)])
+                         AND c.embedding[CAST(i AS INT)] >= 0)
+                   <> (NOT isnan(qe[CAST(i AS INT)])
+                         AND qe[CAST(i AS INT)] >= 0)
                  THEN 1 ELSE 0 END)) AS INTEGER) AS hamming,
           c.embedding AS ce, qe
         FROM embeddings c, q WHERE query_id <> c.vec_id),

@@ -296,13 +296,19 @@ object TextOps {
     * by (source, score): the doc table sees one hash-agg and one
     * equi-join, never a per-source sort. Distinct-score cardinality
     * bounds the window input; quantize near-continuous scores first
-    * (e.g. `round(score, 4)`) to keep the histogram tiny. Scores must
-    * be non-null/non-NaN. Integer counts divide once at the end —
-    * bit-exact vs the oracle's percent_rank. */
+    * (e.g. `round(score, 4)`) to keep the histogram tiny. NULL/NaN
+    * scores are EXCLUDED from the histogram (they have no rank) and
+    * their rows survive the LEFT join with a NULL `score_pct` — the
+    * row is kept and visibly unranked rather than silently dropped
+    * (the shared NULL doctrine). Integer counts divide once at the
+    * end — bit-exact vs the oracle's percent_rank. */
   def scorePercentiles(
       sourceField: String, scoreField: String)(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = df.groupBy(col(sourceField).as("__s"), col(scoreField).as("__v"))
+    val ranked = col(scoreField).isNotNull &&
+      !isnan(col(scoreField).cast("double"))
+    val hist = df.filter(ranked)
+      .groupBy(col(sourceField).as("__s"), col(scoreField).as("__v"))
       .agg(count(lit(1)).as("__c"))
     val cdf = hist
       .withColumn("__below",
@@ -313,7 +319,8 @@ object TextOps {
           .otherwise(col("__below").cast("double") / (col("__n") - 1L))
           .as("score_pct"))
     df.join(cdf,
-      col(sourceField) === col("__s") && col(scoreField) === col("__v"))
+      col(sourceField) === col("__s") && col(scoreField) === col("__v"),
+      "left")
       .drop("__s", "__v")
   }
 
@@ -412,10 +419,12 @@ object TextOps {
     * floor(log2) computes as `length(bin(n)) - 1` — pure integer/string
     * arithmetic, identical in both engines (no floating log). One
     * hash-agg of |sources × ~20 bins| rows; token counts are ≥ 1 by
-    * split semantics, so the log is total. */
+    * split semantics, so the log is total. NULL text counts like empty
+    * text — the 1-token bin — instead of producing a NULL `bin_lo` row
+    * (the same coalesce doctrine as the strip ops and gopherRules). */
   def tokenHistogram(
       sourceField: String, textField: String)(df: DataFrame): DataFrame = {
-    val n = tokenCount(col(textField)).cast("long")
+    val n = tokenCount(coalesce(col(textField), lit(""))).cast("long")
     val k = (length(bin(n)) - 1).cast("int")
     df.select(col(sourceField).as("source"), n.as("__n"),
       call_function("shiftleft", lit(1L), k).as("bin_lo"))

@@ -106,7 +106,9 @@ object GraftFunctions {
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         require(arr != null, "graft_bpe_count: merges must not be null")
         val merges = (0 until arr.numElements()).map { i =>
-          val s = arr.getUTF8String(i).toString
+          val u = arr.getUTF8String(i)
+          require(u != null, "graft_bpe_count: merge entries must not be null")
+          val s = u.toString
           val sp = s.indexOf(' ')
           require(sp > 0 && sp < s.length - 1,
             s"graft_bpe_count: merge '$s' must be 'left right'")

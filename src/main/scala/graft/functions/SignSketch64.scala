@@ -17,8 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * The sign test is IEEE `>= 0` — `-0.0` sets the bit, NaN does NOT —
   * which is DELIBERATELY not Spark SQL's total-order float comparison
   * (NaN above everything, -0.0 below 0.0): the sketch is an index
-  * artifact shared with external engines, and IEEE comparison is what
-  * SQL engines (and the DuckDB oracle) compute for `x >= 0`. The HOF
+  * artifact shared with external engines, and IEEE `>=` is the
+  * portable primitive-comparison semantics. NOTE that DuckDB's `>=`
+  * is itself total-order for NaN (NaN ranks above all values, so
+  * `NaN >= 0` is TRUE there) — the DuckDB oracle therefore guards its
+  * sign test with an explicit `NOT isnan(x)` conjunct to match this
+  * kernel bit-for-bit on NaN inputs. The HOF
   * spec form ([[graft.ext.Similarity.signSketchHof]]) encodes the same
   * IEEE semantics explicitly and is asserted bit-identical. Dimensions
   * past the array's length contribute 0, so the loop bound is

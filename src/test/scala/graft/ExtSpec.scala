@@ -202,6 +202,24 @@ class ExtSpec extends SparkSpec {
       (4L, 1.0), (5L, 0.0)))
   }
 
+  test("scorePercentiles: NULL/NaN scores keep their row with NULL score_pct") {
+    val df = Seq(
+      ("a", 1L, 0.1), ("a", 2L, 0.3),
+      ("a", 3L, Double.NaN),               // NaN: unrankable, row survives
+      ("a", 4L, 0.2)).toDF("source", "id", "score")
+      .union(Seq(("a", 5L)).toDF("source", "id")
+        .withColumn("score", lit(null).cast("double"))
+        .select("source", "id", "score")) // NULL: unrankable, row survives
+    val out = TextOps.scorePercentiles("source", "score")(df)
+      .orderBy("id").select("id", "score_pct")
+      .as[(Long, Option[Double])].collect()
+    // the three ranked rows rank among THEMSELVES (n=3): 0, 2/2, 1/2;
+    // the NaN and NULL rows are present with a NULL percentile — never
+    // silently dropped, never polluting the ranked rows' denominators
+    assert(out === Array((1L, Some(0.0)), (2L, Some(1.0)),
+      (3L, None), (4L, Some(0.5)), (5L, None)))
+  }
+
   test("mixReport shares sum to 1 and sampling ratios invert actual shares") {
     val df = Seq(
       ("s1", "a b c d"), ("s1", "e f"), ("s2", "g h")).toDF("source", "text")
@@ -259,6 +277,12 @@ class ExtSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
     assert(out === Array(
       ("s1", 1L, 1L, 1L), ("s1", 2L, 2L, 5L), ("s2", 8L, 1L, 8L)))
+    // NULL text counts like empty text — the 1-token bin — instead of
+    // producing a NULL bin_lo row (the shared coalesce doctrine)
+    val nulls = TextOps.tokenHistogram("source", "text")(
+      Seq(("s1", null: String), ("s1", "")).toDF("source", "text"))
+      .select("bin_lo", "n_docs", "n_tokens").as[(Long, Long, Long)].head()
+    assert(nulls === ((1L, 2L, 2L)))
   }
 
   test("hashBernoulli: p>=1 keeps all, p<=0 drops all, rates track p, rerun-identical") {
