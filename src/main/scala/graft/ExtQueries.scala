@@ -263,6 +263,19 @@ object ExtQueries {
         queryVec = "embedding", k = 5, rerank = 10)
         .orderBy("query_id", "rank")
     },
+    "similarity_hamming_wide" -> { (s, dir) =>
+      // the dim > 64 rung: 128-dim vectors (the 64-d fixture widened by
+      // concatenating its reverse — deterministic, oracle-shared),
+      // 2-word sketches, summed-popcount coarse rank, exact rerank
+      val e = corpus(s, dir, "embeddings")
+        .select(col("vec_id"),
+          concat(col("embedding"), reverse(col("embedding"))).as("embedding"))
+      Similarity.hammingTopKWide(
+        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
+        queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
+        queryVec = "embedding", k = 5, dim = 128, rerank = 10)
+        .orderBy("query_id", "rank")
+    },
     "similarity_lsh" -> { (s, dir) =>
       Similarity.lshTopK(corpus(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, planes = 6, dim = 64)
@@ -1512,6 +1525,38 @@ object ExtQueries {
                  THEN 1 ELSE 0 END)) AS INTEGER) AS hamming,
           c.embedding AS ce, qe
         FROM embeddings c, q WHERE query_id <> c.vec_id),
+      cand AS (SELECT * FROM ham
+        QUALIFY row_number() OVER (
+          PARTITION BY query_id ORDER BY hamming ASC, item_id ASC) <= 50),
+      scored AS (SELECT query_id, item_id, hamming,
+          ${cosineSql("qe", "ce")} AS cosine
+        FROM cand)
+      SELECT query_id, item_id, hamming, cosine,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC)
+          AS INTEGER) AS rank
+      FROM scored
+      QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // the dim > 64 rung over the widened (128-d) fixture: hamming is the
+    // dimension-wise sign-disagreement count (= the packed multi-word
+    // XOR popcount sum — same integer), isnan-guarded to the kernel's
+    // IEEE semantics; candidates top-50 per query, exact-cosine rerank —
+    // mirrors Similarity.hammingTopKWide
+    "similarity_hamming_wide" -> s"""
+      WITH e AS (SELECT vec_id,
+          list_concat(embedding, list_reverse(embedding)) AS embedding
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe
+        FROM e WHERE vec_id < 10),
+      ham AS (SELECT query_id, c.vec_id AS item_id,
+          CAST(list_sum(list_transform(range(1, len(c.embedding) + 1), i ->
+            CASE WHEN (NOT isnan(c.embedding[CAST(i AS INT)])
+                         AND c.embedding[CAST(i AS INT)] >= 0)
+                   <> (NOT isnan(qe[CAST(i AS INT)])
+                         AND qe[CAST(i AS INT)] >= 0)
+                 THEN 1 ELSE 0 END)) AS INTEGER) AS hamming,
+          c.embedding AS ce, qe
+        FROM e c, q WHERE query_id <> c.vec_id),
       cand AS (SELECT * FROM ham
         QUALIFY row_number() OVER (
           PARTITION BY query_id ORDER BY hamming ASC, item_id ASC) <= 50),

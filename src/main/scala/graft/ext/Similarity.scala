@@ -431,6 +431,98 @@ object Similarity {
       .select("query_id", "item_id", "hamming", "cosine", "rank")
   }
 
+  /** Multi-word sign sketch — the dim > 64 generalization of
+    * [[signSketch]]: an `array<bigint>` of ⌈dim/64⌉ words, word w's
+    * bit j = sign of element w·64 + j (same IEEE semantics: -0.0
+    * positive, NaN never sets a bit). This is the form real text
+    * embeddings need — 256-4096 dims compress to 4-64 longs, keeping
+    * the 32× IO win of the Hamming coarse pass at production
+    * dimensionality. For dim ≤ 64 the single word equals
+    * [[signSketch]] bit-for-bit (spec-pinned). Lowered to the native
+    * kernel [[graft.functions.SignSketchWide]]; [[signSketchWideHof]]
+    * is the executable spec. */
+  def signSketchWide(vec: Column, dim: Int): Column =
+    graft.functions.GraftFunctions.signSketchWide(vec, dim)
+
+  /** Higher-order-function form of [[signSketchWide]] — the
+    * executable specification the native kernel is tested against:
+    * one [[signSketchHof]]-style fold per 64-dim word slice, with the
+    * in-word bit position rebased to `d - w·64`. Same explicit IEEE
+    * sign test (NaN sets no bit, -0.0 does; out-of-range
+    * `try_element_at` is NULL → 0 bit). */
+  def signSketchWideHof(vec: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val nWords = (dim + 63) / 64
+    array((0 until nWords).map { w =>
+      val lo = w * 64
+      val hi = math.min(dim, lo + 64)
+      aggregate(sequence(lit(lo), lit(hi - 1)), lit(0L), (acc, d) =>
+        acc.bitwiseOR(
+          when(graft.functions.GraftFunctions.bind(try_element_at(vec, d + 1)) {
+              x => !isnan(x) && (x >= lit(0f) || x === lit(0f)) },
+            call_function("shiftleft", lit(1L), d - lit(lo))).otherwise(lit(0L))))
+    }: _*)
+  }
+
+  /** Summed-popcount Hamming distance between two multi-word sketches
+    * — the dim > 64 generalization of `bit_count(a ^ b)`, lowered to
+    * the native kernel [[graft.functions.HammingWords]] (this runs
+    * once per (query, candidate) pair — the hottest loop of the
+    * ladder). [[hammingWordsHof]] is the executable spec. */
+  def hammingWords(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.hammingWords(a, b)
+
+  /** Higher-order-function form of [[hammingWords]] — zip the word
+    * arrays, popcount each XOR, sum. (The HOF form silently zips to
+    * the SHORTER array on a length mismatch, where the kernel throws
+    * — matched lengths are the caller's contract; equal-length parity
+    * is what the spec pins.) */
+  def hammingWordsHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        call_function("bit_count", x.bitwiseXOR(y)).cast("int")),
+      lit(0), (acc, h) => acc + h)
+
+  /** [[hammingTopK]] for dim > 64 — identical two-stage shape (coarse
+    * Hamming rank over sketches, exact-cosine rerank over the
+    * candidate sliver) with multi-word sketches: the corpus-wide pass
+    * touches ⌈dim/64⌉ longs per vector (8 B per 64 dims — still 32×
+    * less IO than float32 at ANY dimensionality), full vectors are
+    * read for just the `rerank × k` survivors per query, and original
+    * vectors never shuffle (the candidate set broadcasts). Same
+    * deterministic ties as [[hammingTopK]]. */
+  def hammingTopKWide(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, dim: Int, rerank: Int = 10,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = corpus
+      .select(col(corpusId).as("item_id"),
+        signSketchWide(col(corpusVec), dim).as("__cs"))
+      .crossJoin(broadcast(queries
+        .select(col(queryId).as("query_id"),
+          signSketchWide(col(queryVec), dim).as("__qs"))))
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("item_id"))
+      .withColumn("hamming", hammingWords(col("__cs"), col("__qs")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("hamming").asc, col("item_id").asc)))
+      .filter(col("__r") <= k * rerank)
+      .select("query_id", "item_id", "hamming")
+    corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("__cv"))
+      .join(broadcast(cand), "item_id")
+      .join(broadcast(queries
+        .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))),
+        "query_id")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("item_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "hamming", "cosine", "rank")
+  }
+
   /** Mean-pool embeddings per group — the "chunk → embed → pool" step
     * of document/multimodal pipelines (a document's vector as the mean
     * of its chunk vectors; a class centroid as the mean of its members).

@@ -62,6 +62,17 @@ object GraftFunctions {
         arity("graft_sign_sketch", children, 2)
         SignSketch64(children.head,
           litInt(children(1), "graft_sign_sketch", "dim")) }),
+    ("graft_sign_sketch_wide",
+      new ExpressionInfo(classOf[SignSketchWide].getName, "graft_sign_sketch_wide"),
+      { children: Seq[Expression] =>
+        arity("graft_sign_sketch_wide", children, 2)
+        SignSketchWide(children.head,
+          litInt(children(1), "graft_sign_sketch_wide", "dim")) }),
+    ("graft_hamming_words",
+      new ExpressionInfo(classOf[HammingWords].getName, "graft_hamming_words"),
+      { children: Seq[Expression] =>
+        arity("graft_hamming_words", children, 2)
+        HammingWords(children.head, children(1)) }),
     ("graft_winnow",
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
       { children: Seq[Expression] =>
@@ -153,6 +164,16 @@ object GraftFunctions {
     * [[SignSketch64]]). */
   def signSketch64(vec: Column, dim: Int): Column =
     Bridge.column(SignSketch64(Bridge.expression(vec), dim))
+
+  /** Native multi-word sign sketch over a numeric array — ⌈dim/64⌉
+    * BIGINT words (see [[SignSketchWide]]). */
+  def signSketchWide(vec: Column, dim: Int): Column =
+    Bridge.column(SignSketchWide(Bridge.expression(vec), dim))
+
+  /** Native summed-popcount Hamming distance between two multi-word
+    * sign sketches (see [[HammingWords]]). */
+  def hammingWords(a: Column, b: Column): Column =
+    Bridge.column(HammingWords(Bridge.expression(a), Bridge.expression(b)))
 
   /** Native 60-bit SimHash over a token array (see [[SimHash60]]). */
   def simhash60(tokens: Column): Column =

@@ -190,6 +190,12 @@ final case class Pipeline(df: DataFrame) {
       dim: Int = 64, excludeSelf: Boolean = true): Pipeline =
     >>(c => graft.ext.Similarity.hammingTopK(c, corpusId, corpusVec,
       queries, queryId, queryVec, k, rerank, dim, excludeSelf))
+  /** `this` is the corpus; multi-word (dim > 64) sketch coarse rank. */
+  def hammingTopKWide(corpusId: String, corpusVec: String, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int, dim: Int,
+      rerank: Int = 10, excludeSelf: Boolean = true): Pipeline =
+    >>(c => graft.ext.Similarity.hammingTopKWide(c, corpusId, corpusVec,
+      queries, queryId, queryVec, k, dim, rerank, excludeSelf))
   def gopherRules(idField: String, textField: String): Pipeline =
     >>(TextOps.gopherRules(idField, textField))
   def scorePercentiles(sourceField: String, scoreField: String): Pipeline =

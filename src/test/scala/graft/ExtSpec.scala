@@ -168,6 +168,38 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.5, s"hamming-rerank top-5 recall too low: $recall")
   }
 
+  test("hammingTopKWide: dim-128 recall vs brute force; dim-64 form matches hammingTopK") {
+    val e64 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // widen the 64-d fixture to 128 dims (concat its reverse) — the
+    // deterministic widening the verified query shares with the oracle
+    val e = e64.select($"vec_id",
+      concat($"embedding", reverse($"embedding")).as("embedding"))
+    val q = e.filter($"vec_id" < 10)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id".cast("long"), $"item_id".cast("long"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val full = sets(Similarity.bruteForceTopK(
+      e, "vec_id", "embedding", q, "vec_id", "embedding", k = 5))
+    val wide = sets(Similarity.hammingTopKWide(
+      e, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 5, dim = 128, rerank = 10))
+    val hits = full.map { case (k, bf) =>
+      wide.getOrElse(k, Set.empty).intersect(bf).size }.sum
+    val recall = hits.toDouble / full.values.map(_.size).sum
+    assert(recall >= 0.5, s"wide hamming-rerank top-5 recall too low: $recall")
+    // at dim <= 64 the wide form IS hammingTopK (single-word sketches)
+    val q64 = e64.filter($"vec_id" < 10)
+    val narrow = Similarity.hammingTopK(
+      e64, "vec_id", "embedding", q64, "vec_id", "embedding", k = 5, rerank = 10)
+      .orderBy("query_id", "rank").collect()
+    val wide64 = Similarity.hammingTopKWide(
+      e64, "vec_id", "embedding", q64, "vec_id", "embedding",
+      k = 5, dim = 64, rerank = 10)
+      .orderBy("query_id", "rank").collect()
+    assert(narrow === wide64)
+  }
+
   test("gopherRules: each rule gates its own signal; NULL text fails like empty") {
     // 60 distinct-ish prose tokens with stopwords -> passes everything
     val good = (1 to 53).map(i => s"word$i").mkString(" ") +

@@ -68,6 +68,75 @@ class HashExpressionsSpec extends SparkSpec {
     assert(s === 3L)
   }
 
+  test("native wide sign sketch equals the HOF form; word 0 equals the 64-bit kernel") {
+    import graft.ext.Similarity
+    val rnd = new scala.util.Random(11)
+    val gen = (1 to 60).map(i => (i.toLong,
+      Array.fill(rnd.nextInt(260))((rnd.nextFloat() - 0.5f) * 4f)))
+    val edges = Seq(
+      (100L, Array.empty[Float]),             // no dims -> all-zero words
+      (101L, Array(0f, -0f, Float.NaN)),      // 0/-0 set bits, NaN not
+      (102L, Array.fill(128)(-1f)),           // two full all-negative words
+      (103L, Array.fill(200)(1f)),            // non-multiple-of-64 width
+      (104L, Array.fill(300)(1f)))            // dims past `dim` ignored
+    val vecs = (gen ++ edges).toDF("id", "vec")
+    for (dim <- Seq(8, 64, 128, 200, 256)) {
+      val diffs = vecs.select(
+        Similarity.signSketchWide($"vec", dim).as("n"),
+        Similarity.signSketchWideHof($"vec", dim).as("h"))
+        .filter(to_json($"n") =!= to_json($"h")).count()
+      assert(diffs === 0L, s"wide sign sketch mismatch at dim=$dim")
+      // fixed word count regardless of input length: sketches of one
+      // dim are always comparable
+      val words = vecs.select(Similarity.signSketchWide($"vec", dim).as("s"))
+        .select(size($"s")).distinct().as[Int].collect()
+      assert(words === Array((dim + 63) / 64))
+    }
+    // dim <= 64: the single word IS the 64-bit kernel's sketch
+    val w0 = vecs.select(
+      element_at(Similarity.signSketchWide($"vec", 64), 1).as("w"),
+      Similarity.signSketch($"vec", 64).as("s"))
+      .filter($"w" =!= $"s").count()
+    assert(w0 === 0L)
+  }
+
+  test("native hamming-words distance equals the HOF form and the dimension count") {
+    import graft.ext.Similarity
+    val rnd = new scala.util.Random(13)
+    val pairs = (1 to 50).map { i =>
+      (i.toLong, Array.fill(130)((rnd.nextFloat() - 0.5f) * 4f),
+        Array.fill(130)((rnd.nextFloat() - 0.5f) * 4f))
+    }.toDF("id", "a", "b")
+      .select($"id",
+        Similarity.signSketchWide($"a", 128).as("sa"),
+        Similarity.signSketchWide($"b", 128).as("sb"),
+        $"a", $"b")
+    val diffs = pairs.select(
+      Similarity.hammingWords($"sa", $"sb").as("n"),
+      Similarity.hammingWordsHof($"sa", $"sb").as("h"))
+      .filter($"n" =!= $"h").count()
+    assert(diffs === 0L)
+    // the packed popcount sum IS the dimension-wise sign-disagreement
+    // count (what the DuckDB oracle computes)
+    val dimWise = pairs.select(
+      Similarity.hammingWords($"sa", $"sb").as("n"),
+      aggregate(sequence(lit(0), lit(127)), lit(0), (acc, d) =>
+        acc + when(($"a".getItem(d) >= 0f) =!= ($"b".getItem(d) >= 0f), 1)
+          .otherwise(0)).as("d"))
+      .filter($"n" =!= $"d").count()
+    assert(dimWise === 0L)
+    // word-count mismatch is an error, not a silently-small distance
+    // (literal inputs constant-fold driver-side, so the kernel's
+    // IllegalArgumentException may surface unwrapped)
+    val err = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L))).toDF("x", "y")
+        .select(Similarity.hammingWords($"x", $"y")).collect()
+    }
+    assert(err.getMessage.contains("word counts differ")
+      || (err.getCause != null
+        && err.getCause.getMessage.contains("word counts differ")))
+  }
+
   test("native winnow fingerprints equal the HOF form") {
     val diffs = corpus.filter(length($"text") > 0).select(
       TextOps.winnowFingerprints($"text", 8, 4).as("n"),
