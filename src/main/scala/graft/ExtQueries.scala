@@ -416,6 +416,18 @@ object ExtQueries {
         docs.filter(col("doc_id") >= 250))
         .select("doc_id", "lang").orderBy("doc_id")
     },
+    "incremental_embedding_dedup" -> { (s, dir) =>
+      // the embedding analog: vectors < 250 persist only as int8 code
+      // index rows (no floats); vectors >= 250 are the new batch,
+      // dropped when quantized cosine >= 0.4 against a bucket-sharing
+      // index vector or any smaller-id bucket-sharing batch vector
+      val e = corpus(s, dir, "embeddings")
+      val index = Dedup.embeddingIndexRows("vec_id", "embedding")(
+        e.filter(col("vec_id") < 250))
+      Dedup.incrementalEmbeddingDedup("vec_id", "embedding", index,
+        threshold = 0.4)(e.filter(col("vec_id") >= 250))
+        .select("vec_id", "label").orderBy("vec_id")
+    },
     "mean_pool_embeddings" -> { (s, dir) =>
       // chunk->embed->pool: per-label mean vector via a deterministic
       // sorted fold (one row per dimension, scalar-typed)
@@ -1060,10 +1072,10 @@ object ExtQueries {
     * (6 planes, dim 64, md5-nibble plane weights); `offset` selects the
     * independent plane set (table t -> offset 6t), exactly lshBucket's
     * planeOffset. */
-  private def lshBucketSql(offset: Int = 0): String =
+  private def lshBucketSql(offset: Int = 0, vecCol: String = "embedding"): String =
     s"""CAST(list_sum(list_transform(range(0,6), p ->
           CASE WHEN ${foldSum(s"""list_transform(range(0,64), d ->
-            CAST(embedding[d+1] AS DOUBLE)
+            CAST($vecCol[d+1] AS DOUBLE)
             * (CAST(strpos('0123456789abcdef',
                  substr(md5(CAST(p + $offset AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1
                AS DOUBLE) - 75e-1))""")} >= CAST(0 AS DOUBLE)
@@ -1983,6 +1995,46 @@ object ExtQueries {
       crossCorpusNearDupSql(shingleN = 3, threshold = "2e-1", splitId = 250),
     "incremental_near_dup" ->
       incrementalNearDupSql(shingleN = 3, threshold = "5e-1", splitId = 250),
+    // int8 quantization identical to similarity_topk_q8; sign-LSH
+    // buckets computed ON THE CODES (the stored state); quantized
+    // cosine (integer dot/norms, one division) >= threshold drops a
+    // batch vector against index∪smaller-id-batch bucket-mates, capped
+    // buckets per side — mirrors Dedup.incrementalEmbeddingDedup
+    "incremental_embedding_dedup" -> s"""
+      WITH c AS (SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+          embedding FROM embeddings),
+      q8 AS (SELECT vec_id,
+          CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+               ELSE list_transform(embedding, x ->
+                 CAST(floor(CAST(x AS DOUBLE) * 127 / amax + 5e-1) AS INT)) END AS codes
+        FROM c),
+      n AS (SELECT vec_id, codes,
+          CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS nn,
+          ${lshBucketSql(0, "codes")} AS bucket
+        FROM q8),
+      idx AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS bn
+        FROM n WHERE vec_id < 250),
+      bat AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS bn
+        FROM n WHERE vec_id >= 250),
+      cand AS (
+        SELECT i.codes AS ca, i.nn AS na, b.vec_id AS id_b,
+               b.codes AS cb, b.nn AS nb
+        FROM idx i JOIN bat b ON i.bucket = b.bucket
+        WHERE i.bn <= 64 AND b.bn <= 64 AND i.vec_id <> b.vec_id
+        UNION ALL
+        SELECT a.codes, a.nn, b.vec_id, b.codes, b.nn
+        FROM bat a JOIN bat b ON a.bucket = b.bucket
+        WHERE a.bn <= 64 AND a.vec_id < b.vec_id),
+      losers AS (SELECT DISTINCT id_b FROM cand
+        WHERE (CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(CAST(list_sum(list_transform(range(1, len(ca) + 1), j ->
+                   CAST(ca[CAST(j AS INT)] AS BIGINT) * cb[CAST(j AS INT)])) AS BIGINT) AS DOUBLE)
+                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END) >= 4e-1)
+      SELECT e.vec_id, e.label FROM embeddings e
+      WHERE e.vec_id >= 250
+        AND e.vec_id NOT IN (SELECT id_b FROM losers)
+      ORDER BY e.vec_id""",
     // vectors fold in vec_id order from the first element (list_reduce),
     // cast to double first, divide at the end — the identical IEEE
     // addition sequence as Similarity.meanPool's sorted zip_with fold

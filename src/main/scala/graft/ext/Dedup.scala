@@ -261,6 +261,98 @@ object Dedup {
     batch.join(dups, batch(idField) === dups("id_b"), "left_anti")
   }
 
+  /** Embedding near-dup index rows for a corpus: `(id, codes)`, one row
+    * per vector, `codes` the int8 quantization
+    * ([[Similarity.quantizeInt8]]) — the EMBEDDING analog of
+    * [[minhashIndexRows]]: dim bytes + id per vector ever ingested (a
+    * 4× compression of the float32 vector; 10⁹ historical 1024-dim
+    * vectors is a ~1 TB table — storable, and the original vectors are
+    * never re-read). Write these rows after ingesting a corpus; after
+    * each [[incrementalEmbeddingDedup]] batch, append the SURVIVORS'
+    * rows (this same function on the surviving batch) so the next
+    * batch dedupes against history ∪ everything kept so far. */
+  def embeddingIndexRows(
+      idField: String, vecField: String)(df: DataFrame): DataFrame =
+    df.select(col(idField).as("id"),
+      Similarity.quantizeInt8(col(vecField)).as("codes"))
+
+  /** Incremental EMBEDDING near-dup dedup against a persisted int8
+    * index — the semantic-dedup half of the recurring-crawl story
+    * ([[incrementalNearDup]] covers text): each new batch drops its
+    * near-duplicates of the ACCUMULATED corpus, with history
+    * participating as stored `(id, codes)` rows only
+    * ([[embeddingIndexRows]]) — no historical vector is ever re-read.
+    *
+    * A batch vector is dropped when its QUANTIZED cosine
+    * ([[Similarity.quantizedCosine]] — integer dot/norms over the int8
+    * codes, one IEEE division, exact cross-engine; equals the cosine
+    * of the dequantized vectors, a deterministic rounding
+    * perturbation of the float cosine) reaches `threshold` against
+    * (a) any index vector sharing a sign-LSH bucket, or (b) any
+    * SMALLER-id batch vector sharing a bucket (the same greedy
+    * in-batch election as [[incrementalNearDup]]; a codes index
+    * cannot support float-exact verify, so the criterion is uniformly
+    * the quantized cosine on BOTH legs). Buckets are computed ON THE
+    * CODES ([[Similarity.lshBucket]] — quantization preserves element
+    * signs and the bucket is a function of the stored state alone, so
+    * history never needs floats even for candidate generation).
+    * Survivors return with all batch columns; append their
+    * [[embeddingIndexRows]] to the index for the next batch.
+    *
+    * Scale shape: the batch's quantization computes ONCE
+    * (localCheckpoint); candidates arrive from capped bucket joins
+    * (never all-pairs, index×batch only on the cross leg); the verify
+    * legs join codes (dim bytes), not vectors; the index side is one
+    * scan of a stored table per batch. */
+  def incrementalEmbeddingDedup(
+      idField: String, vecField: String, index: DataFrame,
+      threshold: Double, planes: Int = 6, dim: Int = 64,
+      maxBucket: Int = 64)(batch: DataFrame): DataFrame = {
+    require(index.columns.length == 2,
+      s"index must be (id, codes) rows, got ${index.columns.mkString(", ")}")
+    require(threshold > -1 && threshold <= 1,
+      s"threshold must be in (-1, 1], got $threshold")
+    val idxCodes = index.select(col(index.columns(0)).as("__id"),
+      col(index.columns(1)).as("__c"))
+    val batchCodes = batch.select(col(idField).as("__id"),
+      Similarity.quantizeInt8(col(vecField)).as("__c"))
+      .localCheckpoint()
+    def buckets(d: DataFrame, out: String, minSize: Int) = d
+      .withColumn("__bucket", Similarity.lshBucket(col("__c"), planes, dim))
+      .groupBy("__bucket")
+      .agg(collect_list(col("__id")).as(out))
+      .filter(size(col(out)).between(minSize, maxBucket))
+    // history × batch candidates (per-side cap; disjoint id spaces
+    // expected — id collisions dropped defensively, as in
+    // crossCorpusNearDuplicates)
+    val crossCands = buckets(idxCodes, "__la", minSize = 1)
+      .join(buckets(batchCodes, "__lb", minSize = 1), Seq("__bucket"))
+      .select(explode(flatten(transform(col("__la"), x =>
+        transform(col("__lb"), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    // in-batch candidates: ordered pairs, smaller id survives
+    val inCands = buckets(batchCodes, "__ids", minSize = 2)
+      .select(explode(flatten(transform(col("__ids"), x =>
+        transform(filter(col("__ids"), y => x < y), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .distinct()
+    def losers(cands: DataFrame, aCodes: DataFrame) = cands
+      .join(aCodes.select(col("__id").as("id_a"), col("__c").as("__ca")),
+        "id_a")
+      .join(batchCodes.select(col("__id").as("id_b"), col("__c").as("__cb")),
+        "id_b")
+      .filter(Similarity.quantizedCosine(col("__ca"), col("__cb")) >= threshold)
+      .select(col("id_b"))
+    val dups = losers(crossCands, idxCodes)
+      .unionByName(losers(inCands, batchCodes))
+      .distinct()
+    batch.join(dups, batch(idField) === dups("id_b"), "left_anti")
+  }
+
   /** MinHash signature over word n-gram shingles, computed in a SINGLE
     * fold over the shingle array: the accumulator is the array of running
     * minima, and each shingle contributes `numHashes` 32-bit hash values

@@ -186,6 +186,39 @@ object Similarity {
     IvfIndex(ranked, math.max(nprobe, 1))
   }
 
+  /** Persist a built IVF index through the store layer: the ranked
+    * centroid table ([[ivfBuild]]'s one crossJoin+window output —
+    * assignments at rank 1, probe cells at rank ≤ nprobe, per-centroid
+    * cosines included) lands as `<name>_ranked` and the probe width as
+    * a one-row `<name>_meta` object. A real IVF index is built once
+    * and OUTLIVES the session — at 100 TB the index is a stored table
+    * exactly like the MinHash signature index
+    * ([[Dedup.minhashIndexRows]]), not a cache entry: [[ivfLoad]]
+    * answers queries with zero recompute (no centroid scoring, no
+    * crossJoin — spec-pinned), and a cluster restart costs one parquet
+    * scan, not a rebuild. Any [[graft.sources.DataStore]] backend
+    * works; parquet gives the ranked table columnar scans + pruning. */
+  def ivfSave(
+      index: IvfIndex, store: graft.sources.DataStore,
+      name: String, replace: Boolean = false): Unit = {
+    store.create(s"${name}_ranked", index.ranked, replace)
+    val spark = store.spark
+    import spark.implicits._
+    store.create(s"${name}_meta", Seq(index.nprobe).toDF("nprobe"), replace)
+  }
+
+  /** Load a persisted IVF index ([[ivfSave]]): the ranked table comes
+    * back as a parquet scan (persisted MEMORY_AND_DISK like a fresh
+    * build — release via [[IvfIndex.unpersist]]); no retraining, no
+    * re-ranking. [[ivfQuery]] on the loaded index answers identically
+    * to the index that was saved (round-trip spec-pinned). */
+  def ivfLoad(store: graft.sources.DataStore, name: String): IvfIndex = {
+    val meta = store.getObject(s"${name}_meta").head()
+    val ranked = store.getObject(s"${name}_ranked")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(ranked, meta.getInt(0))
+  }
+
   /** Query an IVF index: probe joins cell-to-cell against the assignment
     * — an equi-join on the cell id, never all-pairs — and exact cosine
     * re-ranks within candidates. */

@@ -148,6 +148,15 @@ final case class Pipeline(df: DataFrame) {
   def minhashIndexRows(idField: String, textField: String,
       numHashes: Int = 8, shingleSize: Int = 3): Pipeline =
     >>(Dedup.minhashIndexRows(idField, textField, numHashes, shingleSize))
+  /** `this` is the new batch; `index` the persisted `(id, codes)` int8
+    * rows ([[graft.ext.Dedup.embeddingIndexRows]]). */
+  def incrementalEmbeddingDedup(idField: String, vecField: String,
+      index: DataFrame, threshold: Double, planes: Int = 6,
+      dim: Int = 64, maxBucket: Int = 64): Pipeline =
+    >>(Dedup.incrementalEmbeddingDedup(idField, vecField, index, threshold,
+      planes, dim, maxBucket))
+  def embeddingIndexRows(idField: String, vecField: String): Pipeline =
+    >>(Dedup.embeddingIndexRows(idField, vecField))
   def semanticDedup(idField: String, vecField: String, threshold: Double,
       planes: Int = 6, dim: Int = 64, maxBucket: Int = 64,
       tables: Int = 1): Pipeline =

@@ -353,6 +353,41 @@ class DedupSpec extends SparkSpec {
         batch1, threshold = 0.9)(batch2))
   }
 
+  test("incrementalEmbeddingDedup dedupes each batch against the int8 index ∪ in-batch and appends survivors") {
+    val rnd = new scala.util.Random(5)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f)
+    val a = vec(); val b = vec(); val c = vec()
+    def scaled(v: Array[Float], s: Float) = v.map(_ * s)
+    // batch 1 against an EMPTY index: only the in-batch leg fires —
+    // vector 2 is 2·a (identical int8 codes: the per-vector scale
+    // cancels), quantized cosine 1.0, and the smaller id survives
+    val batch1 = Seq((1L, a, "x"), (2L, scaled(a, 2f), "x"), (3L, b, "y"))
+      .toDF("vec_id", "embedding", "label")
+    val emptyIndex = Seq.empty[(Long, Seq[Int])].toDF("id", "codes")
+    val kept1 = Dedup.incrementalEmbeddingDedup("vec_id", "embedding",
+      emptyIndex, threshold = 0.9)(batch1)
+    assert(kept1.select("vec_id").as[Long].collect().toSet === Set(1L, 3L))
+    // index update = append the SURVIVORS' code rows; batch 2's
+    // re-embed of a (id 10, scaled 0.5 — same codes) drops via the
+    // index leg, 12 drops in-batch against 11 — no floats re-read
+    val index = emptyIndex.unionByName(
+      Dedup.embeddingIndexRows("vec_id", "embedding")(kept1))
+    val batch2 = Seq((10L, scaled(a, 0.5f), "x"), (11L, c, "z"),
+      (12L, scaled(c, 3f), "z")).toDF("vec_id", "embedding", "label")
+    val kept2 = Dedup.incrementalEmbeddingDedup("vec_id", "embedding",
+      index, threshold = 0.9)(batch2)
+    assert(kept2.select("vec_id").as[Long].collect().toSet === Set(11L))
+    // survivors keep every batch column
+    assert(kept2.columns.toSeq === Seq("vec_id", "embedding", "label"))
+    // a dissimilar batch vector sharing no near-dup survives even when
+    // its nearest index neighbor was a DROPPED doc's twin: only stored
+    // survivors gate
+    // a malformed index (not (id, codes)) is refused
+    intercept[IllegalArgumentException](
+      Dedup.incrementalEmbeddingDedup("vec_id", "embedding",
+        batch1, threshold = 0.9)(batch2))
+  }
+
   test("duplicateMap emits one (dup, kept) row per dropped row and partitions with exact") {
     val df = Seq(
       (1L, "k1"), (5L, "k1"), (3L, "k1"),  // kept 1; dups 3, 5

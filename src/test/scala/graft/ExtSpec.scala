@@ -40,6 +40,36 @@ class ExtSpec extends SparkSpec {
     assert(out.filter($"query_id" === 2L).count() === 5)
   }
 
+  test("ivfSave/ivfLoad round-trips through the store layer with no retrain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    try {
+      val built = Similarity.ivfBuild(vecs, "vec_id", "embedding",
+        Similarity.standinCentroids(vecs, "vec_id", "embedding", 2), nprobe = 2)
+      val store = graft.sources.ParquetStore(spark, dir)
+      Similarity.ivfSave(built, store, "ann")
+      val loaded = Similarity.ivfLoad(store, "ann")
+      // the loaded index answers every query identically to the built one
+      val a = Similarity.ivfQuery(built, k = 3)
+        .orderBy("query_id", "rank").collect()
+      val b = Similarity.ivfQuery(loaded, k = 3)
+        .orderBy("query_id", "rank").collect()
+      assert(a === b)
+      // no retrain on load: the loaded ranking is a pure relation scan —
+      // the BUILD plan's centroid crossJoin/window never reappears
+      // (analyzed plans: the optimizer substitutes the built side's
+      // cached blocks, which would hide its Join)
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      assert(loaded.ranked.queryExecution.analyzed.collect {
+        case j: Join => j }.isEmpty)
+      assert(built.ranked.queryExecution.analyzed.collect {
+        case j: Join => j }.nonEmpty)
+      built.unpersist(); loaded.unpersist()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively(); ()
+    }
+  }
+
   test("kmeans-trained centroids drive IVF to near-exact top-1 recall") {
     // three well-separated clusters; k-means should recover them, and
     // with nprobe=1 each query's true nearest neighbor then lives in its
