@@ -547,6 +547,14 @@ object ExtQueries {
             .as("n_bpe_tokens"))
         .orderBy("doc_id")
     },
+    "truncate_tokens_bpe" -> { (s, dir) =>
+      // context-window truncation in MODEL tokens: first 30 BPE pieces
+      // under the shared demo vocabulary, originals pass through
+      TextOps.truncateTokensBpe("text", maxTokens = 30,
+        TextOps.demoBpeMerges)(corpus(s, dir, "documents"))
+        .select("doc_id", "n_bpe_tokens", "text_trunc")
+        .orderBy("doc_id")
+    },
     // ---- events: JSON + windows + sessions ---------------------------------
     "events_json_agg" -> { (s, dir) =>
       table(s, dir, "events")
@@ -1018,6 +1026,27 @@ object ExtQueries {
           w -> CASE WHEN length(w) = 0 THEN 0 ELSE len($folded) END)) AS BIGINT)
           AS n_bpe_tokens
         FROM documents ORDER BY doc_id"""
+  }
+
+  /** Greedy BPE PIECES of `text` (list<varchar>, word-initial pieces
+    * '▁'-marked) — mirrors TextOps.bpeTokenize: the same per-word merge
+    * fold as [[bpeCountSql]], keeping the symbol lists (bound once via
+    * the one-element-list list_transform, so the fold runs once per
+    * word), marker prefixed, flattened in word order. Zero-length words
+    * contribute no pieces (the CASE guards the fold — list_reduce
+    * errors on empty input). */
+  private def bpePiecesSql(merges: Seq[(String, String)]): String = {
+    val chars = "list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))"
+    val folded = merges.foldLeft(chars) { case (prev, (a, b)) =>
+      s"""list_reduce(list_transform($prev, c -> [c]),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '$a' AND x[1] = '$b'
+                      THEN acc[1:len(acc)-1] || ['${a + b}']
+                      ELSE acc || x END)"""
+    }
+    s"""flatten(list_transform(string_split(text, ' '), w ->
+        CASE WHEN length(w) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform([$folded], f ->
+                    list_concat(['▁' || f[1]], f[2:len(f)]))[1] END))"""
   }
 
   /** Shared by token_budget_mix and token_budget_mix_2p: the two-pass
@@ -2227,6 +2256,20 @@ object ExtQueries {
         string_agg(text, ' ' ORDER BY doc_id) AS text
       FROM b GROUP BY lang, bin ORDER BY lang, bin""",
     "bpe_token_count" -> bpeCountSql(graft.ext.TextOps.demoBpeMerges),
+    // the same merge fold keeping the PIECES; truncation = keep the
+    // first 30, rejoin marker->space, drop the single leading space;
+    // short docs pass text through bit-identical — mirrors
+    // TextOps.truncateTokensBpe
+    "truncate_tokens_bpe" -> s"""
+      WITH p AS (SELECT doc_id, text,
+          ${bpePiecesSql(graft.ext.TextOps.demoBpeMerges)} AS ps
+        FROM documents)
+      SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bpe_tokens,
+        CASE WHEN len(ps) <= 30 THEN text
+             ELSE regexp_replace(
+               replace(array_to_string(ps[1:30], ''), '▁', ' '), '^ ', '')
+        END AS text_trunc
+      FROM p ORDER BY doc_id""",
     // integer corpus-frequency counts, one double division at the end —
     // mirrors TextOps.unigramCfQuality
     "unigram_cf_quality" -> """

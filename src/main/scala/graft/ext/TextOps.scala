@@ -126,6 +126,61 @@ object TextOps {
     }
   }
 
+  /** VOCABULARY-TRUE BPE tokenization: the PIECES the greedy encoder
+    * produces, in document order, each word-initial piece prefixed
+    * with the `▁` marker (the SentencePiece convention) so any slice
+    * of the stream rejoins to text via [[bpeDetokenize]] — the
+    * primitive that lets context-window operators clip BY model
+    * tokens ([[truncateTokensBpe]], [[chunkTextsBpe]]) instead of
+    * merely counting them. Same merge engine as [[bpeTokenCount]]
+    * (`size(bpeTokenize(t)) = bpeTokenCount(t)` by construction,
+    * spec-pinned); same rank-consistency requirement. Lowered to the
+    * native kernel [[graft.functions.BpeTokenize]];
+    * [[bpeTokenizeHof]] is the executable spec. */
+  def bpeTokenize(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.GraftFunctions.bpeTokenize(text, merges)
+
+  /** Higher-order-function form of [[bpeTokenize]] — the executable
+    * specification the native kernel is tested against, and the form
+    * the DuckDB oracle mirrors fold for fold: [[bpeTokenCountHof]]'s
+    * per-word merge fold, keeping the symbol lists (marker prefixed
+    * onto each word's first piece) and flattening in word order. */
+  def bpeTokenizeHof(text: Column, merges: Seq[(String, String)]): Column = {
+    import graft.functions.GraftFunctions.bind
+    require(merges.nonEmpty, "merge table must be non-empty")
+    val marker = graft.functions.GraftFunctions.bpeMarker
+    def applyMerge(arr: Column, a: String, b: String): Column =
+      aggregate(arr, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    def wordPieces(w: Column): Column = {
+      val chars = when(length(w) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(w)),
+          i => call_function("substring", w, i, lit(1))))
+      val merged = merges.foldLeft(chars) {
+        case (acc, (a, b)) => applyMerge(acc, a, b)
+      }
+      bind(merged) { ps =>
+        when(size(ps) === 0, ps)
+          .otherwise(concat(
+            array(concat(lit(marker), element_at(ps, 1))),
+            slice(ps, lit(2), size(ps) - 1)))
+      }
+    }
+    bind(tokens(text)) { ts => flatten(transform(ts, wordPieces(_))) }
+  }
+
+  /** Rejoin a (slice of a) [[bpeTokenize]] piece stream to text:
+    * concatenate, marker → space, drop the single leading space a
+    * word-initial first piece leaves (a slice starting MID-word has no
+    * leading marker and loses nothing). Pure string projection. */
+  def bpeDetokenize(pieces: Column): Column =
+    regexp_replace(
+      translate(array_join(pieces, ""),
+        graft.functions.GraftFunctions.bpeMarker, " "),
+      "^ ", "")
+
   /** Demonstration BPE merge table (10 common English merges, rank
     * order) — the shared vocabulary of the `bpe_token_count` query and
     * its oracle. Real pipelines pass their tokenizer's merge list. */
@@ -375,6 +430,31 @@ object TextOps {
             .otherwise(array_join(slice(ts, 1, maxTokens), " "))
             .as(outField))
       }).select(df.columns.map(col) :+ col("__t.n_tokens") :+
+      col(s"__t.$outField"): _*)
+  }
+
+  /** [[truncateTokens]] in MODEL tokens: keep the first `maxTokens`
+    * BPE pieces ([[bpeTokenize]] with the caller's merge vocabulary),
+    * pass shorter documents through UNTOUCHED (bit-identical text,
+    * same short-circuit as the whitespace form), rejoin truncated
+    * documents via [[bpeDetokenize]]. Adds `n_bpe_tokens` (the
+    * ORIGINAL count) and the truncated text. NULL text behaves like
+    * empty — (0, "") — per the shared coalesce doctrine. This is the
+    * op that clips to a real model context window: the whitespace
+    * form's counts are not what a tokenizer bills. Pure projection;
+    * the kernel runs once per row (bind). */
+  def truncateTokensBpe(
+      textField: String, maxTokens: Int, merges: Seq[(String, String)],
+      outField: String = "text_trunc")(df: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.bind
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    df.withColumn("__t",
+      bind(bpeTokenize(coalesce(col(textField), lit("")), merges)) { ps =>
+        struct(size(ps).cast("long").as("n_bpe_tokens"),
+          when(size(ps) <= maxTokens, coalesce(col(textField), lit("")))
+            .otherwise(bpeDetokenize(slice(ps, 1, maxTokens)))
+            .as(outField))
+      }).select(df.columns.map(col) :+ col("__t.n_bpe_tokens") :+
       col(s"__t.$outField"): _*)
   }
 
@@ -817,26 +897,47 @@ object TextOps {
     *
     * Pure projection + explode — no shuffle, no UDF, codegen end to
     * end; output volume is ~`chunkTokens/stride` × corpus, the caller's
-    * overlap choice. */
+    * overlap choice.
+    *
+    * `tokenizer`/`detokenizer` swap the token stream the windows slide
+    * over: the default is the whitespace pair (split / space-join);
+    * [[chunkTextsBpe]] passes the BPE pair so chunks are measured — and
+    * their boundaries fall — in MODEL tokens. */
   def chunkTexts(
-      idField: String, textField: String, chunkTokens: Int, stride: Int)(
+      idField: String, textField: String, chunkTokens: Int, stride: Int,
+      tokenizer: Column => Column = tokens,
+      detokenizer: Column => Column = ts => array_join(ts, " "))(
       df: DataFrame): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     require(stride >= 1, s"stride must be >= 1, got $stride")
     import graft.functions.GraftFunctions.bind
     df.select(col(idField),
-        posexplode(bind(tokens(col(textField))) { ts =>
+        posexplode(bind(tokenizer(col(textField))) { ts =>
           transform(sequence(lit(0), size(ts) - 1, lit(stride)), s =>
             struct(s.cast("long").as("chunk_start"),
               least(lit(chunkTokens), size(ts) - s).cast("long")
                 .as("chunk_tokens"),
-              array_join(slice(ts, s + 1, lit(chunkTokens)), " ")
+              detokenizer(slice(ts, s + 1, lit(chunkTokens)))
                 .as("chunk_text")))
         }).as(Seq("chunk_idx", "__c")))
       .select(col(idField), col("chunk_idx").cast("long").as("chunk_idx"),
         col("__c.chunk_start"), col("__c.chunk_tokens"),
         col("__c.chunk_text"))
   }
+
+  /** [[chunkTexts]] over MODEL tokens: windows slide over the BPE
+    * piece stream ([[bpeTokenize]]) and chunk text rejoins via
+    * [[bpeDetokenize]] — `chunk_start`/`chunk_tokens` are BPE-piece
+    * offsets/counts, and a chunk boundary may fall mid-word (the
+    * marker convention rejoins those slices without a spurious
+    * space). The RAG shape when the embedder's budget is model
+    * tokens, not words. */
+  def chunkTextsBpe(
+      idField: String, textField: String, chunkTokens: Int, stride: Int,
+      merges: Seq[(String, String)])(df: DataFrame): DataFrame =
+    chunkTexts(idField, textField, chunkTokens, stride,
+      tokenizer = bpeTokenize(_, merges),
+      detokenizer = bpeDetokenize)(df)
 
   /** Deterministic per-source token-budget sampling — the data-MIXING
     * step of training-corpus assembly: given a token budget per source,

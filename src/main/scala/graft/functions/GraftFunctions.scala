@@ -31,6 +31,28 @@ object GraftFunctions {
   private def arity(fn: String, children: Seq[Expression], n: Int): Unit =
     require(children.length == n, s"$fn expects exactly $n arguments")
 
+  /** Parse a foldable `array<string>` of 'left right' merge entries
+    * (the SQL-surface form of a BPE merge table — it must be foldable
+    * because it shapes the expression, not the data). Shared by the
+    * graft_bpe_count / graft_bpe_tokenize builders. */
+  private def parseMerges(fn: String, m: Expression): Seq[(String, String)] = {
+    require(m.foldable &&
+        m.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      s"$fn: merges must be a foldable array of 'left right' strings")
+    val arr = m.eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(arr != null, s"$fn: merges must not be null")
+    (0 until arr.numElements()).map { i =>
+      val u = arr.getUTF8String(i)
+      require(u != null, s"$fn: merge entries must not be null")
+      val s = u.toString
+      val sp = s.indexOf(' ')
+      require(sp > 0 && sp < s.length - 1,
+        s"$fn: merge '$s' must be 'left right'")
+      (s.substring(0, sp), s.substring(sp + 1))
+    }
+  }
+
   /** Every SQL-registrable native kernel: name -> (info, builder).
     * Structural Int parameters arrive as literals in SQL. */
   private[functions] val sqlFunctions: Seq[
@@ -109,23 +131,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_bpe_count"),
       { children: Seq[Expression] =>
         arity("graft_bpe_count", children, 2)
-        val m = children(1)
-        require(m.foldable &&
-            m.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
-          "graft_bpe_count: merges must be a foldable array of 'left right' strings")
-        val arr = m.eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        require(arr != null, "graft_bpe_count: merges must not be null")
-        val merges = (0 until arr.numElements()).map { i =>
-          val u = arr.getUTF8String(i)
-          require(u != null, "graft_bpe_count: merge entries must not be null")
-          val s = u.toString
-          val sp = s.indexOf(' ')
-          require(sp > 0 && sp < s.length - 1,
-            s"graft_bpe_count: merge '$s' must be 'left right'")
-          (s.substring(0, sp), s.substring(sp + 1))
-        }
-        BpeTokenCount(children.head, merges) }),
+        BpeTokenCount(children.head,
+          parseMerges("graft_bpe_count", children(1))) }),
+    ("graft_bpe_tokenize",
+      new ExpressionInfo(classOf[BpeTokenize].getName, "graft_bpe_tokenize"),
+      { children: Seq[Expression] =>
+        arity("graft_bpe_tokenize", children, 2)
+        BpeTokenize(children.head,
+          parseMerges("graft_bpe_tokenize", children(1))) }),
     // a binary-LITERAL sketch takes Spark's BloomFilterMightContain
     // (whose codegen is correct for that shape — the Scala path,
     // [[bloomMightContain]], always ships literals); any other sketch
@@ -195,6 +208,16 @@ object GraftFunctions {
     * [[BpeTokenCount]]; requires a rank-consistent merge table). */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeTokenCount(Bridge.expression(text), merges))
+
+  /** Native greedy-BPE tokenizer emitting marker-prefixed pieces (see
+    * [[BpeTokenize]]; same merge engine as [[bpeTokenCount]]). */
+  def bpeTokenize(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeTokenize(Bridge.expression(text), merges))
+
+  /** The word-initial piece marker [[BpeTokenize]] emits (the
+    * SentencePiece `▁`) — exposed so detokenizers and oracles share
+    * the one definition. */
+  def bpeMarker: String = BpeKernel.Marker
 
   /** Bloom-filter aggregate over a PRE-HASHED long column (use
     * `xxhash64(col)` — the insert primitive is putLong, so build and

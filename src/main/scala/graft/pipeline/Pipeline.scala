@@ -215,6 +215,13 @@ final case class Pipeline(df: DataFrame) {
   def truncateTokens(textField: String, maxTokens: Int,
       outField: String = "text_trunc"): Pipeline =
     >>(TextOps.truncateTokens(textField, maxTokens, outField))
+  def truncateTokensBpe(textField: String, maxTokens: Int,
+      merges: Seq[(String, String)],
+      outField: String = "text_trunc"): Pipeline =
+    >>(TextOps.truncateTokensBpe(textField, maxTokens, merges, outField))
+  def chunkTextsBpe(idField: String, textField: String, chunkTokens: Int,
+      stride: Int, merges: Seq[(String, String)]): Pipeline =
+    >>(TextOps.chunkTextsBpe(idField, textField, chunkTokens, stride, merges))
   def noveltyScores(idField: String, textField: String, n: Int = 8): Pipeline =
     >>(TextOps.noveltyScores(idField, textField, n))
   def hashBernoulli(key: Column, prob: Column,

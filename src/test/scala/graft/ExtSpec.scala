@@ -309,6 +309,35 @@ class ExtSpec extends SparkSpec {
     assert(nulls === ((9L, 1L, "")))
   }
 
+  test("truncateTokensBpe clips in model tokens; chunkTextsBpe windows the piece stream") {
+    // demo merges collapse 'the' to one piece: 'the the the the' = 4
+    // BPE pieces; clipping at 2 keeps 'the the'. 'ab' (2 pieces, no
+    // merge fires) passes through bit-identical.
+    val df = Seq((1L, "the the the the"), (2L, "ab")).toDF("doc_id", "text")
+    val out = TextOps.truncateTokensBpe("text", maxTokens = 2,
+      TextOps.demoBpeMerges)(df)
+      .orderBy("doc_id").select("doc_id", "n_bpe_tokens", "text_trunc")
+      .as[(Long, Long, String)].collect()
+    assert(out(0) === ((1L, 4L, "the the")))
+    assert(out(1) === ((2L, 2L, "ab")))
+    // NULL text behaves like empty — (0, "") — per the shared doctrine
+    val nulls = TextOps.truncateTokensBpe("text", maxTokens = 2,
+      TextOps.demoBpeMerges)(Seq((9L, null: String)).toDF("doc_id", "text"))
+      .select("doc_id", "n_bpe_tokens", "text_trunc")
+      .as[(Long, Long, String)].head()
+    assert(nulls === ((9L, 0L, "")))
+    // chunk boundaries fall mid-word and rejoin without spurious
+    // spaces: 'thethe' = pieces [▁the, the]; 1-piece windows give
+    // chunks 'the' / 'the' (the second slice starts mid-word)
+    val chunks = TextOps.chunkTextsBpe("doc_id", "text",
+      chunkTokens = 1, stride = 1, TextOps.demoBpeMerges)(
+      Seq((1L, "thethe")).toDF("doc_id", "text"))
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_start", "chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(chunks === Array((0L, 0L, 1L, "the"), (1L, 1L, 1L, "the")))
+  }
+
   test("noveltyScores: dup docs score 0, unique docs 1, short docs keep a row") {
     val df = Seq(
       (1L, "a b c d e f"),  // trigrams shared with doc 2 -> novelty 0

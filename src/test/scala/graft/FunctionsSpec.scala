@@ -62,7 +62,12 @@ class FunctionsSpec extends SparkSpec {
            graft_jaccard(array('a', 'b'), array('b', 'c')) AS j,
            graft_winnow('abcdefgh', 4, 2) AS w,
            graft_cdc_chunks(encode('hello world', 'UTF-8'), 2, 3, 8) AS c,
-           graft_bpe_count('the theme', array('t h', 'th e')) AS bpe""")
+           graft_bpe_count('the theme', array('t h', 'th e')) AS bpe,
+           graft_bpe_tokenize('the theme', array('t h', 'th e')) AS bpt,
+           graft_sign_sketch_wide(
+             CAST(array(1.0, -1.0) AS array<float>), 128) AS ssw,
+           graft_hamming_words(array(CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+             array(CAST(0 AS BIGINT), CAST(1 AS BIGINT))) AS hw""")
       .head()
     assert(r.getSeq[Long](0).length === 4)
     assert(r.getLong(1) !== 0L)
@@ -73,6 +78,9 @@ class FunctionsSpec extends SparkSpec {
     assert(chunks.map(_.getInt(1)).sum === 11)
     // 'the' -> [the]; 'theme' -> [the, m, e]
     assert(r.getLong(5) === 4L)
+    assert(r.getSeq[String](6) === Seq("▁the", "▁the", "m", "e"))
+    assert(r.getSeq[Long](7) === Seq(1L, 0L)) // 2 words at dim 128
+    assert(r.getInt(8) === 3)                 // popcount(3^0) + popcount(0^1)
     // structural args must be literals
     intercept[Exception](spark.sql(
       "SELECT graft_minhash(array('a'), CAST(rand() * 4 AS INT))").collect())

@@ -164,6 +164,36 @@ class HashExpressionsSpec extends SparkSpec {
     assert(chainDiffs === 0L)
   }
 
+  test("native bpe tokenize equals the HOF form; size equals the count kernel") {
+    val diffs = corpus.select(
+      TextOps.bpeTokenize($"text", TextOps.demoBpeMerges).as("n"),
+      TextOps.bpeTokenizeHof($"text", TextOps.demoBpeMerges).as("h"))
+      .filter(to_json($"n") =!= to_json($"h")).count()
+    assert(diffs === 0L)
+    // count and pieces share one merge engine: sizes can never disagree
+    val sizeDiffs = corpus.select(
+      size(TextOps.bpeTokenize($"text", TextOps.demoBpeMerges))
+        .cast("long").as("s"),
+      TextOps.bpeTokenCount($"text", TextOps.demoBpeMerges).as("c"))
+      .filter($"s" =!= $"c").count()
+    assert(sizeDiffs === 0L)
+    // marker semantics + full-stream round trip on single-spaced text
+    val r = Seq("the cat").toDF("text").select(
+      TextOps.bpeTokenize($"text", TextOps.demoBpeMerges).as("ps"),
+      TextOps.bpeDetokenize(
+        TextOps.bpeTokenize($"text", TextOps.demoBpeMerges)).as("rt"))
+      .head()
+    assert(r.getSeq[String](0) === Seq("▁the", "▁c", "a", "t"))
+    assert(r.getString(1) === "the cat")
+    // every single-spaced corpus row round-trips through detokenize
+    val rtDiffs = corpus
+      .filter(!$"text".contains("  ") && $"text" === ltrim(rtrim($"text")))
+      .select($"text", TextOps.bpeDetokenize(
+        TextOps.bpeTokenize($"text", TextOps.demoBpeMerges)).as("rt"))
+      .filter($"text" =!= $"rt").count()
+    assert(rtDiffs === 0L)
+  }
+
   test("native jaccard equals the HOF form incl. empties and duplicates") {
     val df = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),
