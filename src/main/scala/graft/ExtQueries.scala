@@ -764,6 +764,18 @@ object ExtQueries {
         .select(col("doc_id"), BinaryOps.blobSize(col("blob")).as("byte_count"))
         .orderBy("doc_id")
     },
+    "perceptual_hash_pairs" -> { (s, dir) =>
+      // perceptual (aHash) near-dup over the binary column: banded LSH
+      // on the 60-bit hash, popcount verify. The fixture carries no
+      // byte-identical blobs (hamming-0 pairs), so the verified query
+      // runs at hamming <= 10 (best-effort recall past bands-1,
+      // documented) to exercise the verify filter on real collisions;
+      // the <= 3 default keeps the pigeonhole guarantee
+      BinaryOps.perceptualHashPairs("doc_id", "blob", maxHamming = 10)(
+        corpus(s, dir, "documents")
+          .select(col("doc_id"), BinaryOps.toBlob(col("text")).as("blob")))
+        .orderBy("id_a", "id_b")
+    },
     "binary_cdc_chunks" -> { (s, dir) =>
       // content-defined chunking: oracle-exempt (rolling-hash state
       // machine is not SQL-expressible; rows-only check) — slice
@@ -2326,6 +2338,35 @@ object ExtQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_count
          FROM documents
          QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // 60-bit aHash over 61 stride-sampled bytes (ASCII fixture: ord by
+    // char == byte value), integer mean test sample*60 >= sum, banded
+    // 4x15-bit LSH with the per-bucket cap, popcount-of-XOR verify —
+    // mirrors BinaryOps.aHash60 / perceptualHashPairs
+    "perceptual_hash_pairs" -> """
+      WITH s AS (SELECT doc_id, length(text) AS n,
+          list_transform(range(0, 61), k ->
+            CAST(ord(substr(text, CAST((k * length(text)) // 61 AS INT) + 1, 1))
+              AS BIGINT)) AS ss
+        FROM documents),
+      t AS (SELECT doc_id, n, ss,
+          CAST(list_sum(ss[1:60]) AS BIGINT) AS total FROM s),
+      h AS (SELECT doc_id,
+          CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(list_sum(list_transform(range(0, 60), k ->
+                 CASE WHEN ss[CAST(k + 1 AS INT)] * 60 >= total
+                      THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+          END AS ph FROM t),
+      b AS (SELECT doc_id, ph, u.b AS band,
+          (ph >> (u.b * 15)) & 32767 AS bucket
+        FROM h, unnest([0, 1, 2, 3]) u(b)),
+      z AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bn FROM b),
+      p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+          CAST(bit_count(xor(a.ph, c.ph)) AS INTEGER) AS hamming
+        FROM z a JOIN z c ON a.band = c.band AND a.bucket = c.bucket
+        WHERE a.doc_id < c.doc_id AND a.bn <= 64)
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 10
+      ORDER BY id_a, id_b"""
   )
 }

@@ -173,6 +173,41 @@ object ScaleBench {
     annRows.foreach { case (k, v, a, b, c) =>
       println(f"$k,$v,$a%.2f,$b%.2f,$c%.2f")
     }
+
+    // Incremental near-dup scaling: FIXED batch, GROWING index — the
+    // dimension that matters for a recurring crawl, where the
+    // accumulated history dwarfs every batch. The index is precomputed
+    // state ((id, sig) rows, localCheckpointed — signature cost of
+    // history is NOT the batch's bill), replicated ×1/×2/×4 with
+    // replica ids in disjoint ranges BELOW the batch's ids. Replication
+    // is adversarial the same way as the CC phase: every replica of a
+    // doc lands in the same bands as the batch's near-dups, so
+    // candidate volume grows with index scale instead of staying
+    // constant. The pinned claim: one signature-only scan of the index
+    // per batch, banded-bucket joins with the per-side cap — the curve
+    // must be bounded by linear in index size; a super-linear curve
+    // would falsify the capped-bucket design.
+    val batchDocs = base.select(
+      (col("doc_id") + lit(100_000_000L)).as("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    def indexRows(k: Int): DataFrame =
+      Dedup.minhashIndexRows("doc_id", "text")(replicated(k))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    def incDedup(index: DataFrame): Unit =
+      Dedup.incrementalNearDup("doc_id", "text", index, threshold = 0.7)(
+        batchDocs)
+        .write.mode("overwrite").format("noop").save()
+    locally { val i1 = indexRows(1); incDedup(i1); i1.unpersist() }
+    val incRows = for (k <- Seq(1, 2, 4)) yield {
+      val idx = indexRows(k)
+      val t = median3(incDedup(idx))
+      idx.unpersist()
+      (k, n * k, n, t)
+    }
+    println("index_x,index_rows,batch_rows,incremental_near_dup_sec")
+    incRows.foreach { case (k, i, b, t) => println(f"$k,$i,$b,$t%.2f") }
     spark.stop()
   }
 }

@@ -74,6 +74,109 @@ object BinaryOps {
       df.withColumn("__digest", blobDigest(col(blobField))))
       .drop("__digest")
 
+  /** 60-bit average-hash of a blob — PERCEPTUAL near-dup for binary
+    * columns, where [[dedupByBytes]] ends at byte identity: bit k is
+    * set iff the k-th of 60 stride-sampled bytes is ≥ the sample mean
+    * (the aHash recipe over a decode-free "grayscale" read of the
+    * byte stream — a re-encoded or locally-edited copy keeps most
+    * sample/mean relations, so near-copies land within a few bits).
+    * With a real codec the samples would be downscaled luma pixels;
+    * the sampling/compare/pack pipeline — the part Spark executes —
+    * is identical, and on the text fixtures the bytes are honest
+    * UTF-8. 60 bits, not 64, for the same reason as
+    * [[graft.ext.Dedup.simhash]]: the sign bit stays clear, so every
+    * shift/compare is exact BIGINT arithmetic in both engines (DuckDB
+    * ERRORS on `1 << 63`). The mean test is integer-exact:
+    * `sample·60 ≥ Σ samples` — no division anywhere. Empty blob → 0;
+    * NULL blob → NULL. Pure projection. */
+  def aHash60(blob: Column): Column = pHash60(blob, aHashBits)
+
+  /** 60-bit difference-hash — [[aHash60]]'s gradient sibling: bit k is
+    * set iff sample k+1 > sample k over 61 stride-sampled bytes
+    * (horizontal-gradient dHash). More robust than the mean test under
+    * global brightness shifts (a constant byte offset preserves every
+    * strict inequality); same 60-bit packing and contracts. */
+  def dHash60(blob: Column): Column = pHash60(blob, dHashBits)
+
+  private def aHashBits(ss: Column, total: Column): Column = {
+    import org.apache.spark.sql.functions.{aggregate => fold}
+    fold(sequence(lit(0), lit(59)), lit(0L), (acc, k) =>
+      acc.bitwiseOR(
+        when(element_at(ss, k + 1) * 60 >= total,
+          call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))))
+  }
+
+  private def dHashBits(ss: Column, total: Column): Column = {
+    import org.apache.spark.sql.functions.{aggregate => fold}
+    fold(sequence(lit(0), lit(59)), lit(0L), (acc, k) =>
+      acc.bitwiseOR(
+        when(element_at(ss, k + 2) > element_at(ss, k + 1),
+          call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))))
+  }
+
+  /** Shared sample-and-pack: 61 stride-sampled byte values (both hash
+    * flavors read them; aHash uses the first 60), their integer sum,
+    * and the bit packer. Sample k reads byte ⌊k·n/61⌋ (0-based) — a
+    * uniform decode-free downscale of the stream. */
+  private def pHash60(
+      blob: Column, bits: (Column, Column) => Column): Column = {
+    import graft.functions.GraftFunctions.bind
+    when(blob.isNull, lit(null).cast("long")).otherwise(
+      bind(octet_length(blob)) { n =>
+        bind(transform(sequence(lit(0), lit(60)), k =>
+          conv(hex(call_function("substring", blob,
+            floor(k.cast("long") * n / 61).cast("int") + 1, lit(1))),
+            16, 10).cast("long"))) { ss =>
+          bind(aggregate(slice(ss, 1, 60), lit(0L), (a, x) => a + x)) { total =>
+            when(n === 0, lit(0L)).otherwise(bits(ss, total))
+          }
+        }
+      })
+  }
+
+  /** Perceptual near-dup pairs over a binary column: banded LSH on the
+    * 60-bit hash (4 bands × 15 bits — two hashes within Hamming
+    * distance ≤ 3 agree on at least one whole band by pigeonhole, so
+    * recall at the default `maxHamming = 3` is COMPLETE, not
+    * probabilistic), then exact popcount-of-XOR verifies candidates.
+    * `maxHamming` > 3 weakens the guarantee to best-effort (documented
+    * recall trade, same as the SimHash prefix buckets).
+    *
+    * Same capped-bucket shape as every shipped near-dup path: one
+    * hash-agg collects each (band, bucket)'s (id, hash) structs,
+    * `maxBucket` drops degenerate buckets, ordered pairs generate
+    * bucket-locally, pair-level dedup BEFORE the (cheap) verify.
+    * Shuffle keys are 15-bit band values + the 8-byte hash — the media
+    * bytes themselves never shuffle. NULL blobs produce no pairs. */
+  def perceptualHashPairs(
+      idField: String, blobField: String,
+      maxHamming: Int = 3, maxBucket: Int = 64,
+      hash: Column => Column = aHash60)(df: DataFrame): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val bands = 4
+    val bandBits = 15
+    val hashed = df
+      .select(col(idField).as("__id"), hash(col(blobField)).as("__h"))
+      .filter(col("__h").isNotNull)
+    val banded = hashed.select(col("__id"), col("__h"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("__h"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+    banded.groupBy("__band", "__bucket")
+      .agg(collect_list(struct(col("__id"), col("__h"))).as("__docs"))
+      .filter(size(col("__docs")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("__docs"), x =>
+        transform(filter(col("__docs"), y => x("__id") < y("__id")), y =>
+          struct(x("__id").as("id_a"), y("__id").as("id_b"),
+            bit_count(x("__h").bitwiseXOR(y("__h"))).as("hamming"))))))
+        .as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
+        col("__p.hamming").cast("int").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Extracted-feature schema appended by [[extractFeaturesStub]]:
     * the typed-metadata half of a multimodal column. */
   val featureSchema: StructType = StructType(Seq(

@@ -260,6 +260,10 @@ final case class Pipeline(df: DataFrame) {
     >>(Dedup.duplicateMap(keys, idField))
   def duplicateMapByFingerprint(textField: String, idField: String): Pipeline =
     >>(Dedup.duplicateMapByFingerprint(textField, idField))
+  def perceptualHashPairs(idField: String, blobField: String,
+      maxHamming: Int = 3, maxBucket: Int = 64): Pipeline =
+    >>(graft.ext.BinaryOps.perceptualHashPairs(idField, blobField,
+      maxHamming, maxBucket))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

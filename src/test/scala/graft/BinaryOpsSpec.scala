@@ -93,6 +93,39 @@ class BinaryOpsSpec extends SparkSpec {
     assert(out === Seq(1L, 2L))
   }
 
+  test("perceptual hashes pair a perturbed copy, not an unrelated blob") {
+    // strongly bimodal byte pattern: every sample sits far from the
+    // mean, so a one-byte local edit flips at most the directly
+    // sampled bit(s) — the re-encoded/near-copy case byte dedup misses
+    val a = ("aa" + "zz") * 62                    // 248 bytes
+    val b = a.updated(100, 'z').updated(101, 'a') // local 2-byte edit
+    val c = ("zz" + "aa") * 62                    // complementary pattern
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, a))
+      .toDF("doc_id", "t")
+      .select($"doc_id", BinaryOps.toBlob($"t").as("blob"))
+    val pairs = BinaryOps.perceptualHashPairs("doc_id", "blob")(df)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    // exact copy: distance 0; perturbed copy: within the verify budget
+    assert(pairs((1L, 4L)) === 0)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 3)
+    // the complementary pattern flips (nearly) every bit — never paired
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((3L, 4L)))
+    // dHash is invariant under a constant byte shift (all strict
+    // inequalities preserved); empty and NULL blobs follow the doctrine
+    val shifted = a.map(ch => (ch + 1).toChar)
+    val r = Seq((a, shifted)).toDF("x", "y")
+      .select(
+        BinaryOps.dHash60(BinaryOps.toBlob($"x")).as("hx"),
+        BinaryOps.dHash60(BinaryOps.toBlob($"y")).as("hy"),
+        BinaryOps.aHash60(BinaryOps.toBlob(lit(""))).as("he"),
+        BinaryOps.aHash60(lit(null).cast("binary")).as("hn")).head()
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(2) === 0L)
+    assert(r.isNullAt(3))
+  }
+
   test("extractFeaturesStub appends typed struct via partition-batched map") {
     val df = Seq((1L, "hello world"), (2L, null))
       .toDF("id", "t")
