@@ -555,6 +555,14 @@ object ExtQueries {
         .select("doc_id", "n_bpe_tokens", "text_trunc")
         .orderBy("doc_id")
     },
+    "chunk_texts_bpe" -> { (s, dir) =>
+      // RAG chunking in MODEL tokens: 32-piece windows, stride 24 over
+      // the BPE piece stream — boundaries may fall mid-word and rejoin
+      // via the marker convention
+      TextOps.chunkTextsBpe("doc_id", "text", chunkTokens = 32,
+        stride = 24, TextOps.demoBpeMerges)(corpus(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_idx")
+    },
     // ---- events: JSON + windows + sessions ---------------------------------
     "events_json_agg" -> { (s, dir) =>
       table(s, dir, "events")
@@ -775,6 +783,22 @@ object ExtQueries {
         corpus(s, dir, "documents")
           .select(col("doc_id"), BinaryOps.toBlob(col("text")).as("blob")))
         .orderBy("id_a", "id_b")
+    },
+    "incremental_phash_dedup" -> { (s, dir) =>
+      // crawl N+1 perceptual-dedup'd against the ACCUMULATED corpus:
+      // blobs with doc_id < 250 persist only as (id, phash) index rows
+      // (no media bytes); doc_id >= 250 is the new batch, dropped when
+      // its aHash is within Hamming 10 of the index or any smaller-id
+      // batch blob (10, not the pigeonhole-complete 3, for the same
+      // fixture reason as perceptual_hash_pairs)
+      val docs = corpus(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          BinaryOps.toBlob(col("text")).as("blob"))
+      val index = BinaryOps.phashIndexRows("doc_id", "blob")(
+        docs.filter(col("doc_id") < 250))
+      BinaryOps.incrementalPerceptualDedup("doc_id", "blob", index,
+        maxHamming = 10)(docs.filter(col("doc_id") >= 250))
+        .select("doc_id", "lang").orderBy("doc_id")
     },
     "binary_cdc_chunks" -> { (s, dir) =>
       // content-defined chunking: oracle-exempt (rolling-hash state
@@ -2367,6 +2391,63 @@ object ExtQueries {
         FROM z a JOIN z c ON a.band = c.band AND a.bucket = c.bucket
         WHERE a.doc_id < c.doc_id AND a.bn <= 64)
       SELECT id_a, id_b, hamming FROM p WHERE hamming <= 10
-      ORDER BY id_a, id_b"""
+      ORDER BY id_a, id_b""",
+    // same aHash pipeline split into an index half (doc_id < 250) and a
+    // batch half; per-side banded buckets with the 64 cap, exact
+    // popcount verify, batch blob dropped on any in-radius index
+    // neighbor or smaller-id batch neighbor — mirrors
+    // BinaryOps.incrementalPerceptualDedup
+    "incremental_phash_dedup" -> """
+      WITH s AS (SELECT doc_id, length(text) AS n,
+          list_transform(range(0, 61), k ->
+            CAST(ord(substr(text, CAST((k * length(text)) // 61 AS INT) + 1, 1))
+              AS BIGINT)) AS ss
+        FROM documents),
+      t AS (SELECT doc_id, n, ss,
+          CAST(list_sum(ss[1:60]) AS BIGINT) AS total FROM s),
+      h AS (SELECT doc_id,
+          CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(list_sum(list_transform(range(0, 60), k ->
+                 CASE WHEN ss[CAST(k + 1 AS INT)] * 60 >= total
+                      THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+          END AS ph FROM t),
+      zi AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bn
+        FROM (SELECT doc_id, ph, u.b AS band,
+                (ph >> (u.b * 15)) & 32767 AS bucket
+              FROM h, unnest([0, 1, 2, 3]) u(b) WHERE doc_id < 250)),
+      zb AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bn
+        FROM (SELECT doc_id, ph, u.b AS band,
+                (ph >> (u.b * 15)) & 32767 AS bucket
+              FROM h, unnest([0, 1, 2, 3]) u(b) WHERE doc_id >= 250)),
+      losers AS (
+        SELECT DISTINCT b.doc_id AS id_b
+        FROM zi a JOIN zb b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.bn <= 64 AND b.bn <= 64 AND a.doc_id <> b.doc_id
+          AND bit_count(xor(a.ph, b.ph)) <= 10
+        UNION
+        SELECT b.doc_id
+        FROM zb a JOIN zb b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.bn <= 64 AND b.bn <= 64 AND a.doc_id < b.doc_id
+          AND bit_count(xor(a.ph, b.ph)) <= 10)
+      SELECT d.doc_id, d.lang FROM documents d
+      WHERE d.doc_id >= 250 AND d.doc_id NOT IN (SELECT id_b FROM losers)
+      ORDER BY d.doc_id""",
+    // the BPE piece fold of truncate_tokens_bpe + the window arithmetic
+    // of chunk_texts: 32-piece windows every 24 pieces, each slice
+    // rejoined marker->space with the single leading space dropped —
+    // mirrors TextOps.chunkTextsBpe
+    "chunk_texts_bpe" -> s"""
+      WITH p AS (SELECT doc_id,
+          ${bpePiecesSql(graft.ext.TextOps.demoBpeMerges)} AS ps
+        FROM documents)
+      SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+        CAST(s AS BIGINT) AS chunk_start,
+        CAST(least(32, len(ps) - s) AS BIGINT) AS chunk_tokens,
+        regexp_replace(replace(
+          array_to_string(ps[CAST(s + 1 AS INT):CAST(s + 32 AS INT)], ''),
+          '▁', ' '), '^ ', '') AS chunk_text
+      FROM (SELECT doc_id, ps, unnest(range(0, len(ps), 24)) AS s FROM p)
+      ORDER BY doc_id, chunk_idx"""
   )
 }

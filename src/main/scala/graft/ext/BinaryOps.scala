@@ -177,6 +177,89 @@ object BinaryOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** `(id, phash)` rows for persistence — the binary analog of
+    * [[graft.ext.Dedup.minhashIndexRows]]: store these 8 B/blob rows
+    * (parquet via the store layer) and each later crawl dedupes
+    * against them with [[incrementalPerceptualDedup]], never
+    * re-reading historical media bytes. */
+  def phashIndexRows(
+      idField: String, blobField: String,
+      hash: Column => Column = aHash60)(df: DataFrame): DataFrame =
+    df.select(col(idField).as("id"), hash(col(blobField)).as("phash"))
+
+  /** Incremental PERCEPTUAL dedup against a persisted hash index — the
+    * binary leg of the incremental-index triad (text:
+    * [[graft.ext.Dedup.incrementalNearDup]], embeddings:
+    * [[graft.ext.Dedup.incrementalEmbeddingDedup]]): a recurring
+    * multimodal crawl must drop re-encoded/perturbed copies of blobs
+    * it already holds, not just byte-identical re-fetches. History
+    * participates as [[phashIndexRows]] only — 8 bytes per blob ever
+    * seen, media bytes never re-read and never shuffled.
+    *
+    * A batch blob is dropped when its hash is within `maxHamming` of
+    * (a) any index row sharing a band bucket, or (b) any SMALLER-id
+    * batch blob sharing a band bucket (the greedy in-batch election of
+    * the sibling ops — no transitive closure). Unlike the MinHash leg,
+    * the verify here is EXACT: the hash IS the state, so
+    * popcount-of-XOR decides, and recall at `maxHamming` ≤ 3 is
+    * complete by pigeonhole (see [[perceptualHashPairs]]; larger radii
+    * are best-effort). NULL-blob batch rows survive untouched — a
+    * missing payload is not a duplicate of anything.
+    *
+    * Scale shape: the batch hash projection computes ONCE
+    * (localCheckpoint, two bucket consumers); candidates come from
+    * capped band-bucket equi-joins (per-side `maxBucket`, never
+    * all-pairs); the hash rides inside the bucket structs so the
+    * verify needs NO re-join to either side; the index side is one
+    * scan of a stored table per batch. Survivors' [[phashIndexRows]]
+    * append to the index for the next batch. */
+  def incrementalPerceptualDedup(
+      idField: String, blobField: String, index: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 64,
+      hash: Column => Column = aHash60)(batch: DataFrame): DataFrame = {
+    require(index.columns.length == 2,
+      s"index must be (id, phash) rows, got ${index.columns.mkString(", ")}")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val bands = 4
+    val bandBits = 15
+    val idxH = index.select(col(index.columns(0)).as("__id"),
+      col(index.columns(1)).as("__h")).filter(col("__h").isNotNull)
+    val batchH = batch.select(col(idField).as("__id"),
+      hash(col(blobField)).as("__h"))
+      .filter(col("__h").isNotNull)
+      .localCheckpoint()
+    def buckets(d: DataFrame, out: String, minSize: Int) = d
+      .select(col("__id"), col("__h"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("__h"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+      .groupBy("__band", "__bucket")
+      .agg(collect_list(struct(col("__id"), col("__h"))).as(out))
+      .filter(size(col(out)).between(minSize, maxBucket))
+    // history × batch: any in-radius index neighbor sinks the batch
+    // blob (disjoint id spaces expected; collisions dropped defensively)
+    val crossLosers = buckets(idxH, "__la", minSize = 1)
+      .join(buckets(batchH, "__lb", minSize = 1), Seq("__band", "__bucket"))
+      .select(explode(flatten(transform(col("__la"), x =>
+        transform(col("__lb"), y =>
+          struct(x("__id").as("id_a"), y("__id").as("id_b"),
+            bit_count(x("__h").bitwiseXOR(y("__h"))).as("__d")))))).as("__p"))
+      .filter(col("__p.__d") <= maxHamming &&
+        col("__p.id_a") =!= col("__p.id_b"))
+      .select(col("__p.id_b").as("id_b"))
+    // in-batch: ordered pairs, smaller id survives
+    val inLosers = buckets(batchH, "__ids", minSize = 2)
+      .select(explode(flatten(transform(col("__ids"), x =>
+        transform(filter(col("__ids"), y => x("__id") < y("__id")), y =>
+          struct(y("__id").as("id_b"),
+            bit_count(x("__h").bitwiseXOR(y("__h"))).as("__d")))))).as("__p"))
+      .filter(col("__p.__d") <= maxHamming)
+      .select(col("__p.id_b").as("id_b"))
+    val dups = crossLosers.unionByName(inLosers).distinct()
+    batch.join(dups, batch(idField) === dups("id_b"), "left_anti")
+  }
+
   /** Extracted-feature schema appended by [[extractFeaturesStub]]:
     * the typed-metadata half of a multimodal column. */
   val featureSchema: StructType = StructType(Seq(

@@ -264,6 +264,14 @@ final case class Pipeline(df: DataFrame) {
       maxHamming: Int = 3, maxBucket: Int = 64): Pipeline =
     >>(graft.ext.BinaryOps.perceptualHashPairs(idField, blobField,
       maxHamming, maxBucket))
+  /** `this` is the new batch; `index` the persisted `(id, phash)` rows
+    * ([[graft.ext.BinaryOps.phashIndexRows]]). */
+  def incrementalPerceptualDedup(idField: String, blobField: String,
+      index: DataFrame, maxHamming: Int = 3, maxBucket: Int = 64): Pipeline =
+    >>(graft.ext.BinaryOps.incrementalPerceptualDedup(idField, blobField,
+      index, maxHamming, maxBucket))
+  def phashIndexRows(idField: String, blobField: String): Pipeline =
+    >>(graft.ext.BinaryOps.phashIndexRows(idField, blobField))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

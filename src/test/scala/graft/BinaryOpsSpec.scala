@@ -126,6 +126,33 @@ class BinaryOpsSpec extends SparkSpec {
     assert(r.isNullAt(3))
   }
 
+  test("incrementalPerceptualDedup drops near-copies of the index and elects in-batch") {
+    val a = ("aa" + "zz") * 62                    // crawl-1 pattern
+    val fresh = ("zz" + "aa") * 62                // complementary — far from a
+    def blobs(rows: Seq[(Long, String)]) = rows.toDF("id", "t")
+      .select($"id", BinaryOps.toBlob($"t").as("blob"))
+    val index = BinaryOps.phashIndexRows("id", "blob")(
+      blobs(Seq(1L -> a, 2L -> ("m" * 248))))
+    // batch: 10 = perturbed copy of indexed a (drop vs history);
+    // 11 = genuinely new (survive); 12 = perturbed copy of 11 (in-batch
+    // loser — larger id); 13 = NULL blob (not a duplicate of anything)
+    val batch = blobs(Seq(
+      10L -> a.updated(100, 'z').updated(101, 'a'),
+      11L -> fresh,
+      12L -> fresh.updated(40, 'a').updated(41, 'z')))
+      .unionByName(Seq(13L).toDF("id")
+        .select($"id", lit(null).cast("binary").as("blob")))
+    val out = BinaryOps.incrementalPerceptualDedup("id", "blob", index)(batch)
+    assert(out.select("id").as[Long].collect().sorted === Seq(11L, 13L))
+    // index-append semantics: survivors' phash rows join the index, so
+    // the NEXT crawl's perturbed copy of 11 is dropped against history
+    val index2 = index.unionByName(BinaryOps.phashIndexRows("id", "blob")(
+      out.filter($"blob".isNotNull)))
+    val out2 = BinaryOps.incrementalPerceptualDedup("id", "blob", index2)(
+      blobs(Seq(20L -> fresh.updated(200, 'a').updated(201, 'z'))))
+    assert(out2.count() === 0)
+  }
+
   test("extractFeaturesStub appends typed struct via partition-batched map") {
     val df = Seq((1L, "hello world"), (2L, null))
       .toDF("id", "t")
