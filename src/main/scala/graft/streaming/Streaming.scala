@@ -192,6 +192,70 @@ object Streaming {
       .dropDuplicatesWithinWatermark(Seq("__sigkey"))
       .drop((0 until bands).map(b => s"__bk$b") ++ Seq("__sig", "__sigkey"): _*)
   }
+
+  /** Streaming incremental PERCEPTUAL dedup — the streaming half of
+    * [[graft.ext.BinaryOps.incrementalPerceptualDedup]], against the
+    * same persisted `(id, phash)` rows
+    * ([[graft.ext.BinaryOps.phashIndexRows]]).
+    *
+    * STRONGER than [[streamingIncrementalNearDup]] in one way: the
+    * index-leg verify is EXACT, not candidate-only. The full 60-bit
+    * hash lives on the static side, so each per-band stream-static
+    * left_anti join carries `popcount(xor) <= maxHamming` as its
+    * residual condition — a stream row is dropped iff a genuinely
+    * in-radius index blob shares that band, which at `maxHamming <= 3`
+    * is the complete-by-pigeonhole criterion of the batch operator
+    * (larger radii: best-effort recall, exact precision, as
+    * documented on [[graft.ext.BinaryOps.perceptualHashPairs]]).
+    *
+    * The in-stream leg keeps the sibling ops' documented compromise:
+    * watermark-bounded dedup on the EXACT hash (near-dup within the
+    * stream would need a stream-derived self-join, which Structured
+    * Streaming cannot run statelessly). NULL-blob rows never match the
+    * index; in the in-stream leg they share a sentinel key and so
+    * collapse to one per watermark window — streaming state must key
+    * on something bounded (the batch operator, which has no state,
+    * keeps them all).
+    *
+    * Shape: one stateless stream-static left_anti join per band (the
+    * static side is band-bucket + hash pairs — 16 B/row, AQE
+    * broadcasts when it fits), then one watermark-bounded
+    * `dropDuplicatesWithinWatermark` on the hash. */
+  def streamingIncrementalPerceptualDedup(
+      stream: DataFrame,
+      blobField: String,
+      index: DataFrame,
+      tsField: String = "ts",
+      watermarkDelay: String = "1 hour",
+      maxHamming: Int = 3): DataFrame = {
+    require(index.columns.length == 2,
+      s"index must be (id, phash) rows, got ${index.columns.mkString(", ")}")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val bands = 4
+    val bandBits = 15
+    val idxH = index.select(col(index.columns(1)).as("__ih"))
+      .filter(col("__ih").isNotNull)
+    var out = stream.withColumn("__h",
+      graft.ext.BinaryOps.aHash60(col(blobField)))
+    (0 until bands).foreach { b =>
+      val idxB = idxH.select(
+        shiftright(col("__ih"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as(s"__ibk$b"),
+        col("__ih").as(s"__ih$b")).distinct()
+      out = out
+        .withColumn(s"__bk$b", shiftright(col("__h"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)))
+        .join(idxB,
+          col(s"__bk$b") === col(s"__ibk$b") &&
+            bit_count(col("__h").bitwiseXOR(col(s"__ih$b"))) <= maxHamming,
+          "left_anti")
+    }
+    out
+      .withColumn("__hkey", coalesce(col("__h"), lit(-1L)))
+      .withWatermark(tsField, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("__hkey"))
+      .drop((0 until bands).map(b => s"__bk$b") ++ Seq("__h", "__hkey"): _*)
+  }
 }
 
 /** Input row for [[Streaming.runningUserTotals]]. */

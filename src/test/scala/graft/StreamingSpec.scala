@@ -150,6 +150,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIncrementalPerceptualDedup verifies exactly vs the index and drops hash repeats") {
+    import graft.ext.BinaryOps
+    import org.apache.spark.sql.functions._
+    val a = ("aa" + "zz") * 62
+    val near = a.updated(100, 'z').updated(101, 'a') // in-radius copy
+    // band-mate: flip samples 20-27 only — band 0 (bits 0-14) still
+    // matches a's hash but Hamming = 8 > 3, so the EXACT residual
+    // verify must let it through (a candidate-only criterion, like the
+    // MinHash streaming form's, would have dropped it)
+    val ab = a.toCharArray
+    for (k <- 20 until 28) {
+      val p = k * 248 / 61
+      ab(p) = if (ab(p) == 'a') 'z' else 'a'
+    }
+    val bandMate = new String(ab)
+    val fresh = ("zz" + "aa") * 62
+    def blob(t: String) = BinaryOps.toBlob(lit(t))
+    // self-check the fixture geometry before streaming with it
+    val g = Seq(1).toDF("x").select(
+      bit_count(BinaryOps.aHash60(blob(a))
+        .bitwiseXOR(BinaryOps.aHash60(blob(bandMate)))).as("d"),
+      (BinaryOps.aHash60(blob(a)).bitwiseAND(lit(32767L)) ===
+        BinaryOps.aHash60(blob(bandMate)).bitwiseAND(lit(32767L))).as("b0"))
+      .head()
+    assert(g.getInt(0) === 8 && g.getBoolean(1))
+    val index = BinaryOps.phashIndexRows("id", "blob")(
+      Seq(100L -> a).toDF("id", "t")
+        .select($"id", BinaryOps.toBlob($"t").as("blob")))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = Streaming.streamingIncrementalPerceptualDedup(
+      input.toDF().toDF("ts", "id", "t")
+        .select($"ts", $"id", BinaryOps.toBlob($"t").as("blob")),
+      blobField = "blob", index = index, watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sipd")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("10:00"), 1L, near),     // within Hamming 3 of the index
+        (ts("10:01"), 2L, bandMate), // band collision, distance 8
+        (ts("10:02"), 3L, fresh),    // novel
+        (ts("10:03"), 4L, fresh))    // exact in-stream repeat
+      q.processAllAvailable()
+      assert(spark.table("sipd").select("id").as[Long].collect().sorted
+        .toSeq == Seq(2L, 3L))
+      assert(spark.table("sipd").columns.toSeq == Seq("ts", "id", "blob"))
+    } finally q.stop()
+  }
+
   test("windowed counts build the identical plan on a batch frame") {
     val batch = Seq(
       ts("10:01") -> "click", ts("10:03") -> "click", ts("10:11") -> "view")
