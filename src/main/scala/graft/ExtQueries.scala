@@ -306,6 +306,20 @@ object ExtQueries {
         minShared = 30, maxBucket = 64)(corpus(s, dir, "documents"))
         .orderBy("id_a", "id_b")
     },
+    "containment_pairs" -> { (s, dir) =>
+      // asymmetric quote/subset detection: a pair survives when either
+      // doc's distinct 8-grams are >= 50% contained in the other's
+      Dedup.containmentPairs("doc_id", "text", n = 8,
+        threshold = 0.5)(corpus(s, dir, "documents"))
+        .orderBy("id_a", "id_b")
+    },
+    "containment_pairs_sampled" -> { (s, dir) =>
+      // the 100 TB mode: same detector over a deterministic quarter of
+      // the gram-digest space — the shuffle shrinks 4x before any agg
+      Dedup.containmentPairs("doc_id", "text", n = 8,
+        threshold = 0.5, gramFraction = 0.25)(corpus(s, dir, "documents"))
+        .orderBy("id_a", "id_b")
+    },
     "train_split" -> { (s, dir) =>
       table(s, dir, "documents")
         .select(TextOps.hashSplit(col("doc_id"),
@@ -1017,6 +1031,38 @@ object ExtQueries {
     * value (parsed from the first 8 hex chars, exactly Spark's
     * `conv(substring(h,1,8),16,10)`) is under c — the deterministic
     * subspace-sampling mode. */
+  /** Containment-pair SQL shared by the exact and sampled queries —
+    * mirrors Dedup.containmentPairs (distinct 8-gram digests, per-gram
+    * doc-frequency cap at 64, both containment directions, either
+    * direction ≥ 0.5 survives). `cutoff` is the leading-32-bit digest
+    * bound of the sampled subspace. */
+  private def containmentPairsSql(cutoff: Option[Long]): String = {
+    val filter = cutoff.map(c =>
+      s"""WHERE list_sum(list_transform(range(1,9), j ->
+            (strpos('0123456789abcdef', substr(md5(gg), j, 1)) - 1)
+            * CAST(16**(8-j) AS BIGINT))) < $c""").getOrElse("")
+    s"""
+      WITH g AS (SELECT doc_id, md5(gg) AS h FROM (
+          SELECT doc_id, unnest(${shinglesSql(8)}) AS gg FROM documents) u
+        $filter),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM g GROUP BY doc_id),
+      dft AS (SELECT h, count(*) AS dfc FROM g GROUP BY h),
+      p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+          CAST(count(*) AS BIGINT) AS shared_grams
+        FROM g a JOIN g c ON a.h = c.h JOIN dft ON dft.h = a.h
+        WHERE a.doc_id < c.doc_id AND dft.dfc <= 64
+        GROUP BY 1, 2)
+      SELECT p.id_a, p.id_b, p.shared_grams,
+        CAST(p.shared_grams AS DOUBLE) / ta.n AS containment_a,
+        CAST(p.shared_grams AS DOUBLE) / tb.n AS containment_b
+      FROM p JOIN tot ta ON ta.doc_id = p.id_a
+             JOIN tot tb ON tb.doc_id = p.id_b
+      WHERE greatest(CAST(p.shared_grams AS DOUBLE) / ta.n,
+                     CAST(p.shared_grams AS DOUBLE) / tb.n) >= 5e-1
+      ORDER BY id_a, id_b"""
+  }
+
   private def sourceOverlapSql(cutoff: Option[Long]): String = {
     // filters on md5(g), not the h alias (alias visibility in WHERE is
     // not guaranteed); DISTINCT applies after the row filter either way
@@ -2448,6 +2494,15 @@ object ExtQueries {
           array_to_string(ps[CAST(s + 1 AS INT):CAST(s + 32 AS INT)], ''),
           '▁', ' '), '^ ', '') AS chunk_text
       FROM (SELECT doc_id, ps, unnest(range(0, len(ps), 24)) AS s FROM p)
-      ORDER BY doc_id, chunk_idx"""
+      ORDER BY doc_id, chunk_idx""",
+    // distinct 8-gram digests per doc (shinglesSql is already distinct),
+    // per-gram doc frequency as the bucket cap, ordered-pair shared
+    // counts, both containment directions from integer totals — mirrors
+    // Dedup.containmentPairs
+    "containment_pairs" -> containmentPairsSql(cutoff = None),
+    // deterministic quarter of the digest space (leading 32 bits <
+    // 2^30) — mirrors Dedup.containmentPairs(gramFraction = 0.25)
+    "containment_pairs_sampled" ->
+      containmentPairsSql(cutoff = Some(1073741824L))
   )
 }

@@ -704,6 +704,79 @@ object Dedup {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
+  /** ASYMMETRIC containment near-dup pairs: C(A→B) = |G_A ∩ G_B| /
+    * |G_A| over distinct n-gram sets — the quote/subset detector the
+    * symmetric Jaccard family structurally misses. A short document
+    * wholly quoted inside a long one has containment 1.0 but Jaccard
+    * |G_B|/|G_A| ≈ 0, so MinHash bands rarely collide on it; training
+    * corpora are full of exactly this shape (articles embedding press
+    * releases, books embedding poems, licenses embedded everywhere).
+    * Emits both directions (`containment_a`, `containment_b`) plus the
+    * shared count; a pair survives when EITHER direction reaches
+    * `threshold`. Integer gram counts, two final divisions — exact
+    * cross-engine.
+    *
+    * Candidates come from the gram digests THEMSELVES (per-gram doc
+    * buckets), not MinHash bands — the only blocking that preserves
+    * asymmetric recall. `maxDf` drops grams present in more than that
+    * many documents before pair explosion (the skew guard); shared
+    * counts for pairs relying on such boilerplate grams undercount — a
+    * documented recall trade mirrored by the oracle, and the right one
+    * at scale (ubiquitous grams are precisely the ones that would
+    * explode the pair space while carrying no containment signal).
+    *
+    * Scale shape: one gram projection (localCheckpoint — totals and
+    * buckets are its two consumers); 16-byte digests shuffle, never
+    * gram strings; per-gram fan-out bounded by maxDf²; totals join
+    * back on pair ids. Never all-pairs.
+    *
+    * `gramFraction < 1` is the 100 TB mode, same deterministic
+    * leading-32-bit digest subspace as
+    * [[TextOps.sourceOverlap]](gramFraction): numerator and BOTH
+    * denominators restrict to the same subspace, so each containment
+    * is a consistent estimator of the true ratio while the gram
+    * shuffle — the whole cost — shrinks by the factor BEFORE any
+    * aggregation. `shared_grams` scales by ~f; reruns and the oracle
+    * see the identical subspace. */
+  def containmentPairs(
+      idField: String, textField: String, n: Int = 8,
+      threshold: Double = 0.5, maxDf: Int = 64,
+      gramFraction: Double = 1.0)(df: DataFrame): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    require(gramFraction > 0 && gramFraction <= 1,
+      s"gramFraction must be in (0, 1], got $gramFraction")
+    val hashed = df.select(col(idField).as("__id"),
+        explode(TextOps.shingles(col(textField), n)).as("__g"))
+      .select(col("__id"), md5(col("__g")).as("__h"))
+    val grams = (if (gramFraction >= 1.0) hashed
+      else hashed.filter(
+        conv(substring(col("__h"), 1, 8), 16, 10).cast("long")
+          < (gramFraction * 4294967296.0).toLong))
+      .localCheckpoint()
+    val totals = grams.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val pairCounts = grams.groupBy("__h")
+      .agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxDf))
+      .select(explode(flatten(transform(col("__ids"), x =>
+        transform(filter(col("__ids"), y => x < y), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .groupBy(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairCounts
+      .join(totals.select(col("__id").as("id_a"), col("__n").as("__na")),
+        "id_a")
+      .join(totals.select(col("__id").as("id_b"), col("__n").as("__nb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("shared_grams"),
+        (col("shared_grams").cast("double") / col("__na"))
+          .as("containment_a"),
+        (col("shared_grams").cast("double") / col("__nb"))
+          .as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= threshold)
+  }
+
   /** Fuzzy key pairs at edit distance ≤ 1 via DELETION-NEIGHBORHOOD
     * blocking — the entity-resolution primitive (near-identical names,
     * ids with one typo) expressed without any all-pairs comparison: two

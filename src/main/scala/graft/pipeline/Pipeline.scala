@@ -272,6 +272,11 @@ final case class Pipeline(df: DataFrame) {
       index, maxHamming, maxBucket))
   def phashIndexRows(idField: String, blobField: String): Pipeline =
     >>(graft.ext.BinaryOps.phashIndexRows(idField, blobField))
+  def containmentPairs(idField: String, textField: String, n: Int = 8,
+      threshold: Double = 0.5, maxDf: Int = 64,
+      gramFraction: Double = 1.0): Pipeline =
+    >>(Dedup.containmentPairs(idField, textField, n, threshold, maxDf,
+      gramFraction))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

@@ -100,6 +100,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("containmentPairs catches a full quote the symmetric threshold misses") {
+    val big = (1 to 30).map(i => s"t$i").mkString(" ") // 23 distinct 8-grams
+    val quote = (5 to 16).map(i => s"t$i").mkString(" ") // 5 grams, all in big
+    val corpus = Seq(
+      (1L, big), (2L, quote),
+      (3L, "entirely unrelated words that overlap with nothing above zzz"),
+      (4L, "too short")                                // gram-less: no pairs
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs("doc_id", "text", n = 8,
+      threshold = 0.5)(corpus).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) === (1L, 2L))
+    // quote is WHOLLY contained: all 5 of its grams shared
+    assert(r.getAs[Long]("shared_grams") === 5L)
+    assert(r.getAs[Double]("containment_b") === 1.0)
+    assert(r.getAs[Double]("containment_a") === 5.0 / 23)
+    // the asymmetry claim: Jaccard for this pair is 5/23 < 0.5, so a
+    // symmetric 0.5-threshold near-dup pass would never flag it
+    assert(5.0 / 23 < 0.5)
+  }
+
   test("incrementalByFingerprint drops seen content then dedups in-batch") {
     // index holds the fingerprint of doc 1's content; the batch carries
     // a copy of it (6), an internal dup pair (7,8), and fresh content (9)
