@@ -263,6 +263,21 @@ object ExtQueries {
         queryVec = "embedding", k = 5, rerank = 10)
         .orderBy("query_id", "rank")
     },
+    "similarity_pq" -> { (s, dir) =>
+      // product-quantization rung: 8 one-byte codes per vector scanned
+      // in the ADC coarse pass (vs 256 B of float32), exact cosine
+      // rerank of the top-30 sliver; stand-in sub-centroids from the
+      // first 8 vectors (oracle-reproducible, same seam as IVF)
+      val e = corpus(s, dir, "embeddings")
+      Similarity.pqTopK(
+        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
+        queries = e.filter(col("vec_id") < 5), queryId = "vec_id",
+        queryVec = "embedding",
+        centroids = Similarity.standinCentroids(e, "vec_id", "embedding", 8),
+        centroidId = "cid", centroidVec = "center",
+        m = 8, k = 3, rerank = 10)
+        .orderBy("query_id", "rank")
+    },
     "similarity_hamming_wide" -> { (s, dir) =>
       // the dim > 64 rung: 128-dim vectors (the 64-d fixture widened by
       // concatenating its reverse — deterministic, oracle-shared),
@@ -1660,6 +1675,54 @@ object ExtQueries {
           AS INTEGER) AS rank
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // product quantization: sub-centroids = length-derived slices of the
+    // first 8 vectors; per (vector, subspace) squared-L2 argmin (fold
+    // from 0.0 — squares are never -0.0 — ties to the smaller id-sorted
+    // position); ADC score folds the per-subspace query·centroid dots in
+    // subspace order from 0.0; top-30 coarse pool, exact-cosine rerank —
+    // mirrors Similarity.pqEncode / pqTopK
+    "similarity_pq" -> s"""
+      WITH c AS (SELECT vec_id AS cid,
+          row_number() OVER (ORDER BY vec_id) - 1 AS pos,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE vec_id < 8),
+      v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
+          len(embedding) // 8 AS sub
+        FROM embeddings),
+      sl AS (SELECT v.vec_id, u.s, c.pos,
+          v.dv[CAST(u.s * v.sub + 1 AS INT):CAST(u.s * v.sub + v.sub AS INT)] AS dvs,
+          c.cv[CAST(u.s * v.sub + 1 AS INT):CAST(u.s * v.sub + v.sub AS INT)] AS cvs
+        FROM v, unnest(range(0, 8)) u(s), c),
+      d AS (SELECT vec_id, s, pos,
+          ${foldSum("list_transform(range(1, len(dvs) + 1), j -> (dvs[CAST(j AS INT)] - cvs[CAST(j AS INT)]) * (dvs[CAST(j AS INT)] - cvs[CAST(j AS INT)]))")} AS dist
+        FROM sl),
+      codes AS (SELECT vec_id, s, pos AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, s
+              ORDER BY dist ASC, pos ASC) AS rn FROM d) t
+        WHERE rn = 1),
+      lt AS (SELECT vec_id AS query_id, s, pos,
+          ${foldSum("list_transform(range(1, len(dvs) + 1), j -> dvs[CAST(j AS INT)] * cvs[CAST(j AS INT)])")} AS dp
+        FROM sl WHERE vec_id < 5),
+      adc AS (SELECT lt.query_id, cd.vec_id AS item_id,
+          ${foldSum("list(lt.dp ORDER BY lt.s)")} AS adc_score
+        FROM codes cd JOIN lt ON lt.s = cd.s AND lt.pos = cd.code
+        WHERE lt.query_id <> cd.vec_id
+        GROUP BY 1, 2),
+      coarse AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_score DESC, item_id ASC) AS cr FROM adc) t
+        WHERE cr <= 30),
+      rr AS (SELECT co.query_id, co.item_id, co.adc_score,
+          ${cosineSql("qe.embedding", "ie.embedding")} AS cosine
+        FROM coarse co
+        JOIN embeddings qe ON qe.vec_id = co.query_id
+        JOIN embeddings ie ON ie.vec_id = co.item_id)
+      SELECT query_id, item_id, adc_score, cosine, CAST(rn AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, item_id ASC) AS rn FROM rr) t
+      WHERE rn <= 3
+      ORDER BY query_id, rank""",
     // the dim > 64 rung over the widened (128-d) fixture: hamming is the
     // dimension-wise sign-disagreement count (= the packed multi-word
     // XOR popcount sum — same integer), isnan-guarded to the kernel's

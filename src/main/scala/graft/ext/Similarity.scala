@@ -714,4 +714,149 @@ object Similarity {
         col("__w.cid").as("centroid_label") :+
         col("__w.cos").as("centroid_cos"): _*)
   }
+
+  /** The id-sorted one-row centroid array shared by the PQ operators —
+    * same collapse as [[centroidAssign]]'s: |centroids| (cid, vector)
+    * structs in ONE broadcast row, so every PQ stage is a pure
+    * projection against it (zero corpus shuffle). */
+  private def centroidArray(
+      centroids: DataFrame, centroidId: String, centroidVec: String) =
+    centroids.agg(
+      array_sort(collect_list(struct(
+        col(centroidId).as("cid"),
+        transform(col(centroidVec), _.cast("double")).as("cv"))))
+        .as("__cents"))
+
+  /** Squared-L2 distance between subspace `s` of `v` and of `cv`
+    * (`sub` dims each): zip the slices, square differences, fold left
+    * from 0.0. Squares are never -0.0, so the fold is bit-identical to
+    * the oracle's `list_reduce(list_prepend(0.0, …))`. */
+  private def subL2(v: Column, cv: Column, s: Column, sub: Column): Column =
+    aggregate(
+      zip_with(slice(v, s * sub + 1, sub), slice(cv, s * sub + 1, sub),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Product-quantization codes: the fourth rung of the precision
+    * ladder (float32 → int8 → sign sketch → PQ). The vector splits
+    * into `m` contiguous subspaces and each records the id-sorted
+    * POSITION (0-based) of its nearest sub-centroid — squared-L2
+    * argmin, ties to the earlier position, i.e. the smaller cid. With
+    * 256 centroids a code is ONE BYTE per subspace: a 1024-dim float32
+    * vector (4 KiB) compresses to m = 64 bytes — a 64× scan-IO
+    * reduction, the memory-bound regime past int8's 4× and the
+    * sketch's 32×, while keeping graded (not just Hamming) distances.
+    *
+    * `centroids` is any (cid, center) frame ([[standinCentroids]] for
+    * the oracle-reproducible surface, [[kmeansCentroids]] in
+    * production — same seam as [[ivfBuild]]); sub-centroid c for
+    * subspace s is SLICE s of center c, so one centroid frame serves
+    * all subspaces. `m` must divide the dimension (slices truncate
+    * otherwise — caller's contract, same as [[signSketchWide]]'s dim).
+    *
+    * Scale shape: one broadcast row of centroids, one projection pass
+    * — codes are computed AT INGEST and stored (exactly like
+    * [[quantizeInt8]] codes and [[signSketch]] words); per-row cost is
+    * O(|centroids| · dim). Appends `outField` (array<int>, length m). */
+  def pqEncode(
+      vecField: String,
+      centroids: DataFrame, centroidId: String, centroidVec: String,
+      m: Int, outField: String = "pq_codes")(df: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.bind
+    require(m >= 1, s"m must be >= 1, got $m")
+    val centArr = centroidArray(centroids, centroidId, centroidVec)
+    val codes = bind(transform(col(vecField), _.cast("double"))) { v =>
+      bind(size(v) / m) { sub =>
+        bind(col("__cents")) { cents =>
+          transform(sequence(lit(0), lit(m - 1)), s =>
+            aggregate(sequence(lit(1), size(cents)),
+              struct(lit(-1).cast("int").as("p"),
+                lit(Double.PositiveInfinity).as("d")),
+              (acc, i) =>
+                bind(subL2(v, element_at(cents, i).getField("cv"), s, sub)) {
+                  di =>
+                    when(di < acc.getField("d"),
+                      struct((i - 1).cast("int").as("p"), di.as("d")))
+                      .otherwise(acc)
+                }).getField("p"))
+        }
+      }
+    }
+    df.crossJoin(broadcast(centArr))
+      .withColumn(outField, codes)
+      .drop("__cents")
+  }
+
+  /** PQ top-k via asymmetric distance computation (ADC): corpus rows
+    * are scored from their [[pqEncode]] codes ALONE — per query, a
+    * lookup table of sub-centroid dot products (m × |centroids|
+    * doubles, built once on the broadcast query side) turns each
+    * corpus row into m table lookups and adds; the approximate inner
+    * product ranks a candidate pool of `k · rerank`, and exact cosine
+    * over the original vectors reranks only that sliver (the
+    * [[hammingTopK]] discipline: candidates broadcast back, the
+    * corpus's float vectors never shuffle).
+    *
+    * At 100 TB the coarse pass reads ONLY the stored code column —
+    * with m = 64 over 1024 dims that is 64 B/vector against 4 KiB, and
+    * unlike the sign sketch the ADC score is graded, so the pool needs
+    * less over-fetch for the same recall. Approximation error comes
+    * solely from snapping corpus vectors to sub-centroids; queries
+    * stay exact (the A in ADC). Scores fold in subspace order from
+    * 0.0 — bit-identical cross-engine. */
+  def pqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: DataFrame, centroidId: String, centroidVec: String,
+      m: Int, k: Int, rerank: Int = 10,
+      excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.GraftFunctions.bind
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && rerank >= 1, s"k and rerank must be >= 1")
+    val centArr = centroidArray(centroids, centroidId, centroidVec)
+    val codesDf = pqEncode(corpusVec, centroids, centroidId, centroidVec,
+      m, "__codes")(
+      corpus.select(col(corpusId).as("item_id"), col(corpusVec)))
+      .select(col("item_id"), col("__codes"))
+    val lut = bind(transform(col(queryVec), _.cast("double"))) { q =>
+      bind(size(q) / m) { sub =>
+        bind(col("__cents")) { cents =>
+          transform(sequence(lit(0), lit(m - 1)), s =>
+            transform(cents, c =>
+              aggregate(
+                zip_with(slice(q, s * sub + 1, sub),
+                  slice(c.getField("cv"), s * sub + 1, sub),
+                  (x, y) => x * y),
+                lit(0.0), (acc, p) => acc + p)))
+        }
+      }
+    }
+    val queryLuts = queries
+      .select(col(queryId).as("query_id"), col(queryVec))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), lut.as("__lut"))
+    val cand = codesDf
+      .crossJoin(broadcast(queryLuts))
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("item_id"))
+      .withColumn("adc_score",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(element_at(col("__lut"), s + 1),
+            element_at(col("__codes"), s + 1) + 1)))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_score").desc, col("item_id").asc)))
+      .filter(col("__r") <= k * rerank)
+      .select("query_id", "item_id", "adc_score")
+    corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("__cv"))
+      .join(broadcast(cand), "item_id")
+      .join(broadcast(queries
+        .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))),
+        "query_id")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("item_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "adc_score", "cosine", "rank")
+  }
 }

@@ -205,6 +205,19 @@ final case class Pipeline(df: DataFrame) {
       rerank: Int = 10, excludeSelf: Boolean = true): Pipeline =
     >>(c => graft.ext.Similarity.hammingTopKWide(c, corpusId, corpusVec,
       queries, queryId, queryVec, k, dim, rerank, excludeSelf))
+  /** `this` is the corpus; appends the stored PQ code column. */
+  def pqEncode(vecField: String, centroids: DataFrame, centroidId: String,
+      centroidVec: String, m: Int, outField: String = "pq_codes"): Pipeline =
+    >>(graft.ext.Similarity.pqEncode(vecField, centroids, centroidId,
+      centroidVec, m, outField))
+  /** `this` is the corpus; ADC coarse rank over PQ codes + cosine rerank. */
+  def pqTopK(corpusId: String, corpusVec: String, queries: DataFrame,
+      queryId: String, queryVec: String, centroids: DataFrame,
+      centroidId: String, centroidVec: String, m: Int, k: Int,
+      rerank: Int = 10, excludeSelf: Boolean = true): Pipeline =
+    >>(c => graft.ext.Similarity.pqTopK(c, corpusId, corpusVec, queries,
+      queryId, queryVec, centroids, centroidId, centroidVec, m, k, rerank,
+      excludeSelf))
   def gopherRules(idField: String, textField: String): Pipeline =
     >>(TextOps.gopherRules(idField, textField))
   def scorePercentiles(sourceField: String, scoreField: String): Pipeline =

@@ -96,6 +96,35 @@ class ExtSpec extends SparkSpec {
     assert(hits >= 27, s"IVF top-1 recall too low: $hits/30")
   }
 
+  test("pqTopK: byte codes + the ADC pool recover brute-force top-1 on clusters") {
+    val rnd = new scala.util.Random(13)
+    val centers = Seq(
+      Array.tabulate(16)(d => if (d < 5) 1.0f else 0.0f),
+      Array.tabulate(16)(d => if (d >= 5 && d < 10) 1.0f else 0.0f),
+      Array.tabulate(16)(d => if (d >= 10) 1.0f else 0.0f))
+    val points = (0 until 30).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(points, "embedding", k = 3)
+    // codes are one id-sorted centroid position per subspace
+    val codes = Similarity.pqEncode("embedding", cents, "cid", "center",
+      m = 4)(points).select("pq_codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 3)))
+    // snapping corpus vectors to 3 sub-centroids per subspace keeps each
+    // cluster's members ahead of other clusters in ADC order, so the
+    // exact rerank of the 10-candidate pool recovers the true top-1
+    val pq = Similarity.pqTopK(points, "vec_id", "embedding",
+      points, "vec_id", "embedding", cents, "cid", "center",
+      m = 4, k = 1, rerank = 10)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    val brute = Similarity.bruteForceTopK(points, "vec_id", "embedding",
+      points, "vec_id", "embedding", k = 1)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    val hits = brute.count { case (q, nn) => pq.get(q).contains(nn) }
+    assert(hits >= 27, s"PQ top-1 recall too low: $hits/30")
+  }
+
   test("kmeans-IVF recall floors on unstructured vectors") {
     // The SURVEY §8 dossier numbers, pinned: on the UNSTRUCTURED fixture
     // embeddings (uniform noise — the adversarial case for cell pruning)
