@@ -156,9 +156,16 @@ object ScaleBench {
       Similarity.hammingTopK(vecs, "vec_id", "embedding",
         annQ, "vec_id", "embedding", k = 5, rerank = 10)
         .write.mode("overwrite").format("noop").save()
+    val pqCents = Similarity.standinCentroids(vecsBase, "vec_id",
+      "embedding", 8)
+    def annPq(vecs: DataFrame): Unit =
+      Similarity.pqTopK(vecs, "vec_id", "embedding",
+        annQ, "vec_id", "embedding", pqCents, "cid", "center",
+        m = 8, k = 5, rerank = 10)
+        .write.mode("overwrite").format("noop").save()
     locally {
       val v1 = replicatedVecs(1).localCheckpoint()
-      annFloat(v1); annQ8(v1); annHam(v1)
+      annFloat(v1); annQ8(v1); annHam(v1); annPq(v1)
       v1.unpersist()
     }
     val annRows = for (k <- Seq(1, 2, 4)) yield {
@@ -166,12 +173,13 @@ object ScaleBench {
       val tF = median3(annFloat(vecs))
       val tQ = median3(annQ8(vecs))
       val tH = median3(annHam(vecs))
+      val tP = median3(annPq(vecs))
       vecs.unpersist()
-      (k, nv * k, tF, tQ, tH)
+      (k, nv * k, tF, tQ, tH, tP)
     }
-    println("corpus_x,vecs,ann_float_sec,ann_int8_sec,ann_hamming_sec")
-    annRows.foreach { case (k, v, a, b, c) =>
-      println(f"$k,$v,$a%.2f,$b%.2f,$c%.2f")
+    println("corpus_x,vecs,ann_float_sec,ann_int8_sec,ann_hamming_sec,ann_pq_sec")
+    annRows.foreach { case (k, v, a, b, c, p) =>
+      println(f"$k,$v,$a%.2f,$b%.2f,$c%.2f,$p%.2f")
     }
 
     // Incremental near-dup scaling: FIXED batch, GROWING index — the
