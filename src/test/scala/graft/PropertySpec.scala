@@ -379,4 +379,101 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("perceptual pairs report the true hash distance under the ordered convention") {
+    import graft.ext.BinaryOps
+    val blobGen: Gen[List[(Long, String)]] = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(1L, 1000000L),
+        Gen.listOfN(150, Gen.alphaNumChar).map(_.mkString)))
+    for (blobs <- draws(blobGen, 3)) {
+      val docs = blobs.distinctBy(_._1).toDF("id", "t")
+        .select($"id", BinaryOps.toBlob($"t").as("blob"))
+      val hashes = docs.select($"id",
+        BinaryOps.aHash60($"blob").as("h")).as[(Long, Long)].collect().toMap
+      // hashes stay inside the 60-bit budget (sign bit clear by design)
+      assert(hashes.values.forall(h => h >= 0 && h < (1L << 60)))
+      val pairs = BinaryOps.perceptualHashPairs("id", "blob",
+        maxHamming = 60)(docs)
+        .as[(Long, Long, Int)].collect()
+      pairs.foreach { case (a, b, ham) =>
+        assert(a < b, s"pair ($a, $b) breaks the ordered convention")
+        assert(ham === java.lang.Long.bitCount(hashes(a) ^ hashes(b)),
+          s"reported hamming disagrees with the hashes for ($a, $b)")
+      }
+    }
+  }
+
+  test("incrementalPerceptualDedup survivors are never in-radius of the index") {
+    import graft.ext.BinaryOps
+    // maxHamming <= 3 is the pigeonhole-complete regime: NO survivor may
+    // sit within the radius of ANY index hash (brute-force recheck)
+    val blobGen: Gen[List[String]] = Gen.listOfN(20,
+      Gen.listOfN(120, Gen.oneOf('a', 'z')).map(_.mkString))
+    for ((blobs, round) <- draws(blobGen, 3).zipWithIndex) {
+      val all = blobs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (idxRows, batchRows) = all.partition(_._1 < 10)
+      def frame(rows: Seq[(Long, String)]) = rows.toDF("id", "t")
+        .select($"id", BinaryOps.toBlob($"t").as("blob"))
+      val index = BinaryOps.phashIndexRows("id", "blob")(frame(idxRows))
+      val survivors = BinaryOps.incrementalPerceptualDedup(
+        "id", "blob", index, maxHamming = 3)(frame(batchRows))
+        .select($"id", BinaryOps.aHash60($"blob").as("h"))
+        .as[(Long, Long)].collect()
+      val idxHashes = index.select($"phash").as[Long].collect()
+      for ((sid, sh) <- survivors; ih <- idxHashes)
+        assert(java.lang.Long.bitCount(sh ^ ih) > 3,
+          s"round $round: survivor $sid is within radius of the index")
+    }
+  }
+
+  test("containment pairs stay in (0, 1] and never exceed either gram set") {
+    import graft.ext.{Dedup, TextOps}
+    val docGen: Gen[List[(Long, String)]] = Gen.listOfN(10,
+      Gen.zip(Gen.chooseNum(1L, 1000000L),
+        Gen.chooseNum(8, 40).flatMap(n => Gen.listOfN(n,
+          Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+          .map(_.mkString(" ")))))
+    for (docs <- draws(docGen, 3)) {
+      val df = docs.distinctBy(_._1).toDF("doc_id", "text")
+      val gramCounts = df.select($"doc_id",
+        size(TextOps.shingles($"text", 8)).as("n"))
+        .as[(Long, Int)].collect().toMap
+      val out = Dedup.containmentPairs("doc_id", "text", n = 8,
+        threshold = 0.1)(df)
+        .as[(Long, Long, Long, Double, Double)].collect()
+      out.foreach { case (a, b, shared, ca, cb) =>
+        assert(a < b)
+        assert(shared >= 1 && ca > 0 && cb > 0 && ca <= 1.0 && cb <= 1.0)
+        assert(shared <= gramCounts(a) && shared <= gramCounts(b))
+        assert(ca === shared.toDouble / gramCounts(a))
+        assert(cb === shared.toDouble / gramCounts(b))
+      }
+    }
+  }
+
+  test("pqTopK equals brute force when the ADC pool covers the corpus") {
+    import graft.ext.Similarity
+    // the coarse pass only SELECTS candidates; with k*rerank >= corpus
+    // size the exact-cosine rerank sees everything, so the output must
+    // be row-identical to bruteForceTopK — approximation error can live
+    // only in the pool cut, never in the final ranking
+    val vecGen: Gen[List[(Long, Array[Float])]] = Gen.listOfN(15,
+      Gen.zip(Gen.chooseNum(1L, 1000000L),
+        Gen.listOfN(16, Gen.chooseNum(-500, 500).map(_ / 100.0f)).map(_.toArray)))
+    for (vecs <- draws(vecGen, 3)) {
+      val points = vecs.distinctBy(_._1).toDF("vec_id", "embedding")
+      val cents = points.limit(3)
+        .select($"vec_id".as("cid"), $"embedding".as("center"))
+      val pq = Similarity.pqTopK(points, "vec_id", "embedding",
+        points, "vec_id", "embedding", cents, "cid", "center",
+        m = 4, k = 3, rerank = 100)
+        .select("query_id", "item_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = Similarity.bruteForceTopK(points, "vec_id", "embedding",
+        points, "vec_id", "embedding", k = 3)
+        .select("query_id", "item_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(pq === brute)
+    }
+  }
 }
