@@ -88,15 +88,29 @@ object BinaryOps {
     * shift/compare is exact BIGINT arithmetic in both engines (DuckDB
     * ERRORS on `1 << 63`). The mean test is integer-exact:
     * `sample·60 ≥ Σ samples` — no division anywhere. Empty blob → 0;
-    * NULL blob → NULL. Pure projection. */
-  def aHash60(blob: Column): Column = pHash60(blob, aHashBits)
+    * NULL blob → NULL. Pure projection, lowered to the native
+    * [[graft.functions.PerceptualHash60]] kernel (one primitive byte
+    * loop in whole-stage codegen — the HOF spec form [[aHash60Hof]]
+    * pays substring/hex/conv STRING machinery per sampled byte and is
+    * kept only as the pinned executable specification). */
+  def aHash60(blob: Column): Column =
+    graft.functions.GraftFunctions.perceptualHash60(blob, dHash = false)
 
   /** 60-bit difference-hash — [[aHash60]]'s gradient sibling: bit k is
     * set iff sample k+1 > sample k over 61 stride-sampled bytes
     * (horizontal-gradient dHash). More robust than the mean test under
     * global brightness shifts (a constant byte offset preserves every
-    * strict inequality); same 60-bit packing and contracts. */
-  def dHash60(blob: Column): Column = pHash60(blob, dHashBits)
+    * strict inequality); same 60-bit packing, contracts, and native
+    * kernel ([[dHash60Hof]] is the spec form). */
+  def dHash60(blob: Column): Column =
+    graft.functions.GraftFunctions.perceptualHash60(blob, dHash = true)
+
+  /** HOF spec form of [[aHash60]] — what the kernel is pinned
+    * bit-identical to (HashExpressionsSpec). */
+  def aHash60Hof(blob: Column): Column = pHash60(blob, aHashBits)
+
+  /** HOF spec form of [[dHash60]]. */
+  def dHash60Hof(blob: Column): Column = pHash60(blob, dHashBits)
 
   private def aHashBits(ss: Column, total: Column): Column = {
     import org.apache.spark.sql.functions.{aggregate => fold}

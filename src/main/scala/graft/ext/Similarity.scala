@@ -757,34 +757,46 @@ object Similarity {
     * Scale shape: one broadcast row of centroids, one projection pass
     * — codes are computed AT INGEST and stored (exactly like
     * [[quantizeInt8]] codes and [[signSketch]] words); per-row cost is
-    * O(|centroids| · dim). Appends `outField` (array<int>, length m). */
+    * O(|centroids| · dim), lowered to the native
+    * [[graft.functions.PqEncode]] kernel (whole-stage codegen; the
+    * HOF spec form [[pqEncodeHof]] is pinned bit-identical). Appends
+    * `outField` (array<int>, length m). */
   def pqEncode(
       vecField: String,
       centroids: DataFrame, centroidId: String, centroidVec: String,
       m: Int, outField: String = "pq_codes")(df: DataFrame): DataFrame = {
-    import graft.functions.GraftFunctions.bind
     require(m >= 1, s"m must be >= 1, got $m")
     val centArr = centroidArray(centroids, centroidId, centroidVec)
-    val codes = bind(transform(col(vecField), _.cast("double"))) { v =>
+    df.crossJoin(broadcast(centArr))
+      .withColumn(outField, graft.functions.GraftFunctions.pqEncode(
+        col(vecField), transform(col("__cents"), _.getField("cv")), m))
+      .drop("__cents")
+  }
+
+  /** The higher-order-function form of the [[pqEncode]] kernel — the
+    * executable specification [[graft.functions.PqEncode]] is tested
+    * against (bit-parity asserted in HashExpressionsSpec). `cents` is
+    * the id-sorted array<array<double>> of full-dimension centroid
+    * vectors. */
+  def pqEncodeHof(vec: Column, cents: Column, m: Int): Column = {
+    import graft.functions.GraftFunctions.bind
+    require(m >= 1, s"m must be >= 1, got $m")
+    bind(transform(vec, _.cast("double"))) { v =>
       bind(size(v) / m) { sub =>
-        bind(col("__cents")) { cents =>
+        bind(cents) { ca =>
           transform(sequence(lit(0), lit(m - 1)), s =>
-            aggregate(sequence(lit(1), size(cents)),
+            aggregate(sequence(lit(1), size(ca)),
               struct(lit(-1).cast("int").as("p"),
                 lit(Double.PositiveInfinity).as("d")),
               (acc, i) =>
-                bind(subL2(v, element_at(cents, i).getField("cv"), s, sub)) {
-                  di =>
-                    when(di < acc.getField("d"),
-                      struct((i - 1).cast("int").as("p"), di.as("d")))
-                      .otherwise(acc)
+                bind(subL2(v, element_at(ca, i), s, sub)) { di =>
+                  when(di < acc.getField("d"),
+                    struct((i - 1).cast("int").as("p"), di.as("d")))
+                    .otherwise(acc)
                 }).getField("p"))
         }
       }
     }
-    df.crossJoin(broadcast(centArr))
-      .withColumn(outField, codes)
-      .drop("__cents")
   }
 
   /** PQ top-k via asymmetric distance computation (ADC): corpus rows
@@ -838,10 +850,8 @@ object Similarity {
     val cand = codesDf
       .crossJoin(broadcast(queryLuts))
       .filter(!lit(excludeSelf) || col("query_id") =!= col("item_id"))
-      .withColumn("adc_score",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
-          acc + element_at(element_at(col("__lut"), s + 1),
-            element_at(col("__codes"), s + 1) + 1)))
+      .withColumn("adc_score", graft.functions.GraftFunctions.pqAdcScore(
+        col("__codes"), col("__lut")))
       .withColumn("__r", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("adc_score").desc, col("item_id").asc)))

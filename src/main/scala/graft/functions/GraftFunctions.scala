@@ -95,6 +95,27 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         arity("graft_hamming_words", children, 2)
         HammingWords(children.head, children(1)) }),
+    ("graft_pq_encode",
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      { children: Seq[Expression] =>
+        arity("graft_pq_encode", children, 3)
+        PqEncode(children.head, children(1),
+          litInt(children(2), "graft_pq_encode", "m")) }),
+    ("graft_pq_adc",
+      new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_adc"),
+      { children: Seq[Expression] =>
+        arity("graft_pq_adc", children, 2)
+        PqAdcScore(children.head, children(1)) }),
+    ("graft_ahash60",
+      new ExpressionInfo(classOf[PerceptualHash60].getName, "graft_ahash60"),
+      { children: Seq[Expression] =>
+        arity("graft_ahash60", children, 1)
+        PerceptualHash60(children.head, dHash = false) }),
+    ("graft_dhash60",
+      new ExpressionInfo(classOf[PerceptualHash60].getName, "graft_dhash60"),
+      { children: Seq[Expression] =>
+        arity("graft_dhash60", children, 1)
+        PerceptualHash60(children.head, dHash = true) }),
     ("graft_winnow",
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
       { children: Seq[Expression] =>
@@ -187,6 +208,22 @@ object GraftFunctions {
     * sign sketches (see [[HammingWords]]). */
   def hammingWords(a: Column, b: Column): Column =
     Bridge.column(HammingWords(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Native product-quantization encoder: per-subspace squared-L2
+    * argmin positions against an id-sorted centroid-vector array (see
+    * [[PqEncode]]). */
+  def pqEncode(vec: Column, cents: Column, m: Int): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), Bridge.expression(cents), m))
+
+  /** Native ADC score: Σ over subspaces of `lut[s][codes[s]]` (see
+    * [[PqAdcScore]]). */
+  def pqAdcScore(codes: Column, lut: Column): Column =
+    Bridge.column(PqAdcScore(Bridge.expression(codes), Bridge.expression(lut)))
+
+  /** Native 60-bit perceptual blob hash — aHash mean test or dHash
+    * gradient test (see [[PerceptualHash60]]). */
+  def perceptualHash60(blob: Column, dHash: Boolean): Column =
+    Bridge.column(PerceptualHash60(Bridge.expression(blob), dHash))
 
   /** Native 60-bit SimHash over a token array (see [[SimHash60]]). */
   def simhash60(tokens: Column): Column =

@@ -100,6 +100,86 @@ class HashExpressionsSpec extends SparkSpec {
     assert(w0 === 0L)
   }
 
+  test("native pq encode equals the HOF form; ADC score equals the lookup fold") {
+    import graft.ext.Similarity
+    import graft.functions.GraftFunctions
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    def vec() = Array.fill(dim)((rnd.nextFloat() - 0.5f) * 4f)
+    val centsLocal = (0 until 5).map(_ => vec().map(_.toDouble).toSeq)
+    // duplicate the first centroid at the END: every vector ties between
+    // positions 0 and 5 — both forms must keep the EARLIER position
+    val centsWithTie = centsLocal :+ centsLocal.head
+    val vecs = ((1 to 40).map(i => (i.toLong, vec())) ++
+      Seq((100L, centsLocal(2).map(_.toFloat).toArray), // exact centroid hit
+          (101L, Array.fill(dim)(0f))))                 // all-zero vector
+      .toDF("id", "vec")
+      .withColumn("cents", typedLit(centsWithTie))
+    for (m <- Seq(1, 2, 4, 8)) {
+      val diffs = vecs.select(
+        GraftFunctions.pqEncode($"vec", $"cents", m).as("n"),
+        Similarity.pqEncodeHof($"vec", $"cents", m).as("h"))
+        .filter(to_json($"n") =!= to_json($"h")).count()
+      assert(diffs === 0L, s"pq encode mismatch at m=$m")
+      // tie discipline: the duplicated tail centroid (position 5) must
+      // never win against its position-0 twin
+      val codes = vecs.select(
+        GraftFunctions.pqEncode($"vec", $"cents", m).as("c"))
+        .select(explode($"c")).as[Int].collect()
+      assert(codes.forall(c => c >= 0 && c < 5))
+    }
+    // ADC kernel == the explicit HOF lookup fold
+    val m = 4
+    val lutDf = vecs.select($"id",
+      GraftFunctions.pqEncode($"vec", $"cents", m).as("codes"),
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        transform($"cents", c =>
+          aggregate(
+            zip_with(
+              slice(transform($"vec", _.cast("double")),
+                s * (dim / m) + 1, lit(dim / m)),
+              slice(c, s * (dim / m) + 1, lit(dim / m)),
+              (x, y) => x * y),
+            lit(0.0), (a, p) => a + p))).as("lut"))
+    val adcDiffs = lutDf.select(
+      GraftFunctions.pqAdcScore($"codes", $"lut").as("n"),
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+        acc + element_at(element_at($"lut", s + 1),
+          element_at($"codes", s + 1) + 1)).as("h"))
+      .filter($"n" =!= $"h").count()
+    assert(adcDiffs === 0L)
+  }
+
+  test("native perceptual hashes equal the HOF forms over arbitrary bytes") {
+    import graft.ext.BinaryOps
+    val rnd = new scala.util.Random(19)
+    val gen = (1 to 50).map(i => (i.toLong,
+      (0 until rnd.nextInt(300)).map(_ => (rnd.nextInt(94) + 33).toChar)
+        .mkString))
+    val edges = Seq(
+      (100L, ""),                         // empty -> 0
+      (101L, "x"),                        // single byte
+      (102L, "héllo wörld ünïcode ça"),   // multi-byte UTF-8: BYTE samples
+      (103L, "a" * 61),                   // uniform: every mean test ties
+      (104L, ("az" * 200)))               // alternating gradient
+    val blobs = (gen ++ edges).toDF("id", "t")
+      .select($"id", BinaryOps.toBlob($"t").as("blob"))
+    val diffs = blobs.select(
+      BinaryOps.aHash60($"blob").as("na"),
+      BinaryOps.aHash60Hof($"blob").as("ha"),
+      BinaryOps.dHash60($"blob").as("nd"),
+      BinaryOps.dHash60Hof($"blob").as("hd"))
+      .filter($"na" =!= $"ha" || $"nd" =!= $"hd").count()
+    assert(diffs === 0L)
+    // 60-bit budget and the NULL/empty contracts hold on the kernel too
+    val r = blobs.agg(max(BinaryOps.aHash60($"blob"))).as[Long].head()
+    assert(r < (1L << 60))
+    val nulls = Seq(1).toDF("x").select(
+      BinaryOps.aHash60(lit(null).cast("binary")).as("n"),
+      BinaryOps.aHash60(BinaryOps.toBlob(lit(""))).as("e")).head()
+    assert(nulls.isNullAt(0) && nulls.getLong(1) === 0L)
+  }
+
   test("native hamming-words distance equals the HOF form and the dimension count") {
     import graft.ext.Similarity
     val rnd = new scala.util.Random(13)
