@@ -216,6 +216,34 @@ object ScaleBench {
     }
     println("index_x,index_rows,batch_rows,incremental_near_dup_sec")
     incRows.foreach { case (k, i, b, t) => println(f"$k,$i,$b,$t%.2f") }
+
+    // Containment-pair scaling: replication is MAXIMALLY adversarial
+    // here — every replica shares EVERY gram with its source doc, so
+    // per-gram doc frequency multiplies by k and the pair space would
+    // grow k² per gram if uncapped. The maxDf cap is the design under
+    // test: grams pushed past the cap stop generating pairs, so the
+    // curve must stay bounded by the gram-projection scan (linear),
+    // not the pair explosion (quadratic). Exact and sampled modes
+    // share the cells (the sampled one additionally pins that the
+    // quarter-subspace stays ~flat as the corpus grows).
+    def contain(docs: DataFrame, frac: Double): Unit =
+      Dedup.containmentPairs("doc_id", "text", n = 8, threshold = 0.5,
+        gramFraction = frac)(docs)
+        .write.mode("overwrite").format("noop").save()
+    locally {
+      val d1 = replicated(1).localCheckpoint()
+      contain(d1, 1.0); contain(d1, 0.25)
+      d1.unpersist()
+    }
+    val cRows = for (k <- Seq(1, 2, 4)) yield {
+      val docs = replicated(k).localCheckpoint()
+      val tE = median3(contain(docs, 1.0))
+      val tS = median3(contain(docs, 0.25))
+      docs.unpersist()
+      (k, n * k, tE, tS)
+    }
+    println("corpus_x,docs,containment_pairs_sec,containment_sampled_sec")
+    cRows.foreach { case (k, d, a, b) => println(f"$k,$d,$a%.2f,$b%.2f") }
     spark.stop()
   }
 }
