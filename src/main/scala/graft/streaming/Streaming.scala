@@ -221,6 +221,58 @@ object Streaming {
     * static side is band-bucket + hash pairs — 16 B/row, AQE
     * broadcasts when it fits), then one watermark-bounded
     * `dropDuplicatesWithinWatermark` on the hash. */
+  /** Streaming incremental EMBEDDING near-dup — the streaming half of
+    * [[graft.ext.Dedup.incrementalEmbeddingDedup]], against the same
+    * persisted `(id, int8 codes)` rows
+    * ([[graft.ext.Dedup.embeddingIndexRows]]), completing the
+    * streaming incremental-index triad (text / binary / embeddings).
+    *
+    * Like [[streamingIncrementalPerceptualDedup]], the index leg
+    * verifies EXACTLY: the codes live on the static side, so the one
+    * stream-static left_anti join carries
+    * `quantizedCosine >= threshold` as its residual condition — a
+    * stream vector drops only for a genuinely above-threshold index
+    * neighbor sharing its sign-LSH bucket. That is the IDENTICAL
+    * candidate criterion + verify the batch operator applies on its
+    * index leg (single-table sign-LSH recall, the documented
+    * operating point of the embedding family). The in-stream leg is
+    * the siblings' compromise: watermark-bounded dedup on the EXACT
+    * code array (near-dup within the stream would need a
+    * stream-derived self-join).
+    *
+    * Shape: one stateless stream-static left_anti join (static side =
+    * bucket + codes, dim+4 bytes per vector ever seen — AQE
+    * broadcasts when it fits), then one
+    * `dropDuplicatesWithinWatermark` on the code digest. */
+  def streamingIncrementalEmbeddingDedup(
+      stream: DataFrame,
+      vecField: String,
+      index: DataFrame,
+      threshold: Double,
+      tsField: String = "ts",
+      watermarkDelay: String = "1 hour",
+      planes: Int = 6,
+      dim: Int = 64): DataFrame = {
+    import graft.ext.Similarity
+    require(index.columns.length == 2,
+      s"index must be (id, codes) rows, got ${index.columns.mkString(", ")}")
+    require(threshold > -1 && threshold <= 1,
+      s"threshold must be in (-1, 1], got $threshold")
+    val idx = index.select(col(index.columns(1)).as("__ic"))
+      .withColumn("__ibk", Similarity.lshBucket(col("__ic"), planes, dim))
+    stream
+      .withColumn("__c", Similarity.quantizeInt8(col(vecField)))
+      .withColumn("__bk", Similarity.lshBucket(col("__c"), planes, dim))
+      .join(idx,
+        col("__bk") === col("__ibk") &&
+          Similarity.quantizedCosine(col("__c"), col("__ic")) >= threshold,
+        "left_anti")
+      .withColumn("__ck", md5(concat_ws(",", col("__c"))))
+      .withWatermark(tsField, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("__ck"))
+      .drop("__bk", "__c", "__ck")
+  }
+
   def streamingIncrementalPerceptualDedup(
       stream: DataFrame,
       blobField: String,

@@ -198,6 +198,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIncrementalEmbeddingDedup verifies cosine exactly vs the code index") {
+    import graft.ext.{Dedup, Similarity}
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val v0 = Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f)
+    val near = v0.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+    // find a vector SHARING v0's sign-LSH bucket whose quantized cosine
+    // is BELOW threshold: it must survive — pinning that the residual
+    // verify (not mere bucket collision) decides the drop
+    val probeRows = (0 until 300).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f)))
+    val probes = probeRows.toDF("id", "v")
+      .withColumn("c", Similarity.quantizeInt8($"v"))
+      .withColumn("bk", Similarity.lshBucket($"c", 6, 64))
+    val ref = Seq(0).toDF("x")
+      .select(Similarity.lshBucket(
+        Similarity.quantizeInt8(typedLit(v0.toSeq)), 6, 64).as("bk0"))
+      .as[String].head()
+    val mateId = probes
+      .withColumn("cos", Similarity.quantizedCosine($"c",
+        Similarity.quantizeInt8(typedLit(v0.toSeq))))
+      .filter($"bk" === ref && $"cos" < 0.5).select("id")
+      .as[Long].head()
+    val bucketMate = probeRows(mateId.toInt)._2
+    val fresh = v0.map(-_)  // opposite bucket, survives trivially
+    val index = Dedup.embeddingIndexRows("id", "v")(
+      Seq((100L, v0)).toDF("id", "v"))
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val out = Streaming.streamingIncrementalEmbeddingDedup(
+      input.toDF().toDF("ts", "id", "v"), vecField = "v",
+      index = index, threshold = 0.9, watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sied")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("10:00"), 1L, near),       // above-threshold index neighbor
+        (ts("10:01"), 2L, bucketMate), // bucket collision, low cosine
+        (ts("10:02"), 3L, fresh),      // novel
+        (ts("10:03"), 4L, fresh))      // exact in-stream repeat
+      q.processAllAvailable()
+      assert(spark.table("sied").select("id").as[Long].collect().sorted
+        .toSeq == Seq(2L, 3L))
+      assert(spark.table("sied").columns.toSeq == Seq("ts", "id", "v"))
+    } finally q.stop()
+  }
+
   test("windowed counts build the identical plan on a batch frame") {
     val batch = Seq(
       ts("10:01") -> "click", ts("10:03") -> "click", ts("10:11") -> "view")
