@@ -160,4 +160,80 @@ class EndToEndSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(rerun === sampledIds)
   }
+
+  test("the incremental-index triad composes across two crawls in all three modalities") {
+    // the recurring-crawl story end to end: crawl 1 persists ONLY its
+    // index rows (text signatures / embedding codes / blob hashes),
+    // crawl 2 — which re-fetches one crawl-1 item under a new id —
+    // dedupes against them. Pinned per modality: the re-fetch drops,
+    // survivors are deterministic, and appending the survivors' own
+    // rows then re-running the batch is IDEMPOTENT (the property that
+    // makes "index += survivors" a safe steady-state update rule).
+    import graft.ext.{BinaryOps, Similarity}
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+
+    def splitWithRefetch(df: org.apache.spark.sql.DataFrame, id: String) = {
+      val crawl1 = df.filter(col(id) % 2 === 0)
+      val planted = crawl1.orderBy(id).limit(1)
+        .select((Seq(lit(900000L).as(id)) ++
+          df.columns.filterNot(_ == id).map(col)): _*)
+      (crawl1, df.filter(col(id) % 2 === 1).unionByName(planted))
+    }
+
+    // text: MinHash signature index
+    locally {
+      val (c1, c2) = splitWithRefetch(docs, "doc_id")
+      val idx = Dedup.minhashIndexRows("doc_id", "text")(c1)
+      val surv = Dedup.incrementalNearDup("doc_id", "text", idx,
+        threshold = 0.9)(c2)
+      assert(surv.filter($"doc_id" === 900000L).count() === 0)
+      val ids = surv.select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids.nonEmpty && ids.size < c2.count())
+      val idx2 = idx.unionByName(
+        Dedup.minhashIndexRows("doc_id", "text")(surv))
+      val again = Dedup.incrementalNearDup("doc_id", "text", idx2,
+        threshold = 0.9)(c2).select("doc_id").as[Long].collect().sorted.toSeq
+      assert(again === ids)
+    }
+
+    // embeddings: int8 code index
+    locally {
+      val (c1, c2) = splitWithRefetch(embs, "vec_id")
+      val idx = Dedup.embeddingIndexRows("vec_id", "embedding")(c1)
+      val surv = Dedup.incrementalEmbeddingDedup("vec_id", "embedding",
+        idx, threshold = 0.99)(c2)
+      assert(surv.filter($"vec_id" === 900000L).count() === 0)
+      val ids = surv.select("vec_id").as[Long].collect().sorted.toSeq
+      assert(ids.nonEmpty && ids.size < c2.count())
+      val idx2 = idx.unionByName(
+        Dedup.embeddingIndexRows("vec_id", "embedding")(surv))
+      val again = Dedup.incrementalEmbeddingDedup("vec_id", "embedding",
+        idx2, threshold = 0.99)(c2)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      assert(again === ids)
+    }
+
+    // binary: perceptual hash index (text bytes as the blob fixture)
+    locally {
+      val blobs = docs.select($"doc_id",
+        BinaryOps.toBlob($"text").as("blob"))
+      val (c1, c2) = splitWithRefetch(blobs, "doc_id")
+      val idx = BinaryOps.phashIndexRows("doc_id", "blob")(c1)
+      val surv = BinaryOps.incrementalPerceptualDedup("doc_id", "blob",
+        idx, maxHamming = 3)(c2)
+      assert(surv.filter($"doc_id" === 900000L).count() === 0)
+      val ids = surv.select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids.nonEmpty && ids.size < c2.count())
+      val idx2 = idx.unionByName(
+        BinaryOps.phashIndexRows("doc_id", "blob")(surv))
+      val again = BinaryOps.incrementalPerceptualDedup("doc_id", "blob",
+        idx2, maxHamming = 3)(c2)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(again === ids)
+    }
+  }
 }
