@@ -84,8 +84,11 @@ class PlanAuditSpec extends SparkSpec {
     // executed plan must contain ZERO parquet scans of the corpus —
     // the single scan happened once, at checkpoint materialization —
     // and every consumer branch must read the checkpointed RDD.
+    // containment_pairs joins the checkpointed gram frame's totals and
+    // buckets — same two-consumer shape, same zero-re-scan requirement
     Seq("source_overlap", "source_overlap_sampled",
-        "unigram_cf_quality", "mix_report").foreach { name =>
+        "unigram_cf_quality", "mix_report",
+        "containment_pairs", "containment_pairs_sampled").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("FileScan") && !plan.contains("documents"),
