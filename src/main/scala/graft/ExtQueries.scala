@@ -813,6 +813,17 @@ object ExtQueries {
           .select(col("doc_id"), BinaryOps.toBlob(col("text")).as("blob")))
         .orderBy("id_a", "id_b")
     },
+    "perceptual_hash_pairs_dhash" -> { (s, dir) =>
+      // the gradient flavor: bit k is sample(k+1) > sample(k) — robust
+      // under constant byte shifts; same bands/verify as the aHash
+      // form, radius 20 because gradient bits flip more readily on
+      // this text fixture (band-mates start at Hamming 16)
+      BinaryOps.perceptualHashPairs("doc_id", "blob", maxHamming = 20,
+        hash = BinaryOps.dHash60)(
+        corpus(s, dir, "documents")
+          .select(col("doc_id"), BinaryOps.toBlob(col("text")).as("blob")))
+        .orderBy("id_a", "id_b")
+    },
     "incremental_phash_dedup" -> { (s, dir) =>
       // crawl N+1 perceptual-dedup'd against the ACCUMULATED corpus:
       // blobs with doc_id < 250 persist only as (id, phash) index rows
@@ -1046,6 +1057,40 @@ object ExtQueries {
     * value (parsed from the first 8 hex chars, exactly Spark's
     * `conv(substring(h,1,8),16,10)`) is under c — the deterministic
     * subspace-sampling mode. */
+  /** Perceptual-pair SQL shared by the aHash and dHash queries — the
+    * 61 stride samples and band/verify plumbing are identical; only
+    * the bit test differs (mean vs gradient). */
+  private def perceptualPairsSql(dHash: Boolean, maxHamming: Int): String = {
+    val bitTest =
+      if (dHash) "ss[CAST(k + 2 AS INT)] > ss[CAST(k + 1 AS INT)]"
+      else "ss[CAST(k + 1 AS INT)] * 60 >= total"
+    s"""
+      WITH s AS (SELECT doc_id, length(text) AS n,
+          list_transform(range(0, 61), k ->
+            CAST(ord(substr(text, CAST((k * length(text)) // 61 AS INT) + 1, 1))
+              AS BIGINT)) AS ss
+        FROM documents),
+      t AS (SELECT doc_id, n, ss,
+          CAST(list_sum(ss[1:60]) AS BIGINT) AS total FROM s),
+      h AS (SELECT doc_id,
+          CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(list_sum(list_transform(range(0, 60), k ->
+                 CASE WHEN $bitTest
+                      THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+          END AS ph FROM t),
+      b AS (SELECT doc_id, ph, u.b AS band,
+          (ph >> (u.b * 15)) & 32767 AS bucket
+        FROM h, unnest([0, 1, 2, 3]) u(b)),
+      z AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bn FROM b),
+      p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+          CAST(bit_count(xor(a.ph, c.ph)) AS INTEGER) AS hamming
+        FROM z a JOIN z c ON a.band = c.band AND a.bucket = c.bucket
+        WHERE a.doc_id < c.doc_id AND a.bn <= 64)
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= $maxHamming
+      ORDER BY id_a, id_b"""
+  }
+
   /** Containment-pair SQL shared by the exact and sampled queries —
     * mirrors Dedup.containmentPairs (distinct 8-gram digests, per-gram
     * doc-frequency cap at 64, both containment directions, either
@@ -2472,35 +2517,15 @@ object ExtQueries {
          FROM documents
          QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
          ORDER BY doc_id""",
-    // 60-bit aHash over 61 stride-sampled bytes (ASCII fixture: ord by
-    // char == byte value), integer mean test sample*60 >= sum, banded
-    // 4x15-bit LSH with the per-bucket cap, popcount-of-XOR verify —
-    // mirrors BinaryOps.aHash60 / perceptualHashPairs
-    "perceptual_hash_pairs" -> """
-      WITH s AS (SELECT doc_id, length(text) AS n,
-          list_transform(range(0, 61), k ->
-            CAST(ord(substr(text, CAST((k * length(text)) // 61 AS INT) + 1, 1))
-              AS BIGINT)) AS ss
-        FROM documents),
-      t AS (SELECT doc_id, n, ss,
-          CAST(list_sum(ss[1:60]) AS BIGINT) AS total FROM s),
-      h AS (SELECT doc_id,
-          CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
-               ELSE CAST(list_sum(list_transform(range(0, 60), k ->
-                 CASE WHEN ss[CAST(k + 1 AS INT)] * 60 >= total
-                      THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
-                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
-          END AS ph FROM t),
-      b AS (SELECT doc_id, ph, u.b AS band,
-          (ph >> (u.b * 15)) & 32767 AS bucket
-        FROM h, unnest([0, 1, 2, 3]) u(b)),
-      z AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bn FROM b),
-      p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-          CAST(bit_count(xor(a.ph, c.ph)) AS INTEGER) AS hamming
-        FROM z a JOIN z c ON a.band = c.band AND a.bucket = c.bucket
-        WHERE a.doc_id < c.doc_id AND a.bn <= 64)
-      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 10
-      ORDER BY id_a, id_b""",
+    // 60-bit perceptual hashes over 61 stride-sampled bytes (ASCII
+    // fixture: ord by char == byte value): aHash = integer mean test
+    // sample*60 >= sum, dHash = gradient sample(k+1) > sample(k); both
+    // with the 4x15-bit banded LSH, per-bucket cap, popcount verify —
+    // mirror BinaryOps.aHash60 / dHash60 / perceptualHashPairs
+    "perceptual_hash_pairs" ->
+      perceptualPairsSql(dHash = false, maxHamming = 10),
+    "perceptual_hash_pairs_dhash" ->
+      perceptualPairsSql(dHash = true, maxHamming = 20),
     // same aHash pipeline split into an index half (doc_id < 250) and a
     // batch half; per-side banded buckets with the 64 cap, exact
     // popcount verify, batch blob dropped on any in-radius index
