@@ -26,9 +26,18 @@ object Bench {
     // initialization does not land on whichever query happens to run
     // first (observed to distort a first query by 3-6 s). Timed numbers
     // below are steady-state execution at the target SF.
+    // Optional comma-separated subset for controlled re-measures of
+    // specific cells (drift adjudication) without paying the full
+    // 133-query vector; absent → full suite, the driver's mode.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
       }
@@ -40,7 +49,7 @@ object Bench {
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val wall0 = System.nanoTime()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         // GC outside the timed region: heap churn from the previous query
         // otherwise lands on whichever query runs next (observed to swing
@@ -57,17 +66,23 @@ object Bench {
       }
       val good = times.filter(_ >= 0).sorted
       val median = if (good.isEmpty) -1.0 else good((good.length - 1) / 2)
-      name -> (median, times)
+      // Minimum alongside the median: on a shared box the min is the
+      // better noise-floor estimator (a slow run has many causes, a
+      // fast run only one — the code actually ran that fast).
+      val minT = if (good.isEmpty) -1.0 else good.head
+      name -> (median, minT, times)
     }
     val wall = (System.nanoTime() - wall0) / 1e9
-    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + m }
+    val qs = results.map { case (k, (m, _, _)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, (_, ts)) =>
+    val mins = results.map { case (k, (_, mn, _)) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val runs = results.map { case (k, (_, _, ts)) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","reps":$reps,"wall_sec":$wall,"queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","reps":$reps,"wall_sec":$wall,"queries":$qs,"mins":$mins,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
     // stdout capture has been observed to truncate the head of long JSON
     // lines (~90 per-query entries); persist the full vector to a file so
