@@ -51,11 +51,20 @@ object SparkEntry {
               s"with .config(\"$NanosAsLongKey\", \"true\") (see SparkEntry.NanosAsLongKey)",
             e)
       }
-    df.schema.fields.find(f =>
-      f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
         df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-      case None => df
+      // the 2026-08-13 fixture regeneration moved events.ts from nanos
+      // int64 to micros isAdjustedToUTC=false, which Spark reads as
+      // TIMESTAMP_NTZ — cast to the session-zone instant type (UTC
+      // session ⇒ identical wall-clock values) so the temporal surface
+      // (unix_micros, window, sessionize) keeps its TIMESTAMP contract;
+      // keyed on the observed schema like the nanos branch, so either
+      // fixture vintage loads identically
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
 
