@@ -306,6 +306,23 @@ object ExtQueries {
         k = 3, nCentroids = 8, nprobe = 2)
         .orderBy("query_id", "rank")
     },
+    "similarity_ivf_pq" -> { (s, dir) =>
+      // IVF-ADC: the composed 100 TB read path — probe the 2 of 8
+      // coarse cells nearest each query, ADC-score ONLY those cells'
+      // members from stored PQ codes, exact-cosine rerank the pool.
+      // Both centroid frames are the oracle-reproducible stand-in
+      // (first 8 vectors); production swaps kmeansCentroids /
+      // pqCodebooks with every stage unchanged
+      val e = corpus(s, dir, "embeddings")
+      val cents = Similarity.standinCentroids(e, "vec_id", "embedding", 8)
+      Similarity.ivfPqTopK(
+        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
+        queries = e.filter(col("vec_id") < 5), queryId = "vec_id",
+        queryVec = "embedding",
+        coarseCentroids = cents, nprobe = 2,
+        pqCentroids = cents, m = 8, k = 3, rerank = 10)
+        .orderBy("query_id", "rank")
+    },
     "winnow_fingerprints" -> { (s, dir) =>
       corpus(s, dir, "documents")
         .select(col("doc_id"),
@@ -1855,6 +1872,68 @@ object ExtQueries {
         FROM cand)
       SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
       FROM ranked WHERE rn <= 3 ORDER BY query_id, rank""",
+    // IVF-ADC composition: coarse assignment = argmax cosine vs the 8
+    // stand-in centroids (ties to the smaller cid — mirrors the
+    // centroidAssign fold); queries (vec_id < 5) probe their top-2
+    // cells; PQ codes / query LUT / ADC fold exactly as similarity_pq,
+    // but the ADC join is RESTRICTED to probed-cell members; top-30
+    // pool, exact-cosine rerank — mirrors Similarity.ivfPqTopK
+    "similarity_ivf_pq" -> s"""
+      WITH c AS (SELECT vec_id AS cid,
+          row_number() OVER (ORDER BY vec_id) - 1 AS pos,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+          embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      sc AS (SELECT e.vec_id AS id, c.cid,
+          ${cosineSql("e.embedding", "c.cvec")} AS cs
+        FROM embeddings e, c),
+      rk AS (SELECT id, cid, cs, row_number() OVER (
+          PARTITION BY id ORDER BY cs DESC, cid ASC) AS rn FROM sc),
+      assign AS (SELECT id, cid AS cell FROM rk WHERE rn = 1),
+      probe AS (SELECT id AS query_id, cid AS cell FROM rk
+        WHERE rn <= 2 AND id < 5),
+      v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
+          len(embedding) // 8 AS sub
+        FROM embeddings),
+      sl AS (SELECT v.vec_id, u.s, c.pos,
+          v.dv[CAST(u.s * v.sub + 1 AS INT):CAST(u.s * v.sub + v.sub AS INT)] AS dvs,
+          c.cv[CAST(u.s * v.sub + 1 AS INT):CAST(u.s * v.sub + v.sub AS INT)] AS cvs
+        FROM v, unnest(range(0, 8)) u(s), c),
+      d AS (SELECT vec_id, s, pos,
+          ${foldSum("list_transform(range(1, len(dvs) + 1), j -> (dvs[CAST(j AS INT)] - cvs[CAST(j AS INT)]) * (dvs[CAST(j AS INT)] - cvs[CAST(j AS INT)]))")} AS dist
+        FROM sl),
+      codes AS (SELECT vec_id, s, pos AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, s
+              ORDER BY dist ASC, pos ASC) AS rn FROM d) t
+        WHERE rn = 1),
+      lt AS (SELECT vec_id AS query_id, s, pos,
+          ${foldSum("list_transform(range(1, len(dvs) + 1), j -> dvs[CAST(j AS INT)] * cvs[CAST(j AS INT)])")} AS dp
+        FROM sl WHERE vec_id < 5),
+      cand0 AS (SELECT p.query_id, a.id AS item_id
+        FROM probe p JOIN assign a ON p.cell = a.cell
+        WHERE p.query_id <> a.id),
+      adc AS (SELECT c0.query_id, c0.item_id,
+          ${foldSum("list(lt.dp ORDER BY lt.s)")} AS adc_score
+        FROM cand0 c0
+        JOIN codes cd ON cd.vec_id = c0.item_id
+        JOIN lt ON lt.query_id = c0.query_id
+               AND lt.s = cd.s AND lt.pos = cd.code
+        GROUP BY 1, 2),
+      coarse AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_score DESC, item_id ASC) AS cr FROM adc) t
+        WHERE cr <= 30),
+      rr AS (SELECT co.query_id, co.item_id, co.adc_score,
+          ${cosineSql("qe.embedding", "ie.embedding")} AS cosine
+        FROM coarse co
+        JOIN embeddings qe ON qe.vec_id = co.query_id
+        JOIN embeddings ie ON ie.vec_id = co.item_id)
+      SELECT query_id, item_id, adc_score, cosine, CAST(rn AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, item_id ASC) AS rn FROM rr) t
+      WHERE rn <= 3
+      ORDER BY query_id, rank""",
     "winnow_fingerprints" -> s"""
       WITH g AS (SELECT doc_id,
           list_transform(range(1, greatest(length(text) - 7, 1) + 1), i ->

@@ -799,6 +799,78 @@ object Similarity {
     }
   }
 
+  /** Per-subspace PQ codebooks — the REAL product-quantization
+    * formulation: `m` INDEPENDENT k-means fits, one per contiguous
+    * subspace slice, so each subspace's codebook adapts to ITS marginal
+    * distribution instead of inheriting whatever slice a full-dimension
+    * centroid happens to carry. This is where most of PQ's recall at a
+    * given byte budget comes from: k full-dim centroids can represent
+    * only k joint patterns, while m independent codebooks of k entries
+    * span k^m reconstructions at the same stored-code cost.
+    *
+    * Returns the same (cid, center) frame shape every PQ operator
+    * already takes — codebook entry c of subspace s is stored as SLICE
+    * s of full-dim row c. That concatenation is lossless because
+    * [[pqEncode]]'s argmin (and [[pqTopK]]'s LUT) operate on each
+    * subspace slice INDEPENDENTLY: slicing these rows recovers exactly
+    * the per-subspace codebooks, so the trained form drops into
+    * `pqEncode`/`pqTopK`/[[ivfPqTopK]] with zero kernel changes.
+    *
+    * Each fit is one distributed job over the corpus slice projection
+    * (`array_to_vector` keeps the slicing in codegen); the k·dim floats
+    * come back to the driver and ship as one broadcastable frame —
+    * identical cost shape to [[kmeansCentroids]], m jobs instead of
+    * one. Seeded per subspace (seed + s) so the m fits are independent
+    * draws. Not oracle-expressible (iterative training — same exemption
+    * as [[kmeansCentroids]]); the distortion win over sliced full-dim
+    * centroids at equal (m, k) is spec-asserted in ExtSpec. */
+  def pqCodebooks(
+      corpus: DataFrame, vecField: String, m: Int, k: Int,
+      maxIter: Int = 20, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dim = corpus.select(size(col(vecField))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide the dimension $dim")
+    val sub = dim / m
+    val books: Seq[Array[Array[Float]]] = (0 until m).map { s =>
+      val feats = corpus.select(array_to_vector(
+        slice(col(vecField), s * sub + 1, sub)).as("features"))
+      val model = new KMeans().setK(k).setMaxIter(maxIter)
+        .setSeed(seed + s).setFeaturesCol("features").fit(feats)
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    (0 until k).map { c =>
+      (c.toLong, books.flatMap(b => b(c).toSeq))
+    }.toDF("cid", "center")
+  }
+
+  /** The per-query ADC lookup table: for each subspace s, the dot
+    * product of query slice s with every codebook entry's slice s —
+    * m × |centroids| doubles, built once per query on the broadcast
+    * side. Expects the one-row `__cents` array ([[centroidArray]]) in
+    * scope. Folds in index order from 0.0 — bit-identical
+    * cross-engine. */
+  private def pqLut(queryVec: Column, m: Int): Column = {
+    import graft.functions.GraftFunctions.bind
+    bind(transform(queryVec, _.cast("double"))) { q =>
+      bind(size(q) / m) { sub =>
+        bind(col("__cents")) { cents =>
+          transform(sequence(lit(0), lit(m - 1)), s =>
+            transform(cents, c =>
+              aggregate(
+                zip_with(slice(q, s * sub + 1, sub),
+                  slice(c.getField("cv"), s * sub + 1, sub),
+                  (x, y) => x * y),
+                lit(0.0), (acc, p) => acc + p)))
+        }
+      }
+    }
+  }
+
   /** PQ top-k via asymmetric distance computation (ADC): corpus rows
     * are scored from their [[pqEncode]] codes ALONE — per query, a
     * lookup table of sub-centroid dot products (m × |centroids|
@@ -822,7 +894,6 @@ object Similarity {
       centroids: DataFrame, centroidId: String, centroidVec: String,
       m: Int, k: Int, rerank: Int = 10,
       excludeSelf: Boolean = true): DataFrame = {
-    import graft.functions.GraftFunctions.bind
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && rerank >= 1, s"k and rerank must be >= 1")
     val centArr = centroidArray(centroids, centroidId, centroidVec)
@@ -830,28 +901,123 @@ object Similarity {
       m, "__codes")(
       corpus.select(col(corpusId).as("item_id"), col(corpusVec)))
       .select(col("item_id"), col("__codes"))
-    val lut = bind(transform(col(queryVec), _.cast("double"))) { q =>
-      bind(size(q) / m) { sub =>
-        bind(col("__cents")) { cents =>
-          transform(sequence(lit(0), lit(m - 1)), s =>
-            transform(cents, c =>
-              aggregate(
-                zip_with(slice(q, s * sub + 1, sub),
-                  slice(c.getField("cv"), s * sub + 1, sub),
-                  (x, y) => x * y),
-                lit(0.0), (acc, p) => acc + p)))
-        }
-      }
-    }
     val queryLuts = queries
       .select(col(queryId).as("query_id"), col(queryVec))
       .crossJoin(broadcast(centArr))
-      .select(col("query_id"), lut.as("__lut"))
+      .select(col("query_id"), pqLut(col(queryVec), m).as("__lut"))
     val cand = codesDf
       .crossJoin(broadcast(queryLuts))
       .filter(!lit(excludeSelf) || col("query_id") =!= col("item_id"))
       .withColumn("adc_score", graft.functions.GraftFunctions.pqAdcScore(
         col("__codes"), col("__lut")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_score").desc, col("item_id").asc)))
+      .filter(col("__r") <= k * rerank)
+      .select("query_id", "item_id", "adc_score")
+    corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("__cv"))
+      .join(broadcast(cand), "item_id")
+      .join(broadcast(queries
+        .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))),
+        "query_id")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("item_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "adc_score", "cosine", "rank")
+  }
+
+  /** The stored rows of an IVF×PQ index: `(item_id, cell, codes)` —
+    * each corpus vector's coarse-cell assignment (argmax cosine against
+    * the coarse centroids, ties to the smaller cid — the
+    * [[centroidAssign]] fold, so the corpus is scanned ONCE with zero
+    * shuffle) plus its [[pqEncode]] byte codes. This frame IS the
+    * 100 TB index: computed at ingest, persisted through any
+    * [[graft.sources.DataStore]] (ideally partitioned by `cell` so a
+    * probe prunes files), and consumed by [[ivfPqTopK]] via its `index`
+    * parameter — query time then never touches corpus floats except
+    * for the candidate sliver's exact rerank.
+    *
+    * `coarseCentroids` and `pqCentroids` are any (cid, center) frames
+    * — stand-ins for the oracle surface, [[kmeansCentroids]] /
+    * [[pqCodebooks]] in production; both broadcast as one-row arrays. */
+  def ivfPqIndexRows(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      coarseCentroids: DataFrame,
+      pqCentroids: DataFrame, m: Int): DataFrame = {
+    val assigned = centroidAssign(corpusVec, coarseCentroids,
+      coarseCentroids.columns(0), coarseCentroids.columns(1))(
+      corpus.select(col(corpusId).as("item_id"), col(corpusVec)))
+    pqEncode(corpusVec, pqCentroids,
+      pqCentroids.columns(0), pqCentroids.columns(1), m, "codes")(assigned)
+      .select(col("item_id"), col("centroid_label").as("cell"), col("codes"))
+  }
+
+  /** IVF-ADC — the canonical 100 TB ANN read path, composing the two
+    * rungs that existed separately: [[ivfTopK]] prunes WHICH rows are
+    * scored but reranks with full vectors, [[pqTopK]] scores from codes
+    * but scans ALL of them. Here a query batch reads ONLY the probed
+    * cells' CODE column: probe the `nprobe` coarse cells nearest each
+    * query, ADC-score just those cells' members from their stored
+    * [[pqEncode]] codes (m byte-lookups + adds per candidate, native
+    * kernel), pool the top `k · rerank`, and exact-cosine rerank that
+    * sliver. With 1024 cells, nprobe 8 and m = 64 over 1024 dims, the
+    * per-batch read is (8/1024 of the corpus) × 64 B/vector — against
+    * a full-corpus × 4 KiB brute scan.
+    *
+    * Scale shape: coarse centroids and PQ codebooks broadcast (one-row
+    * arrays); the query batch is small by construction, so probes and
+    * per-query LUTs broadcast too; candidate generation is a BROADCAST
+    * HASH join of the stored index on `cell` — an equi-join, never a
+    * crossJoin of codes × queries (the [[pqTopK]] shape this replaces)
+    * — and corpus float vectors never shuffle (candidates broadcast
+    * back for the rerank). The only corpus-wide shuffle carries
+    * (query, item, adc) survivor rows into the per-query window
+    * (WindowGroupLimit prunes losers map-side).
+    *
+    * Pass a precomputed `index` ([[ivfPqIndexRows]], persisted) to skip
+    * the in-query encode — the production mode; the default recomputes
+    * it inline so the oracle row is self-contained. Ties: ADC pool
+    * (score desc, item asc), final (cosine desc, item asc). Recall
+    * loss vs [[pqTopK]] is exactly the probe miss rate: with
+    * nprobe = |cells| the output is IDENTICAL to `pqTopK` at equal
+    * (m, k, rerank) — spec-pinned. */
+  def ivfPqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      coarseCentroids: DataFrame, nprobe: Int,
+      pqCentroids: DataFrame, m: Int, k: Int, rerank: Int = 10,
+      excludeSelf: Boolean = true,
+      index: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && rerank >= 1, "k and rerank must be >= 1")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val coded = index.getOrElse(ivfPqIndexRows(
+      corpus, corpusId, corpusVec, coarseCentroids, pqCentroids, m))
+    val probes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .crossJoin(broadcast(coarseCentroids.select(
+        col(coarseCentroids.columns(0)).as("cell"),
+        col(coarseCentroids.columns(1)).as("__ccv"))))
+      .withColumn("__cs", cosine(col("__qv"), col("__ccv")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("__cs").desc, col("cell").asc)))
+      .filter(col("__pr") <= nprobe)
+      .select("query_id", "cell")
+    val centArr = centroidArray(pqCentroids,
+      pqCentroids.columns(0), pqCentroids.columns(1))
+    val luts = queries
+      .select(col(queryId).as("query_id"), col(queryVec))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), pqLut(col(queryVec), m).as("__lut"))
+    val cand = coded
+      .join(broadcast(probes), "cell")
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("item_id"))
+      .join(broadcast(luts), "query_id")
+      .withColumn("adc_score", graft.functions.GraftFunctions.pqAdcScore(
+        col("codes"), col("__lut")))
       .withColumn("__r", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("adc_score").desc, col("item_id").asc)))

@@ -125,6 +125,121 @@ class ExtSpec extends SparkSpec {
     assert(hits >= 27, s"PQ top-1 recall too low: $hits/30")
   }
 
+  test("pqCodebooks: per-subspace training beats sliced full-dim centroids at equal budget") {
+    // Subspaces with INDEPENDENT cluster structure — the case real PQ
+    // exists for: each half of the vector independently picks one of 4
+    // patterns, so the joint space has 16 combinations. Four full-dim
+    // centroids can represent only 4 of them (their slices leave
+    // patterns uncovered in each subspace); four PER-SUBSPACE codebook
+    // entries cover every pattern in both subspaces exactly. The
+    // distortion (summed per-subspace argmin squared-L2 — precisely
+    // what pqEncode minimizes over the codebook it is given) must
+    // therefore drop materially under per-subspace training.
+    val rnd = new scala.util.Random(17)
+    val patterns = Array(
+      Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f, 0.0f), Array(0.0f, 0.0f, 0.0f, 1.0f))
+    val points = (0 until 64).map { i =>
+      val a = patterns(i % 4); val b = patterns((i / 4) % 4)
+      (i.toLong, (a ++ b).map(v => v + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val m = 2; val sub = 4
+    val perSub = Similarity.pqCodebooks(points, "embedding", m = m, k = 4)
+    val fullDim = Similarity.kmeansCentroids(points, "embedding", k = 4)
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
+      val centers = cb.select($"center").as[Seq[Float]].collect()
+      val pts = points.select($"embedding").as[Seq[Float]].collect()
+      pts.map { p =>
+        (0 until m).map { s =>
+          centers.map { c =>
+            (0 until sub).map { j =>
+              val d = p(s * sub + j).toDouble - c(s * sub + j)
+              d * d
+            }.sum
+          }.min
+        }.sum
+      }.sum / pts.length
+    }
+    val dPer = distortion(perSub)
+    val dSliced = distortion(fullDim)
+    assert(perSub.count() === 4)
+    // covering all 4 patterns per subspace vs at most 4 joint combos:
+    // the win must be structural (>= 2x), not a seed accident
+    assert(dPer < dSliced / 2,
+      s"per-subspace distortion $dPer not well below sliced $dSliced")
+    // and the trained frame drops straight into the PQ engine: with
+    // every pattern covered, ADC ranks cluster-mates ahead of the rest
+    val pq = Similarity.pqTopK(points, "vec_id", "embedding",
+      points.filter($"vec_id" < 8), "vec_id", "embedding",
+      perSub, "cid", "center", m = m, k = 1, rerank = 10)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    val brute = Similarity.bruteForceTopK(points, "vec_id", "embedding",
+      points.filter($"vec_id" < 8), "vec_id", "embedding", k = 1)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    val hits = brute.count { case (q, nn) => pq.get(q).contains(nn) }
+    assert(hits >= 6, s"PQ top-1 recall with trained codebooks too low: $hits/8")
+  }
+
+  test("ivfPqTopK: probing every cell reproduces pqTopK exactly; nprobe=1 keeps cluster recall") {
+    // Composition invariant: with nprobe = |cells| the probe prunes
+    // nothing, so IVF-ADC must equal the full-code-scan pqTopK row for
+    // row at equal (m, k, rerank) — pins that the cell join, the ADC
+    // fold, and both tie disciplines are the SAME code paths, merely
+    // restricted. Then the production shape: on clustered data with
+    // nprobe=1, recall survives scoring one cell per query.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.standinCentroids(e, "vec_id", "embedding", 8)
+    val queries = e.filter($"vec_id" < 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id".cast("long"), $"item_id".cast("long"),
+          $"adc_score", $"cosine", $"rank")
+        .as[(Long, Long, Double, Double, Int)].collect().sortBy(t => (t._1, t._5))
+    val full = key(Similarity.pqTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", cents, "cid", "center",
+      m = 8, k = 3, rerank = 10))
+    val ivfAll = key(Similarity.ivfPqTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding",
+      coarseCentroids = cents, nprobe = 8,
+      pqCentroids = cents, m = 8, k = 3, rerank = 10))
+    assert(ivfAll === full)
+    // clustered fixture: per-subspace codebooks + kmeans cells, one
+    // probed cell — the true nearest neighbor lives in the query's own
+    // cell, so top-1 recall stays near-exact while 2/3 of the corpus
+    // is never ADC-scored
+    val rnd = new scala.util.Random(19)
+    val centers3 = Seq(
+      Array.tabulate(16)(d => if (d < 5) 1.0f else 0.0f),
+      Array.tabulate(16)(d => if (d >= 5 && d < 10) 1.0f else 0.0f),
+      Array.tabulate(16)(d => if (d >= 10) 1.0f else 0.0f))
+    val points = (0 until 30).map { i =>
+      val c = centers3(i % 3)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val coarse = Similarity.kmeansCentroids(points, "embedding", k = 3)
+    val books = Similarity.pqCodebooks(points, "embedding", m = 4, k = 3)
+    val ivf1 = Similarity.ivfPqTopK(points, "vec_id", "embedding",
+      points, "vec_id", "embedding",
+      coarseCentroids = coarse, nprobe = 1,
+      pqCentroids = books, m = 4, k = 1, rerank = 10)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    val brute3 = Similarity.bruteForceTopK(points, "vec_id", "embedding",
+      points, "vec_id", "embedding", k = 1)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    val hits = brute3.count { case (q, nn) => ivf1.get(q).contains(nn) }
+    assert(hits >= 27, s"IVF-ADC nprobe=1 top-1 recall too low: $hits/30")
+    // and a precomputed stored index answers identically to the inline
+    // encode — the persisted-index seam ivfPqIndexRows exists for
+    val idx = Similarity.ivfPqIndexRows(points, "vec_id", "embedding",
+      coarse, books, m = 4)
+    val viaIndex = Similarity.ivfPqTopK(points, "vec_id", "embedding",
+      points, "vec_id", "embedding",
+      coarseCentroids = coarse, nprobe = 1,
+      pqCentroids = books, m = 4, k = 1, rerank = 10,
+      index = Some(idx))
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    assert(viaIndex === ivf1)
+  }
+
   test("kmeans-IVF recall floors on unstructured vectors") {
     // The SURVEY §8 dossier numbers, pinned: on the UNSTRUCTURED fixture
     // embeddings (uniform noise — the adversarial case for cell pruning)
@@ -724,6 +839,37 @@ class ExtSpec extends SparkSpec {
         .select(TextOps.bpeTokenCountHof(col("text"), merges).as("n"))
         .head().getLong(0)
     assert(countHof("the", Seq("th" -> "e", "t" -> "h")) === 2L)
+  }
+
+  test("bpeTokenCount at production vocabulary scale: 50k-merge table, same counts") {
+    // The vocab-size-independence claim behind the ScaleBench cell:
+    // the same 10 firing ranks buried under ~50k junk merges (CJK
+    // single-codepoint operands that never occur in the text) must
+    // produce IDENTICAL counts — rank lookups are hash-map hits, not
+    // merge-table scans, so dead vocabulary changes nothing. Also pins
+    // that a real-vocabulary-sized table passes constructor validation
+    // and executes at all (the HOF form, one pass per rank, could not).
+    val junk: Seq[(String, String)] = (0 until 49_990).map { i =>
+      (String.valueOf((0x4E00 + i / 256).toChar),
+        String.valueOf((0x3400 + i % 256).toChar))
+    }
+    val big = TextOps.demoBpeMerges ++ junk
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "in the beginning there was a distributed shuffle"),
+      (3L, "")).toDF("doc_id", "text")
+    val demo = texts.select($"doc_id",
+      TextOps.bpeTokenCount($"text", TextOps.demoBpeMerges).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val scaled = texts.select($"doc_id",
+      TextOps.bpeTokenCount($"text", big).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(scaled === demo)
+    // and the pieces form agrees with the count under the big table
+    val pieces = texts.select($"doc_id",
+      size(TextOps.bpeTokenize($"text", big)).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(pieces === demo)
   }
 
   test("tokenBudgetMix accepts a pluggable counter (vocabulary-true budgets)") {

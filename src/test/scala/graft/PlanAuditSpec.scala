@@ -33,6 +33,7 @@ class PlanAuditSpec extends SparkSpec {
     "mix_report",        // broadcast one-row corpus token total
     "downsample_mix",    // same one-row total inside its mixReport
     "similarity_ivf",    // broadcast centroid ranking (id < nCentroids)
+    "similarity_ivf_pq", // broadcast coarse cells + one-row codebook array + query LUTs
     "tfidf_top_terms",   // broadcast one-row corpus count
     "key_skew",          // broadcast one-row total count
     "bm25_topk",         // broadcast one-row (N, avgdl, df…) stats aggregate
@@ -102,6 +103,18 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(dsPlan.linesIterator.count(_.contains("FileScan")) === 1,
       s"downsample_mix should scan the corpus exactly once:\n$dsPlan")
+  }
+
+  test("similarity_ivf_pq generates ADC candidates via a cell equi-join, not a code crossJoin") {
+    // The IVF-ADC claim: the stored code table is joined to the probed
+    // (query, cell) pairs on `cell` — a hash equi-join — so only probed
+    // cells' members are ever ADC-scored. If the composition regressed
+    // to pqTopK's all-codes crossJoin, the cell key would vanish from
+    // every hash join and the full-code-scan claim would be prose.
+    val plan = SparkEntry.queries("similarity_ivf_pq")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [cell"),
+      s"similarity_ivf_pq does not hash-join the code table on cell:\n$plan")
   }
 
   test("no query plans a Scala UDF except the documented predicate surface") {
