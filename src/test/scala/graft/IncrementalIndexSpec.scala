@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ext.{BinaryOps, Dedup, IncrementalIndex}
+import graft.sources.ParquetStore
+
+/** Round-trip + crawl-loop semantics of the unified incremental-index
+  * persistence seam, one block per leg of the triad. Each leg pins:
+  *
+  *  1. create → load round-trips the leg's index rows;
+  *  2. ingest == the leg's incremental dedup run by hand against the
+  *     pre-ingest index (the helper adds persistence, not semantics);
+  *  3. the index grows by exactly the survivors' rows;
+  *  4. re-crawling the SAME content under fresh ids is a no-op: zero
+  *     survivors, zero index growth (append-idempotence of the loop —
+  *     content kept once is never kept again).
+  */
+class IncrementalIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withStore(f: ParquetStore => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    try f(ParquetStore(spark, dir))
+    finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively(); ()
+    }
+  }
+
+  private def ids(df: DataFrame, c: String = "id"): Set[Long] =
+    df.select(col(c).cast("long")).as[Long].collect().toSet
+  private def col(c: String) = org.apache.spark.sql.functions.col(c)
+
+  test("minhash leg: round-trip, hand-loop parity, append-idempotent re-crawl") {
+    withStore { store =>
+      val corpus = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog again and again"),
+        (1L, "pack my box with five dozen liquor jugs before the night ends"),
+        (2L, "sphinx of black quartz judge my vow said the old librarian"))
+        .toDF("doc_id", "text")
+      val idx = IncrementalIndex.minhash(store, "sigs",
+        "doc_id", "text", threshold = 0.9)
+      idx.create(corpus)
+      assert(idx.load().count() === 3)
+      assert(idx.load().columns.toSeq === Seq("id", "sig"))
+      // batch: 100 re-fetches corpus doc 0 verbatim, 101+102 are
+      // in-batch duplicates of each other, 103 is novel
+      val batch = Seq(
+        (100L, "the quick brown fox jumps over the lazy dog again and again"),
+        (101L, "a wholly new document about distributed sign sketches at scale"),
+        (102L, "a wholly new document about distributed sign sketches at scale"),
+        (103L, "another novel text that shares no shingles with anything here"))
+        .toDF("doc_id", "text")
+      val byHand = Dedup.incrementalNearDup("doc_id", "text",
+        idx.load(), threshold = 0.9)(batch)
+      val survivors = idx.ingest(batch)
+      assert(ids(survivors, "doc_id") === ids(byHand, "doc_id"))
+      assert(ids(survivors, "doc_id") === Set(101L, 103L))
+      assert(idx.load().count() === 5)
+      // same content re-crawled under fresh ids: all of it is now
+      // history — nothing survives, nothing is appended
+      val recrawl = batch.withColumn("doc_id", col("doc_id") + 100L)
+      assert(idx.ingest(recrawl).count() === 0)
+      assert(idx.load().count() === 5)
+    }
+  }
+
+  test("embedding leg: round-trip, hand-loop parity, append-idempotent re-crawl") {
+    withStore { store =>
+      def vec(seed: Int): Array[Float] = {
+        val r = new scala.util.Random(seed)
+        Array.fill(64)(r.nextFloat() * 2f - 1f)
+      }
+      val corpus = Seq((0L, vec(1)), (1L, vec(2)), (2L, vec(3)))
+        .toDF("vec_id", "embedding")
+      val idx = IncrementalIndex.embedding(store, "codes",
+        "vec_id", "embedding", threshold = 0.95)
+      idx.create(corpus)
+      assert(idx.load().count() === 3)
+      assert(idx.load().columns.toSeq === Seq("id", "codes"))
+      val batch = Seq(
+        (100L, vec(1)),   // re-embeds corpus vector 0
+        (101L, vec(7)), (102L, vec(7)), // in-batch pair
+        (103L, vec(9)))   // novel
+        .toDF("vec_id", "embedding")
+      val byHand = Dedup.incrementalEmbeddingDedup("vec_id", "embedding",
+        idx.load(), threshold = 0.95)(batch)
+      val survivors = idx.ingest(batch)
+      assert(ids(survivors, "vec_id") === ids(byHand, "vec_id"))
+      assert(ids(survivors, "vec_id") === Set(101L, 103L))
+      assert(idx.load().count() === 5)
+      val recrawl = batch.withColumn("vec_id", col("vec_id") + 100L)
+      assert(idx.ingest(recrawl).count() === 0)
+      assert(idx.load().count() === 5)
+    }
+  }
+
+  test("perceptual leg: round-trip, hand-loop parity, append-idempotent re-crawl") {
+    withStore { store =>
+      def blob(seed: Int): Array[Byte] = {
+        val r = new scala.util.Random(seed)
+        Array.fill(256)(r.nextInt().toByte)
+      }
+      val corpus = Seq((0L, blob(1)), (1L, blob(2)), (2L, blob(3)))
+        .toDF("blob_id", "payload")
+      val idx = IncrementalIndex.perceptual(store, "phashes",
+        "blob_id", "payload", maxHamming = 3)
+      idx.create(corpus)
+      assert(idx.load().count() === 3)
+      assert(idx.load().columns.toSeq === Seq("id", "phash"))
+      val batch = Seq(
+        (100L, blob(1)),  // re-fetches corpus blob 0
+        (101L, blob(7)), (102L, blob(7)), // in-batch pair
+        (103L, blob(9))) // novel
+        .toDF("blob_id", "payload")
+      val byHand = BinaryOps.incrementalPerceptualDedup("blob_id", "payload",
+        idx.load(), maxHamming = 3)(batch)
+      val survivors = idx.ingest(batch)
+      assert(ids(survivors, "blob_id") === ids(byHand, "blob_id"))
+      assert(ids(survivors, "blob_id") === Set(101L, 103L))
+      assert(idx.load().count() === 5)
+      val recrawl = batch.withColumn("blob_id", col("blob_id") + 100L)
+      assert(idx.ingest(recrawl).count() === 0)
+      assert(idx.load().count() === 5)
+    }
+  }
+}
