@@ -777,6 +777,19 @@ object Dedup {
         >= threshold)
   }
 
+  /** Distinct n-gram digest rows of a reference corpus: `(gram)`, the
+    * PERSISTED STATE of the containment story — store these 16 B rows
+    * (any [[graft.sources.DataStore]]) for the eval/benchmark/reference
+    * side, and gate later batches or streams against them
+    * ([[graft.streaming.Streaming.streamingContainmentGate]]) without
+    * ever re-reading the reference text. Deduplicated across the whole
+    * corpus: containment against a SET of reference grams needs no
+    * per-document attribution (use [[containmentPairs]] when it does). */
+  def gramIndexRows(textField: String, n: Int = 8)(df: DataFrame): DataFrame =
+    df.select(explode(TextOps.shingles(col(textField), n)).as("__g"))
+      .select(md5(col("__g")).as("gram"))
+      .distinct()
+
   /** Fuzzy key pairs at edit distance ≤ 1 via DELETION-NEIGHBORHOOD
     * blocking — the entity-resolution primitive (near-identical names,
     * ids with one typo) expressed without any all-pairs comparison: two

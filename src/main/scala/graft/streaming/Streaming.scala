@@ -273,6 +273,66 @@ object Streaming {
       .drop("__bk", "__c", "__ck")
   }
 
+  /** Streaming containment gate — the quote/subset detector
+    * ([[graft.ext.Dedup.containmentPairs]]'s asymmetric criterion)
+    * against a STORED reference gram index
+    * ([[graft.ext.Dedup.gramIndexRows]]): a stream document is dropped
+    * when ≥ `threshold` of its distinct n-gram digests appear in the
+    * reference set — the streaming form of benchmark decontamination,
+    * where the reference is the eval set and a document mostly made of
+    * its grams must not reach the training sink. Survivors return with
+    * all stream columns plus `containment` ∈ [0, 1].
+    *
+    * Shape: one projection computes each document's distinct gram
+    * digests; one stream-static LEFT join marks which digests the
+    * index holds (16 B rows, AQE broadcasts when the index fits —
+    * reference sets are eval corpora, small by construction); one
+    * watermark-bounded aggregation per document computes the ratio
+    * (integer hit/total counts, one division — exact). State is one
+    * count pair per in-flight document, expired by the watermark;
+    * results emit when the watermark passes the document's event time
+    * (append-mode aggregation semantics). Documents with no grams
+    * (shorter than n, or NULL text) have containment 0 and survive —
+    * "too short to quote" is not contamination. */
+  def streamingContainmentGate(
+      stream: DataFrame,
+      idField: String,
+      textField: String,
+      refGrams: DataFrame,
+      n: Int = 8,
+      threshold: Double = 0.5,
+      tsField: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.ext.TextOps
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val ref = refGrams.select(col(refGrams.columns(0)).as("__rg")).distinct()
+    val cols = stream.columns
+    // one NULL-gram row keeps zero-gram documents alive through the
+    // explode (NULL joins nothing, counts no hits, totals zero)
+    val grams = stream
+      .withWatermark(tsField, watermarkDelay)
+      .withColumn("__gs", graft.functions.GraftFunctions.bind(
+        array_distinct(transform(
+          coalesce(TextOps.shingles(col(textField), n),
+            array().cast("array<string>")),
+          g => md5(g)))) { gs =>
+        when(size(gs) === 0, array(lit(null).cast("string"))).otherwise(gs)
+      })
+      .select(cols.map(col) :+ explode(col("__gs")).as("__g"): _*)
+    grams
+      .join(ref, col("__g") === col("__rg"), "left")
+      .groupBy(cols.map(col): _*)
+      .agg(
+        count(col("__g")).as("__total"),
+        count(col("__rg")).as("__hits"))
+      .withColumn("containment",
+        when(col("__total") === 0, lit(0.0))
+          .otherwise(col("__hits").cast("double") / col("__total")))
+      .filter(col("containment") < threshold)
+      .drop("__total", "__hits")
+  }
+
   def streamingIncrementalPerceptualDedup(
       stream: DataFrame,
       blobField: String,

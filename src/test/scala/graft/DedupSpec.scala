@@ -410,6 +410,36 @@ class DedupSpec extends SparkSpec {
         batch1, threshold = 0.9)(batch2))
   }
 
+  test("incrementalEmbeddingDedup at multi-word-era dims (128, 256)") {
+    // The embedding leg must match the wide ANN rung it feeds
+    // (signSketchWide / hammingTopKWide run at 128-4096 dims): the
+    // sign-LSH buckets are projections onto `planes` hyperplanes whose
+    // literal weights extend to ANY dim, and the int8 codes/quantized
+    // cosine are dimension-agnostic — pin the whole path end-to-end at
+    // dim 128 and 256: index-leg drop, in-batch election, novel
+    // survivor, across two crawls.
+    for (dim <- Seq(128, 256)) {
+      val rnd = new scala.util.Random(100 + dim)
+      def vec(): Array[Float] = Array.fill(dim)((rnd.nextFloat() - 0.5f) * 2f)
+      val a = vec(); val b = vec(); val c = vec()
+      val batch1 = Seq((1L, a), (2L, a.map(_ * 2f)), (3L, b))
+        .toDF("vec_id", "embedding")
+      val empty = Seq.empty[(Long, Seq[Int])].toDF("id", "codes")
+      val kept1 = Dedup.incrementalEmbeddingDedup("vec_id", "embedding",
+        empty, threshold = 0.9, dim = dim)(batch1)
+      assert(kept1.select("vec_id").as[Long].collect().toSet === Set(1L, 3L),
+        s"dim=$dim batch1")
+      val index = empty.unionByName(
+        Dedup.embeddingIndexRows("vec_id", "embedding")(kept1))
+      val batch2 = Seq((10L, a.map(_ * 0.5f)), (11L, c), (12L, c.map(_ * 3f)))
+        .toDF("vec_id", "embedding")
+      val kept2 = Dedup.incrementalEmbeddingDedup("vec_id", "embedding",
+        index, threshold = 0.9, dim = dim)(batch2)
+      assert(kept2.select("vec_id").as[Long].collect().toSet === Set(11L),
+        s"dim=$dim batch2")
+    }
+  }
+
   test("duplicateMap emits one (dup, kept) row per dropped row and partitions with exact") {
     val df = Seq(
       (1L, "k1"), (5L, "k1"), (3L, "k1"),  // kept 1; dups 3, 5

@@ -244,6 +244,78 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIncrementalEmbeddingDedup runs at dim 128 (wide-rung parity)") {
+    // same semantics as the 64-d form, at the dimensionality the wide
+    // ANN rung feeds: index near-dup drops, novel survives, exact
+    // in-stream repeat drops within the watermark
+    import graft.ext.Dedup
+    val rnd = new scala.util.Random(29)
+    val v0 = Array.fill(128)((rnd.nextFloat() - 0.5f) * 2f)
+    val near = v0.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+    val fresh = v0.map(-_)
+    val index = Dedup.embeddingIndexRows("id", "v")(
+      Seq((100L, v0)).toDF("id", "v"))
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val out = Streaming.streamingIncrementalEmbeddingDedup(
+      input.toDF().toDF("ts", "id", "v"), vecField = "v",
+      index = index, threshold = 0.9, watermarkDelay = "10 minutes",
+      dim = 128)
+    val q = out.writeStream.format("memory").queryName("sied128")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("10:00"), 1L, near),  // above-threshold index neighbor
+        (ts("10:01"), 2L, fresh), // novel
+        (ts("10:02"), 3L, fresh)) // exact in-stream repeat
+      q.processAllAvailable()
+      assert(spark.table("sied128").select("id").as[Long].collect().sorted
+        .toSeq == Seq(2L))
+    } finally q.stop()
+  }
+
+  test("streamingContainmentGate drops stream docs mostly quoted from the stored gram index") {
+    import graft.ext.Dedup
+    val refText = "the quick brown fox jumps over the lazy dog while the " +
+      "sphinx of black quartz judges a vow about distributed shuffles"
+    val refGrams = Dedup.gramIndexRows("text", n = 8)(
+      Seq(Tuple1(refText)).toDF("text")).localCheckpoint()
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = Streaming.streamingContainmentGate(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      idField = "doc_id", textField = "text", refGrams = refGrams,
+      n = 8, threshold = 0.5, watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("scg")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // verbatim quote of the reference's middle: every 8-gram is in
+        // the index, containment 1.0 -> dropped
+        (ts("10:00"), 1L, "fox jumps over the lazy dog while the sphinx"),
+        // novel text sharing no 8-gram -> survives, containment 0
+        (ts("10:01"), 2L, "completely unrelated sentences about parquet row groups"),
+        // shorter than n: zero grams -> survives, containment 0
+        (ts("10:02"), 3L, "tiny"))
+      q.processAllAvailable()
+      // advance the watermark past the documents' event times so the
+      // append-mode aggregation finalizes their groups
+      input.addData((ts("11:00"), 99L, "watermark nudge"))
+      q.processAllAvailable()
+      val got = spark.table("scg")
+        .select($"doc_id", $"containment").as[(Long, Double)].collect().toMap
+      assert(got.keySet == Set(2L, 3L))
+      assert(got(2L) === 0.0 && got(3L) === 0.0)
+      // batch parity: the same gate on a batch frame (watermark a no-op)
+      val batch = Seq(
+        (ts("10:00"), 1L, "fox jumps over the lazy dog while the sphinx"),
+        (ts("10:01"), 2L, "completely unrelated sentences about parquet row groups"),
+        (ts("10:02"), 3L, "tiny")).toDF("ts", "doc_id", "text")
+      val b = Streaming.streamingContainmentGate(batch, "doc_id", "text",
+        refGrams, n = 8, threshold = 0.5)
+        .select($"doc_id", $"containment").as[(Long, Double)].collect().toMap
+      assert(b == got)
+    } finally q.stop()
+  }
+
   test("windowed counts build the identical plan on a batch frame") {
     val batch = Seq(
       ts("10:01") -> "click", ts("10:03") -> "click", ts("10:11") -> "view")
