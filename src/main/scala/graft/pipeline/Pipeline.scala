@@ -218,6 +218,26 @@ final case class Pipeline(df: DataFrame) {
     >>(c => graft.ext.Similarity.pqTopK(c, corpusId, corpusVec, queries,
       queryId, queryVec, centroids, centroidId, centroidVec, m, k, rerank,
       excludeSelf))
+  /** `this` is the corpus; IVF-ADC — probe coarse cells, ADC-score only
+    * their members from stored codes, exact-cosine rerank. */
+  def ivfPqTopK(corpusId: String, corpusVec: String, queries: DataFrame,
+      queryId: String, queryVec: String, coarseCentroids: DataFrame,
+      nprobe: Int, pqCentroids: DataFrame, m: Int, k: Int,
+      rerank: Int = 10, excludeSelf: Boolean = true,
+      index: Option[DataFrame] = None): Pipeline =
+    >>(c => graft.ext.Similarity.ivfPqTopK(c, corpusId, corpusVec, queries,
+      queryId, queryVec, coarseCentroids, nprobe, pqCentroids, m, k, rerank,
+      excludeSelf, index))
+  /** `this` is the corpus; the stored `(item_id, cell, codes)` IVF×PQ
+    * index rows. */
+  def ivfPqIndexRows(corpusId: String, corpusVec: String,
+      coarseCentroids: DataFrame, pqCentroids: DataFrame, m: Int): Pipeline =
+    >>(c => graft.ext.Similarity.ivfPqIndexRows(c, corpusId, corpusVec,
+      coarseCentroids, pqCentroids, m))
+  /** `this` is the reference corpus; its stored distinct gram digests
+    * ([[graft.ext.Dedup.gramIndexRows]]). */
+  def gramIndexRows(textField: String, n: Int = 8): Pipeline =
+    >>(Dedup.gramIndexRows(textField, n))
   def gopherRules(idField: String, textField: String): Pipeline =
     >>(TextOps.gopherRules(idField, textField))
   def scorePercentiles(sourceField: String, scoreField: String): Pipeline =
