@@ -323,6 +323,21 @@ object ExtQueries {
         pqCentroids = cents, m = 8, k = 3, rerank = 10)
         .orderBy("query_id", "rank")
     },
+    "similarity_ivf_pq_res" -> { (s, dir) =>
+      // canonical IVF-PQ: codes encode the RESIDUAL v - center(cell),
+      // ADC scores the exact q·center term plus the LUT'd q·residual —
+      // the codebook's bits spend entirely on within-cell offsets
+      val e = corpus(s, dir, "embeddings")
+      val cents = Similarity.standinCentroids(e, "vec_id", "embedding", 8)
+      Similarity.ivfPqTopK(
+        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
+        queries = e.filter(col("vec_id") < 5), queryId = "vec_id",
+        queryVec = "embedding",
+        coarseCentroids = cents, nprobe = 2,
+        pqCentroids = cents, m = 8, k = 3, rerank = 10,
+        residual = true)
+        .orderBy("query_id", "rank")
+    },
     "winnow_fingerprints" -> { (s, dir) =>
       corpus(s, dir, "documents")
         .select(col("doc_id"),
@@ -1920,6 +1935,81 @@ object ExtQueries {
         JOIN lt ON lt.query_id = c0.query_id
                AND lt.s = cd.s AND lt.pos = cd.code
         GROUP BY 1, 2),
+      coarse AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_score DESC, item_id ASC) AS cr FROM adc) t
+        WHERE cr <= 30),
+      rr AS (SELECT co.query_id, co.item_id, co.adc_score,
+          ${cosineSql("qe.embedding", "ie.embedding")} AS cosine
+        FROM coarse co
+        JOIN embeddings qe ON qe.vec_id = co.query_id
+        JOIN embeddings ie ON ie.vec_id = co.item_id)
+      SELECT query_id, item_id, adc_score, cosine, CAST(rn AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, item_id ASC) AS rn FROM rr) t
+      WHERE rn <= 3
+      ORDER BY query_id, rank""",
+    // residual IVF-PQ: same coarse assignment/probe CTEs; codes argmin
+    // over RESIDUAL slices (v − assigned-cell center, per-element
+    // double subtraction mirroring the zip_with); adc = the exact
+    // q·center(cell) dot (one per probed (query, cell)) + the same
+    // subspace-ordered LUT fold — mirrors ivfPqTopK(residual = true)
+    "similarity_ivf_pq_res" -> s"""
+      WITH c AS (SELECT vec_id AS cid,
+          row_number() OVER (ORDER BY vec_id) - 1 AS pos,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+          embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      sc AS (SELECT e.vec_id AS id, c.cid,
+          ${cosineSql("e.embedding", "c.cvec")} AS cs
+        FROM embeddings e, c),
+      rk AS (SELECT id, cid, cs, row_number() OVER (
+          PARTITION BY id ORDER BY cs DESC, cid ASC) AS rn FROM sc),
+      assign AS (SELECT id, cid AS cell FROM rk WHERE rn = 1),
+      probe AS (SELECT id AS query_id, cid AS cell FROM rk
+        WHERE rn <= 2 AND id < 5),
+      v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
+          len(embedding) // 8 AS sub
+        FROM embeddings),
+      rv AS (SELECT v.vec_id, v.sub,
+          list_transform(range(1, len(v.dv) + 1), j ->
+            v.dv[CAST(j AS INT)] - cc.cv[CAST(j AS INT)]) AS dv
+        FROM v JOIN assign a ON a.id = v.vec_id
+               JOIN c cc ON cc.cid = a.cell),
+      slr AS (SELECT rv.vec_id, u.s, c.pos,
+          rv.dv[CAST(u.s * rv.sub + 1 AS INT):CAST(u.s * rv.sub + rv.sub AS INT)] AS dvs,
+          c.cv[CAST(u.s * rv.sub + 1 AS INT):CAST(u.s * rv.sub + rv.sub AS INT)] AS cvs
+        FROM rv, unnest(range(0, 8)) u(s), c),
+      d AS (SELECT vec_id, s, pos,
+          ${foldSum("list_transform(range(1, len(dvs) + 1), j -> (dvs[CAST(j AS INT)] - cvs[CAST(j AS INT)]) * (dvs[CAST(j AS INT)] - cvs[CAST(j AS INT)]))")} AS dist
+        FROM slr),
+      codes AS (SELECT vec_id, s, pos AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, s
+              ORDER BY dist ASC, pos ASC) AS rn FROM d) t
+        WHERE rn = 1),
+      slq AS (SELECT v.vec_id, u.s, c.pos,
+          v.dv[CAST(u.s * v.sub + 1 AS INT):CAST(u.s * v.sub + v.sub AS INT)] AS dvs,
+          c.cv[CAST(u.s * v.sub + 1 AS INT):CAST(u.s * v.sub + v.sub AS INT)] AS cvs
+        FROM v, unnest(range(0, 8)) u(s), c WHERE v.vec_id < 5),
+      lt AS (SELECT vec_id AS query_id, s, pos,
+          ${foldSum("list_transform(range(1, len(dvs) + 1), j -> dvs[CAST(j AS INT)] * cvs[CAST(j AS INT)])")} AS dp
+        FROM slq),
+      qc AS (SELECT p.query_id, p.cell,
+          ${foldSum("list_transform(range(1, len(q.dv) + 1), j -> q.dv[CAST(j AS INT)] * cc.cv[CAST(j AS INT)])")} AS qcd
+        FROM probe p JOIN c cc ON cc.cid = p.cell
+                     JOIN v q ON q.vec_id = p.query_id),
+      cand0 AS (SELECT p.query_id, a.id AS item_id, p.cell
+        FROM probe p JOIN assign a ON p.cell = a.cell
+        WHERE p.query_id <> a.id),
+      adc AS (SELECT c0.query_id, c0.item_id,
+          qc.qcd + ${foldSum("list(lt.dp ORDER BY lt.s)")} AS adc_score
+        FROM cand0 c0
+        JOIN codes cd ON cd.vec_id = c0.item_id
+        JOIN lt ON lt.query_id = c0.query_id
+               AND lt.s = cd.s AND lt.pos = cd.code
+        JOIN qc ON qc.query_id = c0.query_id AND qc.cell = c0.cell
+        GROUP BY c0.query_id, c0.item_id, qc.qcd),
       coarse AS (SELECT * FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY adc_score DESC, item_id ASC) AS cr FROM adc) t

@@ -163,23 +163,40 @@ object ScaleBench {
         annQ, "vec_id", "embedding", pqCents, "cid", "center",
         m = 8, k = 5, rerank = 10)
         .write.mode("overwrite").format("noop").save()
+    // IVF-ADC from a PRECOMPUTED (item_id, cell, codes) index — the
+    // production read path: per query batch, only probed cells' code
+    // rows are ADC-scored (index build cost excluded, like the other
+    // stored-state cells)
+    def annIvfPq(vecs: DataFrame, idx: DataFrame): Unit =
+      Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+        annQ, "vec_id", "embedding",
+        coarseCentroids = pqCents, nprobe = 2,
+        pqCentroids = pqCents, m = 8, k = 5, rerank = 10,
+        index = Some(idx))
+        .write.mode("overwrite").format("noop").save()
+    def ivfPqIdx(vecs: DataFrame): DataFrame =
+      Similarity.ivfPqIndexRows(vecs, "vec_id", "embedding",
+        pqCents, pqCents, m = 8).localCheckpoint()
     locally {
       val v1 = replicatedVecs(1).localCheckpoint()
-      annFloat(v1); annQ8(v1); annHam(v1); annPq(v1)
-      v1.unpersist()
+      val i1 = ivfPqIdx(v1)
+      annFloat(v1); annQ8(v1); annHam(v1); annPq(v1); annIvfPq(v1, i1)
+      v1.unpersist(); i1.unpersist()
     }
     val annRows = for (k <- Seq(1, 2, 4)) yield {
       val vecs = replicatedVecs(k).localCheckpoint()
+      val idx = ivfPqIdx(vecs)
       val tF = median3(annFloat(vecs))
       val tQ = median3(annQ8(vecs))
       val tH = median3(annHam(vecs))
       val tP = median3(annPq(vecs))
-      vecs.unpersist()
-      (k, nv * k, tF, tQ, tH, tP)
+      val tI = median3(annIvfPq(vecs, idx))
+      vecs.unpersist(); idx.unpersist()
+      (k, nv * k, tF, tQ, tH, tP, tI)
     }
-    println("corpus_x,vecs,ann_float_sec,ann_int8_sec,ann_hamming_sec,ann_pq_sec")
-    annRows.foreach { case (k, v, a, b, c, p) =>
-      println(f"$k,$v,$a%.2f,$b%.2f,$c%.2f,$p%.2f")
+    println("corpus_x,vecs,ann_float_sec,ann_int8_sec,ann_hamming_sec,ann_pq_sec,ann_ivf_pq_sec")
+    annRows.foreach { case (k, v, a, b, c, p, i) =>
+      println(f"$k,$v,$a%.2f,$b%.2f,$c%.2f,$p%.2f,$i%.2f")
     }
 
     // Incremental near-dup scaling: FIXED batch, GROWING index — the
@@ -264,21 +281,33 @@ object ScaleBench {
         String.valueOf((0x3400 + i % 256).toChar))
     }
     val bigMerges = TextOps.demoBpeMerges ++ junk
-    val docsB = replicated(1).localCheckpoint()
-    def bpeCount(merges: Seq[(String, String)]): Unit =
-      docsB.select(TextOps.bpeTokenCount(col("text"), merges).as("n"))
+    def bpeCount(docs: DataFrame, merges: Seq[(String, String)]): Unit =
+      docs.select(TextOps.bpeTokenCount(col("text"), merges).as("n"))
         .write.mode("overwrite").format("noop").save()
     // driver-side table cost: constructor validation (rank-consistency
     // hashset pass over all 50k merges; the executor-side rank map is
-    // the same O(n) build, once per executor, lazily)
+    // the same O(n) build, once per expression instance, lazily)
     val tBuild = time { TextOps.bpeTokenCount(lit("warm"), bigMerges); () }
-    bpeCount(TextOps.demoBpeMerges) // warm
-    val tDemo = median3(bpeCount(TextOps.demoBpeMerges))
-    val tBig = median3(bpeCount(bigMerges))
-    docsB.unpersist()
-    println("merges,rank_build_sec,bpe_count_sec")
-    println(f"${TextOps.demoBpeMerges.size},0.00,$tDemo%.2f")
-    println(f"${bigMerges.size},$tBuild%.4f,$tBig%.2f")
+    locally {
+      val d1 = replicated(1).localCheckpoint()
+      bpeCount(d1, TextOps.demoBpeMerges); bpeCount(d1, bigMerges)
+      d1.unpersist()
+    }
+    // The vocab-independence claim is about PER-ROW cost, so it is the
+    // SLOPE across a growing corpus that must match between the two
+    // tables — the intercept difference is the fixed per-job table
+    // overhead (plan-literal serialization + one rank-map build per
+    // expression instance, amortized over the whole corpus at scale).
+    val bpeRows = for (k <- Seq(1, 2, 4)) yield {
+      val docs = replicated(k).localCheckpoint()
+      val tD = median3(bpeCount(docs, TextOps.demoBpeMerges))
+      val tB = median3(bpeCount(docs, bigMerges))
+      docs.unpersist()
+      (k, n * k, tD, tB)
+    }
+    println(f"rank_build_50k_sec,$tBuild%.4f")
+    println("corpus_x,docs,bpe_10_merges_sec,bpe_50k_merges_sec")
+    bpeRows.foreach { case (k, d, a, b) => println(f"$k,$d,$a%.2f,$b%.2f") }
     spark.stop()
   }
 }

@@ -941,16 +941,34 @@ object Similarity {
     *
     * `coarseCentroids` and `pqCentroids` are any (cid, center) frames
     * — stand-ins for the oracle surface, [[kmeansCentroids]] /
-    * [[pqCodebooks]] in production; both broadcast as one-row arrays. */
+    * [[pqCodebooks]] in production; both broadcast as one-row arrays.
+    *
+    * `residual = true` is the canonical IVF-PQ refinement: encode
+    * `v − center(cell)` instead of `v`, so the codebook's bits spend
+    * entirely on the WITHIN-CELL offset — residual norms are a
+    * fraction of vector norms on clustered data, so quantization
+    * error drops at the same byte budget (spec-asserted). Train
+    * `pqCentroids` on the residuals ([[pqCodebooks]] over
+    * `v − center` rows) for the full win; scoring decomposes exactly
+    * as `q·v ≈ q·center + q·r̂` (see [[ivfPqTopK]]). */
   def ivfPqIndexRows(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       coarseCentroids: DataFrame,
-      pqCentroids: DataFrame, m: Int): DataFrame = {
+      pqCentroids: DataFrame, m: Int,
+      residual: Boolean = false): DataFrame = {
     val assigned = centroidAssign(corpusVec, coarseCentroids,
       coarseCentroids.columns(0), coarseCentroids.columns(1))(
       corpus.select(col(corpusId).as("item_id"), col(corpusVec)))
+    val toEncode =
+      if (!residual) assigned
+      else assigned
+        .join(broadcast(coarseCentroids.select(
+          col(coarseCentroids.columns(0)).as("centroid_label"),
+          col(coarseCentroids.columns(1)).as("__cc"))), "centroid_label")
+        .withColumn(corpusVec, zip_with(col(corpusVec), col("__cc"),
+          (x, c) => x.cast("double") - c.cast("double")))
     pqEncode(corpusVec, pqCentroids,
-      pqCentroids.columns(0), pqCentroids.columns(1), m, "codes")(assigned)
+      pqCentroids.columns(0), pqCentroids.columns(1), m, "codes")(toEncode)
       .select(col("item_id"), col("centroid_label").as("cell"), col("codes"))
   }
 
@@ -982,30 +1000,44 @@ object Similarity {
     * (score desc, item asc), final (cosine desc, item asc). Recall
     * loss vs [[pqTopK]] is exactly the probe miss rate: with
     * nprobe = |cells| the output is IDENTICAL to `pqTopK` at equal
-    * (m, k, rerank) — spec-pinned. */
+    * (m, k, rerank) — spec-pinned.
+    *
+    * `residual = true` scores the canonical IVF-PQ decomposition
+    * `q·v ≈ q·center(cell) + q·r̂`: the exact `q·center` term rides
+    * each (query, probed cell) probe row (one double), and the SAME
+    * per-query LUT scores the residual codes — queries stay exact,
+    * cells pay one extra add per candidate. Index rows must then be
+    * residual-encoded (`ivfPqIndexRows(residual = true)`, same flag
+    * here when the index is inline). */
   def ivfPqTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       coarseCentroids: DataFrame, nprobe: Int,
       pqCentroids: DataFrame, m: Int, k: Int, rerank: Int = 10,
       excludeSelf: Boolean = true,
-      index: Option[DataFrame] = None): DataFrame = {
+      index: Option[DataFrame] = None,
+      residual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && rerank >= 1, "k and rerank must be >= 1")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val coded = index.getOrElse(ivfPqIndexRows(
-      corpus, corpusId, corpusVec, coarseCentroids, pqCentroids, m))
+      corpus, corpusId, corpusVec, coarseCentroids, pqCentroids, m, residual))
     val probes = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       .crossJoin(broadcast(coarseCentroids.select(
         col(coarseCentroids.columns(0)).as("cell"),
         col(coarseCentroids.columns(1)).as("__ccv"))))
       .withColumn("__cs", cosine(col("__qv"), col("__ccv")))
+      // residual mode: q·center_c, the exact half of the decomposed
+      // inner product — rides the probe rows (one double per
+      // (query, probed cell))
+      .withColumn("__qc",
+        if (residual) dot(col("__qv"), col("__ccv")) else lit(0.0))
       .withColumn("__pr", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("__cs").desc, col("cell").asc)))
       .filter(col("__pr") <= nprobe)
-      .select("query_id", "cell")
+      .select("query_id", "cell", "__qc")
     val centArr = centroidArray(pqCentroids,
       pqCentroids.columns(0), pqCentroids.columns(1))
     val luts = queries
@@ -1016,8 +1048,13 @@ object Similarity {
       .join(broadcast(probes), "cell")
       .filter(!lit(excludeSelf) || col("query_id") =!= col("item_id"))
       .join(broadcast(luts), "query_id")
-      .withColumn("adc_score", graft.functions.GraftFunctions.pqAdcScore(
-        col("codes"), col("__lut")))
+      .withColumn("adc_score", {
+        val adc = graft.functions.GraftFunctions.pqAdcScore(
+          col("codes"), col("__lut"))
+        // kept branch-explicit: 0.0 + adc would flip a -0.0 sum's sign
+        // bit and break bit-exact oracle parity in the plain mode
+        if (residual) col("__qc") + adc else adc
+      })
       .withColumn("__r", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("adc_score").desc, col("item_id").asc)))

@@ -224,16 +224,17 @@ final case class Pipeline(df: DataFrame) {
       queryId: String, queryVec: String, coarseCentroids: DataFrame,
       nprobe: Int, pqCentroids: DataFrame, m: Int, k: Int,
       rerank: Int = 10, excludeSelf: Boolean = true,
-      index: Option[DataFrame] = None): Pipeline =
+      index: Option[DataFrame] = None, residual: Boolean = false): Pipeline =
     >>(c => graft.ext.Similarity.ivfPqTopK(c, corpusId, corpusVec, queries,
       queryId, queryVec, coarseCentroids, nprobe, pqCentroids, m, k, rerank,
-      excludeSelf, index))
+      excludeSelf, index, residual))
   /** `this` is the corpus; the stored `(item_id, cell, codes)` IVF×PQ
     * index rows. */
   def ivfPqIndexRows(corpusId: String, corpusVec: String,
-      coarseCentroids: DataFrame, pqCentroids: DataFrame, m: Int): Pipeline =
+      coarseCentroids: DataFrame, pqCentroids: DataFrame, m: Int,
+      residual: Boolean = false): Pipeline =
     >>(c => graft.ext.Similarity.ivfPqIndexRows(c, corpusId, corpusVec,
-      coarseCentroids, pqCentroids, m))
+      coarseCentroids, pqCentroids, m, residual))
   /** `this` is the reference corpus; its stored distinct gram digests
     * ([[graft.ext.Dedup.gramIndexRows]]). */
   def gramIndexRows(textField: String, n: Int = 8): Pipeline =

@@ -240,6 +240,74 @@ class ExtSpec extends SparkSpec {
     assert(viaIndex === ivf1)
   }
 
+  test("residual IVF-PQ: residual encoding cuts quantization error; recall holds at nprobe=1") {
+    // The canonical IVF-PQ argument, measured: on clustered data the
+    // residual v − center(cell) has a fraction of the vector's norm, so
+    // PQ codebooks trained on residuals reconstruct with materially
+    // less squared error than codebooks trained on raw vectors at the
+    // SAME (m, k) byte budget — that margin is why production ANN
+    // encodes residuals. Then the composed query path at nprobe=1.
+    // The regime where residuals matter: MORE coarse cells than
+    // codebook entries. 8 well-separated clusters but k = 2 codebook
+    // entries per subspace — raw codebooks cannot cover 8 cluster
+    // patterns, while residual codebooks only need to encode the
+    // small within-cell offset (centered at zero by construction).
+    val rnd = new scala.util.Random(31)
+    val centers8 = (0 until 8).map { j =>
+      Array.tabulate(16)(d => if (d == 2 * j || d == 2 * j + 1) 1.0f else 0.0f)
+    }
+    val points = (0 until 40).map { i =>
+      val c = centers8(i % 8)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    // coarse cells: the exact centers (deterministic stand-in — the
+    // kmeans seam is covered by the other IVF specs)
+    val coarse = centers8.zipWithIndex
+      .map { case (c, j) => (j.toLong, c) }.toDF("cid", "center")
+    // residual frame: v − assigned-cell center
+    val resFrame = Similarity.centroidAssign("embedding", coarse, "cid", "center")(points)
+      .join(broadcast(coarse.select($"cid".as("centroid_label"), $"center".as("__cc"))),
+        "centroid_label")
+      .select($"vec_id",
+        zip_with($"embedding", $"__cc",
+          (x, c) => x.cast("double") - c.cast("double")).as("embedding"))
+    val rawBooks = Similarity.pqCodebooks(points, "embedding", m = 4, k = 2)
+    val resBooks = Similarity.pqCodebooks(resFrame, "embedding", m = 4, k = 2)
+    // mean per-subspace argmin squared-L2 (what pqEncode minimizes)
+    def distortion(cb: org.apache.spark.sql.DataFrame,
+        data: org.apache.spark.sql.DataFrame): Double = {
+      val cents = cb.select($"center".cast("array<double>")).as[Seq[Double]].collect()
+      val pts = data.select($"embedding".cast("array<double>")).as[Seq[Double]].collect()
+      val sub = 4
+      pts.map { p =>
+        (0 until 4).map { s =>
+          cents.map { c =>
+            (0 until sub).map { j =>
+              val d = p(s * sub + j) - c(s * sub + j); d * d
+            }.sum
+          }.min
+        }.sum
+      }.sum / pts.length
+    }
+    val dRaw = distortion(rawBooks, points)
+    val dRes = distortion(resBooks, resFrame)
+    assert(dRes < dRaw / 2,
+      s"residual distortion $dRes not well below raw $dRaw at equal budget")
+    // composed query path: residual codes + q·center + LUT, one probed
+    // cell — top-1 recall stays near-exact
+    val ivf = Similarity.ivfPqTopK(points, "vec_id", "embedding",
+      points, "vec_id", "embedding",
+      coarseCentroids = coarse, nprobe = 1,
+      pqCentroids = resBooks, m = 4, k = 1, rerank = 10,
+      residual = true)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    val brute = Similarity.bruteForceTopK(points, "vec_id", "embedding",
+      points, "vec_id", "embedding", k = 1)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    val hits = brute.count { case (q, nn) => ivf.get(q).contains(nn) }
+    assert(hits >= 36, s"residual IVF-PQ top-1 recall too low: $hits/40")
+  }
+
   test("kmeans-IVF recall floors on unstructured vectors") {
     // The SURVEY §8 dossier numbers, pinned: on the UNSTRUCTURED fixture
     // embeddings (uniform noise — the adversarial case for cell pruning)

@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     "downsample_mix",    // same one-row total inside its mixReport
     "similarity_ivf",    // broadcast centroid ranking (id < nCentroids)
     "similarity_ivf_pq", // broadcast coarse cells + one-row codebook array + query LUTs
+    "similarity_ivf_pq_res", // same legs, residual-encoded codes
     "tfidf_top_terms",   // broadcast one-row corpus count
     "key_skew",          // broadcast one-row total count
     "bm25_topk",         // broadcast one-row (N, avgdl, df…) stats aggregate
@@ -111,10 +112,12 @@ class PlanAuditSpec extends SparkSpec {
     // cells' members are ever ADC-scored. If the composition regressed
     // to pqTopK's all-codes crossJoin, the cell key would vanish from
     // every hash join and the full-code-scan claim would be prose.
-    val plan = SparkEntry.queries("similarity_ivf_pq")(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin [cell"),
-      s"similarity_ivf_pq does not hash-join the code table on cell:\n$plan")
+    Seq("similarity_ivf_pq", "similarity_ivf_pq_res").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin [cell"),
+        s"$name does not hash-join the code table on cell:\n$plan")
+    }
   }
 
   test("no query plans a Scala UDF except the documented predicate surface") {
