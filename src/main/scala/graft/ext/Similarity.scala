@@ -972,6 +972,32 @@ object Similarity {
       .select(col("item_id"), col("centroid_label").as("cell"), col("codes"))
   }
 
+  /** Persist an IVF×PQ index ([[ivfPqIndexRows]]) through the store
+    * layer, CELL-PARTITIONED when the backend supports a partitioned
+    * layout (parquet: `<name>.parquet/cell=<c>/…`): a probe that
+    * reaches only `nprobe` cells then prunes every other cell's FILES
+    * from the scan — the directory layout is the physical realization
+    * of "read only the probed cells' code columns". Other stores fall
+    * back to a plain object write (correct, no pruning). */
+  def ivfPqSave(
+      index: DataFrame, store: graft.sources.DataStore,
+      name: String, replace: Boolean = false): Unit = store match {
+    case p: graft.sources.ParquetStore =>
+      p.createPartitioned(name, index, Seq("cell"), replace)
+    case s => s.create(name, index, replace)
+  }
+
+  /** Load a persisted IVF×PQ index ([[ivfPqSave]]). The `cell`
+    * partition column comes back via partition-directory inference;
+    * it is cast back to its written BIGINT type so the probe join and
+    * a saved/unsaved index answer identically (round-trip
+    * spec-pinned). */
+  def ivfPqLoad(store: graft.sources.DataStore, name: String): DataFrame = {
+    val df = store.getObject(name)
+    df.withColumn("cell", col("cell").cast("long"))
+      .select("item_id", "cell", "codes")
+  }
+
   /** IVF-ADC — the canonical 100 TB ANN read path, composing the two
     * rungs that existed separately: [[ivfTopK]] prunes WHICH rows are
     * scored but reranks with full vectors, [[pqTopK]] scores from codes
@@ -1008,7 +1034,16 @@ object Similarity {
     * per-query LUT scores the residual codes — queries stay exact,
     * cells pay one extra add per candidate. Index rows must then be
     * residual-encoded (`ivfPqIndexRows(residual = true)`, same flag
-    * here when the index is inline). */
+    * here when the index is inline).
+    *
+    * `pruneIndexPartitions = true` additionally pushes the probed
+    * cell set into the index scan as a LITERAL `cell IN (…)` filter:
+    * against a cell-partitioned stored index ([[ivfPqSave]]) the
+    * unprobed cells' files are pruned from the scan itself
+    * (`PartitionFilters`, spec-pinned) — the physical "read 8 of 1024
+    * cells" guarantee. Costs one bounded driver action
+    * (≤ |queries| × nprobe cell ids — a query batch is small by
+    * construction). */
   def ivfPqTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
@@ -1016,7 +1051,8 @@ object Similarity {
       pqCentroids: DataFrame, m: Int, k: Int, rerank: Int = 10,
       excludeSelf: Boolean = true,
       index: Option[DataFrame] = None,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false,
+      pruneIndexPartitions: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && rerank >= 1, "k and rerank must be >= 1")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
@@ -1044,7 +1080,11 @@ object Similarity {
       .select(col(queryId).as("query_id"), col(queryVec))
       .crossJoin(broadcast(centArr))
       .select(col("query_id"), pqLut(col(queryVec), m).as("__lut"))
-    val cand = coded
+    val codedPruned =
+      if (!pruneIndexPartitions) coded
+      else coded.filter(col("cell").isInCollection(
+        probes.select("cell").distinct().collect().map(_.get(0)).toSeq))
+    val cand = codedPruned
       .join(broadcast(probes), "cell")
       .filter(!lit(excludeSelf) || col("query_id") =!= col("item_id"))
       .join(broadcast(luts), "query_id")

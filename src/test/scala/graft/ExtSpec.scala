@@ -240,6 +240,54 @@ class ExtSpec extends SparkSpec {
     assert(viaIndex === ivf1)
   }
 
+  test("IVF-PQ index persists cell-partitioned; loaded and pruned queries answer identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    try {
+      val store = graft.sources.ParquetStore(spark, dir)
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val cents = Similarity.standinCentroids(e, "vec_id", "embedding", 8)
+      val queries = e.filter($"vec_id" < 5)
+      val idx = Similarity.ivfPqIndexRows(e, "vec_id", "embedding",
+        cents, cents, m = 8)
+      Similarity.ivfPqSave(idx, store, "ivfpq")
+      // the physical layout IS the claim: one directory per cell
+      val cellDirs = new java.io.File(s"$dir/ivfpq.parquet")
+        .listFiles().filter(_.getName.startsWith("cell="))
+      assert(cellDirs.length > 1, "index not cell-partitioned on disk")
+      def run(index: org.apache.spark.sql.DataFrame, prune: Boolean) =
+        Similarity.ivfPqTopK(e, "vec_id", "embedding",
+          queries, "vec_id", "embedding",
+          coarseCentroids = cents, nprobe = 2,
+          pqCentroids = cents, m = 8, k = 3, rerank = 10,
+          index = Some(index), pruneIndexPartitions = prune)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select($"query_id".cast("long"), $"item_id".cast("long"),
+            $"adc_score", $"cosine", $"rank")
+          .as[(Long, Long, Double, Double, Int)].collect()
+          .sortBy(t => (t._1, t._5))
+      val base = rows(run(idx, prune = false))
+      val loaded = Similarity.ivfPqLoad(store, "ivfpq")
+      assert(rows(run(loaded, prune = false)) === base)
+      val pruned = run(loaded, prune = true)
+      assert(rows(pruned) === base)
+      // and the pruned scan drops unprobed cells' FILES: the index
+      // scan's PartitionFilters must carry the literal cell predicate
+      // (the scan is nested under AQE/broadcast wrappers, so find its
+      // FileScan LINE in the plan dump rather than a plan leaf)
+      val scanLine = pruned.queryExecution.executedPlan.toString
+        .linesIterator.find(l =>
+          l.contains("FileScan") && l.contains("ivfpq.parquet"))
+      assert(scanLine.isDefined, "no file scan of the stored index found")
+      val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findFirstMatchIn(scanLine.get).map(_.group(1)).getOrElse("")
+      assert(pf.contains("cell"),
+        s"index scan does not prune on cell partitions:\n${scanLine.get}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively(); ()
+    }
+  }
+
   test("residual IVF-PQ: residual encoding cuts quantization error; recall holds at nprobe=1") {
     // The canonical IVF-PQ argument, measured: on clustered data the
     // residual v − center(cell) has a fraction of the vector's norm, so
