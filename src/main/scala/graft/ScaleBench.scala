@@ -24,6 +24,14 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional comma-separated phase subset (spans / bm25 / cc / ann /
+    // inc / contain / bpe) for targeted re-measures without paying the
+    // whole harness; absent → all phases.
+    val phases = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def phase(name: String)(body: => Unit): Unit =
+      if (phases.forall(_(name))) body
+
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val n = base.count() // also warms the scan
@@ -38,6 +46,7 @@ object ScaleBench {
       System.gc()
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    phase("spans") {
     // warm-up at x1 so codegen/noop-sink init doesn't land on the x1 cell
     TextOps.duplicateSpans("doc_id", "text", n = 8)(replicated(1))
       .write.mode("overwrite").format("noop").save()
@@ -57,11 +66,13 @@ object ScaleBench {
     }
     println("corpus_x,docs,duplicate_spans_sec,strip_duplicate_spans_sec")
     rows.foreach { case (k, d, a, b) => println(f"$k,$d,$a%.2f,$b%.2f") }
+    }
 
     // Retrieval scaling: fixed query set, growing corpus — the posting
     // build is corpus-linear and the per-query window cost tracks
     // candidate counts, so the curve should be bounded by linear.
     import spark.implicits._
+    phase("bm25") {
     val queries = Seq(
       (0L, Seq("spark", "stream")),
       (1L, Seq("vector", "merge", "window")),
@@ -79,6 +90,7 @@ object ScaleBench {
     }
     println("corpus_x,docs,bm25_batch_sec")
     bmRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    }
 
     // Cluster-election scaling (the LSH pairs -> connected components ->
     // election family). Replication is ADVERSARIAL for CC: every replica
@@ -101,6 +113,7 @@ object ScaleBench {
         col("embedding")))
         .reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
+    phase("cc") {
     def electBest(docs: DataFrame): Unit =
       Dedup.clusterDedupByQuality("doc_id", "text",
         TextOps.qualityScore(col("text")), threshold = 0.2)(docs)
@@ -133,6 +146,7 @@ object ScaleBench {
     ccRows.foreach { case (k, d, v, a, b, c) =>
       println(f"$k,$d,$v,$a%.2f,$b%.2f,$c%.2f")
     }
+    }
 
     // ANN-ladder scaling: fixed 10-query set, growing corpus, one cell
     // per precision rung (float32 cosine / int8 codes / 64-bit sign
@@ -143,6 +157,7 @@ object ScaleBench {
     // here, not the 4×/32× scan-IO win — that materializes when codes/
     // sketches are STORED columns on a real cluster.
     import graft.ext.Similarity
+    phase("ann") {
     val annQ = vecsBase.filter(col("vec_id") < 10)
     def annFloat(vecs: DataFrame): Unit =
       Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
@@ -198,6 +213,7 @@ object ScaleBench {
     annRows.foreach { case (k, v, a, b, c, p, i) =>
       println(f"$k,$v,$a%.2f,$b%.2f,$c%.2f,$p%.2f,$i%.2f")
     }
+    }
 
     // Incremental near-dup scaling: FIXED batch, GROWING index — the
     // dimension that matters for a recurring crawl, where the
@@ -212,6 +228,7 @@ object ScaleBench {
     // per batch, banded-bucket joins with the per-side cap — the curve
     // must be bounded by linear in index size; a super-linear curve
     // would falsify the capped-bucket design.
+    phase("inc") {
     val batchDocs = base.select(
       (col("doc_id") + lit(100_000_000L)).as("doc_id"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism)
@@ -233,6 +250,7 @@ object ScaleBench {
     }
     println("index_x,index_rows,batch_rows,incremental_near_dup_sec")
     incRows.foreach { case (k, i, b, t) => println(f"$k,$i,$b,$t%.2f") }
+    }
 
     // Containment-pair scaling: replication is MAXIMALLY adversarial
     // here — every replica shares EVERY gram with its source doc, so
@@ -243,6 +261,7 @@ object ScaleBench {
     // not the pair explosion (quadratic). Exact and sampled modes
     // share the cells (the sampled one additionally pins that the
     // quarter-subspace stays ~flat as the corpus grows).
+    phase("contain") {
     def contain(docs: DataFrame, frac: Double): Unit =
       Dedup.containmentPairs("doc_id", "text", n = 8, threshold = 0.5,
         gramFraction = frac)(docs)
@@ -261,6 +280,7 @@ object ScaleBench {
     }
     println("corpus_x,docs,containment_pairs_sec,containment_sampled_sec")
     cRows.foreach { case (k, d, a, b) => println(f"$k,$d,$a%.2f,$b%.2f") }
+    }
 
     // BPE at production vocabulary scale: the kernels claim per-row
     // cost O(applied merges × word length) with O(1) rank lookups
@@ -276,6 +296,7 @@ object ScaleBench {
     // broadcast once per stage by TorrentBroadcast, NOT per task; at
     // real vocabularies keep the table a shared constant, not a
     // per-query literal, so plan construction pays it once).
+    phase("bpe") {
     val junk: Seq[(String, String)] = (0 until 49_990).map { i =>
       (String.valueOf((0x4E00 + i / 256).toChar),
         String.valueOf((0x3400 + i % 256).toChar))
@@ -308,6 +329,7 @@ object ScaleBench {
     println(f"rank_build_50k_sec,$tBuild%.4f")
     println("corpus_x,docs,bpe_10_merges_sec,bpe_50k_merges_sec")
     bpeRows.foreach { case (k, d, a, b) => println(f"$k,$d,$a%.2f,$b%.2f") }
+    }
     spark.stop()
   }
 }

@@ -871,6 +871,21 @@ object Similarity {
     }
   }
 
+  /** The stored rows of a flat PQ index: `(id, codes)` — the
+    * [[pqEncode]] byte codes alone, the PQ analog of
+    * [[Dedup.embeddingIndexRows]] (m bytes/vector at 256 centroids vs
+    * int8's dim bytes). Persist through any store and feed to
+    * [[pqTopK]]'s `codes` parameter so the coarse ADC pass scans only
+    * this column; for the cell-pruned composition use
+    * [[ivfPqIndexRows]] instead. */
+  def pqIndexRows(
+      corpusId: String, corpusVec: String,
+      centroids: DataFrame, centroidId: String, centroidVec: String,
+      m: Int)(corpus: DataFrame): DataFrame =
+    pqEncode(corpusVec, centroids, centroidId, centroidVec, m, "codes")(
+      corpus.select(col(corpusId).as("id"), col(corpusVec)))
+      .select(col("id"), col("codes"))
+
   /** PQ top-k via asymmetric distance computation (ADC): corpus rows
     * are scored from their [[pqEncode]] codes ALONE — per query, a
     * lookup table of sub-centroid dot products (m × |centroids|
@@ -893,14 +908,23 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       centroids: DataFrame, centroidId: String, centroidVec: String,
       m: Int, k: Int, rerank: Int = 10,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      codes: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && rerank >= 1, s"k and rerank must be >= 1")
     val centArr = centroidArray(centroids, centroidId, centroidVec)
-    val codesDf = pqEncode(corpusVec, centroids, centroidId, centroidVec,
-      m, "__codes")(
-      corpus.select(col(corpusId).as("item_id"), col(corpusVec)))
-      .select(col("item_id"), col("__codes"))
+    // `codes`: a precomputed (id, codes) frame — the stored-index mode
+    // (pqEncode at ingest, persisted; the coarse pass then reads ONLY
+    // the m-byte code column). Default recomputes inline so the oracle
+    // row is self-contained. Parity spec-pinned.
+    val codesDf = codes match {
+      case Some(c) => c.select(col(c.columns(0)).as("item_id"),
+        col(c.columns(1)).as("__codes"))
+      case None => pqEncode(corpusVec, centroids, centroidId, centroidVec,
+        m, "__codes")(
+        corpus.select(col(corpusId).as("item_id"), col(corpusVec)))
+        .select(col("item_id"), col("__codes"))
+    }
     val queryLuts = queries
       .select(col(queryId).as("query_id"), col(queryVec))
       .crossJoin(broadcast(centArr))
