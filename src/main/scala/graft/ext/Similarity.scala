@@ -1011,6 +1011,32 @@ object Similarity {
     case s => s.create(name, index, replace)
   }
 
+  /** Append a NEW vector batch to a persisted IVF×PQ index: assign +
+    * encode just the batch ([[ivfPqIndexRows]] — history untouched,
+    * zero re-reads) and append its rows under their cell partitions.
+    * The growing-corpus ANN flow: each crawl's fresh vectors join the
+    * index with one batch-sized job, and a later query probes old and
+    * new rows alike (append-equals-rebuild spec-pinned). Compact the
+    * layout periodically ([[graft.sources.ParquetStore.compact]] with
+    * `partitionCols = Seq("cell")`) — every append adds task-count
+    * files per touched cell. Centroids must be the ones the index was
+    * built with: coarse cells and codebooks are FROZEN at build time
+    * (retraining them would orphan every stored code — the standard
+    * IVF-PQ operational contract). */
+  def ivfPqAppend(
+      store: graft.sources.DataStore, name: String,
+      batch: DataFrame, batchId: String, batchVec: String,
+      coarseCentroids: DataFrame, pqCentroids: DataFrame, m: Int,
+      residual: Boolean = false): Unit = {
+    val rows = ivfPqIndexRows(batch, batchId, batchVec,
+      coarseCentroids, pqCentroids, m, residual)
+    store match {
+      case p: graft.sources.ParquetStore =>
+        p.appendPartitioned(name, rows, Seq("cell"))
+      case s => s.appendInto(name, rows)
+    }
+  }
+
   /** Load a persisted IVF×PQ index ([[ivfPqSave]]). The `cell`
     * partition column comes back via partition-directory inference;
     * it is cast back to its written BIGINT type so the probe join and

@@ -104,6 +104,50 @@ final case class ParquetStore(spark: SparkSession, dir: String) extends DataStor
       .mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .parquet(path(name))
   }
+
+  /** Append into a Hive-partitioned layout ([[createPartitioned]]):
+    * new rows land under their partition directories, existing
+    * partitions gain files, new partition values gain directories —
+    * the write path of an append-heavy partitioned index/fact table.
+    * Pair with [[compact]] when the per-partition file count grows. */
+  def appendPartitioned(
+      name: String, rows: DataFrame, partitionCols: Seq[String]): Unit =
+    rows.write.mode(SaveMode.Append)
+      .partitionBy(partitionCols: _*).parquet(path(name))
+
+  /** Rewrite an object's files into a compact layout — the maintenance
+    * pass every append-heavy loop needs: each [[appendInto]] /
+    * [[appendPartitioned]] adds task-count files, and a year of
+    * hourly batches is tens of thousands of tiny files whose listing
+    * and per-file open dominate scan cost long before the bytes do.
+    * Rewrites to `numFiles` outputs (partitioned layouts: one file
+    * per partition per task — pass the partition columns so the
+    * directory layout and its pruning survive). Rows are bit-identical
+    * (spec-pinned). The swap is write-aside then two directory
+    * renames: a crash leaves the old or the new layout whole on disk
+    * (plus at worst a leftover `__old`/`__compacting` dir), never a
+    * partial mix — rename-based swap, not an in-place rewrite. */
+  def compact(
+      name: String, numFiles: Int = 1,
+      partitionCols: Seq[String] = Nil): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    val df = getObject(name)
+    val tmp = s"${name}__compacting"
+    val laid =
+      if (partitionCols.isEmpty) df.repartition(numFiles)
+      else df.repartition(partitionCols.map(df.col): _*)
+    val writer = laid.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.isEmpty) writer
+     else writer.partitionBy(partitionCols: _*)).parquet(path(tmp))
+    import scala.reflect.io.Directory
+    val oldDir = new java.io.File(path(s"${name}__old"))
+    new Directory(oldDir).deleteRecursively() // stale leftover, if any
+    require(new java.io.File(path(name)).renameTo(oldDir),
+      s"compact: could not move ${path(name)} aside")
+    require(new java.io.File(path(tmp)).renameTo(new java.io.File(path(name))),
+      s"compact: rename of ${path(tmp)} failed")
+    new Directory(oldDir).deleteRecursively(); ()
+  }
 }
 
 /** Directory of ORC files, one object per `<name>.orc` — the other

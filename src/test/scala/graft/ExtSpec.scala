@@ -288,6 +288,47 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqAppend grows a stored index batch-by-batch, equal to a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    try {
+      val store = graft.sources.ParquetStore(spark, dir)
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val cents = Similarity.standinCentroids(e, "vec_id", "embedding", 8)
+      val half1 = e.filter($"vec_id" % 2 === 0)
+      val half2 = e.filter($"vec_id" % 2 =!= 0)
+      Similarity.ivfPqSave(Similarity.ivfPqIndexRows(
+        half1, "vec_id", "embedding", cents, cents, m = 8), store, "idx")
+      Similarity.ivfPqAppend(store, "idx", half2, "vec_id", "embedding",
+        cents, cents, m = 8)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select($"item_id".cast("long"), $"cell".cast("long"),
+            $"codes".cast("array<int>"))
+          .as[(Long, Long, Seq[Int])].collect().sortBy(_._1)
+      val grown = rows(Similarity.ivfPqLoad(store, "idx"))
+      val rebuilt = rows(Similarity.ivfPqIndexRows(
+        e, "vec_id", "embedding", cents, cents, m = 8))
+      assert(grown === rebuilt)
+      // queries against the grown stored index match the inline index
+      val queries = e.filter($"vec_id" < 5)
+      def top(index: Option[org.apache.spark.sql.DataFrame]) =
+        Similarity.ivfPqTopK(e, "vec_id", "embedding",
+          queries, "vec_id", "embedding",
+          coarseCentroids = cents, nprobe = 2,
+          pqCentroids = cents, m = 8, k = 3, rerank = 10,
+          index = index,
+          pruneIndexPartitions = index.isDefined)
+          .select($"query_id".cast("long"), $"item_id".cast("long"), $"rank")
+          .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3))
+      assert(top(Some(Similarity.ivfPqLoad(store, "idx"))) === top(None))
+      // compaction keeps the grown index byte-identical and queryable
+      store.compact("idx", partitionCols = Seq("cell"))
+      assert(rows(Similarity.ivfPqLoad(store, "idx")) === rebuilt)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively(); ()
+    }
+  }
+
   test("residual IVF-PQ: residual encoding cuts quantization error; recall holds at nprobe=1") {
     // The canonical IVF-PQ argument, measured: on clustered data the
     // residual v − center(cell) has a fraction of the vector's norm, so

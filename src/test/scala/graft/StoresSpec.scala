@@ -42,6 +42,44 @@ class StoresSpec extends SparkSpec {
       s"partition filter missing:\n$scan")
   }
 
+  test("compact rewrites append-heavy layouts to few files, rows identical") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val store = graft.sources.ParquetStore(spark, dir)
+    def dataFiles(sub: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/$sub")).count(_.getName.endsWith(".parquet"))
+    }
+    // flat object: five appends -> many files; compact -> one
+    val df = (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    store.create("t", df.repartition(4))
+    (1 to 4).foreach(_ => store.appendInto("t", df.repartition(4)))
+    assert(dataFiles("t.parquet") >= 10)
+    val before = store.getObject("t").collect().map(_.toString).sorted
+    store.compact("t", numFiles = 1)
+    assert(dataFiles("t.parquet") === 1)
+    assert(store.getObject("t").collect().map(_.toString).sorted === before)
+    // partitioned object: appends multiply per-partition files; compact
+    // with the partition columns keeps the layout (and its pruning)
+    val pdf = (0 until 40).map(i => (i.toLong, i % 4, s"v$i")).toDF("id", "cell", "v")
+    store.createPartitioned("p", pdf.repartition(4), Seq("cell"))
+    (1 to 3).foreach(_ => store.appendPartitioned("p", pdf.repartition(4), Seq("cell")))
+    val pBefore = store.getObject("p")
+      .select($"id", $"cell".cast("int"), $"v")
+      .collect().map(_.toString).sorted
+    assert(dataFiles("p.parquet") > 8)
+    store.compact("p", partitionCols = Seq("cell"))
+    assert(dataFiles("p.parquet") === 4, "one file per partition expected")
+    val after = store.getObject("p")
+      .select($"id", $"cell".cast("int"), $"v")
+      .collect().map(_.toString).sorted
+    assert(after === pBefore)
+    val scan = store.getObject("p").filter($"cell" === 1)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(cell"),
+      s"partition pruning lost after compact:\n$scan")
+  }
+
   test("orc store round-trip with pushdown reaching the scan") {
     val dir = Files.createTempDirectory("graft-orc").toString
     val store = Stores.open(spark, "orc", dir)
