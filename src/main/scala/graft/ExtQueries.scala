@@ -291,6 +291,17 @@ object ExtQueries {
         queryVec = "embedding", k = 5, dim = 128, rerank = 10)
         .orderBy("query_id", "rank")
     },
+    "similarity_matryoshka" -> { (s, dir) =>
+      // MRL two-stage: coarse cosine over the leading 16 of 64 dims
+      // (4x less float payload in the corpus-wide pass), exact
+      // full-dim rerank of the top-25 sliver
+      val e = corpus(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(
+        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
+        queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
+        queryVec = "embedding", k = 5, coarseDims = 16, rerank = 5)
+        .orderBy("query_id", "rank")
+    },
     "similarity_lsh" -> { (s, dir) =>
       Similarity.lshTopK(corpus(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, planes = 6, dim = 64)
@@ -1827,6 +1838,31 @@ object ExtQueries {
           ${cosineSql("qe", "ce")} AS cosine
         FROM cand)
       SELECT query_id, item_id, hamming, cosine,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC)
+          AS INTEGER) AS rank
+      FROM scored
+      QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // MRL two-stage: coarse cosine over the 16-element list prefix
+    // (same slice both engines), top-25 pool per query, exact full-dim
+    // rerank — mirrors Similarity.matryoshkaTopK
+    "similarity_matryoshka" -> s"""
+      WITH e AS (SELECT vec_id, embedding, embedding[1:16] AS pre
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, pre AS qs
+        FROM e WHERE vec_id < 10),
+      sc AS (SELECT query_id, c.vec_id AS item_id,
+          ${cosineSql("qs", "c.pre")} AS coarse_cos,
+          qe, c.embedding AS ce
+        FROM e c, q WHERE query_id <> c.vec_id),
+      cand AS (SELECT * FROM sc
+        QUALIFY row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY coarse_cos DESC, item_id ASC) <= 25),
+      scored AS (SELECT query_id, item_id, coarse_cos,
+          ${cosineSql("qe", "ce")} AS cosine
+        FROM cand)
+      SELECT query_id, item_id, coarse_cos, cosine,
         CAST(row_number() OVER (
           PARTITION BY query_id ORDER BY cosine DESC, item_id ASC)
           AS INTEGER) AS rank

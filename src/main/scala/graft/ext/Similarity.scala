@@ -871,6 +871,59 @@ object Similarity {
     }
   }
 
+  /** Two-stage ANN for Matryoshka-style embeddings (MRL: models
+    * trained so the LEADING dimensions carry a usable coarse
+    * representation): rank every candidate by exact cosine over the
+    * first `coarseDims` dimensions only — the coarse pass reads
+    * coarseDims/dim of the float payload (a 1024-dim corpus probed at
+    * 64 dims scans 16× less) — keep the best `rerank × k` per query,
+    * then rerank ONLY that sliver by full-dimension cosine. The same
+    * candidate discipline as [[hammingTopK]]/[[pqTopK]]: query slices
+    * broadcast, survivors pruned map-side (WindowGroupLimit), the
+    * candidate set broadcasts back, full vectors never shuffle. At
+    * 100 TB the prefix lives as its OWN stored column (projected at
+    * ingest like codes/sketches) so the coarse scan IO win is
+    * physical, not just compute. Unlike the sketch/PQ rungs the
+    * coarse score here is a true cosine of a trained sub-embedding —
+    * on MRL embeddings its candidate order is far better per byte
+    * than a random projection at the same width. `coarseDims` = full
+    * dimension with a pool covering the corpus reproduces
+    * [[bruteForceTopK]] exactly (spec-pinned). Ties: coarse
+    * (coarse_cos desc, item asc), final (cosine desc, item asc). */
+  def matryoshkaTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, coarseDims: Int, rerank: Int = 10,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && rerank >= 1, "k and rerank must be >= 1")
+    require(coarseDims >= 1, s"coarseDims must be >= 1, got $coarseDims")
+    val cand = corpus
+      .select(col(corpusId).as("item_id"),
+        slice(col(corpusVec), 1, coarseDims).as("__cs"))
+      .crossJoin(broadcast(queries
+        .select(col(queryId).as("query_id"),
+          slice(col(queryVec), 1, coarseDims).as("__qs"))))
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("item_id"))
+      .withColumn("coarse_cos", cosine(col("__qs"), col("__cs")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("coarse_cos").desc, col("item_id").asc)))
+      .filter(col("__r") <= k * rerank)
+      .select("query_id", "item_id", "coarse_cos")
+    corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("__cv"))
+      .join(broadcast(cand), "item_id")
+      .join(broadcast(queries
+        .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))),
+        "query_id")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("item_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "coarse_cos", "cosine", "rank")
+  }
+
   /** The stored rows of a flat PQ index: `(id, codes)` — the
     * [[pqEncode]] byte codes alone, the PQ analog of
     * [[Dedup.embeddingIndexRows]] (m bytes/vector at 256 centroids vs

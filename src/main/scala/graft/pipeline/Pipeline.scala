@@ -205,6 +205,12 @@ final case class Pipeline(df: DataFrame) {
       rerank: Int = 10, excludeSelf: Boolean = true): Pipeline =
     >>(c => graft.ext.Similarity.hammingTopKWide(c, corpusId, corpusVec,
       queries, queryId, queryVec, k, dim, rerank, excludeSelf))
+  /** `this` is the corpus; MRL prefix-dim coarse rank + full rerank. */
+  def matryoshkaTopK(corpusId: String, corpusVec: String, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int, coarseDims: Int,
+      rerank: Int = 10, excludeSelf: Boolean = true): Pipeline =
+    >>(c => graft.ext.Similarity.matryoshkaTopK(c, corpusId, corpusVec,
+      queries, queryId, queryVec, k, coarseDims, rerank, excludeSelf))
   /** `this` is the corpus; appends the stored PQ code column. */
   def pqEncode(vecField: String, centroids: DataFrame, centroidId: String,
       centroidVec: String, m: Int, outField: String = "pq_codes"): Pipeline =

@@ -397,6 +397,43 @@ class ExtSpec extends SparkSpec {
     assert(hits >= 36, s"residual IVF-PQ top-1 recall too low: $hits/40")
   }
 
+  test("matryoshkaTopK: full-width coarse reproduces brute force; prefix signal keeps recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 10)
+    val nCorpus = e.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id".cast("long"), $"item_id".cast("long"),
+          $"cosine", $"rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(t => (t._1, t._4))
+    // coarseDims = full dim + a pool covering the corpus: the coarse
+    // order IS the exact order, so output equals bruteForceTopK
+    val full = rows(Similarity.matryoshkaTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding",
+      k = 5, coarseDims = 64, rerank = nCorpus))
+    val brute = rows(Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5))
+    assert(full === brute)
+    // MRL-shaped fixture: signal lives in the leading 8 dims, the tail
+    // is small noise — a 8-of-32-dim coarse pass keeps top-1 recall
+    val rnd = new scala.util.Random(37)
+    val centers = (0 until 4).map { j =>
+      Array.tabulate(32)(d =>
+        if (d < 8 && d % 4 == j) 1.0f else 0.0f)
+    }
+    val pts = (0 until 40).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val mrl = Similarity.matryoshkaTopK(pts, "vec_id", "embedding",
+      pts, "vec_id", "embedding", k = 1, coarseDims = 8, rerank = 10)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    val bf = Similarity.bruteForceTopK(pts, "vec_id", "embedding",
+      pts, "vec_id", "embedding", k = 1)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    val hits = bf.count { case (q, nn) => mrl.get(q).contains(nn) }
+    assert(hits >= 36, s"prefix-coarse top-1 recall too low: $hits/40")
+  }
+
   test("IVF-ADC recall tracks the probed fraction on unstructured vectors; stored codes are identical") {
     // The composed path under the same adversarial conditions as the
     // kmeans-IVF dossier table: UNSTRUCTURED fixture embeddings, where

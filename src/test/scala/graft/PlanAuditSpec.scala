@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "centroid_assign",   // broadcast ONE-row centroid array
     "similarity_hamming", // broadcast query sketch set (vec_id < 10)
     "similarity_hamming_wide", // broadcast query sketch set, 2-word sketches
+    "similarity_matryoshka", // broadcast query prefix-slice set
     "similarity_pq",     // broadcast one-row centroid array + query LUTs
     "mix_report",        // broadcast one-row corpus token total
     "downsample_mix",    // same one-row total inside its mixReport

@@ -19,6 +19,48 @@ class PropertySpec extends SparkSpec {
   private def draws[A](g: Gen[A], n: Int = 5): Seq[A] =
     (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("pqEncode over concatenated codebooks IS independent per-subspace encoding") {
+    // The load-bearing claim of pqCodebooks: storing per-subspace
+    // codebook entry c as slice s of full-dim row c is LOSSLESS,
+    // because the kernel's argmin runs per subspace slice
+    // independently. Property: for random vectors and random
+    // per-subspace codebooks, the kernel's codes over the
+    // concatenated frame equal a direct per-subspace argmin computed
+    // in plain Scala (strictly-less ties to the earlier entry, the
+    // kernel's documented discipline).
+    val dim = 8; val m = 2; val sub = dim / m; val kk = 3
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-4.0f, 4.0f))
+    val bookGen = Gen.listOfN(m * kk * sub, Gen.chooseNum(-4.0f, 4.0f))
+    for (Seq((vs, bs)) <- draws(Gen.zip(Gen.listOfN(6, vecGen), bookGen), 5)
+           .map(Seq(_))) {
+      // books(s)(c)(j): m subspaces × kk entries × sub dims
+      val books = bs.grouped(sub).grouped(kk).toIndexedSeq
+      val concat = (0 until kk).map { c =>
+        (c.toLong, (0 until m).flatMap(s => books(s)(c)).toArray)
+      }.toDF("cid", "center")
+      val got = graft.ext.Similarity.pqEncode(
+        "embedding", concat, "cid", "center", m = m)(
+        vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+          .toDF("vec_id", "embedding"))
+        .orderBy("vec_id").select("pq_codes").as[Seq[Int]].collect()
+      val want = vs.map { v =>
+        (0 until m).map { s =>
+          var bestC = -1; var bestD = Double.PositiveInfinity
+          for (c <- 0 until kk) {
+            var d = 0.0
+            for (j <- 0 until sub) {
+              val diff = v(s * sub + j).toDouble - books(s)(c)(j)
+              d += diff * diff
+            }
+            if (d < bestD) { bestD = d; bestC = c }
+          }
+          bestC
+        }
+      }
+      assert(got.toSeq.map(_.toList) === want.map(_.toList))
+    }
+  }
+
   test("append row count is additive") {
     for (Seq(xs, ys) <- draws(Gen.zip(rowsGen, rowsGen)).map(t => Seq(t._1, t._2))) {
       val a = xs.toDF("k", "v"); val b = ys.toDF("k", "v")
