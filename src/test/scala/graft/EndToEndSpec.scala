@@ -236,4 +236,62 @@ class EndToEndSpec extends SparkSpec {
       assert(again === ids)
     }
   }
+
+  test("recurring-crawl lifecycle: store-backed dedup state + growing ANN index") {
+    // The full production loop through REAL persisted state: crawl 1
+    // seeds the dedup index and the ANN index through a store; crawl 2
+    // (novel vectors + a re-embed of history) is deduped in one ingest
+    // call, its survivors appended to the ANN index, the layout
+    // compacted — and a pruned query over the stored index then serves
+    // neighbors from BOTH crawls, identical to an index rebuilt from
+    // scratch over everything kept.
+    import graft.ext.{IncrementalIndex, Similarity}
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e_ann").toString
+    try {
+      val store = graft.sources.ParquetStore(spark, dir)
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      val cents = Similarity.standinCentroids(e, "vec_id", "embedding", 8)
+      val crawl1 = e.filter($"vec_id" % 2 === 0)
+      val refetch = crawl1.limit(1)
+        .select(($"vec_id" + 900000L).as("vec_id"), $"embedding")
+      val crawl2 = e.filter($"vec_id" % 2 =!= 0).unionByName(refetch)
+      // dedup state: int8 code index through the store
+      val dedupIdx = IncrementalIndex.embedding(store, "codes",
+        "vec_id", "embedding", threshold = 0.99)
+      dedupIdx.create(crawl1)
+      // ANN state: cell-partitioned IVF-PQ index through the store
+      Similarity.ivfPqSave(Similarity.ivfPqIndexRows(
+        crawl1, "vec_id", "embedding", cents, cents, m = 8), store, "ann")
+      // crawl 2: one ingest call dedupes and updates the dedup state
+      val kept = dedupIdx.ingest(crawl2)
+      assert(kept.filter($"vec_id" === 900000L).count() === 0,
+        "re-embedded history survived the dedup gate")
+      assert(kept.count() > 0)
+      // survivors grow the ANN index; compaction keeps it healthy
+      Similarity.ivfPqAppend(store, "ann", kept, "vec_id", "embedding",
+        cents, cents, m = 8)
+      store.compact("ann", partitionCols = Seq("cell"))
+      // a pruned query over the stored index == a fresh rebuild over
+      // everything kept, and it serves results from both crawls
+      val corpus = crawl1.unionByName(kept)
+      val queries = corpus.limit(5)
+      def top(index: Option[org.apache.spark.sql.DataFrame], prune: Boolean) =
+        Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+          queries, "vec_id", "embedding",
+          coarseCentroids = cents, nprobe = 2,
+          pqCentroids = cents, m = 8, k = 3, rerank = 10,
+          index = index, pruneIndexPartitions = prune)
+          .select($"query_id".cast("long"), $"item_id".cast("long"), $"rank")
+          .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3))
+      val stored = top(Some(Similarity.ivfPqLoad(store, "ann")), prune = true)
+      assert(stored === top(None, prune = false))
+      val served = stored.map(_._2).toSet
+      assert(served.exists(_ % 2 == 0) && served.exists(_ % 2 != 0),
+        s"neighbors should span both crawls, got $served")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively(); ()
+    }
+  }
 }
