@@ -355,6 +355,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("centroid routing lifts to a stream: one broadcast row, zero state") {
+    // centroidAssign is a pure per-row argmax fold against ONE
+    // broadcast row of centroids — no shuffle, no state — so live
+    // ingest can route every arriving vector to its topic/cell with
+    // the IDENTICAL batch operator call (the stream side of IVF's
+    // routing step).
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("cid", "center")
+    val input = MemoryStream[(Long, Array[Float])]
+    val routed = Similarity.centroidAssign("v", cents, "cid", "center")(
+      input.toDF().toDF("id", "v"))
+    val q = routed.writeStream.format("memory").queryName("routed")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        10L -> Array(0.9f, 0.1f, 0.0f, 0.0f),
+        11L -> Array(0.0f, 0.1f, 0.9f, 0.0f))
+      q.processAllAvailable()
+      val got = spark.table("routed").select("id", "centroid_label")
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(10L -> 0L, 11L -> 1L))
+    } finally q.stop()
+  }
+
   test("gopher gating, truncation, and Bernoulli sampling lift to a stream") {
     // the round-9 stateless ops are pure projections/filters too — the
     // same calls run per micro-batch with no state store
