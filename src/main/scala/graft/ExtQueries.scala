@@ -364,6 +364,25 @@ object ExtQueries {
         minShared = 30, maxBucket = 64)(corpus(s, dir, "documents"))
         .orderBy("id_a", "id_b")
     },
+    "containment_gate" -> { (s, dir) =>
+      // the batch form of the streaming containment gate (same code
+      // path — withWatermark is a no-op on batch): drop documents
+      // whose distinct 8-gram digests are >= 50% contained in the
+      // stored reference gram index (docs < 100 as the reference,
+      // the decontamination family's split); survivors keep their
+      // containment ratio
+      val docs = corpus(s, dir, "documents")
+      val ref = Dedup.gramIndexRows("text", n = 8)(
+        docs.filter(col("doc_id") < 100))
+      graft.streaming.Streaming.streamingContainmentGate(
+        docs.filter(col("doc_id") >= 100)
+          .select(to_timestamp(lit("2026-01-01 00:00:00")).as("ts"),
+            col("doc_id"), col("text")),
+        idField = "doc_id", textField = "text", refGrams = ref,
+        n = 8, threshold = 0.5)
+        .select("doc_id", "containment")
+        .orderBy("doc_id")
+    },
     "containment_pairs" -> { (s, dir) =>
       // asymmetric quote/subset detection: a pair survives when either
       // doc's distinct 8-grams are >= 50% contained in the other's
@@ -1515,6 +1534,29 @@ object ExtQueries {
            PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
            ORDER BY doc_id) = 1
          ORDER BY doc_id""",
+    // batch mirror of the streaming containment gate: distinct per-doc
+    // gram digests left-joined against the reference digest set, one
+    // integer hit/total ratio per doc (single IEEE division — exact
+    // cross-engine), zero-gram docs survive at 0.0 via the outer join
+    "containment_gate" -> s"""
+      WITH ref AS (SELECT DISTINCT md5(g) AS h FROM (
+          SELECT unnest(${shinglesSql(8)}) AS g
+          FROM documents WHERE doc_id < 100)),
+      dg AS (SELECT doc_id, md5(g) AS h FROM (
+          SELECT doc_id, unnest(${shinglesSql(8)}) AS g
+          FROM documents WHERE doc_id >= 100)),
+      agg AS (SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS total,
+          CAST(sum(CASE WHEN h IN (SELECT h FROM ref) THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits
+        FROM dg GROUP BY doc_id),
+      sc AS (SELECT d.doc_id,
+          coalesce(CAST(a.hits AS DOUBLE) / CAST(a.total AS DOUBLE), 0.0)
+            AS containment
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) d
+        LEFT JOIN agg a USING (doc_id))
+      SELECT doc_id, containment FROM sc
+      WHERE containment < 0.5 ORDER BY doc_id""",
     "decontaminate" -> s"""
       WITH bg AS (
         SELECT DISTINCT md5(g) AS h FROM (
