@@ -67,6 +67,12 @@ object ExtQueries {
       TextOps.gopherRules("doc_id", "text")(corpus(s, dir, "documents"))
         .orderBy("doc_id")
     },
+    "gopher_repetition" -> { (s, dir) =>
+      // the full n-gram repetition battery: top-{2,3,4}-gram char share
+      // + overlap-aware duplicated-{5..10}-gram char coverage
+      TextOps.gopherRepetition("doc_id", "text")(corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
     "quality_percentiles" -> { (s, dir) =>
       // per-source percentile calibration of the quality score
       TextOps.scorePercentiles("source", "quality")(
@@ -1374,6 +1380,65 @@ object ExtQueries {
                     g -> len(list_filter(bgs, x -> x = g)))) AS DOUBLE) / len(bgs) END
           AS top_bigram_share
       FROM b ORDER BY doc_id""",
+    // the full Gopher n-gram battery — mirrors TextOps.gopherRepetition:
+    // integer numerators (occurrences × gram chars for the top grams;
+    // island-merged covered-position char sums for the dup coverage)
+    // over the shared non-space-char denominator, one division each at
+    // the very end; most-frequent-gram ties break to the greatest digest
+    "gopher_repetition" -> s"""
+      WITH tok AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents),
+      base AS (SELECT doc_id,
+          CAST(coalesce(list_sum(list_transform(ts, t -> len(t))), 0) AS BIGINT)
+            AS chars
+        FROM tok),
+      tl AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          CAST(len(ts[CAST(i AS INT)]) AS BIGINT) AS tlen
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tok)),
+      g AS (SELECT doc_id, n, CAST(i - 1 AS BIGINT) AS pos,
+          md5(array_to_string(ts[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' ')) AS h,
+          CAST(coalesce(list_sum(list_transform(
+            ts[CAST(i AS INT):CAST(i + n - 1 AS INT)], t -> len(t))), 0) AS BIGINT) AS gc
+        FROM (SELECT doc_id, ts, n,
+                unnest(range(1, greatest(len(ts) - n + 1, 0) + 1)) AS i
+              FROM tok CROSS JOIN
+                (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n) ns)),
+      cnts AS (SELECT doc_id, n, pos, h, gc,
+          count(*) OVER (PARTITION BY doc_id, n, h) AS cnt
+        FROM g),
+      top1 AS (SELECT doc_id, n, cnt * gc AS num
+        FROM (SELECT DISTINCT doc_id, n, h, gc, cnt FROM cnts WHERE n <= 4)
+        QUALIFY row_number() OVER (PARTITION BY doc_id, n
+          ORDER BY cnt DESC, h DESC) = 1),
+      hit AS (SELECT doc_id, n, pos FROM cnts WHERE n >= 5 AND cnt >= 2),
+      brk AS (SELECT doc_id, n, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id, n ORDER BY pos) > n
+               THEN 1 ELSE 0 END AS b
+        FROM hit),
+      isl AS (SELECT doc_id, n, pos,
+          sum(b) OVER (PARTITION BY doc_id, n ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM brk),
+      cov AS (SELECT doc_id, n, unnest(range(s, e + 1)) AS pos
+        FROM (SELECT doc_id, n, min(pos) AS s, max(pos) + n - 1 AS e
+              FROM isl GROUP BY doc_id, n, island)),
+      dupc AS (SELECT c.doc_id, c.n, sum(t.tlen) AS dchars
+        FROM cov c JOIN tl t ON c.doc_id = t.doc_id AND c.pos = t.pos
+        GROUP BY c.doc_id, c.n)
+      SELECT b.doc_id,
+        ${Seq(2, 3, 4).map(n =>
+          s"""CASE WHEN chars = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(coalesce((SELECT num FROM top1
+                 WHERE top1.doc_id = b.doc_id AND top1.n = $n), 0) AS DOUBLE)
+               / CAST(chars AS DOUBLE) END AS top_${n}gram_char_frac""")
+          .mkString(",\n        ")},
+        ${Seq(5, 6, 7, 8, 9, 10).map(n =>
+          s"""CASE WHEN chars = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(coalesce((SELECT dchars FROM dupc
+                 WHERE dupc.doc_id = b.doc_id AND dupc.n = $n), 0) AS DOUBLE)
+               / CAST(chars AS DOUBLE) END AS dup_${n}gram_char_frac""")
+          .mkString(",\n        ")}
+      FROM base b ORDER BY b.doc_id""",
     // rational idf ((N+1)/(df+1)) on purpose — one integer product + one
     // IEEE division, exact on both engines, where libm vs JVM ln can
     // differ in the last ulp (see TextOps.tfidfTopTerms)

@@ -336,6 +336,129 @@ object TextOps {
           * col("pass_stopwords") * col("pass_repetition"))
   }
 
+  /** The FULL Gopher repetition battery (Rae et al. 2021, table A1 —
+    * the n-gram half; the token-level half is [[repetitionStats]] /
+    * [[gopherRules]]): per document,
+    *  - `top_{n}gram_char_frac` for n ∈ `topNs` (default 2/3/4): the
+    *    fraction of the document's non-space characters attributable to
+    *    ALL occurrences of its single most frequent word n-gram —
+    *    occurrences × the gram's character length over total token
+    *    characters (templated/looping text scores high);
+    *  - `dup_{n}gram_char_frac` for n ∈ `dupNs` (default 5..10): the
+    *    fraction of non-space characters COVERED by word n-grams that
+    *    occur more than once in the document, counting each covered
+    *    character ONCE however many overlapping duplicated grams claim
+    *    it (the overlap-aware definition the paper specifies; naive
+    *    occurrence×length sums can exceed 1.0 and double-ban long
+    *    repeats).
+    *
+    * Most-frequent-gram ties break to the lexicographically greatest
+    * digest — deterministic and mirrored by the oracle. Every numerator
+    * and denominator is an exact integer; the ONLY floating op is each
+    * final division, so fractions hash-match cross-engine. Short docs
+    * (fewer than n tokens) and NULL/empty text score 0.0 everywhere.
+    *
+    * Scale shape: one tokenized projection (localCheckpoint, shared by
+    * the gram explode, the per-position token lengths, and the char
+    * totals), ONE combined explode carrying every n — ~Σn·|tokens| rows
+    * per doc — then digest-keyed windows partitioned by (doc, n): all
+    * keys are document-local, so the op is embarrassingly parallel over
+    * docs with no corpus-wide hot key anywhere. Coverage reuses the
+    * gaps-and-islands merge of [[duplicateSpans]] per (doc, n), so each
+    * covered position ships once regardless of gram overlap. */
+  def gopherRepetition(
+      idField: String, textField: String,
+      topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10))(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topNs.nonEmpty || dupNs.nonEmpty, "at least one n required")
+    require((topNs ++ dupNs).forall(_ >= 1), "gram sizes must be >= 1")
+    require(topNs.intersect(dupNs).isEmpty, "topNs and dupNs must be disjoint")
+    val tokenized = df.select(col(idField).as("__id"),
+      tokens(coalesce(col(textField), lit(""))).as("__ts"))
+      .localCheckpoint()
+    // total non-space characters — the shared denominator ("" tokenizes
+    // to [""], which sums to 0, so empty docs divide-guard to 0.0)
+    val base = tokenized.select(col("__id"),
+      aggregate(col("__ts"), lit(0L), (a, t) => a + length(t)).as("__chars"))
+    // one struct array concatenating every n's positioned grams; the
+    // per-gram char sum is only materialized for the topNs (coverage
+    // recovers chars from positions instead — no double counting)
+    val topSet = topNs.toSet
+    val gramArr = concat((topNs ++ dupNs).map { n =>
+      val gc: (Column, Column) => Column =
+        if (topSet(n)) (ts, i) =>
+          aggregate(slice(ts, i + 1, lit(n)), lit(0L), (a, t) => a + length(t))
+        else (_, _) => lit(0L)
+      graft.functions.GraftFunctions.bind(col("__ts")) { ts =>
+        when(size(ts) < n,
+          array().cast("array<struct<n:int,pos:bigint,h:string,gc:bigint>>"))
+          .otherwise(transform(sequence(lit(0), size(ts) - n), i =>
+            struct(lit(n).as("n"), i.cast("long").as("pos"),
+              md5(array_join(slice(ts, i + 1, lit(n)), " ")).as("h"),
+              gc(ts, i).as("gc"))))
+      }
+    }: _*)
+    // in-doc occurrence counts ride a (doc, n, digest) window — no
+    // rejoin; the frame materializes once for its two consumers
+    val grams = tokenized
+      .select(col("__id"), explode(gramArr).as("__g"))
+      .select(col("__id"), col("__g.n").as("__n"), col("__g.pos").as("__pos"),
+        col("__g.h").as("__h"), col("__g.gc").as("__gc"))
+      .withColumn("__cnt", count(lit(1)).over(
+        Window.partitionBy(col("__id"), col("__n"), col("__h"))))
+      .localCheckpoint()
+    // top-share: one row per (doc, n, gram), winner by (cnt, digest)
+    val tops = grams.filter(col("__n").isin(topNs.map(Integer.valueOf): _*))
+      .select("__id", "__n", "__h", "__gc", "__cnt").distinct()
+      .groupBy(col("__id"), col("__n"))
+      .agg(max_by(col("__cnt") * col("__gc"),
+        struct(col("__cnt"), col("__h"))).as("__num"))
+    // duplicated-gram coverage: islands per (doc, n), positions exploded
+    // once per covered token, char lengths joined back from the token
+    // stream (equi-join on (doc, pos))
+    val byPos = Window.partitionBy(col("__id"), col("__n")).orderBy(col("__pos"))
+    val covered = grams.filter(col("__n").isin(dupNs.map(Integer.valueOf): _*))
+      .filter(col("__cnt") >= 2)
+      .select("__id", "__n", "__pos")
+      .withColumn("__brk",
+        when(col("__pos") - lag(col("__pos"), 1).over(byPos) > col("__n"), 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__n"), col("__island"))
+      .agg(min(col("__pos")).as("__s"), (max(col("__pos")) + col("__n") - 1).as("__e"))
+      .select(col("__id"), col("__n"),
+        explode(sequence(col("__s"), col("__e"))).as("__tp"))
+    val tokenLens = tokenized.select(col("__id"),
+      posexplode(col("__ts")).as(Seq("__tp", "__t")))
+      .select(col("__id"), col("__tp").cast("long").as("__tp"),
+        length(col("__t")).cast("long").as("__tl"))
+    val dups = covered.join(tokenLens, Seq("__id", "__tp"))
+      .groupBy(col("__id"), col("__n"))
+      .agg(sum(col("__tl")).as("__dchars"))
+    def frac(num: Column): Column =
+      when(col("__chars") === 0L, lit(0.0))
+        .otherwise(coalesce(num, lit(0L)).cast("double") / col("__chars").cast("double"))
+    val topAgg = topNs.map(n =>
+      max(when(col("__n") === n, col("__num"))).as(s"__top$n"))
+    val dupAgg = dupNs.map(n =>
+      max(when(col("__n") === n, col("__dchars"))).as(s"__dup$n"))
+    val joined0 =
+      if (topNs.isEmpty) base
+      else base.join(
+        tops.groupBy(col("__id")).agg(topAgg.head, topAgg.tail: _*),
+        Seq("__id"), "left")
+    val joined =
+      if (dupNs.isEmpty) joined0
+      else joined0.join(
+        dups.groupBy(col("__id")).agg(dupAgg.head, dupAgg.tail: _*),
+        Seq("__id"), "left")
+    joined.select(col("__id").as(idField) +:
+      (topNs.map(n => frac(col(s"__top$n")).as(s"top_${n}gram_char_frac")) ++
+       dupNs.map(n => frac(col(s"__dup$n")).as(s"dup_${n}gram_char_frac"))): _*)
+  }
+
   /** Per-source percentile rank of a score column (`score_pct` ∈ [0,1],
     * `percent_rank` semantics: rows strictly below / (n−1), ties share
     * a rank) — threshold-free quality calibration: "keep each source's

@@ -247,6 +247,10 @@ final case class Pipeline(df: DataFrame) {
     >>(Dedup.gramIndexRows(textField, n))
   def gopherRules(idField: String, textField: String): Pipeline =
     >>(TextOps.gopherRules(idField, textField))
+  def gopherRepetition(idField: String, textField: String,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): Pipeline =
+    >>(TextOps.gopherRepetition(idField, textField, topNs, dupNs))
   def scorePercentiles(sourceField: String, scoreField: String): Pipeline =
     >>(TextOps.scorePercentiles(sourceField, scoreField))
   def mixReport(sourceField: String, textField: String,

@@ -643,6 +643,42 @@ class ExtSpec extends SparkSpec {
     assert(sig._1 === 60L && sig._2 >= 2L)
   }
 
+  test("gopherRepetition: overlap-aware coverage, deterministic top gram, degenerate docs") {
+    val df = Seq(
+      (1L, "a b a b a b"),
+      // period-5 repetition: every 5..10-gram position duplicates, but
+      // each character may only be counted ONCE (naive occurrence×len
+      // sums would be 55/15 here)
+      (2L, "p q r s t p q r s t p q r s t"),
+      // one repeated 5-gram with a 5-token gap -> a single merged island
+      // covering 10 of 20 chars
+      (3L, "m n o p q m n o p q z1 z2 z3 z4 z5"),
+      (4L, "hello"),
+      (5L, null: String)).toDF("doc_id", "text")
+    val out = TextOps.gopherRepetition("doc_id", "text")(df)
+    assert(out.columns === Array("doc_id",
+      "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+      "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+      "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac"))
+    val m = out.collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = m(1L)
+    assert(r1.getDouble(1) === 1.0)         // "a b" ×3 × 2 chars / 6
+    assert(r1.getDouble(2) === 1.0)         // 3-gram tie: either way 2×3/6
+    assert(r1.getDouble(3) === 8.0 / 6.0)   // top occurrences overlap: may exceed 1
+    assert(r1.getDouble(4) === 0.0)         // both 5-grams distinct
+    val r2 = m(2L)
+    (4 to 9).foreach(i => assert(r2.getDouble(i) === 1.0,
+      s"period-5 doc: dup coverage at col $i should be exactly 1.0"))
+    val r3 = m(3L)
+    assert(r3.getDouble(1) === 0.2)         // top 2-gram: 2 occ × 2 chars / 20
+    assert(r3.getDouble(4) === 0.5)         // island pos 0..9 = 10 of 20 chars
+    assert(r3.getDouble(5) === 0.0)         // no duplicated 6-grams
+    val r4 = m(4L)
+    (1 to 9).foreach(i => assert(r4.getDouble(i) === 0.0)) // 1 token: no grams
+    val r5 = m(5L)
+    (1 to 9).foreach(i => assert(r5.getDouble(i) === 0.0)) // NULL text scores 0
+  }
+
   test("scorePercentiles matches percent_rank semantics incl. ties") {
     val df = Seq(
       ("a", 1L, 0.1), ("a", 2L, 0.2), ("a", 3L, 0.2), ("a", 4L, 0.4),
