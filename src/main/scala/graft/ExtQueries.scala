@@ -635,6 +635,16 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("doc_id")
     },
+    "dsir_affinity" -> { (s, dir) =>
+      // DSIR-shaped importance scoring: raw docs (source != src0) scored
+      // by bigram affinity to the src0 carve as the quality target
+      val docs = corpus(s, dir, "documents")
+      TextOps.targetAffinity("doc_id", "text", n = 2,
+        target = docs.filter(col("source") === "src0"),
+        targetTextField = "text")(
+        docs.filter(col("source") =!= "src0"))
+        .orderBy("doc_id")
+    },
     "bpe_token_count" -> { (s, dir) =>
       // vocabulary-true greedy BPE counts under the shared 10-merge
       // demo table — what a tokenizer with that vocabulary would bill
@@ -2783,6 +2793,54 @@ object ExtQueries {
         CAST(sum(cf) AS DOUBLE) / count(*) AS mean_cf
       FROM tk JOIN cf USING (t)
       GROUP BY doc_id ORDER BY doc_id""",
+    // DSIR-shaped affinity — mirrors TextOps.targetAffinity: corpus-wide
+    // integer gram counts, each score ONE division of integer products,
+    // the affinity one subtraction of those two doubles (log-free on
+    // purpose: summed float logs would not hash-match cross-engine)
+    "dsir_affinity" -> s"""
+      WITH rawd AS (SELECT doc_id, coalesce(text, '') AS text FROM documents
+        WHERE source <> 'src0'),
+      tgtd AS (SELECT coalesce(text, '') AS text FROM documents
+        WHERE source = 'src0'),
+      rg AS (SELECT doc_id,
+          md5(array_to_string(ts[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')) AS h
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts,
+                unnest(range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1)) AS i
+              FROM rawd)),
+      tg AS (SELECT
+          md5(array_to_string(ts[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')) AS h
+        FROM (SELECT string_split(text, ' ') AS ts,
+                unnest(range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1)) AS i
+              FROM tgtd)),
+      rc AS (SELECT h, count(*) AS cr FROM rg GROUP BY h),
+      tc AS (SELECT h, count(*) AS ct FROM tg GROUP BY h),
+      tot AS (SELECT
+          (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rc) AS rtot,
+          (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc) AS ttot),
+      pd AS (SELECT rg.doc_id, count(*) AS n_grams,
+          CAST(sum(coalesce(tc.ct, 0)) AS BIGINT) AS target_hits,
+          CAST(sum(rc.cr) AS BIGINT) AS raw_hits
+        FROM rg LEFT JOIN tc USING (h) JOIN rc USING (h)
+        GROUP BY rg.doc_id)
+      SELECT b.doc_id,
+        CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        CAST(coalesce(target_hits, 0) AS BIGINT) AS target_hits,
+        CAST(coalesce(raw_hits, 0) AS BIGINT) AS raw_hits,
+        CASE WHEN coalesce(n_grams, 0) = 0 OR ttot = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(target_hits AS DOUBLE) / CAST(n_grams * ttot AS DOUBLE)
+        END AS target_score,
+        CASE WHEN coalesce(n_grams, 0) = 0 OR rtot = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(raw_hits AS DOUBLE) / CAST(n_grams * rtot AS DOUBLE)
+        END AS raw_score,
+        (CASE WHEN coalesce(n_grams, 0) = 0 OR ttot = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(target_hits AS DOUBLE) / CAST(n_grams * ttot AS DOUBLE)
+         END
+         - CASE WHEN coalesce(n_grams, 0) = 0 OR rtot = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(raw_hits AS DOUBLE) / CAST(n_grams * rtot AS DOUBLE)
+           END) AS affinity
+      FROM (SELECT doc_id FROM rawd) b
+      LEFT JOIN pd USING (doc_id) CROSS JOIN tot
+      ORDER BY doc_id""",
     // md5-prefix uint32 cutoff per stratum — mirrors Ops.sampleStratifiedHash
     "stratified_sample" -> """
       SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -1008,6 +1008,74 @@ object TextOps {
         (col("cf_sum").cast("double") / col("n_tokens")).as("mean_cf"))
   }
 
+  /** DSIR-shaped importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", re-expressed with
+    * exact integer counts): score each raw document by how much more its
+    * word n-gram distribution resembles a small high-quality TARGET
+    * corpus than the raw corpus itself. Per document,
+    *   `target_score` = Σ_g c_target(g) / (n_grams · T)  — the mean
+    *     target-relative-frequency of the doc's grams, and
+    *   `raw_score`    = Σ_g c_raw(g) / (n_grams · R)     — the same
+    *     against the raw corpus (the doc's own gram stream included),
+    *   `affinity`     = target_score − raw_score,
+    * where c_X(g) are corpus-wide gram occurrence counts and T/R the
+    * corpora's total gram counts. Positive affinity = "looks more like
+    * the target than like the average raw doc" — the resampling weight
+    * DSIR computes as a log-likelihood ratio over hashed n-gram
+    * features, here kept log-free (the sums and products are exact
+    * integers; each score is ONE IEEE division, the affinity one
+    * subtraction — bit-reproducible cross-engine where summed float
+    * logs are not). Compose with [[hashBernoulli]] / [[scorePercentiles]]
+    * to turn scores into a deterministic selection.
+    *
+    * Grams keep their multiplicity (frequency weighting, as DSIR's
+    * feature counts do). Docs with fewer than n tokens (incl. NULL
+    * text) survive with 0 grams and 0.0 scores; an EMPTY target corpus
+    * divide-guards every target_score to 0.0.
+    *
+    * Scale shape: the raw gram stream materializes ONCE
+    * (localCheckpoint) and feeds both the raw count table and the
+    * per-doc join; the target corpus is scanned once into its count
+    * table. Both joins are digest equi-joins — hot grams ("of the")
+    * skew them exactly like [[unigramCfQuality]]'s token join, and the
+    * same AQE skew-split handles it; totals ride a one-row broadcast.
+    * Nothing is ever all-pairs and the doc table shuffles only digests. */
+  def targetAffinity(
+      idField: String, textField: String, n: Int,
+      target: DataFrame, targetTextField: String)(df: DataFrame): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val stream = df.select(col(idField).as("__id"),
+      explode(gramDigests(coalesce(col(textField), lit("")), n)).as("__h"))
+      .localCheckpoint()
+    val rawCounts = stream.groupBy("__h").agg(count(lit(1)).as("__cr"))
+    val tgtCounts = target.select(
+      explode(gramDigests(coalesce(col(targetTextField), lit("")), n)).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__ct"))
+    val totals = rawCounts.agg(coalesce(sum("__cr"), lit(0L)).as("__rtot"))
+      .crossJoin(tgtCounts.agg(coalesce(sum("__ct"), lit(0L)).as("__ttot")))
+    val perDoc = stream
+      .join(tgtCounts, Seq("__h"), "left")
+      .join(rawCounts, Seq("__h"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__ct"), lit(0L))).as("target_hits"),
+        sum(col("__cr")).as("raw_hits"))
+    val base = df.select(col(idField).as("__id"))
+    def score(hits: Column, tot: Column): Column =
+      when(col("n_grams").isNull || col("n_grams") === 0L || tot === 0L, lit(0.0))
+        .otherwise(hits.cast("double") / (col("n_grams") * tot).cast("double"))
+    base.join(perDoc, Seq("__id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__id").as(idField),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("target_hits"), lit(0L)).as("target_hits"),
+        coalesce(col("raw_hits"), lit(0L)).as("raw_hits"),
+        score(col("target_hits"), col("__ttot")).as("target_score"),
+        score(col("raw_hits"), col("__rtot")).as("raw_score"),
+        (score(col("target_hits"), col("__ttot"))
+          - score(col("raw_hits"), col("__rtot"))).as("affinity"))
+  }
+
   /** Sliding-window document chunking — the embedding/retrieval-pipeline
     * primitive: split each document into `chunkTokens`-token windows
     * whose starts step by `stride` tokens (stride < chunkTokens =

@@ -253,6 +253,9 @@ final case class Pipeline(df: DataFrame) {
     >>(TextOps.gopherRepetition(idField, textField, topNs, dupNs))
   def scorePercentiles(sourceField: String, scoreField: String): Pipeline =
     >>(TextOps.scorePercentiles(sourceField, scoreField))
+  def targetAffinity(idField: String, textField: String, n: Int,
+      target: DataFrame, targetTextField: String): Pipeline =
+    >>(TextOps.targetAffinity(idField, textField, n, target, targetTextField))
   def mixReport(sourceField: String, textField: String,
       targets: Map[String, Double] = Map.empty): Pipeline =
     >>(TextOps.mixReport(sourceField, textField, targets))

@@ -679,6 +679,37 @@ class ExtSpec extends SparkSpec {
     (1 to 9).foreach(i => assert(r5.getDouble(i) === 0.0)) // NULL text scores 0
   }
 
+  test("targetAffinity: exact count ratios, zero-gram and empty-target guards") {
+    // target: two docs sharing the bigram "x y"; raw: one doc matching
+    // the target's bigram, one alien, one too short for any bigram,
+    // one NULL
+    val target = Seq((100L, "x y z"), (101L, "x y")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "x y z"), (2L, "p q r"), (3L, "solo"), (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextOps.targetAffinity("doc_id", "text", n = 2,
+      target, "text")(raw)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "target_hits", "raw_hits",
+        "target_score", "raw_score", "affinity")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    // target grams: (x y)×2, (y z); raw grams: (x y), (y z), (p q), (q r)
+    // doc 1: grams (x y),(y z) -> target hits 2+1=3, raw hits 1+1=2
+    //   T=3, R=4 -> target 3/(2·3)=0.5, raw 2/(2·4)=0.25
+    assert(out(0) === ((1L, 2L, 3L, 2L, 0.5, 0.25, 0.25)))
+    // doc 2: grams (p q),(q r) -> zero target hits, raw hits 1+1=2
+    assert(out(1) === ((2L, 2L, 0L, 2L, 0.0, 0.25, -0.25)))
+    // doc 3/4: no grams -> all-zero row, scores 0.0 (not NULL/NaN)
+    assert(out(2) === ((3L, 0L, 0L, 0L, 0.0, 0.0, 0.0)))
+    assert(out(3) === ((4L, 0L, 0L, 0L, 0.0, 0.0, 0.0)))
+    // empty target corpus: target_score divide-guards to 0.0 everywhere
+    val noTgt = TextOps.targetAffinity("doc_id", "text", n = 2,
+      target.filter($"doc_id" < 0L), "text")(raw)
+      .agg(max(abs($"target_score")), max(abs($"affinity" + $"raw_score")))
+      .as[(Double, Double)].head()
+    assert(noTgt === ((0.0, 0.0)))
+  }
+
   test("scorePercentiles matches percent_rank semantics incl. ties") {
     val df = Seq(
       ("a", 1L, 0.1), ("a", 2L, 0.2), ("a", 3L, 0.2), ("a", 4L, 0.4),
