@@ -635,6 +635,13 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("doc_id")
     },
+    "tokenizer_fertility" -> { (s, dir) =>
+      // per-source fertility/vocabulary report under the shared demo
+      // merge table — the token-budget observability pass
+      TextOps.tokenizerFertility("source", "text")(
+        corpus(s, dir, "documents"))
+        .orderBy("source")
+    },
     "dsir_affinity" -> { (s, dir) =>
       // DSIR-shaped importance scoring: raw docs (source != src0) scored
       // by bigram affinity to the src0 carve as the quality target
@@ -1233,7 +1240,11 @@ object ExtQueries {
     * is exactly the state Spark's empty-seeded fold reaches after one
     * step — the folds are step-for-step identical. The merge table is
     * the SAME Scala value on both sides (TextOps.demoBpeMerges). */
-  private def bpeCountSql(merges: Seq[(String, String)]): String = {
+  /** The BPE token-count VALUE of `textExpr` (the per-word merge fold,
+    * summed) — shared by [[bpeCountSql]] and the fertility report.
+    * list_reduce errors on an empty list; zero-length words count 0. */
+  private def bpeCountValueSql(
+      merges: Seq[(String, String)], textExpr: String): String = {
     val chars = "list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))"
     val folded = merges.foldLeft(chars) { case (prev, (a, b)) =>
       s"""list_reduce(list_transform($prev, c -> [c]),
@@ -1241,12 +1252,14 @@ object ExtQueries {
                       THEN acc[1:len(acc)-1] || ['${a + b}']
                       ELSE acc || x END)"""
     }
-    // list_reduce errors on an empty list; zero-length words count 0
-    s"""SELECT doc_id, CAST(list_sum(list_transform(string_split(text, ' '),
-          w -> CASE WHEN length(w) = 0 THEN 0 ELSE len($folded) END)) AS BIGINT)
-          AS n_bpe_tokens
-        FROM documents ORDER BY doc_id"""
+    s"""list_sum(list_transform(string_split($textExpr, ' '),
+          w -> CASE WHEN length(w) = 0 THEN 0 ELSE len($folded) END))"""
   }
+
+  private def bpeCountSql(merges: Seq[(String, String)]): String =
+    s"""SELECT doc_id,
+          CAST(${bpeCountValueSql(merges, "text")} AS BIGINT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id"""
 
   /** Greedy BPE PIECES of `text` (list<varchar>, word-initial pieces
     * '▁'-marked) — mirrors TextOps.bpeTokenize: the same per-word merge
@@ -2793,6 +2806,35 @@ object ExtQueries {
         CAST(sum(cf) AS DOUBLE) / count(*) AS mean_cf
       FROM tk JOIN cf USING (t)
       GROUP BY doc_id ORDER BY doc_id""",
+    // per-source integer sums + distinct-token counts, three final
+    // divisions — mirrors TextOps.tokenizerFertility (the BPE fold is
+    // the shared bpeCountValueSql over coalesced text)
+    "tokenizer_fertility" -> s"""
+      WITH tok AS (SELECT source, coalesce(text, '') AS text,
+          string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents),
+      agg AS (SELECT source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(ts)) AS BIGINT) AS n_words,
+          CAST(sum(coalesce(list_sum(list_transform(ts, t -> len(t))), 0))
+            AS BIGINT) AS n_chars,
+          CAST(sum(${bpeCountValueSql(graft.ext.TextOps.demoBpeMerges, "text")})
+            AS BIGINT) AS n_bpe_tokens
+        FROM tok GROUP BY source),
+      voc AS (SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS vocab_size
+        FROM (SELECT source, unnest(ts) AS t FROM tok) GROUP BY source)
+      SELECT source, n_docs, n_words, n_chars, n_bpe_tokens, vocab_size,
+        CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+        END AS bpe_per_word,
+        CASE WHEN n_bpe_tokens = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
+        END AS chars_per_bpe,
+        CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(vocab_size AS DOUBLE) / CAST(n_words AS DOUBLE)
+        END AS type_token_ratio
+      FROM agg JOIN voc USING (source)
+      ORDER BY source""",
     // DSIR-shaped affinity — mirrors TextOps.targetAffinity: corpus-wide
     // integer gram counts, each score ONE division of integer products,
     // the affinity one subtraction of those two doubles (log-free on

@@ -770,6 +770,57 @@ object TextOps {
           .otherwise(length(t).cast("double") / size(tokens(t))))
   }
 
+  /** Tokenizer fertility + vocabulary report per source — the
+    * observability pass that decides token budgets and flags sources a
+    * tokenizer handles badly (high BPE-per-word fertility = the
+    * vocabulary doesn't fit that source's text; low type/token ratio =
+    * repetitive boilerplate). Per source:
+    *  - `n_docs`, `n_words` (whitespace tokens), `n_chars` (non-space
+    *    characters — the same denominator [[gopherRepetition]] uses),
+    *    `n_bpe_tokens` (vocabulary-true count under `merges`, the
+    *    shared [[bpeTokenCount]] kernel), `vocab_size` (corpus-wide
+    *    distinct whitespace tokens in that source — the Heaps-law
+    *    vocabulary-growth signal);
+    *  - `bpe_per_word` (fertility), `chars_per_bpe` (compression),
+    *    `type_token_ratio` (vocab/words) — each ONE final division over
+    *    exact integer sums, hash-exact cross-engine.
+    * NULL text counts as one zero-length word (0 chars, 0 BPE tokens) —
+    * the tokenize-of-"" convention every text op here shares.
+    *
+    * Scale shape: the tokenized projection materializes once
+    * (localCheckpoint) and feeds BOTH aggregations — the per-source
+    * scalar sums (map-side partials, |sources| rows out) and the
+    * distinct-vocabulary count (one explode + (source, token)
+    * hash-agg). Source count is small; the vocab aggregation's
+    * hot-token skew collapses in the map-side partial because the
+    * grouping key is (source, token) itself. */
+  def tokenizerFertility(
+      sourceField: String, textField: String,
+      merges: Seq[(String, String)] = demoBpeMerges)(df: DataFrame): DataFrame = {
+    val tokenized = df.select(col(sourceField).as("__src"),
+      tokens(coalesce(col(textField), lit(""))).as("__ts"))
+      .localCheckpoint()
+    val scalars = tokenized.groupBy(col("__src"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__ts")).cast("long")).as("n_words"),
+        sum(aggregate(col("__ts"), lit(0L), (a, t) => a + length(t)))
+          .as("n_chars"),
+        sum(bpeTokenCount(array_join(col("__ts"), " "), merges))
+          .as("n_bpe_tokens"))
+    val vocab = tokenized.select(col("__src"), explode(col("__ts")).as("__t"))
+      .groupBy(col("__src"))
+      .agg(countDistinct(col("__t")).as("vocab_size"))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    scalars.join(vocab, Seq("__src"))
+      .select(col("__src").as(sourceField),
+        col("n_docs"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        col("vocab_size"),
+        ratio(col("n_bpe_tokens"), col("n_words")).as("bpe_per_word"),
+        ratio(col("n_chars"), col("n_bpe_tokens")).as("chars_per_bpe"),
+        ratio(col("vocab_size"), col("n_words")).as("type_token_ratio"))
+  }
+
   /** Per-document top-k terms by tf·idf over whitespace tokens.
     *
     * idf is the RATIONAL form `(N+1)/(df+1)`, not its logarithm: the

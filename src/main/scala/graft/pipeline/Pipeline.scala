@@ -256,6 +256,9 @@ final case class Pipeline(df: DataFrame) {
   def targetAffinity(idField: String, textField: String, n: Int,
       target: DataFrame, targetTextField: String): Pipeline =
     >>(TextOps.targetAffinity(idField, textField, n, target, targetTextField))
+  def tokenizerFertility(sourceField: String, textField: String,
+      merges: Seq[(String, String)] = TextOps.demoBpeMerges): Pipeline =
+    >>(TextOps.tokenizerFertility(sourceField, textField, merges))
   def mixReport(sourceField: String, textField: String,
       targets: Map[String, Double] = Map.empty): Pipeline =
     >>(TextOps.mixReport(sourceField, textField, targets))

@@ -679,6 +679,25 @@ class ExtSpec extends SparkSpec {
     (1 to 9).foreach(i => assert(r5.getDouble(i) === 0.0)) // NULL text scores 0
   }
 
+  test("tokenizerFertility: exact per-source sums, vocab, and guarded ratios") {
+    val df = Seq(
+      ("s1", "ab ab"), ("s1", "ab cd"), ("s2", null: String))
+      .toDF("source", "text")
+    val out = TextOps.tokenizerFertility("source", "text",
+      merges = Seq(("a", "b")))(df)
+      .orderBy("source")
+      .select("source", "n_docs", "n_words", "n_chars", "n_bpe_tokens",
+        "vocab_size", "bpe_per_word", "chars_per_bpe", "type_token_ratio")
+      .as[(String, Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect()
+    // s1: 4 words / 8 chars; "ab" merges to ONE token, "cd" stays 2 ->
+    // 1+1 + 1+2 = 5 BPE tokens; vocab {ab, cd}
+    assert(out(0) === (("s1", 2L, 4L, 8L, 5L, 2L, 1.25, 1.6, 0.5)))
+    // NULL text = one zero-length word: 0 chars, 0 BPE tokens, the ""
+    // type in the vocab; chars_per_bpe divide-guards to 0.0
+    assert(out(1) === (("s2", 1L, 1L, 0L, 0L, 1L, 0.0, 0.0, 1.0)))
+  }
+
   test("targetAffinity: exact count ratios, zero-gram and empty-target guards") {
     // target: two docs sharing the bigram "x y"; raw: one doc matching
     // the target's bigram, one alien, one too short for any bigram,
