@@ -198,6 +198,13 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("id_a", "id_b")
     },
+    "minhash_pairs_oph" -> { (s, dir) =>
+      // one md5 per shingle (vs one per 4 signature slots): the OPH
+      // signature path that keeps k = 128+ sketching affordable
+      Dedup.minhashNearDuplicatesOph("doc_id", "text", threshold = 0.2)(
+        corpus(s, dir, "documents"))
+        .orderBy("id_a", "id_b")
+    },
     "simhash_pairs" -> { (s, dir) =>
       Dedup.simhashNearDuplicates("doc_id", "text", maxHamming = 10,
         prefixBits = 12)(corpus(s, dir, "documents"))
@@ -962,13 +969,12 @@ object ExtQueries {
   /** Full MinHash-LSH near-dup pipeline — mirrors
     * Dedup.minhashNearDuplicates (banded buckets, maxBucket=64 skew cap,
     * exact Jaccard verify). */
-  private def minhashNearDupSql(
-      shingleN: Int, threshold: String,
-      numHashes: Int = 8, bands: Int = 4): String = {
-    val rows = numHashes / bands
+  /** The banding + cap + exact-Jaccard-verify tail every MinHash-LSH
+    * near-dup oracle shares, appended after CTEs defining `sh`
+    * (doc_id, shingle list) and `sig` (doc_id, sh, signature list). */
+  private def lshNearDupTailSql(
+      rows: Int, bands: Int, threshold: String): String =
     s"""
-      WITH sh AS (SELECT doc_id, ${shinglesSql(shingleN)} AS sh FROM documents),
-      sig AS (SELECT doc_id, sh, ${minhashSigSql(numHashes)} AS sig FROM sh),
       banded AS (SELECT doc_id, b,
           md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')) AS bucket
         FROM sig, range(0,$bands) t(b)),
@@ -984,6 +990,44 @@ object ExtQueries {
                    JOIN sh b ON pairs.id_b = b.doc_id)
       SELECT id_a, id_b, jaccard FROM joined
       WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
+
+  private def minhashNearDupSql(
+      shingleN: Int, threshold: String,
+      numHashes: Int = 8, bands: Int = 4): String = {
+    val rows = numHashes / bands
+    s"""
+      WITH sh AS (SELECT doc_id, ${shinglesSql(shingleN)} AS sh FROM documents),
+      sig AS (SELECT doc_id, sh, ${minhashSigSql(numHashes)} AS sig FROM sh),
+      ${lshNearDupTailSql(rows, bands, threshold)}"""
+  }
+
+  /** OPH near-dup — mirrors Dedup.minhashNearDuplicatesOph: one md5 per
+    * shingle (value = hex chars 1-8, slot = hex chars 9-16 mod k),
+    * per-slot min, right-circular densification, then the SAME banding
+    * and exact-Jaccard verify as the classic form. */
+  private def minhashNearDupOphSql(
+      shingleN: Int, threshold: String,
+      numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    val k = numHashes
+    def word(off: Int) =
+      s"""list_sum(list_transform(range(1,9), j ->
+          (strpos('0123456789abcdef', substr(md5(t), $off + j, 1)) - 1)
+          * CAST(16**(8-j) AS BIGINT)))"""
+    s"""
+      WITH sh AS (SELECT doc_id, ${shinglesSql(shingleN)} AS sh FROM documents),
+      raw AS (SELECT doc_id, sh, list_transform(range(0, $k), slot ->
+          coalesce(list_min(list_transform(
+            list_filter(sh, t -> (${word(8)}) % $k = slot),
+            t -> ${word(0)})), 9223372036854775807)) AS r
+        FROM sh),
+      sig AS (SELECT doc_id, sh, list_transform(range(0, $k), j ->
+          coalesce(list_filter(list_transform(range(0, $k), t2 ->
+              r[CAST((j + t2) % $k AS INT) + 1]),
+            v -> v <> 9223372036854775807)[1],
+            9223372036854775807)) AS sig
+        FROM raw),
+      ${lshNearDupTailSql(rows, bands, threshold)}"""
   }
 
   /** Positional word n-grams — mirrors TextOps.positionedGrams: one md5
@@ -1735,6 +1779,8 @@ object ExtQueries {
       SELECT f.doc_id AS dup_id, w.kept_id FROM f JOIN w USING (fp)
       WHERE f.doc_id <> w.kept_id ORDER BY dup_id, kept_id""",
     "minhash_pairs" -> minhashNearDupSql(shingleN = 3, threshold = "2e-1"),
+    "minhash_pairs_oph" -> minhashNearDupOphSql(shingleN = 3,
+      threshold = "2e-1", numHashes = 16, bands = 4),
     // components of the near-dup graph via recursive min-label closure —
     // a pure function of the pair set, so it mirrors Spark's iterative
     // label propagation exactly

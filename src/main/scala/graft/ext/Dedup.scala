@@ -391,6 +391,47 @@ object Dedup {
       })
   }
 
+  /** One-permutation-hashing MinHash signature of `text` (see
+    * [[graft.functions.MinHashSignatureOph]]): one md5 per shingle,
+    * second digest word routes to a slot, per-slot min, right-circular
+    * densification of empty slots. */
+  def minhashSignatureOph(text: Column, numHashes: Int, shingleSize: Int): Column =
+    graft.functions.GraftFunctions.minhashSignatureOph(
+      TextOps.shingles(text, shingleSize), numHashes)
+
+  /** Higher-order-function form of [[minhashSignatureOph]] — the
+    * executable specification the native kernel is tested against
+    * (HashExpressionsSpec): per-slot mins via one filtered fold per
+    * slot, then densification as "first non-sentinel value scanning
+    * right circularly". O(k²·|shingles|) — spec only. */
+  def minhashSignatureOphHof(text: Column, numHashes: Int, shingleSize: Int): Column = {
+    import graft.functions.GraftFunctions.bind
+    val k = numHashes
+    def word(t: Column, from: Int): Column =
+      conv(substring(md5(t), from, 8), 16, 10).cast("long")
+    val raw = bind(TextOps.shingles(text, shingleSize)) { sh =>
+      transform(sequence(lit(0), lit(k - 1)), j =>
+        coalesce(
+          array_min(transform(
+            filter(sh, t => word(t, 9) % k === j.cast("long")),
+            t => word(t, 1))),
+          lit(Long.MaxValue)))
+    }
+    bind(raw) { r =>
+      transform(sequence(lit(0), lit(k - 1)), j =>
+        coalesce(
+          // get() (0-based) is NULL on an empty array where ANSI
+          // element_at raises — all-sentinel signatures reach here
+          get(
+            filter(
+              transform(sequence(lit(0), lit(k - 1)),
+                t => element_at(r, ((j + t) % k + 1).cast("int"))),
+              v => v =!= Long.MaxValue),
+            lit(0)),
+          lit(Long.MaxValue)))
+    }
+  }
+
   /** LSH candidate pairs from MinHash signatures: split the signature
     * into `bands`, bucket docs by (band index, band hash), emit distinct
     * id pairs sharing any bucket. The shuffle key is the band bucket —
@@ -422,11 +463,11 @@ object Dedup {
     * paths — identical banding is what makes their candidate sets
     * comparable. */
   private def bandedBuckets(
-      docs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+      docs: DataFrame, numHashes: Int, bands: Int,
+      sigFn: (Column, Int) => Column =
+        graft.functions.GraftFunctions.minhashSignature): DataFrame =
     bandedBucketsOfSigs(
-      docs.select(col("__id"),
-        graft.functions.GraftFunctions.minhashSignature(col("__sh"), numHashes)
-          .as("__sig")),
+      docs.select(col("__id"), sigFn(col("__sh"), numHashes).as("__sig")),
       numHashes, bands)
 
   /** Banding over an ALREADY-COMPUTED `(__id, __sig)` signature frame —
@@ -451,8 +492,10 @@ object Dedup {
       docs: DataFrame,
       numHashes: Int,
       bands: Int,
-      maxBucket: Int): DataFrame = {
-    val banded = bandedBuckets(docs, numHashes, bands)
+      maxBucket: Int,
+      sigFn: (Column, Int) => Column =
+        graft.functions.GraftFunctions.minhashSignature): DataFrame = {
+    val banded = bandedBuckets(docs, numHashes, bands, sigFn)
     // One hash-agg collects each bucket's ids, the cap drops degenerate
     // buckets, and ordered pairs are generated bucket-locally from the
     // collected list. Compared to the previous self-join on the bucket
@@ -488,11 +531,43 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 8,
       bands: Int = 4,
-      shingleSize: Int = 3)(df: DataFrame): DataFrame = {
+      shingleSize: Int = 3)(df: DataFrame): DataFrame =
+    nearDuplicatesWithSig(idField, textField, threshold, numHashes, bands,
+      shingleSize, graft.functions.GraftFunctions.minhashSignature)(df)
+
+  /** [[minhashNearDuplicates]] with ONE-PERMUTATION-HASHING signatures
+    * ([[graft.functions.MinHashSignatureOph]]): one md5 per shingle
+    * instead of ⌈numHashes/4⌉ — the signature pass that stays affordable
+    * at k = 128+ when sketching runs at corpus scale. Candidate recall
+    * differs slightly from the classic kernel (a different, also
+    * consistent estimator feeding the same band geometry); the exact
+    * Jaccard verify is identical, so emitted pairs are still
+    * true-Jaccard-thresholded — the operating-point note the oracle
+    * mirrors. Defaults to a wider signature (numHashes = 16) because
+    * that is precisely the regime OPH exists for. */
+  def minhashNearDuplicatesOph(
+      idField: String,
+      textField: String,
+      threshold: Double,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3)(df: DataFrame): DataFrame =
+    nearDuplicatesWithSig(idField, textField, threshold, numHashes, bands,
+      shingleSize, graft.functions.GraftFunctions.minhashSignatureOph)(df)
+
+  private def nearDuplicatesWithSig(
+      idField: String,
+      textField: String,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      sigFn: (Column, Int) => Column)(df: DataFrame): DataFrame = {
     val docs = df.select(col(idField).as("__id"),
       TextOps.shingles(col(textField), shingleSize).as("__sh"))
       .localCheckpoint()
-    val cands = lshPairsFromShingles(docs, numHashes, bands, maxBucket = 64)
+    val cands = lshPairsFromShingles(docs, numHashes, bands, maxBucket = 64,
+      sigFn)
     cands
       .join(docs.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(docs.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")

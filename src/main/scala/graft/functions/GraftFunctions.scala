@@ -68,6 +68,12 @@ object GraftFunctions {
         arity("graft_minhash", children, 2)
         MinHashSignature(children.head,
           litInt(children(1), "graft_minhash", "numHashes")) }),
+    ("graft_minhash_oph",
+      new ExpressionInfo(classOf[MinHashSignatureOph].getName, "graft_minhash_oph"),
+      { children: Seq[Expression] =>
+        arity("graft_minhash_oph", children, 2)
+        MinHashSignatureOph(children.head,
+          litInt(children(1), "graft_minhash_oph", "numHashes")) }),
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),
       { children: Seq[Expression] =>
@@ -188,6 +194,11 @@ object GraftFunctions {
     * [[MinHashSignature]]). */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
+
+  /** Native one-permutation-hashing MinHash signature (see
+    * [[MinHashSignatureOph]]). */
+  def minhashSignatureOph(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignatureOph(Bridge.expression(shingles), numHashes))
 
   /** Native distinct-element Jaccard over two string arrays (see
     * [[ArrayJaccard]]). */

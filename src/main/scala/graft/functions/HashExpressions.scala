@@ -123,6 +123,83 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** One-permutation-hashing MinHash (Li, Owen & Zhang, NIPS 2012) with
+  * rotational densification (Shrivastava & Li, ICML 2014): ONE md5 per
+  * shingle — the digest's first 32-bit word is the candidate slot
+  * VALUE, its second word picks which of the `numHashes` slots it
+  * lands in (mod) — then every empty slot borrows the value of the
+  * nearest filled slot to its right, circularly. O(|shingles| +
+  * numHashes) per row where [[MinHashSignature]] pays
+  * O(|shingles| · numHashes/4) digests — the rung that makes k = 128+
+  * signatures affordable when signatures are computed at corpus scale.
+  *
+  * The result is a DIFFERENT (also consistent) Jaccard estimator than
+  * k independent permutations: signatures from the two kernels are not
+  * interchangeable, but band geometry and every downstream LSH
+  * consumer are. Slot values are 32-bit words (< 2^32), so
+  * Long.MaxValue doubles as the unambiguous empty sentinel;
+  * shingle-free docs yield the all-sentinel signature (densification
+  * from nothing stays empty) — same sentinel contract as the classic
+  * kernel. Mirrored slot-for-slot by the oracle's HOF SQL. */
+case class MinHashSignatureOph(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_oph"
+
+  def compute(shingles: ArrayData): ArrayData = {
+    val k = numHashes
+    val sig = Array.fill(k)(Long.MaxValue)
+    var filled = 0
+    var s = 0
+    val n = shingles.numElements()
+    while (s < n) {
+      // null elements contribute nothing — the documented kernel
+      // semantics for the public array<string> surface (the HOF spec
+      // form builds its own shingle array; parity unaffected)
+      if (!shingles.isNullAt(s)) {
+        val tb = shingles.getUTF8String(s).getBytes
+        val dig = HashKernels.md5Range(tb, 0, tb.length)
+        val v = HashKernels.word32(dig, 0)
+        val b = (HashKernels.word32(dig, 4) % k).toInt
+        if (sig(b) == Long.MaxValue) filled += 1
+        if (v < sig(b)) sig(b) = v
+      }
+      s += 1
+    }
+    if (filled > 0 && filled < k) {
+      // right-circular borrow in O(k): walking j downward, carry holds
+      // the nearest filled slot's value at an index > j (wrapping via
+      // the first filled slot)
+      var first = 0
+      while (sig(first) == Long.MaxValue) first += 1
+      val out = new Array[Long](k)
+      var carry = sig(first)
+      var j = k - 1
+      while (j >= 0) {
+        if (sig(j) != Long.MaxValue) carry = sig(j)
+        out(j) = carry
+        j -= 1
+      }
+      new GenericArrayData(out)
+    } else new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashOphKernel", this,
+      classOf[MinHashSignatureOph].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureOph =
+    copy(child = newChild)
+}
+
 /** 60-bit SimHash over a (distinct) token array: bit b of the result is
   * the sign of the vote sum over tokens of bit b of the token's 60-bit
   * hash (first 15 hex chars of md5) — exactly

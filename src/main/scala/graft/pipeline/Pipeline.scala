@@ -130,6 +130,16 @@ final case class Pipeline(df: DataFrame) {
       k1: Double = 1.2, b: Double = 0.75): Pipeline =
     >>(TextOps.bm25BatchTopK(idField, textField, queries, queryIdField,
       termsField, k, k1, b))
+  def minhashNearDuplicates(idField: String, textField: String,
+      threshold: Double, numHashes: Int = 8, bands: Int = 4,
+      shingleSize: Int = 3): Pipeline =
+    >>(Dedup.minhashNearDuplicates(idField, textField, threshold, numHashes,
+      bands, shingleSize))
+  def minhashNearDuplicatesOph(idField: String, textField: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 4,
+      shingleSize: Int = 3): Pipeline =
+    >>(Dedup.minhashNearDuplicatesOph(idField, textField, threshold,
+      numHashes, bands, shingleSize))
   /** Two-frame entry point: `this` is the new crawl (left side), `reference`
     * the corpus it is deduplicated against. Sides must be disjoint id
     * spaces — see [[graft.ext.Dedup.crossCorpusNearDuplicates]]. */

@@ -37,6 +37,45 @@ class HashExpressionsSpec extends SparkSpec {
     assert(diffs === 0L)
   }
 
+  test("native OPH minhash equals the HOF form at several widths") {
+    for (k <- Seq(4, 8, 16, 32)) {
+      val diffs = corpus.select(
+        Dedup.minhashSignatureOph($"text", k, 3).as("n"),
+        Dedup.minhashSignatureOphHof($"text", k, 3).as("h"))
+        .filter($"n" =!= $"h").count()
+      assert(diffs === 0L, s"OPH kernel/HOF mismatch at k=$k")
+    }
+  }
+
+  test("OPH densification: no sentinel slots once any shingle exists; empty stays all-sentinel") {
+    val k = 16
+    val sigs = corpus.select($"text",
+      Dedup.minhashSignatureOph($"text", k, 3).as("s"))
+    val nShingles = size(TextOps.shingles($"text", 3))
+    // docs with >= 1 shingle: every slot densified to a real 32-bit value
+    assert(sigs.filter(nShingles > 0)
+      .filter(array_contains($"s", Long.MaxValue)).count() === 0L)
+    // shingle-free docs keep the sentinel signature (same contract as
+    // the classic kernel)
+    assert(sigs.filter(nShingles === 0)
+      .filter(!array_contains($"s", Long.MaxValue)).count() === 0L)
+    // and all slot values are 32-bit words
+    assert(sigs.filter(nShingles > 0)
+      .select(explode($"s").as("v"))
+      .filter($"v" < 0L || $"v" > 0xffffffffL).count() === 0L)
+  }
+
+  test("OPH signatures estimate Jaccard: identical docs collide, disjoint docs do not") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq((1L, a), (2L, a), (3L, "uno dos tres cuatro cinco seis"))
+      .toDF("id", "text")
+    val sigs = df.select($"id",
+      Dedup.minhashSignatureOph($"text", 16, 3).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
   test("native simhash equals the HOF form") {
     val diffs = corpus.select(
       Dedup.simhash($"text").as("n"), Dedup.simhashHof($"text").as("h"))
