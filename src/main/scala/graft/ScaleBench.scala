@@ -330,6 +330,34 @@ object ScaleBench {
     println("corpus_x,docs,bpe_10_merges_sec,bpe_50k_merges_sec")
     bpeRows.foreach { case (k, d, a, b) => println(f"$k,$d,$a%.2f,$b%.2f") }
     }
+
+    // Signature-kernel cost: classic MinHash digests ⌈k/4⌉ md5s per
+    // shingle, OPH exactly one — the gap should WIDEN with k (and both
+    // curves stay corpus-linear). The cell that justifies OPH's
+    // existence: at k=128 the classic kernel pays 32 digests/shingle.
+    phase("oph") {
+    def sigPass(docs: DataFrame, k: Int, oph: Boolean): Unit =
+      docs.select((if (oph) Dedup.minhashSignatureOph(col("text"), k, 3)
+                   else Dedup.minhashSignature(col("text"), k, 3)).as("s"))
+        .write.mode("overwrite").format("noop").save()
+    locally {
+      val d1 = replicated(1).localCheckpoint()
+      sigPass(d1, 16, oph = false); sigPass(d1, 16, oph = true)
+      d1.unpersist()
+    }
+    val ophRows = for (k <- Seq(1, 2, 4)) yield {
+      val docs = replicated(k).localCheckpoint()
+      val c16 = median3(sigPass(docs, 16, oph = false))
+      val o16 = median3(sigPass(docs, 16, oph = true))
+      val c128 = median3(sigPass(docs, 128, oph = false))
+      val o128 = median3(sigPass(docs, 128, oph = true))
+      docs.unpersist()
+      (k, n * k, c16, o16, c128, o128)
+    }
+    println("corpus_x,docs,classic_k16_sec,oph_k16_sec,classic_k128_sec,oph_k128_sec")
+    ophRows.foreach { case (k, d, a, b, c, e) =>
+      println(f"$k,$d,$a%.2f,$b%.2f,$c%.2f,$e%.2f") }
+    }
     spark.stop()
   }
 }
