@@ -742,6 +742,19 @@ object ExtQueries {
         .select("event_id", "user_id", "asof_event_id", "asof_value")
         .orderBy("user_id", "event_id")
     },
+    "scd2_history" -> { (s, dir) =>
+      // SCD2 dimension build: each user's event_type change stream
+      // compressed to versions with validity intervals (emitted as epoch
+      // micros — timestamps stay engine-internal)
+      TemporalOps.scd2History("user_id", "ts", Seq("event_type"),
+        tieBreak = "event_id")(table(s, dir, "events"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from_us", "valid_to_us", "event_type",
+          "is_current")
+    },
     "band_join" -> { (s, dir) =>
       val e = table(s, dir, "events")
       val signups = e.filter(col("event_type") === "signup")
@@ -2340,6 +2353,29 @@ object ExtQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       SELECT l_event_id AS event_id, user_id, asof_event_id, asof_value
       FROM m WHERE side = 1 ORDER BY user_id, event_id""",
+    // SCD2 — mirrors TemporalOps.scd2History: lag-compare change
+    // compression, lead interval close, both over (user, ts, event_id)
+    "scd2_history" -> """
+      WITH src AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+          event_id
+        FROM events WHERE ts IS NOT NULL),
+      o AS (SELECT *, lag(event_type) OVER w AS prev,
+          CASE WHEN lag(t) OVER w IS NULL THEN true ELSE false END AS first
+        FROM src
+        WINDOW w AS (PARTITION BY user_id
+          ORDER BY t ASC NULLS FIRST, event_id ASC NULLS FIRST)),
+      kept AS (SELECT * FROM o
+        WHERE first OR event_type IS DISTINCT FROM prev),
+      v AS (SELECT user_id, event_type, t,
+          lead(t) OVER (PARTITION BY user_id
+            ORDER BY t ASC NULLS FIRST, event_id ASC NULLS FIRST) AS vt
+        FROM kept)
+      SELECT user_id, event_type,
+        epoch_us(t) AS valid_from_us, epoch_us(vt) AS valid_to_us,
+        CASE WHEN vt IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+          AS is_current
+      FROM v
+      ORDER BY user_id, valid_from_us, valid_to_us, event_type, is_current""",
     "band_join" -> """
       SELECT a.event_id AS signup_id, b.event_id AS purchase_id, a.user_id,
         epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS delta_us

@@ -83,6 +83,50 @@ object TemporalOps {
     matched.select(leftCols ++ rightCols: _*)
   }
 
+  /** Type-2 slowly-changing-dimension history from a change stream: for
+    * each `key`, order changes by (`ts`, `tieBreak`), drop rows whose
+    * tracked `attrs` are unchanged from the previous row (null-safely —
+    * the change-compression step of a classic SCD2 load), and emit each
+    * surviving version with its validity interval:
+    * `valid_from` = its own timestamp, `valid_to` = the NEXT version's
+    * timestamp (NULL = still current), `is_current` 0/1 BIGINT. The
+    * batch-build form of the warehouse dimension-versioning pattern;
+    * [[asOfJoin]] is its read side (attach the version valid at an
+    * event's time).
+    *
+    * Rows with a NULL timestamp are dropped — an undatable change has no
+    * place on a validity timeline (same doctrine as [[asOfJoin]]'s right
+    * side). `tieBreak` must be unique per (key, ts) for deterministic
+    * compression when changes share a timestamp.
+    *
+    * Scale shape: two windows over the same (key) partitioning and
+    * (ts, tieBreak) order — one for change compression (lag), one for
+    * interval closing (lead) on the compressed survivors. Both plan one
+    * shuffle on `key` with spillable in-partition sorts; per-key history
+    * length bounds window memory. No join anywhere. */
+  def scd2History(
+      key: String, ts: String, attrs: Seq[String], tieBreak: String)(
+      df: DataFrame): DataFrame = {
+    require(attrs.nonEmpty, "at least one tracked attribute required")
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc_nulls_first, col("__tb").asc_nulls_first)
+    val src = df.filter(col(ts).isNotNull)
+      .select(col(key).as("__k"), col(ts).as("__t"),
+        col(tieBreak).as("__tb"), struct(attrs.map(col): _*).as("__a"))
+    val kept = src
+      .withColumn("__prev", lag(col("__a"), 1).over(w))
+      // null-safe struct compare: a version whose attrs all match the
+      // previous row (NULLs included) is not a change
+      .filter(col("__prev").isNull || !(col("__a") <=> col("__prev")))
+    kept
+      .withColumn("__vt", lead(col("__t"), 1).over(w))
+      .select(col("__k").as(key) +:
+        attrs.map(c => col(s"__a.$c").as(c)) :+
+        col("__t").as("valid_from") :+
+        col("__vt").as("valid_to") :+
+        when(col("__vt").isNull, lit(1L)).otherwise(lit(0L)).as("is_current"): _*)
+  }
+
   /** Band (range) join: pairs of (left, right) rows with the same `key`
     * where `0 <= rightTime - leftTime <= widthSeconds` (both inclusive).
     *

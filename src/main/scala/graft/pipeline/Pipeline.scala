@@ -72,6 +72,9 @@ final case class Pipeline(df: DataFrame) {
   def asOfJoin(right: DataFrame, key: String, leftTime: String, rightTime: String,
       rightVals: Seq[String], rightTieBreak: String): Pipeline =
     >>(TemporalOps.asOfJoin(right, key, leftTime, rightTime, rightVals, rightTieBreak))
+  def scd2History(key: String, ts: String, attrs: Seq[String],
+      tieBreak: String): Pipeline =
+    >>(TemporalOps.scd2History(key, ts, attrs, tieBreak))
   def bandJoin(right: DataFrame, key: String, leftTime: String, rightTime: String,
       widthSeconds: Long): Pipeline =
     >>(TemporalOps.bandJoin(right, key, leftTime, rightTime, widthSeconds))

@@ -74,6 +74,40 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq(10L))
   }
 
+  test("scd2History compresses unchanged runs and closes validity intervals") {
+    val df = Seq(
+      (1L, 1L, Some(ts("2024-01-01 00:00:00")), "A"),
+      (2L, 1L, Some(ts("2024-01-01 01:00:00")), "A"), // unchanged -> compressed
+      (3L, 1L, Some(ts("2024-01-01 02:00:00")), "B"),
+      (4L, 1L, Some(ts("2024-01-01 03:00:00")), "B"), // unchanged -> compressed
+      (5L, 1L, Some(ts("2024-01-01 04:00:00")), "A"), // back to A = a NEW version
+      (6L, 2L, Some(ts("2024-01-01 00:30:00")), "X"),
+      (7L, 2L, None, "Y")                             // undatable -> dropped
+    ).toDF("event_id", "user_id", "ts", "state")
+    val out = TemporalOps.scd2History("user_id", "ts", Seq("state"), "event_id")(df)
+      .orderBy("user_id", "valid_from")
+      .select("user_id", "state", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Timestamp, Option[Timestamp], Long)].collect()
+    assert(out === Array(
+      (1L, "A", ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 02:00:00")), 0L),
+      (1L, "B", ts("2024-01-01 02:00:00"), Some(ts("2024-01-01 04:00:00")), 0L),
+      (1L, "A", ts("2024-01-01 04:00:00"), None, 1L),
+      (2L, "X", ts("2024-01-01 00:30:00"), None, 1L)))
+  }
+
+  test("scd2History: same-timestamp changes order by the tie-break") {
+    val df = Seq(
+      (10L, 1L, ts("2024-01-01 00:00:00"), "A"),
+      (11L, 1L, ts("2024-01-01 00:00:00"), "B")
+    ).toDF("event_id", "user_id", "ts", "state")
+    val out = TemporalOps.scd2History("user_id", "ts", Seq("state"), "event_id")(df)
+      .orderBy("is_current")
+      .select("state", "is_current").as[(String, Long)].collect()
+    // A (event 10) precedes B (event 11): A's interval closes at the same
+    // instant, B stays current
+    assert(out === Array(("A", 0L), ("B", 1L)))
+  }
+
   test("bandJoin keeps pairs within [0, width] inclusive, across buckets") {
     val left = Seq((1L, 1L, ts("2024-01-01 10:00:30"))).toDF("event_id", "user_id", "ts")
     val right = Seq(
