@@ -742,6 +742,20 @@ object ExtQueries {
         .select("event_id", "user_id", "asof_event_id", "asof_value")
         .orderBy("user_id", "event_id")
     },
+    "asof_join_fwd" -> { (s, dir) =>
+      // forward as-of with tolerance: each purchase attaches the NEXT
+      // signup within 24h, or NULLs when the nearest one is too far
+      val e = table(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts", "value")
+      TemporalOps.asOfJoin(signups, "user_id", "ts", "ts",
+        rightVals = Seq("event_id", "value"), rightTieBreak = "event_id",
+        direction = "forward", toleranceSeconds = Some(86400L))(purchases)
+        .select("event_id", "user_id", "asof_event_id", "asof_value")
+        .orderBy("user_id", "event_id")
+    },
     "scd2_history" -> { (s, dir) =>
       // SCD2 dimension build: each user's event_type change stream
       // compressed to versions with validity intervals (emitted as epoch
@@ -2352,6 +2366,38 @@ object ExtQueries {
               ORDER BY t ASC NULLS FIRST, side ASC, tb ASC NULLS FIRST
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       SELECT l_event_id AS event_id, user_id, asof_event_id, asof_value
+      FROM m WHERE side = 1 ORDER BY user_id, event_id""",
+    // Forward as-of + tolerance — mirrors TemporalOps.asOfJoin
+    // (direction = forward): the same union+window on the REVERSED time
+    // axis (earlier-wins tie-break there), matched timestamp carried for
+    // the tolerance CASE
+    "asof_join_fwd" -> """
+      WITH u AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
+               event_id AS tb,
+               event_id AS r_event_id, value AS r_value,
+               CAST(ts AS TIMESTAMP) AS r_t,
+               NULL::BIGINT AS l_event_id
+        FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP), 1, NULL, NULL, NULL, NULL,
+               event_id
+        FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT user_id, side, l_event_id, t,
+              last_value(r_event_id IGNORE NULLS) OVER w AS a_event_id,
+              last_value(r_value IGNORE NULLS) OVER w AS a_value,
+              last_value(r_t IGNORE NULLS) OVER w AS a_t
+            FROM u
+            WINDOW w AS (PARTITION BY user_id
+              ORDER BY t DESC NULLS FIRST, side ASC, tb DESC NULLS LAST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT l_event_id AS event_id, user_id,
+        CASE WHEN a_t IS NOT NULL
+               AND abs(epoch_us(t) - epoch_us(a_t)) <= 86400000000
+             THEN a_event_id END AS asof_event_id,
+        CASE WHEN a_t IS NOT NULL
+               AND abs(epoch_us(t) - epoch_us(a_t)) <= 86400000000
+             THEN a_value END AS asof_value
       FROM m WHERE side = 1 ORDER BY user_id, event_id""",
     // SCD2 — mirrors TemporalOps.scd2History: lag-compare change
     // compression, lead interval close, both over (user, ts, event_id)

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Temporal join operators — absent from the reference (SURVEY.md §2.4
   * lists them as extension-surface joins Spark lacks as built-ins) but
@@ -24,8 +24,14 @@ import org.apache.spark.sql.types.StructType
   */
 object TemporalOps {
 
-  /** Backward as-of join: for every left row, attach the latest right row
-    * of the same `key` with `rightTime <= leftTime` (inclusive).
+  /** As-of join: for every left row, attach the nearest right row of the
+    * same `key` — `direction = "backward"` (default): the LATEST right
+    * with `rightTime <= leftTime`; `direction = "forward"`: the EARLIEST
+    * right with `rightTime >= leftTime` (both inclusive).
+    * `toleranceSeconds` additionally bounds the match distance
+    * (|leftTime − matchedTime| ≤ tolerance, timestamps required) — a
+    * too-distant match comes back as NULLs, the Pandas/kdb `tolerance`
+    * contract.
     *
     * Implementation (SURVEY.md §2.4): union both sides tagged
     * (right=0, left=1), window per key ordered by
@@ -34,14 +40,20 @@ object TemporalOps {
     * right before left at equal timestamps makes the match inclusive; the
     * tie-break makes the winning right row deterministic when right rows
     * share a timestamp. Left rows with no prior right row get NULLs.
+    * The forward direction is the same plan on the REVERSED time axis
+    * (time DESC), so among equal-timestamp right rows the SMALLER
+    * tie-break wins there (later-wins backward, earlier-wins forward —
+    * both documented, both mirrored in the oracle).
     *
     * Scale: one shuffle per side on `key`, spillable sort — the same cost
     * as a single window aggregation; no non-equi join is ever planned.
+    * The tolerance is a pure post-projection on the matched struct (the
+    * matched timestamp rides the struct) — no extra join or window.
     *
     * @param rightVals right columns carried onto left rows, emitted as
     *                  `<prefix><col>`.
-    * @param rightTieBreak right column ordering later-wins among right rows
-    *                      with equal timestamps (must be unique per
+    * @param rightTieBreak right column ordering among right rows with
+    *                      equal timestamps (must be unique per
     *                      (key, time) for determinism).
     */
   def asOfJoin(
@@ -51,8 +63,18 @@ object TemporalOps {
       rightTime: String,
       rightVals: Seq[String],
       rightTieBreak: String,
-      prefix: String = "asof_")(left: DataFrame): DataFrame = {
-    val rvStruct = StructType(rightVals.map(c => right.schema(c)))
+      prefix: String = "asof_",
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None)(left: DataFrame): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    require(toleranceSeconds.forall(_ >= 0L), "tolerance must be >= 0")
+    // the matched timestamp rides the carried struct under a reserved
+    // name so the tolerance can compare against it
+    val mtField = "__graft_mt"
+    require(!rightVals.contains(mtField), s"'$mtField' is reserved")
+    val rvStruct = StructType(rightVals.map(c => right.schema(c)) :+
+      StructField(mtField, right.schema(rightTime).dataType))
     val tbType = right.schema(rightTieBreak).dataType
     val r = right
       // a right row with a NULL timestamp can never satisfy rt <= lt;
@@ -64,22 +86,36 @@ object TemporalOps {
         // keep the tie-break's NATIVE type: a string cast would order
         // numeric ids lexicographically ("10" < "9")
         col(rightTieBreak).as("__tb"),
-        struct(rightVals.map(col): _*).as("__rv"),
+        struct(rightVals.map(col) :+ col(rightTime).as(mtField): _*).as("__rv"),
         lit(null).cast(StructType(left.schema.fields)).as("__lrow"))
     val l = left.select(
       col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
       lit(null).cast(tbType).as("__tb"),
       lit(null).cast(rvStruct).as("__rv"),
       struct(left.columns.map(col): _*).as("__lrow"))
+    // forward = backward on the reversed time axis; null-ts left rows
+    // must sort FIRST either way (before any right row) so they match
+    // nothing
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc_nulls_first, col("__side").asc,
-        col("__tb").asc_nulls_first)
+      .orderBy((if (direction == "backward")
+          Seq(col("__t").asc_nulls_first, col("__side").asc,
+            col("__tb").asc_nulls_first)
+        else
+          Seq(col("__t").desc_nulls_first, col("__side").asc,
+            col("__tb").desc_nulls_last)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = r.unionByName(l)
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val keep = toleranceSeconds match {
+      case None => col("__m").isNotNull
+      case Some(tol) => col("__m").isNotNull &&
+        abs(unix_micros(col("__t")) - unix_micros(col(s"__m.$mtField"))) <=
+          tol * 1000000L
+    }
     val leftCols = left.columns.map(c => col(s"__lrow.$c").as(c))
-    val rightCols = rightVals.map(c => col(s"__m.$c").as(s"$prefix$c"))
+    val rightCols = rightVals.map(c =>
+      when(keep, col(s"__m.$c")).as(s"$prefix$c"))
     matched.select(leftCols ++ rightCols: _*)
   }
 

@@ -70,8 +70,12 @@ final case class Pipeline(df: DataFrame) {
   def percentileAgg(keys: Seq[String], field: String, ps: Seq[Double]): Pipeline =
     >>(Ops.percentileAgg(keys, field, ps))
   def asOfJoin(right: DataFrame, key: String, leftTime: String, rightTime: String,
-      rightVals: Seq[String], rightTieBreak: String): Pipeline =
-    >>(TemporalOps.asOfJoin(right, key, leftTime, rightTime, rightVals, rightTieBreak))
+      rightVals: Seq[String], rightTieBreak: String,
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None): Pipeline =
+    >>(TemporalOps.asOfJoin(right, key, leftTime, rightTime, rightVals,
+      rightTieBreak, direction = direction,
+      toleranceSeconds = toleranceSeconds))
   def scd2History(key: String, ts: String, attrs: Seq[String],
       tieBreak: String): Pipeline =
     >>(TemporalOps.scd2History(key, ts, attrs, tieBreak))

@@ -74,6 +74,53 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq(10L))
   }
 
+  test("asOfJoin forward attaches earliest right at or after; tolerance nulls distant matches") {
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),   // next signup 10:00:00 (inclusive)
+      (2L, 1L, ts("2024-01-01 11:30:00")),   // next signup 12:00:00, within tol
+      (3L, 1L, ts("2024-01-02 13:00:00")),   // no later signup -> NULLs
+      (4L, 2L, ts("2024-01-01 00:00:00")))   // nearest is 3h away, tol 1h -> NULLs
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (11L, 1L, ts("2024-01-01 12:00:00"), 2.0),
+      (12L, 2L, ts("2024-01-01 03:00:00"), 3.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = TemporalOps.asOfJoin(right, "user_id", "ts", "ts",
+      Seq("event_id", "value"), "event_id",
+      direction = "forward", toleranceSeconds = Some(3600L))(left)
+      .orderBy("event_id")
+      .select("event_id", "asof_event_id").as[(Long, Option[Long])].collect()
+    assert(out === Array((1L, Some(10L)), (2L, Some(11L)), (3L, None),
+      (4L, None)))
+  }
+
+  test("asOfJoin forward: equal-timestamp right ties break to the SMALLER tie-break") {
+    val left = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (20L, 1L, ts("2024-01-01 01:00:00"), 1.0),
+      (21L, 1L, ts("2024-01-01 01:00:00"), 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = TemporalOps.asOfJoin(right, "user_id", "ts", "ts",
+      Seq("event_id"), "event_id", direction = "forward")(left)
+      .select("asof_event_id").as[Long].head()
+    assert(out === 20L)
+  }
+
+  test("asOfJoin backward tolerance: match kept within, nulled beyond") {
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 10:30:00")),   // 30 min after -> kept
+      (2L, 1L, ts("2024-01-01 13:00:00")))   // 3h after -> nulled
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 1L, ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = TemporalOps.asOfJoin(right, "user_id", "ts", "ts",
+      Seq("event_id"), "event_id", toleranceSeconds = Some(3600L))(left)
+      .orderBy("event_id")
+      .select("asof_event_id").as[Option[Long]].collect()
+    assert(out === Array(Some(10L), None))
+  }
+
   test("scd2History compresses unchanged runs and closes validity intervals") {
     val df = Seq(
       (1L, 1L, Some(ts("2024-01-01 00:00:00")), "A"),
