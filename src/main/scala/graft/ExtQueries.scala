@@ -649,6 +649,12 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("source")
     },
+    "bigram_lm_quality" -> { (s, dir) =>
+      // CCNet-ish perplexity proxy, one rung above unigram_cf_quality:
+      // mean interpolated bigram probability, fold order pinned
+      TextOps.bigramLmQuality("doc_id", "text")(corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
     "dsir_affinity" -> { (s, dir) =>
       // DSIR-shaped importance scoring: raw docs (source != src0) scored
       // by bigram affinity to the src0 carve as the quality target
@@ -1090,6 +1096,36 @@ object ExtQueries {
       FROM isl GROUP BY doc_id, island $having
       ORDER BY doc_id, span_start"""
   }
+
+  /** Interpolated bigram LM score — see the oracleSql entry comment. */
+  private def bigramLmSql(lambda: Double): String = s"""
+      WITH tok AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents),
+      bg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          ts[CAST(i AS INT)] AS prev, ts[CAST(i + 1 AS INT)] AS w
+        FROM (SELECT doc_id, ts,
+                unnest(range(1, greatest(len(ts) - 1, 0) + 1)) AS i
+              FROM tok)),
+      cb AS (SELECT prev, w, count(*) AS cb FROM bg GROUP BY prev, w),
+      cl AS (SELECT prev, count(*) AS cl FROM bg GROUP BY prev),
+      un AS (SELECT unnest(ts) AS w FROM tok),
+      cu AS (SELECT w, count(*) AS cu FROM un GROUP BY w),
+      tot AS (SELECT count(*) AS t FROM un),
+      p AS (SELECT doc_id, pos,
+          ${litD(lambda)} * (CAST(cb AS DOUBLE) / CAST(cl AS DOUBLE))
+          + ${litD(1.0 - lambda)} * (CAST(cu AS DOUBLE) / CAST(t AS DOUBLE))
+            AS p
+        FROM bg JOIN cb USING (prev, w) JOIN cl USING (prev)
+                JOIN cu USING (w) CROSS JOIN tot),
+      agg AS (SELECT doc_id, count(*) AS n_bigrams,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
+            (a, b) -> a + b) AS s
+        FROM p GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        CASE WHEN coalesce(n_bigrams, 0) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE s / CAST(n_bigrams AS DOUBLE) END AS lm_score
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
+      ORDER BY d.doc_id"""
 
   /** Double literal that parses to the EXACT same IEEE-754 bits as the
     * Scala double `v`: Double.toString round-trips, and CAST from
@@ -2963,6 +2999,11 @@ object ExtQueries {
         END AS type_token_ratio
       FROM agg JOIN voc USING (source)
       ORDER BY source""",
+    // interpolated bigram LM — mirrors TextOps.bigramLmQuality: integer
+    // corpus counts, two divisions + one multiply-add per position, the
+    // per-doc float fold replayed in position order from the same 0.0
+    // seed (list_prepend + list_reduce ≡ Spark's seeded aggregate)
+    "bigram_lm_quality" -> bigramLmSql(0.7),
     // DSIR-shaped affinity — mirrors TextOps.targetAffinity: corpus-wide
     // integer gram counts, each score ONE division of integer products,
     // the affinity one subtraction of those two doubles (log-free on

@@ -1059,6 +1059,79 @@ object TextOps {
         (col("cf_sum").cast("double") / col("n_tokens")).as("mean_cf"))
   }
 
+  /** Bigram-interpolated language-model quality score — the next rung
+    * above [[unigramCfQuality]] on the CCNet-style "perplexity filter"
+    * ladder: per document, the mean over token positions i ≥ 1 of the
+    * interpolated conditional probability
+    * `λ·c(w_{i−1} w_i)/c_left(w_{i−1}) + (1−λ)·c(w_i)/T`, with all
+    * counts corpus-wide (`c_left` counts bigram occurrences STARTING
+    * with the token, `T` is the total token count). Natural text that
+    * reuses the corpus' transitions scores high; shuffled or alien text
+    * scores near its unigram floor. A full KenLM is a trained artifact;
+    * this is the engine-native analog whose statistics come from the
+    * corpus itself, exactly like [[unigramCfQuality]]'s.
+    *
+    * Exactness: every count is an integer; each probability is two
+    * exact-rounded divisions, one multiply by the λ literals, one add —
+    * all IEEE-deterministic. The per-document SUM of probabilities is
+    * the one order-sensitive float fold, so it is pinned: probabilities
+    * ride (pos, p) structs into one collect, are array_sorted by
+    * position, and fold LEFT from 0.0 — the oracle replays the same
+    * fold with `list(p ORDER BY pos)` + `list_reduce`, step-identical
+    * (the [[bm25BatchTopK]] discipline).
+    *
+    * Scale shape: the tokenized projection checkpoints once and feeds
+    * the bigram stream + unigram counts; the three count tables join
+    * EACH OTHER first into one (prev, w, cb, cl, cu) stats table (its
+    * size is |distinct bigrams|, ≪ corpus), so the position stream pays
+    * ONE digest-free equi-join; hot bigrams ("of the") skew that join —
+    * AQE skew-split, as [[unigramCfQuality]] documents. The per-doc
+    * collect is bounded by document length, the same bound every window
+    * op here lives with. */
+  def bigramLmQuality(
+      idField: String, textField: String, lambda: Double = 0.7)(
+      df: DataFrame): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val tokenized = df.select(col(idField).as("__id"),
+      tokens(coalesce(col(textField), lit(""))).as("__ts"))
+      .localCheckpoint()
+    val bigrams = tokenized.select(col("__id"),
+      posexplode(graft.functions.GraftFunctions.bind(col("__ts")) { ts =>
+        when(size(ts) < 2, array().cast("array<struct<p:string,w:string>>"))
+          .otherwise(transform(sequence(lit(1), size(ts) - 1), i =>
+            struct(element_at(ts, i).as("p"), element_at(ts, i + 1).as("w"))))
+      }).as(Seq("__pos", "__bg")))
+      .select(col("__id"), col("__pos").cast("long").as("__pos"),
+        col("__bg.p").as("__prev"), col("__bg.w").as("__w"))
+      .localCheckpoint()
+    val cb = bigrams.groupBy("__prev", "__w").agg(count(lit(1)).as("__cb"))
+    val cl = bigrams.groupBy("__prev").agg(count(lit(1)).as("__cl"))
+    val unigrams = tokenized.select(explode(col("__ts")).as("__w"))
+    val cu = unigrams.groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val tot = unigrams.agg(count(lit(1)).as("__T"))
+    val stats = cb.join(cl, "__prev").join(cu, "__w")
+    val scored = bigrams
+      .join(stats, Seq("__prev", "__w"))
+      .crossJoin(broadcast(tot))
+      .select(col("__id"), col("__pos"),
+        (lit(lambda) * (col("__cb").cast("double") / col("__cl").cast("double"))
+          + lit(1.0 - lambda)
+            * (col("__cu").cast("double") / col("__T").cast("double")))
+          .as("__p"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__p")))),
+            s => s.getField("__p")),
+          lit(0.0), (a, x) => a + x).as("__sum"))
+    df.select(col(idField).as("__id")).join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idField),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull || col("n_bigrams") === 0L, lit(0.0))
+          .otherwise(col("__sum") / col("n_bigrams").cast("double"))
+          .as("lm_score"))
+  }
+
   /** DSIR-shaped importance scoring (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", re-expressed with
     * exact integer counts): score each raw document by how much more its

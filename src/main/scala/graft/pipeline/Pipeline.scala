@@ -270,6 +270,9 @@ final case class Pipeline(df: DataFrame) {
     >>(TextOps.gopherRepetition(idField, textField, topNs, dupNs))
   def scorePercentiles(sourceField: String, scoreField: String): Pipeline =
     >>(TextOps.scorePercentiles(sourceField, scoreField))
+  def bigramLmQuality(idField: String, textField: String,
+      lambda: Double = 0.7): Pipeline =
+    >>(TextOps.bigramLmQuality(idField, textField, lambda))
   def targetAffinity(idField: String, textField: String, n: Int,
       target: DataFrame, targetTextField: String): Pipeline =
     >>(TextOps.targetAffinity(idField, textField, n, target, targetTextField))

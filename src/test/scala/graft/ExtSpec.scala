@@ -698,6 +698,27 @@ class ExtSpec extends SparkSpec {
     assert(out(1) === (("s2", 1L, 1L, 0L, 0L, 1L, 0.0, 0.0, 1.0)))
   }
 
+  test("bigramLmQuality: interpolated probabilities, degenerate docs score 0") {
+    val df = Seq(
+      (1L, "a b a b"), (2L, "b b"), (3L, "solo"), (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLmQuality("doc_id", "text", lambda = 0.5)(df)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "lm_score")
+      .as[(Long, Long, Double)].collect()
+    // corpus: cb(a,b)=2 cb(b,a)=1 cb(b,b)=1; cl(a)=2 cl(b)=2; unigrams
+    // include EVERY doc's tokens ("solo" and the NULL doc's "" too):
+    // cu(a)=2 cu(b)=4, T=8
+    val pAB = 0.5 * (2.0 / 2.0) + 0.5 * (4.0 / 8.0)
+    val pBA = 0.5 * (1.0 / 2.0) + 0.5 * (2.0 / 8.0)
+    val pBB = 0.5 * (1.0 / 2.0) + 0.5 * (4.0 / 8.0)
+    assert(out(0)._2 === 3L)
+    assert(math.abs(out(0)._3 - (pAB + pBA + pAB) / 3.0) < 1e-12)
+    assert(out(1) === ((2L, 1L, pBB)))
+    assert(out(2) === ((3L, 0L, 0.0)))    // single token: no bigrams
+    assert(out(3) === ((4L, 0L, 0.0)))    // NULL text
+  }
+
   test("targetAffinity: exact count ratios, zero-gram and empty-target guards") {
     // target: two docs sharing the bigram "x y"; raw: one doc matching
     // the target's bigram, one alien, one too short for any bigram,
