@@ -649,6 +649,17 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("source")
     },
+    "normalize_text" -> { (s, dir) =>
+      // NFC normalization pass + changed flag (the pre-dedup cleaning
+      // step; the fixture is ASCII so `changed` is all-zero here — the
+      // unicode semantics are spec-pinned in FunctionsSpec)
+      corpus(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.normalizeText(col("text")).as("text_nfc"),
+          when(TextOps.normalizeText(col("text")) <=> col("text"), lit(0L))
+            .otherwise(lit(1L)).as("changed"))
+        .orderBy("doc_id")
+    },
     "bigram_lm_quality" -> { (s, dir) =>
       // CCNet-ish perplexity proxy, one rung above unigram_cf_quality:
       // mean interpolated bigram probability, fold order pinned
@@ -2999,6 +3010,12 @@ object ExtQueries {
         END AS type_token_ratio
       FROM agg JOIN voc USING (source)
       ORDER BY source""",
+    // NFC normalization — DuckDB's nfc_normalize IS the cross-engine pin
+    "normalize_text" -> """
+      SELECT doc_id, nfc_normalize(text) AS text_nfc,
+        CASE WHEN nfc_normalize(text) IS NOT DISTINCT FROM text
+             THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS changed
+      FROM documents ORDER BY doc_id""",
     // interpolated bigram LM — mirrors TextOps.bigramLmQuality: integer
     // corpus counts, two divisions + one multiply-add per position, the
     // per-doc float fold replayed in position order from the same 0.0

@@ -20,6 +20,21 @@ object TextOps {
   /** Distinct whitespace tokens (set semantics for jaccard). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** Unicode normalization of `text` (default NFC) — run this BEFORE
+    * fingerprint/exact dedup on multi-source corpora: the same visible
+    * string arrives composed from one crawler and decomposed from
+    * another, and digest-keyed dedup sees two documents without it.
+    * Native codegen kernel ([[graft.functions.NormalizeText]]); the NFC
+    * form is oracle-pinned against DuckDB's `nfc_normalize`. */
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    graft.functions.GraftFunctions.normalizeText(text, form)
+
+  /** Accent/diacritic stripping (NFD → drop combining marks → NFC):
+    * é→e, ü→u; non-decomposable letters (ø, ß) pass through. See
+    * [[graft.functions.StripAccents]]. */
+  def stripAccents(text: Column): Column =
+    graft.functions.GraftFunctions.stripAccents(text)
+
   /** Word n-gram shingles: join of each n-token window. The token array
     * is bound once per row ([[graft.functions.GraftFunctions.bind]]) —
     * referencing `tokens(text)` inside the window lambda would re-split

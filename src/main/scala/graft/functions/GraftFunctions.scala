@@ -31,6 +31,13 @@ object GraftFunctions {
   private def arity(fn: String, children: Seq[Expression], n: Int): Unit =
     require(children.length == n, s"$fn expects exactly $n arguments")
 
+  private def litStr(e: Expression, fn: String, arg: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got $other")
+  }
+
   /** Parse a foldable `array<string>` of 'left right' merge entries
     * (the SQL-surface form of a BPE merge table — it must be foldable
     * because it shapes the expression, not the data). Shared by the
@@ -84,6 +91,17 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         arity("graft_jaccard", children, 2)
         ArrayJaccard(children.head, children(1)) }),
+    ("graft_normalize",
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
+      { children: Seq[Expression] =>
+        arity("graft_normalize", children, 2)
+        NormalizeText(children.head,
+          litStr(children(1), "graft_normalize", "form")) }),
+    ("graft_strip_accents",
+      new ExpressionInfo(classOf[StripAccents].getName, "graft_strip_accents"),
+      { children: Seq[Expression] =>
+        arity("graft_strip_accents", children, 1)
+        StripAccents(children.head) }),
     ("graft_sign_sketch",
       new ExpressionInfo(classOf[SignSketch64].getName, "graft_sign_sketch"),
       { children: Seq[Expression] =>
@@ -194,6 +212,14 @@ object GraftFunctions {
     * [[MinHashSignature]]). */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
+
+  /** Native Unicode normalization (see [[NormalizeText]]). */
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    Bridge.column(NormalizeText(Bridge.expression(text), form))
+
+  /** Native accent/diacritic stripping (see [[StripAccents]]). */
+  def stripAccents(text: Column): Column =
+    Bridge.column(StripAccents(Bridge.expression(text)))
 
   /** Native one-permutation-hashing MinHash signature (see
     * [[MinHashSignatureOph]]). */

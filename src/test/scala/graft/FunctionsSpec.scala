@@ -88,6 +88,52 @@ class FunctionsSpec extends SparkSpec {
       "SELECT graft_bpe_count('x', array(CAST(rand() AS STRING)))").collect())
   }
 
+  test("normalizeText: forms behave per the Unicode spec; stripAccents drops marks only") {
+    import graft.ext.TextOps
+    val composed = "héllo"                 // é as one codepoint
+    val decomposed = "héllo"              // e + combining acute
+    val ligature = "ﬁle"                   // ﬁle
+    val df = Seq(
+      (1L, composed), (2L, decomposed), (3L, ligature),
+      (4L, "plain ascii"), (5L, null: String),
+      (6L, "ø ß über")           // ø ß über
+    ).toDF("id", "text")
+    val out = df.select($"id",
+      TextOps.normalizeText($"text").as("nfc"),
+      TextOps.normalizeText($"text", "NFKC").as("nfkc"),
+      TextOps.stripAccents($"text").as("sa"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // NFC: decomposed composes; composed unchanged; both now EQUAL
+    assert(out(1L).getString(1) === composed)
+    assert(out(2L).getString(1) === composed)
+    // NFKC additionally folds compatibility chars (the ligature)
+    assert(out(3L).getString(1) === ligature)   // NFC keeps ﬁ
+    assert(out(3L).getString(2) === "file")     // NFKC folds it
+    // stripAccents: marks drop, base letters stay; ø/ß not decomposable
+    assert(out(1L).getString(3) === "hello")
+    assert(out(2L).getString(3) === "hello")
+    assert(out(6L).getString(3) === "ø ß uber")
+    assert(out(4L).getString(3) === "plain ascii")
+    assert(out(5L).get(1) === null && out(5L).get(3) === null)
+    // dedup composition: the two spellings fingerprint identically
+    // AFTER normalization, differently before — the reason this op exists
+    val fps = df.filter($"id" <= 2L)
+      .select(md5(TextOps.normalizeText($"text")).as("fp"))
+      .distinct().count()
+    assert(fps === 1L)
+    assert(df.filter($"id" <= 2L).select(md5($"text"))
+      .distinct().count() === 2L)
+    // SQL surface
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT graft_normalize('héllo', 'NFC') AS n, " +
+        s"graft_strip_accents('héllo') AS s").head()
+    assert(viaSql.getString(0) === composed)
+    assert(viaSql.getString(1) === "hello")
+    intercept[Exception](spark.sql(
+      "SELECT graft_normalize('x', concat('NF', 'C'))").collect())
+  }
+
   test("bloom agg + might_contain are callable from SQL after register()") {
     GraftFunctions.register(spark)
     // membership via a scalar subquery — the form BloomFilterMightContain
