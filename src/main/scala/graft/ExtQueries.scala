@@ -539,6 +539,13 @@ object ExtQueries {
         corpus(s, dir, "embeddings"))
         .orderBy("label", "dim")
     },
+    "max_pool_embeddings" -> { (s, dir) =>
+      // order-independent pooling: one hash-agg over the exploded dims,
+      // no per-group collect
+      Similarity.maxPool("embedding", "label")(
+        corpus(s, dir, "embeddings"))
+        .orderBy("label", "dim")
+    },
     "knn_label" -> { (s, dir) =>
       // kNN majority-vote labeling: queries labeled by their 5 nearest
       // corpus neighbors' labels, ties to the smallest label
@@ -2778,6 +2785,15 @@ object ExtQueries {
         s[CAST(u.i AS INT)] / n AS mean_val
       FROM folded, unnest(range(1, len(s) + 1)) u(i)
       ORDER BY label, dim""",
+    // float max is order-exact; both engines compare in float and cast
+    // the winner to double at the end
+    "max_pool_embeddings" -> """
+      SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        CAST(max(v) AS DOUBLE) AS max_val
+      FROM (SELECT label, unnest(embedding) AS v,
+              unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings)
+      GROUP BY label, i ORDER BY label, dim""",
     // top-5 neighbor selection identical to similarity_topk (vec_id < 50
     // queries), then one vote count per (query, label); the winner rule
     // (max votes, ties to the smallest label) mirrors Similarity.labelVote

@@ -597,6 +597,22 @@ object Similarity {
         col("mean_val"))
   }
 
+  /** Max-pool companion to [[meanPool]]: per group, the element-wise
+    * MAXIMUM over member vectors, one (group, dim, max_val) row per
+    * dimension. Unlike the mean, max is exactly order-independent for
+    * floats, so no sorted fold is needed — the op is ONE hash
+    * aggregation over the exploded (group, dim) stream with map-side
+    * partials, no collect_list, no per-group memory proportional to
+    * group size. The cheaper default for embarrassing scale; use
+    * [[meanPool]] when averaging semantics matter. */
+  def maxPool(vecField: String, groupField: String)(df: DataFrame): DataFrame =
+    df.select(col(groupField).as("__g"),
+        posexplode(col(vecField)).as(Seq("__d", "__v")))
+      .groupBy(col("__g"), col("__d"))
+      .agg(max(col("__v")).as("__m"))
+      .select(col("__g").as(groupField), col("__d").cast("long").as("dim"),
+        col("__m").cast("double").as("max_val"))
+
   /** Majority-vote labeling over a precomputed neighbor table — the
     * second half of kNN classification, factored out so ANY top-k
     * engine feeds it: [[bruteForceTopK]] for exactness, [[lshTopK]] /

@@ -204,6 +204,8 @@ final case class Pipeline(df: DataFrame) {
     >>(TextOps.chunkTexts(idField, textField, chunkTokens, stride))
   def meanPool(idField: String, vecField: String, groupField: String): Pipeline =
     >>(graft.ext.Similarity.meanPool(idField, vecField, groupField))
+  def maxPool(vecField: String, groupField: String): Pipeline =
+    >>(graft.ext.Similarity.maxPool(vecField, groupField))
   /** `this` is the corpus; int8-quantized brute-force top-k. */
   def bruteForceTopKQuantized(corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int,

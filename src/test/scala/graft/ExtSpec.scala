@@ -698,6 +698,20 @@ class ExtSpec extends SparkSpec {
     assert(out(1) === (("s2", 1L, 1L, 0L, 0L, 1L, 0.0, 0.0, 1.0)))
   }
 
+  test("maxPool: element-wise max per group, exact regardless of order") {
+    val df = Seq(
+      (1L, Array(1.0f, -5.0f, 0.0f), 0),
+      (2L, Array(-2.0f, 3.0f, 0.5f), 0),
+      (3L, Array(9.0f, 9.0f, 9.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Similarity.maxPool("embedding", "label")(df)
+      .orderBy("label", "dim")
+      .select("label", "dim", "max_val").as[(Int, Long, Double)].collect()
+    assert(out === Array(
+      (0, 0L, 1.0), (0, 1L, 3.0), (0, 2L, 0.5),
+      (1, 0L, 9.0), (1, 1L, 9.0), (1, 2L, 9.0)))
+  }
+
   test("bigramLmQuality: interpolated probabilities, degenerate docs score 0") {
     val df = Seq(
       (1L, "a b a b"), (2L, "b b"), (3L, "solo"), (4L, null: String))
