@@ -331,6 +331,40 @@ object ScaleBench {
     bpeRows.foreach { case (k, d, a, b) => println(f"$k,$d,$a%.2f,$b%.2f") }
     }
 
+    // Round-11 text analytics: gopherRepetition is per-document (9 gram
+    // widths through one explode + doc-local windows — embarrassingly
+    // parallel, must be linear); bigramLmQuality joins the position
+    // stream against corpus-wide bigram stats (replication multiplies
+    // both stream AND counts — the join is the thing under test);
+    // targetAffinity scores a growing raw corpus against a FIXED target.
+    phase("text11") {
+    def gr(docs: DataFrame): Unit =
+      TextOps.gopherRepetition("doc_id", "text")(docs)
+        .write.mode("overwrite").format("noop").save()
+    def lm(docs: DataFrame): Unit =
+      TextOps.bigramLmQuality("doc_id", "text")(docs)
+        .write.mode("overwrite").format("noop").save()
+    val target = base.limit(500).localCheckpoint()
+    def aff(docs: DataFrame): Unit =
+      TextOps.targetAffinity("doc_id", "text", n = 2, target, "text")(docs)
+        .write.mode("overwrite").format("noop").save()
+    locally {
+      val d1 = replicated(1).localCheckpoint()
+      gr(d1); lm(d1); aff(d1)
+      d1.unpersist()
+    }
+    val tRows = for (k <- Seq(1, 2, 4)) yield {
+      val docs = replicated(k).localCheckpoint()
+      val a = median3(gr(docs)); val b = median3(lm(docs))
+      val c = median3(aff(docs))
+      docs.unpersist()
+      (k, n * k, a, b, c)
+    }
+    println("corpus_x,docs,gopher_repetition_sec,bigram_lm_sec,dsir_affinity_sec")
+    tRows.foreach { case (k, d, a, b, c) =>
+      println(f"$k,$d,$a%.2f,$b%.2f,$c%.2f") }
+    }
+
     // Signature-kernel cost: classic MinHash digests ⌈k/4⌉ md5s per
     // shingle, OPH exactly one — the gap should WIDEN with k (and both
     // curves stay corpus-linear). The cell that justifies OPH's
