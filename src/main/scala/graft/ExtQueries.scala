@@ -921,6 +921,18 @@ object ExtQueries {
       // the salting-decision diagnostic: heaviest customer keys in orders
       Probes.keySkew(Seq("o_custkey"), topN = 20)(table(s, dir, "orders"))
     },
+    "join_salted" -> { (s, dir) =>
+      // the skew-join half of the toolkit: rows identical to the plain
+      // join (oracle IS the plain join), hot keys split 8 ways
+      val li = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val ord = table(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      Ops.saltedJoin(ord, Seq("l_orderkey"), buckets = 8)(li)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "o_orderstatus", "o_totalprice")
+    },
     // ---- binary / multimodal ----------------------------------------------
     "binary_stats" -> { (s, dir) =>
       val blob = BinaryOps.toBlob(col("text"))
@@ -3103,6 +3115,14 @@ object ExtQueries {
          avg(l_quantity) AS l_quantity_average,
          count(*) AS record_count
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the salted join's RESULT is the plain join — the oracle shares
+    // the unsalted SQL verbatim, which is the whole correctness claim
+    "join_salted" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderstatus,
+           o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber, l_quantity, o_orderstatus,
+           o_totalprice""",
     "key_skew" ->
       """WITH c AS (SELECT o_custkey, count(*) AS key_count
            FROM orders GROUP BY o_custkey),

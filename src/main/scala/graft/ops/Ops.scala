@@ -242,6 +242,38 @@ object Ops {
     stage1.groupBy(keys.map(col): _*).agg(finals.head, finals.tail: _*)
   }
 
+  /** Skew-salted equi-join — the JOIN half of the skew toolkit
+    * ([[saltedAggregate]] is the aggregation half, AQE skew-split the
+    * runtime fallback): when one join key carries a disproportionate
+    * share of the LEFT side and the right side is too large to
+    * broadcast, a plain shuffle join lands the hot key on one reducer.
+    * Salting splits it `buckets` ways: the left side gains a
+    * deterministic per-row salt (a hash of the whole row by default —
+    * rerun-stable, no RNG state; pass `saltSource` to hash something
+    * cheaper), the right side is replicated once per bucket, and the
+    * join runs on (keys..., salt). Result rows are IDENTICAL to the
+    * plain join (each matching pair meets in exactly one bucket) — the
+    * oracle shares the plain-join SQL verbatim.
+    *
+    * Cost: `buckets`× the right side through the shuffle — use the
+    * smaller frame as `right`. Only `inner` and `left` joins are
+    * supported: under right/full-outer semantics an unmatched right row
+    * would surface once PER REPLICA. */
+  def saltedJoin(
+      right: DataFrame, keys: Seq[String], buckets: Int = 16,
+      joinType: String = "inner", saltSource: Option[Column] = None)(
+      left: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one join key required")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"only inner/left joins are salt-safe, got '$joinType'")
+    val salt = saltSource.getOrElse(hash(left.columns.map(col): _*))
+    val l = left.withColumn("__salt", pmod(salt, lit(buckets)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Distinct values of the given key fields; with no keys, whole-row
     * distinct (reference: `ops/rows.py::distinct` / `distinct_rows`).
     * Plans as a hash aggregate with partial aggregation — dedup happens

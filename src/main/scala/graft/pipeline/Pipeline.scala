@@ -69,6 +69,9 @@ final case class Pipeline(df: DataFrame) {
     >>(Ops.unpivot(ids, values, varName, valName))
   def percentileAgg(keys: Seq[String], field: String, ps: Seq[Double]): Pipeline =
     >>(Ops.percentileAgg(keys, field, ps))
+  def saltedJoin(right: DataFrame, keys: Seq[String], buckets: Int = 16,
+      joinType: String = "inner"): Pipeline =
+    >>(Ops.saltedJoin(right, keys, buckets, joinType))
   def asOfJoin(right: DataFrame, key: String, leftTime: String, rightTime: String,
       rightVals: Seq[String], rightTieBreak: String,
       direction: String = "backward",

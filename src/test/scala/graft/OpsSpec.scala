@@ -5,6 +5,27 @@ import org.apache.spark.sql.functions._
 import graft.ops.Ops
 
 class OpsSpec extends SparkSpec {
+
+  test("saltedJoin: rows identical to the plain join; outer-right rejected") {
+    import spark.implicits._
+    // skewed: key 1 carries most rows; key 3 matches nothing
+    val left = ((1 to 50).map(i => (1L, s"l$i")) ++
+      Seq((2L, "x"), (3L, "y"))).toDF("k", "lv")
+    val right = Seq((1L, "r1"), (1L, "r2"), (2L, "r3"), (9L, "r9"))
+      .toDF("k", "rv")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "lv", "rv").collect().toSeq
+    val plain = left.join(right, Seq("k"))
+    val salted = graft.ops.Ops.saltedJoin(right, Seq("k"), buckets = 4)(left)
+    assert(sorted(salted) === sorted(plain))
+    // left-outer: unmatched left rows survive exactly once
+    val saltedLeft = graft.ops.Ops.saltedJoin(right, Seq("k"), buckets = 4,
+      joinType = "left")(left)
+    assert(sorted(saltedLeft) === sorted(left.join(right, Seq("k"), "left")))
+    // right/full outer would duplicate unmatched right rows per replica
+    intercept[IllegalArgumentException](
+      graft.ops.Ops.saltedJoin(right, Seq("k"), joinType = "full")(left))
+  }
   import spark.implicits._
 
   private def sales = Seq(
