@@ -368,10 +368,62 @@ object Streaming {
       .dropDuplicatesWithinWatermark(Seq("__hkey"))
       .drop((0 until bands).map(b => s"__bk$b") ++ Seq("__h", "__hkey"): _*)
   }
+
+  /** Streaming SCD2 maintenance — the incremental form of
+    * [[graft.ops.TemporalOps.scd2History]]: per key, the state store
+    * holds the CURRENT version (one tiny struct per key); each
+    * micro-batch's changes are processed in (ts, attr) order, unchanged
+    * attrs are compressed away, and an attr change emits TWO rows — the
+    * previous version CLOSED (`valid_to` = the change's timestamp,
+    * `is_current` false) and the new current version (`valid_to` None).
+    * Downstream, an upsert sink keyed on (key, valid_from) converges to
+    * exactly the batch operator's history table.
+    *
+    * Ordering doctrine: rows are ordered within each batch, but a
+    * change arriving LATE — timestamped before the current version's
+    * `valid_from` — is dropped, not retro-spliced (re-opening a closed
+    * interval would require emitting corrections for rows already
+    * shipped; replay the batch operator for reconciliation). Output
+    * mode must be `update`. */
+  def streamingScd2Current(changes: Dataset[DimChange]): Dataset[DimVersion] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[DimVersion, DimVersion](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var cur = state.getOption.orNull
+        val out = scala.collection.mutable.ArrayBuffer.empty[DimVersion]
+        // iterator order within a group is not guaranteed — impose the
+        // batch operator's (ts, tieBreak) order; per-key-per-batch
+        // change volume bounds the sort
+        rows.toSeq.sortBy(c => (c.ts.getTime, c.attr)).foreach { c =>
+          if (cur == null) {
+            cur = DimVersion(key, c.attr, c.ts, None, is_current = true)
+            out += cur
+          } else if (c.attr != cur.attr && !c.ts.before(cur.valid_from)) {
+            out += cur.copy(valid_to = Some(c.ts), is_current = false)
+            cur = DimVersion(key, c.attr, c.ts, None, is_current = true)
+            out += cur
+          }
+          // same attr (change compression) or late arrival: no emission
+        }
+        if (cur != null) state.update(cur)
+        out.iterator
+      }
+  }
 }
 
 /** Input row for [[Streaming.runningUserTotals]]. */
 case class UserEvent(user_id: Long, value: Double)
+
+/** Input change row for [[Streaming.streamingScd2Current]]. */
+case class DimChange(key: Long, ts: java.sql.Timestamp, attr: String)
+
+/** Version row / per-key state of [[Streaming.streamingScd2Current]]. */
+case class DimVersion(key: Long, attr: String,
+    valid_from: java.sql.Timestamp, valid_to: Option[java.sql.Timestamp],
+    is_current: Boolean)
 
 /** Per-user state/output of [[Streaming.runningUserTotals]]. */
 case class UserTotals(user_id: Long, events: Long, value_sum: Double)

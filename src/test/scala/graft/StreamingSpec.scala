@@ -74,6 +74,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingScd2Current: versions close across micro-batches; repeats compress; late rows drop") {
+    import graft.streaming.{DimChange, DimVersion}
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[DimChange]
+    val versions = Streaming.streamingScd2Current(input.toDS())
+    val q = versions.writeStream.format("memory").queryName("scd2")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        DimChange(1L, t("2024-01-01 00:00:00"), "A"),
+        DimChange(1L, t("2024-01-01 01:00:00"), "A"),  // compressed
+        DimChange(2L, t("2024-01-01 00:00:00"), "X"))
+      q.processAllAvailable()
+      input.addData(
+        DimChange(1L, t("2024-01-01 02:00:00"), "B"),  // closes A, opens B
+        DimChange(2L, t("2023-12-31 00:00:00"), "Y"))  // LATE -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("scd2").as[DimVersion].collect().toSeq
+      // emissions across both batches: A-open, X-open, A-closed, B-open
+      assert(rows.toSet === Set(
+        DimVersion(1L, "A", t("2024-01-01 00:00:00"), None, is_current = true),
+        DimVersion(2L, "X", t("2024-01-01 00:00:00"), None, is_current = true),
+        DimVersion(1L, "A", t("2024-01-01 00:00:00"),
+          Some(t("2024-01-01 02:00:00")), is_current = false),
+        DimVersion(1L, "B", t("2024-01-01 02:00:00"), None, is_current = true)))
+      // upsert-by-(key, valid_from) convergence: latest emission per key
+      // equals the batch operator's history on the kept (non-late) rows
+      val batch = graft.ops.TemporalOps.scd2History(
+        "key", "ts", Seq("attr"), tieBreak = "attr")(
+        Seq((1L, t("2024-01-01 00:00:00"), "A"),
+          (1L, t("2024-01-01 01:00:00"), "A"),
+          (1L, t("2024-01-01 02:00:00"), "B"),
+          (2L, t("2024-01-01 00:00:00"), "X")).toDF("key", "ts", "attr"))
+        .orderBy("key", "valid_from")
+        .select("key", "attr", "valid_from", "valid_to", "is_current")
+        .as[(Long, String, Timestamp, Option[Timestamp], Long)].collect()
+      // (a closed version is always the LATER emission for its
+      // (key, valid_from), so it wins the upsert — order-independent)
+      val upserted = rows.groupBy(v => (v.key, v.valid_from))
+        .map(g => g._2.find(_.valid_to.isDefined).getOrElse(g._2.head))
+        .toSeq.sortBy(v => (v.key, v.valid_from.getTime))
+        .map(v => (v.key, v.attr, v.valid_from, v.valid_to,
+          if (v.is_current) 1L else 0L))
+      assert(upserted.toArray === batch)
+    } finally q.stop()
+  }
+
   test("runningUserTotals on a batch dataset equals a plain groupBy") {
     import graft.streaming.{UserEvent, UserTotals}
     val ds = Seq(UserEvent(1L, 2.0), UserEvent(1L, 3.0), UserEvent(2L, 1.0)).toDS()
