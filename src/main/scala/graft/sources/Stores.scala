@@ -26,6 +26,29 @@ trait DataStore {
       getObject(name).schema), replace = true)
 }
 
+object ParquetStore {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+
+  /** Morton/Z-curve key: bit b of key i lands at interleaved position
+    * b·n + i, so sorting by the result visits key space in Z-order —
+    * nearby (k1, k2, …) tuples stay nearby in the one-dimensional sort.
+    * Pure long shift/mask expression tree, fully inside codegen. Keys
+    * are taken modulo 2^bits (low bits verbatim); `bits · n` must fit a
+    * signed long. */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.size >= 2, "z-ordering needs at least two keys")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"bits ($bits) x keys (${cols.size}) must fit a signed long")
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      (0 until bits).map { b =>
+        shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)),
+          b * cols.size + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+}
+
 /** Directory of parquet files, one object per `<name>.parquet` — the
   * store this project's fixtures live in. Parquet gives columnar scans
   * with predicate pushdown and column pruning at any scale. */
@@ -76,6 +99,38 @@ final case class ParquetStore(spark: SparkSession, dir: String) extends DataStor
       .sortWithinPartitions(clusterCols.map(from.col): _*)
       .write.mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .parquet(path(name))
+
+  /** Z-order (Morton-curve) clustered layout — multi-key row-group
+    * skipping where [[createClustered]] only serves its LEADING key:
+    * rows are range-partitioned and sorted by the bit-INTERLEAVED key
+    * [[ParquetStore.zValue]], so each output file covers a small
+    * rectangle in key space and parquet min/max stats prune scans
+    * filtered on ANY of the keys (a lexicographic sort leaves every
+    * non-leading key spanning the full range in most files). The Delta/
+    * Iceberg `OPTIMIZE ZORDER BY` capability, expressed as a plain
+    * write-side layout.
+    *
+    * Keys must be non-negative integers that fit `bits` bits — the
+    * interleave takes each key's LOW `bits` bits verbatim. Rank- or
+    * bucket-normalize skewed/continuous keys first (percentiles, epoch
+    * days, …); normalization choice is domain knowledge the store
+    * cannot guess, so it stays with the caller. */
+  def createZOrdered(
+      name: String,
+      from: DataFrame,
+      zCols: Seq[String],
+      numFiles: Int,
+      bits: Int = 16,
+      replace: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = ParquetStore.zValue(zCols.map(from.col), bits)
+    from.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .parquet(path(name))
+  }
 
   /** Bounded-shard layout for training-data export: no output file
     * exceeds `maxRecordsPerShard` rows (Spark rolls a new file when a

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{col, lit, sum}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min, sum}
 import org.apache.spark.sql.types._
 import graft.sources.{DataPackage, JdbcStore, LocalData, MemoryStore, Stores}
 import graft.pipeline.Pipeline
@@ -121,6 +121,46 @@ class StoresSpec extends SparkSpec {
     }
     // nothing lost in the re-layout
     assert(store.getObject("facts").count() === 10000)
+  }
+
+  test("zValue interleaves bits in Morton order") {
+    val z = spark.range(1).select(
+      graft.sources.ParquetStore.zValue(Seq(lit(3L), lit(5L)), bits = 3))
+      .as[Long].head()
+    // x=011 -> positions 0,2,4 = 1+4; y=101 -> positions 1,3,5 = 2+32
+    assert(z === 39L)
+  }
+
+  test("z-ordered layout keeps EVERY key's per-file span small, not just the leading one") {
+    val dir = Files.createTempDirectory("graft-zo").toString
+    val store = graft.sources.ParquetStore(spark, dir)
+    // 64x64 grid in scrambled row order
+    val df = spark.range(4096).toDF("id")
+      .withColumn("s", (col("id") * 2654435761L) % 4096)
+      .select((col("s") % 64).as("x"), (col("s") / 64).cast("long").as("y"),
+        col("id").as("v"))
+    store.createZOrdered("grid", df, Seq("x", "y"), numFiles = 16, bits = 6)
+    store.createClustered("lex", df, Seq("x", "y"), numFiles = 16)
+    def spans(obj: String, key: String): Seq[Long] = {
+      val withFile = spark.read.parquet(s"$dir/$obj.parquet")
+        .select(col(key), input_file_name().as("f"))
+      withFile.groupBy("f")
+        .agg((max(col(key)) - min(col(key))).as("span"))
+        .select("span").as[Long].collect().toSeq
+    }
+    // z-order: a file is ~a 16x16 tile of the 64x64 grid; allow range-
+    // partition sampling slack but both axes must stay FAR below the
+    // global span of 63
+    val zx = spans("grid", "x"); val zy = spans("grid", "y")
+    assert(zx.size === 16)
+    assert(zx.max <= 35, s"x spans under z-order: $zx")
+    assert(zy.max <= 35, s"y spans under z-order: $zy")
+    // lexicographic clustering on (x, y): x is tight but y spans nearly
+    // the whole range in the files that straddle multiple x values —
+    // the failure mode z-ordering exists to fix
+    val ly = spans("lex", "y")
+    assert(ly.max >= 55, s"expected a near-global y span under (x,y) sort: $ly")
+    assert(store.getObject("grid").count() === 4096)
   }
 
   test("csv store honors inferFields and header") {
