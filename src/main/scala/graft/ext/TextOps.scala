@@ -381,6 +381,30 @@ object TextOps {
     * docs with no corpus-wide hot key anywhere. Coverage reuses the
     * gaps-and-islands merge of [[duplicateSpans]] per (doc, n), so each
     * covered position ships once regardless of gram overlap. */
+  /** Higher-order-function form of the gram-struct projection under
+    * [[gopherRepetition]] — the executable specification
+    * [[graft.functions.GramStructs]] is bit-parity-tested against
+    * (HashExpressionsSpec). Pays an interpreted lambda per gram; the
+    * kernel pays one compiled loop per row. */
+  private[graft] def gramStructsHof(
+      ts: Column, ns: Seq[Int], gcNs: Seq[Int]): Column = {
+    val gcSet = gcNs.toSet
+    concat(ns.map { n =>
+      val gc: (Column, Column) => Column =
+        if (gcSet(n)) (tss, i) =>
+          aggregate(slice(tss, i + 1, lit(n)), lit(0L), (a, t) => a + length(t))
+        else (_, _) => lit(0L)
+      graft.functions.GraftFunctions.bind(ts) { tss =>
+        when(size(tss) < n,
+          array().cast("array<struct<n:int,pos:bigint,h:string,gc:bigint>>"))
+          .otherwise(transform(sequence(lit(0), size(tss) - n), i =>
+            struct(lit(n).as("n"), i.cast("long").as("pos"),
+              md5(array_join(slice(tss, i + 1, lit(n)), " ")).as("h"),
+              gc(tss, i).as("gc"))))
+      }
+    }: _*)
+  }
+
   def gopherRepetition(
       idField: String, textField: String,
       topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10))(
@@ -396,36 +420,27 @@ object TextOps {
     // to [""], which sums to 0, so empty docs divide-guard to 0.0)
     val base = tokenized.select(col("__id"),
       aggregate(col("__ts"), lit(0L), (a, t) => a + length(t)).as("__chars"))
-    // one struct array concatenating every n's positioned grams; the
+    // one struct array carrying every n's positioned grams — the NATIVE
+    // kernel (one compiled pass, per-row byte/prefix-sum reuse); the
     // per-gram char sum is only materialized for the topNs (coverage
     // recovers chars from positions instead — no double counting)
-    val topSet = topNs.toSet
-    val gramArr = concat((topNs ++ dupNs).map { n =>
-      val gc: (Column, Column) => Column =
-        if (topSet(n)) (ts, i) =>
-          aggregate(slice(ts, i + 1, lit(n)), lit(0L), (a, t) => a + length(t))
-        else (_, _) => lit(0L)
-      graft.functions.GraftFunctions.bind(col("__ts")) { ts =>
-        when(size(ts) < n,
-          array().cast("array<struct<n:int,pos:bigint,h:string,gc:bigint>>"))
-          .otherwise(transform(sequence(lit(0), size(ts) - n), i =>
-            struct(lit(n).as("n"), i.cast("long").as("pos"),
-              md5(array_join(slice(ts, i + 1, lit(n)), " ")).as("h"),
-              gc(ts, i).as("gc"))))
-      }
-    }: _*)
-    // in-doc occurrence counts ride a (doc, n, digest) window — no
-    // rejoin; the frame materializes once for its two consumers
-    val grams = tokenized
+    val gramArr = graft.functions.GraftFunctions.gramStructs(
+      col("__ts"), topNs ++ dupNs, topNs)
+    // ONE aggregation collapses the positional stream to one row per
+    // (doc, n, gram) — count, char sum, and the occurrence positions
+    // together (list bounded by doc length) — and both consumers read
+    // the collapsed frame: the windowed-count + distinct formulation
+    // this replaces shuffled the full ~Σn·|tokens| stream twice
+    val perGram = tokenized
       .select(col("__id"), explode(gramArr).as("__g"))
       .select(col("__id"), col("__g.n").as("__n"), col("__g.pos").as("__pos"),
         col("__g.h").as("__h"), col("__g.gc").as("__gc"))
-      .withColumn("__cnt", count(lit(1)).over(
-        Window.partitionBy(col("__id"), col("__n"), col("__h"))))
+      .groupBy(col("__id"), col("__n"), col("__h"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__gc")).as("__gc"),
+        collect_list(col("__pos")).as("__poss"))
       .localCheckpoint()
-    // top-share: one row per (doc, n, gram), winner by (cnt, digest)
-    val tops = grams.filter(col("__n").isin(topNs.map(Integer.valueOf): _*))
-      .select("__id", "__n", "__h", "__gc", "__cnt").distinct()
+    // top-share: winner by (cnt, digest)
+    val tops = perGram.filter(col("__n").isin(topNs.map(Integer.valueOf): _*))
       .groupBy(col("__id"), col("__n"))
       .agg(max_by(col("__cnt") * col("__gc"),
         struct(col("__cnt"), col("__h"))).as("__num"))
@@ -433,9 +448,9 @@ object TextOps {
     // once per covered token, char lengths joined back from the token
     // stream (equi-join on (doc, pos))
     val byPos = Window.partitionBy(col("__id"), col("__n")).orderBy(col("__pos"))
-    val covered = grams.filter(col("__n").isin(dupNs.map(Integer.valueOf): _*))
+    val covered = perGram.filter(col("__n").isin(dupNs.map(Integer.valueOf): _*))
       .filter(col("__cnt") >= 2)
-      .select("__id", "__n", "__pos")
+      .select(col("__id"), col("__n"), explode(col("__poss")).as("__pos"))
       .withColumn("__brk",
         when(col("__pos") - lag(col("__pos"), 1).over(byPos) > col("__n"), 1)
           .otherwise(0))

@@ -213,6 +213,13 @@ object GraftFunctions {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
 
+  /** Native multi-width positioned gram digests (see [[GramStructs]]).
+    * Structural-parameter kernel used inside operators (not
+    * SQL-registered — its output is an internal struct stream, not a
+    * user-facing scalar). */
+  def gramStructs(tokens: Column, ns: Seq[Int], gcNs: Seq[Int]): Column =
+    Bridge.column(GramStructs(Bridge.expression(tokens), ns, gcNs))
+
   /** Native Unicode normalization (see [[NormalizeText]]). */
   def normalizeText(text: Column, form: String = "NFC"): Column =
     Bridge.column(NormalizeText(Bridge.expression(text), form))

@@ -26,6 +26,10 @@ object HashKernels {
   private val md5Local: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
+  /** The thread-local digest itself, for kernels streaming multi-part
+    * updates (caller resets before use; single-threaded per task). */
+  def md5ThreadLocal: java.security.MessageDigest = md5Local.get()
+
   /** Raw 16-byte md5 of a byte range, via the thread-local digest. */
   def md5Range(bytes: Array[Byte], off: Int, len: Int): Array[Byte] = {
     val md = md5Local.get()
@@ -197,6 +201,98 @@ case class MinHashSignatureOph(child: Expression, numHashes: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureOph =
+    copy(child = newChild)
+}
+
+/** Positioned word-gram digest structs for EVERY requested gram width in
+  * one compiled pass — the hot projection under
+  * [[graft.ext.TextOps.gopherRepetition]] (and any multi-width gram
+  * consumer): for each n ∈ `ns` and each start position, one
+  * `(n, pos, md5, gc)` struct, where the md5 digests the n tokens
+  * joined by single spaces (identical bytes to
+  * `md5(array_join(slice(ts, i+1, n), " "))`) and `gc` is the gram's
+  * token-CHARACTER sum for n ∈ `gcNs` (0 otherwise).
+  *
+  * The HOF form pays an interpreted lambda per gram — array slice,
+  * string join, digest — ~Σn·|tokens| times per row (higher-order
+  * functions never enter whole-stage codegen). Here token bytes and
+  * char-length prefix sums are computed ONCE per row, each gram is a
+  * multi-update digest over the precomputed byte arrays (no join
+  * string ever materializes), and gc is two prefix-sum lookups. NULL
+  * tokens digest as empty strings (split never produces them; the
+  * guard is for the raw kernel surface). */
+case class GramStructs(child: Expression, ns: Seq[Int], gcNs: Seq[Int])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(ns.nonEmpty, "at least one gram width required")
+  require(ns.forall(_ >= 1), s"gram widths must be >= 1, got $ns")
+  require(ns.distinct == ns, s"duplicate gram widths: $ns")
+  require(gcNs.forall(ns.contains), s"gcNs ($gcNs) must be a subset of ns ($ns)")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("h", StringType, nullable = false),
+    StructField("gc", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_gram_structs"
+
+  @transient private lazy val gcSet = gcNs.toSet
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def compute(tokens: ArrayData): ArrayData = {
+    val m = tokens.numElements()
+    val bytes = new Array[Array[Byte]](m)
+    val charPrefix = new Array[Long](m + 1)
+    var i = 0
+    while (i < m) {
+      val u = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      bytes(i) = if (u == null) Array.emptyByteArray else u.getBytes
+      charPrefix(i + 1) = charPrefix(i) + (if (u == null) 0 else u.numChars())
+      i += 1
+    }
+    val total = ns.map(n => math.max(m - n + 1, 0)).sum
+    val out = new Array[Any](total)
+    val md = HashKernels.md5ThreadLocal
+    var o = 0
+    ns.foreach { n =>
+      val wantGc = gcSet(n)
+      var pos = 0
+      while (pos <= m - n) {
+        md.reset()
+        var t = pos
+        while (t < pos + n) {
+          if (t > pos) md.update(' '.toByte)
+          md.update(bytes(t))
+          t += 1
+        }
+        val dig = md.digest()
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(b * 2) = hexDigits((dig(b) >> 4) & 0xf)
+          hex(b * 2 + 1) = hexDigits(dig(b) & 0xf)
+          b += 1
+        }
+        val gc = if (wantGc) charPrefix(pos + n) - charPrefix(pos) else 0L
+        out(o) = org.apache.spark.sql.catalyst.InternalRow(
+          n, pos.toLong, UTF8String.fromString(new String(hex)), gc)
+        o += 1
+        pos += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("gramStructsKernel", this,
+      classOf[GramStructs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramStructs =
     copy(child = newChild)
 }
 

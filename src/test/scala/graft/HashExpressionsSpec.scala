@@ -76,6 +76,16 @@ class HashExpressionsSpec extends SparkSpec {
     assert(sigs(1L) !== sigs(3L))
   }
 
+  test("native gram structs equal the HOF form across all widths incl. unicode and empties") {
+    import graft.functions.GraftFunctions
+    val ns = Seq(2, 3, 4, 5, 6, 7, 8, 9, 10)
+    val diffs = corpus.select(
+      GraftFunctions.gramStructs(TextOps.tokens($"text"), ns, Seq(2, 3, 4)).as("n"),
+      TextOps.gramStructsHof(TextOps.tokens($"text"), ns, Seq(2, 3, 4)).as("h"))
+      .filter($"n" =!= $"h").count()
+    assert(diffs === 0L)
+  }
+
   test("native simhash equals the HOF form") {
     val diffs = corpus.select(
       Dedup.simhash($"text").as("n"), Dedup.simhashHof($"text").as("h"))
