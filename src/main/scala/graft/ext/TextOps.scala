@@ -1475,6 +1475,17 @@ object TextOps {
     * the text would defeat the materialization). `ts` must be a bound
     * attribute (not an expression), or it is re-evaluated per reference. */
   def gramDigestsOfTokens(ts: Column, n: Int): Column =
+    // the digest loop rides the native GramStructs kernel (identical
+    // md5 bytes — one compiled pass instead of an interpreted lambda
+    // per gram); the outer transform only extracts the digest field
+    transform(
+      graft.functions.GraftFunctions.gramStructs(ts, Seq(n), Nil),
+      _.getField("h"))
+
+  /** Pre-kernel HOF form of [[gramDigestsOfTokens]] — kept as the
+    * executable specification (parity-pinned in HashExpressionsSpec
+    * via the struct form). */
+  private[graft] def gramDigestsOfTokensHof(ts: Column, n: Int): Column =
     when(size(ts) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(ts) - (n - 1)),
