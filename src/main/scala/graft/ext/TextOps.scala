@@ -35,14 +35,20 @@ object TextOps {
   def stripAccents(text: Column): Column =
     graft.functions.GraftFunctions.stripAccents(text)
 
-  /** Word n-gram shingles: join of each n-token window. The token array
-    * is bound once per row ([[graft.functions.GraftFunctions.bind]]) —
-    * referencing `tokens(text)` inside the window lambda would re-split
-    * the text at every shingle position (no CSE across HOF lambdas).
-    * Docs with fewer than n tokens yield an empty array (guarded
-    * explicitly: Spark's `sequence(1, 0)` is DESCENDING `[1, 0]`, which
-    * would crash `slice` — unlike the oracle's empty `range(1, 1)`). */
+  /** Word n-gram shingles: distinct space-joins of each n-token window,
+    * in first-occurrence order. Rides the native
+    * [[graft.functions.ShingleStrings]] kernel — shingling is the
+    * documented dominant cost of every MinHash consumer, and the HOF
+    * form paid an interpreted lambda (slice + join + distinct pass) per
+    * position. Docs with fewer than n tokens yield an empty array. */
   def shingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.shingleStrings(tokens(text), n)
+
+  /** Pre-kernel HOF form of [[shingles]] — the executable specification
+    * the kernel is parity-pinned against (HashExpressionsSpec). The
+    * token array is bound once per row; `sequence(1, 0)` is DESCENDING,
+    * hence the explicit empty guard. */
+  private[graft] def shinglesHof(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.bind(tokens(text)) { ts =>
       when(size(ts) < n, array().cast("array<string>"))
         .otherwise(array_distinct(

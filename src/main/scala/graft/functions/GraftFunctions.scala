@@ -213,6 +213,10 @@ object GraftFunctions {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
 
+  /** Native distinct shingle strings (see [[ShingleStrings]]). */
+  def shingleStrings(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleStrings(Bridge.expression(tokens), n))
+
   /** Native multi-width positioned gram digests (see [[GramStructs]]).
     * Structural-parameter kernel used inside operators (not
     * SQL-registered — its output is an internal struct stream, not a

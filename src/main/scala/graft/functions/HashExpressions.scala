@@ -204,6 +204,71 @@ case class MinHashSignatureOph(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingle STRINGS in first-occurrence order —
+  * exactly `array_distinct(transform(positions, i -> array_join(slice(
+  * ts, i, n), " ")))`, compiled: token bytes materialize once per row,
+  * each gram is one sized byte copy (no per-element lambda dispatch, no
+  * intermediate position array), and distinctness rides a hash set that
+  * preserves first-occurrence order like `array_distinct` does. The
+  * projection under every MinHash/Jaccard consumer, where shingling is
+  * the documented dominant cost. NULL tokens join as empty strings. */
+case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  def compute(tokens: ArrayData): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val bytes = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      bytes(i) =
+        if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]((m - n + 1) * 2)
+    var pos = 0
+    while (pos <= m - n) {
+      var len = n - 1 // separators
+      var t = pos
+      while (t < pos + n) { len += bytes(t).length; t += 1 }
+      val buf = new Array[Byte](len)
+      var o = 0
+      t = pos
+      while (t < pos + n) {
+        if (t > pos) { buf(o) = ' '.toByte; o += 1 }
+        System.arraycopy(bytes(t), 0, buf, o, bytes(t).length)
+        o += bytes(t).length
+        t += 1
+      }
+      seen.add(UTF8String.fromBytes(buf))
+      pos += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingleKernel", this,
+      classOf[ShingleStrings].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
 /** Positioned word-gram digest structs for EVERY requested gram width in
   * one compiled pass — the hot projection under
   * [[graft.ext.TextOps.gopherRepetition]] (and any multi-width gram

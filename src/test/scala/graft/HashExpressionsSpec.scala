@@ -76,6 +76,16 @@ class HashExpressionsSpec extends SparkSpec {
     assert(sigs(1L) !== sigs(3L))
   }
 
+  test("native shingles equal the HOF form incl. order and duplicates") {
+    for (n <- Seq(1, 2, 3)) {
+      val diffs = corpus.select(
+        TextOps.shingles($"text", n).as("k"),
+        TextOps.shinglesHof($"text", n).as("h"))
+        .filter($"k" =!= $"h").count()
+      assert(diffs === 0L, s"shingle kernel/HOF mismatch at n=$n")
+    }
+  }
+
   test("native gram structs equal the HOF form across all widths incl. unicode and empties") {
     import graft.functions.GraftFunctions
     val ns = Seq(2, 3, 4, 5, 6, 7, 8, 9, 10)
