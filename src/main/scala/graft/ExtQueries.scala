@@ -766,6 +766,17 @@ object ExtQueries {
         .select("event_id", "user_id", "asof_event_id", "asof_value")
         .orderBy("user_id", "event_id")
     },
+    "event_funnel" -> { (s, dir) =>
+      // sequential conversion: view -> click -> purchase, first
+      // qualifying occurrence per user, strictly-after ordering
+      WindowOps.eventFunnel("user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))(table(s, dir, "events"))
+        .orderBy("step")
+    },
+    "cohort_retention" -> { (s, dir) =>
+      WindowOps.cohortRetention("user_id", "ts")(table(s, dir, "events"))
+        .orderBy("cohort_week", "week_offset")
+    },
     "asof_join_fwd" -> { (s, dir) =>
       // forward as-of with tolerance: each purchase attaches the NEXT
       // signup within 24h, or NULLs when the nearest one is too far
@@ -2433,6 +2444,43 @@ object ExtQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       SELECT l_event_id AS event_id, user_id, asof_event_id, asof_value
       FROM m WHERE side = 1 ORDER BY user_id, event_id""",
+    // sequential funnel — mirrors WindowOps.eventFunnel: per-step
+    // first-qualifying-occurrence CTE chain, strictly-after ordering,
+    // one division for the conversion rate
+    "event_funnel" -> """
+      WITH ev AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t,
+          event_type AS e
+        FROM events WHERE ts IS NOT NULL),
+      s0 AS (SELECT u, min(t) AS pt FROM ev WHERE e = 'view' GROUP BY u),
+      s1 AS (SELECT ev.u, min(ev.t) AS pt FROM ev JOIN s0 USING (u)
+        WHERE ev.e = 'click' AND ev.t > s0.pt GROUP BY ev.u),
+      s2 AS (SELECT ev.u, min(ev.t) AS pt FROM ev JOIN s1 USING (u)
+        WHERE ev.e = 'purchase' AND ev.t > s1.pt GROUP BY ev.u),
+      c AS (
+        SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name,
+          CAST(count(*) AS BIGINT) AS users FROM s0
+        UNION ALL SELECT 1, 'click', count(*) FROM s1
+        UNION ALL SELECT 2, 'purchase', count(*) FROM s2),
+      n0 AS (SELECT users AS entered FROM c WHERE step = 0)
+      SELECT step, step_name, users,
+        CASE WHEN entered = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(users AS DOUBLE) / CAST(entered AS DOUBLE) END
+          AS conversion
+      FROM c CROSS JOIN n0 ORDER BY step""",
+    // cohort retention — mirrors WindowOps.cohortRetention: Monday-start
+    // week truncs on both engines, whole-week offsets, distinct users
+    "cohort_retention" -> """
+      WITH ev AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t
+        FROM events WHERE ts IS NOT NULL),
+      f AS (SELECT u, CAST(date_trunc('week', min(t)) AS DATE) AS cw
+        FROM ev GROUP BY u)
+      SELECT cw AS cohort_week,
+        CAST(datediff('day', cw, CAST(date_trunc('week', t) AS DATE)) / 7
+          AS BIGINT) AS week_offset,
+        CAST(count(DISTINCT u) AS BIGINT) AS active_users
+      FROM ev JOIN f USING (u)
+      GROUP BY cw, week_offset
+      ORDER BY cohort_week, week_offset""",
     // Forward as-of + tolerance — mirrors TemporalOps.asOfJoin
     // (direction = forward): the same union+window on the REVERSED time
     // axis (earlier-wins tie-break there), matched timestamp carried for

@@ -84,4 +84,82 @@ object WindowOps {
     df.withColumn(target,
       unix_timestamp(col(tsField)) - unix_timestamp(prevTs))
   }
+
+  /** Sequential conversion funnel over an event stream: a user reaches
+    * step i when an event of `steps(i)`'s type occurs STRICTLY AFTER
+    * the timestamp at which they reached step i−1 (first qualifying
+    * occurrence wins; step 0 is the user's earliest event of that
+    * type). Emits one row per step: `(step, step_name, users,
+    * conversion)`, conversion = users at step / users at step 0 (one
+    * exact-rounded division; 0.0 when nobody enters). The
+    * product-analytics staple next to [[sessionize]] / [[eventDeltas]].
+    *
+    * Scale shape: one filtered min-aggregation per step plus a user
+    * equi-join against the previous step's (user, ts) frame — steps are
+    * few and each frame is ≤ one row per user, so cost is `|steps|`
+    * bounded hash-aggs over the event table, never a per-user sort or
+    * collect. NULL-timestamp events never qualify (min over none). */
+  def eventFunnel(
+      keyField: String, tsField: String, typeField: String,
+      steps: Seq[String])(df: DataFrame): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step required")
+    val events = df.select(col(keyField).as("__u"), col(tsField).as("__t"),
+      col(typeField).as("__e")).filter(col("__t").isNotNull)
+    // each step's (user, ts) frame materializes once (≤ one row per
+    // user) so step k does not lazily recompute the whole chain 0..k −
+    // the event table is scanned once per step, with the type filter
+    // pushed to the scan
+    val reached = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val hits = events.filter(col("__e") === step)
+        val qualified = prev match {
+          case None => hits
+          case Some(p) => hits.join(p.select(col("__u"), col("__pt")), "__u")
+            .filter(col("__t") > col("__pt"))
+        }
+        Some(qualified.groupBy(col("__u")).agg(min(col("__t")).as("__pt"))
+          .localCheckpoint())
+    }.flatten
+    val counts = reached.zipWithIndex.map { case (r, i) =>
+      r.agg(count(lit(1)).as("users"))
+        .select(lit(i.toLong).as("step"), lit(steps(i)).as("step_name"),
+          col("users"))
+    }.reduce(_ unionByName _)
+    val entered = counts.filter(col("step") === 0L)
+      .select(col("users").as("__n0"))
+    counts.crossJoin(broadcast(entered))
+      .select(col("step"), col("step_name"), col("users"),
+        when(col("__n0") === 0L, lit(0.0))
+          .otherwise(col("users").cast("double") / col("__n0").cast("double"))
+          .as("conversion"))
+  }
+
+  /** Cohort retention matrix: users cohorted by the week of their FIRST
+    * event; one row per (cohort_week, week_offset) counting distinct
+    * users from that cohort active in that week. `week_offset` is whole
+    * weeks between the activity week and the cohort week (both
+    * `date_trunc` Monday starts — identical in the oracle); offset 0 is
+    * the cohort's own week, so every cohort has it. The
+    * product-analytics view a training-data event store gets asked for
+    * next after the funnel.
+    *
+    * Scale shape: one per-user min-aggregation (first event), one user
+    * equi-join back to the event stream, one distinct-count hash-agg on
+    * (cohort_week, offset) — no window over the raw events, no per-user
+    * sort. NULL-timestamp events drop (they belong to no week). */
+  def cohortRetention(
+      keyField: String, tsField: String)(df: DataFrame): DataFrame = {
+    val events = df.select(col(keyField).as("__u"), col(tsField).as("__t"))
+      .filter(col("__t").isNotNull)
+    val first = events.groupBy(col("__u"))
+      .agg(date_trunc("week", min(col("__t"))).cast("date").as("__cw"))
+    events.join(first, "__u")
+      .select(col("__u"), col("__cw"),
+        ((datediff(date_trunc("week", col("__t")).cast("date"), col("__cw")))
+          / 7).cast("long").as("__off"))
+      .groupBy(col("__cw"), col("__off"))
+      .agg(countDistinct(col("__u")).as("active_users"))
+      .select(col("__cw").as("cohort_week"), col("__off").as("week_offset"),
+        col("active_users"))
+  }
 }

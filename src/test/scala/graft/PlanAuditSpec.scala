@@ -39,6 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     "tfidf_top_terms",   // broadcast one-row corpus count
     "dsir_affinity",     // broadcast one-row (raw total, target total) aggregate
     "bigram_lm_quality", // broadcast one-row corpus token total
+    "event_funnel",      // broadcast one-row entered-users count
     "key_skew",          // broadcast one-row total count
     "bm25_topk",         // broadcast one-row (N, avgdl, df…) stats aggregate
     "bm25_batch")        // broadcast one-row (N, Σdl) stats aggregate

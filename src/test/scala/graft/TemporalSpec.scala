@@ -74,6 +74,50 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq(10L))
   }
 
+  test("eventFunnel: strictly-after sequential matching, per-step conversion") {
+    import graft.ops.WindowOps
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:01"), "view"),
+      (1L, ts("2024-01-01 00:00:02"), "click"),
+      (1L, ts("2024-01-01 00:00:03"), "purchase"),   // full funnel
+      (2L, ts("2024-01-01 00:00:01"), "click"),      // click BEFORE view: no
+      (2L, ts("2024-01-01 00:00:02"), "view"),
+      (2L, ts("2024-01-01 00:00:03"), "click"),      // ...but this one counts
+      (3L, ts("2024-01-01 00:00:01"), "view"),       // stalls at step 0
+      (4L, ts("2024-01-01 00:00:01"), "purchase"),   // never enters
+      (5L, ts("2024-01-01 00:00:05"), "view"),
+      (5L, ts("2024-01-01 00:00:04"), "click")       // before the view: no
+    ).toDF("user_id", "ts", "event_type")
+    val out = WindowOps.eventFunnel("user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))(df)
+      .orderBy("step")
+      .select("step", "step_name", "users", "conversion")
+      .as[(Long, String, Long, Double)].collect()
+    assert(out === Array(
+      (0L, "view", 4L, 1.0), (1L, "click", 2L, 0.5),
+      (2L, "purchase", 1L, 0.25)))
+  }
+
+  test("cohortRetention: Monday-week cohorts, whole-week offsets, distinct users") {
+    import graft.ops.WindowOps
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),  // Monday wk A (cohort)
+      (1L, ts("2024-01-10 10:00:00")),  // wk A+1
+      (1L, ts("2024-01-18 10:00:00")),  // wk A+2
+      (2L, ts("2024-01-03 10:00:00")),  // same cohort week A
+      (2L, ts("2024-01-09 10:00:00")),  // wk A+1
+      (3L, ts("2024-01-08 10:00:00"))   // cohort wk B = A+1
+    ).toDF("user_id", "ts")
+    val out = WindowOps.cohortRetention("user_id", "ts")(df)
+      .orderBy("cohort_week", "week_offset")
+      .select("cohort_week", "week_offset", "active_users")
+      .as[(java.sql.Date, Long, Long)].collect()
+    val wkA = java.sql.Date.valueOf("2024-01-01")
+    val wkB = java.sql.Date.valueOf("2024-01-08")
+    assert(out === Array(
+      (wkA, 0L, 2L), (wkA, 1L, 2L), (wkA, 2L, 1L), (wkB, 0L, 1L)))
+  }
+
   test("asOfJoin forward attaches earliest right at or after; tolerance nulls distant matches") {
     val left = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00")),   // next signup 10:00:00 (inclusive)
