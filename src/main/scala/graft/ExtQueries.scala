@@ -919,6 +919,17 @@ object ExtQueries {
         Seq(0.25, 0.5, 0.9))(table(s, dir, "lineitem"))
         .orderBy("l_returnflag")
     },
+    "winsorize_price" -> { (s, dir) =>
+      // per-flag exact-percentile clipping; bounds from the FULL table,
+      // value check on the l_orderkey < 1000 slice
+      Ops.winsorize(Seq("l_returnflag"), "l_extendedprice", 0.05, 0.95)(
+        table(s, dir, "lineitem"))
+        .filter(col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_extendedprice", "l_extendedprice_w")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_extendedprice", "l_extendedprice_w")
+    },
     "salted_agg" -> { (s, dir) =>
       // 3-value key = aggregation skew by construction; l_quantity is
       // integral-valued so double sums are exact in any order
@@ -3163,6 +3174,22 @@ object ExtQueries {
          avg(l_quantity) AS l_quantity_average,
          count(*) AS record_count
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // winsorize — mirrors Ops.winsorize: quantile_cont ≡ Spark's exact
+    // percentile; least/greatest skip NULL bounds on both engines, the
+    // explicit CASE keeps NULL values NULL
+    "winsorize_price" -> """
+      WITH b AS (SELECT l_returnflag,
+          quantile_cont(l_extendedprice, 0.05) AS lo,
+          quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        CASE WHEN l_extendedprice IS NULL THEN NULL
+             ELSE least(greatest(l_extendedprice, lo), hi) END
+          AS l_extendedprice_w
+      FROM lineitem JOIN b USING (l_returnflag)
+      WHERE l_orderkey < 1000
+      ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        l_extendedprice_w""",
     // the salted join's RESULT is the plain join — the oracle shares
     // the unsalted SQL verbatim, which is the whole correctness claim
     "join_salted" ->

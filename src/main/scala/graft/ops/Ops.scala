@@ -565,6 +565,36 @@ object Ops {
     * on the fixtures). Output columns `<field>_p<pct>`. Exact percentile
     * buffers each group's values — at 100 TB prefer approx_percentile;
     * this is the oracle-comparable form. */
+  /** Winsorize: clip `field` into its own group's exact
+    * [pLow, pHigh] percentile interval — the outlier treatment that
+    * keeps rows (unlike a filter) and bounds their leverage, per group
+    * so heterogeneous segments each keep their own scale. NULL values
+    * stay NULL (they are not "below the low bound"); a group whose
+    * bounds are NULL (all-NULL field) passes values through.
+    *
+    * Scale shape: one exact-percentile aggregation per group (the same
+    * per-group sorted buffer [[percentileAgg]] pays — swap mentally to
+    * `percentileApproxAgg` bounds beyond memory, at the cost of oracle
+    * exactness) + one broadcast-friendly equi-join of the tiny bounds
+    * frame back onto the rows. The clip itself is a pure projection. */
+  def winsorize(
+      keys: Seq[String], field: String,
+      pLow: Double, pHigh: Double,
+      outField: String = "")(df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    require(pLow >= 0 && pHigh <= 1 && pLow <= pHigh,
+      s"need 0 <= pLow <= pHigh <= 1, got [$pLow, $pHigh]")
+    val out = if (outField.isEmpty) s"${field}_w" else outField
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(percentile(col(field), lit(pLow)).as("__lo"),
+        percentile(col(field), lit(pHigh)).as("__hi"))
+    df.join(bounds, keys)
+      .withColumn(out,
+        when(col(field).isNull, lit(null))
+          .otherwise(least(greatest(col(field), col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
+
   def percentileAgg(
       keys: Seq[String],
       field: String,

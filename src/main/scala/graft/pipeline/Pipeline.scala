@@ -69,6 +69,9 @@ final case class Pipeline(df: DataFrame) {
     >>(Ops.unpivot(ids, values, varName, valName))
   def percentileAgg(keys: Seq[String], field: String, ps: Seq[Double]): Pipeline =
     >>(Ops.percentileAgg(keys, field, ps))
+  def winsorize(keys: Seq[String], field: String, pLow: Double,
+      pHigh: Double, outField: String = ""): Pipeline =
+    >>(Ops.winsorize(keys, field, pLow, pHigh, outField))
   def saltedJoin(right: DataFrame, keys: Seq[String], buckets: Int = 16,
       joinType: String = "inner"): Pipeline =
     >>(Ops.saltedJoin(right, keys, buckets, joinType))

@@ -6,6 +6,22 @@ import graft.ops.Ops
 
 class OpsSpec extends SparkSpec {
 
+  test("winsorize clips into per-group percentile bounds; NULLs stay NULL") {
+    import spark.implicits._
+    // group a: values 1..10 -> p10 = 1.9, p90 = 9.1 (linear interpolation)
+    val df = ((1 to 10).map(i => ("a", Some(i.toDouble))) ++
+      Seq(("a", None), ("b", Some(100.0)))).toDF("k", "v")
+    val out = graft.ops.Ops.winsorize(Seq("k"), "v", 0.1, 0.9)(df)
+      .orderBy($"k", $"v".asc_nulls_first)
+      .select("k", "v", "v_w").as[(String, Option[Double], Option[Double])]
+      .collect()
+    assert(out.head === (("a", None, None)))           // NULL passes through
+    assert(out(1) === (("a", Some(1.0), Some(1.9))))   // clipped up
+    assert(out(10) === (("a", Some(10.0), Some(9.1)))) // clipped down
+    assert(out(5)._3 === Some(5.0))                    // interior untouched
+    assert(out.last === (("b", Some(100.0), Some(100.0)))) // 1-value group
+  }
+
   test("saltedJoin: rows identical to the plain join; outer-right rejected") {
     import spark.implicits._
     // skewed: key 1 carries most rows; key 3 matches nothing
