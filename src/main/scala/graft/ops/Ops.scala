@@ -585,9 +585,12 @@ object Ops {
     require(pLow >= 0 && pHigh <= 1 && pLow <= pHigh,
       s"need 0 <= pLow <= pHigh <= 1, got [$pLow, $pHigh]")
     val out = if (outField.isEmpty) s"${field}_w" else outField
+    // ONE percentile buffer per group (array form): two scalar
+    // percentile aggregates would each buffer and sort the group
     val bounds = df.groupBy(keys.map(col): _*)
-      .agg(percentile(col(field), lit(pLow)).as("__lo"),
-        percentile(col(field), lit(pHigh)).as("__hi"))
+      .agg(percentile(col(field), array(lit(pLow), lit(pHigh))).as("__b"))
+      .select((keys.map(col) :+ element_at(col("__b"), 1).as("__lo") :+
+        element_at(col("__b"), 2).as("__hi")): _*)
     df.join(bounds, keys)
       .withColumn(out,
         when(col(field).isNull, lit(null))
