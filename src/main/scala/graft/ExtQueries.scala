@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{BinaryOps, Dedup, Similarity, TextOps}
+import graft.ext.{BinaryOps, Dedup, Frequency, Similarity, TextOps}
 import graft.ops.{Ops, TemporalOps, WindowOps}
 import graft.probes.Probes
 
@@ -1029,6 +1029,14 @@ object ExtQueries {
         .select(col("doc_id"), col("c.offset").as("chunk_offset"),
           col("c.length").as("chunk_len"), col("c.fp").as("chunk_md5"))
         .orderBy("doc_id", "chunk_offset")
+    },
+    "heavy_hitter_terms" -> { (s, dir) =>
+      // exact two-pass heavy hitters (Misra–Gries candidates → broadcast
+      // semi-join → exact counts); the oracle is the naive one-shuffle
+      // GROUP BY ... HAVING plan the two-pass form provably equals
+      Frequency.heavyHitterTerms("text", minFreq = 1e-3)(
+        corpus(s, dir, "documents"))
+        .orderBy(col("cnt").desc, col("token"))
     }
   )
 
@@ -3300,6 +3308,18 @@ object ExtQueries {
     // deterministic quarter of the digest space (leading 32 bits <
     // 2^30) — mirrors Dedup.containmentPairs(gramFraction = 0.25)
     "containment_pairs_sampled" ->
-      containmentPairsSql(cutoff = Some(1073741824L))
+      containmentPairsSql(cutoff = Some(1073741824L)),
+    // the naive exact plan the two-pass Misra–Gries form provably
+    // equals at minFreq ≥ 1/cap; threshold arithmetic is the same one
+    // IEEE multiply + compare as Frequency.heavyHitters
+    "heavy_hitter_terms" -> """
+      WITH t AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+                 FROM documents),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM t GROUP BY token
+      HAVING CAST(count(*) AS DOUBLE)
+           > 1e-3 * (SELECT CAST(total AS DOUBLE) FROM n)
+      ORDER BY cnt DESC, token"""
   )
 }

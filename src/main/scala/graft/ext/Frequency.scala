@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact frequency-threshold heavy hitters in the two-pass shape that
+  * scales to a 100 TB key stream (extension surface, SURVEY.md §2.12;
+  * the reference's `count_duplicates` + Python `HAVING`-style filters
+  * collapse into one distributed op here).
+  *
+  * The naive plan — `GROUP BY key HAVING count(*) > θ·N` — shuffles
+  * EVERY distinct key: at corpus scale the token vocabulary is billions
+  * of keys, almost all of which lose the HAVING filter after paying the
+  * full shuffle. The classical fix is two passes:
+  *
+  *  1. '''Candidate pass''' — each partition runs a Misra–Gries summary
+  *     with `cap − 1` counters over its local stream. MG guarantees any
+  *     key with local count > n_p/cap survives partition p; by
+  *     averaging, a key with GLOBAL count > N/cap must exceed that bound
+  *     in at least one partition, so the union of per-partition
+  *     survivors is a guaranteed superset of every global heavy hitter
+  *     at support 1/cap. The summary is ≤ cap−1 keys per partition —
+  *     kilobytes per task regardless of input size — and ships as ONE
+  *     row per partition (survivor array + partition row count), so the
+  *     only shuffle in pass 1 moves `partitions × cap` keys, not the
+  *     vocabulary.
+  *  2. '''Exact pass''' — the candidate set broadcasts back; a
+  *     broadcast semi-join keeps only candidate occurrences, and the
+  *     exact `GROUP BY` now aggregates a vanishing fraction of the
+  *     stream. The threshold `count > minFreq·N` (N summed from the
+  *     pass-1 partition counts — no third scan) then filters with
+  *     EXACT counts, so the output is precisely the naive plan's
+  *     output whenever `minFreq ≥ 1/cap` — which the constructor
+  *     enforces by deriving `cap = ⌈1/minFreq⌉`.
+  *
+  * Cost: two scans of the stream, one kilobyte-scale shuffle, one
+  * broadcast, one tiny aggregation. No driver-side collect anywhere —
+  * the candidate set and the total stay DataFrames (broadcast by the
+  * planner). Determinism: MG survivor sets depend on partitioning, but
+  * the FINAL output does not — any superset of the true heavy hitters
+  * yields the same exact-pass result, so reruns and the DuckDB oracle
+  * (the naive plan) agree bit-for-bit. The threshold comparison is one
+  * IEEE multiply + compare, identical in both engines.
+  */
+object Frequency {
+
+  /** Keys occurring in strictly more than `minFreq` of the rows of
+    * `df`'s `keyField` column (NULL keys are dropped — a NULL key is
+    * "no key", the library-wide doctrine), with their exact counts:
+    * `(keyField, cnt)`. See the object doc for the two-pass plan. */
+  def heavyHitters(keyField: String, minFreq: Double)(
+      df: DataFrame): DataFrame = {
+    require(minFreq > 0.0 && minFreq < 1.0,
+      s"heavyHitters: minFreq must be in (0, 1), got $minFreq")
+    val cap = math.max(2, math.ceil(1.0 / minFreq).toInt)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stream = df.select(col(keyField).cast("string").as(keyField))
+      .filter(col(keyField).isNotNull)
+    // pass 1: one (survivors, rowCount) row per partition. The summary
+    // is tiny, but it derives from a full scan — localCheckpoint so its
+    // two consumers (total + candidates) don't scan the stream twice.
+    val summaries = stream.as[String].mapPartitions { it =>
+      val counters = new java.util.HashMap[String, Long](cap * 2)
+      var n = 0L
+      while (it.hasNext) {
+        val k = it.next()
+        n += 1
+        val c = counters.get(k)
+        if (c != 0L) counters.put(k, c + 1L)
+        else if (counters.size < cap - 1) counters.put(k, 1L)
+        else {
+          // decrement-all: each round retires `cap` stream positions
+          // (the new key + cap−1 counters), so total decrement work is
+          // O(stream/cap · cap) = O(stream) — amortized O(1) per row
+          val del = new java.util.ArrayList[String]
+          val e = counters.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) del.add(kv.getKey)
+            else kv.setValue(kv.getValue - 1L)
+          }
+          del.forEach(k2 => counters.remove(k2))
+        }
+      }
+      Iterator.single(
+        (counters.keySet.toArray(Array.empty[String]).toSeq, n))
+    }.toDF("survivors", "np").localCheckpoint()
+    val total = summaries.agg(sum($"np").cast("long").as("__total"))
+    val cands = summaries
+      .select(explode($"survivors").as(keyField)).distinct()
+    // pass 2: candidate semi-join (broadcast — ≤ partitions·cap keys by
+    // construction) shrinks the stream BEFORE the exact aggregation
+    stream.join(broadcast(cands), Seq(keyField), "left_semi")
+      .groupBy(keyField).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter($"cnt".cast("double") > lit(minFreq) * $"__total".cast("double"))
+      .drop("__total")
+  }
+
+  /** Corpus frequent terms: whitespace tokens of `textField` (NULL text
+    * tokenizes as empty text — the one-token [""] stream, matching the
+    * library's split semantics) pushed through [[heavyHitters]].
+    * Output: `(token, cnt)` for every token above `minFreq` of the
+    * corpus token volume. */
+  def heavyHitterTerms(textField: String, minFreq: Double)(
+      df: DataFrame): DataFrame =
+    heavyHitters("token", minFreq)(
+      df.select(
+        explode(TextOps.tokens(coalesce(col(textField), lit(""))))
+          .as("token")))
+}

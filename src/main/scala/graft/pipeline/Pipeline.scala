@@ -312,6 +312,10 @@ final case class Pipeline(df: DataFrame) {
       targets, salt))
   def tokenHistogram(sourceField: String, textField: String): Pipeline =
     >>(TextOps.tokenHistogram(sourceField, textField))
+  def heavyHitters(keyField: String, minFreq: Double): Pipeline =
+    >>(graft.ext.Frequency.heavyHitters(keyField, minFreq))
+  def heavyHitterTerms(textField: String, minFreq: Double): Pipeline =
+    >>(graft.ext.Frequency.heavyHitterTerms(textField, minFreq))
   /** `this` is the labeled corpus; kNN majority-vote labels for `queries`. */
   def knnClassify(corpusId: String, corpusVec: String, labelField: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int): Pipeline =

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Frequency
+
+/** Two-pass heavy hitters: exactness vs the naive GROUP BY ... HAVING
+  * plan (the oracle shape), the Misra–Gries superset guarantee under
+  * adversarial partitioning, and the edge semantics (NULL keys, cap
+  * derivation, degenerate streams). */
+class FrequencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(df: org.apache.spark.sql.DataFrame, key: String,
+      minFreq: Double): Set[(String, Long)] = {
+    val n = df.filter(col(key).isNotNull).count()
+    df.filter(col(key).isNotNull)
+      .groupBy(key).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("double") > lit(minFreq) * lit(n.toDouble))
+      .as[(String, Long)].collect().toSet
+  }
+
+  test("equals the naive exact plan on a skewed stream") {
+    // zipf-ish: key k appears ~1000/k times — a realistic token curve
+    val rows = (1 to 50).flatMap(k => Seq.fill(1000 / k)(s"k$k"))
+    val df = spark.createDataset(rows).toDF("k").repartition(7)
+    for (f <- Seq(0.01, 0.05, 0.2)) {
+      val got = Frequency.heavyHitters("k", f)(df)
+        .as[(String, Long)].collect().toSet
+      assert(got === naive(df, "k", f), s"minFreq=$f")
+    }
+  }
+
+  test("exact under adversarial partitioning (each key local-light)") {
+    // every key is spread thin across partitions so NO single partition
+    // sees it as locally heavy relative to a big cap — the averaging
+    // argument (some partition must exceed n_p/cap) is what's on trial
+    val rows = (0 until 4000).map(i => s"k${i % 40}") // 100 each, uniform
+    val df = spark.createDataset(rows).toDF("k").repartition(32)
+    // minFreq 0.02 => threshold 80 < 100: all 40 keys qualify
+    val got = Frequency.heavyHitters("k", 0.02)(df)
+      .as[(String, Long)].collect().toSet
+    assert(got === (0 until 40).map(k => (s"k$k", 100L)).toSet)
+  }
+
+  test("counts are exact, not MG estimates") {
+    val rows = Seq.fill(900)("hot") ++ (0 until 300).map(i => s"cold$i")
+    val df = spark.createDataset(rows).toDF("k").repartition(5)
+    val got = Frequency.heavyHitters("k", 0.5)(df).as[(String, Long)].collect()
+    assert(got.toSeq === Seq(("hot", 900L)))
+  }
+
+  test("NULL keys are dropped and do not count toward N") {
+    val df = (Seq.fill(8)(Some("a")) ++ Seq.fill(92)(Option.empty[String]))
+      .toDF("k")
+    // N = 8 non-null rows; "a" at 8/8 passes any minFreq < 1
+    val got = Frequency.heavyHitters("k", 0.9)(df).as[(String, Long)].collect()
+    assert(got.toSeq === Seq(("a", 8L)))
+  }
+
+  test("empty stream and all-below-threshold streams return no rows") {
+    assert(Frequency.heavyHitters("k", 0.1)(
+      Seq.empty[String].toDF("k")).count() === 0)
+    val uniform = spark.createDataset((0 until 1000).map(i => s"u$i")).toDF("k")
+    assert(Frequency.heavyHitters("k", 0.01)(uniform).count() === 0)
+  }
+
+  test("minFreq bounds are enforced") {
+    val df = Seq("a").toDF("k")
+    intercept[IllegalArgumentException](Frequency.heavyHitters("k", 0.0)(df))
+    intercept[IllegalArgumentException](Frequency.heavyHitters("k", 1.0)(df))
+  }
+
+  test("heavyHitterTerms tokenizes like the library (NULL text => [\"\"])") {
+    val df = Seq(
+      (1L, "the cat and the dog and the fish"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "the end")).toDF("doc_id", "text")
+    // tokens: the×4 cat and×2 dog fish ""×1 end — N = 11
+    val got = Frequency.heavyHitterTerms("text", 0.25)(df)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("the" -> 4L)) // 4/11 > .25; "and" 2/11 fails
+  }
+}

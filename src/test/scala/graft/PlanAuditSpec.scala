@@ -42,7 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     "event_funnel",      // broadcast one-row entered-users count
     "key_skew",          // broadcast one-row total count
     "bm25_topk",         // broadcast one-row (N, avgdl, df…) stats aggregate
-    "bm25_batch")        // broadcast one-row (N, Σdl) stats aggregate
+    "bm25_batch",        // broadcast one-row (N, Σdl) stats aggregate
+    "heavy_hitter_terms") // broadcast one-row stream total (pass-1 Σn_p)
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
