@@ -804,6 +804,14 @@ object ExtQueries {
         .orderBy("user_id", "valid_from_us", "valid_to_us", "event_type",
           "is_current")
     },
+    "resample_ffill" -> { (s, dir) =>
+      // 6h regularized per-user series with gaps forward-filled; values
+      // ride through unaggregated (last event per bucket) so doubles
+      // hash-match bit-for-bit
+      TemporalOps.resample("user_id", "ts", "value", stepSeconds = 21600L,
+        tieBreak = "event_id")(table(s, dir, "events"))
+        .orderBy("user_id", "bucket_ts")
+    },
     "band_join" -> { (s, dir) =>
       val e = table(s, dir, "events")
       val signups = e.filter(col("event_type") === "signup")
@@ -2555,6 +2563,33 @@ object ExtQueries {
           AS is_current
       FROM v
       ORDER BY user_id, valid_from_us, valid_to_us, event_type, is_current""",
+    // mirrors TemporalOps.resample: integer bucket index, per-bucket
+    // latest value by (ts, event_id), generate_series spine per user,
+    // IGNORE NULLS last_value forward fill — values never aggregated
+    "resample_ffill" -> """
+      WITH e AS (SELECT user_id, value, event_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE ts IS NOT NULL),
+      e2 AS (SELECT *, (us - (us % 21600000000)) // 21600000000 AS bi FROM e),
+      agg AS (SELECT user_id, bi, CAST(count(*) AS BIGINT) AS n_events
+        FROM e2 GROUP BY 1, 2),
+      lastv AS (SELECT user_id, bi, value AS v_last FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, bi
+            ORDER BY us DESC, event_id DESC) AS rn FROM e2)
+        WHERE rn = 1),
+      sp AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bi
+        FROM (SELECT user_id, min(bi) AS mn, max(bi) AS mx
+              FROM agg GROUP BY 1)),
+      j AS (SELECT sp.user_id, sp.bi,
+          coalesce(agg.n_events, CAST(0 AS BIGINT)) AS n_events, lastv.v_last
+        FROM sp LEFT JOIN agg ON sp.user_id = agg.user_id AND sp.bi = agg.bi
+        LEFT JOIN lastv ON sp.user_id = lastv.user_id AND sp.bi = lastv.bi)
+      SELECT user_id, make_timestamp(bi * 21600000000) AS bucket_ts,
+        n_events, v_last,
+        last_value(v_last IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY bi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS v_ffill
+      FROM j ORDER BY user_id, bucket_ts""",
     "band_join" -> """
       SELECT a.event_id AS signup_id, b.event_id AS purchase_id, a.user_id,
         epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS delta_us

@@ -204,4 +204,61 @@ object TemporalOps {
       .drop("__k", "__bucket")
       .withColumn("delta_us", delta)
   }
+
+  /** Fixed-interval resample with gap fill: per `key`, bucket events
+    * into `stepSeconds` intervals and emit ONE row per bucket of the
+    * key's [first, last] active range — including the empty buckets
+    * between events — carrying the bucket's event count (`n_events`,
+    * 0 on gaps), the value of the bucket's LATEST event (`v_last`,
+    * NULL on gaps; latest by (`ts`, `tieBreak`) so ties are
+    * deterministic), and that value forward-filled across gaps
+    * (`v_ffill` — the time-series regularization every
+    * sessionless-metric / training-curve pipeline needs before
+    * windowed math, where a missing interval must mean "unchanged",
+    * not "absent").
+    *
+    * Values pass through UNAGGREGATED (last-event semantics, not a
+    * sum), so doubles survive bit-identically into the oracle; counts
+    * are the only arithmetic. Bucket index is floor(epochMicros/step)
+    * via the exact integer `(us − pmod(us, step)) div step` (no
+    * floating-point detour, negative epochs floor correctly — the
+    * loader's own idiom).
+    *
+    * Scale shape: one hash-agg shuffle of the events on (key, bucket);
+    * the per-key spine derives from the AGGREGATED frame (|keys ×
+    * active buckets| rows — localCheckpointed once for its two
+    * consumers, never a re-scan of the events), exploded with
+    * `sequence(lo, hi)` DISTRIBUTED per key — no driver-side range
+    * loop; then one left join on (key, bucket) and one per-key window
+    * for the forward fill. Skew: a key's cost is its active time range
+    * over `stepSeconds` — choose the step so range/step stays
+    * task-sized (a year at 1 s is 31M rows per key; at 1 h it's 8.7 k).
+    * Rows with a NULL timestamp are dropped (no place on a timeline —
+    * the [[asOfJoin]] doctrine). */
+  def resample(
+      key: String, ts: String, valueField: String, stepSeconds: Long,
+      tieBreak: String)(df: DataFrame): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val stepUs = stepSeconds * 1000000L
+    val src = df.filter(col(ts).isNotNull)
+      .select(col(key).as("__k"), col(ts).as("__ts"),
+        col(valueField).as("__v"), col(tieBreak).as("__tb"))
+      .withColumn("__us", unix_micros(col("__ts")))
+      .withColumn("__bi", expr(s"(__us - pmod(__us, ${stepUs}L)) div ${stepUs}L"))
+    val perBucket = src.groupBy("__k", "__bi")
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("__v"), struct(col("__us"), col("__tb"))).as("v_last"))
+      .localCheckpoint()
+    val spine = perBucket.groupBy("__k")
+      .agg(min("__bi").as("__lo"), max("__bi").as("__hi"))
+      .select(col("__k"), explode(sequence(col("__lo"), col("__hi"))).as("__bi"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__bi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(perBucket, Seq("__k", "__bi"), "left")
+      .select(col("__k").as(key),
+        timestamp_micros(col("__bi") * stepUs).as("bucket_ts"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("v_last"),
+        last(col("v_last"), ignoreNulls = true).over(w).as("v_ffill"))
+  }
 }

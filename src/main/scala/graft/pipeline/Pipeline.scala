@@ -88,6 +88,9 @@ final case class Pipeline(df: DataFrame) {
   def bandJoin(right: DataFrame, key: String, leftTime: String, rightTime: String,
       widthSeconds: Long): Pipeline =
     >>(TemporalOps.bandJoin(right, key, leftTime, rightTime, widthSeconds))
+  def resample(key: String, ts: String, valueField: String,
+      stepSeconds: Long, tieBreak: String): Pipeline =
+    >>(TemporalOps.resample(key, ts, valueField, stepSeconds, tieBreak))
   def audit(fields: String*): Pipeline = >>(Probes.audit(fields))
   def keySkew(keys: Seq[String], topN: Int = 20): Pipeline =
     >>(Probes.keySkew(keys, topN))

@@ -220,4 +220,50 @@ class TemporalSpec extends SparkSpec {
     assert(out.count() === 1L)
     assert(out.select("delta_us").as[Long].head() === 10000000L)
   }
+
+  test("resample emits every bucket in [first, last], fills gaps forward") {
+    // user 1: events in hours 10 and 13 — hours 11, 12 are gaps
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:05:00"), 5.0),
+      (1L, 11L, ts("2024-01-01 10:55:00"), 7.5), // same bucket, later -> v_last
+      (1L, 12L, ts("2024-01-01 13:01:00"), 9.0),
+      (2L, 20L, ts("2024-01-01 00:30:00"), 1.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = TemporalOps.resample("user_id", "ts", "value", 3600L,
+      tieBreak = "event_id")(events)
+      .orderBy("user_id", "bucket_ts")
+      .select("user_id", "n_events", "v_last", "v_ffill")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, Some(7.5), 7.5), // hour 10: two events, last one wins
+      (1L, 0L, None, 7.5),      // hour 11: gap, forward-filled
+      (1L, 0L, None, 7.5),      // hour 12: gap
+      (1L, 1L, Some(9.0), 9.0), // hour 13
+      (2L, 1L, Some(1.0), 1.0)))
+  }
+
+  test("resample tie-break picks the higher (ts, tieBreak) event in a bucket") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, 11L, ts("2024-01-01 10:00:00"), 2.0) // same ts, higher id wins
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = TemporalOps.resample("user_id", "ts", "value", 3600L,
+      tieBreak = "event_id")(events)
+      .select("v_last").as[Double].collect()
+    assert(out.toSeq === Seq(2.0))
+  }
+
+  test("resample drops NULL-timestamp rows and keys with no datable events") {
+    val events = Seq(
+      (1L, 10L, Some(ts("2024-01-01 10:00:00")), 5.0),
+      (1L, 11L, Option.empty[Timestamp], 6.0),
+      (3L, 30L, Option.empty[Timestamp], 7.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = TemporalOps.resample("user_id", "ts", "value", 3600L,
+      tieBreak = "event_id")(events)
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 1L)))
+  }
 }
