@@ -235,6 +235,14 @@ object ExtQueries {
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     },
+    "jw_link_pairs" -> { (s, dir) =>
+      // same del-1 candidate set, scored with the graded Jaro–Winkler
+      // kernel (bit-identical to DuckDB's builtin) instead of the
+      // binary levenshtein gate
+      Dedup.jaroWinklerPairs("c_custkey", "c_name", minJw = 0.9)(
+        table(s, dir, "customer").select("c_custkey", "c_name"))
+        .orderBy("id_a", "id_b")
+    },
     "embedding_dedup" -> { (s, dir) =>
       Dedup.embeddingNearDuplicates("vec_id", "embedding", threshold = 0.4,
         planes = 6, dim = 64)(corpus(s, dir, "embeddings"))
@@ -1969,6 +1977,28 @@ object ExtQueries {
            WHERE a.id < b.id AND a.n <= 64)
          SELECT id_a, id_b FROM cand
          WHERE levenshtein(key_a, key_b) <= 1 ORDER BY id_a, id_b""",
+    // same del-1 candidate CTEs, scored with DuckDB's builtin
+    // jaro_winkler_similarity — the native kernel is pinned
+    // bit-identical to it (both-empty → 0, boost only above 0.7), so
+    // the 0.9 float threshold selects identical pairs
+    "jw_link_pairs" ->
+      """WITH v AS (
+           SELECT c_custkey AS id, c_name AS key,
+             unnest(list_distinct(list_prepend(c_name,
+               CASE WHEN length(c_name) = 0 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(range(1, length(c_name) + 1), i ->
+                   substr(c_name, 1, CAST(i - 1 AS INT))
+                   || substr(c_name, CAST(i + 1 AS INT), length(c_name)))
+               END))) AS var
+           FROM customer WHERE c_name IS NOT NULL),
+         sized AS (SELECT *, count(*) OVER (PARTITION BY var) AS n FROM v),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.key AS key_a, b.key AS key_b
+           FROM sized a JOIN sized b ON a.var = b.var
+           WHERE a.id < b.id AND a.n <= 64)
+         SELECT id_a, id_b, jaro_winkler_similarity(key_a, key_b) AS jw
+         FROM cand WHERE jaro_winkler_similarity(key_a, key_b) >= 9e-1
+         ORDER BY id_a, id_b""",
     // maxBucket=64 cap mirrored via the window count, exactly
     // Dedup.embeddingNearDuplicates' between(2, maxBucket)
     "embedding_dedup" -> s"""

@@ -883,7 +883,17 @@ object Dedup {
   def fuzzyKeyPairs(
       idField: String,
       keyField: String,
-      maxBucket: Int = 64)(df: DataFrame): DataFrame = {
+      maxBucket: Int = 64)(df: DataFrame): DataFrame =
+    del1CandidatePairs(idField, keyField, maxBucket)(df)
+      .filter(levenshtein(col("key_a"), col("key_b")) <= 1)
+
+  /** [[fuzzyKeyPairs]]' candidate generator, shared with the
+    * Jaro–Winkler scorer: distinct del-1-blocked ordered id pairs with
+    * both keys attached, BEFORE any verify predicate. */
+  private def del1CandidatePairs(
+      idField: String,
+      keyField: String,
+      maxBucket: Int)(df: DataFrame): DataFrame = {
     // {key} ∪ del-1 neighborhood, deduplicated (repeated chars collapse:
     // "aa" yields "a" twice); empty keys guard the sequence(1, 0)
     // DESCENDING trap exactly like TextOps.shingles
@@ -912,8 +922,30 @@ object Dedup {
       // first()-style selection) and the aggregate compares two longs
       // instead of two longs + two strings
       .dropDuplicates("id_a", "id_b")
-      .filter(levenshtein(col("key_a"), col("key_b")) <= 1)
   }
+
+  /** Record-linkage pairs scored with Jaro–Winkler: the same del-1
+    * blocked candidate set as [[fuzzyKeyPairs]] (complete for edit
+    * distance ≤ 1 — the typo neighborhood entity resolution mostly
+    * lives in), but verified with the GRADED prefix-weighted similarity
+    * instead of Levenshtein's binary gate, so callers rank or threshold
+    * matches (`jw ≥ minJw`) rather than accept everything within one
+    * edit. The scorer is the native [[graft.functions.JaroWinkler]]
+    * kernel — bit-identical to DuckDB's `jaro_winkler_similarity`, so
+    * the float threshold is oracle-safe. Output:
+    * `(id_a, id_b, jw)`. For wider-radius candidate generation swap the
+    * blocking, not the scorer ([[minhashNearDuplicates]] on character
+    * shingles is the scale path for radius ≥ 2). */
+  def jaroWinklerPairs(
+      idField: String,
+      keyField: String,
+      minJw: Double,
+      maxBucket: Int = 64)(df: DataFrame): DataFrame =
+    del1CandidatePairs(idField, keyField, maxBucket)(df)
+      .withColumn("jw",
+        graft.functions.GraftFunctions.jaroWinkler(col("key_a"), col("key_b")))
+      .filter(col("jw") >= minJw)
+      .select("id_a", "id_b", "jw")
 
   /** Embedding near-dup pairs at scale: sign-LSH bucketing
     * ([[Similarity.lshBucket]]) generates candidates — the shuffle key is

@@ -86,6 +86,11 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         arity("graft_simhash", children, 1)
         SimHash60(children.head) }),
+    ("graft_jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      { children: Seq[Expression] =>
+        arity("graft_jaro_winkler", children, 2)
+        JaroWinkler(children.head, children(1)) }),
     ("graft_jaccard",
       new ExpressionInfo(classOf[ArrayJaccard].getName, "graft_jaccard"),
       { children: Seq[Expression] =>
@@ -241,6 +246,11 @@ object GraftFunctions {
     * [[ArrayJaccard]]). */
   def arrayJaccard(a: Column, b: Column): Column =
     Bridge.column(ArrayJaccard(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Native Jaro–Winkler similarity between two strings (see
+    * [[JaroWinkler]]). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
 
   /** Native 64-bit sign sketch over a numeric array (see
     * [[SignSketch64]]). */

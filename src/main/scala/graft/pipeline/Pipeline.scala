@@ -101,6 +101,9 @@ final case class Pipeline(df: DataFrame) {
   def fuzzyKeyPairs(idField: String, keyField: String,
       maxBucket: Int = 64): Pipeline =
     >>(Dedup.fuzzyKeyPairs(idField, keyField, maxBucket))
+  def jaroWinklerPairs(idField: String, keyField: String, minJw: Double,
+      maxBucket: Int = 64): Pipeline =
+    >>(Dedup.jaroWinklerPairs(idField, keyField, minJw, maxBucket))
   def dedupIncrementalBloom(textField: String, tieBreak: String,
       seen: DataFrame, expectedItems: Long = 1000000L,
       fpp: Double = 0.03): Pipeline =

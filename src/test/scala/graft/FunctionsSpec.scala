@@ -67,7 +67,8 @@ class FunctionsSpec extends SparkSpec {
            graft_sign_sketch_wide(
              CAST(array(1.0, -1.0) AS array<float>), 128) AS ssw,
            graft_hamming_words(array(CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
-             array(CAST(0 AS BIGINT), CAST(1 AS BIGINT))) AS hw""")
+             array(CAST(0 AS BIGINT), CAST(1 AS BIGINT))) AS hw,
+           graft_jaro_winkler('MARTHA', 'MARHTA') AS jw""")
       .head()
     assert(r.getSeq[Long](0).length === 4)
     assert(r.getLong(1) !== 0L)
@@ -81,6 +82,7 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[String](6) === Seq("▁the", "▁the", "m", "e"))
     assert(r.getSeq[Long](7) === Seq(1L, 0L)) // 2 words at dim 128
     assert(r.getInt(8) === 3)                 // popcount(3^0) + popcount(0^1)
+    assert(r.getDouble(9) === 0.9611111111111111) // DuckDB-pinned value
     // structural args must be literals
     intercept[Exception](spark.sql(
       "SELECT graft_minhash(array('a'), CAST(rand() * 4 AS INT))").collect())
@@ -231,6 +233,50 @@ class FunctionsSpec extends SparkSpec {
     } finally {
       spark.conf.set(items, i0); spark.conf.set(bits, b0)
     }
+  }
+
+  test("jaroWinkler matches DuckDB's builtin on pinned vectors") {
+    // expected values are DuckDB jaro_winkler_similarity outputs,
+    // captured verbatim — the oracle-exactness contract
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("apple", "aple", 0.9466666666666665),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("a", "", 0.0),
+      ("", "", 0.0), // DuckDB's both-empty edge: 0, not 1
+      ("Customer#000000001", "Customer#000000010", 0.9888888888888889),
+      ("DwAyNE", "DuANE", 0.8400000000000001),
+      ("kitten", "sitting", 0.746031746031746),
+      ("ab", "ba", 0.0),                    // window 0: no cross matches
+      ("abcdef", "fedcba", 0.38888888888888884), // below boost threshold
+      ("aabbcc", "ccbbaa", 0.5555555555555555),  // transposition-heavy
+      ("xy", "zq", 0.0))                    // zero matches
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(GraftFunctions.jaroWinkler($"a", $"b"))
+    assert(df.as[Double].collect().toSeq === cases.map(_._3))
+    // NULL in, NULL out
+    val n = Seq((Some("a"), Option.empty[String])).toDF("a", "b")
+      .select(GraftFunctions.jaroWinkler($"a", $"b"))
+    assert(n.collect().head.isNullAt(0))
+  }
+
+  test("jaroWinkler interpreted eval equals codegen on random pairs") {
+    val rnd = new scala.util.Random(11)
+    val al = "abcab "
+    val pairs = Seq.fill(500)((
+      Seq.fill(rnd.nextInt(9))(al(rnd.nextInt(al.length))).mkString,
+      Seq.fill(rnd.nextInt(9))(al(rnd.nextInt(al.length))).mkString))
+    val viaCodegen = pairs.toDF("a", "b")
+      .select(GraftFunctions.jaroWinkler($"a", $"b")).as[Double].collect()
+    val viaEval = pairs.map { case (a, b) =>
+      graft.functions.JaroWinkler.score(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    }
+    assert(viaCodegen.toSeq === viaEval)
   }
 
   test("native cosine stays inside whole-stage codegen") {
