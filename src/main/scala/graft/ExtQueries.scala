@@ -946,6 +946,17 @@ object ExtQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
           "l_extendedprice", "l_extendedprice_w")
     },
+    "equal_freq_bins" -> { (s, dir) =>
+      // per-flag deciles of extended price, verified via the per-bin
+      // population + passthrough min/max (bin edges are exact
+      // percentiles — the quantile_cont-equality precedent)
+      Ops.equalFreqBins(Seq("l_returnflag"), "l_extendedprice", bins = 10)(
+        table(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"))
+        .groupBy("l_returnflag", "l_extendedprice_bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+        .orderBy("l_returnflag", "l_extendedprice_bin")
+    },
     "salted_agg" -> { (s, dir) =>
       // 3-value key = aggregation skew by construction; l_quantity is
       // integral-valued so double sums are exact in any order
@@ -3263,6 +3274,21 @@ object ExtQueries {
       WHERE l_orderkey < 1000
       ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
         l_extendedprice_w""",
+    // mirrors Ops.equalFreqBins: exact interior-decile cutpoints
+    // (quantile_cont list ≡ Spark's percentile array), bin = 1 + cuts
+    // strictly below the value, ties land low
+    "equal_freq_bins" -> """
+      WITH c AS (SELECT l_returnflag,
+          quantile_cont(l_extendedprice,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag,
+        CAST(1 + len(list_filter(cuts, x -> l_extendedprice > x)) AS BIGINT)
+          AS l_extendedprice_bin,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM lineitem JOIN c USING (l_returnflag)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     // the salted join's RESULT is the plain join — the oracle shares
     // the unsalted SQL verbatim, which is the whole correctness claim
     "join_salted" ->

@@ -598,6 +598,40 @@ object Ops {
       .drop("__lo", "__hi")
   }
 
+  /** Equal-frequency (quantile) binning per group: assign each row the
+    * 1-based bin index of `field` among `bins` same-population buckets
+    * of its group — the discretization step feeding stratified
+    * sampling, calibration tables, and monotone feature encodings.
+    *
+    * Bin edges are the group's EXACT interior percentiles
+    * (i/bins, one percentile buffer per group — the [[winsorize]]
+    * shape); a row's bin is `1 + #cuts strictly below its value`, so
+    * values tied with a cutpoint land in the LOWER bin and NULL values
+    * keep a NULL bin (the [[threshold]] doctrine). The tiny per-group
+    * cutpoint table (groups × (bins−1) doubles) joins back broadcast;
+    * the bin projection is one codegen'd array filter — the corpus
+    * never sorts globally (no ntile: a global window would
+    * single-partition 100 TB; the cutpoint form is the distributed
+    * equivalent, exact for the same input). Beyond-memory groups:
+    * swap the exact percentile for `approx_percentile` — the plan
+    * shape is unchanged but bins become approximate. */
+  def equalFreqBins(
+      keys: Seq[String], field: String, bins: Int,
+      target: String = "")(df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val out = if (target.isEmpty) s"${field}_bin" else target
+    val cuts = (1 until bins).map(_.toDouble / bins)
+    val cutTab = df.groupBy(keys.map(col): _*)
+      .agg(percentile(col(field), array(cuts.map(lit): _*)).as("__cuts"))
+    df.join(cutTab, keys)
+      .withColumn(out,
+        when(col(field).isNull, lit(null))
+          .otherwise(lit(1L) +
+            size(filter(col("__cuts"), c => col(field) > c)).cast("long")))
+      .drop("__cuts")
+  }
+
   def percentileAgg(
       keys: Seq[String],
       field: String,

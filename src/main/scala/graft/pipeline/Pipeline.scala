@@ -72,6 +72,9 @@ final case class Pipeline(df: DataFrame) {
   def winsorize(keys: Seq[String], field: String, pLow: Double,
       pHigh: Double, outField: String = ""): Pipeline =
     >>(Ops.winsorize(keys, field, pLow, pHigh, outField))
+  def equalFreqBins(keys: Seq[String], field: String, bins: Int,
+      target: String = ""): Pipeline =
+    >>(Ops.equalFreqBins(keys, field, bins, target))
   def saltedJoin(right: DataFrame, keys: Seq[String], buckets: Int = 16,
       joinType: String = "inner"): Pipeline =
     >>(Ops.saltedJoin(right, keys, buckets, joinType))

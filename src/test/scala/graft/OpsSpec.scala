@@ -22,6 +22,33 @@ class OpsSpec extends SparkSpec {
     assert(out.last === (("b", Some(100.0), Some(100.0)))) // 1-value group
   }
 
+  test("equalFreqBins: balanced bins, cut ties land low, NULL bin is NULL") {
+    import spark.implicits._
+    // group a: 1..100 uniform -> deciles split 10/10/.../10
+    val df = ((1 to 100).map(i => ("a", Some(i.toDouble))) ++
+      Seq(("a", None), ("b", Some(7.0)))).toDF("k", "v")
+    val out = graft.ops.Ops.equalFreqBins(Seq("k"), "v", 10)(df)
+    val sizes = out.filter($"k" === "a" && $"v_bin".isNotNull)
+      .groupBy("v_bin").count().orderBy("v_bin")
+      .as[(Long, Long)].collect()
+    assert(sizes.map(_._1).toSeq === (1L to 10L))
+    assert(sizes.map(_._2).toSeq === Seq.fill(10)(10L))
+    // NULL value -> NULL bin
+    assert(out.filter($"k" === "a" && $"v".isNull)
+      .select("v_bin").collect().head.isNullAt(0))
+    // a value exactly at a cutpoint lands in the LOWER bin: p10 of
+    // 1..100 is 10.9 — not hit; use 1..10 where p50 = 5.5 isn't hit
+    // either, so pin directly: 2 bins over 1,2,2,3 -> cut = 2.0, and
+    // the tied 2.0 rows go to bin 1 (value > cut is false)
+    val tied = Seq(("t", 1.0), ("t", 2.0), ("t", 2.0), ("t", 3.0))
+      .toDF("k", "v")
+    val bins = graft.ops.Ops.equalFreqBins(Seq("k"), "v", 2)(tied)
+      .orderBy("v").select("v_bin").as[Long].collect()
+    assert(bins.toSeq === Seq(1L, 1L, 1L, 2L))
+    // single-value groups: every row bin 1
+    assert(out.filter($"k" === "b").select("v_bin").as[Long].head() === 1L)
+  }
+
   test("saltedJoin: rows identical to the plain join; outer-right rejected") {
     import spark.implicits._
     // skewed: key 1 carries most rows; key 3 matches nothing
