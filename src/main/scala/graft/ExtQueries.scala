@@ -176,6 +176,15 @@ object ExtQueries {
         table(s, dir, "documents").select("doc_id", "lang"))
         .orderBy("doc_id")
     },
+    "weighted_sample" -> { (s, dir) =>
+      // length-weighted πps draw, 10 docs per source: sequential Poisson
+      // priorities u/w from the content hash — deterministic and
+      // engine-reproducible like every sampler here
+      Ops.weightedSample("source", "doc_id", "n_chars", n = 10,
+        salt = "wsamp")(
+        table(s, dir, "documents").select("doc_id", "source", "n_chars"))
+        .orderBy("doc_id")
+    },
     "incremental_dedup_bloom" -> { (s, dir) =>
       // same contract as incremental_dedup (oracle shared verbatim):
       // bloom prefilter proves most new docs absent without the join
@@ -1903,6 +1912,19 @@ object ExtQueries {
                * CAST(16**(8-j) AS BIGINT))) ASC, doc_id ASC) AS rk
            FROM documents)
          WHERE rk <= 50 ORDER BY doc_id""",
+    // mirrors Ops.weightedSample: priority ((h+1)/2^32)/weight with the
+    // salted 32-bit md5 prefix — one IEEE divide chain, bit-identical
+    "weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars, row_number() OVER (
+             PARTITION BY source ORDER BY
+               ((list_sum(list_transform(range(1,9), j ->
+                   (strpos('0123456789abcdef',
+                      substr(md5('wsamp' || CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+                   * CAST(16**(8-j) AS BIGINT))) + 1) / 4294967296.0)
+               / n_chars ASC, doc_id ASC) AS rk
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+         WHERE rk <= 10 ORDER BY doc_id""",
     "incremental_dedup" -> IncrementalDedupSql,
     // the bloom prefilter is semantically transparent (false = proven
     // absent; maybes fall through to the exact anti-join), so the oracle

@@ -380,6 +380,41 @@ object Ops {
       .drop("__rk")
   }
 
+  /** Deterministic weighted exact-n sample per group — sequential
+    * Poisson sampling (Ohlsson 1998): each row draws the priority
+    * `u / w` with `u = (md5-prefix-32 + 1) / 2³²` ∈ (0, 1] from its
+    * content hash, and the `n` LOWEST priorities per group win, so
+    * inclusion probability is approximately proportional to the row's
+    * `weightField` (the survey-statistics πps workhorse — quality- or
+    * length-weighted corpus selection here). Deliberately u/w, not the
+    * exponential-draw A-ES key: the library's no-libm doctrine (see
+    * [[graft.ext.TextOps.hashBernoulli]]) keeps every score a plain
+    * IEEE divide the oracle reproduces bit-for-bit; u/w and the A-ES
+    * key order identically for equal weights and agree asymptotically
+    * in the πps sense.
+    *
+    * Rows with NULL or non-positive weight never sample (a weight of
+    * zero means "never pick me"; negative weights have no πps
+    * meaning). Same WindowGroupLimit shape as [[quotaSample]] —
+    * per-group top-n losers drop before the window sort materializes;
+    * hash ties break on the key ascending, so the selection is total
+    * and rerun-identical. Change `salt` for a fresh draw. */
+  def weightedSample(groupField: String, keyField: String,
+      weightField: String, n: Int, salt: String = "")(
+      df: DataFrame): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val u = (graft.functions.GraftFunctions.md5Prefix32(col(keyField), salt)
+      .cast("double") + lit(1.0)) / lit(4294967296.0)
+    df.filter(col(weightField).isNotNull && col(weightField) > 0)
+      .withColumn("__pri", u / col(weightField))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupField))
+          .orderBy(col("__pri").asc, col(keyField).asc_nulls_first)))
+      .filter(col("__rk") <= n)
+      .drop("__pri", "__rk")
+  }
+
   /** Deterministic stratified sample: per-stratum Bernoulli fractions,
     * decided by the same content-keyed md5 filter as [[sampleHash]] so
     * the identical rows survive on every engine and run. Strata not in

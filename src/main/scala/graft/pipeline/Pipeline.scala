@@ -75,6 +75,9 @@ final case class Pipeline(df: DataFrame) {
   def equalFreqBins(keys: Seq[String], field: String, bins: Int,
       target: String = ""): Pipeline =
     >>(Ops.equalFreqBins(keys, field, bins, target))
+  def weightedSample(groupField: String, keyField: String,
+      weightField: String, n: Int, salt: String = ""): Pipeline =
+    >>(Ops.weightedSample(groupField, keyField, weightField, n, salt))
   def saltedJoin(right: DataFrame, keys: Seq[String], buckets: Int = 16,
       joinType: String = "inner"): Pipeline =
     >>(Ops.saltedJoin(right, keys, buckets, joinType))

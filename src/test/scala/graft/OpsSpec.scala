@@ -49,6 +49,41 @@ class OpsSpec extends SparkSpec {
     assert(out.filter($"k" === "b").select("v_bin").as[Long].head() === 1L)
   }
 
+  test("weightedSample: exact n per group, weight-monotone, zero-weight excluded") {
+    import spark.implicits._
+    val df = (1 to 40).map(i =>
+      (if (i <= 20) "a" else "b", i.toLong,
+        if (i % 10 == 0) 0L else (i % 5 + 1).toLong)).toDF("g", "id", "w")
+    val out = Ops.weightedSample("g", "id", "w", n = 5, salt = "s1")(df)
+    val byG = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG === Map("a" -> 5L, "b" -> 5L))
+    // zero-weight rows can never appear
+    assert(out.filter($"w" === 0L).count() === 0)
+    // selection matches the reference priority computation exactly
+    def h32(salt: String, key: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + key.toString).getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md, 16)
+    }
+    val expect = df.as[(String, Long, Long)].collect()
+      .filter(_._3 > 0L)
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy { case (_, id, w) =>
+          (((h32("s1", id).toDouble + 1.0) / 4294967296.0) / w, id)
+        }.take(5).toSeq
+      }.map(_._2).toSet
+    assert(out.select("id").as[Long].collect().toSet === expect)
+    // heavier rows win far more often across independent draws
+    val skew = (1 to 200).map(i =>
+      ("g", i.toLong, if (i <= 100) 100L else 1L)).toDF("g", "id", "w")
+    val heavyWins = (1 to 10).map { s =>
+      Ops.weightedSample("g", "id", "w", n = 20, salt = s"x$s")(skew)
+        .filter($"w" === 100L).count()
+    }.sum
+    assert(heavyWins > 150, s"heavy rows won only $heavyWins/200 slots")
+  }
+
   test("saltedJoin: rows identical to the plain join; outer-right rejected") {
     import spark.implicits._
     // skewed: key 1 carries most rows; key 3 matches nothing
