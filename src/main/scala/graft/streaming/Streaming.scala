@@ -43,6 +43,29 @@ object Streaming {
         col(keyField),
         col("event_count"))
 
+  /** Windowed heavy hitters over an unbounded key stream: per tumbling
+    * window, only the keys whose count reaches `minCount` — trending
+    * terms / hot entities per interval. Same state story as
+    * [[windowedEventCounts]]: state is the ACTIVE windows' key counts
+    * and the watermark evicts closed windows, so state never grows with
+    * stream age — the property an all-time streaming counter cannot
+    * have. For all-time heavy hitters over the accumulated corpus run
+    * the batch two-pass ([[graft.ext.Frequency.heavyHitters]]) over the
+    * stored stream — the standard lambda split this library's
+    * incremental-index ops follow. The threshold filters POST-aggregate
+    * (sub-threshold keys still count state — they must, any of them
+    * may still reach `minCount` before the window closes). */
+  def windowedHeavyHitters(
+      events: DataFrame,
+      minCount: Long,
+      tsField: String = "ts",
+      keyField: String = "event_type",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    windowedEventCounts(events, tsField, keyField, windowLength,
+      watermarkDelay)
+      .filter(col("event_count") >= minCount)
+
   /** Gap-based session windows per user: a session closes after
     * `gap` of event-time silence. */
   def sessionCounts(

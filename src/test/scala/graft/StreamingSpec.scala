@@ -32,6 +32,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHeavyHitters emits only keys at/over the threshold per window") {
+    val input = MemoryStream[(Timestamp, String)]
+    val hot = Streaming.windowedHeavyHitters(
+      input.toDF().toDF("ts", "event_type"), minCount = 2L,
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = hot.writeStream.format("memory").queryName("hh")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        ts("10:01") -> "click", ts("10:03") -> "click",
+        ts("10:04") -> "view",              // below threshold in 10:00
+        ts("10:11") -> "view", ts("10:12") -> "view",
+        ts("10:13") -> "click")             // below threshold in 10:10
+      q.processAllAvailable()
+      val rows = spark.table("hh")
+        .orderBy("window_start", "event_type").collect()
+      assert(rows.map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("event_count"))).toSeq == Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 10:10:00.0", "view", 2L)))
+    } finally q.stop()
+  }
+
   test("session windows close after the gap") {
     val input = MemoryStream[(Timestamp, String)]
     val sessions = Streaming.sessionCounts(
