@@ -821,6 +821,14 @@ object ExtQueries {
         .orderBy("user_id", "valid_from_us", "valid_to_us", "event_type",
           "is_current")
     },
+    "ewma_value" -> { (s, dir) =>
+      // per-user exponential smoothing of the value stream; the fold is
+      // a literal sequential recurrence, mirrored by the oracle's
+      // recursive CTE step for step
+      WindowOps.ewmaSmooth("user_id", "ts", "value", alpha = 0.3,
+        tieBreak = "event_id")(table(s, dir, "events"))
+        .orderBy("user_id", "ts", "event_id")
+    },
     "resample_ffill" -> { (s, dir) =>
       // 6h regularized per-user series with gaps forward-filled; values
       // ride through unaggregated (last event per bucket) so doubles
@@ -2626,6 +2634,24 @@ object ExtQueries {
           AS is_current
       FROM v
       ORDER BY user_id, valid_from_us, valid_to_us, event_type, is_current""",
+    // mirrors WindowOps.ewmaSmooth: y1 = v1, yi = a*vi + b*y(i-1) as a
+    // recursive CTE — the identical two-multiply-one-add step, with the
+    // Scala-printed double constants so both engines fold the same bits
+    "ewma_value" -> s"""
+      WITH RECURSIVE o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC) AS i
+        FROM events WHERE ts IS NOT NULL),
+      r AS (
+        SELECT user_id, ts, event_id, value, i, value AS ewma
+        FROM o WHERE i = 1
+        UNION ALL
+        SELECT o.user_id, o.ts, o.event_id, o.value, o.i,
+          ${0.3} * o.value + ${1.0 - 0.3} * r.ewma
+        FROM o JOIN r ON o.user_id = r.user_id AND o.i = r.i + 1)
+      SELECT user_id, ts, event_id, value, ewma
+      FROM r ORDER BY user_id, ts, event_id""",
     // mirrors TemporalOps.resample: integer bucket index, per-bucket
     // latest value by (ts, event_id), generate_series spine per user,
     // IGNORE NULLS last_value forward fill — values never aggregated

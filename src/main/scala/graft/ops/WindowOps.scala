@@ -162,4 +162,50 @@ object WindowOps {
       .select(col("__cw").as("cohort_week"), col("__off").as("week_offset"),
         col("active_users"))
   }
+
+  /** Exponentially weighted moving average per key along event order:
+    * `y₁ = v₁, yᵢ = α·vᵢ + (1−α)·yᵢ₋₁` — the time-series smoother for
+    * metric dashboards and drift monitors, emitted as one `ewma` value
+    * PER EVENT alongside the raw value.
+    *
+    * Spark has no recursive window, and the closed form needs `powΔ`
+    * (libm — banned from scores by the library doctrine: pow is not
+    * bit-reproducible across engines). So the recurrence runs as a
+    * LITERAL sequential fold: one `collect_list` per key, `sort_array`
+    * by (ts, tieBreak), one higher-order `aggregate` building the
+    * smoothed array in event order, then `posexplode` back to rows.
+    * Every step is the same two IEEE multiplies + add the oracle's
+    * recursive CTE performs, so results hash-match bit-for-bit.
+    *
+    * Scale shape: ONE hash-agg shuffle on the key; per-key memory is
+    * the key's event array (the explicit trade — a key's history must
+    * fit a task, the same bound every per-key sort op here carries;
+    * shard long histories by (key, period) first when they don't).
+    * Rows with NULL timestamps are dropped (no place in event order —
+    * the temporal doctrine). */
+  def ewmaSmooth(
+      keyField: String, tsField: String, valueField: String, alpha: Double,
+      tieBreak: String)(df: DataFrame): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    val beta = 1.0 - alpha
+    val arr = sort_array(collect_list(
+      struct(col("__t"), col("__tb"), col("__v"))))
+    val fold = aggregate(col("__arr"),
+      array().cast("array<double>"),
+      (acc, x) => when(size(acc) === 0, array(x("__v")))
+        .otherwise(concat(acc,
+          array(lit(alpha) * x("__v") + lit(beta) * element_at(acc, -1)))))
+    df.filter(col(tsField).isNotNull)
+      .select(col(keyField).as("__k"), col(tsField).as("__t"),
+        col(tieBreak).as("__tb"), col(valueField).as("__v"))
+      .groupBy("__k").agg(arr.as("__arr"))
+      .withColumn("__sm", fold)
+      .select(col("__k"), posexplode(arrays_zip(col("__arr"), col("__sm"))))
+      .select(col("__k").as(keyField),
+        col("col.__arr.__t").as(tsField),
+        col("col.__arr.__tb").as(tieBreak),
+        col("col.__arr.__v").as(valueField),
+        col("col.__sm").as("ewma"))
+  }
 }

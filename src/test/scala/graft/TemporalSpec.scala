@@ -255,6 +255,35 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq(2.0))
   }
 
+  test("ewmaSmooth runs the exact recurrence in (ts, tieBreak) order") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, 11L, ts("2024-01-01 11:00:00"), 20.0),
+      (1L, 12L, ts("2024-01-01 12:00:00"), 0.0),
+      (2L, 20L, ts("2024-01-01 09:00:00"), 4.0),
+      (3L, 30L, null.asInstanceOf[Timestamp], 9.0) // dropped
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = graft.ops.WindowOps.ewmaSmooth("user_id", "ts", "value",
+      alpha = 0.5, tieBreak = "event_id")(events)
+      .orderBy("user_id", "ts")
+      .select("user_id", "value", "ewma").as[(Long, Double, Double)]
+      .collect()
+    // y1=10, y2=.5*20+.5*10=15, y3=.5*0+.5*15=7.5 (alpha .5 is exact)
+    assert(out.toSeq === Seq(
+      (1L, 10.0, 10.0), (1L, 20.0, 15.0), (1L, 0.0, 7.5), (2L, 4.0, 4.0)))
+  }
+
+  test("ewmaSmooth same-timestamp events fold in tieBreak order") {
+    val events = Seq(
+      (1L, 11L, ts("2024-01-01 10:00:00"), 8.0),
+      (1L, 10L, ts("2024-01-01 10:00:00"), 0.0) // lower id folds first
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = graft.ops.WindowOps.ewmaSmooth("user_id", "ts", "value",
+      alpha = 0.5, tieBreak = "event_id")(events)
+      .orderBy("event_id").select("ewma").as[Double].collect()
+    assert(out.toSeq === Seq(0.0, 4.0)) // y(10)=0, y(11)=.5*8+.5*0
+  }
+
   test("resample drops NULL-timestamp rows and keys with no datable events") {
     val events = Seq(
       (1L, 10L, Some(ts("2024-01-01 10:00:00")), 5.0),
