@@ -963,6 +963,24 @@ object ExtQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
           "l_extendedprice", "l_extendedprice_w")
     },
+    "incremental_rollup" -> { (s, dir) =>
+      // materialized-rollup maintenance: history folded to mergeable
+      // state once, the new batch folded in WITHOUT re-reading history;
+      // the oracle recomputes over the full table — the maintenance
+      // identity finalize(merge(state(A), state(B))) = aggregate(A∪B)
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity" -> "sum", "l_quantity" -> "min",
+        "l_quantity" -> "max", "l_quantity" -> "average")
+      val li = table(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")
+      val stored = Ops.aggregateState(keys, ms)(
+        li.filter(col("l_orderkey") < 30000))
+      val batch = Ops.aggregateState(keys, ms)(
+        li.filter(col("l_orderkey") >= 30000))
+      Ops.finalizeAggregate(keys, ms)(
+        Ops.mergeAggregateStates(keys, ms)(stored, batch))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
     "equal_freq_bins" -> { (s, dir) =>
       // per-flag deciles of extended price, verified via the per-bin
       // population + passthrough min/max (bin edges are exact
@@ -3322,6 +3340,18 @@ object ExtQueries {
       WHERE l_orderkey < 1000
       ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
         l_extendedprice_w""",
+    // the maintenance identity: the oracle recomputes the rollup over
+    // the FULL table — merged state must equal it exactly (l_quantity is
+    // integral-valued, so double sums are order-independent; the average
+    // is the same single division both sides)
+    "incremental_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS l_quantity_sum,
+        min(l_quantity) AS l_quantity_min,
+        max(l_quantity) AS l_quantity_max,
+        sum(l_quantity) / count(l_quantity) AS l_quantity_average,
+        CAST(count(*) AS BIGINT) AS record_count
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     // mirrors Ops.equalFreqBins: exact interior-decile cutpoints
     // (quantile_cont list ≡ Spark's percentile array), bin = 1 + cuts
     // strictly below the value, ties land low

@@ -242,6 +242,86 @@ object Ops {
     stage1.groupBy(keys.map(col): _*).agg(finals.head, finals.tail: _*)
   }
 
+  // ------------------------------------- incremental aggregate maintenance
+
+  /** Mergeable per-group aggregate STATE — the stored half of an
+    * incrementally maintained rollup (materialized-view maintenance):
+    * instead of re-scanning 100 TB of history to refresh a dashboard
+    * aggregate, persist this state table once, fold each day's batch in
+    * with [[mergeAggregateStates]] (cost: the BATCH scan plus a
+    * |groups|-sized merge — history is never re-read), and project the
+    * presentation columns with [[finalizeAggregate]].
+    *
+    * State schema per measure: `sum`/`min`/`max`/`count` keep their own
+    * value (each is its own merge state); `average` stores the
+    * (`<f>_avg_sum`, `<f>_avg_count`) pair — an average is not
+    * mergeable, its sufficient statistics are. `record_count` rides
+    * along. `count_distinct` is deliberately ABSENT: its exact state is
+    * the value set itself (unbounded); at scale store an HLL sketch
+    * ([[graft.probes.Probes.audit]]'s approx variant) and accept
+    * estimated counts — outside this exact-oracle surface.
+    *
+    * The identity `finalize(merge(state(A), state(B))) =
+    * aggregate(A ∪ B)` is exact for integral/scaled-long sums (double
+    * addition reorders across the merge boundary) and is what the
+    * oracle checks end to end. */
+  def aggregateState(
+      keys: Seq[String],
+      measures: Seq[(String, String)],
+      countField: String = "record_count")(df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    val aggs = measures.distinct.flatMap {
+      case (f, "sum")     => Seq(sum(col(f)).as(s"${f}_sum"))
+      case (f, "min")     => Seq(min(col(f)).as(s"${f}_min"))
+      case (f, "max")     => Seq(max(col(f)).as(s"${f}_max"))
+      case (f, "count")   => Seq(count(col(f)).as(s"${f}_count"))
+      case (f, "average") => Seq(sum(col(f)).as(s"${f}_avg_sum"),
+        count(col(f)).as(s"${f}_avg_count"))
+      case (f, fn) => throw new IllegalArgumentException(
+        s"unsupported mergeable aggregate '$fn' for '$f' " +
+          "(supported: sum, min, max, count, average)")
+    } :+ count(lit(1)).as(countField)
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold one [[aggregateState]] frame into another (same keys, same
+    * measures): union + one |groups|-bounded merge aggregation — sums
+    * and counts add, mins/maxes combine. Both inputs and the output
+    * share the state schema, so merging is associative and a nightly
+    * pipeline can fold batches in any grouping. */
+  def mergeAggregateStates(
+      keys: Seq[String],
+      measures: Seq[(String, String)],
+      countField: String = "record_count")(
+      stored: DataFrame, batch: DataFrame): DataFrame = {
+    val merges = measures.distinct.flatMap {
+      case (f, "sum")     => Seq(sum(col(s"${f}_sum")).as(s"${f}_sum"))
+      case (f, "min")     => Seq(min(col(s"${f}_min")).as(s"${f}_min"))
+      case (f, "max")     => Seq(max(col(s"${f}_max")).as(s"${f}_max"))
+      case (f, "count")   =>
+        Seq(sum(col(s"${f}_count")).cast("long").as(s"${f}_count"))
+      case (f, "average") =>
+        Seq(sum(col(s"${f}_avg_sum")).as(s"${f}_avg_sum"),
+          sum(col(s"${f}_avg_count")).cast("long").as(s"${f}_avg_count"))
+      case (f, fn) => throw new IllegalArgumentException(s"$f/$fn")
+    } :+ sum(col(countField)).cast("long").as(countField)
+    stored.unionByName(batch)
+      .groupBy(keys.map(col): _*).agg(merges.head, merges.tail: _*)
+  }
+
+  /** Project an [[aggregateState]] frame to [[aggregate]]'s output
+    * schema: pass-through for the self-merging measures, one IEEE
+    * division for each stored average. */
+  def finalizeAggregate(
+      keys: Seq[String],
+      measures: Seq[(String, String)],
+      countField: String = "record_count")(state: DataFrame): DataFrame =
+    state.select(keys.map(col) ++ measures.distinct.map {
+      case (f, "average") =>
+        (col(s"${f}_avg_sum") / col(s"${f}_avg_count")).as(s"${f}_average")
+      case (f, fn) => col(s"${f}_$fn")
+    } :+ col(countField): _*)
+
   /** Skew-salted equi-join — the JOIN half of the skew toolkit
     * ([[saltedAggregate]] is the aggregation half, AQE skew-split the
     * runtime fallback): when one join key carries a disproportionate

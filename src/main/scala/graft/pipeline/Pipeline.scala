@@ -78,6 +78,16 @@ final case class Pipeline(df: DataFrame) {
   def weightedSample(groupField: String, keyField: String,
       weightField: String, n: Int, salt: String = ""): Pipeline =
     >>(Ops.weightedSample(groupField, keyField, weightField, n, salt))
+  def aggregateState(keys: Seq[String],
+      measures: Seq[(String, String)]): Pipeline =
+    >>(Ops.aggregateState(keys, measures))
+  /** `this` is the stored state; `batch` the new state to fold in. */
+  def mergeAggregateStates(batch: DataFrame, keys: Seq[String],
+      measures: Seq[(String, String)]): Pipeline =
+    Pipeline(Ops.mergeAggregateStates(keys, measures)(df, batch))
+  def finalizeAggregate(keys: Seq[String],
+      measures: Seq[(String, String)]): Pipeline =
+    >>(Ops.finalizeAggregate(keys, measures))
   def saltedJoin(right: DataFrame, keys: Seq[String], buckets: Int = 16,
       joinType: String = "inner"): Pipeline =
     >>(Ops.saltedJoin(right, keys, buckets, joinType))

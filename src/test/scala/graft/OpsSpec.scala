@@ -49,6 +49,37 @@ class OpsSpec extends SparkSpec {
     assert(out.filter($"k" === "b").select("v_bin").as[Long].head() === 1L)
   }
 
+  test("aggregate state: finalize(merge(state(A), state(B))) == aggregate(A ∪ B)") {
+    import spark.implicits._
+    val keys = Seq("k")
+    val ms = Seq("v" -> "sum", "v" -> "min", "v" -> "max", "v" -> "average",
+      "v" -> "count")
+    // NULL measures exercise avg/count's non-null semantics; group "c"
+    // exists only in the batch (new group appears through the merge)
+    val a = Seq(("a", Some(1.0)), ("a", Some(5.0)), ("b", Some(2.0)),
+      ("b", None)).toDF("k", "v")
+    val b = Seq(("a", Some(3.0)), ("c", Some(7.0)), ("c", None)).toDF("k", "v")
+    val merged = Ops.finalizeAggregate(keys, ms)(
+      Ops.mergeAggregateStates(keys, ms)(
+        Ops.aggregateState(keys, ms)(a), Ops.aggregateState(keys, ms)(b)))
+    val direct = Ops.aggregate(keys, ms)(a.unionByName(b))
+    assert(merged.orderBy("k").collect().toSeq ===
+      direct.orderBy("k").collect().toSeq)
+    // three-way fold in a different grouping gives the same state
+    val c = Seq(("a", Some(9.0))).toDF("k", "v")
+    val s = (d: org.apache.spark.sql.DataFrame) =>
+      Ops.aggregateState(keys, ms)(d)
+    val left = Ops.mergeAggregateStates(keys, ms)(
+      Ops.mergeAggregateStates(keys, ms)(s(a), s(b)), s(c))
+    val right = Ops.mergeAggregateStates(keys, ms)(
+      s(a), Ops.mergeAggregateStates(keys, ms)(s(b), s(c)))
+    assert(left.orderBy("k").collect().toSeq ===
+      right.orderBy("k").collect().toSeq)
+    // count_distinct has no bounded merge state and must be refused
+    intercept[IllegalArgumentException](
+      Ops.aggregateState(keys, Seq("v" -> "count_distinct"))(a))
+  }
+
   test("weightedSample: exact n per group, weight-monotone, zero-weight excluded") {
     import spark.implicits._
     val df = (1 to 40).map(i =>
