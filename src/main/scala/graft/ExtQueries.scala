@@ -821,6 +821,48 @@ object ExtQueries {
         .orderBy("user_id", "valid_from_us", "valid_to_us", "event_type",
           "is_current")
     },
+    "rolling_agg" -> { (s, dir) =>
+      // trailing-5-row moving sum/mean per user on the cent-scaled
+      // value (frame sums visit rows in engine order — only integral
+      // sums hash-match, the money doctrine)
+      val e = table(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"), round(col("value") * 1e2, 0).cast("long").as("v"))
+      WindowOps.rollingAgg(Seq("user_id"), Seq("ts", "event_id"), "v", k = 5)(e)
+        .select("user_id", "event_id", "v", "rolling_sum", "rolling_n",
+          "rolling_mean")
+        .orderBy("user_id", "event_id")
+    },
+    "minmax_norm" -> { (s, dir) =>
+      // per-flag min-max scaling; bounds from the FULL table, value
+      // check on the l_orderkey < 1000 slice (the winsorize pattern)
+      Ops.minMaxNormalize(Seq("l_returnflag"), "l_extendedprice")(
+        table(s, dir, "lineitem"))
+        .filter(col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_extendedprice", "l_extendedprice_mm")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_extendedprice", "l_extendedprice_mm")
+    },
+    "zscore_norm" -> { (s, dir) =>
+      // explicit-sufficient-statistics z-scores on the integral-valued
+      // quantity (engine stddev is Welford-ordered and never
+      // hash-matches; this formula is deterministic IEEE)
+      Ops.zscoreNormalize(Seq("l_returnflag"), "l_quantity")(
+        table(s, dir, "lineitem"))
+        .filter(col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "l_quantity_z")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "l_quantity_z")
+    },
+    "mode_lang" -> { (s, dir) =>
+      // dominant language per source, count ties broken on the smaller
+      // value — the per-domain profile every mixture report starts from
+      Ops.modeAgg(Seq("source"), "lang")(
+        table(s, dir, "documents").select("source", "lang"))
+        .select("source", "lang_mode", "lang_mode_count")
+        .orderBy("source")
+    },
     "ewma_value" -> { (s, dir) =>
       // per-user exponential smoothing of the value stream; the fold is
       // a literal sequential recurrence, mirrored by the oracle's
@@ -2652,6 +2694,65 @@ object ExtQueries {
           AS is_current
       FROM v
       ORDER BY user_id, valid_from_us, valid_to_us, event_type, is_current""",
+    // mirrors WindowOps.rollingAgg: same ROWS frame; integral cent sums
+    // are order-free; the mean is true division (BIGINT / -> DOUBLE in
+    // DuckDB, long/long -> double in Spark)
+    "rolling_agg" -> """
+      WITH e AS (SELECT user_id, ts, event_id,
+          CAST(round(value * 1e2, 0) AS BIGINT) AS v FROM events)
+      SELECT user_id, event_id, v,
+        CAST(sum(v) OVER w AS BIGINT) AS rolling_sum,
+        CAST(count(v) OVER w AS BIGINT) AS rolling_n,
+        CAST(sum(v) OVER w AS BIGINT) / CAST(count(v) OVER w AS BIGINT)
+          AS rolling_mean
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
+    // mirrors Ops.minMaxNormalize: full-table bounds, sliced check
+    "minmax_norm" -> """
+      WITH st AS (SELECT l_returnflag, min(l_extendedprice) AS lo,
+          max(l_extendedprice) AS hi FROM lineitem GROUP BY 1)
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        CASE WHEN l_extendedprice IS NULL THEN NULL
+             WHEN hi = lo THEN CAST(0 AS DOUBLE)
+             ELSE (l_extendedprice - lo) / (hi - lo) END
+          AS l_extendedprice_mm
+      FROM lineitem JOIN st USING (l_returnflag)
+      WHERE l_orderkey < 1000
+      ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        l_extendedprice_mm""",
+    // mirrors Ops.zscoreNormalize term for term: mean = s/n,
+    // ssd = ss - s*mean, std = sqrt(ssd/(n-1)), z = (x-mean)/std —
+    // every intermediate the identical IEEE op on exact integral sums
+    "zscore_norm" -> """
+      WITH st AS (SELECT l_returnflag,
+          CAST(count(l_quantity) AS BIGINT) AS n,
+          sum(l_quantity) AS s,
+          sum(l_quantity * l_quantity) AS ss
+        FROM lineitem GROUP BY 1),
+      d AS (SELECT l_returnflag, n, s / n AS mean,
+          ss - s * (s / n) AS ssd FROM st),
+      f AS (SELECT l_returnflag, mean,
+          CASE WHEN n < 2 OR ssd <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+               ELSE sqrt(ssd / (n - 1)) END AS sd FROM d)
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        CASE WHEN l_quantity IS NULL THEN NULL
+             WHEN sd = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+             ELSE (l_quantity - mean) / sd END AS l_quantity_z
+      FROM lineitem JOIN f USING (l_returnflag)
+      WHERE l_orderkey < 1000
+      ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        l_quantity_z""",
+    // mirrors Ops.modeAgg: top-1 by (count DESC, value ASC) per group
+    "mode_lang" -> """
+      SELECT source, lang AS lang_mode,
+        CAST(count(*) AS BIGINT) AS lang_mode_count
+      FROM documents WHERE lang IS NOT NULL
+      GROUP BY source, lang
+      QUALIFY row_number() OVER (PARTITION BY source
+        ORDER BY count(*) DESC, lang ASC) = 1
+      ORDER BY source""",
     // mirrors WindowOps.ewmaSmooth: y1 = v1, yi = a*vi + b*y(i-1) as a
     // recursive CTE — the identical two-multiply-one-add step, with the
     // Scala-printed double constants so both engines fold the same bits

@@ -392,6 +392,43 @@ object ScaleBench {
     ophRows.foreach { case (k, d, a, b, c, e) =>
       println(f"$k,$d,$a%.2f,$b%.2f,$c%.2f,$e%.2f") }
     }
+
+    // Heavy hitters: the two-pass Misra–Gries form vs the naive
+    // GROUP BY ... HAVING plan on the same growing token stream.
+    // Replication is ADVERSARIAL for the candidate pass: every replica
+    // repeats every token, so the per-partition summaries stay saturated
+    // while the stream doubles — both curves must stay corpus-linear,
+    // and the two-pass form's advantage (shuffling candidates instead of
+    // the vocabulary) only widens with real vocabulary sizes; at this
+    // fixture scale parity is the pass mark.
+    phase("freq") {
+    import graft.ext.Frequency
+    def twoPass(docs: DataFrame): Unit =
+      Frequency.heavyHitterTerms("text", 1e-3)(docs)
+        .write.mode("overwrite").format("noop").save()
+    def naive(docs: DataFrame): Unit = {
+      val t = docs.select(
+        explode(org.apache.spark.sql.functions.split(col("text"), " "))
+          .as("token"))
+      val tot = t.count().toDouble
+      t.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt").cast("double") > lit(1e-3) * lit(tot))
+        .write.mode("overwrite").format("noop").save()
+    }
+    locally {
+      val d1 = replicated(1).localCheckpoint()
+      twoPass(d1); naive(d1)
+      d1.unpersist()
+    }
+    val fRows = for (k <- Seq(1, 2, 4)) yield {
+      val docs = replicated(k).localCheckpoint()
+      val a = median3(twoPass(docs)); val b = median3(naive(docs))
+      docs.unpersist()
+      (k, n * k, a, b)
+    }
+    println("corpus_x,docs,two_pass_sec,naive_group_by_sec")
+    fRows.foreach { case (k, d, a, b) => println(f"$k,$d,$a%.2f,$b%.2f") }
+    }
     spark.stop()
   }
 }

@@ -713,6 +713,82 @@ object Ops {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group min–max feature scaling: `(x − min) / (max − min)` onto
+    * [0, 1]. Degenerate groups (one distinct value) scale to 0.0 rather
+    * than NaN; NULLs stay NULL (the [[threshold]] doctrine). One
+    * hash-agg for the tiny per-group stats table, broadcast back, one
+    * codegen'd projection — min/max pass through exactly, so the
+    * normalization is bit-reproducible for ANY double input (no sums
+    * anywhere). */
+  def minMaxNormalize(
+      keys: Seq[String], field: String, target: String = "")(
+      df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    val out = if (target.isEmpty) s"${field}_mm" else target
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
+    df.join(stats, keys)
+      .withColumn(out,
+        when(col(field).isNull, lit(null))
+          .when(col("__hi") === col("__lo"), lit(0.0))
+          .otherwise((col(field) - col("__lo")) / (col("__hi") - col("__lo"))))
+      .drop("__lo", "__hi")
+  }
+
+  /** Per-group z-score standardization from EXPLICIT sufficient
+    * statistics: `n`, `Σx`, `Σx²` → `mean = Σx/n`,
+    * `ssd = Σx² − Σx·mean`, `std = √(ssd/(n−1))`,
+    * `z = (x − mean)/std` — spelled out rather than calling the
+    * engine's `stddev`, because Welford-style streaming variance visits
+    * rows in engine-specific order and never hash-matches across
+    * engines; this formula is deterministic IEEE given exact sums.
+    * Exactness therefore holds for integral-valued or scaled-long
+    * inputs (the money doctrine — Σx² of a 2-decimal price overflows
+    * the 53-bit exact window around ~10⁸ rows; rescale first).
+    * Degenerate groups (n < 2 or zero spread) emit 0.0; NULLs stay
+    * NULL. Same broadcast-stats shape as [[minMaxNormalize]]. */
+  def zscoreNormalize(
+      keys: Seq[String], field: String, target: String = "")(
+      df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    val out = if (target.isEmpty) s"${field}_z" else target
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(count(col(field)).as("__n"), sum(col(field)).as("__s"),
+        sum(col(field) * col(field)).as("__ss"))
+      .withColumn("__mean", col("__s") / col("__n"))
+      .withColumn("__ssd", col("__ss") - col("__s") * col("__mean"))
+      .withColumn("__std",
+        when(col("__n") < 2 || col("__ssd") <= 0.0, lit(0.0))
+          .otherwise(sqrt(col("__ssd") / (col("__n") - 1))))
+    df.join(stats, keys)
+      .withColumn(out,
+        when(col(field).isNull, lit(null))
+          .when(col("__std") === 0.0, lit(0.0))
+          .otherwise((col(field) - col("__mean")) / col("__std")))
+      .drop("__n", "__s", "__ss", "__mean", "__ssd", "__std")
+  }
+
+  /** Most frequent value of `field` per group, with its count —
+    * deterministic: count ties break on the smaller value. NULLs are
+    * never the mode (a missing value is not a value). Shape: one
+    * (keys, value) hash-agg, then a WindowGroupLimit top-1 over the
+    * aggregated frame — the corpus shuffles once, the window only sees
+    * |keys × distinct values| rows. */
+  def modeAgg(
+      keys: Seq[String], field: String)(df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(field).isNotNull)
+      .groupBy((keys :+ field).map(col): _*)
+      .agg(count(lit(1)).as(s"${field}_mode_count"))
+    counts.withColumn("__rk", row_number().over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(s"${field}_mode_count").desc, col(field).asc)))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+      .withColumnRenamed(field, s"${field}_mode")
+  }
+
   /** Equal-frequency (quantile) binning per group: assign each row the
     * 1-based bin index of `field` among `bins` same-population buckets
     * of its group — the discretization step feeding stratified

@@ -42,6 +42,32 @@ object WindowOps {
     df.withColumn(target, sum(col(valueField)).over(w))
   }
 
+  /** Rolling aggregate over the trailing `k` rows (current row
+    * inclusive) per group in a totally ordered ROWS frame: emits the
+    * moving sum, the moving mean (sum over the ACTUAL frame row count,
+    * so the first k−1 rows average over what exists rather than
+    * swallowing phantom zeros), and the frame count. The smoothing
+    * window every metrics/training-curve dashboard runs.
+    *
+    * Oracle discipline: a framed `sum` may visit rows in any order the
+    * engine likes, so exact cross-engine equality holds for
+    * integral-valued or scaled-long measures (the library's money
+    * doctrine); the mean is then one IEEE division. One shuffle on the
+    * group key, spillable in-partition sort, O(1) per row via the
+    * sliding frame. */
+  def rollingAgg(
+      groupFields: Seq[String], orderFields: Seq[String], valueField: String,
+      k: Int, prefix: String = "rolling_")(df: DataFrame): DataFrame = {
+    require(k >= 1, s"frame must span at least 1 row, got $k")
+    val w = Window.partitionBy(groupFields.map(col): _*)
+      .orderBy(orderFields.map(col(_).asc_nulls_first): _*)
+      .rowsBetween(-(k - 1), Window.currentRow)
+    df.withColumn(s"${prefix}sum", sum(col(valueField)).over(w))
+      .withColumn(s"${prefix}n", count(col(valueField)).over(w))
+      .withColumn(s"${prefix}mean",
+        col(s"${prefix}sum") / col(s"${prefix}n"))
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event of the same key exceeds `gapSeconds`. Gap
     * arithmetic is on WHOLE-SECOND timestamps (`unix_timestamp`

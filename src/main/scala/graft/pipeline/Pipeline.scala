@@ -75,6 +75,14 @@ final case class Pipeline(df: DataFrame) {
   def equalFreqBins(keys: Seq[String], field: String, bins: Int,
       target: String = ""): Pipeline =
     >>(Ops.equalFreqBins(keys, field, bins, target))
+  def minMaxNormalize(keys: Seq[String], field: String,
+      target: String = ""): Pipeline =
+    >>(Ops.minMaxNormalize(keys, field, target))
+  def zscoreNormalize(keys: Seq[String], field: String,
+      target: String = ""): Pipeline =
+    >>(Ops.zscoreNormalize(keys, field, target))
+  def modeAgg(keys: Seq[String], field: String): Pipeline =
+    >>(Ops.modeAgg(keys, field))
   def weightedSample(groupField: String, keyField: String,
       weightField: String, n: Int, salt: String = ""): Pipeline =
     >>(Ops.weightedSample(groupField, keyField, weightField, n, salt))

@@ -49,6 +49,37 @@ class OpsSpec extends SparkSpec {
     assert(out.filter($"k" === "b").select("v_bin").as[Long].head() === 1L)
   }
 
+  test("minMaxNormalize and zscoreNormalize: bounds, degenerate groups, NULLs") {
+    import spark.implicits._
+    val df = Seq(("a", Some(0.0)), ("a", Some(5.0)), ("a", Some(10.0)),
+      ("a", None), ("b", Some(3.0)), ("b", Some(3.0))).toDF("k", "v")
+    val mm = Ops.minMaxNormalize(Seq("k"), "v")(df)
+      .orderBy($"k", $"v".asc_nulls_first)
+      .select("v_mm").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(mm.toSeq === Seq(None, Some(0.0), Some(0.5), Some(1.0),
+      Some(0.0), Some(0.0))) // b: hi == lo -> 0.0
+    val z = Ops.zscoreNormalize(Seq("k"), "v")(df)
+      .orderBy($"k", $"v".asc_nulls_first)
+      .select("v_z").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // a: mean 5, std 5 -> z = -1, 0, 1; b: zero spread -> 0.0
+    assert(z.toSeq === Seq(None, Some(-1.0), Some(0.0), Some(1.0),
+      Some(0.0), Some(0.0)))
+  }
+
+  test("modeAgg picks the most frequent value, ties to the smaller") {
+    import spark.implicits._
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"),
+      ("s2", "fr"), ("s2", "de"), // tie -> "de" (smaller)
+      ("s3", null.asInstanceOf[String]), ("s3", "it")).toDF("src", "lang")
+    val out = Ops.modeAgg(Seq("src"), "lang")(df)
+      .orderBy("src").select("src", "lang_mode", "lang_mode_count")
+      .as[(String, String, Long)].collect()
+    assert(out.toSeq === Seq(("s1", "en", 2L), ("s2", "de", 1L),
+      ("s3", "it", 1L)))
+  }
+
   test("aggregate state: finalize(merge(state(A), state(B))) == aggregate(A ∪ B)") {
     import spark.implicits._
     val keys = Seq("k")

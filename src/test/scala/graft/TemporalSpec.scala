@@ -255,6 +255,24 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq(2.0))
   }
 
+  test("rollingAgg trailing frame: short head frames average what exists") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 2L),
+      (1L, 11L, ts("2024-01-01 10:01:00"), 4L),
+      (1L, 12L, ts("2024-01-01 10:02:00"), 6L),
+      (1L, 13L, ts("2024-01-01 10:03:00"), 8L),
+      (2L, 20L, ts("2024-01-01 09:00:00"), 5L)
+    ).toDF("user_id", "event_id", "ts", "v")
+    val out = graft.ops.WindowOps.rollingAgg(Seq("user_id"),
+      Seq("ts", "event_id"), "v", k = 3)(events)
+      .orderBy("user_id", "event_id")
+      .select("rolling_sum", "rolling_n", "rolling_mean")
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(
+      (2L, 1L, 2.0), (6L, 2L, 3.0), (12L, 3L, 4.0), (18L, 3L, 6.0),
+      (5L, 1L, 5.0)))
+  }
+
   test("ewmaSmooth runs the exact recurrence in (ts, tieBreak) order") {
     val events = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00"), 10.0),
