@@ -1023,6 +1023,23 @@ object ExtQueries {
         Ops.mergeAggregateStates(keys, ms)(stored, batch))
         .orderBy("l_returnflag", "l_linestatus")
     },
+    "incremental_distinct" -> { (s, dir) =>
+      // the count_distinct leg of rollup maintenance: per-group HLL
+      // sketches merge register-wise (merged ≡ direct sketch of the
+      // union, spec-pinned); at this group cardinality the sketch is
+      // still a coupon list, so the estimate is the exact distinct and
+      // the oracle can assert it
+      val keys = Seq("l_returnflag")
+      val li = table(s, dir, "lineitem")
+        .select("l_returnflag", "l_suppkey", "l_orderkey")
+      val stored = Ops.aggregateStateHll(keys, Seq("l_suppkey"))(
+        li.filter(col("l_orderkey") < 30000))
+      val batch = Ops.aggregateStateHll(keys, Seq("l_suppkey"))(
+        li.filter(col("l_orderkey") >= 30000))
+      Ops.finalizeAggregateHll(keys, Seq("l_suppkey"))(
+        Ops.mergeAggregateStatesHll(keys, Seq("l_suppkey"))(stored, batch))
+        .orderBy("l_returnflag")
+    },
     "equal_freq_bins" -> { (s, dir) =>
       // per-flag deciles of extended price, verified via the per-bin
       // population + passthrough min/max (bin edges are exact
@@ -3453,6 +3470,12 @@ object ExtQueries {
         sum(l_quantity) / count(l_quantity) AS l_quantity_average,
         CAST(count(*) AS BIGINT) AS record_count
       FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the sketch is in its exact (coupon) regime at this cardinality, so
+    // the HLL estimate equals true distinct — what the oracle asserts
+    "incremental_distinct" -> """
+      SELECT l_returnflag,
+        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS l_suppkey_distinct_est
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
     // mirrors Ops.equalFreqBins: exact interior-decile cutpoints
     // (quantile_cont list ≡ Spark's percentile array), bin = 1 + cuts
     // strictly below the value, ties land low

@@ -322,6 +322,46 @@ object Ops {
       case (f, fn) => col(s"${f}_$fn")
     } :+ col(countField): _*)
 
+  /** The DISTINCT-count leg [[aggregateState]] refuses: per-group
+    * DataSketches HLL sketches (Spark's native `hll_sketch_agg`) as the
+    * mergeable state — ~1.5 KB per (group, field) at `lgK = 12`
+    * FOREVER, versus the unbounded value set exact distinct would
+    * store. Merging ([[mergeAggregateStatesHll]]) is a sketch union —
+    * deterministic and order/partition-independent for a given split.
+    * Below ~2^(lgK−2) distincts the sketch is still an exact coupon
+    * list: the estimate IS the true count and the maintenance identity
+    * merged ≡ direct holds exactly (the regime the oracle asserts).
+    * Beyond it estimates carry the HLL ~2% band and merged-vs-direct
+    * may differ by the union gadget's promotion path (spec-pinned:
+    * both inside the band) — the standard approximate contract. */
+  def aggregateStateHll(
+      keys: Seq[String], fields: Seq[String], lgK: Int = 12)(
+      df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    require(fields.nonEmpty, "at least one sketched field required")
+    val aggs = fields.distinct.map(f =>
+      hll_sketch_agg(col(f), lit(lgK)).as(s"${f}_hll"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold one [[aggregateStateHll]] frame into another: union + one
+    * register-wise `hll_union_agg` per sketch column. */
+  def mergeAggregateStatesHll(
+      keys: Seq[String], fields: Seq[String])(
+      stored: DataFrame, batch: DataFrame): DataFrame = {
+    val merges = fields.distinct.map(f =>
+      hll_union_agg(col(s"${f}_hll")).as(s"${f}_hll"))
+    stored.unionByName(batch)
+      .groupBy(keys.map(col): _*).agg(merges.head, merges.tail: _*)
+  }
+
+  /** Estimate distinct counts from an [[aggregateStateHll]] frame:
+    * `<f>_distinct_est` BIGINT per sketched field. */
+  def finalizeAggregateHll(
+      keys: Seq[String], fields: Seq[String])(state: DataFrame): DataFrame =
+    state.select(keys.map(col) ++ fields.distinct.map(f =>
+      hll_sketch_estimate(col(s"${f}_hll")).as(s"${f}_distinct_est")): _*)
+
   /** Skew-salted equi-join — the JOIN half of the skew toolkit
     * ([[saltedAggregate]] is the aggregation half, AQE skew-split the
     * runtime fallback): when one join key carries a disproportionate

@@ -96,6 +96,15 @@ final case class Pipeline(df: DataFrame) {
   def finalizeAggregate(keys: Seq[String],
       measures: Seq[(String, String)]): Pipeline =
     >>(Ops.finalizeAggregate(keys, measures))
+  def aggregateStateHll(keys: Seq[String], fields: Seq[String],
+      lgK: Int = 12): Pipeline =
+    >>(Ops.aggregateStateHll(keys, fields, lgK))
+  /** `this` is the stored sketch state; `batch` the new state to fold in. */
+  def mergeAggregateStatesHll(batch: DataFrame, keys: Seq[String],
+      fields: Seq[String]): Pipeline =
+    Pipeline(Ops.mergeAggregateStatesHll(keys, fields)(df, batch))
+  def finalizeAggregateHll(keys: Seq[String], fields: Seq[String]): Pipeline =
+    >>(Ops.finalizeAggregateHll(keys, fields))
   def saltedJoin(right: DataFrame, keys: Seq[String], buckets: Int = 16,
       joinType: String = "inner"): Pipeline =
     >>(Ops.saltedJoin(right, keys, buckets, joinType))
