@@ -821,6 +821,15 @@ object ExtQueries {
         .orderBy("user_id", "valid_from_us", "valid_to_us", "event_type",
           "is_current")
     },
+    "twa_value" -> { (s, dir) =>
+      // duration-weighted mean of the cent-scaled value per user — the
+      // irregular-sampling-correct average; integral value x µs
+      // products stay exact 64-bit, one final division
+      val e = table(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"), round(col("value") * 1e2, 0).cast("long").as("v"))
+      WindowOps.timeWeightedAvg("user_id", "ts", "v", tieBreak = "event_id")(e)
+        .orderBy("user_id")
+    },
     "rolling_agg" -> { (s, dir) =>
       // trailing-5-row moving sum/mean per user on the cent-scaled
       // value (frame sums visit rows in engine order — only integral
@@ -2711,6 +2720,26 @@ object ExtQueries {
           AS is_current
       FROM v
       ORDER BY user_id, valid_from_us, valid_to_us, event_type, is_current""",
+    // mirrors WindowOps.timeWeightedAvg: lead-derived holding
+    // durations, exact integer v*dur sums, one final division; last
+    // events carry no weight, zero-duration keys emit NULL
+    "twa_value" -> """
+      WITH e AS (SELECT user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          CAST(round(value * 1e2, 0) AS BIGINT) AS v, event_id
+        FROM events WHERE ts IS NOT NULL),
+      d AS (SELECT user_id, v,
+          lead(us) OVER (PARTITION BY user_id
+            ORDER BY us ASC, event_id ASC) - us AS dur
+        FROM e),
+      a AS (SELECT user_id, CAST(sum(v * dur) AS BIGINT) AS wv,
+          CAST(sum(dur) AS BIGINT) AS dur_us
+        FROM d WHERE dur IS NOT NULL GROUP BY 1)
+      SELECT user_id,
+        CASE WHEN dur_us = 0 THEN NULL
+             ELSE CAST(wv AS DOUBLE) / CAST(dur_us AS DOUBLE) END AS twa,
+        dur_us
+      FROM a ORDER BY user_id""",
     // mirrors WindowOps.rollingAgg: same ROWS frame; integral cent sums
     // are order-free; the mean is true division (BIGINT / -> DOUBLE in
     // DuckDB, long/long -> double in Spark)

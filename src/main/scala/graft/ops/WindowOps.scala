@@ -189,6 +189,45 @@ object WindowOps {
         col("active_users"))
   }
 
+  /** Time-weighted average per key: each event's value "holds" until
+    * the key's next event, and the average weights values by how long
+    * they held — the metrics-correct mean for irregularly sampled
+    * series, where the arithmetic mean over-weights bursts (TWAP in
+    * finance, time-weighted gauges in observability). Emits one row per
+    * key: `twa` plus the covered duration `dur_us`. The key's LAST
+    * event has no holding interval and contributes no weight
+    * (single-event keys therefore vanish); keys whose covered duration
+    * is zero (all events on one timestamp) emit NULL.
+    *
+    * Exactness contract: pass an INTEGRAL value column (cent-scale
+    * money first — the library doctrine). value × µs-duration products
+    * and their sums then stay exact 64-bit integers (bound: max|v| ×
+    * total-duration-µs < 2⁶³ — a cent-scaled 10⁵ value over a year is
+    * ~3×10¹⁸, inside the bound; rescale beyond it), and the average is
+    * ONE final IEEE division. One lead window + one hash-agg, both on
+    * the key's single shuffle; NULL timestamps drop (the temporal
+    * doctrine). */
+  def timeWeightedAvg(
+      keyField: String, tsField: String, valueField: String,
+      tieBreak: String)(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__us").asc, col("__tb").asc_nulls_first)
+    df.filter(col(tsField).isNotNull)
+      .select(col(keyField).as("__k"),
+        unix_micros(col(tsField)).as("__us"),
+        col(valueField).cast("long").as("__v"), col(tieBreak).as("__tb"))
+      .withColumn("__d", lead(col("__us"), 1).over(w) - col("__us"))
+      .filter(col("__d").isNotNull)
+      .groupBy("__k")
+      .agg(sum(col("__v") * col("__d")).as("__wv"),
+        sum(col("__d")).as("dur_us"))
+      .select(col("__k").as(keyField),
+        when(col("dur_us") === 0L, lit(null))
+          .otherwise(col("__wv").cast("double") / col("dur_us").cast("double"))
+          .as("twa"),
+        col("dur_us"))
+  }
+
   /** Exponentially weighted moving average per key along event order:
     * `y₁ = v₁, yᵢ = α·vᵢ + (1−α)·yᵢ₋₁` — the time-series smoother for
     * metric dashboards and drift monitors, emitted as one `ewma` value

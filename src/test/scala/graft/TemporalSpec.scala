@@ -255,6 +255,20 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq(2.0))
   }
 
+  test("timeWeightedAvg weights values by holding duration; last event weightless") {
+    val events = Seq(
+      // user 1: v=10 holds 10s, v=30 holds 30s -> twa = (100+900)/40 = 25
+      (1L, 10L, ts("2024-01-01 10:00:00"), 10L),
+      (1L, 11L, ts("2024-01-01 10:00:10"), 30L),
+      (1L, 12L, ts("2024-01-01 10:00:40"), 999L), // last: no weight
+      (2L, 20L, ts("2024-01-01 09:00:00"), 5L)    // single event: vanishes
+    ).toDF("user_id", "event_id", "ts", "v")
+    val out = graft.ops.WindowOps.timeWeightedAvg("user_id", "ts", "v",
+      tieBreak = "event_id")(events)
+      .select("user_id", "twa", "dur_us").as[(Long, Double, Long)].collect()
+    assert(out.toSeq === Seq((1L, 25.0, 40000000L)))
+  }
+
   test("rollingAgg trailing frame: short head frames average what exists") {
     val events = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00"), 2L),
