@@ -880,6 +880,26 @@ object ExtQueries {
         tieBreak = "event_id")(table(s, dir, "events"))
         .orderBy("user_id", "ts", "event_id")
     },
+    "apply_changes" -> { (s, dir) =>
+      // CDC merge: the pre-cutoff customer snapshot maintained with the
+      // post-cutoff rows replayed as a change stream (odd custkeys
+      // upsert with a refreshed segment, even custkeys delete) — the
+      // warehouse MERGE INTO, last-wins per key
+      val c = table(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+      val snapshot = c.filter(col("c_custkey") <= 1000)
+      val changes = table(s, dir, "customer")
+        .filter(col("c_custkey") > 500)
+        .select(col("c_custkey"), col("c_name"),
+          concat(col("c_mktsegment"), lit("_V2")).as("c_mktsegment"),
+          when(col("c_custkey") % 2 === 1, lit("U")).otherwise(lit("D"))
+            .as("op"),
+          col("c_custkey").cast("timestamp").as("chg_ts"),
+          col("c_custkey").as("chg_id"))
+      TemporalOps.applyChanges(changes, "c_custkey", "chg_ts", "chg_id",
+        "op")(snapshot)
+        .orderBy("c_custkey")
+    },
     "resample_ffill" -> { (s, dir) =>
       // 6h regularized per-user series with gaps forward-filled; values
       // ride through unaggregated (last event per bucket) so doubles
@@ -2720,6 +2740,21 @@ object ExtQueries {
           AS is_current
       FROM v
       ORDER BY user_id, valid_from_us, valid_to_us, event_type, is_current""",
+    // the merge result spelled out set-wise: untouched snapshot keys +
+    // upserted latest changes; deletes vanish (each key has exactly one
+    // change in this stream, so last-wins needs no dedup here)
+    "apply_changes" -> """
+      WITH snap AS (SELECT c_custkey, c_name, c_mktsegment
+          FROM customer WHERE c_custkey <= 1000),
+      chg AS (SELECT c_custkey, c_name,
+          c_mktsegment || '_V2' AS c_mktsegment,
+          CASE WHEN c_custkey % 2 = 1 THEN 'U' ELSE 'D' END AS op
+        FROM customer WHERE c_custkey > 500)
+      SELECT c_custkey, c_name, c_mktsegment FROM snap
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment FROM chg WHERE op = 'U'
+      ORDER BY c_custkey""",
     // mirrors WindowOps.timeWeightedAvg: lead-derived holding
     // durations, exact integer v*dur sums, one final division; last
     // events carry no weight, zero-duration keys emit NULL

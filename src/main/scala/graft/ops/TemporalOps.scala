@@ -163,6 +163,56 @@ object TemporalOps {
         when(col("__vt").isNull, lit(1L)).otherwise(lit(0L)).as("is_current"): _*)
   }
 
+  /** Apply a change-data-capture batch to a current snapshot — the
+    * batch MERGE/upsert primitive (SCD type 1: latest wins, no
+    * history; [[scd2History]] is the history-keeping sibling). Per key,
+    * the LATEST change by (`ts`, `tieBreak`) decides: an upsert
+    * replaces (or inserts) the key's row, a delete removes it;
+    * untouched snapshot keys pass through. Emits the new snapshot with
+    * the snapshot's column set (`opField`/`ts`/`tieBreak` are change
+    * metadata, dropped on the way out).
+    *
+    * `opField` values: `"U"` upsert, `"D"` delete (anything else is
+    * rejected row-wise at plan construction via a constraint column —
+    * unknown ops must not silently drop). Changes with NULL timestamps
+    * are dropped (undatable — the temporal doctrine); earlier changes
+    * for a key are superseded entirely, INCLUDING earlier deletes (a
+    * delete then an upsert re-creates the key — last-wins semantics all
+    * the way down, matching warehouse MERGE).
+    *
+    * Scale shape: one WindowGroupLimit top-1 over the CHANGE batch
+    * (small by definition), one hash anti-join of the snapshot against
+    * the change keys, one union — the snapshot is never sorted and
+    * never shuffled beyond the anti-join; with a bucketed snapshot
+    * layout ([[graft.sources.CatalogStore]]) even that shuffle
+    * disappears. */
+  def applyChanges(
+      changes: DataFrame,
+      key: String,
+      ts: String,
+      tieBreak: String,
+      opField: String)(snapshot: DataFrame): DataFrame = {
+    val dataCols = snapshot.columns
+    val latest = changes
+      .filter(col(ts).isNotNull)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(key))
+          .orderBy(col(ts).desc, col(tieBreak).desc)))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+    // the op guard is FUSED into the key expression the anti-join needs,
+    // so column pruning cannot elide it: a change row with an op outside
+    // the contract throws instead of silently acting as a delete
+    val changedKeys = latest.select(
+      when(col(opField).isin("U", "D"), col(key))
+        .otherwise(raise_error(concat(lit("applyChanges: unknown op '"),
+          col(opField), lit("'")))).as(key)).distinct()
+    val kept = snapshot.join(changedKeys, Seq(key), "left_anti")
+    val upserts = latest.filter(col(opField) === "U")
+      .select(dataCols.map(col): _*)
+    kept.unionByName(upserts)
+  }
+
   /** Band (range) join: pairs of (left, right) rows with the same `key`
     * where `0 <= rightTime - leftTime <= widthSeconds` (both inclusive).
     *

@@ -124,6 +124,10 @@ final case class Pipeline(df: DataFrame) {
   def resample(key: String, ts: String, valueField: String,
       stepSeconds: Long, tieBreak: String): Pipeline =
     >>(TemporalOps.resample(key, ts, valueField, stepSeconds, tieBreak))
+  /** `this` is the current snapshot; `changes` the CDC batch. */
+  def applyChanges(changes: DataFrame, key: String, ts: String,
+      tieBreak: String, opField: String): Pipeline =
+    >>(TemporalOps.applyChanges(changes, key, ts, tieBreak, opField))
   def audit(fields: String*): Pipeline = >>(Probes.audit(fields))
   def keySkew(keys: Seq[String], topN: Int = 20): Pipeline =
     >>(Probes.keySkew(keys, topN))

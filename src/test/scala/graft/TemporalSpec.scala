@@ -255,6 +255,41 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq(2.0))
   }
 
+  test("applyChanges: last change wins, deletes remove, delete-then-upsert recreates") {
+    val snapshot = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a1", "U", ts("2024-01-01 10:00:00"), 1L), // superseded
+      (1L, "a2", "U", ts("2024-01-01 11:00:00"), 2L), // wins: update
+      (2L, "x", "D", ts("2024-01-01 10:00:00"), 3L),  // delete
+      (3L, "y", "D", ts("2024-01-01 10:00:00"), 4L),  // delete...
+      (3L, "c2", "U", ts("2024-01-01 12:00:00"), 5L), // ...then recreate
+      (9L, "new", "U", ts("2024-01-01 10:00:00"), 6L), // insert
+      (8L, "no", "D", ts("2024-01-01 10:00:00"), 7L)  // delete absent: no-op
+    ).toDF("k", "v", "op", "chg_ts", "chg_id")
+    val out = TemporalOps.applyChanges(changes, "k", "chg_ts", "chg_id",
+      "op")(snapshot)
+      .orderBy("k").as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "a2"), (3L, "c2"), (9L, "new")))
+  }
+
+  test("applyChanges: equal-timestamp changes resolve by tieBreak; unknown op throws") {
+    val snapshot = Seq((1L, "a")).toDF("k", "v")
+    val tied = Seq(
+      (1L, "lo", "U", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "hi", "U", ts("2024-01-01 10:00:00"), 2L) // higher tieBreak wins
+    ).toDF("k", "v", "op", "chg_ts", "chg_id")
+    val out = TemporalOps.applyChanges(tied, "k", "chg_ts", "chg_id",
+      "op")(snapshot).as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "hi")))
+    val bad = Seq((1L, "z", "X", ts("2024-01-01 10:00:00"), 1L))
+      .toDF("k", "v", "op", "chg_ts", "chg_id")
+    val e = intercept[Exception] {
+      TemporalOps.applyChanges(bad, "k", "chg_ts", "chg_id",
+        "op")(snapshot).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("timeWeightedAvg weights values by holding duration; last event weightless") {
     val events = Seq(
       // user 1: v=10 holds 10s, v=30 holds 30s -> twa = (100+900)/40 = 25
