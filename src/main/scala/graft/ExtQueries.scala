@@ -864,6 +864,17 @@ object ExtQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
           "l_quantity_z")
     },
+    "robust_z" -> { (s, dir) =>
+      // median/MAD outlier scores — stats from the FULL table, value
+      // check on the l_orderkey < 1000 slice (the winsorize pattern)
+      Ops.robustZScore(Seq("l_returnflag"), "l_extendedprice")(
+        table(s, dir, "lineitem"))
+        .filter(col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_extendedprice", "l_extendedprice_rz")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_extendedprice", "l_extendedprice_rz")
+    },
     "mode_lang" -> { (s, dir) =>
       // dominant language per source, count ties broken on the smaller
       // value — the per-domain profile every mixture report starts from
@@ -2825,6 +2836,27 @@ object ExtQueries {
       WHERE l_orderkey < 1000
       ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity,
         l_quantity_z""",
+    // mirrors Ops.robustZScore: median, MAD over deviations, pinned
+    // (x - med) / (1.4826 * mad) chain; zero-MAD groups emit 0
+    "robust_z" -> """
+      WITH m AS (SELECT l_returnflag,
+          quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY 1),
+      d AS (SELECT l.l_returnflag,
+          quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+        FROM lineitem l JOIN m USING (l_returnflag) GROUP BY 1),
+      s AS (SELECT m.l_returnflag, m.med, d.mad
+        FROM m JOIN d ON m.l_returnflag = d.l_returnflag)
+      SELECT l_orderkey, l_linenumber, l.l_returnflag AS l_returnflag,
+        l_extendedprice,
+        CASE WHEN l_extendedprice IS NULL THEN NULL
+             WHEN mad = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+             ELSE (l_extendedprice - med) / (1.4826 * mad) END
+          AS l_extendedprice_rz
+      FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+      WHERE l_orderkey < 1000
+      ORDER BY l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
+        l_extendedprice_rz""",
     // mirrors Ops.modeAgg: top-1 by (count DESC, value ASC) per group
     "mode_lang" -> """
       SELECT source, lang AS lang_mode,

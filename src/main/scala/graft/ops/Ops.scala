@@ -808,6 +808,40 @@ object Ops {
       .drop("__n", "__s", "__ss", "__mean", "__ssd", "__std")
   }
 
+  /** Per-group ROBUST z-score: `(x − median) / (1.4826 · MAD)` with
+    * MAD = median(|x − median|) — the outlier detector that still works
+    * when the outliers themselves poison mean/stddev (a single 10⁹
+    * glitch row drags a classical z-score's mean; the median barely
+    * moves). 1.4826 is the normal-consistency constant (MAD → σ under
+    * normality), a shared literal in both engines. Zero-MAD groups
+    * (≥ half the group on one value) emit 0.0; NULLs stay NULL.
+    *
+    * Shape: two exact-percentile aggregations (median, then MAD over
+    * the deviations) + two broadcast-sized stats joins — double the
+    * [[winsorize]] machinery, the honest price of robustness; swap
+    * both percentiles for `approx_percentile` beyond per-group memory
+    * bounds. Exact cross-engine for any doubles: medians interpolate
+    * identically (the `quantile_cont` precedent), the rest is a pinned
+    * IEEE op chain. */
+  def robustZScore(
+      keys: Seq[String], field: String, target: String = "")(
+      df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    val out = if (target.isEmpty) s"${field}_rz" else target
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(percentile(col(field), lit(0.5)).as("__med"))
+    val withMed = df.join(med, keys)
+    val mad = withMed.groupBy(keys.map(col): _*)
+      .agg(percentile(abs(col(field) - col("__med")), lit(0.5)).as("__mad"))
+    withMed.join(mad, keys)
+      .withColumn(out,
+        when(col(field).isNull, lit(null))
+          .when(col("__mad") === 0.0, lit(0.0))
+          .otherwise((col(field) - col("__med")) /
+            (lit(1.4826) * col("__mad"))))
+      .drop("__med", "__mad")
+  }
+
   /** Most frequent value of `field` per group, with its count —
     * deterministic: count ties break on the smaller value. NULLs are
     * never the mode (a missing value is not a value). Shape: one

@@ -83,6 +83,9 @@ final case class Pipeline(df: DataFrame) {
     >>(Ops.zscoreNormalize(keys, field, target))
   def modeAgg(keys: Seq[String], field: String): Pipeline =
     >>(Ops.modeAgg(keys, field))
+  def robustZScore(keys: Seq[String], field: String,
+      target: String = ""): Pipeline =
+    >>(Ops.robustZScore(keys, field, target))
   def weightedSample(groupField: String, keyField: String,
       weightField: String, n: Int, salt: String = ""): Pipeline =
     >>(Ops.weightedSample(groupField, keyField, weightField, n, salt))

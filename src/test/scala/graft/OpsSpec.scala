@@ -99,6 +99,30 @@ class OpsSpec extends SparkSpec {
       Some(0.0), Some(0.0)))
   }
 
+  test("robustZScore shrugs off the outlier that poisons a classical z-score") {
+    import spark.implicits._
+    // 1..9 plus a 1e9 glitch: median 5.5, MAD 2.5 — the glitch scores
+    // huge, the inliers stay near zero; classical z would compress
+    // everything because the glitch owns the stddev
+    val df = ((1 to 9).map(i => ("a", Some(i.toDouble))) ++
+      Seq(("a", Some(1e9)), ("a", None), ("b", Some(7.0)), ("b", Some(7.0))))
+      .toDF("k", "v")
+    val out = Ops.robustZScore(Seq("k"), "v")(df)
+      .orderBy($"k", $"v".asc_nulls_first).select("v_rz").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.head === None)                       // NULL passes through
+    val inliers = out.slice(1, 10).flatten
+    assert(inliers.forall(z => math.abs(z) < 1.3), inliers.mkString(","))
+    assert(out(10).exists(_ > 1e8 / (1.4826 * 2.5) * 0.9)) // the glitch
+    assert(out.takeRight(2).flatten.forall(_ === 0.0)) // zero-MAD group
+    // classical z on the same data: the glitch caps at ~3 and inliers
+    // collapse to ~-0.3 — the contrast that justifies the robust form
+    val cz = Ops.zscoreNormalize(Seq("k"), "v")(df.filter($"k" === "a"))
+      .orderBy($"v".asc_nulls_first).select("v_z").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(cz(10).exists(_ < 3.1))
+  }
+
   test("modeAgg picks the most frequent value, ties to the smaller") {
     import spark.implicits._
     val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"),
