@@ -429,6 +429,49 @@ object ScaleBench {
     println("corpus_x,docs,two_pass_sec,naive_group_by_sec")
     fRows.foreach { case (k, d, a, b) => println(f"$k,$d,$a%.2f,$b%.2f") }
     }
+
+    // Time-series family: events replicated with SHIFTED user ids, so
+    // per-key history length stays constant while the key count grows —
+    // the honest scaling axis for per-key-sort operators (resample's
+    // spine, EWMA's fold array, TWA's lead window are all bounded by
+    // per-key history, which replication must NOT inflate).
+    phase("ts") {
+    import graft.ops.{TemporalOps, WindowOps}
+    val evBase = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), round(col("value") * 1e2, 0).cast("long").as("v"))
+    val ne = evBase.count()
+    def repEvents(k: Int): DataFrame =
+      (0 until k).map(i => evBase.select(
+        (col("user_id") + lit(i.toLong * 10_000_000L)).as("user_id"),
+        col("ts"), (col("event_id") + lit(i.toLong * 100_000_000L))
+          .as("event_id"), col("v")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def rs(ev: DataFrame): Unit =
+      TemporalOps.resample("user_id", "ts", "v", 21600L, "event_id")(ev)
+        .write.mode("overwrite").format("noop").save()
+    def ew(ev: DataFrame): Unit =
+      WindowOps.ewmaSmooth("user_id", "ts", "v", 0.3, "event_id")(ev)
+        .write.mode("overwrite").format("noop").save()
+    def tw(ev: DataFrame): Unit =
+      WindowOps.timeWeightedAvg("user_id", "ts", "v", "event_id")(ev)
+        .write.mode("overwrite").format("noop").save()
+    locally {
+      val e1 = repEvents(1).localCheckpoint()
+      rs(e1); ew(e1); tw(e1)
+      e1.unpersist()
+    }
+    val tsRows = for (k <- Seq(1, 2, 4)) yield {
+      val ev = repEvents(k).localCheckpoint()
+      val a = median3(rs(ev)); val b = median3(ew(ev)); val c = median3(tw(ev))
+      ev.unpersist()
+      (k, ne * k, a, b, c)
+    }
+    println("corpus_x,events,resample_sec,ewma_sec,twa_sec")
+    tsRows.foreach { case (k, d, a, b, c) =>
+      println(f"$k,$d,$a%.2f,$b%.2f,$c%.2f") }
+    }
     spark.stop()
   }
 }
