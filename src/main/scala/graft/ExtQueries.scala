@@ -1198,6 +1198,13 @@ object ExtQueries {
       Frequency.heavyHitterTerms("text", minFreq = 1e-3)(
         corpus(s, dir, "documents"))
         .orderBy(col("cnt").desc, col("token"))
+    },
+    "heavy_hitter_phrases" -> { (s, dir) =>
+      // frequent trigrams at 0.01% document frequency — boilerplate
+      // phrase mining; distinct grams per doc, so repeats vote once
+      Frequency.heavyHitterPhrases("text", n = 3, minFreq = 1e-4)(
+        corpus(s, dir, "documents"))
+        .orderBy(col("cnt").desc, col("phrase"))
     }
   )
 
@@ -3709,6 +3716,17 @@ object ExtQueries {
       FROM t GROUP BY token
       HAVING CAST(count(*) AS DOUBLE)
            > 1e-3 * (SELECT CAST(total AS DOUBLE) FROM n)
-      ORDER BY cnt DESC, token"""
+      ORDER BY cnt DESC, token""",
+    // the naive gram-frequency plan over the same distinct-per-doc
+    // shingle stream (shinglesSql is already distinct per document)
+    "heavy_hitter_phrases" -> s"""
+      WITH t AS (SELECT unnest(${shinglesSql(3)}) AS phrase
+                 FROM (SELECT coalesce(text, '') AS text FROM documents)),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
+      SELECT phrase, CAST(count(*) AS BIGINT) AS cnt
+      FROM t GROUP BY phrase
+      HAVING CAST(count(*) AS DOUBLE)
+           > 1e-4 * (SELECT CAST(total AS DOUBLE) FROM n)
+      ORDER BY cnt DESC, phrase"""
   )
 }

@@ -109,4 +109,21 @@ object Frequency {
       df.select(
         explode(TextOps.tokens(coalesce(col(textField), lit(""))))
           .as("token")))
+
+  /** Frequent phrases: the same two-pass machinery over the word
+    * n-gram stream (native [[TextOps.shingles]] kernel — DISTINCT
+    * grams per document, so the count is DOCUMENT frequency and a
+    * document repeating a phrase a thousand times votes once — the
+    * boilerplate-detection semantics, matching every other gram
+    * consumer in this library). The scale argument is stronger than
+    * the unigram case: the n-gram vocabulary is combinatorially larger
+    * than the token vocabulary, which is exactly what the naive
+    * GROUP BY shuffles and the candidate pass does not. Output:
+    * `(phrase, cnt)` above `minFreq` of the corpus gram volume. */
+  def heavyHitterPhrases(textField: String, n: Int, minFreq: Double)(
+      df: DataFrame): DataFrame =
+    heavyHitters("phrase", minFreq)(
+      df.select(
+        explode(TextOps.shingles(coalesce(col(textField), lit("")), n))
+          .as("phrase")))
 }

@@ -362,6 +362,9 @@ final case class Pipeline(df: DataFrame) {
     >>(graft.ext.Frequency.heavyHitters(keyField, minFreq))
   def heavyHitterTerms(textField: String, minFreq: Double): Pipeline =
     >>(graft.ext.Frequency.heavyHitterTerms(textField, minFreq))
+  def heavyHitterPhrases(textField: String, n: Int,
+      minFreq: Double): Pipeline =
+    >>(graft.ext.Frequency.heavyHitterPhrases(textField, n, minFreq))
   /** `this` is the labeled corpus; kNN majority-vote labels for `queries`. */
   def knnClassify(corpusId: String, corpusVec: String, labelField: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int): Pipeline =

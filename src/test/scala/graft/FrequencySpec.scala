@@ -70,6 +70,17 @@ class FrequencySpec extends SparkSpec {
     intercept[IllegalArgumentException](Frequency.heavyHitters("k", 1.0)(df))
   }
 
+  test("heavyHitterPhrases counts DOCUMENT frequency: in-doc repeats vote once") {
+    val df = Seq(
+      (1L, "x y z x y z x y z"), // "x y z" repeats but votes once
+      (2L, "x y z a b c"),
+      (3L, "a b c d e f")).toDF("doc_id", "text")
+    val got = Frequency.heavyHitterPhrases("text", n = 3, minFreq = 0.1)(df)
+      .as[(String, Long)].collect().toMap
+    assert(got("x y z") === 2L) // docs 1 and 2, not 4
+    assert(got("a b c") === 2L)
+  }
+
   test("heavyHitterTerms tokenizes like the library (NULL text => [\"\"])") {
     val df = Seq(
       (1L, "the cat and the dog and the fish"),
