@@ -342,4 +342,65 @@ class EndToEndSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively(); ()
     }
   }
+
+  test("metrics pipeline: CDC snapshot -> resample -> ewma/twa -> rollup state composes") {
+    import graft.ops.{Ops, TemporalOps, WindowOps}
+    val sf = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("v", round(col("value") * 1e2, 0).cast("long"))
+
+    // 1. day-1 / day-2 split: the rollup maintained incrementally must
+    // equal the full recompute (the materialized-view identity, on the
+    // REAL event stream)
+    val cut = events.agg(percentile_approx(unix_micros(col("ts")),
+      lit(0.5), lit(1000)).cast("long")).head().getLong(0)
+    val day1 = events.filter(unix_micros(col("ts")) < cut)
+    val day2 = events.filter(unix_micros(col("ts")) >= cut)
+    val keys = Seq("event_type")
+    val ms = Seq("v" -> "sum", "v" -> "average", "v" -> "max")
+    val merged = Ops.finalizeAggregate(keys, ms)(
+      Ops.mergeAggregateStates(keys, ms)(
+        Ops.aggregateState(keys, ms)(day1), Ops.aggregateState(keys, ms)(day2)))
+    val direct = Ops.aggregate(keys, ms)(events)
+    assert(merged.orderBy("event_type").collect().toSeq ===
+      direct.orderBy("event_type").collect().toSeq)
+
+    // 2. regularize one user's series and smooth it: the resampled
+    // spine is dense, the ewma output covers every event, the TWA is
+    // bounded by the raw value range (a weighted mean must be)
+    val rs = TemporalOps.resample("user_id", "ts", "v", 21600L, "event_id")(
+      events)
+    val perUser = rs.groupBy("user_id").agg(count(lit(1)).as("n"),
+      (max(unix_micros(col("bucket_ts"))) -
+        min(unix_micros(col("bucket_ts")))).as("span"))
+    // dense spine: rows per key == span/step + 1, for every key
+    assert(perUser.filter(col("n") =!=
+      col("span") / 21600000000L + 1).count() === 0)
+    val ew = WindowOps.ewmaSmooth("user_id", "ts", "v", 0.3, "event_id")(
+      events)
+    assert(ew.count() === events.filter(col("ts").isNotNull).count())
+    val twa = WindowOps.timeWeightedAvg("user_id", "ts", "v", "event_id")(
+      events)
+    val bounds = events.agg(min("v"), max("v")).head()
+    val (lo, hi) = (bounds.getLong(0).toDouble, bounds.getLong(1).toDouble)
+    assert(twa.filter(col("twa") < lo || col("twa") > hi).count() === 0)
+
+    // 3. a CDC day rolls the per-user LATEST-value snapshot forward:
+    // applying day-2 as changes to the day-1 snapshot equals building
+    // the snapshot from the full stream
+    def latestSnapshot(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("ts").isNotNull)
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("__rk") === 1).select("user_id", "v")
+    val snap1 = latestSnapshot(day1)
+    val changes = day2.select(col("user_id"), col("v"), lit("U").as("op"),
+      col("ts").as("chg_ts"), col("event_id").as("chg_id"))
+    val rolled = TemporalOps.applyChanges(changes, "user_id", "chg_ts",
+      "chg_id", "op")(snap1)
+    assert(rolled.orderBy("user_id").collect().toSeq ===
+      latestSnapshot(events).orderBy("user_id").collect().toSeq)
+  }
 }
