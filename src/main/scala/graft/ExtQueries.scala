@@ -891,6 +891,25 @@ object ExtQueries {
         tieBreak = "event_id")(table(s, dir, "events"))
         .orderBy("user_id", "ts", "event_id")
     },
+    "interval_join" -> { (s, dir) =>
+      // signup sessions vs purchase sessions that overlap in time for
+      // the same user — both sides INTERVALS (event_id-derived lengths,
+      // 0.5-4.5 h), bucket-exploded to a pure equi-join; the oracle is
+      // the plain non-equi join the bucket plan provably equals
+      val ev = table(s, dir, "events")
+      def iv(t: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("start_ts"),
+          timestamp_micros(unix_micros(col("ts")) +
+            (col("event_id") % 14400 + 1800) * 1000000L).as("end_ts"))
+      TemporalOps.intervalJoin(iv("purchase"), "user_id",
+        "start_ts", "end_ts", "start_ts", "end_ts", widthSeconds = 7200L)(
+        iv("signup"))
+        .select(col("l_event_id").as("signup_id"),
+          col("r_event_id").as("purchase_id"),
+          col("l_user_id").as("user_id"), col("overlap_us"))
+        .orderBy("user_id", "signup_id", "purchase_id")
+    },
     "apply_changes" -> { (s, dir) =>
       // CDC merge: the pre-cutoff customer snapshot maintained with the
       // post-cutoff rows replayed as a change stream (odd custkeys
@@ -2758,6 +2777,21 @@ object ExtQueries {
           AS is_current
       FROM v
       ORDER BY user_id, valid_from_us, valid_to_us, event_type, is_current""",
+    // the plain non-equi overlap join the bucket-exploded equi-join
+    // provably equals; half-open [s, e) overlap, integer overlap_us
+    "interval_join" -> """
+      WITH iv AS (SELECT event_id, user_id, event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+          epoch_us(CAST(ts AS TIMESTAMP))
+            + (event_id % 14400 + 1800) * 1000000 AS e
+        FROM events WHERE ts IS NOT NULL)
+      SELECT a.event_id AS signup_id, b.event_id AS purchase_id,
+        a.user_id,
+        CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+      FROM iv a JOIN iv b ON a.user_id = b.user_id
+      WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+        AND a.s < b.e AND b.s < a.e
+      ORDER BY a.user_id, signup_id, purchase_id""",
     // the merge result spelled out set-wise: untouched snapshot keys +
     // upserted latest changes; deletes vanish (each key has exactly one
     // change in this stream, so last-wins needs no dedup here)

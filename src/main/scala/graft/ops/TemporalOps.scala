@@ -255,6 +255,63 @@ object TemporalOps {
       .withColumn("delta_us", delta)
   }
 
+  /** Interval OVERLAP join: pairs of (left, right) rows with the same
+    * `key` whose half-open intervals `[start, end)` overlap —
+    * `lStart < rEnd AND rStart < lEnd`. A zero-length interval behaves
+    * as an INSTANT: it matches intervals strictly containing its point
+    * (with `overlap_us` 0) and never matches another instant — the
+    * standard overlaps-predicate semantics. The two-sided
+    * generalization of [[bandJoin]] (point vs band):
+    * session-vs-session, outage-vs-request, visit-vs-campaign.
+    *
+    * Never a nested-loop plan: both sides explode to the
+    * `widthSeconds` buckets their interval covers and the join is a
+    * pure equi-join on (key, bucket). Each overlapping pair would meet
+    * in EVERY shared bucket, so a pair is emitted only in the bucket
+    * containing the overlap's START (`floor(max(lStart, rStart)/w)`) —
+    * the canonical one-bucket dedup, a post-filter, not a distinct.
+    * Choose `widthSeconds` near the typical interval length: cost is
+    * `span/width + 1` bucket rows per interval, and per-reducer work is
+    * bounded by (key, time-locality) exactly like [[bandJoin]].
+    * Rows with a NULL endpoint never match (no place on a timeline). */
+  def intervalJoin(
+      right: DataFrame,
+      key: String,
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      widthSeconds: Long,
+      leftPrefix: String = "l_",
+      rightPrefix: String = "r_")(left: DataFrame): DataFrame = {
+    require(widthSeconds > 0, "bucket width must be positive")
+    val w = widthSeconds * 1000000L
+    def us(c: org.apache.spark.sql.Column) = unix_micros(c)
+    // floor(us/w) without a SQL-string detour: (c − pmod) is an exact
+    // multiple of w and µs epochs sit far below 2^53, so the double
+    // division is exact
+    def bucket(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    def side(df: DataFrame, prefix: String, s: String, e: String) =
+      df.filter(col(s).isNotNull && col(e).isNotNull)
+        .select(df.columns.map(c => col(c).as(s"$prefix$c")): _*)
+        .withColumn("__k", col(s"$prefix$key"))
+        .withColumn("__us_s", us(col(s"$prefix$s")))
+        .withColumn("__us_e", us(col(s"$prefix$e")))
+        .withColumn("__bucket",
+          explode(sequence(bucket(col("__us_s")), bucket(col("__us_e")))))
+    val l = side(left, leftPrefix, leftStart, leftEnd)
+      .withColumnRenamed("__us_s", "__ls").withColumnRenamed("__us_e", "__le")
+    val r = side(right, rightPrefix, rightStart, rightEnd)
+      .withColumnRenamed("__us_s", "__rs").withColumnRenamed("__us_e", "__re")
+    val overlapStart = greatest(col("__ls"), col("__rs"))
+    l.join(r, Seq("__k", "__bucket"))
+      .filter(col("__ls") < col("__re") && col("__rs") < col("__le"))
+      // one-bucket dedup: only the bucket holding the overlap start emits
+      .filter(col("__bucket") === bucket(overlapStart))
+      .withColumn("overlap_us",
+        least(col("__le"), col("__re")) - overlapStart)
+      .drop("__k", "__bucket", "__ls", "__le", "__rs", "__re")
+  }
+
   /** Fixed-interval resample with gap fill: per `key`, bucket events
     * into `stepSeconds` intervals and emit ONE row per bucket of the
     * key's [first, last] active range — including the empty buckets

@@ -131,6 +131,11 @@ final case class Pipeline(df: DataFrame) {
   def applyChanges(changes: DataFrame, key: String, ts: String,
       tieBreak: String, opField: String): Pipeline =
     >>(TemporalOps.applyChanges(changes, key, ts, tieBreak, opField))
+  def intervalJoin(right: DataFrame, key: String,
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String, widthSeconds: Long): Pipeline =
+    >>(TemporalOps.intervalJoin(right, key, leftStart, leftEnd,
+      rightStart, rightEnd, widthSeconds))
   def audit(fields: String*): Pipeline = >>(Probes.audit(fields))
   def keySkew(keys: Seq[String], topN: Int = 20): Pipeline =
     >>(Probes.keySkew(keys, topN))

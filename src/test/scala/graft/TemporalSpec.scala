@@ -255,6 +255,29 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq(2.0))
   }
 
+  test("intervalJoin: half-open overlap, one row per pair across bucket spans") {
+    // left interval [10:00, 10:30); rights probe every boundary class
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
+      .toDF("iv_id", "user_id", "s", "e")
+    val right = Seq(
+      (10L, 1L, ts("2024-01-01 10:10:00"), ts("2024-01-01 10:20:00")), // inside
+      (11L, 1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")), // contains (spans many buckets)
+      (12L, 1L, ts("2024-01-01 10:29:59"), ts("2024-01-01 10:40:00")), // tail overlap
+      (13L, 1L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:40:00")), // abuts: half-open -> no
+      (14L, 1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 10:00:00")), // abuts before -> no
+      (15L, 2L, ts("2024-01-01 10:10:00"), ts("2024-01-01 10:20:00")), // other key
+      (16L, 1L, ts("2024-01-01 10:15:00"), ts("2024-01-01 10:15:00"))  // instant inside -> yes, overlap 0
+    ).toDF("iv_id", "user_id", "s", "e")
+    val out = TemporalOps.intervalJoin(right, "user_id", "s", "e", "s", "e",
+      widthSeconds = 300L)(left)
+      .select("r_iv_id", "overlap_us").as[(Long, Long)].collect().sortBy(_._1)
+    // exactly one row per overlapping pair, even when intervals share
+    // many buckets (the 2h-wide right row 11); the instant matches its
+    // strict container with zero measure
+    assert(out.toSeq === Seq(
+      (10L, 600000000L), (11L, 1800000000L), (12L, 1000000L), (16L, 0L)))
+  }
+
   test("applyChanges: last change wins, deletes remove, delete-then-upsert recreates") {
     val snapshot = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val changes = Seq(
