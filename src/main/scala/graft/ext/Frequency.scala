@@ -61,7 +61,11 @@ object Frequency {
     // is tiny, but it derives from a full scan — localCheckpoint so its
     // two consumers (total + candidates) don't scan the stream twice.
     val summaries = stream.as[String].mapPartitions { it =>
-      val counters = new java.util.HashMap[String, Long](cap * 2)
+      // initial capacity clamped: a tiny minFreq makes cap huge and
+      // cap*2 would overflow Int / pre-allocate gigabytes — the map
+      // grows to at most cap-1 entries on its own
+      val counters =
+        new java.util.HashMap[String, Long](math.min(cap * 2L, 1L << 16).toInt)
       var n = 0L
       while (it.hasNext) {
         val k = it.next()

@@ -194,7 +194,10 @@ object TemporalOps {
       opField: String)(snapshot: DataFrame): DataFrame = {
     val dataCols = snapshot.columns
     val latest = changes
-      .filter(col(ts).isNotNull)
+      // NULL-key changes are unaddressable (the anti-join could never
+      // remove what an upsert would insert — a duplicate NULL-key row);
+      // NULL timestamps are undatable — both drop, the library doctrine
+      .filter(col(ts).isNotNull && col(key).isNotNull)
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col(key))
           .orderBy(col(ts).desc, col(tieBreak).desc)))
@@ -291,7 +294,10 @@ object TemporalOps {
     def bucket(c: org.apache.spark.sql.Column) =
       ((c - pmod(c, lit(w))) / lit(w)).cast("long")
     def side(df: DataFrame, prefix: String, s: String, e: String) =
-      df.filter(col(s).isNotNull && col(e).isNotNull)
+      // inverted intervals (end before start) are data errors that
+      // would otherwise build a DESCENDING bucket sequence and emit
+      // phantom pairs — dropped like NULL endpoints
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
         .select(df.columns.map(c => col(c).as(s"$prefix$c")): _*)
         .withColumn("__k", col(s"$prefix$key"))
         .withColumn("__us_s", us(col(s"$prefix$s")))

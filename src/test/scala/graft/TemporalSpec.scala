@@ -266,7 +266,8 @@ class TemporalSpec extends SparkSpec {
       (13L, 1L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:40:00")), // abuts: half-open -> no
       (14L, 1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 10:00:00")), // abuts before -> no
       (15L, 2L, ts("2024-01-01 10:10:00"), ts("2024-01-01 10:20:00")), // other key
-      (16L, 1L, ts("2024-01-01 10:15:00"), ts("2024-01-01 10:15:00"))  // instant inside -> yes, overlap 0
+      (16L, 1L, ts("2024-01-01 10:15:00"), ts("2024-01-01 10:15:00")), // instant inside -> yes, overlap 0
+      (17L, 1L, ts("2024-01-01 10:20:00"), ts("2024-01-01 10:05:00"))  // inverted -> dropped
     ).toDF("iv_id", "user_id", "s", "e")
     val out = TemporalOps.intervalJoin(right, "user_id", "s", "e", "s", "e",
       widthSeconds = 300L)(left)
