@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import graft.sources.DataStore
+import graft.ops.Ops
+
+/** Persistent incrementally-maintained rollup — [[IncrementalIndex]]'s
+  * sibling for AGGREGATES: the stored object is an
+  * [[graft.ops.Ops.aggregateState]] frame (per-group sufficient
+  * statistics, |groups| rows however much history has flowed through),
+  * each batch folds in with one |groups|-sized merge, and the
+  * presentation rollup projects out on demand. History is read ONCE —
+  * when it was a batch; a 100 TB event archive maintains a KB-scale
+  * state table.
+  *
+  * The fold pins the merged state (localCheckpoint) BEFORE replacing
+  * the stored object — the merge plan reads that object, and a lazy
+  * replace would otherwise overwrite its own input mid-read (the same
+  * discipline as [[IncrementalIndex.ingest]]).
+  *
+  * `count_distinct` has no bounded exact state; keep a sibling
+  * HLL-sketch state (`Ops.aggregateStateHll` + `mergeAggregateStatesHll`
+  * under its own object name) when estimated distincts are wanted.
+  */
+final case class RollupState(
+    store: DataStore, name: String,
+    keys: Seq[String], measures: Seq[(String, String)]) {
+
+  /** Initialize (or replace) the state from a first batch. */
+  def create(df: DataFrame, replace: Boolean = false): Unit =
+    store.create(name, Ops.aggregateState(keys, measures)(df), replace)
+
+  /** The stored sufficient-statistics frame. */
+  def load(): DataFrame = store.getObject(name)
+
+  /** Fold one batch into the stored state: aggregate the BATCH (its
+    * only scan), merge with the |groups|-row stored frame, replace. */
+  def fold(batch: DataFrame): Unit = {
+    val merged = Ops.mergeAggregateStates(keys, measures)(
+      load(), Ops.aggregateState(keys, measures)(batch))
+      .localCheckpoint()
+    store.create(name, merged, replace = true)
+  }
+
+  /** The presentation rollup — [[graft.ops.Ops.aggregate]]'s schema —
+    * from the current state. */
+  def result(): DataFrame = Ops.finalizeAggregate(keys, measures)(load())
+}

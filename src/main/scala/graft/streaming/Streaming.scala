@@ -84,6 +84,26 @@ object Streaming {
         col(keyField),
         col("event_count"))
 
+  /** Continuous rollup maintenance: attach a
+    * [[graft.ext.RollupState]] to an unbounded stream — each
+    * micro-batch folds into the persisted sufficient-statistics frame
+    * via `foreachBatch` (the canonical stream-to-maintained-table
+    * shape: the aggregation itself is batch code, so batch and
+    * streaming rollups CANNOT disagree). Exactly-once caveat,
+    * documented rather than hidden: `foreachBatch` gives at-least-once
+    * on restart — a re-delivered batch would double-count, so
+    * production restarts need an idempotence key (batchId recorded
+    * with the state) or an upstream exactly-once source; the dedup
+    * triad's append-survivors loops carry the same contract. Returns
+    * the started query. */
+  def streamingRollup(
+      events: DataFrame, state: graft.ext.RollupState):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => state.fold(batch) }
+      .start()
+
   /** Unbounded parquet-directory source: new files under `dir` become
     * micro-batches. Schema must be supplied — a streaming source cannot
     * pay an inference pass per batch. */

@@ -55,6 +55,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRollup folds micro-batches into persisted state == full recompute") {
+    import graft.ext.RollupState
+    import graft.ops.Ops
+    val store = new graft.sources.MemoryStore(spark)
+    val keys = Seq("event_type")
+    val ms = Seq("v" -> "sum", "v" -> "average", "v" -> "max")
+    val state = RollupState(store, "rollup", keys, ms)
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("event_type", "v")
+    // initialize from an empty first batch (schema only)
+    state.create(spark.emptyDataset[(String, Long)].toDF("event_type", "v"))
+    val q = Streaming.streamingRollup(stream, state)
+    try {
+      input.addData(("click", 2L), ("click", 4L), ("view", 10L))
+      q.processAllAvailable()
+      input.addData(("click", 6L), ("purchase", 1L))
+      q.processAllAvailable()
+      val all = Seq(("click", 2L), ("click", 4L), ("view", 10L),
+        ("click", 6L), ("purchase", 1L)).toDF("event_type", "v")
+      assert(state.result().orderBy("event_type").collect().toSeq ===
+        Ops.aggregate(keys, ms)(all).orderBy("event_type").collect().toSeq)
+    } finally q.stop()
+  }
+
   test("session windows close after the gap") {
     val input = MemoryStream[(Timestamp, String)]
     val sessions = Streaming.sessionCounts(
