@@ -471,6 +471,30 @@ object ScaleBench {
     println("corpus_x,events,resample_sec,ewma_sec,twa_sec")
     tsRows.foreach { case (k, d, a, b, c) =>
       println(f"$k,$d,$a%.2f,$b%.2f,$c%.2f") }
+
+    // Interval-join scaling on the same shifted replication: per-key
+    // interval density is constant, so pair volume grows LINEARLY with
+    // keys — the curve that must stay linear for the bucket-equi-join
+    // claim to hold (an accidental cross product would go quadratic).
+    def ivSide(ev: DataFrame, t: String): DataFrame =
+      ev.filter(col("event_id") % 3 === (if (t == "a") 0 else 1))
+        .select(col("event_id"), col("user_id"), col("ts").as("s"),
+          org.apache.spark.sql.functions.timestamp_micros(
+            unix_micros(col("ts")) +
+              (col("event_id") % 14400 + 1800) * 1000000L).as("e"))
+    def ivj(ev: DataFrame): Unit =
+      TemporalOps.intervalJoin(ivSide(ev, "b"), "user_id", "s", "e",
+        "s", "e", widthSeconds = 7200L)(ivSide(ev, "a"))
+        .write.mode("overwrite").format("noop").save()
+    locally { val e1 = repEvents(1).localCheckpoint(); ivj(e1); e1.unpersist() }
+    val ivRows = for (k <- Seq(1, 2, 4)) yield {
+      val ev = repEvents(k).localCheckpoint()
+      val a = median3(ivj(ev))
+      ev.unpersist()
+      (k, ne * k, a)
+    }
+    println("corpus_x,events,interval_join_sec")
+    ivRows.foreach { case (k, d, a) => println(f"$k,$d,$a%.2f") }
     }
     spark.stop()
   }
