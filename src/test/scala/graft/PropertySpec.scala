@@ -518,4 +518,42 @@ class PropertySpec extends SparkSpec {
       assert(pq === brute)
     }
   }
+
+  test("jaroWinkler: bounded, symmetric, 1 iff equal nonempty, del-1 floor") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.functions.JaroWinkler.score(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    val strGen = Gen.listOfN(2,
+      Gen.chooseNum(0, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)))
+    for (Seq(a, b) <- draws(strGen, 300)) {
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"out of bounds: $a/$b -> $s")
+      assert(s === jw(b, a), s"asymmetric: $a/$b")
+      if (a.nonEmpty) assert(jw(a, a) === 1.0)
+      // deleting one char from a nonempty string keeps similarity high
+      // (the property that makes del-1 blocking + a JW threshold sane)
+      if (a.length >= 4) {
+        val del = a.substring(0, 1) + a.substring(2)
+        assert(jw(a, del) > 0.7, s"del-1 collapsed: $a vs $del -> ${jw(a, del)}")
+      }
+    }
+  }
+
+  test("two-pass heavy hitters equal the naive plan on random skewed streams") {
+    val streamGen = Gen.listOfN(400,
+      Gen.frequency(5 -> Gen.const("hot1"), 3 -> Gen.const("hot2"),
+        2 -> Gen.oneOf((1 to 50).map(i => s"cold$i"))))
+    for ((rows, i) <- draws(streamGen, 4).zipWithIndex) {
+      val df = spark.createDataset(rows).toDF("k").repartition(3 + i)
+      val f = 0.05
+      val n = rows.length.toDouble
+      val want = rows.groupBy(identity).view.mapValues(_.length.toLong)
+        .filter { case (_, c) => c.toDouble > f * n }.toMap
+      val got = graft.ext.Frequency.heavyHitters("k", f)(df)
+        .as[(String, Long)].collect().toMap
+      assert(got === want)
+    }
+  }
 }
