@@ -343,6 +343,47 @@ class EndToEndSpec extends SparkSpec {
     }
   }
 
+  test("warehouse chain: SCD2 build -> as-of read side -> funnel/retention composes") {
+    import graft.ops.{TemporalOps, WindowOps}
+    val sf = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+    // 1. dimension build: each user's event_type change stream becomes
+    // versioned history; current versions = exactly one per user
+    val hist = TemporalOps.scd2History("user_id", "ts", Seq("event_type"),
+      tieBreak = "event_id")(events)
+    val users = events.select("user_id").distinct().count()
+    assert(hist.filter(col("is_current") === 1).count() === users)
+    // intervals tile: per user, #versions == #closed + 1
+    val perUser = hist.groupBy("user_id").agg(count(lit(1)).as("n"),
+      sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("open"))
+    assert(perUser.filter(col("open") =!= 1L).count() === 0)
+
+    // 2. read side: as-of join each event onto the version valid at its
+    // timestamp — every event must land INSIDE its matched interval
+    val versions = hist.select(col("user_id"),
+      col("event_type").as("v_type"), col("valid_from"), col("valid_to"))
+    val read = TemporalOps.asOfJoin(versions, "user_id", "ts", "valid_from",
+      rightVals = Seq("v_type", "valid_to"), rightTieBreak = "v_type")(
+      events)
+    assert(read.filter(col("asof_v_type").isNull).count() === 0)
+    assert(read.filter(col("asof_valid_to").isNotNull &&
+      col("asof_valid_to") <= col("ts")).count() === 0)
+
+    // 3. product analytics over the same stream: the funnel narrows and
+    // the cohort matrix starts every cohort at offset 0
+    val funnel = WindowOps.eventFunnel("user_id", "ts", "event_type",
+      Seq("signup", "purchase"))(events)
+      .orderBy("step").select("users").as[Long].collect()
+    assert(funnel.length === 2 && funnel(1) <= funnel(0))
+    val cohorts = WindowOps.cohortRetention("user_id", "ts")(events)
+    assert(cohorts.filter(col("week_offset") < 0).count() === 0)
+    val zeroOffset = cohorts.filter(col("week_offset") === 0)
+      .agg(sum("active_users")).head().getLong(0)
+    assert(zeroOffset === users) // every user is active in their own first week
+  }
+
   test("metrics pipeline: CDC snapshot -> resample -> ewma/twa -> rollup state composes") {
     import graft.ops.{Ops, TemporalOps, WindowOps}
     val sf = "/root/testdata/sf0.001"
