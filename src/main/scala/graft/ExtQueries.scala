@@ -1218,6 +1218,16 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy(col("cnt").desc, col("token"))
     },
+    "heavy_hitters_by_source" -> { (s, dir) =>
+      // per-domain frequent terms at 0.5% of EACH source's volume —
+      // group-keyed Misra–Gries summaries, per-group totals and
+      // candidates, exact per-(source, token) verify
+      Frequency.heavyHittersByGroup("source", "token", minFreq = 5e-3)(
+        corpus(s, dir, "documents").select(col("source"),
+          explode(TextOps.tokens(coalesce(col("text"), lit(""))))
+            .as("token")))
+        .orderBy(col("source"), col("cnt").desc, col("token"))
+    },
     "heavy_hitter_phrases" -> { (s, dir) =>
       // frequent trigrams at 0.01% document frequency — boilerplate
       // phrase mining; distinct grams per doc, so repeats vote once
@@ -3751,6 +3761,20 @@ object ExtQueries {
       HAVING CAST(count(*) AS DOUBLE)
            > 1e-3 * (SELECT CAST(total AS DOUBLE) FROM n)
       ORDER BY cnt DESC, token""",
+    // naive per-group plan: per-source totals joined back, HAVING on
+    // the same one-multiply threshold as heavyHittersByGroup
+    "heavy_hitters_by_source" -> """
+      WITH t AS (SELECT source,
+          unnest(string_split(coalesce(text, ''), ' ')) AS token
+        FROM documents),
+      n AS (SELECT source, CAST(count(*) AS BIGINT) AS total
+        FROM t GROUP BY 1)
+      SELECT t.source AS source, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM t JOIN n ON t.source = n.source
+      GROUP BY t.source, token, n.total
+      HAVING CAST(count(*) AS DOUBLE)
+           > 5e-3 * CAST(n.total AS DOUBLE)
+      ORDER BY source, cnt DESC, token""",
     // the naive gram-frequency plan over the same distinct-per-doc
     // shingle stream (shinglesSql is already distinct per document)
     "heavy_hitter_phrases" -> s"""

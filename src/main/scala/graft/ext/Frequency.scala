@@ -114,6 +114,77 @@ object Frequency {
         explode(TextOps.tokens(coalesce(col(textField), lit(""))))
           .as("token")))
 
+  /** Per-GROUP heavy hitters: keys above `minFreq` of THEIR GROUP's
+    * stream ("terms above 1% of each domain's volume" — the per-source
+    * boilerplate profile, where a key can be heavy in one small source
+    * and invisible corpus-wide). Same two passes, with the Misra–Gries
+    * summaries keyed per group inside each partition: the averaging
+    * argument applies within each group's sub-stream, so the per-group
+    * candidate supersets stay guaranteed; per-group totals ride the
+    * pass-1 rows exactly like the global form.
+    *
+    * Memory contract: a partition holds `groups-present × cap`
+    * counters — groups must be FEW (sources, languages, shards), not
+    * high-cardinality keys like users; for that shape use a plain
+    * per-(group,key) aggregation, which is already group-bounded.
+    * Output: `(groupField, keyField, cnt)`, exact. NULL groups or keys
+    * drop (the library doctrine). */
+  def heavyHittersByGroup(
+      groupField: String, keyField: String, minFreq: Double)(
+      df: DataFrame): DataFrame = {
+    require(minFreq > 0.0 && minFreq < 1.0,
+      s"heavyHittersByGroup: minFreq must be in (0, 1), got $minFreq")
+    val cap = math.max(2, math.ceil(1.0 / minFreq).toInt)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stream = df.select(col(groupField).cast("string").as(groupField),
+        col(keyField).cast("string").as(keyField))
+      .filter(col(groupField).isNotNull && col(keyField).isNotNull)
+    val summaries = stream.as[(String, String)].mapPartitions { it =>
+      val perGroup = new java.util.HashMap[
+        String, (java.util.HashMap[String, Long], Array[Long])]
+      while (it.hasNext) {
+        val (g, k) = it.next()
+        var st = perGroup.get(g)
+        if (st == null) {
+          st = (new java.util.HashMap[String, Long](
+            math.min(cap * 2L, 1L << 12).toInt), Array(0L))
+          perGroup.put(g, st)
+        }
+        val (counters, n) = st
+        n(0) += 1L
+        val c = counters.get(k)
+        if (c != 0L) counters.put(k, c + 1L)
+        else if (counters.size < cap - 1) counters.put(k, 1L)
+        else {
+          val del = new java.util.ArrayList[String]
+          val e = counters.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) del.add(kv.getKey)
+            else kv.setValue(kv.getValue - 1L)
+          }
+          del.forEach(k2 => counters.remove(k2))
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      perGroup.entrySet().iterator().asScala.map { ent =>
+        (ent.getKey,
+          ent.getValue._1.keySet.toArray(Array.empty[String]).toSeq,
+          ent.getValue._2(0))
+      }
+    }.toDF(groupField, "survivors", "np").localCheckpoint()
+    val totals = summaries.groupBy(groupField)
+      .agg(sum($"np").cast("long").as("__total"))
+    val cands = summaries
+      .select(col(groupField), explode($"survivors").as(keyField)).distinct()
+    stream.join(broadcast(cands), Seq(groupField, keyField), "left_semi")
+      .groupBy(groupField, keyField).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq(groupField))
+      .filter($"cnt".cast("double") > lit(minFreq) * $"__total".cast("double"))
+      .drop("__total")
+  }
+
   /** Frequent phrases: the same two-pass machinery over the word
     * n-gram stream (native [[TextOps.shingles]] kernel — DISTINCT
     * grams per document, so the count is DOCUMENT frequency and a

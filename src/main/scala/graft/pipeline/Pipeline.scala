@@ -370,6 +370,9 @@ final case class Pipeline(df: DataFrame) {
   def heavyHitterPhrases(textField: String, n: Int,
       minFreq: Double): Pipeline =
     >>(graft.ext.Frequency.heavyHitterPhrases(textField, n, minFreq))
+  def heavyHittersByGroup(groupField: String, keyField: String,
+      minFreq: Double): Pipeline =
+    >>(graft.ext.Frequency.heavyHittersByGroup(groupField, keyField, minFreq))
   /** `this` is the labeled corpus; kNN majority-vote labels for `queries`. */
   def knnClassify(corpusId: String, corpusVec: String, labelField: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int): Pipeline =

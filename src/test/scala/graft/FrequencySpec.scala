@@ -70,6 +70,26 @@ class FrequencySpec extends SparkSpec {
     intercept[IllegalArgumentException](Frequency.heavyHitters("k", 1.0)(df))
   }
 
+  test("heavyHittersByGroup: per-group thresholds, exact under partition spread") {
+    // group g1 is big (key "a" heavy there), g2 tiny (key "z" heavy in
+    // g2 but invisible corpus-wide — the case the per-group form exists
+    // for)
+    val rows = Seq.fill(300)(("g1", "a")) ++
+      (0 until 700).map(i => ("g1", s"c$i")) ++
+      Seq.fill(8)(("g2", "z")) ++ (0 until 2).map(i => ("g2", s"d$i"))
+    val df = spark.createDataset(rows).toDF("g", "k").repartition(11)
+    val got = Frequency.heavyHittersByGroup("g", "k", 0.25)(df)
+      .as[(String, String, Long)].collect().toSet
+    // g1: a at 300/1000 = 0.3 > 0.25; g2: z at 8/10 = 0.8
+    assert(got === Set(("g1", "a", 300L), ("g2", "z", 8L)))
+    // NULL group or key rows drop
+    val withNulls = (rows.map { case (g, k) => (Option(g), Option(k)) } ++
+      Seq((None, Some("a")), (Some("g2"), None))).toDF("g", "k")
+    val got2 = Frequency.heavyHittersByGroup("g", "k", 0.25)(withNulls)
+      .as[(String, String, Long)].collect().toSet
+    assert(got2 === got)
+  }
+
   test("heavyHitterPhrases counts DOCUMENT frequency: in-doc repeats vote once") {
     val df = Seq(
       (1L, "x y z x y z x y z"), // "x y z" repeats but votes once
