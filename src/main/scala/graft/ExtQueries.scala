@@ -764,6 +764,12 @@ object ExtQueries {
         .select("user_id", "event_id", "session_id")
         .orderBy("user_id", "event_id")
     },
+    "session_stats" -> { (s, dir) =>
+      // one row per session: bounds, whole-second duration, event count
+      WindowOps.sessionStats("user_id", "ts", gapSeconds = 1800,
+        tieBreak = Seq("event_id"))(table(s, dir, "events"))
+        .orderBy("user_id", "session_id")
+    },
     "event_deltas" -> { (s, dir) =>
       WindowOps.eventDeltas("user_id", "ts", tieBreak = Seq("event_id"))(
         table(s, dir, "events"))
@@ -2672,6 +2678,32 @@ object ExtQueries {
              ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM st ORDER BY user_id, event_id""",
+    // the sessionize CTE with the per-session rollup on top — duration
+    // uses the SAME truncated-epoch arithmetic as the gap criterion
+    "session_stats" ->
+      """WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev
+         FROM events),
+         st AS (SELECT user_id, event_id, ts,
+           CASE WHEN prev IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS s
+         FROM o),
+         sess AS (SELECT user_id, event_id, ts,
+           CAST(sum(s) OVER (PARTITION BY user_id
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+         FROM st)
+         SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(floor(epoch(max(ts))) AS BIGINT)
+             - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
     // Mirrors TemporalOps.asOfJoin's union+window shape exactly (DuckDB's
     // ASOF JOIN leaves equal-timestamp tie-breaks unspecified; the window
     // form pins them). CAST(ts AS TIMESTAMP) truncates the fixture's nanos

@@ -94,6 +94,25 @@ object WindowOps {
       .drop("__start")
   }
 
+  /** Per-session rollup — [[sessionize]] with the aggregation everyone
+    * writes next already attached: one row per (key, session) carrying
+    * start/end timestamps, whole-second duration (the same truncated
+    * epoch arithmetic as the gap test, so a session's duration and its
+    * gap criterion can't disagree about clock math), and the event
+    * count. Adds ONE hash-agg on (key, session_id) after sessionize's
+    * single key-shuffle window — the session key is a refinement of the
+    * partition key, so AQE coalesces rather than reshuffles. */
+  def sessionStats(
+      keyField: String, tsField: String, gapSeconds: Long,
+      tieBreak: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    sessionize(keyField, tsField, gapSeconds, tieBreak = tieBreak)(df)
+      .groupBy(col(keyField), col("session_id"))
+      .agg(min(col(tsField)).as("session_start"),
+        max(col(tsField)).as("session_end"),
+        (unix_timestamp(max(col(tsField))) -
+          unix_timestamp(min(col(tsField)))).as("duration_s"),
+        count(lit(1)).as("n_events"))
+
   /** Per-key event time deltas: whole seconds since the key's previous
     * event (null on each key's first event) — the inter-arrival series
     * behind rate limiting, bot detection, and session-gap tuning (plot

@@ -255,6 +255,22 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq(2.0))
   }
 
+  test("sessionStats: per-session bounds, duration, count") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 10:10:00")), // same session (gap 600 < 1800)
+      (1L, 12L, ts("2024-01-01 11:00:00")), // new session (gap 3000)
+      (2L, 20L, ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val out = graft.ops.WindowOps.sessionStats("user_id", "ts", 1800L,
+      tieBreak = Seq("event_id"))(events)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "duration_s", "n_events")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 1L, 600L, 2L), (1L, 2L, 0L, 1L), (2L, 1L, 0L, 1L)))
+  }
+
   test("intervalJoin: half-open overlap, one row per pair across bucket spans") {
     // left interval [10:00, 10:30); rights probe every boundary class
     val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
