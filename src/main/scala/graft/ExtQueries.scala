@@ -764,6 +764,15 @@ object ExtQueries {
         .select("user_id", "event_id", "session_id")
         .orderBy("user_id", "event_id")
     },
+    "cumulative_distinct" -> { (s, dir) =>
+      // per user: distinct event types seen so far at each event — the
+      // count(DISTINCT) OVER Spark lacks, decomposed into two exact
+      // integer windows
+      WindowOps.cumulativeDistinct("user_id", "event_type",
+        Seq("ts", "event_id"))(table(s, dir, "events"))
+        .select("user_id", "event_id", "event_type", "distinct_so_far")
+        .orderBy("user_id", "event_id")
+    },
     "session_stats" -> { (s, dir) =>
       // one row per session: bounds, whole-second duration, event count
       WindowOps.sessionStats("user_id", "ts", gapSeconds = 1800,
@@ -2678,6 +2687,20 @@ object ExtQueries {
              ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM st ORDER BY user_id, event_id""",
+    // mirrors WindowOps.cumulativeDistinct: first-occurrence flags per
+    // (key, value) in event order, running-summed per key
+    "cumulative_distinct" ->
+      """WITH f AS (SELECT user_id, event_id, event_type, ts,
+           CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) = 1
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS fst
+         FROM events)
+         SELECT user_id, event_id, event_type,
+           CAST(sum(fst) OVER (PARTITION BY user_id
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_so_far
+         FROM f ORDER BY user_id, event_id""",
     // the sessionize CTE with the per-session rollup on top — duration
     // uses the SAME truncated-epoch arithmetic as the gap criterion
     "session_stats" ->

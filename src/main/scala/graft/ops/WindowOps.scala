@@ -94,6 +94,29 @@ object WindowOps {
       .drop("__start")
   }
 
+  /** Running DISTINCT count per key: for each event, how many distinct
+    * `valueField` values its key has seen up to and including it — the
+    * "cumulative unique users/products/errors over time" curve. Spark
+    * windows cannot express `count(DISTINCT) OVER`, so it decomposes
+    * into two exact windows: flag each (key, value)'s FIRST occurrence
+    * in event order (row_number over (key, value)), then running-sum
+    * the flags per key — integer arithmetic end to end, one shuffle per
+    * window. `orderFields` must totally order each key's events (add a
+    * tie-break) or first-occurrence attribution is nondeterministic. */
+  def cumulativeDistinct(
+      keyField: String, valueField: String, orderFields: Seq[String],
+      target: String = "distinct_so_far")(df: DataFrame): DataFrame = {
+    val order = orderFields.map(col(_).asc_nulls_first)
+    val firstW = Window.partitionBy(col(keyField), col(valueField))
+      .orderBy(order: _*)
+    val cumW = Window.partitionBy(col(keyField)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__first",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn(target, sum(col("__first")).over(cumW))
+      .drop("__first")
+  }
+
   /** Per-session rollup — [[sessionize]] with the aggregation everyone
     * writes next already attached: one row per (key, session) carrying
     * start/end timestamps, whole-second duration (the same truncated

@@ -255,6 +255,21 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq(2.0))
   }
 
+  test("cumulativeDistinct counts first occurrences only, per key") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 11L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, 12L, ts("2024-01-01 10:02:00"), "a"), // repeat: no increment
+      (1L, 13L, ts("2024-01-01 10:03:00"), "c"),
+      (2L, 20L, ts("2024-01-01 09:00:00"), "a")  // other key restarts
+    ).toDF("user_id", "event_id", "ts", "v")
+    val out = graft.ops.WindowOps.cumulativeDistinct("user_id", "v",
+      Seq("ts", "event_id"))(events)
+      .orderBy("user_id", "event_id")
+      .select("distinct_so_far").as[Long].collect()
+    assert(out.toSeq === Seq(1L, 2L, 2L, 3L, 1L))
+  }
+
   test("sessionStats: per-session bounds, duration, count") {
     val events = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")),
