@@ -764,6 +764,15 @@ object ExtQueries {
         .select("user_id", "event_id", "session_id")
         .orderBy("user_id", "event_id")
     },
+    "latest_event" -> { (s, dir) =>
+      // current state per user from the event history — the SCD1
+      // read-side primitive as a standalone catalog op
+      WindowOps.latestPerKey("user_id", "ts", tieBreak = "event_id")(
+        table(s, dir, "events")
+          .select("user_id", "ts", "event_id", "event_type", "value"))
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    },
     "cumulative_distinct" -> { (s, dir) =>
       // per user: distinct event types seen so far at each event — the
       // count(DISTINCT) OVER Spark lacks, decomposed into two exact
@@ -2687,6 +2696,13 @@ object ExtQueries {
              ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM st ORDER BY user_id, event_id""",
+    // mirrors WindowOps.latestPerKey: greatest (ts, event_id) per user
+    "latest_event" ->
+      """SELECT user_id, event_id, event_type, value
+         FROM events WHERE ts IS NOT NULL
+         QUALIFY row_number() OVER (PARTITION BY user_id
+           ORDER BY ts DESC, event_id DESC) = 1
+         ORDER BY user_id""",
     // mirrors WindowOps.cumulativeDistinct: first-occurrence flags per
     // (key, value) in event order, running-summed per key
     "cumulative_distinct" ->

@@ -94,6 +94,27 @@ object WindowOps {
       .drop("__start")
   }
 
+  /** Latest row per key — the SCD1 read-side primitive (current state
+    * of every entity from its event history; [[graft.ops.TemporalOps.applyChanges]]
+    * maintains the same thing incrementally, this derives it from
+    * scratch): the row with the greatest (`orderField`, `tieBreak`)
+    * per key, whole row carried. WindowGroupLimit prunes losers before
+    * the sort materializes; rows with a NULL order value are dropped
+    * (they cannot be "latest"). `earliest = true` flips the direction
+    * for first-touch attribution. */
+  def latestPerKey(
+      keyField: String, orderField: String, tieBreak: String,
+      earliest: Boolean = false)(df: DataFrame): DataFrame = {
+    val ord =
+      if (earliest) Seq(col(orderField).asc, col(tieBreak).asc)
+      else Seq(col(orderField).desc, col(tieBreak).desc)
+    df.filter(col(orderField).isNotNull)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(keyField)).orderBy(ord: _*)))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
   /** Running DISTINCT count per key: for each event, how many distinct
     * `valueField` values its key has seen up to and including it — the
     * "cumulative unique users/products/errors over time" curve. Spark

@@ -186,4 +186,40 @@ object Probes {
       }: _*)).as(Seq("step", "__r")))
       .select(col("step").cast("long").as("step"), col("__r.*"))
   }
+
+  /** Schema + null-rate drift between two snapshots of "the same"
+    * table (yesterday's load vs today's): one row per column name from
+    * EITHER side with its presence, type on each side, and exact
+    * null fractions — the upstream-feed tripwire (a column silently
+    * turning all-NULL or flipping type is the classic feed breakage,
+    * and a row-count diff won't catch it). Cost: one counting
+    * aggregation per side (all columns in one pass, map-side partials),
+    * plus a driver-side merge of the two single-row results — schema
+    * metadata is driver-sized by definition. */
+  def schemaDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    def profile(df: DataFrame): (Long, Map[String, (String, Long)]) = {
+      if (df.columns.isEmpty) return (df.count(), Map.empty)
+      val aggs = df.schema.fields.map(f =>
+        coalesce(sum(when(col(f.name).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(f.name))
+      val row = df.agg(count(lit(1)).as("__n"), aggs.toSeq: _*).head()
+      val n = row.getAs[Long]("__n")
+      (n, df.schema.fields.map(f =>
+        f.name -> (f.dataType.simpleString, row.getAs[Long](f.name))).toMap)
+    }
+    val (nb, pb) = profile(before)
+    val (na, pa) = profile(after)
+    val names = (pb.keySet ++ pa.keySet).toSeq.sorted
+    names.map { c =>
+      val b = pb.get(c); val a = pa.get(c)
+      (c, b.isDefined, a.isDefined,
+        b.map(_._1).getOrElse(""), a.map(_._1).getOrElse(""),
+        b.map(t => if (nb == 0) 0.0 else t._2.toDouble / nb),
+        a.map(t => if (na == 0) 0.0 else t._2.toDouble / na),
+        b.map(_._1) == a.map(_._1))
+    }.toDF("column", "in_before", "in_after", "type_before", "type_after",
+      "null_frac_before", "null_frac_after", "type_match")
+  }
 }

@@ -85,4 +85,27 @@ class ProbesSpec extends SparkSpec {
     assert(Probes.assertMissing("k", "zzz")(df).count() == 5)
     intercept[ProbeAssertionError](Probes.assertMissing("k", "a")(df))
   }
+
+  test("schemaDrift flags dropped/added columns, type flips, null-rate moves") {
+    import spark.implicits._
+    val before = Seq((1L, Some("x"), 1.0), (2L, None, 2.0))
+      .toDF("id", "name", "score")
+    val after = Seq((1L, Option.empty[String], "s1"), (2L, None, "s2"),
+        (3L, None, "s3"))
+      .toDF("id", "name", "tag")
+      .withColumn("name", org.apache.spark.sql.functions.col("name").cast("string"))
+      .withColumn("id", org.apache.spark.sql.functions.col("id").cast("int")) // type flip long -> int
+    val out = Probes.schemaDrift(before, after).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("id", "name", "score", "tag"))
+    // score dropped, tag added
+    assert(out("score").getBoolean(1) && !out("score").getBoolean(2))
+    assert(!out("tag").getBoolean(1) && out("tag").getBoolean(2))
+    // id type flipped
+    assert(!out("id").getBoolean(7) &&
+      out("id").getString(3) === "bigint" && out("id").getString(4) === "int")
+    // name went from half-null to all-null — the silent feed breakage
+    assert(out("name").getDouble(5) === 0.5 && out("name").getDouble(6) === 1.0)
+    assert(out("name").getBoolean(7)) // same type though
+  }
 }
