@@ -46,3 +46,31 @@ final case class RollupState(
     * from the current state. */
   def result(): DataFrame = Ops.finalizeAggregate(keys, measures)(load())
 }
+
+/** [[RollupState]]'s sibling for DISTINCT counts: the stored object is
+  * an [[graft.ops.Ops.aggregateStateHll]] frame (one ~1.5 KB
+  * DataSketches HLL sketch per (group, field) FOREVER), batches fold
+  * in with a register-wise union, and [[result]] projects the
+  * estimates. Keep it under its own object name next to the exact
+  * measure state — the two compose into one dashboard query with a
+  * keys join. Same fold discipline (pin before replace) and the same
+  * at-least-once restart caveat as the measure form. */
+final case class RollupStateHll(
+    store: DataStore, name: String,
+    keys: Seq[String], fields: Seq[String], lgK: Int = 12) {
+
+  def create(df: DataFrame, replace: Boolean = false): Unit =
+    store.create(name, Ops.aggregateStateHll(keys, fields, lgK)(df), replace)
+
+  def load(): DataFrame = store.getObject(name)
+
+  def fold(batch: DataFrame): Unit = {
+    val merged = Ops.mergeAggregateStatesHll(keys, fields)(
+      load(), Ops.aggregateStateHll(keys, fields, lgK)(batch))
+      .localCheckpoint()
+    store.create(name, merged, replace = true)
+  }
+
+  /** `(keys…, <field>_distinct_est…)` from the current sketches. */
+  def result(): DataFrame = Ops.finalizeAggregateHll(keys, fields)(load())
+}

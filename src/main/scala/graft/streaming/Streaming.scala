@@ -104,6 +104,20 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) => state.fold(batch) }
       .start()
 
+  /** [[streamingRollup]]'s distinct-count sibling: fold each
+    * micro-batch's HLL sketches into a persisted
+    * [[graft.ext.RollupStateHll]]. Same foreachBatch shape, same
+    * at-least-once caveat — though HLL unions are IDEMPOTENT under
+    * re-delivery of the same rows (a max of maxes), so a replayed batch
+    * distorts nothing here, unlike the additive measure form. */
+  def streamingRollupHll(
+      events: DataFrame, state: graft.ext.RollupStateHll):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => state.fold(batch) }
+      .start()
+
   /** Unbounded parquet-directory source: new files under `dir` become
     * micro-batches. Schema must be supplied — a streaming source cannot
     * pay an inference pass per batch. */

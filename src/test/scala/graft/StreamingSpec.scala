@@ -79,6 +79,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRollupHll: folded distinct sketches match the full recompute") {
+    import graft.ext.RollupStateHll
+    import graft.ops.Ops
+    val store = new graft.sources.MemoryStore(spark)
+    val state = RollupStateHll(store, "dhll", Seq("event_type"), Seq("v"))
+    val input = MemoryStream[(String, Long)]
+    state.create(spark.emptyDataset[(String, Long)].toDF("event_type", "v"))
+    val q = Streaming.streamingRollupHll(
+      input.toDF().toDF("event_type", "v"), state)
+    try {
+      input.addData(("click", 1L), ("click", 2L), ("view", 9L))
+      q.processAllAvailable()
+      input.addData(("click", 2L), ("click", 3L)) // one repeat, one new
+      q.processAllAvailable()
+      val all = Seq(("click", 1L), ("click", 2L), ("view", 9L),
+        ("click", 2L), ("click", 3L)).toDF("event_type", "v")
+      val direct = Ops.finalizeAggregateHll(Seq("event_type"), Seq("v"))(
+        Ops.aggregateStateHll(Seq("event_type"), Seq("v"))(all))
+      // coupon regime: estimates are the exact distinct counts and the
+      // fold identity is exact
+      assert(state.result().orderBy("event_type").collect().toSeq ===
+        direct.orderBy("event_type").collect().toSeq)
+      assert(state.result().orderBy("event_type")
+        .select("v_distinct_est").as[Long].collect().toSeq === Seq(3L, 1L))
+    } finally q.stop()
+  }
+
   test("session windows close after the gap") {
     val input = MemoryStream[(Timestamp, String)]
     val sessions = Streaming.sessionCounts(
