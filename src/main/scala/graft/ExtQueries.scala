@@ -73,6 +73,16 @@ object ExtQueries {
       TextOps.gopherRepetition("doc_id", "text")(corpus(s, dir, "documents"))
         .orderBy("doc_id")
     },
+    "linear_quality" -> { (s, dir) =>
+      // model-based quality inference: the integer-quantized linear
+      // uni/bigram classifier (fastText/CCNet shape) as a zero-shuffle
+      // native-kernel projection; integers until one division, so the
+      // score replays bit-for-bit
+      TextOps.linearTextScore("doc_id", "text",
+        TextOps.demoQualityWeights, bias = 0.25, threshold = 0.3)(
+        corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
     "quality_percentiles" -> { (s, dir) =>
       // per-source percentile calibration of the quality score
       TextOps.scorePercentiles("source", "quality")(
@@ -1123,6 +1133,25 @@ object ExtQueries {
         Ops.mergeAggregateStatesHll(keys, Seq("l_suppkey"))(stored, batch))
         .orderBy("l_returnflag")
     },
+    "incremental_quantile" -> { (s, dir) =>
+      // the QUANTILE leg of rollup maintenance (KLL sketches, k=200):
+      // the event_id % 41 slice keeps every group ≤ k values at the
+      // oracle SF, so sketches never compact — each rank is the exact
+      // ⌈r·n⌉-th order statistic and merged ≡ direct (spec-pinned);
+      // beyond k the ~1.65% band applies and only percentileAgg stays
+      // hash-exact
+      val keys = Seq("event_type")
+      val ev = table(s, dir, "events")
+        .filter(col("event_id") % 41 === 0)
+        .select("event_type", "value", "event_id")
+      val stored = Ops.aggregateStateKll(keys, Seq("value"))(
+        ev.filter(col("event_id") % 2 === 0))
+      val batch = Ops.aggregateStateKll(keys, Seq("value"))(
+        ev.filter(col("event_id") % 2 =!= 0))
+      Ops.finalizeAggregateKll(keys, Seq("value"), Seq(0.5, 0.9))(
+        Ops.mergeAggregateStatesKll(keys, Seq("value"))(stored, batch))
+        .orderBy("event_type")
+    },
     "equal_freq_bins" -> { (s, dir) =>
       // per-flag deciles of extended price, verified via the per-bin
       // population + passthrough min/max (bin edges are exact
@@ -1920,6 +1949,26 @@ object ExtQueries {
         CAST(pass_length * pass_mean_len * pass_alpha * pass_stopwords
              * pass_repetition AS BIGINT) AS passes_gopher
       FROM f ORDER BY doc_id""",
+    // the linear classifier replayed relationally: unigram + bigram
+    // stream, LEFT JOIN the weight VALUES (absent grams weigh 0),
+    // integer sums until the one division both engines share
+    "linear_quality" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+                 FROM documents),
+      g AS (SELECT doc_id, unnest(ts) AS gram FROM t
+            UNION ALL
+            SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+              i -> ts[i] || ' ' || ts[i + 1])) AS gram FROM t),
+      w(gram, wt) AS (VALUES ${TextOps.demoQualityWeights
+        .map { case (g, wt) => s"('$g', $wt)" }.mkString(", ")}),
+      s AS (SELECT g.doc_id,
+              CAST(sum(coalesce(w.wt, 0)) AS BIGINT) AS w_sum,
+              CAST(count(*) AS BIGINT) AS n_grams
+            FROM g LEFT JOIN w USING (gram) GROUP BY 1)
+      SELECT doc_id, w_sum, n_grams,
+        25e-2 + CAST(w_sum AS DOUBLE) / n_grams AS score,
+        (25e-2 + CAST(w_sum AS DOUBLE) / n_grams) >= 3e-1 AS pass
+      FROM s ORDER BY doc_id""",
     // percent_rank IS the semantic spec the histogram-CDF form equals:
     // rows strictly below / (n-1), ties share a rank
     "quality_percentiles" -> s"""
@@ -3694,6 +3743,25 @@ object ExtQueries {
       SELECT l_returnflag,
         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS l_suppkey_distinct_est
       FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // every group in the % 41 slice stays ≤ k = 200 values, so the KLL
+    // sketch is a plain sorted buffer and each rank r is the exact
+    // order statistic at 1-indexed position ⌈r·n⌉ (INCLUSIVE search
+    // semantics, spec-pinned) — which is what this replays
+    "incremental_quantile" -> """
+      WITH e AS (SELECT event_type, value FROM events
+                 WHERE event_id % 41 = 0
+                   AND value IS NOT NULL AND NOT isnan(value)),
+      r AS (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value)
+                AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM e)
+      SELECT event_type,
+        max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END)
+          AS value_p50,
+        max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END)
+          AS value_p90
+      FROM r GROUP BY 1 ORDER BY 1""",
     // mirrors Ops.equalFreqBins: exact interior-decile cutpoints
     // (quantile_cont list ≡ Spark's percentile array), bin = 1 + cuts
     // strictly below the value, ties land low

@@ -74,3 +74,35 @@ final case class RollupStateHll(
   /** `(keys…, <field>_distinct_est…)` from the current sketches. */
   def result(): DataFrame = Ops.finalizeAggregateHll(keys, fields)(load())
 }
+
+/** The QUANTILE leg of persistent rollup state: the stored object is an
+  * [[graft.ops.Ops.aggregateStateKll]] frame (one ~2.4 KB DataSketches
+  * KLL sketch per (group, field) at the default k = 200), batches fold
+  * in with a sketch merge, and [[result]] projects the requested ranks.
+  * Exact order statistics while a group has seen ≤ k values (the
+  * oracle's regime); the ~1.65% rank-error band — and, unlike HLL,
+  * NON-rerun-identical estimates from the compactor's random coin —
+  * beyond. Same fold discipline (pin before replace); KLL merges are
+  * NOT idempotent under re-delivery (re-merging the same batch
+  * double-counts its values' ranks), so the at-least-once restart
+  * caveat of the additive form applies here too. */
+final case class RollupStateKll(
+    store: DataStore, name: String,
+    keys: Seq[String], fields: Seq[String], k: Int = 200) {
+
+  def create(df: DataFrame, replace: Boolean = false): Unit =
+    store.create(name, Ops.aggregateStateKll(keys, fields, k)(df), replace)
+
+  def load(): DataFrame = store.getObject(name)
+
+  def fold(batch: DataFrame): Unit = {
+    val merged = Ops.mergeAggregateStatesKll(keys, fields, k)(
+      load(), Ops.aggregateStateKll(keys, fields, k)(batch))
+      .localCheckpoint()
+    store.create(name, merged, replace = true)
+  }
+
+  /** `(keys…, <field>_p<rank>…)` from the current sketches. */
+  def result(ranks: Seq[Double]): DataFrame =
+    Ops.finalizeAggregateKll(keys, fields, ranks)(load())
+}

@@ -209,6 +209,17 @@ object TextOps {
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
     "o" -> "n", "e" -> "r", "r" -> "e", "o" -> "r", "s" -> "t")
 
+  /** Demonstration quality-classifier weight table (integer-quantized
+    * uni/bigram weights over the fixture vocabulary) — the shared model
+    * of the `linear_quality` query and its oracle. Real pipelines pass
+    * a trained fastText/logistic model quantized to integers. */
+  val demoQualityWeights: Seq[(String, Long)] = Seq(
+    "data" -> 4L, "spark" -> 3L, "query" -> 2L, "fast" -> 2L,
+    "table" -> 1L, "vector" -> 1L,
+    "slow" -> -3L, "a" -> -2L, "the" -> -1L,
+    "hash join" -> 4L, "fast scan" -> 5L, "slow scan" -> -6L,
+    "big table" -> 2L, "a a" -> -5L)
+
   /** Stopword list used by quality scoring and language ID. Tiny on
     * purpose: a broadcastable lookup evaluated inline per row. */
   val stopwords: Map[String, Seq[String]] = Map(
@@ -1837,6 +1848,63 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("__doc").as(idField), col("score"),
         col("rank"))
+  }
+
+  /** Model-based quality filtering — the fastText/CCNet-shaped LINEAR
+    * n-gram classifier every production pipeline runs after the
+    * rule-based gates ([[gopherRules]]): a trained, integer-quantized
+    * weight per word n-gram (orders 1..`maxN`, non-distinct — every
+    * window occurrence votes), a document scored by
+    * `bias + Σ weight / n_windows` and passed iff `score ≥ threshold`.
+    *
+    * The integer sufficient statistics come from the native
+    * [[graft.functions.LinearTextScore]] kernel — the model rides in
+    * the expression as a hash table (the [[bpeTokenCount]] pattern), so
+    * per-window cost is one probe however large the vocabulary and the
+    * whole op is a pure zero-shuffle projection: 100 TB pays one scan.
+    * Integers until ONE IEEE division plus one addition, so the oracle
+    * replays the score bit-for-bit. NULL text → NULL stats/score/pass.
+    *
+    * Output: `idField, w_sum, n_grams, score, pass`. Train the weights
+    * offline (logistic regression / fastText distilled to integer
+    * quantization); this op is the INFERENCE half. */
+  def linearTextScore(
+      idField: String, textField: String,
+      weights: Seq[(String, Long)], bias: Double, threshold: Double,
+      maxN: Int = 2)(df: DataFrame): DataFrame = {
+    val stats = graft.functions.GraftFunctions
+      .linearTextScore(tokens(col(textField)), weights, maxN)
+    df.select(col(idField), stats.as("__s"))
+      .select(col(idField),
+        col("__s.w_sum").as("w_sum"),
+        col("__s.n_grams").cast("long").as("n_grams"))
+      .withColumn("score",
+        when(col("n_grams") === 0, lit(null).cast("double"))
+          .otherwise(lit(bias) + col("w_sum").cast("double") / col("n_grams")))
+      .withColumn("pass", col("score") >= threshold)
+  }
+
+  /** HOF spec form of the [[linearTextScore]] statistics — the
+    * executable specification the native kernel is parity-pinned
+    * against (map-literal lookups + an integer fold; viable only for
+    * demo-sized vocabularies, which is exactly why the kernel exists). */
+  private[graft] def linearStatsHof(
+      text: Column, weights: Seq[(String, Long)], maxN: Int): Column = {
+    val wmap = map(weights.flatMap { case (g, w) =>
+      Seq(lit(g), lit(w)) }: _*)
+    graft.functions.GraftFunctions.bind(tokens(text)) { ts =>
+      val grams = concat((1 to maxN).map { n =>
+        when(size(ts) < n, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(ts) - (n - 1)),
+            i => array_join(slice(ts, i, lit(n)), " ")))
+      }: _*)
+      struct(
+        aggregate(grams, lit(0L),
+          (acc, g) => acc + coalesce(element_at(wmap, g), lit(0L)))
+          .as("w_sum"),
+        size(grams).as("n_grams"))
+    }
   }
 
   def withLangId(textField: String, target: String = "lang_pred")(

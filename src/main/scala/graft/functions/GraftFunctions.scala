@@ -60,6 +60,31 @@ object GraftFunctions {
     }
   }
 
+  /** Parse a foldable `array<string>` of 'gram weight' entries (the
+    * SQL-surface form of a [[LinearTextScore]] weight table; the gram
+    * may contain spaces, the integer weight follows the LAST one). */
+  private def parseWeights(fn: String, m: Expression): Seq[(String, Long)] = {
+    require(m.foldable &&
+        m.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      s"$fn: weights must be a foldable array of 'gram weight' strings")
+    val arr = m.eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(arr != null, s"$fn: weights must not be null")
+    (0 until arr.numElements()).map { i =>
+      val u = arr.getUTF8String(i)
+      require(u != null, s"$fn: weight entries must not be null")
+      val s = u.toString
+      val sp = s.lastIndexOf(' ')
+      require(sp > 0 && sp < s.length - 1,
+        s"$fn: weight entry '$s' must be 'gram weight'")
+      val w = try s.substring(sp + 1).toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$fn: weight in '$s' is not an integer")
+      }
+      (s.substring(0, sp), w)
+    }
+  }
+
   /** Every SQL-registrable native kernel: name -> (info, builder).
     * Structural Int parameters arrive as literals in SQL. */
   private[functions] val sqlFunctions: Seq[
@@ -175,6 +200,38 @@ object GraftFunctions {
         arity("graft_bloom_agg", children, 3)
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           children.head, children(1), children(2)) }),
+    // KLL quantile-sketch trio — the mergeable quantile state (the
+    // analyzer wraps returned AggregateFunctions itself, the bloom
+    // precedent above)
+    ("graft_kll_agg",
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
+      { children: Seq[Expression] =>
+        arity("graft_kll_agg", children, 2)
+        KllSketchAgg(children.head,
+          litInt(children(1), "graft_kll_agg", "k")) }),
+    ("graft_kll_merge",
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge"),
+      { children: Seq[Expression] =>
+        arity("graft_kll_merge", children, 2)
+        KllMergeAgg(children.head,
+          litInt(children(1), "graft_kll_merge", "k")) }),
+    ("graft_kll_quantile",
+      new ExpressionInfo(
+        classOf[KllSketchQuantile].getName, "graft_kll_quantile"),
+      { children: Seq[Expression] =>
+        arity("graft_kll_quantile", children, 2)
+        KllSketchQuantile(children.head, children(1)) }),
+    // weight entries are 'gram weight' strings (gram may contain
+    // spaces; the weight is everything after the LAST space) and must
+    // be foldable — the model shapes the expression, not the data
+    ("graft_linear_score",
+      new ExpressionInfo(
+        classOf[LinearTextScore].getName, "graft_linear_score"),
+      { children: Seq[Expression] =>
+        arity("graft_linear_score", children, 3)
+        LinearTextScore(children.head,
+          parseWeights("graft_linear_score", children(1)),
+          litInt(children(2), "graft_linear_score", "maxN")) }),
     // the merge table must be foldable — it shapes the expression (a
     // hash map built once), not the data; elements are 'left right'
     ("graft_bpe_count",
@@ -313,6 +370,35 @@ object GraftFunctions {
     * SentencePiece `▁`) — exposed so detokenizers and oracles share
     * the one definition. */
   def bpeMarker: String = BpeKernel.Marker
+
+  /** Native linear n-gram classifier statistics over a token array
+    * (see [[LinearTextScore]]): `struct(w_sum, n_grams)` with the
+    * integer-quantized model riding in the expression. */
+  def linearTextScore(
+      tokens: Column, weights: Seq[(String, Long)], maxN: Int): Column =
+    Bridge.column(LinearTextScore(Bridge.expression(tokens), weights, maxN))
+
+  /** KLL quantile-sketch aggregate over a DOUBLE column: one ~2.4 KB
+    * (at k = 200) binary sketch per group — the mergeable QUANTILE
+    * state next to the additive ([[graft.ops.Ops.aggregateState]]) and
+    * distinct-count (`aggregateStateHll`) legs. Exact order statistics
+    * while a group has seen ≤ k values; the DataSketches ~1.65%
+    * rank-error band beyond (see [[KllSketchAgg]]). */
+  def kllAgg(value: Column, k: Int = 200): Column =
+    Bridge.column(KllSketchAgg(Bridge.expression(value), k)
+      .toAggregateExpression())
+
+  /** Fold serialized KLL sketches (the bytes [[kllAgg]] produced) into
+    * one — the maintenance merge. */
+  def kllMerge(sketch: Column, k: Int = 200): Column =
+    Bridge.column(KllMergeAgg(Bridge.expression(sketch), k)
+      .toAggregateExpression())
+
+  /** Quantile query against a serialized KLL sketch (rank ∈ [0, 1];
+    * empty/NULL sketch → NULL). */
+  def kllQuantile(sketch: Column, rank: Column): Column =
+    Bridge.column(KllSketchQuantile(
+      Bridge.expression(sketch), Bridge.expression(rank)))
 
   /** Bloom-filter aggregate over a PRE-HASHED long column (use
     * `xxhash64(col)` — the insert primitive is putLong, so build and

@@ -362,6 +362,66 @@ object Ops {
     state.select(keys.map(col) ++ fields.distinct.map(f =>
       hll_sketch_estimate(col(s"${f}_hll")).as(s"${f}_distinct_est")): _*)
 
+  /** The QUANTILE leg of mergeable aggregate state — the one
+    * [[aggregateState]] cannot carry (exact per-group percentiles have
+    * no bounded mergeable state; the state IS the value multiset):
+    * per-group DataSketches KLL sketches, ~2.4 KB per (group, field) at
+    * `k = 200` forever. While a group has seen ≤ `k` non-NULL/non-NaN
+    * values the sketch has never compacted — quantile queries return
+    * EXACT order statistics and the maintenance identity
+    * `finalize(merge(state(A), state(B))) = quantiles(A ∪ B)` holds
+    * exactly (the HLL coupon-list regime, and what the oracle asserts).
+    * Beyond `k` the published ~1.65% normalized-rank error band applies
+    * and — unlike HLL — the compactor's random coin makes results
+    * NON-rerun-identical (spec-pinned inside the band); exact
+    * reproducible percentiles at any scale stay on [[percentileAgg]].
+    * State schema: `<f>_kll` BINARY per field. */
+  def aggregateStateKll(
+      keys: Seq[String], fields: Seq[String], k: Int = 200)(
+      df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    require(fields.nonEmpty, "at least one sketched field required")
+    val aggs = fields.distinct.map(f =>
+      graft.functions.GraftFunctions
+        .kllAgg(col(f).cast("double"), k).as(s"${f}_kll"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold one [[aggregateStateKll]] frame into another: union + one
+    * sketch-merge per column. Merging two exact-regime sketches whose
+    * total stays ≤ k is itself exact. */
+  def mergeAggregateStatesKll(
+      keys: Seq[String], fields: Seq[String], k: Int = 200)(
+      stored: DataFrame, batch: DataFrame): DataFrame = {
+    val merges = fields.distinct.map(f =>
+      graft.functions.GraftFunctions
+        .kllMerge(col(s"${f}_kll"), k).as(s"${f}_kll"))
+    stored.unionByName(batch)
+      .groupBy(keys.map(col): _*).agg(merges.head, merges.tail: _*)
+  }
+
+  /** Project quantiles from an [[aggregateStateKll]] frame:
+    * `<f>_p<pct>` DOUBLE per (field, rank) — e.g. rank 0.5 → `<f>_p50`.
+    * In the exact regime each is the 1-indexed order statistic at
+    * position ⌈rank·n⌉ (INCLUSIVE search); empty sketches (all-NULL/NaN
+    * groups) yield NULL. */
+  def finalizeAggregateKll(
+      keys: Seq[String], fields: Seq[String], ranks: Seq[Double])(
+      state: DataFrame): DataFrame = {
+    require(ranks.nonEmpty, "at least one quantile rank required")
+    ranks.foreach(r => require(r >= 0.0 && r <= 1.0,
+      s"quantile ranks must be in [0, 1], got $r"))
+    val cols = for (f <- fields.distinct; r <- ranks) yield {
+      // 0.5 -> p50, 0.9 -> p90, 0.975 -> p97_5 (two decimals max)
+      val scaled = math.rint(r * 10000) / 100.0
+      val label = "p" + (if (scaled == scaled.toLong) scaled.toLong.toString
+        else scaled.toString.replace(".", "_"))
+      graft.functions.GraftFunctions
+        .kllQuantile(col(s"${f}_kll"), lit(r)).as(s"${f}_$label")
+    }
+    state.select(keys.map(col) ++ cols: _*)
+  }
+
   /** Skew-salted equi-join — the JOIN half of the skew toolkit
     * ([[saltedAggregate]] is the aggregation half, AQE skew-split the
     * runtime fallback): when one join key carries a disproportionate

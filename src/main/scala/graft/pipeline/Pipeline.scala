@@ -108,6 +108,16 @@ final case class Pipeline(df: DataFrame) {
     Pipeline(Ops.mergeAggregateStatesHll(keys, fields)(df, batch))
   def finalizeAggregateHll(keys: Seq[String], fields: Seq[String]): Pipeline =
     >>(Ops.finalizeAggregateHll(keys, fields))
+  def aggregateStateKll(keys: Seq[String], fields: Seq[String],
+      k: Int = 200): Pipeline =
+    >>(Ops.aggregateStateKll(keys, fields, k))
+  /** `this` is the stored sketch state; `batch` the new state to fold in. */
+  def mergeAggregateStatesKll(batch: DataFrame, keys: Seq[String],
+      fields: Seq[String], k: Int = 200): Pipeline =
+    Pipeline(Ops.mergeAggregateStatesKll(keys, fields, k)(df, batch))
+  def finalizeAggregateKll(keys: Seq[String], fields: Seq[String],
+      ranks: Seq[Double]): Pipeline =
+    >>(Ops.finalizeAggregateKll(keys, fields, ranks))
   def saltedJoin(right: DataFrame, keys: Seq[String], buckets: Int = 16,
       joinType: String = "inner"): Pipeline =
     >>(Ops.saltedJoin(right, keys, buckets, joinType))
@@ -387,6 +397,11 @@ final case class Pipeline(df: DataFrame) {
       centroidId, centroidVec))
   def filterFunnel(rules: Seq[(String, Column)]): Pipeline =
     >>(Probes.filterFunnel(rules))
+  def linearTextScore(idField: String, textField: String,
+      weights: Seq[(String, Long)], bias: Double, threshold: Double,
+      maxN: Int = 2): Pipeline =
+    >>(TextOps.linearTextScore(idField, textField, weights, bias,
+      threshold, maxN))
   def unigramCfQuality(idField: String, textField: String): Pipeline =
     >>(TextOps.unigramCfQuality(idField, textField))
   def clusterSafeSplit(idField: String, textField: String,

@@ -118,6 +118,20 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) => state.fold(batch) }
       .start()
 
+  /** [[streamingRollup]]'s QUANTILE sibling: fold each micro-batch's
+    * KLL sketches into a persisted [[graft.ext.RollupStateKll]]. Same
+    * foreachBatch shape. NOTE the at-least-once caveat BINDS here as it
+    * does for the additive form (and unlike HLL): a re-delivered batch
+    * re-merges its values and shifts every rank estimate — production
+    * restarts need an idempotence key recorded with the state. */
+  def streamingRollupKll(
+      events: DataFrame, state: graft.ext.RollupStateKll):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => state.fold(batch) }
+      .start()
+
   /** Unbounded parquet-directory source: new files under `dir` become
     * micro-batches. Schema must be supplied — a streaming source cannot
     * pay an inference pass per batch. */

@@ -279,6 +279,27 @@ class FunctionsSpec extends SparkSpec {
     assert(viaCodegen.toSeq === viaEval)
   }
 
+  test("graft_kll_* SQL surface: agg + fold + quantile round-trip") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    (1 to 47).map(i => ("g", i.toDouble)).toDF("k", "v")
+      .createOrReplaceTempView("kll_in")
+    // agg -> quantile in SQL matches the Column API's exact-regime pin
+    val direct = spark.sql(
+      """SELECT graft_kll_quantile(graft_kll_agg(v, 200), 0.5d) AS p50
+         FROM kll_in""").as[Double].head()
+    assert(direct === 24.0)
+    // two partial sketches fold to the same answer via graft_kll_merge
+    val folded = spark.sql(
+      """SELECT graft_kll_quantile(graft_kll_merge(sk, 200), 0.5d) AS p50
+         FROM (SELECT graft_kll_agg(v, 200) AS sk FROM kll_in GROUP BY v > 20)
+      """).as[Double].head()
+    assert(folded === 24.0)
+    // structural k must be a literal
+    intercept[Exception](spark.sql(
+      "SELECT graft_kll_agg(v, CAST(v AS INT)) FROM kll_in").collect())
+  }
+
   test("native cosine stays inside whole-stage codegen") {
     // spark.range (a real source) rather than a local relation, which the
     // optimizer folds before any codegen happens

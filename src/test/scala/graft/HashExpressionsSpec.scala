@@ -96,6 +96,30 @@ class HashExpressionsSpec extends SparkSpec {
     assert(diffs === 0L)
   }
 
+  test("native linear text score equals the HOF form incl. empty and unicode") {
+    import graft.functions.GraftFunctions
+    val uni = Seq("alpha" -> 3L, "the" -> -2L, "x" -> 1L, "hélло" -> 7L)
+    val bi = Seq("alpha beta" -> 5L, "of the" -> -4L)
+    for ((maxN, weights) <- Seq(1 -> uni, 2 -> (uni ++ bi))) {
+      val diffs = corpus.select(
+        GraftFunctions.linearTextScore(
+          TextOps.tokens($"text"), weights, maxN).as("k"),
+        TextOps.linearStatsHof($"text", weights, maxN).as("h"))
+        .filter($"k" =!= $"h").count()
+      assert(diffs === 0L, s"linear score kernel/HOF mismatch at maxN=$maxN")
+    }
+    val weights = uni ++ bi
+    // empty text = one empty-string unigram, zero bigrams
+    val e = corpus.filter($"id" === 100L).select(
+      GraftFunctions.linearTextScore(TextOps.tokens($"text"), weights, 2))
+      .head().getStruct(0)
+    assert(e.getLong(0) === 0L && e.getInt(1) === 1)
+    // a weight gram wider than maxN is a construction-time error
+    intercept[IllegalArgumentException](
+      GraftFunctions.linearTextScore(
+        TextOps.tokens($"text"), Seq("a b c" -> 1L), 2))
+  }
+
   test("native simhash equals the HOF form") {
     val diffs = corpus.select(
       Dedup.simhash($"text").as("n"), Dedup.simhashHof($"text").as("h"))

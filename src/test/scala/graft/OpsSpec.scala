@@ -528,4 +528,57 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(approx.getAs[Double](c) - exact.getAs[Double](c))
         / exact.getAs[Double](c) < 0.02, c)
   }
+
+  test("KLL quantile state: exact order statistics + exact merge in the ≤k regime") {
+    import spark.implicits._
+    val ks = Seq("k"); val fs = Seq("v")
+    // 47 values (the sf0.01 oracle-slice group size band): never
+    // compacted at k=200, so every rank is the ⌈r·n⌉-th order statistic
+    val df = (1 to 47).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val q = Ops.finalizeAggregateKll(ks, fs, Seq(0.0, 0.5, 0.9, 1.0))(
+      Ops.aggregateStateKll(ks, fs)(df)).head()
+    assert(q.getAs[Double]("v_p0") === 1.0)    // rank 0 -> min
+    assert(q.getAs[Double]("v_p50") === 24.0)  // ceil(0.5*47) = 24
+    assert(q.getAs[Double]("v_p90") === 43.0)  // ceil(0.9*47) = 43
+    assert(q.getAs[Double]("v_p100") === 47.0) // rank 1 -> max
+    // maintenance identity, exactly, while total stays ≤ k
+    val a = (1 to 30).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val b = (31 to 47).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val merged = Ops.finalizeAggregateKll(ks, fs, Seq(0.5, 0.9))(
+      Ops.mergeAggregateStatesKll(ks, fs)(
+        Ops.aggregateStateKll(ks, fs)(a), Ops.aggregateStateKll(ks, fs)(b)))
+      .head()
+    assert(merged.getAs[Double]("v_p50") === 24.0)
+    assert(merged.getAs[Double]("v_p90") === 43.0)
+    // the regime boundary is observable on the serialized state itself
+    val bytes = Ops.aggregateStateKll(ks, fs)(df)
+      .select("v_kll").head().getAs[Array[Byte]](0)
+    val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+    assert(!sk.isEstimationMode && sk.getN === 47L)
+  }
+
+  test("KLL quantile state: NULL/NaN skipped; all-NULL group -> NULL quantiles") {
+    import spark.implicits._
+    val df = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
+      ("g", None), ("g", Some(Double.NaN)),
+      ("e", None), ("e", Some(Double.NaN))).toDF("k", "v")
+    val out = Ops.finalizeAggregateKll(Seq("k"), Seq("v"), Seq(0.5))(
+      Ops.aggregateStateKll(Seq("k"), Seq("v"))(df))
+      .orderBy("k").collect()
+    assert(out(0).isNullAt(1))                  // e: empty sketch
+    assert(out(1).getAs[Double]("v_p50") === 2.0) // g: NULL/NaN skipped
+  }
+
+  test("KLL quantile state: estimation regime stays inside the rank-error band") {
+    import spark.implicits._
+    // 10k values 1..10000 at k=200: compacted, estimate only — the
+    // published normalized rank error at k=200 is ~1.65% (99% conf);
+    // assert a generous 3% band. NOT rerun-identical (random compactor
+    // coin) — which is why the oracle never sees this regime.
+    val df = (1 to 10000).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val q = Ops.finalizeAggregateKll(Seq("k"), Seq("v"), Seq(0.5))(
+      Ops.aggregateStateKll(Seq("k"), Seq("v"))(df)).head()
+    assert(math.abs(q.getAs[Double]("v_p50") - 5000.0) <= 300.0)
+  }
 }

@@ -106,6 +106,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRollupKll: folded quantile sketches match the full recompute") {
+    import graft.ext.RollupStateKll
+    import graft.ops.Ops
+    val store = new graft.sources.MemoryStore(spark)
+    val state = RollupStateKll(store, "qkll", Seq("event_type"), Seq("v"))
+    val input = MemoryStream[(String, Long)]
+    state.create(spark.emptyDataset[(String, Long)].toDF("event_type", "v"))
+    val q = Streaming.streamingRollupKll(
+      input.toDF().toDF("event_type", "v"), state)
+    try {
+      input.addData(("click", 1L), ("click", 5L), ("view", 9L))
+      q.processAllAvailable()
+      input.addData(("click", 3L), ("click", 7L))
+      q.processAllAvailable()
+      val all = Seq(("click", 1L), ("click", 5L), ("view", 9L),
+        ("click", 3L), ("click", 7L)).toDF("event_type", "v")
+      val direct = Ops.finalizeAggregateKll(
+        Seq("event_type"), Seq("v"), Seq(0.5, 1.0))(
+        Ops.aggregateStateKll(Seq("event_type"), Seq("v"))(all))
+      // exact (never-compacted) regime: folded == direct, and the
+      // median is the exact order statistic: click {1,3,5,7} -> ⌈2⌉ = 3
+      assert(state.result(Seq(0.5, 1.0)).orderBy("event_type")
+        .collect().toSeq === direct.orderBy("event_type").collect().toSeq)
+      assert(state.result(Seq(0.5, 1.0)).orderBy("event_type")
+        .select("v_p50").as[Double].collect().toSeq === Seq(3.0, 9.0))
+    } finally q.stop()
+  }
+
   test("session windows close after the gap") {
     val input = MemoryStream[(Timestamp, String)]
     val sessions = Streaming.sessionCounts(
