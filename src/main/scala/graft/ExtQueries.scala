@@ -1189,6 +1189,25 @@ object ExtQueries {
           "o_orderstatus", "o_totalprice")
     },
     // ---- binary / multimodal ----------------------------------------------
+    "media_meta" -> { (s, dir) =>
+      // real container headers round-tripped through the native parser:
+      // the builders write spec-exact PNG/GIF/BMP/JPEG/WAV headers with
+      // per-doc dimensions, the kernel must read them back at the right
+      // offsets and endianness — the oracle computes the expectation
+      // arithmetically, so any parser slip hash-mismatches
+      val id = col("doc_id")
+      val w = (id % 800 + 16).cast("int"); val h = (id % 600 + 16).cast("int")
+      val ch = (id % 2 + 1).cast("int")
+      val rate = (lit(8000) + (id % 7) * 4000).cast("int")
+      val blob = when(id % 5 === 0, BinaryOps.syntheticPng(w, h))
+        .when(id % 5 === 1, BinaryOps.syntheticGif(w, h))
+        .when(id % 5 === 2, BinaryOps.syntheticBmp(w, h))
+        .when(id % 5 === 3, BinaryOps.syntheticJpeg(w, h))
+        .otherwise(BinaryOps.syntheticWav(ch, rate))
+      BinaryOps.mediaMetadata("doc_id", "blob")(
+        corpus(s, dir, "documents").select(id, blob.as("blob")))
+        .orderBy("doc_id")
+    },
     "binary_stats" -> { (s, dir) =>
       val blob = BinaryOps.toBlob(col("text"))
       corpus(s, dir, "documents")
@@ -3813,6 +3832,22 @@ object ExtQueries {
          FROM documents
          QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
          ORDER BY doc_id""",
+    // the Spark side PARSES real container headers its builders wrote;
+    // this side computes the expectation arithmetically — images carry
+    // dimensions and NULL audio geometry, wav the reverse
+    "media_meta" -> """
+      SELECT doc_id,
+        CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+          WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'wav' END AS format,
+        CASE WHEN doc_id % 5 <= 3
+          THEN CAST(doc_id % 800 + 16 AS INTEGER) END AS width,
+        CASE WHEN doc_id % 5 <= 3
+          THEN CAST(doc_id % 600 + 16 AS INTEGER) END AS height,
+        CASE WHEN doc_id % 5 = 4
+          THEN CAST(doc_id % 2 + 1 AS INTEGER) END AS channels,
+        CASE WHEN doc_id % 5 = 4
+          THEN CAST(8000 + (doc_id % 7) * 4000 AS INTEGER) END AS sample_rate
+      FROM documents ORDER BY doc_id""",
     // 60-bit perceptual hashes over 61 stride-sampled bytes (ASCII
     // fixture: ord by char == byte value): aHash = integer mean test
     // sample*60 >= sum, dHash = gradient sample(k+1) > sample(k); both

@@ -34,6 +34,79 @@ object BinaryOps {
     * (whose md5 takes VARCHAR only) reproduces it. */
   def blobDigest(c: Column): Column = md5(c)
 
+  /** Decode-free media metadata from header bytes — format, image
+    * dimensions, audio geometry — via the native
+    * [[graft.functions.MediaHeaderMeta]] kernel. See the kernel doc for
+    * the per-container contract. */
+  def mediaMeta(blob: Column): Column =
+    graft.functions.GraftFunctions.mediaMeta(blob)
+
+  /** Media-metadata projection over a blob column: `idField, format,
+    * width, height, channels, sample_rate` — the typed-metadata half of
+    * the multimodal story as a pure zero-shuffle scan (with column
+    * pruning, only the blob column is read; at 100 TB this is the
+    * routing/statistics pass that decides which rows ever reach a real
+    * decoder). */
+  def mediaMetadata(idField: String, blobField: String)(
+      df: DataFrame): DataFrame =
+    df.select(col(idField), mediaMeta(col(blobField)).as("__m"))
+      .select(col(idField), col("__m.format").as("format"),
+        col("__m.width").as("width"), col("__m.height").as("height"),
+        col("__m.channels").as("channels"),
+        col("__m.sample_rate").as("sample_rate"))
+
+  // ------------- synthetic container builders (fixtures carry no media)
+
+  private def be16hex(v: Column): Column = lpad(hex(v), 4, "0")
+  private def be32hex(v: Column): Column = lpad(hex(v), 8, "0")
+  private def le16hex(v: Column): Column = {
+    val h = be16hex(v)
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le32hex(v: Column): Column = {
+    val h = be32hex(v)
+    concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** Byte-exact minimal PNG header (signature + IHDR with the given
+    * dimensions). The fixtures ship no media, so tests and the oracle
+    * round-trip REAL container bytes through [[mediaMeta]]: the builder
+    * writes big-endian dimensions at the spec offsets and the parser
+    * must read them back — any offset or endianness slip breaks the
+    * hash compare. */
+  def syntheticPng(w: Column, h: Column): Column =
+    unhex(concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      be32hex(w), be32hex(h), lit("0806000000")))
+
+  /** Minimal GIF89a header: little-endian u16 logical-screen size. */
+  def syntheticGif(w: Column, h: Column): Column =
+    unhex(concat(lit("474946383961"), le16hex(w), le16hex(h), lit("00")))
+
+  /** Minimal BMP (BITMAPINFOHEADER): little-endian i32 dimensions at
+    * offsets 18/22. */
+  def syntheticBmp(w: Column, h: Column): Column =
+    unhex(concat(lit("424D" + "00000000" + "00000000" + "36000000" +
+      "28000000"), le32hex(w), le32hex(h)))
+
+  /** Minimal JPEG: SOI, a real APP0/JFIF segment, then SOF0 carrying
+    * big-endian (height, width) — the parser must WALK to it. */
+  def syntheticJpeg(w: Column, h: Column): Column =
+    unhex(concat(
+      lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+        "00010001" + "0000" + "FFC0" + "0011" + "08"),
+      be16hex(h), be16hex(w),
+      lit("03" + "012200" + "021101" + "031101")))
+
+  /** Minimal WAV (RIFF/WAVE with a full 16-byte `fmt ` payload):
+    * little-endian channels and sample rate. */
+  def syntheticWav(channels: Column, sampleRate: Column): Column =
+    unhex(concat(
+      lit("52494646" + "24000000" + "57415645" + "666D7420" + "10000000" +
+        "0100"),
+      le16hex(channels), le32hex(sampleRate),
+      lit("00000000" + "0000" + "1000")))
+
   /** Fixed-size chunk fingerprints: md5 of each `chunkBytes` slice, in
     * order — the rsync/CDC-shaped primitive for delta dedup of large
     * blobs. Pure projection: `substring` on binary slices BYTES, so one

@@ -221,6 +221,12 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         arity("graft_kll_quantile", children, 2)
         KllSketchQuantile(children.head, children(1)) }),
+    ("graft_media_meta",
+      new ExpressionInfo(
+        classOf[MediaHeaderMeta].getName, "graft_media_meta"),
+      { children: Seq[Expression] =>
+        arity("graft_media_meta", children, 1)
+        MediaHeaderMeta(children.head) }),
     // weight entries are 'gram weight' strings (gram may contain
     // spaces; the weight is everything after the LAST space) and must
     // be foldable — the model shapes the expression, not the data
@@ -370,6 +376,12 @@ object GraftFunctions {
     * SentencePiece `▁`) — exposed so detokenizers and oracles share
     * the one definition. */
   def bpeMarker: String = BpeKernel.Marker
+
+  /** Decode-free media header metadata over a blob (see
+    * [[MediaHeaderMeta]]): `struct(format, width, height, channels,
+    * sample_rate)`. */
+  def mediaMeta(blob: Column): Column =
+    Bridge.column(MediaHeaderMeta(Bridge.expression(blob)))
 
   /** Native linear n-gram classifier statistics over a token array
     * (see [[LinearTextScore]]): `struct(w_sum, n_grams)` with the

@@ -414,6 +414,8 @@ final case class Pipeline(df: DataFrame) {
     >>(Dedup.duplicateMap(keys, idField))
   def duplicateMapByFingerprint(textField: String, idField: String): Pipeline =
     >>(Dedup.duplicateMapByFingerprint(textField, idField))
+  def mediaMetadata(idField: String, blobField: String): Pipeline =
+    >>(graft.ext.BinaryOps.mediaMetadata(idField, blobField))
   def perceptualHashPairs(idField: String, blobField: String,
       maxHamming: Int = 3, maxBucket: Int = 64): Pipeline =
     >>(graft.ext.BinaryOps.perceptualHashPairs(idField, blobField,

@@ -20,6 +20,65 @@ class BinaryOpsSpec extends SparkSpec {
     assert(rows(0).getString(1) === "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
   }
 
+  test("mediaMeta round-trips the synthetic builders at multi-byte dimensions") {
+    // w=815 h=615 exercise the high bytes of every endianness path
+    val df = Seq((815, 615)).toDF("w", "h").select(
+      BinaryOps.mediaMeta(BinaryOps.syntheticPng($"w", $"h")).as("png"),
+      BinaryOps.mediaMeta(BinaryOps.syntheticGif($"w", $"h")).as("gif"),
+      BinaryOps.mediaMeta(BinaryOps.syntheticBmp($"w", $"h")).as("bmp"),
+      BinaryOps.mediaMeta(BinaryOps.syntheticJpeg($"w", $"h")).as("jpeg"),
+      BinaryOps.mediaMeta(BinaryOps.syntheticWav(lit(2), lit(44100))).as("wav"))
+    val r = df.head()
+    for (f <- Seq("png", "gif", "bmp", "jpeg")) {
+      val m = r.getAs[Row](f)
+      assert(m.getString(0) === f, f)
+      assert(m.getInt(1) === 815, s"$f width")
+      assert(m.getInt(2) === 615, s"$f height")
+      assert(m.isNullAt(3) && m.isNullAt(4), s"$f audio fields")
+    }
+    val wav = r.getAs[Row]("wav")
+    assert(wav.getString(0) === "wav" && wav.getInt(3) === 2 &&
+      wav.getInt(4) === 44100 && wav.isNullAt(1) && wav.isNullAt(2))
+  }
+
+  test("mediaMeta malformed-input discipline: truncation, walks, unknowns") {
+    def meta(bytes: Array[Byte]): Row =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(BinaryOps.mediaMeta($"b")).head().getAs[Row](0)
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // truncated PNG: magic only -> format recognized, geometry NULL
+    val png = meta(hex("89504E470D0A1A0A"))
+    assert(png.getString(0) === "png" && png.isNullAt(1) && png.isNullAt(2))
+    // JPEG whose SOF is PROGRESSIVE (C2) and sits behind two segments
+    val sof2 = meta(hex("FFD8" + "FFE00004" + "0000" + "FFDB0004" + "0000" +
+      "FFC20011" + "08" + "0100" + "0200" + "03012200021101031101"))
+    assert(sof2.getString(0) === "jpeg" && sof2.getInt(1) === 512 &&
+      sof2.getInt(2) === 256)
+    // JPEG with no SOF at all (SOI then EOI) -> jpeg, NULL dims
+    val nosof = meta(hex("FFD8" + "FFD9"))
+    assert(nosof.getString(0) === "jpeg" && nosof.isNullAt(1))
+    // WAV with a LIST chunk (odd size, word-aligned walk) before fmt
+    val wav = meta(hex("52494646" + "00000000" + "57415645" +
+      "4C495354" + "03000000" + "616263" + "00" + // LIST size 3 + pad
+      "666D7420" + "10000000" + "0100" + "0100" + "803E0000" +
+      "00000000" + "0000" + "1000"))
+    assert(wav.getString(0) === "wav" && wav.getInt(3) === 1 &&
+      wav.getInt(4) === 16000)
+    // BMP with negative (top-down) height reports the magnitude
+    val bmp = meta(hex("424D" + "00000000" + "00000000" + "36000000" +
+      "28000000" + "20000000" + "F0FFFFFF")) // w=32, h=-16
+    assert(bmp.getString(0) === "bmp" && bmp.getInt(1) === 32 &&
+      bmp.getInt(2) === 16)
+    // unknown magic -> non-NULL struct, every field NULL
+    val unk = meta("plain text".getBytes("UTF-8"))
+    assert((0 until 5).forall(unk.isNullAt))
+    // NULL blob -> NULL struct
+    val n = Seq(Tuple1(null: Array[Byte])).toDF("b")
+      .select(BinaryOps.mediaMeta($"b")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("chunkFingerprints emits ceil(len/chunk) digests, min one") {
     val df = Seq("aaaabbbbc", "aa", "").toDF("t")
       .select(size(BinaryOps.chunkFingerprints(BinaryOps.toBlob($"t"), 4)).as("n"))
