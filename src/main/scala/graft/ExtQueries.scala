@@ -828,6 +828,21 @@ object ExtQueries {
       WindowOps.cohortRetention("user_id", "ts")(table(s, dir, "events"))
         .orderBy("cohort_week", "week_offset")
     },
+    "asof_join_nearest" -> { (s, dir) =>
+      // nearest as-of: each purchase attaches whichever signup sits
+      // closer in time (either direction), equidistant ties backward —
+      // both directional passes inside ONE key shuffle
+      val e = table(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts", "value")
+      TemporalOps.asOfJoin(signups, "user_id", "ts", "ts",
+        rightVals = Seq("event_id", "value"), rightTieBreak = "event_id",
+        direction = "nearest")(purchases)
+        .select("event_id", "user_id", "asof_event_id", "asof_value")
+        .orderBy("user_id", "event_id")
+    },
     "asof_join_fwd" -> { (s, dir) =>
       // forward as-of with tolerance: each purchase attaches the NEXT
       // signup within 24h, or NULLs when the nearest one is too far
@@ -2875,6 +2890,43 @@ object ExtQueries {
     // (direction = forward): the same union+window on the REVERSED time
     // axis (earlier-wins tie-break there), matched timestamp carried for
     // the tolerance CASE
+    // both directional window passes replayed over one union frame,
+    // then the closer candidate per purchase, equidistant ties backward
+    // — mirrors the nearest branch op for op
+    "asof_join_nearest" -> """
+      WITH u AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
+               event_id AS tb,
+               event_id AS r_event_id, value AS r_value,
+               CAST(ts AS TIMESTAMP) AS r_mt,
+               NULL::BIGINT AS l_event_id
+        FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP), 1, NULL, NULL, NULL, NULL,
+               event_id
+        FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT user_id, side, l_event_id, t,
+              last_value(r_event_id IGNORE NULLS) OVER wb AS b_id,
+              last_value(r_value IGNORE NULLS) OVER wb AS b_val,
+              last_value(r_mt IGNORE NULLS) OVER wb AS b_mt,
+              last_value(r_event_id IGNORE NULLS) OVER wf AS f_id,
+              last_value(r_value IGNORE NULLS) OVER wf AS f_val,
+              last_value(r_mt IGNORE NULLS) OVER wf AS f_mt
+            FROM u
+            WINDOW wb AS (PARTITION BY user_id
+              ORDER BY t ASC NULLS FIRST, side ASC, tb ASC NULLS FIRST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (PARTITION BY user_id
+              ORDER BY t DESC NULLS FIRST, side ASC, tb DESC NULLS LAST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT l_event_id AS event_id, user_id,
+        CASE WHEN b_mt IS NULL THEN f_id WHEN f_mt IS NULL THEN b_id
+          WHEN epoch_us(t) - epoch_us(b_mt) <= epoch_us(f_mt) - epoch_us(t)
+          THEN b_id ELSE f_id END AS asof_event_id,
+        CASE WHEN b_mt IS NULL THEN f_val WHEN f_mt IS NULL THEN b_val
+          WHEN epoch_us(t) - epoch_us(b_mt) <= epoch_us(f_mt) - epoch_us(t)
+          THEN b_val ELSE f_val END AS asof_value
+      FROM m WHERE side = 1 ORDER BY user_id, event_id""",
     "asof_join_fwd" -> """
       WITH u AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 0 AS side,

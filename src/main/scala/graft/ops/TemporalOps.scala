@@ -27,7 +27,13 @@ object TemporalOps {
   /** As-of join: for every left row, attach the nearest right row of the
     * same `key` — `direction = "backward"` (default): the LATEST right
     * with `rightTime <= leftTime`; `direction = "forward"`: the EARLIEST
-    * right with `rightTime >= leftTime` (both inclusive).
+    * right with `rightTime >= leftTime` (both inclusive);
+    * `direction = "nearest"`: whichever of those two candidates sits
+    * closer in time, EQUIDISTANT ties to the backward one (the Pandas
+    * `merge_asof` direction set). Nearest requires TIMESTAMP time
+    * columns (distances compare in epoch micros) and costs one extra
+    * per-key sort over the SAME single shuffle — both directional
+    * passes run inside one partitioning.
     * `toleranceSeconds` additionally bounds the match distance
     * (|leftTime − matchedTime| ≤ tolerance, timestamps required) — a
     * too-distant match comes back as NULLs, the Pandas/kdb `tolerance`
@@ -66,8 +72,15 @@ object TemporalOps {
       prefix: String = "asof_",
       direction: String = "backward",
       toleranceSeconds: Option[Long] = None)(left: DataFrame): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be 'backward' or 'forward', got '$direction'")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
+    if (direction == "nearest")
+      require(left.schema(leftTime).dataType ==
+          org.apache.spark.sql.types.TimestampType &&
+        right.schema(rightTime).dataType ==
+          org.apache.spark.sql.types.TimestampType,
+        "direction = 'nearest' compares distances in epoch micros and " +
+          "requires TIMESTAMP time columns on both sides")
     require(toleranceSeconds.forall(_ >= 0L), "tolerance must be >= 0")
     // the matched timestamp rides the carried struct under a reserved
     // name so the tolerance can compare against it
@@ -96,17 +109,35 @@ object TemporalOps {
     // forward = backward on the reversed time axis; null-ts left rows
     // must sort FIRST either way (before any right row) so they match
     // nothing
-    val w = Window.partitionBy(col("__k"))
-      .orderBy((if (direction == "backward")
-          Seq(col("__t").asc_nulls_first, col("__side").asc,
-            col("__tb").asc_nulls_first)
-        else
-          Seq(col("__t").desc_nulls_first, col("__side").asc,
-            col("__tb").desc_nulls_last)): _*)
+    val wb = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc_nulls_first, col("__side").asc,
+        col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = r.unionByName(l)
-      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val wf = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc_nulls_first, col("__side").asc,
+        col("__tb").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val union = r.unionByName(l)
+    val matched = (direction match {
+      case "backward" =>
+        union.withColumn("__m", last(col("__rv"), ignoreNulls = true).over(wb))
+      case "forward" =>
+        union.withColumn("__m", last(col("__rv"), ignoreNulls = true).over(wf))
+      case _ => // nearest: both passes share the one (key) partitioning,
+        // then the closer candidate wins, equidistant ties backward
+        val withBoth = union
+          .withColumn("__mb", last(col("__rv"), ignoreNulls = true).over(wb))
+          .withColumn("__mf", last(col("__rv"), ignoreNulls = true).over(wf))
+        val db = unix_micros(col("__t")) -
+          unix_micros(col(s"__mb.$mtField"))
+        val df_ = unix_micros(col(s"__mf.$mtField")) -
+          unix_micros(col("__t"))
+        withBoth.withColumn("__m",
+          when(col("__mb").isNull, col("__mf"))
+            .when(col("__mf").isNull, col("__mb"))
+            .when(db <= df_, col("__mb")).otherwise(col("__mf")))
+          .drop("__mb", "__mf")
+    }).filter(col("__side") === 1)
     val keep = toleranceSeconds match {
       case None => col("__m").isNotNull
       case Some(tol) => col("__m").isNotNull &&

@@ -151,6 +151,43 @@ class TemporalSpec extends SparkSpec {
     assert(out === 20L)
   }
 
+  test("asOfJoin nearest: closer side wins, equidistant ties backward, tolerance binds") {
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 10:10:00")), // 10 min after A, 50 min before B -> A
+      (2L, 1L, ts("2024-01-01 10:50:00")), // 50 after A, 10 before B -> B
+      (3L, 1L, ts("2024-01-01 10:30:00")), // EQUIDISTANT -> backward (A)
+      (4L, 2L, ts("2024-01-01 05:00:00")), // only a later right exists -> it
+      (5L, 3L, ts("2024-01-01 05:00:00"))) // only an earlier right -> it
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00"), 1.0), // A
+      (11L, 1L, ts("2024-01-01 11:00:00"), 2.0), // B
+      (20L, 2L, ts("2024-01-01 08:00:00"), 3.0),
+      (30L, 3L, ts("2024-01-01 01:00:00"), 4.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = TemporalOps.asOfJoin(right, "user_id", "ts", "ts",
+      Seq("event_id"), "event_id", direction = "nearest")(left)
+      .orderBy("event_id")
+      .select("asof_event_id").as[Long].collect()
+    assert(out.toSeq === Seq(10L, 11L, 10L, 20L, 30L))
+    // tolerance nulls the nearest match when even IT is too far
+    val tol = TemporalOps.asOfJoin(right, "user_id", "ts", "ts",
+      Seq("event_id"), "event_id", direction = "nearest",
+      toleranceSeconds = Some(3600L))(left)
+      .orderBy("event_id")
+      .select("asof_event_id").as[Option[Long]].collect()
+    assert(tol.toSeq === Seq(Some(10L), Some(11L), Some(10L), None, None))
+    // non-timestamp time columns are a construction-time error
+    intercept[IllegalArgumentException](
+      TemporalOps.asOfJoin(
+        Seq((1L, 1L)).toDF("event_id", "user_id")
+          .withColumn("ts", $"event_id"),
+        "user_id", "ts", "ts", Seq("event_id"), "event_id",
+        direction = "nearest")(
+        Seq((1L, 1L)).toDF("event_id", "user_id")
+          .withColumn("ts", $"event_id")))
+  }
+
   test("asOfJoin backward tolerance: match kept within, nulled beyond") {
     val left = Seq(
       (1L, 1L, ts("2024-01-01 10:30:00")),   // 30 min after -> kept
