@@ -1097,6 +1097,16 @@ object ExtQueries {
         // every output column for a total order
         .orderBy("l_orderkey", "l_linenumber", "variable", "value")
     },
+    "pivot_returnflag" -> { (s, dir) =>
+      // crosstab with explicit values: one conditional-sum column per
+      // return flag inside a single hash aggregate (l_quantity is
+      // integral-valued, so double sums are order-independent)
+      Ops.pivotAgg(Seq("l_linestatus"), "l_returnflag", Seq("A", "N", "R"),
+        "l_quantity", "sum")(
+        table(s, dir, "lineitem")
+          .select("l_linestatus", "l_returnflag", "l_quantity"))
+        .orderBy("l_linestatus")
+    },
     "percentile_price" -> { (s, dir) =>
       Ops.percentileAgg(Seq("l_returnflag"), "l_extendedprice",
         Seq(0.25, 0.5, 0.9))(table(s, dir, "lineitem"))
@@ -3248,6 +3258,14 @@ object ExtQueries {
            UNION ALL SELECT l_orderkey, l_linenumber,
              'l_tax', l_tax FROM lineitem)
          ORDER BY l_orderkey, l_linenumber, variable, value""",
+    // FILTER is the SQL spelling of the conditional aggregate the
+    // pivot lowers to; an unfed bucket is NULL on both sides
+    "pivot_returnflag" -> """
+      SELECT l_linestatus,
+        sum(l_quantity) FILTER (WHERE l_returnflag = 'A') AS A_sum,
+        sum(l_quantity) FILTER (WHERE l_returnflag = 'N') AS N_sum,
+        sum(l_quantity) FILTER (WHERE l_returnflag = 'R') AS R_sum
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
     "percentile_price" ->
       """SELECT l_returnflag,
          quantile_cont(l_extendedprice, 0.25) AS l_extendedprice_p25,

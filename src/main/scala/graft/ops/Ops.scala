@@ -774,6 +774,47 @@ object Ops {
       valName: String = "value")(df: DataFrame): DataFrame =
     df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName)
 
+  /** Pivot (crosstab) — [[unpivot]]'s inverse: one output column per
+    * EXPLICIT pivot value, `<value>_<fn>` of `measure` over the rows
+    * where `pivotField` equals that value. Lowered to conditional
+    * aggregation (one `fn(CASE WHEN pivot = v THEN measure END)` per
+    * value inside a single hash aggregate) rather than Spark's
+    * two-phase `Dataset.pivot`, for three reasons that matter here:
+    * the column set is deterministic at plan time (no extra
+    * distinct-values job — which at 100 TB is a full shuffle just to
+    * learn the schema), the naming is under our control, and the plan
+    * is the exact shape the oracle replays (`FILTER (WHERE …)`).
+    * Explicit values are therefore REQUIRED; rows with other (or NULL)
+    * pivot values simply feed no bucket, and a bucket no row feeds is
+    * NULL (`count`: 0). `average` is the per-bucket sum/count division.
+    * One shuffle on `keys`, map-side partials — the same cost as any
+    * [[aggregate]]. */
+  def pivotAgg(
+      keys: Seq[String],
+      pivotField: String,
+      pivotValues: Seq[String],
+      measure: String,
+      fn: String = "sum")(df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    require(pivotValues.nonEmpty, "explicit pivot values required")
+    require(pivotValues.distinct.length == pivotValues.length,
+      "duplicate pivot values")
+    val aggs = pivotValues.map { v =>
+      val m = when(col(pivotField) === v, col(measure))
+      (fn match {
+        case "sum"     => sum(m)
+        case "min"     => min(m)
+        case "max"     => max(m)
+        case "count"   => count(m)
+        case "average" => sum(m) / count(m)
+        case other => throw new IllegalArgumentException(
+          s"unsupported pivot aggregate '$other' " +
+            "(supported: sum, min, max, count, average)")
+      }).as(s"${v}_$fn")
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact percentiles per group — extension op (SURVEY.md §2.5 lists
     * percentile as a Spark built-in beyond the reference). Linear
     * interpolation, matching DuckDB's quantile_cont bit-for-bit (verified

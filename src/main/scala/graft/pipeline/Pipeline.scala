@@ -89,6 +89,10 @@ final case class Pipeline(df: DataFrame) {
   def weightedSample(groupField: String, keyField: String,
       weightField: String, n: Int, salt: String = ""): Pipeline =
     >>(Ops.weightedSample(groupField, keyField, weightField, n, salt))
+  def pivotAgg(keys: Seq[String], pivotField: String,
+      pivotValues: Seq[String], measure: String,
+      fn: String = "sum"): Pipeline =
+    >>(Ops.pivotAgg(keys, pivotField, pivotValues, measure, fn))
   def aggregateState(keys: Seq[String],
       measures: Seq[(String, String)]): Pipeline =
     >>(Ops.aggregateState(keys, measures))

@@ -529,6 +529,29 @@ class OpsSpec extends SparkSpec {
         / exact.getAs[Double](c) < 0.02, c)
   }
 
+  test("pivotAgg: explicit buckets, NULL for unfed, count 0, NULL pivot ignored") {
+    import spark.implicits._
+    val df = Seq(("x", Some("a"), Some(1.0)), ("x", Some("a"), Some(2.0)),
+      ("x", Some("b"), Some(5.0)), ("x", None, Some(99.0)),
+      ("y", Some("a"), None)).toDF("k", "p", "v")
+    val s = Ops.pivotAgg(Seq("k"), "p", Seq("a", "b", "c"), "v")(df)
+      .orderBy("k").collect()
+    assert(s(0).getDouble(1) === 3.0 && s(0).getDouble(2) === 5.0)
+    assert(s(0).isNullAt(3))              // no 'c' rows -> NULL sum
+    assert((1 to 3).forall(s(1).isNullAt)) // y: only a NULL measure
+    val c = Ops.pivotAgg(Seq("k"), "p", Seq("a", "c"), "v", "count")(df)
+      .orderBy("k").collect()
+    assert(c(0).getLong(1) === 2L && c(0).getLong(2) === 0L)
+    assert(c(1).getLong(1) === 0L)        // count of NULL measures is 0
+    val a = Ops.pivotAgg(Seq("k"), "p", Seq("a"), "v", "average")(df)
+      .orderBy("k").collect()
+    assert(a(0).getDouble(1) === 1.5)
+    intercept[IllegalArgumentException](
+      Ops.pivotAgg(Seq("k"), "p", Seq("a"), "v", "median")(df))
+    // column names are deterministic: value_fn
+    assert(s(0).schema.fieldNames.toSeq === Seq("k", "a_sum", "b_sum", "c_sum"))
+  }
+
   test("KLL quantile state: exact order statistics + exact merge in the ≤k regime") {
     import spark.implicits._
     val ks = Seq("k"); val fs = Seq("v")
