@@ -1214,6 +1214,24 @@ object ExtQueries {
           "o_orderstatus", "o_totalprice")
     },
     // ---- binary / multimodal ----------------------------------------------
+    "url_parts" -> { (s, dir) =>
+      // crawl-manifest decomposition: synthetic per-doc URLs (the
+      // fixtures carry none) parsed back via parse_url + the
+      // registered-domain rule; the example.co.uk arm exercises the
+      // second-level public-suffix path — the oracle computes every
+      // part arithmetically, so a parser or suffix-rule slip mismatches
+      val id = col("doc_id")
+      val sub = element_at(
+        array(lit("www"), lit("data"), lit("cdn")), (id % 3 + 1).cast("int"))
+      val dom = element_at(
+        array(lit("example.com"), lit("example.co.uk"),
+          lit("spark-docs.org"), lit("data.io")), (id % 4 + 1).cast("int"))
+      val url = concat(lit("https://"), sub, lit("."), dom,
+        lit("/p/"), (id % 50).cast("string"), lit("?q="), id.cast("string"))
+      TextOps.urlParts("doc_id", "url")(
+        corpus(s, dir, "documents").select(id, url.as("url")))
+        .orderBy("doc_id")
+    },
     "media_meta" -> { (s, dir) =>
       // real container headers round-tripped through the native parser:
       // the builders write spec-exact PNG/GIF/BMP/JPEG/WAV headers with
@@ -3902,6 +3920,20 @@ object ExtQueries {
          FROM documents
          QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
          ORDER BY doc_id""",
+    // the Spark side PARSES the URLs its builder wrote; this side
+    // computes every part arithmetically (same builder, no parser)
+    "url_parts" -> """
+      WITH b AS (SELECT doc_id,
+          ['www', 'data', 'cdn'][CAST(doc_id % 3 + 1 AS INT)] AS sub,
+          ['example.com', 'example.co.uk', 'spark-docs.org',
+           'data.io'][CAST(doc_id % 4 + 1 AS INT)] AS dom
+        FROM documents)
+      SELECT doc_id, 'https' AS scheme, sub || '.' || dom AS host,
+        CASE WHEN dom = 'example.co.uk' THEN 'example.co.uk' ELSE dom END
+          AS registered_domain,
+        '/p/' || CAST(doc_id % 50 AS VARCHAR) AS path,
+        'q=' || CAST(doc_id AS VARCHAR) AS url_query
+      FROM b ORDER BY doc_id""",
     // the Spark side PARSES real container headers its builders wrote;
     // this side computes the expectation arithmetically — images carry
     // dimensions and NULL audio geometry, wav the reverse

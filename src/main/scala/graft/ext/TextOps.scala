@@ -1850,6 +1850,50 @@ object TextOps {
         col("rank"))
   }
 
+  /** Second-level public suffixes for [[registeredDomain]] — a demo
+    * subset of the Public Suffix List (the crawl-pipeline deployment
+    * ships the full list the same way: a plan literal). */
+  val demoSecondLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "com.au", "net.au",
+    "com.br", "co.in", "co.nz")
+
+  /** The REGISTERED domain of a host — the per-site aggregation key of
+    * every crawl pipeline (politeness caps, per-domain quality priors,
+    * domain-level dedup): the last two labels, or the last three when
+    * the last two form a second-level public suffix (`bbc.co.uk`, not
+    * `co.uk`). Pure Column expression over a split — no UDF; a bare
+    * single-label host passes through, NULL stays NULL. */
+  def registeredDomain(
+      host: Column,
+      secondLevelSuffixes: Seq[String] = demoSecondLevelSuffixes): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val lastTwo = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val lastThree = concat_ws(".",
+      element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
+    when(host.isNull, lit(null).cast("string"))
+      .when(n <= 2, host)
+      .when(lastTwo.isin(secondLevelSuffixes: _*), lastThree)
+      .otherwise(lastTwo)
+  }
+
+  /** URL decomposition for crawl analytics: `idField, scheme, host,
+    * registered_domain, path, url_query` via Spark's `parse_url`
+    * (Hive-compatible java.net.URI semantics) plus
+    * [[registeredDomain]]. Pure projection — the 100 TB crawl manifest
+    * pays one scan, and the registered domain becomes the groupBy key
+    * for per-site caps/stats ([[graft.ops.Ops.quotaSample]],
+    * [[graft.ops.Ops.modeAgg]], …). */
+  def urlParts(idField: String, urlField: String)(df: DataFrame): DataFrame = {
+    val u = col(urlField)
+    df.select(col(idField),
+      parse_url(u, lit("PROTOCOL")).as("scheme"),
+      parse_url(u, lit("HOST")).as("host"),
+      registeredDomain(parse_url(u, lit("HOST"))).as("registered_domain"),
+      parse_url(u, lit("PATH")).as("path"),
+      parse_url(u, lit("QUERY")).as("url_query"))
+  }
+
   /** Model-based quality filtering — the fastText/CCNet-shaped LINEAR
     * n-gram classifier every production pipeline runs after the
     * rule-based gates ([[gopherRules]]): a trained, integer-quantized

@@ -401,6 +401,8 @@ final case class Pipeline(df: DataFrame) {
       centroidId, centroidVec))
   def filterFunnel(rules: Seq[(String, Column)]): Pipeline =
     >>(Probes.filterFunnel(rules))
+  def urlParts(idField: String, urlField: String): Pipeline =
+    >>(TextOps.urlParts(idField, urlField))
   def linearTextScore(idField: String, textField: String,
       weights: Seq[(String, Long)], bias: Double, threshold: Double,
       maxN: Int = 2): Pipeline =

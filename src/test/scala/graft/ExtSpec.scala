@@ -9,6 +9,29 @@ import graft.ops.Ops
 class ExtSpec extends SparkSpec {
   import spark.implicits._
 
+  test("urlParts + registeredDomain: suffix rule, bare hosts, missing parts, NULLs") {
+    import graft.ext.TextOps
+    val df = Seq(
+      (1L, "https://www.bbc.co.uk/news/uk?id=7"),
+      (2L, "http://example.com"),           // no path, no query
+      (3L, "https://localhost/x"),          // single-label host
+      (4L, "ftp://a.b.example.com.au/f"),   // deep host, SLS
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "url")
+    val out = TextOps.urlParts("doc_id", "url")(df).orderBy("doc_id")
+      .collect()
+    assert(out(0).getString(1) === "https" &&
+      out(0).getString(2) === "www.bbc.co.uk" &&
+      out(0).getString(3) === "bbc.co.uk" &&
+      out(0).getString(4) === "/news/uk" &&
+      out(0).getString(5) === "id=7")
+    assert(out(1).getString(3) === "example.com")
+    assert(out(1).isNullAt(5))              // no query -> NULL
+    assert(out(2).getString(3) === "localhost")
+    assert(out(3).getString(3) === "example.com.au")
+    assert((1 to 5).forall(out(4).isNullAt)) // NULL url -> NULL parts
+  }
+
   private def vecs = Seq(
     // two tight clusters on orthogonal axes + ids 0,1 as "centroids"
     (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
