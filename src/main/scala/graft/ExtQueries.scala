@@ -1312,6 +1312,15 @@ object ExtQueries {
         maxHamming = 10)(docs.filter(col("doc_id") >= 250))
         .select("doc_id", "lang").orderBy("doc_id")
     },
+    "compression_ratio" -> { (s, dir) =>
+      // DEFLATE compression-ratio quality signal: oracle-exempt
+      // (DuckDB exposes no deflate; rows-only check) — determinism,
+      // the repetitive-vs-noise separation, and the empty/NULL
+      // discipline are spec-asserted in ExtSpec
+      TextOps.compressionSignal("doc_id", "text")(
+        corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
     "binary_cdc_chunks" -> { (s, dir) =>
       // content-defined chunking: oracle-exempt (rolling-hash state
       // machine is not SQL-expressible; rows-only check) — slice

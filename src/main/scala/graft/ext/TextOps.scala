@@ -1850,6 +1850,31 @@ object TextOps {
         col("rank"))
   }
 
+  /** Compression-ratio quality signal (RedPajama-v2 / Dolma shape):
+    * `idField, orig_bytes, deflate_bytes, compression_ratio` where the
+    * ratio = DEFLATE size / original UTF-8 size. Natural prose lands in
+    * a characteristic band; template/boilerplate spam compresses far
+    * TIGHTER (low ratio) and junk/noise barely at all (≈1), so one
+    * model-free number filters both tails — compose with
+    * [[scorePercentiles]] to calibrate cutoffs per source. Pure
+    * zero-shuffle projection over the native
+    * [[graft.functions.DeflateSize]] kernel; deterministic for a fixed
+    * JDK but NOT DuckDB-replayable (no deflate there), so the query
+    * rides the rows-only gate like the CDC rolling hash. Empty text →
+    * ratio NULL; NULL text → all NULL. */
+  def compressionSignal(
+      idField: String, textField: String, level: Int = 6)(
+      df: DataFrame): DataFrame = {
+    val blob = graft.ext.BinaryOps.toBlob(col(textField))
+    df.select(col(idField),
+      octet_length(blob).as("orig_bytes"),
+      graft.functions.GraftFunctions.deflateSize(blob, level)
+        .as("deflate_bytes"))
+      .withColumn("compression_ratio",
+        when(col("orig_bytes") === 0, lit(null).cast("double"))
+          .otherwise(col("deflate_bytes").cast("double") / col("orig_bytes")))
+  }
+
   /** Second-level public suffixes for [[registeredDomain]] — a demo
     * subset of the Public Suffix List (the crawl-pipeline deployment
     * ships the full list the same way: a plan literal). */

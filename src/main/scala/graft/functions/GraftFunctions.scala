@@ -221,6 +221,12 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         arity("graft_kll_quantile", children, 2)
         KllSketchQuantile(children.head, children(1)) }),
+    ("graft_deflate_size",
+      new ExpressionInfo(classOf[DeflateSize].getName, "graft_deflate_size"),
+      { children: Seq[Expression] =>
+        arity("graft_deflate_size", children, 2)
+        DeflateSize(children.head,
+          litInt(children(1), "graft_deflate_size", "level")) }),
     ("graft_media_meta",
       new ExpressionInfo(
         classOf[MediaHeaderMeta].getName, "graft_media_meta"),
@@ -376,6 +382,11 @@ object GraftFunctions {
     * SentencePiece `▁`) — exposed so detokenizers and oracles share
     * the one definition. */
   def bpeMarker: String = BpeKernel.Marker
+
+  /** DEFLATE-compressed size of a blob at a fixed level (see
+    * [[DeflateSize]]) — the compression-ratio quality primitive. */
+  def deflateSize(blob: Column, level: Int = 6): Column =
+    Bridge.column(DeflateSize(Bridge.expression(blob), level))
 
   /** Decode-free media header metadata over a blob (see
     * [[MediaHeaderMeta]]): `struct(format, width, height, channels,

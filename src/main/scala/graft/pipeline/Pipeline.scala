@@ -401,6 +401,9 @@ final case class Pipeline(df: DataFrame) {
       centroidId, centroidVec))
   def filterFunnel(rules: Seq[(String, Column)]): Pipeline =
     >>(Probes.filterFunnel(rules))
+  def compressionSignal(idField: String, textField: String,
+      level: Int = 6): Pipeline =
+    >>(TextOps.compressionSignal(idField, textField, level))
   def urlParts(idField: String, urlField: String): Pipeline =
     >>(TextOps.urlParts(idField, urlField))
   def linearTextScore(idField: String, textField: String,

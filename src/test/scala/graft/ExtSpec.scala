@@ -9,6 +9,29 @@ import graft.ops.Ops
 class ExtSpec extends SparkSpec {
   import spark.implicits._
 
+  test("compressionSignal: deterministic, separates boilerplate from noise, edge discipline") {
+    import graft.ext.TextOps
+    val rnd = new scala.util.Random(7)
+    val noise = (1 to 2000).map(_ => (rnd.nextInt(26) + 'a').toChar).mkString
+    val df = Seq(
+      (1L, "spam spam spam " * 200),         // boilerplate: compresses hard
+      (2L, noise),                           // high entropy: barely
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.compressionSignal("doc_id", "text")(df)
+      .orderBy("doc_id").collect()
+    val spamRatio = out(0).getDouble(3)
+    val noiseRatio = out(1).getDouble(3)
+    assert(spamRatio < 0.05, s"boilerplate ratio $spamRatio")
+    assert(noiseRatio > 0.5, s"noise ratio $noiseRatio")
+    assert(out(2).getInt(1) === 0 && out(2).isNullAt(3)) // empty -> NULL ratio
+    assert(out(3).isNullAt(1) && out(3).isNullAt(3))     // NULL text
+    // rerun-identical (fresh plan, fresh threads)
+    val again = TextOps.compressionSignal("doc_id", "text")(df)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("urlParts + registeredDomain: suffix rule, bare hosts, missing parts, NULLs") {
     import graft.ext.TextOps
     val df = Seq(
