@@ -1312,6 +1312,14 @@ object ExtQueries {
         maxHamming = 10)(docs.filter(col("doc_id") >= 250))
         .select("doc_id", "lang").orderBy("doc_id")
     },
+    "shuffle_rank" -> { (s, dir) =>
+      // training-epoch shuffle order: two-pass bucketed rank (256-way
+      // parallel), bit-identical to the single-partition global window
+      // the oracle runs
+      Ops.shuffleRank("doc_id")(
+        corpus(s, dir, "documents").select("doc_id"))
+        .orderBy("doc_id")
+    },
     "compression_ratio" -> { (s, dir) =>
       // DEFLATE compression-ratio quality signal: oracle-exempt
       // (DuckDB exposes no deflate; rows-only check) — determinism,
@@ -3929,6 +3937,15 @@ object ExtQueries {
          FROM documents
          QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
          ORDER BY doc_id""",
+    // the naive single-partition global rank IS the spec the
+    // 256-bucket two-pass form must equal: bucket prefix = leading
+    // radix of the ordering hash
+    "shuffle_rank" -> """
+      SELECT doc_id,
+        CAST(row_number() OVER (
+          ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR)), doc_id)
+          AS BIGINT) AS shuffle_rank
+      FROM documents ORDER BY doc_id""",
     // the Spark side PARSES the URLs its builder wrote; this side
     // computes every part arithmetically (same builder, no parser)
     "url_parts" -> """

@@ -538,6 +538,43 @@ object Ops {
       col(field).asc_nulls_first).limit(n)
   }
 
+  /** Deterministic global shuffle rank — the training-epoch shuffle: a
+    * total order over the corpus that is uniformly "random" yet
+    * rerun-identical and engine-reproducible (rank = position in the
+    * md5(salt|key) order, key ascending on hash ties; change `salt` per
+    * epoch for a fresh permutation). Writers sort shards by this rank;
+    * data loaders then stream sequentially and still see an unbiased
+    * mixture — the global-shuffle step every training-data export ends
+    * with.
+    *
+    * DELIBERATELY not `row_number() OVER (ORDER BY hash)`: a global
+    * window single-partitions 100 TB. Two-pass instead (the
+    * tokenBudgetMixTwoPass machinery): rows bucket by the hash's first
+    * two hex chars (256 buckets, uniform by construction), per-bucket
+    * counts cumulate into offsets on a 256-row frame, and rank =
+    * bucket offset + row_number within the bucket — 256-way-parallel
+    * windows, bit-identical to the global form (which IS the oracle)
+    * because the bucket prefix is the leading radix of the very hash
+    * the global order sorts by. */
+  def shuffleRank(keyField: String, salt: String = "epoch0")(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__rk",
+        md5(concat_ws("|", lit(salt), col(keyField).cast("string"))))
+      .withColumn("__bkt", substring(col("__rk"), 1, 2))
+    val bw = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", sum(col("__n")).over(bw) - col("__n"))
+      .select(col("__bkt"), col("__off"))
+    val ww = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__rk").asc, col(keyField).asc_nulls_first)
+    base.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("shuffle_rank", col("__off") + row_number().over(ww))
+      .drop("__rk", "__bkt", "__off")
+  }
+
   /** Deterministic per-group quota cap — the training-mixture "domain
     * cap": keep at most `n` rows per group (source, domain, language),
     * chosen by content-hash order so the SAME rows survive on every

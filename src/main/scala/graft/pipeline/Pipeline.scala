@@ -89,6 +89,8 @@ final case class Pipeline(df: DataFrame) {
   def weightedSample(groupField: String, keyField: String,
       weightField: String, n: Int, salt: String = ""): Pipeline =
     >>(Ops.weightedSample(groupField, keyField, weightField, n, salt))
+  def shuffleRank(keyField: String, salt: String = "epoch0"): Pipeline =
+    >>(Ops.shuffleRank(keyField, salt))
   def pivotAgg(keys: Seq[String], pivotField: String,
       pivotValues: Seq[String], measure: String,
       fn: String = "sum"): Pipeline =

@@ -529,6 +529,24 @@ class OpsSpec extends SparkSpec {
         / exact.getAs[Double](c) < 0.02, c)
   }
 
+  test("shuffleRank: a permutation equal to the naive global rank; salt reshuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => Tuple1(i)).toDF("id")
+    val fast = Ops.shuffleRank("id", "epoch0")(df)
+      .orderBy("id").select("shuffle_rank").as[Long].collect()
+    val naive = df.withColumn("shuffle_rank",
+        row_number().over(Window.orderBy(
+          md5(concat_ws("|", lit("epoch0"), $"id".cast("string"))), $"id"))
+          .cast("long"))
+      .orderBy("id").select("shuffle_rank").as[Long].collect()
+    assert(fast.toSeq === naive.toSeq)
+    assert(fast.sorted.toSeq === (1L to 500L)) // a true permutation
+    val other = Ops.shuffleRank("id", "epoch1")(df)
+      .orderBy("id").select("shuffle_rank").as[Long].collect()
+    assert(other.toSeq !== fast.toSeq)         // fresh epoch, fresh order
+  }
+
   test("pivotAgg: explicit buckets, NULL for unfed, count 0, NULL pivot ignored") {
     import spark.implicits._
     val df = Seq(("x", Some("a"), Some(1.0)), ("x", Some("a"), Some(2.0)),
