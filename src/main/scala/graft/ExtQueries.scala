@@ -1158,6 +1158,31 @@ object ExtQueries {
         Ops.mergeAggregateStatesHll(keys, Seq("l_suppkey"))(stored, batch))
         .orderBy("l_returnflag")
     },
+    "theta_overlap" -> { (s, dir) =>
+      // the set-algebra distinct state HLL structurally lacks: per-flag
+      // supplier theta sketches, then pairwise intersection/difference
+      // estimates off the |groups|-sized state frame (broadcast pair
+      // join) — exact at this cardinality (pre-capacity regime), which
+      // is what the oracle's exact set arithmetic asserts
+      val st = Ops.aggregateStateTheta(
+        Seq("l_returnflag"), Seq("l_suppkey"))(
+        table(s, dir, "lineitem").select("l_returnflag", "l_suppkey"))
+        .localCheckpoint()
+      val a = st.select(col("l_returnflag").as("flag_a"),
+        col("l_suppkey_theta").as("__sa"))
+      val b = st.select(col("l_returnflag").as("flag_b"),
+        col("l_suppkey_theta").as("__sb"))
+      import graft.functions.GraftFunctions
+      a.join(broadcast(b), col("flag_a") < col("flag_b"))
+        .select(col("flag_a"), col("flag_b"),
+          GraftFunctions.thetaEstimate(col("__sa")).as("n_a"),
+          GraftFunctions.thetaEstimate(col("__sb")).as("n_b"),
+          GraftFunctions.thetaIntersect(col("__sa"), col("__sb"))
+            .as("n_common"),
+          GraftFunctions.thetaDiff(col("__sa"), col("__sb"))
+            .as("n_only_a"))
+        .orderBy("flag_a", "flag_b")
+    },
     "incremental_quantile" -> { (s, dir) =>
       // the QUANTILE leg of rollup maintenance (KLL sketches, k=200):
       // the event_id % 41 slice keeps every group ≤ k values at the
@@ -3867,6 +3892,23 @@ object ExtQueries {
       SELECT l_returnflag,
         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS l_suppkey_distinct_est
       FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // pre-capacity theta sketches ARE the distinct sets, so estimate /
+    // intersect / aNotB equal exact set arithmetic — replayed here as
+    // correlated exact counts over the distinct (flag, suppkey) pairs
+    "theta_overlap" -> """
+      WITH s AS (SELECT DISTINCT l_returnflag AS f, l_suppkey AS k
+                 FROM lineitem),
+      fl AS (SELECT DISTINCT f FROM s)
+      SELECT a.f AS flag_a, b.f AS flag_b,
+        CAST((SELECT count(*) FROM s WHERE s.f = a.f) AS BIGINT) AS n_a,
+        CAST((SELECT count(*) FROM s WHERE s.f = b.f) AS BIGINT) AS n_b,
+        CAST((SELECT count(*) FROM s x JOIN s y ON x.k = y.k
+              WHERE x.f = a.f AND y.f = b.f) AS BIGINT) AS n_common,
+        CAST((SELECT count(*) FROM s WHERE s.f = a.f) -
+             (SELECT count(*) FROM s x JOIN s y ON x.k = y.k
+              WHERE x.f = a.f AND y.f = b.f) AS BIGINT) AS n_only_a
+      FROM fl a JOIN fl b ON a.f < b.f
+      ORDER BY flag_a, flag_b""",
     // every group in the % 41 slice stays ≤ k = 200 values, so the KLL
     // sketch is a plain sorted buffer and each rank r is the exact
     // order statistic at 1-indexed position ⌈r·n⌉ (INCLUSIVE search

@@ -75,6 +75,38 @@ final case class RollupStateHll(
   def result(): DataFrame = Ops.finalizeAggregateHll(keys, fields)(load())
 }
 
+/** The SET-ALGEBRA leg of persistent distinct state: the stored object
+  * is an [[graft.ops.Ops.aggregateStateTheta]] frame (one compact theta
+  * sketch per (group, field)), batches fold in with a sketch union, and
+  * the persisted sketches answer intersection/difference questions
+  * across groups or across separately-maintained states
+  * ([[graft.functions.GraftFunctions.thetaIntersect]] / `thetaDiff`) —
+  * the overlap/churn queries HLL state cannot. Theta unions are
+  * IDEMPOTENT under re-delivery (a set union of hash sets), so the
+  * at-least-once restart caveat vanishes here, as with HLL. Exact and
+  * deterministic while each group stays under `nominalEntries`
+  * distincts. */
+final case class RollupStateTheta(
+    store: DataStore, name: String,
+    keys: Seq[String], fields: Seq[String], nominalEntries: Int = 4096) {
+
+  def create(df: DataFrame, replace: Boolean = false): Unit =
+    store.create(name,
+      Ops.aggregateStateTheta(keys, fields, nominalEntries)(df), replace)
+
+  def load(): DataFrame = store.getObject(name)
+
+  def fold(batch: DataFrame): Unit = {
+    val merged = Ops.mergeAggregateStatesTheta(keys, fields, nominalEntries)(
+      load(), Ops.aggregateStateTheta(keys, fields, nominalEntries)(batch))
+      .localCheckpoint()
+    store.create(name, merged, replace = true)
+  }
+
+  /** `(keys…, <field>_distinct_est…)` from the current sketches. */
+  def result(): DataFrame = Ops.finalizeAggregateTheta(keys, fields)(load())
+}
+
 /** The QUANTILE leg of persistent rollup state: the stored object is an
   * [[graft.ops.Ops.aggregateStateKll]] frame (one ~2.4 KB DataSketches
   * KLL sketch per (group, field) at the default k = 200), batches fold

@@ -200,6 +200,37 @@ object GraftFunctions {
         arity("graft_bloom_agg", children, 3)
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           children.head, children(1), children(2)) }),
+    // theta-sketch set-algebra surface (the analyzer wraps returned
+    // AggregateFunctions itself, the bloom precedent)
+    ("graft_theta_agg",
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "graft_theta_agg"),
+      { children: Seq[Expression] =>
+        arity("graft_theta_agg", children, 2)
+        ThetaSketchAgg(children.head,
+          litInt(children(1), "graft_theta_agg", "nominalEntries")) }),
+    ("graft_theta_union",
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "graft_theta_union"),
+      { children: Seq[Expression] =>
+        arity("graft_theta_union", children, 2)
+        ThetaUnionAgg(children.head,
+          litInt(children(1), "graft_theta_union", "nominalEntries")) }),
+    ("graft_theta_estimate",
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "graft_theta_estimate"),
+      { children: Seq[Expression] =>
+        arity("graft_theta_estimate", children, 1)
+        ThetaEstimate(children.head) }),
+    ("graft_theta_intersect",
+      new ExpressionInfo(
+        classOf[ThetaSetOpEstimate].getName, "graft_theta_intersect"),
+      { children: Seq[Expression] =>
+        arity("graft_theta_intersect", children, 2)
+        ThetaSetOpEstimate(children.head, children(1), "intersect") }),
+    ("graft_theta_diff",
+      new ExpressionInfo(
+        classOf[ThetaSetOpEstimate].getName, "graft_theta_diff"),
+      { children: Seq[Expression] =>
+        arity("graft_theta_diff", children, 2)
+        ThetaSetOpEstimate(children.head, children(1), "diff") }),
     // KLL quantile-sketch trio — the mergeable quantile state (the
     // analyzer wraps returned AggregateFunctions itself, the bloom
     // precedent above)
@@ -422,6 +453,34 @@ object GraftFunctions {
   def kllQuantile(sketch: Column, rank: Column): Column =
     Bridge.column(KllSketchQuantile(
       Bridge.expression(sketch), Bridge.expression(rank)))
+
+  /** Theta-sketch aggregate over a BIGINT or STRING column: one binary
+    * compact sketch per group — the set-algebra distinct state (see
+    * [[ThetaSketchAgg]]). */
+  def thetaAgg(value: Column, nominalEntries: Int = 4096): Column =
+    Bridge.column(ThetaSketchAgg(Bridge.expression(value), nominalEntries)
+      .toAggregateExpression())
+
+  /** Fold serialized theta sketches (the bytes [[thetaAgg]] produced)
+    * into one union — the maintenance merge. */
+  def thetaUnion(sketch: Column, nominalEntries: Int = 4096): Column =
+    Bridge.column(ThetaUnionAgg(Bridge.expression(sketch), nominalEntries)
+      .toAggregateExpression())
+
+  /** Rounded distinct estimate of a serialized theta sketch (exact in
+    * the pre-capacity regime). */
+  def thetaEstimate(sketch: Column): Column =
+    Bridge.column(ThetaEstimate(Bridge.expression(sketch)))
+
+  /** |A ∩ B| estimate over two serialized theta sketches. */
+  def thetaIntersect(a: Column, b: Column): Column =
+    Bridge.column(ThetaSetOpEstimate(
+      Bridge.expression(a), Bridge.expression(b), "intersect"))
+
+  /** |A \ B| estimate over two serialized theta sketches. */
+  def thetaDiff(a: Column, b: Column): Column =
+    Bridge.column(ThetaSetOpEstimate(
+      Bridge.expression(a), Bridge.expression(b), "diff"))
 
   /** Bloom-filter aggregate over a PRE-HASHED long column (use
     * `xxhash64(col)` — the insert primitive is putLong, so build and

@@ -362,6 +362,47 @@ object Ops {
     state.select(keys.map(col) ++ fields.distinct.map(f =>
       hll_sketch_estimate(col(s"${f}_hll")).as(s"${f}_distinct_est")): _*)
 
+  /** The SET-ALGEBRA leg of mergeable distinct state — theta sketches
+    * (see [[graft.functions.ThetaSketchAgg]]): where HLL answers only
+    * |A ∪ B|, theta state supports intersection and difference
+    * estimates over PERSISTED per-group sketches
+    * ([[graft.functions.GraftFunctions.thetaIntersect]] /
+    * [[GraftFunctions.thetaDiff]]) — the audience-overlap /
+    * churn-count questions. Exact (and deterministic) while each
+    * group's distincts stay under `nominalEntries`; ~1/√k error beyond.
+    * State schema: `<f>_theta` BINARY per field. */
+  def aggregateStateTheta(
+      keys: Seq[String], fields: Seq[String],
+      nominalEntries: Int = 4096)(df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    require(fields.nonEmpty, "at least one sketched field required")
+    val aggs = fields.distinct.map(f =>
+      graft.functions.GraftFunctions
+        .thetaAgg(col(f), nominalEntries).as(s"${f}_theta"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold one [[aggregateStateTheta]] frame into another: union + one
+    * sketch-union per column. */
+  def mergeAggregateStatesTheta(
+      keys: Seq[String], fields: Seq[String],
+      nominalEntries: Int = 4096)(
+      stored: DataFrame, batch: DataFrame): DataFrame = {
+    val merges = fields.distinct.map(f =>
+      graft.functions.GraftFunctions
+        .thetaUnion(col(s"${f}_theta"), nominalEntries).as(s"${f}_theta"))
+    stored.unionByName(batch)
+      .groupBy(keys.map(col): _*).agg(merges.head, merges.tail: _*)
+  }
+
+  /** Distinct estimates from an [[aggregateStateTheta]] frame:
+    * `<f>_distinct_est` BIGINT per field. */
+  def finalizeAggregateTheta(
+      keys: Seq[String], fields: Seq[String])(state: DataFrame): DataFrame =
+    state.select(keys.map(col) ++ fields.distinct.map(f =>
+      graft.functions.GraftFunctions.thetaEstimate(col(s"${f}_theta"))
+        .as(s"${f}_distinct_est")): _*)
+
   /** The QUANTILE leg of mergeable aggregate state — the one
     * [[aggregateState]] cannot carry (exact per-group percentiles have
     * no bounded mergeable state; the state IS the value multiset):

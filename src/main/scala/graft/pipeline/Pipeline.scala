@@ -114,6 +114,17 @@ final case class Pipeline(df: DataFrame) {
     Pipeline(Ops.mergeAggregateStatesHll(keys, fields)(df, batch))
   def finalizeAggregateHll(keys: Seq[String], fields: Seq[String]): Pipeline =
     >>(Ops.finalizeAggregateHll(keys, fields))
+  def aggregateStateTheta(keys: Seq[String], fields: Seq[String],
+      nominalEntries: Int = 4096): Pipeline =
+    >>(Ops.aggregateStateTheta(keys, fields, nominalEntries))
+  /** `this` is the stored sketch state; `batch` the new state to fold in. */
+  def mergeAggregateStatesTheta(batch: DataFrame, keys: Seq[String],
+      fields: Seq[String], nominalEntries: Int = 4096): Pipeline =
+    Pipeline(Ops.mergeAggregateStatesTheta(keys, fields, nominalEntries)(
+      df, batch))
+  def finalizeAggregateTheta(keys: Seq[String],
+      fields: Seq[String]): Pipeline =
+    >>(Ops.finalizeAggregateTheta(keys, fields))
   def aggregateStateKll(keys: Seq[String], fields: Seq[String],
       k: Int = 200): Pipeline =
     >>(Ops.aggregateStateKll(keys, fields, k))

@@ -118,6 +118,18 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) => state.fold(batch) }
       .start()
 
+  /** [[streamingRollup]]'s SET-ALGEBRA sibling: fold each micro-batch's
+    * theta sketches into a persisted [[graft.ext.RollupStateTheta]].
+    * Theta unions are idempotent under re-delivery (set union), so the
+    * at-least-once caveat vanishes here, as with HLL. */
+  def streamingRollupTheta(
+      events: DataFrame, state: graft.ext.RollupStateTheta):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => state.fold(batch) }
+      .start()
+
   /** [[streamingRollup]]'s QUANTILE sibling: fold each micro-batch's
     * KLL sketches into a persisted [[graft.ext.RollupStateKll]]. Same
     * foreachBatch shape. NOTE the at-least-once caveat BINDS here as it

@@ -611,6 +611,52 @@ class OpsSpec extends SparkSpec {
     assert(out(1).getAs[Double]("v_p50") === 2.0) // g: NULL/NaN skipped
   }
 
+  test("theta distinct state: exact set algebra pre-capacity; merge identity; bands beyond") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions._
+    val ks = Seq("k"); val fs = Seq("v")
+    // A = {1..120}, B = {81..200}: |A|=120 |B|=120 |A∩B|=40 |A\B|=80
+    val a = (1 to 120).map(i => ("g", i.toLong)).toDF("k", "v")
+    val b = (81 to 200).map(i => ("g", i.toLong)).toDF("k", "v")
+    val sa = Ops.aggregateStateTheta(ks, fs)(a)
+      .select(col("v_theta").as("sa"))
+    val sb = Ops.aggregateStateTheta(ks, fs)(b)
+      .select(col("v_theta").as("sb"))
+    val r = sa.crossJoin(sb).select(
+      thetaEstimate(col("sa")).as("na"),
+      thetaIntersect(col("sa"), col("sb")).as("common"),
+      thetaDiff(col("sa"), col("sb")).as("onlyA")).head()
+    assert(r.getLong(0) === 120L && r.getLong(1) === 40L &&
+      r.getLong(2) === 80L)
+    // maintenance identity: merged state == direct state of the union
+    val merged = Ops.finalizeAggregateTheta(ks, fs)(
+      Ops.mergeAggregateStatesTheta(ks, fs)(
+        Ops.aggregateStateTheta(ks, fs)(a),
+        Ops.aggregateStateTheta(ks, fs)(b)))
+      .select("v_distinct_est").as[Long].head()
+    assert(merged === 200L)
+    // string identity hashes UTF-8 bytes (not JVM UTF-16): same value
+    // as string and as bytes collide, so cross-source sketches align
+    val s1 = Seq(("g", "héllo"), ("g", "wörld")).toDF("k", "v")
+    val est = Ops.finalizeAggregateTheta(ks, fs)(
+      Ops.aggregateStateTheta(ks, fs)(s1))
+      .select("v_distinct_est").as[Long].head()
+    assert(est === 2L)
+    // beyond capacity (nominal 16): estimates carry the ~1/√k band
+    val big = (1 to 5000).map(i => ("g", i.toLong)).toDF("k", "v")
+    val approx = Ops.finalizeAggregateTheta(ks, fs)(
+      Ops.aggregateStateTheta(ks, fs, nominalEntries = 16)(big))
+      .select("v_distinct_est").as[Long].head()
+    assert(math.abs(approx - 5000L) < 3000L, s"approx $approx")
+    // NULLs are skipped; an all-NULL group estimates 0
+    val n = Seq(("g", None: Option[Long]), ("g", Some(7L)), ("e", None))
+      .toDF("k", "v")
+    val outs = Ops.finalizeAggregateTheta(ks, fs)(
+      Ops.aggregateStateTheta(ks, fs)(n))
+      .orderBy("k").select("v_distinct_est").as[Long].collect()
+    assert(outs.toSeq === Seq(0L, 1L))
+  }
+
   test("KLL quantile state: estimation regime stays inside the rank-error band") {
     import spark.implicits._
     // 10k values 1..10000 at k=200: compacted, estimate only — the

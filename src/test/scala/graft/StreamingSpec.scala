@@ -106,6 +106,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRollupTheta: folded set sketches match; re-delivery is idempotent") {
+    import graft.ext.RollupStateTheta
+    import graft.ops.Ops
+    val store = new graft.sources.MemoryStore(spark)
+    val state = RollupStateTheta(store, "qtheta", Seq("event_type"), Seq("v"))
+    val input = MemoryStream[(String, Long)]
+    state.create(spark.emptyDataset[(String, Long)].toDF("event_type", "v"))
+    val q = Streaming.streamingRollupTheta(
+      input.toDF().toDF("event_type", "v"), state)
+    try {
+      input.addData(("click", 1L), ("click", 2L), ("view", 9L))
+      q.processAllAvailable()
+      input.addData(("click", 2L), ("click", 3L)) // one repeat, one new
+      q.processAllAvailable()
+      assert(state.result().orderBy("event_type")
+        .select("v_distinct_est").as[Long].collect().toSeq === Seq(3L, 1L))
+      // idempotence: re-folding an already-seen batch changes nothing
+      state.fold(Seq(("click", 2L), ("click", 3L)).toDF("event_type", "v"))
+      assert(state.result().orderBy("event_type")
+        .select("v_distinct_est").as[Long].collect().toSeq === Seq(3L, 1L))
+    } finally q.stop()
+  }
+
   test("streamingRollupKll: folded quantile sketches match the full recompute") {
     import graft.ext.RollupStateKll
     import graft.ops.Ops
