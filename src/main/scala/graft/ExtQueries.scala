@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{BinaryOps, Dedup, Frequency, Similarity, TextOps}
+import graft.ext.{BinaryOps, Dedup, Frequency, GraphOps, Similarity, TextOps}
 import graft.ops.{Ops, TemporalOps, WindowOps}
 import graft.probes.Probes
 
@@ -1158,6 +1158,23 @@ object ExtQueries {
         Ops.mergeAggregateStatesHll(keys, Seq("l_suppkey"))(stored, batch))
         .orderBy("l_returnflag")
     },
+    "page_rank" -> { (s, dir) =>
+      // host-importance prior over the derived 40-node link graph:
+      // 3 fixed iterations, contribution folds order-pinned so even
+      // the float ranks hash-match the unrolled oracle
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 40).as("src"),
+          ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
+      GraphOps.pageRank("src", "dst")(ev).orderBy("node")
+    },
+    "degree_stats" -> { (s, dir) =>
+      // the first diagnostic over any link graph: per-node out/in/total
+      // degree with orphan sides zero-filled
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 40).as("src"),
+          ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
+      GraphOps.degreeStats("src", "dst")(ev).orderBy("node")
+    },
     "theta_overlap" -> { (s, dir) =>
       // the set-algebra distinct state HLL structurally lacks: per-flag
       // supplier theta sketches, then pairwise intersection/difference
@@ -1545,6 +1562,43 @@ object ExtQueries {
     * Scala double `v`: Double.toString round-trips, and CAST from
     * VARCHAR avoids DuckDB's bare-decimal-literal DECIMAL typing. */
   private def litD(v: Double): String = s"CAST('$v' AS DOUBLE)"
+
+  /** The fixture edge list both graph queries (and their oracles)
+    * share: a deterministic 40-node link graph derived from events. */
+  private val graphEdgesSql = """
+    SELECT DISTINCT user_id % 40 AS s,
+           (user_id * 7 + event_id) % 40 AS d
+    FROM events
+    WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      AND user_id % 40 <> (user_id * 7 + event_id) % 40"""
+
+  /** Unrolled fixed-iteration PageRank — mirrors GraphOps.pageRank
+    * step for step: uniform start, per-iteration contribution fold
+    * ordered by src and seeded from 0.0, base + d·sum with the exact
+    * same IEEE literals (litD of the Scala-computed constants). */
+  private def pageRankSql(iterations: Int, damping: Double): String = {
+    val d = litD(damping)
+    val base = litD(1.0 - damping)
+    val iters = (1 to iterations).map { i =>
+      s"""c$i AS (SELECT e.d AS v,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(r${i - 1}.r / od.od ORDER BY e.s)), (a, b) -> a + b) AS cs
+         FROM e JOIN od USING (s) JOIN r${i - 1} ON r${i - 1}.v = e.s
+         GROUP BY e.d),
+      r$i AS (SELECT n.v,
+          $base / nn.n + $d * coalesce(c$i.cs, CAST(0 AS DOUBLE)) AS r
+         FROM n CROSS JOIN nn LEFT JOIN c$i ON c$i.v = n.v)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e AS ($graphEdgesSql),
+      n AS (SELECT DISTINCT v FROM
+        (SELECT s AS v FROM e UNION ALL SELECT d FROM e)),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM n),
+      od AS (SELECT s, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY s),
+      r0 AS (SELECT v, CAST(1 AS DOUBLE) / nn.n AS r FROM n CROSS JOIN nn),
+      $iters
+      SELECT v AS node, r AS rank FROM r$iterations ORDER BY node"""
+  }
 
   /** BM25 top-k — mirrors TextOps.bm25TopK term for term: rational idf
     * (no log), every aggregate an exact integer in a double, score
@@ -3892,6 +3946,17 @@ object ExtQueries {
       SELECT l_returnflag,
         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS l_suppkey_distinct_est
       FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "page_rank" -> pageRankSql(iterations = 3, damping = 0.85),
+    "degree_stats" -> s"""
+      WITH e AS ($graphEdgesSql),
+      o AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS out_degree
+            FROM e GROUP BY 1),
+      i AS (SELECT d AS node, CAST(count(*) AS BIGINT) AS in_degree
+            FROM e GROUP BY 1)
+      SELECT node, coalesce(out_degree, 0) AS out_degree,
+        coalesce(in_degree, 0) AS in_degree,
+        coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
+      FROM o FULL OUTER JOIN i USING (node) ORDER BY node""",
     // pre-capacity theta sketches ARE the distinct sets, so estimate /
     // intersect / aNotB equal exact set arithmetic — replayed here as
     // correlated exact counts over the distinct (flag, suppkey) pairs

@@ -89,6 +89,11 @@ final case class Pipeline(df: DataFrame) {
   def weightedSample(groupField: String, keyField: String,
       weightField: String, n: Int, salt: String = ""): Pipeline =
     >>(Ops.weightedSample(groupField, keyField, weightField, n, salt))
+  def pageRank(srcField: String, dstField: String, iterations: Int = 3,
+      damping: Double = 0.85): Pipeline =
+    >>(graft.ext.GraphOps.pageRank(srcField, dstField, iterations, damping))
+  def degreeStats(srcField: String, dstField: String): Pipeline =
+    >>(graft.ext.GraphOps.degreeStats(srcField, dstField))
   def shuffleRank(keyField: String, salt: String = "epoch0"): Pipeline =
     >>(Ops.shuffleRank(keyField, salt))
   def pivotAgg(keys: Seq[String], pivotField: String,

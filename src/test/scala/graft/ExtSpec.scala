@@ -9,6 +9,38 @@ import graft.ops.Ops
 class ExtSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pageRank: conserved mass, importance ordering, edge hygiene; degreeStats exact") {
+    import graft.ext.GraphOps
+    // 1→2, 1→3, 2→3, 3→1: every node has out-edges so no mass leaks;
+    // node 3 collects from two sources and must rank highest
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val pr = GraphOps.pageRank("src", "dst", iterations = 10)(edges)
+      .orderBy("node").collect()
+    val ranks = pr.map(_.getDouble(1))
+    assert(math.abs(ranks.sum - 1.0) < 1e-9, s"mass ${ranks.sum}")
+    assert(ranks.forall(_ > 0))
+    assert(ranks(2) > ranks(0) && ranks(0) > ranks(1),
+      s"expected rank(3) > rank(1) > rank(2), got ${ranks.toSeq}")
+    // duplicate edges and self-loops change nothing
+    val noisy = edges.unionByName(
+      Seq((1L, 2L), (2L, 2L)).toDF("src", "dst"))
+    val pr2 = GraphOps.pageRank("src", "dst", iterations = 10)(noisy)
+      .orderBy("node").collect().map(_.getDouble(1))
+    assert(pr2.toSeq === ranks.toSeq)
+    // dangling node: 4 receives but never links out; its mass leaks,
+    // total < 1, everything still positive
+    val dangle = edges.unionByName(Seq((1L, 4L)).toDF("src", "dst"))
+    val pr3 = GraphOps.pageRank("src", "dst", iterations = 10)(dangle)
+      .orderBy("node").collect().map(_.getDouble(1))
+    assert(pr3.sum < 1.0 && pr3.forall(_ > 0))
+    val deg = GraphOps.degreeStats("src", "dst")(dangle)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(deg.toSeq === Seq((1L, 3L, 1L, 4L), (2L, 1L, 1L, 2L),
+      (3L, 1L, 2L, 3L), (4L, 0L, 1L, 1L)))
+  }
+
   test("compressionSignal: deterministic, separates boilerplate from noise, edge discipline") {
     import graft.ext.TextOps
     val rnd = new scala.util.Random(7)

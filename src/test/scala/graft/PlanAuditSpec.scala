@@ -45,7 +45,8 @@ class PlanAuditSpec extends SparkSpec {
     "bm25_batch",        // broadcast one-row (N, Σdl) stats aggregate
     "heavy_hitter_terms",  // broadcast one-row stream total (pass-1 Σn_p)
     "heavy_hitter_phrases", // same two-pass machinery over the gram stream
-    "theta_overlap")     // broadcast |groups|-row sketch-state pair join
+    "theta_overlap",     // broadcast |groups|-row sketch-state pair join
+    "page_rank")         // broadcast one-row node-count aggregate
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
