@@ -1097,6 +1097,29 @@ object ExtQueries {
         // every output column for a total order
         .orderBy("l_orderkey", "l_linenumber", "variable", "value")
     },
+    "histogram_price" -> { (s, dir) =>
+      // equal-width audit histogram: fixed [0, 60000]×12 grid per flag,
+      // out-of-range/NULL under the NULL bin, only occupied bins emitted
+      Ops.histogram(Seq("l_returnflag"), "l_extendedprice",
+        0.0, 60000.0, 12)(
+        table(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"))
+        .orderBy(col("l_returnflag"), col("l_extendedprice_bin").asc)
+    },
+    "column_profile" -> { (s, dir) =>
+      // the ingest `describe`: per-column rows/nulls/exact distincts in
+      // one aggregation, exploded to rows with zero driver collects
+      Probes.columnProfile(Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_totalprice"))(table(s, dir, "orders"))
+        .orderBy("column")
+    },
+    "temporal_split" -> { (s, dir) =>
+      // purged/embargoed time split: train before the cutoff, test at
+      // least one embargo day after it, the gap excluded from both
+      TemporalOps.temporalSplit("ts", "2024-01-20 00:00:00",
+        embargoSeconds = 86400L)(table(s, dir, "events"))
+        .select("event_id", "split")
+        .orderBy("event_id")
+    },
     "pivot_returnflag" -> { (s, dir) =>
       // crosstab with explicit values: one conditional-sum column per
       // return flag inside a single hash aggregate (l_quantity is
@@ -3372,6 +3395,47 @@ object ExtQueries {
            UNION ALL SELECT l_orderkey, l_linenumber,
              'l_tax', l_tax FROM lineitem)
          ORDER BY l_orderkey, l_linenumber, variable, value""",
+    // bin arithmetic mirrored op for op: subtract lo, divide by span,
+    // multiply by nBins, floor, clamp the right-closed top edge
+    "histogram_price" -> """
+      WITH b AS (SELECT l_returnflag,
+          CASE WHEN l_extendedprice IS NULL OR l_extendedprice < 0e0
+                    OR l_extendedprice > 6e4 THEN NULL
+               ELSE least(CAST(floor((l_extendedprice - 0e0) / 6e4 * 12) + 1
+                 AS BIGINT), 12) END AS l_extendedprice_bin
+        FROM lineitem)
+      SELECT l_returnflag, l_extendedprice_bin,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        0e0 + (l_extendedprice_bin - 1) * 5e3 AS bin_lo
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST""",
+    "column_profile" -> """
+      SELECT * FROM (
+        SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+        FROM orders
+        UNION ALL SELECT 'o_custkey', count(*),
+          count(*) - count(o_custkey), count(DISTINCT o_custkey) FROM orders
+        UNION ALL SELECT 'o_orderstatus', count(*),
+          count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus)
+        FROM orders
+        UNION ALL SELECT 'o_orderpriority', count(*),
+          count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority)
+        FROM orders
+        UNION ALL SELECT 'o_totalprice', count(*),
+          count(*) - count(o_totalprice), count(DISTINCT o_totalprice)
+        FROM orders)
+      ORDER BY "column"""",
+    "temporal_split" -> """
+      SELECT event_id,
+        CASE WHEN ts IS NULL THEN NULL
+             WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+               THEN 'train'
+             WHEN epoch_us(CAST(ts AS TIMESTAMP)) >=
+                  epoch_us(TIMESTAMP '2024-01-20 00:00:00') + 86400000000
+               THEN 'test'
+             ELSE 'embargo' END AS split
+      FROM events ORDER BY event_id""",
     // FILTER is the SQL spelling of the conditional aggregate the
     // pivot lowers to; an unfed bucket is NULL on both sides
     "pivot_returnflag" -> """

@@ -852,6 +852,35 @@ object Ops {
       valName: String = "value")(df: DataFrame): DataFrame =
     df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName)
 
+  /** Equal-WIDTH histogram — [[equalFreqBins]]'s fixed-grid sibling
+    * (audit/dashboard shape: comparable bins across runs and tables,
+    * no percentile pass): bin `b ∈ [1, nBins]` covers
+    * `[lo + (b−1)·w, lo + b·w)` with `w = (hi−lo)/nBins`, the top edge
+    * right-closed (`x = hi` lands in bin `nBins`). Values outside
+    * `[lo, hi]` and NULLs report a NULL bin and are counted under it —
+    * outliers are visible, never silently dropped. Emits only OCCUPIED
+    * bins (one hash-agg; join a `sequence()` spine for a dense grid).
+    * The bin arithmetic is one subtraction, one division by the span,
+    * one multiply, one floor — mirrored op-for-op by the oracle. */
+  def histogram(
+      keys: Seq[String], field: String,
+      lo: Double, hi: Double, nBins: Int)(df: DataFrame): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val x = col(field)
+    val bin = when(x.isNull || x < lo || x > hi, lit(null).cast("long"))
+      .otherwise(least(
+        (floor((x - lit(lo)) / lit(hi - lo) * nBins) + 1L).cast("long"),
+        lit(nBins.toLong)))
+    val gb = keys.map(col) :+ bin.as(s"${field}_bin")
+    df.groupBy(gb: _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bin_lo",
+        when(col(s"${field}_bin").isNull, lit(null).cast("double"))
+          .otherwise(lit(lo) + (col(s"${field}_bin") - 1L) *
+            lit((hi - lo) / nBins)))
+  }
+
   /** Pivot (crosstab) — [[unpivot]]'s inverse: one output column per
     * EXPLICIT pivot value, `<value>_<fn>` of `measure` over the rows
     * where `pivotField` equals that value. Lowered to conditional

@@ -150,6 +150,28 @@ object TemporalOps {
     matched.select(leftCols ++ rightCols: _*)
   }
 
+  /** Leakage-safe TEMPORAL train/test split — the time-series sibling
+    * of [[graft.ext.Dedup.clusterSafeSplit]]'s content-hash split: rows
+    * before `cutoff` label `train`, rows at least `embargoSeconds`
+    * after it label `test`, and the embargo gap between labels
+    * `embargo` (excluded from both sides so windowed features computed
+    * near the boundary cannot leak future information into training —
+    * the purged/embargoed-split discipline of financial ML). NULL
+    * timestamps label NULL — an undatable row belongs to neither side.
+    * Pure projection; `cutoff` is a UTC timestamp string. */
+  def temporalSplit(
+      tsField: String, cutoff: String, embargoSeconds: Long = 0L)(
+      df: DataFrame): DataFrame = {
+    require(embargoSeconds >= 0L, "embargo must be >= 0")
+    val cut = to_timestamp(lit(cutoff))
+    df.withColumn("split",
+      when(col(tsField).isNull, lit(null).cast("string"))
+        .when(col(tsField) < cut, lit("train"))
+        .when(unix_micros(col(tsField)) >=
+          unix_micros(cut) + embargoSeconds * 1000000L, lit("test"))
+        .otherwise(lit("embargo")))
+  }
+
   /** Type-2 slowly-changing-dimension history from a change stream: for
     * each `key`, order changes by (`ts`, `tieBreak`), drop rows whose
     * tracked `attrs` are unchanged from the previous row (null-safely —

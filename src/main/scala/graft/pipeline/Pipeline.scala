@@ -89,6 +89,14 @@ final case class Pipeline(df: DataFrame) {
   def weightedSample(groupField: String, keyField: String,
       weightField: String, n: Int, salt: String = ""): Pipeline =
     >>(Ops.weightedSample(groupField, keyField, weightField, n, salt))
+  def histogram(keys: Seq[String], field: String, lo: Double, hi: Double,
+      nBins: Int): Pipeline =
+    >>(Ops.histogram(keys, field, lo, hi, nBins))
+  def columnProfile(columns: Seq[String]): Pipeline =
+    >>(Probes.columnProfile(columns))
+  def temporalSplit(tsField: String, cutoff: String,
+      embargoSeconds: Long = 0L): Pipeline =
+    >>(graft.ops.TemporalOps.temporalSplit(tsField, cutoff, embargoSeconds))
   def pageRank(srcField: String, dstField: String, iterations: Int = 3,
       damping: Double = 0.85): Pipeline =
     >>(graft.ext.GraphOps.pageRank(srcField, dstField, iterations, damping))

@@ -117,6 +117,27 @@ object Probes {
     * every distinct key through one task at scale); top-N plans as
     * TakeOrderedAndProject. Share is one IEEE division of two exact
     * longs — hash-matchable across engines. */
+  /** Column profile — the `describe` every ingest starts with: per
+    * column, row count, NULL count, and exact distinct count, computed
+    * in ONE aggregation (Spark expands the multi-distinct via one
+    * Expand pass — still a single scan of the table) and exploded to
+    * one row per column with zero driver collects. Type-agnostic by
+    * design (counts only), so one probe covers every column; exact
+    * distincts buffer per-column value sets — at 100 TB swap mentally
+    * to [[auditApprox]]'s HLL estimates. */
+  def columnProfile(columns: Seq[String])(df: DataFrame): DataFrame = {
+    require(columns.nonEmpty, "at least one column required")
+    val aggs = columns.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      count_distinct(col(c)).as(s"__nd_$c"))) :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(columns.map(c =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+          (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+          col(s"__nd_$c").as("n_distinct"))): _*)).as("__p"))
+      .select("__p.*")
+  }
+
   def keySkew(keys: Seq[String], topN: Int = 20)(df: DataFrame): DataFrame = {
     val total = df.agg(count(lit(1)).as("__total"))
     df.groupBy(keys.map(col): _*)

@@ -529,6 +529,51 @@ class OpsSpec extends SparkSpec {
         / exact.getAs[Double](c) < 0.02, c)
   }
 
+  test("histogram: grid edges, right-closed top, outliers under the NULL bin") {
+    import spark.implicits._
+    val df = Seq(Some(0.0), Some(4.9), Some(5.0), Some(10.0), Some(10.1),
+      Some(-0.1), None).map(v => ("g", v)).toDF("k", "v")
+    val out = Ops.histogram(Seq("k"), "v", 0.0, 10.0, 2)(df)
+      .orderBy($"v_bin".asc_nulls_first)
+      .collect().map(r => (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2)))
+    // bin 1 = [0, 5): {0.0, 4.9}; bin 2 = [5, 10]: {5.0, 10.0};
+    // NULL bin: {10.1, -0.1, NULL}
+    assert(out.toSeq === Seq((None, 3L), (Some(1L), 2L), (Some(2L), 2L)))
+    val los = Ops.histogram(Seq("k"), "v", 0.0, 10.0, 2)(df)
+      .orderBy($"v_bin".asc_nulls_first).collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    assert(los.toSeq === Seq(None, Some(0.0), Some(5.0)))
+  }
+
+  test("columnProfile: rows/nulls/exact distincts per column, one row each") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a"), (Some(1L), "b"), (None, "b"))
+      .toDF("x", "y")
+    val out = graft.probes.Probes.columnProfile(Seq("x", "y"))(df)
+      .orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("x", 3L, 1L, 1L), ("y", 3L, 0L, 2L)))
+  }
+
+  test("temporalSplit: purged boundary, embargo window, NULL ts") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, Some(ts("2024-01-19 23:59:59"))), // train
+      (2L, Some(ts("2024-01-20 00:00:00"))), // embargo (at cutoff)
+      (3L, Some(ts("2024-01-20 23:59:59"))), // embargo
+      (4L, Some(ts("2024-01-21 00:00:00"))), // test (cutoff + 1 day)
+      (5L, None))
+      .toDF("id", "ts")
+    val out = graft.ops.TemporalOps.temporalSplit(
+      "ts", "2024-01-20 00:00:00", embargoSeconds = 86400L)(df)
+      .orderBy("id").select("split").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
+    assert(out.toSeq === Seq(Some("train"), Some("embargo"),
+      Some("embargo"), Some("test"), None))
+  }
+
   test("shuffleRank: a permutation equal to the naive global rank; salt reshuffles") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
