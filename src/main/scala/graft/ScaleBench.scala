@@ -496,6 +496,59 @@ object ScaleBench {
     println("corpus_x,events,interval_join_sec")
     ivRows.foreach { case (k, d, a) => println(f"$k,$d,$a%.2f") }
     }
+
+    // Round-12 cells. (a) Linear classifier at production vocabulary
+    // scale — the vocab-independence claim is the SLOPE across a
+    // growing corpus matching between a 14-entry demo model and a
+    // ~50k-entry synthetic one (the BPE-cell methodology: per-window
+    // cost is one hash probe either way). (b) PageRank on an edge list
+    // replicated into disjoint components — k iterations of
+    // join+hash-agg must scale linearly with edges.
+    phase("r12") {
+    val bigWeights: Seq[(String, Long)] = TextOps.demoQualityWeights ++
+      (0 until 49_986).map(i => (s"w$i", (i % 17 - 8).toLong))
+    def score(docs: DataFrame, w: Seq[(String, Long)]): Unit =
+      TextOps.linearTextScore("doc_id", "text", w, 0.25, 0.3)(docs)
+        .write.mode("overwrite").format("noop").save()
+    locally {
+      val d1 = replicated(1).localCheckpoint()
+      score(d1, TextOps.demoQualityWeights); score(d1, bigWeights)
+      d1.unpersist()
+    }
+    val clsRows = for (k <- Seq(1, 2, 4)) yield {
+      val docs = replicated(k).localCheckpoint()
+      val tD = median3(score(docs, TextOps.demoQualityWeights))
+      val tB = median3(score(docs, bigWeights))
+      docs.unpersist()
+      (k, n * k, tD, tB)
+    }
+    println("corpus_x,docs,linear_14w_sec,linear_50k_sec")
+    clsRows.foreach { case (k, d, a, b) => println(f"$k,$d,$a%.2f,$b%.2f") }
+
+    import graft.ext.GraphOps
+    val evG = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"))
+    val neg = evG.count()
+    def repEdges(k: Int): DataFrame =
+      (0 until k).map(i => evG.select(
+        ((col("user_id") % 2000) + lit(i.toLong * 1_000_000L)).as("src"),
+        (((col("user_id") * 7 + col("event_id")) % 2000) +
+          lit(i.toLong * 1_000_000L)).as("dst")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def pr(e: DataFrame): Unit =
+      GraphOps.pageRank("src", "dst", iterations = 3)(e)
+        .write.mode("overwrite").format("noop").save()
+    locally { val e1 = repEdges(1).localCheckpoint(); pr(e1); e1.unpersist() }
+    val prRows = for (k <- Seq(1, 2, 4)) yield {
+      val e = repEdges(k).localCheckpoint()
+      val t = median3(pr(e))
+      e.unpersist()
+      (k, neg * k, t)
+    }
+    println("corpus_x,events,pagerank3_sec")
+    prRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    }
     spark.stop()
   }
 }
