@@ -1097,6 +1097,31 @@ object ExtQueries {
         // every output column for a total order
         .orderBy("l_orderkey", "l_linenumber", "variable", "value")
     },
+    "corr_measures" -> { (s, dir) =>
+      // pairwise Pearson r from explicit sufficient statistics (the
+      // engine corr() is Welford-ordered and never hash-matches):
+      // integral-valued measures (quantity, whole dollars, line
+      // numbers) keep every sum exact, then the r formula is the same
+      // IEEE op sequence on both sides
+      val li = table(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity"),
+        round(col("l_extendedprice"), 0).as("dollars"),
+        col("l_linenumber").cast("double").as("linenum"))
+      Ops.corrMatrix(Seq("l_returnflag"),
+        Seq("l_quantity", "dollars", "linenum"))(li)
+        .orderBy("l_returnflag", "field_a", "field_b")
+    },
+    "l2_normalize" -> { (s, dir) =>
+      // unit-sphere normalization: the sequential array-order fold
+      // makes the float norm (and every element) bit-exact cross-engine;
+      // exploded to (vec_id, dim, unit_val) rows for the compare
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(Similarity.l2Normalize(col("embedding"))))
+        .select(col("vec_id"), col("pos").as("dim"),
+          col("col").as("unit_val"))
+        .orderBy("vec_id", "dim")
+    },
     "histogram_price" -> { (s, dir) =>
       // equal-width audit histogram: fixed [0, 60000]×12 grid per flag,
       // out-of-range/NULL under the NULL bin, only occupied bins emitted
@@ -3395,6 +3420,56 @@ object ExtQueries {
            UNION ALL SELECT l_orderkey, l_linenumber,
              'l_tax', l_tax FROM lineitem)
          ORDER BY l_orderkey, l_linenumber, variable, value""",
+    // six exact sums per pair then the textbook r in doubles — the
+    // same IEEE op order as Ops.corrMatrix; lineitem is NULL-free so
+    // pairwise-complete counts collapse to count(*)
+    "corr_measures" -> """
+      WITH li AS (SELECT l_returnflag AS f, l_quantity AS q,
+          round(l_extendedprice, 0) AS d,
+          CAST(l_linenumber AS DOUBLE) AS ln2 FROM lineitem),
+      s AS (SELECT f, CAST(count(*) AS DOUBLE) AS n,
+          sum(q) AS s_q, sum(d) AS s_d, sum(ln2) AS s_l,
+          sum(q * d) AS s_qd, sum(q * ln2) AS s_ql, sum(d * ln2) AS s_dl,
+          sum(q * q) AS s_qq, sum(d * d) AS s_dd, sum(ln2 * ln2) AS s_ll
+        FROM li GROUP BY f)
+      SELECT f AS l_returnflag, field_a, field_b, n_pairs, corr FROM (
+        SELECT f, 'l_quantity' AS field_a, 'dollars' AS field_b,
+          CAST(n AS BIGINT) AS n_pairs,
+          CASE WHEN sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_dd - s_d * s_d)
+                    = 0e0 THEN NULL
+               ELSE (n * s_qd - s_q * s_d) /
+                 (sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_dd - s_d * s_d))
+          END AS corr FROM s
+        UNION ALL
+        SELECT f, 'l_quantity', 'linenum', CAST(n AS BIGINT),
+          CASE WHEN sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_ll - s_l * s_l)
+                    = 0e0 THEN NULL
+               ELSE (n * s_ql - s_q * s_l) /
+                 (sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_ll - s_l * s_l))
+          END FROM s
+        UNION ALL
+        SELECT f, 'dollars', 'linenum', CAST(n AS BIGINT),
+          CASE WHEN sqrt(n * s_dd - s_d * s_d) * sqrt(n * s_ll - s_l * s_l)
+                    = 0e0 THEN NULL
+               ELSE (n * s_dl - s_d * s_l) /
+                 (sqrt(n * s_dd - s_d * s_d) * sqrt(n * s_ll - s_l * s_l))
+          END FROM s)
+      ORDER BY l_returnflag, field_a, field_b""",
+    // the sequential array-order fold both engines share makes the
+    // norm, the division, and the float round-back bit-identical
+    "l2_normalize" -> """
+      SELECT vec_id, CAST(i AS INTEGER) AS dim,
+        CASE WHEN norm = 0e0 THEN embedding[CAST(i + 1 AS INT)]
+             ELSE CAST(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) / norm
+               AS FLOAT) END AS unit_val
+      FROM (SELECT vec_id, embedding,
+              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (a, b) -> a + b)) AS norm,
+              unnest(range(0, len(embedding))) AS i
+            FROM embeddings)
+      ORDER BY vec_id, dim""",
     // bin arithmetic mirrored op for op: subtract lo, divide by span,
     // multiply by nBins, floor, clamp the right-closed top edge
     "histogram_price" -> """

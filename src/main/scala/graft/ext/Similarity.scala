@@ -613,6 +613,25 @@ object Similarity {
       .select(col("__g").as(groupField), col("__d").cast("long").as("dim"),
         col("__m").cast("double").as("max_val"))
 
+  /** L2-normalize an embedding to the unit sphere — the pre-ingest
+    * step that turns every dot product downstream into cosine (and
+    * makes int8 quantization ranges comparable across vectors): each
+    * element divides by √(Σx²). The squared-sum fold runs in ARRAY
+    * order (a sequential HOF fold, not an aggregation), so the float
+    * norm — and therefore every normalized element — is bit-exact
+    * cross-engine; elements promote to double for the fold and the
+    * division, then round back to float once. Zero (or all-zero)
+    * vectors pass through unchanged (no direction to keep); NULL in,
+    * NULL out. Pure zero-shuffle projection. */
+  def l2Normalize(vec: Column): Column =
+    graft.functions.GraftFunctions.bind(vec) { v =>
+      val norm = sqrt(aggregate(v, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      when(norm === 0.0, v)
+        .otherwise(transform(v, x =>
+          (x.cast("double") / norm).cast("float")))
+    }
+
   /** Majority-vote labeling over a precomputed neighbor table — the
     * second half of kNN classification, factored out so ANY top-k
     * engine feeds it: [[bruteForceTopK]] for exactness, [[lshTopK]] /

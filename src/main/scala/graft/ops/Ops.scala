@@ -852,6 +852,55 @@ object Ops {
       valName: String = "value")(df: DataFrame): DataFrame =
     df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName)
 
+  /** Pairwise Pearson correlation matrix from EXPLICIT sufficient
+    * statistics — deliberately not the engine's `corr()` (Welford-
+    * ordered, never hash-matches cross-engine): per group and field
+    * pair, one aggregation collects the six pairwise-complete sums
+    * (n, Σa, Σb, Σab, Σa², Σb² over rows where BOTH fields are
+    * non-NULL), then r = (n·Σab − Σa·Σb) / (√(n·Σa² − Σa²)·√(n·Σb² −
+    * Σb²)) entirely in doubles — each step one IEEE op, mirrored by
+    * the oracle. Zero-variance/degenerate pairs (n < 2 included) emit
+    * NULL. The money doctrine applies: sums are exact (hence
+    * order-independent) while inputs are integral-valued and Σx² stays
+    * under 2⁵³ — scale pennies to dollars at the SF where cents
+    * overflow. ONE hash-agg however many pairs; output long-format
+    * `keys…, field_a, field_b, n_pairs, corr` via a zero-collect
+    * explode. */
+  def corrMatrix(
+      keys: Seq[String], fields: Seq[String])(df: DataFrame): DataFrame = {
+    require(fields.distinct.length == fields.length, "duplicate fields")
+    require(fields.length >= 2, "need at least two fields")
+    val pairs = for {
+      i <- fields.indices; j <- fields.indices if i < j
+    } yield (fields(i), fields(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      val ca = when(both, col(a).cast("double"))
+      val cb = when(both, col(b).cast("double"))
+      Seq(
+        count(when(both, lit(1))).cast("double").as(s"__n_${a}_$b"),
+        sum(ca).as(s"__sa_${a}_$b"), sum(cb).as(s"__sb_${a}_$b"),
+        sum(ca * cb).as(s"__sab_${a}_$b"),
+        sum(ca * ca).as(s"__saa_${a}_$b"),
+        sum(cb * cb).as(s"__sbb_${a}_$b"))
+    }
+    val grouped =
+      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val cells = pairs.map { case (a, b) =>
+      val n = col(s"__n_${a}_$b"); val sa = col(s"__sa_${a}_$b")
+      val sb = col(s"__sb_${a}_$b"); val sab = col(s"__sab_${a}_$b")
+      val saa = col(s"__saa_${a}_$b"); val sbb = col(s"__sbb_${a}_$b")
+      val den = sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)
+      struct(lit(a).as("field_a"), lit(b).as("field_b"),
+        n.cast("long").as("n_pairs"),
+        when(den === 0.0 || den.isNaN, lit(null).cast("double"))
+          .otherwise((n * sab - sa * sb) / den).as("corr"))
+    }
+    grouped.select(keys.map(col) :+ explode(array(cells: _*)).as("__c"): _*)
+      .select(keys.map(col) :+ col("__c.*"): _*)
+  }
+
   /** Equal-WIDTH histogram — [[equalFreqBins]]'s fixed-grid sibling
     * (audit/dashboard shape: comparable bins across runs and tables,
     * no percentile pass): bin `b ∈ [1, nBins]` covers

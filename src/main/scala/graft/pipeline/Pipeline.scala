@@ -89,6 +89,8 @@ final case class Pipeline(df: DataFrame) {
   def weightedSample(groupField: String, keyField: String,
       weightField: String, n: Int, salt: String = ""): Pipeline =
     >>(Ops.weightedSample(groupField, keyField, weightField, n, salt))
+  def corrMatrix(keys: Seq[String], fields: Seq[String]): Pipeline =
+    >>(Ops.corrMatrix(keys, fields))
   def histogram(keys: Seq[String], field: String, lo: Double, hi: Double,
       nBins: Int): Pipeline =
     >>(Ops.histogram(keys, field, lo, hi, nBins))

@@ -529,6 +529,48 @@ class OpsSpec extends SparkSpec {
         / exact.getAs[Double](c) < 0.02, c)
   }
 
+  test("corrMatrix: hand-checked r, pairwise-complete counts, degenerate NULLs") {
+    import spark.implicits._
+    // y = 2x exactly -> r = 1; z = -x -> r(x,z) = -1, r(y,z) = -1
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0))
+      .map { case (x, y, z) => ("g", Some(x), Some(y), Some(z)) }
+      .toDF("k", "x", "y", "z")
+    val out = Ops.corrMatrix(Seq("k"), Seq("x", "y", "z"))(df)
+      .orderBy("field_a", "field_b").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq(("x", "y", 3L), ("x", "z", 3L), ("y", "z", 3L)))
+    // the formula is the exact-mirrored op sequence, not the
+    // algebraically-simplified one — r lands within an ulp of ±1
+    assert(math.abs(out(0)._4 - 1.0) < 1e-12)
+    assert(math.abs(out(1)._4 + 1.0) < 1e-12)
+    assert(math.abs(out(2)._4 + 1.0) < 1e-12)
+    // a NULL in either field drops the ROW from that pair only
+    val withNull = df.unionByName(
+      Seq(("g", Some(9.0), None: Option[Double], Some(-9.0)))
+        .toDF("k", "x", "y", "z"))
+    val n = Ops.corrMatrix(Seq("k"), Seq("x", "y", "z"))(withNull)
+      .orderBy("field_a", "field_b")
+      .select("n_pairs").as[Long].collect()
+    assert(n.toSeq === Seq(3L, 4L, 3L)) // only (x,z) sees the new row
+    // zero variance -> NULL r
+    val flat = Seq(("g", 1.0, 5.0), ("g", 2.0, 5.0)).toDF("k", "a", "b")
+    assert(Ops.corrMatrix(Seq("k"), Seq("a", "b"))(flat)
+      .select("corr").collect().head.isNullAt(0))
+  }
+
+  test("l2Normalize: unit norm, zero vectors pass through, NULL in NULL out") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    val df = Seq(Some(Array(3.0f, 4.0f)), Some(Array(0.0f, 0.0f)), None)
+      .toDF("v")
+    val out = df.select(Similarity.l2Normalize($"v").as("u")).collect()
+    assert(out(0).getSeq[Float](0) === Seq(0.6f, 0.8f))
+    assert(out(1).getSeq[Float](0) === Seq(0.0f, 0.0f))
+    assert(out(2).isNullAt(0))
+  }
+
   test("histogram: grid edges, right-closed top, outliers under the NULL bin") {
     import spark.implicits._
     val df = Seq(Some(0.0), Some(4.9), Some(5.0), Some(10.0), Some(10.1),
