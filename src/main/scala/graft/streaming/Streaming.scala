@@ -66,6 +66,36 @@ object Streaming {
       watermarkDelay)
       .filter(col("event_count") >= minCount)
 
+  /** Distinct keys per tumbling window — the "unique users per hour"
+    * stream: per (window, group), a DataSketches HLL sketch aggregates
+    * incrementally in the state store (`hll_sketch_agg` is a native
+    * mergeable aggregate, so partial sketches merge across
+    * micro-batches instead of buffering the value set), the estimate
+    * projects out per emission, and the watermark evicts closed
+    * windows — state is one ~1.5 KB sketch per open (window, group)
+    * regardless of stream rate. Exact while a window's distincts stay
+    * in the coupon regime (the batch-equivalence spec's regime);
+    * ~2% band beyond. The batch form over a stored stream is one
+    * `groupBy(window(...), …).agg(approx_count_distinct …)` — or the
+    * EXACT `aggregate` with count_distinct when history is bounded. */
+  def windowedDistinct(
+      events: DataFrame,
+      distinctField: String,
+      tsField: String = "ts",
+      keyField: String = "event_type",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes",
+      lgK: Int = 12): DataFrame =
+    events
+      .withWatermark(tsField, watermarkDelay)
+      .groupBy(window(col(tsField), windowLength), col(keyField))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col(distinctField), lit(lgK))).as("distinct_est"))
+      .select(
+        col("window.start").as("window_start"),
+        col(keyField),
+        col("distinct_est"))
+
   /** Gap-based session windows per user: a session closes after
     * `gap` of event-time silence. */
   def sessionCounts(

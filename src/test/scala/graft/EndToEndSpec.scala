@@ -100,6 +100,72 @@ class EndToEndSpec extends SparkSpec {
     assert(rerun === decon.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("crawl curation: url -> domain quota -> model gate -> compression gate -> media route -> shuffle export") {
+    import graft.ext.Similarity
+    import graft.ops.{Ops, TemporalOps}
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+
+    // 1. manifest: synthetic per-doc URLs decompose; registered domain
+    // becomes the per-site key
+    val withUrl = docs.withColumn("url", concat(lit("https://"),
+      element_at(array(lit("www"), lit("cdn")),
+        (col("doc_id") % 2 + 1).cast("int")),
+      lit("."), element_at(array(lit("example.com"), lit("example.co.uk"),
+        lit("data.io")), (col("doc_id") % 3 + 1).cast("int")),
+      lit("/p/"), col("doc_id").cast("string")))
+    val parts = TextOps.urlParts("doc_id", "url")(withUrl)
+    assert(parts.count() === total)
+    val domains = parts.select("registered_domain").distinct()
+      .as[String].collect().toSet
+    assert(domains === Set("example.com", "example.co.uk", "data.io"))
+
+    // 2. politeness/volume quota per registered domain
+    val quotaed = Ops.quotaSample("registered_domain", "doc_id", n = 100)(
+      parts.join(docs, "doc_id"))
+    assert(quotaed.groupBy("registered_domain").count()
+      .select("count").as[Long].collect().forall(_ <= 100))
+
+    // 3. model-based quality gate (linear classifier) on the survivors
+    val scored = TextOps.linearTextScore("doc_id", "text",
+      TextOps.demoQualityWeights, bias = 0.25, threshold = 0.0)(quotaed)
+    assert(scored.count() === quotaed.count())
+    val kept = scored.filter(col("pass")).select("doc_id")
+    assert(kept.count() > 0)
+
+    // 4. compression-ratio gate drops the degenerate tails
+    val comp = TextOps.compressionSignal("doc_id", "text")(
+      docs.join(kept, "doc_id"))
+    val inBand = comp.filter(
+      col("compression_ratio").between(0.2, 0.95)).select("doc_id")
+    assert(inBand.count() > 0 && inBand.count() <= kept.count())
+
+    // 5. multimodal routing: header metadata decides which blobs would
+    // reach a real decoder (here: synthetic PNGs parse, text doesn't)
+    val blobs = docs.join(inBand, "doc_id").withColumn("blob",
+      when(col("doc_id") % 2 === 0, graft.ext.BinaryOps.syntheticPng(
+        lit(64), lit(64))).otherwise(graft.ext.BinaryOps.toBlob(col("text"))))
+    val routed = graft.ext.BinaryOps.mediaMetadata("doc_id", "blob")(blobs)
+    val pngs = routed.filter(col("format") === "png")
+    assert(pngs.count() === blobs.filter(col("doc_id") % 2 === 0).count())
+
+    // 6. overlap observability across sources via theta set algebra
+    val st = Ops.aggregateStateTheta(Seq("source"), Seq("doc_id"))(
+      docs.join(inBand, "doc_id"))
+    assert(st.count() === docs.join(inBand, "doc_id")
+      .select("source").distinct().count())
+
+    // 7. deterministic epoch shuffle closes the export; rank is a
+    // permutation and rerun-identical
+    val export1 = Ops.shuffleRank("doc_id")(docs.join(inBand, "doc_id"))
+    val ranks = export1.select("shuffle_rank").as[Long].collect().sorted
+    assert(ranks.toSeq === (1L to ranks.length))
+    val export2 = Ops.shuffleRank("doc_id")(docs.join(inBand, "doc_id"))
+    assert(export1.select("doc_id", "shuffle_rank").collect().toSet ===
+      export2.select("doc_id", "shuffle_rank").collect().toSet)
+  }
+
   test("gopher gate -> percentile calibration -> downsample -> truncate composes") {
     val sf = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -32,6 +32,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinct: per-window unique counts, repeats collapse, exact in coupon regime") {
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val dc = Streaming.windowedDistinct(
+      input.toDF().toDF("ts", "event_type", "user_id"), "user_id",
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = dc.writeStream.format("memory").queryName("wd")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("10:01"), "click", 1L), (ts("10:03"), "click", 1L), // repeat
+        (ts("10:04"), "click", 2L), (ts("10:05"), "view", 1L),
+        (ts("10:11"), "click", 1L)) // new window, user 1 counts again
+      q.processAllAvailable()
+      // sketches merge ACROSS micro-batches: a second batch adds one
+      // repeat and one new user to the open first window
+      input.addData((ts("10:06"), "click", 2L), (ts("10:07"), "click", 3L))
+      q.processAllAvailable()
+      val rows = spark.table("wd")
+        .orderBy("window_start", "event_type").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("distinct_est")))
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 10:00:00.0", "click", 3L),
+        ("2024-01-01 10:00:00.0", "view", 1L),
+        ("2024-01-01 10:10:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
   test("windowedHeavyHitters emits only keys at/over the threshold per window") {
     val input = MemoryStream[(Timestamp, String)]
     val hot = Streaming.windowedHeavyHitters(
