@@ -300,6 +300,44 @@ class FunctionsSpec extends SparkSpec {
       "SELECT graft_kll_agg(v, CAST(v AS INT)) FROM kll_in").collect())
   }
 
+  test("round-12 SQL surface: theta, linear score, media meta, deflate size") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    (1L to 50L).map(i => ("g", i, s"w$i w${i % 10}")).toDF("k", "v", "t")
+      .createOrReplaceTempView("r12_in")
+    // theta: distinct over two halves, unioned state == direct estimate
+    val theta = spark.sql(
+      """SELECT graft_theta_estimate(graft_theta_union(sk, 4096)) AS est
+         FROM (SELECT graft_theta_agg(v, 4096) AS sk FROM r12_in
+               GROUP BY v % 2)""").as[Long].head()
+    assert(theta === 50L)
+    // intersect/diff of pre-capacity sketches are exact set arithmetic
+    val setops = spark.sql(
+      """SELECT graft_theta_intersect(a.sk, b.sk) AS common,
+                graft_theta_diff(a.sk, b.sk) AS only_a
+         FROM (SELECT graft_theta_agg(v, 4096) AS sk FROM r12_in
+               WHERE v <= 30) a,
+              (SELECT graft_theta_agg(v, 4096) AS sk FROM r12_in
+               WHERE v >= 21) b""").as[(Long, Long)].head()
+    assert(setops === ((10L, 20L)))
+    // linear score via the 'gram weight' array form (gram may hold
+    // spaces; weight after the LAST one)
+    // v = 1 row's text is "w1 w1": unigram w1 twice (2×3) + the
+    // bigram "w1 w1" once (7) = 13
+    val score = spark.sql(
+      """SELECT graft_linear_score(split(t, ' '),
+           array('w1 3', 'w1 w1 7'), 2).w_sum AS s
+         FROM r12_in WHERE v = 1""").as[Long].head()
+    assert(score === 13L)
+    // media meta + deflate size round-trip through SQL
+    val mm = spark.sql(
+      """SELECT graft_media_meta(unhex('474946383961' || '2000' || '1000'
+           || '00')).width AS w,
+           graft_deflate_size(CAST('aaaaaaaaaaaaaaaa' AS BINARY), 6) AS dz
+      """).as[(Int, Int)].head()
+    assert(mm._1 === 32 && mm._2 > 0 && mm._2 < 16)
+  }
+
   test("native cosine stays inside whole-stage codegen") {
     // spark.range (a real source) rather than a local relation, which the
     // optimizer folds before any codegen happens
