@@ -1097,6 +1097,42 @@ object ExtQueries {
         // every output column for a total order
         .orderBy("l_orderkey", "l_linenumber", "variable", "value")
     },
+    "fuzzy_join" -> { (s, dir) =>
+      // cross-catalog record linkage: a "dirty export" derived from
+      // customer (shifted ids, last name char dropped) links back to
+      // the master table through del-1 blocking + the JW scorer —
+      // candidates only ever span the two sides
+      val master = table(s, dir, "customer").select("c_custkey", "c_name")
+      val dirty = master.select(
+        (col("c_custkey") + 1000000L).as("x_id"),
+        call_function("substring", col("c_name"), lit(1),
+          length(col("c_name")) - 1).as("x_name"))
+      Dedup.fuzzyJoin(dirty, "c_custkey", "c_name", "x_id", "x_name",
+        minJw = 0.9)(master)
+        .orderBy("left_id", "right_id")
+    },
+    "snapshot_diff" -> { (s, dir) =>
+      // two derived snapshots of orders: %3-dropped rows vs %4-dropped
+      // rows with %11 prices bumped — diff emits added/removed/changed
+      // only, the asymmetry that keeps a 100 TB diff small
+      val o = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val before = o.filter(col("o_orderkey") % 3 =!= 0)
+      val after = o.filter(col("o_orderkey") % 4 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      Ops.snapshotDiff(Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))(before, after)
+        .orderBy("o_orderkey")
+    },
+    "referential_integrity" -> { (s, dir) =>
+      // FK orphan probe: lineitem against a dimension with every 10th
+      // order dropped — orphans counted, NULL FKs counted separately
+      Probes.referentialIntegrity(Seq("l_orderkey"),
+        table(s, dir, "orders").filter(col("o_orderkey") % 10 =!= 0),
+        Seq("o_orderkey"))(table(s, dir, "lineitem"))
+    },
     "corr_measures" -> { (s, dir) =>
       // pairwise Pearson r from explicit sufficient statistics (the
       // engine corr() is Welford-ordered and never hash-matches):
@@ -3420,6 +3456,61 @@ object ExtQueries {
            UNION ALL SELECT l_orderkey, l_linenumber,
              'l_tax', l_tax FROM lineitem)
          ORDER BY l_orderkey, l_linenumber, variable, value""",
+    // the del-1 variant blocking mirrored with SIDES: candidates only
+    // span master × dirty, combined bucket population capped, the same
+    // bit-pinned jaro_winkler_similarity verifies
+    "fuzzy_join" -> """
+      WITH m AS (SELECT 0 AS side, c_custkey AS id, c_name AS key
+                 FROM customer WHERE c_name IS NOT NULL
+            UNION ALL
+            SELECT 1, c_custkey + 1000000,
+                   substr(c_name, 1, length(c_name) - 1)
+            FROM customer WHERE c_name IS NOT NULL),
+      v AS (SELECT side, id, key,
+              unnest(list_distinct(list_prepend(key,
+                CASE WHEN length(key) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, length(key) + 1), i ->
+                    substr(key, 1, CAST(i - 1 AS INT))
+                    || substr(key, CAST(i + 1 AS INT), length(key)))
+                END))) AS var
+            FROM m),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY var) AS n FROM v),
+      cand AS (SELECT DISTINCT a.id AS left_id, b.id AS right_id,
+          a.key AS key_left, b.key AS key_right
+        FROM sized a JOIN sized b ON a.var = b.var
+        WHERE a.side = 0 AND b.side = 1 AND a.n <= 64)
+      SELECT left_id, right_id, key_left, key_right,
+        jaro_winkler_similarity(key_left, key_right) AS jw
+      FROM cand WHERE jaro_winkler_similarity(key_left, key_right) >= 9e-1
+      ORDER BY left_id, right_id""",
+    // IS DISTINCT FROM is the null-safe struct compare the Spark side
+    // spells <=>; unchanged keys are absent by construction
+    "snapshot_diff" -> """
+      WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey % 3 <> 0),
+      a AS (SELECT o_orderkey, o_orderstatus,
+              CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1e0
+                   ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 4 <> 0)
+      , d AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        CASE WHEN b.o_orderkey IS NULL THEN 'added'
+             WHEN a.o_orderkey IS NULL THEN 'removed'
+             WHEN (b.o_orderstatus, b.o_totalprice) IS DISTINCT FROM
+                  (a.o_orderstatus, a.o_totalprice) THEN 'changed'
+        END AS change_type
+        FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+      SELECT o_orderkey, change_type FROM d
+      WHERE change_type IS NOT NULL
+      ORDER BY o_orderkey""",
+    "referential_integrity" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+          AS n_null_fk,
+        CAST(count(*) FILTER (WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderkey % 10 <> 0)) AS BIGINT)
+          AS n_orphans
+      FROM lineitem""",
     // six exact sums per pair then the textbook r in doubles — the
     // same IEEE op order as Ops.corrMatrix; lineitem is NULL-free so
     // pairwise-complete counts collapse to count(*)

@@ -890,21 +890,23 @@ object Dedup {
   /** [[fuzzyKeyPairs]]' candidate generator, shared with the
     * Jaro–Winkler scorer: distinct del-1-blocked ordered id pairs with
     * both keys attached, BEFORE any verify predicate. */
-  private def del1CandidatePairs(
-      idField: String,
-      keyField: String,
-      maxBucket: Int)(df: DataFrame): DataFrame = {
-    // {key} ∪ del-1 neighborhood, deduplicated (repeated chars collapse:
-    // "aa" yields "a" twice); empty keys guard the sequence(1, 0)
-    // DESCENDING trap exactly like TextOps.shingles
-    val key = col("__key")
-    val variants = array_distinct(concat(
+  /** {key} ∪ del-1 neighborhood, deduplicated (repeated chars collapse:
+    * "aa" yields "a" twice); empty keys guard the sequence(1, 0)
+    * DESCENDING trap exactly like TextOps.shingles. */
+  private def del1Variants(key: Column): Column =
+    array_distinct(concat(
       array(key),
       when(length(key) === 0, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), length(key)), i =>
           concat(
             call_function("substring", key, lit(1), i - 1),
             call_function("substring", key, i + 1, length(key)))))))
+
+  private def del1CandidatePairs(
+      idField: String,
+      keyField: String,
+      maxBucket: Int)(df: DataFrame): DataFrame = {
+    val variants = del1Variants(col("__key"))
     df.select(col(idField).as("__id"), col(keyField).as("__key"))
       .filter(col("__key").isNotNull)
       .select(col("__id"), col("__key"), explode(variants).as("__var"))
@@ -946,6 +948,54 @@ object Dedup {
         graft.functions.GraftFunctions.jaroWinkler(col("key_a"), col("key_b")))
       .filter(col("jw") >= minJw)
       .select("id_a", "id_b", "jw")
+
+  /** Cross-TABLE fuzzy key join — classic record linkage between two
+    * catalogs (CRM export vs master table, crawl byline vs author
+    * registry): for every (left, right) pair whose keys share a del-1
+    * blocking variant, the native Jaro–Winkler score, kept at
+    * `minJw`+. Same blocking/cap machinery as [[fuzzyKeyPairs]], but
+    * candidates only ever SPAN the two sides (the
+    * [[crossCorpusNearDuplicates]] discipline) — within-side pairs
+    * never materialize, and ids live in separate namespaces so
+    * left_id = right_id is a legitimate match, not a self-pair.
+    * `maxBucket` caps the COMBINED bucket population before pair
+    * explosion. Output: `left_id, right_id, key_left, key_right, jw`.
+    * Radius ≥ 2 linkage swaps the blocking for character-shingle
+    * MinHash, not the scorer. */
+  def fuzzyJoin(
+      right: DataFrame,
+      leftId: String, leftKey: String,
+      rightId: String, rightKey: String,
+      minJw: Double,
+      maxBucket: Int = 64)(left: DataFrame): DataFrame = {
+    require(minJw >= 0.0 && minJw <= 1.0, s"minJw must be in [0,1], got $minJw")
+    val l = left.select(lit(0).as("__side"),
+      col(leftId).as("__id"), col(leftKey).as("__key"))
+    val r = right.select(lit(1).as("__side"),
+      col(rightId).as("__id"), col(rightKey).as("__key"))
+    l.unionByName(r)
+      .filter(col("__key").isNotNull)
+      .select(col("__side"), col("__id"), col("__key"),
+        explode(del1Variants(col("__key"))).as("__var"))
+      .groupBy("__var")
+      .agg(collect_list(struct(col("__side"), col("__id"), col("__key")))
+        .as("__docs"))
+      .filter(size(col("__docs")).between(2, maxBucket))
+      .select(explode(flatten(transform(
+        filter(col("__docs"), x => x("__side") === 0), x =>
+          transform(filter(col("__docs"), y => y("__side") === 1), y =>
+            struct(x("__id").as("left_id"), x("__key").as("key_left"),
+              y("__id").as("right_id"), y("__key").as("key_right"))))))
+        .as("__p"))
+      .select(col("__p.left_id").as("left_id"),
+        col("__p.right_id").as("right_id"),
+        col("__p.key_left").as("key_left"),
+        col("__p.key_right").as("key_right"))
+      .dropDuplicates("left_id", "right_id")
+      .withColumn("jw", graft.functions.GraftFunctions
+        .jaroWinkler(col("key_left"), col("key_right")))
+      .filter(col("jw") >= minJw)
+  }
 
   /** Embedding near-dup pairs at scale: sign-LSH bucketing
     * ([[Similarity.lshBucket]]) generates candidates — the shuffle key is

@@ -852,6 +852,35 @@ object Ops {
       valName: String = "value")(df: DataFrame): DataFrame =
     df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName)
 
+  /** Snapshot diff — the inverse companion of
+    * [[graft.ops.TemporalOps.applyChanges]]: given two keyed snapshots
+    * of "the same" table, emit what happened to each key —
+    * `added` (after only), `removed` (before only), `changed` (in
+    * both, compared columns differ null-safely). Unchanged keys are
+    * NOT emitted: the diff of two 100 TB snapshots that mostly agree
+    * is small, and that asymmetry is the point (regression diffing,
+    * incremental export manifests, CDC backfill). One full-outer
+    * equi-join on the keys with the compared columns riding as one
+    * struct per side — AQE handles skew like any join. Output:
+    * `keys…, change_type`. */
+  def snapshotDiff(
+      keys: Seq[String], compareCols: Seq[String])(
+      before: DataFrame, after: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    require(compareCols.nonEmpty, "at least one compared column required")
+    val b = before.select(keys.map(col) :+
+      struct(compareCols.map(col): _*).as("__b"): _*)
+    val a = after.select(keys.map(col) :+
+      struct(compareCols.map(col): _*).as("__a"): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__b").isNull, lit("added"))
+          .when(col("__a").isNull, lit("removed"))
+          .when(!(col("__b") <=> col("__a")), lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+
   /** Pairwise Pearson correlation matrix from EXPLICIT sufficient
     * statistics — deliberately not the engine's `corr()` (Welford-
     * ordered, never hash-matches cross-engine): per group and field

@@ -89,6 +89,18 @@ final case class Pipeline(df: DataFrame) {
   def weightedSample(groupField: String, keyField: String,
       weightField: String, n: Int, salt: String = ""): Pipeline =
     >>(Ops.weightedSample(groupField, keyField, weightField, n, salt))
+  /** `this` is the BEFORE snapshot; `after` the one diffed against. */
+  def snapshotDiff(after: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): Pipeline =
+    Pipeline(Ops.snapshotDiff(keys, compareCols)(df, after))
+  def fuzzyJoin(right: DataFrame, leftId: String, leftKey: String,
+      rightId: String, rightKey: String, minJw: Double,
+      maxBucket: Int = 64): Pipeline =
+    >>(Dedup.fuzzyJoin(right, leftId, leftKey, rightId, rightKey,
+      minJw, maxBucket))
+  def referentialIntegrity(fkCols: Seq[String], dim: DataFrame,
+      pkCols: Seq[String]): Pipeline =
+    >>(Probes.referentialIntegrity(fkCols, dim, pkCols))
   def corrMatrix(keys: Seq[String], fields: Seq[String]): Pipeline =
     >>(Ops.corrMatrix(keys, fields))
   def histogram(keys: Seq[String], field: String, lo: Double, hi: Double,

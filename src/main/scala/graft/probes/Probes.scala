@@ -117,6 +117,31 @@ object Probes {
     * every distinct key through one task at scale); top-N plans as
     * TakeOrderedAndProject. Share is one IEEE division of two exact
     * longs — hash-matchable across engines. */
+  /** Referential-integrity probe — the FK orphan check run after every
+    * load: one row of `(n_rows, n_null_fk, n_orphans)` where an orphan
+    * is a fact row whose (non-NULL) foreign key matches no dimension
+    * row. NULL foreign keys are counted separately, not as orphans (a
+    * deliberately-absent reference is a different defect from a
+    * dangling one). One left join against the DISTINCT dimension keys
+    * (broadcast when the dimension fits) + one aggregation — the fact
+    * table is scanned once and never shuffled on more than the key. */
+  def referentialIntegrity(
+      fkCols: Seq[String], dim: DataFrame, pkCols: Seq[String])(
+      fact: DataFrame): DataFrame = {
+    require(fkCols.nonEmpty && fkCols.length == pkCols.length,
+      "fk/pk column lists must be non-empty and same-length")
+    val pk = dim.select(pkCols.map(col): _*).distinct()
+      .withColumn("__present", lit(1))
+    val cond = fkCols.zip(pkCols).map { case (f, p) =>
+      fact(f) === pk(p) }.reduce(_ && _)
+    val anyNullFk = fkCols.map(fact(_).isNull).reduce(_ || _)
+    fact.join(pk, cond, "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(anyNullFk, lit(1))).as("n_null_fk"),
+        count(when(!anyNullFk && col("__present").isNull, lit(1)))
+          .as("n_orphans"))
+  }
+
   /** Column profile — the `describe` every ingest starts with: per
     * column, row count, NULL count, and exact distinct count, computed
     * in ONE aggregation (Spark expands the multi-distinct via one

@@ -511,4 +511,18 @@ class DedupSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().sorted.toSeq ===
       again.select("id").as[Long].collect().sorted.toSeq)
   }
+
+  test("fuzzyJoin links a dirty export to its master; candidates only span sides") {
+    import graft.ext.Dedup
+    val master = Seq((1L, "alice smith"), (2L, "bob jones"), (3L, "carol wu"))
+      .toDF("id", "name")
+    val dirty = Seq((1L, "alice smith"), (9L, "bob jone"), (3L, "xavier q"))
+      .toDF("id", "name") // id 3 shares the id namespace but not the name
+    val out = Dedup.fuzzyJoin(dirty, "id", "name", "id", "name",
+      minJw = 0.9)(master)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // exact match (1,1) incl. equal ids across namespaces; del-1 (2,9);
+    // nothing links the unrelated pair; NO within-side pairs ever
+    assert(out === Set((1L, 1L), (2L, 9L)))
+  }
 }

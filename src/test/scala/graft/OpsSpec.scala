@@ -529,6 +529,20 @@ class OpsSpec extends SparkSpec {
         / exact.getAs[Double](c) < 0.02, c)
   }
 
+  test("snapshotDiff: added/removed/changed only, null-safe compare") {
+    import spark.implicits._
+    val before = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, Some("d"))).toDF("k", "v")
+    val after = Seq((2L, Some("B")), (3L, None), (4L, Some("d")),
+      (5L, Some("e"))).toDF("k", "v")
+    val out = Ops.snapshotDiff(Seq("k"), Seq("v"))(before, after)
+      .orderBy("k").as[(Long, String)].collect()
+    // 1 removed, 2 changed, 3 unchanged (NULL == NULL null-safely),
+    // 4 unchanged, 5 added
+    assert(out.toSeq === Seq((1L, "removed"), (2L, "changed"),
+      (5L, "added")))
+  }
+
   test("corrMatrix: hand-checked r, pairwise-complete counts, degenerate NULLs") {
     import spark.implicits._
     // y = 2x exactly -> r = 1; z = -x -> r(x,z) = -1, r(y,z) = -1

@@ -108,4 +108,15 @@ class ProbesSpec extends SparkSpec {
     assert(out("name").getDouble(5) === 0.5 && out("name").getDouble(6) === 1.0)
     assert(out("name").getBoolean(7)) // same type though
   }
+
+  test("referentialIntegrity counts orphans and NULL FKs separately") {
+    val dim = Seq(10L, 20L).toDF("pk")
+    val fact = Seq(Some(10L), Some(20L), Some(20L), Some(99L), None)
+      .toDF("fk")
+    val r = graft.probes.Probes.referentialIntegrity(
+      Seq("fk"), dim, Seq("pk"))(fact).head()
+    assert(r.getLong(0) === 5L) // n_rows
+    assert(r.getLong(1) === 1L) // n_null_fk
+    assert(r.getLong(2) === 1L) // n_orphans (99 only; NULL is not one)
+  }
 }
