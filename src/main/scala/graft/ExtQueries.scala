@@ -1368,11 +1368,13 @@ object ExtQueries {
       val w = (id % 800 + 16).cast("int"); val h = (id % 600 + 16).cast("int")
       val ch = (id % 2 + 1).cast("int")
       val rate = (lit(8000) + (id % 7) * 4000).cast("int")
-      val blob = when(id % 5 === 0, BinaryOps.syntheticPng(w, h))
-        .when(id % 5 === 1, BinaryOps.syntheticGif(w, h))
-        .when(id % 5 === 2, BinaryOps.syntheticBmp(w, h))
-        .when(id % 5 === 3, BinaryOps.syntheticJpeg(w, h))
-        .otherwise(BinaryOps.syntheticWav(ch, rate))
+      val dur = (id % 7200000 + 1000).cast("int")
+      val blob = when(id % 6 === 0, BinaryOps.syntheticPng(w, h))
+        .when(id % 6 === 1, BinaryOps.syntheticGif(w, h))
+        .when(id % 6 === 2, BinaryOps.syntheticBmp(w, h))
+        .when(id % 6 === 3, BinaryOps.syntheticJpeg(w, h))
+        .when(id % 6 === 4, BinaryOps.syntheticWav(ch, rate))
+        .otherwise(BinaryOps.syntheticMp4(dur))
       BinaryOps.mediaMetadata("doc_id", "blob")(
         corpus(s, dir, "documents").select(id, blob.as("blob")))
         .orderBy("doc_id")
@@ -4302,16 +4304,19 @@ object ExtQueries {
     // dimensions and NULL audio geometry, wav the reverse
     "media_meta" -> """
       SELECT doc_id,
-        CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-          WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'wav' END AS format,
-        CASE WHEN doc_id % 5 <= 3
+        CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+          WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' WHEN 4 THEN 'wav'
+          ELSE 'mp4' END AS format,
+        CASE WHEN doc_id % 6 <= 3
           THEN CAST(doc_id % 800 + 16 AS INTEGER) END AS width,
-        CASE WHEN doc_id % 5 <= 3
+        CASE WHEN doc_id % 6 <= 3
           THEN CAST(doc_id % 600 + 16 AS INTEGER) END AS height,
-        CASE WHEN doc_id % 5 = 4
+        CASE WHEN doc_id % 6 = 4
           THEN CAST(doc_id % 2 + 1 AS INTEGER) END AS channels,
-        CASE WHEN doc_id % 5 = 4
-          THEN CAST(8000 + (doc_id % 7) * 4000 AS INTEGER) END AS sample_rate
+        CASE WHEN doc_id % 6 = 4
+          THEN CAST(8000 + (doc_id % 7) * 4000 AS INTEGER) END AS sample_rate,
+        CASE WHEN doc_id % 6 = 5
+          THEN CAST(doc_id % 7200000 + 1000 AS INTEGER) END AS duration_ms
       FROM documents ORDER BY doc_id""",
     // 60-bit perceptual hashes over 61 stride-sampled bytes (ASCII
     // fixture: ord by char == byte value): aHash = integer mean test

@@ -53,7 +53,8 @@ object BinaryOps {
       .select(col(idField), col("__m.format").as("format"),
         col("__m.width").as("width"), col("__m.height").as("height"),
         col("__m.channels").as("channels"),
-        col("__m.sample_rate").as("sample_rate"))
+        col("__m.sample_rate").as("sample_rate"),
+        col("__m.duration_ms").as("duration_ms"))
 
   // ------------- synthetic container builders (fixtures carry no media)
 
@@ -97,6 +98,18 @@ object BinaryOps {
         "00010001" + "0000" + "FFC0" + "0011" + "08"),
       be16hex(h), be16hex(w),
       lit("03" + "012200" + "021101" + "031101")))
+
+  /** Minimal MP4 (ISO BMFF): a real `ftyp` box then a `moov`
+    * containing a version-0 `mvhd` at timescale 1000, so
+    * `duration_ms` round-trips the given value exactly. */
+  def syntheticMp4(durationMs: Column): Column =
+    unhex(concat(
+      // ftyp: size 16, brand isom, minor 0
+      lit("00000010" + "66747970" + "69736F6D" + "00000000" +
+        // moov: size 8 + 28; mvhd: size 28, v0, ctime/mtime 0
+        "00000024" + "6D6F6F76" + "0000001C" + "6D766864" + "00000000" +
+        "00000000" + "00000000" + "000003E8"), // timescale 1000
+      be32hex(durationMs)))
 
   /** Minimal WAV (RIFF/WAVE with a full 16-byte `fmt ` payload):
     * little-endian channels and sample rate. */

@@ -29,9 +29,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - WAV  (`RIFF` …… `WAVE`): chunk walk to `fmt `; channels =
   *    little-endian u16 at +2, sample_rate = little-endian u32 at +4.
   *    Chunks are word-aligned (odd sizes pad one byte).
+  *  - MP4  (ISO BMFF, `ftyp` as the first box): top-level box walk to
+  *    the `moov` container, inner walk to `mvhd`; duration_ms =
+  *    duration·1000/timescale with version-0 (u32) and version-1 (u64)
+  *    field layouts both handled. The VIDEO leg of the routing pass.
   *
   * Output: `struct(format STRING, width INT, height INT, channels INT,
-  * sample_rate INT)` — dimensions for images, geometry for audio, the
+  * sample_rate INT, duration_ms INT)` — dimensions for images,
+  * geometry for audio, duration for video containers, the
   * rest NULL. An unrecognized magic yields a non-NULL struct with every
   * field NULL; a recognized magic whose header is TRUNCATED or whose
   * declared fields cannot be read keeps `format` and NULLs the metrics
@@ -49,7 +54,8 @@ case class MediaHeaderMeta(child: Expression)
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
-    StructField("sample_rate", IntegerType)))
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", IntegerType)))
   override def prettyName: String = "graft_media_meta"
 
   import MediaHeaderMeta._
@@ -77,7 +83,46 @@ case class MediaHeaderMeta(child: Expression)
       jpegSof(bytes)
     } else if (matches(bytes, 0, Riff) && matches(bytes, 8, Wave)) {
       wavFmt(bytes)
+    } else if (bytes.length >= 8 && matches(bytes, 4, Ftyp)) {
+      mp4Mvhd(bytes)
     } else row(null, null, null, null, null)
+  }
+
+  private def mp4Mvhd(bytes: Array[Byte]): InternalRow = {
+    var pos = 0
+    while (pos + 8 <= bytes.length) {
+      val size = be32(bytes, pos)
+      val isMoov = matches(bytes, pos + 4, Moov)
+      if (size < 8) return row("mp4", null, null, null, null)
+      if (isMoov) {
+        val end = math.min(pos + size, bytes.length.toLong)
+        var p = pos + 8
+        while (p + 8 <= end) {
+          val s = be32(bytes, p)
+          if (s < 8) return row("mp4", null, null, null, null)
+          if (matches(bytes, p + 4, Mvhd)) {
+            val v = if (p + 8 < bytes.length) bytes(p + 8) & 0xFF else -1
+            // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) dur(4)
+            // v1: ver/flags(4) ctime(8) mtime(8) timescale(4) dur(8)
+            if (v == 0 && p + 28 <= bytes.length) {
+              val ts = be32(bytes, p + 20); val dur = be32(bytes, p + 24)
+              return row("mp4", null, null, null, null,
+                durMs(dur, ts))
+            } else if (v == 1 && p + 40 <= bytes.length) {
+              val ts = be32(bytes, p + 28)
+              val dur = (be32(bytes, p + 32) << 32) | be32(bytes, p + 36)
+              return row("mp4", null, null, null, null, durMs(dur, ts))
+            } else return row("mp4", null, null, null, null)
+          }
+          if (p + s > end) return row("mp4", null, null, null, null)
+          p += s.toInt
+        }
+        return row("mp4", null, null, null, null)
+      }
+      if (pos + size > Int.MaxValue) return row("mp4", null, null, null, null)
+      pos += size.toInt
+    }
+    row("mp4", null, null, null, null)
   }
 
   private def jpegSof(bytes: Array[Byte]): InternalRow = {
@@ -145,6 +190,9 @@ object MediaHeaderMeta {
   private val Riff = "RIFF".getBytes("US-ASCII")
   private val Wave = "WAVE".getBytes("US-ASCII")
   private val FmtId = "fmt ".getBytes("US-ASCII")
+  private val Ftyp = "ftyp".getBytes("US-ASCII")
+  private val Moov = "moov".getBytes("US-ASCII")
+  private val Mvhd = "mvhd".getBytes("US-ASCII")
 
   private def matches(bytes: Array[Byte], off: Int, sig: Array[Byte]): Boolean = {
     if (bytes.length < off + sig.length) return false
@@ -173,8 +221,19 @@ object MediaHeaderMeta {
     if (v > 0 && v <= Int.MaxValue) Int.box(v.toInt) else null
   private def dim(v: Int): Any = if (v > 0) Int.box(v) else null
 
-  private def row(format: String, w: Any, h: Any, ch: Any, sr: Any): InternalRow =
+  /** duration·1000/timescale as a boxed Int ms, NULL on degenerate
+    * timescale or int overflow. */
+  private def durMs(duration: Long, timescale: Long): Any =
+    if (timescale <= 0 || duration < 0 ||
+      duration > Long.MaxValue / 1000L) null
+    else {
+      val ms = duration * 1000L / timescale
+      if (ms > Int.MaxValue) null else Int.box(ms.toInt)
+    }
+
+  private def row(format: String, w: Any, h: Any, ch: Any, sr: Any,
+      dur: Any = null): InternalRow =
     InternalRow(
       if (format == null) null else UTF8String.fromString(format),
-      w, h, ch, sr)
+      w, h, ch, sr, dur)
 }

@@ -27,8 +27,12 @@ class BinaryOpsSpec extends SparkSpec {
       BinaryOps.mediaMeta(BinaryOps.syntheticGif($"w", $"h")).as("gif"),
       BinaryOps.mediaMeta(BinaryOps.syntheticBmp($"w", $"h")).as("bmp"),
       BinaryOps.mediaMeta(BinaryOps.syntheticJpeg($"w", $"h")).as("jpeg"),
-      BinaryOps.mediaMeta(BinaryOps.syntheticWav(lit(2), lit(44100))).as("wav"))
+      BinaryOps.mediaMeta(BinaryOps.syntheticWav(lit(2), lit(44100))).as("wav"),
+      BinaryOps.mediaMeta(BinaryOps.syntheticMp4(lit(93500))).as("mp4"))
     val r = df.head()
+    val mp4 = r.getAs[Row]("mp4")
+    assert(mp4.getString(0) === "mp4" && mp4.getInt(5) === 93500 &&
+      mp4.isNullAt(1) && mp4.isNullAt(3))
     for (f <- Seq("png", "gif", "bmp", "jpeg")) {
       val m = r.getAs[Row](f)
       assert(m.getString(0) === f, f)
@@ -70,9 +74,21 @@ class BinaryOpsSpec extends SparkSpec {
       "28000000" + "20000000" + "F0FFFFFF")) // w=32, h=-16
     assert(bmp.getString(0) === "bmp" && bmp.getInt(1) === 32 &&
       bmp.getInt(2) === 16)
+    // MP4: mdat-style box BEFORE moov is walked over; v1 mvhd (64-bit
+    // times) reads the right offsets; timescale 500 halves the ms
+    val mp4 = meta(hex("00000010" + "66747970" + "69736F6D" + "00000000" +
+      "00000009" + "736B6970" + "00" + // 9-byte skip box
+      "00000030" + "6D6F6F76" +        // moov: 8 + 40
+      "00000028" + "6D766864" + "01000000" + // mvhd v1, size 40
+      "0000000000000000" + "0000000000000000" + // ctime/mtime u64
+      "000001F4" + "0000000000001388"))  // timescale 500, duration 5000
+    assert(mp4.getString(0) === "mp4" && mp4.getInt(5) === 10000)
+    // truncated mp4 (ftyp only) -> format recognized, duration NULL
+    val tr = meta(hex("00000010" + "66747970" + "69736F6D" + "00000000"))
+    assert(tr.getString(0) === "mp4" && tr.isNullAt(5))
     // unknown magic -> non-NULL struct, every field NULL
     val unk = meta("plain text".getBytes("UTF-8"))
-    assert((0 until 5).forall(unk.isNullAt))
+    assert((0 until 6).forall(unk.isNullAt))
     // NULL blob -> NULL struct
     val n = Seq(Tuple1(null: Array[Byte])).toDF("b")
       .select(BinaryOps.mediaMeta($"b")).head()
