@@ -409,6 +409,36 @@ class EndToEndSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff composed with applyChanges reconstructs the target snapshot") {
+    import graft.ops.{Ops, TemporalOps}
+    val sf = "/root/testdata/sf0.001"
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val before = o.filter(col("o_orderkey") % 3 =!= 0)
+    val after = o.filter(col("o_orderkey") % 4 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    // diff -> change stream: added/changed become upserts carrying the
+    // AFTER values, removed becomes a delete; merge onto BEFORE
+    val diff = Ops.snapshotDiff(Seq("o_orderkey"),
+      Seq("o_orderstatus", "o_totalprice"))(before, after)
+    val changes = diff
+      .join(after, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        when(col("change_type") === "removed", "D")
+          .otherwise("U").as("op"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+        col("o_orderkey").as("tb"))
+    val rebuilt = TemporalOps.applyChanges(changes, "o_orderkey", "ts",
+      "tb", "op")(before)
+    // the reconstruction identity: merge(before, diff(before, after))
+    // row-sets equal after
+    assert(rebuilt.exceptAll(after).count() === 0)
+    assert(after.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.count() === after.count())
+  }
+
   test("warehouse chain: SCD2 build -> as-of read side -> funnel/retention composes") {
     import graft.ops.{TemporalOps, WindowOps}
     val sf = "/root/testdata/sf0.001"
