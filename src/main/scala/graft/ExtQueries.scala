@@ -1251,6 +1251,16 @@ object ExtQueries {
           ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
       GraphOps.pageRank("src", "dst")(ev).orderBy("node")
     },
+    "page_rank_weighted" -> { (s, dir) =>
+      // weighted form: per-event integer weights, multi-edges summed —
+      // each link votes in proportion to its weight
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 40).as("src"),
+          ((col("user_id") * 7 + col("event_id")) % 40).as("dst"),
+          (col("event_id") % 5 + 1).cast("double").as("w"))
+      GraphOps.pageRank("src", "dst", weightField = "w")(ev)
+        .orderBy("node")
+    },
     "degree_stats" -> { (s, dir) =>
       // the first diagnostic over any link graph: per-node out/in/total
       // degree with orphan sides zero-filled
@@ -1658,17 +1668,31 @@ object ExtQueries {
     WHERE user_id IS NOT NULL AND event_id IS NOT NULL
       AND user_id % 40 <> (user_id * 7 + event_id) % 40"""
 
+  /** The weighted variant: per-event integer weights, multi-edges
+    * pre-summed — mirrors the weighted pageRank's edge aggregation. */
+  private val weightedGraphEdgesSql = """
+    SELECT s, d, sum(w) AS w FROM (
+      SELECT user_id % 40 AS s, (user_id * 7 + event_id) % 40 AS d,
+             CAST(event_id % 5 + 1 AS DOUBLE) AS w
+      FROM events
+      WHERE user_id IS NOT NULL AND event_id IS NOT NULL)
+    WHERE s <> d GROUP BY s, d"""
+
   /** Unrolled fixed-iteration PageRank — mirrors GraphOps.pageRank
     * step for step: uniform start, per-iteration contribution fold
+    * (r·w/Σw, w = 1 in the unweighted form — r·1.0 ≡ r bitwise)
     * ordered by src and seeded from 0.0, base + d·sum with the exact
-    * same IEEE literals (litD of the Scala-computed constants). */
-  private def pageRankSql(iterations: Int, damping: Double): String = {
+    * same IEEE literals (litD of the Scala-computed constants).
+    * `edgesSql` must yield (s, d, w) with multi-edges pre-summed. */
+  private def pageRankSql(
+      edgesSql: String, iterations: Int, damping: Double): String = {
     val d = litD(damping)
     val base = litD(1.0 - damping)
     val iters = (1 to iterations).map { i =>
       s"""c$i AS (SELECT e.d AS v,
           list_reduce(list_prepend(CAST(0 AS DOUBLE),
-            list(r${i - 1}.r / od.od ORDER BY e.s)), (a, b) -> a + b) AS cs
+            list(r${i - 1}.r * e.w / od.od ORDER BY e.s)),
+            (a, b) -> a + b) AS cs
          FROM e JOIN od USING (s) JOIN r${i - 1} ON r${i - 1}.v = e.s
          GROUP BY e.d),
       r$i AS (SELECT n.v,
@@ -1676,11 +1700,11 @@ object ExtQueries {
          FROM n CROSS JOIN nn LEFT JOIN c$i ON c$i.v = n.v)"""
     }.mkString(",\n      ")
     s"""
-      WITH e AS ($graphEdgesSql),
+      WITH e AS ($edgesSql),
       n AS (SELECT DISTINCT v FROM
         (SELECT s AS v FROM e UNION ALL SELECT d FROM e)),
       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM n),
-      od AS (SELECT s, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY s),
+      od AS (SELECT s, sum(w) AS od FROM e GROUP BY s),
       r0 AS (SELECT v, CAST(1 AS DOUBLE) / nn.n AS r FROM n CROSS JOIN nn),
       $iters
       SELECT v AS node, r AS rank FROM r$iterations ORDER BY node"""
@@ -4178,7 +4202,11 @@ object ExtQueries {
       SELECT l_returnflag,
         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS l_suppkey_distinct_est
       FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "page_rank" -> pageRankSql(iterations = 3, damping = 0.85),
+    "page_rank" -> pageRankSql(
+      s"SELECT s, d, CAST(1 AS DOUBLE) AS w FROM ($graphEdgesSql)",
+      iterations = 3, damping = 0.85),
+    "page_rank_weighted" -> pageRankSql(
+      weightedGraphEdgesSql, iterations = 3, damping = 0.85),
     "degree_stats" -> s"""
       WITH e AS ($graphEdgesSql),
       o AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS out_degree

@@ -49,24 +49,41 @@ object GraphOps {
     * Output: `node, rank`. */
   def pageRank(
       srcField: String, dstField: String,
-      iterations: Int = 3, damping: Double = 0.85)(
+      iterations: Int = 3, damping: Double = 0.85,
+      weightField: String = "")(
       edges: DataFrame): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
-    val e = edges
-      .select(col(srcField).as("__s"), col(dstField).as("__d"))
+    val weighted = weightField.nonEmpty
+    // WEIGHTED form: each edge votes in proportion to its weight
+    // (link counts between hosts, anchor quality): contribution =
+    // rank(u) · w(u→v) / Σ w(u→*). Weights must be positive —
+    // zero/negative/NULL-weight edges drop with the NULL endpoints
+    // (a non-edge, same doctrine); duplicate (src, dst) rows in the
+    // weighted form SUM their weights (multi-edges aggregate instead
+    // of double-voting). Integral weights keep Σw exact; the
+    // contribution stays one rank·w/Σw chain, so determinism is
+    // unchanged.
+    val base = edges
+      .select(col(srcField).as("__s"), col(dstField).as("__d"),
+        (if (weighted) col(weightField).cast("double")
+        else lit(1.0)).as("__w"))
       .filter(col("__s").isNotNull && col("__d").isNotNull &&
-        col("__s") =!= col("__d"))
-      .distinct()
+        col("__s") =!= col("__d") && col("__w") > 0.0)
+    val e = (if (weighted)
+        base.groupBy(col("__s"), col("__d"))
+          .agg(sum(col("__w")).as("__w"))
+      else base.select(col("__s"), col("__d")).distinct()
+        .withColumn("__w", lit(1.0)))
       .localCheckpoint()
     val nodes = e.select(col("__s").as("__v"))
       .unionByName(e.select(col("__d").as("__v")))
       .distinct()
       .localCheckpoint()
     val outdeg = e.groupBy(col("__s"))
-      .agg(count(lit(1)).cast("double").as("__od"))
+      .agg(sum(col("__w")).as("__od"))
       .localCheckpoint()
     val nRow = nodes.agg(count(lit(1)).cast("double").as("__n"))
     var ranks = nodes.crossJoin(broadcast(nRow))
@@ -79,8 +96,8 @@ object GraphOps {
         .join(ranks.withColumnRenamed("__v", "__s"), "__s")
         .groupBy(col("__d"))
         .agg(aggregate(
-          array_sort(collect_list(
-            struct(col("__s"), (col("__r") / col("__od")).as("__c")))),
+          array_sort(collect_list(struct(col("__s"),
+            (col("__r") * col("__w") / col("__od")).as("__c")))),
           lit(0.0), (acc, x) => acc + x.getField("__c")).as("__sum"))
       ranks = nodes
         .join(contribs, nodes("__v") === contribs("__d"), "left")

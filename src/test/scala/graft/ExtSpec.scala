@@ -41,6 +41,33 @@ class ExtSpec extends SparkSpec {
       (3L, 1L, 2L, 3L), (4L, 0L, 1L, 1L)))
   }
 
+  test("weighted pageRank: unit weights equal the plain form; heavy edges shift rank") {
+    import graft.ext.GraphOps
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val unitW = edges.withColumn("w", lit(1.0))
+    val plain = GraphOps.pageRank("src", "dst", iterations = 5)(edges)
+      .orderBy("node").collect().map(_.getDouble(1))
+    val viaW = GraphOps.pageRank("src", "dst", iterations = 5,
+      weightField = "w")(unitW)
+      .orderBy("node").collect().map(_.getDouble(1))
+    assert(plain.toSeq === viaW.toSeq) // r·1.0/Σ1 ≡ r/outdeg bitwise
+    // tilt node 1's vote 9:1 toward node 2 — rank(2) must overtake
+    val tilted = Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 3L, 1.0),
+      (3L, 1L, 1.0)).toDF("src", "dst", "w")
+    val t = GraphOps.pageRank("src", "dst", iterations = 5,
+      weightField = "w")(tilted)
+      .orderBy("node").collect().map(_.getDouble(1))
+    assert(t(1) > viaW(1), "heavier in-edge must raise rank(2)")
+    // multi-edges SUM their weights: two 4.5s equal one 9
+    val split = Seq((1L, 2L, 4.5), (1L, 2L, 4.5), (1L, 3L, 1.0),
+      (2L, 3L, 1.0), (3L, 1L, 1.0)).toDF("src", "dst", "w")
+    val sp = GraphOps.pageRank("src", "dst", iterations = 5,
+      weightField = "w")(split)
+      .orderBy("node").collect().map(_.getDouble(1))
+    assert(sp.toSeq === t.toSeq)
+  }
+
   test("compressionSignal: deterministic, separates boilerplate from noise, edge discipline") {
     import graft.ext.TextOps
     val rnd = new scala.util.Random(7)

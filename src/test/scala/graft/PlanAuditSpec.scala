@@ -46,7 +46,8 @@ class PlanAuditSpec extends SparkSpec {
     "heavy_hitter_terms",  // broadcast one-row stream total (pass-1 Σn_p)
     "heavy_hitter_phrases", // same two-pass machinery over the gram stream
     "theta_overlap",     // broadcast |groups|-row sketch-state pair join
-    "page_rank")         // broadcast one-row node-count aggregate
+    "page_rank",         // broadcast one-row node-count aggregate
+    "page_rank_weighted") // same one-row broadcast, weighted edges
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
