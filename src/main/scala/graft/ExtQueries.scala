@@ -1097,6 +1097,54 @@ object ExtQueries {
         // every output column for a total order
         .orderBy("l_orderkey", "l_linenumber", "variable", "value")
     },
+    "semi_join" -> { (s, dir) =>
+      // customers with at least one order — left columns only, each
+      // left row at most once, short-circuit hash join
+      Ops.semiJoin(
+        table(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))(
+        table(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    "anti_join" -> { (s, dir) =>
+      // customers with no order in the %5 order slice (every customer
+      // has SOME order in this fixture — the slice makes real orphans)
+      Ops.antiJoin(
+        table(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))(
+        table(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    "intersect_distinct" -> { (s, dir) =>
+      // (status, priority) combos present in BOTH order-key parities
+      val o = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      Ops.intersect(
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .select("o_orderstatus", "o_orderpriority"))(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderstatus", "o_orderpriority"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+    "except_distinct" -> { (s, dir) =>
+      // combos outside the urgent slice: EXCEPT removes every
+      // 1-URGENT pairing, the non-urgent ones survive
+      val o = table(s, dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+      Ops.except(
+        o.filter(col("o_orderpriority") === "1-URGENT"))(o)
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+    "ngram_counts" -> { (s, dir) =>
+      // occurrence-true trigram table (the LM-training export): every
+      // window votes, tail pruned at minCount 5
+      TextOps.ngramCounts("text", 3, minCount = 5L)(
+        corpus(s, dir, "documents"))
+        .orderBy("ngram")
+    },
     "fuzzy_join" -> { (s, dir) =>
       // cross-catalog record linkage: a "dirty export" derived from
       // customer (shifted ids, last name char dropped) links back to
@@ -3482,6 +3530,37 @@ object ExtQueries {
            UNION ALL SELECT l_orderkey, l_linenumber,
              'l_tax', l_tax FROM lineitem)
          ORDER BY l_orderkey, l_linenumber, variable, value""",
+    "semi_join" -> """
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+    "anti_join" -> """
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderkey % 5 = 0)
+      ORDER BY c_custkey""",
+    "intersect_distinct" -> """
+      SELECT o_orderstatus, o_orderpriority FROM orders
+      WHERE o_orderkey % 2 = 0
+      INTERSECT
+      SELECT o_orderstatus, o_orderpriority FROM orders
+      WHERE o_orderkey % 2 <> 0
+      ORDER BY o_orderstatus, o_orderpriority""",
+    "except_distinct" -> """
+      SELECT o_orderstatus, o_orderpriority FROM orders
+      EXCEPT
+      SELECT o_orderstatus, o_orderpriority FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+      ORDER BY o_orderstatus, o_orderpriority""",
+    // non-distinct trigram windows: every occurrence votes, HAVING
+    // prunes the tail after the same count both engines compute
+    "ngram_counts" -> """
+      SELECT ngram, CAST(count(*) AS BIGINT) AS occurrences
+      FROM (SELECT unnest(list_transform(range(1, len(ts) - 1),
+              i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS ngram
+            FROM (SELECT string_split(text, ' ') AS ts FROM documents))
+      GROUP BY ngram HAVING count(*) >= 5
+      ORDER BY ngram""",
     // the del-1 variant blocking mirrored with SIDES: candidates only
     // span master × dirty, combined bucket population capped, the same
     // bit-pinned jaro_winkler_similarity verifies

@@ -1850,6 +1850,27 @@ object TextOps {
         col("rank"))
   }
 
+  /** OCCURRENCE-true n-gram count table — the LM-training export
+    * ([[bigramLmQuality]]'s tables, KenLM-style count files, the
+    * DSIR feature space): every window occurrence votes (unlike
+    * [[shingles]]' distinct set — this rides the same native kernel in
+    * non-distinct mode), one corpus-wide `(ngram, occurrences)` row
+    * per surviving gram, `minCount` pruning the long tail INSIDE the
+    * aggregation's output (the count must still be computed; the
+    * shuffle carries gram strings once either way). One explode + one
+    * hash-agg with map-side partials; AQE skew-split absorbs stopword
+    * grams. */
+  def ngramCounts(
+      textField: String, n: Int, minCount: Long = 1L)(
+      df: DataFrame): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    df.select(explode(graft.functions.GraftFunctions.shingleStrings(
+        tokens(col(textField)), n, distinct = false)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") >= minCount)
+  }
+
   /** Compression-ratio quality signal (RedPajama-v2 / Dolma shape):
     * `idField, orig_bytes, deflate_bytes, compression_ratio` where the
     * ratio = DEFLATE size / original UTF-8 size. Natural prose lands in

@@ -319,8 +319,9 @@ object GraftFunctions {
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
 
   /** Native distinct shingle strings (see [[ShingleStrings]]). */
-  def shingleStrings(tokens: Column, n: Int): Column =
-    Bridge.column(ShingleStrings(Bridge.expression(tokens), n))
+  def shingleStrings(tokens: Column, n: Int,
+      distinct: Boolean = true): Column =
+    Bridge.column(ShingleStrings(Bridge.expression(tokens), n, distinct))
 
   /** Native multi-width positioned gram digests (see [[GramStructs]]).
     * Structural-parameter kernel used inside operators (not

@@ -212,7 +212,8 @@ case class MinHashSignatureOph(child: Expression, numHashes: Int)
   * preserves first-occurrence order like `array_distinct` does. The
   * projection under every MinHash/Jaccard consumer, where shingling is
   * the documented dominant cost. NULL tokens join as empty strings. */
-case class ShingleStrings(child: Expression, n: Int)
+case class ShingleStrings(child: Expression, n: Int,
+    distinct: Boolean = true)
     extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
@@ -231,7 +232,12 @@ case class ShingleStrings(child: Expression, n: Int)
         else tokens.getUTF8String(i).getBytes
       i += 1
     }
-    val seen = new java.util.LinkedHashSet[UTF8String]((m - n + 1) * 2)
+    // distinct (the MinHash/Jaccard set contract) keeps first-occurrence
+    // order via a LinkedHashSet; non-distinct (LM/occurrence counting)
+    // keeps every window in position order
+    val seen: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]((m - n + 1) * 2)
+      else new java.util.ArrayList[UTF8String](m - n + 1)
     var pos = 0
     while (pos <= m - n) {
       var len = n - 1 // separators

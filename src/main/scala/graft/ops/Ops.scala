@@ -723,6 +723,25 @@ object Ops {
   def exceptAll(other: DataFrame)(df: DataFrame): DataFrame =
     df.exceptAll(other)
 
+  /** LEFT SEMI join — keep left rows with at least one key match on
+    * the right, emitting LEFT columns only and each left row at most
+    * once (the relational spelling of [[filterBySet]] when the set is
+    * a FRAME, e.g. "customers that ordered"): Spark's left_semi plans
+    * a hash join that short-circuits on first match and broadcasts the
+    * right side when it fits — never a row-multiplying inner join +
+    * distinct. NULL keys match nothing (equality semantics, the SQL
+    * EXISTS contract). Key columns must share names (rename upstream). */
+  def semiJoin(right: DataFrame, keys: Seq[String])(df: DataFrame): DataFrame =
+    df.join(right, keys, "left_semi")
+
+  /** LEFT ANTI join — keep left rows with NO key match on the right
+    * (the decontamination/orphan shape; the engine primitive under
+    * every incremental-dedup index leg). NULL left keys SURVIVE — they
+    * equal nothing, so nothing on the right can exclude them (NOT
+    * EXISTS semantics, not NOT IN — which would also drop them). */
+  def antiJoin(right: DataFrame, keys: Seq[String])(df: DataFrame): DataFrame =
+    df.join(right, keys, "left_anti")
+
   /** ROLLUP aggregation — extension op (SURVEY.md §2.5 "not in
     * reference"): subtotal rows per key prefix plus a grand total, with
     * `grouping_id` disambiguating subtotal levels from genuine NULL keys.

@@ -89,6 +89,13 @@ final case class Pipeline(df: DataFrame) {
   def weightedSample(groupField: String, keyField: String,
       weightField: String, n: Int, salt: String = ""): Pipeline =
     >>(Ops.weightedSample(groupField, keyField, weightField, n, salt))
+  def semiJoin(right: DataFrame, keys: Seq[String]): Pipeline =
+    >>(Ops.semiJoin(right, keys))
+  def antiJoin(right: DataFrame, keys: Seq[String]): Pipeline =
+    >>(Ops.antiJoin(right, keys))
+  def ngramCounts(textField: String, n: Int,
+      minCount: Long = 1L): Pipeline =
+    >>(TextOps.ngramCounts(textField, n, minCount))
   /** `this` is the BEFORE snapshot; `after` the one diffed against. */
   def snapshotDiff(after: DataFrame, keys: Seq[String],
       compareCols: Seq[String]): Pipeline =

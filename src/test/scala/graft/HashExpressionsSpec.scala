@@ -86,6 +86,26 @@ class HashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("non-distinct shingles keep every window in position order") {
+    import graft.functions.GraftFunctions
+    // HOF spec: plain windows, no distinct pass
+    def windowsHof(text: org.apache.spark.sql.Column, n: Int) =
+      GraftFunctions.bind(TextOps.tokens(text)) { ts =>
+        when(size(ts) < n, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(ts) - (n - 1)),
+            i => array_join(slice(ts, i, lit(n)), " ")))
+      }
+    for (n <- Seq(1, 2, 3)) {
+      val diffs = corpus.select(
+        GraftFunctions.shingleStrings(
+          TextOps.tokens($"text"), n, distinct = false).as("k"),
+        windowsHof($"text", n).as("h"))
+        .filter($"k" =!= $"h").count()
+      assert(diffs === 0L, s"non-distinct shingle mismatch at n=$n")
+    }
+  }
+
   test("native gram structs equal the HOF form across all widths incl. unicode and empties") {
     import graft.functions.GraftFunctions
     val ns = Seq(2, 3, 4, 5, 6, 7, 8, 9, 10)

@@ -529,6 +529,19 @@ class OpsSpec extends SparkSpec {
         / exact.getAs[Double](c) < 0.02, c)
   }
 
+  test("semiJoin/antiJoin: at-most-once left rows, NULL-key discipline") {
+    import spark.implicits._
+    val left = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "c"))
+      .toDF("k", "v")
+    val right = Seq(Tuple1(1L), Tuple1(1L)).toDF("k") // duplicate match
+    val semi = Ops.semiJoin(right, Seq("k"))(left)
+      .select("v").as[String].collect()
+    assert(semi.toSeq === Seq("a")) // once despite two matches; NULL out
+    val anti = Ops.antiJoin(right, Seq("k"))(left)
+      .select("v").as[String].collect().sorted
+    assert(anti.toSeq === Seq("b", "c")) // NULL key SURVIVES (NOT EXISTS)
+  }
+
   test("snapshotDiff: added/removed/changed only, null-safe compare") {
     import spark.implicits._
     val before = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
