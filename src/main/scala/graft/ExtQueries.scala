@@ -1097,6 +1097,17 @@ object ExtQueries {
         // every output column for a total order
         .orderBy("l_orderkey", "l_linenumber", "variable", "value")
     },
+    "duplicate_span_mask" -> { (s, dir) =>
+      // the loss-mask form of span dedup: text untouched, per-token
+      // keep flags exploded to rows for the compare
+      TextOps.duplicateSpanMask("doc_id", "text", n = 8)(
+        corpus(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          posexplode(col("keep_mask")))
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          col("pos").cast("long").as("token_pos"), col("col").as("keep"))
+        .orderBy("doc_id", "token_pos")
+    },
     "semi_join" -> { (s, dir) =>
       // customers with at least one order — left columns only, each
       // left row at most once, short-circuit hash join
@@ -3530,6 +3541,28 @@ object ExtQueries {
            UNION ALL SELECT l_orderkey, l_linenumber,
              'l_tax', l_tax FROM lineitem)
          ORDER BY l_orderkey, l_linenumber, variable, value""",
+    // min-doc_id canon per duplicated digest (the strip oracle's rem
+    // set); mask = NOT removed, per token position
+    "duplicate_span_mask" -> s"""
+      WITH g AS (${posGramsSql(8)}),
+      canon AS (SELECT h, min(doc_id) AS keep FROM g
+        GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      rem AS (SELECT DISTINCT g.doc_id, g.pos + r.off AS tp
+        FROM g JOIN canon ON g.h = canon.h AND g.doc_id <> canon.keep
+        CROSS JOIN range(0, 8) r(off)),
+      toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tp,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM (SELECT doc_id, text,
+                unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+              FROM documents)),
+      m AS (SELECT t.doc_id, t.n_tokens, t.tp,
+          CASE WHEN rem.tp IS NULL THEN 1 ELSE 0 END AS keep
+        FROM toks t LEFT JOIN rem
+          ON rem.doc_id = t.doc_id AND rem.tp = t.tp)
+      SELECT doc_id, n_tokens,
+        CAST(sum(1 - keep) OVER (PARTITION BY doc_id) AS BIGINT) AS n_masked,
+        tp AS token_pos, CAST(keep AS INT) AS keep
+      FROM m ORDER BY doc_id, token_pos""",
     "semi_join" -> """
       SELECT c_custkey, c_name, c_mktsegment FROM customer
       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

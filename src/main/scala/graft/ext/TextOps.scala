@@ -1613,6 +1613,50 @@ object TextOps {
     rebuildDropping(tokenized, coveragePositions(hits, n), idField)
   }
 
+  /** LOSS-MASK variant of [[stripDuplicateSpans]] — the modern trainer
+    * shape: instead of rewriting documents, emit a per-token keep mask
+    * (1 = train on it, 0 = it lies in a span duplicated from a
+    * lower-id canon document) so the text ships untouched and the
+    * trainer masks the loss. Same canon election, island coverage, and
+    * NULL-text doctrine as the strip form — `keep_mask` is exactly the
+    * complement of the positions strip would remove, and
+    * `Σ(1 − mask) = n_removed` (spec-pinned). Output: `idField,
+    * n_tokens, n_masked, keep_mask array<int>` with the mask in token
+    * position order (one sorted per-doc collect — bounded by doc
+    * length, the per-key contract every rebuild op carries). */
+  def duplicateSpanMask(
+      idField: String, textField: String, n: Int)(df: DataFrame): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val tokenized = df.select(col(idField).as("__id"),
+      tokens(coalesce(col(textField), lit(""))).as("__ts"))
+      .localCheckpoint()
+    val grams = tokenized
+      .select(col("__id"),
+        posexplode(gramDigestsOfTokens(col("__ts"), n)).as(Seq("__pos", "__h")))
+      .select(col("__id"), col("__pos").cast("long").as("__pos"), col("__h"))
+    val canon = grams.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__nd"), min(col("__id")).as("__keep"))
+      .filter(col("__nd") >= 2)
+      .select("__h", "__keep")
+    val hits = grams.join(canon, "__h")
+      .filter(col("__id") =!= col("__keep"))
+      .select(col("__id"), col("__pos"))
+    val removed = coveragePositions(hits, n)
+    val toks = tokenized
+      .select(col("__id"), posexplode(col("__ts")).as(Seq("__tp", "__tok")))
+      .select(col("__id"), col("__tp").cast("long").as("__tp"))
+    toks.join(removed.withColumn("__rm", lit(1)), Seq("__id", "__tp"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__rm").isNotNull, 1)).as("n_masked"),
+        transform(
+          array_sort(collect_list(struct(col("__tp"),
+            when(col("__rm").isNull, 1).otherwise(0).as("__k")))),
+          s => s.getField("__k")).as("keep_mask"))
+      .select(col("__id").as(idField), col("n_tokens"), col("n_masked"),
+        col("keep_mask"))
+  }
+
   /** In-DOCUMENT repeated-passage removal — the looping-generation /
     * boilerplate cleanup [[repetitionStats]] only reports: every token
     * span covered by a word n-gram's SECOND and later occurrences within

@@ -284,4 +284,34 @@ class SpanDedupSpec extends SparkSpec {
     assert(Pipeline(docs).unigramCfQuality("doc_id", "text")
       .result.count() === 2)
   }
+
+  test("duplicateSpanMask is the exact complement of stripDuplicateSpans") {
+    import graft.ext.TextOps
+    val docs = Seq(
+      (1L, "a b c x d e f"),
+      (2L, "z a b c y q r"),   // shares "a b c" with doc 1 (canon)
+      (3L, "unrelated words only here"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val strip = TextOps.stripDuplicateSpans("doc_id", "text", n = 3)(docs)
+      .select("doc_id", "n_tokens", "n_removed")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val mask = TextOps.duplicateSpanMask("doc_id", "text", n = 3)(docs)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getSeq[Int](3)))).toMap
+    // same docs, same token counts, n_masked == n_removed, and the
+    // mask zeros exactly n_masked positions
+    assert(mask.keySet === strip.keySet)
+    for ((id, (nt, nm, km)) <- mask) {
+      assert(nt === strip(id)._2, s"doc $id n_tokens")
+      assert(nm === strip(id)._3, s"doc $id n_masked vs n_removed")
+      assert(km.length.toLong === nt)
+      assert(km.count(_ == 0).toLong === nm)
+    }
+    // the non-canon copy of "a b c" is masked at its own positions:
+    // doc 2 holds it at tokens 1..3
+    assert(mask(2L)._3 === Seq(1, 0, 0, 0, 1, 1, 1))
+    assert(mask(1L)._3.forall(_ == 1)) // canon doc keeps everything
+    assert(mask(4L) === ((1L, 0L, Seq(1)))) // NULL text -> [""] kept
+  }
 }
