@@ -100,6 +100,28 @@ final case class ParquetStore(spark: SparkSession, dir: String) extends DataStor
       .write.mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .parquet(path(name))
 
+  /** Per-FILE column statistics manifest over a stored object — the
+    * data-skipping observability pass (the stats half of a Delta/
+    * Iceberg manifest, as a plain query): for every physical file,
+    * row count plus min/max of the requested columns via the
+    * `_metadata.file_path` hidden column, one scan + one
+    * |files|-sized aggregation. Read it to SEE what a predicate can
+    * skip: a [[createClustered]]/[[createZOrdered]] layout shows
+    * disjoint (or rectangle-tight) ranges per file, an unsorted write
+    * shows every file spanning the whole domain — the before/after
+    * evidence for choosing a layout (spec-asserted on both). */
+  def statsManifest(name: String, columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, min, max}
+    require(columns.nonEmpty, "at least one column required")
+    val aggs = columns.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))) :+
+      count(lit(1)).as("n_rows")
+    getObject(name)
+      .select(col("_metadata.file_path").as("file") +: columns.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Z-order (Morton-curve) clustered layout — multi-key row-group
     * skipping where [[createClustered]] only serves its LEADING key:
     * rows are range-partitioned and sorted by the bit-INTERLEAVED key

@@ -123,6 +123,31 @@ class StoresSpec extends SparkSpec {
     assert(store.getObject("facts").count() === 10000)
   }
 
+  test("statsManifest: tight disjoint ranges under a clustered layout, full-domain otherwise") {
+    val dir = Files.createTempDirectory("graft-man").toString
+    val store = graft.sources.ParquetStore(spark, dir)
+    val df = spark.range(8000).toDF("id")
+      .withColumn("k", (col("id") * 7919) % 8000)
+    // clustered: per-file [k_min, k_max] ranges are disjoint
+    store.createClustered("clu", df, Seq("k"), numFiles = 4)
+    val clu = store.statsManifest("clu", Seq("k"))
+      .orderBy("k_min").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(clu.length === 4 && clu.map(_._3).sum === 8000L)
+    clu.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 < b._1, s"clustered ranges overlap: $a vs $b")
+    }
+    // unsorted write: every file spans (nearly) the whole domain —
+    // nothing is skippable, which is exactly what the manifest reveals
+    store.create("raw", df.repartition(4))
+    val raw = store.statsManifest("raw", Seq("k")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(raw.length === 4)
+    raw.foreach { case (lo, hi) =>
+      assert(hi - lo > 6000L, s"unsorted file unexpectedly tight: [$lo, $hi]")
+    }
+  }
+
   test("zValue interleaves bits in Morton order") {
     val z = spark.range(1).select(
       graft.sources.ParquetStore.zValue(Seq(lit(3L), lit(5L)), bits = 3))
