@@ -548,6 +548,40 @@ object ScaleBench {
     }
     println("corpus_x,events,pagerank3_sec")
     prRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+
+    // Cross-table fuzzy join under catalog growth — the adversarial
+    // case is built in: TPC-H customer names share the long
+    // "Customer#0000…" prefix, so del-1 variants collide heavily and
+    // the 64-cap is what keeps candidate volume corpus-linear. Both
+    // sides replicate ×1/×2/×4 (ids shifted into disjoint ranges).
+    import graft.ext.Dedup
+    val custBase = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val nc = custBase.count()
+    def repCust(k: Int): DataFrame =
+      (0 until k).map(i => custBase.select(
+        (col("c_custkey") + lit(i.toLong * 10_000_000L)).as("c_custkey"),
+        concat(col("c_name"), lit(i.toString)).as("c_name")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def fj(master: DataFrame): Unit = {
+      val dirty = master.select(
+        (col("c_custkey") + 1000000L).as("x_id"),
+        call_function("substring", col("c_name"), lit(1),
+          length(col("c_name")) - 1).as("x_name"))
+      Dedup.fuzzyJoin(dirty, "c_custkey", "c_name", "x_id", "x_name",
+        minJw = 0.9)(master)
+        .write.mode("overwrite").format("noop").save()
+    }
+    locally { val m1 = repCust(1).localCheckpoint(); fj(m1); m1.unpersist() }
+    val fjRows = for (k <- Seq(1, 2, 4)) yield {
+      val m = repCust(k).localCheckpoint()
+      val t = median3(fj(m))
+      m.unpersist()
+      (k, nc * k, t)
+    }
+    println("corpus_x,customers,fuzzy_join_sec")
+    fjRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
     }
     spark.stop()
   }
