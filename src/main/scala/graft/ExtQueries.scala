@@ -1097,6 +1097,13 @@ object ExtQueries {
         // every output column for a total order
         .orderBy("l_orderkey", "l_linenumber", "variable", "value")
     },
+    "balance_classes" -> { (s, dir) =>
+      // every language downsampled to the smallest class's size,
+      // deterministic hash order — the label-skew prep
+      Ops.balanceClasses("lang", "doc_id")(
+        corpus(s, dir, "documents").select("doc_id", "lang"))
+        .orderBy("doc_id")
+    },
     "duplicate_span_mask" -> { (s, dir) =>
       // the loss-mask form of span dedup: text untouched, per-token
       // keep flags exploded to rows for the compare
@@ -3541,6 +3548,20 @@ object ExtQueries {
            UNION ALL SELECT l_orderkey, l_linenumber,
              'l_tax', l_tax FROM lineitem)
          ORDER BY l_orderkey, l_linenumber, variable, value""",
+    // the same hex-digit md5-prefix order as quota_sample, ranked per
+    // class against the data-derived min class size
+    "balance_classes" -> """
+      WITH c AS (SELECT lang, count(*) AS n FROM documents
+                 WHERE lang IS NOT NULL GROUP BY lang),
+      m AS (SELECT min(n) AS m FROM c),
+      r AS (SELECT doc_id, lang, row_number() OVER (
+              PARTITION BY lang ORDER BY
+                list_sum(list_transform(range(1, 9), j ->
+                  (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+                  * CAST(16**(8-j) AS BIGINT))) ASC, doc_id ASC) AS rk
+            FROM documents WHERE lang IS NOT NULL)
+      SELECT doc_id, lang FROM r, m WHERE rk <= m ORDER BY doc_id""",
     // min-doc_id canon per duplicated digest (the strip oracle's rem
     // set); mask = NOT removed, per token position
     "duplicate_span_mask" -> s"""

@@ -616,6 +616,34 @@ object Ops {
       .drop("__rk", "__bkt", "__off")
   }
 
+  /** Class balancing — downsample every class to the size of the
+    * SMALLEST (the classifier-training prep where a 100:1 label skew
+    * would drown the minority): deterministic content-hash order per
+    * class (change `salt` to redraw), so the SAME rows survive on
+    * every engine and run. Unlike [[quotaSample]]'s literal cap, the
+    * bound here is the data-derived min class size — it rides a
+    * one-row broadcast and the rank filter compares against a COLUMN,
+    * so no WindowGroupLimit pushdown applies: each class pays one full
+    * window sort (one shuffle on the label; fine for the
+    * few-classes-many-rows shape this exists for). NULL-label rows are
+    * dropped — they belong to no class. */
+  def balanceClasses(
+      labelField: String, keyField: String, salt: String = "")(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = df.filter(col(labelField).isNotNull)
+      .groupBy(col(labelField)).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__m"))
+    df.filter(col(labelField).isNotNull)
+      .crossJoin(broadcast(m))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(labelField)).orderBy(
+          graft.functions.GraftFunctions.md5Prefix32(col(keyField), salt).asc,
+          col(keyField).asc_nulls_first)))
+      .filter(col("__rk") <= col("__m"))
+      .drop("__rk", "__m")
+  }
+
   /** Deterministic per-group quota cap — the training-mixture "domain
     * cap": keep at most `n` rows per group (source, domain, language),
     * chosen by content-hash order so the SAME rows survive on every

@@ -89,6 +89,9 @@ final case class Pipeline(df: DataFrame) {
   def weightedSample(groupField: String, keyField: String,
       weightField: String, n: Int, salt: String = ""): Pipeline =
     >>(Ops.weightedSample(groupField, keyField, weightField, n, salt))
+  def balanceClasses(labelField: String, keyField: String,
+      salt: String = ""): Pipeline =
+    >>(Ops.balanceClasses(labelField, keyField, salt))
   def duplicateSpanMask(idField: String, textField: String,
       n: Int): Pipeline =
     >>(TextOps.duplicateSpanMask(idField, textField, n))

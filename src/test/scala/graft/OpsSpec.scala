@@ -529,6 +529,28 @@ class OpsSpec extends SparkSpec {
         / exact.getAs[Double](c) < 0.02, c)
   }
 
+  test("balanceClasses: every class at the min size, deterministic, NULL labels drop") {
+    import spark.implicits._
+    val df = ((1 to 50).map(i => (Some("big"), i.toLong)) ++
+      (51 to 60).map(i => (Some("mid"), i.toLong)) ++
+      (61 to 64).map(i => (Some("small"), i.toLong)) ++
+      Seq((None, 99L))).toDF("label", "id")
+    val out = Ops.balanceClasses("label", "id")(df)
+    val sizes = out.groupBy("label").count()
+      .orderBy("label").as[(String, Long)].collect()
+    assert(sizes.toSeq === Seq(("big", 4L), ("mid", 4L), ("small", 4L)))
+    assert(out.filter($"label".isNull).count() === 0)
+    // rerun-identical; a different salt redraws
+    val again = Ops.balanceClasses("label", "id")(df)
+      .select("id").as[Long].collect().sorted
+    assert(again.toSeq ===
+      Ops.balanceClasses("label", "id")(df)
+        .select("id").as[Long].collect().sorted.toSeq)
+    val redrawn = Ops.balanceClasses("label", "id", salt = "x")(df)
+      .select("id").as[Long].collect().sorted
+    assert(redrawn.toSeq !== again.toSeq)
+  }
+
   test("semiJoin/antiJoin: at-most-once left rows, NULL-key discipline") {
     import spark.implicits._
     val left = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "c"))
