@@ -1894,6 +1894,75 @@ object TextOps {
         col("rank"))
   }
 
+  /** Learn a BPE merge table FROM the corpus — the training half of
+    * the tokenizer story ([[bpeTokenCount]]/[[bpeTokenize]] are the
+    * inference half and accept the result directly): the classic
+    * highest-pair-count greedy algorithm. ONE corpus-scale pass
+    * aggregates word counts; everything after runs on the
+    * VOCABULARY-sized `(word, count, pieces)` frame (capped at
+    * `maxVocabWords` by frequency — millions of rows at 100 TB, the
+    * standard tokenizer-training shape), with one 1-row driver action
+    * per merge (the argmax pair IS the model being built; `numMerges`
+    * is 10s-of-thousands at most). Per iteration: adjacent piece
+    * pairs explode weighted by word count, the top pair (ties to the
+    * lexicographically smallest) becomes the next merge, and a
+    * left-to-right non-overlapping HOF fold applies it to every
+    * word's pieces; the frame localCheckpoints so plan depth stays
+    * constant. Deterministic: counts are exact integers, ties
+    * pinned. Rank-consistent by construction (each merge's parts
+    * exist when it is learned), so the result feeds
+    * [[bpeTokenCount]]'s validating constructor untouched.
+    * Characters are UTF-16 units (astral code points split into
+    * surrogate halves — filter non-BMP text upstream if that
+    * matters). Returns the merge list in rank order. */
+  def learnBpeMerges(
+      textField: String, numMerges: Int, maxVocabWords: Int = 100000)(
+      df: DataFrame): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val words = df
+      .select(explode(tokens(coalesce(col(textField), lit("")))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__w").asc)
+      .limit(maxVocabWords)
+    var seg = words
+      .select(col("__w"), col("__n"), split(col("__w"), "").as("__p"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.Buffer.empty[(String, String)]
+    var exhausted = false
+    var k = 0
+    while (k < numMerges && !exhausted) {
+      val top = seg
+        .select(col("__n"), explode(
+          when(size(col("__p")) < 2,
+            array().cast("array<struct<a:string,b:string>>"))
+            .otherwise(transform(
+              sequence(lit(0), size(col("__p")) - 2),
+              i => struct(
+                element_at(col("__p"), i + 1).as("a"),
+                element_at(col("__p"), i + 2).as("b"))))).as("__pr"))
+        .groupBy(col("__pr.a").as("a"), col("__pr.b").as("b"))
+        .agg(sum(col("__n")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getString(0); val b = top(0).getString(1)
+        merges += ((a, b))
+        val la = lit(a); val lb = lit(b); val lab = lit(a + b)
+        seg = seg.withColumn("__p",
+          aggregate(col("__p"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === la && x === lb,
+              concat(slice(acc, lit(1), size(acc) - 1), array(lab)))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** OCCURRENCE-true n-gram count table — the LM-training export
     * ([[bigramLmQuality]]'s tables, KenLM-style count files, the
     * DSIR feature space): every window occurrence votes (unlike

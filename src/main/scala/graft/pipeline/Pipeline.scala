@@ -102,6 +102,11 @@ final case class Pipeline(df: DataFrame) {
   def ngramCounts(textField: String, n: Int,
       minCount: Long = 1L): Pipeline =
     >>(TextOps.ngramCounts(textField, n, minCount))
+  /** Terminal: train a BPE merge table from this frame's text (feeds
+    * `bpeTokenCount`/`bpeTokenize`/`truncateTokensBpe` directly). */
+  def learnBpeMerges(textField: String, numMerges: Int,
+      maxVocabWords: Int = 100000): Seq[(String, String)] =
+    TextOps.learnBpeMerges(textField, numMerges, maxVocabWords)(df)
   /** `this` is the BEFORE snapshot; `after` the one diffed against. */
   def snapshotDiff(after: DataFrame, keys: Seq[String],
       compareCols: Seq[String]): Pipeline =

@@ -41,6 +41,34 @@ class ExtSpec extends SparkSpec {
       (3L, 1L, 2L, 3L), (4L, 0L, 1L, 1L)))
   }
 
+  test("learnBpeMerges: hand-checked greedy pair merges, ties, overlap, inference round-trip") {
+    import graft.ext.TextOps
+    // aa×3 + ab×1: (a,a) dominates, then (a,b)
+    val docs = Seq("aa ab aa", "aa").toDF("text")
+    val m = TextOps.learnBpeMerges("text", numMerges = 2)(docs)
+    assert(m === Seq(("a", "a"), ("a", "b")))
+    // overlapping pairs: 'aaa' counts (a,a) twice but merges
+    // left-to-right non-overlapping -> [aa, a], next merge (aa, a)
+    val m2 = TextOps.learnBpeMerges("text", numMerges = 2)(
+      Seq("aaa").toDF("text"))
+    assert(m2 === Seq(("a", "a"), ("aa", "a")))
+    // tie at equal counts goes to the lexicographically smallest pair
+    val m3 = TextOps.learnBpeMerges("text", numMerges = 1)(
+      Seq("ab ba").toDF("text"))
+    assert(m3 === Seq(("a", "b")))
+    // exhaustion: asking for more merges than exist stops cleanly
+    val m4 = TextOps.learnBpeMerges("text", numMerges = 10)(
+      Seq("ab").toDF("text"))
+    assert(m4 === Seq(("a", "b")))
+    // the learned table is rank-consistent by construction: the
+    // inference kernels accept it and merged words bill fewer tokens
+    val learned = TextOps.learnBpeMerges("text", numMerges = 4)(docs)
+    val counts = docs.select(
+      TextOps.bpeTokenCount(col("text"), learned).as("n"))
+      .as[Long].collect()
+    assert(counts.toSeq === Seq(3L, 1L)) // every word one piece now
+  }
+
   test("weighted pageRank: unit weights equal the plain form; heavy edges shift rank") {
     import graft.ext.GraphOps
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
