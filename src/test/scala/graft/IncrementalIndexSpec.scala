@@ -16,6 +16,28 @@ import graft.sources.ParquetStore
   *     content kept once is never kept again).
   */
 class IncrementalIndexSpec extends SparkSpec {
+
+  test("ModelStore: merge and weight tables round-trip and feed inference unchanged") {
+    import spark.implicits._
+    import graft.ext.{ModelStore, TextOps}
+    implicit val s = spark
+    val store = new graft.sources.MemoryStore(spark)
+    val docs = Seq("aa ab aa", "aa").toDF("text")
+    val learned = TextOps.learnBpeMerges("text", numMerges = 3)(docs)
+    ModelStore.saveMerges(store, "bpe", learned)
+    val back = ModelStore.loadMerges(store, "bpe")
+    assert(back === learned) // rank order survives the store
+    // inference with the loaded table equals inference with the
+    // in-memory one, token for token
+    val a = docs.select(TextOps.bpeTokenCount($"text", learned))
+      .as[Long].collect()
+    val b = docs.select(TextOps.bpeTokenCount($"text", back))
+      .as[Long].collect()
+    assert(a.toSeq === b.toSeq)
+    val w = Seq("data" -> 4L, "big table" -> 2L, "slow" -> -3L)
+    ModelStore.saveWeights(store, "clf", w)
+    assert(ModelStore.loadWeights(store, "clf") === w.sortBy(_._1))
+  }
   import spark.implicits._
 
   private def withStore(f: ParquetStore => Unit): Unit = {
