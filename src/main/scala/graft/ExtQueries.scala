@@ -1097,6 +1097,16 @@ object ExtQueries {
         // every output column for a total order
         .orderBy("l_orderkey", "l_linenumber", "variable", "value")
     },
+    "category_drift" -> { (s, dir) =>
+      // priority-mix drift between two derived order snapshots:
+      // exact counts, one division per share, chi-square contributions
+      val o = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      Probes.categoryDrift("o_orderpriority")(
+        o.filter(col("o_orderkey") % 3 =!= 0),
+        o.filter(col("o_orderkey") % 4 =!= 0))
+        .orderBy(col("value").asc_nulls_first)
+    },
     "balance_classes" -> { (s, dir) =>
       // every language downsampled to the smallest class's size,
       // deterministic hash order — the label-skew prep
@@ -3548,6 +3558,30 @@ object ExtQueries {
            UNION ALL SELECT l_orderkey, l_linenumber,
              'l_tax', l_tax FROM lineitem)
          ORDER BY l_orderkey, l_linenumber, variable, value""",
+    // exact counts + the same one-division-per-share chain; chi2 is
+    // the rational drift stat (ln-free, cross-engine exact)
+    "category_drift" -> """
+      WITH b AS (SELECT o_orderpriority AS value,
+          CAST(count(*) AS BIGINT) AS nb
+        FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1),
+      a AS (SELECT o_orderpriority AS value,
+          CAST(count(*) AS BIGINT) AS na
+        FROM orders WHERE o_orderkey % 4 <> 0 GROUP BY 1),
+      t AS (SELECT
+          CAST((SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 0)
+            AS DOUBLE) AS tb,
+          CAST((SELECT count(*) FROM orders WHERE o_orderkey % 4 <> 0)
+            AS DOUBLE) AS ta),
+      x AS (SELECT value,
+          coalesce(nb, 0) AS n_before, coalesce(na, 0) AS n_after,
+          CAST(coalesce(nb, 0) AS DOUBLE) / tb AS sb,
+          CAST(coalesce(na, 0) AS DOUBLE) / ta AS sa
+        FROM b FULL OUTER JOIN a USING (value) CROSS JOIN t)
+      SELECT value, n_before, n_after, sb AS share_before,
+        sa AS share_after, sa - sb AS share_delta,
+        CASE WHEN sb = 0e0 THEN NULL
+             ELSE (sa - sb) * (sa - sb) / sb END AS chi2_contrib
+      FROM x ORDER BY value NULLS FIRST""",
     // the same hex-digit md5-prefix order as quota_sample, ranked per
     // class against the data-derived min class size
     "balance_classes" -> """

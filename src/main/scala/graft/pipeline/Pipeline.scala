@@ -119,6 +119,10 @@ final case class Pipeline(df: DataFrame) {
   def referentialIntegrity(fkCols: Seq[String], dim: DataFrame,
       pkCols: Seq[String]): Pipeline =
     >>(Probes.referentialIntegrity(fkCols, dim, pkCols))
+  /** `this` is the BEFORE snapshot; `after` the one drift is measured
+    * toward. */
+  def categoryDrift(field: String, after: DataFrame): Pipeline =
+    Pipeline(Probes.categoryDrift(field)(df, after))
   def corrMatrix(keys: Seq[String], fields: Seq[String]): Pipeline =
     >>(Ops.corrMatrix(keys, fields))
   def histogram(keys: Seq[String], field: String, lo: Double, hi: Double,

@@ -117,6 +117,43 @@ object Probes {
     * every distinct key through one task at scale); top-N plans as
     * TakeOrderedAndProject. Share is one IEEE division of two exact
     * longs — hash-matchable across engines. */
+  /** Categorical distribution drift between two snapshots of "the
+    * same" column — the monitoring stat behind PSI dashboards, kept
+    * ORACLE-EXACT: per value, both counts, both shares (one division
+    * each), the share delta, and the chi-square contribution
+    * `(share_b − share_a)² / share_a` (NULL where the baseline share
+    * is 0 — a brand-new category has no baseline to drift FROM, it
+    * shows up via its `share_b`). Deliberately not PSI's
+    * `(p_a−p_b)·ln(p_a/p_b)`: `ln` is not bit-reproducible
+    * cross-engine, the chi-square form ranks drifts the same way and
+    * stays a pure rational of exact integer counts. NULL values form
+    * their own category (a null-rate move IS drift —
+    * [[schemaDrift]]'s lesson). One hash-agg per side + one
+    * full-outer join on the value. */
+  def categoryDrift(field: String)(
+      before: DataFrame, after: DataFrame): DataFrame = {
+    def side(df: DataFrame, n: String) = df
+      .groupBy(col(field).as("value"))
+      .agg(count(lit(1)).as(s"n_$n"))
+    val totals = before.agg(count(lit(1)).cast("double").as("__tb"))
+      .crossJoin(after.agg(count(lit(1)).cast("double").as("__ta")))
+    side(before, "before")
+      .join(side(after, "after"), Seq("value"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("value"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (coalesce(col("n_before"), lit(0L)).cast("double") / col("__tb"))
+          .as("share_before"),
+        (coalesce(col("n_after"), lit(0L)).cast("double") / col("__ta"))
+          .as("share_after"))
+      .withColumn("share_delta", col("share_after") - col("share_before"))
+      .withColumn("chi2_contrib",
+        when(col("share_before") === 0.0, lit(null).cast("double"))
+          .otherwise(col("share_delta") * col("share_delta") /
+            col("share_before")))
+  }
+
   /** Referential-integrity probe — the FK orphan check run after every
     * load: one row of `(n_rows, n_null_fk, n_orphans)` where an orphan
     * is a fact row whose (non-NULL) foreign key matches no dimension

@@ -1,6 +1,7 @@
 package graft
 
 import graft.probes.{Probes, ProbeAssertionError}
+import org.apache.spark.sql.functions.col
 
 class ProbesSpec extends SparkSpec {
   import spark.implicits._
@@ -118,5 +119,27 @@ class ProbesSpec extends SparkSpec {
     assert(r.getLong(0) === 5L) // n_rows
     assert(r.getLong(1) === 1L) // n_null_fk
     assert(r.getLong(2) === 1L) // n_orphans (99 only; NULL is not one)
+  }
+
+  test("categoryDrift: new/vanished categories, NULL category, share arithmetic") {
+    import graft.probes.Probes
+    val before = Seq(Some("a"), Some("a"), Some("b"), None)
+      .map(Tuple1(_)).toDF("c")
+    val after = Seq(Some("a"), Some("x"), Some("x"), Some("x"))
+      .map(Tuple1(_)).toDF("c")
+    val out = Probes.categoryDrift("c")(before, after)
+      .orderBy(col("value").asc_nulls_first).collect()
+    // NULL category first: present before (1/4), vanished after
+    assert(out(0).isNullAt(0) && out(0).getLong(1) === 1L &&
+      out(0).getLong(2) === 0L)
+    assert(out(0).getDouble(3) === 0.25 && out(0).getDouble(4) === 0.0)
+    // 'a' shrank 0.5 -> 0.25: chi2 = 0.25^2 / 0.5 = 0.125
+    val a = out(1)
+    assert(a.getString(0) === "a" && a.getDouble(5) === -0.25 &&
+      a.getDouble(6) === 0.125)
+    // brand-new 'x': baseline share 0 -> chi2 NULL, visible via share
+    val x = out(3)
+    assert(x.getString(0) === "x" && x.getLong(1) === 0L &&
+      x.getDouble(4) === 0.75 && x.isNullAt(6))
   }
 }
