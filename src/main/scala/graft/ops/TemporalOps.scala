@@ -164,10 +164,13 @@ object TemporalOps {
       df: DataFrame): DataFrame = {
     require(embargoSeconds >= 0L, "embargo must be >= 0")
     val cut = to_timestamp(lit(cutoff))
+    // NTZ-tolerant: fixture/raw feeds carry TIMESTAMP_NTZ, which
+    // unix_micros rejects — compare on the session-zone cast
+    val t = col(tsField).cast("timestamp")
     df.withColumn("split",
-      when(col(tsField).isNull, lit(null).cast("string"))
-        .when(col(tsField) < cut, lit("train"))
-        .when(unix_micros(col(tsField)) >=
+      when(t.isNull, lit(null).cast("string"))
+        .when(t < cut, lit("train"))
+        .when(unix_micros(t) >=
           unix_micros(cut) + embargoSeconds * 1000000L, lit("test"))
         .otherwise(lit("embargo")))
   }

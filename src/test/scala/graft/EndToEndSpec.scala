@@ -409,6 +409,55 @@ class EndToEndSpec extends SparkSpec {
     }
   }
 
+  test("ML prep: learned tokenizer -> persisted model -> balanced, split, monitored export") {
+    import graft.ext.{ModelStore, Similarity, TextOps}
+    import graft.ops.{Ops, TemporalOps}
+    implicit val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+    // 1. train a corpus-specific BPE table, persist it, load it back —
+    // billing with the loaded model matches the in-memory one
+    val merges = TextOps.learnBpeMerges("text", numMerges = 12)(docs)
+    assert(merges.length === 12)
+    val store = new graft.sources.MemoryStore(spark)
+    ModelStore.saveMerges(store, "tok", merges)
+    val loaded = ModelStore.loadMerges(store, "tok")
+    val billed = docs.select(
+      TextOps.bpeTokenCount(col("text"), loaded).as("n_bpe"),
+      TextOps.tokenCount(col("text")).as("n_ws"))
+    // learned merges compress: BPE counts bound above by char count,
+    // and the whitespace count is a lower bound
+    assert(billed.filter(col("n_bpe") < col("n_ws")).count() === 0)
+
+    // 2. balance languages to the minority class
+    val balanced = Ops.balanceClasses("lang", "doc_id")(docs)
+    val sizes = balanced.groupBy("lang").count()
+      .select("count").as[Long].collect()
+    assert(sizes.distinct.length === 1)
+
+    // 3. embargoed temporal split on the event stream feeding features
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val split = TemporalOps.temporalSplit("ts", "2024-01-20 00:00:00",
+      embargoSeconds = 86400L)(events)
+    val bySplit = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet === Set("train", "embargo", "test"))
+
+    // 4. drift monitor between the train and test windows' event mix
+    val drift = graft.probes.Probes.categoryDrift("event_type")(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") === "test"))
+    val rows = drift.collect()
+    assert(rows.nonEmpty &&
+      rows.forall(r => math.abs(r.getDouble(5)) <= 1.0))
+
+    // 5. deterministic shuffle closes the export
+    val export = Ops.shuffleRank("doc_id")(balanced)
+    assert(export.select("shuffle_rank").as[Long].collect().sorted.toSeq
+      === (1L to balanced.count()))
+  }
+
   test("snapshotDiff composed with applyChanges reconstructs the target snapshot") {
     import graft.ops.{Ops, TemporalOps}
     val sf = "/root/testdata/sf0.001"
