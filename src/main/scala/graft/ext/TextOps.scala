@@ -1894,6 +1894,74 @@ object TextOps {
         col("rank"))
   }
 
+  /** Train the linear classifier's weights from LABELED documents —
+    * the training half of the model-based quality gate
+    * ([[linearTextScore]] is inference and consumes the result
+    * directly, [[graft.ext.ModelStore]] persists it): logistic
+    * regression (MLlib, fixed iterations/regularization) over
+    * MEAN-NORMALIZED n-gram count features of the top-`vocabSize`
+    * grams by document frequency, coefficients quantized to integers
+    * at `scale`. The mean normalization is what makes the handoff
+    * exact in form: LR's margin intercept + Σ coef·(count/n_windows)
+    * IS [[linearTextScore]]'s `bias + Σ weight/n_grams` once
+    * coefficients scale to integers — so `(weights, bias)` where
+    * `bias = intercept` and `threshold = 0` reproduce the trained
+    * decision boundary up to quantization (spec-pinned on separable
+    * data). Returns `(weights, bias)`.
+    *
+    * Scale shape: vocabulary selection is one gram-df aggregation
+    * (top-k by df, ties lexicographic — deterministic); featurization
+    * is a pure projection against the broadcast vocabulary; the LR
+    * fit is MLlib's distributed L-BFGS over |docs| × |vocab| sparse
+    * rows. Training is iterative and float — NOT oracle-expressible
+    * (the kmeansCentroids precedent) and not bit-deterministic across
+    * cluster topologies; the SERVED model is, because it is integers.
+    * Labels must be 0.0/1.0 (1 = keep). */
+  def trainLinearWeights(
+      textField: String, labelField: String,
+      vocabSize: Int = 1000, scale: Double = 100.0, maxN: Int = 2,
+      maxIter: Int = 50, regParam: Double = 0.01)(
+      df: DataFrame): (Seq[(String, Long)], Double) = {
+    require(vocabSize >= 1 && scale > 0 && maxN >= 1)
+    val grams = (1 to maxN).map(n =>
+      graft.functions.GraftFunctions.shingleStrings(
+        tokens(col(textField)), n, distinct = false))
+      .reduce(concat(_, _))
+    val base = df.select(col(labelField).cast("double").as("label"),
+      grams.as("__g"))
+      .localCheckpoint()
+    val vocab = base
+      .select(explode(array_distinct(col("__g"))).as("__gram"))
+      .groupBy("__gram").agg(count(lit(1)).as("__df"))
+      .orderBy(col("__df").desc, col("__gram").asc)
+      .limit(vocabSize)
+      .select("__gram").collect().map(_.getString(0))
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.CountVectorizerModel
+    val cv = new CountVectorizerModel(vocab)
+      .setInputCol("__g").setOutputCol("__counts")
+    val feats = cv.transform(base)
+      .select(col("label"),
+        org.apache.spark.ml.functions.vector_to_array(col("__counts"))
+          .as("__c"),
+        greatest(size(col("__g")), lit(1)).cast("double").as("__n"))
+      .select(col("label"),
+        org.apache.spark.ml.functions.array_to_vector(
+          transform(col("__c"), x => x / col("__n"))).as("features"))
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(feats)
+    val coefs = model.coefficients.toArray
+    val weights = vocab.toSeq.zip(coefs.toSeq)
+      .map { case (g, c) => (g, math.rint(c * scale).toLong) }
+      .filter(_._2 != 0L)
+    require(weights.nonEmpty,
+      s"every coefficient quantized to 0 at scale=$scale — raise the " +
+        "scale (the model has signal smaller than one quantum)")
+    (weights, model.intercept * scale)
+  }
+
   /** Learn a BPE merge table FROM the corpus — the training half of
     * the tokenizer story ([[bpeTokenCount]]/[[bpeTokenize]] are the
     * inference half and accept the result directly): the classic

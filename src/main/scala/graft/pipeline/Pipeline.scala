@@ -102,6 +102,13 @@ final case class Pipeline(df: DataFrame) {
   def ngramCounts(textField: String, n: Int,
       minCount: Long = 1L): Pipeline =
     >>(TextOps.ngramCounts(textField, n, minCount))
+  /** Terminal: train quantized classifier weights from labeled text
+    * (feeds `linearTextScore` directly). */
+  def trainLinearWeights(textField: String, labelField: String,
+      vocabSize: Int = 1000, scale: Double = 100.0,
+      maxN: Int = 2): (Seq[(String, Long)], Double) =
+    TextOps.trainLinearWeights(textField, labelField, vocabSize,
+      scale, maxN)(df)
   /** Terminal: train a BPE merge table from this frame's text (feeds
     * `bpeTokenCount`/`bpeTokenize`/`truncateTokensBpe` directly). */
   def learnBpeMerges(textField: String, numMerges: Int,

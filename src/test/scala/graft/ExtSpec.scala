@@ -41,6 +41,37 @@ class ExtSpec extends SparkSpec {
       (3L, 1L, 2L, 3L), (4L, 0L, 1L, 1L)))
   }
 
+  test("trainLinearWeights: trained quantized model separates classes through linearTextScore") {
+    import graft.ext.TextOps
+    val rnd = new scala.util.Random(11)
+    val good = Vector("data", "spark", "query", "table", "join")
+    val bad = Vector("click", "buy", "free", "winner", "now")
+    val neutral = Vector("the", "a", "of", "and")
+    def doc(vocab: Vector[String]) = (0 until 12).map(_ =>
+      if (rnd.nextInt(3) == 0) neutral(rnd.nextInt(neutral.size))
+      else vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val labeled = ((1 to 60).map(i => (i.toLong, doc(good), 1.0)) ++
+      (61 to 120).map(i => (i.toLong, doc(bad), 0.0)))
+      .toDF("doc_id", "text", "label")
+    val (weights, bias) = TextOps.trainLinearWeights(
+      "text", "label", vocabSize = 50, scale = 100.0, maxN = 1)(labeled)
+    assert(weights.nonEmpty)
+    // serve the trained model through the inference kernel: the
+    // decision boundary (threshold 0) must separate the training set
+    val scored = TextOps.linearTextScore("doc_id", "text",
+      weights, bias = bias, threshold = 0.0, maxN = 1)(labeled)
+      .join(labeled.select("doc_id", "label"), "doc_id")
+    val acc = scored.filter(
+      (col("pass") && col("label") === 1.0) ||
+        (!col("pass") && col("label") === 0.0)).count()
+    assert(acc >= 114, s"trained model separates only $acc/120") // ≥95%
+    // signal direction: good-vocab grams carry positive weight,
+    // bad-vocab negative (for those that survived quantization)
+    val w = weights.toMap
+    assert(good.flatMap(w.get).forall(_ > 0))
+    assert(bad.flatMap(w.get).forall(_ < 0))
+  }
+
   test("learnBpeMerges: hand-checked greedy pair merges, ties, overlap, inference round-trip") {
     import graft.ext.TextOps
     // aa×3 + ab×1: (a,a) dominates, then (a,b)
