@@ -47,7 +47,9 @@ class PlanAuditSpec extends SparkSpec {
     "heavy_hitter_phrases", // same two-pass machinery over the gram stream
     "theta_overlap",     // broadcast |groups|-row sketch-state pair join
     "page_rank",         // broadcast one-row node-count aggregate
-    "page_rank_weighted") // same one-row broadcast, weighted edges
+    "page_rank_weighted", // same one-row broadcast, weighted edges
+    "balance_classes",   // broadcast one-row min-class-size aggregate
+    "category_drift")    // broadcast one-row (total_before, total_after)
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
