@@ -909,7 +909,10 @@ object Ops {
     * incremental export manifests, CDC backfill). One full-outer
     * equi-join on the keys with the compared columns riding as one
     * struct per side — AQE handles skew like any join. Output:
-    * `keys…, change_type`. */
+    * `keys…, change_type`. CONTRACT: `keys` must identify rows
+    * uniquely within each snapshot (the same contract
+    * [[graft.ops.TemporalOps.applyChanges]] holds for its target) —
+    * duplicate keys would cross-multiply through the outer join. */
   def snapshotDiff(
       keys: Seq[String], compareCols: Seq[String])(
       before: DataFrame, after: DataFrame): DataFrame = {

@@ -143,10 +143,13 @@ object Probes {
       .select(col("value"),
         coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),
-        (coalesce(col("n_before"), lit(0L)).cast("double") / col("__tb"))
-          .as("share_before"),
-        (coalesce(col("n_after"), lit(0L)).cast("double") / col("__ta"))
-          .as("share_after"))
+        // an EMPTY side has no distribution: shares go NULL, not 0/0 NaN
+        when(col("__tb") === 0.0, lit(null).cast("double"))
+          .otherwise(coalesce(col("n_before"), lit(0L)).cast("double") /
+            col("__tb")).as("share_before"),
+        when(col("__ta") === 0.0, lit(null).cast("double"))
+          .otherwise(coalesce(col("n_after"), lit(0L)).cast("double") /
+            col("__ta")).as("share_after"))
       .withColumn("share_delta", col("share_after") - col("share_before"))
       .withColumn("chi2_contrib",
         when(col("share_before") === 0.0, lit(null).cast("double"))

@@ -142,4 +142,13 @@ class ProbesSpec extends SparkSpec {
     assert(x.getString(0) === "x" && x.getLong(1) === 0L &&
       x.getDouble(4) === 0.75 && x.isNullAt(6))
   }
+
+  test("categoryDrift: an empty side yields NULL shares, never NaN") {
+    import graft.probes.Probes
+    val empty = Seq.empty[Tuple1[Option[String]]].toDF("c")
+    val after = Seq(Tuple1(Some("a"))).toDF("c")
+    val r = Probes.categoryDrift("c")(empty, after).head()
+    assert(r.isNullAt(3) && r.getDouble(4) === 1.0)
+    assert(r.isNullAt(5) && r.isNullAt(6)) // delta/chi2 inherit the NULL
+  }
 }
