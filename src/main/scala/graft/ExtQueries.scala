@@ -1345,6 +1345,80 @@ object ExtQueries {
           ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
       GraphOps.degreeStats("src", "dst")(ev).orderBy("node")
     },
+    "triangle_stats" -> { (s, dir) =>
+      // community structure over the same derived 40-node graph:
+      // degree-ordered orientation bounds per-apex fan-out at O(√m),
+      // the one float is a single exact-integer division
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 40).as("src"),
+          ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
+      GraphOps.triangleStats("src", "dst")(ev).orderBy("node")
+    },
+    "regression_price" -> { (s, dir) =>
+      // per-flag OLS price-vs-quantity line from exact sufficient
+      // statistics (the corr_measures doctrine: integral inputs keep
+      // every sum exact, then one shared IEEE op sequence)
+      Ops.regression(Seq("l_returnflag"), "l_quantity", "dollars")(
+        table(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity"),
+          round(col("l_extendedprice"), 0).as("dollars")))
+        .orderBy("l_returnflag")
+    },
+    "k_anonymity" -> { (s, dir) =>
+      // release-gate probe: equivalence classes under
+      // (nation, segment) with fewer than 8 members
+      Probes.kAnonymity(Seq("c_nationkey", "c_mktsegment"), k = 8)(
+        table(s, dir, "customer"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+    "l_diversity" -> { (s, dir) =>
+      // homogeneity-attack probe: (nation, balance-band) classes whose
+      // segment column carries < 4 distinct values
+      Probes.lDiversity(Seq("c_nationkey", "balance_band"),
+        "c_mktsegment", l = 4)(
+        table(s, dir, "customer").withColumn("balance_band",
+          floor(col("c_acctbal") / 2000)))
+        .orderBy("c_nationkey", "balance_band")
+    },
+    "join_cardinality" -> { (s, dir) =>
+      // pre-flight skew check for an events⋈orders join on customer:
+      // per-key exact output contribution, heaviest first
+      Probes.joinCardinality(Seq("user_id"),
+        table(s, dir, "orders"), Seq("o_custkey"), topN = 15)(
+        table(s, dir, "events"))
+    },
+    "token_shift" -> { (s, dir) =>
+      // vocabulary drift: which tokens pull each source's unigram
+      // distribution away from the corpus mixture (rational TV
+      // contributions — no log, the no-transcendentals doctrine)
+      TextOps.tokenShift("source", "text", k = 5)(
+        corpus(s, dir, "documents"))
+        .orderBy("source", "rank")
+    },
+    "soundex_codes" -> { (s, dir) =>
+      // the phonetic blocking key itself, pinned against a hand-built
+      // RE2-safe oracle mirror of American Soundex over the distinct
+      // part names (two words — exercises the space-stripping path)
+      val words = table(s, dir, "part")
+        .select(col("p_name").as("word")).distinct()
+      words
+        .withColumn("__clean",
+          upper(regexp_replace(col("word"), "[^A-Za-z]", "")))
+        .select(col("word"),
+          when(length(col("__clean")) > 0, soundex(col("__clean")))
+            .as("code"))
+        .orderBy("word")
+    },
+    "phonetic_pairs" -> { (s, dir) =>
+      // phonetic record linkage over the distinct part names:
+      // soundex blocking + native Jaro–Winkler verify — the
+      // sounds-alike pairs del-1 blocking is structurally blind to
+      val words = table(s, dir, "part")
+        .groupBy(col("p_name").as("word"))
+        .agg(min("p_partkey").as("word_id"))
+      Dedup.phoneticKeyPairs("word_id", "word", minJw = 0.6)(words)
+        .orderBy("id_a", "id_b")
+    },
     "theta_overlap" -> { (s, dir) =>
       // the set-algebra distinct state HLL structurally lacks: per-flag
       // supplier theta sketches, then pairwise intersection/difference
@@ -1463,6 +1537,25 @@ object ExtQueries {
         .otherwise(BinaryOps.syntheticMp4(dur))
       BinaryOps.mediaMetadata("doc_id", "blob")(
         corpus(s, dir, "documents").select(id, blob.as("blob")))
+    },
+    "frame_samples" -> { (s, dir) =>
+      // frame-extraction plumbing over the SAME mixed media fixture:
+      // only the mp4 rows (doc_id % 6 = 5) carry a duration, so only
+      // they fan out to frame rows — the routing is part of the pin
+      val id = col("doc_id")
+      val w = (id % 800 + 16).cast("int"); val h = (id % 600 + 16).cast("int")
+      val ch = (id % 2 + 1).cast("int")
+      val rate = (lit(8000) + (id % 7) * 4000).cast("int")
+      val dur = (id % 7200000 + 1000).cast("int")
+      val blob = when(id % 6 === 0, BinaryOps.syntheticPng(w, h))
+        .when(id % 6 === 1, BinaryOps.syntheticGif(w, h))
+        .when(id % 6 === 2, BinaryOps.syntheticBmp(w, h))
+        .when(id % 6 === 3, BinaryOps.syntheticJpeg(w, h))
+        .when(id % 6 === 4, BinaryOps.syntheticWav(ch, rate))
+        .otherwise(BinaryOps.syntheticMp4(dur))
+      BinaryOps.sampleFrames("doc_id", "blob")(
+        corpus(s, dir, "documents").select(id, blob.as("blob")))
+        .orderBy("doc_id", "frame_idx")
         .orderBy("doc_id")
     },
     "binary_stats" -> { (s, dir) =>
@@ -1743,6 +1836,29 @@ object ExtQueries {
     FROM events
     WHERE user_id IS NOT NULL AND event_id IS NOT NULL
       AND user_id % 40 <> (user_id * 7 + event_id) % 40"""
+
+  /** American Soundex of a letters-only UPPERCASE argument as pure
+    * RE2-safe DuckDB SQL (no backreferences — DuckDB's regex engine
+    * has none), mirroring the engine-native `soundex()` bit-for-bit:
+    * the first letter is coded with H/W as a '7' placeholder (kept,
+    * collides with no real code), the rest with H/W DELETED (so
+    * equal-coded neighbors merge across them — the transparency
+    * rule) and vowels+Y as '0' separators; runs of equal digits
+    * collapse via 6 rounds of pairwise `replace` per digit (flattens
+    * any run ≤ 64), the first code char drops (the first letter
+    * carries itself), zeros vanish, and the first 3 digits pad to
+    * `L###`. Verified against the builtin on the canonical
+    * Tymczak/Ashcraft/Pfister/Honeyman set and fuzzed in the spec. */
+  private def soundexSql(cleanExpr: String): String = {
+    val first = s"substr($cleanExpr, 1, 1)"
+    val firstCode = s"translate($first, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ'," +
+      " '01230127022455012623017202')"
+    val restCode = s"translate(substr($cleanExpr, 2)," +
+      " 'ABCDEFGIJKLMNOPQRSTUVXYZHW', '012301202245501262301202')"
+    var s = s"($firstCode || $restCode)"
+    for (d <- "0123456"; _ <- 1 to 6) s = s"replace($s, '$d$d', '$d')"
+    s"($first || rpad(substr(replace(substr($s, 2), '0', ''), 1, 3), 3, '0'))"
+  }
 
   /** The weighted variant: per-event integer weights, multi-edges
     * pre-summed — mirrors the weighted pageRank's edge aggregation. */
@@ -4384,6 +4500,132 @@ object ExtQueries {
         coalesce(in_degree, 0) AS in_degree,
         coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
       FROM o FULL OUTER JOIN i USING (node) ORDER BY node""",
+    // id-ordered triple join finds the same triangle set the
+    // degree-ordered orientation does (the ALGORITHM differs, the
+    // COUNT cannot); clustering is one exact-integer division
+    "triangle_stats" -> s"""
+      WITH e AS ($graphEdgesSql),
+      und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+              FROM e),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+          (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY node),
+      tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+      pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM
+          (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+           UNION ALL SELECT z FROM tri)
+        GROUP BY node)
+      SELECT deg.node, degree, coalesce(triangles, 0) AS triangles,
+        CASE WHEN degree < 2 THEN NULL
+             ELSE CAST(2 * coalesce(triangles, 0) AS DOUBLE)
+                  / CAST(degree * (degree - 1) AS DOUBLE)
+        END AS clustering
+      FROM deg LEFT JOIN pn USING (node) ORDER BY node""",
+    // five exact sums then the closed-form OLS line in doubles — the
+    // same IEEE op order as Ops.regression; lineitem is NULL-free so
+    // pairwise-complete counts collapse to count(*)
+    "regression_price" -> """
+      WITH li AS (SELECT l_returnflag AS f, l_quantity AS x,
+          round(l_extendedprice, 0) AS y FROM lineitem),
+      s AS (SELECT f, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+          sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+          sum(y * y) AS syy
+        FROM li GROUP BY f)
+      SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n_pairs,
+        CASE WHEN (n * sxx - sx * sx) = 0e0 THEN NULL
+             ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        END AS slope,
+        CASE WHEN (n * sxx - sx * sx) = 0e0 THEN NULL
+             ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                  / n
+        END AS intercept,
+        CASE WHEN (n * sxx - sx * sx) = 0e0 OR (n * syy - sy * sy) = 0e0
+             THEN NULL
+             ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        END AS r2
+      FROM s ORDER BY l_returnflag""",
+    "k_anonymity" -> """
+      SELECT c_nationkey, c_mktsegment,
+        CAST(count(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2 HAVING count(*) < 8
+      ORDER BY 1, 2""",
+    "l_diversity" -> """
+      WITH c AS (SELECT c_nationkey,
+          CAST(floor(c_acctbal / 2000) AS BIGINT) AS balance_band,
+          c_mktsegment FROM customer)
+      SELECT c_nationkey, balance_band,
+        CAST(count(*) AS BIGINT) AS class_size,
+        CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS distinct_sensitive
+      FROM c GROUP BY 1, 2 HAVING count(DISTINCT c_mktsegment) < 4
+      ORDER BY 1, 2""",
+    "join_cardinality" -> """
+      WITH l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS left_rows
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      r AS (SELECT o_custkey AS user_id,
+          CAST(count(*) AS BIGINT) AS right_rows
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
+      SELECT user_id, left_rows, right_rows,
+        left_rows * right_rows AS out_rows
+      FROM l JOIN r USING (user_id)
+      ORDER BY out_rows DESC, user_id ASC LIMIT 15""",
+    // total-variation contributions are RATIONAL in the counts (two
+    // exact-integer divisions and a subtraction — no log), so every
+    // row hash-matches; ranks tie-break on the token
+    "token_shift" -> """
+      WITH tok AS (SELECT source AS grp,
+          unnest(string_split(text, ' ')) AS token FROM documents),
+      cnt AS (SELECT grp, token, CAST(count(*) AS BIGINT) AS grp_count
+        FROM tok WHERE token <> '' GROUP BY 1, 2),
+      gt AS (SELECT grp, CAST(sum(grp_count) AS BIGINT) AS ng
+        FROM cnt GROUP BY 1),
+      tt AS (SELECT token, CAST(sum(grp_count) AS BIGINT) AS corpus_count
+        FROM cnt GROUP BY 1),
+      at AS (SELECT CAST(sum(grp_count) AS BIGINT) AS na FROM cnt),
+      j AS (SELECT grp, token, grp_count, corpus_count,
+          CAST(grp_count AS DOUBLE) / CAST(ng AS DOUBLE) AS grp_share,
+          CAST(corpus_count AS DOUBLE) / CAST(na AS DOUBLE)
+            AS corpus_share
+        FROM cnt JOIN gt USING (grp) JOIN tt USING (token)
+        CROSS JOIN at),
+      rk AS (SELECT *, grp_share - corpus_share AS shift,
+          row_number() OVER (PARTITION BY grp
+            ORDER BY abs(grp_share - corpus_share) DESC, token ASC)
+            AS rn
+        FROM j)
+      SELECT grp AS source, token, grp_count, corpus_count, grp_share,
+        corpus_share, shift, CAST(rn AS INTEGER) AS rank
+      FROM rk WHERE rn <= 5 ORDER BY source, rank""",
+    "soundex_codes" -> s"""
+      WITH w AS (SELECT DISTINCT p_name AS word FROM part),
+      c AS (SELECT word,
+          upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS cl
+        FROM w)
+      SELECT word, CASE WHEN length(cl) = 0 THEN NULL
+        ELSE ${soundexSql("cl")} END AS code
+      FROM c ORDER BY word""",
+    "phonetic_pairs" -> s"""
+      WITH w AS (SELECT p_name AS word,
+          min(p_partkey) AS word_id FROM part GROUP BY 1),
+      k AS (SELECT word_id AS id, word AS key,
+          upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS cl
+        FROM w WHERE word IS NOT NULL),
+      cod AS (SELECT id, key, ${soundexSql("cl")} AS code
+        FROM k WHERE length(cl) > 0),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY code) AS n
+        FROM cod),
+      cand AS (SELECT a.id AS id_a, b.id AS id_b,
+          a.key AS key_a, b.key AS key_b
+        FROM sized a JOIN sized b
+          ON a.code = b.code AND a.id < b.id AND a.key <> b.key
+        WHERE a.n BETWEEN 2 AND 64)
+      SELECT id_a, id_b, key_a, key_b,
+        jaro_winkler_similarity(key_a, key_b) AS jw
+      FROM cand WHERE jaro_winkler_similarity(key_a, key_b) >= 6e-1
+      ORDER BY id_a, id_b""",
     // pre-capacity theta sketches ARE the distinct sets, so estimate /
     // intersect / aNotB equal exact set arithmetic — replayed here as
     // correlated exact counts over the distinct (flag, suppkey) pairs
@@ -4513,6 +4755,20 @@ object ExtQueries {
         CASE WHEN doc_id % 6 = 5
           THEN CAST(doc_id % 7200000 + 1000 AS INTEGER) END AS duration_ms
       FROM documents ORDER BY doc_id""",
+    // frame layout is pure arithmetic on the builder's duration: a
+    // frame at every interval start inside [0, duration), capped at 5;
+    // md5(id:ts) is the deterministic frame HANDLE (stub decode)
+    "frame_samples" -> """
+      WITH d AS (SELECT doc_id, doc_id % 7200000 + 1000 AS dur
+          FROM documents WHERE doc_id % 6 = 5),
+      n AS (SELECT doc_id,
+          least(CAST(5 AS BIGINT), CAST(ceil(dur / 6e4) AS BIGINT)) AS nf
+        FROM d),
+      f AS (SELECT doc_id, unnest(range(0, nf)) AS i FROM n)
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        i * 60000 AS ts_ms,
+        md5(doc_id || ':' || (i * 60000)) AS frame_ref
+      FROM f ORDER BY doc_id, frame_idx""",
     // 60-bit perceptual hashes over 61 stride-sampled bytes (ASCII
     // fixture: ord by char == byte value): aHash = integer mean test
     // sample*60 >= sum, dHash = gradient sample(k+1) > sample(k); both

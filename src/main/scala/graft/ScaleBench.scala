@@ -583,6 +583,48 @@ object ScaleBench {
     println("corpus_x,customers,fuzzy_join_sec")
     fjRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
     }
+
+    phase("tri") {
+    // Triangle counting under edge growth + the hub stress that
+    // falsifies naive wedge enumeration. Curve 1: disjoint ×1/×2/×4
+    // replicas of a 2000-node graph (m grows, density constant) —
+    // wall must be ~linear. Curve 2: the ×1 graph plus a STAR HUB
+    // linked to every node. Naively, wedges at a deg-2000 apex are
+    // C(2000,2) ≈ 2M; degree-ordered orientation points every star
+    // edge INTO the hub (it is the (deg, id)-maximum), so the hub
+    // apexes ZERO wedges and the added cost is one extra out-edge per
+    // low node — the O(√m) fan-out claim, measured.
+    import graft.ext.GraphOps
+    val evT = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"))
+    val net = evT.count()
+    def triEdges(k: Int): DataFrame =
+      (0 until k).map(i => evT.select(
+        ((col("user_id") % 2000) + lit(i.toLong * 1_000_000L)).as("src"),
+        (((col("user_id") * 7 + col("event_id")) % 2000) +
+          lit(i.toLong * 1_000_000L)).as("dst")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def tri(e: DataFrame): Unit =
+      GraphOps.triangleStats("src", "dst")(e)
+        .write.mode("overwrite").format("noop").save()
+    locally { val e1 = triEdges(1).localCheckpoint(); tri(e1); e1.unpersist() }
+    val triRows = for (k <- Seq(1, 2, 4)) yield {
+      val e = triEdges(k).localCheckpoint()
+      val t = median3(tri(e))
+      e.unpersist()
+      (k, net * k, t)
+    }
+    println("corpus_x,events,triangles_sec")
+    triRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    val hubbed = triEdges(1).unionByName(
+      spark.range(2000).select(lit(9_999_999L).as("src"),
+        col("id").as("dst"))).localCheckpoint()
+    locally { tri(hubbed) }
+    val tHub = median3(tri(hubbed))
+    hubbed.unpersist()
+    println(f"hub_stress: x1_plus_deg2000_hub,${net + 2000},$tHub%.2f")
+    }
     spark.stop()
   }
 }

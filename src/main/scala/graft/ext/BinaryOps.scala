@@ -360,6 +360,48 @@ object BinaryOps {
     batch.join(dups, batch(idField) === dups("id_b"), "left_anti")
   }
 
+  /** Video frame sampling — the PLUMBING half of the frame-extract
+    * pass (the decode itself is environment-stubbed, like
+    * [[extractFeaturesStub]]): per video blob, the native header
+    * kernel reads `duration_ms` from the container (mp4/mvhd), frame
+    * timestamps lay out every `intervalMs` inside `[0, duration)`
+    * capped at `maxFrames`, and one `posexplode(sequence(...))` fans
+    * each video to its frame rows — a pure zero-shuffle projection:
+    * media bytes never shuffle, non-video blobs (no duration: images,
+    * audio, garbage) route to ZERO rows here (images go through
+    * [[extractFeaturesStub]] whole). `frame_ref` is the deterministic
+    * HANDLE a real ffmpeg seek-and-decode would key its output by —
+    * md5(id:ts), the shared digest discipline — so downstream
+    * feature/storage plumbing is testable without pixels; a production
+    * deployment maps the (blob, ts_ms) pairs through a codec in
+    * `mapPartitions` exactly like the stub codec documents.
+    *
+    * Output: `idField, frame_idx, ts_ms, frame_ref`. Frame count =
+    * ceil(duration/interval) — a frame at every interval start that
+    * falls inside the clip. */
+  def sampleFrames(
+      idField: String, blobField: String,
+      intervalMs: Long = 60000L, maxFrames: Int = 5)(
+      df: DataFrame): DataFrame = {
+    require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
+    val dur = mediaMeta(col(blobField)).getField("duration_ms")
+    // least() SKIPS NULLs (least(5, NULL) = 5), so a durationless blob
+    // must be nulled out explicitly or every image would "sample" the
+    // full maxFrames of phantom frames
+    val n = when(dur.isNotNull, least(lit(maxFrames.toLong),
+      ceil(dur.cast("double") / lit(intervalMs.toDouble))))
+    df.select(col(idField), n.as("__n"))
+      .filter(col("__n").isNotNull && col("__n") > 0)
+      .select(col(idField),
+        posexplode(sequence(lit(0L), col("__n") - 1L)))
+      .select(col(idField), col("pos").cast("int").as("frame_idx"),
+        (col("col") * intervalMs).as("ts_ms"))
+      .withColumn("frame_ref",
+        md5(concat(col(idField).cast("string"), lit(":"),
+          col("ts_ms").cast("string"))))
+  }
+
   /** Extracted-feature schema appended by [[extractFeaturesStub]]:
     * the typed-metadata half of a multimodal column. */
   val featureSchema: StructType = StructType(Seq(

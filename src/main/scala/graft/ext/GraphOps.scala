@@ -133,4 +133,78 @@ object GraphOps {
         coalesce(col("in_degree"), lit(0L)).as("in_degree"))
       .withColumn("degree", col("out_degree") + col("in_degree"))
   }
+
+  /** Per-node triangle count and local clustering coefficient over the
+    * UNDIRECTED view of an edge list — the community-structure probe
+    * next to [[degreeStats]]: link farms and mutual-citation rings
+    * show up as dense triangle neighborhoods (high coefficient), while
+    * legitimate hub pages have famously sparse ones.
+    *
+    * Edge doctrine as everywhere in this file: NULL endpoints and
+    * self-loops drop, direction is erased (`least`/`greatest`
+    * canonicalization), parallel edges DISTINCT to one.
+    *
+    * Algorithm — DEGREE-ORDERED ORIENTATION, the standard
+    * scale-bounded formulation (not the naive triple self-join):
+    * orient each undirected edge from its lower-(degree, id) endpoint
+    * to the higher, enumerate wedges by self-joining the oriented
+    * list on the apex, and close each wedge against the canonical
+    * edge set. Every triangle is found EXACTLY once (at its
+    * lowest-order apex), and — the scale argument — a node's oriented
+    * out-degree is O(√m) regardless of its raw degree, so the wedge
+    * join's per-key fan-out is bounded even at a hub whose raw degree
+    * is millions: the apex self-join on a 10⁹-edge graph generates
+    * O(m^1.5) wedges worst-case instead of the naive Σdeg² which a
+    * single celebrity node drives quadratic. Three bounded shuffles
+    * (canonicalize+distinct, degree join, wedge join) + one semi-ish
+    * closing equi-join.
+    *
+    * Cross-engine exactness: counts are integers; the one float —
+    * `clustering = 2·triangles / (deg·(deg−1))` — is a single
+    * division of two exact integer products, NULL when `deg < 2`
+    * (no wedges to close). Output: `node, degree, triangles,
+    * clustering` including triangle-free nodes (zero-filled). */
+  def triangleStats(srcField: String, dstField: String)(
+      edges: DataFrame): DataFrame = {
+    val s = col(srcField); val d = col(dstField)
+    val und = edges
+      .filter(s.isNotNull && d.isNotNull && s =!= d)
+      .select(least(s, d).as("u"), greatest(s, d).as("v"))
+      .distinct()
+      .localCheckpoint() // feeds degrees, orientation, and wedge closing
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("__du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("__dv")), "v")
+    // total order by (degree, id): ties broken by the id itself, so
+    // the orientation is a strict tournament and no wedge double-counts
+    val uFirst = (col("__du") < col("__dv")) ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("a"),
+      when(uFirst, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint()
+    // wedges at apex a; id-order on (b1, b2) matches und's canonical
+    // (min, max) key, so the closing join is a plain equi-join
+    val e1 = oriented.select(col("a"), col("b").as("__b1"))
+    val e2 = oriented.select(col("a"), col("b").as("__b2"))
+    val wedges = e1.join(e2, Seq("a"))
+      .filter(col("__b1") < col("__b2"))
+    val tri = wedges.join(
+      und.select(col("u").as("__b1"), col("v").as("__b2")),
+      Seq("__b1", "__b2"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("__b1"), col("__b2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") < 2, lit(null).cast("double"))
+          .otherwise((lit(2L) * col("triangles")).cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double")))
+  }
 }

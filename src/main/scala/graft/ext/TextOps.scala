@@ -904,6 +904,58 @@ object TextOps {
       .select("doc_id", "term", "tf", "df", "tfidf", "rank")
   }
 
+  /** Vocabulary drift — WHICH tokens pull a source's unigram
+    * distribution away from the corpus mixture, the token-level
+    * companion to [[graft.probes.Probes.categoryDrift]] and the first
+    * question after a mixing change ("src2 doubled; what is it made
+    * of?"). Per (group, token): the group's share `p = c_g/n_g`, the
+    * corpus share `q = c_all/n_all`, and the signed total-variation
+    * contribution `shift = p − q`; the top `k` tokens per group by
+    * |shift| (token-asc tiebreak). Σ|shift|/2 over ALL tokens is the
+    * group↔corpus total-variation distance — TV chosen over KL
+    * deliberately: it is RATIONAL in the counts (two exact-integer
+    * divisions and a subtraction per row, no `log`), so rows
+    * hash-match cross-engine, where libm's last-ulp `log` differences
+    * would not (the repo-wide no-transcendentals doctrine).
+    *
+    * Scale shape: ONE corpus scan builds the (group, token) count
+    * frame (localCheckpoint — the sourceOverlap discipline); group
+    * totals, corpus token totals, and the one-row grand total all
+    * derive from it, so the text never re-reads. The rank window
+    * partitions by group over |vocab|-bounded rows, never documents.
+    * Hot tokens skew the token-total agg — AQE handles it like any
+    * hash-agg. */
+  def tokenShift(groupField: String, textField: String, k: Int = 10)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupField != "token", "groupField 'token' would collide")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df
+      .select(col(groupField).as("__grp"),
+        explode(tokens(col(textField))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("__grp", "token").agg(count(lit(1)).as("grp_count"))
+      .localCheckpoint()
+    val grpTot = counts.groupBy("__grp").agg(sum("grp_count").as("__ng"))
+    val tokTot = counts.groupBy("token")
+      .agg(sum("grp_count").as("corpus_count"))
+    val allTot = counts.agg(sum("grp_count").as("__na"))
+    counts.join(grpTot, "__grp").join(tokTot, "token")
+      .crossJoin(broadcast(allTot))
+      .withColumn("grp_share",
+        col("grp_count").cast("double") / col("__ng").cast("double"))
+      .withColumn("corpus_share",
+        col("corpus_count").cast("double") / col("__na").cast("double"))
+      .withColumn("shift", col("grp_share") - col("corpus_share"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__grp")
+          .orderBy(abs(col("shift")).desc, col("token").asc)))
+      .filter(col("rank") <= k)
+      .select(col("__grp").as(groupField), col("token"), col("grp_count"),
+        col("corpus_count"), col("grp_share"), col("corpus_share"),
+        col("shift"), col("rank"))
+  }
+
   /** Benchmark decontamination — drop batch documents that share ANY
     * word n-gram with the benchmark/eval corpus, the standard guard
     * against test-set leakage into training data.

@@ -980,6 +980,58 @@ object Ops {
       .select(keys.map(col) :+ col("__c.*"): _*)
   }
 
+  /** Per-group simple linear regression (y on x) from EXPLICIT
+    * sufficient statistics — [[corrMatrix]]'s modeling sibling and the
+    * same cross-engine doctrine: one hash-agg collects the five
+    * pairwise-complete sums (n, Σx, Σy, Σxy, Σx², Σy² over rows where
+    * BOTH fields are non-NULL), then the closed-form OLS line
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`,
+    * `intercept = (Σy − slope·Σx) / n`,
+    * `r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))`
+    * entirely in doubles, each step one IEEE op mirrored by the
+    * oracle. Degenerate groups (constant x, n < 2) emit NULL slope/
+    * intercept/r²; constant y with varying x legitimately fits a flat
+    * line (slope 0, r² NULL since the correlation is undefined). The
+    * money doctrine applies: keep inputs integral-valued so the sums
+    * are exact and order-independent (Σx² under 2⁵³).
+    *
+    * Scale shape: identical to any keyed aggregation — ONE shuffle
+    * with map-side partial sums, no second pass, no sort. This is the
+    * trend-per-segment probe (price vs quantity per region, quality
+    * vs length per source) that answers "is the relationship the same
+    * in every slice?" without an ML pipeline.
+    *
+    * Output: `keys…, n_pairs, slope, intercept, r2`. */
+  def regression(
+      keys: Seq[String], xField: String, yField: String)(
+      df: DataFrame): DataFrame = {
+    require(xField != yField, "x and y must be different fields")
+    val both = col(xField).isNotNull && col(yField).isNotNull
+    val x = when(both, col(xField).cast("double"))
+    val y = when(both, col(yField).cast("double"))
+    val aggs = Seq(
+      count(when(both, lit(1))).cast("double").as("__n"),
+      sum(x).as("__sx"), sum(y).as("__sy"), sum(x * y).as("__sxy"),
+      sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+    val grouped =
+      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val n = col("__n"); val sx = col("__sx"); val sy = col("__sy")
+    val sxy = col("__sxy"); val sxx = col("__sxx"); val syy = col("__syy")
+    val dx = n * sxx - sx * sx
+    val dy = n * syy - sy * sy
+    val cov = n * sxy - sx * sy
+    val slope = cov / dx
+    grouped.select(keys.map(col) ++ Seq(
+      n.cast("long").as("n_pairs"),
+      when(dx === 0.0, lit(null).cast("double"))
+        .otherwise(slope).as("slope"),
+      when(dx === 0.0, lit(null).cast("double"))
+        .otherwise((sy - slope * sx) / n).as("intercept"),
+      when(dx === 0.0 || dy === 0.0, lit(null).cast("double"))
+        .otherwise((cov * cov) / (dx * dy)).as("r2")): _*)
+  }
+
   /** Equal-WIDTH histogram — [[equalFreqBins]]'s fixed-grid sibling
     * (audit/dashboard shape: comparable bins across runs and tables,
     * no percentile pass): bin `b ∈ [1, nBins]` covers

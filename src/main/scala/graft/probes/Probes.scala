@@ -215,6 +215,82 @@ object Probes {
       .limit(topN)
   }
 
+  /** k-anonymity violations — the re-identification probe a dataset
+    * must pass before release: every equivalence class under the
+    * quasi-identifier columns (the attributes an attacker can link
+    * from outside: zip, age band, segment…) must contain at least `k`
+    * individuals, or its members are singled out by those attributes
+    * alone. Emits the VIOLATING classes (`quasi…, class_size` with
+    * `class_size < k`) — empty output = the table is k-anonymous.
+    * NULL quasi values form their own class (a missing zip code still
+    * identifies the group of rows missing it). ONE hash-agg + filter;
+    * at 100 TB the violating set is small by construction (it is
+    * bounded by the number of classes, and only the rare classes
+    * survive the filter). */
+  def kAnonymity(quasi: Seq[String], k: Long)(df: DataFrame): DataFrame = {
+    require(quasi.nonEmpty, "at least one quasi-identifier required")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+  }
+
+  /** l-diversity violations — k-anonymity's necessary complement: a
+    * class can be large yet still leak if every member SHARES the
+    * sensitive value (the homogeneity attack: "all 50 patients in
+    * that zip+age class have the same diagnosis"). Emits classes
+    * whose sensitive column carries fewer than `l` DISTINCT non-NULL
+    * values (`quasi…, class_size, distinct_sensitive`). NULL
+    * sensitive values do not count toward diversity (an absent
+    * diagnosis discloses nothing), matching `count(DISTINCT …)`
+    * semantics on both engines. Same one-agg scale shape as
+    * [[kAnonymity]]. */
+  def lDiversity(
+      quasi: Seq[String], sensitive: String, l: Long)(
+      df: DataFrame): DataFrame = {
+    require(quasi.nonEmpty, "at least one quasi-identifier required")
+    require(!quasi.contains(sensitive),
+      "sensitive column cannot be a quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col(sensitive)).as("distinct_sensitive"))
+      .filter(col("distinct_sensitive") < l)
+  }
+
+  /** Pre-flight cardinality estimate for an equi-join — the check you
+    * run BEFORE committing a 100 TB join: per join key, the exact
+    * output contribution `left_rows × right_rows`, top-`topN` keys
+    * first. A key whose product dwarfs the rest IS the skew that
+    * would strand the join on one reducer — the decision input for
+    * salting / AQE skew-join / rethinking the key, bought for two
+    * cheap key-count aggregations (key + two counts shuffle, never
+    * the payload) instead of one catastrophic shuffle. NULL keys are
+    * excluded — an equi-join drops them anyway. Output:
+    * `key…, left_rows, right_rows, out_rows` ordered by `out_rows`
+    * desc (key asc tiebreak). */
+  def joinCardinality(
+      leftKeys: Seq[String], right: DataFrame, rightKeys: Seq[String],
+      topN: Int = 20)(left: DataFrame): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      "need equal-length non-empty key lists")
+    val l = left
+      .filter(leftKeys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(leftKeys.map(col): _*)
+      .agg(count(lit(1)).as("left_rows"))
+    val r = right
+      .filter(rightKeys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(rightKeys.map(col): _*)
+      .agg(count(lit(1)).as("right_rows"))
+      // align the right key names to the left's so the join is by-name
+      .select(rightKeys.zip(leftKeys).map { case (rk, lk) =>
+        col(rk).as(lk) }.toSeq :+ col("right_rows"): _*)
+    l.join(r, leftKeys)
+      .withColumn("out_rows", col("left_rows") * col("right_rows"))
+      .orderBy(col("out_rows").desc +: leftKeys.map(col(_).asc): _*)
+      .limit(topN)
+  }
+
   /** Fail the pipeline when the key is not unique (reference:
     * `ops/rows.py::assert_unique`). Pass-through on success so probes
     * compose inside pipelines. */

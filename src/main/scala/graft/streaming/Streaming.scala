@@ -96,6 +96,82 @@ object Streaming {
         col(keyField),
         col("distinct_est"))
 
+  /** Windowed categorical drift against a STATIC baseline — the
+    * streaming form of [[graft.probes.Probes.categoryDrift]] and the
+    * live mixing dashboard ("did the crawler's language mix move in
+    * the last hour?"): per tumbling window and category value, the
+    * window share, the reference share, the delta, and the chi-square
+    * contribution `(share_w − share_ref)² / share_ref` — the exact
+    * formula the batch probe emits, so alerts calibrate identically.
+    *
+    * Categories are EXPLICIT (`values`) — the [[graft.ops.Ops
+    * .pivotAgg]] doctrine: a single stateful aggregation per window
+    * computes the total plus one conditional count per value (state is
+    * one fixed-width row per open window — no second streaming
+    * aggregation, which Spark would reject, and no per-value state
+    * growth), then a projection explodes the counts to rows and joins
+    * the broadcastable |values|+1-row reference-share frame. Rows
+    * outside `values` (NULL included) pool under `__other__` on BOTH
+    * sides, so shares always sum to 1 and a drift INTO unlisted
+    * territory is visible rather than silently dropped. Brand-new
+    * categories (reference share 0) carry NULL chi2 but show via
+    * their window share — the batch probe's convention.
+    *
+    * The reference frame is batch (a stored table); its shares
+    * compute once per query start. Identical plan on a batch frame —
+    * the spec pins batch/stream row equality. */
+  def windowedCategoryDrift(
+      events: DataFrame,
+      field: String,
+      reference: DataFrame,
+      values: Seq[String],
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(values.nonEmpty, "at least one explicit category value")
+    require(values.distinct.length == values.length, "duplicate values")
+    val other = "__other__"
+    def bucket(c: Column): Column =
+      when(c.isin(values.map(_.asInstanceOf[Any]): _*), c.cast("string"))
+        .otherwise(lit(other))
+    // reference shares: one |values|+1-row frame, broadcast into the join
+    val refTotal = reference.agg(count(lit(1)).as("__rt"))
+    val refShares = reference
+      .groupBy(bucket(col(field)).as("value"))
+      .agg(count(lit(1)).as("__rn"))
+      .crossJoin(broadcast(refTotal))
+      .select(col("value"),
+        (col("__rn").cast("double") / col("__rt").cast("double"))
+          .as("share_ref"))
+    val aggs =
+      values.map(v => count(when(col(field) === v, lit(1))).as(s"__c_$v")) :+
+        count(lit(1)).as("__total")
+    val windowed = events
+      .withWatermark(tsField, watermarkDelay)
+      .groupBy(window(col(tsField), windowLength))
+      .agg(aggs.head, aggs.tail: _*)
+    val cells = values.map(v =>
+      struct(lit(v).as("value"), col(s"__c_$v").as("n_window"))) :+
+      struct(lit(other).as("value"),
+        (col("__total") - values.map(v => col(s"__c_$v"))
+          .reduce(_ + _)).as("n_window"))
+    windowed
+      .select(col("window.start").as("window_start"), col("__total"),
+        explode(array(cells: _*)).as("__cell"))
+      .select(col("window_start"), col("__cell.value").as("value"),
+        col("__cell.n_window").as("n_window"),
+        (col("__cell.n_window").cast("double") /
+          col("__total").cast("double")).as("share_window"))
+      .join(broadcast(refShares), Seq("value"), "left")
+      .withColumn("share_ref", coalesce(col("share_ref"), lit(0.0)))
+      .withColumn("delta", col("share_window") - col("share_ref"))
+      .withColumn("chi2",
+        when(col("share_ref") === 0.0, lit(null).cast("double"))
+          .otherwise((col("delta") * col("delta")) / col("share_ref")))
+      .select("window_start", "value", "n_window", "share_window",
+        "share_ref", "delta", "chi2")
+  }
+
   /** Gap-based session windows per user: a session closes after
     * `gap` of event-time silence. */
   def sessionCounts(

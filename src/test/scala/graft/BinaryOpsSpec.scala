@@ -246,4 +246,33 @@ class BinaryOpsSpec extends SparkSpec {
       .filter($"id" === 1L).select("media").head().getAs[Row](0)
     assert(again.getSeq[Float](2) === m.getSeq[Float](2))
   }
+
+  test("sampleFrames: interval layout, cap, and non-video routing") {
+    import org.apache.spark.sql.functions._
+    // 1s clip -> 1 frame; 60.001s -> 2; 10min -> capped at maxFrames;
+    // an image and a NULL blob -> zero frame rows
+    val df = Seq(1L, 2L, 3L, 4L, 5L).toDF("id").select($"id",
+      when($"id" === 1L, BinaryOps.syntheticMp4(lit(1000)))
+        .when($"id" === 2L, BinaryOps.syntheticMp4(lit(60001)))
+        .when($"id" === 3L, BinaryOps.syntheticMp4(lit(600000)))
+        .when($"id" === 4L, BinaryOps.syntheticPng(lit(32), lit(32)))
+        .as("blob")) // id 5: NULL blob
+    val out = BinaryOps.sampleFrames("id", "blob",
+      intervalMs = 60000L, maxFrames = 5)(df)
+      .orderBy("id", "frame_idx").collect()
+    val byId = out.groupBy(_.getLong(0))
+    assert(byId(1L).length == 1 && byId(2L).length == 2 &&
+      byId(3L).length == 5)
+    assert(!byId.contains(4L) && !byId.contains(5L))
+    // timestamps lie on the interval grid inside [0, duration)
+    assert(byId(2L).map(_.getAs[Long]("ts_ms")).toSeq == Seq(0L, 60000L))
+    assert(byId(3L).map(_.getAs[Long]("ts_ms")).toSeq ==
+      Seq(0L, 60000L, 120000L, 180000L, 240000L))
+    // the frame handle is the documented md5(id:ts) digest
+    val f0 = byId(1L).head
+    assert(f0.getAs[String]("frame_ref") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("1:0".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+  }
 }

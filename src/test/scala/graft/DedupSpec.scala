@@ -525,4 +525,37 @@ class DedupSpec extends SparkSpec {
     // nothing links the unrelated pair; NO within-side pairs ever
     assert(out === Set((1L, 1L), (2L, 9L)))
   }
+
+  test("phoneticKeyPairs: soundex blocks, JW verify, caps and hygiene") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "Robert"), (2L, "Rupert"),        // R163 both, jw ≈ 0.69
+      (3L, "Smith"), (4L, "Smyth"),          // S530 both, jw high
+      (5L, "O'Brien"), (6L, "Obrien"),       // punctuation cleaned away
+      (7L, "Jones"),                         // lone block: no pairs
+      (8L, "Smith"),                         // identical key: excluded
+      (9L, null.asInstanceOf[String]),       // NULL never blocks
+      (10L, "123!"))                         // letterless never blocks
+      .toDF("id", "name")
+    val out = Dedup.phoneticKeyPairs("id", "name", minJw = 0.65)(names)
+      .orderBy("id_a", "id_b").collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the second "Smith" (8) also links to "Smyth" (4) — only the
+    // identical-key (3, 8) pair is excluded
+    assert(pairs === Set((1L, 2L), (3L, 4L), (4L, 8L), (5L, 6L)))
+    // cleaned spellings of the same name score 1.0 only when the RAW
+    // keys differ — (5,6) survives, (3,8) is excluded as an exact dup
+    val ob = out.find(r => r.getLong(0) == 5L).get
+    assert(ob.getAs[Double]("jw") < 1.0) // O'Brien vs Obrien, raw strings
+    // threshold bites: at 0.87 only Smith/Smyth (jw ≈ 0.893) survives —
+    // O'Brien/Obrien sits at ≈ 0.864 (case-exact chars: B ≠ b)
+    val tight = Dedup.phoneticKeyPairs("id", "name", minJw = 0.87)(names)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tight === Set((3L, 4L), (4L, 8L)))
+    // maxBucket drops a degenerate block whole
+    val flood = (1L to 70L).map(i => (i, s"Smith$i"))
+      .toDF("id", "name") // SMITHn all share a code once digits strip
+    assert(Dedup.phoneticKeyPairs("id", "name", minJw = 0.0)(flood)
+      .count() == 0L)
+  }
 }

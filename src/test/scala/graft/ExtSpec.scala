@@ -1583,4 +1583,62 @@ class ExtSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextOps.sourceOverlap("source", "text", 3, gramFraction = 0.0)(df))
   }
+
+  test("triangleStats: exact counts, direction/multi-edge/self-loop hygiene, coefficient") {
+    import graft.ext.GraphOps
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant 5-1
+    // and an isolated edge 6-7; reversed duplicates, a self-loop, and
+    // NULL endpoints must not change anything
+    val k4 = for {
+      a <- 1 to 4; b <- 1 to 4 if a < b
+    } yield (a, b)
+    val edges = (k4 ++ Seq((5, 1), (1, 5), (2, 1), (3, 3), (6, 7)))
+      .toDF("src", "dst")
+      .unionByName(Seq((Option.empty[Int], Option(9)),
+        (Option(9), Option.empty[Int])).toDF("src", "dst"))
+    val out = GraphOps.triangleStats("src", "dst")(edges)
+      .orderBy("node").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5, 6, 7))
+    val byNode = out.map(r => r.getInt(0) ->
+      (r.getAs[Long]("degree"), r.getAs[Long]("triangles"))).toMap
+    assert(byNode(1) == (4L, 3L)) // K4 member + pendant edge to 5
+    assert(byNode(2) == (3L, 3L) && byNode(3) == (3L, 3L) &&
+      byNode(4) == (3L, 3L))
+    assert(byNode(5) == (1L, 0L) && byNode(6) == (1L, 0L))
+    // coefficient: node 2 closes all 3 of its C(3,2) wedges -> 1.0;
+    // node 1 closes 3 of C(4,2)=6 -> 0.5; degree-1 nodes -> NULL
+    val coeff = out.map(r => r.getInt(0) ->
+      (if (r.isNullAt(r.fieldIndex("clustering"))) None
+      else Some(r.getAs[Double]("clustering")))).toMap
+    assert(coeff(2).contains(1.0) && coeff(1).contains(0.5))
+    assert(coeff(5).isEmpty && coeff(7).isEmpty)
+    // total triangles = sum/3 = 4 (K4's count, nothing phantom)
+    assert(out.map(_.getAs[Long]("triangles")).sum == 12L)
+  }
+
+  test("tokenShift: rational TV contributions, top-k rank discipline, NULL text") {
+    // src A: 3×x 1×y of 4; src B: 1×x 3×z of 4; corpus: x=4/8 y=1/8 z=3/8
+    val df = Seq(
+      ("A", "x x x y"), ("B", "x z z z"),
+      ("A", null.asInstanceOf[String]), ("B", ""))
+      .toDF("source", "text")
+    val out = TextOps.tokenShift("source", "text", k = 2)(df)
+      .orderBy("source", "rank").collect()
+    assert(out.length == 4) // two groups × k
+    val a1 = out(0) // A's biggest mover
+    assert(a1.getString(0) == "A" && a1.getString(1) == "x")
+    assert(a1.getAs[Long]("grp_count") == 3L &&
+      a1.getAs[Long]("corpus_count") == 4L)
+    assert(a1.getAs[Double]("grp_share") == 0.75 &&
+      a1.getAs[Double]("corpus_share") == 0.5 &&
+      a1.getAs[Double]("shift") == 0.25)
+    // B: z shifted +0.375, x shifted -0.25 — rank order by |shift|
+    val b = out.filter(_.getString(0) == "B")
+    assert(b(0).getString(1) == "z" &&
+      b(0).getAs[Double]("shift") == 0.375)
+    assert(b(1).getString(1) == "x" &&
+      b(1).getAs[Double]("shift") == -0.25)
+    // tokens absent from a group never emit a row for it
+    assert(!out.exists(r => r.getString(0) == "A" && r.getString(1) == "z"))
+  }
 }

@@ -350,4 +350,54 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(wscg.nonEmpty, s"no WholeStageCodegen in:\n$plan")
   }
+
+  test("builtin soundex implements documented American Soundex (oracle mirror contract)") {
+    // The phonetic ops and their DuckDB oracle mirror both encode THIS
+    // algorithm: first letter kept; B F P V→1, C G J K Q S X Z→2,
+    // D T→3, L→4, M N→5, R→6; H/W transparent (equal codes merge
+    // across them); A E I O U Y separate (equal codes count twice);
+    // the first letter's own code absorbs an equal-coded run; 3 digits,
+    // zero-padded. A drift between Spark's builtin and this reference
+    // would silently re-block every phonetic query — pinned here on
+    // the canonical set plus a seeded fuzz.
+    def reference(w: String): String = {
+      val codes = Map('B' -> '1', 'F' -> '1', 'P' -> '1', 'V' -> '1',
+        'C' -> '2', 'G' -> '2', 'J' -> '2', 'K' -> '2', 'Q' -> '2',
+        'S' -> '2', 'X' -> '2', 'Z' -> '2', 'D' -> '3', 'T' -> '3',
+        'L' -> '4', 'M' -> '5', 'N' -> '5', 'R' -> '6')
+      val up = w.toUpperCase
+      val sb = new StringBuilder
+      var last = codes.getOrElse(up.head, '0')
+      var i = 1
+      while (i < up.length && sb.length < 3) {
+        val c = up(i)
+        if (c == 'H' || c == 'W') () // transparent: last survives
+        else codes.get(c) match {
+          case Some(d) => if (d != last) { sb += d; last = d }
+          case None => last = '0' // vowel separator
+        }
+        i += 1
+      }
+      up.head + sb.toString.padTo(3, '0').mkString
+    }
+    val canonical = Map("Tymczak" -> "T522", "Ashcraft" -> "A261",
+      "Pfister" -> "P236", "Honeyman" -> "H555", "Robert" -> "R163",
+      "Wb" -> "W100", "Hb" -> "H100", "Phf" -> "P000", "Cyc" -> "C200",
+      "Aeiouy" -> "A000", "Lee" -> "L000")
+    canonical.foreach { case (w, want) => assert(reference(w) == want, w) }
+    val rnd = new scala.util.Random(42)
+    val letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ" // H/W-heavy tail below
+    val words = (1 to 400).map { _ =>
+      val n = 1 + rnd.nextInt(12)
+      (1 to n).map(_ => letters(rnd.nextInt(26))).mkString
+    } ++ (1 to 200).map { _ =>
+      val n = 1 + rnd.nextInt(10)
+      (1 to n).map(_ => "HWAEYBCS" (rnd.nextInt(8))).mkString
+    } ++ canonical.keys
+    val got = words.toDF("w").select($"w", soundex(upper($"w")).as("sx"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    words.foreach { w =>
+      assert(got(w) == reference(w), s"'$w': ${got(w)} != ${reference(w)}")
+    }
+  }
 }

@@ -804,4 +804,38 @@ class OpsSpec extends SparkSpec {
       Ops.aggregateStateKll(Seq("k"), Seq("v"))(df)).head()
     assert(math.abs(q.getAs[Double]("v_p50") - 5000.0) <= 300.0)
   }
+
+  test("regression: exact OLS line, NULL-pair handling, degenerate groups") {
+    import spark.implicits._
+    // y = 2x + 1 exactly -> slope 2, intercept 1, r2 1
+    val exact = Seq(("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0))
+    // constant x -> undefined line; constant y, varying x -> flat line
+    // with undefined correlation; NULL on either side drops the pair
+    val rows = exact ++ Seq(
+      ("cx", 4.0, 1.0), ("cx", 4.0, 9.0),
+      ("cy", 1.0, 5.0), ("cy", 2.0, 5.0), ("cy", 3.0, 5.0))
+    val df = rows.toDF("k", "x", "y")
+      .unionByName(Seq(("a", Option.empty[Double], Option(99.0)),
+        ("a", Option(99.0), Option.empty[Double]))
+        .toDF("k", "x", "y"))
+    val out = Ops.regression(Seq("k"), "x", "y")(df)
+      .orderBy("k").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n_pairs") == 3L) // NULL pairs excluded
+    assert(a.getAs[Double]("slope") == 2.0)
+    assert(a.getAs[Double]("intercept") == 1.0)
+    assert(a.getAs[Double]("r2") == 1.0)
+    val cx = out(1)
+    assert(cx.isNullAt(cx.fieldIndex("slope")) &&
+      cx.isNullAt(cx.fieldIndex("intercept")) &&
+      cx.isNullAt(cx.fieldIndex("r2")))
+    val cy = out(2)
+    assert(cy.getAs[Double]("slope") == 0.0)
+    assert(cy.getAs[Double]("intercept") == 5.0)
+    assert(cy.isNullAt(cy.fieldIndex("r2")))
+    // ungrouped form: one row over the whole frame
+    val whole = Ops.regression(Seq.empty, "x", "y")(
+      exact.toDF("k", "x", "y")).head()
+    assert(whole.getAs[Double]("slope") == 2.0)
+  }
 }

@@ -49,7 +49,8 @@ class PlanAuditSpec extends SparkSpec {
     "page_rank",         // broadcast one-row node-count aggregate
     "page_rank_weighted", // same one-row broadcast, weighted edges
     "balance_classes",   // broadcast one-row min-class-size aggregate
-    "category_drift")    // broadcast one-row (total_before, total_after)
+    "category_drift",    // broadcast one-row (total_before, total_after)
+    "token_shift")       // broadcast one-row corpus token grand total
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

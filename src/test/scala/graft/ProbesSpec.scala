@@ -151,4 +151,52 @@ class ProbesSpec extends SparkSpec {
     assert(r.isNullAt(3) && r.getDouble(4) === 1.0)
     assert(r.isNullAt(5) && r.isNullAt(6)) // delta/chi2 inherit the NULL
   }
+
+  test("kAnonymity emits only classes under k; NULL quasi values class together") {
+    import spark.implicits._
+    val t = Seq(("z1", "30s"), ("z1", "30s"), ("z1", "30s"),
+      ("z2", "40s"), (null, "40s"), (null, "40s"))
+      .toDF("zip", "age")
+    val viol = Probes.kAnonymity(Seq("zip", "age"), k = 3)(t)
+      .orderBy(col("zip").asc_nulls_first).collect()
+    // (null, 40s) size 2 and (z2, 40s) size 1 violate; (z1, 30s) size 3 passes
+    assert(viol.length == 2)
+    assert(viol(0).isNullAt(0) && viol(0).getAs[Long]("class_size") == 2L)
+    assert(viol(1).getString(0) == "z2" &&
+      viol(1).getAs[Long]("class_size") == 1L)
+    assert(Probes.kAnonymity(Seq("zip", "age"), k = 2)(
+      t.filter(col("zip").isNotNull && col("zip") =!= "z2")).count() == 0)
+  }
+
+  test("lDiversity counts distinct non-NULL sensitive values per class") {
+    import spark.implicits._
+    val t = Seq(
+      ("z1", "flu"), ("z1", "flu"), ("z1", "flu"),     // homogeneous: leaks
+      ("z2", "flu"), ("z2", "cold"),                   // diverse: passes l=2
+      ("z3", null), ("z3", "flu"))                     // NULL adds no diversity
+      .toDF("zip", "dx")
+    val out = Probes.lDiversity(Seq("zip"), "dx", l = 2)(t)
+      .orderBy("zip").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("z1", "z3"))
+    assert(out(0).getAs[Long]("class_size") == 3L &&
+      out(0).getAs[Long]("distinct_sensitive") == 1L)
+    assert(out(1).getAs[Long]("distinct_sensitive") == 1L)
+    intercept[IllegalArgumentException] {
+      Probes.lDiversity(Seq("dx"), "dx", l = 2)(t)
+    }
+  }
+
+  test("joinCardinality: exact per-key products, heaviest first, NULL keys out") {
+    import spark.implicits._
+    val l = Seq("a", "a", "a", "b", "c", null).map(Tuple1(_)).toDF("k")
+    val r = Seq("a", "a", "b", "b", "b", null, "d").map(Tuple1(_)).toDF("rk")
+    val out = Probes.joinCardinality(Seq("k"), r, Seq("rk"))(l).collect()
+    // a: 3×2=6, b: 1×3=3; c and d have no partner; NULLs never join
+    assert(out.map(x => (x.getString(0), x.getAs[Long]("left_rows"),
+      x.getAs[Long]("right_rows"), x.getAs[Long]("out_rows"))).toSeq ==
+      Seq(("a", 3L, 2L, 6L), ("b", 1L, 3L, 3L)))
+    // topN truncates after the deterministic (out_rows desc, key) order
+    val top1 = Probes.joinCardinality(Seq("k"), r, Seq("rk"), topN = 1)(l)
+    assert(top1.head().getString(0) == "a")
+  }
 }

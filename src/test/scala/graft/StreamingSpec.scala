@@ -606,4 +606,54 @@ class StreamingSpec extends SparkSpec {
       assert(g.isStreaming)
     } finally q.stop()
   }
+
+  test("windowedCategoryDrift: shares vs static baseline per window, __other__ pooling") {
+    // baseline: en .5, de .25, fr .25 — fr is NOT an explicit value, so
+    // it pools under __other__ on the reference side too
+    val reference = Seq("en", "en", "de", "fr").map(Tuple1(_)).toDF("lang")
+    val input = MemoryStream[(Timestamp, String)]
+    val drift = Streaming.windowedCategoryDrift(
+      input.toDF().toDF("ts", "lang"), "lang", reference,
+      values = Seq("en", "de"),
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = drift.writeStream.format("memory").queryName("wcd")
+      .outputMode("complete").start()
+    try {
+      // window 10:00 — en ¾, de 0, other ¼ (NULL pools with fr)
+      input.addData(ts("10:01") -> "en", ts("10:02") -> "en",
+        ts("10:03") -> "en", ts("10:04") -> null.asInstanceOf[String])
+      q.processAllAvailable()
+      val rows = spark.table("wcd")
+        .orderBy("window_start", "value").collect()
+      assert(rows.length == 3)
+      val byValue = rows.map(r => r.getString(1) ->
+        (r.getAs[Long]("n_window"), r.getAs[Double]("share_window"),
+          r.getAs[Double]("share_ref"), r.getAs[Double]("delta"))).toMap
+      assert(byValue("en") == (3L, 0.75, 0.5, 0.25))
+      assert(byValue("de") == (0L, 0.0, 0.25, -0.25))
+      assert(byValue("__other__") == (1L, 0.25, 0.25, 0.0))
+      // chi2 mirrors the batch probe's formula exactly
+      val en = rows.find(_.getString(1) == "en").get
+      assert(en.getAs[Double]("chi2") == 0.25 * 0.25 / 0.5)
+    } finally q.stop()
+  }
+
+  test("windowedCategoryDrift: identical plan on a batch frame; zero-baseline chi2 NULL") {
+    val reference = Seq("en").map(Tuple1(_)).toDF("lang")
+    val batch = Seq(ts("10:01") -> "en", ts("10:02") -> "de")
+      .toDF("ts", "lang")
+    val out = Streaming.windowedCategoryDrift(
+      batch, "lang", reference, values = Seq("en", "de"),
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+      .orderBy("value").collect()
+    // de never appears in the baseline: share_ref 0 -> chi2 NULL, but
+    // the drift is visible through share_window
+    val de = out.find(_.getString(1) == "de").get
+    assert(de.getAs[Double]("share_ref") == 0.0 &&
+      de.isNullAt(de.fieldIndex("chi2")) &&
+      de.getAs[Double]("share_window") == 0.5)
+    val other = out.find(_.getString(1) == "__other__").get
+    assert(other.getAs[Long]("n_window") == 0L &&
+      other.getAs[Double]("share_ref") == 0.0)
+  }
 }
