@@ -307,11 +307,40 @@ object GraftFunctions {
             org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
               lit, children(1))
           case other => GraftMightContain(other, children(1))
-        } }))
+        } }),
+    ("graft_mmr_select",
+      new ExpressionInfo(classOf[MmrSelect].getName, "graft_mmr_select"),
+      { children: Seq[Expression] =>
+        arity("graft_mmr_select", children, 5)
+        MmrSelect(children.head, children(1), children(2),
+          litInt(children(3), "graft_mmr_select", "k"),
+          litDouble(children(4), "graft_mmr_select", "lambda")) }))
+
+  /** Extract a literal Double argument (accepts the SQL parser's
+    * DECIMAL literals too — `0.7` parses as DECIMAL(1,1)). */
+  private def litDouble(e: Expression, fn: String, arg: String): Double =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) =>
+        v
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a numeric literal, got $other")
+    }
 
   /** Native codegen cosine similarity over two `array<float>` columns. */
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Native MMR greedy diversity re-rank over a per-query pool (see
+    * [[MmrSelect]]): three parallel arrays (ids, relevances, vectors)
+    * in (rel desc, id asc) order → selection-ordered
+    * `array<struct<item_id, cosine, mmr>>`. */
+  def mmrSelect(
+      ids: Column, rels: Column, vecs: Column,
+      k: Int, lambda: Double): Column =
+    Bridge.column(MmrSelect(Bridge.expression(ids), Bridge.expression(rels),
+      Bridge.expression(vecs), k, lambda))
 
   /** Native MinHash signature over a shingle array (see
     * [[MinHashSignature]]). */
