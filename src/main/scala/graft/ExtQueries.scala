@@ -342,6 +342,18 @@ object ExtQueries {
         queryVec = "embedding", k = 5, coarseDims = 16, rerank = 5)
         .orderBy("query_id", "rank")
     },
+    "similarity_mmr" -> { (s, dir) =>
+      // MMR diversity re-rank: brute-force top-8 pool per query, then
+      // greedy λ·rel − (1−λ)·max(0, maxSim) selection of 4 via the
+      // native kernel — earliest-pool-index tie discipline replayed
+      // step-for-step by the oracle's recursive CTE
+      val e = corpus(s, dir, "embeddings")
+      Similarity.mmrTopK(
+        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
+        queries = e.filter(col("vec_id") < 5), queryId = "vec_id",
+        queryVec = "embedding", k = 4, poolSize = 8, lambda = 0.7)
+        .orderBy("query_id", "rank")
+    },
     "similarity_lsh" -> { (s, dir) =>
       Similarity.lshTopK(corpus(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, planes = 6, dim = 64)
@@ -1537,6 +1549,7 @@ object ExtQueries {
         .otherwise(BinaryOps.syntheticMp4(dur))
       BinaryOps.mediaMetadata("doc_id", "blob")(
         corpus(s, dir, "documents").select(id, blob.as("blob")))
+        .orderBy("doc_id")
     },
     "frame_samples" -> { (s, dir) =>
       // frame-extraction plumbing over the SAME mixed media fixture:
@@ -1556,7 +1569,6 @@ object ExtQueries {
       BinaryOps.sampleFrames("doc_id", "blob")(
         corpus(s, dir, "documents").select(id, blob.as("blob")))
         .orderBy("doc_id", "frame_idx")
-        .orderBy("doc_id")
     },
     "binary_stats" -> { (s, dir) =>
       val blob = BinaryOps.toBlob(col("text"))
@@ -2932,6 +2944,57 @@ object ExtQueries {
           AS INTEGER) AS rank
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // greedy MMR replayed step-for-step: pool = brute top-8 (cosine
+    // desc, id asc = the kernel's pool order), each recursion step
+    // picks argmax of λ·rel − (1−λ)·max(0, maxSim(cand, selected))
+    // with ties to the LOWEST pool index (the kernel's strict-> scan);
+    // maxSim folds pairwise cosines seeded at 0.0, the same float ops
+    // in the same order as MmrSelect.cos — mirrors Similarity.mmrTopK
+    "similarity_mmr" -> {
+      val lam = 0.7
+      val oneMinus = 1.0 - lam
+      def score(rel: String, maxsim: String) =
+        s"$lam * $rel - $oneMinus * $maxsim"
+      val maxsim = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(s.sel_vecs, sv -> ${cosineSql("p.vec", "sv")})),
+          (a, x) -> CASE WHEN x > a THEN x ELSE a END)"""
+      s"""
+      WITH RECURSIVE q AS (SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 5),
+      pool AS (SELECT * FROM (
+          SELECT query_id, item_id, cosine, vec, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY cosine DESC, item_id ASC) AS pidx
+          FROM (SELECT q.query_id, e.vec_id AS item_id,
+                  ${cosineSql("qv", "e.embedding")} AS cosine,
+                  e.embedding AS vec
+                FROM embeddings e, q WHERE q.query_id <> e.vec_id))
+        WHERE pidx <= 8),
+      sel AS (
+        SELECT query_id, 1 AS step, [item_id] AS sel_ids,
+               [vec] AS sel_vecs, item_id, cosine, score AS mmr
+        FROM (SELECT *,
+                ${score("cosine", "CAST(0 AS DOUBLE)")} AS score,
+                row_number() OVER (PARTITION BY query_id ORDER BY
+                  ${score("cosine", "CAST(0 AS DOUBLE)")} DESC,
+                  pidx ASC) AS rn
+              FROM pool) WHERE rn = 1
+        UNION ALL
+        SELECT query_id, step + 1, list_append(sel_ids, item_id),
+               list_append(sel_vecs, vec), item_id, cosine, score
+        FROM (SELECT s.query_id AS query_id, s.step AS step,
+                s.sel_ids AS sel_ids, s.sel_vecs AS sel_vecs,
+                p.item_id AS item_id, p.cosine AS cosine, p.vec AS vec,
+                ${score("p.cosine", maxsim)} AS score,
+                row_number() OVER (PARTITION BY s.query_id ORDER BY
+                  ${score("p.cosine", maxsim)} DESC, p.pidx ASC) AS rn
+              FROM sel s JOIN pool p ON p.query_id = s.query_id
+                AND NOT list_contains(s.sel_ids, p.item_id)
+              WHERE s.step < 4) WHERE rn = 1)
+      SELECT query_id, CAST(step AS INTEGER) AS rank, item_id, cosine,
+        mmr
+      FROM sel ORDER BY query_id, rank"""
+    },
     "similarity_lsh" -> s"""
       WITH bucketed AS (SELECT vec_id, embedding, ${lshBucketSql()} AS bucket
         FROM embeddings),

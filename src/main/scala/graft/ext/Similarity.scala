@@ -1250,4 +1250,70 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "item_id", "adc_score", "cosine", "rank")
   }
+
+  /** MMR-diversified re-rank of an ANN pool (Carbonell & Goldstein's
+    * maximal marginal relevance): from each query's pool of M scored
+    * candidates, greedily select k maximizing
+    * `λ·cosine − (1−λ)·max(0, maxSim(candidate, selected))` — the
+    * diversity pass between retrieval and use that stops a cosine
+    * top-k from returning five paraphrases of one document.
+    *
+    * `pool` is ANY rung's output — (query_id, item_id, cosine, rank)
+    * from [[bruteForceTopK]], [[ivfPqTopK]], [[matryoshkaTopK]], … —
+    * with `rank` the per-query pool order (cosine desc, item_id asc),
+    * which pins the kernel's earliest-index tie discipline. `vectors`
+    * supplies candidate embeddings by id (usually the corpus frame).
+    *
+    * Scale shape: the pool (|queries|·M rows) is broadcast into ONE
+    * corpus scan to fetch candidate vectors — the corpus is never
+    * shuffled; the per-query group then carries M vectors through a
+    * |queries|-row aggregation into the native [[graft.functions
+    * .MmrSelect]] kernel (O(k·M²·dim) per ROW, embarrassingly
+    * parallel). MMR never sees the corpus — the pool bounds
+    * everything. Output: (query_id, rank, item_id, cosine, mmr) in
+    * selection order, min(k, M) rows per query. */
+  def mmrRerank(
+      pool: DataFrame,
+      vectors: DataFrame, vecId: String, vecCol: String,
+      k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    val p = pool.select(
+      col("query_id"), col("item_id"), col("cosine"), col("rank"))
+    val withVec = vectors
+      .select(col(vecId).as("item_id"),
+        col(vecCol).cast("array<float>").as("__vec"))
+      .join(broadcast(p), Seq("item_id"))
+    // array_sort's natural struct order = (rank asc): the declared pool
+    // order travels as data, immune to shuffle nondeterminism
+    val pooled = withVec
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(struct(
+        col("rank").as("__r"), col("item_id"),
+        col("cosine"), col("__vec")))).as("__p"))
+    val sel = graft.functions.GraftFunctions.mmrSelect(
+      transform(col("__p"), x => x.getField("item_id")),
+      transform(col("__p"), x => x.getField("cosine")),
+      transform(col("__p"), x => x.getField("__vec")),
+      k, lambda)
+    pooled
+      .select(col("query_id"), posexplode(sel))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.item_id").as("item_id"), col("col.cosine").as("cosine"),
+        col("col.mmr").as("mmr"))
+  }
+
+  /** [[mmrRerank]] over a [[bruteForceTopK]] pool of `poolSize` — the
+    * convenience exact form; swap the pool builder for any ANN rung at
+    * scale (the rerank stage is pool-shape-agnostic). */
+  def mmrTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, poolSize: Int, lambda: Double,
+      excludeSelf: Boolean = true): DataFrame =
+    mmrRerank(
+      bruteForceTopK(corpus, corpusId, corpusVec,
+        queries, queryId, queryVec, poolSize, excludeSelf),
+      corpus, corpusId, corpusVec, k, lambda)
 }

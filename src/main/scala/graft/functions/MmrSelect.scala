@@ -46,10 +46,20 @@ case class MmrSelect(
     s"lambda must be in [0, 1], got $lambda")
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = first.dataType == ArrayType(LongType, containsNull = false) &&
-      second.dataType == ArrayType(DoubleType, containsNull = false) &&
+    // element types only — containsNull is ignored because the natural
+    // pool build (collect_list → array_sort → transform) types its
+    // outputs containsNull=true even though no element can be null;
+    // an ACTUAL null element is a caller bug and throws in select()
+    val ok = (first.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }) &&
+      (second.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }) &&
       (third.dataType match {
-        case ArrayType(ArrayType(FloatType, false), _) => true
+        case ArrayType(ArrayType(FloatType, _), _) => true
         case _ => false
       })
     if (ok) TypeCheckResult.TypeCheckSuccess
@@ -85,12 +95,18 @@ case class MmrSelect(
 object MmrSelect {
 
   /** [[CosineSimilarity.compute]]'s float-array fold, verbatim op
-    * order, on two pool members. */
+    * order, on two pool members. Ragged pools are a caller bug — a
+    * mixed-dim pool would make every pairwise cosine meaningless — so
+    * dimension mismatch throws (the parallel-array error style of
+    * [[select]]) rather than silently scoring 0.0. */
   private def cos(vecs: ArrayData, i: Int, j: Int): Double = {
     val x = vecs.getArray(i)
     val y = vecs.getArray(j)
     val n = x.numElements()
-    if (n != y.numElements()) return 0.0 // caller guarantees equal dims
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_mmr_select: pool vectors disagree on dimension " +
+          s"($n at index $i, ${y.numElements()} at index $j)")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var p = 0
     while (p < n) {
@@ -113,6 +129,14 @@ object MmrSelect {
         s"graft_mmr_select: parallel arrays disagree on length " +
           s"($n ids, ${rels.numElements()} rels, " +
           s"${vecs.numElements()} vecs)")
+    var g = 0
+    while (g < n) {
+      if (ids.isNullAt(g) || rels.isNullAt(g) || vecs.isNullAt(g))
+        throw new IllegalArgumentException(
+          s"graft_mmr_select: null pool element at index $g " +
+            "(filter null candidates before pooling)")
+      g += 1
+    }
     val m = math.min(k, n)
     val out = new Array[Any](m)
     val chosen = new Array[Boolean](n)

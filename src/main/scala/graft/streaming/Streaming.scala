@@ -131,6 +131,8 @@ object Streaming {
     require(values.nonEmpty, "at least one explicit category value")
     require(values.distinct.length == values.length, "duplicate values")
     val other = "__other__"
+    require(!values.contains(other),
+      s"explicit value '$other' collides with the pool bucket")
     def bucket(c: Column): Column =
       when(c.isin(values.map(_.asInstanceOf[Any]): _*), c.cast("string"))
         .otherwise(lit(other))
@@ -143,17 +145,21 @@ object Streaming {
       .select(col("value"),
         (col("__rn").cast("double") / col("__rt").cast("double"))
           .as("share_ref"))
+    // counters named by INDEX, not value: a value containing '.' or a
+    // backtick would break col()-resolution of a value-derived name
     val aggs =
-      values.map(v => count(when(col(field) === v, lit(1))).as(s"__c_$v")) :+
-        count(lit(1)).as("__total")
+      values.zipWithIndex.map { case (v, i) =>
+        count(when(col(field) === v, lit(1))).as(s"__c_$i")
+      } :+ count(lit(1)).as("__total")
     val windowed = events
       .withWatermark(tsField, watermarkDelay)
       .groupBy(window(col(tsField), windowLength))
       .agg(aggs.head, aggs.tail: _*)
-    val cells = values.map(v =>
-      struct(lit(v).as("value"), col(s"__c_$v").as("n_window"))) :+
+    val cells = values.zipWithIndex.map { case (v, i) =>
+      struct(lit(v).as("value"), col(s"__c_$i").as("n_window"))
+    } :+
       struct(lit(other).as("value"),
-        (col("__total") - values.map(v => col(s"__c_$v"))
+        (col("__total") - values.indices.map(i => col(s"__c_$i"))
           .reduce(_ + _)).as("n_window"))
     windowed
       .select(col("window.start").as("window_start"), col("__total"),

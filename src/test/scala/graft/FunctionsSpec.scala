@@ -338,6 +338,145 @@ class FunctionsSpec extends SparkSpec {
     assert(mm._1 === 32 && mm._2 > 0 && mm._2 < 16)
   }
 
+  /** Independent reference MMR (plain Scala arrays, no ArrayData) —
+    * the spec's second opinion on the kernel's greedy loop. */
+  private def mmrRef(
+      ids: Seq[Long], rels: Seq[Double], vecs: Seq[Array[Float]],
+      k: Int, lam: Double): Seq[(Long, Double, Double)] = {
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i).toDouble
+        na += x(i).toDouble * x(i).toDouble
+        nb += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      val sa = math.sqrt(na); val sb = math.sqrt(nb)
+      if (sa == 0.0 || sb == 0.0) 0.0 else dot / (sa * sb)
+    }
+    val n = ids.length
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    while (out.length < math.min(k, n)) {
+      var best = -1; var bestScore = 0.0
+      for (i <- 0 until n if !chosen.contains(i)) {
+        val maxSim = (0.0 +: chosen.map(s => cos(vecs(i), vecs(s))).toSeq).max
+        val score = lam * rels(i) - (1.0 - lam) * maxSim
+        if (best < 0 || score > bestScore) { best = i; bestScore = score }
+      }
+      chosen += best
+      out += ((ids(best), rels(best), bestScore))
+    }
+    out.toSeq
+  }
+
+  private def mmrViaDf(
+      ids: Seq[Long], rels: Seq[Double], vecs: Seq[Array[Float]],
+      k: Int, lam: Double): Seq[(Long, Double, Double)] =
+    Seq((ids, rels, vecs)).toDF("ids", "rels", "vecs")
+      .select(explode(GraftFunctions.mmrSelect(
+        $"ids", $"rels", $"vecs", k, lam)).as("s"))
+      .select($"s.item_id", $"s.cosine", $"s.mmr")
+      .as[(Long, Double, Double)].collect().toSeq
+
+  test("graft_mmr_select matches an independent reference on random pools") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 30) {
+      val n = 1 + rnd.nextInt(12)
+      val dim = 1 + rnd.nextInt(8)
+      // coarse grid values make exact score ties actually occur, so the
+      // earliest-index discipline is exercised, not just documented
+      val vecs = Seq.fill(n)(Array.fill(dim)(
+        (rnd.nextInt(5) - 2).toFloat / 2))
+      val rels = Seq.fill(n)(rnd.nextInt(5).toDouble / 4)
+      val ids = (0 until n).map(i => (i * 7 + trial).toLong)
+      val k = 1 + rnd.nextInt(n + 2) // sometimes k > pool size
+      val lam = Seq(0.0, 0.3, 0.7, 1.0)(rnd.nextInt(4))
+      assert(mmrViaDf(ids, rels, vecs, k, lam) ===
+        mmrRef(ids, rels, vecs, k, lam),
+        s"trial=$trial n=$n dim=$dim k=$k lam=$lam")
+    }
+  }
+
+  test("graft_mmr_select branch pins: ties, zero-norm, empty pool, redundancy") {
+    // exact score tie (identical rel, identical vec) -> earliest pool
+    // index (= first id) wins both rounds
+    val tied = mmrViaDf(Seq(10L, 11L), Seq(0.5, 0.5),
+      Seq(Array(1f, 0f), Array(1f, 0f)), k = 2, lam = 0.7)
+    assert(tied.map(_._1) === Seq(10L, 11L))
+    // zero-norm selected vector: pairwise cos = 0.0, no penalty, so
+    // round 2 is still pure-relevance order
+    val zn = mmrViaDf(Seq(1L, 2L, 3L), Seq(0.9, 0.8, 0.7),
+      Seq(Array(0f, 0f), Array(0f, 1f), Array(1f, 0f)), k = 2, lam = 0.5)
+    assert(zn.map(_._1) === Seq(1L, 2L))
+    // anticorrelated neighbor earns NO bonus: max(0, sims) clamps, so
+    // the opposite vector scores exactly lam*rel, not more
+    val anti = mmrViaDf(Seq(1L, 2L), Seq(0.9, 0.2),
+      Seq(Array(1f, 0f), Array(-1f, 0f)), k = 2, lam = 0.5)
+    assert(anti(1)._3 === 0.5 * 0.2 - 0.5 * 0.0)
+    // empty pool -> empty selection (not an error)
+    assert(mmrViaDf(Seq.empty, Seq.empty, Seq.empty, k = 3, lam = 0.7)
+      === Seq.empty)
+    // the semantic point: a near-duplicate of pick 1 loses round 2 to a
+    // diverse lower-relevance candidate
+    val div = mmrViaDf(Seq(1L, 2L, 3L), Seq(0.95, 0.94, 0.5),
+      Seq(Array(1f, 0f), Array(1f, 0.01f), Array(0f, 1f)),
+      k = 2, lam = 0.5)
+    assert(div.map(_._1) === Seq(1L, 3L))
+  }
+
+  test("graft_mmr_select error branches: ragged arrays, null elements, bad args") {
+    // parallel arrays disagreeing on length
+    intercept[Exception](mmrViaDf(Seq(1L, 2L), Seq(0.5),
+      Seq(Array(1f), Array(1f)), k = 1, lam = 0.5))
+    // pool vectors disagreeing on dimension (ragged pool throws, never
+    // silently scores 0.0) — trip it at step 2's pairwise cosine
+    intercept[Exception](mmrViaDf(Seq(1L, 2L), Seq(0.9, 0.8),
+      Seq(Array(1f, 0f), Array(1f)), k = 2, lam = 0.5))
+    // null pool element
+    intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(Some(0.5), Option.empty[Double]),
+        Seq(Array(1f), Array(1f)))).toDF("ids", "rels", "vecs")
+        .select(GraftFunctions.mmrSelect($"ids", $"rels", $"vecs", 2, 0.5))
+        .collect()
+    }
+    // structural args validated at construction
+    intercept[Exception](GraftFunctions.mmrSelect(
+      $"a", $"b", $"c", k = 0, lambda = 0.5))
+    intercept[Exception](GraftFunctions.mmrSelect(
+      $"a", $"b", $"c", k = 1, lambda = 1.5))
+  }
+
+  test("graft_mmr_select is callable from SQL and lambda=1 is pure relevance") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT s.item_id, s.mmr FROM (
+           SELECT explode(graft_mmr_select(
+             CAST(array(1, 2, 3) AS array<bigint>),
+             array(0.2d, 0.9d, 0.5d),
+             array(CAST(array(1.0, 0.0) AS array<float>),
+                   CAST(array(1.0, 0.0) AS array<float>),
+                   CAST(array(0.0, 1.0) AS array<float>)),
+             2, 1.0d)) AS s)""").as[(Long, Double)].collect().toSeq
+    // lam=1: no diversity penalty, selection = relevance order even
+    // though items 1 and 2 are identical vectors
+    assert(rows === Seq((2L, 0.9), (3L, 0.5)))
+  }
+
+  test("mmrTopK at lambda=1 equals bruteForceTopK (selection = relevance order)") {
+    val corpus = randVecs(60, 16, seed = 41)
+    val queries = corpus.filter($"id" < 4)
+    val viaMmr = Similarity.mmrTopK(
+      corpus, "id", "v", queries, "id", "v",
+      k = 5, poolSize = 5, lambda = 1.0)
+      .select("query_id", "rank", "item_id", "cosine")
+    val viaBrute = Similarity.bruteForceTopK(
+      corpus, "id", "v", queries, "id", "v", k = 5)
+      .select("query_id", "rank", "item_id", "cosine")
+    assert(viaMmr.except(viaBrute).isEmpty && viaBrute.except(viaMmr).isEmpty)
+  }
+
   test("native cosine stays inside whole-stage codegen") {
     // spark.range (a real source) rather than a local relation, which the
     // optimizer folds before any codegen happens
