@@ -1383,6 +1383,21 @@ object ExtQueries {
         table(s, dir, "customer"))
         .orderBy("c_nationkey", "c_mktsegment")
     },
+    "k_anonymize" -> { (s, dir) =>
+      // the FIX for what k_anonymity reports: generalize the balance
+      // to 500-wide bands (raw balances are near-unique — suppress-
+      // only would drop almost everything), then suppress the rows
+      // whose (segment, band) class is still under 8 — the released
+      // view passes kAnonymity by construction (at sf0.01: 1472 rows
+      // released, 28 suppressed — both paths live)
+      Probes.kAnonymize(
+        Seq("c_mktsegment", "c_acctbal"), k = 8,
+        generalizations = Map("c_acctbal" ->
+          (floor(col("c_acctbal") / 500) * 500)))(
+        table(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"))
+        .orderBy("c_custkey")
+    },
     "l_diversity" -> { (s, dir) =>
       // homogeneity-attack probe: (nation, balance-band) classes whose
       // segment column carries < 4 distinct values
@@ -4616,6 +4631,17 @@ object ExtQueries {
         CAST(count(*) AS BIGINT) AS class_size
       FROM customer GROUP BY 1, 2 HAVING count(*) < 8
       ORDER BY 1, 2""",
+    // generalize-then-suppress mirror: the window count replays the
+    // keeper-class semi-join (NULL-safe by SQL GROUP/PARTITION
+    // semantics — NULL bands form their own class on both engines)
+    "k_anonymize" -> """
+      WITH g AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal / 500) AS BIGINT) * 500 AS c_acctbal
+        FROM customer)
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal FROM g
+      QUALIFY count(*) OVER (
+        PARTITION BY c_mktsegment, c_acctbal) >= 8
+      ORDER BY c_custkey""",
     "l_diversity" -> """
       WITH c AS (SELECT c_nationkey,
           CAST(floor(c_acctbal / 2000) AS BIGINT) AS balance_band,

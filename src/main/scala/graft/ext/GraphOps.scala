@@ -46,11 +46,21 @@ object GraphOps {
     * .ewmaSmooth]]); hub-dominated graphs want the salted-agg
     * pattern first.
     *
+    * `exactOrder = false` is the PRODUCTION mode at hub scale: the
+    * in-neighbor contribution sum becomes a plain order-free `sum()`
+    * (a pure map-side-combining hash aggregation — no per-dst list, so
+    * a 10M-in-link hub costs a hot reduce key, not a task's heap).
+    * Mathematically identical; float addition order is engine-chosen,
+    * so results agree with the exact mode to rounding (spec-asserted ≤
+    * 1e-12 relative on the fixtures) but are not oracle-hash-pinnable.
+    * The exact default stays the contract mode.
+    *
     * Output: `node, rank`. */
   def pageRank(
       srcField: String, dstField: String,
       iterations: Int = 3, damping: Double = 0.85,
-      weightField: String = "")(
+      weightField: String = "",
+      exactOrder: Boolean = true)(
       edges: DataFrame): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
@@ -95,10 +105,14 @@ object GraphOps {
         .join(outdeg, "__s")
         .join(ranks.withColumnRenamed("__v", "__s"), "__s")
         .groupBy(col("__d"))
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("__s"),
-            (col("__r") * col("__w") / col("__od")).as("__c")))),
-          lit(0.0), (acc, x) => acc + x.getField("__c")).as("__sum"))
+        .agg(
+          (if (exactOrder)
+            aggregate(
+              array_sort(collect_list(struct(col("__s"),
+                (col("__r") * col("__w") / col("__od")).as("__c")))),
+              lit(0.0), (acc, x) => acc + x.getField("__c"))
+          else
+            sum(col("__r") * col("__w") / col("__od"))).as("__sum"))
       ranks = nodes
         .join(contribs, nodes("__v") === contribs("__d"), "left")
         .crossJoin(broadcast(nRow))

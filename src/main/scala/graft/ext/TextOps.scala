@@ -1186,9 +1186,18 @@ object TextOps {
     * ONE digest-free equi-join; hot bigrams ("of the") skew that join —
     * AQE skew-split, as [[unigramCfQuality]] documents. The per-doc
     * collect is bounded by document length, the same bound every window
-    * op here lives with. */
+    * op here lives with.
+    *
+    * `exactOrder = false` is the PRODUCTION mode for book-length
+    * documents: the per-doc probability sum becomes a plain order-free
+    * `sum()` (map-side-combining hash agg — no per-doc position list).
+    * Same mathematics, engine-chosen addition order: agrees with the
+    * exact mode to rounding (spec-asserted ≤ 1e-12 relative) but is
+    * not oracle-hash-pinnable. The exact default stays the contract
+    * mode. */
   def bigramLmQuality(
-      idField: String, textField: String, lambda: Double = 0.7)(
+      idField: String, textField: String, lambda: Double = 0.7,
+      exactOrder: Boolean = true)(
       df: DataFrame): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
     val tokenized = df.select(col(idField).as("__id"),
@@ -1219,10 +1228,12 @@ object TextOps {
           .as("__p"))
       .groupBy("__id")
       .agg(count(lit(1)).as("n_bigrams"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("__pos"), col("__p")))),
-            s => s.getField("__p")),
-          lit(0.0), (a, x) => a + x).as("__sum"))
+        (if (exactOrder)
+          aggregate(
+            transform(array_sort(collect_list(struct(col("__pos"), col("__p")))),
+              s => s.getField("__p")),
+            lit(0.0), (a, x) => a + x)
+        else sum(col("__p"))).as("__sum"))
     df.select(col(idField).as("__id")).join(scored, Seq("__id"), "left")
       .select(col("__id").as(idField),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

@@ -310,13 +310,56 @@ object WindowOps {
     * fit a task, the same bound every per-key sort op here carries;
     * shard long histories by (key, period) first when they don't).
     * Rows with NULL timestamps are dropped (no place in event order —
-    * the temporal doctrine). */
+    * the temporal doctrine).
+    *
+    * `exactOrder = false` is the PRODUCTION mode for unbounded
+    * histories: repartition by key + sortWithinPartitions (the
+    * secondary-sort pattern — one shuffle, a SPILLABLE sort instead of
+    * a per-key heap array) and a streaming mapPartitions fold that
+    * carries O(1) state per key. The recurrence is inherently
+    * sequential, so the fold performs the IDENTICAL IEEE op sequence —
+    * results are bit-equal to the exact mode (spec-asserted); the mode
+    * trades whole-stage codegen for the unbounded-history bound, and
+    * emits `valueField` as double (the fold's arithmetic type). */
   def ewmaSmooth(
       keyField: String, tsField: String, valueField: String, alpha: Double,
-      tieBreak: String)(df: DataFrame): DataFrame = {
+      tieBreak: String, exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"alpha must be in (0, 1], got $alpha")
     val beta = 1.0 - alpha
+    if (!exactOrder) {
+      val prepared = df.filter(col(tsField).isNotNull)
+        .select(col(keyField).as("__k"), col(tsField).as("__t"),
+          col(tieBreak).as("__tb"), col(valueField).cast("double").as("__v"))
+        .repartition(col("__k"))
+        .sortWithinPartitions("__k", "__t", "__tb")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        prepared.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "ewma", org.apache.spark.sql.types.DoubleType))
+      val smoothed = prepared.mapPartitions { it =>
+        // one running (key, prevEwma) cell — partition order IS
+        // (key, ts, tieBreak) order by construction above
+        var curKey: Any = null
+        var started = false
+        var prev: java.lang.Double = null
+        it.map { r =>
+          val k = r.get(0)
+          val v: java.lang.Double =
+            if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))
+          val e: java.lang.Double =
+            if (!started || k != curKey) v
+            // NULL value or a NULL-poisoned tail: propagate, the exact
+            // mode's Catalyst null semantics
+            else if (v == null || prev == null) null
+            else java.lang.Double.valueOf(
+              alpha * v.doubleValue() + beta * prev.doubleValue())
+          curKey = k; started = true; prev = e
+          org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), v, e)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      return smoothed.select(col("__k").as(keyField), col("__t").as(tsField),
+        col("__tb").as(tieBreak), col("__v").as(valueField), col("ewma"))
+    }
     val arr = sort_array(collect_list(
       struct(col("__t"), col("__tb"), col("__v"))))
     val fold = aggregate(col("__arr"),

@@ -235,6 +235,49 @@ object Probes {
       .filter(col("class_size") < k)
   }
 
+  /** k-anonymity ENFORCEMENT — [[kAnonymity]] reports violations, this
+    * produces the release view that has none: optionally GENERALIZE
+    * quasi-identifiers (coarsen in place — bin a balance, truncate a
+    * zip; the caller supplies the coarsening expression per column,
+    * `histogram`/`equalFreqBins` cutpoints are the natural source),
+    * then SUPPRESS the rows whose (generalized) class is still smaller
+    * than `k`. Suppress-only is `generalizations = Map.empty`.
+    * Output: the input schema with generalized columns REPLACED (the
+    * released view must not carry the raw values) and violating rows
+    * dropped — `kAnonymity(quasi, k)` on the result is empty by
+    * construction, spec-pinned.
+    *
+    * NULL quasi values form their own class (the [[kAnonymity]]
+    * doctrine), so the keeper join is NULL-SAFE (`<=>`) — a NULL-zip
+    * class of 50 rows is anonymous, not collateral suppression.
+    *
+    * Scale shape: one hash-agg over quasi keys (map-side combining,
+    * keys only — the payload never shuffles into it) builds the
+    * keeper-class frame, bounded by |classes| and usually
+    * broadcastable — then ONE broadcast-or-hash left-semi join
+    * releases the big side, which in the broadcast case never
+    * shuffles at all. */
+  def kAnonymize(
+      quasi: Seq[String], k: Long,
+      generalizations: Map[String, Column] = Map.empty)(
+      df: DataFrame): DataFrame = {
+    require(quasi.nonEmpty, "at least one quasi-identifier required")
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(generalizations.keySet.subsetOf(quasi.toSet),
+      s"generalizations must target quasi columns; " +
+        s"extras: ${generalizations.keySet -- quasi.toSet}")
+    val coarsened = generalizations.foldLeft(df) {
+      case (d, (c, e)) => d.withColumn(c, e)
+    }
+    val keepers = coarsened
+      .groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("__cs"))
+      .filter(col("__cs") >= k)
+      .select(quasi.map(c => col(c).as(s"__q_$c")): _*)
+    val cond = quasi.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    coarsened.join(keepers, cond, "left_semi")
+  }
+
   /** l-diversity violations — k-anonymity's necessary complement: a
     * class can be large yet still leak if every member SHARES the
     * sensitive value (the homogeneity attack: "all 50 patients in

@@ -1641,4 +1641,40 @@ class ExtSpec extends SparkSpec {
     // tokens absent from a group never emit a row for it
     assert(!out.exists(r => r.getString(0) == "A" && r.getString(1) == "z"))
   }
+
+  test("exactOrder=false production folds agree with the exact modes within 1e-12") {
+    import graft.ext.GraphOps
+    def relDiff(a: Double, b: Double): Double =
+      math.abs(a - b) / math.max(math.max(math.abs(a), math.abs(b)), 1e-30)
+    // pageRank over the fixture-derived 40-node link graph (the
+    // page_rank query's own edge derivation): the order-free sum() must
+    // match the order-pinned fold to float rounding — same math,
+    // engine-chosen addition order
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select((col("user_id") % 40).as("src"),
+        ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
+    val prExact = GraphOps.pageRank("src", "dst")(ev)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prFast = GraphOps.pageRank("src", "dst", exactOrder = false)(ev)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prExact.keySet === prFast.keySet)
+    prExact.foreach { case (n, r) =>
+      assert(relDiff(r, prFast(n)) <= 1e-12,
+        s"node $n: exact=$r fast=${prFast(n)}")
+    }
+    // bigramLmQuality over the fixture corpus: plain sum() per doc vs
+    // the position-ordered fold
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lmExact = TextOps.bigramLmQuality("doc_id", "text")(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lmFast = TextOps.bigramLmQuality("doc_id", "text",
+      exactOrder = false)(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(lmExact.keySet === lmFast.keySet)
+    lmExact.foreach { case (id, (n, s)) =>
+      assert(lmFast(id)._1 === n)
+      assert(relDiff(s, lmFast(id)._2) <= 1e-12,
+        s"doc $id: exact=$s fast=${lmFast(id)._2}")
+    }
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.probes.{Probes, ProbeAssertionError}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, floor, lit}
 
 class ProbesSpec extends SparkSpec {
   import spark.implicits._
@@ -166,6 +166,36 @@ class ProbesSpec extends SparkSpec {
       viol(1).getAs[Long]("class_size") == 1L)
     assert(Probes.kAnonymity(Seq("zip", "age"), k = 2)(
       t.filter(col("zip").isNotNull && col("zip") =!= "z2")).count() == 0)
+  }
+
+  test("kAnonymize: suppress + generalize release views pass kAnonymity by construction") {
+    import spark.implicits._
+    val t = Seq(
+      ("z1", 31, "a"), ("z1", 33, "b"), ("z1", 38, "c"),  // 30s band of 3
+      ("z2", 44, "d"),                                     // singleton: suppressed
+      (null.asInstanceOf[String], 47, "e"),                // NULL-zip band of 2:
+      (null.asInstanceOf[String], 42, "f"))                // anonymous, KEPT
+      .toDF("zip", "age", "payload")
+    // suppress-only on raw (zip, age): every class is a singleton
+    val raw = Probes.kAnonymize(Seq("zip", "age"), k = 2)(t)
+    assert(raw.count() === 0)
+    // generalize age to decade bands, then suppress what remains under k
+    val gen = Probes.kAnonymize(Seq("zip", "age"), k = 2,
+      generalizations = Map("age" -> (floor(col("age") / 10) * 10)))(t)
+    val kept = gen.orderBy(col("payload")).collect()
+    // (z1, 30) class of 3 and the NULL-zip 40s class of 2 survive — the
+    // NULL class is anonymous, not collateral damage of a null-dropping
+    // equi-join; (z2, 40) is a singleton and is suppressed
+    assert(kept.map(_.getString(2)).toSeq === Seq("a", "b", "c", "e", "f"))
+    // released view carries the GENERALIZED ages, never the raw values
+    assert(kept.map(_.getLong(1)).toSet === Set(30L, 40L))
+    // the contract: kAnonymity over the released view is empty
+    assert(Probes.kAnonymity(Seq("zip", "age"), k = 2)(gen).count() === 0)
+    // generalizations must target quasi columns
+    intercept[IllegalArgumentException] {
+      Probes.kAnonymize(Seq("zip"), k = 2,
+        generalizations = Map("payload" -> lit(0)))(t)
+    }
   }
 
   test("lDiversity counts distinct non-NULL sensitive values per class") {

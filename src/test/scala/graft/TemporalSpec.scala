@@ -443,6 +443,22 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq(0.0, 4.0)) // y(10)=0, y(11)=.5*8+.5*0
   }
 
+  test("ewmaSmooth exactOrder=false streaming fold is bit-equal to the exact mode") {
+    // same recurrence, same IEEE op sequence — only the execution shape
+    // changes (secondary sort + O(1)-state mapPartitions instead of a
+    // per-key collected array), so results must match EXACTLY, not just
+    // within tolerance, on the real fixture event stream
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val exact = graft.ops.WindowOps.ewmaSmooth("user_id", "ts", "value",
+      alpha = 0.3, tieBreak = "event_id")(events)
+      .select(col("user_id"), col("event_id"), col("ewma"))
+    val fast = graft.ops.WindowOps.ewmaSmooth("user_id", "ts", "value",
+      alpha = 0.3, tieBreak = "event_id", exactOrder = false)(events)
+      .select(col("user_id"), col("event_id"), col("ewma"))
+    assert(exact.count() === fast.count())
+    assert(exact.except(fast).isEmpty && fast.except(exact).isEmpty)
+  }
+
   test("resample drops NULL-timestamp rows and keys with no datable events") {
     val events = Seq(
       (1L, 10L, Some(ts("2024-01-01 10:00:00")), 5.0),
