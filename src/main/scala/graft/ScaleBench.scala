@@ -582,6 +582,32 @@ object ScaleBench {
     }
     println("corpus_x,customers,fuzzy_join_sec")
     fjRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+
+    // The PRODUCTION curve: a FIXED dirty batch probing a GROWING
+    // master catalog (the r12 cell above grows both sides and measures
+    // collision load; this one isolates catalog growth — the nightly
+    // "match today's batch against an ever-bigger master" question).
+    // Cost must stay ~linear in the master: blocking keys shuffle both
+    // sides, the fixed side contributes a constant, candidate pairs
+    // are bounded per bucket by the 64-cap.
+    val dirtyFixed = custBase.select(
+      (col("c_custkey") + 1000000L).as("x_id"),
+      call_function("substring", col("c_name"), lit(1),
+        length(col("c_name")) - 1).as("x_name"))
+      .localCheckpoint()
+    def fjFixed(master: DataFrame): Unit =
+      Dedup.fuzzyJoin(dirtyFixed, "c_custkey", "c_name", "x_id", "x_name",
+        minJw = 0.9)(master)
+        .write.mode("overwrite").format("noop").save()
+    locally { val m1 = repCust(1).localCheckpoint(); fjFixed(m1); m1.unpersist() }
+    val fjGrowRows = for (k <- Seq(1, 2, 4)) yield {
+      val m = repCust(k).localCheckpoint()
+      val t = median3(fjFixed(m))
+      m.unpersist()
+      (k, nc * k, t)
+    }
+    println("master_x,master_rows,fuzzy_join_fixed_probe_sec")
+    fjGrowRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
     }
 
     phase("tri") {

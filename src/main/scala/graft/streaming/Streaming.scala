@@ -564,6 +564,56 @@ object Streaming {
       .drop((0 until bands).map(b => s"__bk$b") ++ Seq("__h", "__hkey"): _*)
   }
 
+  /** Streaming ANN serving — the READ path that completes the loop the
+    * dedup triad closed for ingestion: micro-batches of query vectors
+    * answered against the STORED cell-partitioned IVF-PQ index via the
+    * batch [[graft.ext.Similarity.ivfPqTopK]] VERBATIM inside
+    * `foreachBatch` (the [[streamingRollup]] doctrine: the engine is
+    * batch code, so batch and streaming retrieval CANNOT disagree —
+    * parity is structural, spec-pinned anyway). Per micro-batch:
+    * probe nprobe cells per query, ADC-score only those cells' stored
+    * codes (with `pruneIndexPartitions` the probed cells push down as
+    * a partition filter — the "read 8 of 1024 cells" guarantee holds
+    * per batch), exact-cosine rerank, then `post` (identity by
+    * default — pass [[graft.ext.Similarity.mmrRerank]] partially
+    * applied for DIVERSIFIED serving: the MMR pool is exactly this
+    * pool). Results land in `sink` with the epoch id.
+    *
+    * Why foreachBatch and not an in-plan stream-static join: per-query
+    * top-k needs ranking within unbounded groups — append-mode
+    * streaming forbids the window, and a watermarked aggregation would
+    * carry every ADC candidate (vectors included, for the rerank) as
+    * per-query state. The micro-batch boundary IS the serving unit —
+    * each batch is a bounded query set, the exact shape the batch
+    * operator is built for. At-least-once on restart (a replayed batch
+    * re-serves its answers — harmless for idempotent sinks, the
+    * [[streamingRollupHll]] caveat class). */
+  def streamingIvfPqServe(
+      queries: DataFrame,
+      queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      coarseCentroids: DataFrame, nprobe: Int,
+      pqCentroids: DataFrame, m: Int, k: Int, rerank: Int = 10,
+      index: Option[DataFrame] = None,
+      residual: Boolean = false,
+      pruneIndexPartitions: Boolean = false,
+      post: DataFrame => DataFrame = identity)(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty)
+          sink(post(graft.ext.Similarity.ivfPqTopK(
+            corpus, corpusId, corpusVec, batch, queryId, queryVec,
+            coarseCentroids, nprobe, pqCentroids, m, k, rerank,
+            // serving queries are EXTERNAL requests, not corpus rows —
+            // numeric id coincidence must not hide a valid answer
+            excludeSelf = false,
+            index, residual, pruneIndexPartitions)), epoch)
+      }
+      .start()
+
   /** Streaming SCD2 maintenance — the incremental form of
     * [[graft.ops.TemporalOps.scd2History]]: per key, the state store
     * holds the CURRENT version (one tiny struct per key); each

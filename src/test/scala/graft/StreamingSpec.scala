@@ -656,4 +656,59 @@ class StreamingSpec extends SparkSpec {
     assert(other.getAs[Long]("n_window") == 0L &&
       other.getAs[Double]("share_ref") == 0.0)
   }
+
+  test("streamingIvfPqServe answers micro-batch queries == batch ivfPqTopK; MMR post composes") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.Row
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = Similarity.standinCentroids(
+      corpus, "vec_id", "embedding", 8).localCheckpoint()
+    // the STORED index: precomputed (item_id, cell, codes) rows — the
+    // serving path must answer from codes, not re-encode the corpus
+    val index = Similarity.ivfPqIndexRows(
+      corpus, "vec_id", "embedding", cents, cents, m = 8)
+      .localCheckpoint()
+    val queryRows = Seq(
+      3L -> corpus.filter(col("vec_id") === 3L),
+      7L -> corpus.filter(col("vec_id") === 7L))
+      .map { case (id, df) =>
+        id -> df.select("embedding").as[Array[Float]].head() }
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val mmrCollected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    def mmrPost(pool: org.apache.spark.sql.DataFrame) =
+      Similarity.mmrRerank(pool, corpus, "vec_id", "embedding",
+        k = 2, lambda = 0.7)
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("qid", "qv")
+    val q1 = Streaming.streamingIvfPqServe(
+      stream, "qid", "qv", corpus, "vec_id", "embedding",
+      cents, nprobe = 2, cents, m = 8, k = 3, rerank = 10,
+      index = Some(index))(
+      (res, _) => collected.synchronized { collected ++= res.collect() })
+    val q2 = Streaming.streamingIvfPqServe(
+      stream, "qid", "qv", corpus, "vec_id", "embedding",
+      cents, nprobe = 2, cents, m = 8, k = 3, rerank = 10,
+      index = Some(index), post = mmrPost)(
+      (res, _) => mmrCollected.synchronized { mmrCollected ++= res.collect() })
+    try {
+      input.addData(queryRows.head)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      input.addData(queryRows(1)) // second micro-batch: a later request
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    val batchQueries = queryRows.toDF("qid", "qv")
+    val expect = Similarity.ivfPqTopK(
+      corpus, "vec_id", "embedding", batchQueries, "qid", "qv",
+      cents, nprobe = 2, cents, m = 8, k = 3, rerank = 10,
+      excludeSelf = false, index = Some(index))
+    def key(r: Row) = (r.getLong(0), r.getInt(r.fieldIndex("rank")))
+    assert(collected.sortBy(key).toSeq ===
+      expect.collect().toSeq.sortBy(key))
+    // diversified serving: identical pool, MMR pass applied per batch
+    assert(mmrCollected.sortBy(key).toSeq ===
+      mmrPost(expect).collect().toSeq.sortBy(key))
+  }
 }
