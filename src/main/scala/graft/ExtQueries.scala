@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{BinaryOps, Dedup, Frequency, GraphOps, Similarity, TextOps}
 import graft.ops.{Ops, TemporalOps, WindowOps}
@@ -1383,6 +1383,16 @@ object ExtQueries {
         table(s, dir, "customer"))
         .orderBy("c_nationkey", "c_mktsegment")
     },
+    "numeric_drift" -> { (s, dir) =>
+      // two-sample KS on the bin grid: even vs odd event halves of the
+      // value column over [0, 500) in 20 bins — per-bin ECDFs, the CDF
+      // delta, and ks_stat = max |delta| on every row
+      val ev = table(s, dir, "events")
+      Probes.numericDrift("value", lo = 0.0, hi = 500.0, bins = 20)(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1))
+        .orderBy("bin")
+    },
     "k_anonymize" -> { (s, dir) =>
       // the FIX for what k_anonymity reports: generalize the balance
       // to 500-wide bands (raw balances are near-unique — suppress-
@@ -1526,6 +1536,29 @@ object ExtQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity",
           "o_orderstatus", "o_totalprice")
     },
+    "html_extract" -> { (s, dir) =>
+      // the web-corpus front door: crawl HTML in, training text out —
+      // comments/script/style blocks drop WITH contents, tags become
+      // word-boundary spaces, core entities decode (&amp; LAST so
+      // double-encoding stays encoded), whitespace collapses; the
+      // oracle replays the identical rule chain step for step
+      corpus(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.htmlExtract(
+            syntheticHtml(col("doc_id"), col("text"))).as("text"))
+        .orderBy("doc_id")
+    },
+    "html_links" -> { (s, dir) =>
+      // crawl-frontier feeder: every double-quoted href in document
+      // order — composes with url_parts into (src_host, dst_host)
+      // edges for page_rank
+      corpus(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          TextOps.htmlLinks(syntheticHtml(col("doc_id"), col("text")))))
+        .withColumnRenamed("pos", "link_idx")
+        .withColumnRenamed("col", "href")
+        .orderBy("doc_id", "link_idx")
+    },
     // ---- binary / multimodal ----------------------------------------------
     "url_parts" -> { (s, dir) =>
       // crawl-manifest decomposition: synthetic per-doc URLs (the
@@ -1584,6 +1617,22 @@ object ExtQueries {
       BinaryOps.sampleFrames("doc_id", "blob")(
         corpus(s, dir, "documents").select(id, blob.as("blob")))
         .orderBy("doc_id", "frame_idx")
+    },
+    "wav_stats" -> { (s, dir) =>
+      // the first REAL sample-decode rung: per-doc PCM-16 WAVs built
+      // with a deterministic waveform (smp_j = (id·31 + j·17) % 4096 −
+      // 2048), the kernel must recover count/peak/energy from BYTES;
+      // the oracle computes the expectation arithmetically from the
+      // same formula — the media_meta discipline, one level deeper
+      val id = col("doc_id")
+      val n = (id % 50 + 5).cast("int")
+      val samples = transform(sequence(lit(0), n - 1),
+        j => ((id * 31 + j.cast("long") * 17) % 4096 - 2048).cast("int"))
+      BinaryOps.wavStats("doc_id", "blob")(
+        corpus(s, dir, "documents").select(id,
+          BinaryOps.syntheticWavPcm((id % 2 + 1).cast("int"),
+            (lit(8000) + (id % 7) * 4000).cast("int"), samples).as("blob")))
+        .orderBy("doc_id")
     },
     "binary_stats" -> { (s, dir) =>
       val blob = BinaryOps.toBlob(col("text"))
@@ -2221,6 +2270,31 @@ object ExtQueries {
         * CAST(16**(8-j) AS BIGINT))) AS BIGINT)"""
 
   /** Sequential double fold matching Spark's aggregate(…, 0.0, _+_). */
+  /** Synthetic per-doc HTML wrapped around the REAL fixture text (the
+    * fixtures carry no markup) — exercises every htmlExtract rule:
+    * comment, script (with a literal `<` inside), style, entities in
+    * both single- and double-encoded form, two hrefs. The SQL twin
+    * below builds the identical string in DuckDB. */
+  private def syntheticHtml(id: Column, text: Column): Column = concat(
+    lit("<html><head><title>Doc "), id.cast("string"),
+    lit("</title><style>p { color: red }</style>" +
+      "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
+      "<body><!-- note "), id.cast("string"),
+    lit(" --><h1>Title &amp; &lt;subtitle&gt;</h1><p>"), text,
+    lit("</p><a href=\"https://example.com/p/"), (id % 50).cast("string"),
+    lit("\">next</a> <a href=\"/local/"), (id % 7).cast("string"),
+    lit("\">rel</a>&nbsp;&#39;fin&#39;</body></html>"))
+
+  private val syntheticHtmlSql: String =
+    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      '</title><style>p { color: red }</style>' ||
+      '<script type="text/javascript">var x = 1 < 2;</script></head>' ||
+      '<body><!-- note ' || CAST(doc_id AS VARCHAR) ||
+      ' --><h1>Title &amp; &lt;subtitle&gt;</h1><p>' || text ||
+      '</p><a href="https://example.com/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+      '">next</a> <a href="/local/' || CAST(doc_id % 7 AS VARCHAR) ||
+      '">rel</a>&nbsp;&#39;fin&#39;</body></html>'"""
+
   private def foldSum(listExpr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
 
@@ -4631,6 +4705,42 @@ object ExtQueries {
         CAST(count(*) AS BIGINT) AS class_size
       FROM customer GROUP BY 1, 2 HAVING count(*) < 8
       ORDER BY 1, 2""",
+    // identical bin arithmetic ((v − 0)·20/500, floor, clamp), spine
+    // keeps empty bins, cumulative sums over the 20-row grid
+    "numeric_drift" -> """
+      WITH b AS (SELECT CAST(least(greatest(
+            floor((value - 0e0) * 20 / 5e2), 0), 19) AS BIGINT) AS bin
+          FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+      a AS (SELECT CAST(least(greatest(
+            floor((value - 0e0) * 20 / 5e2), 0), 19) AS BIGINT) AS bin
+          FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+      bc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_before
+          FROM b GROUP BY bin),
+      ac AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_after
+          FROM a GROUP BY bin),
+      t AS (SELECT CAST((SELECT count(*) FROM b) AS DOUBLE) AS tb,
+                   CAST((SELECT count(*) FROM a) AS DOUBLE) AS ta),
+      spine AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin),
+      g AS (SELECT spine.bin,
+          0e0 + spine.bin * 5e2 / 20 AS bin_lo,
+          coalesce(n_before, 0) AS n_before,
+          coalesce(n_after, 0) AS n_after, tb, ta
+        FROM spine LEFT JOIN bc ON spine.bin = bc.bin
+                   LEFT JOIN ac ON spine.bin = ac.bin, t),
+      c AS (SELECT bin, bin_lo, n_before, n_after,
+          CASE WHEN tb = 0e0 THEN NULL ELSE
+            CAST(sum(n_before) OVER (ORDER BY bin ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / tb
+          END AS cdf_before,
+          CASE WHEN ta = 0e0 THEN NULL ELSE
+            CAST(sum(n_after) OVER (ORDER BY bin ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / ta
+          END AS cdf_after
+        FROM g)
+      SELECT bin, bin_lo, n_before, n_after, cdf_before, cdf_after,
+        cdf_after - cdf_before AS cdf_delta,
+        max(abs(cdf_after - cdf_before)) OVER () AS ks_stat
+      FROM c ORDER BY bin""",
     // generalize-then-suppress mirror: the window count replays the
     // keeper-class semi-join (NULL-safe by SQL GROUP/PARTITION
     // semantics — NULL bands form their own class on both engines)
@@ -4790,6 +4900,18 @@ object ExtQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_count,
          md5(text) AS digest
          FROM documents ORDER BY doc_id""",
+    // the waveform's closed form: the oracle never parses a byte, it
+    // recomputes the generator and aggregates exactly
+    "wav_stats" -> """
+      WITH d AS (SELECT doc_id, doc_id % 50 + 5 AS n FROM documents),
+      s AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM d),
+      v AS (SELECT doc_id, n,
+          (doc_id * 31 + j * 17) % 4096 - 2048 AS smp FROM s)
+      SELECT doc_id, CAST(max(n) AS INTEGER) AS n_samples,
+        CAST(max(abs(smp)) AS INTEGER) AS peak,
+        CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+        sqrt(CAST(sum(smp * smp) AS DOUBLE) / max(n)) AS rms
+      FROM v GROUP BY doc_id ORDER BY doc_id""",
     "binary_chunk_fps" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
          md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS chunk_md5
@@ -4813,6 +4935,33 @@ object ExtQueries {
       FROM documents ORDER BY doc_id""",
     // the Spark side PARSES the URLs its builder wrote; this side
     // computes every part arithmetically (same builder, no parser)
+    // the identical rule chain, step for step: comments, script, style,
+    // tags->space, entity decode with &amp; LAST, whitespace collapse
+    "html_extract" -> s"""
+      WITH h AS (SELECT doc_id, $syntheticHtmlSql AS html FROM documents),
+      s1 AS (SELECT doc_id,
+          regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
+      s2 AS (SELECT doc_id, regexp_replace(t,
+          '(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g') AS t FROM s1),
+      s3 AS (SELECT doc_id, regexp_replace(t,
+          '(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g') AS t FROM s2),
+      s4 AS (SELECT doc_id,
+          regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+      s5 AS (SELECT doc_id,
+          replace(replace(replace(replace(replace(replace(replace(t,
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS t FROM s4)
+      SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g'))
+        AS text
+      FROM s5 ORDER BY doc_id""",
+    "html_links" -> s"""
+      WITH h AS (SELECT doc_id, $syntheticHtmlSql AS html FROM documents),
+      l AS (SELECT doc_id, regexp_extract_all(html,
+          '(?i)href\\s*=\\s*"([^"]*)"', 1) AS ls FROM h)
+      SELECT doc_id, CAST(i AS INTEGER) AS link_idx,
+        ls[CAST(i + 1 AS INT)] AS href
+      FROM (SELECT doc_id, ls, unnest(range(0, len(ls))) AS i FROM l)
+      ORDER BY doc_id, link_idx""",
     "url_parts" -> """
       WITH b AS (SELECT doc_id,
           ['www', 'data', 'cdn'][CAST(doc_id % 3 + 1 AS INT)] AS sub,

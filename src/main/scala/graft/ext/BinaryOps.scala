@@ -120,6 +120,44 @@ object BinaryOps {
       le16hex(channels), le32hex(sampleRate),
       lit("00000000" + "0000" + "1000")))
 
+  /** Full PCM-16 WAV with a REAL `data` chunk: `samples` is an
+    * `array<int>` of signed 16-bit values (interleaved frames when
+    * channels > 1), encoded little-endian two's-complement. Correct
+    * RIFF/data sizes and byte-rate/block-align fields, so the result
+    * round-trips through both [[mediaMeta]] and [[wavPcmStats]] —
+    * the builder the sample-decode tests and oracle pin against. */
+  def syntheticWavPcm(
+      channels: Column, sampleRate: Column, samples: Column): Column = {
+    val dataBytes = size(samples) * 2
+    unhex(concat(
+      lit("52494646"), le32hex(dataBytes + 36),
+      lit("57415645" + "666D7420" + "10000000" + "0100"),
+      le16hex(channels), le32hex(sampleRate),
+      le32hex(sampleRate * channels * 2), le16hex(channels * 2),
+      lit("1000"),
+      lit("64617461"), le32hex(dataBytes),
+      array_join(
+        transform(samples, s => le16hex(s.bitwiseAND(lit(0xFFFF)))), "")))
+  }
+
+  /** PCM-16 waveform statistics straight from WAV bytes — see
+    * [[graft.functions.WavPcmStats]] for the full contract (PCM-16
+    * only; NULL for anything unreadable). */
+  def wavPcmStats(blob: Column): Column =
+    graft.functions.GraftFunctions.wavStats(blob)
+
+  /** Waveform-statistics projection over a WAV blob column:
+    * `idField, n_samples, peak, sum_sq, rms` — the level/silence/
+    * clipping audit pass as a pure zero-shuffle scan (the
+    * [[mediaMetadata]] discipline: at 100 TB this decides which rows
+    * ever reach a real resampler). */
+  def wavStats(idField: String, blobField: String)(
+      df: DataFrame): DataFrame =
+    df.select(col(idField), wavPcmStats(col(blobField)).as("__w"))
+      .select(col(idField),
+        col("__w.n_samples").as("n_samples"), col("__w.peak").as("peak"),
+        col("__w.sum_sq").as("sum_sq"), col("__w.rms").as("rms"))
+
   /** Fixed-size chunk fingerprints: md5 of each `chunkBytes` slice, in
     * order — the rsync/CDC-shaped primitive for delta dedup of large
     * blobs. Pure projection: `substring` on binary slices BYTES, so one

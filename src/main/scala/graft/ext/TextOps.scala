@@ -2184,6 +2184,56 @@ object TextOps {
       parse_url(u, lit("QUERY")).as("url_query"))
   }
 
+  /** HTML → text extraction — the step BEFORE every text op in a web
+    * corpus (crawl HTML in, training text out). Deterministic
+    * rule-chain, deliberately not a DOM parser (crawl HTML is malformed
+    * by the terabyte; a rule chain degrades gracefully — an unclosed
+    * `<script>` leaks its text but every TAG still strips):
+    *  1. drop comments `<!-- … -->`, then `<script>`/`<style>` blocks
+    *     WITH their contents (case-insensitive, dot-matches-newline,
+    *     lazy — adjacent blocks don't merge);
+    *  2. every remaining tag `<…>` becomes ONE SPACE (so `a<br>b`
+    *     keeps its word boundary);
+    *  3. decode the core entities — `&nbsp;`→space, `&lt; &gt; &quot;
+    *     &#39; &apos;` → their characters, and `&amp;`→`&` LAST, so
+    *     `&amp;lt;` yields the literal `&lt;` (double-encoding stays
+    *     encoded — the order IS the contract);
+    *  4. collapse `[ \t\n\r\f]+` runs to one space and trim (the
+    *     explicit class, not `\s` — Java's `\s` includes U+000B,
+    *     RE2's does not; the explicit class folds identically in both
+    *     engines).
+    * Every step is a codegen'd `regexp_replace`/`replace` chain (RE2
+    * and java.util.regex agree on these patterns — lazy quantifiers,
+    * inline `(?is)` flags, no backrefs), zero shuffle, NULL → NULL.
+    * The DuckDB oracle replays the chain verbatim. */
+  def htmlExtract(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      "(?is)<script[^>]*>.*?</script[^>]*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style[^>]*>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&").foldLeft(noTags) {
+      case (c, (from, to)) => replace(c, lit(from), lit(to))
+    }
+    trim(regexp_replace(decoded, "[ \t\n\r\f]+", " "))
+  }
+
+  /** Outbound links of an HTML document: every double-quoted
+    * `href="…"` value, in document order — the crawl-frontier /
+    * link-graph feeder ([[graft.ext.GraphOps.pageRank]] consumes
+    * (src_host, dst_host) pairs built from these plus [[urlParts]]).
+    * Single-quoted and unquoted href forms are left to a fuller parser
+    * by documented choice (double-quoted is the overwhelming crawl
+    * majority; the pattern must stay RE2-safe — no backrefs). Pure
+    * zero-shuffle projection; NULL html → empty array. */
+  def htmlLinks(html: Column): Column =
+    regexp_extract_all(coalesce(html, lit("")),
+      lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))
+
   /** Model-based quality filtering — the fastText/CCNet-shaped LINEAR
     * n-gram classifier every production pipeline runs after the
     * rule-based gates ([[gopherRules]]): a trained, integer-quantized

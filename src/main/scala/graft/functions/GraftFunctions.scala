@@ -264,6 +264,12 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         arity("graft_media_meta", children, 1)
         MediaHeaderMeta(children.head) }),
+    ("graft_wav_stats",
+      new ExpressionInfo(
+        classOf[WavPcmStats].getName, "graft_wav_stats"),
+      { children: Seq[Expression] =>
+        arity("graft_wav_stats", children, 1)
+        WavPcmStats(children.head) }),
     // weight entries are 'gram weight' strings (gram may contain
     // spaces; the weight is everything after the LAST space) and must
     // be foldable — the model shapes the expression, not the data
@@ -454,6 +460,12 @@ object GraftFunctions {
     * sample_rate)`. */
   def mediaMeta(blob: Column): Column =
     Bridge.column(MediaHeaderMeta(Bridge.expression(blob)))
+
+  /** PCM-16 waveform statistics from WAV bytes (see [[WavPcmStats]]):
+    * `struct(n_samples, peak, sum_sq, rms)`; NULL for anything that is
+    * not a readable PCM-16 WAV. */
+  def wavStats(blob: Column): Column =
+    Bridge.column(WavPcmStats(Bridge.expression(blob)))
 
   /** Native linear n-gram classifier statistics over a token array
     * (see [[LinearTextScore]]): `struct(w_sum, n_grams)` with the

@@ -157,6 +157,71 @@ object Probes {
             col("share_before")))
   }
 
+  /** NUMERIC distribution drift between two snapshots — the
+    * Kolmogorov–Smirnov-shaped sibling of [[categoryDrift]] (which
+    * answers the same question for categorical columns): equal-width
+    * bins over a caller-supplied `[lo, hi)` (cutpoints from
+    * `histogram`/domain knowledge — supplying them keeps the binning
+    * DETERMINISTIC and oracle-exact where a data-driven min/max would
+    * drift with outliers), per bin both counts, both shares, both
+    * empirical CDFs, the CDF delta, and `ks_stat` = max |ΔCDF| on
+    * every row — the classic two-sample KS statistic evaluated on the
+    * bin grid (a lower bound on the unbinned statistic, tightening
+    * with `bins`; rank-exact KS needs a global sort by construction,
+    * which is the non-starter this probe exists to avoid). Values
+    * outside the range clamp into the edge bins (an outlier surge IS
+    * drift and must not vanish); NULLs drop — the null-rate move
+    * belongs to [[categoryDrift]]/[[schemaDrift]].
+    *
+    * Scale shape: one keys-only hash-agg per side (map-side partials,
+    * |bins| rows out), a static bin spine so empty bins keep the CDF
+    * honest, one-row totals broadcast; the ONLY ordered work — the
+    * cumulative sums and the max — runs over |bins| rows on one task,
+    * bounded by construction (`bins` ≤ 100 000). */
+  def numericDrift(
+      field: String, lo: Double, hi: Double, bins: Int)(
+      before: DataFrame, after: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 1 && bins <= 100000, s"bins must be in [1, 1e5]: $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    def side(df: DataFrame, n: String) = df
+      .filter(col(field).isNotNull)
+      .select(least(greatest(
+        floor((col(field).cast("double") - lit(lo)) * lit(bins) /
+          lit(hi - lo)), lit(0L)), lit((bins - 1).toLong)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(s"n_$n"))
+    val totals = before.filter(col(field).isNotNull)
+      .agg(count(lit(1)).cast("double").as("__tb"))
+      .crossJoin(after.filter(col(field).isNotNull)
+        .agg(count(lit(1)).cast("double").as("__ta")))
+    val spine = before.sparkSession.range(0, bins)
+      .select(col("id").as("bin"))
+    val cum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(side(before, "before"), Seq("bin"), "left")
+      .join(side(after, "after"), Seq("bin"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(hi - lo) / lit(bins)).as("bin_lo"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        col("__tb"), col("__ta"))
+      .withColumn("cdf_before",
+        when(col("__tb") === 0.0, lit(null).cast("double"))
+          .otherwise(sum("n_before").over(cum).cast("double") / col("__tb")))
+      .withColumn("cdf_after",
+        when(col("__ta") === 0.0, lit(null).cast("double"))
+          .otherwise(sum("n_after").over(cum).cast("double") / col("__ta")))
+      .withColumn("cdf_delta", col("cdf_after") - col("cdf_before"))
+      .withColumn("ks_stat",
+        max(abs(col("cdf_delta"))).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select("bin", "bin_lo", "n_before", "n_after",
+        "cdf_before", "cdf_after", "cdf_delta", "ks_stat")
+  }
+
   /** Referential-integrity probe — the FK orphan check run after every
     * load: one row of `(n_rows, n_null_fk, n_orphans)` where an orphan
     * is a fact row whose (non-NULL) foreign key matches no dimension

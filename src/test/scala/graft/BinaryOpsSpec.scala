@@ -275,4 +275,54 @@ class BinaryOpsSpec extends SparkSpec {
         .digest("1:0".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString)
   }
+
+  test("wavPcmStats: byte round-trip, sign extension, clamping, unreadable -> NULL") {
+    def stats(blob: org.apache.spark.sql.Column) =
+      spark.range(1).select(BinaryOps.wavPcmStats(blob).as("s"))
+        .select("s.n_samples", "s.peak", "s.sum_sq", "s.rms").head
+    def wav(samples: Int*) = BinaryOps.syntheticWavPcm(
+      lit(1), lit(8000), array(samples.map(v => lit(v)): _*))
+    // known waveform incl. the i16 extremes: counts/peak/energy exact,
+    // rms = sqrt(sum_sq / n) to the bit
+    val r = stats(wav(0, 1000, -1000, 32767, -32768))
+    assert(r.getInt(0) === 5 && r.getInt(1) === 32768)
+    val ss = 1000L * 1000 * 2 + 32767L * 32767 + 32768L * 32768
+    assert(r.getLong(2) === ss)
+    assert(r.getDouble(3) === math.sqrt(ss.toDouble / 5))
+    // empty data chunk: present but silent of samples
+    val e = stats(BinaryOps.syntheticWavPcm(
+      lit(1), lit(8000), array().cast("array<int>")))
+    assert(e.getInt(0) === 0 && e.isNullAt(1) &&
+      e.getLong(2) === 0L && e.isNullAt(3))
+    // header-only WAV (no data chunk) and non-PCM format: unreadable
+    assert(spark.range(1).select(BinaryOps.wavPcmStats(
+      BinaryOps.syntheticWav(lit(1), lit(8000)))).head.isNullAt(0))
+    // flip audioFormat to 3 (IEEE float): recognized container,
+    // unsupported codec -> NULL, never a misread
+    val floatFmt = spark.range(1).select(wav(5, 6).as("b"))
+      .select(concat(
+        substring(col("b"), 1, 20), unhex(lit("0300")),
+        substring(col("b"), 23, 1000)).as("b2"))
+      .select(BinaryOps.wavPcmStats(col("b2"))).head
+    assert(floatFmt.isNullAt(0))
+    // truncated capture: declared data size larger than bytes present
+    // -> stats over the bytes that ARE there (drop the last byte, so
+    // the final complete sample is also gone)
+    val trunc = spark.range(1).select(wav(100, 200, 300).as("b"))
+      .select(BinaryOps.wavPcmStats(
+        substring(col("b"), 1, 49)).as("s")) // 44-byte header + 5 bytes
+      .select("s.n_samples", "s.peak").head
+    assert(trunc.getInt(0) === 2 && trunc.getInt(1) === 200)
+    // NULL blob -> NULL struct; SQL surface registered
+    assert(Seq(Tuple1(null: Array[Byte])).toDF("b")
+      .select(BinaryOps.wavPcmStats($"b")).head.isNullAt(0))
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT graft_wav_stats(unhex(concat(
+           '52494646', '2A000000', '57415645', '666D7420', '10000000',
+           '0100', '0100', '401F0000', '803E0000', '0200', '1000',
+           '64617461', '06000000', 'E803', '18FC', '0000'))).peak AS p
+      """).head.getInt(0)
+    assert(viaSql === 1000) // samples 1000, -1000, 0
+  }
 }

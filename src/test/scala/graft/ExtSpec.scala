@@ -1642,6 +1642,35 @@ class ExtSpec extends SparkSpec {
     assert(!out.exists(r => r.getString(0) == "A" && r.getString(1) == "z"))
   }
 
+  test("htmlExtract rule chain: blocks, tags, entity order, malformed degradation") {
+    def ext(h: String): String =
+      Seq(Tuple1(h)).toDF("h").select(TextOps.htmlExtract($"h")).head.getString(0)
+    // script/style drop WITH contents; adjacent blocks don't merge
+    // (lazy quantifier): the text between two scripts survives
+    assert(ext("<script>var a;</script>mid<script>var b;</script>") === "mid")
+    assert(ext("<style>p{}</style>keep<STYLE>q{}</STYLE>") === "keep")
+    // comments drop; tags become word-boundary spaces
+    assert(ext("a<!-- x -->b") === "a b")
+    assert(ext("a<br>b<p class=\"x\">c</p>") === "a b c")
+    // entity order: &amp; decodes LAST, so double-encoding stays encoded
+    assert(ext("&amp;lt; &lt; &amp; &nbsp;&#39;q&#39;") === "&lt; < & 'q'")
+    // malformed HTML degrades gracefully: an unclosed <script> leaks
+    // its TEXT but every tag inside still strips
+    assert(ext("<script>if (a) { b(); }<p>tail</p>") ===
+      "if (a) { b(); } tail")
+    // whitespace collapse + trim; NULL in, NULL out
+    assert(ext("  a \t\n b  ") === "a b")
+    assert(Seq(Tuple1(null: String)).toDF("h")
+      .select(TextOps.htmlExtract($"h")).head.isNullAt(0))
+    // links: document order, double-quoted only (documented), NULL -> empty
+    val links = Seq(Tuple1(
+      "<a href=\"/a\">1</a><a HREF=\"/b\">2</a><a href='/skipped'>3</a>"))
+      .toDF("h").select(TextOps.htmlLinks($"h")).head.getSeq[String](0)
+    assert(links === Seq("/a", "/b"))
+    assert(Seq(Tuple1(null: String)).toDF("h")
+      .select(TextOps.htmlLinks($"h")).head.getSeq[String](0).isEmpty)
+  }
+
   test("exactOrder=false production folds agree with the exact modes within 1e-12") {
     import graft.ext.GraphOps
     def relDiff(a: Double, b: Double): Double =

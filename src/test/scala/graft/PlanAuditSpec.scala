@@ -51,6 +51,7 @@ class PlanAuditSpec extends SparkSpec {
     "page_rank_weighted", // same one-row broadcast, weighted edges
     "balance_classes",   // broadcast one-row min-class-size aggregate
     "category_drift",    // broadcast one-row (total_before, total_after)
+    "numeric_drift",     // broadcast one-row (total_before, total_after)
     "token_shift")       // broadcast one-row corpus token grand total
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {

@@ -168,6 +168,35 @@ class ProbesSpec extends SparkSpec {
       t.filter(col("zip").isNotNull && col("zip") =!= "z2")).count() == 0)
   }
 
+  test("numericDrift: binned two-sample KS — clamping, empty bins, NULL handling") {
+    import spark.implicits._
+    // before uniform over [0,4); after concentrated in [2,4) plus an
+    // outlier far outside the range that must CLAMP into the top bin
+    val before = Seq(0.5, 1.5, 2.5, 3.5).map(Tuple1(_)).toDF("v")
+    val after = Seq(2.5, 3.5, 3.6, 99.0)
+      .map(Tuple1(_)).toDF("v")
+      .unionByName(Seq(Tuple1(null: java.lang.Double)).toDF("v"))
+    val out = Probes.numericDrift("v", lo = 0.0, hi = 4.0, bins = 4)(
+      before, after)
+      .orderBy("bin").collect()
+    // NULL dropped: after totals = 4 (2.5, 3.5, 3.6, clamped 99)
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 1L, 1L, 1L)) // n_before
+    assert(out.map(_.getLong(3)).toSeq === Seq(0L, 0L, 1L, 3L)) // n_after
+    // ECDFs: before 0.25/0.5/0.75/1.0, after 0/0/0.25/1.0
+    assert(out.map(_.getDouble(4)).toSeq === Seq(0.25, 0.5, 0.75, 1.0))
+    assert(out.map(_.getDouble(5)).toSeq === Seq(0.0, 0.0, 0.25, 1.0))
+    // KS = max |delta| = 0.5 at bin 1/2, same on every row
+    assert(out.map(_.getDouble(7)).distinct.toSeq === Seq(0.5))
+    // an empty side reports NULL CDFs, not NaN
+    val empty = Probes.numericDrift("v", 0.0, 4.0, 2)(
+      before, before.filter(col("v") < -1))
+      .orderBy("bin").collect()
+    assert(empty.forall(r => r.isNullAt(5) && r.isNullAt(6)))
+    intercept[IllegalArgumentException] {
+      Probes.numericDrift("v", 4.0, 0.0, 2)(before, after)
+    }
+  }
+
   test("kAnonymize: suppress + generalize release views pass kAnonymity by construction") {
     import spark.implicits._
     val t = Seq(

@@ -81,6 +81,12 @@ class PropertySpec extends SparkSpec {
     val rows = blobs.map(Tuple1(_)).toDF("b")
       .select(graft.ext.BinaryOps.mediaMeta($"b").as("m")).collect()
     assert(rows.length === blobs.length) // no throw anywhere
+    // the sample-decoding kernel carries the same contract: arbitrary
+    // bytes (incl. RIFF-prefixed garbage with wild chunk sizes) must
+    // yield a row — NULL when unreadable — never an exception
+    val wavRows = blobs.map(Tuple1(_)).toDF("b")
+      .select(graft.ext.BinaryOps.wavPcmStats($"b").as("w")).collect()
+    assert(wavRows.length === blobs.length)
     blobs.zip(rows).foreach { case (b, r) =>
       val m = r.getStruct(0)
       val fmt = if (m.isNullAt(0)) null else m.getString(0)
