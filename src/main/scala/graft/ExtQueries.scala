@@ -342,6 +342,19 @@ object ExtQueries {
         queryVec = "embedding", k = 5, coarseDims = 16, rerank = 5)
         .orderBy("query_id", "rank")
     },
+    "ranking_metrics" -> { (s, dir) =>
+      // in-engine retrieval eval: the Matryoshka rung graded against
+      // brute-force gold — per query recall@5, first-hit rank, RR; the
+      // oracle replays BOTH rungs and the metric joins
+      val e = corpus(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(
+        e, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+      val result = Similarity.matryoshkaTopK(
+        e, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 5, coarseDims = 16, rerank = 5)
+      Similarity.rankingMetrics(result, truth, k = 5).orderBy("query_id")
+    },
     "similarity_mmr" -> { (s, dir) =>
       // MMR diversity re-rank: brute-force top-8 pool per query, then
       // greedy λ·rel − (1−λ)·max(0, maxSim) selection of 4 via the
@@ -3033,6 +3046,47 @@ object ExtQueries {
           AS INTEGER) AS rank
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // both rungs replayed (brute = gold, matryoshka = system), then the
+    // rational metric joins: recall = hits/n_relevant, RR = 1/first-hit
+    "ranking_metrics" -> s"""
+      WITH e AS (SELECT vec_id, embedding, embedding[1:16] AS pre
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, pre AS qs
+        FROM e WHERE vec_id < 10),
+      bf AS (SELECT query_id, item_id FROM (
+        SELECT query_id, c.vec_id AS item_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY ${cosineSql("qe", "c.embedding")} DESC,
+              c.vec_id ASC) AS rn
+        FROM e c, q WHERE query_id <> c.vec_id) WHERE rn <= 5),
+      sc AS (SELECT query_id, c.vec_id AS item_id,
+          ${cosineSql("qs", "c.pre")} AS coarse_cos,
+          qe, c.embedding AS ce
+        FROM e c, q WHERE query_id <> c.vec_id),
+      cand AS (SELECT * FROM sc
+        QUALIFY row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY coarse_cos DESC, item_id ASC) <= 25),
+      mat AS (SELECT query_id, item_id, rn AS rank FROM (
+        SELECT query_id, item_id, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY ${cosineSql("qe", "ce")} DESC, item_id ASC) AS rn
+        FROM cand) WHERE rn <= 5),
+      nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+        FROM bf GROUP BY query_id),
+      m AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits,
+          CAST(min(r.rank) AS INTEGER) AS first_hit_rank
+        FROM mat r JOIN bf
+          ON r.query_id = bf.query_id AND r.item_id = bf.item_id
+        GROUP BY r.query_id)
+      SELECT nrel.query_id, n_relevant,
+        coalesce(hits, 0) AS hits,
+        CAST(coalesce(hits, 0) AS DOUBLE) / n_relevant AS recall,
+        first_hit_rank,
+        CASE WHEN first_hit_rank IS NULL THEN 0e0
+          ELSE 1e0 / first_hit_rank END AS reciprocal_rank
+      FROM nrel LEFT JOIN m ON nrel.query_id = m.query_id
+      ORDER BY nrel.query_id""",
     // greedy MMR replayed step-for-step: pool = brute top-8 (cosine
     // desc, id asc = the kernel's pool order), each recursion step
     // picks argmax of λ·rel − (1−λ)·max(0, maxSim(cand, selected))

@@ -1304,6 +1304,47 @@ object Similarity {
         col("col.mmr").as("mmr"))
   }
 
+  /** Retrieval-quality evaluation IN the engine — the measurement leg
+    * the ANN ladder needs before anyone turns a knob: given a rung's
+    * `result` and a gold `truth` (both any-rung outputs carrying
+    * (query_id, item_id, rank)), per query the relevant-set size,
+    * hit count, recall = hits / n_relevant, the first hit's rank, and
+    * the reciprocal rank (0.0 when nothing relevant surfaced — the MRR
+    * convention). Deliberately the RATIONAL metric set: recall and RR
+    * are one exact-integer division each, where NDCG's log2 discount
+    * would break cross-engine bit parity (the library's no-libm-in-
+    * scores doctrine).
+    *
+    * Queries come from `truth` (a query with no gold neighbors has no
+    * recall to report; a rung that MISSES a query still shows up as
+    * recall 0 via the left join). Both inputs filter to rank ≤ k, so
+    * "recall@k vs gold-k" is the measured contract.
+    *
+    * Scale shape: one equi-join on (query, item) between two
+    * |queries|·k-row frames + two keys-only hash-aggs — the corpora
+    * behind the rungs are never touched. */
+  def rankingMetrics(result: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rel = truth.filter(col("rank") <= k).select("query_id", "item_id")
+    val nRel = rel.groupBy("query_id")
+      .agg(count(lit(1)).as("n_relevant"))
+    val matched = result.filter(col("rank") <= k)
+      .select("query_id", "item_id", "rank")
+      .join(rel, Seq("query_id", "item_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits"),
+        min("rank").as("first_hit_rank"))
+    nRel.join(matched, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_relevant"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_relevant").cast("double")).as("recall"),
+        col("first_hit_rank"),
+        when(col("first_hit_rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_hit_rank").cast("double"))
+          .as("reciprocal_rank"))
+  }
+
   /** [[mmrRerank]] over a [[bruteForceTopK]] pool of `poolSize` — the
     * convenience exact form; swap the pool builder for any ANN rung at
     * scale (the rerank stage is pool-shape-agnostic). */

@@ -178,6 +178,93 @@ object Streaming {
         "share_ref", "delta", "chi2")
   }
 
+  /** Streaming numeric drift — the [[graft.probes.Probes.numericDrift]]
+    * KS probe per tumbling window against a STATIC reference ("did the
+    * price distribution move in the last hour?"): per window and bin,
+    * the window count, window/reference empirical CDFs, the CDF delta,
+    * and `ks_stat` = max |ΔCDF| over the bin grid — the same
+    * bin-arithmetic contract as the batch probe (caller-supplied
+    * [lo, hi), clamped edges, NULLs out).
+    *
+    * Shape ([[windowedCategoryDrift]]'s doctrine, numeric edition): ONE
+    * stateful aggregation per window computes `bins` conditional
+    * counters + the non-null total (fixed-width state per open window,
+    * no per-value growth, no second streaming aggregation — which
+    * Spark would reject); the CDFs, deltas, and the max then ride ARRAY
+    * FOLDS inside one stateless projection (the running-sum fold is
+    * [[graft.ops.WindowOps.ewmaSmooth]]'s concat-fold over `bins`
+    * elements); the reference CDF is ONE broadcast row of per-bin
+    * counts computed once at query start from the static frame.
+    * `bins` is capped at 1000 — the state row and the fold are both
+    * O(bins). Identical plan on a batch frame — spec-pinned. */
+  def windowedNumericDrift(
+      events: DataFrame,
+      field: String,
+      reference: DataFrame,
+      lo: Double, hi: Double, bins: Int,
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(bins >= 1 && bins <= 1000, s"bins must be in [1, 1000]: $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    def binOf(c: Column): Column = least(greatest(
+      floor((c.cast("double") - lit(lo)) * lit(bins) / lit(hi - lo)),
+      lit(0L)), lit((bins - 1).toLong))
+    // reference per-bin counts as ONE broadcastable row (computed once
+    // at query start; an equi-join on a literal key, not a cross join —
+    // stream-static nested-loop joins are not in the supported set)
+    val spine = reference.sparkSession.range(0, bins)
+      .select(col("id").as("__b"))
+    val refRow = spine
+      .join(reference.filter(col(field).isNotNull)
+        .select(binOf(col(field)).as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as("__n")),
+        Seq("__b"), "left")
+      .agg(array_sort(collect_list(struct(col("__b"),
+        coalesce(col("__n"), lit(0L)).as("__n")))).as("__rc"))
+      .select(transform(col("__rc"), x => x.getField("__n"))
+        .as("__ref_counts"))
+      .withColumn("__one", lit(1))
+    val aggs = (0 until bins).map { i =>
+      count(when(binOf(col(field)) === i, lit(1))).as(s"__c_$i")
+    } :+ count(when(col(field).isNotNull, lit(1))).as("__total")
+    val windowed = events
+      .withWatermark(tsField, watermarkDelay)
+      .groupBy(window(col(tsField), windowLength))
+      .agg(aggs.head, aggs.tail: _*)
+    val countsArr = array((0 until bins).map(i => col(s"__c_$i")): _*)
+    def running(c: Column): Column = aggregate(c,
+      array().cast("array<bigint>"),
+      // size guard, not coalesce: ANSI element_at throws on an empty
+      // array before null-coalescing could ever see it
+      (acc, x) => concat(acc, array(
+        when(size(acc) === 0, x).otherwise(element_at(acc, -1) + x))))
+    def toCdf(cum: Column, total: Column): Column = transform(cum,
+      c => when(total === 0L, lit(null).cast("double"))
+        .otherwise(c.cast("double") / total.cast("double")))
+    windowed
+      .withColumn("__one", lit(1))
+      .join(broadcast(refRow), Seq("__one"))
+      .withColumn("__ref_total",
+        aggregate(col("__ref_counts"), lit(0L), (a, x) => a + x))
+      .withColumn("__cdf_w", toCdf(running(countsArr), col("__total")))
+      .withColumn("__cdf_r",
+        toCdf(running(col("__ref_counts")), col("__ref_total")))
+      .withColumn("__delta",
+        zip_with(col("__cdf_w"), col("__cdf_r"), (a, b) => a - b))
+      .withColumn("ks_stat",
+        array_max(transform(col("__delta"), d => abs(d))))
+      .select(col("window.start").as("window_start"),
+        posexplode(arrays_zip(countsArr.as("n"),
+          col("__cdf_w").as("cw"), col("__cdf_r").as("cr"),
+          col("__delta").as("d"))),
+        col("ks_stat"))
+      .select(col("window_start"), col("pos").cast("long").as("bin"),
+        col("col.n").as("n_window"),
+        col("col.cw").as("cdf_window"), col("col.cr").as("cdf_ref"),
+        col("col.d").as("cdf_delta"), col("ks_stat"))
+  }
+
   /** Gap-based session windows per user: a session closes after
     * `gap` of event-time silence. */
   def sessionCounts(

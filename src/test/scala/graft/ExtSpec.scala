@@ -1642,6 +1642,37 @@ class ExtSpec extends SparkSpec {
     assert(!out.exists(r => r.getString(0) == "A" && r.getString(1) == "z"))
   }
 
+  test("rankingMetrics: recall/RR semantics incl. zero-hit and absent queries") {
+    def frame(rows: (Long, Long, Int)*) =
+      rows.toDF("query_id", "item_id", "rank")
+    val truth = frame((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1))
+    // q1: hits 11 (rank 2) and 12 (rank 3); q2: zero hits; q3 absent
+    // from the result entirely — must still report recall 0
+    val result = frame((1L, 99L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 98L, 1), (2L, 97L, 2))
+    val out = Similarity.rankingMetrics(result, truth, k = 3)
+      .orderBy("query_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val q1 = out(0)
+    assert(q1.getLong(1) === 3L && q1.getLong(2) === 2L) // n_relevant, hits
+    assert(q1.getDouble(3) === 2.0 / 3.0)
+    assert(q1.getInt(4) === 2 && q1.getDouble(5) === 0.5)
+    assert(out(1).getLong(2) === 0L && out(1).getDouble(3) === 0.0 &&
+      out(1).isNullAt(4) && out(1).getDouble(5) === 0.0)
+    assert(out(2).getLong(2) === 0L && out(2).getDouble(5) === 0.0)
+    // rank > k rows in either frame are outside the contract
+    val deep = Similarity.rankingMetrics(
+      frame((1L, 10L, 4)), frame((1L, 10L, 1)), k = 3)
+      .orderBy("query_id").collect()
+    assert(deep(0).getLong(2) === 0L) // rank-4 hit doesn't count at k=3
+    // a perfect rung scores recall 1, RR 1 on every query
+    val perfect = Similarity.rankingMetrics(truth, truth, k = 3).collect()
+    assert(perfect.forall(r =>
+      r.getDouble(3) === 1.0 && r.getDouble(5) === 1.0))
+  }
+
   test("htmlExtract rule chain: blocks, tags, entity order, malformed degradation") {
     def ext(h: String): String =
       Seq(Tuple1(h)).toDF("h").select(TextOps.htmlExtract($"h")).head.getString(0)

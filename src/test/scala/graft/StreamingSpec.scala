@@ -657,6 +657,58 @@ class StreamingSpec extends SparkSpec {
       other.getAs[Double]("share_ref") == 0.0)
   }
 
+  test("windowedNumericDrift: per-window binned KS vs static reference; batch parity") {
+    import org.apache.spark.sql.functions.col
+    // reference: uniform over 4 bins of [0, 8)
+    val reference = Seq(1.0, 3.0, 5.0, 7.0).map(Tuple1(_)).toDF("v")
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = Streaming.windowedNumericDrift(
+      input.toDF().toDF("ts", "v"), "v", reference,
+      lo = 0.0, hi = 8.0, bins = 4,
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wnd")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // window 10:00: all mass in the TOP bin (incl. a clamped 99.0)
+        ts("10:01") -> 6.5, ts("10:02") -> 7.5, ts("10:03") -> 99.0,
+        // window 10:10: matches the reference exactly
+        ts("10:11") -> 1.0, ts("10:12") -> 3.0,
+        ts("10:13") -> 5.0, ts("10:14") -> 7.0,
+        // advance the watermark past 10:05 so the first window closes
+        ts("10:21") -> 0.0)
+      q.processAllAvailable()
+      // second batch: advance past 10:15 so the 10:10 window closes too
+      input.addData(ts("10:31") -> 0.0)
+      q.processAllAvailable()
+      val rows = spark.table("wnd")
+        .orderBy("window_start", "bin").collect()
+      val w1 = rows.filter(_.getAs[Timestamp]("window_start") == ts("10:00"))
+      // window CDF (0,0,0,1) vs ref (0.25,0.5,0.75,1) -> KS = 0.75
+      assert(w1.map(_.getLong(2)).toSeq === Seq(0L, 0L, 0L, 3L))
+      assert(w1.map(_.getDouble(6)).distinct.toSeq === Seq(0.75))
+      val w2 = rows.filter(_.getAs[Timestamp]("window_start") == ts("10:10"))
+      assert(w2.map(_.getDouble(6)).distinct.toSeq === Seq(0.0)) // no drift
+    } finally q.stop()
+    // identical plan on a batch frame, and the per-bin ECDF/KS numbers
+    // agree with the BATCH probe on the same two frames
+    val batch = Seq(ts("10:01") -> 6.5, ts("10:02") -> 7.5,
+      ts("10:03") -> 99.0).toDF("ts", "v")
+    val viaStreamOp = Streaming.windowedNumericDrift(
+      batch, "v", reference, lo = 0.0, hi = 8.0, bins = 4,
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+      .orderBy("bin")
+      .select("bin", "n_window", "cdf_window", "cdf_ref", "ks_stat")
+      .collect()
+    val viaBatchProbe = graft.probes.Probes.numericDrift(
+      "v", lo = 0.0, hi = 8.0, bins = 4)(reference, batch)
+      .orderBy("bin")
+      .select("bin", "n_after", "cdf_after", "cdf_before", "ks_stat")
+      .collect()
+    assert(viaStreamOp.map(_.toSeq).toSeq ===
+      viaBatchProbe.map(_.toSeq).toSeq)
+  }
+
   test("streamingIvfPqServe answers micro-batch queries == batch ivfPqTopK; MMR post composes") {
     import graft.ext.Similarity
     import org.apache.spark.sql.functions.col
