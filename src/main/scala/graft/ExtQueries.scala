@@ -1396,6 +1396,14 @@ object ExtQueries {
         table(s, dir, "customer"))
         .orderBy("c_nationkey", "c_mktsegment")
     },
+    "temperature_mix" -> { (s, dir) =>
+      // T=2 multilingual smoothing: per-source share ∝ √n (the one
+      // temperature that stays oracle-exact — sqrt is correctly-rounded
+      // IEEE, pow is libm), 200-row budget, deterministic Bernoulli
+      TextOps.temperatureMix("doc_id", "source", budgetRows = 200)(
+        corpus(s, dir, "documents").select("doc_id", "source"))
+        .orderBy("doc_id")
+    },
     "numeric_drift" -> { (s, dir) =>
       // two-sample KS on the bin grid: even vs odd event halves of the
       // value column over [0, 500) in 20 bins — per-bin ECDFs, the CDF
@@ -4759,6 +4767,28 @@ object ExtQueries {
         CAST(count(*) AS BIGINT) AS class_size
       FROM customer GROUP BY 1, 2 HAVING count(*) < 8
       ORDER BY 1, 2""",
+    // √n weights, source-ordered fold for Σ√n, the shared md5-prefix
+    // Bernoulli with salt 'temp' — mirrors TextOps.temperatureMix
+    "temperature_mix" -> """
+      WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source),
+      w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM per),
+      tw AS (SELECT list_reduce(
+          list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY source)),
+          (a, x) -> a + x) AS tw FROM w),
+      r AS (SELECT source AS src,
+          least(200 * (w / tw) / CAST(n AS DOUBLE),
+            CAST(1 AS DOUBLE)) AS p
+        FROM w, tw)
+      SELECT doc_id, source, p AS sample_rate FROM (
+        SELECT d.doc_id, d.source, r.p,
+          list_sum(list_transform(range(1, 9), j ->
+            (strpos('0123456789abcdef',
+               substr(md5('temp' || CAST(d.doc_id AS VARCHAR)), j, 1)) - 1)
+            * CAST(16**(8-j) AS BIGINT))) AS h
+        FROM documents d JOIN r ON d.source = r.src) x
+      WHERE CAST(h AS DOUBLE) < p * CAST(4294967296 AS DOUBLE)
+      ORDER BY doc_id""",
     // identical bin arithmetic ((v − 0)·20/500, floor, clamp), spine
     // keeps empty bins, cumulative sums over the 20-row grid
     "numeric_drift" -> """

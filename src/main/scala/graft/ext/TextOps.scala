@@ -717,6 +717,44 @@ object TextOps {
       .drop("__src", "__p")
   }
 
+  /** Temperature-based mixture re-sampling at T = 2 — the standard
+    * multilingual/multi-source smoothing rule (mT5/XLM-R's
+    * `p_s ∝ n_s^α`) at α = 1/2, the one exponent that stays
+    * ORACLE-EXACT: `sqrt` is a correctly-rounded IEEE primitive where
+    * a general `pow(n, 0.7)` is libm and not bit-reproducible
+    * cross-engine (the no-libm-in-scores doctrine; other temperatures
+    * belong to a caller-supplied weight map via
+    * [[downsampleToTargets]]). Head sources flatten toward the tail:
+    * a 100× bigger source gets only 10× the share.
+    *
+    * Each source's target share is `√n_s / Σ√n` (the Σ over sources is
+    * the ONE order-sensitive float fold — pinned by sorted-by-source
+    * fold, |sources| elements on one row), its row budget
+    * `budgetRows · share`, its keep rate `min(1, budget_s / n_s)`, and
+    * rows keep via the deterministic [[hashBernoulli]] — rerun-stable,
+    * no corpus shuffle beyond one keys-only count agg; the per-source
+    * rate table broadcasts back. Output: the kept rows plus their
+    * `sample_rate`. */
+  def temperatureMix(
+      idField: String, sourceField: String,
+      budgetRows: Long, salt: String = "temp")(df: DataFrame): DataFrame = {
+    require(budgetRows > 0, s"row budget must be positive: $budgetRows")
+    val counts = df.groupBy(col(sourceField).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", sqrt(col("__n").cast("double")))
+    val totW = counts
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__src"), col("__w")))),
+        lit(0.0), (acc, x) => acc + x.getField("__w")).as("__tw"))
+    val rates = counts.crossJoin(broadcast(totW))
+      .select(col("__src"),
+        least(lit(budgetRows) * (col("__w") / col("__tw")) /
+          col("__n").cast("double"), lit(1.0)).as("sample_rate"))
+    df.join(broadcast(rates), col(sourceField) === col("__src"))
+      .filter(hashBernoulli(col(idField), col("sample_rate"), salt))
+      .drop("__src")
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Identical normalization + digest in the oracle; exact-dup detection
     * is then a groupBy on this column. */

@@ -430,4 +430,5 @@ object TemporalOps {
         col("v_last"),
         last(col("v_last"), ignoreNulls = true).over(w).as("v_ffill"))
   }
+
 }

@@ -1642,6 +1642,36 @@ class ExtSpec extends SparkSpec {
     assert(!out.exists(r => r.getString(0) == "A" && r.getString(1) == "z"))
   }
 
+  test("temperatureMix: sqrt flattening, rate cap, rerun determinism") {
+    // head source 1600 rows, tail 100: at T=2 the share ratio must be
+    // √16 = 4, not 16 — the flattening IS the semantics
+    val df = ((1 to 1600).map(i => (i.toLong, "head")) ++
+      (2001 to 2100).map(i => (i.toLong, "tail")))
+      .toDF("doc_id", "source")
+    val rates = TextOps.temperatureMix("doc_id", "source",
+      budgetRows = 200)(df)
+      .select("source", "sample_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // share_head/share_tail = √(1600/100) = 4 ⇒ rate ratio = 4/16 = .25
+    assert(math.abs(rates("head") / rates("tail") - 0.25) < 1e-12)
+    // a tiny source whose allocation exceeds its size caps at rate 1
+    val withTiny = df.unionByName(Seq((3001L, "micro")).toDF("doc_id", "source"))
+    val tinyRate = TextOps.temperatureMix("doc_id", "source",
+      budgetRows = 2000)(withTiny)
+      .filter(col("source") === "micro")
+      .select("sample_rate").head.getDouble(0)
+    assert(tinyRate === 1.0)
+    // deterministic: identical keep-set across reruns
+    val a = TextOps.temperatureMix("doc_id", "source", 200)(df)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = TextOps.temperatureMix("doc_id", "source", 200)(df)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b && a.nonEmpty)
+    intercept[IllegalArgumentException] {
+      TextOps.temperatureMix("doc_id", "source", 0)(df)
+    }
+  }
+
   test("rankingMetrics: recall/RR semantics incl. zero-hit and absent queries") {
     def frame(rows: (Long, Long, Int)*) =
       rows.toDF("query_id", "item_id", "rank")
