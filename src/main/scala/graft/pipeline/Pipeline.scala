@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 import graft.ext.{Dedup, TextOps}
 import graft.ops.{Ops, TemporalOps}
@@ -511,6 +512,33 @@ final case class Pipeline(df: DataFrame) {
       gramFraction: Double = 1.0): Pipeline =
     >>(Dedup.containmentPairs(idField, textField, n, threshold, maxDf,
       gramFraction))
+  /** `this` is the corpus; brute-force pool + MMR greedy diversity
+    * re-rank (λ·rel − (1−λ)·maxSim). */
+  def mmrTopK(corpusId: String, corpusVec: String, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int, poolSize: Int,
+      lambda: Double, excludeSelf: Boolean = true): Pipeline =
+    >>(c => graft.ext.Similarity.mmrTopK(c, corpusId, corpusVec, queries,
+      queryId, queryVec, k, poolSize, lambda, excludeSelf))
+  /** `this` is a rung's (query_id, item_id, rank) output; grade it
+    * against `truth`: recall / first-hit rank / reciprocal rank. */
+  def rankingMetrics(truth: DataFrame, k: Int): Pipeline =
+    >>(r => graft.ext.Similarity.rankingMetrics(r, truth, k))
+  def htmlExtract(field: String): Pipeline =
+    >>(_.withColumn(field, TextOps.htmlExtract(col(field))))
+  def htmlLinks(field: String, outField: String = "links"): Pipeline =
+    >>(_.withColumn(outField, TextOps.htmlLinks(col(field))))
+  def temperatureMix(idField: String, sourceField: String,
+      budgetRows: Long, salt: String = "temp"): Pipeline =
+    >>(TextOps.temperatureMix(idField, sourceField, budgetRows, salt))
+  def wavStats(idField: String, blobField: String): Pipeline =
+    >>(graft.ext.BinaryOps.wavStats(idField, blobField))
+  def kAnonymize(quasi: Seq[String], k: Long,
+      generalizations: Map[String, Column] = Map.empty): Pipeline =
+    >>(Probes.kAnonymize(quasi, k, generalizations))
+  /** `this` is the BEFORE snapshot; KS drift vs `after`. */
+  def numericDrift(field: String, lo: Double, hi: Double, bins: Int,
+      after: DataFrame): Pipeline =
+    >>(b => Probes.numericDrift(field, lo, hi, bins)(b, after))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

@@ -658,5 +658,15 @@ class StoresSpec extends SparkSpec {
       .keySkew(Seq("k"), topN = 1).result.head()
     assert(skew.getAs[Long]("key_count") == 3L &&
       skew.getAs[Double]("share") == 1.0)
+    // round-13 additions ride the same façade
+    val html = Pipeline(Seq((1L, "<p>a</p><a href=\"/x\">l</a>"))
+      .toDF("doc_id", "text"))
+      .htmlLinks("text").htmlExtract("text").result.head()
+    assert(html.getString(1) === "a l" &&
+      html.getSeq[String](2) === Seq("/x"))
+    val anon = Pipeline(Seq(("z", 1), ("z", 2), ("q", 3)).toDF("zip", "p"))
+      .kAnonymize(Seq("zip"), k = 2).result
+      .select("zip").as[String].collect().toSeq
+    assert(anon === Seq("z", "z"))
   }
 }
