@@ -651,6 +651,75 @@ object ScaleBench {
     hubbed.unpersist()
     println(f"hub_stress: x1_plus_deg2000_hub,${net + 2000},$tHub%.2f")
     }
+
+    phase("r13") {
+    // Round-13 ops under growth. htmlExtract / wavStats are pure
+    // projections (must be ~linear, i.e. flat at this fixture size
+    // where job overhead dominates); temperatureMix adds one keys-only
+    // agg + a broadcast rate join (linear); MMR's honest axis is NOT
+    // corpus size (the pool bounds it) but POOL SIZE M — cost is
+    // O(k·M²·dim) per query, so doubling M must roughly quadruple the
+    // kernel work, measured at fixed queries/corpus.
+    import graft.ext.{BinaryOps, Similarity, TextOps}
+    val docsR = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source")
+    val nd = docsR.count()
+    def repDocs(k: Int): DataFrame =
+      (0 until k).map(i => docsR.select(
+        (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        col("text"), col("source")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def htmlJob(d: DataFrame): Unit = d.select(col("doc_id"),
+      TextOps.htmlExtract(concat(
+        lit("<html><head><style>p{}</style><script>var x;</script>"),
+        lit("</head><body><!-- c --><p>"), col("text"),
+        lit("</p>&amp; &lt;x&gt;</body></html>"))).as("t"))
+      .write.mode("overwrite").format("noop").save()
+    def wavJob(d: DataFrame): Unit = {
+      val n = (col("doc_id") % 50 + 5).cast("int")
+      val samples = transform(sequence(lit(0), n - 1), j =>
+        ((col("doc_id") * 31 + j.cast("long") * 17) % 4096 - 2048).cast("int"))
+      d.select(col("doc_id"), BinaryOps.wavPcmStats(
+        BinaryOps.syntheticWavPcm(lit(1), lit(8000), samples)).as("w"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    def mixJob(d: DataFrame): Unit =
+      TextOps.temperatureMix("doc_id", "source", budgetRows = 200)(d)
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = repDocs(1).localCheckpoint()
+      htmlJob(d1); wavJob(d1); mixJob(d1); d1.unpersist() }
+    val r13Rows = for (k <- Seq(1, 2, 4)) yield {
+      val d = repDocs(k).localCheckpoint()
+      val tH = median3(htmlJob(d))
+      val tW = median3(wavJob(d))
+      val tM = median3(mixJob(d))
+      d.unpersist()
+      (k, nd * k, tH, tW, tM)
+    }
+    println("corpus_x,docs,html_extract_sec,wav_stats_sec,temperature_mix_sec")
+    r13Rows.foreach { case (k, d, a, b, c) =>
+      println(f"$k,$d,$a%.2f,$b%.2f,$c%.2f") }
+    // MMR selection-size curve at a fixed large pool (M = 1024, 10
+    // queries): the kernel's running-maxSim form is O(k·M·dim) per
+    // query, so the curve must stay FLAT while k grows 16× — this cell
+    // is the regression tripwire for the incremental-update invariant
+    // (the naive re-fold-selected-per-round form it replaced measured
+    // 0.47 / 1.87 / 18.57 s on this same grid: quadratic, 50× at the
+    // top cell; results bit-identical — float max is order-free)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val qs = emb.filter(col("vec_id") < 10).localCheckpoint()
+    def mmrJob(k: Int): Unit =
+      Similarity.mmrTopK(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = k, poolSize = 1024, lambda = 0.7)
+        .write.mode("overwrite").format("noop").save()
+    locally { mmrJob(8) }
+    val mmrRows = for (k <- Seq(8, 32, 128)) yield (k, median3(mmrJob(k)))
+    println("select_k,mmr_topk_pool1024_sec")
+    mmrRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    emb.unpersist(); qs.unpersist()
+    }
     spark.stop()
   }
 }

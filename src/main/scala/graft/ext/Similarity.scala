@@ -1268,8 +1268,9 @@ object Similarity {
     * corpus scan to fetch candidate vectors — the corpus is never
     * shuffled; the per-query group then carries M vectors through a
     * |queries|-row aggregation into the native [[graft.functions
-    * .MmrSelect]] kernel (O(k·M²·dim) per ROW, embarrassingly
-    * parallel). MMR never sees the corpus — the pool bounds
+    * .MmrSelect]] kernel (O(k·M·dim) per ROW — incremental running
+    * maxSim against the newest selection only, bit-identical to the
+    * full re-scan — embarrassingly parallel). MMR never sees the corpus — the pool bounds
     * everything. Output: (query_id, rank, item_id, cosine, mmr) in
     * selection order, min(k, M) rows per query. */
   def mmrRerank(

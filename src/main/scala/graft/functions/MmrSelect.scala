@@ -32,10 +32,18 @@ import org.apache.spark.sql.types._
   *    fold (array-order accumulation, zero-norm → 0.0), the op order
   *    the DuckDB oracle spells out.
   *
-  * Cost: O(k · M² · dim) per query over a pool of M — per-ROW compute
-  * on |queries| rows, embarrassingly parallel, zero shuffle beyond the
-  * pool build. The pool (an ANN/brute top-M) bounds everything; MMR
-  * never sees the corpus. */
+  * Cost: O(k · M · dim) per query over a pool of M — the classic MMR
+  * incremental form: each candidate carries a running
+  * `maxSim(cand, selected)` that a new selection can only RAISE, so
+  * round r computes one cosine per candidate against the NEWEST
+  * selection instead of re-folding the whole selected set (`max` is
+  * order-free for non-NaN floats, so the running max is bit-identical
+  * to the full re-scan; vectors and their norms extract/fold ONCE in
+  * the same array order, so every pairwise cosine is still bit-for-bit
+  * [[CosineSimilarity]]'s fold — §8 curve pins linear-in-k). Per-ROW
+  * compute on |queries| rows, embarrassingly parallel, zero shuffle
+  * beyond the pool build. The pool (an ANN/brute top-M) bounds
+  * everything; MMR never sees the corpus. */
 case class MmrSelect(
     first: Expression, second: Expression, third: Expression,
     k: Int, lambda: Double)
@@ -94,29 +102,19 @@ case class MmrSelect(
 
 object MmrSelect {
 
-  /** [[CosineSimilarity.compute]]'s float-array fold, verbatim op
-    * order, on two pool members. Ragged pools are a caller bug — a
-    * mixed-dim pool would make every pairwise cosine meaningless — so
-    * dimension mismatch throws (the parallel-array error style of
-    * [[select]]) rather than silently scoring 0.0. */
-  private def cos(vecs: ArrayData, i: Int, j: Int): Double = {
-    val x = vecs.getArray(i)
-    val y = vecs.getArray(j)
-    val n = x.numElements()
-    if (n != y.numElements())
-      throw new IllegalArgumentException(
-        s"graft_mmr_select: pool vectors disagree on dimension " +
-          s"($n at index $i, ${y.numElements()} at index $j)")
-    var dot = 0.0; var na = 0.0; var nb = 0.0
+  /** [[CosineSimilarity.compute]]'s float-array fold over cached
+    * vectors with PRE-FOLDED norms — identical bits to folding dot and
+    * norms per pair (each accumulator's addition sequence is the array
+    * order either way, and `sna*snb` multiplies in the same order). */
+  private def cos(
+      x: Array[Float], y: Array[Float], nx: Double, ny: Double): Double = {
+    var dot = 0.0
     var p = 0
-    while (p < n) {
-      val xi = x.getFloat(p).toDouble
-      val yi = y.getFloat(p).toDouble
-      dot += xi * yi; na += xi * xi; nb += yi * yi
+    while (p < x.length) {
+      dot += x(p).toDouble * y(p).toDouble
       p += 1
     }
-    val sna = math.sqrt(na); val snb = math.sqrt(nb)
-    if (sna == 0.0 || snb == 0.0) 0.0 else dot / (sna * snb)
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (nx * ny)
   }
 
   /** Static kernel shared by eval and codegen. */
@@ -129,18 +127,40 @@ object MmrSelect {
         s"graft_mmr_select: parallel arrays disagree on length " +
           s"($n ids, ${rels.numElements()} rels, " +
           s"${vecs.numElements()} vecs)")
+    // one pass extracts vectors (ArrayData.getArray allocates — never
+    // inside the selection loop), folds each norm in array order, and
+    // validates: null elements and ragged dimensions are caller bugs
+    // (a mixed-dim pool would make every pairwise cosine meaningless)
+    // and throw up front, never silently score 0.0
+    val fv = new Array[Array[Float]](n)
+    val norm = new Array[Double](n)
     var g = 0
     while (g < n) {
       if (ids.isNullAt(g) || rels.isNullAt(g) || vecs.isNullAt(g))
         throw new IllegalArgumentException(
           s"graft_mmr_select: null pool element at index $g " +
             "(filter null candidates before pooling)")
+      fv(g) = vecs.getArray(g).toFloatArray()
+      if (fv(g).length != fv(0).length)
+        throw new IllegalArgumentException(
+          s"graft_mmr_select: pool vectors disagree on dimension " +
+            s"(${fv(0).length} at index 0, ${fv(g).length} at index $g)")
+      var na = 0.0
+      var p = 0
+      while (p < fv(g).length) {
+        na += fv(g)(p).toDouble * fv(g)(p).toDouble
+        p += 1
+      }
+      norm(g) = math.sqrt(na)
       g += 1
     }
     val m = math.min(k, n)
     val out = new Array[Any](m)
     val chosen = new Array[Boolean](n)
-    val chosenIdx = new Array[Int](m)
+    // running max(0, maxSim(i, selected)): a new selection can only
+    // RAISE it, and float max is order-free, so updating against the
+    // newest selection alone is bit-identical to a full re-scan
+    val maxSim = new Array[Double](n) // seeded 0.0: no diversity bonus
     var r = 0
     while (r < m) {
       var best = -1
@@ -148,22 +168,22 @@ object MmrSelect {
       var i = 0
       while (i < n) {
         if (!chosen(i)) {
-          var maxSim = 0.0 // max(0, sims…): anticorrelation is not a bonus
-          var s = 0
-          while (s < r) {
-            val sim = cos(vecs, i, chosenIdx(s))
-            if (sim > maxSim) maxSim = sim
-            s += 1
-          }
-          val score = lam * rels.getDouble(i) - (1.0 - lam) * maxSim
+          val score = lam * rels.getDouble(i) - (1.0 - lam) * maxSim(i)
           if (best < 0 || score > bestScore) { best = i; bestScore = score }
         }
         i += 1
       }
       chosen(best) = true
-      chosenIdx(r) = best
       out(r) = InternalRow(ids.getLong(best), rels.getDouble(best),
         bestScore)
+      var j = 0
+      while (j < n) {
+        if (!chosen(j)) {
+          val sim = cos(fv(j), fv(best), norm(j), norm(best))
+          if (sim > maxSim(j)) maxSim(j) = sim
+        }
+        j += 1
+      }
       r += 1
     }
     new GenericArrayData(out)
