@@ -589,4 +589,71 @@ class EndToEndSpec extends SparkSpec {
     assert(rolled.orderBy("user_id").collect().toSeq ===
       latestSnapshot(events).orderBy("user_id").collect().toSeq)
   }
+
+  test("web-corpus chain: html extract/links -> link-graph prior -> temperature mix -> MMR-graded retrieval") {
+    import graft.ext.{GraphOps, Similarity}
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nDocs = docs.count()
+
+    // 1. a synthetic crawl: real fixture text wrapped in HTML, each doc
+    // hosted on one of 7 hosts and linking to a deterministic neighbor
+    val id = col("doc_id")
+    val host = concat(lit("h"), (id % 7).cast("string"), lit(".example.com"))
+    // a ring (host x -> x+1 mod 7): never a self-loop, every host both
+    // links and is linked, so pageRank conserves mass over all 7
+    val target = concat(lit("https://h"), ((id + 1) % 7).cast("string"),
+      lit(".example.com/p/"), id.cast("string"))
+    val crawl = docs.select(id, host.as("host"), col("text").as("raw"),
+      concat(lit("<html><head><script>track()</script></head><body><p>"),
+        col("text"), lit("</p><a href=\""), target,
+        lit("\">next</a></body></html>")).as("html"))
+
+    // 2. extraction recovers the original text (modulo the whitespace
+    // collapse the extractor itself declares) and exactly one link/doc
+    val extracted = crawl.select(id, col("host"), col("raw"),
+      TextOps.htmlExtract(col("html")).as("text"),
+      TextOps.htmlLinks(col("html")).as("links"))
+    assert(extracted.filter(size(col("links")) =!= 1).count() === 0)
+    val mismatch = extracted.filter(col("text") =!=
+      concat(trim(regexp_replace(col("raw"), "[ \t\n\r\f]+", " ")),
+        lit(" next"))).count()
+    assert(mismatch === 0)
+
+    // 3. the links feed a host graph; pageRank gives the crawl prior.
+    // Every host both links and is linked (the id maps are surjective
+    // mod 7), so no dangling mass: ranks sum to 1
+    val linkHost = TextOps.urlParts("doc_id", "href")(
+      extracted.select(id, explode(col("links")).as("href")))
+      .select(col("doc_id"), col("host").as("dst_host"))
+    val edges = extracted.select(id, col("host")).join(linkHost, "doc_id")
+      .select(col("host").as("src"), col("dst_host").as("dst"))
+    val pr = GraphOps.pageRank("src", "dst")(edges).collect()
+    assert(pr.length === 7)
+    assert(math.abs(pr.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+
+    // 4. temperature mixing flattens the source skew deterministically;
+    // every kept row carries a usable rate
+    val mixed = TextOps.temperatureMix("doc_id", "source",
+      budgetRows = nDocs / 2)(docs)
+    assert(mixed.count() > 0 && mixed.count() < nDocs)
+    assert(mixed.filter(col("sample_rate") <= 0.0 ||
+      col("sample_rate") > 1.0).count() === 0)
+
+    // 5. retrieval with a diversity pass, GRADED in-engine: MMR's
+    // round 1 is pure relevance, so against the brute-force gold at
+    // the same k every query's first hit ranks 1 (RR = 1.0), while
+    // recall may legitimately trade away for diversity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 8)
+    val gold = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 3)
+    val diverse = Similarity.mmrTopK(emb, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 3, poolSize = 12, lambda = 0.5)
+    val graded = Similarity.rankingMetrics(diverse, gold, k = 3).collect()
+    assert(graded.length === 8)
+    assert(graded.forall(r => r.getInt(4) === 1 && r.getDouble(5) === 1.0))
+    assert(graded.forall(r =>
+      r.getDouble(3) >= 1.0 / 3.0 && r.getDouble(3) <= 1.0))
+  }
 }
