@@ -1396,6 +1396,15 @@ object ExtQueries {
         table(s, dir, "customer"))
         .orderBy("c_nationkey", "c_mktsegment")
     },
+    "span_corrupt" -> { (s, dir) =>
+      // T5 denoising pairs: grid-aligned 3-token spans masked at 15%
+      // via the salted per-block Bernoulli; numbered sentinels in the
+      // input, sentinel-prefixed spans in the target — the oracle
+      // replays the identical block/hash/rank arithmetic
+      TextOps.spanCorrupt("doc_id", "text",
+        maskProb = 0.15, spanLen = 3)(corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
     "temperature_mix" -> { (s, dir) =>
       // T=2 multilingual smoothing: per-source share ∝ √n (the one
       // temperature that stays oracle-exact — sqrt is correctly-rounded
@@ -4767,6 +4776,46 @@ object ExtQueries {
         CAST(count(*) AS BIGINT) AS class_size
       FROM customer GROUP BY 1, 2 HAVING count(*) < 8
       ORDER BY 1, 2""",
+    // identical block grid, per-block md5-prefix Bernoulli (salt 't5'),
+    // sentinel rank = prefix-sum of the mask — mirrors
+    // TextOps.spanCorrupt
+    "span_corrupt" -> """
+      WITH d AS (SELECT doc_id,
+          string_split(coalesce(text, ''), ' ') AS t FROM documents),
+      n AS (SELECT doc_id, t,
+          CAST(ceil(len(t) / 3e0) AS INT) AS nb FROM d),
+      m AS (SELECT doc_id, t, nb,
+          list_transform(range(0, nb), b -> CASE WHEN
+            CAST(list_sum(list_transform(range(1, 9), j ->
+              (strpos('0123456789abcdef',
+                 substr(md5('t5' || CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(b AS VARCHAR)), j, 1)) - 1)
+              * CAST(16**(8-j) AS BIGINT))) AS DOUBLE)
+            < 15e-2 * CAST(4294967296 AS DOUBLE) THEN 1 ELSE 0 END) AS mask
+        FROM n),
+      s AS (SELECT doc_id, t, nb, mask,
+          list_transform(range(0, nb), b ->
+            CAST(coalesce(list_sum(mask[1:CAST(b AS INT)]), 0) AS INT))
+            AS sid
+        FROM m)
+      SELECT doc_id,
+        coalesce(array_to_string(flatten(list_transform(range(0, nb),
+          b -> CASE WHEN mask[CAST(b + 1 AS INT)] = 1
+            THEN ['<extra_id_' ||
+              CAST(sid[CAST(b + 1 AS INT)] AS VARCHAR) || '>']
+            ELSE t[CAST(b * 3 + 1 AS INT):CAST(b * 3 + 3 AS INT)]
+          END)), ' '), '') AS input_text,
+        -- array_to_string([]) is NULL in DuckDB, '' in Spark's
+        -- array_join: coalesce pins the empty-pair row
+        coalesce(array_to_string(flatten(list_transform(range(0, nb),
+          b -> CASE WHEN mask[CAST(b + 1 AS INT)] = 1
+            THEN list_concat(['<extra_id_' ||
+                CAST(sid[CAST(b + 1 AS INT)] AS VARCHAR) || '>'],
+              t[CAST(b * 3 + 1 AS INT):CAST(b * 3 + 3 AS INT)])
+            ELSE CAST([] AS VARCHAR[])
+          END)), ' '), '') AS target_text,
+        CAST(coalesce(list_sum(mask), 0) AS BIGINT) AS n_masked_spans
+      FROM s ORDER BY doc_id""",
     // √n weights, source-ordered fold for Σ√n, the shared md5-prefix
     // Bernoulli with salt 'temp' — mirrors TextOps.temperatureMix
     "temperature_mix" -> """

@@ -755,6 +755,65 @@ object TextOps {
       .drop("__src")
   }
 
+  /** T5/UL2-style span corruption — the denoising-objective pair
+    * builder: mask token spans out of the INPUT, replacing each with a
+    * numbered sentinel, and emit the TARGET as sentinel-prefixed masked
+    * spans in order (`input: "the <extra_id_0> sat"`,
+    * `target: "<extra_id_0> cat"`). Deterministic, GRID-ALIGNED spans
+    * (the documented variant): the token stream splits into fixed
+    * `spanLen` blocks and block b of a document masks iff the salted
+    * [[hashBernoulli]] on `(id:b)` fires at `maskProb` — rerun-stable,
+    * exactly reproducible by the oracle, and embarrassingly parallel
+    * where sampled variable-length spans would need a per-doc
+    * sequential walk (the greedy overlap-exclusion chain). Expected
+    * masked-token fraction = maskProb; sentinel numbering is the
+    * block's rank among the doc's masked blocks (exact integer
+    * cumulative count). NULL/empty text → empty pair with 0 spans.
+    *
+    * Scale shape: pure per-row array projection — tokens split once,
+    * O(B²) integer adds for the B ≈ tokens/spanLen sentinel ranks
+    * (trivial against the string work), zero shuffle; 100 TB pays one
+    * scan. Output: `idField, input_text, target_text, n_masked_spans`. */
+  def spanCorrupt(
+      idField: String, textField: String,
+      maskProb: Double = 0.15, spanLen: Int = 3, salt: String = "t5")(
+      df: DataFrame): DataFrame = {
+    require(maskProb > 0.0 && maskProb < 1.0,
+      s"maskProb must be in (0, 1): $maskProb")
+    require(spanLen >= 1, s"spanLen must be >= 1: $spanLen")
+    def sentinel(sid: Column): Column =
+      concat(lit("<extra_id_"), sid.cast("string"), lit(">"))
+    val withToks = df
+      .withColumn("__toks", tokens(coalesce(col(textField), lit(""))))
+      .withColumn("__nb",
+        ceil(size(col("__toks")).cast("double") / spanLen).cast("int"))
+      .withColumn("__blocks",
+        when(col("__nb") === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), col("__nb") - 1)))
+      // 1/0 mask per block, then each block's sentinel id = count of
+      // masked blocks before it (slice of length 0 folds to 0)
+      .withColumn("__mask", transform(col("__blocks"), b =>
+        when(hashBernoulli(
+          concat(col(idField).cast("string"), lit(":"), b.cast("string")),
+          lit(maskProb), salt), lit(1)).otherwise(lit(0))))
+      .withColumn("__sid", transform(col("__blocks"), b =>
+        aggregate(slice(col("__mask"), lit(1), b), lit(0), (a, x) => a + x)))
+    def blockToks(b: Column): Column =
+      slice(col("__toks"), b * spanLen + 1, lit(spanLen))
+    def isMasked(b: Column): Column = element_at(col("__mask"), b + 1) === 1
+    def sidOf(b: Column): Column = element_at(col("__sid"), b + 1)
+    withToks.select(col(idField),
+      array_join(flatten(transform(col("__blocks"), b =>
+        when(isMasked(b), array(sentinel(sidOf(b))))
+          .otherwise(blockToks(b)))), " ").as("input_text"),
+      array_join(flatten(transform(col("__blocks"), b =>
+        when(isMasked(b),
+          concat(array(sentinel(sidOf(b))), blockToks(b)))
+          .otherwise(array().cast("array<string>")))), " ").as("target_text"),
+      aggregate(col("__mask"), lit(0), (a, x) => a + x)
+        .cast("long").as("n_masked_spans"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Identical normalization + digest in the oracle; exact-dup detection
     * is then a groupBy on this column. */

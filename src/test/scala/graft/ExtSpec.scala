@@ -1642,6 +1642,44 @@ class ExtSpec extends SparkSpec {
     assert(!out.exists(r => r.getString(0) == "A" && r.getString(1) == "z"))
   }
 
+  test("spanCorrupt: reconstruction invariant, sentinel order, edges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val out = TextOps.spanCorrupt("doc_id", "text",
+      maskProb = 0.3, spanLen = 3)(docs)
+      .join(docs, "doc_id")
+      .select("doc_id", "input_text", "target_text", "n_masked_spans", "text")
+      .collect()
+    assert(out.length === docs.count())
+    // the denoising contract: substituting each sentinel in the input
+    // with its target span reconstructs the original token stream
+    out.foreach { r =>
+      val (inp, tgt, orig) = (r.getString(1), r.getString(2), r.getString(4))
+      val spans = tgt.split("<extra_id_\\d+>").map(_.trim).drop(1)
+      var rebuilt = inp
+      spans.zipWithIndex.foreach { case (sp, i) =>
+        rebuilt = rebuilt.replace(s"<extra_id_$i>", sp)
+      }
+      assert(rebuilt === orig, s"doc ${r.getLong(0)} failed reconstruction")
+      // sentinel ids are consecutive from 0 in document order
+      val ids = "<extra_id_(\\d+)>".r.findAllMatchIn(inp)
+        .map(_.group(1).toInt).toSeq
+      assert(ids === (0 until ids.length))
+      assert(r.getLong(3) === ids.length.toLong)
+    }
+    // ~30% of tokens masked in aggregate (block Bernoulli at 0.3)
+    val maskedFrac = out.map(_.getLong(3) * 3).sum.toDouble /
+      out.map(_.getString(4).split(" ").length).sum
+    assert(maskedFrac > 0.2 && maskedFrac < 0.4, s"mask rate $maskedFrac")
+    // determinism + NULL text edge
+    val rerun = TextOps.spanCorrupt("doc_id", "text",
+      maskProb = 0.3, spanLen = 3)(docs).collect()
+    assert(rerun.map(_.toSeq).toSet === out.map(_.toSeq.dropRight(1)).toSet)
+    val nullRow = TextOps.spanCorrupt("doc_id", "text")(
+      Seq((1L, null: String)).toDF("doc_id", "text")).head
+    assert(nullRow.getString(1) === "" || nullRow.getString(1).startsWith("<"))
+  }
+
   test("temperatureMix: sqrt flattening, rate cap, rerun determinism") {
     // head source 1600 rows, tail 100: at T=2 the share ratio must be
     // √16 = 4, not 16 — the flattening IS the semantics
