@@ -1396,6 +1396,14 @@ object ExtQueries {
         table(s, dir, "customer"))
         .orderBy("c_nationkey", "c_mktsegment")
     },
+    "fim_transform" -> { (s, dir) =>
+      // fill-in-the-middle (PSM order) at 50% apply rate: two salted
+      // hash cuts mod remaining length; the oracle reproduces the
+      // integer cut arithmetic and substring layout exactly
+      TextOps.fimTransform("doc_id", "text", fimRate = 0.5)(
+        corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
     "span_corrupt" -> { (s, dir) =>
       // T5 denoising pairs: grid-aligned 3-token spans masked at 15%
       // via the salted per-block Bernoulli; numbered sentinels in the
@@ -4776,6 +4784,41 @@ object ExtQueries {
         CAST(count(*) AS BIGINT) AS class_size
       FROM customer GROUP BY 1, 2 HAVING count(*) < 8
       ORDER BY 1, 2""",
+    // identical md5-prefix hashes (salt 'fim'): apply-Bernoulli on the
+    // id, cuts c1 = h1 % (len+1), c2 = c1 + h2 % (len-c1+1), PSM
+    // substring layout — mirrors TextOps.fimTransform
+    "fim_transform" -> """
+      WITH h AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+          list_sum(list_transform(range(1, 9), j ->
+            (strpos('0123456789abcdef', substr(md5('fim' ||
+               CAST(doc_id AS VARCHAR) || ':c1'), j, 1)) - 1)
+            * CAST(16**(8-j) AS BIGINT))) AS h1,
+          list_sum(list_transform(range(1, 9), j ->
+            (strpos('0123456789abcdef', substr(md5('fim' ||
+               CAST(doc_id AS VARCHAR) || ':c2'), j, 1)) - 1)
+            * CAST(16**(8-j) AS BIGINT))) AS h2,
+          list_sum(list_transform(range(1, 9), j ->
+            (strpos('0123456789abcdef', substr(md5('fim' ||
+               CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+            * CAST(16**(8-j) AS BIGINT))) AS hb
+        FROM documents),
+      c AS (SELECT doc_id, text, n,
+          text IS NOT NULL AND
+            CAST(hb AS DOUBLE) < 5e-1 * CAST(4294967296 AS DOUBLE)
+            AS fim_applied,
+          h1 % (n + 1) AS c1,
+          h1 % (n + 1) + h2 % (n - h1 % (n + 1) + 1) AS c2
+        FROM h)
+      SELECT doc_id, fim_applied,
+        CASE WHEN text IS NULL THEN NULL
+          WHEN fim_applied THEN
+            '<fim_prefix>' || substr(text, 1, CAST(c1 AS INT)) ||
+            '<fim_suffix>' ||
+              substr(text, CAST(c2 + 1 AS INT), CAST(n - c2 AS INT)) ||
+            '<fim_middle>' ||
+              substr(text, CAST(c1 + 1 AS INT), CAST(c2 - c1 AS INT))
+          ELSE text END AS fim_text
+      FROM c ORDER BY doc_id""",
     // identical block grid, per-block md5-prefix Bernoulli (salt 't5'),
     // sentinel rank = prefix-sum of the mask — mirrors
     // TextOps.spanCorrupt

@@ -814,6 +814,51 @@ object TextOps {
         .cast("long").as("n_masked_spans"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022 — the
+    * code-model pretraining objective): split a document at two
+    * deterministic character cuts into (prefix, middle, suffix) and
+    * emit the PSM reordering
+    * `<fim_prefix>P<fim_suffix>S<fim_middle>M`, applied to `fimRate`
+    * of documents (the rest pass through verbatim with
+    * `fim_applied = false` — the standard mixed objective).
+    *
+    * Determinism (the [[spanCorrupt]] doctrine): the apply decision is
+    * the salted [[hashBernoulli]] on the id; the cuts are two salted
+    * 32-bit hash values reduced mod the remaining length —
+    * `c1 = h1 mod (len+1)`, `c2 = c1 + h2 mod (len−c1+1)` — exact
+    * integer arithmetic both engines reproduce, rerun-stable, and
+    * `prefix + middle + suffix` always reconstructs the original
+    * (spec-pinned over the whole fixture). Character (not byte)
+    * offsets on both engines. NULL text → NULL output, never applied.
+    *
+    * Pure per-row projection — two md5s, three substrings, zero
+    * shuffle; 100 TB pays one scan. Output: `idField, fim_applied,
+    * fim_text`. */
+  def fimTransform(
+      idField: String, textField: String,
+      fimRate: Double = 0.5, salt: String = "fim")(
+      df: DataFrame): DataFrame = {
+    require(fimRate > 0.0 && fimRate <= 1.0,
+      s"fimRate must be in (0, 1]: $fimRate")
+    def h(tag: String): Column = graft.functions.GraftFunctions
+      .md5Prefix32(concat(col(idField).cast("string"), lit(":" + tag)), salt)
+    val t = col(textField)
+    val len = length(t)
+    val c1 = h("c1") % (len.cast("long") + 1L)
+    val c2 = c1 + h("c2") % (len.cast("long") - c1 + 1L)
+    val applied = t.isNotNull &&
+      hashBernoulli(col(idField), lit(fimRate), salt)
+    val psm = concat(
+      lit("<fim_prefix>"), substring(t, lit(1), c1.cast("int")),
+      lit("<fim_suffix>"),
+      substring(t, (c2 + 1L).cast("int"), (len.cast("long") - c2).cast("int")),
+      lit("<fim_middle>"),
+      substring(t, (c1 + 1L).cast("int"), (c2 - c1).cast("int")))
+    df.select(col(idField), applied.as("fim_applied"),
+      when(t.isNull, lit(null).cast("string"))
+        .when(applied, psm).otherwise(t).as("fim_text"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Identical normalization + digest in the oracle; exact-dup detection
     * is then a groupBy on this column. */

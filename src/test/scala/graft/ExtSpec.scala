@@ -1642,6 +1642,38 @@ class ExtSpec extends SparkSpec {
     assert(!out.exists(r => r.getString(0) == "A" && r.getString(1) == "z"))
   }
 
+  test("fimTransform: PSM reconstruction invariant, rate, NULL edge") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val out = TextOps.fimTransform("doc_id", "text", fimRate = 0.5)(docs)
+      .join(docs, "doc_id").collect()
+    var applied = 0
+    out.foreach { r =>
+      val (isFim, fim, orig) = (r.getBoolean(1), r.getString(2), r.getString(3))
+      if (isFim) {
+        applied += 1
+        // P + M + S rebuilds the original document exactly
+        val m = "(?s)<fim_prefix>(.*)<fim_suffix>(.*)<fim_middle>(.*)".r
+        fim match {
+          case m(p, sfx, mid) => assert(p + mid + sfx === orig,
+            s"doc ${r.getLong(0)} failed PSM reconstruction")
+          case _ => fail(s"doc ${r.getLong(0)}: bad PSM layout: $fim")
+        }
+      } else assert(fim === orig)
+    }
+    // ~half the docs transformed (hash Bernoulli at 0.5)
+    assert(applied > out.length / 3 && applied < out.length * 2 / 3)
+    // deterministic across reruns
+    val rerun = TextOps.fimTransform("doc_id", "text", fimRate = 0.5)(docs)
+      .collect()
+    assert(rerun.map(_.toSeq).toSet ===
+      out.map(_.toSeq.dropRight(1)).toSet)
+    // NULL text: never applied, NULL out
+    val n = TextOps.fimTransform("doc_id", "text")(
+      Seq((1L, null: String)).toDF("doc_id", "text")).head
+    assert(!n.getBoolean(1) && n.isNullAt(2))
+  }
+
   test("spanCorrupt: reconstruction invariant, sentinel order, edges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
