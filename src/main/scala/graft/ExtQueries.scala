@@ -342,6 +342,18 @@ object ExtQueries {
         queryVec = "embedding", k = 5, coarseDims = 16, rerank = 5)
         .orderBy("query_id", "rank")
     },
+    "fwht_rotate" -> { (s, dir) =>
+      // H·D/√d structured rotation (the PQ-decorrelation prepass):
+      // fixed butterfly order in double, one scale multiply, cast back
+      // to float — the oracle replays all six stages and the REAL cast
+      // rounds to the same bits
+      corpus(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), posexplode(
+          Similarity.fwhtRotate(col("embedding"), dim = 64)))
+        .withColumnRenamed("pos", "dim_idx")
+        .withColumnRenamed("col", "value")
+        .orderBy("vec_id", "dim_idx")
+    },
     "ranking_metrics" -> { (s, dir) =>
       // in-engine retrieval eval: the Matryoshka rung graded against
       // brute-force gold — per query recall@5, first-hit rank, RR; the
@@ -3071,6 +3083,32 @@ object ExtQueries {
           AS INTEGER) AS rank
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // md5-nibble-parity signs, six butterfly stages pairing i with
+    // i XOR 2^s (lower = a+b, upper = a-b), 1/sqrt(64) scale, REAL
+    // cast — mirrors functions.FwhtRotate stage for stage
+    "fwht_rotate" -> {
+      val sgn = "CASE WHEN (strpos('0123456789abcdef', " +
+        "substr(md5('fwht_0_' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 " +
+        "= 0 THEN 1e0 ELSE -1e0 END"
+      val stages = (0 until 6).map { s =>
+        val step = 1 << s
+        val prev = if (s == 0) "e" else s"s${s - 1}"
+        s"""s$s AS (SELECT vec_id, list_transform(range(0, 64), i ->
+          CASE WHEN (i // $step) % 2 = 0
+            THEN v[CAST(i + 1 AS INT)] + v[CAST(xor(i, $step) + 1 AS INT)]
+            ELSE v[CAST(xor(i, $step) + 1 AS INT)] - v[CAST(i + 1 AS INT)]
+          END) AS v FROM $prev)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (SELECT vec_id, list_transform(range(0, 64), i ->
+          CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * $sgn) AS v
+        FROM embeddings WHERE vec_id < 200),
+      $stages
+      SELECT vec_id, CAST(i AS INTEGER) AS dim_idx,
+        CAST(v[CAST(i + 1 AS INT)] * (1e0 / sqrt(64e0)) AS REAL) AS value
+      FROM (SELECT vec_id, v, unnest(range(0, 64)) AS i FROM s5)
+      ORDER BY vec_id, dim_idx"""
+    },
     // both rungs replayed (brute = gold, matryoshka = system), then the
     // rational metric joins: recall = hits/n_relevant, RR = 1/first-hit
     "ranking_metrics" -> s"""

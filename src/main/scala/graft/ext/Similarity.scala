@@ -874,7 +874,15 @@ object Similarity {
         slice(col(vecField), s * sub + 1, sub)).as("features"))
       val model = new KMeans().setK(k).setMaxIter(maxIter)
         .setSeed(seed + s).setFeaturesCol("features").fit(feats)
-      model.clusterCenters.map(_.toArray.map(_.toFloat))
+      val centers = model.clusterCenters.map(_.toArray.map(_.toFloat))
+      // a DEGENERATE subspace (constant slice — zero-padded dims, a
+      // dead feature) has fewer distinct points than k and KMeans
+      // returns fewer centers; pad by repeating the first so every cid
+      // exists in every codebook (the argmin still picks a real center,
+      // duplicates merely waste codes the subspace had no use for)
+      if (centers.length >= k) centers
+      else Array.tabulate(k)(c =>
+        if (c < centers.length) centers(c) else centers(0))
     }
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1304,6 +1312,15 @@ object Similarity {
         col("col.item_id").as("item_id"), col("col.cosine").as("cosine"),
         col("col.mmr").as("mmr"))
   }
+
+  /** Deterministic structured rotation `H·D/√d` (the FAISS-style PQ
+    * preprocessing — see [[graft.functions.FwhtRotate]] for the full
+    * contract): orthogonal, so norms/cosines survive to float rounding
+    * while correlated-dimension energy spreads across subspaces,
+    * which is what per-subspace PQ codebooks need. Rotate corpus AND
+    * queries with the same seed; every downstream rung is unchanged. */
+  def fwhtRotate(vec: Column, dim: Int, seed: Int = 0): Column =
+    graft.functions.GraftFunctions.fwhtRotate(vec, dim, seed)
 
   /** Retrieval-quality evaluation IN the engine — the measurement leg
     * the ANN ladder needs before anyone turns a knob: given a rung's

@@ -270,6 +270,14 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         arity("graft_wav_stats", children, 1)
         WavPcmStats(children.head) }),
+    ("graft_fwht_rotate",
+      new ExpressionInfo(
+        classOf[FwhtRotate].getName, "graft_fwht_rotate"),
+      { children: Seq[Expression] =>
+        arity("graft_fwht_rotate", children, 3)
+        FwhtRotate(children.head,
+          litInt(children(1), "graft_fwht_rotate", "dim"),
+          litInt(children(2), "graft_fwht_rotate", "seed")) }),
     // weight entries are 'gram weight' strings (gram may contain
     // spaces; the weight is everything after the LAST space) and must
     // be foldable — the model shapes the expression, not the data
@@ -466,6 +474,11 @@ object GraftFunctions {
     * not a readable PCM-16 WAV. */
   def wavStats(blob: Column): Column =
     Bridge.column(WavPcmStats(Bridge.expression(blob)))
+
+  /** Deterministic structured rotation H·D/√d over an `array<float>`
+    * (see [[FwhtRotate]]): the PQ-decorrelation preprocessing. */
+  def fwhtRotate(vec: Column, dim: Int, seed: Int = 0): Column =
+    Bridge.column(FwhtRotate(Bridge.expression(vec), dim, seed))
 
   /** Native linear n-gram classifier statistics over a token array
     * (see [[LinearTextScore]]): `struct(w_sum, n_grams)` with the

@@ -477,6 +477,75 @@ class FunctionsSpec extends SparkSpec {
     assert(viaMmr.except(viaBrute).isEmpty && viaBrute.except(viaMmr).isEmpty)
   }
 
+  test("fwhtRotate: orthogonality, energy spreading, PQ distortion win, edges") {
+    val rnd = new scala.util.Random(31)
+    // anisotropic data: all variance in the first 8 of 64 dims — the
+    // shape that starves per-subspace PQ codebooks
+    val vecs = Seq.fill(128)(Array.tabulate(64)(d =>
+      if (d < 8) rnd.nextFloat() * 2 - 1 else 0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val rotated = df.select($"id",
+      Similarity.fwhtRotate($"v", dim = 64).as("r"), $"v")
+    // orthogonality: norms and pairwise cosines survive to float rounding
+    val checked = rotated.select(
+      Similarity.cosineHof($"v", $"v").as("n0"),
+      Similarity.cosineHof($"r", $"r").as("n1"),
+      graft.functions.GraftFunctions.cosine($"v", $"v"))
+      .collect()
+    assert(checked.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-5))
+    val normPairs = rotated.limit(10).collect().map { r =>
+      val raw = r.getSeq[Float](2).map(_.toDouble)
+      val rot = r.getSeq[Float](1).map(_.toDouble)
+      (math.sqrt(raw.map(x => x * x).sum), math.sqrt(rot.map(x => x * x).sum))
+    }
+    assert(normPairs.forall { case (a, b) =>
+      math.abs(a - b) <= 1e-5 * math.max(a, 1e-9) })
+    // energy spreading: the max/min per-8-dim-subspace energy ratio
+    // collapses from infinite (zeros) to near-uniform
+    val rotRows = rotated.select("r").collect().map(_.getSeq[Float](0))
+    val subEnergy = (0 until 8).map(sb =>
+      rotRows.map(v => (sb * 8 until sb * 8 + 8)
+        .map(d => v(d).toDouble * v(d)).sum).sum)
+    assert(subEnergy.min > 0.0)
+    assert(subEnergy.max / subEnergy.min < 3.0,
+      s"rotated subspace energies still skewed: $subEnergy")
+    // the payoff: per-subspace PQ distortion drops after rotation
+    def distortion(data: org.apache.spark.sql.DataFrame): Double = {
+      val cents = Similarity.pqCodebooks(data, "v", m = 8,
+        k = 4, maxIter = 5, seed = 7)
+      val enc = Similarity.pqEncode("v", cents, "cid", "center", m = 8)(data)
+      // decode via the centroid table and measure mean squared error
+      val cmap = cents.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      enc.select("v", "pq_codes").collect().map { r =>
+        val v = r.getSeq[Float](0); val codes = r.getSeq[Int](1)
+        codes.zipWithIndex.map { case (c, s) =>
+          val cent = cmap(c.toLong)
+          (s * 8 until s * 8 + 8).map { d =>
+            val e = v(d) - cent(d - s * 8); e * e
+          }.sum
+        }.sum.toDouble
+      }.sum
+    }
+    val dRaw = distortion(df)
+    val dRot = distortion(rotated.select($"id", $"r".as("v")))
+    assert(dRot < dRaw,
+      s"rotation did not reduce PQ distortion: raw=$dRaw rot=$dRot")
+    // wrong length throws; NULL passes through; SQL surface registered
+    intercept[Exception](Seq((1L, Array(1f, 2f))).toDF("id", "v")
+      .select(Similarity.fwhtRotate($"v", dim = 64)).collect())
+    assert(Seq((1L, null: Array[Float])).toDF("id", "v")
+      .select(Similarity.fwhtRotate($"v", dim = 64)).head.isNullAt(0))
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT graft_fwht_rotate(CAST(array(1.0, 0.0) AS array<float>),
+           2, 0) AS r""").head.getSeq[Float](0)
+    assert(viaSql.length === 2)
+    intercept[IllegalArgumentException](
+      GraftFunctions.fwhtRotate($"v", dim = 63))
+  }
+
   test("native cosine stays inside whole-stage codegen") {
     // spark.range (a real source) rather than a local relation, which the
     // optimizer folds before any codegen happens
