@@ -342,6 +342,17 @@ object ExtQueries {
         queryVec = "embedding", k = 5, coarseDims = 16, rerank = 5)
         .orderBy("query_id", "rank")
     },
+    "hard_negatives" -> { (s, dir) =>
+      // contrastive mining: per query the top-5 most similar candidates
+      // with cosine <= 0.25 — hard, but safely below the near-dup band
+      // that would make them false negatives
+      val e = corpus(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
+        queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
+        queryVec = "embedding", k = 5, maxSim = 0.25)
+        .orderBy("query_id", "rank")
+    },
     "fwht_rotate" -> { (s, dir) =>
       // H·D/√d structured rotation (the PQ-decorrelation prepass):
       // fixed butterfly order in double, one scale multiply, cast back
@@ -3083,6 +3094,20 @@ object ExtQueries {
           AS INTEGER) AS rank
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // band filter BEFORE the per-query rank — mirrors
+    // Similarity.hardNegatives
+    "hard_negatives" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 10),
+      scored AS (SELECT query_id, c.vec_id AS item_id,
+          ${cosineSql("qe", "c.embedding")} AS cosine
+        FROM embeddings c, q WHERE query_id <> c.vec_id),
+      banded AS (SELECT * FROM scored WHERE cosine <= 25e-2),
+      ranked AS (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn
+        FROM banded)
+      SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
+      FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
     // md5-nibble-parity signs, six butterfly stages pairing i with
     // i XOR 2^s (lower = a+b, upper = a-b), 1/sqrt(64) scale, REAL
     // cast — mirrors functions.FwhtRotate stage for stage

@@ -1363,6 +1363,42 @@ object Similarity {
           .as("reciprocal_rank"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training — the
+    * data-prep leg next to dedup (positives), ANN (candidates), MMR
+    * (diversity), and rankingMetrics (eval): per query, the top-k MOST
+    * similar candidates whose cosine is still ≤ `maxSim` — similar
+    * enough to be hard, not so similar they are unlabeled POSITIVES
+    * (the near-dup band that poisons InfoNCE training as false
+    * negatives; set `maxSim` at or below the dedup threshold). The
+    * band filter applies BEFORE the per-query top-k window, so the k
+    * slots go to in-band candidates only.
+    *
+    * Same scale shape as [[bruteForceTopK]] (broadcast query side, one
+    * corpus scan, per-query WindowGroupLimit); swap the scored-pair
+    * source for an ANN rung at corpus scale — the band+rank stage is
+    * source-agnostic. Output: `query_id, item_id, cosine, rank`. */
+  def hardNegatives(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, maxSim: Double, excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxSim > -1.0 && maxSim <= 1.0,
+      s"maxSim must be in (-1, 1], got $maxSim")
+    corpus
+      .select(col(corpusId).as("item_id"), col(corpusVec).as("__cv"))
+      .crossJoin(broadcast(queries
+        .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))))
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("item_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .filter(col("cosine") <= maxSim)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("item_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "cosine", "rank")
+  }
+
   /** [[mmrRerank]] over a [[bruteForceTopK]] pool of `poolSize` — the
     * convenience exact form; swap the pool builder for any ANN rung at
     * scale (the rerank stage is pool-shape-agnostic). */

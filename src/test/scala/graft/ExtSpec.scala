@@ -1742,6 +1742,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: band excludes near-dup positives, rank is hardest-first") {
+    // corpus around query q=(1,0): a near-dup (cos ~.999), a hard
+    // negative (cos ~.6), a medium one (cos ~.3), an anticorrelated one
+    val rows = Seq(
+      (1L, Array(1f, 0f)),          // the query itself (excludeSelf)
+      (2L, Array(1f, 0.05f)),       // near-dup: cos > .9 — MUST be excluded
+      (3L, Array(0.8f, 0.6f)),      // cos = .8 — above band, excluded
+      (4L, Array(0.6f, 0.8f)),      // cos = .6 — in band, hardest
+      (5L, Array(0.3f, 0.954f)),    // cos ~ .3 — in band, second
+      (6L, Array(-1f, 0f)))         // cos = -1 — in band, last
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(
+      rows, "vec_id", "embedding",
+      rows.filter($"vec_id" === 1L), "vec_id", "embedding",
+      k = 2, maxSim = 0.7)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(4L, 5L))
+    assert(out.forall(_.getDouble(2) <= 0.7))
+    // the band filter applies BEFORE the top-k: k=4 still never admits
+    // the near-dup or the above-band candidate
+    val wide = Similarity.hardNegatives(
+      rows, "vec_id", "embedding",
+      rows.filter($"vec_id" === 1L), "vec_id", "embedding",
+      k = 4, maxSim = 0.7).collect()
+    assert(wide.map(_.getLong(1)).toSet === Set(4L, 5L, 6L))
+    intercept[IllegalArgumentException](Similarity.hardNegatives(
+      rows, "vec_id", "embedding", rows, "vec_id", "embedding",
+      k = 0, maxSim = 0.5))
+  }
+
   test("rankingMetrics: recall/RR semantics incl. zero-hit and absent queries") {
     def frame(rows: (Long, Long, Int)*) =
       rows.toDF("query_id", "item_id", "rank")

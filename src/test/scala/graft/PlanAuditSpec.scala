@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_matryoshka", // broadcast query prefix-slice set
     "similarity_mmr",    // broadcast query set (vec_id < 5) feeding the pool
     "ranking_metrics",   // broadcast query sets feeding BOTH graded rungs
+    "hard_negatives",    // broadcast query set (vec_id < 10), banded rank
     "similarity_pq",     // broadcast one-row centroid array + query LUTs
     "mix_report",        // broadcast one-row corpus token total
     "downsample_mix",    // same one-row total inside its mixReport

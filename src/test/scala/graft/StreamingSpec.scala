@@ -709,6 +709,32 @@ class StreamingSpec extends SparkSpec {
       viaBatchProbe.map(_.toSeq).toSeq)
   }
 
+  test("spanCorrupt and fimTransform lift to streams (stateless projections)") {
+    import graft.ext.TextOps
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three"), (3L, "solo"))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val sc = TextOps.spanCorrupt("doc_id", "text", maskProb = 0.4)(stream)
+    val fim = TextOps.fimTransform("doc_id", "text", fimRate = 0.6)(stream)
+    val q1 = sc.writeStream.format("memory").queryName("sc_s")
+      .outputMode("append").start()
+    val q2 = fim.writeStream.format("memory").queryName("fim_s")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val batch = rows.toDF("doc_id", "text")
+      assert(spark.table("sc_s").orderBy("doc_id").collect().toSeq ===
+        TextOps.spanCorrupt("doc_id", "text", maskProb = 0.4)(batch)
+          .orderBy("doc_id").collect().toSeq)
+      assert(spark.table("fim_s").orderBy("doc_id").collect().toSeq ===
+        TextOps.fimTransform("doc_id", "text", fimRate = 0.6)(batch)
+          .orderBy("doc_id").collect().toSeq)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streamingIvfPqServe answers micro-batch queries == batch ivfPqTopK; MMR post composes") {
     import graft.ext.Similarity
     import org.apache.spark.sql.functions.col
