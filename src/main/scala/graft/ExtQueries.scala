@@ -342,6 +342,19 @@ object ExtQueries {
         queryVec = "embedding", k = 5, coarseDims = 16, rerank = 5)
         .orderBy("query_id", "rank")
     },
+    "late_interaction" -> { (s, dir) =>
+      // ColBERT MaxSim over multi-vector docs: the 64-d fixture vector
+      // reinterpreted as 8 token-vectors of dim 8 (deterministic,
+      // oracle-shared), Σ_q max_d cosine scoring, top-3 per query
+      val e = corpus(s, dir, "embeddings")
+        .select(col("vec_id"), transform(sequence(lit(0), lit(7)),
+          t => slice(col("embedding"), t * 8 + 1, lit(8))).as("tok_vecs"))
+      Similarity.lateInteractionTopK(
+        corpus = e, corpusId = "vec_id", corpusVecs = "tok_vecs",
+        queries = e.filter(col("vec_id") < 5), queryId = "vec_id",
+        queryVecs = "tok_vecs", k = 3)
+        .orderBy("query_id", "rank")
+    },
     "hard_negatives" -> { (s, dir) =>
       // contrastive mining: per query the top-5 most similar candidates
       // with cosine <= 0.25 — hard, but safely below the near-dup band
@@ -3094,6 +3107,24 @@ object ExtQueries {
           AS INTEGER) AS rank
       FROM scored
       QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // the same 8×8 token-vector reinterpretation, Σ_q (fold in token
+    // order, seeded 0.0) of list_max over doc tokens of the shared
+    // cosine — mirrors Similarity.lateInteractionTopK
+    "late_interaction" -> s"""
+      WITH e AS (SELECT vec_id, list_transform(range(0, 8), t ->
+          embedding[CAST(t * 8 + 1 AS INT):CAST(t * 8 + 8 AS INT)]) AS tv
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, tv AS qv FROM e WHERE vec_id < 5),
+      scored AS (SELECT query_id, c.vec_id AS item_id,
+          ${foldSum(s"""list_transform(qv, qt ->
+            list_max(list_transform(c.tv, dt ->
+              ${cosineSql("qt", "dt")})))""")} AS maxsim
+        FROM e c, q WHERE query_id <> c.vec_id),
+      ranked AS (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY maxsim DESC, item_id ASC) AS rn
+        FROM scored)
+      SELECT query_id, item_id, maxsim, CAST(rn AS INTEGER) AS rank
+      FROM ranked WHERE rn <= 3 ORDER BY query_id, rank""",
     // band filter BEFORE the per-query rank — mirrors
     // Similarity.hardNegatives
     "hard_negatives" -> s"""

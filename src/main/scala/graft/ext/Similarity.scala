@@ -1363,6 +1363,46 @@ object Similarity {
           .as("reciprocal_rank"))
   }
 
+  /** ColBERT-style late-interaction (MaxSim) score between two
+    * MULTI-VECTOR representations (`array<array<float>>` of per-token
+    * embeddings): `Σ over query tokens of max over doc tokens of
+    * cosine(q_i, d_j)` — fine-grained term matching a single pooled
+    * vector cannot express (each query token finds ITS best doc
+    * token). The outer sum folds in query-token index order (the
+    * oracle-exact discipline); the inner max is order-free; empty
+    * token lists on either side score 0.0 (nothing to match ≠ an
+    * error). Pure HOF — O(|q|·|d|·dim) per pair inside codegen. */
+  def lateInteractionScore(queryVecs: Column, docVecs: Column): Column =
+    when(size(queryVecs) === 0 || size(docVecs) === 0, lit(0.0))
+      .otherwise(aggregate(queryVecs, lit(0.0), (acc, q) =>
+        acc + array_max(transform(docVecs, d => cosineHof(q, d)))))
+
+  /** Brute-force late-interaction top-k: [[bruteForceTopK]]'s shape
+    * (broadcast query side, one corpus scan, per-query
+    * WindowGroupLimit) with [[lateInteractionScore]] as the scorer —
+    * the multi-vector retrieval rung. At corpus scale, front it with a
+    * single-vector ANN rung over pooled embeddings ([[meanPool]]) and
+    * late-interact only the pool (the standard ColBERT two-stage).
+    * Output: `query_id, item_id, maxsim, rank`. */
+  def lateInteractionTopK(
+      corpus: DataFrame, corpusId: String, corpusVecs: String,
+      queries: DataFrame, queryId: String, queryVecs: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    corpus
+      .select(col(corpusId).as("item_id"), col(corpusVecs).as("__dv"))
+      .crossJoin(broadcast(queries
+        .select(col(queryId).as("query_id"), col(queryVecs).as("__qv"))))
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("item_id"))
+      .withColumn("maxsim", lateInteractionScore(col("__qv"), col("__dv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("maxsim").desc, col("item_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "maxsim", "rank")
+  }
+
   /** Hard-negative mining for contrastive/embedding training — the
     * data-prep leg next to dedup (positives), ANN (candidates), MMR
     * (diversity), and rankingMetrics (eval): per query, the top-k MOST

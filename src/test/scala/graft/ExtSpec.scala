@@ -1742,6 +1742,35 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("lateInteraction: MaxSim semantics, empty guards, self-match bound") {
+    def score(q: Seq[Array[Float]], d: Seq[Array[Float]]): Double =
+      Seq((q, d)).toDF("q", "d")
+        .select(Similarity.lateInteractionScore($"q", $"d"))
+        .head.getDouble(0)
+    val ex = Array(1f, 0f); val ey = Array(0f, 1f)
+    val mid = Array(1f, 1f) // cos(ex, mid) = cos(ey, mid) = 1/√2
+    // each query token finds ITS best doc token independently
+    assert(score(Seq(ex, ey), Seq(ey, ex)) === 2.0)
+    assert(math.abs(score(Seq(ex, ey), Seq(mid)) - 2.0 / math.sqrt(2)) < 1e-12)
+    // identical token sets score exactly |q| (every token matches itself)
+    assert(score(Seq(ex, ey, mid), Seq(mid, ex, ey)) === 3.0)
+    // a doc can reuse one token for several query tokens (max, not
+    // assignment): both query tokens pick the same best doc token
+    assert(score(Seq(ex, ex), Seq(ex, ey)) === 2.0)
+    // empty sides score 0.0, never null/error
+    assert(score(Seq.empty, Seq(ex)) === 0.0)
+    assert(score(Seq(ex), Seq.empty) === 0.0)
+    // topK: self excluded, rank by (maxsim desc, id)
+    val docs = Seq(
+      (1L, Seq(ex, ey)), (2L, Seq(ey, ex)), (3L, Seq(mid, mid)))
+      .toDF("id", "tv")
+    val top = Similarity.lateInteractionTopK(
+      docs, "id", "tv", docs.filter($"id" === 1L), "id", "tv", k = 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(1)).toSeq === Seq(2L, 3L))
+    assert(top(0).getDouble(2) === 2.0)
+  }
+
   test("hardNegatives: band excludes near-dup positives, rank is hardest-first") {
     // corpus around query q=(1,0): a near-dup (cos ~.999), a hard
     // negative (cos ~.6), a medium one (cos ~.3), an anticorrelated one

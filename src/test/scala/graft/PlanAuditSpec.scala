@@ -33,6 +33,7 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_mmr",    // broadcast query set (vec_id < 5) feeding the pool
     "ranking_metrics",   // broadcast query sets feeding BOTH graded rungs
     "hard_negatives",    // broadcast query set (vec_id < 10), banded rank
+    "late_interaction",  // broadcast multi-vector query set (vec_id < 5)
     "similarity_pq",     // broadcast one-row centroid array + query LUTs
     "mix_report",        // broadcast one-row corpus token total
     "downsample_mix",    // same one-row total inside its mixReport
