@@ -1692,6 +1692,22 @@ object ExtQueries {
         corpus(s, dir, "documents").select(id, blob.as("blob")))
         .orderBy("doc_id", "frame_idx")
     },
+    "zip_entries" -> { (s, dir) =>
+      // archive-shard routing: spec-exact synthetic ZIPs (1-3 stored
+      // members per doc), the kernel must walk EOCD -> central dir and
+      // recover every name/size/offset the builder's closed form
+      // declares — the media_meta discipline for containers-of-files
+      val nz = (col("doc_id") % 3 + 1).cast("int")
+      corpus(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          BinaryOps.zipEntries(BinaryOps.syntheticZip(nz))))
+        .select(col("doc_id"), col("pos").as("entry_idx"),
+          col("col.name").as("name"),
+          col("col.compressed").as("compressed"),
+          col("col.uncompressed").as("uncompressed"),
+          col("col.local_offset").as("local_offset"))
+        .orderBy("doc_id", "entry_idx")
+    },
     "wav_stats" -> { (s, dir) =>
       // the first REAL sample-decode rung: per-doc PCM-16 WAVs built
       // with a deterministic waveform (smp_j = (id·31 + j·17) % 4096 −
@@ -5170,6 +5186,17 @@ object ExtQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_count,
          md5(text) AS digest
          FROM documents ORDER BY doc_id""",
+    // the archive's closed form: with fixed-width names the builder's
+    // offsets are pure arithmetic — the oracle never parses a byte
+    "zip_entries" -> """
+      SELECT doc_id, CAST(j AS INTEGER) AS entry_idx,
+        'f' || CAST(j AS VARCHAR) || '.txt' AS name,
+        CAST(j + 1 AS BIGINT) AS compressed,
+        CAST(j + 1 AS BIGINT) AS uncompressed,
+        CAST(37 * j + j * (j - 1) // 2 AS BIGINT) AS local_offset
+      FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j
+            FROM documents)
+      ORDER BY doc_id, entry_idx""",
     // the waveform's closed form: the oracle never parses a byte, it
     // recomputes the generator and aggregates exactly
     "wav_stats" -> """

@@ -140,6 +140,43 @@ object BinaryOps {
         transform(samples, s => le16hex(s.bitwiseAND(lit(0xFFFF)))), "")))
   }
 
+  /** Spec-exact minimal ZIP archive with `nEntries` STORED members
+    * (`f<j>.txt` holding j+1 bytes of 'a'): local records, central
+    * directory, EOCD — correct sizes, name lengths, and local offsets
+    * (offset_j = 37j + j(j−1)/2 with these fixed-width names), so the
+    * listing kernel and the oracle's closed form must agree on every
+    * field. CRCs are zeroed (listing never reads them). */
+  def syntheticZip(nEntries: Column): Column = {
+    def nameHex(j: Column) =
+      hex(concat(lit("f"), j.cast("string"), lit(".txt")))
+    def localOff(j: Column) = lit(37) * j + j * (j - 1) / 2
+    val idx = when(nEntries <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nEntries - 1))
+    val locals = array_join(transform(idx, j => concat(
+      lit("504B0304" + "1400" + "0000" + "0000" + "0000" + "0000" +
+        "00000000"),
+      le32hex(j + 1), le32hex(j + 1), lit("0600" + "0000"), nameHex(j),
+      call_function("repeat", lit("61"), j + 1))), "")
+    val centrals = array_join(transform(idx, j => concat(
+      lit("504B0102" + "1400" + "1400" + "0000" + "0000" + "0000" +
+        "0000" + "00000000"),
+      le32hex(j + 1), le32hex(j + 1),
+      lit("0600" + "0000" + "0000" + "0000" + "0000" + "00000000"),
+      le32hex(localOff(j)), nameHex(j))), "")
+    unhex(concat(locals, centrals,
+      lit("504B0506" + "0000" + "0000"),
+      le16hex(nEntries), le16hex(nEntries),
+      le32hex(nEntries * 52),
+      le32hex(lit(37) * nEntries + nEntries * (nEntries - 1) / 2),
+      lit("0000")))
+  }
+
+  /** ZIP central-directory listing from archive bytes — see
+    * [[graft.functions.ZipEntries]] for the contract (unreadable /
+    * ZIP64 → NULL, never a throw). */
+  def zipEntries(blob: Column): Column =
+    graft.functions.GraftFunctions.zipEntries(blob)
+
   /** PCM-16 waveform statistics straight from WAV bytes — see
     * [[graft.functions.WavPcmStats]] for the full contract (PCM-16
     * only; NULL for anything unreadable). */

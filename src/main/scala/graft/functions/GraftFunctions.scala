@@ -270,6 +270,12 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         arity("graft_wav_stats", children, 1)
         WavPcmStats(children.head) }),
+    ("graft_zip_entries",
+      new ExpressionInfo(
+        classOf[ZipEntries].getName, "graft_zip_entries"),
+      { children: Seq[Expression] =>
+        arity("graft_zip_entries", children, 1)
+        ZipEntries(children.head) }),
     ("graft_fwht_rotate",
       new ExpressionInfo(
         classOf[FwhtRotate].getName, "graft_fwht_rotate"),
@@ -479,6 +485,12 @@ object GraftFunctions {
     * (see [[FwhtRotate]]): the PQ-decorrelation preprocessing. */
   def fwhtRotate(vec: Column, dim: Int, seed: Int = 0): Column =
     Bridge.column(FwhtRotate(Bridge.expression(vec), dim, seed))
+
+  /** ZIP central-directory listing over archive bytes (see
+    * [[ZipEntries]]): `array<struct<name, compressed, uncompressed,
+    * local_offset>>`, NULL when unreadable. */
+  def zipEntries(blob: Column): Column =
+    Bridge.column(ZipEntries(Bridge.expression(blob)))
 
   /** Native linear n-gram classifier statistics over a token array
     * (see [[LinearTextScore]]): `struct(w_sum, n_grams)` with the

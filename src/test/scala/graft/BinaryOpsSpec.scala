@@ -276,6 +276,55 @@ class BinaryOpsSpec extends SparkSpec {
         .map("%02x".format(_)).mkString)
   }
 
+  test("zipEntries: real java.util.zip archives, synthetic round-trip, unreadable -> NULL") {
+    // the strong check: a REAL archive from the JDK's writer — the
+    // kernel must list what an independent implementation wrote
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.setMethod(java.util.zip.ZipOutputStream.STORED)
+    Seq("docs/a.txt" -> "hello", "b.bin" -> "worlds!").foreach {
+      case (name, data) =>
+        val bytes = data.getBytes("UTF-8")
+        val entry = new java.util.zip.ZipEntry(name)
+        entry.setMethod(java.util.zip.ZipEntry.STORED)
+        entry.setSize(bytes.length)
+        val crc = new java.util.zip.CRC32(); crc.update(bytes)
+        entry.setCrc(crc.getValue)
+        zos.putNextEntry(entry); zos.write(bytes); zos.closeEntry()
+    }
+    zos.close()
+    val real = Seq(Tuple1(bos.toByteArray)).toDF("b")
+      .select(explode(BinaryOps.zipEntries($"b")).as("e"))
+      .select("e.name", "e.compressed", "e.uncompressed")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(real.toSeq === Seq(("docs/a.txt", 5L, 5L), ("b.bin", 7L, 7L)))
+    // synthetic builder round-trips every declared field
+    val syn = spark.range(1).select(explode(BinaryOps.zipEntries(
+      BinaryOps.syntheticZip(lit(3)))).as("e"))
+      .select("e.name", "e.uncompressed", "e.local_offset").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(syn.toSeq === Seq(("f0.txt", 1L, 0L), ("f1.txt", 2L, 37L),
+      ("f2.txt", 3L, 75L)))
+    // zero entries: a valid empty archive lists as an empty array
+    assert(spark.range(1).select(BinaryOps.zipEntries(
+      BinaryOps.syntheticZip(lit(0)))).head.getSeq[Any](0).isEmpty)
+    // not a zip / truncated central dir -> NULL, never a throw
+    assert(Seq(Tuple1("plainly not a zip".getBytes("UTF-8"))).toDF("b")
+      .select(BinaryOps.zipEntries($"b")).head.isNullAt(0))
+    val truncated = bos.toByteArray.take(30) // local header only, no EOCD
+    assert(Seq(Tuple1(truncated)).toDF("b")
+      .select(BinaryOps.zipEntries($"b")).head.isNullAt(0))
+    // NULL blob -> NULL; SQL surface registered
+    assert(Seq(Tuple1(null: Array[Byte])).toDF("b")
+      .select(BinaryOps.zipEntries($"b")).head.isNullAt(0))
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT size(graft_zip_entries(x)) FROM (SELECT unhex('504B0506' ||" +
+        " '00000000' || '0000' || '0000' || '00000000' || '00000000' ||" +
+        " '0000') AS x)").head.getInt(0)
+    assert(viaSql === 0)
+  }
+
   test("wavPcmStats: byte round-trip, sign extension, clamping, unreadable -> NULL") {
     def stats(blob: org.apache.spark.sql.Column) =
       spark.range(1).select(BinaryOps.wavPcmStats(blob).as("s"))

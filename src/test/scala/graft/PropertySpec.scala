@@ -87,6 +87,13 @@ class PropertySpec extends SparkSpec {
     val wavRows = blobs.map(Tuple1(_)).toDF("b")
       .select(graft.ext.BinaryOps.wavPcmStats($"b").as("w")).collect()
     assert(wavRows.length === blobs.length)
+    // the archive-listing kernel too: PK-signature-prefixed garbage
+    // with wild counts/offsets must list-or-NULL, never throw
+    val zipBlobs = blobs.map(b =>
+      "PK".getBytes("US-ASCII") ++ b) ++ blobs
+    val zipRows = zipBlobs.map(Tuple1(_)).toDF("b")
+      .select(graft.ext.BinaryOps.zipEntries($"b").as("z")).collect()
+    assert(zipRows.length === zipBlobs.length)
     blobs.zip(rows).foreach { case (b, r) =>
       val m = r.getStruct(0)
       val fmt = if (m.isNullAt(0)) null else m.getString(0)
