@@ -1692,6 +1692,22 @@ object ExtQueries {
         corpus(s, dir, "documents").select(id, blob.as("blob")))
         .orderBy("doc_id", "frame_idx")
     },
+    "warc_records" -> { (s, dir) =>
+      // the Common Crawl container: spec-exact synthetic shards (1-3
+      // response records per doc), the kernel walks header blocks and
+      // payload separators and must recover every type/uri/length/
+      // offset the builder's closed form declares
+      val nw = (col("doc_id") % 3 + 1).cast("int")
+      corpus(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          BinaryOps.warcRecords(BinaryOps.syntheticWarc(nw))))
+        .select(col("doc_id"), col("pos").as("rec_idx"),
+          col("col.rec_type").as("rec_type"),
+          col("col.target_uri").as("target_uri"),
+          col("col.content_length").as("content_length"),
+          col("col.offset").as("offset"))
+        .orderBy("doc_id", "rec_idx")
+    },
     "zip_entries" -> { (s, dir) =>
       // archive-shard routing: spec-exact synthetic ZIPs (1-3 stored
       // members per doc), the kernel must walk EOCD -> central dir and
@@ -5186,6 +5202,17 @@ object ExtQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_count,
          md5(text) AS digest
          FROM documents ORDER BY doc_id""",
+    // the shard's closed form: single-digit fields make every record
+    // 94+j bytes — offsets are pure arithmetic, no byte parsing
+    "warc_records" -> """
+      SELECT doc_id, CAST(j AS INTEGER) AS rec_idx,
+        'response' AS rec_type,
+        'https://ex.com/p/' || CAST(j AS VARCHAR) AS target_uri,
+        CAST(j + 1 AS BIGINT) AS content_length,
+        CAST(94 * j + j * (j - 1) // 2 AS BIGINT) AS offset
+      FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j
+            FROM documents)
+      ORDER BY doc_id, rec_idx""",
     // the archive's closed form: with fixed-width names the builder's
     // offsets are pure arithmetic — the oracle never parses a byte
     "zip_entries" -> """

@@ -177,6 +177,28 @@ object BinaryOps {
   def zipEntries(blob: Column): Column =
     graft.functions.GraftFunctions.zipEntries(blob)
 
+  /** Spec-exact minimal WARC shard with `nRecords` response records
+    * (`https://ex.com/p/<j>` carrying j+1 bytes of 'a'): with these
+    * single-digit fields every record is 94+j bytes, so offsets are
+    * the closed form 94j + j(j−1)/2 the oracle recomputes. */
+  def syntheticWarc(nRecords: Column): Column = {
+    val idx = when(nRecords <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nRecords - 1))
+    encode(array_join(transform(idx, j => concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: https://ex.com/p/"), j.cast("string"),
+      lit("\r\nContent-Length: "), (j + 1).cast("string"),
+      lit("\r\n\r\n"),
+      call_function("repeat", lit("a"), j + 1),
+      lit("\r\n\r\n"))), ""), "UTF-8")
+  }
+
+  /** WARC record listing from uncompressed shard bytes — see
+    * [[graft.functions.WarcRecords]] for the contract (malformed →
+    * NULL, never a throw; `.warc.gz` needs a codec first). */
+  def warcRecords(blob: Column): Column =
+    graft.functions.GraftFunctions.warcRecords(blob)
+
   /** PCM-16 waveform statistics straight from WAV bytes — see
     * [[graft.functions.WavPcmStats]] for the full contract (PCM-16
     * only; NULL for anything unreadable). */

@@ -276,6 +276,12 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         arity("graft_zip_entries", children, 1)
         ZipEntries(children.head) }),
+    ("graft_warc_records",
+      new ExpressionInfo(
+        classOf[WarcRecords].getName, "graft_warc_records"),
+      { children: Seq[Expression] =>
+        arity("graft_warc_records", children, 1)
+        WarcRecords(children.head) }),
     ("graft_fwht_rotate",
       new ExpressionInfo(
         classOf[FwhtRotate].getName, "graft_fwht_rotate"),
@@ -491,6 +497,12 @@ object GraftFunctions {
     * local_offset>>`, NULL when unreadable. */
   def zipEntries(blob: Column): Column =
     Bridge.column(ZipEntries(Bridge.expression(blob)))
+
+  /** WARC record listing over uncompressed shard bytes (see
+    * [[WarcRecords]]): `array<struct<rec_type, target_uri,
+    * content_length, offset>>`, NULL when unreadable. */
+  def warcRecords(blob: Column): Column =
+    Bridge.column(WarcRecords(Bridge.expression(blob)))
 
   /** Native linear n-gram classifier statistics over a token array
     * (see [[LinearTextScore]]): `struct(w_sum, n_grams)` with the

@@ -276,6 +276,43 @@ class BinaryOpsSpec extends SparkSpec {
         .map("%02x".format(_)).mkString)
   }
 
+  test("warcRecords: mixed record types, header case-folding, malformed -> NULL") {
+    def list(s: String) =
+      Seq(Tuple1(s.getBytes("UTF-8"))).toDF("b")
+        .select(BinaryOps.warcRecords($"b").as("r")).head
+    // a realistic shard: warcinfo (no URI), a response with
+    // case-varied header names, a request
+    val shard =
+      "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n" +
+      "WARC/1.0\r\nwarc-type: response\r\nWaRc-TaRgEt-UrI: https://x.io/a\r\n" +
+        "content-length: 5\r\n\r\nhello\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://x.io/a\r\n" +
+        "Content-Length: 0\r\n\r\n\r\n\r\n"
+    val rows = list(shard).getSeq[org.apache.spark.sql.Row](0)
+    assert(rows.length === 3)
+    assert(rows(0).getString(0) === "warcinfo" && rows(0).isNullAt(1) &&
+      rows(0).getLong(2) === 3L && rows(0).getLong(3) === 0L)
+    assert(rows(1).getString(0) === "response" &&
+      rows(1).getString(1) === "https://x.io/a" && rows(1).getLong(2) === 5L)
+    assert(rows(2).getString(0) === "request" && rows(2).getLong(2) === 0L)
+    // offsets point at each record's magic
+    assert(shard.substring(rows(1).getLong(3).toInt).startsWith("WARC/1.0"))
+    // malformed forms: wrong magic, missing Content-Length, payload
+    // overrun, missing separator — NULL, never a throw
+    assert(list("HTTP/1.0\r\n\r\n").isNullAt(0))
+    assert(list("WARC/1.0\r\nWARC-Type: response\r\n\r\nxx\r\n\r\n").isNullAt(0))
+    assert(list("WARC/1.0\r\nContent-Length: 99\r\n\r\nshort\r\n\r\n").isNullAt(0))
+    assert(list("WARC/1.0\r\nContent-Length: 2\r\n\r\nab").isNullAt(0))
+    // empty blob: a valid empty shard; NULL blob -> NULL
+    assert(list("").getSeq[Any](0).isEmpty)
+    assert(Seq(Tuple1(null: Array[Byte])).toDF("b")
+      .select(BinaryOps.warcRecords($"b")).head.isNullAt(0))
+    // SQL surface registered
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT size(graft_warc_records(encode('', 'UTF-8')))")
+      .head.getInt(0) === 0)
+  }
+
   test("zipEntries: real java.util.zip archives, synthetic round-trip, unreadable -> NULL") {
     // the strong check: a REAL archive from the JDK's writer — the
     // kernel must list what an independent implementation wrote

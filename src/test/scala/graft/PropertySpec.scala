@@ -94,6 +94,11 @@ class PropertySpec extends SparkSpec {
     val zipRows = zipBlobs.map(Tuple1(_)).toDF("b")
       .select(graft.ext.BinaryOps.zipEntries($"b").as("z")).collect()
     assert(zipRows.length === zipBlobs.length)
+    val warcBlobs = blobs.map(b =>
+      "WARC/1.0\r\n".getBytes("US-ASCII") ++ b) ++ blobs
+    val warcRows = warcBlobs.map(Tuple1(_)).toDF("b")
+      .select(graft.ext.BinaryOps.warcRecords($"b").as("w")).collect()
+    assert(warcRows.length === warcBlobs.length)
     blobs.zip(rows).foreach { case (b, r) =>
       val m = r.getStruct(0)
       val fmt = if (m.isNullAt(0)) null else m.getString(0)
