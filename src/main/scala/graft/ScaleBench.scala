@@ -700,6 +700,31 @@ object ScaleBench {
     println("corpus_x,docs,html_extract_sec,wav_stats_sec,temperature_mix_sec")
     r13Rows.foreach { case (k, d, a, b, c) =>
       println(f"$k,$d,$a%.2f,$b%.2f,$c%.2f") }
+    // the objective builders and container listings are pure per-row
+    // projections too — same flat-or-linear requirement
+    def spanJob(d: DataFrame): Unit =
+      TextOps.spanCorrupt("doc_id", "text")(d)
+        .write.mode("overwrite").format("noop").save()
+    def fimJob(d: DataFrame): Unit =
+      TextOps.fimTransform("doc_id", "text")(d)
+        .write.mode("overwrite").format("noop").save()
+    def warcJob(d: DataFrame): Unit =
+      d.select(col("doc_id"), BinaryOps.warcRecords(
+        BinaryOps.syntheticWarc((col("doc_id") % 3 + 1).cast("int"))))
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = repDocs(1).localCheckpoint()
+      spanJob(d1); fimJob(d1); warcJob(d1); d1.unpersist() }
+    val objRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = repDocs(k).localCheckpoint()
+      val tS = median3(spanJob(d))
+      val tF = median3(fimJob(d))
+      val tW = median3(warcJob(d))
+      d.unpersist()
+      (k, nd * k, tS, tF, tW)
+    }
+    println("corpus_x,docs,span_corrupt_sec,fim_transform_sec,warc_records_sec")
+    objRows.foreach { case (k, d, a, b, c) =>
+      println(f"$k,$d,$a%.2f,$b%.2f,$c%.2f") }
     // MMR selection-size curve at a fixed large pool (M = 1024, 10
     // queries): the kernel's running-maxSim form is O(k·M·dim) per
     // query, so the curve must stay FLAT while k grows 16× — this cell

@@ -539,6 +539,35 @@ final case class Pipeline(df: DataFrame) {
   def numericDrift(field: String, lo: Double, hi: Double, bins: Int,
       after: DataFrame): Pipeline =
     >>(b => Probes.numericDrift(field, lo, hi, bins)(b, after))
+  /** `this` is the corpus; top-k most-similar candidates under the
+    * near-dup band — contrastive hard negatives. */
+  def hardNegatives(corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, maxSim: Double, excludeSelf: Boolean = true): Pipeline =
+    >>(c => graft.ext.Similarity.hardNegatives(c, corpusId, corpusVec,
+      queries, queryId, queryVec, k, maxSim, excludeSelf))
+  /** `this` is the multi-vector corpus; ColBERT MaxSim top-k. */
+  def lateInteractionTopK(corpusId: String, corpusVecs: String,
+      queries: DataFrame, queryId: String, queryVecs: String,
+      k: Int, excludeSelf: Boolean = true): Pipeline =
+    >>(c => graft.ext.Similarity.lateInteractionTopK(c, corpusId,
+      corpusVecs, queries, queryId, queryVecs, k, excludeSelf))
+  def fwhtRotate(vecField: String, dim: Int, seed: Int = 0): Pipeline =
+    >>(_.withColumn(vecField,
+      graft.ext.Similarity.fwhtRotate(col(vecField), dim, seed)))
+  def spanCorrupt(idField: String, textField: String,
+      maskProb: Double = 0.15, spanLen: Int = 3,
+      salt: String = "t5"): Pipeline =
+    >>(TextOps.spanCorrupt(idField, textField, maskProb, spanLen, salt))
+  def fimTransform(idField: String, textField: String,
+      fimRate: Double = 0.5, salt: String = "fim"): Pipeline =
+    >>(TextOps.fimTransform(idField, textField, fimRate, salt))
+  def zipEntries(blobField: String, outField: String = "entries"): Pipeline =
+    >>(_.withColumn(outField,
+      graft.ext.BinaryOps.zipEntries(col(blobField))))
+  def warcRecords(blobField: String, outField: String = "records"): Pipeline =
+    >>(_.withColumn(outField,
+      graft.ext.BinaryOps.warcRecords(col(blobField))))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =
