@@ -1574,6 +1574,24 @@ object ExtQueries {
         Ops.mergeAggregateStatesKll(keys, Seq("value"))(stored, batch))
         .orderBy("event_type")
     },
+    "incremental_freq" -> { (s, dir) =>
+      // the POINT-FREQUENCY leg of rollup maintenance (count-min
+      // sketches, 5×4096): per-source lang-frequency state as two
+      // folded halves, probed for the full lang domain — in the
+      // collision-free regime every estimate is the exact count
+      // (absent keys 0), so the oracle is a plain source×lang count
+      // spine; beyond it only the one-sided ≥ band holds (spec-pinned)
+      val keys = Seq("source")
+      val d = corpus(s, dir, "documents").select("doc_id", "source", "lang")
+      val stored = Ops.aggregateStateCms(keys, Seq("lang"))(
+        d.filter(col("doc_id") % 2 === 0))
+      val batch = Ops.aggregateStateCms(keys, Seq("lang"))(
+        d.filter(col("doc_id") % 2 =!= 0))
+      Ops.finalizeAggregateCms(keys, "lang",
+        Seq("de", "en", "es", "fr", "zh"))(
+        Ops.mergeAggregateStatesCms(keys, Seq("lang"))(stored, batch))
+        .orderBy("source", "item")
+    },
     "equal_freq_bins" -> { (s, dir) =>
       // per-flag deciles of extended price, verified via the per-bin
       // population + passthrough min/max (bin edges are exact
@@ -5163,6 +5181,19 @@ object ExtQueries {
         max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END)
           AS value_p90
       FROM r GROUP BY 1 ORDER BY 1""",
+    // collision-free CMS regime: every point estimate is the exact
+    // (source, lang) count and absent probe keys read 0 — a plain
+    // count spine over the full source×lang grid
+    "incremental_freq" -> """
+      WITH langs AS (SELECT unnest(['de','en','es','fr','zh']) AS item),
+      srcs AS (SELECT DISTINCT source FROM documents),
+      c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY source, lang)
+      SELECT s.source, l.item,
+        CAST(coalesce(c.n, 0) AS BIGINT) AS lang_freq_est
+      FROM srcs s CROSS JOIN langs l
+      LEFT JOIN c ON c.source = s.source AND c.lang = l.item
+      ORDER BY s.source, l.item""",
     // mirrors Ops.equalFreqBins: exact interior-decile cutpoints
     // (quantile_cont list ≡ Spark's percentile array), bin = 1 + cuts
     // strictly below the value, ties land low

@@ -138,3 +138,38 @@ final case class RollupStateKll(
   def result(ranks: Seq[Double]): DataFrame =
     Ops.finalizeAggregateKll(keys, fields, ranks)(load())
 }
+
+/** The POINT-FREQUENCY leg of persistent rollup state: the stored
+  * object is an [[graft.ops.Ops.aggregateStateCms]] frame (one
+  * depth·width·8-byte count–min sketch per (group, field) FOREVER),
+  * batches fold in with element-wise counter addition, and
+  * [[result]] probes the current state for any key list — "how often
+  * has THIS value occurred across all history" without re-reading
+  * history or knowing the key at build time. Estimates never
+  * undercount; exact and deterministic in the collision-free regime
+  * (the oracle's — see [[graft.functions.CmsAgg]]). Same fold
+  * discipline (pin before replace); CMS merges are NOT idempotent
+  * under re-delivery (counters add), so the at-least-once restart
+  * caveat of the additive form applies here too. */
+final case class RollupStateCms(
+    store: DataStore, name: String,
+    keys: Seq[String], fields: Seq[String],
+    depth: Int = 5, width: Int = 4096, seed: Int = 1) {
+
+  def create(df: DataFrame, replace: Boolean = false): Unit =
+    store.create(name,
+      Ops.aggregateStateCms(keys, fields, depth, width, seed)(df), replace)
+
+  def load(): DataFrame = store.getObject(name)
+
+  def fold(batch: DataFrame): Unit = {
+    val merged = Ops.mergeAggregateStatesCms(keys, fields, depth, width, seed)(
+      load(), Ops.aggregateStateCms(keys, fields, depth, width, seed)(batch))
+      .localCheckpoint()
+    store.create(name, merged, replace = true)
+  }
+
+  /** `(keys…, item, <field>_freq_est)` for a static probe list. */
+  def result(field: String, items: Seq[String]): DataFrame =
+    Ops.finalizeAggregateCms(keys, field, items)(load())
+}

@@ -252,6 +252,28 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         arity("graft_kll_quantile", children, 2)
         KllSketchQuantile(children.head, children(1)) }),
+    // CMS frequency trio — the mergeable point-frequency state
+    ("graft_cms_agg",
+      new ExpressionInfo(classOf[CmsAgg].getName, "graft_cms_agg"),
+      { children: Seq[Expression] =>
+        arity("graft_cms_agg", children, 4)
+        CmsAgg(children.head,
+          litInt(children(1), "graft_cms_agg", "depth"),
+          litInt(children(2), "graft_cms_agg", "width"),
+          litInt(children(3), "graft_cms_agg", "seed")) }),
+    ("graft_cms_merge",
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "graft_cms_merge"),
+      { children: Seq[Expression] =>
+        arity("graft_cms_merge", children, 4)
+        CmsMergeAgg(children.head,
+          litInt(children(1), "graft_cms_merge", "depth"),
+          litInt(children(2), "graft_cms_merge", "width"),
+          litInt(children(3), "graft_cms_merge", "seed")) }),
+    ("graft_cms_estimate",
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      { children: Seq[Expression] =>
+        arity("graft_cms_estimate", children, 2)
+        CmsEstimate(children.head, children(1)) }),
     ("graft_deflate_size",
       new ExpressionInfo(classOf[DeflateSize].getName, "graft_deflate_size"),
       { children: Seq[Expression] =>
@@ -532,6 +554,30 @@ object GraftFunctions {
   def kllQuantile(sketch: Column, rank: Column): Column =
     Bridge.column(KllSketchQuantile(
       Bridge.expression(sketch), Bridge.expression(rank)))
+
+  /** Count–min-sketch aggregate over a BIGINT or STRING column: one
+    * depth×width counter matrix per group — the mergeable
+    * point-frequency state (see [[CmsAgg]]). Estimates never
+    * undercount; exact in the collision-free regime. */
+  def cmsAgg(value: Column,
+      depth: Int = 5, width: Int = 4096, seed: Int = 1): Column =
+    Bridge.column(CmsAgg(Bridge.expression(value), depth, width, seed)
+      .toAggregateExpression())
+
+  /** Fold serialized count–min sketches (the bytes [[cmsAgg]]
+    * produced) into one — the maintenance merge (element-wise counter
+    * addition; shapes must match). */
+  def cmsMerge(sketch: Column,
+      depth: Int = 5, width: Int = 4096, seed: Int = 1): Column =
+    Bridge.column(CmsMergeAgg(Bridge.expression(sketch), depth, width, seed)
+      .toAggregateExpression())
+
+  /** Point-frequency query against a serialized count–min sketch
+    * (BIGINT or STRING key, same identity the sketch was built with;
+    * NULL sketch/key → NULL). */
+  def cmsEstimate(sketch: Column, key: Column): Column =
+    Bridge.column(CmsEstimate(
+      Bridge.expression(sketch), Bridge.expression(key)))
 
   /** Theta-sketch aggregate over a BIGINT or STRING column: one binary
     * compact sketch per group — the set-algebra distinct state (see

@@ -463,6 +463,65 @@ object Ops {
     state.select(keys.map(col) ++ cols: _*)
   }
 
+  /** The POINT-FREQUENCY leg of mergeable aggregate state — the one
+    * question the additive/HLL/theta/KLL legs cannot answer: "how often
+    * does THIS value occur" over an unbounded key domain (the exact
+    * answer is the full frequency map; there is no bounded exact
+    * state). Per-group Spark count–min sketches, depth·width·8 bytes
+    * per (group, field) forever. Estimates never undercount and are
+    * EXACT unless a key collides with another ingested key in all
+    * `depth` rows — ≤ (d/width)^depth for d in-sketch keys, and
+    * deterministic either way (fixed Murmur3 row seeds): the oracle's
+    * collision-free regime at the default 5×4096 (see
+    * [[graft.functions.CmsAgg]]). State schema: `<f>_cms` BINARY per
+    * field; LONG values hash their integral value, STRING values their
+    * UTF-8 bytes. */
+  def aggregateStateCms(
+      keys: Seq[String], fields: Seq[String],
+      depth: Int = 5, width: Int = 4096, seed: Int = 1)(
+      df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    require(fields.nonEmpty, "at least one sketched field required")
+    val aggs = fields.distinct.map(f =>
+      graft.functions.GraftFunctions
+        .cmsAgg(col(f), depth, width, seed).as(s"${f}_cms"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold one [[aggregateStateCms]] frame into another: union + one
+    * element-wise counter addition per column. Exact-regime sketches
+    * merge exactly (counter addition introduces no new collisions
+    * beyond the union of key sets). */
+  def mergeAggregateStatesCms(
+      keys: Seq[String], fields: Seq[String],
+      depth: Int = 5, width: Int = 4096, seed: Int = 1)(
+      stored: DataFrame, batch: DataFrame): DataFrame = {
+    val merges = fields.distinct.map(f =>
+      graft.functions.GraftFunctions
+        .cmsMerge(col(s"${f}_cms"), depth, width, seed).as(s"${f}_cms"))
+    stored.unionByName(batch)
+      .groupBy(keys.map(col): _*).agg(merges.head, merges.tail: _*)
+  }
+
+  /** Probe an [[aggregateStateCms]] frame for a fixed key list: one
+    * output row per (group, probe key) — `(keys…, item, <f>_freq_est)`,
+    * a |groups|×|items| projection of the |groups|-row state. Absent
+    * keys estimate 0 in the collision-free regime; the probe list is
+    * static (the persisted-state contract: history is never re-read, so
+    * the caller asks about the keys it cares about). */
+  def finalizeAggregateCms(
+      keys: Seq[String], field: String, items: Seq[String])(
+      state: DataFrame): DataFrame = {
+    require(items.nonEmpty, "at least one probe item required")
+    state
+      .select(keys.map(col) :+ col(s"${field}_cms") :+
+        explode(array(items.map(lit): _*)).as("item"): _*)
+      .select(keys.map(col) :+ col("item") :+
+        graft.functions.GraftFunctions
+          .cmsEstimate(col(s"${field}_cms"), col("item"))
+          .as(s"${field}_freq_est"): _*)
+  }
+
   /** Skew-salted equi-join — the JOIN half of the skew toolkit
     * ([[saltedAggregate]] is the aggregation half, AQE skew-split the
     * runtime fallback): when one join key carries a disproportionate

@@ -192,6 +192,18 @@ final case class Pipeline(df: DataFrame) {
   def finalizeAggregateKll(keys: Seq[String], fields: Seq[String],
       ranks: Seq[Double]): Pipeline =
     >>(Ops.finalizeAggregateKll(keys, fields, ranks))
+  def aggregateStateCms(keys: Seq[String], fields: Seq[String],
+      depth: Int = 5, width: Int = 4096, seed: Int = 1): Pipeline =
+    >>(Ops.aggregateStateCms(keys, fields, depth, width, seed))
+  /** `this` is the stored sketch state; `batch` the new state to fold in. */
+  def mergeAggregateStatesCms(batch: DataFrame, keys: Seq[String],
+      fields: Seq[String],
+      depth: Int = 5, width: Int = 4096, seed: Int = 1): Pipeline =
+    Pipeline(Ops.mergeAggregateStatesCms(keys, fields, depth, width, seed)(
+      df, batch))
+  def finalizeAggregateCms(keys: Seq[String], field: String,
+      items: Seq[String]): Pipeline =
+    >>(Ops.finalizeAggregateCms(keys, field, items))
   def saltedJoin(right: DataFrame, keys: Seq[String], buckets: Int = 16,
       joinType: String = "inner"): Pipeline =
     >>(Ops.saltedJoin(right, keys, buckets, joinType))

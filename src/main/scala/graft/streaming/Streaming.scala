@@ -343,6 +343,20 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) => state.fold(batch) }
       .start()
 
+  /** [[streamingRollup]]'s POINT-FREQUENCY sibling: fold each
+    * micro-batch's count–min sketches into a persisted
+    * [[graft.ext.RollupStateCms]]. Same foreachBatch shape. The
+    * at-least-once caveat BINDS (counters add — a re-delivered batch
+    * double-counts): production restarts need an idempotence key
+    * recorded with the state, as for the additive and KLL forms. */
+  def streamingRollupCms(
+      events: DataFrame, state: graft.ext.RollupStateCms):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => state.fold(batch) }
+      .start()
+
   /** Unbounded parquet-directory source: new files under `dir` become
     * micro-batches. Schema must be supplied — a streaming source cannot
     * pay an inference pass per batch. */

@@ -300,6 +300,33 @@ class FunctionsSpec extends SparkSpec {
       "SELECT graft_kll_agg(v, CAST(v AS INT)) FROM kll_in").collect())
   }
 
+  test("graft_cms_* SQL surface: agg + fold + point estimate round-trip") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
+      .map(v => ("g", v)).toDF("k", "v")
+      .createOrReplaceTempView("cms_in")
+    // agg -> estimate in SQL matches the exact-regime pin
+    val direct = spark.sql(
+      """SELECT graft_cms_estimate(graft_cms_agg(v, 5, 4096, 1), 'a') AS e
+         FROM cms_in""").as[Long].head()
+    assert(direct === 5L)
+    // partial sketches fold to the same answer via graft_cms_merge
+    val folded = spark.sql(
+      """SELECT graft_cms_estimate(graft_cms_merge(sk, 5, 4096, 1), 'a') AS e
+         FROM (SELECT graft_cms_agg(v, 5, 4096, 1) AS sk FROM cms_in
+               GROUP BY v = 'a')""").as[Long].head()
+    assert(folded === 5L)
+    // absent key reads 0 in the collision-free regime
+    assert(spark.sql(
+      """SELECT graft_cms_estimate(graft_cms_agg(v, 5, 4096, 1), 'zz') AS e
+         FROM cms_in""").as[Long].head() === 0L)
+    // structural shape must be literal
+    intercept[Exception](spark.sql(
+      "SELECT graft_cms_agg(v, CAST(length(v) AS INT), 16, 1) FROM cms_in")
+      .collect())
+  }
+
   test("round-12 SQL surface: theta, linear score, media meta, deflate size") {
     import spark.implicits._
     GraftFunctions.register(spark)

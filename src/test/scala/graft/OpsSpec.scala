@@ -793,6 +793,69 @@ class OpsSpec extends SparkSpec {
     assert(outs.toSeq === Seq(0L, 1L))
   }
 
+  test("CMS frequency state: exact point counts + exact merge in the collision-free regime") {
+    import spark.implicits._
+    val ks = Seq("k"); val fs = Seq("v")
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
+      .map(v => ("g", v)).toDF("k", "v")
+    // collision-free at 5×4096: every estimate is the exact count,
+    // absent probe keys read 0 ("a" < "absent" < "b" < "c")
+    val probe = Ops.finalizeAggregateCms(ks, "v",
+      Seq("a", "b", "c", "absent"))(Ops.aggregateStateCms(ks, fs)(df))
+      .orderBy("item").select("v_freq_est").as[Long].collect().toSeq
+    assert(probe === Seq(5L, 0L, 3L, 1L))
+    // maintenance identity: merged halves == direct build over the union
+    val a = df.filter(col("v") === "a"); val b = df.filter(col("v") =!= "a")
+    val merged = Ops.finalizeAggregateCms(ks, "v", Seq("a", "b", "c"))(
+      Ops.mergeAggregateStatesCms(ks, fs)(
+        Ops.aggregateStateCms(ks, fs)(a), Ops.aggregateStateCms(ks, fs)(b)))
+      .orderBy("item").select("v_freq_est").as[Long].collect().toSeq
+    assert(merged === Seq(5L, 3L, 1L))
+    // NULLs are skipped; an all-NULL group estimates 0 everywhere
+    val n = Seq(("g", Some("x")), ("g", None), ("e", None))
+      .toDF("k", "v")
+    val outs = Ops.finalizeAggregateCms(ks, "v", Seq("x"))(
+      Ops.aggregateStateCms(ks, fs)(n))
+      .orderBy("k").select("v_freq_est").as[Long].collect().toSeq
+    assert(outs === Seq(0L, 1L))
+    // LONG identity: integral hash path, same exactness
+    val l = Seq(("g", 7L), ("g", 7L), ("g", 9L)).toDF("k", "v")
+    val lest = Ops.finalizeAggregateCms(ks, "v", Seq("7", "9"))(
+      Ops.aggregateStateCms(ks, fs)(
+        l.select(col("k"), col("v"))))
+    // probing a LONG-built sketch with STRING keys must NOT alias —
+    // the identities are disjoint by design
+    assert(lest.select("v_freq_est").as[Long].collect().toSeq === Seq(0L, 0L))
+    val lest2 = Ops.aggregateStateCms(ks, fs)(l)
+      .select(graft.functions.GraftFunctions
+        .cmsEstimate(col("v_cms"), lit(7L)).as("e7"),
+        graft.functions.GraftFunctions
+          .cmsEstimate(col("v_cms"), lit(9L)).as("e9"))
+      .head()
+    assert(lest2.getLong(0) === 2L && lest2.getLong(1) === 1L)
+  }
+
+  test("CMS frequency state: estimation regime never undercounts (one-sided band)") {
+    import spark.implicits._
+    // 500 distinct keys forced through a 2×8 sketch: massive
+    // collisions, but the min-of-rows estimate is ≥ the true count for
+    // EVERY key — the one-sided guarantee that makes CMS usable as a
+    // conservative frequency floor-check even when undersized
+    val df = (1 to 500).map(i => ("g", s"key$i")).toDF("k", "v")
+    val est = Ops.finalizeAggregateCms(Seq("k"), "v",
+      (1 to 50).map(i => s"key$i"))(
+      Ops.aggregateStateCms(Seq("k"), Seq("v"), depth = 2, width = 8)(df))
+      .select("v_freq_est").as[Long].collect()
+    assert(est.forall(_ >= 1L))
+    // and a shape-drifted fold fails loudly, never silently misreads
+    intercept[Exception] {
+      Ops.mergeAggregateStatesCms(Seq("k"), Seq("v"), width = 1024)(
+        Ops.aggregateStateCms(Seq("k"), Seq("v"), width = 1024)(df),
+        Ops.aggregateStateCms(Seq("k"), Seq("v"), width = 2048)(df))
+        .collect()
+    }
+  }
+
   test("KLL quantile state: estimation regime stays inside the rank-error band") {
     import spark.implicits._
     // 10k values 1..10000 at k=200: compacted, estimate only — the

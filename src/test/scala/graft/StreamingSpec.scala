@@ -185,6 +185,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRollupCms: folded frequency sketches match the full recompute") {
+    import graft.ext.RollupStateCms
+    import graft.ops.Ops
+    val store = new graft.sources.MemoryStore(spark)
+    val state = RollupStateCms(store, "qcms", Seq("event_type"), Seq("v"))
+    val input = MemoryStream[(String, String)]
+    state.create(spark.emptyDataset[(String, String)].toDF("event_type", "v"))
+    val q = Streaming.streamingRollupCms(
+      input.toDF().toDF("event_type", "v"), state)
+    try {
+      input.addData(("click", "a"), ("click", "a"), ("view", "b"))
+      q.processAllAvailable()
+      input.addData(("click", "a"), ("click", "b"))
+      q.processAllAvailable()
+      val all = Seq(("click", "a"), ("click", "a"), ("view", "b"),
+        ("click", "a"), ("click", "b")).toDF("event_type", "v")
+      val direct = Ops.finalizeAggregateCms(
+        Seq("event_type"), "v", Seq("a", "b"))(
+        Ops.aggregateStateCms(Seq("event_type"), Seq("v"))(all))
+      // collision-free regime: folded == direct, and each probe reads
+      // the exact count (click: a=3 b=1; view: a=0 b=1)
+      assert(state.result("v", Seq("a", "b")).orderBy("event_type", "item")
+        .collect().toSeq ===
+        direct.orderBy("event_type", "item").collect().toSeq)
+      assert(state.result("v", Seq("a", "b")).orderBy("event_type", "item")
+        .select("v_freq_est").as[Long].collect().toSeq ===
+        Seq(3L, 1L, 0L, 1L))
+    } finally q.stop()
+  }
+
   test("session windows close after the gap") {
     val input = MemoryStream[(Timestamp, String)]
     val sessions = Streaming.sessionCounts(
