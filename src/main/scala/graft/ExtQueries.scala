@@ -568,6 +568,22 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("doc_id")
     },
+    "line_dedup" -> { (s, dir) =>
+      // CCNet/RefinedWeb boilerplate pass: the word-soup corpus gains
+      // line structure (8-word lines) via a deterministic re-join,
+      // then any line appearing verbatim >= 2 times ACROSS the corpus
+      // is removed from every document (first occurrence included —
+      // boilerplate is noise everywhere); blank lines never count
+      val toks = split(coalesce(col("text"), lit("")), " ")
+      val lined = corpus(s, dir, "documents").select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0),
+            ceil(size(toks) / lit(8.0)).cast("int") - 1),
+          b => array_join(slice(toks, b * lit(8) + 1, lit(8)), " ")),
+          "\n").as("text"))
+      TextOps.dedupLines("doc_id", "text", minCount = 2)(lined)
+        .orderBy("doc_id")
+    },
     "bm25_topk" -> { (s, dir) =>
       TextOps.bm25TopK("doc_id", "text",
         Seq("spark", "stream", "vector"), k = 10)(
@@ -4418,6 +4434,29 @@ object ExtQueries {
         coalesce(r.clean, '') AS clean_text
       FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
       ORDER BY d.doc_id""",
+    // mirrors the line_dedup pre-lining (8-word lines via the same
+    // integer grid) then the CCNet removal contract: corpus-frequency
+    // >= 2 lines vanish EVERYWHERE (first occurrence too), blank
+    // lines never count, per-doc rebuild in line order
+    "line_dedup" -> """
+      WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+                 FROM documents),
+      l AS (SELECT doc_id, CAST(b AS BIGINT) AS lp,
+              array_to_string(
+                t[CAST(b*8+1 AS INT):CAST(b*8+8 AS INT)], ' ') AS line
+            FROM d, unnest(range(0, CAST(ceil(len(t)/8e0) AS INT))) AS u(b)),
+      h AS (SELECT line FROM l WHERE trim(line) <> ''
+            GROUP BY line HAVING count(*) >= 2),
+      k AS (SELECT l.doc_id, l.lp, l.line, h.line IS NOT NULL AS heavy
+            FROM l LEFT JOIN h ON l.line = h.line)
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(coalesce(sum(CASE WHEN heavy THEN 1 END), 0) AS BIGINT)
+          AS n_removed,
+        coalesce(array_to_string(
+          list(line ORDER BY lp) FILTER (WHERE NOT heavy), chr(10)), '')
+          AS clean_text
+      FROM k GROUP BY doc_id ORDER BY doc_id""",
     "bm25_topk" -> bm25Sql(Seq("spark", "stream", "vector"), k = 10),
     // posting-list build + per-term score tree identical to bm25_topk;
     // the per-(query, doc) sum folds a term-ORDERED list left from 0.0

@@ -1895,6 +1895,63 @@ object TextOps {
     rebuildDropping(tokenized, coveragePositions(hits, n), idField)
   }
 
+  /** Corpus-wide duplicate-LINE removal — the CCNet/RefinedWeb
+    * boilerplate pass: a line (nav menu, cookie banner, footer, share
+    * button) that appears verbatim `minCount`+ times ACROSS the corpus
+    * is removed from EVERY document, including its first occurrence —
+    * unlike the keep-one dedup family, repeated boilerplate is noise
+    * everywhere, not content anywhere. Lines whose trimmed form is
+    * empty are never counted and never removed (blank-line structure
+    * is formatting, not boilerplate). Same
+    * `(id, n_lines, n_removed, clean_text)` contract shape as the
+    * token-strip operators; documents survive even when every line is
+    * stripped (clean_text ""). NULL text coalesces to "" (one empty
+    * line, kept).
+    *
+    * Complements the span family: [[stripDuplicateSpans]] hunts
+    * ARBITRARY-position n-gram overlap (quotation, mirroring);
+    * this pass hunts STRUCTURAL repetition at line granularity —
+    * exact, cheap, and the first thing a web-corpus pipeline runs.
+    *
+    * Scale shape: posexplode lines → one corpus-wide line-frequency
+    * hash-agg (map-side partial combine carries most of the weight —
+    * boilerplate is by definition massively repeated) → one left
+    * equi-join back → one per-doc rebuild aggregation. The frequency
+    * agg keys on the full line string, which keeps removal EXACT; a
+    * 100 TB deployment that measures the line-string shuffle as the
+    * bottleneck can key on xxhash64(line) instead at a ~n²/2⁶⁴
+    * false-removal risk — documented trade, not the default. No
+    * driver-side state; heavy-line cardinality is bounded by corpus
+    * repetition, never materialized beyond the join. */
+  def dedupLines(
+      idField: String, textField: String,
+      minCount: Int = 2, delim: String = "\n")(df: DataFrame): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    require(delim.nonEmpty, "line delimiter must be non-empty")
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val ex = df
+      .select(col(idField).as("__id"),
+        split(coalesce(col(textField), lit("")), quoted).as("__ls"))
+      .select(col("__id"), posexplode(col("__ls")).as(Seq("__lp", "__line")))
+      .select(col("__id"), col("__lp").cast("long").as("__lp"), col("__line"))
+    val heavy = ex
+      .filter(length(trim(col("__line"))) > 0)
+      .groupBy(col("__line")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("__line"), lit(1).as("__h"))
+    ex.join(heavy, Seq("__line"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("__h").isNull, 1)).as("__kept"),
+        concat_ws(delim, transform(
+          array_sort(collect_list(when(col("__h").isNull,
+            struct(col("__lp"), col("__line"))))),
+          s => s.getField("__line"))).as("clean_text"))
+      .select(col("__id").as(idField), col("n_lines"),
+        (col("n_lines") - col("__kept")).as("n_removed"),
+        col("clean_text"))
+  }
+
   /** SPAN-level decontamination — the surgical form of [[decontaminate]]:
     * instead of DROPPING every batch document that shares an n-gram with
     * the benchmark/eval corpus, strip only the contaminated token spans

@@ -21,6 +21,35 @@ class SpanDedupSpec extends SparkSpec {
     (2L, "a b c z d e f")
   ).toDF("doc_id", "text")
 
+  test("dedupLines removes corpus-frequent lines EVERYWHERE, keeps blanks and rare lines") {
+    // "nav menu" appears 4× across three docs (incl. twice in doc 1):
+    // every occurrence vanishes — the CCNet contract removes the first
+    // occurrence too, unlike the keep-one dedup family. Blank lines are
+    // never counted, never removed. Doc 3 is pure boilerplate and
+    // survives as an empty-text row, not a dropped one. Doc 4 is NULL.
+    val docs = Seq(
+      (1L, "nav menu\nreal content one\n\nnav menu"),
+      (2L, "nav menu\nreal content two"),
+      (3L, "nav menu"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupLines("doc_id", "text", minCount = 3)(docs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      (1L, 4L, 2L, "real content one\n"),
+      (2L, 2L, 1L, "real content two"),
+      (3L, 1L, 1L, ""),
+      (4L, 1L, 0L, "")))
+    // minCount is a threshold, not an exact count: at 5, "nav menu"
+    // (4 occurrences corpus-wide) drops below it and survives
+    val lax = TextOps.dedupLines("doc_id", "text", minCount = 5)(docs)
+      .orderBy("doc_id").select("n_removed").as[Long].collect()
+    assert(lax.toSeq === Seq(0L, 0L, 0L, 0L))
+    intercept[IllegalArgumentException](
+      TextOps.dedupLines("doc_id", "text", minCount = 1)(docs))
+  }
+
   test("duplicateSpans merges islands at gap == n and splits at n+1") {
     val out = TextOps.duplicateSpans("doc_id", "text", n = 3)(gapDocs)
       .orderBy("doc_id", "span_start")
