@@ -1465,6 +1465,17 @@ object ExtQueries {
         maskProb = 0.15, spanLen = 3)(corpus(s, dir, "documents"))
         .orderBy("doc_id")
     },
+    "epoch_mix" -> { (s, dir) =>
+      // LLaMA-recipe fractional epochs: src0 ×2.5, src1 ×0.25,
+      // src2 ×1 — integer epochs exact, the fractional part a salted
+      // per-doc Bernoulli; unnamed sources pass through at ×1. The
+      // oracle replays the floor/frac arithmetic and the md5-prefix
+      // draw, then regenerates copies with the same 0-based grid
+      TextOps.epochRepeatMix("doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0))(
+        corpus(s, dir, "documents").select("doc_id", "source"))
+        .orderBy("doc_id", "copy")
+    },
     "temperature_mix" -> { (s, dir) =>
       // T=2 multilingual smoothing: per-source share ∝ √n (the one
       // temperature that stays oracle-exact — sqrt is correctly-rounded
@@ -5042,6 +5053,26 @@ object ExtQueries {
           END)), ' '), '') AS target_text,
         CAST(coalesce(list_sum(mask), 0) AS BIGINT) AS n_masked_spans
       FROM s ORDER BY doc_id""",
+    // floor/frac epoch arithmetic + the shared md5-prefix Bernoulli
+    // (salt 'epoch') — mirrors TextOps.epochRepeatMix; DECIMAL-trap
+    // factors written in e-notation
+    "epoch_mix" -> """
+      WITH f AS (SELECT doc_id, source,
+          CASE source WHEN 'src0' THEN 25e-1 WHEN 'src1' THEN 25e-2
+            WHEN 'src2' THEN 1e0 ELSE 1e0 END AS f
+        FROM documents),
+      h AS (SELECT doc_id, source,
+          CAST(floor(f) AS BIGINT) +
+            CASE WHEN CAST(list_sum(list_transform(range(1, 9), j ->
+                (strpos('0123456789abcdef',
+                   substr(md5('epoch' || CAST(doc_id AS VARCHAR)), j, 1))
+                 - 1) * CAST(16**(8-j) AS BIGINT))) AS DOUBLE)
+              < (f - floor(f)) * CAST(4294967296 AS DOUBLE)
+            THEN 1 ELSE 0 END AS nc
+        FROM f)
+      SELECT doc_id, source, CAST(c AS BIGINT) AS copy
+      FROM h, unnest(range(0, nc)) AS u(c)
+      ORDER BY doc_id, copy""",
     // √n weights, source-ordered fold for Σ√n, the shared md5-prefix
     // Bernoulli with salt 'temp' — mirrors TextOps.temperatureMix
     "temperature_mix" -> """

@@ -735,6 +735,42 @@ object TextOps {
     * no corpus shuffle beyond one keys-only count agg; the per-source
     * rate table broadcasts back. Output: the kept rows plus their
     * `sample_rate`. */
+  /** Fractional EPOCH-repeat mixing — the published-recipe mixer
+    * (LLaMA-style "Wikipedia 2.45 epochs, Books 2.23, CommonCrawl
+    * 0.67"): each document of source s is emitted ⌊f_s⌋ times plus one
+    * more with probability frac(f_s) via the salted [[hashBernoulli]]
+    * on its id — so the EXPECTED replication of every source is
+    * exactly f_s, per-document decisions are deterministic and
+    * rerun-identical (no RNG state), and a factor < 1 degrades to
+    * plain hash down-sampling: one operator covers up-sampling,
+    * down-sampling, and integer epochs. Sources absent from `factors`
+    * pass through at 1.0. Output keeps every input column and adds
+    * `copy` (0-based BIGINT) so downstream shuffles/packers can
+    * distinguish replicas (and a deterministic global shuffle spreads
+    * them apart).
+    *
+    * Scale shape: zero shuffle and zero joins — the factor map rides
+    * in the plan as a literal (mixes name a handful of sources),
+    * replication is a per-row `explode(sequence(...))`, and output
+    * size is Σ n_s·f_s by construction. 100 TB pays one scan plus the
+    * write amplification the recipe asked for. */
+  def epochRepeatMix(
+      idField: String, sourceField: String,
+      factors: Map[String, Double], salt: String = "epoch")(
+      df: DataFrame): DataFrame = {
+    require(factors.nonEmpty, "at least one source factor required")
+    factors.foreach { case (s, f) => require(f > 0.0 && f <= 100.0,
+      s"epoch factor for '$s' must be in (0, 100], got $f") }
+    val f = coalesce(
+      element_at(typedLit(factors), col(sourceField)), lit(1.0))
+    val extra = when(
+      hashBernoulli(col(idField), f - floor(f), salt), 1L).otherwise(0L)
+    df.withColumn("__nc", floor(f).cast("long") + extra)
+      .filter(col("__nc") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__nc") - 1)))
+      .drop("__nc")
+  }
+
   def temperatureMix(
       idField: String, sourceField: String,
       budgetRows: Long, salt: String = "temp")(df: DataFrame): DataFrame = {

@@ -567,6 +567,9 @@ final case class Pipeline(df: DataFrame) {
   def fwhtRotate(vecField: String, dim: Int, seed: Int = 0): Pipeline =
     >>(_.withColumn(vecField,
       graft.ext.Similarity.fwhtRotate(col(vecField), dim, seed)))
+  def epochRepeatMix(idField: String, sourceField: String,
+      factors: Map[String, Double], salt: String = "epoch"): Pipeline =
+    >>(TextOps.epochRepeatMix(idField, sourceField, factors, salt))
   def dedupLines(idField: String, textField: String,
       minCount: Int = 2, delim: String = "\n"): Pipeline =
     >>(TextOps.dedupLines(idField, textField, minCount, delim))

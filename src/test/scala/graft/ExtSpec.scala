@@ -1742,6 +1742,44 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("epochRepeatMix: integer epochs exact, fractional in expectation, default ×1") {
+    val df = ((1 to 1000).map(i => (i.toLong, "wiki")) ++
+      (2001 to 3000).map(i => (i.toLong, "cc")) ++
+      (4001 to 4010).map(i => (i.toLong, "books")))
+      .toDF("doc_id", "source")
+    val out = TextOps.epochRepeatMix("doc_id", "source",
+      Map("wiki" -> 2.5, "cc" -> 0.25, "books" -> 3.0))(df)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // integer factor: EXACTLY n·f copies, every doc replicated alike
+    assert(bySrc("books") === 30L)
+    // fractional factors: expectation n·f with a Bernoulli tail —
+    // 1000 draws at p=.5 / p=.25, generous 5σ bands
+    assert(bySrc("wiki") > 2420L && bySrc("wiki") < 2580L, bySrc)
+    assert(bySrc("cc") > 180L && bySrc("cc") < 320L, bySrc)
+    // every wiki doc appears at least twice (floor), copies 0-indexed
+    val wikiMin = out.filter(col("source") === "wiki")
+      .groupBy("doc_id").count().agg(min("count")).head.getLong(0)
+    assert(wikiMin === 2L)
+    assert(out.agg(min("copy")).head.getLong(0) === 0L)
+    // unnamed sources pass through exactly once
+    val extra = df.unionByName(Seq((9001L, "other")).toDF("doc_id", "source"))
+    val others = TextOps.epochRepeatMix("doc_id", "source",
+      Map("wiki" -> 2.0))(extra)
+      .filter(col("source") === "other").count()
+    assert(others === 1L)
+    // deterministic: identical multiset across reruns
+    val a = TextOps.epochRepeatMix("doc_id", "source",
+      Map("wiki" -> 1.5))(df).groupBy("doc_id").count()
+      .orderBy("doc_id").collect().toSeq
+    val b = TextOps.epochRepeatMix("doc_id", "source",
+      Map("wiki" -> 1.5))(df).groupBy("doc_id").count()
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    intercept[IllegalArgumentException](
+      TextOps.epochRepeatMix("doc_id", "source", Map("wiki" -> 0.0))(df))
+  }
+
   test("lateInteraction: MaxSim semantics, empty guards, self-match bound") {
     def score(q: Seq[Array[Float]], d: Seq[Array[Float]]): Double =
       Seq((q, d)).toDF("q", "d")
