@@ -55,6 +55,16 @@ object ExtQueries {
         .select("doc_id", "lang", "n_tokens", "bin")
         .orderBy("doc_id")
     },
+    "length_batches" -> { (s, dir) =>
+      // padding-efficiency batching: 8-token length buckets bound the
+      // intra-batch length spread; within a bucket consecutive docs
+      // (ordered by n_tokens, id) fill 200-token batches via the
+      // quota rule — the oracle replays the identical window
+      TextOps.lengthBucketBatches("doc_id", "text",
+        bucketTokens = 8, batchTokens = 200)(
+        corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
     "repetition_stats" -> { (s, dir) =>
       val (dupFrac, topShare) = TextOps.repetitionStats(col("text"))
       corpus(s, dir, "documents")
@@ -2514,6 +2524,22 @@ object ExtQueries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            - len(string_split(text, ' '))) / 2048) AS BIGINT) AS bin
          FROM documents ORDER BY doc_id""",
+    // identical bucket (n//8) + quota window ((prefix−self)//200)
+    // arithmetic; sum(BIGINT) is HUGEINT in DuckDB — cast back
+    "length_batches" -> """
+      WITH t AS (SELECT doc_id,
+          CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      w AS (SELECT doc_id, n_tokens, n_tokens // 8 AS bucket,
+          sum(n_tokens) OVER (PARTITION BY n_tokens // 8
+            ORDER BY n_tokens, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+        CAST(0 AS BIGINT) AS shard,
+        CAST((cum - n_tokens) // 200 AS BIGINT) AS batch
+      FROM w ORDER BY doc_id""",
     // both signals are one integer count over another — exact on both
     // engines; bigram list built positionally exactly like the Spark
     // transform-with-index form

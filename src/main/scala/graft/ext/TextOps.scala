@@ -1257,6 +1257,49 @@ object TextOps {
     * are per-shard, so bins are too — shard by the column you already
     * shard training files by and each task packs independently. Exact
     * integer arithmetic, hash-matchable. */
+  /** Length-grouped batch assignment — the padding-efficiency pass
+    * before fixed-token training batches: documents land in LENGTH
+    * BUCKETS (⌊n_tokens/bucketTokens⌋, bounding the intra-batch length
+    * spread and hence the padding waste), and within a bucket
+    * consecutive documents — ordered deterministically by
+    * (n_tokens, id) — fill `batchTokens`-sized batches via the
+    * [[packSequences]] quota rule (batch = ⌊(prefix−self)/budget⌋: a
+    * document belongs to the batch its quota position starts in).
+    * Output: `(id, n_tokens, bucket, batch)` with `batch` 0-based per
+    * (bucket, shard).
+    *
+    * Scale shape: one tokenize projection + ONE shuffle (the window
+    * partition). A near-uniform-length 100 TB corpus lands mostly in
+    * one bucket, which would serialize the window — `shards` splits
+    * every bucket into deterministic hash sub-streams (batching is a
+    * partitioning CHOICE, not a global order: batches formed within a
+    * shard are exactly as valid, so correctness is unaffected while
+    * the window parallelism multiplies by `shards`). The oracle pins
+    * shards = 1; the sharded path is spec-pinned batch-valid. A batch
+    * is identified by (bucket, shard, batch) — `shard` stays in the
+    * output (constant 0 at shards = 1). */
+  def lengthBucketBatches(
+      idField: String, textField: String,
+      bucketTokens: Int, batchTokens: Long,
+      shards: Int = 1)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketTokens >= 1, s"bucketTokens must be >= 1, got $bucketTokens")
+    require(batchTokens >= 1, s"batchTokens must be >= 1, got $batchTokens")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val base = df.select(col(idField),
+      size(tokens(coalesce(col(textField), lit(""))))
+        .cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        floor(col("n_tokens") / lit(bucketTokens)).cast("long"))
+      .withColumn("shard", pmod(xxhash64(col(idField)), lit(shards)))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("n_tokens").asc, col(idField).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("batch",
+      floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+        / batchTokens))
+  }
+
   def packSequences(
       tokenCountField: String, budget: Long,
       shardField: String, orderBy: Seq[String],

@@ -567,6 +567,10 @@ final case class Pipeline(df: DataFrame) {
   def fwhtRotate(vecField: String, dim: Int, seed: Int = 0): Pipeline =
     >>(_.withColumn(vecField,
       graft.ext.Similarity.fwhtRotate(col(vecField), dim, seed)))
+  def lengthBucketBatches(idField: String, textField: String,
+      bucketTokens: Int, batchTokens: Long, shards: Int = 1): Pipeline =
+    >>(TextOps.lengthBucketBatches(idField, textField,
+      bucketTokens, batchTokens, shards))
   def epochRepeatMix(idField: String, sourceField: String,
       factors: Map[String, Double], salt: String = "epoch"): Pipeline =
     >>(TextOps.epochRepeatMix(idField, sourceField, factors, salt))

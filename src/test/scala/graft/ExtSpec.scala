@@ -1742,6 +1742,41 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("lengthBucketBatches: quota validity, contiguous ids, sharded path stays valid") {
+    val df = (1 to 300).map(i =>
+      (i.toLong, Seq.fill(1 + i % 40)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.lengthBucketBatches("doc_id", "text",
+      bucketTokens = 8, batchTokens = 100)(df)
+    assert(out.count() === 300)
+    // bucket arithmetic and the quota rule: a batch closes only when
+    // the next doc would START past the quota, so total minus the
+    // largest member is always < batchTokens
+    assert(out.filter(col("bucket") =!=
+      floor(col("n_tokens") / 8).cast("long")).count() === 0)
+    val sums = out.groupBy("bucket", "shard", "batch")
+      .agg(sum("n_tokens").as("tot"), max("n_tokens").as("mx"))
+    assert(sums.filter(col("tot") - col("mx") >= 100).count() === 0)
+    // batch ids 0-based and contiguous per (bucket, shard)
+    val per = out.groupBy("bucket", "shard").agg(min("batch").as("lo"),
+      max("batch").as("hi"), countDistinct("batch").as("nb"))
+    assert(per.filter(col("lo") =!= 0 || col("nb") =!= col("hi") + 1)
+      .count() === 0)
+    // sharded: still a partition of the corpus (every doc once), same
+    // bucket arithmetic, every (bucket, shard, batch) quota-valid —
+    // batching is a partitioning choice, so shards only split streams
+    val sh = TextOps.lengthBucketBatches("doc_id", "text",
+      bucketTokens = 8, batchTokens = 100, shards = 4)(df)
+    assert(sh.count() === 300 &&
+      sh.select("doc_id").distinct().count() === 300)
+    assert(sh.select("shard").distinct().count() > 1)
+    val shSums = sh.groupBy("bucket", "shard", "batch")
+      .agg(sum("n_tokens").as("tot"), max("n_tokens").as("mx"))
+    assert(shSums.filter(col("tot") - col("mx") >= 100).count() === 0)
+    intercept[IllegalArgumentException](
+      TextOps.lengthBucketBatches("doc_id", "text", 0, 100)(df))
+  }
+
   test("epochRepeatMix: integer epochs exact, fractional in expectation, default ×1") {
     val df = ((1 to 1000).map(i => (i.toLong, "wiki")) ++
       (2001 to 3000).map(i => (i.toLong, "cc")) ++
