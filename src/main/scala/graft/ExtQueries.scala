@@ -1689,6 +1689,29 @@ object ExtQueries {
         .orderBy("doc_id", "link_idx")
     },
     // ---- binary / multimodal ----------------------------------------------
+    "url_dedup" -> { (s, dir) =>
+      // crawl-frontier dedup on the canonical URL: five noise axes
+      // (scheme case, host case, default port, tracking params,
+      // trailing slash, fragment) dress the same logical page in up to
+      // dozens of spellings; the canonicalization chain must strip ALL
+      // of them — the oracle computes the canonical form
+      // ARITHMETICALLY from the id, so any regex slip mismatches
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, "HTTP://").otherwise("http://"),
+        when(id % 4 === 0, "Example").otherwise("example"),
+        (id % 7).cast("string"), lit(".com"),
+        when(id % 5 === 0, ":80").otherwise(""),
+        lit("/p/"), (id % 40).cast("string"),
+        when(id % 2 === 1, "/").otherwise(""),
+        when(id % 3 === 0, "?utm_source=feed")
+          .when(id % 3 === 1, "?utm_campaign=a&gclid=xyz")
+          .otherwise(""),
+        when(id % 11 === 0, "#sec").otherwise(""))
+      Dedup.byCanonicalUrl("url", tieBreak = "doc_id")(
+        corpus(s, dir, "documents").select(id, url.as("url")))
+        .orderBy("doc_id")
+    },
     "url_parts" -> { (s, dir) =>
       // crawl-manifest decomposition: synthetic per-doc URLs (the
       // fixtures carry none) parsed back via parse_url + the
@@ -5413,6 +5436,31 @@ object ExtQueries {
         ls[CAST(i + 1 AS INT)] AS href
       FROM (SELECT doc_id, ls, unnest(range(0, len(ls))) AS i FROM l)
       ORDER BY doc_id, link_idx""",
+    // the noisy construction replayed verbatim, but the canonical key
+    // computed ARITHMETICALLY (never through the regex chain) — the
+    // keeper is the min-id row per canonical key, Dedup.exact's
+    // election with doc_id as tie-break
+    "url_dedup" -> """
+      WITH u AS (SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END) ||
+          (CASE WHEN doc_id % 4 = 0 THEN 'Example' ELSE 'example' END) ||
+          CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+          (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+          '/p/' || CAST(doc_id % 40 AS VARCHAR) ||
+          (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+          (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed'
+                WHEN doc_id % 3 = 1 THEN '?utm_campaign=a&gclid=xyz'
+                ELSE '' END) ||
+          (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END) AS url,
+          'http://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' ||
+            CAST(doc_id % 40 AS VARCHAR) AS canonical_url
+        FROM documents),
+      r AS (SELECT doc_id, url, canonical_url,
+          row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id)
+            AS rn
+        FROM u)
+      SELECT doc_id, url, canonical_url FROM r WHERE rn = 1
+      ORDER BY doc_id""",
     "url_parts" -> """
       WITH b AS (SELECT doc_id,
           ['www', 'data', 'cdn'][CAST(doc_id % 3 + 1 AS INT)] AS sub,

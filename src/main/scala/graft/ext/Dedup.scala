@@ -53,6 +53,20 @@ object Dedup {
       df.withColumn("__fp", TextOps.fingerprint(col(textField))))
       .drop("__fp")
 
+  /** Exact URL dedup on the CANONICAL form ([[TextOps.canonicalUrl]]:
+    * case-folded scheme/host, fragment/default-port/tracking-param/
+    * trailing-slash noise stripped) — the crawl-frontier dedup that
+    * plain exact-URL dedup misses: the same page fetched as
+    * `HTTP://Example.com:80/a/?utm_source=x` and `http://example.com/a`
+    * collapses to one row. Min-tie-break keeper election via [[exact]];
+    * the canonical key stays in the output as `canonical_url` (it is
+    * the redirect-map key downstream re-pointing needs). One pure
+    * canonicalization projection + one hash-agg — the [[byFingerprint]]
+    * cost shape. */
+  def byCanonicalUrl(urlField: String, tieBreak: String)(df: DataFrame): DataFrame =
+    exact(Seq("canonical_url"), tieBreak)(
+      df.withColumn("canonical_url", TextOps.canonicalUrl(col(urlField))))
+
   /** Duplicate PROVENANCE map: one row per dropped duplicate,
     * `(dup_id, kept_id)` — the redirect table a dedup pass should emit
     * alongside its survivors, so downstream references (citations,

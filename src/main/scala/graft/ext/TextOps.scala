@@ -2445,6 +2445,47 @@ object TextOps {
       .otherwise(lastTwo)
   }
 
+  /** URL canonicalization — the dedup key-builder of every crawl
+    * pipeline: the same page arrives as `HTTP://Example.com:80/a/?utm_
+    * source=x#frag` and `http://example.com/a` and naive exact-URL
+    * dedup keeps both. Deterministic rule-chain, each step a
+    * codegen'd regexp/string op the DuckDB oracle replays:
+    *  1. trim surrounding whitespace;
+    *  2. lowercase the SCHEME and AUTHORITY only (paths are
+    *     case-sensitive by spec, hosts are not);
+    *  3. drop the fragment (`#…` — never sent to the server);
+    *  4. drop default ports (`:80` for http, `:443` for https);
+    *  5. drop tracking parameters (`utm_*`, `fbclid`, `gclid`) with
+    *     their separators — non-leading ones first, then a leading one
+    *     followed by another param, then a lone one with its `?`;
+    *  6. drop a trailing `?` (emptied query) and ONE trailing slash
+    *     (`…/a/` ≡ `…/a`, incl. the bare-root `host/` ≡ `host`).
+    * Deliberately NOT attempted: query-parameter reordering (changes
+    * application semantics for duplicate keys) and percent-decoding
+    * (decoding can change which URL the server sees). NULL → NULL.
+    * Zero shuffle — a pure projection feeding
+    * [[Dedup.byCanonicalUrl]]'s one hash-agg. */
+  def canonicalUrl(url: Column): Column = {
+    val t = trim(url)
+    // lowercase scheme://authority, keep the rest byte-identical
+    // (substr is 1-based; the tail starts one past the head)
+    val head = regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val lowered = when(length(head) === 0, t)
+      .otherwise(concat(lower(head),
+        t.substr(length(head) + lit(1), length(t))))
+    val noFrag = regexp_replace(lowered, "#.*", "")
+    val noP80 = regexp_replace(noFrag,
+      "^(http://[^/:?#]*):80([/?#].*)?$", "$1$2")
+    val noP443 = regexp_replace(noP80,
+      "^(https://[^/:?#]*):443([/?#].*)?$", "$1$2")
+    val tracking = "(?:utm_[^=&#]*|fbclid|gclid)"
+    val noMid = regexp_replace(noP443, s"&$tracking=[^&#]*", "")
+    val noLead = regexp_replace(noMid, s"\\?$tracking=[^&#]*&", "?")
+    val noLone = regexp_replace(noLead, s"\\?$tracking=[^&#]*$$", "")
+    val noQ = regexp_replace(noLone, "\\?$", "")
+    regexp_replace(noQ, "([^/])/$", "$1")
+  }
+
   /** URL decomposition for crawl analytics: `idField, scheme, host,
     * registered_domain, path, url_query` via Spark's `parse_url`
     * (Hive-compatible java.net.URI semantics) plus

@@ -567,6 +567,11 @@ final case class Pipeline(df: DataFrame) {
   def fwhtRotate(vecField: String, dim: Int, seed: Int = 0): Pipeline =
     >>(_.withColumn(vecField,
       graft.ext.Similarity.fwhtRotate(col(vecField), dim, seed)))
+  def canonicalUrl(urlField: String,
+      outField: String = "canonical_url"): Pipeline =
+    >>(_.withColumn(outField, TextOps.canonicalUrl(col(urlField))))
+  def dedupByCanonicalUrl(urlField: String, tieBreak: String): Pipeline =
+    >>(graft.ext.Dedup.byCanonicalUrl(urlField, tieBreak))
   def lengthBucketBatches(idField: String, textField: String,
       bucketTokens: Int, batchTokens: Long, shards: Int = 1): Pipeline =
     >>(TextOps.lengthBucketBatches(idField, textField,

@@ -1742,6 +1742,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("canonicalUrl: every rule branch, non-URL passthrough, NULL") {
+    val cases = Seq(
+      // scheme+host case-fold, path case preserved
+      "HTTP://ExAmple.com/A/B" -> "http://example.com/A/B",
+      // default ports per scheme; non-default ports kept
+      "http://a.com:80/x" -> "http://a.com/x",
+      "https://a.com:443/x" -> "https://a.com/x",
+      "https://a.com:80/x" -> "https://a.com:80/x",
+      "http://a.com:8080/x" -> "http://a.com:8080/x",
+      // fragment always dropped
+      "http://a.com/x#frag" -> "http://a.com/x",
+      // tracking params: mid, leading-with-follower, lone; real
+      // params survive in order
+      "http://a.com/x?q=1&utm_source=s" -> "http://a.com/x?q=1",
+      "http://a.com/x?utm_a=1&q=2" -> "http://a.com/x?q=2",
+      "http://a.com/x?fbclid=f" -> "http://a.com/x",
+      "http://a.com/x?utm_a=1&gclid=g" -> "http://a.com/x",
+      "http://a.com/x?q=1&r=2" -> "http://a.com/x?q=1&r=2",
+      // a non-tracking utm-prefixed-but-separatorless key survives
+      "http://a.com/x?utmx=1" -> "http://a.com/x?utmx=1",
+      // trailing slash (incl. bare root); '//' tail untouched
+      "http://a.com/x/" -> "http://a.com/x",
+      "http://a.com/" -> "http://a.com",
+      "http://a.com/x//" -> "http://a.com/x//",
+      // whitespace trim; schemeless strings pass through un-lowered
+      "  http://a.com/x " -> "http://a.com/x",
+      "Not A Url" -> "Not A Url")
+    val df = cases.zipWithIndex
+      .map { case ((in, _), i) => (i.toLong, in) }.toDF("id", "u")
+    val got = df.select(col("id"),
+      TextOps.canonicalUrl(col("u")).as("c")).orderBy("id")
+      .collect().map(_.getString(1)).toSeq
+    assert(got === cases.map(_._2))
+    val n = Seq((1L, null: String)).toDF("id", "u")
+      .select(TextOps.canonicalUrl(col("u"))).head
+    assert(n.isNullAt(0))
+    // byCanonicalUrl: min-id keeper, canonical key kept in output
+    val dups = Seq((3L, "http://a.com/x?utm_a=1"), (1L, "HTTP://A.COM/x/"),
+      (2L, "http://b.com/y")).toDF("doc_id", "url")
+    val kept = graft.ext.Dedup.byCanonicalUrl("url", "doc_id")(dups)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(kept === Seq(1L -> "http://a.com/x", 2L -> "http://b.com/y"))
+  }
+
   test("lengthBucketBatches: quota validity, contiguous ids, sharded path stays valid") {
     val df = (1 to 300).map(i =>
       (i.toLong, Seq.fill(1 + i % 40)("w").mkString(" ")))
