@@ -47,6 +47,26 @@ object ParquetStore {
       }
     }.reduce(_.bitwiseOR(_))
   }
+
+  /** Hilbert-curve key for TWO keys — [[zValue]]'s better-locality
+    * sibling: the Z-curve takes a full-diagonal jump every time a high
+    * interleaved bit flips (cell 2^{2k}−1 → 2^{2k} teleports across the
+    * quadrant boundary), so a run of consecutive Z values can span a
+    * wide rectangle; the Hilbert curve visits EVERY consecutive cell
+    * pair at Manhattan distance exactly 1 (spec-pinned), so equal-count
+    * file cuts cover tighter rectangles and min/max stats prune harder
+    * on both keys. The classic per-level fold (quadrant digit
+    * d += s²·((3·rx)⊕ry), then reflect-and-swap) as the NATIVE kernel
+    * [[graft.functions.HilbertIndex]] — an iterative loop in both the
+    * interpreted and generated paths; a Column-level unrolling
+    * duplicates (x, y) per level and the tree grows 2^bits (measured:
+    * codegen OOM at bits = 6). Keys are taken modulo 2^bits (low bits
+    * verbatim); rank- or bucket-normalize skewed keys first, as
+    * with Z. */
+  def hilbertValue(c1: Column, c2: Column, bits: Int = 16): Column =
+    org.apache.spark.sql.graft.Bridge.column(graft.functions.HilbertIndex(
+      org.apache.spark.sql.graft.Bridge.expression(c1.cast("long")),
+      org.apache.spark.sql.graft.Bridge.expression(c2.cast("long")), bits))
 }
 
 /** Directory of parquet files, one object per `<name>.parquet` — the
@@ -150,6 +170,30 @@ final case class ParquetStore(spark: SparkSession, dir: String) extends DataStor
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+      .write.mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .parquet(path(name))
+  }
+
+  /** Hilbert-curve clustered layout — [[createZOrdered]] with the
+    * better-locality key ([[ParquetStore.hilbertValue]]): consecutive
+    * curve cells are always grid-adjacent, so equal-count file cuts
+    * cover tighter rectangles than Z's quadrant-jump runs and min/max
+    * stats prune harder on both keys. Two keys (the Hilbert rotation
+    * is 2-D; for 3+ keys use [[createZOrdered]]); same low-`bits`
+    * normalization contract. */
+  def createHilbertOrdered(
+      name: String,
+      from: DataFrame,
+      k1: String, k2: String,
+      numFiles: Int,
+      bits: Int = 16,
+      replace: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.col
+    val h = ParquetStore.hilbertValue(from.col(k1), from.col(k2), bits)
+    from.withColumn("__h", h)
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
       .write.mode(if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .parquet(path(name))
   }

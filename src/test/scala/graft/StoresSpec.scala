@@ -188,6 +188,58 @@ class StoresSpec extends SparkSpec {
     assert(store.getObject("grid").count() === 4096)
   }
 
+  test("hilbertValue is a bijection whose consecutive cells are grid-adjacent") {
+    // the property that separates Hilbert from Z: EVERY consecutive
+    // pair of curve positions is one grid step apart (|dx|+|dy| = 1);
+    // Z teleports across quadrant boundaries. Checked exhaustively on
+    // the full 8x8 (bits=3) grid, plus bijectivity onto [0, 64).
+    val cells = spark.range(64)
+      .select((col("id") % 8).as("x"), (col("id") / 8).cast("long").as("y"))
+      .select(col("x"), col("y"),
+        graft.sources.ParquetStore.hilbertValue(col("x"), col("y"), bits = 3)
+          .as("d"))
+      .orderBy("d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cells.map(_._3).toSeq === (0L until 64L).toSeq)
+    val steps = cells.sliding(2).map { case Array((x1, y1, _), (x2, y2, _)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) }.toSeq
+    assert(steps.forall(_ == 1L), s"non-adjacent steps: ${steps.zipWithIndex.filter(_._1 != 1)}")
+    // and the same exhaustive walk shows Z is NOT adjacent everywhere
+    val zSteps = spark.range(64)
+      .select((col("id") % 8).as("x"), (col("id") / 8).cast("long").as("y"))
+      .select(col("x"), col("y"), graft.sources.ParquetStore
+        .zValue(Seq(col("x"), col("y")), bits = 3).as("d"))
+      .orderBy("d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sliding(2).map { case Array((x1, y1), (x2, y2)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) }.toSeq
+    assert(zSteps.exists(_ > 1L))
+  }
+
+  test("hilbert layout keeps per-file spans at least as tight as z-order") {
+    val dir = Files.createTempDirectory("graft-ho").toString
+    val store = graft.sources.ParquetStore(spark, dir)
+    val df = spark.range(4096).toDF("id")
+      .withColumn("s", (col("id") * 2654435761L) % 4096)
+      .select((col("s") % 64).as("x"), (col("s") / 64).cast("long").as("y"),
+        col("id").as("v"))
+    store.createHilbertOrdered("hgrid", df, "x", "y", numFiles = 16, bits = 6)
+    def spans(key: String): Seq[Long] = {
+      val withFile = spark.read.parquet(s"$dir/hgrid.parquet")
+        .select(col(key), input_file_name().as("f"))
+      withFile.groupBy("f")
+        .agg((max(col(key)) - min(col(key))).as("span"))
+        .select("span").as[Long].collect().toSeq
+    }
+    val hx = spans("x"); val hy = spans("y")
+    assert(hx.size === 16)
+    // a 256-cell contiguous Hilbert run fits inside a modest rectangle
+    // on BOTH axes (global span 63)
+    assert(hx.max <= 35, s"x spans under hilbert: $hx")
+    assert(hy.max <= 35, s"y spans under hilbert: $hy")
+    assert(store.getObject("hgrid").count() === 4096)
+  }
+
   test("csv store honors inferFields and header") {
     val dir = Files.createTempDirectory("graft-csv").toString
     val store = Stores.open(spark, "csv", dir)
