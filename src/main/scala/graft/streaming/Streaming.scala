@@ -400,6 +400,39 @@ object Streaming {
     events.withWatermark(tsField, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-STREAM interval join — the one join family the
+    * stream-static forms above cannot express: BOTH sides are unbounded
+    * and a right event matches a left event on the key within
+    * `[leftTs, leftTs + maxDelay]` (the click-attribution /
+    * request-response correlation shape). Structured Streaming's
+    * stream-stream inner join with watermarks on BOTH sides — the
+    * interval bound plus the watermarks let the engine prove when a
+    * buffered row can never match again and evict it, so state is
+    * bounded by (watermark delay + maxDelay) of traffic, not history.
+    * Without the time bound a stream-stream join must buffer a side
+    * FOREVER — the bound is not an optimization, it is what makes the
+    * join runnable. Inner join only here: outer stream-stream joins
+    * emit nulls at watermark expiry and belong to a delivery contract
+    * the caller must choose deliberately.
+    *
+    * Left columns come out prefixed per the aliases `l`/`r` resolved
+    * positionally — the output keeps every column of both sides; name
+    * collisions beyond the key are the caller's to rename first. The
+    * same code path runs on batch frames (the spec's parity leg: batch
+    * result == streamed micro-batch accumulation). */
+  def streamIntervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      maxDelay: String, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"interval $maxDelay"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Streaming incremental dedup — the streaming half of
     * [[graft.ext.Dedup.incrementalByFingerprint]]: drop stream rows whose
     * content fingerprint is already in the historical index (a STATIC

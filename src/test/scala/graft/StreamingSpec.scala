@@ -215,6 +215,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamIntervalJoin: stream-stream matches within the bound, batch parity") {
+    val imps = MemoryStream[(Long, String, Timestamp)]
+    val clicks = MemoryStream[(Long, String, Timestamp)]
+    val joined = Streaming.streamIntervalJoin(
+      imps.toDF().toDF("imp_id", "ad", "imp_ts"),
+      clicks.toDF().toDF("click_id", "ad", "click_ts"),
+      key = "ad", leftTs = "imp_ts", rightTs = "click_ts",
+      maxDelay = "10 minutes", watermarkDelay = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, "a", ts("09:00")), (2L, "b", ts("09:00")))
+      clicks.addData(
+        (10L, "a", ts("09:05")), // within 10 min of imp 1 -> match
+        (11L, "a", ts("09:20")), // beyond the bound -> no match
+        (12L, "c", ts("09:01"))) // no impression for ad c -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj").select("imp_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set(1L -> 10L))
+      // the exact boundary (rightTs == leftTs + maxDelay) is INCLUDED
+      clicks.addData((13L, "b", ts("09:10")))
+      q.processAllAvailable()
+      assert(spark.table("ssj").count() === 2)
+      // batch parity: the same code path on static frames
+      val bImps = Seq((1L, "a", ts("09:00")), (2L, "b", ts("09:00")))
+        .toDF("imp_id", "ad", "imp_ts")
+      val bClicks = Seq((10L, "a", ts("09:05")), (11L, "a", ts("09:20")),
+        (12L, "c", ts("09:01")), (13L, "b", ts("09:10")))
+        .toDF("click_id", "ad", "click_ts")
+      val batch = Streaming.streamIntervalJoin(bImps, bClicks,
+        "ad", "imp_ts", "click_ts", "10 minutes", "5 minutes")
+        .select("imp_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === Set(1L -> 10L, 2L -> 13L))
+    } finally q.stop()
+  }
+
   test("session windows close after the gap") {
     val input = MemoryStream[(Timestamp, String)]
     val sessions = Streaming.sessionCounts(
