@@ -1677,6 +1677,42 @@ object ExtQueries {
             syntheticHtml(col("doc_id"), col("text"))).as("text"))
         .orderBy("doc_id")
     },
+    "anchor_terms" -> { (s, dir) =>
+      // anchor-text term index: each synthetic page links two targets
+      // and describes them with its own leading words (the
+      // linker-describes-target signal); the oracle computes the
+      // (href, term) pairs ARITHMETICALLY from the text, so any
+      // extraction-regex slip mismatches. The second anchor is
+      // uppercase <A HREF> to exercise the (?i) path
+      val id = col("doc_id")
+      val toks = split(coalesce(col("text"), lit("")), " ")
+      val a1 = array_join(slice(toks, 1, 2), " ")
+      val a2 = array_join(slice(toks, 3, 2), " ")
+      val html = concat(
+        lit("<p>intro</p><a class=\"x\" href=\"/t/"),
+        (id % 20).cast("string"), lit("\">"), a1,
+        lit("</a> mid <A HREF=\"/u/"), (id % 11).cast("string"),
+        lit("\">"), a2, lit("</A>"))
+      TextOps.anchorTermCounts("html")(
+        corpus(s, dir, "documents").select(id, html.as("html")))
+        .orderBy("href", "term")
+    },
+    "domain_gate" -> { (s, dir) =>
+      // per-SITE reputation after the per-DOC gates: 7 synthetic
+      // registered domains, a doc passes its own bar at
+      // n_chars >= 150, and a domain keeps its docs iff >= 82% pass
+      // with >= 10 docs — two integer counts and one IEEE multiply
+      // per side, the no-float-accumulation gate the oracle replays
+      // bit-for-bit (at sf0.01: domains 0/4/6 survive, 1/2/3/5 fall)
+      val id = col("doc_id")
+      val url = concat(lit("https://www.example"),
+        (id % 7).cast("string"), lit(".com/p/"), id.cast("string"))
+      TextOps.domainQualityGate("url", col("n_chars") >= 150,
+        minFrac = 0.82, minDocs = 10)(
+        corpus(s, dir, "documents")
+          .select(id, col("n_chars"), url.as("url")))
+        .orderBy("doc_id")
+    },
     "html_links" -> { (s, dir) =>
       // crawl-frontier feeder: every double-quoted href in document
       // order — composes with url_parts into (src_host, dst_host)
@@ -5428,6 +5464,39 @@ object ExtQueries {
       SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g'))
         AS text
       FROM s5 ORDER BY doc_id""",
+    // (href, term) pairs computed arithmetically from the text —
+    // never through the anchor-extraction regex; empty terms filtered
+    // on both sides
+    "anchor_terms" -> """
+      WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ')
+                   AS t FROM documents),
+      p AS (
+        SELECT '/t/' || CAST(doc_id % 20 AS VARCHAR) AS href,
+               unnest(t[1:2]) AS term FROM d
+        UNION ALL
+        SELECT '/u/' || CAST(doc_id % 11 AS VARCHAR) AS href,
+               unnest(t[3:4]) AS term FROM d)
+      SELECT href, term, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE len(term) > 0
+      GROUP BY href, term ORDER BY href, term""",
+    // registered domain computed arithmetically; the gate is two
+    // integer counts and one multiply per side — replayed exactly
+    "domain_gate" -> """
+      WITH u AS (SELECT doc_id, n_chars,
+          'https://www.example' || CAST(doc_id % 7 AS VARCHAR) ||
+            '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+          'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dom,
+          CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS pass
+        FROM documents),
+      s AS (SELECT dom, CAST(count(*) AS BIGINT) AS domain_docs,
+          CAST(sum(pass) AS BIGINT) AS domain_passes
+        FROM u GROUP BY dom
+        HAVING count(*) >= 10 AND
+          CAST(sum(pass) AS DOUBLE) >= 82e-2 * CAST(count(*) AS DOUBLE))
+      SELECT u.doc_id, u.n_chars, u.url, u.dom AS registered_domain,
+        s.domain_docs, s.domain_passes
+      FROM u JOIN s ON u.dom = s.dom
+      ORDER BY u.doc_id""",
     "html_links" -> s"""
       WITH h AS (SELECT doc_id, $syntheticHtmlSql AS html FROM documents),
       l AS (SELECT doc_id, regexp_extract_all(html,

@@ -745,6 +745,80 @@ object ScaleBench {
     mmrRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
     emb.unpersist(); qs.unpersist()
     }
+
+    phase("r13b") {
+    // Second-wave round-13 ops under ×1/×2/×4 replication. The
+    // replication is ADVERSARIAL for line_dedup the way the CC phase
+    // is for cluster dedup: every replica multiplies corpus line
+    // frequencies, so at ×2+ EVERY line is heavy and the removal join
+    // carries the full exploded stream — worst-case join load, must
+    // stay ~linear (agg + equi-join + rebuild, no pairwise stage).
+    // epoch_mix is a pure projection+explode (flat-to-linear);
+    // length_batches pays ONE window shuffle (linear); url_dedup is a
+    // regexp-chain projection + one hash-agg (linear); the CMS state
+    // build is one hash-agg to a constant-size state (linear scan,
+    // |groups|-bounded output).
+    import graft.ext.{Dedup, TextOps}
+    import graft.ops.Ops
+    val docsR = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source")
+    val nd = docsR.count()
+    def repDocs(k: Int): DataFrame =
+      (0 until k).map(i => docsR.select(
+        (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        col("text"), col("source")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def lineJob(d: DataFrame): Unit = {
+      val toks = split(coalesce(col("text"), lit("")), " ")
+      val lined = d.select(col("doc_id"), array_join(transform(
+        sequence(lit(0), ceil(size(toks) / lit(8.0)).cast("int") - 1),
+        b => array_join(slice(toks, b * lit(8) + 1, lit(8)), " ")),
+        "\n").as("text"))
+      TextOps.dedupLines("doc_id", "text", minCount = 2)(lined)
+        .write.mode("overwrite").format("noop").save()
+    }
+    def epochJob(d: DataFrame): Unit =
+      TextOps.epochRepeatMix("doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0))(d)
+        .write.mode("overwrite").format("noop").save()
+    def batchJob(d: DataFrame): Unit =
+      TextOps.lengthBucketBatches("doc_id", "text",
+        bucketTokens = 8, batchTokens = 200, shards = 4)(d)
+        .write.mode("overwrite").format("noop").save()
+    def urlJob(d: DataFrame): Unit = {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, "HTTP://").otherwise("http://"),
+        lit("example"), (id % 997).cast("string"), lit(".com"),
+        when(id % 5 === 0, ":80").otherwise(""),
+        lit("/p/"), (id % 40).cast("string"),
+        when(id % 3 === 0, "?utm_source=feed").otherwise(""))
+      Dedup.byCanonicalUrl("url", "doc_id")(
+        d.select(id, url.as("url")))
+        .write.mode("overwrite").format("noop").save()
+    }
+    def cmsJob(d: DataFrame): Unit =
+      Ops.aggregateStateCms(Seq("source"), Seq("text"))(d)
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = repDocs(1).localCheckpoint()
+      lineJob(d1); epochJob(d1); batchJob(d1); urlJob(d1); cmsJob(d1)
+      d1.unpersist() }
+    val rows = for (k <- Seq(1, 2, 4)) yield {
+      val d = repDocs(k).localCheckpoint()
+      val tL = median3(lineJob(d))
+      val tE = median3(epochJob(d))
+      val tB = median3(batchJob(d))
+      val tU = median3(urlJob(d))
+      val tC = median3(cmsJob(d))
+      d.unpersist()
+      (k, nd * k, tL, tE, tB, tU, tC)
+    }
+    println("corpus_x,docs,line_dedup_sec,epoch_mix_sec," +
+      "length_batches_sec,url_dedup_sec,cms_state_sec")
+    rows.foreach { case (k, d, a, b, c, u, e) =>
+      println(f"$k,$d,$a%.2f,$b%.2f,$c%.2f,$u%.2f,$e%.2f") }
+    }
     spark.stop()
   }
 }

@@ -2503,6 +2503,52 @@ object TextOps {
       parse_url(u, lit("QUERY")).as("url_query"))
   }
 
+  /** Domain-reputation gate — the per-SITE quality pass after the
+    * per-DOCUMENT gates ([[gopherRules]], [[linearTextScore]]): a page
+    * farm's individual pages can each squeak past a document bar, but
+    * the site-level pass-rate exposes it, and conversely one bad page
+    * on a good domain shouldn't be judged alone. A document survives
+    * iff its REGISTERED domain ([[registeredDomain]] of the URL host)
+    * has ≥ `minDocs` documents and a pass-fraction
+    * `passes/docs ≥ minFrac`, where `pass` is any caller-supplied
+    * BOOLEAN column (a rule gate, a classifier verdict, a length bar
+    * — composable by construction). NULL pass counts as fail; NULL
+    * url/host groups under the NULL domain and is gated like any
+    * other (a crawl row with no URL has no reputation to borrow).
+    *
+    * Exactness: the per-domain statistics are two INTEGER counts; the
+    * gate compares `passes·1.0 ≥ minFrac·docs` — one IEEE multiply
+    * each side, no float accumulation, so the DuckDB oracle replays it
+    * bit-for-bit (the no-transcendentals doctrine).
+    *
+    * Scale shape: one (domain)-keyed count agg (|domains| rows) + one
+    * equi-join back onto the corpus — AQE broadcasts the domain frame
+    * when it fits, which it does by Zipf at any corpus size that fits
+    * a fleet. Output keeps every input column + `registered_domain`,
+    * `domain_docs`, `domain_passes`. */
+  def domainQualityGate(
+      urlField: String, pass: Column,
+      minFrac: Double, minDocs: Long = 1)(df: DataFrame): DataFrame = {
+    require(minFrac >= 0.0 && minFrac <= 1.0,
+      s"minFrac must be in [0, 1], got $minFrac")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val dom = registeredDomain(parse_url(col(urlField), lit("HOST")))
+    // equi-joins drop NULL keys, so the NULL domain rides an internal
+    // sentinel (no registered domain contains a NUL byte) and the
+    // output column keeps the honest NULL
+    val base = df.withColumn("registered_domain", dom)
+      .withColumn("__dom", coalesce(dom, lit("\u0000")))
+      .withColumn("__pass", coalesce(pass, lit(false)))
+    val stats = base.groupBy(col("__dom"))
+      .agg(count(lit(1)).as("domain_docs"),
+        count(when(col("__pass"), 1)).as("domain_passes"))
+      .filter(col("domain_docs") >= minDocs &&
+        col("domain_passes").cast("double") >=
+          lit(minFrac) * col("domain_docs").cast("double"))
+    base.join(stats, Seq("__dom"), "inner")
+      .drop("__dom", "__pass")
+  }
+
   /** HTML → text extraction — the step BEFORE every text op in a web
     * corpus (crawl HTML in, training text out). Deterministic
     * rule-chain, deliberately not a DOM parser (crawl HTML is malformed
@@ -2552,6 +2598,45 @@ object TextOps {
   def htmlLinks(html: Column): Column =
     regexp_extract_all(coalesce(html, lit("")),
       lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))
+
+  /** Anchor (href, text) pairs of an HTML document, in document
+    * order — [[htmlLinks]] keeps only the href; ranking and entity
+    * signals need the TEXT a linking page chose for the target (the
+    * classic anchor-text relevance signal: the linker's description is
+    * often better than the target's own words). One lazy RE2-safe
+    * pattern extracts whole `<a …href="…"…>…</a>` elements; a
+    * per-element transform re-extracts the two groups — `regexp_
+    * extract_all` returns a single group, so the whole-match + re-
+    * extract split is what keeps this a pure codegen'd projection.
+    * Anchors with single-quoted/unquoted hrefs are documented out (the
+    * [[htmlLinks]] contract); nested tags inside the anchor body are
+    * kept verbatim (the term pass tokenizes around them). NULL →
+    * empty array. */
+  def anchorTexts(html: Column): Column = {
+    val pat = "(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+    transform(
+      regexp_extract_all(coalesce(html, lit("")), lit(pat), lit(0)),
+      m => struct(
+        regexp_extract(m, pat, 1).as("href"),
+        trim(regexp_extract(m, pat, 2)).as("anchor")))
+  }
+
+  /** Corpus-wide anchor-text term index: `(href, term, n)` — how often
+    * each whitespace term appears in anchors pointing AT each target.
+    * The web-search signal Google's original paper made famous, and a
+    * link-graph enrichment next to [[graft.ext.GraphOps.pageRank]]:
+    * rank says how endorsed a target is, anchor terms say what the
+    * endorsers THINK it is. One extraction projection + two explodes +
+    * ONE hash-agg (map-side combine absorbs the repeated-boilerplate
+    * anchors); empty terms from whitespace runs are dropped. 100 TB
+    * pays one scan and one (href, term)-keyed shuffle. */
+  def anchorTermCounts(htmlField: String)(df: DataFrame): DataFrame =
+    df.select(explode(anchorTexts(col(htmlField))).as("__a"))
+      .select(col("__a.href").as("href"),
+        explode(split(col("__a.anchor"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("href"), col("term"))
+      .agg(count(lit(1)).as("n"))
 
   /** Model-based quality filtering — the fastText/CCNet-shaped LINEAR
     * n-gram classifier every production pipeline runs after the

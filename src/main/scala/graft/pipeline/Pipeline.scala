@@ -567,6 +567,11 @@ final case class Pipeline(df: DataFrame) {
   def fwhtRotate(vecField: String, dim: Int, seed: Int = 0): Pipeline =
     >>(_.withColumn(vecField,
       graft.ext.Similarity.fwhtRotate(col(vecField), dim, seed)))
+  def anchorTermCounts(htmlField: String): Pipeline =
+    >>(TextOps.anchorTermCounts(htmlField))
+  def domainQualityGate(urlField: String, pass: Column,
+      minFrac: Double, minDocs: Long = 1): Pipeline =
+    >>(TextOps.domainQualityGate(urlField, pass, minFrac, minDocs))
   def canonicalUrl(urlField: String,
       outField: String = "canonical_url"): Pipeline =
     >>(_.withColumn(outField, TextOps.canonicalUrl(col(urlField))))

@@ -1742,6 +1742,60 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("anchorTexts/anchorTermCounts: pair extraction, case, nesting, empty guards") {
+    val html = """<a href="/a">one two</a> x
+      |<A CLASS="y" HREF="/b">one</A>
+      |<a href="/a">two  three</a>
+      |<a name="no-href">skip</a> <a href="/c"></a>""".stripMargin
+    val df = Seq((1L, html), (2L, null: String)).toDF("id", "html")
+    val pairs = df.filter(col("id") === 1)
+      .select(explode(TextOps.anchorTexts(col("html"))).as("a"))
+      .select("a.href", "a.anchor").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pairs === Seq("/a" -> "one two", "/b" -> "one",
+      "/a" -> "two  three", "/c" -> ""))
+    // NULL html -> empty array
+    assert(df.filter(col("id") === 2)
+      .select(size(TextOps.anchorTexts(col("html")))).head.getInt(0) === 0)
+    // term index: counts pool across anchors to the same target;
+    // whitespace runs produce no empty terms
+    val terms = TextOps.anchorTermCounts("html")(df)
+      .orderBy("href", "term").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(terms === Seq(("/a", "one", 1L), ("/a", "three", 1L),
+      ("/a", "two", 2L), ("/b", "one", 1L)))
+  }
+
+  test("domainQualityGate: site-level pass-rate gates docs; NULL url and minDocs branches") {
+    // good.com: 3/4 pass (0.75); bad.com: 1/4 (0.25); tiny.com: 1/1
+    // but below minDocs; one NULL-url row (no reputation to borrow)
+    def row(i: Long, host: String, pass: Boolean) =
+      (i, if (host == null) null else s"https://$host/p/$i",
+        if (pass) 200L else 100L)
+    val df = ((1L to 4L).map(i => row(i, "www.good.com", i <= 3)) ++
+      (5L to 8L).map(i => row(i, "www.bad.com", i == 5)) ++
+      Seq(row(9L, "www.tiny.com", true), row(10L, null, true)))
+      .toDF("doc_id", "url", "len")
+    val out = TextOps.domainQualityGate("url", col("len") >= 150,
+      minFrac = 0.5, minDocs = 2)(df)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
+    val r = out.orderBy("doc_id").head
+    assert(r.getAs[String]("registered_domain") === "good.com" &&
+      r.getAs[Long]("domain_docs") === 4L &&
+      r.getAs[Long]("domain_passes") === 3L)
+    // at minDocs = 1 the tiny domain survives; the NULL-url row forms
+    // the NULL domain (pass-rate 1.0) and survives as itself
+    val lax = TextOps.domainQualityGate("url", col("len") >= 150,
+      minFrac = 0.5, minDocs = 1)(df)
+    assert(lax.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 9L, 10L))
+    assert(lax.filter(col("doc_id") === 10)
+      .select("registered_domain").head.isNullAt(0))
+    intercept[IllegalArgumentException](
+      TextOps.domainQualityGate("url", col("len") >= 0, minFrac = 1.5)(df))
+  }
+
   test("canonicalUrl: every rule branch, non-URL passthrough, NULL") {
     val cases = Seq(
       // scheme+host case-fold, path case preserved
