@@ -293,6 +293,24 @@ object ExtQueries {
         queryVec = "embedding", k = 5)
         .orderBy("query_id", "rank")
     },
+    "hybrid_rrf" -> { (s, dir) =>
+      // reciprocal-rank fusion of two rankers over the same queries —
+      // here full-dim cosine ⊕ leading-16-dim coarse cosine (rankers
+      // on different score scales fuse by RANK, no calibration);
+      // each RRF term is one integer-denominator division, the fusion
+      // one add — oracle bit-for-bit
+      val e = corpus(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      def coarse(d: DataFrame) = d.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val full = Similarity.bruteForceTopK(
+        e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      val lowres = Similarity.bruteForceTopK(
+        coarse(e), "vec_id", "embedding", coarse(q), "vec_id", "embedding",
+        k = 10)
+      Similarity.rrfFuse(full, lowres, k0 = 60, topK = 10)
+        .orderBy("query_id", "rank")
+    },
     "similarity_topk_q8" -> { (s, dir) =>
       // the memory-bound form: int8 codes (4x less IO), integer dot +
       // one IEEE division — scales cancel, so exact cross-engine
@@ -3109,6 +3127,35 @@ object ExtQueries {
         FROM scored)
       SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
       FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
+    // both rankers replayed (full cosine, leading-16 coarse cosine),
+    // then the identical RRF expression: coalesce(1/(60+r), 0) per
+    // side, one add, item_id tiebreak — mirrors Similarity.rrfFuse
+    "hybrid_rrf" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 10),
+      fa AS (SELECT query_id, c.vec_id AS item_id, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY ${cosineSql("qe", "c.embedding")} DESC, c.vec_id ASC)
+          AS ra
+        FROM embeddings c, q WHERE query_id <> c.vec_id),
+      qc AS (SELECT query_id, qe[1:16] AS qe FROM q),
+      cc AS (SELECT vec_id, embedding[1:16] AS ce FROM embeddings),
+      fb AS (SELECT query_id, cc.vec_id AS item_id, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY ${cosineSql("qe", "cc.ce")} DESC, cc.vec_id ASC)
+          AS rb
+        FROM cc, qc WHERE query_id <> cc.vec_id),
+      j AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+          coalesce(a.item_id, b.item_id) AS item_id,
+          coalesce(1e0 / (60 + a.ra), 0e0) +
+            coalesce(1e0 / (60 + b.rb), 0e0) AS rrf_score
+        FROM (SELECT * FROM fa WHERE ra <= 10) a
+        FULL OUTER JOIN (SELECT * FROM fb WHERE rb <= 10) b
+        ON a.query_id = b.query_id AND a.item_id = b.item_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_score DESC, item_id ASC) AS rn FROM j)
+      SELECT query_id, item_id, rrf_score, CAST(rn AS INTEGER) AS rank
+      FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
     // int8 symmetric quantization (floor(x*127/amax + 0.5) — the shared
     // round-half-up), integer dot/norms, one double division — mirrors
     // Similarity.bruteForceTopKQuantized; scales cancel so no floats

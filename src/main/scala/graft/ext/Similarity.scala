@@ -1363,6 +1363,47 @@ object Similarity {
           .as("reciprocal_rank"))
   }
 
+  /** Reciprocal-rank fusion — the HYBRID-retrieval combiner
+    * (Cormack–Clarke–Buettcher): two rankers' top-k lists merge by
+    * `rrf = Σ 1/(k₀ + rank_i)`, the rank-only fusion that needs no
+    * score calibration between rankers whose scores live on different
+    * scales (BM25 vs cosine, dense vs lexical, full-precision vs
+    * quantized). Inputs are ANY two rung outputs carrying
+    * `(query_id, item_id, rank)` — the [[rankingMetrics]] interface,
+    * so every retriever in this library fuses with every other by
+    * construction. An item missing from one list contributes only its
+    * present term (the standard convention: absence is rank ∞).
+    *
+    * Exactness: each term is one exact integer-denominator division
+    * and the fusion is ONE addition of two doubles — no float
+    * accumulation, oracle bit-for-bit (the rational-metrics doctrine
+    * of [[rankingMetrics]]). Ties (same (r_a, r_b) multiset) break on
+    * item_id ascending — pinned.
+    *
+    * Scale shape: one full-outer equi-join between two |queries|·k
+    * frames + one per-query window — the corpora behind the rankers
+    * are never touched. */
+  def rrfFuse(
+      a: DataFrame, b: DataFrame,
+      k0: Int = 60, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val ra = a.select(col("query_id"), col("item_id"),
+      col("rank").cast("long").as("__ra"))
+    val rb = b.select(col("query_id"), col("item_id"),
+      col("rank").cast("long").as("__rb"))
+    ra.join(rb, Seq("query_id", "item_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(k0.toLong) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0.toLong) + col("__rb")), lit(0.0)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_score").desc, col("item_id").asc)))
+      .filter(col("rank") <= topK)
+      .select("query_id", "item_id", "rrf_score", "rank")
+  }
+
   /** ColBERT-style late-interaction (MaxSim) score between two
     * MULTI-VECTOR representations (`array<array<float>>` of per-token
     * embeddings): `Σ over query tokens of max over doc tokens of

@@ -567,6 +567,9 @@ final case class Pipeline(df: DataFrame) {
   def fwhtRotate(vecField: String, dim: Int, seed: Int = 0): Pipeline =
     >>(_.withColumn(vecField,
       graft.ext.Similarity.fwhtRotate(col(vecField), dim, seed)))
+  /** `this` is ranker A's (query_id, item_id, rank) frame. */
+  def rrfFuse(b: DataFrame, k0: Int = 60, topK: Int = 10): Pipeline =
+    >>(a => graft.ext.Similarity.rrfFuse(a, b, k0, topK))
   def anchorTermCounts(htmlField: String): Pipeline =
     >>(TextOps.anchorTermCounts(htmlField))
   def domainQualityGate(urlField: String, pass: Column,

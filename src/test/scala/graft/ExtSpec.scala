@@ -1742,6 +1742,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: rank-only fusion, one-list items, tie discipline") {
+    // ranker A: q1 -> (x@1, y@2); ranker B: q1 -> (y@1, z@2)
+    val a = Seq((1L, "x", 1), (1L, "y", 2)).toDF("query_id", "item_id", "rank")
+    val b = Seq((1L, "y", 1), (1L, "z", 2)).toDF("query_id", "item_id", "rank")
+    val out = Similarity.rrfFuse(a, b, k0 = 60, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+    // y appears in both lists: 1/62 + 1/61 — the consensus item wins
+    // over either ranker's own #1; one-list items carry one term
+    assert(out.map(_._1) === Seq("y", "x", "z"))
+    assert(out(0)._2 === 1.0 / 62 + 1.0 / 61)
+    assert(out(1)._2 === 1.0 / 61)
+    assert(out(2)._2 === 1.0 / 62)
+    // identical (ra, rb) pairs tie and break on item_id ascending
+    val t1 = Seq((1L, "b", 1), (1L, "a", 2)).toDF("query_id", "item_id", "rank")
+    val t2 = Seq((1L, "a", 1), (1L, "b", 2)).toDF("query_id", "item_id", "rank")
+    val tied = Similarity.rrfFuse(t1, t2).orderBy("rank").collect()
+      .map(_.getString(1)).toSeq
+    assert(tied === Seq("a", "b"))
+    // a query present in only one ranker still fuses
+    val onlyA = Seq((7L, "w", 1)).toDF("query_id", "item_id", "rank")
+    val empty = Seq.empty[(Long, String, Int)].toDF("query_id", "item_id", "rank")
+    val solo = Similarity.rrfFuse(onlyA, empty).collect()
+    assert(solo.length === 1 && solo(0).getDouble(2) === 1.0 / 61)
+    intercept[IllegalArgumentException](Similarity.rrfFuse(a, b, k0 = 0))
+  }
+
   test("anchorTexts/anchorTermCounts: pair extraction, case, nesting, empty guards") {
     val html = """<a href="/a">one two</a> x
       |<A CLASS="y" HREF="/b">one</A>
