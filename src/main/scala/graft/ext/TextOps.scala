@@ -2031,6 +2031,54 @@ object TextOps {
         col("clean_text"))
   }
 
+  /** The heavy-line INDEX behind [[dedupLines]], as rows — the
+    * boilerplate model a pipeline trains once on a reference corpus
+    * and applies everywhere (batch via [[dedupLines]]'s join, serving
+    * via [[applyLineFilter]]'s literal form): every non-blank line
+    * with corpus frequency ≥ `minCount`, with its count. One hash-agg;
+    * |heavy| is bounded by actual repetition, and a production list
+    * (nav menus, cookie banners, footers) is thousands of lines. */
+  def heavyLineRows(
+      textField: String, minCount: Int = 2, delim: String = "\n")(
+      df: DataFrame): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    require(delim.nonEmpty, "line delimiter must be non-empty")
+    val quoted = java.util.regex.Pattern.quote(delim)
+    df.select(explode(split(coalesce(col(textField), lit("")), quoted))
+        .as("line"))
+      .filter(length(trim(col("line"))) > 0)
+      .groupBy(col("line")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /** Apply a FIXED heavy-line list as a stateless projection — the
+    * serving-side form of [[dedupLines]] (the [[linearTextScore]]
+    * model-in-plan precedent: the list rides in the expression as a
+    * literal array, so there is no join, no shuffle, no state — the
+    * op lifts to Structured Streaming unchanged, spec-pinned). Same
+    * `(id, n_lines, n_removed, clean_text)` contract and the same
+    * blank-lines-never-removed rule; parity with the join form on the
+    * training corpus is spec-pinned. Use when the boilerplate model is
+    * trained offline ([[heavyLineRows]] → collect, bounded by real
+    * boilerplate cardinality) and applied to streams or other
+    * corpora. */
+  def applyLineFilter(
+      idField: String, textField: String,
+      heavy: Seq[String], delim: String = "\n")(df: DataFrame): DataFrame = {
+    require(delim.nonEmpty, "line delimiter must be non-empty")
+    require(heavy.forall(_.trim.nonEmpty),
+      "heavy-line lists never contain blank lines (the blank-lines-" +
+        "are-formatting rule); filter them out of the model")
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val heavyArr = lit(heavy.toArray)
+    val ls = split(coalesce(col(textField), lit("")), quoted)
+    val kept = filter(ls, l => !array_contains(heavyArr, l))
+    df.select(col(idField),
+      size(ls).cast("long").as("n_lines"),
+      (size(ls) - size(kept)).cast("long").as("n_removed"),
+      array_join(kept, delim).as("clean_text"))
+  }
+
   /** SPAN-level decontamination — the surgical form of [[decontaminate]]:
     * instead of DROPPING every batch document that shares an n-gram with
     * the benchmark/eval corpus, strip only the contaminated token spans

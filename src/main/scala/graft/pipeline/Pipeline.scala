@@ -590,6 +590,9 @@ final case class Pipeline(df: DataFrame) {
   def dedupLines(idField: String, textField: String,
       minCount: Int = 2, delim: String = "\n"): Pipeline =
     >>(TextOps.dedupLines(idField, textField, minCount, delim))
+  def applyLineFilter(idField: String, textField: String,
+      heavy: Seq[String], delim: String = "\n"): Pipeline =
+    >>(TextOps.applyLineFilter(idField, textField, heavy, delim))
   def spanCorrupt(idField: String, textField: String,
       maskProb: Double = 0.15, spanLen: Int = 3,
       salt: String = "t5"): Pipeline =

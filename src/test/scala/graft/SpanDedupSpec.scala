@@ -50,6 +50,30 @@ class SpanDedupSpec extends SparkSpec {
       TextOps.dedupLines("doc_id", "text", minCount = 1)(docs))
   }
 
+  test("applyLineFilter: literal-model parity with dedupLines on the training corpus") {
+    val docs = Seq(
+      (1L, "nav menu\nreal content one\n\nnav menu"),
+      (2L, "nav menu\nreal content two"),
+      (3L, "nav menu"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val heavy = TextOps.heavyLineRows("text", minCount = 3)(docs)
+      .select("line").as[String].collect().toSeq
+    assert(heavy === Seq("nav menu")) // 4 occurrences >= 3; blanks never indexed
+    val joined = TextOps.dedupLines("doc_id", "text", minCount = 3)(docs)
+      .orderBy("doc_id").collect().toSeq
+    val literal = TextOps.applyLineFilter("doc_id", "text", heavy)(docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(literal === joined)
+    // blank lines in the model are refused — the contract, not a guess
+    intercept[IllegalArgumentException](
+      TextOps.applyLineFilter("doc_id", "text", Seq("x", " "))(docs))
+    // an empty model passes everything through untouched
+    val none = TextOps.applyLineFilter("doc_id", "text", Nil)(docs)
+      .agg(sum("n_removed")).head.getLong(0)
+    assert(none === 0L)
+  }
+
   test("duplicateSpans merges islands at gap == n and splits at n+1") {
     val out = TextOps.duplicateSpans("doc_id", "text", n = 3)(gapDocs)
       .orderBy("doc_id", "span_start")

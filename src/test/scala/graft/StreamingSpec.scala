@@ -803,6 +803,27 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("applyLineFilter lifts to streams (the serving form of dedupLines)") {
+    import graft.ext.TextOps
+    val rows = Seq((1L, "nav\nkeep one\nnav"), (2L, "keep two"), (3L, null: String))
+    val input = MemoryStream[(Long, String)]
+    val filtered = TextOps.applyLineFilter("doc_id", "text", Seq("nav"))(
+      input.toDF().toDF("doc_id", "text"))
+    val q = filtered.writeStream.format("memory").queryName("alf_s")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val batch = rows.toDF("doc_id", "text")
+      assert(spark.table("alf_s").orderBy("doc_id").collect().toSeq ===
+        TextOps.applyLineFilter("doc_id", "text", Seq("nav"))(batch)
+          .orderBy("doc_id").collect().toSeq)
+      assert(spark.table("alf_s")
+        .agg(org.apache.spark.sql.functions.sum("n_removed"))
+        .head.getLong(0) === 2L)
+    } finally q.stop()
+  }
+
   test("streamingIvfPqServe answers micro-batch queries == batch ivfPqTopK; MMR post composes") {
     import graft.ext.Similarity
     import org.apache.spark.sql.functions.col
