@@ -1856,6 +1856,22 @@ object ExtQueries {
           col("col.local_offset").as("local_offset"))
         .orderBy("doc_id", "entry_idx")
     },
+    "tar_entries" -> { (s, dir) =>
+      // tarball routing — the third container kernel: spec-exact
+      // synthetic USTAR archives (1-3 members), the kernel walks
+      // 512-byte headers (octal sizes, ustar magic) and must recover
+      // every name/size/flag/offset the builder's closed form
+      // declares (offset_j = 1024·j with one data block per member)
+      val nt = (col("doc_id") % 3 + 1).cast("int")
+      corpus(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          BinaryOps.tarEntries(BinaryOps.syntheticTar(nt))))
+        .select(col("doc_id"), col("pos").as("entry_idx"),
+          col("col.name").as("name"), col("col.size").as("size"),
+          col("col.typeflag").as("typeflag"),
+          col("col.offset").as("offset"))
+        .orderBy("doc_id", "entry_idx")
+    },
     "wav_stats" -> { (s, dir) =>
       // the first REAL sample-decode rung: per-doc PCM-16 WAVs built
       // with a deterministic waveform (smp_j = (id·31 + j·17) % 4096 −
@@ -5454,6 +5470,17 @@ object ExtQueries {
         CAST(j + 1 AS BIGINT) AS compressed,
         CAST(j + 1 AS BIGINT) AS uncompressed,
         CAST(37 * j + j * (j - 1) // 2 AS BIGINT) AS local_offset
+      FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j
+            FROM documents)
+      ORDER BY doc_id, entry_idx""",
+    // the tarball builder's closed form: member j is f<j>.txt of j+1
+    // bytes at header offset 1024*j (one data block each), flag '0'
+    "tar_entries" -> """
+      SELECT doc_id, CAST(j AS INTEGER) AS entry_idx,
+        'f' || CAST(j AS VARCHAR) || '.txt' AS name,
+        CAST(j + 1 AS BIGINT) AS size,
+        '0' AS typeflag,
+        CAST(1024 * j AS BIGINT) AS offset
       FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j
             FROM documents)
       ORDER BY doc_id, entry_idx""",

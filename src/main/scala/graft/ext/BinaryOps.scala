@@ -177,6 +177,43 @@ object BinaryOps {
   def zipEntries(blob: Column): Column =
     graft.functions.GraftFunctions.zipEntries(blob)
 
+  /** Spec-exact minimal USTAR tarball with `nEntries` regular-file
+    * members (`f<j>.txt` holding j+1 bytes of 'a'): full 512-byte
+    * headers (octal size via `conv`, "ustar" magic, spaces checksum —
+    * the listing kernel never validates checksums, which is what
+    * keeps this builder a pure column expression), one data block per
+    * member (sizes ≤ 512 here), two-zero-block terminator. Header
+    * offsets are the closed form 1024·j the oracle recomputes. */
+  def syntheticTar(nEntries: Column): Column = {
+    def nameHex(j: Column) =
+      hex(concat(lit("f"), j.cast("string"), lit(".txt")))
+    val idx = when(nEntries <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nEntries - 1))
+    val members = array_join(transform(idx, j => concat(
+      rpad(nameHex(j), 200, "0"),                    // name, NUL-padded
+      lit("3030303036343400"),                       // mode "0000644\0"
+      lit("3030303030303000"),                       // uid  "0000000\0"
+      lit("3030303030303000"),                       // gid
+      hex(lpad(conv((j + 1).cast("string"), 10, 8), 11, "0")),
+      lit("00"),                                     // size, octal + NUL
+      lit("3030303030303030303030" + "00"),          // mtime zeros + NUL
+      lit("2020202020202020"),                       // chksum: 8 spaces
+      lit("30"),                                     // typeflag '0'
+      call_function("repeat", lit("00"), lit(100)),  // linkname
+      lit("757374617200" + "3030"),                  // "ustar\0" + "00"
+      call_function("repeat", lit("00"), lit(247)),  // uname..prefix+pad
+      call_function("repeat", lit("61"), j + 1),     // data 'a' × (j+1)
+      call_function("repeat", lit("00"), lit(512) - (j + 1)))), "")
+    unhex(concat(members, call_function("repeat", lit("00"), lit(1024))))
+  }
+
+  /** USTAR member listing from tarball bytes — see
+    * [[graft.functions.TarEntries]] for the contract (malformed →
+    * NULL, never a throw; `.tar.gz` needs a codec first, as with
+    * WARC). */
+  def tarEntries(blob: Column): Column =
+    graft.functions.GraftFunctions.tarEntries(blob)
+
   /** Spec-exact minimal WARC shard with `nRecords` response records
     * (`https://ex.com/p/<j>` carrying j+1 bytes of 'a'): with these
     * single-digit fields every record is 94+j bytes, so offsets are

@@ -304,6 +304,12 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         arity("graft_warc_records", children, 1)
         WarcRecords(children.head) }),
+    ("graft_tar_entries",
+      new ExpressionInfo(
+        classOf[TarEntries].getName, "graft_tar_entries"),
+      { children: Seq[Expression] =>
+        arity("graft_tar_entries", children, 1)
+        TarEntries(children.head) }),
     ("graft_fwht_rotate",
       new ExpressionInfo(
         classOf[FwhtRotate].getName, "graft_fwht_rotate"),
@@ -525,6 +531,12 @@ object GraftFunctions {
     * content_length, offset>>`, NULL when unreadable. */
   def warcRecords(blob: Column): Column =
     Bridge.column(WarcRecords(Bridge.expression(blob)))
+
+  /** USTAR member listing over tarball bytes (see [[TarEntries]]):
+    * `array<struct<name, size, typeflag, offset>>`, NULL when
+    * unreadable. */
+  def tarEntries(blob: Column): Column =
+    Bridge.column(TarEntries(Bridge.expression(blob)))
 
   /** Native linear n-gram classifier statistics over a token array
     * (see [[LinearTextScore]]): `struct(w_sum, n_grams)` with the

@@ -606,6 +606,9 @@ final case class Pipeline(df: DataFrame) {
   def warcRecords(blobField: String, outField: String = "records"): Pipeline =
     >>(_.withColumn(outField,
       graft.ext.BinaryOps.warcRecords(col(blobField))))
+  def tarEntries(blobField: String, outField: String = "entries"): Pipeline =
+    >>(_.withColumn(outField,
+      graft.ext.BinaryOps.tarEntries(col(blobField))))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

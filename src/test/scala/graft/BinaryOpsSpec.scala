@@ -313,6 +313,72 @@ class BinaryOpsSpec extends SparkSpec {
       .head.getInt(0) === 0)
   }
 
+  test("tarEntries: independent-builder archives, synthetic round-trip, unreadable -> NULL") {
+    // independent header builder WITH a correct checksum (the kernel
+    // deliberately doesn't validate checksums, but real tars carry
+    // them — the test archive must look like one)
+    def header(name: String, size: Long, flag: Char): Array[Byte] = {
+      val h = new Array[Byte](512)
+      def put(s: String, off: Int): Unit =
+        s.getBytes("US-ASCII").copyToArray(h, off)
+      put(name, 0)
+      put("0000644 ", 100); put("0000000 ", 108)
+      put("0000000 ", 116)
+      put(("%011o".format(size)) + " ", 124)
+      put("00000000000 ", 136)
+      h(156) = flag.toByte
+      put("ustar 00", 257)
+      put("        ", 148) // checksum as spaces while summing
+      val sum = h.map(_ & 0xFF).sum
+      put("%06o".format(sum) + "  ", 148)
+      h
+    }
+    def pad512(b: Array[Byte]): Array[Byte] =
+      b ++ new Array[Byte](((512 - b.length % 512) % 512))
+    val data = "hello tar".getBytes("UTF-8")
+    val big = new Array[Byte](700) // spans two data blocks
+    val real = header("docs/a.txt", data.length, '0') ++ pad512(data) ++
+      header("docs/", 0, '5') ++
+      header("big.bin", big.length, 0.toChar) ++ pad512(big) ++
+      new Array[Byte](1024)
+    val rows = Seq(Tuple1(real)).toDF("b")
+      .select(explode(BinaryOps.tarEntries($"b")).as("e"))
+      .select("e.name", "e.size", "e.typeflag", "e.offset").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // NUL typeflag normalizes to '0'; dir entry has no data blocks;
+    // offsets step by header + ceil(size/512) data blocks
+    assert(rows.toSeq === Seq(("docs/a.txt", 9L, "0", 0L),
+      ("docs/", 0L, "5", 1024L), ("big.bin", 700L, "0", 1536L)))
+    // synthetic builder round-trips every declared field
+    val syn = spark.range(1).select(explode(BinaryOps.tarEntries(
+      BinaryOps.syntheticTar(lit(3)))).as("e"))
+      .select("e.name", "e.size", "e.offset").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(syn.toSeq === Seq(("f0.txt", 1L, 0L), ("f1.txt", 2L, 1024L),
+      ("f2.txt", 3L, 2048L)))
+    // terminator-only archive lists empty; single zero block accepted
+    assert(Seq(Tuple1(new Array[Byte](1024))).toDF("b")
+      .select(BinaryOps.tarEntries($"b")).head.getSeq[Any](0).isEmpty)
+    assert(Seq(Tuple1(new Array[Byte](512))).toDF("b")
+      .select(BinaryOps.tarEntries($"b")).head.getSeq[Any](0).isEmpty)
+    // bad magic / non-octal size / data past the end -> NULL, no throw
+    assert(Seq(Tuple1("not a tar at all".getBytes("UTF-8") ++
+      new Array[Byte](512))).toDF("b")
+      .select(BinaryOps.tarEntries($"b")).head.isNullAt(0))
+    val badSize = header("x", 1, '0'); badSize(124) = '9'
+    assert(Seq(Tuple1(badSize ++ new Array[Byte](1536))).toDF("b")
+      .select(BinaryOps.tarEntries($"b")).head.isNullAt(0))
+    assert(Seq(Tuple1(header("x", 5000, '0'))).toDF("b")
+      .select(BinaryOps.tarEntries($"b")).head.isNullAt(0))
+    // NULL blob -> NULL; SQL surface registered
+    assert(Seq(Tuple1(null: Array[Byte])).toDF("b")
+      .select(BinaryOps.tarEntries($"b")).head.isNullAt(0))
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT size(graft_tar_entries(unhex(repeat('00', 512))))")
+      .head.getInt(0) === 0)
+  }
+
   test("zipEntries: real java.util.zip archives, synthetic round-trip, unreadable -> NULL") {
     // the strong check: a REAL archive from the JDK's writer — the
     // kernel must list what an independent implementation wrote

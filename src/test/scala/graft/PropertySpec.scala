@@ -99,6 +99,16 @@ class PropertySpec extends SparkSpec {
     val warcRows = warcBlobs.map(Tuple1(_)).toDF("b")
       .select(graft.ext.BinaryOps.warcRecords($"b").as("w")).collect()
     assert(warcRows.length === warcBlobs.length)
+    // tar: garbage with a planted ustar magic at 257 (and without)
+    // must list-or-NULL, never throw
+    val tarBlobs = blobs.map { b =>
+      val t = new Array[Byte](512) ++ b
+      "ustar".getBytes("US-ASCII").copyToArray(t, 257)
+      t
+    } ++ blobs
+    val tarRows = tarBlobs.map(Tuple1(_)).toDF("b")
+      .select(graft.ext.BinaryOps.tarEntries($"b").as("t")).collect()
+    assert(tarRows.length === tarBlobs.length)
     blobs.zip(rows).foreach { case (b, r) =>
       val m = r.getStruct(0)
       val fmt = if (m.isNullAt(0)) null else m.getString(0)
