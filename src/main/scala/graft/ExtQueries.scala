@@ -1949,6 +1949,17 @@ object ExtQueries {
         maxHamming = 10)(docs.filter(col("doc_id") >= 250))
         .select("doc_id", "lang").orderBy("doc_id")
     },
+    "rendezvous_shard" -> { (s, dir) =>
+      // stable placement: per-(key, shard) hash scores, max wins —
+      // unlike pmod(hash, n), growing the shard list moves only the
+      // stolen keys (spec-pinned); the oracle replays the per-shard
+      // md5-prefix scores and the (score, name)-max election
+      corpus(s, dir, "documents")
+        .select(col("doc_id"),
+          Ops.rendezvousShard(col("doc_id"),
+            Seq("s0", "s1", "s2", "s3")).as("shard"))
+        .orderBy("doc_id")
+    },
     "shuffle_rank" -> { (s, dir) =>
       // training-epoch shuffle order: two-pass bucketed rank (256-way
       // parallel), bit-identical to the single-partition global window
@@ -5511,6 +5522,18 @@ object ExtQueries {
     // the naive single-partition global rank IS the spec the
     // 256-bucket two-pass form must equal: bucket prefix = leading
     // radix of the ordering hash
+    // per-shard md5-prefix scores, (score, shard)-max election via
+    // DESC/DESC row_number — mirrors Ops.rendezvousShard incl. the
+    // tie discipline
+    "rendezvous_shard" -> s"""
+      WITH sc AS (SELECT doc_id, sh,
+          ${hash32Sql("'rv|' || sh || '|' || CAST(doc_id AS VARCHAR)")}
+            AS h
+        FROM documents, unnest(['s0','s1','s2','s3']) u(sh)),
+      r AS (SELECT doc_id, sh, row_number() OVER (
+          PARTITION BY doc_id ORDER BY h DESC, sh DESC) AS rn
+        FROM sc)
+      SELECT doc_id, sh AS shard FROM r WHERE rn = 1 ORDER BY doc_id""",
     "shuffle_rank" -> """
       SELECT doc_id,
         CAST(row_number() OVER (

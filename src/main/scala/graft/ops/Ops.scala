@@ -638,6 +638,31 @@ object Ops {
       col(field).asc_nulls_first).limit(n)
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — the STABLE
+    * placement rule consistent pipelines need where `pmod(hash, n)`
+    * fails: mod-n reshuffles nearly EVERY key when n changes, so
+    * growing a 1000-shard corpus to 1001 rewrites the whole layout;
+    * rendezvous hashing scores each (key, shard) pair independently
+    * (`md5(salt|shard| ++ key)` 32-bit prefix) and assigns the
+    * max-scoring shard, so adding a shard only STEALS the keys it now
+    * wins (expected 1/(n+1) of the corpus) and removing one only
+    * re-homes ITS keys — both spec-pinned. Ties (a 2⁻³² event, but
+    * deterministic) break on shard name descending via the struct
+    * max. Pure expression — |shards| hash evaluations per row, zero
+    * shuffle; the shard list is a plan literal (placement maps are
+    * config, not data). Rerun-identical and engine-reproducible like
+    * every hash draw in this library. */
+  def rendezvousShard(
+      key: Column, shards: Seq[String], salt: String = "rv"): Column = {
+    require(shards.nonEmpty, "at least one shard required")
+    require(shards.distinct.length == shards.length, "duplicate shards")
+    val scored = array(shards.map(sh => struct(
+      graft.functions.GraftFunctions.md5Prefix32(key, s"$salt|$sh|")
+        .as("s"),
+      lit(sh).as("shard"))): _*)
+    array_max(scored).getField("shard")
+  }
+
   /** Deterministic global shuffle rank — the training-epoch shuffle: a
     * total order over the corpus that is uniformly "random" yet
     * rerun-identical and engine-reproducible (rank = position in the

@@ -146,6 +146,10 @@ final case class Pipeline(df: DataFrame) {
     >>(graft.ext.GraphOps.pageRank(srcField, dstField, iterations, damping))
   def degreeStats(srcField: String, dstField: String): Pipeline =
     >>(graft.ext.GraphOps.degreeStats(srcField, dstField))
+  def rendezvousShard(keyField: String, shards: Seq[String],
+      salt: String = "rv", outField: String = "shard"): Pipeline =
+    >>(_.withColumn(outField,
+      Ops.rendezvousShard(col(keyField), shards, salt)))
   def shuffleRank(keyField: String, salt: String = "epoch0"): Pipeline =
     >>(Ops.shuffleRank(keyField, salt))
   def pivotAgg(keys: Seq[String], pivotField: String,

@@ -793,6 +793,37 @@ class OpsSpec extends SparkSpec {
     assert(outs.toSeq === Seq(0L, 1L))
   }
 
+  test("rendezvousShard: minimal movement under resharding, rough balance, determinism") {
+    import spark.implicits._
+    val keys = spark.range(4000).toDF("k")
+    val four = Seq("s0", "s1", "s2", "s3")
+    val a = keys.select(col("k"),
+      Ops.rendezvousShard(col("k"), four).as("sh"))
+    // ADDING a shard: keys either stay put or move to the NEW shard —
+    // never between old shards (the property pmod(hash, n) lacks);
+    // the new shard steals ≈ 1/5 of the corpus
+    val b = keys.select(col("k"),
+      Ops.rendezvousShard(col("k"), four :+ "s4").as("sh2"))
+    val moved = a.join(b, "k").filter(col("sh") =!= col("sh2"))
+    assert(moved.filter(col("sh2") =!= "s4").count() === 0)
+    val stolen = moved.count()
+    assert(stolen > 600 && stolen < 1000, s"stolen $stolen of 4000")
+    // REMOVING a shard re-homes only its keys
+    val c = keys.select(col("k"),
+      Ops.rendezvousShard(col("k"), four.take(3)).as("sh3"))
+    val rehomed = a.join(c, "k").filter(col("sh") =!= col("sh3"))
+    assert(rehomed.filter(col("sh") =!= "s3").count() === 0)
+    // rough balance across 4 shards (1000 ± 20% each)
+    val sizes = a.groupBy("sh").count().select("count").as[Long].collect()
+    assert(sizes.length === 4 && sizes.forall(n => n > 800 && n < 1200),
+      sizes.mkString(","))
+    // rerun-identical
+    assert(a.exceptAll(keys.select(col("k"),
+      Ops.rendezvousShard(col("k"), four).as("sh"))).count() === 0)
+    intercept[IllegalArgumentException](
+      Ops.rendezvousShard(col("k"), Seq("a", "a")))
+  }
+
   test("CMS frequency state: exact point counts + exact merge in the collision-free regime") {
     import spark.implicits._
     val ks = Seq("k"); val fs = Seq("v")
