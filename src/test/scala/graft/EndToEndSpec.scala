@@ -656,4 +656,75 @@ class EndToEndSpec extends SparkSpec {
     assert(graded.forall(r =>
       r.getDouble(3) >= 1.0 / 3.0 && r.getDouble(3) <= 1.0))
   }
+
+  test("crawl-frontier chain: url dedup -> domain gate -> line dedup -> epoch mix -> length batches -> shards") {
+    import graft.ops.Ops
+    // a synthetic crawl over the fixture: two URL spellings per page
+    // (fetch + refetch with tracking params), 5 domains of varying
+    // quality, boilerplate nav lines on every page
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val total = docs.count()
+    val spellA = docs.select(col("doc_id"), col("text"), col("n_chars"),
+      concat(lit("https://www.site"), (col("doc_id") % 5).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string")).as("url"))
+    val spellB = spellA.withColumn("url",
+        concat(lit("HTTP"), expr("substr(url, 5)"), lit("?utm_source=x")))
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val crawled = spellA.unionByName(spellB)
+
+    // 1. canonical-URL dedup halves the crawl back to one row per page
+    val fetchedOnce = Dedup.byCanonicalUrl("url", "doc_id")(crawled)
+    assert(fetchedOnce.count() === total)
+    assert(fetchedOnce.agg(max("doc_id")).head.getLong(0) < 1000000L)
+
+    // 2. domain gate on a per-doc length bar
+    val reputable = TextOps.domainQualityGate("url",
+      col("n_chars") >= 150, minFrac = 0.5, minDocs = 2)(fetchedOnce)
+    val nRep = reputable.count()
+    assert(nRep > 0 && nRep <= total)
+    assert(reputable.select("registered_domain").distinct().count() <= 5)
+
+    // 3. boilerplate line removal: plant a nav line on every page,
+    // then remove it corpus-wide (first occurrences included)
+    val withNav = reputable.select(col("doc_id"),
+      concat(lit("HOME | ABOUT | LOGIN\n"), col("text")).as("text"))
+    val clean = TextOps.dedupLines("doc_id", "text", minCount = 2)(withNav)
+    assert(clean.count() === nRep)
+    // every nav line goes (the fixture's planted duplicate docs make
+    // their full-text lines corpus-heavy too, so >= not ==)
+    assert(clean.agg(sum("n_removed")).head.getLong(0) >= nRep)
+    assert(clean.filter(col("clean_text").contains("HOME | ABOUT"))
+      .count() === 0)
+
+    // 4. epoch-repeat mix up-samples the scarce best domain
+    val labeled = clean.join(reputable.select("doc_id", "registered_domain"),
+      "doc_id")
+    val mixed = TextOps.epochRepeatMix("doc_id", "registered_domain",
+      Map("site0.com" -> 2.0))(labeled)
+    val n0 = labeled.filter(col("registered_domain") === "site0.com").count()
+    assert(mixed.count() === nRep + n0) // exactly one extra copy each
+
+    // 5. padding-efficient batches over the mixed corpus (replicas
+    // distinguished by copy, so re-keying stays unique)
+    val rekeyed = mixed.withColumn("doc_id",
+      col("doc_id") * 2 + col("copy"))
+    val batched = TextOps.lengthBucketBatches("doc_id", "clean_text",
+      bucketTokens = 8, batchTokens = 128)(rekeyed)
+    assert(batched.count() === mixed.count())
+    val quota = batched.groupBy("bucket", "shard", "batch")
+      .agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
+      .filter(col("t") - col("m") >= 128).count()
+    assert(quota === 0L)
+
+    // 6. stable shard assignment for the export layout
+    val sharded = batched.withColumn("export_shard",
+      Ops.rendezvousShard(col("doc_id"), Seq("w0", "w1", "w2")))
+    assert(sharded.select("export_shard").distinct().count() === 3)
+    // end-to-end determinism: the whole chain reruns identically
+    val rerun = TextOps.lengthBucketBatches("doc_id", "clean_text",
+      bucketTokens = 8, batchTokens = 128)(rekeyed)
+    assert(batched.exceptAll(rerun).count() === 0)
+  }
 }

@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_hamming_wide", // broadcast query sketch set, 2-word sketches
     "similarity_matryoshka", // broadcast query prefix-slice set
     "similarity_mmr",    // broadcast query set (vec_id < 5) feeding the pool
+    "hybrid_rrf",        // broadcast query sets feeding BOTH fused rankers
     "ranking_metrics",   // broadcast query sets feeding BOTH graded rungs
     "hard_negatives",    // broadcast query set (vec_id < 10), banded rank
     "late_interaction",  // broadcast multi-vector query set (vec_id < 5)
