@@ -696,6 +696,25 @@ object ExtQueries {
         .select("vec_id", "centroid_label", "centroid_cos")
         .orderBy("vec_id")
     },
+    "quality_suite" -> { (s, dir) =>
+      // the Deequ-shaped contract report: three row checks with their
+      // own minimum pass fractions + one key-distinctness check, all
+      // in ONE scan; the fixture grades both verdict directions
+      // (quantity/tax bars pass; the discount bar at 0.9 and the
+      // line-key distinctness at 0.95 both FAIL — lineitem's
+      // (l_orderkey, l_linenumber) is famously non-unique here)
+      Probes.verificationSuite(
+        rowChecks = Seq(
+          ("qty_in_range",
+            col("l_quantity") >= 1 && col("l_quantity") <= 50, 1.0),
+          ("disc_low", col("l_discount") <= 0.08, 0.9),
+          ("tax_complete", col("l_tax").isNotNull, 1.0)),
+        distinctChecks = Seq(
+          ("line_key_distinct", Seq("l_orderkey", "l_linenumber"), 0.95)))(
+        table(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_discount", "l_tax"))
+        .orderBy("check_name")
+    },
     "filter_funnel" -> { (s, dir) =>
       // the cleaning-chain attrition report: independent + cumulative
       // pass counts per rule, one aggregation pass
@@ -4769,6 +4788,33 @@ object ExtQueries {
     // independent + cumulative rule counters in one aggregation; quality
     // and dup-fraction expressions identical to quality_score /
     // repetition_stats — mirrors Probes.filterFunnel
+    // one counting CTE, four check rows unioned; verdicts via the
+    // identical one-multiply-per-side compare, fractions one division
+    "quality_suite" -> """
+      WITH a AS (SELECT CAST(count(*) AS BIGINT) AS total,
+          CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+            THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+          CAST(sum(CASE WHEN l_discount <= 8e-2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS p1,
+          CAST(sum(CASE WHEN l_tax IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS p2,
+          CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS d0
+        FROM lineitem)
+      SELECT * FROM (
+        SELECT 'qty_in_range' AS check_name, 'row' AS kind, total,
+          p0 AS pass_count, CAST(p0 AS DOUBLE) / total AS pass_frac,
+          1e0 AS threshold, CAST(p0 AS DOUBLE) >= 1e0 * total AS passed
+        FROM a
+        UNION ALL SELECT 'disc_low', 'row', total, p1,
+          CAST(p1 AS DOUBLE) / total, 9e-1,
+          CAST(p1 AS DOUBLE) >= 9e-1 * total FROM a
+        UNION ALL SELECT 'tax_complete', 'row', total, p2,
+          CAST(p2 AS DOUBLE) / total, 1e0,
+          CAST(p2 AS DOUBLE) >= 1e0 * total FROM a
+        UNION ALL SELECT 'line_key_distinct', 'distinctness', total, d0,
+          CAST(d0 AS DOUBLE) / total, 95e-2,
+          CAST(d0 AS DOUBLE) >= 95e-2 * total FROM a)
+      ORDER BY check_name""",
     "filter_funnel" -> s"""
       WITH q AS ($qualityPerDocSql),
       sig AS (SELECT d.doc_id,

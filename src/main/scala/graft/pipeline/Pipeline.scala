@@ -485,6 +485,9 @@ final case class Pipeline(df: DataFrame) {
       centroidId: String, centroidVec: String): Pipeline =
     >>(graft.ext.Similarity.centroidAssign(vecField, centroids,
       centroidId, centroidVec))
+  def verificationSuite(rowChecks: Seq[(String, Column, Double)],
+      distinctChecks: Seq[(String, Seq[String], Double)] = Nil): Pipeline =
+    >>(Probes.verificationSuite(rowChecks, distinctChecks))
   def filterFunnel(rules: Seq[(String, Column)]): Pipeline =
     >>(Probes.filterFunnel(rules))
   def compressionSignal(idField: String, textField: String,

@@ -437,6 +437,68 @@ object Probes {
     * partials; no per-rule job, no second scan), then a local explode
     * reshapes the single result row to one row per rule in chain order.
     * Rule columns must be deterministic predicates over the row. */
+  /** Declarative data-quality verification suite — the Deequ-shaped
+    * contract check a pipeline publishes per run: each named check
+    * carries its own MINIMUM pass fraction and the report row says
+    * pass_count, pass_frac, and a `passed` verdict. Two check kinds:
+    * `rowChecks` are per-row predicates (completeness `col.isNotNull`,
+    * range bars, format regexes — anything deterministic over the
+    * row); `distinctChecks` assert DISTINCTNESS of a key tuple
+    * (distinct keys / rows ≥ threshold — the duplicate-rate
+    * contract; threshold 1.0 means fully unique, and unlike
+    * [[assertUnique]] this REPORTS instead of throwing so one run
+    * grades every contract).
+    *
+    * ONE aggregation pass computes every counter (row predicates as
+    * conditional sums, key distinctness as count_distinct — Spark
+    * plans the multi-distinct with one Expand, still a single scan),
+    * then a local explode reshapes the single result row to one row
+    * per check. Verdicts are exact: `pass·1.0 ≥ threshold·total` is
+    * one IEEE multiply per side and pass_frac one division (the
+    * no-float-accumulation doctrine). An EMPTY dataset passes every
+    * check vacuously (pass_frac 1.0) — a missing feed should trip a
+    * row-count monitor, not every quality contract at once. */
+  def verificationSuite(
+      rowChecks: Seq[(String, Column, Double)],
+      distinctChecks: Seq[(String, Seq[String], Double)] = Nil)(
+      df: DataFrame): DataFrame = {
+    require(rowChecks.nonEmpty || distinctChecks.nonEmpty,
+      "at least one check required")
+    val names = rowChecks.map(_._1) ++ distinctChecks.map(_._1)
+    require(names.distinct.length == names.length, "duplicate check names")
+    (rowChecks.map(_._3) ++ distinctChecks.map(_._3)).foreach(t =>
+      require(t >= 0.0 && t <= 1.0, s"thresholds must be in [0, 1], got $t"))
+    distinctChecks.foreach { case (n, ks, _) =>
+      require(ks.nonEmpty, s"distinct check '$n' needs at least one key") }
+    val rowAggs = rowChecks.zipWithIndex.map { case ((_, c, _), i) =>
+      coalesce(sum(when(c, 1).otherwise(0)), lit(0)).cast("long")
+        .as(s"__p$i") }
+    val dAggs = distinctChecks.zipWithIndex.map { case ((_, ks, _), i) =>
+      count_distinct(struct(ks.map(col): _*)).as(s"__d$i") }
+    val rows =
+      rowChecks.zipWithIndex.map { case ((n, _, t), i) =>
+        struct(lit(n).as("check_name"), lit("row").as("kind"),
+          col("__total").as("total"), col(s"__p$i").as("pass_count"),
+          lit(t).as("threshold")) } ++
+      distinctChecks.zipWithIndex.map { case ((n, _, t), i) =>
+        struct(lit(n).as("check_name"), lit("distinctness").as("kind"),
+          col("__total").as("total"), col(s"__d$i").as("pass_count"),
+          lit(t).as("threshold")) }
+    df.agg(count(lit(1)).as("__total"), (rowAggs ++ dAggs): _*)
+      .select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.*"))
+      .withColumn("pass_frac",
+        when(col("total") === 0, lit(1.0))
+          .otherwise(col("pass_count").cast("double")
+            / col("total").cast("double")))
+      .withColumn("passed",
+        col("total") === 0 ||
+          col("pass_count").cast("double") >=
+            col("threshold") * col("total").cast("double"))
+      .select("check_name", "kind", "total", "pass_count", "pass_frac",
+        "threshold", "passed")
+  }
+
   def filterFunnel(rules: Seq[(String, Column)])(df: DataFrame): DataFrame = {
     require(rules.nonEmpty, "rules must be non-empty")
     val cums = rules.scanLeft(lit(true): Column) {

@@ -4,6 +4,37 @@ import graft.probes.{Probes, ProbeAssertionError}
 import org.apache.spark.sql.functions.{col, floor, lit}
 
 class ProbesSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  test("verificationSuite: thresholds grade both ways, distinctness, vacuous empty pass") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 200.0, null),
+      (3L, 30.0, "c")).toDF("id", "v", "s")
+    val out = graft.probes.Probes.verificationSuite(
+      rowChecks = Seq(
+        ("v_small", col("v") <= 100.0, 0.75),  // 3/4 = .75 — boundary PASSES
+        ("s_complete", col("s").isNotNull, 1.0)), // 3/4 — FAILS
+      distinctChecks = Seq(
+        ("id_unique", Seq("id"), 1.0)))(df)       // 3 distinct / 4 — FAILS
+      .orderBy("check_name").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(6))).toSeq
+    assert(out === Seq(("id_unique", 3L, false), ("s_complete", 3L, false),
+      ("v_small", 3L, true)))
+    // empty input: every check passes vacuously with pass_frac 1.0
+    val empty = graft.probes.Probes.verificationSuite(
+      rowChecks = Seq(("any", col("v") > 0, 1.0)),
+      distinctChecks = Seq(("k", Seq("id"), 1.0)))(df.filter(col("v") < 0))
+      .collect()
+    assert(empty.length === 2 &&
+      empty.forall(r => r.getBoolean(6) && r.getDouble(4) === 1.0))
+    intercept[IllegalArgumentException](
+      graft.probes.Probes.verificationSuite(
+        Seq(("a", col("v") > 0, 1.5)))(df))
+    intercept[IllegalArgumentException](
+      graft.probes.Probes.verificationSuite(
+        Seq(("a", col("v") > 0, 1.0), ("a", col("v") < 0, 1.0)))(df))
+  }
+
   import spark.implicits._
 
   private def df = Seq(
