@@ -818,6 +818,55 @@ object ScaleBench {
       "length_batches_sec,url_dedup_sec,cms_state_sec")
     rows.foreach { case (k, d, a, b, c, u, e) =>
       println(f"$k,$d,$a%.2f,$b%.2f,$c%.2f,$u%.2f,$e%.2f") }
+    // third-wave cells: anchor extraction + term agg (projection +
+    // explode + one hash-agg), domain gate (count agg + equi-join
+    // back), the one-scan verification suite, and the zero-shuffle
+    // rendezvous projection — all must stay flat-to-linear
+    def anchorJob(d: DataFrame): Unit = {
+      val id = col("doc_id")
+      val toks = split(coalesce(col("text"), lit("")), " ")
+      val html = concat(
+        lit("<a href=\"/t/"), (id % 20).cast("string"), lit("\">"),
+        array_join(slice(toks, 1, 2), " "), lit("</a>"))
+      TextOps.anchorTermCounts("html")(
+        d.select(id, html.as("html")))
+        .write.mode("overwrite").format("noop").save()
+    }
+    def gateJob(d: DataFrame): Unit = {
+      val id = col("doc_id")
+      val url = concat(lit("https://www.ex"), (id % 97).cast("string"),
+        lit(".com/p/"), id.cast("string"))
+      TextOps.domainQualityGate("url",
+        length(col("text")) >= 150, minFrac = 0.5, minDocs = 2)(
+        d.select(id, col("text"), url.as("url")))
+        .write.mode("overwrite").format("noop").save()
+    }
+    def suiteJob(d: DataFrame): Unit =
+      graft.probes.Probes.verificationSuite(
+        rowChecks = Seq(
+          ("nonempty", length(col("text")) > 0, 1.0),
+          ("src_known", col("source").startsWith("src"), 1.0)),
+        distinctChecks = Seq(("doc_unique", Seq("doc_id"), 1.0)))(d)
+        .write.mode("overwrite").format("noop").save()
+    def rvJob(d: DataFrame): Unit =
+      d.select(col("doc_id"), Ops.rendezvousShard(col("doc_id"),
+        (0 until 32).map(i => s"w$i")).as("shard"))
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = repDocs(1).localCheckpoint()
+      anchorJob(d1); gateJob(d1); suiteJob(d1); rvJob(d1); d1.unpersist() }
+    val rows3 = for (k <- Seq(1, 2, 4)) yield {
+      val d = repDocs(k).localCheckpoint()
+      val tA = median3(anchorJob(d))
+      val tG = median3(gateJob(d))
+      val tS = median3(suiteJob(d))
+      val tR = median3(rvJob(d))
+      d.unpersist()
+      (k, nd * k, tA, tG, tS, tR)
+    }
+    println("corpus_x,docs,anchor_terms_sec,domain_gate_sec," +
+      "quality_suite_sec,rendezvous32_sec")
+    rows3.foreach { case (k, d, a, b, c, r) =>
+      println(f"$k,$d,$a%.2f,$b%.2f,$c%.2f,$r%.2f") }
     }
     spark.stop()
   }
