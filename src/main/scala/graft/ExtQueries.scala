@@ -928,6 +928,14 @@ object ExtQueries {
         .select("user_id", "event_id", "delta_seconds")
         .orderBy("user_id", "event_id")
     },
+    "event_transitions" -> { (s, dir) =>
+      // the Markov journey view: consecutive in-user event pairs →
+      // (from, to, n, p) with p an exact integer division; the oracle
+      // replays the identical lead window and conditional counts
+      WindowOps.eventTransitions("user_id", "ts", "event_type",
+        tieBreak = Seq("event_id"))(table(s, dir, "events"))
+        .orderBy("from_type", "to_type")
+    },
     // ---- temporal joins ----------------------------------------------------
     "asof_join" -> { (s, dir) =>
       val e = table(s, dir, "events")
@@ -3769,6 +3777,22 @@ object ExtQueries {
                ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST))) AS BIGINT)
            AS delta_seconds
          FROM events ORDER BY user_id, event_id""",
+    // identical lead window, conditional pair counts, one integer
+    // division — mirrors WindowOps.eventTransitions
+    "event_transitions" -> """
+      WITH o AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS nxt
+        FROM events),
+      c AS (SELECT event_type AS from_type, nxt AS to_type,
+          CAST(count(*) AS BIGINT) AS n
+        FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n,
+        CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+      FROM c JOIN t USING (from_type)
+      ORDER BY from_type, to_type""",
     "sessionize" ->
       """WITH o AS (SELECT user_id, event_id, ts,
            lag(ts) OVER (PARTITION BY user_id

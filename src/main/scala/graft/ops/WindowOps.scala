@@ -174,6 +174,39 @@ object WindowOps {
       unix_timestamp(col(tsField)) - unix_timestamp(prevTs))
   }
 
+  /** First-order event-transition matrix — the Markov view of user
+    * journeys that [[eventFunnel]]'s fixed step list cannot see: for
+    * every consecutive event pair within a user's (ts, tieBreak)
+    * order, count (from_type → to_type) and emit the row-conditional
+    * probability p = n / Σ_from n. The product-analytics "what happens
+    * AFTER an error" / journey-graph feeder (pair it with
+    * [[graft.ext.GraphOps.pageRank]] over the transition edges for a
+    * journey-importance rank). Each p is one exact integer division
+    * off two hash-agg counts — oracle bit-for-bit. A user's last event
+    * has no successor and contributes no pair; single-event users
+    * vanish (documented).
+    *
+    * Scale shape: one per-user window (the [[eventDeltas]] shuffle) +
+    * one (from, to) hash-agg + one |types|-row broadcast join for the
+    * denominators. Never a per-user collect. */
+  def eventTransitions(
+      keyField: String, tsField: String, typeField: String,
+      tieBreak: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy(col(keyField))
+      .orderBy((tsField +: tieBreak).map(col(_).asc_nulls_first): _*)
+    val pairs = df
+      .withColumn("__next", lead(col(typeField), 1).over(byKey))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeField).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .withColumn("p",
+        col("n").cast("double") / col("__tot").cast("double"))
+      .select("from_type", "to_type", "n", "p")
+  }
+
   /** Sequential conversion funnel over an event stream: a user reaches
     * step i when an event of `steps(i)`'s type occurs STRICTLY AFTER
     * the timestamp at which they reached step i−1 (first qualifying

@@ -74,6 +74,37 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq(10L))
   }
 
+  test("eventTransitions: in-user pairs, conditional probabilities, edge users") {
+    import graft.ops.WindowOps
+    // u1: a -> b -> a -> c (pairs a→b, b→a, a→c)
+    // u2: a -> b            (pair a→b)
+    // u3: single event — no successor, vanishes entirely
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 09:01:00"), "b", 2L),
+      (1L, ts("2024-01-01 09:02:00"), "a", 3L),
+      (1L, ts("2024-01-01 09:03:00"), "c", 4L),
+      (2L, ts("2024-01-01 09:00:00"), "a", 5L),
+      (2L, ts("2024-01-01 09:05:00"), "b", 6L),
+      (3L, ts("2024-01-01 09:00:00"), "z", 7L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = WindowOps.eventTransitions("user_id", "ts", "event_type",
+      tieBreak = Seq("event_id"))(ev)
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out === Seq(("a", "b", 2L, 2.0 / 3), ("a", "c", 1L, 1.0 / 3),
+      ("b", "a", 1L, 1.0)))
+    // conditional probabilities sum to 1 per from_type
+    val sums = WindowOps.eventTransitions("user_id", "ts", "event_type",
+      tieBreak = Seq("event_id"))(ev)
+      .groupBy("from_type").agg(sum("p").as("s"))
+      .select("s").as[Double].collect()
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-12))
+    // pairs never cross users: z (u3) and c (u1-final) emit nothing
+    assert(!out.exists(t => t._1 == "z" || t._1 == "c"))
+  }
+
   test("eventFunnel: strictly-after sequential matching, per-step conversion") {
     import graft.ops.WindowOps
     val df = Seq(
