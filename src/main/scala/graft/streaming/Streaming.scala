@@ -400,6 +400,48 @@ object Streaming {
     events.withWatermark(tsField, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Windowed verification suite — [[graft.probes.Probes.verificationSuite]]'s
+    * live form: every event-time window grades the same named row
+    * checks (each with its own minimum pass fraction) so a feed's
+    * quality contracts alarm per window instead of per batch-run. ONE
+    * stateful windowed aggregation computes all counters (fixed-width
+    * state per window — one long per check — the
+    * [[windowedCategoryDrift]] shape), then a projection reshapes to
+    * one row per (window, check) with the exact verdict arithmetic the
+    * batch form uses (one multiply per side, one division). ROW checks
+    * only: a per-window DISTINCTNESS check would hold per-key state —
+    * that job belongs to [[windowedDistinct]]'s sketches. Windows
+    * exist only where events do, so there is no vacuous-empty branch
+    * here. Same logical plan on batch frames (spec parity leg). */
+  def windowedVerification(
+      events: DataFrame,
+      rowChecks: Seq[(String, Column, Double)],
+      tsField: String = "ts",
+      windowLength: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(rowChecks.nonEmpty, "at least one check required")
+    require(rowChecks.map(_._1).distinct.length == rowChecks.length,
+      "duplicate check names")
+    rowChecks.foreach { case (n, _, t) => require(t >= 0.0 && t <= 1.0,
+      s"threshold for '$n' must be in [0, 1], got $t") }
+    val counters = rowChecks.zipWithIndex.map { case ((_, c, _), i) =>
+      count(when(c, 1)).as(s"__p$i") }
+    val rows = rowChecks.zipWithIndex.map { case ((n, _, t), i) =>
+      struct(lit(n).as("check_name"), col("__total").as("total"),
+        col(s"__p$i").as("pass_count"), lit(t).as("threshold")) }
+    events.withWatermark(tsField, watermarkDelay)
+      .groupBy(window(col(tsField), windowLength).as("w"))
+      .agg(count(lit(1)).as("__total"), counters: _*)
+      .select(col("w.start").as("window_start"),
+        explode(array(rows: _*)).as("__r"))
+      .select(col("window_start"), col("__r.*"))
+      .withColumn("pass_frac",
+        col("pass_count").cast("double") / col("total").cast("double"))
+      .withColumn("passed",
+        col("pass_count").cast("double") >=
+          col("threshold") * col("total").cast("double"))
+  }
+
   /** Stream-STREAM interval join — the one join family the
     * stream-static forms above cannot express: BOTH sides are unbounded
     * and a right event matches a left event on the key within

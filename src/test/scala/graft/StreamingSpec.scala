@@ -215,6 +215,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedVerification: per-window contract verdicts, batch parity") {
+    val rows = Seq(
+      // window 09:00: 2/2 pass the v<=100 bar
+      (ts("09:01"), 10.0), (ts("09:05"), 50.0),
+      // window 09:10: 1/3 pass — the bar (0.5) FAILS there
+      (ts("09:11"), 10.0), (ts("09:12"), 500.0), (ts("09:14"), 900.0))
+    val input = MemoryStream[(Timestamp, Double)]
+    val suite = Streaming.windowedVerification(
+      input.toDF().toDF("ts", "v"),
+      rowChecks = Seq(("v_small",
+        org.apache.spark.sql.functions.col("v") <= 100.0, 0.5)))
+    val q = suite.writeStream.format("memory").queryName("wvs")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("wvs").orderBy("window_start")
+        .collect().map(r => (r.getLong(3), r.getBoolean(6))).toSeq
+      assert(got === Seq((2L, true), (1L, false)))
+      // batch parity: identical logical plan on a static frame
+      val batch = Streaming.windowedVerification(
+        rows.toDF("ts", "v"),
+        rowChecks = Seq(("v_small",
+        org.apache.spark.sql.functions.col("v") <= 100.0, 0.5)))
+        .orderBy("window_start")
+        .collect().map(r => (r.getLong(3), r.getBoolean(6))).toSeq
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("streamIntervalJoin: stream-stream matches within the bound, batch parity") {
     val imps = MemoryStream[(Long, String, Timestamp)]
     val clicks = MemoryStream[(Long, String, Timestamp)]
