@@ -248,6 +248,15 @@ object ExtQueries {
         corpus(s, dir, "documents"))
         .orderBy("id_a", "id_b")
     },
+    "dedup_eval" -> { (s, dir) =>
+      // LSH operating-point tuning table on a bounded doc sample (the
+      // exact-truth side is quadratic by nature — see lshRecallEval's
+      // scaladoc): recall + candidate efficiency for three band
+      // geometries sharing one shingle projection
+      Dedup.lshRecallEval("doc_id", "text", threshold = 0.2,
+        configs = Seq((8, 2), (8, 4), (16, 8)))(
+        corpus(s, dir, "documents").filter(col("doc_id") < 400))
+    },
     "dedup_clusters" -> { (s, dir) =>
       val docs = corpus(s, dir, "documents")
       val pairs = Dedup.minhashNearDuplicates("doc_id", "text",
@@ -2098,6 +2107,56 @@ object ExtQueries {
       ${lshNearDupTailSql(rows, bands, threshold)}"""
   }
 
+  /** LSH operating-point eval — mirrors Dedup.lshRecallEval: exact truth
+    * via the uncapped shared-shingle self-join, per-config candidates via
+    * the SAME banding + 64-cap as the production pipeline, recall and
+    * candidate precision as single IEEE divisions of exact counts. */
+  private def lshRecallEvalSql(
+      shingleN: Int, threshold: String, docFilter: String,
+      configs: Seq[(Int, Int)]): String = {
+    val jacc = """CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0
+             THEN CAST(0 AS DOUBLE)
+             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END"""
+    val cfgCtes = configs.zipWithIndex.map { case ((h, b), i) =>
+      val rows = h / b
+      s"""sig$i AS (SELECT doc_id, sh, ${minhashSigSql(h)} AS sig FROM sh),
+      banded$i AS (SELECT doc_id, bb,
+          md5(array_to_string(sig[bb*$rows+1 : bb*$rows+$rows], ',')) AS bucket
+        FROM sig$i, range(0,$b) t(bb)),
+      sized$i AS (SELECT *, count(*) OVER (PARTITION BY bb, bucket) AS n
+        FROM banded$i),
+      pairs$i AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM sized$i x JOIN sized$i y ON x.bb = y.bb AND x.bucket = y.bucket
+        WHERE x.doc_id < y.doc_id AND x.n <= 64 AND y.n <= 64),
+      row$i AS (SELECT CAST($h AS INT) AS num_hashes, CAST($b AS INT) AS bands,
+          count(*) AS candidate_pairs,
+          count(*) FILTER (WHERE $jacc >= $threshold) AS verified_pairs
+        FROM pairs$i JOIN sh a ON pairs$i.id_a = a.doc_id
+                     JOIN sh b ON pairs$i.id_b = b.doc_id)"""
+    }.mkString(",\n      ")
+    val rowsUnion = configs.indices
+      .map(i => s"SELECT * FROM row$i").mkString(" UNION ALL ")
+    s"""
+      WITH sh AS (SELECT doc_id, ${shinglesSql(shingleN)} AS sh
+        FROM documents WHERE $docFilter),
+      ex AS (SELECT doc_id, unnest(sh) AS t FROM sh),
+      tc AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM ex x JOIN ex y ON x.t = y.t AND x.doc_id < y.doc_id),
+      truth AS (SELECT count(*) AS truth_pairs
+        FROM tc JOIN sh a ON tc.id_a = a.doc_id JOIN sh b ON tc.id_b = b.doc_id
+        WHERE $jacc >= $threshold),
+      $cfgCtes
+      SELECT num_hashes, bands, truth_pairs, candidate_pairs, verified_pairs,
+        CASE WHEN truth_pairs = 0 THEN NULL
+             ELSE CAST(verified_pairs AS DOUBLE) / truth_pairs END AS recall,
+        CASE WHEN candidate_pairs = 0 THEN NULL
+             ELSE CAST(verified_pairs AS DOUBLE) / candidate_pairs
+             END AS candidate_precision
+      FROM ($rowsUnion) CROSS JOIN truth
+      ORDER BY num_hashes, bands"""
+  }
+
   /** OPH near-dup — mirrors Dedup.minhashNearDuplicatesOph: one md5 per
     * shingle (value = hex chars 1-8, slot = hex chars 9-16 mod k),
     * per-slot min, right-circular densification, then the SAME banding
@@ -3092,6 +3151,8 @@ object ExtQueries {
         AND bit_count(xor(a.sig, c.sig)) <= 10
       ORDER BY id_a, id_b""",
     "ngram_jaccard_pairs" -> minhashNearDupSql(shingleN = 2, threshold = "3e-1"),
+    "dedup_eval" -> lshRecallEvalSql(shingleN = 3, threshold = "2e-1",
+      docFilter = "doc_id < 400", configs = Seq((8, 2), (8, 4), (16, 8))),
     // {self} ∪ del-1 variants (distinct), maxBucket=64 via the window
     // count, pair-dedup before the levenshtein verify — mirrors
     // Dedup.fuzzyKeyPairs exactly (levenshtein is integer-exact in both

@@ -682,6 +682,87 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** LSH operating-point evaluation: for each `(numHashes, bands)`
+    * config, recall and candidate efficiency of the MinHash-LSH pipeline
+    * ([[minhashNearDuplicates]]) against EXACT ground truth on the same
+    * frame — the tuning table every dedup deployment reads before
+    * committing a band geometry to a corpus-scale run.
+    *
+    * Ground truth is exact without going all-pairs: any pair with
+    * J(A,B) ≥ t > 0 shares at least one shingle, so candidates from an
+    * inverted shingle index (a self-equi-join on the exploded shingle)
+    * form a SUPERSET of every true pair; the exact-Jaccard verify then
+    * keeps precisely the true set. The join is UNCAPPED — a bucket cap
+    * would silently delete truth — which is the one quadratic exposure
+    * here: a stop-shingle's posting list is an n² hot key (the join
+    * spills rather than OOMs, but the work is real), so this harness is
+    * for SAMPLES (≤ ~10⁴ docs), never the corpus. Per-config candidate
+    * counts reuse the production
+    * [[lshPairsFromShingles]] path verbatim (same banding, same
+    * `maxBucket` skew cap), so the measured operating point is the one
+    * the shipped pipeline actually runs.
+    *
+    * Output, one row per config ordered (num_hashes, bands):
+    * `truth_pairs`, `candidate_pairs` (post-cap, pre-verify),
+    * `verified_pairs` (= true positives: the verify stage makes emitted
+    * pairs a subset of truth), `recall` = verified/truth, and
+    * `candidate_precision` = verified/candidates (the fraction of
+    * verify-join work that paid off). Counts are exact integers; the two
+    * ratios are single IEEE divisions, so results hash-match across
+    * engines. All configs share ONE shingle projection
+    * (localCheckpoint) and ONE verify join over the tagged candidate
+    * union. */
+  def lshRecallEval(
+      idField: String,
+      textField: String,
+      threshold: Double,
+      configs: Seq[(Int, Int)],
+      shingleSize: Int = 3,
+      maxBucket: Int = 64)(df: DataFrame): DataFrame = {
+    require(threshold > 0.0, "exact truth via shared shingles needs t > 0")
+    require(configs.nonEmpty, "at least one (numHashes, bands) config")
+    require(configs.distinct.length == configs.length, "duplicate configs")
+    val docs = df.select(col(idField).as("__id"),
+      TextOps.shingles(col(textField), shingleSize).as("__sh"))
+      .localCheckpoint()
+    def verified(pairs: DataFrame): DataFrame = pairs
+      .join(docs.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(docs.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
+      .withColumn("__j", TextOps.jaccard(col("__sha"), col("__shb")))
+    val ex = docs.select(col("__id"), explode(col("__sh")).as("__t"))
+    val truth = verified(
+      ex.select(col("__id").as("id_a"), col("__t"))
+        .join(ex.select(col("__id").as("id_b"), col("__t")), "__t")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct())
+      .filter(col("__j") >= threshold)
+      .agg(count(lit(1)).as("__truth"))
+    val tagged = configs.map { case (h, b) =>
+      lshPairsFromShingles(docs, h, b, maxBucket)
+        .withColumn("num_hashes", lit(h))
+        .withColumn("bands", lit(b))
+    }.reduce(_.unionByName(_))
+    verified(tagged)
+      .groupBy(col("num_hashes"), col("bands"))
+      .agg(
+        count(lit(1)).as("candidate_pairs"),
+        count(when(col("__j") >= threshold, 1)).as("verified_pairs"))
+      // one-row truth total rides a broadcast into every config row
+      .crossJoin(broadcast(truth))
+      .select(
+        col("num_hashes"), col("bands"), col("__truth").as("truth_pairs"),
+        col("candidate_pairs"), col("verified_pairs"),
+        when(col("__truth") === 0, lit(null).cast("double"))
+          .otherwise(col("verified_pairs").cast("double") / col("__truth"))
+          .as("recall"),
+        when(col("candidate_pairs") === 0, lit(null).cast("double"))
+          .otherwise(col("verified_pairs").cast("double") /
+            col("candidate_pairs"))
+          .as("candidate_precision"))
+      .orderBy("num_hashes", "bands")
+  }
+
   /** 60-bit SimHash over whitespace tokens (60 = 15 md5 hex chars, the
     * widest that stays inside a signed 64-bit long in both engines).
     * Bit b of the fingerprint is the sign of the vote sum over token

@@ -33,6 +33,31 @@ class DedupSpec extends SparkSpec {
     assert(brute === Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("lshRecallEval: exact truth, subset invariant, band-superset monotonicity") {
+    val rep = Dedup.lshRecallEval("doc_id", "text", threshold = 0.5,
+      configs = Seq((8, 4), (16, 8)), shingleSize = 2)(docs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // truth side == the blocked brute-force baseline (single block here)
+    val brute = Dedup.ngramJaccardPairs("doc_id", "text", "lang",
+      threshold = 0.5, shingleSize = 2)(docs).count()
+    rep.values.foreach { case (truth, cands, ver, recall, prec) =>
+      assert(truth === brute)
+      // verify makes emitted pairs a subset of truth; candidates ⊇ verified
+      assert(ver <= truth && ver <= cands)
+      assert(recall <= 1.0 && prec <= 1.0)
+      assert(recall === ver.toDouble / truth)
+    }
+    // sig16[0..7] == sig8[0..7], so (16,8)'s bands ⊇ (8,4)'s bands and
+    // its candidate/verified sets are supersets — monotone by design
+    assert(rep((16, 8))._2 >= rep((8, 4))._2)
+    assert(rep((16, 8))._3 >= rep((8, 4))._3)
+    // exact dup (1,4) survives every geometry: recall of the dup-heavy
+    // fixture is 1.0 at both operating points
+    assert(rep((8, 4))._4 === 1.0)
+  }
+
   test("LSH embedding near-dup agrees with brute force within buckets") {
     val vecs = Seq(
       (1L, Array.fill(64)(1.0f)),

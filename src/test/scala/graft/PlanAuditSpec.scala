@@ -57,7 +57,8 @@ class PlanAuditSpec extends SparkSpec {
     "balance_classes",   // broadcast one-row min-class-size aggregate
     "category_drift",    // broadcast one-row (total_before, total_after)
     "numeric_drift",     // broadcast one-row (total_before, total_after)
-    "token_shift")       // broadcast one-row corpus token grand total
+    "token_shift",       // broadcast one-row corpus token grand total
+    "dedup_eval")        // broadcast one-row exact-truth pair count
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
