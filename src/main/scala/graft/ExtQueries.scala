@@ -257,6 +257,13 @@ object ExtQueries {
         configs = Seq((8, 2), (8, 4), (16, 8)))(
         corpus(s, dir, "documents").filter(col("doc_id") < 400))
     },
+    "tfidf_cosine_pairs" -> { (s, dir) =>
+      // sparse lexical similarity: rare-term overlap outranks stopword
+      // overlap; df cap bounds the term join (see scaladoc)
+      TextOps.tfidfCosinePairs("doc_id", "text", threshold = 0.3)(
+        corpus(s, dir, "documents"))
+        .orderBy("id_a", "id_b")
+    },
     "dedup_clusters" -> { (s, dir) =>
       val docs = corpus(s, dir, "documents")
       val pairs = Dedup.minhashNearDuplicates("doc_id", "text",
@@ -3153,6 +3160,34 @@ object ExtQueries {
     "ngram_jaccard_pairs" -> minhashNearDupSql(shingleN = 2, threshold = "3e-1"),
     "dedup_eval" -> lshRecallEvalSql(shingleN = 3, threshold = "2e-1",
       docFilter = "doc_id < 400", configs = Seq((8, 2), (8, 4), (16, 8))),
+    // mirrors TextOps.tfidfCosinePairs: rational idf tf*(N+1)/(df+1),
+    // df > 64 dropped from the space, term-ordered float folds for the
+    // dot and norm sums (the bigram-LM order-pinning discipline)
+    "tfidf_cosine_pairs" -> """
+      WITH tf AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents)
+          WHERE term <> '' GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf
+          GROUP BY term HAVING count(*) <= 64),
+      n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      w AS (SELECT doc_id, term,
+          CAST(tf * (n.n + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS w
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      norms AS (SELECT doc_id, sqrt(list_reduce(
+          list_prepend(CAST(0 AS DOUBLE), list(w * w ORDER BY term)),
+          (a, b) -> a + b)) AS nrm
+        FROM w GROUP BY doc_id),
+      dots AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(x.w * y.w ORDER BY x.term)), (a, b) -> a + b) AS dot
+        FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT id_a, id_b, dot / (a.nrm * b.nrm) AS cosine
+      FROM dots JOIN norms a ON dots.id_a = a.doc_id
+                JOIN norms b ON dots.id_b = b.doc_id
+      WHERE dot / (a.nrm * b.nrm) >= 3e-1
+      ORDER BY id_a, id_b""",
     // {self} ∪ del-1 variants (distinct), maxBucket=64 via the window
     // count, pair-dedup before the levenshtein verify — mirrors
     // Dedup.fuzzyKeyPairs exactly (levenshtein is integer-exact in both

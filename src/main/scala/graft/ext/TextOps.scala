@@ -1082,6 +1082,76 @@ object TextOps {
       .select("doc_id", "term", "tf", "df", "tfidf", "rank")
   }
 
+  /** TF-IDF-weighted cosine similarity pairs — the sparse
+    * lexical-similarity rung between set-Jaccard ([[shingles]] +
+    * [[graft.ext.Dedup.minhashNearDuplicates]]) and dense embedding
+    * cosine ([[graft.ext.Similarity]]): term overlap WEIGHTED by how
+    * discriminative each term is, so two docs sharing three rare names
+    * outrank two docs sharing thirty stopwords.
+    *
+    * Weights use the repo's rational idf proxy `tf·(N+1)/(df+1)` (the
+    * [[tfidfTopTerms]] formula — no `log`, so each weight is one exact
+    * integer product and one IEEE division, deterministic cross-engine).
+    * Terms with `df > maxDf` are DROPPED FROM THE VECTOR SPACE — that cap
+    * is part of this operator's similarity definition, not an
+    * approximation knob: it is what bounds pair generation (the join
+    * emits ≤ Σ_{df≤maxDf} df² ≤ maxDf · corpus-tokens rows — LINEAR in
+    * corpus size at fixed cap, where the uncapped sparse product is
+    * quadratic in the hottest posting list) and the discarded terms are
+    * precisely the near-zero-idf stop terms the weighting was built to
+    * suppress. Norms are computed in the same capped space, so the
+    * result is a true cosine there (1.0 for identical docs).
+    *
+    * Shape: ONE text scan builds the (doc, term, tf) frame
+    * (localCheckpoint), df + the one-row N derive from it; candidate
+    * pairs come from a term-partitioned self-equi-join; dot products and
+    * norms are order-pinned float folds (term-sorted, the
+    * oracle-exactness discipline of `bigramLmQuality`) bounded by
+    * per-doc/pair vocab. Emits (id_a, id_b, cosine ≥ threshold),
+    * id_a < id_b. */
+  def tfidfCosinePairs(
+      idField: String,
+      textField: String,
+      threshold: Double,
+      maxDf: Int = 64)(df: DataFrame): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val tf = df
+      .select(col(idField).as("__id"),
+        explode(tokens(col(textField))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val total = df.agg(countDistinct(col(idField)).as("__n"))
+    val w = tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .select(col("__id"), col("term"),
+        ((col("tf") * (col("__n") + 1)).cast("double") /
+          (col("df") + 1).cast("double")).as("__w"))
+    def pinnedSum(terms: Column): Column =
+      aggregate(transform(array_sort(terms), p => p.getField("v")),
+        lit(0.0), (acc, x) => acc + x)
+    val norms = w.groupBy(col("__id"))
+      .agg(sqrt(pinnedSum(collect_list(
+        struct(col("term").as("t"), (col("__w") * col("__w")).as("v")))))
+        .as("__nrm"))
+    w.select(col("__id").as("id_a"), col("term"), col("__w").as("__wa"))
+      .join(w.select(col("__id").as("id_b"), col("term"),
+        col("__w").as("__wb")), "term")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(pinnedSum(collect_list(struct(col("term").as("t"),
+        (col("__wa") * col("__wb")).as("v")))).as("__dot"))
+      .join(norms.select(col("__id").as("id_a"), col("__nrm").as("__na")),
+        "id_a")
+      .join(norms.select(col("__id").as("id_b"), col("__nrm").as("__nb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("__dot") / (col("__na") * col("__nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Vocabulary drift — WHICH tokens pull a source's unigram
     * distribution away from the corpus mixture, the token-level
     * companion to [[graft.probes.Probes.categoryDrift]] and the first

@@ -1165,6 +1165,30 @@ class ExtSpec extends SparkSpec {
     assert(out(1L)._2 === 3L && out(1L)._3 === 1L)
   }
 
+  test("tfidfCosinePairs: identity = 1.0, rare-term overlap beats stopword overlap, df cap prunes") {
+    val docs = Seq(
+      (1L, "aardvark zebra the of and"),
+      (2L, "aardvark zebra the of and"),  // identical to 1
+      (3L, "aardvark quokka the of and"), // shares rare 'aardvark' with 1/2
+      (4L, "platypus quokka the of and"), // shares only stopwords with 1/2
+      (5L, "totally disjoint vocabulary here now")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfCosinePairs("doc_id", "text", threshold = 0.0)(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs: exact cosine 1.0 (same pinned fold both sides)
+    assert(out((1L, 2L)) === 1.0)
+    // rare-term overlap outranks the same-count stopword overlap
+    assert(out((1L, 3L)) > out((1L, 4L)))
+    // doc 5 shares no term with 1 -> no pair row at all
+    assert(!out.contains((1L, 5L)))
+    // df cap drops hot terms from the space: with maxDf = 1 the shared
+    // 'aardvark' (df = 3) is gone and 1-3 lose their only shared term
+    val capped = TextOps.tfidfCosinePairs("doc_id", "text", threshold = 0.0,
+      maxDf = 1)(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((1L, 3L)))
+  }
+
   test("decontaminate drops only docs sharing an n-gram with the benchmark") {
     val bench = Seq((100L, "the secret eval answer is forty two exactly"))
       .toDF("doc_id", "text")

@@ -43,6 +43,7 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_ivf_pq", // broadcast coarse cells + one-row codebook array + query LUTs
     "similarity_ivf_pq_res", // same legs, residual-encoded codes
     "tfidf_top_terms",   // broadcast one-row corpus count
+    "tfidf_cosine_pairs", // broadcast one-row corpus count into weights
     "dsir_affinity",     // broadcast one-row (raw total, target total) aggregate
     "bigram_lm_quality", // broadcast one-row corpus token total
     "event_funnel",      // broadcast one-row entered-users count
