@@ -1519,6 +1519,18 @@ object ExtQueries {
         table(s, dir, "customer"))
         .orderBy("c_nationkey", "c_mktsegment")
     },
+    "label_agreement" -> { (s, dir) =>
+      // Cohen's kappa between the stored lang label and the n-gram
+      // heuristic's prediction: chance-corrected labeler agreement
+      Probes.labelAgreement(col("lang"),
+        TextOps.langId(col("text")))(corpus(s, dir, "documents"))
+    },
+    "score_calibration" -> { (s, dir) =>
+      // reliability table + ECE: does the saturated English-stopword
+      // score mean what it claims about lang = 'en'?
+      Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
+        col("lang") === "en", bins = 10)(corpus(s, dir, "documents"))
+    },
     "fim_transform" -> { (s, dir) =>
       // fill-in-the-middle (PSM order) at 50% apply rate: two salted
       // hash cuts mod remaining length; the oracle reproduces the
@@ -2689,6 +2701,26 @@ object ExtQueries {
     * exact double), so scores hash-match bit-for-bit and are safe to
     * ORDER BY in keeper elections. One `(doc_id, quality)` row per
     * document. */
+  /** `(doc_id, lang, lang_pred)` CTE chain — the lang_id heuristic
+    * (mirrors TextOps.langId tie discipline) shared by the `lang_id`
+    * oracle and the labeler-agreement kappa oracle. */
+  private def langPredCteSql: String = s"""
+      __lr AS (SELECT doc_id, lang,
+        ${stopRatio("['der','die','das','und','zu','in','ist']")} AS r_de,
+        ${stopRatio("['the','a','of','and','to','in','is']")} AS r_en,
+        ${stopRatio("['el','la','de','y','que','en','es']")} AS r_es,
+        ${stopRatio("['le','la','de','et','que','en','est']")} AS r_fr,
+        ${stopRatio("['de','le','shi','he','zai','you','wo']")} AS r_zh
+        FROM documents),
+      pred AS (SELECT doc_id, lang,
+        CASE WHEN greatest(r_de,r_en,r_es,r_fr,r_zh) = CAST(0 AS DOUBLE) THEN 'und'
+             WHEN r_zh = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'zh'
+             WHEN r_fr = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'fr'
+             WHEN r_es = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'es'
+             WHEN r_en = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'en'
+             ELSE 'de' END AS lang_pred
+        FROM __lr)"""
+
   private def qualityPerDocSql: String = s"""
       SELECT doc_id,
         len_score * 4e-1
@@ -2836,21 +2868,56 @@ object ExtQueries {
          SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INTEGER) AS rank
          FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank""",
     "lang_id" -> s"""
-      WITH r AS (SELECT doc_id, lang,
-        ${stopRatio("['der','die','das','und','zu','in','ist']")} AS r_de,
-        ${stopRatio("['the','a','of','and','to','in','is']")} AS r_en,
-        ${stopRatio("['el','la','de','y','que','en','es']")} AS r_es,
-        ${stopRatio("['le','la','de','et','que','en','est']")} AS r_fr,
-        ${stopRatio("['de','le','shi','he','zai','you','wo']")} AS r_zh
-        FROM documents)
-      SELECT doc_id, lang,
-        CASE WHEN greatest(r_de,r_en,r_es,r_fr,r_zh) = CAST(0 AS DOUBLE) THEN 'und'
-             WHEN r_zh = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'zh'
-             WHEN r_fr = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'fr'
-             WHEN r_es = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'es'
-             WHEN r_en = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'en'
-             ELSE 'de' END AS lang_pred
-      FROM r ORDER BY doc_id""",
+      WITH $langPredCteSql
+      SELECT doc_id, lang, lang_pred FROM pred ORDER BY doc_id""",
+    // mirrors Probes.labelAgreement over (lang, lang_pred): exact-count
+    // confusion marginals, HUGEINT pe numerator (decimal(38,0) on the
+    // Spark side), the same fixed division dag for po/pe/kappa
+    "label_agreement" -> s"""
+      WITH $langPredCteSql,
+      conf AS (SELECT lang AS a, lang_pred AS b, count(*) AS cn FROM pred
+        WHERE lang IS NOT NULL AND lang_pred IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(cn) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN a = b THEN cn ELSE 0 END) AS BIGINT) AS agree_n
+        FROM conf),
+      ma AS (SELECT a AS k, CAST(sum(cn) AS BIGINT) AS na FROM conf GROUP BY 1),
+      mb AS (SELECT b AS k, CAST(sum(cn) AS BIGINT) AS nb FROM conf GROUP BY 1),
+      pen AS (SELECT coalesce(sum(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)),
+          CAST(0 AS HUGEINT)) AS pe_num
+        FROM ma JOIN mb USING (k))
+      SELECT n, agree_n, po, pe,
+        CASE WHEN pe = CAST(1 AS DOUBLE) THEN NULL
+             ELSE (po - pe) / (CAST(1 AS DOUBLE) - pe) END AS kappa
+      FROM (SELECT n, agree_n,
+          CAST(agree_n AS DOUBLE) / n AS po,
+          CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+        FROM tot CROSS JOIN pen) __ka""",
+    // mirrors Probes.scoreCalibration over the saturated en-stopword
+    // score vs lang = 'en': 1e-9-quantized per-bin score sums (the
+    // money-column discipline), bin-ordered ECE fold
+    "score_calibration" -> s"""
+      WITH s AS (SELECT
+          least(CAST(floor(sc * 10) AS INT), 9) AS bin,
+          CAST(round(sc * 1e9, 0) AS BIGINT) AS s9,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM (SELECT lang,
+            least(${stopRatio("['the','a','of','and','to','in','is']")}
+              * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)) AS sc
+          FROM documents) __sb
+        WHERE sc IS NOT NULL AND lang IS NOT NULL),
+      b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(s9) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9)
+            AS mean_score,
+          CAST(sum(pos) AS DOUBLE) / count(*) AS pos_rate
+        FROM s GROUP BY bin),
+      g AS (SELECT bin, n, mean_score, pos_rate,
+          abs(mean_score - pos_rate) AS gap FROM b),
+      e AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(n AS DOUBLE) * gap ORDER BY bin)), (a, x) -> a + x)
+          / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS ece
+        FROM g)
+      SELECT CAST(bin AS INTEGER) AS bin, n, mean_score, pos_rate, gap, ece
+      FROM g CROSS JOIN e ORDER BY bin""",
     "quality_score" ->
       s"SELECT doc_id, quality FROM ($qualityPerDocSql) q ORDER BY doc_id",
     // every signal is integer counts until ONE double division, flag

@@ -258,6 +258,14 @@ object TextOps {
       .otherwise(best.getField("lang"))
   }
 
+  /** Saturated stopword-ratio score for one language in [0,1] — the
+    * `stopScore` component of [[qualityScore]] exposed on its own: the
+    * cheap "does this read like `lang`?" signal whose calibration
+    * against stored labels [[graft.probes.Probes.scoreCalibration]]
+    * measures. Pure projection, exact double dag. */
+  def stopwordScore(text: Column, lang: String = "en"): Column =
+    least(ratioIn(tokens(text), stopwords(lang)) * lit(5.0), lit(1.0))
+
   /** Quality score in [0,1]: blend of length saturation, mean token
     * length plausibility, and stopword presence — the standard cheap
     * pre-filter shape for training corpora. Pure double arithmetic,

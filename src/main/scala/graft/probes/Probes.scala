@@ -399,6 +399,103 @@ object Probes {
       .limit(topN)
   }
 
+  /** Inter-labeler agreement: Cohen's kappa between two categorical
+    * label columns on the same rows — the first QA number when a corpus
+    * carries labels from two sources (two annotators, a heuristic vs a
+    * model, a stored tag vs a re-derivation): raw agreement corrected
+    * for the agreement two INDEPENDENT labelers with these marginals
+    * would reach by chance. One row: `n`, `agree_n`, observed agreement
+    * `po = agree_n/n`, chance agreement `pe = Σ_k n_a(k)·n_b(k) / n²`,
+    * and `kappa = (po − pe)/(1 − pe)` (NULL when pe = 1, the degenerate
+    * single-class case).
+    *
+    * Everything derives from ONE (a, b) hash-agg (the confusion frame,
+    * |classes|²-bounded); marginals and the pe numerator are
+    * |classes|-row folds over it. The pe numerator is summed in
+    * `decimal(38,0)` — exact at any corpus size, where `long` products
+    * of two marginals overflow past n ≈ 3·10⁹ — and every emitted ratio
+    * is a fixed dag of IEEE divisions on exact integers, so results
+    * hash-match cross-engine. NULL labels on either side are excluded
+    * (they are missingness, not a category; count them with [[audit]]).
+    * Rows with label columns of any type are accepted — comparison is
+    * on the raw values. */
+  def labelAgreement(labelA: Column, labelB: Column)(
+      df: DataFrame): DataFrame = {
+    val conf = df
+      .filter(labelA.isNotNull && labelB.isNotNull)
+      .groupBy(labelA.as("__a"), labelB.as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val totals = conf.agg(
+      sum(col("__n")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__n"))
+        .otherwise(lit(0L))).as("agree_n"))
+    val margA = conf.groupBy(col("__a").as("__k"))
+      .agg(sum(col("__n")).as("__na"))
+    val margB = conf.groupBy(col("__b").as("__k"))
+      .agg(sum(col("__n")).as("__nb"))
+    val peNum = margA.join(margB, "__k")
+      .agg(coalesce(sum(col("__na").cast("decimal(19,0)") *
+        col("__nb").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+        .as("__pe_num"))
+    totals.crossJoin(broadcast(peNum))
+      .select(
+        col("n"), col("agree_n"),
+        (col("agree_n").cast("double") / col("n")).as("po"),
+        (col("__pe_num").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("pe"))
+      .withColumn("kappa",
+        when(col("pe") === 1.0, lit(null).cast("double"))
+          .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
+
+  /** Score calibration report: does a [0,1] model/heuristic score MEAN
+    * what it says? Rows land in `bins` equal-width score bins; per bin
+    * the empirical positive rate of `label` is compared to the mean
+    * claimed score, and the weighted absolute gap folds into the
+    * expected calibration error (ECE) — the reliability-diagram table,
+    * the standard acceptance gate before a learned quality score drives
+    * corpus elections ([[graft.ext.Dedup]] keeper elections, gating,
+    * mixing).
+    *
+    * Determinism contract: scores are quantized to 1e-9 before the
+    * per-bin mean (integer-scaled sums — a float sum over an unordered
+    * group would not hash-match; the money-column discipline), so
+    * `mean_score` is the exact mean of the quantized scores. Bin
+    * assignment `min(⌊score·bins⌋, bins−1)` clamps score = 1.0 into the
+    * top bin; NULL scores/labels drop. ECE is an order-pinned fold over
+    * the ≤ `bins` bin rows. Output: one row per non-empty bin
+    * (`bin, n, mean_score, pos_rate, gap`) plus the constant `ece`
+    * column, ordered by bin. */
+  def scoreCalibration(score: Column, label: Column, bins: Int = 10)(
+      df: DataFrame): DataFrame = {
+    require(bins >= 1 && bins <= 1000, s"bins must be in [1,1000]: $bins")
+    val perBin = df
+      .filter(score.isNotNull && label.isNotNull)
+      .select(
+        least(floor(score * bins).cast("int"), lit(bins - 1)).as("bin"),
+        round(score * lit(1e9), 0).cast("long").as("__s9"),
+        when(label, 1L).otherwise(0L).as("__pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__s9")).as("__ssum"),
+        sum(col("__pos")).as("__pn"))
+      .select(col("bin"), col("n"),
+        (col("__ssum").cast("double") / (col("n").cast("double") * 1e9))
+          .as("mean_score"),
+        (col("__pn").cast("double") / col("n")).as("pos_rate"))
+      .withColumn("gap", abs(col("mean_score") - col("pos_rate")))
+    // ECE: Σ_b (n_b/n)·gap_b, folded in bin order over ≤ `bins` rows
+    val ece = perBin
+      .agg(sum(col("n")).as("__tot"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("bin"),
+            col("n").as("__bn"), col("gap").as("__g")))),
+            s => s.getField("__bn").cast("double") * s.getField("__g")),
+          lit(0.0), (acc, x) => acc + x).as("__wsum"))
+      .select((col("__wsum") / col("__tot")).as("ece"))
+    perBin.crossJoin(broadcast(ece)).orderBy("bin")
+  }
+
   /** Fail the pipeline when the key is not unique (reference:
     * `ops/rows.py::assert_unique`). Pass-through on success so probes
     * compose inside pipelines. */

@@ -59,7 +59,9 @@ class PlanAuditSpec extends SparkSpec {
     "category_drift",    // broadcast one-row (total_before, total_after)
     "numeric_drift",     // broadcast one-row (total_before, total_after)
     "token_shift",       // broadcast one-row corpus token grand total
-    "dedup_eval")        // broadcast one-row exact-truth pair count
+    "dedup_eval",        // broadcast one-row exact-truth pair count
+    "label_agreement",   // broadcast one-row pe-numerator aggregate
+    "score_calibration") // broadcast one-row ECE aggregate
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

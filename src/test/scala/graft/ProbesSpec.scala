@@ -289,4 +289,53 @@ class ProbesSpec extends SparkSpec {
     val top1 = Probes.joinCardinality(Seq("k"), r, Seq("rk"), topN = 1)(l)
     assert(top1.head().getString(0) == "a")
   }
+
+  test("labelAgreement: hand-computed kappa, NULL exclusion, degenerate pe = 1") {
+    import spark.implicits._
+    // confusion: a/a ×3, a/b ×1, b/b ×2, b/a ×2 → n=8, agree=5
+    // marginals A: a=4, b=4; B: a=5, b=3 → pe = (4·5 + 4·3)/64 = 0.5
+    // kappa = (0.625 − 0.5)/0.5 = 0.25
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "b"), ("b", "a"), ("b", "a"),
+      ("a", null), (null, "b") // NULL on either side excluded
+    ).toDF("la", "lb")
+    val r = Probes.labelAgreement(col("la"), col("lb"))(df).head()
+    assert(r.getLong(0) === 8L && r.getLong(1) === 5L)
+    assert(r.getDouble(2) === 0.625 && r.getDouble(3) === 0.5)
+    assert(r.getDouble(4) === 0.25)
+    // single shared class: pe = 1 → kappa NULL, never a 0/0 NaN
+    val degen = Seq(("x", "x"), ("x", "x")).toDF("la", "lb")
+    val d = Probes.labelAgreement(col("la"), col("lb"))(degen).head()
+    assert(d.getDouble(3) === 1.0 && d.isNullAt(4))
+  }
+
+  test("scoreCalibration: bin edges, quantized means, ECE fold, perfect predictor") {
+    import spark.implicits._
+    // bins=2: scores < 0.5 → bin 0, ≥ 0.5 → bin 1; score 1.0 clamps into
+    // the top bin rather than creating a phantom bin 2
+    val df = Seq(
+      (0.1, false), (0.3, false), (0.4, true),   // bin 0: mean .2666…, rate 1/3
+      (0.6, true), (1.0, true)                    // bin 1: mean 0.8, rate 1.0
+    ).toDF("s", "y")
+    val rows = Probes.scoreCalibration(col("s"), col("y"), bins = 2)(df)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1))
+    val b0 = rows(0); val b1 = rows(1)
+    assert(b0.getLong(1) === 3L && b1.getLong(1) === 2L)
+    // quantized-exact means: (0.1+0.3+0.4)/3 and (0.6+1.0)/2 on 1e-9 grid
+    assert(math.abs(b0.getDouble(2) - 0.8 / 3) < 1e-9)
+    assert(b1.getDouble(2) === 0.8)
+    assert(b0.getDouble(3) === 1.0 / 3 && b1.getDouble(3) === 1.0)
+    // ECE = (3·|0.2666−0.3333| + 2·|0.8−1.0|)/5, both rows carry it
+    val ece = (3.0 * b0.getDouble(4) + 2.0 * b1.getDouble(4)) / 5.0
+    assert(math.abs(b0.getDouble(5) - ece) < 1e-12)
+    assert(b0.getDouble(5) === b1.getDouble(5))
+    // a perfectly calibrated hard predictor: score == empirical rate
+    val perfect = Seq((0.0, false), (0.0, false), (1.0, true))
+      .toDF("s", "y")
+    val p = Probes.scoreCalibration(col("s"), col("y"), bins = 2)(perfect)
+      .head()
+    assert(p.getDouble(5) === 0.0)
+  }
 }
