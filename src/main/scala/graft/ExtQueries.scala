@@ -1519,6 +1519,17 @@ object ExtQueries {
         table(s, dir, "customer"))
         .orderBy("c_nationkey", "c_mktsegment")
     },
+    "pareto_front" -> { (s, dir) =>
+      // multi-objective selection: the quality/cost frontier — no doc on
+      // it is beaten on BOTH quality and brevity by any other doc
+      val q = corpus(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"), col("n_chars"))
+        .withColumn("__negc", -col("n_chars"))
+      Ops.paretoFront("quality", "__negc")(q)
+        .select("doc_id", "quality", "n_chars")
+        .orderBy("doc_id")
+    },
     "label_agreement" -> { (s, dir) =>
       // Cohen's kappa between the stored lang label and the n-gram
       // heuristic's prediction: chance-corrected labeler agreement
@@ -2870,6 +2881,16 @@ object ExtQueries {
     "lang_id" -> s"""
       WITH $langPredCteSql
       SELECT doc_id, lang, lang_pred FROM pred ORDER BY doc_id""",
+    // mirrors Ops.paretoFront on (quality, −n_chars): textbook NOT-EXISTS
+    // dominance — the distributed two-stage skyline must equal it exactly
+    "pareto_front" -> s"""
+      WITH q AS (SELECT d.doc_id, qq.quality, d.n_chars
+        FROM documents d JOIN ($qualityPerDocSql) qq ON d.doc_id = qq.doc_id)
+      SELECT doc_id, quality, n_chars FROM q r
+      WHERE NOT EXISTS (SELECT 1 FROM q s
+        WHERE s.quality >= r.quality AND s.n_chars <= r.n_chars
+          AND (s.quality > r.quality OR s.n_chars < r.n_chars))
+      ORDER BY doc_id""",
     // mirrors Probes.labelAgreement over (lang, lang_pred): exact-count
     // confusion marginals, HUGEINT pe numerator (decimal(38,0) on the
     // Spark side), the same fixed division dag for po/pe/kappa

@@ -1015,6 +1015,61 @@ object Ops {
       .select(keys.map(col) :+ col("change_type"): _*)
   }
 
+  /** 2-D Pareto front (skyline): rows not dominated on the
+    * (`xField`, `yField`) pair, both MAXIMIZED — orient a minimized
+    * objective by negating it first. The multi-objective data-selection
+    * primitive ("highest quality at the lowest token cost" has no single
+    * argmax; the front IS the answer set). Dominance: s dominates r iff
+    * s ≥ r on both axes and s > r on at least one; exact duplicates do
+    * not dominate each other, so tied optimal points all survive. Rows
+    * with a NULL objective are excluded (they cannot be ordered).
+    *
+    * Distributed via the skyline's distributivity —
+    * `sky(A ∪ B) = sky(sky(A) ∪ sky(B))`: stage 1 computes a local front
+    * inside each of `buckets` deterministic hash buckets in parallel
+    * (dominance is transitive, so any dominator of r in r's bucket is
+    * itself dominated only by another dominator of r — some stage-1
+    * survivor still dominates r); stage 2 re-runs the same machinery on
+    * the survivor union in one partition. That last pass is bounded by
+    * the CANDIDATE front size, not the corpus: for independently
+    * distributed axes the expected skyline is O(log n), and in general
+    * stage 2 is output-bounded — an adversarial corpus whose true front
+    * IS the corpus makes any skyline algorithm emit it.
+    *
+    * Per stage: one (bucket, x) hash-agg to per-x max-y, two ROWS-frame
+    * windows over the per-x frame (max y at strictly-greater x, and at
+    * ≥ x) — a row survives iff neither max beats its y — then an equi-
+    * join back to carry full payload rows. No all-pairs compare at any
+    * point. */
+  def paretoFront(
+      xField: String, yField: String, buckets: Int = 64)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    def stage(in: DataFrame): DataFrame = {
+      val perX = in.groupBy(col("__b"), col(xField))
+        .agg(max(col(yField)).as("__my"))
+      val w = Window.partitionBy(col("__b")).orderBy(col(xField).desc)
+      val survX = perX
+        // max y among strictly greater x (one row per distinct x, so a
+        // ROWS frame is exactly the strictly-greater set)
+        .withColumn("__m1", max(col("__my")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        // max y among x' >= x (includes this x's own max)
+        .withColumn("__m2", max(col("__my")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("__b"), col(xField), col("__m1"), col("__m2"))
+      in.join(survX, Seq("__b", xField))
+        .filter((col("__m1").isNull || col("__m1") < col(yField)) &&
+          !(col("__m2") > col(yField)))
+        .drop("__m1", "__m2")
+    }
+    val base = df
+      .filter(col(xField).isNotNull && col(yField).isNotNull)
+      .withColumn("__b", pmod(hash(col(xField), col(yField)), lit(buckets)))
+    stage(stage(base).withColumn("__b", lit(0))).drop("__b")
+  }
+
   /** Pairwise Pearson correlation matrix from EXPLICIT sufficient
     * statistics — deliberately not the engine's `corr()` (Welford-
     * ordered, never hash-matches cross-engine): per group and field

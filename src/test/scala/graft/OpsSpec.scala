@@ -932,4 +932,40 @@ class OpsSpec extends SparkSpec {
       exact.toDF("k", "x", "y")).head()
     assert(whole.getAs[Double]("slope") == 2.0)
   }
+
+  test("paretoFront: dominance semantics, duplicates, NULLs, brute-force parity") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 5.0, 5.0),   // front
+      (2L, 5.0, 5.0),   // exact duplicate of 1 -> both survive
+      (3L, 4.0, 5.0),   // dominated by 1 (equal y, smaller x)
+      (4L, 5.0, 4.0),   // dominated by 1 (equal x, smaller y)
+      (5L, 6.0, 1.0),   // front (best x)
+      (6L, 1.0, 6.0),   // front (best y)
+      (7L, 0.5, 0.5),   // dominated by everything
+      (8L, 6.0, 0.5)    // dominated by 5 (same x, lower y)
+    ).toDF("id", "x", "y")
+    val front = Ops.paretoFront("x", "y", buckets = 3)(pts)
+      .select("id").as[Long].collect().toSet
+    assert(front === Set(1L, 2L, 5L, 6L))
+    // NULL objective rows are excluded, not treated as -inf survivors
+    val withNull = pts.union(Seq((9L, null.asInstanceOf[java.lang.Double],
+      java.lang.Double.valueOf(99.0))).toDF("id", "x", "y"))
+    assert(!Ops.paretoFront("x", "y")(withNull)
+      .select("id").as[Long].collect().contains(9L))
+    // brute-force parity on a deterministic pseudo-random cloud, at
+    // buckets = 1 (single stage) and a bucket count above the row count
+    val cloud = (1 to 60).map { i =>
+      (i.toLong, (i * 37 % 23).toDouble, (i * 53 % 19).toDouble)
+    }.toDF("id", "x", "y")
+    val brute = cloud.as("r").join(cloud.as("s"),
+        col("s.x") >= col("r.x") && col("s.y") >= col("r.y") &&
+          (col("s.x") > col("r.x") || col("s.y") > col("r.y")), "left_anti")
+      .select("r.id").as[Long].collect().toSet
+    Seq(1, 7, 128).foreach { b =>
+      val got = Ops.paretoFront("x", "y", buckets = b)(cloud)
+        .select("id").as[Long].collect().toSet
+      assert(got === brute, s"buckets=$b")
+    }
+  }
 }
