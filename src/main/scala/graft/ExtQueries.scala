@@ -1519,6 +1519,12 @@ object ExtQueries {
         table(s, dir, "customer"))
         .orderBy("c_nationkey", "c_mktsegment")
     },
+    "collocations" -> { (s, dir) =>
+      // lift-ranked adjacent-pair mining: multiword units that co-occur
+      // beyond what unigram frequencies predict
+      TextOps.collocations("text", minCount = 5, k = 20)(
+        corpus(s, dir, "documents"))
+    },
     "pareto_front" -> { (s, dir) =>
       // multi-objective selection: the quality/cost frontier — no doc on
       // it is beaten on BOTH quality and brevity by any other doc
@@ -2881,6 +2887,28 @@ object ExtQueries {
     "lang_id" -> s"""
       WITH $langPredCteSql
       SELECT doc_id, lang, lang_pred FROM pred ORDER BY doc_id""",
+    // mirrors TextOps.collocations: lift = (n12/Nbg)/((n1/Nu)·(n2/Nu)),
+    // rational in exact counts (lift ranks identically to PMI without
+    // the cross-engine log); minCount floor before the joins
+    "collocations" -> """
+      WITH tok AS (SELECT string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents),
+      bg AS (SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i + 1 AS INT)] AS w2
+        FROM (SELECT ts, unnest(range(1, greatest(len(ts) - 1, 0) + 1)) AS i
+              FROM tok)),
+      cb AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2
+        HAVING count(*) >= 5),
+      un AS (SELECT unnest(ts) AS w FROM tok),
+      cu AS (SELECT w, count(*) AS n FROM un GROUP BY 1),
+      nu AS (SELECT count(*) AS nuni FROM un),
+      nb AS (SELECT count(*) AS nbg FROM bg)
+      SELECT w1, w2, n12, a.n AS n1, b.n AS n2,
+        (CAST(n12 AS DOUBLE) / nbg)
+          / ((CAST(a.n AS DOUBLE) / nuni) * (CAST(b.n AS DOUBLE) / nuni))
+          AS lift
+      FROM cb JOIN cu a ON cb.w1 = a.w JOIN cu b ON cb.w2 = b.w
+      CROSS JOIN nu CROSS JOIN nb
+      ORDER BY lift DESC, w1, w2 LIMIT 20""",
     // mirrors Ops.paretoFront on (quality, −n_chars): textbook NOT-EXISTS
     // dominance — the distributed two-stage skyline must equal it exactly
     "pareto_front" -> s"""

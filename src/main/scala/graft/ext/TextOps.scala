@@ -1494,6 +1494,55 @@ object TextOps {
     * exact mode to rounding (spec-asserted ≤ 1e-12 relative) but is
     * not oracle-hash-pinnable. The exact default stays the contract
     * mode. */
+  /** Collocation mining: adjacent word pairs that co-occur far more
+    * often than their unigram frequencies predict — the corpus-analysis
+    * view that surfaces multiword names and idioms ("new york",
+    * "machine learning") before tokenizer/vocab decisions are made.
+    * Association is scored by LIFT `p(w1w2)/(p(w1)·p(w2))` rather than
+    * PMI: PMI is lift's log and ranks identically, but lift is RATIONAL
+    * in the four exact counts (one fixed dag of IEEE divisions), so
+    * rows hash-match cross-engine where libm `log` would not (the
+    * no-transcendentals doctrine of `tokenShift`). `minCount` drops the
+    * unstable low-count tail BEFORE the unigram joins (lift explodes on
+    * hapax pairs — the standard collocation floor, and the join
+    * pruner); top-`k` by (lift desc, w1, w2) via orderBy+limit —
+    * TakeOrderedAndProject, no global sort. One token scan feeds both
+    * count frames (localCheckpoint); totals ride one-row broadcasts. */
+  def collocations(textField: String, minCount: Long = 5, k: Int = 20)(
+      df: DataFrame): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.functions.GraftFunctions.bind
+    val tokenized = df
+      .select(tokens(coalesce(col(textField), lit(""))).as("__ts"))
+      .localCheckpoint()
+    val bigrams = tokenized.select(
+      explode(bind(col("__ts")) { ts =>
+        when(size(ts) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(ts) - 1), i =>
+            struct(element_at(ts, i).as("w1"),
+              element_at(ts, i + 1).as("w2"))))
+      }).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .localCheckpoint()
+    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= minCount)
+    val nb = bigrams.agg(count(lit(1)).as("__nbg"))
+    val unigrams = tokenized.select(explode(col("__ts")).as("w"))
+    val cu = unigrams.groupBy("w").agg(count(lit(1)).as("n"))
+    val nu = unigrams.agg(count(lit(1)).as("__nuni"))
+    cb.join(cu.select(col("w").as("w1"), col("n").as("n1")), "w1")
+      .join(cu.select(col("w").as("w2"), col("n").as("n2")), "w2")
+      .crossJoin(broadcast(nu))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+        ((col("n12").cast("double") / col("__nbg")) /
+          ((col("n1").cast("double") / col("__nuni")) *
+            (col("n2").cast("double") / col("__nuni")))).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   def bigramLmQuality(
       idField: String, textField: String, lambda: Double = 0.7,
       exactOrder: Boolean = true)(

@@ -1165,6 +1165,29 @@ class ExtSpec extends SparkSpec {
     assert(out(1L)._2 === 3L && out(1L)._3 === 1L)
   }
 
+  test("collocations: exact lift arithmetic, minCount floor, tie discipline") {
+    // corpus: "a b" ×4 adjacent, plus scattered singles diluting unigrams
+    val docs = Seq(
+      (1L, "a b a b x"),   // bigrams: (a,b)(b,a)(a,b)(b,x)
+      (2L, "a b a b y"),   // bigrams: (a,b)(b,a)(a,b)(b,y)
+      (3L, "z z z")        // bigrams: (z,z)(z,z)
+    ).toDF("doc_id", "text")
+    val out = TextOps.collocations("text", minCount = 2, k = 10)(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // Nbg = 10, Nuni = 13; (a,b): n12=4, n1=4, n2=4
+    // lift = (4/10)/((4/13)(4/13)) = 0.4·169/16 = 4.225
+    val (n12, n1, n2, lift) = out(("a", "b"))
+    assert(n12 === 4L && n1 === 4L && n2 === 4L)
+    assert(math.abs(lift - 4.225) < 1e-12)
+    // (z,z): n12=2, n=3 → lift = (2/10)/((3/13)(3/13)) = 0.2·169/9
+    assert(math.abs(out(("z", "z"))._4 - 0.2 * 169.0 / 9.0) < 1e-12)
+    // hapax pairs (b,x)(b,y) fall below the minCount floor
+    assert(!out.contains(("b", "x")) && !out.contains(("b", "y")))
+    // (b,a) survives at n12=2
+    assert(out(("b", "a"))._1 === 2L)
+  }
+
   test("tfidfCosinePairs: identity = 1.0, rare-term overlap beats stopword overlap, df cap prunes") {
     val docs = Seq(
       (1L, "aardvark zebra the of and"),

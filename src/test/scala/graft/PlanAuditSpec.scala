@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkSpec {
     "token_shift",       // broadcast one-row corpus token grand total
     "dedup_eval",        // broadcast one-row exact-truth pair count
     "label_agreement",   // broadcast one-row pe-numerator aggregate
-    "score_calibration") // broadcast one-row ECE aggregate
+    "score_calibration", // broadcast one-row ECE aggregate
+    "collocations")      // broadcast one-row unigram + bigram totals
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
