@@ -1519,6 +1519,28 @@ object ExtQueries {
         table(s, dir, "customer"))
         .orderBy("c_nationkey", "c_mktsegment")
     },
+    "cc_scrub" -> { (s, dir) =>
+      // checksum-precision card redaction: per doc, synthesize one
+      // Luhn-VALID 16-digit PAN and one single-digit-off INVALID twin
+      // from the doc id; only the valid one must become <CARD>
+      val base = concat(lit("4"),
+        lpad(col("doc_id").cast("string"), 14, "0"))
+      // check digit: Luhn sum of the base digits at full-string
+      // positions 2..16 (the check itself will occupy position 1)
+      val sumBase = aggregate(sequence(lit(1), lit(15)), lit(0),
+        (acc, j) => {
+          val d = ascii(base.substr(lit(16) - j, lit(1))) - 48
+          acc + when((j + 1) % 2 === 1, d)
+            .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+        })
+      val check = (lit(10) - (sumBase % 10)) % 10
+      val noisy = concat(substring(col("text"), 1, 30),
+        lit(" pay "), base, check.cast("string"),
+        lit(" ref "), base, ((check + 5) % 10).cast("string"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.scrubCards(noisy).as("clean"))
+        .orderBy("doc_id")
+    },
     "collocations" -> { (s, dir) =>
       // lift-ranked adjacent-pair mining: multiword units that co-occur
       // beyond what unigram frequencies predict
@@ -2887,6 +2909,37 @@ object ExtQueries {
     "lang_id" -> s"""
       WITH $langPredCteSql
       SELECT doc_id, lang, lang_pred FROM pred ORDER BY doc_id""",
+    // mirrors TextOps.scrubCards + luhnValid: same check-digit
+    // construction, same right-to-left double-every-second fold; the
+    // single-digit-off twin must survive unredacted
+    "cc_scrub" -> """
+      WITH gen AS (SELECT doc_id, text,
+          '4' || lpad(CAST(doc_id AS VARCHAR), 14, '0') AS base
+        FROM documents),
+      chk AS (SELECT doc_id, text, base,
+          (10 - (list_sum(list_transform(range(1, 16), j ->
+            CASE WHEN (j + 1) % 2 = 1
+                 THEN ascii(substr(base, CAST(16 - j AS INT), 1)) - 48
+                 ELSE CASE WHEN (ascii(substr(base, CAST(16 - j AS INT), 1)) - 48) * 2 > 9
+                           THEN (ascii(substr(base, CAST(16 - j AS INT), 1)) - 48) * 2 - 9
+                           ELSE (ascii(substr(base, CAST(16 - j AS INT), 1)) - 48) * 2 END
+            END)) % 10)) % 10 AS c
+        FROM gen),
+      noisy AS (SELECT doc_id,
+          substr(text, 1, 30) || ' pay ' || base || CAST(c AS VARCHAR)
+            || ' ref ' || base || CAST((c + 5) % 10 AS VARCHAR) AS t
+        FROM chk)
+      SELECT doc_id, array_to_string(list_transform(string_split(t, ' '),
+          tok -> CASE WHEN regexp_matches(tok, '^[0-9]{13,19}$')
+              AND list_sum(list_transform(range(1, length(tok) + 1), i ->
+                CASE WHEN i % 2 = 1
+                     THEN ascii(substr(tok, CAST(length(tok) - i + 1 AS INT), 1)) - 48
+                     ELSE CASE WHEN (ascii(substr(tok, CAST(length(tok) - i + 1 AS INT), 1)) - 48) * 2 > 9
+                               THEN (ascii(substr(tok, CAST(length(tok) - i + 1 AS INT), 1)) - 48) * 2 - 9
+                               ELSE (ascii(substr(tok, CAST(length(tok) - i + 1 AS INT), 1)) - 48) * 2 END
+                END)) % 10 = 0
+            THEN '<CARD>' ELSE tok END), ' ') AS clean
+      FROM noisy ORDER BY doc_id""",
     // mirrors TextOps.collocations: lift = (n12/Nbg)/((n1/Nu)·(n2/Nu)),
     // rational in exact counts (lift ranks identically to PMI without
     // the cross-engine log); minCount floor before the joins

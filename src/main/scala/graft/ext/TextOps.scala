@@ -989,6 +989,40 @@ object TextOps {
       regexp_replace(c, pat, rep)
     }
 
+  /** Luhn checksum over a digit string (ISO/IEC 7812): from the RIGHT,
+    * odd positions add as-is, even positions double (−9 past 9); valid
+    * iff the sum ≡ 0 (mod 10). Exact integer HOF fold — no UDF. The
+    * empty string is invalid (a `sequence(1, 0)` would descend in
+    * Spark, so the guard is also load-bearing). Caller guarantees the
+    * input is all digits ([[scrubCards]] gates on a `^[0-9]{13,19}$`
+    * match first). */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val sum = aggregate(
+      sequence(lit(1), n),
+      lit(0),
+      (acc, i) => {
+        val d = ascii(digits.substr(n - i + 1, lit(1))) - 48
+        acc + when(i % 2 === 1, d)
+          .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+      })
+    when(n === 0, lit(false)).otherwise(sum % 10 === 0)
+  }
+
+  /** Credit-card scrubbing with CHECKSUM PRECISION: a whitespace token
+    * is replaced by `<CARD>` only when it is a 13-19-digit run AND
+    * Luhn-valid — the gate that keeps order ids, tracking numbers, and
+    * timestamps (which [[scrubPii]]'s blanket `[0-9]{7,}` rule would
+    * flatten) out of the redaction while catching every real PAN. The
+    * standard precision/recall trade of production PII pipelines,
+    * composable before or after [[scrubPii]]. Token-granular by
+    * contract: PANs written with inner spaces/dashes tokenize apart and
+    * are not matched. Pure projection, zero shuffle. */
+  def scrubCards(text: Column): Column =
+    array_join(transform(tokens(text), t =>
+      when(t.rlike("^[0-9]{13,19}$") && luhnValid(t), lit("<CARD>"))
+        .otherwise(t)), " ")
+
   // ------------------------------------------------------------ DataFrame ops
 
   /** Standard text-statistics projection over a corpus. */

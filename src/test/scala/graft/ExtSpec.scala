@@ -1165,6 +1165,30 @@ class ExtSpec extends SparkSpec {
     assert(out(1L)._2 === 3L && out(1L)._3 === 1L)
   }
 
+  test("scrubCards: Luhn-gated redaction — valid PANs out, lookalikes kept") {
+    val df = Seq((1L,
+      "pay 4539578763621486 or 4111111111111111 not 4539578763621487 " +
+        "ref 79927398713 order 123456789012345678901 id 12345"))
+      .toDF("id", "text")
+    val clean = df.select(TextOps.scrubCards(col("text")).as("c"))
+      .head().getString(0)
+    // both valid 16-digit PANs redacted; the checksum-failing twin kept
+    assert(clean.contains("<CARD>"))
+    assert(!clean.contains("4539578763621486") &&
+      !clean.contains("4111111111111111"))
+    assert(clean.contains("4539578763621487"))
+    // Luhn-valid but 11 digits: below the PAN length gate, kept
+    assert(clean.contains("79927398713"))
+    // 21 digits: above the gate; 5 digits: below — both kept
+    assert(clean.contains("123456789012345678901") && clean.contains("12345"))
+    // luhnValid edge: empty string is invalid, not a descending-sequence crash
+    val edge = Seq(("", false), ("0", true), ("059", true), ("18", true))
+      .toDF("d", "want")
+      .select(TextOps.luhnValid(col("d")).as("got"), col("want"))
+      .collect()
+    edge.foreach(r => assert(r.getBoolean(0) === r.getBoolean(1)))
+  }
+
   test("collocations: exact lift arithmetic, minCount floor, tie discipline") {
     // corpus: "a b" ×4 adjacent, plus scattered singles diluting unigrams
     val docs = Seq(
