@@ -156,6 +156,71 @@ object Similarity {
       .toDF("cid", "center")
   }
 
+  /** PCA basis learned from the corpus — the variance-ranked ROTATION
+    * that completes the ANN preprocessing family: [[matryoshkaTopK]]
+    * truncates leading dims and [[graft.functions.FwhtRotate]] spreads
+    * energy uniformly; PCA makes the leading dims the RIGHT ones for
+    * arbitrary embeddings, so prefix truncation (Matryoshka on models
+    * that were never Matryoshka-trained) and per-subspace PQ codebooks
+    * spend their budget on real variance. Training-side by the
+    * [[kmeansCentroids]] precedent: the covariance reduction runs
+    * distributed inside Spark ML's PCA, and only the dim×k basis plus a
+    * dim-sized mean land on the driver (bounded model artifacts, the
+    * ModelStore class of driver action). Output is a self-contained
+    * k-row frame `(comp_id, component float[dim], explained_variance
+    * proportion, mu float[dim])` — µ rides along because Spark ML's own
+    * transform skips mean-centering (a documented quirk);
+    * [[pcaProject]] corrects that. */
+  def pcaBasis(corpus: DataFrame, vecField: String, k: Int): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    require(k >= 1, s"k must be >= 1, got $k")
+    val feats = corpus
+      .select(array_to_vector(col(vecField)).as("features"))
+    val model = new PCA().setK(k).setInputCol("features")
+      .setOutputCol("__p").fit(feats)
+    // per-dim mean via ONE dim-keyed hash-agg; the collect is dim-sized
+    val mu = corpus
+      .select(posexplode(col(vecField)).as(Seq("__d", "__x")))
+      .groupBy("__d").agg(avg(col("__x")).as("__m"))
+      .orderBy("__d").collect().map(_.getDouble(1).toFloat)
+    val pc = model.pc
+    val ev = model.explainedVariance
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    (0 until k).map { j =>
+      (j.toLong, Array.tabulate(pc.numRows)(i => pc(i, j).toFloat),
+        ev(j), mu)
+    }.toDF("comp_id", "component", "explained_variance", "mu")
+  }
+
+  /** Project vectors onto a [[pcaBasis]]: `out[j] = (v − µ) · c_j`,
+    * j in comp_id order. The basis folds to ONE broadcast row (the
+    * [[centroidAssign]] shape) and the projection is a per-row HOF
+    * loop — zero shuffle of the vector column, k·dim multiply-adds per
+    * row. Mean-centering included (full PCA semantics, unlike Spark
+    * ML's transform). Output column is `array<float>`, ready for the
+    * downstream rungs (prefix truncation, PQ encode, sign sketches). */
+  def pcaProject(vecField: String, basis: DataFrame,
+      outField: String = "pca")(df: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.bind
+    val basisArr = basis.agg(
+      array_sort(collect_list(struct(col("comp_id"),
+        transform(col("component"), _.cast("double")).as("c"))))
+        .as("__comps"),
+      first(transform(col("mu"), _.cast("double"))).as("__mu"))
+    val proj = bind(transform(col(vecField), _.cast("double"))) { v =>
+      bind(zip_with(v, col("__mu"), (x, m) => x - m)) { cv =>
+        transform(col("__comps"), comp =>
+          aggregate(zip_with(cv, comp.getField("c"), (x, c) => x * c),
+            lit(0.0), (a, b) => a + b).cast("float"))
+      }
+    }
+    df.crossJoin(broadcast(basisArr))
+      .withColumn(outField, proj)
+      .drop("__comps", "__mu")
+  }
+
   /** Build an IVF index: one pass over the corpus against the broadcast
     * centroids ranks each vector's centroids by cosine (deterministic
     * tie-break) — rank 1 is the cell assignment and ranks ≤ nprobe the

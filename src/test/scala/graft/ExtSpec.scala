@@ -1165,6 +1165,57 @@ class ExtSpec extends SparkSpec {
     assert(out(1L)._2 === 3L && out(1L)._3 === 1L)
   }
 
+  test("pcaBasis/pcaProject: orthonormal basis, variance order, centering, isometry") {
+    // rank-2 data in 8 dims: v = a·P1 + b·P2 + const, P1 ⊥ P2, with the
+    // P1 coefficient spread wider so component 0 must capture it
+    val p1 = Array(1f, 1f, 1f, 1f, 0f, 0f, 0f, 0f)
+    val p2 = Array(0f, 0f, 0f, 0f, 1f, -1f, 1f, -1f)
+    val rows = (0 until 40).map { i =>
+      val a = (i % 8).toFloat * 3f; val b = (i % 3).toFloat
+      (i.toLong, Array.tabulate(8)(d => a * p1(d) + b * p2(d) + 0.5f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val basis = Similarity.pcaBasis(df, "embedding", k = 4)
+    val comps = basis.orderBy("comp_id").collect()
+      .map(r => (r.getSeq[Float](1).toArray, r.getDouble(2)))
+    assert(comps.length === 4 && comps.forall(_._1.length === 8))
+    // explained-variance proportions: descending, in [0,1], Σ ≤ 1 + ε;
+    // rank-2 data → the first two carry everything
+    val evs = comps.map(_._2)
+    assert(evs.zip(evs.tail).forall { case (x, y) => x >= y - 1e-12 })
+    assert(evs.forall(e => e >= -1e-12 && e <= 1.0 + 1e-12))
+    assert(evs.take(2).sum > 0.999 && evs.sum <= 1.0 + 1e-9)
+    // orthonormal columns (null-space components included)
+    for (i <- comps.indices; j <- i until comps.length) {
+      val d = comps(i)._1.zip(comps(j)._1).map { case (x, y) =>
+        x.toDouble * y }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-5,
+        s"c${i}.c${j}=$d")
+    }
+    // projection: centering makes the projected mean ~0 per component
+    val proj = Similarity.pcaProject("embedding", basis)(df)
+      .select("vec_id", "pca").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val mean = Array.tabulate(4)(j => rows.indices
+      .map(i => proj(i.toLong)(j).toDouble).sum / rows.length)
+    assert(mean.forall(m => math.abs(m) < 1e-4))
+    // isometry: data is rank-2, so 4 components preserve every pairwise
+    // distance (rotation + centering never stretches)
+    def d2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => val d = x - y; d.toDouble * d }.sum
+    for (i <- 0 until 10; j <- i + 1 until 10) {
+      val orig = d2(rows(i)._2, rows(j)._2)
+      val got = d2(proj(i.toLong), proj(j.toLong))
+      assert(math.abs(orig - got) < 1e-3 * (orig + 1), s"($i,$j)")
+    }
+    // per-component projected variance matches the claimed proportions
+    val n = rows.length.toDouble
+    val vars = Array.tabulate(2)(j => rows.indices
+      .map(i => math.pow(proj(i.toLong)(j) - mean(j), 2)).sum / (n - 1))
+    val total = vars.sum / (evs(0) + evs(1)) // rank-2: first two are all
+    assert(math.abs(vars(0) / total - evs(0)) < 1e-3)
+  }
+
   test("scrubCards: Luhn-gated redaction — valid PANs out, lookalikes kept") {
     val df = Seq((1L,
       "pay 4539578763621486 or 4111111111111111 not 4539578763621487 " +
