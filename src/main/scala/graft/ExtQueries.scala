@@ -462,6 +462,15 @@ object ExtQueries {
         k = 3, nCentroids = 8, nprobe = 2)
         .orderBy("query_id", "rank")
     },
+    "ann_recall_eval" -> { (s, dir) =>
+      // IVF nprobe tuning table: recall@5 vs brute force for probe
+      // widths 1/2/4 over one shared index build
+      val e = corpus(s, dir, "embeddings")
+      Similarity.ivfRecallEval(e, "vec_id", "embedding",
+        queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
+        queryVec = "embedding",
+        k = 5, nCentroids = 8, nprobes = Seq(1, 2, 4))
+    },
     "similarity_ivf_pq" -> { (s, dir) =>
       // IVF-ADC: the composed 100 TB read path — probe the 2 of 8
       // coarse cells nearest each query, ADC-score ONLY those cells'
@@ -2165,6 +2174,57 @@ object ExtQueries {
       ${lshNearDupTailSql(rows, bands, threshold)}"""
   }
 
+  /** IVF operating-point eval — mirrors Similarity.ivfRecallEval: one
+    * shared centroid ranking (stand-in centroids, ties to smaller cid),
+    * per-nprobe probe filter + exact-cosine rerank, brute-force truth
+    * over the bounded query set, exact-count recall. */
+  private def ivfRecallEvalSql(
+      k: Int, nCentroids: Int, maxQueryId: Int,
+      nprobes: Seq[Int]): String = {
+    val npCtes = nprobes.map { np =>
+      s"""top$np AS (SELECT query_id, item_id FROM (
+          SELECT p.id AS query_id, a.id AS item_id,
+            row_number() OVER (PARTITION BY p.id
+              ORDER BY ${cosineSql("p.vec", "a.vec")} DESC, a.id ASC) AS rr
+          FROM (SELECT id, vec, cid FROM rk
+                WHERE rn <= $np AND id < $maxQueryId) p
+          JOIN assign a ON p.cid = a.cid WHERE p.id <> a.id) t
+        WHERE rr <= $k),
+      row$np AS (SELECT CAST($np AS INT) AS nprobe,
+          (SELECT count(*) FROM top$np) AS ivf_rows,
+          (SELECT count(*) FROM top$np t JOIN brute b
+             USING (query_id, item_id)) AS hit_rows)"""
+    }.mkString(",\n      ")
+    val rowsUnion = nprobes.map(np => s"SELECT * FROM row$np")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                 WHERE vec_id < $nCentroids),
+      sc AS (SELECT e.vec_id AS id, e.embedding AS vec, cid,
+               ${cosineSql("e.embedding", "cvec")} AS cs
+             FROM embeddings e, c),
+      rk AS (SELECT id, vec, cid,
+               row_number() OVER (PARTITION BY id
+                 ORDER BY cs DESC, cid ASC) AS rn FROM sc),
+      assign AS (SELECT id, vec, cid FROM rk WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < $maxQueryId),
+      brute AS (SELECT query_id, item_id FROM (
+          SELECT q.query_id, e.vec_id AS item_id,
+            row_number() OVER (PARTITION BY q.query_id
+              ORDER BY ${cosineSql("q.qv", "e.embedding")} DESC,
+                e.vec_id ASC) AS rr
+          FROM q, embeddings e WHERE q.query_id <> e.vec_id) t
+        WHERE rr <= $k),
+      truth AS (SELECT count(*) AS truth_rows FROM brute),
+      $npCtes
+      SELECT nprobe, truth_rows, ivf_rows, hit_rows,
+        CASE WHEN truth_rows = 0 THEN NULL
+             ELSE CAST(hit_rows AS DOUBLE) / truth_rows END AS recall
+      FROM ($rowsUnion) CROSS JOIN truth
+      ORDER BY nprobe"""
+  }
+
   /** LSH operating-point eval — mirrors Dedup.lshRecallEval: exact truth
     * via the uncapped shared-shingle self-join, per-config candidates via
     * the SAME banding + 64-cap as the production pipeline, recall and
@@ -3329,6 +3389,8 @@ object ExtQueries {
     "ngram_jaccard_pairs" -> minhashNearDupSql(shingleN = 2, threshold = "3e-1"),
     "dedup_eval" -> lshRecallEvalSql(shingleN = 3, threshold = "2e-1",
       docFilter = "doc_id < 400", configs = Seq((8, 2), (8, 4), (16, 8))),
+    "ann_recall_eval" -> ivfRecallEvalSql(k = 5, nCentroids = 8,
+      maxQueryId = 10, nprobes = Seq(1, 2, 4)),
     // mirrors TextOps.tfidfCosinePairs: rational idf tf*(N+1)/(df+1),
     // df > 64 dropped from the space, term-ordered float folds for the
     // dot and norm sums (the bigram-LM order-pinning discipline)

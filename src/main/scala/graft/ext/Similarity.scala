@@ -325,6 +325,67 @@ object Similarity {
     ivfQuery(ivfBuild(corpus, corpusId, corpusVec, cents, nprobe), k)
   }
 
+  /** IVF operating-point evaluation — recall@k per `nprobe` against the
+    * exact brute-force ranking, the tuning table an IVF deployment reads
+    * before committing a probe width (the ANN sibling of
+    * [[graft.ext.Dedup.lshRecallEval]]). The index is built ONCE at
+    * `max(nprobes)` (an [[ivfBuild]] ranking stores every probe depth up
+    * to its cap), each narrower width is a rank filter on the same
+    * persisted frame, and the brute-force truth over the bounded query
+    * set is computed once (the broadcast-queries shape every rerank rung
+    * uses — this is an EVAL on a query SAMPLE, like every recall
+    * harness). Output per nprobe: `truth_rows` (= |queries|·k when the
+    * corpus suffices), `ivf_rows` (pairs the probe width actually
+    * returned — short cells return fewer), `hit_rows` (overlap with
+    * truth) and `recall` — exact counts, one IEEE division. */
+  def ivfRecallEval(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nCentroids: Int, nprobes: Seq[Int],
+      centroids: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1), "nprobes >= 1")
+    require(nprobes.distinct.length == nprobes.length, "duplicate nprobes")
+    val cents = centroids.getOrElse(
+      standinCentroids(corpus, corpusId, corpusVec, nCentroids))
+    val index = ivfBuild(corpus, corpusId, corpusVec, cents, nprobes.max)
+    val qIds = broadcast(
+      queries.select(col(queryId).as("query_id")).distinct())
+    val assign = index.ranked.filter(col("__pr") === 1)
+      .select(col("__cid"), col("__id"), col("__v"))
+    def ivfAt(np: Int): DataFrame =
+      index.ranked.filter(col("__pr") <= np)
+        .join(qIds, index.ranked("__id") === qIds("query_id"))
+        .select(col("query_id"), col("__v").as("__qv"), col("__cid"))
+        .join(assign, "__cid")
+        .filter(col("query_id") =!= col("__id"))
+        .withColumn("__cos", cosine(col("__qv"), col("__v")))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("__cos").desc, col("__id").asc)))
+        .filter(col("__rk") <= k)
+        .select(col("query_id"), col("__id").as("item_id"))
+    val brute = bruteForceTopK(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k)
+      .select("query_id", "item_id")
+      .localCheckpoint() // |queries|·k rows, reused per probe width
+    val truth = brute.agg(count(lit(1)).as("truth_rows"))
+    val tagged = nprobes.map(np =>
+      ivfAt(np).withColumn("nprobe", lit(np))).reduce(_.unionByName(_))
+    val spine = tagged.groupBy("nprobe")
+      .agg(count(lit(1)).as("ivf_rows"))
+    val hits = tagged.join(brute, Seq("query_id", "item_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("__h"))
+    spine.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(truth))
+      .select(col("nprobe"), col("truth_rows"), col("ivf_rows"),
+        coalesce(col("__h"), lit(0L)).as("hit_rows"),
+        when(col("truth_rows") === 0, lit(null).cast("double"))
+          .otherwise(coalesce(col("__h"), lit(0L)).cast("double") /
+            col("truth_rows")).as("recall"))
+      .orderBy("nprobe")
+  }
+
   /** Approximate top-k: candidates share a sign-LSH bucket, then exact
     * cosine re-ranks within buckets. With p planes each table shards the
     * corpus into 2^p buckets; the join key is (table, bucket), so cost is

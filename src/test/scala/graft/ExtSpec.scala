@@ -1165,6 +1165,29 @@ class ExtSpec extends SparkSpec {
     assert(out(1L)._2 === 3L && out(1L)._3 === 1L)
   }
 
+  test("ivfRecallEval: monotone recall, full-probe == brute force, count invariants") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        (math.sin(i * 0.7 + d) * 3 + (i % 4) * (if (d % 4 == i % 4) 2 else 0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 6)
+    val rep = Similarity.ivfRecallEval(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, nCentroids = 4,
+      nprobes = Seq(1, 2, 4))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    rep.values.foreach { case (truth, ivf, hit, recall) =>
+      assert(truth === 18L) // 6 queries × k=3
+      assert(hit <= truth && hit <= ivf)
+      assert(recall === hit.toDouble / truth)
+    }
+    // wider probes never lose candidates: recall is monotone in nprobe
+    assert(rep(1)._4 <= rep(2)._4 && rep(2)._4 <= rep(4)._4)
+    // probing EVERY cell makes the candidate set the whole corpus:
+    // identical to brute force, recall exactly 1.0
+    assert(rep(4)._4 === 1.0)
+  }
+
   test("pcaBasis/pcaProject: orthonormal basis, variance order, centering, isometry") {
     // rank-2 data in 8 dims: v = a·P1 + b·P2 + const, P1 ⊥ P2, with the
     // P1 coefficient spread wider so component 0 must capture it

@@ -62,7 +62,8 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_eval",        // broadcast one-row exact-truth pair count
     "label_agreement",   // broadcast one-row pe-numerator aggregate
     "score_calibration", // broadcast one-row ECE aggregate
-    "collocations")      // broadcast one-row unigram + bigram totals
+    "collocations",      // broadcast one-row unigram + bigram totals
+    "ann_recall_eval")   // broadcast query set + one-row truth count
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
