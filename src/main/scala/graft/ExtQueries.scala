@@ -259,9 +259,13 @@ object ExtQueries {
     },
     "tfidf_cosine_pairs" -> { (s, dir) =>
       // sparse lexical similarity: rare-term overlap outranks stopword
-      // overlap; df cap bounds the term join (see scaladoc)
+      // overlap; df cap bounds the term join (see scaladoc). Bounded to
+      // a constant doc sample: the fixture's ~40-word vocabulary pushes
+      // every df over the cap at larger SFs, emptying the space — the
+      // cap is calibrated to corpus vocabulary, exercised here at the
+      // scale where the synthetic corpus HAS rare terms
       TextOps.tfidfCosinePairs("doc_id", "text", threshold = 0.3)(
-        corpus(s, dir, "documents"))
+        corpus(s, dir, "documents").filter(col("doc_id") < 400))
         .orderBy("id_a", "id_b")
     },
     "dedup_clusters" -> { (s, dir) =>
@@ -3397,11 +3401,12 @@ object ExtQueries {
     "tfidf_cosine_pairs" -> """
       WITH tf AS (SELECT doc_id, term, count(*) AS tf
           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                FROM documents)
+                FROM documents WHERE doc_id < 400)
           WHERE term <> '' GROUP BY doc_id, term),
       dfreq AS (SELECT term, count(*) AS df FROM tf
           GROUP BY term HAVING count(*) <= 64),
-      n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      n AS (SELECT count(DISTINCT doc_id) AS n FROM documents
+            WHERE doc_id < 400),
       w AS (SELECT doc_id, term,
           CAST(tf * (n.n + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS w
         FROM tf JOIN dfreq USING (term) CROSS JOIN n),

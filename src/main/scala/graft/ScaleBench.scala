@@ -868,6 +868,50 @@ object ScaleBench {
     rows3.foreach { case (k, d, a, b, c, r) =>
       println(f"$k,$d,$a%.2f,$b%.2f,$c%.2f,$r%.2f") }
     }
+    // ---- tfidf cosine pairs: the df-cap contract under corpus growth ----
+    // Replication multiplies every term's df by k exactly. Two columns
+    // tell the story: with the cap SCALED to 64·k the retained term set
+    // is invariant, so posting lists grow ×k and the pair-term join
+    // ×k² — the uncapped sparse product's true cost curve; with the cap
+    // FIXED at 64 the crossing terms leave the space and the work curve
+    // flattens — the bound `≤ maxDf · corpus-tokens` made visible. Pair
+    // counts print alongside so the pruning is measured, not inferred.
+    phase("tfidf") {
+    val docsBase = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .filter(col("doc_id") < 500) // the scale where rare terms exist
+    val ndocs = docsBase.count()
+    def repD(k: Int): DataFrame =
+      (0 until k).map(i => docsBase.select(
+        (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        col("text")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    def tfidfJob(d: DataFrame, cap: Int): Unit =
+      TextOps.tfidfCosinePairs("doc_id", "text", threshold = 0.3,
+        maxDf = cap)(d)
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = repD(1).localCheckpoint()
+      tfidfJob(d1, 64); d1.unpersist() }
+    val tfRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = repD(k).localCheckpoint()
+      val tFixed = median3(tfidfJob(d, 64))
+      val tScaled = median3(tfidfJob(d, 64 * k))
+      val pFixed = TextOps.tfidfCosinePairs("doc_id", "text",
+        threshold = 0.3, maxDf = 64)(d).count()
+      val pScaled = TextOps.tfidfCosinePairs("doc_id", "text",
+        threshold = 0.3, maxDf = 64 * k)(d).count()
+      d.unpersist()
+      (k, ndocs * k, pFixed, tFixed, pScaled, tScaled)
+    }
+    println("corpus_x,docs,pairs_cap64,tfidf_cap64_sec," +
+      "pairs_cap64k,tfidf_cap64k_sec")
+    tfRows.foreach { case (k, d, pf, tf, ps, ts) =>
+      println(f"$k,$d,$pf,$tf%.2f,$ps,$ts%.2f") }
+    }
     spark.stop()
   }
 }
