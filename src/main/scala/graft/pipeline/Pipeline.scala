@@ -616,6 +616,34 @@ final case class Pipeline(df: DataFrame) {
   def tarEntries(blobField: String, outField: String = "entries"): Pipeline =
     >>(_.withColumn(outField,
       graft.ext.BinaryOps.tarEntries(col(blobField))))
+  def lshRecallEval(idField: String, textField: String, threshold: Double,
+      configs: Seq[(Int, Int)], shingleSize: Int = 3): Pipeline =
+    >>(Dedup.lshRecallEval(idField, textField, threshold, configs,
+      shingleSize))
+  def tfidfCosinePairs(idField: String, textField: String,
+      threshold: Double, maxDf: Int = 64): Pipeline =
+    >>(TextOps.tfidfCosinePairs(idField, textField, threshold, maxDf))
+  def collocations(textField: String, minCount: Long = 5,
+      k: Int = 20): Pipeline =
+    >>(TextOps.collocations(textField, minCount, k))
+  def scrubCards(field: String): Pipeline =
+    >>(_.withColumn(field, TextOps.scrubCards(col(field))))
+  def paretoFront(xField: String, yField: String,
+      buckets: Int = 64): Pipeline =
+    >>(Ops.paretoFront(xField, yField, buckets))
+  def labelAgreement(labelA: Column, labelB: Column): Pipeline =
+    >>(Probes.labelAgreement(labelA, labelB))
+  def scoreCalibration(score: Column, label: Column,
+      bins: Int = 10): Pipeline =
+    >>(Probes.scoreCalibration(score, label, bins))
+  def ivfRecallEval(corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int,
+      nCentroids: Int, nprobes: Seq[Int]): Pipeline =
+    >>(c => graft.ext.Similarity.ivfRecallEval(c, corpusId, corpusVec,
+      queries, queryId, queryVec, k, nCentroids, nprobes))
+  def pcaProject(vecField: String, basis: DataFrame,
+      outField: String = "pca"): Pipeline =
+    >>(graft.ext.Similarity.pcaProject(vecField, basis, outField))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

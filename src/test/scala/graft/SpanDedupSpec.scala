@@ -338,6 +338,41 @@ class SpanDedupSpec extends SparkSpec {
       .result.count() === 2)
   }
 
+  test("Pipeline façade exposes the round-13 eval/selection/QA surface") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a b c d e", "en"), (2L, "a b c d e", "en"),
+      (3L, "x y z w v", "de")).toDF("doc_id", "text", "lang")
+    assert(Pipeline(docs)
+      .lshRecallEval("doc_id", "text", threshold = 0.5,
+        configs = Seq((8, 4)), shingleSize = 2).result.count() === 1)
+    assert(Pipeline(docs)
+      .tfidfCosinePairs("doc_id", "text", threshold = 0.5)
+      .result.count() >= 1)
+    assert(Pipeline(docs).collocations("text", minCount = 2, k = 5)
+      .result.count() >= 1)
+    assert(Pipeline(Seq((1L, "pay 4111111111111111 now")).toDF("id", "t"))
+      .scrubCards("t").result.head().getString(1).contains("<CARD>"))
+    assert(Pipeline(docs.withColumn("q", col("doc_id").cast("double"))
+        .withColumn("c", -col("doc_id")))
+      .paretoFront("q", "c").result.count() >= 1)
+    assert(Pipeline(docs)
+      .labelAgreement(col("lang"), col("lang")).result
+      .head().getDouble(4) === 1.0) // self-agreement: kappa 1
+    assert(Pipeline(docs.withColumn("s", col("doc_id") / 10.0)
+        .withColumn("y", col("doc_id") > 1))
+      .scoreCalibration(col("s"), col("y"), bins = 2).result.count() >= 1)
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (i * d % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Pipeline(vecs)
+      .ivfRecallEval("vec_id", "embedding", vecs.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 2, nCentroids = 2, nprobes = Seq(1, 2))
+      .result.count() === 2)
+    val basis = graft.ext.Similarity.pcaBasis(vecs, "embedding", k = 2)
+    assert(Pipeline(vecs).pcaProject("embedding", basis).result
+      .head().getSeq[Float](2).length === 2)
+  }
+
   test("duplicateSpanMask is the exact complement of stripDuplicateSpans") {
     import graft.ext.TextOps
     val docs = Seq(
