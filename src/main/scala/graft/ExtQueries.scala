@@ -1583,6 +1583,11 @@ object ExtQueries {
       Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
         col("lang") === "en", bins = 10)(corpus(s, dir, "documents"))
     },
+    "confusion_matrix" -> { (s, dir) =>
+      // WHERE the labelers disagree — label_agreement's drill-down
+      Probes.confusionMatrix(col("lang"),
+        TextOps.langId(col("text")))(corpus(s, dir, "documents"))
+    },
     "fim_transform" -> { (s, dir) =>
       // fill-in-the-middle (PSM order) at 50% apply rate: two salted
       // hash cuts mod remaining length; the oracle reproduces the
@@ -3058,6 +3063,18 @@ object ExtQueries {
           CAST(agree_n AS DOUBLE) / n AS po,
           CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
         FROM tot CROSS JOIN pen) __ka""",
+    // mirrors Probes.confusionMatrix over (lang, lang_pred)
+    "confusion_matrix" -> s"""
+      WITH $langPredCteSql,
+      conf AS (SELECT lang AS label_a, lang_pred AS label_b,
+          count(*) AS n FROM pred
+        WHERE lang IS NOT NULL AND lang_pred IS NOT NULL GROUP BY 1, 2),
+      rt AS (SELECT label_a, CAST(sum(n) AS BIGINT) AS rtot FROM conf
+        GROUP BY 1)
+      SELECT label_a, label_b, n,
+        CAST(n AS DOUBLE) / rtot AS row_share
+      FROM conf JOIN rt USING (label_a)
+      ORDER BY label_a, label_b""",
     // mirrors Probes.scoreCalibration over the saturated en-stopword
     // score vs lang = 'en': 1e-9-quantized per-bin score sums (the
     // money-column discipline), bin-ordered ECE fold

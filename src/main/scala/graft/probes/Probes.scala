@@ -449,6 +449,27 @@ object Probes {
           .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe"))))
   }
 
+  /** Confusion matrix — [[labelAgreement]]'s drill-down: kappa says HOW
+    * MUCH two labelers agree, this says WHERE they disagree. Per
+    * (label_a, label_b): the pair count and `row_share` = n / Σ over
+    * label_a (the per-class recall diagonal when A is truth). One
+    * |classes|²-bounded hash-agg plus a |classes|-row marginal join;
+    * shares are exact-count divisions. NULLs excluded as in
+    * [[labelAgreement]]. */
+  def confusionMatrix(labelA: Column, labelB: Column)(
+      df: DataFrame): DataFrame = {
+    val conf = df
+      .filter(labelA.isNotNull && labelB.isNotNull)
+      .groupBy(labelA.as("label_a"), labelB.as("label_b"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = conf.groupBy(col("label_a"))
+      .agg(sum(col("n")).as("__rt"))
+    conf.join(rowTot, "label_a")
+      .select(col("label_a"), col("label_b"), col("n"),
+        (col("n").cast("double") / col("__rt")).as("row_share"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Score calibration report: does a [0,1] model/heuristic score MEAN
     * what it says? Rows land in `bins` equal-width score bins; per bin
     * the empirical positive rate of `label` is compared to the mean

@@ -442,6 +442,76 @@ object Streaming {
           col("threshold") * col("total").cast("double"))
   }
 
+  /** Windowed score-calibration monitor — the streaming form of
+    * [[graft.probes.Probes.scoreCalibration]], the live answer to "is
+    * the quality score still calibrated on TODAY'S traffic?" (a model
+    * score drifts the moment the input distribution does; this is the
+    * alarm that catches it per event-time window). Per (window, bin):
+    * `n`, `mean_score`, `pos_rate`, `gap`, plus the window's `ece` on
+    * every row.
+    *
+    * Single stateful aggregation per window (the
+    * [[windowedCategoryDrift]] doctrine): three conditional aggregates
+    * per bin — count, 1e-9-quantized score sum (the batch probe's
+    * integer-sum determinism discipline), positive count — one
+    * fixed-width state row per open window, no second streaming agg
+    * (Spark would reject it in append mode). The ECE folds over the
+    * index-ordered bin array IN THE PROJECTION; empty bins contribute
+    * exact 0.0 to the fold (x + 0.0 == x), so results equal the batch
+    * probe's non-empty-bin fold bit-for-bit — the spec pins per-window
+    * rows == `scoreCalibration` on the same slice, and the same plan
+    * runs on batch frames. */
+  def windowedCalibration(
+      events: DataFrame,
+      score: Column,
+      label: Column,
+      bins: Int = 10,
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(bins >= 1 && bins <= 100, s"bins must be in [1, 100]: $bins")
+    val base = events
+      .filter(score.isNotNull && label.isNotNull)
+      .select(col(tsField),
+        least(floor(score * bins).cast("int"), lit(bins - 1)).as("__bin"),
+        round(score * lit(1e9), 0).cast("long").as("__s9"),
+        when(label, 1L).otherwise(0L).as("__pos"))
+    val aggs = (0 until bins).flatMap { b => Seq(
+      count(when(col("__bin") === b, 1)).as(s"__n_$b"),
+      sum(when(col("__bin") === b, col("__s9")).otherwise(0L))
+        .as(s"__s_$b"),
+      sum(when(col("__bin") === b, col("__pos")).otherwise(0L))
+        .as(s"__p_$b")) }
+    val agged = base.withWatermark(tsField, watermarkDelay)
+      .groupBy(window(col(tsField), windowLength).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val binStructs = array((0 until bins).map { b =>
+      struct(lit(b).as("bin"), col(s"__n_$b").as("n"),
+        col(s"__s_$b").as("s9"), col(s"__p_$b").as("pos")) }: _*)
+    val totN = (0 until bins).map(b => col(s"__n_$b")).reduce(_ + _)
+    val ece = aggregate(binStructs, lit(0.0), (acc, s) =>
+      acc + when(s.getField("n") === 0L, lit(0.0))
+        .otherwise(s.getField("n").cast("double") * abs(
+          s.getField("s9").cast("double") /
+            (s.getField("n").cast("double") * 1e9)
+            - s.getField("pos").cast("double") / s.getField("n")))) /
+      totN.cast("double")
+    agged
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        ece.as("ece"), explode(binStructs).as("__b"))
+      .filter(col("__b.n") > 0)
+      .select(col("window_start"), col("window_end"),
+        col("__b.bin").as("bin"), col("__b.n").as("n"),
+        (col("__b.s9").cast("double") /
+          (col("__b.n").cast("double") * 1e9)).as("mean_score"),
+        (col("__b.pos").cast("double") / col("__b.n")).as("pos_rate"),
+        col("ece"))
+      .withColumn("gap", abs(col("mean_score") - col("pos_rate")))
+      .select("window_start", "window_end", "bin", "n", "mean_score",
+        "pos_rate", "gap", "ece")
+  }
+
   /** Stream-STREAM interval join — the one join family the
     * stream-static forms above cannot express: BOTH sides are unbounded
     * and a right event matches a left event on the key within

@@ -310,6 +310,19 @@ class ProbesSpec extends SparkSpec {
     assert(d.getDouble(3) === 1.0 && d.isNullAt(4))
   }
 
+  test("confusionMatrix: exact counts and per-class row shares") {
+    import spark.implicits._
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), (null, "a"), ("a", null)).toDF("la", "lb")
+    val m = Probes.confusionMatrix(col("la"), col("lb"))(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(m(("a", "a")) === (2L, 2.0 / 3))
+    assert(m(("a", "b")) === (1L, 1.0 / 3))
+    assert(m(("b", "b")) === (1L, 1.0))
+    assert(m.size === 3) // NULL rows excluded on either side
+  }
+
   test("scoreCalibration: bin edges, quantized means, ECE fold, perfect predictor") {
     import spark.implicits._
     // bins=2: scores < 0.5 → bin 0, ≥ 0.5 → bin 1; score 1.0 clamps into

@@ -908,4 +908,46 @@ class StreamingSpec extends SparkSpec {
     assert(mmrCollected.sortBy(key).toSeq ===
       mmrPost(expect).collect().toSeq.sortBy(key))
   }
+
+  test("windowedCalibration: per-window rows == batch scoreCalibration; batch plan runs") {
+    import org.apache.spark.sql.functions._
+    val events = Seq(
+      (ts("10:01"), 0.1, false), (ts("10:02"), 0.3, false),
+      (ts("10:03"), 0.4, true), (ts("10:04"), 0.6, true),
+      (ts("10:05"), 1.0, true),
+      // second window, different mix
+      (ts("10:11"), 0.2, true), (ts("10:12"), 0.9, true))
+    val input = MemoryStream[(Timestamp, Double, Boolean)]
+    val cal = Streaming.windowedCalibration(
+      input.toDF().toDF("ts", "s", "y"), col("s"), col("y"), bins = 2,
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = cal.writeStream.format("memory").queryName("wcal")
+      .outputMode("complete").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val rows = spark.table("wcal").collect()
+      // parity: each window's (bin, n, mean, rate, gap, ece) equals the
+      // batch probe on that window's slice — bit-for-bit
+      Seq("10:00" -> events.take(5), "10:10" -> events.drop(5))
+        .foreach { case (w0, slice) =>
+          val got = rows
+            .filter(_.getTimestamp(0) == ts(w0))
+            .map(r => r.getInt(2) -> (r.getLong(3), r.getDouble(4),
+              r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+          val want = graft.probes.Probes.scoreCalibration(
+            col("s"), col("y"), bins = 2)(
+            slice.toDF("ts", "s", "y")).collect()
+            .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+              r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+          assert(got === want, s"window $w0")
+        }
+    } finally q.stop()
+    // the same plan runs on a batch frame
+    val batchOut = Streaming.windowedCalibration(
+      events.toDF("ts", "s", "y"), col("s"), col("y"), bins = 2,
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+      .collect()
+    assert(batchOut.length === 4) // both bins occupied in each window
+  }
 }
