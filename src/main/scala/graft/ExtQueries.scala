@@ -1571,6 +1571,17 @@ object ExtQueries {
         .select("doc_id", "quality", "n_chars")
         .orderBy("doc_id")
     },
+    "pareto_by_group" -> { (s, dir) =>
+      // per-language frontier: each language keeps its own
+      // quality/brevity front — the grouped form of pareto_front
+      val q = corpus(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.qualityScore(col("text")).as("quality"), col("n_chars"))
+        .withColumn("__negc", -col("n_chars"))
+      Ops.paretoFront("quality", "__negc", groupCols = Seq("lang"))(q)
+        .select("lang", "doc_id", "quality", "n_chars")
+        .orderBy("lang", "doc_id")
+    },
     "label_agreement" -> { (s, dir) =>
       // Cohen's kappa between the stored lang label and the n-gram
       // heuristic's prediction: chance-corrected labeler agreement
@@ -3041,6 +3052,17 @@ object ExtQueries {
         WHERE s.quality >= r.quality AND s.n_chars <= r.n_chars
           AND (s.quality > r.quality OR s.n_chars < r.n_chars))
       ORDER BY doc_id""",
+    // mirrors Ops.paretoFront with groupCols = lang: dominance judged
+    // only within the same language
+    "pareto_by_group" -> s"""
+      WITH q AS (SELECT d.doc_id, d.lang, qq.quality, d.n_chars
+        FROM documents d JOIN ($qualityPerDocSql) qq ON d.doc_id = qq.doc_id)
+      SELECT lang, doc_id, quality, n_chars FROM q r
+      WHERE NOT EXISTS (SELECT 1 FROM q s
+        WHERE s.lang = r.lang
+          AND s.quality >= r.quality AND s.n_chars <= r.n_chars
+          AND (s.quality > r.quality OR s.n_chars < r.n_chars))
+      ORDER BY lang, doc_id""",
     // mirrors Probes.labelAgreement over (lang, lang_pred): exact-count
     // confusion marginals, HUGEINT pe numerator (decimal(38,0) on the
     // Spark side), the same fixed division dag for po/pe/kappa

@@ -1040,16 +1040,21 @@ object Ops {
     * windows over the per-x frame (max y at strictly-greater x, and at
     * ≥ x) — a row survives iff neither max beats its y — then an equi-
     * join back to carry full payload rows. No all-pairs compare at any
-    * point. */
+    * point. `groupCols` computes an INDEPENDENT front per group (the
+    * per-language / per-source frontier) — groups ride every partition
+    * key, so stage 2 is one partition per group, not one global. */
   def paretoFront(
-      xField: String, yField: String, buckets: Int = 64)(
+      xField: String, yField: String, buckets: Int = 64,
+      groupCols: Seq[String] = Nil)(
       df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val grp = groupCols.map(col)
     def stage(in: DataFrame): DataFrame = {
-      val perX = in.groupBy(col("__b"), col(xField))
+      val perX = in.groupBy(grp :+ col("__b") :+ col(xField): _*)
         .agg(max(col(yField)).as("__my"))
-      val w = Window.partitionBy(col("__b")).orderBy(col(xField).desc)
+      val w = Window.partitionBy(grp :+ col("__b"): _*)
+        .orderBy(col(xField).desc)
       val survX = perX
         // max y among strictly greater x (one row per distinct x, so a
         // ROWS frame is exactly the strictly-greater set)
@@ -1058,14 +1063,18 @@ object Ops {
         // max y among x' >= x (includes this x's own max)
         .withColumn("__m2", max(col("__my")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("__b"), col(xField), col("__m1"), col("__m2"))
-      in.join(survX, Seq("__b", xField))
+        .select(grp :+ col("__b") :+ col(xField) :+ col("__m1") :+
+          col("__m2"): _*)
+      in.join(survX, groupCols ++ Seq("__b", xField))
         .filter((col("__m1").isNull || col("__m1") < col(yField)) &&
           !(col("__m2") > col(yField)))
         .drop("__m1", "__m2")
     }
     val base = df
-      .filter(col(xField).isNotNull && col(yField).isNotNull)
+      // NULL objectives cannot be ordered; NULL group values would be
+      // silently dropped by the equi-join back — exclude both explicitly
+      .filter((grp :+ col(xField) :+ col(yField))
+        .map(_.isNotNull).reduce(_ && _))
       .withColumn("__b", pmod(hash(col(xField), col(yField)), lit(buckets)))
     stage(stage(base).withColumn("__b", lit(0))).drop("__b")
   }

@@ -953,6 +953,16 @@ class OpsSpec extends SparkSpec {
       java.lang.Double.valueOf(99.0))).toDF("id", "x", "y"))
     assert(!Ops.paretoFront("x", "y")(withNull)
       .select("id").as[Long].collect().contains(9L))
+    // grouped form: each group keeps its own independent front, and a
+    // NULL group value is excluded rather than silently joined away
+    val grouped = Seq(
+      ("g1", 1L, 5.0, 5.0), ("g1", 2L, 1.0, 1.0), // 2 dominated within g1
+      ("g2", 3L, 1.0, 1.0),                       // same point, alone in g2
+      (null.asInstanceOf[String], 4L, 9.0, 9.0)
+    ).toDF("g", "id", "x", "y")
+    val byGroup = Ops.paretoFront("x", "y", groupCols = Seq("g"))(grouped)
+      .select("id").as[Long].collect().toSet
+    assert(byGroup === Set(1L, 3L)) // 3 survives in ITS group; null-g out
     // brute-force parity on a deterministic pseudo-random cloud, at
     // buckets = 1 (single stage) and a bucket count above the row count
     val cloud = (1 to 60).map { i =>
