@@ -1907,6 +1907,34 @@ object ExtQueries {
         corpus(s, dir, "documents").select(id, url.as("url")))
         .orderBy("doc_id")
     },
+    "robots_filter" -> { (s, dir) =>
+      // crawl politeness end-to-end: parse per-host robots bodies (star
+      // group only — host b's '/all' rule belongs to another agent and
+      // must not apply; host c's star group sits AFTER a non-star one),
+      // then verdict URLs by longest-prefix with allow-wins ties
+      val id = col("doc_id")
+      val host = concat(element_at(
+        array(lit("a"), lit("b"), lit("c")), (id % 3 + 1).cast("int")),
+        lit(".example.com"))
+      val path = element_at(array(
+        lit("/private/ok/page"), lit("/private/hidden"),
+        lit("/pub/secret/f"), lit("/pub/open"), lit("/x9")),
+        (id % 5 + 1).cast("int"))
+      val robots = when(host.startsWith("a"), lit(
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+          "User-agent: evil\nDisallow: /"))
+        .when(host.startsWith("b"), lit(
+          "User-agent: *\nDisallow: \nUser-agent: other\nDisallow: /all"))
+        .otherwise(lit(
+          "User-agent: evil\nDisallow: /\nUser-agent: *\nAllow: /pub\n" +
+            "Disallow: /pub/secret\nDisallow: /x"))
+      val docs = corpus(s, dir, "documents")
+      val rules = TextOps.robotsRules("host", "robots")(
+        docs.select(host.as("host"), robots.as("robots")).distinct())
+      TextOps.robotsFilter("doc_id", "url", rules, keepDenied = true)(
+        docs.select(id, concat(lit("https://"), host, path).as("url")))
+        .orderBy("doc_id")
+    },
     "media_meta" -> { (s, dir) =>
       // real container headers round-tripped through the native parser:
       // the builders write spec-exact PNG/GIF/BMP/JPEG/WAV headers with
@@ -3052,6 +3080,51 @@ object ExtQueries {
         WHERE s.quality >= r.quality AND s.n_chars <= r.n_chars
           AND (s.quality > r.quality OR s.n_chars < r.n_chars))
       ORDER BY doc_id""",
+    // mirrors TextOps.robotsRules + robotsFilter: same star-group split,
+    // same directive extraction, same longest-prefix/allow-wins window
+    "robots_filter" -> """
+      WITH d AS (SELECT doc_id,
+          ['a','b','c'][CAST(doc_id % 3 + 1 AS INT)] || '.example.com' AS host,
+          ['/private/ok/page','/private/hidden','/pub/secret/f',
+           '/pub/open','/x9'][CAST(doc_id % 5 + 1 AS INT)] AS path
+        FROM documents),
+      u AS (SELECT doc_id, 'https://' || host || path AS url, host, path
+        FROM d),
+      h AS (SELECT DISTINCT host,
+          CASE WHEN host LIKE 'a%' THEN
+                 'User-agent: *' || chr(10) || 'Disallow: /private'
+                 || chr(10) || 'Allow: /private/ok' || chr(10)
+                 || 'User-agent: evil' || chr(10) || 'Disallow: /'
+               WHEN host LIKE 'b%' THEN
+                 'User-agent: *' || chr(10) || 'Disallow: ' || chr(10)
+                 || 'User-agent: other' || chr(10) || 'Disallow: /all'
+               ELSE
+                 'User-agent: evil' || chr(10) || 'Disallow: /' || chr(10)
+                 || 'User-agent: *' || chr(10) || 'Allow: /pub' || chr(10)
+                 || 'Disallow: /pub/secret' || chr(10) || 'Disallow: /x'
+          END AS robots FROM d),
+      segs AS (SELECT host, unnest(string_split(robots, 'User-agent:')) AS seg
+        FROM h),
+      star AS (SELECT host, seg FROM segs WHERE trim(seg) LIKE '*%'),
+      rl AS (SELECT DISTINCT host,
+          CASE WHEN r LIKE 'Allow: %' THEN substr(r, 8)
+               ELSE substr(r, 11) END AS prefix,
+          r LIKE 'Allow: %' AS allow
+        FROM (SELECT host,
+                unnest(regexp_extract_all(seg,
+                  '(Allow|Disallow): ([^\n ]*)', 0)) AS r
+              FROM star)
+        WHERE CASE WHEN r LIKE 'Allow: %' THEN substr(r, 8)
+                   ELSE substr(r, 11) END <> ''),
+      m AS (SELECT u.doc_id, u.url, rl.prefix, rl.allow,
+          row_number() OVER (PARTITION BY u.doc_id
+            ORDER BY length(rl.prefix) DESC, rl.allow DESC,
+              rl.prefix ASC) AS rn
+        FROM u LEFT JOIN rl
+          ON u.host = rl.host AND starts_with(u.path, rl.prefix))
+      SELECT doc_id, url, coalesce(allow, TRUE) AS allowed,
+        prefix AS matched_prefix
+      FROM m WHERE rn = 1 ORDER BY doc_id""",
     // mirrors Ops.paretoFront with groupCols = lang: dominance judged
     // only within the same language
     "pareto_by_group" -> s"""

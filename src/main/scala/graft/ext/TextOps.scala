@@ -2712,6 +2712,72 @@ object TextOps {
       parse_url(u, lit("QUERY")).as("url_query"))
   }
 
+  /** Parse simplified robots.txt bodies into a `(host, prefix, allow)`
+    * rule table — the crawl-politeness leg of the frontier family
+    * ([[canonicalUrl]] → [[urlParts]] → ROBOTS → [[domainQualityGate]]).
+    * Scope is the `User-agent: *` group(s) only: the text splits on
+    * `User-agent:` and segments whose name is `*` contribute their
+    * canonical `Allow: <path>` / `Disallow: <path>` lines (exact-case
+    * directives, the documented simplification — the fetcher that wrote
+    * the fixture normalizes case upstream). Empty-path directives
+    * (`Disallow:` = allow everything) drop, as do duplicates. Pure
+    * HOF projection + one explode; no UDF, oracle-replayable. */
+  def robotsRules(hostField: String, robotsField: String)(
+      df: DataFrame): DataFrame = {
+    val segs = split(col(robotsField), "User-agent:")
+    val star = filter(segs, s => trim(s).startsWith("*"))
+    val rules = flatten(transform(star, s =>
+      transform(
+        regexp_extract_all(s, lit("(Allow|Disallow): ([^\\n ]*)"), lit(0)),
+        r => struct(
+          when(r.startsWith("Allow: "), r.substr(lit(8), length(r)))
+            .otherwise(r.substr(lit(11), length(r))).as("prefix"),
+          r.startsWith("Allow: ").as("allow")))))
+    df.select(col(hostField).as("host"), explode(rules).as("__r"))
+      .select(col("host"), col("__r.prefix").as("prefix"),
+        col("__r.allow").as("allow"))
+      .filter(col("prefix") =!= "")
+      .distinct()
+  }
+
+  /** Apply a [[robotsRules]] table to a URL frame with the standard
+    * longest-match discipline: among the host's rules whose prefix
+    * matches the URL path, the LONGEST prefix decides, an Allow beating
+    * a Disallow of equal length (the least-restrictive tie rule) and
+    * prefix-ascending as the final determinism tiebreak; a URL with no
+    * matching rule — or no rules for its host, or an unparsable host —
+    * is allowed (robots exclusion denies nothing by default).
+    *
+    * Shape: one equi-join on host (the prefix match rides the join as a
+    * post-filter, so this is a hash join, never a theta product) + one
+    * per-URL window over the few matched rules. `keepDenied = true`
+    * returns every row annotated (`allowed`, `matched_prefix`) — the
+    * audit view; default returns the allowed frontier only. */
+  def robotsFilter(
+      idField: String, urlField: String, rules: DataFrame,
+      keepDenied: Boolean = false)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = df
+      .withColumn("__host", parse_url(col(urlField), lit("HOST")))
+      .withColumn("__path",
+        coalesce(parse_url(col(urlField), lit("PATH")), lit("")))
+    val r = rules.select(col("host").as("__rhost"),
+      col("prefix").as("__prefix"), col("allow").as("__allow"))
+    val verdict = u
+      .join(r, u("__host") === r("__rhost") &&
+        col("__path").startsWith(col("__prefix")), "left")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idField))
+          .orderBy(length(col("__prefix")).desc, col("__allow").desc,
+            col("__prefix").asc)))
+      .filter(col("__rn") === 1)
+      .withColumn("allowed", coalesce(col("__allow"), lit(true)))
+      .withColumn("matched_prefix", col("__prefix"))
+      .drop("__host", "__path", "__rhost", "__prefix", "__allow", "__rn")
+    if (keepDenied) verdict else verdict.filter(col("allowed")).drop(
+      "allowed", "matched_prefix")
+  }
+
   /** Domain-reputation gate — the per-SITE quality pass after the
     * per-DOCUMENT gates ([[gopherRules]], [[linearTextScore]]): a page
     * farm's individual pages can each squeak past a document bar, but

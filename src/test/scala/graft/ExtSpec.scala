@@ -1239,6 +1239,40 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(vars(0) / total - evs(0)) < 1e-3)
   }
 
+  test("robotsRules/robotsFilter: star-group scope, longest match, allow-wins ties") {
+    val hosts = Seq(
+      ("h1", "User-agent: evil\nDisallow: /\nUser-agent: *\n" +
+        "Disallow: /a\nAllow: /a/b\nDisallow: \nUser-agent: other\nAllow: /zz"),
+      ("h2", "User-agent: none\nDisallow: /")  // no star group at all
+    ).toDF("host", "robots")
+    val rules = TextOps.robotsRules("host", "robots")(hosts)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSet
+    // star group only: evil's and other's rules absent; empty Disallow dropped
+    assert(rules === Set(("h1", "/a", false), ("h1", "/a/b", true)))
+    val rulesDf = TextOps.robotsRules("host", "robots")(hosts)
+    val urls = Seq(
+      (1L, "https://h1/a/b/c"),   // /a/b (allow, len 4) beats /a (deny)
+      (2L, "https://h1/a/x"),     // only /a matches -> denied
+      (3L, "https://h1/free"),    // no rule matches -> allowed
+      (4L, "https://h2/a/b")      // host without star rules -> allowed
+    ).toDF("id", "url")
+    val verdicts = TextOps.robotsFilter("id", "url", rulesDf,
+      keepDenied = true)(urls)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(verdicts === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+    // equal-length tie: Allow wins over Disallow of the same prefix length
+    val tie = Seq(("t", "User-agent: *\nDisallow: /aa\nAllow: /ab"))
+      .toDF("host", "robots")
+    val tieRules = TextOps.robotsRules("host", "robots")(tie)
+      .union(Seq(("t", "/ab", false)).toDF("host", "prefix", "allow"))
+    val v = TextOps.robotsFilter("id", "url", tieRules, keepDenied = true)(
+      Seq((9L, "https://t/ab/x")).toDF("id", "url")).head()
+    assert(v.getBoolean(2) === true)
+    // default mode drops denied rows
+    assert(TextOps.robotsFilter("id", "url", rulesDf)(urls).count() === 3)
+  }
+
   test("scrubCards: Luhn-gated redaction — valid PANs out, lookalikes kept") {
     val df = Seq((1L,
       "pay 4539578763621486 or 4111111111111111 not 4539578763621487 " +
