@@ -965,6 +965,19 @@ object ExtQueries {
         tieBreak = Seq("event_id"))(table(s, dir, "events"))
         .orderBy("from_type", "to_type")
     },
+    "event_paths" -> { (s, dir) =>
+      // journey mining one level above the transition matrix: top
+      // 3-step consecutive routes per user
+      WindowOps.eventPaths("user_id", "ts", "event_type", steps = 3,
+        k = 20, tieBreak = Seq("event_id"))(table(s, dir, "events"))
+    },
+    "histogram_2d" -> { (s, dir) =>
+      // joint (quality, length) mass: where the corpus actually sits
+      Ops.histogram2d("quality", 0.0, 1.0, 10,
+        "n_chars", 0.0, 2000.0, 10)(
+        corpus(s, dir, "documents").select(
+          TextOps.qualityScore(col("text")).as("quality"), col("n_chars")))
+    },
     // ---- temporal joins ----------------------------------------------------
     "asof_join" -> { (s, dir) =>
       val e = table(s, dir, "events")
@@ -4237,6 +4250,37 @@ object ExtQueries {
         CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
       FROM c JOIN t USING (from_type)
       ORDER BY from_type, to_type""",
+    // mirrors WindowOps.eventPaths: two leads over one per-user window,
+    // hash-agg on the step tuple, top-k by (n desc, path asc)
+    "event_paths" -> """
+      WITH o AS (SELECT user_id, event_type AS s0,
+          lead(event_type, 1) OVER w AS s1,
+          lead(event_type, 2) OVER w AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+          ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)),
+      c AS (SELECT s0 || ' -> ' || s1 || ' -> ' || s2 AS path,
+          CAST(count(*) AS BIGINT) AS n
+        FROM o WHERE s1 IS NOT NULL AND s2 IS NOT NULL GROUP BY 1)
+      SELECT path, n FROM c ORDER BY n DESC, path ASC LIMIT 20""",
+    // mirrors Ops.histogram2d on (quality, n_chars): caller-range
+    // equal-width bins, clamped edges, one-row total broadcast
+    "histogram_2d" -> s"""
+      WITH q AS (SELECT qq.quality, d.n_chars
+        FROM documents d JOIN ($qualityPerDocSql) qq ON d.doc_id = qq.doc_id),
+      b AS (SELECT
+          least(greatest(CAST(floor((quality - 0e0) / 1e-1) AS INT), 0), 9)
+            AS x_bin,
+          least(greatest(CAST(floor((CAST(n_chars AS DOUBLE) - 0e0) / 2e2)
+            AS INT), 0), 9) AS y_bin
+        FROM q WHERE quality IS NOT NULL AND n_chars IS NOT NULL),
+      c AS (SELECT x_bin, y_bin, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+      SELECT CAST(x_bin AS INTEGER) AS x_bin,
+        CAST(y_bin AS INTEGER) AS y_bin, n,
+        CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+      FROM c CROSS JOIN t ORDER BY x_bin, y_bin""",
     "sessionize" ->
       """WITH o AS (SELECT user_id, event_id, ts,
            lag(ts) OVER (PARTITION BY user_id

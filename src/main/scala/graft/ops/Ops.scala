@@ -1015,6 +1015,40 @@ object Ops {
       .select(keys.map(col) :+ col("change_type"): _*)
   }
 
+  /** 2-D histogram — the joint-distribution view [[histogram]] cannot
+    * give ("are long docs also low-quality?" is a correlation question,
+    * but WHERE the mass sits is a binning question). Equal-width bins
+    * over CALLER-supplied `[lo, hi)` ranges on both axes (deterministic
+    * cutpoints, the [[graft.probes.Probes.numericDrift]] doctrine);
+    * out-of-range values CLAMP into edge bins (outliers are mass, not
+    * noise); NULL on either axis drops. Per non-empty cell:
+    * `(x_bin, y_bin, n, share)` with share = n / total (exact counts,
+    * one division; total rides a one-row broadcast). One hash-agg over
+    * ≤ xBins·yBins keys. */
+  def histogram2d(
+      xField: String, xLo: Double, xHi: Double, xBins: Int,
+      yField: String, yLo: Double, yHi: Double, yBins: Int)(
+      df: DataFrame): DataFrame = {
+    require(xBins >= 1 && xBins <= 1000 && yBins >= 1 && yBins <= 1000,
+      "bins must be in [1, 1000]")
+    require(xHi > xLo && yHi > yLo, "need hi > lo on both axes")
+    def binOf(c: Column, lo: Double, hi: Double, bins: Int): Column =
+      least(greatest(
+        floor((c - lo) / ((hi - lo) / bins)).cast("int"), lit(0)),
+        lit(bins - 1))
+    val binned = df
+      .filter(col(xField).isNotNull && col(yField).isNotNull)
+      .select(binOf(col(xField), xLo, xHi, xBins).as("x_bin"),
+        binOf(col(yField), yLo, yHi, yBins).as("y_bin"))
+      .groupBy("x_bin", "y_bin").agg(count(lit(1)).as("n"))
+    val total = binned.agg(sum(col("n")).as("__tot"))
+    binned.crossJoin(broadcast(total))
+      .select(col("x_bin"), col("y_bin"), col("n"),
+        (col("n").cast("double") / col("__tot").cast("double"))
+          .as("share"))
+      .orderBy("x_bin", "y_bin")
+  }
+
   /** 2-D Pareto front (skyline): rows not dominated on the
     * (`xField`, `yField`) pair, both MAXIMIZED — orient a minimized
     * objective by negating it first. The multi-objective data-selection

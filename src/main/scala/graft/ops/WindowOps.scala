@@ -207,6 +207,43 @@ object WindowOps {
       .select("from_type", "to_type", "n", "p")
   }
 
+  /** Top-k frequent event PATHS — [[eventTransitions]] one level up:
+    * the pair matrix shows WHERE users go next, the path table shows
+    * the ROUTES they take (`signup -> browse -> purchase` vs
+    * `signup -> browse -> exit` is the product question pairs cannot
+    * answer — a Markov chain forgets where it came from). Each window
+    * of `steps` CONSECUTIVE same-user events (ordered by ts, then
+    * `tieBreak`) contributes one path; users with fewer events than
+    * `steps` contribute none. Emits `(path, n)` — the " -> "-joined
+    * route and its exact count — top-k by (n desc, path asc) via
+    * orderBy+limit (TakeOrderedAndProject, no global sort).
+    *
+    * Shape: `steps−1` lead() columns ride ONE per-user window (one
+    * shuffle), then a hash-agg on the step tuple — never a per-user
+    * collect; path cardinality is bounded by |types|^steps, the
+    * hash-agg's key space, which is why `steps` is capped at 8. */
+  def eventPaths(
+      keyField: String, tsField: String, typeField: String,
+      steps: Int = 3, k: Int = 20, tieBreak: Seq[String] = Nil)(
+      df: DataFrame): DataFrame = {
+    require(steps >= 2 && steps <= 8, s"steps must be in [2, 8]: $steps")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val byKey = Window.partitionBy(col(keyField))
+      .orderBy((tsField +: tieBreak).map(col(_).asc_nulls_first): _*)
+    val withLeads = (1 until steps).foldLeft(
+      df.withColumn("__s0", col(typeField))) { (d, i) =>
+      d.withColumn(s"__s$i", lead(col(typeField), i).over(byKey)) }
+    withLeads
+      .filter((1 until steps).map(i => col(s"__s$i").isNotNull)
+        .reduce(_ && _))
+      .groupBy((0 until steps).map(i => col(s"__s$i")): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(concat_ws(" -> ",
+        (0 until steps).map(i => col(s"__s$i")): _*).as("path"), col("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Sequential conversion funnel over an event stream: a user reaches
     * step i when an event of `steps(i)`'s type occurs STRICTLY AFTER
     * the timestamp at which they reached step i−1 (first qualifying

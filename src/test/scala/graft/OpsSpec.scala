@@ -933,6 +933,25 @@ class OpsSpec extends SparkSpec {
     assert(whole.getAs[Double]("slope") == 2.0)
   }
 
+  test("histogram2d: cell counts, edge clamping, NULL drop, shares sum to 1") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(0.05), Some(5.0)), (Some(0.05), Some(5.0)),   // cell (0, 0) ×2
+      (Some(0.95), Some(90.0)),                           // cell (9, 9)
+      (Some(-5.0), Some(500.0)), // x clamps low, y clamps high -> (0, 9)
+      (Some(2.0), Some(-3.0)),   // x clamps high, y clamps low -> (9, 0)
+      (None, Some(1.0))          // NULL x drops
+    ).toDF("x", "y")
+    val out = Ops.histogram2d("x", 0.0, 1.0, 10, "y", 0.0, 100.0, 10)(df)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((0, 0)) === (2L, 0.4))
+    assert(out((9, 9)) === (1L, 0.2))
+    assert(out((0, 9)) === (1L, 0.2)) // clamped x low, y high
+    assert(out((9, 0)) === (1L, 0.2)) // clamped x high, y low
+    assert(out.values.map(_._2).sum === 1.0) // NULL row never counted
+  }
+
   test("paretoFront: dominance semantics, duplicates, NULLs, brute-force parity") {
     import spark.implicits._
     val pts = Seq(

@@ -63,7 +63,8 @@ class PlanAuditSpec extends SparkSpec {
     "label_agreement",   // broadcast one-row pe-numerator aggregate
     "score_calibration", // broadcast one-row ECE aggregate
     "collocations",      // broadcast one-row unigram + bigram totals
-    "ann_recall_eval")   // broadcast query set + one-row truth count
+    "ann_recall_eval",   // broadcast query set + one-row truth count
+    "histogram_2d")      // broadcast one-row cell-count total
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -105,6 +105,37 @@ class TemporalSpec extends SparkSpec {
     assert(!out.exists(t => t._1 == "z" || t._1 == "c"))
   }
 
+  test("eventPaths: consecutive routes, short users excluded, top-k order") {
+    import graft.ops.WindowOps
+    // u1: a b a c -> paths "a -> b -> a", "b -> a -> c"
+    // u2: a b a   -> path  "a -> b -> a"
+    // u3: x y     -> too short for 3 steps, contributes nothing
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 09:01:00"), "b", 2L),
+      (1L, ts("2024-01-01 09:02:00"), "a", 3L),
+      (1L, ts("2024-01-01 09:03:00"), "c", 4L),
+      (2L, ts("2024-01-01 09:00:00"), "a", 5L),
+      (2L, ts("2024-01-01 09:01:00"), "b", 6L),
+      (2L, ts("2024-01-01 09:02:00"), "a", 7L),
+      (3L, ts("2024-01-01 09:00:00"), "x", 8L),
+      (3L, ts("2024-01-01 09:01:00"), "y", 9L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = WindowOps.eventPaths("user_id", "ts", "event_type",
+      steps = 3, k = 10, tieBreak = Seq("event_id"))(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out === Seq("a -> b -> a" -> 2L, "b -> a -> c" -> 1L))
+    // k truncates after the (n desc, path asc) order
+    val top1 = WindowOps.eventPaths("user_id", "ts", "event_type",
+      steps = 3, k = 1, tieBreak = Seq("event_id"))(ev).collect()
+    assert(top1.length === 1 && top1.head.getString(0) === "a -> b -> a")
+    // steps = 2 degenerates to the transition pairs (as counts)
+    val pairs = WindowOps.eventPaths("user_id", "ts", "event_type",
+      steps = 2, k = 10, tieBreak = Seq("event_id"))(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pairs("a -> b") === 2L && pairs("x -> y") === 1L)
+  }
+
   test("eventFunnel: strictly-after sequential matching, per-step conversion") {
     import graft.ops.WindowOps
     val df = Seq(
