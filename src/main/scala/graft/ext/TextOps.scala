@@ -2752,28 +2752,63 @@ object TextOps {
     * post-filter, so this is a hash join, never a theta product) + one
     * per-URL window over the few matched rules. `keepDenied = true`
     * returns every row annotated (`allowed`, `matched_prefix`) — the
-    * audit view; default returns the allowed frontier only. */
+    * audit view; default returns the allowed frontier only.
+    *
+    * `broadcastRules = true` switches to the SERVING form: the whole
+    * rule table folds to ONE broadcast row and the verdict becomes a
+    * per-row HOF fold — zero shuffle, no window, so it lifts verbatim
+    * to Structured Streaming (a row_number window does not). Identical
+    * verdicts by construction (spec-pinned); use it when the rule table
+    * is broadcast-sized (it usually is — robots bodies are tiny next to
+    * any frontier), the join+window form when it is not. */
   def robotsFilter(
       idField: String, urlField: String, rules: DataFrame,
-      keepDenied: Boolean = false)(df: DataFrame): DataFrame = {
+      keepDenied: Boolean = false,
+      broadcastRules: Boolean = false)(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val u = df
       .withColumn("__host", parse_url(col(urlField), lit("HOST")))
       .withColumn("__path",
         coalesce(parse_url(col(urlField), lit("PATH")), lit("")))
-    val r = rules.select(col("host").as("__rhost"),
-      col("prefix").as("__prefix"), col("allow").as("__allow"))
-    val verdict = u
-      .join(r, u("__host") === r("__rhost") &&
-        col("__path").startsWith(col("__prefix")), "left")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(idField))
-          .orderBy(length(col("__prefix")).desc, col("__allow").desc,
-            col("__prefix").asc)))
-      .filter(col("__rn") === 1)
-      .withColumn("allowed", coalesce(col("__allow"), lit(true)))
-      .withColumn("matched_prefix", col("__prefix"))
-      .drop("__host", "__path", "__rhost", "__prefix", "__allow", "__rn")
+    val verdict =
+      if (broadcastRules) {
+        val ruleArr = rules.agg(array_sort(collect_list(struct(
+          col("host"), col("prefix"), col("allow")))).as("__rules"))
+        def len(r: Column) = length(r.getField("prefix"))
+        u.crossJoin(broadcast(ruleArr))
+          .withColumn("__best", aggregate(
+            filter(col("__rules"), r =>
+              r.getField("host") === col("__host") &&
+                col("__path").startsWith(r.getField("prefix"))),
+            lit(null)
+              .cast("struct<host:string,prefix:string,allow:boolean>"),
+            (acc, r) => when(acc.isNull, r)
+              .when(len(r) > len(acc), r)
+              .when(len(r) === len(acc) &&
+                r.getField("allow") && !acc.getField("allow"), r)
+              .when(len(r) === len(acc) &&
+                (r.getField("allow") === acc.getField("allow")) &&
+                r.getField("prefix") < acc.getField("prefix"), r)
+              .otherwise(acc)))
+          .withColumn("allowed",
+            coalesce(col("__best.allow"), lit(true)))
+          .withColumn("matched_prefix", col("__best.prefix"))
+          .drop("__rules", "__best", "__host", "__path")
+      } else {
+        val r = rules.select(col("host").as("__rhost"),
+          col("prefix").as("__prefix"), col("allow").as("__allow"))
+        u.join(r, u("__host") === r("__rhost") &&
+            col("__path").startsWith(col("__prefix")), "left")
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col(idField))
+              .orderBy(length(col("__prefix")).desc, col("__allow").desc,
+                col("__prefix").asc)))
+          .filter(col("__rn") === 1)
+          .withColumn("allowed", coalesce(col("__allow"), lit(true)))
+          .withColumn("matched_prefix", col("__prefix"))
+          .drop("__host", "__path", "__rhost", "__prefix", "__allow",
+            "__rn")
+      }
     if (keepDenied) verdict else verdict.filter(col("allowed")).drop(
       "allowed", "matched_prefix")
   }

@@ -1271,6 +1271,14 @@ class ExtSpec extends SparkSpec {
     assert(v.getBoolean(2) === true)
     // default mode drops denied rows
     assert(TextOps.robotsFilter("id", "url", rulesDf)(urls).count() === 3)
+    // the broadcast-fold serving form returns identical verdicts to the
+    // join+window batch form, matched prefixes included
+    def modeVerdicts(bc: Boolean) =
+      TextOps.robotsFilter("id", "url", rulesDf, keepDenied = true,
+        broadcastRules = bc)(urls)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(2), Option(r.getString(3)))).toMap
+    assert(modeVerdicts(bc = true) === modeVerdicts(bc = false))
   }
 
   test("scrubCards: Luhn-gated redaction — valid PANs out, lookalikes kept") {

@@ -653,6 +653,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("robotsFilter lifts to a stream: static rules gate a live frontier") {
+    // the rules table is batch state (fetched robots bodies); in
+    // broadcastRules mode the verdict is a pure per-row fold against
+    // ONE broadcast rule row — zero shuffle, no window, so the SAME
+    // call lifts to a stream (the join+window batch form cannot: a
+    // row_number window is rejected on streams). keepDenied=false
+    // drops denied URLs on the fly.
+    import graft.ext.TextOps
+    val rules = Seq(("h1", "/private", false), ("h1", "/private/ok", true))
+      .toDF("host", "prefix", "allow")
+    val input = MemoryStream[(Long, String)]
+    val gated = TextOps.robotsFilter("id", "url", rules,
+      broadcastRules = true)(input.toDF().toDF("id", "url"))
+    val q = gated.writeStream.format("memory").queryName("robots")
+      .outputMode("append").start()
+    try {
+      input.addData(1L -> "https://h1/private/ok/x",
+        2L -> "https://h1/private/no", 3L -> "https://h1/open")
+      q.processAllAvailable()
+      assert(spark.table("robots").select("id").as[Long].collect().sorted
+        .toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("centroid routing lifts to a stream: one broadcast row, zero state") {
     // centroidAssign is a pure per-row argmax fold against ONE
     // broadcast row of centroids — no shuffle, no state — so live
