@@ -1165,6 +1165,52 @@ class ExtSpec extends SparkSpec {
     assert(out(1L)._2 === 3L && out(1L)._3 === 1L)
   }
 
+  test("pcaProject makes Matryoshka truncation work on non-MRL embeddings") {
+    // adversarial-for-prefix data: the LEADING 16 dims are constant and
+    // every bit of signal lives in dims 16..31 (rank 2 there, well
+    // separated) — exactly the embedding a non-Matryoshka-trained model
+    // produces when its first dims happen to carry no variance
+    val rows = (0 until 30).map { i =>
+      val a = (i % 6).toFloat * 5f; val b = (i % 5).toFloat * 3f
+      (i.toLong, Array.tabulate(32)(d =>
+        if (d < 16) 1.0f
+        else if (d < 24) a * (if (d % 2 == 0) 1f else -1f)
+        else b))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 5)
+    def ids(d: org.apache.spark.sql.DataFrame) = d
+      .select("query_id", "item_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1))
+      .toMap
+    // raw prefix truncation: the coarse pass ranks constant vectors —
+    // pure tiebreak noise — and the k=3 answer disagrees with truth
+    val rawTrunc = ids(Similarity.matryoshkaTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, coarseDims = 8, rerank = 4))
+    // PCA rotation: 4 components hold ALL the variance (rank ≤ 2 + µ),
+    // so an 8-dim projection's leading dims ARE the signal
+    val basis = Similarity.pcaBasis(df, "embedding", k = 8)
+    val proj = Similarity.pcaProject("embedding", basis, "pca")(df)
+      .select(col("vec_id"), col("pca").as("embedding"))
+    val projQ = proj.filter(col("vec_id") < 5)
+    val truth = ids(Similarity.bruteForceTopK(proj, "vec_id", "embedding",
+      projQ, "vec_id", "embedding", k = 3))
+    val pcaTrunc = ids(Similarity.matryoshkaTopK(proj, "vec_id",
+      "embedding", projQ, "vec_id", "embedding", k = 3, coarseDims = 8,
+      rerank = 4))
+    // full-width coarse on the projection reproduces brute force…
+    assert(pcaTrunc === truth)
+    // …and a COARSE 2-dim PCA prefix still recalls the full answer —
+    // the trailing components carry ~zero variance by construction
+    val pcaCoarse = ids(Similarity.matryoshkaTopK(proj, "vec_id",
+      "embedding", projQ, "vec_id", "embedding", k = 3, coarseDims = 2,
+      rerank = 8))
+    assert(pcaCoarse === truth)
+    // the raw prefix could not do that: its answers diverge from the
+    // same-pool-size PCA answer on this data
+    assert(rawTrunc !== pcaCoarse)
+  }
+
   test("ivfRecallEval: monotone recall, full-probe == brute force, count invariants") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(16)(d =>
