@@ -1948,6 +1948,22 @@ object ExtQueries {
         docs.select(id, concat(lit("https://"), host, path).as("url")))
         .orderBy("doc_id")
     },
+    "crawl_schedule" -> { (s, dir) =>
+      // politeness slicing: per-host priority queues cut into fetch
+      // slots of 3 — slot s across hosts is fetch round s
+      val id = col("doc_id")
+      val host = concat(element_at(
+        array(lit("a"), lit("b"), lit("c")), (id % 3 + 1).cast("int")),
+        lit(".example.com"))
+      val url = concat(lit("https://"), host, lit("/p/"),
+        (id % 50).cast("string"))
+      TextOps.crawlSchedule("doc_id", "url", "priority",
+        perHostPerSlot = 3)(
+        corpus(s, dir, "documents")
+          .select(id, url.as("url"), (id % 7).cast("int").as("priority")))
+        .select("doc_id", "url", "priority", "host", "fetch_slot")
+        .orderBy("doc_id")
+    },
     "media_meta" -> { (s, dir) =>
       // real container headers round-tripped through the native parser:
       // the builders write spec-exact PNG/GIF/BMP/JPEG/WAV headers with
@@ -3093,6 +3109,24 @@ object ExtQueries {
         WHERE s.quality >= r.quality AND s.n_chars <= r.n_chars
           AND (s.quality > r.quality OR s.n_chars < r.n_chars))
       ORDER BY doc_id""",
+    // mirrors TextOps.crawlSchedule: same per-host (priority desc, id)
+    // rank, same floor-of-division slot arithmetic
+    "crawl_schedule" -> """
+      WITH u AS (SELECT doc_id,
+          ['a','b','c'][CAST(doc_id % 3 + 1 AS INT)] || '.example.com'
+            AS host,
+          CAST(doc_id % 7 AS INT) AS priority
+        FROM documents),
+      r AS (SELECT doc_id,
+          'https://' || host || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+            AS url,
+          priority, host,
+          row_number() OVER (PARTITION BY host
+            ORDER BY priority DESC, doc_id ASC) AS rn
+        FROM u)
+      SELECT doc_id, url, priority, host,
+        CAST(floor(CAST(rn - 1 AS DOUBLE) / 3) AS INT) AS fetch_slot
+      FROM r ORDER BY doc_id""",
     // mirrors TextOps.robotsRules + robotsFilter: same star-group split,
     // same directive extraction, same longest-prefix/allow-wins window
     "robots_filter" -> """

@@ -2767,9 +2767,11 @@ object TextOps {
       broadcastRules: Boolean = false)(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val u = df
-      .withColumn("__host", parse_url(col(urlField), lit("HOST")))
+      // try_parse_url: an unparsable URL must yield a NULL host (and be
+      // allowed per the contract), not throw mid-stream under ANSI
+      .withColumn("__host", try_parse_url(col(urlField), lit("HOST")))
       .withColumn("__path",
-        coalesce(parse_url(col(urlField), lit("PATH")), lit("")))
+        coalesce(try_parse_url(col(urlField), lit("PATH")), lit("")))
     val verdict =
       if (broadcastRules) {
         val ruleArr = rules.agg(array_sort(collect_list(struct(
@@ -2811,6 +2813,32 @@ object TextOps {
       }
     if (keepDenied) verdict else verdict.filter(col("allowed")).drop(
       "allowed", "matched_prefix")
+  }
+
+  /** Politeness-sliced fetch schedule — the frontier step after
+    * [[robotsFilter]]: a crawler may hit one host only so often, so the
+    * per-host queue (ordered by `priorityField` desc, then `idField`
+    * asc — highest-value pages first, deterministic) is cut into slots
+    * of `perHostPerSlot` URLs; slot s of every host can be fetched in
+    * parallel round s. Emits the input plus `host` and `fetch_slot`
+    * (0-based). One per-host window (partitionBy host — parallel across
+    * hosts, the frontier's natural key); URLs with an unparsable host
+    * schedule under the NULL host like any other queue. Integer rank
+    * division, exact cross-engine. */
+  def crawlSchedule(
+      idField: String, urlField: String, priorityField: String,
+      perHostPerSlot: Int)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perHostPerSlot >= 1,
+      s"perHostPerSlot must be >= 1, got $perHostPerSlot")
+    df.withColumn("host", try_parse_url(col(urlField), lit("HOST")))
+      .withColumn("fetch_slot",
+        // floor-of-division, not a bare int cast: Spark truncates a
+        // double->int cast while DuckDB rounds — floor is the portable
+        // spelling of integer division on the non-negative rank
+        floor((row_number().over(Window.partitionBy(col("host"))
+          .orderBy(col(priorityField).desc, col(idField).asc)) - 1)
+          .cast("double") / perHostPerSlot).cast("int"))
   }
 
   /** Domain-reputation gate — the per-SITE quality pass after the

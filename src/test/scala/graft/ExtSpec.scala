@@ -1301,12 +1301,14 @@ class ExtSpec extends SparkSpec {
       (1L, "https://h1/a/b/c"),   // /a/b (allow, len 4) beats /a (deny)
       (2L, "https://h1/a/x"),     // only /a matches -> denied
       (3L, "https://h1/free"),    // no rule matches -> allowed
-      (4L, "https://h2/a/b")      // host without star rules -> allowed
+      (4L, "https://h2/a/b"),     // host without star rules -> allowed
+      (5L, "not a url")           // unparsable host -> allowed, no throw
     ).toDF("id", "url")
     val verdicts = TextOps.robotsFilter("id", "url", rulesDf,
       keepDenied = true)(urls)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    assert(verdicts === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+    assert(verdicts === Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> true, 5L -> true))
     // equal-length tie: Allow wins over Disallow of the same prefix length
     val tie = Seq(("t", "User-agent: *\nDisallow: /aa\nAllow: /ab"))
       .toDF("host", "robots")
@@ -1316,7 +1318,7 @@ class ExtSpec extends SparkSpec {
       Seq((9L, "https://t/ab/x")).toDF("id", "url")).head()
     assert(v.getBoolean(2) === true)
     // default mode drops denied rows
-    assert(TextOps.robotsFilter("id", "url", rulesDf)(urls).count() === 3)
+    assert(TextOps.robotsFilter("id", "url", rulesDf)(urls).count() === 4)
     // the broadcast-fold serving form returns identical verdicts to the
     // join+window batch form, matched prefixes included
     def modeVerdicts(bc: Boolean) =
@@ -1325,6 +1327,30 @@ class ExtSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) ->
           (r.getBoolean(2), Option(r.getString(3)))).toMap
     assert(modeVerdicts(bc = true) === modeVerdicts(bc = false))
+  }
+
+  test("crawlSchedule: slot capacity, priority order, NULL-host queue") {
+    val urls = Seq(
+      (1L, "https://h1/a", 5), (2L, "https://h1/b", 9),
+      (3L, "https://h1/c", 1), (4L, "https://h1/d", 9),
+      (5L, "https://h2/a", 0), (6L, "not a url", 3))
+      .toDF("id", "url", "priority")
+    val out = TextOps.crawlSchedule("id", "url", "priority",
+      perHostPerSlot = 2)(urls)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(3)), r.getInt(4))).toMap
+    // h1 queue by (priority desc, id asc): 2, 4, 1, 3 -> slots 0,0,1,1
+    assert(out(2L) === (Some("h1"), 0) && out(4L) === (Some("h1"), 0))
+    assert(out(1L) === (Some("h1"), 1) && out(3L) === (Some("h1"), 1))
+    assert(out(5L) === (Some("h2"), 0)) // each host starts at slot 0
+    // unparsable host schedules under the NULL queue rather than vanishing
+    assert(out(6L)._1.isEmpty && out(6L)._2 === 0)
+    // capacity invariant: never more than perHostPerSlot per (host, slot)
+    val caps = TextOps.crawlSchedule("id", "url", "priority",
+      perHostPerSlot = 2)(urls)
+      .groupBy("host", "fetch_slot").count()
+      .select("count").as[Long].collect()
+    assert(caps.forall(_ <= 2))
   }
 
   test("scrubCards: Luhn-gated redaction — valid PANs out, lookalikes kept") {
