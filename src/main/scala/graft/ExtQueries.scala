@@ -965,6 +965,13 @@ object ExtQueries {
         tieBreak = Seq("event_id"))(table(s, dir, "events"))
         .orderBy("from_type", "to_type")
     },
+    "ohlc_buckets" -> { (s, dir) =>
+      // candlestick view of the value series per event type, 6h buckets
+      TemporalOps.ohlcBuckets("ts", "value", "6 hours",
+        keys = Seq("event_type"), tieBreak = Seq("event_id"))(
+        table(s, dir, "events"))
+        .orderBy("event_type", "bucket_start")
+    },
     "event_paths" -> { (s, dir) =>
       // journey mining one level above the transition matrix: top
       // 3-step consecutive routes per user
@@ -4284,6 +4291,19 @@ object ExtQueries {
         CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
       FROM c JOIN t USING (from_type)
       ORDER BY from_type, to_type""",
+    // mirrors TemporalOps.ohlcBuckets: ordered-aggregate first/last for
+    // the min_by/max_by composite-key picks, same bucket alignment as
+    // events_time_buckets
+    "ohlc_buckets" -> """
+      SELECT event_type,
+        time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP))
+          AS bucket_start,
+        first(value ORDER BY ts, event_id) AS open,
+        max(value) AS high, min(value) AS low,
+        last(value ORDER BY ts, event_id) AS close,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2 ORDER BY event_type, bucket_start""",
     // mirrors WindowOps.eventPaths: two leads over one per-user window,
     // hash-agg on the step tuple, top-k by (n desc, path asc)
     "event_paths" -> """

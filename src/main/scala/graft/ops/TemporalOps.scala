@@ -431,4 +431,33 @@ object TemporalOps {
         last(col("v_last"), ignoreNulls = true).over(w).as("v_ffill"))
   }
 
+  /** OHLC time buckets — the candlestick aggregation over a value
+    * series: per key and tumbling bucket, the OPENING value (at the
+    * earliest (ts, tieBreak)), the high, the low, the CLOSING value
+    * (latest), and the event count. Open/close ride `min_by`/`max_by`
+    * on the composite (ts, tieBreak…) struct — deterministic under ts
+    * ties when `tieBreak` makes the tuple unique (pass the event id),
+    * where a bare first()/last() over an unordered group would not be.
+    * One hash-agg, no window, no sort; NULL ts or value rows drop (no
+    * bucket / no price). The DuckDB oracle expresses the same picks as
+    * ordered-aggregate `first/last(v ORDER BY ts, tie)`. */
+  def ohlcBuckets(
+      tsField: String, valueField: String, bucketLength: String,
+      keys: Seq[String] = Nil, tieBreak: Seq[String] = Nil)(
+      df: DataFrame): DataFrame = {
+    val orderKey = struct((tsField +: tieBreak).map(col): _*)
+    df.filter(col(tsField).isNotNull && col(valueField).isNotNull)
+      .groupBy(keys.map(col) :+
+        window(col(tsField), bucketLength).as("__w"): _*)
+      .agg(
+        min_by(col(valueField), orderKey).as("open"),
+        max(col(valueField)).as("high"),
+        min(col(valueField)).as("low"),
+        max_by(col(valueField), orderKey).as("close"),
+        count(lit(1)).as("n"))
+      .select(keys.map(col) :+ col("__w.start").as("bucket_start") :+
+        col("open") :+ col("high") :+ col("low") :+ col("close") :+
+        col("n"): _*)
+  }
+
 }

@@ -105,6 +105,40 @@ class TemporalSpec extends SparkSpec {
     assert(!out.exists(t => t._1 == "z" || t._1 == "c"))
   }
 
+  test("ohlcBuckets: deterministic open/close under ts ties, NULL handling") {
+    import graft.ops.TemporalOps
+    val ev = Seq(
+      // one 1h bucket for key "a": open 5 (earliest), close 7 (latest);
+      // two rows SHARE ts 09:30 — tieBreak id decides 3 < 4 -> high=9 mid
+      (Some(ts("2024-01-01 09:00:00")), "a", Some(5.0), 1L),
+      (Some(ts("2024-01-01 09:30:00")), "a", Some(9.0), 3L),
+      (Some(ts("2024-01-01 09:30:00")), "a", Some(2.0), 4L),
+      (Some(ts("2024-01-01 09:59:00")), "a", Some(7.0), 5L),
+      (None, "a", Some(99.0), 6L),                      // NULL ts drops
+      (Some(ts("2024-01-01 09:10:00")), "a", None, 7L), // NULL value drops
+      (Some(ts("2024-01-01 10:05:00")), "a", Some(1.0), 8L) // next bucket
+    ).toDF("ts", "event_type", "value", "event_id")
+    val out = TemporalOps.ohlcBuckets("ts", "value", "1 hour",
+      keys = Seq("event_type"), tieBreak = Seq("event_id"))(ev)
+      .orderBy("bucket_start").collect()
+    assert(out.length === 2)
+    val b0 = out(0)
+    assert(b0.getDouble(2) === 5.0 && b0.getDouble(3) === 9.0 &&
+      b0.getDouble(4) === 2.0 && b0.getDouble(5) === 7.0 &&
+      b0.getLong(6) === 4L)
+    val b1 = out(1)
+    assert(b1.getDouble(2) === 1.0 && b1.getDouble(5) === 1.0 &&
+      b1.getLong(6) === 1L)
+    // ts tie at the bucket CLOSE: latest (ts, id) wins deterministically
+    val tied = Seq(
+      (ts("2024-01-01 09:30:00"), "a", 9.0, 3L),
+      (ts("2024-01-01 09:30:00"), "a", 2.0, 4L))
+      .toDF("ts", "event_type", "value", "event_id")
+    val t = TemporalOps.ohlcBuckets("ts", "value", "1 hour",
+      keys = Seq("event_type"), tieBreak = Seq("event_id"))(tied).head()
+    assert(t.getDouble(2) === 9.0 && t.getDouble(5) === 2.0)
+  }
+
   test("eventPaths: consecutive routes, short users excluded, top-k order") {
     import graft.ops.WindowOps
     // u1: a b a c -> paths "a -> b -> a", "b -> a -> c"
