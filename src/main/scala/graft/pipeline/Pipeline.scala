@@ -644,6 +644,31 @@ final case class Pipeline(df: DataFrame) {
   def pcaProject(vecField: String, basis: DataFrame,
       outField: String = "pca"): Pipeline =
     >>(graft.ext.Similarity.pcaProject(vecField, basis, outField))
+  def confusionMatrix(labelA: Column, labelB: Column): Pipeline =
+    >>(Probes.confusionMatrix(labelA, labelB))
+  def robotsRules(hostField: String, robotsField: String): Pipeline =
+    >>(TextOps.robotsRules(hostField, robotsField))
+  def robotsFilter(idField: String, urlField: String, rules: DataFrame,
+      keepDenied: Boolean = false,
+      broadcastRules: Boolean = false): Pipeline =
+    >>(TextOps.robotsFilter(idField, urlField, rules, keepDenied,
+      broadcastRules))
+  def crawlSchedule(idField: String, urlField: String,
+      priorityField: String, perHostPerSlot: Int): Pipeline =
+    >>(TextOps.crawlSchedule(idField, urlField, priorityField,
+      perHostPerSlot))
+  def eventPaths(keyField: String, tsField: String, typeField: String,
+      steps: Int = 3, k: Int = 20, tieBreak: Seq[String] = Nil): Pipeline =
+    >>(graft.ops.WindowOps.eventPaths(keyField, tsField, typeField,
+      steps, k, tieBreak))
+  def histogram2d(xField: String, xLo: Double, xHi: Double, xBins: Int,
+      yField: String, yLo: Double, yHi: Double, yBins: Int): Pipeline =
+    >>(Ops.histogram2d(xField, xLo, xHi, xBins, yField, yLo, yHi, yBins))
+  def ohlcBuckets(tsField: String, valueField: String,
+      bucketLength: String, keys: Seq[String] = Nil,
+      tieBreak: Seq[String] = Nil): Pipeline =
+    >>(TemporalOps.ohlcBuckets(tsField, valueField, bucketLength, keys,
+      tieBreak))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

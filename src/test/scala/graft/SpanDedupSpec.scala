@@ -371,6 +371,29 @@ class SpanDedupSpec extends SparkSpec {
     val basis = graft.ext.Similarity.pcaBasis(vecs, "embedding", k = 2)
     assert(Pipeline(vecs).pcaProject("embedding", basis).result
       .head().getSeq[Float](2).length === 2)
+    assert(Pipeline(docs)
+      .confusionMatrix(col("lang"), col("lang")).result.count() === 2)
+    val robots = Seq(("h", "User-agent: *\nDisallow: /x"))
+      .toDF("host", "robots")
+    val rules = Pipeline(robots).robotsRules("host", "robots").result
+    assert(rules.count() === 1)
+    val urls = Seq((1L, "https://h/x/1", 1), (2L, "https://h/ok", 2))
+      .toDF("id", "url", "pri")
+    assert(Pipeline(urls).robotsFilter("id", "url", rules).result
+      .count() === 1)
+    assert(Pipeline(urls).crawlSchedule("id", "url", "pri", 1).result
+      .select("fetch_slot").as[Int].collect().sorted.toSeq === Seq(0, 1))
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"),
+      "a", 1.0, 1L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 09:01:00"), "b", 2.0, 2L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 09:02:00"), "c", 3.0, 3L))
+      .toDF("user_id", "ts", "event_type", "value", "event_id")
+    assert(Pipeline(ev).eventPaths("user_id", "ts", "event_type",
+      tieBreak = Seq("event_id")).result.count() === 1)
+    assert(Pipeline(ev).histogram2d("value", 0.0, 4.0, 2,
+      "value", 0.0, 4.0, 2).result.count() === 2)
+    assert(Pipeline(ev).ohlcBuckets("ts", "value", "1 hour",
+      tieBreak = Seq("event_id")).result.head().getDouble(1) === 1.0)
   }
 
   test("duplicateSpanMask is the exact complement of stripDuplicateSpans") {
