@@ -965,6 +965,21 @@ object ExtQueries {
         tieBreak = Seq("event_id"))(table(s, dir, "events"))
         .orderBy("from_type", "to_type")
     },
+    "burstiness" -> { (s, dir) =>
+      // Goh–Barabási inter-arrival index per user: metronome vs
+      // Poisson vs bursty-bot behavioral fingerprint
+      WindowOps.burstiness("user_id", "ts", tieBreak = Seq("event_id"))(
+        table(s, dir, "events"))
+        .orderBy("user_id")
+    },
+    "decayed_counts" -> { (s, dir) =>
+      // recency-weighted type activity at a pinned "now": 3-day
+      // half-life, exact dyadic weights (see scaladoc)
+      TemporalOps.decayedCounts(Seq("event_type"), "ts",
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        halfLifeSeconds = 259200L)(table(s, dir, "events"))
+        .orderBy("event_type")
+    },
     "ohlc_buckets" -> { (s, dir) =>
       // candlestick view of the value series per event type, 6h buckets
       TemporalOps.ohlcBuckets("ts", "value", "6 hours",
@@ -4291,6 +4306,53 @@ object ExtQueries {
         CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
       FROM c JOIN t USING (from_type)
       ORDER BY from_type, to_type""",
+    // mirrors WindowOps.burstiness: integer-second gaps, HUGEINT
+    // sufficient statistics, the same floored-variance IEEE dag
+    "burstiness" -> """
+      WITH g AS (SELECT user_id,
+          CAST(floor(epoch(ts)) AS BIGINT)
+            - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                PARTITION BY user_id
+                ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+            AS gp
+        FROM events WHERE ts IS NOT NULL),
+      s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(count(gp) AS BIGINT) AS n_gaps,
+          coalesce(sum(CAST(gp AS HUGEINT)), CAST(0 AS HUGEINT)) AS sg,
+          coalesce(sum(CAST(gp AS HUGEINT) * CAST(gp AS HUGEINT)),
+            CAST(0 AS HUGEINT)) AS sg2
+        FROM g GROUP BY user_id HAVING count(gp) >= 1),
+      m AS (SELECT user_id, n_events, n_gaps,
+          CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_sec,
+          greatest((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+              - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+            / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)),
+            CAST(0 AS DOUBLE)) AS varp
+        FROM s)
+      SELECT user_id, n_events, n_gaps, mean_gap_sec,
+        CASE WHEN mean_gap_sec = CAST(0 AS DOUBLE) THEN NULL
+             ELSE sqrt(varp) / mean_gap_sec END AS cv_gap,
+        CASE WHEN mean_gap_sec = CAST(0 AS DOUBLE) THEN NULL
+             ELSE (sqrt(varp) / mean_gap_sec - CAST(1 AS DOUBLE))
+                  / (sqrt(varp) / mean_gap_sec + CAST(1 AS DOUBLE)) END
+          AS burstiness
+      FROM m ORDER BY user_id""",
+    // mirrors TemporalOps.decayedCounts: same clamped half-life bucket,
+    // integer bit-shift weights summed as HUGEINT (decimal(38,0) on the
+    // Spark side), one final division by 2^40. The "now" epoch is
+    // computed by the SAME Scala expression the query uses, so the two
+    // engines agree regardless of the box timezone.
+    "decayed_counts" -> s"""
+      WITH b AS (SELECT event_type,
+          least(greatest(CAST(floor(CAST(
+            ${java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime / 1000L}
+            - CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) / 259200)
+            AS BIGINT), 0), 40) AS k
+        FROM events WHERE ts IS NOT NULL)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(1 AS BIGINT) << CAST(40 - k AS INT)) AS DOUBLE)
+          / 1099511627776e0 AS decayed
+      FROM b GROUP BY event_type ORDER BY event_type""",
     // mirrors TemporalOps.ohlcBuckets: ordered-aggregate first/last for
     // the min_by/max_by composite-key picks, same bucket alignment as
     // events_time_buckets

@@ -431,6 +431,41 @@ object TemporalOps {
         last(col("v_last"), ignoreNulls = true).over(w).as("v_ffill"))
   }
 
+  /** Time-decayed counts — recency-weighted activity per key
+    * ("which event types are hot NOW?"), with the decay arithmetic kept
+    * EXACT instead of transcendental: age quantizes to half-life
+    * buckets `k = clamp(⌊(now − ts)/halfLife⌋, 0, kMax)` and each row
+    * contributes weight 2^−k — a dyadic rational, so rows sum as the
+    * SCALED INTEGERS `2^(kMax−k)` (decimal(38,0) / HUGEINT, exact at
+    * any corpus size and any addition order) and ONE final division by
+    * 2^kMax (an exact double) produces `decayed = Σ 2^−k`. A float
+    * `exp(−λ·age)` would neither hash-match cross-engine (libm) nor
+    * sum order-independently; the bucketed form is the
+    * no-transcendentals doctrine applied to decay. `now` is a CALLER
+    * parameter — a deterministic pipeline has no ambient clock (and
+    * neither does the oracle). Future timestamps clamp to k = 0
+    * (weight 1); ages past kMax half-lives flatten at 2^−kMax; NULL ts
+    * drops. Seconds granularity (the sessionize floor-epoch
+    * convention). One hash-agg. */
+  def decayedCounts(
+      keys: Seq[String], tsField: String, now: java.sql.Timestamp,
+      halfLifeSeconds: Long, kMax: Int = 40)(df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    require(halfLifeSeconds >= 1, "halfLifeSeconds must be >= 1")
+    require(kMax >= 1 && kMax <= 62, s"kMax must be in [1, 62]: $kMax")
+    val nowSec = now.getTime / 1000L
+    val k = least(greatest(
+      floor((lit(nowSec) - unix_timestamp(col(tsField))).cast("double") /
+        halfLifeSeconds).cast("long"), lit(0L)), lit(kMax.toLong))
+    df.filter(col(tsField).isNotNull)
+      .withColumn("__w", call_function("shiftleft", lit(1L),
+        (lit(kMax.toLong) - k).cast("int")).cast("decimal(38,0)"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__w")).cast("double") / lit(math.pow(2.0, kMax)))
+          .as("decayed"))
+  }
+
   /** OHLC time buckets — the candlestick aggregation over a value
     * series: per key and tumbling bucket, the OPENING value (at the
     * earliest (ts, tieBreak)), the high, the low, the CLOSING value

@@ -207,6 +207,59 @@ object WindowOps {
       .select("from_type", "to_type", "n", "p")
   }
 
+  /** Inter-arrival burstiness per key — the Goh–Barabási index
+    * `B = (cv − 1)/(cv + 1)` over the gaps between consecutive
+    * same-key events: B → −1 is a metronome, 0 is Poisson, → 1 is a
+    * bursty bot/batch-import signature — the behavioral fingerprint a
+    * rate probe cannot see (two users with identical event counts can
+    * sit at opposite ends of B). Emits per key (≥ 2 events):
+    * `n_events, n_gaps, mean_gap_sec, cv_gap, burstiness`.
+    *
+    * Exactness: gaps are INTEGER seconds (the floor-epoch sessionize
+    * convention), the per-key sufficient statistics (Σg, Σg²) sum in
+    * decimal(38,0) — order-independent at any scale, the corrMatrix
+    * money doctrine — and mean/cv/B are a fixed dag of IEEE ops with
+    * the variance floored at 0 before the sqrt (last-ulp rounding must
+    * not produce NaN). All-zero gaps (mean 0) emit NULL cv and NULL B.
+    * One lag window (the per-key shuffle) + one hash-agg. */
+  def burstiness(
+      keyField: String, tsField: String, tieBreak: Seq[String] = Nil)(
+      df: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy(col(keyField))
+      .orderBy((tsField +: tieBreak).map(col(_).asc_nulls_first): _*)
+    val gaps = df
+      .filter(col(tsField).isNotNull)
+      .withColumn("__prev", lag(unix_timestamp(col(tsField)), 1)
+        .over(byKey))
+      .withColumn("__g",
+        unix_timestamp(col(tsField)) - col("__prev"))
+    val stats = gaps
+      .groupBy(col(keyField))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("__g")).as("n_gaps"),
+        sum(col("__g").cast("decimal(38,0)")).as("__sg"),
+        sum((col("__g").cast("decimal(19,0)") *
+          col("__g").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__sg2"))
+      .filter(col("n_gaps") >= 1)
+    val mean = col("__sg").cast("double") / col("n_gaps").cast("double")
+    val varPop = greatest(
+      (col("n_gaps").cast("double") * col("__sg2").cast("double") -
+        col("__sg").cast("double") * col("__sg").cast("double")) /
+        (col("n_gaps").cast("double") * col("n_gaps").cast("double")),
+      lit(0.0))
+    stats
+      .withColumn("mean_gap_sec", mean)
+      .withColumn("cv_gap",
+        when(col("mean_gap_sec") === 0.0, lit(null).cast("double"))
+          .otherwise(sqrt(varPop) / col("mean_gap_sec")))
+      .withColumn("burstiness",
+        when(col("cv_gap").isNull, lit(null).cast("double"))
+          .otherwise((col("cv_gap") - 1.0) / (col("cv_gap") + 1.0)))
+      .select(col(keyField), col("n_events"), col("n_gaps"),
+        col("mean_gap_sec"), col("cv_gap"), col("burstiness"))
+  }
+
   /** Top-k frequent event PATHS — [[eventTransitions]] one level up:
     * the pair matrix shows WHERE users go next, the path table shows
     * the ROUTES they take (`signup -> browse -> purchase` vs

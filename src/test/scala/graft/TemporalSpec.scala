@@ -105,6 +105,58 @@ class TemporalSpec extends SparkSpec {
     assert(!out.exists(t => t._1 == "z" || t._1 == "c"))
   }
 
+  test("burstiness: metronome vs bursty, exact sufficient statistics, edge users") {
+    import graft.ops.WindowOps
+    val ev = Seq(
+      // u1 metronome: gaps 60, 60, 60 -> cv 0 -> B = -1
+      (1L, ts("2024-01-01 09:00:00"), 1L), (1L, ts("2024-01-01 09:01:00"), 2L),
+      (1L, ts("2024-01-01 09:02:00"), 3L), (1L, ts("2024-01-01 09:03:00"), 4L),
+      // u2 bursty: gaps 1, 1, 598 -> high cv -> B > 0
+      (2L, ts("2024-01-01 09:00:00"), 5L), (2L, ts("2024-01-01 09:00:01"), 6L),
+      (2L, ts("2024-01-01 09:00:02"), 7L), (2L, ts("2024-01-01 09:10:00"), 8L),
+      // u3 single event: no gaps, excluded
+      (3L, ts("2024-01-01 09:00:00"), 9L),
+      // u4 simultaneous pair: gap 0 -> mean 0 -> NULL cv/B, not NaN
+      (4L, ts("2024-01-01 09:00:00"), 10L),
+      (4L, ts("2024-01-01 09:00:00"), 11L))
+      .toDF("user_id", "ts", "event_id")
+    val out = WindowOps.burstiness("user_id", "ts",
+      tieBreak = Seq("event_id"))(ev)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getLong(1) === 4L && u1.getLong(2) === 3L)
+    assert(u1.getDouble(3) === 60.0 && u1.getDouble(4) === 0.0 &&
+      u1.getDouble(5) === -1.0)
+    val u2 = out(2L)
+    // gaps 1,1,598: mean 200, var = (3·357602 − 600²)/9 = 79200.666…
+    assert(u2.getDouble(3) === 200.0)
+    assert(u2.getDouble(5) > 0.15) // decisively bursty
+    assert(!out.contains(3L))
+    val u4 = out(4L)
+    assert(u4.getDouble(3) === 0.0 && u4.isNullAt(4) && u4.isNullAt(5))
+  }
+
+  test("decayedCounts: exact dyadic weights, clamping at both ends, NULL drop") {
+    import graft.ops.TemporalOps
+    val now = java.sql.Timestamp.valueOf("2024-01-11 00:00:00")
+    val ev = Seq(
+      (Some(ts("2024-01-10 12:00:00")), "a"), // age 0.5 d -> k=0, w=1
+      (Some(ts("2024-01-09 12:00:00")), "a"), // age 1.5 d -> k=1, w=1/2
+      (Some(ts("2024-01-05 00:00:00")), "a"), // age 6 d   -> k=6, w=1/64
+      (Some(ts("2024-01-12 00:00:00")), "a"), // FUTURE -> k=0, w=1
+      (Some(ts("2020-01-01 00:00:00")), "a"), // ancient -> k=kMax, w=2^-8
+      (None, "a"),                            // NULL ts drops
+      (Some(ts("2024-01-10 00:00:00")), "b")  // age 1 d -> k=1, w=1/2
+    ).toDF("ts", "event_type")
+    val out = TemporalOps.decayedCounts(Seq("event_type"), "ts", now,
+      halfLifeSeconds = 86400L, kMax = 8)(ev)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // a: 1 + 1/2 + 1/64 + 1 + 2^-8 — every term dyadic, the sum exact
+    assert(out("a") === (5L, 1.0 + 0.5 + 1.0 / 64 + 1.0 + 1.0 / 256))
+    assert(out("b") === (1L, 0.5))
+  }
+
   test("ohlcBuckets: deterministic open/close under ts ties, NULL handling") {
     import graft.ops.TemporalOps
     val ev = Seq(
