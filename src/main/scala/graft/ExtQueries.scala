@@ -965,6 +965,17 @@ object ExtQueries {
         tieBreak = Seq("event_id"))(table(s, dir, "events"))
         .orderBy("from_type", "to_type")
     },
+    "impute_median" -> { (s, dir) =>
+      // the missing-data FIX: null out a deterministic 1/7 slice, then
+      // fill from the per-type exact median
+      val e = table(s, dir, "events")
+        .withColumn("value", when(col("event_id") % 7 === 0,
+          lit(null).cast("double")).otherwise(col("value")))
+      Ops.imputeMedian("value", keys = Seq("event_type"),
+        outField = "value_filled")(e)
+        .select("event_id", "event_type", "value", "value_filled")
+        .orderBy("event_id")
+    },
     "burstiness" -> { (s, dir) =>
       // Goh–Barabási inter-arrival index per user: metronome vs
       // Poisson vs bursty-bot behavioral fingerprint
@@ -4306,6 +4317,17 @@ object ExtQueries {
         CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
       FROM c JOIN t USING (from_type)
       ORDER BY from_type, to_type""",
+    // mirrors Ops.imputeMedian: same NULL slice, quantile_cont median
+    // per type, coalesce fill
+    "impute_median" -> """
+      WITH e AS (SELECT event_id, event_type,
+          CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+        FROM events),
+      m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM e GROUP BY 1)
+      SELECT event_id, e.event_type, value,
+        coalesce(value, med) AS value_filled
+      FROM e JOIN m USING (event_type) ORDER BY event_id""",
     // mirrors WindowOps.burstiness: integer-second gaps, HUGEINT
     // sufficient statistics, the same floored-variance IEEE dag
     "burstiness" -> """

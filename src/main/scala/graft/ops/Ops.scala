@@ -1323,6 +1323,38 @@ object Ops {
       .drop("__lo", "__hi")
   }
 
+  /** Median imputation — the missing-data FIX next to the probes that
+    * report it ([[graft.probes.Probes.audit]] counts the NULLs,
+    * `empty_to_missing` normalizes them, this one fills them): NULL
+    * values of `field` are replaced by their group's EXACT median
+    * (Spark's interpolating `percentile`, the repo-wide quantile
+    * convention — `quantile_cont` in the oracle), per the `keys`
+    * grouping, or globally when `keys` is empty. Median over the
+    * NON-NULL values only (percentile skips NULLs); a group that is
+    * all-NULL has no median and keeps its NULLs — imputing from
+    * nothing would be fabrication. The median-not-mean choice is
+    * deliberate: robust to the same tails [[winsorize]] exists for,
+    * and exactly reproducible cross-engine where an unordered float
+    * mean of a group is not. One percentile hash-agg (buffered per
+    * group, the documented exact-percentile memory contract) + one
+    * equi-join back (broadcast when the group table is small — AQE's
+    * call); ungrouped mode is a one-row broadcast. */
+  def imputeMedian(
+      field: String, keys: Seq[String] = Nil,
+      outField: String = "")(df: DataFrame): DataFrame = {
+    val out = if (outField.isEmpty) field else outField
+    val med = percentile(col(field), lit(0.5)).as("__med")
+    val filled =
+      if (keys.isEmpty) {
+        df.crossJoin(broadcast(df.agg(med)))
+      } else {
+        df.join(df.groupBy(keys.map(col): _*).agg(med), keys)
+      }
+    filled
+      .withColumn(out, coalesce(col(field), col("__med")))
+      .drop("__med")
+  }
+
   /** Per-group min–max feature scaling: `(x − min) / (max − min)` onto
     * [0, 1]. Degenerate groups (one distinct value) scale to 0.0 rather
     * than NaN; NULLs stay NULL (the [[threshold]] doctrine). One

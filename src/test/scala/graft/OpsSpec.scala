@@ -933,6 +933,32 @@ class OpsSpec extends SparkSpec {
     assert(whole.getAs[Double]("slope") == 2.0)
   }
 
+  test("imputeMedian: per-group exact median fill, all-NULL groups stay NULL") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),   // median 2.0
+      ("b", Some(10.0)), ("b", None),                    // median 10.0
+      ("c", None), ("c", None)                           // no median
+    ).toDF("k", "v")
+    val out = Ops.imputeMedian("v", keys = Seq("k"),
+      outField = "vf")(df)
+      .collect().map(r => (r.getString(0), Option(r.get(1)))
+        -> Option(r.get(2))).toList
+    // non-NULL values pass through untouched
+    assert(out.filter(_._1._2.isDefined).forall { case ((_, v), vf) =>
+      v == vf })
+    val filled = out.filter(_._1._2.isEmpty)
+      .map { case ((k, _), vf) => k -> vf }.toMap
+    assert(filled("a") === Some(2.0)) // interpolated exact median of 1,3
+    assert(filled("b") === Some(10.0))
+    assert(filled("c") === None) // imputing from nothing is fabrication
+    // ungrouped mode: one global median via a one-row broadcast
+    val gAll = Ops.imputeMedian("v")(
+      Seq(Some(1.0), Some(5.0), None).toDF("v"))
+      .select("v").as[Option[Double]].collect().toSet
+    assert(gAll === Set(Some(1.0), Some(5.0), Some(3.0)))
+  }
+
   test("histogram2d: cell counts, edge clamping, NULL drop, shares sum to 1") {
     import spark.implicits._
     val df = Seq(
