@@ -1640,6 +1640,13 @@ object ExtQueries {
       Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
         col("lang") === "en", bins = 10)(corpus(s, dir, "documents"))
     },
+    "calibration_by_source" -> { (s, dir) =>
+      // which SOURCE is miscalibrated: the per-group drill-down of
+      // score_calibration, one ECE verdict per source
+      Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
+        col("lang") === "en", bins = 5, groupCols = Seq("source"))(
+        corpus(s, dir, "documents"))
+    },
     "confusion_matrix" -> { (s, dir) =>
       // WHERE the labelers disagree — label_agreement's drill-down
       Probes.confusionMatrix(col("lang"),
@@ -3250,6 +3257,33 @@ object ExtQueries {
         CAST(n AS DOUBLE) / rtot AS row_share
       FROM conf JOIN rt USING (label_a)
       ORDER BY label_a, label_b""",
+    // mirrors Probes.scoreCalibration with groupCols = source: per-group
+    // bins and a per-group bin-ordered ECE fold
+    "calibration_by_source" -> s"""
+      WITH s AS (SELECT source,
+          least(CAST(floor(sc * 5) AS INT), 4) AS bin,
+          CAST(round(sc * 1e9, 0) AS BIGINT) AS s9,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM (SELECT source, lang,
+            least(${stopRatio("['the','a','of','and','to','in','is']")}
+              * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)) AS sc
+          FROM documents) __sb
+        WHERE sc IS NOT NULL AND lang IS NOT NULL),
+      b AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(s9) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9)
+            AS mean_score,
+          CAST(sum(pos) AS DOUBLE) / count(*) AS pos_rate
+        FROM s GROUP BY source, bin),
+      g AS (SELECT source, bin, n, mean_score, pos_rate,
+          abs(mean_score - pos_rate) AS gap FROM b),
+      e AS (SELECT source, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(n AS DOUBLE) * gap ORDER BY bin)), (a, x) -> a + x)
+          / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS ece
+        FROM g GROUP BY source)
+      SELECT g.source, CAST(bin AS INTEGER) AS bin, n, mean_score,
+        pos_rate, gap, ece
+      FROM g JOIN e ON g.source = e.source
+      ORDER BY g.source, bin""",
     // mirrors Probes.scoreCalibration over the saturated en-stopword
     // score vs lang = 'en': 1e-9-quantized per-bin score sums (the
     // money-column discipline), bin-ordered ECE fold

@@ -488,33 +488,43 @@ object Probes {
     * the ≤ `bins` bin rows. Output: one row per non-empty bin
     * (`bin, n, mean_score, pos_rate, gap`) plus the constant `ece`
     * column, ordered by bin. */
-  def scoreCalibration(score: Column, label: Column, bins: Int = 10)(
-      df: DataFrame): DataFrame = {
+  def scoreCalibration(score: Column, label: Column, bins: Int = 10,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
     require(bins >= 1 && bins <= 1000, s"bins must be in [1,1000]: $bins")
+    val grp = groupCols.map(col)
     val perBin = df
       .filter(score.isNotNull && label.isNotNull)
-      .select(
-        least(floor(score * bins).cast("int"), lit(bins - 1)).as("bin"),
-        round(score * lit(1e9), 0).cast("long").as("__s9"),
-        when(label, 1L).otherwise(0L).as("__pos"))
-      .groupBy("bin")
+      .select(grp :+
+        least(floor(score * bins).cast("int"), lit(bins - 1)).as("bin") :+
+        round(score * lit(1e9), 0).cast("long").as("__s9") :+
+        when(label, 1L).otherwise(0L).as("__pos"): _*)
+      .groupBy(grp :+ col("bin"): _*)
       .agg(count(lit(1)).as("n"), sum(col("__s9")).as("__ssum"),
         sum(col("__pos")).as("__pn"))
-      .select(col("bin"), col("n"),
+      .select(grp :+ col("bin") :+ col("n") :+
         (col("__ssum").cast("double") / (col("n").cast("double") * 1e9))
-          .as("mean_score"),
-        (col("__pn").cast("double") / col("n")).as("pos_rate"))
+          .as("mean_score") :+
+        (col("__pn").cast("double") / col("n")).as("pos_rate"): _*)
       .withColumn("gap", abs(col("mean_score") - col("pos_rate")))
-    // ECE: Σ_b (n_b/n)·gap_b, folded in bin order over ≤ `bins` rows
-    val ece = perBin
-      .agg(sum(col("n")).as("__tot"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("bin"),
-            col("n").as("__bn"), col("gap").as("__g")))),
-            s => s.getField("__bn").cast("double") * s.getField("__g")),
-          lit(0.0), (acc, x) => acc + x).as("__wsum"))
-      .select((col("__wsum") / col("__tot")).as("ece"))
-    perBin.crossJoin(broadcast(ece)).orderBy("bin")
+    // ECE: Σ_b (n_b/n)·gap_b, folded in bin order over ≤ `bins` rows —
+    // per group when grouped (each group gets ITS calibration verdict)
+    val eceAggs = Seq(sum(col("n")).as("__tot"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("bin"),
+          col("n").as("__bn"), col("gap").as("__g")))),
+          s => s.getField("__bn").cast("double") * s.getField("__g")),
+        lit(0.0), (acc, x) => acc + x).as("__wsum"))
+    if (groupCols.isEmpty) {
+      val ece = perBin.agg(eceAggs.head, eceAggs.tail: _*)
+        .select((col("__wsum") / col("__tot")).as("ece"))
+      perBin.crossJoin(broadcast(ece)).orderBy("bin")
+    } else {
+      val ece = perBin.groupBy(grp: _*)
+        .agg(eceAggs.head, eceAggs.tail: _*)
+        .select(grp :+ (col("__wsum") / col("__tot")).as("ece"): _*)
+      perBin.join(ece, groupCols)
+        .orderBy(grp :+ col("bin"): _*)
+    }
   }
 
   /** Fail the pipeline when the key is not unique (reference:

@@ -310,6 +310,26 @@ class ProbesSpec extends SparkSpec {
     assert(d.getDouble(3) === 1.0 && d.isNullAt(4))
   }
 
+  test("scoreCalibration groupCols: independent per-group bins and ECE") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: perfectly calibrated hard predictor -> ece 0
+      ("g1", 0.0, false), ("g1", 0.0, false), ("g1", 1.0, true),
+      // g2: anti-calibrated -> ece 1
+      ("g2", 0.0, true), ("g2", 1.0, false)
+    ).toDF("g", "s", "y")
+    val rows = Probes.scoreCalibration(col("s"), col("y"), bins = 2,
+      groupCols = Seq("g"))(df).collect()
+    val eceByGroup = rows.map(r => r.getString(0) -> r.getDouble(6))
+      .toMap
+    assert(eceByGroup("g1") === 0.0 && eceByGroup("g2") === 1.0)
+    // every row of a group carries that group's ece, and bins stay
+    // within-group (g2's bin 0 has n=1, not g1's 2)
+    val g2b0 = rows.find(r => r.getString(0) == "g2" && r.getInt(1) == 0)
+      .get
+    assert(g2b0.getLong(2) === 1L && g2b0.getDouble(4) === 1.0)
+  }
+
   test("confusionMatrix: exact counts and per-class row shares") {
     import spark.implicits._
     val df = Seq(("a", "a"), ("a", "a"), ("a", "b"),

@@ -933,6 +933,26 @@ class StreamingSpec extends SparkSpec {
       mmrPost(expect).collect().toSeq.sortBy(key))
   }
 
+  test("ohlcBuckets lifts to a stream: min_by/max_by aggregate in complete mode") {
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val ohlc = graft.ops.TemporalOps.ohlcBuckets("ts", "v", "10 minutes",
+      keys = Seq("k"), tieBreak = Seq("i"))(
+      input.toDF().toDF("ts", "k", "v", "i"))
+    val q = ohlc.writeStream.format("memory").queryName("sohlc")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts("10:01"), "a", 5.0, 1L), (ts("10:02"), "a", 9.0, 2L))
+      q.processAllAvailable()
+      input.addData((ts("10:03"), "a", 2.0, 3L)) // close updates per batch
+      q.processAllAvailable()
+      val r = spark.table("sohlc").head()
+      assert(r.getDouble(2) === 5.0 && r.getDouble(3) === 9.0 &&
+        r.getDouble(4) === 2.0 && r.getDouble(5) === 2.0 &&
+        r.getLong(6) === 3L)
+    } finally q.stop()
+  }
+
   test("windowedCalibration: per-window rows == batch scoreCalibration; batch plan runs") {
     import org.apache.spark.sql.functions._
     val events = Seq(
