@@ -1640,6 +1640,17 @@ object ExtQueries {
       Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
         col("lang") === "en", bins = 10)(corpus(s, dir, "documents"))
     },
+    "concentration" -> { (s, dir) =>
+      // is each language's corpus diverse or one-source-dominated?
+      Probes.concentration(Seq("lang"), "source")(
+        corpus(s, dir, "documents"))
+        .orderBy("lang")
+    },
+    "gini" -> { (s, dir) =>
+      // length inequality per source: does one doc own the tokens?
+      Probes.gini(Seq("source"), "n_chars")(corpus(s, dir, "documents"))
+        .orderBy("source")
+    },
     "calibration_by_source" -> { (s, dir) =>
       // which SOURCE is miscalibrated: the per-group drill-down of
       // score_calibration, one ECE verdict per source
@@ -3257,6 +3268,37 @@ object ExtQueries {
         CAST(n AS DOUBLE) / rtot AS row_share
       FROM conf JOIN rt USING (label_a)
       ORDER BY label_a, label_b""",
+    // mirrors Probes.concentration: HUGEINT Σn_c², exact-count divisions
+    "concentration" -> """
+      WITH c AS (SELECT lang, source, count(*) AS nc FROM documents
+        GROUP BY 1, 2),
+      a AS (SELECT lang, CAST(sum(nc) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS categories,
+          sum(CAST(nc AS HUGEINT) * CAST(nc AS HUGEINT)) AS s2
+        FROM c GROUP BY 1)
+      SELECT lang, n, categories,
+        CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+          AS hhi,
+        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(s2 AS DOUBLE)
+          AS effective_categories
+      FROM a ORDER BY lang""",
+    // mirrors Probes.gini: sorted-rank formula with the HUGEINT-exact
+    // numerator; rank ties are sum-invariant (equal x, any order)
+    "gini" -> """
+      WITH r AS (SELECT source, n_chars,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY n_chars ASC) AS BIGINT) AS i
+        FROM documents WHERE n_chars IS NOT NULL),
+      a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(n_chars AS HUGEINT)) AS sx,
+          sum(CAST(i * 2 AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS s2ix
+        FROM r GROUP BY 1)
+      SELECT source, n,
+        CASE WHEN sx = 0 THEN NULL
+             ELSE (CAST(s2ix AS DOUBLE)
+                   - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END AS gini
+      FROM a ORDER BY source""",
     // mirrors Probes.scoreCalibration with groupCols = source: per-group
     // bins and a per-group bin-ordered ECE fold
     "calibration_by_source" -> s"""

@@ -449,6 +449,69 @@ object Probes {
           .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe"))))
   }
 
+  /** Category concentration — the Herfindahl–Hirschman index per group:
+    * `hhi = Σ_c (n_c/n)²` over `field`'s category counts, plus
+    * `effective_categories = 1/hhi` (the "equivalent number of equal
+    * categories", the interpretable form). The one-number answer to
+    * "is this language's corpus really diverse, or 95% one domain?" —
+    * the diversity side of [[keySkew]]'s top-N view. Rational in exact
+    * counts: Σn_c² sums in decimal(38,0)/HUGEINT, hhi is one division
+    * of exact integers, so rows hash-match cross-engine. NULL is a
+    * category (missingness concentrates like anything else). Two
+    * hash-aggs, \|groups·categories\| bounded. */
+  def concentration(groupCols: Seq[String], field: String)(
+      df: DataFrame): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val grp = groupCols.map(col)
+    df.groupBy(grp :+ col(field).as("__c"): _*)
+      .agg(count(lit(1)).as("__nc"))
+      .groupBy(grp: _*)
+      .agg(sum(col("__nc")).as("n"),
+        count(lit(1)).as("categories"),
+        sum((col("__nc").cast("decimal(19,0)") *
+          col("__nc").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__s2"))
+      .select(grp :+ col("n") :+ col("categories") :+
+        (col("__s2").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+          .as("hhi") :+
+        ((col("n").cast("double") * col("n").cast("double")) /
+          col("__s2").cast("double")).as("effective_categories"): _*)
+  }
+
+  /** Gini coefficient per group — the inequality of a non-negative
+    * measure (document lengths, per-site page counts, per-user token
+    * budgets): 0 = perfectly equal, → 1 = one row owns everything. The
+    * sorted-rank formula `G = Σ(2i − n − 1)·x_(i) / (n·Σx)` with an
+    * EXACT integer numerator: `field` is integral by contract (scale
+    * money first — the money doctrine), the rank products sum in
+    * decimal(38,0)/HUGEINT, and G is one final IEEE division, so rows
+    * hash-match cross-engine. Rank ties are harmless — permuting equal
+    * values never changes the sum. NULL values drop; all-zero groups
+    * (Σx = 0) emit NULL. One per-group sort window + one hash-agg. */
+  def gini(groupCols: Seq[String], field: String)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "at least one group column")
+    val grp = groupCols.map(col)
+    val w = Window.partitionBy(grp: _*).orderBy(col(field).asc)
+    df.filter(col(field).isNotNull)
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(field).cast("decimal(38,0)")).as("__sx"),
+        sum(((col("__i") * 2).cast("decimal(19,0)") *
+          col(field).cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__s2ix"))
+      .select(grp :+ col("n") :+
+        when(col("__sx") === 0, lit(null).cast("double"))
+          .otherwise(
+            (col("__s2ix").cast("double") -
+              (col("n") + 1).cast("double") * col("__sx").cast("double"))
+              / (col("n").cast("double") * col("__sx").cast("double")))
+          .as("gini"): _*)
+  }
+
   /** Confusion matrix — [[labelAgreement]]'s drill-down: kappa says HOW
     * MUCH two labelers agree, this says WHERE they disagree. Per
     * (label_a, label_b): the pair count and `row_share` = n / Σ over

@@ -310,6 +310,41 @@ class ProbesSpec extends SparkSpec {
     assert(d.getDouble(3) === 1.0 && d.isNullAt(4))
   }
 
+  test("concentration: HHI arithmetic, NULL category, effective count") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", Some("a")), ("g1", Some("a")), ("g1", Some("b")),
+      ("g1", Some("b")),                 // two equal cats -> hhi 0.5
+      ("g2", Some("x")), ("g2", Some("x")), ("g2", Some("x")),
+      ("g2", None)                       // NULL is a category: 3²+1² /16
+    ).toDF("g", "c")
+    val out = Probes.concentration(Seq("g"), "c")(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out("g1") === (4L, 2L, 0.5, 2.0))
+    assert(out("g2") === (4L, 2L, 10.0 / 16, 16.0 / 10))
+  }
+
+  test("gini: exact sorted-rank formula, tie invariance, degenerate groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("eq", 5L), ("eq", 5L), ("eq", 5L),       // equal -> gini 0
+      ("one", 0L), ("one", 0L), ("one", 9L),    // one owner -> (n-1)/n
+      ("mix", 1L), ("mix", 2L), ("mix", 3L),
+      ("zero", 0L), ("zero", 0L)                // Σx = 0 -> NULL
+    ).toDF("g", "x")
+    val out = Probes.gini(Seq("g"), "x")(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(out("eq") === (3L, Some(0.0)))
+    assert(out("one") === (3L, Some(2.0 / 3)))
+    // 1,2,3: G = (2(1+4+9) − 4·6)/(3·6) = 4/18
+    assert(out("mix") === (3L, Some(4.0 / 18)))
+    assert(out("zero") === (2L, None))
+  }
+
   test("scoreCalibration groupCols: independent per-group bins and ECE") {
     import spark.implicits._
     val df = Seq(
