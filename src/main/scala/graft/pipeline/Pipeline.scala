@@ -633,9 +633,24 @@ final case class Pipeline(df: DataFrame) {
     >>(Ops.paretoFront(xField, yField, buckets))
   def labelAgreement(labelA: Column, labelB: Column): Pipeline =
     >>(Probes.labelAgreement(labelA, labelB))
-  def scoreCalibration(score: Column, label: Column,
-      bins: Int = 10): Pipeline =
-    >>(Probes.scoreCalibration(score, label, bins))
+  def scoreCalibration(score: Column, label: Column, bins: Int = 10,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.scoreCalibration(score, label, bins, groupCols))
+  def concentration(groupCols: Seq[String], field: String): Pipeline =
+    >>(Probes.concentration(groupCols, field))
+  def gini(groupCols: Seq[String], field: String): Pipeline =
+    >>(Probes.gini(groupCols, field))
+  def imputeMedian(field: String, keys: Seq[String] = Nil,
+      outField: String = ""): Pipeline =
+    >>(Ops.imputeMedian(field, keys, outField))
+  def decayedCounts(keys: Seq[String], tsField: String,
+      now: java.sql.Timestamp, halfLifeSeconds: Long,
+      kMax: Int = 40): Pipeline =
+    >>(TemporalOps.decayedCounts(keys, tsField, now, halfLifeSeconds,
+      kMax))
+  def burstiness(keyField: String, tsField: String,
+      tieBreak: Seq[String] = Nil): Pipeline =
+    >>(graft.ops.WindowOps.burstiness(keyField, tsField, tieBreak))
   def ivfRecallEval(corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int,
       nCentroids: Int, nprobes: Seq[Int]): Pipeline =

@@ -394,6 +394,16 @@ class SpanDedupSpec extends SparkSpec {
       "value", 0.0, 4.0, 2).result.count() === 2)
     assert(Pipeline(ev).ohlcBuckets("ts", "value", "1 hour",
       tieBreak = Seq("event_id")).result.head().getDouble(1) === 1.0)
+    assert(Pipeline(ev).concentration(Seq("user_id"), "event_type")
+      .result.head().getLong(1) === 3L)
+    assert(Pipeline(ev.withColumn("v", col("value").cast("long")))
+      .gini(Seq("user_id"), "v").result.count() === 1)
+    assert(Pipeline(ev).imputeMedian("value").result.count() === 3)
+    assert(Pipeline(ev).decayedCounts(Seq("event_type"), "ts",
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 86400L)
+      .result.count() === 3)
+    assert(Pipeline(ev).burstiness("user_id", "ts",
+      tieBreak = Seq("event_id")).result.head().getLong(2) === 2L)
   }
 
   test("duplicateSpanMask is the exact complement of stripDuplicateSpans") {
