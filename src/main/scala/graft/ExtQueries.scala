@@ -466,6 +466,12 @@ object ExtQueries {
         k = 3, nCentroids = 8, nprobe = 2)
         .orderBy("query_id", "rank")
     },
+    "embedding_profile" -> { (s, dir) =>
+      // per-dim health: dead dims waste PQ bits, nonzero means break
+      // cosine/euclidean agreement — read before codebooks and cuts
+      Similarity.embeddingProfile("embedding")(
+        corpus(s, dir, "embeddings"))
+    },
     "ann_recall_eval" -> { (s, dir) =>
       // IVF nprobe tuning table: recall@5 vs brute force for probe
       // widths 1/2/4 over one shared index build
@@ -2302,6 +2308,33 @@ object ExtQueries {
       ${lshNearDupTailSql(rows, bands, threshold)}"""
   }
 
+  /** Per-dim embedding profile — mirrors Similarity.embeddingProfile:
+    * 1e-7 quantization, HUGEINT sufficient statistics, the same
+    * left-associated IEEE dag for mean/variance. */
+  private def embeddingProfileSql: String = """
+      WITH e AS (SELECT CAST(i - 1 AS INT) AS dim,
+          CAST(em[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM (SELECT embedding AS em,
+                unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)),
+      q AS (SELECT dim, x,
+          CAST(round(x * 1e7, 0) AS BIGINT) AS qv FROM e),
+      a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(qv AS HUGEINT)) AS sq,
+          sum(CAST(qv AS HUGEINT) * CAST(qv AS HUGEINT)) AS sq2,
+          min(x) AS min_val, max(x) AS max_val,
+          CAST(count(*) FILTER (WHERE qv = 0) AS BIGINT) AS z
+        FROM q GROUP BY 1)
+      SELECT dim, n,
+        CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e7) AS mean,
+        (CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
+          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e7 * 1e7)
+          AS variance,
+        min_val, max_val,
+        CAST(z AS DOUBLE) / n AS zero_frac
+      FROM a ORDER BY dim"""
+
   /** IVF operating-point eval — mirrors Similarity.ivfRecallEval: one
     * shared centroid ranking (stand-in centroids, ties to smaller cid),
     * per-nprobe probe filter + exact-cosine rerank, brute-force truth
@@ -3663,6 +3696,7 @@ object ExtQueries {
       docFilter = "doc_id < 400", configs = Seq((8, 2), (8, 4), (16, 8))),
     "ann_recall_eval" -> ivfRecallEvalSql(k = 5, nCentroids = 8,
       maxQueryId = 10, nprobes = Seq(1, 2, 4)),
+    "embedding_profile" -> embeddingProfileSql,
     // mirrors TextOps.tfidfCosinePairs: rational idf tf*(N+1)/(df+1),
     // df > 64 dropped from the space, term-ordered float folds for the
     // dot and norm sums (the bigram-LM order-pinning discipline)

@@ -156,6 +156,44 @@ object Similarity {
       .toDF("cid", "center")
   }
 
+  /** Per-dimension embedding health profile — the probe to read BEFORE
+    * committing a PQ codebook, a Matryoshka cut, or a [[pcaBasis]]
+    * budget: per dim `n, mean, variance, min_val, max_val, zero_frac`.
+    * Dead dims (variance ≈ 0, zero_frac ≈ 1) waste PQ bits; exploding
+    * dims dominate unnormalized distance; a nonzero mean says cosine
+    * and euclidean will disagree. Determinism: values quantize to
+    * `1/scale` (default 1e-7 — well beyond float32's mantissa at unit
+    * magnitude) and the sufficient statistics Σq, Σq² sum as
+    * decimal(38,0)/HUGEINT — order-independent, the money doctrine —
+    * with mean/variance a fixed IEEE dag over them; min/max are exact
+    * picks. One posexplode + one |dims|-key hash-agg. */
+  def embeddingProfile(vecField: String, scale: Long = 10000000L)(
+      df: DataFrame): DataFrame = {
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    val sd = scale.toDouble
+    df.select(posexplode(col(vecField)).as(Seq("dim", "__xf")))
+      .select(col("dim"), col("__xf").cast("double").as("__x"))
+      .withColumn("__q", round(col("__x") * sd, 0).cast("long"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__q").cast("decimal(38,0)")).as("__sq"),
+        sum((col("__q").cast("decimal(19,0)") *
+          col("__q").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__sq2"),
+        min(col("__x")).as("min_val"), max(col("__x")).as("max_val"),
+        count(when(col("__q") === 0L, 1)).as("__z"))
+      .select(col("dim"), col("n"),
+        (col("__sq").cast("double") / (col("n").cast("double") * sd))
+          .as("mean"),
+        ((col("n").cast("double") * col("__sq2").cast("double") -
+          col("__sq").cast("double") * col("__sq").cast("double")) /
+          (col("n").cast("double") * col("n").cast("double") * sd * sd))
+          .as("variance"),
+        col("min_val"), col("max_val"),
+        (col("__z").cast("double") / col("n")).as("zero_frac"))
+      .orderBy("dim")
+  }
+
   /** PCA basis learned from the corpus — the variance-ranked ROTATION
     * that completes the ANN preprocessing family: [[matryoshkaTopK]]
     * truncates leading dims and [[graft.functions.FwhtRotate]] spreads

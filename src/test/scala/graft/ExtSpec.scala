@@ -1165,6 +1165,30 @@ class ExtSpec extends SparkSpec {
     assert(out(1L)._2 === 3L && out(1L)._3 === 1L)
   }
 
+  test("embeddingProfile: dead dims, exact moments, zero fractions") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, -2.0f)),
+      (2L, Array(3.0f, 0.0f, 2.0f)),
+      (3L, Array(5.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingProfile("embedding")(vecs)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // dim 0: mean 3, var = ((1-3)²+(0)²+(2)²)/3 = 8/3 population
+    val d0 = out(0)
+    assert(d0.getLong(1) === 3L && d0.getDouble(2) === 3.0)
+    assert(math.abs(d0.getDouble(3) - 8.0 / 3) < 1e-9)
+    assert(d0.getDouble(4) === 1.0 && d0.getDouble(5) === 5.0)
+    assert(d0.getDouble(6) === 0.0)
+    // dim 1 is DEAD: zero variance, zero_frac 1 — the PQ-bit-waste flag
+    val d1 = out(1)
+    assert(d1.getDouble(2) === 0.0 && d1.getDouble(3) === 0.0 &&
+      d1.getDouble(6) === 1.0)
+    // dim 2: symmetric about 0 — zero mean, one exact zero of three
+    val d2 = out(2)
+    assert(d2.getDouble(2) === 0.0 && d2.getDouble(4) === -2.0)
+    assert(math.abs(d2.getDouble(6) - 1.0 / 3) < 1e-12)
+  }
+
   test("pcaProject makes Matryoshka truncation work on non-MRL embeddings") {
     // adversarial-for-prefix data: the LEADING 16 dims are constant and
     // every bit of signal lives in dims 16..31 (rank 2 there, well
