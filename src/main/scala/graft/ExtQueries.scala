@@ -971,6 +971,12 @@ object ExtQueries {
         tieBreak = Seq("event_id"))(table(s, dir, "events"))
         .orderBy("from_type", "to_type")
     },
+    "activity_profile" -> { (s, dir) =>
+      // (dow × hour) heatmap per event type: arithmetic day/hour, not
+      // calendar functions (engine week conventions disagree)
+      WindowOps.activityProfile("event_type", "ts")(
+        table(s, dir, "events"))
+    },
     "impute_median" -> { (s, dir) =>
       // the missing-data FIX: null out a deterministic 1/7 slice, then
       // fill from the per-type exact median
@@ -4427,6 +4433,25 @@ object ExtQueries {
         CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
       FROM c JOIN t USING (from_type)
       ORDER BY from_type, to_type""",
+    // mirrors WindowOps.activityProfile: floor-epoch arithmetic dow
+    // (0 = Monday) and hour — integer division both engines agree on,
+    // where dayofweek()/strftime conventions would not
+    "activity_profile" -> """
+      WITH e AS (SELECT event_type,
+          CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events WHERE ts IS NOT NULL),
+      c AS (SELECT event_type,
+          CAST((CAST(floor(CAST(ep AS DOUBLE) / 86400) AS BIGINT) + 3) % 7
+            AS INT) AS dow,
+          CAST(floor(CAST(ep % 86400 AS DOUBLE) / 3600) AS INT) AS hour,
+          CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2, 3),
+      t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c
+        GROUP BY 1)
+      SELECT c.event_type, dow, hour, n,
+        CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+      FROM c JOIN t USING (event_type)
+      ORDER BY event_type, dow, hour""",
     // mirrors Ops.imputeMedian: same NULL slice, quantile_cont median
     // per type, coalesce fill
     "impute_median" -> """

@@ -207,6 +207,34 @@ object WindowOps {
       .select("from_type", "to_type", "n", "p")
   }
 
+  /** Activity heatmap — per key, the (day-of-week × hour) event
+    * distribution: `(key, dow, hour, n, share)` with share = n / key
+    * total, the "when does this cohort act?" view feeding crawl-rate
+    * and batch-window decisions. Day/hour derive ARITHMETICALLY from
+    * the floor epoch (`dow = (⌊epoch/86400⌋ + 3) mod 7`, 0 = Monday —
+    * 1970-01-01 was a Thursday; `hour = ⌊(epoch mod 86400)/3600⌋`, UTC
+    * by construction) rather than from calendar functions, because the
+    * two engines disagree on week conventions but cannot disagree on
+    * integer division. Negative epochs would floor-vs-truncate differ —
+    * pre-1970 timestamps are out of contract. One hash-agg + a
+    * \|keys\|-row total join. */
+  def activityProfile(
+      keyField: String, tsField: String)(df: DataFrame): DataFrame = {
+    val ep = unix_timestamp(col(tsField))
+    val counts = df
+      .filter(col(tsField).isNotNull)
+      .groupBy(col(keyField),
+        ((ep / 86400).cast("long") + 3).mod(7).cast("int").as("dow"),
+        (ep.mod(86400) / 3600).cast("int").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col(keyField)).agg(sum("n").as("__tot"))
+    counts.join(totals, Seq(keyField))
+      .select(col(keyField), col("dow"), col("hour"), col("n"),
+        (col("n").cast("double") / col("__tot").cast("double"))
+          .as("share"))
+      .orderBy(col(keyField), col("dow"), col("hour"))
+  }
+
   /** Inter-arrival burstiness per key — the Goh–Barabási index
     * `B = (cv − 1)/(cv + 1)` over the gaps between consecutive
     * same-key events: B → −1 is a metronome, 0 is Poisson, → 1 is a

@@ -105,6 +105,25 @@ class TemporalSpec extends SparkSpec {
     assert(!out.exists(t => t._1 == "z" || t._1 == "c"))
   }
 
+  test("activityProfile: arithmetic dow/hour, shares per key, NULL drop") {
+    import graft.ops.WindowOps
+    // 2024-01-01 was a MONDAY -> dow 0; 2024-01-06 a Saturday -> dow 5
+    val ev = Seq(
+      (Some(ts("2024-01-01 09:15:00")), "a"),
+      (Some(ts("2024-01-01 09:45:00")), "a"), // same (0, 9) cell
+      (Some(ts("2024-01-06 23:05:00")), "a"),
+      (Some(ts("2024-01-01 00:00:00")), "b"), // midnight edge -> hour 0
+      (None, "a")
+    ).toDF("ts", "k")
+    val out = WindowOps.activityProfile("k", "ts")(ev)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("a", 0, 9)) === (2L, 2.0 / 3))
+    assert(out(("a", 5, 23)) === (1L, 1.0 / 3))
+    assert(out(("b", 0, 0)) === (1L, 1.0))
+    assert(out.size === 3)
+  }
+
   test("burstiness: metronome vs bursty, exact sufficient statistics, edge users") {
     import graft.ops.WindowOps
     val ev = Seq(
