@@ -971,6 +971,14 @@ object ExtQueries {
         tieBreak = Seq("event_id"))(table(s, dir, "events"))
         .orderBy("from_type", "to_type")
     },
+    "budget_allocation" -> { (s, dir) =>
+      // Hamilton apportionment: 1000 budget units across sources by
+      // doc-count weight — integer allocations that sum to EXACTLY 1000
+      val weights = corpus(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("docs"))
+      Ops.proportionalAllocate("source", "docs", total = 1000L)(weights)
+        .orderBy("source")
+    },
     "activity_profile" -> { (s, dir) =>
       // (dow × hour) heatmap per event type: arithmetic day/hour, not
       // calendar functions (engine week conventions disagree)
@@ -4433,6 +4441,24 @@ object ExtQueries {
         CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
       FROM c JOIN t USING (from_type)
       ORDER BY from_type, to_type""",
+    // mirrors Ops.proportionalAllocate: same floor-quota + largest-
+    // remainder award with the group-ascending tiebreak
+    "budget_allocation" -> """
+      WITH w AS (SELECT source, CAST(count(*) AS BIGINT) AS docs
+        FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(docs) AS BIGINT) AS bw FROM w),
+      b AS (SELECT source, docs, bw,
+          CASE WHEN bw = 0 THEN 0 ELSE (1000 * docs) // bw END AS base,
+          CASE WHEN bw = 0 THEN 0 ELSE (1000 * docs) % bw END AS rem
+        FROM w CROSS JOIN t),
+      s AS (SELECT CAST(sum(base) AS BIGINT) AS spent FROM b)
+      SELECT source, docs,
+        CAST(base + CASE WHEN bw <> 0 AND rn <= 1000 - spent
+          THEN 1 ELSE 0 END AS BIGINT) AS allocation
+      FROM (SELECT b.*, spent,
+          row_number() OVER (ORDER BY rem DESC, source ASC) AS rn
+        FROM b CROSS JOIN s) __ba
+      ORDER BY source""",
     // mirrors WindowOps.activityProfile: floor-epoch arithmetic dow
     // (0 = Monday) and hour — integer division both engines agree on,
     // where dayofweek()/strftime conventions would not

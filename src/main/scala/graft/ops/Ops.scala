@@ -1323,6 +1323,49 @@ object Ops {
       .drop("__lo", "__hi")
   }
 
+  /** Largest-remainder (Hamilton) apportionment — divide an INTEGER
+    * budget across groups proportionally to integral weights with the
+    * invariant a float split cannot give: allocations are integers and
+    * they SUM TO EXACTLY `total`. The budget step of corpus assembly
+    * (docs per source, fetch slots per domain, samples per stratum)
+    * where `round(total·w/W)` drifts by ±|groups| and truncation
+    * under-spends. Each group gets `⌊total·w_g/W⌋` plus one of the
+    * leftover units, awarded by largest remainder `(total·w_g) mod W`
+    * (group-ascending tiebreak — deterministic, oracle-replayable).
+    * Pure integer arithmetic end to end; caller guarantees
+    * `total·max(w) < 2⁶³` (decimal widening is the escape hatch when a
+    * budget ever approaches that). Input is one row per group with a
+    * non-negative integral weight; W = 0 allocates all zeros rather
+    * than dividing by it. Two one-row broadcasts + one window over the
+    * \|groups\|-row frame. */
+  def proportionalAllocate(
+      groupField: String, weightField: String, total: Long)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(total >= 0, s"total must be >= 0, got $total")
+    val w = df.select(col(groupField).as("__g"),
+      col(weightField).cast("long").as("__w"))
+    val tot = w.agg(coalesce(sum(col("__w")), lit(0L)).as("__wsum"))
+    val based = w.crossJoin(broadcast(tot))
+      .withColumn("__num", lit(total) * col("__w"))
+      .withColumn("__base",
+        when(col("__wsum") === 0L, lit(0L))
+          .otherwise(expr("__num div __wsum")))
+      .withColumn("__rem",
+        when(col("__wsum") === 0L, lit(0L))
+          .otherwise(col("__num") % col("__wsum")))
+    val spent = based.agg(coalesce(sum(col("__base")), lit(0L))
+      .as("__spent"), max(col("__wsum")).as("__wsum2"))
+    based.crossJoin(broadcast(spent))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__rem").desc, col("__g").asc)))
+      .withColumn("allocation",
+        col("__base") + when(col("__wsum2") =!= 0L &&
+          col("__rn") <= lit(total) - col("__spent"), 1L).otherwise(0L))
+      .select(col("__g").as(groupField),
+        col("__w").as(weightField), col("allocation"))
+  }
+
   /** Median imputation — the missing-data FIX next to the probes that
     * report it ([[graft.probes.Probes.audit]] counts the NULLs,
     * `empty_to_missing` normalizes them, this one fills them): NULL

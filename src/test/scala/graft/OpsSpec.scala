@@ -933,6 +933,36 @@ class OpsSpec extends SparkSpec {
     assert(whole.getAs[Double]("slope") == 2.0)
   }
 
+  test("proportionalAllocate: exact-total Hamilton apportionment, remainders, W = 0") {
+    import spark.implicits._
+    // weights 1,1,1 over total 10: bases 3,3,3, one remainder unit to
+    // the group-ascending tiebreak winner
+    val even = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("g", "w")
+    val e = Ops.proportionalAllocate("g", "w", total = 10L)(even)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(e === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // skewed: 7/2/1 over 10 -> exact 7,2,1 (no remainders)
+    val skew = Seq(("a", 7L), ("b", 2L), ("c", 1L)).toDF("g", "w")
+    val s = Ops.proportionalAllocate("g", "w", total = 10L)(skew)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(s === Map("a" -> 7L, "b" -> 2L, "c" -> 1L))
+    // largest remainder wins: 5/4 over 3 -> ideals 1.67/1.33 -> 2/1
+    val lr = Ops.proportionalAllocate("g", "w", total = 3L)(
+      Seq(("a", 5L), ("b", 4L)).toDF("g", "w"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(lr === Map("a" -> 2L, "b" -> 1L))
+    // the invariant a float split cannot give: Σ == total, always
+    val big = (1 to 37).map(i => (s"g$i", (i * 13 % 7 + 1).toLong))
+      .toDF("g", "w")
+    assert(Ops.proportionalAllocate("g", "w", total = 101L)(big)
+      .agg(sum("allocation")).head().getLong(0) === 101L)
+    // zero total weight: all-zero allocations, no division blow-up
+    val z = Ops.proportionalAllocate("g", "w", total = 10L)(
+      Seq(("a", 0L), ("b", 0L)).toDF("g", "w"))
+      .select("allocation").as[Long].collect()
+    assert(z.toSeq === Seq(0L, 0L))
+  }
+
   test("imputeMedian: per-group exact median fill, all-NULL groups stay NULL") {
     import spark.implicits._
     val df = Seq(

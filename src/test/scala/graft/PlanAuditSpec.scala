@@ -64,7 +64,8 @@ class PlanAuditSpec extends SparkSpec {
     "score_calibration", // broadcast one-row ECE aggregate
     "collocations",      // broadcast one-row unigram + bigram totals
     "ann_recall_eval",   // broadcast query set + one-row truth count
-    "histogram_2d")      // broadcast one-row cell-count total
+    "histogram_2d",      // broadcast one-row cell-count total
+    "budget_allocation") // broadcast one-row weight total + spent base
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
