@@ -651,6 +651,14 @@ final case class Pipeline(df: DataFrame) {
   def burstiness(keyField: String, tsField: String,
       tieBreak: Seq[String] = Nil): Pipeline =
     >>(graft.ops.WindowOps.burstiness(keyField, tsField, tieBreak))
+  def activityProfile(keyField: String, tsField: String): Pipeline =
+    >>(graft.ops.WindowOps.activityProfile(keyField, tsField))
+  def embeddingProfile(vecField: String,
+      scale: Long = 10000000L): Pipeline =
+    >>(graft.ext.Similarity.embeddingProfile(vecField, scale))
+  def proportionalAllocate(groupField: String, weightField: String,
+      total: Long): Pipeline =
+    >>(Ops.proportionalAllocate(groupField, weightField, total))
   def ivfRecallEval(corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int,
       nCentroids: Int, nprobes: Seq[Int]): Pipeline =

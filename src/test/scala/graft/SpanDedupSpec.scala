@@ -404,6 +404,16 @@ class SpanDedupSpec extends SparkSpec {
       .result.count() === 3)
     assert(Pipeline(ev).burstiness("user_id", "ts",
       tieBreak = Seq("event_id")).result.head().getLong(2) === 2L)
+    assert(Pipeline(ev).activityProfile("event_type", "ts")
+      .result.count() === 3)
+    assert(Pipeline(vecs).embeddingProfile("embedding")
+      .result.count() === 8)
+    val alloc = Pipeline(ev.groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")))
+      .proportionalAllocate("event_type", "n", total = 9L).result
+    assert(alloc.agg(org.apache.spark.sql.functions.sum("allocation"))
+      .head().getLong(0) === 9L)
   }
 
   test("duplicateSpanMask is the exact complement of stripDuplicateSpans") {
