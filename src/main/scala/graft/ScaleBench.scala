@@ -912,6 +912,43 @@ object ScaleBench {
     tfRows.foreach { case (k, d, pf, tf, ps, ts) =>
       println(f"$k,$d,$pf,$tf%.2f,$ps,$ts%.2f") }
     }
+    // ---- pareto front: the distributive-skyline scale claim -------------
+    // Replication duplicates every point; duplicates never dominate each
+    // other, so the TRUE front grows ×k while the dominated mass grows
+    // ×k too — the two-stage plan's cost is the per-bucket hash-agg +
+    // windows, and the curve should track the corpus linearly with no
+    // quadratic term (stage 2 is output-bounded). Front sizes print
+    // alongside so output growth is visible.
+    phase("pareto") {
+    val docsBase = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"),
+        (-col("n_chars")).as("negc"))
+    val ndocs = docsBase.count()
+    def repP(k: Int): DataFrame =
+      (0 until k).map(i => docsBase.select(
+        (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        col("q"), col("negc")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    def paretoJob(d: DataFrame): Unit =
+      graft.ops.Ops.paretoFront("q", "negc")(d)
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = repP(1).localCheckpoint()
+      paretoJob(d1); d1.unpersist() }
+    val pRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = repP(k).localCheckpoint()
+      val t = median3(paretoJob(d))
+      val front = graft.ops.Ops.paretoFront("q", "negc")(d).count()
+      d.unpersist()
+      (k, ndocs * k, front, t)
+    }
+    println("corpus_x,docs,front_rows,pareto_front_sec")
+    pRows.foreach { case (k, d, f, t) => println(f"$k,$d,$f,$t%.2f") }
+    }
     spark.stop()
   }
 }
