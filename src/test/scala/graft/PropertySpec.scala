@@ -165,6 +165,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("luhnValid matches a reference implementation on random digit strings") {
+    // the HOF fold vs a plain-Scala Luhn over 200 pseudo-random digit
+    // strings of every length 0..24 — checksum kernels earn fuzzing
+    def ref(s: String): Boolean = s.nonEmpty && {
+      var t = 0
+      s.reverse.zipWithIndex.foreach { case (c, i) =>
+        var d = c - '0'
+        if (i % 2 == 1) { d *= 2; if (d > 9) d -= 9 }
+        t += d
+      }
+      t % 10 == 0
+    }
+    val gen = Gen.chooseNum(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.numChar).map(_.mkString))
+    val cases = draws(gen, 200).distinct
+    val got = cases.toDF("d")
+      .select(col("d"), graft.ext.TextOps.luhnValid(col("d")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach(s => assert(got(s) === ref(s), s"digits='$s'"))
+  }
+
+  test("paretoFront equals NOT-EXISTS dominance on random clouds at random bucket counts") {
+    val cloudGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0, 9)))
+    draws(cloudGen, 4).zipWithIndex.foreach { case (pts, ci) =>
+      val df = pts.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x.toDouble, y.toDouble) }
+        .toDF("id", "x", "y")
+      val brute = pts.zipWithIndex.collect { case ((x, y), i)
+        if !pts.exists { case (sx, sy) =>
+          sx >= x && sy >= y && (sx > x || sy > y) } => i.toLong }.toSet
+      Seq(1, 5, 64).foreach { b =>
+        val got = Ops.paretoFront("x", "y", buckets = b)(df)
+          .select("id").as[Long].collect().toSet
+        assert(got === brute, s"cloud=$ci buckets=$b")
+      }
+    }
+  }
+
+  test("proportionalAllocate: Σ == total and quota bounds on random weights") {
+    val wGen = Gen.listOfN(12, Gen.chooseNum(0L, 50L))
+    draws(wGen, 6).zipWithIndex.foreach { case (ws, ci) =>
+      val df = ws.zipWithIndex.map { case (w, i) => (s"g$i", w) }
+        .toDF("g", "w")
+      val total = 97L
+      val out = Ops.proportionalAllocate("g", "w", total)(df)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val bigW = ws.sum
+      if (bigW == 0L) assert(out.values.forall(_._2 == 0L), s"case $ci")
+      else {
+        assert(out.values.map(_._2).sum === total, s"case $ci")
+        // Hamilton quota property: every allocation within floor/ceil
+        // of its exact proportional share
+        out.values.foreach { case (w, a) =>
+          val exact = total.toDouble * w / bigW
+          assert(a >= math.floor(exact).toLong &&
+            a <= math.ceil(exact).toLong, s"case $ci w=$w a=$a")
+        }
+      }
+    }
+  }
+
   test("append row count is additive") {
     for (Seq(xs, ys) <- draws(Gen.zip(rowsGen, rowsGen)).map(t => Seq(t._1, t._2))) {
       val a = xs.toDF("k", "v"); val b = ys.toDF("k", "v")
