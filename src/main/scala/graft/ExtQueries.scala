@@ -1648,6 +1648,20 @@ object ExtQueries {
         .select("lang", "doc_id", "quality", "n_chars")
         .orderBy("lang", "doc_id")
     },
+    "pareto_front_3d" -> { (s, dir) =>
+      // the d=3 corpus-selection frontier: quality maximized, length and
+      // (synthetic, oracle-reproducible) dup score minimized — the ask
+      // the 2-D window front cannot answer, via the SFS-fold skyline
+      val q = corpus(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"), col("n_chars"))
+        .withColumn("dup_score", col("doc_id") % 97)
+        .withColumn("__negc", -col("n_chars"))
+        .withColumn("__negd", -col("dup_score"))
+      Ops.paretoFrontNd(Seq("quality", "__negc", "__negd"))(q)
+        .select("doc_id", "quality", "n_chars", "dup_score")
+        .orderBy("doc_id")
+    },
     "label_agreement" -> { (s, dir) =>
       // Cohen's kappa between the stored lang label and the n-gram
       // heuristic's prediction: chance-corrected labeler agreement
@@ -3281,6 +3295,20 @@ object ExtQueries {
           AND s.quality >= r.quality AND s.n_chars <= r.n_chars
           AND (s.quality > r.quality OR s.n_chars < r.n_chars))
       ORDER BY lang, doc_id""",
+    // mirrors Ops.paretoFrontNd on (quality, −n_chars, −dup_score):
+    // textbook 3-way NOT-EXISTS dominance — the bucketed SFS fold must
+    // equal it exactly, ties included
+    "pareto_front_3d" -> s"""
+      WITH q AS (SELECT d.doc_id, qq.quality, d.n_chars,
+          d.doc_id % 97 AS dup_score
+        FROM documents d JOIN ($qualityPerDocSql) qq ON d.doc_id = qq.doc_id)
+      SELECT doc_id, quality, n_chars, dup_score FROM q r
+      WHERE NOT EXISTS (SELECT 1 FROM q s
+        WHERE s.quality >= r.quality AND s.n_chars <= r.n_chars
+          AND s.dup_score <= r.dup_score
+          AND (s.quality > r.quality OR s.n_chars < r.n_chars
+            OR s.dup_score < r.dup_score))
+      ORDER BY doc_id""",
     // mirrors Probes.labelAgreement over (lang, lang_pred): exact-count
     // confusion marginals, HUGEINT pe numerator (decimal(38,0) on the
     // Spark side), the same fixed division dag for po/pe/kappa

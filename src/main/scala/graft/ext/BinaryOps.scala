@@ -147,11 +147,19 @@ object BinaryOps {
     * listing kernel and the oracle's closed form must agree on every
     * field. CRCs are zeroed (listing never reads them). */
   def syntheticZip(nEntries: Column): Column = {
+    // The "0600" name-length field and the 37j + j(j−1)/2 offset closed
+    // form both assume single-digit entry indices ("f9.txt" = 6 bytes);
+    // beyond 10 entries the archive would be silently corrupt. Fail
+    // loudly at build time instead.
+    val n = when(nEntries > 10,
+      raise_error(lit("syntheticZip supports at most 10 entries " +
+        "(single-digit names assumed by the offset closed form)")))
+      .otherwise(nEntries)
     def nameHex(j: Column) =
       hex(concat(lit("f"), j.cast("string"), lit(".txt")))
     def localOff(j: Column) = lit(37) * j + j * (j - 1) / 2
-    val idx = when(nEntries <= 0, array().cast("array<int>"))
-      .otherwise(sequence(lit(0), nEntries - 1))
+    val idx = when(n <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), n - 1))
     val locals = array_join(transform(idx, j => concat(
       lit("504B0304" + "1400" + "0000" + "0000" + "0000" + "0000" +
         "00000000"),
@@ -165,9 +173,9 @@ object BinaryOps {
       le32hex(localOff(j)), nameHex(j))), "")
     unhex(concat(locals, centrals,
       lit("504B0506" + "0000" + "0000"),
-      le16hex(nEntries), le16hex(nEntries),
-      le32hex(nEntries * 52),
-      le32hex(lit(37) * nEntries + nEntries * (nEntries - 1) / 2),
+      le16hex(n), le16hex(n),
+      le32hex(n * 52),
+      le32hex(lit(37) * n + n * (n - 1) / 2),
       lit("0000")))
   }
 

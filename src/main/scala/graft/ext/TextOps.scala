@@ -794,7 +794,10 @@ object TextOps {
       .select(col("__src"),
         least(lit(budgetRows) * (col("__w") / col("__tw")) /
           col("__n").cast("double"), lit(1.0)).as("sample_rate"))
-    df.join(broadcast(rates), col(sourceField) === col("__src"))
+    // NULL-safe join: the counts agg above created a NULL-source group
+    // with its own √-smoothed rate, so NULL-source rows must be SAMPLED
+    // at that rate, not silently dropped by NULL != NULL equi-join.
+    df.join(broadcast(rates), col(sourceField) <=> col("__src"))
       .filter(hashBernoulli(col(idField), col("sample_rate"), salt))
       .drop("__src")
   }

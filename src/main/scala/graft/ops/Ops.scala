@@ -1113,6 +1113,80 @@ object Ops {
     stage(stage(base).withColumn("__b", lit(0))).drop("__b")
   }
 
+  /** N-dimensional Pareto front (skyline) over `fields`, ALL MAXIMIZED
+    * (negate a minimized objective first) — the d ≥ 3 generalization
+    * [[paretoFront]]'s per-x max-y window trick cannot reach (corpus
+    * selection immediately wants quality × token-cost × dup-score).
+    * Same dominance contract: s dominates r iff s ≥ r on every axis and
+    * s > r on at least one; exact ties all survive; NULL objectives and
+    * NULL group values are excluded (they cannot be ordered / would be
+    * dropped by the join back — documented, like the 2-D op).
+    *
+    * Same two-stage distributive skyline (`sky(A∪B) = sky(sky(A) ∪
+    * sky(B))`), but the per-bucket local front is a sort-filter fold
+    * instead of windows: DISTINCT objective tuples per bucket (dupes
+    * live or die together — strict-on-one-axis dominance means equal
+    * tuples never kill each other) collect into one array, sorted
+    * lexicographically DESCENDING across the axes — a topological order
+    * for dominance: any dominator of r is ≥ r on axis 1, and strictly
+    * greater on the first axis where they differ, so it sorts strictly
+    * BEFORE r — then one `aggregate` fold appends each tuple unless an
+    * earlier survivor dominates it (the classic SFS skyline, entirely
+    * inside codegen'd higher-order functions, no UDF). Survivor tuples
+    * equi-join back to carry full payload rows.
+    *
+    * Cost: O(m·|front|) compares per bucket for m distinct tuples —
+    * never all-pairs against the corpus — plus one hash-agg and one
+    * join per stage. The per-bucket array is the memory contract: size
+    * `buckets` so n/buckets fits an executor (hash-random buckets make
+    * sizes uniform; at 100 TB that is a buckets knob, not a redesign).
+    * Stage 2 folds the survivor union — output-bounded: for
+    * independent axes the expected front is O(logᵈ⁻¹ n), and an
+    * adversarial corpus whose true front IS the corpus defeats any
+    * skyline algorithm. `groupCols` = independent front per group. */
+  def paretoFrontNd(
+      fields: Seq[String], buckets: Int = 64,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    require(fields.length >= 2, "need at least two objectives")
+    require(fields.distinct.length == fields.length, "duplicate objectives")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val grp = groupCols.map(col)
+    val objs = fields.map(col)
+    // lexicographic DESC across axes: dominators sort strictly first
+    def cmpDesc(l: Column, r: Column): Column =
+      fields.foldRight(lit(0)) { (f, rest) =>
+        when(l.getField(f) > r.getField(f), lit(-1))
+          .when(l.getField(f) < r.getField(f), lit(1))
+          .otherwise(rest)
+      }
+    def dominates(s: Column, r: Column): Column =
+      fields.map(f => s.getField(f) >= r.getField(f)).reduce(_ && _) &&
+        fields.map(f => s.getField(f) > r.getField(f)).reduce(_ || _)
+    def stage(in: DataFrame): DataFrame = {
+      val keyCols = grp :+ col("__b")
+      val survivors = in
+        .select(keyCols ++ objs: _*).distinct()
+        .groupBy(keyCols: _*)
+        .agg(array_sort(collect_list(struct(objs: _*)),
+          (l, r) => cmpDesc(l, r)).as("__pts"))
+        .withColumn("__front",
+          // functions.aggregate qualified: Ops has its own `aggregate`
+          org.apache.spark.sql.functions.aggregate(col("__pts"),
+            // slice(…, 1, 0): an empty array of exactly the struct type
+            slice(col("__pts"), 1, 0),
+            (acc, p) => when(exists(acc, f => dominates(f, p)), acc)
+              .otherwise(concat(acc, array(p)))))
+        .select(keyCols :+ explode(col("__front")).as("__f"): _*)
+        .select(keyCols ++
+          fields.map(f => col("__f").getField(f).as(f)): _*)
+      in.join(survivors, groupCols ++ Seq("__b") ++ fields)
+    }
+    val base = df
+      .filter((grp ++ objs).map(_.isNotNull).reduce(_ && _))
+      .withColumn("__b", pmod(hash(objs: _*), lit(buckets)))
+    stage(stage(base).withColumn("__b", lit(0))).drop("__b")
+  }
+
   /** Pairwise Pearson correlation matrix from EXPLICIT sufficient
     * statistics — deliberately not the engine's `corr()` (Welford-
     * ordered, never hash-matches cross-engine): per group and field
@@ -1380,8 +1454,10 @@ object Ops {
     * and exactly reproducible cross-engine where an unordered float
     * mean of a group is not. One percentile hash-agg (buffered per
     * group, the documented exact-percentile memory contract) + one
-    * equi-join back (broadcast when the group table is small — AQE's
-    * call); ungrouped mode is a one-row broadcast. */
+    * NULL-SAFE join back (`<=>` per key — an equi-join would silently
+    * DROP rows whose group key is NULL, and an imputation op must be
+    * row-preserving; the NULL-key group imputes from its own median
+    * like any other group); ungrouped mode is a one-row broadcast. */
   def imputeMedian(
       field: String, keys: Seq[String] = Nil,
       outField: String = "")(df: DataFrame): DataFrame = {
@@ -1391,7 +1467,11 @@ object Ops {
       if (keys.isEmpty) {
         df.crossJoin(broadcast(df.agg(med)))
       } else {
-        df.join(df.groupBy(keys.map(col): _*).agg(med), keys)
+        val stats = df.groupBy(keys.map(col): _*).agg(med)
+          .select(keys.map(k => col(k).as(s"__mk_$k")) :+ col("__med"): _*)
+        val cond = keys.map(k => col(k) <=> col(s"__mk_$k")).reduce(_ && _)
+        df.join(stats, cond, "left")
+          .drop(keys.map(k => s"__mk_$k"): _*)
       }
     filled
       .withColumn(out, coalesce(col(field), col("__med")))

@@ -194,7 +194,11 @@ object WindowOps {
       tieBreak: Seq[String] = Nil)(df: DataFrame): DataFrame = {
     val byKey = Window.partitionBy(col(keyField))
       .orderBy((tsField +: tieBreak).map(col(_).asc_nulls_first): _*)
+    // NULL-ts events would sort nulls-first and fabricate transition
+    // pairs at an arbitrary position in the journey — drop them, the
+    // temporal doctrine burstiness/activityProfile already follow.
     val pairs = df
+      .filter(col(tsField).isNotNull)
       .withColumn("__next", lead(col(typeField), 1).over(byKey))
       .filter(col("__next").isNotNull)
       .groupBy(col(typeField).as("from_type"), col("__next").as("to_type"))

@@ -558,7 +558,11 @@ object Probes {
     val perBin = df
       .filter(score.isNotNull && label.isNotNull)
       .select(grp :+
-        least(floor(score * bins).cast("int"), lit(bins - 1)).as("bin") :+
+        // clamp BOTH edges (histogram2d's edge-bin convention): an
+        // out-of-contract score < 0 must land in bin 0, not mint a
+        // negative bin row that silently skews the ECE fold
+        greatest(least(floor(score * bins).cast("int"), lit(bins - 1)),
+          lit(0)).as("bin") :+
         round(score * lit(1e9), 0).cast("long").as("__s9") :+
         when(label, 1L).otherwise(0L).as("__pos"): _*)
       .groupBy(grp :+ col("bin"): _*)

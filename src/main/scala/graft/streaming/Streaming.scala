@@ -473,7 +473,11 @@ object Streaming {
     val base = events
       .filter(score.isNotNull && label.isNotNull)
       .select(col(tsField),
-        least(floor(score * bins).cast("int"), lit(bins - 1)).as("__bin"),
+        // clamp BOTH edges (the batch scoreCalibration convention): an
+        // out-of-contract score < 0 lands in bin 0 rather than falling
+        // outside every per-bin conditional and vanishing from the ECE
+        greatest(least(floor(score * bins).cast("int"), lit(bins - 1)),
+          lit(0)).as("__bin"),
         round(score * lit(1e9), 0).cast("long").as("__s9"),
         when(label, 1L).otherwise(0L).as("__pos"))
     val aggs = (0 until bins).flatMap { b => Seq(

@@ -411,6 +411,18 @@ class BinaryOpsSpec extends SparkSpec {
     // zero entries: a valid empty archive lists as an empty array
     assert(spark.range(1).select(BinaryOps.zipEntries(
       BinaryOps.syntheticZip(lit(0)))).head.getSeq[Any](0).isEmpty)
+    // r13 ADVICE: > 10 entries would silently corrupt the archive (the
+    // "0600" name-length + closed-form offsets assume single-digit
+    // indices) — the builder must fail loudly instead
+    val boom = intercept[Exception] {
+      spark.range(1).select(BinaryOps.syntheticZip(lit(11))).collect()
+    }
+    assert(boom.getMessage.contains("at most 10 entries") ||
+      Option(boom.getCause).exists(_.getMessage.contains("at most 10")))
+    // 10 entries (f0..f9) is still within the single-digit contract
+    assert(spark.range(1).select(explode(BinaryOps.zipEntries(
+      BinaryOps.syntheticZip(lit(10)))).as("e"))
+      .select("e.name").count() === 10L)
     // not a zip / truncated central dir -> NULL, never a throw
     assert(Seq(Tuple1("plainly not a zip".getBytes("UTF-8"))).toDF("b")
       .select(BinaryOps.zipEntries($"b")).head.isNullAt(0))

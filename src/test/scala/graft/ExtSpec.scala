@@ -2023,6 +2023,15 @@ class ExtSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextOps.temperatureMix("doc_id", "source", 0)(df)
     }
+    // r13 ADVICE: NULL-source rows form their own √-smoothed group and
+    // are SAMPLED (null-safe join), never dropped by NULL != NULL
+    val withNull = df.unionByName(
+      (5001 to 5100).map(i => (i.toLong, Option.empty[String]))
+        .toDF("doc_id", "source"))
+    val sampled = TextOps.temperatureMix("doc_id", "source",
+      budgetRows = 10000)(withNull) // budget ≥ corpus ⇒ every rate = 1.0
+    assert(sampled.filter(col("source").isNull).count() === 100L)
+    assert(sampled.count() === withNull.count())
   }
 
   test("rrfFuse: rank-only fusion, one-list items, tie discipline") {

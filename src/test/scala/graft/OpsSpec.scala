@@ -989,6 +989,22 @@ class OpsSpec extends SparkSpec {
     assert(gAll === Set(Some(1.0), Some(5.0), Some(3.0)))
   }
 
+  test("imputeMedian: NULL group keys are row-preserving (null-safe join)") {
+    import spark.implicits._
+    // r13 ADVICE: the old equi-join dropped NULL-key rows outright. They
+    // must survive AND impute from the NULL-key group's own median.
+    val df = Seq(
+      (Option("a"), Some(1.0)), (Option("a"), None),
+      (Option.empty[String], Some(4.0)), (None: Option[String], Some(8.0)),
+      (Option.empty[String], None)
+    ).toDF("k", "v")
+    val out = Ops.imputeMedian("v", keys = Seq("k"))(df)
+    assert(out.count() === 5L) // row-preserving, NULL keys included
+    val nullGroup = out.filter(col("k").isNull)
+      .select("v").as[Option[Double]].collect().toSeq.sortBy(_.get)
+    assert(nullGroup === Seq(Some(4.0), Some(6.0), Some(8.0)))
+  }
+
   test("histogram2d: cell counts, edge clamping, NULL drop, shares sum to 1") {
     import spark.implicits._
     val df = Seq(
@@ -1051,6 +1067,69 @@ class OpsSpec extends SparkSpec {
       val got = Ops.paretoFront("x", "y", buckets = b)(cloud)
         .select("id").as[Long].collect().toSet
       assert(got === brute, s"buckets=$b")
+    }
+  }
+
+  test("paretoFrontNd: 3-D dominance, ties, NULLs, grouped, brute parity") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 5.0, 5.0, 5.0),  // front
+      (2L, 5.0, 5.0, 5.0),  // exact duplicate -> both survive
+      (3L, 5.0, 5.0, 4.0),  // dominated by 1 (equal x,y, smaller z)
+      (4L, 6.0, 1.0, 1.0),  // front (best x)
+      (5L, 1.0, 6.0, 1.0),  // front (best y)
+      (6L, 1.0, 1.0, 6.0),  // dominated by 7 (ties z, loses x and y)
+      (7L, 4.0, 4.0, 6.0),  // front (best z, tied with 6 which it beats)
+      (8L, 0.5, 0.5, 0.5)   // dominated by everything
+    ).toDF("id", "x", "y", "z")
+    val front = Ops.paretoFrontNd(Seq("x", "y", "z"), buckets = 3)(pts)
+      .select("id").as[Long].collect().toSet
+    assert(front === Set(1L, 2L, 4L, 5L, 7L))
+    // a point IN the 3-D front while dominated in the (x,y) projection:
+    // the d-space semantics, not a pairwise-2D shortcut
+    assert(front.contains(7L))
+    // NULL objective rows are excluded, not treated as -inf survivors
+    val withNull = pts.union(Seq((9L, null.asInstanceOf[java.lang.Double],
+      java.lang.Double.valueOf(99.0), java.lang.Double.valueOf(99.0)))
+      .toDF("id", "x", "y", "z"))
+    assert(!Ops.paretoFrontNd(Seq("x", "y", "z"))(withNull)
+      .select("id").as[Long].collect().contains(9L))
+    // grouped form: independent front per group; NULL group excluded
+    val grouped = Seq(
+      ("g1", 1L, 5.0, 5.0, 5.0), ("g1", 2L, 1.0, 1.0, 1.0),
+      ("g2", 3L, 1.0, 1.0, 1.0),
+      (null.asInstanceOf[String], 4L, 9.0, 9.0, 9.0)
+    ).toDF("g", "id", "x", "y", "z")
+    val byGroup = Ops.paretoFrontNd(Seq("x", "y", "z"),
+      groupCols = Seq("g"))(grouped)
+      .select("id").as[Long].collect().toSet
+    assert(byGroup === Set(1L, 3L))
+    // brute-force NOT-EXISTS parity on a deterministic cloud, across
+    // bucket counts (1 = single stage; 128 > row count)
+    val cloud = (1 to 80).map { i =>
+      (i.toLong, (i * 37 % 13).toDouble, (i * 53 % 11).toDouble,
+        (i * 71 % 7).toDouble)
+    }.toDF("id", "x", "y", "z")
+    val brute = cloud.as("r").join(cloud.as("s"),
+        col("s.x") >= col("r.x") && col("s.y") >= col("r.y") &&
+          col("s.z") >= col("r.z") &&
+          (col("s.x") > col("r.x") || col("s.y") > col("r.y") ||
+            col("s.z") > col("r.z")), "left_anti")
+      .select("r.id").as[Long].collect().toSet
+    Seq(1, 7, 128).foreach { b =>
+      val got = Ops.paretoFrontNd(Seq("x", "y", "z"), buckets = b)(cloud)
+        .select("id").as[Long].collect().toSet
+      assert(got === brute, s"buckets=$b")
+    }
+    // d=2 degenerate case agrees with the window-based 2-D operator
+    val c2 = cloud.drop("z")
+    val nd2 = Ops.paretoFrontNd(Seq("x", "y"), buckets = 5)(c2)
+      .select("id").as[Long].collect().toSet
+    val w2 = Ops.paretoFront("x", "y", buckets = 5)(c2)
+      .select("id").as[Long].collect().toSet
+    assert(nd2 === w2)
+    intercept[IllegalArgumentException] {
+      Ops.paretoFrontNd(Seq("x"))(pts)
     }
   }
 }

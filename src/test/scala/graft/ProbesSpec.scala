@@ -405,5 +405,12 @@ class ProbesSpec extends SparkSpec {
     val p = Probes.scoreCalibration(col("s"), col("y"), bins = 2)(perfect)
       .head()
     assert(p.getDouble(5) === 0.0)
+    // r13 ADVICE: an out-of-contract negative score clamps into bin 0
+    // (both-edge clamp) — no negative bin row, and it feeds the ECE
+    val neg = Seq((-0.5, false), (0.9, true)).toDF("s", "y")
+    val nr = Probes.scoreCalibration(col("s"), col("y"), bins = 2)(neg)
+      .collect()
+    assert(nr.map(_.getInt(0)).toSeq === Seq(0, 1)) // no bin -1
+    assert(nr(0).getLong(1) === 1L)
   }
 }

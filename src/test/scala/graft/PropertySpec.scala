@@ -204,6 +204,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("paretoFrontNd d=3 equals NOT-EXISTS dominance on random clouds") {
+    val cloudGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0, 6), Gen.chooseNum(0, 6), Gen.chooseNum(0, 6)))
+    draws(cloudGen, 4).zipWithIndex.foreach { case (pts, ci) =>
+      val df = pts.zipWithIndex
+        .map { case ((x, y, z), i) =>
+          (i.toLong, x.toDouble, y.toDouble, z.toDouble) }
+        .toDF("id", "x", "y", "z")
+      val brute = pts.zipWithIndex.collect { case ((x, y, z), i)
+        if !pts.exists { case (sx, sy, sz) =>
+          sx >= x && sy >= y && sz >= z &&
+            (sx > x || sy > y || sz > z) } => i.toLong }.toSet
+      Seq(1, 5, 64).foreach { b =>
+        val got = Ops.paretoFrontNd(Seq("x", "y", "z"), buckets = b)(df)
+          .select("id").as[Long].collect().toSet
+        assert(got === brute, s"cloud=$ci buckets=$b")
+      }
+    }
+  }
+
   test("proportionalAllocate: Σ == total and quota bounds on random weights") {
     val wGen = Gen.listOfN(12, Gen.chooseNum(0L, 50L))
     draws(wGen, 6).zipWithIndex.foreach { case (ws, ci) =>

@@ -103,6 +103,17 @@ class TemporalSpec extends SparkSpec {
     assert(sums.forall(s => math.abs(s - 1.0) < 1e-12))
     // pairs never cross users: z (u3) and c (u1-final) emit nothing
     assert(!out.exists(t => t._1 == "z" || t._1 == "c"))
+    // r13 ADVICE: a NULL-ts event must NOT fabricate transition pairs
+    // (it used to sort nulls-first and splice into the journey)
+    val withNull = ev.unionByName(Seq(
+      (1L, Option.empty[java.sql.Timestamp], "x", 9L))
+      .toDF("user_id", "ts", "event_type", "event_id"))
+    val out2 = WindowOps.eventTransitions("user_id", "ts", "event_type",
+      tieBreak = Seq("event_id"))(withNull)
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out2 === out.toSeq) // identical matrix — NULL-ts row inert
   }
 
   test("activityProfile: arithmetic dow/hour, shares per key, NULL drop") {
