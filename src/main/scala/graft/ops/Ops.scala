@@ -1364,6 +1364,19 @@ object Ops {
     * on the fixtures). Output columns `<field>_p<pct>`. Exact percentile
     * buffers each group's values — at 100 TB prefer approx_percentile;
     * this is the oracle-comparable form. */
+  /** The percentile-family production knob (the `exactOrder=false`
+    * pattern applied to quantiles): exact interpolating `percentile`
+    * buffers and sorts every group in memory — correct, oracle-exact,
+    * and the right default; `approx = true` routes the same aggregation
+    * through `percentile_approx` (GK sketch, bounded memory per group
+    * regardless of group size — the 100 TB path), trading oracle
+    * exactness for an `accuracy`-controlled rank error (10000 ≈ 0.01%).
+    * Plan shape is IDENTICAL either way — only the aggregate differs. */
+  private def pctlAgg(
+      c: Column, pcts: Column, approx: Boolean, accuracy: Int): Column =
+    if (approx) percentile_approx(c, pcts, lit(accuracy))
+    else percentile(c, pcts)
+
   /** Winsorize: clip `field` into its own group's exact
     * [pLow, pHigh] percentile interval — the outlier treatment that
     * keeps rows (unlike a filter) and bounds their leverage, per group
@@ -1371,15 +1384,16 @@ object Ops {
     * stay NULL (they are not "below the low bound"); a group whose
     * bounds are NULL (all-NULL field) passes values through.
     *
-    * Scale shape: one exact-percentile aggregation per group (the same
-    * per-group sorted buffer [[percentileAgg]] pays — swap mentally to
-    * `percentileApproxAgg` bounds beyond memory, at the cost of oracle
-    * exactness) + one broadcast-friendly equi-join of the tiny bounds
-    * frame back onto the rows. The clip itself is a pure projection. */
+    * Scale shape: one percentile aggregation per group — exact by
+    * default (oracle-comparable), `approx = true` for the bounded-
+    * memory sketch path ([[pctlAgg]], tolerance-spec'd) — + one
+    * broadcast-friendly equi-join of the tiny bounds frame back onto
+    * the rows. The clip itself is a pure projection. */
   def winsorize(
       keys: Seq[String], field: String,
       pLow: Double, pHigh: Double,
-      outField: String = "")(df: DataFrame): DataFrame = {
+      outField: String = "", approx: Boolean = false,
+      accuracy: Int = 10000)(df: DataFrame): DataFrame = {
     require(keys.nonEmpty, "at least one grouping key required")
     require(pLow >= 0 && pHigh <= 1 && pLow <= pHigh,
       s"need 0 <= pLow <= pHigh <= 1, got [$pLow, $pHigh]")
@@ -1387,7 +1401,8 @@ object Ops {
     // ONE percentile buffer per group (array form): two scalar
     // percentile aggregates would each buffer and sort the group
     val bounds = df.groupBy(keys.map(col): _*)
-      .agg(percentile(col(field), array(lit(pLow), lit(pHigh))).as("__b"))
+      .agg(pctlAgg(col(field), array(lit(pLow), lit(pHigh)),
+        approx, accuracy).as("__b"))
       .select((keys.map(col) :+ element_at(col("__b"), 1).as("__lo") :+
         element_at(col("__b"), 2).as("__hi")): _*)
     df.join(bounds, keys)
@@ -1457,12 +1472,15 @@ object Ops {
     * NULL-SAFE join back (`<=>` per key — an equi-join would silently
     * DROP rows whose group key is NULL, and an imputation op must be
     * row-preserving; the NULL-key group imputes from its own median
-    * like any other group); ungrouped mode is a one-row broadcast. */
+    * like any other group); ungrouped mode is a one-row broadcast.
+    * `approx = true` swaps in the bounded-memory sketch median
+    * ([[pctlAgg]]) — the production knob for beyond-memory groups. */
   def imputeMedian(
       field: String, keys: Seq[String] = Nil,
-      outField: String = "")(df: DataFrame): DataFrame = {
+      outField: String = "", approx: Boolean = false,
+      accuracy: Int = 10000)(df: DataFrame): DataFrame = {
     val out = if (outField.isEmpty) field else outField
-    val med = percentile(col(field), lit(0.5)).as("__med")
+    val med = pctlAgg(col(field), lit(0.5), approx, accuracy).as("__med")
     val filled =
       if (keys.isEmpty) {
         df.crossJoin(broadcast(df.agg(med)))
@@ -1541,23 +1559,25 @@ object Ops {
     * normality), a shared literal in both engines. Zero-MAD groups
     * (≥ half the group on one value) emit 0.0; NULLs stay NULL.
     *
-    * Shape: two exact-percentile aggregations (median, then MAD over
-    * the deviations) + two broadcast-sized stats joins — double the
-    * [[winsorize]] machinery, the honest price of robustness; swap
-    * both percentiles for `approx_percentile` beyond per-group memory
-    * bounds. Exact cross-engine for any doubles: medians interpolate
-    * identically (the `quantile_cont` precedent), the rest is a pinned
-    * IEEE op chain. */
+    * Shape: two percentile aggregations (median, then MAD over the
+    * deviations) + two broadcast-sized stats joins — double the
+    * [[winsorize]] machinery, the honest price of robustness;
+    * `approx = true` swaps BOTH percentiles for the bounded-memory
+    * sketch ([[pctlAgg]]) beyond per-group memory bounds. Exact mode is
+    * cross-engine for any doubles: medians interpolate identically (the
+    * `quantile_cont` precedent), the rest is a pinned IEEE op chain. */
   def robustZScore(
-      keys: Seq[String], field: String, target: String = "")(
+      keys: Seq[String], field: String, target: String = "",
+      approx: Boolean = false, accuracy: Int = 10000)(
       df: DataFrame): DataFrame = {
     require(keys.nonEmpty, "at least one grouping key required")
     val out = if (target.isEmpty) s"${field}_rz" else target
     val med = df.groupBy(keys.map(col): _*)
-      .agg(percentile(col(field), lit(0.5)).as("__med"))
+      .agg(pctlAgg(col(field), lit(0.5), approx, accuracy).as("__med"))
     val withMed = df.join(med, keys)
     val mad = withMed.groupBy(keys.map(col): _*)
-      .agg(percentile(abs(col(field) - col("__med")), lit(0.5)).as("__mad"))
+      .agg(pctlAgg(abs(col(field) - col("__med")), lit(0.5),
+        approx, accuracy).as("__mad"))
     withMed.join(mad, keys)
       .withColumn(out,
         when(col(field).isNull, lit(null))
@@ -1603,17 +1623,20 @@ object Ops {
     * never sorts globally (no ntile: a global window would
     * single-partition 100 TB; the cutpoint form is the distributed
     * equivalent, exact for the same input). Beyond-memory groups:
-    * swap the exact percentile for `approx_percentile` — the plan
-    * shape is unchanged but bins become approximate. */
+    * `approx = true` swaps the exact percentile for the bounded-memory
+    * sketch ([[pctlAgg]]) — the plan shape is unchanged but cutpoints
+    * (hence bins near them) become approximate. */
   def equalFreqBins(
       keys: Seq[String], field: String, bins: Int,
-      target: String = "")(df: DataFrame): DataFrame = {
+      target: String = "", approx: Boolean = false,
+      accuracy: Int = 10000)(df: DataFrame): DataFrame = {
     require(keys.nonEmpty, "at least one grouping key required")
     require(bins >= 2, s"need at least 2 bins, got $bins")
     val out = if (target.isEmpty) s"${field}_bin" else target
     val cuts = (1 until bins).map(_.toDouble / bins)
     val cutTab = df.groupBy(keys.map(col): _*)
-      .agg(percentile(col(field), array(cuts.map(lit): _*)).as("__cuts"))
+      .agg(pctlAgg(col(field), array(cuts.map(lit): _*),
+        approx, accuracy).as("__cuts"))
     df.join(cutTab, keys)
       .withColumn(out,
         when(col(field).isNull, lit(null))

@@ -1070,6 +1070,51 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("approx=true percentile knob tracks exact mode within tolerance " +
+    "(winsorize, equalFreqBins, robustZScore, imputeMedian)") {
+    import spark.implicits._
+    // two groups × 2000 values = a permutation of 1..2000 (gcd(7,2000)=1
+    // makes i*7 mod 2000 a bijection): adjacent-value gap is exactly 1,
+    // so at accuracy=10000 (rank error << 1 row) the sketch's
+    // pick-an-element answer can differ from the exact interpolating
+    // percentile by AT MOST one value step
+    val df = (1 to 2000).flatMap { i =>
+      val v = (i * 7 % 2000 + 1).toDouble
+      Seq(("a", Option(v)), ("b", Option(v + 0.5)))
+    }.toDF("g", "v")
+    // winsorize: clipped outputs within one value step everywhere
+    val wJoin = Ops.winsorize(Seq("g"), "v", 0.05, 0.95)(df)
+      .withColumnRenamed("v_w", "exact")
+      .join(Ops.winsorize(Seq("g"), "v", 0.05, 0.95, approx = true)(df)
+        .withColumnRenamed("v_w", "appr"), Seq("g", "v"))
+    assert(wJoin.filter(abs(col("exact") - col("appr")) > 1.0).count() === 0L)
+    // equalFreqBins: ≥ 99% of rows keep their exact bin; never off by > 1
+    val bJoin = Ops.equalFreqBins(Seq("g"), "v", bins = 10)(df)
+      .withColumnRenamed("v_bin", "exact")
+      .join(Ops.equalFreqBins(Seq("g"), "v", bins = 10,
+        approx = true)(df).withColumnRenamed("v_bin", "appr"), Seq("g", "v"))
+    assert(bJoin.filter(abs(col("exact") - col("appr")) > 1L).count() === 0L)
+    assert(bJoin.filter(col("exact") =!= col("appr")).count() <= 40L)
+    // robustZScore: med/MAD each move ≤ 1 value step (MAD ≈ 500), so
+    // |Δrz| stays far under 0.05
+    val rJoin = Ops.robustZScore(Seq("g"), "v")(df)
+      .withColumnRenamed("v_rz", "exact")
+      .join(Ops.robustZScore(Seq("g"), "v", approx = true)(df)
+        .withColumnRenamed("v_rz", "appr"), Seq("g", "v"))
+    assert(rJoin.filter(abs(col("exact") - col("appr")) > 0.05).count() === 0L)
+    // imputeMedian: the filled value is within one value step
+    val withNulls = df.unionByName(Seq(("a", Option.empty[Double]),
+      ("b", Option.empty[Double])).toDF("g", "v"))
+    def filled(approx: Boolean): Map[String, Double] =
+      Ops.imputeMedian("v", keys = Seq("g"), outField = "vf",
+        approx = approx)(withNulls)
+        .filter(col("v").isNull).select("g", "vf")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val fe = filled(false); val fa = filled(true)
+    assert(fe.keySet === fa.keySet)
+    fe.foreach { case (g, v) => assert(math.abs(v - fa(g)) <= 1.0, g) }
+  }
+
   test("paretoFrontNd: 3-D dominance, ties, NULLs, grouped, brute parity") {
     import spark.implicits._
     val pts = Seq(
