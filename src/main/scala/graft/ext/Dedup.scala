@@ -185,12 +185,25 @@ object Dedup {
     * Write these rows to the index table after ingesting a corpus, and
     * after each [[incrementalNearDup]] batch append the SURVIVORS' rows
     * (this same function on the surviving batch) so the next batch
-    * dedupes against history ∪ everything kept so far. */
+    * dedupes against history ∪ everything kept so far.
+    *
+    * `useOph = true` builds the signatures with one-permutation hashing
+    * ([[minhashSignatureOph]]: O(shingles + k) digests instead of the
+    * classic O(shingles·k/4)) — the affordability argument that makes
+    * k = 128 signatures viable now reaches the persisted-index path,
+    * not just the batch pair op. The index and EVERY batch deduped
+    * against it must use the same family: classic and OPH signatures
+    * of the same text are different arrays, and mixing them silently
+    * zeroes the match estimator. */
   def minhashIndexRows(
       idField: String, textField: String,
-      numHashes: Int = 8, shingleSize: Int = 3)(df: DataFrame): DataFrame =
-    df.select(col(idField).as("id"),
-      minhashSignature(col(textField), numHashes, shingleSize).as("sig"))
+      numHashes: Int = 8, shingleSize: Int = 3,
+      useOph: Boolean = false)(df: DataFrame): DataFrame = {
+    val sig =
+      if (useOph) minhashSignatureOph(col(textField), numHashes, shingleSize)
+      else minhashSignature(col(textField), numHashes, shingleSize)
+    df.select(col(idField).as("id"), sig.as("sig"))
+  }
 
   /** Incremental NEAR-dup dedup against a persisted signature index —
     * the missing half of the incremental story: a recurring crawl must
@@ -221,11 +234,16 @@ object Dedup {
     * join signatures (8 longs), not text; and the index side is one
     * scan of a stored table per batch. Shingle-free docs carry the
     * sentinel signature and estimate 1.0 against each other — cap and
-    * threshold behavior identical to the live-corpus LSH ops. */
+    * threshold behavior identical to the live-corpus LSH ops.
+    * `useOph = true` computes the BATCH signatures with one-permutation
+    * hashing (O(shingles + k) — the 100 TB ingest path; pass the same
+    * flag to [[minhashIndexRows]] when building/appending the index:
+    * the two families must never mix within one index). */
   def incrementalNearDup(
       idField: String, textField: String, index: DataFrame,
       threshold: Double, numHashes: Int = 8, bands: Int = 4,
-      shingleSize: Int = 3, maxBucket: Int = 64)(batch: DataFrame): DataFrame = {
+      shingleSize: Int = 3, maxBucket: Int = 64,
+      useOph: Boolean = false)(batch: DataFrame): DataFrame = {
     require(index.columns.length == 2,
       s"index must be (id, signature) rows, got ${index.columns.mkString(", ")}")
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -233,8 +251,11 @@ object Dedup {
       s"threshold must be in (0, 1], got $threshold")
     val idxSigs = index.select(col(index.columns(0)).as("__id"),
       col(index.columns(1)).as("__sig"))
+    val batchSig =
+      if (useOph) minhashSignatureOph(col(textField), numHashes, shingleSize)
+      else minhashSignature(col(textField), numHashes, shingleSize)
     val batchSigs = batch.select(col(idField).as("__id"),
-      minhashSignature(col(textField), numHashes, shingleSize).as("__sig"))
+      batchSig.as("__sig"))
       .localCheckpoint()
     def est(sa: Column, sb: Column): Column =
       size(filter(zip_with(sa, sb, (x, y) => x === y), m => m))

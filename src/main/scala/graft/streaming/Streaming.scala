@@ -612,7 +612,8 @@ object Streaming {
       watermarkDelay: String = "1 hour",
       numHashes: Int = 8,
       bands: Int = 4,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      useOph: Boolean = false): DataFrame = {
     require(index.columns.length == 2,
       s"index must be (id, signature) rows, got ${index.columns.mkString(", ")}")
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -621,8 +622,15 @@ object Streaming {
       index.select(col(index.columns(0)).as("__id"),
         col(index.columns(1)).as("__sig")),
       numHashes, bands)
-    var out = stream.withColumn("__sig",
-      graft.ext.Dedup.minhashSignature(col(textField), numHashes, shingleSize))
+    // useOph must match the family the index was built with
+    // (Dedup.minhashIndexRows(useOph = …)) — mixing families silently
+    // never collides and the gate stops dropping anything
+    val streamSig =
+      if (useOph) graft.ext.Dedup.minhashSignatureOph(
+        col(textField), numHashes, shingleSize)
+      else graft.ext.Dedup.minhashSignature(
+        col(textField), numHashes, shingleSize)
+    var out = stream.withColumn("__sig", streamSig)
     (0 until bands).foreach { b =>
       out = out
         .withColumn(s"__bk$b",

@@ -400,6 +400,48 @@ class DedupSpec extends SparkSpec {
         batch1, threshold = 0.9)(batch2))
   }
 
+  test("incrementalNearDup useOph=true: OPH index leg matches classic at equal band geometry") {
+    // r13 verdict #3: the O(shingles + k) OPH kernel now reaches the
+    // persisted-index path. Parity contract on a fixture-style corpus:
+    // identical survivor sets, classic vs OPH, across BOTH legs (index
+    // and in-batch), at the same numHashes/bands — different signature
+    // families, same dedup decisions on clear duplicates/non-duplicates
+    val docs = (0 until 30).map { i =>
+      // ten distinct texts, each appearing three times (ids i, i+30, i+60
+      // spread across index/batch), long enough to shingle at k = 32
+      val t = (0 until 12).map(w => s"tok${i % 10}_$w").mkString(" ")
+      (i.toLong, t)
+    }
+    val history = docs.take(10).toDF("doc_id", "text") // one of each text
+    val batch = (docs.drop(10) ++ Seq(
+      (90L, "entirely fresh unseen words never indexed before now one"),
+      (91L, "another brand new document with disjoint vocabulary tokens")))
+      .toDF("doc_id", "text")
+    def run(useOph: Boolean): Set[Long] = {
+      val idx = Dedup.minhashIndexRows("doc_id", "text",
+        numHashes = 32, useOph = useOph)(history)
+      Dedup.incrementalNearDup("doc_id", "text", idx,
+        threshold = 0.9, numHashes = 32, bands = 8,
+        useOph = useOph)(batch)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val classic = run(useOph = false)
+    val oph = run(useOph = true)
+    // every re-crawled text drops (both legs fire), both fresh docs stay
+    assert(classic === Set(90L, 91L))
+    assert(oph === classic)
+    // streaming form accepts the same knob and gates against an OPH
+    // index: exercised in StreamingSpec; here pin that the OPH index
+    // rows are genuinely OPH (differ from classic on the same text)
+    val sigC = Dedup.minhashIndexRows("doc_id", "text",
+      numHashes = 32)(history).filter(col("id") === 0L)
+      .select("sig").as[Seq[Long]].head()
+    val sigO = Dedup.minhashIndexRows("doc_id", "text",
+      numHashes = 32, useOph = true)(history).filter(col("id") === 0L)
+      .select("sig").as[Seq[Long]].head()
+    assert(sigC !== sigO)
+  }
+
   test("incrementalEmbeddingDedup dedupes each batch against the int8 index ∪ in-batch and appends survivors") {
     val rnd = new scala.util.Random(5)
     def vec(): Array[Float] = Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f)

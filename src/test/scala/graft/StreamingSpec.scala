@@ -448,6 +448,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIncrementalNearDup useOph=true gates against an OPH-family index") {
+    // same scenario as the classic test, but index AND stream signatures
+    // are one-permutation hashing — the families must match end to end
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog wakes up to chase the fox across the field of tall grass"
+    val near = base.replace("tall", "short")
+    val index = graft.ext.Dedup.minhashIndexRows("doc_id", "text",
+      useOph = true)(Seq((100L, base)).toDF("doc_id", "text"))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = Streaming.streamingIncrementalNearDup(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      textField = "text", index = index, watermarkDelay = "10 minutes",
+      useOph = true)
+    val q = out.writeStream.format("memory").queryName("sindo")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("10:00"), 1L, near),                 // near-dup of the index
+        (ts("10:01"), 2L, "totally new words here nothing shared at all"),
+        (ts("10:02"), 3L, "totally new words here nothing shared at all"),
+        (ts("10:03"), 4L, "other novel content with its own vocabulary"))
+      q.processAllAvailable()
+      assert(spark.table("sindo").select("doc_id").as[Long].collect().sorted
+        .toSeq == Seq(2L, 4L))
+    } finally q.stop()
+  }
+
   test("streamingIncrementalPerceptualDedup verifies exactly vs the index and drops hash repeats") {
     import graft.ext.BinaryOps
     import org.apache.spark.sql.functions._
