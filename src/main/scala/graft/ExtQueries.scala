@@ -1648,6 +1648,57 @@ object ExtQueries {
         .select("lang", "doc_id", "quality", "n_chars")
         .orderBy("lang", "doc_id")
     },
+    "pipeline_flagship" -> { (s, dir) =>
+      // the end-to-end composition the README promises, through the EP1
+      // Pipeline façade: htmlExtract → NFC normalize → gopher gate →
+      // corpus line dedup → incremental fingerprint dedup vs a crawl-N
+      // index → temperature mix → sequence packing. Every stage is
+      // individually oracle-pinned; THIS row pins the seams (schema
+      // handoffs, NULL discipline, id/meta survival across stages).
+      // Fixture plumbing: docs < 50 re-crawl under new crawl ids with
+      // the same page id (same HTML wrap, same content) so the
+      // fingerprint-index leg has real duplicates to drop; 8-word line
+      // framing as in line_dedup.
+      import graft.pipeline.Pipeline
+      val docs = corpus(s, dir, "documents")
+      val raw = docs.select(col("doc_id"), col("lang"), col("source"),
+          col("text"), col("doc_id").as("page_id"))
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"), col("lang"),
+            col("source"), col("text"), col("doc_id").as("page_id")))
+      val cleaned = Pipeline(raw
+          .select(col("doc_id"), col("lang"), col("source"),
+            syntheticHtml(col("page_id"), col("text")).as("text")))
+        .htmlExtract("text")
+        .derive("text", TextOps.normalizeText(col("text")))
+        .result
+      val passing = TextOps.gopherRules("doc_id", "text")(cleaned)
+        .filter(col("passes_gopher") === 1).select("doc_id")
+      val toks = split(coalesce(col("text"), lit("")), " ")
+      val lined = Pipeline(cleaned).semiJoin(passing, Seq("doc_id")).result
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_join(transform(
+            sequence(lit(0), ceil(size(toks) / lit(8.0)).cast("int") - 1),
+            b => array_join(slice(toks, b * lit(8) + 1, lit(8)), " ")),
+            "\n").as("text"))
+      val deduped = Pipeline(lined)
+        .dedupLines("doc_id", "text", minCount = 2).result
+        .join(lined.select("doc_id", "lang", "source"), Seq("doc_id"))
+      val seen = deduped.filter(col("doc_id") < 250)
+        .select(TextOps.fingerprint(col("clean_text")).as("f")).distinct()
+      Pipeline(deduped.filter(col("doc_id") >= 250))
+        .dedupIncremental("clean_text", "doc_id", seen)
+        .temperatureMix("doc_id", "source", budgetRows = 120)
+        .derive("n_tokens",
+          size(split(translate(col("clean_text"), "\n", " "), " "))
+            .cast("long"))
+        .packSequences("n_tokens", budget = 2048, shardField = "lang",
+          orderBy = Seq("doc_id"))
+        .result
+        .select("doc_id", "lang", "source", "n_lines", "n_removed",
+          "n_tokens", "bin")
+        .orderBy("doc_id")
+    },
     "pareto_front_3d" -> { (s, dir) =>
       // the d=3 corpus-selection frontier: quality maximized, length and
       // (synthetic, oracle-reproducible) dup score minimized — the ask
@@ -3295,6 +3346,118 @@ object ExtQueries {
           AND s.quality >= r.quality AND s.n_chars <= r.n_chars
           AND (s.quality > r.quality OR s.n_chars < r.n_chars))
       ORDER BY lang, doc_id""",
+    // mirrors the full Pipeline flagship chain stage for stage: the
+    // html_extract regex chain (page_id wrap), nfc_normalize, the
+    // gopher_rules battery as a WHERE gate, the line_dedup corpus
+    // pass, the incremental_dedup NOT-IN + min-id election, the
+    // temperature_mix √-smoothing + md5 Bernoulli, and the
+    // pack_sequences cumulative window — each leg copied from its own
+    // green oracle, composed through shared CTEs
+    "pipeline_flagship" -> s"""
+      WITH raw AS (
+        SELECT doc_id, lang, source, text, doc_id AS page_id
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, lang, source, text,
+          doc_id AS page_id
+        FROM documents WHERE doc_id < 50),
+      h AS (SELECT doc_id, lang, source,
+          ${syntheticHtmlSql.replace("doc_id", "page_id")} AS html
+        FROM raw),
+      e1 AS (SELECT doc_id, lang, source,
+          regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
+      e2 AS (SELECT doc_id, lang, source, regexp_replace(t,
+          '(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g') AS t FROM e1),
+      e3 AS (SELECT doc_id, lang, source, regexp_replace(t,
+          '(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g') AS t FROM e2),
+      e4 AS (SELECT doc_id, lang, source,
+          regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM e3),
+      e5 AS (SELECT doc_id, lang, source,
+          replace(replace(replace(replace(replace(replace(replace(t,
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS t FROM e4),
+      ext AS (SELECT doc_id, lang, source,
+          nfc_normalize(trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')))
+            AS text
+        FROM e5),
+      gt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM ext),
+      gm AS (SELECT doc_id,
+          CAST(len(ts) AS BIGINT) AS n_tokens,
+          CASE WHEN len(ts) = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(CAST(list_sum(list_transform(ts,
+                      w -> length(w))) AS BIGINT) AS DOUBLE) / len(ts)
+          END AS mean_word_len,
+          CASE WHEN len(ts) = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(len(list_filter(ts,
+                      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                    / len(ts) END AS alpha_frac,
+          CAST(len(list_intersect(list_distinct(ts),
+            ['the','a','of','and','to','in','is'])) AS BIGINT)
+            AS stop_hits,
+          CASE WHEN len(ts) = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(len(ts) - len(list_distinct(ts)) AS DOUBLE)
+                    / len(ts) END AS dup_frac
+        FROM gt),
+      gp AS (SELECT doc_id FROM gm
+        WHERE n_tokens >= 50 AND n_tokens <= 100000
+          AND mean_word_len >= CAST(3 AS DOUBLE)
+          AND mean_word_len <= CAST(10 AS DOUBLE)
+          AND alpha_frac >= 8e-1 AND stop_hits >= 2
+          AND dup_frac <= 9e-1),
+      d AS (SELECT e.doc_id, e.lang, e.source,
+          string_split(coalesce(e.text, ''), ' ') AS t
+        FROM ext e JOIN gp ON e.doc_id = gp.doc_id),
+      l AS (SELECT doc_id, CAST(b AS BIGINT) AS lp,
+              array_to_string(
+                t[CAST(b*8+1 AS INT):CAST(b*8+8 AS INT)], ' ') AS line
+            FROM d, unnest(range(0, CAST(ceil(len(t)/8e0) AS INT))) AS u(b)),
+      hv AS (SELECT line FROM l WHERE trim(line) <> ''
+            GROUP BY line HAVING count(*) >= 2),
+      k AS (SELECT l.doc_id, l.lp, l.line, hv.line IS NOT NULL AS heavy
+            FROM l LEFT JOIN hv ON l.line = hv.line),
+      cln AS (SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_lines,
+          CAST(coalesce(sum(CASE WHEN heavy THEN 1 END), 0) AS BIGINT)
+            AS n_removed,
+          coalesce(array_to_string(
+            list(line ORDER BY lp) FILTER (WHERE NOT heavy), chr(10)), '')
+            AS clean_text
+        FROM k GROUP BY doc_id),
+      cm AS (SELECT c.doc_id, d.lang, d.source, c.n_lines, c.n_removed,
+          c.clean_text,
+          md5(regexp_replace(lower(trim(c.clean_text)), ' +', ' ', 'g'))
+            AS f
+        FROM cln c JOIN d ON c.doc_id = d.doc_id),
+      fresh AS (SELECT * FROM cm WHERE doc_id >= 250
+          AND f NOT IN (SELECT f FROM cm WHERE doc_id < 250)),
+      surv AS (SELECT * FROM fresh
+        QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1),
+      per AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM surv GROUP BY source),
+      w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM per),
+      tw AS (SELECT list_reduce(
+          list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY source)),
+          (a, x) -> a + x) AS tw FROM w),
+      r AS (SELECT source AS src,
+          least(120 * (w / tw) / CAST(n AS DOUBLE),
+            CAST(1 AS DOUBLE)) AS p
+        FROM w, tw),
+      samp AS (SELECT s.* FROM surv s JOIN r ON s.source = r.src
+        WHERE CAST(list_sum(list_transform(range(1, 9), j ->
+            (strpos('0123456789abcdef',
+               substr(md5('temp' || CAST(s.doc_id AS VARCHAR)), j, 1)) - 1)
+            * CAST(16**(8-j) AS BIGINT))) AS DOUBLE)
+          < p * CAST(4294967296 AS DOUBLE)),
+      tok AS (SELECT doc_id, lang, source, n_lines, n_removed,
+          CAST(len(string_split(replace(clean_text, chr(10), ' '), ' '))
+            AS BIGINT) AS n_tokens
+        FROM samp)
+      SELECT doc_id, lang, source, n_lines, n_removed, n_tokens,
+        CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+            ORDER BY doc_id ASC NULLS FIRST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens) / 2048) AS BIGINT) AS bin
+      FROM tok ORDER BY doc_id""",
     // mirrors Ops.paretoFrontNd on (quality, −n_chars, −dup_score):
     // textbook 3-way NOT-EXISTS dominance — the bucketed SFS fold must
     // equal it exactly, ties included

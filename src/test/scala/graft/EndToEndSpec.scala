@@ -727,4 +727,70 @@ class EndToEndSpec extends SparkSpec {
       bucketTokens = 8, batchTokens = 128)(rekeyed)
     assert(batched.exceptAll(rerun).count() === 0)
   }
+
+  test("flagship façade chain: extract -> normalize -> gopher gate -> line dedup -> incremental dedup -> mix -> pack") {
+    // the EP1 Pipeline form of the pipeline_flagship oracle row — the
+    // seams (schema handoffs, meta survival, stage liveness) pinned
+    // against the same fixture at sf0.001
+    import graft.pipeline.Pipeline
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "source", "text")
+    // re-crawl the first 10 pages under new crawl ids: same content
+    val raw = docs.withColumn("page_id", col("doc_id"))
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100000).as("doc_id"), col("lang"),
+          col("source"), col("text"), col("doc_id").as("page_id")))
+    val wrapped = raw.select(col("doc_id"), col("lang"), col("source"),
+      concat(lit("<html><body><!-- c --><p>"), col("text"),
+        lit("</p><nav>HOME | ABOUT</nav></body></html>")).as("text"))
+    val cleaned = Pipeline(wrapped)
+      .htmlExtract("text")
+      .derive("text", TextOps.normalizeText(col("text")))
+      .result
+    // extraction really ran: no tags/comments survive, markup gone
+    assert(cleaned.filter(col("text").contains("<")).count() === 0)
+    val passing = TextOps.gopherRules("doc_id", "text")(cleaned)
+      .filter(col("passes_gopher") === 1).select("doc_id")
+    val nPass = passing.count()
+    assert(nPass > 0 && nPass < raw.count()) // the gate is LIVE
+    val toks = split(coalesce(col("text"), lit("")), " ")
+    val lined = Pipeline(cleaned).semiJoin(passing, Seq("doc_id")).result
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_join(transform(
+          sequence(lit(0), ceil(size(toks) / lit(8.0)).cast("int") - 1),
+          b => array_join(slice(toks, b * lit(8) + 1, lit(8)), " ")),
+          "\n").as("text"))
+    val deduped = Pipeline(lined)
+      .dedupLines("doc_id", "text", minCount = 2).result
+      .join(lined.select("doc_id", "lang", "source"), Seq("doc_id"))
+    assert(deduped.count() === nPass) // line pass is row-preserving
+    assert(deduped.agg(sum("n_removed")).head.getLong(0) > 0L) // and live
+    // incremental fingerprint dedup: originals are crawl-N history
+    val seen = deduped.filter(col("doc_id") < 100000)
+      .select(TextOps.fingerprint(col("clean_text")).as("f")).distinct()
+    val batch = deduped.filter(col("doc_id") >= 100000)
+    val nBatch = batch.count()
+    val fresh = Pipeline(batch)
+      .dedupIncremental("clean_text", "doc_id", seen).result
+    // every re-crawl's cleaned text already sits in the index — all drop
+    assert(nBatch > 0L && fresh.count() === 0L)
+    // mix + pack run over the history survivors end to end
+    val packed = Pipeline(deduped.filter(col("doc_id") < 100000))
+      .temperatureMix("doc_id", "source", budgetRows = 30)
+      .derive("n_tokens",
+        size(split(translate(col("clean_text"), "\n", " "), " "))
+          .cast("long"))
+      .packSequences("n_tokens", budget = 256, shardField = "lang",
+        orderBy = Seq("doc_id"))
+      .result
+    assert(packed.count() > 0L)
+    assert(packed.columns.contains("bin") &&
+      packed.columns.contains("sample_rate"))
+    // bins respect the budget minus each row's own contribution
+    val over = packed.groupBy("lang", "bin")
+      .agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
+      .filter(col("t") - col("m") >= 256).count()
+    assert(over === 0L)
+  }
 }

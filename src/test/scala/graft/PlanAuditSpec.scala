@@ -39,6 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     "mix_report",        // broadcast one-row corpus token total
     "downsample_mix",    // same one-row total inside its mixReport
     "temperature_mix",   // broadcast one-row Σ√n fold
+    "pipeline_flagship", // same one-row Σ√n fold inside its mix stage
     "similarity_ivf",    // broadcast centroid ranking (id < nCentroids)
     "similarity_ivf_pq", // broadcast coarse cells + one-row codebook array + query LUTs
     "similarity_ivf_pq_res", // same legs, residual-encoded codes
