@@ -949,6 +949,124 @@ object ScaleBench {
     println("corpus_x,docs,front_rows,pareto_front_sec")
     pRows.foreach { case (k, d, f, t) => println(f"$k,$d,$f,$t%.2f") }
     }
+
+    phase("r14") {
+    // Round-14 heavyweights. (1) lshRecallEval: the eval's exact-truth
+    // side is quadratic BY DESIGN in its input — the documented
+    // contract is that you run it on a bounded SAMPLE, so the curve
+    // that matters is eval time vs CORPUS size at a fixed sample:
+    // must stay FLAT (the corpus never enters the job). The second
+    // grid doubles the SAMPLE at a fixed corpus and prints the
+    // truth-pair count alongside — the quadratic bound made visible
+    // and priced, not hidden. (2) lateInteractionTopK: broadcast-query
+    // MaxSim scan — linear in the corpus at fixed queries, linear in
+    // the query count at fixed corpus (each query adds one broadcast
+    // column of work per corpus row). (3) paretoFrontNd: duplicates
+    // never dominate, so replication grows front and mass together —
+    // the SFS-fold skyline must track the corpus linearly like the
+    // 2-D windows cell above it.
+    import graft.ext.{Dedup, Similarity, TextOps}
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val ndA = docsAll.count()
+    def repA(k: Int): DataFrame =
+      (0 until k).map(i => docsAll.select(
+        (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        col("text")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def evalJob(d: DataFrame, sample: Int): Unit =
+      Dedup.lshRecallEval("doc_id", "text", threshold = 0.2,
+        configs = Seq((8, 2), (8, 4), (16, 8)))(
+        d.filter(col("doc_id") < sample))
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = repA(1).localCheckpoint()
+      evalJob(d1, 400); d1.unpersist() }
+    val evRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = repA(k).localCheckpoint()
+      val t = median3(evalJob(d, 400))
+      d.unpersist()
+      (k, ndA * k, t)
+    }
+    println("corpus_x,docs,dedup_eval_sample400_sec")
+    evRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    // sample-growth grid at fixed corpus: truth pairs ~quadruple per
+    // doubling (the honest quadratic), wall bounded by the hot-shingle
+    // cap inside the truth join
+    val d1 = repA(1).localCheckpoint()
+    val evSampleRows = for (s <- Seq(200, 400, 800)) yield {
+      val t = median3(evalJob(d1, s))
+      val pairs = Dedup.lshRecallEval("doc_id", "text", threshold = 0.2,
+        configs = Seq((8, 4)))(d1.filter(col("doc_id") < s))
+        .agg(coalesce(max("truth_pairs"), lit(0L))).head.getLong(0)
+      (s, pairs, t)
+    }
+    d1.unpersist()
+    println("sample_docs,truth_pairs,dedup_eval_sec")
+    evSampleRows.foreach { case (s, p, t) => println(f"$s,$p,$t%.2f") }
+    // late interaction: 64-d fixture vectors reinterpreted as 8 token
+    // vectors of dim 8, exactly like the oracle row
+    val embL = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(sequence(lit(0), lit(7)),
+        t => slice(col("embedding"), t * 8 + 1, lit(8))).as("tok_vecs"))
+    val nvL = embL.count()
+    def repV(k: Int): DataFrame =
+      (0 until k).map(i => embL.select(
+        (col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+        col("tok_vecs")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def lateJob(corpus: DataFrame, nQ: Int): Unit =
+      Similarity.lateInteractionTopK(
+        corpus = corpus, corpusId = "vec_id", corpusVecs = "tok_vecs",
+        queries = embL.filter(col("vec_id") < nQ), queryId = "vec_id",
+        queryVecs = "tok_vecs", k = 3)
+        .write.mode("overwrite").format("noop").save()
+    locally { val v1 = repV(1).localCheckpoint(); lateJob(v1, 5)
+      v1.unpersist() }
+    val liRows = for (k <- Seq(1, 2, 4)) yield {
+      val v = repV(k).localCheckpoint()
+      val t = median3(lateJob(v, 5))
+      v.unpersist()
+      (k, nvL * k, t)
+    }
+    println("corpus_x,vecs,late_interaction_q5_sec")
+    liRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    val v1 = repV(1).localCheckpoint()
+    val liQRows = for (q <- Seq(5, 10, 20)) yield (q, median3(lateJob(v1, q)))
+    v1.unpersist()
+    println("queries,late_interaction_x1_sec")
+    liQRows.foreach { case (q, t) => println(f"$q,$t%.2f") }
+    // 3-D skyline under replication (the Nd sibling of the 2-D cell)
+    val p3Base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"),
+        (-col("n_chars")).as("negc"),
+        (-(col("doc_id") % 97)).as("negd"))
+    def repP3(k: Int): DataFrame =
+      (0 until k).map(i => p3Base.select(
+        (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        col("q"), col("negc"), (-(col("doc_id") % 97)).as("negd")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def p3Job(d: DataFrame): Unit =
+      graft.ops.Ops.paretoFrontNd(Seq("q", "negc", "negd"))(d)
+        .write.mode("overwrite").format("noop").save()
+    locally { val p1 = repP3(1).localCheckpoint(); p3Job(p1); p1.unpersist() }
+    val p3Rows = for (k <- Seq(1, 2, 4)) yield {
+      val d = repP3(k).localCheckpoint()
+      val t = median3(p3Job(d))
+      val front = graft.ops.Ops.paretoFrontNd(
+        Seq("q", "negc", "negd"))(d).count()
+      d.unpersist()
+      (k, ndA * k, front, t)
+    }
+    println("corpus_x,docs,front3d_rows,pareto_front_3d_sec")
+    p3Rows.foreach { case (k, d, f, t) => println(f"$k,$d,$f,$t%.2f") }
+    }
     spark.stop()
   }
 }
