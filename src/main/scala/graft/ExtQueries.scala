@@ -1,6836 +1,19 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import graft.ext.{BinaryOps, Dedup, Frequency, GraphOps, Similarity, TextOps}
-import graft.ops.{Ops, TemporalOps, WindowOps}
-import graft.probes.Probes
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 
 /** Extension-surface queries (SURVEY.md §2.12 / north-star): dedup,
   * similarity search, text analysis, window ops, JSON events. Merged into
   * [[SparkEntry.queries]]; every query has an exact DuckDB oracle built on
   * the shared md5 hash and IEEE-deterministic fold shapes. */
 object ExtQueries {
-  import SparkEntry.table
 
-  /** Corpus loader for the sketch/similarity-heavy queries: the fixture
-    * tables are single-row-group parquet files, which Spark cannot split
-    * — every scan becomes ONE task and per-row hashing runs
-    * single-threaded. A production corpus arrives as thousands of row
-    * groups and parallelizes naturally; the explicit round-robin
-    * repartition restores that shape here (the sub-MB shuffle is noise
-    * next to the per-row compute it parallelizes). Row-order independent
-    * and output-order pinned, so oracle determinism is unaffected. */
-  private def corpus(s: SparkSession, dir: String, name: String): DataFrame =
-    table(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesText.queries ++ QueriesDedup.queries ++ QueriesSimilarity.queries ++ QueriesTemporal.queries ++
+      QueriesCore.queries ++ QueriesProbes.queries ++ QueriesBinary.queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- text analysis ----------------------------------------------------
-    "text_stats" -> { (s, dir) =>
-      TextOps.textStats("text")(corpus(s, dir, "documents"))
-        .select("doc_id", "token_count", "distinct_token_count",
-          "bpeish_token_count", "char_count", "mean_token_length")
-        .orderBy("doc_id")
-    },
-    "lang_id" -> { (s, dir) =>
-      TextOps.withLangId("text")(corpus(s, dir, "documents"))
-        .select("doc_id", "lang", "lang_pred").orderBy("doc_id")
-    },
-    "tfidf_top_terms" -> { (s, dir) =>
-      TextOps.tfidfTopTerms("doc_id", "text", k = 3)(
-        corpus(s, dir, "documents"))
-        .orderBy("doc_id", "rank")
-    },
-    "quality_score" -> { (s, dir) =>
-      TextOps.withQuality("text")(corpus(s, dir, "documents"))
-        .select("doc_id", "quality").orderBy("doc_id")
-    },
-    "pack_sequences" -> { (s, dir) =>
-      // pack docs into 2048-token training bins, sharded by language
-      // (the column training files are already split by)
-      val docs = corpus(s, dir, "documents")
-        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
-      TextOps.packSequences("n_tokens", budget = 2048,
-        shardField = "lang", orderBy = Seq("doc_id"))(docs)
-        .select("doc_id", "lang", "n_tokens", "bin")
-        .orderBy("doc_id")
-    },
-    "length_batches" -> { (s, dir) =>
-      // padding-efficiency batching: 8-token length buckets bound the
-      // intra-batch length spread; within a bucket consecutive docs
-      // (ordered by n_tokens, id) fill 200-token batches via the
-      // quota rule — the oracle replays the identical window
-      TextOps.lengthBucketBatches("doc_id", "text",
-        bucketTokens = 8, batchTokens = 200)(
-        corpus(s, dir, "documents"))
-        .orderBy("doc_id")
-    },
-    "repetition_stats" -> { (s, dir) =>
-      val (dupFrac, topShare) = TextOps.repetitionStats(col("text"))
-      corpus(s, dir, "documents")
-        .select(col("doc_id"), dupFrac.as("dup_token_fraction"),
-          topShare.as("top_bigram_share"))
-        .orderBy("doc_id")
-    },
-    "gopher_rules" -> { (s, dir) =>
-      // the heuristic rule battery with per-rule signals AND verdicts
-      TextOps.gopherRules("doc_id", "text")(corpus(s, dir, "documents"))
-        .orderBy("doc_id")
-    },
-    "gopher_repetition" -> { (s, dir) =>
-      // the full n-gram repetition battery: top-{2,3,4}-gram char share
-      // + overlap-aware duplicated-{5..10}-gram char coverage
-      TextOps.gopherRepetition("doc_id", "text")(corpus(s, dir, "documents"))
-        .orderBy("doc_id")
-    },
-    "linear_quality" -> { (s, dir) =>
-      // model-based quality inference: the integer-quantized linear
-      // uni/bigram classifier (fastText/CCNet shape) as a zero-shuffle
-      // native-kernel projection; integers until one division, so the
-      // score replays bit-for-bit
-      TextOps.linearTextScore("doc_id", "text",
-        TextOps.demoQualityWeights, bias = 0.25, threshold = 0.3)(
-        corpus(s, dir, "documents"))
-        .orderBy("doc_id")
-    },
-    "quality_percentiles" -> { (s, dir) =>
-      // per-source percentile calibration of the quality score
-      TextOps.scorePercentiles("source", "quality")(
-        TextOps.withQuality("text")(corpus(s, dir, "documents")))
-        .select("doc_id", "source", "quality", "score_pct")
-        .orderBy("doc_id")
-    },
-    "mix_report" -> { (s, dir) =>
-      // volumes, shares, and the sampling ratios a mixer must apply
-      TextOps.mixReport("source", "text",
-        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))(
-        corpus(s, dir, "documents"))
-        .orderBy("source")
-    },
-    "truncate_tokens" -> { (s, dir) =>
-      // context-window truncation at 40 tokens, originals pass through
-      TextOps.truncateTokens("text", maxTokens = 40)(
-        corpus(s, dir, "documents"))
-        .select("doc_id", "n_tokens", "text_trunc")
-        .orderBy("doc_id")
-    },
-    "novelty_scores" -> { (s, dir) =>
-      // fraction of each doc's 8-grams unique to it corpus-wide
-      TextOps.noveltyScores("doc_id", "text", n = 8)(
-        corpus(s, dir, "documents"))
-        .orderBy("doc_id")
-    },
-    "token_histogram" -> { (s, dir) =>
-      // power-of-two doc-length histogram per source
-      TextOps.tokenHistogram("source", "text")(corpus(s, dir, "documents"))
-        .orderBy("source", "bin_lo")
-    },
-    "downsample_mix" -> { (s, dir) =>
-      // drop-to-target mixing: src0 near its actual share, src1/src2
-      // down-sampled, every other source to zero
-      TextOps.downsampleToTargets("doc_id", "source", "text",
-        Map("src0" -> 0.05, "src1" -> 0.02, "src2" -> 0.02))(
-        corpus(s, dir, "documents"))
-        .select("doc_id", "source").orderBy("doc_id")
-    },
-    "fingerprint_dedup" -> { (s, dir) =>
-      Dedup.exact(Seq("fingerprint"), "doc_id")(
-        TextOps.withFingerprint("text")(corpus(s, dir, "documents")))
-        .select("doc_id", "lang", "fingerprint").orderBy("doc_id")
-    },
-    "decontaminate" -> { (s, dir) =>
-      // docs < 100 stand in for the benchmark/eval set; the batch keeps
-      // only docs sharing no 8-gram with it
-      val docs = corpus(s, dir, "documents")
-      TextOps.decontaminate("doc_id", "text", n = 8,
-        benchmark = docs.filter(col("doc_id") < 100), benchTextField = "text")(
-        docs.filter(col("doc_id") >= 100))
-        .select("doc_id", "lang").orderBy("doc_id")
-    },
-    "incremental_dedup" -> { (s, dir) =>
-      // crawl N+1 against the crawl-N fingerprint index: docs < 250 are
-      // "already ingested" (only their 16-byte fingerprints persist),
-      // docs >= 250 are the new batch
-      val docs = corpus(s, dir, "documents")
-      val seen = docs.filter(col("doc_id") < 250)
-        .select(TextOps.fingerprint(col("text")).as("fingerprint")).distinct()
-      Dedup.incrementalByFingerprint("text", "doc_id", seen)(
-        docs.filter(col("doc_id") >= 250))
-        .select("doc_id", "lang").orderBy("doc_id")
-    },
-    "dedup_map" -> { (s, dir) =>
-      // a batch where docs < 50 arrive twice (re-crawl): the provenance
-      // map re-points every replica to its canonical smallest-id copy
-      val docs = corpus(s, dir, "documents")
-      val batch = docs.unionByName(docs.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + 100000))
-      Dedup.duplicateMapByFingerprint("text", "doc_id")(batch)
-        .orderBy("dup_id", "kept_id")
-    },
-    "contamination_report" -> { (s, dir) =>
-      // the audit BEFORE decontaminate drops anything: per batch doc,
-      // matched vs total distinct 8-gram digests against the benchmark
-      val docs = corpus(s, dir, "documents")
-      TextOps.contaminationReport("doc_id", "text", n = 8,
-        benchmark = docs.filter(col("doc_id") < 100), benchTextField = "text")(
-        docs.filter(col("doc_id") >= 100))
-        .orderBy("doc_id")
-    },
-    "contamination_by_benchmark" -> { (s, dir) =>
-      // the per-benchmark breakdown: the eval carve (< 100) split into
-      // one "benchmark" per language; matched counts attribute to the
-      // benchmark, so one suite's grams can be dropped without dropping
-      // every contaminated doc
-      val docs = corpus(s, dir, "documents")
-      TextOps.contaminationReportPerBenchmark("doc_id", "text", n = 8,
-        benchmark = docs.filter(col("doc_id") < 100)
-          .select(col("lang").as("bench_id"), col("text")),
-        benchTextField = "text", benchIdField = "bench_id")(
-        docs.filter(col("doc_id") >= 100))
-        .orderBy("doc_id", "bench_id")
-    },
-    "quota_sample" -> { (s, dir) =>
-      // absolute per-language cap (50 docs each), content-hash chosen —
-      // the domain/source mixture cap, engine-reproducible
-      Ops.quotaSample("lang", "doc_id", n = 50)(
-        table(s, dir, "documents").select("doc_id", "lang"))
-        .orderBy("doc_id")
-    },
-    "weighted_sample" -> { (s, dir) =>
-      // length-weighted πps draw, 10 docs per source: sequential Poisson
-      // priorities u/w from the content hash — deterministic and
-      // engine-reproducible like every sampler here
-      Ops.weightedSample("source", "doc_id", "n_chars", n = 10,
-        salt = "wsamp")(
-        table(s, dir, "documents").select("doc_id", "source", "n_chars"))
-        .orderBy("doc_id")
-    },
-    "incremental_dedup_bloom" -> { (s, dir) =>
-      // same contract as incremental_dedup (oracle shared verbatim):
-      // bloom prefilter proves most new docs absent without the join
-      val docs = corpus(s, dir, "documents")
-      val seen = docs.filter(col("doc_id") < 250)
-        .select(TextOps.fingerprint(col("text")).as("fingerprint")).distinct()
-      Dedup.incrementalByFingerprintBloom("text", "doc_id", seen,
-        expectedItems = 100000L)(docs.filter(col("doc_id") >= 250))
-        .select("doc_id", "lang").orderBy("doc_id")
-    },
-    // ---- dedup ------------------------------------------------------------
-    "dedup_exact" -> { (s, dir) =>
-      Dedup.exact(Seq("user_id", "event_type"), "event_id")(
-        table(s, dir, "events"))
-        .select("event_id", "user_id", "event_type", "value")
-        .orderBy("user_id", "event_type")
-    },
-    "minhash_pairs" -> { (s, dir) =>
-      Dedup.minhashNearDuplicates("doc_id", "text", threshold = 0.2)(
-        corpus(s, dir, "documents"))
-        .orderBy("id_a", "id_b")
-    },
-    "minhash_pairs_oph" -> { (s, dir) =>
-      // one md5 per shingle (vs one per 4 signature slots): the OPH
-      // signature path that keeps k = 128+ sketching affordable
-      Dedup.minhashNearDuplicatesOph("doc_id", "text", threshold = 0.2)(
-        corpus(s, dir, "documents"))
-        .orderBy("id_a", "id_b")
-    },
-    "simhash_pairs" -> { (s, dir) =>
-      Dedup.simhashNearDuplicates("doc_id", "text", maxHamming = 10,
-        prefixBits = 12)(corpus(s, dir, "documents"))
-        .orderBy("id_a", "id_b")
-    },
-    // n-gram (bigram) Jaccard near-dup, shipped as LSH candidates + exact
-    // Jaccard verify — the blocked brute-force form is a unit-test-only
-    // recall baseline (Dedup.ngramJaccardPairs).
-    "ngram_jaccard_pairs" -> { (s, dir) =>
-      Dedup.minhashNearDuplicates("doc_id", "text", threshold = 0.3,
-        numHashes = 8, bands = 4, shingleSize = 2)(
-        corpus(s, dir, "documents"))
-        .orderBy("id_a", "id_b")
-    },
-    "dedup_eval" -> { (s, dir) =>
-      // LSH operating-point tuning table on a bounded doc sample (the
-      // exact-truth side is quadratic by nature — see lshRecallEval's
-      // scaladoc): recall + candidate efficiency for three band
-      // geometries sharing one shingle projection
-      Dedup.lshRecallEval("doc_id", "text", threshold = 0.2,
-        configs = Seq((8, 2), (8, 4), (16, 8)))(
-        corpus(s, dir, "documents").filter(col("doc_id") < 400))
-    },
-    "tfidf_cosine_pairs" -> { (s, dir) =>
-      // sparse lexical similarity: rare-term overlap outranks stopword
-      // overlap; df cap bounds the term join (see scaladoc). Bounded to
-      // a constant doc sample: the fixture's ~40-word vocabulary pushes
-      // every df over the cap at larger SFs, emptying the space — the
-      // cap is calibrated to corpus vocabulary, exercised here at the
-      // scale where the synthetic corpus HAS rare terms
-      TextOps.tfidfCosinePairs("doc_id", "text", threshold = 0.3)(
-        corpus(s, dir, "documents").filter(col("doc_id") < 400))
-        .orderBy("id_a", "id_b")
-    },
-    "dedup_clusters" -> { (s, dir) =>
-      val docs = corpus(s, dir, "documents")
-      val pairs = Dedup.minhashNearDuplicates("doc_id", "text",
-        threshold = 0.2)(docs).select("id_a", "id_b")
-      Dedup.connectedComponents(pairs, docs.select(col("doc_id")))
-        .select(col("node").as("doc_id"), col("lbl").as("cluster_rep"))
-        .orderBy("doc_id")
-    },
-    "fuzzy_key_pairs" -> { (s, dir) =>
-      // entity resolution on customer names: every pair within one edit
-      // (typo'd / off-by-one-digit ids), deletion-neighborhood blocked
-      Dedup.fuzzyKeyPairs("c_custkey", "c_name")(
-        table(s, dir, "customer").select("c_custkey", "c_name"))
-        .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
-    },
-    "jw_link_pairs" -> { (s, dir) =>
-      // same del-1 candidate set, scored with the graded Jaro–Winkler
-      // kernel (bit-identical to DuckDB's builtin) instead of the
-      // binary levenshtein gate
-      Dedup.jaroWinklerPairs("c_custkey", "c_name", minJw = 0.9)(
-        table(s, dir, "customer").select("c_custkey", "c_name"))
-        .orderBy("id_a", "id_b")
-    },
-    "embedding_dedup" -> { (s, dir) =>
-      Dedup.embeddingNearDuplicates("vec_id", "embedding", threshold = 0.4,
-        planes = 6, dim = 64)(corpus(s, dir, "embeddings"))
-        .orderBy("id_a", "id_b")
-    },
-    "embedding_dedup_multi" -> { (s, dir) =>
-      // 2 independent plane sets: recovers near pairs the single table's
-      // hyperplane cuts split (recall asserted vs brute force in DedupSpec)
-      Dedup.embeddingNearDuplicates("vec_id", "embedding", threshold = 0.4,
-        planes = 6, dim = 64, tables = 2)(corpus(s, dir, "embeddings"))
-        .orderBy("id_a", "id_b")
-    },
-    // ---- similarity search -------------------------------------------------
-    "similarity_topk" -> { (s, dir) =>
-      val e = corpus(s, dir, "embeddings")
-      Similarity.bruteForceTopK(
-        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
-        queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
-        queryVec = "embedding", k = 5)
-        .orderBy("query_id", "rank")
-    },
-    "hybrid_rrf" -> { (s, dir) =>
-      // reciprocal-rank fusion of two rankers over the same queries —
-      // here full-dim cosine ⊕ leading-16-dim coarse cosine (rankers
-      // on different score scales fuse by RANK, no calibration);
-      // each RRF term is one integer-denominator division, the fusion
-      // one add — oracle bit-for-bit
-      val e = corpus(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 10)
-      def coarse(d: DataFrame) = d.select(col("vec_id"),
-        slice(col("embedding"), 1, 16).as("embedding"))
-      val full = Similarity.bruteForceTopK(
-        e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
-      val lowres = Similarity.bruteForceTopK(
-        coarse(e), "vec_id", "embedding", coarse(q), "vec_id", "embedding",
-        k = 10)
-      Similarity.rrfFuse(full, lowres, k0 = 60, topK = 10)
-        .orderBy("query_id", "rank")
-    },
-    "similarity_topk_q8" -> { (s, dir) =>
-      // the memory-bound form: int8 codes (4x less IO), integer dot +
-      // one IEEE division — scales cancel, so exact cross-engine
-      val e = corpus(s, dir, "embeddings")
-      Similarity.bruteForceTopKQuantized(
-        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
-        queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
-        queryVec = "embedding", k = 5)
-        .orderBy("query_id", "rank")
-    },
-    "similarity_hamming" -> { (s, dir) =>
-      // sign-sketch coarse rank (8 bytes/vector scanned) + exact cosine
-      // rerank of the top-50 sliver
-      val e = corpus(s, dir, "embeddings")
-      Similarity.hammingTopK(
-        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
-        queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
-        queryVec = "embedding", k = 5, rerank = 10)
-        .orderBy("query_id", "rank")
-    },
-    "similarity_pq" -> { (s, dir) =>
-      // product-quantization rung: 8 one-byte codes per vector scanned
-      // in the ADC coarse pass (vs 256 B of float32), exact cosine
-      // rerank of the top-30 sliver; stand-in sub-centroids from the
-      // first 8 vectors (oracle-reproducible, same seam as IVF)
-      val e = corpus(s, dir, "embeddings")
-      Similarity.pqTopK(
-        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
-        queries = e.filter(col("vec_id") < 5), queryId = "vec_id",
-        queryVec = "embedding",
-        centroids = Similarity.standinCentroids(e, "vec_id", "embedding", 8),
-        centroidId = "cid", centroidVec = "center",
-        m = 8, k = 3, rerank = 10)
-        .orderBy("query_id", "rank")
-    },
-    "similarity_hamming_wide" -> { (s, dir) =>
-      // the dim > 64 rung: 128-dim vectors (the 64-d fixture widened by
-      // concatenating its reverse — deterministic, oracle-shared),
-      // 2-word sketches, summed-popcount coarse rank, exact rerank
-      val e = corpus(s, dir, "embeddings")
-        .select(col("vec_id"),
-          concat(col("embedding"), reverse(col("embedding"))).as("embedding"))
-      Similarity.hammingTopKWide(
-        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
-        queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
-        queryVec = "embedding", k = 5, dim = 128, rerank = 10)
-        .orderBy("query_id", "rank")
-    },
-    "similarity_matryoshka" -> { (s, dir) =>
-      // MRL two-stage: coarse cosine over the leading 16 of 64 dims
-      // (4x less float payload in the corpus-wide pass), exact
-      // full-dim rerank of the top-25 sliver
-      val e = corpus(s, dir, "embeddings")
-      Similarity.matryoshkaTopK(
-        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
-        queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
-        queryVec = "embedding", k = 5, coarseDims = 16, rerank = 5)
-        .orderBy("query_id", "rank")
-    },
-    "late_interaction" -> { (s, dir) =>
-      // ColBERT MaxSim over multi-vector docs: the 64-d fixture vector
-      // reinterpreted as 8 token-vectors of dim 8 (deterministic,
-      // oracle-shared), Σ_q max_d cosine scoring, top-3 per query
-      val e = corpus(s, dir, "embeddings")
-        .select(col("vec_id"), transform(sequence(lit(0), lit(7)),
-          t => slice(col("embedding"), t * 8 + 1, lit(8))).as("tok_vecs"))
-      Similarity.lateInteractionTopK(
-        corpus = e, corpusId = "vec_id", corpusVecs = "tok_vecs",
-        queries = e.filter(col("vec_id") < 5), queryId = "vec_id",
-        queryVecs = "tok_vecs", k = 3)
-        .orderBy("query_id", "rank")
-    },
-    "hard_negatives" -> { (s, dir) =>
-      // contrastive mining: per query the top-5 most similar candidates
-      // with cosine <= 0.25 — hard, but safely below the near-dup band
-      // that would make them false negatives
-      val e = corpus(s, dir, "embeddings")
-      Similarity.hardNegatives(
-        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
-        queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
-        queryVec = "embedding", k = 5, maxSim = 0.25)
-        .orderBy("query_id", "rank")
-    },
-    "fwht_rotate" -> { (s, dir) =>
-      // H·D/√d structured rotation (the PQ-decorrelation prepass):
-      // fixed butterfly order in double, one scale multiply, cast back
-      // to float — the oracle replays all six stages and the REAL cast
-      // rounds to the same bits
-      corpus(s, dir, "embeddings").filter(col("vec_id") < 200)
-        .select(col("vec_id"), posexplode(
-          Similarity.fwhtRotate(col("embedding"), dim = 64)))
-        .withColumnRenamed("pos", "dim_idx")
-        .withColumnRenamed("col", "value")
-        .orderBy("vec_id", "dim_idx")
-    },
-    "ranking_metrics" -> { (s, dir) =>
-      // in-engine retrieval eval: the Matryoshka rung graded against
-      // brute-force gold — per query recall@5, first-hit rank, RR; the
-      // oracle replays BOTH rungs and the metric joins
-      val e = corpus(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 10)
-      val truth = Similarity.bruteForceTopK(
-        e, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
-      val result = Similarity.matryoshkaTopK(
-        e, "vec_id", "embedding", q, "vec_id", "embedding",
-        k = 5, coarseDims = 16, rerank = 5)
-      Similarity.rankingMetrics(result, truth, k = 5).orderBy("query_id")
-    },
-    "similarity_mmr" -> { (s, dir) =>
-      // MMR diversity re-rank: brute-force top-8 pool per query, then
-      // greedy λ·rel − (1−λ)·max(0, maxSim) selection of 4 via the
-      // native kernel — earliest-pool-index tie discipline replayed
-      // step-for-step by the oracle's recursive CTE
-      val e = corpus(s, dir, "embeddings")
-      Similarity.mmrTopK(
-        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
-        queries = e.filter(col("vec_id") < 5), queryId = "vec_id",
-        queryVec = "embedding", k = 4, poolSize = 8, lambda = 0.7)
-        .orderBy("query_id", "rank")
-    },
-    "similarity_lsh" -> { (s, dir) =>
-      Similarity.lshTopK(corpus(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, planes = 6, dim = 64)
-        .orderBy("query_id", "rank")
-    },
-    "similarity_lsh_multi" -> { (s, dir) =>
-      Similarity.lshTopK(corpus(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, planes = 6, dim = 64, tables = 2)
-        .orderBy("query_id", "rank")
-    },
-    "similarity_ivf" -> { (s, dir) =>
-      Similarity.ivfTopK(corpus(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, nCentroids = 8, nprobe = 2)
-        .orderBy("query_id", "rank")
-    },
-    "embedding_profile" -> { (s, dir) =>
-      // per-dim health: dead dims waste PQ bits, nonzero means break
-      // cosine/euclidean agreement — read before codebooks and cuts
-      Similarity.embeddingProfile("embedding")(
-        corpus(s, dir, "embeddings"))
-    },
-    "ann_recall_eval" -> { (s, dir) =>
-      // IVF nprobe tuning table: recall@5 vs brute force for probe
-      // widths 1/2/4 over one shared index build
-      val e = corpus(s, dir, "embeddings")
-      Similarity.ivfRecallEval(e, "vec_id", "embedding",
-        queries = e.filter(col("vec_id") < 10), queryId = "vec_id",
-        queryVec = "embedding",
-        k = 5, nCentroids = 8, nprobes = Seq(1, 2, 4))
-    },
-    "similarity_ivf_pq" -> { (s, dir) =>
-      // IVF-ADC: the composed 100 TB read path — probe the 2 of 8
-      // coarse cells nearest each query, ADC-score ONLY those cells'
-      // members from stored PQ codes, exact-cosine rerank the pool.
-      // Both centroid frames are the oracle-reproducible stand-in
-      // (first 8 vectors); production swaps kmeansCentroids /
-      // pqCodebooks with every stage unchanged
-      val e = corpus(s, dir, "embeddings")
-      val cents = Similarity.standinCentroids(e, "vec_id", "embedding", 8)
-      Similarity.ivfPqTopK(
-        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
-        queries = e.filter(col("vec_id") < 5), queryId = "vec_id",
-        queryVec = "embedding",
-        coarseCentroids = cents, nprobe = 2,
-        pqCentroids = cents, m = 8, k = 3, rerank = 10)
-        .orderBy("query_id", "rank")
-    },
-    "similarity_ivf_pq_res" -> { (s, dir) =>
-      // canonical IVF-PQ: codes encode the RESIDUAL v - center(cell),
-      // ADC scores the exact q·center term plus the LUT'd q·residual —
-      // the codebook's bits spend entirely on within-cell offsets
-      val e = corpus(s, dir, "embeddings")
-      val cents = Similarity.standinCentroids(e, "vec_id", "embedding", 8)
-      Similarity.ivfPqTopK(
-        corpus = e, corpusId = "vec_id", corpusVec = "embedding",
-        queries = e.filter(col("vec_id") < 5), queryId = "vec_id",
-        queryVec = "embedding",
-        coarseCentroids = cents, nprobe = 2,
-        pqCentroids = cents, m = 8, k = 3, rerank = 10,
-        residual = true)
-        .orderBy("query_id", "rank")
-    },
-    "winnow_fingerprints" -> { (s, dir) =>
-      corpus(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(TextOps.winnowFingerprints(col("text"), k = 8, w = 4)).as("fp"))
-        .orderBy("doc_id", "fp")
-    },
-    "winnow_pairs" -> { (s, dir) =>
-      // shared-passage near-dup (MOSS): pairs sharing >= 30 winnowing
-      // fingerprints (the 99.9th-percentile overlap on this corpus — the
-      // dense shared vocabulary makes low counts ubiquitous), ubiquitous
-      // fingerprints capped out
-      Dedup.winnowOverlapPairs("doc_id", "text", k = 8, w = 4,
-        minShared = 30, maxBucket = 64)(corpus(s, dir, "documents"))
-        .orderBy("id_a", "id_b")
-    },
-    "containment_gate" -> { (s, dir) =>
-      // the batch form of the streaming containment gate (same code
-      // path — withWatermark is a no-op on batch): drop documents
-      // whose distinct 8-gram digests are >= 50% contained in the
-      // stored reference gram index (docs < 100 as the reference,
-      // the decontamination family's split); survivors keep their
-      // containment ratio
-      val docs = corpus(s, dir, "documents")
-      val ref = Dedup.gramIndexRows("text", n = 8)(
-        docs.filter(col("doc_id") < 100))
-      graft.streaming.Streaming.streamingContainmentGate(
-        docs.filter(col("doc_id") >= 100)
-          .select(to_timestamp(lit("2026-01-01 00:00:00")).as("ts"),
-            col("doc_id"), col("text")),
-        idField = "doc_id", textField = "text", refGrams = ref,
-        n = 8, threshold = 0.5)
-        .select("doc_id", "containment")
-        .orderBy("doc_id")
-    },
-    "containment_pairs" -> { (s, dir) =>
-      // asymmetric quote/subset detection: a pair survives when either
-      // doc's distinct 8-grams are >= 50% contained in the other's
-      Dedup.containmentPairs("doc_id", "text", n = 8,
-        threshold = 0.5)(corpus(s, dir, "documents"))
-        .orderBy("id_a", "id_b")
-    },
-    "containment_pairs_sampled" -> { (s, dir) =>
-      // the 100 TB mode: same detector over a deterministic quarter of
-      // the gram-digest space — the shuffle shrinks 4x before any agg
-      Dedup.containmentPairs("doc_id", "text", n = 8,
-        threshold = 0.5, gramFraction = 0.25)(corpus(s, dir, "documents"))
-        .orderBy("id_a", "id_b")
-    },
-    "train_split" -> { (s, dir) =>
-      table(s, dir, "documents")
-        .select(TextOps.hashSplit(col("doc_id"),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
-        .groupBy("split").agg(count(lit(1)).as("record_count"))
-        .orderBy("split")
-    },
-    "pii_scrub" -> { (s, dir) =>
-      // the fixture text carries no PII, so synthesize the leak shapes
-      // from the doc id and verify the scrubbed output cross-engine
-      val noisy = concat(substring(col("text"), 1, 40),
-        lit(" user"), col("doc_id"), lit("@example.com at 192.168.0.1 ref 123456789"))
-      table(s, dir, "documents")
-        .select(col("doc_id"), TextOps.scrubPii(noisy).as("clean"))
-        .orderBy("doc_id")
-    },
-    "top_ngrams" -> { (s, dir) =>
-      // shingles are distinct per doc, so the count is document
-      // frequency; orderBy+limit plans TakeOrderedAndProject (top-k
-      // without a global sort)
-      corpus(s, dir, "documents")
-        .select(explode(TextOps.shingles(col("text"), 2)).as("ngram"))
-        .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
-        .orderBy(col("doc_freq").desc, col("ngram").asc)
-        .limit(20)
-    },
-    "stratified_sample" -> { (s, dir) =>
-      Ops.sampleStratifiedHash("o_orderstatus", "o_orderkey",
-        Map("F" -> 0.05, "O" -> 0.2, "P" -> 0.5))(
-        table(s, dir, "orders"))
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .orderBy("o_orderkey")
-    },
-    "duplicate_spans" -> { (s, dir) =>
-      // exact-substring dedup audit: maximal token spans covered by
-      // 8-grams occurring in >= 2 distinct documents
-      TextOps.duplicateSpans("doc_id", "text", n = 8)(
-        corpus(s, dir, "documents"))
-        .orderBy("doc_id", "span_start")
-    },
-    "duplicate_spans_min" -> { (s, dir) =>
-      // paragraph granularity: short incidental overlaps (< 12 tokens)
-      // dropped engine-side after island merging
-      TextOps.duplicateSpans("doc_id", "text", n = 8, minDocs = 2,
-        minSpanTokens = 12)(
-        corpus(s, dir, "documents"))
-        .orderBy("doc_id", "span_start")
-    },
-    "strip_duplicate_spans" -> { (s, dir) =>
-      // apply form: min-doc_id canon keeps each duplicated passage once
-      TextOps.stripDuplicateSpans("doc_id", "text", n = 8)(
-        corpus(s, dir, "documents"))
-        .orderBy("doc_id")
-    },
-    "strip_contaminated_spans" -> { (s, dir) =>
-      // surgical decontamination: strip only the spans shared with the
-      // eval carve (docs < 100), keep the rest of each batch doc
-      val docs = corpus(s, dir, "documents")
-      TextOps.stripContaminatedSpans("doc_id", "text", n = 8,
-        benchmark = docs.filter(col("doc_id") < 100), benchTextField = "text")(
-        docs.filter(col("doc_id") >= 100))
-        .orderBy("doc_id")
-    },
-    "strip_self_repeats" -> { (s, dir) =>
-      // in-doc looping/boilerplate cleanup: later occurrences of any
-      // trigram within the same doc are stripped, first kept
-      TextOps.stripSelfRepeats("doc_id", "text", n = 3)(
-        corpus(s, dir, "documents"))
-        .orderBy("doc_id")
-    },
-    "line_dedup" -> { (s, dir) =>
-      // CCNet/RefinedWeb boilerplate pass: the word-soup corpus gains
-      // line structure (8-word lines) via a deterministic re-join,
-      // then any line appearing verbatim >= 2 times ACROSS the corpus
-      // is removed from every document (first occurrence included —
-      // boilerplate is noise everywhere); blank lines never count
-      val toks = split(coalesce(col("text"), lit("")), " ")
-      val lined = corpus(s, dir, "documents").select(col("doc_id"),
-        array_join(transform(
-          sequence(lit(0),
-            ceil(size(toks) / lit(8.0)).cast("int") - 1),
-          b => array_join(slice(toks, b * lit(8) + 1, lit(8)), " ")),
-          "\n").as("text"))
-      TextOps.dedupLines("doc_id", "text", minCount = 2)(lined)
-        .orderBy("doc_id")
-    },
-    "bm25_topk" -> { (s, dir) =>
-      TextOps.bm25TopK("doc_id", "text",
-        Seq("spark", "stream", "vector"), k = 10)(
-        corpus(s, dir, "documents"))
-        .orderBy("rank")
-    },
-    "bm25_batch" -> { (s, dir) =>
-      // data-driven retrieval: three query-term bags, one shared
-      // posting-list build, per-query top-5
-      import s.implicits._
-      val queries = Seq(
-        (0L, Seq("spark", "stream")),
-        (1L, Seq("vector", "merge", "window")),
-        (2L, Seq("customer"))
-      ).toDF("query_id", "terms")
-      TextOps.bm25BatchTopK("doc_id", "text", queries, "query_id", "terms",
-        k = 5)(corpus(s, dir, "documents"))
-        .orderBy("query_id", "rank")
-    },
-    "cross_corpus_pairs" -> { (s, dir) =>
-      // near-dup the "new crawl" (>= 250) against the "reference corpus"
-      // (< 250) — candidates only ever span the two sides
-      val docs = corpus(s, dir, "documents")
-      Dedup.crossCorpusNearDuplicates("doc_id", "text", threshold = 0.2)(
-        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
-        .orderBy("id_a", "id_b")
-    },
-    "incremental_near_dup" -> { (s, dir) =>
-      // crawl N+1 near-dup'd against the ACCUMULATED corpus: docs < 250
-      // persist only as MinHash signature index rows (no text); docs
-      // >= 250 are the new batch, dropped when estimated Jaccard
-      // (matching signature slots / 8) >= 0.5 against the index or any
-      // smaller-id batch doc
-      val docs = corpus(s, dir, "documents")
-      val index = Dedup.minhashIndexRows("doc_id", "text")(
-        docs.filter(col("doc_id") < 250))
-      Dedup.incrementalNearDup("doc_id", "text", index, threshold = 0.5)(
-        docs.filter(col("doc_id") >= 250))
-        .select("doc_id", "lang").orderBy("doc_id")
-    },
-    "incremental_embedding_dedup" -> { (s, dir) =>
-      // the embedding analog: vectors < 250 persist only as int8 code
-      // index rows (no floats); vectors >= 250 are the new batch,
-      // dropped when quantized cosine >= 0.4 against a bucket-sharing
-      // index vector or any smaller-id bucket-sharing batch vector
-      val e = corpus(s, dir, "embeddings")
-      val index = Dedup.embeddingIndexRows("vec_id", "embedding")(
-        e.filter(col("vec_id") < 250))
-      Dedup.incrementalEmbeddingDedup("vec_id", "embedding", index,
-        threshold = 0.4)(e.filter(col("vec_id") >= 250))
-        .select("vec_id", "label").orderBy("vec_id")
-    },
-    "mean_pool_embeddings" -> { (s, dir) =>
-      // chunk->embed->pool: per-label mean vector via a deterministic
-      // sorted fold (one row per dimension, scalar-typed)
-      Similarity.meanPool("vec_id", "embedding", "label")(
-        corpus(s, dir, "embeddings"))
-        .orderBy("label", "dim")
-    },
-    "max_pool_embeddings" -> { (s, dir) =>
-      // order-independent pooling: one hash-agg over the exploded dims,
-      // no per-group collect
-      Similarity.maxPool("embedding", "label")(
-        corpus(s, dir, "embeddings"))
-        .orderBy("label", "dim")
-    },
-    "knn_label" -> { (s, dir) =>
-      // kNN majority-vote labeling: queries labeled by their 5 nearest
-      // corpus neighbors' labels, ties to the smallest label
-      val e = corpus(s, dir, "embeddings")
-      Similarity.knnClassify(e, "vec_id", "embedding", "label",
-        queries = e.filter(col("vec_id") < 50), queryId = "vec_id",
-        queryVec = "embedding", k = 5)
-        .orderBy("query_id")
-    },
-    "centroid_assign" -> { (s, dir) =>
-      // nearest-class-mean routing: every vector to its best centroid
-      val e = corpus(s, dir, "embeddings")
-      Similarity.centroidAssign("embedding",
-        Similarity.classCentroids("vec_id", "embedding", "label")(e),
-        "label", "centroid")(e.select("vec_id", "embedding"))
-        .select("vec_id", "centroid_label", "centroid_cos")
-        .orderBy("vec_id")
-    },
-    "quality_suite" -> { (s, dir) =>
-      // the Deequ-shaped contract report: three row checks with their
-      // own minimum pass fractions + one key-distinctness check, all
-      // in ONE scan; the fixture grades both verdict directions
-      // (quantity/tax bars pass; the discount bar at 0.9 and the
-      // line-key distinctness at 0.95 both FAIL — lineitem's
-      // (l_orderkey, l_linenumber) is famously non-unique here)
-      Probes.verificationSuite(
-        rowChecks = Seq(
-          ("qty_in_range",
-            col("l_quantity") >= 1 && col("l_quantity") <= 50, 1.0),
-          ("disc_low", col("l_discount") <= 0.08, 0.9),
-          ("tax_complete", col("l_tax").isNotNull, 1.0)),
-        distinctChecks = Seq(
-          ("line_key_distinct", Seq("l_orderkey", "l_linenumber"), 0.95)))(
-        table(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
-          "l_quantity", "l_discount", "l_tax"))
-        .orderBy("check_name")
-    },
-    "filter_funnel" -> { (s, dir) =>
-      // the cleaning-chain attrition report: independent + cumulative
-      // pass counts per rule, one aggregation pass
-      val (dupFrac, _) = TextOps.repetitionStats(col("text"))
-      Probes.filterFunnel(Seq(
-        "min_tokens" -> (TextOps.tokenCount(col("text")) >= 20),
-        "english" -> (col("lang") === "en"),
-        "quality" -> (TextOps.qualityScore(col("text")) > 0.45),
-        "not_repetitive" -> (dupFrac < 0.4)))(
-        corpus(s, dir, "documents"))
-        .orderBy("step")
-    },
-    "semantic_dedup" -> { (s, dir) =>
-      // SemDeDup shape: LSH near-dup pairs -> connected components ->
-      // min-id survivor per embedding cluster
-      Dedup.semanticDedup("vec_id", "embedding", threshold = 0.4,
-        planes = 6, dim = 64)(corpus(s, dir, "embeddings"))
-        .select("vec_id", "label")
-        .orderBy("vec_id")
-    },
-    "cluster_dedup_best" -> { (s, dir) =>
-      // quality-weighted canonical election: of each near-dup cluster
-      // keep the highest-quality doc (ties -> min doc_id), not min-id
-      val docs = corpus(s, dir, "documents")
-      Dedup.clusterDedupByQuality("doc_id", "text",
-        TextOps.qualityScore(col("text")), threshold = 0.2)(docs)
-        .select("doc_id", "source", "cluster_size")
-        .orderBy("doc_id")
-    },
-    "token_budget_mix" -> { (s, dir) =>
-      // data mixing: deterministic 1000-token budget per source (prefix
-      // of the md5 shuffle order)
-      TextOps.tokenBudgetMix("doc_id", "text", "source",
-        tokensPerSource = 1000)(corpus(s, dir, "documents"))
-        .orderBy("source", "doc_id")
-    },
-    "token_budget_mix_2p" -> { (s, dir) =>
-      // the cluster-scale two-pass form: identical selection and
-      // cum_tokens (oracle shared verbatim), per-source global sort
-      // replaced by rank-prefix bucket offsets + 256-way windows
-      TextOps.tokenBudgetMixTwoPass("doc_id", "text", "source",
-        tokensPerSource = 1000)(corpus(s, dir, "documents"))
-        .orderBy("source", "doc_id")
-    },
-    "source_overlap" -> { (s, dir) =>
-      // cross-source trigram Jaccard matrix (mirror/scrape diagnostic)
-      TextOps.sourceOverlap("source", "text", n = 3)(
-        corpus(s, dir, "documents"))
-        .orderBy("source_a", "source_b")
-    },
-    "source_overlap_sampled" -> { (s, dir) =>
-      // the 100 TB estimator form: only the deterministic quarter of
-      // the gram-digest space participates — jaccard estimates the
-      // full-matrix value, shuffle volume shrinks 4x
-      TextOps.sourceOverlap("source", "text", n = 3,
-        gramFraction = 0.25)(corpus(s, dir, "documents"))
-        .orderBy("source_a", "source_b")
-    },
-    "cluster_safe_split" -> { (s, dir) =>
-      // leakage-safe split: near-dup clusters can never straddle splits
-      Dedup.clusterSafeSplit("doc_id", "text",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-        threshold = 0.2)(corpus(s, dir, "documents"))
-        .select("doc_id", "cluster_rep", "split")
-        .orderBy("doc_id")
-    },
-    "packed_texts" -> { (s, dir) =>
-      // pack_sequences' apply form: one concatenated row per 2048-token
-      // training bin, sharded by language
-      TextOps.packTexts("doc_id", "text", "lang", budget = 2048)(
-        corpus(s, dir, "documents"))
-        .orderBy("lang", "bin")
-    },
-    "chunk_texts" -> { (s, dir) =>
-      // RAG-shape chunking: 32-token windows, stride 24 (8-token overlap)
-      TextOps.chunkTexts("doc_id", "text", chunkTokens = 32, stride = 24)(
-        corpus(s, dir, "documents"))
-        .orderBy("doc_id", "chunk_idx")
-    },
-    "unigram_cf_quality" -> { (s, dir) =>
-      // perplexity-proxy quality: mean corpus unigram frequency per doc
-      TextOps.unigramCfQuality("doc_id", "text")(
-        corpus(s, dir, "documents"))
-        .orderBy("doc_id")
-    },
-    "tokenizer_fertility" -> { (s, dir) =>
-      // per-source fertility/vocabulary report under the shared demo
-      // merge table — the token-budget observability pass
-      TextOps.tokenizerFertility("source", "text")(
-        corpus(s, dir, "documents"))
-        .orderBy("source")
-    },
-    "normalize_text" -> { (s, dir) =>
-      // NFC normalization pass + changed flag (the pre-dedup cleaning
-      // step; the fixture is ASCII so `changed` is all-zero here — the
-      // unicode semantics are spec-pinned in FunctionsSpec)
-      corpus(s, dir, "documents")
-        .select(col("doc_id"),
-          TextOps.normalizeText(col("text")).as("text_nfc"),
-          when(TextOps.normalizeText(col("text")) <=> col("text"), lit(0L))
-            .otherwise(lit(1L)).as("changed"))
-        .orderBy("doc_id")
-    },
-    "bigram_lm_quality" -> { (s, dir) =>
-      // CCNet-ish perplexity proxy, one rung above unigram_cf_quality:
-      // mean interpolated bigram probability, fold order pinned
-      TextOps.bigramLmQuality("doc_id", "text")(corpus(s, dir, "documents"))
-        .orderBy("doc_id")
-    },
-    "dsir_affinity" -> { (s, dir) =>
-      // DSIR-shaped importance scoring: raw docs (source != src0) scored
-      // by bigram affinity to the src0 carve as the quality target
-      val docs = corpus(s, dir, "documents")
-      TextOps.targetAffinity("doc_id", "text", n = 2,
-        target = docs.filter(col("source") === "src0"),
-        targetTextField = "text")(
-        docs.filter(col("source") =!= "src0"))
-        .orderBy("doc_id")
-    },
-    "bpe_token_count" -> { (s, dir) =>
-      // vocabulary-true greedy BPE counts under the shared 10-merge
-      // demo table — what a tokenizer with that vocabulary would bill
-      corpus(s, dir, "documents")
-        .select(col("doc_id"),
-          TextOps.bpeTokenCount(col("text"), TextOps.demoBpeMerges)
-            .as("n_bpe_tokens"))
-        .orderBy("doc_id")
-    },
-    "truncate_tokens_bpe" -> { (s, dir) =>
-      // context-window truncation in MODEL tokens: first 30 BPE pieces
-      // under the shared demo vocabulary, originals pass through
-      TextOps.truncateTokensBpe("text", maxTokens = 30,
-        TextOps.demoBpeMerges)(corpus(s, dir, "documents"))
-        .select("doc_id", "n_bpe_tokens", "text_trunc")
-        .orderBy("doc_id")
-    },
-    "chunk_texts_bpe" -> { (s, dir) =>
-      // RAG chunking in MODEL tokens: 32-piece windows, stride 24 over
-      // the BPE piece stream — boundaries may fall mid-word and rejoin
-      // via the marker convention
-      TextOps.chunkTextsBpe("doc_id", "text", chunkTokens = 32,
-        stride = 24, TextOps.demoBpeMerges)(corpus(s, dir, "documents"))
-        .orderBy("doc_id", "chunk_idx")
-    },
-    // ---- events: JSON + windows + sessions ---------------------------------
-    "events_json_agg" -> { (s, dir) =>
-      table(s, dir, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-        .groupBy("event_type")
-        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("record_count"))
-        .orderBy("event_type")
-    },
-    "events_json_struct" -> { (s, dir) =>
-      // document storage type (SURVEY §1.2): JSON text parsed on demand
-      // with an explicit schema via from_json — typed struct access, no
-      // per-field re-parse
-      table(s, dir, "events")
-        .withColumn("p", from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
-        .select(col("event_id"), col("p.k").as("k"))
-        .orderBy("event_id")
-    },
-    "topk_per_group" -> { (s, dir) =>
-      WindowOps.topKPerGroup(Seq("o_orderpriority"), "o_totalprice",
-        "o_orderkey", 3)(table(s, dir, "orders"))
-        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
-        .orderBy("o_orderpriority", "rank")
-    },
-    "running_sum" -> { (s, dir) =>
-      WindowOps.runningSum(Seq("l_suppkey"),
-        Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"),
-        "l_quantity")(table(s, dir, "lineitem"))
-        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
-          "l_quantity", "running_sum")
-        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
-          "l_quantity", "running_sum")
-    },
-    "sessionize" -> { (s, dir) =>
-      WindowOps.sessionize("user_id", "ts", gapSeconds = 1800,
-        tieBreak = Seq("event_id"))(table(s, dir, "events"))
-        .select("user_id", "event_id", "session_id")
-        .orderBy("user_id", "event_id")
-    },
-    "latest_event" -> { (s, dir) =>
-      // current state per user from the event history — the SCD1
-      // read-side primitive as a standalone catalog op
-      WindowOps.latestPerKey("user_id", "ts", tieBreak = "event_id")(
-        table(s, dir, "events")
-          .select("user_id", "ts", "event_id", "event_type", "value"))
-        .select("user_id", "event_id", "event_type", "value")
-        .orderBy("user_id")
-    },
-    "cumulative_distinct" -> { (s, dir) =>
-      // per user: distinct event types seen so far at each event — the
-      // count(DISTINCT) OVER Spark lacks, decomposed into two exact
-      // integer windows
-      WindowOps.cumulativeDistinct("user_id", "event_type",
-        Seq("ts", "event_id"))(table(s, dir, "events"))
-        .select("user_id", "event_id", "event_type", "distinct_so_far")
-        .orderBy("user_id", "event_id")
-    },
-    "session_stats" -> { (s, dir) =>
-      // one row per session: bounds, whole-second duration, event count
-      WindowOps.sessionStats("user_id", "ts", gapSeconds = 1800,
-        tieBreak = Seq("event_id"))(table(s, dir, "events"))
-        .orderBy("user_id", "session_id")
-    },
-    "event_deltas" -> { (s, dir) =>
-      WindowOps.eventDeltas("user_id", "ts", tieBreak = Seq("event_id"))(
-        table(s, dir, "events"))
-        .select("user_id", "event_id", "delta_seconds")
-        .orderBy("user_id", "event_id")
-    },
-    "event_transitions" -> { (s, dir) =>
-      // the Markov journey view: consecutive in-user event pairs →
-      // (from, to, n, p) with p an exact integer division; the oracle
-      // replays the identical lead window and conditional counts
-      WindowOps.eventTransitions("user_id", "ts", "event_type",
-        tieBreak = Seq("event_id"))(table(s, dir, "events"))
-        .orderBy("from_type", "to_type")
-    },
-    "budget_allocation" -> { (s, dir) =>
-      // Hamilton apportionment: 1000 budget units across sources by
-      // doc-count weight — integer allocations that sum to EXACTLY 1000
-      val weights = corpus(s, dir, "documents")
-        .groupBy("source").agg(count(lit(1)).as("docs"))
-      Ops.proportionalAllocate("source", "docs", total = 1000L)(weights)
-        .orderBy("source")
-    },
-    "activity_profile" -> { (s, dir) =>
-      // (dow × hour) heatmap per event type: arithmetic day/hour, not
-      // calendar functions (engine week conventions disagree)
-      WindowOps.activityProfile("event_type", "ts")(
-        table(s, dir, "events"))
-    },
-    "impute_median" -> { (s, dir) =>
-      // the missing-data FIX: null out a deterministic 1/7 slice, then
-      // fill from the per-type exact median
-      val e = table(s, dir, "events")
-        .withColumn("value", when(col("event_id") % 7 === 0,
-          lit(null).cast("double")).otherwise(col("value")))
-      Ops.imputeMedian("value", keys = Seq("event_type"),
-        outField = "value_filled")(e)
-        .select("event_id", "event_type", "value", "value_filled")
-        .orderBy("event_id")
-    },
-    "burstiness" -> { (s, dir) =>
-      // Goh–Barabási inter-arrival index per user: metronome vs
-      // Poisson vs bursty-bot behavioral fingerprint
-      WindowOps.burstiness("user_id", "ts", tieBreak = Seq("event_id"))(
-        table(s, dir, "events"))
-        .orderBy("user_id")
-    },
-    "decayed_counts" -> { (s, dir) =>
-      // recency-weighted type activity at a pinned "now": 3-day
-      // half-life, exact dyadic weights (see scaladoc)
-      TemporalOps.decayedCounts(Seq("event_type"), "ts",
-        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
-        halfLifeSeconds = 259200L)(table(s, dir, "events"))
-        .orderBy("event_type")
-    },
-    "ohlc_buckets" -> { (s, dir) =>
-      // candlestick view of the value series per event type, 6h buckets
-      TemporalOps.ohlcBuckets("ts", "value", "6 hours",
-        keys = Seq("event_type"), tieBreak = Seq("event_id"))(
-        table(s, dir, "events"))
-        .orderBy("event_type", "bucket_start")
-    },
-    "event_paths" -> { (s, dir) =>
-      // journey mining one level above the transition matrix: top
-      // 3-step consecutive routes per user
-      WindowOps.eventPaths("user_id", "ts", "event_type", steps = 3,
-        k = 20, tieBreak = Seq("event_id"))(table(s, dir, "events"))
-    },
-    "histogram_2d" -> { (s, dir) =>
-      // joint (quality, length) mass: where the corpus actually sits
-      Ops.histogram2d("quality", 0.0, 1.0, 10,
-        "n_chars", 0.0, 2000.0, 10)(
-        corpus(s, dir, "documents").select(
-          TextOps.qualityScore(col("text")).as("quality"), col("n_chars")))
-    },
-    // ---- temporal joins ----------------------------------------------------
-    "asof_join" -> { (s, dir) =>
-      val e = table(s, dir, "events")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val signups = e.filter(col("event_type") === "signup")
-        .select("event_id", "user_id", "ts", "value")
-      TemporalOps.asOfJoin(signups, "user_id", "ts", "ts",
-        rightVals = Seq("event_id", "value"), rightTieBreak = "event_id")(
-        purchases)
-        .select("event_id", "user_id", "asof_event_id", "asof_value")
-        .orderBy("user_id", "event_id")
-    },
-    "event_funnel" -> { (s, dir) =>
-      // sequential conversion: view -> click -> purchase, first
-      // qualifying occurrence per user, strictly-after ordering
-      WindowOps.eventFunnel("user_id", "ts", "event_type",
-        Seq("view", "click", "purchase"))(table(s, dir, "events"))
-        .orderBy("step")
-    },
-    "cohort_retention" -> { (s, dir) =>
-      WindowOps.cohortRetention("user_id", "ts")(table(s, dir, "events"))
-        .orderBy("cohort_week", "week_offset")
-    },
-    "asof_join_nearest" -> { (s, dir) =>
-      // nearest as-of: each purchase attaches whichever signup sits
-      // closer in time (either direction), equidistant ties backward —
-      // both directional passes inside ONE key shuffle
-      val e = table(s, dir, "events")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val signups = e.filter(col("event_type") === "signup")
-        .select("event_id", "user_id", "ts", "value")
-      TemporalOps.asOfJoin(signups, "user_id", "ts", "ts",
-        rightVals = Seq("event_id", "value"), rightTieBreak = "event_id",
-        direction = "nearest")(purchases)
-        .select("event_id", "user_id", "asof_event_id", "asof_value")
-        .orderBy("user_id", "event_id")
-    },
-    "asof_join_fwd" -> { (s, dir) =>
-      // forward as-of with tolerance: each purchase attaches the NEXT
-      // signup within 24h, or NULLs when the nearest one is too far
-      val e = table(s, dir, "events")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val signups = e.filter(col("event_type") === "signup")
-        .select("event_id", "user_id", "ts", "value")
-      TemporalOps.asOfJoin(signups, "user_id", "ts", "ts",
-        rightVals = Seq("event_id", "value"), rightTieBreak = "event_id",
-        direction = "forward", toleranceSeconds = Some(86400L))(purchases)
-        .select("event_id", "user_id", "asof_event_id", "asof_value")
-        .orderBy("user_id", "event_id")
-    },
-    "scd2_history" -> { (s, dir) =>
-      // SCD2 dimension build: each user's event_type change stream
-      // compressed to versions with validity intervals (emitted as epoch
-      // micros — timestamps stay engine-internal)
-      TemporalOps.scd2History("user_id", "ts", Seq("event_type"),
-        tieBreak = "event_id")(table(s, dir, "events"))
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("valid_from")).as("valid_from_us"),
-          unix_micros(col("valid_to")).as("valid_to_us"),
-          col("is_current"))
-        .orderBy("user_id", "valid_from_us", "valid_to_us", "event_type",
-          "is_current")
-    },
-    "twa_value" -> { (s, dir) =>
-      // duration-weighted mean of the cent-scaled value per user — the
-      // irregular-sampling-correct average; integral value x µs
-      // products stay exact 64-bit, one final division
-      val e = table(s, dir, "events").select(col("user_id"), col("ts"),
-        col("event_id"), round(col("value") * 1e2, 0).cast("long").as("v"))
-      WindowOps.timeWeightedAvg("user_id", "ts", "v", tieBreak = "event_id")(e)
-        .orderBy("user_id")
-    },
-    "rolling_agg" -> { (s, dir) =>
-      // trailing-5-row moving sum/mean per user on the cent-scaled
-      // value (frame sums visit rows in engine order — only integral
-      // sums hash-match, the money doctrine)
-      val e = table(s, dir, "events").select(col("user_id"), col("ts"),
-        col("event_id"), round(col("value") * 1e2, 0).cast("long").as("v"))
-      WindowOps.rollingAgg(Seq("user_id"), Seq("ts", "event_id"), "v", k = 5)(e)
-        .select("user_id", "event_id", "v", "rolling_sum", "rolling_n",
-          "rolling_mean")
-        .orderBy("user_id", "event_id")
-    },
-    "minmax_norm" -> { (s, dir) =>
-      // per-flag min-max scaling; bounds from the FULL table, value
-      // check on the l_orderkey < 1000 slice (the winsorize pattern)
-      Ops.minMaxNormalize(Seq("l_returnflag"), "l_extendedprice")(
-        table(s, dir, "lineitem"))
-        .filter(col("l_orderkey") < 1000)
-        .select("l_orderkey", "l_linenumber", "l_returnflag",
-          "l_extendedprice", "l_extendedprice_mm")
-        .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
-          "l_extendedprice", "l_extendedprice_mm")
-    },
-    "zscore_norm" -> { (s, dir) =>
-      // explicit-sufficient-statistics z-scores on the integral-valued
-      // quantity (engine stddev is Welford-ordered and never
-      // hash-matches; this formula is deterministic IEEE)
-      Ops.zscoreNormalize(Seq("l_returnflag"), "l_quantity")(
-        table(s, dir, "lineitem"))
-        .filter(col("l_orderkey") < 1000)
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
-          "l_quantity_z")
-        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
-          "l_quantity_z")
-    },
-    "robust_z" -> { (s, dir) =>
-      // median/MAD outlier scores — stats from the FULL table, value
-      // check on the l_orderkey < 1000 slice (the winsorize pattern)
-      Ops.robustZScore(Seq("l_returnflag"), "l_extendedprice")(
-        table(s, dir, "lineitem"))
-        .filter(col("l_orderkey") < 1000)
-        .select("l_orderkey", "l_linenumber", "l_returnflag",
-          "l_extendedprice", "l_extendedprice_rz")
-        .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
-          "l_extendedprice", "l_extendedprice_rz")
-    },
-    "mode_lang" -> { (s, dir) =>
-      // dominant language per source, count ties broken on the smaller
-      // value — the per-domain profile every mixture report starts from
-      Ops.modeAgg(Seq("source"), "lang")(
-        table(s, dir, "documents").select("source", "lang"))
-        .select("source", "lang_mode", "lang_mode_count")
-        .orderBy("source")
-    },
-    "ewma_value" -> { (s, dir) =>
-      // per-user exponential smoothing of the value stream; the fold is
-      // a literal sequential recurrence, mirrored by the oracle's
-      // recursive CTE step for step
-      WindowOps.ewmaSmooth("user_id", "ts", "value", alpha = 0.3,
-        tieBreak = "event_id")(table(s, dir, "events"))
-        .orderBy("user_id", "ts", "event_id")
-    },
-    "interval_join" -> { (s, dir) =>
-      // signup sessions vs purchase sessions that overlap in time for
-      // the same user — both sides INTERVALS (event_id-derived lengths,
-      // 0.5-4.5 h), bucket-exploded to a pure equi-join; the oracle is
-      // the plain non-equi join the bucket plan provably equals
-      val ev = table(s, dir, "events")
-      def iv(t: String) = ev.filter(col("event_type") === t)
-        .select(col("event_id"), col("user_id"),
-          col("ts").as("start_ts"),
-          timestamp_micros(unix_micros(col("ts")) +
-            (col("event_id") % 14400 + 1800) * 1000000L).as("end_ts"))
-      TemporalOps.intervalJoin(iv("purchase"), "user_id",
-        "start_ts", "end_ts", "start_ts", "end_ts", widthSeconds = 7200L)(
-        iv("signup"))
-        .select(col("l_event_id").as("signup_id"),
-          col("r_event_id").as("purchase_id"),
-          col("l_user_id").as("user_id"), col("overlap_us"))
-        .orderBy("user_id", "signup_id", "purchase_id")
-    },
-    "apply_changes" -> { (s, dir) =>
-      // CDC merge: the pre-cutoff customer snapshot maintained with the
-      // post-cutoff rows replayed as a change stream (odd custkeys
-      // upsert with a refreshed segment, even custkeys delete) — the
-      // warehouse MERGE INTO, last-wins per key
-      val c = table(s, dir, "customer")
-        .select("c_custkey", "c_name", "c_mktsegment")
-      val snapshot = c.filter(col("c_custkey") <= 1000)
-      val changes = table(s, dir, "customer")
-        .filter(col("c_custkey") > 500)
-        .select(col("c_custkey"), col("c_name"),
-          concat(col("c_mktsegment"), lit("_V2")).as("c_mktsegment"),
-          when(col("c_custkey") % 2 === 1, lit("U")).otherwise(lit("D"))
-            .as("op"),
-          col("c_custkey").cast("timestamp").as("chg_ts"),
-          col("c_custkey").as("chg_id"))
-      TemporalOps.applyChanges(changes, "c_custkey", "chg_ts", "chg_id",
-        "op")(snapshot)
-        .orderBy("c_custkey")
-    },
-    "resample_ffill" -> { (s, dir) =>
-      // 6h regularized per-user series with gaps forward-filled; values
-      // ride through unaggregated (last event per bucket) so doubles
-      // hash-match bit-for-bit
-      TemporalOps.resample("user_id", "ts", "value", stepSeconds = 21600L,
-        tieBreak = "event_id")(table(s, dir, "events"))
-        .orderBy("user_id", "bucket_ts")
-    },
-    "band_join" -> { (s, dir) =>
-      val e = table(s, dir, "events")
-      val signups = e.filter(col("event_type") === "signup")
-        .select("event_id", "user_id", "ts")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      TemporalOps.bandJoin(purchases, "user_id", "ts", "ts",
-        widthSeconds = 3600)(signups)
-        .select(col("l_event_id").as("signup_id"),
-          col("r_event_id").as("purchase_id"),
-          col("l_user_id").as("user_id"), col("delta_us"))
-        .orderBy("user_id", "signup_id", "purchase_id")
-    },
-    // ---- set ops / rollup / pivot / percentile -----------------------------
-    "intersect_keys" -> { (s, dir) =>
-      val c = table(s, dir, "customer")
-      Ops.intersect(c.filter(col("c_acctbal") > 5000).select("c_custkey"))(
-        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
-        .orderBy("c_custkey")
-    },
-    "except_keys" -> { (s, dir) =>
-      // BUILDING customers minus high-balance customers (non-empty slice)
-      val c = table(s, dir, "customer")
-      Ops.except(c.filter(col("c_acctbal") > 5000).select("c_custkey"))(
-        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
-        .orderBy("c_custkey")
-    },
-    "intersect_all_keys" -> { (s, dir) =>
-      val o = table(s, dir, "orders")
-      Ops.intersectAll(
-        o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))(
-        o.filter(col("o_orderstatus") === "F").select("o_custkey"))
-        .orderBy("o_custkey")
-    },
-    "except_all_keys" -> { (s, dir) =>
-      val o = table(s, dir, "orders").select(col("o_custkey"))
-      val b = table(s, dir, "customer")
-        .filter(col("c_mktsegment") === "BUILDING")
-        .select(col("c_custkey").as("o_custkey"))
-      Ops.exceptAll(b)(o).orderBy("o_custkey")
-    },
-    "rollup_agg" -> { (s, dir) =>
-      // min/max measures are order-insensitive and exact on doubles, so the
-      // rollup needs no money-scaling to hash-match.
-      Ops.aggregateRollup(Seq("o_orderstatus", "o_orderpriority"),
-        Seq("o_totalprice" -> "min", "o_totalprice" -> "max"))(
-        table(s, dir, "orders"))
-        .orderBy(col("grouping_id"), col("o_orderstatus").asc_nulls_first,
-          col("o_orderpriority").asc_nulls_first)
-    },
-    "cube_agg" -> { (s, dir) =>
-      Ops.aggregateCube(Seq("o_orderstatus", "o_orderpriority"),
-        Seq("o_totalprice" -> "max"))(table(s, dir, "orders"))
-        .orderBy(col("grouping_id"), col("o_orderstatus").asc_nulls_first,
-          col("o_orderpriority").asc_nulls_first)
-    },
-    "grouping_sets_agg" -> { (s, dir) =>
-      // by-status and by-priority in ONE pass — the level list ROLLUP and
-      // CUBE cannot express (no (status, priority) level, no total)
-      Ops.aggregateGroupingSets(
-        Seq(Seq("o_orderstatus"), Seq("o_orderpriority")),
-        Seq("o_orderstatus", "o_orderpriority"),
-        Seq("o_totalprice" -> "sum", "o_totalprice" -> "max"),
-        scales = Map("o_totalprice" -> 1e2))(table(s, dir, "orders"))
-        .orderBy(col("grouping_id"), col("o_orderstatus").asc_nulls_first,
-          col("o_orderpriority").asc_nulls_first)
-    },
-    "cube_money" -> { (s, dir) =>
-      // sum/average across every cube level via integer-scaled exact
-      // sums (Ops.scaledSum) — order-insensitive, so all 2^k grouping
-      // levels hash-match the oracle bit-for-bit
-      Ops.aggregateCube(Seq("o_orderstatus", "o_orderpriority"),
-        Seq("o_totalprice" -> "sum", "o_totalprice" -> "average",
-          "o_totalprice" -> "min"),
-        scales = Map("o_totalprice" -> 1e2))(table(s, dir, "orders"))
-        .orderBy(col("grouping_id"), col("o_orderstatus").asc_nulls_first,
-          col("o_orderpriority").asc_nulls_first)
-    },
-    "events_time_buckets" -> { (s, dir) =>
-      // batch form of the streaming tumbling window; 6h buckets align
-      // across engines (DuckDB's time_bucket origin 2000-01-01 is a
-      // whole number of 6h periods past Spark's 1970 epoch origin)
-      table(s, dir, "events")
-        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
-        .agg(count(lit(1)).as("event_count"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("event_count"))
-        .orderBy("window_start", "event_type")
-    },
-    "pivot_status" -> { (s, dir) =>
-      // money-scaled sums (SparkEntry.scala moneySum pattern) so the wide
-      // cells are bit-identical across engines
-      val money = (sum(round(col("o_totalprice") * 1e2, 0).cast("long"))
-        .cast("long") / 1e2)
-      Ops.pivot(Seq("o_orderpriority"), "o_orderstatus", Seq("F", "O", "P"),
-        money, suffix = "_total")(table(s, dir, "orders"))
-        .orderBy("o_orderpriority")
-    },
-    "unpivot_lineitem" -> { (s, dir) =>
-      // melt four measure columns to (variable, value) rows — pure
-      // reshaping, values pass through bit-identically
-      Ops.unpivot(Seq("l_orderkey", "l_linenumber"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))(
-        table(s, dir, "lineitem")
-          .select("l_orderkey", "l_linenumber", "l_quantity",
-            "l_extendedprice", "l_discount", "l_tax"))
-        // (l_orderkey, l_linenumber) is NOT unique in lineitem: order by
-        // every output column for a total order
-        .orderBy("l_orderkey", "l_linenumber", "variable", "value")
-    },
-    "category_drift" -> { (s, dir) =>
-      // priority-mix drift between two derived order snapshots:
-      // exact counts, one division per share, chi-square contributions
-      val o = table(s, dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-      Probes.categoryDrift("o_orderpriority")(
-        o.filter(col("o_orderkey") % 3 =!= 0),
-        o.filter(col("o_orderkey") % 4 =!= 0))
-        .orderBy(col("value").asc_nulls_first)
-    },
-    "balance_classes" -> { (s, dir) =>
-      // every language downsampled to the smallest class's size,
-      // deterministic hash order — the label-skew prep
-      Ops.balanceClasses("lang", "doc_id")(
-        corpus(s, dir, "documents").select("doc_id", "lang"))
-        .orderBy("doc_id")
-    },
-    "duplicate_span_mask" -> { (s, dir) =>
-      // the loss-mask form of span dedup: text untouched, per-token
-      // keep flags exploded to rows for the compare
-      TextOps.duplicateSpanMask("doc_id", "text", n = 8)(
-        corpus(s, dir, "documents"))
-        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
-          posexplode(col("keep_mask")))
-        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
-          col("pos").cast("long").as("token_pos"), col("col").as("keep"))
-        .orderBy("doc_id", "token_pos")
-    },
-    "semi_join" -> { (s, dir) =>
-      // customers with at least one order — left columns only, each
-      // left row at most once, short-circuit hash join
-      Ops.semiJoin(
-        table(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
-        Seq("c_custkey"))(
-        table(s, dir, "customer")
-          .select("c_custkey", "c_name", "c_mktsegment"))
-        .orderBy("c_custkey")
-    },
-    "anti_join" -> { (s, dir) =>
-      // customers with no order in the %5 order slice (every customer
-      // has SOME order in this fixture — the slice makes real orphans)
-      Ops.antiJoin(
-        table(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
-          .select(col("o_custkey").as("c_custkey")),
-        Seq("c_custkey"))(
-        table(s, dir, "customer")
-          .select("c_custkey", "c_name", "c_mktsegment"))
-        .orderBy("c_custkey")
-    },
-    "intersect_distinct" -> { (s, dir) =>
-      // (status, priority) combos present in BOTH order-key parities
-      val o = table(s, dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
-      Ops.intersect(
-        o.filter(col("o_orderkey") % 2 =!= 0)
-          .select("o_orderstatus", "o_orderpriority"))(
-        o.filter(col("o_orderkey") % 2 === 0)
-          .select("o_orderstatus", "o_orderpriority"))
-        .orderBy("o_orderstatus", "o_orderpriority")
-    },
-    "except_distinct" -> { (s, dir) =>
-      // combos outside the urgent slice: EXCEPT removes every
-      // 1-URGENT pairing, the non-urgent ones survive
-      val o = table(s, dir, "orders")
-        .select("o_orderstatus", "o_orderpriority")
-      Ops.except(
-        o.filter(col("o_orderpriority") === "1-URGENT"))(o)
-        .orderBy("o_orderstatus", "o_orderpriority")
-    },
-    "ngram_counts" -> { (s, dir) =>
-      // occurrence-true trigram table (the LM-training export): every
-      // window votes, tail pruned at minCount 5
-      TextOps.ngramCounts("text", 3, minCount = 5L)(
-        corpus(s, dir, "documents"))
-        .orderBy("ngram")
-    },
-    "fuzzy_join" -> { (s, dir) =>
-      // cross-catalog record linkage: a "dirty export" derived from
-      // customer (shifted ids, last name char dropped) links back to
-      // the master table through del-1 blocking + the JW scorer —
-      // candidates only ever span the two sides
-      val master = table(s, dir, "customer").select("c_custkey", "c_name")
-      val dirty = master.select(
-        (col("c_custkey") + 1000000L).as("x_id"),
-        call_function("substring", col("c_name"), lit(1),
-          length(col("c_name")) - 1).as("x_name"))
-      Dedup.fuzzyJoin(dirty, "c_custkey", "c_name", "x_id", "x_name",
-        minJw = 0.9)(master)
-        .orderBy("left_id", "right_id")
-    },
-    "snapshot_diff" -> { (s, dir) =>
-      // two derived snapshots of orders: %3-dropped rows vs %4-dropped
-      // rows with %11 prices bumped — diff emits added/removed/changed
-      // only, the asymmetry that keeps a 100 TB diff small
-      val o = table(s, dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      val before = o.filter(col("o_orderkey") % 3 =!= 0)
-      val after = o.filter(col("o_orderkey") % 4 =!= 0)
-        .withColumn("o_totalprice",
-          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
-            .otherwise(col("o_totalprice")))
-      Ops.snapshotDiff(Seq("o_orderkey"),
-        Seq("o_orderstatus", "o_totalprice"))(before, after)
-        .orderBy("o_orderkey")
-    },
-    "referential_integrity" -> { (s, dir) =>
-      // FK orphan probe: lineitem against a dimension with every 10th
-      // order dropped — orphans counted, NULL FKs counted separately
-      Probes.referentialIntegrity(Seq("l_orderkey"),
-        table(s, dir, "orders").filter(col("o_orderkey") % 10 =!= 0),
-        Seq("o_orderkey"))(table(s, dir, "lineitem"))
-    },
-    "corr_measures" -> { (s, dir) =>
-      // pairwise Pearson r from explicit sufficient statistics (the
-      // engine corr() is Welford-ordered and never hash-matches):
-      // integral-valued measures (quantity, whole dollars, line
-      // numbers) keep every sum exact, then the r formula is the same
-      // IEEE op sequence on both sides
-      val li = table(s, dir, "lineitem").select(col("l_returnflag"),
-        col("l_quantity"),
-        round(col("l_extendedprice"), 0).as("dollars"),
-        col("l_linenumber").cast("double").as("linenum"))
-      Ops.corrMatrix(Seq("l_returnflag"),
-        Seq("l_quantity", "dollars", "linenum"))(li)
-        .orderBy("l_returnflag", "field_a", "field_b")
-    },
-    "l2_normalize" -> { (s, dir) =>
-      // unit-sphere normalization: the sequential array-order fold
-      // makes the float norm (and every element) bit-exact cross-engine;
-      // exploded to (vec_id, dim, unit_val) rows for the compare
-      table(s, dir, "embeddings")
-        .select(col("vec_id"),
-          posexplode(Similarity.l2Normalize(col("embedding"))))
-        .select(col("vec_id"), col("pos").as("dim"),
-          col("col").as("unit_val"))
-        .orderBy("vec_id", "dim")
-    },
-    "histogram_price" -> { (s, dir) =>
-      // equal-width audit histogram: fixed [0, 60000]×12 grid per flag,
-      // out-of-range/NULL under the NULL bin, only occupied bins emitted
-      Ops.histogram(Seq("l_returnflag"), "l_extendedprice",
-        0.0, 60000.0, 12)(
-        table(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"))
-        .orderBy(col("l_returnflag"), col("l_extendedprice_bin").asc)
-    },
-    "column_profile" -> { (s, dir) =>
-      // the ingest `describe`: per-column rows/nulls/exact distincts in
-      // one aggregation, exploded to rows with zero driver collects
-      Probes.columnProfile(Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_orderpriority", "o_totalprice"))(table(s, dir, "orders"))
-        .orderBy("column")
-    },
-    "temporal_split" -> { (s, dir) =>
-      // purged/embargoed time split: train before the cutoff, test at
-      // least one embargo day after it, the gap excluded from both
-      TemporalOps.temporalSplit("ts", "2024-01-20 00:00:00",
-        embargoSeconds = 86400L)(table(s, dir, "events"))
-        .select("event_id", "split")
-        .orderBy("event_id")
-    },
-    "pivot_returnflag" -> { (s, dir) =>
-      // crosstab with explicit values: one conditional-sum column per
-      // return flag inside a single hash aggregate (l_quantity is
-      // integral-valued, so double sums are order-independent)
-      Ops.pivotAgg(Seq("l_linestatus"), "l_returnflag", Seq("A", "N", "R"),
-        "l_quantity", "sum")(
-        table(s, dir, "lineitem")
-          .select("l_linestatus", "l_returnflag", "l_quantity"))
-        .orderBy("l_linestatus")
-    },
-    "percentile_price" -> { (s, dir) =>
-      Ops.percentileAgg(Seq("l_returnflag"), "l_extendedprice",
-        Seq(0.25, 0.5, 0.9))(table(s, dir, "lineitem"))
-        .orderBy("l_returnflag")
-    },
-    "winsorize_price" -> { (s, dir) =>
-      // per-flag exact-percentile clipping; bounds from the FULL table,
-      // value check on the l_orderkey < 1000 slice
-      Ops.winsorize(Seq("l_returnflag"), "l_extendedprice", 0.05, 0.95)(
-        table(s, dir, "lineitem"))
-        .filter(col("l_orderkey") < 1000)
-        .select("l_orderkey", "l_linenumber", "l_returnflag",
-          "l_extendedprice", "l_extendedprice_w")
-        .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
-          "l_extendedprice", "l_extendedprice_w")
-    },
-    "incremental_rollup" -> { (s, dir) =>
-      // materialized-rollup maintenance: history folded to mergeable
-      // state once, the new batch folded in WITHOUT re-reading history;
-      // the oracle recomputes over the full table — the maintenance
-      // identity finalize(merge(state(A), state(B))) = aggregate(A∪B)
-      val keys = Seq("l_returnflag", "l_linestatus")
-      val ms = Seq("l_quantity" -> "sum", "l_quantity" -> "min",
-        "l_quantity" -> "max", "l_quantity" -> "average")
-      val li = table(s, dir, "lineitem")
-        .select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")
-      val stored = Ops.aggregateState(keys, ms)(
-        li.filter(col("l_orderkey") < 30000))
-      val batch = Ops.aggregateState(keys, ms)(
-        li.filter(col("l_orderkey") >= 30000))
-      Ops.finalizeAggregate(keys, ms)(
-        Ops.mergeAggregateStates(keys, ms)(stored, batch))
-        .orderBy("l_returnflag", "l_linestatus")
-    },
-    "incremental_distinct" -> { (s, dir) =>
-      // the count_distinct leg of rollup maintenance: per-group HLL
-      // sketches merge register-wise (merged ≡ direct sketch of the
-      // union, spec-pinned); at this group cardinality the sketch is
-      // still a coupon list, so the estimate is the exact distinct and
-      // the oracle can assert it
-      val keys = Seq("l_returnflag")
-      val li = table(s, dir, "lineitem")
-        .select("l_returnflag", "l_suppkey", "l_orderkey")
-      val stored = Ops.aggregateStateHll(keys, Seq("l_suppkey"))(
-        li.filter(col("l_orderkey") < 30000))
-      val batch = Ops.aggregateStateHll(keys, Seq("l_suppkey"))(
-        li.filter(col("l_orderkey") >= 30000))
-      Ops.finalizeAggregateHll(keys, Seq("l_suppkey"))(
-        Ops.mergeAggregateStatesHll(keys, Seq("l_suppkey"))(stored, batch))
-        .orderBy("l_returnflag")
-    },
-    "page_rank" -> { (s, dir) =>
-      // host-importance prior over the derived 40-node link graph:
-      // 3 fixed iterations, contribution folds order-pinned so even
-      // the float ranks hash-match the unrolled oracle
-      val ev = table(s, dir, "events")
-        .select((col("user_id") % 40).as("src"),
-          ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
-      GraphOps.pageRank("src", "dst")(ev).orderBy("node")
-    },
-    "page_rank_weighted" -> { (s, dir) =>
-      // weighted form: per-event integer weights, multi-edges summed —
-      // each link votes in proportion to its weight
-      val ev = table(s, dir, "events")
-        .select((col("user_id") % 40).as("src"),
-          ((col("user_id") * 7 + col("event_id")) % 40).as("dst"),
-          (col("event_id") % 5 + 1).cast("double").as("w"))
-      GraphOps.pageRank("src", "dst", weightField = "w")(ev)
-        .orderBy("node")
-    },
-    "degree_stats" -> { (s, dir) =>
-      // the first diagnostic over any link graph: per-node out/in/total
-      // degree with orphan sides zero-filled
-      val ev = table(s, dir, "events")
-        .select((col("user_id") % 40).as("src"),
-          ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
-      GraphOps.degreeStats("src", "dst")(ev).orderBy("node")
-    },
-    "triangle_stats" -> { (s, dir) =>
-      // community structure over the same derived 40-node graph:
-      // degree-ordered orientation bounds per-apex fan-out at O(√m),
-      // the one float is a single exact-integer division
-      val ev = table(s, dir, "events")
-        .select((col("user_id") % 40).as("src"),
-          ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
-      GraphOps.triangleStats("src", "dst")(ev).orderBy("node")
-    },
-    "regression_price" -> { (s, dir) =>
-      // per-flag OLS price-vs-quantity line from exact sufficient
-      // statistics (the corr_measures doctrine: integral inputs keep
-      // every sum exact, then one shared IEEE op sequence)
-      Ops.regression(Seq("l_returnflag"), "l_quantity", "dollars")(
-        table(s, dir, "lineitem").select(col("l_returnflag"),
-          col("l_quantity"),
-          round(col("l_extendedprice"), 0).as("dollars")))
-        .orderBy("l_returnflag")
-    },
-    "k_anonymity" -> { (s, dir) =>
-      // release-gate probe: equivalence classes under
-      // (nation, segment) with fewer than 8 members
-      Probes.kAnonymity(Seq("c_nationkey", "c_mktsegment"), k = 8)(
-        table(s, dir, "customer"))
-        .orderBy("c_nationkey", "c_mktsegment")
-    },
-    "cc_scrub" -> { (s, dir) =>
-      // checksum-precision card redaction: per doc, synthesize one
-      // Luhn-VALID 16-digit PAN and one single-digit-off INVALID twin
-      // from the doc id; only the valid one must become <CARD>
-      val base = concat(lit("4"),
-        lpad(col("doc_id").cast("string"), 14, "0"))
-      // check digit: Luhn sum of the base digits at full-string
-      // positions 2..16 (the check itself will occupy position 1)
-      val sumBase = aggregate(sequence(lit(1), lit(15)), lit(0),
-        (acc, j) => {
-          val d = ascii(base.substr(lit(16) - j, lit(1))) - 48
-          acc + when((j + 1) % 2 === 1, d)
-            .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
-        })
-      val check = (lit(10) - (sumBase % 10)) % 10
-      val noisy = concat(substring(col("text"), 1, 30),
-        lit(" pay "), base, check.cast("string"),
-        lit(" ref "), base, ((check + 5) % 10).cast("string"))
-      table(s, dir, "documents")
-        .select(col("doc_id"), TextOps.scrubCards(noisy).as("clean"))
-        .orderBy("doc_id")
-    },
-    "collocations" -> { (s, dir) =>
-      // lift-ranked adjacent-pair mining: multiword units that co-occur
-      // beyond what unigram frequencies predict
-      TextOps.collocations("text", minCount = 5, k = 20)(
-        corpus(s, dir, "documents"))
-    },
-    "pareto_front" -> { (s, dir) =>
-      // multi-objective selection: the quality/cost frontier — no doc on
-      // it is beaten on BOTH quality and brevity by any other doc
-      val q = corpus(s, dir, "documents")
-        .select(col("doc_id"),
-          TextOps.qualityScore(col("text")).as("quality"), col("n_chars"))
-        .withColumn("__negc", -col("n_chars"))
-      Ops.paretoFront("quality", "__negc")(q)
-        .select("doc_id", "quality", "n_chars")
-        .orderBy("doc_id")
-    },
-    "pareto_by_group" -> { (s, dir) =>
-      // per-language frontier: each language keeps its own
-      // quality/brevity front — the grouped form of pareto_front
-      val q = corpus(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          TextOps.qualityScore(col("text")).as("quality"), col("n_chars"))
-        .withColumn("__negc", -col("n_chars"))
-      Ops.paretoFront("quality", "__negc", groupCols = Seq("lang"))(q)
-        .select("lang", "doc_id", "quality", "n_chars")
-        .orderBy("lang", "doc_id")
-    },
-    "pipeline_flagship" -> { (s, dir) =>
-      // the end-to-end composition the README promises, through the EP1
-      // Pipeline façade: htmlExtract → NFC normalize → gopher gate →
-      // corpus line dedup → incremental fingerprint dedup vs a crawl-N
-      // index → temperature mix → sequence packing. Every stage is
-      // individually oracle-pinned; THIS row pins the seams (schema
-      // handoffs, NULL discipline, id/meta survival across stages).
-      // Fixture plumbing: docs < 50 re-crawl under new crawl ids with
-      // the same page id (same HTML wrap, same content) so the
-      // fingerprint-index leg has real duplicates to drop; 8-word line
-      // framing as in line_dedup.
-      import graft.pipeline.Pipeline
-      val docs = corpus(s, dir, "documents")
-      val raw = docs.select(col("doc_id"), col("lang"), col("source"),
-          col("text"), col("doc_id").as("page_id"))
-        .unionByName(docs.filter(col("doc_id") < 50)
-          .select((col("doc_id") + 100000).as("doc_id"), col("lang"),
-            col("source"), col("text"), col("doc_id").as("page_id")))
-      val cleaned = Pipeline(raw
-          .select(col("doc_id"), col("lang"), col("source"),
-            syntheticHtml(col("page_id"), col("text")).as("text")))
-        .htmlExtract("text")
-        .derive("text", TextOps.normalizeText(col("text")))
-        .result
-      val passing = TextOps.gopherRules("doc_id", "text")(cleaned)
-        .filter(col("passes_gopher") === 1).select("doc_id")
-      val toks = split(coalesce(col("text"), lit("")), " ")
-      val lined = Pipeline(cleaned).semiJoin(passing, Seq("doc_id")).result
-        .select(col("doc_id"), col("lang"), col("source"),
-          array_join(transform(
-            sequence(lit(0), ceil(size(toks) / lit(8.0)).cast("int") - 1),
-            b => array_join(slice(toks, b * lit(8) + 1, lit(8)), " ")),
-            "\n").as("text"))
-      val deduped = Pipeline(lined)
-        .dedupLines("doc_id", "text", minCount = 2).result
-        .join(lined.select("doc_id", "lang", "source"), Seq("doc_id"))
-      val seen = deduped.filter(col("doc_id") < 250)
-        .select(TextOps.fingerprint(col("clean_text")).as("f")).distinct()
-      Pipeline(deduped.filter(col("doc_id") >= 250))
-        .dedupIncremental("clean_text", "doc_id", seen)
-        .temperatureMix("doc_id", "source", budgetRows = 120)
-        .derive("n_tokens",
-          size(split(translate(col("clean_text"), "\n", " "), " "))
-            .cast("long"))
-        .packSequences("n_tokens", budget = 2048, shardField = "lang",
-          orderBy = Seq("doc_id"))
-        .result
-        .select("doc_id", "lang", "source", "n_lines", "n_removed",
-          "n_tokens", "bin")
-        .orderBy("doc_id")
-    },
-    "pareto_front_3d" -> { (s, dir) =>
-      // the d=3 corpus-selection frontier: quality maximized, length and
-      // (synthetic, oracle-reproducible) dup score minimized — the ask
-      // the 2-D window front cannot answer, via the SFS-fold skyline
-      val q = corpus(s, dir, "documents")
-        .select(col("doc_id"),
-          TextOps.qualityScore(col("text")).as("quality"), col("n_chars"))
-        .withColumn("dup_score", col("doc_id") % 97)
-        .withColumn("__negc", -col("n_chars"))
-        .withColumn("__negd", -col("dup_score"))
-      Ops.paretoFrontNd(Seq("quality", "__negc", "__negd"))(q)
-        .select("doc_id", "quality", "n_chars", "dup_score")
-        .orderBy("doc_id")
-    },
-    "label_agreement" -> { (s, dir) =>
-      // Cohen's kappa between the stored lang label and the n-gram
-      // heuristic's prediction: chance-corrected labeler agreement
-      Probes.labelAgreement(col("lang"),
-        TextOps.langId(col("text")))(corpus(s, dir, "documents"))
-    },
-    "score_calibration" -> { (s, dir) =>
-      // reliability table + ECE: does the saturated English-stopword
-      // score mean what it claims about lang = 'en'?
-      Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
-        col("lang") === "en", bins = 10)(corpus(s, dir, "documents"))
-    },
-    "concentration" -> { (s, dir) =>
-      // is each language's corpus diverse or one-source-dominated?
-      Probes.concentration(Seq("lang"), "source")(
-        corpus(s, dir, "documents"))
-        .orderBy("lang")
-    },
-    "gini" -> { (s, dir) =>
-      // length inequality per source: does one doc own the tokens?
-      Probes.gini(Seq("source"), "n_chars")(corpus(s, dir, "documents"))
-        .orderBy("source")
-    },
-    "calibration_by_source" -> { (s, dir) =>
-      // which SOURCE is miscalibrated: the per-group drill-down of
-      // score_calibration, one ECE verdict per source
-      Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
-        col("lang") === "en", bins = 5, groupCols = Seq("source"))(
-        corpus(s, dir, "documents"))
-    },
-    "confusion_matrix" -> { (s, dir) =>
-      // WHERE the labelers disagree — label_agreement's drill-down
-      Probes.confusionMatrix(col("lang"),
-        TextOps.langId(col("text")))(corpus(s, dir, "documents"))
-    },
-    "fim_transform" -> { (s, dir) =>
-      // fill-in-the-middle (PSM order) at 50% apply rate: two salted
-      // hash cuts mod remaining length; the oracle reproduces the
-      // integer cut arithmetic and substring layout exactly
-      TextOps.fimTransform("doc_id", "text", fimRate = 0.5)(
-        corpus(s, dir, "documents"))
-        .orderBy("doc_id")
-    },
-    "span_corrupt" -> { (s, dir) =>
-      // T5 denoising pairs: grid-aligned 3-token spans masked at 15%
-      // via the salted per-block Bernoulli; numbered sentinels in the
-      // input, sentinel-prefixed spans in the target — the oracle
-      // replays the identical block/hash/rank arithmetic
-      TextOps.spanCorrupt("doc_id", "text",
-        maskProb = 0.15, spanLen = 3)(corpus(s, dir, "documents"))
-        .orderBy("doc_id")
-    },
-    "epoch_mix" -> { (s, dir) =>
-      // LLaMA-recipe fractional epochs: src0 ×2.5, src1 ×0.25,
-      // src2 ×1 — integer epochs exact, the fractional part a salted
-      // per-doc Bernoulli; unnamed sources pass through at ×1. The
-      // oracle replays the floor/frac arithmetic and the md5-prefix
-      // draw, then regenerates copies with the same 0-based grid
-      TextOps.epochRepeatMix("doc_id", "source",
-        Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0))(
-        corpus(s, dir, "documents").select("doc_id", "source"))
-        .orderBy("doc_id", "copy")
-    },
-    "temperature_mix" -> { (s, dir) =>
-      // T=2 multilingual smoothing: per-source share ∝ √n (the one
-      // temperature that stays oracle-exact — sqrt is correctly-rounded
-      // IEEE, pow is libm), 200-row budget, deterministic Bernoulli
-      TextOps.temperatureMix("doc_id", "source", budgetRows = 200)(
-        corpus(s, dir, "documents").select("doc_id", "source"))
-        .orderBy("doc_id")
-    },
-    "numeric_drift" -> { (s, dir) =>
-      // two-sample KS on the bin grid: even vs odd event halves of the
-      // value column over [0, 500) in 20 bins — per-bin ECDFs, the CDF
-      // delta, and ks_stat = max |delta| on every row
-      val ev = table(s, dir, "events")
-      Probes.numericDrift("value", lo = 0.0, hi = 500.0, bins = 20)(
-        ev.filter(col("event_id") % 2 === 0),
-        ev.filter(col("event_id") % 2 === 1))
-        .orderBy("bin")
-    },
-    "k_anonymize" -> { (s, dir) =>
-      // the FIX for what k_anonymity reports: generalize the balance
-      // to 500-wide bands (raw balances are near-unique — suppress-
-      // only would drop almost everything), then suppress the rows
-      // whose (segment, band) class is still under 8 — the released
-      // view passes kAnonymity by construction (at sf0.01: 1472 rows
-      // released, 28 suppressed — both paths live)
-      Probes.kAnonymize(
-        Seq("c_mktsegment", "c_acctbal"), k = 8,
-        generalizations = Map("c_acctbal" ->
-          (floor(col("c_acctbal") / 500) * 500)))(
-        table(s, dir, "customer")
-          .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"))
-        .orderBy("c_custkey")
-    },
-    "l_diversity" -> { (s, dir) =>
-      // homogeneity-attack probe: (nation, balance-band) classes whose
-      // segment column carries < 4 distinct values
-      Probes.lDiversity(Seq("c_nationkey", "balance_band"),
-        "c_mktsegment", l = 4)(
-        table(s, dir, "customer").withColumn("balance_band",
-          floor(col("c_acctbal") / 2000)))
-        .orderBy("c_nationkey", "balance_band")
-    },
-    "join_cardinality" -> { (s, dir) =>
-      // pre-flight skew check for an events⋈orders join on customer:
-      // per-key exact output contribution, heaviest first
-      Probes.joinCardinality(Seq("user_id"),
-        table(s, dir, "orders"), Seq("o_custkey"), topN = 15)(
-        table(s, dir, "events"))
-    },
-    "token_shift" -> { (s, dir) =>
-      // vocabulary drift: which tokens pull each source's unigram
-      // distribution away from the corpus mixture (rational TV
-      // contributions — no log, the no-transcendentals doctrine)
-      TextOps.tokenShift("source", "text", k = 5)(
-        corpus(s, dir, "documents"))
-        .orderBy("source", "rank")
-    },
-    "soundex_codes" -> { (s, dir) =>
-      // the phonetic blocking key itself, pinned against a hand-built
-      // RE2-safe oracle mirror of American Soundex over the distinct
-      // part names (two words — exercises the space-stripping path)
-      val words = table(s, dir, "part")
-        .select(col("p_name").as("word")).distinct()
-      words
-        .withColumn("__clean",
-          upper(regexp_replace(col("word"), "[^A-Za-z]", "")))
-        .select(col("word"),
-          when(length(col("__clean")) > 0, soundex(col("__clean")))
-            .as("code"))
-        .orderBy("word")
-    },
-    "phonetic_pairs" -> { (s, dir) =>
-      // phonetic record linkage over the distinct part names:
-      // soundex blocking + native Jaro–Winkler verify — the
-      // sounds-alike pairs del-1 blocking is structurally blind to
-      val words = table(s, dir, "part")
-        .groupBy(col("p_name").as("word"))
-        .agg(min("p_partkey").as("word_id"))
-      Dedup.phoneticKeyPairs("word_id", "word", minJw = 0.6)(words)
-        .orderBy("id_a", "id_b")
-    },
-    "theta_overlap" -> { (s, dir) =>
-      // the set-algebra distinct state HLL structurally lacks: per-flag
-      // supplier theta sketches, then pairwise intersection/difference
-      // estimates off the |groups|-sized state frame (broadcast pair
-      // join) — exact at this cardinality (pre-capacity regime), which
-      // is what the oracle's exact set arithmetic asserts
-      val st = Ops.aggregateStateTheta(
-        Seq("l_returnflag"), Seq("l_suppkey"))(
-        table(s, dir, "lineitem").select("l_returnflag", "l_suppkey"))
-        .localCheckpoint()
-      val a = st.select(col("l_returnflag").as("flag_a"),
-        col("l_suppkey_theta").as("__sa"))
-      val b = st.select(col("l_returnflag").as("flag_b"),
-        col("l_suppkey_theta").as("__sb"))
-      import graft.functions.GraftFunctions
-      a.join(broadcast(b), col("flag_a") < col("flag_b"))
-        .select(col("flag_a"), col("flag_b"),
-          GraftFunctions.thetaEstimate(col("__sa")).as("n_a"),
-          GraftFunctions.thetaEstimate(col("__sb")).as("n_b"),
-          GraftFunctions.thetaIntersect(col("__sa"), col("__sb"))
-            .as("n_common"),
-          GraftFunctions.thetaDiff(col("__sa"), col("__sb"))
-            .as("n_only_a"))
-        .orderBy("flag_a", "flag_b")
-    },
-    "incremental_quantile" -> { (s, dir) =>
-      // the QUANTILE leg of rollup maintenance (KLL sketches, k=200):
-      // the event_id % 41 slice keeps every group ≤ k values at the
-      // oracle SF, so sketches never compact — each rank is the exact
-      // ⌈r·n⌉-th order statistic and merged ≡ direct (spec-pinned);
-      // beyond k the ~1.65% band applies and only percentileAgg stays
-      // hash-exact
-      val keys = Seq("event_type")
-      val ev = table(s, dir, "events")
-        .filter(col("event_id") % 41 === 0)
-        .select("event_type", "value", "event_id")
-      val stored = Ops.aggregateStateKll(keys, Seq("value"))(
-        ev.filter(col("event_id") % 2 === 0))
-      val batch = Ops.aggregateStateKll(keys, Seq("value"))(
-        ev.filter(col("event_id") % 2 =!= 0))
-      Ops.finalizeAggregateKll(keys, Seq("value"), Seq(0.5, 0.9))(
-        Ops.mergeAggregateStatesKll(keys, Seq("value"))(stored, batch))
-        .orderBy("event_type")
-    },
-    "incremental_freq" -> { (s, dir) =>
-      // the POINT-FREQUENCY leg of rollup maintenance (count-min
-      // sketches, 5×4096): per-source lang-frequency state as two
-      // folded halves, probed for the full lang domain — in the
-      // collision-free regime every estimate is the exact count
-      // (absent keys 0), so the oracle is a plain source×lang count
-      // spine; beyond it only the one-sided ≥ band holds (spec-pinned)
-      val keys = Seq("source")
-      val d = corpus(s, dir, "documents").select("doc_id", "source", "lang")
-      val stored = Ops.aggregateStateCms(keys, Seq("lang"))(
-        d.filter(col("doc_id") % 2 === 0))
-      val batch = Ops.aggregateStateCms(keys, Seq("lang"))(
-        d.filter(col("doc_id") % 2 =!= 0))
-      Ops.finalizeAggregateCms(keys, "lang",
-        Seq("de", "en", "es", "fr", "zh"))(
-        Ops.mergeAggregateStatesCms(keys, Seq("lang"))(stored, batch))
-        .orderBy("source", "item")
-    },
-    "equal_freq_bins" -> { (s, dir) =>
-      // per-flag deciles of extended price, verified via the per-bin
-      // population + passthrough min/max (bin edges are exact
-      // percentiles — the quantile_cont-equality precedent)
-      Ops.equalFreqBins(Seq("l_returnflag"), "l_extendedprice", bins = 10)(
-        table(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"))
-        .groupBy("l_returnflag", "l_extendedprice_bin")
-        .agg(count(lit(1)).as("n_rows"),
-          min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
-        .orderBy("l_returnflag", "l_extendedprice_bin")
-    },
-    "salted_agg" -> { (s, dir) =>
-      // 3-value key = aggregation skew by construction; l_quantity is
-      // integral-valued so double sums are exact in any order
-      Ops.saltedAggregate(Seq("l_returnflag"),
-        Seq("l_quantity" -> "sum", "l_quantity" -> "average"),
-        saltSource = col("l_orderkey"), buckets = 16)(
-        table(s, dir, "lineitem"))
-        .orderBy("l_returnflag")
-    },
-    "key_skew" -> { (s, dir) =>
-      // the salting-decision diagnostic: heaviest customer keys in orders
-      Probes.keySkew(Seq("o_custkey"), topN = 20)(table(s, dir, "orders"))
-    },
-    "join_salted" -> { (s, dir) =>
-      // the skew-join half of the toolkit: rows identical to the plain
-      // join (oracle IS the plain join), hot keys split 8 ways
-      val li = table(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-      val ord = table(s, dir, "orders")
-        .select(col("o_orderkey").as("l_orderkey"),
-          col("o_orderstatus"), col("o_totalprice"))
-      Ops.saltedJoin(ord, Seq("l_orderkey"), buckets = 8)(li)
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
-          "o_orderstatus", "o_totalprice")
-    },
-    "html_extract" -> { (s, dir) =>
-      // the web-corpus front door: crawl HTML in, training text out —
-      // comments/script/style blocks drop WITH contents, tags become
-      // word-boundary spaces, core entities decode (&amp; LAST so
-      // double-encoding stays encoded), whitespace collapses; the
-      // oracle replays the identical rule chain step for step
-      corpus(s, dir, "documents")
-        .select(col("doc_id"),
-          TextOps.htmlExtract(
-            syntheticHtml(col("doc_id"), col("text"))).as("text"))
-        .orderBy("doc_id")
-    },
-    "anchor_terms" -> { (s, dir) =>
-      // anchor-text term index: each synthetic page links two targets
-      // and describes them with its own leading words (the
-      // linker-describes-target signal); the oracle computes the
-      // (href, term) pairs ARITHMETICALLY from the text, so any
-      // extraction-regex slip mismatches. The second anchor is
-      // uppercase <A HREF> to exercise the (?i) path
-      val id = col("doc_id")
-      val toks = split(coalesce(col("text"), lit("")), " ")
-      val a1 = array_join(slice(toks, 1, 2), " ")
-      val a2 = array_join(slice(toks, 3, 2), " ")
-      val html = concat(
-        lit("<p>intro</p><a class=\"x\" href=\"/t/"),
-        (id % 20).cast("string"), lit("\">"), a1,
-        lit("</a> mid <A HREF=\"/u/"), (id % 11).cast("string"),
-        lit("\">"), a2, lit("</A>"))
-      TextOps.anchorTermCounts("html")(
-        corpus(s, dir, "documents").select(id, html.as("html")))
-        .orderBy("href", "term")
-    },
-    "domain_gate" -> { (s, dir) =>
-      // per-SITE reputation after the per-DOC gates: 7 synthetic
-      // registered domains, a doc passes its own bar at
-      // n_chars >= 150, and a domain keeps its docs iff >= 82% pass
-      // with >= 10 docs — two integer counts and one IEEE multiply
-      // per side, the no-float-accumulation gate the oracle replays
-      // bit-for-bit (at sf0.01: domains 0/4/6 survive, 1/2/3/5 fall)
-      val id = col("doc_id")
-      val url = concat(lit("https://www.example"),
-        (id % 7).cast("string"), lit(".com/p/"), id.cast("string"))
-      TextOps.domainQualityGate("url", col("n_chars") >= 150,
-        minFrac = 0.82, minDocs = 10)(
-        corpus(s, dir, "documents")
-          .select(id, col("n_chars"), url.as("url")))
-        .orderBy("doc_id")
-    },
-    "html_links" -> { (s, dir) =>
-      // crawl-frontier feeder: every double-quoted href in document
-      // order — composes with url_parts into (src_host, dst_host)
-      // edges for page_rank
-      corpus(s, dir, "documents")
-        .select(col("doc_id"), posexplode(
-          TextOps.htmlLinks(syntheticHtml(col("doc_id"), col("text")))))
-        .withColumnRenamed("pos", "link_idx")
-        .withColumnRenamed("col", "href")
-        .orderBy("doc_id", "link_idx")
-    },
-    // ---- binary / multimodal ----------------------------------------------
-    "url_dedup" -> { (s, dir) =>
-      // crawl-frontier dedup on the canonical URL: five noise axes
-      // (scheme case, host case, default port, tracking params,
-      // trailing slash, fragment) dress the same logical page in up to
-      // dozens of spellings; the canonicalization chain must strip ALL
-      // of them — the oracle computes the canonical form
-      // ARITHMETICALLY from the id, so any regex slip mismatches
-      val id = col("doc_id")
-      val url = concat(
-        when(id % 2 === 0, "HTTP://").otherwise("http://"),
-        when(id % 4 === 0, "Example").otherwise("example"),
-        (id % 7).cast("string"), lit(".com"),
-        when(id % 5 === 0, ":80").otherwise(""),
-        lit("/p/"), (id % 40).cast("string"),
-        when(id % 2 === 1, "/").otherwise(""),
-        when(id % 3 === 0, "?utm_source=feed")
-          .when(id % 3 === 1, "?utm_campaign=a&gclid=xyz")
-          .otherwise(""),
-        when(id % 11 === 0, "#sec").otherwise(""))
-      Dedup.byCanonicalUrl("url", tieBreak = "doc_id")(
-        corpus(s, dir, "documents").select(id, url.as("url")))
-        .orderBy("doc_id")
-    },
-    "url_parts" -> { (s, dir) =>
-      // crawl-manifest decomposition: synthetic per-doc URLs (the
-      // fixtures carry none) parsed back via parse_url + the
-      // registered-domain rule; the example.co.uk arm exercises the
-      // second-level public-suffix path — the oracle computes every
-      // part arithmetically, so a parser or suffix-rule slip mismatches
-      val id = col("doc_id")
-      val sub = element_at(
-        array(lit("www"), lit("data"), lit("cdn")), (id % 3 + 1).cast("int"))
-      val dom = element_at(
-        array(lit("example.com"), lit("example.co.uk"),
-          lit("spark-docs.org"), lit("data.io")), (id % 4 + 1).cast("int"))
-      val url = concat(lit("https://"), sub, lit("."), dom,
-        lit("/p/"), (id % 50).cast("string"), lit("?q="), id.cast("string"))
-      TextOps.urlParts("doc_id", "url")(
-        corpus(s, dir, "documents").select(id, url.as("url")))
-        .orderBy("doc_id")
-    },
-    "robots_filter" -> { (s, dir) =>
-      // crawl politeness end-to-end: parse per-host robots bodies (star
-      // group only — host b's '/all' rule belongs to another agent and
-      // must not apply; host c's star group sits AFTER a non-star one),
-      // then verdict URLs by longest-prefix with allow-wins ties
-      val id = col("doc_id")
-      val host = concat(element_at(
-        array(lit("a"), lit("b"), lit("c")), (id % 3 + 1).cast("int")),
-        lit(".example.com"))
-      val path = element_at(array(
-        lit("/private/ok/page"), lit("/private/hidden"),
-        lit("/pub/secret/f"), lit("/pub/open"), lit("/x9")),
-        (id % 5 + 1).cast("int"))
-      val robots = when(host.startsWith("a"), lit(
-        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
-          "User-agent: evil\nDisallow: /"))
-        .when(host.startsWith("b"), lit(
-          "User-agent: *\nDisallow: \nUser-agent: other\nDisallow: /all"))
-        .otherwise(lit(
-          "User-agent: evil\nDisallow: /\nUser-agent: *\nAllow: /pub\n" +
-            "Disallow: /pub/secret\nDisallow: /x"))
-      val docs = corpus(s, dir, "documents")
-      val rules = TextOps.robotsRules("host", "robots")(
-        docs.select(host.as("host"), robots.as("robots")).distinct())
-      TextOps.robotsFilter("doc_id", "url", rules, keepDenied = true)(
-        docs.select(id, concat(lit("https://"), host, path).as("url")))
-        .orderBy("doc_id")
-    },
-    "crawl_schedule" -> { (s, dir) =>
-      // politeness slicing: per-host priority queues cut into fetch
-      // slots of 3 — slot s across hosts is fetch round s
-      val id = col("doc_id")
-      val host = concat(element_at(
-        array(lit("a"), lit("b"), lit("c")), (id % 3 + 1).cast("int")),
-        lit(".example.com"))
-      val url = concat(lit("https://"), host, lit("/p/"),
-        (id % 50).cast("string"))
-      TextOps.crawlSchedule("doc_id", "url", "priority",
-        perHostPerSlot = 3)(
-        corpus(s, dir, "documents")
-          .select(id, url.as("url"), (id % 7).cast("int").as("priority")))
-        .select("doc_id", "url", "priority", "host", "fetch_slot")
-        .orderBy("doc_id")
-    },
-    "media_meta" -> { (s, dir) =>
-      // real container headers round-tripped through the native parser:
-      // the builders write spec-exact PNG/GIF/BMP/JPEG/WAV headers with
-      // per-doc dimensions, the kernel must read them back at the right
-      // offsets and endianness — the oracle computes the expectation
-      // arithmetically, so any parser slip hash-mismatches
-      val id = col("doc_id")
-      val w = (id % 800 + 16).cast("int"); val h = (id % 600 + 16).cast("int")
-      val ch = (id % 2 + 1).cast("int")
-      val rate = (lit(8000) + (id % 7) * 4000).cast("int")
-      val dur = (id % 7200000 + 1000).cast("int")
-      val blob = when(id % 6 === 0, BinaryOps.syntheticPng(w, h))
-        .when(id % 6 === 1, BinaryOps.syntheticGif(w, h))
-        .when(id % 6 === 2, BinaryOps.syntheticBmp(w, h))
-        .when(id % 6 === 3, BinaryOps.syntheticJpeg(w, h))
-        .when(id % 6 === 4, BinaryOps.syntheticWav(ch, rate))
-        .otherwise(BinaryOps.syntheticMp4(dur))
-      BinaryOps.mediaMetadata("doc_id", "blob")(
-        corpus(s, dir, "documents").select(id, blob.as("blob")))
-        .orderBy("doc_id")
-    },
-    "frame_samples" -> { (s, dir) =>
-      // frame-extraction plumbing over the SAME mixed media fixture:
-      // only the mp4 rows (doc_id % 6 = 5) carry a duration, so only
-      // they fan out to frame rows — the routing is part of the pin
-      val id = col("doc_id")
-      val w = (id % 800 + 16).cast("int"); val h = (id % 600 + 16).cast("int")
-      val ch = (id % 2 + 1).cast("int")
-      val rate = (lit(8000) + (id % 7) * 4000).cast("int")
-      val dur = (id % 7200000 + 1000).cast("int")
-      val blob = when(id % 6 === 0, BinaryOps.syntheticPng(w, h))
-        .when(id % 6 === 1, BinaryOps.syntheticGif(w, h))
-        .when(id % 6 === 2, BinaryOps.syntheticBmp(w, h))
-        .when(id % 6 === 3, BinaryOps.syntheticJpeg(w, h))
-        .when(id % 6 === 4, BinaryOps.syntheticWav(ch, rate))
-        .otherwise(BinaryOps.syntheticMp4(dur))
-      BinaryOps.sampleFrames("doc_id", "blob")(
-        corpus(s, dir, "documents").select(id, blob.as("blob")))
-        .orderBy("doc_id", "frame_idx")
-    },
-    "warc_records" -> { (s, dir) =>
-      // the Common Crawl container: spec-exact synthetic shards (1-3
-      // response records per doc), the kernel walks header blocks and
-      // payload separators and must recover every type/uri/length/
-      // offset the builder's closed form declares
-      val nw = (col("doc_id") % 3 + 1).cast("int")
-      corpus(s, dir, "documents")
-        .select(col("doc_id"), posexplode(
-          BinaryOps.warcRecords(BinaryOps.syntheticWarc(nw))))
-        .select(col("doc_id"), col("pos").as("rec_idx"),
-          col("col.rec_type").as("rec_type"),
-          col("col.target_uri").as("target_uri"),
-          col("col.content_length").as("content_length"),
-          col("col.offset").as("offset"))
-        .orderBy("doc_id", "rec_idx")
-    },
-    "zip_entries" -> { (s, dir) =>
-      // archive-shard routing: spec-exact synthetic ZIPs (1-3 stored
-      // members per doc), the kernel must walk EOCD -> central dir and
-      // recover every name/size/offset the builder's closed form
-      // declares — the media_meta discipline for containers-of-files
-      val nz = (col("doc_id") % 3 + 1).cast("int")
-      corpus(s, dir, "documents")
-        .select(col("doc_id"), posexplode(
-          BinaryOps.zipEntries(BinaryOps.syntheticZip(nz))))
-        .select(col("doc_id"), col("pos").as("entry_idx"),
-          col("col.name").as("name"),
-          col("col.compressed").as("compressed"),
-          col("col.uncompressed").as("uncompressed"),
-          col("col.local_offset").as("local_offset"))
-        .orderBy("doc_id", "entry_idx")
-    },
-    "tar_entries" -> { (s, dir) =>
-      // tarball routing — the third container kernel: spec-exact
-      // synthetic USTAR archives (1-3 members), the kernel walks
-      // 512-byte headers (octal sizes, ustar magic) and must recover
-      // every name/size/flag/offset the builder's closed form
-      // declares (offset_j = 1024·j with one data block per member)
-      val nt = (col("doc_id") % 3 + 1).cast("int")
-      corpus(s, dir, "documents")
-        .select(col("doc_id"), posexplode(
-          BinaryOps.tarEntries(BinaryOps.syntheticTar(nt))))
-        .select(col("doc_id"), col("pos").as("entry_idx"),
-          col("col.name").as("name"), col("col.size").as("size"),
-          col("col.typeflag").as("typeflag"),
-          col("col.offset").as("offset"))
-        .orderBy("doc_id", "entry_idx")
-    },
-    "wav_stats" -> { (s, dir) =>
-      // the first REAL sample-decode rung: per-doc PCM-16 WAVs built
-      // with a deterministic waveform (smp_j = (id·31 + j·17) % 4096 −
-      // 2048), the kernel must recover count/peak/energy from BYTES;
-      // the oracle computes the expectation arithmetically from the
-      // same formula — the media_meta discipline, one level deeper
-      val id = col("doc_id")
-      val n = (id % 50 + 5).cast("int")
-      val samples = transform(sequence(lit(0), n - 1),
-        j => ((id * 31 + j.cast("long") * 17) % 4096 - 2048).cast("int"))
-      BinaryOps.wavStats("doc_id", "blob")(
-        corpus(s, dir, "documents").select(id,
-          BinaryOps.syntheticWavPcm((id % 2 + 1).cast("int"),
-            (lit(8000) + (id % 7) * 4000).cast("int"), samples).as("blob")))
-        .orderBy("doc_id")
-    },
-    "binary_stats" -> { (s, dir) =>
-      val blob = BinaryOps.toBlob(col("text"))
-      corpus(s, dir, "documents")
-        .select(col("doc_id"), BinaryOps.blobSize(blob).as("byte_count"),
-          BinaryOps.blobDigest(blob).as("digest"))
-        .orderBy("doc_id")
-    },
-    "binary_chunk_fps" -> { (s, dir) =>
-      corpus(s, dir, "documents")
-        .select(col("doc_id"), posexplode(
-          BinaryOps.chunkFingerprints(BinaryOps.toBlob(col("text")), 64)))
-        .withColumnRenamed("pos", "chunk_idx")
-        .withColumnRenamed("col", "chunk_md5")
-        .orderBy("doc_id", "chunk_idx")
-    },
-    "binary_dedup" -> { (s, dir) =>
-      BinaryOps.dedupByBytes("blob", "doc_id")(
-        corpus(s, dir, "documents")
-          .select(col("doc_id"), BinaryOps.toBlob(col("text")).as("blob")))
-        .select(col("doc_id"), BinaryOps.blobSize(col("blob")).as("byte_count"))
-        .orderBy("doc_id")
-    },
-    "perceptual_hash_pairs" -> { (s, dir) =>
-      // perceptual (aHash) near-dup over the binary column: banded LSH
-      // on the 60-bit hash, popcount verify. The fixture carries no
-      // byte-identical blobs (hamming-0 pairs), so the verified query
-      // runs at hamming <= 10 (best-effort recall past bands-1,
-      // documented) to exercise the verify filter on real collisions;
-      // the <= 3 default keeps the pigeonhole guarantee
-      BinaryOps.perceptualHashPairs("doc_id", "blob", maxHamming = 10)(
-        corpus(s, dir, "documents")
-          .select(col("doc_id"), BinaryOps.toBlob(col("text")).as("blob")))
-        .orderBy("id_a", "id_b")
-    },
-    "perceptual_hash_pairs_dhash" -> { (s, dir) =>
-      // the gradient flavor: bit k is sample(k+1) > sample(k) — robust
-      // under constant byte shifts; same bands/verify as the aHash
-      // form, radius 20 because gradient bits flip more readily on
-      // this text fixture (band-mates start at Hamming 16)
-      BinaryOps.perceptualHashPairs("doc_id", "blob", maxHamming = 20,
-        hash = BinaryOps.dHash60)(
-        corpus(s, dir, "documents")
-          .select(col("doc_id"), BinaryOps.toBlob(col("text")).as("blob")))
-        .orderBy("id_a", "id_b")
-    },
-    "incremental_phash_dedup" -> { (s, dir) =>
-      // crawl N+1 perceptual-dedup'd against the ACCUMULATED corpus:
-      // blobs with doc_id < 250 persist only as (id, phash) index rows
-      // (no media bytes); doc_id >= 250 is the new batch, dropped when
-      // its aHash is within Hamming 10 of the index or any smaller-id
-      // batch blob (10, not the pigeonhole-complete 3, for the same
-      // fixture reason as perceptual_hash_pairs)
-      val docs = corpus(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          BinaryOps.toBlob(col("text")).as("blob"))
-      val index = BinaryOps.phashIndexRows("doc_id", "blob")(
-        docs.filter(col("doc_id") < 250))
-      BinaryOps.incrementalPerceptualDedup("doc_id", "blob", index,
-        maxHamming = 10)(docs.filter(col("doc_id") >= 250))
-        .select("doc_id", "lang").orderBy("doc_id")
-    },
-    "rendezvous_shard" -> { (s, dir) =>
-      // stable placement: per-(key, shard) hash scores, max wins —
-      // unlike pmod(hash, n), growing the shard list moves only the
-      // stolen keys (spec-pinned); the oracle replays the per-shard
-      // md5-prefix scores and the (score, name)-max election
-      corpus(s, dir, "documents")
-        .select(col("doc_id"),
-          Ops.rendezvousShard(col("doc_id"),
-            Seq("s0", "s1", "s2", "s3")).as("shard"))
-        .orderBy("doc_id")
-    },
-    "shuffle_rank" -> { (s, dir) =>
-      // training-epoch shuffle order: two-pass bucketed rank (256-way
-      // parallel), bit-identical to the single-partition global window
-      // the oracle runs
-      Ops.shuffleRank("doc_id")(
-        corpus(s, dir, "documents").select("doc_id"))
-        .orderBy("doc_id")
-    },
-    "compression_ratio" -> { (s, dir) =>
-      // DEFLATE compression-ratio quality signal: oracle-exempt
-      // (DuckDB exposes no deflate; rows-only check) — determinism,
-      // the repetitive-vs-noise separation, and the empty/NULL
-      // discipline are spec-asserted in ExtSpec
-      TextOps.compressionSignal("doc_id", "text")(
-        corpus(s, dir, "documents"))
-        .orderBy("doc_id")
-    },
-    "binary_cdc_chunks" -> { (s, dir) =>
-      // content-defined chunking: oracle-exempt (rolling-hash state
-      // machine is not SQL-expressible; rows-only check) — slice
-      // integrity and boundary-shift invariance are spec-asserted in
-      // BinaryOpsSpec
-      corpus(s, dir, "documents")
-        .select(col("doc_id"), explode(BinaryOps.contentChunkFingerprints(
-          BinaryOps.toBlob(col("text")),
-          minBytes = 16, avgBits = 6, maxBytes = 256)).as("c"))
-        .select(col("doc_id"), col("c.offset").as("chunk_offset"),
-          col("c.length").as("chunk_len"), col("c.fp").as("chunk_md5"))
-        .orderBy("doc_id", "chunk_offset")
-    },
-    "heavy_hitter_terms" -> { (s, dir) =>
-      // exact two-pass heavy hitters (Misra–Gries candidates → broadcast
-      // semi-join → exact counts); the oracle is the naive one-shuffle
-      // GROUP BY ... HAVING plan the two-pass form provably equals
-      Frequency.heavyHitterTerms("text", minFreq = 1e-3)(
-        corpus(s, dir, "documents"))
-        .orderBy(col("cnt").desc, col("token"))
-    },
-    "heavy_hitters_by_source" -> { (s, dir) =>
-      // per-domain frequent terms at 0.5% of EACH source's volume —
-      // group-keyed Misra–Gries summaries, per-group totals and
-      // candidates, exact per-(source, token) verify
-      Frequency.heavyHittersByGroup("source", "token", minFreq = 5e-3)(
-        corpus(s, dir, "documents").select(col("source"),
-          explode(TextOps.tokens(coalesce(col("text"), lit(""))))
-            .as("token")))
-        .orderBy(col("source"), col("cnt").desc, col("token"))
-    },
-    "heavy_hitter_phrases" -> { (s, dir) =>
-      // frequent trigrams at 0.01% document frequency — boilerplate
-      // phrase mining; distinct grams per doc, so repeats vote once
-      Frequency.heavyHitterPhrases("text", n = 3, minFreq = 1e-4)(
-        corpus(s, dir, "documents"))
-        .orderBy(col("cnt").desc, col("phrase"))
-    }
-  )
-
-  /** Shingle list (distinct word n-grams) — mirrors TextOps.shingles. */
-  private def shinglesSql(n: Int): String =
-    s"""list_distinct(list_transform(
-         range(1, greatest(len(string_split(text,' ')) - ${n - 1}, 0) + 1),
-         i -> array_to_string((string_split(text,' '))[i:i+${n - 1}], ' ')))"""
-
-  /** MinHash signature — mirrors Dedup.minhashSignature: element i is the
-    * min over shingles of the 32-bit word at offset (i%4)*8 of
-    * md5((i/4) || '|' || shingle); shingle-free docs get the
-    * Long.MaxValue sentinel. */
-  private def minhashSigSql(numHashes: Int): String =
-    s"""list_transform(range(0, $numHashes), i ->
-        coalesce(list_min(list_transform(sh, t ->
-          list_sum(list_transform(range(1,9), j ->
-            (strpos('0123456789abcdef',
-               substr(md5(CAST((i // 4) AS VARCHAR) || '|' || t),
-                      (i % 4) * 8 + j, 1)) - 1)
-            * CAST(16**(8-j) AS BIGINT))))), 9223372036854775807))"""
-
-  /** Full MinHash-LSH near-dup pipeline — mirrors
-    * Dedup.minhashNearDuplicates (banded buckets, maxBucket=64 skew cap,
-    * exact Jaccard verify). */
-  /** The banding + cap + exact-Jaccard-verify tail every MinHash-LSH
-    * near-dup oracle shares, appended after CTEs defining `sh`
-    * (doc_id, shingle list) and `sig` (doc_id, sh, signature list). */
-  private def lshNearDupTailSql(
-      rows: Int, bands: Int, threshold: String): String =
-    s"""
-      banded AS (SELECT doc_id, b,
-          md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')) AS bucket
-        FROM sig, range(0,$bands) t(b)),
-      sized AS (SELECT *, count(*) OVER (PARTITION BY b, bucket) AS n FROM banded),
-      pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM sized x JOIN sized y ON x.b = y.b AND x.bucket = y.bucket
-        WHERE x.doc_id < y.doc_id AND x.n <= 64 AND y.n <= 64),
-      joined AS (SELECT id_a, id_b,
-        CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
-        FROM pairs JOIN sh a ON pairs.id_a = a.doc_id
-                   JOIN sh b ON pairs.id_b = b.doc_id)
-      SELECT id_a, id_b, jaccard FROM joined
-      WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
-
-  private def minhashNearDupSql(
-      shingleN: Int, threshold: String,
-      numHashes: Int = 8, bands: Int = 4): String = {
-    val rows = numHashes / bands
-    s"""
-      WITH sh AS (SELECT doc_id, ${shinglesSql(shingleN)} AS sh FROM documents),
-      sig AS (SELECT doc_id, sh, ${minhashSigSql(numHashes)} AS sig FROM sh),
-      ${lshNearDupTailSql(rows, bands, threshold)}"""
-  }
-
-  /** Per-dim embedding profile — mirrors Similarity.embeddingProfile:
-    * 1e-7 quantization, HUGEINT sufficient statistics, the same
-    * left-associated IEEE dag for mean/variance. */
-  private def embeddingProfileSql: String = """
-      WITH e AS (SELECT CAST(i - 1 AS INT) AS dim,
-          CAST(em[CAST(i AS INT)] AS DOUBLE) AS x
-        FROM (SELECT embedding AS em,
-                unnest(range(1, len(embedding) + 1)) AS i
-              FROM embeddings)),
-      q AS (SELECT dim, x,
-          CAST(round(x * 1e7, 0) AS BIGINT) AS qv FROM e),
-      a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
-          sum(CAST(qv AS HUGEINT)) AS sq,
-          sum(CAST(qv AS HUGEINT) * CAST(qv AS HUGEINT)) AS sq2,
-          min(x) AS min_val, max(x) AS max_val,
-          CAST(count(*) FILTER (WHERE qv = 0) AS BIGINT) AS z
-        FROM q GROUP BY 1)
-      SELECT dim, n,
-        CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e7) AS mean,
-        (CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
-          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e7 * 1e7)
-          AS variance,
-        min_val, max_val,
-        CAST(z AS DOUBLE) / n AS zero_frac
-      FROM a ORDER BY dim"""
-
-  /** IVF operating-point eval — mirrors Similarity.ivfRecallEval: one
-    * shared centroid ranking (stand-in centroids, ties to smaller cid),
-    * per-nprobe probe filter + exact-cosine rerank, brute-force truth
-    * over the bounded query set, exact-count recall. */
-  private def ivfRecallEvalSql(
-      k: Int, nCentroids: Int, maxQueryId: Int,
-      nprobes: Seq[Int]): String = {
-    val npCtes = nprobes.map { np =>
-      s"""top$np AS (SELECT query_id, item_id FROM (
-          SELECT p.id AS query_id, a.id AS item_id,
-            row_number() OVER (PARTITION BY p.id
-              ORDER BY ${cosineSql("p.vec", "a.vec")} DESC, a.id ASC) AS rr
-          FROM (SELECT id, vec, cid FROM rk
-                WHERE rn <= $np AND id < $maxQueryId) p
-          JOIN assign a ON p.cid = a.cid WHERE p.id <> a.id) t
-        WHERE rr <= $k),
-      row$np AS (SELECT CAST($np AS INT) AS nprobe,
-          (SELECT count(*) FROM top$np) AS ivf_rows,
-          (SELECT count(*) FROM top$np t JOIN brute b
-             USING (query_id, item_id)) AS hit_rows)"""
-    }.mkString(",\n      ")
-    val rowsUnion = nprobes.map(np => s"SELECT * FROM row$np")
-      .mkString(" UNION ALL ")
-    s"""
-      WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-                 WHERE vec_id < $nCentroids),
-      sc AS (SELECT e.vec_id AS id, e.embedding AS vec, cid,
-               ${cosineSql("e.embedding", "cvec")} AS cs
-             FROM embeddings e, c),
-      rk AS (SELECT id, vec, cid,
-               row_number() OVER (PARTITION BY id
-                 ORDER BY cs DESC, cid ASC) AS rn FROM sc),
-      assign AS (SELECT id, vec, cid FROM rk WHERE rn = 1),
-      q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-            WHERE vec_id < $maxQueryId),
-      brute AS (SELECT query_id, item_id FROM (
-          SELECT q.query_id, e.vec_id AS item_id,
-            row_number() OVER (PARTITION BY q.query_id
-              ORDER BY ${cosineSql("q.qv", "e.embedding")} DESC,
-                e.vec_id ASC) AS rr
-          FROM q, embeddings e WHERE q.query_id <> e.vec_id) t
-        WHERE rr <= $k),
-      truth AS (SELECT count(*) AS truth_rows FROM brute),
-      $npCtes
-      SELECT nprobe, truth_rows, ivf_rows, hit_rows,
-        CASE WHEN truth_rows = 0 THEN NULL
-             ELSE CAST(hit_rows AS DOUBLE) / truth_rows END AS recall
-      FROM ($rowsUnion) CROSS JOIN truth
-      ORDER BY nprobe"""
-  }
-
-  /** LSH operating-point eval — mirrors Dedup.lshRecallEval: exact truth
-    * via the uncapped shared-shingle self-join, per-config candidates via
-    * the SAME banding + 64-cap as the production pipeline, recall and
-    * candidate precision as single IEEE divisions of exact counts. */
-  private def lshRecallEvalSql(
-      shingleN: Int, threshold: String, docFilter: String,
-      configs: Seq[(Int, Int)]): String = {
-    val jacc = """CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0
-             THEN CAST(0 AS DOUBLE)
-             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END"""
-    val cfgCtes = configs.zipWithIndex.map { case ((h, b), i) =>
-      val rows = h / b
-      s"""sig$i AS (SELECT doc_id, sh, ${minhashSigSql(h)} AS sig FROM sh),
-      banded$i AS (SELECT doc_id, bb,
-          md5(array_to_string(sig[bb*$rows+1 : bb*$rows+$rows], ',')) AS bucket
-        FROM sig$i, range(0,$b) t(bb)),
-      sized$i AS (SELECT *, count(*) OVER (PARTITION BY bb, bucket) AS n
-        FROM banded$i),
-      pairs$i AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM sized$i x JOIN sized$i y ON x.bb = y.bb AND x.bucket = y.bucket
-        WHERE x.doc_id < y.doc_id AND x.n <= 64 AND y.n <= 64),
-      row$i AS (SELECT CAST($h AS INT) AS num_hashes, CAST($b AS INT) AS bands,
-          count(*) AS candidate_pairs,
-          count(*) FILTER (WHERE $jacc >= $threshold) AS verified_pairs
-        FROM pairs$i JOIN sh a ON pairs$i.id_a = a.doc_id
-                     JOIN sh b ON pairs$i.id_b = b.doc_id)"""
-    }.mkString(",\n      ")
-    val rowsUnion = configs.indices
-      .map(i => s"SELECT * FROM row$i").mkString(" UNION ALL ")
-    s"""
-      WITH sh AS (SELECT doc_id, ${shinglesSql(shingleN)} AS sh
-        FROM documents WHERE $docFilter),
-      ex AS (SELECT doc_id, unnest(sh) AS t FROM sh),
-      tc AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM ex x JOIN ex y ON x.t = y.t AND x.doc_id < y.doc_id),
-      truth AS (SELECT count(*) AS truth_pairs
-        FROM tc JOIN sh a ON tc.id_a = a.doc_id JOIN sh b ON tc.id_b = b.doc_id
-        WHERE $jacc >= $threshold),
-      $cfgCtes
-      SELECT num_hashes, bands, truth_pairs, candidate_pairs, verified_pairs,
-        CASE WHEN truth_pairs = 0 THEN NULL
-             ELSE CAST(verified_pairs AS DOUBLE) / truth_pairs END AS recall,
-        CASE WHEN candidate_pairs = 0 THEN NULL
-             ELSE CAST(verified_pairs AS DOUBLE) / candidate_pairs
-             END AS candidate_precision
-      FROM ($rowsUnion) CROSS JOIN truth
-      ORDER BY num_hashes, bands"""
-  }
-
-  /** OPH near-dup — mirrors Dedup.minhashNearDuplicatesOph: one md5 per
-    * shingle (value = hex chars 1-8, slot = hex chars 9-16 mod k),
-    * per-slot min, right-circular densification, then the SAME banding
-    * and exact-Jaccard verify as the classic form. */
-  private def minhashNearDupOphSql(
-      shingleN: Int, threshold: String,
-      numHashes: Int, bands: Int): String = {
-    val rows = numHashes / bands
-    val k = numHashes
-    def word(off: Int) =
-      s"""list_sum(list_transform(range(1,9), j ->
-          (strpos('0123456789abcdef', substr(md5(t), $off + j, 1)) - 1)
-          * CAST(16**(8-j) AS BIGINT)))"""
-    s"""
-      WITH sh AS (SELECT doc_id, ${shinglesSql(shingleN)} AS sh FROM documents),
-      raw AS (SELECT doc_id, sh, list_transform(range(0, $k), slot ->
-          coalesce(list_min(list_transform(
-            list_filter(sh, t -> (${word(8)}) % $k = slot),
-            t -> ${word(0)})), 9223372036854775807)) AS r
-        FROM sh),
-      sig AS (SELECT doc_id, sh, list_transform(range(0, $k), j ->
-          coalesce(list_filter(list_transform(range(0, $k), t2 ->
-              r[CAST((j + t2) % $k AS INT) + 1]),
-            v -> v <> 9223372036854775807)[1],
-            9223372036854775807)) AS sig
-        FROM raw),
-      ${lshNearDupTailSql(rows, bands, threshold)}"""
-  }
-
-  /** Positional word n-grams — mirrors TextOps.positionedGrams: one md5
-    * per gram start position (0-based), NOT distinct. */
-  private def posGramsSql(n: Int): String =
-    s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-          md5(array_to_string(t[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ')) AS h
-        FROM (SELECT doc_id, string_split(text,' ') AS t,
-                unnest(range(1, greatest(len(string_split(text,' ')) - ${n - 1}, 0) + 1)) AS i
-              FROM documents)"""
-
-  /** Duplicated n-gram gaps-and-islands (mirrors TextOps.duplicateSpans):
-    * a new span starts where the gap between consecutive duplicated gram
-    * starts exceeds n; minSpanTokens > n drops short spans AFTER merging. */
-  private def dupSpansSql(n: Int, minSpanTokens: Int): String = {
-    val having =
-      if (minSpanTokens > n)
-        s"HAVING (max(pos) + ${n - 1}) - min(pos) + 1 >= $minSpanTokens"
-      else ""
-    s"""
-      WITH g AS (${posGramsSql(n)}),
-      dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-      hit AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
-      brk AS (SELECT doc_id, pos,
-          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $n
-               THEN 1 ELSE 0 END AS b
-        FROM hit),
-      isl AS (SELECT doc_id, pos,
-          sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-        FROM brk)
-      SELECT doc_id, min(pos) AS span_start, max(pos) + ${n - 1} AS span_end,
-        (max(pos) + ${n - 1}) - min(pos) + 1 AS span_tokens
-      FROM isl GROUP BY doc_id, island $having
-      ORDER BY doc_id, span_start"""
-  }
-
-  /** Interpolated bigram LM score — see the oracleSql entry comment. */
-  private def bigramLmSql(lambda: Double): String = s"""
-      WITH tok AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
-        FROM documents),
-      bg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-          ts[CAST(i AS INT)] AS prev, ts[CAST(i + 1 AS INT)] AS w
-        FROM (SELECT doc_id, ts,
-                unnest(range(1, greatest(len(ts) - 1, 0) + 1)) AS i
-              FROM tok)),
-      cb AS (SELECT prev, w, count(*) AS cb FROM bg GROUP BY prev, w),
-      cl AS (SELECT prev, count(*) AS cl FROM bg GROUP BY prev),
-      un AS (SELECT unnest(ts) AS w FROM tok),
-      cu AS (SELECT w, count(*) AS cu FROM un GROUP BY w),
-      tot AS (SELECT count(*) AS t FROM un),
-      p AS (SELECT doc_id, pos,
-          ${litD(lambda)} * (CAST(cb AS DOUBLE) / CAST(cl AS DOUBLE))
-          + ${litD(1.0 - lambda)} * (CAST(cu AS DOUBLE) / CAST(t AS DOUBLE))
-            AS p
-        FROM bg JOIN cb USING (prev, w) JOIN cl USING (prev)
-                JOIN cu USING (w) CROSS JOIN tot),
-      agg AS (SELECT doc_id, count(*) AS n_bigrams,
-          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
-            (a, b) -> a + b) AS s
-        FROM p GROUP BY doc_id)
-      SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        CASE WHEN coalesce(n_bigrams, 0) = 0 THEN CAST(0 AS DOUBLE)
-             ELSE s / CAST(n_bigrams AS DOUBLE) END AS lm_score
-      FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
-      ORDER BY d.doc_id"""
-
-  /** Double literal that parses to the EXACT same IEEE-754 bits as the
-    * Scala double `v`: Double.toString round-trips, and CAST from
-    * VARCHAR avoids DuckDB's bare-decimal-literal DECIMAL typing. */
-  private def litD(v: Double): String = s"CAST('$v' AS DOUBLE)"
-
-  /** The fixture edge list both graph queries (and their oracles)
-    * share: a deterministic 40-node link graph derived from events. */
-  private val graphEdgesSql = """
-    SELECT DISTINCT user_id % 40 AS s,
-           (user_id * 7 + event_id) % 40 AS d
-    FROM events
-    WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-      AND user_id % 40 <> (user_id * 7 + event_id) % 40"""
-
-  /** American Soundex of a letters-only UPPERCASE argument as pure
-    * RE2-safe DuckDB SQL (no backreferences — DuckDB's regex engine
-    * has none), mirroring the engine-native `soundex()` bit-for-bit:
-    * the first letter is coded with H/W as a '7' placeholder (kept,
-    * collides with no real code), the rest with H/W DELETED (so
-    * equal-coded neighbors merge across them — the transparency
-    * rule) and vowels+Y as '0' separators; runs of equal digits
-    * collapse via 6 rounds of pairwise `replace` per digit (flattens
-    * any run ≤ 64), the first code char drops (the first letter
-    * carries itself), zeros vanish, and the first 3 digits pad to
-    * `L###`. Verified against the builtin on the canonical
-    * Tymczak/Ashcraft/Pfister/Honeyman set and fuzzed in the spec. */
-  private def soundexSql(cleanExpr: String): String = {
-    val first = s"substr($cleanExpr, 1, 1)"
-    val firstCode = s"translate($first, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ'," +
-      " '01230127022455012623017202')"
-    val restCode = s"translate(substr($cleanExpr, 2)," +
-      " 'ABCDEFGIJKLMNOPQRSTUVXYZHW', '012301202245501262301202')"
-    var s = s"($firstCode || $restCode)"
-    for (d <- "0123456"; _ <- 1 to 6) s = s"replace($s, '$d$d', '$d')"
-    s"($first || rpad(substr(replace(substr($s, 2), '0', ''), 1, 3), 3, '0'))"
-  }
-
-  /** The weighted variant: per-event integer weights, multi-edges
-    * pre-summed — mirrors the weighted pageRank's edge aggregation. */
-  private val weightedGraphEdgesSql = """
-    SELECT s, d, sum(w) AS w FROM (
-      SELECT user_id % 40 AS s, (user_id * 7 + event_id) % 40 AS d,
-             CAST(event_id % 5 + 1 AS DOUBLE) AS w
-      FROM events
-      WHERE user_id IS NOT NULL AND event_id IS NOT NULL)
-    WHERE s <> d GROUP BY s, d"""
-
-  /** Unrolled fixed-iteration PageRank — mirrors GraphOps.pageRank
-    * step for step: uniform start, per-iteration contribution fold
-    * (r·w/Σw, w = 1 in the unweighted form — r·1.0 ≡ r bitwise)
-    * ordered by src and seeded from 0.0, base + d·sum with the exact
-    * same IEEE literals (litD of the Scala-computed constants).
-    * `edgesSql` must yield (s, d, w) with multi-edges pre-summed. */
-  private def pageRankSql(
-      edgesSql: String, iterations: Int, damping: Double): String = {
-    val d = litD(damping)
-    val base = litD(1.0 - damping)
-    val iters = (1 to iterations).map { i =>
-      s"""c$i AS (SELECT e.d AS v,
-          list_reduce(list_prepend(CAST(0 AS DOUBLE),
-            list(r${i - 1}.r * e.w / od.od ORDER BY e.s)),
-            (a, b) -> a + b) AS cs
-         FROM e JOIN od USING (s) JOIN r${i - 1} ON r${i - 1}.v = e.s
-         GROUP BY e.d),
-      r$i AS (SELECT n.v,
-          $base / nn.n + $d * coalesce(c$i.cs, CAST(0 AS DOUBLE)) AS r
-         FROM n CROSS JOIN nn LEFT JOIN c$i ON c$i.v = n.v)"""
-    }.mkString(",\n      ")
-    s"""
-      WITH e AS ($edgesSql),
-      n AS (SELECT DISTINCT v FROM
-        (SELECT s AS v FROM e UNION ALL SELECT d FROM e)),
-      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM n),
-      od AS (SELECT s, sum(w) AS od FROM e GROUP BY s),
-      r0 AS (SELECT v, CAST(1 AS DOUBLE) / nn.n AS r FROM n CROSS JOIN nn),
-      $iters
-      SELECT v AS node, r AS rank FROM r$iterations ORDER BY node"""
-  }
-
-  /** BM25 top-k — mirrors TextOps.bm25TopK term for term: rational idf
-    * (no log), every aggregate an exact integer in a double, score
-    * expression tree and fold order identical to the Column form, so
-    * scores hash-match bit-for-bit. */
-  private def bm25Sql(
-      terms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): String = {
-    val ts = terms.distinct.sorted
-    val tfCols = ts.zipWithIndex.map { case (t, i) =>
-      s"CAST(len(list_filter(string_split(text,' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
-    }
-    val dfCols = ts.indices.map(i =>
-      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
-    val score = ts.indices.map { i =>
-      s"((n - df$i) + ${litD(0.5)}) / (df$i + ${litD(0.5)}) * (tf$i * ${litD(k1 + 1.0)}) / (tf$i + ${litD(k1)} * (${litD(1.0 - b)} + ${litD(b)} * (dl / (sumdl / n))))"
-    }.reduce((a, bb) => s"($a + $bb)")
-    s"""
-      WITH base AS (SELECT doc_id,
-          CAST(len(string_split(text,' ')) AS DOUBLE) AS dl,
-          ${tfCols.mkString(",\n          ")}
-        FROM documents),
-      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
-          ${dfCols.mkString(",\n          ")}
-        FROM base),
-      scored AS (SELECT doc_id, $score AS score FROM base CROSS JOIN stats)
-      SELECT doc_id, score,
-        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
-      FROM scored WHERE score > 0
-      QUALIFY rank <= $k
-      ORDER BY rank"""
-  }
-
-  /** Cross-corpus LSH near-dup — mirrors Dedup.crossCorpusNearDuplicates
-    * (same banding as minhashNearDupSql, per-SIDE maxBucket=64 cap,
-    * candidates only ever pair left with right). */
-  private def crossCorpusNearDupSql(
-      shingleN: Int, threshold: String, splitId: Int,
-      numHashes: Int = 8, bands: Int = 4): String = {
-    val rows = numHashes / bands
-    def side(name: String, pred: String) =
-      s"""$name AS (SELECT doc_id, ${shinglesSql(shingleN)} AS sh
-            FROM documents WHERE $pred)"""
-    def banded(name: String, sig: String) =
-      s"""$name AS (SELECT doc_id, b,
-            md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')) AS bucket
-          FROM $sig, range(0,$bands) t(b))"""
-    s"""
-      WITH ${side("shl", s"doc_id < $splitId")},
-      ${side("shr", s"doc_id >= $splitId")},
-      sigl AS (SELECT doc_id, sh, ${minhashSigSql(numHashes)} AS sig FROM shl),
-      sigr AS (SELECT doc_id, sh, ${minhashSigSql(numHashes)} AS sig FROM shr),
-      ${banded("bl", "sigl")},
-      ${banded("br", "sigr")},
-      szl AS (SELECT *, count(*) OVER (PARTITION BY b, bucket) AS n FROM bl),
-      szr AS (SELECT *, count(*) OVER (PARTITION BY b, bucket) AS n FROM br),
-      pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM szl x JOIN szr y ON x.b = y.b AND x.bucket = y.bucket
-        WHERE x.n <= 64 AND y.n <= 64),
-      joined AS (SELECT id_a, id_b,
-        CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
-        FROM pairs JOIN shl a ON pairs.id_a = a.doc_id
-                   JOIN shr b ON pairs.id_b = b.doc_id)
-      SELECT id_a, id_b, jaccard FROM joined
-      WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
-  }
-
-  /** Incremental near-dup vs a persisted signature index — mirrors
-    * Dedup.incrementalNearDup: the index side (doc_id < splitId)
-    * participates as signatures only, the batch (>= splitId) is dropped
-    * on estimated Jaccard (matching slots / numHashes, one integer count
-    * over another — exact) >= threshold against the index or a
-    * smaller-id batch doc. Banding identical to crossCorpusNearDupSql;
-    * per-side cap on the cross leg, bucket size in [2, cap] in-batch. */
-  private def incrementalNearDupSql(
-      shingleN: Int, threshold: String, splitId: Int,
-      numHashes: Int = 8, bands: Int = 4): String = {
-    val rows = numHashes / bands
-    val estJ = s"""CAST(len(list_filter(range(1, ${numHashes + 1}),
-        i -> a.sig[i] = bb.sig[i])) AS DOUBLE) / $numHashes"""
-    s"""
-      WITH sh AS (SELECT doc_id, ${shinglesSql(shingleN)} AS sh FROM documents),
-      sig AS (SELECT doc_id, ${minhashSigSql(numHashes)} AS sig FROM sh),
-      banded AS (SELECT doc_id, b,
-          md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')) AS bucket
-        FROM sig, range(0,$bands) t(b)),
-      szi AS (SELECT *, count(*) OVER (PARTITION BY b, bucket) AS n
-        FROM banded WHERE doc_id < $splitId),
-      szb AS (SELECT *, count(*) OVER (PARTITION BY b, bucket) AS n
-        FROM banded WHERE doc_id >= $splitId),
-      crossp AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM szi x JOIN szb y ON x.b = y.b AND x.bucket = y.bucket
-        WHERE x.n <= 64 AND y.n <= 64 AND x.doc_id <> y.doc_id),
-      inp AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM szb x JOIN szb y ON x.b = y.b AND x.bucket = y.bucket
-        WHERE x.doc_id < y.doc_id AND x.n BETWEEN 2 AND 64),
-      dup AS (SELECT DISTINCT id_b FROM (
-          SELECT p.id_b FROM crossp p
-            JOIN sig a ON p.id_a = a.doc_id
-            JOIN sig bb ON p.id_b = bb.doc_id
-          WHERE $estJ >= $threshold
-          UNION ALL
-          SELECT p.id_b FROM inp p
-            JOIN sig a ON p.id_a = a.doc_id
-            JOIN sig bb ON p.id_b = bb.doc_id
-          WHERE $estJ >= $threshold))
-      SELECT doc_id, lang FROM documents
-      WHERE doc_id >= $splitId AND doc_id NOT IN (SELECT id_b FROM dup)
-      ORDER BY doc_id"""
-  }
-
-  /** Cross-source overlap matrix — mirrors TextOps.sourceOverlap.
-    * `cutoff` Some(c) keeps only gram digests whose leading-32-bit
-    * value (parsed from the first 8 hex chars, exactly Spark's
-    * `conv(substring(h,1,8),16,10)`) is under c — the deterministic
-    * subspace-sampling mode. */
-  /** Perceptual-pair SQL shared by the aHash and dHash queries — the
-    * 61 stride samples and band/verify plumbing are identical; only
-    * the bit test differs (mean vs gradient). */
-  private def perceptualPairsSql(dHash: Boolean, maxHamming: Int): String = {
-    val bitTest =
-      if (dHash) "ss[CAST(k + 2 AS INT)] > ss[CAST(k + 1 AS INT)]"
-      else "ss[CAST(k + 1 AS INT)] * 60 >= total"
-    s"""
-      WITH s AS (SELECT doc_id, length(text) AS n,
-          list_transform(range(0, 61), k ->
-            CAST(ord(substr(text, CAST((k * length(text)) // 61 AS INT) + 1, 1))
-              AS BIGINT)) AS ss
-        FROM documents),
-      t AS (SELECT doc_id, n, ss,
-          CAST(list_sum(ss[1:60]) AS BIGINT) AS total FROM s),
-      h AS (SELECT doc_id,
-          CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
-               ELSE CAST(list_sum(list_transform(range(0, 60), k ->
-                 CASE WHEN $bitTest
-                      THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
-                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
-          END AS ph FROM t),
-      b AS (SELECT doc_id, ph, u.b AS band,
-          (ph >> (u.b * 15)) & 32767 AS bucket
-        FROM h, unnest([0, 1, 2, 3]) u(b)),
-      z AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bn FROM b),
-      p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-          CAST(bit_count(xor(a.ph, c.ph)) AS INTEGER) AS hamming
-        FROM z a JOIN z c ON a.band = c.band AND a.bucket = c.bucket
-        WHERE a.doc_id < c.doc_id AND a.bn <= 64)
-      SELECT id_a, id_b, hamming FROM p WHERE hamming <= $maxHamming
-      ORDER BY id_a, id_b"""
-  }
-
-  /** Containment-pair SQL shared by the exact and sampled queries —
-    * mirrors Dedup.containmentPairs (distinct 8-gram digests, per-gram
-    * doc-frequency cap at 64, both containment directions, either
-    * direction ≥ 0.5 survives). `cutoff` is the leading-32-bit digest
-    * bound of the sampled subspace. */
-  private def containmentPairsSql(cutoff: Option[Long]): String = {
-    val filter = cutoff.map(c =>
-      s"""WHERE list_sum(list_transform(range(1,9), j ->
-            (strpos('0123456789abcdef', substr(md5(gg), j, 1)) - 1)
-            * CAST(16**(8-j) AS BIGINT))) < $c""").getOrElse("")
-    s"""
-      WITH g AS (SELECT doc_id, md5(gg) AS h FROM (
-          SELECT doc_id, unnest(${shinglesSql(8)}) AS gg FROM documents) u
-        $filter),
-      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-        FROM g GROUP BY doc_id),
-      dft AS (SELECT h, count(*) AS dfc FROM g GROUP BY h),
-      p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-          CAST(count(*) AS BIGINT) AS shared_grams
-        FROM g a JOIN g c ON a.h = c.h JOIN dft ON dft.h = a.h
-        WHERE a.doc_id < c.doc_id AND dft.dfc <= 64
-        GROUP BY 1, 2)
-      SELECT p.id_a, p.id_b, p.shared_grams,
-        CAST(p.shared_grams AS DOUBLE) / ta.n AS containment_a,
-        CAST(p.shared_grams AS DOUBLE) / tb.n AS containment_b
-      FROM p JOIN tot ta ON ta.doc_id = p.id_a
-             JOIN tot tb ON tb.doc_id = p.id_b
-      WHERE greatest(CAST(p.shared_grams AS DOUBLE) / ta.n,
-                     CAST(p.shared_grams AS DOUBLE) / tb.n) >= 5e-1
-      ORDER BY id_a, id_b"""
-  }
-
-  private def sourceOverlapSql(cutoff: Option[Long]): String = {
-    // filters on md5(g), not the h alias (alias visibility in WHERE is
-    // not guaranteed); DISTINCT applies after the row filter either way
-    val filter = cutoff.map(c =>
-      s"""WHERE list_sum(list_transform(range(1,9), j ->
-            (strpos('0123456789abcdef', substr(md5(g), j, 1)) - 1)
-            * CAST(16**(8-j) AS BIGINT))) < $c""").getOrElse("")
-    s"""
-      WITH sg AS (SELECT DISTINCT source, md5(g) AS h FROM (
-          SELECT source, unnest(${shinglesSql(3)}) AS g FROM documents) u
-        $filter),
-      tot AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
-      inter AS (SELECT a.source AS source_a, b.source AS source_b,
-          count(*) AS n_common
-        FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source
-        GROUP BY 1, 2)
-      SELECT source_a, source_b, CAST(n_common AS BIGINT) AS n_common,
-        CAST(n_common AS DOUBLE) / (ta.n + tb.n - n_common) AS jaccard
-      FROM inter
-      JOIN tot ta ON source_a = ta.source
-      JOIN tot tb ON source_b = tb.source
-      ORDER BY source_a, source_b"""
-  }
-
-  /** Greedy BPE subword count — mirrors TextOps.bpeTokenCount: per
-    * whitespace word, character split, merges applied in RANK order,
-    * each pass merging left-to-right non-overlapping. DuckDB's
-    * list_reduce takes no initial accumulator (it seeds from the first
-    * element), so elements wrap as single-item lists and the seed [c1]
-    * is exactly the state Spark's empty-seeded fold reaches after one
-    * step — the folds are step-for-step identical. The merge table is
-    * the SAME Scala value on both sides (TextOps.demoBpeMerges). */
-  /** The BPE token-count VALUE of `textExpr` (the per-word merge fold,
-    * summed) — shared by [[bpeCountSql]] and the fertility report.
-    * list_reduce errors on an empty list; zero-length words count 0. */
-  private def bpeCountValueSql(
-      merges: Seq[(String, String)], textExpr: String): String = {
-    val chars = "list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))"
-    val folded = merges.foldLeft(chars) { case (prev, (a, b)) =>
-      s"""list_reduce(list_transform($prev, c -> [c]),
-          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '$a' AND x[1] = '$b'
-                      THEN acc[1:len(acc)-1] || ['${a + b}']
-                      ELSE acc || x END)"""
-    }
-    s"""list_sum(list_transform(string_split($textExpr, ' '),
-          w -> CASE WHEN length(w) = 0 THEN 0 ELSE len($folded) END))"""
-  }
-
-  private def bpeCountSql(merges: Seq[(String, String)]): String =
-    s"""SELECT doc_id,
-          CAST(${bpeCountValueSql(merges, "text")} AS BIGINT) AS n_bpe_tokens
-        FROM documents ORDER BY doc_id"""
-
-  /** Greedy BPE PIECES of `text` (list<varchar>, word-initial pieces
-    * '▁'-marked) — mirrors TextOps.bpeTokenize: the same per-word merge
-    * fold as [[bpeCountSql]], keeping the symbol lists (bound once via
-    * the one-element-list list_transform, so the fold runs once per
-    * word), marker prefixed, flattened in word order. Zero-length words
-    * contribute no pieces (the CASE guards the fold — list_reduce
-    * errors on empty input). */
-  private def bpePiecesSql(merges: Seq[(String, String)]): String = {
-    val chars = "list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))"
-    val folded = merges.foldLeft(chars) { case (prev, (a, b)) =>
-      s"""list_reduce(list_transform($prev, c -> [c]),
-          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '$a' AND x[1] = '$b'
-                      THEN acc[1:len(acc)-1] || ['${a + b}']
-                      ELSE acc || x END)"""
-    }
-    s"""flatten(list_transform(string_split(text, ' '), w ->
-        CASE WHEN length(w) = 0 THEN CAST([] AS VARCHAR[])
-             ELSE list_transform([$folded], f ->
-                    list_concat(['▁' || f[1]], f[2:len(f)]))[1] END))"""
-  }
-
-  /** Shared by token_budget_mix and token_budget_mix_2p: the two-pass
-    * bucket-offset rewrite never changes the result, only the plan. */
-  private val TokenBudgetMixSql: String = """
-      WITH t AS (SELECT source, doc_id,
-          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-          md5('mix|' || CAST(doc_id AS VARCHAR)) AS rk
-        FROM documents),
-      c AS (SELECT source, doc_id, n_tokens,
-          CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
-            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-        FROM t)
-      SELECT source, doc_id, n_tokens, cum_tokens FROM c
-      WHERE cum_tokens <= 1000 ORDER BY source, doc_id"""
-
-  /** Shared by incremental_dedup and incremental_dedup_bloom: the bloom
-    * prefilter never changes the result, only the plan. */
-  private val IncrementalDedupSql: String =
-    """WITH fp AS (SELECT doc_id, lang,
-         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS f
-         FROM documents),
-       fresh AS (
-         SELECT * FROM fp WHERE doc_id >= 250
-           AND f NOT IN (SELECT f FROM fp WHERE doc_id < 250))
-       SELECT doc_id, lang FROM fresh
-       QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
-       ORDER BY doc_id"""
-
-  /** 32-bit hash shared with TextOps.tokenHash/winnowFingerprints: value
-    * of the first 8 hex chars of md5(expr). */
-  private def hash32Sql(s: String): String =
-    s"""CAST(list_sum(list_transform(range(1,9), j ->
-        (strpos('0123456789abcdef', substr(md5($s), j, 1)) - 1)
-        * CAST(16**(8-j) AS BIGINT))) AS BIGINT)"""
-
-  /** Sequential double fold matching Spark's aggregate(…, 0.0, _+_). */
-  /** Synthetic per-doc HTML wrapped around the REAL fixture text (the
-    * fixtures carry no markup) — exercises every htmlExtract rule:
-    * comment, script (with a literal `<` inside), style, entities in
-    * both single- and double-encoded form, two hrefs. The SQL twin
-    * below builds the identical string in DuckDB. */
-  private def syntheticHtml(id: Column, text: Column): Column = concat(
-    lit("<html><head><title>Doc "), id.cast("string"),
-    lit("</title><style>p { color: red }</style>" +
-      "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
-      "<body><!-- note "), id.cast("string"),
-    lit(" --><h1>Title &amp; &lt;subtitle&gt;</h1><p>"), text,
-    lit("</p><a href=\"https://example.com/p/"), (id % 50).cast("string"),
-    lit("\">next</a> <a href=\"/local/"), (id % 7).cast("string"),
-    lit("\">rel</a>&nbsp;&#39;fin&#39;</body></html>"))
-
-  private val syntheticHtmlSql: String =
-    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-      '</title><style>p { color: red }</style>' ||
-      '<script type="text/javascript">var x = 1 < 2;</script></head>' ||
-      '<body><!-- note ' || CAST(doc_id AS VARCHAR) ||
-      ' --><h1>Title &amp; &lt;subtitle&gt;</h1><p>' || text ||
-      '</p><a href="https://example.com/p/' || CAST(doc_id % 50 AS VARCHAR) ||
-      '">next</a> <a href="/local/' || CAST(doc_id % 7 AS VARCHAR) ||
-      '">rel</a>&nbsp;&#39;fin&#39;</body></html>'"""
-
-  private def foldSum(listExpr: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
-
-  private def cosineSql(a: String, b: String): String = {
-    // the index range derives from the array's own length (not a
-    // hard-coded fixture dim), so a dimension change fails loudly via
-    // NULL-vs-value mismatches instead of silently zipping past the end
-    val d = foldSum(s"list_transform(range(1,len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
-    val na = s"sqrt(${foldSum(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
-    val nb = s"sqrt(${foldSum(s"list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
-    s"CASE WHEN $na = CAST(0 AS DOUBLE) OR $nb = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE $d / ($na * $nb) END"
-  }
-
-  /** Sign-LSH bucket over `embedding` — mirrors Similarity.lshBucket
-    * (6 planes, dim 64, md5-nibble plane weights); `offset` selects the
-    * independent plane set (table t -> offset 6t), exactly lshBucket's
-    * planeOffset. */
-  private def lshBucketSql(offset: Int = 0, vecCol: String = "embedding"): String =
-    s"""CAST(list_sum(list_transform(range(0,6), p ->
-          CASE WHEN ${foldSum(s"""list_transform(range(0,64), d ->
-            CAST($vecCol[d+1] AS DOUBLE)
-            * (CAST(strpos('0123456789abcdef',
-                 substr(md5(CAST(p + $offset AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1
-               AS DOUBLE) - 75e-1))""")} >= CAST(0 AS DOUBLE)
-          THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
-
-  private def stopRatio(lst: String): String =
-    s"""CASE WHEN len(string_split(text,' ')) = 0 THEN CAST(0 AS DOUBLE)
-        ELSE CAST(len(list_intersect(list_distinct(string_split(text,' ')), $lst)) AS DOUBLE)
-             / len(list_distinct(string_split(text,' '))) END"""
-
-  /** Per-document quality score — mirrors TextOps.qualityScore term for
-    * term (same blend weights, same fold order, every intermediate an
-    * exact double), so scores hash-match bit-for-bit and are safe to
-    * ORDER BY in keeper elections. One `(doc_id, quality)` row per
-    * document. */
-  /** `(doc_id, lang, lang_pred)` CTE chain — the lang_id heuristic
-    * (mirrors TextOps.langId tie discipline) shared by the `lang_id`
-    * oracle and the labeler-agreement kappa oracle. */
-  private def langPredCteSql: String = s"""
-      __lr AS (SELECT doc_id, lang,
-        ${stopRatio("['der','die','das','und','zu','in','ist']")} AS r_de,
-        ${stopRatio("['the','a','of','and','to','in','is']")} AS r_en,
-        ${stopRatio("['el','la','de','y','que','en','es']")} AS r_es,
-        ${stopRatio("['le','la','de','et','que','en','est']")} AS r_fr,
-        ${stopRatio("['de','le','shi','he','zai','you','wo']")} AS r_zh
-        FROM documents),
-      pred AS (SELECT doc_id, lang,
-        CASE WHEN greatest(r_de,r_en,r_es,r_fr,r_zh) = CAST(0 AS DOUBLE) THEN 'und'
-             WHEN r_zh = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'zh'
-             WHEN r_fr = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'fr'
-             WHEN r_es = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'es'
-             WHEN r_en = greatest(r_de,r_en,r_es,r_fr,r_zh) THEN 'en'
-             ELSE 'de' END AS lang_pred
-        FROM __lr)"""
-
-  private def qualityPerDocSql: String = s"""
-      SELECT doc_id,
-        len_score * 4e-1
-        + (CASE WHEN mean_len >= CAST(3 AS DOUBLE) AND mean_len <= CAST(10 AS DOUBLE)
-                THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 3e-1
-        + stop_score * 3e-1 AS quality
-      FROM (SELECT doc_id,
-        least(len(string_split(text,' ')) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) AS len_score,
-        CASE WHEN len(string_split(text,' ')) = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) END AS mean_len,
-        least(${stopRatio("['the','a','of','and','to','in','is']")} * CAST(5 AS DOUBLE),
-              CAST(1 AS DOUBLE)) AS stop_score
-        FROM documents) __qbase"""
-
-  def oracleSql: Map[String, String] = Map(
-    "text_stats" ->
-      """SELECT doc_id,
-         CAST(len(string_split(text,' ')) AS INTEGER) AS token_count,
-         CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS distinct_token_count,
-         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS INTEGER) AS bpeish_token_count,
-         CAST(length(text) AS INTEGER) AS char_count,
-         CASE WHEN len(string_split(text,' ')) = 0 THEN CAST(0 AS DOUBLE)
-              ELSE CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) END AS mean_token_length
-         FROM documents ORDER BY doc_id""",
-    "pack_sequences" ->
-      """SELECT doc_id, lang,
-         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-         CAST(floor((sum(len(string_split(text, ' '))) OVER (
-             PARTITION BY lang ORDER BY doc_id ASC NULLS FIRST
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - len(string_split(text, ' '))) / 2048) AS BIGINT) AS bin
-         FROM documents ORDER BY doc_id""",
-    // identical bucket (n//8) + quota window ((prefix−self)//200)
-    // arithmetic; sum(BIGINT) is HUGEINT in DuckDB — cast back
-    "length_batches" -> """
-      WITH t AS (SELECT doc_id,
-          CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
-            AS n_tokens
-        FROM documents),
-      w AS (SELECT doc_id, n_tokens, n_tokens // 8 AS bucket,
-          sum(n_tokens) OVER (PARTITION BY n_tokens // 8
-            ORDER BY n_tokens, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        FROM t)
-      SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
-        CAST(0 AS BIGINT) AS shard,
-        CAST((cum - n_tokens) // 200 AS BIGINT) AS batch
-      FROM w ORDER BY doc_id""",
-    // both signals are one integer count over another — exact on both
-    // engines; bigram list built positionally exactly like the Spark
-    // transform-with-index form
-    "repetition_stats" -> s"""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      b AS (SELECT doc_id, toks,
-        list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
-          i -> array_to_string(toks[i:i+1], ' ')) AS bgs
-        FROM t)
-      SELECT doc_id,
-        CASE WHEN len(toks) = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) END
-          AS dup_token_fraction,
-        CASE WHEN len(bgs) = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(list_max(list_transform(list_distinct(bgs),
-                    g -> len(list_filter(bgs, x -> x = g)))) AS DOUBLE) / len(bgs) END
-          AS top_bigram_share
-      FROM b ORDER BY doc_id""",
-    // the full Gopher n-gram battery — mirrors TextOps.gopherRepetition:
-    // integer numerators (occurrences × gram chars for the top grams;
-    // island-merged covered-position char sums for the dup coverage)
-    // over the shared non-space-char denominator, one division each at
-    // the very end; most-frequent-gram ties break to the greatest digest
-    "gopher_repetition" -> s"""
-      WITH tok AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
-        FROM documents),
-      base AS (SELECT doc_id,
-          CAST(coalesce(list_sum(list_transform(ts, t -> len(t))), 0) AS BIGINT)
-            AS chars
-        FROM tok),
-      tl AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-          CAST(len(ts[CAST(i AS INT)]) AS BIGINT) AS tlen
-        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tok)),
-      g AS (SELECT doc_id, n, CAST(i - 1 AS BIGINT) AS pos,
-          md5(array_to_string(ts[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' ')) AS h,
-          CAST(coalesce(list_sum(list_transform(
-            ts[CAST(i AS INT):CAST(i + n - 1 AS INT)], t -> len(t))), 0) AS BIGINT) AS gc
-        FROM (SELECT doc_id, ts, n,
-                unnest(range(1, greatest(len(ts) - n + 1, 0) + 1)) AS i
-              FROM tok CROSS JOIN
-                (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n) ns)),
-      cnts AS (SELECT doc_id, n, pos, h, gc,
-          count(*) OVER (PARTITION BY doc_id, n, h) AS cnt
-        FROM g),
-      top1 AS (SELECT doc_id, n, cnt * gc AS num
-        FROM (SELECT DISTINCT doc_id, n, h, gc, cnt FROM cnts WHERE n <= 4)
-        QUALIFY row_number() OVER (PARTITION BY doc_id, n
-          ORDER BY cnt DESC, h DESC) = 1),
-      hit AS (SELECT doc_id, n, pos FROM cnts WHERE n >= 5 AND cnt >= 2),
-      brk AS (SELECT doc_id, n, pos,
-          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id, n ORDER BY pos) > n
-               THEN 1 ELSE 0 END AS b
-        FROM hit),
-      isl AS (SELECT doc_id, n, pos,
-          sum(b) OVER (PARTITION BY doc_id, n ORDER BY pos
-            ROWS UNBOUNDED PRECEDING) AS island
-        FROM brk),
-      cov AS (SELECT doc_id, n, unnest(range(s, e + 1)) AS pos
-        FROM (SELECT doc_id, n, min(pos) AS s, max(pos) + n - 1 AS e
-              FROM isl GROUP BY doc_id, n, island)),
-      dupc AS (SELECT c.doc_id, c.n, sum(t.tlen) AS dchars
-        FROM cov c JOIN tl t ON c.doc_id = t.doc_id AND c.pos = t.pos
-        GROUP BY c.doc_id, c.n)
-      SELECT b.doc_id,
-        ${Seq(2, 3, 4).map(n =>
-          s"""CASE WHEN chars = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(coalesce((SELECT num FROM top1
-                 WHERE top1.doc_id = b.doc_id AND top1.n = $n), 0) AS DOUBLE)
-               / CAST(chars AS DOUBLE) END AS top_${n}gram_char_frac""")
-          .mkString(",\n        ")},
-        ${Seq(5, 6, 7, 8, 9, 10).map(n =>
-          s"""CASE WHEN chars = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(coalesce((SELECT dchars FROM dupc
-                 WHERE dupc.doc_id = b.doc_id AND dupc.n = $n), 0) AS DOUBLE)
-               / CAST(chars AS DOUBLE) END AS dup_${n}gram_char_frac""")
-          .mkString(",\n        ")}
-      FROM base b ORDER BY b.doc_id""",
-    // rational idf ((N+1)/(df+1)) on purpose — one integer product + one
-    // IEEE division, exact on both engines, where libm vs JVM ln can
-    // differ in the last ulp (see TextOps.tfidfTopTerms)
-    "tfidf_top_terms" ->
-      """WITH tf AS (
-           SELECT doc_id, term, count(*) AS tf
-           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                 FROM documents)
-           WHERE term <> ''
-           GROUP BY doc_id, term),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
-         scored AS (
-           SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-             CAST(tf.tf * (n.n + 1) AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE) AS tfidf
-           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
-         ranked AS (SELECT *, row_number() OVER (
-             PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
-           FROM scored)
-         SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INTEGER) AS rank
-         FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank""",
-    "lang_id" -> s"""
-      WITH $langPredCteSql
-      SELECT doc_id, lang, lang_pred FROM pred ORDER BY doc_id""",
-    // mirrors TextOps.scrubCards + luhnValid: same check-digit
-    // construction, same right-to-left double-every-second fold; the
-    // single-digit-off twin must survive unredacted
-    "cc_scrub" -> """
-      WITH gen AS (SELECT doc_id, text,
-          '4' || lpad(CAST(doc_id AS VARCHAR), 14, '0') AS base
-        FROM documents),
-      chk AS (SELECT doc_id, text, base,
-          (10 - (list_sum(list_transform(range(1, 16), j ->
-            CASE WHEN (j + 1) % 2 = 1
-                 THEN ascii(substr(base, CAST(16 - j AS INT), 1)) - 48
-                 ELSE CASE WHEN (ascii(substr(base, CAST(16 - j AS INT), 1)) - 48) * 2 > 9
-                           THEN (ascii(substr(base, CAST(16 - j AS INT), 1)) - 48) * 2 - 9
-                           ELSE (ascii(substr(base, CAST(16 - j AS INT), 1)) - 48) * 2 END
-            END)) % 10)) % 10 AS c
-        FROM gen),
-      noisy AS (SELECT doc_id,
-          substr(text, 1, 30) || ' pay ' || base || CAST(c AS VARCHAR)
-            || ' ref ' || base || CAST((c + 5) % 10 AS VARCHAR) AS t
-        FROM chk)
-      SELECT doc_id, array_to_string(list_transform(string_split(t, ' '),
-          tok -> CASE WHEN regexp_matches(tok, '^[0-9]{13,19}$')
-              AND list_sum(list_transform(range(1, length(tok) + 1), i ->
-                CASE WHEN i % 2 = 1
-                     THEN ascii(substr(tok, CAST(length(tok) - i + 1 AS INT), 1)) - 48
-                     ELSE CASE WHEN (ascii(substr(tok, CAST(length(tok) - i + 1 AS INT), 1)) - 48) * 2 > 9
-                               THEN (ascii(substr(tok, CAST(length(tok) - i + 1 AS INT), 1)) - 48) * 2 - 9
-                               ELSE (ascii(substr(tok, CAST(length(tok) - i + 1 AS INT), 1)) - 48) * 2 END
-                END)) % 10 = 0
-            THEN '<CARD>' ELSE tok END), ' ') AS clean
-      FROM noisy ORDER BY doc_id""",
-    // mirrors TextOps.collocations: lift = (n12/Nbg)/((n1/Nu)·(n2/Nu)),
-    // rational in exact counts (lift ranks identically to PMI without
-    // the cross-engine log); minCount floor before the joins
-    "collocations" -> """
-      WITH tok AS (SELECT string_split(coalesce(text, ''), ' ') AS ts
-        FROM documents),
-      bg AS (SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i + 1 AS INT)] AS w2
-        FROM (SELECT ts, unnest(range(1, greatest(len(ts) - 1, 0) + 1)) AS i
-              FROM tok)),
-      cb AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2
-        HAVING count(*) >= 5),
-      un AS (SELECT unnest(ts) AS w FROM tok),
-      cu AS (SELECT w, count(*) AS n FROM un GROUP BY 1),
-      nu AS (SELECT count(*) AS nuni FROM un),
-      nb AS (SELECT count(*) AS nbg FROM bg)
-      SELECT w1, w2, n12, a.n AS n1, b.n AS n2,
-        (CAST(n12 AS DOUBLE) / nbg)
-          / ((CAST(a.n AS DOUBLE) / nuni) * (CAST(b.n AS DOUBLE) / nuni))
-          AS lift
-      FROM cb JOIN cu a ON cb.w1 = a.w JOIN cu b ON cb.w2 = b.w
-      CROSS JOIN nu CROSS JOIN nb
-      ORDER BY lift DESC, w1, w2 LIMIT 20""",
-    // mirrors Ops.paretoFront on (quality, −n_chars): textbook NOT-EXISTS
-    // dominance — the distributed two-stage skyline must equal it exactly
-    "pareto_front" -> s"""
-      WITH q AS (SELECT d.doc_id, qq.quality, d.n_chars
-        FROM documents d JOIN ($qualityPerDocSql) qq ON d.doc_id = qq.doc_id)
-      SELECT doc_id, quality, n_chars FROM q r
-      WHERE NOT EXISTS (SELECT 1 FROM q s
-        WHERE s.quality >= r.quality AND s.n_chars <= r.n_chars
-          AND (s.quality > r.quality OR s.n_chars < r.n_chars))
-      ORDER BY doc_id""",
-    // mirrors TextOps.crawlSchedule: same per-host (priority desc, id)
-    // rank, same floor-of-division slot arithmetic
-    "crawl_schedule" -> """
-      WITH u AS (SELECT doc_id,
-          ['a','b','c'][CAST(doc_id % 3 + 1 AS INT)] || '.example.com'
-            AS host,
-          CAST(doc_id % 7 AS INT) AS priority
-        FROM documents),
-      r AS (SELECT doc_id,
-          'https://' || host || '/p/' || CAST(doc_id % 50 AS VARCHAR)
-            AS url,
-          priority, host,
-          row_number() OVER (PARTITION BY host
-            ORDER BY priority DESC, doc_id ASC) AS rn
-        FROM u)
-      SELECT doc_id, url, priority, host,
-        CAST(floor(CAST(rn - 1 AS DOUBLE) / 3) AS INT) AS fetch_slot
-      FROM r ORDER BY doc_id""",
-    // mirrors TextOps.robotsRules + robotsFilter: same star-group split,
-    // same directive extraction, same longest-prefix/allow-wins window
-    "robots_filter" -> """
-      WITH d AS (SELECT doc_id,
-          ['a','b','c'][CAST(doc_id % 3 + 1 AS INT)] || '.example.com' AS host,
-          ['/private/ok/page','/private/hidden','/pub/secret/f',
-           '/pub/open','/x9'][CAST(doc_id % 5 + 1 AS INT)] AS path
-        FROM documents),
-      u AS (SELECT doc_id, 'https://' || host || path AS url, host, path
-        FROM d),
-      h AS (SELECT DISTINCT host,
-          CASE WHEN host LIKE 'a%' THEN
-                 'User-agent: *' || chr(10) || 'Disallow: /private'
-                 || chr(10) || 'Allow: /private/ok' || chr(10)
-                 || 'User-agent: evil' || chr(10) || 'Disallow: /'
-               WHEN host LIKE 'b%' THEN
-                 'User-agent: *' || chr(10) || 'Disallow: ' || chr(10)
-                 || 'User-agent: other' || chr(10) || 'Disallow: /all'
-               ELSE
-                 'User-agent: evil' || chr(10) || 'Disallow: /' || chr(10)
-                 || 'User-agent: *' || chr(10) || 'Allow: /pub' || chr(10)
-                 || 'Disallow: /pub/secret' || chr(10) || 'Disallow: /x'
-          END AS robots FROM d),
-      segs AS (SELECT host, unnest(string_split(robots, 'User-agent:')) AS seg
-        FROM h),
-      star AS (SELECT host, seg FROM segs WHERE trim(seg) LIKE '*%'),
-      rl AS (SELECT DISTINCT host,
-          CASE WHEN r LIKE 'Allow: %' THEN substr(r, 8)
-               ELSE substr(r, 11) END AS prefix,
-          r LIKE 'Allow: %' AS allow
-        FROM (SELECT host,
-                unnest(regexp_extract_all(seg,
-                  '(Allow|Disallow): ([^\n ]*)', 0)) AS r
-              FROM star)
-        WHERE CASE WHEN r LIKE 'Allow: %' THEN substr(r, 8)
-                   ELSE substr(r, 11) END <> ''),
-      m AS (SELECT u.doc_id, u.url, rl.prefix, rl.allow,
-          row_number() OVER (PARTITION BY u.doc_id
-            ORDER BY length(rl.prefix) DESC, rl.allow DESC,
-              rl.prefix ASC) AS rn
-        FROM u LEFT JOIN rl
-          ON u.host = rl.host AND starts_with(u.path, rl.prefix))
-      SELECT doc_id, url, coalesce(allow, TRUE) AS allowed,
-        prefix AS matched_prefix
-      FROM m WHERE rn = 1 ORDER BY doc_id""",
-    // mirrors Ops.paretoFront with groupCols = lang: dominance judged
-    // only within the same language
-    "pareto_by_group" -> s"""
-      WITH q AS (SELECT d.doc_id, d.lang, qq.quality, d.n_chars
-        FROM documents d JOIN ($qualityPerDocSql) qq ON d.doc_id = qq.doc_id)
-      SELECT lang, doc_id, quality, n_chars FROM q r
-      WHERE NOT EXISTS (SELECT 1 FROM q s
-        WHERE s.lang = r.lang
-          AND s.quality >= r.quality AND s.n_chars <= r.n_chars
-          AND (s.quality > r.quality OR s.n_chars < r.n_chars))
-      ORDER BY lang, doc_id""",
-    // mirrors the full Pipeline flagship chain stage for stage: the
-    // html_extract regex chain (page_id wrap), nfc_normalize, the
-    // gopher_rules battery as a WHERE gate, the line_dedup corpus
-    // pass, the incremental_dedup NOT-IN + min-id election, the
-    // temperature_mix √-smoothing + md5 Bernoulli, and the
-    // pack_sequences cumulative window — each leg copied from its own
-    // green oracle, composed through shared CTEs
-    "pipeline_flagship" -> s"""
-      WITH raw AS (
-        SELECT doc_id, lang, source, text, doc_id AS page_id
-        FROM documents
-        UNION ALL
-        SELECT doc_id + 100000 AS doc_id, lang, source, text,
-          doc_id AS page_id
-        FROM documents WHERE doc_id < 50),
-      h AS (SELECT doc_id, lang, source,
-          ${syntheticHtmlSql.replace("doc_id", "page_id")} AS html
-        FROM raw),
-      e1 AS (SELECT doc_id, lang, source,
-          regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
-      e2 AS (SELECT doc_id, lang, source, regexp_replace(t,
-          '(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g') AS t FROM e1),
-      e3 AS (SELECT doc_id, lang, source, regexp_replace(t,
-          '(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g') AS t FROM e2),
-      e4 AS (SELECT doc_id, lang, source,
-          regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM e3),
-      e5 AS (SELECT doc_id, lang, source,
-          replace(replace(replace(replace(replace(replace(replace(t,
-            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-            '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS t FROM e4),
-      ext AS (SELECT doc_id, lang, source,
-          nfc_normalize(trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')))
-            AS text
-        FROM e5),
-      gt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM ext),
-      gm AS (SELECT doc_id,
-          CAST(len(ts) AS BIGINT) AS n_tokens,
-          CASE WHEN len(ts) = 0 THEN CAST(0 AS DOUBLE)
-               ELSE CAST(CAST(list_sum(list_transform(ts,
-                      w -> length(w))) AS BIGINT) AS DOUBLE) / len(ts)
-          END AS mean_word_len,
-          CASE WHEN len(ts) = 0 THEN CAST(0 AS DOUBLE)
-               ELSE CAST(len(list_filter(ts,
-                      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-                    / len(ts) END AS alpha_frac,
-          CAST(len(list_intersect(list_distinct(ts),
-            ['the','a','of','and','to','in','is'])) AS BIGINT)
-            AS stop_hits,
-          CASE WHEN len(ts) = 0 THEN CAST(0 AS DOUBLE)
-               ELSE CAST(len(ts) - len(list_distinct(ts)) AS DOUBLE)
-                    / len(ts) END AS dup_frac
-        FROM gt),
-      gp AS (SELECT doc_id FROM gm
-        WHERE n_tokens >= 50 AND n_tokens <= 100000
-          AND mean_word_len >= CAST(3 AS DOUBLE)
-          AND mean_word_len <= CAST(10 AS DOUBLE)
-          AND alpha_frac >= 8e-1 AND stop_hits >= 2
-          AND dup_frac <= 9e-1),
-      d AS (SELECT e.doc_id, e.lang, e.source,
-          string_split(coalesce(e.text, ''), ' ') AS t
-        FROM ext e JOIN gp ON e.doc_id = gp.doc_id),
-      l AS (SELECT doc_id, CAST(b AS BIGINT) AS lp,
-              array_to_string(
-                t[CAST(b*8+1 AS INT):CAST(b*8+8 AS INT)], ' ') AS line
-            FROM d, unnest(range(0, CAST(ceil(len(t)/8e0) AS INT))) AS u(b)),
-      hv AS (SELECT line FROM l WHERE trim(line) <> ''
-            GROUP BY line HAVING count(*) >= 2),
-      k AS (SELECT l.doc_id, l.lp, l.line, hv.line IS NOT NULL AS heavy
-            FROM l LEFT JOIN hv ON l.line = hv.line),
-      cln AS (SELECT doc_id,
-          CAST(count(*) AS BIGINT) AS n_lines,
-          CAST(coalesce(sum(CASE WHEN heavy THEN 1 END), 0) AS BIGINT)
-            AS n_removed,
-          coalesce(array_to_string(
-            list(line ORDER BY lp) FILTER (WHERE NOT heavy), chr(10)), '')
-            AS clean_text
-        FROM k GROUP BY doc_id),
-      cm AS (SELECT c.doc_id, d.lang, d.source, c.n_lines, c.n_removed,
-          c.clean_text,
-          md5(regexp_replace(lower(trim(c.clean_text)), ' +', ' ', 'g'))
-            AS f
-        FROM cln c JOIN d ON c.doc_id = d.doc_id),
-      fresh AS (SELECT * FROM cm WHERE doc_id >= 250
-          AND f NOT IN (SELECT f FROM cm WHERE doc_id < 250)),
-      surv AS (SELECT * FROM fresh
-        QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1),
-      per AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-        FROM surv GROUP BY source),
-      w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM per),
-      tw AS (SELECT list_reduce(
-          list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY source)),
-          (a, x) -> a + x) AS tw FROM w),
-      r AS (SELECT source AS src,
-          least(120 * (w / tw) / CAST(n AS DOUBLE),
-            CAST(1 AS DOUBLE)) AS p
-        FROM w, tw),
-      samp AS (SELECT s.* FROM surv s JOIN r ON s.source = r.src
-        WHERE CAST(list_sum(list_transform(range(1, 9), j ->
-            (strpos('0123456789abcdef',
-               substr(md5('temp' || CAST(s.doc_id AS VARCHAR)), j, 1)) - 1)
-            * CAST(16**(8-j) AS BIGINT))) AS DOUBLE)
-          < p * CAST(4294967296 AS DOUBLE)),
-      tok AS (SELECT doc_id, lang, source, n_lines, n_removed,
-          CAST(len(string_split(replace(clean_text, chr(10), ' '), ' '))
-            AS BIGINT) AS n_tokens
-        FROM samp)
-      SELECT doc_id, lang, source, n_lines, n_removed, n_tokens,
-        CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
-            ORDER BY doc_id ASC NULLS FIRST
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          - n_tokens) / 2048) AS BIGINT) AS bin
-      FROM tok ORDER BY doc_id""",
-    // mirrors Ops.paretoFrontNd on (quality, −n_chars, −dup_score):
-    // textbook 3-way NOT-EXISTS dominance — the bucketed SFS fold must
-    // equal it exactly, ties included
-    "pareto_front_3d" -> s"""
-      WITH q AS (SELECT d.doc_id, qq.quality, d.n_chars,
-          d.doc_id % 97 AS dup_score
-        FROM documents d JOIN ($qualityPerDocSql) qq ON d.doc_id = qq.doc_id)
-      SELECT doc_id, quality, n_chars, dup_score FROM q r
-      WHERE NOT EXISTS (SELECT 1 FROM q s
-        WHERE s.quality >= r.quality AND s.n_chars <= r.n_chars
-          AND s.dup_score <= r.dup_score
-          AND (s.quality > r.quality OR s.n_chars < r.n_chars
-            OR s.dup_score < r.dup_score))
-      ORDER BY doc_id""",
-    // mirrors Probes.labelAgreement over (lang, lang_pred): exact-count
-    // confusion marginals, HUGEINT pe numerator (decimal(38,0) on the
-    // Spark side), the same fixed division dag for po/pe/kappa
-    "label_agreement" -> s"""
-      WITH $langPredCteSql,
-      conf AS (SELECT lang AS a, lang_pred AS b, count(*) AS cn FROM pred
-        WHERE lang IS NOT NULL AND lang_pred IS NOT NULL GROUP BY 1, 2),
-      tot AS (SELECT CAST(sum(cn) AS BIGINT) AS n,
-          CAST(sum(CASE WHEN a = b THEN cn ELSE 0 END) AS BIGINT) AS agree_n
-        FROM conf),
-      ma AS (SELECT a AS k, CAST(sum(cn) AS BIGINT) AS na FROM conf GROUP BY 1),
-      mb AS (SELECT b AS k, CAST(sum(cn) AS BIGINT) AS nb FROM conf GROUP BY 1),
-      pen AS (SELECT coalesce(sum(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)),
-          CAST(0 AS HUGEINT)) AS pe_num
-        FROM ma JOIN mb USING (k))
-      SELECT n, agree_n, po, pe,
-        CASE WHEN pe = CAST(1 AS DOUBLE) THEN NULL
-             ELSE (po - pe) / (CAST(1 AS DOUBLE) - pe) END AS kappa
-      FROM (SELECT n, agree_n,
-          CAST(agree_n AS DOUBLE) / n AS po,
-          CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
-        FROM tot CROSS JOIN pen) __ka""",
-    // mirrors Probes.confusionMatrix over (lang, lang_pred)
-    "confusion_matrix" -> s"""
-      WITH $langPredCteSql,
-      conf AS (SELECT lang AS label_a, lang_pred AS label_b,
-          count(*) AS n FROM pred
-        WHERE lang IS NOT NULL AND lang_pred IS NOT NULL GROUP BY 1, 2),
-      rt AS (SELECT label_a, CAST(sum(n) AS BIGINT) AS rtot FROM conf
-        GROUP BY 1)
-      SELECT label_a, label_b, n,
-        CAST(n AS DOUBLE) / rtot AS row_share
-      FROM conf JOIN rt USING (label_a)
-      ORDER BY label_a, label_b""",
-    // mirrors Probes.concentration: HUGEINT Σn_c², exact-count divisions
-    "concentration" -> """
-      WITH c AS (SELECT lang, source, count(*) AS nc FROM documents
-        GROUP BY 1, 2),
-      a AS (SELECT lang, CAST(sum(nc) AS BIGINT) AS n,
-          CAST(count(*) AS BIGINT) AS categories,
-          sum(CAST(nc AS HUGEINT) * CAST(nc AS HUGEINT)) AS s2
-        FROM c GROUP BY 1)
-      SELECT lang, n, categories,
-        CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
-          AS hhi,
-        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(s2 AS DOUBLE)
-          AS effective_categories
-      FROM a ORDER BY lang""",
-    // mirrors Probes.gini: sorted-rank formula with the HUGEINT-exact
-    // numerator; rank ties are sum-invariant (equal x, any order)
-    "gini" -> """
-      WITH r AS (SELECT source, n_chars,
-          CAST(row_number() OVER (PARTITION BY source
-            ORDER BY n_chars ASC) AS BIGINT) AS i
-        FROM documents WHERE n_chars IS NOT NULL),
-      a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-          sum(CAST(n_chars AS HUGEINT)) AS sx,
-          sum(CAST(i * 2 AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS s2ix
-        FROM r GROUP BY 1)
-      SELECT source, n,
-        CASE WHEN sx = 0 THEN NULL
-             ELSE (CAST(s2ix AS DOUBLE)
-                   - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
-                  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END AS gini
-      FROM a ORDER BY source""",
-    // mirrors Probes.scoreCalibration with groupCols = source: per-group
-    // bins and a per-group bin-ordered ECE fold
-    "calibration_by_source" -> s"""
-      WITH s AS (SELECT source,
-          least(CAST(floor(sc * 5) AS INT), 4) AS bin,
-          CAST(round(sc * 1e9, 0) AS BIGINT) AS s9,
-          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-        FROM (SELECT source, lang,
-            least(${stopRatio("['the','a','of','and','to','in','is']")}
-              * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)) AS sc
-          FROM documents) __sb
-        WHERE sc IS NOT NULL AND lang IS NOT NULL),
-      b AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
-          CAST(sum(s9) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9)
-            AS mean_score,
-          CAST(sum(pos) AS DOUBLE) / count(*) AS pos_rate
-        FROM s GROUP BY source, bin),
-      g AS (SELECT source, bin, n, mean_score, pos_rate,
-          abs(mean_score - pos_rate) AS gap FROM b),
-      e AS (SELECT source, list_reduce(list_prepend(CAST(0 AS DOUBLE),
-            list(CAST(n AS DOUBLE) * gap ORDER BY bin)), (a, x) -> a + x)
-          / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS ece
-        FROM g GROUP BY source)
-      SELECT g.source, CAST(bin AS INTEGER) AS bin, n, mean_score,
-        pos_rate, gap, ece
-      FROM g JOIN e ON g.source = e.source
-      ORDER BY g.source, bin""",
-    // mirrors Probes.scoreCalibration over the saturated en-stopword
-    // score vs lang = 'en': 1e-9-quantized per-bin score sums (the
-    // money-column discipline), bin-ordered ECE fold
-    "score_calibration" -> s"""
-      WITH s AS (SELECT
-          least(CAST(floor(sc * 10) AS INT), 9) AS bin,
-          CAST(round(sc * 1e9, 0) AS BIGINT) AS s9,
-          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-        FROM (SELECT lang,
-            least(${stopRatio("['the','a','of','and','to','in','is']")}
-              * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)) AS sc
-          FROM documents) __sb
-        WHERE sc IS NOT NULL AND lang IS NOT NULL),
-      b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
-          CAST(sum(s9) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9)
-            AS mean_score,
-          CAST(sum(pos) AS DOUBLE) / count(*) AS pos_rate
-        FROM s GROUP BY bin),
-      g AS (SELECT bin, n, mean_score, pos_rate,
-          abs(mean_score - pos_rate) AS gap FROM b),
-      e AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
-            list(CAST(n AS DOUBLE) * gap ORDER BY bin)), (a, x) -> a + x)
-          / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS ece
-        FROM g)
-      SELECT CAST(bin AS INTEGER) AS bin, n, mean_score, pos_rate, gap, ece
-      FROM g CROSS JOIN e ORDER BY bin""",
-    "quality_score" ->
-      s"SELECT doc_id, quality FROM ($qualityPerDocSql) q ORDER BY doc_id",
-    // every signal is integer counts until ONE double division, flag
-    // thresholds compare those exact doubles — mirrors TextOps.gopherRules
-    "gopher_rules" -> """
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      m AS (SELECT doc_id,
-          CAST(len(ts) AS BIGINT) AS n_tokens,
-          CASE WHEN len(ts) = 0 THEN CAST(0 AS DOUBLE)
-               ELSE CAST(CAST(list_sum(list_transform(ts, w -> length(w))) AS BIGINT) AS DOUBLE)
-                    / len(ts) END AS mean_word_len,
-          CASE WHEN len(ts) = 0 THEN CAST(0 AS DOUBLE)
-               ELSE CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-                    / len(ts) END AS alpha_frac,
-          CAST(len(list_intersect(list_distinct(ts),
-            ['the','a','of','and','to','in','is'])) AS BIGINT) AS stop_hits,
-          CASE WHEN len(ts) = 0 THEN CAST(0 AS DOUBLE)
-               ELSE CAST(len(ts) - len(list_distinct(ts)) AS DOUBLE)
-                    / len(ts) END AS dup_frac
-        FROM t),
-      f AS (SELECT *,
-          CAST(CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS pass_length,
-          CAST(CASE WHEN mean_word_len >= CAST(3 AS DOUBLE)
-                     AND mean_word_len <= CAST(10 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS pass_mean_len,
-          CAST(CASE WHEN alpha_frac >= 8e-1 THEN 1 ELSE 0 END AS BIGINT) AS pass_alpha,
-          CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass_stopwords,
-          CAST(CASE WHEN dup_frac <= 9e-1 THEN 1 ELSE 0 END AS BIGINT) AS pass_repetition
-        FROM m)
-      SELECT doc_id, n_tokens, mean_word_len, alpha_frac, stop_hits, dup_frac,
-        pass_length, pass_mean_len, pass_alpha, pass_stopwords, pass_repetition,
-        CAST(pass_length * pass_mean_len * pass_alpha * pass_stopwords
-             * pass_repetition AS BIGINT) AS passes_gopher
-      FROM f ORDER BY doc_id""",
-    // the linear classifier replayed relationally: unigram + bigram
-    // stream, LEFT JOIN the weight VALUES (absent grams weigh 0),
-    // integer sums until the one division both engines share
-    "linear_quality" -> s"""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
-                 FROM documents),
-      g AS (SELECT doc_id, unnest(ts) AS gram FROM t
-            UNION ALL
-            SELECT doc_id, unnest(list_transform(range(1, len(ts)),
-              i -> ts[i] || ' ' || ts[i + 1])) AS gram FROM t),
-      w(gram, wt) AS (VALUES ${TextOps.demoQualityWeights
-        .map { case (g, wt) => s"('$g', $wt)" }.mkString(", ")}),
-      s AS (SELECT g.doc_id,
-              CAST(sum(coalesce(w.wt, 0)) AS BIGINT) AS w_sum,
-              CAST(count(*) AS BIGINT) AS n_grams
-            FROM g LEFT JOIN w USING (gram) GROUP BY 1)
-      SELECT doc_id, w_sum, n_grams,
-        25e-2 + CAST(w_sum AS DOUBLE) / n_grams AS score,
-        (25e-2 + CAST(w_sum AS DOUBLE) / n_grams) >= 3e-1 AS pass
-      FROM s ORDER BY doc_id""",
-    // percent_rank IS the semantic spec the histogram-CDF form equals:
-    // rows strictly below / (n-1), ties share a rank
-    "quality_percentiles" -> s"""
-      WITH q AS (SELECT d.doc_id, d.source, qq.quality
-        FROM documents d JOIN ($qualityPerDocSql) qq ON d.doc_id = qq.doc_id)
-      SELECT doc_id, source, quality,
-        percent_rank() OVER (PARTITION BY source ORDER BY quality) AS score_pct
-      FROM q ORDER BY doc_id""",
-    "mix_report" -> """
-      WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        FROM documents GROUP BY source),
-      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
-      x AS (SELECT source, n_docs, n_tokens,
-          CAST(n_tokens AS DOUBLE) / t AS token_share,
-          CASE WHEN source = 'src0' THEN 5e-1
-               WHEN source = 'src1' THEN 25e-2
-               WHEN source = 'src2' THEN 25e-2
-               ELSE CAST(0 AS DOUBLE) END AS target_share
-        FROM per, tot)
-      SELECT source, n_docs, n_tokens, token_share, target_share,
-        target_share / token_share AS sampling_ratio
-      FROM x ORDER BY source""",
-    "truncate_tokens" -> """
-      SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
-        CASE WHEN len(ts) <= 40 THEN text
-             ELSE array_to_string(ts[1:40], ' ') END AS text_trunc
-      FROM (SELECT doc_id, text, string_split(text, ' ') AS ts
-            FROM documents) t
-      ORDER BY doc_id""",
-    // df-1 grams over the same distinct-shingle digests; gram-less docs
-    // survive the LEFT JOIN as (0, 0, 0.0) — mirrors TextOps.noveltyScores
-    "novelty_scores" -> s"""
-      WITH g AS (SELECT doc_id, md5(gg) AS h FROM (
-          SELECT doc_id, unnest(${shinglesSql(8)}) AS gg FROM documents) u),
-      dft AS (SELECT h, CAST(count(*) AS BIGINT) AS dfc FROM g GROUP BY h),
-      per AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-          CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
-        FROM g JOIN dft USING (h) GROUP BY g.doc_id)
-      SELECT d.doc_id,
-        coalesce(per.n_grams, CAST(0 AS BIGINT)) AS n_grams,
-        coalesce(per.n_unique, CAST(0 AS BIGINT)) AS n_unique,
-        CASE WHEN coalesce(per.n_grams, 0) = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(per.n_unique AS DOUBLE) / per.n_grams END AS novelty
-      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-      ORDER BY d.doc_id""",
-    // sampling ratio = least(target/actual-share, 1), keep iff the
-    // salted 32-bit md5 prefix < p * 2^32 — mirrors
-    // TextOps.downsampleToTargets/hashBernoulli (salt 'bern')
-    "downsample_mix" -> """
-      WITH per AS (SELECT source,
-          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        FROM documents GROUP BY source),
-      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
-      r AS (SELECT source AS src,
-          least((CASE WHEN source = 'src0' THEN 5e-2
-                      WHEN source = 'src1' THEN 2e-2
-                      WHEN source = 'src2' THEN 2e-2
-                      ELSE CAST(0 AS DOUBLE) END)
-                / (CAST(n_tokens AS DOUBLE) / t),
-            CAST(1 AS DOUBLE)) AS p
-        FROM per, tot)
-      SELECT doc_id, source FROM (
-        SELECT d.doc_id, d.source, r.p,
-          list_sum(list_transform(range(1, 9), j ->
-            (strpos('0123456789abcdef',
-               substr(md5('bern' || CAST(d.doc_id AS VARCHAR)), j, 1)) - 1)
-            * CAST(16**(8-j) AS BIGINT))) AS h
-        FROM documents d JOIN r ON d.source = r.src) x
-      WHERE CAST(h AS DOUBLE) < p * CAST(4294967296 AS DOUBLE)
-      ORDER BY doc_id""",
-    // floor(log2(n)) as length(bin(n)) - 1: integer/string arithmetic,
-    // no floating log — mirrors TextOps.tokenHistogram
-    "token_histogram" -> """
-      WITH t AS (SELECT source,
-          CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n
-        FROM documents)
-      SELECT source,
-        CAST(CAST(1 AS BIGINT) << (length(bin(n)) - 1) AS BIGINT) AS bin_lo,
-        CAST(count(*) AS BIGINT) AS n_docs,
-        CAST(sum(n) AS BIGINT) AS n_tokens
-      FROM t GROUP BY source, bin_lo ORDER BY source, bin_lo""",
-    "fingerprint_dedup" ->
-      """SELECT doc_id, lang,
-         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
-         FROM documents
-         QUALIFY row_number() OVER (
-           PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
-           ORDER BY doc_id) = 1
-         ORDER BY doc_id""",
-    // batch mirror of the streaming containment gate: distinct per-doc
-    // gram digests left-joined against the reference digest set, one
-    // integer hit/total ratio per doc (single IEEE division — exact
-    // cross-engine), zero-gram docs survive at 0.0 via the outer join
-    "containment_gate" -> s"""
-      WITH ref AS (SELECT DISTINCT md5(g) AS h FROM (
-          SELECT unnest(${shinglesSql(8)}) AS g
-          FROM documents WHERE doc_id < 100)),
-      dg AS (SELECT doc_id, md5(g) AS h FROM (
-          SELECT doc_id, unnest(${shinglesSql(8)}) AS g
-          FROM documents WHERE doc_id >= 100)),
-      agg AS (SELECT doc_id,
-          CAST(count(*) AS BIGINT) AS total,
-          CAST(sum(CASE WHEN h IN (SELECT h FROM ref) THEN 1 ELSE 0 END)
-            AS BIGINT) AS hits
-        FROM dg GROUP BY doc_id),
-      sc AS (SELECT d.doc_id,
-          coalesce(CAST(a.hits AS DOUBLE) / CAST(a.total AS DOUBLE), 0.0)
-            AS containment
-        FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) d
-        LEFT JOIN agg a USING (doc_id))
-      SELECT doc_id, containment FROM sc
-      WHERE containment < 0.5 ORDER BY doc_id""",
-    "decontaminate" -> s"""
-      WITH bg AS (
-        SELECT DISTINCT md5(g) AS h FROM (
-          SELECT unnest(${shinglesSql(8)}) AS g
-          FROM documents WHERE doc_id < 100)),
-      cg AS (
-        SELECT DISTINCT doc_id FROM (
-          SELECT doc_id, md5(g) AS h FROM (
-            SELECT doc_id, unnest(${shinglesSql(8)}) AS g
-            FROM documents WHERE doc_id >= 100))
-        JOIN bg USING (h))
-      SELECT doc_id, lang FROM documents
-      WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM cg)
-      ORDER BY doc_id""",
-    // integer gram counts only — exact cross-engine, no float folds;
-    // zero-gram docs surface as (0, 0) via the outer join
-    "contamination_report" -> s"""
-      WITH bg AS (
-        SELECT DISTINCT md5(g) AS h FROM (
-          SELECT unnest(${shinglesSql(8)}) AS g
-          FROM documents WHERE doc_id < 100)),
-      grams AS (SELECT doc_id, md5(g) AS h FROM (
-          SELECT doc_id, unnest(${shinglesSql(8)}) AS g
-          FROM documents WHERE doc_id >= 100)),
-      agg AS (SELECT doc_id,
-          CAST(sum(CASE WHEN h IN (SELECT h FROM bg) THEN 1 ELSE 0 END) AS BIGINT)
-            AS matched_ngrams,
-          count(*) AS total_ngrams
-        FROM grams GROUP BY doc_id)
-      SELECT d.doc_id,
-        coalesce(agg.matched_ngrams, CAST(0 AS BIGINT)) AS matched_ngrams,
-        coalesce(agg.total_ngrams, CAST(0 AS BIGINT)) AS total_ngrams
-      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
-      WHERE d.doc_id >= 100 ORDER BY d.doc_id""",
-    // per-(doc, benchmark) match counts over distinct gram digests; only
-    // contaminated pairs emitted — mirrors
-    // TextOps.contaminationReportPerBenchmark (bench_id = lang carve)
-    "contamination_by_benchmark" -> s"""
-      WITH bg AS (
-        SELECT DISTINCT lang AS bench_id, md5(g) AS h FROM (
-          SELECT lang, unnest(${shinglesSql(8)}) AS g
-          FROM documents WHERE doc_id < 100)),
-      grams AS (SELECT doc_id, md5(g) AS h FROM (
-          SELECT doc_id, unnest(${shinglesSql(8)}) AS g
-          FROM documents WHERE doc_id >= 100)),
-      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_ngrams
-        FROM grams GROUP BY doc_id),
-      m AS (SELECT doc_id, bench_id,
-          CAST(count(*) AS BIGINT) AS matched_ngrams
-        FROM grams JOIN bg USING (h) GROUP BY doc_id, bench_id)
-      SELECT m.doc_id, m.bench_id, m.matched_ngrams, t.total_ngrams
-      FROM m JOIN tot t ON m.doc_id = t.doc_id
-      ORDER BY m.doc_id, m.bench_id""",
-    // md5-prefix hash order per language partition, doc_id tie-break —
-    // mirrors Ops.quotaSample exactly
-    "quota_sample" ->
-      """SELECT doc_id, lang FROM (
-           SELECT doc_id, lang, row_number() OVER (
-             PARTITION BY lang ORDER BY list_sum(list_transform(range(1,9), j ->
-               (strpos('0123456789abcdef',
-                  substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
-               * CAST(16**(8-j) AS BIGINT))) ASC, doc_id ASC) AS rk
-           FROM documents)
-         WHERE rk <= 50 ORDER BY doc_id""",
-    // mirrors Ops.weightedSample: priority ((h+1)/2^32)/weight with the
-    // salted 32-bit md5 prefix — one IEEE divide chain, bit-identical
-    "weighted_sample" ->
-      """SELECT doc_id, source, n_chars FROM (
-           SELECT doc_id, source, n_chars, row_number() OVER (
-             PARTITION BY source ORDER BY
-               ((list_sum(list_transform(range(1,9), j ->
-                   (strpos('0123456789abcdef',
-                      substr(md5('wsamp' || CAST(doc_id AS VARCHAR)), j, 1)) - 1)
-                   * CAST(16**(8-j) AS BIGINT))) + 1) / 4294967296.0)
-               / n_chars ASC, doc_id ASC) AS rk
-           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
-         WHERE rk <= 10 ORDER BY doc_id""",
-    "incremental_dedup" -> IncrementalDedupSql,
-    // the bloom prefilter is semantically transparent (false = proven
-    // absent; maybes fall through to the exact anti-join), so the oracle
-    // is incremental_dedup's, verbatim
-    "incremental_dedup_bloom" -> IncrementalDedupSql,
-    "dedup_exact" ->
-      """SELECT event_id, user_id, event_type, value FROM events
-         QUALIFY row_number() OVER (
-           PARTITION BY user_id, event_type ORDER BY event_id) = 1
-         ORDER BY user_id, event_type""",
-    // winner = min id per fingerprint group; one (dup, kept) row per
-    // non-winner — mirrors Dedup.duplicateMapByFingerprint
-    "dedup_map" -> """
-      WITH batch AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000 AS doc_id, text FROM documents
-        WHERE doc_id < 50),
-      f AS (SELECT doc_id,
-          md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
-        FROM batch),
-      w AS (SELECT fp, CAST(min(doc_id) AS BIGINT) AS kept_id
-        FROM f GROUP BY fp)
-      SELECT f.doc_id AS dup_id, w.kept_id FROM f JOIN w USING (fp)
-      WHERE f.doc_id <> w.kept_id ORDER BY dup_id, kept_id""",
-    "minhash_pairs" -> minhashNearDupSql(shingleN = 3, threshold = "2e-1"),
-    "minhash_pairs_oph" -> minhashNearDupOphSql(shingleN = 3,
-      threshold = "2e-1", numHashes = 16, bands = 4),
-    // components of the near-dup graph via recursive min-label closure —
-    // a pure function of the pair set, so it mirrors Spark's iterative
-    // label propagation exactly
-    "dedup_clusters" -> s"""
-      WITH RECURSIVE pairs AS (
-        SELECT id_a, id_b FROM (${minhashNearDupSql(shingleN = 3, threshold = "2e-1")}) t),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION ALL SELECT id_b, id_a FROM pairs),
-      reach(node, lbl) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src)
-      SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_rep
-      FROM reach GROUP BY node ORDER BY doc_id""",
-    "simhash_pairs" -> s"""
-      WITH hs AS (SELECT doc_id,
-        list_transform(list_distinct(string_split(text,' ')), t ->
-          CAST(list_sum(list_transform(range(1,16), j ->
-            (strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1)
-            * CAST(16**(15-j) AS BIGINT))) AS BIGINT)) AS hs
-        FROM documents),
-      sig AS (SELECT doc_id,
-        CAST(list_sum(list_transform(range(0,60), b ->
-          CASE WHEN list_sum(list_transform(hs, h ->
-                 CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
-               THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
-        FROM hs),
-      bk AS (SELECT doc_id, sig, sig >> 48 AS bucket FROM sig),
-      sized AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS n FROM bk)
-      SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-        CAST(bit_count(xor(a.sig, c.sig)) AS INTEGER) AS hamming
-      FROM sized a JOIN sized c ON a.bucket = c.bucket
-      WHERE a.doc_id < c.doc_id AND a.n <= 64
-        AND bit_count(xor(a.sig, c.sig)) <= 10
-      ORDER BY id_a, id_b""",
-    "ngram_jaccard_pairs" -> minhashNearDupSql(shingleN = 2, threshold = "3e-1"),
-    "dedup_eval" -> lshRecallEvalSql(shingleN = 3, threshold = "2e-1",
-      docFilter = "doc_id < 400", configs = Seq((8, 2), (8, 4), (16, 8))),
-    "ann_recall_eval" -> ivfRecallEvalSql(k = 5, nCentroids = 8,
-      maxQueryId = 10, nprobes = Seq(1, 2, 4)),
-    "embedding_profile" -> embeddingProfileSql,
-    // mirrors TextOps.tfidfCosinePairs: rational idf tf*(N+1)/(df+1),
-    // df > 64 dropped from the space, term-ordered float folds for the
-    // dot and norm sums (the bigram-LM order-pinning discipline)
-    "tfidf_cosine_pairs" -> """
-      WITH tf AS (SELECT doc_id, term, count(*) AS tf
-          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                FROM documents WHERE doc_id < 400)
-          WHERE term <> '' GROUP BY doc_id, term),
-      dfreq AS (SELECT term, count(*) AS df FROM tf
-          GROUP BY term HAVING count(*) <= 64),
-      n AS (SELECT count(DISTINCT doc_id) AS n FROM documents
-            WHERE doc_id < 400),
-      w AS (SELECT doc_id, term,
-          CAST(tf * (n.n + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS w
-        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
-      norms AS (SELECT doc_id, sqrt(list_reduce(
-          list_prepend(CAST(0 AS DOUBLE), list(w * w ORDER BY term)),
-          (a, b) -> a + b)) AS nrm
-        FROM w GROUP BY doc_id),
-      dots AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-          list_reduce(list_prepend(CAST(0 AS DOUBLE),
-            list(x.w * y.w ORDER BY x.term)), (a, b) -> a + b) AS dot
-        FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id
-        GROUP BY x.doc_id, y.doc_id)
-      SELECT id_a, id_b, dot / (a.nrm * b.nrm) AS cosine
-      FROM dots JOIN norms a ON dots.id_a = a.doc_id
-                JOIN norms b ON dots.id_b = b.doc_id
-      WHERE dot / (a.nrm * b.nrm) >= 3e-1
-      ORDER BY id_a, id_b""",
-    // {self} ∪ del-1 variants (distinct), maxBucket=64 via the window
-    // count, pair-dedup before the levenshtein verify — mirrors
-    // Dedup.fuzzyKeyPairs exactly (levenshtein is integer-exact in both
-    // engines)
-    "fuzzy_key_pairs" ->
-      """WITH v AS (
-           SELECT c_custkey AS id, c_name AS key,
-             unnest(list_distinct(list_prepend(c_name,
-               CASE WHEN length(c_name) = 0 THEN CAST([] AS VARCHAR[])
-                 ELSE list_transform(range(1, length(c_name) + 1), i ->
-                   substr(c_name, 1, CAST(i - 1 AS INT))
-                   || substr(c_name, CAST(i + 1 AS INT), length(c_name)))
-               END))) AS var
-           FROM customer WHERE c_name IS NOT NULL),
-         sized AS (SELECT *, count(*) OVER (PARTITION BY var) AS n FROM v),
-         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-             a.key AS key_a, b.key AS key_b
-           FROM sized a JOIN sized b ON a.var = b.var
-           WHERE a.id < b.id AND a.n <= 64)
-         SELECT id_a, id_b FROM cand
-         WHERE levenshtein(key_a, key_b) <= 1 ORDER BY id_a, id_b""",
-    // same del-1 candidate CTEs, scored with DuckDB's builtin
-    // jaro_winkler_similarity — the native kernel is pinned
-    // bit-identical to it (both-empty → 0, boost only above 0.7), so
-    // the 0.9 float threshold selects identical pairs
-    "jw_link_pairs" ->
-      """WITH v AS (
-           SELECT c_custkey AS id, c_name AS key,
-             unnest(list_distinct(list_prepend(c_name,
-               CASE WHEN length(c_name) = 0 THEN CAST([] AS VARCHAR[])
-                 ELSE list_transform(range(1, length(c_name) + 1), i ->
-                   substr(c_name, 1, CAST(i - 1 AS INT))
-                   || substr(c_name, CAST(i + 1 AS INT), length(c_name)))
-               END))) AS var
-           FROM customer WHERE c_name IS NOT NULL),
-         sized AS (SELECT *, count(*) OVER (PARTITION BY var) AS n FROM v),
-         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-             a.key AS key_a, b.key AS key_b
-           FROM sized a JOIN sized b ON a.var = b.var
-           WHERE a.id < b.id AND a.n <= 64)
-         SELECT id_a, id_b, jaro_winkler_similarity(key_a, key_b) AS jw
-         FROM cand WHERE jaro_winkler_similarity(key_a, key_b) >= 9e-1
-         ORDER BY id_a, id_b""",
-    // maxBucket=64 cap mirrored via the window count, exactly
-    // Dedup.embeddingNearDuplicates' between(2, maxBucket)
-    "embedding_dedup" -> s"""
-      WITH bucketed AS (SELECT vec_id, embedding, ${lshBucketSql()} AS bucket
-        FROM embeddings),
-      sized AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS n FROM bucketed)
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        ${cosineSql("a.embedding", "b.embedding")} AS cosine
-      FROM sized a JOIN sized b ON a.bucket = b.bucket
-      WHERE a.vec_id < b.vec_id AND a.n <= 64
-        AND ${cosineSql("a.embedding", "b.embedding")} >= 4e-1
-      ORDER BY id_a, id_b""",
-    // two independent plane sets (offsets 0 and 6), candidate pairs
-    // deduplicated by the UNION before the exact-cosine verify —
-    // mirrors Dedup.embeddingNearDuplicates(tables = 2)
-    "embedding_dedup_multi" -> s"""
-      WITH b0 AS (SELECT vec_id, embedding, ${lshBucketSql(0)} AS bucket
-        FROM embeddings),
-      s0 AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS n FROM b0),
-      b1 AS (SELECT vec_id, embedding, ${lshBucketSql(6)} AS bucket
-        FROM embeddings),
-      s1 AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS n FROM b1),
-      cand AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM s0 a JOIN s0 b ON a.bucket = b.bucket
-        WHERE a.vec_id < b.vec_id AND a.n <= 64
-        UNION
-        SELECT a.vec_id, b.vec_id
-        FROM s1 a JOIN s1 b ON a.bucket = b.bucket
-        WHERE a.vec_id < b.vec_id AND a.n <= 64),
-      scored AS (SELECT id_a, id_b,
-        ${cosineSql("a.embedding", "b.embedding")} AS cosine
-        FROM cand JOIN embeddings a ON cand.id_a = a.vec_id
-                  JOIN embeddings b ON cand.id_b = b.vec_id)
-      SELECT id_a, id_b, cosine FROM scored
-      WHERE cosine >= 4e-1 ORDER BY id_a, id_b""",
-    "similarity_topk" -> s"""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-      scored AS (SELECT query_id, c.vec_id AS item_id,
-        ${cosineSql("qe", "c.embedding")} AS cosine
-        FROM embeddings c, q WHERE query_id <> c.vec_id),
-      ranked AS (SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn
-        FROM scored)
-      SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
-      FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
-    // both rankers replayed (full cosine, leading-16 coarse cosine),
-    // then the identical RRF expression: coalesce(1/(60+r), 0) per
-    // side, one add, item_id tiebreak — mirrors Similarity.rrfFuse
-    "hybrid_rrf" -> s"""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-                 FROM embeddings WHERE vec_id < 10),
-      fa AS (SELECT query_id, c.vec_id AS item_id, row_number() OVER (
-            PARTITION BY query_id
-            ORDER BY ${cosineSql("qe", "c.embedding")} DESC, c.vec_id ASC)
-          AS ra
-        FROM embeddings c, q WHERE query_id <> c.vec_id),
-      qc AS (SELECT query_id, qe[1:16] AS qe FROM q),
-      cc AS (SELECT vec_id, embedding[1:16] AS ce FROM embeddings),
-      fb AS (SELECT query_id, cc.vec_id AS item_id, row_number() OVER (
-            PARTITION BY query_id
-            ORDER BY ${cosineSql("qe", "cc.ce")} DESC, cc.vec_id ASC)
-          AS rb
-        FROM cc, qc WHERE query_id <> cc.vec_id),
-      j AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
-          coalesce(a.item_id, b.item_id) AS item_id,
-          coalesce(1e0 / (60 + a.ra), 0e0) +
-            coalesce(1e0 / (60 + b.rb), 0e0) AS rrf_score
-        FROM (SELECT * FROM fa WHERE ra <= 10) a
-        FULL OUTER JOIN (SELECT * FROM fb WHERE rb <= 10) b
-        ON a.query_id = b.query_id AND a.item_id = b.item_id),
-      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-          ORDER BY rrf_score DESC, item_id ASC) AS rn FROM j)
-      SELECT query_id, item_id, rrf_score, CAST(rn AS INTEGER) AS rank
-      FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
-    // int8 symmetric quantization (floor(x*127/amax + 0.5) — the shared
-    // round-half-up), integer dot/norms, one double division — mirrors
-    // Similarity.bruteForceTopKQuantized; scales cancel so no floats
-    // beyond the final ratio
-    "similarity_topk_q8" -> """
-      WITH c AS (SELECT vec_id,
-          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
-          embedding FROM embeddings),
-      q8 AS (SELECT vec_id,
-          CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
-               ELSE list_transform(embedding, x ->
-                 CAST(floor(CAST(x AS DOUBLE) * 127 / amax + 5e-1) AS INT)) END AS codes
-        FROM c),
-      n AS (SELECT vec_id, codes,
-          CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS nn
-        FROM q8),
-      scored AS (SELECT q.vec_id AS query_id, i.vec_id AS item_id,
-          CASE WHEN q.nn = 0 OR i.nn = 0 THEN CAST(0 AS DOUBLE)
-               ELSE CAST(CAST(list_sum(list_transform(range(1, len(q.codes) + 1), j ->
-                   CAST(q.codes[CAST(j AS INT)] AS BIGINT) * i.codes[CAST(j AS INT)])) AS BIGINT) AS DOUBLE)
-                 / (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(i.nn AS DOUBLE))) END AS cosine
-        FROM n q, n i WHERE q.vec_id < 10 AND q.vec_id <> i.vec_id),
-      ranked AS (SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn
-        FROM scored)
-      SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
-      FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
-    // hamming = count of disagreeing sign bits (the packed-XOR popcount
-    // computed dimension-wise — same integer), candidates = best 50 per
-    // query by (hamming, item), rerank by exact cosine — mirrors
-    // Similarity.hammingTopK
-    "similarity_hamming" -> s"""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-        FROM embeddings WHERE vec_id < 10),
-      ham AS (SELECT query_id, c.vec_id AS item_id,
-          CAST(list_sum(list_transform(range(1, len(c.embedding) + 1), i ->
-            CASE WHEN (NOT isnan(c.embedding[CAST(i AS INT)])
-                         AND c.embedding[CAST(i AS INT)] >= 0)
-                   <> (NOT isnan(qe[CAST(i AS INT)])
-                         AND qe[CAST(i AS INT)] >= 0)
-                 THEN 1 ELSE 0 END)) AS INTEGER) AS hamming,
-          c.embedding AS ce, qe
-        FROM embeddings c, q WHERE query_id <> c.vec_id),
-      cand AS (SELECT * FROM ham
-        QUALIFY row_number() OVER (
-          PARTITION BY query_id ORDER BY hamming ASC, item_id ASC) <= 50),
-      scored AS (SELECT query_id, item_id, hamming,
-          ${cosineSql("qe", "ce")} AS cosine
-        FROM cand)
-      SELECT query_id, item_id, hamming, cosine,
-        CAST(row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC)
-          AS INTEGER) AS rank
-      FROM scored
-      QUALIFY rank <= 5 ORDER BY query_id, rank""",
-    // product quantization: sub-centroids = length-derived slices of the
-    // first 8 vectors; per (vector, subspace) squared-L2 argmin (fold
-    // from 0.0 — squares are never -0.0 — ties to the smaller id-sorted
-    // position); ADC score folds the per-subspace query·centroid dots in
-    // subspace order from 0.0; top-30 coarse pool, exact-cosine rerank —
-    // mirrors Similarity.pqEncode / pqTopK
-    "similarity_pq" -> s"""
-      WITH c AS (SELECT vec_id AS cid,
-          row_number() OVER (ORDER BY vec_id) - 1 AS pos,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-        FROM embeddings WHERE vec_id < 8),
-      v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
-          len(embedding) // 8 AS sub
-        FROM embeddings),
-      sl AS (SELECT v.vec_id, u.s, c.pos,
-          v.dv[CAST(u.s * v.sub + 1 AS INT):CAST(u.s * v.sub + v.sub AS INT)] AS dvs,
-          c.cv[CAST(u.s * v.sub + 1 AS INT):CAST(u.s * v.sub + v.sub AS INT)] AS cvs
-        FROM v, unnest(range(0, 8)) u(s), c),
-      d AS (SELECT vec_id, s, pos,
-          ${foldSum("list_transform(range(1, len(dvs) + 1), j -> (dvs[CAST(j AS INT)] - cvs[CAST(j AS INT)]) * (dvs[CAST(j AS INT)] - cvs[CAST(j AS INT)]))")} AS dist
-        FROM sl),
-      codes AS (SELECT vec_id, s, pos AS code FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id, s
-              ORDER BY dist ASC, pos ASC) AS rn FROM d) t
-        WHERE rn = 1),
-      lt AS (SELECT vec_id AS query_id, s, pos,
-          ${foldSum("list_transform(range(1, len(dvs) + 1), j -> dvs[CAST(j AS INT)] * cvs[CAST(j AS INT)])")} AS dp
-        FROM sl WHERE vec_id < 5),
-      adc AS (SELECT lt.query_id, cd.vec_id AS item_id,
-          ${foldSum("list(lt.dp ORDER BY lt.s)")} AS adc_score
-        FROM codes cd JOIN lt ON lt.s = cd.s AND lt.pos = cd.code
-        WHERE lt.query_id <> cd.vec_id
-        GROUP BY 1, 2),
-      coarse AS (SELECT * FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY adc_score DESC, item_id ASC) AS cr FROM adc) t
-        WHERE cr <= 30),
-      rr AS (SELECT co.query_id, co.item_id, co.adc_score,
-          ${cosineSql("qe.embedding", "ie.embedding")} AS cosine
-        FROM coarse co
-        JOIN embeddings qe ON qe.vec_id = co.query_id
-        JOIN embeddings ie ON ie.vec_id = co.item_id)
-      SELECT query_id, item_id, adc_score, cosine, CAST(rn AS INTEGER) AS rank
-      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-          ORDER BY cosine DESC, item_id ASC) AS rn FROM rr) t
-      WHERE rn <= 3
-      ORDER BY query_id, rank""",
-    // the dim > 64 rung over the widened (128-d) fixture: hamming is the
-    // dimension-wise sign-disagreement count (= the packed multi-word
-    // XOR popcount sum — same integer), isnan-guarded to the kernel's
-    // IEEE semantics; candidates top-50 per query, exact-cosine rerank —
-    // mirrors Similarity.hammingTopKWide
-    "similarity_hamming_wide" -> s"""
-      WITH e AS (SELECT vec_id,
-          list_concat(embedding, list_reverse(embedding)) AS embedding
-        FROM embeddings),
-      q AS (SELECT vec_id AS query_id, embedding AS qe
-        FROM e WHERE vec_id < 10),
-      ham AS (SELECT query_id, c.vec_id AS item_id,
-          CAST(list_sum(list_transform(range(1, len(c.embedding) + 1), i ->
-            CASE WHEN (NOT isnan(c.embedding[CAST(i AS INT)])
-                         AND c.embedding[CAST(i AS INT)] >= 0)
-                   <> (NOT isnan(qe[CAST(i AS INT)])
-                         AND qe[CAST(i AS INT)] >= 0)
-                 THEN 1 ELSE 0 END)) AS INTEGER) AS hamming,
-          c.embedding AS ce, qe
-        FROM e c, q WHERE query_id <> c.vec_id),
-      cand AS (SELECT * FROM ham
-        QUALIFY row_number() OVER (
-          PARTITION BY query_id ORDER BY hamming ASC, item_id ASC) <= 50),
-      scored AS (SELECT query_id, item_id, hamming,
-          ${cosineSql("qe", "ce")} AS cosine
-        FROM cand)
-      SELECT query_id, item_id, hamming, cosine,
-        CAST(row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC)
-          AS INTEGER) AS rank
-      FROM scored
-      QUALIFY rank <= 5 ORDER BY query_id, rank""",
-    // MRL two-stage: coarse cosine over the 16-element list prefix
-    // (same slice both engines), top-25 pool per query, exact full-dim
-    // rerank — mirrors Similarity.matryoshkaTopK
-    "similarity_matryoshka" -> s"""
-      WITH e AS (SELECT vec_id, embedding, embedding[1:16] AS pre
-        FROM embeddings),
-      q AS (SELECT vec_id AS query_id, embedding AS qe, pre AS qs
-        FROM e WHERE vec_id < 10),
-      sc AS (SELECT query_id, c.vec_id AS item_id,
-          ${cosineSql("qs", "c.pre")} AS coarse_cos,
-          qe, c.embedding AS ce
-        FROM e c, q WHERE query_id <> c.vec_id),
-      cand AS (SELECT * FROM sc
-        QUALIFY row_number() OVER (
-          PARTITION BY query_id
-          ORDER BY coarse_cos DESC, item_id ASC) <= 25),
-      scored AS (SELECT query_id, item_id, coarse_cos,
-          ${cosineSql("qe", "ce")} AS cosine
-        FROM cand)
-      SELECT query_id, item_id, coarse_cos, cosine,
-        CAST(row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC)
-          AS INTEGER) AS rank
-      FROM scored
-      QUALIFY rank <= 5 ORDER BY query_id, rank""",
-    // the same 8×8 token-vector reinterpretation, Σ_q (fold in token
-    // order, seeded 0.0) of list_max over doc tokens of the shared
-    // cosine — mirrors Similarity.lateInteractionTopK
-    "late_interaction" -> s"""
-      WITH e AS (SELECT vec_id, list_transform(range(0, 8), t ->
-          embedding[CAST(t * 8 + 1 AS INT):CAST(t * 8 + 8 AS INT)]) AS tv
-        FROM embeddings),
-      q AS (SELECT vec_id AS query_id, tv AS qv FROM e WHERE vec_id < 5),
-      scored AS (SELECT query_id, c.vec_id AS item_id,
-          ${foldSum(s"""list_transform(qv, qt ->
-            list_max(list_transform(c.tv, dt ->
-              ${cosineSql("qt", "dt")})))""")} AS maxsim
-        FROM e c, q WHERE query_id <> c.vec_id),
-      ranked AS (SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY maxsim DESC, item_id ASC) AS rn
-        FROM scored)
-      SELECT query_id, item_id, maxsim, CAST(rn AS INTEGER) AS rank
-      FROM ranked WHERE rn <= 3 ORDER BY query_id, rank""",
-    // band filter BEFORE the per-query rank — mirrors
-    // Similarity.hardNegatives
-    "hard_negatives" -> s"""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-        FROM embeddings WHERE vec_id < 10),
-      scored AS (SELECT query_id, c.vec_id AS item_id,
-          ${cosineSql("qe", "c.embedding")} AS cosine
-        FROM embeddings c, q WHERE query_id <> c.vec_id),
-      banded AS (SELECT * FROM scored WHERE cosine <= 25e-2),
-      ranked AS (SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn
-        FROM banded)
-      SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
-      FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
-    // md5-nibble-parity signs, six butterfly stages pairing i with
-    // i XOR 2^s (lower = a+b, upper = a-b), 1/sqrt(64) scale, REAL
-    // cast — mirrors functions.FwhtRotate stage for stage
-    "fwht_rotate" -> {
-      val sgn = "CASE WHEN (strpos('0123456789abcdef', " +
-        "substr(md5('fwht_0_' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 " +
-        "= 0 THEN 1e0 ELSE -1e0 END"
-      val stages = (0 until 6).map { s =>
-        val step = 1 << s
-        val prev = if (s == 0) "e" else s"s${s - 1}"
-        s"""s$s AS (SELECT vec_id, list_transform(range(0, 64), i ->
-          CASE WHEN (i // $step) % 2 = 0
-            THEN v[CAST(i + 1 AS INT)] + v[CAST(xor(i, $step) + 1 AS INT)]
-            ELSE v[CAST(xor(i, $step) + 1 AS INT)] - v[CAST(i + 1 AS INT)]
-          END) AS v FROM $prev)"""
-      }.mkString(",\n      ")
-      s"""
-      WITH e AS (SELECT vec_id, list_transform(range(0, 64), i ->
-          CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * $sgn) AS v
-        FROM embeddings WHERE vec_id < 200),
-      $stages
-      SELECT vec_id, CAST(i AS INTEGER) AS dim_idx,
-        CAST(v[CAST(i + 1 AS INT)] * (1e0 / sqrt(64e0)) AS REAL) AS value
-      FROM (SELECT vec_id, v, unnest(range(0, 64)) AS i FROM s5)
-      ORDER BY vec_id, dim_idx"""
-    },
-    // both rungs replayed (brute = gold, matryoshka = system), then the
-    // rational metric joins: recall = hits/n_relevant, RR = 1/first-hit
-    "ranking_metrics" -> s"""
-      WITH e AS (SELECT vec_id, embedding, embedding[1:16] AS pre
-        FROM embeddings),
-      q AS (SELECT vec_id AS query_id, embedding AS qe, pre AS qs
-        FROM e WHERE vec_id < 10),
-      bf AS (SELECT query_id, item_id FROM (
-        SELECT query_id, c.vec_id AS item_id,
-          row_number() OVER (PARTITION BY query_id
-            ORDER BY ${cosineSql("qe", "c.embedding")} DESC,
-              c.vec_id ASC) AS rn
-        FROM e c, q WHERE query_id <> c.vec_id) WHERE rn <= 5),
-      sc AS (SELECT query_id, c.vec_id AS item_id,
-          ${cosineSql("qs", "c.pre")} AS coarse_cos,
-          qe, c.embedding AS ce
-        FROM e c, q WHERE query_id <> c.vec_id),
-      cand AS (SELECT * FROM sc
-        QUALIFY row_number() OVER (
-          PARTITION BY query_id
-          ORDER BY coarse_cos DESC, item_id ASC) <= 25),
-      mat AS (SELECT query_id, item_id, rn AS rank FROM (
-        SELECT query_id, item_id, row_number() OVER (
-            PARTITION BY query_id
-            ORDER BY ${cosineSql("qe", "ce")} DESC, item_id ASC) AS rn
-        FROM cand) WHERE rn <= 5),
-      nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
-        FROM bf GROUP BY query_id),
-      m AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits,
-          CAST(min(r.rank) AS INTEGER) AS first_hit_rank
-        FROM mat r JOIN bf
-          ON r.query_id = bf.query_id AND r.item_id = bf.item_id
-        GROUP BY r.query_id)
-      SELECT nrel.query_id, n_relevant,
-        coalesce(hits, 0) AS hits,
-        CAST(coalesce(hits, 0) AS DOUBLE) / n_relevant AS recall,
-        first_hit_rank,
-        CASE WHEN first_hit_rank IS NULL THEN 0e0
-          ELSE 1e0 / first_hit_rank END AS reciprocal_rank
-      FROM nrel LEFT JOIN m ON nrel.query_id = m.query_id
-      ORDER BY nrel.query_id""",
-    // greedy MMR replayed step-for-step: pool = brute top-8 (cosine
-    // desc, id asc = the kernel's pool order), each recursion step
-    // picks argmax of λ·rel − (1−λ)·max(0, maxSim(cand, selected))
-    // with ties to the LOWEST pool index (the kernel's strict-> scan);
-    // maxSim folds pairwise cosines seeded at 0.0, the same float ops
-    // in the same order as MmrSelect.cos — mirrors Similarity.mmrTopK
-    "similarity_mmr" -> {
-      val lam = 0.7
-      val oneMinus = 1.0 - lam
-      def score(rel: String, maxsim: String) =
-        s"$lam * $rel - $oneMinus * $maxsim"
-      val maxsim = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-          list_transform(s.sel_vecs, sv -> ${cosineSql("p.vec", "sv")})),
-          (a, x) -> CASE WHEN x > a THEN x ELSE a END)"""
-      s"""
-      WITH RECURSIVE q AS (SELECT vec_id AS query_id, embedding AS qv
-        FROM embeddings WHERE vec_id < 5),
-      pool AS (SELECT * FROM (
-          SELECT query_id, item_id, cosine, vec, row_number() OVER (
-              PARTITION BY query_id
-              ORDER BY cosine DESC, item_id ASC) AS pidx
-          FROM (SELECT q.query_id, e.vec_id AS item_id,
-                  ${cosineSql("qv", "e.embedding")} AS cosine,
-                  e.embedding AS vec
-                FROM embeddings e, q WHERE q.query_id <> e.vec_id))
-        WHERE pidx <= 8),
-      sel AS (
-        SELECT query_id, 1 AS step, [item_id] AS sel_ids,
-               [vec] AS sel_vecs, item_id, cosine, score AS mmr
-        FROM (SELECT *,
-                ${score("cosine", "CAST(0 AS DOUBLE)")} AS score,
-                row_number() OVER (PARTITION BY query_id ORDER BY
-                  ${score("cosine", "CAST(0 AS DOUBLE)")} DESC,
-                  pidx ASC) AS rn
-              FROM pool) WHERE rn = 1
-        UNION ALL
-        SELECT query_id, step + 1, list_append(sel_ids, item_id),
-               list_append(sel_vecs, vec), item_id, cosine, score
-        FROM (SELECT s.query_id AS query_id, s.step AS step,
-                s.sel_ids AS sel_ids, s.sel_vecs AS sel_vecs,
-                p.item_id AS item_id, p.cosine AS cosine, p.vec AS vec,
-                ${score("p.cosine", maxsim)} AS score,
-                row_number() OVER (PARTITION BY s.query_id ORDER BY
-                  ${score("p.cosine", maxsim)} DESC, p.pidx ASC) AS rn
-              FROM sel s JOIN pool p ON p.query_id = s.query_id
-                AND NOT list_contains(s.sel_ids, p.item_id)
-              WHERE s.step < 4) WHERE rn = 1)
-      SELECT query_id, CAST(step AS INTEGER) AS rank, item_id, cosine,
-        mmr
-      FROM sel ORDER BY query_id, rank"""
-    },
-    "similarity_lsh" -> s"""
-      WITH bucketed AS (SELECT vec_id, embedding, ${lshBucketSql()} AS bucket
-        FROM embeddings),
-      cand AS (SELECT a.vec_id AS query_id, b.vec_id AS item_id,
-        ${cosineSql("a.embedding", "b.embedding")} AS cosine
-        FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
-        WHERE a.vec_id <> b.vec_id),
-      ranked AS (SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn
-        FROM cand)
-      SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
-      FROM ranked WHERE rn <= 3 ORDER BY query_id, rank""",
-    // two independent plane sets; directed candidate pairs deduplicated
-    // by the UNION before the exact-cosine rerank — mirrors
-    // Similarity.lshTopK(tables = 2)
-    "similarity_lsh_multi" -> s"""
-      WITH b0 AS (SELECT vec_id, embedding, ${lshBucketSql(0)} AS bucket
-        FROM embeddings),
-      b1 AS (SELECT vec_id, embedding, ${lshBucketSql(6)} AS bucket
-        FROM embeddings),
-      cand AS (
-        SELECT a.vec_id AS query_id, b.vec_id AS item_id
-        FROM b0 a JOIN b0 b ON a.bucket = b.bucket WHERE a.vec_id <> b.vec_id
-        UNION
-        SELECT a.vec_id, b.vec_id
-        FROM b1 a JOIN b1 b ON a.bucket = b.bucket WHERE a.vec_id <> b.vec_id),
-      scored AS (SELECT query_id, item_id,
-        ${cosineSql("q.embedding", "c.embedding")} AS cosine
-        FROM cand JOIN embeddings q ON cand.query_id = q.vec_id
-                  JOIN embeddings c ON cand.item_id = c.vec_id),
-      ranked AS (SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn
-        FROM scored)
-      SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
-      FROM ranked WHERE rn <= 3 ORDER BY query_id, rank""",
-    "similarity_ivf" -> s"""
-      WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-                 WHERE vec_id < 8),
-      sc AS (SELECT e.vec_id AS id, e.embedding AS vec, cid,
-               ${cosineSql("e.embedding", "cvec")} AS cs
-             FROM embeddings e, c),
-      rk AS (SELECT id, vec, cid, cs,
-               row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid ASC) AS rn
-             FROM sc),
-      assign AS (SELECT id, vec, cid FROM rk WHERE rn = 1),
-      probe AS (SELECT id AS query_id, vec AS qv, cid FROM rk WHERE rn <= 2),
-      cand AS (SELECT query_id, a.id AS item_id,
-                 ${cosineSql("qv", "a.vec")} AS cosine
-               FROM probe p JOIN assign a ON p.cid = a.cid
-               WHERE query_id <> a.id),
-      ranked AS (SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn
-        FROM cand)
-      SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rank
-      FROM ranked WHERE rn <= 3 ORDER BY query_id, rank""",
-    // IVF-ADC composition: coarse assignment = argmax cosine vs the 8
-    // stand-in centroids (ties to the smaller cid — mirrors the
-    // centroidAssign fold); queries (vec_id < 5) probe their top-2
-    // cells; PQ codes / query LUT / ADC fold exactly as similarity_pq,
-    // but the ADC join is RESTRICTED to probed-cell members; top-30
-    // pool, exact-cosine rerank — mirrors Similarity.ivfPqTopK
-    "similarity_ivf_pq" -> s"""
-      WITH c AS (SELECT vec_id AS cid,
-          row_number() OVER (ORDER BY vec_id) - 1 AS pos,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
-          embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
-      sc AS (SELECT e.vec_id AS id, c.cid,
-          ${cosineSql("e.embedding", "c.cvec")} AS cs
-        FROM embeddings e, c),
-      rk AS (SELECT id, cid, cs, row_number() OVER (
-          PARTITION BY id ORDER BY cs DESC, cid ASC) AS rn FROM sc),
-      assign AS (SELECT id, cid AS cell FROM rk WHERE rn = 1),
-      probe AS (SELECT id AS query_id, cid AS cell FROM rk
-        WHERE rn <= 2 AND id < 5),
-      v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
-          len(embedding) // 8 AS sub
-        FROM embeddings),
-      sl AS (SELECT v.vec_id, u.s, c.pos,
-          v.dv[CAST(u.s * v.sub + 1 AS INT):CAST(u.s * v.sub + v.sub AS INT)] AS dvs,
-          c.cv[CAST(u.s * v.sub + 1 AS INT):CAST(u.s * v.sub + v.sub AS INT)] AS cvs
-        FROM v, unnest(range(0, 8)) u(s), c),
-      d AS (SELECT vec_id, s, pos,
-          ${foldSum("list_transform(range(1, len(dvs) + 1), j -> (dvs[CAST(j AS INT)] - cvs[CAST(j AS INT)]) * (dvs[CAST(j AS INT)] - cvs[CAST(j AS INT)]))")} AS dist
-        FROM sl),
-      codes AS (SELECT vec_id, s, pos AS code FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id, s
-              ORDER BY dist ASC, pos ASC) AS rn FROM d) t
-        WHERE rn = 1),
-      lt AS (SELECT vec_id AS query_id, s, pos,
-          ${foldSum("list_transform(range(1, len(dvs) + 1), j -> dvs[CAST(j AS INT)] * cvs[CAST(j AS INT)])")} AS dp
-        FROM sl WHERE vec_id < 5),
-      cand0 AS (SELECT p.query_id, a.id AS item_id
-        FROM probe p JOIN assign a ON p.cell = a.cell
-        WHERE p.query_id <> a.id),
-      adc AS (SELECT c0.query_id, c0.item_id,
-          ${foldSum("list(lt.dp ORDER BY lt.s)")} AS adc_score
-        FROM cand0 c0
-        JOIN codes cd ON cd.vec_id = c0.item_id
-        JOIN lt ON lt.query_id = c0.query_id
-               AND lt.s = cd.s AND lt.pos = cd.code
-        GROUP BY 1, 2),
-      coarse AS (SELECT * FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY adc_score DESC, item_id ASC) AS cr FROM adc) t
-        WHERE cr <= 30),
-      rr AS (SELECT co.query_id, co.item_id, co.adc_score,
-          ${cosineSql("qe.embedding", "ie.embedding")} AS cosine
-        FROM coarse co
-        JOIN embeddings qe ON qe.vec_id = co.query_id
-        JOIN embeddings ie ON ie.vec_id = co.item_id)
-      SELECT query_id, item_id, adc_score, cosine, CAST(rn AS INTEGER) AS rank
-      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-          ORDER BY cosine DESC, item_id ASC) AS rn FROM rr) t
-      WHERE rn <= 3
-      ORDER BY query_id, rank""",
-    // residual IVF-PQ: same coarse assignment/probe CTEs; codes argmin
-    // over RESIDUAL slices (v − assigned-cell center, per-element
-    // double subtraction mirroring the zip_with); adc = the exact
-    // q·center(cell) dot (one per probed (query, cell)) + the same
-    // subspace-ordered LUT fold — mirrors ivfPqTopK(residual = true)
-    "similarity_ivf_pq_res" -> s"""
-      WITH c AS (SELECT vec_id AS cid,
-          row_number() OVER (ORDER BY vec_id) - 1 AS pos,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
-          embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
-      sc AS (SELECT e.vec_id AS id, c.cid,
-          ${cosineSql("e.embedding", "c.cvec")} AS cs
-        FROM embeddings e, c),
-      rk AS (SELECT id, cid, cs, row_number() OVER (
-          PARTITION BY id ORDER BY cs DESC, cid ASC) AS rn FROM sc),
-      assign AS (SELECT id, cid AS cell FROM rk WHERE rn = 1),
-      probe AS (SELECT id AS query_id, cid AS cell FROM rk
-        WHERE rn <= 2 AND id < 5),
-      v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
-          len(embedding) // 8 AS sub
-        FROM embeddings),
-      rv AS (SELECT v.vec_id, v.sub,
-          list_transform(range(1, len(v.dv) + 1), j ->
-            v.dv[CAST(j AS INT)] - cc.cv[CAST(j AS INT)]) AS dv
-        FROM v JOIN assign a ON a.id = v.vec_id
-               JOIN c cc ON cc.cid = a.cell),
-      slr AS (SELECT rv.vec_id, u.s, c.pos,
-          rv.dv[CAST(u.s * rv.sub + 1 AS INT):CAST(u.s * rv.sub + rv.sub AS INT)] AS dvs,
-          c.cv[CAST(u.s * rv.sub + 1 AS INT):CAST(u.s * rv.sub + rv.sub AS INT)] AS cvs
-        FROM rv, unnest(range(0, 8)) u(s), c),
-      d AS (SELECT vec_id, s, pos,
-          ${foldSum("list_transform(range(1, len(dvs) + 1), j -> (dvs[CAST(j AS INT)] - cvs[CAST(j AS INT)]) * (dvs[CAST(j AS INT)] - cvs[CAST(j AS INT)]))")} AS dist
-        FROM slr),
-      codes AS (SELECT vec_id, s, pos AS code FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id, s
-              ORDER BY dist ASC, pos ASC) AS rn FROM d) t
-        WHERE rn = 1),
-      slq AS (SELECT v.vec_id, u.s, c.pos,
-          v.dv[CAST(u.s * v.sub + 1 AS INT):CAST(u.s * v.sub + v.sub AS INT)] AS dvs,
-          c.cv[CAST(u.s * v.sub + 1 AS INT):CAST(u.s * v.sub + v.sub AS INT)] AS cvs
-        FROM v, unnest(range(0, 8)) u(s), c WHERE v.vec_id < 5),
-      lt AS (SELECT vec_id AS query_id, s, pos,
-          ${foldSum("list_transform(range(1, len(dvs) + 1), j -> dvs[CAST(j AS INT)] * cvs[CAST(j AS INT)])")} AS dp
-        FROM slq),
-      qc AS (SELECT p.query_id, p.cell,
-          ${foldSum("list_transform(range(1, len(q.dv) + 1), j -> q.dv[CAST(j AS INT)] * cc.cv[CAST(j AS INT)])")} AS qcd
-        FROM probe p JOIN c cc ON cc.cid = p.cell
-                     JOIN v q ON q.vec_id = p.query_id),
-      cand0 AS (SELECT p.query_id, a.id AS item_id, p.cell
-        FROM probe p JOIN assign a ON p.cell = a.cell
-        WHERE p.query_id <> a.id),
-      adc AS (SELECT c0.query_id, c0.item_id,
-          qc.qcd + ${foldSum("list(lt.dp ORDER BY lt.s)")} AS adc_score
-        FROM cand0 c0
-        JOIN codes cd ON cd.vec_id = c0.item_id
-        JOIN lt ON lt.query_id = c0.query_id
-               AND lt.s = cd.s AND lt.pos = cd.code
-        JOIN qc ON qc.query_id = c0.query_id AND qc.cell = c0.cell
-        GROUP BY c0.query_id, c0.item_id, qc.qcd),
-      coarse AS (SELECT * FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY adc_score DESC, item_id ASC) AS cr FROM adc) t
-        WHERE cr <= 30),
-      rr AS (SELECT co.query_id, co.item_id, co.adc_score,
-          ${cosineSql("qe.embedding", "ie.embedding")} AS cosine
-        FROM coarse co
-        JOIN embeddings qe ON qe.vec_id = co.query_id
-        JOIN embeddings ie ON ie.vec_id = co.item_id)
-      SELECT query_id, item_id, adc_score, cosine, CAST(rn AS INTEGER) AS rank
-      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-          ORDER BY cosine DESC, item_id ASC) AS rn FROM rr) t
-      WHERE rn <= 3
-      ORDER BY query_id, rank""",
-    "winnow_fingerprints" -> s"""
-      WITH g AS (SELECT doc_id,
-          list_transform(range(1, greatest(length(text) - 7, 1) + 1), i ->
-            ${hash32Sql("substr(text, CAST(i AS INT), 8)")}) AS grams
-        FROM documents),
-      w AS (SELECT doc_id,
-          list_distinct(list_transform(range(0, greatest(len(grams) - 4, 0) + 1), j ->
-            list_min(grams[CAST(j + 1 AS INT) : CAST(j + 4 AS INT)]))) AS fps
-        FROM g)
-      SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""",
-    // maxBucket=64 via the window count, exactly Dedup.winnowOverlapPairs'
-    // between(2, maxBucket); fingerprints are per-doc distinct, so the
-    // pair count is the number of SHARED fingerprints. The len(fps) >= 30
-    // floor mirrors the minShared size prefilter: sub-floor docs can never
-    // reach minShared shared fingerprints, and the bucket cap counts
-    // pair-eligible docs only.
-    "winnow_pairs" -> s"""
-      WITH g AS (SELECT doc_id,
-          list_transform(range(1, greatest(length(text) - 7, 1) + 1), i ->
-            ${hash32Sql("substr(text, CAST(i AS INT), 8)")}) AS grams
-        FROM documents),
-      w AS (SELECT doc_id,
-          list_distinct(list_transform(range(0, greatest(len(grams) - 4, 0) + 1), j ->
-            list_min(grams[CAST(j + 1 AS INT) : CAST(j + 4 AS INT)]))) AS fps
-        FROM g),
-      f AS (SELECT doc_id, unnest(fps) AS fp FROM w WHERE len(fps) >= 30),
-      sized AS (SELECT *, count(*) OVER (PARTITION BY fp) AS n FROM f)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        count(*) AS shared_fingerprints
-      FROM sized a JOIN sized b ON a.fp = b.fp
-      WHERE a.doc_id < b.doc_id AND a.n <= 64
-      GROUP BY 1, 2 HAVING count(*) >= 30
-      ORDER BY id_a, id_b""",
-    "events_json_agg" ->
-      """SELECT event_type,
-         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-         count(*) AS record_count
-         FROM events GROUP BY event_type ORDER BY event_type""",
-    "events_json_struct" ->
-      """SELECT event_id,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-         FROM events ORDER BY event_id""",
-    "topk_per_group" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rank
-         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
-           row_number() OVER (PARTITION BY o_orderpriority
-             ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn
-           FROM orders)
-         WHERE rn <= 3 ORDER BY o_orderpriority, rank""",
-    "running_sum" ->
-      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
-         sum(l_quantity) OVER (PARTITION BY l_suppkey
-           ORDER BY l_shipdate ASC NULLS FIRST, l_orderkey ASC NULLS FIRST,
-             l_linenumber ASC NULLS FIRST, l_quantity ASC NULLS FIRST
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
-         FROM lineitem
-         ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
-           running_sum""",
-    "event_deltas" ->
-      """SELECT user_id, event_id,
-         CAST(floor(epoch(ts)) AS BIGINT)
-           - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
-               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST))) AS BIGINT)
-           AS delta_seconds
-         FROM events ORDER BY user_id, event_id""",
-    // identical lead window, conditional pair counts, one integer
-    // division — mirrors WindowOps.eventTransitions
-    "event_transitions" -> """
-      WITH o AS (SELECT user_id, event_type,
-          lead(event_type) OVER (PARTITION BY user_id
-            ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS nxt
-        FROM events),
-      c AS (SELECT event_type AS from_type, nxt AS to_type,
-          CAST(count(*) AS BIGINT) AS n
-        FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
-      t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
-        FROM c GROUP BY 1)
-      SELECT c.from_type, c.to_type, c.n,
-        CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
-      FROM c JOIN t USING (from_type)
-      ORDER BY from_type, to_type""",
-    // mirrors Ops.proportionalAllocate: same floor-quota + largest-
-    // remainder award with the group-ascending tiebreak
-    "budget_allocation" -> """
-      WITH w AS (SELECT source, CAST(count(*) AS BIGINT) AS docs
-        FROM documents GROUP BY 1),
-      t AS (SELECT CAST(sum(docs) AS BIGINT) AS bw FROM w),
-      b AS (SELECT source, docs, bw,
-          CASE WHEN bw = 0 THEN 0 ELSE (1000 * docs) // bw END AS base,
-          CASE WHEN bw = 0 THEN 0 ELSE (1000 * docs) % bw END AS rem
-        FROM w CROSS JOIN t),
-      s AS (SELECT CAST(sum(base) AS BIGINT) AS spent FROM b)
-      SELECT source, docs,
-        CAST(base + CASE WHEN bw <> 0 AND rn <= 1000 - spent
-          THEN 1 ELSE 0 END AS BIGINT) AS allocation
-      FROM (SELECT b.*, spent,
-          row_number() OVER (ORDER BY rem DESC, source ASC) AS rn
-        FROM b CROSS JOIN s) __ba
-      ORDER BY source""",
-    // mirrors WindowOps.activityProfile: floor-epoch arithmetic dow
-    // (0 = Monday) and hour — integer division both engines agree on,
-    // where dayofweek()/strftime conventions would not
-    "activity_profile" -> """
-      WITH e AS (SELECT event_type,
-          CAST(floor(epoch(ts)) AS BIGINT) AS ep
-        FROM events WHERE ts IS NOT NULL),
-      c AS (SELECT event_type,
-          CAST((CAST(floor(CAST(ep AS DOUBLE) / 86400) AS BIGINT) + 3) % 7
-            AS INT) AS dow,
-          CAST(floor(CAST(ep % 86400 AS DOUBLE) / 3600) AS INT) AS hour,
-          CAST(count(*) AS BIGINT) AS n
-        FROM e GROUP BY 1, 2, 3),
-      t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c
-        GROUP BY 1)
-      SELECT c.event_type, dow, hour, n,
-        CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
-      FROM c JOIN t USING (event_type)
-      ORDER BY event_type, dow, hour""",
-    // mirrors Ops.imputeMedian: same NULL slice, quantile_cont median
-    // per type, coalesce fill
-    "impute_median" -> """
-      WITH e AS (SELECT event_id, event_type,
-          CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
-        FROM events),
-      m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
-        FROM e GROUP BY 1)
-      SELECT event_id, e.event_type, value,
-        coalesce(value, med) AS value_filled
-      FROM e JOIN m USING (event_type) ORDER BY event_id""",
-    // mirrors WindowOps.burstiness: integer-second gaps, HUGEINT
-    // sufficient statistics, the same floored-variance IEEE dag
-    "burstiness" -> """
-      WITH g AS (SELECT user_id,
-          CAST(floor(epoch(ts)) AS BIGINT)
-            - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
-                PARTITION BY user_id
-                ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
-            AS gp
-        FROM events WHERE ts IS NOT NULL),
-      s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-          CAST(count(gp) AS BIGINT) AS n_gaps,
-          coalesce(sum(CAST(gp AS HUGEINT)), CAST(0 AS HUGEINT)) AS sg,
-          coalesce(sum(CAST(gp AS HUGEINT) * CAST(gp AS HUGEINT)),
-            CAST(0 AS HUGEINT)) AS sg2
-        FROM g GROUP BY user_id HAVING count(gp) >= 1),
-      m AS (SELECT user_id, n_events, n_gaps,
-          CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_sec,
-          greatest((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
-              - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
-            / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)),
-            CAST(0 AS DOUBLE)) AS varp
-        FROM s)
-      SELECT user_id, n_events, n_gaps, mean_gap_sec,
-        CASE WHEN mean_gap_sec = CAST(0 AS DOUBLE) THEN NULL
-             ELSE sqrt(varp) / mean_gap_sec END AS cv_gap,
-        CASE WHEN mean_gap_sec = CAST(0 AS DOUBLE) THEN NULL
-             ELSE (sqrt(varp) / mean_gap_sec - CAST(1 AS DOUBLE))
-                  / (sqrt(varp) / mean_gap_sec + CAST(1 AS DOUBLE)) END
-          AS burstiness
-      FROM m ORDER BY user_id""",
-    // mirrors TemporalOps.decayedCounts: same clamped half-life bucket,
-    // integer bit-shift weights summed as HUGEINT (decimal(38,0) on the
-    // Spark side), one final division by 2^40. The "now" epoch is
-    // computed by the SAME Scala expression the query uses, so the two
-    // engines agree regardless of the box timezone.
-    "decayed_counts" -> s"""
-      WITH b AS (SELECT event_type,
-          least(greatest(CAST(floor(CAST(
-            ${java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime / 1000L}
-            - CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) / 259200)
-            AS BIGINT), 0), 40) AS k
-        FROM events WHERE ts IS NOT NULL)
-      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CAST(1 AS BIGINT) << CAST(40 - k AS INT)) AS DOUBLE)
-          / 1099511627776e0 AS decayed
-      FROM b GROUP BY event_type ORDER BY event_type""",
-    // mirrors TemporalOps.ohlcBuckets: ordered-aggregate first/last for
-    // the min_by/max_by composite-key picks, same bucket alignment as
-    // events_time_buckets
-    "ohlc_buckets" -> """
-      SELECT event_type,
-        time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP))
-          AS bucket_start,
-        first(value ORDER BY ts, event_id) AS open,
-        max(value) AS high, min(value) AS low,
-        last(value ORDER BY ts, event_id) AS close,
-        CAST(count(*) AS BIGINT) AS n
-      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
-      GROUP BY 1, 2 ORDER BY event_type, bucket_start""",
-    // mirrors WindowOps.eventPaths: two leads over one per-user window,
-    // hash-agg on the step tuple, top-k by (n desc, path asc)
-    "event_paths" -> """
-      WITH o AS (SELECT user_id, event_type AS s0,
-          lead(event_type, 1) OVER w AS s1,
-          lead(event_type, 2) OVER w AS s2
-        FROM events
-        WINDOW w AS (PARTITION BY user_id
-          ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)),
-      c AS (SELECT s0 || ' -> ' || s1 || ' -> ' || s2 AS path,
-          CAST(count(*) AS BIGINT) AS n
-        FROM o WHERE s1 IS NOT NULL AND s2 IS NOT NULL GROUP BY 1)
-      SELECT path, n FROM c ORDER BY n DESC, path ASC LIMIT 20""",
-    // mirrors Ops.histogram2d on (quality, n_chars): caller-range
-    // equal-width bins, clamped edges, one-row total broadcast
-    "histogram_2d" -> s"""
-      WITH q AS (SELECT qq.quality, d.n_chars
-        FROM documents d JOIN ($qualityPerDocSql) qq ON d.doc_id = qq.doc_id),
-      b AS (SELECT
-          least(greatest(CAST(floor((quality - 0e0) / 1e-1) AS INT), 0), 9)
-            AS x_bin,
-          least(greatest(CAST(floor((CAST(n_chars AS DOUBLE) - 0e0) / 2e2)
-            AS INT), 0), 9) AS y_bin
-        FROM q WHERE quality IS NOT NULL AND n_chars IS NOT NULL),
-      c AS (SELECT x_bin, y_bin, CAST(count(*) AS BIGINT) AS n
-        FROM b GROUP BY 1, 2),
-      t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
-      SELECT CAST(x_bin AS INTEGER) AS x_bin,
-        CAST(y_bin AS INTEGER) AS y_bin, n,
-        CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
-      FROM c CROSS JOIN t ORDER BY x_bin, y_bin""",
-    "sessionize" ->
-      """WITH o AS (SELECT user_id, event_id, ts,
-           lag(ts) OVER (PARTITION BY user_id
-             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev
-         FROM events),
-         st AS (SELECT user_id, event_id, ts,
-           CASE WHEN prev IS NULL
-                  OR CAST(floor(epoch(ts)) AS BIGINT)
-                     - CAST(floor(epoch(prev)) AS BIGINT) > 1800
-                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS s
-         FROM o)
-         SELECT user_id, event_id,
-           CAST(sum(s) OVER (PARTITION BY user_id
-             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         FROM st ORDER BY user_id, event_id""",
-    // mirrors WindowOps.latestPerKey: greatest (ts, event_id) per user
-    "latest_event" ->
-      """SELECT user_id, event_id, event_type, value
-         FROM events WHERE ts IS NOT NULL
-         QUALIFY row_number() OVER (PARTITION BY user_id
-           ORDER BY ts DESC, event_id DESC) = 1
-         ORDER BY user_id""",
-    // mirrors WindowOps.cumulativeDistinct: first-occurrence flags per
-    // (key, value) in event order, running-summed per key
-    "cumulative_distinct" ->
-      """WITH f AS (SELECT user_id, event_id, event_type, ts,
-           CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
-             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) = 1
-             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS fst
-         FROM events)
-         SELECT user_id, event_id, event_type,
-           CAST(sum(fst) OVER (PARTITION BY user_id
-             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS distinct_so_far
-         FROM f ORDER BY user_id, event_id""",
-    // the sessionize CTE with the per-session rollup on top — duration
-    // uses the SAME truncated-epoch arithmetic as the gap criterion
-    "session_stats" ->
-      """WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-           lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
-             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev
-         FROM events),
-         st AS (SELECT user_id, event_id, ts,
-           CASE WHEN prev IS NULL
-                  OR CAST(floor(epoch(ts)) AS BIGINT)
-                     - CAST(floor(epoch(prev)) AS BIGINT) > 1800
-                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS s
-         FROM o),
-         sess AS (SELECT user_id, event_id, ts,
-           CAST(sum(s) OVER (PARTITION BY user_id
-             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS session_id
-         FROM st)
-         SELECT user_id, session_id,
-           min(ts) AS session_start, max(ts) AS session_end,
-           CAST(floor(epoch(max(ts))) AS BIGINT)
-             - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
-           CAST(count(*) AS BIGINT) AS n_events
-         FROM sess GROUP BY user_id, session_id
-         ORDER BY user_id, session_id""",
-    // Mirrors TemporalOps.asOfJoin's union+window shape exactly (DuckDB's
-    // ASOF JOIN leaves equal-timestamp tie-breaks unspecified; the window
-    // form pins them). CAST(ts AS TIMESTAMP) truncates the fixture's nanos
-    // to micros the same way SparkEntry.table does.
-    "asof_join" -> """
-      WITH u AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
-               event_id AS tb,
-               event_id AS r_event_id, value AS r_value,
-               NULL::BIGINT AS l_event_id
-        FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
-        UNION ALL
-        SELECT user_id, CAST(ts AS TIMESTAMP), 1, NULL, NULL, NULL, event_id
-        FROM events WHERE event_type = 'purchase'),
-      m AS (SELECT user_id, side, l_event_id,
-              last_value(r_event_id IGNORE NULLS) OVER w AS asof_event_id,
-              last_value(r_value IGNORE NULLS) OVER w AS asof_value
-            FROM u
-            WINDOW w AS (PARTITION BY user_id
-              ORDER BY t ASC NULLS FIRST, side ASC, tb ASC NULLS FIRST
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-      SELECT l_event_id AS event_id, user_id, asof_event_id, asof_value
-      FROM m WHERE side = 1 ORDER BY user_id, event_id""",
-    // sequential funnel — mirrors WindowOps.eventFunnel: per-step
-    // first-qualifying-occurrence CTE chain, strictly-after ordering,
-    // one division for the conversion rate
-    "event_funnel" -> """
-      WITH ev AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t,
-          event_type AS e
-        FROM events WHERE ts IS NOT NULL),
-      s0 AS (SELECT u, min(t) AS pt FROM ev WHERE e = 'view' GROUP BY u),
-      s1 AS (SELECT ev.u, min(ev.t) AS pt FROM ev JOIN s0 USING (u)
-        WHERE ev.e = 'click' AND ev.t > s0.pt GROUP BY ev.u),
-      s2 AS (SELECT ev.u, min(ev.t) AS pt FROM ev JOIN s1 USING (u)
-        WHERE ev.e = 'purchase' AND ev.t > s1.pt GROUP BY ev.u),
-      c AS (
-        SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name,
-          CAST(count(*) AS BIGINT) AS users FROM s0
-        UNION ALL SELECT 1, 'click', count(*) FROM s1
-        UNION ALL SELECT 2, 'purchase', count(*) FROM s2),
-      n0 AS (SELECT users AS entered FROM c WHERE step = 0)
-      SELECT step, step_name, users,
-        CASE WHEN entered = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(users AS DOUBLE) / CAST(entered AS DOUBLE) END
-          AS conversion
-      FROM c CROSS JOIN n0 ORDER BY step""",
-    // cohort retention — mirrors WindowOps.cohortRetention: Monday-start
-    // week truncs on both engines, whole-week offsets, distinct users
-    "cohort_retention" -> """
-      WITH ev AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t
-        FROM events WHERE ts IS NOT NULL),
-      f AS (SELECT u, CAST(date_trunc('week', min(t)) AS DATE) AS cw
-        FROM ev GROUP BY u)
-      SELECT cw AS cohort_week,
-        CAST(datediff('day', cw, CAST(date_trunc('week', t) AS DATE)) / 7
-          AS BIGINT) AS week_offset,
-        CAST(count(DISTINCT u) AS BIGINT) AS active_users
-      FROM ev JOIN f USING (u)
-      GROUP BY cw, week_offset
-      ORDER BY cohort_week, week_offset""",
-    // Forward as-of + tolerance — mirrors TemporalOps.asOfJoin
-    // (direction = forward): the same union+window on the REVERSED time
-    // axis (earlier-wins tie-break there), matched timestamp carried for
-    // the tolerance CASE
-    // both directional window passes replayed over one union frame,
-    // then the closer candidate per purchase, equidistant ties backward
-    // — mirrors the nearest branch op for op
-    "asof_join_nearest" -> """
-      WITH u AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
-               event_id AS tb,
-               event_id AS r_event_id, value AS r_value,
-               CAST(ts AS TIMESTAMP) AS r_mt,
-               NULL::BIGINT AS l_event_id
-        FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
-        UNION ALL
-        SELECT user_id, CAST(ts AS TIMESTAMP), 1, NULL, NULL, NULL, NULL,
-               event_id
-        FROM events WHERE event_type = 'purchase'),
-      m AS (SELECT user_id, side, l_event_id, t,
-              last_value(r_event_id IGNORE NULLS) OVER wb AS b_id,
-              last_value(r_value IGNORE NULLS) OVER wb AS b_val,
-              last_value(r_mt IGNORE NULLS) OVER wb AS b_mt,
-              last_value(r_event_id IGNORE NULLS) OVER wf AS f_id,
-              last_value(r_value IGNORE NULLS) OVER wf AS f_val,
-              last_value(r_mt IGNORE NULLS) OVER wf AS f_mt
-            FROM u
-            WINDOW wb AS (PARTITION BY user_id
-              ORDER BY t ASC NULLS FIRST, side ASC, tb ASC NULLS FIRST
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-            wf AS (PARTITION BY user_id
-              ORDER BY t DESC NULLS FIRST, side ASC, tb DESC NULLS LAST
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-      SELECT l_event_id AS event_id, user_id,
-        CASE WHEN b_mt IS NULL THEN f_id WHEN f_mt IS NULL THEN b_id
-          WHEN epoch_us(t) - epoch_us(b_mt) <= epoch_us(f_mt) - epoch_us(t)
-          THEN b_id ELSE f_id END AS asof_event_id,
-        CASE WHEN b_mt IS NULL THEN f_val WHEN f_mt IS NULL THEN b_val
-          WHEN epoch_us(t) - epoch_us(b_mt) <= epoch_us(f_mt) - epoch_us(t)
-          THEN b_val ELSE f_val END AS asof_value
-      FROM m WHERE side = 1 ORDER BY user_id, event_id""",
-    "asof_join_fwd" -> """
-      WITH u AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
-               event_id AS tb,
-               event_id AS r_event_id, value AS r_value,
-               CAST(ts AS TIMESTAMP) AS r_t,
-               NULL::BIGINT AS l_event_id
-        FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
-        UNION ALL
-        SELECT user_id, CAST(ts AS TIMESTAMP), 1, NULL, NULL, NULL, NULL,
-               event_id
-        FROM events WHERE event_type = 'purchase'),
-      m AS (SELECT user_id, side, l_event_id, t,
-              last_value(r_event_id IGNORE NULLS) OVER w AS a_event_id,
-              last_value(r_value IGNORE NULLS) OVER w AS a_value,
-              last_value(r_t IGNORE NULLS) OVER w AS a_t
-            FROM u
-            WINDOW w AS (PARTITION BY user_id
-              ORDER BY t DESC NULLS FIRST, side ASC, tb DESC NULLS LAST
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-      SELECT l_event_id AS event_id, user_id,
-        CASE WHEN a_t IS NOT NULL
-               AND abs(epoch_us(t) - epoch_us(a_t)) <= 86400000000
-             THEN a_event_id END AS asof_event_id,
-        CASE WHEN a_t IS NOT NULL
-               AND abs(epoch_us(t) - epoch_us(a_t)) <= 86400000000
-             THEN a_value END AS asof_value
-      FROM m WHERE side = 1 ORDER BY user_id, event_id""",
-    // SCD2 — mirrors TemporalOps.scd2History: lag-compare change
-    // compression, lead interval close, both over (user, ts, event_id)
-    "scd2_history" -> """
-      WITH src AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
-          event_id
-        FROM events WHERE ts IS NOT NULL),
-      o AS (SELECT *, lag(event_type) OVER w AS prev,
-          CASE WHEN lag(t) OVER w IS NULL THEN true ELSE false END AS first
-        FROM src
-        WINDOW w AS (PARTITION BY user_id
-          ORDER BY t ASC NULLS FIRST, event_id ASC NULLS FIRST)),
-      kept AS (SELECT * FROM o
-        WHERE first OR event_type IS DISTINCT FROM prev),
-      v AS (SELECT user_id, event_type, t,
-          lead(t) OVER (PARTITION BY user_id
-            ORDER BY t ASC NULLS FIRST, event_id ASC NULLS FIRST) AS vt
-        FROM kept)
-      SELECT user_id, event_type,
-        epoch_us(t) AS valid_from_us, epoch_us(vt) AS valid_to_us,
-        CASE WHEN vt IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
-          AS is_current
-      FROM v
-      ORDER BY user_id, valid_from_us, valid_to_us, event_type, is_current""",
-    // the plain non-equi overlap join the bucket-exploded equi-join
-    // provably equals; half-open [s, e) overlap, integer overlap_us
-    "interval_join" -> """
-      WITH iv AS (SELECT event_id, user_id, event_type,
-          epoch_us(CAST(ts AS TIMESTAMP)) AS s,
-          epoch_us(CAST(ts AS TIMESTAMP))
-            + (event_id % 14400 + 1800) * 1000000 AS e
-        FROM events WHERE ts IS NOT NULL)
-      SELECT a.event_id AS signup_id, b.event_id AS purchase_id,
-        a.user_id,
-        CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
-      FROM iv a JOIN iv b ON a.user_id = b.user_id
-      WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
-        AND a.s < b.e AND b.s < a.e
-      ORDER BY a.user_id, signup_id, purchase_id""",
-    // the merge result spelled out set-wise: untouched snapshot keys +
-    // upserted latest changes; deletes vanish (each key has exactly one
-    // change in this stream, so last-wins needs no dedup here)
-    "apply_changes" -> """
-      WITH snap AS (SELECT c_custkey, c_name, c_mktsegment
-          FROM customer WHERE c_custkey <= 1000),
-      chg AS (SELECT c_custkey, c_name,
-          c_mktsegment || '_V2' AS c_mktsegment,
-          CASE WHEN c_custkey % 2 = 1 THEN 'U' ELSE 'D' END AS op
-        FROM customer WHERE c_custkey > 500)
-      SELECT c_custkey, c_name, c_mktsegment FROM snap
-      WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
-      UNION ALL
-      SELECT c_custkey, c_name, c_mktsegment FROM chg WHERE op = 'U'
-      ORDER BY c_custkey""",
-    // mirrors WindowOps.timeWeightedAvg: lead-derived holding
-    // durations, exact integer v*dur sums, one final division; last
-    // events carry no weight, zero-duration keys emit NULL
-    "twa_value" -> """
-      WITH e AS (SELECT user_id,
-          epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-          CAST(round(value * 1e2, 0) AS BIGINT) AS v, event_id
-        FROM events WHERE ts IS NOT NULL),
-      d AS (SELECT user_id, v,
-          lead(us) OVER (PARTITION BY user_id
-            ORDER BY us ASC, event_id ASC) - us AS dur
-        FROM e),
-      a AS (SELECT user_id, CAST(sum(v * dur) AS BIGINT) AS wv,
-          CAST(sum(dur) AS BIGINT) AS dur_us
-        FROM d WHERE dur IS NOT NULL GROUP BY 1)
-      SELECT user_id,
-        CASE WHEN dur_us = 0 THEN NULL
-             ELSE CAST(wv AS DOUBLE) / CAST(dur_us AS DOUBLE) END AS twa,
-        dur_us
-      FROM a ORDER BY user_id""",
-    // mirrors WindowOps.rollingAgg: same ROWS frame; integral cent sums
-    // are order-free; the mean is true division (BIGINT / -> DOUBLE in
-    // DuckDB, long/long -> double in Spark)
-    "rolling_agg" -> """
-      WITH e AS (SELECT user_id, ts, event_id,
-          CAST(round(value * 1e2, 0) AS BIGINT) AS v FROM events)
-      SELECT user_id, event_id, v,
-        CAST(sum(v) OVER w AS BIGINT) AS rolling_sum,
-        CAST(count(v) OVER w AS BIGINT) AS rolling_n,
-        CAST(sum(v) OVER w AS BIGINT) / CAST(count(v) OVER w AS BIGINT)
-          AS rolling_mean
-      FROM e
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-      ORDER BY user_id, event_id""",
-    // mirrors Ops.minMaxNormalize: full-table bounds, sliced check
-    "minmax_norm" -> """
-      WITH st AS (SELECT l_returnflag, min(l_extendedprice) AS lo,
-          max(l_extendedprice) AS hi FROM lineitem GROUP BY 1)
-      SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-        CASE WHEN l_extendedprice IS NULL THEN NULL
-             WHEN hi = lo THEN CAST(0 AS DOUBLE)
-             ELSE (l_extendedprice - lo) / (hi - lo) END
-          AS l_extendedprice_mm
-      FROM lineitem JOIN st USING (l_returnflag)
-      WHERE l_orderkey < 1000
-      ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-        l_extendedprice_mm""",
-    // mirrors Ops.zscoreNormalize term for term: mean = s/n,
-    // ssd = ss - s*mean, std = sqrt(ssd/(n-1)), z = (x-mean)/std —
-    // every intermediate the identical IEEE op on exact integral sums
-    "zscore_norm" -> """
-      WITH st AS (SELECT l_returnflag,
-          CAST(count(l_quantity) AS BIGINT) AS n,
-          sum(l_quantity) AS s,
-          sum(l_quantity * l_quantity) AS ss
-        FROM lineitem GROUP BY 1),
-      d AS (SELECT l_returnflag, n, s / n AS mean,
-          ss - s * (s / n) AS ssd FROM st),
-      f AS (SELECT l_returnflag, mean,
-          CASE WHEN n < 2 OR ssd <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
-               ELSE sqrt(ssd / (n - 1)) END AS sd FROM d)
-      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
-        CASE WHEN l_quantity IS NULL THEN NULL
-             WHEN sd = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
-             ELSE (l_quantity - mean) / sd END AS l_quantity_z
-      FROM lineitem JOIN f USING (l_returnflag)
-      WHERE l_orderkey < 1000
-      ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity,
-        l_quantity_z""",
-    // mirrors Ops.robustZScore: median, MAD over deviations, pinned
-    // (x - med) / (1.4826 * mad) chain; zero-MAD groups emit 0
-    "robust_z" -> """
-      WITH m AS (SELECT l_returnflag,
-          quantile_cont(l_extendedprice, 0.5) AS med
-        FROM lineitem GROUP BY 1),
-      d AS (SELECT l.l_returnflag,
-          quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
-        FROM lineitem l JOIN m USING (l_returnflag) GROUP BY 1),
-      s AS (SELECT m.l_returnflag, m.med, d.mad
-        FROM m JOIN d ON m.l_returnflag = d.l_returnflag)
-      SELECT l_orderkey, l_linenumber, l.l_returnflag AS l_returnflag,
-        l_extendedprice,
-        CASE WHEN l_extendedprice IS NULL THEN NULL
-             WHEN mad = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
-             ELSE (l_extendedprice - med) / (1.4826 * mad) END
-          AS l_extendedprice_rz
-      FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
-      WHERE l_orderkey < 1000
-      ORDER BY l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
-        l_extendedprice_rz""",
-    // mirrors Ops.modeAgg: top-1 by (count DESC, value ASC) per group
-    "mode_lang" -> """
-      SELECT source, lang AS lang_mode,
-        CAST(count(*) AS BIGINT) AS lang_mode_count
-      FROM documents WHERE lang IS NOT NULL
-      GROUP BY source, lang
-      QUALIFY row_number() OVER (PARTITION BY source
-        ORDER BY count(*) DESC, lang ASC) = 1
-      ORDER BY source""",
-    // mirrors WindowOps.ewmaSmooth: y1 = v1, yi = a*vi + b*y(i-1) as a
-    // recursive CTE — the identical two-multiply-one-add step, with the
-    // Scala-printed double constants so both engines fold the same bits
-    "ewma_value" -> s"""
-      WITH RECURSIVE o AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
-          row_number() OVER (PARTITION BY user_id
-            ORDER BY ts ASC, event_id ASC) AS i
-        FROM events WHERE ts IS NOT NULL),
-      r AS (
-        SELECT user_id, ts, event_id, value, i, value AS ewma
-        FROM o WHERE i = 1
-        UNION ALL
-        SELECT o.user_id, o.ts, o.event_id, o.value, o.i,
-          ${0.3} * o.value + ${1.0 - 0.3} * r.ewma
-        FROM o JOIN r ON o.user_id = r.user_id AND o.i = r.i + 1)
-      SELECT user_id, ts, event_id, value, ewma
-      FROM r ORDER BY user_id, ts, event_id""",
-    // mirrors TemporalOps.resample: integer bucket index, per-bucket
-    // latest value by (ts, event_id), generate_series spine per user,
-    // IGNORE NULLS last_value forward fill — values never aggregated
-    "resample_ffill" -> """
-      WITH e AS (SELECT user_id, value, event_id,
-          epoch_us(CAST(ts AS TIMESTAMP)) AS us
-        FROM events WHERE ts IS NOT NULL),
-      e2 AS (SELECT *, (us - (us % 21600000000)) // 21600000000 AS bi FROM e),
-      agg AS (SELECT user_id, bi, CAST(count(*) AS BIGINT) AS n_events
-        FROM e2 GROUP BY 1, 2),
-      lastv AS (SELECT user_id, bi, value AS v_last FROM (
-          SELECT *, row_number() OVER (PARTITION BY user_id, bi
-            ORDER BY us DESC, event_id DESC) AS rn FROM e2)
-        WHERE rn = 1),
-      sp AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bi
-        FROM (SELECT user_id, min(bi) AS mn, max(bi) AS mx
-              FROM agg GROUP BY 1)),
-      j AS (SELECT sp.user_id, sp.bi,
-          coalesce(agg.n_events, CAST(0 AS BIGINT)) AS n_events, lastv.v_last
-        FROM sp LEFT JOIN agg ON sp.user_id = agg.user_id AND sp.bi = agg.bi
-        LEFT JOIN lastv ON sp.user_id = lastv.user_id AND sp.bi = lastv.bi)
-      SELECT user_id, make_timestamp(bi * 21600000000) AS bucket_ts,
-        n_events, v_last,
-        last_value(v_last IGNORE NULLS) OVER (PARTITION BY user_id
-          ORDER BY bi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          AS v_ffill
-      FROM j ORDER BY user_id, bucket_ts""",
-    "band_join" -> """
-      SELECT a.event_id AS signup_id, b.event_id AS purchase_id, a.user_id,
-        epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS delta_us
-      FROM events a JOIN events b ON a.user_id = b.user_id
-      WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
-        AND epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))
-            BETWEEN 0 AND 3600000000
-      ORDER BY a.user_id, signup_id, purchase_id""",
-    "intersect_keys" ->
-      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-         INTERSECT
-         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-         ORDER BY c_custkey""",
-    "except_keys" ->
-      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-         EXCEPT
-         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-         ORDER BY c_custkey""",
-    "intersect_all_keys" ->
-      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-         INTERSECT ALL
-         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-         ORDER BY o_custkey""",
-    "except_all_keys" ->
-      """SELECT o_custkey FROM orders
-         EXCEPT ALL
-         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-         ORDER BY o_custkey""",
-    "rollup_agg" ->
-      """SELECT o_orderstatus, o_orderpriority,
-         min(o_totalprice) AS o_totalprice_min,
-         max(o_totalprice) AS o_totalprice_max,
-         count(*) AS record_count,
-         CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id
-         FROM orders
-         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-         ORDER BY grouping_id, o_orderstatus ASC NULLS FIRST,
-           o_orderpriority ASC NULLS FIRST""",
-    "cube_agg" ->
-      """SELECT o_orderstatus, o_orderpriority,
-         max(o_totalprice) AS o_totalprice_max,
-         count(*) AS record_count,
-         CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id
-         FROM orders
-         GROUP BY CUBE(o_orderstatus, o_orderpriority)
-         ORDER BY grouping_id, o_orderstatus ASC NULLS FIRST,
-           o_orderpriority ASC NULLS FIRST""",
-    "grouping_sets_agg" ->
-      """SELECT o_orderstatus, o_orderpriority,
-         CAST(sum(CAST(round(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) / 1e2 AS o_totalprice_sum,
-         max(o_totalprice) AS o_totalprice_max,
-         count(*) AS record_count,
-         CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id
-         FROM orders
-         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-         ORDER BY grouping_id, o_orderstatus ASC NULLS FIRST,
-           o_orderpriority ASC NULLS FIRST""",
-    "cube_money" ->
-      """SELECT o_orderstatus, o_orderpriority,
-         CAST(sum(CAST(round(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) / 1e2 AS o_totalprice_sum,
-         (CAST(sum(CAST(round(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) / 1e2)
-           / count(o_totalprice) AS o_totalprice_average,
-         min(o_totalprice) AS o_totalprice_min,
-         count(*) AS record_count,
-         CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id
-         FROM orders
-         GROUP BY CUBE(o_orderstatus, o_orderpriority)
-         ORDER BY grouping_id, o_orderstatus ASC NULLS FIRST,
-           o_orderpriority ASC NULLS FIRST""",
-    "events_time_buckets" ->
-      """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
-         event_type, count(*) AS event_count
-         FROM events
-         GROUP BY 1, 2 ORDER BY window_start, event_type""",
-    "pivot_status" ->
-      """SELECT o_orderpriority,
-         CAST(sum(CASE WHEN o_orderstatus = 'F'
-           THEN CAST(round(o_totalprice * 1e2, 0) AS BIGINT) END) AS BIGINT) / 1e2 AS F_total,
-         CAST(sum(CASE WHEN o_orderstatus = 'O'
-           THEN CAST(round(o_totalprice * 1e2, 0) AS BIGINT) END) AS BIGINT) / 1e2 AS O_total,
-         CAST(sum(CASE WHEN o_orderstatus = 'P'
-           THEN CAST(round(o_totalprice * 1e2, 0) AS BIGINT) END) AS BIGINT) / 1e2 AS P_total
-         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-    // dialect-portable melt: one UNION ALL branch per measure column
-    "unpivot_lineitem" ->
-      """SELECT l_orderkey, l_linenumber, variable, value FROM (
-           SELECT l_orderkey, l_linenumber,
-             'l_quantity' AS variable, l_quantity AS value FROM lineitem
-           UNION ALL SELECT l_orderkey, l_linenumber,
-             'l_extendedprice', l_extendedprice FROM lineitem
-           UNION ALL SELECT l_orderkey, l_linenumber,
-             'l_discount', l_discount FROM lineitem
-           UNION ALL SELECT l_orderkey, l_linenumber,
-             'l_tax', l_tax FROM lineitem)
-         ORDER BY l_orderkey, l_linenumber, variable, value""",
-    // exact counts + the same one-division-per-share chain; chi2 is
-    // the rational drift stat (ln-free, cross-engine exact)
-    "category_drift" -> """
-      WITH b AS (SELECT o_orderpriority AS value,
-          CAST(count(*) AS BIGINT) AS nb
-        FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1),
-      a AS (SELECT o_orderpriority AS value,
-          CAST(count(*) AS BIGINT) AS na
-        FROM orders WHERE o_orderkey % 4 <> 0 GROUP BY 1),
-      t AS (SELECT
-          CAST((SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 0)
-            AS DOUBLE) AS tb,
-          CAST((SELECT count(*) FROM orders WHERE o_orderkey % 4 <> 0)
-            AS DOUBLE) AS ta),
-      x AS (SELECT value,
-          coalesce(nb, 0) AS n_before, coalesce(na, 0) AS n_after,
-          CAST(coalesce(nb, 0) AS DOUBLE) / tb AS sb,
-          CAST(coalesce(na, 0) AS DOUBLE) / ta AS sa
-        FROM b FULL OUTER JOIN a USING (value) CROSS JOIN t)
-      SELECT value, n_before, n_after, sb AS share_before,
-        sa AS share_after, sa - sb AS share_delta,
-        CASE WHEN sb = 0e0 THEN NULL
-             ELSE (sa - sb) * (sa - sb) / sb END AS chi2_contrib
-      FROM x ORDER BY value NULLS FIRST""",
-    // the same hex-digit md5-prefix order as quota_sample, ranked per
-    // class against the data-derived min class size
-    "balance_classes" -> """
-      WITH c AS (SELECT lang, count(*) AS n FROM documents
-                 WHERE lang IS NOT NULL GROUP BY lang),
-      m AS (SELECT min(n) AS m FROM c),
-      r AS (SELECT doc_id, lang, row_number() OVER (
-              PARTITION BY lang ORDER BY
-                list_sum(list_transform(range(1, 9), j ->
-                  (strpos('0123456789abcdef',
-                     substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
-                  * CAST(16**(8-j) AS BIGINT))) ASC, doc_id ASC) AS rk
-            FROM documents WHERE lang IS NOT NULL)
-      SELECT doc_id, lang FROM r, m WHERE rk <= m ORDER BY doc_id""",
-    // min-doc_id canon per duplicated digest (the strip oracle's rem
-    // set); mask = NOT removed, per token position
-    "duplicate_span_mask" -> s"""
-      WITH g AS (${posGramsSql(8)}),
-      canon AS (SELECT h, min(doc_id) AS keep FROM g
-        GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-      rem AS (SELECT DISTINCT g.doc_id, g.pos + r.off AS tp
-        FROM g JOIN canon ON g.h = canon.h AND g.doc_id <> canon.keep
-        CROSS JOIN range(0, 8) r(off)),
-      toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tp,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        FROM (SELECT doc_id, text,
-                unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
-              FROM documents)),
-      m AS (SELECT t.doc_id, t.n_tokens, t.tp,
-          CASE WHEN rem.tp IS NULL THEN 1 ELSE 0 END AS keep
-        FROM toks t LEFT JOIN rem
-          ON rem.doc_id = t.doc_id AND rem.tp = t.tp)
-      SELECT doc_id, n_tokens,
-        CAST(sum(1 - keep) OVER (PARTITION BY doc_id) AS BIGINT) AS n_masked,
-        tp AS token_pos, CAST(keep AS INT) AS keep
-      FROM m ORDER BY doc_id, token_pos""",
-    "semi_join" -> """
-      SELECT c_custkey, c_name, c_mktsegment FROM customer
-      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-      ORDER BY c_custkey""",
-    "anti_join" -> """
-      SELECT c_custkey, c_name, c_mktsegment FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders
-        WHERE o_custkey = c_custkey AND o_orderkey % 5 = 0)
-      ORDER BY c_custkey""",
-    "intersect_distinct" -> """
-      SELECT o_orderstatus, o_orderpriority FROM orders
-      WHERE o_orderkey % 2 = 0
-      INTERSECT
-      SELECT o_orderstatus, o_orderpriority FROM orders
-      WHERE o_orderkey % 2 <> 0
-      ORDER BY o_orderstatus, o_orderpriority""",
-    "except_distinct" -> """
-      SELECT o_orderstatus, o_orderpriority FROM orders
-      EXCEPT
-      SELECT o_orderstatus, o_orderpriority FROM orders
-      WHERE o_orderpriority = '1-URGENT'
-      ORDER BY o_orderstatus, o_orderpriority""",
-    // non-distinct trigram windows: every occurrence votes, HAVING
-    // prunes the tail after the same count both engines compute
-    "ngram_counts" -> """
-      SELECT ngram, CAST(count(*) AS BIGINT) AS occurrences
-      FROM (SELECT unnest(list_transform(range(1, len(ts) - 1),
-              i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS ngram
-            FROM (SELECT string_split(text, ' ') AS ts FROM documents))
-      GROUP BY ngram HAVING count(*) >= 5
-      ORDER BY ngram""",
-    // the del-1 variant blocking mirrored with SIDES: candidates only
-    // span master × dirty, combined bucket population capped, the same
-    // bit-pinned jaro_winkler_similarity verifies
-    "fuzzy_join" -> """
-      WITH m AS (SELECT 0 AS side, c_custkey AS id, c_name AS key
-                 FROM customer WHERE c_name IS NOT NULL
-            UNION ALL
-            SELECT 1, c_custkey + 1000000,
-                   substr(c_name, 1, length(c_name) - 1)
-            FROM customer WHERE c_name IS NOT NULL),
-      v AS (SELECT side, id, key,
-              unnest(list_distinct(list_prepend(key,
-                CASE WHEN length(key) = 0 THEN CAST([] AS VARCHAR[])
-                  ELSE list_transform(range(1, length(key) + 1), i ->
-                    substr(key, 1, CAST(i - 1 AS INT))
-                    || substr(key, CAST(i + 1 AS INT), length(key)))
-                END))) AS var
-            FROM m),
-      sized AS (SELECT *, count(*) OVER (PARTITION BY var) AS n FROM v),
-      cand AS (SELECT DISTINCT a.id AS left_id, b.id AS right_id,
-          a.key AS key_left, b.key AS key_right
-        FROM sized a JOIN sized b ON a.var = b.var
-        WHERE a.side = 0 AND b.side = 1 AND a.n <= 64)
-      SELECT left_id, right_id, key_left, key_right,
-        jaro_winkler_similarity(key_left, key_right) AS jw
-      FROM cand WHERE jaro_winkler_similarity(key_left, key_right) >= 9e-1
-      ORDER BY left_id, right_id""",
-    // IS DISTINCT FROM is the null-safe struct compare the Spark side
-    // spells <=>; unchanged keys are absent by construction
-    "snapshot_diff" -> """
-      WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice
-                 FROM orders WHERE o_orderkey % 3 <> 0),
-      a AS (SELECT o_orderkey, o_orderstatus,
-              CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1e0
-                   ELSE o_totalprice END AS o_totalprice
-            FROM orders WHERE o_orderkey % 4 <> 0)
-      , d AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
-        CASE WHEN b.o_orderkey IS NULL THEN 'added'
-             WHEN a.o_orderkey IS NULL THEN 'removed'
-             WHEN (b.o_orderstatus, b.o_totalprice) IS DISTINCT FROM
-                  (a.o_orderstatus, a.o_totalprice) THEN 'changed'
-        END AS change_type
-        FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
-      SELECT o_orderkey, change_type FROM d
-      WHERE change_type IS NOT NULL
-      ORDER BY o_orderkey""",
-    "referential_integrity" -> """
-      SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
-          AS n_null_fk,
-        CAST(count(*) FILTER (WHERE l_orderkey IS NOT NULL
-          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
-                                 WHERE o_orderkey % 10 <> 0)) AS BIGINT)
-          AS n_orphans
-      FROM lineitem""",
-    // six exact sums per pair then the textbook r in doubles — the
-    // same IEEE op order as Ops.corrMatrix; lineitem is NULL-free so
-    // pairwise-complete counts collapse to count(*)
-    "corr_measures" -> """
-      WITH li AS (SELECT l_returnflag AS f, l_quantity AS q,
-          round(l_extendedprice, 0) AS d,
-          CAST(l_linenumber AS DOUBLE) AS ln2 FROM lineitem),
-      s AS (SELECT f, CAST(count(*) AS DOUBLE) AS n,
-          sum(q) AS s_q, sum(d) AS s_d, sum(ln2) AS s_l,
-          sum(q * d) AS s_qd, sum(q * ln2) AS s_ql, sum(d * ln2) AS s_dl,
-          sum(q * q) AS s_qq, sum(d * d) AS s_dd, sum(ln2 * ln2) AS s_ll
-        FROM li GROUP BY f)
-      SELECT f AS l_returnflag, field_a, field_b, n_pairs, corr FROM (
-        SELECT f, 'l_quantity' AS field_a, 'dollars' AS field_b,
-          CAST(n AS BIGINT) AS n_pairs,
-          CASE WHEN sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_dd - s_d * s_d)
-                    = 0e0 THEN NULL
-               ELSE (n * s_qd - s_q * s_d) /
-                 (sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_dd - s_d * s_d))
-          END AS corr FROM s
-        UNION ALL
-        SELECT f, 'l_quantity', 'linenum', CAST(n AS BIGINT),
-          CASE WHEN sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_ll - s_l * s_l)
-                    = 0e0 THEN NULL
-               ELSE (n * s_ql - s_q * s_l) /
-                 (sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_ll - s_l * s_l))
-          END FROM s
-        UNION ALL
-        SELECT f, 'dollars', 'linenum', CAST(n AS BIGINT),
-          CASE WHEN sqrt(n * s_dd - s_d * s_d) * sqrt(n * s_ll - s_l * s_l)
-                    = 0e0 THEN NULL
-               ELSE (n * s_dl - s_d * s_l) /
-                 (sqrt(n * s_dd - s_d * s_d) * sqrt(n * s_ll - s_l * s_l))
-          END FROM s)
-      ORDER BY l_returnflag, field_a, field_b""",
-    // the sequential array-order fold both engines share makes the
-    // norm, the division, and the float round-back bit-identical
-    "l2_normalize" -> """
-      SELECT vec_id, CAST(i AS INTEGER) AS dim,
-        CASE WHEN norm = 0e0 THEN embedding[CAST(i + 1 AS INT)]
-             ELSE CAST(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) / norm
-               AS FLOAT) END AS unit_val
-      FROM (SELECT vec_id, embedding,
-              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                list_transform(embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                (a, b) -> a + b)) AS norm,
-              unnest(range(0, len(embedding))) AS i
-            FROM embeddings)
-      ORDER BY vec_id, dim""",
-    // bin arithmetic mirrored op for op: subtract lo, divide by span,
-    // multiply by nBins, floor, clamp the right-closed top edge
-    "histogram_price" -> """
-      WITH b AS (SELECT l_returnflag,
-          CASE WHEN l_extendedprice IS NULL OR l_extendedprice < 0e0
-                    OR l_extendedprice > 6e4 THEN NULL
-               ELSE least(CAST(floor((l_extendedprice - 0e0) / 6e4 * 12) + 1
-                 AS BIGINT), 12) END AS l_extendedprice_bin
-        FROM lineitem)
-      SELECT l_returnflag, l_extendedprice_bin,
-        CAST(count(*) AS BIGINT) AS n_rows,
-        0e0 + (l_extendedprice_bin - 1) * 5e3 AS bin_lo
-      FROM b GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST""",
-    "column_profile" -> """
-      SELECT * FROM (
-        SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
-          CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
-          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
-        FROM orders
-        UNION ALL SELECT 'o_custkey', count(*),
-          count(*) - count(o_custkey), count(DISTINCT o_custkey) FROM orders
-        UNION ALL SELECT 'o_orderstatus', count(*),
-          count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus)
-        FROM orders
-        UNION ALL SELECT 'o_orderpriority', count(*),
-          count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority)
-        FROM orders
-        UNION ALL SELECT 'o_totalprice', count(*),
-          count(*) - count(o_totalprice), count(DISTINCT o_totalprice)
-        FROM orders)
-      ORDER BY "column"""",
-    "temporal_split" -> """
-      SELECT event_id,
-        CASE WHEN ts IS NULL THEN NULL
-             WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
-               THEN 'train'
-             WHEN epoch_us(CAST(ts AS TIMESTAMP)) >=
-                  epoch_us(TIMESTAMP '2024-01-20 00:00:00') + 86400000000
-               THEN 'test'
-             ELSE 'embargo' END AS split
-      FROM events ORDER BY event_id""",
-    // FILTER is the SQL spelling of the conditional aggregate the
-    // pivot lowers to; an unfed bucket is NULL on both sides
-    "pivot_returnflag" -> """
-      SELECT l_linestatus,
-        sum(l_quantity) FILTER (WHERE l_returnflag = 'A') AS A_sum,
-        sum(l_quantity) FILTER (WHERE l_returnflag = 'N') AS N_sum,
-        sum(l_quantity) FILTER (WHERE l_returnflag = 'R') AS R_sum
-      FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "percentile_price" ->
-      """SELECT l_returnflag,
-         quantile_cont(l_extendedprice, 0.25) AS l_extendedprice_p25,
-         quantile_cont(l_extendedprice, 0.5) AS l_extendedprice_p50,
-         quantile_cont(l_extendedprice, 0.9) AS l_extendedprice_p90,
-         count(*) AS record_count
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "train_split" -> s"""
-      SELECT split, count(*) AS record_count FROM (
-        SELECT CASE WHEN h < 3435973836 THEN 'train'
-                    WHEN h < 3865470566 THEN 'val'
-                    WHEN h < 4294967296 THEN 'test'
-                    ELSE 'train' END AS split
-        FROM (SELECT list_sum(list_transform(range(1,9), j ->
-                (strpos('0123456789abcdef',
-                   substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
-                * CAST(16**(8-j) AS BIGINT))) AS h
-              FROM documents))
-      GROUP BY split ORDER BY split""",
-    "pii_scrub" -> """
-      SELECT doc_id,
-        regexp_replace(regexp_replace(regexp_replace(
-          substr(text, 1, 40) || ' user' || CAST(doc_id AS VARCHAR)
-            || '@example.com at 192.168.0.1 ref 123456789',
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-          '[0-9]{7,}', '<NUM>', 'g') AS clean
-      FROM documents ORDER BY doc_id""",
-    "top_ngrams" -> s"""
-      SELECT ngram, count(*) AS doc_freq
-      FROM (SELECT unnest(${shinglesSql(2)}) AS ngram FROM documents)
-      GROUP BY ngram
-      ORDER BY doc_freq DESC, ngram ASC
-      LIMIT 20""",
-    // duplicated 8-gram gaps-and-islands — a new span starts where the
-    // gap between consecutive duplicated gram starts exceeds n
-    "duplicate_spans" -> dupSpansSql(8, minSpanTokens = 0),
-    // same, paragraph granularity: spans shorter than 12 tokens dropped
-    // AFTER island merging (mirrors duplicateSpans' minSpanTokens)
-    "duplicate_spans_min" -> dupSpansSql(8, minSpanTokens = 12),
-    // min-doc_id canon per duplicated digest; non-canon occurrences mark
-    // their n covered token positions for removal
-    "strip_duplicate_spans" -> s"""
-      WITH g AS (${posGramsSql(8)}),
-      canon AS (SELECT h, min(doc_id) AS keep FROM g
-        GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-      rem AS (SELECT DISTINCT g.doc_id, g.pos + r.off AS tp
-        FROM g JOIN canon ON g.h = canon.h AND g.doc_id <> canon.keep
-        CROSS JOIN range(0, 8) r(off)),
-      toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tp, t[CAST(i AS INT)] AS tok
-        FROM (SELECT doc_id, string_split(text,' ') AS t,
-                unnest(range(1, len(string_split(text,' ')) + 1)) AS i
-              FROM documents)),
-      kept AS (SELECT doc_id, tp, tok FROM toks
-        WHERE NOT EXISTS (SELECT 1 FROM rem
-          WHERE rem.doc_id = toks.doc_id AND rem.tp = toks.tp)),
-      rebuilt AS (SELECT doc_id, count(*) AS kept,
-          string_agg(tok, ' ' ORDER BY tp) AS clean
-        FROM kept GROUP BY doc_id)
-      SELECT d.doc_id,
-        CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
-        CAST(len(string_split(d.text,' ')) - coalesce(r.kept, 0) AS BIGINT) AS n_removed,
-        coalesce(r.clean, '') AS clean_text
-      FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
-      ORDER BY d.doc_id""",
-    // batch 8-grams matching the eval carve's distinct gram digests drop
-    // their covered span; rebuild identical to strip_duplicate_spans —
-    // mirrors TextOps.stripContaminatedSpans
-    "strip_contaminated_spans" -> s"""
-      WITH g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-          md5(array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS h
-        FROM (SELECT doc_id, string_split(text,' ') AS t,
-                unnest(range(1, greatest(len(string_split(text,' ')) - 7, 0) + 1)) AS i
-              FROM documents WHERE doc_id >= 100)),
-      bench AS (SELECT DISTINCT md5(gr) AS h FROM (
-          SELECT unnest(${shinglesSql(8)}) AS gr
-          FROM documents WHERE doc_id < 100) b),
-      rem AS (SELECT DISTINCT g.doc_id, g.pos + r.off AS tp
-        FROM g JOIN bench ON g.h = bench.h
-        CROSS JOIN range(0, 8) r(off)),
-      toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tp, t[CAST(i AS INT)] AS tok
-        FROM (SELECT doc_id, string_split(text,' ') AS t,
-                unnest(range(1, len(string_split(text,' ')) + 1)) AS i
-              FROM documents WHERE doc_id >= 100)),
-      kept AS (SELECT doc_id, tp, tok FROM toks
-        WHERE NOT EXISTS (SELECT 1 FROM rem
-          WHERE rem.doc_id = toks.doc_id AND rem.tp = toks.tp)),
-      rebuilt AS (SELECT doc_id, count(*) AS kept,
-          string_agg(tok, ' ' ORDER BY tp) AS clean
-        FROM kept GROUP BY doc_id)
-      SELECT d.doc_id,
-        CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
-        CAST(len(string_split(d.text,' ')) - coalesce(r.kept, 0) AS BIGINT) AS n_removed,
-        coalesce(r.clean, '') AS clean_text
-      FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
-      WHERE d.doc_id >= 100
-      ORDER BY d.doc_id""",
-    // later in-doc occurrences of a trigram drop their covered span;
-    // rebuild identical to strip_duplicate_spans — mirrors
-    // TextOps.stripSelfRepeats
-    "strip_self_repeats" -> s"""
-      WITH g AS (${posGramsSql(3)}),
-      firsts AS (SELECT doc_id, h, min(pos) AS p0 FROM g
-        GROUP BY doc_id, h HAVING count(*) >= 2),
-      rem AS (SELECT DISTINCT g.doc_id, g.pos + r.off AS tp
-        FROM g JOIN firsts f ON g.doc_id = f.doc_id AND g.h = f.h
-        CROSS JOIN range(0, 3) r(off)
-        WHERE g.pos > f.p0),
-      toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tp, t[CAST(i AS INT)] AS tok
-        FROM (SELECT doc_id, string_split(text,' ') AS t,
-                unnest(range(1, len(string_split(text,' ')) + 1)) AS i
-              FROM documents)),
-      kept AS (SELECT doc_id, tp, tok FROM toks
-        WHERE NOT EXISTS (SELECT 1 FROM rem
-          WHERE rem.doc_id = toks.doc_id AND rem.tp = toks.tp)),
-      rebuilt AS (SELECT doc_id, count(*) AS kept,
-          string_agg(tok, ' ' ORDER BY tp) AS clean
-        FROM kept GROUP BY doc_id)
-      SELECT d.doc_id,
-        CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
-        CAST(len(string_split(d.text,' ')) - coalesce(r.kept, 0) AS BIGINT) AS n_removed,
-        coalesce(r.clean, '') AS clean_text
-      FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
-      ORDER BY d.doc_id""",
-    // mirrors the line_dedup pre-lining (8-word lines via the same
-    // integer grid) then the CCNet removal contract: corpus-frequency
-    // >= 2 lines vanish EVERYWHERE (first occurrence too), blank
-    // lines never count, per-doc rebuild in line order
-    "line_dedup" -> """
-      WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
-                 FROM documents),
-      l AS (SELECT doc_id, CAST(b AS BIGINT) AS lp,
-              array_to_string(
-                t[CAST(b*8+1 AS INT):CAST(b*8+8 AS INT)], ' ') AS line
-            FROM d, unnest(range(0, CAST(ceil(len(t)/8e0) AS INT))) AS u(b)),
-      h AS (SELECT line FROM l WHERE trim(line) <> ''
-            GROUP BY line HAVING count(*) >= 2),
-      k AS (SELECT l.doc_id, l.lp, l.line, h.line IS NOT NULL AS heavy
-            FROM l LEFT JOIN h ON l.line = h.line)
-      SELECT doc_id,
-        CAST(count(*) AS BIGINT) AS n_lines,
-        CAST(coalesce(sum(CASE WHEN heavy THEN 1 END), 0) AS BIGINT)
-          AS n_removed,
-        coalesce(array_to_string(
-          list(line ORDER BY lp) FILTER (WHERE NOT heavy), chr(10)), '')
-          AS clean_text
-      FROM k GROUP BY doc_id ORDER BY doc_id""",
-    "bm25_topk" -> bm25Sql(Seq("spark", "stream", "vector"), k = 10),
-    // posting-list build + per-term score tree identical to bm25_topk;
-    // the per-(query, doc) sum folds a term-ORDERED list left from 0.0
-    // (list_reduce) exactly like the Spark aggregate() fold — float
-    // addition order is pinned, scores hash-match bit-for-bit
-    "bm25_batch" -> s"""
-      WITH posts AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
-        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t
-              FROM documents) u
-        GROUP BY doc_id, t),
-      dl AS (SELECT doc_id, sum(tf) AS dl FROM posts GROUP BY doc_id),
-      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl FROM dl),
-      dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM posts GROUP BY t),
-      q(query_id, terms) AS (VALUES
-        (CAST(0 AS BIGINT), ['spark', 'stream']),
-        (1, ['vector', 'merge', 'window']),
-        (2, ['customer'])),
-      qt AS (SELECT query_id, unnest(list_distinct(terms)) AS t FROM q),
-      scored AS (SELECT query_id, doc_id, t,
-          ((n - df) + ${litD(0.5)}) / (df + ${litD(0.5)})
-            * (tf * ${litD(1.2 + 1.0)})
-            / (tf + ${litD(1.2)} * (${litD(1.0 - 0.75)} + ${litD(0.75)} * (dl / (sumdl / n)))) AS s
-        FROM qt JOIN posts USING (t) JOIN dfq USING (t)
-          JOIN dl USING (doc_id) CROSS JOIN stats),
-      agg AS (SELECT query_id, doc_id,
-          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s ORDER BY t)),
-            (a, x) -> a + x) AS score
-        FROM scored GROUP BY query_id, doc_id)
-      SELECT query_id, doc_id, score,
-        CAST(row_number() OVER (PARTITION BY query_id
-          ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
-      FROM agg QUALIFY rank <= 5 ORDER BY query_id, rank""",
-    "cross_corpus_pairs" ->
-      crossCorpusNearDupSql(shingleN = 3, threshold = "2e-1", splitId = 250),
-    "incremental_near_dup" ->
-      incrementalNearDupSql(shingleN = 3, threshold = "5e-1", splitId = 250),
-    // int8 quantization identical to similarity_topk_q8; sign-LSH
-    // buckets computed ON THE CODES (the stored state); quantized
-    // cosine (integer dot/norms, one division) >= threshold drops a
-    // batch vector against index∪smaller-id-batch bucket-mates, capped
-    // buckets per side — mirrors Dedup.incrementalEmbeddingDedup
-    "incremental_embedding_dedup" -> s"""
-      WITH c AS (SELECT vec_id,
-          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
-          embedding FROM embeddings),
-      q8 AS (SELECT vec_id,
-          CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
-               ELSE list_transform(embedding, x ->
-                 CAST(floor(CAST(x AS DOUBLE) * 127 / amax + 5e-1) AS INT)) END AS codes
-        FROM c),
-      n AS (SELECT vec_id, codes,
-          CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS nn,
-          ${lshBucketSql(0, "codes")} AS bucket
-        FROM q8),
-      idx AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS bn
-        FROM n WHERE vec_id < 250),
-      bat AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS bn
-        FROM n WHERE vec_id >= 250),
-      cand AS (
-        SELECT i.codes AS ca, i.nn AS na, b.vec_id AS id_b,
-               b.codes AS cb, b.nn AS nb
-        FROM idx i JOIN bat b ON i.bucket = b.bucket
-        WHERE i.bn <= 64 AND b.bn <= 64 AND i.vec_id <> b.vec_id
-        UNION ALL
-        SELECT a.codes, a.nn, b.vec_id, b.codes, b.nn
-        FROM bat a JOIN bat b ON a.bucket = b.bucket
-        WHERE a.bn <= 64 AND a.vec_id < b.vec_id),
-      losers AS (SELECT DISTINCT id_b FROM cand
-        WHERE (CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS DOUBLE)
-               ELSE CAST(CAST(list_sum(list_transform(range(1, len(ca) + 1), j ->
-                   CAST(ca[CAST(j AS INT)] AS BIGINT) * cb[CAST(j AS INT)])) AS BIGINT) AS DOUBLE)
-                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END) >= 4e-1)
-      SELECT e.vec_id, e.label FROM embeddings e
-      WHERE e.vec_id >= 250
-        AND e.vec_id NOT IN (SELECT id_b FROM losers)
-      ORDER BY e.vec_id""",
-    // vectors fold in vec_id order from the first element (list_reduce),
-    // cast to double first, divide at the end — the identical IEEE
-    // addition sequence as Similarity.meanPool's sorted zip_with fold
-    "mean_pool_embeddings" -> """
-      WITH folded AS (SELECT label,
-          list_reduce(
-            list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id),
-            (a, x) -> list_transform(range(1, len(a) + 1), i -> a[i] + x[i])) AS s,
-          CAST(count(*) AS DOUBLE) AS n
-        FROM embeddings GROUP BY label)
-      SELECT label, CAST(u.i - 1 AS BIGINT) AS dim,
-        s[CAST(u.i AS INT)] / n AS mean_val
-      FROM folded, unnest(range(1, len(s) + 1)) u(i)
-      ORDER BY label, dim""",
-    // float max is order-exact; both engines compare in float and cast
-    // the winner to double at the end
-    "max_pool_embeddings" -> """
-      SELECT label, CAST(i - 1 AS BIGINT) AS dim,
-        CAST(max(v) AS DOUBLE) AS max_val
-      FROM (SELECT label, unnest(embedding) AS v,
-              unnest(range(1, len(embedding) + 1)) AS i
-            FROM embeddings)
-      GROUP BY label, i ORDER BY label, dim""",
-    // top-5 neighbor selection identical to similarity_topk (vec_id < 50
-    // queries), then one vote count per (query, label); the winner rule
-    // (max votes, ties to the smallest label) mirrors Similarity.labelVote
-    "knn_label" -> s"""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-        FROM embeddings WHERE vec_id < 50),
-      scored AS (SELECT query_id, c.vec_id AS item_id,
-        ${cosineSql("qe", "c.embedding")} AS cosine
-        FROM embeddings c, q WHERE query_id <> c.vec_id),
-      nn AS (SELECT query_id, item_id FROM scored
-        QUALIFY row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) <= 5),
-      votes AS (SELECT nn.query_id, e.label, CAST(count(*) AS BIGINT) AS votes
-        FROM nn JOIN embeddings e ON nn.item_id = e.vec_id
-        GROUP BY nn.query_id, e.label)
-      SELECT query_id, label AS predicted_label, votes FROM votes
-      QUALIFY row_number() OVER (
-        PARTITION BY query_id ORDER BY votes DESC, label ASC) = 1
-      ORDER BY query_id""",
-    // centroids fold exactly like mean_pool_embeddings (vec_id-ordered
-    // list_reduce — the identical IEEE addition sequence as meanPool),
-    // then every vector routes to its max-cosine centroid, ties to the
-    // smallest label — mirrors Similarity.centroidAssign's argmax fold
-    "centroid_assign" -> s"""
-      WITH folded AS (SELECT label,
-          list_reduce(
-            list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id),
-            (a, x) -> list_transform(range(1, len(a) + 1), i -> a[i] + x[i])) AS s,
-          CAST(count(*) AS DOUBLE) AS n
-        FROM embeddings GROUP BY label),
-      cent AS (SELECT label AS c_label,
-          list_transform(range(1, len(s) + 1), i -> s[CAST(i AS INT)] / n) AS cv
-        FROM folded),
-      scored AS (SELECT e.vec_id, c.c_label,
-          ${cosineSql("e.embedding", "c.cv")} AS centroid_cos
-        FROM embeddings e, cent c)
-      SELECT vec_id, c_label AS centroid_label, centroid_cos FROM scored
-      QUALIFY row_number() OVER (
-        PARTITION BY vec_id ORDER BY centroid_cos DESC, c_label ASC) = 1
-      ORDER BY vec_id""",
-    // independent + cumulative rule counters in one aggregation; quality
-    // and dup-fraction expressions identical to quality_score /
-    // repetition_stats — mirrors Probes.filterFunnel
-    // one counting CTE, four check rows unioned; verdicts via the
-    // identical one-multiply-per-side compare, fractions one division
-    "quality_suite" -> """
-      WITH a AS (SELECT CAST(count(*) AS BIGINT) AS total,
-          CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
-            THEN 1 ELSE 0 END) AS BIGINT) AS p0,
-          CAST(sum(CASE WHEN l_discount <= 8e-2 THEN 1 ELSE 0 END)
-            AS BIGINT) AS p1,
-          CAST(sum(CASE WHEN l_tax IS NOT NULL THEN 1 ELSE 0 END)
-            AS BIGINT) AS p2,
-          CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS d0
-        FROM lineitem)
-      SELECT * FROM (
-        SELECT 'qty_in_range' AS check_name, 'row' AS kind, total,
-          p0 AS pass_count, CAST(p0 AS DOUBLE) / total AS pass_frac,
-          1e0 AS threshold, CAST(p0 AS DOUBLE) >= 1e0 * total AS passed
-        FROM a
-        UNION ALL SELECT 'disc_low', 'row', total, p1,
-          CAST(p1 AS DOUBLE) / total, 9e-1,
-          CAST(p1 AS DOUBLE) >= 9e-1 * total FROM a
-        UNION ALL SELECT 'tax_complete', 'row', total, p2,
-          CAST(p2 AS DOUBLE) / total, 1e0,
-          CAST(p2 AS DOUBLE) >= 1e0 * total FROM a
-        UNION ALL SELECT 'line_key_distinct', 'distinctness', total, d0,
-          CAST(d0 AS DOUBLE) / total, 95e-2,
-          CAST(d0 AS DOUBLE) >= 95e-2 * total FROM a)
-      ORDER BY check_name""",
-    "filter_funnel" -> s"""
-      WITH q AS ($qualityPerDocSql),
-      sig AS (SELECT d.doc_id,
-          len(string_split(d.text, ' ')) AS n_tok,
-          d.lang, q.quality,
-          CASE WHEN len(string_split(d.text, ' ')) = 0 THEN CAST(0 AS DOUBLE)
-               ELSE CAST(len(string_split(d.text, ' '))
-                         - len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
-                    / len(string_split(d.text, ' ')) END AS dup_frac
-        FROM documents d JOIN q ON d.doc_id = q.doc_id),
-      agg AS (SELECT CAST(count(*) AS BIGINT) AS total,
-          CAST(sum(CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS p0,
-          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
-          CAST(sum(CASE WHEN quality > 45e-2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
-          CAST(sum(CASE WHEN dup_frac < 4e-1 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
-          CAST(sum(CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
-          CAST(sum(CASE WHEN n_tok >= 20 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-          CAST(sum(CASE WHEN n_tok >= 20 AND lang = 'en' AND quality > 45e-2
-              THEN 1 ELSE 0 END) AS BIGINT) AS c2,
-          CAST(sum(CASE WHEN n_tok >= 20 AND lang = 'en' AND quality > 45e-2
-                   AND dup_frac < 4e-1 THEN 1 ELSE 0 END) AS BIGINT) AS c3
-        FROM sig)
-      SELECT * FROM (
-        SELECT CAST(0 AS BIGINT) AS step, 'min_tokens' AS rule,
-          p0 AS pass_count, c0 AS surviving_count, total FROM agg
-        UNION ALL SELECT 1, 'english', p1, c1, total FROM agg
-        UNION ALL SELECT 2, 'quality', p2, c2, total FROM agg
-        UNION ALL SELECT 3, 'not_repetitive', p3, c3, total FROM agg) t
-      ORDER BY step""",
-    // LSH near-dup pairs -> recursive min-label closure -> min-id
-    // survivors — mirrors Dedup.semanticDedup (pair generation identical
-    // to the embedding_dedup oracle, closure identical to dedup_clusters)
-    "semantic_dedup" -> s"""
-      WITH RECURSIVE bucketed AS (SELECT vec_id, embedding, ${lshBucketSql()} AS bucket
-        FROM embeddings),
-      sized AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS n FROM bucketed),
-      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM sized a JOIN sized b ON a.bucket = b.bucket
-        WHERE a.vec_id < b.vec_id AND a.n <= 64
-          AND ${cosineSql("a.embedding", "b.embedding")} >= 4e-1),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM p
-                UNION ALL SELECT id_b, id_a FROM p),
-      reach(node, lbl) AS (
-        SELECT vec_id, vec_id FROM embeddings
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
-      comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
-      SELECT e.vec_id, e.label FROM embeddings e
-      JOIN comp c ON e.vec_id = c.node
-      WHERE c.lbl = c.node ORDER BY e.vec_id""",
-    // quality-weighted keeper per near-dup cluster (ties -> min doc_id);
-    // cluster label closure identical to dedup_clusters, quality
-    // expression identical to quality_score (bit-exact ORDER BY)
-    "cluster_dedup_best" -> s"""
-      WITH RECURSIVE pr AS (
-        SELECT id_a, id_b FROM (${minhashNearDupSql(shingleN = 3, threshold = "2e-1")}) t),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
-                UNION ALL SELECT id_b, id_a FROM pr),
-      reach(node, lbl) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
-      comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
-      q AS ($qualityPerDocSql),
-      ranked AS (SELECT comp.node AS doc_id, comp.lbl,
-          count(*) OVER (PARTITION BY comp.lbl) AS cluster_size,
-          row_number() OVER (PARTITION BY comp.lbl
-            ORDER BY q.quality DESC, comp.node ASC) AS rn
-        FROM comp JOIN q ON comp.node = q.doc_id)
-      SELECT d.doc_id, d.source, CAST(r.cluster_size AS BIGINT) AS cluster_size
-      FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
-      WHERE r.rn = 1 ORDER BY d.doc_id""",
-    // prefix of the per-source md5 shuffle order with cumulative tokens
-    // <= budget — mirrors TextOps.tokenBudgetMix(salt = "mix")
-    "token_budget_mix" -> TokenBudgetMixSql,
-    // the two-pass form is output-identical BY DESIGN: the oracle is
-    // shared verbatim (same discipline as incremental_dedup_bloom)
-    "token_budget_mix_2p" -> TokenBudgetMixSql,
-    // distinct (source, trigram-digest) sets -> pairwise intersection /
-    // union — mirrors TextOps.sourceOverlap (jaccard is int/int, exact)
-    "source_overlap" -> sourceOverlapSql(cutoff = None),
-    // deterministic quarter of the digest space (leading 32 bits <
-    // 2^30) — mirrors TextOps.sourceOverlap(gramFraction = 0.25)
-    "source_overlap_sampled" -> sourceOverlapSql(cutoff = Some(1073741824L)),
-    // cluster closure identical to dedup_clusters; split cutoffs
-    // identical to train_split but hashed on the CLUSTER label —
-    // mirrors Dedup.clusterSafeSplit
-    "cluster_safe_split" -> s"""
-      WITH RECURSIVE pr AS (
-        SELECT id_a, id_b FROM (${minhashNearDupSql(shingleN = 3, threshold = "2e-1")}) t),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
-                UNION ALL SELECT id_b, id_a FROM pr),
-      reach(node, lbl) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
-      comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
-      hashed AS (SELECT node, lbl,
-          list_sum(list_transform(range(1,9), j ->
-            (strpos('0123456789abcdef',
-               substr(md5(CAST(lbl AS VARCHAR)), j, 1)) - 1)
-            * CAST(16**(8-j) AS BIGINT))) AS h
-        FROM comp)
-      SELECT node AS doc_id, CAST(lbl AS BIGINT) AS cluster_rep,
-        CASE WHEN h < 3435973836 THEN 'train'
-             WHEN h < 3865470566 THEN 'val'
-             WHEN h < 4294967296 THEN 'test'
-             ELSE 'train' END AS split
-      FROM hashed ORDER BY doc_id""",
-    // window starts step by stride; last window clamps — mirrors
-    // TextOps.chunkTexts (slice and list-slicing clamp identically)
-    "chunk_texts" -> """
-      SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
-        CAST(s AS BIGINT) AS chunk_start,
-        CAST(least(32, len(t) - s) AS BIGINT) AS chunk_tokens,
-        array_to_string(t[CAST(s + 1 AS INT):CAST(s + 32 AS INT)], ' ') AS chunk_text
-      FROM (SELECT doc_id, string_split(text, ' ') AS t,
-              unnest(range(0, len(string_split(text, ' ')), 24)) AS s
-            FROM documents)
-      ORDER BY doc_id, chunk_idx""",
-    // bin assignment identical to pack_sequences; concat order is the
-    // doc_id sort — mirrors TextOps.packTexts
-    "packed_texts" -> """
-      WITH b AS (SELECT doc_id, lang, text,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-          CAST(floor((sum(len(string_split(text, ' '))) OVER (
-              PARTITION BY lang ORDER BY doc_id ASC NULLS FIRST
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            - len(string_split(text, ' '))) / 2048) AS BIGINT) AS bin
-        FROM documents)
-      SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
-        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-        string_agg(text, ' ' ORDER BY doc_id) AS text
-      FROM b GROUP BY lang, bin ORDER BY lang, bin""",
-    "bpe_token_count" -> bpeCountSql(graft.ext.TextOps.demoBpeMerges),
-    // the same merge fold keeping the PIECES; truncation = keep the
-    // first 30, rejoin marker->space, drop the single leading space;
-    // short docs pass text through bit-identical — mirrors
-    // TextOps.truncateTokensBpe
-    "truncate_tokens_bpe" -> s"""
-      WITH p AS (SELECT doc_id, text,
-          ${bpePiecesSql(graft.ext.TextOps.demoBpeMerges)} AS ps
-        FROM documents)
-      SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bpe_tokens,
-        CASE WHEN len(ps) <= 30 THEN text
-             ELSE regexp_replace(
-               replace(array_to_string(ps[1:30], ''), '▁', ' '), '^ ', '')
-        END AS text_trunc
-      FROM p ORDER BY doc_id""",
-    // integer corpus-frequency counts, one double division at the end —
-    // mirrors TextOps.unigramCfQuality
-    "unigram_cf_quality" -> """
-      WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-        FROM documents),
-      cf AS (SELECT t, count(*) AS cf FROM tk GROUP BY t)
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        CAST(sum(cf) AS BIGINT) AS cf_sum,
-        CAST(sum(cf) AS DOUBLE) / count(*) AS mean_cf
-      FROM tk JOIN cf USING (t)
-      GROUP BY doc_id ORDER BY doc_id""",
-    // per-source integer sums + distinct-token counts, three final
-    // divisions — mirrors TextOps.tokenizerFertility (the BPE fold is
-    // the shared bpeCountValueSql over coalesced text)
-    "tokenizer_fertility" -> s"""
-      WITH tok AS (SELECT source, coalesce(text, '') AS text,
-          string_split(coalesce(text, ''), ' ') AS ts
-        FROM documents),
-      agg AS (SELECT source,
-          CAST(count(*) AS BIGINT) AS n_docs,
-          CAST(sum(len(ts)) AS BIGINT) AS n_words,
-          CAST(sum(coalesce(list_sum(list_transform(ts, t -> len(t))), 0))
-            AS BIGINT) AS n_chars,
-          CAST(sum(${bpeCountValueSql(graft.ext.TextOps.demoBpeMerges, "text")})
-            AS BIGINT) AS n_bpe_tokens
-        FROM tok GROUP BY source),
-      voc AS (SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS vocab_size
-        FROM (SELECT source, unnest(ts) AS t FROM tok) GROUP BY source)
-      SELECT source, n_docs, n_words, n_chars, n_bpe_tokens, vocab_size,
-        CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
-        END AS bpe_per_word,
-        CASE WHEN n_bpe_tokens = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
-        END AS chars_per_bpe,
-        CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(vocab_size AS DOUBLE) / CAST(n_words AS DOUBLE)
-        END AS type_token_ratio
-      FROM agg JOIN voc USING (source)
-      ORDER BY source""",
-    // NFC normalization — DuckDB's nfc_normalize IS the cross-engine pin
-    "normalize_text" -> """
-      SELECT doc_id, nfc_normalize(text) AS text_nfc,
-        CASE WHEN nfc_normalize(text) IS NOT DISTINCT FROM text
-             THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS changed
-      FROM documents ORDER BY doc_id""",
-    // interpolated bigram LM — mirrors TextOps.bigramLmQuality: integer
-    // corpus counts, two divisions + one multiply-add per position, the
-    // per-doc float fold replayed in position order from the same 0.0
-    // seed (list_prepend + list_reduce ≡ Spark's seeded aggregate)
-    "bigram_lm_quality" -> bigramLmSql(0.7),
-    // DSIR-shaped affinity — mirrors TextOps.targetAffinity: corpus-wide
-    // integer gram counts, each score ONE division of integer products,
-    // the affinity one subtraction of those two doubles (log-free on
-    // purpose: summed float logs would not hash-match cross-engine)
-    "dsir_affinity" -> s"""
-      WITH rawd AS (SELECT doc_id, coalesce(text, '') AS text FROM documents
-        WHERE source <> 'src0'),
-      tgtd AS (SELECT coalesce(text, '') AS text FROM documents
-        WHERE source = 'src0'),
-      rg AS (SELECT doc_id,
-          md5(array_to_string(ts[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')) AS h
-        FROM (SELECT doc_id, string_split(text, ' ') AS ts,
-                unnest(range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1)) AS i
-              FROM rawd)),
-      tg AS (SELECT
-          md5(array_to_string(ts[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')) AS h
-        FROM (SELECT string_split(text, ' ') AS ts,
-                unnest(range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1)) AS i
-              FROM tgtd)),
-      rc AS (SELECT h, count(*) AS cr FROM rg GROUP BY h),
-      tc AS (SELECT h, count(*) AS ct FROM tg GROUP BY h),
-      tot AS (SELECT
-          (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rc) AS rtot,
-          (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc) AS ttot),
-      pd AS (SELECT rg.doc_id, count(*) AS n_grams,
-          CAST(sum(coalesce(tc.ct, 0)) AS BIGINT) AS target_hits,
-          CAST(sum(rc.cr) AS BIGINT) AS raw_hits
-        FROM rg LEFT JOIN tc USING (h) JOIN rc USING (h)
-        GROUP BY rg.doc_id)
-      SELECT b.doc_id,
-        CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
-        CAST(coalesce(target_hits, 0) AS BIGINT) AS target_hits,
-        CAST(coalesce(raw_hits, 0) AS BIGINT) AS raw_hits,
-        CASE WHEN coalesce(n_grams, 0) = 0 OR ttot = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(target_hits AS DOUBLE) / CAST(n_grams * ttot AS DOUBLE)
-        END AS target_score,
-        CASE WHEN coalesce(n_grams, 0) = 0 OR rtot = 0 THEN CAST(0 AS DOUBLE)
-             ELSE CAST(raw_hits AS DOUBLE) / CAST(n_grams * rtot AS DOUBLE)
-        END AS raw_score,
-        (CASE WHEN coalesce(n_grams, 0) = 0 OR ttot = 0 THEN CAST(0 AS DOUBLE)
-              ELSE CAST(target_hits AS DOUBLE) / CAST(n_grams * ttot AS DOUBLE)
-         END
-         - CASE WHEN coalesce(n_grams, 0) = 0 OR rtot = 0 THEN CAST(0 AS DOUBLE)
-                ELSE CAST(raw_hits AS DOUBLE) / CAST(n_grams * rtot AS DOUBLE)
-           END) AS affinity
-      FROM (SELECT doc_id FROM rawd) b
-      LEFT JOIN pd USING (doc_id) CROSS JOIN tot
-      ORDER BY doc_id""",
-    // md5-prefix uint32 cutoff per stratum — mirrors Ops.sampleStratifiedHash
-    "stratified_sample" -> """
-      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-      WHERE list_sum(list_transform(range(1,9), j ->
-          (strpos('0123456789abcdef',
-             substr(md5(CAST(o_orderkey AS VARCHAR)), j, 1)) - 1)
-          * CAST(16**(8-j) AS BIGINT)))
-        < (CASE WHEN o_orderstatus = 'F' THEN 214748364
-                WHEN o_orderstatus = 'O' THEN 858993459
-                WHEN o_orderstatus = 'P' THEN 2147483648
-                ELSE 0 END)
-      ORDER BY o_orderkey""",
-    "salted_agg" ->
-      """SELECT l_returnflag,
-         sum(l_quantity) AS l_quantity_sum,
-         avg(l_quantity) AS l_quantity_average,
-         count(*) AS record_count
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    // winsorize — mirrors Ops.winsorize: quantile_cont ≡ Spark's exact
-    // percentile; least/greatest skip NULL bounds on both engines, the
-    // explicit CASE keeps NULL values NULL
-    "winsorize_price" -> """
-      WITH b AS (SELECT l_returnflag,
-          quantile_cont(l_extendedprice, 0.05) AS lo,
-          quantile_cont(l_extendedprice, 0.95) AS hi
-        FROM lineitem GROUP BY l_returnflag)
-      SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-        CASE WHEN l_extendedprice IS NULL THEN NULL
-             ELSE least(greatest(l_extendedprice, lo), hi) END
-          AS l_extendedprice_w
-      FROM lineitem JOIN b USING (l_returnflag)
-      WHERE l_orderkey < 1000
-      ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-        l_extendedprice_w""",
-    // the maintenance identity: the oracle recomputes the rollup over
-    // the FULL table — merged state must equal it exactly (l_quantity is
-    // integral-valued, so double sums are order-independent; the average
-    // is the same single division both sides)
-    "incremental_rollup" -> """
-      SELECT l_returnflag, l_linestatus,
-        sum(l_quantity) AS l_quantity_sum,
-        min(l_quantity) AS l_quantity_min,
-        max(l_quantity) AS l_quantity_max,
-        sum(l_quantity) / count(l_quantity) AS l_quantity_average,
-        CAST(count(*) AS BIGINT) AS record_count
-      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
-    // the sketch is in its exact (coupon) regime at this cardinality, so
-    // the HLL estimate equals true distinct — what the oracle asserts
-    "incremental_distinct" -> """
-      SELECT l_returnflag,
-        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS l_suppkey_distinct_est
-      FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "page_rank" -> pageRankSql(
-      s"SELECT s, d, CAST(1 AS DOUBLE) AS w FROM ($graphEdgesSql)",
-      iterations = 3, damping = 0.85),
-    "page_rank_weighted" -> pageRankSql(
-      weightedGraphEdgesSql, iterations = 3, damping = 0.85),
-    "degree_stats" -> s"""
-      WITH e AS ($graphEdgesSql),
-      o AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS out_degree
-            FROM e GROUP BY 1),
-      i AS (SELECT d AS node, CAST(count(*) AS BIGINT) AS in_degree
-            FROM e GROUP BY 1)
-      SELECT node, coalesce(out_degree, 0) AS out_degree,
-        coalesce(in_degree, 0) AS in_degree,
-        coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
-      FROM o FULL OUTER JOIN i USING (node) ORDER BY node""",
-    // id-ordered triple join finds the same triangle set the
-    // degree-ordered orientation does (the ALGORITHM differs, the
-    // COUNT cannot); clustering is one exact-integer division
-    "triangle_stats" -> s"""
-      WITH e AS ($graphEdgesSql),
-      und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
-              FROM e),
-      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
-          (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
-        GROUP BY node),
-      tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
-        FROM und e1
-        JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
-        JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
-      pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM
-          (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
-           UNION ALL SELECT z FROM tri)
-        GROUP BY node)
-      SELECT deg.node, degree, coalesce(triangles, 0) AS triangles,
-        CASE WHEN degree < 2 THEN NULL
-             ELSE CAST(2 * coalesce(triangles, 0) AS DOUBLE)
-                  / CAST(degree * (degree - 1) AS DOUBLE)
-        END AS clustering
-      FROM deg LEFT JOIN pn USING (node) ORDER BY node""",
-    // five exact sums then the closed-form OLS line in doubles — the
-    // same IEEE op order as Ops.regression; lineitem is NULL-free so
-    // pairwise-complete counts collapse to count(*)
-    "regression_price" -> """
-      WITH li AS (SELECT l_returnflag AS f, l_quantity AS x,
-          round(l_extendedprice, 0) AS y FROM lineitem),
-      s AS (SELECT f, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
-          sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
-          sum(y * y) AS syy
-        FROM li GROUP BY f)
-      SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n_pairs,
-        CASE WHEN (n * sxx - sx * sx) = 0e0 THEN NULL
-             ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
-        END AS slope,
-        CASE WHEN (n * sxx - sx * sx) = 0e0 THEN NULL
-             ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-                  / n
-        END AS intercept,
-        CASE WHEN (n * sxx - sx * sx) = 0e0 OR (n * syy - sy * sy) = 0e0
-             THEN NULL
-             ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                  / ((n * sxx - sx * sx) * (n * syy - sy * sy))
-        END AS r2
-      FROM s ORDER BY l_returnflag""",
-    "k_anonymity" -> """
-      SELECT c_nationkey, c_mktsegment,
-        CAST(count(*) AS BIGINT) AS class_size
-      FROM customer GROUP BY 1, 2 HAVING count(*) < 8
-      ORDER BY 1, 2""",
-    // identical md5-prefix hashes (salt 'fim'): apply-Bernoulli on the
-    // id, cuts c1 = h1 % (len+1), c2 = c1 + h2 % (len-c1+1), PSM
-    // substring layout — mirrors TextOps.fimTransform
-    "fim_transform" -> """
-      WITH h AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
-          list_sum(list_transform(range(1, 9), j ->
-            (strpos('0123456789abcdef', substr(md5('fim' ||
-               CAST(doc_id AS VARCHAR) || ':c1'), j, 1)) - 1)
-            * CAST(16**(8-j) AS BIGINT))) AS h1,
-          list_sum(list_transform(range(1, 9), j ->
-            (strpos('0123456789abcdef', substr(md5('fim' ||
-               CAST(doc_id AS VARCHAR) || ':c2'), j, 1)) - 1)
-            * CAST(16**(8-j) AS BIGINT))) AS h2,
-          list_sum(list_transform(range(1, 9), j ->
-            (strpos('0123456789abcdef', substr(md5('fim' ||
-               CAST(doc_id AS VARCHAR)), j, 1)) - 1)
-            * CAST(16**(8-j) AS BIGINT))) AS hb
-        FROM documents),
-      c AS (SELECT doc_id, text, n,
-          text IS NOT NULL AND
-            CAST(hb AS DOUBLE) < 5e-1 * CAST(4294967296 AS DOUBLE)
-            AS fim_applied,
-          h1 % (n + 1) AS c1,
-          h1 % (n + 1) + h2 % (n - h1 % (n + 1) + 1) AS c2
-        FROM h)
-      SELECT doc_id, fim_applied,
-        CASE WHEN text IS NULL THEN NULL
-          WHEN fim_applied THEN
-            '<fim_prefix>' || substr(text, 1, CAST(c1 AS INT)) ||
-            '<fim_suffix>' ||
-              substr(text, CAST(c2 + 1 AS INT), CAST(n - c2 AS INT)) ||
-            '<fim_middle>' ||
-              substr(text, CAST(c1 + 1 AS INT), CAST(c2 - c1 AS INT))
-          ELSE text END AS fim_text
-      FROM c ORDER BY doc_id""",
-    // identical block grid, per-block md5-prefix Bernoulli (salt 't5'),
-    // sentinel rank = prefix-sum of the mask — mirrors
-    // TextOps.spanCorrupt
-    "span_corrupt" -> """
-      WITH d AS (SELECT doc_id,
-          string_split(coalesce(text, ''), ' ') AS t FROM documents),
-      n AS (SELECT doc_id, t,
-          CAST(ceil(len(t) / 3e0) AS INT) AS nb FROM d),
-      m AS (SELECT doc_id, t, nb,
-          list_transform(range(0, nb), b -> CASE WHEN
-            CAST(list_sum(list_transform(range(1, 9), j ->
-              (strpos('0123456789abcdef',
-                 substr(md5('t5' || CAST(doc_id AS VARCHAR) || ':' ||
-                   CAST(b AS VARCHAR)), j, 1)) - 1)
-              * CAST(16**(8-j) AS BIGINT))) AS DOUBLE)
-            < 15e-2 * CAST(4294967296 AS DOUBLE) THEN 1 ELSE 0 END) AS mask
-        FROM n),
-      s AS (SELECT doc_id, t, nb, mask,
-          list_transform(range(0, nb), b ->
-            CAST(coalesce(list_sum(mask[1:CAST(b AS INT)]), 0) AS INT))
-            AS sid
-        FROM m)
-      SELECT doc_id,
-        coalesce(array_to_string(flatten(list_transform(range(0, nb),
-          b -> CASE WHEN mask[CAST(b + 1 AS INT)] = 1
-            THEN ['<extra_id_' ||
-              CAST(sid[CAST(b + 1 AS INT)] AS VARCHAR) || '>']
-            ELSE t[CAST(b * 3 + 1 AS INT):CAST(b * 3 + 3 AS INT)]
-          END)), ' '), '') AS input_text,
-        -- array_to_string([]) is NULL in DuckDB, '' in Spark's
-        -- array_join: coalesce pins the empty-pair row
-        coalesce(array_to_string(flatten(list_transform(range(0, nb),
-          b -> CASE WHEN mask[CAST(b + 1 AS INT)] = 1
-            THEN list_concat(['<extra_id_' ||
-                CAST(sid[CAST(b + 1 AS INT)] AS VARCHAR) || '>'],
-              t[CAST(b * 3 + 1 AS INT):CAST(b * 3 + 3 AS INT)])
-            ELSE CAST([] AS VARCHAR[])
-          END)), ' '), '') AS target_text,
-        CAST(coalesce(list_sum(mask), 0) AS BIGINT) AS n_masked_spans
-      FROM s ORDER BY doc_id""",
-    // floor/frac epoch arithmetic + the shared md5-prefix Bernoulli
-    // (salt 'epoch') — mirrors TextOps.epochRepeatMix; DECIMAL-trap
-    // factors written in e-notation
-    "epoch_mix" -> """
-      WITH f AS (SELECT doc_id, source,
-          CASE source WHEN 'src0' THEN 25e-1 WHEN 'src1' THEN 25e-2
-            WHEN 'src2' THEN 1e0 ELSE 1e0 END AS f
-        FROM documents),
-      h AS (SELECT doc_id, source,
-          CAST(floor(f) AS BIGINT) +
-            CASE WHEN CAST(list_sum(list_transform(range(1, 9), j ->
-                (strpos('0123456789abcdef',
-                   substr(md5('epoch' || CAST(doc_id AS VARCHAR)), j, 1))
-                 - 1) * CAST(16**(8-j) AS BIGINT))) AS DOUBLE)
-              < (f - floor(f)) * CAST(4294967296 AS DOUBLE)
-            THEN 1 ELSE 0 END AS nc
-        FROM f)
-      SELECT doc_id, source, CAST(c AS BIGINT) AS copy
-      FROM h, unnest(range(0, nc)) AS u(c)
-      ORDER BY doc_id, copy""",
-    // √n weights, source-ordered fold for Σ√n, the shared md5-prefix
-    // Bernoulli with salt 'temp' — mirrors TextOps.temperatureMix
-    "temperature_mix" -> """
-      WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-        FROM documents GROUP BY source),
-      w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM per),
-      tw AS (SELECT list_reduce(
-          list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY source)),
-          (a, x) -> a + x) AS tw FROM w),
-      r AS (SELECT source AS src,
-          least(200 * (w / tw) / CAST(n AS DOUBLE),
-            CAST(1 AS DOUBLE)) AS p
-        FROM w, tw)
-      SELECT doc_id, source, p AS sample_rate FROM (
-        SELECT d.doc_id, d.source, r.p,
-          list_sum(list_transform(range(1, 9), j ->
-            (strpos('0123456789abcdef',
-               substr(md5('temp' || CAST(d.doc_id AS VARCHAR)), j, 1)) - 1)
-            * CAST(16**(8-j) AS BIGINT))) AS h
-        FROM documents d JOIN r ON d.source = r.src) x
-      WHERE CAST(h AS DOUBLE) < p * CAST(4294967296 AS DOUBLE)
-      ORDER BY doc_id""",
-    // identical bin arithmetic ((v − 0)·20/500, floor, clamp), spine
-    // keeps empty bins, cumulative sums over the 20-row grid
-    "numeric_drift" -> """
-      WITH b AS (SELECT CAST(least(greatest(
-            floor((value - 0e0) * 20 / 5e2), 0), 19) AS BIGINT) AS bin
-          FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
-      a AS (SELECT CAST(least(greatest(
-            floor((value - 0e0) * 20 / 5e2), 0), 19) AS BIGINT) AS bin
-          FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
-      bc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_before
-          FROM b GROUP BY bin),
-      ac AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_after
-          FROM a GROUP BY bin),
-      t AS (SELECT CAST((SELECT count(*) FROM b) AS DOUBLE) AS tb,
-                   CAST((SELECT count(*) FROM a) AS DOUBLE) AS ta),
-      spine AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin),
-      g AS (SELECT spine.bin,
-          0e0 + spine.bin * 5e2 / 20 AS bin_lo,
-          coalesce(n_before, 0) AS n_before,
-          coalesce(n_after, 0) AS n_after, tb, ta
-        FROM spine LEFT JOIN bc ON spine.bin = bc.bin
-                   LEFT JOIN ac ON spine.bin = ac.bin, t),
-      c AS (SELECT bin, bin_lo, n_before, n_after,
-          CASE WHEN tb = 0e0 THEN NULL ELSE
-            CAST(sum(n_before) OVER (ORDER BY bin ROWS BETWEEN
-              UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / tb
-          END AS cdf_before,
-          CASE WHEN ta = 0e0 THEN NULL ELSE
-            CAST(sum(n_after) OVER (ORDER BY bin ROWS BETWEEN
-              UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / ta
-          END AS cdf_after
-        FROM g)
-      SELECT bin, bin_lo, n_before, n_after, cdf_before, cdf_after,
-        cdf_after - cdf_before AS cdf_delta,
-        max(abs(cdf_after - cdf_before)) OVER () AS ks_stat
-      FROM c ORDER BY bin""",
-    // generalize-then-suppress mirror: the window count replays the
-    // keeper-class semi-join (NULL-safe by SQL GROUP/PARTITION
-    // semantics — NULL bands form their own class on both engines)
-    "k_anonymize" -> """
-      WITH g AS (SELECT c_custkey, c_nationkey, c_mktsegment,
-          CAST(floor(c_acctbal / 500) AS BIGINT) * 500 AS c_acctbal
-        FROM customer)
-      SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal FROM g
-      QUALIFY count(*) OVER (
-        PARTITION BY c_mktsegment, c_acctbal) >= 8
-      ORDER BY c_custkey""",
-    "l_diversity" -> """
-      WITH c AS (SELECT c_nationkey,
-          CAST(floor(c_acctbal / 2000) AS BIGINT) AS balance_band,
-          c_mktsegment FROM customer)
-      SELECT c_nationkey, balance_band,
-        CAST(count(*) AS BIGINT) AS class_size,
-        CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS distinct_sensitive
-      FROM c GROUP BY 1, 2 HAVING count(DISTINCT c_mktsegment) < 4
-      ORDER BY 1, 2""",
-    "join_cardinality" -> """
-      WITH l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS left_rows
-          FROM events WHERE user_id IS NOT NULL GROUP BY 1),
-      r AS (SELECT o_custkey AS user_id,
-          CAST(count(*) AS BIGINT) AS right_rows
-        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
-      SELECT user_id, left_rows, right_rows,
-        left_rows * right_rows AS out_rows
-      FROM l JOIN r USING (user_id)
-      ORDER BY out_rows DESC, user_id ASC LIMIT 15""",
-    // total-variation contributions are RATIONAL in the counts (two
-    // exact-integer divisions and a subtraction — no log), so every
-    // row hash-matches; ranks tie-break on the token
-    "token_shift" -> """
-      WITH tok AS (SELECT source AS grp,
-          unnest(string_split(text, ' ')) AS token FROM documents),
-      cnt AS (SELECT grp, token, CAST(count(*) AS BIGINT) AS grp_count
-        FROM tok WHERE token <> '' GROUP BY 1, 2),
-      gt AS (SELECT grp, CAST(sum(grp_count) AS BIGINT) AS ng
-        FROM cnt GROUP BY 1),
-      tt AS (SELECT token, CAST(sum(grp_count) AS BIGINT) AS corpus_count
-        FROM cnt GROUP BY 1),
-      at AS (SELECT CAST(sum(grp_count) AS BIGINT) AS na FROM cnt),
-      j AS (SELECT grp, token, grp_count, corpus_count,
-          CAST(grp_count AS DOUBLE) / CAST(ng AS DOUBLE) AS grp_share,
-          CAST(corpus_count AS DOUBLE) / CAST(na AS DOUBLE)
-            AS corpus_share
-        FROM cnt JOIN gt USING (grp) JOIN tt USING (token)
-        CROSS JOIN at),
-      rk AS (SELECT *, grp_share - corpus_share AS shift,
-          row_number() OVER (PARTITION BY grp
-            ORDER BY abs(grp_share - corpus_share) DESC, token ASC)
-            AS rn
-        FROM j)
-      SELECT grp AS source, token, grp_count, corpus_count, grp_share,
-        corpus_share, shift, CAST(rn AS INTEGER) AS rank
-      FROM rk WHERE rn <= 5 ORDER BY source, rank""",
-    "soundex_codes" -> s"""
-      WITH w AS (SELECT DISTINCT p_name AS word FROM part),
-      c AS (SELECT word,
-          upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS cl
-        FROM w)
-      SELECT word, CASE WHEN length(cl) = 0 THEN NULL
-        ELSE ${soundexSql("cl")} END AS code
-      FROM c ORDER BY word""",
-    "phonetic_pairs" -> s"""
-      WITH w AS (SELECT p_name AS word,
-          min(p_partkey) AS word_id FROM part GROUP BY 1),
-      k AS (SELECT word_id AS id, word AS key,
-          upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS cl
-        FROM w WHERE word IS NOT NULL),
-      cod AS (SELECT id, key, ${soundexSql("cl")} AS code
-        FROM k WHERE length(cl) > 0),
-      sized AS (SELECT *, count(*) OVER (PARTITION BY code) AS n
-        FROM cod),
-      cand AS (SELECT a.id AS id_a, b.id AS id_b,
-          a.key AS key_a, b.key AS key_b
-        FROM sized a JOIN sized b
-          ON a.code = b.code AND a.id < b.id AND a.key <> b.key
-        WHERE a.n BETWEEN 2 AND 64)
-      SELECT id_a, id_b, key_a, key_b,
-        jaro_winkler_similarity(key_a, key_b) AS jw
-      FROM cand WHERE jaro_winkler_similarity(key_a, key_b) >= 6e-1
-      ORDER BY id_a, id_b""",
-    // pre-capacity theta sketches ARE the distinct sets, so estimate /
-    // intersect / aNotB equal exact set arithmetic — replayed here as
-    // correlated exact counts over the distinct (flag, suppkey) pairs
-    "theta_overlap" -> """
-      WITH s AS (SELECT DISTINCT l_returnflag AS f, l_suppkey AS k
-                 FROM lineitem),
-      fl AS (SELECT DISTINCT f FROM s)
-      SELECT a.f AS flag_a, b.f AS flag_b,
-        CAST((SELECT count(*) FROM s WHERE s.f = a.f) AS BIGINT) AS n_a,
-        CAST((SELECT count(*) FROM s WHERE s.f = b.f) AS BIGINT) AS n_b,
-        CAST((SELECT count(*) FROM s x JOIN s y ON x.k = y.k
-              WHERE x.f = a.f AND y.f = b.f) AS BIGINT) AS n_common,
-        CAST((SELECT count(*) FROM s WHERE s.f = a.f) -
-             (SELECT count(*) FROM s x JOIN s y ON x.k = y.k
-              WHERE x.f = a.f AND y.f = b.f) AS BIGINT) AS n_only_a
-      FROM fl a JOIN fl b ON a.f < b.f
-      ORDER BY flag_a, flag_b""",
-    // every group in the % 41 slice stays ≤ k = 200 values, so the KLL
-    // sketch is a plain sorted buffer and each rank r is the exact
-    // order statistic at 1-indexed position ⌈r·n⌉ (INCLUSIVE search
-    // semantics, spec-pinned) — which is what this replays
-    "incremental_quantile" -> """
-      WITH e AS (SELECT event_type, value FROM events
-                 WHERE event_id % 41 = 0
-                   AND value IS NOT NULL AND NOT isnan(value)),
-      r AS (SELECT event_type, value,
-              row_number() OVER (PARTITION BY event_type ORDER BY value)
-                AS rn,
-              count(*) OVER (PARTITION BY event_type) AS n
-            FROM e)
-      SELECT event_type,
-        max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END)
-          AS value_p50,
-        max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END)
-          AS value_p90
-      FROM r GROUP BY 1 ORDER BY 1""",
-    // collision-free CMS regime: every point estimate is the exact
-    // (source, lang) count and absent probe keys read 0 — a plain
-    // count spine over the full source×lang grid
-    "incremental_freq" -> """
-      WITH langs AS (SELECT unnest(['de','en','es','fr','zh']) AS item),
-      srcs AS (SELECT DISTINCT source FROM documents),
-      c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
-            FROM documents GROUP BY source, lang)
-      SELECT s.source, l.item,
-        CAST(coalesce(c.n, 0) AS BIGINT) AS lang_freq_est
-      FROM srcs s CROSS JOIN langs l
-      LEFT JOIN c ON c.source = s.source AND c.lang = l.item
-      ORDER BY s.source, l.item""",
-    // mirrors Ops.equalFreqBins: exact interior-decile cutpoints
-    // (quantile_cont list ≡ Spark's percentile array), bin = 1 + cuts
-    // strictly below the value, ties land low
-    "equal_freq_bins" -> """
-      WITH c AS (SELECT l_returnflag,
-          quantile_cont(l_extendedprice,
-            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
-        FROM lineitem GROUP BY l_returnflag)
-      SELECT l_returnflag,
-        CAST(1 + len(list_filter(cuts, x -> l_extendedprice > x)) AS BIGINT)
-          AS l_extendedprice_bin,
-        CAST(count(*) AS BIGINT) AS n_rows,
-        min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
-      FROM lineitem JOIN c USING (l_returnflag)
-      GROUP BY 1, 2 ORDER BY 1, 2""",
-    // the salted join's RESULT is the plain join — the oracle shares
-    // the unsalted SQL verbatim, which is the whole correctness claim
-    "join_salted" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderstatus,
-           o_totalprice
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         ORDER BY l_orderkey, l_linenumber, l_quantity, o_orderstatus,
-           o_totalprice""",
-    "key_skew" ->
-      """WITH c AS (SELECT o_custkey, count(*) AS key_count
-           FROM orders GROUP BY o_custkey),
-         t AS (SELECT count(*) AS total FROM orders)
-         SELECT o_custkey, key_count,
-           CAST(key_count AS DOUBLE) / CAST(total AS DOUBLE) AS share
-         FROM c CROSS JOIN t
-         ORDER BY key_count DESC, o_custkey ASC LIMIT 20""",
-    // DuckDB's md5 takes VARCHAR only; the fixture text is pure ASCII
-    // (verified: octet_length(encode(text)) == length(text) at every SF),
-    // so md5(text) == md5 of the UTF-8 blob and substr-by-chars mirrors
-    // Spark's substring-by-bytes exactly.
-    "binary_stats" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_count,
-         md5(text) AS digest
-         FROM documents ORDER BY doc_id""",
-    // the shard's closed form: single-digit fields make every record
-    // 94+j bytes — offsets are pure arithmetic, no byte parsing
-    "warc_records" -> """
-      SELECT doc_id, CAST(j AS INTEGER) AS rec_idx,
-        'response' AS rec_type,
-        'https://ex.com/p/' || CAST(j AS VARCHAR) AS target_uri,
-        CAST(j + 1 AS BIGINT) AS content_length,
-        CAST(94 * j + j * (j - 1) // 2 AS BIGINT) AS offset
-      FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j
-            FROM documents)
-      ORDER BY doc_id, rec_idx""",
-    // the archive's closed form: with fixed-width names the builder's
-    // offsets are pure arithmetic — the oracle never parses a byte
-    "zip_entries" -> """
-      SELECT doc_id, CAST(j AS INTEGER) AS entry_idx,
-        'f' || CAST(j AS VARCHAR) || '.txt' AS name,
-        CAST(j + 1 AS BIGINT) AS compressed,
-        CAST(j + 1 AS BIGINT) AS uncompressed,
-        CAST(37 * j + j * (j - 1) // 2 AS BIGINT) AS local_offset
-      FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j
-            FROM documents)
-      ORDER BY doc_id, entry_idx""",
-    // the tarball builder's closed form: member j is f<j>.txt of j+1
-    // bytes at header offset 1024*j (one data block each), flag '0'
-    "tar_entries" -> """
-      SELECT doc_id, CAST(j AS INTEGER) AS entry_idx,
-        'f' || CAST(j AS VARCHAR) || '.txt' AS name,
-        CAST(j + 1 AS BIGINT) AS size,
-        '0' AS typeflag,
-        CAST(1024 * j AS BIGINT) AS offset
-      FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j
-            FROM documents)
-      ORDER BY doc_id, entry_idx""",
-    // the waveform's closed form: the oracle never parses a byte, it
-    // recomputes the generator and aggregates exactly
-    "wav_stats" -> """
-      WITH d AS (SELECT doc_id, doc_id % 50 + 5 AS n FROM documents),
-      s AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM d),
-      v AS (SELECT doc_id, n,
-          (doc_id * 31 + j * 17) % 4096 - 2048 AS smp FROM s)
-      SELECT doc_id, CAST(max(n) AS INTEGER) AS n_samples,
-        CAST(max(abs(smp)) AS INTEGER) AS peak,
-        CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
-        sqrt(CAST(sum(smp * smp) AS DOUBLE) / max(n)) AS rms
-      FROM v GROUP BY doc_id ORDER BY doc_id""",
-    "binary_chunk_fps" ->
-      """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
-         md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS chunk_md5
-         FROM (SELECT doc_id, text,
-                 unnest(range(0, greatest(CAST(ceil(length(text) / 64e0) AS BIGINT), 1))) AS i
-               FROM documents)
-         ORDER BY doc_id, chunk_idx""",
-    "binary_dedup" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_count
-         FROM documents
-         QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
-         ORDER BY doc_id""",
-    // the naive single-partition global rank IS the spec the
-    // 256-bucket two-pass form must equal: bucket prefix = leading
-    // radix of the ordering hash
-    // per-shard md5-prefix scores, (score, shard)-max election via
-    // DESC/DESC row_number — mirrors Ops.rendezvousShard incl. the
-    // tie discipline
-    "rendezvous_shard" -> s"""
-      WITH sc AS (SELECT doc_id, sh,
-          ${hash32Sql("'rv|' || sh || '|' || CAST(doc_id AS VARCHAR)")}
-            AS h
-        FROM documents, unnest(['s0','s1','s2','s3']) u(sh)),
-      r AS (SELECT doc_id, sh, row_number() OVER (
-          PARTITION BY doc_id ORDER BY h DESC, sh DESC) AS rn
-        FROM sc)
-      SELECT doc_id, sh AS shard FROM r WHERE rn = 1 ORDER BY doc_id""",
-    "shuffle_rank" -> """
-      SELECT doc_id,
-        CAST(row_number() OVER (
-          ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR)), doc_id)
-          AS BIGINT) AS shuffle_rank
-      FROM documents ORDER BY doc_id""",
-    // the Spark side PARSES the URLs its builder wrote; this side
-    // computes every part arithmetically (same builder, no parser)
-    // the identical rule chain, step for step: comments, script, style,
-    // tags->space, entity decode with &amp; LAST, whitespace collapse
-    "html_extract" -> s"""
-      WITH h AS (SELECT doc_id, $syntheticHtmlSql AS html FROM documents),
-      s1 AS (SELECT doc_id,
-          regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
-      s2 AS (SELECT doc_id, regexp_replace(t,
-          '(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g') AS t FROM s1),
-      s3 AS (SELECT doc_id, regexp_replace(t,
-          '(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g') AS t FROM s2),
-      s4 AS (SELECT doc_id,
-          regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
-      s5 AS (SELECT doc_id,
-          replace(replace(replace(replace(replace(replace(replace(t,
-            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-            '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS t FROM s4)
-      SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g'))
-        AS text
-      FROM s5 ORDER BY doc_id""",
-    // (href, term) pairs computed arithmetically from the text —
-    // never through the anchor-extraction regex; empty terms filtered
-    // on both sides
-    "anchor_terms" -> """
-      WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ')
-                   AS t FROM documents),
-      p AS (
-        SELECT '/t/' || CAST(doc_id % 20 AS VARCHAR) AS href,
-               unnest(t[1:2]) AS term FROM d
-        UNION ALL
-        SELECT '/u/' || CAST(doc_id % 11 AS VARCHAR) AS href,
-               unnest(t[3:4]) AS term FROM d)
-      SELECT href, term, CAST(count(*) AS BIGINT) AS n
-      FROM p WHERE len(term) > 0
-      GROUP BY href, term ORDER BY href, term""",
-    // registered domain computed arithmetically; the gate is two
-    // integer counts and one multiply per side — replayed exactly
-    "domain_gate" -> """
-      WITH u AS (SELECT doc_id, n_chars,
-          'https://www.example' || CAST(doc_id % 7 AS VARCHAR) ||
-            '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
-          'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dom,
-          CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS pass
-        FROM documents),
-      s AS (SELECT dom, CAST(count(*) AS BIGINT) AS domain_docs,
-          CAST(sum(pass) AS BIGINT) AS domain_passes
-        FROM u GROUP BY dom
-        HAVING count(*) >= 10 AND
-          CAST(sum(pass) AS DOUBLE) >= 82e-2 * CAST(count(*) AS DOUBLE))
-      SELECT u.doc_id, u.n_chars, u.url, u.dom AS registered_domain,
-        s.domain_docs, s.domain_passes
-      FROM u JOIN s ON u.dom = s.dom
-      ORDER BY u.doc_id""",
-    "html_links" -> s"""
-      WITH h AS (SELECT doc_id, $syntheticHtmlSql AS html FROM documents),
-      l AS (SELECT doc_id, regexp_extract_all(html,
-          '(?i)href\\s*=\\s*"([^"]*)"', 1) AS ls FROM h)
-      SELECT doc_id, CAST(i AS INTEGER) AS link_idx,
-        ls[CAST(i + 1 AS INT)] AS href
-      FROM (SELECT doc_id, ls, unnest(range(0, len(ls))) AS i FROM l)
-      ORDER BY doc_id, link_idx""",
-    // the noisy construction replayed verbatim, but the canonical key
-    // computed ARITHMETICALLY (never through the regex chain) — the
-    // keeper is the min-id row per canonical key, Dedup.exact's
-    // election with doc_id as tie-break
-    "url_dedup" -> """
-      WITH u AS (SELECT doc_id,
-          (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END) ||
-          (CASE WHEN doc_id % 4 = 0 THEN 'Example' ELSE 'example' END) ||
-          CAST(doc_id % 7 AS VARCHAR) || '.com' ||
-          (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
-          '/p/' || CAST(doc_id % 40 AS VARCHAR) ||
-          (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
-          (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed'
-                WHEN doc_id % 3 = 1 THEN '?utm_campaign=a&gclid=xyz'
-                ELSE '' END) ||
-          (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END) AS url,
-          'http://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' ||
-            CAST(doc_id % 40 AS VARCHAR) AS canonical_url
-        FROM documents),
-      r AS (SELECT doc_id, url, canonical_url,
-          row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id)
-            AS rn
-        FROM u)
-      SELECT doc_id, url, canonical_url FROM r WHERE rn = 1
-      ORDER BY doc_id""",
-    "url_parts" -> """
-      WITH b AS (SELECT doc_id,
-          ['www', 'data', 'cdn'][CAST(doc_id % 3 + 1 AS INT)] AS sub,
-          ['example.com', 'example.co.uk', 'spark-docs.org',
-           'data.io'][CAST(doc_id % 4 + 1 AS INT)] AS dom
-        FROM documents)
-      SELECT doc_id, 'https' AS scheme, sub || '.' || dom AS host,
-        CASE WHEN dom = 'example.co.uk' THEN 'example.co.uk' ELSE dom END
-          AS registered_domain,
-        '/p/' || CAST(doc_id % 50 AS VARCHAR) AS path,
-        'q=' || CAST(doc_id AS VARCHAR) AS url_query
-      FROM b ORDER BY doc_id""",
-    // the Spark side PARSES real container headers its builders wrote;
-    // this side computes the expectation arithmetically — images carry
-    // dimensions and NULL audio geometry, wav the reverse
-    "media_meta" -> """
-      SELECT doc_id,
-        CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-          WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' WHEN 4 THEN 'wav'
-          ELSE 'mp4' END AS format,
-        CASE WHEN doc_id % 6 <= 3
-          THEN CAST(doc_id % 800 + 16 AS INTEGER) END AS width,
-        CASE WHEN doc_id % 6 <= 3
-          THEN CAST(doc_id % 600 + 16 AS INTEGER) END AS height,
-        CASE WHEN doc_id % 6 = 4
-          THEN CAST(doc_id % 2 + 1 AS INTEGER) END AS channels,
-        CASE WHEN doc_id % 6 = 4
-          THEN CAST(8000 + (doc_id % 7) * 4000 AS INTEGER) END AS sample_rate,
-        CASE WHEN doc_id % 6 = 5
-          THEN CAST(doc_id % 7200000 + 1000 AS INTEGER) END AS duration_ms
-      FROM documents ORDER BY doc_id""",
-    // frame layout is pure arithmetic on the builder's duration: a
-    // frame at every interval start inside [0, duration), capped at 5;
-    // md5(id:ts) is the deterministic frame HANDLE (stub decode)
-    "frame_samples" -> """
-      WITH d AS (SELECT doc_id, doc_id % 7200000 + 1000 AS dur
-          FROM documents WHERE doc_id % 6 = 5),
-      n AS (SELECT doc_id,
-          least(CAST(5 AS BIGINT), CAST(ceil(dur / 6e4) AS BIGINT)) AS nf
-        FROM d),
-      f AS (SELECT doc_id, unnest(range(0, nf)) AS i FROM n)
-      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-        i * 60000 AS ts_ms,
-        md5(doc_id || ':' || (i * 60000)) AS frame_ref
-      FROM f ORDER BY doc_id, frame_idx""",
-    // 60-bit perceptual hashes over 61 stride-sampled bytes (ASCII
-    // fixture: ord by char == byte value): aHash = integer mean test
-    // sample*60 >= sum, dHash = gradient sample(k+1) > sample(k); both
-    // with the 4x15-bit banded LSH, per-bucket cap, popcount verify —
-    // mirror BinaryOps.aHash60 / dHash60 / perceptualHashPairs
-    "perceptual_hash_pairs" ->
-      perceptualPairsSql(dHash = false, maxHamming = 10),
-    "perceptual_hash_pairs_dhash" ->
-      perceptualPairsSql(dHash = true, maxHamming = 20),
-    // same aHash pipeline split into an index half (doc_id < 250) and a
-    // batch half; per-side banded buckets with the 64 cap, exact
-    // popcount verify, batch blob dropped on any in-radius index
-    // neighbor or smaller-id batch neighbor — mirrors
-    // BinaryOps.incrementalPerceptualDedup
-    "incremental_phash_dedup" -> """
-      WITH s AS (SELECT doc_id, length(text) AS n,
-          list_transform(range(0, 61), k ->
-            CAST(ord(substr(text, CAST((k * length(text)) // 61 AS INT) + 1, 1))
-              AS BIGINT)) AS ss
-        FROM documents),
-      t AS (SELECT doc_id, n, ss,
-          CAST(list_sum(ss[1:60]) AS BIGINT) AS total FROM s),
-      h AS (SELECT doc_id,
-          CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
-               ELSE CAST(list_sum(list_transform(range(0, 60), k ->
-                 CASE WHEN ss[CAST(k + 1 AS INT)] * 60 >= total
-                      THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
-                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
-          END AS ph FROM t),
-      zi AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bn
-        FROM (SELECT doc_id, ph, u.b AS band,
-                (ph >> (u.b * 15)) & 32767 AS bucket
-              FROM h, unnest([0, 1, 2, 3]) u(b) WHERE doc_id < 250)),
-      zb AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bn
-        FROM (SELECT doc_id, ph, u.b AS band,
-                (ph >> (u.b * 15)) & 32767 AS bucket
-              FROM h, unnest([0, 1, 2, 3]) u(b) WHERE doc_id >= 250)),
-      losers AS (
-        SELECT DISTINCT b.doc_id AS id_b
-        FROM zi a JOIN zb b ON a.band = b.band AND a.bucket = b.bucket
-        WHERE a.bn <= 64 AND b.bn <= 64 AND a.doc_id <> b.doc_id
-          AND bit_count(xor(a.ph, b.ph)) <= 10
-        UNION
-        SELECT b.doc_id
-        FROM zb a JOIN zb b ON a.band = b.band AND a.bucket = b.bucket
-        WHERE a.bn <= 64 AND b.bn <= 64 AND a.doc_id < b.doc_id
-          AND bit_count(xor(a.ph, b.ph)) <= 10)
-      SELECT d.doc_id, d.lang FROM documents d
-      WHERE d.doc_id >= 250 AND d.doc_id NOT IN (SELECT id_b FROM losers)
-      ORDER BY d.doc_id""",
-    // the BPE piece fold of truncate_tokens_bpe + the window arithmetic
-    // of chunk_texts: 32-piece windows every 24 pieces, each slice
-    // rejoined marker->space with the single leading space dropped —
-    // mirrors TextOps.chunkTextsBpe
-    "chunk_texts_bpe" -> s"""
-      WITH p AS (SELECT doc_id,
-          ${bpePiecesSql(graft.ext.TextOps.demoBpeMerges)} AS ps
-        FROM documents)
-      SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
-        CAST(s AS BIGINT) AS chunk_start,
-        CAST(least(32, len(ps) - s) AS BIGINT) AS chunk_tokens,
-        regexp_replace(replace(
-          array_to_string(ps[CAST(s + 1 AS INT):CAST(s + 32 AS INT)], ''),
-          '▁', ' '), '^ ', '') AS chunk_text
-      FROM (SELECT doc_id, ps, unnest(range(0, len(ps), 24)) AS s FROM p)
-      ORDER BY doc_id, chunk_idx""",
-    // distinct 8-gram digests per doc (shinglesSql is already distinct),
-    // per-gram doc frequency as the bucket cap, ordered-pair shared
-    // counts, both containment directions from integer totals — mirrors
-    // Dedup.containmentPairs
-    "containment_pairs" -> containmentPairsSql(cutoff = None),
-    // deterministic quarter of the digest space (leading 32 bits <
-    // 2^30) — mirrors Dedup.containmentPairs(gramFraction = 0.25)
-    "containment_pairs_sampled" ->
-      containmentPairsSql(cutoff = Some(1073741824L)),
-    // the naive exact plan the two-pass Misra–Gries form provably
-    // equals at minFreq ≥ 1/cap; threshold arithmetic is the same one
-    // IEEE multiply + compare as Frequency.heavyHitters
-    "heavy_hitter_terms" -> """
-      WITH t AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
-                 FROM documents),
-        n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
-      SELECT token, CAST(count(*) AS BIGINT) AS cnt
-      FROM t GROUP BY token
-      HAVING CAST(count(*) AS DOUBLE)
-           > 1e-3 * (SELECT CAST(total AS DOUBLE) FROM n)
-      ORDER BY cnt DESC, token""",
-    // naive per-group plan: per-source totals joined back, HAVING on
-    // the same one-multiply threshold as heavyHittersByGroup
-    "heavy_hitters_by_source" -> """
-      WITH t AS (SELECT source,
-          unnest(string_split(coalesce(text, ''), ' ')) AS token
-        FROM documents),
-      n AS (SELECT source, CAST(count(*) AS BIGINT) AS total
-        FROM t GROUP BY 1)
-      SELECT t.source AS source, token, CAST(count(*) AS BIGINT) AS cnt
-      FROM t JOIN n ON t.source = n.source
-      GROUP BY t.source, token, n.total
-      HAVING CAST(count(*) AS DOUBLE)
-           > 5e-3 * CAST(n.total AS DOUBLE)
-      ORDER BY source, cnt DESC, token""",
-    // the naive gram-frequency plan over the same distinct-per-doc
-    // shingle stream (shinglesSql is already distinct per document)
-    "heavy_hitter_phrases" -> s"""
-      WITH t AS (SELECT unnest(${shinglesSql(3)}) AS phrase
-                 FROM (SELECT coalesce(text, '') AS text FROM documents)),
-        n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
-      SELECT phrase, CAST(count(*) AS BIGINT) AS cnt
-      FROM t GROUP BY phrase
-      HAVING CAST(count(*) AS DOUBLE)
-           > 1e-4 * (SELECT CAST(total AS DOUBLE) FROM n)
-      ORDER BY cnt DESC, phrase"""
-  )
+  def oracleSql: Map[String, String] =
+    QueriesText.oracleSql ++ QueriesDedup.oracleSql ++ QueriesSimilarity.oracleSql ++ QueriesTemporal.oracleSql ++
+      QueriesCore.oracleSql ++ QueriesProbes.oracleSql ++ QueriesBinary.oracleSql
 }

@@ -1,0 +1,417 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{BinaryOps, Dedup, Frequency, GraphOps, Similarity, TextOps}
+import graft.ops.{Ops, TemporalOps, WindowOps}
+import graft.probes.Probes
+
+/** Data-quality probe and privacy queries — split from the ExtQueries monolith (round 14):
+  * same entries, same keys, byte-identical bodies; [[ExtQueries]]
+  * merges every family back into the single driver-facing map. */
+private[graft] object QueriesProbes {
+  import SparkEntry.table
+  import QueryHelpers._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_suite" -> { (s, dir) =>
+      // the Deequ-shaped contract report: three row checks with their
+      // own minimum pass fractions + one key-distinctness check, all
+      // in ONE scan; the fixture grades both verdict directions
+      // (quantity/tax bars pass; the discount bar at 0.9 and the
+      // line-key distinctness at 0.95 both FAIL — lineitem's
+      // (l_orderkey, l_linenumber) is famously non-unique here)
+      Probes.verificationSuite(
+        rowChecks = Seq(
+          ("qty_in_range",
+            col("l_quantity") >= 1 && col("l_quantity") <= 50, 1.0),
+          ("disc_low", col("l_discount") <= 0.08, 0.9),
+          ("tax_complete", col("l_tax").isNotNull, 1.0)),
+        distinctChecks = Seq(
+          ("line_key_distinct", Seq("l_orderkey", "l_linenumber"), 0.95)))(
+        table(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_discount", "l_tax"))
+        .orderBy("check_name")
+    },
+    "category_drift" -> { (s, dir) =>
+      // priority-mix drift between two derived order snapshots:
+      // exact counts, one division per share, chi-square contributions
+      val o = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      Probes.categoryDrift("o_orderpriority")(
+        o.filter(col("o_orderkey") % 3 =!= 0),
+        o.filter(col("o_orderkey") % 4 =!= 0))
+        .orderBy(col("value").asc_nulls_first)
+    },
+    "referential_integrity" -> { (s, dir) =>
+      // FK orphan probe: lineitem against a dimension with every 10th
+      // order dropped — orphans counted, NULL FKs counted separately
+      Probes.referentialIntegrity(Seq("l_orderkey"),
+        table(s, dir, "orders").filter(col("o_orderkey") % 10 =!= 0),
+        Seq("o_orderkey"))(table(s, dir, "lineitem"))
+    },
+    "column_profile" -> { (s, dir) =>
+      // the ingest `describe`: per-column rows/nulls/exact distincts in
+      // one aggregation, exploded to rows with zero driver collects
+      Probes.columnProfile(Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_totalprice"))(table(s, dir, "orders"))
+        .orderBy("column")
+    },
+    "k_anonymity" -> { (s, dir) =>
+      // release-gate probe: equivalence classes under
+      // (nation, segment) with fewer than 8 members
+      Probes.kAnonymity(Seq("c_nationkey", "c_mktsegment"), k = 8)(
+        table(s, dir, "customer"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+    "label_agreement" -> { (s, dir) =>
+      // Cohen's kappa between the stored lang label and the n-gram
+      // heuristic's prediction: chance-corrected labeler agreement
+      Probes.labelAgreement(col("lang"),
+        TextOps.langId(col("text")))(corpus(s, dir, "documents"))
+    },
+    "score_calibration" -> { (s, dir) =>
+      // reliability table + ECE: does the saturated English-stopword
+      // score mean what it claims about lang = 'en'?
+      Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
+        col("lang") === "en", bins = 10)(corpus(s, dir, "documents"))
+    },
+    "concentration" -> { (s, dir) =>
+      // is each language's corpus diverse or one-source-dominated?
+      Probes.concentration(Seq("lang"), "source")(
+        corpus(s, dir, "documents"))
+        .orderBy("lang")
+    },
+    "gini" -> { (s, dir) =>
+      // length inequality per source: does one doc own the tokens?
+      Probes.gini(Seq("source"), "n_chars")(corpus(s, dir, "documents"))
+        .orderBy("source")
+    },
+    "calibration_by_source" -> { (s, dir) =>
+      // which SOURCE is miscalibrated: the per-group drill-down of
+      // score_calibration, one ECE verdict per source
+      Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
+        col("lang") === "en", bins = 5, groupCols = Seq("source"))(
+        corpus(s, dir, "documents"))
+    },
+    "confusion_matrix" -> { (s, dir) =>
+      // WHERE the labelers disagree — label_agreement's drill-down
+      Probes.confusionMatrix(col("lang"),
+        TextOps.langId(col("text")))(corpus(s, dir, "documents"))
+    },
+    "numeric_drift" -> { (s, dir) =>
+      // two-sample KS on the bin grid: even vs odd event halves of the
+      // value column over [0, 500) in 20 bins — per-bin ECDFs, the CDF
+      // delta, and ks_stat = max |delta| on every row
+      val ev = table(s, dir, "events")
+      Probes.numericDrift("value", lo = 0.0, hi = 500.0, bins = 20)(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1))
+        .orderBy("bin")
+    },
+    "k_anonymize" -> { (s, dir) =>
+      // the FIX for what k_anonymity reports: generalize the balance
+      // to 500-wide bands (raw balances are near-unique — suppress-
+      // only would drop almost everything), then suppress the rows
+      // whose (segment, band) class is still under 8 — the released
+      // view passes kAnonymity by construction (at sf0.01: 1472 rows
+      // released, 28 suppressed — both paths live)
+      Probes.kAnonymize(
+        Seq("c_mktsegment", "c_acctbal"), k = 8,
+        generalizations = Map("c_acctbal" ->
+          (floor(col("c_acctbal") / 500) * 500)))(
+        table(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"))
+        .orderBy("c_custkey")
+    },
+    "l_diversity" -> { (s, dir) =>
+      // homogeneity-attack probe: (nation, balance-band) classes whose
+      // segment column carries < 4 distinct values
+      Probes.lDiversity(Seq("c_nationkey", "balance_band"),
+        "c_mktsegment", l = 4)(
+        table(s, dir, "customer").withColumn("balance_band",
+          floor(col("c_acctbal") / 2000)))
+        .orderBy("c_nationkey", "balance_band")
+    },
+    "join_cardinality" -> { (s, dir) =>
+      // pre-flight skew check for an events⋈orders join on customer:
+      // per-key exact output contribution, heaviest first
+      Probes.joinCardinality(Seq("user_id"),
+        table(s, dir, "orders"), Seq("o_custkey"), topN = 15)(
+        table(s, dir, "events"))
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // mirrors Probes.labelAgreement over (lang, lang_pred): exact-count
+    // confusion marginals, HUGEINT pe numerator (decimal(38,0) on the
+    // Spark side), the same fixed division dag for po/pe/kappa
+    "label_agreement" -> s"""
+      WITH $langPredCteSql,
+      conf AS (SELECT lang AS a, lang_pred AS b, count(*) AS cn FROM pred
+        WHERE lang IS NOT NULL AND lang_pred IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(cn) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN a = b THEN cn ELSE 0 END) AS BIGINT) AS agree_n
+        FROM conf),
+      ma AS (SELECT a AS k, CAST(sum(cn) AS BIGINT) AS na FROM conf GROUP BY 1),
+      mb AS (SELECT b AS k, CAST(sum(cn) AS BIGINT) AS nb FROM conf GROUP BY 1),
+      pen AS (SELECT coalesce(sum(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)),
+          CAST(0 AS HUGEINT)) AS pe_num
+        FROM ma JOIN mb USING (k))
+      SELECT n, agree_n, po, pe,
+        CASE WHEN pe = CAST(1 AS DOUBLE) THEN NULL
+             ELSE (po - pe) / (CAST(1 AS DOUBLE) - pe) END AS kappa
+      FROM (SELECT n, agree_n,
+          CAST(agree_n AS DOUBLE) / n AS po,
+          CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+        FROM tot CROSS JOIN pen) __ka""",
+    // mirrors Probes.confusionMatrix over (lang, lang_pred)
+    "confusion_matrix" -> s"""
+      WITH $langPredCteSql,
+      conf AS (SELECT lang AS label_a, lang_pred AS label_b,
+          count(*) AS n FROM pred
+        WHERE lang IS NOT NULL AND lang_pred IS NOT NULL GROUP BY 1, 2),
+      rt AS (SELECT label_a, CAST(sum(n) AS BIGINT) AS rtot FROM conf
+        GROUP BY 1)
+      SELECT label_a, label_b, n,
+        CAST(n AS DOUBLE) / rtot AS row_share
+      FROM conf JOIN rt USING (label_a)
+      ORDER BY label_a, label_b""",
+    // mirrors Probes.concentration: HUGEINT Σn_c², exact-count divisions
+    "concentration" -> """
+      WITH c AS (SELECT lang, source, count(*) AS nc FROM documents
+        GROUP BY 1, 2),
+      a AS (SELECT lang, CAST(sum(nc) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS categories,
+          sum(CAST(nc AS HUGEINT) * CAST(nc AS HUGEINT)) AS s2
+        FROM c GROUP BY 1)
+      SELECT lang, n, categories,
+        CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+          AS hhi,
+        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(s2 AS DOUBLE)
+          AS effective_categories
+      FROM a ORDER BY lang""",
+    // mirrors Probes.gini: sorted-rank formula with the HUGEINT-exact
+    // numerator; rank ties are sum-invariant (equal x, any order)
+    "gini" -> """
+      WITH r AS (SELECT source, n_chars,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY n_chars ASC) AS BIGINT) AS i
+        FROM documents WHERE n_chars IS NOT NULL),
+      a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(n_chars AS HUGEINT)) AS sx,
+          sum(CAST(i * 2 AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS s2ix
+        FROM r GROUP BY 1)
+      SELECT source, n,
+        CASE WHEN sx = 0 THEN NULL
+             ELSE (CAST(s2ix AS DOUBLE)
+                   - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END AS gini
+      FROM a ORDER BY source""",
+    // mirrors Probes.scoreCalibration with groupCols = source: per-group
+    // bins and a per-group bin-ordered ECE fold
+    "calibration_by_source" -> s"""
+      WITH s AS (SELECT source,
+          least(CAST(floor(sc * 5) AS INT), 4) AS bin,
+          CAST(round(sc * 1e9, 0) AS BIGINT) AS s9,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM (SELECT source, lang,
+            least(${stopRatio("['the','a','of','and','to','in','is']")}
+              * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)) AS sc
+          FROM documents) __sb
+        WHERE sc IS NOT NULL AND lang IS NOT NULL),
+      b AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(s9) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9)
+            AS mean_score,
+          CAST(sum(pos) AS DOUBLE) / count(*) AS pos_rate
+        FROM s GROUP BY source, bin),
+      g AS (SELECT source, bin, n, mean_score, pos_rate,
+          abs(mean_score - pos_rate) AS gap FROM b),
+      e AS (SELECT source, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(n AS DOUBLE) * gap ORDER BY bin)), (a, x) -> a + x)
+          / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS ece
+        FROM g GROUP BY source)
+      SELECT g.source, CAST(bin AS INTEGER) AS bin, n, mean_score,
+        pos_rate, gap, ece
+      FROM g JOIN e ON g.source = e.source
+      ORDER BY g.source, bin""",
+    // mirrors Probes.scoreCalibration over the saturated en-stopword
+    // score vs lang = 'en': 1e-9-quantized per-bin score sums (the
+    // money-column discipline), bin-ordered ECE fold
+    "score_calibration" -> s"""
+      WITH s AS (SELECT
+          least(CAST(floor(sc * 10) AS INT), 9) AS bin,
+          CAST(round(sc * 1e9, 0) AS BIGINT) AS s9,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM (SELECT lang,
+            least(${stopRatio("['the','a','of','and','to','in','is']")}
+              * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)) AS sc
+          FROM documents) __sb
+        WHERE sc IS NOT NULL AND lang IS NOT NULL),
+      b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(s9) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9)
+            AS mean_score,
+          CAST(sum(pos) AS DOUBLE) / count(*) AS pos_rate
+        FROM s GROUP BY bin),
+      g AS (SELECT bin, n, mean_score, pos_rate,
+          abs(mean_score - pos_rate) AS gap FROM b),
+      e AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(n AS DOUBLE) * gap ORDER BY bin)), (a, x) -> a + x)
+          / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS ece
+        FROM g)
+      SELECT CAST(bin AS INTEGER) AS bin, n, mean_score, pos_rate, gap, ece
+      FROM g CROSS JOIN e ORDER BY bin""",
+    // exact counts + the same one-division-per-share chain; chi2 is
+    // the rational drift stat (ln-free, cross-engine exact)
+    "category_drift" -> """
+      WITH b AS (SELECT o_orderpriority AS value,
+          CAST(count(*) AS BIGINT) AS nb
+        FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1),
+      a AS (SELECT o_orderpriority AS value,
+          CAST(count(*) AS BIGINT) AS na
+        FROM orders WHERE o_orderkey % 4 <> 0 GROUP BY 1),
+      t AS (SELECT
+          CAST((SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 0)
+            AS DOUBLE) AS tb,
+          CAST((SELECT count(*) FROM orders WHERE o_orderkey % 4 <> 0)
+            AS DOUBLE) AS ta),
+      x AS (SELECT value,
+          coalesce(nb, 0) AS n_before, coalesce(na, 0) AS n_after,
+          CAST(coalesce(nb, 0) AS DOUBLE) / tb AS sb,
+          CAST(coalesce(na, 0) AS DOUBLE) / ta AS sa
+        FROM b FULL OUTER JOIN a USING (value) CROSS JOIN t)
+      SELECT value, n_before, n_after, sb AS share_before,
+        sa AS share_after, sa - sb AS share_delta,
+        CASE WHEN sb = 0e0 THEN NULL
+             ELSE (sa - sb) * (sa - sb) / sb END AS chi2_contrib
+      FROM x ORDER BY value NULLS FIRST""",
+    "referential_integrity" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+          AS n_null_fk,
+        CAST(count(*) FILTER (WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderkey % 10 <> 0)) AS BIGINT)
+          AS n_orphans
+      FROM lineitem""",
+    "column_profile" -> """
+      SELECT * FROM (
+        SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+        FROM orders
+        UNION ALL SELECT 'o_custkey', count(*),
+          count(*) - count(o_custkey), count(DISTINCT o_custkey) FROM orders
+        UNION ALL SELECT 'o_orderstatus', count(*),
+          count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus)
+        FROM orders
+        UNION ALL SELECT 'o_orderpriority', count(*),
+          count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority)
+        FROM orders
+        UNION ALL SELECT 'o_totalprice', count(*),
+          count(*) - count(o_totalprice), count(DISTINCT o_totalprice)
+        FROM orders)
+      ORDER BY "column"""",
+    // independent + cumulative rule counters in one aggregation; quality
+    // and dup-fraction expressions identical to quality_score /
+    // repetition_stats — mirrors Probes.filterFunnel
+    // one counting CTE, four check rows unioned; verdicts via the
+    // identical one-multiply-per-side compare, fractions one division
+    "quality_suite" -> """
+      WITH a AS (SELECT CAST(count(*) AS BIGINT) AS total,
+          CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+            THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+          CAST(sum(CASE WHEN l_discount <= 8e-2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS p1,
+          CAST(sum(CASE WHEN l_tax IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS p2,
+          CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS d0
+        FROM lineitem)
+      SELECT * FROM (
+        SELECT 'qty_in_range' AS check_name, 'row' AS kind, total,
+          p0 AS pass_count, CAST(p0 AS DOUBLE) / total AS pass_frac,
+          1e0 AS threshold, CAST(p0 AS DOUBLE) >= 1e0 * total AS passed
+        FROM a
+        UNION ALL SELECT 'disc_low', 'row', total, p1,
+          CAST(p1 AS DOUBLE) / total, 9e-1,
+          CAST(p1 AS DOUBLE) >= 9e-1 * total FROM a
+        UNION ALL SELECT 'tax_complete', 'row', total, p2,
+          CAST(p2 AS DOUBLE) / total, 1e0,
+          CAST(p2 AS DOUBLE) >= 1e0 * total FROM a
+        UNION ALL SELECT 'line_key_distinct', 'distinctness', total, d0,
+          CAST(d0 AS DOUBLE) / total, 95e-2,
+          CAST(d0 AS DOUBLE) >= 95e-2 * total FROM a)
+      ORDER BY check_name""",
+    "k_anonymity" -> """
+      SELECT c_nationkey, c_mktsegment,
+        CAST(count(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2 HAVING count(*) < 8
+      ORDER BY 1, 2""",
+    // identical bin arithmetic ((v − 0)·20/500, floor, clamp), spine
+    // keeps empty bins, cumulative sums over the 20-row grid
+    "numeric_drift" -> """
+      WITH b AS (SELECT CAST(least(greatest(
+            floor((value - 0e0) * 20 / 5e2), 0), 19) AS BIGINT) AS bin
+          FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+      a AS (SELECT CAST(least(greatest(
+            floor((value - 0e0) * 20 / 5e2), 0), 19) AS BIGINT) AS bin
+          FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+      bc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_before
+          FROM b GROUP BY bin),
+      ac AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_after
+          FROM a GROUP BY bin),
+      t AS (SELECT CAST((SELECT count(*) FROM b) AS DOUBLE) AS tb,
+                   CAST((SELECT count(*) FROM a) AS DOUBLE) AS ta),
+      spine AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin),
+      g AS (SELECT spine.bin,
+          0e0 + spine.bin * 5e2 / 20 AS bin_lo,
+          coalesce(n_before, 0) AS n_before,
+          coalesce(n_after, 0) AS n_after, tb, ta
+        FROM spine LEFT JOIN bc ON spine.bin = bc.bin
+                   LEFT JOIN ac ON spine.bin = ac.bin, t),
+      c AS (SELECT bin, bin_lo, n_before, n_after,
+          CASE WHEN tb = 0e0 THEN NULL ELSE
+            CAST(sum(n_before) OVER (ORDER BY bin ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / tb
+          END AS cdf_before,
+          CASE WHEN ta = 0e0 THEN NULL ELSE
+            CAST(sum(n_after) OVER (ORDER BY bin ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / ta
+          END AS cdf_after
+        FROM g)
+      SELECT bin, bin_lo, n_before, n_after, cdf_before, cdf_after,
+        cdf_after - cdf_before AS cdf_delta,
+        max(abs(cdf_after - cdf_before)) OVER () AS ks_stat
+      FROM c ORDER BY bin""",
+    // generalize-then-suppress mirror: the window count replays the
+    // keeper-class semi-join (NULL-safe by SQL GROUP/PARTITION
+    // semantics — NULL bands form their own class on both engines)
+    "k_anonymize" -> """
+      WITH g AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal / 500) AS BIGINT) * 500 AS c_acctbal
+        FROM customer)
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal FROM g
+      QUALIFY count(*) OVER (
+        PARTITION BY c_mktsegment, c_acctbal) >= 8
+      ORDER BY c_custkey""",
+    "l_diversity" -> """
+      WITH c AS (SELECT c_nationkey,
+          CAST(floor(c_acctbal / 2000) AS BIGINT) AS balance_band,
+          c_mktsegment FROM customer)
+      SELECT c_nationkey, balance_band,
+        CAST(count(*) AS BIGINT) AS class_size,
+        CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS distinct_sensitive
+      FROM c GROUP BY 1, 2 HAVING count(DISTINCT c_mktsegment) < 4
+      ORDER BY 1, 2""",
+    "join_cardinality" -> """
+      WITH l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS left_rows
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      r AS (SELECT o_custkey AS user_id,
+          CAST(count(*) AS BIGINT) AS right_rows
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
+      SELECT user_id, left_rows, right_rows,
+        left_rows * right_rows AS out_rows
+      FROM l JOIN r USING (user_id)
+      ORDER BY out_rows DESC, user_id ASC LIMIT 15""",
+  )
+}

@@ -1,0 +1,902 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{BinaryOps, Dedup, Frequency, GraphOps, Similarity, TextOps}
+import graft.ops.{Ops, TemporalOps, WindowOps}
+import graft.probes.Probes
+
+/** Event/window/temporal-join and graph queries — split from the ExtQueries monolith (round 14):
+  * same entries, same keys, byte-identical bodies; [[ExtQueries]]
+  * merges every family back into the single driver-facing map. */
+private[graft] object QueriesTemporal {
+  import SparkEntry.table
+  import QueryHelpers._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- events: JSON + windows + sessions ---------------------------------
+    "events_json_agg" -> { (s, dir) =>
+      table(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("record_count"))
+        .orderBy("event_type")
+    },
+    "events_json_struct" -> { (s, dir) =>
+      // document storage type (SURVEY §1.2): JSON text parsed on demand
+      // with an explicit schema via from_json — typed struct access, no
+      // per-field re-parse
+      table(s, dir, "events")
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+        .select(col("event_id"), col("p.k").as("k"))
+        .orderBy("event_id")
+    },
+    "topk_per_group" -> { (s, dir) =>
+      WindowOps.topKPerGroup(Seq("o_orderpriority"), "o_totalprice",
+        "o_orderkey", 3)(table(s, dir, "orders"))
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+        .orderBy("o_orderpriority", "rank")
+    },
+    "running_sum" -> { (s, dir) =>
+      WindowOps.runningSum(Seq("l_suppkey"),
+        Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"),
+        "l_quantity")(table(s, dir, "lineitem"))
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity", "running_sum")
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity", "running_sum")
+    },
+    "sessionize" -> { (s, dir) =>
+      WindowOps.sessionize("user_id", "ts", gapSeconds = 1800,
+        tieBreak = Seq("event_id"))(table(s, dir, "events"))
+        .select("user_id", "event_id", "session_id")
+        .orderBy("user_id", "event_id")
+    },
+    "latest_event" -> { (s, dir) =>
+      // current state per user from the event history — the SCD1
+      // read-side primitive as a standalone catalog op
+      WindowOps.latestPerKey("user_id", "ts", tieBreak = "event_id")(
+        table(s, dir, "events")
+          .select("user_id", "ts", "event_id", "event_type", "value"))
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    },
+    "cumulative_distinct" -> { (s, dir) =>
+      // per user: distinct event types seen so far at each event — the
+      // count(DISTINCT) OVER Spark lacks, decomposed into two exact
+      // integer windows
+      WindowOps.cumulativeDistinct("user_id", "event_type",
+        Seq("ts", "event_id"))(table(s, dir, "events"))
+        .select("user_id", "event_id", "event_type", "distinct_so_far")
+        .orderBy("user_id", "event_id")
+    },
+    "session_stats" -> { (s, dir) =>
+      // one row per session: bounds, whole-second duration, event count
+      WindowOps.sessionStats("user_id", "ts", gapSeconds = 1800,
+        tieBreak = Seq("event_id"))(table(s, dir, "events"))
+        .orderBy("user_id", "session_id")
+    },
+    "event_deltas" -> { (s, dir) =>
+      WindowOps.eventDeltas("user_id", "ts", tieBreak = Seq("event_id"))(
+        table(s, dir, "events"))
+        .select("user_id", "event_id", "delta_seconds")
+        .orderBy("user_id", "event_id")
+    },
+    "event_transitions" -> { (s, dir) =>
+      // the Markov journey view: consecutive in-user event pairs →
+      // (from, to, n, p) with p an exact integer division; the oracle
+      // replays the identical lead window and conditional counts
+      WindowOps.eventTransitions("user_id", "ts", "event_type",
+        tieBreak = Seq("event_id"))(table(s, dir, "events"))
+        .orderBy("from_type", "to_type")
+    },
+    "activity_profile" -> { (s, dir) =>
+      // (dow × hour) heatmap per event type: arithmetic day/hour, not
+      // calendar functions (engine week conventions disagree)
+      WindowOps.activityProfile("event_type", "ts")(
+        table(s, dir, "events"))
+    },
+    "burstiness" -> { (s, dir) =>
+      // Goh–Barabási inter-arrival index per user: metronome vs
+      // Poisson vs bursty-bot behavioral fingerprint
+      WindowOps.burstiness("user_id", "ts", tieBreak = Seq("event_id"))(
+        table(s, dir, "events"))
+        .orderBy("user_id")
+    },
+    "decayed_counts" -> { (s, dir) =>
+      // recency-weighted type activity at a pinned "now": 3-day
+      // half-life, exact dyadic weights (see scaladoc)
+      TemporalOps.decayedCounts(Seq("event_type"), "ts",
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        halfLifeSeconds = 259200L)(table(s, dir, "events"))
+        .orderBy("event_type")
+    },
+    "ohlc_buckets" -> { (s, dir) =>
+      // candlestick view of the value series per event type, 6h buckets
+      TemporalOps.ohlcBuckets("ts", "value", "6 hours",
+        keys = Seq("event_type"), tieBreak = Seq("event_id"))(
+        table(s, dir, "events"))
+        .orderBy("event_type", "bucket_start")
+    },
+    "event_paths" -> { (s, dir) =>
+      // journey mining one level above the transition matrix: top
+      // 3-step consecutive routes per user
+      WindowOps.eventPaths("user_id", "ts", "event_type", steps = 3,
+        k = 20, tieBreak = Seq("event_id"))(table(s, dir, "events"))
+    },
+    // ---- temporal joins ----------------------------------------------------
+    "asof_join" -> { (s, dir) =>
+      val e = table(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts", "value")
+      TemporalOps.asOfJoin(signups, "user_id", "ts", "ts",
+        rightVals = Seq("event_id", "value"), rightTieBreak = "event_id")(
+        purchases)
+        .select("event_id", "user_id", "asof_event_id", "asof_value")
+        .orderBy("user_id", "event_id")
+    },
+    "event_funnel" -> { (s, dir) =>
+      // sequential conversion: view -> click -> purchase, first
+      // qualifying occurrence per user, strictly-after ordering
+      WindowOps.eventFunnel("user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))(table(s, dir, "events"))
+        .orderBy("step")
+    },
+    "cohort_retention" -> { (s, dir) =>
+      WindowOps.cohortRetention("user_id", "ts")(table(s, dir, "events"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    "asof_join_nearest" -> { (s, dir) =>
+      // nearest as-of: each purchase attaches whichever signup sits
+      // closer in time (either direction), equidistant ties backward —
+      // both directional passes inside ONE key shuffle
+      val e = table(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts", "value")
+      TemporalOps.asOfJoin(signups, "user_id", "ts", "ts",
+        rightVals = Seq("event_id", "value"), rightTieBreak = "event_id",
+        direction = "nearest")(purchases)
+        .select("event_id", "user_id", "asof_event_id", "asof_value")
+        .orderBy("user_id", "event_id")
+    },
+    "asof_join_fwd" -> { (s, dir) =>
+      // forward as-of with tolerance: each purchase attaches the NEXT
+      // signup within 24h, or NULLs when the nearest one is too far
+      val e = table(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts", "value")
+      TemporalOps.asOfJoin(signups, "user_id", "ts", "ts",
+        rightVals = Seq("event_id", "value"), rightTieBreak = "event_id",
+        direction = "forward", toleranceSeconds = Some(86400L))(purchases)
+        .select("event_id", "user_id", "asof_event_id", "asof_value")
+        .orderBy("user_id", "event_id")
+    },
+    "scd2_history" -> { (s, dir) =>
+      // SCD2 dimension build: each user's event_type change stream
+      // compressed to versions with validity intervals (emitted as epoch
+      // micros — timestamps stay engine-internal)
+      TemporalOps.scd2History("user_id", "ts", Seq("event_type"),
+        tieBreak = "event_id")(table(s, dir, "events"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from_us", "valid_to_us", "event_type",
+          "is_current")
+    },
+    "twa_value" -> { (s, dir) =>
+      // duration-weighted mean of the cent-scaled value per user — the
+      // irregular-sampling-correct average; integral value x µs
+      // products stay exact 64-bit, one final division
+      val e = table(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"), round(col("value") * 1e2, 0).cast("long").as("v"))
+      WindowOps.timeWeightedAvg("user_id", "ts", "v", tieBreak = "event_id")(e)
+        .orderBy("user_id")
+    },
+    "rolling_agg" -> { (s, dir) =>
+      // trailing-5-row moving sum/mean per user on the cent-scaled
+      // value (frame sums visit rows in engine order — only integral
+      // sums hash-match, the money doctrine)
+      val e = table(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"), round(col("value") * 1e2, 0).cast("long").as("v"))
+      WindowOps.rollingAgg(Seq("user_id"), Seq("ts", "event_id"), "v", k = 5)(e)
+        .select("user_id", "event_id", "v", "rolling_sum", "rolling_n",
+          "rolling_mean")
+        .orderBy("user_id", "event_id")
+    },
+    "ewma_value" -> { (s, dir) =>
+      // per-user exponential smoothing of the value stream; the fold is
+      // a literal sequential recurrence, mirrored by the oracle's
+      // recursive CTE step for step
+      WindowOps.ewmaSmooth("user_id", "ts", "value", alpha = 0.3,
+        tieBreak = "event_id")(table(s, dir, "events"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    "interval_join" -> { (s, dir) =>
+      // signup sessions vs purchase sessions that overlap in time for
+      // the same user — both sides INTERVALS (event_id-derived lengths,
+      // 0.5-4.5 h), bucket-exploded to a pure equi-join; the oracle is
+      // the plain non-equi join the bucket plan provably equals
+      val ev = table(s, dir, "events")
+      def iv(t: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("start_ts"),
+          timestamp_micros(unix_micros(col("ts")) +
+            (col("event_id") % 14400 + 1800) * 1000000L).as("end_ts"))
+      TemporalOps.intervalJoin(iv("purchase"), "user_id",
+        "start_ts", "end_ts", "start_ts", "end_ts", widthSeconds = 7200L)(
+        iv("signup"))
+        .select(col("l_event_id").as("signup_id"),
+          col("r_event_id").as("purchase_id"),
+          col("l_user_id").as("user_id"), col("overlap_us"))
+        .orderBy("user_id", "signup_id", "purchase_id")
+    },
+    "apply_changes" -> { (s, dir) =>
+      // CDC merge: the pre-cutoff customer snapshot maintained with the
+      // post-cutoff rows replayed as a change stream (odd custkeys
+      // upsert with a refreshed segment, even custkeys delete) — the
+      // warehouse MERGE INTO, last-wins per key
+      val c = table(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+      val snapshot = c.filter(col("c_custkey") <= 1000)
+      val changes = table(s, dir, "customer")
+        .filter(col("c_custkey") > 500)
+        .select(col("c_custkey"), col("c_name"),
+          concat(col("c_mktsegment"), lit("_V2")).as("c_mktsegment"),
+          when(col("c_custkey") % 2 === 1, lit("U")).otherwise(lit("D"))
+            .as("op"),
+          col("c_custkey").cast("timestamp").as("chg_ts"),
+          col("c_custkey").as("chg_id"))
+      TemporalOps.applyChanges(changes, "c_custkey", "chg_ts", "chg_id",
+        "op")(snapshot)
+        .orderBy("c_custkey")
+    },
+    "resample_ffill" -> { (s, dir) =>
+      // 6h regularized per-user series with gaps forward-filled; values
+      // ride through unaggregated (last event per bucket) so doubles
+      // hash-match bit-for-bit
+      TemporalOps.resample("user_id", "ts", "value", stepSeconds = 21600L,
+        tieBreak = "event_id")(table(s, dir, "events"))
+        .orderBy("user_id", "bucket_ts")
+    },
+    "band_join" -> { (s, dir) =>
+      val e = table(s, dir, "events")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      TemporalOps.bandJoin(purchases, "user_id", "ts", "ts",
+        widthSeconds = 3600)(signups)
+        .select(col("l_event_id").as("signup_id"),
+          col("r_event_id").as("purchase_id"),
+          col("l_user_id").as("user_id"), col("delta_us"))
+        .orderBy("user_id", "signup_id", "purchase_id")
+    },
+    "events_time_buckets" -> { (s, dir) =>
+      // batch form of the streaming tumbling window; 6h buckets align
+      // across engines (DuckDB's time_bucket origin 2000-01-01 is a
+      // whole number of 6h periods past Spark's 1970 epoch origin)
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("event_count"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("event_count"))
+        .orderBy("window_start", "event_type")
+    },
+    "snapshot_diff" -> { (s, dir) =>
+      // two derived snapshots of orders: %3-dropped rows vs %4-dropped
+      // rows with %11 prices bumped — diff emits added/removed/changed
+      // only, the asymmetry that keeps a 100 TB diff small
+      val o = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val before = o.filter(col("o_orderkey") % 3 =!= 0)
+      val after = o.filter(col("o_orderkey") % 4 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      Ops.snapshotDiff(Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))(before, after)
+        .orderBy("o_orderkey")
+    },
+    "temporal_split" -> { (s, dir) =>
+      // purged/embargoed time split: train before the cutoff, test at
+      // least one embargo day after it, the gap excluded from both
+      TemporalOps.temporalSplit("ts", "2024-01-20 00:00:00",
+        embargoSeconds = 86400L)(table(s, dir, "events"))
+        .select("event_id", "split")
+        .orderBy("event_id")
+    },
+    "page_rank" -> { (s, dir) =>
+      // host-importance prior over the derived 40-node link graph:
+      // 3 fixed iterations, contribution folds order-pinned so even
+      // the float ranks hash-match the unrolled oracle
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 40).as("src"),
+          ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
+      GraphOps.pageRank("src", "dst")(ev).orderBy("node")
+    },
+    "page_rank_weighted" -> { (s, dir) =>
+      // weighted form: per-event integer weights, multi-edges summed —
+      // each link votes in proportion to its weight
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 40).as("src"),
+          ((col("user_id") * 7 + col("event_id")) % 40).as("dst"),
+          (col("event_id") % 5 + 1).cast("double").as("w"))
+      GraphOps.pageRank("src", "dst", weightField = "w")(ev)
+        .orderBy("node")
+    },
+    "degree_stats" -> { (s, dir) =>
+      // the first diagnostic over any link graph: per-node out/in/total
+      // degree with orphan sides zero-filled
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 40).as("src"),
+          ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
+      GraphOps.degreeStats("src", "dst")(ev).orderBy("node")
+    },
+    "triangle_stats" -> { (s, dir) =>
+      // community structure over the same derived 40-node graph:
+      // degree-ordered orientation bounds per-apex fan-out at O(√m),
+      // the one float is a single exact-integer division
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 40).as("src"),
+          ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
+      GraphOps.triangleStats("src", "dst")(ev).orderBy("node")
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "events_json_agg" ->
+      """SELECT event_type,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+         count(*) AS record_count
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "events_json_struct" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+    "topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rank
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_orderpriority, rank""",
+    "running_sum" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+         sum(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate ASC NULLS FIRST, l_orderkey ASC NULLS FIRST,
+             l_linenumber ASC NULLS FIRST, l_quantity ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
+         FROM lineitem
+         ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+           running_sum""",
+    "event_deltas" ->
+      """SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST))) AS BIGINT)
+           AS delta_seconds
+         FROM events ORDER BY user_id, event_id""",
+    // identical lead window, conditional pair counts, one integer
+    // division — mirrors WindowOps.eventTransitions
+    "event_transitions" -> """
+      WITH o AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS nxt
+        FROM events),
+      c AS (SELECT event_type AS from_type, nxt AS to_type,
+          CAST(count(*) AS BIGINT) AS n
+        FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n,
+        CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+      FROM c JOIN t USING (from_type)
+      ORDER BY from_type, to_type""",
+    // mirrors WindowOps.activityProfile: floor-epoch arithmetic dow
+    // (0 = Monday) and hour — integer division both engines agree on,
+    // where dayofweek()/strftime conventions would not
+    "activity_profile" -> """
+      WITH e AS (SELECT event_type,
+          CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events WHERE ts IS NOT NULL),
+      c AS (SELECT event_type,
+          CAST((CAST(floor(CAST(ep AS DOUBLE) / 86400) AS BIGINT) + 3) % 7
+            AS INT) AS dow,
+          CAST(floor(CAST(ep % 86400 AS DOUBLE) / 3600) AS INT) AS hour,
+          CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2, 3),
+      t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c
+        GROUP BY 1)
+      SELECT c.event_type, dow, hour, n,
+        CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+      FROM c JOIN t USING (event_type)
+      ORDER BY event_type, dow, hour""",
+    // mirrors WindowOps.burstiness: integer-second gaps, HUGEINT
+    // sufficient statistics, the same floored-variance IEEE dag
+    "burstiness" -> """
+      WITH g AS (SELECT user_id,
+          CAST(floor(epoch(ts)) AS BIGINT)
+            - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                PARTITION BY user_id
+                ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+            AS gp
+        FROM events WHERE ts IS NOT NULL),
+      s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(count(gp) AS BIGINT) AS n_gaps,
+          coalesce(sum(CAST(gp AS HUGEINT)), CAST(0 AS HUGEINT)) AS sg,
+          coalesce(sum(CAST(gp AS HUGEINT) * CAST(gp AS HUGEINT)),
+            CAST(0 AS HUGEINT)) AS sg2
+        FROM g GROUP BY user_id HAVING count(gp) >= 1),
+      m AS (SELECT user_id, n_events, n_gaps,
+          CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_sec,
+          greatest((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+              - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+            / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)),
+            CAST(0 AS DOUBLE)) AS varp
+        FROM s)
+      SELECT user_id, n_events, n_gaps, mean_gap_sec,
+        CASE WHEN mean_gap_sec = CAST(0 AS DOUBLE) THEN NULL
+             ELSE sqrt(varp) / mean_gap_sec END AS cv_gap,
+        CASE WHEN mean_gap_sec = CAST(0 AS DOUBLE) THEN NULL
+             ELSE (sqrt(varp) / mean_gap_sec - CAST(1 AS DOUBLE))
+                  / (sqrt(varp) / mean_gap_sec + CAST(1 AS DOUBLE)) END
+          AS burstiness
+      FROM m ORDER BY user_id""",
+    // mirrors TemporalOps.decayedCounts: same clamped half-life bucket,
+    // integer bit-shift weights summed as HUGEINT (decimal(38,0) on the
+    // Spark side), one final division by 2^40. The "now" epoch is
+    // computed by the SAME Scala expression the query uses, so the two
+    // engines agree regardless of the box timezone.
+    "decayed_counts" -> s"""
+      WITH b AS (SELECT event_type,
+          least(greatest(CAST(floor(CAST(
+            ${java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime / 1000L}
+            - CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) / 259200)
+            AS BIGINT), 0), 40) AS k
+        FROM events WHERE ts IS NOT NULL)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(1 AS BIGINT) << CAST(40 - k AS INT)) AS DOUBLE)
+          / 1099511627776e0 AS decayed
+      FROM b GROUP BY event_type ORDER BY event_type""",
+    // mirrors TemporalOps.ohlcBuckets: ordered-aggregate first/last for
+    // the min_by/max_by composite-key picks, same bucket alignment as
+    // events_time_buckets
+    "ohlc_buckets" -> """
+      SELECT event_type,
+        time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP))
+          AS bucket_start,
+        first(value ORDER BY ts, event_id) AS open,
+        max(value) AS high, min(value) AS low,
+        last(value ORDER BY ts, event_id) AS close,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2 ORDER BY event_type, bucket_start""",
+    // mirrors WindowOps.eventPaths: two leads over one per-user window,
+    // hash-agg on the step tuple, top-k by (n desc, path asc)
+    "event_paths" -> """
+      WITH o AS (SELECT user_id, event_type AS s0,
+          lead(event_type, 1) OVER w AS s1,
+          lead(event_type, 2) OVER w AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+          ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)),
+      c AS (SELECT s0 || ' -> ' || s1 || ' -> ' || s2 AS path,
+          CAST(count(*) AS BIGINT) AS n
+        FROM o WHERE s1 IS NOT NULL AND s2 IS NOT NULL GROUP BY 1)
+      SELECT path, n FROM c ORDER BY n DESC, path ASC LIMIT 20""",
+    "sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev
+         FROM events),
+         st AS (SELECT user_id, event_id, ts,
+           CASE WHEN prev IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS s
+         FROM o)
+         SELECT user_id, event_id,
+           CAST(sum(s) OVER (PARTITION BY user_id
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM st ORDER BY user_id, event_id""",
+    // mirrors WindowOps.latestPerKey: greatest (ts, event_id) per user
+    "latest_event" ->
+      """SELECT user_id, event_id, event_type, value
+         FROM events WHERE ts IS NOT NULL
+         QUALIFY row_number() OVER (PARTITION BY user_id
+           ORDER BY ts DESC, event_id DESC) = 1
+         ORDER BY user_id""",
+    // mirrors WindowOps.cumulativeDistinct: first-occurrence flags per
+    // (key, value) in event order, running-summed per key
+    "cumulative_distinct" ->
+      """WITH f AS (SELECT user_id, event_id, event_type, ts,
+           CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) = 1
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS fst
+         FROM events)
+         SELECT user_id, event_id, event_type,
+           CAST(sum(fst) OVER (PARTITION BY user_id
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_so_far
+         FROM f ORDER BY user_id, event_id""",
+    // the sessionize CTE with the per-session rollup on top — duration
+    // uses the SAME truncated-epoch arithmetic as the gap criterion
+    "session_stats" ->
+      """WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev
+         FROM events),
+         st AS (SELECT user_id, event_id, ts,
+           CASE WHEN prev IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS s
+         FROM o),
+         sess AS (SELECT user_id, event_id, ts,
+           CAST(sum(s) OVER (PARTITION BY user_id
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+         FROM st)
+         SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(floor(epoch(max(ts))) AS BIGINT)
+             - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    // Mirrors TemporalOps.asOfJoin's union+window shape exactly (DuckDB's
+    // ASOF JOIN leaves equal-timestamp tie-breaks unspecified; the window
+    // form pins them). CAST(ts AS TIMESTAMP) truncates the fixture's nanos
+    // to micros the same way SparkEntry.table does.
+    "asof_join" -> """
+      WITH u AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
+               event_id AS tb,
+               event_id AS r_event_id, value AS r_value,
+               NULL::BIGINT AS l_event_id
+        FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP), 1, NULL, NULL, NULL, event_id
+        FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT user_id, side, l_event_id,
+              last_value(r_event_id IGNORE NULLS) OVER w AS asof_event_id,
+              last_value(r_value IGNORE NULLS) OVER w AS asof_value
+            FROM u
+            WINDOW w AS (PARTITION BY user_id
+              ORDER BY t ASC NULLS FIRST, side ASC, tb ASC NULLS FIRST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT l_event_id AS event_id, user_id, asof_event_id, asof_value
+      FROM m WHERE side = 1 ORDER BY user_id, event_id""",
+    // sequential funnel — mirrors WindowOps.eventFunnel: per-step
+    // first-qualifying-occurrence CTE chain, strictly-after ordering,
+    // one division for the conversion rate
+    "event_funnel" -> """
+      WITH ev AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t,
+          event_type AS e
+        FROM events WHERE ts IS NOT NULL),
+      s0 AS (SELECT u, min(t) AS pt FROM ev WHERE e = 'view' GROUP BY u),
+      s1 AS (SELECT ev.u, min(ev.t) AS pt FROM ev JOIN s0 USING (u)
+        WHERE ev.e = 'click' AND ev.t > s0.pt GROUP BY ev.u),
+      s2 AS (SELECT ev.u, min(ev.t) AS pt FROM ev JOIN s1 USING (u)
+        WHERE ev.e = 'purchase' AND ev.t > s1.pt GROUP BY ev.u),
+      c AS (
+        SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name,
+          CAST(count(*) AS BIGINT) AS users FROM s0
+        UNION ALL SELECT 1, 'click', count(*) FROM s1
+        UNION ALL SELECT 2, 'purchase', count(*) FROM s2),
+      n0 AS (SELECT users AS entered FROM c WHERE step = 0)
+      SELECT step, step_name, users,
+        CASE WHEN entered = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(users AS DOUBLE) / CAST(entered AS DOUBLE) END
+          AS conversion
+      FROM c CROSS JOIN n0 ORDER BY step""",
+    // cohort retention — mirrors WindowOps.cohortRetention: Monday-start
+    // week truncs on both engines, whole-week offsets, distinct users
+    "cohort_retention" -> """
+      WITH ev AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t
+        FROM events WHERE ts IS NOT NULL),
+      f AS (SELECT u, CAST(date_trunc('week', min(t)) AS DATE) AS cw
+        FROM ev GROUP BY u)
+      SELECT cw AS cohort_week,
+        CAST(datediff('day', cw, CAST(date_trunc('week', t) AS DATE)) / 7
+          AS BIGINT) AS week_offset,
+        CAST(count(DISTINCT u) AS BIGINT) AS active_users
+      FROM ev JOIN f USING (u)
+      GROUP BY cw, week_offset
+      ORDER BY cohort_week, week_offset""",
+    // Forward as-of + tolerance — mirrors TemporalOps.asOfJoin
+    // (direction = forward): the same union+window on the REVERSED time
+    // axis (earlier-wins tie-break there), matched timestamp carried for
+    // the tolerance CASE
+    // both directional window passes replayed over one union frame,
+    // then the closer candidate per purchase, equidistant ties backward
+    // — mirrors the nearest branch op for op
+    "asof_join_nearest" -> """
+      WITH u AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
+               event_id AS tb,
+               event_id AS r_event_id, value AS r_value,
+               CAST(ts AS TIMESTAMP) AS r_mt,
+               NULL::BIGINT AS l_event_id
+        FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP), 1, NULL, NULL, NULL, NULL,
+               event_id
+        FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT user_id, side, l_event_id, t,
+              last_value(r_event_id IGNORE NULLS) OVER wb AS b_id,
+              last_value(r_value IGNORE NULLS) OVER wb AS b_val,
+              last_value(r_mt IGNORE NULLS) OVER wb AS b_mt,
+              last_value(r_event_id IGNORE NULLS) OVER wf AS f_id,
+              last_value(r_value IGNORE NULLS) OVER wf AS f_val,
+              last_value(r_mt IGNORE NULLS) OVER wf AS f_mt
+            FROM u
+            WINDOW wb AS (PARTITION BY user_id
+              ORDER BY t ASC NULLS FIRST, side ASC, tb ASC NULLS FIRST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (PARTITION BY user_id
+              ORDER BY t DESC NULLS FIRST, side ASC, tb DESC NULLS LAST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT l_event_id AS event_id, user_id,
+        CASE WHEN b_mt IS NULL THEN f_id WHEN f_mt IS NULL THEN b_id
+          WHEN epoch_us(t) - epoch_us(b_mt) <= epoch_us(f_mt) - epoch_us(t)
+          THEN b_id ELSE f_id END AS asof_event_id,
+        CASE WHEN b_mt IS NULL THEN f_val WHEN f_mt IS NULL THEN b_val
+          WHEN epoch_us(t) - epoch_us(b_mt) <= epoch_us(f_mt) - epoch_us(t)
+          THEN b_val ELSE f_val END AS asof_value
+      FROM m WHERE side = 1 ORDER BY user_id, event_id""",
+    "asof_join_fwd" -> """
+      WITH u AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
+               event_id AS tb,
+               event_id AS r_event_id, value AS r_value,
+               CAST(ts AS TIMESTAMP) AS r_t,
+               NULL::BIGINT AS l_event_id
+        FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP), 1, NULL, NULL, NULL, NULL,
+               event_id
+        FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT user_id, side, l_event_id, t,
+              last_value(r_event_id IGNORE NULLS) OVER w AS a_event_id,
+              last_value(r_value IGNORE NULLS) OVER w AS a_value,
+              last_value(r_t IGNORE NULLS) OVER w AS a_t
+            FROM u
+            WINDOW w AS (PARTITION BY user_id
+              ORDER BY t DESC NULLS FIRST, side ASC, tb DESC NULLS LAST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT l_event_id AS event_id, user_id,
+        CASE WHEN a_t IS NOT NULL
+               AND abs(epoch_us(t) - epoch_us(a_t)) <= 86400000000
+             THEN a_event_id END AS asof_event_id,
+        CASE WHEN a_t IS NOT NULL
+               AND abs(epoch_us(t) - epoch_us(a_t)) <= 86400000000
+             THEN a_value END AS asof_value
+      FROM m WHERE side = 1 ORDER BY user_id, event_id""",
+    // SCD2 — mirrors TemporalOps.scd2History: lag-compare change
+    // compression, lead interval close, both over (user, ts, event_id)
+    "scd2_history" -> """
+      WITH src AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+          event_id
+        FROM events WHERE ts IS NOT NULL),
+      o AS (SELECT *, lag(event_type) OVER w AS prev,
+          CASE WHEN lag(t) OVER w IS NULL THEN true ELSE false END AS first
+        FROM src
+        WINDOW w AS (PARTITION BY user_id
+          ORDER BY t ASC NULLS FIRST, event_id ASC NULLS FIRST)),
+      kept AS (SELECT * FROM o
+        WHERE first OR event_type IS DISTINCT FROM prev),
+      v AS (SELECT user_id, event_type, t,
+          lead(t) OVER (PARTITION BY user_id
+            ORDER BY t ASC NULLS FIRST, event_id ASC NULLS FIRST) AS vt
+        FROM kept)
+      SELECT user_id, event_type,
+        epoch_us(t) AS valid_from_us, epoch_us(vt) AS valid_to_us,
+        CASE WHEN vt IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+          AS is_current
+      FROM v
+      ORDER BY user_id, valid_from_us, valid_to_us, event_type, is_current""",
+    // the plain non-equi overlap join the bucket-exploded equi-join
+    // provably equals; half-open [s, e) overlap, integer overlap_us
+    "interval_join" -> """
+      WITH iv AS (SELECT event_id, user_id, event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+          epoch_us(CAST(ts AS TIMESTAMP))
+            + (event_id % 14400 + 1800) * 1000000 AS e
+        FROM events WHERE ts IS NOT NULL)
+      SELECT a.event_id AS signup_id, b.event_id AS purchase_id,
+        a.user_id,
+        CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+      FROM iv a JOIN iv b ON a.user_id = b.user_id
+      WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+        AND a.s < b.e AND b.s < a.e
+      ORDER BY a.user_id, signup_id, purchase_id""",
+    // the merge result spelled out set-wise: untouched snapshot keys +
+    // upserted latest changes; deletes vanish (each key has exactly one
+    // change in this stream, so last-wins needs no dedup here)
+    "apply_changes" -> """
+      WITH snap AS (SELECT c_custkey, c_name, c_mktsegment
+          FROM customer WHERE c_custkey <= 1000),
+      chg AS (SELECT c_custkey, c_name,
+          c_mktsegment || '_V2' AS c_mktsegment,
+          CASE WHEN c_custkey % 2 = 1 THEN 'U' ELSE 'D' END AS op
+        FROM customer WHERE c_custkey > 500)
+      SELECT c_custkey, c_name, c_mktsegment FROM snap
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment FROM chg WHERE op = 'U'
+      ORDER BY c_custkey""",
+    // mirrors WindowOps.timeWeightedAvg: lead-derived holding
+    // durations, exact integer v*dur sums, one final division; last
+    // events carry no weight, zero-duration keys emit NULL
+    "twa_value" -> """
+      WITH e AS (SELECT user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          CAST(round(value * 1e2, 0) AS BIGINT) AS v, event_id
+        FROM events WHERE ts IS NOT NULL),
+      d AS (SELECT user_id, v,
+          lead(us) OVER (PARTITION BY user_id
+            ORDER BY us ASC, event_id ASC) - us AS dur
+        FROM e),
+      a AS (SELECT user_id, CAST(sum(v * dur) AS BIGINT) AS wv,
+          CAST(sum(dur) AS BIGINT) AS dur_us
+        FROM d WHERE dur IS NOT NULL GROUP BY 1)
+      SELECT user_id,
+        CASE WHEN dur_us = 0 THEN NULL
+             ELSE CAST(wv AS DOUBLE) / CAST(dur_us AS DOUBLE) END AS twa,
+        dur_us
+      FROM a ORDER BY user_id""",
+    // mirrors WindowOps.rollingAgg: same ROWS frame; integral cent sums
+    // are order-free; the mean is true division (BIGINT / -> DOUBLE in
+    // DuckDB, long/long -> double in Spark)
+    "rolling_agg" -> """
+      WITH e AS (SELECT user_id, ts, event_id,
+          CAST(round(value * 1e2, 0) AS BIGINT) AS v FROM events)
+      SELECT user_id, event_id, v,
+        CAST(sum(v) OVER w AS BIGINT) AS rolling_sum,
+        CAST(count(v) OVER w AS BIGINT) AS rolling_n,
+        CAST(sum(v) OVER w AS BIGINT) / CAST(count(v) OVER w AS BIGINT)
+          AS rolling_mean
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
+    // mirrors WindowOps.ewmaSmooth: y1 = v1, yi = a*vi + b*y(i-1) as a
+    // recursive CTE — the identical two-multiply-one-add step, with the
+    // Scala-printed double constants so both engines fold the same bits
+    "ewma_value" -> s"""
+      WITH RECURSIVE o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC) AS i
+        FROM events WHERE ts IS NOT NULL),
+      r AS (
+        SELECT user_id, ts, event_id, value, i, value AS ewma
+        FROM o WHERE i = 1
+        UNION ALL
+        SELECT o.user_id, o.ts, o.event_id, o.value, o.i,
+          ${0.3} * o.value + ${1.0 - 0.3} * r.ewma
+        FROM o JOIN r ON o.user_id = r.user_id AND o.i = r.i + 1)
+      SELECT user_id, ts, event_id, value, ewma
+      FROM r ORDER BY user_id, ts, event_id""",
+    // mirrors TemporalOps.resample: integer bucket index, per-bucket
+    // latest value by (ts, event_id), generate_series spine per user,
+    // IGNORE NULLS last_value forward fill — values never aggregated
+    "resample_ffill" -> """
+      WITH e AS (SELECT user_id, value, event_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE ts IS NOT NULL),
+      e2 AS (SELECT *, (us - (us % 21600000000)) // 21600000000 AS bi FROM e),
+      agg AS (SELECT user_id, bi, CAST(count(*) AS BIGINT) AS n_events
+        FROM e2 GROUP BY 1, 2),
+      lastv AS (SELECT user_id, bi, value AS v_last FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, bi
+            ORDER BY us DESC, event_id DESC) AS rn FROM e2)
+        WHERE rn = 1),
+      sp AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bi
+        FROM (SELECT user_id, min(bi) AS mn, max(bi) AS mx
+              FROM agg GROUP BY 1)),
+      j AS (SELECT sp.user_id, sp.bi,
+          coalesce(agg.n_events, CAST(0 AS BIGINT)) AS n_events, lastv.v_last
+        FROM sp LEFT JOIN agg ON sp.user_id = agg.user_id AND sp.bi = agg.bi
+        LEFT JOIN lastv ON sp.user_id = lastv.user_id AND sp.bi = lastv.bi)
+      SELECT user_id, make_timestamp(bi * 21600000000) AS bucket_ts,
+        n_events, v_last,
+        last_value(v_last IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY bi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS v_ffill
+      FROM j ORDER BY user_id, bucket_ts""",
+    "band_join" -> """
+      SELECT a.event_id AS signup_id, b.event_id AS purchase_id, a.user_id,
+        epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS delta_us
+      FROM events a JOIN events b ON a.user_id = b.user_id
+      WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+        AND epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))
+            BETWEEN 0 AND 3600000000
+      ORDER BY a.user_id, signup_id, purchase_id""",
+    "events_time_buckets" ->
+      """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type, count(*) AS event_count
+         FROM events
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // IS DISTINCT FROM is the null-safe struct compare the Spark side
+    // spells <=>; unchanged keys are absent by construction
+    "snapshot_diff" -> """
+      WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey % 3 <> 0),
+      a AS (SELECT o_orderkey, o_orderstatus,
+              CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1e0
+                   ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 4 <> 0)
+      , d AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        CASE WHEN b.o_orderkey IS NULL THEN 'added'
+             WHEN a.o_orderkey IS NULL THEN 'removed'
+             WHEN (b.o_orderstatus, b.o_totalprice) IS DISTINCT FROM
+                  (a.o_orderstatus, a.o_totalprice) THEN 'changed'
+        END AS change_type
+        FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+      SELECT o_orderkey, change_type FROM d
+      WHERE change_type IS NOT NULL
+      ORDER BY o_orderkey""",
+    "temporal_split" -> """
+      SELECT event_id,
+        CASE WHEN ts IS NULL THEN NULL
+             WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+               THEN 'train'
+             WHEN epoch_us(CAST(ts AS TIMESTAMP)) >=
+                  epoch_us(TIMESTAMP '2024-01-20 00:00:00') + 86400000000
+               THEN 'test'
+             ELSE 'embargo' END AS split
+      FROM events ORDER BY event_id""",
+    "page_rank" -> pageRankSql(
+      s"SELECT s, d, CAST(1 AS DOUBLE) AS w FROM ($graphEdgesSql)",
+      iterations = 3, damping = 0.85),
+    "page_rank_weighted" -> pageRankSql(
+      weightedGraphEdgesSql, iterations = 3, damping = 0.85),
+    "degree_stats" -> s"""
+      WITH e AS ($graphEdgesSql),
+      o AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS out_degree
+            FROM e GROUP BY 1),
+      i AS (SELECT d AS node, CAST(count(*) AS BIGINT) AS in_degree
+            FROM e GROUP BY 1)
+      SELECT node, coalesce(out_degree, 0) AS out_degree,
+        coalesce(in_degree, 0) AS in_degree,
+        coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
+      FROM o FULL OUTER JOIN i USING (node) ORDER BY node""",
+    // id-ordered triple join finds the same triangle set the
+    // degree-ordered orientation does (the ALGORITHM differs, the
+    // COUNT cannot); clustering is one exact-integer division
+    "triangle_stats" -> s"""
+      WITH e AS ($graphEdgesSql),
+      und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+              FROM e),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+          (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY node),
+      tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+      pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM
+          (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+           UNION ALL SELECT z FROM tri)
+        GROUP BY node)
+      SELECT deg.node, degree, coalesce(triangles, 0) AS triangles,
+        CASE WHEN degree < 2 THEN NULL
+             ELSE CAST(2 * coalesce(triangles, 0) AS DOUBLE)
+                  / CAST(degree * (degree - 1) AS DOUBLE)
+        END AS clustering
+      FROM deg LEFT JOIN pn USING (node) ORDER BY node""",
+  )
+}

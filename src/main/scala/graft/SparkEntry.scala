@@ -296,7 +296,7 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "disc_price")
     },
     // ---- EP1 composed pipeline -------------------------------------------
-    "pipeline_flagship" -> { (s, dir) =>
+    "pipeline_relational" -> { (s, dir) =>
       val filtered = Ops.filterByRange("l_quantity", 5, 45)(table(s, dir, "lineitem"))
       val joined = Ops.joinDetails(table(s, dir, "orders"), "l_orderkey",
         "o_orderkey", broadcastDetail = false)(filtered)
@@ -499,7 +499,7 @@ object SparkEntry {
          l_extendedprice * (1 - l_discount) AS disc_price
          FROM lineitem
          ORDER BY l_orderkey, l_linenumber, l_extendedprice, disc_price""",
-    "pipeline_flagship" ->
+    "pipeline_relational" ->
       """SELECT o_orderpriority,
          sum(l_quantity) AS l_quantity_sum,
          avg(l_quantity) AS l_quantity_average,
