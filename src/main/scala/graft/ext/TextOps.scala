@@ -2411,7 +2411,6 @@ object TextOps {
       idField: String, textField: String,
       queries: DataFrame, queryIdField: String, termsField: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75)(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k must be positive, got $k")
     val posts = df
       .select(col(idField).as("__doc"), explode(tokens(col(textField))).as("__t"))
@@ -2423,15 +2422,30 @@ object TextOps {
       sum(col("__dl")).as("__sumdl"))
     val dfreq = posts.groupBy(col("__t"))
       .agg(count(lit(1)).cast("double").as("__df"))
+    bm25ScoreTopK(posts.join(dl, "__doc"), dfreq, stats,
+      queries, queryIdField, termsField, idField, k, k1, b)
+  }
+
+  /** The shared BM25 scoring core — one expression tree consumed by BOTH
+    * the live-corpus form ([[bm25BatchTopK]]) and the stored-index form
+    * ([[bm25ServeTopK]], and its streaming wrapper), so the two paths
+    * CANNOT disagree (the foreachBatch-serve doctrine applied to the
+    * lexical leg). `postsDl` = (__doc, __t, __tf, __dl) posting rows,
+    * `dfreq` = (__t, __df), `stats` = ONE row (__n, __sumdl). */
+  private def bm25ScoreTopK(
+      postsDl: DataFrame, dfreq: DataFrame, stats: DataFrame,
+      queries: DataFrame, queryIdField: String, termsField: String,
+      outId: String, k: Int, k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
     val qt = queries.select(col(queryIdField).as("query_id"),
       explode(array_distinct(col(termsField))).as("__t"))
     val avgdl = col("__sumdl") / col("__n")
     val idf = (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))
     val termScore = idf * (col("__tf") * lit(k1 + 1.0)) /
       (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl") / avgdl)))
-    qt.join(posts, "__t")
+    qt.join(postsDl, "__t")
       .join(dfreq, "__t")
-      .join(dl, "__doc")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("__doc"), col("__t"), termScore.as("__s"))
       .groupBy(col("query_id"), col("__doc"))
@@ -2443,8 +2457,63 @@ object TextOps {
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("__doc").asc)).cast("int"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("__doc").as(idField), col("score"),
+      .select(col("query_id"), col("__doc").as(outId), col("score"),
         col("rank"))
+  }
+
+  /** BM25 posting-index rows for a corpus: `(id, term, tf, dl)`, one row
+    * per distinct (doc, term) — the PERSISTED STATE of the lexical
+    * serving story, the [[graft.ext.Dedup.minhashIndexRows]] shape for
+    * BM25: build once per corpus ingest, store (bucket or partition by
+    * `term` so a serve's term equi-join prunes), and serve every future
+    * query batch against it without re-reading corpus text. Store
+    * [[bm25TermDf]] and [[bm25Stats]] beside it — serving reads all
+    * three and never re-aggregates the index. */
+  def bm25IndexRows(idField: String, textField: String)(
+      df: DataFrame): DataFrame = {
+    val posts = df
+      .select(col(idField).as("id"), explode(tokens(col(textField))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    posts.join(
+      posts.groupBy(col("id")).agg(sum(col("tf")).as("dl")), "id")
+      .select("id", "term", "tf", "dl")
+  }
+
+  /** Per-term document frequencies of a posting index — stored beside
+    * [[bm25IndexRows]] so serving never re-aggregates the index. */
+  def bm25TermDf(index: DataFrame): DataFrame =
+    index.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+
+  /** Corpus constants of a posting index, as ONE row `(n_docs, sum_dl)`
+    * — integer-in-double counts, order-immune. Stored beside the index. */
+  def bm25Stats(index: DataFrame): DataFrame =
+    index.select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+
+  /** BM25 retrieval against a STORED posting index — the serving form
+    * of [[bm25BatchTopK]]: same scoring core, but postings/df/stats
+    * arrive from storage instead of a corpus scan, so a query batch
+    * costs Σ_t df(t) posting rows (pruned by the term equi-join when
+    * the index is term-bucketed) and never touches corpus text.
+    * Parity with the live-corpus form is STRUCTURAL (shared core) and
+    * spec-pinned bit-for-bit. `index`/`termDf`/`stats` are the frames
+    * [[bm25IndexRows]]/[[bm25TermDf]]/[[bm25Stats]] wrote. */
+  def bm25ServeTopK(
+      index: DataFrame, termDf: DataFrame, stats: DataFrame,
+      queries: DataFrame, queryIdField: String, termsField: String,
+      outId: String = "doc_id", k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(index.columns.toSeq == Seq("id", "term", "tf", "dl"),
+      s"index must be bm25IndexRows (id, term, tf, dl) — got " +
+        index.columns.mkString(", "))
+    bm25ScoreTopK(
+      index.select(col("id").as("__doc"), col("term").as("__t"),
+        col("tf").as("__tf"), col("dl").as("__dl")),
+      termDf.select(col("term").as("__t"), col("df").as("__df")),
+      stats.select(col("n_docs").as("__n"), col("sum_dl").as("__sumdl")),
+      queries, queryIdField, termsField, outId, k, k1, b)
   }
 
   /** Train the linear classifier's weights from LABELED documents —

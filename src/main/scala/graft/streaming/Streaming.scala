@@ -872,6 +872,38 @@ object Streaming {
       }
       .start()
 
+  /** Streaming BM25 serving — the LEXICAL leg of the serving story
+    * [[streamingIvfPqServe]] opened for the dense leg: micro-batches of
+    * `(queryId, array<term>)` rows answered against the STORED posting
+    * index ([[graft.ext.TextOps.bm25IndexRows]] + `bm25TermDf` +
+    * `bm25Stats`) via the batch [[graft.ext.TextOps.bm25ServeTopK]]
+    * VERBATIM inside foreachBatch — batch and streaming retrieval share
+    * one scoring core and CANNOT disagree (spec-pinned anyway). Per
+    * micro-batch the cost is Σ_t df(t) posting rows via the term
+    * equi-join (term-bucketed index → pruned scan); corpus text is
+    * never touched. `post` composes the hybrid story: pass a
+    * [[graft.ext.Similarity.rrfFuse]] against the dense leg's answers
+    * for fused serving (the spec does exactly this). Same foreachBatch
+    * rationale and at-least-once caveat as the dense leg. */
+  def streamingBm25Serve(
+      queries: DataFrame,
+      queryIdField: String, termsField: String,
+      index: DataFrame, termDf: DataFrame, stats: DataFrame,
+      outId: String = "doc_id", k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      post: DataFrame => DataFrame = identity)(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty)
+          sink(post(graft.ext.TextOps.bm25ServeTopK(
+            index, termDf, stats, batch, queryIdField, termsField,
+            outId, k, k1, b)), epoch)
+      }
+      .start()
+
   /** Streaming SCD2 maintenance — the incremental form of
     * [[graft.ops.TemporalOps.scd2History]]: per key, the state store
     * holds the CURRENT version (one tiny struct per key); each

@@ -960,6 +960,67 @@ class StreamingSpec extends SparkSpec {
       mmrPost(expect).collect().toSeq.sortBy(key))
   }
 
+  test("streamingBm25Serve answers micro-batch queries == batch bm25BatchTopK; RRF post fuses the dense leg") {
+    import graft.ext.{Similarity, TextOps}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.Row
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // the STORED lexical index triad: postings + term df + constants —
+    // serving must answer from these, never re-reading corpus text
+    val index = TextOps.bm25IndexRows("doc_id", "text")(corpus)
+      .localCheckpoint()
+    val termDf = TextOps.bm25TermDf(index).localCheckpoint()
+    val stats = TextOps.bm25Stats(index).localCheckpoint()
+    val queryRows = Seq(
+      (0L, Seq("spark", "stream")),
+      (1L, Seq("vector", "merge", "window")))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val fusedCollected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    // the dense leg for the hybrid story: a fixed ranker keyed like the
+    // lexical output — rrfFuse is rank-only, so any (query_id, item_id,
+    // rank) frame composes
+    val denseLeg = Seq((0L, 42L, 1), (0L, 7L, 2), (1L, 7L, 1))
+      .toDF("query_id", "item_id", "rank").localCheckpoint()
+    // fuse only the dense answers for THIS batch's queries (fusion is
+    // per-query independent, so per-batch fusion == whole-run fusion)
+    def rrfPost(lex: org.apache.spark.sql.DataFrame) =
+      Similarity.rrfFuse(
+        lex.select(col("query_id"), col("doc_id").as("item_id"),
+          col("rank")),
+        denseLeg.join(lex.select("query_id").distinct(), "query_id"),
+        k0 = 60, topK = 5)
+    val input = MemoryStream[(Long, Seq[String])]
+    val stream = input.toDF().toDF("qid", "terms")
+    val q1 = Streaming.streamingBm25Serve(
+      stream, "qid", "terms", index, termDf, stats, k = 10)(
+      (res, _) => collected.synchronized { collected ++= res.collect() })
+    val q2 = Streaming.streamingBm25Serve(
+      stream, "qid", "terms", index, termDf, stats, k = 10,
+      post = rrfPost)(
+      (res, _) => fusedCollected.synchronized {
+        fusedCollected ++= res.collect() })
+    try {
+      input.addData(queryRows.head)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      input.addData(queryRows(1)) // a later serving request
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    val batchQueries = queryRows.toDF("qid", "terms")
+    // bit-for-bit parity with the LIVE-corpus batch operator: the
+    // stored-index serve and the corpus scan share one scoring core
+    val expect = TextOps.bm25BatchTopK("doc_id", "text",
+      batchQueries, "qid", "terms", k = 10)(corpus)
+    def key(r: Row) = (r.getLong(0), r.getInt(r.fieldIndex("rank")))
+    assert(collected.sortBy(key).toSeq ===
+      expect.collect().toSeq.sortBy(key))
+    assert(collected.nonEmpty)
+    // hybrid serving: per-batch RRF fusion equals fusing the batch run
+    assert(fusedCollected.sortBy(key).toSeq ===
+      rrfPost(expect).collect().toSeq.sortBy(key))
+  }
+
   test("ohlcBuckets lifts to a stream: min_by/max_by aggregate in complete mode") {
     import org.apache.spark.sql.functions._
     val input = MemoryStream[(Timestamp, String, Double, Long)]
