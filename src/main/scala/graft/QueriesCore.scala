@@ -387,6 +387,21 @@ private[graft] object QueriesCore {
         .select("doc_id", "quality", "n_chars", "dup_score")
         .orderBy("doc_id")
     },
+    "pareto_3d_by_group" -> { (s, dir) =>
+      // per-language 3-D frontier: the grouped form of pareto_front_3d —
+      // dominance judged only within the same language, one independent
+      // SFS-fold front per group
+      val q = corpus(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.qualityScore(col("text")).as("quality"), col("n_chars"))
+        .withColumn("dup_score", col("doc_id") % 97)
+        .withColumn("__negc", -col("n_chars"))
+        .withColumn("__negd", -col("dup_score"))
+      Ops.paretoFrontNd(Seq("quality", "__negc", "__negd"),
+        groupCols = Seq("lang"))(q)
+        .select("lang", "doc_id", "quality", "n_chars", "dup_score")
+        .orderBy("lang", "doc_id")
+    },
     "theta_overlap" -> { (s, dir) =>
       // the set-algebra distinct state HLL structurally lacks: per-flag
       // supplier theta sketches, then pairwise intersection/difference
@@ -542,6 +557,20 @@ private[graft] object QueriesCore {
           AND (s.quality > r.quality OR s.n_chars < r.n_chars
             OR s.dup_score < r.dup_score))
       ORDER BY doc_id""",
+    // mirrors Ops.paretoFrontNd with groupCols = lang: dominance judged
+    // only within the same language
+    "pareto_3d_by_group" -> s"""
+      WITH q AS (SELECT d.doc_id, d.lang, qq.quality, d.n_chars,
+          d.doc_id % 97 AS dup_score
+        FROM documents d JOIN ($qualityPerDocSql) qq ON d.doc_id = qq.doc_id)
+      SELECT lang, doc_id, quality, n_chars, dup_score FROM q r
+      WHERE NOT EXISTS (SELECT 1 FROM q s
+        WHERE s.lang = r.lang
+          AND s.quality >= r.quality AND s.n_chars <= r.n_chars
+          AND s.dup_score <= r.dup_score
+          AND (s.quality > r.quality OR s.n_chars < r.n_chars
+            OR s.dup_score < r.dup_score))
+      ORDER BY lang, doc_id""",
     // md5-prefix hash order per language partition, doc_id tie-break —
     // mirrors Ops.quotaSample exactly
     "quota_sample" ->

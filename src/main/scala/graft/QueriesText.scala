@@ -160,6 +160,22 @@ private[graft] object QueriesText {
         k = 5)(corpus(s, dir, "documents"))
         .orderBy("query_id", "rank")
     },
+    "bm25_serve" -> { (s, dir) =>
+      // the STORED-index serving path in the driver gate: build the
+      // posting triad once, then answer a query batch from it — must
+      // hash-match the same scoring core the live-corpus form compiles
+      import s.implicits._
+      val index = TextOps.bm25IndexRows("doc_id", "text")(
+        corpus(s, dir, "documents"))
+      val queries = Seq(
+        (0L, Seq("spark", "window")),
+        (1L, Seq("customer", "stream")),
+        (2L, Seq("merge"))
+      ).toDF("query_id", "terms")
+      TextOps.bm25ServeTopK(index, TextOps.bm25TermDf(index),
+        TextOps.bm25Stats(index), queries, "query_id", "terms", k = 4)
+        .orderBy("query_id", "rank")
+    },
     "token_budget_mix" -> { (s, dir) =>
       // data mixing: deterministic 1000-token budget per source (prefix
       // of the md5 shuffle order)
@@ -1113,6 +1129,35 @@ private[graft] object QueriesText {
         CAST(row_number() OVER (PARTITION BY query_id
           ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
       FROM agg QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // the stored-index serve replays the identical posting/df/stats
+    // derivation — serving from storage must equal the corpus scan
+    "bm25_serve" -> s"""
+      WITH posts AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t
+              FROM documents) u
+        GROUP BY doc_id, t),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM posts GROUP BY doc_id),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl FROM dl),
+      dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM posts GROUP BY t),
+      q(query_id, terms) AS (VALUES
+        (CAST(0 AS BIGINT), ['spark', 'window']),
+        (1, ['customer', 'stream']),
+        (2, ['merge'])),
+      qt AS (SELECT query_id, unnest(list_distinct(terms)) AS t FROM q),
+      scored AS (SELECT query_id, doc_id, t,
+          ((n - df) + ${litD(0.5)}) / (df + ${litD(0.5)})
+            * (tf * ${litD(1.2 + 1.0)})
+            / (tf + ${litD(1.2)} * (${litD(1.0 - 0.75)} + ${litD(0.75)} * (dl / (sumdl / n)))) AS s
+        FROM qt JOIN posts USING (t) JOIN dfq USING (t)
+          JOIN dl USING (doc_id) CROSS JOIN stats),
+      agg AS (SELECT query_id, doc_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s ORDER BY t)),
+            (a, x) -> a + x) AS score
+        FROM scored GROUP BY query_id, doc_id)
+      SELECT query_id, doc_id, score,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+      FROM agg QUALIFY rank <= 4 ORDER BY query_id, rank""",
     // prefix of the per-source md5 shuffle order with cumulative tokens
     // <= budget — mirrors TextOps.tokenBudgetMix(salt = "mix")
     "token_budget_mix" -> TokenBudgetMixSql,

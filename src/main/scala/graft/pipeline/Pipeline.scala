@@ -71,11 +71,13 @@ final case class Pipeline(df: DataFrame) {
   def percentileAgg(keys: Seq[String], field: String, ps: Seq[Double]): Pipeline =
     >>(Ops.percentileAgg(keys, field, ps))
   def winsorize(keys: Seq[String], field: String, pLow: Double,
-      pHigh: Double, outField: String = ""): Pipeline =
-    >>(Ops.winsorize(keys, field, pLow, pHigh, outField))
+      pHigh: Double, outField: String = "", approx: Boolean = false,
+      accuracy: Int = 10000): Pipeline =
+    >>(Ops.winsorize(keys, field, pLow, pHigh, outField, approx, accuracy))
   def equalFreqBins(keys: Seq[String], field: String, bins: Int,
-      target: String = ""): Pipeline =
-    >>(Ops.equalFreqBins(keys, field, bins, target))
+      target: String = "", approx: Boolean = false,
+      accuracy: Int = 10000): Pipeline =
+    >>(Ops.equalFreqBins(keys, field, bins, target, approx, accuracy))
   def minMaxNormalize(keys: Seq[String], field: String,
       target: String = ""): Pipeline =
     >>(Ops.minMaxNormalize(keys, field, target))
@@ -85,8 +87,9 @@ final case class Pipeline(df: DataFrame) {
   def modeAgg(keys: Seq[String], field: String): Pipeline =
     >>(Ops.modeAgg(keys, field))
   def robustZScore(keys: Seq[String], field: String,
-      target: String = ""): Pipeline =
-    >>(Ops.robustZScore(keys, field, target))
+      target: String = "", approx: Boolean = false,
+      accuracy: Int = 10000): Pipeline =
+    >>(Ops.robustZScore(keys, field, target, approx, accuracy))
   def weightedSample(groupField: String, keyField: String,
       weightField: String, n: Int, salt: String = ""): Pipeline =
     >>(Ops.weightedSample(groupField, keyField, weightField, n, salt))
@@ -289,6 +292,11 @@ final case class Pipeline(df: DataFrame) {
   def bm25TopK(idField: String, textField: String, queryTerms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): Pipeline =
     >>(TextOps.bm25TopK(idField, textField, queryTerms, k, k1, b))
+  def bm25ServeTopK(index: DataFrame, termDf: DataFrame, stats: DataFrame,
+      queryIdField: String, termsField: String, outId: String = "doc_id",
+      k: Int, k1: Double = 1.2, b: Double = 0.75): Pipeline =
+    >>(q => TextOps.bm25ServeTopK(index, termDf, stats, q,
+      queryIdField, termsField, outId, k, k1, b))
   def bm25BatchTopK(idField: String, textField: String, queries: DataFrame,
       queryIdField: String, termsField: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): Pipeline =
@@ -631,6 +639,9 @@ final case class Pipeline(df: DataFrame) {
   def paretoFront(xField: String, yField: String,
       buckets: Int = 64): Pipeline =
     >>(Ops.paretoFront(xField, yField, buckets))
+  def paretoFrontNd(fields: Seq[String], buckets: Int = 64,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Ops.paretoFrontNd(fields, buckets, groupCols))
   def labelAgreement(labelA: Column, labelB: Column): Pipeline =
     >>(Probes.labelAgreement(labelA, labelB))
   def scoreCalibration(score: Column, label: Column, bins: Int = 10,
@@ -641,8 +652,9 @@ final case class Pipeline(df: DataFrame) {
   def gini(groupCols: Seq[String], field: String): Pipeline =
     >>(Probes.gini(groupCols, field))
   def imputeMedian(field: String, keys: Seq[String] = Nil,
-      outField: String = ""): Pipeline =
-    >>(Ops.imputeMedian(field, keys, outField))
+      outField: String = "", approx: Boolean = false,
+      accuracy: Int = 10000): Pipeline =
+    >>(Ops.imputeMedian(field, keys, outField, approx, accuracy))
   def decayedCounts(keys: Seq[String], tsField: String,
       now: java.sql.Timestamp, halfLifeSeconds: Long,
       kMax: Int = 40): Pipeline =
