@@ -336,12 +336,15 @@ private[graft] object QueriesText {
         .unionByName(docs.filter(col("doc_id") < 50)
           .select((col("doc_id") + 100000).as("doc_id"), col("lang"),
             col("source"), col("text"), col("doc_id").as("page_id")))
+      // localCheckpoint at each fan-out: cleaned/lined/deduped are each
+      // consumed by TWO downstream legs, and without materialization
+      // Spark re-executes the whole upstream chain per consumer
       val cleaned = Pipeline(raw
           .select(col("doc_id"), col("lang"), col("source"),
             syntheticHtml(col("page_id"), col("text")).as("text")))
         .htmlExtract("text")
         .derive("text", TextOps.normalizeText(col("text")))
-        .result
+        .result.localCheckpoint()
       val passing = TextOps.gopherRules("doc_id", "text")(cleaned)
         .filter(col("passes_gopher") === 1).select("doc_id")
       val toks = split(coalesce(col("text"), lit("")), " ")
@@ -351,9 +354,11 @@ private[graft] object QueriesText {
             sequence(lit(0), ceil(size(toks) / lit(8.0)).cast("int") - 1),
             b => array_join(slice(toks, b * lit(8) + 1, lit(8)), " ")),
             "\n").as("text"))
+        .localCheckpoint()
       val deduped = Pipeline(lined)
         .dedupLines("doc_id", "text", minCount = 2).result
         .join(lined.select("doc_id", "lang", "source"), Seq("doc_id"))
+        .localCheckpoint()
       val seen = deduped.filter(col("doc_id") < 250)
         .select(TextOps.fingerprint(col("clean_text")).as("f")).distinct()
       Pipeline(deduped.filter(col("doc_id") >= 250))
