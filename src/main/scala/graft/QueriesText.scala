@@ -176,6 +176,23 @@ private[graft] object QueriesText {
         TextOps.bm25Stats(index), queries, "query_id", "terms", k = 4)
         .orderBy("query_id", "rank")
     },
+    "bm25_prf" -> { (s, dir) =>
+      // pseudo-relevance feedback: mine the top-5 feedback docs per
+      // query for the 8 strongest NEW expansion terms — the
+      // retrieve→expand→re-retrieve loop closed on the stored index
+      import s.implicits._
+      val index = TextOps.bm25IndexRows("doc_id", "text")(
+        corpus(s, dir, "documents"))
+      val queries = Seq(
+        (0L, Seq("spark", "stream")),
+        (1L, Seq("vector", "merge", "window")),
+        (2L, Seq("customer"))
+      ).toDF("query_id", "terms")
+      TextOps.bm25PrfTerms(index, TextOps.bm25TermDf(index),
+        TextOps.bm25Stats(index), queries, "query_id", "terms",
+        fbDocs = 5, fbTerms = 8)
+        .orderBy("query_id", "rank")
+    },
     "token_budget_mix" -> { (s, dir) =>
       // data mixing: deterministic 1000-token budget per source (prefix
       // of the md5 shuffle order)
@@ -1163,6 +1180,47 @@ private[graft] object QueriesText {
         CAST(row_number() OVER (PARTITION BY query_id
           ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
       FROM agg QUALIFY rank <= 4 ORDER BY query_id, rank""",
+    // the feedback loop replayed: bm25 top-5 per query, postings of the
+    // feedback docs, original terms anti-joined away, exact tf-sum
+    // weights, term-ascending tie-break
+    "bm25_prf" -> s"""
+      WITH posts AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t
+              FROM documents) u
+        GROUP BY doc_id, t),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM posts GROUP BY doc_id),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl FROM dl),
+      dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM posts GROUP BY t),
+      q(query_id, terms) AS (VALUES
+        (CAST(0 AS BIGINT), ['spark', 'stream']),
+        (1, ['vector', 'merge', 'window']),
+        (2, ['customer'])),
+      qt AS (SELECT query_id, unnest(list_distinct(terms)) AS t FROM q),
+      scored AS (SELECT query_id, doc_id, t,
+          ((n - df) + ${litD(0.5)}) / (df + ${litD(0.5)})
+            * (tf * ${litD(1.2 + 1.0)})
+            / (tf + ${litD(1.2)} * (${litD(1.0 - 0.75)} + ${litD(0.75)} * (dl / (sumdl / n)))) AS s
+        FROM qt JOIN posts USING (t) JOIN dfq USING (t)
+          JOIN dl USING (doc_id) CROSS JOIN stats),
+      agg AS (SELECT query_id, doc_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s ORDER BY t)),
+            (a, x) -> a + x) AS score
+        FROM scored GROUP BY query_id, doc_id),
+      top AS (SELECT query_id, doc_id FROM (
+          SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS rk FROM agg)
+        WHERE rk <= 5),
+      fb AS (SELECT tp.query_id, p.t AS term, p.tf
+        FROM top tp JOIN posts p ON tp.doc_id = p.doc_id
+        WHERE NOT EXISTS (SELECT 1 FROM qt
+          WHERE qt.query_id = tp.query_id AND qt.t = p.t)),
+      w AS (SELECT query_id, term, sum(tf) AS weight,
+          CAST(count(*) AS BIGINT) AS fb_df
+        FROM fb GROUP BY query_id, term)
+      SELECT query_id, term, weight, fb_df,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY weight DESC, term ASC) AS INTEGER) AS rank
+      FROM w QUALIFY rank <= 8 ORDER BY query_id, rank""",
     // prefix of the per-source md5 shuffle order with cumulative tokens
     // <= budget — mirrors TextOps.tokenBudgetMix(salt = "mix")
     "token_budget_mix" -> TokenBudgetMixSql,

@@ -2516,6 +2516,47 @@ object TextOps {
       queries, queryIdField, termsField, outId, k, k1, b)
   }
 
+  /** Pseudo-relevance-feedback query expansion (the RM1 shape) against
+    * the stored index — the missing loop in the retrieval story:
+    * retrieve → mine the top `fbDocs` feedback documents' postings for
+    * the `fbTerms` strongest NEW terms → feed the expanded bags back
+    * through [[bm25ServeTopK]] for the second pass. Expansion weight is
+    * the exact tf SUM across a query's feedback docs (integer-in-double
+    * — order-immune, oracle-exact; RM1's normalized relevance weighting
+    * is rank-equivalent per feedback set and float-ordered, the
+    * rational-idf doctrine applied again), `fb_df` counts how many
+    * feedback docs carry the term, original query terms are excluded
+    * (they are already in the query), rank ties break term-ascending.
+    * Output: `(query_id, term, weight, fb_df, rank)`.
+    *
+    * Scale shape: one [[bm25ServeTopK]] pass (Σ_t df(t) posting rows),
+    * then the feedback join touches |queries|·fbDocs index rows by doc
+    * id, one (query, term) hash-agg, and a WindowGroupLimit top-fbTerms
+    * — corpus text never read, never an all-pairs stage. */
+  def bm25PrfTerms(
+      index: DataFrame, termDf: DataFrame, stats: DataFrame,
+      queries: DataFrame, queryIdField: String, termsField: String,
+      fbDocs: Int = 5, fbTerms: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
+    val top = bm25ServeTopK(index, termDf, stats, queries,
+      queryIdField, termsField, outId = "id", k = fbDocs, k1 = k1, b = b)
+      .select(col("query_id"), col("id"))
+    val qTerms = queries.select(col(queryIdField).as("query_id"),
+      explode(array_distinct(col(termsField))).as("term"))
+    top.join(index, "id")
+      .join(qTerms, Seq("query_id", "term"), "left_anti")
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf")).as("weight"), count(lit(1)).as("fb_df"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("weight").desc, col("term").asc)).cast("int"))
+      .filter(col("rank") <= fbTerms)
+      .select("query_id", "term", "weight", "fb_df", "rank")
+  }
+
   /** Train the linear classifier's weights from LABELED documents —
     * the training half of the model-based quality gate
     * ([[linearTextScore]] is inference and consumes the result

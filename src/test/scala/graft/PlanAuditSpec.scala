@@ -52,6 +52,7 @@ class PlanAuditSpec extends SparkSpec {
     "bm25_topk",         // broadcast one-row (N, avgdl, df…) stats aggregate
     "bm25_batch",        // broadcast one-row (N, Σdl) stats aggregate
     "bm25_serve",        // same one-row stats broadcast, stored-index form
+    "bm25_prf",          // same stats broadcast inside its feedback pass
     "heavy_hitter_terms",  // broadcast one-row stream total (pass-1 Σn_p)
     "heavy_hitter_phrases", // same two-pass machinery over the gram stream
     "theta_overlap",     // broadcast |groups|-row sketch-state pair join

@@ -157,6 +157,39 @@ class SpanDedupSpec extends SparkSpec {
     assert(out === Array(1L, 2L))
   }
 
+  test("bm25PrfTerms: new-term mining from feedback docs, exact tf-sum weights") {
+    import graft.ext.TextOps
+    val docs = Seq(
+      (1L, "apple pie crust butter butter"),  // fb doc for "apple"
+      (2L, "apple pie sugar"),                // fb doc for "apple"
+      (3L, "plum tart almond"))               // no apple — never feedback
+      .toDF("doc_id", "text")
+    val index = TextOps.bm25IndexRows("doc_id", "text")(docs)
+    val queries = Seq((0L, Seq("apple"))).toDF("query_id", "terms")
+    val out = TextOps.bm25PrfTerms(index, TextOps.bm25TermDf(index),
+      TextOps.bm25Stats(index), queries, "query_id", "terms",
+      fbDocs = 2, fbTerms = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+    // "apple" itself is excluded; weights are exact tf sums across the
+    // two feedback docs: pie 1+1=2, butter 2, crust/sugar 1 — top-3 with
+    // weight-desc, term-asc ties
+    assert(out.toSeq === Seq(("butter", 2.0, 1L, 1), ("pie", 2.0, 2L, 2),
+      ("crust", 1.0, 1L, 3)))
+    assert(!out.exists(_._1 == "apple"))
+    // the loop closes: expanded bags feed straight back into the serve
+    val expanded = Seq((0L, Seq("apple", "butter", "pie")))
+      .toDF("query_id", "terms")
+    assert(TextOps.bm25ServeTopK(index, TextOps.bm25TermDf(index),
+      TextOps.bm25Stats(index), expanded, "query_id", "terms",
+      k = 3).count() > 0)
+    intercept[IllegalArgumentException] {
+      TextOps.bm25PrfTerms(index, TextOps.bm25TermDf(index),
+        TextOps.bm25Stats(index), queries, "query_id", "terms",
+        fbDocs = 0)
+    }
+  }
+
   test("bm25TopK refuses empty query terms and non-positive k") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
