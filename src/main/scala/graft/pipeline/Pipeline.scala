@@ -297,6 +297,11 @@ final case class Pipeline(df: DataFrame) {
       k: Int, k1: Double = 1.2, b: Double = 0.75): Pipeline =
     >>(q => TextOps.bm25ServeTopK(index, termDf, stats, q,
       queryIdField, termsField, outId, k, k1, b))
+  def bm25PrfTerms(index: DataFrame, termDf: DataFrame, stats: DataFrame,
+      queryIdField: String, termsField: String, fbDocs: Int = 5,
+      fbTerms: Int = 10, k1: Double = 1.2, b: Double = 0.75): Pipeline =
+    >>(q => TextOps.bm25PrfTerms(index, termDf, stats, q,
+      queryIdField, termsField, fbDocs, fbTerms, k1, b))
   def bm25BatchTopK(idField: String, textField: String, queries: DataFrame,
       queryIdField: String, termsField: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): Pipeline =

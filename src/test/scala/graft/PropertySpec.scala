@@ -224,6 +224,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("paretoFrontNd d=4 equals NOT-EXISTS dominance on random clouds") {
+    val cloudGen = Gen.listOfN(30, Gen.zip(
+      Gen.chooseNum(0, 4), Gen.chooseNum(0, 4),
+      Gen.chooseNum(0, 4), Gen.chooseNum(0, 4)))
+    draws(cloudGen, 3).zipWithIndex.foreach { case (pts, ci) =>
+      val df = pts.zipWithIndex
+        .map { case ((a, b, c, d), i) =>
+          (i.toLong, a.toDouble, b.toDouble, c.toDouble, d.toDouble) }
+        .toDF("id", "a", "b", "c", "d")
+      val brute = pts.zipWithIndex.collect { case ((a, b, c, d), i)
+        if !pts.exists { case (sa, sb, sc, sd) =>
+          sa >= a && sb >= b && sc >= c && sd >= d &&
+            (sa > a || sb > b || sc > c || sd > d) } => i.toLong }.toSet
+      Seq(1, 16).foreach { bk =>
+        val got = Ops.paretoFrontNd(Seq("a", "b", "c", "d"),
+          buckets = bk)(df)
+          .select("id").as[Long].collect().toSet
+        assert(got === brute, s"cloud=$ci buckets=$bk")
+      }
+    }
+  }
+
+  test("bm25PrfTerms invariants on random corpora: no query terms, ranked weights, fbTerms cap") {
+    import graft.ext.TextOps
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu")
+    val docGen = Gen.listOfN(12,
+      Gen.listOfN(8, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    draws(docGen, 3).zipWithIndex.foreach { case (texts, ci) =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val index = TextOps.bm25IndexRows("doc_id", "text")(docs)
+      val queries = Seq((0L, Seq("ant", "bee"))).toDF("query_id", "terms")
+      val out = TextOps.bm25PrfTerms(index, TextOps.bm25TermDf(index),
+        TextOps.bm25Stats(index), queries, "query_id", "terms",
+        fbDocs = 3, fbTerms = 4)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getDouble(2), r.getInt(4)))
+      assert(out.length <= 4, s"case $ci")                  // fbTerms cap
+      assert(!out.exists(t => t._1 == "ant" || t._1 == "bee"), s"case $ci")
+      assert(out.map(_._2).toSeq ===
+        out.map(_._2).sortBy(-_).toSeq, s"case $ci")        // weight desc
+      assert(out.map(_._3).toSeq === (1 to out.length), s"case $ci")
+    }
+  }
+
   test("proportionalAllocate: Σ == total and quota bounds on random weights") {
     val wGen = Gen.listOfN(12, Gen.chooseNum(0L, 50L))
     draws(wGen, 6).zipWithIndex.foreach { case (ws, ci) =>
