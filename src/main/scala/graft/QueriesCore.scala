@@ -387,6 +387,17 @@ private[graft] object QueriesCore {
         .select("doc_id", "quality", "n_chars", "dup_score")
         .orderBy("doc_id")
     },
+    "preference_pairs" -> { (s, dir) =>
+      // DPO-style preference-pair assembly: per language, pair the two
+      // best-quality docs with the two worst at a real score margin —
+      // best vs worst, 2nd-best vs 2nd-worst, rank-matched
+      val q = corpus(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.qualityScore(col("text")).as("quality"))
+      Ops.preferencePairs("lang", "doc_id", "quality",
+        minMargin = 0.05, pairsPerGroup = 2)(q)
+        .orderBy("lang", "chosen_id", "rejected_id")
+    },
     "pareto_3d_by_group" -> { (s, dir) =>
       // per-language 3-D frontier: the grouped form of pareto_front_3d —
       // dominance judged only within the same language, one independent
@@ -557,6 +568,25 @@ private[graft] object QueriesCore {
           AND (s.quality > r.quality OR s.n_chars < r.n_chars
             OR s.dup_score < r.dup_score))
       ORDER BY doc_id""",
+    // mirrors Ops.preferencePairs: mirrored rank windows (desc/id-asc vs
+    // asc/id-desc), rank-position join, self-pair exclusion, margin gate
+    "preference_pairs" -> s"""
+      WITH q AS (SELECT d.doc_id, d.lang, qq.quality
+        FROM documents d JOIN ($qualityPerDocSql) qq ON d.doc_id = qq.doc_id),
+      t AS (SELECT lang, doc_id, quality, row_number() OVER (
+          PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rk,
+          count(*) OVER (PARTITION BY lang) AS n
+        FROM q),
+      b AS (SELECT lang, doc_id, quality, row_number() OVER (
+          PARTITION BY lang ORDER BY quality ASC, doc_id DESC) AS rk
+        FROM q)
+      SELECT t.lang AS lang, t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+        t.quality AS chosen_score, b.quality AS rejected_score,
+        t.quality - b.quality AS margin
+      FROM t JOIN b ON t.lang = b.lang AND t.rk = b.rk
+      WHERE t.rk <= 2 AND b.rk <= 2 AND t.rk * 2 <= t.n
+        AND t.quality - b.quality >= ${litD(0.05)}
+      ORDER BY t.lang, chosen_id, rejected_id""",
     // mirrors Ops.paretoFrontNd with groupCols = lang: dominance judged
     // only within the same language
     "pareto_3d_by_group" -> s"""

@@ -1587,6 +1587,62 @@ object Ops {
       .drop("__med", "__mad")
   }
 
+  /** Preference-pair construction — the DPO/RLHF training-data
+    * assembly step: within each group (a prompt, a query, a dedup
+    * cluster), pair the `pairsPerGroup` HIGHEST-scoring rows (chosen)
+    * with the same number of LOWEST-scoring rows (rejected), matched
+    * by rank position (best vs worst, 2nd-best vs 2nd-worst, …), and
+    * keep pairs whose score margin reaches `minMargin` — zero-margin
+    * pairs are label noise for a preference objective, so set a real
+    * margin in production (the 0.0 default keeps the op total).
+    * Deterministic: chosen ranks break ties (score desc, id asc),
+    * rejected ranks mirror them (score asc, id desc); the top-k and
+    * bottom-k picks must not CROSS (pairs keep `2·rank ≤ group size`),
+    * so a row never pairs with itself, a pair never emits with its own
+    * mirror (contradictory labels for the same two rows), and a
+    * two-row group pairs exactly once at any `pairsPerGroup`;
+    * NULL scores/groups are excluded (they cannot be ranked).
+    * Output: `(group, chosen_id, rejected_id, chosen_score,
+    * rejected_score, margin)`.
+    *
+    * Scale shape: two rank windows over the same (group) partitioning
+    * — ONE shuffle, Spark reuses the exchange — each WindowGroupLimit-
+    * pruned to pairsPerGroup before the rank-position equi-join of two
+    * ≤ pairsPerGroup·|groups| frames. Never an in-group cross join:
+    * candidate volume is linear in groups, not quadratic in group
+    * size. */
+  def preferencePairs(
+      groupField: String, idField: String, scoreField: String,
+      minMargin: Double = 0.0, pairsPerGroup: Int = 1)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pairsPerGroup >= 1, s"pairsPerGroup must be >= 1: $pairsPerGroup")
+    require(minMargin >= 0.0, s"minMargin must be >= 0: $minMargin")
+    val base = df
+      .filter(col(scoreField).isNotNull && col(groupField).isNotNull)
+      .select(col(groupField).as("__g"), col(idField).as("__id"),
+        col(scoreField).as("__s"))
+    val byG = Window.partitionBy(col("__g"))
+    val top = base.withColumn("__rk", row_number().over(
+        byG.orderBy(col("__s").desc, col("__id").asc)))
+      .withColumn("__n", count(lit(1)).over(byG))
+      .filter(col("__rk") <= pairsPerGroup &&
+        col("__rk") * 2 <= col("__n")) // top/bottom picks must not cross
+      .select(col("__g"), col("__rk"), col("__id").as("chosen_id"),
+        col("__s").as("chosen_score"))
+    val bot = base.withColumn("__rk", row_number().over(
+        byG.orderBy(col("__s").asc, col("__id").desc)))
+      .filter(col("__rk") <= pairsPerGroup)
+      .select(col("__g"), col("__rk"), col("__id").as("rejected_id"),
+        col("__s").as("rejected_score"))
+    top.join(bot, Seq("__g", "__rk"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .filter(col("margin") >= minMargin)
+      .select(col("__g").as(groupField), col("chosen_id"),
+        col("rejected_id"), col("chosen_score"), col("rejected_score"),
+        col("margin"))
+  }
+
   /** Most frequent value of `field` per group, with its count —
     * deterministic: count ties break on the smaller value. NULLs are
     * never the mode (a missing value is not a value). Shape: one

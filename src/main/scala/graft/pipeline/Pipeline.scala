@@ -644,6 +644,11 @@ final case class Pipeline(df: DataFrame) {
   def paretoFront(xField: String, yField: String,
       buckets: Int = 64): Pipeline =
     >>(Ops.paretoFront(xField, yField, buckets))
+  def preferencePairs(groupField: String, idField: String,
+      scoreField: String, minMargin: Double = 0.0,
+      pairsPerGroup: Int = 1): Pipeline =
+    >>(Ops.preferencePairs(groupField, idField, scoreField,
+      minMargin, pairsPerGroup))
   def paretoFrontNd(fields: Seq[String], buckets: Int = 64,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Ops.paretoFrontNd(fields, buckets, groupCols))

@@ -1115,6 +1115,37 @@ class OpsSpec extends SparkSpec {
     fe.foreach { case (g, v) => assert(math.abs(v - fa(g)) <= 1.0, g) }
   }
 
+  test("preferencePairs: rank-matched chosen/rejected, margin gate, singleton/NULL discipline") {
+    import spark.implicits._
+    val df = Seq(
+      ("p1", 1L, Some(0.9)), ("p1", 2L, Some(0.1)),  // clean best/worst
+      ("p1", 3L, Some(0.5)), ("p1", 4L, Some(0.45)), // 2nd pair: margin .05
+      ("p2", 5L, Some(0.7)),                          // singleton — no pair
+      ("p3", 6L, Some(0.6)), ("p3", 7L, Some(0.6)),  // tie: margin 0
+      (null.asInstanceOf[String], 8L, Some(0.99)),   // NULL group drops
+      ("p1", 9L, Option.empty[Double])                // NULL score drops
+    ).toDF("prompt", "resp_id", "score")
+    val out = Ops.preferencePairs("prompt", "resp_id", "score",
+      minMargin = 0.0, pairsPerGroup = 2)(df)
+      .orderBy("prompt", "chosen_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5))).toSeq
+    // p1: best(1) vs worst(2), 2nd-best(3) vs 2nd-worst(4);
+    // p2 singleton emits nothing; p3 tie pairs ONCE at margin 0 — the
+    // 2·rank <= n crossing guard drops the mirrored (7, 6) duplicate
+    assert(out === Seq(("p1", 1L, 2L, 0.8), ("p1", 3L, 4L, 0.5 - 0.45),
+      ("p3", 6L, 7L, 0.0)))
+    // a real margin gates out the tie and the thin second pair
+    val gated = Ops.preferencePairs("prompt", "resp_id", "score",
+      minMargin = 0.1, pairsPerGroup = 2)(df)
+      .select("chosen_id").as[Long].collect().toSeq
+    assert(gated === Seq(1L))
+    intercept[IllegalArgumentException] {
+      Ops.preferencePairs("prompt", "resp_id", "score",
+        pairsPerGroup = 0)(df)
+    }
+  }
+
   test("paretoFrontNd: 3-D dominance, ties, NULLs, grouped, brute parity") {
     import spark.implicits._
     val pts = Seq(
