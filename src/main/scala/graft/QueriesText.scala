@@ -165,8 +165,10 @@ private[graft] object QueriesText {
       // posting triad once, then answer a query batch from it — must
       // hash-match the same scoring core the live-corpus form compiles
       import s.implicits._
+      // localCheckpoint = the stored-index reality: termDf/stats/serve
+      // all read the SAME materialized postings, not three re-tokenizes
       val index = TextOps.bm25IndexRows("doc_id", "text")(
-        corpus(s, dir, "documents"))
+        corpus(s, dir, "documents")).localCheckpoint()
       val queries = Seq(
         (0L, Seq("spark", "window")),
         (1L, Seq("customer", "stream")),
@@ -181,8 +183,9 @@ private[graft] object QueriesText {
       // query for the 8 strongest NEW expansion terms — the
       // retrieve→expand→re-retrieve loop closed on the stored index
       import s.implicits._
+      // materialized once — serve + feedback legs read stored postings
       val index = TextOps.bm25IndexRows("doc_id", "text")(
-        corpus(s, dir, "documents"))
+        corpus(s, dir, "documents")).localCheckpoint()
       val queries = Seq(
         (0L, Seq("spark", "stream")),
         (1L, Seq("vector", "merge", "window")),
