@@ -413,6 +413,19 @@ private[graft] object QueriesCore {
         .select("lang", "doc_id", "quality", "n_chars", "dup_score")
         .orderBy("lang", "doc_id")
     },
+    "pareto_layers" -> { (s, dir) =>
+      // onion-peeled selection: the three best quality/brevity/dup
+      // shells, layer-ranked — the budgeted form of the 3-D frontier
+      val q = corpus(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"), col("n_chars"))
+        .withColumn("dup_score", col("doc_id") % 97)
+        .withColumn("__negc", -col("n_chars"))
+        .withColumn("__negd", -col("dup_score"))
+      Ops.paretoLayers(Seq("quality", "__negc", "__negd"), layers = 3)(q)
+        .select("doc_id", "quality", "n_chars", "dup_score", "layer")
+        .orderBy("layer", "doc_id")
+    },
     "theta_overlap" -> { (s, dir) =>
       // the set-algebra distinct state HLL structurally lacks: per-flag
       // supplier theta sketches, then pairwise intersection/difference
@@ -601,6 +614,39 @@ private[graft] object QueriesCore {
           AND (s.quality > r.quality OR s.n_chars < r.n_chars
             OR s.dup_score < r.dup_score))
       ORDER BY lang, doc_id""",
+    // mirrors Ops.paretoLayers: three peels, each a NOT-EXISTS dominance
+    // pass over the remainder (doc_id NOT IN the shallower shells)
+    "pareto_layers" -> s"""
+      WITH q AS (SELECT d.doc_id, qq.quality, d.n_chars,
+          d.doc_id % 97 AS dup_score
+        FROM documents d JOIN ($qualityPerDocSql) qq ON d.doc_id = qq.doc_id),
+      l0 AS (SELECT r.* FROM q r
+        WHERE NOT EXISTS (SELECT 1 FROM q s
+          WHERE s.quality >= r.quality AND s.n_chars <= r.n_chars
+            AND s.dup_score <= r.dup_score
+            AND (s.quality > r.quality OR s.n_chars < r.n_chars
+              OR s.dup_score < r.dup_score))),
+      q1 AS (SELECT * FROM q
+        WHERE doc_id NOT IN (SELECT doc_id FROM l0)),
+      l1 AS (SELECT r.* FROM q1 r
+        WHERE NOT EXISTS (SELECT 1 FROM q1 s
+          WHERE s.quality >= r.quality AND s.n_chars <= r.n_chars
+            AND s.dup_score <= r.dup_score
+            AND (s.quality > r.quality OR s.n_chars < r.n_chars
+              OR s.dup_score < r.dup_score))),
+      q2 AS (SELECT * FROM q1
+        WHERE doc_id NOT IN (SELECT doc_id FROM l1)),
+      l2 AS (SELECT r.* FROM q2 r
+        WHERE NOT EXISTS (SELECT 1 FROM q2 s
+          WHERE s.quality >= r.quality AND s.n_chars <= r.n_chars
+            AND s.dup_score <= r.dup_score
+            AND (s.quality > r.quality OR s.n_chars < r.n_chars
+              OR s.dup_score < r.dup_score)))
+      SELECT doc_id, quality, n_chars, dup_score, layer FROM (
+        SELECT *, CAST(0 AS INTEGER) AS layer FROM l0
+        UNION ALL SELECT *, CAST(1 AS INTEGER) FROM l1
+        UNION ALL SELECT *, CAST(2 AS INTEGER) FROM l2)
+      ORDER BY layer, doc_id""",
     // md5-prefix hash order per language partition, doc_id tie-break —
     // mirrors Ops.quotaSample exactly
     "quota_sample" ->

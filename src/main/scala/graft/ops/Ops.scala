@@ -1187,6 +1187,44 @@ object Ops {
     stage(stage(base).withColumn("__b", lit(0))).drop("__b")
   }
 
+  /** Layered Pareto fronts (onion peeling / skyline layers) — the
+    * RANKED form of [[paretoFrontNd]]: corpus selection rarely wants
+    * only the frontier; it wants "the best `layers` shells" (take the
+    * front, remove it, front the remainder, …) so a token budget can
+    * cut at a quality-ranked depth. Each row of the first `layers`
+    * shells returns with a 0-based `layer` column; deeper rows are
+    * dropped. Same dominance/tie/NULL contract as the Nd front —
+    * exact duplicates share a layer (they leave together).
+    *
+    * Scale shape: `layers` sequential [[paretoFrontNd]] passes, each on
+    * the REMAINDER (localCheckpointed per peel, so lineage stays flat
+    * and each pass rescans only survivors); the peel itself is one
+    * objective-tuple anti-join. Layers is a small constant (a selection
+    * depth, not a data size) — the driver loop is bounded plan
+    * construction, not per-row work. */
+  def paretoLayers(
+      fields: Seq[String], layers: Int, buckets: Int = 64,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    require(layers >= 1 && layers <= 32,
+      s"layers is a selection depth, expected 1..32: $layers")
+    val objs = fields.map(col)
+    var remaining = df
+      .filter((groupCols.map(col) ++ objs).map(_.isNotNull).reduce(_ && _))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (l <- 0 until layers) {
+      val front = paretoFrontNd(fields, buckets, groupCols)(remaining)
+        .withColumn("layer", lit(l))
+      out = if (out == null) front else out.unionByName(front)
+      if (l < layers - 1)
+        remaining = remaining.join(
+          front.select((groupCols ++ fields).map(col): _*).distinct(),
+          groupCols ++ fields, "left_anti")
+          .localCheckpoint()
+    }
+    out
+  }
+
   /** Pairwise Pearson correlation matrix from EXPLICIT sufficient
     * statistics — deliberately not the engine's `corr()` (Welford-
     * ordered, never hash-matches cross-engine): per group and field

@@ -652,6 +652,9 @@ final case class Pipeline(df: DataFrame) {
   def paretoFrontNd(fields: Seq[String], buckets: Int = 64,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Ops.paretoFrontNd(fields, buckets, groupCols))
+  def paretoLayers(fields: Seq[String], layers: Int, buckets: Int = 64,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Ops.paretoLayers(fields, layers, buckets, groupCols))
   def labelAgreement(labelA: Column, labelB: Column): Pipeline =
     >>(Probes.labelAgreement(labelA, labelB))
   def scoreCalibration(score: Column, label: Column, bins: Int = 10,

@@ -1115,6 +1115,28 @@ class OpsSpec extends SparkSpec {
     fe.foreach { case (g, v) => assert(math.abs(v - fa(g)) <= 1.0, g) }
   }
 
+  test("paretoLayers: disjoint shells, layer 0 == the front, ties co-layer, depth cap") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 5.0, 5.0), (2L, 5.0, 5.0),       // tied front — layer 0 together
+      (3L, 6.0, 1.0),                        // layer 0 (best x)
+      (4L, 4.0, 4.0), (5L, 5.5, 0.5),        // layer 1 once shell 0 peels
+      (6L, 3.0, 3.0),                        // layer 2
+      (7L, 0.0, 0.0)                         // layer 3 — beyond layers=3
+    ).toDF("id", "x", "y")
+    val out = Ops.paretoLayers(Seq("x", "y"), layers = 3)(pts)
+      .select("id", "layer").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 2))
+    // layer 0 is exactly the Nd front
+    val front = Ops.paretoFrontNd(Seq("x", "y"))(pts)
+      .select("id").as[Long].collect().toSet
+    assert(out.filter(_._2 == 0).keySet === front)
+    intercept[IllegalArgumentException] {
+      Ops.paretoLayers(Seq("x", "y"), layers = 0)(pts)
+    }
+  }
+
   test("preferencePairs: rank-matched chosen/rejected, margin gate, singleton/NULL discipline") {
     import spark.implicits._
     val df = Seq(
