@@ -339,59 +339,26 @@ private[graft] object QueriesText {
         corpus(s, dir, "documents"))
     },
     "pipeline_flagship" -> { (s, dir) =>
-      // the end-to-end composition the README promises, through the EP1
-      // Pipeline façade: htmlExtract → NFC normalize → gopher gate →
-      // corpus line dedup → incremental fingerprint dedup vs a crawl-N
-      // index → temperature mix → sequence packing. Every stage is
-      // individually oracle-pinned; THIS row pins the seams (schema
-      // handoffs, NULL discipline, id/meta survival across stages).
-      // Fixture plumbing: docs < 50 re-crawl under new crawl ids with
-      // the same page id (same HTML wrap, same content) so the
-      // fingerprint-index leg has real duplicates to drop; 8-word line
-      // framing as in line_dedup.
-      import graft.pipeline.Pipeline
+      // the end-to-end composition the README promises — the chain
+      // itself lives in graft.pipeline.Flagship (shared verbatim with
+      // the ScaleBench growth cell, so the thing measured at scale IS
+      // the thing this oracle checks). Every stage is individually
+      // oracle-pinned; THIS row pins the seams (schema handoffs, NULL
+      // discipline, id/meta survival across stages). Fixture plumbing:
+      // docs < 50 re-crawl under new crawl ids with the same page id
+      // (same HTML wrap, same content) so the fingerprint-index leg has
+      // real duplicates to drop; 8-word line framing as in line_dedup.
       val docs = corpus(s, dir, "documents")
       val raw = docs.select(col("doc_id"), col("lang"), col("source"),
           col("text"), col("doc_id").as("page_id"))
         .unionByName(docs.filter(col("doc_id") < 50)
           .select((col("doc_id") + 100000).as("doc_id"), col("lang"),
             col("source"), col("text"), col("doc_id").as("page_id")))
-      // localCheckpoint at each fan-out: cleaned/lined/deduped are each
-      // consumed by TWO downstream legs, and without materialization
-      // Spark re-executes the whole upstream chain per consumer
-      val cleaned = Pipeline(raw
-          .select(col("doc_id"), col("lang"), col("source"),
-            syntheticHtml(col("page_id"), col("text")).as("text")))
-        .htmlExtract("text")
-        .derive("text", TextOps.normalizeText(col("text")))
-        .result.localCheckpoint()
-      val passing = TextOps.gopherRules("doc_id", "text")(cleaned)
-        .filter(col("passes_gopher") === 1).select("doc_id")
-      val toks = split(coalesce(col("text"), lit("")), " ")
-      val lined = Pipeline(cleaned).semiJoin(passing, Seq("doc_id")).result
         .select(col("doc_id"), col("lang"), col("source"),
-          array_join(transform(
-            sequence(lit(0), ceil(size(toks) / lit(8.0)).cast("int") - 1),
-            b => array_join(slice(toks, b * lit(8) + 1, lit(8)), " ")),
-            "\n").as("text"))
-        .localCheckpoint()
-      val deduped = Pipeline(lined)
-        .dedupLines("doc_id", "text", minCount = 2).result
-        .join(lined.select("doc_id", "lang", "source"), Seq("doc_id"))
-        .localCheckpoint()
-      val seen = deduped.filter(col("doc_id") < 250)
-        .select(TextOps.fingerprint(col("clean_text")).as("f")).distinct()
-      Pipeline(deduped.filter(col("doc_id") >= 250))
-        .dedupIncremental("clean_text", "doc_id", seen)
-        .temperatureMix("doc_id", "source", budgetRows = 120)
-        .derive("n_tokens",
-          size(split(translate(col("clean_text"), "\n", " "), " "))
-            .cast("long"))
-        .packSequences("n_tokens", budget = 2048, shardField = "lang",
-          orderBy = Seq("doc_id"))
-        .result
-        .select("doc_id", "lang", "source", "n_lines", "n_removed",
-          "n_tokens", "bin")
+          syntheticHtml(col("page_id"), col("text")).as("text"),
+          col("page_id"))
+      graft.pipeline.Flagship.run(raw, historyBelow = 250L,
+        budgetRows = 120L, packBudget = 2048L)
         .orderBy("doc_id")
     },
     "fim_transform" -> { (s, dir) =>

@@ -1067,6 +1067,66 @@ object ScaleBench {
     println("corpus_x,docs,front3d_rows,pareto_front_3d_sec")
     p3Rows.foreach { case (k, d, f, t) => println(f"$k,$d,$f,$t%.2f") }
     }
+
+    phase("flag") {
+    // The COMPOSED flagship chain under corpus growth — the cell that
+    // pins "the seams compose linearly": extract → normalize → gopher
+    // gate → line dedup → incremental fingerprint dedup → mix → pack,
+    // the EXACT shared Flagship.run the oracle row checks. Replicas
+    // are FRESH content — the token stream ROTATED by the replica
+    // index (built OUTSIDE the timed region): identical vocabulary and
+    // token stats, so the gopher gate judges replicas exactly like the
+    // base, but every 8-token line reframes and every fingerprint
+    // changes. An all-recrawl replication would be deduped away right
+    // after the line pass and the tail stages would measure nothing —
+    // rotation keeps every stage loaded ×k, so the curve prices the
+    // whole composition, not its front half.
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    val docsF = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "source", "text")
+    val ndF = docsF.count()
+    def rawF(k: Int): DataFrame =
+      (0 until k).map { i =>
+        val tk = split(col("text"), " ")
+        val fresh =
+          if (i == 0) col("text")
+          else array_join(
+            concat(slice(tk, lit(i + 1), size(tk)), slice(tk, 1, i)), " ")
+        docsF.select(
+          (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+          col("lang"), col("source"),
+          concat(lit("<html><head><style>p{}</style>"),
+            lit("<script>var x;</script></head><body><!-- c --><p>"),
+            fresh, lit("</p>&amp; fin</body></html>")).as("text"),
+          col("doc_id").as("page_id"))
+      }
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    // the mix budget is an OUTPUT knob — a real recipe scales it with
+    // the corpus, and a fixed budget would thin the tail stages to a
+    // constant and hide their growth from the out_rows column
+    def flagJob(raw: DataFrame, history: Long, budget: Long): Unit =
+      graft.pipeline.Flagship.run(raw, historyBelow = history,
+        budgetRows = budget)
+        .write.mode("overwrite").format("noop").save()
+    locally { val r1 = rawF(1).localCheckpoint()
+      flagJob(r1, ndF / 2, 500L); r1.unpersist() }
+    val flagRows = for (k <- Seq(1, 2, 4)) yield {
+      val r = rawF(k).localCheckpoint()
+      // history = the first replica's lower half, batch = the rest
+      val t = median3(flagJob(r, ndF / 2, 500L * k))
+      // output rows printed alongside: proves the tail stages stay
+      // LOADED ×k (an all-recrawl cell would shrink this to ~0)
+      val outRows = graft.pipeline.Flagship.run(r,
+        historyBelow = ndF / 2, budgetRows = 500L * k).count()
+      r.unpersist()
+      (k, ndF * k, outRows, t)
+    }
+    println("corpus_x,docs,out_rows,pipeline_flagship_sec")
+    flagRows.foreach { case (k, d, o, t) => println(f"$k,$d,$o,$t%.2f") }
+    }
     spark.stop()
   }
 }
