@@ -37,6 +37,15 @@ private[graft] object QueriesCore {
         .groupBy("split").agg(count(lit(1)).as("record_count"))
         .orderBy("split")
     },
+    "k_fold" -> { (s, dir) =>
+      // 5-fold CV assignment with the stratification diagnostic a user
+      // runs first: per-(fold, lang) counts — content-keyed, so folds
+      // are stable under corpus growth; pure projection + one hash-agg
+      table(s, dir, "documents")
+        .select(TextOps.kFold(col("doc_id"), 5).as("fold"), col("lang"))
+        .groupBy("fold", "lang").agg(count(lit(1)).as("record_count"))
+        .orderBy("fold", "lang")
+    },
     "stratified_sample" -> { (s, dir) =>
       Ops.sampleStratifiedHash("o_orderstatus", "o_orderkey",
         Map("F" -> 0.05, "O" -> 0.2, "P" -> 0.5))(
@@ -398,6 +407,19 @@ private[graft] object QueriesCore {
         minMargin = 0.05, pairsPerGroup = 2)(q)
         .orderBy("lang", "chosen_id", "rejected_id")
     },
+    "golden_record" -> { (s, dir) =>
+      // survivorship merge: each customer's orders collapse to one
+      // golden record — majority status, max price, first-seen date,
+      // the priority carried by the NEWEST order ((date, key) stamp),
+      // and the smallest key; one hash-agg, every rule partial-merge
+      Ops.goldenRecord("o_custkey",
+        rules = Seq("o_orderstatus" -> "majority", "o_totalprice" -> "max",
+          "o_orderdate" -> "earliest", "o_orderpriority" -> "latest",
+          "o_orderkey" -> "min"),
+        recencyField = Some("o_orderdate"), tieField = Some("o_orderkey"))(
+        table(s, dir, "orders"))
+        .orderBy("o_custkey")
+    },
     "pareto_3d_by_group" -> { (s, dir) =>
       // per-language 3-D frontier: the grouped form of pareto_front_3d —
       // dominance judged only within the same language, one independent
@@ -602,6 +624,36 @@ private[graft] object QueriesCore {
       ORDER BY t.lang, chosen_id, rejected_id""",
     // mirrors Ops.paretoFrontNd with groupCols = lang: dominance judged
     // only within the same language
+    // mirrors Ops.goldenRecord: majority = most frequent non-NULL value,
+    // count ties to the SMALLER value; latest = value on the newest
+    // (o_orderdate, o_orderkey) row among non-NULL values; earliest/max/
+    // min are plain NULL-ignoring aggregates
+    "golden_record" -> """
+      WITH maj AS (
+        SELECT o_custkey, o_orderstatus FROM (
+          SELECT o_custkey, o_orderstatus,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY count(*) DESC, o_orderstatus ASC) AS rn
+          FROM orders WHERE o_orderstatus IS NOT NULL
+          GROUP BY o_custkey, o_orderstatus) WHERE rn = 1),
+      lat AS (
+        SELECT o_custkey, o_orderpriority FROM (
+          SELECT o_custkey, o_orderpriority,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders WHERE o_orderpriority IS NOT NULL) WHERE rn = 1),
+      agg AS (
+        SELECT o_custkey, count(*) AS record_count,
+          max(o_totalprice) AS o_totalprice,
+          min(o_orderdate) AS o_orderdate,
+          min(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey)
+      SELECT agg.o_custkey, record_count, maj.o_orderstatus,
+        agg.o_totalprice, agg.o_orderdate, lat.o_orderpriority,
+        agg.o_orderkey
+      FROM agg
+      LEFT JOIN maj USING (o_custkey) LEFT JOIN lat USING (o_custkey)
+      ORDER BY o_custkey""",
     "pareto_3d_by_group" -> s"""
       WITH q AS (SELECT d.doc_id, d.lang, qq.quality, d.n_chars,
           d.doc_id % 97 AS dup_score
@@ -976,6 +1028,16 @@ private[graft] object QueriesCore {
                 * CAST(16**(8-j) AS BIGINT))) AS h
               FROM documents))
       GROUP BY split ORDER BY split""",
+    // mirrors TextOps.kFold: md5-prefix-32 hash mod 5
+    "k_fold" -> s"""
+      SELECT CAST(h % 5 AS BIGINT) AS fold, lang,
+        count(*) AS record_count
+      FROM (SELECT lang, list_sum(list_transform(range(1,9), j ->
+              (strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+              * CAST(16**(8-j) AS BIGINT))) AS h
+            FROM documents)
+      GROUP BY fold, lang ORDER BY fold, lang""",
     "filter_funnel" -> s"""
       WITH q AS ($qualityPerDocSql),
       sig AS (SELECT d.doc_id,

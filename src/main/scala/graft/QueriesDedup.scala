@@ -270,6 +270,23 @@ private[graft] object QueriesDedup {
       TextOps.dedupLines("doc_id", "text", minCount = 2)(lined)
         .orderBy("doc_id")
     },
+    "boilerplate_lines" -> { (s, dir) =>
+      // per-SOURCE boilerplate (CCNet refinement of line_dedup): 2-word
+      // lines via the deterministic re-join, stripped when present in
+      // >= 10% of the SAME source's documents (site-local nav/footer
+      // shape) — cross-source repeats survive, unlike line_dedup
+      val toks = split(coalesce(col("text"), lit("")), " ")
+      val lined = corpus(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        array_join(transform(
+          sequence(lit(0),
+            ceil(size(toks) / lit(2.0)).cast("int") - 1),
+          b => array_join(slice(toks, b * lit(2) + 1, lit(2)), " ")),
+          "\n").as("text"))
+      TextOps.boilerplateLines("doc_id", "source", "text",
+        minDocFrac = 0.1, minDocs = 10)(lined)
+        .orderBy("doc_id")
+    },
     "cross_corpus_pairs" -> { (s, dir) =>
       // near-dup the "new crawl" (>= 250) against the "reference corpus"
       // (< 250) — candidates only ever span the two sides
@@ -882,6 +899,38 @@ private[graft] object QueriesDedup {
           list(line ORDER BY lp) FILTER (WHERE NOT heavy), chr(10)), '')
           AS clean_text
       FROM k GROUP BY doc_id ORDER BY doc_id""",
+    // mirrors TextOps.boilerplateLines over the 2-word lining: document
+    // frequency per (source, line) — distinct docs, blank lines never
+    // count — heavy when df/group_docs >= 0.1 and the source has >= 10
+    // docs; per-doc rebuild in line order, heavy lines stripped
+    "boilerplate_lines" -> """
+      WITH d AS (SELECT doc_id, source,
+                   string_split(coalesce(text, ''), ' ') AS t
+                 FROM documents),
+      l AS (SELECT doc_id, source, CAST(b AS BIGINT) AS lp,
+              array_to_string(
+                t[CAST(b*2+1 AS INT):CAST(b*2+2 AS INT)], ' ') AS line
+            FROM d, unnest(range(0, CAST(ceil(len(t)/2e0) AS INT))) AS u(b)),
+      nd AS (SELECT source, count(*) AS group_docs FROM d GROUP BY source),
+      h AS (SELECT l.source, l.line
+            FROM l JOIN nd ON l.source = nd.source
+            WHERE trim(l.line) <> ''
+            GROUP BY l.source, l.line, nd.group_docs
+            HAVING nd.group_docs >= 10
+               AND CAST(count(DISTINCT l.doc_id) AS DOUBLE)
+                   / CAST(nd.group_docs AS DOUBLE) >= 1e-1),
+      k AS (SELECT l.doc_id, l.source, l.lp, l.line,
+              h.line IS NOT NULL AS heavy
+            FROM l LEFT JOIN h
+              ON l.source = h.source AND l.line = h.line)
+      SELECT doc_id, source,
+        CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(coalesce(sum(CASE WHEN heavy THEN 1 END), 0) AS BIGINT)
+          AS n_removed,
+        coalesce(array_to_string(
+          list(line ORDER BY lp) FILTER (WHERE NOT heavy), chr(10)), '')
+          AS clean_text
+      FROM k GROUP BY doc_id, source ORDER BY doc_id""",
     "cross_corpus_pairs" ->
       crossCorpusNearDupSql(shingleN = 3, threshold = "2e-1", splitId = 250),
     "incremental_near_dup" ->

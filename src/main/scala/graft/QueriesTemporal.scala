@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{BinaryOps, Dedup, Frequency, GraphOps, Similarity, TextOps}
+import graft.ext.{BinaryOps, Conversations, Dedup, Frequency, GraphOps, Similarity, TextOps}
 import graft.ops.{Ops, TemporalOps, WindowOps}
 import graft.probes.Probes
 
@@ -349,7 +349,34 @@ private[graft] object QueriesTemporal {
           ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
       GraphOps.triangleStats("src", "dst")(ev).orderBy("node")
     },
+    "conversation_assemble" -> { (s, dir) =>
+      // SFT assembly: the event stream becomes per-user dialogues —
+      // role from the event class, content from type+props, turn order
+      // (ts, event_id) total; one row per user with rendered template,
+      // char-offset loss spans over assistant turns, exact counts
+      Conversations.assemble("user_id", Seq("ts", "event_id"),
+        "role", "content")(convTurns(s, dir)).orderBy("user_id")
+    },
+    "conversation_truncate" -> { (s, dir) =>
+      // context-window enforcement: leading system turn always kept,
+      // then the longest whole-turn suffix fitting 30 content tokens
+      Conversations.truncate("user_id", Seq("ts", "event_id"),
+        "role", "content", budget = 30)(convTurns(s, dir))
+        .orderBy("user_id")
+    },
   )
+
+  /** Shared turn frame for the conversation queries: role class from the
+    * event type (signup opens as system context; views/errors are the
+    * user side; clicks/purchases the assistant side), content is
+    * `event_type + " " + props`. */
+  private def convTurns(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events").select(
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "signup", "system")
+        .when(col("event_type").isin("view", "error"), "user")
+        .otherwise("assistant").as("role"),
+      concat_ws(" ", col("event_type"), col("props")).as("content"))
 
   def oracleSql: Map[String, String] = Map(
     "events_json_agg" ->
@@ -898,5 +925,81 @@ private[graft] object QueriesTemporal {
                   / CAST(degree * (degree - 1) AS DOUBLE)
         END AS clustering
       FROM deg LEFT JOIN pn USING (node) ORDER BY node""",
+    // mirrors Conversations.assemble over the convTurns frame: ordered
+    // list aggregation, '<|role|>\n content \n' template, 0-based
+    // [start,end) content spans of assistant turns via prefix sums of
+    // rendered lengths (len(role)+5+len(content)+1 per turn)
+    "conversation_assemble" -> s"""
+      WITH t AS ($convTurnsSql),
+      g AS (SELECT user_id,
+              list(struct_pack(r := r, c := c) ORDER BY ts, event_id) AS tl
+            FROM t GROUP BY user_id),
+      x AS (SELECT user_id, tl,
+              list_transform(tl, u ->
+                '<|' || u.r || '|>' || chr(10) || u.c || chr(10)) AS rend,
+              list_transform(tl, u ->
+                CAST(len(u.r) + 5 + len(u.c) + 1 AS BIGINT)) AS rl
+            FROM g)
+      SELECT user_id,
+        CAST(len(tl) AS BIGINT) AS n_turns,
+        CAST(len(string_split(array_to_string(rend, ''), ' ')) AS BIGINT)
+          AS token_count,
+        array_to_string(rend, '') AS text,
+        array_to_string(list_transform(
+          list_filter(range(1, len(tl) + 1), j -> tl[CAST(j AS INT)].r = 'assistant'),
+          j -> CAST(coalesce(list_sum(rl[1:CAST(j AS INT)-1]), 0)
+                 + len(tl[CAST(j AS INT)].r) + 5 AS VARCHAR)
+               || ':' ||
+               CAST(coalesce(list_sum(rl[1:CAST(j AS INT)-1]), 0)
+                 + len(tl[CAST(j AS INT)].r) + 5
+                 + len(tl[CAST(j AS INT)].c) AS VARCHAR)), ',') AS loss_spans,
+        CAST(coalesce(list_sum(list_transform(
+          list_filter(tl, u -> u.r = 'assistant'), u -> len(u.c))), 0)
+          AS BIGINT) AS loss_chars
+      FROM x ORDER BY user_id""",
+    // mirrors Conversations.truncate: leading system turn always kept,
+    // cut = smallest k whose content-token suffix sum fits the remaining
+    // budget (30 minus system tokens, floored at 0), whole turns only
+    "conversation_truncate" -> s"""
+      WITH t AS ($convTurnsSql),
+      g AS (SELECT user_id,
+              list(struct_pack(r := r, c := c) ORDER BY ts, event_id) AS tl
+            FROM t GROUP BY user_id),
+      x AS (SELECT user_id, tl, len(tl) AS n,
+              list_transform(tl, u ->
+                CAST(len(string_split(u.c, ' ')) AS BIGINT)) AS tk,
+              (tl[1].r = 'system') AS has_sys
+            FROM g),
+      y AS (SELECT *,
+              CASE WHEN has_sys THEN tk[1] ELSE 0 END AS sys_tok,
+              CASE WHEN has_sys THEN 1 ELSE 0 END AS start_idx
+            FROM x),
+      z AS (SELECT *, greatest(30 - sys_tok, 0) AS rem FROM y),
+      w AS (SELECT *, list_min(list_filter(range(start_idx, n + 1),
+              k -> coalesce(list_sum(tk[CAST(k AS INT)+1:CAST(n AS INT)]), 0) <= rem))
+              AS cut
+            FROM z)
+      SELECT user_id,
+        CAST(n AS BIGINT) AS n_turns,
+        CAST(CASE WHEN has_sys THEN 1 ELSE 0 END + (n - cut) AS BIGINT)
+          AS kept_turns,
+        CAST(sys_tok + coalesce(
+          list_sum(tk[CAST(cut AS INT)+1:CAST(n AS INT)]), 0) AS BIGINT)
+          AS kept_tokens,
+        array_to_string(list_transform(
+          CASE WHEN has_sys
+               THEN list_concat(tl[1:1], tl[CAST(cut AS INT)+1:CAST(n AS INT)])
+               ELSE tl[CAST(cut AS INT)+1:CAST(n AS INT)] END,
+          u -> '<|' || u.r || '|>' || chr(10) || u.c || chr(10)), '') AS text
+      FROM w ORDER BY user_id""",
   )
+
+  /** DuckDB mirror of [[convTurns]]. */
+  private val convTurnsSql: String = """
+    SELECT user_id, ts, event_id,
+      CASE WHEN event_type = 'signup' THEN 'system'
+           WHEN event_type IN ('view', 'error') THEN 'user'
+           ELSE 'assistant' END AS r,
+      concat_ws(' ', event_type, props) AS c
+    FROM events"""
 }

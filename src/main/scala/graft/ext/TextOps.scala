@@ -977,6 +977,21 @@ object TextOps {
     }
   }
 
+  /** K-fold cross-validation assignment: fold = (md5-prefix hash of the
+    * key) mod k — [[hashSplit]]'s deterministic content-keyed hash, so
+    * folds are reproducible across engines, runs and cluster sizes, and
+    * a row's fold never changes as the corpus grows (unlike
+    * `randomSplit`/`ntile`, which reshuffle everything on any change).
+    * Pure projection, zero shuffle; leave-one-out train/test frames are
+    * `fold =!= i` / `fold === i` filters that push down to the scan.
+    * Same key ⇒ same fold, so grouped entities (pass the GROUP id as
+    * `key`) never straddle a fold boundary — the [[Dedup.clusterSafeSplit]]
+    * discipline at k-fold granularity. */
+  def kFold(key: Column, k: Int, salt: String = ""): Column = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    pmod(graft.functions.GraftFunctions.md5Prefix32(key, salt), lit(k.toLong))
+  }
+
   /** PII scrubbing: ordered regex substitutions for the common leak
     * shapes (emails, long digit runs, bare IPv4s), kept to syntax shared
     * by Java regex and RE2 so the oracle applies the identical patterns.
@@ -2192,6 +2207,66 @@ object TextOps {
           s => s.getField("__line"))).as("clean_text"))
       .select(col("__id").as(idField), col("n_lines"),
         (col("n_lines") - col("__kept")).as("n_removed"),
+        col("clean_text"))
+  }
+
+  /** Per-group boilerplate removal — the CCNet/trafilatura refinement of
+    * [[dedupLines]]: a line is boilerplate when it appears in at least
+    * `minDocFrac` of the DOCUMENTS of its own group (a web domain, a
+    * source) — nav menus and cookie banners repeat within a site, not
+    * across the whole corpus, so a corpus-global count both misses
+    * site-local boilerplate and falsely strips cross-site idioms.
+    * Document frequency counts each document once however often it
+    * repeats the line internally; groups with fewer than `minDocs`
+    * documents are never stripped (a 2-doc "domain" would call half its
+    * content boilerplate); blank lines never count. The heavy test
+    * `df / group_docs >= minDocFrac` is ONE IEEE division of exact
+    * integer counts — deterministic across engines.
+    *
+    * Output: `(<idField>, <groupField>, n_lines, n_removed, clean_text)`.
+    *
+    * Scale shape: one line explode, one (group, line) distinct-doc
+    * hash-agg, one |groups|-row doc-count agg joined in, one equi-join
+    * back to the lined corpus — all linear, keyed joins only; the heavy
+    * set is bounded by actual within-group repetition. The 100 TB line-
+    * identity trade documented on [[dedupLines]] (xxhash64 the line,
+    * join on the hash) applies unchanged. */
+  def boilerplateLines(
+      idField: String, groupField: String, textField: String,
+      minDocFrac: Double = 0.5, minDocs: Int = 10, delim: String = "\n")(
+      df: DataFrame): DataFrame = {
+    require(minDocFrac > 0.0 && minDocFrac <= 1.0,
+      s"minDocFrac must be in (0,1]: $minDocFrac")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(delim.nonEmpty, "line delimiter must be non-empty")
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val ex = df
+      .select(col(idField).as("__id"), col(groupField).as("__g"),
+        split(coalesce(col(textField), lit("")), quoted).as("__ls"))
+      .select(col("__id"), col("__g"),
+        posexplode(col("__ls")).as(Seq("__lp", "__line")))
+      .select(col("__id"), col("__g"), col("__lp").cast("long").as("__lp"),
+        col("__line"))
+    val groupDocs = df.groupBy(col(groupField).as("__g"))
+      .agg(count(lit(1)).as("__nd"))
+    val heavy = ex
+      .filter(length(trim(col("__line"))) > 0)
+      .groupBy(col("__g"), col("__line"))
+      .agg(count_distinct(col("__id")).as("__df"))
+      .join(groupDocs, Seq("__g"))
+      .filter(col("__nd") >= minDocs &&
+        col("__df").cast("double") / col("__nd").cast("double") >= minDocFrac)
+      .select(col("__g"), col("__line"), lit(1).as("__h"))
+    ex.join(heavy, Seq("__g", "__line"), "left")
+      .groupBy(col("__id"), col("__g"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("__h").isNull, 1)).as("__kept"),
+        concat_ws(delim, transform(
+          array_sort(collect_list(when(col("__h").isNull,
+            struct(col("__lp"), col("__line"))))),
+          s => s.getField("__line"))).as("clean_text"))
+      .select(col("__id").as(idField), col("__g").as(groupField),
+        col("n_lines"), (col("n_lines") - col("__kept")).as("n_removed"),
         col("clean_text"))
   }
 

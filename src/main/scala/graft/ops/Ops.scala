@@ -1681,6 +1681,63 @@ object Ops {
         col("margin"))
   }
 
+  /** Survivorship merge — the golden-record step that follows any of the
+    * dedup clusterings ([[graft.ext.Dedup.clusterDedup]] /
+    * `connectedComponents` output joined back, or any natural entity
+    * key): collapse each cluster to ONE record, field by field, under an
+    * explicit per-field rule. Rules:
+    *
+    *   - `max` / `min` / `sum` — plain NULL-ignoring aggregates;
+    *   - `majority` — most frequent non-NULL value, count ties broken by
+    *     the SMALLER value (deterministic mode);
+    *   - `latest` / `earliest` — the non-NULL value carried by the
+    *     newest/oldest row, "newest" meaning the largest
+    *     `(recencyField, tieField)` pair; `tieField` must be unique per
+    *     row (a key) or the pick is undefined. Rows whose value is NULL
+    *     are skipped, so `latest` digs past a NULL in the newest row to
+    *     the newest row that HAS the field — the survivorship semantics
+    *     (a blank never overwrites data).
+    *
+    * A cluster with every value NULL merges to NULL under every rule.
+    * Output: `(<clusterField>, record_count, <field per rule, original
+    * names>)` — one row per cluster.
+    *
+    * Scale shape: ONE hash-aggregate over the cluster key; every rule —
+    * including majority via deterministic `mode` and latest/earliest via
+    * max/min over a `(recency, tie, value)` struct — is an ordinary
+    * partial-merge aggregate, so map-side combine applies and no
+    * windows, joins, or per-cluster materialization exist. Skewed giant
+    * clusters cost what any groupBy key costs; route through
+    * [[saltedAggregate]]-style pre-splitting only if a single entity
+    * exceeds a task. */
+  def goldenRecord(
+      clusterField: String,
+      rules: Seq[(String, String)],
+      recencyField: Option[String] = None,
+      tieField: Option[String] = None)(df: DataFrame): DataFrame = {
+    require(rules.nonEmpty, "at least one field rule required")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "one rule per field (duplicate field in rules)")
+    val needsRec = rules.exists(r => r._2 == "latest" || r._2 == "earliest")
+    require(!needsRec || (recencyField.isDefined && tieField.isDefined),
+      "latest/earliest rules require recencyField and tieField")
+    def stamped(f: String): Column = when(col(f).isNotNull,
+      struct(col(recencyField.get).as("__r"), col(tieField.get).as("__t"),
+        col(f).as("__v")))
+    val aggs = rules.map {
+      case (f, "max") => max(col(f)).as(f)
+      case (f, "min") => min(col(f)).as(f)
+      case (f, "sum") => sum(col(f)).as(f)
+      case (f, "majority") => mode(col(f), deterministic = true).as(f)
+      case (f, "latest") => max(stamped(f)).getField("__v").as(f)
+      case (f, "earliest") => min(stamped(f)).getField("__v").as(f)
+      case (f, rule) => throw new IllegalArgumentException(
+        s"unknown survivorship rule '$rule' for field '$f'")
+    }
+    df.groupBy(col(clusterField))
+      .agg(count(lit(1)).as("record_count"), aggs: _*)
+  }
+
   /** Most frequent value of `field` per group, with its count —
     * deterministic: count ties break on the smaller value. NULLs are
     * never the mode (a missing value is not a value). Shape: one

@@ -613,6 +613,11 @@ final case class Pipeline(df: DataFrame) {
   def applyLineFilter(idField: String, textField: String,
       heavy: Seq[String], delim: String = "\n"): Pipeline =
     >>(TextOps.applyLineFilter(idField, textField, heavy, delim))
+  def boilerplateLines(idField: String, groupField: String,
+      textField: String, minDocFrac: Double = 0.5, minDocs: Int = 10,
+      delim: String = "\n"): Pipeline =
+    >>(TextOps.boilerplateLines(idField, groupField, textField,
+      minDocFrac, minDocs, delim))
   def spanCorrupt(idField: String, textField: String,
       maskProb: Double = 0.15, spanLen: Int = 3,
       salt: String = "t5"): Pipeline =
@@ -649,6 +654,20 @@ final case class Pipeline(df: DataFrame) {
       pairsPerGroup: Int = 1): Pipeline =
     >>(Ops.preferencePairs(groupField, idField, scoreField,
       minMargin, pairsPerGroup))
+  def assembleConversations(convField: String, orderFields: Seq[String],
+      roleField: String, contentField: String,
+      lossRole: String = "assistant"): Pipeline =
+    >>(graft.ext.Conversations.assemble(convField, orderFields, roleField,
+      contentField, lossRole))
+  def truncateConversations(convField: String, orderFields: Seq[String],
+      roleField: String, contentField: String, budget: Int,
+      systemRole: String = "system"): Pipeline =
+    >>(graft.ext.Conversations.truncate(convField, orderFields, roleField,
+      contentField, budget, systemRole))
+  def goldenRecord(clusterField: String, rules: Seq[(String, String)],
+      recencyField: Option[String] = None,
+      tieField: Option[String] = None): Pipeline =
+    >>(Ops.goldenRecord(clusterField, rules, recencyField, tieField))
   def paretoFrontNd(fields: Seq[String], buckets: Int = 64,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Ops.paretoFrontNd(fields, buckets, groupCols))

@@ -1230,4 +1230,46 @@ class OpsSpec extends SparkSpec {
       Ops.paretoFrontNd(Seq("x"))(pts)
     }
   }
+
+  test("goldenRecord: latest digs past NULLs, majority ties go low, all-NULL merges NULL") {
+    import spark.implicits._
+    // cluster a: newest row (ts=3) has NULL status -> latest must take ts=2's
+    val df = Seq(
+      ("a", 1L, 1, Option("X"), Option(10.0)),
+      ("a", 2L, 2, Option("Y"), Option(5.0)),
+      ("a", 3L, 3, Option.empty[String], Option.empty[Double]),
+      // cluster b: counts tie X=1 vs Y=1 -> majority picks the smaller (X)
+      ("b", 1L, 4, Option("Y"), Option(1.0)),
+      ("b", 2L, 5, Option("X"), Option(2.0)),
+      // cluster c: every value NULL under every rule
+      ("c", 1L, 6, Option.empty[String], Option.empty[Double]))
+      .toDF("k", "ts", "id", "status", "v")
+    val out = Ops.goldenRecord("k",
+      rules = Seq("status" -> "latest", "v" -> "sum"),
+      recencyField = Some("ts"), tieField = Some("id"))(df)
+      .orderBy("k")
+      .as[(String, Long, Option[String], Option[Double])].collect()
+    assert(out(0) === (("a", 3L, Some("Y"), Some(15.0))))
+    assert(out(2) === (("c", 1L, None, None)))
+
+    val maj = Ops.goldenRecord("k", rules = Seq("status" -> "majority"))(df)
+      .orderBy("k").as[(String, Long, Option[String])].collect()
+    assert(maj(1) === (("b", 2L, Some("X"))))
+    assert(maj(2) === (("c", 1L, None)))
+
+    // earliest mirrors latest at the other end of the stamp order
+    val early = Ops.goldenRecord("k", rules = Seq("status" -> "earliest"),
+      recencyField = Some("ts"), tieField = Some("id"))(df)
+      .orderBy("k").as[(String, Long, Option[String])].collect()
+    assert(early(0)._3 === Some("X"))
+
+    // latest without a recency/tie stamp is a contract violation
+    intercept[IllegalArgumentException] {
+      Ops.goldenRecord("k", rules = Seq("status" -> "latest"))(df)
+    }
+    intercept[IllegalArgumentException] {
+      Ops.goldenRecord("k", rules = Seq("status" -> "latest", "status" -> "max"),
+        recencyField = Some("ts"), tieField = Some("id"))(df)
+    }
+  }
 }

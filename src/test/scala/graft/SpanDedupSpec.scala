@@ -478,4 +478,57 @@ class SpanDedupSpec extends SparkSpec {
     assert(mask(1L)._3.forall(_ == 1)) // canon doc keeps everything
     assert(mask(4L) === ((1L, 0L, Seq(1)))) // NULL text -> [""] kept
   }
+
+  test("boilerplateLines strips within-group repeats only; small groups are immune") {
+    // "nav menu" repeats within site A (3 of 4 docs, in-doc repeat in
+    // doc 1 counts ONCE -> df=3/4 >= 0.5) and appears once on site B —
+    // site-local boilerplate must vanish from A only. Site B has one
+    // line in every doc ("footer") but only 2 docs < minDocs=3: immune.
+    val docs = Seq(
+      (1L, "A", "nav menu\nreal one\nnav menu"),
+      (2L, "A", "nav menu\nreal two"),
+      (3L, "A", "nav menu"),
+      (4L, "A", "real four"),
+      (5L, "B", "nav menu\nfooter"),
+      (6L, "B", "footer\nreal six")
+    ).toDF("doc_id", "site", "text")
+    val out = TextOps.boilerplateLines("doc_id", "site", "text",
+      minDocFrac = 0.5, minDocs = 3)(docs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(out === Array(
+      (1L, "A", 3L, 2L, "real one"),
+      (2L, "A", 2L, 1L, "real two"),
+      (3L, "A", 1L, 1L, ""),
+      (4L, "A", 1L, 0L, "real four"),
+      (5L, "B", 2L, 0L, "nav menu\nfooter"), // B too small to strip
+      (6L, "B", 2L, 0L, "footer\nreal six")))
+    // df counts DOCUMENTS: doc 1's double "nav menu" cannot push df to
+    // the threshold on its own — at frac 0.8 (needs df >= 3.2 of 4) A
+    // survives too
+    val lax = TextOps.boilerplateLines("doc_id", "site", "text",
+      minDocFrac = 0.8, minDocs = 3)(docs)
+      .orderBy("doc_id").select("n_removed").as[Long].collect()
+    assert(lax.toSeq === Seq(0L, 0L, 0L, 0L, 0L, 0L))
+    intercept[IllegalArgumentException](
+      TextOps.boilerplateLines("doc_id", "site", "text", minDocs = 1)(docs))
+  }
+
+  test("kFold: stable content-keyed folds that partition the corpus and agree with hashSplit's hash") {
+    val df = spark.range(0, 1000).toDF("id")
+    val folds = df.select(col("id"), TextOps.kFold(col("id"), 5).as("fold"))
+    val counts = folds.groupBy("fold").count().orderBy("fold")
+      .as[(Long, Long)].collect()
+    assert(counts.map(_._1).toSeq === (0L until 5L))  // all folds hit
+    assert(counts.map(_._2).sum === 1000L)            // exact partition
+    assert(counts.map(_._2).min > 100L)               // roughly balanced
+    // growing the corpus never moves an existing row's fold
+    val before = folds.as[(Long, Long)].collect().toMap
+    val after = spark.range(0, 2000).toDF("id")
+      .select(col("id"), TextOps.kFold(col("id"), 5).as("fold"))
+      .as[(Long, Long)].collect().toMap
+    assert(before.forall { case (id, f) => after(id) == f })
+    intercept[IllegalArgumentException](TextOps.kFold(col("id"), 1))
+  }
 }
