@@ -978,7 +978,15 @@ private[graft] object QueriesTemporal {
       w AS (SELECT *, list_min(list_filter(range(start_idx, n + 1),
               k -> coalesce(list_sum(tk[CAST(k AS INT)+1:CAST(n AS INT)]), 0) <= rem))
               AS cut
-            FROM z)
+            FROM z),
+      v AS (SELECT *,
+              CASE WHEN has_sys
+                   THEN list_concat(tl[1:1], tl[CAST(cut AS INT)+1:CAST(n AS INT)])
+                   ELSE tl[CAST(cut AS INT)+1:CAST(n AS INT)] END AS kl
+            FROM w),
+      v2 AS (SELECT *, list_transform(kl, u ->
+               CAST(len(u.r) + 5 + len(u.c) + 1 AS BIGINT)) AS rlk
+             FROM v)
       SELECT user_id,
         CAST(n AS BIGINT) AS n_turns,
         CAST(CASE WHEN has_sys THEN 1 ELSE 0 END + (n - cut) AS BIGINT)
@@ -986,12 +994,21 @@ private[graft] object QueriesTemporal {
         CAST(sys_tok + coalesce(
           list_sum(tk[CAST(cut AS INT)+1:CAST(n AS INT)]), 0) AS BIGINT)
           AS kept_tokens,
-        array_to_string(list_transform(
-          CASE WHEN has_sys
-               THEN list_concat(tl[1:1], tl[CAST(cut AS INT)+1:CAST(n AS INT)])
-               ELSE tl[CAST(cut AS INT)+1:CAST(n AS INT)] END,
-          u -> '<|' || u.r || '|>' || chr(10) || u.c || chr(10)), '') AS text
-      FROM w ORDER BY user_id""",
+        array_to_string(list_transform(kl,
+          u -> '<|' || u.r || '|>' || chr(10) || u.c || chr(10)), '') AS text,
+        coalesce(array_to_string(list_transform(
+          list_filter(range(1, len(kl) + 1), j -> kl[CAST(j AS INT)].r = 'assistant'),
+          j -> CAST(coalesce(list_sum(rlk[1:CAST(j AS INT)-1]), 0)
+                 + len(kl[CAST(j AS INT)].r) + 5 AS VARCHAR)
+               || ':' ||
+               CAST(coalesce(list_sum(rlk[1:CAST(j AS INT)-1]), 0)
+                 + len(kl[CAST(j AS INT)].r) + 5
+                 + len(kl[CAST(j AS INT)].c) AS VARCHAR)), ','), '')
+          AS loss_spans,
+        CAST(coalesce(list_sum(list_transform(
+          list_filter(kl, u -> u.r = 'assistant'), u -> len(u.c))), 0)
+          AS BIGINT) AS loss_chars
+      FROM v2 ORDER BY user_id""",
   )
 
   /** DuckDB mirror of [[convTurns]]. */

@@ -1127,6 +1127,54 @@ object ScaleBench {
     println("corpus_x,docs,out_rows,pipeline_flagship_sec")
     flagRows.foreach { case (k, d, o, t) => println(f"$k,$d,$o,$t%.2f") }
     }
+    // ---- conversation assembly under TURN growth ------------------------
+    // The axis that stresses the per-conversation linear folds: replicas
+    // keep the SAME users but shift event time by i·400 days and the
+    // order tiebreak by i·10M, so every conversation gets k× LONGER
+    // (conversation count constant). assemble's span fold and truncate's
+    // prefix-sum cut are O(turns) per conversation — the curve must stay
+    // linear in k; the bind()-pinned truncate would be quadratic without
+    // the pinning (29s vs 1.1s at sf0.1, the round-14 fix this cell
+    // guards).
+    phase("conv") {
+    import graft.ext.Conversations
+    val evC = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "signup", "system")
+          .when(col("event_type").isin("view", "error"), "user")
+          .otherwise("assistant").as("role"),
+        concat_ws(" ", col("event_type"), col("props")).as("content"))
+    val nTurns = evC.count()
+    def longer(k: Int): DataFrame =
+      (0 until k).map(i => evC.select(col("user_id"),
+        (col("ts") + expr(s"INTERVAL ${i * 400} DAYS")).as("ts"),
+        (col("event_id") + lit(i.toLong * 10_000_000L)).as("event_id"),
+        col("role"), col("content")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def asmJob(d: DataFrame): Unit =
+      Conversations.assemble("user_id", Seq("ts", "event_id"),
+        "role", "content")(d)
+        .write.mode("overwrite").format("noop").save()
+    def truncJob(d: DataFrame): Unit =
+      Conversations.truncate("user_id", Seq("ts", "event_id"),
+        "role", "content", budget = 30)(d)
+        .write.mode("overwrite").format("noop").save()
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    locally { val d1 = longer(1).localCheckpoint()
+      asmJob(d1); truncJob(d1); d1.unpersist() }
+    val convRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = longer(k).localCheckpoint()
+      val ta = median3(asmJob(d))
+      val tt = median3(truncJob(d))
+      d.unpersist()
+      (k, nTurns * k, ta, tt)
+    }
+    println("turns_x,turns,assemble_sec,truncate_sec")
+    convRows.foreach { case (k, t, ta, tt) => println(f"$k,$t,$ta%.2f,$tt%.2f") }
+    }
     spark.stop()
   }
 }

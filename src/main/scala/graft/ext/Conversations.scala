@@ -38,6 +38,33 @@ object Conversations {
   private def render(t: Column): Column =
     concat(lit("<|"), t.getField("r"), lit("|>\n"), t.getField("c"), lit("\n"))
 
+  /** One linear fold over a turn array carrying the running char offset;
+    * yields `struct(sp, lc)` — the `start:end,…` loss-span string and
+    * masked char total for `lossRole` content regions of the rendered
+    * template. Shared by [[assemble]] (full conversation) and
+    * [[truncate]] (kept turns — spans must address the text that will
+    * actually be trained on, not the pre-cut original). */
+  private def spanFold(arr: Column, lossRole: String): Column =
+    aggregate(
+      arr,
+      struct(lit(0L).as("off"), lit("").as("sp"), lit(0L).as("lc")),
+      (acc, t) => {
+        val hl = length(t.getField("r")).cast("long") + lit(5L)
+        val cl = length(t.getField("c")).cast("long")
+        val start = acc.getField("off") + hl
+        val end = start + cl
+        val isLoss = t.getField("r") === lit(lossRole)
+        struct(
+          (end + lit(1L)).as("off"),
+          when(isLoss,
+            concat(acc.getField("sp"),
+              when(acc.getField("sp") === lit(""), lit(""))
+                .otherwise(lit(",")),
+              start.cast("string"), lit(":"), end.cast("string")))
+            .otherwise(acc.getField("sp")).as("sp"),
+          (acc.getField("lc") + when(isLoss, cl).otherwise(lit(0L))).as("lc"))
+      })
+
   /** Sorted turn array `array<struct<…ord, r, c>>` per conversation —
     * the single shuffle both ops share. NULL roles/contents normalize to
     * empty strings (a NULL turn still occupies its slot; dropping it
@@ -67,30 +94,17 @@ object Conversations {
       roleField: String, contentField: String,
       lossRole: String = "assistant")(df: DataFrame): DataFrame = {
     val g = sortedTurns(convField, orderFields, roleField, contentField)(df)
+    g.select(col("__conv").as(convField) +: assembledColumns(lossRole): _*)
+  }
+
+  /** The rendered-example projection over a sorted `__ts` turn array —
+    * shared verbatim by [[assemble]] and the streaming session form
+    * ([[graft.streaming.Streaming.streamingConversationAssemble]]), so
+    * batch and stream cannot disagree on the template or the spans. */
+  private[graft] def assembledColumns(lossRole: String): Seq[Column] = {
     val text = array_join(transform(col("__ts"), render(_)), "")
-    // one linear fold carries the running char offset and accumulates
-    // the loss spans + masked char total
-    val folded = aggregate(
-      col("__ts"),
-      struct(lit(0L).as("off"), lit("").as("sp"), lit(0L).as("lc")),
-      (acc, t) => {
-        val hl = length(t.getField("r")).cast("long") + lit(5L)
-        val cl = length(t.getField("c")).cast("long")
-        val start = acc.getField("off") + hl
-        val end = start + cl
-        val isLoss = t.getField("r") === lit(lossRole)
-        struct(
-          (end + lit(1L)).as("off"),
-          when(isLoss,
-            concat(acc.getField("sp"),
-              when(acc.getField("sp") === lit(""), lit(""))
-                .otherwise(lit(",")),
-              start.cast("string"), lit(":"), end.cast("string")))
-            .otherwise(acc.getField("sp")).as("sp"),
-          (acc.getField("lc") + when(isLoss, cl).otherwise(lit(0L))).as("lc"))
-      })
-    g.select(
-      col("__conv").as(convField),
+    val folded = spanFold(col("__ts"), lossRole)
+    Seq(
       size(col("__ts")).cast("long").as("n_turns"),
       size(split(text, " ")).cast("long").as("token_count"),
       text.as("text"),
@@ -103,14 +117,21 @@ object Conversations {
     * plus the longest SUFFIX of the remaining turns whose content token
     * sum fits `budget` minus the system turn's tokens. Whole turns only;
     * the suffix may be empty when even the final turn overflows. Token
-    * counts are whitespace counts of the CONTENT (headers excluded) —
-    * the same convention as [[graft.ext.TextOps.tokenCount]].
+    * counts are over the CONTENT (headers excluded): whitespace counts
+    * ([[graft.ext.TextOps.tokenCount]] convention, empty content = 1) by
+    * default, or the BPE-ish subword pre-tokenizer
+    * ([[graft.ext.TextOps.bpeishPattern]], empty content = 0) with
+    * `bpeish = true` — closer to a real tokenizer's budget when the
+    * context window is counted in subwords.
     *
-    * Output: `(<convField>, n_turns, kept_turns, kept_tokens, text)`
-    * with `text` the rendered kept turns. */
+    * Output: `(<convField>, n_turns, kept_turns, kept_tokens, text,
+    * loss_spans, loss_chars)` — `text` is the rendered KEPT turns and
+    * the spans address it (the example that will actually be trained
+    * on), in [[assemble]]'s `start:end,…` form over `lossRole`. */
   def truncate(convField: String, orderFields: Seq[String],
       roleField: String, contentField: String, budget: Int,
-      systemRole: String = "system")(df: DataFrame): DataFrame = {
+      systemRole: String = "system", lossRole: String = "assistant",
+      bpeish: Boolean = false)(df: DataFrame): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     import graft.functions.GraftFunctions.bind
     val g = sortedTurns(convField, orderFields, roleField, contentField)(df)
@@ -128,8 +149,12 @@ object Conversations {
     // PER ELEMENT otherwise (the SURVEY §8 CSE hazard), which turns this
     // linear pass quadratic. All five outputs come out of one shared
     // `packed` struct so the Project computes the chain once per row.
+    val tokCount: Column => Column =
+      if (bpeish) c => size(regexp_extract_all(c,
+        lit(graft.ext.TextOps.bpeishPattern), lit(0))).cast("long")
+      else c => size(split(c, " ")).cast("long")
     val packed = bind(transform(ts,
-        t => size(split(t.getField("c"), " ")).cast("long"))) { tk =>
+        t => tokCount(t.getField("c")))) { tk =>
       val sysTok = when(hasSys, element_at(tk, 1)).otherwise(lit(0L))
       val rem = greatest(lit(budget.toLong) - sysTok, lit(0L))
       val total = aggregate(tk, lit(0L), (a, x) => a + x)
@@ -152,13 +177,16 @@ object Conversations {
             (n - cut).cast("int"))
           bind(when(hasSys, concat(slice(ts, 1, 1), keptSuffix))
               .otherwise(keptSuffix)) { kept =>
+            val folded = spanFold(kept, lossRole)
             struct(
               n.as("nt"),
               size(kept).cast("long").as("kt"),
               (sysTok + aggregate(
                 slice(tk, (cut + lit(1L)).cast("int"), (n - cut).cast("int")),
                 lit(0L), (a, x) => a + x)).as("ktok"),
-              array_join(transform(kept, render(_)), "").as("tx"))
+              array_join(transform(kept, render(_)), "").as("tx"),
+              folded.getField("sp").as("sp"),
+              folded.getField("lc").as("lc"))
           }
         }
       }
@@ -168,6 +196,8 @@ object Conversations {
       packed.getField("nt").as("n_turns"),
       packed.getField("kt").as("kept_turns"),
       packed.getField("ktok").as("kept_tokens"),
-      packed.getField("tx").as("text"))
+      packed.getField("tx").as("text"),
+      packed.getField("sp").as("loss_spans"),
+      packed.getField("lc").as("loss_chars"))
   }
 }

@@ -661,9 +661,10 @@ final case class Pipeline(df: DataFrame) {
       contentField, lossRole))
   def truncateConversations(convField: String, orderFields: Seq[String],
       roleField: String, contentField: String, budget: Int,
-      systemRole: String = "system"): Pipeline =
+      systemRole: String = "system", lossRole: String = "assistant",
+      bpeish: Boolean = false): Pipeline =
     >>(graft.ext.Conversations.truncate(convField, orderFields, roleField,
-      contentField, budget, systemRole))
+      contentField, budget, systemRole, lossRole, bpeish))
   def goldenRecord(clusterField: String, rules: Seq[(String, String)],
       recencyField: Option[String] = None,
       tieField: Option[String] = None): Pipeline =

@@ -283,6 +283,48 @@ object Streaming {
         col(keyField),
         col("event_count"))
 
+  /** Streaming SFT assembly: gap-closed conversations from an unbounded
+    * turn stream. A conversation is DONE when `gap` of event-time
+    * silence follows its last turn — `session_window` keyed by the
+    * conversation id holds the open session's turns as state, and once
+    * the watermark passes a session's end the closed conversation emits
+    * exactly once (append mode) through THE SAME rendered-example
+    * projection the batch [[graft.ext.Conversations.assemble]] uses
+    * (shared `assembledColumns` — template and spans cannot diverge
+    * between batch and stream). Turn order inside a session is event
+    * time, ties broken by (role, content) in the struct sort — pass
+    * uniquely-timestamped turns for a guaranteed total order, exactly as
+    * the batch op's `orderFields` contract demands. State per open
+    * conversation is its turn list — the same "a training example must
+    * materialize" bound as batch; the watermark bounds how long it is
+    * held. Also runs verbatim on a batch frame (session_window is a
+    * plain grouping there) — the parity spec pins the two. */
+  def streamingConversationAssemble(
+      events: DataFrame,
+      convField: String = "user_id",
+      tsField: String = "ts",
+      roleField: String = "role",
+      contentField: String = "content",
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes",
+      lossRole: String = "assistant"): DataFrame = {
+    val turnStruct = struct(
+      col(tsField).as("__o0"),
+      coalesce(col(roleField).cast("string"), lit("")).as("r"),
+      coalesce(col(contentField).cast("string"), lit("")).as("c"))
+    val base =
+      if (events.isStreaming) events.withWatermark(tsField, watermarkDelay)
+      else events
+    base
+      .groupBy(session_window(col(tsField), gap), col(convField))
+      .agg(array_sort(collect_list(turnStruct)).as("__ts"))
+      .select(Seq(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(convField)) ++
+        graft.ext.Conversations.assembledColumns(lossRole): _*)
+  }
+
   /** Continuous rollup maintenance: attach a
     * [[graft.ext.RollupState]] to an unbounded stream — each
     * micro-batch folds into the persisted sufficient-statistics frame

@@ -68,16 +68,37 @@ class ConversationsSpec extends SparkSpec {
     val out = Conversations
       .truncate("conv", Seq("ord"), "role", "content", budget = 7)(turns)
       .orderBy("conv")
-      .as[(Int, Long, Long, Long, String)].collect()
-    val (_, n1, k1, kt1, text1) = out(0)
+      .as[(Int, Long, Long, Long, String, String, Long)].collect()
+    val (_, n1, k1, kt1, text1, spans1, lc1) = out(0)
     assert(n1 === 5L && k1 === 4L && kt1 === 7L)
     assert(text1 ===
       "<|system|>\nbe terse\n" + "<|assistant|>\nhello\n" +
         "<|user|>\nbye\n" + "<|assistant|>\nsee you soon\n")
+    // loss spans address the TRUNCATED text, not the original
+    val spanVals = spans1.split(",").map { s =>
+      val Array(a, b) = s.split(":"); text1.substring(a.toInt, b.toInt)
+    }.toSeq
+    assert(spanVals === Seq("hello", "see you soon"))
+    assert(lc1 === "hello".length + "see you soon".length)
     // conv 2 has no system turn: tokens 1,1; budget 7 keeps everything
-    val (_, n2, k2, kt2, text2) = out(1)
+    val (_, n2, k2, kt2, text2, _, _) = out(1)
     assert(n2 === 2L && k2 === 2L && kt2 === 2L)
     assert(text2 === "<|user|>\nfirst\n<|assistant|>\nlate\n")
+  }
+
+  test("truncate bpeish mode counts subwords: punctuation-heavy turns cost more") {
+    import spark.implicits._
+    // "a,b" = 1 ws token but 3 bpe-ish tokens; budget 4 keeps both turns
+    // under ws counting, only the last under bpeish
+    val df = Seq((1, 1, "user", "a,b"), (1, 2, "assistant", "c,d"))
+      .toDF("conv", "ord", "role", "content")
+    val ws = Conversations.truncate("conv", Seq("ord"), "role", "content",
+      budget = 4)(df).select("kept_turns").as[Long].collect().head
+    val bp = Conversations.truncate("conv", Seq("ord"), "role", "content",
+      budget = 4, bpeish = true)(df)
+      .select("kept_turns", "kept_tokens").as[(Long, Long)].collect().head
+    assert(ws === 2L)
+    assert(bp === ((1L, 3L)))
   }
 
   test("truncate: zero/overflow budgets degrade to system-only or final-turn-only") {
@@ -86,13 +107,14 @@ class ConversationsSpec extends SparkSpec {
     val r2 = Conversations
       .truncate("conv", Seq("ord"), "role", "content", budget = 2)(
         turns.filter(col("conv") === 1))
-      .as[(Int, Long, Long, Long, String)].collect().head
+      .as[(Int, Long, Long, Long, String, String, Long)].collect().head
     assert(r2._3 === 1L && r2._4 === 2L && r2._5 === "<|system|>\nbe terse\n")
+    assert(r2._6 === "" && r2._7 === 0L) // no assistant turn survives
     // budget 0 with no system turn -> nothing kept, empty render
     val r0 = Conversations
       .truncate("conv", Seq("ord"), "role", "content", budget = 0)(
         turns.filter(col("conv") === 2))
-      .as[(Int, Long, Long, Long, String)].collect().head
+      .as[(Int, Long, Long, Long, String, String, Long)].collect().head
     assert(r0._3 === 0L && r0._4 === 0L && r0._5 === "")
   }
 

@@ -788,4 +788,70 @@ class PropertySpec extends SparkSpec {
       assert(got === want)
     }
   }
+
+  test("conversation assembly/truncation invariants under random turn streams") {
+    // For random conversations: (1) every loss span extracts exactly an
+    // assistant turn's content, in order; (2) loss_chars == the sum of
+    // those contents' lengths; (3) a truncated example is a rendered
+    // (system?) + contiguous-suffix selection whose token sum fits the
+    // budget whenever any suffix fits, and its spans address ITS text.
+    val roleGen = Gen.oneOf("system", "user", "assistant")
+    val wordGen = Gen.listOfN(3, Gen.alphaNumStr.map(_.take(4))).map(_.mkString(" "))
+    val turnGen = Gen.zip(roleGen, wordGen)
+    val convGen = Gen.listOfN(24,
+      Gen.zip(Gen.chooseNum(1, 4), Gen.chooseNum(1, 1000), turnGen))
+    for (rows <- draws(convGen, 4)) {
+      val distinctRows = rows
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toList // unique (conv, ord)
+      val df = distinctRows.map { case (c, o, (r, t)) => (c, o, r, t) }
+        .toDF("conv", "ord", "role", "content")
+      val asm = graft.ext.Conversations
+        .assemble("conv", Seq("ord"), "role", "content")(df)
+        .collect().map(r => r.getAs[Int]("conv") ->
+          ((r.getAs[String]("text"), r.getAs[String]("loss_spans"),
+            r.getAs[Long]("loss_chars")))).toMap
+      val byConv = distinctRows.groupBy(_._1)
+      for ((c, members) <- byConv) {
+        val (text, spans, lc) = asm(c)
+        val wantLoss = members.sortBy(_._2).collect {
+          case (_, _, ("assistant", t)) => t
+        }
+        val gotLoss =
+          if (spans.isEmpty) Seq.empty
+          else spans.split(",").toSeq.map { s =>
+            val Array(a, b) = s.split(":"); text.substring(a.toInt, b.toInt)
+          }
+        assert(gotLoss === wantLoss)
+        assert(lc === wantLoss.map(_.length).sum)
+      }
+      val budget = 5
+      val tr = graft.ext.Conversations
+        .truncate("conv", Seq("ord"), "role", "content", budget = budget)(df)
+        .collect()
+      for (r <- tr) {
+        val c = r.getAs[Int]("conv")
+        val members = byConv(c).sortBy(_._2).map { case (_, _, (ro, t)) => (ro, t) }
+        val hasSys = members.head._1 == "system"
+        val sysTok = if (hasSys) members.head._2.split(" ", -1).length else 0
+        val kt = r.getAs[Long]("kept_tokens")
+        val keptTurns = r.getAs[Long]("kept_turns")
+        // budget respected unless only the (oversized) system turn is left
+        assert(kt <= budget || (hasSys && keptTurns === 1L && kt === sysTok.toLong))
+        // text is render(system?) + a contiguous SUFFIX render
+        val rendered = members.map { case (ro, t) => s"<|$ro|>\n$t\n" }
+        val suffixes = (0 to members.size).map(k =>
+          (if (hasSys) rendered.head else "") + rendered.drop(k).mkString(""))
+        assert(suffixes.contains(r.getAs[String]("text")))
+        // spans address the truncated text
+        val text = r.getAs[String]("text")
+        val sp = r.getAs[String]("loss_spans")
+        if (sp.nonEmpty) sp.split(",").foreach { s =>
+          val Array(a, b) = s.split(":")
+          assert(b.toInt <= text.length && a.toInt >= 14) // in bounds
+          // a loss span's content region is always headed by its role
+          assert(text.substring(a.toInt - 12, a.toInt) === "assistant|>\n")
+        }
+      }
+    }
+  }
 }

@@ -1082,4 +1082,53 @@ class StreamingSpec extends SparkSpec {
       .collect()
     assert(batchOut.length === 4) // both bins occupied in each window
   }
+
+  test("streaming conversation assembly: gap-closed sessions emit once, matching batch") {
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Timestamp, String, String, String)]
+    val out = Streaming.streamingConversationAssemble(
+      input.toDF().toDF("ts", "user_id", "role", "content"),
+      gap = "10 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("convasm")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("09:00"), "u1", "system", "be brief"),
+        (ts("09:01"), "u1", "user", "hi"),
+        (ts("09:02"), "u1", "assistant", "hello there"))
+      q.processAllAvailable()
+      // two flush rounds: the watermark a batch USES trails the data a
+      // batch SEES by one trigger
+      input.addData((ts("11:00"), "u2", "user", "later"))
+      q.processAllAvailable()
+      input.addData((ts("11:30"), "u2", "user", "more"))
+      q.processAllAvailable()
+      // closed: u1's 09:00-09:12 and u2's 11:00-11:10 (the post-batch
+      // no-data trigger sees watermark 11:25); u2's 11:30 session stays
+      // open — emitted once each, never re-emitted
+      val rows = spark.table("convasm").orderBy("session_start").collect()
+      assert(rows.map(r => (r.getAs[String]("user_id"),
+        r.getAs[Long]("n_turns"))).toSeq === Seq("u1" -> 3L, "u2" -> 1L))
+      val r = rows.head
+      assert(r.getAs[String]("user_id") === "u1")
+      assert(r.getAs[Long]("n_turns") === 3L)
+      val text = r.getAs[String]("text")
+      assert(text ===
+        "<|system|>\nbe brief\n<|user|>\nhi\n<|assistant|>\nhello there\n")
+      val Array(a, b) = r.getAs[String]("loss_spans").split(":")
+      assert(text.substring(a.toInt, b.toInt) === "hello there")
+      // batch parity: the SAME op over the same rows as a batch frame
+      val batch = Seq(
+        (ts("09:00"), "u1", "system", "be brief"),
+        (ts("09:01"), "u1", "user", "hi"),
+        (ts("09:02"), "u1", "assistant", "hello there"),
+        (ts("11:00"), "u2", "user", "later"),
+        (ts("11:30"), "u2", "user", "more"))
+        .toDF("ts", "user_id", "role", "content")
+      val bu1 = Streaming.streamingConversationAssemble(
+        batch, gap = "10 minutes")
+        .filter(col("user_id") === "u1").collect().head
+      assert(bu1.toSeq === r.toSeq)
+    } finally q.stop()
+  }
 }
