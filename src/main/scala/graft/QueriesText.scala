@@ -378,6 +378,23 @@ private[graft] object QueriesText {
         maskProb = 0.15, spanLen = 3)(corpus(s, dir, "documents"))
         .orderBy("doc_id")
     },
+    "ul2_mix" -> { (s, dir) =>
+      // UL2 mixture-of-denoisers: hash-routed R/S/X regimes (span
+      // corruption 15%/3, prefix-LM, extreme 50%/8) with paradigm
+      // tokens — the oracle replays the routing cutoffs, both mask
+      // grids, and the S cut exactly
+      TextOps.ul2Mix("doc_id", "text")(corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+    "anneal_schedule" -> { (s, dir) =>
+      // 3-phase anneal from natural (alpha=1) through sqrt-temperature
+      // (alpha=1/2) to uniform (alpha=0): the per-phase sampling table
+      // a mid-training recipe feeds to the mix ops; quarter-grid
+      // alphas keep n^alpha a sqrt/multiply chain — exact both engines
+      TextOps.annealMixSchedule("source", phases = 3)(
+        table(s, dir, "documents"))
+        .orderBy("phase", "source")
+    },
     "epoch_mix" -> { (s, dir) =>
       // LLaMA-recipe fractional epochs: src0 ×2.5, src1 ×0.25,
       // src2 ×1 — integer epochs exact, the fractional part a salted
@@ -1621,5 +1638,101 @@ private[graft] object QueriesText {
       HAVING CAST(count(*) AS DOUBLE)
            > 1e-4 * (SELECT CAST(total AS DOUBLE) FROM n)
       ORDER BY cnt DESC, phrase""",
+    // mirrors TextOps.ul2Mix: md5-prefix routing (r < 0.5·2^32 <= s <
+    // 0.75·2^32 <= x), spanCorrupt grids at (15%, 3) / (50%, 8) with
+    // salts 'ul2:r' / 'ul2:x', S cut = md5p32('ul2:s'||id) mod (nt+1)
+    "ul2_mix" -> s"""
+      WITH d0 AS (SELECT doc_id,
+          string_split(coalesce(text, ''), ' ') AS t,
+          ${md5p32Sql("'ul2' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents),
+      d AS (SELECT doc_id, t,
+          CASE WHEN h < 2147483648 THEN 'r'
+               WHEN h < 3221225472 THEN 's' ELSE 'x' END AS regime
+        FROM d0),
+      ${ul2CorruptCtes("r", "ul2:r", "15e-2", 3)},
+      ${ul2CorruptCtes("x", "ul2:x", "5e-1", 8)},
+      sb AS (SELECT doc_id, 's' AS regime,
+          array_to_string(list_concat(list_concat(['[S2S]'],
+            t[1:CAST(cut AS INT)]), ['<extra_id_0>']), ' ') AS input_text,
+          array_to_string(list_concat(['<extra_id_0>'],
+            t[CAST(cut AS INT)+1:len(t)]), ' ') AS target_text,
+          CAST(1 AS BIGINT) AS n_masked_spans
+        FROM (SELECT doc_id, t,
+                ${md5p32Sql("'ul2:s' || CAST(doc_id AS VARCHAR)")}
+                  % (len(t) + 1) AS cut
+              FROM d WHERE regime = 's'))
+      SELECT * FROM rb UNION ALL SELECT * FROM sb UNION ALL
+      SELECT * FROM xb ORDER BY doc_id""",
+    // mirrors TextOps.annealMixSchedule(phases=3, 4->0 quarters):
+    // alpha grid (4, 2, 0), weight = (sqrt(sqrt(n)))^q via the same
+    // left-assoc multiply chain, per-phase source-ordered total fold
+    "anneal_schedule" -> """
+      WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source),
+      ph AS (SELECT * FROM (VALUES (0, 4), (1, 2), (2, 0)) AS v(phase, q)),
+      w0 AS (SELECT phase, q, source, n,
+          sqrt(sqrt(CAST(n AS DOUBLE))) AS r
+        FROM per, ph),
+      w AS (SELECT CAST(phase AS BIGINT) AS phase,
+          CAST(q AS BIGINT) AS alpha_quarters, source, n,
+          CASE q WHEN 0 THEN 1e0 WHEN 1 THEN r WHEN 2 THEN r * r
+                 WHEN 3 THEN r * r * r ELSE r * r * r * r END AS weight
+        FROM w0),
+      tot AS (SELECT phase, list_reduce(
+          list_prepend(CAST(0 AS DOUBLE), list(weight ORDER BY source)),
+          (a, x) -> a + x) AS tw
+        FROM w GROUP BY phase)
+      SELECT w.phase, alpha_quarters, source, n AS n_docs, weight,
+        weight / tw AS share
+      FROM w JOIN tot USING (phase) ORDER BY phase, source""",
   )
+
+  /** Unsigned 32-bit md5-prefix of an SQL string expression — the
+    * md5Prefix32 mirror. */
+  private def md5p32Sql(keyExpr: String): String =
+    s"""CAST(list_sum(list_transform(range(1,9), j ->
+        (strpos('0123456789abcdef', substr(md5($keyExpr), j, 1)) - 1)
+        * CAST(16**(8-j) AS BIGINT))) AS BIGINT)"""
+
+  /** The spanCorrupt CTE chain for one UL2 regime: block grid of
+    * `spanLen` tokens, salted per-block Bernoulli at `probE`, sentinel
+    * ranks, and the paradigm-token-prefixed pair projection. Emits CTEs
+    * `<tag>n/<tag>m/<tag>s/<tag>b`; the branch result is `<tag>b`. */
+  private def ul2CorruptCtes(tag: String, salt: String, probE: String,
+      spanLen: Int): String = {
+    val mode = if (tag == "r") "NLU" else "NLG"
+    s"""${tag}n AS (SELECT doc_id, t,
+          CAST(ceil(len(t) / ${spanLen}e0) AS INT) AS nb
+        FROM d WHERE regime = '$tag'),
+      ${tag}m AS (SELECT doc_id, t, nb,
+          list_transform(range(0, nb), b -> CASE WHEN
+            CAST(${md5p32Sql(
+      s"'$salt' || CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+              AS DOUBLE) < $probE * CAST(4294967296 AS DOUBLE)
+            THEN 1 ELSE 0 END) AS mask
+        FROM ${tag}n),
+      ${tag}s AS (SELECT doc_id, t, nb, mask,
+          list_transform(range(0, nb), b ->
+            CAST(coalesce(list_sum(mask[1:CAST(b AS INT)]), 0) AS INT))
+            AS sid
+        FROM ${tag}m),
+      ${tag}b AS (SELECT doc_id, '$tag' AS regime,
+          '[$mode] ' || coalesce(array_to_string(flatten(
+            list_transform(range(0, nb),
+              b -> CASE WHEN mask[CAST(b + 1 AS INT)] = 1
+                THEN ['<extra_id_' ||
+                  CAST(sid[CAST(b + 1 AS INT)] AS VARCHAR) || '>']
+                ELSE t[CAST(b * $spanLen + 1 AS INT):CAST(b * $spanLen + $spanLen AS INT)]
+              END)), ' '), '') AS input_text,
+          coalesce(array_to_string(flatten(list_transform(range(0, nb),
+            b -> CASE WHEN mask[CAST(b + 1 AS INT)] = 1
+              THEN list_concat(['<extra_id_' ||
+                  CAST(sid[CAST(b + 1 AS INT)] AS VARCHAR) || '>'],
+                t[CAST(b * $spanLen + 1 AS INT):CAST(b * $spanLen + $spanLen AS INT)])
+              ELSE CAST([] AS VARCHAR[])
+            END)), ' '), '') AS target_text,
+          CAST(coalesce(list_sum(mask), 0) AS BIGINT) AS n_masked_spans
+        FROM ${tag}s)"""
+  }
 }

@@ -779,6 +779,61 @@ object TextOps {
       .drop("__nc")
   }
 
+  /** Annealed mixture schedule — the multi-phase refinement of
+    * [[temperatureMix]]: mid-training recipes start near the natural
+    * source distribution (α = 1, diversity) and anneal toward uniform
+    * (α = 0, per-source equal weight) or any stop between, phase by
+    * phase. Emits the per-phase sampling table
+    * `(phase, alpha_quarters, source, n_docs, weight, share)` with
+    * `weight = n^(α_p)` and `share` its per-phase normalization — feed
+    * each phase's shares to [[downsampleToTargets]]/[[temperatureMix]]
+    * to materialize that phase's corpus.
+    *
+    * α is interpolated on the QUARTER grid (α_p in fourths, computed
+    * driver-side from `startQuarters`/`endQuarters` ∈ [0, 4]) so
+    * `n^α = (√√n)^k` is a chain of IEEE-exact sqrt's and fixed-order
+    * multiplies — bit-identical across engines, where a general `pow`
+    * is not. Per-phase totals fold source-ordered (the [[temperatureMix]]
+    * discipline); the whole op is ONE corpus hash-agg + arithmetic on a
+    * `|sources| × phases` frame — the corpus is scanned once, the
+    * schedule is free. */
+  def annealMixSchedule(
+      sourceField: String, phases: Int,
+      startQuarters: Int = 4, endQuarters: Int = 0)(
+      df: DataFrame): DataFrame = {
+    require(phases >= 2, s"need >= 2 phases to anneal, got $phases")
+    require(startQuarters >= 0 && startQuarters <= 4 &&
+      endQuarters >= 0 && endQuarters <= 4,
+      "alpha quarters must lie in [0, 4] (alpha in [0, 1])")
+    val qs: Seq[(Int, Int)] = (0 until phases).map { p =>
+      p -> math.round(startQuarters +
+        (endQuarters - startQuarters) * p.toDouble / (phases - 1)).toInt
+    }
+    val counts = df.groupBy(col(sourceField).as("source"))
+      .agg(count(lit(1)).as("n"))
+    val phased = counts
+      .select(col("source"), col("n"), explode(array(qs.map { case (p, q) =>
+        struct(lit(p).as("phase"), lit(q).as("q"))
+      }: _*)).as("ph"))
+      .select(col("ph.phase").cast("long").as("phase"),
+        col("ph.q").cast("long").as("alpha_quarters"),
+        col("source"), col("n"))
+    val r = sqrt(sqrt(col("n").cast("double")))
+    val w = phased.withColumn("weight",
+      when(col("alpha_quarters") === 0, lit(1.0))
+        .when(col("alpha_quarters") === 1, r)
+        .when(col("alpha_quarters") === 2, r * r)
+        .when(col("alpha_quarters") === 3, r * r * r)
+        .otherwise(r * r * r * r))
+    val tot = w.groupBy("phase").agg(
+      aggregate(array_sort(collect_list(struct(col("source"), col("weight")))),
+        lit(0.0), (a, x) => a + x.getField("weight")).as("__tw"))
+    w.join(broadcast(tot), Seq("phase"))
+      .select(col("phase"), col("alpha_quarters"), col("source"),
+        col("n").as("n_docs"), col("weight"),
+        (col("weight") / col("__tw")).as("share"))
+  }
+
   def temperatureMix(
       idField: String, sourceField: String,
       budgetRows: Long, salt: String = "temp")(df: DataFrame): DataFrame = {
@@ -904,6 +959,66 @@ object TextOps {
     df.select(col(idField), applied.as("fim_applied"),
       when(t.isNull, lit(null).cast("string"))
         .when(applied, psm).otherwise(t).as("fim_text"))
+  }
+
+  /** UL2 mixture-of-denoisers (Tay et al. 2022): deterministically route
+    * each document to ONE denoising regime and emit its training pair,
+    * with the paradigm token prepended so the model conditions on the
+    * objective:
+    *
+    *   - R (weight `rWeight`, token `[NLU]`): regular span corruption —
+    *     [[spanCorrupt]] at maskProb 0.15, spanLen 3;
+    *   - S (weight `sWeight`, token `[S2S]`): prefix-LM — one salted-hash
+    *     token cut, prefix is the input, suffix is the single target
+    *     span (sentinel-bridged like the R/X pairs);
+    *   - X (weight `xWeight`, token `[NLG]`): extreme corruption —
+    *     [[spanCorrupt]] at maskProb 0.5, spanLen 8.
+    *
+    * Routing is [[hashSplit]] on the id (salted), so the mixture is
+    * reproducible and a document's regime never changes as the corpus
+    * grows; each regime's internal randomness is independently salted
+    * (`salt:r` / `salt:s` / `salt:x`). Output:
+    * `(<idField>, regime, input_text, target_text, n_masked_spans)`.
+    *
+    * Scale shape: three filtered branches over the same frame unioned
+    * back — each a pure per-row projection, zero shuffle; compose after
+    * a materialized stage (the pipeline_flagship localCheckpoint
+    * discipline) and the corpus is read once. The S cut and R/X masks
+    * are exact integer hash arithmetic — both engines replay them
+    * bit-for-bit. */
+  def ul2Mix(idField: String, textField: String,
+      rWeight: Double = 0.5, sWeight: Double = 0.25, xWeight: Double = 0.25,
+      salt: String = "ul2")(df: DataFrame): DataFrame = {
+    require(rWeight >= 0 && sWeight >= 0 && xWeight >= 0 &&
+      math.abs(rWeight + sWeight + xWeight - 1.0) < 1e-9,
+      "regime weights must be nonnegative and sum to 1")
+    val regime = hashSplit(col(idField),
+      Seq("r" -> rWeight, "s" -> sWeight, "x" -> xWeight),
+      defaultLabel = "r", salt = salt)
+    val t = df.withColumn("__regime", regime)
+    def corrupted(tag: String, prob: Double, spanLen: Int, mode: String) =
+      spanCorrupt(idField, textField, prob, spanLen, s"$salt:$tag")(
+        t.filter(col("__regime") === tag))
+        .select(col(idField), lit(tag).as("regime"),
+          concat(lit(s"[$mode] "), col("input_text")).as("input_text"),
+          col("target_text"), col("n_masked_spans"))
+    val r = corrupted("r", 0.15, 3, "NLU")
+    val x = corrupted("x", 0.5, 8, "NLG")
+    val sToks = tokens(coalesce(col(textField), lit("")))
+    val sBranch = t.filter(col("__regime") === "s")
+      .withColumn("__toks", sToks)
+      .withColumn("__cut",
+        (graft.functions.GraftFunctions.md5Prefix32(col(idField), s"$salt:s")
+          % (size(col("__toks")).cast("long") + 1L)).cast("int"))
+      .select(col(idField), lit("s").as("regime"),
+        array_join(concat(array(lit("[S2S]")),
+          slice(col("__toks"), lit(1), col("__cut")),
+          array(lit("<extra_id_0>"))), " ").as("input_text"),
+        array_join(concat(array(lit("<extra_id_0>")),
+          slice(col("__toks"), col("__cut") + lit(1),
+            size(col("__toks")) - col("__cut"))), " ").as("target_text"),
+        lit(1L).as("n_masked_spans"))
+    r.unionByName(sBranch).unionByName(x)
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.

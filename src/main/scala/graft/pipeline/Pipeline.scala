@@ -625,6 +625,14 @@ final case class Pipeline(df: DataFrame) {
   def fimTransform(idField: String, textField: String,
       fimRate: Double = 0.5, salt: String = "fim"): Pipeline =
     >>(TextOps.fimTransform(idField, textField, fimRate, salt))
+  def ul2Mix(idField: String, textField: String, rWeight: Double = 0.5,
+      sWeight: Double = 0.25, xWeight: Double = 0.25,
+      salt: String = "ul2"): Pipeline =
+    >>(TextOps.ul2Mix(idField, textField, rWeight, sWeight, xWeight, salt))
+  def annealMixSchedule(sourceField: String, phases: Int,
+      startQuarters: Int = 4, endQuarters: Int = 0): Pipeline =
+    >>(TextOps.annealMixSchedule(sourceField, phases, startQuarters,
+      endQuarters))
   def zipEntries(blobField: String, outField: String = "entries"): Pipeline =
     >>(_.withColumn(outField,
       graft.ext.BinaryOps.zipEntries(col(blobField))))

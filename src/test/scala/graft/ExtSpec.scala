@@ -1995,6 +1995,68 @@ class ExtSpec extends SparkSpec {
     assert(nullRow.getString(1) === "" || nullRow.getString(1).startsWith("<"))
   }
 
+  test("ul2Mix: exact partition into regimes, paradigm tokens, S reconstruction") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val out = TextOps.ul2Mix("doc_id", "text")(docs)
+      .join(docs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getString(5)))
+    // every document lands in EXACTLY one regime
+    assert(out.length === docs.count())
+    assert(out.map(_._1).distinct.length === out.length)
+    val byRegime = out.groupBy(_._2)
+    assert(byRegime.keySet === Set("r", "s", "x"))
+    // paradigm tokens match the regime
+    out.foreach { case (_, reg, inp, _, _, _) =>
+      val tok = Map("r" -> "[NLU] ", "s" -> "[S2S] ", "x" -> "[NLG] ")(reg)
+      assert(inp.startsWith(tok))
+    }
+    // S regime: prefix + suffix reconstructs the original exactly
+    byRegime("s").foreach { case (id, _, inp, tgt, ns, orig) =>
+      assert(ns === 1L)
+      val prefix = inp.stripPrefix("[S2S]").stripSuffix("<extra_id_0>")
+        .trim
+      val suffix = tgt.stripPrefix("<extra_id_0>").trim
+      val rebuilt = (prefix.split(" ").filter(_.nonEmpty) ++
+        suffix.split(" ").filter(_.nonEmpty)).mkString(" ")
+      val want = orig.split(" ").filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt === want, s"doc $id failed S reconstruction")
+    }
+    // routing is hash-stable: same fractions every run
+    val rerun = TextOps.ul2Mix("doc_id", "text")(docs)
+      .select("doc_id", "regime").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall { case (id, reg, _, _, _, _) => rerun(id) == reg })
+    intercept[IllegalArgumentException](
+      TextOps.ul2Mix("doc_id", "text", rWeight = 0.9, sWeight = 0.9)(docs))
+  }
+
+  test("annealMixSchedule: share ratios walk from natural to uniform") {
+    // head:tail = 1600:100 -> phase 0 (alpha 1) ratio 16, phase 1
+    // (alpha 1/2) ratio 4, phase 2 (alpha 0) ratio 1
+    val df = ((1 to 1600).map(i => (i.toLong, "head")) ++
+      (2001 to 2100).map(i => (i.toLong, "tail")))
+      .toDF("doc_id", "source")
+    val rows = TextOps.annealMixSchedule("source", phases = 3)(df)
+      .collect().map(r => ((r.getLong(0), r.getString(2)),
+        (r.getLong(1), r.getDouble(5)))).toMap
+    def ratio(p: Long) = rows((p, "head"))._2 / rows((p, "tail"))._2
+    assert(math.abs(ratio(0) - 16.0) < 1e-9)
+    assert(math.abs(ratio(1) - 4.0) < 1e-9)
+    assert(math.abs(ratio(2) - 1.0) < 1e-12)
+    // alpha grid annotated; per-phase shares sum to 1
+    assert(Seq(0L, 1L, 2L).map(p => rows((p, "head"))._1) === Seq(4L, 2L, 0L))
+    Seq(0L, 1L, 2L).foreach { p =>
+      val s = rows((p, "head"))._2 + rows((p, "tail"))._2
+      assert(math.abs(s - 1.0) < 1e-12)
+    }
+    intercept[IllegalArgumentException](
+      TextOps.annealMixSchedule("source", phases = 1)(df))
+    intercept[IllegalArgumentException](
+      TextOps.annealMixSchedule("source", phases = 3, startQuarters = 5)(df))
+  }
+
   test("temperatureMix: sqrt flattening, rate cap, rerun determinism") {
     // head source 1600 rows, tail 100: at T=2 the share ratio must be
     // √16 = 4, not 16 — the flattening IS the semantics

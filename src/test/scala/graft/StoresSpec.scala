@@ -720,5 +720,33 @@ class StoresSpec extends SparkSpec {
       .kAnonymize(Seq("zip"), k = 2).result
       .select("zip").as[String].collect().toSeq
     assert(anon === Seq("z", "z"))
+    // round-14 additions ride the same façade
+    val turns = Seq((1, 1, "user", "hi"), (1, 2, "assistant", "yo"))
+      .toDF("conv", "ord", "role", "content")
+    val conv = Pipeline(turns)
+      .assembleConversations("conv", Seq("ord"), "role", "content")
+      .result.head()
+    assert(conv.getAs[String]("text") === "<|user|>\nhi\n<|assistant|>\nyo\n")
+    val trunc = Pipeline(turns)
+      .truncateConversations("conv", Seq("ord"), "role", "content",
+        budget = 1).result.head()
+    assert(trunc.getAs[Long]("kept_turns") === 1L)
+    val golden = Pipeline(Seq(("a", 1L, 1, "X"), ("a", 2L, 2, "Y"))
+      .toDF("k", "ts", "id", "v"))
+      .goldenRecord("k", Seq("v" -> "latest"), Some("ts"), Some("id"))
+      .result.head()
+    assert(golden.getAs[String]("v") === "Y")
+    val ul2 = Pipeline(Seq((1L, "a b c")).toDF("doc_id", "text"))
+      .ul2Mix("doc_id", "text").result.head()
+    assert(Set("r", "s", "x")(ul2.getAs[String]("regime")))
+    val sched = Pipeline(Seq((1L, "s1"), (2L, "s2")).toDF("doc_id", "source"))
+      .annealMixSchedule("source", phases = 2).result.count()
+    assert(sched === 4L)
+    val boil = Pipeline(Seq((1L, "g", "x\ny"), (2L, "g", "x\nz"))
+      .toDF("doc_id", "site", "text"))
+      .boilerplateLines("doc_id", "site", "text", minDocFrac = 0.9,
+        minDocs = 2).result
+      .select("n_removed").as[Long].collect().sum
+    assert(boil === 2L) // "x" stripped from both docs
   }
 }
