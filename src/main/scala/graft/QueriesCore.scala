@@ -407,6 +407,30 @@ private[graft] object QueriesCore {
         minMargin = 0.05, pairsPerGroup = 2)(q)
         .orderBy("lang", "chosen_id", "rejected_id")
     },
+    "target_encode" -> { (s, dir) =>
+      // leakage-safe categorical encoding: each order's priority is
+      // replaced by the smoothed mean totalprice of the priority's
+      // OTHER orders (leave-one-out) — integer-scaled sums so the
+      // doubles hash-match
+      Ops.targetEncode("o_orderpriority", "o_totalprice",
+        smoothing = 10.0, scale = 1e2)(
+        table(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    "feature_hash" -> { (s, dir) =>
+      // hashing-trick vectorizer: segment + nation project into an
+      // 8-dim signed vector with no vocabulary — pure projection;
+      // exploded to (key, dim, value) rows for the oracle hash (list
+      // columns cannot cross the arrow dtype compare)
+      table(s, dir, "customer")
+        .select(col("c_custkey"),
+          posexplode(Ops.featureHash(Seq("c_mktsegment", "c_nationkey"),
+            dims = 8)).as(Seq("dim", "value")))
+        .select(col("c_custkey"), col("dim").cast("long").as("dim"),
+          col("value"))
+        .orderBy("c_custkey", "dim")
+    },
     "golden_record" -> { (s, dir) =>
       // survivorship merge: each customer's orders collapse to one
       // golden record — majority status, max price, first-seen date,
@@ -624,6 +648,60 @@ private[graft] object QueriesCore {
       ORDER BY t.lang, chosen_id, rejected_id""",
     // mirrors Ops.paretoFrontNd with groupCols = lang: dominance judged
     // only within the same language
+    // mirrors Ops.targetEncode: per-category and global integer-scaled
+    // sums, LOO subtraction for non-NULL targets, smoothing prior 10,
+    // null-safe category join; division shapes replayed exactly
+    "target_encode" -> """
+      WITH stats AS (SELECT o_orderpriority AS cat,
+          CAST(sum(CAST(round(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
+            AS cs,
+          count(o_totalprice) AS cn
+        FROM orders GROUP BY o_orderpriority),
+      g AS (SELECT
+          CAST(sum(CAST(round(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
+            AS gs,
+          count(o_totalprice) AS gn
+        FROM orders)
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+        (CAST(cs - CASE WHEN o_totalprice IS NOT NULL
+             THEN CAST(round(o_totalprice * 1e2, 0) AS BIGINT)
+             ELSE 0 END AS DOUBLE) / 1e2
+          + 10e0 * ((CAST(gs AS DOUBLE) / 1e2) / gn))
+        / (CAST(cn - CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END
+             AS DOUBLE) + 10e0) AS o_totalprice_te
+      FROM orders
+      LEFT JOIN stats ON o_orderpriority IS NOT DISTINCT FROM cat
+      CROSS JOIN g
+      ORDER BY o_orderkey""",
+    // mirrors Ops.featureHash over (c_mktsegment, c_nationkey), dims 8:
+    // bucket = md5p32('fh' || 'field=value') mod 8, sign from the
+    // independent 'fh:s' hash bit, NULLs contribute nothing
+    "feature_hash" -> """
+      SELECT c_custkey, CAST(j AS BIGINT) AS dim,
+        (CASE WHEN c_mktsegment IS NOT NULL
+           AND CAST(list_sum(list_transform(range(1,9), k ->
+             (strpos('0123456789abcdef', substr(md5('fh' ||
+                'c_mktsegment=' || CAST(c_mktsegment AS VARCHAR)), k, 1)) - 1)
+             * CAST(16**(8-k) AS BIGINT))) AS BIGINT) % 8 = j
+         THEN CASE WHEN CAST(list_sum(list_transform(range(1,9), k ->
+             (strpos('0123456789abcdef', substr(md5('fh:s' ||
+                'c_mktsegment=' || CAST(c_mktsegment AS VARCHAR)), k, 1)) - 1)
+             * CAST(16**(8-k) AS BIGINT))) AS BIGINT) % 2 = 0
+           THEN 1e0 ELSE -1e0 END
+         ELSE 0e0 END)
+        + (CASE WHEN c_nationkey IS NOT NULL
+           AND CAST(list_sum(list_transform(range(1,9), k ->
+             (strpos('0123456789abcdef', substr(md5('fh' ||
+                'c_nationkey=' || CAST(c_nationkey AS VARCHAR)), k, 1)) - 1)
+             * CAST(16**(8-k) AS BIGINT))) AS BIGINT) % 8 = j
+         THEN CASE WHEN CAST(list_sum(list_transform(range(1,9), k ->
+             (strpos('0123456789abcdef', substr(md5('fh:s' ||
+                'c_nationkey=' || CAST(c_nationkey AS VARCHAR)), k, 1)) - 1)
+             * CAST(16**(8-k) AS BIGINT))) AS BIGINT) % 2 = 0
+           THEN 1e0 ELSE -1e0 END
+         ELSE 0e0 END) AS value
+      FROM customer, unnest(range(0, 8)) AS u(j)
+      ORDER BY c_custkey, dim""",
     // mirrors Ops.goldenRecord: majority = most frequent non-NULL value,
     // count ties to the SMALLER value; latest = value on the newest
     // (o_orderdate, o_orderkey) row among non-NULL values; earliest/max/

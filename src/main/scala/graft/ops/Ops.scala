@@ -885,6 +885,89 @@ object Ops {
   def scaledSum(c: Column, scale: Double): Column =
     sum(round(c * scale, 0).cast("long")) / scale
 
+  /** Leakage-safe target encoding — the tabular-ML categorical encoder
+    * done with the repo's leakage discipline: each row's category is
+    * replaced by the smoothed mean of the TARGET over the category's
+    * OTHER rows (leave-one-out), so a row never sees its own label —
+    * the standard failure mode of naive mean encoding is train-time
+    * leakage that evaporates at serving.
+    *
+    *   te = (catSum − y + m·globalMean) / (catCount − 1 + m)
+    *
+    * with `m = smoothing` the prior pseudo-count pulling rare
+    * categories toward the global mean (`m > 0` required — it also
+    * keeps singleton categories defined). Rows with a NULL target skip
+    * the LOO subtraction (they contributed nothing); NULL categories
+    * form their own group via a null-safe join — an encoder must be
+    * row-preserving (the imputeMedian lesson). All sums ride the
+    * [[scaledSum]] integer discipline at `scale`, so the encoding is
+    * bit-identical across engines and run orders.
+    *
+    * Output: the input plus `<targetField>_te`. Scale shape: ONE
+    * |categories|-row hash-agg (map-side combined) + one 1-row global
+    * agg broadcast + one null-safe equi-join back — the corpus
+    * shuffles once on the category key; at serving time apply the
+    * category table WITHOUT LOO (store the stats frame). */
+  def targetEncode(
+      catField: String, targetField: String,
+      smoothing: Double = 10.0, scale: Double = 1e6)(
+      df: DataFrame): DataFrame = {
+    require(smoothing > 0.0, s"smoothing must be > 0, got $smoothing")
+    val y = col(targetField)
+    val stats = df.groupBy(col(catField).as("__cat"))
+      .agg(sum(round(y * scale, 0).cast("long")).as("__cs"),
+        count(y).as("__cn"))
+    val g = df.agg(sum(round(y * scale, 0).cast("long")).as("__gs"),
+      count(y).as("__gn"))
+    val joined = df
+      .join(broadcast(stats), col(catField) <=> col("__cat"), "left")
+      .crossJoin(broadcast(g))
+    val gMean = (col("__gs").cast("double") / scale) / col("__gn")
+    val yScaled = when(y.isNotNull, round(y * scale, 0).cast("long"))
+      .otherwise(lit(0L))
+    val loo = when(y.isNotNull, lit(1L)).otherwise(lit(0L))
+    joined
+      .withColumn(s"${targetField}_te",
+        ((col("__cs") - yScaled).cast("double") / scale
+          + lit(smoothing) * gMean)
+          / ((col("__cn") - loo).cast("double") + lit(smoothing)))
+      .drop("__cat", "__cs", "__cn", "__gs", "__gn")
+  }
+
+  /** Feature hashing (the hashing-trick vectorizer, Weinberger et al.
+    * 2009): project arbitrary categorical/numeric-as-categorical fields
+    * into a fixed `dims`-dimensional double vector with no vocabulary —
+    * feature `f=v` adds ±1 at index `hash(f=v) mod dims`, sign from an
+    * independent hash bit, which keeps the estimator unbiased under
+    * collisions. NULL values contribute nothing. The hash is the shared
+    * md5-prefix primitive, so vectors are engine- and growth-stable —
+    * no fit step, no dictionary to ship.
+    *
+    * Pure per-row projection (O(dims·|fields|) adds inside codegen,
+    * zero shuffle, no state); the output feeds [[Ops.regression]] /
+    * `Similarity` consumers directly. */
+  def featureHash(fields: Seq[String], dims: Int,
+      salt: String = "fh"): Column = {
+    require(fields.nonEmpty, "at least one field to hash")
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    def feat(f: String): Column =
+      concat(lit(f + "="), col(f).cast("string"))
+    def bucket(f: String): Column =
+      pmod(graft.functions.GraftFunctions.md5Prefix32(feat(f), salt),
+        lit(dims.toLong))
+    def sign(f: String): Column =
+      when(pmod(graft.functions.GraftFunctions
+        .md5Prefix32(feat(f), salt + ":s"), lit(2L)) === 0L, lit(1.0))
+        .otherwise(lit(-1.0))
+    transform(sequence(lit(0), lit(dims - 1)), j =>
+      fields.map(f =>
+        when(col(f).isNotNull && bucket(f) === j.cast("long"), sign(f))
+          .otherwise(lit(0.0)))
+        .reduce(_ + _))
+      // parquet/oracle parity: plain nullable-element array schema
+      .cast("array<double>")
+  }
+
   /** Shared measure list for the multi-level aggregates (cube / grouping
     * sets): min/max/count as-is, sum/average exact-and-order-insensitive
     * via [[scaledSum]] when a fixed-point scale is supplied. Duplicated

@@ -677,6 +677,12 @@ final case class Pipeline(df: DataFrame) {
       recencyField: Option[String] = None,
       tieField: Option[String] = None): Pipeline =
     >>(Ops.goldenRecord(clusterField, rules, recencyField, tieField))
+  def targetEncode(catField: String, targetField: String,
+      smoothing: Double = 10.0, scale: Double = 1e6): Pipeline =
+    >>(Ops.targetEncode(catField, targetField, smoothing, scale))
+  def featureHash(fields: Seq[String], dims: Int,
+      outField: String = "features", salt: String = "fh"): Pipeline =
+    >>(_.withColumn(outField, Ops.featureHash(fields, dims, salt)))
   def paretoFrontNd(fields: Seq[String], buckets: Int = 64,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Ops.paretoFrontNd(fields, buckets, groupCols))

@@ -1231,6 +1231,54 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("targetEncode: leave-one-out means, singleton prior, NULL discipline") {
+    import spark.implicits._
+    // cat a: y = 1,2,3 (sum 6, n 3); cat b: y = 10 (singleton);
+    // global mean over ALL non-null targets = 23/5 = 4.6; m = 1
+    val df = Seq(
+      (1, Option("a"), Option(1.0)), (2, Option("a"), Option(2.0)),
+      (3, Option("a"), Option(3.0)), (4, Option("b"), Option(10.0)),
+      (5, Option("a"), Option.empty[Double]),   // NULL target
+      (6, Option.empty[String], Option(7.0)))   // NULL category
+      .toDF("id", "cat", "y")
+    val out = Ops.targetEncode("cat", "y", smoothing = 1.0)(df)
+      .orderBy("id").select("id", "y_te")
+      .as[(Int, Double)].collect().toMap
+    val gm = 23.0 / 5
+    assert(math.abs(out(1) - (6.0 - 1 + gm) / (3 - 1 + 1)) < 1e-12) // 3.2
+    assert(math.abs(out(2) - (6.0 - 2 + gm) / 3) < 1e-12)
+    // singleton: LOO leaves nothing, the prior alone answers
+    assert(math.abs(out(4) - gm) < 1e-12)
+    // NULL target: no LOO subtraction, still encoded (row-preserving)
+    assert(math.abs(out(5) - (6.0 + gm) / (3 + 1)) < 1e-12)
+    // NULL category is its own group (null-safe join, not dropped)
+    assert(math.abs(out(6) - gm) < 1e-12)
+    assert(Ops.targetEncode("cat", "y")(df).count() === 6L)
+    intercept[IllegalArgumentException](
+      Ops.targetEncode("cat", "y", smoothing = 0.0)(df))
+  }
+
+  test("featureHash: signed unit contributions, NULL-immune, deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Option("x"), Option(5L)), (2, Option("x"), Option(5L)),
+      (3, Option.empty[String], Option.empty[Long]))
+      .toDF("id", "s", "k")
+    val vecs = df.select(col("id"),
+      Ops.featureHash(Seq("s", "k"), dims = 4).as("v"))
+      .orderBy("id").as[(Int, Seq[Double])].collect()
+    // identical rows hash identically
+    assert(vecs(0)._2 === vecs(1)._2)
+    // two live features contribute total absolute mass 2 (or cancel to
+    // 0 in one bucket on collision); all-NULL row is the zero vector
+    val l1 = vecs(0)._2.map(math.abs).sum
+    assert(l1 === 2.0 || l1 === 0.0)
+    assert(vecs(0)._2.forall(v => v == math.rint(v)))
+    assert(vecs(2)._2 === Seq(0.0, 0.0, 0.0, 0.0))
+    intercept[IllegalArgumentException](Ops.featureHash(Seq("s"), dims = 1))
+    intercept[IllegalArgumentException](Ops.featureHash(Nil, dims = 4))
+  }
+
   test("goldenRecord: latest digs past NULLs, majority ties go low, all-NULL merges NULL") {
     import spark.implicits._
     // cluster a: newest row (ts=3) has NULL status -> latest must take ts=2's

@@ -68,7 +68,8 @@ class PlanAuditSpec extends SparkSpec {
     "collocations",      // broadcast one-row unigram + bigram totals
     "ann_recall_eval",   // broadcast query set + one-row truth count
     "histogram_2d",      // broadcast one-row cell-count total
-    "budget_allocation") // broadcast one-row weight total + spent base
+    "budget_allocation", // broadcast one-row weight total + spent base
+    "target_encode")     // broadcast one-row global-mean aggregate
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
