@@ -663,7 +663,7 @@ private[graft] object QueriesCore {
           count(o_totalprice) AS gn
         FROM orders)
       SELECT o_orderkey, o_orderpriority, o_totalprice,
-        (CAST(cs - CASE WHEN o_totalprice IS NOT NULL
+        (CAST(coalesce(cs, 0) - CASE WHEN o_totalprice IS NOT NULL
              THEN CAST(round(o_totalprice * 1e2, 0) AS BIGINT)
              ELSE 0 END AS DOUBLE) / 1e2
           + 10e0 * ((CAST(gs AS DOUBLE) / 1e2) / gn))

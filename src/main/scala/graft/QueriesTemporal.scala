@@ -364,6 +364,19 @@ private[graft] object QueriesTemporal {
         "role", "content", budget = 30)(convTurns(s, dir))
         .orderBy("user_id")
     },
+    "sft_pipeline" -> { (s, dir) =>
+      // the COMPOSED SFT chain: turns -> budget truncation -> k-fold
+      // assignment -> per-fold example/token/loss accounting — one row
+      // pinning the truncate output schema and the kFold compose seam
+      Conversations.truncate("user_id", Seq("ts", "event_id"),
+        "role", "content", budget = 30)(convTurns(s, dir))
+        .withColumn("fold", TextOps.kFold(col("user_id"), 3))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("record_count"),
+          sum("kept_tokens").as("kept_tokens_sum"),
+          sum("loss_chars").as("loss_chars_sum"))
+        .orderBy("fold")
+    },
   )
 
   /** Shared turn frame for the conversation queries: role class from the
@@ -960,7 +973,28 @@ private[graft] object QueriesTemporal {
     // mirrors Conversations.truncate: leading system turn always kept,
     // cut = smallest k whose content-token suffix sum fits the remaining
     // budget (30 minus system tokens, floored at 0), whole turns only
-    "conversation_truncate" -> s"""
+    "conversation_truncate" -> conversationTruncateSql,
+    // the COMPOSED SFT chain: turns -> whole-turn truncation -> k-fold
+    // assignment -> per-fold example/token/loss accounting; pins the
+    // truncate output schema and the kFold compose seam
+    "sft_pipeline" -> s"""
+      WITH ex AS ($conversationTruncateSql)
+      SELECT CAST(h % 3 AS BIGINT) AS fold,
+        count(*) AS record_count,
+        CAST(sum(kept_tokens) AS BIGINT) AS kept_tokens_sum,
+        CAST(sum(loss_chars) AS BIGINT) AS loss_chars_sum
+      FROM (SELECT ex.*,
+              CAST(list_sum(list_transform(range(1,9), j ->
+                (strpos('0123456789abcdef',
+                   substr(md5(CAST(user_id AS VARCHAR)), j, 1)) - 1)
+                * CAST(16**(8-j) AS BIGINT))) AS BIGINT) AS h
+            FROM ex)
+      GROUP BY fold ORDER BY fold""",
+  )
+
+  /** DuckDB mirror of the whole conversation_truncate query — shared by
+    * its own oracle row and the composed sft_pipeline row. */
+  private lazy val conversationTruncateSql: String = s"""
       WITH t AS ($convTurnsSql),
       g AS (SELECT user_id,
               list(struct_pack(r := r, c := c) ORDER BY ts, event_id) AS tl
@@ -1008,8 +1042,7 @@ private[graft] object QueriesTemporal {
         CAST(coalesce(list_sum(list_transform(
           list_filter(kl, u -> u.r = 'assistant'), u -> len(u.c))), 0)
           AS BIGINT) AS loss_chars
-      FROM v2 ORDER BY user_id""",
-  )
+      FROM v2 ORDER BY user_id"""
 
   /** DuckDB mirror of [[convTurns]]. */
   private val convTurnsSql: String = """

@@ -1680,7 +1680,8 @@ private[graft] object QueriesText {
                  WHEN 3 THEN r * r * r ELSE r * r * r * r END AS weight
         FROM w0),
       tot AS (SELECT phase, list_reduce(
-          list_prepend(CAST(0 AS DOUBLE), list(weight ORDER BY source)),
+          list_prepend(CAST(0 AS DOUBLE),
+            list(weight ORDER BY source NULLS FIRST)),
           (a, x) -> a + x) AS tw
         FROM w GROUP BY phase)
       SELECT w.phase, alpha_quarters, source, n AS n_docs, weight,

@@ -1101,7 +1101,9 @@ object TextOps {
     * `fold =!= i` / `fold === i` filters that push down to the scan.
     * Same key ⇒ same fold, so grouped entities (pass the GROUP id as
     * `key`) never straddle a fold boundary — the [[Dedup.clusterSafeSplit]]
-    * discipline at k-fold granularity. */
+    * discipline at k-fold granularity. A NULL key yields a NULL fold
+    * (there is no content to key on) — coalesce upstream if NULL rows
+    * must participate. */
   def kFold(key: Column, k: Int, salt: String = ""): Column = {
     require(k >= 2, s"k must be >= 2, got $k")
     pmod(graft.functions.GraftFunctions.md5Prefix32(key, salt), lit(k.toLong))

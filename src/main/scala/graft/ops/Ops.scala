@@ -928,7 +928,9 @@ object Ops {
     val loo = when(y.isNotNull, lit(1L)).otherwise(lit(0L))
     joined
       .withColumn(s"${targetField}_te",
-        ((col("__cs") - yScaled).cast("double") / scale
+        // a category whose targets are ALL NULL has a NULL sum — it
+        // must still encode (to the pure prior), not go silently NULL
+        ((coalesce(col("__cs"), lit(0L)) - yScaled).cast("double") / scale
           + lit(smoothing) * gMean)
           / ((col("__cn") - loo).cast("double") + lit(smoothing)))
       .drop("__cat", "__cs", "__cn", "__gs", "__gn")

@@ -1239,7 +1239,8 @@ class OpsSpec extends SparkSpec {
       (1, Option("a"), Option(1.0)), (2, Option("a"), Option(2.0)),
       (3, Option("a"), Option(3.0)), (4, Option("b"), Option(10.0)),
       (5, Option("a"), Option.empty[Double]),   // NULL target
-      (6, Option.empty[String], Option(7.0)))   // NULL category
+      (6, Option.empty[String], Option(7.0)),   // NULL category
+      (7, Option("c"), Option.empty[Double]))   // category with NO targets
       .toDF("id", "cat", "y")
     val out = Ops.targetEncode("cat", "y", smoothing = 1.0)(df)
       .orderBy("id").select("id", "y_te")
@@ -1253,7 +1254,9 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out(5) - (6.0 + gm) / (3 + 1)) < 1e-12)
     // NULL category is its own group (null-safe join, not dropped)
     assert(math.abs(out(6) - gm) < 1e-12)
-    assert(Ops.targetEncode("cat", "y")(df).count() === 6L)
+    // a category whose targets are all NULL encodes to the pure prior
+    assert(math.abs(out(7) - gm) < 1e-12)
+    assert(Ops.targetEncode("cat", "y")(df).count() === 7L)
     intercept[IllegalArgumentException](
       Ops.targetEncode("cat", "y", smoothing = 0.0)(df))
   }
