@@ -407,6 +407,16 @@ private[graft] object QueriesCore {
         minMargin = 0.05, pairsPerGroup = 2)(q)
         .orderBy("lang", "chosen_id", "rejected_id")
     },
+    "z_order" -> { (s, dir) =>
+      // the Z-order layout code: bit-interleave (custkey, orderkey)
+      // residues — locality-preserving in both dimensions, the sort key
+      // zorderRepartition lays files out by
+      table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          Ops.mortonCode(pmod(col("o_custkey"), lit(65536L)),
+            pmod(col("o_orderkey"), lit(65536L))).as("z"))
+        .orderBy("o_orderkey")
+    },
     "target_encode" -> { (s, dir) =>
       // leakage-safe categorical encoding: each order's priority is
       // replaced by the smoothed mean totalprice of the priority's
@@ -648,6 +658,12 @@ private[graft] object QueriesCore {
       ORDER BY t.lang, chosen_id, rejected_id""",
     // mirrors Ops.paretoFrontNd with groupCols = lang: dominance judged
     // only within the same language
+    // mirrors Ops.mortonCode: the shift-or-mask spread chain on 16-bit
+    // residues, b's bits shifted into odd positions
+    "z_order" -> s"""
+      SELECT o_orderkey,
+        ${mortonSql("(o_custkey % 65536)", "(o_orderkey % 65536)")} AS z
+      FROM orders ORDER BY o_orderkey""",
     // mirrors Ops.targetEncode: per-category and global integer-scaled
     // sums, LOO subtraction for non-NULL targets, smoothing prior 10,
     // null-safe category join; division shapes replayed exactly
@@ -1323,4 +1339,17 @@ private[graft] object QueriesCore {
           AS BIGINT) AS shuffle_rank
       FROM documents ORDER BY doc_id""",
   )
+
+  /** SQL mirror of Ops.mortonCode: 16-bit shift-or-mask spread of each
+    * dimension, b interleaved into the odd bit positions. */
+  private def mortonSql(a: String, b: String): String = {
+    def spread(e: String): String = {
+      val v0 = s"(($e) & 65535)"
+      val v1 = s"(($v0 | ($v0 << 8)) & 16711935)"
+      val v2 = s"(($v1 | ($v1 << 4)) & 252645135)"
+      val v3 = s"(($v2 | ($v2 << 2)) & 858993459)"
+      s"(($v3 | ($v3 << 1)) & 1431655765)"
+    }
+    s"(${spread(a)} | (${spread(b)} << 1))"
+  }
 }

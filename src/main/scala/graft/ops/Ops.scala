@@ -885,6 +885,43 @@ object Ops {
   def scaledSum(c: Column, scale: Double): Column =
     sum(round(c * scale, 0).cast("long")) / scale
 
+  /** Morton (Z-order) code over two 16-bit dimensions: interleaves the
+    * low 16 bits of `a` (even positions) and `b` (odd positions) into
+    * one 32-bit locality code — points close in BOTH dimensions get
+    * close codes, so range-partitioning and sorting by the code gives
+    * every output file a small bounding box in (a, b) and parquet
+    * min/max stats prune scans filtered on EITHER column (the
+    * OPTIMIZE-ZORDER layout trick, as plain deterministic arithmetic).
+    * Inputs are masked to 16 bits — map values into [0, 65536) first
+    * (rank, bin, or modulo; [[equalFreqBins]] gives balanced bins).
+    * The classic shift-or-mask spread chain: fixed integer ops,
+    * bit-identical across engines, zero shuffle. */
+  def mortonCode(a: Column, b: Column): Column = {
+    def spread16(x: Column): Column = {
+      val v0 = x.cast("long").bitwiseAND(lit(0xFFFFL))
+      val v1 = (v0.bitwiseOR(shiftleft(v0, 8))).bitwiseAND(lit(0x00FF00FFL))
+      val v2 = (v1.bitwiseOR(shiftleft(v1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      val v3 = (v2.bitwiseOR(shiftleft(v2, 2))).bitwiseAND(lit(0x33333333L))
+      (v3.bitwiseOR(shiftleft(v3, 1))).bitwiseAND(lit(0x55555555L))
+    }
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+  }
+
+  /** Z-order layout: range-partition and sort the frame by the
+    * [[mortonCode]] of two dimensions so each written file covers a
+    * compact (a, b) rectangle — the data-layout step BEFORE a large
+    * parquet write when downstream queries filter on either column.
+    * One range shuffle (sampled bounds), in-partition sort, code column
+    * dropped — the layout is carried by row order, not schema. */
+  def zorderRepartition(aField: String, bField: String,
+      partitions: Int)(df: DataFrame): DataFrame = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    df.withColumn("__z", mortonCode(col(aField), col(bField)))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** Leakage-safe target encoding — the tabular-ML categorical encoder
     * done with the repo's leakage discipline: each row's category is
     * replaced by the smoothed mean of the TARGET over the category's

@@ -683,6 +683,9 @@ final case class Pipeline(df: DataFrame) {
   def featureHash(fields: Seq[String], dims: Int,
       outField: String = "features", salt: String = "fh"): Pipeline =
     >>(_.withColumn(outField, Ops.featureHash(fields, dims, salt)))
+  def zorderRepartition(aField: String, bField: String,
+      partitions: Int): Pipeline =
+    >>(Ops.zorderRepartition(aField, bField, partitions))
   def paretoFrontNd(fields: Seq[String], buckets: Int = 64,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Ops.paretoFrontNd(fields, buckets, groupCols))

@@ -1231,6 +1231,38 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("mortonCode interleaves bits; zorderRepartition yields disjoint code ranges") {
+    import spark.implicits._
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("a", "b")
+    val codes = pts.select(Ops.mortonCode(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    // hand-interleaved: a in even bit positions, b in odd
+    assert(codes === Seq(0L, 1L, 2L, 39L, 4294967295L))
+    // layout: partitions cover disjoint, ordered morton ranges
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("a", "b")
+    val laid = Ops.zorderRepartition("a", "b", partitions = 8)(grid)
+    val ranges = laid
+      .withColumn("z", Ops.mortonCode(col("a"), col("b")))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("pid").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"overlapping morton ranges: $hi vs $lo2")
+    }
+    // each partition's (a, b) bounding box is compact: far smaller than
+    // the full 64x64 grid — the pruning win the layout exists for
+    val boxes = laid
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("pid").agg((max("a") - min("a")).as("da"),
+        (max("b") - min("b")).as("db"))
+      .collect().map(r => (r.getAs[Long]("da") + 1) * (r.getAs[Long]("db") + 1))
+    assert(boxes.forall(_ <= 64 * 64 / 2), s"boxes not compact: ${boxes.toSeq}")
+  }
+
   test("targetEncode: leave-one-out means, singleton prior, NULL discipline") {
     import spark.implicits._
     // cat a: y = 1,2,3 (sum 6, n 3); cat b: y = 10 (singleton);
