@@ -14,6 +14,20 @@ private[graft] object QueriesProbes {
   import QueryHelpers._
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quarantine" -> { (s, dir) =>
+      // dead-letter split with reasons: every row annotated with the
+      // rules it violates (false OR NULL = violation), '' = clean —
+      // the quarantined stream carries WHY it was held
+      Probes.quarantine(Seq(
+        "acctbal_nonneg" -> (col("c_acctbal") >= 0),
+        "segment_known" -> col("c_mktsegment")
+          .isin("BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD",
+            "FURNITURE"),
+        "key_in_range" -> (col("c_custkey") < 1200)))(
+        SparkEntry.table(s, dir, "customer"))
+        .select("c_custkey", "quarantine_reasons")
+        .orderBy("c_custkey")
+    },
     "quality_suite" -> { (s, dir) =>
       // the Deequ-shaped contract report: three row checks with their
       // own minimum pass fractions + one key-distinctness check, all
@@ -143,6 +157,19 @@ private[graft] object QueriesProbes {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors Probes.quarantine: rule order = list order, false-or-NULL
+    // violates, concat_ws drops the NULL (passing) slots
+    "quarantine" -> """
+      SELECT c_custkey,
+        concat_ws(',',
+          CASE WHEN coalesce(c_acctbal >= 0, false) THEN NULL
+               ELSE 'acctbal_nonneg' END,
+          CASE WHEN coalesce(c_mktsegment IN ('BUILDING', 'AUTOMOBILE',
+                 'MACHINERY', 'HOUSEHOLD', 'FURNITURE'), false) THEN NULL
+               ELSE 'segment_known' END,
+          CASE WHEN coalesce(c_custkey < 1200, false) THEN NULL
+               ELSE 'key_in_range' END) AS quarantine_reasons
+      FROM customer ORDER BY c_custkey""",
     // mirrors Probes.labelAgreement over (lang, lang_pred): exact-count
     // confusion marginals, HUGEINT pe numerator (decimal(38,0) on the
     // Spark side), the same fixed division dag for po/pe/kappa

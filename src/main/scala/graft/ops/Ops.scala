@@ -885,6 +885,36 @@ object Ops {
   def scaledSum(c: Column, scale: Double): Column =
     sum(round(c * scale, 0).cast("long")) / scale
 
+  /** Conform a frame to a target schema — the ingestion seam where
+    * upstream producers drift: output has EXACTLY the target's columns,
+    * in target order; present columns cast to the target type
+    * (validated castable up front — a malformed producer fails loudly
+    * at plan time, not row-by-row at 3 a.m.), missing NULLABLE columns
+    * fill with typed NULLs, missing non-nullable columns are a contract
+    * violation and throw, extra columns drop. Name match is
+    * case-insensitive (the session default). Pure projection, zero
+    * shuffle; the pruned scan reads only the target's columns. */
+  def conformSchema(target: org.apache.spark.sql.types.StructType)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val in = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val cols = target.fields.map { tf =>
+      in.get(tf.name.toLowerCase) match {
+        case Some(sf) =>
+          if (sf.dataType != tf.dataType)
+            require(Cast.canCast(sf.dataType, tf.dataType),
+              s"cannot cast column '${sf.name}': ${sf.dataType.simpleString}" +
+                s" -> ${tf.dataType.simpleString}")
+          col(sf.name).cast(tf.dataType).as(tf.name)
+        case None =>
+          require(tf.nullable,
+            s"missing non-nullable column '${tf.name}' cannot be conformed")
+          lit(null).cast(tf.dataType).as(tf.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
   /** Morton (Z-order) code over two 16-bit dimensions: interleaves the
     * low 16 bits of `a` (even positions) and `b` (odd positions) into
     * one 32-bit locality code — points close in BOTH dimensions get

@@ -686,6 +686,10 @@ final case class Pipeline(df: DataFrame) {
   def zorderRepartition(aField: String, bField: String,
       partitions: Int): Pipeline =
     >>(Ops.zorderRepartition(aField, bField, partitions))
+  def quarantine(rules: Seq[(String, Column)]): Pipeline =
+    >>(graft.probes.Probes.quarantine(rules))
+  def conformSchema(target: org.apache.spark.sql.types.StructType): Pipeline =
+    >>(Ops.conformSchema(target))
   def paretoFrontNd(fields: Seq[String], buckets: Int = 64,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Ops.paretoFrontNd(fields, buckets, groupCols))

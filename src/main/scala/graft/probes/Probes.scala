@@ -597,6 +597,29 @@ object Probes {
   /** Fail the pipeline when the key is not unique (reference:
     * `ops/rows.py::assert_unique`). Pass-through on success so probes
     * compose inside pipelines. */
+  /** Row quarantine — the dead-letter split [[verificationSuite]] only
+    * REPORTS: evaluate named row-level rules and annotate every row with
+    * the comma-joined names of the rules it VIOLATES (`quarantine_reasons`,
+    * empty = clean). A rule violates when its predicate is false OR NULL
+    * — an unevaluable check is a failed check, the verificationSuite
+    * discipline. Split with `filter(col("quarantine_reasons") === "")` /
+    * its negation: the clean stream proceeds, the quarantined stream
+    * lands in the dead-letter store WITH its reasons, so reprocessing
+    * never needs to re-derive why a row was held. Rule order in the
+    * output string is the caller's list order — deterministic. Pure
+    * per-row projection, zero shuffle, row-preserving by construction. */
+  def quarantine(rules: Seq[(String, Column)])(df: DataFrame): DataFrame = {
+    require(rules.nonEmpty, "at least one quarantine rule required")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
+    val reasons = concat_ws(",",
+      rules.map { case (name, pred) =>
+        when(coalesce(pred, lit(false)), lit(null).cast("string"))
+          .otherwise(lit(name))
+      }: _*)
+    df.withColumn("quarantine_reasons", reasons)
+  }
+
   def assertUnique(keys: Seq[String])(df: DataFrame): DataFrame = {
     val dupes = countDuplicates(keys)(df).limit(1).count()
     if (dupes > 0)

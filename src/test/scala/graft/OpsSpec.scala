@@ -1231,6 +1231,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("conformSchema: reorder, cast, fill nullable, drop extras, fail loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = Seq((1, "5", 2.5)).toDF("B", "a", "extra")
+    val target = StructType(Seq(
+      StructField("a", LongType),              // cast string -> long
+      StructField("b", IntegerType),           // case-insensitive match
+      StructField("c", StringType, nullable = true))) // filled NULL
+    val out = Ops.conformSchema(target)(df)
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Seq("a" -> LongType, "b" -> IntegerType, "c" -> StringType))
+    val r = out.head()
+    assert(r.getLong(0) === 5L && r.getInt(1) === 1 && r.isNullAt(2))
+    // missing NON-nullable column is a contract violation
+    intercept[IllegalArgumentException] {
+      Ops.conformSchema(StructType(Seq(
+        StructField("missing", LongType, nullable = false))))(df)
+    }
+    // impossible cast fails at plan time, not row time
+    intercept[IllegalArgumentException] {
+      Ops.conformSchema(StructType(Seq(StructField("a", ArrayType(LongType)))))(
+        df.select(col("extra").as("a")))
+    }
+  }
+
   test("mortonCode interleaves bits; zorderRepartition yields disjoint code ranges") {
     import spark.implicits._
     val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))

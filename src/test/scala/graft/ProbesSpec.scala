@@ -413,4 +413,29 @@ class ProbesSpec extends SparkSpec {
     assert(nr.map(_.getInt(0)).toSeq === Seq(0, 1)) // no bin -1
     assert(nr(0).getLong(1) === 1L)
   }
+
+  test("quarantine: NULL predicate violates, reasons keep rule order, clean is empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1, Option(5.0), Option("a")),
+      (2, Option(-1.0), Option.empty[String]), // fails both
+      (3, Option.empty[Double], Option("a")))  // NULL value -> violation
+      .toDF("id", "v", "s")
+    val out = graft.probes.Probes.quarantine(Seq(
+      "v_nonneg" -> (col("v") >= 0),
+      "s_present" -> col("s").isNotNull))(df)
+      .orderBy("id").select("id", "quarantine_reasons")
+      .as[(Int, String)].collect()
+    assert(out.toSeq === Seq(1 -> "", 2 -> "v_nonneg,s_present",
+      3 -> "v_nonneg"))
+    // the split is a partition: clean + quarantined = all, no overlap
+    val q = graft.probes.Probes.quarantine(Seq("v_nonneg" -> (col("v") >= 0)))(df)
+    assert(q.filter(col("quarantine_reasons") === "").count() +
+      q.filter(col("quarantine_reasons") =!= "").count() === 3L)
+    intercept[IllegalArgumentException](
+      graft.probes.Probes.quarantine(Nil)(df))
+    intercept[IllegalArgumentException](
+      graft.probes.Probes.quarantine(Seq("a" -> lit(true), "a" -> lit(false)))(df))
+  }
 }
