@@ -349,6 +349,26 @@ private[graft] object QueriesTemporal {
           ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
       GraphOps.triangleStats("src", "dst")(ev).orderBy("node")
     },
+    "lag_features" -> { (s, dir) =>
+      // supervised-row assembly: two lags + one lead of value per user
+      // in (ts, event_id) order — ONE window partitioning serves all
+      // three offsets, boundary rows honestly NULL
+      WindowOps.lagFeatures(Seq("user_id"), Seq("ts", "event_id"),
+        "value", lags = Seq(1, 2, -1))(
+        table(s, dir, "events")
+          .select("user_id", "ts", "event_id", "value"))
+        .select("user_id", "event_id", "value", "value_lag_1",
+          "value_lag_2", "value_lead_1")
+        .orderBy("event_id")
+    },
+    "cusum_shift" -> { (s, dir) =>
+      // mean-shift localization: one-sided CUSUM statistics per user
+      // stream, exact sequential fold, flag while evidence > threshold
+      WindowOps.cusumShift("user_id", "ts", "value", target = 20.0,
+        slack = 2.0, threshold = 60.0, tieBreak = "event_id")(
+        table(s, dir, "events"))
+        .orderBy("user_id", "ts", "event_id")
+    },
     "conversation_assemble" -> { (s, dir) =>
       // SFT assembly: the event stream becomes per-user dialogues —
       // role from the event class, content from type+props, turn order
@@ -938,6 +958,43 @@ private[graft] object QueriesTemporal {
                   / CAST(degree * (degree - 1) AS DOUBLE)
         END AS clustering
       FROM deg LEFT JOIN pn USING (node) ORDER BY node""",
+    "lag_features" -> """
+      SELECT user_id, event_id, value,
+        lag(value, 1) OVER w AS value_lag_1,
+        lag(value, 2) OVER w AS value_lag_2,
+        lead(value, 1) OVER w AS value_lead_1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      ORDER BY event_id""",
+    // mirrors WindowOps.cusumShift: recursive per-user replay of the
+    // one-sided CUSUM recurrences with the identical arithmetic shape
+    // (0-start base case, greatest(0, prev + (v - t - s)), NULL value
+    // updates nothing)
+    "cusum_shift" -> """
+      WITH RECURSIVE o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+          CAST(value AS DOUBLE) AS value,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC) AS i
+        FROM events WHERE ts IS NOT NULL),
+      r AS (
+        SELECT user_id, ts, event_id, value, i,
+          CASE WHEN value IS NULL THEN 0e0
+               ELSE greatest(0e0, 0e0 + (value - 20e0 - 2e0)) END AS sp,
+          CASE WHEN value IS NULL THEN 0e0
+               ELSE greatest(0e0, 0e0 + (20e0 - 2e0 - value)) END AS sn
+        FROM o WHERE i = 1
+        UNION ALL
+        SELECT o.user_id, o.ts, o.event_id, o.value, o.i,
+          CASE WHEN o.value IS NULL THEN r.sp
+               ELSE greatest(0e0, r.sp + (o.value - 20e0 - 2e0)) END,
+          CASE WHEN o.value IS NULL THEN r.sn
+               ELSE greatest(0e0, r.sn + (20e0 - 2e0 - o.value)) END
+        FROM o JOIN r ON o.user_id = r.user_id AND o.i = r.i + 1)
+      SELECT user_id, ts, event_id, value,
+        sp AS cusum_pos, sn AS cusum_neg,
+        (sp > 60e0 OR sn > 60e0) AS shift_flag
+      FROM r ORDER BY user_id, ts, event_id""",
     // mirrors Conversations.assemble over the convTurns frame: ordered
     // list aggregation, '<|role|>\n content \n' template, 0-based
     // [start,end) content spans of assistant turns via prefix sums of

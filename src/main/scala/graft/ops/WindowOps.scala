@@ -476,6 +476,87 @@ object WindowOps {
     * results are bit-equal to the exact mode (spec-asserted); the mode
     * trades whole-stage codegen for the unbounded-history bound, and
     * emits `valueField` as double (the fold's arithmetic type). */
+  /** Per-key lag/lead feature columns — the forecasting/feature-
+    * engineering step that turns an event stream into supervised rows:
+    * each positive `n` adds `<value>_lag_n` (the value n rows earlier in
+    * the key's `orderFields` order), each negative `n` adds
+    * `<value>_lead_n`. Boundary rows get NULLs (no fabricated history).
+    * `orderFields` must totally order rows within a key or the features
+    * are undefined — same contract as every sequential op here.
+    * ONE window partitioning serves every requested offset (Spark reuses
+    * the sort), so the corpus shuffles once on the key. */
+  def lagFeatures(keys: Seq[String], orderFields: Seq[String],
+      valueField: String, lags: Seq[Int])(df: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "at least one key required")
+    require(orderFields.nonEmpty, "orderFields must totally order each key")
+    require(lags.nonEmpty && lags.forall(_ != 0),
+      "lags must be non-empty and non-zero (0 is the value itself)")
+    require(lags.distinct.size == lags.size, "duplicate lag offsets")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderFields.map(col): _*)
+    lags.foldLeft(df) { (d, n) =>
+      if (n > 0)
+        d.withColumn(s"${valueField}_lag_$n", lag(col(valueField), n).over(w))
+      else
+        d.withColumn(s"${valueField}_lead_${-n}",
+          lead(col(valueField), -n).over(w))
+    }
+  }
+
+  /** CUSUM mean-shift detector (Page 1954) per key: the two one-sided
+    * cumulative statistics
+    * `sp_i = max(0, sp_{i-1} + (v_i − target − slack))` and
+    * `sn_i = max(0, sn_{i-1} + (target − slack − v_i))` accumulate
+    * evidence of an upward/downward mean shift; `shift_flag` fires while
+    * either exceeds `threshold`. The streaming-quality-monitor
+    * complement to the distributional drift probes: those compare two
+    * windows, CUSUM localizes WHEN the level moved within one ordered
+    * stream. NULL values update nothing (no evidence either way); NULL
+    * timestamps are excluded (temporal doctrine). Exact sequential fold
+    * in (ts, tieBreak) order — the [[ewmaSmooth]] machinery: one
+    * grouping shuffle, one linear per-key fold, rows explode back with
+    * `(cusum_pos, cusum_neg, shift_flag)`. Fixed-order IEEE arithmetic,
+    * bit-identical across engines. */
+  def cusumShift(
+      keyField: String, tsField: String, valueField: String,
+      target: Double, slack: Double, threshold: Double,
+      tieBreak: String)(df: DataFrame): DataFrame = {
+    require(slack >= 0.0, s"slack must be >= 0, got $slack")
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    val arr = sort_array(collect_list(
+      struct(col("__t"), col("__tb"), col("__v"))))
+    val stateType = "array<struct<sp:double,sn:double>>"
+    val fold = aggregate(col("__arr"),
+      array().cast(stateType),
+      (acc, x) => {
+        val spPrev = when(size(acc) === 0, lit(0.0))
+          .otherwise(element_at(acc, -1).getField("sp"))
+        val snPrev = when(size(acc) === 0, lit(0.0))
+          .otherwise(element_at(acc, -1).getField("sn"))
+        val v = x.getField("__v")
+        val sp = when(v.isNull, spPrev).otherwise(
+          greatest(lit(0.0), spPrev + (v - lit(target) - lit(slack))))
+        val sn = when(v.isNull, snPrev).otherwise(
+          greatest(lit(0.0), snPrev + (lit(target) - lit(slack) - v)))
+        concat(acc, array(struct(sp.as("sp"), sn.as("sn"))))
+      })
+    df.filter(col(tsField).isNotNull)
+      .select(col(keyField).as("__k"), col(tsField).as("__t"),
+        col(tieBreak).as("__tb"), col(valueField).cast("double").as("__v"))
+      .groupBy("__k").agg(arr.as("__arr"))
+      .withColumn("__st", fold)
+      .select(col("__k"), posexplode(arrays_zip(col("__arr"), col("__st"))))
+      .select(col("__k").as(keyField),
+        col("col.__arr.__t").as(tsField),
+        col("col.__arr.__tb").as(tieBreak),
+        col("col.__arr.__v").as(valueField),
+        col("col.__st.sp").as("cusum_pos"),
+        col("col.__st.sn").as("cusum_neg"),
+        (col("col.__st.sp") > threshold || col("col.__st.sn") > threshold)
+          .as("shift_flag"))
+  }
+
   def ewmaSmooth(
       keyField: String, tsField: String, valueField: String, alpha: Double,
       tieBreak: String, exactOrder: Boolean = true)(df: DataFrame): DataFrame = {

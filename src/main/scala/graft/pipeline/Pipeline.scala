@@ -688,6 +688,14 @@ final case class Pipeline(df: DataFrame) {
     >>(Ops.zorderRepartition(aField, bField, partitions))
   def quarantine(rules: Seq[(String, Column)]): Pipeline =
     >>(graft.probes.Probes.quarantine(rules))
+  def lagFeatures(keys: Seq[String], orderFields: Seq[String],
+      valueField: String, lags: Seq[Int]): Pipeline =
+    >>(graft.ops.WindowOps.lagFeatures(keys, orderFields, valueField, lags))
+  def cusumShift(keyField: String, tsField: String, valueField: String,
+      target: Double, slack: Double, threshold: Double,
+      tieBreak: String): Pipeline =
+    >>(graft.ops.WindowOps.cusumShift(keyField, tsField, valueField, target, slack,
+      threshold, tieBreak))
   def conformSchema(target: org.apache.spark.sql.types.StructType): Pipeline =
     >>(Ops.conformSchema(target))
   def paretoFrontNd(fields: Seq[String], buckets: Int = 64,

@@ -648,4 +648,50 @@ class TemporalSpec extends SparkSpec {
       .select("user_id", "n_events").as[(Long, Long)].collect()
     assert(out.toSeq === Seq((1L, 1L)))
   }
+
+  test("lagFeatures: per-key offsets, honest NULL boundaries, one shuffle") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0),
+      (2L, 1L, 5.0))
+      .toDF("k", "ord", "v")
+    val out = graft.ops.WindowOps.lagFeatures(Seq("k"), Seq("ord"), "v",
+      lags = Seq(1, -1))(df)
+      .orderBy("k", "ord")
+      .select("k", "ord", "v_lag_1", "v_lead_1")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    assert(out.toSeq === Seq(
+      (1L, 1L, None, Some(20.0)),
+      (1L, 2L, Some(10.0), Some(30.0)),
+      (1L, 3L, Some(20.0), None),
+      (2L, 1L, None, None))) // keys never leak into each other
+    intercept[IllegalArgumentException](
+      graft.ops.WindowOps.lagFeatures(Seq("k"), Seq("ord"), "v", Seq(0))(df))
+    intercept[IllegalArgumentException](
+      graft.ops.WindowOps.lagFeatures(Seq("k"), Seq("ord"), "v", Seq(1, 1))(df))
+  }
+
+  test("cusumShift accumulates one-sided evidence, resets at zero, flags over threshold") {
+    import spark.implicits._
+    // target 10, slack 1: values 10,16,16,2 -> sp: 0,5,10,1; sn: 0,0,0,7
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, Option(10.0)),
+      (1L, ts("2024-01-01 11:00:00"), 2L, Option(16.0)),
+      (1L, ts("2024-01-01 12:00:00"), 3L, Option(16.0)),
+      (1L, ts("2024-01-01 13:00:00"), 4L, Option(2.0)),
+      (1L, ts("2024-01-01 14:00:00"), 5L, Option.empty[Double]))
+      .toDF("k", "t", "tb", "v")
+    val out = graft.ops.WindowOps.cusumShift("k", "t", "v",
+      target = 10.0, slack = 1.0, threshold = 9.0, tieBreak = "tb")(df)
+      .orderBy("tb")
+      .select("cusum_pos", "cusum_neg", "shift_flag")
+      .as[(Double, Double, Boolean)].collect()
+    assert(out.map(_._1).toSeq === Seq(0.0, 5.0, 10.0, 1.0, 1.0))
+    assert(out.map(_._2).toSeq === Seq(0.0, 0.0, 0.0, 7.0, 7.0))
+    assert(out.map(_._3).toSeq ===
+      Seq(false, false, true, false, false)) // flags only over threshold
+    // NULL value (row 5) updated nothing: statistics carried verbatim
+    intercept[IllegalArgumentException](
+      graft.ops.WindowOps.cusumShift("k", "t", "v", 10.0, -1.0, 9.0, "tb")(df))
+  }
 }
