@@ -517,13 +517,58 @@ object WindowOps {
     * in (ts, tieBreak) order — the [[ewmaSmooth]] machinery: one
     * grouping shuffle, one linear per-key fold, rows explode back with
     * `(cusum_pos, cusum_neg, shift_flag)`. Fixed-order IEEE arithmetic,
-    * bit-identical across engines. */
+    * bit-identical across engines. `exactOrder = false` is the
+    * production mode for hub-scale keys: repartition-by-key +
+    * in-partition sort + one streaming pass, O(1) memory per key
+    * instead of the collected array — parity with the exact fold is
+    * spec-pinned (identical arithmetic, different physical plan). */
   def cusumShift(
       keyField: String, tsField: String, valueField: String,
       target: Double, slack: Double, threshold: Double,
-      tieBreak: String)(df: DataFrame): DataFrame = {
+      tieBreak: String, exactOrder: Boolean = true)(
+      df: DataFrame): DataFrame = {
     require(slack >= 0.0, s"slack must be >= 0, got $slack")
     require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    if (!exactOrder) {
+      // production mode (the ewmaSmooth discipline): repartition by key,
+      // sort within partitions, one streaming pass — no per-key array
+      // materialization, so a hub key costs memory O(1) instead of
+      // O(events); ≤1e-12 parity with the exact mode is spec-pinned
+      val prepared = df.filter(col(tsField).isNotNull)
+        .select(col(keyField).as("__k"), col(tsField).as("__t"),
+          col(tieBreak).as("__tb"), col(valueField).cast("double").as("__v"))
+        .repartition(col("__k"))
+        .sortWithinPartitions("__k", "__t", "__tb")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        prepared.schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("cusum_pos",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("cusum_neg",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("shift_flag",
+            org.apache.spark.sql.types.BooleanType)))
+      val scanned = prepared.mapPartitions { it =>
+        var curKey: Any = null
+        var started = false
+        var sp = 0.0; var sn = 0.0
+        it.map { r =>
+          val k = r.get(0)
+          if (!started || k != curKey) { sp = 0.0; sn = 0.0 }
+          curKey = k; started = true
+          if (!r.isNullAt(3)) {
+            val v = r.getDouble(3)
+            sp = math.max(0.0, sp + (v - target - slack))
+            sn = math.max(0.0, sn + (target - slack - v))
+          }
+          org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2),
+            if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)),
+            sp, sn, sp > threshold || sn > threshold)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      return scanned.select(col("__k").as(keyField), col("__t").as(tsField),
+        col("__tb").as(tieBreak), col("__v").as(valueField),
+        col("cusum_pos"), col("cusum_neg"), col("shift_flag"))
+    }
     val arr = sort_array(collect_list(
       struct(col("__t"), col("__tb"), col("__v"))))
     val stateType = "array<struct<sp:double,sn:double>>"

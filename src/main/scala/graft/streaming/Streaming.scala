@@ -427,6 +427,43 @@ object Streaming {
       }
   }
 
+  /** Streaming CUSUM mean-shift monitor: carries each key's one-sided
+    * `(sp, sn)` statistics as typed group state and emits one stamped
+    * row per arriving event — the unbounded-stream form of
+    * [[graft.ops.WindowOps.cusumShift]], with the SAME recurrences
+    * (`max(0, prev + (v − target ∓ slack))`, NULL-free input by type).
+    * Ordering contract (the [[runningUserTotals]] one): events fold in
+    * event-time order WITHIN a micro-batch (sorted here) and in arrival
+    * order ACROSS batches — an out-of-order straggler that lands in a
+    * later batch folds late. For a source that preserves per-key order
+    * (the usual partitioned-log case) the statistics equal the batch
+    * op's exactly — spec-pinned across a two-batch split. State per key
+    * is two doubles — O(keys) total, no timeout (a monitor is
+    * permanent; add a TTL variant upstream if keys churn). */
+  def streamingCusum(
+      events: Dataset[CusumEvent],
+      target: Double, slack: Double, threshold: Double):
+      Dataset[CusumStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumStat](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val prior = state.getOption.getOrElse(CusumState(0.0, 0.0))
+          var sp = prior.sp; var sn = prior.sn
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.tie)).map { e =>
+            sp = math.max(0.0, sp + (e.value - target - slack))
+            sn = math.max(0.0, sn + (target - slack - e.value))
+            CusumStat(key, e.ts, e.tie, e.value, sp, sn,
+              sp > threshold || sn > threshold)
+          }
+          state.update(CusumState(sp, sn))
+          out.iterator
+      }
+  }
+
   /** Exactly-once dedup on key columns over an unbounded stream:
     * `dropDuplicatesWithinWatermark` keeps state only for the watermark
     * window, so a duplicate key is dropped even when it arrives with a
@@ -993,6 +1030,19 @@ object Streaming {
 
 /** Input row for [[Streaming.runningUserTotals]]. */
 case class UserEvent(user_id: Long, value: Double)
+
+/** Input event for [[Streaming.streamingCusum]]. */
+case class CusumEvent(key: Long, ts: java.sql.Timestamp, tie: Long,
+    value: Double)
+
+/** Per-key state of [[Streaming.streamingCusum]]: the two one-sided
+  * CUSUM statistics. */
+case class CusumState(sp: Double, sn: Double)
+
+/** Per-event output of [[Streaming.streamingCusum]]. */
+case class CusumStat(key: Long, ts: java.sql.Timestamp, tie: Long,
+    value: Double, cusum_pos: Double, cusum_neg: Double,
+    shift_flag: Boolean)
 
 /** Input change row for [[Streaming.streamingScd2Current]]. */
 case class DimChange(key: Long, ts: java.sql.Timestamp, attr: String)

@@ -1131,4 +1131,39 @@ class StreamingSpec extends SparkSpec {
       assert(bu1.toSeq === r.toSeq)
     } finally q.stop()
   }
+
+  test("streamingCusum carries (sp, sn) across micro-batches, matching batch") {
+    import graft.streaming.{CusumEvent, CusumStat}
+    val input = MemoryStream[CusumEvent]
+    val out = Streaming.streamingCusum(input.toDS(),
+      target = 10.0, slack = 1.0, threshold = 9.0)
+    val q = out.writeStream.format("memory").queryName("cusum")
+      .outputMode("append").start()
+    try {
+      // same fixture as the batch spec: 10,16 | 16,2 split across batches
+      input.addData(
+        CusumEvent(1L, ts("09:00"), 1L, 10.0),
+        CusumEvent(1L, ts("09:01"), 2L, 16.0))
+      q.processAllAvailable()
+      input.addData(
+        CusumEvent(1L, ts("09:02"), 3L, 16.0),
+        CusumEvent(1L, ts("09:03"), 4L, 2.0))
+      q.processAllAvailable()
+      val got = spark.table("cusum").orderBy("tie")
+        .as[CusumStat].collect().toSeq
+      assert(got.map(_.cusum_pos) === Seq(0.0, 5.0, 10.0, 1.0))
+      assert(got.map(_.cusum_neg) === Seq(0.0, 0.0, 0.0, 7.0))
+      assert(got.map(_.shift_flag) === Seq(false, false, true, false))
+      // batch parity: the exact WindowOps fold on the same rows
+      val batch = Seq(
+        (1L, ts("09:00"), 1L, 10.0), (1L, ts("09:01"), 2L, 16.0),
+        (1L, ts("09:02"), 3L, 16.0), (1L, ts("09:03"), 4L, 2.0))
+        .toDF("k", "t", "tb", "v")
+      val want = graft.ops.WindowOps.cusumShift("k", "t", "v",
+        10.0, 1.0, 9.0, "tb")(batch)
+        .orderBy("tb").select("cusum_pos", "cusum_neg", "shift_flag")
+        .as[(Double, Double, Boolean)].collect().toSeq
+      assert(got.map(s => (s.cusum_pos, s.cusum_neg, s.shift_flag)) === want)
+    } finally q.stop()
+  }
 }

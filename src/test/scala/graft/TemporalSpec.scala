@@ -694,4 +694,22 @@ class TemporalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.ops.WindowOps.cusumShift("k", "t", "v", 10.0, -1.0, 9.0, "tb")(df))
   }
+
+  test("cusumShift exactOrder=false: O(1)-memory scan matches the exact fold") {
+    import spark.implicits._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    def run(exact: Boolean) =
+      graft.ops.WindowOps.cusumShift("user_id", "ts", "value",
+        target = 20.0, slack = 2.0, threshold = 60.0, tieBreak = "event_id",
+        exactOrder = exact)(ev)
+        .orderBy("user_id", "ts", "event_id")
+        .select("user_id", "event_id", "cusum_pos", "cusum_neg", "shift_flag")
+        .as[(Long, Long, Double, Double, Boolean)].collect()
+    val a = run(true); val b = run(false)
+    assert(a.length === b.length && a.length > 0)
+    a.zip(b).foreach { case ((k1, e1, p1, n1, f1), (k2, e2, p2, n2, f2)) =>
+      assert(k1 === k2 && e1 === e2 && f1 === f2)
+      assert(math.abs(p1 - p2) <= 1e-12 && math.abs(n1 - n2) <= 1e-12)
+    }
+  }
 }
