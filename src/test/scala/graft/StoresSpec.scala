@@ -748,5 +748,30 @@ class StoresSpec extends SparkSpec {
         minDocs = 2).result
       .select("n_removed").as[Long].collect().sum
     assert(boil === 2L) // "x" stripped from both docs
+    val te = Pipeline(Seq(("a", 1.0), ("a", 3.0)).toDF("c", "y"))
+      .targetEncode("c", "y", smoothing = 1.0).result
+      .select("y_te").as[Double].collect()
+    assert(te.forall(v => v > 1.0 && v < 3.0))
+    val fh = Pipeline(Seq(Tuple1("v")).toDF("s"))
+      .featureHash(Seq("s"), dims = 4).result
+      .select("features").as[Seq[Double]].collect().head
+    assert(fh.map(math.abs).sum === 1.0)
+    val lagged = Pipeline(Seq((1L, 1L, 2.0), (1L, 2L, 4.0)).toDF("k", "o", "v"))
+      .lagFeatures(Seq("k"), Seq("o"), "v", Seq(1)).result
+      .select("v_lag_1").as[Option[Double]].collect().toSet
+    assert(lagged === Set(None, Some(2.0)))
+    val cs = Pipeline(Seq((1L,
+      java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 1L, 30.0))
+      .toDF("k", "t", "tb", "v"))
+      .cusumShift("k", "t", "v", target = 10.0, slack = 0.0,
+        threshold = 5.0, tieBreak = "tb").result.head()
+    assert(cs.getAs[Boolean]("shift_flag"))
+    val zed = Pipeline(Seq((1L, 2L)).toDF("a", "b"))
+      .zorderRepartition("a", "b", partitions = 1).result.count()
+    assert(zed === 1L)
+    val quar = Pipeline(Seq(Tuple1(Option.empty[Double])).toDF("v"))
+      .quarantine(Seq("v_set" -> col("v").isNotNull)).result
+      .select("quarantine_reasons").as[String].collect().head
+    assert(quar === "v_set")
   }
 }
