@@ -441,6 +441,20 @@ private[graft] object QueriesCore {
           col("value"))
         .orderBy("c_custkey", "dim")
     },
+    "target_encode_serve" -> { (s, dir) =>
+      // train/serve split: stats fit on the even-key half, applied
+      // WITHOUT leave-one-out to the odd half — unseen categories
+      // would encode to the pure prior
+      val orders = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val trainStats = Ops.targetEncodeStats("o_orderpriority",
+        "o_totalprice", scale = 1e2)(
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      Ops.targetEncodeApply(trainStats, "o_orderpriority",
+        "o_totalprice_te", smoothing = 10.0, scale = 1e2)(
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+        .orderBy("o_orderkey")
+    },
     "golden_record" -> { (s, dir) =>
       // survivorship merge: each customer's orders collapse to one
       // golden record — majority status, max price, first-seen date,
@@ -718,6 +732,25 @@ private[graft] object QueriesCore {
          ELSE 0e0 END) AS value
       FROM customer, unnest(range(0, 8)) AS u(j)
       ORDER BY c_custkey, dim""",
+    // mirrors targetEncodeStats(even half) + targetEncodeApply(odd
+    // half): no LOO term, global derived from the stats frame itself
+    "target_encode_serve" -> """
+      WITH stats AS (SELECT o_orderpriority AS cat,
+          CAST(sum(CAST(round(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
+            AS cs,
+          count(o_totalprice) AS cn
+        FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority),
+      g AS (SELECT CAST(sum(cs) AS BIGINT) AS gs,
+              CAST(sum(cn) AS BIGINT) AS gn FROM stats)
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+        (CAST(coalesce(cs, 0) AS DOUBLE) / 1e2
+          + 10e0 * ((CAST(gs AS DOUBLE) / 1e2) / gn))
+        / (CAST(coalesce(cn, 0) AS DOUBLE) + 10e0) AS o_totalprice_te
+      FROM orders
+      LEFT JOIN stats ON o_orderpriority IS NOT DISTINCT FROM cat
+      CROSS JOIN g
+      WHERE o_orderkey % 2 = 1
+      ORDER BY o_orderkey""",
     // mirrors Ops.goldenRecord: majority = most frequent non-NULL value,
     // count ties to the SMALLER value; latest = value on the newest
     // (o_orderdate, o_orderkey) row among non-NULL values; earliest/max/

@@ -974,7 +974,8 @@ object Ops {
     * |categories|-row hash-agg (map-side combined) + one 1-row global
     * agg broadcast + one null-safe equi-join back — the corpus
     * shuffles once on the category key; at serving time apply the
-    * category table WITHOUT LOO (store the stats frame). */
+    * category table WITHOUT LOO ([[targetEncodeStats]] persisted +
+    * [[targetEncodeApply]]). */
   def targetEncode(
       catField: String, targetField: String,
       smoothing: Double = 10.0, scale: Double = 1e6)(
@@ -1000,6 +1001,45 @@ object Ops {
         ((coalesce(col("__cs"), lit(0L)) - yScaled).cast("double") / scale
           + lit(smoothing) * gMean)
           / ((col("__cn") - loo).cast("double") + lit(smoothing)))
+      .drop("__cat", "__cs", "__cn", "__gs", "__gn")
+  }
+
+  /** The storable statistics frame behind [[targetEncode]]:
+    * `(<catField>, te_sum_scaled, te_count)` — integer-scaled target sum
+    * and non-NULL target count per category (NULL category is a real
+    * group and keeps its row). Because categories partition the corpus,
+    * the GLOBAL sum/count are derivable by summing this frame — one
+    * artifact serves training refreshes and every serve site. */
+  def targetEncodeStats(catField: String, targetField: String,
+      scale: Double = 1e6)(df: DataFrame): DataFrame =
+    df.groupBy(col(catField))
+      .agg(sum(round(col(targetField) * scale, 0).cast("long"))
+        .as("te_sum_scaled"),
+        count(col(targetField)).as("te_count"))
+
+  /** Serving-time target encoding — [[targetEncode]] WITHOUT the
+    * leave-one-out term: at serve time the row's label does not exist,
+    * so `te = (catSum + m·globalMean) / (catCount + m)` applied from a
+    * stored [[targetEncodeStats]] frame. A category unseen in training
+    * (including a NULL one with no stats row) encodes to the pure prior
+    * — the only honest answer for a cold category. Global mean derives
+    * from the stats frame itself (categories partition the corpus), so
+    * the artifact is self-contained. One broadcast null-safe join, one
+    * 1-row aggregate — the corpus never shuffles. */
+  def targetEncodeApply(stats: DataFrame, catField: String,
+      outField: String, smoothing: Double = 10.0, scale: Double = 1e6)(
+      df: DataFrame): DataFrame = {
+    require(smoothing > 0.0, s"smoothing must be > 0, got $smoothing")
+    val s = stats.select(col(catField).as("__cat"),
+      col("te_sum_scaled").as("__cs"), col("te_count").as("__cn"))
+    val g = s.agg(sum(col("__cs")).as("__gs"), sum(col("__cn")).as("__gn"))
+    val gMean = (col("__gs").cast("double") / scale) / col("__gn")
+    df.join(broadcast(s), col(catField) <=> col("__cat"), "left")
+      .crossJoin(broadcast(g))
+      .withColumn(outField,
+        (coalesce(col("__cs"), lit(0L)).cast("double") / scale
+          + lit(smoothing) * gMean)
+          / (coalesce(col("__cn"), lit(0L)).cast("double") + lit(smoothing)))
       .drop("__cat", "__cs", "__cn", "__gs", "__gn")
   }
 

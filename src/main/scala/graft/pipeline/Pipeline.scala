@@ -680,6 +680,10 @@ final case class Pipeline(df: DataFrame) {
   def targetEncode(catField: String, targetField: String,
       smoothing: Double = 10.0, scale: Double = 1e6): Pipeline =
     >>(Ops.targetEncode(catField, targetField, smoothing, scale))
+  def targetEncodeApply(stats: DataFrame, catField: String,
+      outField: String, smoothing: Double = 10.0,
+      scale: Double = 1e6): Pipeline =
+    >>(Ops.targetEncodeApply(stats, catField, outField, smoothing, scale))
   def featureHash(fields: Seq[String], dims: Int,
       outField: String = "features", salt: String = "fh"): Pipeline =
     >>(_.withColumn(outField, Ops.featureHash(fields, dims, salt)))

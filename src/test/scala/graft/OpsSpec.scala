@@ -1318,6 +1318,28 @@ class OpsSpec extends SparkSpec {
       Ops.targetEncode("cat", "y", smoothing = 0.0)(df))
   }
 
+  test("targetEncodeApply: stored stats, no LOO, unseen categories get the prior") {
+    import spark.implicits._
+    val train = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))
+      .toDF("cat", "y")
+    val stats = Ops.targetEncodeStats("cat", "y")(train)
+    // the artifact is self-contained: global derives from it
+    assert(stats.count() === 2L)
+    val serve = Seq((1, Option("a")), (2, Option("b")),
+      (3, Option("new")), (4, Option.empty[String]))
+      .toDF("id", "cat")
+    val out = Ops.targetEncodeApply(stats, "cat", "te", smoothing = 1.0)(
+      serve).orderBy("id").select("id", "te")
+      .as[(Int, Double)].collect().toMap
+    val gm = 16.0 / 4
+    assert(math.abs(out(1) - (6.0 + gm) / (3 + 1)) < 1e-12)  // full mean, no LOO
+    assert(math.abs(out(2) - (10.0 + gm) / (1 + 1)) < 1e-12)
+    assert(math.abs(out(3) - gm) < 1e-12) // cold category -> pure prior
+    assert(math.abs(out(4) - gm) < 1e-12) // NULL unseen in training -> prior
+    intercept[IllegalArgumentException](
+      Ops.targetEncodeApply(stats, "cat", "te", smoothing = 0.0)(serve))
+  }
+
   test("featureHash: signed unit contributions, NULL-immune, deterministic") {
     import spark.implicits._
     val df = Seq(
