@@ -157,6 +157,29 @@ private[graft] object QueriesDedup {
         table(s, dir, "customer").select("c_custkey", "c_name"))
         .orderBy("id_a", "id_b")
     },
+    "fellegi_sunter" -> { (s, dir) =>
+      // probabilistic linkage verdicts over the del-1 candidate set:
+      // four field comparisons with driver-computed log2(m/u) weights,
+      // thresholded into match / possible / non_match
+      val cust = table(s, dir, "customer")
+      val pairs = Dedup.fuzzyKeyPairs("c_custkey", "c_name")(
+        cust.select("c_custkey", "c_name"))
+      val a = cust.select(col("c_custkey").as("id_a"),
+        col("c_nationkey").as("__na"), col("c_mktsegment").as("__sa"),
+        col("c_acctbal").as("__ba"))
+      val b = cust.select(col("c_custkey").as("id_b"),
+        col("c_nationkey").as("__nb"), col("c_mktsegment").as("__sb"),
+        col("c_acctbal").as("__bb"))
+      Dedup.fellegiSunter(Seq(
+        ("name", col("key_a") === col("key_b"), 0.5, 0.001),
+        ("nation", col("__na") === col("__nb"), 0.95, 0.04),
+        ("segment", col("__sa") === col("__sb"), 0.9, 0.2),
+        ("balance", abs(col("__ba") - col("__bb")) < 1000.0, 0.8, 0.05)),
+        upperThreshold = 6.0, lowerThreshold = 0.0)(
+        pairs.join(a, "id_a").join(b, "id_b"))
+        .select("id_a", "id_b", "fs_score", "fs_decision")
+        .orderBy("id_a", "id_b")
+    },
     "embedding_dedup" -> { (s, dir) =>
       Dedup.embeddingNearDuplicates("vec_id", "embedding", threshold = 0.4,
         planes = 6, dim = 64)(corpus(s, dir, "embeddings"))
@@ -646,6 +669,50 @@ private[graft] object QueriesDedup {
            WHERE a.id < b.id AND a.n <= 64)
          SELECT id_a, id_b FROM cand
          WHERE levenshtein(key_a, key_b) <= 1 ORDER BY id_a, id_b""",
+    // same del-1 candidates + levenshtein gate, then the four
+    // Fellegi–Sunter CASE terms with litD'd Scala-computed log2(m/u)
+    // weights summed in the identical left-chain order
+    "fellegi_sunter" -> {
+      def w(m: Double, u: Double) =
+        (litD(math.log(m / u) / math.log(2.0)),
+          litD(math.log((1.0 - m) / (1.0 - u)) / math.log(2.0)))
+      val (nameA, nameD) = w(0.5, 0.001)
+      val (natA, natD) = w(0.95, 0.04)
+      val (segA, segD) = w(0.9, 0.2)
+      val (balA, balD) = w(0.8, 0.05)
+      def term(agree: String, wa: String, wd: String) =
+        s"CASE WHEN ($agree) IS NULL THEN CAST(0 AS DOUBLE) " +
+          s"WHEN $agree THEN $wa ELSE $wd END"
+      s"""WITH v AS (
+           SELECT c_custkey AS id, c_name AS key,
+             unnest(list_distinct(list_prepend(c_name,
+               CASE WHEN length(c_name) = 0 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(range(1, length(c_name) + 1), i ->
+                   substr(c_name, 1, CAST(i - 1 AS INT))
+                   || substr(c_name, CAST(i + 1 AS INT), length(c_name)))
+               END))) AS var
+           FROM customer WHERE c_name IS NOT NULL),
+         sized AS (SELECT *, count(*) OVER (PARTITION BY var) AS n FROM v),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.key AS key_a, b.key AS key_b
+           FROM sized a JOIN sized b ON a.var = b.var
+           WHERE a.id < b.id AND a.n <= 64),
+         p AS (SELECT id_a, id_b, key_a, key_b FROM cand
+           WHERE levenshtein(key_a, key_b) <= 1),
+         s AS (SELECT id_a, id_b,
+             (((${term("key_a = key_b", nameA, nameD)}
+              + ${term("a.c_nationkey = b.c_nationkey", natA, natD)})
+              + ${term("a.c_mktsegment = b.c_mktsegment", segA, segD)})
+              + ${term("abs(a.c_acctbal - b.c_acctbal) < CAST(1000 AS DOUBLE)",
+                balA, balD)}) AS fs_score
+           FROM p JOIN customer a ON a.c_custkey = p.id_a
+                  JOIN customer b ON b.c_custkey = p.id_b)
+         SELECT id_a, id_b, fs_score,
+           CASE WHEN fs_score >= ${litD(6.0)} THEN 'match'
+                WHEN fs_score <= ${litD(0.0)} THEN 'non_match'
+                ELSE 'possible' END AS fs_decision
+         FROM s ORDER BY id_a, id_b"""
+    },
     // same del-1 candidate CTEs, scored with DuckDB's builtin
     // jaro_winkler_similarity — the native kernel is pinned
     // bit-identical to it (both-empty → 0, boost only above 0.7), so

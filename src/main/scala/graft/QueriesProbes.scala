@@ -154,6 +154,40 @@ private[graft] object QueriesProbes {
         table(s, dir, "orders"), Seq("o_custkey"), topN = 15)(
         table(s, dir, "events"))
     },
+    "roc_auc" -> { (s, dir) =>
+      // does document length rank English docs above the rest, per
+      // source? Mann–Whitney mid-rank AUC — integer ties everywhere,
+      // the exact tie-handling exercise
+      Probes.rocAuc(col("n_chars"), col("lang") === "en",
+        groupCols = Seq("source"))(
+        table(s, dir, "documents").select("source", "n_chars", "lang"))
+        .orderBy("source")
+    },
+    "pr_auc" -> { (s, dir) =>
+      // same signal under the rare-positive metric: step-interpolated
+      // average precision, tied lengths land as one block
+      Probes.prAuc(col("n_chars"), col("lang") === "en",
+        groupCols = Seq("source"))(
+        table(s, dir, "documents").select("source", "n_chars", "lang"))
+        .orderBy("source")
+    },
+    "benford_digits" -> { (s, dir) =>
+      // fabricated-numbers screen on order totals: leading-digit
+      // distribution vs Benford's law, log-free first-digit extraction
+      Probes.benfordDigits(col("o_totalprice"))(
+        table(s, dir, "orders"))
+        .orderBy("digit")
+    },
+    "t_closeness" -> { (s, dir) =>
+      // skew-leak gate past k-anonymity/l-diversity: per (nation,
+      // balance-band) class, TV distance of the segment distribution
+      // from the global one
+      Probes.tCloseness(Seq("c_nationkey", "balance_band"),
+        "c_mktsegment")(
+        table(s, dir, "customer").withColumn("balance_band",
+          floor(col("c_acctbal") / 2000)))
+        .orderBy("c_nationkey", "balance_band")
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -440,5 +474,101 @@ private[graft] object QueriesProbes {
         left_rows * right_rows AS out_rows
       FROM l JOIN r USING (user_id)
       ORDER BY out_rows DESC, user_id ASC LIMIT 15""",
+    // mirrors Probes.rocAuc: one row per (source, distinct score) with
+    // exact (cnt, pos), strictly-lower cumulative via ONE window, then
+    // the Mann–Whitney identity — all integers until the final division
+    "roc_auc" -> """
+      WITH b AS (SELECT source, n_chars AS s,
+          CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS pos
+        FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        GROUP BY source, n_chars),
+      c AS (SELECT source, cnt, pos,
+          CAST(coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY s ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cum
+        FROM b),
+      a AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS n_pos,
+          CAST(sum(pos * (cum * 2 + cnt + 1)) AS BIGINT) AS s2
+        FROM c GROUP BY source)
+      SELECT source, n, n_pos, n - n_pos AS n_neg,
+        CASE WHEN n_pos = 0 OR n_pos = n THEN NULL
+          ELSE CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+            / CAST(n_pos * (n - n_pos) * 2 AS DOUBLE) END AS auc
+      FROM a ORDER BY source""",
+    // mirrors Probes.prAuc: tied scores are one block, each block's
+    // term is ONE division of exact integer products, block sum is the
+    // score-descending pinned fold, then one division by n_pos
+    "pr_auc" -> """
+      WITH b AS (SELECT source, n_chars AS s,
+          CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS pos
+        FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        GROUP BY source, n_chars),
+      c AS (SELECT source, s, cnt, pos,
+          CAST(sum(pos) OVER w AS BIGINT) AS cum_pos,
+          CAST(sum(cnt) OVER w AS BIGINT) AS cum_cnt
+        FROM b WINDOW w AS (PARTITION BY source ORDER BY s DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      a AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS n_pos,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(pos * cum_pos AS DOUBLE) / CAST(cum_cnt AS DOUBLE)
+              ORDER BY s DESC)), (a, x) -> a + x) AS ap_sum
+        FROM c GROUP BY source)
+      SELECT source, n, n_pos,
+        CASE WHEN n_pos = 0 THEN NULL
+          ELSE ap_sum / CAST(n_pos AS DOUBLE) END AS ap
+      FROM a ORDER BY source""",
+    // mirrors Probes.benfordDigits: floor-then-string first digit (no
+    // float log10), exact-count shares, expected literals generated
+    // from the same Scala math.log10 constants the operator embeds
+    "benford_digits" -> s"""
+      WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND floor(o_totalprice) > 0),
+      d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+            AS digit,
+          CAST(count(*) AS BIGINT) AS n
+        FROM v GROUP BY 1),
+      t AS (SELECT digit, n,
+          CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share,
+          CASE digit ${(1 to 9).map(dg =>
+            // %.17e scientific form: DuckDB types exponent literals as
+            // DOUBLE (a plain decimal would land as DECIMAL and round)
+            f"WHEN $dg THEN ${math.log10(1.0 + 1.0 / dg)}%.17e")
+            .mkString(" ")} END AS expected
+        FROM d)
+      SELECT digit, n, share, expected, share - expected AS deviation
+      FROM t ORDER BY digit""",
+    // mirrors Probes.tCloseness: exact-count shares, the absent-value
+    // mass folded via (1 − Σ p_global) — both sums value-ordered folds
+    "t_closeness" -> """
+      WITH base AS (SELECT c_nationkey,
+          CAST(floor(c_acctbal / 2000) AS BIGINT) AS balance_band,
+          c_mktsegment AS v FROM customer WHERE c_mktsegment IS NOT NULL),
+      g AS (SELECT v, CAST(count(*) AS BIGINT) AS gn FROM base GROUP BY v),
+      gt AS (SELECT CAST(sum(gn) AS BIGINT) AS gt FROM g),
+      cells AS (SELECT c_nationkey, balance_band, v,
+          CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2, 3),
+      j AS (SELECT cells.*, CAST(gn AS DOUBLE) / CAST(gt AS DOUBLE) AS pg
+        FROM cells JOIN g USING (v) CROSS JOIN gt),
+      wn AS (SELECT *, CAST(sum(c) OVER (PARTITION BY c_nationkey,
+          balance_band) AS BIGINT) AS nq FROM j),
+      f AS (SELECT c_nationkey, balance_band,
+          CAST(max(nq) AS BIGINT) AS n,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(abs(CAST(c AS DOUBLE) / CAST(nq AS DOUBLE) - pg)
+              ORDER BY v)), (a, x) -> a + x) AS s1,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(pg ORDER BY v)), (a, x) -> a + x) AS s2
+        FROM wn GROUP BY 1, 2)
+      SELECT c_nationkey, balance_band, n,
+        (s1 + (CAST(1 AS DOUBLE) - s2)) / CAST(2 AS DOUBLE)
+          AS t_closeness
+      FROM f ORDER BY 1, 2""",
   )
 }

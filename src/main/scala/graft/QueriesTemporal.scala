@@ -340,6 +340,27 @@ private[graft] object QueriesTemporal {
           ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
       GraphOps.degreeStats("src", "dst")(ev).orderBy("node")
     },
+    "link_prediction" -> { (s, dir) =>
+      // missing-edge mining over a SPARSER 200-node derivation (the
+      // 40-node graph is complete-ish — nothing left to predict):
+      // non-adjacent pairs sharing >= 50 neighbors, scored by count /
+      // Jaccard / resource allocation — wedge-enumerated, never
+      // all-pairs
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 200).as("src"),
+          ((col("user_id") * 7 + col("event_id")) % 200).as("dst"))
+      GraphOps.linkPrediction("src", "dst", minCommon = 50)(ev)
+        .orderBy("node_a", "node_b")
+    },
+    "hits_scores" -> { (s, dir) =>
+      // directed-role scores over the link graph: 3 HITS rounds,
+      // auth-then-hub, L1-normalized, folds order-pinned so even the
+      // float scores hash-match the unrolled oracle
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 40).as("src"),
+          ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
+      GraphOps.hits("src", "dst")(ev).orderBy("node")
+    },
     "triangle_stats" -> { (s, dir) =>
       // community structure over the same derived 40-node graph:
       // degree-ordered orientation bounds per-apex fan-out at O(√m),
@@ -919,6 +940,39 @@ private[graft] object QueriesTemporal {
                THEN 'test'
              ELSE 'embargo' END AS split
       FROM events ORDER BY event_id""",
+    // mirrors GraphOps.linkPrediction uncapped: wedge enumeration over
+    // the undirected adjacency, exact integer counts/degrees, one
+    // division for jaccard, apex-ordered pinned fold for the RA index
+    "link_prediction" -> s"""
+      WITH e AS (SELECT DISTINCT user_id % 200 AS s,
+            (user_id * 7 + event_id) % 200 AS d
+          FROM events
+          WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+            AND user_id % 200 <> (user_id * 7 + event_id) % 200),
+      und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+              FROM e),
+      adj AS (SELECT u AS a, v AS b FROM und
+              UNION ALL SELECT v AS a, u AS b FROM und),
+      deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM adj GROUP BY 1),
+      w AS (SELECT x.a AS a, x.b AS b1, y.b AS b2
+            FROM adj x JOIN adj y ON y.a = x.a AND x.b < y.b),
+      agg AS (SELECT b1, b2, CAST(count(*) AS BIGINT) AS cn,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(1 AS DOUBLE) / CAST(deg AS DOUBLE) ORDER BY a)),
+            (x, y) -> x + y) AS ra
+        FROM w JOIN deg ON deg.node = w.a GROUP BY b1, b2
+        HAVING count(*) >= 50),
+      ne AS (SELECT agg.* FROM agg
+             ANTI JOIN und ON und.u = agg.b1 AND und.v = agg.b2)
+      SELECT b1 AS node_a, b2 AS node_b, cn AS common_neighbors,
+        CAST(cn AS DOUBLE) / CAST(d1.deg + d2.deg - cn AS DOUBLE)
+          AS jaccard,
+        ra AS resource_allocation
+      FROM ne JOIN deg d1 ON d1.node = ne.b1
+        JOIN deg d2 ON d2.node = ne.b2
+      ORDER BY node_a, node_b""",
+    "hits_scores" -> hitsSql(graphEdgesSql, iterations = 3),
     "page_rank" -> pageRankSql(
       s"SELECT s, d, CAST(1 AS DOUBLE) AS w FROM ($graphEdgesSql)",
       iterations = 3, damping = 0.85),

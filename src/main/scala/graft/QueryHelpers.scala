@@ -379,6 +379,45 @@ private[graft] object QueryHelpers {
       SELECT v AS node, r AS rank FROM r$iterations ORDER BY node"""
   }
 
+  /** Unrolled fixed-iteration HITS — mirrors GraphOps.hits step for
+    * step: uniform hub start, auth-then-hub within a round, L1
+    * normalization, neighbor folds ordered by neighbor id and the
+    * normalizer fold ordered by node id over the raw frame, coalesce
+    * BEFORE the divide. `edgesSql` must yield DISTINCT (s, d). */
+  def hitsSql(edgesSql: String, iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""ar$i AS (SELECT e.d AS v,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(h${i - 1}.h ORDER BY e.s)), (x, y) -> x + y) AS raw
+         FROM e JOIN h${i - 1} ON h${i - 1}.v = e.s GROUP BY e.d),
+      at$i AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(raw ORDER BY v)), (x, y) -> x + y) AS tot FROM ar$i),
+      a$i AS (SELECT n.v,
+          coalesce(ar$i.raw, CAST(0 AS DOUBLE)) / at$i.tot AS a
+         FROM n LEFT JOIN ar$i ON ar$i.v = n.v CROSS JOIN at$i),
+      hr$i AS (SELECT e.s AS v,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(a$i.a ORDER BY e.d)), (x, y) -> x + y) AS raw
+         FROM e JOIN a$i ON a$i.v = e.d GROUP BY e.s),
+      ht$i AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(raw ORDER BY v)), (x, y) -> x + y) AS tot FROM hr$i),
+      h$i AS (SELECT n.v,
+          coalesce(hr$i.raw, CAST(0 AS DOUBLE)) / ht$i.tot AS h
+         FROM n LEFT JOIN hr$i ON hr$i.v = n.v CROSS JOIN ht$i)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e AS ($edgesSql),
+      n AS (SELECT DISTINCT v FROM
+        (SELECT s AS v FROM e UNION ALL SELECT d FROM e)),
+      h0 AS (SELECT v, CAST(1 AS DOUBLE) AS h FROM n),
+      $iters
+      SELECT h$iterations.v AS node, h$iterations.h AS hub,
+        a$iterations.a AS authority
+      FROM h$iterations JOIN a$iterations
+        ON a$iterations.v = h$iterations.v
+      ORDER BY node"""
+  }
+
   /** BM25 top-k — mirrors TextOps.bm25TopK term for term: rational idf
     * (no log), every aggregate an exact integer in a double, score
     * expression tree and fold order identical to the Column form, so

@@ -1124,6 +1124,63 @@ object Dedup {
     * explosion. Output: `left_id, right_id, key_left, key_right, jw`.
     * Radius ≥ 2 linkage swaps the blocking for character-shingle
     * MinHash, not the scorer. */
+  /** Fellegi–Sunter match scoring — the probabilistic-record-linkage
+    * decision layer the blocked candidate generators
+    * ([[fuzzyKeyPairs]], [[jaroWinklerPairs]], [[phoneticKeyPairs]],
+    * [[fuzzyJoin]]) feed: each field comparison contributes its
+    * log-likelihood-ratio weight — `log₂(m/u)` on agreement,
+    * `log₂((1−m)/(1−u))` on disagreement, where `m` = P(agree | same
+    * entity) and `u` = P(agree | different entities) — and the summed
+    * score lands in match / possible / non_match by the two
+    * thresholds. The 1969 framework every production linkage system
+    * (Splink, the census linkers) still runs on; m/u come from domain
+    * knowledge or an EM fit, both supplied here as parameters.
+    *
+    * Each comparison is `(name, agreement, m, u)` — `agreement` any
+    * Boolean Column over the pair row (equality, `levenshtein ≤ 1`,
+    * `abs(a−b) < tol`…). A NULL agreement contributes 0 (a missing
+    * comparison carries no evidence either way — the standard
+    * convention; neither reward nor penalty). Weights are computed
+    * DRIVER-side in Scala (`log` of plain constants) and embedded as
+    * literals, so the per-row work is a fixed when-chain summed in
+    * comparison order — a pure zero-shuffle projection, exactly
+    * reproducible (the one float sum is a FIXED-ARITY left chain, not
+    * a data-ordered fold).
+    *
+    * Scale: O(pairs) rows × O(fields) literals, no shuffle, no state —
+    * the candidate generator owns all the scale risk. Output: the
+    * input pair columns + `fs_score, fs_decision`. */
+  def fellegiSunter(
+      comparisons: Seq[(String, Column, Double, Double)],
+      upperThreshold: Double, lowerThreshold: Double)(
+      pairs: DataFrame): DataFrame = {
+    require(comparisons.nonEmpty, "at least one field comparison")
+    require(comparisons.map(_._1).distinct.size == comparisons.size,
+      "duplicate comparison names")
+    require(upperThreshold >= lowerThreshold,
+      s"upper ($upperThreshold) must be >= lower ($lowerThreshold)")
+    comparisons.foreach { case (n, _, m, u) =>
+      require(m > 0.0 && m < 1.0 && u > 0.0 && u < 1.0,
+        s"comparison '$n': m and u must be in (0, 1), got m=$m u=$u")
+      require(m > u,
+        s"comparison '$n': m must exceed u (agreement must be " +
+          s"evidence FOR a match), got m=$m u=$u")
+    }
+    val score = comparisons.map { case (_, agree, m, u) =>
+      val wAgree = math.log(m / u) / math.log(2.0)
+      val wDisagree = math.log((1.0 - m) / (1.0 - u)) / math.log(2.0)
+      when(agree.isNull, lit(0.0))
+        .when(agree, lit(wAgree))
+        .otherwise(lit(wDisagree))
+    }.reduce(_ + _)
+    pairs
+      .withColumn("fs_score", score)
+      .withColumn("fs_decision",
+        when(col("fs_score") >= upperThreshold, lit("match"))
+          .when(col("fs_score") <= lowerThreshold, lit("non_match"))
+          .otherwise(lit("possible")))
+  }
+
   def fuzzyJoin(
       right: DataFrame,
       leftId: String, leftKey: String,

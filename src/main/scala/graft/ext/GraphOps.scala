@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over edge lists — the link-structure half of crawl
@@ -123,6 +123,182 @@ object GraphOps {
       i += 1
     }
     ranks.select(col("__v").as("node"), col("__r").as("rank"))
+  }
+
+  /** Neighborhood-overlap link prediction over the UNDIRECTED view of
+    * an edge list — the missing-edge miner behind "these two hosts
+    * cite the same dozen sources but never each other" (crawl
+    * frontier expansion, entity-resolution candidate generation, the
+    * graph analog of [[Dedup]]'s blocking): for every non-adjacent
+    * pair sharing ≥ `minCommon` neighbors, three standard scores —
+    * `common_neighbors` (raw count), `jaccard` (count over
+    * neighborhood union) and `resource_allocation` (Σ 1/deg(shared) —
+    * the Zhou–Lü–Zhang index; chosen over Adamic–Adar because 1/deg
+    * is an exact rational while 1/ln(deg) drags libm floats into the
+    * contract).
+    *
+    * Candidate pairs are enumerated as WEDGES (two edges sharing an
+    * apex) — only pairs at distance 2 can score, so the all-pairs
+    * frame never exists. Edge doctrine as everywhere in this file:
+    * NULL endpoints and self-loops drop, direction erased, parallel
+    * edges DISTINCT to one. Existing edges are anti-joined away
+    * (prediction means the edge is NOT there).
+    *
+    * Determinism: counts and degrees are exact integers; `jaccard` is
+    * one division of exact integers; `resource_allocation` is an
+    * apex-id-ordered pinned fold (per-pair lists bounded by the
+    * common-neighbor count).
+    *
+    * Scale shape: the wedge join fans out Σ_a deg(a)² — the same hub
+    * hazard [[triangleStats]] dodges by orientation, which link
+    * prediction CANNOT use (a wedge through a hub is still a
+    * candidate). `maxDegree > 0` is the production knob: apexes above
+    * the cap contribute no wedges (a node linked by half the graph
+    * carries no signal about any specific pair — the standard
+    * super-hub prune in every LP system), bounding fan-out at
+    * cap² per apex. The cap changes semantics (documented,
+    * spec-pinned); the oracle runs uncapped. Output:
+    * `node_a, node_b, common_neighbors, jaccard,
+    * resource_allocation`. */
+  def linkPrediction(
+      srcField: String, dstField: String,
+      minCommon: Int = 1, maxDegree: Int = 0)(
+      edges: DataFrame): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    require(maxDegree >= 0, s"maxDegree must be >= 0 (0 = uncapped)")
+    val s = col(srcField); val d = col(dstField)
+    val und = edges
+      .filter(s.isNotNull && d.isNotNull && s =!= d)
+      .select(least(s, d).as("u"), greatest(s, d).as("v"))
+      .distinct()
+      .localCheckpoint() // feeds adjacency, degrees, and the anti-join
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+    val deg = adj.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val apexes = (if (maxDegree > 0)
+        adj.join(deg.filter(col("deg") <= maxDegree)
+          .select(col("node").as("a")), "a")
+      else adj)
+      .join(deg.select(col("node").as("a"), col("deg").as("__da")), "a")
+    val wedges = apexes.select(col("a"), col("b").as("__b1"), col("__da"))
+      .join(apexes.select(col("a"), col("b").as("__b2")), Seq("a"))
+      .filter(col("__b1") < col("__b2"))
+    val scored = wedges
+      .groupBy(col("__b1"), col("__b2"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        aggregate(
+          sort_array(collect_list(struct(col("a").as("__k"),
+            (lit(1.0) / col("__da").cast("double")).as("__t")))),
+          lit(0.0), (acc, x) => acc + x.getField("__t"))
+          .as("resource_allocation"))
+      .filter(col("common_neighbors") >= minCommon)
+      .join(und.select(col("u").as("__b1"), col("v").as("__b2"),
+        lit(true).as("__e")), Seq("__b1", "__b2"), "left")
+      .filter(col("__e").isNull) // distance-2 only: the edge must be absent
+    scored
+      .join(deg.select(col("node").as("__b1"), col("deg").as("__d1")),
+        "__b1")
+      .join(deg.select(col("node").as("__b2"), col("deg").as("__d2")),
+        "__b2")
+      .select(col("__b1").as("node_a"), col("__b2").as("node_b"),
+        col("common_neighbors"),
+        (col("common_neighbors").cast("double") /
+          (col("__d1") + col("__d2") - col("common_neighbors"))
+            .cast("double")).as("jaccard"),
+        col("resource_allocation"))
+  }
+
+  /** Fixed-iteration HITS (Kleinberg's hubs-and-authorities) — the
+    * DIRECTED-role companion to [[pageRank]]: a link directory that
+    * points at every good source is a HUB, the sources it points at
+    * are AUTHORITIES, and PageRank's single score conflates the two
+    * (a perfect directory with no in-links ranks nowhere). Crawl
+    * seeding wants both lists.
+    *
+    * The standard mutual recursion from a uniform hub start:
+    * `auth(v) = Σ_{u→v} hub(u)`, then L1-normalize; `hub(u) =
+    * Σ_{u→v} auth(v)`, then L1-normalize — `iterations` rounds, auth
+    * before hub within a round. L1 (not the textbook L2) keeps every
+    * step a sum-and-divide of exact chains — no sqrt, same ranking.
+    * Edge doctrine as [[pageRank]]: NULL endpoints and self-loops
+    * drop, multi-edges DISTINCT to one. Nodes with no in-links hold
+    * authority 0; no out-links, hub 0.
+    *
+    * Cross-engine exactness: the two order-sensitive float sums per
+    * iteration — per-node neighbor folds and the global L1
+    * normalizer — are pinned (neighbor folds by neighbor id, the
+    * normalizer by node id over the raw frame), every division a
+    * single raw/total. `exactOrder = false` swaps both for plain
+    * order-free `sum()` (pure hash-agg, no per-key lists — the
+    * production mode at hub scale, ≤1e-12-relative parity
+    * spec-pinned, same doctrine as [[pageRank]]).
+    *
+    * Scale shape: per iteration, two equi-join + hash-agg rounds over
+    * the edge list and one one-row normalizer broadcast — 2k bounded
+    * shuffles total; edge/node frames localCheckpoint once, rank
+    * frames per iteration (constant plan depth). Output:
+    * `node, hub, authority`. */
+  def hits(
+      srcField: String, dstField: String,
+      iterations: Int = 3, exactOrder: Boolean = true)(
+      edges: DataFrame): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    val s = col(srcField); val d = col(dstField)
+    val e = edges
+      .filter(s.isNotNull && d.isNotNull && s =!= d)
+      .select(s.as("__s"), d.as("__d"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("__s").as("__v"))
+      .unionByName(e.select(col("__d").as("__v")))
+      .distinct()
+      .localCheckpoint()
+    def pinnedSum(key: Column, term: Column) =
+      if (exactOrder)
+        aggregate(
+          sort_array(collect_list(struct(key.as("__k"), term.as("__t")))),
+          lit(0.0), (acc, x) => acc + x.getField("__t"))
+      else sum(term)
+    var hub = nodes.select(col("__v"), lit(1.0).as("__h"))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      val authRaw = e
+        .join(hub.withColumnRenamed("__v", "__s"), "__s")
+        .groupBy(col("__d"))
+        .agg(pinnedSum(col("__s"), col("__h")).as("__raw"))
+        .localCheckpoint()
+      val authTot = authRaw
+        .agg(pinnedSum(col("__d"), col("__raw")).as("__tot"))
+      auth = nodes
+        .join(authRaw, nodes("__v") === authRaw("__d"), "left")
+        .crossJoin(broadcast(authTot))
+        .select(col("__v"),
+          (coalesce(col("__raw"), lit(0.0)) / col("__tot")).as("__a"))
+        .localCheckpoint()
+      val hubRaw = e
+        .join(auth.withColumnRenamed("__v", "__d"), "__d")
+        .groupBy(col("__s"))
+        .agg(pinnedSum(col("__d"), col("__a")).as("__raw"))
+        .localCheckpoint()
+      val hubTot = hubRaw
+        .agg(pinnedSum(col("__s"), col("__raw")).as("__tot"))
+      hub = nodes
+        .join(hubRaw, nodes("__v") === hubRaw("__s"), "left")
+        .crossJoin(broadcast(hubTot))
+        .select(col("__v"),
+          (coalesce(col("__raw"), lit(0.0)) / col("__tot")).as("__h"))
+        .localCheckpoint()
+      i += 1
+    }
+    hub.join(auth.withColumnRenamed("__v", "__v2"),
+        col("__v") === col("__v2"))
+      .select(col("__v").as("node"), col("__h").as("hub"),
+        col("__a").as("authority"))
   }
 
   /** Degree profile of an edge list: per node, out-degree, in-degree,

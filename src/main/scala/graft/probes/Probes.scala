@@ -746,6 +746,215 @@ object Probes {
     * aggregation per side (all columns in one pass, map-side partials),
     * plus a driver-side merge of the two single-row results — schema
     * metadata is driver-sized by definition. */
+  /** ROC area under the curve — the threshold-free discrimination
+    * score for any ranking signal (a learned quality score, a
+    * heuristic like length, a dedup confidence) against a binary
+    * label: the probability a random positive outranks a random
+    * negative. The acceptance gate that complements
+    * [[scoreCalibration]] — calibration says the score MEANS what it
+    * says, AUC says it ORDERS examples correctly; a corpus-election
+    * signal needs both.
+    *
+    * Computed by the Mann–Whitney rank-sum identity with exact
+    * mid-rank tie handling, entirely in integers: collapse to one row
+    * per (group, distinct score) carrying `(cnt, pos)`, cumulative
+    * count of strictly-lower scores via ONE window, then
+    * `Σ pos·(2·cum + cnt + 1) = 2·Σ(positive mid-ranks)` folds in a
+    * plain hash-agg (bigint — order-free, exact), and
+    * `auc = (S₂ − nPos·(nPos+1)) / (2·nPos·nNeg)` is a single float
+    * division of exact integers — cross-engine hash-identical with NO
+    * order-pinned fold needed. NULL score or label rows drop; a group
+    * with no positives or no negatives reports NULL auc (undefined,
+    * not 0 — the vacuous case must not look like a verdict).
+    *
+    * Scale shape: one hash-agg corpus → |distinct scores| rows, one
+    * window shuffle over THAT (partitioned by group), one final
+    * hash-agg. The corpus is touched once; everything after is
+    * score-cardinality-sized. Output per group:
+    * `n, n_pos, n_neg, auc`. */
+  def rocAuc(score: Column, label: Column,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val w = (if (grp.isEmpty) Window.partitionBy()
+      else Window.partitionBy(grp: _*)).orderBy(col("__s").asc)
+    val blocks = df
+      .filter(score.isNotNull && label.isNotNull)
+      .select(grp :+ score.as("__s") :+
+        label.cast("boolean").as("__l"): _*)
+      .groupBy(grp :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("__pos"))
+      .withColumn("__cum",
+        coalesce(sum(col("__cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    blocks
+      .groupBy(grp: _*)
+      .agg(sum(col("__cnt")).as("n"),
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__pos") * (col("__cum") * 2L + col("__cnt") + 1L))
+          .as("__s2"))
+      .select(grp :+ col("n") :+ col("n_pos") :+
+        (col("n") - col("n_pos")).as("n_neg") :+
+        when(col("n_pos") === 0L || col("n") === col("n_pos"),
+          lit(null).cast("double"))
+          .otherwise(
+            (col("__s2") - col("n_pos") * (col("n_pos") + 1L))
+              .cast("double") /
+              (col("n_pos") * (col("n") - col("n_pos")) * 2L)
+                .cast("double"))
+          .as("auc"): _*)
+  }
+
+  /** Average precision (area under the precision–recall curve, step
+    * interpolation) — the rare-positive companion to [[rocAuc]]: with
+    * 0.1% positives AUC saturates near 1 while AP still moves, so
+    * contamination/PII/toxicity screens gate on AP. Ties share one
+    * block (the whole tied block lands at once — precision evaluated
+    * at the block boundary, the standard tie-consistent definition;
+    * no within-tie order can change the answer).
+    *
+    * Determinism: blocks are (group, distinct score) rows with exact
+    * integer `(cnt, pos, cumPos, cumCnt)`; each block's term
+    * `pos·cumPos / cumCnt` is ONE float division of exact integer
+    * products, and the block sum is an order-pinned fold by
+    * descending score (the [[scoreCalibration]] ECE discipline), then
+    * one division by nPos. Per-group collected block lists are
+    * bounded by score cardinality — the per-key memory bound
+    * [[graft.ops.WindowOps.ewmaSmooth]] documents; quantize the score
+    * upstream if a group's distinct-score count rivals executor heap.
+    * NULL score/label drop; no positives → NULL ap. Output per
+    * group: `n, n_pos, ap`. */
+  def prAuc(score: Column, label: Column,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val w = (if (grp.isEmpty) Window.partitionBy()
+      else Window.partitionBy(grp: _*)).orderBy(col("__s").desc)
+    val blocks = df
+      .filter(score.isNotNull && label.isNotNull)
+      .select(grp :+ score.as("__s") :+
+        label.cast("boolean").as("__l"): _*)
+      .groupBy(grp :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("__pos"))
+      .withColumn("__cumPos", sum(col("__pos")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__cumCnt", sum(col("__cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // fold by DESCENDING score: negate the key so sort_array's asc
+    // order walks the curve from the top rank down (float negation is
+    // exact)
+    val fold = aggregate(
+      sort_array(collect_list(struct((col("__s") * lit(-1.0)).as("__k"),
+        ((col("__pos") * col("__cumPos")).cast("double") /
+          col("__cumCnt").cast("double")).as("__t")))),
+      lit(0.0), (acc, x) => acc + x.getField("__t"))
+    blocks
+      .groupBy(grp: _*)
+      .agg(sum(col("__cnt")).as("n"),
+        sum(col("__pos")).as("n_pos"),
+        fold.as("__apSum"))
+      .select(grp :+ col("n") :+ col("n_pos") :+
+        when(col("n_pos") === 0L, lit(null).cast("double"))
+          .otherwise(col("__apSum") / col("n_pos").cast("double"))
+          .as("ap"): _*)
+  }
+
+  /** Benford first-digit screen — the classic fabricated-numbers /
+    * broken-generator tripwire over any naturally-spread positive
+    * measure (amounts, sizes, counts): per leading digit 1–9, the
+    * observed share against Benford's log₁₀(1 + 1/d) expectation.
+    * Values are floored to integers first (`floor` is exact on
+    * doubles and sidesteps the engines' different double→int rounding
+    * conventions), the leading digit is the first character of the
+    * integer's decimal string (cross-engine stable for positive
+    * integers — no float log₁₀ anywhere), and non-positive/NULL
+    * values drop. Shares are exact-count divisions; the expected
+    * share is a compile-time Scala literal mirrored digit-for-digit
+    * into the oracle. One corpus hash-agg to ≤ 9·|groups| rows, then
+    * a ≤9-row window per group for the total. Output per (group,
+    * digit): `n, share, expected, deviation` — `deviation` is the
+    * signed gap; screeners alert on `max |deviation|`. */
+  def benfordDigits(value: Column, groupCols: Seq[String] = Nil)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val w = if (grp.isEmpty) Window.partitionBy()
+      else Window.partitionBy(grp: _*)
+    val expected = (1 to 9).foldLeft(lit(null).cast("double")) {
+      case (acc, d) => when(col("digit") === d,
+        lit(math.log10(1.0 + 1.0 / d))).otherwise(acc)
+    }
+    df.select(grp :+ floor(value.cast("double")).as("__v"): _*)
+      .filter(col("__v") > 0)
+      .select(grp :+
+        substring(col("__v").cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"): _*)
+      .groupBy(grp :+ col("digit"): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+      .withColumn("expected", expected)
+      .withColumn("deviation", col("share") - col("expected"))
+  }
+
+  /** t-closeness — the release gate [[kAnonymity]] and [[lDiversity]]
+    * build toward: per quasi-identifier equivalence class, the total
+    * variation distance between the class's sensitive-value
+    * distribution and the global one. k-anonymity stops re-identifying
+    * the ROW, l-diversity stops a single-valued class, but a class can
+    * still LEAK by skew (90% of one diagnosis vs 10% globally) —
+    * t-closeness bounds exactly that. A release passes at level t when
+    * every class's `t_closeness ≤ t`.
+    *
+    * TV over the categorical domain:
+    * `t = (Σ_{v∈class} |p_class − p_global| + (1 − Σ_{v∈class}
+    * p_global)) / 2` — the second term folds every value ABSENT from
+    * the class without materializing the class×domain cross product.
+    * Shares are exact-count divisions; the two sums are ONE
+    * order-pinned fold by sensitive value (per-class lists bounded by
+    * the sensitive domain, which is small by definition — a
+    * high-cardinality "sensitive" column is an identifier and belongs
+    * in [[kAnonymity]]'s quasi set instead). NULL sensitive values
+    * drop; NULL quasi values form their own class (the [[kAnonymity]]
+    * doctrine — NULL is a disclosure-relevant value). One corpus
+    * hash-agg + one domain-sized broadcast join. Output per class:
+    * quasi cols, `n, t_closeness`. */
+  def tCloseness(quasi: Seq[String], sensitive: String)(
+      df: DataFrame): DataFrame = {
+    require(quasi.nonEmpty, "at least one quasi-identifier column")
+    val grp = quasi.map(col)
+    val base = df.filter(col(sensitive).isNotNull)
+      .select(grp :+ col(sensitive).as("__v"): _*)
+    val global = base.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__gn"))
+    val globalTot = global.agg(sum(col("__gn")).as("__gt"))
+    val cells = base.groupBy(grp :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .join(broadcast(global), "__v")
+      .crossJoin(broadcast(globalTot))
+      .select(grp :+ col("__v") :+ col("__c") :+
+        (col("__gn").cast("double") / col("__gt").cast("double"))
+          .as("__pg"): _*)
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(grp: _*)
+    val withN = cells.withColumn("__nq", sum(col("__c")).over(wq))
+    def foldBy(term: Column) = aggregate(
+      sort_array(collect_list(struct(col("__v").as("__k"),
+        term.as("__t")))),
+      lit(0.0), (acc, x) => acc + x.getField("__t"))
+    withN
+      .groupBy(grp: _*)
+      .agg(max(col("__nq")).as("n"),
+        foldBy(abs(col("__c").cast("double") /
+          col("__nq").cast("double") - col("__pg"))).as("__s1"),
+        foldBy(col("__pg")).as("__s2"))
+      .select(grp :+ col("n") :+
+        ((col("__s1") + (lit(1.0) - col("__s2"))) / lit(2.0))
+          .as("t_closeness"): _*)
+  }
+
   def schemaDrift(before: DataFrame, after: DataFrame): DataFrame = {
     val spark = before.sparkSession
     import spark.implicits._

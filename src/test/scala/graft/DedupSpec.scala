@@ -625,4 +625,44 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.phoneticKeyPairs("id", "name", minJw = 0.0)(flood)
       .count() == 0L)
   }
+
+  test("fellegiSunter: log2(m/u) arithmetic, NULL evidence, thresholds, guards") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val pairs = Seq(
+      (1L, 2L, Option(true), Option(true)),    // both agree
+      (3L, 4L, Option(false), Option(true)),   // first disagrees
+      (5L, 6L, Option.empty[Boolean], Option(false))) // first missing
+      .toDF("id_a", "id_b", "f1", "f2")
+    val out = Dedup.fellegiSunter(Seq(
+      ("f1", col("f1"), 0.9, 0.1),    // agree +log2(9), disagree +log2(1/9)
+      ("f2", col("f2"), 0.8, 0.2)),   // agree +2, disagree +log2(0.25)
+      upperThreshold = 4.0, lowerThreshold = 0.0)(pairs)
+      .orderBy("id_a").collect()
+      .map(r => (r.getDouble(4), r.getString(5)))
+    // mirror the op's exact float expressions: (1.0 - 0.9) is NOT the
+    // double 0.1, so the disagreement weights must subtract, not inline
+    val w1a = lg2(0.9 / 0.1); val w1d = lg2((1.0 - 0.9) / (1.0 - 0.1))
+    val w2a = lg2(0.8 / 0.2); val w2d = lg2((1.0 - 0.8) / (1.0 - 0.2))
+    assert(out(0) === ((w1a + w2a, "match")))       // 3.17+2 >= 4
+    assert(out(1) === ((w1d + w2a, "non_match")))   // -3.17+2 <= 0
+    assert(out(2) === ((0.0 + w2d, "non_match")))   // missing = no evidence
+    // a mid-band score lands in 'possible'
+    val mid = Dedup.fellegiSunter(Seq(("f", lit(true), 0.6, 0.3)),
+      upperThreshold = 2.0, lowerThreshold = 0.5)(
+      Seq((1L, 2L)).toDF("id_a", "id_b")).head()
+    assert(mid.getString(3) === "possible" &&
+      mid.getDouble(2) === lg2(0.6 / 0.3))
+    // guards: m must exceed u, probabilities in (0,1), unique names
+    intercept[IllegalArgumentException](Dedup.fellegiSunter(
+      Seq(("f", col("f1"), 0.1, 0.9)), 1, 0)(pairs))
+    intercept[IllegalArgumentException](Dedup.fellegiSunter(
+      Seq(("f", col("f1"), 1.0, 0.5)), 1, 0)(pairs))
+    intercept[IllegalArgumentException](Dedup.fellegiSunter(
+      Seq(("f", col("f1"), 0.9, 0.1), ("f", col("f2"), 0.9, 0.1)),
+      1, 0)(pairs))
+    intercept[IllegalArgumentException](Dedup.fellegiSunter(
+      Seq(("f", col("f1"), 0.9, 0.1)), 0, 1)(pairs))
+  }
 }

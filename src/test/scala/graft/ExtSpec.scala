@@ -100,6 +100,71 @@ class ExtSpec extends SparkSpec {
     assert(counts.toSeq === Seq(3L, 1L)) // every word one piece now
   }
 
+  test("linkPrediction: wedge scores, adjacency exclusion, hub cap, direction erasure") {
+    import graft.ext.GraphOps
+    // path 1-2-3: (1,3) is the only distance-2 pair — cn 1 via apex 2
+    // (deg 2), jaccard 1/(1+1-1) = 1, ra = 1/2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = GraphOps.linkPrediction("src", "dst")(path).collect()
+    assert(p.length === 1)
+    assert(p(0).getLong(0) === 1L && p(0).getLong(1) === 3L &&
+      p(0).getLong(2) === 1L && p(0).getDouble(3) === 1.0 &&
+      p(0).getDouble(4) === 0.5)
+    // square 1-2-3-4-1: diagonals share TWO neighbors (ra = 1), and
+    // minCommon = 2 keeps exactly them
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val sq = GraphOps.linkPrediction("src", "dst", minCommon = 2)(square)
+      .orderBy("node_a", "node_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(sq.toSeq === Seq((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+    // a triangle predicts nothing (every 2-hop pair is adjacent)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(GraphOps.linkPrediction("src", "dst")(tri).count() === 0L)
+    // hub cap: a star's only apex exceeds maxDegree -> no wedges
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    assert(GraphOps.linkPrediction("src", "dst")(star).count() === 3L)
+    assert(GraphOps.linkPrediction("src", "dst", maxDegree = 2)(star)
+      .count() === 0L)
+    // direction is erased: reversing every edge changes nothing
+    val rev = GraphOps.linkPrediction("src", "dst")(
+      path.select(col("dst").as("src"), col("src").as("dst"))).collect()
+    assert(rev.length === 1 && rev(0).getDouble(4) === 0.5)
+    intercept[IllegalArgumentException](
+      GraphOps.linkPrediction("src", "dst", minCommon = 0)(path))
+  }
+
+  test("hits: L1-normalized roles, hub/authority split, exactOrder parity") {
+    import graft.ext.GraphOps
+    // 1→3, 2→3: node 3 is the sole authority; 1 and 2 split hub mass
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val h = GraphOps.hits("src", "dst")(edges).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(h.toSeq === Seq((1L, 0.5, 0.0), (2L, 0.5, 0.0),
+      (3L, 0.0, 1.0)))
+    // both scores are L1-normalized every round
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("src", "dst")
+    val c = GraphOps.hits("src", "dst", iterations = 5)(chain).collect()
+    assert(math.abs(c.map(_.getDouble(1)).sum - 1.0) < 1e-12)
+    assert(math.abs(c.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    // duplicate edges and self-loops change nothing
+    val noisy = chain.unionByName(Seq((1L, 2L), (2L, 2L)).toDF("src", "dst"))
+    val cn = GraphOps.hits("src", "dst", iterations = 5)(noisy)
+      .orderBy("node").collect().map(_.getDouble(2))
+    assert(cn.toSeq === c.sortBy(_.getLong(0)).map(_.getDouble(2)).toSeq)
+    // production order-free mode agrees to rounding
+    val exact = GraphOps.hits("src", "dst", iterations = 4)(chain)
+      .orderBy("node").collect().map(_.getDouble(2))
+    val free = GraphOps.hits("src", "dst", iterations = 4,
+      exactOrder = false)(chain)
+      .orderBy("node").collect().map(_.getDouble(2))
+    exact.zip(free).foreach { case (e, f) =>
+      assert(math.abs(e - f) <= 1e-12 * math.max(1.0, math.abs(e))) }
+    intercept[IllegalArgumentException](
+      GraphOps.hits("src", "dst", iterations = 0)(edges))
+  }
+
   test("weighted pageRank: unit weights equal the plain form; heavy edges shift rank") {
     import graft.ext.GraphOps
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))

@@ -70,7 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     "histogram_2d",      // broadcast one-row cell-count total
     "budget_allocation", // broadcast one-row weight total + spent base
     "target_encode",     // broadcast one-row global-mean aggregate
-    "target_encode_serve") // same one-row global broadcast, serve side
+    "target_encode_serve", // same one-row global broadcast, serve side
+    "t_closeness")       // broadcast one-row global sensitive-total
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

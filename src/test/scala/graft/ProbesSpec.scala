@@ -438,4 +438,99 @@ class ProbesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.probes.Probes.quarantine(Seq("a" -> lit(true), "a" -> lit(false)))(df))
   }
+
+  test("rocAuc: hand-computed mid-rank AUC, ties, NULLs, degenerate groups") {
+    import spark.implicits._
+    // perfect separation -> 1.0
+    val perfect = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("s", "l")
+    assert(Probes.rocAuc(col("s"), col("l"))(perfect)
+      .select("auc").as[Double].head() === 1.0)
+    // ties get mid-rank credit: scores [1,2,2,3], labels [0,1,0,1]
+    // pairwise wins: (1 + 0.5 + 1 + 1) / 4 = 0.875
+    val tied = Seq((1.0, false), (2.0, true), (2.0, false), (3.0, true))
+      .toDF("s", "l")
+    val r = Probes.rocAuc(col("s"), col("l"))(tied).head()
+    assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("n_pos") === 2L &&
+      r.getAs[Long]("n_neg") === 2L && r.getAs[Double]("auc") === 0.875)
+    // NULL score/label rows drop; one-class group -> NULL auc
+    val degenerate = Seq((Option(1.0), Option(true)),
+      (Option(2.0), Option(true)), (Option.empty[Double], Option(false)),
+      (Option(3.0), Option.empty[Boolean])).toDF("s", "l")
+    val d = Probes.rocAuc(col("s"), col("l"))(degenerate).head()
+    assert(d.getAs[Long]("n") === 2L && d.isNullAt(d.fieldIndex("auc")))
+    // grouped: independent AUCs per group
+    val grouped = Seq(("a", 1.0, false), ("a", 2.0, true),
+      ("b", 1.0, true), ("b", 2.0, false)).toDF("g", "s", "l")
+    val byG = Probes.rocAuc(col("s"), col("l"), Seq("g"))(grouped)
+      .orderBy("g").select("auc").as[Double].collect()
+    assert(byG.toSeq === Seq(1.0, 0.0))
+  }
+
+  test("prAuc: step-interpolated AP, tie blocks, rare-positive behavior") {
+    import spark.implicits._
+    // ranked desc: pos@1 (P=1), neg, pos@3 (P=2/3) -> AP = (1 + 2/3)/2
+    val df = Seq((4.0, true), (3.0, false), (2.0, true), (1.0, false))
+      .toDF("s", "l")
+    val ap = Probes.prAuc(col("s"), col("l"))(df)
+      .select("ap").as[Double].head()
+    assert(math.abs(ap - (1.0 + 2.0 / 3.0) / 2.0) < 1e-15)
+    // a tied block lands at once: [2:pos, 2:neg] -> P at block end = 1/2
+    val tied = Seq((2.0, true), (2.0, false)).toDF("s", "l")
+    assert(Probes.prAuc(col("s"), col("l"))(tied)
+      .select("ap").as[Double].head() === 0.5)
+    // no positives -> NULL (undefined, not zero)
+    val noPos = Seq((1.0, false), (2.0, false)).toDF("s", "l")
+    assert(Probes.prAuc(col("s"), col("l"))(noPos).head()
+      .isNullAt(2))
+    // AP is rank-only: any monotone rescaling of scores is invariant
+    val scaled = df.withColumn("s", col("s") * 100.0 + 7.0)
+    assert(Probes.prAuc(col("s"), col("l"))(scaled)
+      .select("ap").as[Double].head() === ap)
+  }
+
+  test("benfordDigits: floor-then-first-digit, non-positive drop, share sums") {
+    import spark.implicits._
+    val df = Seq(1.0, 19.5, 23.0, 2999.9, 0.4, 0.0, -5.0)
+      .toDF("v")
+    val out = Probes.benfordDigits(col("v"))(df)
+      .orderBy("digit").collect()
+    // kept: 1, 19, 23, 2999 -> digits 1 (x2), 2 (x2)
+    assert(out.map(_.getAs[Int]("digit")).toSeq === Seq(1, 2))
+    assert(out.map(_.getAs[Long]("n")).toSeq === Seq(2L, 2L))
+    assert(out.map(_.getAs[Double]("share")).toSeq === Seq(0.5, 0.5))
+    assert(out(0).getAs[Double]("expected") === math.log10(2.0))
+    assert(out(0).getAs[Double]("deviation") ===
+      0.5 - math.log10(2.0))
+    // shares sum to 1 within a group
+    val shares = Probes.benfordDigits(col("v"), Seq("g"))(
+      Seq(("a", 123.0), ("a", 456.0), ("b", 789.0)).toDF("g", "v"))
+      .groupBy("g").agg(org.apache.spark.sql.functions.sum("share"))
+      .orderBy("g").collect().map(_.getDouble(1))
+    assert(shares.forall(s => math.abs(s - 1.0) < 1e-15))
+  }
+
+  test("tCloseness: TV distance per class, absent-value mass, NULL doctrine") {
+    import spark.implicits._
+    // global: a,b each 50%; each class is single-valued -> TV = 0.5
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g2", "b"), ("g2", "b"))
+      .toDF("q", "v")
+    val out = Probes.tCloseness(Seq("q"), "v")(df)
+      .orderBy("q").collect()
+    assert(out.map(_.getAs[Double]("t_closeness")).toSeq === Seq(0.5, 0.5))
+    assert(out.map(_.getAs[Long]("n")).toSeq === Seq(2L, 2L))
+    // a class matching the global distribution scores 0
+    val balanced = Seq(("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"))
+      .toDF("q", "v")
+    assert(Probes.tCloseness(Seq("q"), "v")(balanced)
+      .select("t_closeness").as[Double].collect().forall(_ === 0.0))
+    // NULL sensitive drops from both distributions; NULL quasi is a class
+    val withNulls = Seq((Option("g1"), Option("a")),
+      (Option("g1"), Option.empty[String]), (Option.empty[String], Option("a")))
+      .toDF("q", "v")
+    val nv = Probes.tCloseness(Seq("q"), "v")(withNulls)
+    assert(nv.count() === 2L) // g1 and the NULL-quasi class
+    assert(nv.filter(col("q").isNull).head().getAs[Long]("n") === 1L)
+    intercept[IllegalArgumentException](Probes.tCloseness(Nil, "v")(df))
+  }
 }
