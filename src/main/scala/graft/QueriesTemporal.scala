@@ -219,6 +219,26 @@ private[graft] object QueriesTemporal {
         tieBreak = "event_id")(table(s, dir, "events"))
         .orderBy("user_id", "ts", "event_id")
     },
+    "holt_smooth" -> { (s, dir) =>
+      // trend-aware double smoothing of each user's value stream:
+      // level/trend recurrences replayed step-for-step by the oracle's
+      // recursive CTE; forecast = level + trend is the drift baseline
+      WindowOps.holtSmooth("user_id", "ts", "value", alpha = 0.3,
+        beta = 0.1, tieBreak = "event_id")(table(s, dir, "events"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    "rolling_corr" -> { (s, dir) =>
+      // does extended price still track quantity? 10-row rolling
+      // Pearson per return flag — exact decimal sufficient statistics,
+      // full frames only, order made total by including the measures
+      WindowOps.rollingCorr(Seq("l_returnflag"),
+        Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice"),
+        "l_quantity", "l_extendedprice", window = 10)(
+        table(s, dir, "lineitem"))
+        .orderBy("l_returnflag", "l_shipdate", "l_orderkey",
+          "l_linenumber", "l_quantity", "l_extendedprice")
+    },
     "interval_join" -> { (s, dir) =>
       // signup sessions vs purchase sessions that overlap in time for
       // the same user — both sides INTERVALS (event_id-derived lengths,
@@ -871,6 +891,72 @@ private[graft] object QueriesTemporal {
         FROM o JOIN r ON o.user_id = r.user_id AND o.i = r.i + 1)
       SELECT user_id, ts, event_id, value, ewma
       FROM r ORDER BY user_id, ts, event_id""",
+    // mirrors WindowOps.holtSmooth: recursive per-user replay of the
+    // level/trend recurrences — level seeds at the first value, trend
+    // at 0, NULL value (or a NULL-poisoned level) propagates NULL, and
+    // the trend step re-spells the level expression verbatim (same
+    // IEEE sequence the fold computes once)
+    "holt_smooth" -> s"""
+      WITH RECURSIVE o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC) AS i
+        FROM events WHERE ts IS NOT NULL),
+      r AS (
+        SELECT user_id, ts, event_id, value, i, value AS level,
+          CASE WHEN value IS NULL THEN NULL
+               ELSE CAST(0 AS DOUBLE) END AS trend
+        FROM o WHERE i = 1
+        UNION ALL
+        SELECT o.user_id, o.ts, o.event_id, o.value, o.i,
+          CASE WHEN o.value IS NULL OR r.level IS NULL THEN NULL
+            ELSE ${0.3} * o.value
+               + ${1.0 - 0.3} * (r.level + r.trend) END,
+          CASE WHEN o.value IS NULL OR r.level IS NULL THEN NULL
+            ELSE ${0.1} * ((${0.3} * o.value
+                 + ${1.0 - 0.3} * (r.level + r.trend)) - r.level)
+               + ${1.0 - 0.1} * r.trend END
+        FROM o JOIN r ON o.user_id = r.user_id AND o.i = r.i + 1)
+      SELECT user_id, ts, event_id, value, level, trend,
+        level + trend AS forecast
+      FROM r ORDER BY user_id, ts, event_id""",
+    // mirrors WindowOps.rollingCorr: 1e-9-quantized decimal sufficient
+    // statistics over the identical 10-row frame, HUGEINT-exact
+    // (n·Sxy − Sx·Sy) assembly, two sqrts and one division; partial
+    // frames and zero variance report NULL
+    "rolling_corr" -> """
+      WITH b AS (SELECT l_returnflag, l_shipdate, l_orderkey,
+          l_linenumber, l_quantity, l_extendedprice,
+          CAST(round(l_quantity * 1e9, 0) AS DECIMAL(19,0)) AS x9,
+          CAST(round(l_extendedprice * 1e9, 0) AS DECIMAL(19,0)) AS y9
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      c AS (SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+          l_quantity, l_extendedprice,
+          CAST(count(*) OVER w AS BIGINT) AS n,
+          CAST(sum(x9) OVER w AS HUGEINT) AS sx,
+          CAST(sum(y9) OVER w AS HUGEINT) AS sy,
+          CAST(sum(CAST(x9 * x9 AS DECIMAL(38,0))) OVER w AS HUGEINT)
+            AS sxx,
+          CAST(sum(CAST(y9 * y9 AS DECIMAL(38,0))) OVER w AS HUGEINT)
+            AS syy,
+          CAST(sum(CAST(x9 * y9 AS DECIMAL(38,0))) OVER w AS HUGEINT)
+            AS sxy
+        FROM b WINDOW w AS (PARTITION BY l_returnflag
+          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity,
+            l_extendedprice
+          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+      SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+        l_quantity, l_extendedprice, n,
+        CASE WHEN n < 10 THEN NULL
+             WHEN CAST(n * sxx - sx * sx AS DOUBLE) <= 0
+               OR CAST(n * syy - sy * sy AS DOUBLE) <= 0 THEN NULL
+             ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr
+      FROM c
+      ORDER BY l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+        l_quantity, l_extendedprice""",
     // mirrors TemporalOps.resample: integer bucket index, per-bucket
     // latest value by (ts, event_id), generate_series spine per user,
     // IGNORE NULLS last_value forward fill — values never aggregated

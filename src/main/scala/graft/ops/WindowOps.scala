@@ -602,6 +602,184 @@ object WindowOps {
           .as("shift_flag"))
   }
 
+  /** Holt double exponential smoothing — [[ewmaSmooth]]'s
+    * trend-aware sibling: per key in (ts, tieBreak) order,
+    * `level ← α·x + (1−α)·(level + trend)`,
+    * `trend ← β·(level − level_prev) + (1−β)·trend_prev`, seeded
+    * level = first value, trend = 0 — the standard drift-following
+    * smoother for metrics that RAMP (a level-only EWMA lags a ramp
+    * forever; Holt's trend term closes the gap), and its
+    * `forecast = level + trend` column is the one-step-ahead
+    * prediction drift monitors alarm against.
+    *
+    * NULL doctrine = [[ewmaSmooth]]: a NULL value (or a NULL-poisoned
+    * tail) propagates NULL through level/trend/forecast — a gap
+    * poisons the smoother rather than silently skipping (resample
+    * first if gaps are expected; [[graft.ops.TemporalOps.resample]]).
+    * NULL timestamps drop.
+    *
+    * `exactOrder = true` (the oracle contract): per-key sorted-array
+    * fold — per-key memory O(events), the documented bound.
+    * `exactOrder = false` (production): repartition-by-key +
+    * sortWithinPartitions + one streaming pass, O(1) state per key —
+    * the [[cusumShift]] discipline, bit-identical here (the
+    * recurrence itself is order-pinned by the sort either way; the
+    * two modes differ only in materialization).
+    *
+    * Output: key, ts, tieBreak, value, `level, trend, forecast`. */
+  def holtSmooth(
+      keyField: String, tsField: String, valueField: String,
+      alpha: Double, beta: Double,
+      tieBreak: String, exactOrder: Boolean = true)(
+      df: DataFrame): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0,
+      s"beta must be in [0, 1], got $beta")
+    if (!exactOrder) {
+      val prepared = df.filter(col(tsField).isNotNull)
+        .select(col(keyField).as("__k"), col(tsField).as("__t"),
+          col(tieBreak).as("__tb"), col(valueField).cast("double").as("__v"))
+        .repartition(col("__k"))
+        .sortWithinPartitions("__k", "__t", "__tb")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        prepared.schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("level",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("trend",
+            org.apache.spark.sql.types.DoubleType)))
+      val smoothed = prepared.mapPartitions { it =>
+        var curKey: Any = null
+        var started = false
+        var l: java.lang.Double = null
+        var b: java.lang.Double = null
+        var first = true
+        it.map { r =>
+          val k = r.get(0)
+          if (!started || k != curKey) { first = true }
+          curKey = k; started = true
+          val v: java.lang.Double =
+            if (r.isNullAt(3)) null
+            else java.lang.Double.valueOf(r.getDouble(3))
+          if (first) {
+            l = v
+            b = if (v == null) null else java.lang.Double.valueOf(0.0)
+            first = false
+          } else if (v == null || l == null) {
+            l = null; b = null
+          } else {
+            val lPrev = l.doubleValue(); val bPrev = b.doubleValue()
+            val lNew = alpha * v.doubleValue() +
+              (1.0 - alpha) * (lPrev + bPrev)
+            b = java.lang.Double.valueOf(
+              beta * (lNew - lPrev) + (1.0 - beta) * bPrev)
+            l = java.lang.Double.valueOf(lNew)
+          }
+          org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), v, l, b)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      return smoothed.select(col("__k").as(keyField),
+        col("__t").as(tsField), col("__tb").as(tieBreak),
+        col("__v").as(valueField), col("level"), col("trend"),
+        (col("level") + col("trend")).as("forecast"))
+    }
+    val arr = sort_array(collect_list(
+      struct(col("__t"), col("__tb"), col("__v"))))
+    val stateType = "array<struct<l:double,b:double>>"
+    val fold = aggregate(col("__arr"),
+      array().cast(stateType),
+      (acc, x) => {
+        val v = x.getField("__v")
+        val lPrev = element_at(acc, -1).getField("l")
+        val bPrev = element_at(acc, -1).getField("b")
+        // lNew spelled once per slot but evaluated identically — the
+        // oracle's recursive CTE repeats the same expression
+        val lNew = lit(alpha) * v + lit(1.0 - alpha) * (lPrev + bPrev)
+        val next = when(size(acc) === 0,
+          struct(v.as("l"),
+            when(v.isNull, lit(null).cast("double"))
+              .otherwise(lit(0.0)).as("b")))
+          .otherwise(when(v.isNull || lPrev.isNull,
+            struct(lit(null).cast("double").as("l"),
+              lit(null).cast("double").as("b")))
+            .otherwise(struct(lNew.as("l"),
+              (lit(beta) * (lNew - lPrev) + lit(1.0 - beta) * bPrev)
+                .as("b"))))
+        concat(acc, array(next))
+      })
+    df.filter(col(tsField).isNotNull)
+      .select(col(keyField).as("__k"), col(tsField).as("__t"),
+        col(tieBreak).as("__tb"), col(valueField).cast("double").as("__v"))
+      .groupBy("__k").agg(arr.as("__arr"))
+      .withColumn("__st", fold)
+      .select(col("__k"), posexplode(arrays_zip(col("__arr"), col("__st"))))
+      .select(col("__k").as(keyField),
+        col("col.__arr.__t").as(tsField),
+        col("col.__arr.__tb").as(tieBreak),
+        col("col.__arr.__v").as(valueField),
+        col("col.__st.l").as("level"),
+        col("col.__st.b").as("trend"),
+        (col("col.__st.l") + col("col.__st.b")).as("forecast"))
+  }
+
+  /** Rolling Pearson correlation between two measures over the last
+    * `window` rows per key — the co-movement monitor (does price still
+    * track quantity? does latency still track load?) whose BREAK is
+    * the alarm, next to [[cusumShift]]'s level shifts. Exactness
+    * discipline: both measures quantize to 1e-9 (the money-column
+    * rule), every windowed sum is an exact decimal(38,0) of scaled
+    * integers, and the correlation assembles as
+    * `(n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²))` — exact
+    * integers into two correctly-rounded sqrts, one multiply, one
+    * divide; the 1e9 scale factors cancel. Full frames only: rows
+    * before the window fills report NULL `corr` (a 3-row "window" of
+    * a 20-row contract is noise, not signal); zero variance on either
+    * side → NULL (undefined, not ±1). Rows with NULL in either
+    * measure are dropped UP FRONT (the frame contract is "last n
+    * observed pairs", not "last n rows"); NULL-safe by construction
+    * after that. ONE window shuffle, O(window) state per row, no
+    * per-key arrays. Order must be made total by `orderFields`
+    * (include the measures themselves when the natural key can tie —
+    * identical full rows then commute harmlessly). Output: keys ++
+    * orderFields ++ (x, y, n, corr). */
+  def rollingCorr(
+      keys: Seq[String], orderFields: Seq[String],
+      xField: String, yField: String, window: Int)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2 && window <= 10000,
+      s"window must be in [2, 10000], got $window")
+    require(orderFields.nonEmpty, "at least one order column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderFields.map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    def q9(c: Column) =
+      round(c.cast("double") * 1e9, 0).cast("decimal(19,0)")
+    val d38 = "decimal(38,0)"
+    val base = df
+      .filter(col(xField).isNotNull && col(yField).isNotNull)
+      .withColumn("__x9", q9(col(xField)))
+      .withColumn("__y9", q9(col(yField)))
+    val n = count(lit(1)).over(w)
+    val sx = sum(col("__x9")).over(w)
+    val sy = sum(col("__y9")).over(w)
+    val sxx = sum((col("__x9") * col("__x9")).cast(d38)).over(w)
+    val syy = sum((col("__y9") * col("__y9")).cast(d38)).over(w)
+    val sxy = sum((col("__x9") * col("__y9")).cast(d38)).over(w)
+    val num = (n * sxy - sx * sy).cast("double")
+    val vx = (n * sxx - sx * sx).cast("double")
+    val vy = (n * syy - sy * sy).cast("double")
+    base
+      .withColumn("n", n)
+      .withColumn("corr",
+        when(col("n") < window, lit(null).cast("double"))
+          .otherwise(when(vx <= 0.0 || vy <= 0.0,
+            lit(null).cast("double"))
+            .otherwise(num / (sqrt(vx) * sqrt(vy)))))
+      .select((keys ++ orderFields ++ Seq(xField, yField)).distinct
+        .map(col) ++ Seq(col("n"), col("corr")): _*)
+  }
+
   def ewmaSmooth(
       keyField: String, tsField: String, valueField: String, alpha: Double,
       tieBreak: String, exactOrder: Boolean = true)(df: DataFrame): DataFrame = {

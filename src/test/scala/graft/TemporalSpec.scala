@@ -712,4 +712,89 @@ class TemporalSpec extends SparkSpec {
       assert(math.abs(p1 - p2) <= 1e-12 && math.abs(n1 - n2) <= 1e-12)
     }
   }
+
+  test("holtSmooth: level/trend recurrence, ramp tracking, NULL poisoning") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), Option(10.0)),
+      (1L, 11L, ts("2024-01-01 11:00:00"), Option(20.0)),
+      (1L, 12L, ts("2024-01-01 12:00:00"), Option(30.0)),
+      (2L, 20L, ts("2024-01-01 09:00:00"), Option(4.0)),
+      (2L, 21L, ts("2024-01-01 10:00:00"), Option.empty[Double]), // poison
+      (2L, 22L, ts("2024-01-01 11:00:00"), Option(5.0)) // stays poisoned
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = graft.ops.WindowOps.holtSmooth("user_id", "ts", "value",
+      alpha = 0.5, beta = 0.5, tieBreak = "event_id")(events)
+      .orderBy("event_id")
+      .select("level", "trend", "forecast").collect()
+    // user 1 hand-rolled at alpha=beta=0.5 (exact halves):
+    // l1=10 b1=0; l2=.5*20+.5*10=15, b2=.5*5+0=2.5;
+    // l3=.5*30+.5*17.5=23.75, b3=.5*8.75+.5*2.5=5.625
+    assert(out(0).getDouble(0) === 10.0 && out(0).getDouble(1) === 0.0)
+    assert(out(1).getDouble(0) === 15.0 && out(1).getDouble(1) === 2.5 &&
+      out(1).getDouble(2) === 17.5)
+    assert(out(2).getDouble(0) === 23.75 && out(2).getDouble(1) === 5.625)
+    // user 2: a NULL value poisons the tail
+    assert(out(3).getDouble(0) === 4.0)
+    assert((4 to 5).forall(i => out(i).isNullAt(0) && out(i).isNullAt(2)))
+    // a perfect ramp's forecast converges onto the next value
+    val ramp = (1 to 30).map(i =>
+      (9L, i.toLong, ts(f"2024-01-01 10:${i}%02d:00"), Option(i * 10.0)))
+      .toDF("user_id", "event_id", "ts", "value")
+    val last = graft.ops.WindowOps.holtSmooth("user_id", "ts", "value",
+      alpha = 0.5, beta = 0.5, tieBreak = "event_id")(ramp)
+      .orderBy(col("event_id").desc).select("forecast").head().getDouble(0)
+    assert(math.abs(last - 310.0) < 1.0, s"ramp forecast $last")
+    intercept[IllegalArgumentException](graft.ops.WindowOps.holtSmooth(
+      "user_id", "ts", "value", alpha = 0.0, beta = 0.5,
+      tieBreak = "event_id")(events))
+  }
+
+  test("holtSmooth exactOrder=false streaming scan is bit-equal to the exact fold") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val exact = graft.ops.WindowOps.holtSmooth("user_id", "ts", "value",
+      alpha = 0.3, beta = 0.1, tieBreak = "event_id")(events)
+      .select("user_id", "event_id", "level", "trend")
+    val fast = graft.ops.WindowOps.holtSmooth("user_id", "ts", "value",
+      alpha = 0.3, beta = 0.1, tieBreak = "event_id",
+      exactOrder = false)(events)
+      .select("user_id", "event_id", "level", "trend")
+    assert(exact.count() === fast.count())
+    assert(exact.except(fast).isEmpty && fast.except(exact).isEmpty)
+  }
+
+  test("rollingCorr: exact Pearson on full frames, NULL on partial/degenerate") {
+    // y = 2x + 1 over one key: every full frame correlates exactly 1
+    val lin = (1 to 15).map(i => ("k", i, i.toDouble, 2.0 * i + 1.0))
+      .toDF("g", "i", "x", "y")
+    val out = graft.ops.WindowOps.rollingCorr(Seq("g"), Seq("i"),
+      "x", "y", window = 5)(lin).orderBy("i").collect()
+    assert(out.take(4).forall(_.isNullAt(5)),
+      "partial frames must be NULL")
+    // sqrt(v)·sqrt(v) reassembles v only to rounding — a perfect line
+    // correlates to 1 within a few ulp, not bit-exactly
+    assert(out.drop(4).forall(r => math.abs(r.getDouble(5) - 1.0) < 1e-12))
+    assert(out.map(_.getAs[Long]("n")).toSeq ===
+      (1 to 4).map(_.toLong) ++ Seq.fill(11)(5L))
+    // anti-correlated series -> -1; constant x -> NULL (zero variance)
+    val anti = (1 to 8).map(i => ("k", i, i.toDouble, -3.0 * i))
+      .toDF("g", "i", "x", "y")
+    assert(graft.ops.WindowOps.rollingCorr(Seq("g"), Seq("i"),
+      "x", "y", window = 4)(anti).orderBy(col("i").desc)
+      .head().getDouble(5) + 1.0 < 1e-12)
+    val const = (1 to 6).map(i => ("k", i, 7.0, i.toDouble))
+      .toDF("g", "i", "x", "y")
+    assert(graft.ops.WindowOps.rollingCorr(Seq("g"), Seq("i"),
+      "x", "y", window = 4)(const).collect().forall(_.isNullAt(5)))
+    // NULL rows are excluded BEFORE framing: frames span observed pairs
+    val gappy = Seq(("k", 1, Option(1.0), Option(2.0)),
+      ("k", 2, Option.empty[Double], Option(9.0)),
+      ("k", 3, Option(2.0), Option(4.0)),
+      ("k", 4, Option(3.0), Option(6.0))).toDF("g", "i", "x", "y")
+    val g = graft.ops.WindowOps.rollingCorr(Seq("g"), Seq("i"),
+      "x", "y", window = 3)(gappy).orderBy("i").collect()
+    assert(g.length === 3 && math.abs(g(2).getDouble(5) - 1.0) < 1e-12 &&
+      g(2).getAs[Long]("n") === 3L)
+    intercept[IllegalArgumentException](graft.ops.WindowOps.rollingCorr(
+      Seq("g"), Seq("i"), "x", "y", window = 1)(lin))
+  }
 }
