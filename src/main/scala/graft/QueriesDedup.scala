@@ -157,6 +157,15 @@ private[graft] object QueriesDedup {
         table(s, dir, "customer").select("c_custkey", "c_name"))
         .orderBy("id_a", "id_b")
     },
+    "set_sim_join" -> { (s, dir) =>
+      // EXACT Jaccard >= 0.5 join on 3-gram shingles: prefix-filtered
+      // (rarest-tokens-first buckets), zero recall loss — finds exactly
+      // the planted near-dup pairs the LSH rungs find probabilistically
+      Dedup.setSimilarityJoin("doc_id", "toks", threshold = 0.5)(
+        corpus(s, dir, "documents").filter(col("text").isNotNull)
+          .withColumn("toks", TextOps.shingles(col("text"), 3)))
+        .orderBy("id_a", "id_b")
+    },
     "fellegi_sunter" -> { (s, dir) =>
       // probabilistic linkage verdicts over the del-1 candidate set:
       // four field comparisons with driver-computed log2(m/u) weights,
@@ -669,6 +678,22 @@ private[graft] object QueriesDedup {
            WHERE a.id < b.id AND a.n <= 64)
          SELECT id_a, id_b FROM cand
          WHERE levenshtein(key_a, key_b) <= 1 ORDER BY id_a, id_b""",
+    // the oracle is the BRUTE-FORCE all-pairs join the prefix filter
+    // provably equals: exact integer intersections, one division,
+    // same >= threshold gate — any missed or extra pair hash-fails
+    "set_sim_join" -> s"""
+      WITH d AS (SELECT doc_id, ${shinglesSql(3)} AS t
+          FROM documents WHERE text IS NOT NULL),
+      d2 AS (SELECT doc_id, t FROM d WHERE len(t) > 0),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS ov,
+          CAST(len(a.t) AS BIGINT) AS na, CAST(len(b.t) AS BIGINT) AS nb
+        FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        CAST(ov AS DOUBLE) / CAST(na + nb - ov AS DOUBLE) AS jaccard
+      FROM p
+      WHERE CAST(ov AS DOUBLE) / CAST(na + nb - ov AS DOUBLE) >= 5e-1
+      ORDER BY id_a, id_b""",
     // same del-1 candidates + levenshtein gate, then the four
     // Fellegi–Sunter CASE terms with litD'd Scala-computed log2(m/u)
     // weights summed in the identical left-chain order

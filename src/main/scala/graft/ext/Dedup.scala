@@ -1124,6 +1124,88 @@ object Dedup {
     * explosion. Output: `left_id, right_id, key_left, key_right, jw`.
     * Radius ≥ 2 linkage swaps the blocking for character-shingle
     * MinHash, not the scorer. */
+  /** EXACT Jaccard similarity join via prefix filtering (the
+    * SSJoin/PPJoin family) — the zero-recall-loss alternative to
+    * [[minhashLshPairs]]: every pair of token sets with
+    * `jaccard ≥ threshold` is returned, no probabilistic banding, no
+    * missed pairs. The scale trick is the PREFIX FILTER: order the
+    * vocabulary by (document frequency asc, token asc) — rarest
+    * first — sort each document's tokens by that order, and keep only
+    * its first `|T| − ⌈τ·|T|⌉ + 1` tokens as its prefix. Two sets
+    * with Jaccard ≥ τ MUST share a prefix token (pigeonhole: fewer
+    * prefix tokens than the overlap the threshold forces), so
+    * candidates form only inside prefix-token buckets — and because
+    * prefixes hold each document's RAREST tokens, bucket sizes track
+    * the df of rare tokens, not corpus size. Candidates then pass the
+    * length-compatibility filter (`τ·max(|a|,|b|) ≤ min(|a|,|b|)`,
+    * epsilon-guarded OUTWARD so float τ·n never prunes a true pair)
+    * and verify with one exact `array_intersect` — counts are
+    * integers, `jaccard` one exact division, so the threshold is
+    * oracle-safe.
+    *
+    * Contract: `tokensField` is an `array<string>` treated as a SET
+    * (de-duplicated internally); NULL or empty sets produce no pairs
+    * (Jaccard undefined). The brute-force O(n²) frame never exists;
+    * cost is Σ_buckets |bucket|² over prefix buckets plus one
+    * df-ranking join. A corpus that is mostly mutual near-duplicates
+    * degrades toward its true output size (which is itself quadratic
+    * in that case — the OUTPUT, not the algorithm, is the bound).
+    * Output: `id_a, id_b, jaccard`. */
+  def setSimilarityJoin(
+      idField: String, tokensField: String, threshold: Double)(
+      df: DataFrame): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val base = df
+      .select(col(idField).as("__id"),
+        array_distinct(col(tokensField)).as("__toks"))
+      .filter(col("__toks").isNotNull && size(col("__toks")) > 0)
+      .localCheckpoint() // feeds df-ranking, prefixes, AND the verify
+    val tok = base.select(col("__id"), explode(col("__toks")).as("__t"))
+    val dfreq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    // each doc's tokens in rarest-first (df, token) order; n = |T|
+    val ordered = tok.join(dfreq, "__t")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__t"))))
+        .as("__st"))
+      .withColumn("__n", size(col("__st")))
+    // prefix length n − ⌈τ·n⌉ + 1; the 1e-9 guard pulls a float τ·n
+    // that landed an ulp ABOVE an integer back down, so ceil never
+    // overshoots and the prefix never shrinks below the completeness
+    // bound (an over-long prefix only adds candidates)
+    val p = (col("__n") -
+      ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1).cast("int")
+    val prefixes = ordered
+      .select(col("__id"), col("__n"),
+        explode(slice(col("__st"), lit(1), greatest(p, lit(1))))
+          .as("__pt"))
+    val cand = prefixes
+      .groupBy(col("__pt"))
+      .agg(collect_list(struct(col("__id"), col("__n"))).as("__docs"))
+      .filter(size(col("__docs")) >= 2)
+      .select(explode(flatten(transform(col("__docs"), x =>
+        transform(filter(col("__docs"), y =>
+          x("__id") < y("__id") &&
+            least(x("__n"), y("__n")).cast("double") >=
+              lit(threshold) * greatest(x("__n"), y("__n")) - lit(1e-9)),
+          y => struct(x("__id").as("id_a"), y("__id").as("id_b"))))))
+        .as("__c"))
+      .select(col("__c.id_a").as("id_a"), col("__c.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__toks").as("__ta")),
+        "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__toks").as("__tb")),
+        "id_b")
+      .withColumn("__ov",
+        size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("jaccard", col("__ov").cast("double") /
+        (size(col("__ta")) + size(col("__tb")) - col("__ov"))
+          .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Fellegi–Sunter match scoring — the probabilistic-record-linkage
     * decision layer the blocked candidate generators
     * ([[fuzzyKeyPairs]], [[jaroWinklerPairs]], [[phoneticKeyPairs]],

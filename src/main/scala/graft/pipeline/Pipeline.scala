@@ -770,6 +770,40 @@ final case class Pipeline(df: DataFrame) {
       tieBreak: Seq[String] = Nil): Pipeline =
     >>(TemporalOps.ohlcBuckets(tsField, valueField, bucketLength, keys,
       tieBreak))
+  def rocAuc(score: Column, label: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.rocAuc(score, label, groupCols))
+  def prAuc(score: Column, label: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.prAuc(score, label, groupCols))
+  def benfordDigits(value: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.benfordDigits(value, groupCols))
+  def tCloseness(quasi: Seq[String], sensitive: String): Pipeline =
+    >>(Probes.tCloseness(quasi, sensitive))
+  def linkPrediction(srcField: String, dstField: String,
+      minCommon: Int = 1, maxDegree: Int = 0): Pipeline =
+    >>(graft.ext.GraphOps.linkPrediction(srcField, dstField,
+      minCommon, maxDegree))
+  def hits(srcField: String, dstField: String,
+      iterations: Int = 3, exactOrder: Boolean = true): Pipeline =
+    >>(graft.ext.GraphOps.hits(srcField, dstField, iterations, exactOrder))
+  def fellegiSunter(comparisons: Seq[(String, Column, Double, Double)],
+      upperThreshold: Double, lowerThreshold: Double): Pipeline =
+    >>(graft.ext.Dedup.fellegiSunter(comparisons,
+      upperThreshold, lowerThreshold))
+  def setSimilarityJoin(idField: String, tokensField: String,
+      threshold: Double): Pipeline =
+    >>(graft.ext.Dedup.setSimilarityJoin(idField, tokensField, threshold))
+  def holtSmooth(keyField: String, tsField: String, valueField: String,
+      alpha: Double, beta: Double, tieBreak: String,
+      exactOrder: Boolean = true): Pipeline =
+    >>(graft.ops.WindowOps.holtSmooth(keyField, tsField, valueField,
+      alpha, beta, tieBreak, exactOrder))
+  def rollingCorr(keys: Seq[String], orderFields: Seq[String],
+      xField: String, yField: String, window: Int): Pipeline =
+    >>(graft.ops.WindowOps.rollingCorr(keys, orderFields,
+      xField, yField, window))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

@@ -626,6 +626,52 @@ class DedupSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("setSimilarityJoin: exact pairs, brute-force parity across thresholds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand-built: {a b c d} vs {a b c e} -> j = 3/5; {a b c d} vs
+    // {x y z} -> 0; duplicates collapse to sets; empty/null drop
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e", "e")), // dup token: still a 4-set
+      (3L, Seq("x", "y", "z")),
+      (4L, Seq.empty[String])).toDF("id", "toks")
+      .unionByName(Seq((5L, Option.empty[Seq[String]]))
+        .toDF("id", "toks"))
+    val out = graft.ext.Dedup.setSimilarityJoin("id", "toks", 0.5)(docs)
+      .collect()
+    assert(out.length === 1 && out(0).getLong(0) === 1L &&
+      out(0).getLong(1) === 2L && out(0).getDouble(2) === 0.6)
+    // threshold 1.0 keeps only exact set duplicates
+    val withDup = docs.unionByName(
+      Seq((6L, Seq("c", "a", "b", "d"))).toDF("id", "toks"))
+    val ex = graft.ext.Dedup.setSimilarityJoin("id", "toks", 1.0)(withDup)
+      .collect()
+    assert(ex.length === 1 && ex(0).getLong(0) === 1L &&
+      ex(0).getLong(1) === 6L && ex(0).getDouble(2) === 1.0)
+    // parity vs the brute-force cross join on a deterministic 60-doc
+    // corpus at awkward thresholds (float tau*n near integers)
+    val corpus = (1 to 60).map { i =>
+      (i.toLong, (0 until 12).map(j => s"t${(i * 7 + j * j) % 40}"))
+    }.toDF("id", "toks").withColumn("toks", array_distinct(col("toks")))
+    val a = corpus.select(col("id").as("id_a"), col("toks").as("ta"))
+    val b = corpus.select(col("id").as("id_b"), col("toks").as("tb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("ov", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("j", col("ov").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("ov")).cast("double"))
+    for (tau <- Seq(0.3, 0.5, 1.0 / 3.0, 0.75)) {
+      val expected = brute.filter(col("j") >= tau)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val got = graft.ext.Dedup.setSimilarityJoin("id", "toks", tau)(corpus)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got === expected,
+        s"tau=$tau: missing=${expected -- got} extra=${got -- expected}")
+    }
+    intercept[IllegalArgumentException](
+      graft.ext.Dedup.setSimilarityJoin("id", "toks", 0.0)(docs))
+  }
+
   test("fellegiSunter: log2(m/u) arithmetic, NULL evidence, thresholds, guards") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._

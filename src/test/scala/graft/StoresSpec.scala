@@ -773,5 +773,43 @@ class StoresSpec extends SparkSpec {
       .quarantine(Seq("v_set" -> col("v").isNotNull)).result
       .select("quarantine_reasons").as[String].collect().head
     assert(quar === "v_set")
+    // this session's additions ride the same façade
+    val auc = Pipeline(Seq((1.0, false), (2.0, true)).toDF("s", "l"))
+      .rocAuc(col("s"), col("l")).result.head()
+    assert(auc.getAs[Double]("auc") === 1.0)
+    val ap = Pipeline(Seq((1.0, false), (2.0, true)).toDF("s", "l"))
+      .prAuc(col("s"), col("l")).result.head()
+    assert(ap.getAs[Double]("ap") === 1.0)
+    val ben = Pipeline(Seq(Tuple1(19.0)).toDF("v"))
+      .benfordDigits(col("v")).result.head()
+    assert(ben.getAs[Int]("digit") === 1 && ben.getAs[Double]("share") === 1.0)
+    val tc = Pipeline(Seq(("g", "a"), ("g", "b")).toDF("q", "v"))
+      .tCloseness(Seq("q"), "v").result.head()
+    assert(tc.getAs[Double]("t_closeness") === 0.0)
+    val lp = Pipeline(Seq((1L, 2L), (2L, 3L)).toDF("s", "d"))
+      .linkPrediction("s", "d").result.head()
+    assert(lp.getAs[Long]("common_neighbors") === 1L)
+    val hh = Pipeline(Seq((1L, 2L)).toDF("s", "d"))
+      .hits("s", "d").result.orderBy("node").collect()
+    assert(hh.map(_.getAs[Double]("authority")).toSeq === Seq(0.0, 1.0))
+    val fs = Pipeline(Seq((1L, 2L, true)).toDF("id_a", "id_b", "ag"))
+      .fellegiSunter(Seq(("f", col("ag"), 0.8, 0.2)), 1.0, 0.0)
+      .result.head()
+    assert(fs.getAs[String]("fs_decision") === "match")
+    val ssj = Pipeline(Seq((1L, Seq("a", "b")), (2L, Seq("a", "b")))
+      .toDF("id", "toks"))
+      .setSimilarityJoin("id", "toks", 1.0).result.head()
+    assert(ssj.getAs[Double]("jaccard") === 1.0)
+    val holt = Pipeline(Seq((1L,
+      java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 1L, 3.0))
+      .toDF("k", "t", "tb", "v"))
+      .holtSmooth("k", "t", "v", alpha = 0.5, beta = 0.5, tieBreak = "tb")
+      .result.head()
+    assert(holt.getAs[Double]("forecast") === 3.0)
+    val rc = Pipeline((1 to 4).map(i => ("k", i, i.toDouble, 2.0 * i))
+      .toDF("g", "i", "x", "y"))
+      .rollingCorr(Seq("g"), Seq("i"), "x", "y", window = 3)
+      .result.orderBy(col("i").desc).head()
+    assert(math.abs(rc.getAs[Double]("corr") - 1.0) < 1e-12)
   }
 }
