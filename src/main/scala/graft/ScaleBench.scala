@@ -1175,6 +1175,72 @@ object ScaleBench {
     println("turns_x,turns,assemble_sec,truncate_sec")
     convRows.foreach { case (k, t, ta, tt) => println(f"$k,$t,$ta%.2f,$tt%.2f") }
     }
+
+    phase("r14c") {
+    // This session's heavyweights. setSimilarityJoin: replicas live in
+    // DISJOINT token universes (per-replica token tag) — the honest
+    // "corpus grows, duplicate density constant" model; cost must stay
+    // ~linear because prefix buckets never span replicas. Uncontrolled
+    // replication would instead BE a denser corpus (every replica
+    // matches its twins — output itself quadratic, the documented
+    // degenerate case). linkPrediction: disjoint-id replication
+    // (linear), plus a degree-2000 hub uncapped vs maxDegree-capped —
+    // the cap is the knob that kills the wedge blowup.
+    import graft.ext.{Dedup => D, GraphOps => G, TextOps => T}
+    val docsS = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+    val nDocs = docsS.count()
+    def taggedToks(k: Int): DataFrame =
+      (0 until k).map(i => docsS.select(
+        (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        transform(T.shingles(col("text"), 3),
+          t => concat(lit(s"r$i|"), t)).as("toks")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def ssj(d: DataFrame): Unit =
+      D.setSimilarityJoin("doc_id", "toks", threshold = 0.5)(d)
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = taggedToks(1).localCheckpoint(); ssj(d1); d1.unpersist() }
+    val ssjRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = taggedToks(k).localCheckpoint()
+      val t = median3(ssj(d))
+      d.unpersist()
+      (k, nDocs * k, t)
+    }
+    println("corpus_x,docs,set_sim_join_sec")
+    ssjRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+
+    val evL = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+    val nEv = evL.count()
+    def lpEdges(k: Int): DataFrame =
+      (0 until k).map(i => evL.select(
+        ((col("user_id") % 2000) + lit(i.toLong * 1_000_000L)).as("src"),
+        (((col("user_id") * 7 + col("event_id")) % 2000) +
+          lit(i.toLong * 1_000_000L)).as("dst")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def lp(e: DataFrame, cap: Int): Unit =
+      G.linkPrediction("src", "dst", minCommon = 2, maxDegree = cap)(e)
+        .write.mode("overwrite").format("noop").save()
+    locally { val e1 = lpEdges(1).localCheckpoint(); lp(e1, 0); e1.unpersist() }
+    val lpRows = for (k <- Seq(1, 2, 4)) yield {
+      val e = lpEdges(k).localCheckpoint()
+      val t = median3(lp(e, 0))
+      e.unpersist()
+      (k, nEv * k, t)
+    }
+    println("corpus_x,events,link_prediction_sec")
+    lpRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    val lpHub = lpEdges(1).unionByName(
+      spark.range(2000).select(lit(9_999_999L).as("src"),
+        col("id").as("dst"))).localCheckpoint()
+    locally { lp(lpHub, 256) }
+    val tHubCap = median3(lp(lpHub, 256))
+    val tHubRaw = median3(lp(lpHub, 0))
+    lpHub.unpersist()
+    println(f"lp_hub_stress: capped256,$tHubCap%.2f uncapped,$tHubRaw%.2f")
+    }
     spark.stop()
   }
 }

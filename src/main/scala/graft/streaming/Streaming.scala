@@ -464,6 +464,46 @@ object Streaming {
       }
   }
 
+  /** Streaming Holt double-exponential monitor: carries each key's
+    * `(level, trend)` as typed group state and emits one stamped row
+    * per arriving event with the one-step-ahead `forecast` — the
+    * unbounded-stream form of [[graft.ops.WindowOps.holtSmooth]] with
+    * the SAME recurrences (level seeds at the first value, trend at
+    * 0; NULL-free input by type). Ordering contract =
+    * [[streamingCusum]]: event-time order within a micro-batch
+    * (sorted here), arrival order across batches; for a per-key
+    * ordered source the statistics equal the batch op's exactly —
+    * spec-pinned across a two-batch split. State per key is two
+    * doubles, no timeout. */
+  def streamingHolt(
+      events: Dataset[CusumEvent], alpha: Double, beta: Double):
+      Dataset[HoltStat] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0,
+      s"beta must be in [0, 1], got $beta")
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[HoltState, HoltStat](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          var st = state.getOption.orNull
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.tie)).map { e =>
+            st = if (st == null) HoltState(e.value, 0.0)
+            else {
+              val lNew = alpha * e.value + (1.0 - alpha) * (st.l + st.b)
+              HoltState(lNew,
+                beta * (lNew - st.l) + (1.0 - beta) * st.b)
+            }
+            HoltStat(key, e.ts, e.tie, e.value, st.l, st.b, st.l + st.b)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Exactly-once dedup on key columns over an unbounded stream:
     * `dropDuplicatesWithinWatermark` keeps state only for the watermark
     * window, so a duplicate key is dropped even when it arrives with a
@@ -1038,6 +1078,14 @@ case class CusumEvent(key: Long, ts: java.sql.Timestamp, tie: Long,
 /** Per-key state of [[Streaming.streamingCusum]]: the two one-sided
   * CUSUM statistics. */
 case class CusumState(sp: Double, sn: Double)
+
+/** [[Streaming.streamingHolt]]'s per-key state: current level and
+  * trend (absent state ≡ unseen key — the first value seeds). */
+case class HoltState(l: Double, b: Double)
+
+/** One [[Streaming.streamingHolt]] output row per arriving event. */
+case class HoltStat(key: Long, ts: java.sql.Timestamp, tie: Long,
+  value: Double, level: Double, trend: Double, forecast: Double)
 
 /** Per-event output of [[Streaming.streamingCusum]]. */
 case class CusumStat(key: Long, ts: java.sql.Timestamp, tie: Long,

@@ -1166,4 +1166,35 @@ class StreamingSpec extends SparkSpec {
       assert(got.map(s => (s.cusum_pos, s.cusum_neg, s.shift_flag)) === want)
     } finally q.stop()
   }
+
+  test("streamingHolt carries (level, trend) across micro-batches, matching batch") {
+    import graft.streaming.{CusumEvent, HoltStat}
+    val input = MemoryStream[CusumEvent]
+    val out = Streaming.streamingHolt(input.toDS(), alpha = 0.5, beta = 0.5)
+    val q = out.writeStream.format("memory").queryName("holt")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        CusumEvent(1L, ts("09:00"), 1L, 10.0),
+        CusumEvent(1L, ts("09:01"), 2L, 20.0))
+      q.processAllAvailable()
+      input.addData(CusumEvent(1L, ts("09:02"), 3L, 30.0))
+      q.processAllAvailable()
+      val got = spark.table("holt").orderBy("tie")
+        .as[HoltStat].collect().toSeq
+      // the batch spec's hand-rolled halves: (10,0) (15,2.5) (23.75,5.625)
+      assert(got.map(_.level) === Seq(10.0, 15.0, 23.75))
+      assert(got.map(_.trend) === Seq(0.0, 2.5, 5.625))
+      assert(got.map(_.forecast) === Seq(10.0, 17.5, 29.375))
+      // batch parity: the exact WindowOps fold on the same rows
+      val batch = Seq(
+        (1L, ts("09:00"), 1L, 10.0), (1L, ts("09:01"), 2L, 20.0),
+        (1L, ts("09:02"), 3L, 30.0)).toDF("k", "t", "tb", "v")
+      val want = graft.ops.WindowOps.holtSmooth("k", "t", "v",
+        alpha = 0.5, beta = 0.5, tieBreak = "tb")(batch)
+        .orderBy("tb").select("level", "trend", "forecast")
+        .as[(Double, Double, Double)].collect().toSeq
+      assert(got.map(s => (s.level, s.trend, s.forecast)) === want)
+    } finally q.stop()
+  }
 }
