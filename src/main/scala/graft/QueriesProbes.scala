@@ -178,6 +178,22 @@ private[graft] object QueriesProbes {
         table(s, dir, "orders"))
         .orderBy("digit")
     },
+    "chi_square_select" -> { (s, dir) =>
+      // which order attributes move priority? chi2 + Cramér's V per
+      // feature (status and a derived price band) in ONE corpus scan
+      Probes.chiSquareSelect(Seq("o_orderstatus", "band"),
+        col("o_orderpriority"))(
+        table(s, dir, "orders").withColumn("band",
+          floor(col("o_totalprice") / 50000)))
+        .orderBy("feature")
+    },
+    "proportion_ci" -> { (s, dir) =>
+      // per-source English rate with Wilson 95% bounds — the honest
+      // slice dashboard (25-doc sources get wide intervals)
+      Probes.proportionCI(col("lang") === "en", Seq("source"))(
+        table(s, dir, "documents"))
+        .orderBy("source")
+    },
     "t_closeness" -> { (s, dir) =>
       // skew-leak gate past k-anonymity/l-diversity: per (nation,
       // balance-band) class, TV distance of the segment distribution
@@ -544,6 +560,61 @@ private[graft] object QueriesProbes {
         FROM d)
       SELECT digit, n, share, expected, share - expected AS deviation
       FROM t ORDER BY digit""",
+    // mirrors Probes.chiSquareSelect: exploded (feature, value, label)
+    // cells, window marginals, the Σ o²/e − N identity (absent cells'
+    // expected mass lands via the −N term) with e as ONE fused
+    // division, (value, label)-ordered pinned fold, V = one sqrt
+    "chi_square_select" -> """
+      WITH cells AS (SELECT f, v, l, CAST(count(*) AS BIGINT) AS o
+        FROM (
+          SELECT o_orderpriority AS l, 'o_orderstatus' AS f,
+            coalesce(CAST(o_orderstatus AS VARCHAR), '__NULL__') AS v
+          FROM orders WHERE o_orderpriority IS NOT NULL
+          UNION ALL
+          SELECT o_orderpriority, 'band',
+            coalesce(CAST(CAST(floor(o_totalprice / 50000) AS BIGINT)
+              AS VARCHAR), '__NULL__')
+          FROM orders WHERE o_orderpriority IS NOT NULL)
+        GROUP BY 1, 2, 3),
+      j AS (SELECT *,
+          CAST(sum(o) OVER (PARTITION BY f, v) AS BIGINT) AS rt,
+          CAST(sum(o) OVER (PARTITION BY f, l) AS BIGINT) AS ct,
+          CAST(sum(o) OVER (PARTITION BY f) AS BIGINT) AS n
+        FROM cells),
+      a AS (SELECT f AS feature, CAST(max(n) AS BIGINT) AS n,
+          CAST(count(DISTINCT v) AS BIGINT) AS r,
+          CAST(count(DISTINCT l) AS BIGINT) AS c,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(
+            CAST(o * o AS DOUBLE)
+            / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+            ORDER BY v, l)), (x, y) -> x + y)
+          - CAST(max(n) AS DOUBLE) AS chi2
+        FROM j GROUP BY f)
+      SELECT feature, n, chi2, (r - 1) * (c - 1) AS dof,
+        CASE WHEN r < 2 OR c < 2 THEN NULL
+          ELSE sqrt(chi2 / CAST(n * least(r - 1, c - 1) AS DOUBLE))
+        END AS cramers_v
+      FROM a ORDER BY feature""",
+    // mirrors Probes.proportionCI: exact counts into the verbatim
+    // Wilson expression tree (z and z² as litD'd Scala constants)
+    "proportion_ci" -> s"""
+      WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS successes
+        FROM documents WHERE lang IS NOT NULL GROUP BY source),
+      b AS (SELECT source, n, successes,
+          CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+          CAST(n AS DOUBLE) AS nd FROM a),
+      c AS (SELECT *,
+          (p + ${litD(1.96 * 1.96)} / (CAST(2 AS DOUBLE) * nd))
+            / (CAST(1 AS DOUBLE) + ${litD(1.96 * 1.96)} / nd) AS center,
+          (${litD(1.96)} * sqrt(p * (CAST(1 AS DOUBLE) - p) / nd
+              + ${litD(1.96 * 1.96)} / (CAST(4 AS DOUBLE) * nd * nd)))
+            / (CAST(1 AS DOUBLE) + ${litD(1.96 * 1.96)} / nd) AS half
+        FROM b)
+      SELECT source, n, successes, p AS rate,
+        center - half AS ci_low, center + half AS ci_high
+      FROM c ORDER BY source""",
     // mirrors Probes.tCloseness: exact-count shares, the absent-value
     // mass folded via (1 − Σ p_global) — both sums value-ordered folds
     "t_closeness" -> """

@@ -770,6 +770,11 @@ final case class Pipeline(df: DataFrame) {
       tieBreak: Seq[String] = Nil): Pipeline =
     >>(TemporalOps.ohlcBuckets(tsField, valueField, bucketLength, keys,
       tieBreak))
+  def chiSquareSelect(features: Seq[String], label: Column): Pipeline =
+    >>(Probes.chiSquareSelect(features, label))
+  def proportionCI(success: Column, groupCols: Seq[String] = Nil,
+      z: Double = 1.96): Pipeline =
+    >>(Probes.proportionCI(success, groupCols, z))
   def rocAuc(score: Column, label: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.rocAuc(score, label, groupCols))

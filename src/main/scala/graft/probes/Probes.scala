@@ -955,6 +955,108 @@ object Probes {
           .as("t_closeness"): _*)
   }
 
+  /** Chi-square feature screening — which categorical columns MOVE a
+    * label? For every feature, the χ² statistic of its (value, label)
+    * contingency table plus Cramér's V (the [0,1]-normalized effect
+    * size that makes features comparable across cardinalities) — the
+    * standard first-pass filter before training a quality/routing
+    * model on corpus metadata, and log-free by construction (χ² is
+    * rational in the counts; V adds one sqrt — the repo's
+    * no-libm-in-scores doctrine).
+    *
+    * One exploded pass counts every OBSERVED (feature, value, label)
+    * cell (bounded by Σ_f |values_f|·|labels|, never corpus-sized);
+    * marginals are group sums over that cell frame. Absent cells
+    * (o = 0) still owe their expected mass, so the op uses the
+    * algebraic identity `χ² = Σ_cells o²/e − N` — the Σ runs only
+    * over observed cells (o²/e vanishes at o = 0) yet equals the full
+    * table's statistic exactly. Each term is exact-count arithmetic
+    * with e = rowTot·colTot/N as ONE fused division; the per-feature
+    * sum is an order-pinned fold by (value, label).
+    * NULL labels drop (no evidence); NULL feature values become the
+    * `"__NULL__"` category (a missing value IS signal — the
+    * [[categoryDrift]] doctrine); all values compare as strings.
+    * Output per feature: `feature, n, chi2, dof, cramers_v`, one
+    * corpus scan for ALL features. */
+  def chiSquareSelect(features: Seq[String], label: Column)(
+      df: DataFrame): DataFrame = {
+    require(features.nonEmpty, "at least one feature column")
+    val cells = df
+      .filter(label.isNotNull)
+      .select(label.cast("string").as("__l"),
+        explode(map(features.flatMap(f =>
+          Seq(lit(f), coalesce(col(f).cast("string"),
+            lit("__NULL__")))): _*)).as(Seq("__f", "__v")))
+      .groupBy(col("__f"), col("__v"), col("__l"))
+      .agg(count(lit(1)).as("__o"))
+    import org.apache.spark.sql.expressions.Window
+    val wf = Window.partitionBy(col("__f"))
+    val joined = cells
+      .withColumn("__rt", sum(col("__o")).over(
+        Window.partitionBy(col("__f"), col("__v"))))
+      .withColumn("__ct", sum(col("__o")).over(
+        Window.partitionBy(col("__f"), col("__l"))))
+      .withColumn("__n", sum(col("__o")).over(wf))
+    // o²/e with e = (rt·ct)/n as one fused division; summing these and
+    // subtracting N covers absent cells exactly (their o²/e is zero
+    // but their expected mass lands via the −N identity)
+    val fold = aggregate(
+      sort_array(collect_list(struct(col("__v").as("__k1"),
+        col("__l").as("__k2"),
+        ((col("__o") * col("__o")).cast("double") /
+          ((col("__rt") * col("__ct")).cast("double") /
+            col("__n").cast("double"))).as("__t")))),
+      lit(0.0), (acc, x) => acc + x.getField("__t"))
+    joined
+      .groupBy(col("__f").as("feature"))
+      .agg(max(col("__n")).as("n"),
+        countDistinct(col("__v")).as("__r"),
+        countDistinct(col("__l")).as("__c"),
+        (fold - max(col("__n")).cast("double")).as("chi2"))
+      .select(col("feature"), col("n"), col("chi2"),
+        ((col("__r") - 1) * (col("__c") - 1)).as("dof"),
+        when(col("__r") < 2 || col("__c") < 2,
+          lit(null).cast("double"))
+          .otherwise(sqrt(col("chi2") /
+            (col("n") * least(col("__r") - 1, col("__c") - 1))
+              .cast("double"))).as("cramers_v"))
+  }
+
+  /** Wilson score interval for a per-group pass/success rate — the
+    * slice-eval report with honest uncertainty: a 96%-accurate slice
+    * of 25 examples and one of 25,000 are different facts, and the
+    * plain ratio hides that. Wilson (not normal-approximation) because
+    * it never leaves [0,1] and behaves at k = 0 / k = n — the
+    * standard choice for small-slice dashboards.
+    *
+    * `center = (p̂ + z²/2n) / (1 + z²/n)`,
+    * `half = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)` — counts are
+    * exact integers, the expression tree is fixed (mirrored verbatim
+    * in the oracle), the one sqrt is correctly rounded. NULL outcomes
+    * drop (no evidence, not failure). One hash-agg. Output per group:
+    * `n, successes, rate, ci_low, ci_high`. */
+  def proportionCI(success: Column, groupCols: Seq[String] = Nil,
+      z: Double = 1.96)(df: DataFrame): DataFrame = {
+    require(z > 0.0 && z <= 10.0, s"z must be in (0, 10], got $z")
+    val grp = groupCols.map(col)
+    val agg = df
+      .filter(success.isNotNull)
+      .select(grp :+ success.cast("boolean").as("__s"): _*)
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("successes"))
+    val nD = col("n").cast("double")
+    val p = col("successes").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))) / denom
+    agg.select(grp :+ col("n") :+ col("successes") :+
+      p.as("rate") :+ (center - half).as("ci_low") :+
+      (center + half).as("ci_high"): _*)
+  }
+
   def schemaDrift(before: DataFrame, after: DataFrame): DataFrame = {
     val spark = before.sparkSession
     import spark.implicits._

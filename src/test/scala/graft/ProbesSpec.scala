@@ -510,6 +510,71 @@ class ProbesSpec extends SparkSpec {
     assert(shares.forall(s => math.abs(s - 1.0) < 1e-15))
   }
 
+  test("chiSquareSelect: hand chi2 incl. absent cells, independence, NULL doctrine") {
+    import spark.implicits._
+    // 2x2 with an ABSENT (B, y) cell: chi2 = 4/3 only if the empty
+    // cell's expected mass is counted (the sum-o2/e - N identity)
+    val df = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "x"))
+      .toDF("f1", "lab")
+    val r = Probes.chiSquareSelect(Seq("f1"), col("lab"))(df).head()
+    assert(r.getAs[String]("feature") === "f1" && r.getAs[Long]("n") === 4L)
+    assert(math.abs(r.getAs[Double]("chi2") - 4.0 / 3.0) < 1e-12)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(math.abs(r.getAs[Double]("cramers_v") - math.sqrt(1.0 / 3.0))
+      < 1e-12)
+    // a perfectly independent feature scores ~0
+    val ind = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("f1", "lab")
+    assert(math.abs(Probes.chiSquareSelect(Seq("f1"), col("lab"))(ind)
+      .head().getAs[Double]("chi2")) < 1e-12)
+    // NULL label rows drop; NULL feature value is its own category;
+    // single-valued feature -> dof 0, NULL V
+    val nulls = Seq((Option("A"), Option("x")),
+      (Option.empty[String], Option("y")),
+      (Option("A"), Option.empty[String])).toDF("f1", "lab")
+    val nr = Probes.chiSquareSelect(Seq("f1"), col("lab"))(nulls).head()
+    assert(nr.getAs[Long]("n") === 2L && nr.getAs[Long]("dof") === 1L)
+    val const = Seq(("A", "x"), ("A", "y")).toDF("f1", "lab")
+    val cr = Probes.chiSquareSelect(Seq("f1"), col("lab"))(const).head()
+    assert(cr.getAs[Long]("dof") === 0L &&
+      cr.isNullAt(cr.fieldIndex("cramers_v")))
+    // two features, one scan, one row each
+    assert(Probes.chiSquareSelect(Seq("f1", "lab"), col("lab"))(df)
+      .count() === 2L)
+    intercept[IllegalArgumentException](
+      Probes.chiSquareSelect(Nil, col("lab"))(df))
+  }
+
+  test("proportionCI: Wilson bounds at hand values, edge rates, NULL drop") {
+    import spark.implicits._
+    // n=4, k=1 at z=2: center 0.375, half sqrt(0.109375)
+    val df = Seq(true, false, false, false).toDF("s")
+    val r = Probes.proportionCI(col("s"), z = 2.0)(df).head()
+    assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("successes") === 1L)
+    assert(r.getAs[Double]("rate") === 0.25)
+    assert(math.abs(r.getAs[Double]("ci_low") -
+      (0.375 - math.sqrt(0.109375))) < 1e-15)
+    assert(math.abs(r.getAs[Double]("ci_high") -
+      (0.375 + math.sqrt(0.109375))) < 1e-15)
+    // k=0 at z=2 and n=4: Wilson lower bound is exactly 0, never < 0
+    val zero = Seq(false, false, false, false).toDF("s")
+    val zr = Probes.proportionCI(col("s"), z = 2.0)(zero).head()
+    assert(zr.getAs[Double]("ci_low") === 0.0 &&
+      zr.getAs[Double]("ci_high") > 0.0 && zr.getAs[Double]("ci_high") < 1.0)
+    // k=n: upper bound 1 at z=2/n=4 symmetry; NULL outcomes drop
+    val withNull = Seq(Option(true), Option(true), Option.empty[Boolean])
+      .toDF("s")
+    val wr = Probes.proportionCI(col("s"))(withNull).head()
+    assert(wr.getAs[Long]("n") === 2L && wr.getAs[Double]("rate") === 1.0 &&
+      wr.getAs[Double]("ci_high") <= 1.0)
+    // grouped form: one row per group
+    val byG = Probes.proportionCI(col("s"), Seq("g"))(
+      Seq(("a", true), ("b", false)).toDF("g", "s"))
+    assert(byG.count() === 2L)
+    intercept[IllegalArgumentException](
+      Probes.proportionCI(col("s"), z = 0.0)(df))
+  }
+
   test("tCloseness: TV distance per class, absent-value mass, NULL doctrine") {
     import spark.implicits._
     // global: a,b each 50%; each class is single-valued -> TV = 0.5
