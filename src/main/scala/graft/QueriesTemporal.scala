@@ -372,6 +372,16 @@ private[graft] object QueriesTemporal {
       GraphOps.linkPrediction("src", "dst", minCommon = 50)(ev)
         .orderBy("node_a", "node_b")
     },
+    "bradley_terry" -> { (s, dir) =>
+      // pairwise duels between 8 derived arms (annotator-verdict /
+      // model-eval shape): 5 MM rounds, folds order-pinned so the
+      // float strengths hash-match the unrolled oracle
+      val cmp = table(s, dir, "events")
+        .select((col("user_id") % 8).as("winner"),
+          ((col("user_id") * 3 + col("event_id")) % 8).as("loser"))
+      Ops.bradleyTerry("winner", "loser", iterations = 5)(cmp)
+        .orderBy("item")
+    },
     "hits_scores" -> { (s, dir) =>
       // directed-role scores over the link graph: 3 HITS rounds,
       // auth-then-hub, L1-normalized, folds order-pinned so even the
@@ -1059,6 +1069,12 @@ private[graft] object QueriesTemporal {
         JOIN deg d2 ON d2.node = ne.b2
       ORDER BY node_a, node_b""",
     "hits_scores" -> hitsSql(graphEdgesSql, iterations = 3),
+    "bradley_terry" -> bradleyTerrySql(
+      """SELECT user_id % 8 AS w, (user_id * 3 + event_id) % 8 AS l
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND user_id % 8 <> (user_id * 3 + event_id) % 8""",
+      iterations = 5),
     "page_rank" -> pageRankSql(
       s"SELECT s, d, CAST(1 AS DOUBLE) AS w FROM ($graphEdgesSql)",
       iterations = 3, damping = 0.85),

@@ -418,6 +418,51 @@ private[graft] object QueryHelpers {
       ORDER BY node"""
   }
 
+  /** Unrolled Bradley–Terry MM fitting — mirrors Ops.bradleyTerry
+    * step for step: directed pre-aggregated pair counts, uniform
+    * start, partner-id-ordered denominator folds with the zero-pair
+    * CASE guard, wins/den with the zero-den guard, item-id-ordered
+    * L1 normalizer each round. `cmpSql` must yield (w, l) with
+    * NULLs/self-comparisons already filtered. */
+  def bradleyTerrySql(cmpSql: String, iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""d$i AS (SELECT dir.i,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CASE WHEN pi.p + pj.p = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(dir.n AS DOUBLE) / (pi.p + pj.p) END
+              ORDER BY dir.j)), (x, y) -> x + y) AS den
+         FROM dir JOIN p${i - 1} pi ON pi.i = dir.i
+                  JOIN p${i - 1} pj ON pj.i = dir.j
+         GROUP BY dir.i),
+      r$i AS (SELECT s.i,
+          CASE WHEN d$i.den = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(s.wins AS DOUBLE) / d$i.den END AS praw
+         FROM stats s JOIN d$i ON d$i.i = s.i),
+      t$i AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(praw ORDER BY i)), (x, y) -> x + y) AS tot FROM r$i),
+      p$i AS (SELECT i, praw / t$i.tot AS p FROM r$i CROSS JOIN t$i)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH cmp AS ($cmpSql),
+      dir AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT w AS i, l AS j FROM cmp UNION ALL SELECT l, w FROM cmp)
+        GROUP BY i, j),
+      items AS (SELECT DISTINCT i FROM dir),
+      wn AS (SELECT w AS i, CAST(count(*) AS BIGINT) AS wins
+             FROM cmp GROUP BY w),
+      stats AS (SELECT items.i, CAST(coalesce(wins, 0) AS BIGINT) AS wins
+        FROM items LEFT JOIN wn ON wn.i = items.i),
+      p0 AS (SELECT i, CAST(1 AS DOUBLE) AS p FROM items),
+      $iters,
+      nt AS (SELECT i, CAST(sum(n) AS BIGINT) AS comparisons
+             FROM dir GROUP BY i)
+      SELECT stats.i AS item, stats.wins, nt.comparisons,
+        p$iterations.p AS strength
+      FROM stats JOIN nt ON nt.i = stats.i
+        JOIN p$iterations ON p$iterations.i = stats.i
+      ORDER BY item"""
+  }
+
   /** BM25 top-k — mirrors TextOps.bm25TopK term for term: rational idf
     * (no log), every aggregate an exact integer in a double, score
     * expression tree and fold order identical to the Column form, so

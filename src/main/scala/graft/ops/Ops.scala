@@ -1873,6 +1873,103 @@ object Ops {
         col("margin"))
   }
 
+  /** Bradley–Terry strength fitting over pairwise outcomes — the
+    * model that turns [[preferencePairs]]-style win/loss data into a
+    * per-item quality scale (annotator A/B verdicts → document
+    * strengths; model-vs-model eval duels → leaderboard scores): the
+    * probability i beats j is `pᵢ/(pᵢ+pⱼ)`, fit by `iterations`
+    * rounds of the classical MM update
+    * `pᵢ ← wᵢ / Σⱼ nᵢⱼ/(pᵢ+pⱼ)`, L1-normalized each round (the
+    * scale is arbitrary; normalizing keeps floats bounded and makes
+    * runs comparable). Fixed iteration count, uniform start — the
+    * [[graft.ext.GraphOps.pageRank]] doctrine, and the same
+    * cross-engine exactness machinery: per-item partner folds pinned
+    * by partner id, the global normalizer pinned by item id, each
+    * step a fixed division chain the oracle re-spells.
+    *
+    * Doctrine: NULL endpoints and self-comparisons drop; `wᵢ` counts
+    * wins, `nᵢⱼ` comparisons in either direction. An item that never
+    * wins sinks to strength 0 (its true MLE); a comparison between
+    * two zero-strength items contributes 0 to the denominator (no
+    * information — the guard that keeps 0/0 out of the chain; both
+    * engines spell the same CASE). `exactOrder = false` swaps the
+    * pinned folds for plain order-free sums (production mode at
+    * item-count scale, ≤1e-12-relative parity spec-pinned).
+    *
+    * Scale shape: per iteration one equi-join of the directed
+    * comparison-count frame (|item-pairs| rows, NOT raw comparisons —
+    * pre-aggregated once) with the |items| strength frame + one
+    * hash-agg; k iterations = k bounded shuffles; frames
+    * localCheckpoint once. Output:
+    * `item, wins, comparisons, strength`. */
+  def bradleyTerry(
+      winnerField: String, loserField: String,
+      iterations: Int = 10, exactOrder: Boolean = true)(
+      comparisons: DataFrame): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val base = comparisons
+      .select(col(winnerField).as("__w"), col(loserField).as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+    // directed pair counts: each comparison lands once as (i=w, j=l)
+    // and once as (i=l, j=w), so n is the symmetric n_ij seen from i
+    val dir = base
+      .select(col("__w").as("__i"), col("__l").as("__j"))
+      .unionByName(base.select(col("__l").as("__i"), col("__w").as("__j")))
+      .groupBy(col("__i"), col("__j"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val items = dir.select(col("__i")).distinct().localCheckpoint()
+    val wins = base.groupBy(col("__w").as("__i"))
+      .agg(count(lit(1)).as("__wins"))
+    val stats = items
+      .join(wins, Seq("__i"), "left")
+      .select(col("__i"), coalesce(col("__wins"), lit(0L)).as("__wins"))
+      .localCheckpoint()
+    def pinnedSum(key: Column, term: Column) =
+      if (exactOrder)
+        // functions.aggregate spelled fully — Ops.aggregate (the §2.5
+        // operator) shadows the name inside this object
+        org.apache.spark.sql.functions.aggregate(
+          sort_array(collect_list(struct(key.as("__k"), term.as("__t")))),
+          lit(0.0), (acc, x) => acc + x.getField("__t"))
+      else sum(term)
+    var p = items.select(col("__i"), lit(1.0).as("__p"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val den = dir
+        .join(p.select(col("__i"), col("__p").as("__pi")), "__i")
+        .join(p.select(col("__i").as("__j"), col("__p").as("__pj")),
+          "__j")
+        .groupBy(col("__i"))
+        .agg(pinnedSum(col("__j"),
+          when(col("__pi") + col("__pj") === 0.0, lit(0.0))
+            .otherwise(col("__n").cast("double") /
+              (col("__pi") + col("__pj")))).as("__den"))
+      val praw = stats
+        .join(den, Seq("__i"))
+        .select(col("__i"),
+          when(col("__den") === 0.0, lit(0.0))
+            .otherwise(col("__wins").cast("double") / col("__den"))
+            .as("__praw"))
+      val tot = praw.agg(
+        pinnedSum(col("__i"), col("__praw")).as("__tot"))
+      p = praw.crossJoin(broadcast(tot))
+        .select(col("__i"), (col("__praw") / col("__tot")).as("__p"))
+        .localCheckpoint()
+      i += 1
+    }
+    val nTot = dir.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("comparisons"))
+    stats
+      .join(nTot, Seq("__i"))
+      .join(p, Seq("__i"))
+      .select(col("__i").as("item"), col("__wins").as("wins"),
+        col("comparisons"), col("__p").as("strength"))
+  }
+
   /** Survivorship merge — the golden-record step that follows any of the
     * dedup clusterings ([[graft.ext.Dedup.clusterDedup]] /
     * `connectedComponents` output joined back, or any natural entity

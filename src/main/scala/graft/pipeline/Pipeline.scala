@@ -662,6 +662,9 @@ final case class Pipeline(df: DataFrame) {
       pairsPerGroup: Int = 1): Pipeline =
     >>(Ops.preferencePairs(groupField, idField, scoreField,
       minMargin, pairsPerGroup))
+  def bradleyTerry(winnerField: String, loserField: String,
+      iterations: Int = 10, exactOrder: Boolean = true): Pipeline =
+    >>(Ops.bradleyTerry(winnerField, loserField, iterations, exactOrder))
   def assembleConversations(convField: String, orderFields: Seq[String],
       roleField: String, contentField: String,
       lossRole: String = "assistant"): Pipeline =

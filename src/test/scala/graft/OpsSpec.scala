@@ -1168,6 +1168,57 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bradleyTerry: MM semantics, zero-win sink, NULL/self drop, exactOrder parity") {
+    import spark.implicits._
+    // A beats B twice, B beats C once, A beats C once; plus a
+    // self-comparison and NULL rows that must drop silently
+    val duels = Seq(
+      Some("A") -> Some("B"), Some("A") -> Some("B"),
+      Some("B") -> Some("C"), Some("A") -> Some("C"),
+      Some("A") -> Some("A"),                 // self — drops
+      Option.empty[String] -> Some("B"),      // NULL winner — drops
+      Some("C") -> Option.empty[String]       // NULL loser — drops
+    ).toDF("w", "l")
+    val out = Ops.bradleyTerry("w", "l", iterations = 8)(duels)
+      .orderBy("item").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("A", "B", "C"))
+    assert(out.map(_.getLong(1)).toSeq === Seq(3L, 1L, 0L))       // wins
+    assert(out.map(_.getLong(2)).toSeq === Seq(3L, 3L, 2L))       // comparisons
+    val p = out.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // never-wins item sinks to its MLE of 0; strengths order by record;
+    // L1 normalization holds
+    assert(p("C") === 0.0)
+    assert(p("A") > p("B") && p("B") > 0.0)
+    assert(math.abs(p.values.sum - 1.0) < 1e-12)
+    // hand-checked iteration 1 from the uniform start: den_A =
+    // (2+0)/2 + (1+0)/2 = 1.5, den_B = 1 + 0.5 = 1.5, den_C = 1 →
+    // praw = (2.0, 2/3, 0), normalized (0.75, 0.25, 0)
+    val one = Ops.bradleyTerry("w", "l", iterations = 1)(duels)
+      .orderBy("item").collect().map(_.getDouble(3)).toSeq
+    assert(math.abs(one(0) - 0.75) < 1e-15 &&
+      math.abs(one(1) - 0.25) < 1e-15 && one(2) === 0.0)
+
+    // exactOrder=false production sums agree within 1e-12 relative on a
+    // fixture-derived duel table (the bradley_terry query's own shape)
+    def relDiff(a: Double, b: Double): Double =
+      math.abs(a - b) / math.max(math.max(math.abs(a), math.abs(b)), 1e-30)
+    val cmp = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select((col("user_id") % 8).as("w"),
+        ((col("user_id") * 3 + col("event_id")) % 8).as("l"))
+    val exact = Ops.bradleyTerry("w", "l", iterations = 5)(cmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val fast = Ops.bradleyTerry("w", "l", iterations = 5,
+      exactOrder = false)(cmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(exact.keySet === fast.keySet)
+    exact.foreach { case (i, s) =>
+      assert(relDiff(s, fast(i)) <= 1e-12, s"item $i: $s vs ${fast(i)}")
+    }
+    intercept[IllegalArgumentException] {
+      Ops.bradleyTerry("w", "l", iterations = 0)(duels)
+    }
+  }
+
   test("paretoFrontNd: 3-D dominance, ties, NULLs, grouped, brute parity") {
     import spark.implicits._
     val pts = Seq(

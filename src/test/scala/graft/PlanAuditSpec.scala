@@ -71,7 +71,8 @@ class PlanAuditSpec extends SparkSpec {
     "budget_allocation", // broadcast one-row weight total + spent base
     "target_encode",     // broadcast one-row global-mean aggregate
     "target_encode_serve", // same one-row global broadcast, serve side
-    "t_closeness")       // broadcast one-row global sensitive-total
+    "t_closeness",       // broadcast one-row global sensitive-total
+    "bradley_terry")     // broadcast one-row L1 normalizer per MM round
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

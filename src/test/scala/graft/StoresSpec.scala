@@ -811,5 +811,10 @@ class StoresSpec extends SparkSpec {
       .rollingCorr(Seq("g"), Seq("i"), "x", "y", window = 3)
       .result.orderBy(col("i").desc).head()
     assert(math.abs(rc.getAs[Double]("corr") - 1.0) < 1e-12)
+    val bt = Pipeline(Seq((1L, 2L), (1L, 2L)).toDF("w", "l"))
+      .bradleyTerry("w", "l", iterations = 2)
+      .result.orderBy("item").collect()
+    assert(bt.map(_.getAs[Long]("wins")).toSeq === Seq(2L, 0L))
+    assert(bt(1).getAs[Double]("strength") === 0.0)
   }
 }
