@@ -201,6 +201,25 @@ private[graft] object QueriesDedup {
         planes = 6, dim = 64, tables = 2)(corpus(s, dir, "embeddings"))
         .orderBy("id_a", "id_b")
     },
+    "semantic_contamination" -> { (s, dir) =>
+      // paraphrase-level decontamination audit: eval set = vec_id < 100,
+      // corpus = the rest; candidates only ever span the two sides
+      val emb = corpus(s, dir, "embeddings")
+      Dedup.semanticContaminationPairs("vec_id", "embedding",
+        threshold = 0.3, planes = 6, dim = 64, tables = 2)(
+        emb.filter(col("vec_id") >= 100), emb.filter(col("vec_id") < 100))
+        .orderBy("doc_id", "eval_id")
+    },
+    "semantic_decontaminate" -> { (s, dir) =>
+      // the drop form: corpus rows cosine-close to ANY eval embedding
+      // are removed, survivors keep their columns
+      val emb = corpus(s, dir, "embeddings")
+      Dedup.semanticDecontaminate("vec_id", "embedding",
+        threshold = 0.3, planes = 6, dim = 64, tables = 2)(
+        emb.filter(col("vec_id") >= 100), emb.filter(col("vec_id") < 100))
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
     "winnow_fingerprints" -> { (s, dir) =>
       corpus(s, dir, "documents")
         .select(col("doc_id"),
@@ -476,6 +495,31 @@ private[graft] object QueriesDedup {
         .select("doc_id", "lang").orderBy("doc_id")
     },
   )
+
+  /** Candidate CTE chain for the semantic decontamination pair: two
+    * independent plane sets (offsets 0 and 6), per-SIDE bucket caps via
+    * window counts, cross-side-only pairs deduplicated by the UNION —
+    * mirrors Dedup.semanticContaminationPairs(tables = 2). Ends with
+    * `cand(doc_id, eval_id)`. */
+  private val semanticCandSql: String = {
+    def side(name: String, pred: String, offset: Int) =
+      s"""${name}b$offset AS (SELECT vec_id, ${lshBucketSql(offset)} AS bucket
+        FROM embeddings WHERE $pred),
+      ${name}s$offset AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS n
+        FROM ${name}b$offset)"""
+    s"""${side("cp", "vec_id >= 100", 0)},
+      ${side("ev", "vec_id < 100", 0)},
+      ${side("cp", "vec_id >= 100", 6)},
+      ${side("ev", "vec_id < 100", 6)},
+      cand AS (
+        SELECT c.vec_id AS doc_id, e.vec_id AS eval_id
+        FROM cps0 c JOIN evs0 e ON c.bucket = e.bucket
+        WHERE c.n <= 64 AND e.n <= 64
+        UNION
+        SELECT c.vec_id, e.vec_id
+        FROM cps6 c JOIN evs6 e ON c.bucket = e.bucket
+        WHERE c.n <= 64 AND e.n <= 64)"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "fingerprint_dedup" ->
@@ -796,6 +840,25 @@ private[graft] object QueriesDedup {
                   JOIN embeddings b ON cand.id_b = b.vec_id)
       SELECT id_a, id_b, cosine FROM scored
       WHERE cosine >= 4e-1 ORDER BY id_a, id_b""",
+    // per-SIDE bucket caps (window counts within each side), candidates
+    // only span corpus × eval — mirrors Dedup.semanticContaminationPairs
+    "semantic_contamination" -> s"""
+      WITH $semanticCandSql
+      SELECT cand.doc_id, cand.eval_id,
+        ${cosineSql("c.embedding", "e.embedding")} AS cosine
+      FROM cand JOIN embeddings c ON cand.doc_id = c.vec_id
+                JOIN embeddings e ON cand.eval_id = e.vec_id
+      WHERE ${cosineSql("c.embedding", "e.embedding")} >= 3e-1
+      ORDER BY doc_id, eval_id""",
+    "semantic_decontaminate" -> s"""
+      WITH $semanticCandSql,
+      flagged AS (SELECT DISTINCT cand.doc_id AS vec_id
+        FROM cand JOIN embeddings c ON cand.doc_id = c.vec_id
+                  JOIN embeddings e ON cand.eval_id = e.vec_id
+        WHERE ${cosineSql("c.embedding", "e.embedding")} >= 3e-1)
+      SELECT vec_id, label FROM embeddings
+      WHERE vec_id >= 100 AND vec_id NOT IN (SELECT vec_id FROM flagged)
+      ORDER BY vec_id""",
     "winnow_fingerprints" -> s"""
       WITH g AS (SELECT doc_id,
           list_transform(range(1, greatest(length(text) - 7, 1) + 1), i ->

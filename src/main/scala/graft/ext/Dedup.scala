@@ -1345,6 +1345,92 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Cross-corpus EMBEDDING contamination pairs — the semantic rung of
+    * the decontamination family: [[graft.ext.TextOps.decontaminate]]
+    * catches verbatim n-gram overlap, [[crossCorpusNearDuplicates]]
+    * catches lexical near-copies, but a PARAPHRASED benchmark item
+    * shares almost no grams with its source and sails through both.
+    * Here contamination is cosine ≥ `threshold` between a corpus
+    * embedding and an eval-set embedding: sign-LSH buckets
+    * ([[Similarity.lshBucket]], the [[embeddingNearDuplicates]]
+    * geometry) generate candidates that only ever SPAN the two sides —
+    * never corpus×corpus, so work is bounded by cross-side bucket
+    * collisions, not the corpus' own duplicate structure — then exact
+    * cosine verifies each candidate.
+    *
+    * Scale hardening mirrored in the oracle: the `maxBucket` cap
+    * applies PER SIDE (a degenerate eval bucket cannot drag the whole
+    * corpus into one reducer and vice versa); `tables` > 1 unions
+    * independent plane sets with pair dedup BEFORE the cosine verify —
+    * the standard LSH recall lever, each pair scored once. Both sides'
+    * vectors ride the bucket structs, so neither corpus is re-joined
+    * for the verify. Probabilistic recall by design (an LSH candidate
+    * criterion, like every near-dup leg); raise `tables` to close
+    * recall, measured by the [[lshRecallEval]] doctrine.
+    *
+    * Output: `(doc_id, eval_id, cosine)` — one row per contaminated
+    * (corpus, eval) pair above threshold. Feed [[semanticDecontaminate]]
+    * to drop the flagged corpus rows, or keep the pairs as the audit
+    * trail ([[graft.ext.TextOps.contaminationReport]]'s semantic
+    * sibling). */
+  def semanticContaminationPairs(
+      idField: String,
+      vecField: String,
+      threshold: Double,
+      planes: Int = 6,
+      dim: Int = 64,
+      maxBucket: Int = 64,
+      tables: Int = 1)(corpus: DataFrame, eval: DataFrame): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    def bucketed(d: DataFrame, out: String) = {
+      val buckets = array((0 until tables).map(t =>
+        Similarity.lshBucket(col("__v"), planes, dim, t * planes)): _*)
+      d.select(col(idField).as("__id"), col(vecField).as("__v"))
+        .select(col("__id"), col("__v"), posexplode(buckets))
+        .withColumnRenamed("pos", "__t")
+        .withColumnRenamed("col", "__bucket")
+        .groupBy(col("__t"), col("__bucket"))
+        .agg(collect_list(struct(col("__id"), col("__v"))).as(out))
+        .filter(size(col(out)).between(1, maxBucket))
+    }
+    val pairs = bucketed(corpus, "__lc")
+      .join(bucketed(eval, "__le"), Seq("__t", "__bucket"))
+      .select(explode(flatten(transform(col("__lc"), x =>
+        transform(col("__le"), y =>
+          struct(x("__id").as("doc_id"), y("__id").as("eval_id"),
+            x("__v").as("va"), y("__v").as("vb")))))).as("__p"))
+      .select(col("__p.doc_id").as("doc_id"),
+        col("__p.eval_id").as("eval_id"),
+        col("__p.va").as("__va"), col("__p.vb").as("__vb"))
+    val cands =
+      if (tables == 1) pairs else pairs.dropDuplicates("doc_id", "eval_id")
+    cands
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("doc_id", "eval_id", "cosine")
+  }
+
+  /** Semantic decontamination — drop every corpus row whose embedding
+    * is cosine-≥-`threshold` close to ANY eval-set embedding (the
+    * [[semanticContaminationPairs]] criterion); survivors keep all
+    * their columns. The left_anti rides the pair frame's distinct
+    * doc ids, so the corpus is scanned once for bucketing and once for
+    * the anti-join — never joined per eval row. */
+  def semanticDecontaminate(
+      idField: String,
+      vecField: String,
+      threshold: Double,
+      planes: Int = 6,
+      dim: Int = 64,
+      maxBucket: Int = 64,
+      tables: Int = 1)(corpus: DataFrame, eval: DataFrame): DataFrame = {
+    val flagged = semanticContaminationPairs(idField, vecField, threshold,
+      planes, dim, maxBucket, tables)(corpus, eval)
+      .select(col("doc_id").as("__flagged"))
+      .distinct()
+    corpus.join(flagged, corpus(idField) === col("__flagged"), "left_anti")
+  }
+
   /** Connected components of an undirected near-dup pair graph by
     * iterative min-label propagation: every node starts labeled with its
     * own id; each round every node takes the minimum label among itself

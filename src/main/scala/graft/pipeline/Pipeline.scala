@@ -665,6 +665,11 @@ final case class Pipeline(df: DataFrame) {
   def bradleyTerry(winnerField: String, loserField: String,
       iterations: Int = 10, exactOrder: Boolean = true): Pipeline =
     >>(Ops.bradleyTerry(winnerField, loserField, iterations, exactOrder))
+  def semanticDecontaminate(idField: String, vecField: String,
+      eval: DataFrame, threshold: Double, planes: Int = 6, dim: Int = 64,
+      maxBucket: Int = 64, tables: Int = 1): Pipeline =
+    >>(df => graft.ext.Dedup.semanticDecontaminate(idField, vecField,
+      threshold, planes, dim, maxBucket, tables)(df, eval))
   def assembleConversations(convField: String, orderFields: Seq[String],
       roleField: String, contentField: String,
       lossRole: String = "assistant"): Pipeline =

@@ -845,6 +845,57 @@ object Streaming {
       .drop("__bk", "__c", "__ck")
   }
 
+  /** Streaming semantic decontamination — the live form of
+    * [[graft.ext.Dedup.semanticDecontaminate]]: a stream document whose
+    * embedding lands in the same sign-LSH bucket as an eval-set
+    * embedding AND verifies at cosine ≥ `threshold` is dropped before
+    * it reaches the training sink; paraphrased benchmark items the
+    * n-gram [[streamingContainmentGate]] cannot see.
+    *
+    * Shape: one stateless stream-static LEFT-ANTI join per LSH table —
+    * bucket equality as the join key, the exact cosine as the join's
+    * RESIDUAL condition, so the drop criterion is bucket-collide AND
+    * verify, identical to the batch op's candidate + verify legs. The
+    * eval side is a benchmark set (small by construction) and AQE
+    * broadcasts it; no state, no watermark requirement — rows flow
+    * through `tables` chained anti-joins and keep every stream column.
+    *
+    * One documented divergence from the batch op: no `maxBucket` cap —
+    * an anti-join never materializes bucket groups, so a degenerate
+    * bucket costs per-row eval comparisons (bounded by the eval set's
+    * bucket occupancy), not a quadratic reducer. Batch parity therefore
+    * holds wherever the batch caps don't fire (spec-pinned).
+    *
+    * @param evalVecs exactly `(id, vector)` rows — the eval embeddings */
+  def streamingSemanticDecontaminate(
+      stream: DataFrame,
+      vecField: String,
+      evalVecs: DataFrame,
+      threshold: Double,
+      planes: Int = 6,
+      dim: Int = 64,
+      tables: Int = 1): DataFrame = {
+    import graft.ext.Similarity
+    require(tables >= 1, "tables must be >= 1")
+    require(evalVecs.columns.length == 2,
+      s"evalVecs must be (id, vector) rows, got ${evalVecs.columns.mkString(", ")}")
+    require(threshold > -1 && threshold <= 1,
+      s"threshold must be in (-1, 1], got $threshold")
+    (0 until tables).foldLeft(stream) { (df, t) =>
+      val idx = evalVecs
+        .select(col(evalVecs.columns(1)).as(s"__ev$t"))
+        .withColumn(s"__ebk$t",
+          Similarity.lshBucket(col(s"__ev$t"), planes, dim, t * planes))
+      df.withColumn(s"__bk$t",
+          Similarity.lshBucket(col(vecField), planes, dim, t * planes))
+        .join(idx,
+          col(s"__bk$t") === col(s"__ebk$t") &&
+            Similarity.cosine(col(vecField), col(s"__ev$t")) >= threshold,
+          "left_anti")
+        .drop(s"__bk$t")
+    }
+  }
+
   /** Streaming containment gate — the quote/subset detector
     * ([[graft.ext.Dedup.containmentPairs]]'s asymmetric criterion)
     * against a STORED reference gram index

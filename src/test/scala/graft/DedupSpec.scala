@@ -711,4 +711,55 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.fellegiSunter(
       Seq(("f", col("f1"), 0.9, 0.1)), 0, 1)(pairs))
   }
+
+  test("semantic decontamination: precision 1, cross-side only, per-side cap, anti-join identity") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(41)
+    def vec() = Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f)
+    val evalVecs = (0L until 20L).map(i => (i, vec()))
+    // corpus: 30 paraphrase-near copies of eval vectors (tiny jitter)
+    // + 50 unrelated vectors
+    val nearRows = (0 until 30).map { i =>
+      (100L + i, evalVecs(i % 20)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
+    }
+    val freshRows = (0 until 50).map(i => (200L + i, vec()))
+    val corpus = (nearRows ++ freshRows).toDF("vec_id", "v")
+    val evalDf = evalVecs.toDF("vec_id", "v")
+    val pairs = Dedup.semanticContaminationPairs("vec_id", "v",
+      threshold = 0.8, tables = 2)(corpus, evalDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision 1: every emitted pair verifies at >= t against brute force,
+    // and pairs only ever span corpus x eval
+    val brute = corpus.select(col("vec_id").as("doc_id"), col("v").as("va"))
+      .crossJoin(evalDf.select(col("vec_id").as("eval_id"), col("v").as("vb")))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.8)
+      .select("doc_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (d, e, c) => c >= 0.8 && d >= 100L && e < 20L })
+    assert(pairs.map(p => (p._1, p._2)).toSet.subsetOf(brute))
+    // 2 tables recover at least what 1 table does (the recall lever)
+    val p1 = Dedup.semanticContaminationPairs("vec_id", "v",
+      threshold = 0.8, tables = 1)(corpus, evalDf)
+      .select("doc_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(p1.subsetOf(pairs.map(p => (p._1, p._2)).toSet))
+    // decontaminate == corpus minus flagged doc ids, all columns kept
+    val survivors = Dedup.semanticDecontaminate("vec_id", "v",
+      threshold = 0.8, tables = 2)(corpus, evalDf)
+    assert(survivors.columns.toSeq === corpus.columns.toSeq)
+    val flagged = pairs.map(_._1).toSet
+    assert(survivors.select("vec_id").as[Long].collect().toSet ===
+      corpus.select("vec_id").as[Long].collect().toSet -- flagged)
+    // per-SIDE cap: 70 identical corpus vectors collapse into one bucket
+    // > maxBucket, so the degenerate bucket contributes nothing and all
+    // survive; raising the cap flags them all
+    val same = vec()
+    val pile = (0 until 70).map(i => (300L + i, same)).toDF("vec_id", "v")
+    val oneEval = Seq((0L, same.map(x => x + 0.001f))).toDF("vec_id", "v")
+    assert(Dedup.semanticContaminationPairs("vec_id", "v",
+      threshold = 0.9)(pile, oneEval).isEmpty)
+    assert(Dedup.semanticContaminationPairs("vec_id", "v",
+      threshold = 0.9, maxBucket = 128)(pile, oneEval).count() === 70L)
+  }
 }

@@ -1197,4 +1197,55 @@ class StreamingSpec extends SparkSpec {
       assert(got.map(s => (s.level, s.trend, s.forecast)) === want)
     } finally q.stop()
   }
+
+  test("streamingSemanticDecontaminate drops on bucket-collide AND verify; batch parity") {
+    import graft.ext.{Dedup, Similarity}
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(47)
+    val v0 = Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f)
+    val near = v0.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+    val fresh = v0.map(-_) // every projection flips sign: opposite bucket
+    // find a vector SHARING v0's bucket with cosine BELOW threshold: it
+    // must survive — the residual verify, not the collision, decides
+    val probeRows = (0 until 400).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f)))
+    val probes = probeRows.toDF("id", "v")
+      .withColumn("bk", Similarity.lshBucket($"v", 6, 64))
+    val bk0 = Seq(0).toDF("x")
+      .select(Similarity.lshBucket(typedLit(v0.toSeq), 6, 64).as("b"))
+      .as[Long].head()
+    val mateId = probes
+      .withColumn("cos", Similarity.cosine($"v", typedLit(v0.toSeq)))
+      .filter($"bk" === bk0 && $"cos" < 0.5).select("id")
+      .as[Long].head()
+    val bucketMate = probeRows(mateId.toInt)._2
+    val evalDf = Seq((0L, v0)).toDF("eval_id", "v")
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val out = Streaming.streamingSemanticDecontaminate(
+      input.toDF().toDF("ts", "id", "v"), vecField = "v",
+      evalVecs = evalDf, threshold = 0.9)
+    val q = out.writeStream.format("memory").queryName("ssd")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("10:00"), 1L, near),       // paraphrase-near eval item: drops
+        (ts("10:01"), 2L, bucketMate), // collision, low cosine: survives
+        (ts("10:02"), 3L, fresh))      // different bucket: survives
+      q.processAllAvailable()
+      assert(spark.table("ssd").select("id").as[Long].collect().sorted
+        .toSeq == Seq(2L, 3L))
+      assert(spark.table("ssd").columns.toSeq == Seq("ts", "id", "v"))
+    } finally q.stop()
+    // the identical code path on a batch frame equals the batch operator
+    // (caps don't fire at this size)
+    val batch = Seq((1L, near), (2L, bucketMate), (3L, fresh))
+      .toDF("vec_id", "v")
+    val viaStreamOp = Streaming.streamingSemanticDecontaminate(
+      batch, "v", evalDf, threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val viaBatchOp = Dedup.semanticDecontaminate("vec_id", "v",
+      threshold = 0.9)(batch, evalDf.toDF("vec_id", "v"))
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(viaStreamOp === viaBatchOp && viaBatchOp === Seq(2L, 3L))
+  }
 }
