@@ -594,6 +594,83 @@ object Probes {
     }
   }
 
+  /** Isotonic (PAV) calibration FIT over score bins — the repair step
+    * [[scoreCalibration]] only measures: given a [0,1] score whose
+    * reliability diagram sags or zig-zags, fit the best monotone
+    * non-decreasing calibrated probability per bin (weighted isotonic
+    * regression on the binned positive rates) — the standard
+    * post-training calibration map (Zadrozny & Elkan's method, the
+    * sklearn `IsotonicRegression` shape) that turns a mis-calibrated
+    * quality model into one whose scores can drive corpus elections
+    * and mixing thresholds directly.
+    *
+    * Computed by the MIN-MAX closed form of weighted isotonic
+    * regression: over the observed bins in score order,
+    * `ŷ_b = max_{i≤b} min_{j≥b} (Σ_{i..j} k) / (Σ_{i..j} n)` — exactly
+    * the pool-adjacent-violators solution, but expressible as pure
+    * array folds. Every candidate average is ONE double division of
+    * exact integer prefix-sum differences, and min/max comparisons of
+    * identical IEEE values are order-free — cross-engine
+    * hash-identical with no order-pinned fold anywhere. Bin
+    * assignment, clamping, and NULL discipline are
+    * [[scoreCalibration]]'s verbatim (both edges clamp, NULL
+    * score/label rows drop). Empty bins are ABSENT rows: they carry no
+    * weight, so the fit pools across them exactly as PAV does.
+    *
+    * Scale shape: one corpus hash-agg → ≤ `bins` rows per group; the
+    * fit is an O(bins³) array expression over ONE collected ≤
+    * `bins`-element array per group (the ewmaSmooth bounded-fold
+    * doctrine — `bins` ≤ 100 by contract, enforced). Output per
+    * (group, observed bin): `bin, n, k, rate, calibrated`, with
+    * `calibrated` monotone non-decreasing in `bin` within every group
+    * (spec-pinned vs a reference PAV implementation). */
+  def isotonicCalibration(score: Column, label: Column, bins: Int = 10,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    require(bins >= 1 && bins <= 100, s"bins must be in [1,100]: $bins")
+    val grp = groupCols.map(col)
+    val perBin = df
+      .filter(score.isNotNull && label.isNotNull)
+      .select(grp :+
+        greatest(least(floor(score * bins).cast("int"), lit(bins - 1)),
+          lit(0)).as("bin") :+
+        when(label, 1L).otherwise(0L).as("__pos"): _*)
+      .groupBy(grp :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__pos")).as("k"))
+    val collected =
+      (if (grp.isEmpty) perBin.groupBy() else perBin.groupBy(grp: _*))
+        .agg(array_sort(collect_list(
+          struct(col("bin"), col("n"), col("k")))).as("__b"))
+    // prefix sums N(i), K(i) over the observed-bin array (1-based),
+    // then the min-max formula per position; size ≤ bins by contract
+    def pref(field: String) = transform(
+      sequence(lit(1), size(col("__b"))),
+      i => aggregate(slice(col("__b"), lit(1), i), lit(0L),
+        (a, x) => a + x.getField(field)))
+    def upTo(arr: Column, i: Column) = // Σ over positions 1..i, i may be 0
+      when(i === 0, lit(0L)).otherwise(element_at(arr, i))
+    val fitted = collected
+      .withColumn("__N", pref("n")).withColumn("__K", pref("k"))
+      .withColumn("__cal", transform(
+        sequence(lit(0), size(col("__b")) - 1),
+        b => array_max(transform(sequence(lit(0), b), i =>
+          array_min(transform(
+            sequence(b + 1, size(col("__b"))),
+            j => (element_at(col("__K"), j) - upTo(col("__K"), i))
+              .cast("double") /
+              (element_at(col("__N"), j) - upTo(col("__N"), i))
+                .cast("double")))))))
+    fitted
+      .select(grp :+ posexplode(col("__b")).as(Seq("__i", "__r")): _*)
+      .withColumn("calibrated",
+        element_at(col("__cal"), col("__i") + 1))
+      // __cal was computed before the explode; re-select it through the
+      // surviving row so the optimizer keeps one fit per group
+      .select(grp :+ col("__r.bin").as("bin") :+ col("__r.n").as("n") :+
+        col("__r.k").as("k") :+
+        (col("__r.k").cast("double") / col("__r.n").cast("double"))
+          .as("rate") :+ col("calibrated"): _*)
+  }
+
   /** Fail the pipeline when the key is not unique (reference:
     * `ops/rows.py::assert_unique`). Pass-through on success so probes
     * compose inside pipelines. */
