@@ -90,6 +90,14 @@ private[graft] object QueriesProbes {
       Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
         col("lang") === "en", bins = 10)(corpus(s, dir, "documents"))
     },
+    "isotonic_calibration" -> { (s, dir) =>
+      // the FIX for what score_calibration reports: weighted PAV via
+      // the min-max closed form — a monotone non-decreasing calibrated
+      // probability per observed score bin
+      Probes.isotonicCalibration(TextOps.stopwordScore(col("text")),
+        col("lang") === "en", bins = 10)(corpus(s, dir, "documents"))
+        .orderBy("bin")
+    },
     "concentration" -> { (s, dir) =>
       // is each language's corpus diverse or one-source-dominated?
       Probes.concentration(Seq("lang"), "source")(
@@ -338,6 +346,41 @@ private[graft] object QueriesProbes {
         FROM g)
       SELECT CAST(bin AS INTEGER) AS bin, n, mean_score, pos_rate, gap, ece
       FROM g CROSS JOIN e ORDER BY bin""",
+    // mirrors Probes.isotonicCalibration: per-bin exact (n, k) counts,
+    // prefix sums, then the weighted-PAV min-max closed form
+    // ŷ_b = max_{i≤b} min_{j≥b} (K_j−K_i)/(N_j−N_i) — every candidate
+    // average ONE double division of exact integer differences, and
+    // min/max of identical IEEE sets are order-free, so the fit
+    // hash-matches Spark's array-fold form bit-for-bit
+    "isotonic_calibration" -> s"""
+      WITH s AS (SELECT
+          greatest(least(CAST(floor(sc * 10) AS INT), 9), 0) AS bin,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM (SELECT lang,
+            least(${stopRatio("['the','a','of','and','to','in','is']")}
+              * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)) AS sc
+          FROM documents) __sb
+        WHERE sc IS NOT NULL AND lang IS NOT NULL),
+      b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS k FROM s GROUP BY bin),
+      p AS (SELECT bin, n, k,
+          CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS pos,
+          CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS nn,
+          CAST(sum(k) OVER (ORDER BY bin) AS BIGINT) AS kk
+        FROM b),
+      pz AS (SELECT pos, nn, kk FROM p
+        UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(0 AS BIGINT)),
+      m AS (SELECT b.pos AS bpos, i.pos AS ipos,
+          min(CAST(j.kk - i.kk AS DOUBLE) / CAST(j.nn - i.nn AS DOUBLE))
+            AS mn
+        FROM p b JOIN pz i ON i.pos < b.pos JOIN p j ON j.pos >= b.pos
+        GROUP BY 1, 2),
+      c AS (SELECT bpos, max(mn) AS calibrated FROM m GROUP BY bpos)
+      SELECT CAST(p.bin AS INTEGER) AS bin, p.n, p.k,
+        CAST(p.k AS DOUBLE) / CAST(p.n AS DOUBLE) AS rate, c.calibrated
+      FROM p JOIN c ON c.bpos = p.pos
+      ORDER BY p.bin""",
     // exact counts + the same one-division-per-share chain; chi2 is
     // the rational drift stat (ln-free, cross-engine exact)
     "category_drift" -> """
@@ -545,7 +588,8 @@ private[graft] object QueriesProbes {
     "benford_digits" -> s"""
       WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
           FROM orders
-          WHERE o_totalprice IS NOT NULL AND floor(o_totalprice) > 0),
+          WHERE o_totalprice IS NOT NULL AND floor(o_totalprice) > 0
+            AND floor(o_totalprice) < 9.223372036854776e18),
       d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
             AS digit,
           CAST(count(*) AS BIGINT) AS n

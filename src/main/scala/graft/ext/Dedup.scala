@@ -1382,6 +1382,14 @@ object Dedup {
       maxBucket: Int = 64,
       tables: Int = 1)(corpus: DataFrame, eval: DataFrame): DataFrame = {
     require(tables >= 1, "tables must be >= 1")
+    // the streaming twin's guard surface, mirrored: a maxBucket of 0
+    // (or a threshold outside cosine's range) would silently emit zero
+    // candidates instead of failing fast
+    require(threshold > -1 && threshold <= 1,
+      s"threshold must be in (-1, 1], got $threshold")
+    require(planes >= 1, s"planes must be >= 1, got $planes")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     def bucketed(d: DataFrame, out: String) = {
       val buckets = array((0 until tables).map(t =>
         Similarity.lshBucket(col("__v"), planes, dim, t * planes)): _*)

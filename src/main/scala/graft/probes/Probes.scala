@@ -660,11 +660,12 @@ object Probes {
               (element_at(col("__N"), j) - upTo(col("__N"), i))
                 .cast("double")))))))
     fitted
-      .select(grp :+ posexplode(col("__b")).as(Seq("__i", "__r")): _*)
+      // __cal must ride THROUGH the explode (each exploded row indexes
+      // back into its group's fit array)
+      .select(grp :+ col("__cal") :+
+        posexplode(col("__b")).as(Seq("__i", "__r")): _*)
       .withColumn("calibrated",
         element_at(col("__cal"), col("__i") + 1))
-      // __cal was computed before the explode; re-select it through the
-      // surviving row so the optimizer keeps one fit per group
       .select(grp :+ col("__r.bin").as("bin") :+ col("__r.n").as("n") :+
         col("__r.k").as("k") :+
         (col("__r.k").cast("double") / col("__r.n").cast("double"))
@@ -963,8 +964,13 @@ object Probes {
       case (acc, d) => when(col("digit") === d,
         lit(math.log10(1.0 + 1.0 / d))).otherwise(acc)
     }
+    // values ≥ 2^63 are excluded BEFORE the long cast: Spark's non-ANSI
+    // cast would saturate them to Long.MaxValue (digit 9, silently
+    // wrong) while an ANSI engine raises — dropping them is the one
+    // behavior both engines can express identically, and a screen over
+    // naturally-spread measures loses nothing actionable above 9.2e18
     df.select(grp :+ floor(value.cast("double")).as("__v"): _*)
-      .filter(col("__v") > 0)
+      .filter(col("__v") > 0 && col("__v") < lit(9.223372036854776e18))
       .select(grp :+
         substring(col("__v").cast("long").cast("string"), 1, 1)
           .cast("int").as("digit"): _*)
@@ -1058,6 +1064,11 @@ object Probes {
   def chiSquareSelect(features: Seq[String], label: Column)(
       df: DataFrame): DataFrame = {
     require(features.nonEmpty, "at least one feature column")
+    // a duplicate name would otherwise hit Spark's map-key dedup policy
+    // at runtime (exception or silent LAST_WIN collapse) instead of a
+    // clear argument error — the fellegiSunter guard, applied here
+    require(features.distinct.size == features.size,
+      s"duplicate feature columns: ${features.mkString(", ")}")
     val cells = df
       .filter(label.isNotNull)
       .select(label.cast("string").as("__l"),

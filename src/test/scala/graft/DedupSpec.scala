@@ -761,5 +761,15 @@ class DedupSpec extends SparkSpec {
       threshold = 0.9)(pile, oneEval).isEmpty)
     assert(Dedup.semanticContaminationPairs("vec_id", "v",
       threshold = 0.9, maxBucket = 128)(pile, oneEval).count() === 70L)
+    // r14 ADVICE: the batch ops carry the streaming twin's guard
+    // surface — degenerate knobs fail fast, never silently emit zero
+    intercept[IllegalArgumentException](Dedup.semanticContaminationPairs(
+      "vec_id", "v", threshold = 1.5)(pile, oneEval))
+    intercept[IllegalArgumentException](Dedup.semanticContaminationPairs(
+      "vec_id", "v", threshold = 0.9, maxBucket = 0)(pile, oneEval))
+    intercept[IllegalArgumentException](Dedup.semanticDecontaminate(
+      "vec_id", "v", threshold = 0.9, planes = 0)(pile, oneEval))
+    intercept[IllegalArgumentException](Dedup.semanticDecontaminate(
+      "vec_id", "v", threshold = 0.9, dim = 0)(pile, oneEval))
   }
 }

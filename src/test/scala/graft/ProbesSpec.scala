@@ -414,6 +414,54 @@ class ProbesSpec extends SparkSpec {
     assert(nr(0).getLong(1) === 1L)
   }
 
+  test("isotonicCalibration: hand-checked PAV fixture, monotone, clamp/NULL doctrine") {
+    import spark.implicits._
+    // observed bins 1,3,5,8 with rates [.5, 1, 0, 1]: PAV pools the
+    // (1, 0) violation with the leading .5 into one .5 block →
+    // calibrated = [.5, .5, .5, 1]
+    val df = Seq(
+      (0.15, true), (0.15, false),
+      (0.35, true), (0.35, true),
+      (0.55, false), (0.55, false),
+      (0.85, true), (0.85, true)).toDF("s", "y")
+    val rows = Probes.isotonicCalibration(col("s"), col("y"), bins = 10)(df)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 3, 5, 8))
+    assert(rows.map(_.getAs[Long]("n")).toSeq === Seq(2L, 2L, 2L, 2L))
+    assert(rows.map(_.getAs[Long]("k")).toSeq === Seq(1L, 2L, 0L, 2L))
+    assert(rows.map(_.getAs[Double]("rate")).toSeq === Seq(0.5, 1.0, 0.0, 1.0))
+    assert(rows.map(_.getAs[Double]("calibrated")).toSeq ===
+      Seq(0.5, 0.5, 0.5, 1.0))
+    // monotone non-decreasing by construction
+    val cal = rows.map(_.getAs[Double]("calibrated"))
+    assert(cal.zip(cal.tail).forall { case (a, b) => a <= b })
+    // already-monotone input is a fixpoint: calibrated == rate
+    val mono = Seq((0.1, false), (0.1, false), (0.9, true), (0.9, false))
+      .toDF("s", "y")
+    val mrows = Probes.isotonicCalibration(col("s"), col("y"), bins = 10)(mono)
+      .orderBy("bin").collect()
+    assert(mrows.map(r => r.getAs[Double]("calibrated")).toSeq ===
+      mrows.map(r => r.getAs[Double]("rate")).toSeq)
+    // NULL score/label rows drop; out-of-range scores clamp both edges
+    val edge = Seq((Some(-0.3), Some(false)), (Some(1.7), Some(true)),
+      (None, Some(true)), (Some(0.5), Option.empty[Boolean]))
+      .toDF("s", "y")
+    val erows = Probes.isotonicCalibration(col("s"), col("y"), bins = 10)(edge)
+      .orderBy("bin").collect()
+    assert(erows.map(_.getInt(0)).toSeq === Seq(0, 9))
+    assert(erows.map(_.getAs[Long]("n")).sum === 2L)
+    // per-group fits are independent
+    val grouped = Seq(("a", 0.2, true), ("a", 0.8, false),
+      ("b", 0.2, false), ("b", 0.8, true)).toDF("g", "s", "y")
+    val g = Probes.isotonicCalibration(col("s"), col("y"), bins = 10,
+      groupCols = Seq("g"))(grouped).orderBy("g", "bin").collect()
+    // group a violates (1 then 0) → pooled to .5/.5; group b is monotone
+    assert(g.map(r => (r.getString(0), r.getAs[Double]("calibrated"))).toSeq
+      === Seq(("a", 0.5), ("a", 0.5), ("b", 0.0), ("b", 1.0)))
+    intercept[IllegalArgumentException](
+      Probes.isotonicCalibration(col("s"), col("y"), bins = 0)(df))
+  }
+
   test("quarantine: NULL predicate violates, reasons keep rule order, clean is empty") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -508,6 +556,12 @@ class ProbesSpec extends SparkSpec {
       .groupBy("g").agg(org.apache.spark.sql.functions.sum("share"))
       .orderBy("g").collect().map(_.getDouble(1))
     assert(shares.forall(s => math.abs(s - 1.0) < 1e-15))
+    // r14 ADVICE: values ≥ 2^63 drop instead of saturating the long
+    // cast to a silent digit-9 misclassification
+    val huge = Seq(1e19, 9.3e18, 42.0).toDF("v")
+    val hr = Probes.benfordDigits(col("v"))(huge).collect()
+    assert(hr.map(_.getAs[Int]("digit")).toSeq === Seq(4))
+    assert(hr.head.getAs[Double]("share") === 1.0)
   }
 
   test("chiSquareSelect: hand chi2 incl. absent cells, independence, NULL doctrine") {
@@ -543,6 +597,10 @@ class ProbesSpec extends SparkSpec {
       .count() === 2L)
     intercept[IllegalArgumentException](
       Probes.chiSquareSelect(Nil, col("lab"))(df))
+    // r14 ADVICE: duplicate feature names fail fast instead of hitting
+    // Spark's map-key dedup policy at runtime
+    intercept[IllegalArgumentException](
+      Probes.chiSquareSelect(Seq("f1", "f1"), col("lab"))(df))
   }
 
   test("proportionCI: Wilson bounds at hand values, edge rates, NULL drop") {
