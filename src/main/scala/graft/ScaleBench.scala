@@ -1241,6 +1241,140 @@ object ScaleBench {
     lpHub.unpersist()
     println(f"lp_hub_stress: capped256,$tHubCap%.2f uncapped,$tHubRaw%.2f")
     }
+    // ---- r15: the remaining r14 heavyweights + the rollingCorr knob ----
+    phase("r15") {
+    import graft.ops.{Ops => O15, WindowOps => W15}
+    import graft.ext.{GraphOps => G15, TextOps => T15}
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    // rollingCorr: rows-linearity at fixed window (disjoint-key
+    // replication: keys ×k, rows ×k — window partitions never span
+    // replicas), then the window-growth curve (Spark recomputes each
+    // bounded frame per row, so cost ~linear in window), then the
+    // exact(decimal) vs exact=false(double) constant at equal shape.
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice")
+    val nLi = li.count()
+    def liRep(k: Int): DataFrame =
+      (0 until k).map(i => li.withColumn("l_returnflag",
+        concat(col("l_returnflag"), lit(s"#$i"))))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def rcJob(d: DataFrame, w: Int, exact: Boolean): Unit =
+      W15.rollingCorr(Seq("l_returnflag"),
+        Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice"),
+        "l_quantity", "l_extendedprice", window = w, exact = exact)(d)
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = liRep(1).localCheckpoint(); rcJob(d1, 10, true); d1.unpersist() }
+    val rcRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = liRep(k).localCheckpoint()
+      val tE = median3(rcJob(d, 10, true))
+      val tF = median3(rcJob(d, 10, false))
+      d.unpersist()
+      (k, nLi * k, tE, tF)
+    }
+    println("corpus_x,rows,rolling_corr_exact_sec,rolling_corr_fast_sec")
+    rcRows.foreach { case (k, d, a, b) => println(f"$k,$d,$a%.2f,$b%.2f") }
+    locally {
+      val d1 = liRep(1).localCheckpoint()
+      val wRows = for (w <- Seq(10, 20, 40)) yield (w, median3(rcJob(d1, w, true)))
+      d1.unpersist()
+      println("window,rolling_corr_exact_sec")
+      wRows.foreach { case (w, t) => println(f"$w,$t%.2f") }
+    }
+    // bradleyTerry / hits: disjoint-replica growth (items/nodes AND
+    // duels/edges ×k) must be ~linear at fixed iterations; the
+    // iteration sweep at ×1 pins flat per-round cost (each MM/HITS
+    // round is one equi-join + hash-agg of the SAME pair frame).
+    val ev15 = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+      .select("user_id", "event_id")
+    val nEv15 = ev15.count()
+    def duels(k: Int): DataFrame =
+      (0 until k).map(i => ev15.select(
+        ((col("user_id") % 64) + lit(i.toLong * 1000L)).as("winner"),
+        (((col("user_id") * 3 + col("event_id")) % 64) +
+          lit(i.toLong * 1000L)).as("loser")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def btJob(d: DataFrame, iters: Int): Unit =
+      O15.bradleyTerry("winner", "loser", iterations = iters,
+        exactOrder = false)(d)
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = duels(1).localCheckpoint(); btJob(d1, 5); d1.unpersist() }
+    val btRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = duels(k).localCheckpoint()
+      val t = median3(btJob(d, 5))
+      d.unpersist()
+      (k, nEv15 * k, t)
+    }
+    println("corpus_x,duels,bradley_terry_sec")
+    btRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    locally {
+      val d1 = duels(1).localCheckpoint()
+      val itRows = for (it <- Seq(5, 10, 20)) yield
+        (it, median3(btJob(d1, it)))
+      d1.unpersist()
+      println("iterations,bradley_terry_sec,sec_per_iter")
+      itRows.foreach { case (it, t) => println(f"$it,$t%.2f,${t / it}%.3f") }
+    }
+    def graph(k: Int): DataFrame =
+      (0 until k).map(i => ev15.select(
+        ((col("user_id") % 2000) + lit(i.toLong * 1_000_000L)).as("src"),
+        (((col("user_id") * 7 + col("event_id")) % 2000) +
+          lit(i.toLong * 1_000_000L)).as("dst")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def hitsJob(e: DataFrame, iters: Int): Unit =
+      G15.hits("src", "dst", iterations = iters, exactOrder = false)(e)
+        .write.mode("overwrite").format("noop").save()
+    locally { val e1 = graph(1).localCheckpoint(); hitsJob(e1, 3); e1.unpersist() }
+    val hRows = for (k <- Seq(1, 2, 4)) yield {
+      val e = graph(k).localCheckpoint()
+      val t = median3(hitsJob(e, 3))
+      e.unpersist()
+      (k, nEv15 * k, t)
+    }
+    println("corpus_x,edges,hits_sec")
+    hRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    locally {
+      val e1 = graph(1).localCheckpoint()
+      val itRows = for (it <- Seq(3, 6, 12)) yield
+        (it, median3(hitsJob(e1, it)))
+      e1.unpersist()
+      println("iterations,hits_sec,sec_per_iter")
+      itRows.foreach { case (it, t) => println(f"$it,$t%.2f,${t / it}%.3f") }
+    }
+    // boilerplateLines: group-count growth — per-replica source tags
+    // (groups ×k, docs ×k, per-group work constant) must be ~linear;
+    // the per-group distinct-doc hash-agg is the whole cost.
+    val docs15 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text")
+    val nDocs15 = docs15.count()
+    def docRep(k: Int): DataFrame =
+      (0 until k).map(i => docs15.select(
+        (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        concat(col("source"), lit(s"#$i")).as("source"),
+        col("text")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def blJob(d: DataFrame): Unit =
+      T15.boilerplateLines("doc_id", "source", "text",
+        minDocFrac = 0.1, minDocs = 10)(d)
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = docRep(1).localCheckpoint(); blJob(d1); d1.unpersist() }
+    val blRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = docRep(k).localCheckpoint()
+      val t = median3(blJob(d))
+      d.unpersist()
+      (k, nDocs15 * k, t)
+    }
+    println("corpus_x,docs,boilerplate_lines_sec")
+    blRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    }
     spark.stop()
   }
 }

@@ -1873,6 +1873,32 @@ object Ops {
         col("margin"))
   }
 
+  /** Pin a per-round iteration-state frame: materialize
+    * (localCheckpoint) AND re-wrap the cached rows in a fresh
+    * `LogicalRDD` so Catalyst's size statistics reset to the session
+    * default instead of carrying the round's plan estimate forward.
+    *
+    * Why this exists: since Spark 3.4 `localCheckpoint` propagates the
+    * ORIGINAL plan's statistics into the checkpointed leaf
+    * (SPARK-39902), and `SizeInBytesOnlyStatsPlanVisitor` estimates a
+    * join's `sizeInBytes` as the PRODUCT of its children's. An
+    * iterative op whose round references the previous state twice
+    * (e.g. [[bradleyTerry]]'s denominator joins the strength frame on
+    * both endpoints) therefore SQUARES the estimate every round — the
+    * BigInt's digit count doubles per iteration, and by round ~18 the
+    * driver spends tens of seconds per round inside BigInteger
+    * Karatsuba multiplication during planning (measured: 0.35 s/round
+    * flat through round 14, then 0.7 → 1.1 → 2.1 → 5.4 → 14 s — a
+    * pure driver-side planning stall; executor tasks stay idle). The
+    * RDD round-trip costs one InternalRow↔Row conversion of a
+    * state-sized frame per round — noise for the ≤|items| frames the
+    * iterative ops carry — and restores constant per-round planning
+    * cost at any iteration count. */
+  private[graft] def pinIterationState(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** Bradley–Terry strength fitting over pairwise outcomes — the
     * model that turns [[preferencePairs]]-style win/loss data into a
     * per-item quality scale (annotator A/B verdicts → document
@@ -1956,9 +1982,12 @@ object Ops {
             .as("__praw"))
       val tot = praw.agg(
         pinnedSum(col("__i"), col("__praw")).as("__tot"))
-      p = praw.crossJoin(broadcast(tot))
-        .select(col("__i"), (col("__praw") / col("__tot")).as("__p"))
-        .localCheckpoint()
+      // pinIterationState, not a bare localCheckpoint: each round joins
+      // p on BOTH endpoints, so propagated size stats would square
+      // every iteration (see the helper's scaladoc for the measured
+      // planning blowup past ~15 rounds)
+      p = pinIterationState(praw.crossJoin(broadcast(tot))
+        .select(col("__i"), (col("__praw") / col("__tot")).as("__p")))
       i += 1
     }
     val nTot = dir.groupBy(col("__i"))

@@ -741,10 +741,23 @@ object WindowOps {
     * per-key arrays. Order must be made total by `orderFields`
     * (include the measures themselves when the natural key can tie —
     * identical full rows then commute harmlessly). Output: keys ++
-    * orderFields ++ (x, y, n, corr). */
+    * orderFields ++ (x, y, n, corr).
+    *
+    * `exact = false` is the production knob (the percentile family's
+    * `approx = true` doctrine): the SAME single window pass, but the
+    * six sufficient statistics accumulate as plain doubles — no 1e-9
+    * quantization, no decimal(38,0) BigDecimal arithmetic — which
+    * drops the dominant constant (each bounded frame is recomputed
+    * per row, and a double multiply-add is ~10× a BigDecimal one).
+    * Agreement is within ~1e-12 relative on well-conditioned data
+    * (spec-pinned vs the exact mode); the exact decimal default
+    * remains the oracle form because double sums are
+    * accumulation-order-sensitive and a monitor threshold should not
+    * flap across engines. */
   def rollingCorr(
       keys: Seq[String], orderFields: Seq[String],
-      xField: String, yField: String, window: Int)(
+      xField: String, yField: String, window: Int,
+      exact: Boolean = true)(
       df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(window >= 2 && window <= 10000,
@@ -754,8 +767,10 @@ object WindowOps {
       .orderBy(orderFields.map(col): _*)
       .rowsBetween(-(window - 1), Window.currentRow)
     def q9(c: Column) =
-      round(c.cast("double") * 1e9, 0).cast("decimal(19,0)")
-    val d38 = "decimal(38,0)"
+      if (exact) round(c.cast("double") * 1e9, 0).cast("decimal(19,0)")
+      else c.cast("double")
+    def sq(c: Column) =
+      if (exact) (c * c).cast("decimal(38,0)") else c * c
     val base = df
       .filter(col(xField).isNotNull && col(yField).isNotNull)
       .withColumn("__x9", q9(col(xField)))
@@ -763,9 +778,10 @@ object WindowOps {
     val n = count(lit(1)).over(w)
     val sx = sum(col("__x9")).over(w)
     val sy = sum(col("__y9")).over(w)
-    val sxx = sum((col("__x9") * col("__x9")).cast(d38)).over(w)
-    val syy = sum((col("__y9") * col("__y9")).cast(d38)).over(w)
-    val sxy = sum((col("__x9") * col("__y9")).cast(d38)).over(w)
+    val sxx = sum(sq(col("__x9"))).over(w)
+    val syy = sum(sq(col("__y9"))).over(w)
+    val sxy = sum((if (exact) (col("__x9") * col("__y9"))
+      .cast("decimal(38,0)") else col("__x9") * col("__y9"))).over(w)
     val num = (n * sxy - sx * sy).cast("double")
     val vx = (n * sxx - sx * sx).cast("double")
     val vy = (n * syy - sy * sy).cast("double")

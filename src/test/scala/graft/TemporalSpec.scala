@@ -797,4 +797,39 @@ class TemporalSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.ops.WindowOps.rollingCorr(
       Seq("g"), Seq("i"), "x", "y", window = 1)(lin))
   }
+
+  test("rollingCorr exact=false: double sufficient stats within 1e-12 of exact") {
+    // realistic co-moving noisy series over two keys — the production
+    // knob must agree with the exact decimal mode to ~1e-12 relative
+    val rnd = new scala.util.Random(17)
+    val rows = for (g <- Seq("a", "b"); i <- 1 to 60) yield {
+      val x = 50.0 + 10.0 * math.sin(i / 5.0) + rnd.nextDouble()
+      val y = 0.7 * x + 5.0 * rnd.nextDouble()
+      (g, i, math.rint(x * 100) / 100, math.rint(y * 100) / 100)
+    }
+    val df = rows.toDF("g", "i", "x", "y")
+    def run(exact: Boolean) = graft.ops.WindowOps.rollingCorr(
+      Seq("g"), Seq("i"), "x", "y", window = 10, exact = exact)(df)
+      .orderBy("g", "i")
+      .select("g", "i", "n", "corr").collect()
+    val ex = run(exact = true)
+    val fa = run(exact = false)
+    assert(ex.length === fa.length)
+    ex.zip(fa).foreach { case (e, f) =>
+      assert(e.getString(0) === f.getString(0) && e.getInt(1) === f.getInt(1))
+      assert(e.getAs[Long]("n") === f.getAs[Long]("n"))
+      assert(e.isNullAt(3) === f.isNullAt(3),
+        s"NULL contract must match at ${e.getString(0)}/${e.getInt(1)}")
+      if (!e.isNullAt(3)) {
+        val (ev, fv) = (e.getDouble(3), f.getDouble(3))
+        assert(math.abs(ev - fv) <= 1e-12 * math.max(1.0, math.abs(ev)),
+          s"corr diverged: exact=$ev fast=$fv")
+      }
+    }
+    // the fast plan carries no decimal arithmetic anywhere
+    val fastPlan = graft.ops.WindowOps.rollingCorr(
+      Seq("g"), Seq("i"), "x", "y", window = 10, exact = false)(df)
+      .queryExecution.optimizedPlan.toString
+    assert(!fastPlan.toLowerCase.contains("decimal"))
+  }
 }
