@@ -189,6 +189,34 @@ private[graft] object QueriesDedup {
         .select("id_a", "id_b", "fs_score", "fs_decision")
         .orderBy("id_a", "id_b")
     },
+    "incremental_set_sim" -> { (s, dir) =>
+      // the EXACT rung's crawl loop: history = docs < 300 (their
+      // stored token-set index rows), batch = the rest; a batch doc
+      // survives unless its TRUE jaccard reaches 0.5 against history
+      // or a smaller-id batch doc — guaranteed recall, no banding
+      val d = corpus(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("toks", TextOps.shingles(col("text"), 3))
+      Dedup.incrementalSetSimilarity("doc_id", "toks",
+        Dedup.ssjIndexRows("doc_id", "toks")(
+          d.filter(col("doc_id") < 300)),
+        threshold = 0.5)(d.filter(col("doc_id") >= 300))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+    "fellegi_sunter_fit" -> { (s, dir) =>
+      // the trainer for fellegi_sunter's hand-supplied m/u: 5 EM rounds
+      // over lineitem-derived comparison vectors, every fold
+      // order-pinned so the fitted doubles hash-match the unrolled
+      // oracle; the third comparison is NULL on every 7th line to
+      // exercise the missing-is-no-evidence doctrine
+      Dedup.fellegiSunterFit(Seq(
+        ("qty_hi", col("l_quantity") >= 25),
+        ("disc_lo", col("l_discount") <= 0.05),
+        ("tax_lo", when(col("l_linenumber") % 7 === 0,
+          lit(null).cast("boolean")).otherwise(col("l_tax") <= 0.04))),
+        iterations = 5)(table(s, dir, "lineitem"))
+        .orderBy("comparison")
+    },
     "embedding_dedup" -> { (s, dir) =>
       Dedup.embeddingNearDuplicates("vec_id", "embedding", threshold = 0.4,
         planes = 6, dim = 64)(corpus(s, dir, "embeddings"))
@@ -782,6 +810,43 @@ private[graft] object QueriesDedup {
                 ELSE 'possible' END AS fs_decision
          FROM s ORDER BY id_a, id_b"""
     },
+    // mirrors Dedup.incrementalSetSimilarity's drop criterion against
+    // the brute-force truth the prefix machinery provably equals:
+    // batch docs (id >= 300) drop on a true-jaccard >= 0.5 match to
+    // history (id < 300) or to a smaller-id batch doc; empty shingle
+    // sets generate no candidates and always survive
+    "incremental_set_sim" -> s"""
+      WITH d AS (SELECT doc_id, source, ${shinglesSql(3)} AS t
+          FROM documents WHERE text IS NOT NULL),
+      d2 AS (SELECT doc_id, source, t FROM d WHERE len(t) > 0),
+      h AS (SELECT * FROM d2 WHERE doc_id < 300),
+      b AS (SELECT * FROM d2 WHERE doc_id >= 300),
+      cl AS (SELECT DISTINCT y.doc_id FROM h x JOIN b y
+          ON x.doc_id <> y.doc_id
+          AND CAST(len(list_intersect(x.t, y.t)) AS DOUBLE)
+            / CAST(len(x.t) + len(y.t) - len(list_intersect(x.t, y.t))
+                AS DOUBLE) >= 5e-1),
+      il AS (SELECT DISTINCT y.doc_id FROM b x JOIN b y
+          ON x.doc_id < y.doc_id
+          AND CAST(len(list_intersect(x.t, y.t)) AS DOUBLE)
+            / CAST(len(x.t) + len(y.t) - len(list_intersect(x.t, y.t))
+                AS DOUBLE) >= 5e-1)
+      SELECT doc_id, source FROM d
+      WHERE doc_id >= 300
+        AND doc_id NOT IN (SELECT doc_id FROM cl)
+        AND doc_id NOT IN (SELECT doc_id FROM il)
+      ORDER BY doc_id""",
+    // mirrors Dedup.fellegiSunterFit: γ pattern frame, 5 unrolled EM
+    // rounds (1-row parameter CTE cross-joined per round), pinned
+    // pattern-key folds, clamp/fallback M-step — IEEE-identical
+    "fellegi_sunter_fit" -> fellegiSunterFitSql(
+      "SELECT l_quantity, l_discount, l_tax, l_linenumber FROM lineitem",
+      Seq(
+        ("qty_hi", "l_quantity >= 25"),
+        ("disc_lo", "l_discount <= 5e-2"),
+        ("tax_lo",
+          "CASE WHEN l_linenumber % 7 = 0 THEN NULL ELSE l_tax <= 4e-2 END")),
+      iterations = 5),
     // same del-1 candidate CTEs, scored with DuckDB's builtin
     // jaro_winkler_similarity — the native kernel is pinned
     // bit-identical to it (both-empty → 0, boost only above 0.7), so

@@ -90,6 +90,25 @@ private[graft] object QueriesProbes {
       Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
         col("lang") === "en", bins = 10)(corpus(s, dir, "documents"))
     },
+    "label_qa" -> { (s, dir) =>
+      // the composed label-QA report: labeler agreement (kappa), score
+      // calibration (ECE), and a chi-square screen of the source
+      // feature against the en label — one (metric, value) frame, the
+      // three probes a labeling pipeline publishes together
+      val d = corpus(s, dir, "documents")
+      val kappa = Probes.labelAgreement(col("lang"),
+        TextOps.langId(col("text")))(d)
+        .select(lit("kappa").as("metric"), col("kappa").as("value"))
+      val ece = Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
+        col("lang") === "en", bins = 10)(d)
+        .agg(max(col("ece")).as("value"))
+        .select(lit("ece").as("metric"), col("value"))
+      val chi = Probes.chiSquareSelect(Seq("source"),
+        col("lang") === "en")(d)
+        .select(lit("cramers_v_source").as("metric"),
+          col("cramers_v").as("value"))
+      kappa.unionByName(ece).unionByName(chi).orderBy("metric")
+    },
     "isotonic_calibration" -> { (s, dir) =>
       // the FIX for what score_calibration reports: weighted PAV via
       // the min-max closed form — a monotone non-decreasing calibrated
@@ -214,24 +233,10 @@ private[graft] object QueriesProbes {
     },
   )
 
-  def oracleSql: Map[String, String] = Map(
-    // mirrors Probes.quarantine: rule order = list order, false-or-NULL
-    // violates, concat_ws drops the NULL (passing) slots
-    "quarantine" -> """
-      SELECT c_custkey,
-        concat_ws(',',
-          CASE WHEN coalesce(c_acctbal >= 0, false) THEN NULL
-               ELSE 'acctbal_nonneg' END,
-          CASE WHEN coalesce(c_mktsegment IN ('BUILDING', 'AUTOMOBILE',
-                 'MACHINERY', 'HOUSEHOLD', 'FURNITURE'), false) THEN NULL
-               ELSE 'segment_known' END,
-          CASE WHEN coalesce(c_custkey < 1200, false) THEN NULL
-               ELSE 'key_in_range' END) AS quarantine_reasons
-      FROM customer ORDER BY c_custkey""",
-    // mirrors Probes.labelAgreement over (lang, lang_pred): exact-count
-    // confusion marginals, HUGEINT pe numerator (decimal(38,0) on the
-    // Spark side), the same fixed division dag for po/pe/kappa
-    "label_agreement" -> s"""
+  /** Shared oracle bodies — used standalone AND inside the composed
+    * `label_qa` row, so the composed metrics are byte-identical to the
+    * per-probe rows by construction. */
+  private val labelAgreementSql: String = s"""
       WITH $langPredCteSql,
       conf AS (SELECT lang AS a, lang_pred AS b, count(*) AS cn FROM pred
         WHERE lang IS NOT NULL AND lang_pred IS NOT NULL GROUP BY 1, 2),
@@ -249,7 +254,50 @@ private[graft] object QueriesProbes {
       FROM (SELECT n, agree_n,
           CAST(agree_n AS DOUBLE) / n AS po,
           CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
-        FROM tot CROSS JOIN pen) __ka""",
+        FROM tot CROSS JOIN pen) __ka"""
+
+  private val scoreCalibrationSql: String = s"""
+      WITH s AS (SELECT
+          least(CAST(floor(sc * 10) AS INT), 9) AS bin,
+          CAST(round(sc * 1e9, 0) AS BIGINT) AS s9,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM (SELECT lang,
+            least(${stopRatio("['the','a','of','and','to','in','is']")}
+              * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)) AS sc
+          FROM documents) __sb
+        WHERE sc IS NOT NULL AND lang IS NOT NULL),
+      b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(s9) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9)
+            AS mean_score,
+          CAST(sum(pos) AS DOUBLE) / count(*) AS pos_rate
+        FROM s GROUP BY bin),
+      g AS (SELECT bin, n, mean_score, pos_rate,
+          abs(mean_score - pos_rate) AS gap FROM b),
+      e AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(n AS DOUBLE) * gap ORDER BY bin)), (a, x) -> a + x)
+          / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS ece
+        FROM g)
+      SELECT CAST(bin AS INTEGER) AS bin, n, mean_score, pos_rate, gap, ece
+      FROM g CROSS JOIN e ORDER BY bin"""
+
+  def oracleSql: Map[String, String] = Map(
+    // mirrors Probes.quarantine: rule order = list order, false-or-NULL
+    // violates, concat_ws drops the NULL (passing) slots
+    "quarantine" -> """
+      SELECT c_custkey,
+        concat_ws(',',
+          CASE WHEN coalesce(c_acctbal >= 0, false) THEN NULL
+               ELSE 'acctbal_nonneg' END,
+          CASE WHEN coalesce(c_mktsegment IN ('BUILDING', 'AUTOMOBILE',
+                 'MACHINERY', 'HOUSEHOLD', 'FURNITURE'), false) THEN NULL
+               ELSE 'segment_known' END,
+          CASE WHEN coalesce(c_custkey < 1200, false) THEN NULL
+               ELSE 'key_in_range' END) AS quarantine_reasons
+      FROM customer ORDER BY c_custkey""",
+    // mirrors Probes.labelAgreement over (lang, lang_pred): exact-count
+    // confusion marginals, HUGEINT pe numerator (decimal(38,0) on the
+    // Spark side), the same fixed division dag for po/pe/kappa
+    "label_agreement" -> labelAgreementSql,
     // mirrors Probes.confusionMatrix over (lang, lang_pred)
     "confusion_matrix" -> s"""
       WITH $langPredCteSql,
@@ -323,29 +371,43 @@ private[graft] object QueriesProbes {
     // mirrors Probes.scoreCalibration over the saturated en-stopword
     // score vs lang = 'en': 1e-9-quantized per-bin score sums (the
     // money-column discipline), bin-ordered ECE fold
-    "score_calibration" -> s"""
-      WITH s AS (SELECT
-          least(CAST(floor(sc * 10) AS INT), 9) AS bin,
-          CAST(round(sc * 1e9, 0) AS BIGINT) AS s9,
-          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-        FROM (SELECT lang,
-            least(${stopRatio("['the','a','of','and','to','in','is']")}
-              * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)) AS sc
-          FROM documents) __sb
-        WHERE sc IS NOT NULL AND lang IS NOT NULL),
-      b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
-          CAST(sum(s9) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9)
-            AS mean_score,
-          CAST(sum(pos) AS DOUBLE) / count(*) AS pos_rate
-        FROM s GROUP BY bin),
-      g AS (SELECT bin, n, mean_score, pos_rate,
-          abs(mean_score - pos_rate) AS gap FROM b),
-      e AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
-            list(CAST(n AS DOUBLE) * gap ORDER BY bin)), (a, x) -> a + x)
-          / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS ece
-        FROM g)
-      SELECT CAST(bin AS INTEGER) AS bin, n, mean_score, pos_rate, gap, ece
-      FROM g CROSS JOIN e ORDER BY bin""",
+    "score_calibration" -> scoreCalibrationSql,
+    // the composed label-QA report: kappa, ECE, and the source
+    // feature's Cramér's V as one (metric, value) frame — each leg the
+    // SHARED per-probe oracle body (label_agreement /
+    // score_calibration) or the chi_square_select machinery verbatim,
+    // so composition adds no new arithmetic to trust
+    "label_qa" -> s"""
+      WITH chi AS (
+        WITH cells AS (SELECT
+            coalesce(CAST(source AS VARCHAR), '__NULL__') AS v,
+            CAST(lang = 'en' AS VARCHAR) AS l,
+            CAST(count(*) AS BIGINT) AS o
+          FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+        j AS (SELECT *,
+            CAST(sum(o) OVER (PARTITION BY v) AS BIGINT) AS rt,
+            CAST(sum(o) OVER (PARTITION BY l) AS BIGINT) AS ct,
+            CAST(sum(o) OVER () AS BIGINT) AS n
+          FROM cells),
+        a AS (SELECT CAST(max(n) AS BIGINT) AS n,
+            CAST(count(DISTINCT v) AS BIGINT) AS r,
+            CAST(count(DISTINCT l) AS BIGINT) AS c,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE), list(
+              CAST(o * o AS DOUBLE)
+              / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+              ORDER BY v, l)), (x, y) -> x + y)
+            - CAST(max(n) AS DOUBLE) AS chi2
+          FROM j)
+        SELECT CASE WHEN r < 2 OR c < 2 THEN NULL
+            ELSE sqrt(chi2 / CAST(n * least(r - 1, c - 1) AS DOUBLE))
+          END AS cramers_v FROM a)
+      SELECT metric, value FROM (
+        SELECT 'cramers_v_source' AS metric, cramers_v AS value FROM chi
+        UNION ALL
+        SELECT 'ece', max(ece) FROM ($scoreCalibrationSql) __sc
+        UNION ALL
+        SELECT 'kappa', kappa FROM ($labelAgreementSql) __la)
+      ORDER BY metric""",
     // mirrors Probes.isotonicCalibration: per-bin exact (n, k) counts,
     // prefix sums, then the weighted-PAV min-max closed form
     // ŷ_b = max_{i≤b} min_{j≥b} (K_j−K_i)/(N_j−N_i) — every candidate

@@ -806,6 +806,74 @@ private[graft] object QueryHelpers {
                AS DOUBLE) - 75e-1))""")} >= CAST(0 AS DOUBLE)
           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
 
+  /** Unrolled Fellegi–Sunter EM oracle — mirrors `Dedup.fellegiSunterFit`
+    * round for round: the γ∈{1,0,−1} pattern frame, then per round one
+    * CROSS JOIN of the 1-row parameter CTE, fixed-order likelihood
+    * product chains, pattern-key-ordered pinned folds, and the
+    * clamp/fallback M-step — every arithmetic step the same IEEE op
+    * sequence as the Spark tree, so the fitted doubles hash-match.
+    * `comps` = (name, boolean SQL expr over `fromSql`'s columns). */
+  def fellegiSunterFitSql(
+      fromSql: String, comps: Seq[(String, String)], iterations: Int,
+      lambda0: String = "1e-1", m0: String = "9e-1",
+      u0: String = "1e-1"): String = {
+    val f = comps.size
+    val idx = 0 until f
+    def pinned(term: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list($term ORDER BY pkey)), (a, x) -> a + x)"""
+    val gCols = comps.zipWithIndex.map { case ((_, e), i) =>
+      s"CASE WHEN ($e) IS NULL THEN -1 WHEN ($e) THEN 1 ELSE 0 END AS g$i"
+    }
+    val gList = idx.map(i => s"g$i").mkString(", ")
+    val patCte = s"""pat AS (SELECT $gList,
+        CAST(count(*) AS BIGINT) AS c,
+        concat_ws(',', $gList) AS pkey
+      FROM g GROUP BY $gList)"""
+    val p0 = s"""p0 AS (SELECT $lambda0 AS lambda,
+      ${idx.map(i => s"$m0 AS m$i, $u0 AS u$i").mkString(", ")})"""
+    def clamp(x: String) = s"least(greatest($x, 1e-6), (1e0 - 1e-6))"
+    def round(r: Int): String = {
+      val pm = "(" + idx.map(i =>
+        s"(CASE WHEN g$i = 1 THEN p.m$i WHEN g$i = 0 THEN (1e0 - p.m$i) ELSE 1e0 END)")
+        .mkString(" * ") + ")"
+      val pu = "(" + idx.map(i =>
+        s"(CASE WHEN g$i = 1 THEN p.u$i WHEN g$i = 0 THEN (1e0 - p.u$i) ELSE 1e0 END)")
+        .mkString(" * ") + ")"
+      val e = s"""e$r AS (SELECT pat.*, p.lambda,
+          ${idx.map(i => s"p.m$i, p.u$i").mkString(", ")},
+          (p.lambda * $pm) /
+            (p.lambda * $pm + (1e0 - p.lambda) * $pu) AS w
+        FROM pat CROSS JOIN p${r - 1} p)"""
+      val aggs = Seq(
+        s"${pinned("c * w")} AS sw",
+        s"${pinned("CAST(c AS DOUBLE)")} AS sc",
+        "min(lambda) AS ol") ++
+        idx.flatMap(i => Seq(
+          s"${pinned(s"CASE WHEN g$i = 1 THEN c * w ELSE 0e0 END")} AS mw$i",
+          s"${pinned(s"CASE WHEN g$i <> -1 THEN c * w ELSE 0e0 END")} AS md$i",
+          s"${pinned(s"CASE WHEN g$i = 1 THEN c * (1e0 - w) ELSE 0e0 END")} AS uw$i",
+          s"${pinned(s"CASE WHEN g$i <> -1 THEN c * (1e0 - w) ELSE 0e0 END")} AS ud$i",
+          s"min(m$i) AS om$i", s"min(u$i) AS ou$i"))
+      val a = s"a$r AS (SELECT ${aggs.mkString(", ")} FROM e$r)"
+      val ps = Seq(
+        s"CASE WHEN sc > 0e0 THEN ${clamp("sw / sc")} ELSE ol END AS lambda") ++
+        idx.flatMap(i => Seq(
+          s"CASE WHEN md$i > 0e0 THEN ${clamp(s"mw$i / md$i")} ELSE om$i END AS m$i",
+          s"CASE WHEN ud$i > 0e0 THEN ${clamp(s"uw$i / ud$i")} ELSE ou$i END AS u$i"))
+      s"$e,\n$a,\np$r AS (SELECT ${ps.mkString(", ")} FROM a$r)"
+    }
+    val rounds = (1 to iterations).map(round).mkString(",\n")
+    val fin = comps.zipWithIndex.map { case ((n, _), i) =>
+      s"SELECT '$n' AS comparison, m$i AS m, u$i AS u, lambda FROM p$iterations"
+    }.mkString(" UNION ALL ")
+    s"""WITH g AS (SELECT ${gCols.mkString(", ")} FROM ($fromSql)),
+       $patCte,
+       $p0,
+       $rounds
+       SELECT * FROM ($fin) ORDER BY comparison"""
+  }
+
   def stopRatio(lst: String): String =
     s"""CASE WHEN len(string_split(text,' ')) = 0 THEN CAST(0 AS DOUBLE)
         ELSE CAST(len(list_intersect(list_distinct(string_split(text,' ')), $lst)) AS DOUBLE)

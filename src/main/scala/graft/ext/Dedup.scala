@@ -1150,17 +1150,62 @@ object Dedup {
     * df-ranking join. A corpus that is mostly mutual near-duplicates
     * degrades toward its true output size (which is itself quadratic
     * in that case — the OUTPUT, not the algorithm, is the bound).
-    * Output: `id_a, id_b, jaccard`. */
+    *
+    * On top of the prefix filter rides PPJoin's POSITIONAL filter
+    * (zero recall loss, large constant cut at low τ where prefixes
+    * are long): both docs' tokens are sorted by the SAME global
+    * (df, token) order, so at a shared token sitting at 1-based
+    * positions (i, j) the overlap splits into tokens BELOW it (≤
+    * min(i−1, j−1) shared — fewer elements on either side), the token
+    * itself, and tokens ABOVE it (≤ min(n_a−i, n_b−j)); the candidate
+    * survives the bucket only when `min(i,j) + min(n_a−i, n_b−j)`
+    * reaches the Jaccard-implied overlap floor
+    * `⌈τ/(1+τ)·(n_a+n_b)⌉`. The bound holds at EVERY shared token
+    * (not just the first), so per-bucket pruning before the
+    * cross-bucket dedup is provably complete: a qualifying pair's
+    * true overlap is ≤ the bound in every bucket it lands in, hence
+    * every one of its buckets keeps it. Both ceils carry the 1e-9
+    * DOWN-guard so float rounding can only weaken the prune, never
+    * lose a true pair. Output: `id_a, id_b, jaccard`. */
   def setSimilarityJoin(
+      idField: String, tokensField: String, threshold: Double)(
+      df: DataFrame): DataFrame = {
+    val base = ssjBase(idField, tokensField, threshold)(df)
+    ssjCandidates(base, threshold, positional = true)
+      .join(base.select(col("__id").as("id_a"), col("__toks").as("__ta")),
+        "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__toks").as("__tb")),
+        "id_b")
+      .withColumn("__ov",
+        size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("jaccard", col("__ov").cast("double") /
+        (size(col("__ta")) + size(col("__tb")) - col("__ov"))
+          .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The SSJoin corpus projection: distinct token sets, empty/NULL
+    * dropped, pinned once (feeds df-ranking, prefixes, AND the
+    * verify). */
+  private[graft] def ssjBase(
       idField: String, tokensField: String, threshold: Double)(
       df: DataFrame): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val base = df
-      .select(col(idField).as("__id"),
+    df.select(col(idField).as("__id"),
         array_distinct(col(tokensField)).as("__toks"))
       .filter(col("__toks").isNotNull && size(col("__toks")) > 0)
-      .localCheckpoint() // feeds df-ranking, prefixes, AND the verify
+      .localCheckpoint()
+  }
+
+  /** Prefix-bucket candidate pairs over an [[ssjBase]] frame —
+    * length-filtered, positionally filtered when `positional`, deduped
+    * across buckets. Exposed separately so the scale harness can
+    * measure the positional filter's candidate cut directly. */
+  private[graft] def ssjCandidates(
+      base: DataFrame, threshold: Double,
+      positional: Boolean): DataFrame = {
     val tok = base.select(col("__id"), explode(col("__toks")).as("__t"))
     val dfreq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     // each doc's tokens in rarest-first (df, token) order; n = |T|
@@ -1175,35 +1220,36 @@ object Dedup {
     // bound (an over-long prefix only adds candidates)
     val p = (col("__n") -
       ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1).cast("int")
+    // posexplode: __p = the token's 1-based position in the FULL
+    // rarest-first order (prefix positions ARE global positions —
+    // the prefix is a prefix)
     val prefixes = ordered
       .select(col("__id"), col("__n"),
-        explode(slice(col("__st"), lit(1), greatest(p, lit(1))))
-          .as("__pt"))
-    val cand = prefixes
+        posexplode(slice(col("__st"), lit(1), greatest(p, lit(1)))))
+      .select(col("__id"), col("__n"), (col("pos") + 1).as("__p"),
+        col("col").as("__pt"))
+    // overlap floor o ≥ τ·(n_a+n_b)/(1+τ), down-guarded ceil
+    val tau = threshold / (1.0 + threshold)
+    def posOk(x: Column, y: Column): Column =
+      if (!positional) lit(true)
+      else (least(x("__p"), y("__p")) +
+        least(x("__n") - x("__p"), y("__n") - y("__p"))) >=
+        ceil(lit(tau) * (x("__n") + y("__n")) - lit(1e-9))
+    prefixes
       .groupBy(col("__pt"))
-      .agg(collect_list(struct(col("__id"), col("__n"))).as("__docs"))
+      .agg(collect_list(struct(col("__id"), col("__n"), col("__p")))
+        .as("__docs"))
       .filter(size(col("__docs")) >= 2)
       .select(explode(flatten(transform(col("__docs"), x =>
         transform(filter(col("__docs"), y =>
           x("__id") < y("__id") &&
             least(x("__n"), y("__n")).cast("double") >=
-              lit(threshold) * greatest(x("__n"), y("__n")) - lit(1e-9)),
+              lit(threshold) * greatest(x("__n"), y("__n")) - lit(1e-9) &&
+            posOk(x, y)),
           y => struct(x("__id").as("id_a"), y("__id").as("id_b"))))))
         .as("__c"))
       .select(col("__c.id_a").as("id_a"), col("__c.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
-      .join(base.select(col("__id").as("id_a"), col("__toks").as("__ta")),
-        "id_a")
-      .join(base.select(col("__id").as("id_b"), col("__toks").as("__tb")),
-        "id_b")
-      .withColumn("__ov",
-        size(array_intersect(col("__ta"), col("__tb"))))
-      .withColumn("jaccard", col("__ov").cast("double") /
-        (size(col("__ta")) + size(col("__tb")) - col("__ov"))
-          .cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Fellegi–Sunter match scoring — the probabilistic-record-linkage
@@ -1261,6 +1307,291 @@ object Dedup {
         when(col("fs_score") >= upperThreshold, lit("match"))
           .when(col("fs_score") <= lowerThreshold, lit("non_match"))
           .otherwise(lit("possible")))
+  }
+
+  /** Exact-SSJoin index rows for a corpus: `(id, toks, n)` — the token
+    * sets that make the EXACT rung of the dedup family incremental
+    * (the [[minhashIndexRows]] doctrine applied to
+    * [[setSimilarityJoin]]). `toks` is the de-duplicated token array
+    * sorted by the UNIVERSAL `(xxhash64(token), token)` order — not
+    * the batch op's df-rarest-first order, deliberately: document
+    * frequencies drift as the corpus grows, and prefix-filter
+    * completeness requires both sides of every future batch to agree
+    * on ONE total order; a content-hash order is fixed forever and
+    * needs no cross-batch statistics. (The cost is losing the
+    * rarest-first bucket-size heuristic, not correctness — hash order
+    * is a valid total order, so the pigeonhole argument is intact.)
+    * The FULL sorted array is stored, not just a prefix: the exact
+    * verify needs whole sets, and the prefix length is τ-dependent —
+    * slicing at query time keeps one index serving every threshold.
+    * State is the token sets themselves (the only state from which
+    * EXACT Jaccard against history is answerable without re-reading
+    * text); for 3-gram shingles that is ~same order as the text — the
+    * price of the zero-recall-loss guarantee, vs 72 B for the
+    * probabilistic [[minhashIndexRows]] rung. */
+  def ssjIndexRows(idField: String, tokensField: String)(
+      df: DataFrame): DataFrame =
+    df.select(col(idField).as("id"),
+      hashOrdered(array_distinct(col(tokensField))).as("toks"))
+      .filter(col("toks").isNotNull && size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")))
+
+  /** Tokens sorted by `(xxhash64(token), token)` — the fixed universal
+    * total order the incremental exact-SSJoin legs share. */
+  private def hashOrdered(toks: Column): Column =
+    transform(sort_array(transform(toks,
+      t => struct(xxhash64(t).as("h"), t.as("t")))), s => s("t"))
+
+  /** Incremental EXACT set-similarity dedup against a persisted
+    * [[ssjIndexRows]] index — the recall-guaranteed rung of the
+    * incremental family ([[incrementalNearDup]] estimates Jaccard from
+    * MinHash signatures; this op computes it exactly, so a qualifying
+    * duplicate can never slip through a band split). A batch document
+    * is dropped when its TRUE Jaccard reaches `threshold` against (a)
+    * any index document sharing a prefix-token bucket, or (b) any
+    * SMALLER-id batch document sharing one (the greedy in-batch
+    * election, [[incrementalNearDup]]'s convention). Survivors return
+    * with all batch columns; append their [[ssjIndexRows]] to the
+    * index for the next batch.
+    *
+    * Candidates form under the same prefix + length + positional
+    * filters as [[setSimilarityJoin]], in the index's universal hash
+    * order (positions in the stored arrays ARE global positions, so
+    * the positional bound applies unchanged). With `maxBucket = 0`
+    * (default) buckets are uncapped and recall is GUARANTEED — the
+    * point of the exact rung; a positive cap is the production knob
+    * for adversarial corpora (a pile of near-identical docs collapsing
+    * into one bucket) and trades the guarantee for bounded reducers,
+    * documented exactly like the probabilistic legs' caps. Cost per
+    * batch: one scan of the stored index + Σ_buckets |idx|·|batch| +
+    * in-batch pair work — never batch×history all-pairs. */
+  def incrementalSetSimilarity(
+      idField: String, tokensField: String, index: DataFrame,
+      threshold: Double, maxBucket: Int = 0)(batch: DataFrame): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxBucket >= 0, s"maxBucket must be >= 0, got $maxBucket")
+    require(index.columns.length == 3,
+      s"index must be (id, toks, n) rows, got ${index.columns.mkString(", ")}")
+    val idx = index.select(col(index.columns(0)).as("__id"),
+      col(index.columns(1)).as("__toks"), col(index.columns(2)).as("__n"))
+    val batchRows = ssjIndexRows(idField, tokensField)(batch)
+      .select(col("id").as("__id"), col("toks").as("__toks"),
+        col("n").as("__n"))
+      .localCheckpoint()
+    val p = (col("__n") -
+      ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1).cast("int")
+    def prefixes(d: DataFrame) = d
+      .select(col("__id"), col("__n"),
+        posexplode(slice(col("__toks"), lit(1), greatest(p, lit(1)))))
+      .select(col("__id"), col("__n"), (col("pos") + 1).as("__p"),
+        col("col").as("__pt"))
+    val cap = if (maxBucket == 0) Int.MaxValue else maxBucket
+    def buckets(d: DataFrame, out: String, minSize: Int) =
+      prefixes(d)
+        .groupBy(col("__pt"))
+        .agg(collect_list(struct(col("__id"), col("__n"), col("__p")))
+          .as(out))
+        .filter(size(col(out)).between(minSize, cap))
+    val tau = threshold / (1.0 + threshold)
+    def pairOk(x: Column, y: Column): Column =
+      least(x("__n"), y("__n")).cast("double") >=
+        lit(threshold) * greatest(x("__n"), y("__n")) - lit(1e-9) &&
+        (least(x("__p"), y("__p")) +
+          least(x("__n") - x("__p"), y("__n") - y("__p"))) >=
+        ceil(lit(tau) * (x("__n") + y("__n")) - lit(1e-9))
+    // history × batch candidates (id collisions dropped defensively —
+    // disjoint id spaces expected, the incrementalNearDup convention)
+    val crossCands = buckets(idx, "__la", minSize = 1)
+      .join(buckets(batchRows, "__lb", minSize = 1), Seq("__pt"))
+      .select(explode(flatten(transform(col("__la"), x =>
+        transform(filter(col("__lb"), y =>
+          x("__id") =!= y("__id") && pairOk(x, y)),
+          y => struct(x("__id").as("id_a"), y("__id").as("id_b"))))))
+        .as("__c"))
+      .select(col("__c.id_a").as("id_a"), col("__c.id_b").as("id_b"))
+      .distinct()
+    // in-batch candidates: ordered pairs, smaller id survives
+    val inCands = buckets(batchRows, "__ids", minSize = 2)
+      .select(explode(flatten(transform(col("__ids"), x =>
+        transform(filter(col("__ids"), y =>
+          x("__id") < y("__id") && pairOk(x, y)),
+          y => struct(x("__id").as("id_a"), y("__id").as("id_b"))))))
+        .as("__c"))
+      .select(col("__c.id_a").as("id_a"), col("__c.id_b").as("id_b"))
+      .distinct()
+    def losers(cands: DataFrame, aSide: DataFrame) = cands
+      .join(aSide.select(col("__id").as("id_a"), col("__toks").as("__ta")),
+        "id_a")
+      .join(batchRows.select(col("__id").as("id_b"),
+        col("__toks").as("__tb")), "id_b")
+      .withColumn("__ov", size(array_intersect(col("__ta"), col("__tb"))))
+      .filter(col("__ov").cast("double") /
+        (size(col("__ta")) + size(col("__tb")) - col("__ov"))
+          .cast("double") >= threshold)
+      .select(col("id_b"))
+    val dups = losers(crossCands, idx)
+      .unionByName(losers(inCands, batchRows))
+      .distinct()
+    batch.join(dups, batch(idField) === dups("id_b"), "left_anti")
+  }
+
+  /** Unsupervised EM estimation of the Fellegi–Sunter parameters — the
+    * trainer [[fellegiSunter]] was missing (its m/u were hand-supplied;
+    * the standard linkage stacks fit them with exactly this EM over the
+    * comparison-vector frame). The latent variable is "same entity":
+    * each candidate pair's agreement pattern γ ∈ {agree, disagree,
+    * missing}^f is scored under the current (λ, m, u); the E-step
+    * posterior w = λ·Π t_m / (λ·Π t_m + (1−λ)·Π t_u) re-weights every
+    * pattern, and the M-step re-estimates λ = Σcw/Σc,
+    * m_f = Σ_{γ_f=1} cw / Σ_{γ_f≠missing} cw (u_f the (1−w) analog).
+    * A missing comparison contributes factor 1 to both likelihoods and
+    * is excluded from its field's M-step denominators — the
+    * [[fellegiSunter]] no-evidence convention, carried through the fit.
+    *
+    * Distributed as the [[graft.ops.Ops.bradleyTerry]] iteration shape:
+    * the pair frame collapses ONCE to ≤ 3^f pattern-count rows (one
+    * hash-agg — the only corpus-sized pass), then each EM round is one
+    * broadcast of the 1-row parameter frame + one hash-agg over the
+    * pattern rows. Float determinism: the per-pattern likelihood is a
+    * fixed-arity multiply chain in comparison order, and every M-step
+    * sum is an order-pinned fold keyed by the pattern string — the
+    * whole fit is replayable as unrolled SQL, so it carries a real
+    * oracle row, not an exemption. Estimates clamp into
+    * [1e-6, 1−1e-6] (the standard EM guard against absorbing 0/1
+    * states); a comparison with NO observed non-missing value keeps
+    * its previous estimate (unidentifiable). EM finds a local optimum:
+    * `initialM > initialU` breaks the match/non-match label symmetry
+    * toward the conventional mode, and callers with domain knowledge
+    * should seed closer. Output: one row per comparison —
+    * `comparison, m, u, lambda` (λ repeated; it is a property of the
+    * fit). Feed the zip of names and fitted (m, u) straight back into
+    * [[fellegiSunter]] — or call [[fellegiSunterAuto]]. */
+  def fellegiSunterFit(
+      comparisons: Seq[(String, Column)],
+      iterations: Int = 5,
+      initialLambda: Double = 0.1,
+      initialM: Double = 0.9,
+      initialU: Double = 0.1)(pairs: DataFrame): DataFrame = {
+    require(comparisons.nonEmpty, "at least one field comparison")
+    require(comparisons.size <= 8,
+      s"at most 8 comparisons (3^f pattern space), got ${comparisons.size}")
+    require(comparisons.map(_._1).distinct.size == comparisons.size,
+      "duplicate comparison names")
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(initialLambda > 0.0 && initialLambda < 1.0,
+      s"initialLambda must be in (0, 1), got $initialLambda")
+    require(initialM > 0.0 && initialM < 1.0 &&
+      initialU > 0.0 && initialU < 1.0 && initialM > initialU,
+      s"need 0 < initialU < initialM < 1, got m=$initialM u=$initialU")
+    val f = comparisons.size
+    val idx = 0 until f
+    // agreement patterns: 1 agree / 0 disagree / -1 missing, counted once
+    val gammas = comparisons.zipWithIndex.map { case ((_, agree), i) =>
+      when(agree.isNull, lit(-1)).when(agree, lit(1)).otherwise(lit(0))
+        .as(s"__g$i")
+    }
+    val pat = pairs.select(gammas: _*)
+      .groupBy(idx.map(i => col(s"__g$i")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__key",
+        concat_ws(",", idx.map(i => col(s"__g$i")): _*))
+      .localCheckpoint()
+    val init = pat.sparkSession.range(1).select(
+      lit(initialLambda).as("__lambda") +:
+        idx.flatMap(i => Seq(lit(initialM).as(s"__m$i"),
+          lit(initialU).as(s"__u$i"))): _*)
+    def pinned(term: Column) = org.apache.spark.sql.functions.aggregate(
+      sort_array(collect_list(struct(col("__key").as("__k"),
+        term.as("__t")))),
+      lit(0.0), (acc, x) => acc + x.getField("__t"))
+    val eps = lit(1e-6)
+    val epsHi = lit(1.0) - lit(1e-6)
+    def clamp(c: Column) = least(greatest(c, eps), epsHi)
+    def round(params: DataFrame): DataFrame = {
+      val joined = pat.crossJoin(broadcast(params))
+      val pm = idx.map(i => when(col(s"__g$i") === 1, col(s"__m$i"))
+        .when(col(s"__g$i") === 0, lit(1.0) - col(s"__m$i"))
+        .otherwise(lit(1.0))).reduce(_ * _)
+      val pu = idx.map(i => when(col(s"__g$i") === 1, col(s"__u$i"))
+        .when(col(s"__g$i") === 0, lit(1.0) - col(s"__u$i"))
+        .otherwise(lit(1.0))).reduce(_ * _)
+      val e = joined.withColumn("__w",
+        (col("__lambda") * pm) /
+          (col("__lambda") * pm + (lit(1.0) - col("__lambda")) * pu))
+      val aggs =
+        pinned(col("__c") * col("__w")).as("__sw") +:
+          pinned(col("__c").cast("double")).as("__sc") +:
+          (idx.flatMap { i => Seq(
+            pinned(when(col(s"__g$i") === 1, col("__c") * col("__w"))
+              .otherwise(lit(0.0))).as(s"__mw$i"),
+            pinned(when(col(s"__g$i") =!= -1, col("__c") * col("__w"))
+              .otherwise(lit(0.0))).as(s"__md$i"),
+            pinned(when(col(s"__g$i") === 1,
+              col("__c") * (lit(1.0) - col("__w")))
+              .otherwise(lit(0.0))).as(s"__uw$i"),
+            pinned(when(col(s"__g$i") =!= -1,
+              col("__c") * (lit(1.0) - col("__w")))
+              .otherwise(lit(0.0))).as(s"__ud$i"),
+            // the 1-row params frame rides the crossJoin: min() recovers
+            // each previous estimate for the unidentifiable fallback
+            min(col(s"__m$i")).as(s"__om$i"),
+            min(col(s"__u$i")).as(s"__ou$i"))
+          } :+ min(col("__lambda")).as("__ol"))
+      e.groupBy().agg(aggs.head, aggs.tail: _*)
+        .select(
+          when(col("__sc") > 0.0, clamp(col("__sw") / col("__sc")))
+            .otherwise(col("__ol")).as("__lambda") +:
+            idx.flatMap(i => Seq(
+              when(col(s"__md$i") > 0.0,
+                clamp(col(s"__mw$i") / col(s"__md$i")))
+                .otherwise(col(s"__om$i")).as(s"__m$i"),
+              when(col(s"__ud$i") > 0.0,
+                clamp(col(s"__uw$i") / col(s"__ud$i")))
+                .otherwise(col(s"__ou$i")).as(s"__u$i"))): _*)
+    }
+    // Ops.pinIterationState, not a bare localCheckpoint: checkpoint
+    // stats propagation would compound the pat×params size estimate
+    // across rounds (linear digit growth here, but the 1-row frame
+    // makes the reset free — the bradleyTerry doctrine)
+    val fitted = (1 to iterations).foldLeft(init) { (p, _) =>
+      graft.ops.Ops.pinIterationState(round(p))
+    }
+    fitted.select(explode(array(comparisons.zipWithIndex.map {
+      case ((name, _), i) => struct(lit(name).as("comparison"),
+        col(s"__m$i").as("m"), col(s"__u$i").as("u"),
+        col("__lambda").as("lambda"))
+    }: _*)).as("__r"))
+      .select(col("__r.comparison").as("comparison"), col("__r.m").as("m"),
+        col("__r.u").as("u"), col("__r.lambda").as("lambda"))
+  }
+
+  /** Fit-then-score convenience: [[fellegiSunterFit]] estimates (m, u)
+    * from the pairs themselves, then [[fellegiSunter]] scores with the
+    * fitted weights. The fit collects exactly `f` parameter rows to the
+    * driver (a bounded seam — the weights must become literals for the
+    * scorer's zero-shuffle projection); the pairs frame itself is
+    * never collected. If the fit lands at m ≤ u for some comparison,
+    * agreement on that field anti-correlates with the latent class —
+    * the comparison is broken or inverted, and the scorer's m > u
+    * guard fires rather than silently scoring with a flipped weight. */
+  def fellegiSunterAuto(
+      comparisons: Seq[(String, Column)],
+      upperThreshold: Double, lowerThreshold: Double,
+      iterations: Int = 5,
+      initialLambda: Double = 0.1,
+      initialM: Double = 0.9,
+      initialU: Double = 0.1)(pairs: DataFrame): DataFrame = {
+    val fitted = fellegiSunterFit(comparisons, iterations, initialLambda,
+      initialM, initialU)(pairs)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val scored = comparisons.map { case (name, agree) =>
+      val (m, u) = fitted(name)
+      (name, agree, m, u)
+    }
+    fellegiSunter(scored, upperThreshold, lowerThreshold)(pairs)
   }
 
   def fuzzyJoin(

@@ -95,6 +95,20 @@ object IncrementalIndex {
       (batch, idx) => Dedup.incrementalEmbeddingDedup(idField, vecField, idx,
         threshold, planes, dim, maxBucket)(batch))
 
+  /** The EXACT set-similarity leg: `(id, toks, n)` token-set index +
+    * true-Jaccard gate ([[Dedup.incrementalSetSimilarity]]'s semantics
+    * — guaranteed recall at `maxBucket = 0`, the recall-guarantee rung
+    * beside the probabilistic [[minhash]] leg; state is the token sets
+    * themselves, the price of exactness). */
+  def setSimilarity(
+      store: DataStore, name: String,
+      idField: String, tokensField: String, threshold: Double,
+      maxBucket: Int = 0): IncrementalIndex =
+    IncrementalIndex(store, name,
+      Dedup.ssjIndexRows(idField, tokensField),
+      (batch, idx) => Dedup.incrementalSetSimilarity(idField, tokensField,
+        idx, threshold, maxBucket)(batch))
+
   /** The binary/media leg: perceptual-hash index + exact
     * popcount-radius gate ([[BinaryOps.incrementalPerceptualDedup]]'s
     * semantics — complete recall at `maxHamming` ≤ 3 by pigeonhole). */

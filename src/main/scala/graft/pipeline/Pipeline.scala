@@ -778,6 +778,9 @@ final case class Pipeline(df: DataFrame) {
       tieBreak: Seq[String] = Nil): Pipeline =
     >>(TemporalOps.ohlcBuckets(tsField, valueField, bucketLength, keys,
       tieBreak))
+  def isotonicCalibration(score: Column, label: Column, bins: Int = 10,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.isotonicCalibration(score, label, bins, groupCols))
   def chiSquareSelect(features: Seq[String], label: Column): Pipeline =
     >>(Probes.chiSquareSelect(features, label))
   def proportionCI(success: Column, groupCols: Seq[String] = Nil,
@@ -808,15 +811,24 @@ final case class Pipeline(df: DataFrame) {
   def setSimilarityJoin(idField: String, tokensField: String,
       threshold: Double): Pipeline =
     >>(graft.ext.Dedup.setSimilarityJoin(idField, tokensField, threshold))
+  def fellegiSunterFit(comparisons: Seq[(String, Column)],
+      iterations: Int = 5): Pipeline =
+    >>(graft.ext.Dedup.fellegiSunterFit(comparisons, iterations))
+  def fellegiSunterAuto(comparisons: Seq[(String, Column)],
+      upperThreshold: Double, lowerThreshold: Double,
+      iterations: Int = 5): Pipeline =
+    >>(graft.ext.Dedup.fellegiSunterAuto(comparisons,
+      upperThreshold, lowerThreshold, iterations))
   def holtSmooth(keyField: String, tsField: String, valueField: String,
       alpha: Double, beta: Double, tieBreak: String,
       exactOrder: Boolean = true): Pipeline =
     >>(graft.ops.WindowOps.holtSmooth(keyField, tsField, valueField,
       alpha, beta, tieBreak, exactOrder))
   def rollingCorr(keys: Seq[String], orderFields: Seq[String],
-      xField: String, yField: String, window: Int): Pipeline =
+      xField: String, yField: String, window: Int,
+      exact: Boolean = true): Pipeline =
     >>(graft.ops.WindowOps.rollingCorr(keys, orderFields,
-      xField, yField, window))
+      xField, yField, window, exact))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

@@ -504,6 +504,78 @@ object Streaming {
       }
   }
 
+  /** Streaming rolling-Pearson monitor: carries each key's last
+    * `window` observed `(x, y)` pairs (1e-9-quantized to scaled
+    * integers — the batch op's money-column discipline) as typed group
+    * state and emits one stamped row per arriving event with the
+    * full-frame correlation — the unbounded-stream form of
+    * [[graft.ops.WindowOps.rollingCorr]] with the SAME arithmetic:
+    * exact integer sufficient statistics (BigInt here, decimal(38,0)
+    * there — both exact, so identical doubles fall out of the final
+    * `(n·Sxy − Sx·Sy)/(√vx·√vy)`), full frames only (NULL `corr` until
+    * `window` pairs have arrived), zero variance → NULL. Ordering
+    * contract = [[streamingCusum]]: event-time order within a
+    * micro-batch (sorted here), arrival order across batches; for a
+    * per-key ordered source the output equals the batch op's exactly —
+    * spec-pinned across a two-batch split. State per key is `window`
+    * long pairs (≤ 160 KB at the op's 10k window cap), no timeout. */
+  def streamingRollingCorr(
+      events: Dataset[CorrEvent], window: Int): Dataset[CorrStat] = {
+    import events.sparkSession.implicits._
+    require(window >= 2 && window <= 10000,
+      s"window must be in [2, 10000], got $window")
+    def q9(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 1e9)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CorrState, CorrStat](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          var buf = state.getOption.map(s => s.xs.zip(s.ys))
+            .getOrElse(Vector.empty[(Long, Long)]).toVector
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.tie)).map { e =>
+            buf = (buf :+ (q9(e.x), q9(e.y))).takeRight(window)
+            val n = buf.size
+            val corr = if (n < window) None else {
+              val sx = BigInt(buf.iterator.map(_._1).sum)
+              val sy = BigInt(buf.iterator.map(_._2).sum)
+              val sxx = buf.iterator.map(p => BigInt(p._1) * BigInt(p._1)).sum
+              val syy = buf.iterator.map(p => BigInt(p._2) * BigInt(p._2)).sum
+              val sxy = buf.iterator.map(p => BigInt(p._1) * BigInt(p._2)).sum
+              val vx = (n * sxx - sx * sx).doubleValue
+              val vy = (n * syy - sy * sy).doubleValue
+              if (vx <= 0.0 || vy <= 0.0) None
+              else Some((n * sxy - sx * sy).doubleValue /
+                (math.sqrt(vx) * math.sqrt(vy)))
+            }
+            CorrStat(key, e.ts, e.tie, e.x, e.y, n.toLong, corr)
+          }
+          state.update(CorrState(buf.map(_._1).toList, buf.map(_._2).toList))
+          out.iterator
+      }
+  }
+
+  /** Streaming Fellegi–Sunter scoring — the linkage decision layer
+    * over an unbounded candidate-pair feed (a streaming blocker's
+    * output, a CDC change stream joined to a master table): the batch
+    * scorer [[graft.ext.Dedup.fellegiSunter]] is a pure zero-state
+    * projection (driver-side log₂ weights as literals, one fixed-arity
+    * when-chain per row), so it lifts to Structured Streaming
+    * unmodified — this wrapper exists to make the streaming form
+    * discoverable and to pin the batch-parity contract in the spec.
+    * No watermark, no state store, append mode; m/u come from a prior
+    * [[graft.ext.Dedup.fellegiSunterFit]] over a batch sample (the
+    * fit itself is iterative and stays batch — EM over a stream is a
+    * different, windowed contract). */
+  def streamingFellegiSunter(
+      pairs: DataFrame,
+      comparisons: Seq[(String, Column, Double, Double)],
+      upperThreshold: Double, lowerThreshold: Double): DataFrame =
+    graft.ext.Dedup.fellegiSunter(comparisons,
+      upperThreshold, lowerThreshold)(pairs)
+
   /** Exactly-once dedup on key columns over an unbounded stream:
     * `dropDuplicatesWithinWatermark` keeps state only for the watermark
     * window, so a duplicate key is dropped even when it arrives with a
@@ -1142,6 +1214,19 @@ case class HoltStat(key: Long, ts: java.sql.Timestamp, tie: Long,
 case class CusumStat(key: Long, ts: java.sql.Timestamp, tie: Long,
     value: Double, cusum_pos: Double, cusum_neg: Double,
     shift_flag: Boolean)
+
+/** Input event for [[Streaming.streamingRollingCorr]]: one observed
+  * (x, y) measurement pair. */
+case class CorrEvent(key: Long, ts: java.sql.Timestamp, tie: Long,
+    x: Double, y: Double)
+
+/** [[Streaming.streamingRollingCorr]]'s per-key state: the last ≤
+  * `window` quantized (x·1e9, y·1e9) pairs, oldest first. */
+case class CorrState(xs: List[Long], ys: List[Long])
+
+/** One [[Streaming.streamingRollingCorr]] output row per event. */
+case class CorrStat(key: Long, ts: java.sql.Timestamp, tie: Long,
+    x: Double, y: Double, n: Long, corr: Option[Double])
 
 /** Input change row for [[Streaming.streamingScd2Current]]. */
 case class DimChange(key: Long, ts: java.sql.Timestamp, attr: String)

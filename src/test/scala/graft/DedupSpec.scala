@@ -670,6 +670,142 @@ class DedupSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](
       graft.ext.Dedup.setSimilarityJoin("id", "toks", 0.0)(docs))
+    // the positional filter CUTS candidates but never the output: same
+    // candidate machinery with the filter off is a strict superset
+    val base = graft.ext.Dedup.ssjBase("id", "toks", 0.5)(corpus)
+    val withPos = graft.ext.Dedup.ssjCandidates(base, 0.5,
+      positional = true).as[(Long, Long)].collect().toSet
+    val without = graft.ext.Dedup.ssjCandidates(base, 0.5,
+      positional = false).as[(Long, Long)].collect().toSet
+    assert(withPos.subsetOf(without))
+    assert(withPos.size < without.size,
+      s"positional filter should prune on this corpus: ${withPos.size} vs ${without.size}")
+    // and every true pair survives the pruned candidate set
+    val trueAtHalf = brute.filter(col("j") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(trueAtHalf.subsetOf(withPos))
+  }
+
+  test("incrementalSetSimilarity: brute-force parity, recall guarantee, cap knob") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // sliding token windows: consecutive ids overlap 7/13 ≈ 0.54 ≥ 0.5
+    val all = (1 to 80).map { i =>
+      (i.toLong, (0 until 10).map(j => s"t${(i * 3 + j) % 60}"))
+    }
+    val hist = all.filter(_._1 <= 40).toDF("id", "toks")
+    val batch = all.filter(_._1 > 40).toDF("id", "toks")
+    val idx = graft.ext.Dedup.ssjIndexRows("id", "toks")(hist)
+    assert(idx.columns.toSeq === Seq("id", "toks", "n"))
+    val out = graft.ext.Dedup.incrementalSetSimilarity("id", "toks",
+      idx, threshold = 0.5)(batch)
+    // brute-force truth: drop iff a history match OR a smaller-id
+    // in-batch match at true jaccard >= 0.5
+    def jac(a: Set[String], b: Set[String]): Double =
+      a.intersect(b).size.toDouble / a.union(b).size
+    val sets = all.map { case (i, t) => i -> t.toSet }.toMap
+    val bIds = all.map(_._1).filter(_ > 40)
+    val expected = bIds.filter { i =>
+      !(1L to 40L).exists(h => jac(sets(h), sets(i)) >= 0.5) &&
+        !bIds.filter(_ < i).exists(o => jac(sets(o), sets(i)) >= 0.5)
+    }.toSet
+    assert(out.select("id").as[Long].collect().toSet === expected)
+    // uncapped = guaranteed recall: every dropped doc has a real match
+    val dropped = bIds.toSet -- expected
+    assert(dropped.forall { i =>
+      (1L to 40L).exists(h => jac(sets(h), sets(i)) >= 0.5) ||
+        bIds.filter(_ < i).exists(o => jac(sets(o), sets(i)) >= 0.5)
+    })
+    // a tiny cap suppresses candidates -> never drops MORE than uncapped
+    val capped = graft.ext.Dedup.incrementalSetSimilarity("id", "toks",
+      idx, threshold = 0.5, maxBucket = 1)(batch)
+      .select("id").as[Long].collect().toSet
+    assert(expected.subsetOf(capped))
+    // empty/NULL token sets never match and always survive
+    val weird = Seq((900L, Seq.empty[String]), (901L, Seq("t3", "t4")))
+      .toDF("id", "toks")
+      .unionByName(Seq((902L, Option.empty[Seq[String]])).toDF("id", "toks"))
+    val wOut = graft.ext.Dedup.incrementalSetSimilarity("id", "toks",
+      idx, threshold = 0.5)(weird)
+      .select("id").as[Long].collect().toSet
+    assert(wOut.contains(900L) && wOut.contains(902L))
+    intercept[IllegalArgumentException](
+      graft.ext.Dedup.incrementalSetSimilarity("id", "toks",
+        idx.select("id", "toks"), threshold = 0.5)(batch))
+    intercept[IllegalArgumentException](
+      graft.ext.Dedup.incrementalSetSimilarity("id", "toks",
+        idx, threshold = 0.0)(batch))
+  }
+
+  test("fellegiSunterFit: recovers known m/u/lambda, missing doctrine, determinism, auto") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // synthetic linkage fixture with KNOWN parameters: 25% latent
+    // matches, three conditionally independent fields
+    val trueM = Seq(0.95, 0.85, 0.75)
+    val trueU = Seq(0.05, 0.15, 0.30)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 4000).map { i =>
+      val isMatch = rnd.nextDouble() < 0.25
+      def g(j: Int) =
+        rnd.nextDouble() < (if (isMatch) trueM(j) else trueU(j))
+      (i.toLong, g(0), g(1), g(2))
+    }
+    val pairs = rows.toDF("pid", "a0", "a1", "a2")
+    val comps = Seq(("f0", col("a0")), ("f1", col("a1")), ("f2", col("a2")))
+    val fit = graft.ext.Dedup.fellegiSunterFit(comps, iterations = 40)(pairs)
+      .orderBy("comparison").collect()
+    assert(fit.map(_.getString(0)).toSeq === Seq("f0", "f1", "f2"))
+    fit.zipWithIndex.foreach { case (r, j) =>
+      assert(math.abs(r.getAs[Double]("m") - trueM(j)) < 0.05,
+        s"m(${r.getString(0)}) = ${r.getAs[Double]("m")} vs ${trueM(j)}")
+      assert(math.abs(r.getAs[Double]("u") - trueU(j)) < 0.05,
+        s"u(${r.getString(0)}) = ${r.getAs[Double]("u")} vs ${trueU(j)}")
+      assert(math.abs(r.getAs[Double]("lambda") - 0.25) < 0.05)
+    }
+    // an all-missing comparison is unidentifiable: keeps its initial
+    // seed, and its factor-1 likelihood leaves the others' fit intact
+    val withNull = pairs.withColumn("a3", lit(null).cast("boolean"))
+    val fit4 = graft.ext.Dedup.fellegiSunterFit(
+      comps :+ ("f3" -> col("a3")), iterations = 40)(withNull)
+      .orderBy("comparison").collect()
+    val f3 = fit4.find(_.getString(0) == "f3").get
+    assert(f3.getAs[Double]("m") === 0.9 && f3.getAs[Double]("u") === 0.1)
+    fit4.filter(_.getString(0) != "f3").zip(fit).foreach { case (a, b) =>
+      assert(a.getAs[Double]("m") === b.getAs[Double]("m"))
+      assert(a.getAs[Double]("u") === b.getAs[Double]("u"))
+    }
+    // order-pinned folds: the fit is bit-for-bit deterministic across
+    // runs (repartitioned input, same result)
+    val fit2 = graft.ext.Dedup.fellegiSunterFit(comps, iterations = 40)(
+      pairs.repartition(7)).orderBy("comparison").collect()
+    fit.zip(fit2).foreach { case (a, b) =>
+      assert(a.getAs[Double]("m") === b.getAs[Double]("m") &&
+        a.getAs[Double]("u") === b.getAs[Double]("u") &&
+        a.getAs[Double]("lambda") === b.getAs[Double]("lambda"))
+    }
+    // auto: fitted weights feed the scorer; full agreement must outscore
+    // full disagreement, and decisions land by the thresholds
+    val scored = graft.ext.Dedup.fellegiSunterAuto(comps,
+      upperThreshold = 3.0, lowerThreshold = -3.0, iterations = 40)(pairs)
+    assert(scored.columns.contains("fs_score") &&
+      scored.columns.contains("fs_decision"))
+    val byPattern = scored
+      .groupBy("a0", "a1", "a2")
+      .agg(org.apache.spark.sql.functions.max("fs_score").as("sc"))
+      .collect().map(r => ((r.getBoolean(0), r.getBoolean(1),
+        r.getBoolean(2)), r.getAs[Double]("sc"))).toMap
+    assert(byPattern((true, true, true)) > byPattern((false, false, false)))
+    assert(scored.filter(col("a0") && col("a1") && col("a2"))
+      .select("fs_decision").distinct().as[String].collect().toSeq ===
+      Seq("match"))
+    intercept[IllegalArgumentException](graft.ext.Dedup.fellegiSunterFit(
+      comps, iterations = 0)(pairs))
+    intercept[IllegalArgumentException](graft.ext.Dedup.fellegiSunterFit(
+      Seq.fill(9)(("x", col("a0"))).zipWithIndex
+        .map { case ((_, c), i) => (s"x$i", c) }, iterations = 5)(pairs))
+    intercept[IllegalArgumentException](graft.ext.Dedup.fellegiSunterFit(
+      comps, initialM = 0.1, initialU = 0.5)(pairs))
   }
 
   test("fellegiSunter: log2(m/u) arithmetic, NULL evidence, thresholds, guards") {

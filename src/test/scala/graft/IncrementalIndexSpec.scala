@@ -117,6 +117,40 @@ class IncrementalIndexSpec extends SparkSpec {
     }
   }
 
+  test("setSimilarity leg: round-trip, hand-loop parity, append-idempotent re-crawl") {
+    withStore { store =>
+      def toks(s: String) = s.split(' ').toSeq
+      val corpus = Seq(
+        (0L, toks("alpha beta gamma delta epsilon zeta")),
+        (1L, toks("one two three four five six seven")),
+        (2L, toks("red green blue yellow purple orange")))
+        .toDF("doc_id", "toks")
+      val idx = IncrementalIndex.setSimilarity(store, "tokensets",
+        "doc_id", "toks", threshold = 0.5)
+      idx.create(corpus)
+      assert(idx.load().count() === 3)
+      assert(idx.load().columns.toSeq === Seq("id", "toks", "n"))
+      // 100 shares 5/7 with corpus doc 0 (j = 5/7 ≥ .5); 101+102 are an
+      // in-batch near-pair (5 shared of 6 ∪ 6 → j = 5/7, larger id
+      // loses); 103 is novel
+      val batch = Seq(
+        (100L, toks("alpha beta gamma delta epsilon eta")),
+        (101L, toks("cat dog bird fish mouse horse")),
+        (102L, toks("cat dog bird fish mouse zebra")),
+        (103L, toks("totally disjoint tokens here now then")))
+        .toDF("doc_id", "toks")
+      val byHand = Dedup.incrementalSetSimilarity("doc_id", "toks",
+        idx.load(), threshold = 0.5)(batch)
+      val survivors = idx.ingest(batch)
+      assert(ids(survivors, "doc_id") === ids(byHand, "doc_id"))
+      assert(ids(survivors, "doc_id") === Set(101L, 103L))
+      assert(idx.load().count() === 5)
+      val recrawl = batch.withColumn("doc_id", col("doc_id") + 100L)
+      assert(idx.ingest(recrawl).count() === 0)
+      assert(idx.load().count() === 5)
+    }
+  }
+
   test("perceptual leg: round-trip, hand-loop parity, append-idempotent re-crawl") {
     withStore { store =>
       def blob(seed: Int): Array[Byte] = {

@@ -65,6 +65,7 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_eval",        // broadcast one-row exact-truth pair count
     "label_agreement",   // broadcast one-row pe-numerator aggregate
     "score_calibration", // broadcast one-row ECE aggregate
+    "label_qa",          // composes both of the above — same one-row builds
     "collocations",      // broadcast one-row unigram + bigram totals
     "ann_recall_eval",   // broadcast query set + one-row truth count
     "histogram_2d",      // broadcast one-row cell-count total

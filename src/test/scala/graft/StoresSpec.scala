@@ -816,5 +816,24 @@ class StoresSpec extends SparkSpec {
       .result.orderBy("item").collect()
     assert(bt.map(_.getAs[Long]("wins")).toSeq === Seq(2L, 0L))
     assert(bt(1).getAs[Double]("strength") === 0.0)
+    val iso = Pipeline(Seq((0.1, true), (0.9, false)).toDF("s", "y"))
+      .isotonicCalibration(col("s"), col("y"))
+      .result.orderBy("bin").collect()
+    assert(iso.map(_.getAs[Double]("calibrated")).toSeq === Seq(0.5, 0.5))
+    val fitPairs = (Seq.fill(10)((true, true)) ++
+      Seq.fill(10)((false, false)) ++ Seq((true, false))).toDF("a", "b")
+    val fsFit = Pipeline(fitPairs)
+      .fellegiSunterFit(Seq(("fa", col("a")), ("fb", col("b"))),
+        iterations = 2)
+      .result.orderBy("comparison").collect()
+    assert(fsFit.map(_.getString(0)).toSeq === Seq("fa", "fb"))
+    assert(fsFit.forall(r => r.getAs[Double]("m") > 0 &&
+      r.getAs[Double]("m") < 1))
+    val fsAuto = Pipeline(fitPairs)
+      .fellegiSunterAuto(Seq(("fa", col("a")), ("fb", col("b"))),
+        upperThreshold = 100.0, lowerThreshold = -100.0, iterations = 2)
+      .result
+    assert(fsAuto.columns.contains("fs_score") &&
+      fsAuto.filter(col("fs_decision") =!= "possible").count() === 0L)
   }
 }

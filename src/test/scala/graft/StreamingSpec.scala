@@ -1198,6 +1198,85 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRollingCorr carries the pair window across micro-batches, matching batch") {
+    import graft.streaming.{CorrEvent, CorrStat}
+    val input = MemoryStream[CorrEvent]
+    val out = Streaming.streamingRollingCorr(input.toDS(), window = 3)
+    val q = out.writeStream.format("memory").queryName("rcorr")
+      .outputMode("append").start()
+    try {
+      // y = 2x + 1 then a break: first two events in batch 1, rest in
+      // batch 2 — the frame spans the split
+      input.addData(
+        CorrEvent(1L, ts("09:00"), 1L, 1.0, 3.0),
+        CorrEvent(1L, ts("09:01"), 2L, 2.0, 5.0))
+      q.processAllAvailable()
+      input.addData(
+        CorrEvent(1L, ts("09:02"), 3L, 3.0, 7.0),
+        CorrEvent(1L, ts("09:03"), 4L, 4.0, 2.0))
+      q.processAllAvailable()
+      val got = spark.table("rcorr").orderBy("tie")
+        .as[CorrStat].collect().toSeq
+      assert(got.map(_.n) === Seq(1L, 2L, 3L, 3L))
+      // partial frames NULL; full linear frame = 1 (within sqrt ulp)
+      assert(got.take(2).forall(_.corr.isEmpty))
+      assert(math.abs(got(2).corr.get - 1.0) < 1e-12)
+      assert(got(3).corr.get < 0.5) // the break shows immediately
+      // batch parity: the exact WindowOps frame on the same rows —
+      // identical doubles (BigInt vs decimal(38,0), both exact)
+      val batch = Seq(
+        (1L, 1L, 1.0, 3.0), (1L, 2L, 2.0, 5.0),
+        (1L, 3L, 3.0, 7.0), (1L, 4L, 4.0, 2.0))
+        .toDF("k", "tb", "x", "y")
+      val want = graft.ops.WindowOps.rollingCorr(Seq("k"), Seq("tb"),
+        "x", "y", window = 3)(batch)
+        .orderBy("tb").select("n", "corr")
+        .as[(Long, Option[Double])].collect().toSeq
+      assert(got.map(s => (s.n, s.corr)) === want)
+      // zero x-variance full frame is NULL, not ±1
+      input.addData(
+        CorrEvent(2L, ts("09:00"), 1L, 5.0, 1.0),
+        CorrEvent(2L, ts("09:01"), 2L, 5.0, 2.0),
+        CorrEvent(2L, ts("09:02"), 3L, 5.0, 3.0))
+      q.processAllAvailable()
+      val flat = spark.table("rcorr")
+        .filter(org.apache.spark.sql.functions.col("key") === 2L)
+        .orderBy("tie").as[CorrStat].collect()
+      assert(flat.length === 3 && flat.forall(_.corr.isEmpty))
+    } finally q.stop()
+    intercept[IllegalArgumentException](
+      Streaming.streamingRollingCorr(input.toDS(), window = 1))
+  }
+
+  test("streamingFellegiSunter scores an unbounded pair feed; batch parity") {
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Long, String, String, Double, Double)]
+    val comps = Seq(
+      ("name", col("_3") === col("_4"), 0.9, 0.1),
+      ("bal", abs(col("_5") - col("_6")) < 100.0, 0.8, 0.2))
+    val out = Streaming.streamingFellegiSunter(input.toDF(),
+      comps, upperThreshold = 4.0, lowerThreshold = 0.0)
+    val q = out.writeStream.format("memory").queryName("fsstream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 2L, "ann", "ann", 50.0, 60.0))
+      q.processAllAvailable()
+      input.addData((3L, 4L, "bob", "rob", 50.0, 900.0))
+      q.processAllAvailable()
+      val got = spark.table("fsstream").orderBy("_1")
+        .select("fs_score", "fs_decision")
+        .as[(Double, String)].collect().toSeq
+      // batch parity: the same projection over the same rows
+      val batch = Seq((1L, 2L, "ann", "ann", 50.0, 60.0),
+        (3L, 4L, "bob", "rob", 50.0, 900.0)).toDF()
+      val want = graft.ext.Dedup.fellegiSunter(comps, 4.0, 0.0)(batch)
+        .orderBy("_1").select("fs_score", "fs_decision")
+        .as[(Double, String)].collect().toSeq
+      assert(got === want)
+      assert(got.head._2 === "match" && got.last._2 === "non_match")
+    } finally q.stop()
+  }
+
   test("streamingSemanticDecontaminate drops on bucket-collide AND verify; batch parity") {
     import graft.ext.{Dedup, Similarity}
     import org.apache.spark.sql.functions._
