@@ -90,6 +90,31 @@ private[graft] object QueriesProbes {
       Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
         col("lang") === "en", bins = 10)(corpus(s, dir, "documents"))
     },
+    "fleiss_kappa" -> { (s, dir) =>
+      // multi-rater agreement beyond Cohen's two: each user's events
+      // are ratings of the user — variable n per item, the generalized
+      // form; "do users stick to one event type" as chance-corrected κ
+      Probes.fleissKappa((col("user_id") % 200), col("event_type"))(
+        table(s, dir, "events"))
+    },
+    "bootstrap_ci" -> { (s, dir) =>
+      // per-segment mean balance with an honest uncertainty band: 100
+      // Poisson(1)-weighted resamples from deterministic md5 draws —
+      // one explode, |groups|·reps shuffle rows, percentile interval
+      Probes.bootstrapCI(col("c_custkey"), col("c_acctbal"),
+        reps = 100, groupCols = Seq("c_mktsegment"))(
+        table(s, dir, "customer"))
+        .orderBy("c_mktsegment")
+    },
+    "permutation_test" -> { (s, dir) =>
+      // is each event type's mean value actually away from 20, or is
+      // the gap noise? sign-flip resamples on exact integer sums; the
+      // p-value is a ratio of exact counts
+      Probes.permutationTest(col("event_id"), col("value"), lit(20.0),
+        reps = 100, groupCols = Seq("event_type"))(
+        table(s, dir, "events"))
+        .orderBy("event_type")
+    },
     "label_qa" -> { (s, dir) =>
       // the composed label-QA report: labeler agreement (kappa), score
       // calibration (ECE), and a chi-square screen of the source
@@ -408,6 +433,100 @@ private[graft] object QueriesProbes {
         UNION ALL
         SELECT 'kappa', kappa FROM ($labelAgreementSql) __la)
       ORDER BY metric""",
+    // mirrors Probes.fleissKappa: exact per-item/category counts,
+    // item- and label-pinned folds, the fixed κ division dag
+    "fleiss_kappa" -> """
+      WITH r AS (SELECT user_id % 200 AS i,
+          CAST(event_type AS VARCHAR) AS l
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      cells AS (SELECT i, l, CAST(count(*) AS BIGINT) AS nij
+        FROM r GROUP BY 1, 2),
+      items AS (SELECT i, CAST(sum(nij) AS BIGINT) AS ni,
+          CAST(sum(nij * nij) AS BIGINT) AS s2 FROM cells GROUP BY 1),
+      kept AS (SELECT i, ni,
+          CAST(s2 - ni AS DOUBLE) / CAST(ni * (ni - 1) AS DOUBLE) AS pi
+        FROM items WHERE ni >= 2),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+          CAST(sum(ni) AS BIGINT) AS n_ratings,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(pi ORDER BY i)), (a, x) -> a + x) AS psum
+        FROM kept),
+      marg AS (SELECT l, CAST(sum(nij) AS BIGINT) AS cj
+        FROM cells JOIN kept USING (i) GROUP BY l),
+      pe AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list((CAST(cj AS DOUBLE) / CAST(n_ratings AS DOUBLE))
+            * (CAST(cj AS DOUBLE) / CAST(n_ratings AS DOUBLE))
+            ORDER BY l)), (a, x) -> a + x) AS p_e
+        FROM marg CROSS JOIN tot)
+      SELECT n_items, n_ratings,
+        psum / CAST(n_items AS DOUBLE) AS p_bar, p_e,
+        CASE WHEN p_e = 1e0 THEN NULL
+          ELSE (psum / CAST(n_items AS DOUBLE) - p_e) / (1e0 - p_e)
+        END AS kappa
+      FROM tot CROSS JOIN pe""",
+    // mirrors Probes.bootstrapCI: the same md5-u32 Poisson draws
+    // (integer cutoffs), HUGEINT weighted sums, (mean, rep)-ordered
+    // percentile selection
+    "bootstrap_ci" -> s"""
+      WITH b AS (SELECT c_mktsegment AS g,
+          CAST(c_custkey AS VARCHAR) AS k,
+          CAST(round(c_acctbal * 1e9, 0) AS BIGINT) AS x9
+        FROM customer
+        WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL),
+      o AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+          CAST(CAST(sum(x9) AS HUGEINT) AS DOUBLE)
+            / (CAST(count(*) AS DOUBLE) * 1e9) AS mean
+        FROM b GROUP BY g),
+      e AS (SELECT g, k, x9, CAST(r.rep AS INT) AS rep
+        FROM b CROSS JOIN range(0, 100) r(rep)),
+      u AS (SELECT g, rep, x9,
+          ${md5u32Sql("k || '_' || CAST(rep AS VARCHAR)", "bs")} AS u32
+        FROM e),
+      w AS (SELECT g, rep, x9, ${poissonWeightSql("u32")} AS w FROM u),
+      rm AS (SELECT g, rep, CAST(sum(w) AS BIGINT) AS sw,
+          CAST(sum(CAST(w AS HUGEINT) * x9) AS HUGEINT) AS swx
+        FROM w GROUP BY g, rep),
+      m AS (SELECT g, rep,
+          CAST(swx AS DOUBLE) / (CAST(sw AS DOUBLE) * 1e9) AS m
+        FROM rm WHERE sw > 0),
+      ci AS (SELECT g, CAST(count(*) AS BIGINT) AS reps,
+          (list(m ORDER BY m, rep))[greatest(
+            CAST(ceil(${litD(0.025)} * count(*) - 1e-9) AS INT), 1)]
+            AS ci_low,
+          (list(m ORDER BY m, rep))[greatest(
+            CAST(ceil(${litD(0.975)} * count(*) - 1e-9) AS INT), 1)]
+            AS ci_high
+        FROM m GROUP BY g)
+      SELECT o.g AS c_mktsegment, n, mean, reps, ci_low, ci_high
+      FROM o JOIN ci ON o.g = ci.g
+      ORDER BY c_mktsegment""",
+    // mirrors Probes.permutationTest: md5 high-bit sign flips, exact
+    // HUGEINT sums, integer |t| >= |obs| comparison, one final division
+    "permutation_test" -> s"""
+      WITH b AS (SELECT event_type AS g,
+          CAST(event_id AS VARCHAR) AS k,
+          CAST(round((value - 2e1) * 1e9, 0) AS BIGINT) AS d9
+        FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      o AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(d9) AS HUGEINT) AS sd FROM b GROUP BY g),
+      e AS (SELECT g, k, d9, CAST(r.rep AS INT) AS rep
+        FROM b CROSS JOIN range(0, 100) r(rep)),
+      u AS (SELECT g, rep, d9,
+          ${md5u32Sql("k || '_' || CAST(rep AS VARCHAR)", "pt")} AS u32
+        FROM e),
+      t AS (SELECT g, rep, CAST(sum(CAST(
+          CASE WHEN u32 < 2147483648 THEN 1 ELSE -1 END AS HUGEINT) * d9)
+          AS HUGEINT) AS t
+        FROM u GROUP BY g, rep),
+      h AS (SELECT t.g, CAST(sum(CASE WHEN abs(t.t) >= abs(o.sd)
+          THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM t JOIN o ON t.g = o.g GROUP BY t.g)
+      SELECT o.g AS event_type, n,
+        CAST(sd AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) AS mean_diff,
+        CAST(100 AS BIGINT) AS reps,
+        CAST(hits + 1 AS DOUBLE) / ${litD(101.0)} AS p_value
+      FROM o JOIN h ON o.g = h.g
+      ORDER BY event_type""",
     // mirrors Probes.isotonicCalibration: per-bin exact (n, k) counts,
     // prefix sums, then the weighted-PAV min-max closed form
     // ŷ_b = max_{i≤b} min_{j≥b} (K_j−K_i)/(N_j−N_i) — every candidate

@@ -806,6 +806,22 @@ private[graft] object QueryHelpers {
                AS DOUBLE) - 75e-1))""")} >= CAST(0 AS DOUBLE)
           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
 
+  /** md5 32-bit-prefix uint — mirrors `GraftFunctions.md5Prefix32`
+    * (the library's every deterministic "random" draw). */
+  def md5u32Sql(expr: String, salt: String = ""): String =
+    s"""list_sum(list_transform(range(1,9), j ->
+        (strpos('0123456789abcdef',
+          substr(md5('$salt' || ($expr)), j, 1)) - 1)
+        * CAST(16**(8-j) AS BIGINT)))"""
+
+  /** Poisson(1) weight from a u32 draw — mirrors `Probes.poissonWeight`
+    * (same driver-computed integer cutoffs, nested-CASE shape). */
+  def poissonWeightSql(u32Col: String): String =
+    graft.probes.Probes.poissonCutoffs.zipWithIndex.foldRight("8") {
+      case ((cut, k), rest) =>
+        s"CASE WHEN ($u32Col) < $cut THEN $k ELSE $rest END"
+    }
+
   /** Unrolled Fellegi–Sunter EM oracle — mirrors `Dedup.fellegiSunterFit`
     * round for round: the γ∈{1,0,−1} pattern frame, then per round one
     * CROSS JOIN of the 1-row parameter CTE, fixed-order likelihood

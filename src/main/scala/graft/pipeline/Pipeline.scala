@@ -781,6 +781,17 @@ final case class Pipeline(df: DataFrame) {
   def isotonicCalibration(score: Column, label: Column, bins: Int = 10,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.isotonicCalibration(score, label, bins, groupCols))
+  def fleissKappa(item: Column, label: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.fleissKappa(item, label, groupCols))
+  def bootstrapCI(keyCol: Column, value: Column, reps: Int = 200,
+      alpha: Double = 0.05, salt: String = "bs",
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.bootstrapCI(keyCol, value, reps, alpha, salt, groupCols))
+  def permutationTest(keyCol: Column, a: Column, b: Column,
+      reps: Int = 200, salt: String = "pt",
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.permutationTest(keyCol, a, b, reps, salt, groupCols))
   def chiSquareSelect(features: Seq[String], label: Column): Pipeline =
     >>(Probes.chiSquareSelect(features, label))
   def proportionCI(success: Column, groupCols: Seq[String] = Nil,

@@ -1110,6 +1110,212 @@ object Probes {
               .cast("double"))).as("cramers_v"))
   }
 
+  /** Fleiss' kappa — chance-corrected agreement for MORE THAN TWO
+    * raters, the gap [[labelAgreement]] (Cohen, exactly 2) leaves
+    * open: every labeling pipeline that routes each item to 3+
+    * annotators or ensembles 3+ classifiers grades itself with this.
+    * Input is the natural long frame — one row per RATING
+    * `(item, label)` — not a ratings matrix; the variable-n
+    * generalization is used, so items may carry different rating
+    * counts (items with fewer than 2 ratings drop — pairwise
+    * agreement is undefined on them).
+    *
+    * `P_i = (Σ_j n_ij² − n_i)/(n_i(n_i−1))` (the fraction of agreeing
+    * rating pairs within item i), `P̄ = Σ_i P_i / I`,
+    * `p_j = Σ_i n_ij / N`, `P_e = Σ_j p_j²`,
+    * `κ = (P̄ − P_e)/(1 − P_e)` — every count exact, every division a
+    * fixed node the oracle mirrors, both Σ folds order-pinned (items
+    * by id, categories by label) so the floats hash-match. P_e = 1
+    * (single category everywhere) → NULL κ. NULL items/labels drop.
+    * Two hash-aggs + two bounded folds; one corpus scan. Output per
+    * group: `n_items, n_ratings, p_bar, p_e, kappa`. */
+  def fleissKappa(item: Column, label: Column,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val grp = groupCols.map(col)
+    val cells = df
+      .filter(item.isNotNull && label.isNotNull)
+      .select(grp :+ item.as("__i") :+ label.cast("string").as("__l"): _*)
+      .groupBy(grp :+ col("__i") :+ col("__l"): _*)
+      .agg(count(lit(1)).as("__nij"))
+    val items = cells
+      .groupBy(grp :+ col("__i"): _*)
+      .agg(sum(col("__nij")).as("__ni"),
+        sum(col("__nij") * col("__nij")).as("__s2"))
+      .filter(col("__ni") >= 2)
+      .withColumn("__pi",
+        (col("__s2") - col("__ni")).cast("double") /
+          (col("__ni") * (col("__ni") - 1)).cast("double"))
+      .localCheckpoint() // feeds P̄, N, AND the marginals' keep-join
+    def fold(key: Column, term: Column) =
+      org.apache.spark.sql.functions.aggregate(
+        sort_array(collect_list(struct(key.as("__k"), term.as("__t")))),
+        lit(0.0), (acc, x) => acc + x.getField("__t"))
+    val totals =
+      (if (grp.isEmpty) items.groupBy() else items.groupBy(grp: _*))
+        .agg(count(lit(1)).as("n_items"), sum(col("__ni")).as("n_ratings"),
+          fold(col("__i"), col("__pi")).as("__psum"))
+    // marginals over KEPT items only (the variable-n convention)
+    val kept = items.select(grp :+ col("__i"): _*)
+    val marg = cells.join(kept, groupCols :+ "__i")
+      .groupBy(grp :+ col("__l"): _*)
+      .agg(sum(col("__nij")).as("__cj"))
+    val pe =
+      (if (grp.isEmpty) marg.crossJoin(totals)
+       else marg.join(totals, groupCols))
+        .withColumn("__pj",
+          col("__cj").cast("double") / col("n_ratings").cast("double"))
+    val peAgg =
+      (if (grp.isEmpty) pe.groupBy() else pe.groupBy(grp: _*))
+        .agg(fold(col("__l"), col("__pj") * col("__pj")).as("p_e"))
+    (if (grp.isEmpty) totals.crossJoin(peAgg)
+     else totals.join(peAgg, groupCols))
+      .withColumn("p_bar",
+        col("__psum") / col("n_items").cast("double"))
+      .select(grp ++ Seq(col("n_items"), col("n_ratings"), col("p_bar"),
+        col("p_e"),
+        when(col("p_e") === 1.0, lit(null).cast("double"))
+          .otherwise((col("p_bar") - col("p_e")) /
+            (lit(1.0) - col("p_e"))).as("kappa")): _*)
+  }
+
+  /** Per-rep Poisson(1) weight from the repo's md5-uint32 draw: the
+    * inverse-CDF thresholds are driver-computed ONCE, floored onto the
+    * integer 2³² grid, and compared as plain longs — the whole draw is
+    * integer arithmetic, exact cross-engine. P(w > 8) < 1e-8: the tail
+    * clamps at 8. */
+  private[graft] val poissonCutoffs: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    (0 to 7).map { k =>
+      val cdf = (0 to k).foldLeft(0.0) { (acc, j) =>
+        acc + e1 / (1 to j).foldLeft(1.0)(_ * _)
+      }
+      math.floor(cdf * 4294967296.0).toLong
+    }
+  }
+
+  private[graft] def poissonWeight(u32: Column): Column =
+    poissonCutoffs.zipWithIndex.foldRight(lit(8): Column) {
+      case ((cut, k), rest) => when(u32 < cut, lit(k)).otherwise(rest)
+    }
+
+  /** Poisson-bootstrap confidence interval for a per-group mean — the
+    * distributed bootstrap (one pass, no resampled copies of the
+    * corpus): each row's multiplicity in resample b is a Poisson(1)
+    * draw keyed on `md5(salt ++ key ++ '_' ++ b)`, so the B resamples
+    * materialize as ONE explode to (group, rep) partial sums —
+    * map-side combine collapses the shuffle to |groups|·B rows
+    * regardless of corpus size. Every resample mean is an exact-integer
+    * ratio (values 1e-9-quantized, weighted sums in decimal(38,0)),
+    * the interval is the percentile method on the B means (sorted by
+    * (value, rep) — total order, engine-identical selection), and the
+    * whole draw is deterministic: rerun-identical, oracle-replayable.
+    * `keyCol` must identify rows uniquely (duplicate keys draw
+    * identical weights — correlated resamples); reps with zero total
+    * weight (only plausible for tiny groups) drop. Output per group:
+    * `n, mean, reps, ci_low, ci_high`. */
+  def bootstrapCI(keyCol: Column, value: Column, reps: Int = 200,
+      alpha: Double = 0.05, salt: String = "bs",
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    require(reps >= 10 && reps <= 10000,
+      s"reps must be in [10, 10000], got $reps")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    val grp = groupCols.map(col)
+    val d38 = "decimal(38,0)"
+    val base = df
+      .filter(value.isNotNull && keyCol.isNotNull)
+      .select(grp :+ keyCol.cast("string").as("__key") :+
+        round(value.cast("double") * 1e9, 0).cast("decimal(19,0)")
+          .as("__x9"): _*)
+    val overall =
+      (if (grp.isEmpty) base.groupBy() else base.groupBy(grp: _*))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("__x9")).cast("double") /
+            (count(lit(1)).cast("double") * 1e9)).as("mean"))
+    val repMeans = base
+      .select(grp :+ col("__key") :+ col("__x9") :+
+        explode(sequence(lit(0), lit(reps - 1))).as("__rep"): _*)
+      .withColumn("__w", poissonWeight(
+        graft.functions.GraftFunctions.md5Prefix32(
+          concat(col("__key"), lit("_"), col("__rep")), salt)))
+      .groupBy(grp :+ col("__rep"): _*)
+      .agg(sum(col("__w").cast("long")).as("__sw"),
+        sum((col("__w") * col("__x9")).cast(d38)).as("__swx"))
+      .filter(col("__sw") > 0)
+      .withColumn("__m", col("__swx").cast("double") /
+        (col("__sw").cast("double") * 1e9))
+    val ci =
+      (if (grp.isEmpty) repMeans.groupBy() else repMeans.groupBy(grp: _*))
+        .agg(sort_array(collect_list(
+          struct(col("__m"), col("__rep")))).as("__ms"))
+        .select(grp ++ Seq(size(col("__ms")).cast("long").as("reps"),
+          element_at(col("__ms"), greatest(
+            ceil(lit(alpha / 2.0) * size(col("__ms")) - lit(1e-9))
+              .cast("int"), lit(1))).getField("__m").as("ci_low"),
+          element_at(col("__ms"), greatest(
+            ceil(lit(1.0 - alpha / 2.0) * size(col("__ms")) - lit(1e-9))
+              .cast("int"), lit(1))).getField("__m").as("ci_high")): _*)
+    (if (grp.isEmpty) overall.crossJoin(ci)
+     else overall.join(ci, groupCols))
+      .select(grp ++ Seq(col("n"), col("mean"), col("reps"),
+        col("ci_low"), col("ci_high")): _*)
+  }
+
+  /** Paired permutation test — "is system A actually better than B on
+    * this eval, or is the gap noise?": under the null the per-item
+    * differences are symmetric around 0, so each resample flips every
+    * difference's sign by an independent deterministic coin
+    * (`md5(salt ++ key ++ '_' ++ b)` high bit) and the p-value is the
+    * fraction of resamples whose |Σ flipped| reaches the observed |Σ|
+    * — with the standard +1 smoothing `(1 + hits)/(reps + 1)` so p is
+    * never an impossible 0. EVERYTHING is integer arithmetic until
+    * the final division: differences 1e-9-quantize, sums are
+    * decimal(38,0), and the comparison is |t_b| ≥ |t_obs| on exact
+    * integers — no float tolerance anywhere, bit-identical
+    * cross-engine. Same one-explode shuffle shape as [[bootstrapCI]]:
+    * |groups|·reps partial-sum rows, corpus scanned once per frame.
+    * Output per group: `n, mean_diff, reps, p_value`. */
+  def permutationTest(keyCol: Column, a: Column, b: Column,
+      reps: Int = 200, salt: String = "pt",
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    require(reps >= 10 && reps <= 10000,
+      s"reps must be in [10, 10000], got $reps")
+    val grp = groupCols.map(col)
+    val d38 = "decimal(38,0)"
+    val base = df
+      .filter(a.isNotNull && b.isNotNull && keyCol.isNotNull)
+      .select(grp :+ keyCol.cast("string").as("__key") :+
+        round((a.cast("double") - b.cast("double")) * 1e9, 0)
+          .cast("decimal(19,0)").as("__d9"): _*)
+    val observed =
+      (if (grp.isEmpty) base.groupBy() else base.groupBy(grp: _*))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__d9")).cast(d38).as("__sd"))
+        .withColumn("mean_diff",
+          col("__sd").cast("double") / (col("n").cast("double") * 1e9))
+    val flips = base
+      .select(grp :+ col("__key") :+ col("__d9") :+
+        explode(sequence(lit(0), lit(reps - 1))).as("__rep"): _*)
+      .withColumn("__s", when(
+        graft.functions.GraftFunctions.md5Prefix32(
+          concat(col("__key"), lit("_"), col("__rep")), salt)
+          < 2147483648L, lit(1)).otherwise(lit(-1)))
+      .groupBy(grp :+ col("__rep"): _*)
+      .agg(sum((col("__s") * col("__d9")).cast(d38)).as("__t"))
+    val joined =
+      if (grp.isEmpty) flips.crossJoin(broadcast(observed))
+      else flips.join(observed, groupCols)
+    val hits =
+      (if (grp.isEmpty) joined.groupBy() else joined.groupBy(grp: _*))
+        .agg(sum(when(abs(col("__t")) >= abs(col("__sd")), 1L)
+          .otherwise(0L)).as("__hits"))
+    (if (grp.isEmpty) observed.crossJoin(hits)
+     else observed.join(hits, groupCols))
+      .select(grp ++ Seq(col("n"), col("mean_diff"),
+        lit(reps.toLong).as("reps"),
+        ((col("__hits") + 1).cast("double") /
+          lit((reps + 1).toDouble)).as("p_value")): _*)
+  }
+
   /** Wilson score interval for a per-group pass/success rate — the
     * slice-eval report with honest uncertainty: a 96%-accurate slice
     * of 25 examples and one of 25,000 are different facts, and the

@@ -66,6 +66,7 @@ class PlanAuditSpec extends SparkSpec {
     "label_agreement",   // broadcast one-row pe-numerator aggregate
     "score_calibration", // broadcast one-row ECE aggregate
     "label_qa",          // composes both of the above — same one-row builds
+    "fleiss_kappa",      // broadcast one-row totals (N, P̄) into the κ dag
     "collocations",      // broadcast one-row unigram + bigram totals
     "ann_recall_eval",   // broadcast query set + one-row truth count
     "histogram_2d",      // broadcast one-row cell-count total

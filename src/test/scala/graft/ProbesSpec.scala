@@ -603,6 +603,140 @@ class ProbesSpec extends SparkSpec {
       Probes.chiSquareSelect(Seq("f1", "f1"), col("lab"))(df))
   }
 
+  test("fleissKappa: hand-checked fixture, perfect/degenerate cases, variable n") {
+    import spark.implicits._
+    // items A(x,x,x) B(x,x,y) C(x,y,y): P̄ = 5/9 AND P_e = 5/9 → κ = 0
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "x"), ("B", "y"),
+      ("C", "x"), ("C", "y"), ("C", "y")).toDF("i", "l")
+    val r = Probes.fleissKappa(col("i"), col("l"))(df).head()
+    assert(r.getAs[Long]("n_items") === 3L && r.getAs[Long]("n_ratings") === 9L)
+    assert(math.abs(r.getAs[Double]("p_bar") - 5.0 / 9.0) < 1e-15)
+    assert(math.abs(r.getAs[Double]("p_e") - 5.0 / 9.0) < 1e-15)
+    assert(math.abs(r.getAs[Double]("kappa")) < 1e-12)
+    // perfect agreement across two categories → κ = 1
+    val perfect = Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+      .toDF("i", "l")
+    assert(Probes.fleissKappa(col("i"), col("l"))(perfect)
+      .head().getAs[Double]("kappa") === 1.0)
+    // one category everywhere → P_e = 1 → NULL κ
+    val mono = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "x"))
+      .toDF("i", "l")
+    val m = Probes.fleissKappa(col("i"), col("l"))(mono).head()
+    assert(m.isNullAt(m.fieldIndex("kappa")))
+    // single-rating items drop entirely (from counts AND marginals)
+    val withSingleton = df.unionByName(Seq(("D", "z")).toDF("i", "l"))
+    val s = Probes.fleissKappa(col("i"), col("l"))(withSingleton).head()
+    assert(s.getAs[Long]("n_items") === 3L &&
+      s.getAs[Long]("n_ratings") === 9L &&
+      math.abs(s.getAs[Double]("kappa")) < 1e-12)
+    // variable n: item D with 4 raters joins the pool; NULLs drop
+    val varN = df.unionByName(Seq(("D", "y"), ("D", "y"), ("D", "y"),
+      ("D", "y")).toDF("i", "l"))
+      .unionByName(Seq((Option.empty[String], Option("x")),
+        (Option("E"), Option.empty[String])).toDF("i", "l"))
+    val v = Probes.fleissKappa(col("i"), col("l"))(varN).head()
+    assert(v.getAs[Long]("n_items") === 4L &&
+      v.getAs[Long]("n_ratings") === 13L)
+    // D is pure agreement: P̄ rises above the κ=0 fixture's 5/9
+    assert(v.getAs[Double]("p_bar") > 5.0 / 9.0)
+    // grouped: independent κ per group
+    val g = Probes.fleissKappa(col("i"), col("l"), Seq("g"))(
+      df.withColumn("g", lit("a"))
+        .unionByName(perfect.withColumn("g", lit("b"))))
+      .orderBy("g").collect()
+    assert(math.abs(g(0).getAs[Double]("kappa")) < 1e-12 &&
+      g(1).getAs[Double]("kappa") === 1.0)
+  }
+
+  test("bootstrapCI: deterministic, exact on constants, Poisson weight sanity") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+    val r = Probes.bootstrapCI(col("k"), col("v"), reps = 100)(df).head()
+    assert(r.getAs[Long]("n") === 100L)
+    assert(r.getAs[Double]("mean") === 50.5)
+    assert(r.getAs[Long]("reps") === 100L)
+    assert(r.getAs[Double]("ci_low") < 50.5 &&
+      r.getAs[Double]("ci_high") > 50.5)
+    // the interval is a plausible bootstrap band for mean of U(1..100):
+    // se ≈ 2.9, so ±3·se bounds it generously
+    assert(r.getAs[Double]("ci_low") > 50.5 - 9.0 &&
+      r.getAs[Double]("ci_high") < 50.5 + 9.0)
+    // rerun-identical (hash draws, not RNG) — even repartitioned
+    val r2 = Probes.bootstrapCI(col("k"), col("v"), reps = 100)(
+      df.repartition(7)).head()
+    assert(r.toSeq === r2.toSeq)
+    // constant values: every resample mean IS the constant — exact band
+    val const = (1 to 50).map(i => (i.toLong, 7.25)).toDF("k", "v")
+    val c = Probes.bootstrapCI(col("k"), col("v"), reps = 50)(const).head()
+    assert(c.getAs[Double]("mean") === 7.25 &&
+      c.getAs[Double]("ci_low") === 7.25 &&
+      c.getAs[Double]("ci_high") === 7.25)
+    // Poisson(1) weights: total resample weight averages ≈ n
+    val sw = df.select(col("k"),
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.sequence(lit(0), lit(99))).as("rep"))
+      .withColumn("w", Probes.poissonWeight(
+        graft.functions.GraftFunctions.md5Prefix32(
+          org.apache.spark.sql.functions.concat(
+            col("k").cast("string"), lit("_"), col("rep")), "bs")))
+      .agg(org.apache.spark.sql.functions.sum("w")).head().getLong(0)
+    assert(sw > 9000 && sw < 11000, s"Σw = $sw over 100 reps × 100 rows")
+    // grouped: independent intervals; NULL values drop
+    val grouped = Seq(("a", 1L, Some(1.0)), ("a", 2L, Some(3.0)),
+      ("b", 3L, Some(10.0)), ("b", 4L, Option.empty[Double]))
+      .toDF("g", "k", "v")
+    val gr = Probes.bootstrapCI(col("k"), col("v"), reps = 20,
+      groupCols = Seq("g"))(grouped).orderBy("g").collect()
+    assert(gr.length === 2 && gr(1).getAs[Long]("n") === 1L &&
+      gr(1).getAs[Double]("mean") === 10.0)
+    intercept[IllegalArgumentException](
+      Probes.bootstrapCI(col("k"), col("v"), reps = 5)(df))
+    intercept[IllegalArgumentException](
+      Probes.bootstrapCI(col("k"), col("v"), alpha = 0.0)(df))
+  }
+
+  test("permutationTest: exact p on degenerate fixtures, determinism, NULL drop") {
+    import spark.implicits._
+    // all differences +1: |t_b| ≥ |obs| only when every coin lands the
+    // same way — never in 100 draws over 40 rows → p = 1/101
+    val oneSided = (1 to 40).map(i => (i.toLong, 2.0, 1.0)).toDF("k", "a", "b")
+    val p1 = Probes.permutationTest(col("k"), col("a"), col("b"),
+      reps = 100)(oneSided).head()
+    assert(p1.getAs[Long]("n") === 40L)
+    assert(p1.getAs[Double]("mean_diff") === 1.0)
+    assert(p1.getAs[Double]("p_value") === 1.0 / 101.0)
+    // exactly balanced ±1 differences: observed Σ = 0, so EVERY
+    // resample reaches it → p = 1 exactly
+    val balanced = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) 1.0 else 0.0, if (i % 2 == 0) 0.0 else 1.0))
+      .toDF("k", "a", "b")
+    val p0 = Probes.permutationTest(col("k"), col("a"), col("b"),
+      reps = 100)(balanced).head()
+    assert(p0.getAs[Double]("mean_diff") === 0.0 &&
+      p0.getAs[Double]("p_value") === 1.0)
+    // rerun-identical under repartition
+    val p1b = Probes.permutationTest(col("k"), col("a"), col("b"),
+      reps = 100)(oneSided.repartition(5)).head()
+    assert(p1.toSeq === p1b.toSeq)
+    // NULL metric rows drop; grouped forms are independent
+    val grouped = (1 to 30).map(i => ("g1", i.toLong, 2.0, 1.0))
+      .toDF("g", "k", "a", "b")
+      .unionByName((1 to 30).map(i =>
+        ("g2", i.toLong, if (i % 2 == 0) 1.0 else 0.0,
+          if (i % 2 == 0) 0.0 else 1.0)).toDF("g", "k", "a", "b"))
+      .unionByName(Seq(("g1", 99L, Option.empty[Double], Option(1.0)))
+        .toDF("g", "k", "a", "b"))
+    val gp = Probes.permutationTest(col("k"), col("a"), col("b"),
+      reps = 100, groupCols = Seq("g"))(grouped).orderBy("g").collect()
+    assert(gp(0).getAs[Long]("n") === 30L &&
+      gp(0).getAs[Double]("p_value") < 0.02)
+    assert(gp(1).getAs[Double]("p_value") === 1.0)
+    intercept[IllegalArgumentException](Probes.permutationTest(
+      col("k"), col("a"), col("b"), reps = 9)(oneSided))
+  }
+
   test("proportionCI: Wilson bounds at hand values, edge rates, NULL drop") {
     import spark.implicits._
     // n=4, k=1 at z=2: center 0.375, half sqrt(0.109375)

@@ -835,5 +835,18 @@ class StoresSpec extends SparkSpec {
       .result
     assert(fsAuto.columns.contains("fs_score") &&
       fsAuto.filter(col("fs_decision") =!= "possible").count() === 0L)
+    val fk = Pipeline(Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+      .toDF("i", "l"))
+      .fleissKappa(col("i"), col("l")).result.head()
+    assert(fk.getAs[Double]("kappa") === 1.0)
+    val bci = Pipeline((1 to 20).map(i => (i.toLong, 3.5)).toDF("k", "v"))
+      .bootstrapCI(col("k"), col("v"), reps = 20).result.head()
+    assert(bci.getAs[Double]("ci_low") === 3.5 &&
+      bci.getAs[Double]("ci_high") === 3.5)
+    val pt = Pipeline((1 to 20).map(i => (i.toLong, 1.0, 1.0))
+      .toDF("k", "a", "b"))
+      .permutationTest(col("k"), col("a"), col("b"), reps = 10)
+      .result.head()
+    assert(pt.getAs[Double]("p_value") === 1.0) // zero diffs: every flip ties
   }
 }
