@@ -400,6 +400,17 @@ private[graft] object QueriesTemporal {
           ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
       GraphOps.triangleStats("src", "dst")(ev).orderBy("node")
     },
+    "label_propagation" -> { (s, dir) =>
+      // community detection INSIDE components: 4 synchronous LPA
+      // rounds over a sparser 500-node derived graph, deterministic
+      // (count, smallest-label) election the oracle replays round by
+      // round
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 500).as("src"),
+          ((col("user_id") * 13 + col("event_id") * 7) % 500).as("dst"))
+      GraphOps.labelPropagation("src", "dst", rounds = 4)(ev)
+        .orderBy("node")
+    },
     "lag_features" -> { (s, dir) =>
       // supervised-row assembly: two lags + one lead of value per user
       // in (ts, event_id) order — ONE window partitioning serves all
@@ -1069,6 +1080,14 @@ private[graft] object QueriesTemporal {
         JOIN deg d2 ON d2.node = ne.b2
       ORDER BY node_a, node_b""",
     "hits_scores" -> hitsSql(graphEdgesSql, iterations = 3),
+    // mirrors GraphOps.labelPropagation: doubled neighbor list, 4
+    // unrolled rounds, (count DESC, label ASC) election, keep-previous
+    "label_propagation" -> labelPropagationSql(
+      """SELECT user_id % 500 AS s,
+           (user_id * 13 + event_id * 7) % 500 AS d
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL""",
+      rounds = 4),
     "bradley_terry" -> bradleyTerrySql(
       """SELECT user_id % 8 AS w, (user_id * 3 + event_id) % 8 AS l
          FROM events

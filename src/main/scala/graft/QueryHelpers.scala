@@ -806,6 +806,35 @@ private[graft] object QueryHelpers {
                AS DOUBLE) - 75e-1))""")} >= CAST(0 AS DOUBLE)
           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
 
+  /** Unrolled synchronous label propagation — mirrors
+    * `GraphOps.labelPropagation` round for round: doubled undirected
+    * neighbor list, per-round neighbor-label counts, the deterministic
+    * (count DESC, label ASC) election, keep-previous for nodes with no
+    * neighbors. `edgesSql` yields raw (s, d) rows; doctrine filters
+    * (NULL/self drop, DISTINCT) apply here as in the op; the
+    * oscillation-damping self-vote is the (v, v) neighbor row. */
+  def labelPropagationSql(edgesSql: String, rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT nb.v, l${i - 1}.l, CAST(count(*) AS BIGINT) AS c
+          FROM nb JOIN l${i - 1} ON l${i - 1}.v = nb.n GROUP BY nb.v, l${i - 1}.l),
+      p$i AS (SELECT v, l FROM (SELECT v, l,
+          row_number() OVER (PARTITION BY v ORDER BY c DESC, l ASC) AS rn
+          FROM c$i) WHERE rn = 1),
+      l$i AS (SELECT l${i - 1}.v, coalesce(p$i.l, l${i - 1}.l) AS l
+        FROM l${i - 1} LEFT JOIN p$i ON p$i.v = l${i - 1}.v)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        FROM ($edgesSql)
+        WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d),
+      ends AS (SELECT s AS v, d AS n FROM e UNION ALL SELECT d, s FROM e),
+      nodes AS (SELECT DISTINCT v FROM ends),
+      nb AS (SELECT v, n FROM ends UNION ALL SELECT v, v FROM nodes),
+      l0 AS (SELECT v, v AS l FROM nodes),
+      $iters
+      SELECT v AS node, l AS community FROM l$rounds ORDER BY node"""
+  }
+
   /** md5 32-bit-prefix uint — mirrors `GraftFunctions.md5Prefix32`
     * (the library's every deterministic "random" draw). */
   def md5u32Sql(expr: String, salt: String = ""): String =

@@ -397,4 +397,72 @@ object GraphOps {
           .otherwise((lit(2L) * col("triangles")).cast("double") /
             (col("degree") * (col("degree") - 1L)).cast("double")))
   }
+
+  /** Label-propagation communities over the undirected view — the
+    * community-detection rung between [[Dedup.connectedComponents]]
+    * (which finds CONNECTED pieces) and nothing: inside one giant
+    * connected crawl graph, LPA carves the mutual-linking
+    * neighborhoods (site families, mirror farms, topical clusters)
+    * that connectivity alone cannot see. Synchronous fixed-`rounds`
+    * LPA with a DETERMINISTIC election: every node starts labeled
+    * with its own id; each round every node adopts the label most
+    * frequent among its neighbors AND itself — the self-vote is the
+    * standard damping for synchronous LPA's bipartite oscillation (a
+    * lone edge would otherwise swap labels forever; with it, the pair
+    * converges to the smaller endpoint) — count ties broken by the
+    * SMALLEST label (one `min(struct(−count, label))` per node —
+    * exact integer lexicographic, engine-identical). Fixed rounds
+    * rather than convergence-tested — deeper bipartite structure can
+    * still cycle, and a fixed, deterministic round count is what an
+    * oracle can replay; isolated nodes keep their own id (singleton
+    * communities). Edge doctrine as everywhere in this file: NULL
+    * endpoints and self-loops drop, direction erased, parallel edges
+    * DISTINCT to one.
+    *
+    * Scale shape: per round one equi-join of the doubled edge list
+    * with the |nodes| label frame + two hash-aggs (neighbor-label
+    * counts, per-node election) + one keep-previous left join; label
+    * frames pin through [[graft.ops.Ops.pinIterationState]] (the
+    * bradleyTerry stats-squaring lesson — each round references the
+    * label frame on both edge directions). `rounds` ≤ 20. Output:
+    * `node, community`. */
+  def labelPropagation(
+      srcField: String, dstField: String, rounds: Int = 5)(
+      edges: DataFrame): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1, 20], got $rounds")
+    // canonicalize UNDIRECTED before doubling — a reciprocal pair
+    // (a→b, b→a) must count as one neighbor relation, not two votes
+    val e = edges
+      .select(col(srcField).as("__a"), col(dstField).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__s"),
+        greatest(col("__a"), col("__b")).as("__d"))
+      .distinct()
+      .localCheckpoint()
+    val ends = e.select(col("__s").as("__v"), col("__d").as("__n"))
+      .unionByName(e.select(col("__d").as("__v"), col("__s").as("__n")))
+    val nodes = ends.select(col("__v")).distinct().localCheckpoint()
+    // the self-vote rides the neighbor list as a (v, v) row
+    val nbr = ends.unionByName(nodes.select(col("__v"), col("__v").as("__n")))
+      .localCheckpoint()
+    var labels = nodes.select(col("__v"), col("__v").as("__l"))
+    var r = 0
+    while (r < rounds) {
+      val picked = nbr
+        .join(labels.select(col("__v").as("__n"), col("__l")), "__n")
+        .groupBy(col("__v"), col("__l"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("__v"))
+        .agg(min(struct((-col("__c")).as("__nc"), col("__l").as("__lb")))
+          .as("__pick"))
+        .select(col("__v"), col("__pick.__lb").as("__new"))
+      labels = graft.ops.Ops.pinIterationState(
+        labels.join(picked, Seq("__v"), "left")
+          .select(col("__v"), coalesce(col("__new"), col("__l")).as("__l")))
+      r += 1
+    }
+    labels.select(col("__v").as("node"), col("__l").as("community"))
+  }
 }

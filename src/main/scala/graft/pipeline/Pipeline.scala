@@ -812,6 +812,9 @@ final case class Pipeline(df: DataFrame) {
       minCommon: Int = 1, maxDegree: Int = 0): Pipeline =
     >>(graft.ext.GraphOps.linkPrediction(srcField, dstField,
       minCommon, maxDegree))
+  def labelPropagation(srcField: String, dstField: String,
+      rounds: Int = 5): Pipeline =
+    >>(graft.ext.GraphOps.labelPropagation(srcField, dstField, rounds))
   def hits(srcField: String, dstField: String,
       iterations: Int = 3, exactOrder: Boolean = true): Pipeline =
     >>(graft.ext.GraphOps.hits(srcField, dstField, iterations, exactOrder))

@@ -100,6 +100,44 @@ class ExtSpec extends SparkSpec {
     assert(counts.toSeq === Seq(3L, 1L)) // every word one piece now
   }
 
+  test("labelPropagation: clique communities, isolated keep own id, determinism") {
+    import graft.ext.GraphOps
+    def clique(ids: Seq[Long]) = for {
+      a <- ids; b <- ids if a < b
+    } yield (a, b)
+    // two disconnected 4-cliques: each collapses to its min id
+    val two = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L))).toDF("src", "dst")
+    val r = GraphOps.labelPropagation("src", "dst", rounds = 5)(two)
+      .orderBy("node").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.filter(_._1 < 10).map(_._2).distinct.toSeq === Seq(1L))
+    assert(r.filter(_._1 >= 10).map(_._2).distinct.toSeq === Seq(10L))
+    // a bridge between the cliques still yields two communities —
+    // the thing connectedComponents cannot see (one component)
+    val bridged = two.unionByName(Seq((4L, 10L)).toDF("src", "dst"))
+    val rb = GraphOps.labelPropagation("src", "dst", rounds = 5)(bridged)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(rb.map(_._2).distinct.length === 2)
+    assert(rb.filter(_._1 <= 3).map(_._2).distinct.length === 1)
+    assert(rb.filter(_._1 >= 11).map(_._2).distinct.length === 1)
+    // self-loops/NULLs drop; an isolated (self-loop-only) node is
+    // absent; direction is erased
+    val loops = Seq((1L, 2L), (2L, 1L), (3L, 3L)).toDF("src", "dst")
+    val rl = GraphOps.labelPropagation("src", "dst", rounds = 3)(loops)
+      .orderBy("node").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(rl.map(_._1).toSeq === Seq(1L, 2L))
+    assert(rl.map(_._2).distinct.toSeq === Seq(1L))
+    // rerun-identical (deterministic election) even repartitioned
+    val a1 = GraphOps.labelPropagation("src", "dst", rounds = 4)(bridged)
+      .orderBy("node").collect().toSeq
+    val a2 = GraphOps.labelPropagation("src", "dst", rounds = 4)(
+      bridged.repartition(5)).orderBy("node").collect().toSeq
+    assert(a1.map(_.toSeq) === a2.map(_.toSeq))
+    intercept[IllegalArgumentException](
+      GraphOps.labelPropagation("src", "dst", rounds = 0)(two))
+  }
+
   test("linkPrediction: wedge scores, adjacency exclusion, hub cap, direction erasure") {
     import graft.ext.GraphOps
     // path 1-2-3: (1,3) is the only distance-2 pair — cn 1 via apex 2
