@@ -400,6 +400,17 @@ private[graft] object QueriesTemporal {
           ((col("user_id") * 7 + col("event_id")) % 40).as("dst"))
       GraphOps.triangleStats("src", "dst")(ev).orderBy("node")
     },
+    "graph_modularity" -> { (s, dir) =>
+      // did LPA find structure? Newman Q of the 4-round communities
+      // over the same 500-node graph — per-community contributions +
+      // the global score, all exact-count ratios
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 2000).as("src"),
+          ((col("user_id") * 13 + col("event_id") * 7) % 2000).as("dst"))
+      GraphOps.modularity(
+        GraphOps.labelPropagation("src", "dst", rounds = 4)(ev))(ev)
+        .orderBy("community")
+    },
     "label_propagation" -> { (s, dir) =>
       // community detection INSIDE components: 4 synchronous LPA
       // rounds over a sparser 500-node derived graph, deterministic
@@ -1088,6 +1099,47 @@ private[graft] object QueriesTemporal {
          FROM events
          WHERE user_id IS NOT NULL AND event_id IS NOT NULL""",
       rounds = 4),
+    // mirrors GraphOps.modularity over the LPA labels: exact e_c/d_c/m
+    // counts, the fixed two-division contribution, community-ordered Q
+    // fold repeated per row
+    "graph_modularity" -> s"""
+      WITH lp AS (${labelPropagationSql(
+        """SELECT user_id % 2000 AS s,
+             (user_id * 13 + event_id * 7) % 2000 AS d
+           FROM events
+           WHERE user_id IS NOT NULL AND event_id IS NOT NULL""",
+        rounds = 4)}),
+      raw AS (SELECT user_id % 2000 AS s,
+          (user_id * 13 + event_id * 7) % 2000 AS d
+        FROM events
+        WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+      eu AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        FROM raw WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d),
+      el AS (SELECT eu.s, eu.d, ls.community AS cs, ld.community AS cd
+        FROM eu JOIN lp ls ON ls.node = eu.s
+                JOIN lp ld ON ld.node = eu.d),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM el),
+      deg AS (SELECT c, CAST(count(DISTINCT v) AS BIGINT) AS nodes,
+          CAST(count(*) AS BIGINT) AS degree_sum
+        FROM (SELECT s AS v, cs AS c FROM el
+              UNION ALL SELECT d, cd FROM el) GROUP BY c),
+      i AS (SELECT cs AS c, CAST(count(*) AS BIGINT) AS internal_edges
+        FROM el WHERE cs = cd GROUP BY cs),
+      perc AS (SELECT deg.c, nodes,
+          coalesce(internal_edges, CAST(0 AS BIGINT)) AS internal_edges,
+          degree_sum,
+          CAST(coalesce(internal_edges, CAST(0 AS BIGINT)) AS DOUBLE)
+            / CAST(m AS DOUBLE)
+          - (CAST(degree_sum AS DOUBLE) / (2e0 * CAST(m AS DOUBLE)))
+            * (CAST(degree_sum AS DOUBLE) / (2e0 * CAST(m AS DOUBLE)))
+            AS contribution
+        FROM deg LEFT JOIN i ON i.c = deg.c CROSS JOIN m),
+      q AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(contribution ORDER BY c)), (a, x) -> a + x) AS modularity
+        FROM perc)
+      SELECT c AS community, nodes, internal_edges, degree_sum,
+        contribution, modularity
+      FROM perc CROSS JOIN q ORDER BY community""",
     "bradley_terry" -> bradleyTerrySql(
       """SELECT user_id % 8 AS w, (user_id * 3 + event_id) % 8 AS l
          FROM events

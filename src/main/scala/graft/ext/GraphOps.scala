@@ -465,4 +465,73 @@ object GraphOps {
     }
     labels.select(col("__v").as("node"), col("__l").as("community"))
   }
+
+  /** Newman modularity of a community assignment — the number that says
+    * whether [[labelPropagation]] (or any clustering joined back onto
+    * the nodes) actually found structure: `Q = Σ_c [e_c/m −
+    * (d_c/2m)²]`, the within-community edge share minus what a random
+    * degree-preserving rewiring would put there; Q ≈ 0 means the
+    * "communities" are no better than chance, dense real structure
+    * lands ~0.3–0.7.
+    *
+    * Contract: `labels` is `(node, community)` rows, one per node;
+    * edges whose endpoints are not BOTH labeled drop from m and from
+    * degrees (partial labelings score the labeled subgraph — stated,
+    * not guessed). Edge doctrine as everywhere: NULL/self drop,
+    * undirected least/greatest canonicalization, parallel edges
+    * DISTINCT to one.
+    *
+    * Exactness: e_c, d_c, m are exact integers; each community's
+    * contribution is a fixed two-division expression, and the global Q
+    * folds community-ordered — cross-engine hash-identical. One edge
+    * scan + two label joins + two hash-aggs. Output per community:
+    * `community, nodes, internal_edges, degree_sum, contribution`,
+    * with the global `modularity` repeated on every row (the ECE
+    * convention). */
+  def modularity(labels: DataFrame)(edges: DataFrame): DataFrame = {
+    require(labels.columns.length == 2,
+      s"labels must be (node, community) rows, got ${labels.columns.mkString(", ")}")
+    val lab = labels.select(col(labels.columns(0)).as("__v"),
+      col(labels.columns(1)).as("__c"))
+      .filter(col("__v").isNotNull && col("__c").isNotNull)
+    val e = edges
+      .select(col(edges.columns(0)).as("__a"), col(edges.columns(1)).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__s"),
+        greatest(col("__a"), col("__b")).as("__d"))
+      .distinct()
+      .join(lab.select(col("__v").as("__s"), col("__c").as("__cs")), "__s")
+      .join(lab.select(col("__v").as("__d"), col("__c").as("__cd")), "__d")
+      .localCheckpoint() // feeds m, degrees, AND internal counts
+    val m = e.agg(count(lit(1)).as("__m"))
+    val deg = e.select(col("__s").as("__v"), col("__cs").as("__c"))
+      .unionByName(e.select(col("__d").as("__v"), col("__cd").as("__c")))
+      .groupBy(col("__c"))
+      .agg(countDistinct(col("__v")).as("nodes"),
+        count(lit(1)).as("degree_sum"))
+    val internal = e.filter(col("__cs") === col("__cd"))
+      .groupBy(col("__cs").as("__c"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val perC = deg
+      .join(internal, Seq("__c"), "left")
+      .select(col("__c"), col("nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"))
+      .crossJoin(broadcast(m))
+      .withColumn("contribution",
+        col("internal_edges").cast("double") / col("__m").cast("double") -
+          (col("degree_sum").cast("double") /
+            (lit(2.0) * col("__m").cast("double"))) *
+          (col("degree_sum").cast("double") /
+            (lit(2.0) * col("__m").cast("double"))))
+    val q = perC.agg(org.apache.spark.sql.functions.aggregate(
+      sort_array(collect_list(struct(col("__c").as("__k"),
+        col("contribution").as("__t")))),
+      lit(0.0), (acc, x) => acc + x.getField("__t")).as("modularity"))
+    perC.crossJoin(broadcast(q))
+      .select(col("__c").as("community"), col("nodes"),
+        col("internal_edges"), col("degree_sum"), col("contribution"),
+        col("modularity"))
+  }
 }

@@ -815,6 +815,8 @@ final case class Pipeline(df: DataFrame) {
   def labelPropagation(srcField: String, dstField: String,
       rounds: Int = 5): Pipeline =
     >>(graft.ext.GraphOps.labelPropagation(srcField, dstField, rounds))
+  def modularity(labels: DataFrame): Pipeline =
+    >>(graft.ext.GraphOps.modularity(labels))
   def hits(srcField: String, dstField: String,
       iterations: Int = 3, exactOrder: Boolean = true): Pipeline =
     >>(graft.ext.GraphOps.hits(srcField, dstField, iterations, exactOrder))

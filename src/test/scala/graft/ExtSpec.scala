@@ -138,6 +138,44 @@ class ExtSpec extends SparkSpec {
       GraphOps.labelPropagation("src", "dst", rounds = 0)(two))
   }
 
+  test("modularity: hand Q on two triangles, trivial partition zero, unlabeled drop") {
+    import graft.ext.GraphOps
+    // two triangles + a bridge: m = 7, each triangle e_c = 3, d_c = 7
+    // → Q = 2·(3/7 − (7/14)²) = 6/7 − 1/2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "community")
+    val out = GraphOps.modularity(labels)(edges).orderBy("community")
+      .collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("internal_edges")).toSeq === Seq(3L, 3L))
+    assert(out.map(_.getAs[Long]("degree_sum")).toSeq === Seq(7L, 7L))
+    assert(out.map(_.getAs[Long]("nodes")).toSeq === Seq(3L, 3L))
+    val q = out.head.getAs[Double]("modularity")
+    assert(math.abs(q - (6.0 / 7.0 - 0.5)) < 1e-15)
+    assert(out.forall(_.getAs[Double]("modularity") === q))
+    // the trivial everything-in-one-community partition scores exactly 0
+    val one = labels.select(col("node"), lit(1L).as("community"))
+    assert(GraphOps.modularity(one)(edges).head()
+      .getAs[Double]("modularity") === 0.0)
+    // edges with an unlabeled endpoint drop from m; reciprocal/self
+    // duplicates collapse
+    val noisy = edges.unionByName(Seq((6L, 99L), (2L, 1L), (3L, 3L))
+      .toDF("src", "dst"))
+    val n = GraphOps.modularity(labels)(noisy).orderBy("community")
+      .collect()
+    assert(n.map(_.getAs[Long]("internal_edges")).toSeq === Seq(3L, 3L))
+    assert(math.abs(n.head.getAs[Double]("modularity") -
+      (6.0 / 7.0 - 0.5)) < 1e-15)
+    // LPA on this graph finds the two triangles and Q agrees
+    val lpa = GraphOps.labelPropagation("src", "dst", rounds = 5)(edges)
+    val viaLpa = GraphOps.modularity(lpa)(edges)
+    assert(viaLpa.count() === 2L)
+    assert(math.abs(viaLpa.head().getAs[Double]("modularity") -
+      (6.0 / 7.0 - 0.5)) < 1e-15)
+  }
+
   test("linkPrediction: wedge scores, adjacency exclusion, hub cap, direction erasure") {
     import graft.ext.GraphOps
     // path 1-2-3: (1,3) is the only distance-2 pair — cn 1 via apex 2
