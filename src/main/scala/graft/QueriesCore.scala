@@ -102,6 +102,15 @@ private[graft] object QueriesCore {
         .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
           "l_extendedprice", "l_extendedprice_mm")
     },
+    "quantile_normalize" -> { (s, dir) =>
+      // cross-source score equalizer: each source's n_chars mapped
+      // onto the POOLED distribution at its within-source quantile —
+      // normalized values are exact copies of pooled inputs, index
+      // math is pure integers
+      Ops.quantileNormalize("source", "n_chars", "doc_id")(
+        table(s, dir, "documents"))
+        .orderBy("source", "rank")
+    },
     "zscore_norm" -> { (s, dir) =>
       // explicit-sufficient-statistics z-scores on the integral-valued
       // quantity (engine stddev is Welford-ordered and never
@@ -913,6 +922,29 @@ private[graft] object QueriesCore {
     // mirrors Ops.zscoreNormalize term for term: mean = s/n,
     // ssd = ss - s*mean, std = sqrt(ssd/(n-1)), z = (x-mean)/std —
     // every intermediate the identical IEEE op on exact integral sums
+    // mirrors Ops.quantileNormalize: global (v, g, tie) row_number =
+    // the zipWithIndex total order, per-group type-1 index
+    // ⌈k·N/n_g⌉ as pure integer division, normalized = pooled copy
+    "quantile_normalize" -> """
+      WITH b AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v,
+          doc_id AS tb
+        FROM documents WHERE n_chars IS NOT NULL),
+      p AS (SELECT v AS pv,
+          CAST(row_number() OVER (ORDER BY v, g, tb) AS BIGINT) AS j
+        FROM b),
+      nn AS (SELECT CAST(max(j) AS BIGINT) AS n FROM p),
+      r AS (SELECT g, tb, v,
+          CAST(row_number() OVER (PARTITION BY g ORDER BY v, tb)
+            AS INTEGER) AS k,
+          CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ng
+        FROM b),
+      i AS (SELECT g, tb, v, k,
+          (CAST(k AS BIGINT) * n + ng - 1) // ng AS idx
+        FROM r CROSS JOIN nn)
+      SELECT i.g AS source, i.tb AS doc_id, i.v AS n_chars,
+        i.k AS rank, p.pv AS normalized
+      FROM i JOIN p ON p.j = i.idx
+      ORDER BY source, rank""",
     "zscore_norm" -> """
       WITH st AS (SELECT l_returnflag,
           CAST(count(l_quantity) AS BIGINT) AS n,

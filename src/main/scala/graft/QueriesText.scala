@@ -565,6 +565,14 @@ private[graft] object QueriesText {
         corpus(s, dir, "documents"))
         .orderBy(col("cnt").desc, col("token"))
     },
+    "association_rules" -> { (s, dir) =>
+      // market-basket over user sessions: which event types co-occur
+      // in the same user's history — support/confidence/lift from
+      // exact basket counts, capped bucket-local pair generation
+      Frequency.associationRules("user_id", "event_type",
+        minSupportCount = 5)(table(s, dir, "events"))
+        .orderBy("antecedent", "consequent")
+    },
     "heavy_hitters_by_source" -> { (s, dir) =>
       // per-domain frequent terms at 0.5% of EACH source's volume —
       // group-keyed Misra–Gries summaries, per-group totals and
@@ -1613,6 +1621,35 @@ private[graft] object QueriesText {
       HAVING CAST(count(*) AS DOUBLE)
            > 1e-3 * (SELECT CAST(total AS DOUBLE) FROM n)
       ORDER BY cnt DESC, token""",
+    // mirrors Frequency.associationRules: distinct baskets, basket-size
+    // cap on pair generation ONLY, exact counts into the fixed
+    // support/confidence/lift divisions (lift multiplies as doubles)
+    "association_rules" -> """
+      WITH b AS (SELECT DISTINCT user_id AS t,
+          CAST(event_type AS VARCHAR) AS i
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      n AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS n FROM b),
+      ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM b GROUP BY i),
+      bk AS (SELECT t FROM b GROUP BY t
+        HAVING count(*) BETWEEN 2 AND 256),
+      pc AS (SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS nab
+        FROM b a JOIN b c ON a.t = c.t AND a.i < c.i
+        JOIN bk ON bk.t = a.t
+        GROUP BY 1, 2
+        HAVING count(*) >= 5),
+      d AS (SELECT ia AS antecedent, ib AS consequent, nab FROM pc
+        UNION ALL SELECT ib, ia, nab FROM pc)
+      SELECT d.antecedent, d.consequent, d.nab AS pair_count,
+        ia2.ni AS antecedent_count,
+        CAST(d.nab AS DOUBLE) / CAST(n.n AS DOUBLE) AS support,
+        CAST(d.nab AS DOUBLE) / CAST(ia2.ni AS DOUBLE) AS confidence,
+        (CAST(d.nab AS DOUBLE) * CAST(n.n AS DOUBLE))
+          / (CAST(ia2.ni AS DOUBLE) * CAST(ic2.ni AS DOUBLE)) AS lift
+      FROM d JOIN ic ia2 ON ia2.i = d.antecedent
+             JOIN ic ic2 ON ic2.i = d.consequent
+             CROSS JOIN n
+      ORDER BY antecedent, consequent""",
     // naive per-group plan: per-source totals joined back, HAVING on
     // the same one-multiply threshold as heavyHittersByGroup
     "heavy_hitters_by_source" -> """

@@ -201,4 +201,80 @@ object Frequency {
       df.select(
         explode(TextOps.shingles(coalesce(col(textField), lit("")), n))
           .as("phrase")))
+
+  /** Association rules over (transaction, item) rows — classic
+    * market-basket mining put to corpus-curation work: which tags
+    * co-occur on documents, which domains co-appear in a user's
+    * session, which licenses ride together — `support`, `confidence`,
+    * and `lift` for every directed rule `antecedent → consequent`
+    * whose PAIR count clears `minSupportCount` and whose confidence
+    * clears `minConfidence`.
+    *
+    * Semantics: a "basket" is the DISTINCT item set of one
+    * transaction (duplicates collapse — presence, not multiplicity;
+    * items compare as strings, the [[graft.probes.Probes.chiSquareSelect]]
+    * convention); `support = n_ab/N` over N = all baskets,
+    * `confidence = n_ab/n_a`, `lift = (n_ab·N)/(n_a·n_b)` — every
+    * count exact, every ratio one fixed division (lift multiplies as
+    * doubles so no long overflow at corpus scale). Baskets larger
+    * than `maxBasket` are excluded from PAIR GENERATION only (a
+    * degenerate mega-basket is quadratic in its size — the LSH bucket
+    * cap doctrine); their items still count toward n_i and N, so
+    * support/confidence denominators stay honest.
+    *
+    * Scale shape: one distinct-pass, one per-basket collect capped at
+    * `maxBasket` with bucket-local pair explosion (never an uncapped
+    * self-join), two small marginal joins, a one-row N broadcast.
+    * Output: `antecedent, consequent, pair_count, antecedent_count,
+    * support, confidence, lift`. */
+  def associationRules(
+      txnField: String, itemField: String,
+      minSupportCount: Long = 2, minConfidence: Double = 0.0,
+      maxBasket: Int = 256)(df: DataFrame): DataFrame = {
+    require(minSupportCount >= 1,
+      s"minSupportCount must be >= 1, got $minSupportCount")
+    require(minConfidence >= 0.0 && minConfidence <= 1.0,
+      s"minConfidence must be in [0, 1], got $minConfidence")
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val b = df
+      .filter(col(txnField).isNotNull && col(itemField).isNotNull)
+      .select(col(txnField).as("__t"),
+        col(itemField).cast("string").as("__i"))
+      .distinct()
+      .localCheckpoint() // feeds N, item counts, AND pair generation
+    val n = b.agg(countDistinct(col("__t")).as("__n"))
+    val items = b.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val pairs = b
+      .groupBy(col("__t"))
+      .agg(collect_list(col("__i")).as("__is"))
+      .filter(size(col("__is")).between(2, maxBasket))
+      .select(explode(flatten(transform(col("__is"), x =>
+        transform(filter(col("__is"), y => x < y), y =>
+          struct(x.as("ia"), y.as("ib")))))).as("__p"))
+      .groupBy(col("__p.ia").as("__ia"), col("__p.ib").as("__ib"))
+      .agg(count(lit(1)).as("__nab"))
+      .filter(col("__nab") >= minSupportCount)
+    val directed = pairs
+      .select(col("__ia").as("antecedent"), col("__ib").as("consequent"),
+        col("__nab"))
+      .unionByName(pairs.select(col("__ib").as("antecedent"),
+        col("__ia").as("consequent"), col("__nab")))
+    directed
+      .join(items.select(col("__i").as("antecedent"),
+        col("__ni").as("antecedent_count")), "antecedent")
+      .join(items.select(col("__i").as("consequent"),
+        col("__ni").as("__nc")), "consequent")
+      .crossJoin(broadcast(n))
+      .withColumn("support",
+        col("__nab").cast("double") / col("__n").cast("double"))
+      .withColumn("confidence",
+        col("__nab").cast("double") / col("antecedent_count").cast("double"))
+      .withColumn("lift",
+        (col("__nab").cast("double") * col("__n").cast("double")) /
+          (col("antecedent_count").cast("double") * col("__nc").cast("double")))
+      .filter(col("confidence") >= minConfidence)
+      .select(col("antecedent"), col("consequent"),
+        col("__nab").as("pair_count"), col("antecedent_count"),
+        col("support"), col("confidence"), col("lift"))
+  }
 }

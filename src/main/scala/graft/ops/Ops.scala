@@ -1873,6 +1873,67 @@ object Ops {
         col("margin"))
   }
 
+  /** Quantile normalization onto the POOLED distribution — the
+    * cross-source score equalizer: per-source quality scores (model
+    * scores, length stats) are not comparable — source A's 0.8 may be
+    * its median while source B's 0.8 is its 99th percentile — so one
+    * global keep-threshold silently over-prunes some sources. This op
+    * replaces each row's value with the pooled value at the SAME
+    * within-group quantile: `k`-th of `n_g` in its group → the pooled
+    * sorted value at index `⌈k·N/n_g⌉` (type-1/inverse-CDF
+    * convention). After it, equal normalized values mean equal
+    * within-source standing, and one global threshold cuts every
+    * source at the same quantile.
+    *
+    * Exactness: the normalized value is an EXACT COPY of some input
+    * value — the index arithmetic is pure integers
+    * (`(k·N + n_g − 1) div n_g`, exact to N ≤ ~3·10⁹ before k·N
+    * approaches the long ceiling — beyond that, shard first), no
+    * float anywhere. Determinism needs `(group, tieBreak)` unique per
+    * row (the caller's key), making both the pooled (value, group,
+    * tie) order and the in-group (value, tie) order total.
+    *
+    * Scale shape: the pooled index rides a range-partitioned sort +
+    * RDD `zipWithIndex` (per-partition offsets, one light extra job —
+    * NEVER a single-partition window, the [[sample]]-nth plan); the
+    * group rank is an ordinary per-group window; one equi-join on the
+    * pooled index closes the map. NULL values drop. Output:
+    * `group, tieBreak, <value> (double), rank, normalized`. */
+  def quantileNormalize(
+      groupField: String, valueField: String, tieBreak: String)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val base = df.filter(col(valueField).isNotNull)
+      .select(col(groupField).as("__g"),
+        col(valueField).cast("double").as("__v"),
+        col(tieBreak).as("__tb"))
+      .localCheckpoint() // feeds the pooled sort AND the group ranks
+    val sorted = base.orderBy(col("__v"), col("__g"), col("__tb"))
+    val pooledSchema = StructType(sorted.schema.fields :+
+      StructField("__j", LongType, nullable = false))
+    val pooled = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }, pooledSchema)
+      .select(col("__j"), col("__v").as("__pv"))
+    val n = pooled.agg(max(col("__j")).as("__n"))
+    val wg = Window.partitionBy(col("__g"))
+      .orderBy(col("__v"), col("__tb"))
+    val ranked = base
+      .withColumn("__k", row_number().over(wg))
+      .withColumn("__ng",
+        count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .crossJoin(broadcast(n))
+      .withColumn("__idx",
+        expr("(__k * __n + __ng - 1) div __ng"))
+    ranked.join(pooled, ranked("__idx") === pooled("__j"))
+      .select(col("__g").as(groupField), col("__tb").as(tieBreak),
+        col("__v").as(valueField), col("__k").as("rank"),
+        col("__pv").as("normalized"))
+  }
+
   /** Pin a per-round iteration-state frame: materialize
     * (localCheckpoint) AND re-wrap the cached rows in a fresh
     * `LogicalRDD` so Catalyst's size statistics reset to the session

@@ -817,6 +817,14 @@ final case class Pipeline(df: DataFrame) {
     >>(graft.ext.GraphOps.labelPropagation(srcField, dstField, rounds))
   def modularity(labels: DataFrame): Pipeline =
     >>(graft.ext.GraphOps.modularity(labels))
+  def associationRules(txnField: String, itemField: String,
+      minSupportCount: Long = 2, minConfidence: Double = 0.0,
+      maxBasket: Int = 256): Pipeline =
+    >>(graft.ext.Frequency.associationRules(txnField, itemField,
+      minSupportCount, minConfidence, maxBasket))
+  def quantileNormalize(groupField: String, valueField: String,
+      tieBreak: String): Pipeline =
+    >>(Ops.quantileNormalize(groupField, valueField, tieBreak))
   def hits(srcField: String, dstField: String,
       iterations: Int = 3, exactOrder: Boolean = true): Pipeline =
     >>(graft.ext.GraphOps.hits(srcField, dstField, iterations, exactOrder))

@@ -111,4 +111,49 @@ class FrequencySpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got === Map("the" -> 4L)) // 4/11 > .25; "and" 2/11 fails
   }
+
+  test("associationRules: hand support/confidence/lift, caps, dup/NULL doctrine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // t1{a,b} t2{a,b} t3{a,b,c} t4{a} t5{c}: N=5, n_a=4 n_b=3 n_c=2,
+    // (a,b)=3 (a,c)=1 (b,c)=1; t1's duplicate 'a' collapses; NULLs drop
+    val rows = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (3L, "c"),
+      (4L, "a"), (5L, "c")).toDF("t", "i")
+      .unionByName(Seq((Option(6L), Option.empty[String]),
+        (Option.empty[Long], Option("z"))).toDF("t", "i"))
+    val r = Frequency.associationRules("t", "i", minSupportCount = 2)(rows)
+      .orderBy("antecedent", "consequent").collect()
+    assert(r.map(x => (x.getString(0), x.getString(1))).toSeq ===
+      Seq(("a", "b"), ("b", "a")))
+    val ab = r(0); val ba = r(1)
+    assert(ab.getAs[Long]("pair_count") === 3L &&
+      ab.getAs[Long]("antecedent_count") === 4L)
+    assert(ab.getAs[Double]("support") === 0.6)
+    assert(ab.getAs[Double]("confidence") === 0.75)
+    assert(ab.getAs[Double]("lift") === 1.25) // 3·5/(4·3)
+    assert(ba.getAs[Double]("confidence") === 1.0 &&
+      ba.getAs[Double]("lift") === 1.25)
+    // confidence floor keeps only the certain direction
+    val conf = Frequency.associationRules("t", "i", minSupportCount = 2,
+      minConfidence = 0.8)(rows).collect()
+    assert(conf.length === 1 && conf(0).getString(0) === "b")
+    // maxBasket: t3 (3 items) leaves PAIR generation only — (a,b)
+    // falls to 2 but n_a/N are unchanged
+    val capped = Frequency.associationRules("t", "i", minSupportCount = 2,
+      maxBasket = 2)(rows).orderBy("antecedent").collect()
+    assert(capped.map(_.getAs[Long]("pair_count")).toSeq === Seq(2L, 2L))
+    assert(capped(0).getAs[Long]("antecedent_count") === 4L)
+    assert(capped(0).getAs[Double]("support") === 0.4)
+    // an independent pair lifts to ~1; a never-co-occurring pair is absent
+    assert(!Frequency.associationRules("t", "i", minSupportCount = 1)(rows)
+      .filter(col("antecedent") === "c" && col("consequent") === "a")
+      .isEmpty) // (a,c) co-occur once at minSupport 1
+    intercept[IllegalArgumentException](
+      Frequency.associationRules("t", "i", minSupportCount = 0)(rows))
+    intercept[IllegalArgumentException](
+      Frequency.associationRules("t", "i", maxBasket = 1)(rows))
+  }
 }

@@ -1453,4 +1453,35 @@ class OpsSpec extends SparkSpec {
         recencyField = Some("ts"), tieField = Some("id"))(df)
     }
   }
+
+  test("quantileNormalize: hand pooled mapping, order preserved, NULL drop, determinism") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // pooled sorted: 1,2,4,5,9 (N=5); a(k of 3)→idx ⌈5k/3⌉: 2,4,5 →
+    // values 2,5,9; b(k of 2)→idx 3,5 → 4,9
+    val df = Seq(("a", 1.0, 1L), ("a", 5.0, 2L), ("a", 9.0, 3L),
+      ("b", 2.0, 4L), ("b", 4.0, 5L),
+      ("a", Double.NaN, 6L)).toDF("g", "v", "id")
+      .filter(col("id") =!= 6L)
+      .unionByName(Seq(("b", Option.empty[Double], 7L)).toDF("g", "v", "id"))
+    val out = Ops.quantileNormalize("g", "v", "id")(df)
+      .orderBy("g", "rank").collect()
+    assert(out.map(_.getAs[Double]("normalized")).toSeq ===
+      Seq(2.0, 5.0, 9.0, 4.0, 9.0))
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3, 1, 2))
+    // within-group order is preserved (rank-monotone normalized values)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ns = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("normalized"))
+      assert(ns.zip(ns.tail).forall { case (x, y) => x <= y })
+    }
+    // every group's top maps to the pooled maximum — one threshold now
+    // cuts every group at the same quantile
+    assert(out.filter(r => r.getAs[Int]("rank") ==
+      out.filter(_.getString(0) == r.getString(0)).length)
+      .forall(_.getAs[Double]("normalized") === 9.0))
+    // rerun-identical under repartition
+    val again = Ops.quantileNormalize("g", "v", "id")(df.repartition(4))
+      .orderBy("g", "rank").collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
