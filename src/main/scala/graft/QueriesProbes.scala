@@ -90,6 +90,23 @@ private[graft] object QueriesProbes {
       Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
         col("lang") === "en", bins = 10)(corpus(s, dir, "documents"))
     },
+    "rank_biased_overlap" -> { (s, dir) =>
+      // ranker-drift monitor: per source, does ranking docs by n_chars
+      // agree with ranking by (n_chars mod 1000)? top-weighted overlap
+      // at p=0.9, depth 10, driver-literal weights
+      import org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "documents")
+        .select("source", "doc_id", "n_chars")
+      val byLen = d.withColumn("r", row_number().over(Window
+        .partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+      val byMod = d.withColumn("r", row_number().over(Window
+        .partitionBy("source")
+        .orderBy((col("n_chars") % 1000).desc, col("doc_id"))))
+      Probes.rankBiasedOverlap(byMod, "source", "doc_id", "r",
+        p = 0.9, depth = 10)(byLen)
+        .orderBy("source")
+    },
     "fleiss_kappa" -> { (s, dir) =>
       // multi-rater agreement beyond Cohen's two: each user's events
       // are ratings of the user — variable n per item, the generalized
@@ -433,6 +450,42 @@ private[graft] object QueriesProbes {
         UNION ALL
         SELECT 'kappa', kappa FROM ($labelAgreementSql) __la)
       ORDER BY metric""",
+    // mirrors Probes.rankBiasedOverlap: same window rankings, matched
+    // pairs enter every prefix from max(ra, rb), d-ordered weighted
+    // fold with the identical driver-computed w_d literals
+    "rank_biased_overlap" -> s"""
+      WITH da AS (SELECT source AS q, doc_id AS i,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS INT) AS ra
+        FROM documents),
+      db AS (SELECT source AS q, doc_id AS i,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY (n_chars % 1000) DESC, doc_id) AS INT) AS rb
+        FROM documents),
+      fa AS (SELECT * FROM da WHERE ra BETWEEN 1 AND 10),
+      fb AS (SELECT * FROM db WHERE rb BETWEEN 1 AND 10),
+      mm AS (SELECT fa.q, greatest(ra, rb) AS md
+        FROM fa JOIN fb ON fa.q = fb.q AND fa.i = fb.i),
+      x AS (SELECT q, CAST(dd.range AS INT) AS d,
+          CAST(count(*) AS BIGINT) AS x
+        FROM mm CROSS JOIN range(1, 11) dd
+        WHERE dd.range >= md GROUP BY 1, 2),
+      sc AS (SELECT q,
+          max(CASE WHEN d = 10 THEN x ELSE CAST(0 AS BIGINT) END)
+            AS overlap_at_depth,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(x AS DOUBLE) * (CASE d ${(1 to 10).map(dd =>
+              s"WHEN $dd THEN ${litD((1.0 - 0.9) *
+                math.pow(0.9, dd - 1) / dd)}").mkString(" ")}
+              ELSE 0e0 END) ORDER BY d)), (a, y) -> a + y) AS rbo
+        FROM x GROUP BY q),
+      qs AS (SELECT DISTINCT q FROM
+        (SELECT q FROM fa UNION ALL SELECT q FROM fb))
+      SELECT qs.q AS source,
+        coalesce(overlap_at_depth, CAST(0 AS BIGINT)) AS overlap_at_depth,
+        coalesce(rbo, CAST(0 AS DOUBLE)) AS rbo
+      FROM qs LEFT JOIN sc ON sc.q = qs.q
+      ORDER BY source""",
     // mirrors Probes.fleissKappa: exact per-item/category counts,
     // item- and label-pinned folds, the fixed κ division dag
     "fleiss_kappa" -> """

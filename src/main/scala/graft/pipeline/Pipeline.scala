@@ -792,6 +792,11 @@ final case class Pipeline(df: DataFrame) {
       reps: Int = 200, salt: String = "pt",
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.permutationTest(keyCol, a, b, reps, salt, groupCols))
+  def rankBiasedOverlap(b: DataFrame, queryField: String,
+      itemField: String, rankField: String, p: Double = 0.9,
+      depth: Int = 10): Pipeline =
+    >>(Probes.rankBiasedOverlap(b, queryField, itemField, rankField,
+      p, depth))
   def chiSquareSelect(features: Seq[String], label: Column): Pipeline =
     >>(Probes.chiSquareSelect(features, label))
   def proportionCI(success: Column, groupCols: Seq[String] = Nil,

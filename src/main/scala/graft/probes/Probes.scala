@@ -1316,6 +1316,73 @@ object Probes {
           lit((reps + 1).toDouble)).as("p_value")): _*)
   }
 
+  /** Rank-biased overlap between two rankers — "did the new retrieval
+    * model actually change what users see?": unlike
+    * [[graft.ext.Similarity]]'s graded ranking metrics, RBO needs NO
+    * ground truth — it compares two rankings of the same query
+    * directly, top-weighted by the persistence parameter `p` (the
+    * probability a reader continues to the next depth; Webber et
+    * al.'s measure). The truncated form:
+    * `RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·X_d/d`, where `X_d` is the
+    * overlap of the two depth-d prefixes.
+    *
+    * Distributed shape: a matched (query, item) pair enters every
+    * prefix from depth `max(rank_a, rank_b)` on, so ONE equi-join on
+    * (query, item) + one bounded explode to (query, d) gives every
+    * X_d as an exact count; the per-query score is a d-ordered fold
+    * of `X_d · w_d` with the weights `w_d = (1−p)·p^{d−1}/d` computed
+    * DRIVER-side and embedded as literals (the [[fellegiSunter]]
+    * convention — no float pow in the plan, oracle mirrors the same
+    * constants). Rows ranked beyond `depth` are ignored; a query
+    * present in only one ranking scores 0 (nothing overlaps); ranks
+    * must be ≥ 1 and unique per (query, ranking) — the caller's
+    * row_number. Truncated RBO (no extrapolation tail) — stated, and
+    * what the oracle replays. Output per query:
+    * `<query>, overlap_at_depth, rbo`. */
+  def rankBiasedOverlap(
+      b: DataFrame, queryField: String, itemField: String,
+      rankField: String, p: Double = 0.9, depth: Int = 10)(
+      a: DataFrame): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
+    require(depth >= 1 && depth <= 100,
+      s"depth must be in [1, 100], got $depth")
+    def side(df: DataFrame, rk: String) = df
+      .filter(col(queryField).isNotNull && col(itemField).isNotNull &&
+        col(rankField).isNotNull && col(rankField) <= depth &&
+        col(rankField) >= 1)
+      .select(col(queryField).as("__q"), col(itemField).as("__i"),
+        col(rankField).as(rk))
+    val sa = side(a, "__ra")
+    val sb = side(b, "__rb")
+    val queries = sa.select(col("__q")).unionByName(sb.select(col("__q")))
+      .distinct()
+    val weights = (1 to depth).map(d =>
+      d -> (1.0 - p) * math.pow(p, d - 1) / d)
+    val wCol = weights.foldLeft(lit(0.0)) { case (acc, (d, w)) =>
+      when(col("__d") === d, lit(w)).otherwise(acc)
+    }
+    val xd = sa.join(sb, Seq("__q", "__i"))
+      .select(col("__q"),
+        explode(sequence(greatest(col("__ra"), col("__rb")).cast("int"),
+          lit(depth))).as("__d"))
+      .groupBy(col("__q"), col("__d"))
+      .agg(count(lit(1)).as("__x"))
+    val scored = xd
+      .withColumn("__w", wCol)
+      .groupBy(col("__q"))
+      .agg(
+        max(when(col("__d") === depth, col("__x")).otherwise(lit(0L)))
+          .as("overlap_at_depth"),
+        org.apache.spark.sql.functions.aggregate(
+          sort_array(collect_list(struct(col("__d").as("__k"),
+            (col("__x").cast("double") * col("__w")).as("__t")))),
+          lit(0.0), (acc, x) => acc + x.getField("__t")).as("rbo"))
+    queries.join(scored, Seq("__q"), "left")
+      .select(col("__q").as(queryField),
+        coalesce(col("overlap_at_depth"), lit(0L)).as("overlap_at_depth"),
+        coalesce(col("rbo"), lit(0.0)).as("rbo"))
+  }
+
   /** Wilson score interval for a per-group pass/success rate — the
     * slice-eval report with honest uncertainty: a 96%-accurate slice
     * of 25 examples and one of 25,000 are different facts, and the

@@ -737,6 +737,42 @@ class ProbesSpec extends SparkSpec {
       col("k"), col("a"), col("b"), reps = 9)(oneSided))
   }
 
+  test("rankBiasedOverlap: hand RBO, identity/disjoint bounds, one-sided queries") {
+    import spark.implicits._
+    def w(p: Double, d: Int) = (1.0 - p) * math.pow(p, d - 1) / d
+    // A: x,y,z  B: x,z,w at p=.5 depth 3 → X = [1,1,2],
+    // RBO = 1·w1 + 1·w2 + 2·w3
+    val a = Seq(("q", "x", 1), ("q", "y", 2), ("q", "z", 3)).toDF("q", "i", "r")
+    val b = Seq(("q", "x", 1), ("q", "z", 2), ("q", "w", 3)).toDF("q", "i", "r")
+    val r = Probes.rankBiasedOverlap(b, "q", "i", "r", p = 0.5, depth = 3)(a)
+      .head()
+    assert(r.getAs[Long]("overlap_at_depth") === 2L)
+    assert(r.getAs[Double]("rbo") ===
+      1.0 * w(0.5, 1) + 1.0 * w(0.5, 2) + 2.0 * w(0.5, 3))
+    // identical rankings → truncated RBO = 1 − p^k
+    val same = Probes.rankBiasedOverlap(a, "q", "i", "r",
+      p = 0.5, depth = 3)(a).head()
+    assert(math.abs(same.getAs[Double]("rbo") - (1.0 - 0.125)) < 1e-15)
+    // disjoint rankings → 0; a query on one side only → 0
+    val disj = Seq(("q", "u", 1), ("q", "v", 2), ("q", "t", 3))
+      .toDF("q", "i", "r")
+    assert(Probes.rankBiasedOverlap(disj, "q", "i", "r",
+      p = 0.5, depth = 3)(a).head().getAs[Double]("rbo") === 0.0)
+    val extra = a.unionByName(Seq(("q2", "x", 1)).toDF("q", "i", "r"))
+    val two = Probes.rankBiasedOverlap(b, "q", "i", "r",
+      p = 0.5, depth = 3)(extra).orderBy("q").collect()
+    assert(two.length === 2 && two(1).getAs[Double]("rbo") === 0.0 &&
+      two(1).getAs[Long]("overlap_at_depth") === 0L)
+    // ranks beyond depth are invisible
+    val deep = a.unionByName(Seq(("q", "w", 9)).toDF("q", "i", "r"))
+    assert(Probes.rankBiasedOverlap(b, "q", "i", "r", p = 0.5, depth = 3)(
+      deep).head().getAs[Double]("rbo") === r.getAs[Double]("rbo"))
+    intercept[IllegalArgumentException](Probes.rankBiasedOverlap(
+      b, "q", "i", "r", p = 1.0)(a))
+    intercept[IllegalArgumentException](Probes.rankBiasedOverlap(
+      b, "q", "i", "r", depth = 0)(a))
+  }
+
   test("proportionCI: Wilson bounds at hand values, edge rates, NULL drop") {
     import spark.implicits._
     // n=4, k=1 at z=2: center 0.375, half sqrt(0.109375)
