@@ -90,6 +90,15 @@ private[graft] object QueriesProbes {
       Probes.scoreCalibration(TextOps.stopwordScore(col("text")),
         col("lang") === "en", bins = 10)(corpus(s, dir, "documents"))
     },
+    "pattern_profile" -> { (s, dir) =>
+      // value-SHAPE histograms: incompatible formats inside one column
+      // show up as competing patterns (priority "9-AAAAAA", status "A",
+      // orderkey shapes bucketed by digit count)
+      Probes.patternProfile(
+        Seq("o_orderpriority", "o_orderstatus", "o_orderkey"))(
+        table(s, dir, "orders"))
+        .orderBy("column", "rank")
+    },
     "rank_biased_overlap" -> { (s, dir) =>
       // ranker-drift monitor: per source, does ranking docs by n_chars
       // agree with ranking by (n_chars mod 1000)? top-weighted overlap
@@ -450,6 +459,32 @@ private[graft] object QueriesProbes {
         UNION ALL
         SELECT 'kappa', kappa FROM ($labelAgreementSql) __la)
       ORDER BY metric""",
+    // mirrors Probes.patternProfile: the same three regex passes
+    // (DuckDB needs the 'g' flag for replace-all), exact counts,
+    // (count DESC, pattern) rank discipline, shares over the FULL
+    // column before the topN cut
+    "pattern_profile" -> {
+      def shapeSql(e: String) =
+        s"""coalesce(regexp_replace(regexp_replace(regexp_replace(
+            CAST($e AS VARCHAR), '[A-Z]', 'A', 'g'),
+            '[a-z]', 'a', 'g'), '[0-9]', '9', 'g'), '<null>')"""
+      val legs = Seq("o_orderpriority", "o_orderstatus", "o_orderkey")
+        .map(c => s"SELECT '$c' AS col, ${shapeSql(c)} AS pattern FROM orders")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH cells AS (SELECT col, pattern, CAST(count(*) AS BIGINT) AS n
+        FROM ($legs) GROUP BY 1, 2),
+      t AS (SELECT col, CAST(sum(n) AS BIGINT) AS tot FROM cells
+        GROUP BY col),
+      r AS (SELECT cells.col, pattern, n,
+          CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+          CAST(row_number() OVER (PARTITION BY cells.col
+            ORDER BY n DESC, pattern) AS INTEGER) AS rank
+        FROM cells JOIN t ON t.col = cells.col)
+      SELECT col AS "column", pattern, n, share, rank FROM r
+      WHERE rank <= 10
+      ORDER BY "column", rank"""
+    },
     // mirrors Probes.rankBiasedOverlap: same window rankings, matched
     // pairs enter every prefix from max(ra, rb), d-ordered weighted
     // fold with the identical driver-computed w_d literals

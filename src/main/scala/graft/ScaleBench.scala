@@ -25,8 +25,10 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Optional comma-separated phase subset (spans / bm25 / cc / ann /
-    // inc / contain / bpe) for targeted re-measures without paying the
-    // whole harness; absent → all phases.
+    // inc / contain / bpe / text11 / oph / freq / ts / r12 / tri / r13 /
+    // r13b / tfidf / pareto / r14 / flag / conv / r14c / r15 / r15b)
+    // for targeted re-measures without paying the whole harness;
+    // absent → all phases.
     val phases = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def phase(name: String)(body: => Unit): Unit =
@@ -1374,6 +1376,130 @@ object ScaleBench {
     }
     println("corpus_x,docs,boilerplate_lines_sec")
     blRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    }
+    // ---- r15b: this round's debuts ----
+    phase("r15b") {
+    import graft.ops.{Ops => O15b}
+    import graft.ext.{Frequency => F15b, GraphOps => G15b}
+    import graft.probes.{Probes => P15b}
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    // bootstrapCI: cost is explode × reps with map-side combine — must
+    // be ~linear in reps AND in rows (disjoint-key replication)
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val nCust = cust.count()
+    def custRep(k: Int): DataFrame =
+      (0 until k).map(i => cust.select(
+        (col("c_custkey") + lit(i.toLong * 10_000_000L)).as("c_custkey"),
+        concat(col("c_mktsegment"), lit(s"#$i")).as("c_mktsegment"),
+        col("c_acctbal")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def bciJob(d: DataFrame, reps: Int): Unit =
+      P15b.bootstrapCI(col("c_custkey"), col("c_acctbal"), reps = reps,
+        groupCols = Seq("c_mktsegment"))(d)
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = custRep(1).localCheckpoint(); bciJob(d1, 100); d1.unpersist() }
+    val bciRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = custRep(k).localCheckpoint()
+      val t = median3(bciJob(d, 100))
+      d.unpersist()
+      (k, nCust * k, t)
+    }
+    println("corpus_x,rows,bootstrap_ci_sec")
+    bciRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    locally {
+      val d1 = custRep(4).localCheckpoint()
+      val rRows = for (r <- Seq(100, 200, 400)) yield (r, median3(bciJob(d1, r)))
+      d1.unpersist()
+      println("reps,bootstrap_ci_sec")
+      rRows.foreach { case (r, t) => println(f"$r,$t%.2f") }
+    }
+    // associationRules: baskets ×k with disjoint item universes (the
+    // ssj replication doctrine) — pair space per basket constant, so
+    // cost must stay ~linear
+    val ev15b = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select("user_id", "event_type")
+    val nEv15b = ev15b.count()
+    def baskets(k: Int): DataFrame =
+      (0 until k).map(i => ev15b.select(
+        (col("user_id") + lit(i.toLong * 1_000_000L)).as("user_id"),
+        concat(col("event_type"), lit(s"#$i")).as("event_type")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def arJob(d: DataFrame): Unit =
+      F15b.associationRules("user_id", "event_type", minSupportCount = 5)(d)
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = baskets(1).localCheckpoint(); arJob(d1); d1.unpersist() }
+    val arRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = baskets(k).localCheckpoint()
+      val t = median3(arJob(d))
+      d.unpersist()
+      (k, nEv15b * k, t)
+    }
+    println("corpus_x,rows,association_rules_sec")
+    arRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    // labelPropagation: disjoint-graph replication at fixed rounds
+    // (~linear) + round sweep at ×1 (flat per round — the
+    // pinIterationState guarantee)
+    val evIds = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+      .select("user_id", "event_id")
+    def lpaGraph(k: Int): DataFrame =
+      (0 until k).map(i => evIds.select(
+        ((col("user_id") % 2000) + lit(i.toLong * 1_000_000L)).as("src"),
+        (((col("user_id") * 13 + col("event_id") * 7) % 2000) +
+          lit(i.toLong * 1_000_000L)).as("dst")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def lpaJob(e: DataFrame, rounds: Int): Unit =
+      G15b.labelPropagation("src", "dst", rounds = rounds)(e)
+        .write.mode("overwrite").format("noop").save()
+    locally { val e1 = lpaGraph(1).localCheckpoint(); lpaJob(e1, 4); e1.unpersist() }
+    val lpaRows = for (k <- Seq(1, 2, 4)) yield {
+      val e = lpaGraph(k).localCheckpoint()
+      val t = median3(lpaJob(e, 4))
+      e.unpersist()
+      (k, nEv15b * k, t)
+    }
+    println("corpus_x,edges,label_propagation_sec")
+    lpaRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    locally {
+      val e1 = lpaGraph(1).localCheckpoint()
+      val rr = for (r <- Seq(4, 8, 16)) yield (r, median3(lpaJob(e1, r)))
+      e1.unpersist()
+      println("rounds,label_propagation_sec,sec_per_round")
+      rr.foreach { case (r, t) => println(f"$r,$t%.2f,${t / r}%.3f") }
+    }
+    // quantileNormalize: rows ×k with disjoint groups — the pooled
+    // zipWithIndex sort is the dominant cost and must stay ~linear
+    val li15b = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_orderkey", "l_linenumber",
+        "l_extendedprice")
+      .withColumn("rid", monotonically_increasing_id())
+    val nLi15b = li15b.count()
+    def liRep15b(k: Int): DataFrame =
+      (0 until k).map(i => li15b.select(
+        concat(col("l_returnflag"), lit(s"#$i")).as("g"),
+        col("l_extendedprice").as("v"),
+        (col("rid") + lit(i.toLong * 1_000_000_000L)).as("tb")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def qnJob(d: DataFrame): Unit =
+      O15b.quantileNormalize("g", "v", "tb")(d)
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = liRep15b(1).localCheckpoint(); qnJob(d1); d1.unpersist() }
+    val qnRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = liRep15b(k).localCheckpoint()
+      val t = median3(qnJob(d))
+      d.unpersist()
+      (k, nLi15b * k, t)
+    }
+    println("corpus_x,rows,quantile_normalize_sec")
+    qnRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
     }
     spark.stop()
   }

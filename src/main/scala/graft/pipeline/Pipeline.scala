@@ -784,6 +784,8 @@ final case class Pipeline(df: DataFrame) {
   def fleissKappa(item: Column, label: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.fleissKappa(item, label, groupCols))
+  def patternProfile(columns: Seq[String], topN: Int = 10): Pipeline =
+    >>(Probes.patternProfile(columns, topN))
   def bootstrapCI(keyCol: Column, value: Column, reps: Int = 200,
       alpha: Double = 0.05, salt: String = "bs",
       groupCols: Seq[String] = Nil): Pipeline =

@@ -268,6 +268,44 @@ object Probes {
       .select("__p.*")
   }
 
+  /** Value-shape (pattern) profiling — the ingest-debug companion to
+    * [[columnProfile]]: counts don't show that a "phone" column holds
+    * three incompatible FORMATS, shapes do. Every string value maps to
+    * its pattern — uppercase letters → `A`, lowercase → `a`, digits →
+    * `9`, everything else kept verbatim — and the op reports each
+    * column's `topN` most frequent shapes with exact counts and
+    * shares ("Aaaaa#99999" 98%, "Aaaaa#9999" 2% → someone's key is a
+    * digit short). NULLs report as the `<null>` shape (a missing
+    * value IS a shape); non-string columns profile their canonical
+    * string cast. Deterministic top-N: count DESC, then pattern ASC.
+    * One exploded hash-agg over |columns|·rows cells + one bounded
+    * per-column window. Output: `column, pattern, n, share, rank`. */
+  def patternProfile(columns: Seq[String], topN: Int = 10)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(columns.nonEmpty, "at least one column required")
+    require(columns.distinct.size == columns.size,
+      s"duplicate columns: ${columns.mkString(", ")}")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    def shape(c: Column): Column = coalesce(
+      regexp_replace(regexp_replace(regexp_replace(c.cast("string"),
+        "[A-Z]", "A"), "[a-z]", "a"), "[0-9]", "9"),
+      lit("<null>"))
+    val cells = df
+      .select(explode(map(columns.flatMap(c =>
+        Seq(lit(c), shape(col(c)))): _*)).as(Seq("column", "pattern")))
+      .groupBy(col("column"), col("pattern"))
+      .agg(count(lit(1)).as("n"))
+    val wc = Window.partitionBy(col("column"))
+    cells
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(wc).cast("double"))
+      .withColumn("rank", row_number().over(
+        wc.orderBy(col("n").desc, col("pattern"))))
+      .filter(col("rank") <= topN)
+      .select("column", "pattern", "n", "share", "rank")
+  }
+
   def keySkew(keys: Seq[String], topN: Int = 20)(df: DataFrame): DataFrame = {
     val total = df.agg(count(lit(1)).as("__total"))
     df.groupBy(keys.map(col): _*)

@@ -737,6 +737,32 @@ class ProbesSpec extends SparkSpec {
       col("k"), col("a"), col("b"), reps = 9)(oneSided))
   }
 
+  test("patternProfile: shapes, null shape, topN rank discipline, casts") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("25-989"), Option(12L)),
+      (Option("25-981"), Option(7L)),
+      (Option("AB-12x"), Option(123L)),
+      (Option.empty[String], Option(12L))).toDF("phone", "k")
+    val out = Probes.patternProfile(Seq("phone", "k"))(df)
+      .orderBy("column", "rank").collect()
+    val phone = out.filter(_.getString(0) == "phone")
+    assert(phone.map(r => (r.getString(1), r.getAs[Long]("n"))).toSeq ===
+      Seq(("99-999", 2L), ("<null>", 1L), ("AA-99a", 1L)))
+    assert(phone.head.getAs[Double]("share") === 0.5)
+    assert(phone.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+    // longs cast canonically; shapes bucket by digit count
+    val k = out.filter(_.getString(0) == "k")
+    assert(k.map(_.getString(1)).toSeq === Seq("99", "9", "999"))
+    // topN truncates but shares stay over the FULL column
+    val top1 = Probes.patternProfile(Seq("phone"), topN = 1)(df).collect()
+    assert(top1.length === 1 && top1.head.getAs[Double]("share") === 0.5)
+    intercept[IllegalArgumentException](
+      Probes.patternProfile(Nil)(df))
+    intercept[IllegalArgumentException](
+      Probes.patternProfile(Seq("phone", "phone"))(df))
+  }
+
   test("rankBiasedOverlap: hand RBO, identity/disjoint bounds, one-sided queries") {
     import spark.implicits._
     def w(p: Double, d: Int) = (1.0 - p) * math.pow(p, d - 1) / d
