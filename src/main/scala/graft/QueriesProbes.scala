@@ -136,9 +136,12 @@ private[graft] object QueriesProbes {
       // is each event type's mean value actually away from 20, or is
       // the gap noise? sign-flip resamples on exact integer sums; the
       // p-value is a ratio of exact counts
+      // deterministic third of the stream: the op pays one md5 per
+      // (row, rep) — reps x rows is the honest bill (r15b cell pins
+      // reps-linearity); the harness keeps it a mid-weight cell
       Probes.permutationTest(col("event_id"), col("value"), lit(20.0),
         reps = 100, groupCols = Seq("event_type"))(
-        table(s, dir, "events"))
+        table(s, dir, "events").filter(col("event_id") % 3 === 0))
         .orderBy("event_type")
     },
     "label_qa" -> { (s, dir) =>
@@ -594,7 +597,8 @@ private[graft] object QueriesProbes {
       WITH b AS (SELECT event_type AS g,
           CAST(event_id AS VARCHAR) AS k,
           CAST(round((value - 2e1) * 1e9, 0) AS BIGINT) AS d9
-        FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+          AND event_id % 3 = 0),
       o AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(d9) AS HUGEINT) AS sd FROM b GROUP BY g),
       e AS (SELECT g, k, d9, CAST(r.rep AS INT) AS rep
