@@ -1252,8 +1252,8 @@ object ScaleBench {
     }
     // rollingCorr: rows-linearity at fixed window (disjoint-key
     // replication: keys ×k, rows ×k — window partitions never span
-    // replicas), then the window-growth curve (Spark recomputes each
-    // bounded frame per row, so cost ~linear in window), then the
+    // replicas), then the window-growth curve (cumsum-minus-lag frame
+    // sums are O(1)/row, so the curve must be FLAT in window), then the
     // exact(decimal) vs exact=false(double) constant at equal shape.
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber",

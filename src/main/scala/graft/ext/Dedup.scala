@@ -1338,7 +1338,7 @@ object Dedup {
 
   /** Tokens sorted by `(xxhash64(token), token)` — the fixed universal
     * total order the incremental exact-SSJoin legs share. */
-  private def hashOrdered(toks: Column): Column =
+  private[graft] def hashOrdered(toks: Column): Column =
     transform(sort_array(transform(toks,
       t => struct(xxhash64(t).as("h"), t.as("t")))), s => s("t"))
 

@@ -1028,6 +1028,96 @@ object Streaming {
       .drop("__total", "__hits")
   }
 
+  /** Streaming incremental EXACT set-similarity dedup — the streaming
+    * half of [[graft.ext.Dedup.incrementalSetSimilarity]], against the
+    * same persisted `(id, toks, n)` index
+    * ([[graft.ext.Dedup.ssjIndexRows]]) — and, unlike the MinHash
+    * streaming gate, with the EXACT verify intact: the index row's
+    * full token array rides the prefix-collision join, so the drop
+    * criterion is true Jaccard ≥ `threshold`, not a band collision.
+    *
+    * Shape (the [[streamingContainmentGate]] doctrine): each stream
+    * document explodes to its τ-prefix tokens in the index's universal
+    * hash order (a NULL keeper row carries zero-token docs through —
+    * they match nothing and survive); ONE stateless stream-static LEFT
+    * join on the prefix token carries the batch op's length +
+    * positional filters AND the exact `array_intersect` verify as
+    * RESIDUAL conditions; one watermark-bounded aggregation per
+    * document counts verified hits, and hit-free documents pass with
+    * all their columns. In-stream repeats: exact-SET duplicates drop
+    * via `dropDuplicatesWithinWatermark` on the canonical token-array
+    * digest (the perceptual leg's exact-hash discipline); in-stream
+    * NEAR-duplicates are covered by periodically folding survivors'
+    * [[graft.ext.Dedup.ssjIndexRows]] into the index, exactly like
+    * the batch crawl cycle. Recall against the INDEX is guaranteed
+    * (prefix pigeonhole + exact verify, no caps, no banding). */
+  def streamingIncrementalSetSimilarity(
+      stream: DataFrame,
+      tokensField: String,
+      index: DataFrame,
+      threshold: Double,
+      tsField: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.ext.Dedup
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(index.columns.length == 3,
+      s"index must be (id, toks, n) rows, got ${index.columns.mkString(", ")}")
+    val tau = threshold / (1.0 + threshold)
+    def prefLen(n: Column) =
+      greatest((n - ceil(lit(threshold) * n - lit(1e-9)) + 1).cast("int"),
+        lit(1))
+    val idxPref = index.select(col(index.columns(1)).as("__itoks"),
+      col(index.columns(2)).as("__in"))
+      .select(col("__itoks"), col("__in"),
+        posexplode(slice(col("__itoks"), lit(1), prefLen(col("__in")))))
+      .select(col("__itoks"), col("__in"), (col("pos") + 1).as("__ipos"),
+        col("col").as("__ipt"))
+    val cols = stream.columns
+    // in-stream EXACT-set dedup FIRST (watermark-bounded; all empty
+    // token sets are the same set - a documented degenerate divergence
+    // from the batch op, which never generates candidates for them),
+    // so the downstream aggregation is the final stateful operator
+    val deduped = stream
+      .withWatermark(tsField, watermarkDelay)
+      .withColumn("__stoks",
+        Dedup.hashOrdered(array_distinct(col(tokensField))))
+      .withColumn("__sn", size(col("__stoks")))
+      .withColumn("__setkey",
+        md5(concat_ws("\u0001", col("__stoks"))))
+      .dropDuplicatesWithinWatermark(Seq("__setkey"))
+    val toks = deduped
+      // NULL keeper row: zero-token docs join nothing and survive
+      .withColumn("__pref", graft.functions.GraftFunctions.bind(
+        slice(col("__stoks"), lit(1), prefLen(col("__sn")))) { p =>
+        when(col("__stoks").isNull || size(col("__stoks")) === 0,
+          array(struct(lit(null).cast("integer").as("pos"),
+            lit(null).cast("string").as("col"))))
+          .otherwise(transform(p, (t, i) =>
+            struct((i + 1).cast("integer").as("pos"), t.as("col"))))
+      })
+      .select(cols.map(col) ++ Seq(col("__stoks"), col("__sn"),
+        explode(col("__pref")).as("__pe")): _*)
+      .select(cols.map(col) ++ Seq(col("__stoks"), col("__sn"),
+        col("__pe.pos").as("__spos"), col("__pe.col").as("__spt")): _*)
+    val ov = size(array_intersect(col("__stoks"), col("__itoks")))
+    val joined = toks.join(idxPref,
+      col("__spt") === col("__ipt") &&
+        least(col("__sn"), col("__in")).cast("double") >=
+          lit(threshold) * greatest(col("__sn"), col("__in")) - lit(1e-9) &&
+        (least(col("__spos"), col("__ipos")) +
+          least(col("__sn") - col("__spos"), col("__in") - col("__ipos"))) >=
+          ceil(lit(tau) * (col("__sn") + col("__in")) - lit(1e-9)) &&
+        ov.cast("double") /
+          (col("__sn") + col("__in") - ov).cast("double") >= threshold,
+      "left")
+    joined
+      .groupBy(cols.map(col): _*)
+      .agg(count(col("__ipt")).as("__hits"))
+      .filter(col("__hits") === 0)
+      .drop("__hits")
+  }
+
   def streamingIncrementalPerceptualDedup(
       stream: DataFrame,
       blobField: String,

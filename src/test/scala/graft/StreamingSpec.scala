@@ -1198,6 +1198,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIncrementalSetSimilarity: exact verify, set-repeat drop, batch parity") {
+    import graft.ext.Dedup
+    val hist = Seq((1L, Seq("a", "b", "c", "d", "e", "f")))
+      .toDF("id", "toks")
+    val idx = Dedup.ssjIndexRows("id", "toks")(hist).localCheckpoint()
+    val input = MemoryStream[(Long, java.sql.Timestamp, Seq[String])]
+    val out = Streaming.streamingIncrementalSetSimilarity(
+      input.toDF().toDF("id", "ts", "toks"), "toks", idx,
+      threshold = 0.5, tsField = "ts", watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ssjstream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, ts("09:00"), Seq("a", "b", "c", "d", "e", "g")), // j=5/7 vs hist → drop
+        (11L, ts("09:01"), Seq("a", "b", "x", "y", "z", "w"))) // j=0.2 → residual verify keeps
+      q.processAllAvailable()
+      input.addData(
+        (12L, ts("09:02"), Seq("p", "q", "r")),                // novel
+        (13L, ts("09:03"), Seq("r", "q", "p")),                // exact SET repeat of 12
+        (14L, ts("09:04"), Seq.empty[String]))                 // zero-token keeper
+      q.processAllAvailable()
+      // advance the watermark so the append-mode aggregation finalizes
+      input.addData((99L, ts("11:00"), Seq("nudge")))
+      q.processAllAvailable()
+      val got = spark.table("ssjstream").select("id")
+        .as[Long].collect().toSet
+      assert(got === Set(11L, 12L, 14L))
+      // batch parity: the batch op on the union batch agrees (13 is a
+      // larger-id exact dup of 12 there too)
+      val batch = Seq(
+        (10L, Seq("a", "b", "c", "d", "e", "g")),
+        (11L, Seq("a", "b", "x", "y", "z", "w")),
+        (12L, Seq("p", "q", "r")),
+        (13L, Seq("r", "q", "p")),
+        (14L, Seq.empty[String])).toDF("id", "toks")
+      val want = Dedup.incrementalSetSimilarity("id", "toks", idx,
+        threshold = 0.5)(batch).select("id").as[Long].collect().toSet
+      assert(got === want)
+    } finally q.stop()
+    intercept[IllegalArgumentException](
+      Streaming.streamingIncrementalSetSimilarity(
+        input.toDF().toDF("id", "ts", "toks"), "toks", idx,
+        threshold = 0.0))
+  }
+
   test("streamingRollingCorr carries the pair window across micro-batches, matching batch") {
     import graft.streaming.{CorrEvent, CorrStat}
     val input = MemoryStream[CorrEvent]
