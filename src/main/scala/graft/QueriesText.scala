@@ -565,6 +565,17 @@ private[graft] object QueriesText {
         corpus(s, dir, "documents"))
         .orderBy(col("cnt").desc, col("token"))
     },
+    "oov_rate" -> { (s, dir) =>
+      // tokenizer coverage: per-doc token- AND type-level OOV against
+      // the corpus' own frequent-token vocabulary (the pre-training
+      // vocab-fit report)
+      val docs = corpus(s, dir, "documents")
+      TextOps.oovRate(
+        Frequency.heavyHitterTerms("text", minFreq = 1e-3)(docs)
+          .select("token"),
+        "doc_id", "text")(docs)
+        .orderBy("doc_id")
+    },
     "association_rules" -> { (s, dir) =>
       // market-basket over user sessions: which event types co-occur
       // in the same user's history — support/confidence/lift from
@@ -1621,6 +1632,36 @@ private[graft] object QueriesText {
       HAVING CAST(count(*) AS DOUBLE)
            > 1e-3 * (SELECT CAST(total AS DOUBLE) FROM n)
       ORDER BY cnt DESC, token""",
+    // mirrors TextOps.oovRate over the heavy-hitter vocab: one explode,
+    // one LEFT join, exact counts into two fixed divisions; empty/NULL
+    // text yields the single '' token both engines produce
+    "oov_rate" -> """
+      WITH t0 AS (SELECT unnest(string_split(coalesce(text, ''), ' '))
+          AS token FROM documents),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t0),
+      voc AS (SELECT token FROM t0 GROUP BY token
+        HAVING CAST(count(*) AS DOUBLE)
+             > 1e-3 * (SELECT CAST(total AS DOUBLE) FROM nn)),
+      d AS (SELECT doc_id,
+          unnest(string_split(coalesce(text, ''), ' ')) AS t
+        FROM documents),
+      j AS (SELECT d.doc_id, d.t, voc.token AS vt
+        FROM d LEFT JOIN voc ON voc.token = d.t)
+      SELECT doc_id,
+        CAST(count(t) AS BIGINT) AS n_tokens,
+        CAST(count(CASE WHEN t IS NOT NULL AND vt IS NULL THEN 1 END)
+          AS BIGINT) AS n_oov,
+        CASE WHEN count(t) = 0 THEN 0e0
+          ELSE CAST(count(CASE WHEN t IS NOT NULL AND vt IS NULL THEN 1
+            END) AS DOUBLE) / CAST(count(t) AS DOUBLE) END AS oov_rate,
+        CAST(count(DISTINCT t) AS BIGINT) AS n_types,
+        CAST(count(DISTINCT CASE WHEN vt IS NULL THEN t END) AS BIGINT)
+          AS n_oov_types,
+        CASE WHEN count(DISTINCT t) = 0 THEN 0e0
+          ELSE CAST(count(DISTINCT CASE WHEN vt IS NULL THEN t END)
+            AS DOUBLE) / CAST(count(DISTINCT t) AS DOUBLE)
+        END AS oov_type_rate
+      FROM j GROUP BY doc_id ORDER BY doc_id""",
     // mirrors Frequency.associationRules: distinct baskets, basket-size
     // cap on pair generation ONLY, exact counts into the fixed
     // support/confidence/lift divisions (lift multiplies as doubles)

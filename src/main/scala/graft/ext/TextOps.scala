@@ -20,6 +20,56 @@ object TextOps {
   /** Distinct whitespace tokens (set semantics for jaccard). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** Out-of-vocabulary rate per document — the tokenizer-coverage
+    * probe run BEFORE committing a vocabulary to a training run: a
+    * vocab that covers 99.9% of English tokens and 70% of the German
+    * slice silently shreds one language into fragments/UNKs, and only
+    * a per-document (rollup-able per source/lang) OOV report shows it.
+    * Both granularities matter and both are exact counts: token-level
+    * (`n_tokens, n_oov` — how much of the STREAM the vocab misses) and
+    * type-level (`n_types, n_oov_types` — how much of the document's
+    * VOCABULARY it misses; a single repeated rare word moves the two
+    * very differently). Rates are one division each; zero-token
+    * documents report 0.0 rates (nothing to miss) and survive via a
+    * NULL keeper row. `vocab` is any single-column token table (a
+    * [[graft.ext.Frequency.heavyHitters]] result, a stored BPE vocab,
+    * a language list) — de-duplicated here, LEFT-joined once
+    * (broadcast when it fits; vocabularies are vocabulary-sized), one
+    * per-doc hash-agg. Output:
+    * `<id>, n_tokens, n_oov, oov_rate, n_types, n_oov_types,
+    * oov_type_rate`. */
+  def oovRate(vocab: DataFrame, idField: String, textField: String)(
+      df: DataFrame): DataFrame = {
+    require(vocab.columns.length == 1,
+      s"vocab must be a single token column, got ${vocab.columns.mkString(", ")}")
+    val v = vocab.select(col(vocab.columns.head).as("__vt"))
+      .filter(col("__vt").isNotNull).distinct()
+    val toks = df.select(col(idField).as("__id"),
+      graft.functions.GraftFunctions.bind(
+        tokens(coalesce(col(textField), lit("")))) { ts =>
+        when(size(ts) === 0, array(lit(null).cast("string"))).otherwise(ts)
+      }.as("__ts"))
+      .select(col("__id"), explode(col("__ts")).as("__t"))
+    toks
+      .join(v, col("__t") === col("__vt"), "left")
+      .groupBy(col("__id"))
+      .agg(
+        count(col("__t")).as("n_tokens"),
+        count(when(col("__t").isNotNull && col("__vt").isNull, lit(1)))
+          .as("n_oov"),
+        countDistinct(col("__t")).as("n_types"),
+        countDistinct(when(col("__vt").isNull, col("__t")))
+          .as("n_oov_types"))
+      .select(col("__id").as(idField), col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_oov").cast("double") /
+            col("n_tokens").cast("double")).as("oov_rate"),
+        col("n_types"), col("n_oov_types"),
+        when(col("n_types") === 0, lit(0.0))
+          .otherwise(col("n_oov_types").cast("double") /
+            col("n_types").cast("double")).as("oov_type_rate"))
+  }
+
   /** Unicode normalization of `text` (default NFC) — run this BEFORE
     * fingerprint/exact dedup on multi-source corpora: the same visible
     * string arrives composed from one crawler and decomposed from

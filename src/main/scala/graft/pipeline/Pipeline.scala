@@ -832,6 +832,9 @@ final case class Pipeline(df: DataFrame) {
   def quantileNormalize(groupField: String, valueField: String,
       tieBreak: String): Pipeline =
     >>(Ops.quantileNormalize(groupField, valueField, tieBreak))
+  def oovRate(vocab: DataFrame, idField: String,
+      textField: String): Pipeline =
+    >>(graft.ext.TextOps.oovRate(vocab, idField, textField))
   def hits(srcField: String, dstField: String,
       iterations: Int = 3, exactOrder: Boolean = true): Pipeline =
     >>(graft.ext.GraphOps.hits(srcField, dstField, iterations, exactOrder))

@@ -138,6 +138,32 @@ class ExtSpec extends SparkSpec {
       GraphOps.labelPropagation("src", "dst", rounds = 0)(two))
   }
 
+  test("oovRate: token vs type rates, repeated rare word, vocab dedup, null text") {
+    import graft.ext.TextOps
+    val vocab = Seq("a", "b", "b").toDF("tok") // dup collapses
+    val docs = Seq(
+      (1L, Option("a b a c")),     // 4 tokens 1 oov; 3 types 1 oov type
+      (2L, Option("a z z z")),     // stream rate 3/4 but TYPE rate 1/2
+      (3L, Option.empty[String]))  // null text → [''] → 1 oov token
+      .toDF("doc_id", "text")
+    val out = TextOps.oovRate(vocab, "doc_id", "text")(docs)
+      .orderBy("doc_id").collect()
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_tokens") === 4L && d1.getAs[Long]("n_oov") === 1L)
+    assert(d1.getAs[Double]("oov_rate") === 0.25)
+    assert(d1.getAs[Long]("n_types") === 3L &&
+      d1.getAs[Long]("n_oov_types") === 1L)
+    assert(d1.getAs[Double]("oov_type_rate") === 1.0 / 3.0)
+    val d2 = out(1)
+    assert(d2.getAs[Double]("oov_rate") === 0.75 &&
+      d2.getAs[Double]("oov_type_rate") === 0.5)
+    val d3 = out(2)
+    assert(d3.getAs[Long]("n_tokens") === 1L &&
+      d3.getAs[Double]("oov_rate") === 1.0)
+    intercept[IllegalArgumentException](
+      TextOps.oovRate(vocab.withColumn("x", lit(1)), "doc_id", "text")(docs))
+  }
+
   test("modularity: hand Q on two triangles, trivial partition zero, unlabeled drop") {
     import graft.ext.GraphOps
     // two triangles + a bridge: m = 7, each triangle e_c = 3, d_c = 7
