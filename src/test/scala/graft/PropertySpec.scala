@@ -854,4 +854,76 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("quantileNormalize invariants: size-preserving, monotone, pooled-value image") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.oneOf("g1", "g2", "g3"),
+      Gen.chooseNum(-100.0, 100.0)))
+    for (rows <- draws(gen, 4)) {
+      val df = rows.zipWithIndex.map { case ((g, v), i) =>
+        (g, math.rint(v * 10) / 10, i.toLong)
+      }.toDF("g", "v", "id")
+      val out = Ops.quantileNormalize("g", "v", "id")(df).collect()
+      // one output row per input row, grouped sizes preserved
+      assert(out.length === rows.length)
+      // every normalized value IS some input value (an exact copy)
+      val pool = rows.map(r => math.rint(r._2 * 10) / 10).toSet
+      assert(out.forall(r => pool.contains(r.getAs[Double]("normalized"))))
+      // within each group the map is rank-monotone
+      out.groupBy(_.getString(0)).foreach { case (_, rs) =>
+        val byRank = rs.sortBy(_.getAs[Int]("rank"))
+          .map(_.getAs[Double]("normalized"))
+        assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+      }
+    }
+  }
+
+  test("associationRules invariants: lift symmetry, support <= confidence <= 1") {
+    val gen = Gen.listOfN(60, Gen.zip(Gen.chooseNum(1L, 12L),
+      Gen.oneOf("x", "y", "z", "w", "u")))
+    for (rows <- draws(gen, 4)) {
+      val df = rows.toDF("t", "i")
+      val out = graft.ext.Frequency.associationRules("t", "i",
+        minSupportCount = 1)(df).collect()
+      val lifts = out.map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Double]("lift"))).toMap
+      out.foreach { r =>
+        val (a, b) = (r.getString(0), r.getString(1))
+        assert(lifts((a, b)) === lifts((b, a)), "lift is symmetric")
+        val s = r.getAs[Double]("support")
+        val c = r.getAs[Double]("confidence")
+        assert(s <= c + 1e-15 && c <= 1.0 && s > 0.0)
+      }
+    }
+  }
+
+  test("bootstrapCI invariants: interval ordered and inside the data range") {
+    val gen = Gen.listOfN(30, Gen.chooseNum(-50.0, 50.0))
+    for (vs <- draws(gen, 4)) {
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, math.rint(v * 100) / 100) }.toDF("k", "v")
+      val r = graft.probes.Probes.bootstrapCI(col("k"), col("v"),
+        reps = 40)(df).head()
+      val lo = r.getAs[Double]("ci_low"); val hi = r.getAs[Double]("ci_high")
+      assert(lo <= hi)
+      val xs = vs.map(v => math.rint(v * 100) / 100)
+      assert(lo >= xs.min - 1e-9 && hi <= xs.max + 1e-9,
+        "resample means cannot leave the data's convex hull")
+    }
+  }
+
+  test("rankBiasedOverlap invariants: bounded by the identity score, monotone in depth overlap") {
+    val itemGen = Gen.listOfN(8, Gen.chooseNum(1, 20))
+    for (Seq((la, lb)) <- draws(Gen.zip(itemGen, itemGen), 4).map(Seq(_))) {
+      def rank(items: List[Int]) = items.distinct.zipWithIndex
+        .map { case (it, i) => ("q", it.toLong, i + 1) }
+      val a = rank(la).toDF("q", "i", "r")
+      val b = rank(lb).toDF("q", "i", "r")
+      val k = 5
+      val got = graft.probes.Probes.rankBiasedOverlap(b, "q", "i", "r",
+        p = 0.7, depth = k)(a).head().getAs[Double]("rbo")
+      val ident = 1.0 - math.pow(0.7, k)
+      assert(got >= 0.0 && got <= ident + 1e-12,
+        s"rbo $got must sit in [0, 1 − p^k = $ident]")
+    }
+  }
 }
