@@ -54,6 +54,7 @@ class PlanAuditSpec extends SparkSpec {
     "bm25_serve",        // same one-row stats broadcast, stored-index form
     "bm25_prf",          // same stats broadcast inside its feedback pass
     "heavy_hitter_terms",  // broadcast one-row stream total (pass-1 Σn_p)
+    "oov_rate",            // its vocab leg IS heavy_hitter_terms — same one-row total
     "heavy_hitter_phrases", // same two-pass machinery over the gram stream
     "theta_overlap",     // broadcast |groups|-row sketch-state pair join
     "page_rank",         // broadcast one-row node-count aggregate
@@ -67,6 +68,10 @@ class PlanAuditSpec extends SparkSpec {
     "score_calibration", // broadcast one-row ECE aggregate
     "label_qa",          // composes both of the above — same one-row builds
     "fleiss_kappa",      // broadcast one-row totals (N, P̄) into the κ dag
+    "graph_modularity",  // broadcast one-row m + one-row Q folds
+    "quantile_normalize", // broadcast one-row pooled-N aggregate
+    "association_rules", // broadcast one-row basket-total N
+    "fellegi_sunter_fit", // broadcast 1-row EM parameter frame per round
     "collocations",      // broadcast one-row unigram + bigram totals
     "ann_recall_eval",   // broadcast query set + one-row truth count
     "histogram_2d",      // broadcast one-row cell-count total
