@@ -27,7 +27,7 @@ object ScaleBench {
     // Optional comma-separated phase subset (spans / bm25 / cc / ann /
     // inc / contain / bpe / text11 / oph / freq / ts / r12 / tri / r13 /
     // r13b / tfidf / pareto / r14 / flag / conv / r14c / r15 / r15b)
-    // for targeted re-measures without paying the whole harness;
+    // plus r15c, for targeted re-measures without paying the whole harness;
     // absent → all phases.
     val phases = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
@@ -1500,6 +1500,53 @@ object ScaleBench {
     }
     println("corpus_x,rows,quantile_normalize_sec")
     qnRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    }
+    // ---- r15c: the exact-SSJoin incremental leg under INDEX growth ----
+    // The recurring-crawl dimension: FIXED batch, accumulated history
+    // ×1/×2/×4 (disjoint token universes per replica, the r14c ssj
+    // doctrine — history growth must not quadratically inflate
+    // candidates when the new batch only collides with its own
+    // universe). Expect flat-to-linear: one stored-index scan per
+    // batch + cross-universe buckets never materialize.
+    phase("r15c") {
+    import graft.ext.{Dedup => D15, TextOps => T15c}
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    val docs15c = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+    val nDocs15c = docs15c.count()
+    def tagged(k: Int, tagBase: Int): DataFrame =
+      (0 until k).map(i => docs15c.select(
+        (col("doc_id") + lit((tagBase + i).toLong * 10_000_000L))
+          .as("doc_id"),
+        transform(T15c.shingles(col("text"), 3),
+          t => concat(lit(s"u${tagBase + i}|"), t)).as("toks")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    // the batch lives in universe u0; history replicas u0..u(k-1), so
+    // only the u0 slice of history can ever collide with the batch
+    val batch15c = tagged(1, 0)
+      .select((col("doc_id") + lit(500_000_000L)).as("doc_id"), col("toks"))
+      .localCheckpoint()
+    def issJob(idx: DataFrame): Unit =
+      D15.incrementalSetSimilarity("doc_id", "toks", idx,
+        threshold = 0.5)(batch15c)
+        .write.mode("overwrite").format("noop").save()
+    locally {
+      val i1 = D15.ssjIndexRows("doc_id", "toks")(tagged(1, 0))
+        .localCheckpoint()
+      issJob(i1); i1.unpersist()
+    }
+    val issRows = for (k <- Seq(1, 2, 4)) yield {
+      val idx = D15.ssjIndexRows("doc_id", "toks")(tagged(k, 0))
+        .localCheckpoint()
+      val t = median3(issJob(idx))
+      idx.unpersist()
+      (k, nDocs15c * k, t)
+    }
+    println("index_x,index_docs,incremental_set_sim_sec")
+    issRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
     }
     spark.stop()
   }

@@ -280,6 +280,13 @@ object Probes {
     * string cast. Deterministic top-N: count DESC, then pattern ASC.
     * One exploded hash-agg over |columns|·rows cells + one bounded
     * per-column window. Output: `column, pattern, n, share, rank`. */
+  /** The A/a/9 value shape shared by [[patternProfile]] and the
+    * streaming [[graft.streaming.Streaming.windowedPatternProfile]]. */
+  private[graft] def valueShape(c: Column): Column = coalesce(
+    regexp_replace(regexp_replace(regexp_replace(c.cast("string"),
+      "[A-Z]", "A"), "[a-z]", "a"), "[0-9]", "9"),
+    lit("<null>"))
+
   def patternProfile(columns: Seq[String], topN: Int = 10)(
       df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -287,13 +294,9 @@ object Probes {
     require(columns.distinct.size == columns.size,
       s"duplicate columns: ${columns.mkString(", ")}")
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    def shape(c: Column): Column = coalesce(
-      regexp_replace(regexp_replace(regexp_replace(c.cast("string"),
-        "[A-Z]", "A"), "[a-z]", "a"), "[0-9]", "9"),
-      lit("<null>"))
     val cells = df
       .select(explode(map(columns.flatMap(c =>
-        Seq(lit(c), shape(col(c)))): _*)).as(Seq("column", "pattern")))
+        Seq(lit(c), valueShape(col(c)))): _*)).as(Seq("column", "pattern")))
       .groupBy(col("column"), col("pattern"))
       .agg(count(lit(1)).as("n"))
     val wc = Window.partitionBy(col("column"))

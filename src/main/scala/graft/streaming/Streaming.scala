@@ -427,6 +427,41 @@ object Streaming {
       }
   }
 
+  /** Windowed value-shape monitor — the streaming form of
+    * [[graft.probes.Probes.patternProfile]]: per tumbling event-time
+    * window and column, the count of every observed A/a/9 value shape
+    * (the SAME [[graft.probes.Probes.valueShape]] mapping, so batch
+    * and stream bucket identically). A new shape appearing in TODAY'S
+    * window — a feed that switched date formats, a key that grew a
+    * digit — is the ingest regression this catches live; compare
+    * consecutive windows with [[windowedCategoryDrift]]'s machinery
+    * downstream. One stateful windowed hash-agg, watermark-bounded
+    * state, shapes bounded by the columns' format diversity. Output:
+    * `window_start, window_end, column, pattern, n`. Same plan on
+    * batch frames — spec-pinned parity with the batch probe's
+    * counts. */
+  def windowedPatternProfile(
+      events: DataFrame,
+      columns: Seq[String],
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    require(columns.nonEmpty, "at least one column required")
+    require(columns.distinct.size == columns.size,
+      s"duplicate columns: ${columns.mkString(", ")}")
+    events
+      .withWatermark(tsField, watermarkDelay)
+      .select(window(col(tsField), windowLength).as("__w"),
+        explode(map(columns.flatMap(c =>
+          Seq(lit(c), graft.probes.Probes.valueShape(col(c)))): _*))
+          .as(Seq("column", "pattern")))
+      .groupBy(col("__w"), col("column"), col("pattern"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("__w.start").as("window_start"),
+        col("__w.end").as("window_end"),
+        col("column"), col("pattern"), col("n"))
+  }
+
   /** Streaming CUSUM mean-shift monitor: carries each key's one-sided
     * `(sp, sn)` statistics as typed group state and emits one stamped
     * row per arriving event — the unbounded-stream form of

@@ -1198,6 +1198,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedPatternProfile: per-window shape counts, batch-probe parity") {
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val out = Streaming.windowedPatternProfile(
+      input.toDF().toDF("ts", "phone", "k"),
+      columns = Seq("phone", "k"),
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wpp")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("09:01"), "25-989", 12L),
+        (ts("09:02"), "25-981", 7L),
+        (ts("09:03"), "AB-12x", 123L))
+      q.processAllAvailable()
+      input.addData((ts("10:00"), "zz-999", 1L)) // watermark nudge + next window
+      q.processAllAvailable()
+      val got = spark.table("wpp")
+        .select($"column", $"pattern", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(got === Set(
+        ("phone", "99-999", 2L), ("phone", "AA-99a", 1L),
+        ("k", "99", 1L), ("k", "9", 1L), ("k", "999", 1L)))
+      // batch parity: the batch probe over the same window's rows
+      // counts the same shapes
+      val batch = Seq(("25-989", 12L), ("25-981", 7L), ("AB-12x", 123L))
+        .toDF("phone", "k")
+      val want = graft.probes.Probes.patternProfile(Seq("phone", "k"))(batch)
+        .select($"column", $"pattern", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(got === want)
+    } finally q.stop()
+    intercept[IllegalArgumentException](Streaming.windowedPatternProfile(
+      input.toDF().toDF("ts", "phone", "k"), columns = Nil))
+  }
+
   test("streamingIncrementalSetSimilarity: exact verify, set-repeat drop, batch parity") {
     import graft.ext.Dedup
     val hist = Seq((1L, Seq("a", "b", "c", "d", "e", "f")))
