@@ -3,14 +3,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.TextOps
 
-/** Linear-scaling probe for the span-dedup family: times
-  * `duplicateSpans` and `stripDuplicateSpans` on the sf0.1 documents
-  * corpus replicated ×1/×2/×4 (replica doc_ids shifted into disjoint
-  * ranges, so every cross-replica passage is a REAL duplicated span —
-  * the adversarial case: duplication density grows with scale instead
-  * of staying constant). A linear operator shows ~2× wall per doubling
-  * here; a hidden all-pairs stage would show ~4×. Feeds the SURVEY §8
-  * scale dossier. Usage: runMain graft.ScaleBench [sfDir]. */
+/** The SURVEY §8 scale dossier's measurement harness: per-family
+  * phases time an operator on the sf0.1 fixtures replicated ×1/×2/×4
+  * (each phase picks the replication shape that is ADVERSARIAL or
+  * HONEST for its operator — disjoint ids for linear claims, shared
+  * content where duplication density must grow, disjoint token/item
+  * universes where cross-replica collisions must NOT happen), plus
+  * knob sweeps (iterations, window, reps, caps) that pin per-round /
+  * per-unit flatness. Cells are medians of 3 (single runs swing ~3×
+  * on this box); a linear operator shows ~2× wall per data doubling,
+  * a hidden all-pairs stage ~4× — several such regressions were
+  * caught and fixed by exactly these curves (see §8's measured
+  * sections). Select phases with SPARK_GRAFT_SCALE_ONLY.
+  * Usage: runMain graft.ScaleBench [sfDir]. */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
