@@ -3,13 +3,15 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import graft.sources.DataStore
 
-/** The shared persistence seam of the incremental-index triad — one
-  * API over the three per-modality states a recurring crawl keeps
+/** The shared persistence seam of the incremental-index family — one
+  * API over the per-modality states a recurring crawl keeps
   * (reference scope: the `bubbles` store layer holds named objects;
   * the index tables are exactly such objects):
   *
-  *  - text: `(id, sig)` MinHash signatures
+  *  - text (probabilistic): `(id, sig)` MinHash signatures
   *    ([[Dedup.minhashIndexRows]] / [[Dedup.incrementalNearDup]])
+  *  - text (EXACT recall): `(id, toks, n)` hash-ordered token sets
+  *    ([[Dedup.ssjIndexRows]] / [[Dedup.incrementalSetSimilarity]])
   *  - embeddings: `(id, codes)` int8 quantizations
   *    ([[Dedup.embeddingIndexRows]] / [[Dedup.incrementalEmbeddingDedup]])
   *  - binary/media: `(id, phash)` perceptual hashes
@@ -17,7 +19,7 @@ import graft.sources.DataStore
   *
   * Before this seam each leg hand-rolled the same four store calls;
   * now the append-survivors loop is ONE call per batch ([[ingest]]),
-  * and the three legs cannot drift apart in how they persist.
+  * and the legs cannot drift apart in how they persist.
   *
   * The index lives as a named object in any [[DataStore]] (parquet in
   * practice — columnar scans of the tiny signature/code/hash columns).

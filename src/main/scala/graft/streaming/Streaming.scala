@@ -462,6 +462,48 @@ object Streaming {
         col("column"), col("pattern"), col("n"))
   }
 
+  /** Windowed OOV-rate monitor — the streaming form of
+    * [[graft.ext.TextOps.oovRate]] rolled up per tumbling event-time
+    * window instead of per document: the live vocabulary-drift alarm
+    * ("today's crawl is 40% OOV — a new language, a new spam family,
+    * or a broken extractor upstream"). Same token mapping as the
+    * batch probe (whitespace split, the engines' shared
+    * empty-string-token convention), one stream-static LEFT join
+    * against the vocab (broadcast when it fits — vocabularies are
+    * vocabulary-sized), one watermark-bounded windowed hash-agg of
+    * exact counts, one division. Output per window:
+    * `window_start, window_end, n_tokens, n_oov, oov_rate`. Same plan
+    * on batch frames — spec-pinned parity with the batch probe's
+    * corpus totals. */
+  def windowedOovRate(
+      events: DataFrame,
+      vocab: DataFrame,
+      textField: String,
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    require(vocab.columns.length == 1,
+      s"vocab must be a single token column, got ${vocab.columns.mkString(", ")}")
+    val v = vocab.select(col(vocab.columns.head).as("__vt"))
+      .filter(col("__vt").isNotNull).distinct()
+    events
+      .withWatermark(tsField, watermarkDelay)
+      .select(window(col(tsField), windowLength).as("__w"),
+        explode(graft.ext.TextOps.tokens(
+          coalesce(col(textField), lit("")))).as("__t"))
+      .join(v, col("__t") === col("__vt"), "left")
+      .groupBy(col("__w"))
+      .agg(count(col("__t")).as("n_tokens"),
+        count(when(col("__t").isNotNull && col("__vt").isNull, lit(1)))
+          .as("n_oov"))
+      .select(col("__w.start").as("window_start"),
+        col("__w.end").as("window_end"),
+        col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_oov").cast("double") /
+            col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
   /** Streaming CUSUM mean-shift monitor: carries each key's one-sided
     * `(sp, sn)` statistics as typed group state and emits one stamped
     * row per arriving event — the unbounded-stream form of

@@ -1198,6 +1198,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedOovRate: per-window OOV rollup, batch-probe parity") {
+    val vocab = Seq("a", "b").toDF("tok")
+    val input = MemoryStream[(Timestamp, String)]
+    val out = Streaming.windowedOovRate(
+      input.toDF().toDF("ts", "text"), vocab, "text",
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("woov")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("09:01"), "a b a c"),  // 4 tokens, 1 oov
+        (ts("09:02"), "a z z z")) // 4 tokens, 3 oov
+      q.processAllAvailable()
+      input.addData((ts("10:00"), "a")) // watermark nudge, next window
+      q.processAllAvailable()
+      val got = spark.table("woov")
+        .select($"n_tokens", $"n_oov", $"oov_rate")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got === Seq((8L, 4L, 0.5)))
+      // batch parity: the per-doc probe's corpus totals over the same
+      // window's rows agree
+      val batch = Seq((1L, "a b a c"), (2L, "a z z z")).toDF("id", "text")
+      val w = graft.ext.TextOps.oovRate(vocab, "id", "text")(batch)
+        .agg(org.apache.spark.sql.functions.sum("n_tokens"),
+          org.apache.spark.sql.functions.sum("n_oov")).head()
+      assert((w.getLong(0), w.getLong(1)) === (got.head._1, got.head._2))
+    } finally q.stop()
+    intercept[IllegalArgumentException](Streaming.windowedOovRate(
+      input.toDF().toDF("ts", "text"),
+      vocab.withColumn("x",
+        org.apache.spark.sql.functions.lit(1)), "text"))
+  }
+
   test("windowedPatternProfile: per-window shape counts, batch-probe parity") {
     val input = MemoryStream[(Timestamp, String, Long)]
     val out = Streaming.windowedPatternProfile(
