@@ -402,8 +402,10 @@ private[graft] object QueriesTemporal {
     },
     "graph_modularity" -> { (s, dir) =>
       // did LPA find structure? Newman Q of the 4-round communities
-      // over the same 500-node graph — per-community contributions +
-      // the global score, all exact-count ratios
+      // over a sparser 2000-node derived graph (label_propagation's
+      // dense 500-node frame collapses to one community — Q there is
+      // uninformative) — per-community contributions + the global
+      // score, all exact-count ratios
       val ev = table(s, dir, "events")
         .select((col("user_id") % 2000).as("src"),
           ((col("user_id") * 13 + col("event_id") * 7) % 2000).as("dst"))
@@ -1119,21 +1121,27 @@ private[graft] object QueriesTemporal {
         FROM eu JOIN lp ls ON ls.node = eu.s
                 JOIN lp ld ON ld.node = eu.d),
       m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM el),
-      deg AS (SELECT c, CAST(count(DISTINCT v) AS BIGINT) AS nodes,
-          CAST(count(*) AS BIGINT) AS degree_sum
+      cn AS (SELECT community AS c,
+          CAST(count(DISTINCT node) AS BIGINT) AS nodes
+        FROM lp GROUP BY community),
+      deg AS (SELECT c, CAST(count(*) AS BIGINT) AS degree_sum
         FROM (SELECT s AS v, cs AS c FROM el
               UNION ALL SELECT d, cd FROM el) GROUP BY c),
       i AS (SELECT cs AS c, CAST(count(*) AS BIGINT) AS internal_edges
         FROM el WHERE cs = cd GROUP BY cs),
-      perc AS (SELECT deg.c, nodes,
+      perc AS (SELECT cn.c, nodes,
           coalesce(internal_edges, CAST(0 AS BIGINT)) AS internal_edges,
-          degree_sum,
-          CAST(coalesce(internal_edges, CAST(0 AS BIGINT)) AS DOUBLE)
-            / CAST(m AS DOUBLE)
-          - (CAST(degree_sum AS DOUBLE) / (2e0 * CAST(m AS DOUBLE)))
-            * (CAST(degree_sum AS DOUBLE) / (2e0 * CAST(m AS DOUBLE)))
-            AS contribution
-        FROM deg LEFT JOIN i ON i.c = deg.c CROSS JOIN m),
+          coalesce(degree_sum, CAST(0 AS BIGINT)) AS degree_sum,
+          CASE WHEN m = 0 THEN 0e0 ELSE
+            CAST(coalesce(internal_edges, CAST(0 AS BIGINT)) AS DOUBLE)
+              / CAST(m AS DOUBLE)
+            - (CAST(coalesce(degree_sum, CAST(0 AS BIGINT)) AS DOUBLE)
+                / (2e0 * CAST(m AS DOUBLE)))
+              * (CAST(coalesce(degree_sum, CAST(0 AS BIGINT)) AS DOUBLE)
+                / (2e0 * CAST(m AS DOUBLE)))
+          END AS contribution
+        FROM cn LEFT JOIN deg ON deg.c = cn.c
+                LEFT JOIN i ON i.c = cn.c CROSS JOIN m),
       q AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
           list(contribution ORDER BY c)), (a, x) -> a + x) AS modularity
         FROM perc)

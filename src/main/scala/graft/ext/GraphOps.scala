@@ -484,7 +484,11 @@ object GraphOps {
     * Exactness: e_c, d_c, m are exact integers; each community's
     * contribution is a fixed two-division expression, and the global Q
     * folds community-ordered — cross-engine hash-identical. One edge
-    * scan + two label joins + two hash-aggs. Output per community:
+    * scan + two label joins + two hash-aggs. EVERY community in
+    * `labels` emits a row: `nodes` counts its LABELED nodes (edgeless
+    * members included), a community with no kept edges carries zeros
+    * and contribution 0, and an edge-free labeled graph scores Q = 0
+    * (no structure to find, not NaN). Output per community:
     * `community, nodes, internal_edges, degree_sum, contribution`,
     * with the global `modularity` repeated on every row (the ECE
     * convention). */
@@ -505,26 +509,32 @@ object GraphOps {
       .join(lab.select(col("__v").as("__d"), col("__c").as("__cd")), "__d")
       .localCheckpoint() // feeds m, degrees, AND internal counts
     val m = e.agg(count(lit(1)).as("__m"))
+    // nodes per community come from the LABELS frame, not the edge
+    // endpoints — edgeless members count, and a community with no
+    // kept edges still emits its (zeroed) row
+    val commNodes = lab.groupBy(col("__c"))
+      .agg(countDistinct(col("__v")).as("nodes"))
     val deg = e.select(col("__s").as("__v"), col("__cs").as("__c"))
       .unionByName(e.select(col("__d").as("__v"), col("__cd").as("__c")))
       .groupBy(col("__c"))
-      .agg(countDistinct(col("__v")).as("nodes"),
-        count(lit(1)).as("degree_sum"))
+      .agg(count(lit(1)).as("degree_sum"))
     val internal = e.filter(col("__cs") === col("__cd"))
       .groupBy(col("__cs").as("__c"))
       .agg(count(lit(1)).as("internal_edges"))
-    val perC = deg
+    val perC = commNodes
+      .join(deg, Seq("__c"), "left")
       .join(internal, Seq("__c"), "left")
       .select(col("__c"), col("nodes"),
         coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
-        col("degree_sum"))
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
       .crossJoin(broadcast(m))
       .withColumn("contribution",
-        col("internal_edges").cast("double") / col("__m").cast("double") -
-          (col("degree_sum").cast("double") /
-            (lit(2.0) * col("__m").cast("double"))) *
-          (col("degree_sum").cast("double") /
-            (lit(2.0) * col("__m").cast("double"))))
+        when(col("__m") === 0L, lit(0.0)).otherwise(
+          col("internal_edges").cast("double") / col("__m").cast("double") -
+            (col("degree_sum").cast("double") /
+              (lit(2.0) * col("__m").cast("double"))) *
+            (col("degree_sum").cast("double") /
+              (lit(2.0) * col("__m").cast("double")))))
     val q = perC.agg(org.apache.spark.sql.functions.aggregate(
       sort_array(collect_list(struct(col("__c").as("__k"),
         col("contribution").as("__t")))),

@@ -29,9 +29,13 @@ object TextOps {
     * (`n_tokens, n_oov` — how much of the STREAM the vocab misses) and
     * type-level (`n_types, n_oov_types` — how much of the document's
     * VOCABULARY it misses; a single repeated rare word moves the two
-    * very differently). Rates are one division each; zero-token
-    * documents report 0.0 rates (nothing to miss) and survive via a
-    * NULL keeper row. `vocab` is any single-column token table (a
+    * very differently). Rates are one division each. NULL/empty text
+    * follows the library-wide split convention both engines share
+    * (`split('', ' ') = ['']`): such documents carry ONE empty-string
+    * token, which counts OOV unless the vocab lists `''` — so a blank
+    * document reports `oov_rate = 1.0`, spec-pinned (a row the probe
+    * must surface, not hide: blank text IS a coverage problem).
+    * `vocab` is any single-column token table (a
     * [[graft.ext.Frequency.heavyHitters]] result, a stored BPE vocab,
     * a language list) — de-duplicated here, LEFT-joined once
     * (broadcast when it fits; vocabularies are vocabulary-sized), one
@@ -44,12 +48,11 @@ object TextOps {
       s"vocab must be a single token column, got ${vocab.columns.mkString(", ")}")
     val v = vocab.select(col(vocab.columns.head).as("__vt"))
       .filter(col("__vt").isNotNull).distinct()
+    // split('', ' ') = [''] in both engines, so every document —
+    // including NULL/empty text — carries >= 1 token; no keeper row
+    // is needed and the explode never drops a document
     val toks = df.select(col(idField).as("__id"),
-      graft.functions.GraftFunctions.bind(
-        tokens(coalesce(col(textField), lit("")))) { ts =>
-        when(size(ts) === 0, array(lit(null).cast("string"))).otherwise(ts)
-      }.as("__ts"))
-      .select(col("__id"), explode(col("__ts")).as("__t"))
+      explode(tokens(coalesce(col(textField), lit("")))).as("__t"))
     toks
       .join(v, col("__t") === col("__vt"), "left")
       .groupBy(col("__id"))

@@ -268,6 +268,13 @@ object Probes {
       .select("__p.*")
   }
 
+  /** The A/a/9 value shape shared by [[patternProfile]] and the
+    * streaming [[graft.streaming.Streaming.windowedPatternProfile]]. */
+  private[graft] def valueShape(c: Column): Column = coalesce(
+    regexp_replace(regexp_replace(regexp_replace(c.cast("string"),
+      "[A-Z]", "A"), "[a-z]", "a"), "[0-9]", "9"),
+    lit("<null>"))
+
   /** Value-shape (pattern) profiling — the ingest-debug companion to
     * [[columnProfile]]: counts don't show that a "phone" column holds
     * three incompatible FORMATS, shapes do. Every string value maps to
@@ -280,13 +287,6 @@ object Probes {
     * string cast. Deterministic top-N: count DESC, then pattern ASC.
     * One exploded hash-agg over |columns|·rows cells + one bounded
     * per-column window. Output: `column, pattern, n, share, rank`. */
-  /** The A/a/9 value shape shared by [[patternProfile]] and the
-    * streaming [[graft.streaming.Streaming.windowedPatternProfile]]. */
-  private[graft] def valueShape(c: Column): Column = coalesce(
-    regexp_replace(regexp_replace(regexp_replace(c.cast("string"),
-      "[A-Z]", "A"), "[a-z]", "a"), "[0-9]", "9"),
-    lit("<null>"))
-
   def patternProfile(columns: Seq[String], topN: Int = 10)(
       df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1178,6 +1178,7 @@ object Probes {
       .select(grp :+ item.as("__i") :+ label.cast("string").as("__l"): _*)
       .groupBy(grp :+ col("__i") :+ col("__l"): _*)
       .agg(count(lit(1)).as("__nij"))
+      .localCheckpoint() // the ONE corpus scan: feeds items AND marginals
     val items = cells
       .groupBy(grp :+ col("__i"): _*)
       .agg(sum(col("__nij")).as("__ni"),
@@ -1186,7 +1187,7 @@ object Probes {
       .withColumn("__pi",
         (col("__s2") - col("__ni")).cast("double") /
           (col("__ni") * (col("__ni") - 1)).cast("double"))
-      .localCheckpoint() // feeds P̄, N, AND the marginals' keep-join
+      .localCheckpoint() // <= |items| rows; feeds P̄/N and the keep-join
     def fold(key: Column, term: Column) =
       org.apache.spark.sql.functions.aggregate(
         sort_array(collect_list(struct(key.as("__k"), term.as("__t")))),

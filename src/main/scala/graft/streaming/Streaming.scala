@@ -616,8 +616,12 @@ object Streaming {
             buf = (buf :+ (q9(e.x), q9(e.y))).takeRight(window)
             val n = buf.size
             val corr = if (n < window) None else {
-              val sx = BigInt(buf.iterator.map(_._1).sum)
-              val sy = BigInt(buf.iterator.map(_._2).sum)
+              // sum in BigInt from the first add: a Long sum of
+              // window x 1e9-scaled values overflows at |x|~1e7,
+              // window 1e4 (9.2e18 ceiling) and would silently break
+              // the batch-parity contract
+              val sx = buf.iterator.map(p => BigInt(p._1)).sum
+              val sy = buf.iterator.map(p => BigInt(p._2)).sum
               val sxx = buf.iterator.map(p => BigInt(p._1) * BigInt(p._1)).sum
               val syy = buf.iterator.map(p => BigInt(p._2) * BigInt(p._2)).sum
               val sxy = buf.iterator.map(p => BigInt(p._1) * BigInt(p._2)).sum

@@ -200,6 +200,25 @@ class ExtSpec extends SparkSpec {
     assert(viaLpa.count() === 2L)
     assert(math.abs(viaLpa.head().getAs[Double]("modularity") -
       (6.0 / 7.0 - 0.5)) < 1e-15)
+    // every LABELED community emits a row: an edgeless community
+    // carries zeros and contribution 0, and edgeless members count in
+    // `nodes` (code-review finding: edge-endpoint-derived nodes
+    // undercounted and dropped such communities entirely)
+    val withGhost = labels.unionByName(
+      Seq((7L, 10L), (97L, 30L), (98L, 30L)).toDF("node", "community"))
+    val g = GraphOps.modularity(withGhost)(edges).orderBy("community")
+      .collect()
+    assert(g.map(_.getAs[Long]("community")).toSeq === Seq(10L, 20L, 30L))
+    assert(g(0).getAs[Long]("nodes") === 4L) // edgeless member 7 counts
+    assert(g(2).getAs[Long]("nodes") === 2L &&
+      g(2).getAs[Long]("internal_edges") === 0L &&
+      g(2).getAs[Long]("degree_sum") === 0L &&
+      g(2).getAs[Double]("contribution") === 0.0)
+    // an edge-free labeled graph scores exactly 0, not NaN
+    val noEdges = GraphOps.modularity(labels)(
+      edges.filter(col("src") < 0)).orderBy("community").collect()
+    assert(noEdges.length === 2 &&
+      noEdges.forall(_.getAs[Double]("modularity") === 0.0))
   }
 
   test("linkPrediction: wedge scores, adjacency exclusion, hub cap, direction erasure") {
