@@ -793,4 +793,62 @@ class EndToEndSpec extends SparkSpec {
       .filter(col("t") - col("m") >= 256).count()
     assert(over === 0L)
   }
+
+  test("exact-SSJ crawl loop: one stored index serves the batch ingest AND the streaming gate") {
+    // The recall-guaranteed rung end to end: crawl 1 seeds the
+    // token-set index through a store; crawl 2 (a near-dup of history,
+    // an in-crawl exact dup, a novel doc) is deduped by ONE ingest
+    // call; and the STREAMING gate, pointed at the same stored index
+    // AFTER the append, drops a crawl-3 near-dup of a crawl-2
+    // SURVIVOR — batch and stream share one persisted state.
+    import graft.ext.{Dedup, IncrementalIndex}
+    import graft.streaming.Streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e_ssj").toString
+    try {
+      val store = graft.sources.ParquetStore(spark, dir)
+      def toks(t: String) = t.split(' ').toSeq
+      val crawl1 = Seq(
+        (1L, toks("alpha beta gamma delta epsilon zeta")),
+        (2L, toks("one two three four five six seven")))
+        .toDF("doc_id", "toks")
+      val idx = IncrementalIndex.setSimilarity(store, "tokensets",
+        "doc_id", "toks", threshold = 0.5)
+      idx.create(crawl1)
+      val crawl2 = Seq(
+        (10L, toks("alpha beta gamma delta epsilon eta")), // near-dup of 1
+        (11L, toks("cat dog bird fish mouse horse")),       // novel
+        (12L, toks("horse mouse fish bird dog cat")),       // exact dup of 11
+        (13L, toks("totally fresh tokens here now then")))  // novel
+        .toDF("doc_id", "toks")
+      val kept = idx.ingest(crawl2)
+      assert(kept.select("doc_id").as[Long].collect().toSet ===
+        Set(11L, 13L))
+      assert(idx.load().count() === 4) // 2 history + 2 survivors
+      // the streaming gate over the SAME stored index now drops a
+      // near-dup of crawl-2 survivor 11 and passes a novel doc
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, java.sql.Timestamp, Seq[String])]
+      val out = Streaming.streamingIncrementalSetSimilarity(
+        input.toDF().toDF("doc_id", "ts", "toks"), "toks", idx.load(),
+        threshold = 0.5, tsField = "ts", watermarkDelay = "1 minute")
+      val q = out.writeStream.format("memory").queryName("e2essj")
+        .outputMode("append").start()
+      try {
+        def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+        input.addData(
+          (20L, ts(0), toks("cat dog bird fish mouse zebra")), // near-dup of 11
+          (21L, ts(1), toks("entirely new material streams in")))
+        input.addData((99L, ts(30), toks("nudge")))
+        q.processAllAvailable()
+        val got = spark.table("e2essj").select("doc_id")
+          .as[Long].collect().toSet
+        assert(got === Set(21L),
+          s"stream gate must drop the survivor's near-dup, got $got")
+      } finally q.stop()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively(); ()
+    }
+  }
 }
