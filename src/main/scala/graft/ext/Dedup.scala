@@ -1321,20 +1321,38 @@ object Dedup {
     * needs no cross-batch statistics. (The cost is losing the
     * rarest-first bucket-size heuristic, not correctness — hash order
     * is a valid total order, so the pigeonhole argument is intact.)
-    * The FULL sorted array is stored, not just a prefix: the exact
-    * verify needs whole sets, and the prefix length is τ-dependent —
-    * slicing at query time keeps one index serving every threshold.
-    * State is the token sets themselves (the only state from which
-    * EXACT Jaccard against history is answerable without re-reading
-    * text); for 3-gram shingles that is ~same order as the text — the
-    * price of the zero-recall-loss guarantee, vs 72 B for the
-    * probabilistic [[minhashIndexRows]] rung. */
-  def ssjIndexRows(idField: String, tokensField: String)(
-      df: DataFrame): DataFrame =
+    * The FULL sorted array is stored (the exact verify needs whole
+    * sets) PLUS a `toks_prefix` projection: the committed-`tauMin`
+    * prefix `slice(toks, 1, n − ⌈tauMin·n⌉ + 1)`. Candidate
+    * generation only ever needs the τ-prefix, and Parquet cannot
+    * project an array SLICE — without the dedicated column every
+    * batch's candidate stage scans the full corpus-text-sized token
+    * column (the r15 100-TB watch item). With it, the candidate scan
+    * reads only the prefix column (~the prefix fraction of the index
+    * bytes; at τ_min = 0.5 about a third for large sets) and the wide
+    * `toks` column is joined ONLY for the verify of actual
+    * candidates. The τ_min CONTRACT: one stored index serves every
+    * query threshold τ ≥ `tauMin` (the needed τ-prefix is a prefix of
+    * the stored one — slice at query time); a τ below `tauMin` needs
+    * the index re-created. State is the token sets themselves (the
+    * only state from which EXACT Jaccard against history is
+    * answerable without re-reading text); for 3-gram shingles that is
+    * ~same order as the text — the price of the zero-recall-loss
+    * guarantee, vs 72 B for the probabilistic [[minhashIndexRows]]
+    * rung. */
+  def ssjIndexRows(idField: String, tokensField: String,
+      tauMin: Double = 0.5)(df: DataFrame): DataFrame = {
+    require(tauMin > 0.0 && tauMin <= 1.0,
+      s"tauMin must be in (0, 1], got $tauMin")
     df.select(col(idField).as("id"),
-      hashOrdered(array_distinct(col(tokensField))).as("toks"))
+        hashOrdered(array_distinct(col(tokensField))).as("toks"))
       .filter(col("toks").isNotNull && size(col("toks")) > 0)
       .withColumn("n", size(col("toks")))
+      .withColumn("toks_prefix",
+        slice(col("toks"), lit(1), greatest((col("n") -
+          ceil(lit(tauMin) * col("n") - lit(1e-9)) + 1).cast("int"),
+          lit(1))))
+  }
 
   /** Tokens sorted by `(xxhash64(token), token)` — the fixed universal
     * total order the incremental exact-SSJoin legs share. */
@@ -1357,33 +1375,64 @@ object Dedup {
     * Candidates form under the same prefix + length + positional
     * filters as [[setSimilarityJoin]], in the index's universal hash
     * order (positions in the stored arrays ARE global positions, so
-    * the positional bound applies unchanged). With `maxBucket = 0`
+    * the positional bound applies unchanged) — and they form from the
+    * index's `toks_prefix` COLUMN, never the wide `toks` one: the
+    * candidate-stage scan of a Parquet-backed index reads only
+    * (id, n, toks_prefix) (column pruning — verified in the spec's
+    * ReadSchema assertion), and the full token arrays are joined back
+    * ONLY for the exact verify of actual candidates. `threshold` must
+    * be ≥ the index's committed `tauMin` (the [[ssjIndexRows]]
+    * contract; enforced here via the `indexTauMin` parameter — the
+    * stored prefix must cover the τ-prefix or recall silently breaks,
+    * so a violating call fails fast instead). A legacy 3-column
+    * `(id, toks, n)` index still works — the prefix derives from
+    * `toks` at query time, paying the old full-column scan.
+    * With `maxBucket = 0`
     * (default) buckets are uncapped and recall is GUARANTEED — the
     * point of the exact rung; a positive cap is the production knob
     * for adversarial corpora (a pile of near-identical docs collapsing
     * into one bucket) and trades the guarantee for bounded reducers,
     * documented exactly like the probabilistic legs' caps. Cost per
-    * batch: one scan of the stored index + Σ_buckets |idx|·|batch| +
-    * in-batch pair work — never batch×history all-pairs. */
+    * batch: one prefix-column scan of the stored index + Σ_buckets
+    * |idx|·|batch| + in-batch pair work — never batch×history
+    * all-pairs. */
   def incrementalSetSimilarity(
       idField: String, tokensField: String, index: DataFrame,
-      threshold: Double, maxBucket: Int = 0)(batch: DataFrame): DataFrame = {
+      threshold: Double, maxBucket: Int = 0,
+      indexTauMin: Double = 0.5)(batch: DataFrame): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(maxBucket >= 0, s"maxBucket must be >= 0, got $maxBucket")
-    require(index.columns.length == 3,
-      s"index must be (id, toks, n) rows, got ${index.columns.mkString(", ")}")
-    val idx = index.select(col(index.columns(0)).as("__id"),
-      col(index.columns(1)).as("__toks"), col(index.columns(2)).as("__n"))
-    val batchRows = ssjIndexRows(idField, tokensField)(batch)
+    require(index.columns.length == 3 || index.columns.length == 4,
+      "index must be (id, toks, n[, toks_prefix]) rows, got " +
+        index.columns.mkString(", "))
+    require(threshold >= indexTauMin - 1e-12,
+      s"threshold ($threshold) must be >= the index's committed tauMin " +
+        s"($indexTauMin): the stored prefix only covers tau >= tauMin")
+    // the narrow candidate-stage projection: (id, n, prefix) — for the
+    // 4-column format this prunes the wide `toks` column out of the
+    // scan entirely; legacy 3-column indexes fall back to slicing it
+    val idxNarrow =
+      if (index.columns.length == 4)
+        index.select(col(index.columns(0)).as("__id"),
+          col(index.columns(2)).as("__n"),
+          col(index.columns(3)).as("__pre"))
+      else
+        index.select(col(index.columns(0)).as("__id"),
+          col(index.columns(2)).as("__n"),
+          col(index.columns(1)).as("__pre"))
+    val idxWide = index.select(col(index.columns(0)).as("__id"),
+      col(index.columns(1)).as("__toks"))
+    val batchRows = ssjIndexRows(idField, tokensField,
+      indexTauMin)(batch)
       .select(col("id").as("__id"), col("toks").as("__toks"),
-        col("n").as("__n"))
+        col("n").as("__n"), col("toks_prefix").as("__pre"))
       .localCheckpoint()
     val p = (col("__n") -
       ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1).cast("int")
     def prefixes(d: DataFrame) = d
       .select(col("__id"), col("__n"),
-        posexplode(slice(col("__toks"), lit(1), greatest(p, lit(1)))))
+        posexplode(slice(col("__pre"), lit(1), greatest(p, lit(1)))))
       .select(col("__id"), col("__n"), (col("pos") + 1).as("__p"),
         col("col").as("__pt"))
     val cap = if (maxBucket == 0) Int.MaxValue else maxBucket
@@ -1402,7 +1451,7 @@ object Dedup {
         ceil(lit(tau) * (x("__n") + y("__n")) - lit(1e-9))
     // history × batch candidates (id collisions dropped defensively —
     // disjoint id spaces expected, the incrementalNearDup convention)
-    val crossCands = buckets(idx, "__la", minSize = 1)
+    val crossCands = buckets(idxNarrow, "__la", minSize = 1)
       .join(buckets(batchRows, "__lb", minSize = 1), Seq("__pt"))
       .select(explode(flatten(transform(col("__la"), x =>
         transform(filter(col("__lb"), y =>
@@ -1430,7 +1479,7 @@ object Dedup {
         (size(col("__ta")) + size(col("__tb")) - col("__ov"))
           .cast("double") >= threshold)
       .select(col("id_b"))
-    val dups = losers(crossCands, idx)
+    val dups = losers(crossCands, idxWide)
       .unionByName(losers(inCands, batchRows))
       .distinct()
     batch.join(dups, batch(idField) === dups("id_b"), "left_anti")

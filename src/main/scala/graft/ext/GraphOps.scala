@@ -474,10 +474,12 @@ object GraphOps {
     * "communities" are no better than chance, dense real structure
     * lands ~0.3–0.7.
     *
-    * Contract: `labels` is `(node, community)` rows, one per node;
-    * edges whose endpoints are not BOTH labeled drop from m and from
-    * degrees (partial labelings score the labeled subgraph — stated,
-    * not guessed). Edge doctrine as everywhere: NULL/self drop,
+    * Contract: `labels` is `(node, community)` rows, one per node —
+    * ENFORCED: exact duplicate rows collapse, a node labeled into two
+    * communities raises (it would silently multiply edges through the
+    * label joins and skew Q); edges whose endpoints are not BOTH
+    * labeled drop from m and from degrees (partial labelings score
+    * the labeled subgraph — stated, not guessed). Edge doctrine as everywhere: NULL/self drop,
     * undirected least/greatest canonicalization, parallel edges
     * DISTINCT to one.
     *
@@ -495,9 +497,27 @@ object GraphOps {
   def modularity(labels: DataFrame)(edges: DataFrame): DataFrame = {
     require(labels.columns.length == 2,
       s"labels must be (node, community) rows, got ${labels.columns.mkString(", ")}")
+    // the one-row-per-node contract is ENFORCED, not assumed: exact
+    // duplicate (node, community) rows collapse harmlessly (distinct),
+    // but a node labeled into TWO communities would multiply edges
+    // through the two equi-joins below — silently inflating m,
+    // internal_edges and degree_sum — so it fails loudly instead.
+    // Cost: one |labels|-sized hash-agg; min() is only the carrier of
+    // the (unique) surviving community, never a silent pick.
     val lab = labels.select(col(labels.columns(0)).as("__v"),
       col(labels.columns(1)).as("__c"))
       .filter(col("__v").isNotNull && col("__c").isNotNull)
+      .distinct()
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__k"), min(col("__c")).as("__cm"))
+      .select(col("__v"),
+        when(col("__k") > 1, raise_error(concat(
+          lit("modularity: node "), col("__v").cast("string"),
+          lit(" is labeled into multiple communities — the labels " +
+            "contract is one row per node")))
+          .cast(labels.schema(labels.columns(1)).dataType))
+          .otherwise(col("__cm")).as("__c"))
+      .localCheckpoint()
     val e = edges
       .select(col(edges.columns(0)).as("__a"), col(edges.columns(1)).as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull &&

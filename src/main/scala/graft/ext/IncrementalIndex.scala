@@ -97,19 +97,31 @@ object IncrementalIndex {
       (batch, idx) => Dedup.incrementalEmbeddingDedup(idField, vecField, idx,
         threshold, planes, dim, maxBucket)(batch))
 
-  /** The EXACT set-similarity leg: `(id, toks, n)` token-set index +
-    * true-Jaccard gate ([[Dedup.incrementalSetSimilarity]]'s semantics
-    * — guaranteed recall at `maxBucket = 0`, the recall-guarantee rung
-    * beside the probabilistic [[minhash]] leg; state is the token sets
-    * themselves, the price of exactness). */
+  /** The EXACT set-similarity leg: `(id, toks, n, toks_prefix)`
+    * token-set index + true-Jaccard gate
+    * ([[Dedup.incrementalSetSimilarity]]'s semantics — guaranteed
+    * recall at `maxBucket = 0`, the recall-guarantee rung beside the
+    * probabilistic [[minhash]] leg; state is the token sets
+    * themselves, the price of exactness).
+    *
+    * The τ_min CONTRACT ([[Dedup.ssjIndexRows]]): the stored
+    * `toks_prefix` column is committed at `tauMin`, candidate
+    * generation scans ONLY that column (Parquet prunes the wide
+    * `toks` out of the candidate stage), and the one stored index
+    * serves every query `threshold ≥ tauMin` by slicing the prefix.
+    * `threshold < tauMin` fails fast. A pre-r16 3-column index still
+    * loads and gates correctly (the prefix derives from `toks` at
+    * query time, paying the full-column scan) but cannot be appended
+    * with 4-column rows — re-[[IncrementalIndex.create]] to
+    * upgrade. */
   def setSimilarity(
       store: DataStore, name: String,
       idField: String, tokensField: String, threshold: Double,
-      maxBucket: Int = 0): IncrementalIndex =
+      maxBucket: Int = 0, tauMin: Double = 0.5): IncrementalIndex =
     IncrementalIndex(store, name,
-      Dedup.ssjIndexRows(idField, tokensField),
+      Dedup.ssjIndexRows(idField, tokensField, tauMin),
       (batch, idx) => Dedup.incrementalSetSimilarity(idField, tokensField,
-        idx, threshold, maxBucket)(batch))
+        idx, threshold, maxBucket, tauMin)(batch))
 
   /** The binary/media leg: perceptual-hash index + exact
     * popcount-radius gate ([[BinaryOps.incrementalPerceptualDedup]]'s

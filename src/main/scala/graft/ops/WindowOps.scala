@@ -778,7 +778,10 @@ object WindowOps {
     // cumulative Σx² grows with SERIES length, not window — the
     // decimal(38,0) headroom supports ~10⁸ rows per key at |x| ≈ 1e6
     // (vs the old window-bounded form); longer per-key series at that
-    // magnitude belong on `exact = false` anyway.
+    // magnitude belong on `exact = false` anyway, and the bound is
+    // ENFORCED, not just stated: a cumulative sum that overflows to
+    // NULL raises (see `checked` below) instead of aliasing the
+    // legitimate NULL outputs.
     val ord = Window.partitionBy(keys.map(col): _*)
       .orderBy(orderFields.map(col): _*)
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -805,8 +808,20 @@ object WindowOps {
         .withColumn("__cxx", sum(sq(col("__x9"))).over(cum))
         .withColumn("__cyy", sum(sq(col("__y9"))).over(cum))
         .withColumn("__cxy", sum(xy(col("__x9"), col("__y9"))).over(cum))
-      def frame(c: Column) = c - coalesce(lag(c, window).over(ord),
-        lit(0).cast("decimal(38,0)"))
+      // overflow fail-fast: x/y are non-null by the up-front filter, so
+      // a NULL cumulative sum has exactly one cause — the non-ANSI
+      // decimal(38,0) sum overflowed (past ~10⁸ rows/key at |x|≈1e6).
+      // Without this guard the overflow-NULL would alias the legitimate
+      // zero-variance/partial-frame NULLs and corr would silently read
+      // NULL mid-series; raise_error instead steers the caller to
+      // exact=false (bounded frames, no cumulative growth).
+      def checked(c: Column) = when(c.isNull, raise_error(lit(
+        "rollingCorr(exact=true): decimal(38,0) cumulative sum " +
+          "overflowed (series too long for the exact mode's headroom); " +
+          "use exact=false for unbounded series length"))
+        .cast("decimal(38,0)")).otherwise(c)
+      def frame(c: Column) = checked(c) - coalesce(
+        lag(checked(c), window).over(ord), lit(0).cast("decimal(38,0)"))
       (b, least(col("__rn"), lit(window)).cast("long"),
         frame(col("__cx")), frame(col("__cy")), frame(col("__cxx")),
         frame(col("__cyy")), frame(col("__cxy")))

@@ -1169,9 +1169,20 @@ object Probes {
     * by id, categories by label) so the floats hash-match. P_e = 1
     * (single category everywhere) → NULL κ. NULL items/labels drop.
     * Two hash-aggs + two bounded folds; one corpus scan. Output per
-    * group: `n_items, n_ratings, p_bar, p_e, kappa`. */
+    * group: `n_items, n_ratings, p_bar, p_e, kappa`.
+    *
+    * `exactOrder = false` is the PRODUCTION mode for ungrouped
+    * million-item corpora (the [[bradleyTerry]]/hits convention): the
+    * pinned folds collect one struct per kept item (P̄) / per category
+    * (P_e) into a single aggregation row per group — unbounded for the
+    * P̄ leg when a group spans the whole corpus. The escape hatch swaps
+    * both folds for plain `sum()` (map-side-combining hash agg, O(1)
+    * state): same mathematics, engine-chosen addition order — agrees
+    * to float rounding but is not oracle-hash-pinnable, so the exact
+    * default stays the contract mode. */
   def fleissKappa(item: Column, label: Column,
-      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+      groupCols: Seq[String] = Nil,
+      exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
     val grp = groupCols.map(col)
     val cells = df
       .filter(item.isNotNull && label.isNotNull)
@@ -1189,9 +1200,11 @@ object Probes {
           (col("__ni") * (col("__ni") - 1)).cast("double"))
       .localCheckpoint() // <= |items| rows; feeds P̄/N and the keep-join
     def fold(key: Column, term: Column) =
-      org.apache.spark.sql.functions.aggregate(
-        sort_array(collect_list(struct(key.as("__k"), term.as("__t")))),
-        lit(0.0), (acc, x) => acc + x.getField("__t"))
+      if (exactOrder)
+        org.apache.spark.sql.functions.aggregate(
+          sort_array(collect_list(struct(key.as("__k"), term.as("__t")))),
+          lit(0.0), (acc, x) => acc + x.getField("__t"))
+      else sum(term)
     val totals =
       (if (grp.isEmpty) items.groupBy() else items.groupBy(grp: _*))
         .agg(count(lit(1)).as("n_items"), sum(col("__ni")).as("n_ratings"),

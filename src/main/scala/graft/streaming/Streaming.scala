@@ -1111,9 +1111,11 @@ object Streaming {
 
   /** Streaming incremental EXACT set-similarity dedup — the streaming
     * half of [[graft.ext.Dedup.incrementalSetSimilarity]], against the
-    * same persisted `(id, toks, n)` index
-    * ([[graft.ext.Dedup.ssjIndexRows]]) — and, unlike the MinHash
-    * streaming gate, with the EXACT verify intact: the index row's
+    * same persisted `(id, toks, n[, toks_prefix])` index
+    * ([[graft.ext.Dedup.ssjIndexRows]]; with the 4-column r16 format
+    * the index's committed τ_min must be ≤ `threshold` — the batch
+    * op's contract, the caller's to honor here) — and, unlike the
+    * MinHash streaming gate, with the EXACT verify intact: the index row's
     * full token array rides the prefix-collision join, so the drop
     * criterion is true Jaccard ≥ `threshold`, not a band collision.
     *
@@ -1142,16 +1144,24 @@ object Streaming {
     import graft.ext.Dedup
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    require(index.columns.length == 3,
-      s"index must be (id, toks, n) rows, got ${index.columns.mkString(", ")}")
+    require(index.columns.length == 3 || index.columns.length == 4,
+      "index must be (id, toks, n[, toks_prefix]) rows, got " +
+        index.columns.mkString(", "))
     val tau = threshold / (1.0 + threshold)
     def prefLen(n: Column) =
       greatest((n - ceil(lit(threshold) * n - lit(1e-9)) + 1).cast("int"),
         lit(1))
+    // the 4-column r16 format carries the committed-τ_min prefix —
+    // explode THAT (sliced to the τ-prefix; same values, smaller
+    // input). The full __itoks still rides the join for the exact
+    // verify, so the batch op's column-pruning win doesn't apply here.
+    val idxPrefSrc =
+      if (index.columns.length == 4) col(index.columns(3))
+      else col(index.columns(1))
     val idxPref = index.select(col(index.columns(1)).as("__itoks"),
-      col(index.columns(2)).as("__in"))
+      col(index.columns(2)).as("__in"), idxPrefSrc.as("__ipre"))
       .select(col("__itoks"), col("__in"),
-        posexplode(slice(col("__itoks"), lit(1), prefLen(col("__in")))))
+        posexplode(slice(col("__ipre"), lit(1), prefLen(col("__in")))))
       .select(col("__itoks"), col("__in"), (col("pos") + 1).as("__ipos"),
         col("col").as("__ipt"))
     val cols = stream.columns

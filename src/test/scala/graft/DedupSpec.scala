@@ -696,7 +696,16 @@ class DedupSpec extends SparkSpec {
     val hist = all.filter(_._1 <= 40).toDF("id", "toks")
     val batch = all.filter(_._1 > 40).toDF("id", "toks")
     val idx = graft.ext.Dedup.ssjIndexRows("id", "toks")(hist)
-    assert(idx.columns.toSeq === Seq("id", "toks", "n"))
+    assert(idx.columns.toSeq === Seq("id", "toks", "n", "toks_prefix"))
+    // the committed-τ_min prefix is a PREFIX of the hash-ordered toks
+    // at the contract length n − ⌈τ_min·n⌉ + 1
+    idx.collect().foreach { r =>
+      val toks = r.getSeq[String](1)
+      val pre = r.getSeq[String](3)
+      val n = r.getInt(2)
+      val want = n - math.ceil(0.5 * n - 1e-9).toInt + 1
+      assert(pre === toks.take(math.max(want, 1)))
+    }
     val out = graft.ext.Dedup.incrementalSetSimilarity("id", "toks",
       idx, threshold = 0.5)(batch)
     // brute-force truth: drop iff a history match OR a smaller-id
@@ -735,6 +744,57 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.ext.Dedup.incrementalSetSimilarity("id", "toks",
         idx, threshold = 0.0)(batch))
+    // τ below the index's committed τ_min fails fast — the stored
+    // prefix would not cover the τ-prefix and recall would silently
+    // break otherwise
+    intercept[IllegalArgumentException](
+      graft.ext.Dedup.incrementalSetSimilarity("id", "toks",
+        idx, threshold = 0.4)(batch))
+    // ...but is served by an index committed at a lower τ_min
+    val lowIdx = graft.ext.Dedup.ssjIndexRows("id", "toks",
+      tauMin = 0.4)(hist)
+    val low = graft.ext.Dedup.incrementalSetSimilarity("id", "toks",
+      lowIdx, threshold = 0.5, indexTauMin = 0.4)(batch)
+      .select("id").as[Long].collect().toSet
+    assert(low === expected)
+    // a legacy 3-column (id, toks, n) index still gates identically
+    // (prefix derived from toks at query time)
+    val legacy = graft.ext.Dedup.incrementalSetSimilarity("id", "toks",
+      idx.select("id", "toks", "n"), threshold = 0.5)(batch)
+      .select("id").as[Long].collect().toSet
+    assert(legacy === expected)
+  }
+
+  test("incrementalSetSimilarity: candidate stage scans ONLY (id, n, toks_prefix) from parquet") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ssjidx").toString
+    val hist = (1 to 30).map { i =>
+      (i.toLong, (0 until 10).map(j => s"t${(i * 3 + j) % 60}"))
+    }.toDF("id", "toks")
+    graft.ext.Dedup.ssjIndexRows("id", "toks")(hist)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val batch = (41 to 50).map { i =>
+      (i.toLong, (0 until 10).map(j => s"t${(i * 3 + j) % 60}"))
+    }.toDF("id", "toks")
+    val out = graft.ext.Dedup.incrementalSetSimilarity("id", "toks",
+      stored, threshold = 0.5)(batch)
+    out.collect() // materialize so the executed plan is final
+    // two parquet scans of the index are expected: the candidate
+    // stage's narrow one (no `toks`!) and the verify's (id, toks);
+    // the only parquet in this plan IS the index, so every ReadSchema
+    // in the physical plan is an index scan
+    val plan = out.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.exists(s =>
+      s.contains("toks_prefix") && !s.contains("toks:")),
+      s"expected a toks-free candidate scan, got: ${readSchemas.mkString(" | ")}")
+    assert(readSchemas.forall(s => !(s.contains("toks:") &&
+      s.contains("toks_prefix"))),
+      s"no scan should read BOTH columns: ${readSchemas.mkString(" | ")}")
   }
 
   test("fellegiSunterFit: recovers known m/u/lambda, missing doctrine, determinism, auto") {

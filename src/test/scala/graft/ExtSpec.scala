@@ -219,6 +219,25 @@ class ExtSpec extends SparkSpec {
       edges.filter(col("src") < 0)).orderBy("community").collect()
     assert(noEdges.length === 2 &&
       noEdges.forall(_.getAs[Double]("modularity") === 0.0))
+    // the one-row-per-node contract is enforced (r15 ADVICE): exact
+    // duplicate rows collapse harmlessly...
+    val dupRows = labels.unionByName(labels.limit(2))
+    val dq = GraphOps.modularity(dupRows)(edges).orderBy("community")
+      .collect()
+    assert(dq.map(_.getAs[Long]("internal_edges")).toSeq === Seq(3L, 3L) &&
+      math.abs(dq.head.getAs[Double]("modularity") -
+        (6.0 / 7.0 - 0.5)) < 1e-15)
+    // ...but a node labeled into TWO communities fails loudly instead
+    // of silently multiplying edges through the label joins
+    val conflicted = labels.unionByName(
+      Seq((3L, 20L)).toDF("node", "community"))
+    val ex = intercept[Exception] {
+      GraphOps.modularity(conflicted)(edges).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("labeled into multiple communities")),
+      s"expected the contract guard, got: ${msgs(ex).mkString(" | ")}")
   }
 
   test("linkPrediction: wedge scores, adjacency exclusion, hub cap, direction erasure") {

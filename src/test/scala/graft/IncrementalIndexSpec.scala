@@ -129,7 +129,8 @@ class IncrementalIndexSpec extends SparkSpec {
         "doc_id", "toks", threshold = 0.5)
       idx.create(corpus)
       assert(idx.load().count() === 3)
-      assert(idx.load().columns.toSeq === Seq("id", "toks", "n"))
+      assert(idx.load().columns.toSeq ===
+        Seq("id", "toks", "n", "toks_prefix"))
       // 100 shares 5/7 with corpus doc 0 (j = 5/7 ≥ .5); 101+102 are an
       // in-batch near-pair (5 shared of 6 ∪ 6 → j = 5/7, larger id
       // loses); 103 is novel

@@ -650,6 +650,24 @@ class ProbesSpec extends SparkSpec {
       g(1).getAs[Double]("kappa") === 1.0)
   }
 
+  test("fleissKappa exactOrder=false: plain-sum mode within 1e-12 of exact") {
+    import spark.implicits._
+    // large-ish mixed fixture: 60 items × 3-5 raters, 4 categories
+    val rows = for {
+      i <- 1 to 60
+      r <- 1 to (3 + i % 3)
+    } yield (s"item$i", s"cat${(i * 7 + r * 13) % 4}")
+    val df = rows.toDF("i", "l").repartition(7)
+    val exact = Probes.fleissKappa(col("i"), col("l"))(df).head()
+    val fast =
+      Probes.fleissKappa(col("i"), col("l"), exactOrder = false)(df).head()
+    for (f <- Seq("p_bar", "p_e", "kappa"))
+      assert(math.abs(exact.getAs[Double](f) - fast.getAs[Double](f)) < 1e-12,
+        s"field $f diverged")
+    assert(exact.getAs[Long]("n_items") === fast.getAs[Long]("n_items"))
+    assert(exact.getAs[Long]("n_ratings") === fast.getAs[Long]("n_ratings"))
+  }
+
   test("bootstrapCI: deterministic, exact on constants, Poisson weight sanity") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v")

@@ -832,4 +832,42 @@ class TemporalSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!fastPlan.toLowerCase.contains("decimal"))
   }
+
+  test("rollingCorr exact=true: cumulative-sum overflow raises, never NULL-aliases") {
+    // |x| = 1e9 quantizes to 1e18; each square is 1e36, so ~200 rows
+    // push the CUMULATIVE Σx² past decimal(38,0) without any single
+    // row overflowing — exactly the silent-NULL aliasing the guard
+    // exists for (r15 ADVICE)
+    val rows = (1 to 200).map(i => ("k", i, 1e9 + i, 2.0 * i + (i % 7)))
+    val df = rows.toDF("g", "i", "x", "y")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // ANSI on (the Spark 4 default, this session's mode): the decimal
+    // sum itself throws NUMERIC_VALUE_OUT_OF_RANGE — already loud
+    val ansiEx = intercept[Exception] {
+      graft.ops.WindowOps.rollingCorr(
+        Seq("g"), Seq("i"), "x", "y", window = 5)(df).collect()
+    }
+    assert(msgs(ansiEx).exists(m =>
+      m.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+        m.contains("rollingCorr(exact=true)")))
+    // ANSI off: the sum would return NULL and alias the legitimate
+    // NULL outputs — THE guard's case: raise_error fires instead
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val ex = intercept[Exception] {
+        graft.ops.WindowOps.rollingCorr(
+          Seq("g"), Seq("i"), "x", "y", window = 5)(df).collect()
+      }
+      assert(msgs(ex).exists(_.contains("rollingCorr(exact=true)")),
+        s"expected the overflow fail-fast, got: ${msgs(ex).mkString(" | ")}")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    // same shape on exact=false: bounded frames, no cumulative growth,
+    // finishes fine
+    val ok = graft.ops.WindowOps.rollingCorr(
+      Seq("g"), Seq("i"), "x", "y", window = 5, exact = false)(df)
+      .filter(col("corr").isNotNull).count()
+    assert(ok > 0)
+  }
 }
