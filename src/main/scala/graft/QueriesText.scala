@@ -268,6 +268,16 @@ private[graft] object QueriesText {
       TextOps.bigramLmQuality("doc_id", "text")(corpus(s, dir, "documents"))
         .orderBy("doc_id")
     },
+    "trigram_lm_quality" -> { (s, dir) =>
+      // stupid-backoff trigram LM (Brants 2007) — the rung above
+      // bigram_lm_quality: scored against a STORED count table (here
+      // built on the same corpus so the oracle can replay it), per
+      // position c3/ctx, else 0.4·c2/c1, else 0.16·c1/T, fold pinned
+      val docs = corpus(s, dir, "documents")
+      TextOps.trigramLmQuality("doc_id", "text",
+        TextOps.lmCountTable("text")(docs))(docs)
+        .orderBy("doc_id")
+    },
     "dsir_affinity" -> { (s, dir) =>
       // DSIR-shaped importance scoring: raw docs (source != src0) scored
       // by bigram affinity to the src0 carve as the quality target
@@ -1330,6 +1340,11 @@ private[graft] object QueriesText {
     // per-doc float fold replayed in position order from the same 0.0
     // seed (list_prepend + list_reduce ≡ Spark's seeded aggregate)
     "bigram_lm_quality" -> bigramLmSql(0.7),
+    // stupid-backoff trigram LM — mirrors TextOps.trigramLmQuality with
+    // the count table built on the same corpus: exact integer counts,
+    // each backoff leg one division times a literal (0.4 / 0.16, the
+    // Scala doubles round-tripped), the per-doc fold position-pinned
+    "trigram_lm_quality" -> trigramLmSql(0.4),
     // DSIR-shaped affinity — mirrors TextOps.targetAffinity: corpus-wide
     // integer gram counts, each score ONE division of integer products,
     // the affinity one subtraction of those two doubles (log-free on

@@ -300,6 +300,61 @@ private[graft] object QueryHelpers {
       FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
       ORDER BY d.doc_id"""
 
+  /** Stupid-backoff trigram LM score with self-built counts — mirrors
+    * TextOps.trigramLmQuality over a TextOps.lmCountTable of the same
+    * corpus. Backoff legs ordered exactly as the Spark when-chain:
+    * trigram relative frequency, else α·bigram, else α²·unigram/T
+    * (unseen → 0); per-doc fold replayed in position order from the
+    * same 0.0 seed. */
+  def trigramLmSql(alpha: Double): String = s"""
+      WITH tok AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents),
+      un AS (SELECT unnest(ts) AS w FROM tok),
+      c1 AS (SELECT w AS g, count(*) AS c FROM un GROUP BY w),
+      tot AS (SELECT count(*) AS t FROM un),
+      bg AS (SELECT ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] AS g
+        FROM (SELECT ts,
+                unnest(range(1, greatest(len(ts) - 1, 0) + 1)) AS i
+              FROM tok)),
+      c2 AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+      trib AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)]
+            || ' ' || ts[CAST(i + 2 AS INT)] AS g3,
+          ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] AS g2a,
+          ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)] AS g2b,
+          ts[CAST(i + 2 AS INT)] AS w0
+        FROM (SELECT doc_id, ts,
+                unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+              FROM tok)),
+      c3 AS (SELECT g3 AS g, count(*) AS c FROM trib GROUP BY g3),
+      p AS (SELECT t.doc_id, t.pos,
+          CASE WHEN c3.c IS NOT NULL AND ctx.c IS NOT NULL
+               THEN CAST(c3.c AS DOUBLE) / CAST(ctx.c AS DOUBLE)
+               WHEN bo.c IS NOT NULL AND c1p.c IS NOT NULL
+               THEN ${litD(alpha)}
+                 * (CAST(bo.c AS DOUBLE) / CAST(c1p.c AS DOUBLE))
+               WHEN t2.t = 0 THEN CAST(0 AS DOUBLE)
+               ELSE ${litD(alpha * alpha)}
+                 * (CAST(coalesce(c1w.c, 0) AS DOUBLE)
+                    / CAST(t2.t AS DOUBLE))
+               END AS p
+        FROM trib t
+        LEFT JOIN c3 ON c3.g = t.g3
+        LEFT JOIN c2 ctx ON ctx.g = t.g2a
+        LEFT JOIN c2 bo ON bo.g = t.g2b
+        LEFT JOIN c1 c1p ON c1p.g = string_split(t.g2b, ' ')[1]
+        LEFT JOIN c1 c1w ON c1w.g = t.w0
+        CROSS JOIN tot t2),
+      agg AS (SELECT doc_id, count(*) AS n_trigrams,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
+            (a, b) -> a + b) AS s
+        FROM p GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        CASE WHEN coalesce(n_trigrams, 0) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE s / CAST(n_trigrams AS DOUBLE) END AS lm_score
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
+      ORDER BY d.doc_id"""
+
   /** Double literal that parses to the EXACT same IEEE-754 bits as the
     * Scala double `v`: Double.toString round-trips, and CAST from
     * VARCHAR avoids DuckDB's bare-decimal-literal DECIMAL typing. */

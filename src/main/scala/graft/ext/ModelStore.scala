@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.DataStore
 
 /** Persistence for the LEARNED artifacts the inference kernels consume
@@ -59,4 +59,25 @@ object ModelStore {
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
       .toSeq
+
+  /** Persist an n-gram count table `(n, gram, occurrences)`
+    * ([[TextOps.lmCountTable]] → [[TextOps.trigramLmQuality]]) — the
+    * KenLM-style count file. Unlike merges/weights this artifact is
+    * VOCABULARY-sized, so both legs stay DISTRIBUTED: save is one
+    * store write, load returns the DataFrame for the scorer's
+    * table-sized equi-joins — nothing is ever collected. */
+  def saveCounts(
+      store: DataStore, name: String, counts: DataFrame,
+      replace: Boolean = false): Unit = {
+    require(counts.columns.length == 3,
+      s"counts must be (n, gram, occurrences) rows, got " +
+        counts.columns.mkString(", "))
+    store.create(name, counts.toDF("n", "gram", "occurrences"), replace)
+  }
+
+  /** Load a count table back — feeds [[TextOps.trigramLmQuality]]
+    * directly. Column-name-pinned so a store that reorders physical
+    * columns cannot silently swap `n` for `occurrences`. */
+  def loadCounts(store: DataStore, name: String): DataFrame =
+    store.getObject(name).select("n", "gram", "occurrences")
 }

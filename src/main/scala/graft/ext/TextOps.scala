@@ -1812,6 +1812,160 @@ object TextOps {
           .as("lm_score"))
   }
 
+  /** The 1..maxN-gram count table [[trigramLmQuality]] consumes — the
+    * KenLM-style count file as ONE frame `(n, gram, occurrences)`
+    * (gram = space-joined tokens; occurrence-true, per-document token
+    * streams, no cross-document grams). This is the TRAINED artifact
+    * of the LM-quality rung: build it once on a reference corpus,
+    * persist it through [[graft.ext.ModelStore.saveCounts]], score any
+    * later corpus against it. One tokenized scan (localCheckpoint)
+    * feeds all gram widths; each width is one explode + one hash-agg
+    * with map-side partials. `minCount` prunes each width's long tail
+    * independently — safe for the scorer because pruning is
+    * monotone-nested (a surviving n-gram's prefix (n−1)-gram has ≥ its
+    * count, so equal `minCount` can never orphan a survivor). */
+  def lmCountTable(
+      textField: String, maxN: Int = 3, minCount: Long = 1L)(
+      df: DataFrame): DataFrame = {
+    require(maxN >= 1 && maxN <= 5, s"maxN must be in [1, 5], got $maxN")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val toked = df
+      .select(tokens(coalesce(col(textField), lit(""))).as("__ts"))
+      .localCheckpoint()
+    (1 to maxN).map { n =>
+      toked.select(explode(graft.functions.GraftFunctions.shingleStrings(
+          col("__ts"), n, distinct = false)).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("occurrences"))
+        .filter(col("occurrences") >= minCount)
+        .select(lit(n).as("n"), col("gram"), col("occurrences"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Trigram "stupid backoff" language-model quality score (Brants et
+    * al. 2007, "Large Language Models in Machine Translation") — the
+    * CCNet-shaped rung ABOVE [[bigramLmQuality]] on the perplexity-
+    * filter ladder, and the first one scored against a STORED model
+    * (`counts`, a [[lmCountTable]] frame — typically built on a
+    * high-quality reference corpus and persisted via
+    * [[graft.ext.ModelStore.saveCounts]]) rather than the scored
+    * corpus' own statistics. Per token position i ≥ 3, the backoff
+    * score
+    *   `S(w_i) = c₃(w_{i−2..i}) / c₂(w_{i−2..i−1})`      if c₃ > 0,
+    *   `       = α · c₂(w_{i−1..i}) / c₁(w_{i−1})`        else if c₂ > 0,
+    *   `       = α² · c₁(w_i) / T`                         otherwise
+    * (α = 0.4, Brants' constant; T = the table's total unigram count;
+    * an unseen w_i scores exact 0). Not a normalized probability — the
+    * point of "stupid": relative frequencies need no discounting, and
+    * at corpus scale the quality RANKING matches smoothed LMs. The
+    * per-doc output is the MEAN over trigram positions; in-domain
+    * prose rides the trigram leg and scores high, shuffled or alien
+    * text falls through to the α²-damped unigram floor
+    * (spec-separated).
+    *
+    * Exactness: counts are exact integers; each leg is one
+    * exact-rounded IEEE division times a driver-computed literal (α,
+    * α²) — a fixed dag, bit-reproducible cross-engine (no logs: the
+    * [[targetAffinity]] doctrine). The per-doc sum is the one
+    * order-sensitive fold — pinned by position (`exactOrder = true`,
+    * the oracle contract) or a plain `sum()` (`exactOrder = false`,
+    * the production mode for book-length docs).
+    *
+    * Scale shape: the count table pre-joins ITSELF into trigram stats
+    * `(g3, c3, ctx)` and bigram stats `(g2, c2, c1prev)` — each
+    * |table|-sized, never corpus-sized — so the position stream pays
+    * exactly three digest equi-joins (g3, g2, w) plus a one-row
+    * broadcast (T); hot grams skew them and AQE skew-split absorbs it
+    * ([[unigramCfQuality]]'s note). A table row whose lower-order
+    * context is missing (inconsistent hand-built table) falls through
+    * to the next backoff leg rather than poisoning the score; grams
+    * must be UNIQUE per (n, gram) — [[lmCountTable]] guarantees it,
+    * hand-built tables must too (a duplicate gram would multiply
+    * stream rows through the equi-join). Docs with < 3 tokens (incl.
+    * NULL text) score `n_trigrams = 0, lm_score = 0.0`. Output:
+    * `idField, n_trigrams, lm_score`. */
+  def trigramLmQuality(
+      idField: String, textField: String, counts: DataFrame,
+      alpha: Double = 0.4, exactOrder: Boolean = true)(
+      df: DataFrame): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(counts.columns.length == 3,
+      s"counts must be (n, gram, occurrences) rows, got " +
+        counts.columns.mkString(", "))
+    val cN = col(counts.columns(0))
+    val cG = col(counts.columns(1))
+    val cC = col(counts.columns(2))
+    val c1 = counts.filter(cN === 1)
+      .select(cG.as("__g1"), cC.as("__c1w")).localCheckpoint()
+    val c2 = counts.filter(cN === 2)
+      .select(cG.as("__g2"), cC.as("__c2")).localCheckpoint()
+    val c3 = counts.filter(cN === 3).select(cG.as("__g3"), cC.as("__c3"))
+    // table-sized self-joins: trigram rows pick up their prefix-bigram
+    // context, bigram rows their leading-unigram denominator
+    val triStats = c3
+      .withColumn("__ctxg",
+        array_join(slice(split(col("__g3"), " ", -1), 1, 2), " "))
+      .join(c2.select(col("__g2").as("__ctxg"), col("__c2").as("__ctx2")),
+        Seq("__ctxg"), "left")
+      .select(col("__g3"), col("__c3"), col("__ctx2"))
+    val biStats = c2
+      .withColumn("__w1", substring_index(col("__g2"), " ", 1))
+      .join(c1.select(col("__g1").as("__w1"), col("__c1w").as("__c1p")),
+        Seq("__w1"), "left")
+      .select(col("__g2"), col("__c2"), col("__c1p"))
+    val tot = c1.agg(coalesce(sum(col("__c1w")), lit(0L)).as("__T"))
+    val tokenized = df.select(col(idField).as("__id"),
+      tokens(coalesce(col(textField), lit(""))).as("__ts"))
+      .localCheckpoint()
+    val tri = tokenized.select(col("__id"),
+      posexplode(graft.functions.GraftFunctions.bind(col("__ts")) { ts =>
+        when(size(ts) < 3,
+          array().cast("array<struct<g3:string,g2:string,w0:string>>"))
+          .otherwise(transform(sequence(lit(1), size(ts) - 2), i =>
+            struct(
+              concat_ws(" ", element_at(ts, i), element_at(ts, i + 1),
+                element_at(ts, i + 2)).as("g3"),
+              concat_ws(" ", element_at(ts, i + 1), element_at(ts, i + 2))
+                .as("g2"),
+              element_at(ts, i + 2).as("w0"))))
+      }).as(Seq("__pos", "__t")))
+      .select(col("__id"), col("__pos").cast("long").as("__pos"),
+        col("__t.g3").as("__g3"), col("__t.g2").as("__g2"),
+        col("__t.w0").as("__w0"))
+    val p =
+      when(col("__c3").isNotNull && col("__ctx2").isNotNull,
+        col("__c3").cast("double") / col("__ctx2").cast("double"))
+        .when(col("__c2").isNotNull && col("__c1p").isNotNull,
+          lit(alpha) *
+            (col("__c2").cast("double") / col("__c1p").cast("double")))
+        .otherwise(when(col("__T") === 0L, lit(0.0))
+          .otherwise(lit(alpha * alpha) *
+            (coalesce(col("__c1w"), lit(0L)).cast("double") /
+              col("__T").cast("double"))))
+    val scored = tri
+      .join(triStats, Seq("__g3"), "left")
+      .join(biStats, Seq("__g2"), "left")
+      .join(c1.select(col("__g1").as("__w0"), col("__c1w")),
+        Seq("__w0"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__id"), col("__pos"), p.as("__p"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        (if (exactOrder)
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("__pos"), col("__p")))),
+              s => s.getField("__p")),
+            lit(0.0), (a, x) => a + x)
+        else sum(col("__p"))).as("__sum"))
+    df.select(col(idField).as("__id")).join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idField),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        when(col("n_trigrams").isNull || col("n_trigrams") === 0L, lit(0.0))
+          .otherwise(col("__sum") / col("n_trigrams").cast("double"))
+          .as("lm_score"))
+  }
+
   /** DSIR-shaped importance scoring (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", re-expressed with
     * exact integer counts): score each raw document by how much more its

@@ -445,6 +445,12 @@ final case class Pipeline(df: DataFrame) {
   def bigramLmQuality(idField: String, textField: String,
       lambda: Double = 0.7): Pipeline =
     >>(TextOps.bigramLmQuality(idField, textField, lambda))
+  def trigramLmQuality(idField: String, textField: String,
+      counts: DataFrame, alpha: Double = 0.4): Pipeline =
+    >>(TextOps.trigramLmQuality(idField, textField, counts, alpha))
+  def lmCountTable(textField: String, maxN: Int = 3,
+      minCount: Long = 1L): Pipeline =
+    >>(TextOps.lmCountTable(textField, maxN, minCount))
   def targetAffinity(idField: String, textField: String, n: Int,
       target: DataFrame, targetTextField: String): Pipeline =
     >>(TextOps.targetAffinity(idField, textField, n, target, targetTextField))

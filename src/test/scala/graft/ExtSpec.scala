@@ -1102,6 +1102,68 @@ class ExtSpec extends SparkSpec {
     assert(out(3) === ((4L, 0L, 0.0)))    // NULL text
   }
 
+  test("trigramLmQuality: hand-checked backoff legs against a stored count table") {
+    // count corpus "a b a b a": c1(a)=3 c1(b)=2 T=5; c2(a b)=2
+    // c2(b a)=2; c3(a b a)=2 c3(b a b)=1
+    val model = Seq((0L, "a b a b a")).toDF("doc_id", "text")
+    val counts = TextOps.lmCountTable("text")(model)
+    assert(counts.columns.toSeq === Seq("n", "gram", "occurrences"))
+    val docs = Seq(
+      (1L, "a b a"),        // trigram leg: 2/2 = 1.0
+      (2L, "b a b"),        // trigram leg: 1/2 = 0.5
+      (3L, "b b a"),        // bigram leg on suffix (b a): 0.4·(2/2)
+      (4L, "a a b"),        // bigram leg on suffix (a b): 0.4·(2/3)
+      (5L, "q q q"),        // unseen everywhere: exact 0.0
+      (6L, "a b a b"),      // two positions: mean(1.0, 0.5)
+      (7L, "b b"),          // < 3 tokens: no positions
+      (8L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextOps.trigramLmQuality("doc_id", "text", counts)(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "n_trigrams", "lm_score")
+      .as[(Long, Long, Double)].collect()
+    assert(out(0) === ((1L, 1L, 1.0)))
+    assert(out(1) === ((2L, 1L, 0.5)))
+    assert(out(2) === ((3L, 1L, 0.4 * (2.0 / 2.0))))
+    assert(out(3) === ((4L, 1L, 0.4 * (2.0 / 3.0))))
+    assert(out(4) === ((5L, 1L, 0.0)))
+    assert(out(5)._2 === 2L)
+    assert(math.abs(out(5)._3 - (1.0 + 0.5) / 2.0) < 1e-15)
+    assert(out(6) === ((7L, 0L, 0.0)))
+    assert(out(7) === ((8L, 0L, 0.0)))
+    // unigram floor: doc of seen-but-never-adjacent tokens rides α²·c1/T
+    val uni = Seq((9L, "a a a")).toDF("doc_id", "text")
+    val u = TextOps.trigramLmQuality("doc_id", "text", counts)(uni).head()
+    assert(math.abs(u.getAs[Double]("lm_score") -
+      0.4 * 0.4 * (3.0 / 5.0)) < 1e-15)
+    intercept[IllegalArgumentException](
+      TextOps.trigramLmQuality("doc_id", "text",
+        counts.select("n", "gram"))(docs))
+  }
+
+  test("trigramLmQuality separates in-domain from shuffled-token documents") {
+    // the CCNet-filter property the rung exists for: same tokens, same
+    // unigram stats — the trigram/bigram structure is the signal
+    val model = (1 to 40).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val counts = TextOps.lmCountTable("text")(model)
+    val probe = Seq(
+      (100L, "the cat sat on the mat"),        // in-domain
+      (101L, "mat the on sat cat the"))        // same tokens, shuffled
+      .toDF("doc_id", "text")
+    val scored = TextOps.trigramLmQuality("doc_id", "text", counts)(probe)
+      .orderBy("doc_id").select("lm_score").as[Double].collect()
+    assert(scored(0) > 5.0 * scored(1),
+      s"in-domain ${scored(0)} should dominate shuffled ${scored(1)}")
+    // production mode: plain sum agrees to rounding
+    val fast = TextOps.trigramLmQuality("doc_id", "text", counts,
+      exactOrder = false)(probe)
+      .orderBy("doc_id").select("lm_score").as[Double].collect()
+    scored.zip(fast).foreach { case (e, f) =>
+      assert(math.abs(e - f) <= 1e-12 * math.max(1.0, math.abs(e))) }
+  }
+
   test("targetAffinity: exact count ratios, zero-gram and empty-target guards") {
     // target: two docs sharing the bigram "x y"; raw: one doc matching
     // the target's bigram, one alien, one too short for any bigram,

@@ -37,6 +37,19 @@ class IncrementalIndexSpec extends SparkSpec {
     val w = Seq("data" -> 4L, "big table" -> 2L, "slow" -> -3L)
     ModelStore.saveWeights(store, "clf", w)
     assert(ModelStore.loadWeights(store, "clf") === w.sortBy(_._1))
+    // n-gram count tables round-trip DISTRIBUTED (never collected) and
+    // feed the stupid-backoff scorer unchanged
+    val counts = TextOps.lmCountTable("text")(docs)
+    ModelStore.saveCounts(store, "lm", counts)
+    val countsBack = ModelStore.loadCounts(store, "lm")
+    val probe = Seq((1L, "aa ab aa"), (2L, "zz zz zz")).toDF("id", "text")
+    val direct = TextOps.trigramLmQuality("id", "text", counts)(probe)
+      .orderBy("id").select($"lm_score").as[Double].collect()
+    val viaStore = TextOps.trigramLmQuality("id", "text", countsBack)(probe)
+      .orderBy("id").select($"lm_score").as[Double].collect()
+    assert(direct.toSeq === viaStore.toSeq && direct(0) > direct(1))
+    intercept[IllegalArgumentException](
+      ModelStore.saveCounts(store, "bad", counts.select("n", "gram")))
   }
   import spark.implicits._
 

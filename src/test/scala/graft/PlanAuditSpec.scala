@@ -47,6 +47,7 @@ class PlanAuditSpec extends SparkSpec {
     "tfidf_cosine_pairs", // broadcast one-row corpus count into weights
     "dsir_affinity",     // broadcast one-row (raw total, target total) aggregate
     "bigram_lm_quality", // broadcast one-row corpus token total
+    "trigram_lm_quality", // broadcast one-row count-table unigram total
     "event_funnel",      // broadcast one-row entered-users count
     "key_skew",          // broadcast one-row total count
     "bm25_topk",         // broadcast one-row (N, avgdl, df…) stats aggregate
