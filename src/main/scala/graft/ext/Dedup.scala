@@ -1643,6 +1643,71 @@ object Dedup {
     fellegiSunter(scored, upperThreshold, lowerThreshold)(pairs)
   }
 
+  /** Decision thresholds DERIVED from the fitted model instead of
+    * hand-supplied — the gap [[fellegiSunterAuto]] left (it fits m/u
+    * but still asks for upper/lower scores). Under the fitted model
+    * the match posterior of a pattern with score s (in
+    * [[fellegiSunter]]'s log₂ units, so the likelihood ratio is
+    * R = 2^s) is `P(M|s) = λ·2^s / (λ·2^s + 1 − λ)` — strictly
+    * monotone in s, so "posterior ≥ p" inverts in closed form:
+    * `s(p) = log₂(p/(1−p)) + log₂((1−λ)/λ)`. Returns
+    * `(s(upperPosterior), s(lowerPosterior))`: score ≥ the upper ⇒
+    * posterior ≥ `upperPosterior`, so the expected precision of the
+    * `match` decision is AT LEAST `upperPosterior` under the fitted
+    * model (every accepted pair clears the floor — the
+    * probability_two_random_records_match doctrine of the production
+    * linkage stacks); symmetrically score ≤ the lower ⇒ posterior ≤
+    * `lowerPosterior` (non-match purity). Model-based, not oracle:
+    * real precision inherits the fit's conditional-independence
+    * assumption — the standard caveat, stated. Pure driver-side
+    * arithmetic; feed the pair straight into [[fellegiSunter]] /
+    * [[fellegiSunterAuto]]. */
+  def fellegiSunterThresholds(
+      lambda: Double,
+      upperPosterior: Double = 0.99,
+      lowerPosterior: Double = 0.01): (Double, Double) = {
+    require(lambda > 0.0 && lambda < 1.0,
+      s"lambda must be in (0, 1), got $lambda")
+    require(upperPosterior > 0.0 && upperPosterior < 1.0 &&
+      lowerPosterior > 0.0 && lowerPosterior < 1.0 &&
+      upperPosterior > lowerPosterior,
+      s"need 0 < lowerPosterior < upperPosterior < 1, got " +
+        s"lower=$lowerPosterior upper=$upperPosterior")
+    def score(p: Double): Double =
+      (math.log(p / (1.0 - p)) + math.log((1.0 - lambda) / lambda)) /
+        math.log(2.0)
+    (score(upperPosterior), score(lowerPosterior))
+  }
+
+  /** The fully closed loop: EM fit → posterior-derived thresholds →
+    * scored decisions, no hand-supplied numbers anywhere. Fits
+    * (λ, m, u) with [[fellegiSunterFit]], converts the target
+    * posteriors to score thresholds with [[fellegiSunterThresholds]]
+    * (using the FITTED λ), and scores with the unchanged
+    * [[fellegiSunter]]. The fit's f-row collect is the only driver
+    * seam, as in [[fellegiSunterAuto]]. */
+  def fellegiSunterAutoTuned(
+      comparisons: Seq[(String, Column)],
+      upperPosterior: Double = 0.99,
+      lowerPosterior: Double = 0.01,
+      iterations: Int = 5,
+      initialLambda: Double = 0.1,
+      initialM: Double = 0.9,
+      initialU: Double = 0.1)(pairs: DataFrame): DataFrame = {
+    val fitRows = fellegiSunterFit(comparisons, iterations, initialLambda,
+      initialM, initialU)(pairs).collect()
+    val fitted = fitRows
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val lambda = fitRows.head.getDouble(3)
+    val (upper, lower) =
+      fellegiSunterThresholds(lambda, upperPosterior, lowerPosterior)
+    val scored = comparisons.map { case (name, agree) =>
+      val (m, u) = fitted(name)
+      (name, agree, m, u)
+    }
+    fellegiSunter(scored, upper, lower)(pairs)
+  }
+
   def fuzzyJoin(
       right: DataFrame,
       leftId: String, leftKey: String,

@@ -859,6 +859,11 @@ final case class Pipeline(df: DataFrame) {
       iterations: Int = 5): Pipeline =
     >>(graft.ext.Dedup.fellegiSunterAuto(comparisons,
       upperThreshold, lowerThreshold, iterations))
+  def fellegiSunterAutoTuned(comparisons: Seq[(String, Column)],
+      upperPosterior: Double = 0.99, lowerPosterior: Double = 0.01,
+      iterations: Int = 5): Pipeline =
+    >>(graft.ext.Dedup.fellegiSunterAutoTuned(comparisons,
+      upperPosterior, lowerPosterior, iterations))
   def holtSmooth(keyField: String, tsField: String, valueField: String,
       alpha: Double, beta: Double, tieBreak: String,
       exactOrder: Boolean = true): Pipeline =

@@ -868,6 +868,56 @@ class DedupSpec extends SparkSpec {
       comps, initialM = 0.1, initialU = 0.5)(pairs))
   }
 
+  test("fellegiSunterThresholds: posterior inversion, precision floor on the linkage fixture") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    // closed form by hand at λ = 0.2: s(p) = log2(p/(1−p)) + log2(4)
+    val (up, lo) = graft.ext.Dedup.fellegiSunterThresholds(0.2, 0.99, 0.01)
+    assert(math.abs(up - (lg2(99.0) + lg2(4.0))) < 1e-12)
+    assert(math.abs(lo - (lg2(1.0 / 99.0) + lg2(4.0))) < 1e-12)
+    assert(up > lo)
+    // the posterior AT each threshold is exactly the target
+    def posterior(lambda: Double, s: Double) = {
+      val r = math.pow(2.0, s)
+      lambda * r / (lambda * r + 1.0 - lambda)
+    }
+    assert(math.abs(posterior(0.2, up) - 0.99) < 1e-9)
+    assert(math.abs(posterior(0.2, lo) - 0.01) < 1e-9)
+    // end-to-end: the same synthetic fixture as the fit spec, latent
+    // truth KEPT — autoTuned decisions at a 0.95 posterior target must
+    // realize at least that precision (conditional independence holds
+    // by construction, so the model-based floor is real here)
+    val trueM = Seq(0.95, 0.85, 0.75)
+    val trueU = Seq(0.05, 0.15, 0.30)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 4000).map { i =>
+      val isMatch = rnd.nextDouble() < 0.25
+      def g(j: Int) =
+        rnd.nextDouble() < (if (isMatch) trueM(j) else trueU(j))
+      (i.toLong, isMatch, g(0), g(1), g(2))
+    }
+    val pairs = rows.toDF("pid", "truth", "a0", "a1", "a2")
+    val comps = Seq(("f0", col("a0")), ("f1", col("a1")), ("f2", col("a2")))
+    val scored = graft.ext.Dedup.fellegiSunterAutoTuned(comps,
+      upperPosterior = 0.95, lowerPosterior = 0.05, iterations = 40)(pairs)
+      .localCheckpoint()
+    val matched = scored.filter(col("fs_decision") === "match")
+    val nMatched = matched.count()
+    assert(nMatched > 0L)
+    val truePos = matched.filter(col("truth")).count()
+    assert(truePos.toDouble / nMatched >= 0.95,
+      s"realized precision ${truePos.toDouble / nMatched} below the floor")
+    // symmetric purity on the non_match side
+    val nm = scored.filter(col("fs_decision") === "non_match")
+    assert(nm.filter(col("truth")).count().toDouble / nm.count() <= 0.05)
+    // guards
+    intercept[IllegalArgumentException](
+      graft.ext.Dedup.fellegiSunterThresholds(0.0))
+    intercept[IllegalArgumentException](
+      graft.ext.Dedup.fellegiSunterThresholds(0.2, 0.5, 0.5))
+  }
+
   test("fellegiSunter: log2(m/u) arithmetic, NULL evidence, thresholds, guards") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
