@@ -504,6 +504,196 @@ object Streaming {
             col("n_tokens").cast("double")).as("oov_rate"))
   }
 
+  /** Per-(window, item) pivoted label-count cells — the shared level-1
+    * aggregation of [[windowedFleissKappa]] / [[windowedLabelQa]]. The
+    * DECLARED label vocabulary is what makes the streaming form legal
+    * and bounded: Fleiss' P̄ needs Σ_j n_ij² per item, a second
+    * aggregation over the first — Spark only chains stateful windowed
+    * aggs when each is a plain windowed groupBy, so the per-item label
+    * counts must pivot into FIXED columns (one per vocabulary label),
+    * not rows. Ratings whose label is outside the vocabulary DROP
+    * (filtered up front — the loud alternative is no streaming form at
+    * all); NULL items/labels drop as in the batch probe. `extra`
+    * appends caller partials (the label-QA calibration legs) to the
+    * same level-1 state row. */
+  private def fleissCells(
+      events: DataFrame, item: Column, label: Column,
+      labelValues: Seq[String], tsField: String, windowLength: String,
+      watermarkDelay: String, extra: Seq[Column] = Nil,
+      extraAggs: Seq[Column] = Nil): DataFrame = {
+    require(labelValues.nonEmpty, "at least one vocabulary label")
+    require(labelValues.distinct.size == labelValues.size,
+      s"duplicate vocabulary labels: ${labelValues.mkString(", ")}")
+    require(labelValues.size <= 32,
+      s"at most 32 vocabulary labels (fixed-width streaming state), " +
+        s"got ${labelValues.size}")
+    val lab = label.cast("string")
+    val base = events
+      .filter(item.isNotNull && lab.isNotNull &&
+        lab.isin(labelValues.map(x => x: Any): _*))
+      .select(Seq(col(tsField), item.as("__i"), lab.as("__l")) ++
+        extra: _*)
+      .withWatermark(tsField, watermarkDelay)
+    val labelAggs = labelValues.zipWithIndex.map { case (l, j) =>
+      count(when(col("__l") === l, 1)).as(s"__n$j") }
+    val aggs = labelAggs ++ extraAggs
+    base
+      .groupBy(window(col(tsField), windowLength).as("__w"), col("__i"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Level-1 cells → per-window Fleiss columns: filters to items with
+    * ≥ 2 ratings (the batch probe's pairwise-agreement contract),
+    * computes each item's P_i from the pivoted counts (exact integers
+    * into one division), and re-aggregates per window via the chained
+    * `window(window_time(…))` stateful agg. `extraAggs` ride the
+    * second aggregation (the label-QA calibration sums). */
+  private def fleissWindowAgg(
+      cells: DataFrame, nLabels: Int, windowLength: String,
+      extraAggs: Seq[Column] = Nil): DataFrame = {
+    val idx = 0 until nLabels
+    val ni = idx.map(j => col(s"__n$j")).reduce(_ + _)
+    val s2 = idx.map(j => col(s"__n$j") * col(s"__n$j")).reduce(_ + _)
+    val items = cells
+      .withColumn("__ni", ni)
+      .withColumn("__s2", s2)
+      .filter(col("__ni") >= 2)
+      .withColumn("__pi", (col("__s2") - col("__ni")).cast("double") /
+        (col("__ni") * (col("__ni") - 1)).cast("double"))
+    val aggs = Seq(count(lit(1)).as("n_items"),
+      sum(col("__ni")).as("n_ratings"),
+      sum(col("__pi")).as("__psum")) ++
+      idx.map(j => sum(col(s"__n$j")).as(s"__c$j")) ++ extraAggs
+    val agged = items
+      .groupBy(window(window_time(col("__w")), windowLength).as("__w2"))
+      .agg(aggs.head, aggs.tail: _*)
+    val pe = idx.map { j =>
+      val pj = col(s"__c$j").cast("double") / col("n_ratings").cast("double")
+      pj * pj
+    }.reduce(_ + _)
+    agged
+      .withColumn("p_bar", col("__psum") / col("n_items").cast("double"))
+      .withColumn("p_e", pe)
+      .withColumn("kappa",
+        when(col("p_e") === 1.0, lit(null).cast("double"))
+          .otherwise((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))))
+  }
+
+  /** Windowed Fleiss' κ — the streaming form of
+    * [[graft.probes.Probes.fleissKappa]] per tumbling event-time
+    * window: the live LABELER-DRIFT alarm over an annotation feed (κ
+    * sagging across windows means the raters — or the ensemble
+    * models — stopped agreeing: a rubric change, a new annotator
+    * cohort, a broken model). Input is one row per RATING
+    * `(ts, item, label)` against a DECLARED label vocabulary (see
+    * [[windowedLabelQa]]'s level-1 note for why the vocabulary must be
+    * fixed: the per-item counts pivot into fixed-width streaming
+    * state); out-of-vocabulary ratings drop, items with < 2 ratings in
+    * a window drop — the batch probe's variable-n convention, per
+    * window. TWO chained stateful aggregations (Spark 3.4+'s
+    * window_time chaining): (window, item) label counts, then the
+    * window rollup; both watermark-bounded. Per-window sums are plain
+    * `sum()` (the monitor doctrine — batch-parity spec pins agreement
+    * to the exactOrder probe within float rounding, not hash
+    * equality). Output per window: `window_start, window_end, n_items,
+    * n_ratings, p_bar, p_e, kappa`. Same plan runs on batch frames. */
+  def windowedFleissKappa(
+      events: DataFrame,
+      item: Column, label: Column,
+      labelValues: Seq[String],
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val cells = fleissCells(events, item, label, labelValues, tsField,
+      windowLength, watermarkDelay)
+    fleissWindowAgg(cells, labelValues.size, windowLength)
+      .select(col("__w2.start").as("window_start"),
+        col("__w2.end").as("window_end"),
+        col("n_items"), col("n_ratings"), col("p_bar"), col("p_e"),
+        col("kappa"))
+  }
+
+  /** Windowed label-QA gate — agreement AND calibration per tumbling
+    * event-time window in ONE plan: the streaming twin of the batch
+    * `label_qa` composition (Fleiss κ → score calibration). Each
+    * rating row carries the annotator's label and the MODEL's score
+    * for the item; per window the gate reports inter-rater κ (is the
+    * ground truth still trustworthy?) and the model-vs-label ECE over
+    * `bins` equal-width score bins with `positiveLabel` as the
+    * positive class (is the model still calibrated against it?), plus
+    * `passed = κ ≥ minKappa AND ece ≤ maxEce` — the row a quality
+    * pipeline alarms on.
+    *
+    * Why one plan and not a join of [[windowedFleissKappa]] and
+    * [[windowedCalibration]]: streams cannot join two aggregated
+    * streams (no append-mode stream-stream join after stateful aggs) —
+    * but the calibration sums are DISTRIBUTIVE, so their per-bin
+    * partials (count, 1e-9-quantized score sum, positive count) ride
+    * the SAME level-1 (window, item) state row the κ counts live in,
+    * and the window rollup sums partials of partials. Same two
+    * chained stateful aggs, fixed-width state
+    * (labels + 3·bins columns per open (window, item)). ECE folds the
+    * index-ordered bin array in the projection (the
+    * [[windowedCalibration]] discipline; empty bins contribute exact
+    * 0.0). NULL scores contribute nothing to calibration but still
+    * count as ratings for κ. Output per window: `window_start,
+    * window_end, n_items, n_ratings, kappa, ece, passed`. Same plan
+    * runs on batch frames — spec-pinned against the batch probes. */
+  def windowedLabelQa(
+      events: DataFrame,
+      item: Column, label: Column,
+      labelValues: Seq[String],
+      score: Column,
+      positiveLabel: String,
+      minKappa: Double = 0.4,
+      maxEce: Double = 0.1,
+      bins: Int = 10,
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    require(bins >= 1 && bins <= 100, s"bins must be in [1, 100]: $bins")
+    require(labelValues.contains(positiveLabel),
+      s"positiveLabel '$positiveLabel' must be in the vocabulary")
+    val extra = Seq(
+      when(score.isNull, lit(null).cast("int"))
+        .otherwise(greatest(least(floor(score * bins).cast("int"),
+          lit(bins - 1)), lit(0))).as("__bin"),
+      round(score * lit(1e9), 0).cast("long").as("__s9"))
+    val calibCells = (0 until bins).flatMap { b => Seq(
+      count(when(col("__bin") === b, 1)).as(s"__kn$b"),
+      sum(when(col("__bin") === b, col("__s9")).otherwise(0L))
+        .as(s"__ks$b"),
+      sum(when(col("__bin") === b &&
+        col("__l") === positiveLabel, 1L).otherwise(0L)).as(s"__kp$b")) }
+    val cells = fleissCells(events, item, label, labelValues, tsField,
+      windowLength, watermarkDelay, extra, calibCells)
+    val calibAggs = (0 until bins).flatMap { b => Seq(
+      sum(col(s"__kn$b")).as(s"__wn$b"),
+      sum(col(s"__ks$b")).as(s"__ws$b"),
+      sum(col(s"__kp$b")).as(s"__wp$b")) }
+    val agged = fleissWindowAgg(cells, labelValues.size, windowLength,
+      calibAggs)
+    val binStructs = array((0 until bins).map { b =>
+      struct(col(s"__wn$b").as("n"), col(s"__ws$b").as("s9"),
+        col(s"__wp$b").as("pos")) }: _*)
+    val totN = (0 until bins).map(b => col(s"__wn$b")).reduce(_ + _)
+    val ece = when(totN === 0L, lit(null).cast("double"))
+      .otherwise(aggregate(binStructs, lit(0.0), (acc, s) =>
+        acc + when(s.getField("n") === 0L, lit(0.0))
+          .otherwise(s.getField("n").cast("double") * abs(
+            s.getField("s9").cast("double") /
+              (s.getField("n").cast("double") * 1e9)
+              - s.getField("pos").cast("double") /
+                s.getField("n").cast("double")))) / totN.cast("double"))
+    agged
+      .withColumn("ece", ece)
+      .select(col("__w2.start").as("window_start"),
+        col("__w2.end").as("window_end"),
+        col("n_items"), col("n_ratings"), col("kappa"), col("ece"),
+        (coalesce(col("kappa") >= minKappa, lit(false)) &&
+          coalesce(col("ece") <= maxEce, lit(false))).as("passed"))
+  }
+
   /** Streaming CUSUM mean-shift monitor: carries each key's one-sided
     * `(sp, sn)` statistics as typed group state and emits one stamped
     * row per arriving event — the unbounded-stream form of

@@ -1231,6 +1231,117 @@ class StreamingSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(1)), "text"))
   }
 
+  test("windowedFleissKappa: per-window agreement, vocab/variable-n contracts, batch parity") {
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Timestamp, String, String)]
+    val out = Streaming.windowedFleissKappa(
+      input.toDF().toDF("ts", "item", "lab"),
+      col("item"), col("lab"), labelValues = Seq("x", "y"),
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wfk")
+      .outputMode("append").start()
+    try {
+      // window 1: the batch probe's hand fixture (κ = 0) + an
+      // out-of-vocab rating (drops) + a single-rating item (drops)
+      input.addData(
+        (ts("09:01"), "A", "x"), (ts("09:01"), "A", "x"),
+        (ts("09:02"), "A", "x"),
+        (ts("09:03"), "B", "x"), (ts("09:03"), "B", "x"),
+        (ts("09:04"), "B", "y"),
+        (ts("09:05"), "C", "x"), (ts("09:05"), "C", "y"),
+        (ts("09:06"), "C", "y"),
+        (ts("09:07"), "A", "WEIRD"), (ts("09:08"), "D", "x"))
+      q.processAllAvailable()
+      // window 2: perfect two-category agreement (κ = 1)
+      input.addData(
+        (ts("10:01"), "E", "x"), (ts("10:01"), "E", "x"),
+        (ts("10:02"), "F", "y"), (ts("10:02"), "F", "y"))
+      q.processAllAvailable()
+      input.addData((ts("11:00"), "Z", "x")) // watermark nudge
+      q.processAllAvailable()
+      val got = spark.table("wfk").orderBy("window_start")
+        .select("n_items", "n_ratings", "p_bar", "p_e", "kappa")
+        .as[(Long, Long, Double, Double, Option[Double])].collect()
+      assert(got.length === 2)
+      assert(got(0)._1 === 3L && got(0)._2 === 9L)
+      assert(math.abs(got(0)._3 - 5.0 / 9.0) < 1e-15 &&
+        math.abs(got(0)._4 - 5.0 / 9.0) < 1e-15 &&
+        math.abs(got(0)._5.get) < 1e-12)
+      assert(got(1) === ((2L, 4L, 1.0, 0.5, Some(1.0))))
+      // batch parity: the exactOrder batch probe on the window-1 slice
+      val slice = Seq(("A", "x"), ("A", "x"), ("A", "x"),
+        ("B", "x"), ("B", "x"), ("B", "y"),
+        ("C", "x"), ("C", "y"), ("C", "y"), ("D", "x"))
+        .toDF("i", "l")
+      val b = graft.probes.Probes.fleissKappa(col("i"), col("l"))(slice)
+        .head()
+      assert(b.getAs[Long]("n_items") === got(0)._1 &&
+        b.getAs[Long]("n_ratings") === got(0)._2 &&
+        math.abs(b.getAs[Double]("p_bar") - got(0)._3) < 1e-12 &&
+        math.abs(b.getAs[Double]("p_e") - got(0)._4) < 1e-12)
+    } finally q.stop()
+    intercept[IllegalArgumentException](Streaming.windowedFleissKappa(
+      input.toDF().toDF("ts", "item", "lab"),
+      org.apache.spark.sql.functions.col("item"),
+      org.apache.spark.sql.functions.col("lab"), labelValues = Nil))
+  }
+
+  test("windowedLabelQa: kappa + ECE + gate in one plan, batch-probe parity") {
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Timestamp, String, String, Double)]
+    val out = Streaming.windowedLabelQa(
+      input.toDF().toDF("ts", "item", "lab", "score"),
+      col("item"), col("lab"), labelValues = Seq("good", "bad"),
+      col("score"), positiveLabel = "good",
+      minKappa = 0.4, maxEce = 0.2, bins = 4,
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wlq")
+      .outputMode("append").start()
+    try {
+      // window 1: two raters agree everywhere (κ = 1), model scores
+      // well-calibrated → gate passes
+      input.addData(
+        (ts("09:01"), "A", "good", 0.9), (ts("09:01"), "A", "good", 0.9),
+        (ts("09:02"), "B", "bad", 0.1), (ts("09:02"), "B", "bad", 0.1),
+        (ts("09:03"), "C", "good", 0.8), (ts("09:03"), "C", "good", 0.8))
+      q.processAllAvailable()
+      // window 2: raters split on every item (low κ) → gate fails
+      input.addData(
+        (ts("10:01"), "E", "good", 0.9), (ts("10:01"), "E", "bad", 0.9),
+        (ts("10:02"), "F", "good", 0.2), (ts("10:02"), "F", "bad", 0.2))
+      q.processAllAvailable()
+      input.addData((ts("11:00"), "Z", "good", 0.5)) // watermark nudge
+      q.processAllAvailable()
+      val got = spark.table("wlq").orderBy("window_start")
+        .select("n_items", "n_ratings", "kappa", "ece", "passed")
+        .as[(Long, Long, Option[Double], Option[Double], Boolean)]
+        .collect()
+      assert(got.length === 2)
+      assert(got(0)._1 === 3L && got(0)._2 === 6L)
+      assert(got(0)._3.get === 1.0)
+      assert(got(0)._5 === true)
+      assert(got(1)._5 === false)
+      // parity: batch fleissKappa and scoreCalibration on the window-1
+      // rating slice
+      val slice = Seq(
+        ("A", "good", 0.9), ("A", "good", 0.9),
+        ("B", "bad", 0.1), ("B", "bad", 0.1),
+        ("C", "good", 0.8), ("C", "good", 0.8))
+        .toDF("i", "l", "s")
+      val bk = graft.probes.Probes.fleissKappa(col("i"), col("l"))(slice)
+        .head().getAs[Double]("kappa")
+      assert(math.abs(bk - got(0)._3.get) < 1e-12)
+      val be = graft.probes.Probes.scoreCalibration(col("s"),
+        col("l") === "good", bins = 4)(slice)
+        .head().getAs[Double]("ece")
+      assert(math.abs(be - got(0)._4.get) < 1e-12)
+    } finally q.stop()
+    intercept[IllegalArgumentException](Streaming.windowedLabelQa(
+      input.toDF().toDF("ts", "item", "lab", "score"),
+      col("item"), col("lab"), Seq("good", "bad"), col("score"),
+      positiveLabel = "ugly"))
+  }
+
   test("windowedPatternProfile: per-window shape counts, batch-probe parity") {
     val input = MemoryStream[(Timestamp, String, Long)]
     val out = Streaming.windowedPatternProfile(
