@@ -123,6 +123,14 @@ private[graft] object QueriesProbes {
       Probes.fleissKappa((col("user_id") % 200), col("event_type"))(
         table(s, dir, "events"))
     },
+    "krippendorff_alpha" -> { (s, dir) =>
+      // the missing-data-robust agreement coefficient on the SAME
+      // fixture as fleiss_kappa — α's pairing-without-replacement
+      // chance term vs κ's marginal proportions; report both, alarm
+      // on divergence
+      Probes.krippendorffAlpha((col("user_id") % 200), col("event_type"))(
+        table(s, dir, "events"))
+    },
     "bootstrap_ci" -> { (s, dir) =>
       // per-segment mean balance with an honest uncertainty band: 100
       // Poisson(1)-weighted resamples from deterministic md5 draws —
@@ -526,6 +534,39 @@ private[graft] object QueriesProbes {
       ORDER BY source""",
     // mirrors Probes.fleissKappa: exact per-item/category counts,
     // item- and label-pinned folds, the fixed κ division dag
+    // mirrors Probes.krippendorffAlpha: exact coincidence-matrix
+    // integers, the one float fold (Σ_u A_u, item-pinned) replayed via
+    // list_reduce from the same 0.0 seed, Σn_c² in HUGEINT→DOUBLE like
+    // Spark's decimal(38,0)→double
+    "krippendorff_alpha" -> """
+      WITH r AS (SELECT user_id % 200 AS i,
+          CAST(event_type AS VARCHAR) AS l
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      cells AS (SELECT i, l, CAST(count(*) AS BIGINT) AS nij
+        FROM r GROUP BY 1, 2),
+      items AS (SELECT i, CAST(sum(nij) AS BIGINT) AS ni,
+          CAST(sum(nij * (nij - 1)) AS BIGINT) AS agr FROM cells GROUP BY 1),
+      kept AS (SELECT i, ni,
+          CAST(agr AS DOUBLE) / CAST(ni - 1 AS DOUBLE) AS au
+        FROM items WHERE ni >= 2),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+          CAST(sum(ni) AS BIGINT) AS nn,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(au ORDER BY i)), (a, x) -> a + x) AS aa
+        FROM kept),
+      marg AS (SELECT l, CAST(sum(nij) AS BIGINT) AS cj
+        FROM cells JOIN kept USING (i) GROUP BY l),
+      sq AS (SELECT CAST(sum(CAST(cj AS HUGEINT) * CAST(cj AS HUGEINT))
+            AS DOUBLE) AS sumsq
+        FROM marg),
+      d AS (SELECT n_items, nn,
+          (CAST(nn AS DOUBLE) - aa) / CAST(nn AS DOUBLE) AS d_o,
+          (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - sumsq)
+            / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0)) AS d_e
+        FROM tot CROSS JOIN sq)
+      SELECT n_items, nn AS n_ratings, d_o, d_e,
+        CASE WHEN d_e <= 0e0 THEN NULL ELSE 1e0 - d_o / d_e END AS alpha
+      FROM d""",
     "fleiss_kappa" -> """
       WITH r AS (SELECT user_id % 200 AS i,
           CAST(event_type AS VARCHAR) AS l

@@ -32,8 +32,8 @@ object ScaleBench {
     // Optional comma-separated phase subset (spans / bm25 / cc / ann /
     // inc / contain / bpe / text11 / oph / freq / ts / r12 / tri / r13 /
     // r13b / tfidf / pareto / r14 / flag / conv / r14c / r15 / r15b)
-    // plus r15c, for targeted re-measures without paying the whole harness;
-    // absent → all phases.
+    // plus r15c / r16, for targeted re-measures without paying the
+    // whole harness; absent → all phases.
     val phases = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def phase(name: String)(body: => Unit): Unit =
@@ -1552,6 +1552,176 @@ object ScaleBench {
     }
     println("index_x,index_docs,incremental_set_sim_sec")
     issRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    }
+    // ---- r16: EM-fit pattern flatness, modularity/RBO growth, the
+    // prefix-column candidate-IO cut ----
+    phase("r16") {
+    import graft.ext.{Dedup => D16, GraphOps => G16, TextOps => T16}
+    import graft.probes.{Probes => P16}
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    // fellegiSunterFit: the pattern collapse makes each EM round
+    // O(3^f) — ×1/×2/×4 pairs at fixed f should pay only the one
+    // linear collapse scan, and the PER-ROUND marginal
+    // (t(20 iters) − t(5 iters))/15 must be ~equal at ×1 and ×4
+    // (round cost independent of pair count)
+    val li16 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_quantity", "l_discount", "l_tax", "l_linenumber")
+    val nLi16 = li16.count()
+    def liRep16(k: Int): DataFrame =
+      (0 until k).map(_ => li16).reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    val comps16 = Seq(
+      ("qty_hi", col("l_quantity") >= 25),
+      ("disc_lo", col("l_discount") <= 0.05),
+      ("tax_lo", when(col("l_linenumber") % 7 === 0,
+        lit(null).cast("boolean")).otherwise(col("l_tax") <= 0.04)))
+    def fitJob(d: DataFrame, iters: Int): Unit =
+      D16.fellegiSunterFit(comps16, iterations = iters)(d)
+        .write.mode("overwrite").format("noop").save()
+    locally { val d1 = liRep16(1).localCheckpoint(); fitJob(d1, 5); d1.unpersist() }
+    val fitRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = liRep16(k).localCheckpoint()
+      val t = median3(fitJob(d, 5))
+      d.unpersist()
+      (k, nLi16 * k, t)
+    }
+    println("pairs_x,pairs,fellegi_sunter_fit_sec")
+    fitRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    locally {
+      val marg = for (k <- Seq(1, 4)) yield {
+        val d = liRep16(k).localCheckpoint()
+        val t5 = median3(fitJob(d, 5))
+        val t20 = median3(fitJob(d, 20))
+        d.unpersist()
+        (k, (t20 - t5) / 15.0)
+      }
+      println("pairs_x,fit_sec_per_em_round")
+      marg.foreach { case (k, m) => println(f"$k,$m%.3f") }
+    }
+    // modularity: disjoint-graph replication ×1/×2/×4 (the lpaGraph
+    // shape), labels = node % 50 (one row per node by construction) —
+    // one edge scan + two label joins + two hash-aggs must stay linear
+    val evIds16 = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+      .select("user_id", "event_id")
+    val nEv16 = evIds16.count()
+    def modGraph(k: Int): DataFrame =
+      (0 until k).map(i => evIds16.select(
+        ((col("user_id") % 2000) + lit(i.toLong * 1_000_000L)).as("src"),
+        (((col("user_id") * 13 + col("event_id") * 7) % 2000) +
+          lit(i.toLong * 1_000_000L)).as("dst")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def modJob(e: DataFrame): Unit = {
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+      G16.modularity(nodes.select(col("node"),
+        (col("node") % 50).as("community")))(e)
+        .write.mode("overwrite").format("noop").save()
+    }
+    locally { val e1 = modGraph(1).localCheckpoint(); modJob(e1); e1.unpersist() }
+    val modRows = for (k <- Seq(1, 2, 4)) yield {
+      val e = modGraph(k).localCheckpoint()
+      val t = median3(modJob(e))
+      e.unpersist()
+      (k, nEv16 * k, t)
+    }
+    println("graph_x,edges,graph_modularity_sec")
+    modRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+    // rankBiasedOverlap: queries ×1/×2/×4 at depth 10 (linear in the
+    // ranking volume), then depth 10/20/40 at ×4 (the per-item
+    // sequence explode is O(depth) — ~linear, never quadratic)
+    import org.apache.spark.sql.expressions.Window
+    val rankBase = evIds16
+      .select((col("user_id") % 500).as("q"), col("event_id"))
+      .withColumn("r", row_number().over(Window.partitionBy("q")
+        .orderBy(col("event_id"))))
+      .filter(col("r") <= 40)
+      .localCheckpoint()
+    def rankSide(k: Int, perturb: Boolean): DataFrame =
+      (0 until k).map(i => rankBase.select(
+        (col("q") + lit(i.toLong * 1_000_000L)).as("q"),
+        (if (perturb) (col("event_id") * 7) % 997
+         else col("event_id") % 997).as("item"),
+        col("r")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def rboJob(a: DataFrame, b: DataFrame, depth: Int): Unit =
+      P16.rankBiasedOverlap(b, "q", "item", "r", depth = depth)(a)
+        .write.mode("overwrite").format("noop").save()
+    locally {
+      val a1 = rankSide(1, perturb = false).localCheckpoint()
+      val b1 = rankSide(1, perturb = true).localCheckpoint()
+      rboJob(a1, b1, 10); a1.unpersist(); b1.unpersist()
+    }
+    val rboRows = for (k <- Seq(1, 2, 4)) yield {
+      val a = rankSide(k, perturb = false).localCheckpoint()
+      val b = rankSide(k, perturb = true).localCheckpoint()
+      val t = median3(rboJob(a, b, 10))
+      a.unpersist(); b.unpersist()
+      (k, t)
+    }
+    println("queries_x,rank_biased_overlap_sec")
+    rboRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    locally {
+      val a4 = rankSide(4, perturb = false).localCheckpoint()
+      val b4 = rankSide(4, perturb = true).localCheckpoint()
+      val dr = for (d <- Seq(10, 20, 40)) yield (d, median3(rboJob(a4, b4, d)))
+      a4.unpersist(); b4.unpersist()
+      println("depth,rank_biased_overlap_sec")
+      dr.foreach { case (d, t) => println(f"$d,$t%.2f") }
+    }
+    // prefix-column candidate IO: the SAME parquet-backed index stored
+    // in the 4-column (toks_prefix candidates, column-pruned scan) and
+    // legacy 3-column (full-toks candidate scan) formats, same fixed
+    // batch — the wall gap is the r15 watch item's fix; the byte
+    // fraction states how much of the token column the candidate
+    // stage no longer reads
+    val docs16 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+    val idxRows16 = D16.ssjIndexRows("doc_id", "toks")(
+      docs16.select(col("doc_id"),
+        T16.shingles(col("text"), 3).as("toks")))
+      .localCheckpoint()
+    val frac = idxRows16
+      .agg((sum(size(col("toks_prefix"))).cast("double") /
+        sum(size(col("toks"))).cast("double")).as("f"))
+      .head().getDouble(0)
+    val tmp16 = java.nio.file.Files.createTempDirectory("ssjpfx").toString
+    idxRows16.write.mode("overwrite").parquet(s"$tmp16/idx4")
+    idxRows16.select("id", "toks", "n")
+      .write.mode("overwrite").parquet(s"$tmp16/idx3")
+    idxRows16.unpersist()
+    val batch16 = docs16.select(
+      (col("doc_id") + lit(500_000_000L)).as("doc_id"),
+      T16.shingles(col("text"), 3).as("toks"))
+      .localCheckpoint()
+    def issJob16(path: String): Unit =
+      D16.incrementalSetSimilarity("doc_id", "toks",
+        spark.read.parquet(path), threshold = 0.5)(batch16)
+        .write.mode("overwrite").format("noop").save()
+    issJob16(s"$tmp16/idx4") // warm
+    val tPfx = median3(issJob16(s"$tmp16/idx4"))
+    val tLegacy = median3(issJob16(s"$tmp16/idx3"))
+    // the candidate-stage IO claim, stated structurally: the bytes a
+    // column-pruned candidate scan must decode are the on-disk parquet
+    // size of exactly its ReadSchema — (id, n, toks_prefix) for the
+    // 4-column format vs (id, n, toks) for the legacy one (the same
+    // encoder writes both projections, so the sizes are comparable)
+    def projBytes(cols: Seq[String], out: String): Double = {
+      spark.read.parquet(s"$tmp16/idx4").select(cols.map(col): _*)
+        .write.mode("overwrite").parquet(s"$tmp16/$out")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp16/$out"))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum() / 1e6
+    }
+    val mbPfx = projBytes(Seq("id", "n", "toks_prefix"), "scan4")
+    val mbLegacy = projBytes(Seq("id", "n", "toks"), "scan3")
+    println("prefix_token_frac,iss_prefix_sec,iss_legacy_sec," +
+      "cand_scan_prefix_mb,cand_scan_legacy_mb")
+    println(f"$frac%.3f,$tPfx%.2f,$tLegacy%.2f,$mbPfx%.1f,$mbLegacy%.1f")
     }
     spark.stop()
   }

@@ -787,6 +787,9 @@ final case class Pipeline(df: DataFrame) {
   def isotonicCalibration(score: Column, label: Column, bins: Int = 10,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.isotonicCalibration(score, label, bins, groupCols))
+  def krippendorffAlpha(item: Column, label: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.krippendorffAlpha(item, label, groupCols))
   def fleissKappa(item: Column, label: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.fleissKappa(item, label, groupCols))

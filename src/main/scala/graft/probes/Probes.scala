@@ -1233,6 +1233,79 @@ object Probes {
             (lit(1.0) - col("p_e"))).as("kappa")): _*)
   }
 
+  /** Krippendorff's α (nominal) — the agreement coefficient built for
+    * MISSING data, beside [[fleissKappa]]: both accept the variable-n
+    * long frame, but κ's chance term P_e uses rating-marginal
+    * proportions while α's expected disagreement is the
+    * small-sample-corrected pairing WITHOUT replacement over all N
+    * ratings — so α stays honest on sparse annotation matrices (each
+    * item seen by a different rater subset, the usual crowd-labeling
+    * shape) where κ's chance model is known to misbehave. The content-
+    * analysis standard (Krippendorff 2004); report both and alarm on
+    * divergence.
+    *
+    * Coincidence-matrix form, nominal metric: per kept item u (n_u ≥ 2
+    * ratings), the within-item AGREEMENT pair mass is
+    * `A_u = Σ_c n_uc(n_uc−1)/(n_u−1)`; with `A = Σ_u A_u`,
+    * `N = Σ_u n_u`, and label totals `n_c = Σ_u n_uc`:
+    * `D_o = (N − A)/N`, `D_e = (N² − Σ_c n_c²)/(N(N−1))`,
+    * `α = 1 − D_o/D_e`. All counts exact integers (Σn_c² in
+    * decimal(38,0) — overflow-proof); the ONE float fold is Σ_u A_u,
+    * pinned by item id (`exactOrder = true`, the oracle contract;
+    * `false` = plain sum, the [[fleissKappa]] production knob). D_e = 0
+    * (every rating one category, or N ≤ 1) → NULL α. NULL items/labels
+    * and single-rating items drop, as in [[fleissKappa]]. Two
+    * hash-aggs + bounded folds; one corpus scan. Output per group:
+    * `n_items, n_ratings, d_o, d_e, alpha`. */
+  def krippendorffAlpha(item: Column, label: Column,
+      groupCols: Seq[String] = Nil,
+      exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
+    val grp = groupCols.map(col)
+    val cells = df
+      .filter(item.isNotNull && label.isNotNull)
+      .select(grp :+ item.as("__i") :+ label.cast("string").as("__l"): _*)
+      .groupBy(grp :+ col("__i") :+ col("__l"): _*)
+      .agg(count(lit(1)).as("__nij"))
+      .localCheckpoint() // the ONE corpus scan: feeds items AND marginals
+    val items = cells
+      .groupBy(grp :+ col("__i"): _*)
+      .agg(sum(col("__nij")).as("__ni"),
+        sum(col("__nij") * (col("__nij") - 1)).as("__agr"))
+      .filter(col("__ni") >= 2)
+      .withColumn("__au", col("__agr").cast("double") /
+        (col("__ni") - 1).cast("double"))
+      .localCheckpoint() // <= |items| rows; feeds A/N and the keep-join
+    def fold(key: Column, term: Column) =
+      if (exactOrder)
+        org.apache.spark.sql.functions.aggregate(
+          sort_array(collect_list(struct(key.as("__k"), term.as("__t")))),
+          lit(0.0), (acc, x) => acc + x.getField("__t"))
+      else sum(term)
+    val totals =
+      (if (grp.isEmpty) items.groupBy() else items.groupBy(grp: _*))
+        .agg(count(lit(1)).as("n_items"), sum(col("__ni")).as("__N"),
+          fold(col("__i"), col("__au")).as("__A"))
+    val kept = items.select(grp :+ col("__i"): _*)
+    val marg = cells.join(kept, groupCols :+ "__i")
+      .groupBy(grp :+ col("__l"): _*)
+      .agg(sum(col("__nij")).as("__cj"))
+    val sq =
+      (if (grp.isEmpty) marg.groupBy() else marg.groupBy(grp: _*))
+        .agg(sum(col("__cj").cast("decimal(19,0)") *
+          col("__cj").cast("decimal(19,0)")).as("__sumSq"))
+    val n = col("__N").cast("double")
+    val dO = (n - col("__A")) / n
+    val dE = (n * n - col("__sumSq").cast("double")) / (n * (n - lit(1.0)))
+    (if (grp.isEmpty) totals.crossJoin(sq)
+     else totals.join(sq, groupCols))
+      .withColumn("d_o", dO)
+      .withColumn("d_e", dE)
+      .select(grp ++ Seq(col("n_items"), col("__N").as("n_ratings"),
+        col("d_o"), col("d_e"),
+        when(col("d_e") <= 0.0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("d_o") / col("d_e")).as("alpha")): _*)
+  }
+
   /** Per-rep Poisson(1) weight from the repo's md5-uint32 draw: the
     * inverse-CDF thresholds are driver-computed ONCE, floored onto the
     * integer 2³² grid, and compared as plain longs — the whole draw is

@@ -694,6 +694,80 @@ object Streaming {
           coalesce(col("ece") <= maxEce, lit(false))).as("passed"))
   }
 
+  /** Windowed Poisson-bootstrap confidence interval — the streaming
+    * form of [[graft.probes.Probes.bootstrapCI]] per tumbling
+    * event-time window: the live metric WITH honest uncertainty ("the
+    * mean quality score this hour is 0.71 ± what?") — a monitor that
+    * alarms on a CI excursion instead of a point estimate fires far
+    * fewer false pages on thin windows. Same deterministic machinery
+    * as the batch probe: each row's multiplicity in resample b is a
+    * Poisson(1) draw keyed on `md5(salt ++ key ++ '_' ++ b)`, means
+    * are exact-integer ratios, the interval is the percentile method
+    * on the (mean, rep)-sorted resample means.
+    *
+    * Two chained stateful aggs (the [[windowedFleissKappa]] shape):
+    * level 1 `(window, rep)` carries each resample's weighted partials
+    * (and the unweighted row count/sum, identical across reps — max()
+    * is the carrier), level 2 rolls the ≤ `reps` resample rows per
+    * window into the sorted-array percentile pick — the one
+    * collect_list is reps-bounded BY CONSTRUCTION. The explode
+    * multiplies the stream by `reps` before the first agg exactly as
+    * the batch op multiplies its scan — map-side partials collapse it
+    * to (windows × reps) state rows. `keyCol` must identify rows
+    * uniquely (the batch contract: duplicate keys draw correlated
+    * weights). Output per window: `window_start, window_end, n, mean,
+    * reps, ci_low, ci_high` — bit-equal to the batch probe on the same
+    * window slice (spec-pinned). */
+  def windowedBootstrapCi(
+      events: DataFrame,
+      keyCol: Column, value: Column,
+      reps: Int = 100, alpha: Double = 0.05, salt: String = "bs",
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    require(reps >= 10 && reps <= 10000,
+      s"reps must be in [10, 10000], got $reps")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    val d38 = "decimal(38,0)"
+    val perRep = events
+      .filter(value.isNotNull && keyCol.isNotNull)
+      .select(col(tsField), keyCol.cast("string").as("__key"),
+        round(value.cast("double") * 1e9, 0).cast("decimal(19,0)")
+          .as("__x9"))
+      .withWatermark(tsField, watermarkDelay)
+      .select(col(tsField), col("__key"), col("__x9"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__rep"))
+      .withColumn("__w", graft.probes.Probes.poissonWeight(
+        graft.functions.GraftFunctions.md5Prefix32(
+          concat(col("__key"), lit("_"), col("__rep")), salt)))
+      .groupBy(window(col(tsField), windowLength).as("__w1"),
+        col("__rep"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__x9")).cast(d38).as("__sx"),
+        sum(col("__w").cast("long")).as("__sw"),
+        sum((col("__w") * col("__x9")).cast(d38)).as("__swx"))
+    val agged = perRep
+      .filter(col("__sw") > 0)
+      .withColumn("__m", col("__swx").cast("double") /
+        (col("__sw").cast("double") * 1e9))
+      .groupBy(window(window_time(col("__w1")), windowLength).as("__w2"))
+      .agg(max(col("__cnt")).as("n"), max(col("__sx")).as("__sxm"),
+        sort_array(collect_list(struct(col("__m"), col("__rep"))))
+          .as("__ms"))
+    agged.select(
+      col("__w2.start").as("window_start"),
+      col("__w2.end").as("window_end"),
+      col("n"),
+      (col("__sxm").cast("double") /
+        (col("n").cast("double") * 1e9)).as("mean"),
+      size(col("__ms")).cast("long").as("reps"),
+      element_at(col("__ms"), greatest(
+        ceil(lit(alpha / 2.0) * size(col("__ms")) - lit(1e-9))
+          .cast("int"), lit(1))).getField("__m").as("ci_low"),
+      element_at(col("__ms"), greatest(
+        ceil(lit(1.0 - alpha / 2.0) * size(col("__ms")) - lit(1e-9))
+          .cast("int"), lit(1))).getField("__m").as("ci_high"))
+  }
+
   /** Streaming CUSUM mean-shift monitor: carries each key's one-sided
     * `(sp, sn)` statistics as typed group state and emits one stamped
     * row per arriving event — the unbounded-stream form of

@@ -69,6 +69,7 @@ class PlanAuditSpec extends SparkSpec {
     "score_calibration", // broadcast one-row ECE aggregate
     "label_qa",          // composes both of the above — same one-row builds
     "fleiss_kappa",      // broadcast one-row totals (N, P̄) into the κ dag
+    "krippendorff_alpha", // broadcast one-row (N, A) + one-row Σn_c² aggregates
     "graph_modularity",  // broadcast one-row m + one-row Q folds
     "quantile_normalize", // broadcast one-row pooled-N aggregate
     "association_rules", // broadcast one-row basket-total N

@@ -650,6 +650,59 @@ class ProbesSpec extends SparkSpec {
       g(1).getAs[Double]("kappa") === 1.0)
   }
 
+  test("krippendorffAlpha: hand-checked nominal fixture, degenerate cases, vs kappa") {
+    import spark.implicits._
+    // items A(x,x) B(x,y) C(y,y): A = 2+0+2 = 4, N = 6,
+    // n_x = n_y = 3 → Σn_c² = 18; D_o = 2/6, D_e = 18/30 → α = 4/9
+    val df = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "y"),
+      ("C", "y"), ("C", "y")).toDF("i", "l")
+    val r = Probes.krippendorffAlpha(col("i"), col("l"))(df).head()
+    assert(r.getAs[Long]("n_items") === 3L &&
+      r.getAs[Long]("n_ratings") === 6L)
+    assert(math.abs(r.getAs[Double]("d_o") - 1.0 / 3.0) < 1e-15)
+    assert(math.abs(r.getAs[Double]("d_e") - 0.6) < 1e-15)
+    assert(math.abs(r.getAs[Double]("alpha") - 4.0 / 9.0) < 1e-14)
+    // α applies the small-sample pairing correction κ lacks: on this
+    // fixture κ = 1/3 < α = 4/9
+    val k = Probes.fleissKappa(col("i"), col("l"))(df).head()
+      .getAs[Double]("kappa")
+    assert(math.abs(k - 1.0 / 3.0) < 1e-12 &&
+      r.getAs[Double]("alpha") > k)
+    // perfect agreement → α = 1; one category everywhere → D_e = 0 →
+    // NULL; a lone 2-rating disagreeing item → α = 0 (pure chance)
+    val perfect = Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+      .toDF("i", "l")
+    assert(Probes.krippendorffAlpha(col("i"), col("l"))(perfect)
+      .head().getAs[Double]("alpha") === 1.0)
+    val mono = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "x"))
+      .toDF("i", "l")
+    val m = Probes.krippendorffAlpha(col("i"), col("l"))(mono).head()
+    assert(m.isNullAt(m.fieldIndex("alpha")))
+    val lone = Seq(("A", "x"), ("A", "y")).toDF("i", "l")
+    assert(Probes.krippendorffAlpha(col("i"), col("l"))(lone)
+      .head().getAs[Double]("alpha") === 0.0)
+    // single-rating items and NULLs drop (the missing-data robustness
+    // α exists for); grouped: independent α per group
+    val noisy = df.unionByName(Seq(("D", "z")).toDF("i", "l"))
+      .unionByName(Seq((Option.empty[String], Option("x")),
+        (Option("E"), Option.empty[String])).toDF("i", "l"))
+    val n2 = Probes.krippendorffAlpha(col("i"), col("l"))(noisy).head()
+    assert(n2.getAs[Long]("n_items") === 3L &&
+      n2.getAs[Long]("n_ratings") === 6L &&
+      math.abs(n2.getAs[Double]("alpha") - 4.0 / 9.0) < 1e-14)
+    val g = Probes.krippendorffAlpha(col("i"), col("l"), Seq("g"))(
+      df.withColumn("g", lit("a"))
+        .unionByName(perfect.withColumn("g", lit("b"))))
+      .orderBy("g").collect()
+    assert(math.abs(g(0).getAs[Double]("alpha") - 4.0 / 9.0) < 1e-14 &&
+      g(1).getAs[Double]("alpha") === 1.0)
+    // production mode parity
+    val fast = Probes.krippendorffAlpha(col("i"), col("l"),
+      exactOrder = false)(df).head()
+    assert(math.abs(fast.getAs[Double]("alpha") -
+      r.getAs[Double]("alpha")) < 1e-12)
+  }
+
   test("fleissKappa exactOrder=false: plain-sum mode within 1e-12 of exact") {
     import spark.implicits._
     // large-ish mixed fixture: 60 items × 3-5 raters, 4 categories

@@ -1342,6 +1342,54 @@ class StreamingSpec extends SparkSpec {
       positiveLabel = "ugly"))
   }
 
+  test("windowedBootstrapCi: deterministic per-window CI, bit-equal to the batch probe") {
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val out = Streaming.windowedBootstrapCi(
+      input.toDF().toDF("ts", "k", "v"),
+      col("k"), col("v"), reps = 50,
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wbci")
+      .outputMode("append").start()
+    try {
+      val w1 = (1 to 40).map(i => (ts("09:0" + (i % 9 + 1)), i.toLong,
+        50.0 + (i % 11) - 5.0))
+      input.addData(w1: _*)
+      q.processAllAvailable()
+      val w2 = (41 to 60).map(i => (ts("10:0" + (i % 9 + 1)), i.toLong,
+        80.0 + (i % 7)))
+      input.addData(w2: _*)
+      q.processAllAvailable()
+      input.addData((ts("11:00"), 999L, 1.0)) // watermark nudge
+      q.processAllAvailable()
+      val got = spark.table("wbci").orderBy("window_start")
+        .select("n", "mean", "reps", "ci_low", "ci_high")
+        .as[(Long, Double, Long, Double, Double)].collect()
+      assert(got.length === 2)
+      // bit-equal to the batch probe on each window's slice (same md5
+      // draws, same integer sums, same percentile selection)
+      def batchOn(rows: Seq[(Timestamp, Long, Double)]) = {
+        val d = rows.map { case (_, k, v) => (k, v) }.toDF("k", "v")
+        graft.probes.Probes.bootstrapCI(col("k"), col("v"), reps = 50)(d)
+          .head()
+      }
+      Seq(w1, w2).zip(got).foreach { case (rows, g) =>
+        val b = batchOn(rows)
+        assert(b.getAs[Long]("n") === g._1 &&
+          b.getAs[Double]("mean") === g._2 &&
+          b.getAs[Long]("reps") === g._3 &&
+          b.getAs[Double]("ci_low") === g._4 &&
+          b.getAs[Double]("ci_high") === g._5)
+      }
+      assert(got.forall(g => g._4 <= g._2 && g._2 <= g._5))
+      // the two windows' intervals are disjoint — the excursion the
+      // monitor exists to catch
+      assert(got(0)._5 < got(1)._4)
+    } finally q.stop()
+    intercept[IllegalArgumentException](Streaming.windowedBootstrapCi(
+      input.toDF().toDF("ts", "k", "v"), col("k"), col("v"), reps = 1))
+  }
+
   test("windowedPatternProfile: per-window shape counts, batch-probe parity") {
     val input = MemoryStream[(Timestamp, String, Long)]
     val out = Streaming.windowedPatternProfile(
