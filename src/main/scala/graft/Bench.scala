@@ -117,9 +117,14 @@ object Bench {
     println(line)
     // stdout capture has been observed to truncate the head of long JSON
     // lines (~90 per-query entries); persist the full vector to a file so
-    // per-query timings always survive a round.
+    // per-query timings always survive a round. BENCH_LATEST.json is
+    // reserved for FULL-SURFACE vectors (the README convention — a
+    // round-15 slip committed a 1-query solo re-measure as the closing
+    // vector): a SPARK_GRAFT_BENCH_ONLY subset run writes
+    // BENCH_SOLO.json instead, structurally unable to clobber it.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_LATEST.json")
+      if (only.isDefined) "/root/repo/BENCH_SOLO.json"
+      else "/root/repo/BENCH_LATEST.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
       try w.println(line) finally w.close()

@@ -1884,11 +1884,11 @@ object TextOps {
     * stream rows through the equi-join). Docs with < 3 tokens (incl.
     * NULL text) score `n_trigrams = 0, lm_score = 0.0`. Output:
     * `idField, n_trigrams, lm_score`. */
-  def trigramLmQuality(
-      idField: String, textField: String, counts: DataFrame,
-      alpha: Double = 0.4, exactOrder: Boolean = true)(
-      df: DataFrame): DataFrame = {
-    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+  /** The [[trigramLmQuality]] count-table self-joins, shared with the
+    * streaming twin: `(triStats (__g3, __c3, __ctx2), biStats
+    * (__g2, __c2, __c1p), unigrams (__g1, __c1w), tot (__T))`. */
+  private[graft] def lmStats(counts: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(counts.columns.length == 3,
       s"counts must be (n, gram, occurrences) rows, got " +
         counts.columns.mkString(", "))
@@ -1914,41 +1914,58 @@ object TextOps {
         Seq("__w1"), "left")
       .select(col("__g2"), col("__c2"), col("__c1p"))
     val tot = c1.agg(coalesce(sum(col("__c1w")), lit(0L)).as("__T"))
+    (triStats, biStats, c1, tot)
+  }
+
+  /** One `(g3, g2, w0)` struct per trigram position of a token array —
+    * the position stream both LM forms explode. */
+  private[graft] def lmPositions(ts: Column): Column =
+    graft.functions.GraftFunctions.bind(ts) { t =>
+      when(size(t) < 3,
+        array().cast("array<struct<g3:string,g2:string,w0:string>>"))
+        .otherwise(transform(sequence(lit(1), size(t) - 2), i =>
+          struct(
+            concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+              element_at(t, i + 2)).as("g3"),
+            concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))
+              .as("g2"),
+            element_at(t, i + 2).as("w0"))))
+    }
+
+  /** The per-position stupid-backoff score over the joined stats
+    * columns (`__c3/__ctx2/__c2/__c1p/__c1w/__T`). */
+  private[graft] def lmBackoffScore(alpha: Double): Column =
+    when(col("__c3").isNotNull && col("__ctx2").isNotNull,
+      col("__c3").cast("double") / col("__ctx2").cast("double"))
+      .when(col("__c2").isNotNull && col("__c1p").isNotNull,
+        lit(alpha) *
+          (col("__c2").cast("double") / col("__c1p").cast("double")))
+      .otherwise(when(col("__T") === 0L, lit(0.0))
+        .otherwise(lit(alpha * alpha) *
+          (coalesce(col("__c1w"), lit(0L)).cast("double") /
+            col("__T").cast("double"))))
+
+  def trigramLmQuality(
+      idField: String, textField: String, counts: DataFrame,
+      alpha: Double = 0.4, exactOrder: Boolean = true)(
+      df: DataFrame): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val (triStats, biStats, c1, tot) = lmStats(counts)
     val tokenized = df.select(col(idField).as("__id"),
       tokens(coalesce(col(textField), lit(""))).as("__ts"))
       .localCheckpoint()
     val tri = tokenized.select(col("__id"),
-      posexplode(graft.functions.GraftFunctions.bind(col("__ts")) { ts =>
-        when(size(ts) < 3,
-          array().cast("array<struct<g3:string,g2:string,w0:string>>"))
-          .otherwise(transform(sequence(lit(1), size(ts) - 2), i =>
-            struct(
-              concat_ws(" ", element_at(ts, i), element_at(ts, i + 1),
-                element_at(ts, i + 2)).as("g3"),
-              concat_ws(" ", element_at(ts, i + 1), element_at(ts, i + 2))
-                .as("g2"),
-              element_at(ts, i + 2).as("w0"))))
-      }).as(Seq("__pos", "__t")))
+      posexplode(lmPositions(col("__ts"))).as(Seq("__pos", "__t")))
       .select(col("__id"), col("__pos").cast("long").as("__pos"),
         col("__t.g3").as("__g3"), col("__t.g2").as("__g2"),
         col("__t.w0").as("__w0"))
-    val p =
-      when(col("__c3").isNotNull && col("__ctx2").isNotNull,
-        col("__c3").cast("double") / col("__ctx2").cast("double"))
-        .when(col("__c2").isNotNull && col("__c1p").isNotNull,
-          lit(alpha) *
-            (col("__c2").cast("double") / col("__c1p").cast("double")))
-        .otherwise(when(col("__T") === 0L, lit(0.0))
-          .otherwise(lit(alpha * alpha) *
-            (coalesce(col("__c1w"), lit(0L)).cast("double") /
-              col("__T").cast("double"))))
     val scored = tri
       .join(triStats, Seq("__g3"), "left")
       .join(biStats, Seq("__g2"), "left")
       .join(c1.select(col("__g1").as("__w0"), col("__c1w")),
         Seq("__w0"), "left")
       .crossJoin(broadcast(tot))
-      .select(col("__id"), col("__pos"), p.as("__p"))
+      .select(col("__id"), col("__pos"), lmBackoffScore(alpha).as("__p"))
       .groupBy("__id")
       .agg(count(lit(1)).as("n_trigrams"),
         (if (exactOrder)

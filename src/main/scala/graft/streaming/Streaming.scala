@@ -694,6 +694,56 @@ object Streaming {
           coalesce(col("ece") <= maxEce, lit(false))).as("passed"))
   }
 
+  /** Windowed stupid-backoff LM quality — the streaming form of
+    * [[graft.ext.TextOps.trigramLmQuality]] rolled up per tumbling
+    * event-time window: the live "did the crawl's language just
+    * change?" alarm — a feed whose mean backoff score sags toward the
+    * α²-damped unigram floor stopped looking like the STORED reference
+    * model (`counts`, a [[graft.ext.TextOps.lmCountTable]] frame — the
+    * trained artifact, typically [[graft.ext.ModelStore.loadCounts]]).
+    * Same per-position mathematics as the batch op (shared helpers);
+    * the trigram position stream left-joins the table-sized stats
+    * frames STATELESSLY (stream-static joins need no watermark state),
+    * and one watermark-bounded windowed agg means the scores. The
+    * count table's total unigram count is collected driver-side (a
+    * 1-row bounded seam, the [[graft.ext.ModelStore]] doctrine) so the
+    * streaming plan carries it as a literal. Plain sums (the monitor
+    * doctrine) — the spec pins per-window agreement with the batch
+    * op's position mean. Output per window: `window_start, window_end,
+    * n_positions, lm_score`. Windows with zero trigram positions emit
+    * nothing (empty/short docs carry no LM evidence). */
+  def windowedLmQuality(
+      events: DataFrame,
+      textField: String,
+      counts: DataFrame,
+      alpha: Double = 0.4,
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    import graft.ext.TextOps
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val (triStats, biStats, c1, tot) = TextOps.lmStats(counts)
+    val bigT = tot.head().getLong(0) // 1-row bounded seam
+    events
+      .withWatermark(tsField, watermarkDelay)
+      .select(col(tsField),
+        explode(TextOps.lmPositions(TextOps.tokens(
+          coalesce(col(textField), lit(""))))).as("__t"))
+      .select(col(tsField), col("__t.g3").as("__g3"),
+        col("__t.g2").as("__g2"), col("__t.w0").as("__w0"))
+      .join(triStats, Seq("__g3"), "left")
+      .join(biStats, Seq("__g2"), "left")
+      .join(c1.select(col("__g1").as("__w0"), col("__c1w")),
+        Seq("__w0"), "left")
+      .withColumn("__T", lit(bigT))
+      .select(col(tsField), TextOps.lmBackoffScore(alpha).as("__p"))
+      .groupBy(window(col(tsField), windowLength).as("__w"))
+      .agg(count(lit(1)).as("n_positions"), sum(col("__p")).as("__sp"))
+      .select(col("__w.start").as("window_start"),
+        col("__w.end").as("window_end"), col("n_positions"),
+        (col("__sp") / col("n_positions").cast("double")).as("lm_score"))
+  }
+
   /** Windowed Poisson-bootstrap confidence interval — the streaming
     * form of [[graft.probes.Probes.bootstrapCI]] per tumbling
     * event-time window: the live metric WITH honest uncertainty ("the

@@ -1342,6 +1342,50 @@ class StreamingSpec extends SparkSpec {
       positiveLabel = "ugly"))
   }
 
+  test("windowedLmQuality: per-window backoff mean against the stored table, batch parity") {
+    import org.apache.spark.sql.functions.col
+    val model = Seq((0L, "the cat sat on the mat and the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val counts = graft.ext.TextOps.lmCountTable("text")(model)
+      .localCheckpoint()
+    val input = MemoryStream[(Timestamp, String)]
+    val out = Streaming.windowedLmQuality(
+      input.toDF().toDF("ts", "text"), "text", counts,
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wlm")
+      .outputMode("append").start()
+    try {
+      // window 1: in-domain prose; window 2: the same tokens shuffled
+      val w1 = Seq("the cat sat on the mat", "the dog sat on the rug")
+      val w2 = Seq("mat the on sat cat the", "rug the on sat dog the")
+      input.addData(w1.map(t => (ts("09:01"), t)): _*)
+      q.processAllAvailable()
+      input.addData(w2.map(t => (ts("10:01"), t)): _*)
+      q.processAllAvailable()
+      input.addData((ts("11:00"), "a b c")) // watermark nudge
+      q.processAllAvailable()
+      val got = spark.table("wlm").orderBy("window_start")
+        .select("n_positions", "lm_score")
+        .as[(Long, Double)].collect()
+      assert(got.length === 2)
+      assert(got(0)._1 === 8L && got(1)._1 === 8L)
+      assert(got(0)._2 > 5.0 * got(1)._2,
+        s"in-domain ${got(0)._2} should dominate shuffled ${got(1)._2}")
+      // batch parity: the window mean equals the position-weighted mean
+      // of the batch op's per-doc scores on the same slice
+      def batchMean(texts: Seq[String]): Double = {
+        val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "text")
+        val r = graft.ext.TextOps.trigramLmQuality("id", "text", counts)(d)
+          .select(col("n_trigrams"), col("lm_score")).collect()
+        r.map(x => x.getLong(0) * x.getDouble(1)).sum /
+          r.map(_.getLong(0)).sum
+      }
+      assert(math.abs(batchMean(w1) - got(0)._2) < 1e-12)
+      assert(math.abs(batchMean(w2) - got(1)._2) < 1e-12)
+    } finally q.stop()
+  }
+
   test("windowedBootstrapCi: deterministic per-window CI, bit-equal to the batch probe") {
     import org.apache.spark.sql.functions.col
     val input = MemoryStream[(Timestamp, Long, Double)]
