@@ -1713,9 +1713,11 @@ object ScaleBench {
     def projBytes(cols: Seq[String], out: String): Double = {
       spark.read.parquet(s"$tmp16/idx4").select(cols.map(col): _*)
         .write.mode("overwrite").parquet(s"$tmp16/$out")
-      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp16/$out"))
-        .filter(p => p.toString.endsWith(".parquet"))
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$tmp16/$out"))
+      try walk.filter(p => p.toString.endsWith(".parquet"))
         .mapToLong(p => java.nio.file.Files.size(p)).sum() / 1e6
+      finally walk.close()
     }
     val mbPfx = projBytes(Seq("id", "n", "toks_prefix"), "scan4")
     val mbLegacy = projBytes(Seq("id", "n", "toks"), "scan3")

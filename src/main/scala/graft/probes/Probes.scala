@@ -1180,6 +1180,18 @@ object Probes {
     * state): same mathematics, engine-chosen addition order — agrees
     * to float rounding but is not oracle-hash-pinnable, so the exact
     * default stays the contract mode. */
+  /** The pinned-or-plain Σ the agreement probes share: `exactOrder`
+    * sorts (key, term) structs and folds left from 0.0 (cross-engine
+    * hash-identical, the oracle contract); `false` is the plain
+    * map-side-combining `sum()` production mode. */
+  private def pinnedFold(
+      key: Column, term: Column, exactOrder: Boolean): Column =
+    if (exactOrder)
+      org.apache.spark.sql.functions.aggregate(
+        sort_array(collect_list(struct(key.as("__k"), term.as("__t")))),
+        lit(0.0), (acc, x) => acc + x.getField("__t"))
+    else sum(term)
+
   def fleissKappa(item: Column, label: Column,
       groupCols: Seq[String] = Nil,
       exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
@@ -1199,12 +1211,7 @@ object Probes {
         (col("__s2") - col("__ni")).cast("double") /
           (col("__ni") * (col("__ni") - 1)).cast("double"))
       .localCheckpoint() // <= |items| rows; feeds P̄/N and the keep-join
-    def fold(key: Column, term: Column) =
-      if (exactOrder)
-        org.apache.spark.sql.functions.aggregate(
-          sort_array(collect_list(struct(key.as("__k"), term.as("__t")))),
-          lit(0.0), (acc, x) => acc + x.getField("__t"))
-      else sum(term)
+    def fold(key: Column, term: Column) = pinnedFold(key, term, exactOrder)
     val totals =
       (if (grp.isEmpty) items.groupBy() else items.groupBy(grp: _*))
         .agg(count(lit(1)).as("n_items"), sum(col("__ni")).as("n_ratings"),
@@ -1275,16 +1282,10 @@ object Probes {
       .withColumn("__au", col("__agr").cast("double") /
         (col("__ni") - 1).cast("double"))
       .localCheckpoint() // <= |items| rows; feeds A/N and the keep-join
-    def fold(key: Column, term: Column) =
-      if (exactOrder)
-        org.apache.spark.sql.functions.aggregate(
-          sort_array(collect_list(struct(key.as("__k"), term.as("__t")))),
-          lit(0.0), (acc, x) => acc + x.getField("__t"))
-      else sum(term)
     val totals =
       (if (grp.isEmpty) items.groupBy() else items.groupBy(grp: _*))
         .agg(count(lit(1)).as("n_items"), sum(col("__ni")).as("__N"),
-          fold(col("__i"), col("__au")).as("__A"))
+          pinnedFold(col("__i"), col("__au"), exactOrder).as("__A"))
     val kept = items.select(grp :+ col("__i"): _*)
     val marg = cells.join(kept, groupCols :+ "__i")
       .groupBy(grp :+ col("__l"): _*)

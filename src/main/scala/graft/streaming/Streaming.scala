@@ -542,12 +542,18 @@ object Streaming {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Level-1 cells → per-window Fleiss columns: filters to items with
-    * ≥ 2 ratings (the batch probe's pairwise-agreement contract),
-    * computes each item's P_i from the pivoted counts (exact integers
-    * into one division), and re-aggregates per window via the chained
-    * `window(window_time(…))` stateful agg. `extraAggs` ride the
-    * second aggregation (the label-QA calibration sums). */
+  /** Level-1 cells → per-window Fleiss columns. The κ legs honor the
+    * batch probe's pairwise-agreement contract — items with < 2
+    * in-window ratings are excluded from n_items/n_ratings/P̄/the
+    * marginals — but the exclusion is CONDITIONAL inside the window
+    * aggregation, not a row filter: `extraAggs` (the label-QA
+    * calibration sums) must see EVERY item's partials, single-rated
+    * items included — a row filter here silently dropped their scored
+    * ratings from the ECE (code-review finding). Each kept item's P_i
+    * comes from the pivoted counts (exact integers into one division);
+    * the window rollup is the chained `window(window_time(…))`
+    * stateful agg. Windows whose every item is single-rated emit
+    * n_items = 0 with NULL κ (no agreement evidence). */
   private def fleissWindowAgg(
       cells: DataFrame, nLabels: Int, windowLength: String,
       extraAggs: Seq[Column] = Nil): DataFrame = {
@@ -556,14 +562,15 @@ object Streaming {
     val s2 = idx.map(j => col(s"__n$j") * col(s"__n$j")).reduce(_ + _)
     val items = cells
       .withColumn("__ni", ni)
-      .withColumn("__s2", s2)
-      .filter(col("__ni") >= 2)
-      .withColumn("__pi", (col("__s2") - col("__ni")).cast("double") /
-        (col("__ni") * (col("__ni") - 1)).cast("double"))
-    val aggs = Seq(count(lit(1)).as("n_items"),
-      sum(col("__ni")).as("n_ratings"),
+      .withColumn("__pi",
+        when(ni >= 2, (s2 - ni).cast("double") /
+          (ni * (ni - 1)).cast("double")))
+    val kept = col("__ni") >= 2
+    val aggs = Seq(count(when(kept, 1)).as("n_items"),
+      sum(when(kept, col("__ni"))).as("n_ratings"),
       sum(col("__pi")).as("__psum")) ++
-      idx.map(j => sum(col(s"__n$j")).as(s"__c$j")) ++ extraAggs
+      idx.map(j => sum(when(kept, col(s"__n$j"))).as(s"__c$j")) ++
+      extraAggs
     val agged = items
       .groupBy(window(window_time(col("__w")), windowLength).as("__w2"))
       .agg(aggs.head, aggs.tail: _*)
@@ -607,6 +614,10 @@ object Streaming {
     val cells = fleissCells(events, item, label, labelValues, tsField,
       windowLength, watermarkDelay)
     fleissWindowAgg(cells, labelValues.size, windowLength)
+      // κ-only form: a window with no multiply-rated item carries no
+      // agreement evidence at all — emit nothing (the label-QA gate
+      // keeps such windows for their calibration legs instead)
+      .filter(col("n_items") > 0)
       .select(col("__w2.start").as("window_start"),
         col("__w2.end").as("window_end"),
         col("n_items"), col("n_ratings"), col("p_bar"), col("p_e"),
@@ -635,8 +646,15 @@ object Streaming {
     * (labels + 3·bins columns per open (window, item)). ECE folds the
     * index-ordered bin array in the projection (the
     * [[windowedCalibration]] discipline; empty bins contribute exact
-    * 0.0). NULL scores contribute nothing to calibration but still
-    * count as ratings for κ. Output per window: `window_start,
+    * 0.0). The calibration sums run over EVERY in-vocabulary rating —
+    * single-rated items included (their scores are calibration
+    * evidence even though pairwise agreement is undefined on them;
+    * only the κ legs apply the ≥ 2-ratings exclusion), so the ECE
+    * matches the batch probe on the full rating slice. NULL scores
+    * contribute nothing to calibration but still count as ratings for
+    * κ. A window with agreement evidence but no multiply-rated item
+    * still emits (NULL κ, fail-closed gate). Output per window:
+    * `window_start,
     * window_end, n_items, n_ratings, kappa, ece, passed`. Same plan
     * runs on batch frames — spec-pinned against the batch probes. */
   def windowedLabelQa(
@@ -689,7 +707,10 @@ object Streaming {
       .withColumn("ece", ece)
       .select(col("__w2.start").as("window_start"),
         col("__w2.end").as("window_end"),
-        col("n_items"), col("n_ratings"), col("kappa"), col("ece"),
+        col("n_items"), coalesce(col("n_ratings"), lit(0L)).as("n_ratings"),
+        col("kappa"), col("ece"),
+        // fail closed: a window with no agreement evidence (NULL κ) or
+        // no scored ratings (NULL ece) cannot pass the gate
         (coalesce(col("kappa") >= minKappa, lit(false)) &&
           coalesce(col("ece") <= maxEce, lit(false))).as("passed"))
   }
@@ -1428,8 +1449,9 @@ object Streaming {
     * same persisted `(id, toks, n[, toks_prefix])` index
     * ([[graft.ext.Dedup.ssjIndexRows]]; with the 4-column r16 format
     * the index's committed τ_min must be ≤ `threshold` — the batch
-    * op's contract, the caller's to honor here) — and, unlike the
-    * MinHash streaming gate, with the EXACT verify intact: the index row's
+    * op's contract, ENFORCED here via `indexTauMin` exactly as there)
+    * — and, unlike the MinHash streaming gate, with the EXACT verify
+    * intact: the index row's
     * full token array rides the prefix-collision join, so the drop
     * criterion is true Jaccard ≥ `threshold`, not a band collision.
     *
@@ -1454,13 +1476,22 @@ object Streaming {
       index: DataFrame,
       threshold: Double,
       tsField: String = "ts",
-      watermarkDelay: String = "1 hour"): DataFrame = {
+      watermarkDelay: String = "1 hour",
+      indexTauMin: Double = 0.5): DataFrame = {
     import graft.ext.Dedup
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(index.columns.length == 3 || index.columns.length == 4,
       "index must be (id, toks, n[, toks_prefix]) rows, got " +
         index.columns.mkString(", "))
+    // the batch op's τ_min contract, enforced here too: a 4-column
+    // index's stored prefix only covers τ ≥ its committed tauMin —
+    // slicing it at a smaller τ would SILENTLY lose recall (the
+    // guarantee this op exists for). Legacy 3-column indexes derive
+    // the prefix from the full toks column: any τ is covered.
+    require(index.columns.length == 3 || threshold >= indexTauMin - 1e-12,
+      s"threshold ($threshold) must be >= the index's committed tauMin " +
+        s"($indexTauMin): the stored prefix only covers tau >= tauMin")
     val tau = threshold / (1.0 + threshold)
     def prefLen(n: Column) =
       greatest((n - ceil(lit(threshold) * n - lit(1e-9)) + 1).cast("int"),

@@ -1299,34 +1299,46 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       // window 1: two raters agree everywhere (κ = 1), model scores
-      // well-calibrated → gate passes
+      // well-calibrated → gate passes; item D is SINGLE-rated — its
+      // score must still feed the ECE (the code-review finding: a
+      // row-filter silently dropped such ratings), while κ excludes it
       input.addData(
         (ts("09:01"), "A", "good", 0.9), (ts("09:01"), "A", "good", 0.9),
         (ts("09:02"), "B", "bad", 0.1), (ts("09:02"), "B", "bad", 0.1),
-        (ts("09:03"), "C", "good", 0.8), (ts("09:03"), "C", "good", 0.8))
+        (ts("09:03"), "C", "good", 0.8), (ts("09:03"), "C", "good", 0.8),
+        (ts("09:04"), "D", "good", 0.7))
       q.processAllAvailable()
       // window 2: raters split on every item (low κ) → gate fails
       input.addData(
         (ts("10:01"), "E", "good", 0.9), (ts("10:01"), "E", "bad", 0.9),
         (ts("10:02"), "F", "good", 0.2), (ts("10:02"), "F", "bad", 0.2))
       q.processAllAvailable()
-      input.addData((ts("11:00"), "Z", "good", 0.5)) // watermark nudge
+      // window 3: ONLY single-rated items — no agreement evidence, but
+      // the calibration legs still report and the gate fails CLOSED
+      input.addData(
+        (ts("10:11"), "G", "good", 0.9), (ts("10:12"), "H", "bad", 0.2))
+      q.processAllAvailable()
+      input.addData((ts("12:00"), "Z", "good", 0.5)) // watermark nudge
       q.processAllAvailable()
       val got = spark.table("wlq").orderBy("window_start")
         .select("n_items", "n_ratings", "kappa", "ece", "passed")
         .as[(Long, Long, Option[Double], Option[Double], Boolean)]
         .collect()
-      assert(got.length === 2)
+      assert(got.length === 3)
       assert(got(0)._1 === 3L && got(0)._2 === 6L)
       assert(got(0)._3.get === 1.0)
       assert(got(0)._5 === true)
       assert(got(1)._5 === false)
-      // parity: batch fleissKappa and scoreCalibration on the window-1
-      // rating slice
+      assert(got(2)._1 === 0L && got(2)._2 === 0L &&
+        got(2)._3.isEmpty && got(2)._4.nonEmpty && got(2)._5 === false)
+      // parity: batch fleissKappa (multiply-rated items only, its own
+      // contract) and batch scoreCalibration on the FULL window-1
+      // rating slice, single-rated D included
       val slice = Seq(
         ("A", "good", 0.9), ("A", "good", 0.9),
         ("B", "bad", 0.1), ("B", "bad", 0.1),
-        ("C", "good", 0.8), ("C", "good", 0.8))
+        ("C", "good", 0.8), ("C", "good", 0.8),
+        ("D", "good", 0.7))
         .toDF("i", "l", "s")
       val bk = graft.probes.Probes.fleissKappa(col("i"), col("l"))(slice)
         .head().getAs[Double]("kappa")
@@ -1512,6 +1524,13 @@ class StreamingSpec extends SparkSpec {
       Streaming.streamingIncrementalSetSimilarity(
         input.toDF().toDF("id", "ts", "toks"), "toks", idx,
         threshold = 0.0))
+    // τ below the 4-column index's committed τ_min fails fast here
+    // exactly as on the batch op — slicing the stored prefix at a
+    // smaller τ would silently lose recall
+    intercept[IllegalArgumentException](
+      Streaming.streamingIncrementalSetSimilarity(
+        input.toDF().toDF("id", "ts", "toks"), "toks", idx,
+        threshold = 0.4))
   }
 
   test("streamingRollingCorr carries the pair window across micro-batches, matching batch") {
