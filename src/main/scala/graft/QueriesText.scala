@@ -278,6 +278,19 @@ private[graft] object QueriesText {
         TextOps.lmCountTable("text")(docs))(docs)
         .orderBy("doc_id")
     },
+    "trigram_lm_transfer" -> { (s, dir) =>
+      // the decoupled train/score shape the stored-model rung exists
+      // for (the CCNet doctrine: score the raw crawl against a
+      // REFERENCE model): count table from the src0 carve only, every
+      // other document scored against it — out-of-domain text falls
+      // through to the backoff floors
+      val docs = corpus(s, dir, "documents")
+      TextOps.trigramLmQuality("doc_id", "text",
+        TextOps.lmCountTable("text")(
+          docs.filter(col("source") === "src0")))(
+        docs.filter(col("source") =!= "src0"))
+        .orderBy("doc_id")
+    },
     "dsir_affinity" -> { (s, dir) =>
       // DSIR-shaped importance scoring: raw docs (source != src0) scored
       // by bigram affinity to the src0 carve as the quality target
@@ -1345,6 +1358,10 @@ private[graft] object QueriesText {
     // each backoff leg one division times a literal (0.4 / 0.16, the
     // Scala doubles round-tripped), the per-doc fold position-pinned
     "trigram_lm_quality" -> trigramLmSql(0.4),
+    // decoupled train/score: count CTEs over the src0 carve only,
+    // every other document scored against that stored model
+    "trigram_lm_transfer" ->
+      trigramLmSql(0.4, "source = 'src0'", "source <> 'src0'"),
     // DSIR-shaped affinity — mirrors TextOps.targetAffinity: corpus-wide
     // integer gram counts, each score ONE division of integer products,
     // the affinity one subtraction of those two doubles (log-free on

@@ -300,23 +300,33 @@ private[graft] object QueryHelpers {
       FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
       ORDER BY d.doc_id"""
 
-  /** Stupid-backoff trigram LM score with self-built counts — mirrors
-    * TextOps.trigramLmQuality over a TextOps.lmCountTable of the same
-    * corpus. Backoff legs ordered exactly as the Spark when-chain:
-    * trigram relative frequency, else α·bigram, else α²·unigram/T
-    * (unseen → 0); per-doc fold replayed in position order from the
-    * same 0.0 seed. */
-  def trigramLmSql(alpha: Double): String = s"""
-      WITH tok AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
-        FROM documents),
-      un AS (SELECT unnest(ts) AS w FROM tok),
+  /** Stupid-backoff trigram LM score — mirrors
+    * TextOps.trigramLmQuality over a TextOps.lmCountTable. `modelCond`
+    * selects the count-table corpus, `scoreCond` the scored documents
+    * (both TRUE = the self-statistics form). Backoff legs ordered
+    * exactly as the Spark when-chain: trigram relative frequency, else
+    * α·bigram, else α²·unigram/T (unseen → 0); per-doc fold replayed
+    * in position order from the same 0.0 seed. */
+  def trigramLmSql(alpha: Double, modelCond: String = "TRUE",
+      scoreCond: String = "TRUE"): String = s"""
+      WITH mtok AS (SELECT string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents WHERE $modelCond),
+      un AS (SELECT unnest(ts) AS w FROM mtok),
       c1 AS (SELECT w AS g, count(*) AS c FROM un GROUP BY w),
       tot AS (SELECT count(*) AS t FROM un),
       bg AS (SELECT ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] AS g
         FROM (SELECT ts,
                 unnest(range(1, greatest(len(ts) - 1, 0) + 1)) AS i
-              FROM tok)),
+              FROM mtok)),
       c2 AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+      mtri AS (SELECT ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)]
+            || ' ' || ts[CAST(i + 2 AS INT)] AS g
+        FROM (SELECT ts,
+                unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+              FROM mtok)),
+      c3 AS (SELECT g, count(*) AS c FROM mtri GROUP BY g),
+      tok AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents WHERE $scoreCond),
       trib AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
           ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)]
             || ' ' || ts[CAST(i + 2 AS INT)] AS g3,
@@ -326,7 +336,6 @@ private[graft] object QueryHelpers {
         FROM (SELECT doc_id, ts,
                 unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
               FROM tok)),
-      c3 AS (SELECT g3 AS g, count(*) AS c FROM trib GROUP BY g3),
       p AS (SELECT t.doc_id, t.pos,
           CASE WHEN c3.c IS NOT NULL AND ctx.c IS NOT NULL
                THEN CAST(c3.c AS DOUBLE) / CAST(ctx.c AS DOUBLE)
@@ -352,7 +361,8 @@ private[graft] object QueryHelpers {
       SELECT d.doc_id, CAST(coalesce(n_trigrams, 0) AS BIGINT) AS n_trigrams,
         CASE WHEN coalesce(n_trigrams, 0) = 0 THEN CAST(0 AS DOUBLE)
              ELSE s / CAST(n_trigrams AS DOUBLE) END AS lm_score
-      FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
+      FROM (SELECT doc_id FROM documents WHERE $scoreCond) d
+        LEFT JOIN agg USING (doc_id)
       ORDER BY d.doc_id"""
 
   /** Double literal that parses to the EXACT same IEEE-754 bits as the

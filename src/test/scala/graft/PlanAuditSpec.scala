@@ -48,6 +48,7 @@ class PlanAuditSpec extends SparkSpec {
     "dsir_affinity",     // broadcast one-row (raw total, target total) aggregate
     "bigram_lm_quality", // broadcast one-row corpus token total
     "trigram_lm_quality", // broadcast one-row count-table unigram total
+    "trigram_lm_transfer", // same one-row total, src0-trained model
     "event_funnel",      // broadcast one-row entered-users count
     "key_skew",          // broadcast one-row total count
     "bm25_topk",         // broadcast one-row (N, avgdl, df…) stats aggregate
