@@ -293,6 +293,24 @@ private[graft] object QueriesProbes {
           floor(col("c_acctbal") / 2000)))
         .orderBy("c_nationkey", "balance_band")
     },
+    "spearman_corr" -> { (s, dir) =>
+      // monotonic agreement per event type between the raw value and
+      // its integer floor — the floor side is ALL ties inside each
+      // unit interval, exercising the average-rank path the exact
+      // 2·rank integers carry; expected high-but-not-1 rho
+      Probes.spearmanCorr("event_type", "value", "vfloor")(
+        table(s, dir, "events").withColumn("vfloor", floor(col("value"))))
+        .orderBy("event_type")
+    },
+    "kendall_tau" -> { (s, dir) =>
+      // pair-level agreement of the two rankers rank_biased_overlap
+      // compares listwise: per source, does n_chars order agree with
+      // n_chars mod 1000? bounded eval slices, explicit O(n^2) pairs
+      Probes.kendallTau("source", "doc_id", "n_chars", "nmod")(
+        table(s, dir, "documents")
+          .withColumn("nmod", col("n_chars") % 1000))
+        .orderBy("source")
+    },
   )
 
   /** Shared oracle bodies — used standalone AND inside the composed
@@ -999,5 +1017,76 @@ private[graft] object QueriesProbes {
         (s1 + (CAST(1 AS DOUBLE) - s2)) / CAST(2 AS DOUBLE)
           AS t_closeness
       FROM f ORDER BY 1, 2""",
+    // mirrors Probes.spearmanCorr: exact 2·avg-rank integers
+    // (2·rank_min + ties − 1) from the same two windows, HUGEINT sums
+    // like Spark's decimal(38,0), then the one fixed cast-then-combine
+    // double dag with its zero-variance → NULL guard
+    "spearman_corr" -> """
+      WITH b AS (SELECT event_type AS g, value AS x,
+          CAST(floor(value) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL),
+      r AS (SELECT g,
+          CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+            + count(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS rx,
+          CAST(2 * rank() OVER (PARTITION BY g ORDER BY y)
+            + count(*) OVER (PARTITION BY g, y) - 1 AS HUGEINT) AS ry
+        FROM b),
+      a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+          sum(rx) AS sx, sum(ry) AS sy, sum(rx * rx) AS sxx,
+          sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+        FROM r GROUP BY g)
+      SELECT g AS event_type, n,
+        CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              > CAST(0 AS DOUBLE)
+            AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              > CAST(0 AS DOUBLE)
+          THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        END AS rho
+      FROM a ORDER BY event_type""",
+    // mirrors Probes.kendallTau: the same i<j pair frame, exact
+    // C/D/tie counts, the fixed n0/dx/dy double dag with its
+    // zero-denominator → NULL guard
+    "kendall_tau" -> """
+      WITH b AS (SELECT source AS g, doc_id AS i, n_chars AS x,
+          n_chars % 1000 AS y FROM documents
+        WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+      sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g),
+      p AS (SELECT a.g AS g,
+          CASE WHEN a.x < c.x THEN 1 WHEN a.x > c.x THEN -1 ELSE 0
+            END AS sx,
+          CASE WHEN a.y < c.y THEN 1 WHEN a.y > c.y THEN -1 ELSE 0
+            END AS sy
+        FROM b a JOIN b c ON a.g = c.g AND a.i < c.i),
+      ag AS (SELECT g,
+          CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c,
+          CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d,
+          CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+          CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        FROM p GROUP BY g),
+      f AS (SELECT sz.g AS g, sz.n AS n,
+          coalesce(c, CAST(0 AS BIGINT)) AS concordant,
+          coalesce(d, CAST(0 AS BIGINT)) AS discordant,
+          CAST(sz.n AS DOUBLE) * CAST(sz.n - 1 AS DOUBLE)
+            / CAST(2 AS DOUBLE)
+            - CAST(coalesce(tx, CAST(0 AS BIGINT)) AS DOUBLE) AS dx,
+          CAST(sz.n AS DOUBLE) * CAST(sz.n - 1 AS DOUBLE)
+            / CAST(2 AS DOUBLE)
+            - CAST(coalesce(ty, CAST(0 AS BIGINT)) AS DOUBLE) AS dy
+        FROM sz LEFT JOIN ag ON ag.g = sz.g)
+      SELECT g AS source, n, concordant, discordant,
+        CASE WHEN dx > CAST(0 AS DOUBLE) AND dy > CAST(0 AS DOUBLE)
+          THEN (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+            / (sqrt(dx) * sqrt(dy))
+        END AS tau_b
+      FROM f ORDER BY source""",
   )
 }

@@ -413,6 +413,16 @@ private[graft] object QueriesTemporal {
         GraphOps.labelPropagation("src", "dst", rounds = 4)(ev))(ev)
         .orderBy("community")
     },
+    "k_core" -> { (s, dir) =>
+      // density filter over the sparse 2000-node derived graph: peel
+      // everything that cannot keep >= k neighbors, 6 rounds (the flag
+      // reads converged at sf0.01), exact integer degrees throughout
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 2000).as("src"),
+          ((col("user_id") * 13 + col("event_id") * 7) % 2000).as("dst"))
+      GraphOps.kCore("src", "dst", k = 9, rounds = 6)(ev)
+        .orderBy("node")
+    },
     "label_propagation" -> { (s, dir) =>
       // community detection INSIDE components: 4 synchronous LPA
       // rounds over a sparser 500-node derived graph, deterministic
@@ -1093,6 +1103,14 @@ private[graft] object QueriesTemporal {
         JOIN deg d2 ON d2.node = ne.b2
       ORDER BY node_a, node_b""",
     "hits_scores" -> hitsSql(graphEdgesSql, iterations = 3),
+    // mirrors GraphOps.kCore: 6 unrolled peel rounds over the doubled
+    // edge list, induced degree per round, final-degree + fixpoint flag
+    "k_core" -> kCoreSql(
+      """SELECT user_id % 2000 AS s,
+           (user_id * 13 + event_id * 7) % 2000 AS d
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL""",
+      k = 9, rounds = 6),
     // mirrors GraphOps.labelPropagation: doubled neighbor list, 4
     // unrolled rounds, (count DESC, label ASC) election, keep-previous
     "label_propagation" -> labelPropagationSql(

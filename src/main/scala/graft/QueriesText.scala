@@ -291,6 +291,14 @@ private[graft] object QueriesText {
         docs.filter(col("source") =!= "src0"))
         .orderBy("doc_id")
     },
+    "corpus_divergence" -> { (s, dir) =>
+      // pairwise source drift over the pooled top-200 vocabulary +
+      // <rest> bucket: exact-integer TVD, pinned-fold Hellinger and
+      // chi-square — the mixture-drift report before reweighting
+      TextOps.corpusDivergence("source", "text", topV = 200)(
+        corpus(s, dir, "documents"))
+        .orderBy("source_a", "source_b")
+    },
     "dsir_affinity" -> { (s, dir) =>
       // DSIR-shaped importance scoring: raw docs (source != src0) scored
       // by bigram affinity to the src0 carve as the quality target
@@ -1797,6 +1805,62 @@ private[graft] object QueriesText {
       SELECT w.phase, alpha_quarters, source, n AS n_docs, weight,
         weight / tw AS share
       FROM w JOIN tot USING (phase) ORDER BY phase, source""",
+    // mirrors TextOps.corpusDivergence: pooled top-200 vocabulary
+    // ((count DESC, term ASC) election) + <rest> bucket, exact HUGEINT
+    // TVD numerator like Spark's decimal(38,0), term-pinned Hellinger
+    // and chi-square folds, the same fixed double dags
+    "corpus_divergence" -> """
+      WITH tok AS (SELECT source AS src,
+          unnest(string_split(coalesce(text, ''), ' ')) AS w
+        FROM documents WHERE source IS NOT NULL),
+      cnt AS (SELECT src, w, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+      voc AS (SELECT w FROM (SELECT w, sum(c) AS pc FROM cnt GROUP BY w)
+        ORDER BY pc DESC, w ASC LIMIT 200),
+      mapped AS (SELECT src,
+          CASE WHEN voc.w IS NOT NULL THEN cnt.w ELSE '<rest>' END AS t,
+          CAST(sum(c) AS BIGINT) AS c
+        FROM cnt LEFT JOIN voc ON voc.w = cnt.w GROUP BY 1, 2),
+      tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n
+        FROM mapped GROUP BY src),
+      terms AS (SELECT DISTINCT t FROM mapped),
+      dense AS (SELECT s.src, terms.t,
+          coalesce(m.c, CAST(0 AS BIGINT)) AS c
+        FROM (SELECT src FROM tot) s CROSS JOIN terms
+        LEFT JOIN mapped m ON m.src = s.src AND m.t = terms.t),
+      paired AS (SELECT a.src AS sa, b.src AS sb, a.t AS t,
+          a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb
+        FROM dense a JOIN dense b ON a.t = b.t AND a.src < b.src
+        JOIN tot ta ON ta.src = a.src JOIN tot tb ON tb.src = b.src),
+      f AS (SELECT sa, sb, na, nb,
+          CAST(sum(CASE WHEN ca + cb > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS terms,
+          sum(abs(CAST(ca AS HUGEINT) * CAST(nb AS HUGEINT)
+            - CAST(cb AS HUGEINT) * CAST(na AS HUGEINT))) AS tvdnum,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(sqrt((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+              * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+              ORDER BY t)), (a, x) -> a + x) AS bc,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CASE WHEN ca + cb > 0 THEN
+                (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                  + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+              ELSE CAST(0 AS DOUBLE) END ORDER BY t)),
+            (a, x) -> a + x) AS chi_sq
+        FROM paired GROUP BY 1, 2, 3, 4)
+      SELECT sa AS source_a, sb AS source_b, na AS n_a, nb AS n_b,
+        terms,
+        CAST(tvdnum AS DOUBLE)
+          / (CAST(2 AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+          AS tvd,
+        sqrt(greatest(CAST(0 AS DOUBLE),
+          CAST(1 AS DOUBLE) - bc)) AS hellinger,
+        chi_sq
+      FROM f ORDER BY source_a, source_b""",
   )
 
   /** Unsigned 32-bit md5-prefix of an SQL string expression — the

@@ -878,6 +878,35 @@ private[graft] object QueryHelpers {
     * neighbors. `edgesSql` yields raw (s, d) rows; doctrine filters
     * (NULL/self drop, DISTINCT) apply here as in the op; the
     * oscillation-damping self-vote is the (v, v) neighbor row. */
+  /** Unrolled k-core peeling oracle — mirrors `GraphOps.kCore` round
+    * for round: doubled undirected edge list, per-round induced-degree
+    * count with the `>= k` keep, then the final induced degree and the
+    * global converged flag off the same survivor frame. */
+  def kCoreSql(edgesSql: String, k: Int, rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""n$i AS (SELECT e2.v FROM ends e2
+          JOIN n${i - 1} a ON a.v = e2.v JOIN n${i - 1} b ON b.v = e2.n
+          GROUP BY e2.v HAVING count(*) >= $k)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        FROM ($edgesSql)
+        WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d),
+      ends AS (SELECT s AS v, d AS n FROM e UNION ALL SELECT d, s FROM e),
+      n0 AS (SELECT DISTINCT v FROM ends),
+      $iters,
+      fd AS (SELECT e2.v, CAST(count(*) AS BIGINT) AS degree
+        FROM ends e2 JOIN n$rounds a ON a.v = e2.v
+          JOIN n$rounds b ON b.v = e2.n GROUP BY e2.v),
+      outn AS (SELECT n$rounds.v AS node,
+          coalesce(degree, CAST(0 AS BIGINT)) AS degree
+        FROM n$rounds LEFT JOIN fd ON fd.v = n$rounds.v),
+      cv AS (SELECT coalesce(min(degree >= $k), true) AS converged
+        FROM outn)
+      SELECT node, degree, converged FROM outn CROSS JOIN cv
+      ORDER BY node"""
+  }
+
   def labelPropagationSql(edgesSql: String, rounds: Int): String = {
     val iters = (1 to rounds).map { i =>
       s"""c$i AS (SELECT nb.v, l${i - 1}.l, CAST(count(*) AS BIGINT) AS c

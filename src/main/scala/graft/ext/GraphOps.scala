@@ -564,4 +564,80 @@ object GraphOps {
         col("internal_edges"), col("degree_sum"), col("contribution"),
         col("modularity"))
   }
+
+  /** k-core extraction by rounds-bounded peeling — the density filter
+    * of crawl/link curation: the k-core is the maximal subgraph where
+    * every node keeps ≥ k neighbors, the standard cut between a
+    * connected-but-thin periphery (drive-by links, link farms' leaf
+    * spam) and the cohesive center worth crawling/trusting. Each round
+    * drops every node whose degree in the CURRENT subgraph is < k;
+    * at a fixpoint the survivors are exactly the k-core.
+    *
+    * Like [[labelPropagation]], `rounds` is FIXED rather than
+    * convergence-tested — a deterministic round count is what an
+    * oracle can replay. The `converged` flag (repeated per row, the
+    * modularity convention) says whether the fixpoint was reached: when
+    * true the output IS the k-core; when false it is a strict
+    * supergraph of it (peeling is monotone — nodes only leave), so
+    * `converged=false` means "raise rounds", never a wrong core.
+    * Peeling cascades one "layer" per round, so rounds needed = the
+    * peel depth, tiny for real link graphs (hubs hold cores together);
+    * `rounds` ≤ 30. Edge doctrine as everywhere in this file:
+    * NULL endpoints and self-loops drop, direction erased, parallel
+    * edges DISTINCT to one.
+    *
+    * Exactness: degrees are exact integers; there is no float
+    * anywhere. Scale shape: per round one semi-join of the doubled
+    * edge list against the surviving-node frame on BOTH endpoints +
+    * one hash-agg; survivor frames pin through
+    * [[graft.ops.Ops.pinIterationState]] (each round references the
+    * frame on both edge directions). Output: `node, degree` (degree in
+    * the final induced subgraph) + the global `converged`. */
+  def kCore(srcField: String, dstField: String, k: Int, rounds: Int = 10)(
+      edges: DataFrame): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")
+    require(rounds >= 1 && rounds <= 30,
+      s"rounds must be in [1, 30], got $rounds")
+    val e = edges
+      .select(col(srcField).as("__a"), col(dstField).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__s"),
+        greatest(col("__a"), col("__b")).as("__d"))
+      .distinct()
+      .localCheckpoint()
+    val ends = e.select(col("__s").as("__v"), col("__d").as("__n"))
+      .unionByName(e.select(col("__d").as("__v"), col("__s").as("__n")))
+      .localCheckpoint()
+    var alive = ends.select(col("__v")).distinct()
+    var r = 0
+    while (r < rounds) {
+      alive = graft.ops.Ops.pinIterationState(
+        ends
+          .join(alive.select(col("__v")), Seq("__v"), "left_semi")
+          .join(alive.select(col("__v").as("__n")), Seq("__n"), "left_semi")
+          .groupBy(col("__v"))
+          .agg(count(lit(1)).as("__deg"))
+          .filter(col("__deg") >= k)
+          .select(col("__v")))
+      r += 1
+    }
+    // degree in the FINAL induced subgraph (not the pre-peel degree
+    // that admitted the node), and the fixpoint check off the same
+    // frame: converged ⇔ every survivor still holds ≥ k neighbors
+    // among survivors. A survivor isolated by the last peel has no
+    // degree row — coalesce to 0 so it honestly fails the check.
+    val finalDeg = ends
+      .join(alive.select(col("__v")), Seq("__v"), "left_semi")
+      .join(alive.select(col("__v").as("__n")), Seq("__n"), "left_semi")
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__deg"))
+    val out = alive
+      .join(finalDeg, Seq("__v"), "left")
+      .select(col("__v"), coalesce(col("__deg"), lit(0L)).as("degree"))
+    val conv = out.agg(
+      coalesce(min(col("degree") >= k), lit(true)).as("converged"))
+    out.crossJoin(broadcast(conv))
+      .select(col("__v").as("node"), col("degree"), col("converged"))
+  }
 }

@@ -3570,4 +3570,103 @@ object TextOps {
 
   def withFingerprint(textField: String, target: String = "fingerprint")(
       df: DataFrame): DataFrame = df.withColumn(target, fingerprint(col(textField)))
+
+  /** Corpus-level distribution divergence between sources — the
+    * mixture-drift / domain-shift report a data pipeline reads before
+    * reweighting: for every pair of sources, how far apart are their
+    * unigram frequency profiles? The comparison runs over the pooled
+    * top-`topV` vocabulary (frequency-profile comparison over a fixed
+    * word list — the classic corpus-similarity design) with EVERYTHING
+    * else folded into one `<rest>` bucket, so both distributions still
+    * sum to 1 and a vocabulary blowup cannot blow up the operator.
+    *
+    * Three divergences, all transcendental-free (the library's
+    * no-libm-log doctrine — KL/JS land on `log`, whose bits differ
+    * across engines; these three rank drift the same way and stay
+    * replayable):
+    *   - `tvd` — total variation ½Σ|p−q|: the Σ rides the EXACT
+    *     integer numerator Σ|c_a·N_b − c_b·N_a| in decimal(38,0)
+    *     (order-free!), one final fixed double dag — exact rational up
+    *     to the last division.
+    *   - `hellinger` — √(1 − Σ√(p_i·q_i)): per-term IEEE sqrt of a
+    *     fixed-dag product, Σ term-pinned (V+1 terms, trivial fold).
+    *   - `chi_sq` — Σ (p−q)²/(p+q): same pinned-fold treatment.
+    *
+    * Scale shape: one token scan → (source, term) hash-agg; the
+    * top-V election is orderBy+limit (TakeOrderedAndProject, no global
+    * sort) broadcast back; everything after lives on |S|·(V+1) rows —
+    * independent of corpus size. |S|²/2 pairs is the honest bill of a
+    * pairwise report; S is sources, not documents. Empty/NULL text
+    * carries the library-wide `['']` token. A token literally equal to
+    * `<rest>` that misses the top-V folds into the bucket (harmless:
+    * it is rest mass either way). Output per (source_a < source_b):
+    * `n_a, n_b, terms, tvd, hellinger, chi_sq`. */
+  def corpusDivergence(sourceField: String, textField: String,
+      topV: Int = 1000)(df: DataFrame): DataFrame = {
+    require(topV >= 1 && topV <= 100000,
+      s"topV must be in [1, 100000], got $topV")
+    val cnt = df
+      .filter(col(sourceField).isNotNull)
+      .select(col(sourceField).as("__src"),
+        explode(tokens(coalesce(col(textField), lit("")))).as("__w"))
+      .groupBy(col("__src"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val voc = cnt.groupBy(col("__w"))
+      .agg(sum(col("__c")).as("__pc"))
+      .orderBy(col("__pc").desc, col("__w").asc)
+      .limit(topV)
+      .select(col("__w"))
+    val mapped = cnt
+      .join(broadcast(voc.withColumn("__in", lit(true))), Seq("__w"), "left")
+      .select(col("__src"),
+        when(col("__in"), col("__w")).otherwise(lit("<rest>")).as("__t"),
+        col("__c"))
+      .groupBy(col("__src"), col("__t"))
+      .agg(sum(col("__c")).as("__c"))
+      .localCheckpoint()
+    val tot = mapped.groupBy(col("__src")).agg(sum(col("__c")).as("__n"))
+    val terms = mapped.select(col("__t")).distinct()
+    val dense = tot.select(col("__src"))
+      .crossJoin(broadcast(terms))
+      .join(mapped, Seq("__src", "__t"), "left")
+      .select(col("__src"), col("__t"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val a = dense.select(col("__src").as("__sa"), col("__t"),
+      col("__c").as("__ca"))
+    val b = dense.select(col("__src").as("__sb"), col("__t"),
+      col("__c").as("__cb"))
+    val paired = a.join(b, Seq("__t")).filter(col("__sa") < col("__sb"))
+      .join(broadcast(tot.select(col("__src").as("__sa"),
+        col("__n").as("__na"))), Seq("__sa"))
+      .join(broadcast(tot.select(col("__src").as("__sb"),
+        col("__n").as("__nb"))), Seq("__sb"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val naD = col("__na").cast("double")
+    val nbD = col("__nb").cast("double")
+    val pa = col("__ca").cast("double") / naD
+    val pb = col("__cb").cast("double") / nbD
+    val hTerm = sqrt(pa * pb)
+    val x2Term = when(col("__ca") + col("__cb") > 0,
+      (pa - pb) * (pa - pb) / (pa + pb)).otherwise(lit(0.0))
+    def pinned(term: Column, out: String) =
+      aggregate(
+        sort_array(collect_list(struct(col("__t").as("__k"),
+          term.as("__v")))),
+        lit(0.0), (acc, x) => acc + x.getField("__v")).as(out)
+    paired.groupBy(col("__sa"), col("__sb"), col("__na"), col("__nb"))
+      .agg(
+        sum(when(col("__ca") + col("__cb") > 0, 1L).otherwise(0L))
+          .as("terms"),
+        sum(abs(dec(col("__ca")) * dec(col("__nb")) -
+          dec(col("__cb")) * dec(col("__na")))).as("__tvdnum"),
+        pinned(hTerm, "__bc"),
+        pinned(x2Term, "chi_sq"))
+      .select(col("__sa").as("source_a"), col("__sb").as("source_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"), col("terms"),
+        (col("__tvdnum").cast("double") / (lit(2.0) * naD * nbD))
+          .as("tvd"),
+        sqrt(greatest(lit(0.0), lit(1.0) - col("__bc"))).as("hellinger"),
+        col("chi_sq"))
+  }
 }

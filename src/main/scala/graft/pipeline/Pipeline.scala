@@ -808,6 +808,12 @@ final case class Pipeline(df: DataFrame) {
       depth: Int = 10): Pipeline =
     >>(Probes.rankBiasedOverlap(b, queryField, itemField, rankField,
       p, depth))
+  def spearmanCorr(groupField: String, xField: String,
+      yField: String): Pipeline =
+    >>(Probes.spearmanCorr(groupField, xField, yField))
+  def kendallTau(groupField: String, idField: String, xField: String,
+      yField: String, maxN: Int = 10000): Pipeline =
+    >>(Probes.kendallTau(groupField, idField, xField, yField, maxN))
   def chiSquareSelect(features: Seq[String], label: Column): Pipeline =
     >>(Probes.chiSquareSelect(features, label))
   def proportionCI(success: Column, groupCols: Seq[String] = Nil,
@@ -833,6 +839,12 @@ final case class Pipeline(df: DataFrame) {
     >>(graft.ext.GraphOps.labelPropagation(srcField, dstField, rounds))
   def modularity(labels: DataFrame): Pipeline =
     >>(graft.ext.GraphOps.modularity(labels))
+  def kCore(srcField: String, dstField: String, k: Int,
+      rounds: Int = 10): Pipeline =
+    >>(graft.ext.GraphOps.kCore(srcField, dstField, k, rounds))
+  def corpusDivergence(sourceField: String, textField: String,
+      topV: Int = 1000): Pipeline =
+    >>(graft.ext.TextOps.corpusDivergence(sourceField, textField, topV))
   def associationRules(txnField: String, itemField: String,
       minSupportCount: Long = 2, minConfidence: Double = 0.0,
       maxBasket: Int = 256): Pipeline =

@@ -1512,6 +1512,130 @@ object Probes {
         coalesce(col("rbo"), lit(0.0)).as("rbo"))
   }
 
+  /** Spearman rank correlation per group — the monotonic-agreement
+    * number between two scoring columns (two rankers, a judge vs a
+    * heuristic, a quality score vs downstream loss) that Pearson gets
+    * wrong whenever the relation is monotone but not linear. Beside
+    * [[rankBiasedOverlap]] on the ranker-comparison shelf: RBO compares
+    * two top-k LISTS (top-weighted, handles non-overlap), Spearman
+    * compares two full SCORINGS of the same items.
+    *
+    * Exactness doctrine: ties get AVERAGE ranks, and every average
+    * rank is carried as the exact integer `2·rank = 2·rank_min + t − 1`
+    * (rank_min from `rank()`, t the tie-group size), so the five
+    * per-group sums (n, Σ2r_x, Σ2r_y, Σ(2r_x)², Σ(2r_x·2r_y), …) are
+    * ORDER-FREE exact `decimal(38,0)` aggregations — no pinned fold
+    * needed anywhere. ρ is then Pearson on ranks as one fixed dag of
+    * IEEE casts/multiplies/divides and two correctly-rounded sqrts:
+    *   ρ = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²))
+    * (the 2× scale on both rank vectors cancels). A group where either
+    * column is constant has zero rank variance → `rho` NULL (no
+    * monotone signal to measure, not 0). NULL x/y rows drop.
+    *
+    * Scale shape: two `rank()` windows per group partition (the sort
+    * is per-key, exactly the window-ops cost class), one hash-agg.
+    * Decimal headroom: Σ(2r)² ≤ 4n³ — exact past 10¹² rows per group.
+    * Output per group: `n, rho`. */
+  def spearmanCorr(groupField: String, xField: String, yField: String)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(xField).isNotNull && col(yField).isNotNull)
+      .select(col(groupField).as("__g"), col(xField).as("__x"),
+        col(yField).as("__y"))
+    def rank2(v: String, out: String) = {
+      val wOrd = Window.partitionBy(col("__g")).orderBy(col(v))
+      val wTie = Window.partitionBy(col("__g"), col(v))
+      (lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - lit(1L))
+        .cast("decimal(38,0)").as(out)
+    }
+    val ranked = base.select(col("__g"), rank2("__x", "__rx"),
+      rank2("__y", "__ry"))
+    val agg = ranked.groupBy(col("__g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+      sum(col("__rx") * col("__rx")).as("__sxx"),
+      sum(col("__ry") * col("__ry")).as("__syy"),
+      sum(col("__rx") * col("__ry")).as("__sxy"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val cov = nD * d("__sxy") - d("__sx") * d("__sy")
+    val vx = nD * d("__sxx") - d("__sx") * d("__sx")
+    val vy = nD * d("__syy") - d("__sy") * d("__sy")
+    agg.select(col("__g").as(groupField), col("n"),
+      when(vx > 0.0 && vy > 0.0, cov / (sqrt(vx) * sqrt(vy)))
+        .as("rho"))
+  }
+
+  /** Kendall τ-b per group — the other rank-correlation coefficient,
+    * read directly off CONCORDANT vs DISCORDANT pairs (interpretable
+    * as "probability a random pair agrees minus disagrees"), with the
+    * standard τ-b tie correction so heavily-tied score columns (integer
+    * star ratings, coarse quality buckets) stay calibrated where plain
+    * τ-a deflates.
+    *
+    * Pair enumeration is an explicit within-group self-join on
+    * `id_a < id_b` — O(n²) per group BY CONSTRUCTION, which is exactly
+    * why the op carries `maxN` and FAILS LOUDLY (raise_error, the
+    * modularity-contract discipline) on any group larger: a silently
+    * quadratic op is how a 100 TB job dies at hour six. For full-corpus
+    * scorings use [[spearmanCorr]] (n·log n); τ belongs on bounded
+    * eval slices — per-query candidate lists, human-eval batches.
+    *
+    * Exactness: C, D and the tie counts are exact integers off one
+    * hash-agg over the pair frame;
+    *   τ_b = (C − D) / (√(n₀ − T_x)·√(n₀ − T_y)),  n₀ = n(n−1)/2,
+    * T_x/T_y counting pairs tied on x / on y (both-tied pairs count in
+    * each, per the standard definition) — one fixed IEEE dag, two
+    * correctly-rounded sqrts. A constant column makes a denominator
+    * factor 0 → `tau_b` NULL. NULL x/y rows drop. Output per group:
+    * `n, concordant, discordant, tau_b`. */
+  def kendallTau(groupField: String, idField: String, xField: String,
+      yField: String, maxN: Int = 10000)(df: DataFrame): DataFrame = {
+    require(maxN >= 2 && maxN <= 100000,
+      s"maxN must be in [2, 100000], got $maxN")
+    val base = df
+      .filter(col(xField).isNotNull && col(yField).isNotNull &&
+        col(idField).isNotNull)
+      .select(col(groupField).as("__g"), col(idField).as("__i"),
+        col(xField).as("__x"), col(yField).as("__y"))
+    // the quadratic guard: any group past maxN raises before the join
+    val sized = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .select(col("__g"),
+        when(col("__n") > maxN, raise_error(concat(
+          lit(s"kendallTau: group "), col("__g").cast(StringType),
+          lit(s" has "), col("__n").cast(StringType),
+          lit(s" rows > maxN=$maxN — the pair join is O(n^2); use " +
+            "spearmanCorr for full-corpus scorings"))).cast("long"))
+          .otherwise(col("__n")).as("__n"))
+    val a = base.select(col("__g"), col("__i").as("__ia"),
+      col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = base.select(col("__g"), col("__i").as("__ib"),
+      col("__x").as("__xb"), col("__y").as("__yb"))
+    val pairs = a.join(b, Seq("__g")).filter(col("__ia") < col("__ib"))
+    val sx = when(col("__xa") < col("__xb"), 1)
+      .when(col("__xa") > col("__xb"), -1).otherwise(0)
+    val sy = when(col("__ya") < col("__yb"), 1)
+      .when(col("__ya") > col("__yb"), -1).otherwise(0)
+    val agg = pairs.groupBy(col("__g")).agg(
+      sum(when(sx * sy === 1, 1L).otherwise(0L)).as("concordant"),
+      sum(when(sx * sy === -1, 1L).otherwise(0L)).as("discordant"),
+      sum(when(sx === 0, 1L).otherwise(0L)).as("__tx"),
+      sum(when(sy === 0, 1L).otherwise(0L)).as("__ty"))
+    val out = sized.join(agg, Seq("__g"), "left")
+    def d(c: String) = coalesce(col(c), lit(0L)).cast("double")
+    val n0 = col("__n").cast("double") * (col("__n") - 1).cast("double") /
+      lit(2.0)
+    val dx = n0 - d("__tx")
+    val dy = n0 - d("__ty")
+    out.select(col("__g").as(groupField), col("__n").as("n"),
+      coalesce(col("concordant"), lit(0L)).as("concordant"),
+      coalesce(col("discordant"), lit(0L)).as("discordant"),
+      when(dx > 0.0 && dy > 0.0,
+        (d("concordant") - d("discordant")) / (sqrt(dx) * sqrt(dy)))
+        .as("tau_b"))
+  }
+
   /** Wilson score interval for a per-group pass/success rate — the
     * slice-eval report with honest uncertainty: a 96%-accurate slice
     * of 25 examples and one of 25,000 are different facts, and the

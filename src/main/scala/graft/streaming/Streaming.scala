@@ -504,6 +504,89 @@ object Streaming {
             col("n_tokens").cast("double")).as("oov_rate"))
   }
 
+  /** Windowed corpus-drift gate — the streaming companion of
+    * [[graft.ext.TextOps.corpusDivergence]]: per tumbling event-time
+    * window, total-variation distance between the live token
+    * distribution and a STORED reference distribution (`reference`, a
+    * `(term, count)` frame — e.g. the unigram rows of a persisted
+    * [[graft.ext.TextOps.lmCountTable]]), alarming when the feed stops
+    * looking like the corpus the pipeline was tuned on.
+    *
+    * The comparison vocabulary is the reference's top-`topR` terms +
+    * one `<rest>` bucket (BOTH distributions still sum to 1) — the
+    * same top-V + rest design as the batch op, shrunk to a FIXED,
+    * construction-time list so the per-window state is one row of
+    * `topR + 1` counters (the [[windowedFleissKappa]] fixed-width
+    * doctrine; a streaming groupBy over an unbounded term dimension
+    * would chain two stateful aggs over unbounded state instead). The
+    * reference's term list, counts and total are collected driver-side
+    * at construction — a ≤ `topR`-row bounded seam, the
+    * [[graft.ext.ModelStore]] model-artifact doctrine — so the plan
+    * carries reference probabilities as literals and the stream pays
+    * ZERO joins: one explode, one windowed agg. TVD is a fixed
+    * literal-ordered dag over ≤ topR+1 terms (exact integer counts,
+    * IEEE divisions) — deterministic, batch-replayable (the spec runs
+    * the same function on the same rows as a batch frame). Batch
+    * [[graft.ext.TextOps.corpusDivergence]] remains the full-fidelity
+    * pairwise report; this is the bounded-vocabulary live alarm.
+    * Output per window: `window_start, window_end, n_tokens, tvd,
+    * drifted` (empty windows emit nothing; a window with zero tokens
+    * cannot exist — every doc carries ≥ 1 token under the library-wide
+    * split convention). */
+  def windowedCorpusDrift(
+      events: DataFrame,
+      reference: DataFrame,
+      textField: String,
+      topR: Int = 32,
+      maxTvd: Double = 0.2,
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    require(topR >= 1 && topR <= 256, s"topR must be in [1, 256]: $topR")
+    require(maxTvd > 0.0 && maxTvd <= 1.0,
+      s"maxTvd must be in (0, 1]: $maxTvd")
+    require(reference.columns.length == 2,
+      s"reference must be (term, count) rows, got " +
+        reference.columns.mkString(", "))
+    val Seq(tc, cc) = reference.columns.toSeq
+    val refCnt = reference
+      .select(col(tc).cast("string").as("__t"), col(cc).cast("long").as("__c"))
+      .filter(col("__t").isNotNull && col("__c").isNotNull && col("__c") > 0)
+      .groupBy(col("__t")).agg(sum(col("__c")).as("__c"))
+      .localCheckpoint()
+    // bounded model-artifact seam: topR (term, count) rows + the 1-row
+    // total come to the driver so the streaming plan is join-free
+    val refN = refCnt.agg(coalesce(sum(col("__c")), lit(0L))).head()
+      .getLong(0)
+    require(refN > 0, "reference distribution is empty")
+    val top = refCnt.orderBy(col("__c").desc, col("__t").asc).limit(topR)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val restC = refN - top.map(_._2).sum
+    val counters = top.zipWithIndex.map { case ((t, _), j) =>
+      count(when(col("__t") === t, 1)).as(s"__n$j") }
+    val agged = events
+      .withWatermark(tsField, watermarkDelay)
+      .select(window(col(tsField), windowLength).as("__w"),
+        explode(graft.ext.TextOps.tokens(
+          coalesce(col(textField), lit("")))).as("__t"))
+      .groupBy(col("__w"))
+      .agg(counters.head,
+        (counters.tail :+ count(lit(1)).as("n_tokens")): _*)
+    val nD = col("n_tokens").cast("double")
+    val vocabSum = top.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, ((_, c), j)) =>
+        acc + abs(col(s"__n$j").cast("double") / nD -
+          lit(c.toDouble / refN.toDouble))
+    }
+    val restN = top.indices.foldLeft(col("n_tokens")) {
+      case (acc, j) => acc - col(s"__n$j") }
+    val tvd = (vocabSum + abs(restN.cast("double") / nD -
+      lit(restC.toDouble / refN.toDouble))) / lit(2.0)
+    agged.select(col("__w.start").as("window_start"),
+      col("__w.end").as("window_end"), col("n_tokens"),
+      tvd.as("tvd"), (tvd > maxTvd).as("drifted"))
+  }
+
   /** Per-(window, item) pivoted label-count cells — the shared level-1
     * aggregation of [[windowedFleissKappa]] / [[windowedLabelQa]]. The
     * DECLARED label vocabulary is what makes the streaming form legal

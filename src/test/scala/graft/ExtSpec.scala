@@ -2716,4 +2716,76 @@ class ExtSpec extends SparkSpec {
         s"doc $id: exact=$s fast=${lmFast(id)._2}")
     }
   }
+
+  test("kCore: triangle+pendant peel, cascade honesty flag, edge hygiene, empty core") {
+    import graft.ext.GraphOps
+    // triangle {1,2,3} + pendant 4: 2-core is the triangle, found in
+    // one round; pendant degree 1 < 2 peels
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val r = GraphOps.kCore("src", "dst", k = 2, rounds = 2)(tri)
+      .orderBy("node").collect()
+    assert(r.map(_.getAs[Long]("node")).toSeq === Seq(1L, 2L, 3L))
+    assert(r.forall(_.getAs[Long]("degree") === 2L))
+    assert(r.forall(_.getAs[Boolean]("converged")))
+    // path 1-2-3-4-5 under k=2 peels one layer per round: after ONE
+    // round survivors {2,3,4} are NOT a 2-core and the flag says so
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r1 = GraphOps.kCore("src", "dst", k = 2, rounds = 1)(path)
+      .orderBy("node").collect()
+    assert(r1.map(_.getAs[Long]("node")).toSeq === Seq(2L, 3L, 4L))
+    assert(r1.forall(!_.getAs[Boolean]("converged")))
+    // enough rounds: the path has NO 2-core — empty output
+    assert(GraphOps.kCore("src", "dst", k = 2, rounds = 4)(path)
+      .count() === 0L)
+    // hygiene: reciprocal pair + self-loop collapse to ONE edge
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L)).toDF("src", "dst")
+    val rm = GraphOps.kCore("src", "dst", k = 1, rounds = 2)(messy)
+      .orderBy("node").collect()
+    assert(rm.map(r => (r.getAs[Long]("node"), r.getAs[Long]("degree")))
+      .toSeq === Seq((1L, 1L), (2L, 1L)))
+    intercept[IllegalArgumentException](
+      GraphOps.kCore("src", "dst", k = 0)(tri))
+    intercept[IllegalArgumentException](
+      GraphOps.kCore("src", "dst", k = 2, rounds = 0)(tri))
+  }
+
+  test("corpusDivergence: identical zero, disjoint max, rest-bucket fold, hand values") {
+    def docs(rows: (String, String)*) =
+      rows.toSeq.toDF("source", "text")
+    // identical corpora: all three divergences exactly 0
+    val same = TextOps.corpusDivergence("source", "text")(
+      docs(("s0", "a b c"), ("s1", "a b c"))).head()
+    assert(same.getAs[Double]("tvd") === 0.0 &&
+      same.getAs[Double]("hellinger") === 0.0 &&
+      same.getAs[Double]("chi_sq") === 0.0)
+    // disjoint vocabularies: tvd = 1, hellinger = 1, chi = 2
+    val disj = TextOps.corpusDivergence("source", "text")(
+      docs(("s0", "a a"), ("s1", "b b"))).head()
+    assert(disj.getAs[Double]("tvd") === 1.0 &&
+      disj.getAs[Double]("hellinger") === 1.0 &&
+      disj.getAs[Double]("chi_sq") === 2.0)
+    // hand case over full vocab: p=(.5,.5,0) vs q=(.5,0,.5)
+    val h = TextOps.corpusDivergence("source", "text", topV = 3)(
+      docs(("s0", "a b"), ("s1", "a c"))).head()
+    assert(h.getAs[Double]("tvd") === 0.5)
+    assert(math.abs(h.getAs[Double]("hellinger") - math.sqrt(0.5)) < 1e-15)
+    assert(math.abs(h.getAs[Double]("chi_sq") - 1.0) < 1e-15)
+    assert(h.getAs[Long]("n_a") === 2L && h.getAs[Long]("n_b") === 2L)
+    // topV=1 folds b and c into <rest>: the difference becomes
+    // invisible BY DESIGN (rest mass equal) -> all zeros
+    val folded = TextOps.corpusDivergence("source", "text", topV = 1)(
+      docs(("s0", "a b"), ("s1", "a c"))).head()
+    assert(folded.getAs[Double]("tvd") === 0.0 &&
+      folded.getAs[Long]("terms") === 2L)
+    // pair orientation is source_a < source_b, one row per pair
+    val three = TextOps.corpusDivergence("source", "text")(
+      docs(("s0", "a"), ("s1", "b"), ("s2", "c")))
+      .orderBy("source_a", "source_b").collect()
+    assert(three.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("s0", "s1"), ("s0", "s2"), ("s1", "s2")))
+    intercept[IllegalArgumentException](
+      TextOps.corpusDivergence("source", "text", topV = 0)(
+        docs(("s0", "a"))))
+  }
 }

@@ -82,7 +82,9 @@ class PlanAuditSpec extends SparkSpec {
     "target_encode",     // broadcast one-row global-mean aggregate
     "target_encode_serve", // same one-row global broadcast, serve side
     "t_closeness",       // broadcast one-row global sensitive-total
-    "bradley_terry")     // broadcast one-row L1 normalizer per MM round
+    "bradley_terry",     // broadcast one-row L1 normalizer per MM round
+    "k_core",            // broadcast one-row converged-flag aggregate
+    "corpus_divergence") // broadcast bounded top-V+1 term frame + one-row totals
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

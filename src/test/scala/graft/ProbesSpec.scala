@@ -923,4 +923,71 @@ class ProbesSpec extends SparkSpec {
     assert(nv.filter(col("q").isNull).head().getAs[Long]("n") === 1L)
     intercept[IllegalArgumentException](Probes.tCloseness(Nil, "v")(df))
   }
+
+  test("spearmanCorr: perfect/inverse, classic 0.8, tie average-ranks, constant NULL") {
+    import spark.implicits._
+    def run(xs: Seq[Double], ys: Seq[Double]): Option[Double] = {
+      val d = xs.zip(ys).map { case (x, y) => ("g", x, y) }
+        .toDF("g", "x", "y")
+      Option(Probes.spearmanCorr("g", "x", "y")(d).head()
+        .getAs[java.lang.Double]("rho")).map(_.doubleValue())
+    }
+    assert(math.abs(run(Seq(1, 2, 3, 4), Seq(10, 20, 30, 40)).get - 1.0)
+      < 1e-15)
+    assert(math.abs(run(Seq(1, 2, 3, 4), Seq(8, 6, 4, 2)).get + 1.0)
+      < 1e-15)
+    // the textbook no-ties case: d^2 = (1,1,1,1,0) -> 1 - 24/120 = 0.8
+    assert(math.abs(run(Seq(1, 2, 3, 4, 5), Seq(2, 1, 4, 3, 5)).get - 0.8)
+      < 1e-15)
+    // ties average: x=(1,1,2) -> 2r=(3,3,6); y=(5,6,7) -> 2r=(2,4,6);
+    // Pearson on ranks = 18/sqrt(18*24)
+    assert(math.abs(run(Seq(1, 1, 2), Seq(5, 6, 7)).get -
+      18.0 / math.sqrt(18.0 * 24.0)) < 1e-15)
+    // constant column: zero rank variance -> NULL, not 0
+    assert(run(Seq(3, 3, 3), Seq(1, 2, 3)).isEmpty)
+    // NULL rows drop; independent groups don't mix
+    val two = Seq(("a", Some(1.0), Some(1.0)), ("a", Some(2.0), Some(2.0)),
+      ("a", None, Some(9.0)), ("b", Some(1.0), Some(2.0)),
+      ("b", Some(2.0), Some(1.0)))
+      .toDF("g", "x", "y")
+    val r = Probes.spearmanCorr("g", "x", "y")(two).orderBy("g").collect()
+    assert(r.map(_.getAs[Long]("n")).toSeq === Seq(2L, 2L))
+    assert(r(0).getAs[Double]("rho") === 1.0 &&
+      r(1).getAs[Double]("rho") === -1.0)
+  }
+
+  test("kendallTau: hand-counted C/D, tau-b tie correction, maxN guard, size-1 NULL") {
+    import spark.implicits._
+    // x=(1,2,3), y=(1,3,2): C=2, D=1, tau = 1/3
+    val d3 = Seq((1L, 1.0, 1.0), (2L, 2.0, 3.0), (3L, 3.0, 2.0))
+      .map { case (i, x, y) => ("g", i, x, y) }.toDF("g", "i", "x", "y")
+    val r3 = Probes.kendallTau("g", "i", "x", "y")(d3).head()
+    assert(r3.getAs[Long]("concordant") === 2L &&
+      r3.getAs[Long]("discordant") === 1L &&
+      math.abs(r3.getAs[Double]("tau_b") - 1.0 / 3.0) < 1e-15)
+    // tie in x only: C=5, D=0, Tx=1 -> tau_b = 5/sqrt(5*6)
+    val dt = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 2.0, 3.0),
+      (4L, 3.0, 4.0)).map { case (i, x, y) => ("g", i, x, y) }
+      .toDF("g", "i", "x", "y")
+    val rt = Probes.kendallTau("g", "i", "x", "y")(dt).head()
+    assert(rt.getAs[Long]("concordant") === 5L &&
+      rt.getAs[Long]("discordant") === 0L &&
+      math.abs(rt.getAs[Double]("tau_b") - 5.0 / math.sqrt(30.0)) < 1e-15)
+    // a single-row group has no pairs: zero counts, NULL tau
+    val one = Seq(("g", 1L, 1.0, 1.0)).toDF("g", "i", "x", "y")
+    val ro = Probes.kendallTau("g", "i", "x", "y")(one).head()
+    assert(ro.getAs[Long]("n") === 1L &&
+      ro.getAs[Long]("concordant") === 0L &&
+      ro.getAs[java.lang.Double]("tau_b") == null)
+    // the quadratic guard fails loudly past maxN
+    val ex = intercept[Exception] {
+      Probes.kendallTau("g", "i", "x", "y", maxN = 2)(d3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("pair join is O(n^2)")),
+      s"expected the maxN guard, got: ${msgs(ex).mkString(" | ")}")
+    intercept[IllegalArgumentException](
+      Probes.kendallTau("g", "i", "x", "y", maxN = 1)(d3))
+  }
 }

@@ -1231,6 +1231,53 @@ class StreamingSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(1)), "text"))
   }
 
+  test("windowedCorpusDrift: TVD vs stored reference, rest bucket, alarm, batch parity") {
+    // reference a:2 b:1 c:1, topR=2 -> vocab {a, b} (count desc, term
+    // asc tiebreak beats c), rest mass 1/4
+    val ref = Seq(("a", 2L), ("b", 1L), ("c", 1L)).toDF("term", "cnt")
+    val input = MemoryStream[(Timestamp, String)]
+    val out = Streaming.windowedCorpusDrift(
+      input.toDF().toDF("ts", "text"), ref, "text", topR = 2,
+      maxTvd = 0.2, windowLength = "10 minutes",
+      watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wdrift")
+      .outputMode("append").start()
+    try {
+      // window 1 matches the reference exactly; window 2 is all-OOV
+      input.addData((ts("09:01"), "a b"), (ts("09:02"), "a c"))
+      input.addData((ts("09:11"), "z z z z"))
+      q.processAllAvailable()
+      input.addData((ts("10:00"), "a")) // watermark nudge
+      q.processAllAvailable()
+      val got = spark.table("wdrift").orderBy("window_start")
+        .select($"n_tokens", $"tvd", $"drifted")
+        .as[(Long, Double, Boolean)].collect().toSeq
+      // w1: live (.5, .25, rest .25) == ref -> tvd 0; w2: (0, 0, 1)
+      // -> tvd = (0.5 + 0.25 + 0.75)/2 = 0.75, alarm fires
+      assert(got === Seq((4L, 0.0, false), (4L, 0.75, true)))
+      // batch parity: the same function over the same rows as a plain
+      // frame (window() in batch mode) yields the same report
+      val batch = Streaming.windowedCorpusDrift(
+        Seq((ts("09:01"), "a b"), (ts("09:02"), "a c"),
+          (ts("09:11"), "z z z z")).toDF("ts", "text"),
+        ref, "text", topR = 2, maxTvd = 0.2,
+        windowLength = "10 minutes", watermarkDelay = "5 minutes")
+        .orderBy("window_start")
+        .select($"n_tokens", $"tvd", $"drifted")
+        .as[(Long, Double, Boolean)].collect().toSeq
+      assert(batch === got)
+    } finally q.stop()
+    intercept[IllegalArgumentException](Streaming.windowedCorpusDrift(
+      input.toDF().toDF("ts", "text"), ref, "text", topR = 0))
+    intercept[IllegalArgumentException](Streaming.windowedCorpusDrift(
+      input.toDF().toDF("ts", "text"),
+      ref.withColumn("x", org.apache.spark.sql.functions.lit(1)), "text"))
+    // an empty reference is a contract violation, not a silent 0-TVD
+    intercept[IllegalArgumentException](Streaming.windowedCorpusDrift(
+      input.toDF().toDF("ts", "text"),
+      Seq.empty[(String, Long)].toDF("term", "cnt"), "text"))
+  }
+
   test("windowedFleissKappa: per-window agreement, vocab/variable-n contracts, batch parity") {
     import org.apache.spark.sql.functions.col
     val input = MemoryStream[(Timestamp, String, String)]
