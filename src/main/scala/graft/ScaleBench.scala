@@ -32,7 +32,7 @@ object ScaleBench {
     // Optional comma-separated phase subset (spans / bm25 / cc / ann /
     // inc / contain / bpe / text11 / oph / freq / ts / r12 / tri / r13 /
     // r13b / tfidf / pareto / r14 / flag / conv / r14c / r15 / r15b)
-    // plus r15c / r16, for targeted re-measures without paying the
+    // plus r15c / r16 / r16b, for targeted re-measures without paying the
     // whole harness; absent → all phases.
     val phases = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
@@ -1724,6 +1724,185 @@ object ScaleBench {
     println("prefix_token_frac,iss_prefix_sec,iss_legacy_sec," +
       "cand_scan_prefix_mb,cand_scan_legacy_mb")
     println(f"$frac%.3f,$tPfx%.2f,$tLegacy%.2f,$mbPfx%.1f,$mbLegacy%.1f")
+    }
+
+    // ---- r16b: the second r16 wave's debuts — trigram LM (docs AND
+    // table growth), Krippendorff α, k-core (edges + rounds), corpus
+    // divergence (corpus + sources), Spearman, Kendall (groups at
+    // fixed n — the guarded-quadratic op's honest dimension) ----
+    phase("r16b") {
+    import graft.ext.{GraphOps => G16b, TextOps => T16b}
+    import graft.probes.{Probes => P16b}
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    def noop(d: DataFrame): Unit =
+      d.write.mode("overwrite").format("noop").save()
+
+    // trigramLmQuality: docs ×1/×2/×4 at a FIXED count table (linear
+    // in trigram positions — the scoring pass), then table ×1/×2/×4 at
+    // a FIXED batch with replica-tagged (disjoint) tokens: the stream
+    // only ever matches replica-0 grams, so any slope is pure
+    // table-side cost (the table-sized self-joins + equi-join builds)
+    val lmTable16 = T16b.lmCountTable("text")(
+      replicated(1).filter(col("text").isNotNull))
+      .localCheckpoint()
+    def lmJob(d: DataFrame, tbl: DataFrame): Unit =
+      noop(T16b.trigramLmQuality("doc_id", "text", tbl,
+        exactOrder = false)(d))
+    locally { val d1 = replicated(1); lmJob(d1, lmTable16) } // warm
+    val lmRows = for (k <- Seq(1, 2, 4)) yield
+      (k, median3(lmJob(replicated(k), lmTable16)))
+    println("docs_x,trigram_lm_sec")
+    lmRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    def lmTableRep(k: Int): DataFrame =
+      (0 until k).map { i =>
+        if (i == 0) lmTable16
+        else lmTable16.select(col("n"),
+          regexp_replace(col("gram"), lit("(^| )"), lit(s"$$1r$i#"))
+            .as("gram"),
+          col("occurrences"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    val lmTblRows = for (k <- Seq(1, 2, 4)) yield {
+      val tbl = lmTableRep(k).localCheckpoint()
+      val t = median3(lmJob(replicated(1), tbl))
+      tbl.unpersist()
+      (k, t)
+    }
+    println("table_x,trigram_lm_sec")
+    lmTblRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+
+    // krippendorffAlpha: ratings ×1/×2/×4, disjoint items (the
+    // variable-n long frame; two hash-aggs + bounded folds — linear).
+    // production knob (exactOrder=false): the pinned fold is the
+    // oracle contract, not the scale path
+    val ev16b = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"))
+    val nEv16b = ev16b.count()
+    def ratings(k: Int): DataFrame =
+      (0 until k).map(i => ev16b.select(
+        ((col("user_id") % 20000) + lit(i.toLong * 1_000_000L)).as("item"),
+        col("event_type").as("label")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def kaJob(d: DataFrame): Unit =
+      noop(P16b.krippendorffAlpha(col("item"), col("label"),
+        exactOrder = false)(d))
+    locally { val d1 = ratings(1).localCheckpoint(); kaJob(d1); d1.unpersist() }
+    val kaRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = ratings(k).localCheckpoint()
+      val t = median3(kaJob(d)); d.unpersist()
+      (k, nEv16b * k, t)
+    }
+    println("ratings_x,ratings,krippendorff_alpha_sec")
+    kaRows.foreach { case (k, d, t) => println(f"$k,$d,$t%.2f") }
+
+    // kCore: edges ×1/×2/×4 (disjoint graphs — per-round cost is two
+    // semi-joins + one hash-agg over the live edge list, linear), then
+    // rounds 3/6/12 at ×1 (flat per round — pinIterationState holding)
+    def coreGraph(k: Int): DataFrame =
+      (0 until k).map(i => ev16b.select(
+        ((col("user_id") % 2000) + lit(i.toLong * 1_000_000L)).as("src"),
+        (((col("user_id") * 13 + col("user_id") * col("user_id") % 97
+          + 1) % 2000) + lit(i.toLong * 1_000_000L)).as("dst")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def coreJob(e: DataFrame, rounds: Int): Unit =
+      noop(G16b.kCore("src", "dst", k = 9, rounds = rounds)(e))
+    locally { val e1 = coreGraph(1).localCheckpoint(); coreJob(e1, 6); e1.unpersist() }
+    val coreRows = for (k <- Seq(1, 2, 4)) yield {
+      val e = coreGraph(k).localCheckpoint()
+      val t = median3(coreJob(e, 6)); e.unpersist()
+      (k, t)
+    }
+    println("edges_x,k_core_sec")
+    coreRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    locally {
+      val e1 = coreGraph(1).localCheckpoint()
+      val rr = for (r <- Seq(3, 6, 12)) yield (r, median3(coreJob(e1, r)))
+      e1.unpersist()
+      println("rounds,k_core_sec")
+      rr.foreach { case (r, t) => println(f"$r,$t%.2f") }
+    }
+
+    // corpusDivergence: corpus ×1/×2/×4 at fixed |S| (the token scan
+    // + (source, term) hash-agg is the only corpus-sized stage —
+    // linear), then sources 4/8/16 at fixed corpus (the |S|²/2 pair
+    // stage lives on (V+1)-row frames — must stay ~flat)
+    def divCorpus(k: Int, sources: Int): DataFrame =
+      (0 until k).map(i => base.select(
+        concat(lit("s"), (col("doc_id") % sources).cast("string"))
+          .as("source"),
+        col("text")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def divJob(d: DataFrame): Unit =
+      noop(T16b.corpusDivergence("source", "text", topV = 200)(d))
+    locally { val d1 = divCorpus(1, 8).localCheckpoint(); divJob(d1); d1.unpersist() }
+    val divRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = divCorpus(k, 8).localCheckpoint()
+      val t = median3(divJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("corpus_x,corpus_divergence_sec")
+    divRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    locally {
+      val sr = for (s <- Seq(4, 8, 16)) yield {
+        val d = divCorpus(1, s).localCheckpoint()
+        val t = median3(divJob(d)); d.unpersist()
+        (s, t)
+      }
+      println("sources,corpus_divergence_sec")
+      sr.foreach { case (s, t) => println(f"$s,$t%.2f") }
+    }
+
+    // spearmanCorr: rows ×1/×2/×4, disjoint groups — two per-group
+    // rank() windows (per-key sort, n·log n) + one hash-agg
+    val li16b = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_extendedprice").isNotNull)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_quantity"))
+    def spearRows(k: Int): DataFrame =
+      (0 until k).map(i => li16b.select(
+        ((col("l_suppkey") % 64) + lit(i.toLong * 1_000L)).as("g"),
+        col("l_extendedprice").as("x"), col("l_quantity").as("y")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def spearJob(d: DataFrame): Unit =
+      noop(P16b.spearmanCorr("g", "x", "y")(d))
+    locally { val d1 = spearRows(1).localCheckpoint(); spearJob(d1); d1.unpersist() }
+    val spRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = spearRows(k).localCheckpoint()
+      val t = median3(spearJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("rows_x,spearman_corr_sec")
+    spRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+
+    // kendallTau: groups ×1/×2/×4 at FIXED group size (~100 rows →
+    // ~5k pairs/group): linear in groups is the op's honest scale
+    // dimension — growth WITHIN a group is O(n²) by construction and
+    // guarded by maxN, so it is not a curve to fit, it is a contract
+    val kt16b = li16b.limit(100 * 64)
+    def tauGroups(k: Int): DataFrame =
+      (0 until k).map(i => kt16b.select(
+        ((col("l_suppkey") % 64) + lit(i.toLong * 1_000L)).as("g"),
+        monotonically_increasing_id().as("i"),
+        col("l_extendedprice").as("x"), col("l_quantity").as("y")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("i", monotonically_increasing_id())
+    def tauJob(d: DataFrame): Unit =
+      noop(P16b.kendallTau("g", "i", "x", "y", maxN = 1000)(d))
+    locally { val d1 = tauGroups(1).localCheckpoint(); tauJob(d1); d1.unpersist() }
+    val ktRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = tauGroups(k).localCheckpoint()
+      val t = median3(tauJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("groups_x,kendall_tau_sec")
+    ktRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
     }
     spark.stop()
   }
