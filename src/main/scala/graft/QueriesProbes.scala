@@ -311,7 +311,65 @@ private[graft] object QueriesProbes {
           .withColumn("nmod", col("n_chars") % 1000))
         .orderBy("source")
     },
+    "mann_whitney" -> { (s, dir) =>
+      // does the even-user half's value distribution sit above the odd
+      // half's, per event type? rank-exact U / AUC / tie-corrected z —
+      // the nonparametric two-sample test beside the binned
+      // numeric_drift
+      Probes.mannWhitneyU(col("user_id") % 2 === 0, col("value"),
+        Seq("event_type"))(table(s, dir, "events"))
+        .orderBy("event_type")
+    },
+    "ks_2sample" -> { (s, dir) =>
+      // the RANK-EXACT sup-of-ECDF-gap per event type over the same
+      // even/odd split — true D (not numeric_drift's bin-grid lower
+      // bound) plus where the distributions pull apart
+      Probes.ksTest(col("user_id") % 2 === 0, col("value"),
+        Seq("event_type"))(table(s, dir, "events"))
+        .orderBy("event_type")
+    },
+    "bh_correct" -> { (s, dir) =>
+      // the eval-suite composition: one permutation test per event
+      // type (the permutation_test row's exact frame), then the BH
+      // step-up over the family of p-values — which "significant"
+      // slices survive FDR control at 25%?
+      val p = Probes.permutationTest(col("event_id"), col("value"),
+        lit(20.0), reps = 100, groupCols = Seq("event_type"))(
+        table(s, dir, "events").filter(col("event_id") % 3 === 0))
+      Probes.bhCorrect("event_type", "p_value", alpha = 0.25)(p)
+        .orderBy("event_type")
+    },
   )
+
+  /** Shared `permutation_test` oracle body (no ORDER BY) — used
+    * standalone AND as the p-value source inside the composed
+    * `bh_correct` row, so the corrected family is byte-identical to
+    * the per-test row by construction. */
+  private lazy val permutationTestSql: String = s"""
+      WITH b AS (SELECT event_type AS g,
+          CAST(event_id AS VARCHAR) AS k,
+          CAST(round((value - 2e1) * 1e9, 0) AS BIGINT) AS d9
+        FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+          AND event_id % 3 = 0),
+      o AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(d9) AS HUGEINT) AS sd FROM b GROUP BY g),
+      e AS (SELECT g, k, d9, CAST(r.rep AS INT) AS rep
+        FROM b CROSS JOIN range(0, 100) r(rep)),
+      u AS (SELECT g, rep, d9,
+          ${md5u32Sql("k || '_' || CAST(rep AS VARCHAR)", "pt")} AS u32
+        FROM e),
+      t AS (SELECT g, rep, CAST(sum(CAST(
+          CASE WHEN u32 < 2147483648 THEN 1 ELSE -1 END AS HUGEINT) * d9)
+          AS HUGEINT) AS t
+        FROM u GROUP BY g, rep),
+      h AS (SELECT t.g, CAST(sum(CASE WHEN abs(t.t) >= abs(o.sd)
+          THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM t JOIN o ON t.g = o.g GROUP BY t.g)
+      SELECT o.g AS event_type, n,
+        CAST(sd AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) AS mean_diff,
+        CAST(100 AS BIGINT) AS reps,
+        CAST(hits + 1 AS DOUBLE) / ${litD(101.0)} AS p_value
+      FROM o JOIN h ON o.g = h.g"""
 
   /** Shared oracle bodies — used standalone AND inside the composed
     * `label_qa` row, so the composed metrics are byte-identical to the
@@ -652,31 +710,7 @@ private[graft] object QueriesProbes {
       ORDER BY c_mktsegment""",
     // mirrors Probes.permutationTest: md5 high-bit sign flips, exact
     // HUGEINT sums, integer |t| >= |obs| comparison, one final division
-    "permutation_test" -> s"""
-      WITH b AS (SELECT event_type AS g,
-          CAST(event_id AS VARCHAR) AS k,
-          CAST(round((value - 2e1) * 1e9, 0) AS BIGINT) AS d9
-        FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
-          AND event_id % 3 = 0),
-      o AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
-          CAST(sum(d9) AS HUGEINT) AS sd FROM b GROUP BY g),
-      e AS (SELECT g, k, d9, CAST(r.rep AS INT) AS rep
-        FROM b CROSS JOIN range(0, 100) r(rep)),
-      u AS (SELECT g, rep, d9,
-          ${md5u32Sql("k || '_' || CAST(rep AS VARCHAR)", "pt")} AS u32
-        FROM e),
-      t AS (SELECT g, rep, CAST(sum(CAST(
-          CASE WHEN u32 < 2147483648 THEN 1 ELSE -1 END AS HUGEINT) * d9)
-          AS HUGEINT) AS t
-        FROM u GROUP BY g, rep),
-      h AS (SELECT t.g, CAST(sum(CASE WHEN abs(t.t) >= abs(o.sd)
-          THEN 1 ELSE 0 END) AS BIGINT) AS hits
-        FROM t JOIN o ON t.g = o.g GROUP BY t.g)
-      SELECT o.g AS event_type, n,
-        CAST(sd AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) AS mean_diff,
-        CAST(100 AS BIGINT) AS reps,
-        CAST(hits + 1 AS DOUBLE) / ${litD(101.0)} AS p_value
-      FROM o JOIN h ON o.g = h.g
+    "permutation_test" -> s"""$permutationTestSql
       ORDER BY event_type""",
     // mirrors Probes.isotonicCalibration: per-bin exact (n, k) counts,
     // prefix sums, then the weighted-PAV min-max closed form
@@ -1088,5 +1122,100 @@ private[graft] object QueriesProbes {
             / (sqrt(dx) * sqrt(dy))
         END AS tau_b
       FROM f ORDER BY source""",
+    // mirrors Probes.mannWhitneyU: the same 2·avg-rank integer carry
+    // as spearman_corr, exact HUGEINT 2U_A and tie sums, then the
+    // fixed u/auc/z double dags with their empty-side/zero-variance
+    // NULL guards
+    "mann_whitney" -> """
+      WITH b AS (SELECT event_type AS g, (user_id % 2 = 0) AS a, value AS x
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      r AS (SELECT g, a,
+          CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+            + count(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS r2,
+          CAST(count(*) OVER (PARTITION BY g, x)
+            * count(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS tt
+        FROM b),
+      ag AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          sum(CASE WHEN a THEN r2 ELSE CAST(0 AS HUGEINT) END) AS r2a,
+          sum(tt) AS ties
+        FROM r GROUP BY g),
+      f AS (SELECT g, n, na, n - na AS nb,
+          r2a - CAST(na AS HUGEINT) * CAST(na + 1 AS HUGEINT) AS u2,
+          ties
+        FROM ag),
+      v AS (SELECT *,
+          CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(12 AS DOUBLE)
+            * ((CAST(n AS DOUBLE) + CAST(1 AS DOUBLE))
+              - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE)
+                * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))))
+            AS variance
+        FROM f)
+      SELECT g AS event_type, na AS n_a, nb AS n_b,
+        CASE WHEN na > 0 AND nb > 0
+          THEN CAST(u2 AS DOUBLE) / CAST(2 AS DOUBLE) END AS u_a,
+        CASE WHEN na > 0 AND nb > 0
+          THEN CAST(u2 AS DOUBLE) / (CAST(2 AS DOUBLE)
+            * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS auc,
+        CASE WHEN na > 0 AND nb > 0 AND variance > CAST(0 AS DOUBLE)
+          THEN CAST(u2 - CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
+              AS DOUBLE)
+            / (CAST(2 AS DOUBLE) * sqrt(variance)) END AS z
+      FROM v ORDER BY event_type""",
+    // mirrors Probes.ksTest: per-(group, value) side counts, window
+    // cumsums, the EXACT HUGEINT |cumA·nB − cumB·nA| numerator, max
+    // then ONE division; ks_at = min value attaining the sup
+    "ks_2sample" -> """
+      WITH b AS (SELECT event_type AS g, (user_id % 2 = 0) AS a,
+          CAST(value AS DOUBLE) AS x
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      c AS (SELECT g, x,
+          CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM b GROUP BY g, x),
+      s AS (SELECT g, x,
+          CAST(sum(ca) OVER (PARTITION BY g ORDER BY x) AS HUGEINT)
+            AS cumA,
+          CAST(sum(cb) OVER (PARTITION BY g ORDER BY x) AS HUGEINT)
+            AS cumB,
+          CAST(sum(ca) OVER (PARTITION BY g) AS BIGINT) AS na,
+          CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS nb
+        FROM c),
+      nm AS (SELECT g, x, na, nb,
+          abs(cumA * CAST(nb AS HUGEINT) - cumB * CAST(na AS HUGEINT))
+            AS num
+        FROM s),
+      m AS (SELECT g, max(na) AS na, max(nb) AS nb,
+          max(num) AS ksnum FROM nm GROUP BY g),
+      att AS (SELECT nm.g, min(nm.x) AS at_x
+        FROM nm JOIN m ON nm.g = m.g AND nm.num = m.ksnum GROUP BY nm.g)
+      SELECT m.g AS event_type, na AS n_a, nb AS n_b,
+        CASE WHEN na > 0 AND nb > 0
+          THEN CAST(ksnum AS DOUBLE)
+            / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS ks_stat,
+        CASE WHEN na > 0 AND nb > 0 THEN at_x END AS ks_at
+      FROM m JOIN att ON att.g = m.g ORDER BY event_type""",
+    // mirrors the composed bh_correct row: the SHARED permutation-test
+    // body supplies the family of p-values, then the BH step-up —
+    // (p, id)-pinned ranks, one p·m/rank dag per row, suffix min,
+    // clamp — exactly as Probes.bhCorrect plans it
+    "bh_correct" -> s"""
+      WITH pt AS ($permutationTestSql),
+      r AS (SELECT event_type, p_value,
+          CAST(count(*) OVER () AS BIGINT) AS m,
+          CAST(row_number() OVER (ORDER BY p_value, event_type)
+            AS BIGINT) AS rnk
+        FROM pt),
+      a AS (SELECT event_type, p_value, m, rnk,
+          p_value * CAST(m AS DOUBLE) / CAST(rnk AS DOUBLE) AS raw
+        FROM r),
+      f AS (SELECT event_type, p_value AS p, rnk, m,
+          least(CAST(1 AS DOUBLE), min(raw) OVER (
+            ORDER BY p_value, event_type
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_adj
+        FROM a)
+      SELECT event_type, p, rnk AS rank, m, p_adj,
+        p_adj <= ${litD(0.25)} AS reject
+      FROM f ORDER BY event_type""",
   )
 }

@@ -814,6 +814,15 @@ final case class Pipeline(df: DataFrame) {
   def kendallTau(groupField: String, idField: String, xField: String,
       yField: String, maxN: Int = 10000): Pipeline =
     >>(Probes.kendallTau(groupField, idField, xField, yField, maxN))
+  def mannWhitneyU(side: Column, value: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.mannWhitneyU(side, value, groupCols))
+  def ksTest(side: Column, value: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.ksTest(side, value, groupCols))
+  def bhCorrect(idField: String, pField: String, alpha: Double = 0.05,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.bhCorrect(idField, pField, alpha, groupCols))
   def chiSquareSelect(features: Seq[String], label: Column): Pipeline =
     >>(Probes.chiSquareSelect(features, label))
   def proportionCI(success: Column, groupCols: Seq[String] = Nil,

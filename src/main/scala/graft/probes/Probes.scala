@@ -1636,6 +1636,202 @@ object Probes {
         .as("tau_b"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) per group — the two-sample
+    * drift/AB test on RANKS: does side A's value distribution sit
+    * above side B's? The nonparametric answer heavy-tailed pipeline
+    * metrics (doc lengths, quality scores, latencies) need where a
+    * t-test's mean is ruled by outliers. Completes the rank shelf:
+    * [[spearmanCorr]] correlates two scorings, [[kendallTau]] two
+    * rankers pairwise, this compares two SAMPLES.
+    *
+    * Exactness: pooled tie-averaged ranks ride the [[spearmanCorr]]
+    * integer carry (`2·rank = 2·rank_min + t − 1`), so Σ2r over side A
+    * is an order-free exact `decimal(38,0)` sum and
+    * `2·U_A = Σ2r_A − n_A(n_A+1)` is EXACT INTEGER arithmetic to the
+    * last step. Three readings off it, each one fixed IEEE dag:
+    *   - `u_a` — the U statistic itself;
+    *   - `auc = U_A/(n_A·n_B)` — the common-language effect size,
+    *     literally P(random A > random B) + ½P(tie), i.e. the ROC AUC
+    *     of the side label against the value;
+    *   - `z` — the tie-corrected normal approximation
+    *     `(U_A − n_A n_B/2) / √(n_A n_B/12 · ((n+1) − Σ(t³−t)/(n(n−1))))`
+    *     (Σ(t³−t) is the exact integer Σ_rows(t²−1), order-free).
+    * No p-value by design: the normal CDF is transcendental (the
+    * no-libm doctrine); consumers threshold |z| — 1.96 IS the 95%
+    * gate. A group with either side empty or all values tied (zero
+    * variance) reads `z` NULL; `auc` NULL when a side is empty. NULL
+    * side/value rows drop.
+    *
+    * Scale shape: one `rank()` window + one tie-count window per group
+    * partition (the [[spearmanCorr]] cost class), one hash-agg. Empty
+    * `groupCols` = one global partition — the documented single-task
+    * cost of an ungrouped exact rank test; shard by a group column at
+    * corpus scale. Output per group: `n_a, n_b, u_a, auc, z`. */
+  def mannWhitneyU(side: Column, value: Column,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val base = df
+      .filter(side.isNotNull && value.isNotNull)
+      .select(grp :+ side.cast("boolean").as("__a") :+
+        value.as("__x"): _*)
+    val wOrd = Window.partitionBy(grp: _*).orderBy(col("__x"))
+    val wTie = Window.partitionBy(grp :+ col("__x"): _*)
+    val ranked = base.select(grp ++ Seq(col("__a"),
+      (lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - lit(1L))
+        .cast("decimal(38,0)").as("__r2"),
+      (count(lit(1)).over(wTie) * count(lit(1)).over(wTie) - lit(1L))
+        .cast("decimal(38,0)").as("__tt")): _*)
+    val agg =
+      (if (grp.isEmpty) ranked.groupBy() else ranked.groupBy(grp: _*))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("__a"), col("__r2"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("__r2a"),
+          sum(col("__tt")).as("__ties"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val nb = col("__n") - col("n_a")
+    // 2·U_A, exact integer
+    val u2 = col("__r2a") - dec(col("n_a")) * dec(col("n_a") + 1)
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = col("__n").cast("double")
+    val variance = naD * nbD / lit(12.0) *
+      ((nD + lit(1.0)) - col("__ties").cast("double") /
+        (nD * (nD - lit(1.0))))
+    agg
+      .withColumn("n_b", nb)
+      .withColumn("__u2", u2)
+      .select(grp ++ Seq(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__u2").cast("double") / lit(2.0)).as("u_a"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__u2").cast("double") / (lit(2.0) * naD * nbD)).as("auc"),
+        when(col("n_a") > 0 && col("n_b") > 0 && variance > 0.0,
+          (col("__u2") - dec(col("n_a")) * dec(col("n_b")))
+            .cast("double") / (lit(2.0) * sqrt(variance))).as("z")): _*)
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic per group — the
+    * sup-of-ECDF-gap drift test, RANK-EXACT: where [[numericDrift]]
+    * evaluates the KS statistic on a caller-supplied bin grid (a lower
+    * bound, global, sort-free by design), this computes the true
+    * `D = sup_x |F_A(x) − F_B(x)|` per group — the per-slice
+    * corpus-version check ("did feature X move for source Y?") where
+    * the per-key sort is the accepted window cost.
+    *
+    * Exactness doctrine at its cleanest: at every distinct pooled
+    * value, `|F_A − F_B| = |cumA·n_B − cumB·n_A| / (n_A·n_B)`, so the
+    * sup is the MAX OF EXACT decimal(38,0) INTEGERS and the one
+    * division happens once, after the max — D is exact rational, and
+    * `ks_at` (the smallest value attaining the sup — where the
+    * distributions pull apart, the actionable part of the report) is
+    * picked by an exact (numerator, value) struct-max, fully
+    * deterministic. A group with either side empty reads NULL
+    * `ks_stat` (no second sample, not agreement). NULL side/value
+    * rows drop.
+    *
+    * Scale shape: one (group, value) hash-agg collapses the corpus to
+    * distinct values, then one cumulative window per group partition
+    * over those — the [[spearmanCorr]] cost class on the DISTINCT
+    * frame. Empty `groupCols` = one global partition, same documented
+    * cost as [[mannWhitneyU]]. Output per group:
+    * `n_a, n_b, ks_stat, ks_at`. */
+  def ksTest(side: Column, value: Column,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val cells = df
+      .filter(side.isNotNull && value.isNotNull)
+      .select(grp :+ side.cast("boolean").as("__a") :+
+        value.cast("double").as("__x"): _*)
+      .groupBy(grp :+ col("__x"): _*)
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    val wCum = Window.partitionBy(grp: _*).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(grp: _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val stepped = cells.select(grp ++ Seq(col("__x"),
+      dec(sum(col("__ca")).over(wCum)).as("__cumA"),
+      dec(sum(col("__cb")).over(wCum)).as("__cumB"),
+      sum(col("__ca")).over(wAll).as("__na"),
+      sum(col("__cb")).over(wAll).as("__nb")): _*)
+      .withColumn("__num",
+        abs(col("__cumA") * dec(col("__nb")) -
+          col("__cumB") * dec(col("__na"))))
+    (if (grp.isEmpty) stepped.groupBy() else stepped.groupBy(grp: _*))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(col("__num")).as("__ksnum"),
+        // smallest value attaining the sup: exact struct-max on
+        // (numerator, −value) — both components exact, no float fold
+        max(struct(col("__num").as("__n"),
+          (-col("__x")).as("__negx"))).as("__atmax"))
+      .select(grp ++ Seq(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__ksnum").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("ks_stat"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          -col("__atmax").getField("__negx")).as("ks_at")): _*)
+  }
+
+  /** Benjamini–Hochberg FDR correction — the multiple-comparisons
+    * step every eval suite needs the moment it runs [[permutationTest]]
+    * / [[mannWhitneyU]] across dozens of slices: at 5% per test, one
+    * slice in twenty "regresses" by luck. Step-up procedure over a
+    * family of (test id, p) rows: sort p ascending, adjusted
+    * `p̃_(i) = min_{j ≥ i} p_(j)·m/j` clamped to 1, reject where
+    * `p̃ ≤ alpha` — controlling the EXPECTED FALSE-DISCOVERY RATE at
+    * `alpha` (Benjamini & Hochberg 1995) instead of Bonferroni's
+    * family-wise overkill.
+    *
+    * Determinism: ties in p are pinned by (p, id) row_number — tied
+    * p's provably receive the SAME adjusted value under the suffix
+    * min, so the pin fixes only the reported `rank`, not the
+    * statistics. Each raw candidate is one fixed IEEE dag
+    * `p·m/rank`; the suffix min and the clamp are order-free on
+    * identical IEEE sets — bit-reproducible cross-engine. A p outside
+    * [0, 1] fails loudly (raise_error, the [[kendallTau]] contract
+    * discipline): garbage p-values silently "corrected" is how a bad
+    * eval ships. NULL p rows drop (a test that produced no p is not
+    * evidence).
+    *
+    * Scale shape: m per family via one window, rank + suffix-min via
+    * two more — all over |tests| rows, which is small BY CONSTRUCTION
+    * (a family of millions of hypotheses wants a different procedure
+    * anyway). Empty `groupCols` = one family, one partition. Output
+    * per test row: `idField, p, rank, m, p_adj, reject`. */
+  def bhCorrect(idField: String, pField: String, alpha: Double = 0.05,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    val grp = groupCols.map(col)
+    val base = df
+      .filter(col(pField).isNotNull)
+      .select(grp :+ col(idField).as("__id") :+
+        when(col(pField).cast("double") < 0.0 ||
+            col(pField).cast("double") > 1.0,
+          raise_error(concat(lit("bhCorrect: p out of [0,1] for "),
+            col(idField).cast(StringType))).cast("double"))
+          .otherwise(col(pField).cast("double")).as("__p"): _*)
+    val wAll = Window.partitionBy(grp: _*)
+    val wOrd = Window.partitionBy(grp: _*)
+      .orderBy(col("__p"), col("__id"))
+    val wSuf = Window.partitionBy(grp: _*)
+      .orderBy(col("__p"), col("__id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    base
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("rank", row_number().over(wOrd).cast("long"))
+      .withColumn("__raw", col("__p") * col("m").cast("double") /
+        col("rank").cast("double"))
+      .withColumn("p_adj", least(lit(1.0), min(col("__raw")).over(wSuf)))
+      .select(grp ++ Seq(col("__id").as(idField), col("__p").as("p"),
+        col("rank"), col("m"), col("p_adj"),
+        (col("p_adj") <= lit(alpha)).as("reject")): _*)
+  }
+
   /** Wilson score interval for a per-group pass/success rate — the
     * slice-eval report with honest uncertainty: a 96%-accurate slice
     * of 25 examples and one of 25,000 are different facts, and the

@@ -990,4 +990,110 @@ class ProbesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Probes.kendallTau("g", "i", "x", "y", maxN = 1)(d3))
   }
+
+  test("mannWhitneyU: separation, tie carry, hand z, degenerate NULLs") {
+    import spark.implicits._
+    def run(rows: Seq[(Boolean, Double)]) =
+      Probes.mannWhitneyU(col("a"), col("x"))(
+        rows.toDF("a", "x")).head()
+    // complete separation: A below B -> U=0, auc=0; A above -> U=4, auc=1
+    val lo = run(Seq((true, 1.0), (true, 2.0), (false, 3.0), (false, 4.0)))
+    assert(lo.getAs[Double]("u_a") === 0.0 && lo.getAs[Double]("auc") === 0.0)
+    val hi = run(Seq((true, 3.0), (true, 4.0), (false, 1.0), (false, 2.0)))
+    assert(hi.getAs[Double]("u_a") === 4.0 && hi.getAs[Double]("auc") === 1.0)
+    // tie average-rank carry: A={1,2}, B={2,3} -> R_A=3.5, U_A=0.5
+    val tied = run(Seq((true, 1.0), (true, 2.0), (false, 2.0), (false, 3.0)))
+    assert(tied.getAs[Double]("u_a") === 0.5 &&
+      tied.getAs[Double]("auc") === 0.125)
+    // hand z, no ties: A={1,3}, B={2,4}: U=1, mean=2, var=5/3
+    val z = run(Seq((true, 1.0), (true, 3.0), (false, 2.0), (false, 4.0)))
+      .getAs[Double]("z")
+    assert(math.abs(z - (-1.0 / math.sqrt(5.0 / 3.0))) < 1e-15)
+    // all values tied: zero variance -> z NULL; auc = 1/2 (all-tie mass)
+    val flat = run(Seq((true, 5.0), (true, 5.0), (false, 5.0)))
+    assert(flat.getAs[java.lang.Double]("z") == null &&
+      flat.getAs[Double]("auc") === 0.5)
+    // one side empty: all three stats NULL, counts honest
+    val one = run(Seq((true, 1.0), (true, 2.0)))
+    assert(one.getAs[Long]("n_a") === 2L && one.getAs[Long]("n_b") === 0L &&
+      one.getAs[java.lang.Double]("u_a") == null &&
+      one.getAs[java.lang.Double]("auc") == null &&
+      one.getAs[java.lang.Double]("z") == null)
+    // groups independent, NULL rows drop
+    val g = Probes.mannWhitneyU(col("a"), col("x"), Seq("g"))(
+      Seq(("g1", Some(true), Some(1.0)), ("g1", Some(false), Some(2.0)),
+        ("g1", None, Some(9.0)), ("g2", Some(true), Some(7.0)),
+        ("g2", Some(false), Some(1.0)), ("g2", Some(false), None))
+        .toDF("g", "a", "x")).orderBy("g").collect()
+    assert(g(0).getAs[Double]("auc") === 0.0 &&
+      g(1).getAs[Double]("auc") === 1.0)
+  }
+
+  test("ksTest: hand sup and location, identical zero, interleaved, empty side") {
+    import spark.implicits._
+    def run(rows: Seq[(Boolean, Double)]) =
+      Probes.ksTest(col("a"), col("x"))(rows.toDF("a", "x")).head()
+    // separation: D=1, attained first at x=2 (F_A=1, F_B=0)
+    val sep = run(Seq((true, 1.0), (true, 2.0), (false, 3.0), (false, 4.0)))
+    assert(sep.getAs[Double]("ks_stat") === 1.0 &&
+      sep.getAs[Double]("ks_at") === 2.0)
+    // identical samples: D=0, ks_at deterministic (smallest value)
+    val same = run(Seq((true, 1.0), (true, 2.0), (false, 1.0), (false, 2.0)))
+    assert(same.getAs[Double]("ks_stat") === 0.0 &&
+      same.getAs[Double]("ks_at") === 1.0)
+    // interleaved A={1,3}, B={2,4}: sup=1/2 first attained at x=1
+    val mix = run(Seq((true, 1.0), (true, 3.0), (false, 2.0), (false, 4.0)))
+    assert(mix.getAs[Double]("ks_stat") === 0.5 &&
+      mix.getAs[Double]("ks_at") === 1.0)
+    // one side empty -> NULL stats, honest counts
+    val one = run(Seq((true, 1.0)))
+    assert(one.getAs[Long]("n_b") === 0L &&
+      one.getAs[java.lang.Double]("ks_stat") == null &&
+      one.getAs[java.lang.Double]("ks_at") == null)
+    // grouped: disjoint groups do not mix
+    val g = Probes.ksTest(col("a"), col("x"), Seq("g"))(
+      Seq(("g1", true, 1.0), ("g1", false, 2.0),
+        ("g2", true, 5.0), ("g2", false, 5.0)).toDF("g", "a", "x"))
+      .orderBy("g").collect()
+    assert(g(0).getAs[Double]("ks_stat") === 1.0 &&
+      g(1).getAs[Double]("ks_stat") === 0.0)
+  }
+
+  test("bhCorrect: step-up suffix min, clamp, tie pinning, contract guards") {
+    import spark.implicits._
+    def run(ps: Seq[(String, Double)], alpha: Double = 0.05) =
+      Probes.bhCorrect("t", "p", alpha)(ps.toDF("t", "p"))
+        .orderBy("rank").collect()
+    // textbook: p_i = i/64 makes every raw candidate EXACTLY 5/64
+    // (binary-exact inputs so the idealized algebra survives IEEE)
+    val even = run(Seq(("a", 1.0 / 64), ("b", 2.0 / 64), ("c", 3.0 / 64),
+      ("d", 4.0 / 64), ("e", 5.0 / 64)), alpha = 0.08)
+    assert(even.forall(_.getAs[Double]("p_adj") === 5.0 / 64) &&
+      even.forall(_.getAs[Boolean]("reject")))
+    // suffix min crosses: p={0.5, 0.9}, raws={1.0, 0.9} -> both 0.9
+    val cross = run(Seq(("a", 0.5), ("b", 0.9)))
+    assert(cross.forall(_.getAs[Double]("p_adj") === 0.9) &&
+      cross.forall(!_.getAs[Boolean]("reject")))
+    // clamp at 1: p=0.8, m=2, rank1 raw=1.6 -> suffix min vs 0.9*2/2=0.9
+    val clamp = run(Seq(("a", 0.8), ("b", 0.9)))
+    assert(clamp.map(_.getAs[Double]("p_adj")).toSeq === Seq(0.9, 0.9))
+    val solo = run(Seq(("a", 0.8)))
+    assert(solo.head.getAs[Double]("p_adj") === 0.8)
+    // tied p's share the adjusted value; ranks pinned by id
+    val tie = run(Seq(("b", 0.02), ("a", 0.02), ("c", 0.1)))
+    assert(tie.map(r => (r.getAs[String]("t"), r.getAs[Long]("rank"))).toSeq
+      === Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    assert(tie(0).getAs[Double]("p_adj") === tie(1).getAs[Double]("p_adj"))
+    // NULL p drops; out-of-range p raises; bad alpha rejected
+    assert(Probes.bhCorrect("t", "p")(
+      Seq(("a", Some(0.5)), ("b", None)).toDF("t", "p")).count() === 1L)
+    val ex = intercept[Exception] {
+      Probes.bhCorrect("t", "p")(Seq(("a", 1.5)).toDF("t", "p")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("p out of [0,1]")))
+    intercept[IllegalArgumentException](
+      Probes.bhCorrect("t", "p", alpha = 0.0)(Seq(("a", 0.5)).toDF("t", "p")))
+  }
 }
