@@ -32,7 +32,7 @@ object ScaleBench {
     // Optional comma-separated phase subset (spans / bm25 / cc / ann /
     // inc / contain / bpe / text11 / oph / freq / ts / r12 / tri / r13 /
     // r13b / tfidf / pareto / r14 / flag / conv / r14c / r15 / r15b)
-    // plus r15c / r16 / r16b, for targeted re-measures without paying the
+    // plus r15c / r16 / r16b / r16c, for targeted re-measures without paying the
     // whole harness; absent → all phases.
     val phases = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
@@ -1903,6 +1903,42 @@ object ScaleBench {
     }
     println("groups_x,kendall_tau_sec")
     ktRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    }
+
+    // ---- r16c: the two-sample rank tests — rows ×k over disjoint
+    // groups (the spearman window cost class, measured on its own
+    // ops; bhCorrect is |tests|-sized by contract, no curve to fit) ----
+    phase("r16c") {
+    import graft.probes.{Probes => P16c}
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    def noop(d: DataFrame): Unit =
+      d.write.mode("overwrite").format("noop").save()
+    val li16c = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_extendedprice").isNotNull)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_extendedprice"))
+    def sides(k: Int): DataFrame =
+      (0 until k).map(i => li16c.select(
+        ((col("l_suppkey") % 64) + lit(i.toLong * 1_000L)).as("g"),
+        (col("l_orderkey") % 2 === 0).as("a"),
+        col("l_extendedprice").as("x")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def mwJob(d: DataFrame): Unit =
+      noop(P16c.mannWhitneyU(col("a"), col("x"), Seq("g"))(d))
+    def ksJob(d: DataFrame): Unit =
+      noop(P16c.ksTest(col("a"), col("x"), Seq("g"))(d))
+    locally { val d1 = sides(1).localCheckpoint(); mwJob(d1); ksJob(d1); d1.unpersist() }
+    val rows16c = for (k <- Seq(1, 2, 4)) yield {
+      val d = sides(k).localCheckpoint()
+      val tm = median3(mwJob(d))
+      val tk = median3(ksJob(d))
+      d.unpersist()
+      (k, tm, tk)
+    }
+    println("rows_x,mann_whitney_sec,ks_2sample_sec")
+    rows16c.foreach { case (k, tm, tk) => println(f"$k,$tm%.2f,$tk%.2f") }
     }
     spark.stop()
   }
