@@ -339,6 +339,17 @@ private[graft] object QueriesProbes {
       Probes.bhCorrect("event_type", "p_value", alpha = 0.25)(p)
         .orderBy("event_type")
     },
+    "mcnemar_test" -> { (s, dir) =>
+      // paired comparison of two deterministic "classifiers" of the
+      // value >= 20 target on the SAME events: a threshold system vs
+      // a user-hash system — only the discordant cells carry evidence
+      val truth = col("value") >= 20
+      Probes.mcnemarTest(
+        (col("value") >= 15) === truth,
+        (col("user_id") % 3 > 0) === truth,
+        Seq("event_type"))(table(s, dir, "events"))
+        .orderBy("event_type")
+    },
   )
 
   /** Shared `permutation_test` oracle body (no ORDER BY) — used
@@ -1217,5 +1228,32 @@ private[graft] object QueriesProbes {
       SELECT event_type, p, rnk AS rank, m, p_adj,
         p_adj <= ${litD(0.25)} AS reject
       FROM f ORDER BY event_type""",
+    // mirrors Probes.mcnemarTest: exact contingency counts, the
+    // continuity-corrected squared-integer numerator in HUGEINT, one
+    // final division; b+c = 0 -> NULL (zero evidence, not zero diff)
+    "mcnemar_test" -> """
+      WITH b AS (SELECT event_type AS g,
+          ((value >= 15) = (value >= 20)) AS a,
+          ((user_id % 3 > 0) = (value >= 20)) AS bb
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      ag AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN a AND bb THEN 1 ELSE 0 END) AS BIGINT)
+            AS both_correct,
+          CAST(sum(CASE WHEN a AND NOT bb THEN 1 ELSE 0 END) AS BIGINT)
+            AS a_only,
+          CAST(sum(CASE WHEN NOT a AND bb THEN 1 ELSE 0 END) AS BIGINT)
+            AS b_only,
+          CAST(sum(CASE WHEN NOT a AND NOT bb THEN 1 ELSE 0 END)
+            AS BIGINT) AS both_wrong
+        FROM b GROUP BY g)
+      SELECT g AS event_type, n, both_correct, a_only, b_only,
+        both_wrong,
+        CASE WHEN a_only + b_only > 0 THEN
+          CAST(CAST(greatest(CAST(0 AS BIGINT),
+              abs(a_only - b_only) - 1) AS HUGEINT)
+            * CAST(greatest(CAST(0 AS BIGINT),
+              abs(a_only - b_only) - 1) AS HUGEINT) AS DOUBLE)
+          / CAST(a_only + b_only AS DOUBLE) END AS chi2
+      FROM ag ORDER BY event_type""",
   )
 }

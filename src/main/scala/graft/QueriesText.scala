@@ -25,6 +25,14 @@ private[graft] object QueriesText {
       TextOps.withLangId("text")(corpus(s, dir, "documents"))
         .select("doc_id", "lang", "lang_pred").orderBy("doc_id")
     },
+    "flesch_readability" -> { (s, dir) =>
+      // classic readability per doc: exact word/sentence/vowel-group
+      // counts under the library tokenizer, then the two published
+      // fixed dags
+      TextOps.fleschReadability("doc_id", "text")(
+        corpus(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
     "tfidf_top_terms" -> { (s, dir) =>
       TextOps.tfidfTopTerms("doc_id", "text", k = 3)(
         corpus(s, dir, "documents"))
@@ -644,6 +652,37 @@ private[graft] object QueriesText {
          CASE WHEN len(string_split(text,' ')) = 0 THEN CAST(0 AS DOUBLE)
               ELSE CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) END AS mean_token_length
          FROM documents ORDER BY doc_id""",
+    // mirrors TextOps.fleschReadability: space-split words (the ['']
+    // convention keeps w >= 1), [.!?]+ runs floored at 1, per-word
+    // vowel groups floored at 1, then the two published fixed dags
+    "flesch_readability" -> s"""
+      WITH t AS (SELECT doc_id,
+          string_split(coalesce(text, ''), ' ') AS ws,
+          coalesce(text, '') AS txt
+        FROM documents),
+      w AS (SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          greatest(CAST(1 AS BIGINT),
+            CAST(len(regexp_extract_all(txt, '[.!?]+', 0)) AS BIGINT))
+            AS n_sentences,
+          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(ws, x -> greatest(CAST(1 AS BIGINT),
+              CAST(len(regexp_extract_all(lower(x), '[aeiouy]+', 0))
+                AS BIGINT)))),
+            (a, x) -> a + x) AS BIGINT) AS n_syllables
+        FROM t)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        ${litD(206.835)} - ${litD(1.015)}
+            * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          - ${litD(84.6)}
+            * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+          AS flesch,
+        ${litD(0.39)}
+            * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          + ${litD(11.8)}
+            * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+          - ${litD(15.59)} AS fk_grade
+      FROM w ORDER BY doc_id""",
     "pack_sequences" ->
       """SELECT doc_id, lang,
          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -3568,6 +3568,52 @@ object TextOps {
   def withQuality(textField: String, target: String = "quality")(
       df: DataFrame): DataFrame = df.withColumn(target, qualityScore(col(textField)))
 
+  /** Flesch reading-ease + Flesch–Kincaid grade — the classic
+    * readability features a quality stack wants beside [[textStats]]
+    * and the Gopher rules (too-hard AND too-trivial text are both
+    * training-mix signals; readability is the standard axis for
+    * both). Counting conventions, fixed so the score is a
+    * DETERMINISTIC function of the library tokenizer:
+    *   - words = the library-wide space-split token count (empty/NULL
+    *     text carries the `['']` token → 1 word, never 0);
+    *   - sentences = runs of `[.!?]+`, floored at 1 (prose without
+    *     terminators is one sentence, not a division by zero);
+    *   - syllables = per word, vowel GROUPS (`[aeiouy]+` on the
+    *     lowercased word), floored at 1 per word — the standard
+    *     dictionary-free heuristic (± one syllable on silent-e words;
+    *     consumers rank and bucket, they don't diagnose).
+    * All three counts are exact integers (the syllable fold is
+    * integer addition — order-free); the two scores are one fixed
+    * IEEE dag each over the published constants:
+    * `flesch = 206.835 − 1.015·(w/s) − 84.6·(syl/w)`,
+    * `fk_grade = 0.39·(w/s) + 11.8·(syl/w) − 15.59`.
+    *
+    * Scale shape: pure per-row projection — no shuffle, no state;
+    * whole-stage codegen keeps it in the scan. Output:
+    * `idField, n_words, n_sentences, n_syllables, flesch, fk_grade`. */
+  def fleschReadability(idField: String, textField: String)(
+      df: DataFrame): DataFrame = {
+    val txt = coalesce(col(textField), lit(""))
+    val ts = tokens(txt)
+    val words = size(ts).cast("long")
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(txt, lit("[.!?]+"), lit(0))).cast("long"))
+    val syllables = aggregate(ts, lit(0L), (acc, w) =>
+      acc + greatest(lit(1),
+        size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))))
+        .cast("long"))
+    val out = df.select(col(idField), words.as("n_words"),
+      sentences.as("n_sentences"), syllables.as("n_syllables"))
+    val wps = col("n_words").cast("double") /
+      col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") /
+      col("n_words").cast("double")
+    out.select(col(idField), col("n_words"), col("n_sentences"),
+      col("n_syllables"),
+      (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"),
+      (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
+  }
+
   def withFingerprint(textField: String, target: String = "fingerprint")(
       df: DataFrame): DataFrame = df.withColumn(target, fingerprint(col(textField)))
 

@@ -823,6 +823,11 @@ final case class Pipeline(df: DataFrame) {
   def bhCorrect(idField: String, pField: String, alpha: Double = 0.05,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.bhCorrect(idField, pField, alpha, groupCols))
+  def mcnemarTest(aCorrect: Column, bCorrect: Column,
+      groupCols: Seq[String] = Nil, correction: Boolean = true): Pipeline =
+    >>(Probes.mcnemarTest(aCorrect, bCorrect, groupCols, correction))
+  def fleschReadability(idField: String, textField: String): Pipeline =
+    >>(graft.ext.TextOps.fleschReadability(idField, textField))
   def chiSquareSelect(features: Seq[String], label: Column): Pipeline =
     >>(Probes.chiSquareSelect(features, label))
   def proportionCI(success: Column, groupCols: Seq[String] = Nil,

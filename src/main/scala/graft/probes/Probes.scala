@@ -1832,6 +1832,57 @@ object Probes {
         (col("p_adj") <= lit(alpha)).as("reject")): _*)
   }
 
+  /** McNemar's test — the PAIRED classifier comparison: two systems
+    * scored on the SAME eval items, is B's accuracy gain real? The
+    * unpaired tests ([[mannWhitneyU]], [[permutationTest]] on
+    * per-item diffs) ignore that both systems saw identical items;
+    * McNemar uses exactly the information that matters — the
+    * DISCORDANT cells (A-only-correct vs B-only-correct; items both
+    * got right or both got wrong cancel by design).
+    *
+    * With `b = a_only`, `c = b_only`:
+    * `χ² = (max(0, |b−c|−1))² / (b+c)` (Edwards' continuity
+    * correction, the textbook default; `correction = false` gives the
+    * asymptotic `(b−c)²/(b+c)`). EXACT to the last step: the
+    * numerator is a squared exact integer in decimal(38,0), the one
+    * division is final. No p-value (the normal/χ² CDF is
+    * transcendental — the no-libm doctrine); consumers threshold
+    * against χ²₁ quantiles — 3.841 IS the 95% gate. `b+c = 0` (no
+    * discordant items — the systems are indistinguishable on this
+    * eval) reads NULL, not 0: zero evidence, not zero difference.
+    * NULL correctness flags drop (an unscored item is not evidence).
+    *
+    * Scale shape: one filter + one hash-agg, full stop. Output per
+    * group: `n, both_correct, a_only, b_only, both_wrong, chi2`. */
+  def mcnemarTest(aCorrect: Column, bCorrect: Column,
+      groupCols: Seq[String] = Nil, correction: Boolean = true)(
+      df: DataFrame): DataFrame = {
+    val grp = groupCols.map(col)
+    val base = df
+      .filter(aCorrect.isNotNull && bCorrect.isNotNull)
+      .select(grp :+ aCorrect.cast("boolean").as("__a") :+
+        bCorrect.cast("boolean").as("__b"): _*)
+    val agg =
+      (if (grp.isEmpty) base.groupBy() else base.groupBy(grp: _*))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__a") && col("__b"), 1L).otherwise(0L))
+            .as("both_correct"),
+          sum(when(col("__a") && !col("__b"), 1L).otherwise(0L))
+            .as("a_only"),
+          sum(when(!col("__a") && col("__b"), 1L).otherwise(0L))
+            .as("b_only"),
+          sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L))
+            .as("both_wrong"))
+    val diff = abs(col("a_only") - col("b_only"))
+    val num = (if (correction) greatest(lit(0L), diff - lit(1L))
+               else diff).cast("decimal(38,0)")
+    agg.select(grp ++ Seq(col("n"), col("both_correct"), col("a_only"),
+      col("b_only"), col("both_wrong"),
+      when(col("a_only") + col("b_only") > 0,
+        (num * num).cast("double") /
+          (col("a_only") + col("b_only")).cast("double")).as("chi2")): _*)
+  }
+
   /** Wilson score interval for a per-group pass/success rate — the
     * slice-eval report with honest uncertainty: a 96%-accurate slice
     * of 25 examples and one of 25,000 are different facts, and the

@@ -2788,4 +2788,35 @@ class ExtSpec extends SparkSpec {
       TextOps.corpusDivergence("source", "text", topV = 0)(
         docs(("s0", "a"))))
   }
+
+  test("fleschReadability: hand counts, sentence floor, vowel-group floor, empty text") {
+    import spark.implicits._
+    def run(text: String) = TextOps.fleschReadability("id", "text")(
+      Seq((1L, Option(text))).toDF("id", "text")).head()
+    // "The cat sat." -> w=3, s=1, syl=3; flesch = 206.835-3.045-84.6
+    val r = run("The cat sat.")
+    assert(r.getAs[Long]("n_words") === 3L &&
+      r.getAs[Long]("n_sentences") === 1L &&
+      r.getAs[Long]("n_syllables") === 3L)
+    assert(math.abs(r.getAs[Double]("flesch") -
+      (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("fk_grade") -
+      (0.39 * 3.0 + 11.8 * 1.0 - 15.59)) < 1e-12)
+    // terminator RUNS count once; contiguous vowels are ONE group
+    val m = run("Hi there! How are you? Good.")
+    assert(m.getAs[Long]("n_words") === 6L &&
+      m.getAs[Long]("n_sentences") === 3L &&
+      m.getAs[Long]("n_syllables") === 8L)
+    // "Wait...!" is one terminator run; "br" floors at 1 syllable
+    val f = run("br Wait...!")
+    assert(f.getAs[Long]("n_sentences") === 1L &&
+      f.getAs[Long]("n_syllables") === 2L) // br floors at 1; wait: "ai" is ONE group
+    // empty and NULL text: the [''] token -> w=1, s=1 (floor), syl=1
+    for (t <- Seq("", null)) {
+      val e = run(t)
+      assert(e.getAs[Long]("n_words") === 1L &&
+        e.getAs[Long]("n_sentences") === 1L &&
+        e.getAs[Long]("n_syllables") === 1L)
+    }
+  }
 }

@@ -1096,4 +1096,37 @@ class ProbesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Probes.bhCorrect("t", "p", alpha = 0.0)(Seq(("a", 0.5)).toDF("t", "p")))
   }
+
+  test("mcnemarTest: hand chi2, correction toggle, no-evidence NULL, NULL drop") {
+    import spark.implicits._
+    // both=2, a_only=3, b_only=1, both_wrong=1: |3-1|=2, CC num=1 -> 1/4
+    val rows = Seq((true, true), (true, true), (true, false), (true, false),
+      (true, false), (false, true), (false, false)).toDF("a", "b")
+    val r = Probes.mcnemarTest(col("a"), col("b"))(rows).head()
+    assert(r.getAs[Long]("n") === 7L &&
+      r.getAs[Long]("both_correct") === 2L &&
+      r.getAs[Long]("a_only") === 3L && r.getAs[Long]("b_only") === 1L &&
+      r.getAs[Long]("both_wrong") === 1L)
+    assert(r.getAs[Double]("chi2") === 0.25)
+    // asymptotic form: (3-1)^2/4 = 1
+    assert(Probes.mcnemarTest(col("a"), col("b"), correction = false)(rows)
+      .head().getAs[Double]("chi2") === 1.0)
+    // tie after correction: |1-1|-1 floored at 0 -> chi2 = 0, not 1/(b+c)
+    val even = Seq((true, false), (false, true)).toDF("a", "b")
+    assert(Probes.mcnemarTest(col("a"), col("b"))(even)
+      .head().getAs[Double]("chi2") === 0.0)
+    // no discordant items: NULL (zero evidence), counts honest
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    val ra = Probes.mcnemarTest(col("a"), col("b"))(agree).head()
+    assert(ra.getAs[java.lang.Double]("chi2") == null &&
+      ra.getAs[Long]("n") === 2L)
+    // NULL flags drop; groups independent
+    val g = Probes.mcnemarTest(col("a"), col("b"), Seq("g"))(
+      Seq(("g1", Some(true), Some(false)), ("g1", Some(true), None),
+        ("g2", Some(false), Some(true))).toDF("g", "a", "b"))
+      .orderBy("g").collect()
+    assert(g.map(_.getAs[Long]("n")).toSeq === Seq(1L, 1L))
+    assert(g(0).getAs[Long]("a_only") === 1L &&
+      g(1).getAs[Long]("b_only") === 1L)
+  }
 }
