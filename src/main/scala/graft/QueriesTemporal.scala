@@ -227,6 +227,15 @@ private[graft] object QueriesTemporal {
         beta = 0.1, tieBreak = "event_id")(table(s, dir, "events"))
         .orderBy("user_id", "ts", "event_id")
     },
+    "holt_winters" -> { (s, dir) =>
+      // the seasonal rung above holt_smooth: level/trend/seasonal
+      // recurrences (period 4) replayed step-for-step by the oracle's
+      // recursive CTE carrying the seasonal ring as a list
+      WindowOps.holtWinters("user_id", "ts", "value", alpha = 0.3,
+        beta = 0.1, gamma = 0.2, period = 4, tieBreak = "event_id")(
+        table(s, dir, "events"))
+        .orderBy("user_id", "ts", "event_id")
+    },
     "rolling_corr" -> { (s, dir) =>
       // does extended price still track quantity? 10-row rolling
       // Pearson per return flag — exact decimal sufficient statistics,
@@ -963,6 +972,49 @@ private[graft] object QueriesTemporal {
         FROM o JOIN r ON o.user_id = r.user_id AND o.i = r.i + 1)
       SELECT user_id, ts, event_id, value, level, trend,
         level + trend AS forecast
+      FROM r ORDER BY user_id, ts, event_id""",
+    // mirrors WindowOps.holtWinters: the holt_smooth recursive CTE
+    // extended with the seasonal ring carried as a LIST(DOUBLE) —
+    // q[1] is the slot one cycle back, each step pops it and appends
+    // the fresh seasonal; every expression repeated verbatim where
+    // the fold names it once
+    "holt_winters" -> s"""
+      WITH RECURSIVE o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC) AS i
+        FROM events WHERE ts IS NOT NULL),
+      r AS (
+        SELECT user_id, ts, event_id, value, i, value AS level,
+          CASE WHEN value IS NULL THEN NULL
+               ELSE CAST(0 AS DOUBLE) END AS trend,
+          CASE WHEN value IS NULL THEN NULL
+               ELSE CAST(0 AS DOUBLE) END AS seasonal,
+          CASE WHEN value IS NULL THEN NULL
+               ELSE [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                     CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)] END AS q
+        FROM o WHERE i = 1
+        UNION ALL
+        SELECT o.user_id, o.ts, o.event_id, o.value, o.i,
+          CASE WHEN o.value IS NULL OR r.level IS NULL THEN NULL
+            ELSE ${0.3} * (o.value - r.q[1])
+               + ${1.0 - 0.3} * (r.level + r.trend) END,
+          CASE WHEN o.value IS NULL OR r.level IS NULL THEN NULL
+            ELSE ${0.1} * ((${0.3} * (o.value - r.q[1])
+                 + ${1.0 - 0.3} * (r.level + r.trend)) - r.level)
+               + ${1.0 - 0.1} * r.trend END,
+          CASE WHEN o.value IS NULL OR r.level IS NULL THEN NULL
+            ELSE ${0.2} * (o.value - (${0.3} * (o.value - r.q[1])
+                 + ${1.0 - 0.3} * (r.level + r.trend)))
+               + ${1.0 - 0.2} * r.q[1] END,
+          CASE WHEN o.value IS NULL OR r.level IS NULL THEN NULL
+            ELSE list_append(r.q[2:4],
+              ${0.2} * (o.value - (${0.3} * (o.value - r.q[1])
+                 + ${1.0 - 0.3} * (r.level + r.trend)))
+               + ${1.0 - 0.2} * r.q[1]) END
+        FROM o JOIN r ON o.user_id = r.user_id AND o.i = r.i + 1)
+      SELECT user_id, ts, event_id, value, level, trend, seasonal,
+        level + trend + q[1] AS forecast
       FROM r ORDER BY user_id, ts, event_id""",
     // mirrors WindowOps.rollingCorr: 1e-9-quantized decimal sufficient
     // statistics over the identical 10-row frame, HUGEINT-exact

@@ -722,6 +722,172 @@ object WindowOps {
         (col("col.__st.l") + col("col.__st.b")).as("forecast"))
   }
 
+  /** Holt–Winters additive triple exponential smoothing —
+    * [[holtSmooth]]'s seasonal rung, the forecaster for metrics with
+    * a CYCLE (crawl volume by hour-of-day, ingest by day-of-week):
+    * Holt's trend term follows a ramp but fights the cycle forever;
+    * the seasonal component absorbs it. Per key in (ts, tieBreak)
+    * order, with `s⁻ = s_{t−period}` (the slot one full cycle back):
+    * `level ← α·(x − s⁻) + (1−α)·(level + trend)`,
+    * `trend ← β·(level − level_prev) + (1−β)·trend_prev`,
+    * `seasonal ← γ·(x − level) + (1−γ)·s⁻`,
+    * and `forecast = level + trend + s_{t+1−period}` is the
+    * one-step-ahead prediction drift monitors alarm against.
+    *
+    * Seeding convention, fixed so the oracle can replay it: level =
+    * first value, trend = 0, the seasonal ring = `period` zeros — the
+    * smoother runs AS Holt for the first cycle and learns the
+    * seasonals from the residuals (γ·(x − level) deposits into each
+    * slot as it first comes around). Deterministic and assumption-
+    * free where the classic first-cycle-mean seeding bakes in a
+    * stationarity guess; at monitor horizons the two converge at the
+    * rate (1−γ)^cycles.
+    *
+    * NULL doctrine = [[holtSmooth]]: a NULL value (or NULL-poisoned
+    * tail) propagates NULL through level/trend/seasonal/forecast and
+    * the ring — a gap poisons the smoother rather than silently
+    * skipping a seasonal slot (which would rotate every later slot
+    * off by one); resample first
+    * ([[graft.ops.TemporalOps.resample]]). NULL timestamps drop.
+    *
+    * `exactOrder = true` (the oracle contract): per-key sorted-array
+    * fold carrying the ring per step — per-key memory
+    * O(events·period), the documented bound (period ≤ 64).
+    * `exactOrder = false` (production): repartition-by-key +
+    * sortWithinPartitions + one streaming pass with an O(period)
+    * ring buffer per key — the [[holtSmooth]] discipline,
+    * bit-identical (the recurrence is order-pinned by the sort either
+    * way; the modes differ only in materialization).
+    *
+    * Output: key, ts, tieBreak, value,
+    * `level, trend, seasonal, forecast`. */
+  def holtWinters(
+      keyField: String, tsField: String, valueField: String,
+      alpha: Double, beta: Double, gamma: Double, period: Int,
+      tieBreak: String, exactOrder: Boolean = true)(
+      df: DataFrame): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0,
+      s"beta must be in [0, 1], got $beta")
+    require(gamma >= 0.0 && gamma <= 1.0,
+      s"gamma must be in [0, 1], got $gamma")
+    require(period >= 2 && period <= 64,
+      s"period must be in [2, 64], got $period")
+    if (!exactOrder) {
+      val prepared = df.filter(col(tsField).isNotNull)
+        .select(col(keyField).as("__k"), col(tsField).as("__t"),
+          col(tieBreak).as("__tb"), col(valueField).cast("double").as("__v"))
+        .repartition(col("__k"))
+        .sortWithinPartitions("__k", "__t", "__tb")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        prepared.schema.fields ++ Seq("level", "trend", "seasonal",
+          "forecast").map(n => org.apache.spark.sql.types.StructField(
+            n, org.apache.spark.sql.types.DoubleType)))
+      val smoothed = prepared.mapPartitions { it =>
+        var curKey: Any = null
+        var started = false
+        var l: java.lang.Double = null
+        var b: java.lang.Double = null
+        var ring: Array[Double] = null // head at `idx`, poisoned -> null
+        var idx = 0
+        var first = true
+        it.map { r =>
+          val k = r.get(0)
+          if (!started || k != curKey) { first = true }
+          curKey = k; started = true
+          val v: java.lang.Double =
+            if (r.isNullAt(3)) null
+            else java.lang.Double.valueOf(r.getDouble(3))
+          var s: java.lang.Double = null
+          if (first) {
+            first = false
+            if (v == null) { l = null; b = null; ring = null }
+            else {
+              l = v; b = java.lang.Double.valueOf(0.0)
+              s = java.lang.Double.valueOf(0.0)
+              ring = new Array[Double](period); idx = 0
+            }
+          } else if (v == null || l == null) {
+            l = null; b = null; ring = null
+          } else {
+            val sm = ring(idx)
+            val lPrev = l.doubleValue(); val bPrev = b.doubleValue()
+            val lNew = alpha * (v.doubleValue() - sm) +
+              (1.0 - alpha) * (lPrev + bPrev)
+            val bNew = beta * (lNew - lPrev) + (1.0 - beta) * bPrev
+            val sNew = gamma * (v.doubleValue() - lNew) + (1.0 - gamma) * sm
+            ring(idx) = sNew // the slot one cycle back is overwritten
+            idx = (idx + 1) % period
+            l = java.lang.Double.valueOf(lNew)
+            b = java.lang.Double.valueOf(bNew)
+            s = java.lang.Double.valueOf(sNew)
+          }
+          val f: java.lang.Double =
+            if (l == null || ring == null) null
+            else java.lang.Double.valueOf(
+              l.doubleValue() + b.doubleValue() + ring(idx))
+          org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), v,
+            l, b, s, f)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      return smoothed.select(col("__k").as(keyField),
+        col("__t").as(tsField), col("__tb").as(tieBreak),
+        col("__v").as(valueField), col("level"), col("trend"),
+        col("seasonal"), col("forecast"))
+    }
+    val arr = sort_array(collect_list(
+      struct(col("__t"), col("__tb"), col("__v"))))
+    val stateType =
+      "array<struct<l:double,b:double,s:double,q:array<double>>>"
+    val nullQ = lit(null).cast("array<double>")
+    val fold = aggregate(col("__arr"),
+      array().cast(stateType),
+      (acc, x) => {
+        val v = x.getField("__v")
+        val prev = element_at(acc, -1)
+        val lPrev = prev.getField("l")
+        val bPrev = prev.getField("b")
+        val qPrev = prev.getField("q")
+        val sm = element_at(qPrev, 1)
+        // lNew spelled once per slot but evaluated identically — the
+        // oracle's recursive CTE repeats the same expression
+        val lNew = lit(alpha) * (v - sm) +
+          lit(1.0 - alpha) * (lPrev + bPrev)
+        val bNew = lit(beta) * (lNew - lPrev) + lit(1.0 - beta) * bPrev
+        val sNew = lit(gamma) * (v - lNew) + lit(1.0 - gamma) * sm
+        val next = when(size(acc) === 0,
+          when(v.isNull, struct(lit(null).cast("double").as("l"),
+            lit(null).cast("double").as("b"),
+            lit(null).cast("double").as("s"), nullQ.as("q")))
+            .otherwise(struct(v.as("l"), lit(0.0).as("b"),
+              lit(0.0).as("s"),
+              array_repeat(lit(0.0), period).as("q"))))
+          .otherwise(when(v.isNull || lPrev.isNull,
+            struct(lit(null).cast("double").as("l"),
+              lit(null).cast("double").as("b"),
+              lit(null).cast("double").as("s"), nullQ.as("q")))
+            .otherwise(struct(lNew.as("l"), bNew.as("b"), sNew.as("s"),
+              concat(slice(qPrev, 2, period - 1), array(sNew)).as("q"))))
+        concat(acc, array(next))
+      })
+    df.filter(col(tsField).isNotNull)
+      .select(col(keyField).as("__k"), col(tsField).as("__t"),
+        col(tieBreak).as("__tb"), col(valueField).cast("double").as("__v"))
+      .groupBy("__k").agg(arr.as("__arr"))
+      .withColumn("__st", fold)
+      .select(col("__k"), posexplode(arrays_zip(col("__arr"), col("__st"))))
+      .select(col("__k").as(keyField),
+        col("col.__arr.__t").as(tsField),
+        col("col.__arr.__tb").as(tieBreak),
+        col("col.__arr.__v").as(valueField),
+        col("col.__st.l").as("level"),
+        col("col.__st.b").as("trend"),
+        col("col.__st.s").as("seasonal"),
+        (col("col.__st.l") + col("col.__st.b") +
+          element_at(col("col.__st.q"), 1)).as("forecast"))
+  }
+
   /** Rolling Pearson correlation between two measures over the last
     * `window` rows per key — the co-movement monitor (does price still
     * track quantity? does latency still track load?) whose BREAK is

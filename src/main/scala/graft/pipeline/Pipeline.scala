@@ -893,6 +893,11 @@ final case class Pipeline(df: DataFrame) {
       iterations: Int = 5): Pipeline =
     >>(graft.ext.Dedup.fellegiSunterAutoTuned(comparisons,
       upperPosterior, lowerPosterior, iterations))
+  def holtWinters(keyField: String, tsField: String, valueField: String,
+      alpha: Double, beta: Double, gamma: Double, period: Int,
+      tieBreak: String, exactOrder: Boolean = true): Pipeline =
+    >>(graft.ops.WindowOps.holtWinters(keyField, tsField, valueField,
+      alpha, beta, gamma, period, tieBreak, exactOrder))
   def holtSmooth(keyField: String, tsField: String, valueField: String,
       alpha: Double, beta: Double, tieBreak: String,
       exactOrder: Boolean = true): Pipeline =

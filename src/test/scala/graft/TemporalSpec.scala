@@ -762,6 +762,80 @@ class TemporalSpec extends SparkSpec {
     assert(exact.except(fast).isEmpty && fast.except(exact).isEmpty)
   }
 
+  test("holtWinters: hand recurrence at exact halves, seasonal learning, NULL poisoning") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), Option(10.0)),
+      (1L, 11L, ts("2024-01-01 11:00:00"), Option(20.0)),
+      (1L, 12L, ts("2024-01-01 12:00:00"), Option(30.0)),
+      (1L, 13L, ts("2024-01-01 13:00:00"), Option(40.0)),
+      (2L, 20L, ts("2024-01-01 09:00:00"), Option(4.0)),
+      (2L, 21L, ts("2024-01-01 10:00:00"), Option.empty[Double]), // poison
+      (2L, 22L, ts("2024-01-01 11:00:00"), Option(5.0)) // stays poisoned
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = graft.ops.WindowOps.holtWinters("user_id", "ts", "value",
+      alpha = 0.5, beta = 0.5, gamma = 0.5, period = 2,
+      tieBreak = "event_id")(events)
+      .orderBy("event_id")
+      .select("level", "trend", "seasonal", "forecast").collect()
+    // hand-rolled at alpha=beta=gamma=1/2, period 2 (exact halves):
+    // t1: l=10 b=0 s=0 q=[0,0] f=10
+    // t2: sm=0: l=15 b=2.5 s=2.5 q=[0,2.5] f=17.5
+    // t3: sm=0: l=23.75 b=5.625 s=3.125 q=[2.5,3.125] f=31.875
+    // t4: sm=2.5: l=33.4375 b=7.65625 s=4.53125 f=44.21875
+    assert(out(0).getDouble(0) === 10.0 && out(0).getDouble(1) === 0.0 &&
+      out(0).getDouble(2) === 0.0 && out(0).getDouble(3) === 10.0)
+    assert(out(1).getDouble(0) === 15.0 && out(1).getDouble(1) === 2.5 &&
+      out(1).getDouble(2) === 2.5 && out(1).getDouble(3) === 17.5)
+    assert(out(2).getDouble(0) === 23.75 &&
+      out(2).getDouble(1) === 5.625 && out(2).getDouble(2) === 3.125 &&
+      out(2).getDouble(3) === 31.875)
+    assert(out(3).getDouble(0) === 33.4375 &&
+      out(3).getDouble(1) === 7.65625 &&
+      out(3).getDouble(2) === 4.53125 && out(3).getDouble(3) === 44.21875)
+    // user 2: a NULL value poisons the tail (all four outputs)
+    assert(out(4).getDouble(0) === 4.0)
+    assert((5 to 6).forall(i => out(i).isNullAt(0) && out(i).isNullAt(3)))
+    // a clean 2-cycle (10,20,10,20,...) is LEARNED: late forecasts hit
+    // the next value closely, where trend-only Holt oscillates
+    val cyc = (1 to 60).map(i =>
+      (9L, i.toLong, ts(f"2024-01-01 ${10 + i / 60}%02d:${i % 60}%02d:00"),
+        Option(if (i % 2 == 1) 10.0 else 20.0)))
+      .toDF("user_id", "event_id", "ts", "value")
+    val fc = graft.ops.WindowOps.holtWinters("user_id", "ts", "value",
+      alpha = 0.3, beta = 0.1, gamma = 0.5, period = 2,
+      tieBreak = "event_id")(cyc)
+      .orderBy("event_id").select("forecast").collect()
+    // forecast at 0-based row i predicts row i+1's value, which is
+    // 1-based step i+2: 10 on odd steps, 20 on even
+    val errs = (40 until 59).map { i =>
+      val next = if ((i + 2) % 2 == 1) 10.0 else 20.0
+      math.abs(fc(i).getDouble(0) - next)
+    }
+    assert(errs.max < 2.0, s"late cycle errors: ${errs.max}")
+    intercept[IllegalArgumentException](graft.ops.WindowOps.holtWinters(
+      "user_id", "ts", "value", alpha = 0.5, beta = 0.5, gamma = 0.5,
+      period = 1, tieBreak = "event_id")(events))
+    intercept[IllegalArgumentException](graft.ops.WindowOps.holtWinters(
+      "user_id", "ts", "value", alpha = 0.5, beta = 0.5, gamma = 1.5,
+      period = 2, tieBreak = "event_id")(events))
+  }
+
+  test("holtWinters exactOrder=false ring-buffer scan is bit-equal to the exact fold") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val exact = graft.ops.WindowOps.holtWinters("user_id", "ts", "value",
+      alpha = 0.3, beta = 0.1, gamma = 0.2, period = 4,
+      tieBreak = "event_id")(events)
+      .select("user_id", "event_id", "level", "trend", "seasonal",
+        "forecast")
+    val fast = graft.ops.WindowOps.holtWinters("user_id", "ts", "value",
+      alpha = 0.3, beta = 0.1, gamma = 0.2, period = 4,
+      tieBreak = "event_id", exactOrder = false)(events)
+      .select("user_id", "event_id", "level", "trend", "seasonal",
+        "forecast")
+    assert(exact.count() === fast.count())
+    assert(exact.except(fast).isEmpty && fast.except(exact).isEmpty)
+  }
+
   test("rollingCorr: exact Pearson on full frames, NULL on partial/degenerate") {
     // y = 2x + 1 over one key: every full frame correlates exactly 1
     val lin = (1 to 15).map(i => ("k", i, i.toDouble, 2.0 * i + 1.0))
