@@ -999,6 +999,60 @@ object Streaming {
       }
   }
 
+  /** Streaming Holt–Winters monitor: [[streamingHolt]]'s seasonal
+    * rung — carries each key's `(level, trend, seasonal ring, slot)`
+    * as typed group state and emits one stamped row per arriving
+    * event with the seasonal one-step-ahead `forecast` — the
+    * unbounded-stream form of [[graft.ops.WindowOps.holtWinters]]
+    * with the SAME recurrences and the SAME zero-seeded ring (runs as
+    * Holt for the first cycle, learns the seasonals from residuals).
+    * Ordering contract = [[streamingCusum]]: event-time order within
+    * a micro-batch (sorted here), arrival order across batches; for a
+    * per-key ordered source the output equals the batch op's
+    * `exactOrder=false` scan BIT-FOR-BIT (identical arithmetic order —
+    * spec-pinned across a two-batch split). State per key is
+    * `period + 3` numbers (period ≤ 64), no timeout. */
+  def streamingHoltWinters(
+      events: Dataset[CusumEvent], alpha: Double, beta: Double,
+      gamma: Double, period: Int): Dataset[HwStat] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0,
+      s"beta must be in [0, 1], got $beta")
+    require(gamma >= 0.0 && gamma <= 1.0,
+      s"gamma must be in [0, 1], got $gamma")
+    require(period >= 2 && period <= 64,
+      s"period must be in [2, 64], got $period")
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[HwState, HwStat](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          var st = state.getOption.orNull
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.tie)).map { e =>
+            var s = 0.0
+            st = if (st == null)
+              HwState(e.value, 0.0, Vector.fill(period)(0.0), 0)
+            else {
+              val sm = st.q(st.idx)
+              val lNew = alpha * (e.value - sm) +
+                (1.0 - alpha) * (st.l + st.b)
+              val bNew = beta * (lNew - st.l) + (1.0 - beta) * st.b
+              val sNew = gamma * (e.value - lNew) + (1.0 - gamma) * sm
+              s = sNew
+              HwState(lNew, bNew, st.q.updated(st.idx, sNew),
+                (st.idx + 1) % period)
+            }
+            HwStat(key, e.ts, e.tie, e.value, st.l, st.b, s,
+              st.l + st.b + st.q(st.idx))
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming rolling-Pearson monitor: carries each key's last
     * `window` observed `(x, y)` pairs (1e-9-quantized to scaled
     * integers — the batch op's money-column discipline) as typed group
@@ -1818,6 +1872,15 @@ case class HoltState(l: Double, b: Double)
 /** One [[Streaming.streamingHolt]] output row per arriving event. */
 case class HoltStat(key: Long, ts: java.sql.Timestamp, tie: Long,
   value: Double, level: Double, trend: Double, forecast: Double)
+
+/** [[Streaming.streamingHoltWinters]]'s per-key state: level, trend,
+  * the seasonal ring (head at `idx`), and the slot pointer. */
+case class HwState(l: Double, b: Double, q: Vector[Double], idx: Int)
+
+/** One [[Streaming.streamingHoltWinters]] output row per event. */
+case class HwStat(key: Long, ts: java.sql.Timestamp, tie: Long,
+  value: Double, level: Double, trend: Double, seasonal: Double,
+  forecast: Double)
 
 /** Per-event output of [[Streaming.streamingCusum]]. */
 case class CusumStat(key: Long, ts: java.sql.Timestamp, tie: Long,

@@ -1198,6 +1198,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingHoltWinters carries the seasonal ring across micro-batches, matching batch") {
+    import graft.streaming.{CusumEvent, HwStat}
+    val input = MemoryStream[CusumEvent]
+    val out = Streaming.streamingHoltWinters(input.toDS(),
+      alpha = 0.5, beta = 0.5, gamma = 0.5, period = 2)
+    val q = out.writeStream.format("memory").queryName("hw")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        CusumEvent(1L, ts("09:00"), 1L, 10.0),
+        CusumEvent(1L, ts("09:01"), 2L, 20.0))
+      q.processAllAvailable()
+      input.addData(
+        CusumEvent(1L, ts("09:02"), 3L, 30.0),
+        CusumEvent(1L, ts("09:03"), 4L, 40.0))
+      q.processAllAvailable()
+      val got = spark.table("hw").orderBy("tie")
+        .as[HwStat].collect().toSeq
+      // the batch spec's hand case: levels 10/15/23.75/33.4375,
+      // seasonals 0/2.5/3.125/4.53125, forecasts 10/17.5/31.875/44.21875
+      assert(got.map(_.level) === Seq(10.0, 15.0, 23.75, 33.4375))
+      assert(got.map(_.seasonal) === Seq(0.0, 2.5, 3.125, 4.53125))
+      assert(got.map(_.forecast) === Seq(10.0, 17.5, 31.875, 44.21875))
+      // batch parity: the exact WindowOps fold on the same rows
+      val batch = Seq(
+        (1L, ts("09:00"), 1L, 10.0), (1L, ts("09:01"), 2L, 20.0),
+        (1L, ts("09:02"), 3L, 30.0), (1L, ts("09:03"), 4L, 40.0))
+        .toDF("k", "t", "tb", "v")
+      val want = graft.ops.WindowOps.holtWinters("k", "t", "v",
+        alpha = 0.5, beta = 0.5, gamma = 0.5, period = 2,
+        tieBreak = "tb")(batch)
+        .orderBy("tb").select("level", "trend", "seasonal", "forecast")
+        .as[(Double, Double, Double, Double)].collect().toSeq
+      assert(got.map(s => (s.level, s.trend, s.seasonal, s.forecast))
+        === want)
+    } finally q.stop()
+    intercept[IllegalArgumentException](Streaming.streamingHoltWinters(
+      input.toDS(), alpha = 0.5, beta = 0.5, gamma = 0.5, period = 1))
+  }
+
   test("windowedOovRate: per-window OOV rollup, batch-probe parity") {
     val vocab = Seq("a", "b").toDF("tok")
     val input = MemoryStream[(Timestamp, String)]
