@@ -1939,6 +1939,39 @@ object ScaleBench {
     }
     println("rows_x,mann_whitney_sec,ks_2sample_sec")
     rows16c.foreach { case (k, tm, tk) => println(f"$k,$tm%.2f,$tk%.2f") }
+
+    // holtWinters (production ring-buffer scan): events ×1/×2/×4 over
+    // disjoint keys — one repartition + per-key O(period) state, must
+    // track the sort; period 4/16/64 at ×1 must be FLAT (the ring is
+    // state, not work)
+    val ev16c = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    def hwEvents(k: Int): DataFrame =
+      (0 until k).map(i => ev16c.select(
+        (col("user_id") + lit(i.toLong * 10_000_000L)).as("user_id"),
+        col("ts"), col("event_id"), col("value")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def hwJob(d: DataFrame, period: Int): Unit =
+      noop(graft.ops.WindowOps.holtWinters("user_id", "ts", "value",
+        alpha = 0.3, beta = 0.1, gamma = 0.2, period = period,
+        tieBreak = "event_id", exactOrder = false)(d))
+    locally { val d1 = hwEvents(1).localCheckpoint(); hwJob(d1, 4); d1.unpersist() }
+    val hwRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = hwEvents(k).localCheckpoint()
+      val t = median3(hwJob(d, 4)); d.unpersist()
+      (k, t)
+    }
+    println("events_x,holt_winters_sec")
+    hwRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    locally {
+      val d1 = hwEvents(1).localCheckpoint()
+      val pr = for (p <- Seq(4, 16, 64)) yield (p, median3(hwJob(d1, p)))
+      d1.unpersist()
+      println("period,holt_winters_sec")
+      pr.foreach { case (p, t) => println(f"$p,$t%.2f") }
+    }
     }
     spark.stop()
   }
