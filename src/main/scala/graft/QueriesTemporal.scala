@@ -432,6 +432,16 @@ private[graft] object QueriesTemporal {
       GraphOps.kCore("src", "dst", k = 9, rounds = 6)(ev)
         .orderBy("node")
     },
+    "k_truss" -> { (s, dir) =>
+      // edge-level cohesion over the same 2000-node derived graph as
+      // k_core: every surviving edge must close >= 2 triangles among
+      // survivors; 5 rounds reach the fixpoint at sf0.01 (68 edges)
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 2000).as("src"),
+          ((col("user_id") * 13 + col("event_id") * 7) % 2000).as("dst"))
+      GraphOps.kTruss("src", "dst", k = 4, rounds = 5)(ev)
+        .orderBy("node_a", "node_b")
+    },
     "label_propagation" -> { (s, dir) =>
       // community detection INSIDE components: 4 synchronous LPA
       // rounds over a sparser 500-node derived graph, deterministic
@@ -1155,6 +1165,14 @@ private[graft] object QueriesTemporal {
         JOIN deg d2 ON d2.node = ne.b2
       ORDER BY node_a, node_b""",
     "hits_scores" -> hitsSql(graphEdgesSql, iterations = 3),
+    // mirrors GraphOps.kTruss: 5 unrolled support-peel rounds, wedge
+    // join per round, final induced support + fixpoint flag
+    "k_truss" -> kTrussSql(
+      """SELECT user_id % 2000 AS s,
+           (user_id * 13 + event_id * 7) % 2000 AS d
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL""",
+      k = 4, rounds = 5),
     // mirrors GraphOps.kCore: 6 unrolled peel rounds over the doubled
     // edge list, induced degree per round, final-degree + fixpoint flag
     "k_core" -> kCoreSql(

@@ -884,7 +884,7 @@ private[graft] object QueryHelpers {
     * global converged flag off the same survivor frame. */
   def kCoreSql(edgesSql: String, k: Int, rounds: Int): String = {
     val iters = (1 to rounds).map { i =>
-      s"""n$i AS (SELECT e2.v FROM ends e2
+      s"""n$i AS MATERIALIZED (SELECT e2.v FROM ends e2
           JOIN n${i - 1} a ON a.v = e2.v JOIN n${i - 1} b ON b.v = e2.n
           GROUP BY e2.v HAVING count(*) >= $k)"""
     }.mkString(",\n      ")
@@ -892,8 +892,9 @@ private[graft] object QueryHelpers {
       WITH e AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
         FROM ($edgesSql)
         WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d),
-      ends AS (SELECT s AS v, d AS n FROM e UNION ALL SELECT d, s FROM e),
-      n0 AS (SELECT DISTINCT v FROM ends),
+      ends AS MATERIALIZED (
+        SELECT s AS v, d AS n FROM e UNION ALL SELECT d, s FROM e),
+      n0 AS MATERIALIZED (SELECT DISTINCT v FROM ends),
       $iters,
       fd AS (SELECT e2.v, CAST(count(*) AS BIGINT) AS degree
         FROM ends e2 JOIN n$rounds a ON a.v = e2.v
@@ -905,6 +906,45 @@ private[graft] object QueryHelpers {
         FROM outn)
       SELECT node, degree, converged FROM outn CROSS JOIN cv
       ORDER BY node"""
+  }
+
+  /** Unrolled k-truss peeling oracle — mirrors `GraphOps.kTruss` round
+    * for round: canonical edge list, per-round triangle support via
+    * the doubled-ends wedge join with the `>= k-2` keep, then the
+    * final induced support and the global converged flag. */
+  def kTrussSql(edgesSql: String, k: Int, rounds: Int): String = {
+    // every e_i is referenced three times by round i+1 (directly and
+    // through both ends sides) — MATERIALIZED stops DuckDB's default
+    // CTE inlining from expanding the unrolled tree 3^rounds-fold
+    val iters = (1 to rounds).map { i =>
+      s"""x$i AS MATERIALIZED (SELECT s AS v, d AS n FROM e${i - 1}
+          UNION ALL SELECT d, s FROM e${i - 1}),
+        e$i AS MATERIALIZED (SELECT e.s, e.d FROM e${i - 1} e
+          JOIN x$i a ON a.v = e.s
+          JOIN x$i b ON b.v = e.d AND b.n = a.n
+          GROUP BY e.s, e.d HAVING count(*) >= ${k - 2})"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        FROM ($edgesSql)
+        WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d),
+      $iters,
+      xf AS (SELECT s AS v, d AS n FROM e$rounds
+        UNION ALL SELECT d, s FROM e$rounds),
+      sup AS (SELECT e.s, e.d, CAST(count(*) AS BIGINT) AS support
+        FROM e$rounds e JOIN xf a ON a.v = e.s
+          JOIN xf b ON b.v = e.d AND b.n = a.n
+        GROUP BY e.s, e.d),
+      outn AS (SELECT e.s, e.d,
+          coalesce(support, CAST(0 AS BIGINT)) AS support
+        FROM e$rounds e
+        LEFT JOIN sup ON sup.s = e.s AND sup.d = e.d),
+      cv AS (SELECT coalesce(min(support >= ${k - 2}), true) AS converged
+        FROM outn)
+      SELECT s AS node_a, d AS node_b, support, converged
+      FROM outn CROSS JOIN cv
+      ORDER BY node_a, node_b"""
   }
 
   def labelPropagationSql(edgesSql: String, rounds: Int): String = {

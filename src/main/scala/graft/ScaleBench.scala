@@ -1972,6 +1972,27 @@ object ScaleBench {
       println("period,holt_winters_sec")
       pr.foreach { case (p, t) => println(f"$p,$t%.2f") }
     }
+
+    // kTruss: edges ×1/×2/×4 over disjoint graphs — per round the
+    // oriented wedge enumeration is Σ outdeg², linear under disjoint
+    // replication (cross-replica wedges never form)
+    def trussGraph(k: Int): DataFrame =
+      (0 until k).map(i => ev16c.select(
+        ((col("user_id") % 2000) + lit(i.toLong * 1_000_000L)).as("src"),
+        (((col("user_id") * 13 + col("event_id") * 7) % 2000) +
+          lit(i.toLong * 1_000_000L)).as("dst")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def trussJob(e: DataFrame): Unit =
+      noop(graft.ext.GraphOps.kTruss("src", "dst", k = 4, rounds = 3)(e))
+    locally { val e1 = trussGraph(1).localCheckpoint(); trussJob(e1); e1.unpersist() }
+    val trussRows = for (k <- Seq(1, 2, 4)) yield {
+      val e = trussGraph(k).localCheckpoint()
+      val t = median3(trussJob(e)); e.unpersist()
+      (k, t)
+    }
+    println("edges_x,k_truss_sec")
+    trussRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
     }
     spark.stop()
   }

@@ -593,6 +593,107 @@ object GraphOps {
     * [[graft.ops.Ops.pinIterationState]] (each round references the
     * frame on both edge directions). Output: `node, degree` (degree in
     * the final induced subgraph) + the global `converged`. */
+  /** k-truss extraction by rounds-bounded support peeling — [[kCore]]'s
+    * EDGE-level sibling and the stricter cohesion cut: the k-truss is
+    * the maximal subgraph where every EDGE closes ≥ k−2 triangles, so
+    * membership needs witnesses (common neighbors), not just degree —
+    * a star hub sails through k-core and dies here, which is exactly
+    * the link-farm / drive-by-link distinction crawl curation wants.
+    * Each round recomputes every surviving edge's triangle support in
+    * the CURRENT subgraph and drops edges below k−2; at a fixpoint the
+    * survivors are the k-truss.
+    *
+    * The [[kCore]] honesty contract, verbatim: `rounds` is FIXED (an
+    * oracle can replay a fixed count), peeling is monotone, and the
+    * per-row `converged` flag distinguishes "this IS the truss" from
+    * "a strict supergraph — raise rounds". Edge doctrine as everywhere
+    * in this file: NULL endpoints and self-loops drop, direction
+    * erased, parallel edges DISTINCT to one.
+    *
+    * Exactness: supports are exact integer triangle counts; no float
+    * anywhere. Scale shape: per round, ONE wedge enumeration — the
+    * doubled edge list joined to itself through the shared endpoint,
+    * matched against the edge frame — i.e. two equi-joins + one
+    * hash-agg; the intermediate is the wedge volume Σ_v deg(v)², the
+    * same bill [[linkPrediction]] documents (its maxDegree-cap note
+    * applies: cap hub degrees upstream on power-law graphs). Survivor
+    * frames pin through [[graft.ops.Ops.pinIterationState]].
+    * Output per surviving edge: `node_a < node_b, support` (support in
+    * the final induced subgraph) + the global `converged`. */
+  def kTruss(srcField: String, dstField: String, k: Int,
+      rounds: Int = 10)(edges: DataFrame): DataFrame = {
+    require(k >= 3 && k <= 1000000, s"k must be in [3, 1e6], got $k")
+    require(rounds >= 1 && rounds <= 30,
+      s"rounds must be in [1, 30], got $rounds")
+    val minSup = (k - 2).toLong
+    var e = edges
+      .select(col(srcField).as("__a"), col(dstField).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__s"),
+        greatest(col("__a"), col("__b")).as("__d"))
+      .distinct()
+      .localCheckpoint()
+    // Degree-ordered orientation (the [[triangleStats]] design): each
+    // triangle is enumerated EXACTLY ONCE from its lowest-(degree, id)
+    // apex, then credited to all three of its edges. Wedge volume
+    // drops from Σ deg² to Σ outdeg² — the difference between a hub
+    // exploding the join (power-law graphs) and not.
+    def support(cur: DataFrame): DataFrame = {
+      val ends = cur.select(col("__s").as("__v"), col("__d").as("__n"))
+        .unionByName(cur.select(col("__d").as("__v"), col("__s").as("__n")))
+      val deg = ends.groupBy(col("__v")).agg(count(lit(1)).as("__deg"))
+      val oriented = ends
+        .join(deg.select(col("__v"), col("__deg").as("__dv")), Seq("__v"))
+        .join(deg.select(col("__v").as("__n"), col("__deg").as("__dn")),
+          Seq("__n"))
+        .filter(col("__dv") < col("__dn") ||
+          (col("__dv") === col("__dn") && col("__v") < col("__n")))
+        .select(col("__v"), col("__n"), col("__dn"))
+      // wedges (a→b, a→c) with b strictly before c in the SAME
+      // (degree, id) order the orientation uses, so the closing edge
+      // can only be oriented b→c — one equi-semi-join decides it
+      val wedges = oriented
+        .select(col("__v").as("__a"), col("__n").as("__b"),
+          col("__dn").as("__db"))
+        .join(oriented.select(col("__v").as("__a"), col("__n").as("__c"),
+          col("__dn").as("__dc")), Seq("__a"))
+        .filter(col("__db") < col("__dc") ||
+          (col("__db") === col("__dc") && col("__b") < col("__c")))
+      val triangles = wedges
+        .join(oriented.select(col("__v").as("__b"), col("__n").as("__c")),
+          Seq("__b", "__c"), "left_semi")
+      triangles
+        .select(explode(array(
+          struct(least(col("__a"), col("__b")).as("__s"),
+            greatest(col("__a"), col("__b")).as("__d")),
+          struct(least(col("__a"), col("__c")).as("__s"),
+            greatest(col("__a"), col("__c")).as("__d")),
+          struct(least(col("__b"), col("__c")).as("__s"),
+            greatest(col("__b"), col("__c")).as("__d")))).as("__e"))
+        .groupBy(col("__e.__s").as("__s"), col("__e.__d").as("__d"))
+        .agg(count(lit(1)).as("__sup"))
+    }
+    var r = 0
+    while (r < rounds) {
+      e = graft.ops.Ops.pinIterationState(
+        support(e).filter(col("__sup") >= minSup)
+          .select(col("__s"), col("__d")))
+      r += 1
+    }
+    // support in the FINAL induced subgraph off the same frame;
+    // a survivor whose last witnesses were peeled has no support row —
+    // coalesce to 0 so it honestly fails the fixpoint check
+    val finalSup = e.join(support(e), Seq("__s", "__d"), "left")
+      .select(col("__s"), col("__d"),
+        coalesce(col("__sup"), lit(0L)).as("support"))
+    val conv = finalSup.agg(
+      coalesce(min(col("support") >= minSup), lit(true)).as("converged"))
+    finalSup.crossJoin(broadcast(conv))
+      .select(col("__s").as("node_a"), col("__d").as("node_b"),
+        col("support"), col("converged"))
+  }
+
   def kCore(srcField: String, dstField: String, k: Int, rounds: Int = 10)(
       edges: DataFrame): DataFrame = {
     require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")

@@ -856,6 +856,9 @@ final case class Pipeline(df: DataFrame) {
   def kCore(srcField: String, dstField: String, k: Int,
       rounds: Int = 10): Pipeline =
     >>(graft.ext.GraphOps.kCore(srcField, dstField, k, rounds))
+  def kTruss(srcField: String, dstField: String, k: Int,
+      rounds: Int = 10): Pipeline =
+    >>(graft.ext.GraphOps.kTruss(srcField, dstField, k, rounds))
   def corpusDivergence(sourceField: String, textField: String,
       topV: Int = 1000): Pipeline =
     >>(graft.ext.TextOps.corpusDivergence(sourceField, textField, topV))

@@ -2750,6 +2750,46 @@ class ExtSpec extends SparkSpec {
       GraphOps.kCore("src", "dst", k = 2, rounds = 0)(tri))
   }
 
+  test("kTruss: K4 survives, weak triangle peels, cascade honesty flag, hygiene") {
+    import graft.ext.GraphOps
+    // K4 {1,2,3,4} + a pendant triangle {4,5,6}: every K4 edge closes
+    // 2 triangles, the pendant's close 1 -> the 4-truss is exactly K4
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val r = GraphOps.kTruss("src", "dst", k = 4, rounds = 3)(g)
+      .orderBy("node_a", "node_b").collect()
+    assert(r.map(x => (x.getAs[Long]("node_a"), x.getAs[Long]("node_b")))
+      .toSeq === Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L)))
+    assert(r.forall(_.getAs[Long]("support") === 2L))
+    assert(r.forall(_.getAs[Boolean]("converged")))
+    // k=3 keeps every triangle edge and drops the triangle-free one
+    val g3 = g.union(Seq((6L, 7L)).toDF("src", "dst"))
+    val r3 = GraphOps.kTruss("src", "dst", k = 3, rounds = 3)(g3)
+      .collect()
+    assert(r3.length === 9 && r3.forall(_.getAs[Long]("support") >= 1L))
+    // diamond (square + one diagonal) under k=4 peels in CASCADE:
+    // round 1 leaves the diagonal alone (its support was 2), which
+    // is NOT a 4-truss -> flag false; round 2 empties it -> true
+    val dia = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val r1 = GraphOps.kTruss("src", "dst", k = 4, rounds = 1)(dia)
+      .collect()
+    assert(r1.map(x => (x.getAs[Long]("node_a"),
+      x.getAs[Long]("node_b"))).toSeq === Seq((1L, 3L)))
+    assert(r1.forall(!_.getAs[Boolean]("converged")))
+    assert(GraphOps.kTruss("src", "dst", k = 4, rounds = 2)(dia)
+      .count() === 0L)
+    // hygiene: reciprocal pair + self-loop collapse; k guard
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val rm = GraphOps.kTruss("src", "dst", k = 3, rounds = 2)(messy)
+      .orderBy("node_a", "node_b").collect()
+    assert(rm.length === 3 && rm.forall(_.getAs[Long]("support") === 1L))
+    intercept[IllegalArgumentException](
+      GraphOps.kTruss("src", "dst", k = 2)(g))
+  }
+
   test("corpusDivergence: identical zero, disjoint max, rest-bucket fold, hand values") {
     def docs(rows: (String, String)*) =
       rows.toSeq.toDF("source", "text")

@@ -84,6 +84,7 @@ class PlanAuditSpec extends SparkSpec {
     "t_closeness",       // broadcast one-row global sensitive-total
     "bradley_terry",     // broadcast one-row L1 normalizer per MM round
     "k_core",            // broadcast one-row converged-flag aggregate
+    "k_truss",           // broadcast one-row converged-flag aggregate
     "corpus_divergence") // broadcast bounded top-V+1 term frame + one-row totals
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
