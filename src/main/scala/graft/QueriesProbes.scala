@@ -339,6 +339,14 @@ private[graft] object QueriesProbes {
       Probes.bhCorrect("event_type", "p_value", alpha = 0.25)(p)
         .orderBy("event_type")
     },
+    "theil_sen" -> { (s, dir) =>
+      // robust drift rate of value over event_id per type, on the
+      // 1/20-sampled slice (the op's bounded-slice contract): median
+      // pairwise slope + median-residual intercept
+      Probes.theilSen("event_type", "event_id", "event_id", "value")(
+        table(s, dir, "events").filter(col("event_id") % 20 === 0))
+        .orderBy("event_type")
+    },
     "mcnemar_test" -> { (s, dir) =>
       // paired comparison of two deterministic "classifiers" of the
       // value >= 20 target on the SAME events: a threshold system vs
@@ -1168,6 +1176,10 @@ private[graft] object QueriesProbes {
         CASE WHEN na > 0 AND nb > 0
           THEN CAST(u2 AS DOUBLE) / (CAST(2 AS DOUBLE)
             * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS auc,
+        CASE WHEN na > 0 AND nb > 0
+          THEN CAST(u2 AS DOUBLE)
+            / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+            - CAST(1 AS DOUBLE) END AS cliffs_delta,
         CASE WHEN na > 0 AND nb > 0 AND variance > CAST(0 AS DOUBLE)
           THEN CAST(u2 - CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
               AS DOUBLE)
@@ -1228,6 +1240,39 @@ private[graft] object QueriesProbes {
       SELECT event_type, p, rnk AS rank, m, p_adj,
         p_adj <= ${litD(0.25)} AS reject
       FROM f ORDER BY event_type""",
+    // mirrors Probes.theilSen: the same i<j pair frame with vertical
+    // pairs dropped, (value, pair-id)-pinned row_number selection,
+    // (min+max)/2 of the one or two middle rows for both medians
+    "theil_sen" -> """
+      WITH b AS (SELECT event_type AS g, event_id AS i,
+          CAST(event_id AS DOUBLE) AS x, value AS y
+        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+          AND event_id % 20 = 0),
+      sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g),
+      p AS (SELECT a.g AS g, a.i AS ia, c.i AS ib,
+          (c.y - a.y) / (c.x - a.x) AS s
+        FROM b a JOIN b c ON a.g = c.g AND a.i < c.i AND a.x <> c.x),
+      pr AS (SELECT g, s,
+          CAST(row_number() OVER (PARTITION BY g ORDER BY s, ia, ib)
+            AS BIGINT) AS rn,
+          CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS c
+        FROM p),
+      ms AS (SELECT g, max(c) AS n_pairs,
+          (min(s) + max(s)) / CAST(2 AS DOUBLE) AS slope
+        FROM pr WHERE rn = (c + 1) // 2 OR rn = c // 2 + 1 GROUP BY g),
+      res AS (SELECT b.g AS g, b.i AS i, b.y - ms.slope * b.x AS r
+        FROM b JOIN ms ON ms.g = b.g),
+      rr AS (SELECT g, r,
+          CAST(row_number() OVER (PARTITION BY g ORDER BY r, i)
+            AS BIGINT) AS rn,
+          CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS c
+        FROM res),
+      mi AS (SELECT g, (min(r) + max(r)) / CAST(2 AS DOUBLE) AS intercept
+        FROM rr WHERE rn = (c + 1) // 2 OR rn = c // 2 + 1 GROUP BY g)
+      SELECT sz.g AS event_type, sz.n,
+        coalesce(n_pairs, CAST(0 AS BIGINT)) AS n_pairs, slope, intercept
+      FROM sz LEFT JOIN ms ON ms.g = sz.g LEFT JOIN mi ON mi.g = sz.g
+      ORDER BY event_type""",
     // mirrors Probes.mcnemarTest: exact contingency counts, the
     // continuity-corrected squared-integer numerator in HUGEINT, one
     // final division; b+c = 0 -> NULL (zero evidence, not zero diff)

@@ -1653,6 +1653,9 @@ object Probes {
     *   - `auc = U_A/(n_A·n_B)` — the common-language effect size,
     *     literally P(random A > random B) + ½P(tie), i.e. the ROC AUC
     *     of the side label against the value;
+    *   - `cliffs_delta = 2·auc − 1` — the same fact on the
+    *     [−1, 1] scale (P(A>B) − P(A<B)), the effect size the
+    *     nonparametric-reporting guidelines ask for beside U;
     *   - `z` — the tie-corrected normal approximation
     *     `(U_A − n_A n_B/2) / √(n_A n_B/12 · ((n+1) − Σ(t³−t)/(n(n−1))))`
     *     (Σ(t³−t) is the exact integer Σ_rows(t²−1), order-free).
@@ -1666,7 +1669,8 @@ object Probes {
     * partition (the [[spearmanCorr]] cost class), one hash-agg. Empty
     * `groupCols` = one global partition — the documented single-task
     * cost of an ungrouped exact rank test; shard by a group column at
-    * corpus scale. Output per group: `n_a, n_b, u_a, auc, z`. */
+    * corpus scale. Output per group:
+    * `n_a, n_b, u_a, auc, cliffs_delta, z`. */
   def mannWhitneyU(side: Column, value: Column,
       groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1707,6 +1711,9 @@ object Probes {
           col("__u2").cast("double") / lit(2.0)).as("u_a"),
         when(col("n_a") > 0 && col("n_b") > 0,
           col("__u2").cast("double") / (lit(2.0) * naD * nbD)).as("auc"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__u2").cast("double") / (naD * nbD) - lit(1.0))
+          .as("cliffs_delta"),
         when(col("n_a") > 0 && col("n_b") > 0 && variance > 0.0,
           (col("__u2") - dec(col("n_a")) * dec(col("n_b")))
             .cast("double") / (lit(2.0) * sqrt(variance))).as("z")): _*)
@@ -1830,6 +1837,93 @@ object Probes {
       .select(grp ++ Seq(col("__id").as(idField), col("__p").as("p"),
         col("rank"), col("m"), col("p_adj"),
         (col("p_adj") <= lit(alpha)).as("reject")): _*)
+  }
+
+  /** Theil–Sen robust trend estimator per group — the median of all
+    * pairwise slopes, with the median-residual intercept: the drift
+    * RATE report ([[graft.ops.WindowOps.cusumShift]] says "a shift
+    * happened", [[graft.ops.WindowOps.holtSmooth]] tracks it; this
+    * states the trend as one number) that a 29%-contamination
+    * breakdown point makes immune to the outliers that drag ordinary
+    * least squares — the standard robust line for noisy pipeline
+    * metrics.
+    *
+    * Pair enumeration is the [[kendallTau]] contract verbatim:
+    * explicit `id_a < id_b` within-group self-join, O(n²) BY
+    * CONSTRUCTION, `maxN`-guarded with a loud raise_error — trend a
+    * bounded metric slice (daily rollups, sampled probes), not a raw
+    * corpus. Vertical pairs (x_a = x_b, slope undefined) drop, per
+    * the standard definition.
+    *
+    * Determinism: both medians are exact SELECTIONS — rows are
+    * row_number-pinned by (value, pair ids) and the median is
+    * `(min + max)/2` of the one or two middle rows (odd/even), a
+    * fixed dag over order-free extrema; no accumulation anywhere.
+    * The slope is one IEEE division per pair, the residuals one
+    * multiply-subtract per point. A group with no valid pairs (all x
+    * equal, or a single row) reads NULL slope/intercept with honest
+    * counts. NULL id/x/y rows drop.
+    *
+    * Scale shape: the guarded pair join + two window-sorts (pairs,
+    * then points) per group partition. Output per group:
+    * `n, n_pairs, slope, intercept`. */
+  def theilSen(groupField: String, idField: String, xField: String,
+      yField: String, maxN: Int = 10000)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxN >= 2 && maxN <= 100000,
+      s"maxN must be in [2, 100000], got $maxN")
+    val base = df
+      .filter(col(xField).isNotNull && col(yField).isNotNull &&
+        col(idField).isNotNull)
+      .select(col(groupField).as("__g"), col(idField).as("__i"),
+        col(xField).cast("double").as("__x"),
+        col(yField).cast("double").as("__y"))
+    // the quadratic guard: any group past maxN raises before the join
+    val sized = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .select(col("__g"),
+        when(col("__n") > maxN, raise_error(concat(
+          lit(s"theilSen: group "), col("__g").cast(StringType),
+          lit(s" has "), col("__n").cast(StringType),
+          lit(s" rows > maxN=$maxN — the pair join is O(n^2); " +
+            "trend a bounded slice"))).cast("long"))
+          .otherwise(col("__n")).as("__n"))
+    val a = base.select(col("__g"), col("__i").as("__ia"),
+      col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = base.select(col("__g"), col("__i").as("__ib"),
+      col("__x").as("__xb"), col("__y").as("__yb"))
+    val pairs = a.join(b, Seq("__g"))
+      .filter(col("__ia") < col("__ib") && col("__xa") =!= col("__xb"))
+      .withColumn("__s",
+        (col("__yb") - col("__ya")) / (col("__xb") - col("__xa")))
+    def medianOf(frame: DataFrame, v: String, ties: Seq[String],
+        out: String, cntOut: String): DataFrame = {
+      val wOrd = Window.partitionBy(col("__g"))
+        .orderBy(col(v) +: ties.map(col): _*)
+      val wAll = Window.partitionBy(col("__g"))
+      val ranked = frame
+        .withColumn("__rn", row_number().over(wOrd).cast("long"))
+        .withColumn("__c", count(lit(1)).over(wAll))
+      // Spark's `/` on longs is TRUE division (double) — floor+cast
+      // makes both middle indices the integer ranks the oracle's `//`
+      // computes
+      ranked
+        .filter(col("__rn") === floor((col("__c") + 1) / 2).cast("long") ||
+          col("__rn") === floor(col("__c") / 2).cast("long") + 1)
+        .groupBy(col("__g"))
+        .agg(max(col("__c")).as(cntOut),
+          ((min(col(v)) + max(col(v))) / lit(2.0)).as(out))
+    }
+    val ms = medianOf(pairs, "__s", Seq("__ia", "__ib"),
+      "slope", "n_pairs")
+    val res = base.join(ms.select(col("__g"), col("slope")), Seq("__g"))
+      .withColumn("__r", col("__y") - col("slope") * col("__x"))
+    val mi = medianOf(res, "__r", Seq("__i"), "intercept", "__cpts")
+    sized
+      .join(ms, Seq("__g"), "left")
+      .join(mi.select(col("__g"), col("intercept")), Seq("__g"), "left")
+      .select(col("__g").as(groupField), col("__n").as("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("slope"), col("intercept"))
   }
 
   /** McNemar's test — the PAIRED classifier comparison: two systems

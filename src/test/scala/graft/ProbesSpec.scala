@@ -999,8 +999,10 @@ class ProbesSpec extends SparkSpec {
     // complete separation: A below B -> U=0, auc=0; A above -> U=4, auc=1
     val lo = run(Seq((true, 1.0), (true, 2.0), (false, 3.0), (false, 4.0)))
     assert(lo.getAs[Double]("u_a") === 0.0 && lo.getAs[Double]("auc") === 0.0)
+    assert(lo.getAs[Double]("cliffs_delta") === -1.0)
     val hi = run(Seq((true, 3.0), (true, 4.0), (false, 1.0), (false, 2.0)))
     assert(hi.getAs[Double]("u_a") === 4.0 && hi.getAs[Double]("auc") === 1.0)
+    assert(hi.getAs[Double]("cliffs_delta") === 1.0)
     // tie average-rank carry: A={1,2}, B={2,3} -> R_A=3.5, U_A=0.5
     val tied = run(Seq((true, 1.0), (true, 2.0), (false, 2.0), (false, 3.0)))
     assert(tied.getAs[Double]("u_a") === 0.5 &&
@@ -1009,10 +1011,12 @@ class ProbesSpec extends SparkSpec {
     val z = run(Seq((true, 1.0), (true, 3.0), (false, 2.0), (false, 4.0)))
       .getAs[Double]("z")
     assert(math.abs(z - (-1.0 / math.sqrt(5.0 / 3.0))) < 1e-15)
-    // all values tied: zero variance -> z NULL; auc = 1/2 (all-tie mass)
+    // all values tied: zero variance -> z NULL; auc = 1/2 (all-tie
+    // mass), cliffs delta exactly 0
     val flat = run(Seq((true, 5.0), (true, 5.0), (false, 5.0)))
     assert(flat.getAs[java.lang.Double]("z") == null &&
-      flat.getAs[Double]("auc") === 0.5)
+      flat.getAs[Double]("auc") === 0.5 &&
+      flat.getAs[Double]("cliffs_delta") === 0.0)
     // one side empty: all three stats NULL, counts honest
     val one = run(Seq((true, 1.0), (true, 2.0)))
     assert(one.getAs[Long]("n_a") === 2L && one.getAs[Long]("n_b") === 0L &&
@@ -1095,6 +1099,49 @@ class ProbesSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("p out of [0,1]")))
     intercept[IllegalArgumentException](
       Probes.bhCorrect("t", "p", alpha = 0.0)(Seq(("a", 0.5)).toDF("t", "p")))
+  }
+
+  test("theilSen: outlier immunity, even-count median, vertical pairs, guard") {
+    import spark.implicits._
+    def run(pts: Seq[(Long, Double, Double)], maxN: Int = 10000) =
+      Probes.theilSen("g", "i", "x", "y", maxN)(
+        pts.map { case (i, x, y) => ("g", i, x, y) }
+          .toDF("g", "i", "x", "y")).head()
+    // y = 2x with one wild outlier: OLS is dragged, Theil-Sen is not —
+    // 6 of 10 slopes are exactly 2, both middles land on 2; residuals
+    // (0,0,0,0,90) give intercept 0
+    val out = run(Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0),
+      (4L, 4.0, 8.0), (5L, 5.0, 100.0)))
+    assert(out.getAs[Long]("n") === 5L && out.getAs[Long]("n_pairs") === 10L)
+    assert(out.getAs[Double]("slope") === 2.0 &&
+      out.getAs[Double]("intercept") === 0.0)
+    // two points: one pair, exact line y = 2x - 1
+    val two = run(Seq((1L, 1.0, 1.0), (2L, 2.0, 3.0)))
+    assert(two.getAs[Double]("slope") === 2.0 &&
+      two.getAs[Double]("intercept") === -1.0)
+    // even slope count averages the two middles: x=1..4, y=(0,1,3,6)
+    // gives slopes sorted (1, 1.5, 2, 2, 2.5, 3) -> (2+2)/2 = 2
+    val even = run(Seq((1L, 1.0, 0.0), (2L, 2.0, 1.0), (3L, 3.0, 3.0),
+      (4L, 4.0, 6.0)))
+    assert(even.getAs[Double]("slope") === 2.0)
+    // UNEQUAL even middles must truly average (the long-`/`-is-double
+    // trap): y=(0,1,3,7) -> slopes (1, 1.5, 2, 7/3, 3, 4) -> (2+7/3)/2
+    val uneq = run(Seq((1L, 1.0, 0.0), (2L, 2.0, 1.0), (3L, 3.0, 3.0),
+      (4L, 4.0, 7.0)))
+    assert(uneq.getAs[Double]("slope") === (2.0 + 7.0 / 3.0) / 2.0)
+    // all x equal: vertical pairs drop, honest NULLs
+    val vert = run(Seq((1L, 1.0, 1.0), (2L, 1.0, 5.0)))
+    assert(vert.getAs[Long]("n") === 2L &&
+      vert.getAs[Long]("n_pairs") === 0L &&
+      vert.getAs[java.lang.Double]("slope") == null &&
+      vert.getAs[java.lang.Double]("intercept") == null)
+    // the quadratic guard fails loudly past maxN
+    val ex = intercept[Exception] {
+      run(Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 3.0, 3.0)), maxN = 2)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("pair join is O(n^2)")))
   }
 
   test("mcnemarTest: hand chi2, correction toggle, no-evidence NULL, NULL drop") {
