@@ -911,6 +911,189 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kTruss edges live inside the (k-1)-core (the classic nesting theorem)") {
+    // every edge of the k-truss has both endpoints of induced degree
+    // >= k-1 inside it, so its node set is a subgraph of the
+    // (k-1)-core; random graphs, rounds high enough that both flags
+    // read converged (peel depth <= |V|)
+    val edgeGen = Gen.listOfN(24,
+      Gen.zip(Gen.chooseNum(1L, 10L), Gen.chooseNum(1L, 10L)))
+    for (es <- draws(edgeGen, 4)) {
+      val df = es.toDF("src", "dst")
+      val truss = graft.ext.GraphOps.kTruss("src", "dst", k = 4,
+        rounds = 25)(df).collect()
+      val core = graft.ext.GraphOps.kCore("src", "dst", k = 3,
+        rounds = 25)(df).collect()
+      assert(truss.forall(_.getAs[Boolean]("converged")) &&
+        core.forall(_.getAs[Boolean]("converged")))
+      val coreNodes = core.map(_.getAs[Long]("node")).toSet
+      val trussNodes = truss.flatMap(r => Seq(r.getAs[Long]("node_a"),
+        r.getAs[Long]("node_b"))).toSet
+      assert(trussNodes.subsetOf(coreNodes),
+        s"truss nodes $trussNodes escape the 3-core $coreNodes")
+    }
+  }
+
+  test("rank tests: negation anti-symmetry and side-swap complements") {
+    val gen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(-9, 9),
+      Gen.chooseNum(-9, 9), Gen.oneOf(true, false)))
+    for (rows <- draws(gen, 4)) {
+      val df = rows.zipWithIndex.map { case ((x, y, a), i) =>
+        ("g", i.toLong, x.toDouble, y.toDouble, a) }
+        .toDF("g", "i", "x", "y", "a")
+      // kendall: negating y swaps C and D EXACTLY -> tau flips bit-exactly
+      val t1 = graft.probes.Probes.kendallTau("g", "i", "x", "y")(df)
+        .head()
+      val t2 = graft.probes.Probes.kendallTau("g", "i", "x", "yn")(
+        df.withColumn("yn", -col("y"))).head()
+      assert(t1.getAs[Long]("concordant") === t2.getAs[Long]("discordant"))
+      (Option(t1.getAs[java.lang.Double]("tau_b")),
+        Option(t2.getAs[java.lang.Double]("tau_b"))) match {
+        case (Some(a), Some(b)) => assert(a.doubleValue === -b.doubleValue)
+        case (a, b) => assert(a.isEmpty && b.isEmpty)
+      }
+      // spearman: rank reversal is an exact integer identity; the
+      // final double dag may round differently -> 1e-12 tolerance
+      val s1 = graft.probes.Probes.spearmanCorr("g", "x", "y")(df).head()
+      val s2 = graft.probes.Probes.spearmanCorr("g", "x", "yn")(
+        df.withColumn("yn", -col("y"))).head()
+      (Option(s1.getAs[java.lang.Double]("rho")),
+        Option(s2.getAs[java.lang.Double]("rho"))) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a.doubleValue + b.doubleValue) < 1e-12)
+        case (a, b) => assert(a.isEmpty && b.isEmpty)
+      }
+      // mann-whitney: swapping sides complements AUC and flips delta/z
+      val m1 = graft.probes.Probes.mannWhitneyU(col("a"), col("x"))(df)
+        .head()
+      val m2 = graft.probes.Probes.mannWhitneyU(!col("a"), col("x"))(df)
+        .head()
+      if (m1.getAs[Long]("n_a") > 0 && m1.getAs[Long]("n_b") > 0) {
+        assert(math.abs(m1.getAs[Double]("auc") +
+          m2.getAs[Double]("auc") - 1.0) < 1e-12)
+        assert(math.abs(m1.getAs[Double]("cliffs_delta") +
+          m2.getAs[Double]("cliffs_delta")) < 1e-12)
+      }
+      // ks: the sup gap is side-symmetric BIT-EXACTLY (|.| of exact
+      // integers), and so is where it is attained
+      val k1 = graft.probes.Probes.ksTest(col("a"), col("x"))(df).head()
+      val k2 = graft.probes.Probes.ksTest(!col("a"), col("x"))(df).head()
+      if (k1.getAs[Long]("n_a") > 0 && k1.getAs[Long]("n_b") > 0) {
+        assert(k1.getAs[Double]("ks_stat") === k2.getAs[Double]("ks_stat"))
+        assert(k1.getAs[Double]("ks_at") === k2.getAs[Double]("ks_at"))
+      }
+    }
+  }
+
+  test("bhCorrect invariants: p_adj >= p, monotone in rank, prefix rejections") {
+    val gen = Gen.listOfN(12, Gen.chooseNum(0, 1000))
+    for (ps <- draws(gen, 4)) {
+      val df = ps.zipWithIndex.map { case (p, i) =>
+        (s"t$i", p / 1000.0) }.toDF("t", "p")
+      val rows = graft.probes.Probes.bhCorrect("t", "p", alpha = 0.1)(df)
+        .orderBy("rank").collect()
+      rows.foreach { r =>
+        assert(r.getAs[Double]("p_adj") >= r.getAs[Double]("p") - 1e-15)
+        assert(r.getAs[Double]("p_adj") <= 1.0)
+      }
+      val adj = rows.map(_.getAs[Double]("p_adj")).toSeq
+      assert(adj === adj.sorted, "adjusted p must be monotone in rank")
+      val rej = rows.map(_.getAs[Boolean]("reject")).toSeq
+      assert(!rej.dropWhile(identity).contains(true),
+        "rejections must form a prefix of the rank order")
+    }
+  }
+
+  test("holtWinters with gamma = 0 IS holtSmooth, bit for bit") {
+    val gen = Gen.listOfN(16, Gen.chooseNum(-50.0, 50.0))
+    for (vs <- draws(gen, 4)) {
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        (1L, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00"),
+          i.toLong, math.rint(v * 100) / 100) }
+        .toDF("k", "t", "tb", "v")
+      // gamma = 0 pins every seasonal slot at its zero seed, so the
+      // level/trend/forecast dags collapse to Holt's exactly
+      val hw = graft.ops.WindowOps.holtWinters("k", "t", "v",
+        alpha = 0.3, beta = 0.1, gamma = 0.0, period = 3,
+        tieBreak = "tb")(df)
+        .orderBy("tb").select("level", "trend", "forecast")
+        .as[(Double, Double, Double)].collect().toSeq
+      val h = graft.ops.WindowOps.holtSmooth("k", "t", "v",
+        alpha = 0.3, beta = 0.1, tieBreak = "tb")(df)
+        .orderBy("tb").select("level", "trend", "forecast")
+        .as[(Double, Double, Double)].collect().toSeq
+      assert(hw === h)
+    }
+  }
+
+  test("theilSen affine equivariance: y -> a*y + b maps the fitted line with it") {
+    val gen = Gen.listOfN(12, Gen.zip(Gen.chooseNum(-20, 20),
+      Gen.chooseNum(-20, 20)))
+    for (pts <- draws(gen, 4)) {
+      val df = pts.zipWithIndex.map { case ((x, y), i) =>
+        ("g", i.toLong, x.toDouble, y.toDouble) }.toDF("g", "i", "x", "y")
+      val base = graft.probes.Probes.theilSen("g", "i", "x", "y")(df)
+        .head()
+      val mapped = graft.probes.Probes.theilSen("g", "i", "x", "ym")(
+        df.withColumn("ym", col("y") * 2.0 + 3.0)).head()
+      (Option(base.getAs[java.lang.Double]("slope")),
+        Option(mapped.getAs[java.lang.Double]("slope"))) match {
+        case (Some(s), Some(sm)) =>
+          assert(math.abs(sm.doubleValue - 2.0 * s.doubleValue) < 1e-9)
+          assert(math.abs(mapped.getAs[Double]("intercept") -
+            (2.0 * base.getAs[Double]("intercept") + 3.0)) < 1e-9)
+        case (s, sm) => assert(s.isEmpty && sm.isEmpty)
+      }
+    }
+  }
+
+  test("corpusDivergence and mcnemar are symmetric under side/label swap") {
+    val docGen = Gen.listOfN(10, Gen.zip(Gen.oneOf("s0", "s1"),
+      Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d", "e"))))
+    for (docs <- draws(docGen, 4)) {
+      val df = docs.map { case (s, ws) => (s, ws.mkString(" ")) }
+        .toDF("source", "text")
+      val swapped = docs.map { case (s, ws) =>
+        (if (s == "s0") "s1" else "s0", ws.mkString(" ")) }
+        .toDF("source", "text")
+      def row(d: org.apache.spark.sql.DataFrame) =
+        graft.ext.TextOps.corpusDivergence("source", "text", topV = 3)(d)
+          .select("tvd", "hellinger", "chi_sq")
+          .as[(Double, Double, Double)].collect().toSeq
+      // both frames may lack a pair (all docs one source) — compare sets
+      assert(row(df) === row(swapped))
+    }
+    val flagGen = Gen.listOfN(20, Gen.zip(Gen.oneOf(true, false),
+      Gen.oneOf(true, false)))
+    for (fs <- draws(flagGen, 4)) {
+      val df = fs.toDF("a", "b")
+      val ab = graft.probes.Probes.mcnemarTest(col("a"), col("b"))(df)
+        .head()
+      val ba = graft.probes.Probes.mcnemarTest(col("b"), col("a"))(df)
+        .head()
+      assert(ab.getAs[Long]("a_only") === ba.getAs[Long]("b_only"))
+      assert(Option(ab.getAs[java.lang.Double]("chi2")) ===
+        Option(ba.getAs[java.lang.Double]("chi2")))
+    }
+  }
+
+  test("fleschReadability counts are additive over concatenation") {
+    val wordGen = Gen.listOfN(8, Gen.oneOf("the", "cat", "sat", "br",
+      "queueing", "rhythm", "a"))
+    for (Seq((w1, w2)) <- draws(Gen.zip(wordGen, wordGen), 4).map(Seq(_))) {
+      def counts(t: String) = {
+        val r = graft.ext.TextOps.fleschReadability("id", "text")(
+          Seq((1L, t)).toDF("id", "text")).head()
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_syllables"))
+      }
+      val (wa, sa) = counts(w1.mkString(" "))
+      val (wb, sb) = counts(w2.mkString(" "))
+      val (wc, sc) = counts(w1.mkString(" ") + " " + w2.mkString(" "))
+      assert(wc === wa + wb && sc === sa + sb,
+        "words and syllables must add over ' '-joined concatenation")
+    }
+  }
+
   test("rankBiasedOverlap invariants: bounded by the identity score, monotone in depth overlap") {
     val itemGen = Gen.listOfN(8, Gen.chooseNum(1, 20))
     for (Seq((la, lb)) <- draws(Gen.zip(itemGen, itemGen), 4).map(Seq(_))) {
