@@ -339,6 +339,14 @@ private[graft] object QueriesProbes {
       Probes.bhCorrect("event_type", "p_value", alpha = 0.25)(p)
         .orderBy("event_type")
     },
+    "proportion_z" -> { (s, dir) =>
+      // do even and odd users pass the value >= 20 gate at the same
+      // rate, per event type? pooled two-sample z on exact counts
+      Probes.proportionZTest(col("user_id") % 2 === 0,
+        col("value") >= 20, Seq("event_type"))(
+        table(s, dir, "events"))
+        .orderBy("event_type")
+    },
     "theil_sen" -> { (s, dir) =>
       // robust drift rate of value over event_id per type, on the
       // 1/20-sampled slice (the op's bounded-slice contract): median
@@ -1240,6 +1248,37 @@ private[graft] object QueriesProbes {
       SELECT event_type, p, rnk AS rank, m, p_adj,
         p_adj <= ${litD(0.25)} AS reject
       FROM f ORDER BY event_type""",
+    // mirrors Probes.proportionZTest: exact counts, the one pooled-
+    // variance dag with its empty-side/degenerate-pool NULL guards
+    "proportion_z" -> """
+      WITH b AS (SELECT event_type AS g, (user_id % 2 = 0) AS a,
+          (value >= 20) AS s
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      ag AS (SELECT g,
+          CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN a AND s THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+          CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          CAST(sum(CASE WHEN NOT a AND s THEN 1 ELSE 0 END) AS BIGINT)
+            AS k_b
+        FROM b GROUP BY g),
+      v AS (SELECT *,
+          CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+          CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+          ((CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+            * (CAST(1 AS DOUBLE) - (CAST(k_a AS DOUBLE)
+              + CAST(k_b AS DOUBLE))
+              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+            * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+              + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)) AS variance
+        FROM ag)
+      SELECT g AS event_type, n_a, k_a, n_b, k_b,
+        CASE WHEN n_a > 0 THEN pa END AS p_a,
+        CASE WHEN n_b > 0 THEN pb END AS p_b,
+        CASE WHEN n_a > 0 AND n_b > 0 THEN pa - pb END AS risk_diff,
+        CASE WHEN n_a > 0 AND n_b > 0 AND variance > CAST(0 AS DOUBLE)
+          THEN (pa - pb) / sqrt(variance) END AS z
+      FROM v ORDER BY event_type""",
     // mirrors Probes.theilSen: the same i<j pair frame with vertical
     // pairs dropped, (value, pair-id)-pinned row_number selection,
     // (min+max)/2 of the one or two middle rows for both medians

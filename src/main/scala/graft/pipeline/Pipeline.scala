@@ -823,6 +823,9 @@ final case class Pipeline(df: DataFrame) {
   def bhCorrect(idField: String, pField: String, alpha: Double = 0.05,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.bhCorrect(idField, pField, alpha, groupCols))
+  def proportionZTest(side: Column, success: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.proportionZTest(side, success, groupCols))
   def theilSen(groupField: String, idField: String, xField: String,
       yField: String, maxN: Int = 10000): Pipeline =
     >>(Probes.theilSen(groupField, idField, xField, yField, maxN))

@@ -1839,6 +1839,52 @@ object Probes {
         (col("p_adj") <= lit(alpha)).as("reject")): _*)
   }
 
+  /** Two-sample pooled proportion z-test per group — the A/B answer
+    * for PASS RATES ([[mannWhitneyU]] compares value distributions;
+    * this compares binomial rates: gate pass %, dedup hit %, eval
+    * accuracy between two pipeline variants). Beside
+    * [[proportionCI]]'s one-sample Wilson interval: the CI says how
+    * sure we are about one rate, this says whether two rates differ.
+    *
+    * With exact counts `(k_a, n_a, k_b, n_b)` and the pooled
+    * `p̂ = (k_a+k_b)/(n_a+n_b)`:
+    * `z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))` — every input an
+    * exact integer, the statistic one fixed IEEE dag with one sqrt.
+    * No p-value (the no-libm doctrine): threshold |z| — 1.96 IS the
+    * 95% gate. An empty side, or a degenerate pool (p̂ ∈ {0, 1}, zero
+    * variance) reads NULL z; the rates and `risk_diff = p_a − p_b`
+    * stay reported where defined. NULL side/success rows drop.
+    *
+    * Scale shape: one filter + one hash-agg, full stop. Output per
+    * group: `n_a, k_a, n_b, k_b, p_a, p_b, risk_diff, z`. */
+  def proportionZTest(side: Column, success: Column,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val grp = groupCols.map(col)
+    val base = df
+      .filter(side.isNotNull && success.isNotNull)
+      .select(grp :+ side.cast("boolean").as("__a") :+
+        success.cast("boolean").as("__s"): _*)
+    val agg =
+      (if (grp.isEmpty) base.groupBy() else base.groupBy(grp: _*))
+        .agg(
+          sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("__a") && col("__s"), 1L).otherwise(0L)).as("k_a"),
+          sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("__a") && col("__s"), 1L).otherwise(0L)).as("k_b"))
+    def d(c: String) = col(c).cast("double")
+    val pa = d("k_a") / d("n_a")
+    val pb = d("k_b") / d("n_b")
+    val pool = (d("k_a") + d("k_b")) / (d("n_a") + d("n_b"))
+    val variance = pool * (lit(1.0) - pool) *
+      (lit(1.0) / d("n_a") + lit(1.0) / d("n_b"))
+    agg.select(grp ++ Seq(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      when(col("n_a") > 0, pa).as("p_a"),
+      when(col("n_b") > 0, pb).as("p_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, pa - pb).as("risk_diff"),
+      when(col("n_a") > 0 && col("n_b") > 0 && variance > 0.0,
+        (pa - pb) / sqrt(variance)).as("z")): _*)
+  }
+
   /** Theil–Sen robust trend estimator per group — the median of all
     * pairwise slopes, with the median-residual intercept: the drift
     * RATE report ([[graft.ops.WindowOps.cusumShift]] says "a shift

@@ -1101,6 +1101,32 @@ class ProbesSpec extends SparkSpec {
       Probes.bhCorrect("t", "p", alpha = 0.0)(Seq(("a", 0.5)).toDF("t", "p")))
   }
 
+  test("proportionZTest: hand z, degenerate pool NULL, empty side NULL") {
+    import spark.implicits._
+    def run(rows: Seq[(Boolean, Boolean)]) =
+      Probes.proportionZTest(col("a"), col("s"))(rows.toDF("a", "s"))
+        .head()
+    // a: 3/4 pass, b: 1/4 pass; pool = 1/2 -> var = 1/8, z = sqrt(2)
+    val r = run(Seq((true, true), (true, true), (true, true),
+      (true, false), (false, true), (false, false), (false, false),
+      (false, false)))
+    assert(r.getAs[Long]("n_a") === 4L && r.getAs[Long]("k_a") === 3L)
+    assert(r.getAs[Double]("p_a") === 0.75 &&
+      r.getAs[Double]("p_b") === 0.25 &&
+      r.getAs[Double]("risk_diff") === 0.5)
+    assert(math.abs(r.getAs[Double]("z") - math.sqrt(2.0)) < 1e-15)
+    // everyone passes: pooled variance 0 -> z NULL, rates honest
+    val all = run(Seq((true, true), (false, true)))
+    assert(all.getAs[Double]("p_a") === 1.0 &&
+      all.getAs[java.lang.Double]("z") == null)
+    // one side empty: p_b/risk_diff/z NULL, counts honest
+    val one = run(Seq((true, true), (true, false)))
+    assert(one.getAs[Long]("n_b") === 0L &&
+      one.getAs[java.lang.Double]("p_b") == null &&
+      one.getAs[java.lang.Double]("risk_diff") == null &&
+      one.getAs[java.lang.Double]("z") == null)
+  }
+
   test("theilSen: outlier immunity, even-count median, vertical pairs, guard") {
     import spark.implicits._
     def run(pts: Seq[(Long, Double, Double)], maxN: Int = 10000) =
