@@ -587,6 +587,59 @@ object Streaming {
       tvd.as("tvd"), (tvd > maxTvd).as("drifted"))
   }
 
+  /** Windowed two-sample proportion z-gate — the LIVE A/B monitor:
+    * per tumbling event-time window, the pooled two-sample z of
+    * [[graft.probes.Probes.proportionZTest]] between side A's and
+    * side B's success rates (canary vs control pass rate, new-variant
+    * vs old gate hit rate), alarming when |z| clears `zCrit`. The
+    * state per window is FOUR exact counters (the
+    * [[windowedFleissKappa]] fixed-width doctrine) and the statistic
+    * is the batch op's dag verbatim — deterministic, batch-replayable
+    * (the spec runs the same function on the same rows as a batch
+    * frame and cross-checks the batch probe). A window missing a side
+    * (or with a degenerate pool) reads NULL z and `significant`
+    * false — no evidence is not an alarm. NULL side/success rows
+    * drop. Output per window: `window_start, window_end, n_a, k_a,
+    * n_b, k_b, p_a, p_b, risk_diff, z, significant`. */
+  def windowedProportionZ(
+      events: DataFrame,
+      side: Column,
+      success: Column,
+      zCrit: Double = 1.96,
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(zCrit > 0.0 && zCrit <= 100.0,
+      s"zCrit must be in (0, 100]: $zCrit")
+    val agged = events
+      .withWatermark(tsField, watermarkDelay)
+      .filter(side.isNotNull && success.isNotNull)
+      .select(window(col(tsField), windowLength).as("__w"),
+        side.cast("boolean").as("__a"), success.cast("boolean").as("__s"))
+      .groupBy(col("__w"))
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a") && col("__s"), 1L).otherwise(0L)).as("k_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__a") && col("__s"), 1L).otherwise(0L)).as("k_b"))
+    def d(c: String) = col(c).cast("double")
+    val pa = d("k_a") / d("n_a")
+    val pb = d("k_b") / d("n_b")
+    val pool = (d("k_a") + d("k_b")) / (d("n_a") + d("n_b"))
+    val variance = pool * (lit(1.0) - pool) *
+      (lit(1.0) / d("n_a") + lit(1.0) / d("n_b"))
+    val z = when(col("n_a") > 0 && col("n_b") > 0 && variance > 0.0,
+      (pa - pb) / sqrt(variance))
+    agged.select(col("__w.start").as("window_start"),
+      col("__w.end").as("window_end"),
+      col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      when(col("n_a") > 0, pa).as("p_a"),
+      when(col("n_b") > 0, pb).as("p_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, pa - pb).as("risk_diff"),
+      z.as("z"),
+      coalesce(abs(z) > lit(zCrit), lit(false)).as("significant"))
+  }
+
   /** Per-(window, item) pivoted label-count cells — the shared level-1
     * aggregation of [[windowedFleissKappa]] / [[windowedLabelQa]]. The
     * DECLARED label vocabulary is what makes the streaming form legal

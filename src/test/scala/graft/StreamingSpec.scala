@@ -1238,6 +1238,47 @@ class StreamingSpec extends SparkSpec {
       input.toDS(), alpha = 0.5, beta = 0.5, gamma = 0.5, period = 1))
   }
 
+  test("windowedProportionZ: per-window A/B z-gate, alarm, batch parity") {
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Timestamp, Boolean, Boolean)]
+    val out = Streaming.windowedProportionZ(
+      input.toDF().toDF("ts", "a", "s"), col("a"), col("s"),
+      zCrit = 1.0, windowLength = "10 minutes",
+      watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wpz")
+      .outputMode("append").start()
+    try {
+      // window 1 = the hand case from the batch spec: z = sqrt(2) > 1
+      input.addData(
+        (ts("09:01"), true, true), (ts("09:02"), true, true),
+        (ts("09:03"), true, true), (ts("09:04"), true, false),
+        (ts("09:05"), false, true), (ts("09:06"), false, false),
+        (ts("09:07"), false, false), (ts("09:08"), false, false))
+      // window 2: identical rates -> z = 0, no alarm
+      input.addData(
+        (ts("09:11"), true, true), (ts("09:12"), true, false),
+        (ts("09:13"), false, true), (ts("09:14"), false, false))
+      q.processAllAvailable()
+      input.addData((ts("10:00"), true, true)) // watermark nudge
+      q.processAllAvailable()
+      val got = spark.table("wpz").orderBy("window_start")
+        .select($"n_a", $"k_a", $"risk_diff", $"z", $"significant")
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSeq
+      assert((got.head._1, got.head._2, got.head._3, got.head._5) ===
+        ((4L, 3L, 0.5, true)))
+      assert(math.abs(got.head._4 - math.sqrt(2.0)) < 1e-15)
+      assert(got(1)._4 === 0.0 && !got(1)._5)
+      // batch parity: the batch probe on window 1's rows agrees
+      val batch = graft.probes.Probes.proportionZTest(col("a"), col("s"))(
+        Seq((true, true), (true, true), (true, true), (true, false),
+          (false, true), (false, false), (false, false), (false, false))
+          .toDF("a", "s")).head()
+      assert(batch.getAs[Double]("z") === got.head._4)
+    } finally q.stop()
+    intercept[IllegalArgumentException](Streaming.windowedProportionZ(
+      input.toDF().toDF("ts", "a", "s"), col("a"), col("s"), zCrit = 0.0))
+  }
+
   test("windowedOovRate: per-window OOV rollup, batch-probe parity") {
     val vocab = Seq("a", "b").toDF("tok")
     val input = MemoryStream[(Timestamp, String)]
