@@ -339,6 +339,14 @@ private[graft] object QueriesProbes {
       Probes.bhCorrect("event_type", "p_value", alpha = 0.25)(p)
         .orderBy("event_type")
     },
+    "brown_forsythe" -> { (s, dir) =>
+      // did the SPREAD of value move between even and odd users, per
+      // event type? median-centered Levene on 1e-9-quantized
+      // deviations — the scale axis of the same drift battery
+      Probes.brownForsythe(col("user_id") % 2 === 0, col("value"),
+        Seq("event_type"))(table(s, dir, "events"))
+        .orderBy("event_type")
+    },
     "proportion_z" -> { (s, dir) =>
       // do even and odd users pass the value >= 20 gate at the same
       // rate, per event type? pooled two-sample z on exact counts
@@ -1248,6 +1256,56 @@ private[graft] object QueriesProbes {
       SELECT event_type, p, rnk AS rank, m, p_adj,
         p_adj <= ${litD(0.25)} AS reject
       FROM f ORDER BY event_type""",
+    // mirrors Probes.brownForsythe: per-(group, side) selection
+    // medians, 1e-9-quantized deviations into exact HUGEINT sums, the
+    // one fixed ANOVA-F dag with its empty-side/zero-variance guards
+    "brown_forsythe" -> """
+      WITH b AS (SELECT event_type AS g, (user_id % 2 = 0) AS a,
+          CAST(value AS DOUBLE) AS x
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      r AS (SELECT g, a, x,
+          CAST(row_number() OVER (PARTITION BY g, a ORDER BY x)
+            AS BIGINT) AS rn,
+          CAST(count(*) OVER (PARTITION BY g, a) AS BIGINT) AS c
+        FROM b),
+      md AS (SELECT g, a, (min(x) + max(x)) / CAST(2 AS DOUBLE) AS med
+        FROM r WHERE rn = (c + 1) // 2 OR rn = c // 2 + 1 GROUP BY g, a),
+      dv AS (SELECT b.g AS g, b.a AS a, md.med AS med,
+          CAST(round(abs(b.x - md.med) * 1e9, 0) AS DECIMAL(19,0)) AS z9
+        FROM b JOIN md ON md.g = b.g AND md.a = b.a),
+      sa AS (SELECT g, a, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(z9 AS DECIMAL(38,0))) AS HUGEINT) AS s1,
+          CAST(sum(CAST(z9 * z9 AS DECIMAL(38,0))) AS HUGEINT) AS s2,
+          max(med) AS med
+        FROM dv GROUP BY g, a),
+      bt AS (SELECT g,
+          CAST(sum(CASE WHEN a THEN n ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN NOT a THEN n ELSE 0 END) AS BIGINT) AS n_b,
+          max(CASE WHEN a THEN med END) AS med_a,
+          max(CASE WHEN NOT a THEN med END) AS med_b,
+          sum(CASE WHEN a THEN s1 ELSE CAST(0 AS HUGEINT) END) AS s1a,
+          sum(CASE WHEN NOT a THEN s1 ELSE CAST(0 AS HUGEINT) END) AS s1b,
+          sum(CASE WHEN a THEN s2 ELSE CAST(0 AS HUGEINT) END) AS s2a,
+          sum(CASE WHEN NOT a THEN s2 ELSE CAST(0 AS HUGEINT) END) AS s2b
+        FROM sa GROUP BY g),
+      v AS (SELECT *,
+          CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) AS za,
+          CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE) AS zb,
+          CAST(s1a + s1b AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS grand
+        FROM bt),
+      w AS (SELECT *,
+          CAST(n_a AS DOUBLE) * (za - grand) * (za - grand)
+            + CAST(n_b AS DOUBLE) * (zb - grand) * (zb - grand) AS ssb,
+          (CAST(s2a AS DOUBLE) - CAST(n_a AS DOUBLE) * za * za)
+            + (CAST(s2b AS DOUBLE) - CAST(n_b AS DOUBLE) * zb * zb)
+            AS ssw
+        FROM v)
+      SELECT g AS event_type, n_a, n_b, med_a, med_b,
+        CASE WHEN n_a > 0 AND n_b > 0 AND ssw > CAST(0 AS DOUBLE)
+          THEN (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+              - CAST(2 AS DOUBLE)) * ssb / ssw END AS f
+      FROM w ORDER BY event_type""",
     // mirrors Probes.proportionZTest: exact counts, the one pooled-
     // variance dag with its empty-side/degenerate-pool NULL guards
     "proportion_z" -> """

@@ -826,6 +826,9 @@ final case class Pipeline(df: DataFrame) {
   def proportionZTest(side: Column, success: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.proportionZTest(side, success, groupCols))
+  def brownForsythe(side: Column, value: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.brownForsythe(side, value, groupCols))
   def theilSen(groupField: String, idField: String, xField: String,
       yField: String, maxN: Int = 10000): Pipeline =
     >>(Probes.theilSen(groupField, idField, xField, yField, maxN))

@@ -1839,6 +1839,85 @@ object Probes {
         (col("p_adj") <= lit(alpha)).as("reject")): _*)
   }
 
+  /** Brown–Forsythe two-sample scale test per group — did the SPREAD
+    * move? The drift battery's missing axis beside [[mannWhitneyU]]
+    * (location), [[ksTest]] (whole distribution), [[proportionZTest]]
+    * (rates) and [[theilSen]] (trend): a latency distribution whose
+    * median holds while its tails fatten passes all of those and
+    * fails this one. Levene's test with MEDIAN centering (the
+    * Brown–Forsythe variant — robust where the mean-centered original
+    * is itself fooled by the outliers it hunts).
+    *
+    * Per side, deviations `z_i = |x_i − med_side|` with the exact
+    * selection median of [[theilSen]]; the one-way ANOVA F on the two
+    * deviation samples,
+    * `F = (N−2)·Σ_s n_s(z̄_s − z̄)² / Σ_s Σ_i (z_si − z̄_s)²`,
+    * rides the money-column discipline: deviations 1e-9-quantize, Σz
+    * and Σz² are exact decimal(38,0) sums (the 1e9 scale cancels in
+    * the ratio but the dag keeps it explicit so both engines walk the
+    * same doubles), and F is one fixed IEEE dag. No p-value (no-libm);
+    * threshold against F₁,ₙ₋₂ — 3.84 is the large-N 95% gate. An
+    * empty side or zero within-side variance reads NULL F; medians
+    * stay reported where defined. NULL side/value rows drop.
+    *
+    * Scale shape: one per-(group, side) median window + two hash-aggs.
+    * Output per group: `n_a, n_b, med_a, med_b, f`. */
+  def brownForsythe(side: Column, value: Column,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val base = df
+      .filter(side.isNotNull && value.isNotNull)
+      .select(grp :+ side.cast("boolean").as("__a") :+
+        value.cast("double").as("__x"): _*)
+    val wOrd = Window.partitionBy(grp :+ col("__a"): _*).orderBy(col("__x"))
+    val wAll = Window.partitionBy(grp :+ col("__a"): _*)
+    val med = base
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__c", count(lit(1)).over(wAll))
+      .filter(col("__rn") === floor((col("__c") + 1) / 2).cast("long") ||
+        col("__rn") === floor(col("__c") / 2).cast("long") + 1)
+      .groupBy(grp :+ col("__a"): _*)
+      .agg(((min(col("__x")) + max(col("__x"))) / lit(2.0)).as("__med"))
+    val dev = base.join(med, groupCols :+ "__a")
+      .withColumn("__z9",
+        round(abs(col("__x") - col("__med")) * lit(1e9), 0)
+          .cast("decimal(19,0)"))
+    val zero38 = lit(0).cast("decimal(38,0)")
+    val sideAgg = dev.groupBy(grp :+ col("__a"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__z9").cast("decimal(38,0)")).as("__s1"),
+        sum((col("__z9") * col("__z9")).cast("decimal(38,0)")).as("__s2"),
+        max(col("__med")).as("__med"))
+    val both =
+      (if (grp.isEmpty) sideAgg.groupBy() else sideAgg.groupBy(grp: _*))
+        .agg(
+          sum(when(col("__a"), col("__n")).otherwise(0L)).as("n_a"),
+          sum(when(!col("__a"), col("__n")).otherwise(0L)).as("n_b"),
+          max(when(col("__a"), col("__med"))).as("med_a"),
+          max(when(!col("__a"), col("__med"))).as("med_b"),
+          sum(when(col("__a"), col("__s1")).otherwise(zero38)).as("__s1a"),
+          sum(when(!col("__a"), col("__s1")).otherwise(zero38)).as("__s1b"),
+          sum(when(col("__a"), col("__s2")).otherwise(zero38)).as("__s2a"),
+          sum(when(!col("__a"), col("__s2")).otherwise(zero38)).as("__s2b"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val za = col("__s1a").cast("double") / naD
+    val zb = col("__s1b").cast("double") / nbD
+    val grand = (col("__s1a") + col("__s1b")).cast("double") / (naD + nbD)
+    val ssb = naD * (za - grand) * (za - grand) +
+      nbD * (zb - grand) * (zb - grand)
+    val ssw = (col("__s2a").cast("double") - naD * za * za) +
+      (col("__s2b").cast("double") - nbD * zb * zb)
+    // nested guard: the OUTER when must decide before ssw/ssb (and
+    // their za/zb divisions) are evaluated — ANSI mode treats the
+    // empty-side 0/0 as an error, not a NaN
+    both.select(grp ++ Seq(col("n_a"), col("n_b"), col("med_a"),
+      col("med_b"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        when(ssw > 0.0, (naD + nbD - lit(2.0)) * ssb / ssw)).as("f")): _*)
+  }
+
   /** Two-sample pooled proportion z-test per group — the A/B answer
     * for PASS RATES ([[mannWhitneyU]] compares value distributions;
     * this compares binomial rates: gate pass %, dedup hit %, eval

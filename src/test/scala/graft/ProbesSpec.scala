@@ -1101,6 +1101,35 @@ class ProbesSpec extends SparkSpec {
       Probes.bhCorrect("t", "p", alpha = 0.0)(Seq(("a", 0.5)).toDF("t", "p")))
   }
 
+  test("brownForsythe: hand F, equal-spread zero, zero-variance NULL, empty side") {
+    import spark.implicits._
+    def run(rows: Seq[(Boolean, Double)]) =
+      Probes.brownForsythe(col("a"), col("x"))(rows.toDF("a", "x"))
+        .head()
+    // A={1,3} (med 2, devs 1,1), B={0,10,20} (med 10, devs 10,0,10):
+    // exact rational F = 8670/5000 = 1.734
+    val r = run(Seq((true, 1.0), (true, 3.0), (false, 0.0),
+      (false, 10.0), (false, 20.0)))
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Double]("med_a") === 2.0 &&
+      r.getAs[Double]("med_b") === 10.0)
+    assert(math.abs(r.getAs[Double]("f") - 1.734) < 1e-9)
+    // identical spreads: between-side deviation mass is exactly 0
+    val eq = run(Seq((true, 1.0), (true, 2.0), (true, 3.0),
+      (false, 11.0), (false, 12.0), (false, 13.0)))
+    assert(eq.getAs[Double]("f") === 0.0)
+    // both sides constant: zero within-variance -> NULL (no evidence)
+    val const = run(Seq((true, 5.0), (true, 5.0), (false, 7.0),
+      (false, 7.0)))
+    assert(const.getAs[java.lang.Double]("f") == null)
+    // one side empty: F NULL, the present side's median still reported
+    val one = run(Seq((true, 1.0), (true, 2.0)))
+    assert(one.getAs[Long]("n_b") === 0L &&
+      one.getAs[Double]("med_a") === 1.5 &&
+      one.getAs[java.lang.Double]("med_b") == null &&
+      one.getAs[java.lang.Double]("f") == null)
+  }
+
   test("proportionZTest: hand z, degenerate pool NULL, empty side NULL") {
     import spark.implicits._
     def run(rows: Seq[(Boolean, Boolean)]) =
