@@ -1888,7 +1888,6 @@ object ScaleBench {
     def tauGroups(k: Int): DataFrame =
       (0 until k).map(i => kt16b.select(
         ((col("l_suppkey") % 64) + lit(i.toLong * 1_000L)).as("g"),
-        monotonically_increasing_id().as("i"),
         col("l_extendedprice").as("x"), col("l_quantity").as("y")))
         .reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)

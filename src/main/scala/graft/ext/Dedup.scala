@@ -1406,7 +1406,10 @@ object Dedup {
     require(index.columns.length == 3 || index.columns.length == 4,
       "index must be (id, toks, n[, toks_prefix]) rows, got " +
         index.columns.mkString(", "))
-    require(threshold >= indexTauMin - 1e-12,
+    // the tauMin contract binds only the 4-column format: a legacy
+    // 3-column index's "prefix" IS the full token column, which covers
+    // every tau (the streaming twin's exemption, mirrored)
+    require(index.columns.length == 3 || threshold >= indexTauMin - 1e-12,
       s"threshold ($threshold) must be >= the index's committed tauMin " +
         s"($indexTauMin): the stored prefix only covers tau >= tauMin")
     // the narrow candidate-stage projection: (id, n, prefix) — for the
@@ -1423,8 +1426,12 @@ object Dedup {
           col(index.columns(1)).as("__pre"))
     val idxWide = index.select(col(index.columns(0)).as("__id"),
       col(index.columns(1)).as("__toks"))
+    // batch-side commit at min(threshold, tauMin): with a 4-column
+    // index threshold >= tauMin so this is tauMin unchanged; in the
+    // legacy-below-tauMin case the batch prefix must itself cover the
+    // smaller tau or recall silently breaks
     val batchRows = ssjIndexRows(idField, tokensField,
-      indexTauMin)(batch)
+      math.min(threshold, indexTauMin))(batch)
       .select(col("id").as("__id"), col("toks").as("__toks"),
         col("n").as("__n"), col("toks_prefix").as("__pre"))
       .localCheckpoint()
@@ -1632,15 +1639,28 @@ object Dedup {
       initialLambda: Double = 0.1,
       initialM: Double = 0.9,
       initialU: Double = 0.1)(pairs: DataFrame): DataFrame = {
-    val fitted = fellegiSunterFit(comparisons, iterations, initialLambda,
-      initialM, initialU)(pairs)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
-      .toMap
+    val (scored, _) = fitScoredComparisons(comparisons, iterations,
+      initialLambda, initialM, initialU)(pairs)
+    fellegiSunter(scored, upperThreshold, lowerThreshold)(pairs)
+  }
+
+  /** The shared fit-collect plumbing of [[fellegiSunterAuto]] /
+    * [[fellegiSunterAutoTuned]]: run the EM fit, pull the <= f+1
+    * bounded parameter rows, zip the fitted (m, u) back onto the
+    * comparisons, and return the fitted lambda beside them. */
+  private def fitScoredComparisons(
+      comparisons: Seq[(String, Column)], iterations: Int,
+      initialLambda: Double, initialM: Double, initialU: Double)(
+      pairs: DataFrame): (Seq[(String, Column, Double, Double)], Double) = {
+    val fitRows = fellegiSunterFit(comparisons, iterations, initialLambda,
+      initialM, initialU)(pairs).collect()
+    val fitted = fitRows
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val scored = comparisons.map { case (name, agree) =>
       val (m, u) = fitted(name)
       (name, agree, m, u)
     }
-    fellegiSunter(scored, upperThreshold, lowerThreshold)(pairs)
+    (scored, fitRows.head.getDouble(3))
   }
 
   /** Decision thresholds DERIVED from the fitted model instead of
@@ -1694,17 +1714,10 @@ object Dedup {
       initialLambda: Double = 0.1,
       initialM: Double = 0.9,
       initialU: Double = 0.1)(pairs: DataFrame): DataFrame = {
-    val fitRows = fellegiSunterFit(comparisons, iterations, initialLambda,
-      initialM, initialU)(pairs).collect()
-    val fitted = fitRows
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val lambda = fitRows.head.getDouble(3)
+    val (scored, lambda) = fitScoredComparisons(comparisons, iterations,
+      initialLambda, initialM, initialU)(pairs)
     val (upper, lower) =
       fellegiSunterThresholds(lambda, upperPosterior, lowerPosterior)
-    val scored = comparisons.map { case (name, agree) =>
-      val (m, u) = fitted(name)
-      (name, agree, m, u)
-    }
     fellegiSunter(scored, upper, lower)(pairs)
   }
 

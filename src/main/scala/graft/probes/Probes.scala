@@ -1536,6 +1536,31 @@ object Probes {
     * is per-key, exactly the window-ops cost class), one hash-agg.
     * Decimal headroom: Σ(2r)² ≤ 4n³ — exact past 10¹² rows per group.
     * Output per group: `n, rho`. */
+  /** The exact tie-averaged rank carry the rank shelf shares
+    * ([[spearmanCorr]], [[mannWhitneyU]]): `2·rank = 2·rank_min +
+    * t − 1` over the given order/tie windows, as an order-free exact
+    * decimal(38,0) — one definition so the cross-op "same integer
+    * carry" contract cannot drift by copy. */
+  private def rank2Carry(
+      wOrd: org.apache.spark.sql.expressions.WindowSpec,
+      wTie: org.apache.spark.sql.expressions.WindowSpec): Column =
+    (lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - lit(1L))
+      .cast("decimal(38,0)")
+
+  /** The shared maxN guard of the explicit-pair ops ([[kendallTau]],
+    * [[theilSen]]): per-group sizes with a loud raise_error past the
+    * quadratic bound. `base` must carry the group as `__g`. */
+  private def pairSizeGuard(base: DataFrame, op: String, maxN: Int,
+      advice: String): DataFrame =
+    base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .select(col("__g"),
+        when(col("__n") > maxN, raise_error(concat(
+          lit(s"$op: group "), col("__g").cast(StringType),
+          lit(s" has "), col("__n").cast(StringType),
+          lit(s" rows > maxN=$maxN — the pair join is O(n^2); " +
+            advice))).cast("long"))
+          .otherwise(col("__n")).as("__n"))
+
   def spearmanCorr(groupField: String, xField: String, yField: String)(
       df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1543,12 +1568,9 @@ object Probes {
       .filter(col(xField).isNotNull && col(yField).isNotNull)
       .select(col(groupField).as("__g"), col(xField).as("__x"),
         col(yField).as("__y"))
-    def rank2(v: String, out: String) = {
-      val wOrd = Window.partitionBy(col("__g")).orderBy(col(v))
-      val wTie = Window.partitionBy(col("__g"), col(v))
-      (lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - lit(1L))
-        .cast("decimal(38,0)").as(out)
-    }
+    def rank2(v: String, out: String) =
+      rank2Carry(Window.partitionBy(col("__g")).orderBy(col(v)),
+        Window.partitionBy(col("__g"), col(v))).as(out)
     val ranked = base.select(col("__g"), rank2("__x", "__rx"),
       rank2("__y", "__ry"))
     val agg = ranked.groupBy(col("__g")).agg(
@@ -1600,14 +1622,8 @@ object Probes {
       .select(col(groupField).as("__g"), col(idField).as("__i"),
         col(xField).as("__x"), col(yField).as("__y"))
     // the quadratic guard: any group past maxN raises before the join
-    val sized = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
-      .select(col("__g"),
-        when(col("__n") > maxN, raise_error(concat(
-          lit(s"kendallTau: group "), col("__g").cast(StringType),
-          lit(s" has "), col("__n").cast(StringType),
-          lit(s" rows > maxN=$maxN — the pair join is O(n^2); use " +
-            "spearmanCorr for full-corpus scorings"))).cast("long"))
-          .otherwise(col("__n")).as("__n"))
+    val sized = pairSizeGuard(base, "kendallTau", maxN,
+      "use spearmanCorr for full-corpus scorings")
     val a = base.select(col("__g"), col("__i").as("__ia"),
       col("__x").as("__xa"), col("__y").as("__ya"))
     val b = base.select(col("__g"), col("__i").as("__ib"),
@@ -1682,8 +1698,7 @@ object Probes {
     val wOrd = Window.partitionBy(grp: _*).orderBy(col("__x"))
     val wTie = Window.partitionBy(grp :+ col("__x"): _*)
     val ranked = base.select(grp ++ Seq(col("__a"),
-      (lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - lit(1L))
-        .cast("decimal(38,0)").as("__r2"),
+      rank2Carry(wOrd, wTie).as("__r2"),
       (count(lit(1)).over(wTie) * count(lit(1)).over(wTie) - lit(1L))
         .cast("decimal(38,0)").as("__tt")): _*)
     val agg =
@@ -1936,6 +1951,35 @@ object Probes {
     *
     * Scale shape: one filter + one hash-agg, full stop. Output per
     * group: `n_a, k_a, n_b, k_b, p_a, p_b, risk_diff, z`. */
+  /** The four exact counters and the pooled-z dag shared by
+    * [[proportionZTest]] and
+    * [[graft.streaming.Streaming.windowedProportionZ]] — one
+    * definition, so a guard-semantics fix propagates to both and the
+    * streaming twin's "batch dag verbatim" promise is structural, not
+    * spec-enforced. Counters expect the side as `__a` and the success
+    * flag as `__s`; stats read the counter columns by name and return
+    * `(p_a, p_b, risk_diff, z)` with z UNALIASED (the streaming gate
+    * thresholds it before naming). */
+  private[graft] def sideSuccessCounters: Seq[Column] = Seq(
+    sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+    sum(when(col("__a") && col("__s"), 1L).otherwise(0L)).as("k_a"),
+    sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+    sum(when(!col("__a") && col("__s"), 1L).otherwise(0L)).as("k_b"))
+
+  private[graft] def pooledZStats: (Column, Column, Column, Column) = {
+    def d(c: String) = col(c).cast("double")
+    val pa = d("k_a") / d("n_a")
+    val pb = d("k_b") / d("n_b")
+    val pool = (d("k_a") + d("k_b")) / (d("n_a") + d("n_b"))
+    val variance = pool * (lit(1.0) - pool) *
+      (lit(1.0) / d("n_a") + lit(1.0) / d("n_b"))
+    (when(col("n_a") > 0, pa).as("p_a"),
+      when(col("n_b") > 0, pb).as("p_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, pa - pb).as("risk_diff"),
+      when(col("n_a") > 0 && col("n_b") > 0 && variance > 0.0,
+        (pa - pb) / sqrt(variance)))
+  }
+
   def proportionZTest(side: Column, success: Column,
       groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
     val grp = groupCols.map(col)
@@ -1945,23 +1989,10 @@ object Probes {
         success.cast("boolean").as("__s"): _*)
     val agg =
       (if (grp.isEmpty) base.groupBy() else base.groupBy(grp: _*))
-        .agg(
-          sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
-          sum(when(col("__a") && col("__s"), 1L).otherwise(0L)).as("k_a"),
-          sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
-          sum(when(!col("__a") && col("__s"), 1L).otherwise(0L)).as("k_b"))
-    def d(c: String) = col(c).cast("double")
-    val pa = d("k_a") / d("n_a")
-    val pb = d("k_b") / d("n_b")
-    val pool = (d("k_a") + d("k_b")) / (d("n_a") + d("n_b"))
-    val variance = pool * (lit(1.0) - pool) *
-      (lit(1.0) / d("n_a") + lit(1.0) / d("n_b"))
+        .agg(sideSuccessCounters.head, sideSuccessCounters.tail: _*)
+    val (pa, pb, riskDiff, z) = pooledZStats
     agg.select(grp ++ Seq(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
-      when(col("n_a") > 0, pa).as("p_a"),
-      when(col("n_b") > 0, pb).as("p_b"),
-      when(col("n_a") > 0 && col("n_b") > 0, pa - pb).as("risk_diff"),
-      when(col("n_a") > 0 && col("n_b") > 0 && variance > 0.0,
-        (pa - pb) / sqrt(variance)).as("z")): _*)
+      pa, pb, riskDiff, z.as("z")): _*)
   }
 
   /** Theil–Sen robust trend estimator per group — the median of all
@@ -2004,14 +2035,8 @@ object Probes {
         col(xField).cast("double").as("__x"),
         col(yField).cast("double").as("__y"))
     // the quadratic guard: any group past maxN raises before the join
-    val sized = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
-      .select(col("__g"),
-        when(col("__n") > maxN, raise_error(concat(
-          lit(s"theilSen: group "), col("__g").cast(StringType),
-          lit(s" has "), col("__n").cast(StringType),
-          lit(s" rows > maxN=$maxN — the pair join is O(n^2); " +
-            "trend a bounded slice"))).cast("long"))
-          .otherwise(col("__n")).as("__n"))
+    val sized = pairSizeGuard(base, "theilSen", maxN,
+      "trend a bounded slice")
     val a = base.select(col("__g"), col("__i").as("__ia"),
       col("__x").as("__xa"), col("__y").as("__ya"))
     val b = base.select(col("__g"), col("__i").as("__ib"),

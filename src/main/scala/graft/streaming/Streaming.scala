@@ -611,32 +611,21 @@ object Streaming {
       watermarkDelay: String = "10 minutes"): DataFrame = {
     require(zCrit > 0.0 && zCrit <= 100.0,
       s"zCrit must be in (0, 100]: $zCrit")
+    // the batch op's counters and dag, SHARED (Probes.pooledZStats) —
+    // the "batch dag verbatim" promise is structural
+    val counters = graft.probes.Probes.sideSuccessCounters
     val agged = events
       .withWatermark(tsField, watermarkDelay)
       .filter(side.isNotNull && success.isNotNull)
       .select(window(col(tsField), windowLength).as("__w"),
         side.cast("boolean").as("__a"), success.cast("boolean").as("__s"))
       .groupBy(col("__w"))
-      .agg(
-        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("__a") && col("__s"), 1L).otherwise(0L)).as("k_a"),
-        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
-        sum(when(!col("__a") && col("__s"), 1L).otherwise(0L)).as("k_b"))
-    def d(c: String) = col(c).cast("double")
-    val pa = d("k_a") / d("n_a")
-    val pb = d("k_b") / d("n_b")
-    val pool = (d("k_a") + d("k_b")) / (d("n_a") + d("n_b"))
-    val variance = pool * (lit(1.0) - pool) *
-      (lit(1.0) / d("n_a") + lit(1.0) / d("n_b"))
-    val z = when(col("n_a") > 0 && col("n_b") > 0 && variance > 0.0,
-      (pa - pb) / sqrt(variance))
+      .agg(counters.head, counters.tail: _*)
+    val (pa, pb, riskDiff, z) = graft.probes.Probes.pooledZStats
     agged.select(col("__w.start").as("window_start"),
       col("__w.end").as("window_end"),
       col("n_a"), col("k_a"), col("n_b"), col("k_b"),
-      when(col("n_a") > 0, pa).as("p_a"),
-      when(col("n_b") > 0, pb).as("p_b"),
-      when(col("n_a") > 0 && col("n_b") > 0, pa - pb).as("risk_diff"),
-      z.as("z"),
+      pa, pb, riskDiff, z.as("z"),
       coalesce(abs(z) > lit(zCrit), lit(false)).as("significant"))
   }
 

@@ -763,6 +763,18 @@ class DedupSpec extends SparkSpec {
       idx.select("id", "toks", "n"), threshold = 0.5)(batch)
       .select("id").as[Long].collect().toSet
     assert(legacy === expected)
+    // ...INCLUDING below the default tauMin: the legacy "prefix" is
+    // the full token column, which covers every τ — and the batch
+    // side must re-commit its own prefix at the smaller τ (both were
+    // broken by an over-eager r16 guard; brute-force parity pins it)
+    val legacyLow = graft.ext.Dedup.incrementalSetSimilarity("id",
+      "toks", idx.select("id", "toks", "n"), threshold = 0.4)(batch)
+      .select("id").as[Long].collect().toSet
+    val expected04 = bIds.filter { i =>
+      !(1L to 40L).exists(h => jac(sets(h), sets(i)) >= 0.4) &&
+        !bIds.filter(_ < i).exists(o => jac(sets(o), sets(i)) >= 0.4)
+    }.toSet
+    assert(legacyLow === expected04)
   }
 
   test("incrementalSetSimilarity: candidate stage scans ONLY (id, n, toks_prefix) from parquet") {
