@@ -565,34 +565,6 @@ object GraphOps {
         col("modularity"))
   }
 
-  /** k-core extraction by rounds-bounded peeling — the density filter
-    * of crawl/link curation: the k-core is the maximal subgraph where
-    * every node keeps ≥ k neighbors, the standard cut between a
-    * connected-but-thin periphery (drive-by links, link farms' leaf
-    * spam) and the cohesive center worth crawling/trusting. Each round
-    * drops every node whose degree in the CURRENT subgraph is < k;
-    * at a fixpoint the survivors are exactly the k-core.
-    *
-    * Like [[labelPropagation]], `rounds` is FIXED rather than
-    * convergence-tested — a deterministic round count is what an
-    * oracle can replay. The `converged` flag (repeated per row, the
-    * modularity convention) says whether the fixpoint was reached: when
-    * true the output IS the k-core; when false it is a strict
-    * supergraph of it (peeling is monotone — nodes only leave), so
-    * `converged=false` means "raise rounds", never a wrong core.
-    * Peeling cascades one "layer" per round, so rounds needed = the
-    * peel depth, tiny for real link graphs (hubs hold cores together);
-    * `rounds` ≤ 30. Edge doctrine as everywhere in this file:
-    * NULL endpoints and self-loops drop, direction erased, parallel
-    * edges DISTINCT to one.
-    *
-    * Exactness: degrees are exact integers; there is no float
-    * anywhere. Scale shape: per round one semi-join of the doubled
-    * edge list against the surviving-node frame on BOTH endpoints +
-    * one hash-agg; survivor frames pin through
-    * [[graft.ops.Ops.pinIterationState]] (each round references the
-    * frame on both edge directions). Output: `node, degree` (degree in
-    * the final induced subgraph) + the global `converged`. */
   /** k-truss extraction by rounds-bounded support peeling — [[kCore]]'s
     * EDGE-level sibling and the stricter cohesion cut: the k-truss is
     * the maximal subgraph where every EDGE closes ≥ k−2 triangles, so
@@ -694,6 +666,34 @@ object GraphOps {
         col("support"), col("converged"))
   }
 
+  /** k-core extraction by rounds-bounded peeling — the density filter
+    * of crawl/link curation: the k-core is the maximal subgraph where
+    * every node keeps ≥ k neighbors, the standard cut between a
+    * connected-but-thin periphery (drive-by links, link farms' leaf
+    * spam) and the cohesive center worth crawling/trusting. Each round
+    * drops every node whose degree in the CURRENT subgraph is < k;
+    * at a fixpoint the survivors are exactly the k-core.
+    *
+    * Like [[labelPropagation]], `rounds` is FIXED rather than
+    * convergence-tested — a deterministic round count is what an
+    * oracle can replay. The `converged` flag (repeated per row, the
+    * modularity convention) says whether the fixpoint was reached: when
+    * true the output IS the k-core; when false it is a strict
+    * supergraph of it (peeling is monotone — nodes only leave), so
+    * `converged=false` means "raise rounds", never a wrong core.
+    * Peeling cascades one "layer" per round, so rounds needed = the
+    * peel depth, tiny for real link graphs (hubs hold cores together);
+    * `rounds` ≤ 30. Edge doctrine as everywhere in this file:
+    * NULL endpoints and self-loops drop, direction erased, parallel
+    * edges DISTINCT to one.
+    *
+    * Exactness: degrees are exact integers; there is no float
+    * anywhere. Scale shape: per round one semi-join of the doubled
+    * edge list against the surviving-node frame on BOTH endpoints +
+    * one hash-agg; survivor frames pin through
+    * [[graft.ops.Ops.pinIterationState]] (each round references the
+    * frame on both edge directions). Output: `node, degree` (degree in
+    * the final induced subgraph) + the global `converged`. */
   def kCore(srcField: String, dstField: String, k: Int, rounds: Int = 10)(
       edges: DataFrame): DataFrame = {
     require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")

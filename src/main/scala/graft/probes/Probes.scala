@@ -1512,6 +1512,38 @@ object Probes {
         coalesce(col("rbo"), lit(0.0)).as("rbo"))
   }
 
+  /** The exact tie-averaged rank carry the rank shelf shares
+    * ([[spearmanCorr]], [[mannWhitneyU]]): `2·rank = 2·rank_min +
+    * t − 1` over the given order/tie windows, as an order-free exact
+    * decimal(38,0) — one definition so the cross-op "same integer
+    * carry" contract cannot drift by copy. */
+  private def rank2Carry(
+      wOrd: org.apache.spark.sql.expressions.WindowSpec,
+      wTie: org.apache.spark.sql.expressions.WindowSpec): Column =
+    (lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - lit(1L))
+      .cast("decimal(38,0)")
+
+  /** The shared maxN guard of the explicit-pair ops ([[kendallTau]],
+    * [[theilSen]]): per-group sizes with a loud raise_error past the
+    * quadratic bound. `base` must carry the group as `__g`. Callers
+    * thread the guarded size onto SIDE A of their pair self-join and
+    * filter on it (`__na <= maxN` — always true, or raising): that
+    * predicate references only side-a columns, so Catalyst pushes it
+    * below the join and an oversized group raises while side a
+    * materializes, before its quadratic pair frame enumerates
+    * (plan-asserted in the spec — the guard Filter sits under every
+    * Join of the dag). */
+  private def pairSizeGuard(base: DataFrame, op: String, maxN: Int,
+      advice: String): DataFrame =
+    base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .select(col("__g"),
+        when(col("__n") > maxN, raise_error(concat(
+          lit(s"$op: group "), col("__g").cast(StringType),
+          lit(s" has "), col("__n").cast(StringType),
+          lit(s" rows > maxN=$maxN — the pair join is O(n^2); " +
+            advice))).cast("long"))
+          .otherwise(col("__n")).as("__n"))
+
   /** Spearman rank correlation per group — the monotonic-agreement
     * number between two scoring columns (two rankers, a judge vs a
     * heuristic, a quality score vs downstream loss) that Pearson gets
@@ -1536,31 +1568,6 @@ object Probes {
     * is per-key, exactly the window-ops cost class), one hash-agg.
     * Decimal headroom: Σ(2r)² ≤ 4n³ — exact past 10¹² rows per group.
     * Output per group: `n, rho`. */
-  /** The exact tie-averaged rank carry the rank shelf shares
-    * ([[spearmanCorr]], [[mannWhitneyU]]): `2·rank = 2·rank_min +
-    * t − 1` over the given order/tie windows, as an order-free exact
-    * decimal(38,0) — one definition so the cross-op "same integer
-    * carry" contract cannot drift by copy. */
-  private def rank2Carry(
-      wOrd: org.apache.spark.sql.expressions.WindowSpec,
-      wTie: org.apache.spark.sql.expressions.WindowSpec): Column =
-    (lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - lit(1L))
-      .cast("decimal(38,0)")
-
-  /** The shared maxN guard of the explicit-pair ops ([[kendallTau]],
-    * [[theilSen]]): per-group sizes with a loud raise_error past the
-    * quadratic bound. `base` must carry the group as `__g`. */
-  private def pairSizeGuard(base: DataFrame, op: String, maxN: Int,
-      advice: String): DataFrame =
-    base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
-      .select(col("__g"),
-        when(col("__n") > maxN, raise_error(concat(
-          lit(s"$op: group "), col("__g").cast(StringType),
-          lit(s" has "), col("__n").cast(StringType),
-          lit(s" rows > maxN=$maxN — the pair join is O(n^2); " +
-            advice))).cast("long"))
-          .otherwise(col("__n")).as("__n"))
-
   def spearmanCorr(groupField: String, xField: String, yField: String)(
       df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1621,14 +1628,18 @@ object Probes {
         col(idField).isNotNull)
       .select(col(groupField).as("__g"), col(idField).as("__i"),
         col(xField).as("__x"), col(yField).as("__y"))
-    // the quadratic guard: any group past maxN raises before the join
+    // the quadratic guard, threaded onto side a so the raise fires
+    // BELOW the pair join (the pairSizeGuard contract)
     val sized = pairSizeGuard(base, "kendallTau", maxN,
       "use spearmanCorr for full-corpus scorings")
-    val a = base.select(col("__g"), col("__i").as("__ia"),
-      col("__x").as("__xa"), col("__y").as("__ya"))
+    val a = base
+      .join(sized.select(col("__g"), col("__n").as("__na")), Seq("__g"))
+      .select(col("__g"), col("__i").as("__ia"),
+        col("__x").as("__xa"), col("__y").as("__ya"), col("__na"))
     val b = base.select(col("__g"), col("__i").as("__ib"),
       col("__x").as("__xb"), col("__y").as("__yb"))
-    val pairs = a.join(b, Seq("__g")).filter(col("__ia") < col("__ib"))
+    val pairs = a.join(b, Seq("__g"))
+      .filter(col("__ia") < col("__ib") && col("__na") <= lit(maxN))
     val sx = when(col("__xa") < col("__xb"), 1)
       .when(col("__xa") > col("__xb"), -1).otherwise(0)
     val sy = when(col("__ya") < col("__yb"), 1)
@@ -1870,7 +1881,11 @@ object Probes {
     * rides the money-column discipline: deviations 1e-9-quantize, Σz
     * and Σz² are exact decimal(38,0) sums (the 1e9 scale cancels in
     * the ratio but the dag keeps it explicit so both engines walk the
-    * same doubles), and F is one fixed IEEE dag. No p-value (no-libm);
+    * same doubles), and F is one fixed IEEE dag. Magnitude bound:
+    * |x − median| must stay ≤ 9e9 (the decimal(19,0) quantization
+    * ceiling) — a larger deviation raises loudly instead of the
+    * silent-vs-loud cross-engine split a plain cast overflow would
+    * give; rescale the metric first. No p-value (no-libm);
     * threshold against F₁,ₙ₋₂ — 3.84 is the large-N 95% gate. An
     * empty side or zero within-side variance reads NULL F; medians
     * stay reported where defined. NULL side/value rows drop.
@@ -1894,9 +1909,20 @@ object Probes {
         col("__rn") === floor(col("__c") / 2).cast("long") + 1)
       .groupBy(grp :+ col("__a"): _*)
       .agg(((min(col("__x")) + max(col("__x"))) / lit(2.0)).as("__med"))
+    // the quantization bound, stated loudly: |x − med| 1e-9-scales into
+    // decimal(19,0), so past 9e9 the cast would overflow — non-ANSI
+    // Spark NULLs (sum silently skips) where the oracle's DECIMAL cast
+    // errors. raise_error instead: both engines are loud, neither is
+    // silently wrong (the modularity-contract discipline)
+    val devAbs = abs(col("__x") - col("__med"))
     val dev = base.join(med, groupCols :+ "__a")
       .withColumn("__z9",
-        round(abs(col("__x") - col("__med")) * lit(1e9), 0)
+        when(devAbs > lit(9.0e9), raise_error(concat(
+          lit("brownForsythe: |x - median| = "), devAbs.cast(StringType),
+          lit(" exceeds the 9e9 quantization bound (deviations" +
+            " 1e-9-quantize into decimal(19,0)); rescale the metric")))
+          .cast("double"))
+          .otherwise(round(devAbs * lit(1e9), 0))
           .cast("decimal(19,0)"))
     val zero38 = lit(0).cast("decimal(38,0)")
     val sideAgg = dev.groupBy(grp :+ col("__a"): _*)
@@ -2034,15 +2060,19 @@ object Probes {
       .select(col(groupField).as("__g"), col(idField).as("__i"),
         col(xField).cast("double").as("__x"),
         col(yField).cast("double").as("__y"))
-    // the quadratic guard: any group past maxN raises before the join
+    // the quadratic guard, threaded onto side a so the raise fires
+    // BELOW the pair join (the pairSizeGuard contract)
     val sized = pairSizeGuard(base, "theilSen", maxN,
       "trend a bounded slice")
-    val a = base.select(col("__g"), col("__i").as("__ia"),
-      col("__x").as("__xa"), col("__y").as("__ya"))
+    val a = base
+      .join(sized.select(col("__g"), col("__n").as("__na")), Seq("__g"))
+      .select(col("__g"), col("__i").as("__ia"),
+        col("__x").as("__xa"), col("__y").as("__ya"), col("__na"))
     val b = base.select(col("__g"), col("__i").as("__ib"),
       col("__x").as("__xb"), col("__y").as("__yb"))
     val pairs = a.join(b, Seq("__g"))
-      .filter(col("__ia") < col("__ib") && col("__xa") =!= col("__xb"))
+      .filter(col("__ia") < col("__ib") && col("__xa") =!= col("__xb") &&
+        col("__na") <= lit(maxN))
       .withColumn("__s",
         (col("__yb") - col("__ya")) / (col("__xb") - col("__xa")))
     def medianOf(frame: DataFrame, v: String, ties: Seq[String],

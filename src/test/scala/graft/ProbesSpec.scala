@@ -1128,6 +1128,39 @@ class ProbesSpec extends SparkSpec {
       one.getAs[Double]("med_a") === 1.5 &&
       one.getAs[java.lang.Double]("med_b") == null &&
       one.getAs[java.lang.Double]("f") == null)
+    // a deviation past the decimal(19,0) quantization ceiling raises
+    // loudly instead of the silent NULL a plain cast overflow gives
+    val ex = intercept[Exception] {
+      Probes.brownForsythe(col("a"), col("x"))(
+        Seq((true, 0.0), (true, 2.0e10), (false, 1.0), (false, 2.0))
+          .toDF("a", "x")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("9e9 quantization bound")),
+      s"expected the magnitude guard, got: ${msgs(ex).mkString(" | ")}")
+  }
+
+  test("pair-guard raise sits below the pair join in the optimized plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter => LFilter, Join => LJoin}
+    import org.apache.spark.sql.catalyst.expressions.RaiseError
+    val d = Seq(("g", 1L, 1.0, 2.0), ("g", 2L, 2.0, 3.0),
+      ("h", 3L, 1.0, 4.0)).toDF("g", "i", "x", "y")
+    for (q <- Seq(Probes.kendallTau("g", "i", "x", "y")(d),
+        Probes.theilSen("g", "i", "x", "y")(d))) {
+      val guards = q.queryExecution.optimizedPlan.collect {
+        case f: LFilter
+          if f.condition.find(_.isInstanceOf[RaiseError]).isDefined => f
+      }
+      assert(guards.nonEmpty, "no raise_error guard Filter in the plan")
+      // at least one guard Filter's subtree holds NO Join: the raise
+      // evaluates while side a materializes, before pair enumeration
+      assert(guards.exists(f => f.collect { case j: LJoin => j }.isEmpty),
+        "guard Filter should sit below the pair join:\n" +
+          q.queryExecution.optimizedPlan.treeString)
+    }
   }
 
   test("proportionZTest: hand z, degenerate pool NULL, empty side NULL") {
