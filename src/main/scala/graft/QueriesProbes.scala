@@ -131,6 +131,15 @@ private[graft] object QueriesProbes {
       Probes.krippendorffAlpha((col("user_id") % 200), col("event_type"))(
         table(s, dir, "events"))
     },
+    "krippendorff_ordinal" -> { (s, dir) =>
+      // Likert-shaped QA: a 0-5 rating carved from value, items =
+      // rater pools (user_id % 200) — the δ²-weighted α where a
+      // 4-vs-5 split is near-agreement and 0-vs-5 is a fight; rank
+      // mass between categories, exact-integer 2δ carry
+      Probes.krippendorffAlphaWeighted((col("user_id") % 200),
+        least(greatest(floor(col("value") / 50.0), lit(0L)), lit(5L)),
+        metric = "ordinal")(table(s, dir, "events"))
+    },
     "bootstrap_ci" -> { (s, dir) =>
       // per-segment mean balance with an honest uncertainty band: 100
       // Poisson(1)-weighted resamples from deterministic md5 draws —
@@ -675,6 +684,52 @@ private[graft] object QueriesProbes {
           (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - sumsq)
             / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0)) AS d_e
         FROM tot CROSS JOIN sq)
+      SELECT n_items, nn AS n_ratings, d_o, d_e,
+        CASE WHEN d_e <= 0e0 THEN NULL ELSE 1e0 - d_o / d_e END AS alpha
+      FROM d""",
+    // mirrors Probes.krippendorffAlphaWeighted (ordinal): exact
+    // integer marginal cumulative masses, the 2δ carry squared through
+    // HUGEINT like Spark's decimal(38,0), the two pinned float folds
+    // ((i, va, vb)- and (va, vb)-ordered) replayed via list_reduce
+    "krippendorff_ordinal" -> """
+      WITH r AS (SELECT user_id % 200 AS i,
+          CAST(least(greatest(CAST(floor(value / 5e1) AS BIGINT), 0), 5)
+            AS DOUBLE) AS v
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      cells AS (SELECT i, v, CAST(count(*) AS BIGINT) AS nij
+        FROM r GROUP BY 1, 2),
+      items AS (SELECT i, CAST(sum(nij) AS BIGINT) AS ni
+        FROM cells GROUP BY 1 HAVING CAST(sum(nij) AS BIGINT) >= 2),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+          CAST(sum(ni) AS BIGINT) AS nn FROM items),
+      kc AS (SELECT c.i, c.v, c.nij, it.ni
+        FROM cells c JOIN items it USING (i)),
+      marg AS (SELECT v, CAST(sum(nij) AS BIGINT) AS nc
+        FROM kc GROUP BY v),
+      mc AS (SELECT v, nc,
+          CAST(sum(nc) OVER (ORDER BY v) AS BIGINT) AS cum FROM marg),
+      pairs AS (SELECT a.v AS va, a.nc AS na, b.v AS vb, b.nc AS nb,
+          CAST(CAST(2 * b.cum - 2 * a.cum + a.nc - b.nc AS HUGEINT)
+               * (2 * b.cum - 2 * a.cum + a.nc - b.nc) AS DOUBLE) / 4e0
+            AS w
+        FROM mc a CROSS JOIN mc b WHERE a.v < b.v),
+      esum AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) * w
+            ORDER BY va, vb)), (x, y) -> x + y) AS es FROM pairs),
+      ip AS (SELECT a.i, a.v AS va, a.nij AS ma, b.v AS vb,
+          b.nij AS mb, a.ni
+        FROM kc a JOIN kc b ON a.i = b.i AND a.v < b.v),
+      op AS (SELECT ip.i, ip.va, ip.vb,
+          CAST(ip.ma * ip.mb AS DOUBLE) * p.w
+            / CAST(ip.ni - 1 AS DOUBLE) AS t
+        FROM ip JOIN pairs p ON p.va = ip.va AND p.vb = ip.vb),
+      osum AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(t ORDER BY i, va, vb)), (x, y) -> x + y) AS os FROM op),
+      d AS (SELECT n_items, nn,
+          2e0 * coalesce(os, 0e0) / CAST(nn AS DOUBLE) AS d_o,
+          2e0 * coalesce(es, 0e0)
+            / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0)) AS d_e
+        FROM tot CROSS JOIN osum CROSS JOIN esum)
       SELECT n_items, nn AS n_ratings, d_o, d_e,
         CASE WHEN d_e <= 0e0 THEN NULL ELSE 1e0 - d_o / d_e END AS alpha
       FROM d""",

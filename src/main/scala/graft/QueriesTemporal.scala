@@ -227,6 +227,15 @@ private[graft] object QueriesTemporal {
         beta = 0.1, tieBreak = "event_id")(table(s, dir, "events"))
         .orderBy("user_id", "ts", "event_id")
     },
+    "holt_damped" -> { (s, dir) =>
+      // Gardner-damped Holt (phi = 0.8): the trend-overshoot fix for
+      // ramp-then-plateau metrics — the same recurrences with the
+      // carried trend phi-scaled, forecast = level + phi*trend
+      WindowOps.holtSmooth("user_id", "ts", "value", alpha = 0.3,
+        beta = 0.1, tieBreak = "event_id", phi = 0.8)(
+        table(s, dir, "events"))
+        .orderBy("user_id", "ts", "event_id")
+    },
     "holt_winters" -> { (s, dir) =>
       // the seasonal rung above holt_smooth: level/trend/seasonal
       // recurrences (period 4) replayed step-for-step by the oracle's
@@ -318,6 +327,19 @@ private[graft] object QueriesTemporal {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("event_count"))
         .orderBy("window_start", "event_type")
+    },
+    "value_drift_gate" -> { (s, dir) =>
+      // the windowed two-sample value-drift gate on its batch path
+      // (window() plans identically on batch; the stream twin is the
+      // same function): 6h value histograms vs a STORED 8-bin
+      // reference, exact integer KS/TVD numerators, the 1.358
+      // two-sample 95% gate
+      graft.streaming.Streaming.windowedValueDrift(
+        table(s, dir, "events"), "value",
+        refHist = Seq(3000L, 2500L, 1500L, 1000L, 800L, 600L, 400L,
+          200L),
+        lo = 0.0, hi = 500.0, windowLength = "6 hours")
+        .orderBy("window_start")
     },
     "snapshot_diff" -> { (s, dir) =>
       // two derived snapshots of orders: %3-dropped rows vs %4-dropped
@@ -983,6 +1005,35 @@ private[graft] object QueriesTemporal {
       SELECT user_id, ts, event_id, value, level, trend,
         level + trend AS forecast
       FROM r ORDER BY user_id, ts, event_id""",
+    // mirrors WindowOps.holtSmooth(phi = 0.8): the holt_smooth
+    // recursive CTE with the carried trend phi-scaled in both
+    // recurrences and in the forecast — every phi multiply spelled in
+    // the same position the Spark fold evaluates it
+    "holt_damped" -> s"""
+      WITH RECURSIVE o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC) AS i
+        FROM events WHERE ts IS NOT NULL),
+      r AS (
+        SELECT user_id, ts, event_id, value, i, value AS level,
+          CASE WHEN value IS NULL THEN NULL
+               ELSE CAST(0 AS DOUBLE) END AS trend
+        FROM o WHERE i = 1
+        UNION ALL
+        SELECT o.user_id, o.ts, o.event_id, o.value, o.i,
+          CASE WHEN o.value IS NULL OR r.level IS NULL THEN NULL
+            ELSE ${0.3} * o.value
+               + ${1.0 - 0.3} * (r.level + ${0.8} * r.trend) END,
+          CASE WHEN o.value IS NULL OR r.level IS NULL THEN NULL
+            ELSE ${0.1} * ((${0.3} * o.value
+                 + ${1.0 - 0.3} * (r.level + ${0.8} * r.trend))
+                 - r.level)
+               + ${1.0 - 0.1} * (${0.8} * r.trend) END
+        FROM o JOIN r ON o.user_id = r.user_id AND o.i = r.i + 1)
+      SELECT user_id, ts, event_id, value, level, trend,
+        level + ${0.8} * trend AS forecast
+      FROM r ORDER BY user_id, ts, event_id""",
     // mirrors WindowOps.holtWinters: the holt_smooth recursive CTE
     // extended with the seasonal ring carried as a LIST(DOUBLE) —
     // q[1] is the slot one cycle back, each step pops it and appends
@@ -1098,6 +1149,61 @@ private[graft] object QueriesTemporal {
         AND epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))
             BETWEEN 0 AND 3600000000
       ORDER BY a.user_id, signup_id, purchase_id""",
+    // mirrors Streaming.windowedValueDrift on the batch path: clamped
+    // 8-bin histogram per 6h bucket, exact HUGEINT cross numerators
+    // (cum_w·N_r − cum_r·N_w like Spark's decimal(38,0)), ONE division
+    // per statistic, the 1.358·sqrt two-sample gate
+    "value_drift_gate" -> {
+      val ref = Seq(3000L, 2500L, 1500L, 1000L, 800L, 600L, 400L, 200L)
+      val refCum = ref.scanLeft(0L)(_ + _).tail
+      val rt = ref.sum
+      val cnt = (0 until 8).map(i =>
+        s"CAST(count(*) FILTER (bin = $i) AS BIGINT) AS c$i")
+        .mkString(",\n          ")
+      def cum(i: Int) = (0 to i).map(j => s"c$j").mkString(" + ")
+      val ksTerms = (0 until 8).map(i =>
+        s"abs(CAST(${cum(i)} AS HUGEINT) * $rt" +
+          s" - ${refCum(i)} * CAST(total AS HUGEINT))")
+        .mkString(",\n            ")
+      val tvdTerms = (0 until 8).map(i =>
+        s"abs(CAST(c$i AS HUGEINT) * $rt" +
+          s" - ${ref(i)} * CAST(total AS HUGEINT))")
+        .mkString("\n            + ")
+      s"""
+      WITH b AS (SELECT
+          time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w,
+          CASE WHEN value IS NULL THEN NULL
+               ELSE least(greatest(CAST(floor((CAST(value AS DOUBLE)
+                 - 0e0) * 8 / 5e2) AS BIGINT), 0), 7) END AS bin
+        FROM events),
+      h AS (SELECT w,
+          $cnt,
+          CAST(count(bin) AS BIGINT) AS total
+        FROM b GROUP BY w),
+      n AS (SELECT w, total,
+          greatest(
+            $ksTerms) AS ksnum,
+          $tvdTerms AS tvdnum
+        FROM h),
+      s AS (SELECT w AS window_start, total AS n_window,
+          CASE WHEN total = 0 THEN NULL
+               ELSE CAST(ksnum AS DOUBLE)
+                 / (CAST(total AS DOUBLE) * ${litD(rt.toDouble)}) END
+            AS ks_stat,
+          CASE WHEN total = 0 THEN NULL
+               ELSE CAST(tvdnum AS DOUBLE)
+                 / (2e0 * CAST(total AS DOUBLE) * ${litD(rt.toDouble)})
+            END AS tvd,
+          CASE WHEN total = 0 THEN NULL
+               ELSE ${litD(1.358)} * sqrt(
+                 (CAST(total AS DOUBLE) + ${litD(rt.toDouble)})
+                 / (CAST(total AS DOUBLE) * ${litD(rt.toDouble)})) END
+            AS threshold
+        FROM n)
+      SELECT window_start, n_window, ks_stat, tvd, threshold,
+        ks_stat > threshold AS drift
+      FROM s ORDER BY window_start"""
+    },
     "events_time_buckets" ->
       """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
          event_type, count(*) AS event_count

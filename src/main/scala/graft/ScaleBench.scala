@@ -32,8 +32,8 @@ object ScaleBench {
     // Optional comma-separated phase subset (spans / bm25 / cc / ann /
     // inc / contain / bpe / text11 / oph / freq / ts / r12 / tri / r13 /
     // r13b / tfidf / pareto / r14 / flag / conv / r14c / r15 / r15b)
-    // plus r15c / r16 / r16b / r16c, for targeted re-measures without paying the
-    // whole harness; absent → all phases.
+    // plus r15c / r16 / r16b / r16c / r17, for targeted re-measures without
+    // paying the whole harness; absent → all phases.
     val phases = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def phase(name: String)(body: => Unit): Unit =
@@ -1992,6 +1992,168 @@ object ScaleBench {
     }
     println("edges_x,k_truss_sec")
     trussRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    }
+
+    // ---- r17: the incremental k-truss round-collapse claim, the r16
+    // debuts that lacked cells (theilSen groups, bhCorrect |tests|,
+    // the one-hash-agg flat attestation, flesch linearity), and the
+    // recurring-crawl LM dimension (fixed batch, growing table) ----
+    phase("r17") {
+    import graft.probes.{Probes => P17}
+    import graft.ext.{TextOps => T17}
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    def noop(d: DataFrame): Unit =
+      d.write.mode("overwrite").format("noop").save()
+    // kTruss at rounds 1/5/10/30 on the FIXED oracle-shaped graph
+    // (fixpoint at ~5): maintained supports pay the one full wedge
+    // enumeration at round 0 and peel-front-proportional deltas after,
+    // and the early stop makes post-fixpoint rounds FREE — the curve
+    // must climb only while the front moves, then go flat. The old
+    // full-recompute design paid a whole Σ outdeg² enumeration per
+    // round, converged or not (rounds=30 would cost 6× rounds=5).
+    val ev17 = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+      .select("user_id", "event_id")
+    val truss17 = ev17.select(
+      (col("user_id") % 2000).as("src"),
+      ((col("user_id") * 13 + col("event_id") * 7) % 2000).as("dst"))
+      .localCheckpoint()
+    def trussJob17(rounds: Int): Unit =
+      noop(graft.ext.GraphOps.kTruss("src", "dst", k = 4,
+        rounds = rounds)(truss17))
+    trussJob17(1)
+    println("rounds,k_truss_sec")
+    for (r <- Seq(1, 5, 10, 30))
+      println(f"$r,${median3(trussJob17(r))}%.2f")
+    truss17.unpersist()
+    // theilSen: groups ×1/×2/×4 at FIXED ~100-row groups (the
+    // kendallTau cell's shape, same contract: growth WITHIN a group is
+    // guarded O(n²), growth in GROUPS is the honest scale dimension
+    // and must be ~linear)
+    val li17 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_extendedprice").isNotNull &&
+        col("l_quantity").isNotNull && col("l_orderkey").isNotNull)
+      .select("l_suppkey", "l_orderkey", "l_extendedprice", "l_quantity")
+    val ts17 = li17.limit(100 * 64)
+    def tsGroups(k: Int): DataFrame =
+      (0 until k).map(i => ts17.select(
+        ((col("l_suppkey") % 64) + lit(i.toLong * 1_000L)).as("g"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("i", monotonically_increasing_id())
+    def tsJob(d: DataFrame): Unit =
+      noop(P17.theilSen("g", "i", "x", "y", maxN = 1000)(d))
+    locally { val d1 = tsGroups(1).localCheckpoint(); tsJob(d1); d1.unpersist() }
+    val tsRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = tsGroups(k).localCheckpoint()
+      val t = median3(tsJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("groups_x,theil_sen_sec")
+    tsRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // bhCorrect: |tests| ×1/×2/×4 — one global sort window over the
+    // family (the step-up is suffix-min over the sorted p-frame), so
+    // the curve is |tests|·log|tests|, never quadratic
+    def pvals(k: Int): DataFrame =
+      spark.range(0, 100_000L * k).select(
+        col("id").cast("string").as("id"),
+        (((col("id") * 7919L) % 99991L).cast("double") / lit(99991.0))
+          .as("p"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    def bhJob(d: DataFrame): Unit =
+      noop(P17.bhCorrect("id", "p", alpha = 0.05)(d))
+    locally { val d1 = pvals(1).localCheckpoint(); bhJob(d1); d1.unpersist() }
+    val bhRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = pvals(k).localCheckpoint()
+      val t = median3(bhJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("tests_x,bh_correct_sec")
+    bhRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // flat attestation for the one-hash-agg tests (mcnemar /
+    // proportion-z; brownForsythe adds one per-(g, side) median
+    // window) — rows ×1/×2/×4 over 64 groups must track the scan
+    def abRows(k: Int): DataFrame =
+      (0 until k).map(i => li17.select(
+        ((col("l_suppkey") % 64) + lit(i.toLong * 1_000L)).as("g"),
+        (col("l_orderkey") % 2 === 0).as("a"),
+        (col("l_quantity") >= 25).as("s"),
+        (col("l_extendedprice") >= 30000).as("s2"),
+        col("l_extendedprice").as("x")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def mcJob(d: DataFrame): Unit =
+      noop(P17.mcnemarTest(col("s"), col("s2"), Seq("g"))(d))
+    def pzJob(d: DataFrame): Unit =
+      noop(P17.proportionZTest(col("a"), col("s"), Seq("g"))(d))
+    def bfJob(d: DataFrame): Unit =
+      noop(P17.brownForsythe(col("a"), col("x"), Seq("g"))(d))
+    locally { val d1 = abRows(1).localCheckpoint()
+      mcJob(d1); pzJob(d1); bfJob(d1); d1.unpersist() }
+    val abOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = abRows(k).localCheckpoint()
+      val tm = median3(mcJob(d)); val tp = median3(pzJob(d))
+      val tb = median3(bfJob(d)); d.unpersist()
+      (k, tm, tp, tb)
+    }
+    println("rows_x,mcnemar_sec,proportion_z_sec,brown_forsythe_sec")
+    abOut.foreach { case (k, tm, tp, tb) =>
+      println(f"$k,$tm%.2f,$tp%.2f,$tb%.2f") }
+    // fleschReadability: docs ×1/×2/×4 — a pure per-row projection
+    // (vowel-group/sentence-run counts), must be linear in rows
+    val docs17 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+    def fleschDocs(k: Int): DataFrame =
+      (0 until k).map(i => docs17.select(
+        (col("doc_id") + lit(i.toLong * 100_000_000L)).as("doc_id"),
+        col("text")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def flJob(d: DataFrame): Unit =
+      noop(T17.fleschReadability("doc_id", "text")(d))
+    locally { val d1 = fleschDocs(1).localCheckpoint(); flJob(d1); d1.unpersist() }
+    val flRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = fleschDocs(k).localCheckpoint()
+      val t = median3(flJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("docs_x,flesch_sec")
+    flRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // the recurring-crawl LM dimension: a FIXED scored batch against a
+    // count table grown by merging in vocabulary-shifted increments
+    // (union + groupBy-sum, the count-merge identity) ×1/×2/×4 —
+    // scoring pays three TABLE-sized digest self-joins + the position
+    // stream, so batch-scoring time must stay ~flat as the stored
+    // model grows (the lmStats self-joins are table-sized, the
+    // position stream is batch-sized)
+    val shift17 = "abcdefghijklmnopqrstuvwxyz"
+    def mut(i: Int): org.apache.spark.sql.Column =
+      if (i == 0) col("text")
+      else translate(col("text"), shift17,
+        shift17.drop(i) + shift17.take(i))
+    def lmTable(k: Int): DataFrame =
+      (0 until k).map(i =>
+        T17.lmCountTable("text")(docs17.select(mut(i).as("text"))))
+        .reduce(_ unionByName _)
+        .groupBy("n", "gram")
+        .agg(sum(col("occurrences")).as("occurrences"))
+        .select("n", "gram", "occurrences")
+        .localCheckpoint()
+    def lmJob(counts: DataFrame): Unit =
+      noop(T17.trigramLmQuality("doc_id", "text", counts,
+        exactOrder = false)(docs17))
+    locally { val t1 = lmTable(1); lmJob(t1); t1.unpersist() }
+    val lmRows = for (k <- Seq(1, 2, 4)) yield {
+      val tab = lmTable(k)
+      val rows = tab.count()
+      val t = median3(lmJob(tab)); tab.unpersist()
+      (k, rows, t)
+    }
+    println("table_x,table_rows,trigram_lm_score_sec")
+    lmRows.foreach { case (k, r, t) => println(f"$k,$r,$t%.2f") }
     }
     spark.stop()
   }

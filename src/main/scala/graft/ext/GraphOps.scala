@@ -583,13 +583,25 @@ object GraphOps {
     * erased, parallel edges DISTINCT to one.
     *
     * Exactness: supports are exact integer triangle counts; no float
-    * anywhere. Scale shape: per round, ONE wedge enumeration — the
-    * doubled edge list joined to itself through the shared endpoint,
-    * matched against the edge frame — i.e. two equi-joins + one
-    * hash-agg; the intermediate is the wedge volume Σ_v deg(v)², the
-    * same bill [[linkPrediction]] documents (its maxDegree-cap note
-    * applies: cap hub degrees upstream on power-law graphs). Survivor
-    * frames pin through [[graft.ops.Ops.pinIterationState]].
+    * anywhere — and they are MAINTAINED, not recomputed: round 0 pays
+    * ONE full oriented wedge enumeration (Σ outdeg², the
+    * [[triangleStats]] orientation — hub-proof); every later round
+    * only enumerates the triangles DESTROYED by that round's peel
+    * front (common neighbors of each peeled edge's endpoints, deduped
+    * on the sorted vertex triple so a triangle losing 2–3 edges still
+    * decrements once) and subtracts them from the survivors' carried
+    * supports. Support in the survivor graph = support in the previous
+    * graph minus destroyed witnesses — exact integers, so the
+    * maintained counts are BIT-IDENTICAL to a full recomputation
+    * (property-spec-pinned). Per-round cost is peel-front-proportional
+    * (Σ_{(a,b)∈peeled} deg(a) candidate rows + one hash-agg), not
+    * graph-proportional — at 100× the post-front rounds are no longer
+    * the bill. A round that peels nothing IS the fixpoint (monotone
+    * peeling), so the loop stops early — output unchanged (further
+    * rounds are no-ops), the remaining wedge enumerations simply never
+    * run; `converged` still reads off the final supports. Survivor
+    * frames pin through [[graft.ops.Ops.pinIterationState]]; the
+    * early-stop check is one cheap scan of the pinned frame per round.
     * Output per surviving edge: `node_a < node_b, support` (support in
     * the final induced subgraph) + the global `converged`. */
   def kTruss(srcField: String, dstField: String, k: Int,
@@ -598,7 +610,7 @@ object GraphOps {
     require(rounds >= 1 && rounds <= 30,
       s"rounds must be in [1, 30], got $rounds")
     val minSup = (k - 2).toLong
-    var e = edges
+    val e0 = edges
       .select(col(srcField).as("__a"), col(dstField).as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull &&
         col("__a") =!= col("__b"))
@@ -606,12 +618,80 @@ object GraphOps {
         greatest(col("__a"), col("__b")).as("__d"))
       .distinct()
       .localCheckpoint()
-    // Degree-ordered orientation (the [[triangleStats]] design): each
-    // triangle is enumerated EXACTLY ONCE from its lowest-(degree, id)
-    // apex, then credited to all three of its edges. Wedge volume
-    // drops from Σ deg² to Σ outdeg² — the difference between a hub
-    // exploding the join (power-law graphs) and not.
-    def support(cur: DataFrame): DataFrame = {
+    // round 0: the one full enumeration seeds every edge's support
+    // (edges in no triangle carry an honest 0)
+    var cur = graft.ops.Ops.pinIterationState(
+      e0.join(trussSupport(e0), Seq("__s", "__d"), "left")
+        .select(col("__s"), col("__d"),
+          coalesce(col("__sup"), lit(0L)).as("__sup")))
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      val peeled = cur.filter(col("__sup") < minSup)
+      if (peeled.isEmpty) {
+        // monotone peeling: an empty front now means empty forever —
+        // the fixpoint is reached and later rounds are no-ops
+        stable = true
+      } else {
+        val surv = cur.filter(col("__sup") >= minSup)
+        val ends = cur.select(col("__s").as("__v"), col("__d").as("__n"))
+          .unionByName(
+            cur.select(col("__d").as("__v"), col("__s").as("__n")))
+        // triangles of the CURRENT graph holding >= 1 peeled edge:
+        // candidates are each peeled edge's s-side neighbors, the
+        // closing (d, c) edge decided by one semi-join; dedup on the
+        // sorted triple (a triangle losing 2-3 edges at once is found
+        // via each, but must decrement its survivors exactly once)
+        val tris = peeled
+          .join(ends.select(col("__v").as("__s"), col("__n").as("__c")),
+            Seq("__s"))
+          .filter(col("__c") =!= col("__d"))
+          .select(col("__s"), col("__d"), col("__c"),
+            least(col("__d"), col("__c")).as("__x"),
+            greatest(col("__d"), col("__c")).as("__y"))
+          .join(cur.select(col("__s").as("__x"), col("__d").as("__y")),
+            Seq("__x", "__y"), "left_semi")
+          .withColumn("__srt",
+            array_sort(array(col("__s"), col("__d"), col("__c"))))
+          .select(element_at(col("__srt"), 1).as("__t1"),
+            element_at(col("__srt"), 2).as("__t2"),
+            element_at(col("__srt"), 3).as("__t3"))
+          .distinct()
+        // each destroyed triangle takes one witness from each of its
+        // three edges; only survivors still carry a support to lose
+        val loss = tris
+          .select(explode(array(
+            struct(col("__t1").as("__s"), col("__t2").as("__d")),
+            struct(col("__t1").as("__s"), col("__t3").as("__d")),
+            struct(col("__t2").as("__s"), col("__t3").as("__d"))))
+            .as("__e"))
+          .groupBy(col("__e.__s").as("__s"), col("__e.__d").as("__d"))
+          .agg(count(lit(1)).as("__loss"))
+        cur = graft.ops.Ops.pinIterationState(
+          surv.join(loss, Seq("__s", "__d"), "left")
+            .select(col("__s"), col("__d"),
+              (col("__sup") - coalesce(col("__loss"), lit(0L)))
+                .as("__sup")))
+      }
+      r += 1
+    }
+    val conv = cur.agg(
+      coalesce(min(col("__sup") >= minSup), lit(true)).as("converged"))
+    cur.crossJoin(broadcast(conv))
+      .select(col("__s").as("node_a"), col("__d").as("node_b"),
+        col("__sup").as("support"), col("converged"))
+  }
+
+  /** Full oriented triangle-support enumeration over a canonical
+    * (`__s < __d`, distinct) edge frame — [[kTruss]]'s round-0 seed and
+    * the spec's cross-check that maintained supports match a fresh
+    * recomputation. Degree-ordered orientation (the [[triangleStats]]
+    * design): each triangle is enumerated EXACTLY ONCE from its
+    * lowest-(degree, id) apex, then credited to all three of its
+    * edges. Wedge volume drops from Σ deg² to Σ outdeg² — the
+    * difference between a hub exploding the join (power-law graphs)
+    * and not. Emits only edges in >= 1 triangle: `__s, __d, __sup`. */
+  private[graft] def trussSupport(cur: DataFrame): DataFrame = {
       val ends = cur.select(col("__s").as("__v"), col("__d").as("__n"))
         .unionByName(cur.select(col("__d").as("__v"), col("__s").as("__n")))
       val deg = ends.groupBy(col("__v")).agg(count(lit(1)).as("__deg"))
@@ -645,25 +725,6 @@ object GraphOps {
             greatest(col("__b"), col("__c")).as("__d")))).as("__e"))
         .groupBy(col("__e.__s").as("__s"), col("__e.__d").as("__d"))
         .agg(count(lit(1)).as("__sup"))
-    }
-    var r = 0
-    while (r < rounds) {
-      e = graft.ops.Ops.pinIterationState(
-        support(e).filter(col("__sup") >= minSup)
-          .select(col("__s"), col("__d")))
-      r += 1
-    }
-    // support in the FINAL induced subgraph off the same frame;
-    // a survivor whose last witnesses were peeled has no support row —
-    // coalesce to 0 so it honestly fails the fixpoint check
-    val finalSup = e.join(support(e), Seq("__s", "__d"), "left")
-      .select(col("__s"), col("__d"),
-        coalesce(col("__sup"), lit(0L)).as("support"))
-    val conv = finalSup.agg(
-      coalesce(min(col("support") >= minSup), lit(true)).as("converged"))
-    finalSup.crossJoin(broadcast(conv))
-      .select(col("__s").as("node_a"), col("__d").as("node_b"),
-        col("support"), col("converged"))
   }
 
   /** k-core extraction by rounds-bounded peeling — the density filter

@@ -610,7 +610,13 @@ object WindowOps {
     * smoother for metrics that RAMP (a level-only EWMA lags a ramp
     * forever; Holt's trend term closes the gap), and its
     * `forecast = level + trend` column is the one-step-ahead
-    * prediction drift monitors alarm against.
+    * prediction drift monitors alarm against. Optional Gardner
+    * damping: `phi` ∈ (0, 1] multiplies the CARRIED trend in both
+    * recurrences and in the forecast (`level + φ·trend` — at h = 1
+    * the φ-geometric sum is one multiply) — the standard fix for
+    * trend overshoot on metrics that ramp then plateau; φ = 1 (the
+    * default) IS classic Holt, dag-identical (the multiply is
+    * skipped, property-spec-pinned).
     *
     * NULL doctrine = [[ewmaSmooth]]: a NULL value (or a NULL-poisoned
     * tail) propagates NULL through level/trend/forecast — a gap
@@ -630,12 +636,15 @@ object WindowOps {
   def holtSmooth(
       keyField: String, tsField: String, valueField: String,
       alpha: Double, beta: Double,
-      tieBreak: String, exactOrder: Boolean = true)(
+      tieBreak: String, exactOrder: Boolean = true,
+      phi: Double = 1.0)(
       df: DataFrame): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"alpha must be in (0, 1], got $alpha")
     require(beta >= 0.0 && beta <= 1.0,
       s"beta must be in [0, 1], got $beta")
+    require(phi > 0.0 && phi <= 1.0,
+      s"phi must be in (0, 1], got $phi")
     if (!exactOrder) {
       val prepared = df.filter(col(tsField).isNotNull)
         .select(col(keyField).as("__k"), col(tsField).as("__t"),
@@ -669,19 +678,25 @@ object WindowOps {
             l = null; b = null
           } else {
             val lPrev = l.doubleValue(); val bPrev = b.doubleValue()
+            // Gardner damping: phi multiplies the carried trend in
+            // BOTH recurrences (phi = 1 is classic Holt, and the
+            // multiply is skipped so the dag stays byte-identical)
+            val bD = if (phi == 1.0) bPrev else phi * bPrev
             val lNew = alpha * v.doubleValue() +
-              (1.0 - alpha) * (lPrev + bPrev)
+              (1.0 - alpha) * (lPrev + bD)
             b = java.lang.Double.valueOf(
-              beta * (lNew - lPrev) + (1.0 - beta) * bPrev)
+              beta * (lNew - lPrev) + (1.0 - beta) * bD)
             l = java.lang.Double.valueOf(lNew)
           }
           org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), v, l, b)
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
+      def dampF(c: org.apache.spark.sql.Column) =
+        if (phi == 1.0) c else lit(phi) * c
       return smoothed.select(col("__k").as(keyField),
         col("__t").as(tsField), col("__tb").as(tieBreak),
         col("__v").as(valueField), col("level"), col("trend"),
-        (col("level") + col("trend")).as("forecast"))
+        (col("level") + dampF(col("trend"))).as("forecast"))
     }
     val arr = sort_array(collect_list(
       struct(col("__t"), col("__tb"), col("__v"))))
@@ -691,7 +706,11 @@ object WindowOps {
       (acc, x) => {
         val v = x.getField("__v")
         val lPrev = element_at(acc, -1).getField("l")
-        val bPrev = element_at(acc, -1).getField("b")
+        val bPrev0 = element_at(acc, -1).getField("b")
+        // Gardner damping: phi multiplies the carried trend in both
+        // recurrences; phi = 1 skips the multiply so the classic dag
+        // is byte-identical
+        val bPrev = if (phi == 1.0) bPrev0 else lit(phi) * bPrev0
         // lNew spelled once per slot but evaluated identically — the
         // oracle's recursive CTE repeats the same expression
         val lNew = lit(alpha) * v + lit(1.0 - alpha) * (lPrev + bPrev)
@@ -707,6 +726,7 @@ object WindowOps {
                 .as("b"))))
         concat(acc, array(next))
       })
+    def damp(c: Column) = if (phi == 1.0) c else lit(phi) * c
     df.filter(col(tsField).isNotNull)
       .select(col(keyField).as("__k"), col(tsField).as("__t"),
         col(tieBreak).as("__tb"), col(valueField).cast("double").as("__v"))
@@ -719,7 +739,7 @@ object WindowOps {
         col("col.__arr.__v").as(valueField),
         col("col.__st.l").as("level"),
         col("col.__st.b").as("trend"),
-        (col("col.__st.l") + col("col.__st.b")).as("forecast"))
+        (col("col.__st.l") + damp(col("col.__st.b"))).as("forecast"))
   }
 
   /** Holt–Winters additive triple exponential smoothing —
@@ -733,6 +753,8 @@ object WindowOps {
     * `seasonal ← γ·(x − level) + (1−γ)·s⁻`,
     * and `forecast = level + trend + s_{t+1−period}` is the
     * one-step-ahead prediction drift monitors alarm against.
+    * `phi` damps the carried trend exactly as in [[holtSmooth]]
+    * (φ = 1 default, dag-identical classic form).
     *
     * Seeding convention, fixed so the oracle can replay it: level =
     * first value, trend = 0, the seasonal ring = `period` zeros — the
@@ -764,7 +786,8 @@ object WindowOps {
   def holtWinters(
       keyField: String, tsField: String, valueField: String,
       alpha: Double, beta: Double, gamma: Double, period: Int,
-      tieBreak: String, exactOrder: Boolean = true)(
+      tieBreak: String, exactOrder: Boolean = true,
+      phi: Double = 1.0)(
       df: DataFrame): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"alpha must be in (0, 1], got $alpha")
@@ -772,6 +795,8 @@ object WindowOps {
       s"beta must be in [0, 1], got $beta")
     require(gamma >= 0.0 && gamma <= 1.0,
       s"gamma must be in [0, 1], got $gamma")
+    require(phi > 0.0 && phi <= 1.0,
+      s"phi must be in (0, 1], got $phi")
     require(period >= 2 && period <= 64,
       s"period must be in [2, 64], got $period")
     if (!exactOrder) {
@@ -812,7 +837,10 @@ object WindowOps {
             l = null; b = null; ring = null
           } else {
             val sm = ring(idx)
-            val lPrev = l.doubleValue(); val bPrev = b.doubleValue()
+            val lPrev = l.doubleValue(); val bPrev0 = b.doubleValue()
+            // Gardner damping (the holtSmooth convention): phi scales
+            // the carried trend; phi = 1 skips the multiply
+            val bPrev = if (phi == 1.0) bPrev0 else phi * bPrev0
             val lNew = alpha * (v.doubleValue() - sm) +
               (1.0 - alpha) * (lPrev + bPrev)
             val bNew = beta * (lNew - lPrev) + (1.0 - beta) * bPrev
@@ -826,7 +854,9 @@ object WindowOps {
           val f: java.lang.Double =
             if (l == null || ring == null) null
             else java.lang.Double.valueOf(
-              l.doubleValue() + b.doubleValue() + ring(idx))
+              l.doubleValue() +
+                (if (phi == 1.0) b.doubleValue()
+                 else phi * b.doubleValue()) + ring(idx))
           org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), v,
             l, b, s, f)
         }
@@ -847,7 +877,10 @@ object WindowOps {
         val v = x.getField("__v")
         val prev = element_at(acc, -1)
         val lPrev = prev.getField("l")
-        val bPrev = prev.getField("b")
+        val bPrev0 = prev.getField("b")
+        // Gardner damping (the holtSmooth convention); phi = 1 skips
+        // the multiply so the classic dag is byte-identical
+        val bPrev = if (phi == 1.0) bPrev0 else lit(phi) * bPrev0
         val qPrev = prev.getField("q")
         val sm = element_at(qPrev, 1)
         // lNew spelled once per slot but evaluated identically — the
@@ -884,7 +917,9 @@ object WindowOps {
         col("col.__st.l").as("level"),
         col("col.__st.b").as("trend"),
         col("col.__st.s").as("seasonal"),
-        (col("col.__st.l") + col("col.__st.b") +
+        (col("col.__st.l") +
+          (if (phi == 1.0) col("col.__st.b")
+           else lit(phi) * col("col.__st.b")) +
           element_at(col("col.__st.q"), 1)).as("forecast"))
   }
 

@@ -790,6 +790,10 @@ final case class Pipeline(df: DataFrame) {
   def krippendorffAlpha(item: Column, label: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.krippendorffAlpha(item, label, groupCols))
+  def krippendorffAlphaWeighted(item: Column, label: Column,
+      metric: String = "ordinal",
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.krippendorffAlphaWeighted(item, label, metric, groupCols))
   def fleissKappa(item: Column, label: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.fleissKappa(item, label, groupCols))
@@ -907,14 +911,15 @@ final case class Pipeline(df: DataFrame) {
       upperPosterior, lowerPosterior, iterations))
   def holtWinters(keyField: String, tsField: String, valueField: String,
       alpha: Double, beta: Double, gamma: Double, period: Int,
-      tieBreak: String, exactOrder: Boolean = true): Pipeline =
+      tieBreak: String, exactOrder: Boolean = true,
+      phi: Double = 1.0): Pipeline =
     >>(graft.ops.WindowOps.holtWinters(keyField, tsField, valueField,
-      alpha, beta, gamma, period, tieBreak, exactOrder))
+      alpha, beta, gamma, period, tieBreak, exactOrder, phi))
   def holtSmooth(keyField: String, tsField: String, valueField: String,
       alpha: Double, beta: Double, tieBreak: String,
-      exactOrder: Boolean = true): Pipeline =
+      exactOrder: Boolean = true, phi: Double = 1.0): Pipeline =
     >>(graft.ops.WindowOps.holtSmooth(keyField, tsField, valueField,
-      alpha, beta, tieBreak, exactOrder))
+      alpha, beta, tieBreak, exactOrder, phi))
   def rollingCorr(keys: Seq[String], orderFields: Seq[String],
       xField: String, yField: String, window: Int,
       exact: Boolean = true): Pipeline =

@@ -1307,6 +1307,144 @@ object Probes {
           .otherwise(lit(1.0) - col("d_o") / col("d_e")).as("alpha")): _*)
   }
 
+  /** Krippendorff's α with a DISTANCE metric — the ordinal/interval
+    * completion of [[krippendorffAlpha]], which scores every
+    * disagreement 1: on a Likert-style annotation scale (1–5 quality
+    * ratings, harm severities) a 4-vs-5 split is near-agreement and a
+    * 1-vs-5 split is a fight, and the δ²-weighted coefficient is what
+    * annotation QA actually thresholds there (Krippendorff 2004, the
+    * ordinal/interval metrics). Same variable-n long frame, same
+    * missing-data-honest coincidence pairing; labels must be NUMERIC
+    * (they carry the scale).
+    *
+    * Over the kept-item label marginals n_c (value-ordered, cumulative
+    * mass C_c) the pair distance is
+    *   - `interval`: δ²_ck = (v_c − v_k)²  — value gaps;
+    *   - `ordinal`:  δ²_ck = (Σ_{g=c..k} n_g − (n_c+n_k)/2)² — rank
+    *     mass between the categories, the tie-robust textbook form,
+    *     carried as the exact integer 2δ = 2C_k − 2C_c + n_c − n_k
+    *     and squared in decimal(38,0) before the one float division;
+    *   - `nominal`:  δ² = 1 — reduces to [[krippendorffAlpha]]
+    *     (property-spec-pinned, and binary-label `interval` ≡ it).
+    * Observed/expected disagreement ride the coincidence identities
+    *   `D_o = (2/N)·Σ_u Σ_{c<k} n_uc·n_uk·δ²_ck/(n_u−1)`,
+    *   `D_e = (2/(N(N−1)))·Σ_{c<k} n_c·n_k·δ²_ck`,
+    * `α = 1 − D_o/D_e`. All counts and the ordinal 2δ carry are exact
+    * integers; the TWO float folds (per-item pair terms pinned by
+    * (item, v_c, v_k), marginal pair terms by (v_c, v_k)) follow the
+    * [[krippendorffAlpha]] exactOrder doctrine. D_e = 0 → NULL α.
+    * NULL/NaN labels and single-rating items drop.
+    *
+    * Scale shape: the corpus scans once into cells; per-item pairs are
+    * |labels-per-item|²-bounded; the GLOBAL pair frame is |V|² off the
+    * marginals and the op raises loudly past `maxLabels` distinct
+    * values (quantize near-continuous scores first — the
+    * [[graft.ext.TextOps.scorePercentiles]] advice; an unquantized
+    * float column is not an annotation scale). Output per group:
+    * `n_items, n_ratings, d_o, d_e, alpha`. */
+  def krippendorffAlphaWeighted(item: Column, label: Column,
+      metric: String = "ordinal",
+      groupCols: Seq[String] = Nil,
+      exactOrder: Boolean = true,
+      maxLabels: Int = 256)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(Seq("nominal", "ordinal", "interval").contains(metric),
+      s"metric must be nominal|ordinal|interval, got $metric")
+    require(maxLabels >= 2 && maxLabels <= 4096,
+      s"maxLabels must be in [2, 4096], got $maxLabels")
+    val grp = groupCols.map(col)
+    val cells = df
+      .filter(item.isNotNull && label.isNotNull &&
+        !isnan(label.cast("double")))
+      .select(grp :+ item.as("__i") :+
+        label.cast("double").as("__v"): _*)
+      .groupBy(grp :+ col("__i") :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__nij"))
+      .localCheckpoint() // the ONE corpus scan
+    val items = cells
+      .groupBy(grp :+ col("__i"): _*)
+      .agg(sum(col("__nij")).as("__ni"))
+      .filter(col("__ni") >= 2)
+      .localCheckpoint() // <= |items| rows
+    val totals =
+      (if (grp.isEmpty) items.groupBy() else items.groupBy(grp: _*))
+        .agg(count(lit(1)).as("n_items"), sum(col("__ni")).as("__N"))
+    val kcells = cells.join(items, groupCols :+ "__i")
+    // value-ordered marginals with cumulative mass; the |V| guard
+    // rides the frame every downstream column reads, so an oversized
+    // scale raises before any |V|² pair enumerates
+    val wCum = Window.partitionBy(grp: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(grp: _*)
+    val marg = kcells
+      .groupBy(grp :+ col("__v"): _*)
+      .agg(sum(col("__nij")).as("__nc0"))
+      .withColumn("__nv", count(lit(1)).over(wAll))
+      .withColumn("__nc",
+        when(col("__nv") > maxLabels, raise_error(concat(
+          lit("krippendorffAlphaWeighted: "), col("__nv").cast(StringType),
+          lit(s" distinct label values > maxLabels=$maxLabels — the" +
+            " pair frame is |V|^2; quantize the scale first")))
+          .cast("long"))
+          .otherwise(col("__nc0")))
+      .withColumn("__cum", sum(col("__nc")).over(wCum))
+      .select(grp ++ Seq(col("__v"), col("__nc"), col("__cum")): _*)
+    val pa = marg.select(grp ++ Seq(col("__v").as("__va"),
+      col("__nc").as("__na"), col("__cum").as("__ca")): _*)
+    val pb = marg.select(grp ++ Seq(col("__v").as("__vb"),
+      col("__nc").as("__nb"), col("__cum").as("__cb")): _*)
+    // |V|²-bounded by the guard: a broadcastable parameter frame
+    val pairs0 =
+      (if (grp.isEmpty) pa.crossJoin(pb) else pa.join(pb, groupCols))
+        .filter(col("__va") < col("__vb"))
+    val wExpr = metric match {
+      case "nominal" => lit(1.0)
+      case "interval" =>
+        (col("__va") - col("__vb")) * (col("__va") - col("__vb"))
+      case "ordinal" =>
+        val d2 = (lit(2L) * col("__cb") - lit(2L) * col("__ca") +
+          col("__na") - col("__nb")).cast("decimal(38,0)")
+        (d2 * d2).cast("double") / lit(4.0)
+    }
+    val pairs = pairs0.withColumn("__w", wExpr).localCheckpoint()
+    def fold(key: Column, term: Column) = pinnedFold(key, term, exactOrder)
+    val eAgg =
+      (if (grp.isEmpty) pairs.groupBy() else pairs.groupBy(grp: _*))
+        .agg(fold(struct(col("__va"), col("__vb")),
+          (col("__na").cast("decimal(38,0)") *
+            col("__nb").cast("decimal(38,0)")).cast("double") *
+            col("__w")).as("__esum"))
+    val ia = kcells.select(grp ++ Seq(col("__i"),
+      col("__v").as("__va"), col("__nij").as("__ma"), col("__ni")): _*)
+    val ib = kcells.select(grp ++ Seq(col("__i"),
+      col("__v").as("__vb"), col("__nij").as("__mb")): _*)
+    val ipairs = ia.join(ib, groupCols :+ "__i")
+      .filter(col("__va") < col("__vb"))
+      .join(broadcast(pairs.select(grp ++ Seq(col("__va"), col("__vb"),
+        col("__w")): _*)), groupCols ++ Seq("__va", "__vb"))
+      .withColumn("__to",
+        (col("__ma") * col("__mb")).cast("double") * col("__w") /
+          (col("__ni") - 1).cast("double"))
+    val oAgg =
+      (if (grp.isEmpty) ipairs.groupBy() else ipairs.groupBy(grp: _*))
+        .agg(fold(struct(col("__i"), col("__va"), col("__vb")),
+          col("__to")).as("__osum"))
+    val nD = col("__N").cast("double")
+    val joined =
+      (if (grp.isEmpty) totals.crossJoin(oAgg).crossJoin(eAgg)
+       else totals.join(oAgg, groupCols, "left")
+         .join(eAgg, groupCols, "left"))
+    joined
+      .withColumn("d_o",
+        lit(2.0) * coalesce(col("__osum"), lit(0.0)) / nD)
+      .withColumn("d_e",
+        lit(2.0) * coalesce(col("__esum"), lit(0.0)) /
+          (nD * (nD - lit(1.0))))
+      .select(grp ++ Seq(col("n_items"), col("__N").as("n_ratings"),
+        col("d_o"), col("d_e"),
+        when(col("d_e") <= 0.0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("d_o") / col("d_e")).as("alpha")): _*)
+  }
+
   /** Per-rep Poisson(1) weight from the repo's md5-uint32 draw: the
     * inverse-CDF thresholds are driver-computed ONCE, floored onto the
     * integer 2³² grid, and compared as plain longs — the whole draw is
@@ -1851,9 +1989,15 @@ object Probes {
     val wAll = Window.partitionBy(grp: _*)
     val wOrd = Window.partitionBy(grp: _*)
       .orderBy(col("__p"), col("__id"))
+    // the step-up suffix-min SPELLED as a running min over the
+    // REVERSED order — the same row set and the same exact doubles as
+    // a (currentRow, unboundedFollowing) frame, but Spark executes
+    // that frame class by rescanning the remainder per row (O(m²) in
+    // one task — the r17 ScaleBench cell caught it at 100k tests);
+    // the reversed running frame is the streaming O(m) evaluator
     val wSuf = Window.partitionBy(grp: _*)
-      .orderBy(col("__p"), col("__id"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__p").desc, col("__id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
       .withColumn("m", count(lit(1)).over(wAll))
       .withColumn("rank", row_number().over(wOrd).cast("long"))

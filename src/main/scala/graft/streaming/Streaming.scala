@@ -265,6 +265,102 @@ object Streaming {
         col("col.d").as("cdf_delta"), col("ks_stat"))
   }
 
+  /** Windowed two-sample VALUE-drift gate — the live twin the exact
+    * rank tests ([[graft.probes.Probes.mannWhitneyU]] /
+    * [[graft.probes.Probes.ksTest]]) cannot have directly: per-window
+    * ranks are unbounded state, so the stream routes through a
+    * FIXED-BIN quantized histogram instead (≤ 64 bins over the
+    * caller's [lo, hi), clamped edges — the [[windowedNumericDrift]]
+    * bin contract) compared against a STORED reference histogram
+    * (`refHist`, per-bin counts — a bounded model artifact on the
+    * plan, the [[windowedCorpusDrift]] seam; build it once from the
+    * healthy corpus with [[graft.probes.Probes.numericDrift]]-style
+    * binning and ship the counts).
+    *
+    * Per window, with exact integer numerators end to end:
+    *   `ks_stat = max_i |cum_w(i)·N_r − cum_r(i)·N_w| / (N_w·N_r)`
+    *   `tvd     = Σ_i |c_w(i)·N_r − c_r(i)·N_w| / (2·N_w·N_r)`
+    * (numerators carried in decimal(38,0) — no float until the one
+    * final division each), and the GATE
+    *   `drift = ks_stat > 1.358·√((N_w+N_r)/(N_w·N_r))`
+    * — the asymptotic α=0.05 two-sample KS critical value (1.358 IS
+    * the 95% gate, the no-libm doctrine: one correctly-rounded sqrt,
+    * no p-value). The binned statistic is a LOWER bound on the
+    * unbinned D, so the gate is conservative: a firing alarm is real,
+    * a quiet one bounds the binned — not the pointwise — gap.
+    *
+    * Shape: ONE stateful aggregation per window (`bins` conditional
+    * counters + the non-null total — fixed-width state, no second
+    * streaming agg); the statistics ride array folds over
+    * driver-literal reference arrays inside a stateless projection.
+    * An empty window reads NULL statistics and NULL gate (no
+    * evidence, not "no drift"). Identical plan on a batch frame —
+    * batch/stream parity is spec-pinned, and the batch form carries
+    * its own DuckDB oracle row. Output per window:
+    * `window_start, n_window, ks_stat, tvd, threshold, drift`. */
+  def windowedValueDrift(
+      events: DataFrame,
+      field: String,
+      refHist: Seq[Long],
+      lo: Double, hi: Double,
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val bins = refHist.length
+    require(bins >= 2 && bins <= 64,
+      s"refHist must carry 2..64 bins, got $bins")
+    require(refHist.forall(_ >= 0L), "negative reference bin count")
+    val refTotal = refHist.sum
+    require(refTotal > 0L, "empty reference histogram")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val refCum = refHist.scanLeft(0L)(_ + _).tail
+    def binOf(c: Column): Column = least(greatest(
+      floor((c.cast("double") - lit(lo)) * lit(bins) / lit(hi - lo)),
+      lit(0L)), lit((bins - 1).toLong))
+    val aggs = (0 until bins).map { i =>
+      count(when(binOf(col(field)) === i, lit(1))).as(s"__c_$i")
+    } :+ count(when(col(field).isNotNull, lit(1))).as("__total")
+    val windowed = events
+      .withWatermark(tsField, watermarkDelay)
+      .groupBy(window(col(tsField), windowLength))
+      .agg(aggs.head, aggs.tail: _*)
+    val countsArr = array((0 until bins).map(i => col(s"__c_$i")): _*)
+    def running(c: Column): Column = aggregate(c,
+      array().cast("array<bigint>"),
+      (acc, x) => concat(acc, array(
+        when(size(acc) === 0, x).otherwise(element_at(acc, -1) + x))))
+    val refCumArr = array(refCum.map(lit): _*)
+    val refCntArr = array(refHist.map(lit): _*)
+    val d38 = "decimal(38,0)"
+    def crossNum(w: Column, r: Column): Column =
+      abs(w.cast(d38) * lit(refTotal).cast(d38) -
+        r.cast(d38) * col("__total").cast(d38))
+    val nw = col("__total").cast("double")
+    val nr = lit(refTotal.toDouble)
+    windowed
+      .withColumn("__cum", running(countsArr))
+      .withColumn("__ksNum", aggregate(
+        zip_with(col("__cum"), refCumArr, crossNum),
+        lit(0).cast(d38), (a, x) => greatest(a, x)))
+      .withColumn("__tvdNum", aggregate(
+        zip_with(countsArr, refCntArr, crossNum),
+        lit(0).cast(d38), (a, x) => a + x))
+      .withColumn("ks_stat",
+        when(col("__total") === 0L, lit(null).cast("double"))
+          .otherwise(col("__ksNum").cast("double") / (nw * nr)))
+      .withColumn("tvd",
+        when(col("__total") === 0L, lit(null).cast("double"))
+          .otherwise(col("__tvdNum").cast("double") /
+            (lit(2.0) * nw * nr)))
+      .withColumn("threshold",
+        when(col("__total") === 0L, lit(null).cast("double"))
+          .otherwise(lit(1.358) * sqrt((nw + nr) / (nw * nr))))
+      .select(col("window.start").as("window_start"),
+        col("__total").as("n_window"), col("ks_stat"), col("tvd"),
+        col("threshold"),
+        (col("ks_stat") > col("threshold")).as("drift"))
+  }
+
   /** Gap-based session windows per user: a session closes after
     * `gap` of event-time silence. */
   def sessionCounts(
@@ -1013,13 +1109,16 @@ object Streaming {
     * spec-pinned across a two-batch split. State per key is two
     * doubles, no timeout. */
   def streamingHolt(
-      events: Dataset[CusumEvent], alpha: Double, beta: Double):
+      events: Dataset[CusumEvent], alpha: Double, beta: Double,
+      phi: Double = 1.0):
       Dataset[HoltStat] = {
     import events.sparkSession.implicits._
     require(alpha > 0.0 && alpha <= 1.0,
       s"alpha must be in (0, 1], got $alpha")
     require(beta >= 0.0 && beta <= 1.0,
       s"beta must be in [0, 1], got $beta")
+    require(phi > 0.0 && phi <= 1.0,
+      s"phi must be in (0, 1], got $phi")
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState[HoltState, HoltStat](
@@ -1030,11 +1129,14 @@ object Streaming {
           val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.tie)).map { e =>
             st = if (st == null) HoltState(e.value, 0.0)
             else {
-              val lNew = alpha * e.value + (1.0 - alpha) * (st.l + st.b)
+              // Gardner damping, the batch op's dag positions verbatim
+              val bD = if (phi == 1.0) st.b else phi * st.b
+              val lNew = alpha * e.value + (1.0 - alpha) * (st.l + bD)
               HoltState(lNew,
-                beta * (lNew - st.l) + (1.0 - beta) * st.b)
+                beta * (lNew - st.l) + (1.0 - beta) * bD)
             }
-            HoltStat(key, e.ts, e.tie, e.value, st.l, st.b, st.l + st.b)
+            HoltStat(key, e.ts, e.tie, e.value, st.l, st.b,
+              st.l + (if (phi == 1.0) st.b else phi * st.b))
           }
           if (st != null) state.update(st)
           out.iterator
@@ -1056,7 +1158,7 @@ object Streaming {
     * `period + 3` numbers (period ≤ 64), no timeout. */
   def streamingHoltWinters(
       events: Dataset[CusumEvent], alpha: Double, beta: Double,
-      gamma: Double, period: Int): Dataset[HwStat] = {
+      gamma: Double, period: Int, phi: Double = 1.0): Dataset[HwStat] = {
     import events.sparkSession.implicits._
     require(alpha > 0.0 && alpha <= 1.0,
       s"alpha must be in (0, 1], got $alpha")
@@ -1064,6 +1166,8 @@ object Streaming {
       s"beta must be in [0, 1], got $beta")
     require(gamma >= 0.0 && gamma <= 1.0,
       s"gamma must be in [0, 1], got $gamma")
+    require(phi > 0.0 && phi <= 1.0,
+      s"phi must be in (0, 1], got $phi")
     require(period >= 2 && period <= 64,
       s"period must be in [2, 64], got $period")
     events
@@ -1079,16 +1183,19 @@ object Streaming {
               HwState(e.value, 0.0, Vector.fill(period)(0.0), 0)
             else {
               val sm = st.q(st.idx)
+              // Gardner damping, the batch op's dag positions verbatim
+              val bD = if (phi == 1.0) st.b else phi * st.b
               val lNew = alpha * (e.value - sm) +
-                (1.0 - alpha) * (st.l + st.b)
-              val bNew = beta * (lNew - st.l) + (1.0 - beta) * st.b
+                (1.0 - alpha) * (st.l + bD)
+              val bNew = beta * (lNew - st.l) + (1.0 - beta) * bD
               val sNew = gamma * (e.value - lNew) + (1.0 - gamma) * sm
               s = sNew
               HwState(lNew, bNew, st.q.updated(st.idx, sNew),
                 (st.idx + 1) % period)
             }
             HwStat(key, e.ts, e.tie, e.value, st.l, st.b, s,
-              st.l + st.b + st.q(st.idx))
+              st.l + (if (phi == 1.0) st.b else phi * st.b) +
+                st.q(st.idx))
           }
           if (st != null) state.update(st)
           out.iterator

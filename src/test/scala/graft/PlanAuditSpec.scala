@@ -71,6 +71,7 @@ class PlanAuditSpec extends SparkSpec {
     "label_qa",          // composes both of the above — same one-row builds
     "fleiss_kappa",      // broadcast one-row totals (N, P̄) into the κ dag
     "krippendorff_alpha", // broadcast one-row (N, A) + one-row Σn_c² aggregates
+    "krippendorff_ordinal", // broadcast |V|²-bounded (maxLabels-guarded) pair frame + one-row D_o/D_e folds
     "graph_modularity",  // broadcast one-row m + one-row Q folds
     "quantile_normalize", // broadcast one-row pooled-N aggregate
     "association_rules", // broadcast one-row basket-total N

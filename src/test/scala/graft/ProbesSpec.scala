@@ -703,6 +703,65 @@ class ProbesSpec extends SparkSpec {
       r.getAs[Double]("alpha")) < 1e-12)
   }
 
+  test("krippendorffAlphaWeighted: hand ordinal/interval, nominal reduction, guard") {
+    import spark.implicits._
+    // 4 kept items on a 1-3 scale + one single-rating item (drops);
+    // exact-rational reference (independent fractions arithmetic):
+    //   nominal:  D_o = 6/11,   D_e = 39/55, α = 3/13
+    //   ordinal:  D_o = 192/11, D_e = 96/5,  α = 1/11
+    //   interval: D_o = 12/11,  D_e = 6/5,   α = 1/11
+    val r = Seq((1, 1.0), (1, 1.0), (1, 2.0), (2, 2.0), (2, 2.0),
+      (2, 2.0), (3, 1.0), (3, 3.0), (4, 3.0), (4, 3.0), (4, 2.0),
+      (5, 1.0)).toDF("item", "v")
+    def run(metric: String) =
+      Probes.krippendorffAlphaWeighted(col("item"), col("v"), metric)(r)
+        .head()
+    val nom = run("nominal")
+    assert(nom.getAs[Long]("n_items") === 4L &&
+      nom.getAs[Long]("n_ratings") === 11L)
+    assert(math.abs(nom.getAs[Double]("d_o") - 6.0 / 11.0) < 1e-12)
+    assert(math.abs(nom.getAs[Double]("alpha") - 3.0 / 13.0) < 1e-12)
+    val ord = run("ordinal")
+    assert(math.abs(ord.getAs[Double]("d_o") - 192.0 / 11.0) < 1e-9)
+    assert(math.abs(ord.getAs[Double]("d_e") - 19.2) < 1e-9)
+    assert(math.abs(ord.getAs[Double]("alpha") - 1.0 / 11.0) < 1e-12)
+    val itv = run("interval")
+    assert(math.abs(itv.getAs[Double]("d_o") - 12.0 / 11.0) < 1e-12)
+    assert(math.abs(itv.getAs[Double]("alpha") - 1.0 / 11.0) < 1e-12)
+    // the nominal metric reduces to krippendorffAlpha (different dag,
+    // same mathematics)
+    val base = Probes.krippendorffAlpha(col("item"), col("v"))(r).head()
+    assert(math.abs(nom.getAs[Double]("alpha") -
+      base.getAs[Double]("alpha")) < 1e-12)
+    // binary labels: interval ≡ nominal BIT FOR BIT (the only pair's
+    // distance is (0−1)² = 1.0 exactly — same fold values)
+    val bin = Seq((1, 0.0), (1, 1.0), (2, 1.0), (2, 1.0), (3, 0.0),
+      (3, 0.0), (3, 1.0)).toDF("item", "v")
+    val bi = Probes.krippendorffAlphaWeighted(col("item"), col("v"),
+      "interval")(bin).head()
+    val bn = Probes.krippendorffAlphaWeighted(col("item"), col("v"),
+      "nominal")(bin).head()
+    assert(bi.getAs[Double]("alpha") === bn.getAs[Double]("alpha"))
+    // production mode within float noise of the pinned fold
+    val fastW = Probes.krippendorffAlphaWeighted(col("item"), col("v"),
+      "ordinal", exactOrder = false)(r).head()
+    assert(math.abs(fastW.getAs[Double]("alpha") -
+      ord.getAs[Double]("alpha")) < 1e-12)
+    // the |V| guard raises loudly; a bad metric rejects
+    val wide = (1 to 40).flatMap(i =>
+      Seq((i / 2, i.toDouble), (i / 2, i + 0.5))).toDF("item", "v")
+    val ex = intercept[Exception] {
+      Probes.krippendorffAlphaWeighted(col("item"), col("v"), "ordinal",
+        maxLabels = 8)(wide).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxLabels")),
+      s"expected the |V| guard, got: ${msgs(ex).mkString(" | ")}")
+    intercept[IllegalArgumentException](
+      Probes.krippendorffAlphaWeighted(col("item"), col("v"), "euclid")(r))
+  }
+
   test("fleissKappa exactOrder=false: plain-sum mode within 1e-12 of exact") {
     import spark.implicits._
     // large-ish mixed fixture: 60 items × 3-5 raters, 4 categories

@@ -934,6 +934,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kTruss maintained supports equal a full recomputation, bit for bit") {
+    // the incremental contract: round-0 seeds + per-round destroyed-
+    // triangle decrements must land on EXACTLY the support a fresh
+    // wedge enumeration over the final edge frame computes — for
+    // converged runs (rounds=25) and mid-peel supergraphs (rounds=1)
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L)))
+    for (es <- draws(edgeGen, 4); k <- Seq(3, 4); rounds <- Seq(1, 25)) {
+      val df = es.toDF("src", "dst")
+      val out = graft.ext.GraphOps.kTruss("src", "dst", k, rounds)(df)
+        .collect()
+      val edges = out.map(r =>
+        (r.getAs[Long]("node_a"), r.getAs[Long]("node_b")))
+        .toSeq.toDF("__s", "__d")
+      val fresh = graft.ext.GraphOps.trussSupport(edges).collect()
+        .map(r => (r.getAs[Long]("__s"), r.getAs[Long]("__d")) ->
+          r.getAs[Long]("__sup")).toMap
+      out.foreach { r =>
+        val key = (r.getAs[Long]("node_a"), r.getAs[Long]("node_b"))
+        assert(r.getAs[Long]("support") === fresh.getOrElse(key, 0L),
+          s"k=$k rounds=$rounds edge $key: maintained " +
+            s"${r.getAs[Long]("support")} vs fresh ${fresh.getOrElse(key, 0L)}")
+      }
+    }
+  }
+
   test("rank tests: negation anti-symmetry and side-swap complements") {
     val gen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(-9, 9),
       Gen.chooseNum(-9, 9), Gen.oneOf(true, false)))
@@ -1023,6 +1049,18 @@ class PropertySpec extends SparkSpec {
         .orderBy("tb").select("level", "trend", "forecast")
         .as[(Double, Double, Double)].collect().toSeq
       assert(hw === h)
+      // the same collapse holds DAMPED: gamma = 0, phi = 0.8 — the
+      // phi multiply lands in identical dag positions in both ops
+      val hwD = graft.ops.WindowOps.holtWinters("k", "t", "v",
+        alpha = 0.3, beta = 0.1, gamma = 0.0, period = 3,
+        tieBreak = "tb", phi = 0.8)(df)
+        .orderBy("tb").select("level", "trend", "forecast")
+        .as[(Double, Double, Double)].collect().toSeq
+      val hD = graft.ops.WindowOps.holtSmooth("k", "t", "v",
+        alpha = 0.3, beta = 0.1, tieBreak = "tb", phi = 0.8)(df)
+        .orderBy("tb").select("level", "trend", "forecast")
+        .as[(Double, Double, Double)].collect().toSeq
+      assert(hwD === hD)
     }
   }
 

@@ -858,6 +858,70 @@ class StreamingSpec extends SparkSpec {
       viaBatchProbe.map(_.toSeq).toSeq)
   }
 
+  test("windowedValueDrift: exact KS/TVD vs stored histogram, gate, batch parity") {
+    import org.apache.spark.sql.functions.col
+    val refHist = Seq(1L, 1L, 1L, 1L) // balanced 4-bin reference over [0, 8)
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = Streaming.windowedValueDrift(
+      input.toDF().toDF("ts", "v"), "v", refHist, lo = 0.0, hi = 8.0,
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wvd")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // window 10:00: all mass in the TOP bin (incl. a clamped 99.0)
+        ts("10:01") -> 6.5, ts("10:02") -> 7.5, ts("10:03") -> 99.0,
+        // window 10:10: matches the reference exactly
+        ts("10:11") -> 1.0, ts("10:12") -> 3.0,
+        ts("10:13") -> 5.0, ts("10:14") -> 7.0,
+        ts("10:21") -> 0.0)
+      q.processAllAvailable()
+      input.addData(ts("10:31") -> 0.0)
+      q.processAllAvailable()
+      val rows = spark.table("wvd").collect()
+      val w1 = rows.find(_.getAs[Timestamp]("window_start") == ts("10:00")).get
+      // counts (0,0,0,3), N_w=3 vs ref (1,1,1,1), N_r=4:
+      // ksNum = max(3,6,9,0) = 9 -> ks = 9/12; tvdNum = 3+3+3+9 = 18
+      // -> tvd = 18/24 — exact integer numerators, one division each
+      assert(w1.getAs[Long]("n_window") === 3L)
+      assert(w1.getAs[Double]("ks_stat") === 0.75)
+      assert(w1.getAs[Double]("tvd") === 0.75)
+      // the gate is honest about tiny evidence: threshold
+      // 1.358·sqrt(7/12) > 0.75, so 3-vs-4 points cannot alarm
+      assert(w1.getAs[Double]("threshold") ===
+        1.358 * math.sqrt(7.0 / 12.0))
+      assert(!w1.getAs[Boolean]("drift"))
+      val w2 = rows.find(_.getAs[Timestamp]("window_start") == ts("10:10")).get
+      assert(w2.getAs[Double]("ks_stat") === 0.0 &&
+        w2.getAs[Double]("tvd") === 0.0 && !w2.getAs[Boolean]("drift"))
+    } finally q.stop()
+    // with real evidence the gate FIRES: 100 top-bin values vs a
+    // balanced 100-count reference (same ks = 0.75, threshold 0.192)
+    val many = (1 to 100).map(i => ts(f"10:${i % 10}%02d") -> 7.0)
+      .toDF("ts", "v")
+    val fired = Streaming.windowedValueDrift(many, "v",
+      Seq(25L, 25L, 25L, 25L), lo = 0.0, hi = 8.0,
+      windowLength = "10 minutes").head()
+    assert(fired.getAs[Double]("ks_stat") === 0.75 &&
+      fired.getAs[Boolean]("drift"))
+    // identical plan on a batch frame: the stream's closed windows
+    // equal the batch run on the same events, row for row
+    val batch = Seq(ts("10:01") -> 6.5, ts("10:02") -> 7.5,
+      ts("10:03") -> 99.0, ts("10:11") -> 1.0, ts("10:12") -> 3.0,
+      ts("10:13") -> 5.0, ts("10:14") -> 7.0).toDF("ts", "v")
+    val viaBatch = Streaming.windowedValueDrift(batch, "v", refHist,
+      lo = 0.0, hi = 8.0, windowLength = "10 minutes")
+      .orderBy("window_start").collect().toSeq.map(_.toSeq)
+    val viaStream = spark.table("wvd").orderBy("window_start")
+      .collect().toSeq.map(_.toSeq)
+    assert(viaStream === viaBatch)
+    // contract guards
+    intercept[IllegalArgumentException](Streaming.windowedValueDrift(
+      batch, "v", Seq(1L), lo = 0.0, hi = 8.0))
+    intercept[IllegalArgumentException](Streaming.windowedValueDrift(
+      batch, "v", Seq(0L, 0L), lo = 0.0, hi = 8.0))
+  }
+
   test("spanCorrupt and fimTransform lift to streams (stateless projections)") {
     import graft.ext.TextOps
     val rows = Seq(

@@ -749,6 +749,59 @@ class TemporalSpec extends SparkSpec {
       tieBreak = "event_id")(events))
   }
 
+  test("holtSmooth damped (phi): hand recurrence, phi=1 identity, mode parity") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 4.0),
+      (1L, 11L, ts("2024-01-01 11:00:00"), 8.0),
+      (1L, 12L, ts("2024-01-01 12:00:00"), 8.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    // hand-rolled at alpha=beta=phi=0.5 (exact halves):
+    // l1=4 b1=0 f1=4; bD=0: l2=.5*8+.5*4=6, b2=.5*2+.5*0=1,
+    //   f2=6+.5*1=6.5;
+    // bD=.5: l3=.5*8+.5*6.5=7.25, b3=.5*1.25+.5*.5=0.875,
+    //   f3=7.25+.4375=7.6875
+    val out = graft.ops.WindowOps.holtSmooth("user_id", "ts", "value",
+      alpha = 0.5, beta = 0.5, tieBreak = "event_id", phi = 0.5)(events)
+      .orderBy("event_id").select("level", "trend", "forecast").collect()
+    assert(out(0).getDouble(0) === 4.0 && out(0).getDouble(2) === 4.0)
+    assert(out(1).getDouble(0) === 6.0 && out(1).getDouble(1) === 1.0 &&
+      out(1).getDouble(2) === 6.5)
+    assert(out(2).getDouble(0) === 7.25 &&
+      out(2).getDouble(1) === 0.875 && out(2).getDouble(2) === 7.6875)
+    // phi = 1 explicit IS the classic op (same code path, pinned)
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val classic = graft.ops.WindowOps.holtSmooth("user_id", "ts", "value",
+      alpha = 0.3, beta = 0.1, tieBreak = "event_id")(ev)
+    val phi1 = graft.ops.WindowOps.holtSmooth("user_id", "ts", "value",
+      alpha = 0.3, beta = 0.1, tieBreak = "event_id", phi = 1.0)(ev)
+    assert(classic.except(phi1).isEmpty && phi1.except(classic).isEmpty)
+    // the damped production scan is bit-equal to the damped fold
+    val exactD = graft.ops.WindowOps.holtSmooth("user_id", "ts", "value",
+      alpha = 0.3, beta = 0.1, tieBreak = "event_id", phi = 0.8)(ev)
+      .select("user_id", "event_id", "level", "trend", "forecast")
+    val fastD = graft.ops.WindowOps.holtSmooth("user_id", "ts", "value",
+      alpha = 0.3, beta = 0.1, tieBreak = "event_id",
+      exactOrder = false, phi = 0.8)(ev)
+      .select("user_id", "event_id", "level", "trend", "forecast")
+    assert(exactD.count() === fastD.count())
+    assert(exactD.except(fastD).isEmpty && fastD.except(exactD).isEmpty)
+    // same parity for damped holtWinters (ring + phi interplay)
+    val exactW = graft.ops.WindowOps.holtWinters("user_id", "ts", "value",
+      alpha = 0.3, beta = 0.1, gamma = 0.2, period = 4,
+      tieBreak = "event_id", phi = 0.8)(ev)
+      .select("user_id", "event_id", "level", "trend", "seasonal",
+        "forecast")
+    val fastW = graft.ops.WindowOps.holtWinters("user_id", "ts", "value",
+      alpha = 0.3, beta = 0.1, gamma = 0.2, period = 4,
+      tieBreak = "event_id", exactOrder = false, phi = 0.8)(ev)
+      .select("user_id", "event_id", "level", "trend", "seasonal",
+        "forecast")
+    assert(exactW.except(fastW).isEmpty && fastW.except(exactW).isEmpty)
+    intercept[IllegalArgumentException](graft.ops.WindowOps.holtSmooth(
+      "user_id", "ts", "value", alpha = 0.5, beta = 0.5,
+      tieBreak = "event_id", phi = 0.0)(events))
+  }
+
   test("holtSmooth exactOrder=false streaming scan is bit-equal to the exact fold") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val exact = graft.ops.WindowOps.holtSmooth("user_id", "ts", "value",
