@@ -299,6 +299,16 @@ private[graft] object QueriesText {
         docs.filter(col("source") =!= "src0"))
         .orderBy("doc_id")
     },
+    "ccnet_buckets" -> { (s, dir) =>
+      // the CCNet operating table (Wenzek 2020): every doc scored
+      // against the stored trigram LM, percentile-ranked per source,
+      // cut at the tertiles — per-(source, bucket) docs, token mass
+      // and share; what a mixer reads to set sampling rates
+      val docs = corpus(s, dir, "documents")
+      TextOps.ccnetBuckets("doc_id", "source", "text",
+        TextOps.lmCountTable("text")(docs))(docs)
+        .orderBy("source", "bucket")
+    },
     "corpus_divergence" -> { (s, dir) =>
       // pairwise source drift over the pooled top-200 vocabulary +
       // <rest> bucket: exact-integer TVD, pinned-fold Hellinger and
@@ -1409,6 +1419,35 @@ private[graft] object QueriesText {
     // every other document scored against that stored model
     "trigram_lm_transfer" ->
       trigramLmSql(0.4, "source = 'src0'", "source <> 'src0'"),
+    // mirrors TextOps.ccnetBuckets: the trigram LM scores as a CTE,
+    // percent_rank per source (the quality_percentiles semantic pin),
+    // tertile cuts against the same driver double literals, exact
+    // integer token masses, one share division
+    "ccnet_buckets" -> s"""
+      WITH lm AS (SELECT doc_id, lm_score FROM (${trigramLmSql(0.4)})),
+      d AS (SELECT doc_id, source,
+          CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+            AS ntok
+        FROM documents),
+      p AS (SELECT d.source, d.ntok,
+          percent_rank() OVER (PARTITION BY d.source
+            ORDER BY lm.lm_score) AS pct
+        FROM d JOIN lm USING (doc_id)),
+      b AS (SELECT source,
+          CASE WHEN pct >= ${litD(2.0 / 3.0)} THEN 'head'
+               WHEN pct >= ${litD(1.0 / 3.0)} THEN 'middle'
+               ELSE 'tail' END AS bucket, ntok
+        FROM p),
+      g AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(ntok) AS BIGINT) AS n_tokens
+        FROM b GROUP BY 1, 2),
+      t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS stok
+        FROM g GROUP BY 1)
+      SELECT g.source, g.bucket, g.n_docs, g.n_tokens,
+        CAST(g.n_tokens AS DOUBLE) / CAST(t.stok AS DOUBLE)
+          AS token_share
+      FROM g JOIN t USING (source)
+      ORDER BY source, bucket""",
     // DSIR-shaped affinity — mirrors TextOps.targetAffinity: corpus-wide
     // integer gram counts, each score ONE division of integer products,
     // the affinity one subtraction of those two doubles (log-free on

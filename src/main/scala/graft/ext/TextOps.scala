@@ -1983,6 +1983,59 @@ object TextOps {
           .as("lm_score"))
   }
 
+  /** CCNet perplexity-tertile mix report (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data") — the canonical consumer of the stored-LM rung: score
+    * every document with [[trigramLmQuality]] against the stored
+    * `counts` table, percentile-rank the scores WITHIN each source
+    * ([[scorePercentiles]] — threshold-free, so sources with wildly
+    * different score distributions each keep their own thirds), cut at
+    * the tertiles (CCNet buckets by Wikipedia-LM perplexity where
+    * lower is better; this LM is a mean backoff score where HIGHER is
+    * more in-domain, so `head` = top third by score — same operating
+    * table, flipped axis), and report per (source, bucket) the
+    * document count, token mass, and the bucket's token share of its
+    * source — the table a mixer reads to set per-bucket sampling
+    * rates (CCNet trains on head+middle, drops tail).
+    *
+    * Exactness: the LM scores and percentile ratios are the composed
+    * ops' bit-reproducible dags; the tertile cuts compare the exact
+    * below/(n−1) ratio against the driver literals 1/3 and 2/3;
+    * counts are exact integers and the one share division is final.
+    * Scale shape: the LM leg's three digest equi-joins (its
+    * documented bill) + [[scorePercentiles]]' histogram window + two
+    * hash-aggs; the report is ≤ |sources|·3 rows. An empty bucket has
+    * no row — the absent row IS the zero. NULL text counts as empty
+    * (scores 0.0, one token — the split('') convention). Output:
+    * `source, bucket, n_docs, n_tokens, token_share`. */
+  def ccnetBuckets(idField: String, sourceField: String,
+      textField: String, counts: DataFrame, alpha: Double = 0.4,
+      exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
+    val scored = trigramLmQuality(idField, textField, counts, alpha,
+      exactOrder)(df)
+    val joined = df
+      .select(col(idField).as("__did"), col(sourceField).as("source"),
+        tokenCount(coalesce(col(textField), lit(""))).cast("long")
+          .as("__ntok"))
+      .join(scored.select(col(idField).as("__did"), col("lm_score")),
+        Seq("__did"))
+    val bucketed = scorePercentiles("source", "lm_score")(joined)
+      .withColumn("bucket",
+        when(col("score_pct") >= lit(2.0 / 3.0), lit("head"))
+          .when(col("score_pct") >= lit(1.0 / 3.0), lit("middle"))
+          .otherwise(lit("tail")))
+    val perBucket = bucketed.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"))
+      .localCheckpoint() // <= |sources|*3 rows; feeds share AND output
+    val perSource = perBucket.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("__stok"))
+    perBucket.join(perSource, Seq("source"))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / col("__stok").cast("double"))
+          .as("token_share"))
+  }
+
   /** DSIR-shaped importance scoring (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", re-expressed with
     * exact integer counts): score each raw document by how much more its

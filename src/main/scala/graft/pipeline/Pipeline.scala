@@ -445,6 +445,11 @@ final case class Pipeline(df: DataFrame) {
   def bigramLmQuality(idField: String, textField: String,
       lambda: Double = 0.7): Pipeline =
     >>(TextOps.bigramLmQuality(idField, textField, lambda))
+  def ccnetBuckets(idField: String, sourceField: String,
+      textField: String, counts: DataFrame,
+      alpha: Double = 0.4): Pipeline =
+    >>(TextOps.ccnetBuckets(idField, sourceField, textField, counts,
+      alpha))
   def trigramLmQuality(idField: String, textField: String,
       counts: DataFrame, alpha: Double = 0.4): Pipeline =
     >>(TextOps.trigramLmQuality(idField, textField, counts, alpha))

@@ -2790,6 +2790,27 @@ class ExtSpec extends SparkSpec {
       GraphOps.kTruss("src", "dst", k = 2)(g))
   }
 
+  test("ccnetBuckets: tertile partition, shares sum to 1, lone doc is tail") {
+    // 9 docs with 9 DISTINCT self-trained LM scores (repetition rungs:
+    // doc i repeats its own bigram i times, so the trigram leg's mean
+    // rises with i) -> percent_rank = k/8 and the tertile cuts give
+    // exactly 3/3/3; plus a single-doc source (pct = 0 -> tail, share 1)
+    val docs = ((1 to 9).map { i =>
+      ("big", i.toLong, (s"w$i v$i " * (i + 1)).trim)
+    } :+ (("lone", 99L, "solo text here"))).toDF("source", "doc_id", "text")
+    val out = TextOps.ccnetBuckets("doc_id", "source", "text",
+      TextOps.lmCountTable("text")(docs))(docs).collect()
+    val big = out.filter(_.getString(0) == "big")
+    assert(big.map(_.getAs[Long]("n_docs")).sum === 9L)
+    assert(big.map(r => r.getString(1) -> r.getAs[Long]("n_docs")).toMap
+      === Map("head" -> 3L, "middle" -> 3L, "tail" -> 3L))
+    assert(math.abs(big.map(_.getAs[Double]("token_share")).sum - 1.0)
+      < 1e-12)
+    val lone = out.filter(_.getString(0) == "lone")
+    assert(lone.length === 1 && lone.head.getString(1) === "tail" &&
+      lone.head.getAs[Double]("token_share") === 1.0)
+  }
+
   test("corpusDivergence: identical zero, disjoint max, rest-bucket fold, hand values") {
     def docs(rows: (String, String)*) =
       rows.toSeq.toDF("source", "text")

@@ -49,6 +49,7 @@ class PlanAuditSpec extends SparkSpec {
     "bigram_lm_quality", // broadcast one-row corpus token total
     "trigram_lm_quality", // broadcast one-row count-table unigram total
     "trigram_lm_transfer", // same one-row total, src0-trained model
+    "ccnet_buckets",     // the trigram LM leg's one-row unigram total inside the composition
     "event_funnel",      // broadcast one-row entered-users count
     "key_skew",          // broadcast one-row total count
     "bm25_topk",         // broadcast one-row (N, avgdl, df…) stats aggregate
