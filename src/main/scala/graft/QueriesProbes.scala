@@ -337,6 +337,15 @@ private[graft] object QueriesProbes {
         Seq("event_type"))(table(s, dir, "events"))
         .orderBy("event_type")
     },
+    "wilcoxon_signed_rank" -> { (s, dir) =>
+      // the PAIRED rank test per event type: each event's value vs its
+      // own derived baseline (event_id % 400) — signed ranks of the
+      // per-row differences, tie-corrected z, rank-biserial effect
+      Probes.wilcoxonSignedRank(col("value"),
+        (col("event_id") % 400).cast("double"), Seq("event_type"))(
+        table(s, dir, "events"))
+        .orderBy("event_type")
+    },
     "bh_correct" -> { (s, dir) =>
       // the eval-suite composition: one permutation test per event
       // type (the permutation_test row's exact frame), then the BH
@@ -1255,6 +1264,50 @@ private[graft] object QueriesProbes {
           THEN CAST(u2 - CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
               AS DOUBLE)
             / (CAST(2 AS DOUBLE) * sqrt(variance)) END AS z
+      FROM v ORDER BY event_type""",
+    // mirrors Probes.wilcoxonSignedRank: per-row double differences,
+    // zero diffs counted then dropped, the exact 2·rank tie carry over
+    // |d| in HUGEINT, num4 = 4W+ − n(n+1) and the tie-corrected
+    // variance numerator V = 2n(n+1)(2n+1) − Σ(t³−t) exact, float only
+    // at the final divisions and one sqrt
+    "wilcoxon_signed_rank" -> """
+      WITH b AS (SELECT event_type AS g,
+          CAST(value AS DOUBLE) - CAST(event_id % 400 AS DOUBLE) AS d
+        FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(CASE WHEN d = 0e0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_zero
+        FROM b GROUP BY g),
+      nz AS (SELECT g, d, abs(d) AS ad FROM b WHERE d <> 0e0),
+      r AS (SELECT g, d,
+          CAST(2 * rank() OVER (PARTITION BY g ORDER BY ad)
+            + count(*) OVER (PARTITION BY g, ad) - 1 AS HUGEINT) AS r2,
+          CAST(count(*) OVER (PARTITION BY g, ad)
+            * count(*) OVER (PARTITION BY g, ad) - 1 AS HUGEINT) AS tt
+        FROM nz),
+      ag AS (SELECT g, CAST(count(*) AS BIGINT) AS nn,
+          sum(CASE WHEN d > 0e0 THEN r2 ELSE CAST(0 AS HUGEINT) END)
+            AS r2p,
+          sum(tt) AS ties
+        FROM r GROUP BY g),
+      f AS (SELECT tot.g, n_pairs, n_zero,
+          coalesce(nn, CAST(0 AS BIGINT)) AS n, r2p, ties
+        FROM tot LEFT JOIN ag ON tot.g = ag.g),
+      v AS (SELECT g, n_pairs, n_zero, n, r2p, ties,
+          2 * r2p - CAST(n AS HUGEINT) * CAST(n + 1 AS HUGEINT) AS num4,
+          2 * CAST(n AS HUGEINT) * CAST(n + 1 AS HUGEINT)
+            * CAST(2 * n + 1 AS HUGEINT) - ties AS vnum
+        FROM f)
+      SELECT g AS event_type, n_pairs, n_zero, n,
+        CASE WHEN n > 0 THEN CAST(r2p AS DOUBLE) / 2e0 END AS w_plus,
+        CASE WHEN n > 0 THEN CAST(CAST(n AS HUGEINT)
+            * CAST(n + 1 AS HUGEINT) - r2p AS DOUBLE) / 2e0 END
+          AS w_minus,
+        CASE WHEN n > 0 THEN CAST(num4 AS DOUBLE)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1e0)) END
+          AS rank_biserial,
+        CASE WHEN n > 0 AND vnum > 0 THEN CAST(num4 AS DOUBLE)
+          / sqrt(CAST(vnum AS DOUBLE) / 3e0) END AS z
       FROM v ORDER BY event_type""",
     // mirrors Probes.ksTest: per-(group, value) side counts, window
     // cumsums, the EXACT HUGEINT |cumA·nB − cumB·nA| numerator, max

@@ -753,7 +753,11 @@ object GraphOps {
     * edge list against the surviving-node frame on BOTH endpoints +
     * one hash-agg; survivor frames pin through
     * [[graft.ops.Ops.pinIterationState]] (each round references the
-    * frame on both edge directions). Output: `node, degree` (degree in
+    * frame on both edge directions). A round that peels no node IS
+    * the fixpoint (monotone peeling) and stops the loop early —
+    * output unchanged, the post-front rounds simply never run (the
+    * [[kTruss]] discipline; one count() per round on the pinned
+    * frame). Output: `node, degree` (degree in
     * the final induced subgraph) + the global `converged`. */
   def kCore(srcField: String, dstField: String, k: Int, rounds: Int = 10)(
       edges: DataFrame): DataFrame = {
@@ -771,9 +775,16 @@ object GraphOps {
     val ends = e.select(col("__s").as("__v"), col("__d").as("__n"))
       .unionByName(e.select(col("__d").as("__v"), col("__s").as("__n")))
       .localCheckpoint()
-    var alive = ends.select(col("__v")).distinct()
+    var alive = graft.ops.Ops.pinIterationState(
+      ends.select(col("__v")).distinct())
+    // early stop at the fixpoint (the kTruss discipline): survivors
+    // only shrink, so an unchanged COUNT means an unchanged set and
+    // every later round is a no-op — one cheap count() per round on
+    // the pinned frame buys skipping the post-front semi-joins
+    var prevCount = alive.count()
     var r = 0
-    while (r < rounds) {
+    var stable = false
+    while (r < rounds && !stable) {
       alive = graft.ops.Ops.pinIterationState(
         ends
           .join(alive.select(col("__v")), Seq("__v"), "left_semi")
@@ -782,6 +793,9 @@ object GraphOps {
           .agg(count(lit(1)).as("__deg"))
           .filter(col("__deg") >= k)
           .select(col("__v")))
+      val c = alive.count()
+      if (c == prevCount) stable = true
+      prevCount = c
       r += 1
     }
     // degree in the FINAL induced subgraph (not the pre-peel degree

@@ -795,6 +795,9 @@ final case class Pipeline(df: DataFrame) {
   def krippendorffAlpha(item: Column, label: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.krippendorffAlpha(item, label, groupCols))
+  def wilcoxonSignedRank(aValue: Column, bValue: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.wilcoxonSignedRank(aValue, bValue, groupCols))
   def krippendorffAlphaWeighted(item: Column, label: Column,
       metric: String = "ordinal",
       groupCols: Seq[String] = Nil): Pipeline =

@@ -1883,6 +1883,92 @@ object Probes {
             .cast("double") / (lit(2.0) * sqrt(variance))).as("z")): _*)
   }
 
+  /** Wilcoxon signed-rank test per group — the PAIRED nonparametric
+    * location test, completing the paired axis of the drift battery:
+    * [[mannWhitneyU]] compares two UNPAIRED samples, [[mcnemarTest]]
+    * two paired BINARY outcomes, [[permutationTest]] a paired MEAN;
+    * this ranks the paired |differences| (two scorings of the same
+    * docs, before/after metrics on the same slice) — outlier-immune
+    * where the permutation mean is ruled by the fat tail, and
+    * strictly more sensitive than McNemar when the outcome is a
+    * value, not a bit.
+    *
+    * Doctrine: `d = a − b` per row; NULL on either side drops; ZERO
+    * differences drop from the ranking (the standard Wilcoxon
+    * practice — a zero carries no sign information) but are REPORTED
+    * (`n_zero` — a paired metric that never moves should look like
+    * agreement, not significance). Tie-averaged ranks of |d| ride the
+    * exact [[spearmanCorr]] integer carry (`2·rank = 2·rank_min +
+    * t − 1`), so `2·W⁺ = Σ2r over d > 0` is an order-free exact
+    * decimal(38,0) sum. Readings, each one fixed IEEE dag:
+    *   - `w_plus` / `w_minus` — the signed rank sums;
+    *   - `rank_biserial = (W⁺ − W⁻)/(W⁺ + W⁻)` — the matched-pairs
+    *     effect size on [−1, 1] (= exact `(4W⁺ − n(n+1))/(n(n+1))`);
+    *   - `z` — the tie-corrected normal approximation: with exact
+    *     integer `num4 = 4W⁺ − n(n+1)` and
+    *     `V = 2n(n+1)(2n+1) − Σ(t³−t)` (Σ(t³−t) = the exact
+    *     Σ_rows(t²−1), order-free), `z = num4 / √(V/3)` — algebra-
+    *     identical to `(W⁺ − n(n+1)/4)/σ_ties`, float only at the
+    *     last division and one sqrt.
+    * No p-value (the no-libm doctrine): |z| ≥ 1.96 IS the 95% gate.
+    * A group with no nonzero differences reads NULL statistics with
+    * honest counts.
+    *
+    * Scale shape: one `rank()` window + one tie-count window per
+    * group partition (the [[mannWhitneyU]] cost class), two
+    * hash-aggs. Empty `groupCols` = one global partition — shard by a
+    * group column at corpus scale. Output per group:
+    * `n_pairs, n_zero, n, w_plus, w_minus, rank_biserial, z`. */
+  def wilcoxonSignedRank(aValue: Column, bValue: Column,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val zero38 = lit(0).cast("decimal(38,0)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df
+      .filter(aValue.isNotNull && bValue.isNotNull)
+      .select(grp :+
+        (aValue.cast("double") - bValue.cast("double")).as("__d"): _*)
+    val tot =
+      (if (grp.isEmpty) base.groupBy() else base.groupBy(grp: _*))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("__d") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+    val nz = base.filter(col("__d") =!= 0.0)
+      .withColumn("__ad", abs(col("__d")))
+    val wOrd = Window.partitionBy(grp: _*).orderBy(col("__ad"))
+    val wTie = Window.partitionBy(grp :+ col("__ad"): _*)
+    val ranked = nz.select(grp ++ Seq(col("__d"),
+      rank2Carry(wOrd, wTie).as("__r2"),
+      (count(lit(1)).over(wTie) * count(lit(1)).over(wTie) - lit(1L))
+        .cast("decimal(38,0)").as("__tt")): _*)
+    val agg =
+      (if (grp.isEmpty) ranked.groupBy() else ranked.groupBy(grp: _*))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__d") > 0.0, col("__r2")).otherwise(zero38))
+            .as("__r2p"),
+          sum(col("__tt")).as("__ties"))
+    val joined =
+      (if (grp.isEmpty) tot.crossJoin(agg)
+       else tot.join(agg, groupCols, "left"))
+        .withColumn("n", coalesce(col("__n"), lit(0L)))
+    val nD = col("n").cast("double")
+    val nn1 = dec(col("n")) * dec(col("n") + 1)
+    val num4 = lit(2).cast("decimal(38,0)") * col("__r2p") - nn1
+    val vnum = lit(2).cast("decimal(38,0)") * dec(col("n")) *
+      dec(col("n") + 1) * dec(lit(2L) * col("n") + 1) - col("__ties")
+    joined.select(grp ++ Seq(col("n_pairs"), col("n_zero"), col("n"),
+      when(col("n") > 0, col("__r2p").cast("double") / lit(2.0))
+        .as("w_plus"),
+      when(col("n") > 0, (nn1 - col("__r2p")).cast("double") / lit(2.0))
+        .as("w_minus"),
+      when(col("n") > 0,
+        num4.cast("double") / (nD * (nD + lit(1.0))))
+        .as("rank_biserial"),
+      when(col("n") > 0 && vnum > zero38,
+        num4.cast("double") / sqrt(vnum.cast("double") / lit(3.0)))
+        .as("z")): _*)
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic per group — the
     * sup-of-ECDF-gap drift test, RANK-EXACT: where [[numericDrift]]
     * evaluates the KS statistic on a caller-supplied bin grid (a lower

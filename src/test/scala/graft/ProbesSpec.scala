@@ -1200,6 +1200,52 @@ class ProbesSpec extends SparkSpec {
       s"expected the magnitude guard, got: ${msgs(ex).mkString(" | ")}")
   }
 
+  test("wilcoxonSignedRank: hand W+/z, tie carry, zero diffs, degenerate NULLs") {
+    import spark.implicits._
+    def run(rows: Seq[(Double, Double)]) =
+      Probes.wilcoxonSignedRank(col("a"), col("b"))(
+        rows.toDF("a", "b")).head()
+    // diffs (1, -2, 3, -4, 5), all |d| distinct: ranks 1..5,
+    // W+ = 1+3+5 = 9, W- = 6, rbc = 3/15, num4 = 6, V = 660,
+    // z = 6/sqrt(220)
+    val r = run(Seq((1.0, 0.0), (0.0, 2.0), (3.0, 0.0), (0.0, 4.0),
+      (5.0, 0.0)))
+    assert(r.getAs[Long]("n_pairs") === 5L &&
+      r.getAs[Long]("n_zero") === 0L && r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Double]("w_plus") === 9.0 &&
+      r.getAs[Double]("w_minus") === 6.0)
+    assert(math.abs(r.getAs[Double]("rank_biserial") - 0.2) < 1e-15)
+    assert(math.abs(r.getAs[Double]("z") - 6.0 / math.sqrt(220.0))
+      < 1e-15)
+    // ties in |d|: diffs (1, -1, 2) -> 2r = (3, 3, 6), W+ = 4.5,
+    // ties Σ(t³−t) = 6, num4 = 6, V = 2·3·4·7 − 6 = 162,
+    // z = 6/sqrt(54)
+    val t = run(Seq((1.0, 0.0), (0.0, 1.0), (2.0, 0.0)))
+    assert(t.getAs[Double]("w_plus") === 4.5 &&
+      t.getAs[Double]("w_minus") === 1.5)
+    assert(math.abs(t.getAs[Double]("z") - 6.0 / math.sqrt(54.0))
+      < 1e-15)
+    // zero differences drop from the ranking but stay reported
+    val z0 = run(Seq((7.0, 7.0), (1.0, 0.0), (0.0, 2.0)))
+    assert(z0.getAs[Long]("n_pairs") === 3L &&
+      z0.getAs[Long]("n_zero") === 1L && z0.getAs[Long]("n") === 2L)
+    // all diffs zero: honest counts, NULL statistics
+    val all0 = run(Seq((1.0, 1.0), (2.0, 2.0)))
+    assert(all0.getAs[Long]("n") === 0L &&
+      all0.isNullAt(all0.fieldIndex("w_plus")) &&
+      all0.isNullAt(all0.fieldIndex("z")))
+    // NULL side drops the pair
+    val withNull = Probes.wilcoxonSignedRank(col("a"), col("b"))(
+      Seq((Option(1.0), Option(0.0)), (Option.empty[Double], Option(2.0)))
+        .toDF("a", "b")).head()
+    assert(withNull.getAs[Long]("n_pairs") === 1L)
+    // grouped: independent statistics per group
+    val g = Probes.wilcoxonSignedRank(col("a"), col("b"), Seq("g"))(
+      Seq(("x", 1.0, 0.0), ("x", 0.0, 2.0), ("y", 5.0, 1.0))
+        .toDF("g", "a", "b")).orderBy("g").collect()
+    assert(g(0).getAs[Long]("n") === 2L && g(1).getAs[Long]("n") === 1L)
+  }
+
   test("pair-guard raise sits below the pair join in the optimized plan") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.{
