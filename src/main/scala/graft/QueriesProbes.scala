@@ -346,6 +346,15 @@ private[graft] object QueriesProbes {
         table(s, dir, "events"))
         .orderBy("event_type")
     },
+    "sign_test" -> { (s, dir) =>
+      // the assumption-free paired companion on the SAME fixture:
+      // four exact counters and one sqrt — the dag the streaming
+      // windowed gate shares structurally
+      Probes.signTest(col("value"),
+        (col("event_id") % 400).cast("double"), Seq("event_type"))(
+        table(s, dir, "events"))
+        .orderBy("event_type")
+    },
     "bh_correct" -> { (s, dir) =>
       // the eval-suite composition: one permutation test per event
       // type (the permutation_test row's exact frame), then the BH
@@ -1265,6 +1274,24 @@ private[graft] object QueriesProbes {
               AS DOUBLE)
             / (CAST(2 AS DOUBLE) * sqrt(variance)) END AS z
       FROM v ORDER BY event_type""",
+    // mirrors Probes.signTest: the four exact sign counters and the
+    // one-sqrt z, same paired fixture as wilcoxon_signed_rank
+    "sign_test" -> """
+      WITH b AS (SELECT event_type AS g,
+          CAST(value AS DOUBLE) - CAST(event_id % 400 AS DOUBLE) AS d
+        FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      a AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(CASE WHEN d = 0e0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_zero,
+          CAST(sum(CASE WHEN d > 0e0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pos,
+          CAST(sum(CASE WHEN d < 0e0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_neg
+        FROM b GROUP BY g)
+      SELECT g AS event_type, n_pairs, n_zero, n_pos, n_neg,
+        CASE WHEN n_pos + n_neg > 0 THEN CAST(n_pos - n_neg AS DOUBLE)
+          / sqrt(CAST(n_pos + n_neg AS DOUBLE)) END AS z
+      FROM a ORDER BY event_type""",
     // mirrors Probes.wilcoxonSignedRank: per-row double differences,
     // zero diffs counted then dropped, the exact 2·rank tie carry over
     // |d| in HUGEINT, num4 = 4W+ − n(n+1) and the tie-corrected

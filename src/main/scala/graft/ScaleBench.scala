@@ -32,8 +32,8 @@ object ScaleBench {
     // Optional comma-separated phase subset (spans / bm25 / cc / ann /
     // inc / contain / bpe / text11 / oph / freq / ts / r12 / tri / r13 /
     // r13b / tfidf / pareto / r14 / flag / conv / r14c / r15 / r15b)
-    // plus r15c / r16 / r16b / r16c / r17, for targeted re-measures without
-    // paying the whole harness; absent → all phases.
+    // plus r15c / r16 / r16b / r16c / r17 / r17b, for targeted re-measures
+    // without paying the whole harness; absent → all phases.
     val phases = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def phase(name: String)(body: => Unit): Unit =
@@ -2154,6 +2154,120 @@ object ScaleBench {
     }
     println("table_x,table_rows,trigram_lm_score_sec")
     lmRows.foreach { case (k, r, t) => println(f"$k,$r,$t%.2f") }
+    }
+
+    // ---- r17b: the round-17 debuts' own cells — paired tests,
+    // weighted alpha (rows AND label-cardinality dimensions), the
+    // value-drift gate's batch path, and the ccnet composition ----
+    phase("r17b") {
+    import graft.probes.{Probes => P17b}
+    import graft.ext.{TextOps => T17b}
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    def noop(d: DataFrame): Unit =
+      d.write.mode("overwrite").format("noop").save()
+    // wilcoxonSignedRank (one rank window per group — the MWU cost
+    // class) and signTest (one hash-agg — must be flat) on the same
+    // paired frame, rows ×1/×2/×4 over disjoint groups
+    val ev17b = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("value").isNotNull && col("event_id").isNotNull &&
+        col("user_id").isNotNull)
+      .select("user_id", "event_id", "value")
+    def paired(k: Int): DataFrame =
+      (0 until k).map(i => ev17b.select(
+        ((col("user_id") % 64) + lit(i.toLong * 1_000L)).as("g"),
+        col("value").as("a"),
+        (col("event_id") % 400).cast("double").as("b")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def wsrJob(d: DataFrame): Unit =
+      noop(P17b.wilcoxonSignedRank(col("a"), col("b"), Seq("g"))(d))
+    def stJob(d: DataFrame): Unit =
+      noop(P17b.signTest(col("a"), col("b"), Seq("g"))(d))
+    locally { val d1 = paired(1).localCheckpoint()
+      wsrJob(d1); stJob(d1); d1.unpersist() }
+    val prRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = paired(k).localCheckpoint()
+      val tw = median3(wsrJob(d)); val ts2 = median3(stJob(d))
+      d.unpersist()
+      (k, tw, ts2)
+    }
+    println("rows_x,wilcoxon_signed_rank_sec,sign_test_sec")
+    prRows.foreach { case (k, tw, ts2) => println(f"$k,$tw%.2f,$ts2%.2f") }
+    // krippendorffAlphaWeighted (ordinal): ratings ×1/×2/×4 over
+    // disjoint items (must track the cells hash-agg), then label
+    // cardinality 6/12/24 at ×1 (the |V|² pair frame lives on the
+    // marginals — label growth must stay invisible next to the scan)
+    def ratings(k: Int, levels: Int): DataFrame =
+      (0 until k).map(i => ev17b.select(
+        ((col("user_id") % 2000) + lit(i.toLong * 1_000_000L)).as("item"),
+        (col("event_id") % levels).cast("double").as("v")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def kawJob(d: DataFrame): Unit =
+      noop(P17b.krippendorffAlphaWeighted(col("item"), col("v"),
+        "ordinal", exactOrder = false)(d))
+    locally { val d1 = ratings(1, 6).localCheckpoint(); kawJob(d1); d1.unpersist() }
+    val kawRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = ratings(k, 6).localCheckpoint()
+      val t = median3(kawJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("ratings_x,krippendorff_ordinal_sec")
+    kawRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    locally {
+      val lr = for (lv <- Seq(6, 12, 24)) yield {
+        val d = ratings(1, lv).localCheckpoint()
+        val t = median3(kawJob(d)); d.unpersist()
+        (lv, t)
+      }
+      println("labels,krippendorff_ordinal_sec")
+      lr.foreach { case (lv, t) => println(f"$lv,$t%.2f") }
+    }
+    // windowedValueDrift batch path: rows ×1/×2/×4 — one stateful-agg
+    // shape (64 conditional counters + total), must track the scan
+    val evTs = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts").isNotNull).select("ts", "value")
+    def drift(k: Int): DataFrame =
+      (0 until k).map(_ => evTs).reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    val ref64 = Seq.fill(64)(100L)
+    def vdJob(d: DataFrame): Unit =
+      noop(graft.streaming.Streaming.windowedValueDrift(d, "value",
+        ref64, lo = 0.0, hi = 500.0, windowLength = "6 hours"))
+    locally { val d1 = drift(1).localCheckpoint(); vdJob(d1); d1.unpersist() }
+    val vdRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = drift(k).localCheckpoint()
+      val t = median3(vdJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("rows_x,value_drift_gate_sec")
+    vdRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // ccnetBuckets: docs ×1/×2/×4 against a FIXED stored count table —
+    // must track the LM leg (its three digest equi-joins are the bill;
+    // the percentile window runs on the per-(source, score) histogram)
+    val docs17b = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").filter(col("text").isNotNull)
+    val table17b = T17b.lmCountTable("text")(docs17b).localCheckpoint()
+    def ccDocs(k: Int): DataFrame =
+      (0 until k).map(i => docs17b.select(
+        (col("doc_id") + lit(i.toLong * 100_000_000L)).as("doc_id"),
+        concat(col("source"), lit(s"_$i")).as("source"), col("text")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def ccJob(d: DataFrame): Unit =
+      noop(T17b.ccnetBuckets("doc_id", "source", "text", table17b,
+        exactOrder = false)(d))
+    locally { val d1 = ccDocs(1).localCheckpoint(); ccJob(d1); d1.unpersist() }
+    val ccRows = for (k <- Seq(1, 2, 4)) yield {
+      val d = ccDocs(k).localCheckpoint()
+      val t = median3(ccJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("docs_x,ccnet_buckets_sec")
+    ccRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    table17b.unpersist()
     }
     spark.stop()
   }

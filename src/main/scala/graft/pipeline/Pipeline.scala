@@ -798,6 +798,9 @@ final case class Pipeline(df: DataFrame) {
   def wilcoxonSignedRank(aValue: Column, bValue: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.wilcoxonSignedRank(aValue, bValue, groupCols))
+  def signTest(aValue: Column, bValue: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.signTest(aValue, bValue, groupCols))
   def krippendorffAlphaWeighted(item: Column, label: Column,
       metric: String = "ordinal",
       groupCols: Seq[String] = Nil): Pipeline =

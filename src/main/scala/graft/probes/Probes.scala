@@ -1883,6 +1883,58 @@ object Probes {
             .cast("double") / (lit(2.0) * sqrt(variance))).as("z")): _*)
   }
 
+  /** The four exact sign counters shared by [[signTest]] and
+    * [[graft.streaming.Streaming.windowedSignTest]] — one definition
+    * so the streaming twin's batch-dag-verbatim promise is structural
+    * (the [[sideSuccessCounters]] discipline). Expects the paired
+    * difference as `__d`; NULLs must already be dropped. */
+  private[graft] def signCounters: Seq[Column] = Seq(
+    count(lit(1)).as("n_pairs"),
+    sum(when(col("__d") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+    sum(when(col("__d") > 0.0, 1L).otherwise(0L)).as("n_pos"),
+    sum(when(col("__d") < 0.0, 1L).otherwise(0L)).as("n_neg"))
+
+  /** The sign-test z dag over the counter columns: exact integer
+    * (pos − neg) over one sqrt of the exact (pos + neg); NULL when no
+    * nonzero difference exists (zero evidence, not zero effect).
+    * Returned UNALIASED (the streaming gate thresholds it first). */
+  private[graft] def signZ: Column =
+    when(col("n_pos") + col("n_neg") > 0L,
+      (col("n_pos") - col("n_neg")).cast("double") /
+        sqrt((col("n_pos") + col("n_neg")).cast("double")))
+
+  /** Sign test per group — the assumption-free PAIRED location test:
+    * under the null each nonzero difference is equally likely up or
+    * down, so `z = (n_pos − n_neg)/√(n_pos + n_neg)` (the binomial
+    * normal approximation; z² is McNemar's uncorrected χ² on the
+    * discordant split, and [[mcnemarTest]] IS this test for binary
+    * outcomes). Weaker than [[wilcoxonSignedRank]] (which also uses
+    * magnitude ranks) but immune even to asymmetric difference
+    * distributions — and, decisively for the live pipeline, its state
+    * is FOUR COUNTERS, which is why the streaming twin
+    * ([[graft.streaming.Streaming.windowedSignTest]]) exists where a
+    * windowed Wilcoxon cannot (per-window ranks are unbounded state).
+    *
+    * Doctrine = [[wilcoxonSignedRank]]: `d = a − b`, NULL on either
+    * side drops the pair, zero differences drop from the statistic
+    * but are reported. Exact integers into one final division and one
+    * sqrt; no p-value (no-libm) — |z| ≥ 1.96 IS the 95% gate. Scale
+    * shape: one filter + one hash-agg, full stop. Output per group:
+    * `n_pairs, n_zero, n_pos, n_neg, z`. */
+  def signTest(aValue: Column, bValue: Column,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val grp = groupCols.map(col)
+    val base = df
+      .filter(aValue.isNotNull && bValue.isNotNull)
+      .select(grp :+
+        (aValue.cast("double") - bValue.cast("double")).as("__d"): _*)
+    val agg =
+      (if (grp.isEmpty) base.groupBy() else base.groupBy(grp: _*))
+        .agg(signCounters.head, signCounters.tail: _*)
+    agg.select(grp ++ Seq(col("n_pairs"), col("n_zero"), col("n_pos"),
+      col("n_neg"), signZ.as("z")): _*)
+  }
+
   /** Wilcoxon signed-rank test per group — the PAIRED nonparametric
     * location test, completing the paired axis of the drift battery:
     * [[mannWhitneyU]] compares two UNPAIRED samples, [[mcnemarTest]]

@@ -725,6 +725,50 @@ object Streaming {
       coalesce(abs(z) > lit(zCrit), lit(false)).as("significant"))
   }
 
+  /** Windowed sign-test gate — the live PAIRED drift monitor: per
+    * tumbling window over paired observations (a metric and its
+    * baseline on the same row: predicted vs realized, variant vs
+    * control on matched traffic), the sign counters and
+    * `z = (n_pos − n_neg)/√(n_pos + n_neg)`. This is the streaming
+    * twin [[graft.probes.Probes.wilcoxonSignedRank]] CANNOT have
+    * (per-window magnitude ranks are unbounded state); the sign test's
+    * state is FOUR COUNTERS per open window — and both the counters
+    * and the z dag are SHARED with the batch op
+    * ([[graft.probes.Probes.signCounters]] /
+    * [[graft.probes.Probes.signZ]]), so the batch-dag-verbatim promise
+    * is structural (the [[windowedProportionZ]] discipline, which this
+    * gate mirrors exactly: same shape, paired-difference edition).
+    * NULL sides drop the pair; zero differences count into `n_zero`
+    * only; a window with no nonzero difference reads NULL z and a
+    * false `significant`. Identical plan on a batch frame
+    * (spec-pinned). Output per window: `window_start, window_end,
+    * n_pairs, n_zero, n_pos, n_neg, z, significant`. */
+  def windowedSignTest(
+      events: DataFrame,
+      aValue: Column,
+      bValue: Column,
+      zCrit: Double = 1.96,
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(zCrit > 0.0 && zCrit <= 100.0,
+      s"zCrit must be in (0, 100]: $zCrit")
+    val counters = graft.probes.Probes.signCounters
+    val agged = events
+      .withWatermark(tsField, watermarkDelay)
+      .filter(aValue.isNotNull && bValue.isNotNull)
+      .select(window(col(tsField), windowLength).as("__w"),
+        (aValue.cast("double") - bValue.cast("double")).as("__d"))
+      .groupBy(col("__w"))
+      .agg(counters.head, counters.tail: _*)
+    val z = graft.probes.Probes.signZ
+    agged.select(col("__w.start").as("window_start"),
+      col("__w.end").as("window_end"),
+      col("n_pairs"), col("n_zero"), col("n_pos"), col("n_neg"),
+      z.as("z"),
+      coalesce(abs(z) > lit(zCrit), lit(false)).as("significant"))
+  }
+
   /** Per-(window, item) pivoted label-count cells — the shared level-1
     * aggregation of [[windowedFleissKappa]] / [[windowedLabelQa]]. The
     * DECLARED label vocabulary is what makes the streaming form legal

@@ -1246,6 +1246,30 @@ class ProbesSpec extends SparkSpec {
     assert(g(0).getAs[Long]("n") === 2L && g(1).getAs[Long]("n") === 1L)
   }
 
+  test("signTest: hand z, zero diffs reported not counted, no-evidence NULL") {
+    import spark.implicits._
+    def run(rows: Seq[(Double, Double)]) =
+      Probes.signTest(col("a"), col("b"))(rows.toDF("a", "b")).head()
+    // diffs (+, +, +, -, 0): pos 3, neg 1, zero 1 -> z = 2/sqrt(4) = 1
+    val r = run(Seq((1.0, 0.0), (2.0, 0.0), (3.0, 0.0), (0.0, 4.0),
+      (5.0, 5.0)))
+    assert(r.getAs[Long]("n_pairs") === 5L &&
+      r.getAs[Long]("n_zero") === 1L &&
+      r.getAs[Long]("n_pos") === 3L && r.getAs[Long]("n_neg") === 1L)
+    assert(r.getAs[Double]("z") === 1.0)
+    // all zero: NULL z (no evidence)
+    val z0 = run(Seq((1.0, 1.0), (2.0, 2.0)))
+    assert(z0.isNullAt(z0.fieldIndex("z")))
+    // z² is McNemar's uncorrected chi² on the same discordant split
+    val mc = Probes.mcnemarTest(col("a") > 0.5, col("b") > 0.5,
+      correction = false)(
+      Seq((1.0, 0.0), (2.0, 0.0), (3.0, 0.0), (0.0, 4.0))
+        .toDF("a", "b")).head().getAs[Double]("chi2")
+    val st = run(Seq((1.0, 0.0), (2.0, 0.0), (3.0, 0.0), (0.0, 4.0)))
+      .getAs[Double]("z")
+    assert(math.abs(st * st - mc) < 1e-12)
+  }
+
   test("pair-guard raise sits below the pair join in the optimized plan") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.{

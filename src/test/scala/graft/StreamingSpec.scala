@@ -858,6 +858,56 @@ class StreamingSpec extends SparkSpec {
       viaBatchProbe.map(_.toSeq).toSeq)
   }
 
+  test("windowedSignTest: shared counters/z dag, gate, batch parity") {
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Timestamp, Double, Double)]
+    val out = Streaming.windowedSignTest(
+      input.toDF().toDF("ts", "a", "b"), col("a"), col("b"),
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wst")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // window 10:00: diffs (+, +, +, -, 0) -> z = 2/sqrt(4) = 1
+        (ts("10:01"), 1.0, 0.0), (ts("10:02"), 2.0, 0.0),
+        (ts("10:03"), 3.0, 0.0), (ts("10:04"), 0.0, 4.0),
+        (ts("10:05"), 5.0, 5.0),
+        (ts("10:21"), 0.0, 0.0))
+      q.processAllAvailable()
+      input.addData((ts("10:31"), 0.0, 0.0))
+      q.processAllAvailable()
+      val w1 = spark.table("wst").collect()
+        .find(_.getAs[Timestamp]("window_start") == ts("10:00")).get
+      assert(w1.getAs[Long]("n_pairs") === 5L &&
+        w1.getAs[Long]("n_zero") === 1L &&
+        w1.getAs[Long]("n_pos") === 3L && w1.getAs[Long]("n_neg") === 1L)
+      assert(w1.getAs[Double]("z") === 1.0 &&
+        !w1.getAs[Boolean]("significant"))
+    } finally q.stop()
+    // batch parity: the same function on a batch frame, row for row,
+    // and a window with enough one-sided evidence fires the gate
+    val rows = Seq((ts("10:01"), 1.0, 0.0), (ts("10:02"), 2.0, 0.0),
+      (ts("10:03"), 3.0, 0.0), (ts("10:04"), 0.0, 4.0),
+      (ts("10:05"), 5.0, 5.0))
+    val viaBatch = Streaming.windowedSignTest(
+      rows.toDF("ts", "a", "b"), col("a"), col("b"),
+      windowLength = "10 minutes").collect().toSeq.map(_.toSeq)
+    val viaStream = spark.table("wst")
+      .filter(col("window_start") === ts("10:00"))
+      .collect().toSeq.map(_.toSeq)
+    assert(viaStream === viaBatch)
+    val fired = Streaming.windowedSignTest(
+      (1 to 9).map(i => (ts(f"10:0${i % 10}"), i.toDouble, 0.0))
+        .toDF("ts", "a", "b"), col("a"), col("b"),
+      windowLength = "10 minutes").head()
+    assert(fired.getAs[Double]("z") === 3.0 &&
+      fired.getAs[Boolean]("significant"))
+    // the batch z equals Probes.signTest's on the same pairs
+    val batchOp = graft.probes.Probes.signTest(col("a"), col("b"))(
+      rows.toDF("ts", "a", "b")).head()
+    assert(batchOp.getAs[Double]("z") === 1.0)
+  }
+
   test("windowedValueDrift: exact KS/TVD vs stored histogram, gate, batch parity") {
     import org.apache.spark.sql.functions.col
     val refHist = Seq(1L, 1L, 1L, 1L) // balanced 4-bin reference over [0, 8)
