@@ -355,6 +355,15 @@ private[graft] object QueriesProbes {
         table(s, dir, "events"))
         .orderBy("event_type")
     },
+    "kruskal_wallis" -> { (s, dir) =>
+      // do the THREE user cohorts' value distributions differ, per
+      // event type? one-way ANOVA on pooled tie-averaged ranks — the
+      // k-sample rung above mann_whitney, tie-corrected H against
+      // chi2_{k-1}
+      Probes.kruskalWallis(col("user_id") % 3, col("value"),
+        Seq("event_type"))(table(s, dir, "events"))
+        .orderBy("event_type")
+    },
     "bh_correct" -> { (s, dir) =>
       // the eval-suite composition: one permutation test per event
       // type (the permutation_test row's exact frame), then the BH
@@ -1274,6 +1283,44 @@ private[graft] object QueriesProbes {
               AS DOUBLE)
             / (CAST(2 AS DOUBLE) * sqrt(variance)) END AS z
       FROM v ORDER BY event_type""",
+    // mirrors Probes.kruskalWallis: the shared 2·rank carry pooled per
+    // group, per-variant exact HUGEINT rank sums, the k-sized
+    // variant-pinned float fold, H and its exact-integer tie
+    // correction in the same division order
+    "kruskal_wallis" -> """
+      WITH b AS (SELECT event_type AS g,
+          CAST(user_id % 3 AS VARCHAR) AS v, value AS x
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      r AS (SELECT g, v,
+          CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+            + count(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS r2,
+          CAST(count(*) OVER (PARTITION BY g, x)
+            * count(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS tt
+        FROM b),
+      pv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS nv,
+          sum(r2) AS s2, sum(tt) AS ttv
+        FROM r GROUP BY g, v),
+      ag AS (SELECT g, CAST(sum(nv) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS k,
+          sum(ttv) AS ties,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list((CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+              / CAST(nv AS DOUBLE) ORDER BY v)),
+            (a, t) -> a + t) AS ssum
+        FROM pv GROUP BY g),
+      f AS (SELECT g, n, k, ties, ssum,
+          3e0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1e0)) * ssum
+            - 3e0 * (CAST(n AS DOUBLE) + 1e0) AS h,
+          1e0 - CAST(ties AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                * CAST(n AS HUGEINT) - CAST(n AS HUGEINT) AS DOUBLE)
+            AS corr
+        FROM ag)
+      SELECT g AS event_type, n, k,
+        CASE WHEN k >= 2 AND n >= 2 THEN h END AS h,
+        CASE WHEN k >= 2 AND n >= 2 AND corr > 0e0 THEN h / corr END
+          AS h_corrected
+      FROM f ORDER BY event_type""",
     // mirrors Probes.signTest: the four exact sign counters and the
     // one-sqrt z, same paired fixture as wilcoxon_signed_rank
     "sign_test" -> """

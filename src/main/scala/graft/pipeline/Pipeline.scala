@@ -801,6 +801,9 @@ final case class Pipeline(df: DataFrame) {
   def signTest(aValue: Column, bValue: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.signTest(aValue, bValue, groupCols))
+  def kruskalWallis(variant: Column, value: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.kruskalWallis(variant, value, groupCols))
   def krippendorffAlphaWeighted(item: Column, label: Column,
       metric: String = "ordinal",
       groupCols: Seq[String] = Nil): Pipeline =

@@ -1883,6 +1883,75 @@ object Probes {
             .cast("double") / (lit(2.0) * sqrt(variance))).as("z")): _*)
   }
 
+  /** Kruskal–Wallis H per group — the k-SAMPLE extension of
+    * [[mannWhitneyU]]: does ANY of k variants' value distributions sit
+    * apart? The one-way-ANOVA-on-ranks for A/B/n tests and per-source
+    * quality comparisons, immune to the heavy tails that rule the
+    * mean. Two samples reduce to Mann–Whitney exactly (H_corrected =
+    * z², property-spec-pinned).
+    *
+    * Exactness: pooled tie-averaged ranks ride the shared integer
+    * carry (`2·rank = 2·rank_min + t − 1`), so each variant's rank sum
+    * `S2_v = Σ2r` and the tie mass `Σ(t³−t) = Σ_rows(t²−1)` are
+    * order-free exact decimal(38,0) aggregations. H assembles as
+    *   `H = 3/(N(N+1)) · Σ_v S2_v²/n_v − 3(N+1)`
+    * (the 2× rank scale folds the classic 12/(N(N+1)) · ΣS_v²/n_v into
+    * 3/(N(N+1)) · ΣS2_v²/n_v), the Σ_v a pinned float fold by variant
+    * (k terms — variant cardinality, not corpus); the tie correction
+    *   `h_corrected = H / (1 − Σ(t³−t)/(N³−N))`
+    * carries both Σ(t³−t) and N³−N as exact integers into one final
+    * division chain. No p-value (the no-libm doctrine): threshold
+    * against χ²_{k−1} — 5.99 IS the 95% gate at k = 3. Degenerate
+    * reads: k < 2 or N < 2 → NULL H; every value tied (correction
+    * denominator 0) → NULL `h_corrected` with `h` = its honest 0-ish
+    * value. NULL variant/value rows drop.
+    *
+    * Scale shape: one pooled `rank()` window per group partition (the
+    * [[mannWhitneyU]] cost class), one hash-agg to variants, one
+    * k-sized fold. Output per group:
+    * `n, k, h, h_corrected`. */
+  def kruskalWallis(variant: Column, value: Column,
+      groupCols: Seq[String] = Nil,
+      exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val base = df
+      .filter(variant.isNotNull && value.isNotNull)
+      .select(grp :+ variant.cast("string").as("__v") :+
+        value.as("__x"): _*)
+    val wOrd = Window.partitionBy(grp: _*).orderBy(col("__x"))
+    val wTie = Window.partitionBy(grp :+ col("__x"): _*)
+    val ranked = base.select(grp ++ Seq(col("__v"),
+      rank2Carry(wOrd, wTie).as("__r2"),
+      (count(lit(1)).over(wTie) * count(lit(1)).over(wTie) - lit(1L))
+        .cast("decimal(38,0)").as("__tt")): _*)
+    val perVar = ranked.groupBy(grp :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__nv"),
+        sum(col("__r2")).as("__s2"),
+        sum(col("__tt")).as("__ttv"))
+    // Σ_v S2_v²/n_v: k-sized pinned fold (variant cardinality)
+    val term = (col("__s2").cast("double") * col("__s2").cast("double")) /
+      col("__nv").cast("double")
+    val agg =
+      (if (grp.isEmpty) perVar.groupBy() else perVar.groupBy(grp: _*))
+        .agg(sum(col("__nv")).as("n"),
+          count(lit(1)).as("k"),
+          sum(col("__ttv")).as("__ties"),
+          pinnedFold(col("__v"), term, exactOrder).as("__ssum"))
+    val nD = col("n").cast("double")
+    val h = lit(3.0) / (nD * (nD + lit(1.0))) * col("__ssum") -
+      lit(3.0) * (nD + lit(1.0))
+    // 1 − Σ(t³−t)/(N³−N), both legs exact integers until the division
+    val n38 = col("n").cast("decimal(38,0)")
+    val cube = n38 * n38 * n38 - n38
+    val corr = lit(1.0) -
+      col("__ties").cast("double") / cube.cast("double")
+    agg.select(grp ++ Seq(col("n"), col("k"),
+      when(col("k") >= 2 && col("n") >= 2, h).as("h"),
+      when(col("k") >= 2 && col("n") >= 2 && corr > 0.0, h / corr)
+        .as("h_corrected")): _*)
+  }
+
   /** The four exact sign counters shared by [[signTest]] and
     * [[graft.streaming.Streaming.windowedSignTest]] — one definition
     * so the streaming twin's batch-dag-verbatim promise is structural

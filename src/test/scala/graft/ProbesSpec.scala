@@ -1246,6 +1246,41 @@ class ProbesSpec extends SparkSpec {
     assert(g(0).getAs[Long]("n") === 2L && g(1).getAs[Long]("n") === 1L)
   }
 
+  test("kruskalWallis: hand H, k=2 is MWU z², ties, degenerates") {
+    import spark.implicits._
+    // A={1,2}, B={3,4}: ranks 1..4, S2 = (6, 14),
+    // H = 3/(4·5)·(36/2 + 196/2) − 3·5 = 17.4 − 15 = 2.4 exactly
+    val d = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("v", "x")
+    val r = Probes.kruskalWallis(col("v"), col("x"))(d).head()
+    assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("k") === 2L)
+    assert(math.abs(r.getAs[Double]("h") - 2.4) < 1e-12)
+    assert(math.abs(r.getAs[Double]("h_corrected") - 2.4) < 1e-12)
+    // the classical identity: at k = 2 the tie-corrected H equals the
+    // (tie-corrected) Mann–Whitney z squared — heavy ties included
+    val rows = (1 to 40).map(i =>
+      (if (i % 2 == 0) "A" else "B", (i % 7).toDouble))
+    val df2 = rows.toDF("v", "x")
+    val hc = Probes.kruskalWallis(col("v"), col("x"))(df2).head()
+      .getAs[Double]("h_corrected")
+    val z = Probes.mannWhitneyU(col("v") === "A", col("x"))(df2).head()
+      .getAs[Double]("z")
+    assert(math.abs(hc - z * z) < 1e-9, s"H=$hc vs z^2=${z * z}")
+    // three variants, hand-free sanity: H >= 0 and finite
+    val d3 = (1 to 30).map(i => (s"v${i % 3}", (i * 7 % 11).toDouble))
+      .toDF("v", "x")
+    val r3 = Probes.kruskalWallis(col("v"), col("x"))(d3).head()
+    assert(r3.getAs[Long]("k") === 3L &&
+      r3.getAs[Double]("h_corrected") >= 0.0)
+    // one variant: NULL H; all values tied: NULL h_corrected
+    val one = Seq(("A", 1.0), ("A", 2.0)).toDF("v", "x")
+    val ro = Probes.kruskalWallis(col("v"), col("x"))(one).head()
+    assert(ro.isNullAt(ro.fieldIndex("h")))
+    val tied = Seq(("A", 5.0), ("B", 5.0), ("A", 5.0)).toDF("v", "x")
+    val rt = Probes.kruskalWallis(col("v"), col("x"))(tied).head()
+    assert(rt.isNullAt(rt.fieldIndex("h_corrected")))
+  }
+
   test("signTest: hand z, zero diffs reported not counted, no-evidence NULL") {
     import spark.implicits._
     def run(rows: Seq[(Double, Double)]) =
