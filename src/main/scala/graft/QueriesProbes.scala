@@ -364,6 +364,21 @@ private[graft] object QueriesProbes {
         Seq("event_type"))(table(s, dir, "events"))
         .orderBy("event_type")
     },
+    "friedman_test" -> { (s, dir) =>
+      // paired k-treatment comparison per event type: blocks = user
+      // cohorts (user_id % 40), treatments = event_id % 3 arms, one
+      // observation per cell via max(value); incomplete blocks drop
+      // and are REPORTED; exact integer carries into ONE division
+      val cells = table(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull)
+        .groupBy(col("event_type"), (col("user_id") % 40).as("blk"),
+          (col("event_id") % 3).as("arm"))
+        .agg(max(col("value")).as("v"))
+      Probes.friedmanTest("blk", "arm", col("v"), Seq("event_type"))(
+        cells)
+        .orderBy("event_type")
+    },
     "bh_correct" -> { (s, dir) =>
       // the eval-suite composition: one permutation test per event
       // type (the permutation_test row's exact frame), then the BH
@@ -1283,6 +1298,52 @@ private[graft] object QueriesProbes {
               AS DOUBLE)
             / (CAST(2 AS DOUBLE) * sqrt(variance)) END AS z
       FROM v ORDER BY event_type""",
+    // mirrors Probes.friedmanTest: the same pre-aggregated cells, the
+    // completeness screen (count = k AND distinct = k against the
+    // group's global treatment set), within-block 2·rank carries in
+    // HUGEINT, Conover's tie-robust Q with every term exact and float
+    // only at the one final division
+    "friedman_test" -> """
+      WITH cells AS (SELECT event_type AS g, user_id % 40 AS b,
+          CAST(event_id % 3 AS VARCHAR) AS t, max(value) AS x
+        FROM events
+        WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+          AND value IS NOT NULL
+        GROUP BY 1, 2, 3),
+      kg AS (SELECT g, CAST(count(DISTINCT t) AS BIGINT) AS k
+        FROM cells GROUP BY g),
+      bl AS (SELECT g, b, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(count(DISTINCT t) AS BIGINT) AS dt
+        FROM cells GROUP BY g, b),
+      blk AS (SELECT bl.g, bl.b, (cnt = k AND dt = k) AS complete
+        FROM bl JOIN kg ON kg.g = bl.g),
+      bs AS (SELECT g,
+          CAST(sum(CASE WHEN complete THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_blocks,
+          CAST(sum(CASE WHEN complete THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_dropped
+        FROM blk GROUP BY g),
+      kept AS (SELECT c.g, c.b, c.t, c.x FROM cells c
+        JOIN blk ON blk.g = c.g AND blk.b = c.b AND blk.complete),
+      r AS (SELECT g, t,
+          CAST(2 * rank() OVER (PARTITION BY g, b ORDER BY x)
+            + count(*) OVER (PARTITION BY g, b, x) - 1 AS HUGEINT)
+            AS r2
+        FROM kept),
+      pt AS (SELECT g, t, sum(r2) AS rr2 FROM r GROUP BY g, t),
+      s1 AS (SELECT g, sum(rr2 * rr2) AS sr2 FROM pt GROUP BY g),
+      s2 AS (SELECT g, sum(r2 * r2) AS a2 FROM r GROUP BY g),
+      f AS (SELECT bs.g, n_blocks, n_dropped, k,
+          sr2 - CAST(n_blocks AS HUGEINT) * n_blocks * k
+            * (k + 1) * (k + 1) AS num,
+          a2 - CAST(n_blocks AS HUGEINT) * k * (k + 1) * (k + 1) AS den
+        FROM bs JOIN kg ON kg.g = bs.g
+        LEFT JOIN s1 ON s1.g = bs.g LEFT JOIN s2 ON s2.g = bs.g)
+      SELECT g AS event_type, n_blocks, n_dropped, k,
+        CASE WHEN k >= 2 AND n_blocks >= 1 AND den > 0
+          THEN CAST((k - 1) * num AS DOUBLE) / CAST(den AS DOUBLE) END
+          AS q
+      FROM f ORDER BY event_type""",
     // mirrors Probes.kruskalWallis: the shared 2·rank carry pooled per
     // group, per-variant exact HUGEINT rank sums, the k-sized
     // variant-pinned float fold, H and its exact-integer tie

@@ -804,6 +804,9 @@ final case class Pipeline(df: DataFrame) {
   def kruskalWallis(variant: Column, value: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.kruskalWallis(variant, value, groupCols))
+  def friedmanTest(blockField: String, treatmentField: String,
+      value: Column, groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.friedmanTest(blockField, treatmentField, value, groupCols))
   def krippendorffAlphaWeighted(item: Column, label: Column,
       metric: String = "ordinal",
       groupCols: Seq[String] = Nil): Pipeline =

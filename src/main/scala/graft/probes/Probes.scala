@@ -1952,6 +1952,99 @@ object Probes {
         .as("h_corrected")): _*)
   }
 
+  /** Friedman test per group — the PAIRED k-treatment comparison
+    * completing the test matrix: [[mannWhitneyU]] (unpaired, 2),
+    * [[kruskalWallis]] (unpaired, k), [[wilcoxonSignedRank]] /
+    * [[signTest]] (paired, 2), THIS (paired, k): n blocks (eval items,
+    * user cohorts, time buckets) each scoring all k treatments
+    * (model variants, pipeline arms) — ranks WITHIN each block, so
+    * between-block level differences cancel by construction.
+    *
+    * Block contract: each block must hold each treatment EXACTLY once
+    * (pre-aggregate to one observation per cell first); incomplete or
+    * duplicated blocks DROP and are REPORTED (`n_dropped`) — silent
+    * imputation is how a paired test quietly becomes unpaired.
+    * `k` is the group's observed distinct treatment set.
+    *
+    * Exactness — the shelf's strongest: within-block tie-averaged
+    * ranks ride the exact 2·rank carry, and Conover's tie-robust form
+    *   `Q = (k−1)·(Σ_j R_j² − n²k(k+1)²/4) / (A − nk(k+1)²/4)`
+    * (A = Σ_ij r_ij²) clears its /4s against the 2× carry:
+    *   `Q = (k−1)·(Σ_j R2_j² − n²k(k+1)²) / (A2 − nk(k+1)²)`
+    * — EVERY term an order-free exact decimal(38,0) integer (the
+    * per-treatment frame is k rows; no float fold anywhere), float
+    * only at the ONE final division. Untied blocks reduce to the
+    * classic `12/(nk(k+1))·ΣR_j² − 3n(k+1)` (spec: the perfect-order
+    * fixture reads exactly (k−1)·n = 6). No p-value (no-libm):
+    * threshold against χ²_{k−1}. Degenerate reads: k < 2 or no
+    * complete block → NULL Q; every block internally tied
+    * (denominator 0 — no rank signal at all) → NULL Q with honest
+    * counts.
+    *
+    * Scale shape: two hash-aggs for the completeness screen, one
+    * `rank()` window per (group, block) partition — blocks are the
+    * parallelism unit, so the sort is k-row-sized — and two hash-aggs
+    * for the sums. Output per group: `n_blocks, n_dropped, k, q`. */
+  def friedmanTest(blockField: String, treatmentField: String,
+      value: Column, groupCols: Seq[String] = Nil)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val base = df
+      .filter(col(blockField).isNotNull &&
+        col(treatmentField).isNotNull && value.isNotNull)
+      .select(grp :+ col(blockField).as("__b") :+
+        col(treatmentField).cast("string").as("__t") :+
+        value.as("__x"): _*)
+      .localCheckpoint() // feeds k, the completeness screen AND ranks
+    val kAgg =
+      (if (grp.isEmpty) base.groupBy() else base.groupBy(grp: _*))
+        .agg(countDistinct(col("__t")).as("__k"))
+    val blocks = base.groupBy(grp :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__cnt"), countDistinct(col("__t")).as("__dt"))
+    val blocksK =
+      (if (grp.isEmpty) blocks.crossJoin(broadcast(kAgg))
+       else blocks.join(kAgg, groupCols))
+        .withColumn("__complete",
+          col("__cnt") === col("__k") && col("__dt") === col("__k"))
+    val blockStats =
+      (if (grp.isEmpty) blocksK.groupBy() else blocksK.groupBy(grp: _*))
+        .agg(sum(when(col("__complete"), 1L).otherwise(0L)).as("n_blocks"),
+          sum(when(!col("__complete"), 1L).otherwise(0L)).as("n_dropped"))
+    val keep = blocksK.filter(col("__complete"))
+      .select(grp :+ col("__b"): _*)
+    val rows = base.join(keep, groupCols :+ "__b", "left_semi")
+    val wOrd = Window.partitionBy(grp :+ col("__b"): _*)
+      .orderBy(col("__x"))
+    val wTie = Window.partitionBy(grp :+ col("__b") :+ col("__x"): _*)
+    val ranked = rows.select(grp ++ Seq(col("__t"),
+      rank2Carry(wOrd, wTie).as("__r2")): _*)
+    val perT = ranked.groupBy(grp :+ col("__t"): _*)
+      .agg(sum(col("__r2")).as("__R2"))
+    val sR2 =
+      (if (grp.isEmpty) perT.groupBy() else perT.groupBy(grp: _*))
+        .agg(sum(col("__R2") * col("__R2")).as("__sR2"))
+    val a2 =
+      (if (grp.isEmpty) ranked.groupBy() else ranked.groupBy(grp: _*))
+        .agg(sum(col("__r2") * col("__r2")).as("__A2"))
+    val joined0 =
+      (if (grp.isEmpty)
+        blockStats.crossJoin(kAgg).crossJoin(sR2).crossJoin(a2)
+       else blockStats.join(kAgg, groupCols)
+         .join(sR2, groupCols, "left").join(a2, groupCols, "left"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val kp1sq = d38((col("__k") + 1) * (col("__k") + 1))
+    val num = col("__sR2") -
+      d38(col("n_blocks")) * d38(col("n_blocks")) * d38(col("__k")) * kp1sq
+    val den = col("__A2") - d38(col("n_blocks")) * d38(col("__k")) * kp1sq
+    val zero38 = lit(0).cast("decimal(38,0)")
+    joined0.select(grp ++ Seq(col("n_blocks"), col("n_dropped"),
+      col("__k").as("k"),
+      when(col("__k") >= 2 && col("n_blocks") >= 1 && den > zero38,
+        ((d38(col("__k")) - 1) * num).cast("double") / den.cast("double"))
+        .as("q")): _*)
+  }
+
   /** The four exact sign counters shared by [[signTest]] and
     * [[graft.streaming.Streaming.windowedSignTest]] — one definition
     * so the streaming twin's batch-dag-verbatim promise is structural

@@ -1281,6 +1281,44 @@ class ProbesSpec extends SparkSpec {
     assert(rt.isNullAt(rt.fieldIndex("h_corrected")))
   }
 
+  test("friedmanTest: perfect-order Q, tie hand value, dropped blocks, degenerates") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String, Double)]) =
+      Probes.friedmanTest("b", "t", col("x"))(
+        rows.toDF("b", "t", "x")).head()
+    // 3 blocks, perfect A<B<C ordering: classic Q = 12/36·126 − 36 = 6
+    // (= (k−1)·n, the untied maximum)
+    val perfect = for (b <- 1L to 3L; (t, v) <- Seq(("A", 1.0),
+      ("B", 2.0), ("C", 3.0))) yield (b, t, v + b * 10)
+    val r = run(perfect.toSeq)
+    assert(r.getAs[Long]("n_blocks") === 3L &&
+      r.getAs[Long]("n_dropped") === 0L && r.getAs[Long]("k") === 3L)
+    assert(math.abs(r.getAs[Double]("q") - 6.0) < 1e-12)
+    // tie case, hand-rolled: b1 (1,1,2) -> 2r (3,3,6); b2 (1,2,3) ->
+    // 2r (2,4,6): R2 = (5,7,12), ΣR2² = 218, num = 26; A2 = 110,
+    // den = 14 -> Q = 2·26/14 = 26/7
+    val tied = Seq((1L, "A", 1.0), (1L, "B", 1.0), (1L, "C", 2.0),
+      (2L, "A", 1.0), (2L, "B", 2.0), (2L, "C", 3.0))
+    val rt = run(tied)
+    assert(math.abs(rt.getAs[Double]("q") - 26.0 / 7.0) < 1e-12)
+    // an incomplete block (missing C) and a duplicated cell both drop
+    // and are REPORTED; the complete blocks' Q is unchanged
+    val noisy = run(tied ++ Seq((3L, "A", 1.0), (3L, "B", 2.0),
+      (4L, "A", 1.0), (4L, "A", 2.0), (4L, "B", 3.0), (4L, "C", 4.0)))
+    assert(noisy.getAs[Long]("n_blocks") === 2L &&
+      noisy.getAs[Long]("n_dropped") === 2L)
+    assert(math.abs(noisy.getAs[Double]("q") - 26.0 / 7.0) < 1e-12)
+    // every block internally tied: no rank signal, NULL Q
+    val flat = run(Seq((1L, "A", 5.0), (1L, "B", 5.0),
+      (2L, "A", 7.0), (2L, "B", 7.0)))
+    assert(flat.getAs[Long]("n_blocks") === 2L &&
+      flat.isNullAt(flat.fieldIndex("q")))
+    // one treatment: NULL Q
+    val onet = run(Seq((1L, "A", 1.0), (2L, "A", 2.0)))
+    assert(onet.getAs[Long]("k") === 1L &&
+      onet.isNullAt(onet.fieldIndex("q")))
+  }
+
   test("signTest: hand z, zero diffs reported not counted, no-evidence NULL") {
     import spark.implicits._
     def run(rows: Seq[(Double, Double)]) =

@@ -1310,6 +1310,26 @@ class StreamingSpec extends SparkSpec {
         .as[(Double, Double, Double)].collect().toSeq
       assert(got.map(s => (s.level, s.trend, s.forecast)) === want)
     } finally q.stop()
+    // DAMPED parity: the streaming twin's phi lands in the same dag
+    // positions as the batch op's (hand halves: phi = beta = alpha = .5
+    // gives (4,0,4) (6,1,6.5) (7.25,0.875,7.6875) on values 4,8,8)
+    val input2 = MemoryStream[CusumEvent]
+    val out2 = Streaming.streamingHolt(input2.toDS(), alpha = 0.5,
+      beta = 0.5, phi = 0.5)
+    val q2 = out2.writeStream.format("memory").queryName("holt_d")
+      .outputMode("append").start()
+    try {
+      input2.addData(
+        CusumEvent(1L, ts("09:00"), 1L, 4.0),
+        CusumEvent(1L, ts("09:01"), 2L, 8.0))
+      q2.processAllAvailable()
+      input2.addData(CusumEvent(1L, ts("09:02"), 3L, 8.0))
+      q2.processAllAvailable()
+      val gotD = spark.table("holt_d").orderBy("tie")
+        .as[HoltStat].collect().toSeq
+      assert(gotD.map(s => (s.level, s.trend, s.forecast)) ===
+        Seq((4.0, 0.0, 4.0), (6.0, 1.0, 6.5), (7.25, 0.875, 7.6875)))
+    } finally q2.stop()
   }
 
   test("streamingHoltWinters carries the seasonal ring across micro-batches, matching batch") {
