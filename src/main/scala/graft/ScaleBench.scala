@@ -2268,6 +2268,42 @@ object ScaleBench {
     println("docs_x,ccnet_buckets_sec")
     ccRows.foreach { case (k, t) => println(f"$k,$t%.2f") }
     table17b.unpersist()
+    // kruskalWallis (one pooled rank window per group — the MWU cost
+    // class) rows ×1/×2/×4 over disjoint groups; friedmanTest (blocks
+    // are the parallelism unit: k-row sorts) blocks ×1/×2/×4
+    def kwRows(k: Int): DataFrame =
+      (0 until k).map(i => ev17b.select(
+        ((col("user_id") % 64) + lit(i.toLong * 1_000L)).as("g"),
+        (col("event_id") % 3).as("v"), col("value").as("x")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def kwJob(d: DataFrame): Unit =
+      noop(P17b.kruskalWallis(col("v"), col("x"), Seq("g"))(d))
+    locally { val d1 = kwRows(1).localCheckpoint(); kwJob(d1); d1.unpersist() }
+    val kwOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = kwRows(k).localCheckpoint()
+      val t = median3(kwJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("rows_x,kruskal_wallis_sec")
+    kwOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    def frBlocks(k: Int): DataFrame =
+      (0 until k).map(i => ev17b
+        .groupBy(((col("user_id") % 2000) + lit(i.toLong * 1_000_000L))
+          .as("b"), (col("event_id") % 3).as("t"))
+        .agg(max(col("value")).as("x")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def frJob(d: DataFrame): Unit =
+      noop(P17b.friedmanTest("b", "t", col("x"))(d))
+    locally { val d1 = frBlocks(1).localCheckpoint(); frJob(d1); d1.unpersist() }
+    val frOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = frBlocks(k).localCheckpoint()
+      val t = median3(frJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("blocks_x,friedman_test_sec")
+    frOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
     }
     spark.stop()
   }
