@@ -364,6 +364,22 @@ private[graft] object QueriesProbes {
         Seq("event_type"))(table(s, dir, "events"))
         .orderBy("event_type")
     },
+    "one_way_anova" -> { (s, dir) =>
+      // do the three cohorts' MEAN values differ, per event type? the
+      // parametric companion of kruskal_wallis on 1e-9-quantized exact
+      // sums, with the eta² variance-explained effect size
+      Probes.oneWayAnova(col("user_id") % 3, col("value"),
+        Seq("event_type"))(table(s, dir, "events"))
+        .orderBy("event_type")
+    },
+    "brown_forsythe_k" -> { (s, dir) =>
+      // did the SPREAD move across ANY of the three cohorts, per event
+      // type? per-variant selection medians, |x − med| deviations, the
+      // same shared ANOVA-F dag — the scale axis at k samples
+      Probes.brownForsytheK(col("user_id") % 3, col("value"),
+        Seq("event_type"))(table(s, dir, "events"))
+        .orderBy("event_type")
+    },
     "friedman_test" -> { (s, dir) =>
       // paired k-treatment comparison per event type: blocks = user
       // cohorts (user_id % 40), treatments = event_id % 3 arms, one
@@ -1298,6 +1314,84 @@ private[graft] object QueriesProbes {
               AS DOUBLE)
             / (CAST(2 AS DOUBLE) * sqrt(variance)) END AS z
       FROM v ORDER BY event_type""",
+    // mirrors Probes.oneWayAnova: 1e-9-quantized exact per-variant
+    // sums, the k-sized variant-pinned ssb/ssw folds, one fixed F dag
+    "one_way_anova" -> """
+      WITH b AS (SELECT event_type AS g, CAST(user_id % 3 AS VARCHAR) AS v,
+          CAST(round(CAST(value AS DOUBLE) * 1e9, 0) AS DECIMAL(19,0))
+            AS z9
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      pv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS ng,
+          CAST(sum(CAST(z9 AS DECIMAL(38,0))) AS HUGEINT) AS s1,
+          CAST(sum(CAST(z9 * z9 AS DECIMAL(38,0))) AS HUGEINT) AS s2
+        FROM b GROUP BY g, v),
+      tt AS (SELECT g, CAST(sum(ng) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS k, sum(s1) AS ss1
+        FROM pv GROUP BY g),
+      j AS (SELECT pv.g, pv.v, ng, s1, s2, n, k,
+          CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE) AS zg,
+          CAST(ss1 AS DOUBLE) / CAST(n AS DOUBLE) AS zbar
+        FROM pv JOIN tt ON tt.g = pv.g),
+      s AS (SELECT g, max(n) AS n, max(k) AS k,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(ng AS DOUBLE) * (zg - zbar) * (zg - zbar)
+              ORDER BY v)), (a, t) -> a + t) AS ssb,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(s2 AS DOUBLE) - CAST(ng AS DOUBLE) * zg * zg
+              ORDER BY v)), (a, t) -> a + t) AS ssw
+        FROM j GROUP BY g)
+      SELECT g AS event_type, n, k,
+        CASE WHEN k >= 2 AND n > k THEN
+          CASE WHEN ssw > 0e0 THEN
+            (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+              / (CAST(k AS DOUBLE) - 1e0) * ssb / ssw END END AS f,
+        CASE WHEN k >= 2 AND ssb + ssw > 0e0
+          THEN ssb / (ssb + ssw) END AS eta_sq
+      FROM s ORDER BY event_type""",
+    // mirrors Probes.brownForsytheK: per-(group, variant) selection
+    // medians, |x − med| 1e-9-quantized, then the SAME shared ANOVA-F
+    // dag as one_way_anova over the deviation samples
+    "brown_forsythe_k" -> """
+      WITH b0 AS (SELECT event_type AS g, CAST(user_id % 3 AS VARCHAR) AS v,
+          CAST(value AS DOUBLE) AS x
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      r AS (SELECT g, v, x,
+          CAST(row_number() OVER (PARTITION BY g, v ORDER BY x)
+            AS BIGINT) AS rn,
+          CAST(count(*) OVER (PARTITION BY g, v) AS BIGINT) AS c
+        FROM b0),
+      md AS (SELECT g, v, (min(x) + max(x)) / CAST(2 AS DOUBLE) AS med
+        FROM r WHERE rn = (c + 1) // 2 OR rn = c // 2 + 1 GROUP BY g, v),
+      b AS (SELECT b0.g, b0.v,
+          CAST(round(abs(b0.x - md.med) * 1e9, 0) AS DECIMAL(19,0)) AS z9
+        FROM b0 JOIN md ON md.g = b0.g AND md.v = b0.v),
+      pv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS ng,
+          CAST(sum(CAST(z9 AS DECIMAL(38,0))) AS HUGEINT) AS s1,
+          CAST(sum(CAST(z9 * z9 AS DECIMAL(38,0))) AS HUGEINT) AS s2
+        FROM b GROUP BY g, v),
+      tt AS (SELECT g, CAST(sum(ng) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS k, sum(s1) AS ss1
+        FROM pv GROUP BY g),
+      j AS (SELECT pv.g, pv.v, ng, s1, s2, n, k,
+          CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE) AS zg,
+          CAST(ss1 AS DOUBLE) / CAST(n AS DOUBLE) AS zbar
+        FROM pv JOIN tt ON tt.g = pv.g),
+      s AS (SELECT g, max(n) AS n, max(k) AS k,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(ng AS DOUBLE) * (zg - zbar) * (zg - zbar)
+              ORDER BY v)), (a, t) -> a + t) AS ssb,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(s2 AS DOUBLE) - CAST(ng AS DOUBLE) * zg * zg
+              ORDER BY v)), (a, t) -> a + t) AS ssw
+        FROM j GROUP BY g)
+      SELECT g AS event_type, n, k,
+        CASE WHEN k >= 2 AND n > k THEN
+          CASE WHEN ssw > 0e0 THEN
+            (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+              / (CAST(k AS DOUBLE) - 1e0) * ssb / ssw END END AS f,
+        CASE WHEN k >= 2 AND ssb + ssw > 0e0
+          THEN ssb / (ssb + ssw) END AS eta_sq
+      FROM s ORDER BY event_type""",
     // mirrors Probes.friedmanTest: the same pre-aggregated cells, the
     // completeness screen (count = k AND distinct = k against the
     // group's global treatment set), within-block 2·rank carries in

@@ -807,6 +807,12 @@ final case class Pipeline(df: DataFrame) {
   def friedmanTest(blockField: String, treatmentField: String,
       value: Column, groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.friedmanTest(blockField, treatmentField, value, groupCols))
+  def oneWayAnova(variant: Column, value: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.oneWayAnova(variant, value, groupCols))
+  def brownForsytheK(variant: Column, value: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.brownForsytheK(variant, value, groupCols))
   def krippendorffAlphaWeighted(item: Column, label: Column,
       metric: String = "ordinal",
       groupCols: Seq[String] = Nil): Pipeline =

@@ -2336,6 +2336,133 @@ object Probes {
     *
     * Scale shape: one per-(group, side) median window + two hash-aggs.
     * Output per group: `n_a, n_b, med_a, med_b, f`. */
+  /** The shared k-sample one-way ANOVA F dag of [[oneWayAnova]] and
+    * [[brownForsytheK]]: over a frame carrying `(grp..., __v variant,
+    * __z9 decimal(19,0)-quantized observation)`, per-variant exact
+    * counters (n_g, Σz9, Σz9²), then
+    *   `F = (N−k)/(k−1) · Σ_g n_g(z̄_g − z̄)² / Σ_g (Σz9²_g − n_g z̄_g²)`
+    * with the two Σ_g as variant-pinned float folds (k terms — variant
+    * cardinality, not corpus; `exactOrder=false` = plain sums). The
+    * 1e9 quantization scale cancels in the ratio but both engines walk
+    * the same scaled doubles. Emits per group:
+    * `n, k, f (+ eta_sq = ssb/(ssb+ssw))`; NULL F when k < 2, N ≤ k,
+    * or zero within-variance. */
+  private def anovaFOverQuantized(quantized: DataFrame, grp: Seq[Column],
+      groupCols: Seq[String], exactOrder: Boolean): DataFrame = {
+    val perVar = quantized.groupBy(grp :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("__z9").cast("decimal(38,0)")).as("__s1"),
+        sum((col("__z9") * col("__z9")).cast("decimal(38,0)")).as("__s2"))
+    val totals =
+      (if (grp.isEmpty) perVar.groupBy() else perVar.groupBy(grp: _*))
+        .agg(sum(col("__ng")).as("n"), count(lit(1)).as("k"),
+          sum(col("__s1")).as("__gs1"))
+    val joined =
+      (if (grp.isEmpty) perVar.crossJoin(broadcast(totals))
+       else perVar.join(totals, groupCols))
+        .withColumn("__zg",
+          col("__s1").cast("double") / col("__ng").cast("double"))
+        .withColumn("__zbar",
+          col("__gs1").cast("double") / col("n").cast("double"))
+    def fold(key: Column, term: Column) = pinnedFold(key, term, exactOrder)
+    val sums =
+      (if (grp.isEmpty) joined.groupBy() else joined.groupBy(grp: _*))
+        .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+          fold(col("__v"), col("__ng").cast("double") *
+            (col("__zg") - col("__zbar")) *
+            (col("__zg") - col("__zbar"))).as("__ssb"),
+          fold(col("__v"), col("__s2").cast("double") -
+            col("__ng").cast("double") * col("__zg") * col("__zg"))
+            .as("__ssw"))
+    val kD = col("k").cast("double")
+    val nD = col("n").cast("double")
+    sums.select(grp ++ Seq(col("n"), col("k"),
+      when(col("k") >= 2 && col("n") > col("k"),
+        when(col("__ssw") > 0.0,
+          (nD - kD) / (kD - lit(1.0)) * col("__ssb") / col("__ssw")))
+        .as("f"),
+      when(col("k") >= 2 && col("__ssb") + col("__ssw") > 0.0,
+        col("__ssb") / (col("__ssb") + col("__ssw"))).as("eta_sq")): _*)
+  }
+
+  /** One-way ANOVA F per group — the PARAMETRIC k-sample location
+    * test beside [[kruskalWallis]]'s rank form: k variants' MEANS
+    * compared on the raw (1e-9-quantized) values. Use this when the
+    * metric is well-behaved and the mean is the quantity under test
+    * (cost per request, tokens per doc); use Kruskal–Wallis when the
+    * tail owns the mean. Reports `eta_sq` (ssb/(ssb+ssw)) — the
+    * variance-explained effect size reviewers ask for beside F.
+    *
+    * Money-column discipline: values 1e-9-quantize into exact
+    * decimal(19,0) (|x| ≤ 9e9 or a loud raise — the [[brownForsythe]]
+    * bound), per-variant Σ and Σ² are exact decimal(38,0), the two
+    * k-sized cross-variant folds are variant-pinned
+    * ([[fleissKappa]]'s exactOrder knob), F is one fixed IEEE dag; no
+    * p-value (no-libm) — threshold against F_{k−1,N−k} (≈ χ²_{k−1}/
+    * (k−1) at large N; 3.0 is the 95% gate at k = 3, large N). NULL
+    * variant/value rows drop. Scale shape: one filter + two
+    * hash-aggs, full stop. Output per group: `n, k, f, eta_sq`. */
+  def oneWayAnova(variant: Column, value: Column,
+      groupCols: Seq[String] = Nil,
+      exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
+    val grp = groupCols.map(col)
+    val x = value.cast("double")
+    val base = df
+      .filter(variant.isNotNull && value.isNotNull)
+      .select(grp :+ variant.cast("string").as("__v") :+
+        when(abs(x) > lit(9.0e9), raise_error(concat(
+          lit("oneWayAnova: |value| = "), abs(x).cast(StringType),
+          lit(" exceeds the 9e9 quantization bound (values" +
+            " 1e-9-quantize into decimal(19,0)); rescale the metric")))
+          .cast("double"))
+          .otherwise(round(x * lit(1e9), 0))
+          .cast("decimal(19,0)").as("__z9"): _*)
+    anovaFOverQuantized(base, grp, groupCols, exactOrder)
+  }
+
+  /** k-sample Brown–Forsythe per group — [[brownForsythe]]'s axis
+    * extended to k variants, exactly as [[kruskalWallis]] extends
+    * [[mannWhitneyU]]: did the SPREAD move across ANY of the arms?
+    * Per (group, variant) the exact selection median, deviations
+    * `|x − med_v|` 1e-9-quantized (9e9 bound, loud), then the SAME
+    * one-way ANOVA F dag as [[oneWayAnova]] (shared
+    * `anovaFOverQuantized` — the structural-sharing discipline) on
+    * the deviation samples. Two variants reduce to the two-sample op
+    * (F equal within float noise of its differently-grouped dag;
+    * spec-pinned). NULL variant/value rows drop. Scale shape: one
+    * per-(group, variant) median window + two hash-aggs. Output per
+    * group: `n, k, f, eta_sq`. */
+  def brownForsytheK(variant: Column, value: Column,
+      groupCols: Seq[String] = Nil,
+      exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val base = df
+      .filter(variant.isNotNull && value.isNotNull)
+      .select(grp :+ variant.cast("string").as("__v") :+
+        value.cast("double").as("__x"): _*)
+    val wOrd = Window.partitionBy(grp :+ col("__v"): _*).orderBy(col("__x"))
+    val wAll = Window.partitionBy(grp :+ col("__v"): _*)
+    val med = base
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__c", count(lit(1)).over(wAll))
+      .filter(col("__rn") === floor((col("__c") + 1) / 2).cast("long") ||
+        col("__rn") === floor(col("__c") / 2).cast("long") + 1)
+      .groupBy(grp :+ col("__v"): _*)
+      .agg(((min(col("__x")) + max(col("__x"))) / lit(2.0)).as("__med"))
+    val devAbs = abs(col("__x") - col("__med"))
+    val dev = base.join(med, groupCols :+ "__v")
+      .select(grp :+ col("__v") :+
+        when(devAbs > lit(9.0e9), raise_error(concat(
+          lit("brownForsytheK: |x - median| = "), devAbs.cast(StringType),
+          lit(" exceeds the 9e9 quantization bound (deviations" +
+            " 1e-9-quantize into decimal(19,0)); rescale the metric")))
+          .cast("double"))
+          .otherwise(round(devAbs * lit(1e9), 0))
+          .cast("decimal(19,0)").as("__z9"): _*)
+    anovaFOverQuantized(dev, grp, groupCols, exactOrder)
+  }
+
   def brownForsythe(side: Column, value: Column,
       groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

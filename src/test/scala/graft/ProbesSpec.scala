@@ -1281,6 +1281,53 @@ class ProbesSpec extends SparkSpec {
     assert(rt.isNullAt(rt.fieldIndex("h_corrected")))
   }
 
+  test("oneWayAnova + brownForsytheK: hand F, k=2 reduction, degenerates, bound") {
+    import spark.implicits._
+    // A={1,2,3}, B={4,5,6}: ssb = 13.5, ssw = 4 -> F = (6-2)/1 · 13.5/4
+    // = 13.5, eta² = 13.5/17.5 (1e9 scale cancels; fp noise only)
+    val d = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 4.0),
+      ("B", 5.0), ("B", 6.0)).toDF("v", "x")
+    val r = Probes.oneWayAnova(col("v"), col("x"))(d).head()
+    assert(r.getAs[Long]("n") === 6L && r.getAs[Long]("k") === 2L)
+    assert(math.abs(r.getAs[Double]("f") - 13.5) < 1e-6)
+    assert(math.abs(r.getAs[Double]("eta_sq") - 13.5 / 17.5) < 1e-9)
+    // identical means: ssb 0 -> F 0-ish
+    val eq = Probes.oneWayAnova(col("v"), col("x"))(
+      Seq(("A", 1.0), ("A", 3.0), ("B", 3.0), ("B", 1.0))
+        .toDF("v", "x")).head()
+    assert(math.abs(eq.getAs[Double]("f")) < 1e-9)
+    // one variant: NULL F; zero within-variance: NULL F with eta 1
+    val one = Probes.oneWayAnova(col("v"), col("x"))(
+      Seq(("A", 1.0), ("A", 2.0)).toDF("v", "x")).head()
+    assert(one.isNullAt(one.fieldIndex("f")))
+    val const = Probes.oneWayAnova(col("v"), col("x"))(
+      Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0))
+        .toDF("v", "x")).head()
+    assert(const.isNullAt(const.fieldIndex("f")) &&
+      const.getAs[Double]("eta_sq") === 1.0)
+    // the 9e9 quantization bound raises loudly
+    val ex = intercept[Exception] {
+      Probes.oneWayAnova(col("v"), col("x"))(
+        Seq(("A", 1.0e10), ("B", 1.0)).toDF("v", "x")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("9e9 quantization bound")))
+    // brownForsytheK at k = 2 reduces to the two-sample op's F
+    val sp = Seq(("A", 1.0), ("A", 3.0), ("B", 0.0), ("B", 10.0),
+      ("B", 20.0)).toDF("v", "x")
+    val fk = Probes.brownForsytheK(col("v"), col("x"))(sp).head()
+      .getAs[Double]("f")
+    val f2 = Probes.brownForsythe(col("v") === "A", col("x"))(sp).head()
+      .getAs[Double]("f")
+    assert(math.abs(fk - f2) < 1e-9, s"k-sample $fk vs two-sample $f2")
+    // three variants with one spread-out arm: F present and positive
+    val k3 = Probes.brownForsytheK(col("v"), col("x"))(
+      Seq(("A", 1.0), ("A", 1.1), ("B", 2.0), ("B", 2.1),
+        ("C", 0.0), ("C", 50.0), ("C", 100.0)).toDF("v", "x")).head()
+    assert(k3.getAs[Long]("k") === 3L && k3.getAs[Double]("f") > 0.0)
+  }
+
   test("friedmanTest: perfect-order Q, tie hand value, dropped blocks, degenerates") {
     import spark.implicits._
     def run(rows: Seq[(Long, String, Double)]) =
