@@ -364,6 +364,21 @@ private[graft] object QueriesProbes {
         Seq("event_type"))(table(s, dir, "events"))
         .orderBy("event_type")
     },
+    "cochran_q" -> { (s, dir) =>
+      // did ANY of the three arms' pass rates move, per event type?
+      // blocks = user cohorts (user_id % 200), one pass/fail per
+      // (block, arm) cell (any value >= 100 among its events) — the
+      // k-sample McNemar, fully exact to the one final division
+      val cells = table(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull)
+        .groupBy(col("event_type"), (col("user_id") % 200).as("blk"),
+          (col("event_id") % 3).as("arm"))
+        .agg((sum(when(col("value") >= 100, 1L).otherwise(0L)) > 0L)
+          .as("ok"))
+      Probes.cochranQ("blk", "arm", col("ok"), Seq("event_type"))(cells)
+        .orderBy("event_type")
+    },
     "one_way_anova" -> { (s, dir) =>
       // do the three cohorts' MEAN values differ, per event type? the
       // parametric companion of kruskal_wallis on 1e-9-quantized exact
@@ -1314,6 +1329,50 @@ private[graft] object QueriesProbes {
               AS DOUBLE)
             / (CAST(2 AS DOUBLE) * sqrt(variance)) END AS z
       FROM v ORDER BY event_type""",
+    // mirrors Probes.cochranQ: the same pre-aggregated pass/fail
+    // cells, the friedman completeness screen, then Q from exact
+    // HUGEINT counts with float only at the one final division
+    "cochran_q" -> """
+      WITH cells AS (SELECT event_type AS g, user_id % 200 AS b,
+          CAST(event_id % 3 AS VARCHAR) AS t,
+          (count(*) FILTER (value >= 100) > 0) AS s
+        FROM events
+        WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+          AND value IS NOT NULL
+        GROUP BY 1, 2, 3),
+      kg AS (SELECT g, CAST(count(DISTINCT t) AS BIGINT) AS k
+        FROM cells GROUP BY g),
+      bl AS (SELECT g, b, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(count(DISTINCT t) AS BIGINT) AS dt,
+          CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS r
+        FROM cells GROUP BY g, b),
+      blk AS (SELECT bl.g, bl.b, bl.r, (cnt = k AND dt = k) AS complete
+        FROM bl JOIN kg ON kg.g = bl.g),
+      bs AS (SELECT g,
+          CAST(sum(CASE WHEN complete THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_blocks,
+          CAST(sum(CASE WHEN complete THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_dropped,
+          sum(CASE WHEN complete THEN CAST(r AS HUGEINT)
+            ELSE CAST(0 AS HUGEINT) END) AS tt,
+          sum(CASE WHEN complete THEN CAST(r AS HUGEINT) * r
+            ELSE CAST(0 AS HUGEINT) END) AS sr2
+        FROM blk GROUP BY g),
+      pt AS (SELECT c.g, c.t,
+          CAST(sum(CASE WHEN c.s THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        FROM cells c JOIN blk ON blk.g = c.g AND blk.b = c.b
+          AND blk.complete
+        GROUP BY c.g, c.t),
+      sc AS (SELECT g, sum(CAST(cc AS HUGEINT) * cc) AS sc2
+        FROM pt GROUP BY g),
+      f AS (SELECT bs.g, n_blocks, n_dropped, k,
+          (k - 1) * (k * sc2 - tt * tt) AS num,
+          k * tt - sr2 AS den
+        FROM bs JOIN kg ON kg.g = bs.g LEFT JOIN sc ON sc.g = bs.g)
+      SELECT g AS event_type, n_blocks, n_dropped, k,
+        CASE WHEN k >= 2 AND n_blocks >= 1 AND den > 0
+          THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS q
+      FROM f ORDER BY event_type""",
     // mirrors Probes.oneWayAnova: 1e-9-quantized exact per-variant
     // sums, the k-sized variant-pinned ssb/ssw folds, one fixed F dag
     "one_way_anova" -> """

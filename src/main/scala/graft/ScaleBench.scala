@@ -2327,6 +2327,26 @@ object ScaleBench {
     }
     println("rows_x,one_way_anova_sec,brown_forsythe_k_sec")
     aovOut.foreach { case (k, ta, tb) => println(f"$k,$ta%.2f,$tb%.2f") }
+    // cochranQ: blocks ×1/×2/×4 (the friedman shape minus the rank
+    // window — four hash-aggs, must be flat-to-linear)
+    def cqBlocks(k: Int): DataFrame =
+      (0 until k).map(i => ev17b
+        .groupBy(((col("user_id") % 2000) + lit(i.toLong * 1_000_000L))
+          .as("b"), (col("event_id") % 3).as("t"))
+        .agg((sum(when(col("value") >= 100, 1L).otherwise(0L)) > 0L)
+          .as("s")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def cqJob(d: DataFrame): Unit =
+      noop(P17b.cochranQ("b", "t", col("s"))(d))
+    locally { val d1 = cqBlocks(1).localCheckpoint(); cqJob(d1); d1.unpersist() }
+    val cqOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = cqBlocks(k).localCheckpoint()
+      val t = median3(cqJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("blocks_x,cochran_q_sec")
+    cqOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
     }
     spark.stop()
   }

@@ -810,6 +810,9 @@ final case class Pipeline(df: DataFrame) {
   def oneWayAnova(variant: Column, value: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.oneWayAnova(variant, value, groupCols))
+  def cochranQ(blockField: String, treatmentField: String,
+      success: Column, groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.cochranQ(blockField, treatmentField, success, groupCols))
   def brownForsytheK(variant: Column, value: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.brownForsytheK(variant, value, groupCols))

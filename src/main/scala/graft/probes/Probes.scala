@@ -2336,6 +2336,87 @@ object Probes {
     *
     * Scale shape: one per-(group, side) median window + two hash-aggs.
     * Output per group: `n_a, n_b, med_a, med_b, f`. */
+  /** Cochran's Q per group — [[friedmanTest]] for BINARY outcomes and
+    * [[mcnemarTest]] at k treatments: n blocks (eval items) each
+    * pass/failed by all k treatments (model variants, gate versions) —
+    * did ANY variant's pass rate move, with the between-item
+    * difficulty differences cancelled by design? The k-sample
+    * completion of the paired-binary axis (k = 2 IS McNemar's
+    * uncorrected χ²: Q = (b−c)²/(b+c), property-spec-pinned).
+    *
+    * Block contract = [[friedmanTest]] verbatim: each block holds each
+    * treatment exactly once (pre-aggregate first); incomplete or
+    * duplicated blocks DROP and are REPORTED (`n_dropped`).
+    *
+    * Exactness — fully exact: with per-treatment success counts C_j,
+    * per-block success counts R_i, and T = ΣC = ΣR,
+    *   `Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²)`
+    * — every term an order-free exact decimal(38,0) integer (the
+    * per-treatment frame is k rows, the per-block sums one hash-agg),
+    * float only at the ONE final division. No p-value (no-libm):
+    * threshold against χ²_{k−1}. Degenerate reads: k < 2 or no
+    * complete block → NULL Q; every block uniform (all-pass or
+    * all-fail — denominator 0, zero within-block information) → NULL Q
+    * with honest counts. NULL block/treatment/success rows drop.
+    *
+    * Scale shape: two hash-aggs for the completeness screen, two for
+    * the sums — no window, no sort, full stop. Output per group:
+    * `n_blocks, n_dropped, k, q`. */
+  def cochranQ(blockField: String, treatmentField: String,
+      success: Column, groupCols: Seq[String] = Nil)(
+      df: DataFrame): DataFrame = {
+    val grp = groupCols.map(col)
+    val base = df
+      .filter(col(blockField).isNotNull &&
+        col(treatmentField).isNotNull && success.isNotNull)
+      .select(grp :+ col(blockField).as("__b") :+
+        col(treatmentField).cast("string").as("__t") :+
+        success.cast("boolean").as("__s"): _*)
+      .localCheckpoint() // feeds k, the completeness screen AND sums
+    val kAgg =
+      (if (grp.isEmpty) base.groupBy() else base.groupBy(grp: _*))
+        .agg(countDistinct(col("__t")).as("__k"))
+    val blocks = base.groupBy(grp :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        countDistinct(col("__t")).as("__dt"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("__r"))
+    val blocksK =
+      (if (grp.isEmpty) blocks.crossJoin(broadcast(kAgg))
+       else blocks.join(kAgg, groupCols))
+        .withColumn("__complete",
+          col("__cnt") === col("__k") && col("__dt") === col("__k"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val blockStats =
+      (if (grp.isEmpty) blocksK.groupBy() else blocksK.groupBy(grp: _*))
+        .agg(sum(when(col("__complete"), 1L).otherwise(0L)).as("n_blocks"),
+          sum(when(!col("__complete"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("__complete"), d38(col("__r")))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("__T"),
+          sum(when(col("__complete"), d38(col("__r")) * d38(col("__r")))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("__sR2"))
+    val keep = blocksK.filter(col("__complete"))
+      .select(grp :+ col("__b"): _*)
+    val perT = base.join(keep, groupCols :+ "__b", "left_semi")
+      .groupBy(grp :+ col("__t"): _*)
+      .agg(sum(when(col("__s"), 1L).otherwise(0L)).as("__c"))
+    val sC2 =
+      (if (grp.isEmpty) perT.groupBy() else perT.groupBy(grp: _*))
+        .agg(sum(d38(col("__c")) * d38(col("__c"))).as("__sC2"))
+    val joined =
+      (if (grp.isEmpty)
+        blockStats.crossJoin(kAgg).crossJoin(sC2)
+       else blockStats.join(kAgg, groupCols)
+         .join(sC2, groupCols, "left"))
+    val k38 = d38(col("__k"))
+    val num = (k38 - 1) * (k38 * col("__sC2") - col("__T") * col("__T"))
+    val den = k38 * col("__T") - col("__sR2")
+    val zero38 = lit(0).cast("decimal(38,0)")
+    joined.select(grp ++ Seq(col("n_blocks"), col("n_dropped"),
+      col("__k").as("k"),
+      when(col("__k") >= 2 && col("n_blocks") >= 1 && den > zero38,
+        num.cast("double") / den.cast("double")).as("q")): _*)
+  }
+
   /** The shared k-sample one-way ANOVA F dag of [[oneWayAnova]] and
     * [[brownForsytheK]]: over a frame carrying `(grp..., __v variant,
     * __z9 decimal(19,0)-quantized observation)`, per-variant exact

@@ -1281,6 +1281,46 @@ class ProbesSpec extends SparkSpec {
     assert(rt.isNullAt(rt.fieldIndex("h_corrected")))
   }
 
+  test("cochranQ: hand Q, k=2 is McNemar chi2, uniform-block NULL, dropped blocks") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String, Boolean)]) =
+      Probes.cochranQ("b", "t", col("s"))(rows.toDF("b", "t", "s")).head()
+    // 4 complete blocks over A/B/C: C = (3,3,1), T = 7, ΣR² = 15 ->
+    // num = 2·(3·19 − 49) = 16, den = 21 − 15 = 6, Q = 8/3 exactly
+    val k3 = run(Seq(
+      (1L, "A", true), (1L, "B", true), (1L, "C", false),
+      (2L, "A", true), (2L, "B", false), (2L, "C", false),
+      (3L, "A", true), (3L, "B", true), (3L, "C", true),
+      (4L, "A", false), (4L, "B", true), (4L, "C", false)))
+    assert(k3.getAs[Long]("n_blocks") === 4L &&
+      k3.getAs[Long]("k") === 3L)
+    assert(math.abs(k3.getAs[Double]("q") - 8.0 / 3.0) < 1e-15)
+    // k = 2 IS McNemar's uncorrected chi2 on the discordant split
+    val pairs = Seq((1L, true, false), (2L, true, false),
+      (3L, false, true), (4L, true, true), (5L, false, false))
+    val q2 = run(pairs.flatMap { case (b, sa, sb) =>
+      Seq((b, "A", sa), (b, "B", sb)) }).getAs[Double]("q")
+    val mc = Probes.mcnemarTest(col("a"), col("c"), correction = false)(
+      pairs.map { case (_, sa, sb) => (sa, sb) }.toDF("a", "c"))
+      .head().getAs[Double]("chi2")
+    assert(q2 === mc && math.abs(q2 - 1.0 / 3.0) < 1e-15)
+    // every block uniform: zero within-block information -> NULL Q
+    val uni = run(Seq((1L, "A", true), (1L, "B", true),
+      (2L, "A", false), (2L, "B", false)))
+    assert(uni.getAs[Long]("n_blocks") === 2L &&
+      uni.isNullAt(uni.fieldIndex("q")))
+    // an incomplete block drops, is reported, and leaves Q unchanged
+    val noisy = run(Seq(
+      (1L, "A", true), (1L, "B", true), (1L, "C", false),
+      (2L, "A", true), (2L, "B", false), (2L, "C", false),
+      (3L, "A", true), (3L, "B", true), (3L, "C", true),
+      (4L, "A", false), (4L, "B", true), (4L, "C", false),
+      (5L, "A", true), (5L, "B", true)))
+    assert(noisy.getAs[Long]("n_blocks") === 4L &&
+      noisy.getAs[Long]("n_dropped") === 1L)
+    assert(math.abs(noisy.getAs[Double]("q") - 8.0 / 3.0) < 1e-15)
+  }
+
   test("oneWayAnova + brownForsytheK: hand F, k=2 reduction, degenerates, bound") {
     import spark.implicits._
     // A={1,2,3}, B={4,5,6}: ssb = 13.5, ssw = 4 -> F = (6-2)/1 · 13.5/4
