@@ -2307,20 +2307,16 @@ object ScaleBench {
     // oneWayAnova (two hash-aggs — the attested flat class) and
     // brownForsytheK (adds one per-(group, variant) median window)
     // rows ×1/×2/×4 over disjoint groups
-    def anovaRows(k: Int): DataFrame =
-      (0 until k).map(i => ev17b.select(
-        ((col("user_id") % 64) + lit(i.toLong * 1_000L)).as("g"),
-        (col("event_id") % 3).as("v"), col("value").as("x")))
-        .reduce(_ unionByName _)
-        .repartition(spark.sparkContext.defaultParallelism)
+    // the ANOVA cells measure the SAME frame shape as kruskalWallis —
+    // reuse its builder (review-caught duplication)
     def aovJob(d: DataFrame): Unit =
       noop(P17b.oneWayAnova(col("v"), col("x"), Seq("g"))(d))
     def bfkJob(d: DataFrame): Unit =
       noop(P17b.brownForsytheK(col("v"), col("x"), Seq("g"))(d))
-    locally { val d1 = anovaRows(1).localCheckpoint()
+    locally { val d1 = kwRows(1).localCheckpoint()
       aovJob(d1); bfkJob(d1); d1.unpersist() }
     val aovOut = for (k <- Seq(1, 2, 4)) yield {
-      val d = anovaRows(k).localCheckpoint()
+      val d = kwRows(k).localCheckpoint()
       val ta = median3(aovJob(d)); val tb = median3(bfkJob(d))
       d.unpersist()
       (k, ta, tb)

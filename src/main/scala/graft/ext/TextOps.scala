@@ -1949,11 +1949,23 @@ object TextOps {
       idField: String, textField: String, counts: DataFrame,
       alpha: Double = 0.4, exactOrder: Boolean = true)(
       df: DataFrame): DataFrame = {
-    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
-    val (triStats, biStats, c1, tot) = lmStats(counts)
     val tokenized = df.select(col(idField).as("__id"),
       tokens(coalesce(col(textField), lit(""))).as("__ts"))
       .localCheckpoint()
+    trigramLmQualityTokenized(tokenized, counts, alpha, exactOrder)
+      .withColumnRenamed("__id", idField)
+  }
+
+  /** [[trigramLmQuality]] over an ALREADY-tokenized `(__id, __ts)`
+    * frame (caller-checkpointed) — the seam [[ccnetBuckets]] uses so
+    * its token-mass column rides the SAME tokenization pass as the LM
+    * scores instead of re-splitting the corpus (review-caught double
+    * scan). Emits `__id, n_trigrams, lm_score`. */
+  private[graft] def trigramLmQualityTokenized(
+      tokenized: DataFrame, counts: DataFrame,
+      alpha: Double, exactOrder: Boolean): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val (triStats, biStats, c1, tot) = lmStats(counts)
     val tri = tokenized.select(col("__id"),
       posexplode(lmPositions(col("__ts"))).as(Seq("__pos", "__t")))
       .select(col("__id"), col("__pos").cast("long").as("__pos"),
@@ -1975,8 +1987,8 @@ object TextOps {
               s => s.getField("__p")),
             lit(0.0), (a, x) => a + x)
         else sum(col("__p"))).as("__sum"))
-    df.select(col(idField).as("__id")).join(scored, Seq("__id"), "left")
-      .select(col("__id").as(idField),
+    tokenized.select(col("__id")).join(scored, Seq("__id"), "left")
+      .select(col("__id"),
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
         when(col("n_trigrams").isNull || col("n_trigrams") === 0L, lit(0.0))
           .otherwise(col("__sum") / col("n_trigrams").cast("double"))
@@ -2011,13 +2023,18 @@ object TextOps {
   def ccnetBuckets(idField: String, sourceField: String,
       textField: String, counts: DataFrame, alpha: Double = 0.4,
       exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
-    val scored = trigramLmQuality(idField, textField, counts, alpha,
-      exactOrder)(df)
-    val joined = df
-      .select(col(idField).as("__did"), col(sourceField).as("source"),
-        tokenCount(coalesce(col(textField), lit(""))).cast("long")
-          .as("__ntok"))
-      .join(scored.select(col(idField).as("__did"), col("lm_score")),
+    // ONE tokenization pass feeds both the LM leg and the token mass
+    val tokenized = df.select(col(idField).as("__id"),
+      col(sourceField).as("source"),
+      tokens(coalesce(col(textField), lit(""))).as("__ts"))
+      .localCheckpoint()
+    val scored = trigramLmQualityTokenized(
+      tokenized.select(col("__id"), col("__ts")), counts, alpha,
+      exactOrder)
+    val joined = tokenized
+      .select(col("__id").as("__did"), col("source"),
+        size(col("__ts")).cast("long").as("__ntok"))
+      .join(scored.select(col("__id").as("__did"), col("lm_score")),
         Seq("__did"))
     val bucketed = scorePercentiles("source", "lm_score")(joined)
       .withColumn("bucket",

@@ -1952,6 +1952,34 @@ object Probes {
         .as("h_corrected")): _*)
   }
 
+  /** The shared complete-block screen of the paired-k tests
+    * ([[friedmanTest]], [[cochranQ]]): `base` must carry the block as
+    * `__b` and the treatment as `__t`. Returns `(blocksK, kAgg)` —
+    * per-(group, block) counts joined with the group's global distinct
+    * treatment count `__k` and the `__complete` verdict (exactly k
+    * rows AND k distinct treatments), plus the `__k` frame itself —
+    * ONE definition so the two ops' "block contract verbatim" promise
+    * is structural, not textual (review-caught duplication).
+    * `extraAggs` appends caller partials (cochranQ's per-block success
+    * count) to the same per-block row. */
+  private def completeBlockScreen(base: DataFrame, grp: Seq[Column],
+      groupCols: Seq[String], extraAggs: Seq[Column] = Nil)
+      : (DataFrame, DataFrame) = {
+    val kAgg =
+      (if (grp.isEmpty) base.groupBy() else base.groupBy(grp: _*))
+        .agg(countDistinct(col("__t")).as("__k"))
+    val aggs = Seq(count(lit(1)).as("__cnt"),
+      countDistinct(col("__t")).as("__dt")) ++ extraAggs
+    val blocks = base.groupBy(grp :+ col("__b"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val blocksK =
+      (if (grp.isEmpty) blocks.crossJoin(broadcast(kAgg))
+       else blocks.join(kAgg, groupCols))
+        .withColumn("__complete",
+          col("__cnt") === col("__k") && col("__dt") === col("__k"))
+    (blocksK, kAgg)
+  }
+
   /** Friedman test per group — the PAIRED k-treatment comparison
     * completing the test matrix: [[mannWhitneyU]] (unpaired, 2),
     * [[kruskalWallis]] (unpaired, k), [[wilcoxonSignedRank]] /
@@ -1997,16 +2025,7 @@ object Probes {
         col(treatmentField).cast("string").as("__t") :+
         value.as("__x"): _*)
       .localCheckpoint() // feeds k, the completeness screen AND ranks
-    val kAgg =
-      (if (grp.isEmpty) base.groupBy() else base.groupBy(grp: _*))
-        .agg(countDistinct(col("__t")).as("__k"))
-    val blocks = base.groupBy(grp :+ col("__b"): _*)
-      .agg(count(lit(1)).as("__cnt"), countDistinct(col("__t")).as("__dt"))
-    val blocksK =
-      (if (grp.isEmpty) blocks.crossJoin(broadcast(kAgg))
-       else blocks.join(kAgg, groupCols))
-        .withColumn("__complete",
-          col("__cnt") === col("__k") && col("__dt") === col("__k"))
+    val (blocksK, kAgg) = completeBlockScreen(base, grp, groupCols)
     val blockStats =
       (if (grp.isEmpty) blocksK.groupBy() else blocksK.groupBy(grp: _*))
         .agg(sum(when(col("__complete"), 1L).otherwise(0L)).as("n_blocks"),
@@ -2294,9 +2313,14 @@ object Probes {
     // a (currentRow, unboundedFollowing) frame, but Spark executes
     // that frame class by rescanning the remainder per row (O(m²) in
     // one task — the r17 ScaleBench cell caught it at 100k tests);
-    // the reversed running frame is the streaming O(m) evaluator
+    // the reversed running frame is the streaming O(m) evaluator.
+    // Reversal rides the COMPUTED rank, not (p, id) desc: rank is a
+    // total order by construction, so the prefix-in-reverse is the
+    // positional suffix even when two rows tie on (p, id) — an
+    // independent descending tie order could exclude a tied twin's
+    // smaller m·p/rank term (review-caught)
     val wSuf = Window.partitionBy(grp: _*)
-      .orderBy(col("__p").desc, col("__id").desc)
+      .orderBy(col("rank").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
       .withColumn("m", count(lit(1)).over(wAll))
@@ -2336,6 +2360,23 @@ object Probes {
     *
     * Scale shape: one per-(group, side) median window + two hash-aggs.
     * Output per group: `n_a, n_b, med_a, med_b, f`. */
+  /** The shared 1e-9 money-column quantizer with its loud 9e9 bound
+    * ([[oneWayAnova]], [[brownForsythe]], [[brownForsytheK]]): past
+    * |c| = 9e9 the 1e9-scaled value no longer fits decimal(19,0) and a
+    * plain cast would silently NULL under non-ANSI Spark while the
+    * DuckDB oracle's DECIMAL cast errors — ONE definition so the
+    * bound, the rounding, and the message cannot drift between the
+    * ops (review-caught triplication). */
+  private def quantize9(op: String, label: String, noun: String)(
+      c: Column): Column =
+    when(abs(c) > lit(9.0e9), raise_error(concat(
+      lit(s"$op: $label = "), abs(c).cast(StringType),
+      lit(s" exceeds the 9e9 quantization bound ($noun" +
+        " 1e-9-quantize into decimal(19,0)); rescale the metric")))
+      .cast("double"))
+      .otherwise(round(c * lit(1e9), 0))
+      .cast("decimal(19,0)")
+
   /** Cochran's Q per group — [[friedmanTest]] for BINARY outcomes and
     * [[mcnemarTest]] at k treatments: n blocks (eval items) each
     * pass/failed by all k treatments (model variants, gate versions) —
@@ -2373,18 +2414,8 @@ object Probes {
         col(treatmentField).cast("string").as("__t") :+
         success.cast("boolean").as("__s"): _*)
       .localCheckpoint() // feeds k, the completeness screen AND sums
-    val kAgg =
-      (if (grp.isEmpty) base.groupBy() else base.groupBy(grp: _*))
-        .agg(countDistinct(col("__t")).as("__k"))
-    val blocks = base.groupBy(grp :+ col("__b"): _*)
-      .agg(count(lit(1)).as("__cnt"),
-        countDistinct(col("__t")).as("__dt"),
-        sum(when(col("__s"), 1L).otherwise(0L)).as("__r"))
-    val blocksK =
-      (if (grp.isEmpty) blocks.crossJoin(broadcast(kAgg))
-       else blocks.join(kAgg, groupCols))
-        .withColumn("__complete",
-          col("__cnt") === col("__k") && col("__dt") === col("__k"))
+    val (blocksK, kAgg) = completeBlockScreen(base, grp, groupCols,
+      extraAggs = Seq(sum(when(col("__s"), 1L).otherwise(0L)).as("__r")))
     def d38(c: Column) = c.cast("decimal(38,0)")
     val blockStats =
       (if (grp.isEmpty) blocksK.groupBy() else blocksK.groupBy(grp: _*))
@@ -2491,13 +2522,7 @@ object Probes {
     val base = df
       .filter(variant.isNotNull && value.isNotNull)
       .select(grp :+ variant.cast("string").as("__v") :+
-        when(abs(x) > lit(9.0e9), raise_error(concat(
-          lit("oneWayAnova: |value| = "), abs(x).cast(StringType),
-          lit(" exceeds the 9e9 quantization bound (values" +
-            " 1e-9-quantize into decimal(19,0)); rescale the metric")))
-          .cast("double"))
-          .otherwise(round(x * lit(1e9), 0))
-          .cast("decimal(19,0)").as("__z9"): _*)
+        quantize9("oneWayAnova", "|value|", "values")(x).as("__z9"): _*)
     anovaFOverQuantized(base, grp, groupCols, exactOrder)
   }
 
@@ -2534,13 +2559,8 @@ object Probes {
     val devAbs = abs(col("__x") - col("__med"))
     val dev = base.join(med, groupCols :+ "__v")
       .select(grp :+ col("__v") :+
-        when(devAbs > lit(9.0e9), raise_error(concat(
-          lit("brownForsytheK: |x - median| = "), devAbs.cast(StringType),
-          lit(" exceeds the 9e9 quantization bound (deviations" +
-            " 1e-9-quantize into decimal(19,0)); rescale the metric")))
-          .cast("double"))
-          .otherwise(round(devAbs * lit(1e9), 0))
-          .cast("decimal(19,0)").as("__z9"): _*)
+        quantize9("brownForsytheK", "|x - median|", "deviations")(devAbs)
+          .as("__z9"): _*)
     anovaFOverQuantized(dev, grp, groupCols, exactOrder)
   }
 
@@ -2569,13 +2589,7 @@ object Probes {
     val devAbs = abs(col("__x") - col("__med"))
     val dev = base.join(med, groupCols :+ "__a")
       .withColumn("__z9",
-        when(devAbs > lit(9.0e9), raise_error(concat(
-          lit("brownForsythe: |x - median| = "), devAbs.cast(StringType),
-          lit(" exceeds the 9e9 quantization bound (deviations" +
-            " 1e-9-quantize into decimal(19,0)); rescale the metric")))
-          .cast("double"))
-          .otherwise(round(devAbs * lit(1e9), 0))
-          .cast("decimal(19,0)"))
+        quantize9("brownForsythe", "|x - median|", "deviations")(devAbs))
     val zero38 = lit(0).cast("decimal(38,0)")
     val sideAgg = dev.groupBy(grp :+ col("__a"): _*)
       .agg(count(lit(1)).as("__n"),

@@ -1147,6 +1147,14 @@ class ProbesSpec extends SparkSpec {
     assert(tie.map(r => (r.getAs[String]("t"), r.getAs[Long]("rank"))).toSeq
       === Seq(("a", 1L), ("b", 2L), ("c", 3L)))
     assert(tie(0).getAs[Double]("p_adj") === tie(1).getAs[Double]("p_adj"))
+    // DUPLICATE (p, id) sort keys: the reversed-order running min must
+    // still be the positional suffix (it rides the computed rank, a
+    // total order) — both twins read the SAME p_adj, deterministically
+    // (review-caught: an independent descending tie order could hand
+    // the rank-1 twin a prefix excluding the rank-2 twin's smaller raw)
+    val dup = run(Seq(("x", 0.5), ("x", 0.5)))
+    assert(dup.map(_.getAs[Double]("p_adj")).distinct.length === 1)
+    assert(dup.head.getAs[Double]("p_adj") === 0.5) // min(1·0.5·2/2, 1)
     // NULL p drops; out-of-range p raises; bad alpha rejected
     assert(Probes.bhCorrect("t", "p")(
       Seq(("a", Some(0.5)), ("b", None)).toDF("t", "p")).count() === 1L)
