@@ -960,6 +960,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("k-sample and paired tests: rank invariances and symmetries") {
+    val gen = Gen.listOfN(24, Gen.zip(Gen.chooseNum(0, 2),
+      Gen.chooseNum(-9.0, 9.0)))
+    for (rows <- draws(gen, 4)) {
+      val df = rows.zipWithIndex.map { case ((v, x), i) =>
+        (s"v$v", i.toLong, math.rint(x * 4) / 4) }.toDF("v", "i", "x")
+      // Kruskal–Wallis rides RANKS: any strictly increasing transform
+      // of x leaves H bit-for-bit (ranks identical)
+      val h1 = graft.probes.Probes.kruskalWallis(col("v"), col("x"))(df)
+        .head()
+      val h2 = graft.probes.Probes.kruskalWallis(col("v"),
+        col("x") * 3.0 + 100.0)(df).head()
+      def d(r: org.apache.spark.sql.Row, c: String) =
+        Option(r.getAs[java.lang.Double](c)).map(_.doubleValue())
+      assert(d(h1, "h") === d(h2, "h") &&
+        d(h1, "h_corrected") === d(h2, "h_corrected"))
+      // Wilcoxon signed-rank: swapping the pair sides swaps W+/W- and
+      // flips z and the rank-biserial exactly
+      val pairs = rows.zipWithIndex.map { case ((v, x), i) =>
+        (i.toLong, math.rint(x * 4) / 4, (v - 1).toDouble) }
+        .toDF("i", "a", "b")
+      val w1 = graft.probes.Probes.wilcoxonSignedRank(col("a"), col("b"))(
+        pairs).head()
+      val w2 = graft.probes.Probes.wilcoxonSignedRank(col("b"), col("a"))(
+        pairs).head()
+      assert(w1.getAs[Double]("w_plus") === w2.getAs[Double]("w_minus") &&
+        w1.getAs[Double]("w_minus") === w2.getAs[Double]("w_plus"))
+      (d(w1, "z"), d(w2, "z")) match {
+        case (Some(z1), Some(z2)) => assert(z1 === -z2)
+        case (a, b) => assert(a.isEmpty && b.isEmpty)
+      }
+      (d(w1, "rank_biserial"), d(w2, "rank_biserial")) match {
+        case (Some(r1), Some(r2)) => assert(math.abs(r1 + r2) < 1e-12)
+        case (a, b) => assert(a.isEmpty && b.isEmpty)
+      }
+      // sign test under the same swap: pos/neg counters exchange
+      val s1 = graft.probes.Probes.signTest(col("a"), col("b"))(pairs)
+        .head()
+      val s2 = graft.probes.Probes.signTest(col("b"), col("a"))(pairs)
+        .head()
+      assert(s1.getAs[Long]("n_pos") === s2.getAs[Long]("n_neg") &&
+        s1.getAs[Long]("n_neg") === s2.getAs[Long]("n_pos"))
+    }
+    // Cochran's Q is invariant under treatment relabeling (the
+    // statistic reads only the C_j multiset and the block sums)
+    val blocks = (1L to 6L).flatMap(b => Seq(
+      (b, "A", b % 2 == 0), (b, "B", b % 3 == 0), (b, "C", b <= 2)))
+    val qAB = graft.probes.Probes.cochranQ("b", "t", col("s"))(
+      blocks.toDF("b", "t", "s")).head().getAs[Double]("q")
+    val qBA = graft.probes.Probes.cochranQ("b", "t", col("s"))(
+      blocks.map { case (b, t, s) =>
+        (b, Map("A" -> "B", "B" -> "C", "C" -> "A")(t), s) }
+        .toDF("b", "t", "s")).head().getAs[Double]("q")
+    assert(qAB === qBA)
+  }
+
   test("rank tests: negation anti-symmetry and side-swap complements") {
     val gen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(-9, 9),
       Gen.chooseNum(-9, 9), Gen.oneOf(true, false)))
