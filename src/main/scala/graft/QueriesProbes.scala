@@ -1396,8 +1396,8 @@ private[graft] object QueriesProbes {
             list(CAST(ng AS DOUBLE) * (zg - zbar) * (zg - zbar)
               ORDER BY v)), (a, t) -> a + t) AS ssb,
           list_reduce(list_prepend(CAST(0 AS DOUBLE),
-            list(CAST(s2 AS DOUBLE) - CAST(ng AS DOUBLE) * zg * zg
-              ORDER BY v)), (a, t) -> a + t) AS ssw
+            list(greatest(CAST(s2 AS DOUBLE) - CAST(ng AS DOUBLE) * zg * zg,
+              0e0) ORDER BY v)), (a, t) -> a + t) AS ssw
         FROM j GROUP BY g)
       SELECT g AS event_type, n, k,
         CASE WHEN k >= 2 AND n > k THEN
@@ -1440,8 +1440,8 @@ private[graft] object QueriesProbes {
             list(CAST(ng AS DOUBLE) * (zg - zbar) * (zg - zbar)
               ORDER BY v)), (a, t) -> a + t) AS ssb,
           list_reduce(list_prepend(CAST(0 AS DOUBLE),
-            list(CAST(s2 AS DOUBLE) - CAST(ng AS DOUBLE) * zg * zg
-              ORDER BY v)), (a, t) -> a + t) AS ssw
+            list(greatest(CAST(s2 AS DOUBLE) - CAST(ng AS DOUBLE) * zg * zg,
+              0e0) ORDER BY v)), (a, t) -> a + t) AS ssw
         FROM j GROUP BY g)
       SELECT g AS event_type, n, k,
         CASE WHEN k >= 2 AND n > k THEN

@@ -1172,7 +1172,11 @@ private[graft] object QueriesTemporal {
       s"""
       WITH b AS (SELECT
           time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w,
-          CASE WHEN value IS NULL THEN NULL
+          -- NaN values exclude like NULLs (the Spark op filters them
+          -- from bins AND total; an unguarded NaN would error here on
+          -- the BIGINT cast where Spark's floor(NaN) is silently 0)
+          CASE WHEN value IS NULL OR isnan(CAST(value AS DOUBLE))
+                 THEN NULL
                ELSE least(greatest(CAST(floor((CAST(value AS DOUBLE)
                  - 0e0) * 8 / 5e2) AS BIGINT), 0), 7) END AS bin
         FROM events),

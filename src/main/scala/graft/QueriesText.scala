@@ -1428,7 +1428,11 @@ private[graft] object QueriesText {
       d AS (SELECT doc_id, source,
           CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
             AS ntok
-        FROM documents),
+        FROM documents
+        -- NULL-source docs drop, mirroring the op's up-front filter
+        -- (percent_rank would rank the NULL partition normally where
+        -- Spark's per-source equality join never matches NULL)
+        WHERE source IS NOT NULL),
       p AS (SELECT d.source, d.ntok,
           percent_rank() OVER (PARTITION BY d.source
             ORDER BY lm.lm_score) AS pct

@@ -2018,15 +2018,23 @@ object TextOps {
     * documented bill) + [[scorePercentiles]]' histogram window + two
     * hash-aggs; the report is ≤ |sources|·3 rows. An empty bucket has
     * no row — the absent row IS the zero. NULL text counts as empty
-    * (scores 0.0, one token — the split('') convention). Output:
-    * `source, bucket, n_docs, n_tokens, token_share`. */
+    * (scores 0.0, one token — the split('') convention). NULL-source
+    * documents DROP up front: percentile ranking is per-source, and a
+    * NULL source is no source — unfiltered, they would silently fall
+    * into `tail` (scorePercentiles' equality join never matches NULL)
+    * while the SQL mirror's percent_rank ranks the NULL partition
+    * normally (r17 ADVICE: a latent oracle-parity split); coalesce the
+    * source to a sentinel first if NULL should be its own bucket set.
+    * Output: `source, bucket, n_docs, n_tokens, token_share`. */
   def ccnetBuckets(idField: String, sourceField: String,
       textField: String, counts: DataFrame, alpha: Double = 0.4,
       exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
     // ONE tokenization pass feeds both the LM leg and the token mass
-    val tokenized = df.select(col(idField).as("__id"),
-      col(sourceField).as("source"),
-      tokens(coalesce(col(textField), lit(""))).as("__ts"))
+    val tokenized = df
+      .filter(col(sourceField).isNotNull)
+      .select(col(idField).as("__id"),
+        col(sourceField).as("source"),
+        tokens(coalesce(col(textField), lit(""))).as("__ts"))
       .localCheckpoint()
     val scored = trigramLmQualityTokenized(
       tokenized.select(col("__id"), col("__ts")), counts, alpha,

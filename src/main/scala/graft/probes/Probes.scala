@@ -2483,8 +2483,15 @@ object Probes {
           fold(col("__v"), col("__ng").cast("double") *
             (col("__zg") - col("__zbar")) *
             (col("__zg") - col("__zbar"))).as("__ssb"),
-          fold(col("__v"), col("__s2").cast("double") -
-            col("__ng").cast("double") * col("__zg") * col("__zg"))
+          // each within term clamps at zero: s2 − ng·zg² is computed in
+          // float from exact decimals, so a near-constant variant with
+          // |z9| past 2^53 can round to a TINY NEGATIVE where the true
+          // within-variance is 0 — and a negative __ssw would NULL F
+          // where between-variance genuinely exists (r17 ADVICE). The
+          // oracle clamps its list elements identically.
+          fold(col("__v"), greatest(col("__s2").cast("double") -
+            col("__ng").cast("double") * col("__zg") * col("__zg"),
+            lit(0.0)))
             .as("__ssw"))
     val kD = col("k").cast("double")
     val nD = col("n").cast("double")

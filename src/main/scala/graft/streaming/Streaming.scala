@@ -293,8 +293,13 @@ object Streaming {
     * counters + the non-null total — fixed-width state, no second
     * streaming agg); the statistics ride array folds over
     * driver-literal reference arrays inside a stateless projection.
-    * An empty window reads NULL statistics and NULL gate (no
-    * evidence, not "no drift"). Identical plan on a batch frame —
+    * NULL and NaN observations drop from both the bin counters and
+    * `n_window` (a NaN is not evidence about the value distribution;
+    * unguarded, Spark's floor(NaN) would silently count it into bin 0
+    * where the DuckDB mirror errors — the silent-vs-loud split this
+    * repo guards against). An empty window reads NULL statistics and
+    * NULL gate (no evidence, not "no drift"). Identical plan on a
+    * batch frame —
     * batch/stream parity is spec-pinned, and the batch form carries
     * its own DuckDB oracle row. Output per window:
     * `window_start, n_window, ks_stat, tvd, threshold, drift`. */
@@ -317,9 +322,18 @@ object Streaming {
     def binOf(c: Column): Column = least(greatest(
       floor((c.cast("double") - lit(lo)) * lit(bins) / lit(hi - lo)),
       lit(0L)), lit((bins - 1).toLong))
+    // NaN values are EXCLUDED from both the bin counters and the
+    // window total (the scorePercentiles / krippendorffAlphaWeighted
+    // NaN doctrine): floor(NaN).toLong = 0 under non-ANSI Spark, so an
+    // unguarded NaN would silently count into bin 0 and skew
+    // ks_stat/tvd toward low-bin drift — while the DuckDB oracle's
+    // BIGINT cast would instead error loudly (r17 ADVICE: a
+    // silent-vs-loud cross-engine split). A NaN observation is not
+    // evidence about the value distribution.
+    val valid = col(field).isNotNull && !isnan(col(field).cast("double"))
     val aggs = (0 until bins).map { i =>
-      count(when(binOf(col(field)) === i, lit(1))).as(s"__c_$i")
-    } :+ count(when(col(field).isNotNull, lit(1))).as("__total")
+      count(when(valid && binOf(col(field)) === i, lit(1))).as(s"__c_$i")
+    } :+ count(when(valid, lit(1))).as("__total")
     val windowed = events
       .withWatermark(tsField, watermarkDelay)
       .groupBy(window(col(tsField), windowLength))
