@@ -364,6 +364,14 @@ private[graft] object QueriesProbes {
         Seq("event_type"))(table(s, dir, "events"))
         .orderBy("event_type")
     },
+    "dunn_posthoc" -> { (s, dir) =>
+      // kruskal_wallis said "some cohort moved" — Dunn says WHICH:
+      // pairwise z on the SAME pooled tie-averaged ranks over the
+      // k²-bounded broadcast pair frame, exact integer numerators
+      Probes.dunnTest(col("user_id") % 3, col("value"),
+        Seq("event_type"))(table(s, dir, "events"))
+        .orderBy("event_type", "variant_a", "variant_b")
+    },
     "cochran_q" -> { (s, dir) =>
       // did ANY of the three arms' pass rates move, per event type?
       // blocks = user cohorts (user_id % 200), one pass/fail per
@@ -1495,7 +1503,11 @@ private[graft] object QueriesProbes {
       SELECT g AS event_type, n_blocks, n_dropped, k,
         CASE WHEN k >= 2 AND n_blocks >= 1 AND den > 0
           THEN CAST((k - 1) * num AS DOUBLE) / CAST(den AS DOUBLE) END
-          AS q
+          AS q,
+        CASE WHEN k >= 2 AND n_blocks >= 1 AND den > 0
+          THEN (CAST((k - 1) * num AS DOUBLE) / CAST(den AS DOUBLE))
+            / (CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) - 1e0))
+          END AS w
       FROM f ORDER BY event_type""",
     // mirrors Probes.kruskalWallis: the shared 2·rank carry pooled per
     // group, per-variant exact HUGEINT rank sums, the k-sized
@@ -1533,8 +1545,58 @@ private[graft] object QueriesProbes {
       SELECT g AS event_type, n, k,
         CASE WHEN k >= 2 AND n >= 2 THEN h END AS h,
         CASE WHEN k >= 2 AND n >= 2 AND corr > 0e0 THEN h / corr END
-          AS h_corrected
+          AS h_corrected,
+        CASE WHEN k >= 2 AND n > k AND corr > 0e0
+          THEN (h / corr - (CAST(k AS DOUBLE) - 1e0))
+            / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) END AS eps_sq
       FROM f ORDER BY event_type""",
+    // mirrors Probes.dunnTest: the kruskal_wallis 2·rank carry pooled
+    // per group, per-variant exact HUGEINT rank sums self-joined into
+    // the k² pair frame, the exact rank-gap and variance numerators,
+    // float at two divisions and one sqrt in the same order
+    "dunn_posthoc" -> s"""
+      WITH b AS (SELECT event_type AS g,
+          CAST(user_id % 3 AS VARCHAR) AS v, value AS x
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      r AS (SELECT g, v,
+          CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+            + count(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS r2,
+          CAST(count(*) OVER (PARTITION BY g, x)
+            * count(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS tt
+        FROM b),
+      pv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS nv,
+          sum(r2) AS s2, sum(tt) AS ttv
+        FROM r GROUP BY g, v),
+      ag AS (SELECT g, CAST(sum(nv) AS BIGINT) AS n,
+          sum(ttv) AS ties
+        FROM pv GROUP BY g),
+      pr AS (SELECT a.g, a.v AS variant_a, pb.v AS variant_b,
+          a.nv AS na, pb.nv AS nb, a.s2 AS s2a, pb.s2 AS s2b, n, ties
+        FROM pv a JOIN pv pb ON pb.g = a.g AND a.v < pb.v
+        JOIN ag ON ag.g = a.g),
+      f AS (SELECT g, variant_a, variant_b, na, nb, n,
+          s2a * CAST(nb AS HUGEINT) - s2b * CAST(na AS HUGEINT) AS num,
+          (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+            - CAST(n AS HUGEINT)) - ties AS vnum,
+          CAST(s2a AS DOUBLE) / (2e0 * CAST(na AS DOUBLE))
+            AS mean_rank_a,
+          CAST(s2b AS DOUBLE) / (2e0 * CAST(nb AS DOUBLE))
+            AS mean_rank_b
+        FROM pr),
+      zz AS (SELECT g, variant_a, variant_b, na, nb,
+          mean_rank_a, mean_rank_b,
+          CASE WHEN n >= 2 AND vnum > 0 THEN
+            (CAST(num AS DOUBLE)
+              / (2e0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+            / sqrt(CAST(vnum AS DOUBLE)
+                * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+              / (12e0 * (CAST(n AS DOUBLE) - 1e0)
+                * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) END AS z
+        FROM f)
+      SELECT g AS event_type, variant_a, variant_b,
+        na AS n_a, nb AS n_b, mean_rank_a, mean_rank_b, z,
+        coalesce(abs(z) > ${litD(1.96)}, false) AS reject
+      FROM zz ORDER BY event_type, variant_a, variant_b""",
     // mirrors Probes.signTest: the four exact sign counters and the
     // one-sqrt z, same paired fixture as wilcoxon_signed_rank
     "sign_test" -> """

@@ -804,6 +804,9 @@ final case class Pipeline(df: DataFrame) {
   def kruskalWallis(variant: Column, value: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.kruskalWallis(variant, value, groupCols))
+  def dunnTest(variant: Column, value: Column,
+      groupCols: Seq[String] = Nil, zCrit: Double = 1.96): Pipeline =
+    >>(Probes.dunnTest(variant, value, groupCols, zCrit))
   def friedmanTest(blockField: String, treatmentField: String,
       value: Column, groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.friedmanTest(blockField, treatmentField, value, groupCols))

@@ -1908,8 +1908,11 @@ object Probes {
     *
     * Scale shape: one pooled `rank()` window per group partition (the
     * [[mannWhitneyU]] cost class), one hash-agg to variants, one
-    * k-sized fold. Output per group:
-    * `n, k, h, h_corrected`. */
+    * k-sized fold. Reports `eps_sq = (H_corrected − k + 1)/(N − k)` —
+    * the H-based variance-explained effect size (0 at the null
+    * expectation E[H] = k−1; NULL when N ≤ k or the tie correction
+    * degenerates). Output per group:
+    * `n, k, h, h_corrected, eps_sq`. */
   def kruskalWallis(variant: Column, value: Column,
       groupCols: Seq[String] = Nil,
       exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
@@ -1946,10 +1949,128 @@ object Probes {
     val cube = n38 * n38 * n38 - n38
     val corr = lit(1.0) -
       col("__ties").cast("double") / cube.cast("double")
+    val hc = h / corr
     agg.select(grp ++ Seq(col("n"), col("k"),
       when(col("k") >= 2 && col("n") >= 2, h).as("h"),
-      when(col("k") >= 2 && col("n") >= 2 && corr > 0.0, h / corr)
-        .as("h_corrected")): _*)
+      when(col("k") >= 2 && col("n") >= 2 && corr > 0.0, hc)
+        .as("h_corrected"),
+      // the H-based variance-explained effect size reviewers read
+      // beside the statistic (the eta_sq precedent on oneWayAnova):
+      // eps_sq = (H − k + 1)/(N − k), computed on the tie-corrected H
+      // (the op's primary statistic) — 0 at the null expectation
+      // E[H] = k − 1, 1 when every between-variant contrast is maximal
+      when(col("k") >= 2 && col("n") > col("k") && corr > 0.0,
+        (hc - (col("k").cast("double") - lit(1.0))) /
+          (col("n").cast("double") - col("k").cast("double")))
+        .as("eps_sq")): _*)
+  }
+
+  /** Dunn's post-hoc pairwise test per group — the step AFTER
+    * [[kruskalWallis]] rejects: KW says "SOME arm moved"; Dunn says
+    * WHICH, the first question every eval-suite user asks. For each
+    * ordered variant pair (i < j), the z of the pooled-rank mean gap
+    *   `z_ij = (R̄_i − R̄_j) / √(V·(1/n_i + 1/n_j))`,
+    *   `V = (N(N+1) − Σ(t³−t)/(N−1)) / 12`
+    * — the ranks are the SAME pooled tie-averaged ranks KW computed
+    * (one `rank()` window, the shared 2·rank carry), so the op is one
+    * window + one hash-agg + a k²-bounded broadcastable pair frame
+    * (the [[krippendorffAlphaWeighted]] pair-frame pattern; `maxK`
+    * rides the totals frame joined under the pair join, so a
+    * continuous column passed as "variant" raises loudly before k²
+    * enumerates).
+    *
+    * Exactness: the z numerator carries as the exact integer
+    * `S2_i·n_j − S2_j·n_i` (decimal(38,0) 2·rank sums), the variance
+    * numerator as the exact `(N³−N) − Σ(t³−t)`; float enters at two
+    * divisions and one sqrt in a fixed order, mirrored verbatim in the
+    * oracle. Two variants reduce EXACTLY to [[mannWhitneyU]]'s z
+    * (z_Dunn = z_MWU algebraically — property-spec-pinned to float
+    * noise). No p-value (the no-libm doctrine): `reject` gates at
+    * `zCrit` per pair — 1.96 is the per-pair 95% gate; pass the
+    * Bonferroni-adjusted critical value for family-wise control, or
+    * feed the emitted family into [[bhCorrect]] with externally
+    * computed p's (two-sided normal p is strictly decreasing in |z|,
+    * so the BH ordering IS the |z|-descending ordering). Degenerate
+    * reads: every value tied (variance numerator 0) or N < 2 → NULL z
+    * with `reject` false (no evidence is not a rejection). NULL
+    * variant/value rows drop.
+    *
+    * Output per (group, pair): `variant_a, variant_b, n_a, n_b,
+    * mean_rank_a, mean_rank_b, z, reject` (pairs in variant string
+    * order, a < b). */
+  def dunnTest(variant: Column, value: Column,
+      groupCols: Seq[String] = Nil,
+      zCrit: Double = 1.96, maxK: Int = 64)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(zCrit > 0.0 && zCrit <= 100.0,
+      s"zCrit must be in (0, 100]: $zCrit")
+    require(maxK >= 2 && maxK <= 1024,
+      s"maxK must be in [2, 1024], got $maxK")
+    val grp = groupCols.map(col)
+    val base = df
+      .filter(variant.isNotNull && value.isNotNull)
+      .select(grp :+ variant.cast("string").as("__v") :+
+        value.as("__x"): _*)
+    val wOrd = Window.partitionBy(grp: _*).orderBy(col("__x"))
+    val wTie = Window.partitionBy(grp :+ col("__x"): _*)
+    val ranked = base.select(grp ++ Seq(col("__v"),
+      rank2Carry(wOrd, wTie).as("__r2"),
+      (count(lit(1)).over(wTie) * count(lit(1)).over(wTie) - lit(1L))
+        .cast("decimal(38,0)").as("__tt")): _*)
+    val perVar = ranked.groupBy(grp :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__nv"),
+        sum(col("__r2")).as("__s2"),
+        sum(col("__tt")).as("__ttv"))
+      .localCheckpoint() // k rows per group; feeds totals AND the pairs
+    val totals =
+      (if (grp.isEmpty) perVar.groupBy() else perVar.groupBy(grp: _*))
+        .agg(sum(col("__nv")).as("__n0"),
+          count(lit(1)).as("__k0"),
+          sum(col("__ttv")).as("__ties"))
+        // the k guard rides __n — the column EVERY downstream pair
+        // statistic reads (z's variance leg, vnum) — so it cannot be
+        // pruned away and an oversized variant set raises on the
+        // k-row totals frame, below the k² pair join (the
+        // krippendorffAlphaWeighted guard-rides-the-read discipline)
+        .withColumn("__n",
+          when(col("__k0") > maxK, raise_error(concat(
+            lit("dunnTest: "), col("__k0").cast(StringType),
+            lit(s" distinct variants > maxK=$maxK — the pair frame" +
+              " is k^2; is the variant column really categorical?")))
+            .cast("long"))
+            .otherwise(col("__n0")))
+        .drop("__k0").drop("__n0")
+    val pa = perVar.select(grp ++ Seq(col("__v").as("variant_a"),
+      col("__nv").as("n_a"), col("__s2").as("__s2a")): _*)
+    val paT =
+      (if (grp.isEmpty) pa.crossJoin(broadcast(totals))
+       else pa.join(totals, groupCols))
+    val pb = perVar.select(grp ++ Seq(col("__v").as("variant_b"),
+      col("__nv").as("n_b"), col("__s2").as("__s2b")): _*)
+    val pairs =
+      (if (grp.isEmpty) paT.crossJoin(pb) else paT.join(pb, groupCols))
+        .filter(col("variant_a") < col("variant_b"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = col("__n").cast("double")
+    // exact integer legs: the rank-gap numerator and the tie-corrected
+    // variance numerator (N³−N) − Σ(t³−t)
+    val num = col("__s2a") * d38(col("n_b")) -
+      col("__s2b") * d38(col("n_a"))
+    val n38 = d38(col("__n"))
+    val vnum = (n38 * n38 * n38 - n38) - col("__ties")
+    val diff = num.cast("double") / (lit(2.0) * naD * nbD)
+    val sigma2 = vnum.cast("double") * (naD + nbD) /
+      (lit(12.0) * (nD - lit(1.0)) * naD * nbD)
+    val zero38 = lit(0).cast("decimal(38,0)")
+    val z = when(col("__n") >= 2 && vnum > zero38, diff / sqrt(sigma2))
+    pairs.select(grp ++ Seq(col("variant_a"), col("variant_b"),
+      col("n_a"), col("n_b"),
+      (col("__s2a").cast("double") / (lit(2.0) * naD)).as("mean_rank_a"),
+      (col("__s2b").cast("double") / (lit(2.0) * nbD)).as("mean_rank_b"),
+      z.as("z"),
+      coalesce(abs(z) > lit(zCrit), lit(false)).as("reject")): _*)
   }
 
   /** The shared complete-block screen of the paired-k tests
@@ -2012,7 +2133,10 @@ object Probes {
     * Scale shape: two hash-aggs for the completeness screen, one
     * `rank()` window per (group, block) partition — blocks are the
     * parallelism unit, so the sort is k-row-sized — and two hash-aggs
-    * for the sums. Output per group: `n_blocks, n_dropped, k, q`. */
+    * for the sums. Reports Kendall's W = Q/(n(k−1)) ∈ [0, 1] — the
+    * agreement-strength effect size (1 = every block ranks the
+    * treatments identically). Output per group:
+    * `n_blocks, n_dropped, k, q, w`. */
   def friedmanTest(blockField: String, treatmentField: String,
       value: Column, groupCols: Seq[String] = Nil)(
       df: DataFrame): DataFrame = {
@@ -2057,11 +2181,20 @@ object Probes {
       d38(col("n_blocks")) * d38(col("n_blocks")) * d38(col("__k")) * kp1sq
     val den = col("__A2") - d38(col("n_blocks")) * d38(col("__k")) * kp1sq
     val zero38 = lit(0).cast("decimal(38,0)")
+    val q = ((d38(col("__k")) - 1) * num).cast("double") /
+      den.cast("double")
     joined0.select(grp ++ Seq(col("n_blocks"), col("n_dropped"),
       col("__k").as("k"),
+      when(col("__k") >= 2 && col("n_blocks") >= 1 && den > zero38, q)
+        .as("q"),
+      // Kendall's W — the agreement-strength effect size beside Q
+      // (the eta_sq precedent on oneWayAnova): W = Q/(n(k−1)) ∈ [0, 1],
+      // 1 when every block ranks the treatments identically (the
+      // perfect-order fixture reads exactly 1 — spec-pinned), 0 at no
+      // agreement. Same one division; NULL exactly where Q is NULL.
       when(col("__k") >= 2 && col("n_blocks") >= 1 && den > zero38,
-        ((d38(col("__k")) - 1) * num).cast("double") / den.cast("double"))
-        .as("q")): _*)
+        q / (col("n_blocks").cast("double") *
+          (col("__k").cast("double") - lit(1.0)))).as("w")): _*)
   }
 
   /** The four exact sign counters shared by [[signTest]] and

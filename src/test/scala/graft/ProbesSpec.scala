@@ -1280,13 +1280,59 @@ class ProbesSpec extends SparkSpec {
     val r3 = Probes.kruskalWallis(col("v"), col("x"))(d3).head()
     assert(r3.getAs[Long]("k") === 3L &&
       r3.getAs[Double]("h_corrected") >= 0.0)
+    // eps_sq = (H_c − k + 1)/(N − k): (2.4 − 1)/(4 − 2) = 0.7 exactly
+    assert(math.abs(r.getAs[Double]("eps_sq") - 0.7) < 1e-12)
     // one variant: NULL H; all values tied: NULL h_corrected
     val one = Seq(("A", 1.0), ("A", 2.0)).toDF("v", "x")
     val ro = Probes.kruskalWallis(col("v"), col("x"))(one).head()
     assert(ro.isNullAt(ro.fieldIndex("h")))
     val tied = Seq(("A", 5.0), ("B", 5.0), ("A", 5.0)).toDF("v", "x")
     val rt = Probes.kruskalWallis(col("v"), col("x"))(tied).head()
-    assert(rt.isNullAt(rt.fieldIndex("h_corrected")))
+    assert(rt.isNullAt(rt.fieldIndex("h_corrected")) &&
+      rt.isNullAt(rt.fieldIndex("eps_sq")))
+  }
+
+  test("dunnTest: k=2 equals mannWhitneyU z, hand pairs, tied NULL, maxK guard") {
+    import spark.implicits._
+    // k = 2: Dunn's pairwise z IS the (tie-corrected) MWU z — the
+    // algebraic reduction the scaladoc derives, pinned to float noise
+    val rows = (1 to 40).map(i =>
+      (if (i % 2 == 0) "A" else "B", (i % 7).toDouble))
+    val df2 = rows.toDF("v", "x")
+    val dz = Probes.dunnTest(col("v"), col("x"))(df2).head()
+    val mz = Probes.mannWhitneyU(col("v") === "A", col("x"))(df2).head()
+      .getAs[Double]("z")
+    assert(dz.getAs[String]("variant_a") === "A")
+    assert(math.abs(dz.getAs[Double]("z") - mz) < 1e-9,
+      s"dunn ${dz.getAs[Double]("z")} vs mwu $mz")
+    // hand case, untied: A={1,2} B={3,4} C={5,6} -> mean ranks
+    // 1.5/3.5/5.5, V = 6·7/12 = 3.5, z_AB = -2/sqrt(3.5),
+    // z_AC = -4/sqrt(3.5) (clears 1.96), z_BC = -2/sqrt(3.5)
+    val d3 = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0),
+      ("C", 5.0), ("C", 6.0)).toDF("v", "x")
+    val p = Probes.dunnTest(col("v"), col("x"))(d3)
+      .orderBy("variant_a", "variant_b").collect()
+    assert(p.length === 3)
+    assert(math.abs(p(0).getAs[Double]("mean_rank_a") - 1.5) < 1e-15)
+    assert(math.abs(p(0).getAs[Double]("z") + 2.0 / math.sqrt(3.5)) < 1e-12)
+    assert(math.abs(p(1).getAs[Double]("z") + 4.0 / math.sqrt(3.5)) < 1e-12)
+    assert(math.abs(p(2).getAs[Double]("z") + 2.0 / math.sqrt(3.5)) < 1e-12)
+    assert(!p(0).getAs[Boolean]("reject") && p(1).getAs[Boolean]("reject")
+      && !p(2).getAs[Boolean]("reject"))
+    // every value tied: zero variance numerator -> NULL z, reject false
+    val tied = Seq(("A", 5.0), ("B", 5.0), ("A", 5.0), ("B", 5.0))
+      .toDF("v", "x")
+    val rt = Probes.dunnTest(col("v"), col("x"))(tied).head()
+    assert(rt.isNullAt(rt.fieldIndex("z")) &&
+      rt.getAs[Boolean]("reject") === false)
+    // the maxK guard raises loudly before the k² pair frame
+    val many = (1 to 10).map(i => (s"v$i", i.toDouble)).toDF("v", "x")
+    val ex = intercept[Exception] {
+      Probes.dunnTest(col("v"), col("x"), maxK = 4)(many).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxK=4")))
   }
 
   test("cochranQ: hand Q, k=2 is McNemar chi2, uniform-block NULL, dropped blocks") {
@@ -1389,6 +1435,8 @@ class ProbesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_blocks") === 3L &&
       r.getAs[Long]("n_dropped") === 0L && r.getAs[Long]("k") === 3L)
     assert(math.abs(r.getAs[Double]("q") - 6.0) < 1e-12)
+    // Kendall's W = Q/(n(k−1)): perfect agreement reads exactly 1
+    assert(r.getAs[Double]("w") === 1.0)
     // tie case, hand-rolled: b1 (1,1,2) -> 2r (3,3,6); b2 (1,2,3) ->
     // 2r (2,4,6): R2 = (5,7,12), ΣR2² = 218, num = 26; A2 = 110,
     // den = 14 -> Q = 2·26/14 = 26/7
@@ -1396,6 +1444,9 @@ class ProbesSpec extends SparkSpec {
       (2L, "A", 1.0), (2L, "B", 2.0), (2L, "C", 3.0))
     val rt = run(tied)
     assert(math.abs(rt.getAs[Double]("q") - 26.0 / 7.0) < 1e-12)
+    // W stays in [0, 1] under ties: (26/7)/(2·2) = 13/14
+    val wT = rt.getAs[Double]("w")
+    assert(math.abs(wT - 13.0 / 14.0) < 1e-12 && wT >= 0.0 && wT <= 1.0)
     // an incomplete block (missing C) and a duplicated cell both drop
     // and are REPORTED; the complete blocks' Q is unchanged
     val noisy = run(tied ++ Seq((3L, "A", 1.0), (3L, "B", 2.0),
@@ -1407,7 +1458,8 @@ class ProbesSpec extends SparkSpec {
     val flat = run(Seq((1L, "A", 5.0), (1L, "B", 5.0),
       (2L, "A", 7.0), (2L, "B", 7.0)))
     assert(flat.getAs[Long]("n_blocks") === 2L &&
-      flat.isNullAt(flat.fieldIndex("q")))
+      flat.isNullAt(flat.fieldIndex("q")) &&
+      flat.isNullAt(flat.fieldIndex("w")))
     // one treatment: NULL Q
     val onet = run(Seq((1L, "A", 1.0), (2L, "A", 2.0)))
     assert(onet.getAs[Long]("k") === 1L &&
