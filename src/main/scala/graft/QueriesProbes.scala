@@ -372,6 +372,14 @@ private[graft] object QueriesProbes {
         Seq("event_type"))(table(s, dir, "events"))
         .orderBy("event_type", "variant_a", "variant_b")
     },
+    "jonckheere_terpstra" -> { (s, dir) =>
+      // does value increase MONOTONICALLY with the cohort index, per
+      // event type? the ordered-alternative trend test KW wastes power
+      // on: J = Σ U_ij over ordered cohort pairs, exact HW moments
+      Probes.jonckheereTerpstra(col("user_id") % 3, col("value"),
+        Seq("event_type"))(table(s, dir, "events"))
+        .orderBy("event_type")
+    },
     "cochran_q" -> { (s, dir) =>
       // did ANY of the three arms' pass rates move, per event type?
       // blocks = user cohorts (user_id % 200), one pass/fail per
@@ -1550,6 +1558,75 @@ private[graft] object QueriesProbes {
           THEN (h / corr - (CAST(k AS DOUBLE) - 1e0))
             / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) END AS eps_sq
       FROM f ORDER BY event_type""",
+    // mirrors Probes.jonckheereTerpstra: the corpus replicated through
+    // the ordered-pair frame, the 2·rank carry per (group, pair) pool,
+    // 2U_ij = S2_j − n_j(n_j+1) exact in HUGEINT, the Hollander–Wolfe
+    // tie-corrected moments with every Σ exact and the two cross
+    // products multiplying as doubles in the same spelled order
+    "jonckheere_terpstra" -> """
+      WITH b AS (SELECT event_type AS g, user_id % 3 AS v, value AS x
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      pv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS nv
+        FROM b GROUP BY g, v),
+      tot AS (SELECT g, CAST(sum(nv) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS k,
+          sum(CAST(nv AS HUGEINT) * nv) AS snsq,
+          sum(CAST(nv AS HUGEINT) * (nv - 1) * (2 * nv + 5)) AS sn25,
+          sum(CAST(nv AS HUGEINT) * (nv - 1) * (nv - 2)) AS sn3,
+          sum(CAST(nv AS HUGEINT) * (nv - 1)) AS sn2
+        FROM pv GROUP BY g),
+      tie AS (SELECT g,
+          sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS st25,
+          sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS st3,
+          sum(CAST(t AS HUGEINT) * (t - 1)) AS st2
+        FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS t
+              FROM b GROUP BY g, x)
+        GROUP BY g),
+      pr AS (SELECT a.g, a.v AS vi, c.v AS vj
+        FROM pv a JOIN pv c ON c.g = a.g AND a.v < c.v),
+      pool AS (
+        SELECT pr.g, vi, vj, b.x, false AS j
+        FROM b JOIN pr ON pr.g = b.g AND b.v = pr.vi
+        UNION ALL
+        SELECT pr.g, vi, vj, b.x, true AS j
+        FROM b JOIN pr ON pr.g = b.g AND b.v = pr.vj),
+      r AS (SELECT g, vi, vj, j,
+          CAST(2 * rank() OVER (PARTITION BY g, vi, vj ORDER BY x)
+            + count(*) OVER (PARTITION BY g, vi, vj, x) - 1 AS HUGEINT)
+            AS r2
+        FROM pool),
+      pp AS (SELECT g, vi, vj,
+          CAST(sum(CASE WHEN j THEN 1 ELSE 0 END) AS BIGINT) AS njp,
+          sum(CASE WHEN j THEN r2 ELSE CAST(0 AS HUGEINT) END) AS s2j
+        FROM r GROUP BY g, vi, vj),
+      ja AS (SELECT g,
+          sum(s2j - CAST(njp AS HUGEINT) * (njp + 1)) AS j2
+        FROM pp GROUP BY g),
+      f AS (SELECT tot.g, n, k, snsq, sn25, sn3, sn2, st25, st3, st2,
+          j2
+        FROM tot LEFT JOIN tie ON tie.g = tot.g
+        LEFT JOIN ja ON ja.g = tot.g),
+      v AS (SELECT g, n, k, j2, snsq,
+          2 * j2 - (CAST(n AS HUGEINT) * n - snsq) AS num4,
+          CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+              - sn25 - st25 AS DOUBLE) / 72e0
+            + CASE WHEN n > 2 THEN CAST(sn3 AS DOUBLE)
+                  * CAST(st3 AS DOUBLE)
+                / (36e0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0)
+                  * (CAST(n AS DOUBLE) - 2e0))
+              ELSE 0e0 END
+            + CASE WHEN n > 1 THEN CAST(sn2 AS DOUBLE)
+                  * CAST(st2 AS DOUBLE)
+                / (8e0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
+              ELSE 0e0 END AS var
+        FROM f)
+      SELECT g AS event_type, n, k,
+        CASE WHEN j2 IS NOT NULL THEN CAST(j2 AS DOUBLE) / 2e0 END
+          AS j_stat,
+        CAST(CAST(n AS HUGEINT) * n - snsq AS DOUBLE) / 4e0 AS mu,
+        CASE WHEN k >= 2 AND n >= 2 AND var > 0e0
+          THEN CAST(num4 AS DOUBLE) / (4e0 * sqrt(var)) END AS z
+      FROM v ORDER BY event_type""",
     // mirrors Probes.dunnTest: the kruskal_wallis 2·rank carry pooled
     // per group, per-variant exact HUGEINT rank sums self-joined into
     // the k² pair frame, the exact rank-gap and variance numerators,

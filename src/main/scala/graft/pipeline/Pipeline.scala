@@ -807,6 +807,9 @@ final case class Pipeline(df: DataFrame) {
   def dunnTest(variant: Column, value: Column,
       groupCols: Seq[String] = Nil, zCrit: Double = 1.96): Pipeline =
     >>(Probes.dunnTest(variant, value, groupCols, zCrit))
+  def jonckheereTerpstra(variant: Column, value: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.jonckheereTerpstra(variant, value, groupCols))
   def friedmanTest(blockField: String, treatmentField: String,
       value: Column, groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.friedmanTest(blockField, treatmentField, value, groupCols))

@@ -2073,6 +2073,145 @@ object Probes {
       coalesce(abs(z) > lit(zCrit), lit(false)).as("reject")): _*)
   }
 
+  /** Jonckheere–Terpstra ordered-alternative trend test per group —
+    * the dose-response question LLM evals actually ask ("does the
+    * metric improve MONOTONICALLY with model size / data fraction /
+    * training steps?"), where [[kruskalWallis]] wastes power by
+    * ignoring the variant ORDER. Variants order by their natural type
+    * order (pass an orderable column — the cohort index, the
+    * parameter count); `J = Σ_{i<j} U_ij` sums the Mann–Whitney count
+    * of each ordered pair, large when later variants tend larger.
+    *
+    * Exactness: each pair's `2U_ij = S2_j − n_j(n_j+1)` rides the
+    * shared 2·rank carry over the pair's pooled frame (rank sums of
+    * sample j within pool i∪j — the within-sample rank mass cancels
+    * algebraically, so no cross-sample counting join exists). The
+    * null moments are the exact-integer Hollander–Wolfe forms:
+    * `4μ = N² − Σn_i²` and the tie-corrected
+    *   `σ² = A/72 + Σn(n−1)(n−2)·Σt(t−1)(t−2)/(36N(N−1)(N−2))
+    *        + Σn(n−1)·Σt(t−1)/(8N(N−1))`,
+    *   `A = N(N−1)(2N+5) − Σn(n−1)(2n+5) − Σt(t−1)(2t+5)`
+    * (t = pooled tie-group sizes) — every Σ an exact decimal(38,0)
+    * hash-agg; float enters at the three variance divisions (the two
+    * cross products exceed decimal range, so they multiply as
+    * doubles of exact integers) and the one final
+    * `z = (4J − 4μ)/(4σ)`. No p-value (no-libm): 1.64/1.96 are the
+    * one/two-sided 95% gates. Two variants reduce EXACTLY to
+    * [[mannWhitneyU]]'s z on the later side, ties included; reversing
+    * the variant order negates z (both property-spec-pinned).
+    * Degenerate reads: k < 2, N < 2, or zero variance (all values
+    * tied) → NULL z with honest counts. NULL variant/value rows drop.
+    *
+    * Scale shape: the corpus materializes once (localCheckpoint) and
+    * replicates (k−1)× through two broadcast equi-joins against the
+    * k²-bounded ordered-pair frame (maxK-guarded, riding the consumed
+    * `__n` — the [[dunnTest]] discipline), then ONE rank window per
+    * (group, pair) partition and three hash-aggs. The replication
+    * factor is the op's documented bill — k is variant cardinality,
+    * not corpus. Output per group: `n, k, j_stat, mu, z`. */
+  def jonckheereTerpstra(variant: Column, value: Column,
+      groupCols: Seq[String] = Nil, maxK: Int = 32)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxK >= 2 && maxK <= 256,
+      s"maxK must be in [2, 256], got $maxK")
+    val grp = groupCols.map(col)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val base = df
+      .filter(variant.isNotNull && value.isNotNull)
+      .select(grp :+ variant.as("__v") :+ value.as("__x"): _*)
+      .localCheckpoint() // feeds perVar, the tie frame, and both pools
+    val perVar = base.groupBy(grp :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__nv"))
+      .localCheckpoint() // k rows per group; feeds totals AND the pairs
+    val nv38 = d38(col("__nv"))
+    val totals =
+      (if (grp.isEmpty) perVar.groupBy() else perVar.groupBy(grp: _*))
+        .agg(sum(col("__nv")).as("__n0"),
+          count(lit(1)).as("k"),
+          sum(nv38 * nv38).as("__sn_sq"),
+          sum(nv38 * (nv38 - 1) * (nv38 * 2 + 5)).as("__sn25"),
+          sum(nv38 * (nv38 - 1) * (nv38 - 2)).as("__sn3"),
+          sum(nv38 * (nv38 - 1)).as("__sn2"))
+        .withColumn("__n",
+          when(col("k") > maxK, raise_error(concat(
+            lit("jonckheereTerpstra: "), col("k").cast(StringType),
+            lit(s" distinct variants > maxK=$maxK — the corpus" +
+              " replicates (k-1)x; is the variant column really an" +
+              " ordered dose?"))).cast("long"))
+            .otherwise(col("__n0")))
+        .drop("__n0")
+    val t38 = d38(col("__t"))
+    val tieAgg = base.groupBy(grp :+ col("__x"): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(grp: _*)
+      .agg(sum(t38 * (t38 - 1) * (t38 * 2 + 5)).as("__st25"),
+        sum(t38 * (t38 - 1) * (t38 - 2)).as("__st3"),
+        sum(t38 * (t38 - 1)).as("__st2"))
+    val pa = perVar.select(grp :+ col("__v").as("__vi"): _*)
+    val pb = perVar.select(grp :+ col("__v").as("__vj"): _*)
+    val pairs =
+      (if (grp.isEmpty) pa.crossJoin(pb) else pa.join(pb, groupCols))
+        .filter(col("__vi") < col("__vj"))
+    val poolI = base.join(broadcast(pairs
+      .select(grp ++ Seq(col("__vi").as("__v"), col("__vj")): _*)),
+      groupCols :+ "__v")
+      .select(grp ++ Seq(col("__v").as("__vi"), col("__vj"),
+        col("__x"), lit(false).as("__j")): _*)
+    val poolJ = base.join(broadcast(pairs
+      .select(grp ++ Seq(col("__vi"), col("__vj").as("__v")): _*)),
+      groupCols :+ "__v")
+      .select(grp ++ Seq(col("__vi"), col("__v").as("__vj"),
+        col("__x"), lit(true).as("__j")): _*)
+    val pool = poolI.unionByName(poolJ)
+    val wOrd = Window.partitionBy(grp ++ Seq(col("__vi"), col("__vj")): _*)
+      .orderBy(col("__x"))
+    val wTie = Window.partitionBy(
+      grp ++ Seq(col("__vi"), col("__vj"), col("__x")): _*)
+    val ranked = pool.select(grp ++ Seq(col("__vi"), col("__vj"),
+      col("__j"), rank2Carry(wOrd, wTie).as("__r2")): _*)
+    val zero38 = lit(0).cast("decimal(38,0)")
+    val perPair = ranked.groupBy(grp ++ Seq(col("__vi"), col("__vj")): _*)
+      .agg(sum(when(col("__j"), 1L).otherwise(0L)).as("__njp"),
+        sum(when(col("__j"), col("__r2")).otherwise(zero38)).as("__s2j"))
+      // 2U_ij exact: the within-sample rank mass n_j(n_j+1) cancels
+      .withColumn("__u2",
+        col("__s2j") - d38(col("__njp")) * d38(col("__njp") + 1))
+    val jAgg =
+      (if (grp.isEmpty) perPair.groupBy() else perPair.groupBy(grp: _*))
+        .agg(sum(col("__u2")).as("__j2"))
+    val joined =
+      (if (grp.isEmpty) totals.crossJoin(tieAgg).crossJoin(jAgg)
+       else totals.join(tieAgg, groupCols, "left")
+         .join(jAgg, groupCols, "left"))
+    val n38 = d38(col("__n"))
+    val nD = col("__n").cast("double")
+    // 4(J − μ) exact: 4J = 2·(2J), 4μ = N² − Σn²
+    val num4 = lit(2).cast("decimal(38,0)") * col("__j2") -
+      (n38 * n38 - col("__sn_sq"))
+    val aNum = n38 * (n38 - 1) * (n38 * 2 + 5) -
+      col("__sn25") - col("__st25")
+    // the two cross products exceed decimal(38,0) range at corpus
+    // scale — they multiply as DOUBLES of exact integers (the oracle
+    // mirrors the same spelling); each term guards its own zero
+    // denominator (the Σ legs are identically 0 there anyway)
+    val varB = when(nD > 2.0,
+      col("__sn3").cast("double") * col("__st3").cast("double") /
+        (lit(36.0) * nD * (nD - lit(1.0)) * (nD - lit(2.0))))
+      .otherwise(lit(0.0))
+    val varC = when(nD > 1.0,
+      col("__sn2").cast("double") * col("__st2").cast("double") /
+        (lit(8.0) * nD * (nD - lit(1.0))))
+      .otherwise(lit(0.0))
+    val variance = aNum.cast("double") / lit(72.0) + varB + varC
+    joined.select(grp ++ Seq(col("__n").as("n"), col("k"),
+      when(col("__j2").isNotNull,
+        col("__j2").cast("double") / lit(2.0)).as("j_stat"),
+      ((n38 * n38 - col("__sn_sq")).cast("double") / lit(4.0)).as("mu"),
+      when(col("k") >= 2 && col("__n") >= 2 && variance > 0.0,
+        num4.cast("double") / (lit(4.0) * sqrt(variance))).as("z")): _*)
+  }
+
   /** The shared complete-block screen of the paired-k tests
     * ([[friedmanTest]], [[cochranQ]]): `base` must carry the block as
     * `__b` and the treatment as `__t`. Returns `(blocksK, kAgg)` —

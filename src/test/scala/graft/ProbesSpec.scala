@@ -1335,6 +1335,51 @@ class ProbesSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("maxK=4")))
   }
 
+  test("jonckheereTerpstra: hand J/z, k=2 is MWU z, reversal negates, degenerates") {
+    import spark.implicits._
+    // Hollander–Wolfe-style 3×6 fixture (hand/py-checked): J = 79,
+    // μ = 54, σ² = 150.28676470588235, z = 2.0392930588447173
+    val g1 = Seq(40, 35, 38, 43, 44, 41).map(v => (1, v.toDouble))
+    val g2 = Seq(38, 40, 47, 44, 40, 42).map(v => (2, v.toDouble))
+    val g3 = Seq(48, 40, 45, 43, 46, 44).map(v => (3, v.toDouble))
+    val d = (g1 ++ g2 ++ g3).toDF("v", "x")
+    val r = Probes.jonckheereTerpstra(col("v"), col("x"))(d).head()
+    assert(r.getAs[Long]("n") === 18L && r.getAs[Long]("k") === 3L)
+    assert(r.getAs[Double]("j_stat") === 79.0)
+    assert(r.getAs[Double]("mu") === 54.0)
+    assert(math.abs(r.getAs[Double]("z") - 2.0392930588447173) < 1e-12)
+    // k = 2 with heavy ties: z_JT == mannWhitneyU's z on the LATER
+    // variant (J = U of the later side; exact algebraic identity)
+    val rows = (1 to 40).map(i => (i % 2, (i * 13 % 7).toDouble))
+    val df2 = rows.toDF("v", "x")
+    val zjt = Probes.jonckheereTerpstra(col("v"), col("x"))(df2).head()
+      .getAs[Double]("z")
+    val zmw = Probes.mannWhitneyU(col("v") === 1, col("x"))(df2).head()
+      .getAs[Double]("z")
+    assert(math.abs(zjt - zmw) < 1e-9, s"jt $zjt vs mwu $zmw")
+    // reversing the dose order negates z (ties included)
+    val zrev = Probes.jonckheereTerpstra(-col("v"), col("x"))(d).head()
+      .getAs[Double]("z")
+    assert(math.abs(zrev + 2.0392930588447173) < 1e-12)
+    // all values tied: zero variance -> NULL z with honest counts;
+    // one variant: NULL z
+    val tied = Seq((1, 5.0), (2, 5.0), (1, 5.0), (2, 5.0)).toDF("v", "x")
+    val rt = Probes.jonckheereTerpstra(col("v"), col("x"))(tied).head()
+    assert(rt.getAs[Long]("n") === 4L && rt.isNullAt(rt.fieldIndex("z")))
+    val one = Seq((1, 1.0), (1, 2.0)).toDF("v", "x")
+    val ro = Probes.jonckheereTerpstra(col("v"), col("x"))(one).head()
+    assert(ro.isNullAt(ro.fieldIndex("z")))
+    // the maxK guard raises loudly before the (k-1)x replication
+    val many = (1 to 10).map(i => (i, i.toDouble)).toDF("v", "x")
+    val ex = intercept[Exception] {
+      Probes.jonckheereTerpstra(col("v"), col("x"), maxK = 4)(many)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxK=4")))
+  }
+
   test("cochranQ: hand Q, k=2 is McNemar chi2, uniform-block NULL, dropped blocks") {
     import spark.implicits._
     def run(rows: Seq[(Long, String, Boolean)]) =
