@@ -341,6 +341,31 @@ private[graft] object QueriesTemporal {
         lo = 0.0, hi = 500.0, windowLength = "6 hours")
         .orderBy("window_start")
     },
+    "retention_curve" -> { (s, dir) =>
+      // per-cohort Kaplan–Meier retention: each user's duration = its
+      // active span in whole days, censored = still active within 2
+      // days of the corpus end (the observation window simply hasn't
+      // finished watching it) — exact at-risk folds, the survival
+      // product and Greenwood se as time-pinned float folds. The
+      // 1/13 event slice keeps per-user activity sparse so durations
+      // and churn times actually vary (the dense table censors nearly
+      // everyone at the corpus edge)
+      val ev = table(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_id") % 13 === 0)
+      val mx = ev.agg(max(col("ts").cast("long")).as("__gmax"))
+      val subj = ev
+        .groupBy((col("user_id") % 3).as("cohort"), col("user_id"))
+        .agg(min(col("ts").cast("long")).as("__mn"),
+          max(col("ts").cast("long")).as("__mxu"))
+        .crossJoin(broadcast(mx))
+        .select(col("cohort"),
+          floor((col("__mxu") - col("__mn")) / lit(86400L)).cast("long")
+            .as("t0"),
+          (col("__gmax") - col("__mxu") < lit(172800L)).as("cen"))
+      WindowOps.kaplanMeier(col("t0"), col("cen"), Seq("cohort"))(subj)
+        .orderBy("cohort", "t")
+    },
     "snapshot_diff" -> { (s, dir) =>
       // two derived snapshots of orders: %3-dropped rows vs %4-dropped
       // rows with %11 prices bumped — diff emits added/removed/changed
@@ -1208,6 +1233,51 @@ private[graft] object QueriesTemporal {
         ks_stat > threshold AS drift
       FROM s ORDER BY window_start"""
     },
+    // mirrors WindowOps.kaplanMeier over the per-user duration frame:
+    // epoch-second aggregates, (group, time) cells, then the survival
+    // product and Greenwood sum replayed as a recursive CTE — the
+    // identical one-division-one-multiply step per distinct time,
+    // at-risk carried as exact BIGINT
+    "retention_curve" -> """
+      WITH RECURSIVE e AS (SELECT user_id % 3 AS cohort, user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_id % 13 = 0),
+      subj AS (SELECT cohort,
+          CAST(floor((max(ep) - min(ep)) / 86400) AS BIGINT) AS t,
+          ((SELECT max(ep) FROM e) - max(ep) < 172800) AS cen
+        FROM e GROUP BY cohort, user_id),
+      cells AS (SELECT cohort, t,
+          CAST(sum(CASE WHEN cen THEN 0 ELSE 1 END) AS BIGINT) AS d,
+          CAST(sum(CASE WHEN cen THEN 1 ELSE 0 END) AS BIGINT) AS cn
+        FROM subj GROUP BY cohort, t),
+      n0 AS (SELECT cohort, CAST(sum(d + cn) AS BIGINT) AS n0
+        FROM cells GROUP BY cohort),
+      o AS (SELECT cohort, t, d, cn,
+          row_number() OVER (PARTITION BY cohort ORDER BY t) AS i
+        FROM cells),
+      r AS (
+        SELECT o.cohort, o.t, o.d, o.cn, o.i, n0.n0 AS nr,
+          1e0 * (1e0 - CAST(o.d AS DOUBLE) / CAST(n0.n0 AS DOUBLE))
+            AS s,
+          0e0 + CASE WHEN o.d < n0.n0 THEN CAST(o.d AS DOUBLE)
+            / (CAST(n0.n0 AS DOUBLE) * CAST(n0.n0 - o.d AS DOUBLE)) END
+            AS gv
+        FROM o JOIN n0 ON n0.cohort = o.cohort WHERE o.i = 1
+        UNION ALL
+        SELECT o.cohort, o.t, o.d, o.cn, o.i,
+          r.nr - r.d - r.cn AS nr,
+          r.s * (1e0 - CAST(o.d AS DOUBLE)
+            / CAST(r.nr - r.d - r.cn AS DOUBLE)) AS s,
+          r.gv + CASE WHEN o.d < r.nr - r.d - r.cn
+            THEN CAST(o.d AS DOUBLE)
+              / (CAST(r.nr - r.d - r.cn AS DOUBLE)
+                * CAST(r.nr - r.d - r.cn - o.d AS DOUBLE)) END AS gv
+        FROM o JOIN r ON o.cohort = r.cohort AND o.i = r.i + 1)
+      SELECT cohort, t, nr AS n_risk, d AS n_death, cn AS n_censor,
+        s AS survival,
+        CASE WHEN gv IS NOT NULL THEN s * sqrt(gv) END AS se
+      FROM r ORDER BY cohort, t""",
     "events_time_buckets" ->
       """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
          event_type, count(*) AS event_count

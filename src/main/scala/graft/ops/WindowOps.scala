@@ -1108,4 +1108,83 @@ object WindowOps {
         col("col.__arr.__v").as(valueField),
         col("col.__sm").as("ewma"))
   }
+
+  /** Kaplan–Meier product-limit retention curve per group (Kaplan &
+    * Meier 1958) — the retention table every events pipeline wants:
+    * per distinct event time t, with d_t deaths (churns, failures) and
+    * n_t subjects still at risk,
+    *   `S(t) = Π_{t' ≤ t} (1 − d_{t'}/n_{t'})`
+    * — the survival probability that respects CENSORING: a censored
+    * subject (still active when observation ended, `censored` true)
+    * leaves the risk set at its time without counting as a death, so
+    * the curve is not biased down by subjects the window simply hasn't
+    * finished watching. Also reports Greenwood's standard error
+    *   `se(t) = S(t)·√(Σ_{t'≤t} d/(n(n−d)))`
+    * (one sqrt — the no-libm doctrine's CI companion).
+    *
+    * Exactness: d_t, c_t, and the at-risk counts are exact integers
+    * (n_t folds as `n_{t-1} − d − c`, seeded at the group total); the
+    * survival product and the Greenwood sum are TIME-PINNED float
+    * folds over the sorted distinct-time cells (the [[holtSmooth]]
+    * fold discipline — per-step one division, one multiply; the
+    * DuckDB oracle replays the identical recurrence as a recursive
+    * CTE). A time where d = n (the whole remaining risk set dies)
+    * reads survival 0 and NULL-poisons `se` from there on (the
+    * Greenwood term divides by n−d — honest undefined, not Infinity).
+    * NULL time/censored rows drop (a subject with unknown censoring
+    * status is not evidence).
+    *
+    * Scale shape: one hash-agg to (group, time) cells, then ONE
+    * collect_list fold over the group's DISTINCT TIMES — the
+    * [[holtSmooth]] grouped-sequence cost class; quantize time (day
+    * buckets) so the per-group sequence stays bounded. Output per
+    * (group, time): `t, n_risk, n_death, n_censor, survival, se`. */
+  def kaplanMeier(time: Column, censored: Column,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val grp = groupCols.map(col)
+    val base = df.filter(time.isNotNull && censored.isNotNull)
+      .select(grp :+ time.as("__t") :+
+        censored.cast("boolean").as("__c"): _*)
+    val cells = base.groupBy(grp :+ col("__t"): _*)
+      .agg(sum(when(!col("__c"), 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__c"), 1L).otherwise(0L)).as("__cn"))
+    val arr = sort_array(collect_list(
+      struct(col("__t"), col("__d"), col("__cn"))))
+    val perGrp =
+      (if (grp.isEmpty) cells.groupBy() else cells.groupBy(grp: _*))
+        .agg(arr.as("__arr"), sum(col("__d") + col("__cn")).as("__n0"))
+    val stateType =
+      "array<struct<nr:bigint,d:bigint,cn:bigint,s:double,gv:double>>"
+    val fold = aggregate(col("__arr"), array().cast(stateType),
+      (acc, x) => {
+        val prev = element_at(acc, -1)
+        // at-risk folds exactly: group total, minus everything that
+        // died or censored at earlier times
+        val nr = when(size(acc) === 0, col("__n0"))
+          .otherwise(prev.getField("nr") - prev.getField("d") -
+            prev.getField("cn"))
+        val sPrev = when(size(acc) === 0, lit(1.0))
+          .otherwise(prev.getField("s"))
+        val gPrev = when(size(acc) === 0, lit(0.0))
+          .otherwise(prev.getField("gv"))
+        val d = x.getField("__d")
+        val factor = lit(1.0) - d.cast("double") / nr.cast("double")
+        // d = n: survival hits exactly 0; the Greenwood term is
+        // undefined (division by n−d) — NULL poisons the rest
+        val gTerm = when(d < nr, d.cast("double") /
+          (nr.cast("double") * (nr - d).cast("double")))
+        concat(acc, array(struct(nr.as("nr"), d.as("d"),
+          x.getField("__cn").as("cn"),
+          (sPrev * factor).as("s"), (gPrev + gTerm).as("gv"))))
+      })
+    perGrp.withColumn("__st", fold)
+      .select(grp :+ posexplode(arrays_zip(col("__arr"), col("__st"))): _*)
+      .select(grp ++ Seq(col("col.__arr.__t").as("t"),
+        col("col.__st.nr").as("n_risk"),
+        col("col.__arr.__d").as("n_death"),
+        col("col.__arr.__cn").as("n_censor"),
+        col("col.__st.s").as("survival"),
+        when(col("col.__st.gv").isNotNull,
+          col("col.__st.s") * sqrt(col("col.__st.gv"))).as("se")): _*)
+  }
 }

@@ -957,6 +957,9 @@ final case class Pipeline(df: DataFrame) {
       exact: Boolean = true): Pipeline =
     >>(graft.ops.WindowOps.rollingCorr(keys, orderFields,
       xField, yField, window, exact))
+  def kaplanMeier(time: Column, censored: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(graft.ops.WindowOps.kaplanMeier(time, censored, groupCols))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

@@ -997,4 +997,48 @@ class TemporalSpec extends SparkSpec {
       .filter(col("corr").isNotNull).count()
     assert(ok > 0)
   }
+
+  test("kaplanMeier: hand curve, censoring leaves risk set, d=n poisons se") {
+    import spark.implicits._
+    // durations (censored): 1(d) 1(d) 2(c) 3(d) 3(d) 4(c), n0 = 6
+    val d = Seq((1L, false), (1L, false), (2L, true), (3L, false),
+      (3L, false), (4L, true)).toDF("t", "c")
+    val out = graft.ops.WindowOps.kaplanMeier(col("t"), col("c"))(d)
+      .orderBy("t").collect()
+    assert(out.length === 4)
+    // t=1: nr 6, d 2 -> S = 1·(1 − 2/6); Greenwood 2/(6·4)
+    val s1 = 1.0 * (1.0 - 2.0 / 6.0)
+    assert(out(0).getAs[Long]("n_risk") === 6L &&
+      out(0).getAs[Long]("n_death") === 2L)
+    assert(out(0).getAs[Double]("survival") === s1)
+    assert(out(0).getAs[Double]("se") === s1 * math.sqrt(2.0 / 24.0))
+    // t=2: censored-only — S unchanged, risk set shrinks
+    assert(out(1).getAs[Long]("n_risk") === 4L &&
+      out(1).getAs[Long]("n_censor") === 1L)
+    assert(out(1).getAs[Double]("survival") === s1 * (1.0 - 0.0 / 4.0))
+    // t=3: nr 3, d 2 -> S = S1·(1 − 2/3)
+    val s3 = (s1 * (1.0 - 0.0 / 4.0)) * (1.0 - 2.0 / 3.0)
+    assert(out(2).getAs[Long]("n_risk") === 3L)
+    assert(out(2).getAs[Double]("survival") === s3)
+    // t=4: last censored subject; curve flat
+    assert(out(3).getAs[Long]("n_risk") === 1L &&
+      out(3).getAs[Double]("survival") === s3 * (1.0 - 0.0 / 1.0))
+    // d = n at a time: survival exactly 0, se NULL from there on
+    val all = Seq((1L, false), (1L, false), (2L, false)).toDF("t", "c")
+    val o2 = graft.ops.WindowOps.kaplanMeier(col("t"), col("c"))(all)
+      .orderBy("t").collect()
+    assert(o2(0).getAs[Double]("survival") === 1.0 - 2.0 / 3.0)
+    assert(o2(1).getAs[Double]("survival") === 0.0 &&
+      o2(1).isNullAt(o2(1).fieldIndex("se")))
+    // NULL time or censored rows drop; groups stay independent
+    val g = Seq(("a", 1L, false), ("a", 2L, true), ("b", 1L, true),
+      ("b", 5L, false)).toDF("g", "t", "c")
+    val og = graft.ops.WindowOps.kaplanMeier(col("t"), col("c"),
+      Seq("g"))(g).orderBy("g", "t").collect()
+    assert(og.length === 4)
+    assert(og(0).getAs[Double]("survival") === 1.0 - 1.0 / 2.0)
+    assert(og(2).getAs[Double]("survival") === 1.0 - 0.0 / 2.0)
+    assert(og(3).getAs[Long]("n_risk") === 1L &&
+      og(3).getAs[Double]("survival") === 1.0 * (1.0 - 1.0 / 1.0))
+  }
 }
