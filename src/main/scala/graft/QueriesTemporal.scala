@@ -341,6 +341,17 @@ private[graft] object QueriesTemporal {
         lo = 0.0, hi = 500.0, windowLength = "6 hours")
         .orderBy("window_start")
     },
+    "anova_gate" -> { (s, dir) =>
+      // the live k-arm mean-drift gate on its batch path (window()
+      // plans identically on batch): per 6h window, the one-way ANOVA
+      // F across the three declared cohorts on the shared quantized
+      // dag, gated at the driver-literal F = 3.0
+      graft.streaming.Streaming.windowedAnovaGate(
+        table(s, dir, "events"), col("user_id") % 3, col("value"),
+        variantValues = Seq("0", "1", "2"), fCrit = 3.0,
+        windowLength = "6 hours")
+        .orderBy("window_start")
+    },
     "retention_curve" -> { (s, dir) =>
       // per-cohort Kaplan–Meier retention: each user's duration = its
       // active span in whole days, censored = still active within 2
@@ -1233,6 +1244,49 @@ private[graft] object QueriesTemporal {
         ks_stat > threshold AS drift
       FROM s ORDER BY window_start"""
     },
+    // mirrors Streaming.windowedAnovaGate on batch: per-6h-window
+    // per-variant exact quantized sums, the same zero-clamped ssw list
+    // fold and F/eta² dag as one_way_anova, the 3.0 gate
+    "anova_gate" -> s"""
+      WITH b AS (SELECT
+          time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w,
+          CAST(user_id % 3 AS VARCHAR) AS v,
+          CAST(round(CAST(value AS DOUBLE) * 1e9, 0) AS DECIMAL(19,0))
+            AS z9
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+          AND CAST(user_id % 3 AS VARCHAR) IN ('0', '1', '2')),
+      pv AS (SELECT w, v, CAST(count(*) AS BIGINT) AS ng,
+          CAST(sum(CAST(z9 AS DECIMAL(38,0))) AS HUGEINT) AS s1,
+          CAST(sum(CAST(z9 * z9 AS DECIMAL(38,0))) AS HUGEINT) AS s2
+        FROM b GROUP BY w, v),
+      tt AS (SELECT w, CAST(sum(ng) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS k, sum(s1) AS ss1
+        FROM pv GROUP BY w),
+      j AS (SELECT pv.w, pv.v, ng, s1, s2, n, k,
+          CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE) AS zg,
+          CAST(ss1 AS DOUBLE) / CAST(n AS DOUBLE) AS zbar
+        FROM pv JOIN tt ON tt.w IS NOT DISTINCT FROM pv.w),
+      s AS (SELECT w, max(n) AS n, max(k) AS k,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(ng AS DOUBLE) * (zg - zbar) * (zg - zbar)
+              ORDER BY v)), (a, t) -> a + t) AS ssb,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(greatest(CAST(s2 AS DOUBLE) - CAST(ng AS DOUBLE) * zg * zg,
+              0e0) ORDER BY v)), (a, t) -> a + t) AS ssw
+        FROM j GROUP BY w),
+      f AS (SELECT w AS window_start,
+          w + INTERVAL '6 hours' AS window_end, n, k,
+          CASE WHEN k >= 2 AND n > k THEN
+            CASE WHEN ssw > 0e0 THEN
+              (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                / (CAST(k AS DOUBLE) - 1e0) * ssb / ssw END END AS f,
+          CASE WHEN k >= 2 AND ssb + ssw > 0e0
+            THEN ssb / (ssb + ssw) END AS eta_sq
+        FROM s)
+      SELECT window_start, window_end, n, k, f, eta_sq,
+        coalesce(f > ${litD(3.0)}, false) AS significant
+      FROM f ORDER BY window_start""",
     // mirrors WindowOps.kaplanMeier over the per-user duration frame:
     // epoch-second aggregates, (group, time) cells, then the survival
     // product and Greenwood sum replayed as a recursive CTE — the

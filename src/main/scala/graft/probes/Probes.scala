@@ -2639,7 +2639,7 @@ object Probes {
     * DuckDB oracle's DECIMAL cast errors — ONE definition so the
     * bound, the rounding, and the message cannot drift between the
     * ops (review-caught triplication). */
-  private def quantize9(op: String, label: String, noun: String)(
+  private[graft] def quantize9(op: String, label: String, noun: String)(
       c: Column): Column =
     when(abs(c) > lit(9.0e9), raise_error(concat(
       lit(s"$op: $label = "), abs(c).cast(StringType),
@@ -2765,15 +2765,29 @@ object Probes {
             col("__ng").cast("double") * col("__zg") * col("__zg"),
             lit(0.0)))
             .as("__ssw"))
-    val kD = col("k").cast("double")
-    val nD = col("n").cast("double")
+    val (f, eta) = anovaFFromSums(col("n"), col("k"),
+      col("__ssb"), col("__ssw"))
     sums.select(grp ++ Seq(col("n"), col("k"),
-      when(col("k") >= 2 && col("n") > col("k"),
-        when(col("__ssw") > 0.0,
-          (nD - kD) / (kD - lit(1.0)) * col("__ssb") / col("__ssw")))
-        .as("f"),
-      when(col("k") >= 2 && col("__ssb") + col("__ssw") > 0.0,
-        col("__ssb") / (col("__ssb") + col("__ssw"))).as("eta_sq")): _*)
+      f.as("f"), eta.as("eta_sq")): _*)
+  }
+
+  /** The final one-way-ANOVA projection over (N, k, ssb, ssw) —
+    * `F = (N−k)/(k−1)·ssb/ssw` and `eta² = ssb/(ssb+ssw)` with the
+    * degenerate guards (k < 2, N ≤ k, zero within-variance → NULL F) —
+    * shared STRUCTURALLY between [[anovaFOverQuantized]] (batch, the
+    * variant-pinned folds) and
+    * [[graft.streaming.Streaming.windowedAnovaGate]] (live, the
+    * pivoted fixed-width counters): the batch-dag-verbatim promise is
+    * one definition, not two spellings (the `signZ` discipline).
+    * Returned UNALIASED. */
+  private[graft] def anovaFFromSums(n: Column, k: Column,
+      ssb: Column, ssw: Column): (Column, Column) = {
+    val kD = k.cast("double")
+    val nD = n.cast("double")
+    val f = when(k >= 2 && n > k,
+      when(ssw > 0.0, (nD - kD) / (kD - lit(1.0)) * ssb / ssw))
+    val eta = when(k >= 2 && ssb + ssw > 0.0, ssb / (ssb + ssw))
+    (f, eta)
   }
 
   /** One-way ANOVA F per group — the PARAMETRIC k-sample location

@@ -783,6 +783,100 @@ object Streaming {
       coalesce(abs(z) > lit(zCrit), lit(false)).as("significant"))
   }
 
+  /** Windowed k-arm mean-drift gate — the live
+    * [[graft.probes.Probes.oneWayAnova]]: per tumbling event-time
+    * window, did ANY of the k declared variants' MEAN values move
+    * (canary vs control vs shadow cost-per-request, per-arm latency
+    * means)? This streaming twin CAN exist where a windowed
+    * Kruskal–Wallis cannot: per-variant `(n, Σz9, Σz9²)` on the
+    * 1e-9-quantized values is FIXED-WIDTH state — 3 exact counters per
+    * declared variant, pivoted into columns (the [[fleissCells]]
+    * ≤ 32-label doctrine; rows outside the declared variant vocabulary
+    * DROP, the loud alternative being no streaming form at all).
+    *
+    * The statistic is the batch op's dag STRUCTURALLY: the same
+    * [[graft.probes.Probes.quantize9]] money-column bound (|value| ≤
+    * 9e9 or a loud raise), the same per-variant within-term zero-clamp,
+    * and the same final F/eta² projection
+    * ([[graft.probes.Probes.anovaFFromSums]] — one definition, the
+    * [[windowedSignTest]] discipline). The ssb/ssw folds run in
+    * `variantValues` order over the pivoted columns; pass the variants
+    * SORTED and the fold sequence is byte-identical to the batch op's
+    * variant-pinned fold (empty variants contribute exact `+0.0`
+    * no-ops) — the parity spec pins stream output against
+    * [[graft.probes.Probes.oneWayAnova]] per window EXACTLY. No
+    * p-value (no-libm): `significant` gates at the driver-literal
+    * `fCrit` (3.0 is the 95% F gate at k = 3, large N). A window
+    * missing variants reads its honest smaller k; k < 2 or zero
+    * within-variance reads NULL F and false `significant` (no
+    * evidence is not an alarm). NULL variant/value rows drop. Output
+    * per window: `window_start, window_end, n, k, f, eta_sq,
+    * significant`. */
+  def windowedAnovaGate(
+      events: DataFrame,
+      variant: Column,
+      value: Column,
+      variantValues: Seq[String],
+      fCrit: Double = 3.0,
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(variantValues.nonEmpty, "at least one declared variant")
+    require(variantValues.distinct.size == variantValues.size,
+      s"duplicate declared variants: ${variantValues.mkString(", ")}")
+    require(variantValues.size <= 32,
+      s"at most 32 declared variants (fixed-width streaming state), " +
+        s"got ${variantValues.size}")
+    require(fCrit > 0.0 && fCrit <= 1e6, s"fCrit must be in (0, 1e6]: $fCrit")
+    val v = variant.cast("string")
+    val z9 = graft.probes.Probes.quantize9(
+      "windowedAnovaGate", "|value|", "values")(value.cast("double"))
+    val zero38 = lit(0).cast("decimal(38,0)")
+    val base = events
+      .filter(variant.isNotNull && value.isNotNull &&
+        v.isin(variantValues.map(x => x: Any): _*))
+      .select(col(tsField), v.as("__v"), z9.as("__z9"))
+      .withWatermark(tsField, watermarkDelay)
+    val counters = variantValues.zipWithIndex.flatMap { case (l, j) =>
+      Seq(count(when(col("__v") === l, 1)).as(s"__n$j"),
+        sum(when(col("__v") === l, col("__z9").cast("decimal(38,0)"))
+          .otherwise(zero38)).as(s"__s1_$j"),
+        sum(when(col("__v") === l,
+          (col("__z9") * col("__z9")).cast("decimal(38,0)"))
+          .otherwise(zero38)).as(s"__s2_$j"))
+    }
+    val agged = base
+      .groupBy(window(col(tsField), windowLength).as("__w"))
+      .agg(counters.head, counters.tail: _*)
+    val idx = variantValues.indices
+    def nj(j: Int) = col(s"__n$j")
+    val nTot = idx.map(nj).reduce(_ + _)
+    val kCol = idx.map(j => when(nj(j) > 0L, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val s1Tot = idx.map(j => col(s"__s1_$j")).reduce(_ + _)
+    val zbar = s1Tot.cast("double") / nTot.cast("double")
+    def zg(j: Int) = col(s"__s1_$j").cast("double") / nj(j).cast("double")
+    // the fold sequence mirrors the batch variant-pinned fold when
+    // variantValues are sorted: an empty variant's term is an exact
+    // +0.0 no-op, so present-variant partial sums are byte-identical
+    val ssb = idx.map { j =>
+      when(nj(j) > 0L,
+        nj(j).cast("double") * (zg(j) - zbar) * (zg(j) - zbar))
+        .otherwise(lit(0.0))
+    }.foldLeft(lit(0.0))(_ + _)
+    val ssw = idx.map { j =>
+      when(nj(j) > 0L, greatest(col(s"__s2_$j").cast("double") -
+        nj(j).cast("double") * zg(j) * zg(j), lit(0.0)))
+        .otherwise(lit(0.0))
+    }.foldLeft(lit(0.0))(_ + _)
+    val (f, eta) = graft.probes.Probes.anovaFFromSums(
+      nTot, kCol, ssb, ssw)
+    agged.select(col("__w.start").as("window_start"),
+      col("__w.end").as("window_end"),
+      nTot.as("n"), kCol.as("k"), f.as("f"), eta.as("eta_sq"),
+      coalesce(f > lit(fCrit), lit(false)).as("significant"))
+  }
+
   /** Per-(window, item) pivoted label-count cells — the shared level-1
     * aggregation of [[windowedFleissKappa]] / [[windowedLabelQa]]. The
     * DECLARED label vocabulary is what makes the streaming form legal

@@ -908,6 +908,71 @@ class StreamingSpec extends SparkSpec {
     assert(batchOp.getAs[Double]("z") === 1.0)
   }
 
+  test("windowedAnovaGate: per-window F gate, exact oneWayAnova parity") {
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Timestamp, Int, Double)]
+    val out = Streaming.windowedAnovaGate(
+      input.toDF().toDF("ts", "v", "x"), col("v"), col("x"),
+      variantValues = Seq("0", "1", "2"), fCrit = 3.0,
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wag")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // window 10:00: arm0 = {1,2,3}, arm1 = {4,5,6} — the
+        // oneWayAnova hand case, F = 13.5; the v=7 row is outside the
+        // declared vocabulary and DROPS
+        (ts("10:01"), 0, 1.0), (ts("10:02"), 0, 2.0),
+        (ts("10:03"), 0, 3.0), (ts("10:04"), 1, 4.0),
+        (ts("10:05"), 1, 5.0), (ts("10:06"), 1, 6.0),
+        (ts("10:07"), 7, 100.0),
+        (ts("10:21"), 0, 0.0))
+      q.processAllAvailable()
+      input.addData((ts("10:41"), 0, 0.0))
+      q.processAllAvailable()
+      val w1 = spark.table("wag").collect()
+        .find(_.getAs[Timestamp]("window_start") == ts("10:00")).get
+      assert(w1.getAs[Long]("n") === 6L && w1.getAs[Long]("k") === 2L)
+      assert(math.abs(w1.getAs[Double]("f") - 13.5) < 1e-6)
+      assert(w1.getAs[Boolean]("significant"))
+      // a one-arm window: k = 1 -> NULL F, gate stays quiet
+      val w2 = spark.table("wag").collect()
+        .find(_.getAs[Timestamp]("window_start") == ts("10:20")).get
+      assert(w2.getAs[Long]("k") === 1L &&
+        w2.isNullAt(w2.fieldIndex("f")) &&
+        !w2.getAs[Boolean]("significant"))
+    } finally q.stop()
+    // batch parity: the same function on a batch frame, row for row
+    val rows = Seq((ts("10:01"), 0, 1.0), (ts("10:02"), 0, 2.0),
+      (ts("10:03"), 0, 3.0), (ts("10:04"), 1, 4.0),
+      (ts("10:05"), 1, 5.0), (ts("10:06"), 1, 6.0),
+      (ts("10:07"), 7, 100.0))
+    val viaBatch = Streaming.windowedAnovaGate(
+      rows.toDF("ts", "v", "x"), col("v"), col("x"),
+      Seq("0", "1", "2"), fCrit = 3.0, windowLength = "10 minutes")
+      .collect().toSeq
+    val viaStream = spark.table("wag")
+      .filter(col("window_start") === ts("10:00"))
+      .collect().toSeq
+    assert(viaStream.map(_.toSeq) === viaBatch.map(_.toSeq))
+    // the per-window F/eta² equal Probes.oneWayAnova EXACTLY: sorted
+    // vocabulary -> the pivoted fold sequence is the batch op's
+    // variant-pinned fold (empty variants are exact +0.0 no-ops)
+    val batchOp = graft.probes.Probes.oneWayAnova(col("v"), col("x"))(
+      rows.filter(r => r._2 <= 2).toDF("ts", "v", "x")).head()
+    assert(batchOp.getAs[Double]("f") ===
+      viaBatch.head.getAs[Double]("f"))
+    assert(batchOp.getAs[Double]("eta_sq") ===
+      viaBatch.head.getAs[Double]("eta_sq"))
+    // declared-vocabulary contracts stay loud
+    intercept[IllegalArgumentException](Streaming.windowedAnovaGate(
+      rows.toDF("ts", "v", "x"), col("v"), col("x"),
+      (0 to 32).map(_.toString)))
+    intercept[IllegalArgumentException](Streaming.windowedAnovaGate(
+      rows.toDF("ts", "v", "x"), col("v"), col("x"),
+      Seq("0", "0")))
+  }
+
   test("windowedValueDrift: exact KS/TVD vs stored histogram, gate, batch parity") {
     import org.apache.spark.sql.functions.col
     val refHist = Seq(1L, 1L, 1L, 1L) // balanced 4-bin reference over [0, 8)
