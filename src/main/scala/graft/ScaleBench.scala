@@ -32,7 +32,7 @@ object ScaleBench {
     // Optional comma-separated phase subset (spans / bm25 / cc / ann /
     // inc / contain / bpe / text11 / oph / freq / ts / r12 / tri / r13 /
     // r13b / tfidf / pareto / r14 / flag / conv / r14c / r15 / r15b)
-    // plus r15c / r16 / r16b / r16c / r17 / r17b, for targeted re-measures
+    // plus r15c / r16 / r16b / r16c / r17 / r17b / r18, for targeted re-measures
     // without paying the whole harness; absent → all phases.
     val phases = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
@@ -2343,6 +2343,129 @@ object ScaleBench {
     }
     println("blocks_x,cochran_q_sec")
     cqOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    }
+
+    phase("r18") {
+    import graft.probes.{Probes => P18}
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    def noop(d: DataFrame): Unit =
+      d.write.mode("overwrite").format("noop").save()
+    val ev18 = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("value").isNotNull && col("event_id").isNotNull &&
+        col("user_id").isNotNull)
+      .select("user_id", "event_id", "value", "ts")
+    // krippendorffAlphaWeighted at the maxLabels BOUNDARY: fixed
+    // ratings, V = 64/128/256 — the |V|² pair frame is the op's one
+    // quadratic surface; its cost must stay parameter-sized (invisible
+    // next to the corpus-sized coincidence scan) right up to the
+    // guard. The V = maxLabels+1 loud raise is spec-pinned
+    // (ProbesSpec "krippendorffAlpha*: maxLabels").
+    def ratings18(levels: Int): DataFrame = ev18.select(
+      (col("user_id") % 2000).as("item"),
+      (col("event_id") % levels).cast("double").as("v"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    def kawJob18(d: DataFrame): Unit =
+      noop(P18.krippendorffAlphaWeighted(col("item"), col("v"),
+        "ordinal", exactOrder = false)(d))
+    locally { val d1 = ratings18(64).localCheckpoint()
+      kawJob18(d1); d1.unpersist() }
+    locally {
+      val lr = for (lv <- Seq(64, 128, 256)) yield {
+        val d = ratings18(lv).localCheckpoint()
+        val t = median3(kawJob18(d)); d.unpersist()
+        (lv, t)
+      }
+      println("labels,krippendorff_ordinal_sec")
+      lr.foreach { case (lv, t) => println(f"$lv,$t%.2f") }
+    }
+    // dunnTest: rows ×1/×2/×4 over disjoint groups — must track the
+    // kruskalWallis pooled-rank-window cost (its pair frame is
+    // k²-tiny); same frame shape as the r17b KW cell
+    def kw18(k: Int): DataFrame =
+      (0 until k).map(i => ev18.select(
+        ((col("user_id") % 64) + lit(i.toLong * 1_000L)).as("g"),
+        (col("event_id") % 3).as("v"), col("value").as("x")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def dunnJob(d: DataFrame): Unit =
+      noop(P18.dunnTest(col("v"), col("x"), Seq("g"))(d))
+    locally { val d1 = kw18(1).localCheckpoint(); dunnJob(d1); d1.unpersist() }
+    val dunnOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = kw18(k).localCheckpoint()
+      val t = median3(dunnJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("rows_x,dunn_posthoc_sec")
+    dunnOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // jonckheereTerpstra: rows ×1/×2/×4 at k = 3 (must track the
+    // (k−1)×-replicated rank windows, i.e. linear), then the k sweep
+    // 3/6/12 at ×1 — the documented (k−1)× replication bill must show
+    // as roughly proportional growth, not hidden
+    def jtJob(d: DataFrame): Unit =
+      noop(P18.jonckheereTerpstra(col("v"), col("x"), Seq("g"))(d))
+    locally { val d1 = kw18(1).localCheckpoint(); jtJob(d1); d1.unpersist() }
+    val jtOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = kw18(k).localCheckpoint()
+      val t = median3(jtJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("rows_x,jonckheere_terpstra_sec")
+    jtOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    locally {
+      val kr = for (kk <- Seq(3, 6, 12)) yield {
+        val d = ev18.select((col("user_id") % 64).as("g"),
+          (col("event_id") % kk).as("v"), col("value").as("x"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint()
+        val t = median3(jtJob(d)); d.unpersist()
+        (kk, t)
+      }
+      println("variants_k,jonckheere_terpstra_sec")
+      kr.foreach { case (kk, t) => println(f"$kk,$t%.2f") }
+    }
+    // kaplanMeier: subjects ×1/×2/×4 over disjoint groups with a
+    // FIXED day grid (distinct times per group bounded by design) —
+    // must track the (group, time) cells hash-agg, the fold being
+    // grid-sized
+    def km18(k: Int): DataFrame =
+      (0 until k).map(i => ev18.select(
+        ((col("user_id") % 64) + lit(i.toLong * 1_000L)).as("g"),
+        (col("event_id") % 30).cast("long").as("t"),
+        (col("event_id") % 7 === 0).as("c")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def kmJob(d: DataFrame): Unit =
+      noop(graft.ops.WindowOps.kaplanMeier(col("t"), col("c"),
+        Seq("g"))(d))
+    locally { val d1 = km18(1).localCheckpoint(); kmJob(d1); d1.unpersist() }
+    val kmOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = km18(k).localCheckpoint()
+      val t = median3(kmJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("subjects_x,kaplan_meier_sec")
+    kmOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // windowedAnovaGate batch path: rows ×1/×2/×4 — ONE stateful-agg
+    // shape (3 counters × 3 declared variants + window), fixed-width
+    // state, must track the scan like the r17b value-drift cell
+    def gate18(k: Int): DataFrame =
+      (0 until k).map(_ => ev18.select(col("ts"),
+        (col("user_id") % 3).as("v"), col("value").as("x")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def agJob(d: DataFrame): Unit =
+      noop(graft.streaming.Streaming.windowedAnovaGate(d, col("v"),
+        col("x"), Seq("0", "1", "2"), windowLength = "6 hours"))
+    locally { val d1 = gate18(1).localCheckpoint(); agJob(d1); d1.unpersist() }
+    val agOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = gate18(k).localCheckpoint()
+      val t = median3(agJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("rows_x,anova_gate_sec")
+    agOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
     }
     spark.stop()
   }
