@@ -352,6 +352,19 @@ private[graft] object QueriesTemporal {
         windowLength = "6 hours")
         .orderBy("window_start")
     },
+    "sign_matrix" -> { (s, dir) =>
+      // the live paired-k sign matrix on its batch path: three derived
+      // "scores" per event row (the block), per 6h window the pairwise
+      // sign z over the k²·4 exact counters — which arm beats which,
+      // with between-block level differences cancelled by pairing
+      graft.streaming.Streaming.windowedSignMatrix(
+        table(s, dir, "events"),
+        Seq("a" -> col("value"),
+          "b" -> (col("event_id") % 400),
+          "c" -> (col("user_id") % 350)),
+        windowLength = "6 hours")
+        .orderBy("window_start", "treatment_a", "treatment_b")
+    },
     "retention_curve" -> { (s, dir) =>
       // per-cohort Kaplan–Meier retention: each user's duration = its
       // active span in whole days, censored = still active within 2
@@ -1244,6 +1257,68 @@ private[graft] object QueriesTemporal {
         ks_stat > threshold AS drift
       FROM s ORDER BY window_start"""
     },
+    // mirrors Streaming.windowedSignMatrix on batch: per-6h-window
+    // k-wise-complete blocks, the four exact sign counters per ordered
+    // pair, the one-sqrt z, stacked to a row per pair
+    "sign_matrix" -> s"""
+      WITH b AS (SELECT
+          time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w,
+          CAST(value AS DOUBLE) AS va,
+          CAST(event_id % 400 AS DOUBLE) AS vb,
+          CAST(user_id % 350 AS DOUBLE) AS vc
+        FROM events),
+      c AS (SELECT w, CAST(count(*) AS BIGINT) AS n_total,
+          CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+            AND vc IS NOT NULL THEN 1 END) AS BIGINT) AS n_blocks,
+          CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+            AND vc IS NOT NULL AND va - vb = 0e0 THEN 1 END) AS BIGINT)
+            AS z_ab,
+          CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+            AND vc IS NOT NULL AND va - vb > 0e0 THEN 1 END) AS BIGINT)
+            AS p_ab,
+          CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+            AND vc IS NOT NULL AND va - vb < 0e0 THEN 1 END) AS BIGINT)
+            AS n_ab,
+          CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+            AND vc IS NOT NULL AND va - vc = 0e0 THEN 1 END) AS BIGINT)
+            AS z_ac,
+          CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+            AND vc IS NOT NULL AND va - vc > 0e0 THEN 1 END) AS BIGINT)
+            AS p_ac,
+          CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+            AND vc IS NOT NULL AND va - vc < 0e0 THEN 1 END) AS BIGINT)
+            AS n_ac,
+          CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+            AND vc IS NOT NULL AND vb - vc = 0e0 THEN 1 END) AS BIGINT)
+            AS z_bc,
+          CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+            AND vc IS NOT NULL AND vb - vc > 0e0 THEN 1 END) AS BIGINT)
+            AS p_bc,
+          CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+            AND vc IS NOT NULL AND vb - vc < 0e0 THEN 1 END) AS BIGINT)
+            AS n_bc
+        FROM b GROUP BY w),
+      st AS (
+        SELECT w, n_blocks, n_total - n_blocks AS n_dropped,
+          'a' AS treatment_a, 'b' AS treatment_b,
+          z_ab AS n_zero, p_ab AS n_pos, n_ab AS n_neg FROM c
+        UNION ALL
+        SELECT w, n_blocks, n_total - n_blocks,
+          'a', 'c', z_ac, p_ac, n_ac FROM c
+        UNION ALL
+        SELECT w, n_blocks, n_total - n_blocks,
+          'b', 'c', z_bc, p_bc, n_bc FROM c),
+      f AS (SELECT w AS window_start,
+          w + INTERVAL '6 hours' AS window_end, n_blocks, n_dropped,
+          treatment_a, treatment_b, n_zero, n_pos, n_neg,
+          CASE WHEN n_pos + n_neg > 0
+            THEN CAST(n_pos - n_neg AS DOUBLE)
+              / sqrt(CAST(n_pos + n_neg AS DOUBLE)) END AS z
+        FROM st)
+      SELECT window_start, window_end, n_blocks, n_dropped,
+        treatment_a, treatment_b, n_zero, n_pos, n_neg, z,
+        coalesce(abs(z) > ${litD(1.96)}, false) AS significant
+      FROM f ORDER BY window_start, treatment_a, treatment_b""",
     // mirrors Streaming.windowedAnovaGate on batch: per-6h-window
     // per-variant exact quantized sums, the same zero-clamped ssw list
     // fold and F/eta² dag as one_way_anova, the 3.0 gate

@@ -2347,14 +2347,18 @@ object Probes {
     sum(when(col("__d") > 0.0, 1L).otherwise(0L)).as("n_pos"),
     sum(when(col("__d") < 0.0, 1L).otherwise(0L)).as("n_neg"))
 
-  /** The sign-test z dag over the counter columns: exact integer
+  /** The sign-test z dag over a (pos, neg) counter pair: exact integer
     * (pos − neg) over one sqrt of the exact (pos + neg); NULL when no
     * nonzero difference exists (zero evidence, not zero effect).
-    * Returned UNALIASED (the streaming gate thresholds it first). */
-  private[graft] def signZ: Column =
-    when(col("n_pos") + col("n_neg") > 0L,
-      (col("n_pos") - col("n_neg")).cast("double") /
-        sqrt((col("n_pos") + col("n_neg")).cast("double")))
+    * Returned UNALIASED. ONE definition serves [[signTest]], the
+    * streaming [[graft.streaming.Streaming.windowedSignTest]] gate,
+    * and every pair cell of
+    * [[graft.streaming.Streaming.windowedSignMatrix]]. */
+  private[graft] def signZOf(pos: Column, neg: Column): Column =
+    when(pos + neg > 0L,
+      (pos - neg).cast("double") / sqrt((pos + neg).cast("double")))
+
+  private[graft] def signZ: Column = signZOf(col("n_pos"), col("n_neg"))
 
   /** Sign test per group — the assumption-free PAIRED location test:
     * under the null each nonzero difference is equally likely up or

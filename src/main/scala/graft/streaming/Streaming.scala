@@ -783,6 +783,93 @@ object Streaming {
       coalesce(abs(z) > lit(zCrit), lit(false)).as("significant"))
   }
 
+  /** Windowed paired-k sign matrix — the live twin
+    * [[graft.probes.Probes.friedmanTest]] can only have THIS way:
+    * per-window within-block ranks are unbounded state, but each
+    * ordered treatment pair's SIGN counters are four exact integers
+    * (the [[windowedSignTest]] insight, k-arm edition — k²·4 counters,
+    * k ≤ 8, fixed-width state). A block is one ROW carrying all k
+    * treatment scores (one request scored by k model variants, one
+    * item judged by k gate versions) — between-block level differences
+    * cancel exactly as in Friedman. Per window and ordered pair (i, j)
+    * the matrix emits `z = (n_pos − n_neg)/√(n_pos + n_neg)` (the
+    * [[graft.probes.Probes.signZOf]] dag, one definition) and gates at
+    * `zCrit` PER PAIR — for family-wise control across the k(k−1)/2
+    * comparisons pass the Bonferroni-adjusted critical value (2.64 is
+    * the 95% gate at m = 10), or feed the emitted family into
+    * [[graft.probes.Probes.bhCorrect]]-style step-up offline.
+    *
+    * Block contract, streamed: a row with ANY NULL treatment drops
+    * from every pair's counters and is REPORTED (`n_dropped`) — the
+    * complete-block doctrine of the batch op (silent imputation is how
+    * paired becomes unpaired); note this is k-wise, stricter than
+    * [[graft.probes.Probes.signTest]]'s per-pair NULL drop. Zero
+    * differences count into `n_zero` only. A pair with no nonzero
+    * difference reads NULL z and false `significant`. Identical plan
+    * on a batch frame (spec-pinned; each pair's counters equal
+    * [[graft.probes.Probes.signTest]] on the same two columns when no
+    * NULLs intervene). Output per (window, ordered pair):
+    * `window_start, window_end, n_blocks, n_dropped, treatment_a,
+    * treatment_b, n_zero, n_pos, n_neg, z, significant`. */
+  def windowedSignMatrix(
+      events: DataFrame,
+      treatments: Seq[(String, Column)],
+      zCrit: Double = 1.96,
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(treatments.size >= 2 && treatments.size <= 8,
+      s"2..8 treatments (k^2*4 fixed-width counters), got " +
+        s"${treatments.size}")
+    val names = treatments.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate treatment names: ${names.mkString(", ")}")
+    require(zCrit > 0.0 && zCrit <= 100.0,
+      s"zCrit must be in (0, 100]: $zCrit")
+    val k = treatments.size
+    val base = events
+      .select(col(tsField) +: treatments.zipWithIndex.map {
+        case ((_, c), i) => c.cast("double").as(s"__v$i") }: _*)
+      .withWatermark(tsField, watermarkDelay)
+    val complete = treatments.indices
+      .map(i => col(s"__v$i").isNotNull).reduce(_ && _)
+    val pairsIdx = for { i <- 0 until k; j <- i + 1 until k } yield (i, j)
+    val counters = Seq(
+      count(lit(1)).as("__n_total"),
+      count(when(complete, 1)).as("n_blocks")) ++
+      pairsIdx.flatMap { case (i, j) =>
+        val d = col(s"__v$i") - col(s"__v$j")
+        Seq(count(when(complete && d === 0.0, 1)).as(s"__z_${i}_$j"),
+          count(when(complete && d > 0.0, 1)).as(s"__p_${i}_$j"),
+          count(when(complete && d < 0.0, 1)).as(s"__n_${i}_$j"))
+      }
+    val agged = base
+      .groupBy(window(col(tsField), windowLength).as("__w"))
+      .agg(counters.head, counters.tail: _*)
+    val pairStructs = array(pairsIdx.map { case (i, j) =>
+      val pos = col(s"__p_${i}_$j")
+      val neg = col(s"__n_${i}_$j")
+      val z = graft.probes.Probes.signZOf(pos, neg)
+      struct(lit(names(i)).as("treatment_a"),
+        lit(names(j)).as("treatment_b"),
+        col(s"__z_${i}_$j").as("n_zero"), pos.as("n_pos"),
+        neg.as("n_neg"), z.as("z"),
+        coalesce(abs(z) > lit(zCrit), lit(false)).as("significant"))
+    }: _*)
+    agged
+      .select(col("__w.start").as("window_start"),
+        col("__w.end").as("window_end"), col("n_blocks"),
+        (col("__n_total") - col("n_blocks")).as("n_dropped"),
+        explode(pairStructs).as("__pair"))
+      .select(col("window_start"), col("window_end"), col("n_blocks"),
+        col("n_dropped"), col("__pair.treatment_a").as("treatment_a"),
+        col("__pair.treatment_b").as("treatment_b"),
+        col("__pair.n_zero").as("n_zero"),
+        col("__pair.n_pos").as("n_pos"),
+        col("__pair.n_neg").as("n_neg"), col("__pair.z").as("z"),
+        col("__pair.significant").as("significant"))
+  }
+
   /** Windowed k-arm mean-drift gate — the live
     * [[graft.probes.Probes.oneWayAnova]]: per tumbling event-time
     * window, did ANY of the k declared variants' MEAN values move

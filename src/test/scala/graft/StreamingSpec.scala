@@ -908,6 +908,83 @@ class StreamingSpec extends SparkSpec {
     assert(batchOp.getAs[Double]("z") === 1.0)
   }
 
+  test("windowedSignMatrix: pairwise sign z, block drop reported, signTest parity") {
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Timestamp, Double, Double, Double)]
+    val out = Streaming.windowedSignMatrix(
+      input.toDF().toDF("ts", "a", "b", "c"),
+      Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")),
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wsm")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // a vs b diffs (+ + + - 0) — the signTest hand case, z = 1;
+        // a vs c diffs (0 0 + 0 0) -> z = 1/sqrt(1) = 1, n_zero = 4;
+        // b vs c diffs (- - 0 + 0) -> z = -1/sqrt(3)
+        (ts("10:01"), 1.0, 0.0, 1.0), (ts("10:02"), 2.0, 0.0, 2.0),
+        (ts("10:03"), 3.0, 0.0, 0.0), (ts("10:04"), 0.0, 4.0, 0.0),
+        (ts("10:05"), 5.0, 5.0, 5.0),
+        (ts("10:21"), 0.0, 0.0, 0.0))
+      q.processAllAvailable()
+      val m = spark.table("wsm").collect()
+        .filter(_.getAs[Timestamp]("window_start") == ts("10:00"))
+        .map(r => (r.getAs[String]("treatment_a"),
+          r.getAs[String]("treatment_b")) -> r).toMap
+      assert(m.size === 3)
+      val ab = m(("a", "b"))
+      assert(ab.getAs[Long]("n_blocks") === 5L &&
+        ab.getAs[Long]("n_dropped") === 0L)
+      assert(ab.getAs[Long]("n_pos") === 3L &&
+        ab.getAs[Long]("n_neg") === 1L && ab.getAs[Double]("z") === 1.0)
+      assert(!ab.getAs[Boolean]("significant"))
+      val ac = m(("a", "c"))
+      assert(ac.getAs[Long]("n_zero") === 4L &&
+        ac.getAs[Double]("z") === 1.0)
+      val bc = m(("b", "c"))
+      assert(bc.getAs[Long]("n_pos") === 1L &&
+        bc.getAs[Long]("n_neg") === 2L)
+      assert(bc.getAs[Double]("z") === -1.0 / math.sqrt(3.0))
+    } finally q.stop()
+    // batch parity row-for-row, and each pair's z equals
+    // Probes.signTest on the same two columns (shared signZOf dag)
+    val rows = Seq((ts("10:01"), 1.0, 0.0, 1.0),
+      (ts("10:02"), 2.0, 0.0, 2.0), (ts("10:03"), 3.0, 0.0, 0.0),
+      (ts("10:04"), 0.0, 4.0, 0.0), (ts("10:05"), 5.0, 5.0, 5.0))
+    val viaBatch = Streaming.windowedSignMatrix(
+      rows.toDF("ts", "a", "b", "c"),
+      Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")),
+      windowLength = "10 minutes")
+      .orderBy("treatment_a", "treatment_b").collect().toSeq
+    val viaStream = spark.table("wsm")
+      .filter(col("window_start") === ts("10:00"))
+      .orderBy("treatment_a", "treatment_b").collect().toSeq
+    assert(viaStream.map(_.toSeq) === viaBatch.map(_.toSeq))
+    val st = graft.probes.Probes.signTest(col("a"), col("b"))(
+      rows.toDF("ts", "a", "b", "c")).head()
+    assert(st.getAs[Double]("z") === viaBatch.head.getAs[Double]("z"))
+    // a row with ANY NULL treatment drops from EVERY pair and is
+    // REPORTED — the k-wise complete-block contract
+    val withNull = Seq(
+      (ts("10:01"), Some(1.0), Some(0.0), Some(1.0)),
+      (ts("10:02"), Some(2.0), Some(0.0), None))
+      .toDF("ts", "a", "b", "c")
+    val nd = Streaming.windowedSignMatrix(withNull,
+      Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")),
+      windowLength = "10 minutes").collect()
+    assert(nd.forall(r => r.getAs[Long]("n_blocks") === 1L &&
+      r.getAs[Long]("n_dropped") === 1L))
+    val ndAb = nd.find(r => r.getAs[String]("treatment_a") == "a" &&
+      r.getAs[String]("treatment_b") == "b").get
+    assert(ndAb.getAs[Long]("n_pos") === 1L) // only the complete block
+    // contracts stay loud
+    intercept[IllegalArgumentException](Streaming.windowedSignMatrix(
+      rows.toDF("ts", "a", "b", "c"), Seq("a" -> col("a"))))
+    intercept[IllegalArgumentException](Streaming.windowedSignMatrix(
+      rows.toDF("ts", "a", "b", "c"),
+      Seq("a" -> col("a"), "a" -> col("b"))))
+  }
+
   test("windowedAnovaGate: per-window F gate, exact oneWayAnova parity") {
     import org.apache.spark.sql.functions.col
     val input = MemoryStream[(Timestamp, Int, Double)]
