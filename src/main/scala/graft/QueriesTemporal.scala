@@ -352,6 +352,28 @@ private[graft] object QueriesTemporal {
         windowLength = "6 hours")
         .orderBy("window_start")
     },
+    "logrank_test" -> { (s, dir) =>
+      // did even and odd users churn at different rates, per cohort?
+      // the whole-curve companion of retention_curve on the SAME
+      // subject frame: exact O−E and hypergeometric-variance terms
+      // per distinct day, time-pinned folds, one final z
+      val ev = table(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_id") % 13 === 0)
+      val mx = ev.agg(max(col("ts").cast("long")).as("__gmax"))
+      val subj = ev
+        .groupBy((col("user_id") % 3).as("cohort"), col("user_id"))
+        .agg(min(col("ts").cast("long")).as("__mn"),
+          max(col("ts").cast("long")).as("__mxu"))
+        .crossJoin(broadcast(mx))
+        .select(col("cohort"), (col("user_id") % 2 === 0).as("sa"),
+          floor((col("__mxu") - col("__mn")) / lit(86400L)).cast("long")
+            .as("t0"),
+          (col("__gmax") - col("__mxu") < lit(172800L)).as("cen"))
+      Probes.logRankTest(col("sa"), col("t0"), col("cen"),
+        Seq("cohort"))(subj)
+        .orderBy("cohort")
+    },
     "sign_matrix" -> { (s, dir) =>
       // the live paired-k sign matrix on its batch path: three derived
       // "scores" per event row (the block), per 6h window the pairwise
@@ -1257,6 +1279,64 @@ private[graft] object QueriesTemporal {
         ks_stat > threshold AS drift
       FROM s ORDER BY window_start"""
     },
+    // mirrors Probes.logRankTest over the same subject frame as
+    // retention_curve: per-(cohort, day) cells, at-risk via
+    // total-minus-exclusive-cumsum windows, exact HUGEINT O−E and
+    // hypergeometric-variance numerators into one division per term,
+    // time-ordered list folds, one final sqrt
+    "logrank_test" -> """
+      WITH e AS (SELECT user_id % 3 AS cohort, user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_id % 13 = 0),
+      subj AS (SELECT cohort, (user_id % 2 = 0) AS a,
+          CAST(floor((max(ep) - min(ep)) / 86400) AS BIGINT) AS t,
+          ((SELECT max(ep) FROM e) - max(ep) < 172800) AS cen
+        FROM e GROUP BY cohort, user_id),
+      cells AS (SELECT cohort, t,
+          CAST(sum(CASE WHEN a AND NOT cen THEN 1 ELSE 0 END)
+            AS BIGINT) AS da,
+          CAST(sum(CASE WHEN a AND cen THEN 1 ELSE 0 END)
+            AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN NOT a AND NOT cen THEN 1 ELSE 0 END)
+            AS BIGINT) AS db,
+          CAST(sum(CASE WHEN NOT a AND cen THEN 1 ELSE 0 END)
+            AS BIGINT) AS cb
+        FROM subj GROUP BY cohort, t),
+      w AS (SELECT cohort, t, da, db, ca, cb,
+          CAST(sum(da + ca) OVER (PARTITION BY cohort)
+            - coalesce(sum(da + ca) OVER (PARTITION BY cohort ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS na,
+          CAST(sum(db + cb) OVER (PARTITION BY cohort)
+            - coalesce(sum(db + cb) OVER (PARTITION BY cohort ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS nb
+        FROM cells),
+      tm AS (SELECT cohort, t, da, db, ca, cb, na, nb,
+          CASE WHEN da + db > 0 AND na + nb > 1 THEN
+            CAST(CAST(da AS HUGEINT) * (na + nb)
+                - CAST(da + db AS HUGEINT) * na AS DOUBLE)
+              / CAST(na + nb AS DOUBLE) ELSE 0e0 END AS oe,
+          CASE WHEN da + db > 0 AND na + nb > 1 THEN
+            CAST(CAST(da + db AS HUGEINT) * na * nb
+                * (na + nb - da - db) AS DOUBLE)
+              / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+                * (CAST(na + nb AS DOUBLE) - 1e0)) ELSE 0e0 END AS vv
+        FROM w),
+      ag AS (SELECT cohort,
+          CAST(sum(da + ca) AS BIGINT) AS n_a,
+          CAST(sum(db + cb) AS BIGINT) AS n_b,
+          CAST(sum(da) AS BIGINT) AS deaths_a,
+          CAST(sum(db) AS BIGINT) AS deaths_b,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(oe ORDER BY t)), (acc, x) -> acc + x) AS osum,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(vv ORDER BY t)), (acc, x) -> acc + x) AS vsum
+        FROM tm GROUP BY cohort)
+      SELECT cohort, n_a, n_b, deaths_a, deaths_b, osum AS o_minus_e,
+        CASE WHEN vsum > 0e0 THEN osum / sqrt(vsum) END AS z
+      FROM ag ORDER BY cohort""",
     // mirrors Streaming.windowedSignMatrix on batch: per-6h-window
     // k-wise-complete blocks, the four exact sign counters per ordered
     // pair, the one-sqrt z, stacked to a row per pair

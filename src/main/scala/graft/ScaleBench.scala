@@ -2447,6 +2447,19 @@ object ScaleBench {
     }
     println("subjects_x,kaplan_meier_sec")
     kmOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // logRankTest: same subjects frame + a side split — the KM cost
+    // class plus one more window pass; must track the cells hash-agg
+    def lrJob(d: DataFrame): Unit =
+      noop(P18.logRankTest(col("t") % 2 === 0, col("t"), col("c"),
+        Seq("g"))(d))
+    locally { val d1 = km18(1).localCheckpoint(); lrJob(d1); d1.unpersist() }
+    val lrOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = km18(k).localCheckpoint()
+      val t = median3(lrJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("subjects_x,logrank_test_sec")
+    lrOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
     // windowedAnovaGate batch path: rows ×1/×2/×4 — ONE stateful-agg
     // shape (3 counters × 3 declared variants + window), fixed-width
     // state, must track the scan like the r17b value-drift cell

@@ -810,6 +810,9 @@ final case class Pipeline(df: DataFrame) {
   def jonckheereTerpstra(variant: Column, value: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.jonckheereTerpstra(variant, value, groupCols))
+  def logRankTest(side: Column, time: Column, censored: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.logRankTest(side, time, censored, groupCols))
   def friedmanTest(blockField: String, treatmentField: String,
       value: Column, groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.friedmanTest(blockField, treatmentField, value, groupCols))

@@ -2212,6 +2212,96 @@ object Probes {
         num4.cast("double") / (lit(4.0) * sqrt(variance))).as("z")): _*)
   }
 
+  /** Log-rank (Mantel–Cox) two-sample survival test per group — did
+    * side A churn FASTER, the whole-curve question beside
+    * [[graft.ops.WindowOps.kaplanMeier]]'s per-time estimate (compare
+    * retention between two cohorts/treatments without picking a
+    * horizon). At each distinct event time, with n_t at risk (n_at on
+    * side A), d_t total deaths and d_at on A, the observed-minus-
+    * expected and hypergeometric-variance terms
+    *   `O−E += (d_at·n_t − d_t·n_at)/n_t`
+    *   `V   += d_t·n_at·(n_t−n_at)·(n_t−d_t) / (n_t²·(n_t−1))`
+    * and `z = Σ(O−E)/√ΣV` — |z| ≥ 1.96 IS the 95% gate (no p-value,
+    * the no-libm doctrine; z² is the textbook log-rank χ²₁).
+    * Censored subjects leave the risk set at their time without
+    * counting as deaths (the [[graft.ops.WindowOps.kaplanMeier]]
+    * censoring contract verbatim).
+    *
+    * Exactness: every count is an exact integer (at-risk via one
+    * total-minus-exclusive-cumsum window over the distinct-time
+    * cells); each term's numerators carry as decimal(38,0) products
+    * into ONE division per term, and the two Σ are TIME-PINNED float
+    * folds (`exactOrder=false` = plain sums for production). A time
+    * with no deaths contributes exact 0.0 to both sums; n_t = 1
+    * guards the variance denominator. Degenerate reads: zero variance
+    * (no deaths anywhere, or one side empty throughout) → NULL z with
+    * honest counts. Swapping the sides negates z exactly
+    * (property-spec-pinned). NULL side/time/censored rows drop.
+    *
+    * Scale shape: one hash-agg to (group, time) cells, two window
+    * passes over distinct times, one fold — the
+    * [[graft.ops.WindowOps.kaplanMeier]] cost class (quantize time so
+    * the per-group distinct-time sequence stays bounded). Output per
+    * group: `n_a, n_b, deaths_a, deaths_b, o_minus_e, z`. */
+  def logRankTest(side: Column, time: Column, censored: Column,
+      groupCols: Seq[String] = Nil,
+      exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val base = df
+      .filter(side.isNotNull && time.isNotNull && censored.isNotNull)
+      .select(grp :+ side.cast("boolean").as("__a") :+
+        time.as("__t") :+ censored.cast("boolean").as("__c"): _*)
+    val cells = base.groupBy(grp :+ col("__t"): _*)
+      .agg(sum(when(col("__a") && !col("__c"), 1L).otherwise(0L))
+        .as("__da"),
+        sum(when(col("__a") && col("__c"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a") && !col("__c"), 1L).otherwise(0L))
+          .as("__db"),
+        sum(when(!col("__a") && col("__c"), 1L).otherwise(0L))
+          .as("__cb"))
+    val wAll = Window.partitionBy(grp: _*)
+    val wCum = Window.partitionBy(grp: _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val remA = col("__da") + col("__ca")
+    val remB = col("__db") + col("__cb")
+    // at-risk = side total minus everything that died/censored at
+    // STRICTLY earlier times (exclusive running frame — subjects at t
+    // are still at risk at t)
+    val terms = cells.select(grp ++ Seq(col("__t"), col("__da"),
+      col("__db"), col("__ca"), col("__cb"),
+      (sum(remA).over(wAll) -
+        coalesce(sum(remA).over(wCum), lit(0L))).as("__na"),
+      (sum(remB).over(wAll) -
+        coalesce(sum(remB).over(wCum), lit(0L))).as("__nb")): _*)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val n = col("__na") + col("__nb")
+    val d = col("__da") + col("__db")
+    val nD = n.cast("double")
+    val oeTerm = when(d > 0L && n > 1L,
+      (d38(col("__da")) * d38(n) - d38(d) * d38(col("__na")))
+        .cast("double") / nD).otherwise(lit(0.0))
+    val vTerm = when(d > 0L && n > 1L,
+      (d38(d) * d38(col("__na")) * d38(n - col("__na")) * d38(n - d))
+        .cast("double") / (nD * nD * (nD - lit(1.0))))
+      .otherwise(lit(0.0))
+    val withTerms = terms
+      .withColumn("__oe", oeTerm).withColumn("__v", vTerm)
+    val agg =
+      (if (grp.isEmpty) withTerms.groupBy()
+       else withTerms.groupBy(grp: _*))
+        .agg(sum(col("__da") + col("__ca")).as("n_a"),
+          sum(col("__db") + col("__cb")).as("n_b"),
+          sum(col("__da")).as("deaths_a"),
+          sum(col("__db")).as("deaths_b"),
+          pinnedFold(col("__t"), col("__oe"), exactOrder).as("__osum"),
+          pinnedFold(col("__t"), col("__v"), exactOrder).as("__vsum"))
+    agg.select(grp ++ Seq(col("n_a"), col("n_b"), col("deaths_a"),
+      col("deaths_b"), col("__osum").as("o_minus_e"),
+      when(col("__vsum") > 0.0, col("__osum") / sqrt(col("__vsum")))
+        .as("z")): _*)
+  }
+
   /** The shared complete-block screen of the paired-k tests
     * ([[friedmanTest]], [[cochranQ]]): `base` must carry the block as
     * `__b` and the treatment as `__t`. Returns `(blocksK, kAgg)` —

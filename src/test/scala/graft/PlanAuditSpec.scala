@@ -87,6 +87,8 @@ class PlanAuditSpec extends SparkSpec {
     "bradley_terry",     // broadcast one-row L1 normalizer per MM round
     "k_core",            // broadcast one-row converged-flag aggregate
     "k_truss",           // broadcast one-row converged-flag aggregate
+    "retention_curve",   // broadcast one-row corpus-max-ts aggregate (the censoring horizon)
+    "logrank_test",      // same one-row corpus-max-ts broadcast on the same subject frame
     "corpus_divergence") // broadcast bounded top-V+1 term frame + one-row totals
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {

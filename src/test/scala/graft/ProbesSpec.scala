@@ -1380,6 +1380,37 @@ class ProbesSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("maxK=4")))
   }
 
+  test("logRankTest: hand O-E/V/z, side swap negates, balanced zero, no-deaths NULL") {
+    import spark.implicits._
+    // micro fixture (py-validated): A death@1 + censored@2, B deaths
+    // @2 and @3. t=1: n=4, d=1, dA=1; t=2: n=3, d=1, dA=0 (the A
+    // censor leaves the risk set without dying); t=3: n=1 -> excluded
+    val d = Seq((true, 1L, false), (true, 2L, true),
+      (false, 2L, false), (false, 3L, false)).toDF("a", "t", "c")
+    val r = Probes.logRankTest(col("a"), col("t"), col("c"))(d).head()
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("deaths_a") === 1L &&
+      r.getAs[Long]("deaths_b") === 2L)
+    val o = 0.0 + (1.0 * 4 - 1 * 2) / 4.0 + (0.0 * 3 - 1 * 1) / 3.0 + 0.0
+    val v = 0.0 + 12.0 / 48.0 + 4.0 / 18.0 + 0.0
+    assert(r.getAs[Double]("o_minus_e") === o)
+    assert(r.getAs[Double]("z") === o / math.sqrt(v))
+    // swapping the sides negates z EXACTLY (term negation is exact)
+    val rs = Probes.logRankTest(!col("a"), col("t"), col("c"))(d).head()
+    assert(rs.getAs[Double]("z") === -(o / math.sqrt(v)))
+    // perfectly balanced sides: every O-E term exactly 0
+    val bal = (0 until 36).map(i => (i % 2 == 0, (i / 2 % 9).toLong,
+      false)).toDF("a", "t", "c")
+    val rb = Probes.logRankTest(col("a"), col("t"), col("c"))(bal).head()
+    assert(rb.getAs[Double]("o_minus_e") === 0.0 &&
+      rb.getAs[Double]("z") === 0.0)
+    // all censored: zero deaths, zero variance -> NULL z, honest counts
+    val cen = Seq((true, 1L, true), (false, 2L, true)).toDF("a", "t", "c")
+    val rc = Probes.logRankTest(col("a"), col("t"), col("c"))(cen).head()
+    assert(rc.getAs[Long]("n_a") === 1L &&
+      rc.isNullAt(rc.fieldIndex("z")))
+  }
+
   test("cochranQ: hand Q, k=2 is McNemar chi2, uniform-block NULL, dropped blocks") {
     import spark.implicits._
     def run(rows: Seq[(Long, String, Boolean)]) =
