@@ -426,6 +426,20 @@ private[graft] object QueriesProbes {
         cells)
         .orderBy("event_type")
     },
+    "friedman_posthoc" -> { (s, dir) =>
+      // friedman_test said "some arm moved" across the paired blocks —
+      // Conover–Iman says WHICH pair: LSD-on-ranks t over the SAME
+      // within-block ranks, exact integer residual numerator
+      val cells = table(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull)
+        .groupBy(col("event_type"), (col("user_id") % 40).as("blk"),
+          (col("event_id") % 3).as("arm"))
+        .agg(max(col("value")).as("v"))
+      Probes.friedmanConover("blk", "arm", col("v"),
+        Seq("event_type"))(cells)
+        .orderBy("event_type", "treatment_a", "treatment_b")
+    },
     "bh_correct" -> { (s, dir) =>
       // the eval-suite composition: one permutation test per event
       // type (the permutation_test row's exact frame), then the BH
@@ -1517,6 +1531,61 @@ private[graft] object QueriesProbes {
             / (CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) - 1e0))
           END AS w
       FROM f ORDER BY event_type""",
+    // mirrors Probes.friedmanConover: the friedman_test rank CTEs
+    // verbatim, per-treatment exact rank sums paired, the one exact
+    // residual numerator 2(n·A2 − ΣR2²) into one division and sqrt
+    "friedman_posthoc" -> s"""
+      WITH cells AS (SELECT event_type AS g, user_id % 40 AS b,
+          CAST(event_id % 3 AS VARCHAR) AS t, max(value) AS x
+        FROM events
+        WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+          AND value IS NOT NULL
+        GROUP BY 1, 2, 3),
+      kg AS (SELECT g, CAST(count(DISTINCT t) AS BIGINT) AS k
+        FROM cells GROUP BY g),
+      bl AS (SELECT g, b, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(count(DISTINCT t) AS BIGINT) AS dt
+        FROM cells GROUP BY g, b),
+      blk AS (SELECT bl.g, bl.b, (cnt = k AND dt = k) AS complete
+        FROM bl JOIN kg ON kg.g = bl.g),
+      bs AS (SELECT g,
+          CAST(sum(CASE WHEN complete THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_blocks,
+          CAST(sum(CASE WHEN complete THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_dropped
+        FROM blk GROUP BY g),
+      kept AS (SELECT c.g, c.b, c.t, c.x FROM cells c
+        JOIN blk ON blk.g = c.g AND blk.b = c.b AND blk.complete),
+      r AS (SELECT g, t,
+          CAST(2 * rank() OVER (PARTITION BY g, b ORDER BY x)
+            + count(*) OVER (PARTITION BY g, b, x) - 1 AS HUGEINT)
+            AS r2
+        FROM kept),
+      pt AS (SELECT g, t, sum(r2) AS rr2 FROM r GROUP BY g, t),
+      s1 AS (SELECT g, sum(rr2 * rr2) AS sr2 FROM pt GROUP BY g),
+      s2 AS (SELECT g, sum(r2 * r2) AS a2 FROM r GROUP BY g),
+      tot AS (SELECT bs.g, n_blocks, n_dropped, k, sr2, a2
+        FROM bs JOIN kg ON kg.g = bs.g
+        LEFT JOIN s1 ON s1.g = bs.g LEFT JOIN s2 ON s2.g = bs.g),
+      pr AS (SELECT a.g, a.t AS treatment_a, c.t AS treatment_b,
+          a.rr2 AS r2a, c.rr2 AS r2b
+        FROM pt a JOIN pt c ON c.g = a.g AND a.t < c.t),
+      f AS (SELECT pr.g, treatment_a, treatment_b, n_blocks, n_dropped,
+          CAST(r2a AS DOUBLE) / (2e0 * CAST(n_blocks AS DOUBLE))
+            AS mean_rank_a,
+          CAST(r2b AS DOUBLE) / (2e0 * CAST(n_blocks AS DOUBLE))
+            AS mean_rank_b,
+          CASE WHEN k >= 2 AND n_blocks >= 2
+              AND 2 * (CAST(n_blocks AS HUGEINT) * a2 - sr2) > 0 THEN
+            CAST(r2a - r2b AS DOUBLE)
+              / sqrt(CAST(2 * (CAST(n_blocks AS HUGEINT) * a2 - sr2)
+                  AS DOUBLE)
+                / CAST((n_blocks - 1) * (k - 1) AS DOUBLE)) END AS t
+        FROM pr JOIN tot ON tot.g = pr.g)
+      SELECT g AS event_type, treatment_a, treatment_b, n_blocks,
+        n_dropped, mean_rank_a, mean_rank_b, t,
+        coalesce(abs(t) > ${litD(1.96)}, false) AS reject
+      FROM f ORDER BY event_type, treatment_a, treatment_b""",
     // mirrors Probes.kruskalWallis: the shared 2·rank carry pooled per
     // group, per-variant exact HUGEINT rank sums, the k-sized
     // variant-pinned float fold, H and its exact-integer tie

@@ -2479,6 +2479,25 @@ object ScaleBench {
     }
     println("rows_x,anova_gate_sec")
     agOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // friedmanConover: blocks ×1/×2/×4 — the friedmanTest cost class
+    // (the same shared rank frames) plus the k²-tiny pair join
+    def fcBlocks(k: Int): DataFrame =
+      (0 until k).map(i => ev18
+        .groupBy(((col("user_id") % 2000) + lit(i.toLong * 1_000_000L))
+          .as("b"), (col("event_id") % 3).as("t"))
+        .agg(max(col("value")).as("x")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def fcJob(d: DataFrame): Unit =
+      noop(P18.friedmanConover("b", "t", col("x"))(d))
+    locally { val d1 = fcBlocks(1).localCheckpoint(); fcJob(d1); d1.unpersist() }
+    val fcOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = fcBlocks(k).localCheckpoint()
+      val t = median3(fcJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("blocks_x,friedman_posthoc_sec")
+    fcOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
     }
     spark.stop()
   }

@@ -816,6 +816,11 @@ final case class Pipeline(df: DataFrame) {
   def friedmanTest(blockField: String, treatmentField: String,
       value: Column, groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.friedmanTest(blockField, treatmentField, value, groupCols))
+  def friedmanConover(blockField: String, treatmentField: String,
+      value: Column, groupCols: Seq[String] = Nil,
+      tCrit: Double = 1.96): Pipeline =
+    >>(Probes.friedmanConover(blockField, treatmentField, value,
+      groupCols, tCrit))
   def oneWayAnova(variant: Column, value: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.oneWayAnova(variant, value, groupCols))

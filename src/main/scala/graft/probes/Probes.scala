@@ -2366,9 +2366,15 @@ object Probes {
     * agreement-strength effect size (1 = every block ranks the
     * treatments identically). Output per group:
     * `n_blocks, n_dropped, k, q, w`. */
-  def friedmanTest(blockField: String, treatmentField: String,
-      value: Column, groupCols: Seq[String] = Nil)(
-      df: DataFrame): DataFrame = {
+  /** The shared rank frames of the Friedman family ([[friedmanTest]],
+    * [[friedmanConover]]): the complete-block screen, within-block
+    * 2·rank carries, per-treatment exact rank sums `__R2`, and the
+    * cell-square sum `__A2` — ONE definition so the post-hoc's
+    * "same ranks as the omnibus" promise is structural. Returns
+    * (blockStats, kAgg, perT, a2). */
+  private def friedmanRankFrames(blockField: String,
+      treatmentField: String, value: Column, groupCols: Seq[String])(
+      df: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val grp = groupCols.map(col)
     val base = df
@@ -2393,12 +2399,21 @@ object Probes {
       rank2Carry(wOrd, wTie).as("__r2")): _*)
     val perT = ranked.groupBy(grp :+ col("__t"): _*)
       .agg(sum(col("__r2")).as("__R2"))
-    val sR2 =
-      (if (grp.isEmpty) perT.groupBy() else perT.groupBy(grp: _*))
-        .agg(sum(col("__R2") * col("__R2")).as("__sR2"))
     val a2 =
       (if (grp.isEmpty) ranked.groupBy() else ranked.groupBy(grp: _*))
         .agg(sum(col("__r2") * col("__r2")).as("__A2"))
+    (blockStats, kAgg, perT, a2)
+  }
+
+  def friedmanTest(blockField: String, treatmentField: String,
+      value: Column, groupCols: Seq[String] = Nil)(
+      df: DataFrame): DataFrame = {
+    val grp = groupCols.map(col)
+    val (blockStats, kAgg, perT, a2) = friedmanRankFrames(
+      blockField, treatmentField, value, groupCols)(df)
+    val sR2 =
+      (if (grp.isEmpty) perT.groupBy() else perT.groupBy(grp: _*))
+        .agg(sum(col("__R2") * col("__R2")).as("__sR2"))
     val joined0 =
       (if (grp.isEmpty)
         blockStats.crossJoin(kAgg).crossJoin(sR2).crossJoin(a2)
@@ -2424,6 +2439,91 @@ object Probes {
       when(col("__k") >= 2 && col("n_blocks") >= 1 && den > zero38,
         q / (col("n_blocks").cast("double") *
           (col("__k").cast("double") - lit(1.0)))).as("w")): _*)
+  }
+
+  /** Conover–Iman post-hoc pairwise comparisons after
+    * [[friedmanTest]] rejects — WHICH treatment pair moved, the
+    * paired-shelf twin of [[dunnTest]]'s role after [[kruskalWallis]].
+    * For each ordered treatment pair, the LSD-on-ranks t over the SAME
+    * within-block tie-averaged ranks the omnibus computed (one shared
+    * `friedmanRankFrames` definition — structural, not textual):
+    *   `t_ij = (R_i − R_j) / √(2n·MSE)`,
+    *   `MSE = (A − Σ_j R_j²/n) / ((n−1)(k−1))`
+    * — the residual mean square of the blocks×treatments rank table
+    * (tie-averaged block sums are constant, so the block and total
+    * terms cancel EXACTLY; derived in-code and property-checked
+    * against the direct residual computation off-line). With the
+    * 2·rank carry everything collapses to ONE exact integer,
+    *   `t_ij = (R2_i − R2_j) / √(2(n·A2 − ΣR2_j²) / ((n−1)(k−1)))`
+    * — float at one division and one sqrt. No p-value (no-libm):
+    * `reject` gates at `tCrit` per pair against t_{(n−1)(k−1)} — 1.96
+    * is the large-df 95% gate; pass the exact small-sample or
+    * Bonferroni-adjusted quantile for strict control. Degenerate
+    * reads: every block internally tied OR perfectly ordered (zero
+    * residual variance — the rank table is deterministic, no error
+    * estimate exists; the omnibus W = 1 already says the arms differ
+    * everywhere) → NULL t with `reject` false. Block contract, k
+    * guard, and drop-reporting follow [[friedmanTest]] /
+    * [[dunnTest]]. Output per (group, pair): `treatment_a,
+    * treatment_b, n_blocks, n_dropped, mean_rank_a, mean_rank_b, t,
+    * reject`. */
+  def friedmanConover(blockField: String, treatmentField: String,
+      value: Column, groupCols: Seq[String] = Nil,
+      tCrit: Double = 1.96, maxK: Int = 64)(df: DataFrame): DataFrame = {
+    require(tCrit > 0.0 && tCrit <= 100.0,
+      s"tCrit must be in (0, 100]: $tCrit")
+    require(maxK >= 2 && maxK <= 1024,
+      s"maxK must be in [2, 1024], got $maxK")
+    val grp = groupCols.map(col)
+    val (blockStats, kAgg, perT, a2) = friedmanRankFrames(
+      blockField, treatmentField, value, groupCols)(df)
+    val sR2 =
+      (if (grp.isEmpty) perT.groupBy() else perT.groupBy(grp: _*))
+        .agg(sum(col("__R2") * col("__R2")).as("__sR2"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val totals0 =
+      (if (grp.isEmpty)
+        blockStats.crossJoin(kAgg).crossJoin(sR2).crossJoin(a2)
+       else blockStats.join(kAgg, groupCols)
+         .join(sR2, groupCols, "left").join(a2, groupCols, "left"))
+    // the k guard rides n_blocks — consumed by every pair t — so an
+    // oversized treatment set raises below the k² join (the dunnTest
+    // discipline)
+    val totals = totals0
+      .withColumn("__nb2",
+        when(col("__k") > maxK, raise_error(concat(
+          lit("friedmanConover: "), col("__k").cast(StringType),
+          lit(s" distinct treatments > maxK=$maxK — the pair frame" +
+            " is k^2; is the treatment column really categorical?")))
+          .cast("long"))
+          .otherwise(col("n_blocks")))
+      .drop("n_blocks").withColumnRenamed("__nb2", "n_blocks")
+    val pa = perT.select(grp ++ Seq(col("__t").as("treatment_a"),
+      col("__R2").as("__r2a")): _*)
+    val paT =
+      (if (grp.isEmpty) pa.crossJoin(broadcast(totals))
+       else pa.join(totals, groupCols))
+    val pb = perT.select(grp ++ Seq(col("__t").as("treatment_b"),
+      col("__R2").as("__r2b")): _*)
+    val pairs =
+      (if (grp.isEmpty) paT.crossJoin(pb) else paT.join(pb, groupCols))
+        .filter(col("treatment_a") < col("treatment_b"))
+    val nbD = col("n_blocks").cast("double")
+    // 2(n·A2 − ΣR2²): the exact-integer residual numerator
+    val resNum = lit(2).cast("decimal(38,0)") *
+      (d38(col("n_blocks")) * col("__A2") - col("__sR2"))
+    val zero38 = lit(0).cast("decimal(38,0)")
+    val dfDen = ((col("n_blocks") - 1) * (col("__k") - 1)).cast("double")
+    val t = when(col("__k") >= 2 && col("n_blocks") >= 2 &&
+        resNum > zero38,
+      (col("__r2a") - col("__r2b")).cast("double") /
+        sqrt(resNum.cast("double") / dfDen))
+    pairs.select(grp ++ Seq(col("treatment_a"), col("treatment_b"),
+      col("n_blocks"), col("n_dropped"),
+      (col("__r2a").cast("double") / (lit(2.0) * nbD)).as("mean_rank_a"),
+      (col("__r2b").cast("double") / (lit(2.0) * nbD)).as("mean_rank_b"),
+      t.as("t"),
+      coalesce(abs(t) > lit(tCrit), lit(false)).as("reject")): _*)
   }
 
   /** The four exact sign counters shared by [[signTest]] and

@@ -1542,6 +1542,49 @@ class ProbesSpec extends SparkSpec {
       onet.isNullAt(onet.fieldIndex("q")))
   }
 
+  test("friedmanConover: hand t pairs, zero-residual NULL, dropped blocks, maxK") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String, Double)], maxK: Int = 64) =
+      Probes.friedmanConover("b", "t", col("x"), maxK = maxK)(
+        rows.toDF("b", "t", "x"))
+    // the friedmanTest tie fixture: b1 (1,1,2) -> 2r (3,3,6);
+    // b2 (1,2,3) -> (2,4,6): R2 = (5,7,12), A2 = 110, sR2 = 218,
+    // resNum = 2(2·110 − 218) = 4, df = (1)(2) -> t scale 1/sqrt(2):
+    // t_AB = -2/sqrt2, t_AC = -7/sqrt2, t_BC = -5/sqrt2
+    val tied = Seq((1L, "A", 1.0), (1L, "B", 1.0), (1L, "C", 2.0),
+      (2L, "A", 1.0), (2L, "B", 2.0), (2L, "C", 3.0))
+    val p = run(tied).orderBy("treatment_a", "treatment_b").collect()
+    assert(p.length === 3)
+    val s2 = math.sqrt(4.0 / 2.0)
+    assert(p(0).getAs[Double]("t") === -2.0 / s2)
+    assert(p(1).getAs[Double]("t") === -7.0 / s2)
+    assert(p(2).getAs[Double]("t") === -5.0 / s2)
+    assert(!p(0).getAs[Boolean]("reject") &&
+      p(1).getAs[Boolean]("reject") && p(2).getAs[Boolean]("reject"))
+    assert(p(0).getAs[Double]("mean_rank_a") === 1.25 &&
+      p(0).getAs[Double]("mean_rank_b") === 1.75)
+    // perfect order: zero residual variance (the rank table is
+    // deterministic) -> NULL t; the omnibus W = 1 already carries it
+    val perfect = (for (b <- 1L to 3L; (t, v) <- Seq(("A", 1.0),
+      ("B", 2.0), ("C", 3.0))) yield (b, t, v + b * 10)).toSeq
+    val pp = run(perfect).collect()
+    assert(pp.forall(r => r.isNullAt(r.fieldIndex("t")) &&
+      !r.getAs[Boolean]("reject")))
+    // incomplete blocks drop and are reported, pairs unchanged
+    val noisy = run(tied ++ Seq((3L, "A", 1.0), (3L, "B", 2.0)))
+      .orderBy("treatment_a", "treatment_b").collect()
+    assert(noisy(0).getAs[Long]("n_blocks") === 2L &&
+      noisy(0).getAs[Long]("n_dropped") === 1L)
+    assert(noisy(0).getAs[Double]("t") === -2.0 / s2)
+    // the maxK guard raises before the pair frame
+    val many = (1L to 2L).flatMap(b =>
+      (1 to 9).map(i => (b, s"t$i", (b * i % 7).toDouble)))
+    val ex = intercept[Exception] { run(many, maxK = 4).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxK=4")))
+  }
+
   test("signTest: hand z, zero diffs reported not counted, no-evidence NULL") {
     import spark.implicits._
     def run(rows: Seq[(Double, Double)]) =
