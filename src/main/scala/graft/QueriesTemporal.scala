@@ -352,6 +352,27 @@ private[graft] object QueriesTemporal {
         windowLength = "6 hours")
         .orderBy("window_start")
     },
+    "rmst_retention" -> { (s, dir) =>
+      // the single retention NUMBER per cohort: average days retained
+      // within a 21-day horizon — the area under the Kaplan–Meier
+      // step curve, censoring-aware, on the same sparse subject frame
+      val ev = table(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_id") % 13 === 0)
+      val mx = ev.agg(max(col("ts").cast("long")).as("__gmax"))
+      val subj = ev
+        .groupBy((col("user_id") % 3).as("cohort"), col("user_id"))
+        .agg(min(col("ts").cast("long")).as("__mn"),
+          max(col("ts").cast("long")).as("__mxu"))
+        .crossJoin(broadcast(mx))
+        .select(col("cohort"),
+          floor((col("__mxu") - col("__mn")) / lit(86400L)).cast("long")
+            .as("t0"),
+          (col("__gmax") - col("__mxu") < lit(172800L)).as("cen"))
+      WindowOps.rmst(col("t0"), col("cen"), tau = 21.0,
+        Seq("cohort"))(subj)
+        .orderBy("cohort")
+    },
     "logrank_test" -> { (s, dir) =>
       // did even and odd users churn at different rates, per cohort?
       // the whole-curve companion of retention_curve on the SAME
@@ -1279,6 +1300,62 @@ private[graft] object QueriesTemporal {
         ks_stat > threshold AS drift
       FROM s ORDER BY window_start"""
     },
+    // mirrors WindowOps.rmst: the retention_curve KM recurrence, then
+    // lag/clip segments against the 21-day horizon and one
+    // time-ordered fold — the area under the step curve
+    "rmst_retention" -> s"""
+      WITH RECURSIVE e AS (SELECT user_id % 3 AS cohort, user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_id % 13 = 0),
+      subj AS (SELECT cohort,
+          CAST(floor((max(ep) - min(ep)) / 86400) AS BIGINT) AS t,
+          ((SELECT max(ep) FROM e) - max(ep) < 172800) AS cen
+        FROM e GROUP BY cohort, user_id),
+      cells AS (SELECT cohort, t,
+          CAST(sum(CASE WHEN cen THEN 0 ELSE 1 END) AS BIGINT) AS d,
+          CAST(sum(CASE WHEN cen THEN 1 ELSE 0 END) AS BIGINT) AS cn
+        FROM subj GROUP BY cohort, t),
+      n0 AS (SELECT cohort, CAST(sum(d + cn) AS BIGINT) AS n0
+        FROM cells GROUP BY cohort),
+      o AS (SELECT cohort, t, d, cn,
+          row_number() OVER (PARTITION BY cohort ORDER BY t) AS i
+        FROM cells),
+      r AS (
+        SELECT o.cohort, o.t, o.d, o.cn, o.i, n0.n0 AS nr,
+          1e0 * (1e0 - CAST(o.d AS DOUBLE) / CAST(n0.n0 AS DOUBLE))
+            AS s
+        FROM o JOIN n0 ON n0.cohort = o.cohort WHERE o.i = 1
+        UNION ALL
+        SELECT o.cohort, o.t, o.d, o.cn, o.i,
+          r.nr - r.d - r.cn AS nr,
+          r.s * (1e0 - CAST(o.d AS DOUBLE)
+            / CAST(r.nr - r.d - r.cn AS DOUBLE)) AS s
+        FROM o JOIN r ON o.cohort = r.cohort AND o.i = r.i + 1),
+      sg AS (SELECT cohort, t, s,
+          lag(s, 1, 1e0) OVER (PARTITION BY cohort ORDER BY t)
+            AS prevs,
+          coalesce(CAST(lag(t) OVER (PARTITION BY cohort ORDER BY t)
+            AS DOUBLE), 0e0) AS prevt,
+          (lead(t) OVER (PARTITION BY cohort ORDER BY t) IS NULL)
+            AS is_last
+        FROM r),
+      tm AS (SELECT cohort, t,
+          prevs * (least(CAST(t AS DOUBLE), ${litD(21.0)})
+            - least(prevt, ${litD(21.0)}))
+          + CASE WHEN is_last THEN s * (${litD(21.0)}
+              - least(CAST(t AS DOUBLE), ${litD(21.0)}))
+            ELSE 0e0 END AS seg
+        FROM sg),
+      nn AS (SELECT cohort, CAST(sum(d + cn) AS BIGINT) AS n
+        FROM cells GROUP BY cohort),
+      ag AS (SELECT cohort,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(seg ORDER BY t)), (a, x) -> a + x) AS rmst
+        FROM tm GROUP BY cohort)
+      SELECT nn.cohort, n, ${litD(21.0)} AS tau, ag.rmst
+      FROM nn JOIN ag ON ag.cohort = nn.cohort
+      ORDER BY nn.cohort""",
     // mirrors Probes.logRankTest over the same subject frame as
     // retention_curve: per-(cohort, day) cells, at-risk via
     // total-minus-exclusive-cumsum windows, exact HUGEINT O−E and
@@ -1471,7 +1548,8 @@ private[graft] object QueriesTemporal {
             AS s,
           0e0 + CASE WHEN o.d < n0.n0 THEN CAST(o.d AS DOUBLE)
             / (CAST(n0.n0 AS DOUBLE) * CAST(n0.n0 - o.d AS DOUBLE)) END
-            AS gv
+            AS gv,
+          0e0 + CAST(o.d AS DOUBLE) / CAST(n0.n0 AS DOUBLE) AS ch
         FROM o JOIN n0 ON n0.cohort = o.cohort WHERE o.i = 1
         UNION ALL
         SELECT o.cohort, o.t, o.d, o.cn, o.i,
@@ -1481,11 +1559,14 @@ private[graft] object QueriesTemporal {
           r.gv + CASE WHEN o.d < r.nr - r.d - r.cn
             THEN CAST(o.d AS DOUBLE)
               / (CAST(r.nr - r.d - r.cn AS DOUBLE)
-                * CAST(r.nr - r.d - r.cn - o.d AS DOUBLE)) END AS gv
+                * CAST(r.nr - r.d - r.cn - o.d AS DOUBLE)) END AS gv,
+          r.ch + CAST(o.d AS DOUBLE)
+            / CAST(r.nr - r.d - r.cn AS DOUBLE) AS ch
         FROM o JOIN r ON o.cohort = r.cohort AND o.i = r.i + 1)
       SELECT cohort, t, nr AS n_risk, d AS n_death, cn AS n_censor,
         s AS survival,
-        CASE WHEN gv IS NOT NULL THEN s * sqrt(gv) END AS se
+        CASE WHEN gv IS NOT NULL THEN s * sqrt(gv) END AS se,
+        ch AS cum_hazard
       FROM r ORDER BY cohort, t""",
     "events_time_buckets" ->
       """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,

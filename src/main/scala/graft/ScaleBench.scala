@@ -2460,6 +2460,18 @@ object ScaleBench {
     }
     println("subjects_x,logrank_test_sec")
     lrOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // rmst: the kaplanMeier class plus one lag window over the grid
+    def rmJob(d: DataFrame): Unit =
+      noop(graft.ops.WindowOps.rmst(col("t"), col("c"), tau = 21.0,
+        Seq("g"))(d))
+    locally { val d1 = km18(1).localCheckpoint(); rmJob(d1); d1.unpersist() }
+    val rmOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = km18(k).localCheckpoint()
+      val t = median3(rmJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("subjects_x,rmst_sec")
+    rmOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
     // windowedAnovaGate batch path: rows ×1/×2/×4 — ONE stateful-agg
     // shape (3 counters × 3 declared variants + window), fixed-width
     // state, must track the scan like the r17b value-drift cell

@@ -1120,7 +1120,11 @@ object WindowOps {
     * the curve is not biased down by subjects the window simply hasn't
     * finished watching. Also reports Greenwood's standard error
     *   `se(t) = S(t)·√(Σ_{t'≤t} d/(n(n−d)))`
-    * (one sqrt — the no-libm doctrine's CI companion).
+    * (one sqrt — the no-libm doctrine's CI companion) and the
+    * Nelson–Aalen cumulative hazard `H(t) = Σ_{t'≤t} d/n` (the
+    * additive view of the same curve — defined even at d = n, where
+    * Greenwood is not; at 100 TB scale the log-free identity
+    * S ≈ e^−H is the caller's to apply).
     *
     * Exactness: d_t, c_t, and the at-risk counts are exact integers
     * (n_t folds as `n_{t-1} − d − c`, seeded at the group total); the
@@ -1138,7 +1142,8 @@ object WindowOps {
     * collect_list fold over the group's DISTINCT TIMES — the
     * [[holtSmooth]] grouped-sequence cost class; quantize time (day
     * buckets) so the per-group sequence stays bounded. Output per
-    * (group, time): `t, n_risk, n_death, n_censor, survival, se`. */
+    * (group, time):
+    * `t, n_risk, n_death, n_censor, survival, se, cum_hazard`. */
   def kaplanMeier(time: Column, censored: Column,
       groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
     val grp = groupCols.map(col)
@@ -1153,8 +1158,8 @@ object WindowOps {
     val perGrp =
       (if (grp.isEmpty) cells.groupBy() else cells.groupBy(grp: _*))
         .agg(arr.as("__arr"), sum(col("__d") + col("__cn")).as("__n0"))
-    val stateType =
-      "array<struct<nr:bigint,d:bigint,cn:bigint,s:double,gv:double>>"
+    val stateType = "array<struct<nr:bigint,d:bigint,cn:bigint," +
+      "s:double,gv:double,ch:double>>"
     val fold = aggregate(col("__arr"), array().cast(stateType),
       (acc, x) => {
         val prev = element_at(acc, -1)
@@ -1167,6 +1172,8 @@ object WindowOps {
           .otherwise(prev.getField("s"))
         val gPrev = when(size(acc) === 0, lit(0.0))
           .otherwise(prev.getField("gv"))
+        val chPrev = when(size(acc) === 0, lit(0.0))
+          .otherwise(prev.getField("ch"))
         val d = x.getField("__d")
         val factor = lit(1.0) - d.cast("double") / nr.cast("double")
         // d = n: survival hits exactly 0; the Greenwood term is
@@ -1175,7 +1182,11 @@ object WindowOps {
           (nr.cast("double") * (nr - d).cast("double")))
         concat(acc, array(struct(nr.as("nr"), d.as("d"),
           x.getField("__cn").as("cn"),
-          (sPrev * factor).as("s"), (gPrev + gTerm).as("gv"))))
+          (sPrev * factor).as("s"), (gPrev + gTerm).as("gv"),
+          // Nelson–Aalen cumulative hazard rides the same fold: one
+          // extra division per step, defined even where Greenwood is
+          // not (d = n is hazard 1, not undefined)
+          (chPrev + d.cast("double") / nr.cast("double")).as("ch"))))
       })
     perGrp.withColumn("__st", fold)
       .select(grp :+ posexplode(arrays_zip(col("__arr"), col("__st"))): _*)
@@ -1185,6 +1196,57 @@ object WindowOps {
         col("col.__arr.__cn").as("n_censor"),
         col("col.__st.s").as("survival"),
         when(col("col.__st.gv").isNotNull,
-          col("col.__st.s") * sqrt(col("col.__st.gv"))).as("se")): _*)
+          col("col.__st.s") * sqrt(col("col.__st.gv"))).as("se"),
+        col("col.__st.ch").as("cum_hazard")): _*)
+  }
+
+  /** Restricted mean survival time per group — the single retention
+    * NUMBER beside [[kaplanMeier]]'s curve: the area under the KM step
+    * function up to the horizon `tau`,
+    *   `RMST(τ) = Σ_i S(t_{i−1})·(min(t_i, τ) − t_{i−1}) +
+    *              S(t_last)·(τ − min(t_last, τ))`
+    * — "the average days retained within a τ-day window", the number a
+    * dashboard wants where the full curve is a chart. Censoring-aware
+    * by construction (it integrates the KM estimate). Exactness: the
+    * segment products ride [[kaplanMeier]]'s pinned survival values
+    * and exact time gaps, summed as a time-pinned fold
+    * (`exactOrder=false` = plain sum); the oracle replays the same
+    * lag/clip/fold. Times must be ≥ 0 (the origin is 0; a negative
+    * time raises loudly). NULL doctrine = [[kaplanMeier]]. Scale shape
+    * = [[kaplanMeier]] plus one lag window and one fold over distinct
+    * times. Output per group: `n, tau, rmst`. */
+  def rmst(time: Column, censored: Column, tau: Double,
+      groupCols: Seq[String] = Nil,
+      exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
+    require(tau > 0.0, s"tau must be positive, got $tau")
+    val grp = groupCols.map(col)
+    val km = kaplanMeier(time, censored, groupCols)(df)
+    val w = Window.partitionBy(grp: _*).orderBy(col("t"))
+    val tD = when(col("t").cast("double") < 0.0, raise_error(concat(
+      lit("rmst: negative time "), col("t").cast(
+        org.apache.spark.sql.types.StringType),
+      lit(" — times measure from origin 0"))).cast("double"))
+      .otherwise(col("t").cast("double"))
+    val prevS = lag(col("survival"), 1, 1.0).over(w)
+    val prevT = coalesce(lag(col("t").cast("double"), 1).over(w),
+      lit(0.0))
+    val isLast = lead(col("t"), 1).over(w).isNull
+    val tauL = lit(tau)
+    val seg = prevS * (least(tD, tauL) - least(prevT, tauL)) +
+      when(isLast, col("survival") * (tauL - least(tD, tauL)))
+        .otherwise(lit(0.0))
+    val withSeg = km.withColumn("__seg", seg)
+    val fold =
+      if (exactOrder)
+        aggregate(
+          sort_array(collect_list(struct(col("t").as("__k"),
+            col("__seg").as("__v")))),
+          lit(0.0), (acc, x) => acc + x.getField("__v"))
+      else sum(col("__seg"))
+    (if (grp.isEmpty) withSeg.groupBy() else withSeg.groupBy(grp: _*))
+      .agg(sum(col("n_death") + col("n_censor")).as("n"),
+        fold.as("__rmst"))
+      .select(grp ++ Seq(col("n"), lit(tau).as("tau"),
+        col("__rmst").as("rmst")): _*)
   }
 }

@@ -968,6 +968,9 @@ final case class Pipeline(df: DataFrame) {
   def kaplanMeier(time: Column, censored: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(graft.ops.WindowOps.kaplanMeier(time, censored, groupCols))
+  def rmst(time: Column, censored: Column, tau: Double,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(graft.ops.WindowOps.rmst(time, censored, tau, groupCols))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

@@ -1023,13 +1023,19 @@ class TemporalSpec extends SparkSpec {
     // t=4: last censored subject; curve flat
     assert(out(3).getAs[Long]("n_risk") === 1L &&
       out(3).getAs[Double]("survival") === s3 * (1.0 - 0.0 / 1.0))
-    // d = n at a time: survival exactly 0, se NULL from there on
+    // Nelson–Aalen cumulative hazard rides the same fold
+    assert(out(0).getAs[Double]("cum_hazard") === 0.0 + 2.0 / 6.0)
+    assert(out(2).getAs[Double]("cum_hazard") ===
+      (0.0 + 2.0 / 6.0 + 0.0 / 4.0) + 2.0 / 3.0)
+    // d = n at a time: survival exactly 0, se NULL from there on —
+    // but the hazard stays defined (d/n = 1)
     val all = Seq((1L, false), (1L, false), (2L, false)).toDF("t", "c")
     val o2 = graft.ops.WindowOps.kaplanMeier(col("t"), col("c"))(all)
       .orderBy("t").collect()
     assert(o2(0).getAs[Double]("survival") === 1.0 - 2.0 / 3.0)
     assert(o2(1).getAs[Double]("survival") === 0.0 &&
       o2(1).isNullAt(o2(1).fieldIndex("se")))
+    assert(o2(1).getAs[Double]("cum_hazard") === 2.0 / 3.0 + 1.0 / 1.0)
     // NULL time or censored rows drop; groups stay independent
     val g = Seq(("a", 1L, false), ("a", 2L, true), ("b", 1L, true),
       ("b", 5L, false)).toDF("g", "t", "c")
@@ -1040,5 +1046,45 @@ class TemporalSpec extends SparkSpec {
     assert(og(2).getAs[Double]("survival") === 1.0 - 0.0 / 2.0)
     assert(og(3).getAs[Long]("n_risk") === 1L &&
       og(3).getAs[Double]("survival") === 1.0 * (1.0 - 1.0 / 1.0))
+  }
+
+  test("rmst: hand area under the KM steps, horizon clipping, negative-time raise") {
+    import spark.implicits._
+    // the kaplanMeier hand fixture: S = 2/3, 2/3, 2/9, 2/9 at t=1..4
+    val d = Seq((1L, false), (1L, false), (2L, true), (3L, false),
+      (3L, false), (4L, true)).toDF("t", "c")
+    val s1 = 1.0 * (1.0 - 2.0 / 6.0)
+    val s2 = s1 * (1.0 - 0.0 / 4.0)
+    val s3 = s2 * (1.0 - 2.0 / 3.0)
+    val s4 = s3 * (1.0 - 0.0 / 1.0)
+    // tau = 3.5: full segments to t=3, half a step of S(3), no tail
+    val r = graft.ops.WindowOps.rmst(col("t"), col("c"), tau = 3.5)(d)
+      .head()
+    assert(r.getAs[Long]("n") === 6L && r.getAs[Double]("tau") === 3.5)
+    val exp35 = 0.0 +
+      (1.0 * (1.0 - 0.0) + 0.0) + (s1 * (2.0 - 1.0) + 0.0) +
+      (s2 * (3.0 - 2.0) + 0.0) + (s3 * (3.5 - 3.0) + s4 * (3.5 - 3.5))
+    assert(r.getAs[Double]("rmst") === exp35)
+    // tau past the last time adds the flat tail S(t_last)*(tau - t_last)
+    val r10 = graft.ops.WindowOps.rmst(col("t"), col("c"), tau = 10.0)(d)
+      .head().getAs[Double]("rmst")
+    assert(r10 === 0.0 + (1.0 * (1.0 - 0.0) + 0.0) +
+      (s1 * (2.0 - 1.0) + 0.0) + (s2 * (3.0 - 2.0) + 0.0) +
+      (s3 * (4.0 - 3.0) + s4 * (10.0 - 4.0)))
+    // tau inside the first step: only the leading S=1 sliver counts
+    val rHalf = graft.ops.WindowOps.rmst(col("t"), col("c"), tau = 0.5)(d)
+      .head().getAs[Double]("rmst")
+    assert(rHalf === 0.5)
+    // a negative time raises loudly (the origin-0 contract)
+    val neg = Seq((-1L, false), (2L, false)).toDF("t", "c")
+    val ex = intercept[Exception] {
+      graft.ops.WindowOps.rmst(col("t"), col("c"), tau = 5.0)(neg)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("negative time")))
+    intercept[IllegalArgumentException](
+      graft.ops.WindowOps.rmst(col("t"), col("c"), tau = 0.0)(d))
   }
 }
