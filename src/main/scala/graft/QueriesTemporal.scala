@@ -352,6 +352,27 @@ private[graft] object QueriesTemporal {
         windowLength = "6 hours")
         .orderBy("window_start")
     },
+    "survival_median" -> { (s, dir) =>
+      // when has HALF the cohort churned? the smallest day with
+      // S(t) <= 0.5 off the same censoring-aware KM curve; a cohort
+      // whose curve never crosses reads NULL honestly
+      val ev = table(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_id") % 13 === 0)
+      val mx = ev.agg(max(col("ts").cast("long")).as("__gmax"))
+      val subj = ev
+        .groupBy((col("user_id") % 3).as("cohort"), col("user_id"))
+        .agg(min(col("ts").cast("long")).as("__mn"),
+          max(col("ts").cast("long")).as("__mxu"))
+        .crossJoin(broadcast(mx))
+        .select(col("cohort"),
+          floor((col("__mxu") - col("__mn")) / lit(86400L)).cast("long")
+            .as("t0"),
+          (col("__gmax") - col("__mxu") < lit(172800L)).as("cen"))
+      WindowOps.survivalQuantile(col("t0"), col("cen"), q = 0.5,
+        Seq("cohort"))(subj)
+        .orderBy("cohort")
+    },
     "rmst_retention" -> { (s, dir) =>
       // the single retention NUMBER per cohort: average days retained
       // within a 21-day horizon — the area under the Kaplan–Meier
@@ -1300,6 +1321,45 @@ private[graft] object QueriesTemporal {
         ks_stat > threshold AS drift
       FROM s ORDER BY window_start"""
     },
+    // mirrors WindowOps.survivalQuantile: the retention_curve KM
+    // recurrence, then the smallest t whose pinned survival double
+    // drops to 1-q (same doubles both engines compute)
+    "survival_median" -> s"""
+      WITH RECURSIVE e AS (SELECT user_id % 3 AS cohort, user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_id % 13 = 0),
+      subj AS (SELECT cohort,
+          CAST(floor((max(ep) - min(ep)) / 86400) AS BIGINT) AS t,
+          ((SELECT max(ep) FROM e) - max(ep) < 172800) AS cen
+        FROM e GROUP BY cohort, user_id),
+      cells AS (SELECT cohort, t,
+          CAST(sum(CASE WHEN cen THEN 0 ELSE 1 END) AS BIGINT) AS d,
+          CAST(sum(CASE WHEN cen THEN 1 ELSE 0 END) AS BIGINT) AS cn
+        FROM subj GROUP BY cohort, t),
+      n0 AS (SELECT cohort, CAST(sum(d + cn) AS BIGINT) AS n0
+        FROM cells GROUP BY cohort),
+      o AS (SELECT cohort, t, d, cn,
+          row_number() OVER (PARTITION BY cohort ORDER BY t) AS i
+        FROM cells),
+      r AS (
+        SELECT o.cohort, o.t, o.d, o.cn, o.i, n0.n0 AS nr,
+          1e0 * (1e0 - CAST(o.d AS DOUBLE) / CAST(n0.n0 AS DOUBLE))
+            AS s
+        FROM o JOIN n0 ON n0.cohort = o.cohort WHERE o.i = 1
+        UNION ALL
+        SELECT o.cohort, o.t, o.d, o.cn, o.i,
+          r.nr - r.d - r.cn AS nr,
+          r.s * (1e0 - CAST(o.d AS DOUBLE)
+            / CAST(r.nr - r.d - r.cn AS DOUBLE)) AS s
+        FROM o JOIN r ON o.cohort = r.cohort AND o.i = r.i + 1),
+      nn AS (SELECT cohort, CAST(sum(d + cn) AS BIGINT) AS n
+        FROM cells GROUP BY cohort),
+      tq AS (SELECT cohort, min(t) AS t FROM r
+        WHERE s <= ${litD(0.5)} GROUP BY cohort)
+      SELECT nn.cohort, n, ${litD(0.5)} AS q, tq.t
+      FROM nn LEFT JOIN tq ON tq.cohort = nn.cohort
+      ORDER BY nn.cohort""",
     // mirrors WindowOps.rmst: the retention_curve KM recurrence, then
     // lag/clip segments against the 21-day horizon and one
     // time-ordered fold — the area under the step curve

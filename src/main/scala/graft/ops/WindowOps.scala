@@ -1215,6 +1215,38 @@ object WindowOps {
     * time raises loudly). NULL doctrine = [[kaplanMeier]]. Scale shape
     * = [[kaplanMeier]] plus one lag window and one fold over distinct
     * times. Output per group: `n, tau, rmst`. */
+  /** Survival quantile per group — the "median lifetime" readout off
+    * [[kaplanMeier]]'s curve: the smallest time t with
+    * `S(t) ≤ 1 − q` (q = 0.5 is median survival — when has half the
+    * cohort churned?). Censoring-aware by construction. The
+    * comparison runs on the SAME pinned survival doubles both engines
+    * compute, so the crossing time is deterministic cross-engine. A
+    * curve that never drops to 1−q (more than 1−q of the cohort still
+    * alive at the last observed time) reads NULL t honestly — "the
+    * median lifetime exceeds the observation window" is a finding,
+    * not a default. NULL doctrine and scale shape = [[kaplanMeier]]
+    * plus one filter and one min. Output per group: `n, q, t`. */
+  def survivalQuantile(time: Column, censored: Column, q: Double = 0.5,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
+    val grp = groupCols.map(col)
+    val km = kaplanMeier(time, censored, groupCols)(df)
+    val totals =
+      (if (grp.isEmpty) km.groupBy() else km.groupBy(grp: _*))
+        .agg(sum(col("n_death") + col("n_censor")).as("n"))
+    val crossed = km.filter(col("survival") <= lit(1.0 - q))
+    val tq =
+      (if (grp.isEmpty) crossed.groupBy() else crossed.groupBy(grp: _*))
+        .agg(min(col("t")).as("__tq"))
+    // the grp-free tq aggregation always yields exactly one row
+    // (min over an empty frame reads NULL — the honest "never crossed")
+    val joined =
+      (if (grp.isEmpty) totals.crossJoin(broadcast(tq))
+       else totals.join(tq, groupCols, "left"))
+    joined.select(grp ++ Seq(col("n"), lit(q).as("q"),
+      col("__tq").as("t")): _*)
+  }
+
   def rmst(time: Column, censored: Column, tau: Double,
       groupCols: Seq[String] = Nil,
       exactOrder: Boolean = true)(df: DataFrame): DataFrame = {

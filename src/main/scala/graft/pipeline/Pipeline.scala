@@ -971,6 +971,9 @@ final case class Pipeline(df: DataFrame) {
   def rmst(time: Column, censored: Column, tau: Double,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(graft.ops.WindowOps.rmst(time, censored, tau, groupCols))
+  def survivalQuantile(time: Column, censored: Column, q: Double = 0.5,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(graft.ops.WindowOps.survivalQuantile(time, censored, q, groupCols))
   def countDuplicates(keys: String*): Pipeline = >>(Probes.countDuplicates(keys))
   def assertUnique(keys: String*): Pipeline = >>(Probes.assertUnique(keys))
   def assertContains(field: String, value: Any): Pipeline =

@@ -90,6 +90,7 @@ class PlanAuditSpec extends SparkSpec {
     "retention_curve",   // broadcast one-row corpus-max-ts aggregate (the censoring horizon)
     "logrank_test",      // same one-row corpus-max-ts broadcast on the same subject frame
     "rmst_retention",    // same one-row corpus-max-ts broadcast on the same subject frame
+    "survival_median",   // same one-row corpus-max-ts broadcast on the same subject frame
     "corpus_divergence") // broadcast bounded top-V+1 term frame + one-row totals
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {

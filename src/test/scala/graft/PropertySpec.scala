@@ -1016,6 +1016,61 @@ class PropertySpec extends SparkSpec {
     assert(qAB === qBA)
   }
 
+  test("round-18 shelf: monotone-transform invariances") {
+    val gen = Gen.listOfN(24, Gen.zip(Gen.chooseNum(0, 2),
+      Gen.chooseNum(-9.0, 9.0)))
+    for (rows <- draws(gen, 4)) {
+      val quart = rows.map { case (v, x) => (v.toLong, math.rint(x * 4) / 4) }
+      val df = quart.toDF("v", "x")
+      def d(r: org.apache.spark.sql.Row, c: String) =
+        Option(r.getAs[java.lang.Double](c)).map(_.doubleValue())
+      // Jonckheere–Terpstra rides pooled ranks: cubing x (strictly
+      // increasing on R, tie-preserving) leaves J and z bit-for-bit
+      val cube = col("x") * col("x") * col("x")
+      val j1 = graft.probes.Probes.jonckheereTerpstra(col("v"),
+        col("x"))(df).head()
+      val j2 = graft.probes.Probes.jonckheereTerpstra(col("v"), cube)(
+        df).head()
+      assert(d(j1, "j_stat") === d(j2, "j_stat") &&
+        d(j1, "z") === d(j2, "z"))
+      // Dunn: the same pooled-rank property across the whole pair
+      // matrix
+      val p1 = graft.probes.Probes.dunnTest(col("v"), col("x"))(df)
+        .orderBy("variant_a", "variant_b").collect().map(d(_, "z")).toSeq
+      val p2 = graft.probes.Probes.dunnTest(col("v"), cube)(df)
+        .orderBy("variant_a", "variant_b").collect().map(d(_, "z")).toSeq
+      assert(p1 === p2)
+      // friedmanConover: within-block ranks -> monotone transform of
+      // the scores leaves every pairwise t bit-for-bit
+      val bdf = quart.zipWithIndex.map { case ((_, x), i) =>
+        ((i / 3).toLong, s"t${i % 3}", x) }.toDF("b", "t", "x")
+      val c1 = graft.probes.Probes.friedmanConover("b", "t", col("x"))(
+        bdf).orderBy("treatment_a", "treatment_b").collect()
+        .map(d(_, "t")).toSeq
+      val c2 = graft.probes.Probes.friedmanConover("b", "t", cube)(bdf)
+        .orderBy("treatment_a", "treatment_b").collect()
+        .map(d(_, "t")).toSeq
+      assert(c1 === c2)
+      // log-rank and the KM survival sequence depend only on the
+      // ORDER of distinct times: t -> 2t + 1 (exact in IEEE on the
+      // quarter grid) leaves z and the survival sequence bit-for-bit
+      val sdf = quart.map { case (v, x) =>
+        (v > 0, math.abs(x), v == 2L) }.toDF("a", "t", "c")
+      val l1 = graft.probes.Probes.logRankTest(col("a"), col("t"),
+        col("c"))(sdf).head()
+      val l2 = graft.probes.Probes.logRankTest(col("a"),
+        col("t") * 2.0 + 1.0, col("c"))(sdf).head()
+      assert(d(l1, "z") === d(l2, "z") &&
+        d(l1, "o_minus_e") === d(l2, "o_minus_e"))
+      val k1 = graft.ops.WindowOps.kaplanMeier(col("t"), col("c"))(sdf)
+        .orderBy("t").collect().map(_.getAs[Double]("survival")).toSeq
+      val k2 = graft.ops.WindowOps.kaplanMeier(col("t") * 2.0 + 1.0,
+        col("c"))(sdf)
+        .orderBy("t").collect().map(_.getAs[Double]("survival")).toSeq
+      assert(k1 === k2)
+    }
+  }
+
   test("rank tests: negation anti-symmetry and side-swap complements") {
     val gen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(-9, 9),
       Gen.chooseNum(-9, 9), Gen.oneOf(true, false)))

@@ -1087,4 +1087,34 @@ class TemporalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.ops.WindowOps.rmst(col("t"), col("c"), tau = 0.0)(d))
   }
+
+  test("survivalQuantile: median crossing, never-crossed NULL, q contract") {
+    import spark.implicits._
+    // S = 2/3, 2/3, 2/9, 2/9 at t=1..4: first S <= 0.5 is t=3
+    val d = Seq((1L, false), (1L, false), (2L, true), (3L, false),
+      (3L, false), (4L, true)).toDF("t", "c")
+    val r = graft.ops.WindowOps.survivalQuantile(col("t"), col("c"))(d)
+      .head()
+    assert(r.getAs[Long]("n") === 6L && r.getAs[Double]("q") === 0.5)
+    assert(r.getAs[Long]("t") === 3L)
+    // a shallow quantile crosses at the first death time
+    val r2 = graft.ops.WindowOps.survivalQuantile(col("t"), col("c"),
+      q = 0.25)(d).head()
+    assert(r2.getAs[Long]("t") === 1L)
+    // a curve that never drops to 1-q reads NULL t honestly
+    val shallow = Seq((1L, false), (2L, true), (3L, true), (4L, true))
+      .toDF("t", "c")
+    val rn = graft.ops.WindowOps.survivalQuantile(col("t"), col("c"))(
+      shallow).head()
+    assert(rn.getAs[Long]("n") === 4L && rn.isNullAt(rn.fieldIndex("t")))
+    // per-group independence on the grouped path
+    val g = Seq(("a", 1L, false), ("a", 2L, false), ("b", 1L, true),
+      ("b", 2L, true)).toDF("g", "t", "c")
+    val og = graft.ops.WindowOps.survivalQuantile(col("t"), col("c"),
+      groupCols = Seq("g"))(g).orderBy("g").collect()
+    assert(og(0).getAs[Long]("t") === 1L &&
+      og(1).isNullAt(og(1).fieldIndex("t")))
+    intercept[IllegalArgumentException](
+      graft.ops.WindowOps.survivalQuantile(col("t"), col("c"), q = 1.0)(d))
+  }
 }
