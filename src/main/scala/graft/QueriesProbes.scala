@@ -1623,9 +1623,11 @@ private[graft] object QueriesProbes {
         CASE WHEN k >= 2 AND n >= 2 THEN h END AS h,
         CASE WHEN k >= 2 AND n >= 2 AND corr > 0e0 THEN h / corr END
           AS h_corrected,
+        CASE WHEN k >= 2 AND n >= 2 AND corr > 0e0
+          THEN (h / corr) / (CAST(n AS DOUBLE) - 1e0) END AS eps_sq,
         CASE WHEN k >= 2 AND n > k AND corr > 0e0
           THEN (h / corr - (CAST(k AS DOUBLE) - 1e0))
-            / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) END AS eps_sq
+            / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) END AS eta_sq_h
       FROM f ORDER BY event_type""",
     // mirrors Probes.jonckheereTerpstra: the corpus replicated through
     // the ordered-pair frame, the 2·rank carry per (group, pair) pool,

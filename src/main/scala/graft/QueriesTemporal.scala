@@ -13,6 +13,31 @@ private[graft] object QueriesTemporal {
   import SparkEntry.table
   import QueryHelpers._
 
+  /** The shared censoring-aware subject frame of the four survival
+    * rows (`retention_curve`, `logrank_test`, `rmst_retention`,
+    * `survival_median`): per user on the sparse 1/13 event slice,
+    * duration = active span in whole days, censored = still active
+    * within 2 days of the corpus end. ONE definition so the slice,
+    * the 86400 day quantum, and the 172800 censoring horizon cannot
+    * drift between the four queries (review-caught ×4 copy); keeps
+    * `user_id` so callers can derive side splits. */
+  private def survivalSubjects(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ev = table(s, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id") % 13 === 0)
+    val mx = ev.agg(max(col("ts").cast("long")).as("__gmax"))
+    ev
+      .groupBy((col("user_id") % 3).as("cohort"), col("user_id"))
+      .agg(min(col("ts").cast("long")).as("__mn"),
+        max(col("ts").cast("long")).as("__mxu"))
+      .crossJoin(broadcast(mx))
+      .select(col("cohort"), col("user_id"),
+        floor((col("__mxu") - col("__mn")) / lit(86400L)).cast("long")
+          .as("t0"),
+        (col("__gmax") - col("__mxu") < lit(172800L)).as("cen"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- events: JSON + windows + sessions ---------------------------------
     "events_json_agg" -> { (s, dir) =>
@@ -356,42 +381,16 @@ private[graft] object QueriesTemporal {
       // when has HALF the cohort churned? the smallest day with
       // S(t) <= 0.5 off the same censoring-aware KM curve; a cohort
       // whose curve never crosses reads NULL honestly
-      val ev = table(s, dir, "events")
-        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
-          col("event_id") % 13 === 0)
-      val mx = ev.agg(max(col("ts").cast("long")).as("__gmax"))
-      val subj = ev
-        .groupBy((col("user_id") % 3).as("cohort"), col("user_id"))
-        .agg(min(col("ts").cast("long")).as("__mn"),
-          max(col("ts").cast("long")).as("__mxu"))
-        .crossJoin(broadcast(mx))
-        .select(col("cohort"),
-          floor((col("__mxu") - col("__mn")) / lit(86400L)).cast("long")
-            .as("t0"),
-          (col("__gmax") - col("__mxu") < lit(172800L)).as("cen"))
       WindowOps.survivalQuantile(col("t0"), col("cen"), q = 0.5,
-        Seq("cohort"))(subj)
+        Seq("cohort"))(survivalSubjects(s, dir))
         .orderBy("cohort")
     },
     "rmst_retention" -> { (s, dir) =>
       // the single retention NUMBER per cohort: average days retained
       // within a 21-day horizon — the area under the Kaplan–Meier
       // step curve, censoring-aware, on the same sparse subject frame
-      val ev = table(s, dir, "events")
-        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
-          col("event_id") % 13 === 0)
-      val mx = ev.agg(max(col("ts").cast("long")).as("__gmax"))
-      val subj = ev
-        .groupBy((col("user_id") % 3).as("cohort"), col("user_id"))
-        .agg(min(col("ts").cast("long")).as("__mn"),
-          max(col("ts").cast("long")).as("__mxu"))
-        .crossJoin(broadcast(mx))
-        .select(col("cohort"),
-          floor((col("__mxu") - col("__mn")) / lit(86400L)).cast("long")
-            .as("t0"),
-          (col("__gmax") - col("__mxu") < lit(172800L)).as("cen"))
       WindowOps.rmst(col("t0"), col("cen"), tau = 21.0,
-        Seq("cohort"))(subj)
+        Seq("cohort"))(survivalSubjects(s, dir))
         .orderBy("cohort")
     },
     "logrank_test" -> { (s, dir) =>
@@ -399,21 +398,8 @@ private[graft] object QueriesTemporal {
       // the whole-curve companion of retention_curve on the SAME
       // subject frame: exact O−E and hypergeometric-variance terms
       // per distinct day, time-pinned folds, one final z
-      val ev = table(s, dir, "events")
-        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
-          col("event_id") % 13 === 0)
-      val mx = ev.agg(max(col("ts").cast("long")).as("__gmax"))
-      val subj = ev
-        .groupBy((col("user_id") % 3).as("cohort"), col("user_id"))
-        .agg(min(col("ts").cast("long")).as("__mn"),
-          max(col("ts").cast("long")).as("__mxu"))
-        .crossJoin(broadcast(mx))
-        .select(col("cohort"), (col("user_id") % 2 === 0).as("sa"),
-          floor((col("__mxu") - col("__mn")) / lit(86400L)).cast("long")
-            .as("t0"),
-          (col("__gmax") - col("__mxu") < lit(172800L)).as("cen"))
-      Probes.logRankTest(col("sa"), col("t0"), col("cen"),
-        Seq("cohort"))(subj)
+      Probes.logRankTest(col("user_id") % 2 === 0, col("t0"),
+        col("cen"), Seq("cohort"))(survivalSubjects(s, dir))
         .orderBy("cohort")
     },
     "sign_matrix" -> { (s, dir) =>
@@ -438,20 +424,8 @@ private[graft] object QueriesTemporal {
       // 1/13 event slice keeps per-user activity sparse so durations
       // and churn times actually vary (the dense table censors nearly
       // everyone at the corpus edge)
-      val ev = table(s, dir, "events")
-        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
-          col("event_id") % 13 === 0)
-      val mx = ev.agg(max(col("ts").cast("long")).as("__gmax"))
-      val subj = ev
-        .groupBy((col("user_id") % 3).as("cohort"), col("user_id"))
-        .agg(min(col("ts").cast("long")).as("__mn"),
-          max(col("ts").cast("long")).as("__mxu"))
-        .crossJoin(broadcast(mx))
-        .select(col("cohort"),
-          floor((col("__mxu") - col("__mn")) / lit(86400L)).cast("long")
-            .as("t0"),
-          (col("__gmax") - col("__mxu") < lit(172800L)).as("cen"))
-      WindowOps.kaplanMeier(col("t0"), col("cen"), Seq("cohort"))(subj)
+      WindowOps.kaplanMeier(col("t0"), col("cen"), Seq("cohort"))(
+        survivalSubjects(s, dir))
         .orderBy("cohort", "t")
     },
     "snapshot_diff" -> { (s, dir) =>
@@ -1353,13 +1327,12 @@ private[graft] object QueriesTemporal {
           r.s * (1e0 - CAST(o.d AS DOUBLE)
             / CAST(r.nr - r.d - r.cn AS DOUBLE)) AS s
         FROM o JOIN r ON o.cohort = r.cohort AND o.i = r.i + 1),
-      nn AS (SELECT cohort, CAST(sum(d + cn) AS BIGINT) AS n
-        FROM cells GROUP BY cohort),
       tq AS (SELECT cohort, min(t) AS t FROM r
         WHERE s <= ${litD(0.5)} GROUP BY cohort)
-      SELECT nn.cohort, n, ${litD(0.5)} AS q, tq.t
-      FROM nn LEFT JOIN tq ON tq.cohort = nn.cohort
-      ORDER BY nn.cohort""",
+      SELECT n0.cohort, CAST(n0.n0 AS BIGINT) AS n,
+        ${litD(0.5)} AS q, tq.t
+      FROM n0 LEFT JOIN tq ON tq.cohort = n0.cohort
+      ORDER BY n0.cohort""",
     // mirrors WindowOps.rmst: the retention_curve KM recurrence, then
     // lag/clip segments against the 21-day horizon and one
     // time-ordered fold — the area under the step curve
@@ -1407,15 +1380,14 @@ private[graft] object QueriesTemporal {
               - least(CAST(t AS DOUBLE), ${litD(21.0)}))
             ELSE 0e0 END AS seg
         FROM sg),
-      nn AS (SELECT cohort, CAST(sum(d + cn) AS BIGINT) AS n
-        FROM cells GROUP BY cohort),
       ag AS (SELECT cohort,
           list_reduce(list_prepend(CAST(0 AS DOUBLE),
             list(seg ORDER BY t)), (a, x) -> a + x) AS rmst
         FROM tm GROUP BY cohort)
-      SELECT nn.cohort, n, ${litD(21.0)} AS tau, ag.rmst
-      FROM nn JOIN ag ON ag.cohort = nn.cohort
-      ORDER BY nn.cohort""",
+      SELECT n0.cohort, CAST(n0.n0 AS BIGINT) AS n,
+        ${litD(21.0)} AS tau, ag.rmst
+      FROM n0 JOIN ag ON ag.cohort = n0.cohort
+      ORDER BY n0.cohort""",
     // mirrors Probes.logRankTest over the same subject frame as
     // retention_curve: per-(cohort, day) cells, at-risk via
     // total-minus-exclusive-cumsum windows, exact HUGEINT O−E and
@@ -1486,33 +1458,43 @@ private[graft] object QueriesTemporal {
         FROM events),
       c AS (SELECT w, CAST(count(*) AS BIGINT) AS n_total,
           CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
-            AND vc IS NOT NULL THEN 1 END) AS BIGINT) AS n_blocks,
+            AND vc IS NOT NULL AND NOT isnan(va) AND NOT isnan(vb)
+            AND NOT isnan(vc) THEN 1 END) AS BIGINT) AS n_blocks,
           CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
-            AND vc IS NOT NULL AND va - vb = 0e0 THEN 1 END) AS BIGINT)
+            AND vc IS NOT NULL AND NOT isnan(va) AND NOT isnan(vb)
+            AND NOT isnan(vc) AND va - vb = 0e0 THEN 1 END) AS BIGINT)
             AS z_ab,
           CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
-            AND vc IS NOT NULL AND va - vb > 0e0 THEN 1 END) AS BIGINT)
+            AND vc IS NOT NULL AND NOT isnan(va) AND NOT isnan(vb)
+            AND NOT isnan(vc) AND va - vb > 0e0 THEN 1 END) AS BIGINT)
             AS p_ab,
           CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
-            AND vc IS NOT NULL AND va - vb < 0e0 THEN 1 END) AS BIGINT)
+            AND vc IS NOT NULL AND NOT isnan(va) AND NOT isnan(vb)
+            AND NOT isnan(vc) AND va - vb < 0e0 THEN 1 END) AS BIGINT)
             AS n_ab,
           CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
-            AND vc IS NOT NULL AND va - vc = 0e0 THEN 1 END) AS BIGINT)
+            AND vc IS NOT NULL AND NOT isnan(va) AND NOT isnan(vb)
+            AND NOT isnan(vc) AND va - vc = 0e0 THEN 1 END) AS BIGINT)
             AS z_ac,
           CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
-            AND vc IS NOT NULL AND va - vc > 0e0 THEN 1 END) AS BIGINT)
+            AND vc IS NOT NULL AND NOT isnan(va) AND NOT isnan(vb)
+            AND NOT isnan(vc) AND va - vc > 0e0 THEN 1 END) AS BIGINT)
             AS p_ac,
           CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
-            AND vc IS NOT NULL AND va - vc < 0e0 THEN 1 END) AS BIGINT)
+            AND vc IS NOT NULL AND NOT isnan(va) AND NOT isnan(vb)
+            AND NOT isnan(vc) AND va - vc < 0e0 THEN 1 END) AS BIGINT)
             AS n_ac,
           CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
-            AND vc IS NOT NULL AND vb - vc = 0e0 THEN 1 END) AS BIGINT)
+            AND vc IS NOT NULL AND NOT isnan(va) AND NOT isnan(vb)
+            AND NOT isnan(vc) AND vb - vc = 0e0 THEN 1 END) AS BIGINT)
             AS z_bc,
           CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
-            AND vc IS NOT NULL AND vb - vc > 0e0 THEN 1 END) AS BIGINT)
+            AND vc IS NOT NULL AND NOT isnan(va) AND NOT isnan(vb)
+            AND NOT isnan(vc) AND vb - vc > 0e0 THEN 1 END) AS BIGINT)
             AS p_bc,
           CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
-            AND vc IS NOT NULL AND vb - vc < 0e0 THEN 1 END) AS BIGINT)
+            AND vc IS NOT NULL AND NOT isnan(va) AND NOT isnan(vb)
+            AND NOT isnan(vc) AND vb - vc < 0e0 THEN 1 END) AS BIGINT)
             AS n_bc
         FROM b GROUP BY w),
       st AS (

@@ -1200,21 +1200,6 @@ object WindowOps {
         col("col.__st.ch").as("cum_hazard")): _*)
   }
 
-  /** Restricted mean survival time per group — the single retention
-    * NUMBER beside [[kaplanMeier]]'s curve: the area under the KM step
-    * function up to the horizon `tau`,
-    *   `RMST(τ) = Σ_i S(t_{i−1})·(min(t_i, τ) − t_{i−1}) +
-    *              S(t_last)·(τ − min(t_last, τ))`
-    * — "the average days retained within a τ-day window", the number a
-    * dashboard wants where the full curve is a chart. Censoring-aware
-    * by construction (it integrates the KM estimate). Exactness: the
-    * segment products ride [[kaplanMeier]]'s pinned survival values
-    * and exact time gaps, summed as a time-pinned fold
-    * (`exactOrder=false` = plain sum); the oracle replays the same
-    * lag/clip/fold. Times must be ≥ 0 (the origin is 0; a negative
-    * time raises loudly). NULL doctrine = [[kaplanMeier]]. Scale shape
-    * = [[kaplanMeier]] plus one lag window and one fold over distinct
-    * times. Output per group: `n, tau, rmst`. */
   /** Survival quantile per group — the "median lifetime" readout off
     * [[kaplanMeier]]'s curve: the smallest time t with
     * `S(t) ≤ 1 − q` (q = 0.5 is median survival — when has half the
@@ -1231,22 +1216,31 @@ object WindowOps {
     require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
     val grp = groupCols.map(col)
     val km = kaplanMeier(time, censored, groupCols)(df)
-    val totals =
-      (if (grp.isEmpty) km.groupBy() else km.groupBy(grp: _*))
-        .agg(sum(col("n_death") + col("n_censor")).as("n"))
-    val crossed = km.filter(col("survival") <= lit(1.0 - q))
-    val tq =
-      (if (grp.isEmpty) crossed.groupBy() else crossed.groupBy(grp: _*))
-        .agg(min(col("t")).as("__tq"))
-    // the grp-free tq aggregation always yields exactly one row
-    // (min over an empty frame reads NULL — the honest "never crossed")
-    val joined =
-      (if (grp.isEmpty) totals.crossJoin(broadcast(tq))
-       else totals.join(tq, groupCols, "left"))
-    joined.select(grp ++ Seq(col("n"), lit(q).as("q"),
-      col("__tq").as("t")): _*)
+    // ONE aggregation over the KM frame: min over an all-NULL `when`
+    // reads NULL — the honest "never crossed" (review-caught: a
+    // two-agg + join shape planned the whole KM subtree twice)
+    (if (grp.isEmpty) km.groupBy() else km.groupBy(grp: _*))
+      .agg(sum(col("n_death") + col("n_censor")).as("n"),
+        min(when(col("survival") <= lit(1.0 - q), col("t"))).as("__tq"))
+      .select(grp ++ Seq(col("n"), lit(q).as("q"),
+        col("__tq").as("t")): _*)
   }
 
+  /** Restricted mean survival time per group — the single retention
+    * NUMBER beside [[kaplanMeier]]'s curve: the area under the KM step
+    * function up to the horizon `tau`,
+    *   `RMST(τ) = Σ_i S(t_{i−1})·(min(t_i, τ) − t_{i−1}) +
+    *              S(t_last)·(τ − min(t_last, τ))`
+    * — "the average days retained within a τ-day window", the number a
+    * dashboard wants where the full curve is a chart. Censoring-aware
+    * by construction (it integrates the KM estimate). Exactness: the
+    * segment products ride [[kaplanMeier]]'s pinned survival values
+    * and exact time gaps, summed as a time-pinned fold
+    * (`exactOrder=false` = plain sum); the oracle replays the same
+    * lag/clip/fold. Times must be ≥ 0 (the origin is 0; a negative
+    * time raises loudly). NULL doctrine = [[kaplanMeier]]. Scale shape
+    * = [[kaplanMeier]] plus one lag window and one fold over distinct
+    * times. Output per group: `n, tau, rmst`. */
   def rmst(time: Column, censored: Column, tau: Double,
       groupCols: Seq[String] = Nil,
       exactOrder: Boolean = true)(df: DataFrame): DataFrame = {

@@ -1908,14 +1908,22 @@ object Probes {
     *
     * Scale shape: one pooled `rank()` window per group partition (the
     * [[mannWhitneyU]] cost class), one hash-agg to variants, one
-    * k-sized fold. Reports `eps_sq = (H_corrected − k + 1)/(N − k)` —
-    * the H-based variance-explained effect size (0 at the null
+    * k-sized fold. Reports both H-based effect sizes under their
+    * correct names: `eps_sq = H_c/(N−1)` (Kelley's ε²) and
+    * `eta_sq_h = (H_c − k + 1)/(N − k)` (the rank η², 0 at the null
     * expectation E[H] = k−1; NULL when N ≤ k or the tie correction
     * degenerates). Output per group:
-    * `n, k, h, h_corrected, eps_sq`. */
-  def kruskalWallis(variant: Column, value: Column,
-      groupCols: Seq[String] = Nil,
-      exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
+    * `n, k, h, h_corrected, eps_sq, eta_sq_h`. */
+  /** The shared pooled-rank per-variant frame of the k-sample rank
+    * family ([[kruskalWallis]], [[dunnTest]]): NULL-dropped
+    * (variant, value) rows, the pooled 2·rank carry and per-row t²−1
+    * tie terms, aggregated to exact per-variant
+    * `(__nv, __s2 = Σ2r, __ttv = Σ(t²−1))` — ONE definition so the
+    * post-hoc's "same pooled ranks as the omnibus" promise is
+    * structural, not textual (the [[friedmanRankFrames]] discipline;
+    * review-caught duplication). */
+  private def kwPooledPerVariant(variant: Column, value: Column,
+      groupCols: Seq[String])(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grp = groupCols.map(col)
     val base = df
@@ -1928,10 +1936,17 @@ object Probes {
       rank2Carry(wOrd, wTie).as("__r2"),
       (count(lit(1)).over(wTie) * count(lit(1)).over(wTie) - lit(1L))
         .cast("decimal(38,0)").as("__tt")): _*)
-    val perVar = ranked.groupBy(grp :+ col("__v"): _*)
+    ranked.groupBy(grp :+ col("__v"): _*)
       .agg(count(lit(1)).as("__nv"),
         sum(col("__r2")).as("__s2"),
         sum(col("__tt")).as("__ttv"))
+  }
+
+  def kruskalWallis(variant: Column, value: Column,
+      groupCols: Seq[String] = Nil,
+      exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
+    val grp = groupCols.map(col)
+    val perVar = kwPooledPerVariant(variant, value, groupCols)(df)
     // Σ_v S2_v²/n_v: k-sized pinned fold (variant cardinality)
     val term = (col("__s2").cast("double") * col("__s2").cast("double")) /
       col("__nv").cast("double")
@@ -1954,15 +1969,19 @@ object Probes {
       when(col("k") >= 2 && col("n") >= 2, h).as("h"),
       when(col("k") >= 2 && col("n") >= 2 && corr > 0.0, hc)
         .as("h_corrected"),
-      // the H-based variance-explained effect size reviewers read
-      // beside the statistic (the eta_sq precedent on oneWayAnova):
-      // eps_sq = (H − k + 1)/(N − k), computed on the tie-corrected H
-      // (the op's primary statistic) — 0 at the null expectation
-      // E[H] = k − 1, 1 when every between-variant contrast is maximal
+      // BOTH H-based effect sizes, each under its CORRECT name
+      // (review-caught: (H−k+1)/(N−k) is the rank eta², not epsilon² —
+      // a consumer cross-checking `eps_sq` against the conventional
+      // ε² = H·(N+1)/(N²−1) = H/(N−1) would read a systematic
+      // mismatch): eps_sq is Kelley's ε², eta_sq_h the η²_H that is 0
+      // at the null expectation E[H] = k−1. Both on the tie-corrected
+      // H, the op's primary statistic.
+      when(col("k") >= 2 && col("n") >= 2 && corr > 0.0,
+        hc / (col("n").cast("double") - lit(1.0))).as("eps_sq"),
       when(col("k") >= 2 && col("n") > col("k") && corr > 0.0,
         (hc - (col("k").cast("double") - lit(1.0))) /
           (col("n").cast("double") - col("k").cast("double")))
-        .as("eps_sq")): _*)
+        .as("eta_sq_h")): _*)
   }
 
   /** Dunn's post-hoc pairwise test per group — the step AFTER
@@ -2001,26 +2020,12 @@ object Probes {
   def dunnTest(variant: Column, value: Column,
       groupCols: Seq[String] = Nil,
       zCrit: Double = 1.96, maxK: Int = 64)(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(zCrit > 0.0 && zCrit <= 100.0,
       s"zCrit must be in (0, 100]: $zCrit")
     require(maxK >= 2 && maxK <= 1024,
       s"maxK must be in [2, 1024], got $maxK")
     val grp = groupCols.map(col)
-    val base = df
-      .filter(variant.isNotNull && value.isNotNull)
-      .select(grp :+ variant.cast("string").as("__v") :+
-        value.as("__x"): _*)
-    val wOrd = Window.partitionBy(grp: _*).orderBy(col("__x"))
-    val wTie = Window.partitionBy(grp :+ col("__x"): _*)
-    val ranked = base.select(grp ++ Seq(col("__v"),
-      rank2Carry(wOrd, wTie).as("__r2"),
-      (count(lit(1)).over(wTie) * count(lit(1)).over(wTie) - lit(1L))
-        .cast("decimal(38,0)").as("__tt")): _*)
-    val perVar = ranked.groupBy(grp :+ col("__v"): _*)
-      .agg(count(lit(1)).as("__nv"),
-        sum(col("__r2")).as("__s2"),
-        sum(col("__tt")).as("__ttv"))
+    val perVar = kwPooledPerVariant(variant, value, groupCols)(df)
       .localCheckpoint() // k rows per group; feeds totals AND the pairs
     val totals =
       (if (grp.isEmpty) perVar.groupBy() else perVar.groupBy(grp: _*))
@@ -2399,6 +2404,10 @@ object Probes {
       rank2Carry(wOrd, wTie).as("__r2")): _*)
     val perT = ranked.groupBy(grp :+ col("__t"): _*)
       .agg(sum(col("__r2")).as("__R2"))
+      // k rows per group; the omnibus reads it once but the post-hoc
+      // feeds sR2 AND both pair sides — pin the rank window to one
+      // execution (review-caught; the dunnTest perVar discipline)
+      .localCheckpoint()
     val a2 =
       (if (grp.isEmpty) ranked.groupBy() else ranked.groupBy(grp: _*))
         .agg(sum(col("__r2") * col("__r2")).as("__A2"))

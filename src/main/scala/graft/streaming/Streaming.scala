@@ -799,10 +799,12 @@ object Streaming {
     * the 95% gate at m = 10), or feed the emitted family into
     * [[graft.probes.Probes.bhCorrect]]-style step-up offline.
     *
-    * Block contract, streamed: a row with ANY NULL treatment drops
-    * from every pair's counters and is REPORTED (`n_dropped`) — the
-    * complete-block doctrine of the batch op (silent imputation is how
-    * paired becomes unpaired); note this is k-wise, stricter than
+    * Block contract, streamed: a row with ANY NULL or NaN treatment
+    * drops from every pair's counters and is REPORTED (`n_dropped`) —
+    * the complete-block doctrine of the batch op (silent imputation is
+    * how paired becomes unpaired; a NaN score is not evidence, and
+    * unguarded it would sort above every value and count as a win for
+    * the earlier-listed arm); note this is k-wise, stricter than
     * [[graft.probes.Probes.signTest]]'s per-pair NULL drop. Zero
     * differences count into `n_zero` only. A pair with no nonzero
     * difference reads NULL z and false `significant`. Identical plan
@@ -831,8 +833,14 @@ object Streaming {
       .select(col(tsField) +: treatments.zipWithIndex.map {
         case ((_, c), i) => c.cast("double").as(s"__v$i") }: _*)
       .withWatermark(tsField, watermarkDelay)
+    // NULL OR NaN in any treatment drops the block: a NaN score is
+    // not evidence (the windowedValueDrift doctrine) — unguarded,
+    // Spark's total-order double comparison sorts NaN above every
+    // value, so a NaN difference would silently count as a WIN for
+    // the earlier-listed arm (review-caught)
     val complete = treatments.indices
-      .map(i => col(s"__v$i").isNotNull).reduce(_ && _)
+      .map(i => col(s"__v$i").isNotNull && !isnan(col(s"__v$i")))
+      .reduce(_ && _)
     val pairsIdx = for { i <- 0 until k; j <- i + 1 until k } yield (i, j)
     val counters = Seq(
       count(lit(1)).as("__n_total"),

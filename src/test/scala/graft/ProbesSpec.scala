@@ -1280,8 +1280,11 @@ class ProbesSpec extends SparkSpec {
     val r3 = Probes.kruskalWallis(col("v"), col("x"))(d3).head()
     assert(r3.getAs[Long]("k") === 3L &&
       r3.getAs[Double]("h_corrected") >= 0.0)
-    // eps_sq = (H_c − k + 1)/(N − k): (2.4 − 1)/(4 − 2) = 0.7 exactly
-    assert(math.abs(r.getAs[Double]("eps_sq") - 0.7) < 1e-12)
+    // both H-based effect sizes, correctly named: Kelley's
+    // eps_sq = H_c/(N−1) = 2.4/3 = 0.8; the rank
+    // eta_sq_h = (H_c − k + 1)/(N − k) = 1.4/2 = 0.7
+    assert(math.abs(r.getAs[Double]("eps_sq") - 0.8) < 1e-12)
+    assert(math.abs(r.getAs[Double]("eta_sq_h") - 0.7) < 1e-12)
     // one variant: NULL H; all values tied: NULL h_corrected
     val one = Seq(("A", 1.0), ("A", 2.0)).toDF("v", "x")
     val ro = Probes.kruskalWallis(col("v"), col("x"))(one).head()
@@ -1289,7 +1292,8 @@ class ProbesSpec extends SparkSpec {
     val tied = Seq(("A", 5.0), ("B", 5.0), ("A", 5.0)).toDF("v", "x")
     val rt = Probes.kruskalWallis(col("v"), col("x"))(tied).head()
     assert(rt.isNullAt(rt.fieldIndex("h_corrected")) &&
-      rt.isNullAt(rt.fieldIndex("eps_sq")))
+      rt.isNullAt(rt.fieldIndex("eps_sq")) &&
+      rt.isNullAt(rt.fieldIndex("eta_sq_h")))
   }
 
   test("dunnTest: k=2 equals mannWhitneyU z, hand pairs, tied NULL, maxK guard") {

@@ -963,17 +963,20 @@ class StreamingSpec extends SparkSpec {
     val st = graft.probes.Probes.signTest(col("a"), col("b"))(
       rows.toDF("ts", "a", "b", "c")).head()
     assert(st.getAs[Double]("z") === viaBatch.head.getAs[Double]("z"))
-    // a row with ANY NULL treatment drops from EVERY pair and is
-    // REPORTED — the k-wise complete-block contract
+    // a row with ANY NULL or NaN treatment drops from EVERY pair and
+    // is REPORTED — the k-wise complete-block contract (unguarded, a
+    // NaN difference would sort above every value and count as a win
+    // for the earlier-listed arm)
     val withNull = Seq(
       (ts("10:01"), Some(1.0), Some(0.0), Some(1.0)),
-      (ts("10:02"), Some(2.0), Some(0.0), None))
+      (ts("10:02"), Some(2.0), Some(0.0), None),
+      (ts("10:03"), Some(Double.NaN), Some(0.0), Some(1.0)))
       .toDF("ts", "a", "b", "c")
     val nd = Streaming.windowedSignMatrix(withNull,
       Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")),
       windowLength = "10 minutes").collect()
     assert(nd.forall(r => r.getAs[Long]("n_blocks") === 1L &&
-      r.getAs[Long]("n_dropped") === 1L))
+      r.getAs[Long]("n_dropped") === 2L))
     val ndAb = nd.find(r => r.getAs[String]("treatment_a") == "a" &&
       r.getAs[String]("treatment_b") == "b").get
     assert(ndAb.getAs[Long]("n_pos") === 1L) // only the complete block
