@@ -1266,7 +1266,10 @@ private[graft] object QueriesTemporal {
                  THEN NULL
                ELSE least(greatest(CAST(floor((CAST(value AS DOUBLE)
                  - 0e0) * 8 / 5e2) AS BIGINT), 0), 7) END AS bin
-        FROM events),
+        -- ts IS NOT NULL: Spark's window() silently drops NULL-ts
+        -- rows where time_bucket would keep a NULL-bucket row (r18
+        -- ADVICE — latent parity split if the fixture gains NULL ts)
+        FROM events WHERE ts IS NOT NULL),
       h AS (SELECT w,
           $cnt,
           CAST(count(bin) AS BIGINT) AS total
@@ -1455,7 +1458,8 @@ private[graft] object QueriesTemporal {
           CAST(value AS DOUBLE) AS va,
           CAST(event_id % 400 AS DOUBLE) AS vb,
           CAST(user_id % 350 AS DOUBLE) AS vc
-        FROM events),
+        -- ts IS NOT NULL: window() drops NULL-ts rows (r18 ADVICE)
+        FROM events WHERE ts IS NOT NULL),
       c AS (SELECT w, CAST(count(*) AS BIGINT) AS n_total,
           CAST(count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
             AND vc IS NOT NULL AND NOT isnan(va) AND NOT isnan(vb)
@@ -1528,7 +1532,9 @@ private[graft] object QueriesTemporal {
           CAST(round(CAST(value AS DOUBLE) * 1e9, 0) AS DECIMAL(19,0))
             AS z9
         FROM events
-        WHERE user_id IS NOT NULL AND value IS NOT NULL
+        -- ts IS NOT NULL: window() drops NULL-ts rows (r18 ADVICE)
+        WHERE ts IS NOT NULL
+          AND user_id IS NOT NULL AND value IS NOT NULL
           AND CAST(user_id % 3 AS VARCHAR) IN ('0', '1', '2')),
       pv AS (SELECT w, v, CAST(count(*) AS BIGINT) AS ng,
           CAST(sum(CAST(z9 AS DECIMAL(38,0))) AS HUGEINT) AS s1,
@@ -1613,7 +1619,7 @@ private[graft] object QueriesTemporal {
     "events_time_buckets" ->
       """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
          event_type, count(*) AS event_count
-         FROM events
+         FROM events WHERE ts IS NOT NULL
          GROUP BY 1, 2 ORDER BY window_start, event_type""",
     // IS DISTINCT FROM is the null-safe struct compare the Spark side
     // spells <=>; unchanged keys are absent by construction

@@ -1883,6 +1883,34 @@ object Probes {
             .cast("double") / (lit(2.0) * sqrt(variance))).as("z")): _*)
   }
 
+  /** The shared pooled-rank per-variant frame of the k-sample rank
+    * family ([[kruskalWallis]], [[dunnTest]]): NULL-dropped
+    * (variant, value) rows, the pooled 2·rank carry and per-row t²−1
+    * tie terms, aggregated to exact per-variant
+    * `(__nv, __s2 = Σ2r, __ttv = Σ(t²−1))` — ONE definition so the
+    * post-hoc's "same pooled ranks as the omnibus" promise is
+    * structural, not textual (the [[friedmanRankFrames]] discipline;
+    * review-caught duplication). */
+  private def kwPooledPerVariant(variant: Column, value: Column,
+      groupCols: Seq[String])(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val base = df
+      .filter(variant.isNotNull && value.isNotNull)
+      .select(grp :+ variant.cast("string").as("__v") :+
+        value.as("__x"): _*)
+    val wOrd = Window.partitionBy(grp: _*).orderBy(col("__x"))
+    val wTie = Window.partitionBy(grp :+ col("__x"): _*)
+    val ranked = base.select(grp ++ Seq(col("__v"),
+      rank2Carry(wOrd, wTie).as("__r2"),
+      (count(lit(1)).over(wTie) * count(lit(1)).over(wTie) - lit(1L))
+        .cast("decimal(38,0)").as("__tt")): _*)
+    ranked.groupBy(grp :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__nv"),
+        sum(col("__r2")).as("__s2"),
+        sum(col("__tt")).as("__ttv"))
+  }
+
   /** Kruskal–Wallis H per group — the k-SAMPLE extension of
     * [[mannWhitneyU]]: does ANY of k variants' value distributions sit
     * apart? The one-way-ANOVA-on-ranks for A/B/n tests and per-source
@@ -1914,34 +1942,6 @@ object Probes {
     * expectation E[H] = k−1; NULL when N ≤ k or the tie correction
     * degenerates). Output per group:
     * `n, k, h, h_corrected, eps_sq, eta_sq_h`. */
-  /** The shared pooled-rank per-variant frame of the k-sample rank
-    * family ([[kruskalWallis]], [[dunnTest]]): NULL-dropped
-    * (variant, value) rows, the pooled 2·rank carry and per-row t²−1
-    * tie terms, aggregated to exact per-variant
-    * `(__nv, __s2 = Σ2r, __ttv = Σ(t²−1))` — ONE definition so the
-    * post-hoc's "same pooled ranks as the omnibus" promise is
-    * structural, not textual (the [[friedmanRankFrames]] discipline;
-    * review-caught duplication). */
-  private def kwPooledPerVariant(variant: Column, value: Column,
-      groupCols: Seq[String])(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grp = groupCols.map(col)
-    val base = df
-      .filter(variant.isNotNull && value.isNotNull)
-      .select(grp :+ variant.cast("string").as("__v") :+
-        value.as("__x"): _*)
-    val wOrd = Window.partitionBy(grp: _*).orderBy(col("__x"))
-    val wTie = Window.partitionBy(grp :+ col("__x"): _*)
-    val ranked = base.select(grp ++ Seq(col("__v"),
-      rank2Carry(wOrd, wTie).as("__r2"),
-      (count(lit(1)).over(wTie) * count(lit(1)).over(wTie) - lit(1L))
-        .cast("decimal(38,0)").as("__tt")): _*)
-    ranked.groupBy(grp :+ col("__v"): _*)
-      .agg(count(lit(1)).as("__nv"),
-        sum(col("__r2")).as("__s2"),
-        sum(col("__tt")).as("__ttv"))
-  }
-
   def kruskalWallis(variant: Column, value: Column,
       groupCols: Seq[String] = Nil,
       exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
@@ -2109,8 +2109,11 @@ object Probes {
     *
     * Scale shape: the corpus materializes once (localCheckpoint) and
     * replicates (k−1)× through two broadcast equi-joins against the
-    * k²-bounded ordered-pair frame (maxK-guarded, riding the consumed
-    * `__n` — the [[dunnTest]] discipline), then ONE rank window per
+    * k²-bounded ordered-pair frame (maxK-guarded TWICE: a guard
+    * FILTER on the pair frame itself fires when the broadcast
+    * materializes — i.e. BEFORE the replication runs — and the
+    * consumed `__n` in the totals frame backstops the readout, the
+    * [[dunnTest]] discipline), then ONE rank window per
     * (group, pair) partition and three hash-aggs. The replication
     * factor is the op's documented bill — k is variant cardinality,
     * not corpus. Output per group: `n, k, j_stat, mu, z`. */
@@ -2155,9 +2158,23 @@ object Probes {
         sum(t38 * (t38 - 1)).as("__st2"))
     val pa = perVar.select(grp :+ col("__v").as("__vi"): _*)
     val pb = perVar.select(grp :+ col("__v").as("__vj"): _*)
+    // the guard FILTER rides the pair frame itself (not just the
+    // totals join at the end): the pool replication below broadcasts
+    // `pairs`, so materializing it forces the guarded `__n` — an
+    // oversized variant set raises on the k-row totals frame BEFORE
+    // the corpus replicates (k-1)x, not merely before the final
+    // readout (r18 ADVICE: a projection-only guard bounds nothing a
+    // filter doesn't reach). A Filter is never pruned; `__ng >= 0` is
+    // not foldable because the raise_error branch blocks it.
+    val guardN = totals.select(grp :+ col("__n").as("__ng"): _*)
     val pairs =
       (if (grp.isEmpty) pa.crossJoin(pb) else pa.join(pb, groupCols))
         .filter(col("__vi") < col("__vj"))
+        .transform(p =>
+          if (grp.isEmpty) p.crossJoin(broadcast(guardN))
+          else p.join(broadcast(guardN), groupCols))
+        .filter(col("__ng") >= 0L)
+        .drop("__ng")
     val poolI = base.join(broadcast(pairs
       .select(grp ++ Seq(col("__vi").as("__v"), col("__vj")): _*)),
       groupCols :+ "__v")
