@@ -475,6 +475,14 @@ private[graft] object QueriesProbes {
         table(s, dir, "events").filter(col("event_id") % 20 === 0))
         .orderBy("event_type")
     },
+    "mann_kendall" -> { (s, dir) =>
+      // is the theil_sen drift REAL? the monotone-trend significance
+      // gate on the SAME 1/20 slice: exact S over time-ordered pairs,
+      // the bivariate tie-corrected variance, continuity-corrected z
+      Probes.mannKendall("event_type", "event_id", "event_id", "value")(
+        table(s, dir, "events").filter(col("event_id") % 20 === 0))
+        .orderBy("event_type")
+    },
     "mcnemar_test" -> { (s, dir) =>
       // paired comparison of two deterministic "classifiers" of the
       // value >= 20 target on the SAME events: a threshold system vs
@@ -1976,6 +1984,55 @@ private[graft] object QueriesProbes {
         coalesce(n_pairs, CAST(0 AS BIGINT)) AS n_pairs, slope, intercept
       FROM sz LEFT JOIN ms ON ms.g = sz.g LEFT JOIN mi ON mi.g = sz.g
       ORDER BY event_type""",
+    // mirrors Probes.mannKendall: the same i<j pair frame with exact
+    // sgn(dt)*sgn(dx) S, tie-group masses per value and per time in
+    // HUGEINT, the bivariate variance with cross products as doubles
+    // of exact integers, the continuity-corrected z
+    "mann_kendall" -> """
+      WITH b AS (SELECT event_type AS g, event_id AS i, event_id AS t,
+          value AS x
+        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+          AND event_id % 20 = 0),
+      sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g),
+      p AS (SELECT a.g AS g,
+          (CASE WHEN a.t < c.t THEN 1 WHEN a.t > c.t THEN -1 ELSE 0 END)
+          * (CASE WHEN a.x < c.x THEN 1 WHEN a.x > c.x THEN -1 ELSE 0
+            END) AS sp
+        FROM b a JOIN b c ON a.g = c.g AND a.i < c.i),
+      sa AS (SELECT g, CAST(sum(sp) AS BIGINT) AS s FROM p GROUP BY g),
+      xt AS (SELECT g, CAST(count(*) AS HUGEINT) AS tc
+        FROM b GROUP BY g, x),
+      xs AS (SELECT g, sum(tc * (tc - 1) * (tc * 2 + 5)) AS xt25,
+          sum(tc * (tc - 1) * (tc - 2)) AS xt3,
+          sum(tc * (tc - 1)) AS xt2
+        FROM xt GROUP BY g),
+      ut AS (SELECT g, CAST(count(*) AS HUGEINT) AS tc
+        FROM b GROUP BY g, t),
+      us AS (SELECT g, sum(tc * (tc - 1) * (tc * 2 + 5)) AS ut25,
+          sum(tc * (tc - 1) * (tc - 2)) AS ut3,
+          sum(tc * (tc - 1)) AS ut2
+        FROM ut GROUP BY g),
+      f AS (SELECT sz.g, sz.n, coalesce(sa.s, CAST(0 AS BIGINT)) AS s,
+          CAST(CAST(sz.n AS HUGEINT) * (sz.n - 1) * (sz.n * 2 + 5)
+              - xs.xt25 - us.ut25 AS DOUBLE) / 18e0
+            + CASE WHEN sz.n > 2 THEN
+                CAST(xs.xt3 AS DOUBLE) * CAST(us.ut3 AS DOUBLE)
+                / (9e0 * CAST(sz.n AS DOUBLE)
+                  * (CAST(sz.n AS DOUBLE) - 1e0)
+                  * (CAST(sz.n AS DOUBLE) - 2e0)) ELSE 0e0 END
+            + CASE WHEN sz.n > 1 THEN
+                CAST(xs.xt2 AS DOUBLE) * CAST(us.ut2 AS DOUBLE)
+                / (2e0 * CAST(sz.n AS DOUBLE)
+                  * (CAST(sz.n AS DOUBLE) - 1e0)) ELSE 0e0 END AS vs
+        FROM sz LEFT JOIN sa ON sa.g = sz.g
+          LEFT JOIN xs ON xs.g = sz.g LEFT JOIN us ON us.g = sz.g)
+      SELECT g AS event_type, n, s,
+        CASE WHEN n >= 2 THEN vs END AS var_s,
+        CASE WHEN n >= 2 AND vs > 0e0 THEN
+          CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1e0) / sqrt(vs)
+               WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1e0) / sqrt(vs)
+               ELSE 0e0 END END AS z
+      FROM f ORDER BY event_type""",
     // mirrors Probes.mcnemarTest: exact contingency counts, the
     // continuity-corrected squared-integer numerator in HUGEINT, one
     // final division; b+c = 0 -> NULL (zero evidence, not zero diff)

@@ -3285,6 +3285,114 @@ object Probes {
         col("slope"), col("intercept"))
   }
 
+  /** Mann–Kendall trend test per group — the significance gate
+    * [[theilSen]] ships without: the robust slope says HOW FAST the
+    * metric drifts, this says whether the monotone trend is REAL
+    * (same assumption-free null — no linearity, no normality), the
+    * standard companion pair for noisy pipeline metrics.
+    *
+    * `S = Σ_{i<j} sgn(t_j − t_i)·sgn(x_j − x_i)` over the explicit
+    * within-group pair frame — the [[kendallTau]] concordance
+    * machinery verbatim (S IS Kendall's C − D between time and value;
+    * pairs tied on time contribute exact 0), O(n²) BY CONSTRUCTION
+    * and `maxN`-guarded with the same loud raise_error: trend a
+    * bounded metric slice (daily rollups, sampled probes), not a raw
+    * corpus.
+    *
+    * Exactness: S is an exact integer off one hash-agg; the variance
+    * is Kendall's full bivariate tie-corrected form (Kendall 1975;
+    * the Helsel–Hirsch water-quality standard),
+    *   `Var(S) = [N(N−1)(2N+5) − Σ_t t(t−1)(2t+5) − Σ_u u(u−1)(2u+5)]/18
+    *           + Σ_t t(t−1)(t−2)·Σ_u u(u−1)(u−2) / (9N(N−1)(N−2))
+    *           + Σ_t t(t−1)·Σ_u u(u−1) / (2N(N−1))`
+    * (t = value tie-group sizes, u = TIME tie-group sizes — with
+    * distinct times the u-legs vanish and this IS the textbook
+    * one-variable MK variance `(N(N−1)(2N+5) − Σt(t−1)(2t+5))/18`;
+    * the [[jonckheereTerpstra]] `__sn25` shape, every Σ an exact
+    * decimal(38,0) hash-agg, the two cross products multiplying as
+    * doubles of exact integers). z carries the ±1 continuity
+    * correction: `z = (S∓1)/√Var(S)` for S ≷ 0, exact 0.0 at S = 0.
+    * No p-value (the no-libm doctrine): |z| ≥ 1.96 IS the 95% gate,
+    * 1.64 the one-sided. Degenerate reads: zero variance (all values
+    * or all times tied, or n < 2) → NULL z with the honest exact S.
+    * NULL id/time/value rows drop.
+    *
+    * Scale shape: the guarded pair join + three hash-aggs (pairs,
+    * value ties, time ties). Output per group: `n, s, var_s, z`. */
+  def mannKendall(groupField: String, idField: String, tField: String,
+      xField: String, maxN: Int = 10000)(df: DataFrame): DataFrame = {
+    require(maxN >= 2 && maxN <= 100000,
+      s"maxN must be in [2, 100000], got $maxN")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val base = df
+      .filter(col(tField).isNotNull && col(xField).isNotNull &&
+        col(idField).isNotNull)
+      .select(col(groupField).as("__g"), col(idField).as("__i"),
+        col(tField).as("__t"), col(xField).as("__x"))
+    // the quadratic guard, threaded onto side a so the raise fires
+    // BELOW the pair join (the pairSizeGuard contract)
+    val sized = pairSizeGuard(base, "mannKendall", maxN,
+      "trend a bounded slice")
+    val a = base
+      .join(sized.select(col("__g"), col("__n").as("__na")), Seq("__g"))
+      .select(col("__g"), col("__i").as("__ia"),
+        col("__t").as("__ta"), col("__x").as("__xa"), col("__na"))
+    val b = base.select(col("__g"), col("__i").as("__ib"),
+      col("__t").as("__tb"), col("__x").as("__xb"))
+    val pairs = a.join(b, Seq("__g"))
+      .filter(col("__ia") < col("__ib") && col("__na") <= lit(maxN))
+    val st = when(col("__ta") < col("__tb"), 1)
+      .when(col("__ta") > col("__tb"), -1).otherwise(0)
+    val sx = when(col("__xa") < col("__xb"), 1)
+      .when(col("__xa") > col("__xb"), -1).otherwise(0)
+    val sAgg = pairs.groupBy(col("__g"))
+      .agg(sum((st * sx).cast("long")).as("__s"))
+    // tie-group masses, exact decimal(38,0) — values and times each
+    val xt = d38(col("__tc"))
+    val xTies = base.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__tc"))
+      .groupBy(col("__g"))
+      .agg(sum(xt * (xt - 1) * (xt * 2 + 5)).as("__xt25"),
+        sum(xt * (xt - 1) * (xt - 2)).as("__xt3"),
+        sum(xt * (xt - 1)).as("__xt2"))
+    val tTies = base.groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__tc"))
+      .groupBy(col("__g"))
+      .agg(sum(xt * (xt - 1) * (xt * 2 + 5)).as("__ut25"),
+        sum(xt * (xt - 1) * (xt - 2)).as("__ut3"),
+        sum(xt * (xt - 1)).as("__ut2"))
+    val joined = sized
+      .join(sAgg, Seq("__g"), "left")
+      .join(xTies, Seq("__g"), "left")
+      .join(tTies, Seq("__g"), "left")
+    val n38 = d38(col("__n"))
+    val nD = col("__n").cast("double")
+    val aLeg = n38 * (n38 - 1) * (n38 * 2 + 5) -
+      col("__xt25") - col("__ut25")
+    // the two cross products exceed decimal(38,0) range at the bound —
+    // they multiply as DOUBLES of exact integers (the jonckheere
+    // spelling, oracle-mirrored); each term guards its own zero
+    // denominator (the Σ legs are identically 0 there anyway)
+    val varB = when(nD > 2.0,
+      col("__xt3").cast("double") * col("__ut3").cast("double") /
+        (lit(9.0) * nD * (nD - lit(1.0)) * (nD - lit(2.0))))
+      .otherwise(lit(0.0))
+    val varC = when(nD > 1.0,
+      col("__xt2").cast("double") * col("__ut2").cast("double") /
+        (lit(2.0) * nD * (nD - lit(1.0))))
+      .otherwise(lit(0.0))
+    val varS = aLeg.cast("double") / lit(18.0) + varB + varC
+    val s = coalesce(col("__s"), lit(0L))
+    val sD = s.cast("double")
+    joined.select(col("__g").as(groupField), col("__n").as("n"),
+      s.as("s"),
+      when(col("__n") >= 2, varS).as("var_s"),
+      when(col("__n") >= 2 && varS > 0.0,
+        when(s > 0L, (sD - lit(1.0)) / sqrt(varS))
+          .when(s < 0L, (sD + lit(1.0)) / sqrt(varS))
+          .otherwise(lit(0.0))).as("z"))
+  }
+
   /** McNemar's test — the PAIRED classifier comparison: two systems
     * scored on the SAME eval items, is B's accuracy gain real? The
     * unpaired tests ([[mannWhitneyU]], [[permutationTest]] on

@@ -1621,7 +1621,8 @@ class ProbesSpec extends SparkSpec {
     val d = Seq(("g", 1L, 1.0, 2.0), ("g", 2L, 2.0, 3.0),
       ("h", 3L, 1.0, 4.0)).toDF("g", "i", "x", "y")
     for (q <- Seq(Probes.kendallTau("g", "i", "x", "y")(d),
-        Probes.theilSen("g", "i", "x", "y")(d))) {
+        Probes.theilSen("g", "i", "x", "y")(d),
+        Probes.mannKendall("g", "i", "x", "y")(d))) {
       val guards = q.queryExecution.optimizedPlan.collect {
         case f: LFilter
           if f.condition.find(_.isInstanceOf[RaiseError]).isDefined => f
@@ -1702,6 +1703,81 @@ class ProbesSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("pair join is O(n^2)")))
+  }
+
+  test("mannKendall: hand S/variance, tie corrections, reversal, zero-S, guard") {
+    import spark.implicits._
+    def run(pts: Seq[(Long, Double, Double)], maxN: Int = 10000) =
+      Probes.mannKendall("g", "i", "t", "x", maxN)(
+        pts.map { case (i, t, x) => ("g", i, t, x) }
+          .toDF("g", "i", "t", "x")).head()
+    // distinct times/values: x = (1,3,2,5,4) over t = 1..5 gives
+    // 8 concordant, 2 discordant -> S = 6; Var = 5*4*15/18 = 300/18;
+    // z = (6-1)/sqrt(300/18) — the exact textbook MK dag
+    val base = Seq((1L, 1.0, 1.0), (2L, 2.0, 3.0), (3L, 3.0, 2.0),
+      (4L, 4.0, 5.0), (5L, 5.0, 4.0))
+    val r = run(base)
+    assert(r.getAs[Long]("n") === 5L && r.getAs[Long]("s") === 6L)
+    assert(r.getAs[Double]("var_s") === 300.0 / 18.0)
+    assert(r.getAs[Double]("z") === 5.0 / math.sqrt(300.0 / 18.0))
+    // reversing time negates S and z EXACTLY (the continuity
+    // correction is sign-symmetric)
+    val rev = run(base.map { case (i, t, x) => (i, 6.0 - t, x) })
+    assert(rev.getAs[Long]("s") === -6L)
+    assert(rev.getAs[Double]("z") === -r.getAs[Double]("z"))
+    // a VALUE tie reduces the variance by exactly its t(t-1)(2t+5)/18
+    // mass: x = (1,2,2,3) -> S = 5, Var = (4*3*13 - 2*1*9)/18
+    val vt = run(Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 3.0, 2.0),
+      (4L, 4.0, 3.0)))
+    assert(vt.getAs[Long]("s") === 5L &&
+      vt.getAs[Double]("var_s") === 138.0 / 18.0)
+    // a TIME tie is symmetric: tied-time pairs contribute exact 0 to
+    // S and the u-leg subtracts the same mass
+    val tt = run(Seq((1L, 1.0, 1.0), (2L, 1.0, 2.0), (3L, 2.0, 3.0),
+      (4L, 3.0, 4.0)))
+    assert(tt.getAs[Long]("s") === 5L &&
+      tt.getAs[Double]("var_s") === 138.0 / 18.0)
+    // ties in BOTH at size 3 light up every leg of the bivariate
+    // form: t = x = (1,1,1,2) -> S = 3,
+    // Var = 24/18 + 36/216 + 36/24 = 3.0 exactly
+    val bt = run(Seq((1L, 1.0, 1.0), (2L, 1.0, 1.0), (3L, 1.0, 1.0),
+      (4L, 2.0, 2.0)))
+    assert(bt.getAs[Long]("s") === 3L)
+    assert(bt.getAs[Double]("var_s") ===
+      24.0 / 18.0 + 6.0 * 6.0 / (9.0 * 4.0 * 3.0 * 2.0) +
+        6.0 * 6.0 / (2.0 * 4.0 * 3.0))
+    assert(bt.getAs[Double]("z") === 2.0 / math.sqrt(3.0))
+    // S = 0 with live variance reads exact 0.0, not NULL
+    val z0 = run(Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 3.0, 1.0)))
+    assert(z0.getAs[Long]("s") === 0L && z0.getAs[Double]("z") === 0.0)
+    // all values tied: zero variance -> NULL z with the honest S
+    val flat = run(Seq((1L, 1.0, 7.0), (2L, 2.0, 7.0)))
+    assert(flat.getAs[Long]("s") === 0L &&
+      flat.getAs[java.lang.Double]("z") == null)
+    // the quadratic guard fails loudly past maxN
+    val ex = intercept[Exception] { run(base, maxN = 3) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("pair join is O(n^2)")))
+  }
+
+  test("mannKendall agrees in sign with theilSen on a monotone fixture") {
+    import spark.implicits._
+    // strictly increasing y over x: every pair concordant -> S = n(n-1)/2,
+    // z > 0, and the Theil-Sen slope is positive; mirrored decreasing
+    val up = (1L to 12L).map(i => ("g", i, i.toDouble, 3.0 * i + 1.0))
+      .toDF("g", "i", "t", "x")
+    val mkUp = Probes.mannKendall("g", "i", "t", "x")(up).head()
+    val tsUp = Probes.theilSen("g", "i", "t", "x")(up).head()
+    assert(mkUp.getAs[Long]("s") === 66L)
+    assert(mkUp.getAs[Double]("z") > 1.96 &&
+      tsUp.getAs[Double]("slope") > 0.0)
+    val dn = (1L to 12L).map(i => ("g", i, i.toDouble, -2.0 * i))
+      .toDF("g", "i", "t", "x")
+    val mkDn = Probes.mannKendall("g", "i", "t", "x")(dn).head()
+    val tsDn = Probes.theilSen("g", "i", "t", "x")(dn).head()
+    assert(mkDn.getAs[Double]("z") < -1.96 &&
+      tsDn.getAs[Double]("slope") < 0.0)
   }
 
   test("mcnemarTest: hand chi2, correction toggle, no-evidence NULL, NULL drop") {
