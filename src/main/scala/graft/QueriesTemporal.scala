@@ -402,6 +402,15 @@ private[graft] object QueriesTemporal {
         col("cen"), Seq("cohort"))(survivalSubjects(s, dir))
         .orderBy("cohort")
     },
+    "logrank_gehan" -> { (s, dir) =>
+      // the early-vs-late follow-up on the SAME subject frame: each
+      // day's O−E and V weight by the at-risk total, so early churn
+      // differences dominate — exact-integer weighted numerators
+      // (the n_t factors cancel), same censoring contract
+      Probes.gehanBreslowTest(col("user_id") % 2 === 0, col("t0"),
+        col("cen"), Seq("cohort"))(survivalSubjects(s, dir))
+        .orderBy("cohort")
+    },
     "sign_matrix" -> { (s, dir) =>
       // the live paired-k sign matrix on its batch path: three derived
       // "scores" per event row (the block), per 6h window the pairwise
@@ -1447,6 +1456,62 @@ private[graft] object QueriesTemporal {
             list(vv ORDER BY t)), (acc, x) -> acc + x) AS vsum
         FROM tm GROUP BY cohort)
       SELECT cohort, n_a, n_b, deaths_a, deaths_b, osum AS o_minus_e,
+        CASE WHEN vsum > 0e0 THEN osum / sqrt(vsum) END AS z
+      FROM ag ORDER BY cohort""",
+    // mirrors Probes.gehanBreslowTest: the logrank_test dag with each
+    // day's O−E and V terms weighted by the at-risk total n_t — the
+    // n_t / n_t² factors cancel into exact-integer numerators (O−E
+    // needs no division at all; V keeps one by n_t − 1)
+    "logrank_gehan" -> """
+      WITH e AS (SELECT user_id % 3 AS cohort, user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_id % 13 = 0),
+      subj AS (SELECT cohort, (user_id % 2 = 0) AS a,
+          CAST(floor((max(ep) - min(ep)) / 86400) AS BIGINT) AS t,
+          ((SELECT max(ep) FROM e) - max(ep) < 172800) AS cen
+        FROM e GROUP BY cohort, user_id),
+      cells AS (SELECT cohort, t,
+          CAST(sum(CASE WHEN a AND NOT cen THEN 1 ELSE 0 END)
+            AS BIGINT) AS da,
+          CAST(sum(CASE WHEN a AND cen THEN 1 ELSE 0 END)
+            AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN NOT a AND NOT cen THEN 1 ELSE 0 END)
+            AS BIGINT) AS db,
+          CAST(sum(CASE WHEN NOT a AND cen THEN 1 ELSE 0 END)
+            AS BIGINT) AS cb
+        FROM subj GROUP BY cohort, t),
+      w AS (SELECT cohort, t, da, db, ca, cb,
+          CAST(sum(da + ca) OVER (PARTITION BY cohort)
+            - coalesce(sum(da + ca) OVER (PARTITION BY cohort ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS na,
+          CAST(sum(db + cb) OVER (PARTITION BY cohort)
+            - coalesce(sum(db + cb) OVER (PARTITION BY cohort ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS nb
+        FROM cells),
+      tm AS (SELECT cohort, t, da, db, ca, cb, na, nb,
+          CASE WHEN da + db > 0 AND na + nb > 1 THEN
+            CAST(CAST(da AS HUGEINT) * (na + nb)
+                - CAST(da + db AS HUGEINT) * na AS DOUBLE)
+            ELSE 0e0 END AS oe,
+          CASE WHEN da + db > 0 AND na + nb > 1 THEN
+            CAST(CAST(da + db AS HUGEINT) * na * nb
+                * (na + nb - da - db) AS DOUBLE)
+              / (CAST(na + nb AS DOUBLE) - 1e0) ELSE 0e0 END AS vv
+        FROM w),
+      ag AS (SELECT cohort,
+          CAST(sum(da + ca) AS BIGINT) AS n_a,
+          CAST(sum(db + cb) AS BIGINT) AS n_b,
+          CAST(sum(da) AS BIGINT) AS deaths_a,
+          CAST(sum(db) AS BIGINT) AS deaths_b,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(oe ORDER BY t)), (acc, x) -> acc + x) AS osum,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(vv ORDER BY t)), (acc, x) -> acc + x) AS vsum
+        FROM tm GROUP BY cohort)
+      SELECT cohort, n_a, n_b, deaths_a, deaths_b, osum AS w_o_minus_e,
         CASE WHEN vsum > 0e0 THEN osum / sqrt(vsum) END AS z
       FROM ag ORDER BY cohort""",
     // mirrors Streaming.windowedSignMatrix on batch: per-6h-window

@@ -2267,7 +2267,47 @@ object Probes {
     * group: `n_a, n_b, deaths_a, deaths_b, o_minus_e, z`. */
   def logRankTest(side: Column, time: Column, censored: Column,
       groupCols: Seq[String] = Nil,
-      exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
+      exactOrder: Boolean = true)(df: DataFrame): DataFrame =
+    logRankImpl(side, time, censored, groupCols, exactOrder,
+      weighted = false, oeName = "o_minus_e")(df)
+
+  /** Gehan–Breslow weighted log-rank per group — the early-vs-late
+    * churn sensitivity, the first follow-up after a [[logRankTest]]
+    * verdict: each distinct time's O−E and V terms weight by the
+    * total at-risk `n_t`, so EARLY differences (where nearly everyone
+    * is still at risk) dominate and late-tail noise (tiny risk sets)
+    * fades — a curve pair that crosses can read null on Mantel–Cox
+    * and loud here, and vice versa; run both and compare.
+    *
+    * ONE shared terms-frame definition with [[logRankTest]] (the
+    * `signZOf` discipline — the cells, at-risk windows, censoring
+    * contract, and degenerate reads are STRUCTURALLY the unweighted
+    * op's; weighting only swaps the two per-time term dags), and the
+    * weight CANCELS into exact integers: `w_t·(O−E)_t =
+    * d_at·n_t − d_t·n_at` needs NO division at all, and
+    * `w_t²·V_t = d_t·n_at·(n_t−n_at)·(n_t−d_t)/(n_t−1)` keeps one.
+    * `z = Σw(O−E)/√(Σw²V)` — |z| ≥ 1.96 IS the 95% gate (no-libm).
+    * At a single distinct event time the weight is a common factor
+    * and z equals [[logRankTest]]'s exactly (property-spec-pinned);
+    * swapping sides negates z. Output per group:
+    * `n_a, n_b, deaths_a, deaths_b, w_o_minus_e, z`. */
+  def gehanBreslowTest(side: Column, time: Column, censored: Column,
+      groupCols: Seq[String] = Nil,
+      exactOrder: Boolean = true)(df: DataFrame): DataFrame =
+    logRankImpl(side, time, censored, groupCols, exactOrder,
+      weighted = true, oeName = "w_o_minus_e")(df)
+
+  /** The shared two-sample log-rank dag ([[logRankTest]],
+    * [[gehanBreslowTest]]): (group, time) cells, exact at-risk via
+    * total-minus-exclusive-cumsum windows, per-time O−E and
+    * hypergeometric-variance terms (weighted by n_t when `weighted` —
+    * the n_t / n_t² factors cancel into the exact-integer numerators),
+    * time-pinned folds, one final z. ONE definition so the weighted
+    * variant's "same censoring contract, same degenerate reads"
+    * promise is structural, not textual. */
+  private def logRankImpl(side: Column, time: Column, censored: Column,
+      groupCols: Seq[String], exactOrder: Boolean, weighted: Boolean,
+      oeName: String)(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grp = groupCols.map(col)
     val base = df
@@ -2300,12 +2340,15 @@ object Probes {
     val n = col("__na") + col("__nb")
     val d = col("__da") + col("__db")
     val nD = n.cast("double")
+    val oeNum = d38(col("__da")) * d38(n) - d38(d) * d38(col("__na"))
     val oeTerm = when(d > 0L && n > 1L,
-      (d38(col("__da")) * d38(n) - d38(d) * d38(col("__na")))
-        .cast("double") / nD).otherwise(lit(0.0))
+      if (weighted) oeNum.cast("double")
+      else oeNum.cast("double") / nD).otherwise(lit(0.0))
+    val vNum = d38(d) * d38(col("__na")) * d38(n - col("__na")) *
+      d38(n - d)
     val vTerm = when(d > 0L && n > 1L,
-      (d38(d) * d38(col("__na")) * d38(n - col("__na")) * d38(n - d))
-        .cast("double") / (nD * nD * (nD - lit(1.0))))
+      if (weighted) vNum.cast("double") / (nD - lit(1.0))
+      else vNum.cast("double") / (nD * nD * (nD - lit(1.0))))
       .otherwise(lit(0.0))
     val withTerms = terms
       .withColumn("__oe", oeTerm).withColumn("__v", vTerm)
@@ -2319,7 +2362,7 @@ object Probes {
           pinnedFold(col("__t"), col("__oe"), exactOrder).as("__osum"),
           pinnedFold(col("__t"), col("__v"), exactOrder).as("__vsum"))
     agg.select(grp ++ Seq(col("n_a"), col("n_b"), col("deaths_a"),
-      col("deaths_b"), col("__osum").as("o_minus_e"),
+      col("deaths_b"), col("__osum").as(oeName),
       when(col("__vsum") > 0.0, col("__osum") / sqrt(col("__vsum")))
         .as("z")): _*)
   }

@@ -1415,6 +1415,41 @@ class ProbesSpec extends SparkSpec {
       rc.isNullAt(rc.fieldIndex("z")))
   }
 
+  test("gehanBreslow: hand weighted terms, single-time equals logrank, swap negates") {
+    import spark.implicits._
+    // the logRankTest micro fixture: t=1 n=4 d=1 dA=1 -> w(O-E) =
+    // 1*4 - 1*2 = 2, w^2*V = 1*2*2*3/3 = 4; t=2 n=3 d=1 dA=0 ->
+    // -1 and 1*1*2*2/2 = 2; t=3 n=1 excluded
+    val d = Seq((true, 1L, false), (true, 2L, true),
+      (false, 2L, false), (false, 3L, false)).toDF("a", "t", "c")
+    val r = Probes.gehanBreslowTest(col("a"), col("t"), col("c"))(d)
+      .head()
+    assert(r.getAs[Long]("deaths_a") === 1L &&
+      r.getAs[Long]("deaths_b") === 2L)
+    assert(r.getAs[Double]("w_o_minus_e") === 1.0)
+    assert(r.getAs[Double]("z") === 1.0 / math.sqrt(6.0))
+    // swapping the sides negates z EXACTLY
+    val rs = Probes.gehanBreslowTest(!col("a"), col("t"), col("c"))(d)
+      .head()
+    assert(rs.getAs[Double]("z") === -(1.0 / math.sqrt(6.0)))
+    // ONE distinct event time: the weight is a common factor and
+    // cancels — Gehan z == Mantel-Cox z (float noise only; the two
+    // spell the n_t cancellation at different points of the dag)
+    val one = Seq((true, 1L, false), (true, 1L, false),
+      (false, 1L, false), (false, 1L, true)).toDF("a", "t", "c")
+    val zg = Probes.gehanBreslowTest(col("a"), col("t"), col("c"))(one)
+      .head().getAs[Double]("z")
+    val zl = Probes.logRankTest(col("a"), col("t"), col("c"))(one)
+      .head().getAs[Double]("z")
+    assert(math.abs(zg - zl) < 1e-12 && math.abs(zg - 1.0) < 1e-12)
+    // all censored: zero variance -> NULL z with honest counts
+    val cen = Seq((true, 1L, true), (false, 2L, true)).toDF("a", "t", "c")
+    val rc = Probes.gehanBreslowTest(col("a"), col("t"), col("c"))(cen)
+      .head()
+    assert(rc.getAs[Long]("n_a") === 1L &&
+      rc.isNullAt(rc.fieldIndex("z")))
+  }
+
   test("cochranQ: hand Q, k=2 is McNemar chi2, uniform-block NULL, dropped blocks") {
     import spark.implicits._
     def run(rows: Seq[(Long, String, Boolean)]) =
