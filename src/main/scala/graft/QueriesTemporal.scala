@@ -411,6 +411,14 @@ private[graft] object QueriesTemporal {
         col("cen"), Seq("cohort"))(survivalSubjects(s, dir))
         .orderBy("cohort")
     },
+    "logrank_k" -> { (s, dir) =>
+      // all four user arms at once per cohort: per-arm O−E and z
+      // against the pooled curve (exact diagonal variance) plus the
+      // textbook chi2 omnibus on the cells-sized |T|·k time grid
+      Probes.logRankK(col("user_id") % 4, col("t0"), col("cen"),
+        Seq("cohort"))(survivalSubjects(s, dir))
+        .orderBy("cohort", "variant")
+    },
     "sign_matrix" -> { (s, dir) =>
       // the live paired-k sign matrix on its batch path: three derived
       // "scores" per event row (the block), per 6h window the pairwise
@@ -1514,6 +1522,79 @@ private[graft] object QueriesTemporal {
       SELECT cohort, n_a, n_b, deaths_a, deaths_b, osum AS w_o_minus_e,
         CASE WHEN vsum > 0e0 THEN osum / sqrt(vsum) END AS z
       FROM ag ORDER BY cohort""",
+    // mirrors Probes.logRankK: the dense |T|*k grid per cohort with
+    // zero-filled cells, per-variant at-risk via the same exclusive
+    // windows, the logrank term dags with side -> variant, per-arm
+    // time-ordered folds, the variant-ordered chi2 fold
+    "logrank_k" -> s"""
+      WITH e AS (SELECT user_id % 3 AS cohort, user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_id % 13 = 0),
+      subj AS (SELECT cohort, CAST(user_id % 4 AS VARCHAR) AS v,
+          CAST(floor((max(ep) - min(ep)) / 86400) AS BIGINT) AS t,
+          ((SELECT max(ep) FROM e) - max(ep) < 172800) AS cen
+        FROM e GROUP BY cohort, user_id),
+      cells AS (SELECT cohort, v, t,
+          CAST(sum(CASE WHEN cen THEN 0 ELSE 1 END) AS BIGINT) AS d,
+          CAST(sum(CASE WHEN cen THEN 1 ELSE 0 END) AS BIGINT) AS cn
+        FROM subj GROUP BY cohort, v, t),
+      tms AS (SELECT DISTINCT cohort, t FROM cells),
+      vrs AS (SELECT DISTINCT cohort, v FROM cells),
+      grid AS (SELECT tms.cohort, tms.t, vrs.v
+        FROM tms JOIN vrs ON vrs.cohort = tms.cohort),
+      gc AS (SELECT grid.cohort, grid.v, grid.t,
+          coalesce(c.d, CAST(0 AS BIGINT)) AS d,
+          coalesce(c.cn, CAST(0 AS BIGINT)) AS cn
+        FROM grid LEFT JOIN cells c ON c.cohort = grid.cohort
+          AND c.v = grid.v AND c.t = grid.t),
+      w AS (SELECT cohort, v, t, d, cn,
+          CAST(sum(d + cn) OVER (PARTITION BY cohort, v)
+            - coalesce(sum(d + cn) OVER (PARTITION BY cohort, v
+                ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS nv
+        FROM gc),
+      tt AS (SELECT cohort, v, t, d, cn, nv,
+          CAST(sum(nv) OVER (PARTITION BY cohort, t) AS BIGINT) AS nt,
+          CAST(sum(d) OVER (PARTITION BY cohort, t) AS BIGINT) AS dt
+        FROM w),
+      tm AS (SELECT cohort, v, t, d, cn, nv, nt, dt,
+          CASE WHEN dt > 0 AND nt > 1 THEN
+            CAST(CAST(d AS HUGEINT) * nt - CAST(dt AS HUGEINT) * nv
+              AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0e0 END AS oe,
+          CASE WHEN dt > 0 AND nt > 1 THEN
+            CAST(CAST(dt AS HUGEINT) * nv * (nt - nv) * (nt - dt)
+              AS DOUBLE)
+              / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                * (CAST(nt AS DOUBLE) - 1e0)) ELSE 0e0 END AS vv
+        FROM tt),
+      arm AS (SELECT cohort, v,
+          CAST(sum(d + cn) AS BIGINT) AS n,
+          CAST(sum(d) AS BIGINT) AS deaths,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(oe ORDER BY t)), (acc, x) -> acc + x) AS osum,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(vv ORDER BY t)), (acc, x) -> acc + x) AS vsum
+        FROM tm GROUP BY cohort, v),
+      arm2 AS (SELECT *, CAST(deaths AS DOUBLE) - osum AS ev FROM arm),
+      kk AS (SELECT cohort, CAST(count(*) AS BIGINT) AS k
+        FROM vrs GROUP BY cohort),
+      om AS (SELECT cohort, CAST(sum(deaths) AS BIGINT) AS dtot,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CASE WHEN ev > 0e0 THEN osum * osum / ev ELSE 0e0 END
+              ORDER BY v)), (acc, x) -> acc + x) AS chi2
+        FROM arm2 GROUP BY cohort),
+      f AS (SELECT arm2.cohort, v, n, deaths, ev, osum, vsum, kk.k,
+          CASE WHEN kk.k >= 2 AND om.dtot > 0 THEN om.chi2 END AS chi2
+        FROM arm2 JOIN kk ON kk.cohort = arm2.cohort
+          JOIN om ON om.cohort = arm2.cohort)
+      SELECT cohort, v AS variant, n, deaths, ev AS expected,
+        osum AS o_minus_e,
+        CASE WHEN vsum > 0e0 THEN osum / sqrt(vsum) END AS z,
+        k, chi2,
+        coalesce(chi2 > ${litD(5.99)}, false) AS reject
+      FROM f ORDER BY cohort, variant""",
     // mirrors Streaming.windowedSignMatrix on batch: per-6h-window
     // k-wise-complete blocks, the four exact sign counters per ordered
     // pair, the one-sqrt z, stacked to a row per pair

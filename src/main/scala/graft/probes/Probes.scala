@@ -2367,6 +2367,147 @@ object Probes {
         .as("z")): _*)
   }
 
+  /** k-sample log-rank per group — [[logRankTest]] when there are k
+    * release cohorts to compare at once (the real shape of a cohort
+    * analysis), on the SAME (group, time) cells doctrine. At each
+    * distinct time with n_t at risk (n_vt on variant v) and d_t total
+    * deaths, each variant accumulates the observed-minus-expected and
+    * its DIAGONAL covariance term
+    *   `O_v−E_v += (d_vt·n_t − d_t·n_vt)/n_t`
+    *   `V_v    += d_t·n_vt·(n_t−n_vt)·(n_t−d_t) / (n_t²·(n_t−1))`
+    * — the [[logRankTest]] term dags verbatim with side → variant, so
+    * k = 2 reduces to the two-sample z EXACTLY (the variant's V_v IS
+    * the full hypergeometric variance there; property-spec-pinned to
+    * zero tolerance — identical term sequence, identical fold).
+    *
+    * Statistic choice, documented per the two standard options: the
+    * per-variant readout is `z_v = (O_v−E_v)/√V_v` — WHICH arm
+    * deviates from the pooled curve, each against its exact diagonal
+    * variance (the arms are k-correlated: Σ(O_v−E_v) ≡ 0, so the k
+    * z's are not independent); the omnibus gate is the TEXTBOOK
+    * approximation `χ² = Σ_v (O_v−E_v)²/E_v` against χ²_{k−1}
+    * (Kleinbaum–Klein's standard form — slightly conservative vs the
+    * full (k−1)×(k−1) covariance inverse, which would buy a matrix
+    * inversion per group for a correction that vanishes as risk sets
+    * grow; a variant with E_v = 0 has O_v = 0 and contributes exact
+    * 0). `reject` gates at `chi2Crit` — 5.99 IS the 95% gate at
+    * k = 3 (no p-value, the no-libm doctrine). Degenerate reads: no
+    * deaths anywhere or k < 2 → NULL χ² with honest counts; zero V_v
+    * → NULL z_v. Censoring contract = [[logRankTest]] verbatim. NULL
+    * variant/time/censored rows drop.
+    *
+    * Scale shape: one hash-agg to (group, variant, time) cells, a
+    * dense |T|·k grid per group (CELLS-sized — distinct times ×
+    * variant cardinality, never corpus-sized; `maxK`-guarded on the
+    * variants side of the grid join, so a continuous column passed as
+    * "variant" raises before the grid materializes, and the guarded k
+    * rides the consumed output column), two window passes, and
+    * per-variant time-pinned folds + one k-sized variant-pinned fold.
+    * Output per (group, variant): `variant, n, deaths, expected,
+    * o_minus_e, z, k, chi2, reject` (k/chi2/reject repeat per row —
+    * the group-level verdict beside each arm's readout). */
+  def logRankK(variant: Column, time: Column, censored: Column,
+      groupCols: Seq[String] = Nil, exactOrder: Boolean = true,
+      maxK: Int = 32, chi2Crit: Double = 5.99)(df: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxK >= 2 && maxK <= 256,
+      s"maxK must be in [2, 256], got $maxK")
+    require(chi2Crit > 0.0 && chi2Crit <= 1000.0,
+      s"chi2Crit must be in (0, 1000]: $chi2Crit")
+    val grp = groupCols.map(col)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val base = df
+      .filter(variant.isNotNull && time.isNotNull && censored.isNotNull)
+      .select(grp :+ variant.cast("string").as("__v") :+
+        time.as("__t") :+ censored.cast("boolean").as("__c"): _*)
+    val cells = base.groupBy(grp ++ Seq(col("__v"), col("__t")): _*)
+      .agg(sum(when(!col("__c"), 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__c"), 1L).otherwise(0L)).as("__cn"))
+      .localCheckpoint() // feeds the variant list, the grid, AND itself
+    val perVar = cells.select(grp :+ col("__v"): _*).distinct()
+    val totals =
+      (if (grp.isEmpty) perVar.groupBy() else perVar.groupBy(grp: _*))
+        .agg(count(lit(1)).as("__k0"))
+        // the k guard rides __k — the column the output's k/chi2 read —
+        // and is ALSO filtered on the grid's variant side below, so an
+        // oversized variant set raises before the |T|·k grid builds
+        .withColumn("__k",
+          when(col("__k0") > maxK, raise_error(concat(
+            lit("logRankK: "), col("__k0").cast(StringType),
+            lit(s" distinct variants > maxK=$maxK — the time-grid is" +
+              " |T|*k; is the variant column really categorical?")))
+            .cast("long"))
+            .otherwise(col("__k0")))
+        .drop("__k0")
+    val guardK = totals.select(grp :+ col("__k").as("__kg"): _*)
+    val variants =
+      (if (grp.isEmpty) perVar.crossJoin(broadcast(guardK))
+       else perVar.join(broadcast(guardK), groupCols))
+        .filter(col("__kg") >= 0L).drop("__kg")
+    val times = cells.select(grp :+ col("__t"): _*).distinct()
+    val grid =
+      (if (grp.isEmpty) times.crossJoin(variants)
+       else times.join(variants, groupCols))
+    val gc = grid.join(cells, groupCols ++ Seq("__v", "__t"), "left")
+      .select(grp ++ Seq(col("__v"), col("__t"),
+        coalesce(col("__d"), lit(0L)).as("__d"),
+        coalesce(col("__cn"), lit(0L)).as("__cn")): _*)
+    val wVarAll = Window.partitionBy(grp :+ col("__v"): _*)
+    val wVarCum = Window.partitionBy(grp :+ col("__v"): _*)
+      .orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rem = col("__d") + col("__cn")
+    // at-risk per variant = variant total minus strictly-earlier
+    // departures (the logRankImpl exclusive-frame contract)
+    val atRisk = gc.select(grp ++ Seq(col("__v"), col("__t"), col("__d"),
+      col("__cn"),
+      (sum(rem).over(wVarAll) -
+        coalesce(sum(rem).over(wVarCum), lit(0L))).as("__nv")): _*)
+    val wTime = Window.partitionBy(grp :+ col("__t"): _*)
+    val withTot = atRisk
+      .withColumn("__nt", sum(col("__nv")).over(wTime))
+      .withColumn("__dt", sum(col("__d")).over(wTime))
+    val ntD = col("__nt").cast("double")
+    val oeTerm = when(col("__dt") > 0L && col("__nt") > 1L,
+      (d38(col("__d")) * d38(col("__nt")) -
+        d38(col("__dt")) * d38(col("__nv")))
+        .cast("double") / ntD).otherwise(lit(0.0))
+    val vTerm = when(col("__dt") > 0L && col("__nt") > 1L,
+      (d38(col("__dt")) * d38(col("__nv")) *
+        d38(col("__nt") - col("__nv")) * d38(col("__nt") - col("__dt")))
+        .cast("double") / (ntD * ntD * (ntD - lit(1.0))))
+      .otherwise(lit(0.0))
+    val withTerms = withTot
+      .withColumn("__oe", oeTerm).withColumn("__vv", vTerm)
+    val perArm = withTerms.groupBy(grp :+ col("__v"): _*)
+      .agg(sum(col("__d") + col("__cn")).as("n"),
+        sum(col("__d")).as("deaths"),
+        pinnedFold(col("__t"), col("__oe"), exactOrder).as("__osum"),
+        pinnedFold(col("__t"), col("__vv"), exactOrder).as("__vsum"))
+      .withColumn("__e", col("deaths").cast("double") - col("__osum"))
+      .localCheckpoint() // feeds the omnibus fold AND the output rows
+    val chiTerm = when(col("__e") > 0.0,
+      col("__osum") * col("__osum") / col("__e")).otherwise(lit(0.0))
+    val omnibus =
+      (if (grp.isEmpty) perArm.groupBy() else perArm.groupBy(grp: _*))
+        .agg(sum(col("deaths")).as("__dtot"),
+          pinnedFold(col("__v"), chiTerm, exactOrder).as("__chi2"))
+    val joined =
+      (if (grp.isEmpty)
+        perArm.crossJoin(broadcast(totals)).crossJoin(broadcast(omnibus))
+       else perArm.join(totals, groupCols).join(omnibus, groupCols))
+    val chi2 = when(col("__k") >= 2L && col("__dtot") > 0L,
+      col("__chi2"))
+    joined.select(grp ++ Seq(col("__v").as("variant"), col("n"),
+      col("deaths"), col("__e").as("expected"),
+      col("__osum").as("o_minus_e"),
+      when(col("__vsum") > 0.0, col("__osum") / sqrt(col("__vsum")))
+        .as("z"),
+      col("__k").as("k"), chi2.as("chi2"),
+      coalesce(chi2 > lit(chi2Crit), lit(false)).as("reject")): _*)
+  }
+
   /** The shared complete-block screen of the paired-k tests
     * ([[friedmanTest]], [[cochranQ]]): `base` must carry the block as
     * `__b` and the treatment as `__t`. Returns `(blocksK, kAgg)` —

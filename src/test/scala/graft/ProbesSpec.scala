@@ -1450,6 +1450,58 @@ class ProbesSpec extends SparkSpec {
       rc.isNullAt(rc.fieldIndex("z")))
   }
 
+  test("logRankK: k=2 equals logRankTest exactly, hand 3-arm grid, guard, no-deaths NULL") {
+    import spark.implicits._
+    // k = 2 on the logRankTest micro fixture: the "true" arm's z must
+    // equal the two-sample z to ZERO tolerance — identical term
+    // sequence (the grid adds only exact-0.0 rows), identical fold
+    val d2 = Seq((true, 1L, false), (true, 2L, true),
+      (false, 2L, false), (false, 3L, false)).toDF("a", "t", "c")
+    val two = Probes.logRankK(col("a"), col("t"), col("c"))(d2)
+      .collect().map(r => r.getAs[String]("variant") -> r).toMap
+    val zl = Probes.logRankTest(col("a"), col("t"), col("c"))(d2)
+      .head().getAs[Double]("z")
+    assert(two("true").getAs[Double]("z") === zl)
+    assert(two("false").getAs[Double]("z") === -zl)
+    // the arms are k-correlated: sum of O-E is 0 by construction
+    assert(math.abs(two.values.map(_.getAs[Double]("o_minus_e")).sum)
+      < 1e-15)
+    // hand 3-arm fixture exercising the grid zero-fill (C has no cell
+    // at either death time): A death@1, B death@2, C censored@3.
+    // O-E = (2/3, 1/6, -5/6), E = (1/3, 5/6, 5/6), V_A = 2/9,
+    // chi2 = 4/3 + 1/30 + 5/6 = 2.2
+    val d3 = Seq(("A", 1L, false), ("B", 2L, false), ("C", 3L, true))
+      .toDF("v", "t", "c")
+    val arms = Probes.logRankK(col("v"), col("t"), col("c"))(d3)
+      .collect().map(r => r.getAs[String]("variant") -> r).toMap
+    assert(arms("A").getAs[Double]("o_minus_e") === 2.0 / 3.0)
+    assert(math.abs(arms("B").getAs[Double]("o_minus_e") -
+      (-1.0 / 3.0 + 0.5)) < 1e-15)
+    assert(math.abs(arms("C").getAs[Double]("o_minus_e") -
+      (-1.0 / 3.0 - 0.5)) < 1e-15)
+    assert(math.abs(arms("A").getAs[Double]("expected") - 1.0 / 3.0)
+      < 1e-15)
+    assert(arms("A").getAs[Double]("z") ===
+      arms("A").getAs[Double]("o_minus_e") / math.sqrt(2.0 / 9.0))
+    assert(arms("A").getAs[Long]("k") === 3L)
+    assert(math.abs(arms("A").getAs[Double]("chi2") - 2.2) < 1e-12)
+    assert(!arms("A").getAs[Boolean]("reject"))
+    // no deaths anywhere: NULL chi2 and z with honest counts
+    val cen = Seq(("A", 1L, true), ("B", 2L, true)).toDF("v", "t", "c")
+    val rc = Probes.logRankK(col("v"), col("t"), col("c"))(cen)
+      .collect()
+    assert(rc.forall(r => r.isNullAt(r.fieldIndex("chi2")) &&
+      r.isNullAt(r.fieldIndex("z")) && !r.getAs[Boolean]("reject")))
+    // the k guard fails loudly past maxK
+    val ex = intercept[Exception] {
+      Probes.logRankK(col("v"), col("t"), col("c"), maxK = 2)(d3)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("time-grid is |T|*k")))
+  }
+
   test("cochranQ: hand Q, k=2 is McNemar chi2, uniform-block NULL, dropped blocks") {
     import spark.implicits._
     def run(rows: Seq[(Long, String, Boolean)]) =
