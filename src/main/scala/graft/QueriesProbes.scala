@@ -372,6 +372,21 @@ private[graft] object QueriesProbes {
         Seq("event_type"))(table(s, dir, "events"))
         .orderBy("event_type", "variant_a", "variant_b")
     },
+    "dunn_bh" -> { (s, dir) =>
+      // the post-hoc→FDR loop closed as one composed row: the SAME
+      // dunn pair z's, bridged through the Chebyshev p envelope
+      // (min(1, 1/z²) — valid for any distribution, ordering matches
+      // the normal p exactly), then BH per event_type family — which
+      // pairwise "winners" survive FDR control at 5%?
+      val pairs = Probes.dunnTest(col("user_id") % 3, col("value"),
+        Seq("event_type"))(table(s, dir, "events"))
+        .withColumn("pair",
+          concat_ws("|", col("variant_a"), col("variant_b")))
+        .withColumn("p_raw", Probes.chebyshevP(col("z")))
+      Probes.bhCorrect("pair", "p_raw", alpha = 0.05,
+        Seq("event_type"))(pairs)
+        .orderBy("event_type", "pair")
+    },
     "jonckheere_terpstra" -> { (s, dir) =>
       // does value increase MONOTONICALLY with the cohort index, per
       // event type? the ordered-alternative trend test KW wastes power
@@ -495,6 +510,51 @@ private[graft] object QueriesProbes {
         .orderBy("event_type")
     },
   )
+
+  /** Shared dunn pair-z oracle body (no ORDER BY): the pooled 2·rank
+    * carry, per-variant exact HUGEINT rank sums, the k² pair frame
+    * and its z dag — used standalone (`dunn_posthoc`) AND as the z
+    * source inside the composed `dunn_bh` row, so the corrected
+    * family rides the identical pair z's by construction. */
+  private lazy val dunnZSql: String = """
+      WITH b AS (SELECT event_type AS g,
+          CAST(user_id % 3 AS VARCHAR) AS v, value AS x
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      r AS (SELECT g, v,
+          CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+            + count(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS r2,
+          CAST(count(*) OVER (PARTITION BY g, x)
+            * count(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS tt
+        FROM b),
+      pv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS nv,
+          sum(r2) AS s2, sum(tt) AS ttv
+        FROM r GROUP BY g, v),
+      ag AS (SELECT g, CAST(sum(nv) AS BIGINT) AS n,
+          sum(ttv) AS ties
+        FROM pv GROUP BY g),
+      pr AS (SELECT a.g, a.v AS variant_a, pb.v AS variant_b,
+          a.nv AS na, pb.nv AS nb, a.s2 AS s2a, pb.s2 AS s2b, n, ties
+        FROM pv a JOIN pv pb ON pb.g = a.g AND a.v < pb.v
+        JOIN ag ON ag.g = a.g),
+      f AS (SELECT g, variant_a, variant_b, na, nb, n,
+          s2a * CAST(nb AS HUGEINT) - s2b * CAST(na AS HUGEINT) AS num,
+          (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+            - CAST(n AS HUGEINT)) - ties AS vnum,
+          CAST(s2a AS DOUBLE) / (2e0 * CAST(na AS DOUBLE))
+            AS mean_rank_a,
+          CAST(s2b AS DOUBLE) / (2e0 * CAST(nb AS DOUBLE))
+            AS mean_rank_b
+        FROM pr)
+      SELECT g, variant_a, variant_b, na, nb,
+        mean_rank_a, mean_rank_b,
+        CASE WHEN n >= 2 AND vnum > 0 THEN
+          (CAST(num AS DOUBLE)
+            / (2e0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+          / sqrt(CAST(vnum AS DOUBLE)
+              * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+            / (12e0 * (CAST(n AS DOUBLE) - 1e0)
+              * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) END AS z
+      FROM f"""
 
   /** Shared `permutation_test` oracle body (no ORDER BY) — used
     * standalone AND as the p-value source inside the composed
@@ -1711,48 +1771,38 @@ private[graft] object QueriesProbes {
     // the k² pair frame, the exact rank-gap and variance numerators,
     // float at two divisions and one sqrt in the same order
     "dunn_posthoc" -> s"""
-      WITH b AS (SELECT event_type AS g,
-          CAST(user_id % 3 AS VARCHAR) AS v, value AS x
-        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
-      r AS (SELECT g, v,
-          CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
-            + count(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS r2,
-          CAST(count(*) OVER (PARTITION BY g, x)
-            * count(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS tt
-        FROM b),
-      pv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS nv,
-          sum(r2) AS s2, sum(tt) AS ttv
-        FROM r GROUP BY g, v),
-      ag AS (SELECT g, CAST(sum(nv) AS BIGINT) AS n,
-          sum(ttv) AS ties
-        FROM pv GROUP BY g),
-      pr AS (SELECT a.g, a.v AS variant_a, pb.v AS variant_b,
-          a.nv AS na, pb.nv AS nb, a.s2 AS s2a, pb.s2 AS s2b, n, ties
-        FROM pv a JOIN pv pb ON pb.g = a.g AND a.v < pb.v
-        JOIN ag ON ag.g = a.g),
-      f AS (SELECT g, variant_a, variant_b, na, nb, n,
-          s2a * CAST(nb AS HUGEINT) - s2b * CAST(na AS HUGEINT) AS num,
-          (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
-            - CAST(n AS HUGEINT)) - ties AS vnum,
-          CAST(s2a AS DOUBLE) / (2e0 * CAST(na AS DOUBLE))
-            AS mean_rank_a,
-          CAST(s2b AS DOUBLE) / (2e0 * CAST(nb AS DOUBLE))
-            AS mean_rank_b
-        FROM pr),
-      zz AS (SELECT g, variant_a, variant_b, na, nb,
-          mean_rank_a, mean_rank_b,
-          CASE WHEN n >= 2 AND vnum > 0 THEN
-            (CAST(num AS DOUBLE)
-              / (2e0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
-            / sqrt(CAST(vnum AS DOUBLE)
-                * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
-              / (12e0 * (CAST(n AS DOUBLE) - 1e0)
-                * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) END AS z
-        FROM f)
+      WITH dz AS ($dunnZSql)
       SELECT g AS event_type, variant_a, variant_b,
         na AS n_a, nb AS n_b, mean_rank_a, mean_rank_b, z,
         coalesce(abs(z) > ${litD(1.96)}, false) AS reject
-      FROM zz ORDER BY event_type, variant_a, variant_b""",
+      FROM dz ORDER BY event_type, variant_a, variant_b""",
+    // mirrors the composed dunn_bh row: the SHARED dunn pair-z body,
+    // the Chebyshev p = min(1, 1/z²) envelope (the only p the no-libm
+    // doctrine admits — ordering matches the normal p exactly), then
+    // the BH step-up per event_type family
+    "dunn_bh" -> s"""
+      WITH dz AS ($dunnZSql),
+      pz AS (SELECT g, variant_a || '|' || variant_b AS pair,
+          CASE WHEN z IS NOT NULL THEN CASE WHEN z = 0e0 THEN 1e0
+            ELSE least(1e0, 1e0 / (z * z)) END END AS p
+        FROM dz),
+      nn AS (SELECT g, pair, p FROM pz WHERE p IS NOT NULL),
+      r AS (SELECT g, pair, p,
+          CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS m,
+          CAST(row_number() OVER (PARTITION BY g ORDER BY p, pair)
+            AS BIGINT) AS rnk
+        FROM nn),
+      a AS (SELECT g, pair, p, m, rnk,
+          p * CAST(m AS DOUBLE) / CAST(rnk AS DOUBLE) AS raw
+        FROM r),
+      f AS (SELECT g, pair, p, rnk, m,
+          least(CAST(1 AS DOUBLE), min(raw) OVER (PARTITION BY g
+            ORDER BY p, pair
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_adj
+        FROM a)
+      SELECT g AS event_type, pair, p, rnk AS rank, m, p_adj,
+        p_adj <= ${litD(0.05)} AS reject
+      FROM f ORDER BY event_type, pair""",
     // mirrors Probes.signTest: the four exact sign counters and the
     // one-sqrt z, same paired fixture as wilcoxon_signed_rank
     "sign_test" -> """

@@ -2968,6 +2968,24 @@ object Probes {
     * (a family of millions of hypotheses wants a different procedure
     * anyway). Empty `groupCols` = one family, one partition. Output
     * per test row: `idField, p, rank, m, p_adj, reject`. */
+  /** Distribution-free Chebyshev p-value envelope for a z statistic —
+    * the bridge from the no-p-value z shelf ([[dunnTest]],
+    * [[mannWhitneyU]], [[logRankTest]], …) into [[bhCorrect]], which
+    * needs p's: `p = min(1, 1/z²)` is Chebyshev's two-sided tail
+    * bound, VALID for any distribution with the stated mean and
+    * variance (no normality assumed, no libm needed) and strictly
+    * decreasing in |z| — so BH's ordering matches the normal-p
+    * ordering EXACTLY and its rank logic is faithful; rejections are
+    * valid but conservative (1/z² hits 0.05 at |z| ≈ 4.47 where the
+    * normal p does at 1.96 — an alarm that fires through this
+    * envelope is real at any distribution). z = 0 reads exact 1.0;
+    * NULL z (no evidence) reads NULL — [[bhCorrect]] drops it. One
+    * fixed IEEE dag. */
+  def chebyshevP(z: Column): Column =
+    when(z.isNotNull,
+      when(z === 0.0, lit(1.0))
+        .otherwise(least(lit(1.0), lit(1.0) / (z * z))))
+
   def bhCorrect(idField: String, pField: String, alpha: Double = 0.05,
       groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

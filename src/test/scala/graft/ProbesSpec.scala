@@ -1,7 +1,7 @@
 package graft
 
 import graft.probes.{Probes, ProbeAssertionError}
-import org.apache.spark.sql.functions.{col, floor, lit}
+import org.apache.spark.sql.functions.{col, concat_ws, floor, lit}
 
 class ProbesSpec extends SparkSpec {
   import org.apache.spark.sql.functions.col
@@ -1865,6 +1865,48 @@ class ProbesSpec extends SparkSpec {
     val tsDn = Probes.theilSen("g", "i", "t", "x")(dn).head()
     assert(mkDn.getAs[Double]("z") < -1.96 &&
       tsDn.getAs[Double]("slope") < 0.0)
+  }
+
+  test("chebyshevP + bhCorrect after dunnTest: BH-rejected is a subset of the per-pair gate") {
+    import spark.implicits._
+    // three arms, one separated: pairs (a,c) and (b,c) carry large
+    // |z|, (a,b) none. At the SAME alpha the per-pair gate is
+    // |z| >= sqrt(1/alpha) (p = 1/z^2 <= alpha), and p_adj >= p
+    // always, so BH's rejections can never exceed the raw gate's.
+    val alpha = 0.05
+    val rows = (0 until 90).map { i =>
+      val v = Seq("a", "b", "c")(i % 3)
+      val x = (if (v == "c") 100.0 else 0.0) + (i / 3) * 0.1
+      (v, x)
+    }.toDF("v", "x")
+    val dunn = Probes.dunnTest(col("v"), col("x"),
+      zCrit = math.sqrt(1.0 / alpha))(rows)
+      .withColumn("pair",
+        concat_ws("|", col("variant_a"), col("variant_b")))
+      .withColumn("p_raw", Probes.chebyshevP(col("z")))
+    val gate = dunn.collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Boolean]("reject"))
+      .toMap
+    val bh = Probes.bhCorrect("pair", "p_raw", alpha)(dunn).collect()
+    assert(bh.length === 3)
+    // p_adj >= p on every row (the step-up only inflates)
+    assert(bh.forall(r =>
+      r.getAs[Double]("p_adj") >= r.getAs[Double]("p") - 1e-15))
+    // the subset property, and the separated pairs do survive
+    val bhRej = bh.filter(_.getAs[Boolean]("reject"))
+      .map(_.getAs[String]("pair")).toSet
+    assert(bhRej.subsetOf(gate.filter(_._2).keySet))
+    assert(bhRej === Set("a|c", "b|c"))
+    // the envelope itself: z=0 -> exact 1.0; |z|>1 shrinks; NULL stays
+    val env = Seq((0.0, "z0"), (2.0, "z2"), (0.5, "zh"))
+      .toDF("z", "id")
+      .select(col("id"), Probes.chebyshevP(col("z")).as("p"))
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[Double]("p")).toMap
+    assert(env("z0") === 1.0 && env("z2") === 0.25 && env("zh") === 1.0)
+    val nullP = Seq(Tuple1(Option.empty[java.lang.Double]))
+      .toDF("z").select(Probes.chebyshevP(col("z")).as("p")).head()
+    assert(nullP.isNullAt(0))
   }
 
   test("mcnemarTest: hand chi2, correction toggle, no-evidence NULL, NULL drop") {
