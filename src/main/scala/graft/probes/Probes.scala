@@ -1820,7 +1820,12 @@ object Probes {
     *     of the side label against the value;
     *   - `cliffs_delta = 2·auc − 1` — the same fact on the
     *     [−1, 1] scale (P(A>B) − P(A<B)), the effect size the
-    *     nonparametric-reporting guidelines ask for beside U;
+    *     nonparametric-reporting guidelines ask for beside U. This
+    *     IS the two-sample rank-biserial correlation
+    *     `r = 2U/(n_A·n_B) − 1` under its other textbook name
+    *     (Cureton's r and Cliff's δ coincide for two samples) —
+    *     bounded in [−1, 1] and sign-agreeing with z by shared
+    *     numerator, both property-spec-pinned;
     *   - `z` — the tie-corrected normal approximation
     *     `(U_A − n_A n_B/2) / √(n_A n_B/12 · ((n+1) − Σ(t³−t)/(n(n−1))))`
     *     (Σ(t³−t) is the exact integer Σ_rows(t²−1), order-free).

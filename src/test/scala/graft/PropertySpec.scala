@@ -1110,6 +1110,23 @@ class PropertySpec extends SparkSpec {
           m2.getAs[Double]("auc") - 1.0) < 1e-12)
         assert(math.abs(m1.getAs[Double]("cliffs_delta") +
           m2.getAs[Double]("cliffs_delta")) < 1e-12)
+        // the two-sample rank-biserial r = 2U/(n_a n_b) - 1 (which IS
+        // cliffs_delta) stays in [-1, 1] and agrees in sign with z —
+        // both read the same exact 2U - n_a n_b numerator
+        val cd = m1.getAs[Double]("cliffs_delta")
+        assert(cd >= -1.0 && cd <= 1.0)
+        Option(m1.getAs[java.lang.Double]("z")).foreach(z =>
+          assert(math.signum(cd) === math.signum(z.doubleValue)))
+      }
+      // matched-pairs rank-biserial: in [-1, 1], sign agrees with z
+      // (both read the exact 4W+ - n(n+1) numerator)
+      val pw = graft.probes.Probes.wilcoxonSignedRank(col("x"), col("y"))(
+        df).head()
+      Option(pw.getAs[java.lang.Double]("rank_biserial")).foreach { rb =>
+        assert(rb.doubleValue >= -1.0 && rb.doubleValue <= 1.0)
+        Option(pw.getAs[java.lang.Double]("z")).foreach(z =>
+          assert(math.signum(rb.doubleValue) ===
+            math.signum(z.doubleValue)))
       }
       // ks: the sup gap is side-symmetric BIT-EXACTLY (|.| of exact
       // integers), and so is where it is attained
