@@ -38,6 +38,14 @@ private[graft] object QueriesTemporal {
         (col("__gmax") - col("__mxu") < lit(172800L)).as("cen"))
   }
 
+  /** The hazard_gate fixture's stored reference hazard — ONE Scala
+    * value feeding both the Spark query and the DuckDB mirror's
+    * interpolated literals, so the two cannot drift. Rates sit near
+    * the corpus-global per-bucket hazards (~0.077) so most windows
+    * read quiet and the noisy ones exercise the gate. */
+  private val hazardRef: Seq[Double] =
+    Seq(0.08, 0.078, 0.072, 0.078, 0.078, 0.077)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- events: JSON + windows + sessions ---------------------------------
     "events_json_agg" -> { (s, dir) =>
@@ -418,6 +426,18 @@ private[graft] object QueriesTemporal {
       Probes.logRankK(col("user_id") % 4, col("t0"), col("cen"),
         Seq("cohort"))(survivalSubjects(s, dir))
         .orderBy("cohort", "variant")
+    },
+    "hazard_gate" -> { (s, dir) =>
+      // the live retention alarm on its batch path: value-as-duration
+      // subjects with a 20% censoring arm, the declared 6-bucket
+      // horizon grid vs the stored healthy-reference hazard vector,
+      // binomial z per bucket, max-|z| drift gate per 6h window
+      graft.streaming.Streaming.windowedHazardGate(
+        table(s, dir, "events"),
+        col("value"), col("event_id") % 5 === 0,
+        refHazard = hazardRef, bucketWidth = 5.0,
+        windowLength = "6 hours")
+        .orderBy("window_start", "bucket")
     },
     "sign_matrix" -> { (s, dir) =>
       // the live paired-k sign matrix on its batch path: three derived
@@ -1595,6 +1615,57 @@ private[graft] object QueriesTemporal {
         k, chi2,
         coalesce(chi2 > ${litD(5.99)}, false) AS reject
       FROM f ORDER BY cohort, variant""",
+    // mirrors Streaming.windowedHazardGate on batch: per-6h-window
+    // fixed 6-bucket death/at-risk counters on the value-as-duration
+    // subject rows, the per-bucket binomial z against the SHARED
+    // hazardRef literals, hazard ratio, window-max |z| drift gate
+    "hazard_gate" -> {
+      val cnt = hazardRef.indices.map { i =>
+        s"""CAST(count(CASE WHEN ok AND NOT cen
+            AND dur >= ${litD(i * 5.0)}
+            AND dur < ${litD((i + 1) * 5.0)} THEN 1 END) AS BIGINT)
+            AS d$i,
+          CAST(count(CASE WHEN ok AND dur >= ${litD(i * 5.0)} THEN 1
+            END) AS BIGINT) AS r$i"""
+      }.mkString(",\n          ")
+      val stack = hazardRef.zipWithIndex.map { case (r, i) =>
+        s"""SELECT w, n_window, n_total - n_window AS n_dropped,
+            CAST($i AS BIGINT) AS bucket, d$i AS deaths,
+            r$i AS at_risk, ${litD(r)} AS ref_hazard,
+            CASE WHEN r$i > 0 THEN (CAST(d$i AS DOUBLE)
+                - CAST(r$i AS DOUBLE) * ${litD(r)})
+              / sqrt(CAST(r$i AS DOUBLE) * ${litD(r)}
+                * ${litD(1.0 - r)}) END AS z
+          FROM c"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH b AS (SELECT
+          time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w,
+          CAST(value AS DOUBLE) AS dur, (event_id % 5 = 0) AS cen,
+          (value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+            AND CAST(value AS DOUBLE) >= 0e0
+            AND event_id IS NOT NULL) AS ok
+        -- ts IS NOT NULL: window() drops NULL-ts rows (r18 ADVICE)
+        FROM events WHERE ts IS NOT NULL),
+      c AS (SELECT w, CAST(count(*) AS BIGINT) AS n_total,
+          CAST(count(CASE WHEN ok THEN 1 END) AS BIGINT) AS n_window,
+          $cnt
+        FROM b GROUP BY w),
+      st AS ($stack),
+      f AS (SELECT w AS window_start, w + INTERVAL '6 hours'
+            AS window_end,
+          n_window, n_dropped, bucket, deaths, at_risk,
+          CASE WHEN at_risk > 0 THEN CAST(deaths AS DOUBLE)
+            / CAST(at_risk AS DOUBLE) END AS hazard,
+          ref_hazard, z,
+          max(abs(z)) OVER (PARTITION BY w) AS max_abs_z
+        FROM st)
+      SELECT window_start, window_end, n_window, n_dropped, bucket,
+        deaths, at_risk, hazard, ref_hazard, z, max_abs_z,
+        CASE WHEN max_abs_z IS NOT NULL THEN max_abs_z > ${litD(1.96)}
+          END AS drift
+      FROM f ORDER BY window_start, bucket"""
+    },
     // mirrors Streaming.windowedSignMatrix on batch: per-6h-window
     // k-wise-complete blocks, the four exact sign counters per ordered
     // pair, the one-sqrt z, stacked to a row per pair

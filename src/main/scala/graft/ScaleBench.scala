@@ -2511,6 +2511,112 @@ object ScaleBench {
     println("blocks_x,friedman_posthoc_sec")
     fcOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
     }
+
+    phase("r19") {
+    import graft.probes.{Probes => P19}
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => time(f)); ts.sorted.apply(1)
+    }
+    def noop(d: DataFrame): Unit =
+      d.write.mode("overwrite").format("noop").save()
+    val ev19 = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("value").isNotNull && col("event_id").isNotNull &&
+        col("user_id").isNotNull)
+      .select("user_id", "event_id", "value", "ts")
+    // mannKendall: rows ×1/×2/×4 over disjoint FIXED-SIZE groups —
+    // the guarded pair join is per-group quadratic, so with group
+    // size pinned the total must scale linearly in the group count
+    // (the documented bounded-slice contract; an oversized group
+    // raises instead of running)
+    def mk19(k: Int): DataFrame =
+      (0 until k).map(i => ev19.select(
+        ((col("user_id") % 256) + lit(i.toLong * 1_000L)).as("g"),
+        col("event_id").as("i"), col("event_id").as("t"),
+        col("value").as("x")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def mkJob(d: DataFrame): Unit =
+      noop(P19.mannKendall("g", "i", "t", "x")(d))
+    locally { val d1 = mk19(1).localCheckpoint(); mkJob(d1); d1.unpersist() }
+    val mkOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = mk19(k).localCheckpoint()
+      val t = median3(mkJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("groups_x,mann_kendall_sec")
+    mkOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // logRankK: subjects ×1/×2/×4 on the r18 survival frame shape
+    // with a 4-arm variant and a FIXED 30-day grid — must track the
+    // (group, variant, time) cells hash-agg; the |T|·k grid is
+    // cells-sized, never corpus-sized
+    def lrk19(k: Int, arms: Int): DataFrame =
+      (0 until k).map(i => ev19.select(
+        ((col("user_id") % 64) + lit(i.toLong * 1_000L)).as("g"),
+        (col("user_id") % arms).as("v"),
+        (col("event_id") % 30).cast("long").as("t"),
+        (col("event_id") % 7 === 0).as("c")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def lrkJob(d: DataFrame): Unit =
+      noop(P19.logRankK(col("v"), col("t"), col("c"), Seq("g"))(d))
+    locally { val d1 = lrk19(1, 4).localCheckpoint()
+      lrkJob(d1); d1.unpersist() }
+    val lrkOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = lrk19(k, 4).localCheckpoint()
+      val t = median3(lrkJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("subjects_x,logrank_k_sec")
+    lrkOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // the k sweep 4/8/16 at ×1: the per-variant O−E frame (the grid)
+    // grows as |T|·k — cells-sized growth on a corpus-pinned input,
+    // so the time must stay nearly flat (the corpus scan dominates)
+    locally {
+      val kr = for (arms <- Seq(4, 8, 16)) yield {
+        val d = lrk19(1, arms).localCheckpoint()
+        val t = median3(lrkJob(d)); d.unpersist()
+        (arms, t)
+      }
+      println("variants_k,logrank_k_sec")
+      kr.foreach { case (arms, t) => println(f"$arms,$t%.2f") }
+    }
+    // gehanBreslow: the logRankTest dag with weighted terms — same
+    // subjects frame, must track the two-sample cell (shared
+    // terms-frame definition; the weights are free multiplies)
+    def gbJob(d: DataFrame): Unit =
+      noop(P19.gehanBreslowTest(col("t") % 2 === 0, col("t"), col("c"),
+        Seq("g"))(d))
+    locally { val d1 = lrk19(1, 4).localCheckpoint()
+      gbJob(d1); d1.unpersist() }
+    val gbOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = lrk19(k, 4).localCheckpoint()
+      val t = median3(gbJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("subjects_x,logrank_gehan_sec")
+    gbOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // windowedHazardGate batch path: rows ×1/×2/×4 — ONE stateful-agg
+    // shape (2 counters × 6 buckets + 2, fixed-width state), must
+    // track the scan like the r18 anova-gate cell
+    def hz19(k: Int): DataFrame =
+      (0 until k).map(_ => ev19.select(col("ts"),
+        col("value").as("dur"), (col("event_id") % 5 === 0).as("cen")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def hzJob(d: DataFrame): Unit =
+      noop(graft.streaming.Streaming.windowedHazardGate(d, col("dur"),
+        col("cen"),
+        refHazard = Seq(0.08, 0.078, 0.072, 0.078, 0.078, 0.077),
+        bucketWidth = 5.0, windowLength = "6 hours"))
+    locally { val d1 = hz19(1).localCheckpoint(); hzJob(d1); d1.unpersist() }
+    val hzOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = hz19(k).localCheckpoint()
+      val t = median3(hzJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("rows_x,hazard_gate_sec")
+    hzOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    }
     spark.stop()
   }
 }

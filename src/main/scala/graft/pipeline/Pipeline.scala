@@ -813,6 +813,14 @@ final case class Pipeline(df: DataFrame) {
   def logRankTest(side: Column, time: Column, censored: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.logRankTest(side, time, censored, groupCols))
+  def gehanBreslowTest(side: Column, time: Column, censored: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.gehanBreslowTest(side, time, censored, groupCols))
+  def logRankK(variant: Column, time: Column, censored: Column,
+      groupCols: Seq[String] = Nil, maxK: Int = 32,
+      chi2Crit: Double = 5.99): Pipeline =
+    >>(Probes.logRankK(variant, time, censored, groupCols,
+      maxK = maxK, chi2Crit = chi2Crit))
   def friedmanTest(blockField: String, treatmentField: String,
       value: Column, groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.friedmanTest(blockField, treatmentField, value, groupCols))
@@ -876,6 +884,9 @@ final case class Pipeline(df: DataFrame) {
   def theilSen(groupField: String, idField: String, xField: String,
       yField: String, maxN: Int = 10000): Pipeline =
     >>(Probes.theilSen(groupField, idField, xField, yField, maxN))
+  def mannKendall(groupField: String, idField: String, tField: String,
+      xField: String, maxN: Int = 10000): Pipeline =
+    >>(Probes.mannKendall(groupField, idField, tField, xField, maxN))
   def mcnemarTest(aCorrect: Column, bCorrect: Column,
       groupCols: Seq[String] = Nil, correction: Boolean = true): Pipeline =
     >>(Probes.mcnemarTest(aCorrect, bCorrect, groupCols, correction))

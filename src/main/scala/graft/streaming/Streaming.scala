@@ -878,6 +878,130 @@ object Streaming {
         col("__pair.significant").as("significant"))
   }
 
+  /** Windowed churn-hazard gate — the live retention alarm the
+    * survival shelf ([[graft.ops.WindowOps.kaplanMeier]],
+    * [[graft.probes.Probes.logRankTest]]) can legally have: a full
+    * per-window KM is UNBOUNDED state (one step per distinct event
+    * time), so the stream routes through a DECLARED fixed
+    * horizon-bucket grid instead — ≤ 32 buckets of `bucketWidth`
+    * starting at 0 (the [[windowedSignTest]]-vs-Wilcoxon trade, the
+    * fleissCells fixed-vocabulary doctrine) — and compares each
+    * bucket's DISCRETE HAZARD against a STORED reference vector
+    * (`refHazard`, per-bucket death rates — a bounded model artifact
+    * on the plan, the [[windowedValueDrift]] seam; build it once from
+    * the healthy cohort's KM readout and ship the rates).
+    *
+    * Each arriving row is one COMPLETED subject (duration + censored
+    * flag — a churn event or a censoring snapshot emits exactly one
+    * record; the batch twin's subject frame, streamed). Per window
+    * and bucket b over [b·w, (b+1)·w):
+    *   `at_risk_b = #{duration ≥ b·w}` — subjects departing INSIDE b
+    *     count (the kaplanMeier "at risk at t" contract verbatim;
+    *     censored subjects leave the risk set without dying),
+    *   `deaths_b  = #{b·w ≤ duration < (b+1)·w, not censored}`,
+    *   `hazard_b  = deaths_b / at_risk_b`,
+    * and the gate is the per-bucket binomial z against the reference
+    *   `z_b = (deaths_b − at_risk_b·r_b) / √(at_risk_b·r_b·(1−r_b))`
+    * — exact integer counts into one fixed IEEE dag per bucket, with
+    * `drift = max_b |z_b| > zCrit` (1.96 IS the per-bucket 95% gate;
+    * the max runs over ≤ 32 correlated buckets — pass a
+    * Bonferroni-adjusted `zCrit` for family-wise control). No
+    * p-value, no libm.
+    *
+    * Honest reads: durations past the grid stay in every bucket's
+    * risk set but their deaths fall OUTSIDE the declared horizon and
+    * are not judged (the horizon is the contract, not a clamp — a
+    * clamped death would alarm the last bucket for a subject the
+    * reference never scored). NULL/NaN/negative durations and NULL
+    * censored flags drop and are REPORTED (`n_dropped` — a NaN
+    * duration is not evidence). A reference rate of exact 0 or 1 has
+    * zero binomial variance → that bucket reads NULL z by
+    * construction (no calibrated gate exists there); an empty risk
+    * set reads NULL hazard and z. A window with NO live bucket reads
+    * NULL `max_abs_z` and NULL `drift` (no evidence is not "no
+    * drift"). State per window is 2·buckets + 2 exact counters —
+    * fixed width. Identical plan on a batch frame (MemoryStream
+    * parity spec-pinned; the batch form carries its own DuckDB oracle
+    * row). Output per (window, bucket): `window_start, window_end,
+    * n_window, n_dropped, bucket, deaths, at_risk, hazard,
+    * ref_hazard, z, max_abs_z, drift`. */
+  def windowedHazardGate(
+      events: DataFrame,
+      duration: Column,
+      censored: Column,
+      refHazard: Seq[Double],
+      bucketWidth: Double,
+      zCrit: Double = 1.96,
+      tsField: String = "ts",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val nb = refHazard.length
+    require(nb >= 2 && nb <= 32,
+      s"refHazard must carry 2..32 buckets, got $nb")
+    require(refHazard.forall(r => r >= 0.0 && r <= 1.0),
+      "reference hazard out of [0, 1]")
+    require(bucketWidth > 0.0,
+      s"bucketWidth must be positive: $bucketWidth")
+    require(zCrit > 0.0 && zCrit <= 100.0,
+      s"zCrit must be in (0, 100]: $zCrit")
+    val base = events
+      .select(col(tsField), duration.cast("double").as("__dur"),
+        censored.cast("boolean").as("__cen"))
+      .withWatermark(tsField, watermarkDelay)
+    val valid = col("__dur").isNotNull && !isnan(col("__dur")) &&
+      col("__dur") >= 0.0 && col("__cen").isNotNull
+    val counters = Seq(
+      count(lit(1)).as("__n_total"),
+      count(when(valid, 1)).as("n_window")) ++
+      (0 until nb).flatMap { i =>
+        val lo = lit(i * bucketWidth)
+        val hi = lit((i + 1) * bucketWidth)
+        Seq(
+          count(when(valid && !col("__cen") &&
+            col("__dur") >= lo && col("__dur") < hi, 1)).as(s"__d_$i"),
+          count(when(valid && col("__dur") >= lo, 1)).as(s"__r_$i"))
+      }
+    val agged = base
+      .groupBy(window(col(tsField), windowLength).as("__w"))
+      .agg(counters.head, counters.tail: _*)
+    def zOf(i: Int): Column = {
+      val r = refHazard(i)
+      if (r <= 0.0 || r >= 1.0) lit(null).cast("double")
+      else {
+        val n = col(s"__r_$i").cast("double")
+        when(col(s"__r_$i") > 0L,
+          (col(s"__d_$i").cast("double") - n * lit(r)) /
+            sqrt(n * lit(r) * lit(1.0 - r)))
+      }
+    }
+    // greatest SKIPS NULL buckets (all-NULL -> NULL), so a dead
+    // reference bucket never poisons the gate
+    val maxAbs = greatest((0 until nb).map(i => abs(zOf(i))): _*)
+    val bucketStructs = array((0 until nb).map { i =>
+      struct(lit(i.toLong).as("bucket"),
+        col(s"__d_$i").as("deaths"),
+        col(s"__r_$i").as("at_risk"),
+        when(col(s"__r_$i") > 0L,
+          col(s"__d_$i").cast("double") / col(s"__r_$i").cast("double"))
+          .as("hazard"),
+        lit(refHazard(i)).as("ref_hazard"),
+        zOf(i).as("z"))
+    }: _*)
+    agged
+      .select(col("__w.start").as("window_start"),
+        col("__w.end").as("window_end"), col("n_window"),
+        (col("__n_total") - col("n_window")).as("n_dropped"),
+        maxAbs.as("max_abs_z"),
+        when(maxAbs.isNotNull, maxAbs > lit(zCrit)).as("drift"),
+        explode(bucketStructs).as("__b"))
+      .select(col("window_start"), col("window_end"), col("n_window"),
+        col("n_dropped"), col("__b.bucket").as("bucket"),
+        col("__b.deaths").as("deaths"), col("__b.at_risk").as("at_risk"),
+        col("__b.hazard").as("hazard"),
+        col("__b.ref_hazard").as("ref_hazard"), col("__b.z").as("z"),
+        col("max_abs_z"), col("drift"))
+  }
+
   /** Windowed k-arm mean-drift gate — the live
     * [[graft.probes.Probes.oneWayAnova]]: per tumbling event-time
     * window, did ANY of the k declared variants' MEAN values move

@@ -988,6 +988,112 @@ class StreamingSpec extends SparkSpec {
       Seq("a" -> col("a"), "a" -> col("b"))))
   }
 
+  test("windowedHazardGate: hand buckets, spike alarm, drop accounting, batch parity") {
+    import org.apache.spark.sql.functions.col
+    val ref = Seq(0.5, 0.5, 0.25)
+    val input = MemoryStream[(Timestamp, Double, Boolean)]
+    val out = Streaming.windowedHazardGate(
+      input.toDF().toDF("ts", "dur", "cen"), col("dur"), col("cen"),
+      refHazard = ref, bucketWidth = 1.0,
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("whg")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // window 10:00 (quiet): deaths at 0.5/1.5/2.5, censored at
+        // 1.5 (leaves the risk set without dying) and 5.0 (outlives
+        // the declared horizon - at risk everywhere, judged nowhere)
+        (ts("10:01"), 0.5, false), (ts("10:02"), 1.5, false),
+        (ts("10:03"), 1.5, true), (ts("10:04"), 2.5, false),
+        (ts("10:05"), 5.0, true),
+        // window 10:20 (early-churn spike): every subject dies in
+        // bucket 0 -> z_0 = (4 - 2)/sqrt(1) = 2 > 1.96
+        (ts("10:21"), 0.2, false), (ts("10:22"), 0.3, false),
+        (ts("10:23"), 0.4, false), (ts("10:24"), 0.5, false),
+        (ts("10:41"), 0.1, false))
+      q.processAllAvailable()
+      val w1 = spark.table("whg").collect()
+        .filter(_.getAs[Timestamp]("window_start") == ts("10:00"))
+        .map(r => r.getAs[Long]("bucket") -> r).toMap
+      assert(w1.size === 3)
+      assert(w1(0L).getAs[Long]("n_window") === 5L &&
+        w1(0L).getAs[Long]("n_dropped") === 0L)
+      // bucket 0: d=1 of n=5 at risk vs r=0.5
+      assert(w1(0L).getAs[Long]("deaths") === 1L &&
+        w1(0L).getAs[Long]("at_risk") === 5L &&
+        w1(0L).getAs[Double]("hazard") === 0.2)
+      assert(w1(0L).getAs[Double]("z") ===
+        (1.0 - 5.0 * 0.5) / math.sqrt(5.0 * 0.5 * 0.5))
+      // bucket 1: the censored 1.5 counts at risk but not as a death
+      assert(w1(1L).getAs[Long]("deaths") === 1L &&
+        w1(1L).getAs[Long]("at_risk") === 4L)
+      assert(w1(1L).getAs[Double]("z") === -1.0)
+      // bucket 2: d=1 of n=2 vs r=0.25
+      assert(w1(2L).getAs[Long]("at_risk") === 2L &&
+        w1(2L).getAs[Double]("z") ===
+          (1.0 - 2.0 * 0.25) / math.sqrt(2.0 * 0.25 * 0.75))
+      assert(w1(0L).getAs[Double]("max_abs_z") ===
+        math.abs((1.0 - 2.5) / math.sqrt(1.25)))
+      assert(!w1(0L).getAs[Boolean]("drift"))
+      // the spike window alarms
+      val w2 = spark.table("whg").collect()
+        .filter(_.getAs[Timestamp]("window_start") == ts("10:20"))
+        .map(r => r.getAs[Long]("bucket") -> r).toMap
+      assert(w2(0L).getAs[Double]("z") === 2.0 &&
+        w2(0L).getAs[Boolean]("drift"))
+      // its empty later buckets read honest NULLs
+      assert(w2(1L).getAs[Long]("at_risk") === 0L &&
+        w2(1L).isNullAt(w2(1L).fieldIndex("hazard")) &&
+        w2(1L).isNullAt(w2(1L).fieldIndex("z")))
+    } finally q.stop()
+    // batch parity: the same function on a batch frame, row for row
+    val rows = Seq((ts("10:01"), 0.5, false), (ts("10:02"), 1.5, false),
+      (ts("10:03"), 1.5, true), (ts("10:04"), 2.5, false),
+      (ts("10:05"), 5.0, true))
+    val viaBatch = Streaming.windowedHazardGate(
+      rows.toDF("ts", "dur", "cen"), col("dur"), col("cen"),
+      ref, bucketWidth = 1.0, windowLength = "10 minutes")
+      .orderBy("bucket").collect().toSeq
+    val viaStream = spark.table("whg")
+      .filter(col("window_start") === ts("10:00"))
+      .orderBy("bucket").collect().toSeq
+    assert(viaStream.map(_.toSeq) === viaBatch.map(_.toSeq))
+    // NULL/NaN/negative durations and NULL flags drop and are
+    // REPORTED; they never enter a risk set
+    val withNull = Seq(
+      (ts("10:01"), Some(0.5), Some(false)),
+      (ts("10:02"), Some(Double.NaN), Some(false)),
+      (ts("10:03"), Some(-1.0), Some(false)),
+      (ts("10:04"), Some(3.0), Option.empty[Boolean]),
+      (ts("10:05"), Option.empty[Double], Some(true)))
+      .toDF("ts", "dur", "cen")
+    val nd = Streaming.windowedHazardGate(withNull, col("dur"),
+      col("cen"), ref, bucketWidth = 1.0,
+      windowLength = "10 minutes").orderBy("bucket").collect()
+    assert(nd.forall(r => r.getAs[Long]("n_window") === 1L &&
+      r.getAs[Long]("n_dropped") === 4L))
+    assert(nd.head.getAs[Long]("at_risk") === 1L)
+    // a reference rate of 0 has no calibrated gate: NULL z there even
+    // with deaths; the live buckets still drive max_abs_z
+    val degen = Streaming.windowedHazardGate(
+      rows.toDF("ts", "dur", "cen"), col("dur"), col("cen"),
+      Seq(0.0, 0.5), bucketWidth = 1.0, windowLength = "10 minutes")
+      .orderBy("bucket").collect()
+    assert(degen(0).isNullAt(degen(0).fieldIndex("z")) &&
+      degen(0).getAs[Long]("deaths") === 1L)
+    assert(!degen(0).isNullAt(degen(0).fieldIndex("max_abs_z")))
+    // contracts stay loud
+    intercept[IllegalArgumentException](Streaming.windowedHazardGate(
+      rows.toDF("ts", "dur", "cen"), col("dur"), col("cen"),
+      Seq(0.5), bucketWidth = 1.0))
+    intercept[IllegalArgumentException](Streaming.windowedHazardGate(
+      rows.toDF("ts", "dur", "cen"), col("dur"), col("cen"),
+      Seq(0.5, 1.5), bucketWidth = 1.0))
+    intercept[IllegalArgumentException](Streaming.windowedHazardGate(
+      rows.toDF("ts", "dur", "cen"), col("dur"), col("cen"),
+      ref, bucketWidth = 0.0))
+  }
+
   test("windowedAnovaGate: per-window F gate, exact oneWayAnova parity") {
     import org.apache.spark.sql.functions.col
     val input = MemoryStream[(Timestamp, Int, Double)]
