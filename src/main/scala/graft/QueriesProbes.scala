@@ -498,6 +498,26 @@ private[graft] object QueriesProbes {
         table(s, dir, "events").filter(col("event_id") % 20 === 0))
         .orderBy("event_type")
     },
+    "theil_sen_ci" -> { (s, dir) =>
+      // and HOW FAST, with brackets: Sen's distribution-free slope CI
+      // on the SAME slice — rank-selected limits off the shared slope
+      // pair frame, widths from the Mann-Kendall variance
+      Probes.theilSenCI("event_type", "event_id", "event_id", "value")(
+        table(s, dir, "events").filter(col("event_id") % 20 === 0))
+        .orderBy("event_type")
+    },
+    "seasonal_mann_kendall" -> { (s, dir) =>
+      // does value trend WITHIN each month, per event type, with the
+      // monthly cycle cancelled by design? only same-season pairs
+      // count (Hirsch-Slack): per-(type, month) S and variance off
+      // the shared mann_kendall dag, summed, one continuity z
+      Probes.seasonalMannKendall("event_type", "sea", "event_id",
+        "event_id", "value")(
+        table(s, dir, "events")
+          .filter(col("event_id") % 20 === 0)
+          .withColumn("sea", month(col("ts"))))
+        .orderBy("event_type")
+    },
     "mcnemar_test" -> { (s, dir) =>
       // paired comparison of two deterministic "classifiers" of the
       // value >= 20 target on the SAME events: a threshold system vs
@@ -2083,6 +2103,132 @@ private[graft] object QueriesProbes {
                WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1e0) / sqrt(vs)
                ELSE 0e0 END END AS z
       FROM f ORDER BY event_type""",
+    // mirrors Probes.seasonalMannKendall: the mann_kendall dag keyed
+    // by (event_type, month) — only same-season pairs — then the
+    // Hirsch-Slack sums: exact S totals, season-ordered variance
+    // fold, the same continuity-corrected z
+    "seasonal_mann_kendall" -> """
+      WITH b AS (SELECT event_type AS g,
+          CAST(month(CAST(ts AS TIMESTAMP)) AS BIGINT) AS sea,
+          event_id AS i, event_id AS t, value AS x
+        FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+          AND value IS NOT NULL AND event_id % 20 = 0),
+      sz AS (SELECT g, sea, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY g, sea),
+      p AS (SELECT a.g AS g, a.sea AS sea,
+          (CASE WHEN a.t < c.t THEN 1 WHEN a.t > c.t THEN -1 ELSE 0 END)
+          * (CASE WHEN a.x < c.x THEN 1 WHEN a.x > c.x THEN -1 ELSE 0
+            END) AS sp
+        FROM b a JOIN b c ON a.g = c.g AND a.sea = c.sea AND a.i < c.i),
+      sa AS (SELECT g, sea, CAST(sum(sp) AS BIGINT) AS s
+        FROM p GROUP BY g, sea),
+      xt AS (SELECT g, sea, CAST(count(*) AS HUGEINT) AS tc
+        FROM b GROUP BY g, sea, x),
+      xs AS (SELECT g, sea, sum(tc * (tc - 1) * (tc * 2 + 5)) AS xt25,
+          sum(tc * (tc - 1) * (tc - 2)) AS xt3,
+          sum(tc * (tc - 1)) AS xt2
+        FROM xt GROUP BY g, sea),
+      ut AS (SELECT g, sea, CAST(count(*) AS HUGEINT) AS tc
+        FROM b GROUP BY g, sea, t),
+      us AS (SELECT g, sea, sum(tc * (tc - 1) * (tc * 2 + 5)) AS ut25,
+          sum(tc * (tc - 1) * (tc - 2)) AS ut3,
+          sum(tc * (tc - 1)) AS ut2
+        FROM ut GROUP BY g, sea),
+      f AS (SELECT sz.g, sz.sea, sz.n,
+          coalesce(sa.s, CAST(0 AS BIGINT)) AS s,
+          CAST(CAST(sz.n AS HUGEINT) * (sz.n - 1) * (sz.n * 2 + 5)
+              - xs.xt25 - us.ut25 AS DOUBLE) / 18e0
+            + CASE WHEN sz.n > 2 THEN
+                CAST(xs.xt3 AS DOUBLE) * CAST(us.ut3 AS DOUBLE)
+                / (9e0 * CAST(sz.n AS DOUBLE)
+                  * (CAST(sz.n AS DOUBLE) - 1e0)
+                  * (CAST(sz.n AS DOUBLE) - 2e0)) ELSE 0e0 END
+            + CASE WHEN sz.n > 1 THEN
+                CAST(xs.xt2 AS DOUBLE) * CAST(us.ut2 AS DOUBLE)
+                / (2e0 * CAST(sz.n AS DOUBLE)
+                  * (CAST(sz.n AS DOUBLE) - 1e0)) ELSE 0e0 END AS vs
+        FROM sz LEFT JOIN sa ON sa.g = sz.g AND sa.sea = sz.sea
+          LEFT JOIN xs ON xs.g = sz.g AND xs.sea = sz.sea
+          LEFT JOIN us ON us.g = sz.g AND us.sea = sz.sea),
+      ag AS (SELECT g, CAST(sum(n) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS n_seasons,
+          CAST(sum(s) AS BIGINT) AS s,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(vs ORDER BY sea)), (acc, x) -> acc + x) AS vsum
+        FROM f GROUP BY g)
+      SELECT g AS event_type, n, n_seasons, s,
+        CASE WHEN n >= 2 THEN vsum END AS var_s,
+        CASE WHEN n >= 2 AND vsum > 0e0 THEN
+          CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1e0) / sqrt(vsum)
+               WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1e0) / sqrt(vsum)
+               ELSE 0e0 END END AS z
+      FROM ag ORDER BY event_type""",
+    // mirrors Probes.theilSenCI: the theil_sen pair frame, the
+    // mann_kendall tie-mass variance over the same points, C =
+    // 1.96*sqrt(Var(S)), round-outward rank limits clamped to
+    // [1, N'], the same two-middle-ranks median
+    "theil_sen_ci" -> s"""
+      WITH b AS (SELECT event_type AS g, event_id AS i,
+          CAST(event_id AS DOUBLE) AS x, value AS y
+        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+          AND event_id % 20 = 0),
+      sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g),
+      p AS (SELECT a.g AS g, a.i AS ia, c.i AS ib,
+          (c.y - a.y) / (c.x - a.x) AS s
+        FROM b a JOIN b c ON a.g = c.g AND a.i < c.i AND a.x <> c.x),
+      npr AS (SELECT g, CAST(count(*) AS BIGINT) AS np
+        FROM p GROUP BY g),
+      yt0 AS (SELECT g, CAST(count(*) AS HUGEINT) AS tc
+        FROM b GROUP BY g, y),
+      yt AS (SELECT g, sum(tc * (tc - 1) * (tc * 2 + 5)) AS yt25,
+          sum(tc * (tc - 1) * (tc - 2)) AS yt3,
+          sum(tc * (tc - 1)) AS yt2
+        FROM yt0 GROUP BY g),
+      ut0 AS (SELECT g, CAST(count(*) AS HUGEINT) AS tc
+        FROM b GROUP BY g, x),
+      ut AS (SELECT g, sum(tc * (tc - 1) * (tc * 2 + 5)) AS ux25,
+          sum(tc * (tc - 1) * (tc - 2)) AS ux3,
+          sum(tc * (tc - 1)) AS ux2
+        FROM ut0 GROUP BY g),
+      vs AS (SELECT sz.g, sz.n,
+          coalesce(npr.np, CAST(0 AS BIGINT)) AS np,
+          CAST(CAST(sz.n AS HUGEINT) * (sz.n - 1) * (sz.n * 2 + 5)
+              - yt.yt25 - ut.ux25 AS DOUBLE) / 18e0
+            + CASE WHEN sz.n > 2 THEN
+                CAST(yt.yt3 AS DOUBLE) * CAST(ut.ux3 AS DOUBLE)
+                / (9e0 * CAST(sz.n AS DOUBLE)
+                  * (CAST(sz.n AS DOUBLE) - 1e0)
+                  * (CAST(sz.n AS DOUBLE) - 2e0)) ELSE 0e0 END
+            + CASE WHEN sz.n > 1 THEN
+                CAST(yt.yt2 AS DOUBLE) * CAST(ut.ux2 AS DOUBLE)
+                / (2e0 * CAST(sz.n AS DOUBLE)
+                  * (CAST(sz.n AS DOUBLE) - 1e0)) ELSE 0e0 END AS v
+        FROM sz LEFT JOIN npr ON npr.g = sz.g
+          LEFT JOIN yt ON yt.g = sz.g LEFT JOIN ut ON ut.g = sz.g),
+      bd AS (SELECT g, n, np,
+          CASE WHEN np > 0 AND v > 0e0 THEN
+            greatest(CAST(1 AS BIGINT), CAST(floor(
+              (CAST(np AS DOUBLE) - ${litD(1.96)} * sqrt(v)) / 2e0)
+              AS BIGINT)) END AS rlo,
+          CASE WHEN np > 0 AND v > 0e0 THEN
+            least(np, CAST(floor(
+              (CAST(np AS DOUBLE) + ${litD(1.96)} * sqrt(v)) / 2e0)
+              AS BIGINT) + 1) END AS rhi,
+          (np + 1) // 2 AS md1, np // 2 + 1 AS md2
+        FROM vs),
+      pr AS (SELECT g, s,
+          CAST(row_number() OVER (PARTITION BY g ORDER BY s, ia, ib)
+            AS BIGINT) AS rn
+        FROM p),
+      sel AS (SELECT pr.g,
+          min(CASE WHEN rn = rlo THEN s END) AS slo,
+          min(CASE WHEN rn = rhi THEN s END) AS shi,
+          min(CASE WHEN rn = md1 THEN s END) AS sm1,
+          min(CASE WHEN rn = md2 THEN s END) AS sm2
+        FROM pr JOIN bd ON bd.g = pr.g GROUP BY pr.g)
+      SELECT bd.g AS event_type, n, np AS n_pairs,
+        (sm1 + sm2) / 2e0 AS slope, slo AS slope_lo, shi AS slope_hi
+      FROM bd LEFT JOIN sel ON sel.g = bd.g ORDER BY event_type""",
     // mirrors Probes.mcnemarTest: exact contingency counts, the
     // continuity-corrected squared-integer numerator in HUGEINT, one
     // final division; b+c = 0 -> NULL (zero evidence, not zero diff)

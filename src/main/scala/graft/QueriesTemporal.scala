@@ -1484,6 +1484,13 @@ private[graft] object QueriesTemporal {
             list(vv ORDER BY t)), (acc, x) -> acc + x) AS vsum
         FROM tm GROUP BY cohort)
       SELECT cohort, n_a, n_b, deaths_a, deaths_b, osum AS o_minus_e,
+        CASE WHEN deaths_a > 0 AND deaths_b > 0
+            AND CAST(deaths_a AS DOUBLE) - osum > 0e0
+            AND CAST(deaths_b AS DOUBLE) + osum > 0e0
+          THEN (CAST(deaths_a AS DOUBLE)
+              / (CAST(deaths_a AS DOUBLE) - osum))
+            / (CAST(deaths_b AS DOUBLE)
+              / (CAST(deaths_b AS DOUBLE) + osum)) END AS hazard_ratio,
         CASE WHEN vsum > 0e0 THEN osum / sqrt(vsum) END AS z
       FROM ag ORDER BY cohort""",
     // mirrors Probes.gehanBreslowTest: the logrank_test dag with each

@@ -2545,6 +2545,38 @@ object ScaleBench {
     }
     println("groups_x,mann_kendall_sec")
     mkOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // theilSenCI: the same guarded pair frame plus one rank window
+    // and the tie-mass hash-aggs — must track the mannKendall cell
+    def tscJob(d: DataFrame): Unit =
+      noop(P19.theilSenCI("g", "i", "t", "x")(d))
+    locally { val d1 = mk19(1).localCheckpoint(); tscJob(d1); d1.unpersist() }
+    val tscOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = mk19(k).localCheckpoint()
+      val t = median3(tscJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("groups_x,theil_sen_ci_sec")
+    tscOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // seasonalMannKendall: the mannKendall dag keyed one level deeper
+    // (group, season) — same linear shape, smaller per-slice pairs
+    def smk19(k: Int): DataFrame =
+      (0 until k).map(i => ev19.select(
+        ((col("user_id") % 256) + lit(i.toLong * 1_000L)).as("g"),
+        (col("event_id") % 4).as("sea"),
+        col("event_id").as("i"), col("event_id").as("t"),
+        col("value").as("x")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def smkJob(d: DataFrame): Unit =
+      noop(P19.seasonalMannKendall("g", "sea", "i", "t", "x")(d))
+    locally { val d1 = smk19(1).localCheckpoint(); smkJob(d1); d1.unpersist() }
+    val smkOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = smk19(k).localCheckpoint()
+      val t = median3(smkJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("groups_x,seasonal_mann_kendall_sec")
+    smkOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
     // logRankK: subjects ×1/×2/×4 on the r18 survival frame shape
     // with a 4-arm variant and a FIXED 30-day grid — must track the
     // (group, variant, time) cells hash-agg; the |T|·k grid is

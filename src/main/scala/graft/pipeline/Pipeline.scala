@@ -887,6 +887,16 @@ final case class Pipeline(df: DataFrame) {
   def mannKendall(groupField: String, idField: String, tField: String,
       xField: String, maxN: Int = 10000): Pipeline =
     >>(Probes.mannKendall(groupField, idField, tField, xField, maxN))
+  def seasonalMannKendall(groupField: String, seasonField: String,
+      idField: String, tField: String, xField: String,
+      maxN: Int = 10000): Pipeline =
+    >>(Probes.seasonalMannKendall(groupField, seasonField, idField,
+      tField, xField, maxN))
+  def theilSenCI(groupField: String, idField: String, xField: String,
+      yField: String, maxN: Int = 10000,
+      zCrit: Double = 1.96): Pipeline =
+    >>(Probes.theilSenCI(groupField, idField, xField, yField, maxN,
+      zCrit))
   def mcnemarTest(aCorrect: Column, bCorrect: Column,
       groupCols: Seq[String] = Nil, correction: Boolean = true): Pipeline =
     >>(Probes.mcnemarTest(aCorrect, bCorrect, groupCols, correction))

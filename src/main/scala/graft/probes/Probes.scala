@@ -2268,8 +2268,13 @@ object Probes {
     * Scale shape: one hash-agg to (group, time) cells, two window
     * passes over distinct times, one fold — the
     * [[graft.ops.WindowOps.kaplanMeier]] cost class (quantize time so
-    * the per-group distinct-time sequence stays bounded). Output per
-    * group: `n_a, n_b, deaths_a, deaths_b, o_minus_e, z`. */
+    * the per-group distinct-time sequence stays bounded). Also
+    * reports Pike's hazard-ratio estimate `(O_a/E_a)/(O_b/E_b)` — the
+    * effect SIZE beside z ("side A churns 1.4× as fast"), free off
+    * the folded sums; a zero-death side or non-positive expected
+    * reads NULL (no finite rate ratio exists, not 0 or ∞). Output per
+    * group: `n_a, n_b, deaths_a, deaths_b, o_minus_e, hazard_ratio,
+    * z`. */
   def logRankTest(side: Column, time: Column, censored: Column,
       groupCols: Seq[String] = Nil,
       exactOrder: Boolean = true)(df: DataFrame): DataFrame =
@@ -2366,8 +2371,23 @@ object Probes {
           sum(col("__db")).as("deaths_b"),
           pinnedFold(col("__t"), col("__oe"), exactOrder).as("__osum"),
           pinnedFold(col("__t"), col("__v"), exactOrder).as("__vsum"))
+    // Pike's hazard-ratio estimate (O_a/E_a)/(O_b/E_b) — the effect
+    // SIZE beside the unweighted test's z ("side A churns 1.4× as
+    // fast"), with E_a = O_a − Σ(O−E) and E_b = O_b + Σ(O−E) read off
+    // the already-folded sums. Meaningful only on the UNWEIGHTED
+    // Mantel–Cox sums (the weighted Σw(O−E) is not a count); a
+    // zero-death side or a non-positive expected reads NULL (no
+    // finite rate ratio exists, not 0 or ∞).
+    val eA = col("deaths_a").cast("double") - col("__osum")
+    val eB = col("deaths_b").cast("double") + col("__osum")
+    val hr =
+      if (weighted) Nil
+      else Seq(when(col("deaths_a") > 0L && col("deaths_b") > 0L &&
+          eA > 0.0 && eB > 0.0,
+        (col("deaths_a").cast("double") / eA) /
+          (col("deaths_b").cast("double") / eB)).as("hazard_ratio"))
     agg.select(grp ++ Seq(col("n_a"), col("n_b"), col("deaths_a"),
-      col("deaths_b"), col("__osum").as(oeName),
+      col("deaths_b"), col("__osum").as(oeName)) ++ hr ++ Seq(
       when(col("__vsum") > 0.0, col("__osum") / sqrt(col("__vsum")))
         .as("z")): _*)
   }
@@ -3435,9 +3455,16 @@ object Probes {
     * Scale shape: the guarded pair join + two window-sorts (pairs,
     * then points) per group partition. Output per group:
     * `n, n_pairs, slope, intercept`. */
-  def theilSen(groupField: String, idField: String, xField: String,
-      yField: String, maxN: Int = 10000)(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The shared slope-pair frame of the Theil–Sen family
+    * ([[theilSen]], [[theilSenCI]]): NULL-dropped points as
+    * `(__g, __i, __x, __y)`, the [[pairSizeGuard]]-guarded `i_a < i_b`
+    * self-join with vertical pairs dropped, and the per-pair slope
+    * `__s` — ONE definition so the CI's "same slopes as the
+    * estimator" promise is structural, not textual (the
+    * `logRankImpl` discipline). Returns (base, sized, pairs). */
+  private def theilSenPairs(groupField: String, idField: String,
+      xField: String, yField: String, maxN: Int)(
+      df: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     require(maxN >= 2 && maxN <= 100000,
       s"maxN must be in [2, 100000], got $maxN")
     val base = df
@@ -3461,6 +3488,14 @@ object Probes {
         col("__na") <= lit(maxN))
       .withColumn("__s",
         (col("__yb") - col("__ya")) / (col("__xb") - col("__xa")))
+    (base, sized, pairs)
+  }
+
+  def theilSen(groupField: String, idField: String, xField: String,
+      yField: String, maxN: Int = 10000)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (base, sized, pairs) = theilSenPairs(groupField, idField,
+      xField, yField, maxN)(df)
     def medianOf(frame: DataFrame, v: String, ties: Seq[String],
         out: String, cntOut: String): DataFrame = {
       val wOrd = Window.partitionBy(col("__g"))
@@ -3526,16 +3561,17 @@ object Probes {
     *
     * Scale shape: the guarded pair join + three hash-aggs (pairs,
     * value ties, time ties). Output per group: `n, s, var_s, z`. */
-  def mannKendall(groupField: String, idField: String, tField: String,
-      xField: String, maxN: Int = 10000)(df: DataFrame): DataFrame = {
+  /** The shared per-key S/variance frame of the Mann–Kendall family
+    * ([[mannKendall]], [[seasonalMannKendall]]): `base` carries the
+    * key as `__g` (a struct for the seasonal form) plus
+    * `__i`/`__t`/`__x`; returns per-key `(__g, __n, __s, __vs)` with
+    * the exact pair S and the bivariate tie-corrected variance — ONE
+    * definition so the seasonal op's "the same S and variance, summed
+    * over seasons" promise is structural, not textual. */
+  private def mannKendallStats(base: DataFrame, maxN: Int): DataFrame = {
     require(maxN >= 2 && maxN <= 100000,
       s"maxN must be in [2, 100000], got $maxN")
     def d38(c: Column) = c.cast("decimal(38,0)")
-    val base = df
-      .filter(col(tField).isNotNull && col(xField).isNotNull &&
-        col(idField).isNotNull)
-      .select(col(groupField).as("__g"), col(idField).as("__i"),
-        col(tField).as("__t"), col(xField).as("__x"))
     // the quadratic guard, threaded onto side a so the raise fires
     // BELOW the pair join (the pairSizeGuard contract)
     val sized = pairSizeGuard(base, "mannKendall", maxN,
@@ -3589,15 +3625,185 @@ object Probes {
         (lit(2.0) * nD * (nD - lit(1.0))))
       .otherwise(lit(0.0))
     val varS = aLeg.cast("double") / lit(18.0) + varB + varC
-    val s = coalesce(col("__s"), lit(0L))
+    joined.select(col("__g"), col("__n"),
+      coalesce(col("__s"), lit(0L)).as("__s"), varS.as("__vs"))
+  }
+
+  /** The ±1 continuity-corrected Mann–Kendall z over an exact S and
+    * its variance — UNALIASED; exact 0.0 at S = 0. ONE definition
+    * serves [[mannKendall]] and [[seasonalMannKendall]] (the
+    * [[signZOf]] discipline). Callers guard the zero-variance NULL. */
+  private def mkContinuityZ(s: Column, vs: Column): Column = {
     val sD = s.cast("double")
-    joined.select(col("__g").as(groupField), col("__n").as("n"),
-      s.as("s"),
-      when(col("__n") >= 2, varS).as("var_s"),
-      when(col("__n") >= 2 && varS > 0.0,
-        when(s > 0L, (sD - lit(1.0)) / sqrt(varS))
-          .when(s < 0L, (sD + lit(1.0)) / sqrt(varS))
-          .otherwise(lit(0.0))).as("z"))
+    when(s > 0L, (sD - lit(1.0)) / sqrt(vs))
+      .when(s < 0L, (sD + lit(1.0)) / sqrt(vs))
+      .otherwise(lit(0.0))
+  }
+
+  def mannKendall(groupField: String, idField: String, tField: String,
+      xField: String, maxN: Int = 10000)(df: DataFrame): DataFrame = {
+    val base = df
+      .filter(col(tField).isNotNull && col(xField).isNotNull &&
+        col(idField).isNotNull)
+      .select(col(groupField).as("__g"), col(idField).as("__i"),
+        col(tField).as("__t"), col(xField).as("__x"))
+    val stats = mannKendallStats(base, maxN)
+    stats.select(col("__g").as(groupField), col("__n").as("n"),
+      col("__s").as("s"),
+      when(col("__n") >= 2, col("__vs")).as("var_s"),
+      when(col("__n") >= 2 && col("__vs") > 0.0,
+        mkContinuityZ(col("__s"), col("__vs"))).as("z"))
+  }
+
+  /** Seasonal Mann–Kendall per group — [[mannKendall]] for metrics
+    * with a periodic cycle (day-of-week load, monthly seasonality),
+    * where the plain test reads the SEASON as trend: S and the
+    * bivariate tie-corrected variance compute WITHIN each season
+    * (only same-season observations pair, so the weekly/monthly shape
+    * cancels by construction — Hirsch–Slack's water-quality
+    * standard, seasons-independent form), then
+    *   `S' = Σ_m S_m`, `Var' = Σ_m Var(S_m)`,
+    * with the same ±1 continuity-corrected z on the sums. The
+    * per-season frames are the EXACT [[mannKendall]] dag (one shared
+    * `mannKendallStats` definition keyed by a (group, season)
+    * struct); the variance sum is a season-pinned float fold
+    * (`exactOrder=false` = plain sum for production). One season
+    * reduces to [[mannKendall]] exactly (spec-pinned). Degenerate
+    * reads: single-observation seasons contribute exact-0 S and
+    * variance (no information, not noise); all-tied or too-small
+    * groups read NULL z with honest counts. NULL
+    * season/id/time/value rows drop. The maxN guard bounds each
+    * (group, season) slice — the quadratic pair frame is per-season.
+    * Output per group: `n, n_seasons, s, var_s, z`. */
+  def seasonalMannKendall(groupField: String, seasonField: String,
+      idField: String, tField: String, xField: String,
+      maxN: Int = 10000, exactOrder: Boolean = true)(
+      df: DataFrame): DataFrame = {
+    val base = df
+      .filter(col(seasonField).isNotNull && col(tField).isNotNull &&
+        col(xField).isNotNull && col(idField).isNotNull)
+      .select(struct(col(groupField).as("g"),
+        col(seasonField).as("sea")).as("__g"),
+        col(idField).as("__i"), col(tField).as("__t"),
+        col(xField).as("__x"))
+    val stats = mannKendallStats(base, maxN)
+    val per = stats.select(col("__g").getField("g").as("__grp"),
+      col("__g").getField("sea").as("__sea"), col("__n"), col("__s"),
+      col("__vs"))
+    val agg = per.groupBy(col("__grp"))
+      .agg(sum(col("__n")).as("n"),
+        count(lit(1)).as("n_seasons"),
+        sum(col("__s")).as("s"),
+        pinnedFold(col("__sea"), col("__vs"), exactOrder).as("__vsum"))
+    agg.select(col("__grp").as(groupField), col("n"), col("n_seasons"),
+      col("s"),
+      when(col("n") >= 2, col("__vsum")).as("var_s"),
+      when(col("n") >= 2 && col("__vsum") > 0.0,
+        mkContinuityZ(col("s"), col("__vsum"))).as("z"))
+  }
+
+  /** Sen's slope confidence interval per group — the inference
+    * companion closing the trend loop: [[theilSen]] states the robust
+    * RATE, [[mannKendall]] gates its EXISTENCE, this brackets the
+    * rate ("drift is 2.1 items/day, CI [1.7, 2.6]") — the
+    * distribution-free Gilbert/Helsel interval built from the SAME
+    * pairwise slopes and the SAME Mann–Kendall variance, no residual
+    * normality assumed anywhere.
+    *
+    * Construction (Gilbert 1987 §17.3, the water-quality standard):
+    * over the N' defined pairwise slopes in ascending order (pinned
+    * by (slope, id_a, id_b) — deterministic through ties),
+    *   `C = zCrit·√Var(S)`  (Var(S) = the [[mannKendall]] bivariate
+    *     tie-corrected variance over the SAME points),
+    *   `M1 = (N' − C)/2`, `M2 = (N' + C)/2`,
+    * and the limits are the slopes at ranks `max(1, ⌊M1⌋)` and
+    * `min(N', ⌊M2⌋ + 1)` — ROUNDED OUTWARD on both sides
+    * (conservative: the reported interval can only be wider than the
+    * fractional-rank ideal, never narrower; the convention is
+    * documented because Gilbert leaves the rounding to the reader).
+    * The point estimate is the same two-middle-ranks median as
+    * [[theilSen]] (identical selection, identical IEEE average).
+    * Degenerate reads: C ≥ N' clamps to the extreme slopes (an
+    * honestly-wide interval is a finding — "the data cannot bracket
+    * the trend"); zero variance or no valid pairs → NULL limits with
+    * the honest slope/counts. Pair frame, guard, and vertical-pair
+    * drop are ONE shared [[theilSenPairs]] definition with the
+    * estimator. Scale shape: the guarded pair join + one rank window
+    * + three hash-aggs. Output per group:
+    * `n, n_pairs, slope, slope_lo, slope_hi`. */
+  def theilSenCI(groupField: String, idField: String, xField: String,
+      yField: String, maxN: Int = 10000, zCrit: Double = 1.96)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(zCrit > 0.0 && zCrit <= 100.0,
+      s"zCrit must be in (0, 100]: $zCrit")
+    val (base, sized, pairs) = theilSenPairs(groupField, idField,
+      xField, yField, maxN)(df)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val tc = d38(col("__tc"))
+    // the mannKendall tie masses over the SAME points: t over values,
+    // u over times — exact decimal(38,0) hash-aggs
+    val yTies = base.groupBy(col("__g"), col("__y"))
+      .agg(count(lit(1)).as("__tc"))
+      .groupBy(col("__g"))
+      .agg(sum(tc * (tc - 1) * (tc * 2 + 5)).as("__yt25"),
+        sum(tc * (tc - 1) * (tc - 2)).as("__yt3"),
+        sum(tc * (tc - 1)).as("__yt2"))
+    val xTies = base.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__tc"))
+      .groupBy(col("__g"))
+      .agg(sum(tc * (tc - 1) * (tc * 2 + 5)).as("__ux25"),
+        sum(tc * (tc - 1) * (tc - 2)).as("__ux3"),
+        sum(tc * (tc - 1)).as("__ux2"))
+    val np = pairs.groupBy(col("__g")).agg(count(lit(1)).as("__np0"))
+    val joined = sized
+      .join(np, Seq("__g"), "left")
+      .join(yTies, Seq("__g"), "left")
+      .join(xTies, Seq("__g"), "left")
+      .withColumn("__np", coalesce(col("__np0"), lit(0L)))
+    val n38 = d38(col("__n"))
+    val nD = col("__n").cast("double")
+    val aLeg = n38 * (n38 - 1) * (n38 * 2 + 5) -
+      col("__yt25") - col("__ux25")
+    val varB = when(nD > 2.0,
+      col("__yt3").cast("double") * col("__ux3").cast("double") /
+        (lit(9.0) * nD * (nD - lit(1.0)) * (nD - lit(2.0))))
+      .otherwise(lit(0.0))
+    val varC = when(nD > 1.0,
+      col("__yt2").cast("double") * col("__ux2").cast("double") /
+        (lit(2.0) * nD * (nD - lit(1.0))))
+      .otherwise(lit(0.0))
+    val varS = aLeg.cast("double") / lit(18.0) + varB + varC
+    val npD = col("__np").cast("double")
+    val cW = lit(zCrit) * sqrt(varS)
+    val live = col("__np") > 0L && varS > 0.0
+    val bounds = joined.select(col("__g"), col("__n"), col("__np"),
+      when(live, greatest(lit(1L),
+        floor((npD - cW) / lit(2.0)).cast("long"))).as("__rlo"),
+      when(live, least(col("__np"),
+        floor((npD + cW) / lit(2.0)).cast("long") + lit(1L)))
+        .as("__rhi"),
+      // the theilSen median selection verbatim: both middle ranks
+      floor((col("__np") + 1) / 2).cast("long").as("__md1"),
+      (floor(col("__np") / 2).cast("long") + lit(1L)).as("__md2"))
+    val wOrd = Window.partitionBy(col("__g"))
+      .orderBy(col("__s"), col("__ia"), col("__ib"))
+    val ranked = pairs
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+    val sel = ranked
+      .join(bounds.select(col("__g"), col("__rlo"), col("__rhi"),
+        col("__md1"), col("__md2")), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(min(when(col("__rn") === col("__rlo"), col("__s")))
+          .as("__slo"),
+        min(when(col("__rn") === col("__rhi"), col("__s"))).as("__shi"),
+        min(when(col("__rn") === col("__md1"), col("__s"))).as("__sm1"),
+        min(when(col("__rn") === col("__md2"), col("__s"))).as("__sm2"))
+    bounds.join(sel, Seq("__g"), "left")
+      .select(col("__g").as(groupField), col("__n").as("n"),
+        col("__np").as("n_pairs"),
+        ((col("__sm1") + col("__sm2")) / lit(2.0)).as("slope"),
+        col("__slo").as("slope_lo"), col("__shi").as("slope_hi"))
   }
 
   /** McNemar's test — the PAIRED classifier comparison: two systems

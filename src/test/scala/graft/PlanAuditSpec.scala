@@ -89,6 +89,8 @@ class PlanAuditSpec extends SparkSpec {
     "k_truss",           // broadcast one-row converged-flag aggregate
     "retention_curve",   // broadcast one-row corpus-max-ts aggregate (the censoring horizon)
     "logrank_test",      // same one-row corpus-max-ts broadcast on the same subject frame
+    "logrank_gehan",     // same one-row corpus-max-ts broadcast on the same subject frame
+    "logrank_k",         // same one-row corpus-max-ts broadcast on the same subject frame
     "rmst_retention",    // same one-row corpus-max-ts broadcast on the same subject frame
     "survival_median",   // same one-row corpus-max-ts broadcast on the same subject frame
     "corpus_divergence") // broadcast bounded top-V+1 term frame + one-row totals

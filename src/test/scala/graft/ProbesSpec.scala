@@ -1399,6 +1399,10 @@ class ProbesSpec extends SparkSpec {
     val v = 0.0 + 12.0 / 48.0 + 4.0 / 18.0 + 0.0
     assert(r.getAs[Double]("o_minus_e") === o)
     assert(r.getAs[Double]("z") === o / math.sqrt(v))
+    // Pike's hazard ratio off the same folded sums:
+    // (O_a/E_a)/(O_b/E_b) with E_a = 1 - o, E_b = 2 + o
+    assert(r.getAs[Double]("hazard_ratio") ===
+      (1.0 / (1.0 - o)) / (2.0 / (2.0 + o)))
     // swapping the sides negates z EXACTLY (term negation is exact)
     val rs = Probes.logRankTest(!col("a"), col("t"), col("c"))(d).head()
     assert(rs.getAs[Double]("z") === -(o / math.sqrt(v)))
@@ -1413,6 +1417,8 @@ class ProbesSpec extends SparkSpec {
     val rc = Probes.logRankTest(col("a"), col("t"), col("c"))(cen).head()
     assert(rc.getAs[Long]("n_a") === 1L &&
       rc.isNullAt(rc.fieldIndex("z")))
+    // zero deaths on either side: no finite rate ratio -> NULL hr
+    assert(rc.isNullAt(rc.fieldIndex("hazard_ratio")))
   }
 
   test("gehanBreslow: hand weighted terms, single-time equals logrank, swap negates") {
@@ -1846,6 +1852,85 @@ class ProbesSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("pair join is O(n^2)")))
+  }
+
+  test("theilSenCI: rank-outward limits, degenerate-wide clamp, theilSen median parity") {
+    import spark.implicits._
+    def run(pts: Seq[(Long, Double, Double)]) =
+      Probes.theilSenCI("g", "i", "x", "y")(
+        pts.map { case (i, x, y) => ("g", i, x, y) }
+          .toDF("g", "i", "x", "y")).head()
+    // y = x^2 over x = 1..10: slopes are the pair sums a+b, N' = 45,
+    // no ties anywhere -> Var(S) = 10*9*25/18 = 125,
+    // C = 1.96*sqrt(125) = 21.91; M1 = 11.54 -> rank 11 (value 8),
+    // M2 = 33.46 -> rank 34 (value 14); median rank 23 -> 11
+    val sq = (1L to 10L).map(i => (i, i.toDouble, (i * i).toDouble))
+    val r = run(sq)
+    assert(r.getAs[Long]("n") === 10L && r.getAs[Long]("n_pairs") === 45L)
+    assert(r.getAs[Double]("slope") === 11.0)
+    assert(r.getAs[Double]("slope_lo") === 8.0 &&
+      r.getAs[Double]("slope_hi") === 14.0)
+    // the point estimate IS theilSen's (same ranks, same average)
+    val ts = Probes.theilSen("g", "i", "x", "y")(
+      sq.map { case (i, x, y) => ("g", i, x, y) }
+        .toDF("g", "i", "x", "y")).head()
+    assert(r.getAs[Double]("slope") === ts.getAs[Double]("slope"))
+    // tiny n: C >= N' clamps to the extreme slopes — the documented
+    // honestly-wide interval, never a silent NULL
+    val tiny = run(Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 3.0, 4.0)))
+    assert(tiny.getAs[Double]("slope") === 1.5)
+    assert(tiny.getAs[Double]("slope_lo") === 1.0 &&
+      tiny.getAs[Double]("slope_hi") === 2.0)
+    // all y tied: zero MK variance -> NULL limits, honest slope 0
+    val flat = run(Seq((1L, 1.0, 5.0), (2L, 2.0, 5.0), (3L, 3.0, 5.0)))
+    assert(flat.getAs[Double]("slope") === 0.0 &&
+      flat.isNullAt(flat.fieldIndex("slope_lo")) &&
+      flat.isNullAt(flat.fieldIndex("slope_hi")))
+    // all x tied: no valid pairs -> NULL everything with honest counts
+    val vert = run(Seq((1L, 1.0, 1.0), (2L, 1.0, 5.0)))
+    assert(vert.getAs[Long]("n_pairs") === 0L &&
+      vert.isNullAt(vert.fieldIndex("slope")) &&
+      vert.isNullAt(vert.fieldIndex("slope_lo")))
+  }
+
+  test("seasonalMannKendall: per-season sums, one season is mannKendall, de-seasoning") {
+    import spark.implicits._
+    def run(pts: Seq[(String, Long, Double, Double)]) =
+      Probes.seasonalMannKendall("g", "sea", "i", "t", "x")(
+        pts.map { case (s, i, t, x) => ("g", s, i, t, x) }
+          .toDF("g", "sea", "i", "t", "x")).head()
+    // season A: 4 increasing points (S=6, Var=156/18); season B: 3
+    // increasing (S=3, Var=66/18) — sums, fold in season order
+    val two = run(Seq(("a", 1L, 1.0, 1.0), ("a", 2L, 2.0, 2.0),
+      ("a", 3L, 3.0, 3.0), ("a", 4L, 4.0, 4.0),
+      ("b", 5L, 1.0, 1.0), ("b", 6L, 2.0, 2.0), ("b", 7L, 3.0, 3.0)))
+    assert(two.getAs[Long]("n") === 7L &&
+      two.getAs[Long]("n_seasons") === 2L)
+    assert(two.getAs[Long]("s") === 9L)
+    assert(two.getAs[Double]("var_s") === 0.0 + 156.0 / 18.0 + 66.0 / 18.0)
+    assert(two.getAs[Double]("z") ===
+      8.0 / math.sqrt(0.0 + 156.0 / 18.0 + 66.0 / 18.0))
+    // ONE season reduces to mannKendall exactly (0.0 + v == v)
+    val pts1 = Seq((1L, 1.0, 1.0), (2L, 2.0, 3.0), (3L, 3.0, 2.0),
+      (4L, 4.0, 5.0), (5L, 5.0, 4.0))
+    val smk = run(pts1.map { case (i, t, x) => ("only", i, t, x) })
+    val mk = Probes.mannKendall("g", "i", "t", "x")(
+      pts1.map { case (i, t, x) => ("g", i, t, x) }
+        .toDF("g", "i", "t", "x")).head()
+    assert(smk.getAs[Long]("s") === mk.getAs[Long]("s"))
+    assert(smk.getAs[Double]("var_s") === mk.getAs[Double]("var_s"))
+    assert(smk.getAs[Double]("z") === mk.getAs[Double]("z"))
+    // the de-seasoning point: per-season levels rise while every
+    // season trends DOWN — plain MK reads up, seasonal reads down
+    val seasonal = Seq(("a", 1L, 1.0, 12.0), ("a", 2L, 2.0, 11.0),
+      ("a", 3L, 3.0, 10.0), ("b", 4L, 4.0, 22.0),
+      ("b", 5L, 5.0, 21.0), ("b", 6L, 6.0, 20.0))
+    val de = run(seasonal)
+    assert(de.getAs[Long]("s") === -6L && de.getAs[Double]("z") < 0.0)
+    val plain = Probes.mannKendall("g", "i", "t", "x")(
+      seasonal.map { case (_, i, t, x) => ("g", i, t, x) }
+        .toDF("g", "i", "t", "x")).head()
+    assert(plain.getAs[Long]("s") === 3L && plain.getAs[Double]("z") > 0.0)
   }
 
   test("mannKendall agrees in sign with theilSen on a monotone fixture") {
