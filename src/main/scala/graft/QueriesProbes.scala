@@ -455,6 +455,20 @@ private[graft] object QueriesProbes {
         Seq("event_type"))(cells)
         .orderBy("event_type", "treatment_a", "treatment_b")
     },
+    "page_trend" -> { (s, dir) =>
+      // does value rise MONOTONICALLY with the arm index across the
+      // paired blocks? the ordered-alternative Friedman (the paired
+      // jonckheere_terpstra): the SAME within-block ranks, L = Σ j·R_j
+      // against its tie-exact permutation variance, one-sided z
+      val cells = table(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull)
+        .groupBy(col("event_type"), (col("user_id") % 40).as("blk"),
+          (col("event_id") % 3).as("arm"))
+        .agg(max(col("value")).as("v"))
+      Probes.pageTest("blk", "arm", col("v"), Seq("event_type"))(cells)
+        .orderBy("event_type")
+    },
     "bh_correct" -> { (s, dir) =>
       // the eval-suite composition: one permutation test per event
       // type (the permutation_test row's exact frame), then the BH
@@ -1618,6 +1632,59 @@ private[graft] object QueriesProbes {
           THEN (CAST((k - 1) * num AS DOUBLE) / CAST(den AS DOUBLE))
             / (CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) - 1e0))
           END AS w
+      FROM f ORDER BY event_type""",
+    // mirrors Probes.pageTest: the friedman_test rank CTEs with the
+    // arm kept in its NATURAL BIGINT order, 4L = Σ 2j·R2_j exact, the
+    // tie-exact variance k(k+1)(A2 − nk(k+1)²)/48, one-sided z
+    "page_trend" -> """
+      WITH cells AS (SELECT event_type AS g, user_id % 40 AS b,
+          event_id % 3 AS t, max(value) AS x
+        FROM events
+        WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+          AND value IS NOT NULL
+        GROUP BY 1, 2, 3),
+      kg AS (SELECT g, CAST(count(DISTINCT t) AS BIGINT) AS k
+        FROM cells GROUP BY g),
+      bl AS (SELECT g, b, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(count(DISTINCT t) AS BIGINT) AS dt
+        FROM cells GROUP BY g, b),
+      blk AS (SELECT bl.g, bl.b, (cnt = k AND dt = k) AS complete
+        FROM bl JOIN kg ON kg.g = bl.g),
+      bs AS (SELECT g,
+          CAST(sum(CASE WHEN complete THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_blocks,
+          CAST(sum(CASE WHEN complete THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_dropped
+        FROM blk GROUP BY g),
+      kept AS (SELECT c.g, c.b, c.t, c.x FROM cells c
+        JOIN blk ON blk.g = c.g AND blk.b = c.b AND blk.complete),
+      r AS (SELECT g, t,
+          CAST(2 * rank() OVER (PARTITION BY g, b ORDER BY x)
+            + count(*) OVER (PARTITION BY g, b, x) - 1 AS HUGEINT)
+            AS r2
+        FROM kept),
+      pt AS (SELECT g, t, sum(r2) AS rr2 FROM r GROUP BY g, t),
+      pj AS (SELECT g, rr2,
+          CAST(row_number() OVER (PARTITION BY g ORDER BY t)
+            AS HUGEINT) AS j
+        FROM pt),
+      lf AS (SELECT g, sum(2 * j * rr2) AS l4 FROM pj GROUP BY g),
+      s2 AS (SELECT g, sum(r2 * r2) AS a2 FROM r GROUP BY g),
+      f AS (SELECT bs.g, n_blocks, n_dropped, k,
+          lf.l4 AS l4,
+          lf.l4 - CAST(n_blocks AS HUGEINT) * k * (k + 1) * (k + 1)
+            AS num4,
+          CAST(k AS HUGEINT) * (k + 1)
+            * (s2.a2 - CAST(n_blocks AS HUGEINT) * k * (k + 1)
+              * (k + 1)) AS vnum
+        FROM bs JOIN kg ON kg.g = bs.g
+        LEFT JOIN lf ON lf.g = bs.g LEFT JOIN s2 ON s2.g = bs.g)
+      SELECT g AS event_type, n_blocks, n_dropped, k,
+        CASE WHEN k >= 2 AND n_blocks >= 1
+          THEN CAST(l4 AS DOUBLE) / 4e0 END AS l,
+        CASE WHEN k >= 2 AND n_blocks >= 1 AND vnum > 0
+          THEN CAST(num4 AS DOUBLE)
+            / (4e0 * sqrt(CAST(vnum AS DOUBLE) / 48e0)) END AS z
       FROM f ORDER BY event_type""",
     // mirrors Probes.friedmanConover: the friedman_test rank CTEs
     // verbatim, per-treatment exact rank sums paired, the one exact

@@ -2648,6 +2648,25 @@ object ScaleBench {
     }
     println("rows_x,hazard_gate_sec")
     hzOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // pageTest: blocks ×1/×2/×4 — the friedmanTest cost class (the
+    // same shared rank frames) plus one k-sized ordered fold
+    def pgBlocks(k: Int): DataFrame =
+      (0 until k).map(i => ev19
+        .groupBy(((col("user_id") % 2000) + lit(i.toLong * 1_000_000L))
+          .as("b"), (col("event_id") % 3).as("t"))
+        .agg(max(col("value")).as("x")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def pgJob(d: DataFrame): Unit =
+      noop(P19.pageTest("b", "t", col("x"))(d))
+    locally { val d1 = pgBlocks(1).localCheckpoint(); pgJob(d1); d1.unpersist() }
+    val pgOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = pgBlocks(k).localCheckpoint()
+      val t = median3(pgJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("blocks_x,page_trend_sec")
+    pgOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
     }
     spark.stop()
   }

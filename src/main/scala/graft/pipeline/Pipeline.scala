@@ -829,6 +829,9 @@ final case class Pipeline(df: DataFrame) {
       tCrit: Double = 1.96): Pipeline =
     >>(Probes.friedmanConover(blockField, treatmentField, value,
       groupCols, tCrit))
+  def pageTest(blockField: String, treatmentField: String,
+      value: Column, groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.pageTest(blockField, treatmentField, value, groupCols))
   def oneWayAnova(variant: Column, value: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.oneWayAnova(variant, value, groupCols))

@@ -2604,7 +2604,8 @@ object Probes {
     * "same ranks as the omnibus" promise is structural. Returns
     * (blockStats, kAgg, perT, a2). */
   private def friedmanRankFrames(blockField: String,
-      treatmentField: String, value: Column, groupCols: Seq[String])(
+      treatmentField: String, value: Column, groupCols: Seq[String],
+      castTreatment: Boolean = true)(
       df: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val grp = groupCols.map(col)
@@ -2612,7 +2613,8 @@ object Probes {
       .filter(col(blockField).isNotNull &&
         col(treatmentField).isNotNull && value.isNotNull)
       .select(grp :+ col(blockField).as("__b") :+
-        col(treatmentField).cast("string").as("__t") :+
+        (if (castTreatment) col(treatmentField).cast("string")
+         else col(treatmentField)).as("__t") :+
         value.as("__x"): _*)
       .localCheckpoint() // feeds k, the completeness screen AND ranks
     val (blocksK, kAgg) = completeBlockScreen(base, grp, groupCols)
@@ -2702,6 +2704,80 @@ object Probes {
     * [[dunnTest]]. Output per (group, pair): `treatment_a,
     * treatment_b, n_blocks, n_dropped, mean_rank_a, mean_rank_b, t,
     * reject`. */
+  /** Page's trend test per group — the ORDERED-alternative Friedman,
+    * completing the test matrix's last corner: [[jonckheereTerpstra]]
+    * asks "does the metric rise with the dose?" on UNPAIRED samples,
+    * THIS asks it on paired blocks (n eval items each scoring all k
+    * ordered variants — model sizes, data fractions, checkpoint
+    * steps), with between-block level differences cancelled by the
+    * within-block ranking exactly as in [[friedmanTest]].
+    *
+    * `L = Σ_j j·R_j` over the SAME within-block tie-averaged ranks
+    * the Friedman omnibus computes (one shared `friedmanRankFrames`
+    * definition — structural, not textual), with j the variant's
+    * position in its NATURAL TYPE ORDER (pass an orderable dose
+    * column — the reference passes doses, not labels, so no string
+    * cast here). Exactness — the shelf's cleanest identity: with the
+    * 2·rank carry, `4L = Σ_j 2j·R2_j` and `4·E[L] = n·k(k+1)²` are
+    * exact integers, and the EXACT conditional (tie-aware)
+    * permutation variance collapses against the constant within-block
+    * rank sum to
+    *   `Var(L) = k(k+1)·(A2 − n·k(k+1)²) / 48`
+    * (A2 = Σ_cells (2r)², the [[friedmanTest]] sum verbatim) — with
+    * no ties this IS the textbook `n·k²(k+1)²(k−1)/144`, derived
+    * in-code; fully-tied blocks contribute exact 0. One-sided z =
+    * (4L − 4E)/(4σ): large L = the metric RISES with the dose — 1.64
+    * IS the 95% one-sided gate (no p-value, the no-libm doctrine);
+    * reversing the dose order negates z exactly, and k = 2 reduces to
+    * [[signTest]]'s z EXACTLY (both property-spec-pinned). Block
+    * contract and drop-reporting follow [[friedmanTest]] verbatim.
+    * Degenerate reads: k < 2, no complete block, or every block
+    * internally tied (zero variance) → NULL with honest counts.
+    *
+    * Scale shape: the [[friedmanTest]] cost class exactly — the
+    * shared rank frames plus one k-sized ordered fold. Output per
+    * group: `n_blocks, n_dropped, k, l, z`. */
+  def pageTest(blockField: String, treatmentField: String,
+      value: Column, groupCols: Seq[String] = Nil)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val (blockStats, kAgg, perT, a2) = friedmanRankFrames(
+      blockField, treatmentField, value, groupCols,
+      castTreatment = false)(df)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    // j = the variant's position in its natural order, per group
+    val wOrd = Window.partitionBy(grp: _*).orderBy(col("__t"))
+    val withJ = perT.withColumn("__j",
+      row_number().over(wOrd).cast("long"))
+    // 4L = Σ 2j·R2_j — exact decimal(38,0), k-sized ordered fold
+    val l4 = withJ.groupBy(grp: _*)
+      .agg(sum(lit(2).cast("decimal(38,0)") * d38(col("__j")) *
+        col("__R2")).as("__l4"))
+    val joined =
+      (if (grp.isEmpty)
+        blockStats.crossJoin(kAgg).crossJoin(l4).crossJoin(a2)
+       else blockStats.join(kAgg, groupCols)
+         .join(l4, groupCols, "left").join(a2, groupCols, "left"))
+    val k38 = d38(col("__k"))
+    val kp1sq = k38 * (k38 + 1) * (k38 + 1)
+    // 4E[L] = n·k(k+1)² and the tie-exact variance numerator
+    // k(k+1)·(A2 − n·k(k+1)²) — both exact integers; float at the
+    // /48 and the one sqrt
+    val num4 = col("__l4") - d38(col("n_blocks")) * kp1sq
+    val vnum = k38 * (k38 + 1) *
+      (col("__A2") - d38(col("n_blocks")) * kp1sq)
+    val varL = vnum.cast("double") / lit(48.0)
+    val zero38 = lit(0).cast("decimal(38,0)")
+    val live = col("__k") >= 2 && col("n_blocks") >= 1 && vnum > zero38
+    joined.select(grp ++ Seq(col("n_blocks"), col("n_dropped"),
+      col("__k").as("k"),
+      when(col("__k") >= 2 && col("n_blocks") >= 1,
+        col("__l4").cast("double") / lit(4.0)).as("l"),
+      when(live,
+        num4.cast("double") / (lit(4.0) * sqrt(varL))).as("z")): _*)
+  }
+
   def friedmanConover(blockField: String, treatmentField: String,
       value: Column, groupCols: Seq[String] = Nil,
       tCrit: Double = 1.96, maxK: Int = 64)(df: DataFrame): DataFrame = {

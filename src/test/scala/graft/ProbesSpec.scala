@@ -1508,6 +1508,43 @@ class ProbesSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("time-grid is |T|*k")))
   }
 
+  test("pageTest: hand L/variance, order reversal negates, k=2 is signTest, tied NULL") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long, Double)]) =
+      Probes.pageTest("b", "t", col("x"))(rows.toDF("b", "t", "x"))
+        .head()
+    // 4 complete blocks, 3 arms, perfect agreement with the dose:
+    // R = (4, 8, 12), L = 56 (the maximum), E = 48,
+    // Var = 4*9*16*2/144 = 8 -> z = 8/sqrt(8)
+    val up = for (b <- 1L to 4L; a <- 0L to 2L) yield (b, a, a.toDouble)
+    val r = run(up)
+    assert(r.getAs[Long]("n_blocks") === 4L && r.getAs[Long]("k") === 3L)
+    assert(r.getAs[Double]("l") === 56.0)
+    assert(r.getAs[Double]("z") === 32.0 / (4.0 * math.sqrt(8.0)))
+    // reversing the dose order negates z exactly
+    val rev = run(up.map { case (b, a, x) => (b, 2L - a, x) })
+    assert(rev.getAs[Double]("z") === -r.getAs[Double]("z"))
+    // k = 2 IS the sign test: diffs (+, +, +, -, 0) -> z = 1
+    val pairs = Seq(1.0, 2.0, 3.0, -1.0, 0.0).zipWithIndex.flatMap {
+      case (d, i) => Seq((i.toLong, 0L, 0.0), (i.toLong, 1L, d)) }
+    val p2 = run(pairs)
+    val sz = Probes.signTest(col("a"), col("b"))(
+      Seq(1.0, 2.0, 3.0, -1.0, 0.0).map(d => (d, 0.0)).toDF("a", "b"))
+      .head().getAs[Double]("z")
+    assert(p2.getAs[Double]("z") === sz && sz === 1.0)
+    // every block internally tied: zero variance -> NULL z, honest l
+    val tied = for (b <- 1L to 3L; a <- 0L to 2L) yield (b, a, 7.0)
+    val rt = run(tied)
+    assert(rt.getAs[Long]("n_blocks") === 3L &&
+      rt.isNullAt(rt.fieldIndex("z")))
+    // incomplete blocks drop and are REPORTED
+    val withBad = up ++ Seq((9L, 0L, 1.0))
+    val rb = run(withBad)
+    assert(rb.getAs[Long]("n_blocks") === 4L &&
+      rb.getAs[Long]("n_dropped") === 1L)
+    assert(rb.getAs[Double]("z") === r.getAs[Double]("z"))
+  }
+
   test("cochranQ: hand Q, k=2 is McNemar chi2, uniform-block NULL, dropped blocks") {
     import spark.implicits._
     def run(rows: Seq[(Long, String, Boolean)]) =

@@ -1051,6 +1051,12 @@ class PropertySpec extends SparkSpec {
         .orderBy("treatment_a", "treatment_b").collect()
         .map(d(_, "t")).toSeq
       assert(c1 === c2)
+      // pageTest: the same within-block ranks -> monotone transform
+      // of the scores leaves L and z bit-for-bit
+      val pg1 = graft.probes.Probes.pageTest("b", "t", col("x"))(bdf)
+        .head()
+      val pg2 = graft.probes.Probes.pageTest("b", "t", cube)(bdf).head()
+      assert(d(pg1, "l") === d(pg2, "l") && d(pg1, "z") === d(pg2, "z"))
       // log-rank and the KM survival sequence depend only on the
       // ORDER of distinct times: t -> 2t + 1 (exact in IEEE on the
       // quarter grid) leaves z and the survival sequence bit-for-bit
