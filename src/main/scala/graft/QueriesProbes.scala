@@ -329,6 +329,15 @@ private[graft] object QueriesProbes {
         Seq("event_type"))(table(s, dir, "events"))
         .orderBy("event_type")
     },
+    "brunner_munzel" -> { (s, dir) =>
+      // the heteroscedastic companion of mann_whitney on the SAME
+      // split: the same P(A>B) effect, but studentized with per-side
+      // empirical placement variances (nonparametric Behrens-Fisher),
+      // with the rational Welch df emitted for exact t gating
+      Probes.brunnerMunzel(col("user_id") % 2 === 0, col("value"),
+        Seq("event_type"))(table(s, dir, "events"))
+        .orderBy("event_type")
+    },
     "ks_2sample" -> { (s, dir) =>
       // the RANK-EXACT sup-of-ECDF-gap per event type over the same
       // even/odd split — true D (not numeric_drift's bin-grid lower
@@ -1952,6 +1961,67 @@ private[graft] object QueriesProbes {
         CASE WHEN n > 0 AND vnum > 0 THEN CAST(num4 AS DOUBLE)
           / sqrt(CAST(vnum AS DOUBLE) / 3e0) END AS z
       FROM v ORDER BY event_type""",
+    // mirrors Probes.brunnerMunzel: TWO tie-averaged 2-rank carries
+    // (pooled + within-side), exact HUGEINT placement sums, per-side
+    // variances and the rank-mean gap off exact integers, the fixed
+    // statistic/df dags with the complete-separation NULL guard
+    "brunner_munzel" -> """
+      WITH b AS (SELECT event_type AS g, (user_id % 2 = 0) AS a,
+          value AS x
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      r AS (SELECT g, a,
+          CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+            + count(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS rp,
+          CAST(2 * rank() OVER (PARTITION BY g, a ORDER BY x)
+            + count(*) OVER (PARTITION BY g, a, x) - 1 AS HUGEINT)
+            AS rw
+        FROM b),
+      d AS (SELECT g, a, rp, rp - rw AS dd FROM r),
+      ag AS (SELECT g,
+          CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+          sum(CASE WHEN a THEN rp ELSE CAST(0 AS HUGEINT) END) AS s2ra,
+          sum(CASE WHEN NOT a THEN rp ELSE CAST(0 AS HUGEINT) END)
+            AS s2rb,
+          sum(CASE WHEN a THEN dd ELSE CAST(0 AS HUGEINT) END) AS sda,
+          sum(CASE WHEN NOT a THEN dd ELSE CAST(0 AS HUGEINT) END)
+            AS sdb,
+          sum(CASE WHEN a THEN dd * dd ELSE CAST(0 AS HUGEINT) END)
+            AS sdda,
+          sum(CASE WHEN NOT a THEN dd * dd ELSE CAST(0 AS HUGEINT) END)
+            AS sddb
+        FROM d GROUP BY g),
+      v AS (SELECT g, na, nb,
+          CAST(CAST(na AS HUGEINT) * sdda - sda * sda AS DOUBLE)
+            / (4e0 * CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1e0))
+            AS va,
+          CAST(CAST(nb AS HUGEINT) * sddb - sdb * sdb AS DOUBLE)
+            / (4e0 * CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1e0))
+            AS vb,
+          CAST(s2ra * CAST(nb AS HUGEINT) - s2rb * CAST(na AS HUGEINT)
+            AS DOUBLE)
+            / (2e0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS mdiff,
+          CAST(s2ra AS DOUBLE) AS s2rad
+        FROM ag),
+      f AS (SELECT g, na, nb, va, vb, mdiff, s2rad,
+          CAST(na AS DOUBLE) * va + CAST(nb AS DOUBLE) * vb AS pv
+        FROM v)
+      SELECT g AS event_type, na AS n_a, nb AS n_b,
+        CASE WHEN na > 0 AND nb > 0 THEN
+          (s2rad / (2e0 * CAST(na AS DOUBLE))
+            - (CAST(na AS DOUBLE) + 1e0) / 2e0) / CAST(nb AS DOUBLE)
+          END AS p_hat,
+        CASE WHEN na >= 2 AND nb >= 2 AND pv > 0e0 THEN
+          CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * mdiff
+            / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) * sqrt(pv))
+          END AS statistic,
+        CASE WHEN na >= 2 AND nb >= 2 AND pv > 0e0 THEN
+          (pv * pv)
+            / ((CAST(na AS DOUBLE) * va) * (CAST(na AS DOUBLE) * va)
+                / (CAST(na AS DOUBLE) - 1e0)
+              + (CAST(nb AS DOUBLE) * vb) * (CAST(nb AS DOUBLE) * vb)
+                / (CAST(nb AS DOUBLE) - 1e0)) END AS df
+      FROM f ORDER BY event_type""",
     // mirrors Probes.ksTest: per-(group, value) side counts, window
     // cumsums, the EXACT HUGEINT |cumA·nB − cumB·nA| numerator, max
     // then ONE division; ks_at = min value attaining the sup

@@ -2667,6 +2667,24 @@ object ScaleBench {
     }
     println("blocks_x,page_trend_sec")
     pgOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
+    // brunnerMunzel: rows ×1/×2/×4 over disjoint groups — must track
+    // 2× the mannWhitneyU rank-window class (pooled + within-side)
+    def bm19(k: Int): DataFrame =
+      (0 until k).map(i => ev19.select(
+        ((col("user_id") % 64) + lit(i.toLong * 1_000L)).as("g"),
+        (col("event_id") % 2 === 0).as("a"), col("value").as("x")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    def bmJob(d: DataFrame): Unit =
+      noop(P19.brunnerMunzel(col("a"), col("x"), Seq("g"))(d))
+    locally { val d1 = bm19(1).localCheckpoint(); bmJob(d1); d1.unpersist() }
+    val bmOut = for (k <- Seq(1, 2, 4)) yield {
+      val d = bm19(k).localCheckpoint()
+      val t = median3(bmJob(d)); d.unpersist()
+      (k, t)
+    }
+    println("rows_x,brunner_munzel_sec")
+    bmOut.foreach { case (k, t) => println(f"$k,$t%.2f") }
     }
     spark.stop()
   }

@@ -872,6 +872,9 @@ final case class Pipeline(df: DataFrame) {
   def mannWhitneyU(side: Column, value: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.mannWhitneyU(side, value, groupCols))
+  def brunnerMunzel(side: Column, value: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.brunnerMunzel(side, value, groupCols))
   def ksTest(side: Column, value: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.ksTest(side, value, groupCols))

@@ -1888,6 +1888,101 @@ object Probes {
             .cast("double") / (lit(2.0) * sqrt(variance))).as("z")): _*)
   }
 
+  /** Brunner–Munzel test per group — the two-sample rank test for
+    * when [[mannWhitneyU]]'s variance model is WRONG: MWU's z assumes
+    * the two sides share one distribution under the null (exchange-
+    * ability), so unequal variances/shapes inflate or deflate it even
+    * with no stochastic ordering. Brunner–Munzel (2000) estimates the
+    * SAME effect — `p_hat = P(A > B) + ½P(A = B)`, MWU's AUC — but
+    * studentizes with per-side EMPIRICAL placement variances (the
+    * nonparametric Behrens–Fisher solution), the modern default
+    * recommendation for heteroscedastic A/B metrics.
+    *
+    * Exactness: placements ride TWO tie-averaged 2·rank carries
+    * (pooled and within-side), so each row's `D = 2R_pooled −
+    * 2R_within` is an exact integer and every Σ is an order-free
+    * exact decimal(38,0) hash-agg. Per side,
+    *   `v_k = (n_k·ΣD² − (ΣD)²) / (4·n_k·(n_k−1))`
+    * (one division off exact integers), the rank-mean gap carries as
+    * the exact `Σ2R_a·n_b − Σ2R_b·n_a`, and
+    *   `statistic = n_a·n_b·(m̄_a − m̄_b) /
+    *                ((n_a+n_b)·√(n_a·v_a + n_b·v_b))`
+    * — positive when side A tends larger, the [[mannWhitneyU]] sign
+    * convention. Also emits the Welch–Satterthwaite `df`
+    *   `(n_a v_a + n_b v_b)² / ((n_a v_a)²/(n_a−1) + (n_b v_b)²/(n_b−1))`
+    * — rational, no libm — so the consumer can pick the exact t
+    * quantile; 1.96 IS the large-sample 95% gate. Degenerate reads:
+    * a side with n < 2, or COMPLETE SEPARATION (both placement
+    * variances 0 — the statistic is ±∞ by construction, the known BM
+    * edge) → NULL statistic/df with honest `p_hat` and counts. NULL
+    * side/value rows drop.
+    *
+    * Scale shape: two rank windows + two tie windows per group
+    * partition (2× the [[mannWhitneyU]] cost class), one hash-agg.
+    * Output per group: `n_a, n_b, p_hat, statistic, df`. */
+  def brunnerMunzel(side: Column, value: Column,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val base = df
+      .filter(side.isNotNull && value.isNotNull)
+      .select(grp :+ side.cast("boolean").as("__a") :+
+        value.as("__x"): _*)
+    val wOrdP = Window.partitionBy(grp: _*).orderBy(col("__x"))
+    val wTieP = Window.partitionBy(grp :+ col("__x"): _*)
+    val wOrdW = Window.partitionBy(grp :+ col("__a"): _*)
+      .orderBy(col("__x"))
+    val wTieW = Window.partitionBy(grp ++ Seq(col("__a"), col("__x")): _*)
+    val ranked = base.select(grp ++ Seq(col("__a"),
+      rank2Carry(wOrdP, wTieP).as("__rp"),
+      rank2Carry(wOrdW, wTieW).as("__rw")): _*)
+      .withColumn("__dd", col("__rp") - col("__rw"))
+    val zero38 = lit(0).cast("decimal(38,0)")
+    val agg =
+      (if (grp.isEmpty) ranked.groupBy() else ranked.groupBy(grp: _*))
+        .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("__a"), col("__rp")).otherwise(zero38))
+            .as("__s2ra"),
+          sum(when(!col("__a"), col("__rp")).otherwise(zero38))
+            .as("__s2rb"),
+          sum(when(col("__a"), col("__dd")).otherwise(zero38))
+            .as("__sda"),
+          sum(when(!col("__a"), col("__dd")).otherwise(zero38))
+            .as("__sdb"),
+          sum(when(col("__a"), col("__dd") * col("__dd"))
+            .otherwise(zero38)).as("__sdda"),
+          sum(when(!col("__a"), col("__dd") * col("__dd"))
+            .otherwise(zero38)).as("__sddb"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = naD + nbD
+    val va = (d38(col("n_a")) * col("__sdda") -
+      col("__sda") * col("__sda")).cast("double") /
+      (lit(4.0) * naD * (naD - lit(1.0)))
+    val vb = (d38(col("n_b")) * col("__sddb") -
+      col("__sdb") * col("__sdb")).cast("double") /
+      (lit(4.0) * nbD * (nbD - lit(1.0)))
+    // 2·n_a·n_b·(m̄_a − m̄_b), exact integer
+    val mnum = col("__s2ra") * d38(col("n_b")) -
+      col("__s2rb") * d38(col("n_a"))
+    val mdiff = mnum.cast("double") / (lit(2.0) * naD * nbD)
+    val pooledV = naD * va + nbD * vb
+    val live = col("n_a") >= 2L && col("n_b") >= 2L
+    val pHat = when(col("n_a") > 0L && col("n_b") > 0L,
+      (col("__s2ra").cast("double") / (lit(2.0) * naD) -
+        (naD + lit(1.0)) / lit(2.0)) / nbD)
+    val stat = when(live && pooledV > 0.0,
+      naD * nbD * mdiff / (nD * sqrt(pooledV)))
+    val dfW = when(live && pooledV > 0.0,
+      (pooledV * pooledV) /
+        ((naD * va) * (naD * va) / (naD - lit(1.0)) +
+          (nbD * vb) * (nbD * vb) / (nbD - lit(1.0))))
+    agg.select(grp ++ Seq(col("n_a"), col("n_b"), pHat.as("p_hat"),
+      stat.as("statistic"), dfW.as("df")): _*)
+  }
+
   /** The shared pooled-rank per-variant frame of the k-sample rank
     * family ([[kruskalWallis]], [[dunnTest]]): NULL-dropped
     * (variant, value) rows, the pooled 2·rank carry and per-row t²−1

@@ -1384,6 +1384,48 @@ class ProbesSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("maxK=4")))
   }
 
+  test("brunnerMunzel: hand placements, swap complements, separation NULL, MWU sign") {
+    import spark.implicits._
+    def run(rows: Seq[(Boolean, Double)]) =
+      Probes.brunnerMunzel(col("a"), col("x"))(rows.toDF("a", "x"))
+        .head()
+    // interleaved A = {1, 3}, B = {2, 4}: placements D_A = (0, 2),
+    // D_B = (2, 4) -> v_a = v_b = 1/2, mean gap -1,
+    // statistic = -1/sqrt(2), p_hat = 1/4, Welch df = 2
+    val r = run(Seq((true, 1.0), (false, 2.0), (true, 3.0),
+      (false, 4.0)))
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("p_hat") === 0.25)
+    assert(r.getAs[Double]("statistic") ===
+      2.0 * 2.0 * -1.0 / (4.0 * math.sqrt(2.0)))
+    assert(r.getAs[Double]("df") === 2.0)
+    // swapping the sides complements p_hat and negates the statistic
+    val rs = run(Seq((false, 1.0), (true, 2.0), (false, 3.0),
+      (true, 4.0)))
+    assert(math.abs(r.getAs[Double]("p_hat") +
+      rs.getAs[Double]("p_hat") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("statistic") +
+      rs.getAs[Double]("statistic")) < 1e-12)
+    // COMPLETE separation: both placement variances are 0 and the
+    // statistic is +/-inf by construction — honest NULL, p_hat = 1
+    val sep = run(Seq((true, 3.0), (true, 4.0), (false, 1.0),
+      (false, 2.0)))
+    assert(sep.getAs[Double]("p_hat") === 1.0 &&
+      sep.isNullAt(sep.fieldIndex("statistic")) &&
+      sep.isNullAt(sep.fieldIndex("df")))
+    // a one-row side has no variance estimate: NULL with honest p_hat
+    val one = run(Seq((true, 1.0), (false, 2.0), (false, 0.5)))
+    assert(one.getAs[Long]("n_a") === 1L &&
+      one.isNullAt(one.fieldIndex("statistic")))
+    // sign agreement with mannWhitneyU's z on a clear overlapping shift
+    val shift = (1 to 20).map(i => (true, i + 8.0)) ++
+      (1 to 20).map(i => (false, i.toDouble))
+    val bm = run(shift).getAs[Double]("statistic")
+    val mw = Probes.mannWhitneyU(col("a"), col("x"))(
+      shift.toDF("a", "x")).head().getAs[Double]("z")
+    assert(bm > 1.96 && mw > 1.96)
+  }
+
   test("logRankTest: hand O-E/V/z, side swap negates, balanced zero, no-deaths NULL") {
     import spark.implicits._
     // micro fixture (py-validated): A death@1 + censored@2, B deaths
