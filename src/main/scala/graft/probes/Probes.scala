@@ -3926,12 +3926,9 @@ object Probes {
       .agg(sum(tc * (tc - 1) * (tc * 2 + 5)).as("__ux25"),
         sum(tc * (tc - 1) * (tc - 2)).as("__ux3"),
         sum(tc * (tc - 1)).as("__ux2"))
-    val np = pairs.groupBy(col("__g")).agg(count(lit(1)).as("__np0"))
     val joined = sized
-      .join(np, Seq("__g"), "left")
       .join(yTies, Seq("__g"), "left")
       .join(xTies, Seq("__g"), "left")
-      .withColumn("__np", coalesce(col("__np0"), lit(0L)))
     val n38 = d38(col("__n"))
     val nD = col("__n").cast("double")
     val aLeg = n38 * (n38 - 1) * (n38 * 2 + 5) -
@@ -3945,10 +3942,19 @@ object Probes {
         (lit(2.0) * nD * (nD - lit(1.0))))
       .otherwise(lit(0.0))
     val varS = aLeg.cast("double") / lit(18.0) + varB + varC
+    // N' without a second pair-join execution: the defined slopes are
+    // exactly the pairs NOT tied on x, so N' = (n(n−1) − Σt_x(t_x−1))/2
+    // off the already-computed time-tie mass — exact integers, always
+    // even (review-caught: counting the pair frame would scan the
+    // quadratic join twice; this leaves the rank selection as its
+    // only consumer)
+    val np = ((n38 * (n38 - 1) - coalesce(col("__ux2"),
+      lit(0).cast("decimal(38,0)"))) / lit(2)).cast("long")
+    val joinedNp = joined.withColumn("__np", np)
     val npD = col("__np").cast("double")
     val cW = lit(zCrit) * sqrt(varS)
     val live = col("__np") > 0L && varS > 0.0
-    val bounds = joined.select(col("__g"), col("__n"), col("__np"),
+    val bounds = joinedNp.select(col("__g"), col("__n"), col("__np"),
       when(live, greatest(lit(1L),
         floor((npD - cW) / lit(2.0)).cast("long"))).as("__rlo"),
       when(live, least(col("__np"),
