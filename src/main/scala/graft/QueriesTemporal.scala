@@ -43,7 +43,7 @@ private[graft] object QueriesTemporal {
     * interpolated literals, so the two cannot drift. Rates sit near
     * the corpus-global per-bucket hazards (~0.077) so most windows
     * read quiet and the noisy ones exercise the gate. */
-  private val hazardRef: Seq[Double] =
+  private[graft] val hazardRef: Seq[Double] =
     Seq(0.08, 0.078, 0.072, 0.078, 0.078, 0.077)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -422,9 +422,11 @@ private[graft] object QueriesTemporal {
     "logrank_k" -> { (s, dir) =>
       // all four user arms at once per cohort: per-arm O−E and z
       // against the pooled curve (exact diagonal variance) plus the
-      // textbook chi2 omnibus on the cells-sized |T|·k time grid
+      // textbook chi2 omnibus on the cells-sized |T|·k time grid;
+      // 7.81 is the chi2_{k-1} 95% gate at k = 4 (df = 3 — the
+      // op default 5.99 is the k = 3 gate; review-caught)
       Probes.logRankK(col("user_id") % 4, col("t0"), col("cen"),
-        Seq("cohort"))(survivalSubjects(s, dir))
+        Seq("cohort"), chi2Crit = 7.81)(survivalSubjects(s, dir))
         .orderBy("cohort", "variant")
     },
     "hazard_gate" -> { (s, dir) =>
@@ -1620,7 +1622,7 @@ private[graft] object QueriesTemporal {
         osum AS o_minus_e,
         CASE WHEN vsum > 0e0 THEN osum / sqrt(vsum) END AS z,
         k, chi2,
-        coalesce(chi2 > ${litD(5.99)}, false) AS reject
+        coalesce(chi2 > ${litD(7.81)}, false) AS reject
       FROM f ORDER BY cohort, variant""",
     // mirrors Streaming.windowedHazardGate on batch: per-6h-window
     // fixed 6-bucket death/at-risk counters on the value-as-duration

@@ -2590,7 +2590,8 @@ object ScaleBench {
         .reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
     def lrkJob(d: DataFrame): Unit =
-      noop(P19.logRankK(col("v"), col("t"), col("c"), Seq("g"))(d))
+      noop(P19.logRankK(col("v"), col("t"), col("c"), Seq("g"),
+        chi2Crit = 7.81)(d)) // the k=4 df=3 gate, as the query ships
     locally { val d1 = lrk19(1, 4).localCheckpoint()
       lrkJob(d1); d1.unpersist() }
     val lrkOut = for (k <- Seq(1, 2, 4)) yield {
@@ -2638,7 +2639,9 @@ object ScaleBench {
     def hzJob(d: DataFrame): Unit =
       noop(graft.streaming.Streaming.windowedHazardGate(d, col("dur"),
         col("cen"),
-        refHazard = Seq(0.08, 0.078, 0.072, 0.078, 0.078, 0.077),
+        // the ONE shared reference vector (QueriesTemporal.hazardRef)
+        // — the cell must measure the configuration the query ships
+        refHazard = QueriesTemporal.hazardRef,
         bucketWidth = 5.0, windowLength = "6 hours"))
     locally { val d1 = hz19(1).localCheckpoint(); hzJob(d1); d1.unpersist() }
     val hzOut = for (k <- Seq(1, 2, 4)) yield {

@@ -2773,32 +2773,6 @@ object Probes {
           (col("__k").cast("double") - lit(1.0)))).as("w")): _*)
   }
 
-  /** Conover–Iman post-hoc pairwise comparisons after
-    * [[friedmanTest]] rejects — WHICH treatment pair moved, the
-    * paired-shelf twin of [[dunnTest]]'s role after [[kruskalWallis]].
-    * For each ordered treatment pair, the LSD-on-ranks t over the SAME
-    * within-block tie-averaged ranks the omnibus computed (one shared
-    * `friedmanRankFrames` definition — structural, not textual):
-    *   `t_ij = (R_i − R_j) / √(2n·MSE)`,
-    *   `MSE = (A − Σ_j R_j²/n) / ((n−1)(k−1))`
-    * — the residual mean square of the blocks×treatments rank table
-    * (tie-averaged block sums are constant, so the block and total
-    * terms cancel EXACTLY; derived in-code and property-checked
-    * against the direct residual computation off-line). With the
-    * 2·rank carry everything collapses to ONE exact integer,
-    *   `t_ij = (R2_i − R2_j) / √(2(n·A2 − ΣR2_j²) / ((n−1)(k−1)))`
-    * — float at one division and one sqrt. No p-value (no-libm):
-    * `reject` gates at `tCrit` per pair against t_{(n−1)(k−1)} — 1.96
-    * is the large-df 95% gate; pass the exact small-sample or
-    * Bonferroni-adjusted quantile for strict control. Degenerate
-    * reads: every block internally tied OR perfectly ordered (zero
-    * residual variance — the rank table is deterministic, no error
-    * estimate exists; the omnibus W = 1 already says the arms differ
-    * everywhere) → NULL t with `reject` false. Block contract, k
-    * guard, and drop-reporting follow [[friedmanTest]] /
-    * [[dunnTest]]. Output per (group, pair): `treatment_a,
-    * treatment_b, n_blocks, n_dropped, mean_rank_a, mean_rank_b, t,
-    * reject`. */
   /** Page's trend test per group — the ORDERED-alternative Friedman,
     * completing the test matrix's last corner: [[jonckheereTerpstra]]
     * asks "does the metric rise with the dose?" on UNPAIRED samples,
@@ -2873,6 +2847,32 @@ object Probes {
         num4.cast("double") / (lit(4.0) * sqrt(varL))).as("z")): _*)
   }
 
+  /** Conover–Iman post-hoc pairwise comparisons after
+    * [[friedmanTest]] rejects — WHICH treatment pair moved, the
+    * paired-shelf twin of [[dunnTest]]'s role after [[kruskalWallis]].
+    * For each ordered treatment pair, the LSD-on-ranks t over the SAME
+    * within-block tie-averaged ranks the omnibus computed (one shared
+    * `friedmanRankFrames` definition — structural, not textual):
+    *   `t_ij = (R_i − R_j) / √(2n·MSE)`,
+    *   `MSE = (A − Σ_j R_j²/n) / ((n−1)(k−1))`
+    * — the residual mean square of the blocks×treatments rank table
+    * (tie-averaged block sums are constant, so the block and total
+    * terms cancel EXACTLY; derived in-code and property-checked
+    * against the direct residual computation off-line). With the
+    * 2·rank carry everything collapses to ONE exact integer,
+    *   `t_ij = (R2_i − R2_j) / √(2(n·A2 − ΣR2_j²) / ((n−1)(k−1)))`
+    * — float at one division and one sqrt. No p-value (no-libm):
+    * `reject` gates at `tCrit` per pair against t_{(n−1)(k−1)} — 1.96
+    * is the large-df 95% gate; pass the exact small-sample or
+    * Bonferroni-adjusted quantile for strict control. Degenerate
+    * reads: every block internally tied OR perfectly ordered (zero
+    * residual variance — the rank table is deterministic, no error
+    * estimate exists; the omnibus W = 1 already says the arms differ
+    * everywhere) → NULL t with `reject` false. Block contract, k
+    * guard, and drop-reporting follow [[friedmanTest]] /
+    * [[dunnTest]]. Output per (group, pair): `treatment_a,
+    * treatment_b, n_blocks, n_dropped, mean_rank_a, mean_rank_b, t,
+    * reject`. */
   def friedmanConover(blockField: String, treatmentField: String,
       value: Column, groupCols: Seq[String] = Nil,
       tCrit: Double = 1.96, maxK: Int = 64)(df: DataFrame): DataFrame = {
@@ -3138,6 +3138,24 @@ object Probes {
           -col("__atmax").getField("__negx")).as("ks_at")): _*)
   }
 
+  /** Distribution-free Chebyshev p-value envelope for a z statistic —
+    * the bridge from the no-p-value z shelf ([[dunnTest]],
+    * [[mannWhitneyU]], [[logRankTest]], …) into [[bhCorrect]], which
+    * needs p's: `p = min(1, 1/z²)` is Chebyshev's two-sided tail
+    * bound, VALID for any distribution with the stated mean and
+    * variance (no normality assumed, no libm needed) and strictly
+    * decreasing in |z| — so BH's ordering matches the normal-p
+    * ordering EXACTLY and its rank logic is faithful; rejections are
+    * valid but conservative (1/z² hits 0.05 at |z| ≈ 4.47 where the
+    * normal p does at 1.96 — an alarm that fires through this
+    * envelope is real at any distribution). z = 0 reads exact 1.0;
+    * NULL z (no evidence) reads NULL — [[bhCorrect]] drops it. One
+    * fixed IEEE dag. */
+  def chebyshevP(z: Column): Column =
+    when(z.isNotNull,
+      when(z === 0.0, lit(1.0))
+        .otherwise(least(lit(1.0), lit(1.0) / (z * z))))
+
   /** Benjamini–Hochberg FDR correction — the multiple-comparisons
     * step every eval suite needs the moment it runs [[permutationTest]]
     * / [[mannWhitneyU]] across dozens of slices: at 5% per test, one
@@ -3164,24 +3182,6 @@ object Probes {
     * (a family of millions of hypotheses wants a different procedure
     * anyway). Empty `groupCols` = one family, one partition. Output
     * per test row: `idField, p, rank, m, p_adj, reject`. */
-  /** Distribution-free Chebyshev p-value envelope for a z statistic —
-    * the bridge from the no-p-value z shelf ([[dunnTest]],
-    * [[mannWhitneyU]], [[logRankTest]], …) into [[bhCorrect]], which
-    * needs p's: `p = min(1, 1/z²)` is Chebyshev's two-sided tail
-    * bound, VALID for any distribution with the stated mean and
-    * variance (no normality assumed, no libm needed) and strictly
-    * decreasing in |z| — so BH's ordering matches the normal-p
-    * ordering EXACTLY and its rank logic is faithful; rejections are
-    * valid but conservative (1/z² hits 0.05 at |z| ≈ 4.47 where the
-    * normal p does at 1.96 — an alarm that fires through this
-    * envelope is real at any distribution). z = 0 reads exact 1.0;
-    * NULL z (no evidence) reads NULL — [[bhCorrect]] drops it. One
-    * fixed IEEE dag. */
-  def chebyshevP(z: Column): Column =
-    when(z.isNotNull,
-      when(z === 0.0, lit(1.0))
-        .otherwise(least(lit(1.0), lit(1.0) / (z * z))))
-
   def bhCorrect(idField: String, pField: String, alpha: Double = 0.05,
       groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -3598,34 +3598,6 @@ object Probes {
       pa, pb, riskDiff, z.as("z")): _*)
   }
 
-  /** Theil–Sen robust trend estimator per group — the median of all
-    * pairwise slopes, with the median-residual intercept: the drift
-    * RATE report ([[graft.ops.WindowOps.cusumShift]] says "a shift
-    * happened", [[graft.ops.WindowOps.holtSmooth]] tracks it; this
-    * states the trend as one number) that a 29%-contamination
-    * breakdown point makes immune to the outliers that drag ordinary
-    * least squares — the standard robust line for noisy pipeline
-    * metrics.
-    *
-    * Pair enumeration is the [[kendallTau]] contract verbatim:
-    * explicit `id_a < id_b` within-group self-join, O(n²) BY
-    * CONSTRUCTION, `maxN`-guarded with a loud raise_error — trend a
-    * bounded metric slice (daily rollups, sampled probes), not a raw
-    * corpus. Vertical pairs (x_a = x_b, slope undefined) drop, per
-    * the standard definition.
-    *
-    * Determinism: both medians are exact SELECTIONS — rows are
-    * row_number-pinned by (value, pair ids) and the median is
-    * `(min + max)/2` of the one or two middle rows (odd/even), a
-    * fixed dag over order-free extrema; no accumulation anywhere.
-    * The slope is one IEEE division per pair, the residuals one
-    * multiply-subtract per point. A group with no valid pairs (all x
-    * equal, or a single row) reads NULL slope/intercept with honest
-    * counts. NULL id/x/y rows drop.
-    *
-    * Scale shape: the guarded pair join + two window-sorts (pairs,
-    * then points) per group partition. Output per group:
-    * `n, n_pairs, slope, intercept`. */
   /** The shared slope-pair frame of the Theil–Sen family
     * ([[theilSen]], [[theilSenCI]]): NULL-dropped points as
     * `(__g, __i, __x, __y)`, the [[pairSizeGuard]]-guarded `i_a < i_b`
@@ -3662,6 +3634,34 @@ object Probes {
     (base, sized, pairs)
   }
 
+  /** Theil–Sen robust trend estimator per group — the median of all
+    * pairwise slopes, with the median-residual intercept: the drift
+    * RATE report ([[graft.ops.WindowOps.cusumShift]] says "a shift
+    * happened", [[graft.ops.WindowOps.holtSmooth]] tracks it; this
+    * states the trend as one number) that a 29%-contamination
+    * breakdown point makes immune to the outliers that drag ordinary
+    * least squares — the standard robust line for noisy pipeline
+    * metrics.
+    *
+    * Pair enumeration is the [[kendallTau]] contract verbatim:
+    * explicit `id_a < id_b` within-group self-join, O(n²) BY
+    * CONSTRUCTION, `maxN`-guarded with a loud raise_error — trend a
+    * bounded metric slice (daily rollups, sampled probes), not a raw
+    * corpus. Vertical pairs (x_a = x_b, slope undefined) drop, per
+    * the standard definition.
+    *
+    * Determinism: both medians are exact SELECTIONS — rows are
+    * row_number-pinned by (value, pair ids) and the median is
+    * `(min + max)/2` of the one or two middle rows (odd/even), a
+    * fixed dag over order-free extrema; no accumulation anywhere.
+    * The slope is one IEEE division per pair, the residuals one
+    * multiply-subtract per point. A group with no valid pairs (all x
+    * equal, or a single row) reads NULL slope/intercept with honest
+    * counts. NULL id/x/y rows drop.
+    *
+    * Scale shape: the guarded pair join + two window-sorts (pairs,
+    * then points) per group partition. Output per group:
+    * `n, n_pairs, slope, intercept`. */
   def theilSen(groupField: String, idField: String, xField: String,
       yField: String, maxN: Int = 10000)(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -3698,6 +3698,96 @@ object Probes {
         col("slope"), col("intercept"))
   }
 
+  /** One axis's tie-group masses for the bivariate Mann–Kendall
+    * variance — Σt(t−1)(2t+5), Σt(t−1)(t−2), Σt(t−1) as exact
+    * decimal(38,0) hash-aggs per `__g`, column-prefixed `vt` (the
+    * value axis) or `ut` (the time axis). ONE definition feeding
+    * [[mannKendallStats]] AND [[theilSenCI]], so the CI's "the SAME
+    * Mann–Kendall variance" promise is structural (review-caught
+    * duplication). */
+  private def mkTieMassFrame(base: DataFrame, axis: String,
+      prefix: String): DataFrame = {
+    val tc = col("__tc").cast("decimal(38,0)")
+    base.groupBy(col("__g"), col(axis))
+      .agg(count(lit(1)).as("__tc"))
+      .groupBy(col("__g"))
+      .agg(sum(tc * (tc - 1) * (tc * 2 + 5)).as(s"__${prefix}25"),
+        sum(tc * (tc - 1) * (tc - 2)).as(s"__${prefix}3"),
+        sum(tc * (tc - 1)).as(s"__${prefix}2"))
+  }
+
+  /** Kendall's bivariate tie-corrected Var(S) off the joined mass
+    * columns (`__n`, `__vt*`, `__ut*`) — UNALIASED. The two cross
+    * products exceed decimal(38,0) range at the bound, so they
+    * multiply as DOUBLES of exact integers (the jonckheere spelling,
+    * oracle-mirrored); each term guards its own zero denominator (the
+    * Σ legs are identically 0 there anyway). */
+  private def mkVarS: Column = {
+    val n38 = col("__n").cast("decimal(38,0)")
+    val nD = col("__n").cast("double")
+    val aLeg = n38 * (n38 - 1) * (n38 * 2 + 5) -
+      col("__vt25") - col("__ut25")
+    val varB = when(nD > 2.0,
+      col("__vt3").cast("double") * col("__ut3").cast("double") /
+        (lit(9.0) * nD * (nD - lit(1.0)) * (nD - lit(2.0))))
+      .otherwise(lit(0.0))
+    val varC = when(nD > 1.0,
+      col("__vt2").cast("double") * col("__ut2").cast("double") /
+        (lit(2.0) * nD * (nD - lit(1.0))))
+      .otherwise(lit(0.0))
+    aLeg.cast("double") / lit(18.0) + varB + varC
+  }
+
+  /** The shared per-key S/variance frame of the Mann–Kendall family
+    * ([[mannKendall]], [[seasonalMannKendall]]): `base` carries the
+    * key as `__g` (a struct for the seasonal form) plus
+    * `__i`/`__t`/`__x`; returns per-key `(__g, __n, __s, __vs)` with
+    * the exact pair S and the bivariate tie-corrected variance — ONE
+    * definition so the seasonal op's "the same S and variance, summed
+    * over seasons" promise is structural, not textual. `op` names the
+    * PUBLIC caller in the quadratic-guard raise (review-caught: a
+    * seasonal user never called "mannKendall"). */
+  private def mannKendallStats(base: DataFrame, maxN: Int,
+      op: String): DataFrame = {
+    require(maxN >= 2 && maxN <= 100000,
+      s"maxN must be in [2, 100000], got $maxN")
+    // the quadratic guard, threaded onto side a so the raise fires
+    // BELOW the pair join (the pairSizeGuard contract)
+    val sized = pairSizeGuard(base, op, maxN,
+      "trend a bounded slice")
+    val a = base
+      .join(sized.select(col("__g"), col("__n").as("__na")), Seq("__g"))
+      .select(col("__g"), col("__i").as("__ia"),
+        col("__t").as("__ta"), col("__x").as("__xa"), col("__na"))
+    val b = base.select(col("__g"), col("__i").as("__ib"),
+      col("__t").as("__tb"), col("__x").as("__xb"))
+    val pairs = a.join(b, Seq("__g"))
+      .filter(col("__ia") < col("__ib") && col("__na") <= lit(maxN))
+    val st = when(col("__ta") < col("__tb"), 1)
+      .when(col("__ta") > col("__tb"), -1).otherwise(0)
+    val sx = when(col("__xa") < col("__xb"), 1)
+      .when(col("__xa") > col("__xb"), -1).otherwise(0)
+    val sAgg = pairs.groupBy(col("__g"))
+      .agg(sum((st * sx).cast("long")).as("__s"))
+    val joined = sized
+      .join(sAgg, Seq("__g"), "left")
+      .join(mkTieMassFrame(base, "__x", "vt"), Seq("__g"), "left")
+      .join(mkTieMassFrame(base, "__t", "ut"), Seq("__g"), "left")
+    joined.select(col("__g"), col("__n"),
+      coalesce(col("__s"), lit(0L)).as("__s"), mkVarS.as("__vs"))
+  }
+
+  /** The ±1 continuity-corrected Mann–Kendall z over an exact S and
+    * its variance — UNALIASED; exact 0.0 at S = 0. ONE definition
+    * serves [[mannKendall]] and [[seasonalMannKendall]] (the
+    * [[signZOf]] discipline). Callers guard the zero-variance NULL. */
+  private def mkContinuityZ(s: Column, vs: Column): Column = {
+    val sD = s.cast("double")
+    when(s > 0L, (sD - lit(1.0)) / sqrt(vs))
+      .when(s < 0L, (sD + lit(1.0)) / sqrt(vs))
+      .otherwise(lit(0.0))
+  }
+
   /** Mann–Kendall trend test per group — the significance gate
     * [[theilSen]] ships without: the robust slope says HOW FAST the
     * metric drifts, this says whether the monotone trend is REAL
@@ -3732,85 +3822,6 @@ object Probes {
     *
     * Scale shape: the guarded pair join + three hash-aggs (pairs,
     * value ties, time ties). Output per group: `n, s, var_s, z`. */
-  /** The shared per-key S/variance frame of the Mann–Kendall family
-    * ([[mannKendall]], [[seasonalMannKendall]]): `base` carries the
-    * key as `__g` (a struct for the seasonal form) plus
-    * `__i`/`__t`/`__x`; returns per-key `(__g, __n, __s, __vs)` with
-    * the exact pair S and the bivariate tie-corrected variance — ONE
-    * definition so the seasonal op's "the same S and variance, summed
-    * over seasons" promise is structural, not textual. */
-  private def mannKendallStats(base: DataFrame, maxN: Int): DataFrame = {
-    require(maxN >= 2 && maxN <= 100000,
-      s"maxN must be in [2, 100000], got $maxN")
-    def d38(c: Column) = c.cast("decimal(38,0)")
-    // the quadratic guard, threaded onto side a so the raise fires
-    // BELOW the pair join (the pairSizeGuard contract)
-    val sized = pairSizeGuard(base, "mannKendall", maxN,
-      "trend a bounded slice")
-    val a = base
-      .join(sized.select(col("__g"), col("__n").as("__na")), Seq("__g"))
-      .select(col("__g"), col("__i").as("__ia"),
-        col("__t").as("__ta"), col("__x").as("__xa"), col("__na"))
-    val b = base.select(col("__g"), col("__i").as("__ib"),
-      col("__t").as("__tb"), col("__x").as("__xb"))
-    val pairs = a.join(b, Seq("__g"))
-      .filter(col("__ia") < col("__ib") && col("__na") <= lit(maxN))
-    val st = when(col("__ta") < col("__tb"), 1)
-      .when(col("__ta") > col("__tb"), -1).otherwise(0)
-    val sx = when(col("__xa") < col("__xb"), 1)
-      .when(col("__xa") > col("__xb"), -1).otherwise(0)
-    val sAgg = pairs.groupBy(col("__g"))
-      .agg(sum((st * sx).cast("long")).as("__s"))
-    // tie-group masses, exact decimal(38,0) — values and times each
-    val xt = d38(col("__tc"))
-    val xTies = base.groupBy(col("__g"), col("__x"))
-      .agg(count(lit(1)).as("__tc"))
-      .groupBy(col("__g"))
-      .agg(sum(xt * (xt - 1) * (xt * 2 + 5)).as("__xt25"),
-        sum(xt * (xt - 1) * (xt - 2)).as("__xt3"),
-        sum(xt * (xt - 1)).as("__xt2"))
-    val tTies = base.groupBy(col("__g"), col("__t"))
-      .agg(count(lit(1)).as("__tc"))
-      .groupBy(col("__g"))
-      .agg(sum(xt * (xt - 1) * (xt * 2 + 5)).as("__ut25"),
-        sum(xt * (xt - 1) * (xt - 2)).as("__ut3"),
-        sum(xt * (xt - 1)).as("__ut2"))
-    val joined = sized
-      .join(sAgg, Seq("__g"), "left")
-      .join(xTies, Seq("__g"), "left")
-      .join(tTies, Seq("__g"), "left")
-    val n38 = d38(col("__n"))
-    val nD = col("__n").cast("double")
-    val aLeg = n38 * (n38 - 1) * (n38 * 2 + 5) -
-      col("__xt25") - col("__ut25")
-    // the two cross products exceed decimal(38,0) range at the bound —
-    // they multiply as DOUBLES of exact integers (the jonckheere
-    // spelling, oracle-mirrored); each term guards its own zero
-    // denominator (the Σ legs are identically 0 there anyway)
-    val varB = when(nD > 2.0,
-      col("__xt3").cast("double") * col("__ut3").cast("double") /
-        (lit(9.0) * nD * (nD - lit(1.0)) * (nD - lit(2.0))))
-      .otherwise(lit(0.0))
-    val varC = when(nD > 1.0,
-      col("__xt2").cast("double") * col("__ut2").cast("double") /
-        (lit(2.0) * nD * (nD - lit(1.0))))
-      .otherwise(lit(0.0))
-    val varS = aLeg.cast("double") / lit(18.0) + varB + varC
-    joined.select(col("__g"), col("__n"),
-      coalesce(col("__s"), lit(0L)).as("__s"), varS.as("__vs"))
-  }
-
-  /** The ±1 continuity-corrected Mann–Kendall z over an exact S and
-    * its variance — UNALIASED; exact 0.0 at S = 0. ONE definition
-    * serves [[mannKendall]] and [[seasonalMannKendall]] (the
-    * [[signZOf]] discipline). Callers guard the zero-variance NULL. */
-  private def mkContinuityZ(s: Column, vs: Column): Column = {
-    val sD = s.cast("double")
-    when(s > 0L, (sD - lit(1.0)) / sqrt(vs))
-      .when(s < 0L, (sD + lit(1.0)) / sqrt(vs))
-      .otherwise(lit(0.0))
-  }
-
   def mannKendall(groupField: String, idField: String, tField: String,
       xField: String, maxN: Int = 10000)(df: DataFrame): DataFrame = {
     val base = df
@@ -3818,7 +3829,7 @@ object Probes {
         col(idField).isNotNull)
       .select(col(groupField).as("__g"), col(idField).as("__i"),
         col(tField).as("__t"), col(xField).as("__x"))
-    val stats = mannKendallStats(base, maxN)
+    val stats = mannKendallStats(base, maxN, "mannKendall")
     stats.select(col("__g").as(groupField), col("__n").as("n"),
       col("__s").as("s"),
       when(col("__n") >= 2, col("__vs")).as("var_s"),
@@ -3857,7 +3868,7 @@ object Probes {
         col(seasonField).as("sea")).as("__g"),
         col(idField).as("__i"), col(tField).as("__t"),
         col(xField).as("__x"))
-    val stats = mannKendallStats(base, maxN)
+    val stats = mannKendallStats(base, maxN, "seasonalMannKendall")
     val per = stats.select(col("__g").getField("g").as("__grp"),
       col("__g").getField("sea").as("__sea"), col("__n"), col("__s"),
       col("__vs"))
@@ -3911,44 +3922,21 @@ object Probes {
     val (base, sized, pairs) = theilSenPairs(groupField, idField,
       xField, yField, maxN)(df)
     def d38(c: Column) = c.cast("decimal(38,0)")
-    val tc = d38(col("__tc"))
-    // the mannKendall tie masses over the SAME points: t over values,
-    // u over times — exact decimal(38,0) hash-aggs
-    val yTies = base.groupBy(col("__g"), col("__y"))
-      .agg(count(lit(1)).as("__tc"))
-      .groupBy(col("__g"))
-      .agg(sum(tc * (tc - 1) * (tc * 2 + 5)).as("__yt25"),
-        sum(tc * (tc - 1) * (tc - 2)).as("__yt3"),
-        sum(tc * (tc - 1)).as("__yt2"))
-    val xTies = base.groupBy(col("__g"), col("__x"))
-      .agg(count(lit(1)).as("__tc"))
-      .groupBy(col("__g"))
-      .agg(sum(tc * (tc - 1) * (tc * 2 + 5)).as("__ux25"),
-        sum(tc * (tc - 1) * (tc - 2)).as("__ux3"),
-        sum(tc * (tc - 1)).as("__ux2"))
+    // the SAME Mann–Kendall tie masses and variance dag over the same
+    // points — t over values, u over times (one shared definition,
+    // the mkTieMassFrame/mkVarS machinery)
     val joined = sized
-      .join(yTies, Seq("__g"), "left")
-      .join(xTies, Seq("__g"), "left")
+      .join(mkTieMassFrame(base, "__y", "vt"), Seq("__g"), "left")
+      .join(mkTieMassFrame(base, "__x", "ut"), Seq("__g"), "left")
     val n38 = d38(col("__n"))
-    val nD = col("__n").cast("double")
-    val aLeg = n38 * (n38 - 1) * (n38 * 2 + 5) -
-      col("__yt25") - col("__ux25")
-    val varB = when(nD > 2.0,
-      col("__yt3").cast("double") * col("__ux3").cast("double") /
-        (lit(9.0) * nD * (nD - lit(1.0)) * (nD - lit(2.0))))
-      .otherwise(lit(0.0))
-    val varC = when(nD > 1.0,
-      col("__yt2").cast("double") * col("__ux2").cast("double") /
-        (lit(2.0) * nD * (nD - lit(1.0))))
-      .otherwise(lit(0.0))
-    val varS = aLeg.cast("double") / lit(18.0) + varB + varC
+    val varS = mkVarS
     // N' without a second pair-join execution: the defined slopes are
     // exactly the pairs NOT tied on x, so N' = (n(n−1) − Σt_x(t_x−1))/2
     // off the already-computed time-tie mass — exact integers, always
     // even (review-caught: counting the pair frame would scan the
     // quadratic join twice; this leaves the rank selection as its
     // only consumer)
-    val np = ((n38 * (n38 - 1) - coalesce(col("__ux2"),
+    val np = ((n38 * (n38 - 1) - coalesce(col("__ut2"),
       lit(0).cast("decimal(38,0)"))) / lit(2)).cast("long")
     val joinedNp = joined.withColumn("__np", np)
     val npD = col("__np").cast("double")
