@@ -338,6 +338,19 @@ private[graft] object QueriesProbes {
         Seq("event_type"))(table(s, dir, "events"))
         .orderBy("event_type")
     },
+    "hodges_lehmann" -> { (s, dir) =>
+      // mann_whitney said the even half sits higher — by HOW MUCH,
+      // in value units, with brackets? the median of all cross-pair
+      // differences with its distribution-free rank CI, on the 1/20
+      // slice (the op's bounded-slice contract): rank-selected limits
+      // off the MWU tie-corrected variance, outward rounding
+      Probes.hodgesLehmann(col("user_id") % 2 === 0, col("value"),
+        "event_id", Seq("event_type"))(
+        table(s, dir, "events")
+          .filter(col("event_id") % 20 === 0 &&
+            col("user_id").isNotNull))
+        .orderBy("event_type")
+    },
     "ks_2sample" -> { (s, dir) =>
       // the RANK-EXACT sup-of-ECDF-gap per event type over the same
       // even/odd split — true D (not numeric_drift's bin-grid lower
@@ -505,6 +518,15 @@ private[graft] object QueriesProbes {
         table(s, dir, "events"))
         .orderBy("event_type")
     },
+    "cochran_armitage" -> { (s, dir) =>
+      // does the value >= 20 pass rate rise MONOTONICALLY across the
+      // four ordered user tiers, per event type? the proportions
+      // corner of the trend matrix: exact integer T and variance
+      // legs off (group, dose) cells, one division, one sqrt
+      Probes.cochranArmitage(col("user_id") % 4, col("value") >= 20,
+        Seq("event_type"))(table(s, dir, "events"))
+        .orderBy("event_type")
+    },
     "theil_sen" -> { (s, dir) =>
       // robust drift rate of value over event_id per type, on the
       // 1/20-sampled slice (the op's bounded-slice contract): median
@@ -535,6 +557,18 @@ private[graft] object QueriesProbes {
       // count (Hirsch-Slack): per-(type, month) S and variance off
       // the shared mann_kendall dag, summed, one continuity z
       Probes.seasonalMannKendall("event_type", "sea", "event_id",
+        "event_id", "value")(
+        table(s, dir, "events")
+          .filter(col("event_id") % 20 === 0)
+          .withColumn("sea", month(col("ts"))))
+        .orderBy("event_type")
+    },
+    "seasonal_theil_sen" -> { (s, dir) =>
+      // and the de-seasonalized RATE beside that gate: the
+      // Hirsch-Slack slope — median over the pooled same-month
+      // pairwise slopes on the SAME fixture, monthly shape cancelled
+      // by construction (only same-season pairs produce slopes)
+      Probes.seasonalTheilSen("event_type", "sea", "event_id",
         "event_id", "value")(
         table(s, dir, "events")
           .filter(col("event_id") % 20 === 0)
@@ -1470,6 +1504,58 @@ private[graft] object QueriesProbes {
               AS DOUBLE)
             / (CAST(2 AS DOUBLE) * sqrt(variance)) END AS z
       FROM v ORDER BY event_type""",
+    // mirrors Probes.hodgesLehmann: the A×B cross-pair differences,
+    // the mann_whitney tie-corrected Var(U) off pooled tie masses
+    // (Var(S) = 4·Var(U)), the theil_sen_ci outward-rounded rank
+    // limits clamped to [1, N], the same two-middle-ranks median
+    "hodges_lehmann" -> s"""
+      WITH b AS (SELECT event_type AS g, (user_id % 2 = 0) AS a,
+          event_id AS i, value AS x
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+          AND event_id IS NOT NULL AND event_id % 20 = 0),
+      sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM b GROUP BY g),
+      tt0 AS (SELECT g, CAST(count(*) AS HUGEINT) AS tc
+        FROM b GROUP BY g, x),
+      tt AS (SELECT g, sum(tc * tc * tc - tc) AS t3
+        FROM tt0 GROUP BY g),
+      v AS (SELECT sz.g, na, nb, na * nb AS np,
+          CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12e0
+            * ((CAST(na + nb AS DOUBLE) + 1e0)
+              - CAST(coalesce(t3, CAST(0 AS HUGEINT)) AS DOUBLE)
+                / (CAST(na + nb AS DOUBLE)
+                  * (CAST(na + nb AS DOUBLE) - 1e0))) AS varu
+        FROM sz LEFT JOIN tt ON tt.g = sz.g),
+      bd AS (SELECT g, na, nb, np,
+          CASE WHEN np > 0 AND varu > 0e0 THEN
+            greatest(CAST(1 AS BIGINT), CAST(floor(
+              (CAST(np AS DOUBLE)
+                - ${litD(1.96)} * sqrt(4e0 * varu)) / 2e0)
+              AS BIGINT)) END AS rlo,
+          CASE WHEN np > 0 AND varu > 0e0 THEN
+            least(np, CAST(floor(
+              (CAST(np AS DOUBLE)
+                + ${litD(1.96)} * sqrt(4e0 * varu)) / 2e0)
+              AS BIGINT) + 1) END AS rhi,
+          (np + 1) // 2 AS md1, np // 2 + 1 AS md2
+        FROM v),
+      p AS (SELECT aa.g AS g, aa.i AS ia, bb.i AS ib, aa.x - bb.x AS d
+        FROM b aa JOIN b bb ON aa.g = bb.g AND aa.a AND NOT bb.a),
+      pr AS (SELECT g, d,
+          CAST(row_number() OVER (PARTITION BY g ORDER BY d, ia, ib)
+            AS BIGINT) AS rn
+        FROM p),
+      sel AS (SELECT pr.g,
+          min(CASE WHEN rn = rlo THEN d END) AS dlo,
+          min(CASE WHEN rn = rhi THEN d END) AS dhi,
+          min(CASE WHEN rn = md1 THEN d END) AS dm1,
+          min(CASE WHEN rn = md2 THEN d END) AS dm2
+        FROM pr JOIN bd ON bd.g = pr.g GROUP BY pr.g)
+      SELECT bd.g AS event_type, na AS n_a, nb AS n_b, np AS n_pairs,
+        (dm1 + dm2) / 2e0 AS shift, dlo AS shift_lo, dhi AS shift_hi
+      FROM bd LEFT JOIN sel ON sel.g = bd.g ORDER BY event_type""",
     // mirrors Probes.cochranQ: the same pre-aggregated pass/fail
     // cells, the friedman completeness screen, then Q from exact
     // HUGEINT counts with float only at the one final division
@@ -2158,6 +2244,35 @@ private[graft] object QueriesProbes {
         CASE WHEN n_a > 0 AND n_b > 0 AND variance > CAST(0 AS DOUBLE)
           THEN (pa - pb) / sqrt(variance) END AS z
       FROM v ORDER BY event_type""",
+    // mirrors Probes.cochranArmitage: exact (group, dose) cells, the
+    // exact HUGEINT T and variance legs multiplying as doubles of
+    // exact integers, the prop.trend.test /n normalization
+    "cochran_armitage" -> """
+      WITH b AS (SELECT event_type AS g, user_id % 4 AS w,
+          (value >= 20) AS s
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      c AS (SELECT g, w, CAST(count(*) AS BIGINT) AS ni,
+          CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS ki
+        FROM b GROUP BY g, w),
+      ag AS (SELECT g, CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(ni) AS BIGINT) AS n,
+          CAST(sum(ki) AS BIGINT) AS successes,
+          sum(CAST(w AS HUGEINT) * ni) AS swn,
+          sum(CAST(w AS HUGEINT) * w * ni) AS sw2n,
+          sum(CAST(w AS HUGEINT) * ki) AS swk
+        FROM c GROUP BY g),
+      f AS (SELECT g, k, n, successes,
+          CAST(n AS HUGEINT) * swk
+            - CAST(successes AS HUGEINT) * swn AS t,
+          CAST(CAST(successes AS HUGEINT) * (n - successes) AS DOUBLE)
+            * CAST(CAST(n AS HUGEINT) * sw2n - swn * swn AS DOUBLE)
+            / CAST(n AS DOUBLE) AS vart
+        FROM ag)
+      SELECT g AS event_type, k, n, successes,
+        CAST(t AS DOUBLE) AS t_trend,
+        CASE WHEN k >= 2 AND vart > 0e0
+          THEN CAST(t AS DOUBLE) / sqrt(vart) END AS z
+      FROM f ORDER BY event_type""",
     // mirrors Probes.theilSen: the same i<j pair frame with vertical
     // pairs dropped, (value, pair-id)-pinned row_number selection,
     // (min+max)/2 of the one or two middle rows for both medians
@@ -2300,6 +2415,35 @@ private[graft] object QueriesProbes {
                WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1e0) / sqrt(vsum)
                ELSE 0e0 END END AS z
       FROM ag ORDER BY event_type""",
+    // mirrors Probes.seasonalTheilSen: the theil_sen pair frame keyed
+    // by (group, season) — only same-month pairs produce slopes —
+    // then ONE pooled (slope, season, pair-id)-pinned two-middle-ranks
+    // selection median over all per-season slopes (Hirsch-Slack)
+    "seasonal_theil_sen" -> """
+      WITH b AS (SELECT event_type AS g,
+          CAST(month(CAST(ts AS TIMESTAMP)) AS BIGINT) AS sea,
+          event_id AS i, CAST(event_id AS DOUBLE) AS x, value AS y
+        FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+          AND value IS NOT NULL AND event_id % 20 = 0),
+      sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT sea) AS BIGINT) AS n_seasons
+        FROM b GROUP BY g),
+      p AS (SELECT a.g AS g, a.sea AS sea, a.i AS ia, c.i AS ib,
+          (c.y - a.y) / (c.x - a.x) AS s
+        FROM b a JOIN b c ON a.g = c.g AND a.sea = c.sea
+          AND a.i < c.i AND a.x <> c.x),
+      pr AS (SELECT g, s,
+          CAST(row_number() OVER (PARTITION BY g
+            ORDER BY s, sea, ia, ib) AS BIGINT) AS rn,
+          CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS c
+        FROM p),
+      sel AS (SELECT g, max(c) AS np,
+          (min(s) + max(s)) / 2e0 AS slope
+        FROM pr WHERE rn = (c + 1) // 2 OR rn = c // 2 + 1
+        GROUP BY g)
+      SELECT sz.g AS event_type, n, n_seasons,
+        coalesce(np, CAST(0 AS BIGINT)) AS n_pairs, slope
+      FROM sz LEFT JOIN sel ON sel.g = sz.g ORDER BY event_type""",
     // mirrors Probes.theilSenCI: the theil_sen pair frame, the
     // mann_kendall tie-mass variance over the same points, C =
     // 1.96*sqrt(Var(S)), round-outward rank limits clamped to

@@ -419,14 +419,41 @@ private[graft] object QueriesTemporal {
         col("cen"), Seq("cohort"))(survivalSubjects(s, dir))
         .orderBy("cohort")
     },
+    "logrank_stratified" -> { (s, dir) =>
+      // the confounder-adjusted follow-up on the SAME subject frame:
+      // is the even/odd churn gap real within the five user strata,
+      // or just the mix? per-stratum O−E and V terms (each stratum
+      // its own risk sets), summed into one z — the stratified
+      // Mantel–Cox, with Pike's stratum-adjusted hazard ratio
+      Probes.logRankStratified(col("user_id") % 2 === 0, col("t0"),
+        col("cen"), Seq("strat"), Seq("cohort"))(
+        survivalSubjects(s, dir)
+          .withColumn("strat", col("user_id") % 5))
+        .orderBy("cohort")
+    },
     "logrank_k" -> { (s, dir) =>
       // all four user arms at once per cohort: per-arm O−E and z
       // against the pooled curve (exact diagonal variance) plus the
       // textbook chi2 omnibus on the cells-sized |T|·k time grid;
-      // 7.81 is the chi2_{k-1} 95% gate at k = 4 (df = 3 — the
-      // op default 5.99 is the k = 3 gate; review-caught)
+      // the reject gate now picks the df-correct 95% crit from the
+      // op's stored chi2 table by the observed k (7.815 at k = 4,
+      // df = 3 — the r19 ADVICE fix for the fixed-crit default)
       Probes.logRankK(col("user_id") % 4, col("t0"), col("cen"),
-        Seq("cohort"), chi2Crit = 7.81)(survivalSubjects(s, dir))
+        Seq("cohort"))(survivalSubjects(s, dir))
+        .orderBy("cohort", "variant")
+    },
+    "logrank_bh" -> { (s, dir) =>
+      // the survival post-hoc→FDR loop closed as one composed row
+      // (the dunn_bh precedent one shelf over): logrank_k's per-arm
+      // z's against the pooled curve, bridged through the Chebyshev
+      // p envelope, then BH per cohort family — WHICH arm's churn
+      // deviates, FDR-controlled at 5%? zero-variance arms carry no
+      // p and drop from the family (bhCorrect's NULL contract)
+      val arms = Probes.logRankK(col("user_id") % 4, col("t0"),
+        col("cen"), Seq("cohort"))(survivalSubjects(s, dir))
+        .withColumn("p_raw", Probes.chebyshevP(col("z")))
+      Probes.bhCorrect("variant", "p_raw", alpha = 0.05,
+        Seq("cohort"))(arms)
         .orderBy("cohort", "variant")
     },
     "hazard_gate" -> { (s, dir) =>
@@ -662,6 +689,83 @@ private[graft] object QueriesTemporal {
         .when(col("event_type").isin("view", "error"), "user")
         .otherwise("assistant").as("role"),
       concat_ws(" ", col("event_type"), col("props")).as("content"))
+
+  /** Shared k-sample log-rank per-arm oracle body (no ORDER BY, no
+    * reject gate): the dense |T|·k grid, per-variant at-risk windows,
+    * the per-arm time-ordered O−E/V folds and the variant-ordered χ²
+    * fold — used standalone (`logrank_k`, which appends the stored
+    * df-table reject) AND as the z source inside the composed
+    * `logrank_bh` row, so the FDR family provably corrects the SAME
+    * per-arm z's the omnibus row reports (the `dunnZSql`
+    * discipline). */
+  private lazy val logRankKArmSql: String = """
+      WITH e AS (SELECT user_id % 3 AS cohort, user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_id % 13 = 0),
+      subj AS (SELECT cohort, CAST(user_id % 4 AS VARCHAR) AS v,
+          CAST(floor((max(ep) - min(ep)) / 86400) AS BIGINT) AS t,
+          ((SELECT max(ep) FROM e) - max(ep) < 172800) AS cen
+        FROM e GROUP BY cohort, user_id),
+      cells AS (SELECT cohort, v, t,
+          CAST(sum(CASE WHEN cen THEN 0 ELSE 1 END) AS BIGINT) AS d,
+          CAST(sum(CASE WHEN cen THEN 1 ELSE 0 END) AS BIGINT) AS cn
+        FROM subj GROUP BY cohort, v, t),
+      tms AS (SELECT DISTINCT cohort, t FROM cells),
+      vrs AS (SELECT DISTINCT cohort, v FROM cells),
+      grid AS (SELECT tms.cohort, tms.t, vrs.v
+        FROM tms JOIN vrs ON vrs.cohort = tms.cohort),
+      gc AS (SELECT grid.cohort, grid.v, grid.t,
+          coalesce(c.d, CAST(0 AS BIGINT)) AS d,
+          coalesce(c.cn, CAST(0 AS BIGINT)) AS cn
+        FROM grid LEFT JOIN cells c ON c.cohort = grid.cohort
+          AND c.v = grid.v AND c.t = grid.t),
+      w AS (SELECT cohort, v, t, d, cn,
+          CAST(sum(d + cn) OVER (PARTITION BY cohort, v)
+            - coalesce(sum(d + cn) OVER (PARTITION BY cohort, v
+                ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS nv
+        FROM gc),
+      tt AS (SELECT cohort, v, t, d, cn, nv,
+          CAST(sum(nv) OVER (PARTITION BY cohort, t) AS BIGINT) AS nt,
+          CAST(sum(d) OVER (PARTITION BY cohort, t) AS BIGINT) AS dt
+        FROM w),
+      tm AS (SELECT cohort, v, t, d, cn, nv, nt, dt,
+          CASE WHEN dt > 0 AND nt > 1 THEN
+            CAST(CAST(d AS HUGEINT) * nt - CAST(dt AS HUGEINT) * nv
+              AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0e0 END AS oe,
+          CASE WHEN dt > 0 AND nt > 1 THEN
+            CAST(CAST(dt AS HUGEINT) * nv * (nt - nv) * (nt - dt)
+              AS DOUBLE)
+              / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                * (CAST(nt AS DOUBLE) - 1e0)) ELSE 0e0 END AS vv
+        FROM tt),
+      arm AS (SELECT cohort, v,
+          CAST(sum(d + cn) AS BIGINT) AS n,
+          CAST(sum(d) AS BIGINT) AS deaths,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(oe ORDER BY t)), (acc, x) -> acc + x) AS osum,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(vv ORDER BY t)), (acc, x) -> acc + x) AS vsum
+        FROM tm GROUP BY cohort, v),
+      arm2 AS (SELECT *, CAST(deaths AS DOUBLE) - osum AS ev FROM arm),
+      kk AS (SELECT cohort, CAST(count(*) AS BIGINT) AS k
+        FROM vrs GROUP BY cohort),
+      om AS (SELECT cohort, CAST(sum(deaths) AS BIGINT) AS dtot,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CASE WHEN ev > 0e0 THEN osum * osum / ev ELSE 0e0 END
+              ORDER BY v)), (acc, x) -> acc + x) AS chi2
+        FROM arm2 GROUP BY cohort),
+      f AS (SELECT arm2.cohort, v, n, deaths, ev, osum, vsum, kk.k,
+          CASE WHEN kk.k >= 2 AND om.dtot > 0 THEN om.chi2 END AS chi2
+        FROM arm2 JOIN kk ON kk.cohort = arm2.cohort
+          JOIN om ON om.cohort = arm2.cohort)
+      SELECT cohort, v AS variant, n, deaths, ev AS expected,
+        osum AS o_minus_e,
+        CASE WHEN vsum > 0e0 THEN osum / sqrt(vsum) END AS z,
+        k, chi2
+      FROM f"""
 
   def oracleSql: Map[String, String] = Map(
     "events_json_agg" ->
@@ -1551,78 +1655,109 @@ private[graft] object QueriesTemporal {
       SELECT cohort, n_a, n_b, deaths_a, deaths_b, osum AS w_o_minus_e,
         CASE WHEN vsum > 0e0 THEN osum / sqrt(vsum) END AS z
       FROM ag ORDER BY cohort""",
-    // mirrors Probes.logRankK: the dense |T|*k grid per cohort with
-    // zero-filled cells, per-variant at-risk via the same exclusive
-    // windows, the logrank term dags with side -> variant, per-arm
-    // time-ordered folds, the variant-ordered chi2 fold
-    "logrank_k" -> s"""
+    // mirrors Probes.logRankStratified: the logrank_test dag with the
+    // user_id % 5 stratum folded into the cells/window keys — each
+    // stratum its own risk sets and distinct-time sequence — and the
+    // final folds ordered by (stratum, time), the stratum-adjusted
+    // Pike hazard ratio off the summed folds
+    "logrank_stratified" -> """
       WITH e AS (SELECT user_id % 3 AS cohort, user_id,
           CAST(floor(epoch(ts)) AS BIGINT) AS ep
         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
           AND event_id % 13 = 0),
-      subj AS (SELECT cohort, CAST(user_id % 4 AS VARCHAR) AS v,
+      subj AS (SELECT cohort, user_id % 5 AS st, (user_id % 2 = 0) AS a,
           CAST(floor((max(ep) - min(ep)) / 86400) AS BIGINT) AS t,
           ((SELECT max(ep) FROM e) - max(ep) < 172800) AS cen
         FROM e GROUP BY cohort, user_id),
-      cells AS (SELECT cohort, v, t,
-          CAST(sum(CASE WHEN cen THEN 0 ELSE 1 END) AS BIGINT) AS d,
-          CAST(sum(CASE WHEN cen THEN 1 ELSE 0 END) AS BIGINT) AS cn
-        FROM subj GROUP BY cohort, v, t),
-      tms AS (SELECT DISTINCT cohort, t FROM cells),
-      vrs AS (SELECT DISTINCT cohort, v FROM cells),
-      grid AS (SELECT tms.cohort, tms.t, vrs.v
-        FROM tms JOIN vrs ON vrs.cohort = tms.cohort),
-      gc AS (SELECT grid.cohort, grid.v, grid.t,
-          coalesce(c.d, CAST(0 AS BIGINT)) AS d,
-          coalesce(c.cn, CAST(0 AS BIGINT)) AS cn
-        FROM grid LEFT JOIN cells c ON c.cohort = grid.cohort
-          AND c.v = grid.v AND c.t = grid.t),
-      w AS (SELECT cohort, v, t, d, cn,
-          CAST(sum(d + cn) OVER (PARTITION BY cohort, v)
-            - coalesce(sum(d + cn) OVER (PARTITION BY cohort, v
+      cells AS (SELECT cohort, st, t,
+          CAST(sum(CASE WHEN a AND NOT cen THEN 1 ELSE 0 END)
+            AS BIGINT) AS da,
+          CAST(sum(CASE WHEN a AND cen THEN 1 ELSE 0 END)
+            AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN NOT a AND NOT cen THEN 1 ELSE 0 END)
+            AS BIGINT) AS db,
+          CAST(sum(CASE WHEN NOT a AND cen THEN 1 ELSE 0 END)
+            AS BIGINT) AS cb
+        FROM subj GROUP BY cohort, st, t),
+      w AS (SELECT cohort, st, t, da, db, ca, cb,
+          CAST(sum(da + ca) OVER (PARTITION BY cohort, st)
+            - coalesce(sum(da + ca) OVER (PARTITION BY cohort, st
                 ORDER BY t
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            AS BIGINT) AS nv
-        FROM gc),
-      tt AS (SELECT cohort, v, t, d, cn, nv,
-          CAST(sum(nv) OVER (PARTITION BY cohort, t) AS BIGINT) AS nt,
-          CAST(sum(d) OVER (PARTITION BY cohort, t) AS BIGINT) AS dt
+            AS BIGINT) AS na,
+          CAST(sum(db + cb) OVER (PARTITION BY cohort, st)
+            - coalesce(sum(db + cb) OVER (PARTITION BY cohort, st
+                ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS nb
+        FROM cells),
+      tm AS (SELECT cohort, st, t, da, db, ca, cb, na, nb,
+          CASE WHEN da + db > 0 AND na + nb > 1 THEN
+            CAST(CAST(da AS HUGEINT) * (na + nb)
+                - CAST(da + db AS HUGEINT) * na AS DOUBLE)
+              / CAST(na + nb AS DOUBLE) ELSE 0e0 END AS oe,
+          CASE WHEN da + db > 0 AND na + nb > 1 THEN
+            CAST(CAST(da + db AS HUGEINT) * na * nb
+                * (na + nb - da - db) AS DOUBLE)
+              / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+                * (CAST(na + nb AS DOUBLE) - 1e0)) ELSE 0e0 END AS vv
         FROM w),
-      tm AS (SELECT cohort, v, t, d, cn, nv, nt, dt,
-          CASE WHEN dt > 0 AND nt > 1 THEN
-            CAST(CAST(d AS HUGEINT) * nt - CAST(dt AS HUGEINT) * nv
-              AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0e0 END AS oe,
-          CASE WHEN dt > 0 AND nt > 1 THEN
-            CAST(CAST(dt AS HUGEINT) * nv * (nt - nv) * (nt - dt)
-              AS DOUBLE)
-              / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
-                * (CAST(nt AS DOUBLE) - 1e0)) ELSE 0e0 END AS vv
-        FROM tt),
-      arm AS (SELECT cohort, v,
-          CAST(sum(d + cn) AS BIGINT) AS n,
-          CAST(sum(d) AS BIGINT) AS deaths,
+      ag AS (SELECT cohort,
+          CAST(sum(da + ca) AS BIGINT) AS n_a,
+          CAST(sum(db + cb) AS BIGINT) AS n_b,
+          CAST(sum(da) AS BIGINT) AS deaths_a,
+          CAST(sum(db) AS BIGINT) AS deaths_b,
+          CAST(count(DISTINCT st) AS BIGINT) AS n_strata,
           list_reduce(list_prepend(CAST(0 AS DOUBLE),
-            list(oe ORDER BY t)), (acc, x) -> acc + x) AS osum,
+            list(oe ORDER BY st, t)), (acc, x) -> acc + x) AS osum,
           list_reduce(list_prepend(CAST(0 AS DOUBLE),
-            list(vv ORDER BY t)), (acc, x) -> acc + x) AS vsum
-        FROM tm GROUP BY cohort, v),
-      arm2 AS (SELECT *, CAST(deaths AS DOUBLE) - osum AS ev FROM arm),
-      kk AS (SELECT cohort, CAST(count(*) AS BIGINT) AS k
-        FROM vrs GROUP BY cohort),
-      om AS (SELECT cohort, CAST(sum(deaths) AS BIGINT) AS dtot,
-          list_reduce(list_prepend(CAST(0 AS DOUBLE),
-            list(CASE WHEN ev > 0e0 THEN osum * osum / ev ELSE 0e0 END
-              ORDER BY v)), (acc, x) -> acc + x) AS chi2
-        FROM arm2 GROUP BY cohort),
-      f AS (SELECT arm2.cohort, v, n, deaths, ev, osum, vsum, kk.k,
-          CASE WHEN kk.k >= 2 AND om.dtot > 0 THEN om.chi2 END AS chi2
-        FROM arm2 JOIN kk ON kk.cohort = arm2.cohort
-          JOIN om ON om.cohort = arm2.cohort)
-      SELECT cohort, v AS variant, n, deaths, ev AS expected,
+            list(vv ORDER BY st, t)), (acc, x) -> acc + x) AS vsum
+        FROM tm GROUP BY cohort)
+      SELECT cohort, n_a, n_b, deaths_a, deaths_b, n_strata,
         osum AS o_minus_e,
-        CASE WHEN vsum > 0e0 THEN osum / sqrt(vsum) END AS z,
-        k, chi2,
-        coalesce(chi2 > ${litD(7.81)}, false) AS reject
+        CASE WHEN deaths_a > 0 AND deaths_b > 0
+            AND CAST(deaths_a AS DOUBLE) - osum > 0e0
+            AND CAST(deaths_b AS DOUBLE) + osum > 0e0
+          THEN (CAST(deaths_a AS DOUBLE)
+              / (CAST(deaths_a AS DOUBLE) - osum))
+            / (CAST(deaths_b AS DOUBLE)
+              / (CAST(deaths_b AS DOUBLE) + osum)) END AS hazard_ratio,
+        CASE WHEN vsum > 0e0 THEN osum / sqrt(vsum) END AS z
+      FROM ag ORDER BY cohort""",
+    // mirrors Probes.logRankK off the SHARED per-arm body (see
+    // logRankKArmSql), appending the stored df-table 95% gate —
+    // 7.815 at the fixture's k = 4 (df = 3; the r19 ADVICE fix)
+    "logrank_k" -> s"""
+      WITH az AS ($logRankKArmSql)
+      SELECT cohort, variant, n, deaths, expected, o_minus_e, z, k,
+        chi2, coalesce(chi2 > ${litD(7.815)}, false) AS reject
+      FROM az ORDER BY cohort, variant""",
+    // mirrors the composed logrank_bh row: the SHARED logRankKArmSql
+    // per-arm z's, the Chebyshev p = min(1, 1/z²) envelope, then the
+    // BH step-up per cohort family (the dunn_bh oracle pattern —
+    // NULL-z arms carry no p and drop from the family)
+    "logrank_bh" -> s"""
+      WITH az AS ($logRankKArmSql),
+      pz AS (SELECT cohort, variant,
+          CASE WHEN z IS NOT NULL THEN CASE WHEN z = 0e0 THEN 1e0
+            ELSE least(1e0, 1e0 / (z * z)) END END AS p
+        FROM az),
+      nn AS (SELECT cohort, variant, p FROM pz WHERE p IS NOT NULL),
+      r AS (SELECT cohort, variant, p,
+          CAST(count(*) OVER (PARTITION BY cohort) AS BIGINT) AS m,
+          CAST(row_number() OVER (PARTITION BY cohort
+            ORDER BY p, variant) AS BIGINT) AS rnk
+        FROM nn),
+      a AS (SELECT cohort, variant, p, m, rnk,
+          p * CAST(m AS DOUBLE) / CAST(rnk AS DOUBLE) AS raw
+        FROM r),
+      f AS (SELECT cohort, variant, p, rnk, m,
+          least(CAST(1 AS DOUBLE), min(raw) OVER (PARTITION BY cohort
+            ORDER BY p, variant
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_adj
+        FROM a)
+      SELECT cohort, variant, p, rnk AS rank, m, p_adj,
+        p_adj <= ${litD(0.05)} AS reject
       FROM f ORDER BY cohort, variant""",
     // mirrors Streaming.windowedHazardGate on batch: per-6h-window
     // fixed 6-bucket death/at-risk counters on the value-as-duration

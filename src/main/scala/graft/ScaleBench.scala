@@ -2590,8 +2590,8 @@ object ScaleBench {
         .reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
     def lrkJob(d: DataFrame): Unit =
-      noop(P19.logRankK(col("v"), col("t"), col("c"), Seq("g"),
-        chi2Crit = 7.81)(d)) // the k=4 df=3 gate, as the query ships
+      noop(P19.logRankK(col("v"), col("t"), col("c"),
+        Seq("g"))(d)) // the stored df-table gate, as the query ships
     locally { val d1 = lrk19(1, 4).localCheckpoint()
       lrkJob(d1); d1.unpersist() }
     val lrkOut = for (k <- Seq(1, 2, 4)) yield {

@@ -816,9 +816,13 @@ final case class Pipeline(df: DataFrame) {
   def gehanBreslowTest(side: Column, time: Column, censored: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.gehanBreslowTest(side, time, censored, groupCols))
+  def logRankStratified(side: Column, time: Column, censored: Column,
+      strataCols: Seq[String], groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.logRankStratified(side, time, censored, strataCols,
+      groupCols))
   def logRankK(variant: Column, time: Column, censored: Column,
       groupCols: Seq[String] = Nil, maxK: Int = 32,
-      chi2Crit: Double = 5.99): Pipeline =
+      chi2Crit: Option[Double] = None): Pipeline =
     >>(Probes.logRankK(variant, time, censored, groupCols,
       maxK = maxK, chi2Crit = chi2Crit))
   def friedmanTest(blockField: String, treatmentField: String,
@@ -875,6 +879,14 @@ final case class Pipeline(df: DataFrame) {
   def brunnerMunzel(side: Column, value: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.brunnerMunzel(side, value, groupCols))
+  def hodgesLehmann(side: Column, value: Column, idField: String,
+      groupCols: Seq[String] = Nil, maxN: Int = 10000,
+      zCrit: Double = 1.96): Pipeline =
+    >>(Probes.hodgesLehmann(side, value, idField, groupCols, maxN,
+      zCrit))
+  def cochranArmitage(dose: Column, success: Column,
+      groupCols: Seq[String] = Nil): Pipeline =
+    >>(Probes.cochranArmitage(dose, success, groupCols))
   def ksTest(side: Column, value: Column,
       groupCols: Seq[String] = Nil): Pipeline =
     >>(Probes.ksTest(side, value, groupCols))
@@ -898,6 +910,11 @@ final case class Pipeline(df: DataFrame) {
       maxN: Int = 10000): Pipeline =
     >>(Probes.seasonalMannKendall(groupField, seasonField, idField,
       tField, xField, maxN))
+  def seasonalTheilSen(groupField: String, seasonField: String,
+      idField: String, xField: String, yField: String,
+      maxN: Int = 10000): Pipeline =
+    >>(Probes.seasonalTheilSen(groupField, seasonField, idField,
+      xField, yField, maxN))
   def theilSenCI(groupField: String, idField: String, xField: String,
       yField: String, maxN: Int = 10000,
       zCrit: Double = 1.96): Pipeline =

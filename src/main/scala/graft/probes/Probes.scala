@@ -1670,17 +1670,40 @@ object Probes {
     * below the join and an oversized group raises while side a
     * materializes, before its quadratic pair frame enumerates
     * (plan-asserted in the spec — the guard Filter sits under every
-    * Join of the dag). */
+    * Join of the dag).
+    *
+    * `idCol` (when given) additionally enforces the UNIQUE-ID
+    * contract of the pair ops: two rows sharing an id never pair
+    * (`i_a < i_b` drops them), so duplicate ids silently shrink the
+    * pair frame while arithmetic pair counts — [[theilSenCI]]'s
+    * N′ = (n(n−1) − Σt(t−1))/2, [[mannKendall]]'s n(n−1)/2 variance
+    * legs — still count them, shifting rank-selected CI limits onto
+    * nonexistent ranks (r19 ADVICE). A group whose distinct-id count
+    * differs from its row count raises loudly on the same guarded
+    * `__n` column instead of returning plausible-but-wrong limits. */
   private def pairSizeGuard(base: DataFrame, op: String, maxN: Int,
-      advice: String): DataFrame =
-    base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
-      .select(col("__g"),
-        when(col("__n") > maxN, raise_error(concat(
+      advice: String, idCol: Option[Column] = None): DataFrame = {
+    val aggs = count(lit(1)).as("__n0") +:
+      idCol.map(c => countDistinct(c).as("__nd")).toSeq
+    val guarded = when(col("__n0") > maxN, raise_error(concat(
+      lit(s"$op: group "), col("__g").cast(StringType),
+      lit(s" has "), col("__n0").cast(StringType),
+      lit(s" rows > maxN=$maxN — the pair join is O(n^2); " +
+        advice))).cast("long"))
+    val withId = idCol match {
+      case None => guarded
+      case Some(_) => guarded
+        .when(col("__nd") =!= col("__n0"), raise_error(concat(
           lit(s"$op: group "), col("__g").cast(StringType),
-          lit(s" has "), col("__n").cast(StringType),
-          lit(s" rows > maxN=$maxN — the pair join is O(n^2); " +
-            advice))).cast("long"))
-          .otherwise(col("__n")).as("__n"))
+          lit(" has "), (col("__n0") - col("__nd")).cast(StringType),
+          lit(" duplicate id rows — the pair ops require one row " +
+            "per id (pair counts and rank selections assume it); " +
+            "pre-aggregate to one observation per id")))
+          .cast("long"))
+    }
+    base.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+      .select(col("__g"), withId.otherwise(col("__n0")).as("__n"))
+  }
 
   /** Spearman rank correlation per group — the monotonic-agreement
     * number between two scoring columns (two rankers, a judge vs a
@@ -1981,6 +2004,143 @@ object Probes {
           (nbD * vb) * (nbD * vb) / (nbD - lit(1.0))))
     agg.select(grp ++ Seq(col("n_a"), col("n_b"), pHat.as("p_hat"),
       stat.as("statistic"), dfW.as("df")): _*)
+  }
+
+  /** Hodges–Lehmann shift estimate with its distribution-free CI per
+    * group — the two-sample verdict in ORIGINAL UNITS, the answer to
+    * the question every A/B owner asks right after [[mannWhitneyU]]
+    * says "B is larger" and `cliffs_delta` gives a unitless r: "by
+    * HOW MUCH, in ms/tokens/dollars, with brackets". The estimate is
+    * the median of all n_a·n_b cross-pair differences `a_i − b_j`
+    * (Hodges & Lehmann 1963 — the location shift a Wilcoxon test
+    * implicitly tests, with the same ~29%-contamination robustness
+    * as [[theilSen]]'s slope), and the CI is the distribution-free
+    * rank interval over the SAME sorted differences.
+    *
+    * Construction (Lehmann 1975; the [[theilSenCI]] machinery applied
+    * to cross-pairs): over the N = n_a·n_b differences in ascending
+    * order (pinned by (d, id_a, id_b) — deterministic through ties),
+    *   `C = zCrit·√Var(S)` with `Var(S) = 4·Var(U)` — Var(U) the
+    *     [[mannWhitneyU]] tie-corrected variance
+    *     `n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1)))`, its Σ(t³−t) an
+    *     exact decimal(38,0) hash-agg off pooled tie-group sizes
+    *     (no rank window anywhere — HL needs only tie masses),
+    *   `M1 = (N − C)/2`, `M2 = (N + C)/2`,
+    * and the limits are the differences at ranks `max(1, ⌊M1⌋)` and
+    * `min(N, ⌊M2⌋ + 1)` — ROUNDED OUTWARD on both sides (the
+    * [[theilSenCI]] convention: the reported interval can only be
+    * wider than the fractional-rank ideal, never narrower). The
+    * point estimate is the same two-middle-ranks exact selection as
+    * [[theilSen]]'s median (`(min + max)/2` of ranks ⌊(N+1)/2⌋ and
+    * ⌊N/2⌋+1). Location equivariance (+c to side A moves the
+    * estimate and both limits by exactly +c on integer-valued data),
+    * side-swap negation, and sign agreement with `cliffs_delta` are
+    * property-spec-pinned.
+    *
+    * Pair enumeration is an explicit A×B cross join within each group
+    * — O(n_a·n_b) BY CONSTRUCTION, [[pairSizeGuard]]-guarded on the
+    * group's TOTAL row count n (n_a·n_b ≤ n²/4 — the [[kendallTau]]
+    * bound class) with the loud raise threaded onto the A side so it
+    * fires below the join: bracket a bounded metric slice (daily
+    * rollups, eval batches), not a raw corpus. Unlike the trend
+    * family no arithmetic pair count assumes unique ids (the cross
+    * frame is exactly n_a·n_b rows whatever the ids), so ids only pin
+    * rank determinism. Degenerate reads: an empty side → NULL
+    * everything with honest counts; zero variance (all pooled values
+    * tied) → NULL limits with the honest estimate; C ≥ N clamps to
+    * the extreme differences (an honestly-wide interval is a finding
+    * — "the data cannot bracket the shift"). NULL side/value/id rows
+    * drop.
+    *
+    * Scale shape: two hash-aggs (sides, tie masses) + the guarded
+    * cross join + one rank window over pairs — no corpus-wide rank
+    * window at all. Output per group:
+    * `n_a, n_b, n_pairs, shift, shift_lo, shift_hi`. */
+  def hodgesLehmann(side: Column, value: Column, idField: String,
+      groupCols: Seq[String] = Nil, maxN: Int = 10000,
+      zCrit: Double = 1.96)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxN >= 2 && maxN <= 100000,
+      s"maxN must be in [2, 100000], got $maxN")
+    require(zCrit > 0.0 && zCrit <= 100.0,
+      s"zCrit must be in (0, 100]: $zCrit")
+    val grp = groupCols.map(col)
+    val gkey = if (grp.isEmpty) lit(0) else struct(grp: _*)
+    val base = df
+      .filter(side.isNotNull && value.isNotNull &&
+        col(idField).isNotNull)
+      .select(gkey.as("__g"), side.cast("boolean").as("__a"),
+        col(idField).as("__i"), value.cast("double").as("__x"))
+    // the quadratic guard on the TOTAL group size, threaded onto the
+    // A side so the raise fires below the cross join (the
+    // pairSizeGuard contract)
+    val sized = pairSizeGuard(base, "hodgesLehmann", maxN,
+      "bracket a bounded slice")
+    val sides = base.groupBy(col("__g"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    // pooled tie masses: Σ(t³−t) as one exact decimal(38,0) hash-agg
+    val tc = col("__tc").cast("decimal(38,0)")
+    val ties = base.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__tc"))
+      .groupBy(col("__g"))
+      .agg(sum(tc * tc * tc - tc).as("__t3"))
+    val stats = sized.join(sides, Seq("__g"))
+      .join(ties, Seq("__g"), "left")
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = col("__n").cast("double")
+    // the mannWhitneyU tie-corrected Var(U), spelled identically
+    val varU = naD * nbD / lit(12.0) *
+      ((nD + lit(1.0)) - coalesce(col("__t3"),
+        lit(0).cast("decimal(38,0)")).cast("double") /
+        (nD * (nD - lit(1.0))))
+    val np = (col("n_a") * col("n_b")).as("__np")
+    val withNp = stats.withColumn("__np", np)
+    val npD = col("__np").cast("double")
+    // C = zCrit·√Var(S) with Var(S) = 4·Var(U) — the theilSenCI
+    // Gilbert construction applied to the cross-pair frame
+    val cW = lit(zCrit) * sqrt(lit(4.0) * varU)
+    val live = col("__np") > 0L && varU > 0.0
+    val bounds = withNp.select(col("__g"), col("n_a"), col("n_b"),
+      col("__np"),
+      when(live, greatest(lit(1L),
+        floor((npD - cW) / lit(2.0)).cast("long"))).as("__rlo"),
+      when(live, least(col("__np"),
+        floor((npD + cW) / lit(2.0)).cast("long") + lit(1L)))
+        .as("__rhi"),
+      // the theilSen median selection verbatim: both middle ranks
+      floor((col("__np") + 1) / 2).cast("long").as("__md1"),
+      (floor(col("__np") / 2).cast("long") + lit(1L)).as("__md2"))
+    val a = base.filter(col("__a"))
+      .join(sized.select(col("__g"), col("__n").as("__na")), Seq("__g"))
+      .select(col("__g"), col("__i").as("__ia"),
+        col("__x").as("__xa"), col("__na"))
+    val b = base.filter(!col("__a"))
+      .select(col("__g"), col("__i").as("__ib"),
+        col("__x").as("__xb"))
+    val pairs = a.join(b, Seq("__g"))
+      .filter(col("__na") <= lit(maxN))
+      .withColumn("__d", col("__xa") - col("__xb"))
+    val wOrd = Window.partitionBy(col("__g"))
+      .orderBy(col("__d"), col("__ia"), col("__ib"))
+    val ranked = pairs
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+    val sel = ranked
+      .join(bounds.select(col("__g"), col("__rlo"), col("__rhi"),
+        col("__md1"), col("__md2")), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(min(when(col("__rn") === col("__rlo"), col("__d")))
+          .as("__dlo"),
+        min(when(col("__rn") === col("__rhi"), col("__d"))).as("__dhi"),
+        min(when(col("__rn") === col("__md1"), col("__d"))).as("__dm1"),
+        min(when(col("__rn") === col("__md2"), col("__d"))).as("__dm2"))
+    val out = bounds.join(sel, Seq("__g"), "left")
+    val unpack = groupCols.map(c => col("__g").getField(c).as(c))
+    out.select(unpack ++ Seq(col("n_a"), col("n_b"),
+      col("__np").as("n_pairs"),
+      ((col("__dm1") + col("__dm2")) / lit(2.0)).as("shift"),
+      col("__dlo").as("shift_lo"), col("__dhi").as("shift_hi")): _*)
   }
 
   /** The shared pooled-rank per-variant frame of the k-sample rank
@@ -2403,23 +2563,39 @@ object Probes {
       weighted = true, oeName = "w_o_minus_e")(df)
 
   /** The shared two-sample log-rank dag ([[logRankTest]],
-    * [[gehanBreslowTest]]): (group, time) cells, exact at-risk via
-    * total-minus-exclusive-cumsum windows, per-time O−E and
-    * hypergeometric-variance terms (weighted by n_t when `weighted` —
-    * the n_t / n_t² factors cancel into the exact-integer numerators),
-    * time-pinned folds, one final z. ONE definition so the weighted
-    * variant's "same censoring contract, same degenerate reads"
-    * promise is structural, not textual. */
+    * [[gehanBreslowTest]], [[logRankStratified]]): (group[, stratum],
+    * time) cells, exact at-risk via total-minus-exclusive-cumsum
+    * windows, per-time O−E and hypergeometric-variance terms
+    * (weighted by n_t when `weighted` — the n_t / n_t² factors cancel
+    * into the exact-integer numerators), (stratum-,)time-pinned
+    * folds, one final z. ONE definition so the weighted and
+    * stratified variants' "same censoring contract, same degenerate
+    * reads" promise is structural, not textual. When `strataCols` is
+    * non-empty the whole per-time machinery runs WITHIN each stratum
+    * (cells, at-risk windows, term dags) and only the final fold sums
+    * across strata — the textbook stratified Mantel–Cox; empty
+    * `strataCols` leaves every frame byte-identical to the r19 dag
+    * (no constant key is ever added). */
   private def logRankImpl(side: Column, time: Column, censored: Column,
       groupCols: Seq[String], exactOrder: Boolean, weighted: Boolean,
-      oeName: String)(df: DataFrame): DataFrame = {
+      oeName: String, strataCols: Seq[String] = Nil)(
+      df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grp = groupCols.map(col)
+    val stSel: Seq[Column] =
+      if (strataCols.isEmpty) Nil
+      else Seq(struct(strataCols.map(col): _*).as("__st"))
+    val stKey: Seq[Column] =
+      if (strataCols.isEmpty) Nil else Seq(col("__st"))
+    val stFilter = strataCols
+      .map(col(_).isNotNull)
+      .foldLeft(lit(true))(_ && _)
     val base = df
-      .filter(side.isNotNull && time.isNotNull && censored.isNotNull)
-      .select(grp :+ side.cast("boolean").as("__a") :+
-        time.as("__t") :+ censored.cast("boolean").as("__c"): _*)
-    val cells = base.groupBy(grp :+ col("__t"): _*)
+      .filter(side.isNotNull && time.isNotNull && censored.isNotNull &&
+        stFilter)
+      .select(grp ++ stSel ++ Seq(side.cast("boolean").as("__a"),
+        time.as("__t"), censored.cast("boolean").as("__c")): _*)
+    val cells = base.groupBy(grp ++ stKey :+ col("__t"): _*)
       .agg(sum(when(col("__a") && !col("__c"), 1L).otherwise(0L))
         .as("__da"),
         sum(when(col("__a") && col("__c"), 1L).otherwise(0L)).as("__ca"),
@@ -2427,15 +2603,15 @@ object Probes {
           .as("__db"),
         sum(when(!col("__a") && col("__c"), 1L).otherwise(0L))
           .as("__cb"))
-    val wAll = Window.partitionBy(grp: _*)
-    val wCum = Window.partitionBy(grp: _*).orderBy(col("__t"))
+    val wAll = Window.partitionBy(grp ++ stKey: _*)
+    val wCum = Window.partitionBy(grp ++ stKey: _*).orderBy(col("__t"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val remA = col("__da") + col("__ca")
     val remB = col("__db") + col("__cb")
     // at-risk = side total minus everything that died/censored at
     // STRICTLY earlier times (exclusive running frame — subjects at t
-    // are still at risk at t)
-    val terms = cells.select(grp ++ Seq(col("__t"), col("__da"),
+    // are still at risk at t; per stratum when stratified)
+    val terms = cells.select(grp ++ stKey ++ Seq(col("__t"), col("__da"),
       col("__db"), col("__ca"), col("__cb"),
       (sum(remA).over(wAll) -
         coalesce(sum(remA).over(wCum), lit(0L))).as("__na"),
@@ -2457,15 +2633,24 @@ object Probes {
       .otherwise(lit(0.0))
     val withTerms = terms
       .withColumn("__oe", oeTerm).withColumn("__v", vTerm)
+    // the fold pin carries the stratum FIRST when stratified — the
+    // per-stratum term runs stay contiguous, so one stratum reduces
+    // to the unstratified fold order exactly
+    val pin =
+      if (strataCols.isEmpty) col("__t")
+      else struct(col("__st"), col("__t"))
+    val strataAggs: Seq[Column] =
+      if (strataCols.isEmpty) Nil
+      else Seq(countDistinct(col("__st")).as("n_strata"))
     val agg =
       (if (grp.isEmpty) withTerms.groupBy()
        else withTerms.groupBy(grp: _*))
         .agg(sum(col("__da") + col("__ca")).as("n_a"),
-          sum(col("__db") + col("__cb")).as("n_b"),
-          sum(col("__da")).as("deaths_a"),
-          sum(col("__db")).as("deaths_b"),
-          pinnedFold(col("__t"), col("__oe"), exactOrder).as("__osum"),
-          pinnedFold(col("__t"), col("__v"), exactOrder).as("__vsum"))
+          (Seq(sum(col("__db") + col("__cb")).as("n_b"),
+            sum(col("__da")).as("deaths_a"),
+            sum(col("__db")).as("deaths_b")) ++ strataAggs ++ Seq(
+            pinnedFold(pin, col("__oe"), exactOrder).as("__osum"),
+            pinnedFold(pin, col("__v"), exactOrder).as("__vsum"))): _*)
     // Pike's hazard-ratio estimate (O_a/E_a)/(O_b/E_b) — the effect
     // SIZE beside the unweighted test's z ("side A churns 1.4× as
     // fast"), with E_a = O_a − Σ(O−E) and E_b = O_b + Σ(O−E) read off
@@ -2481,10 +2666,55 @@ object Probes {
           eA > 0.0 && eB > 0.0,
         (col("deaths_a").cast("double") / eA) /
           (col("deaths_b").cast("double") / eB)).as("hazard_ratio"))
+    val stOut: Seq[Column] =
+      if (strataCols.isEmpty) Nil else Seq(col("n_strata"))
     agg.select(grp ++ Seq(col("n_a"), col("n_b"), col("deaths_a"),
-      col("deaths_b"), col("__osum").as(oeName)) ++ hr ++ Seq(
+      col("deaths_b")) ++ stOut ++ Seq(col("__osum").as(oeName)) ++
+      hr ++ Seq(
       when(col("__vsum") > 0.0, col("__osum") / sqrt(col("__vsum")))
         .as("z")): _*)
+  }
+
+  /** Stratified log-rank test per group — the CONFOUNDER-ADJUSTED
+    * churn comparison, the first follow-up question after a
+    * [[logRankTest]] verdict: "is the churn gap real, or just the
+    * platform mix?" A marginal two-sample comparison confounds the
+    * side effect with any covariate whose distribution differs
+    * between sides; the stratified Mantel–Cox computes the O−E and
+    * hypergeometric-variance terms WITHIN each stratum (each
+    * stratum's own risk sets, its own distinct-time sequence — a
+    * stratum is its own little log-rank) and sums the per-stratum
+    * folds into ONE z:
+    *   `z = Σ_s Σ_t (O−E)_st / √(Σ_s Σ_t V_st)`
+    * — sides are only ever compared against same-stratum peers, so a
+    * covariate that is constant within strata cannot move the
+    * statistic at all.
+    *
+    * The whole dag is the [[logRankTest]] `logRankImpl` definition
+    * with the stratum struct folded into the cells/window keys —
+    * censoring contract, exact-integer term numerators, degenerate
+    * reads all STRUCTURAL, and one stratum reduces to
+    * [[logRankTest]] EXACTLY (same cells, same fold order —
+    * spec-pinned to zero tolerance). A stratum where one side is
+    * empty contributes exact-0 terms (d_a·n = d·n_a when n_a = 0 on
+    * every factor — spec-pinned): it carries no comparative
+    * information, not noise. Pike's hazard ratio generalizes off the
+    * same summed folds (the stratum-adjusted rate ratio). NULL
+    * side/time/censored/stratum rows drop. Scale shape: one hash-agg
+    * to (group, stratum, time) cells, per-stratum windows, one fold —
+    * the [[logRankTest]] cost class with strata multiplying the CELL
+    * count only (quantize time so per-(group, stratum) distinct times
+    * stay bounded). Output per group: `n_a, n_b, deaths_a, deaths_b,
+    * n_strata, o_minus_e, hazard_ratio, z`. */
+  def logRankStratified(side: Column, time: Column, censored: Column,
+      strataCols: Seq[String], groupCols: Seq[String] = Nil,
+      exactOrder: Boolean = true)(df: DataFrame): DataFrame = {
+    require(strataCols.nonEmpty,
+      "strataCols must be non-empty — use logRankTest for the " +
+        "unstratified comparison")
+    logRankImpl(side, time, censored, groupCols, exactOrder,
+      weighted = false, oeName = "o_minus_e",
+      strataCols = strataCols)(df)
   }
 
   /** k-sample log-rank per group — [[logRankTest]] when there are k
@@ -2510,10 +2740,18 @@ object Probes {
     * full (k−1)×(k−1) covariance inverse, which would buy a matrix
     * inversion per group for a correction that vanishes as risk sets
     * grow; a variant with E_v = 0 has O_v = 0 and contributes exact
-    * 0). `reject` gates at `chi2Crit` — 5.99 IS the 95% gate at
-    * k = 3 (no p-value, the no-libm doctrine). Degenerate reads: no
-    * deaths anywhere or k < 2 → NULL χ² with honest counts; zero V_v
-    * → NULL z_v. Censoring contract = [[logRankTest]] verbatim. NULL
+    * 0). `reject` gates at the 95% χ²_{k−1} critical value picked BY
+    * THE OBSERVED k from a stored df 1..8 quantile table (3.841,
+    * 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507 — data, not
+    * libm; the r19 ADVICE fix for the fixed-crit default that was
+    * anti-conservative at k ≥ 4), so the gate is df-correct whatever
+    * k the data carries; k − 1 > 8 reads NULL `reject` (no stored
+    * gate — χ² still reported for the consumer's own quantile). Pass
+    * `chi2Crit = Some(c)` to override with an explicit critical
+    * value (a different α, a df past the table) — the caller then
+    * owns the df match. Degenerate reads: no deaths anywhere or
+    * k < 2 → NULL χ² with honest counts; zero V_v → NULL z_v.
+    * Censoring contract = [[logRankTest]] verbatim. NULL
     * variant/time/censored rows drop.
     *
     * Scale shape: one hash-agg to (group, variant, time) cells, a
@@ -2528,13 +2766,13 @@ object Probes {
     * the group-level verdict beside each arm's readout). */
   def logRankK(variant: Column, time: Column, censored: Column,
       groupCols: Seq[String] = Nil, exactOrder: Boolean = true,
-      maxK: Int = 32, chi2Crit: Double = 5.99)(df: DataFrame)
+      maxK: Int = 32, chi2Crit: Option[Double] = None)(df: DataFrame)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxK >= 2 && maxK <= 256,
       s"maxK must be in [2, 256], got $maxK")
-    require(chi2Crit > 0.0 && chi2Crit <= 1000.0,
-      s"chi2Crit must be in (0, 1000]: $chi2Crit")
+    chi2Crit.foreach(c => require(c > 0.0 && c <= 1000.0,
+      s"chi2Crit must be in (0, 1000]: $c"))
     val grp = groupCols.map(col)
     def d38(c: Column) = c.cast("decimal(38,0)")
     val base = df
@@ -2619,14 +2857,34 @@ object Probes {
        else perArm.join(totals, groupCols).join(omnibus, groupCols))
     val chi2 = when(col("__k") >= 2L && col("__dtot") > 0L,
       col("__chi2"))
+    // the 95% gate picked by df = k − 1 from the stored quantile
+    // table (data, not libm) unless the caller supplied an explicit
+    // crit; df > 8 with no override → NULL reject, honest chi2
+    val critCol = chi2Crit match {
+      case Some(c) => lit(c)
+      case None => chi2Crit95.foldLeft(lit(null).cast("double")) {
+        case (acc, (df, c)) => when(col("__k") === (df + 1L), lit(c))
+          .otherwise(acc)
+      }
+    }
     joined.select(grp ++ Seq(col("__v").as("variant"), col("n"),
       col("deaths"), col("__e").as("expected"),
       col("__osum").as("o_minus_e"),
       when(col("__vsum") > 0.0, col("__osum") / sqrt(col("__vsum")))
         .as("z"),
       col("__k").as("k"), chi2.as("chi2"),
-      coalesce(chi2 > lit(chi2Crit), lit(false)).as("reject")): _*)
+      when(critCol.isNotNull, coalesce(chi2 > critCol, lit(false)))
+        .as("reject")): _*)
   }
+
+  /** The stored 95% χ² critical values for df 1..8 (Abramowitz &
+    * Stegun table values — DATA shipped with the op, not a libm
+    * quantile), keyed by df so [[logRankK]]'s `reject` gate is
+    * df-correct for the observed k (r19 ADVICE: a fixed default crit
+    * was anti-conservative the moment k ≠ its documented df). */
+  private val chi2Crit95: Seq[(Long, Double)] = Seq(
+    1L -> 3.841, 2L -> 5.991, 3L -> 7.815, 4L -> 9.488,
+    5L -> 11.070, 6L -> 12.592, 7L -> 14.067, 8L -> 15.507)
 
   /** The shared complete-block screen of the paired-k tests
     * ([[friedmanTest]], [[cochranQ]]): `base` must carry the block as
@@ -3598,15 +3856,128 @@ object Probes {
       pa, pb, riskDiff, z.as("z")): _*)
   }
 
+  /** Cochran–Armitage trend test per group — the PROPORTIONS corner
+    * of the ordered-alternative matrix ([[jonckheereTerpstra]] =
+    * continuous unpaired, [[pageTest]] = paired; this = success RATES
+    * across ordered doses — the funnel/rollout sweep every gated
+    * pipeline runs: does the pass rate rise monotonically with the
+    * exposure tier?). [[proportionZTest]] compares two rates;
+    * [[cochranQ]] asks "did ANY arm move"; this spends its one degree
+    * of freedom on the ORDERED alternative and beats both on a
+    * monotone dose response.
+    *
+    * With dose scores w_i (the dose VALUES — integer by contract, see
+    * below), per-dose trials n_i and successes k_i, n = Σn_i,
+    * K = Σk_i:
+    *   `T = n·Σw_i·k_i − K·Σw_i·n_i  (= Σ w_i(k_i·n − n_i·K))`
+    *   `Var(T) = K(n−K)·(n·Σw_i²n_i − (Σw_i·n_i)²) / n`
+    * — the prop.trend.test normalization, chosen (over the
+    * hypergeometric (n−1) variant) precisely so k = 2 with scores
+    * {0, 1} reduces to [[proportionZTest]]'s pooled z ALGEBRAICALLY
+    * (property-spec-pinned); `z = T/√Var(T)`, positive when the rate
+    * RISES with dose. Every Σ is an exact decimal(38,0) hash-agg off
+    * exact integer counts; the two Var legs multiply as doubles of
+    * exact integers (the [[mannKendall]] cross-product spelling) into
+    * one division — no libm, no p-value: |z| ≥ 1.96 IS the two-sided
+    * 95% gate, 1.64 the one-sided. Score algebra is exact: shifting
+    * all doses by a constant leaves T and Var IDENTICAL (integer
+    * legs), reversing the dose order negates z exactly — both
+    * property-spec-pinned.
+    *
+    * INTEGER-SCORE CONTRACT: dose values must be integers with
+    * |w| ≤ 1e6 (dose indices, day numbers, exposure tiers) so every
+    * leg stays exact in decimal(38,0); a fractional or oversized dose
+    * raises LOUDLY (the quantize9 silent-vs-loud doctrine) — rescale
+    * the dose axis first. Degenerate reads: one dose level, K = 0,
+    * K = n, or constant scores → zero variance → NULL z with honest
+    * counts. NULL dose/success rows drop.
+    *
+    * Scale shape: one hash-agg to (group, dose) cells, one k-sized
+    * group agg, full stop — no windows, no joins. Output per group:
+    * `k, n, successes, t_trend, z`. */
+  def cochranArmitage(dose: Column, success: Column,
+      groupCols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val grp = groupCols.map(col)
+    val wD = dose.cast("double")
+    val base = df
+      .filter(dose.isNotNull && success.isNotNull)
+      .select(grp :+
+        when(wD =!= floor(wD) || abs(wD) > lit(1.0e6),
+          raise_error(concat(lit("cochranArmitage: dose score "),
+            wD.cast(StringType),
+            lit(" is not an integer in [-1e6, 1e6] — scores must be" +
+              " exact small integers (dose indices); rescale the" +
+              " dose axis"))).cast("long"))
+          .otherwise(wD.cast("long")).as("__w") :+
+        success.cast("boolean").as("__s"): _*)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val cells = base.groupBy(grp :+ col("__w"): _*)
+      .agg(count(lit(1)).as("__ni"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("__ki"))
+    val agg =
+      (if (grp.isEmpty) cells.groupBy() else cells.groupBy(grp: _*))
+        .agg(count(lit(1)).as("k"),
+          sum(col("__ni")).as("n"),
+          sum(col("__ki")).as("successes"),
+          sum(d38(col("__w")) * d38(col("__ni"))).as("__swn"),
+          sum(d38(col("__w")) * d38(col("__w")) * d38(col("__ni")))
+            .as("__sw2n"),
+          sum(d38(col("__w")) * d38(col("__ki"))).as("__swk"))
+    val n38 = d38(col("n"))
+    val k38 = d38(col("successes"))
+    val t = n38 * col("__swk") - k38 * col("__swn")
+    val varA = k38 * (n38 - k38)
+    val varB = n38 * col("__sw2n") - col("__swn") * col("__swn")
+    val varT = varA.cast("double") * varB.cast("double") /
+      col("n").cast("double")
+    agg.select(grp ++ Seq(col("k"), col("n"), col("successes"),
+      t.cast("double").as("t_trend"),
+      when(col("k") >= 2 && varT > 0.0,
+        t.cast("double") / sqrt(varT)).as("z")): _*)
+  }
+
+  /** The exact two-middle-ranks selection median of the Theil–Sen
+    * family ([[theilSen]], [[seasonalTheilSen]]): rows row_number-
+    * pinned by (value, tie columns) within each `gName` partition,
+    * the median read as `(min + max)/2` of the one or two middle rows
+    * (odd/even) — a fixed dag over order-free extrema, no
+    * accumulation anywhere. Spark's `/` on longs is TRUE division
+    * (double) — floor+cast makes both middle indices the integer
+    * ranks the oracle's `//` computes. Returns per-key
+    * `(gName, cntOut, out)`. ONE definition so the pooled seasonal
+    * median provably selects exactly as the plain estimator. */
+  private def selectionMedian(frame: DataFrame, gName: String,
+      v: String, ties: Seq[String], out: String,
+      cntOut: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(gName))
+      .orderBy(col(v) +: ties.map(col): _*)
+    val wAll = Window.partitionBy(col(gName))
+    val ranked = frame
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__c", count(lit(1)).over(wAll))
+    ranked
+      .filter(col("__rn") === floor((col("__c") + 1) / 2).cast("long") ||
+        col("__rn") === floor(col("__c") / 2).cast("long") + 1)
+      .groupBy(col(gName))
+      .agg(max(col("__c")).as(cntOut),
+        ((min(col(v)) + max(col(v))) / lit(2.0)).as(out))
+  }
+
   /** The shared slope-pair frame of the Theil–Sen family
-    * ([[theilSen]], [[theilSenCI]]): NULL-dropped points as
-    * `(__g, __i, __x, __y)`, the [[pairSizeGuard]]-guarded `i_a < i_b`
-    * self-join with vertical pairs dropped, and the per-pair slope
-    * `__s` — ONE definition so the CI's "same slopes as the
-    * estimator" promise is structural, not textual (the
-    * `logRankImpl` discipline). Returns (base, sized, pairs). */
+    * ([[theilSen]], [[theilSenCI]], [[seasonalTheilSen]]):
+    * NULL-dropped points as `(__g, __i, __x, __y)`, the
+    * [[pairSizeGuard]]-guarded `i_a < i_b` self-join with vertical
+    * pairs dropped, and the per-pair slope `__s` — ONE definition so
+    * the CI's "same slopes as the estimator" promise is structural,
+    * not textual (the `logRankImpl` discipline). `op` names the
+    * PUBLIC caller in the guard raises (the [[mannKendallStats]]
+    * lesson); the guard also enforces the unique-id contract
+    * (duplicate ids raise — r19 ADVICE). Returns
+    * (base, sized, pairs). */
   private def theilSenPairs(groupField: String, idField: String,
-      xField: String, yField: String, maxN: Int)(
+      xField: String, yField: String, maxN: Int,
+      op: String = "theilSen")(
       df: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     require(maxN >= 2 && maxN <= 100000,
       s"maxN must be in [2, 100000], got $maxN")
@@ -3618,8 +3989,8 @@ object Probes {
         col(yField).cast("double").as("__y"))
     // the quadratic guard, threaded onto side a so the raise fires
     // BELOW the pair join (the pairSizeGuard contract)
-    val sized = pairSizeGuard(base, "theilSen", maxN,
-      "trend a bounded slice")
+    val sized = pairSizeGuard(base, op, maxN,
+      "trend a bounded slice", Some(col("__i")))
     val a = base
       .join(sized.select(col("__g"), col("__n").as("__na")), Seq("__g"))
       .select(col("__g"), col("__i").as("__ia"),
@@ -3664,27 +4035,11 @@ object Probes {
     * `n, n_pairs, slope, intercept`. */
   def theilSen(groupField: String, idField: String, xField: String,
       yField: String, maxN: Int = 10000)(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (base, sized, pairs) = theilSenPairs(groupField, idField,
       xField, yField, maxN)(df)
     def medianOf(frame: DataFrame, v: String, ties: Seq[String],
-        out: String, cntOut: String): DataFrame = {
-      val wOrd = Window.partitionBy(col("__g"))
-        .orderBy(col(v) +: ties.map(col): _*)
-      val wAll = Window.partitionBy(col("__g"))
-      val ranked = frame
-        .withColumn("__rn", row_number().over(wOrd).cast("long"))
-        .withColumn("__c", count(lit(1)).over(wAll))
-      // Spark's `/` on longs is TRUE division (double) — floor+cast
-      // makes both middle indices the integer ranks the oracle's `//`
-      // computes
-      ranked
-        .filter(col("__rn") === floor((col("__c") + 1) / 2).cast("long") ||
-          col("__rn") === floor(col("__c") / 2).cast("long") + 1)
-        .groupBy(col("__g"))
-        .agg(max(col("__c")).as(cntOut),
-          ((min(col(v)) + max(col(v))) / lit(2.0)).as(out))
-    }
+        out: String, cntOut: String): DataFrame =
+      selectionMedian(frame, "__g", v, ties, out, cntOut)
     val ms = medianOf(pairs, "__s", Seq("__ia", "__ib"),
       "slope", "n_pairs")
     val res = base.join(ms.select(col("__g"), col("slope")), Seq("__g"))
@@ -3752,9 +4107,11 @@ object Probes {
     require(maxN >= 2 && maxN <= 100000,
       s"maxN must be in [2, 100000], got $maxN")
     // the quadratic guard, threaded onto side a so the raise fires
-    // BELOW the pair join (the pairSizeGuard contract)
+    // BELOW the pair join (the pairSizeGuard contract); duplicate ids
+    // raise too — the variance legs count n(n−1)/2 pairs arithmetically
+    // while duplicate ids shrink the real frame (r19 ADVICE)
     val sized = pairSizeGuard(base, op, maxN,
-      "trend a bounded slice")
+      "trend a bounded slice", Some(col("__i")))
     val a = base
       .join(sized.select(col("__g"), col("__n").as("__na")), Seq("__g"))
       .select(col("__g"), col("__i").as("__ia"),
@@ -3818,7 +4175,10 @@ object Probes {
     * No p-value (the no-libm doctrine): |z| ≥ 1.96 IS the 95% gate,
     * 1.64 the one-sided. Degenerate reads: zero variance (all values
     * or all times tied, or n < 2) → NULL z with the honest exact S.
-    * NULL id/time/value rows drop.
+    * NULL id/time/value rows drop. UNIQUE-ID CONTRACT: the variance
+    * legs count n(n−1)/2 pairs arithmetically while duplicate ids
+    * silently shrink the real `i_a < i_b` frame — the shared guard
+    * raises loudly on duplicate ids (r19 ADVICE).
     *
     * Scale shape: the guarded pair join + three hash-aggs (pairs,
     * value ties, time ties). Output per group: `n, s, var_s, z`. */
@@ -3910,8 +4270,13 @@ object Probes {
     * the trend"); zero variance or no valid pairs → NULL limits with
     * the honest slope/counts. Pair frame, guard, and vertical-pair
     * drop are ONE shared [[theilSenPairs]] definition with the
-    * estimator. Scale shape: the guarded pair join + one rank window
-    * + three hash-aggs. Output per group:
+    * estimator. UNIQUE-ID CONTRACT: N′ derives arithmetically from n
+    * and the x-tie mass, which assumes one row per id — duplicate ids
+    * would shrink the real `i_a < i_b` frame while the formula still
+    * counts those pairs, landing rank selections on nonexistent
+    * ranks; the shared guard raises loudly on duplicate ids instead
+    * (r19 ADVICE). Scale shape: the guarded pair join + one rank
+    * window + three hash-aggs. Output per group:
     * `n, n_pairs, slope, slope_lo, slope_hi`. */
   def theilSenCI(groupField: String, idField: String, xField: String,
       yField: String, maxN: Int = 10000, zCrit: Double = 1.96)(
@@ -3920,7 +4285,7 @@ object Probes {
     require(zCrit > 0.0 && zCrit <= 100.0,
       s"zCrit must be in (0, 100]: $zCrit")
     val (base, sized, pairs) = theilSenPairs(groupField, idField,
-      xField, yField, maxN)(df)
+      xField, yField, maxN, op = "theilSenCI")(df)
     def d38(c: Column) = c.cast("decimal(38,0)")
     // the SAME Mann–Kendall tie masses and variance dag over the same
     // points — t over values, u over times (one shared definition,
@@ -3969,6 +4334,59 @@ object Probes {
         col("__np").as("n_pairs"),
         ((col("__sm1") + col("__sm2")) / lit(2.0)).as("slope"),
         col("__slo").as("slope_lo"), col("__shi").as("slope_hi"))
+  }
+
+  /** Seasonal Theil–Sen slope per group — the de-seasonalized drift
+    * RATE completing the seasonal pair: [[seasonalMannKendall]] gates
+    * whether a trend EXISTS underneath a periodic cycle; this states
+    * HOW FAST it moves with the cycle cancelled by construction
+    * (Hirsch–Slack 1984, the seasonal-Kendall slope): only SAME-
+    * SEASON pairs produce slopes — a winter observation never pairs
+    * with a summer one, so the seasonal shape contributes no pair —
+    * and the estimate is the median over the POOLED per-season
+    * slopes, exactly as Hirsch defines it.
+    *
+    * The pair frame is the EXACT [[theilSen]] dag keyed by a
+    * (group, season) struct (one shared [[theilSenPairs]] definition
+    * — guard, vertical-pair drop, unique-id contract and slope
+    * expression all structural, with the per-(group, season) slice
+    * bounded by `maxN`), and the pooled median is the same
+    * two-middle-ranks exact selection ([[selectionMedian]] — one
+    * definition), pinned by (slope, season, id_a, id_b) for
+    * determinism through cross-season ties. One season reduces to
+    * [[theilSen]]'s slope EXACTLY (identical pair set, identical
+    * selection — spec-pinned). No intercept by design: the
+    * de-seasonalized levels differ per season by construction, so no
+    * single intercept is meaningful — run [[theilSen]] per
+    * (group, season) slice for per-season lines.
+    *
+    * Degenerate reads: a group with no valid same-season pairs (every
+    * season a single point, or all x tied within season) reads NULL
+    * slope with honest counts. NULL season/id/x/y rows drop. Scale
+    * shape: the guarded per-season pair join + one pooled rank window
+    * + two hash-aggs. Output per group:
+    * `n, n_seasons, n_pairs, slope`. */
+  def seasonalTheilSen(groupField: String, seasonField: String,
+      idField: String, xField: String, yField: String,
+      maxN: Int = 10000)(df: DataFrame): DataFrame = {
+    val withKey = df
+      .filter(col(seasonField).isNotNull)
+      .withColumn("__gs", struct(col(groupField).as("g"),
+        col(seasonField).as("sea")))
+    val (_, sized, pairs) = theilSenPairs("__gs", idField, xField,
+      yField, maxN, op = "seasonalTheilSen")(withKey)
+    val szAgg = sized
+      .select(col("__g").getField("g").as("__grp"), col("__n"))
+      .groupBy(col("__grp"))
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("n_seasons"))
+    val pooled = pairs.select(col("__g").getField("g").as("__grp"),
+      col("__g").getField("sea").as("__sea"),
+      col("__s"), col("__ia"), col("__ib"))
+    val ms = selectionMedian(pooled, "__grp", "__s",
+      Seq("__sea", "__ia", "__ib"), "slope", "n_pairs")
+    szAgg.join(ms, Seq("__grp"), "left")
+      .select(col("__grp").as(groupField), col("n"), col("n_seasons"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
   }
 
   /** McNemar's test — the PAIRED classifier comparison: two systems

@@ -903,10 +903,21 @@ object Streaming {
     * and the gate is the per-bucket binomial z against the reference
     *   `z_b = (deaths_b − at_risk_b·r_b) / √(at_risk_b·r_b·(1−r_b))`
     * — exact integer counts into one fixed IEEE dag per bucket, with
-    * `drift = max_b |z_b| > zCrit` (1.96 IS the per-bucket 95% gate;
-    * the max runs over ≤ 32 correlated buckets — pass a
-    * Bonferroni-adjusted `zCrit` for family-wise control). No
-    * p-value, no libm.
+    * `drift = max_b |z_b| > zCrit`. CAVEAT on `zCrit` (r19 ADVICE —
+    * this is a MAX over up to 32 per-bucket z tests): 1.96 is the
+    * 95% gate PER BUCKET, so the family-wise false-alarm rate of the
+    * default drift verdict sits well above 5% — fine for a paging
+    * alarm that a human triages, wrong for an automated rollback.
+    * For family-wise control set `bonferroni = true`: the gate
+    * becomes `zCrit·√m` (m = the count of reference buckets with a
+    * live gate, i.e. r ∈ (0,1)), which under the house
+    * distribution-free Chebyshev envelope `p ≤ 1/z²` caps each
+    * bucket's tail at `1/(zCrit²·m)` and the union bound caps the
+    * family at `1/zCrit²` — valid for ANY distribution, no libm;
+    * under normality it is conservative (the exact normal Bonferroni
+    * z for α = 5%, m = 6 would be ≈ 2.64 where this gates at 4.80).
+    * Per-bucket `z` values are emitted un-inflated either way — the
+    * flag moves only the `drift` threshold. No p-value, no libm.
     *
     * Honest reads: durations past the grid stay in every bucket's
     * risk set but their deaths fall OUTSIDE the declared horizon and
@@ -932,6 +943,7 @@ object Streaming {
       refHazard: Seq[Double],
       bucketWidth: Double,
       zCrit: Double = 1.96,
+      bonferroni: Boolean = false,
       tsField: String = "ts",
       windowLength: String = "1 hour",
       watermarkDelay: String = "10 minutes"): DataFrame = {
@@ -944,6 +956,13 @@ object Streaming {
       s"bucketWidth must be positive: $bucketWidth")
     require(zCrit > 0.0 && zCrit <= 100.0,
       s"zCrit must be in (0, 100]: $zCrit")
+    // family-wise drift gate: zCrit·√m over the m live-gated buckets
+    // (Chebyshev-envelope Bonferroni — see the scaladoc); a driver
+    // constant, so the executor dag is one literal either way
+    val mLive = refHazard.count(r => r > 0.0 && r < 1.0)
+    val zGate =
+      if (bonferroni && mLive > 0) zCrit * math.sqrt(mLive.toDouble)
+      else zCrit
     val base = events
       .select(col(tsField), duration.cast("double").as("__dur"),
         censored.cast("boolean").as("__cen"))
@@ -992,7 +1011,7 @@ object Streaming {
         col("__w.end").as("window_end"), col("n_window"),
         (col("__n_total") - col("n_window")).as("n_dropped"),
         maxAbs.as("max_abs_z"),
-        when(maxAbs.isNotNull, maxAbs > lit(zCrit)).as("drift"),
+        when(maxAbs.isNotNull, maxAbs > lit(zGate)).as("drift"),
         explode(bucketStructs).as("__b"))
       .select(col("window_start"), col("window_end"), col("n_window"),
         col("n_dropped"), col("__b.bucket").as("bucket"),

@@ -91,6 +91,8 @@ class PlanAuditSpec extends SparkSpec {
     "logrank_test",      // same one-row corpus-max-ts broadcast on the same subject frame
     "logrank_gehan",     // same one-row corpus-max-ts broadcast on the same subject frame
     "logrank_k",         // same one-row corpus-max-ts broadcast on the same subject frame
+    "logrank_stratified", // same one-row corpus-max-ts broadcast on the same subject frame
+    "logrank_bh",        // the logrank_k arm z's through chebyshevP->bhCorrect — same build
     "rmst_retention",    // same one-row corpus-max-ts broadcast on the same subject frame
     "survival_median",   // same one-row corpus-max-ts broadcast on the same subject frame
     "corpus_divergence") // broadcast bounded top-V+1 term frame + one-row totals

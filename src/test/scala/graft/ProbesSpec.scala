@@ -1426,6 +1426,78 @@ class ProbesSpec extends SparkSpec {
     assert(bm > 1.96 && mw > 1.96)
   }
 
+  test("hodgesLehmann: hand ranks, shift equivariance, swap negation, CI brackets") {
+    import spark.implicits._
+    def run(pts: Seq[(Boolean, Double)]) =
+      Probes.hodgesLehmann(col("a"), col("x"), "i")(
+        pts.zipWithIndex.map { case ((a, x), i) =>
+          (a, i.toLong, x) }.toDF("a", "i", "x")).head()
+    // hand fixture: A = {1,3,5}, B = {2,4} — differences sorted
+    // (-3,-1,-1,1,1,3), N = 6, median ranks 3,4 -> shift 0.0;
+    // no ties, Var(U) = 3·2/12·6 = 3, C = 1.96·√12 = 6.79 ≥ N →
+    // clamps to the extreme differences (the honestly-wide read)
+    val hand = Seq((true, 1.0), (true, 3.0), (true, 5.0),
+      (false, 2.0), (false, 4.0))
+    val h = run(hand)
+    assert(h.getAs[Long]("n_a") === 3L && h.getAs[Long]("n_b") === 2L &&
+      h.getAs[Long]("n_pairs") === 6L)
+    assert(h.getAs[Double]("shift") === 0.0)
+    assert(h.getAs[Double]("shift_lo") === -3.0 &&
+      h.getAs[Double]("shift_hi") === 3.0)
+    // location equivariance: +c on side A moves estimate and both
+    // limits by EXACTLY +c (half-integer A keeps the pool tie-free
+    // before AND after the shift, so Var(U) and the rank choices are
+    // identical and every add is IEEE-exact)
+    val big = (1 to 15).map(i => (true, i + 7.5)) ++
+      (1 to 15).map(i => (false, i.toDouble))
+    val b0 = run(big)
+    val bc = run(big.map { case (a, x) => (a, if (a) x + 5.0 else x) })
+    assert(bc.getAs[Double]("shift") === b0.getAs[Double]("shift") + 5.0)
+    assert(bc.getAs[Double]("shift_lo") ===
+      b0.getAs[Double]("shift_lo") + 5.0)
+    assert(bc.getAs[Double]("shift_hi") ===
+      b0.getAs[Double]("shift_hi") + 5.0)
+    // the CI brackets the estimate, and the un-clamped width is
+    // finite on the shifted fixture
+    assert(b0.getAs[Double]("shift_lo") <= b0.getAs[Double]("shift") &&
+      b0.getAs[Double]("shift") <= b0.getAs[Double]("shift_hi"))
+    // side swap negates the estimate exactly (odd-N median selection
+    // mirrors), and the limits swap-negate
+    val asym = Seq((true, 1.0), (true, 3.0), (true, 5.0),
+      (false, 2.0), (false, 4.0), (false, 10.0))
+    val s0 = run(asym)
+    val s1 = run(asym.map { case (a, x) => (!a, x) })
+    assert(s1.getAs[Double]("shift") === -s0.getAs[Double]("shift"))
+    assert(s1.getAs[Double]("shift_lo") ===
+      -s0.getAs[Double]("shift_hi"))
+    assert(s1.getAs[Double]("shift_hi") ===
+      -s0.getAs[Double]("shift_lo"))
+    // sign agreement with cliffs_delta on the clear shift
+    val mw = Probes.mannWhitneyU(col("a"), col("x"))(
+      big.toDF("a", "x")).head()
+    assert(b0.getAs[Double]("shift") > 0.0 &&
+      mw.getAs[Double]("cliffs_delta") > 0.0)
+    // degenerate reads: empty side -> NULL everything, honest counts;
+    // all values tied -> honest 0 estimate, NULL limits
+    val oneSide = run(Seq((true, 1.0), (true, 2.0)))
+    assert(oneSide.getAs[Long]("n_pairs") === 0L &&
+      oneSide.isNullAt(oneSide.fieldIndex("shift")) &&
+      oneSide.isNullAt(oneSide.fieldIndex("shift_lo")))
+    val flat = run(Seq((true, 5.0), (false, 5.0), (true, 5.0)))
+    assert(flat.getAs[Double]("shift") === 0.0 &&
+      flat.isNullAt(flat.fieldIndex("shift_lo")))
+    // the quadratic guard fails loudly past maxN, naming the op
+    val ex = intercept[Exception] {
+      Probes.hodgesLehmann(col("a"), col("x"), "i", maxN = 2)(
+        hand.zipWithIndex.map { case ((a, x), i) => (a, i.toLong, x) }
+          .toDF("a", "i", "x")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("hodgesLehmann") &&
+      m.contains("O(n^2)")))
+  }
+
   test("logRankTest: hand O-E/V/z, side swap negates, balanced zero, no-deaths NULL") {
     import spark.implicits._
     // micro fixture (py-validated): A death@1 + censored@2, B deaths
@@ -1496,6 +1568,62 @@ class ProbesSpec extends SparkSpec {
       .head()
     assert(rc.getAs[Long]("n_a") === 1L &&
       rc.isNullAt(rc.fieldIndex("z")))
+  }
+
+  test("logRankStratified: one stratum is logRankTest, confounder cancels, empty-side stratum") {
+    import spark.implicits._
+    // one stratum ≡ logRankTest to ZERO tolerance: same cells, same
+    // term sequence, same fold order (the struct pin's first field is
+    // constant, so the fold still walks time order)
+    val d2 = Seq((true, 1L, false, "s"), (true, 2L, true, "s"),
+      (false, 2L, false, "s"), (false, 3L, false, "s"))
+      .toDF("a", "t", "c", "st")
+    val one = Probes.logRankStratified(col("a"), col("t"), col("c"),
+      Seq("st"))(d2).head()
+    val plain = Probes.logRankTest(col("a"), col("t"), col("c"))(d2)
+      .head()
+    assert(one.getAs[Double]("z") === plain.getAs[Double]("z"))
+    assert(one.getAs[Double]("o_minus_e") ===
+      plain.getAs[Double]("o_minus_e"))
+    assert(one.getAs[Double]("hazard_ratio") ===
+      plain.getAs[Double]("hazard_ratio"))
+    assert(one.getAs[Long]("n_strata") === 1L)
+    // the confounder demo: within each stratum the sides share one
+    // time distribution (every per-time O−E term is exact 0), but
+    // stratum x is A-heavy and short-lived while y is B-heavy and
+    // long-lived — the MARGINAL test reads a spurious gap, the
+    // stratified test reads exact 0
+    val conf = Seq(
+      (true, 1L, false, "x"), (true, 1L, false, "x"),
+      (true, 2L, false, "x"), (true, 2L, false, "x"),
+      (false, 1L, false, "x"), (false, 2L, false, "x"),
+      (true, 7L, false, "y"), (true, 8L, false, "y"),
+      (false, 7L, false, "y"), (false, 7L, false, "y"),
+      (false, 8L, false, "y"), (false, 8L, false, "y"))
+    val st = Probes.logRankStratified(col("a"), col("t"), col("c"),
+      Seq("st"))(conf.toDF("a", "t", "c", "st")).head()
+    assert(st.getAs[Double]("o_minus_e") === 0.0 &&
+      st.getAs[Double]("z") === 0.0 &&
+      st.getAs[Long]("n_strata") === 2L)
+    val marg = Probes.logRankTest(col("a"), col("t"), col("c"))(
+      conf.toDF("a", "t", "c", "st")).head()
+    assert(marg.getAs[Double]("o_minus_e") > 0.0)
+    // an all-A stratum contributes exact-0 terms: o_minus_e and z are
+    // IDENTICAL with it present, its subjects still count in n_a;
+    // NULL-stratum rows drop entirely
+    val extra = Seq((true, 3L, false, "z1"), (true, 9L, false, "z1"),
+      (true, 4L, false, null.asInstanceOf[String]))
+    val st2 = Probes.logRankStratified(col("a"), col("t"), col("c"),
+      Seq("st"))((conf ++ extra).toDF("a", "t", "c", "st")).head()
+    assert(st2.getAs[Double]("o_minus_e") ===
+      st.getAs[Double]("o_minus_e"))
+    assert(st2.getAs[Double]("z") === st.getAs[Double]("z"))
+    assert(st2.getAs[Long]("n_a") === st.getAs[Long]("n_a") + 2L)
+    assert(st2.getAs[Long]("n_strata") === 3L)
+    // strataCols must be non-empty — the unstratified op exists
+    intercept[IllegalArgumentException] {
+      Probes.logRankStratified(col("a"), col("t"), col("c"), Nil)(d2)
+    }
   }
 
   test("logRankK: k=2 equals logRankTest exactly, hand 3-arm grid, guard, no-deaths NULL") {
@@ -1834,6 +1962,53 @@ class ProbesSpec extends SparkSpec {
       one.getAs[java.lang.Double]("z") == null)
   }
 
+  test("cochranArmitage: hand T/variance, k=2 is proportionZ, reversal/shift algebra") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Boolean)]) =
+      Probes.cochranArmitage(col("w"), col("s"))(rows.toDF("w", "s"))
+        .head()
+    def dose(w: Long, k: Int, n: Int): Seq[(Long, Boolean)] =
+      (0 until n).map(i => (w, i < k))
+    // hand: doses 0/1/2, 4 trials each, successes 1/2/3 —
+    // T = 12·8 − 6·12 = 24, Var = 36·96/12 = 288, z = 24/√288 = √2
+    val hand = dose(0L, 1, 4) ++ dose(1L, 2, 4) ++ dose(2L, 3, 4)
+    val h = run(hand)
+    assert(h.getAs[Long]("k") === 3L && h.getAs[Long]("n") === 12L &&
+      h.getAs[Long]("successes") === 6L)
+    assert(h.getAs[Double]("t_trend") === 24.0)
+    assert(math.abs(h.getAs[Double]("z") - math.sqrt(2.0)) < 1e-15)
+    // dose reversal (w -> 2 − w) negates T and z EXACTLY (integer
+    // legs); a constant shift (w -> w + 7) changes NOTHING
+    val rev = run(hand.map { case (w, s) => (2L - w, s) })
+    assert(rev.getAs[Double]("t_trend") === -24.0)
+    assert(rev.getAs[Double]("z") === -h.getAs[Double]("z"))
+    val shift = run(hand.map { case (w, s) => (w + 7L, s) })
+    assert(shift.getAs[Double]("t_trend") === h.getAs[Double]("t_trend"))
+    assert(shift.getAs[Double]("z") === h.getAs[Double]("z"))
+    // k = 2 with scores {0, 1} reduces to proportionZTest's pooled z
+    // (algebraically equal — distinct IEEE dags, so 1e-12)
+    val two = dose(0L, 1, 4) ++ dose(1L, 3, 4)
+    val ca = run(two)
+    val pz = Probes.proportionZTest(col("w") === 1L, col("s"))(
+      two.toDF("w", "s")).head()
+    assert(math.abs(ca.getAs[Double]("z") - pz.getAs[Double]("z"))
+      < 1e-12)
+    // degenerate reads: one dose level, or K = 0 / K = n → NULL z
+    assert(run(dose(1L, 2, 5)).getAs[java.lang.Double]("z") == null)
+    assert(run(dose(0L, 0, 3) ++ dose(1L, 0, 3))
+      .getAs[java.lang.Double]("z") == null)
+    assert(run(dose(0L, 3, 3) ++ dose(1L, 3, 3))
+      .getAs[java.lang.Double]("z") == null)
+    // the integer-score contract fails loudly on fractional doses
+    val ex = intercept[Exception] {
+      Probes.cochranArmitage(col("w"), col("s"))(
+        Seq((0.5, true), (1.0, false)).toDF("w", "s")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("cochranArmitage")))
+  }
+
   test("theilSen: outlier immunity, even-count median, vertical pairs, guard") {
     import spark.implicits._
     def run(pts: Seq[(Long, Double, Double)], maxN: Int = 10000) =
@@ -2010,6 +2185,105 @@ class ProbesSpec extends SparkSpec {
       seasonal.map { case (_, i, t, x) => ("g", i, t, x) }
         .toDF("g", "i", "t", "x")).head()
     assert(plain.getAs[Long]("s") === 3L && plain.getAs[Double]("z") > 0.0)
+  }
+
+  test("seasonalTheilSen: one season is theilSen, de-seasoning slope, pooled median") {
+    import spark.implicits._
+    def run(pts: Seq[(String, Long, Double, Double)]) =
+      Probes.seasonalTheilSen("g", "sea", "i", "x", "y")(
+        pts.map { case (s, i, x, y) => ("g", s, i, x, y) }
+          .toDF("g", "sea", "i", "x", "y")).head()
+    // ONE season reduces to theilSen's slope EXACTLY (identical pair
+    // set, identical selection median)
+    val pts1 = Seq((1L, 1.0, 1.0), (2L, 2.0, 3.0), (3L, 3.0, 2.0),
+      (4L, 4.0, 5.0), (5L, 5.0, 4.0))
+    val sts = run(pts1.map { case (i, x, y) => ("only", i, x, y) })
+    val ts = Probes.theilSen("g", "i", "x", "y")(
+      pts1.map { case (i, x, y) => ("g", i, x, y) }
+        .toDF("g", "i", "x", "y")).head()
+    assert(sts.getAs[Double]("slope") === ts.getAs[Double]("slope"))
+    assert(sts.getAs[Long]("n_pairs") === ts.getAs[Long]("n_pairs"))
+    assert(sts.getAs[Long]("n_seasons") === 1L)
+    // the de-seasoning point (the seasonalMannKendall fixture): each
+    // season's level rises while every season trends DOWN at −1 per
+    // step — the plain slope reads the cycle (positive), the
+    // same-season pooled slopes are all exactly −1
+    val seasonal = Seq(("a", 1L, 1.0, 12.0), ("a", 2L, 2.0, 11.0),
+      ("a", 3L, 3.0, 10.0), ("b", 4L, 4.0, 22.0),
+      ("b", 5L, 5.0, 21.0), ("b", 6L, 6.0, 20.0))
+    val de = run(seasonal)
+    assert(de.getAs[Long]("n") === 6L &&
+      de.getAs[Long]("n_seasons") === 2L &&
+      de.getAs[Long]("n_pairs") === 6L)
+    assert(de.getAs[Double]("slope") === -1.0)
+    val plainTs = Probes.theilSen("g", "i", "x", "y")(
+      seasonal.map { case (_, i, x, y) => ("g", i, x, y) }
+        .toDF("g", "i", "x", "y")).head()
+    assert(plainTs.getAs[Double]("slope") > 0.0)
+    // pooled EVEN-count median averages the two middle slopes across
+    // seasons: season a slopes {1, 1, 1}, season b {5} -> sorted
+    // (1,1,1,5), median (1+1)/2 = 1
+    val pool = run(Seq(("a", 1L, 1.0, 1.0), ("a", 2L, 2.0, 2.0),
+      ("a", 3L, 3.0, 3.0), ("b", 4L, 1.0, 0.0), ("b", 5L, 2.0, 5.0)))
+    assert(pool.getAs[Long]("n_pairs") === 4L &&
+      pool.getAs[Double]("slope") === 1.0)
+    // all seasons single-point: no pairs, NULL slope, honest counts
+    val lone = run(Seq(("a", 1L, 1.0, 1.0), ("b", 2L, 2.0, 9.0)))
+    assert(lone.getAs[Long]("n_pairs") === 0L &&
+      lone.getAs[Long]("n_seasons") === 2L &&
+      lone.isNullAt(lone.fieldIndex("slope")))
+  }
+
+  test("logRankK df-gate: reject picks the stored crit by observed k, override honored") {
+    import spark.implicits._
+    // a 4-arm fixture whose chi2 lands BETWEEN the k=3 gate (5.991)
+    // and the k=4 gate (7.815) would flip under the old fixed
+    // default; here we pin the mechanics both ways on a hand frame
+    val d3 = Seq(("A", 1L, false), ("B", 2L, false), ("C", 3L, true))
+      .toDF("v", "t", "c")
+    // chi2 = 2.2 at k = 3: default gate 5.991 -> false; an explicit
+    // tiny override -> true (the caller owns the df match)
+    val defRej = Probes.logRankK(col("v"), col("t"), col("c"))(d3)
+      .head()
+    assert(defRej.getAs[Long]("k") === 3L &&
+      !defRej.getAs[Boolean]("reject"))
+    val over = Probes.logRankK(col("v"), col("t"), col("c"),
+      chi2Crit = Some(2.0))(d3).head()
+    assert(over.getAs[Boolean]("reject"))
+    // df = k − 1 > 8 with no override: NULL reject, honest chi2
+    val many = (0 until 10).map(i =>
+      (s"v$i", (i % 4).toLong + 1L, false)).toDF("v", "t", "c")
+    val wide = Probes.logRankK(col("v"), col("t"), col("c"))(many)
+      .collect()
+    assert(wide.forall(r => r.getAs[Long]("k") === 10L &&
+      r.isNullAt(r.fieldIndex("reject")) &&
+      !r.isNullAt(r.fieldIndex("chi2"))))
+  }
+
+  test("pair ops raise loudly on duplicate ids (the arithmetic-pair-count contract)") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // theilSen family and mannKendall share the guarded frame: a
+    // duplicated id silently shrinks the i_a < i_b pair frame while
+    // N' and the variance legs still count those pairs — raise
+    val dup = Seq(("g", 1L, 1.0, 1.0), ("g", 2L, 2.0, 2.0),
+      ("g", 2L, 3.0, 3.0)).toDF("g", "i", "x", "y")
+    val e1 = intercept[Exception] {
+      Probes.theilSenCI("g", "i", "x", "y")(dup).collect()
+    }
+    assert(msgs(e1).exists(m => m.contains("duplicate id") &&
+      m.contains("theilSenCI")))
+    val e2 = intercept[Exception] {
+      Probes.mannKendall("g", "i", "t", "x")(
+        dup.toDF("g", "i", "t", "x")).collect()
+    }
+    assert(msgs(e2).exists(m => m.contains("duplicate id") &&
+      m.contains("mannKendall")))
+    // unique ids pass untouched
+    val ok = Seq(("g", 1L, 1.0, 1.0), ("g", 2L, 2.0, 2.0),
+      ("g", 3L, 3.0, 3.0)).toDF("g", "i", "x", "y")
+    assert(Probes.theilSen("g", "i", "x", "y")(ok).count() === 1L)
   }
 
   test("mannKendall agrees in sign with theilSen on a monotone fixture") {

@@ -1082,6 +1082,40 @@ class StreamingSpec extends SparkSpec {
     assert(degen(0).isNullAt(degen(0).fieldIndex("z")) &&
       degen(0).getAs[Long]("deaths") === 1L)
     assert(!degen(0).isNullAt(degen(0).fieldIndex("max_abs_z")))
+    // bonferroni = true inflates ONLY the drift gate to zCrit·√m
+    // (m = live-gated buckets): the spike window's max|z| = 2.0
+    // clears 1.96 but not 1.96·√3 ≈ 3.39 — family-wise quiet, and
+    // the emitted per-bucket z's are untouched
+    val spike = Seq((ts("10:21"), 0.2, false), (ts("10:22"), 0.3, false),
+      (ts("10:23"), 0.4, false), (ts("10:24"), 0.5, false))
+    val bonf = Streaming.windowedHazardGate(
+      spike.toDF("ts", "dur", "cen"), col("dur"), col("cen"),
+      ref, bucketWidth = 1.0, bonferroni = true,
+      windowLength = "10 minutes").orderBy("bucket").collect()
+    assert(bonf(0).getAs[Double]("z") === 2.0 &&
+      !bonf(0).getAs[Boolean]("drift"))
+    // a spike past the family gate still alarms: 16 deaths in bucket
+    // 0 of 16 at risk vs r = 0.5 -> z = 4 > 1.96·√3
+    val spike16 = (1 to 16).map(i =>
+      (ts(f"10:${20 + i % 9}%02d"), 0.1 + (i % 5) * 0.01, false))
+    val bonf16 = Streaming.windowedHazardGate(
+      spike16.toDF("ts", "dur", "cen"), col("dur"), col("cen"),
+      ref, bucketWidth = 1.0, bonferroni = true,
+      windowLength = "1 hour").orderBy("bucket").collect()
+    assert(bonf16(0).getAs[Double]("z") === 4.0 &&
+      bonf16(0).getAs[Boolean]("drift"))
+    // dead-reference buckets don't count toward the family: with one
+    // live bucket the bonferroni gate IS the single-test 1.96, so
+    // the same |z| = 2 that stayed family-quiet above now alarms
+    val lateSpike = Seq((ts("10:21"), 1.2, false),
+      (ts("10:22"), 1.3, false), (ts("10:23"), 1.4, false),
+      (ts("10:24"), 1.5, false))
+    val oneLive = Streaming.windowedHazardGate(
+      lateSpike.toDF("ts", "dur", "cen"), col("dur"), col("cen"),
+      Seq(0.0, 0.5), bucketWidth = 1.0, bonferroni = true,
+      windowLength = "10 minutes").orderBy("bucket").collect()
+    assert(oneLive(1).getAs[Double]("z") === 2.0 &&
+      oneLive(1).getAs[Boolean]("drift"))
     // contracts stay loud
     intercept[IllegalArgumentException](Streaming.windowedHazardGate(
       rows.toDF("ts", "dur", "cen"), col("dur"), col("cen"),
