@@ -282,11 +282,19 @@ private[graft] object QueriesTemporal {
       // does extended price still track quantity? 10-row rolling
       // Pearson per return flag — exact decimal sufficient statistics,
       // full frames only, order made total by including the measures
+      // pinned before the global sort: a range-partitioned orderBy
+      // SAMPLES its child to pick bounds and then shuffles it — the
+      // child executes twice, and here the child is the heaviest
+      // window pipeline on the surface (5 exact decimal cumsum legs
+      // over 600 k rows; measured 2 × ~4 s of the ~10 s sf0.1 cell).
+      // localCheckpoint materializes the window output once; the sort
+      // then samples+shuffles the pinned rows. Output bit-identical.
       WindowOps.rollingCorr(Seq("l_returnflag"),
         Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice"),
         "l_quantity", "l_extendedprice", window = 10)(
         table(s, dir, "lineitem"))
+        .localCheckpoint()
         .orderBy("l_returnflag", "l_shipdate", "l_orderkey",
           "l_linenumber", "l_quantity", "l_extendedprice")
     },

@@ -1171,7 +1171,14 @@ object Dedup {
       idField: String, tokensField: String, threshold: Double)(
       df: DataFrame): DataFrame = {
     val base = ssjBase(idField, tokensField, threshold)(df)
-    ssjCandidates(base, threshold, positional = true)
+    // the candidate frame feeds TWO verify joins (id_a, then id_b) and
+    // the planner broadcasts it into both — the second broadcast's
+    // build subtree contains the first, so the whole prefix-bucket
+    // pair-generation stage executed TWICE (measured: 2 × ~6 s of the
+    // 14 s sf0.1 cell). Pinning the candidate pairs — bounded by the
+    // filtered candidate count, the op's honest output class, never
+    // corpus-sized — runs it once; pairs are bit-identical.
+    ssjCandidates(base, threshold, positional = true).localCheckpoint()
       .join(base.select(col("__id").as("id_a"), col("__toks").as("__ta")),
         "id_a")
       .join(base.select(col("__id").as("id_b"), col("__toks").as("__tb")),
@@ -1486,9 +1493,18 @@ object Dedup {
         (size(col("__ta")) + size(col("__tb")) - col("__ov"))
           .cast("double") >= threshold)
       .select(col("id_b"))
+    // pinned: the duplicate-id list is duplicate-count-sized, but its
+    // UNPINNED subtree (both candidate legs + verifies) re-executes in
+    // the anti-join's broadcast build and once more in a caller's
+    // closing range-sort sampling pass; pinning the ids runs the
+    // dedup decision exactly once. Bit-identical. (Pinning the
+    // candidate legs individually was measured SLOWER — the legs'
+    // broadcast builds overlap when left lazy, and eager pins
+    // serialize them.)
     val dups = losers(crossCands, idxWide)
       .unionByName(losers(inCands, batchRows))
       .distinct()
+      .localCheckpoint()
     batch.join(dups, batch(idField) === dups("id_b"), "left_anti")
   }
 

@@ -182,8 +182,33 @@ object GraphOps {
           .select(col("node").as("a")), "a")
       else adj)
       .join(deg.select(col("node").as("a"), col("deg").as("__da")), "a")
+    // the wedge enumeration explodes each apex's neighbor list against
+    // itself — the one quadratic-in-degree stage of the op. Its input
+    // rides the checkpointed edge frame, which AQE coalesces to 1-2
+    // partitions at bench scale, so the whole explosion (and the
+    // per-pair partial aggregation above it) ran on ONE task (measured:
+    // a 10 s single-task stage of the ~10 s sf0.1 cell). Hash-spreading
+    // the probe side by apex costs one |adjacency|-row exchange and
+    // parallelizes the explosion across the session's cores; at scale
+    // the spread is bounded per-key by the maxDegree cap. Pair set and
+    // scores are unchanged (collect_list feeds a sort_array pin).
+    // explicit partition count: a keyless repartition(col) is a
+    // REPARTITION_BY_COL shuffle that AQE happily coalesces back to one
+    // partition at this input size — pinning the count to the session's
+    // core count keeps the explosion spread (scale-adaptive: it tracks
+    // the executor fleet, not a constant). The SHUFFLE_HASH hint makes
+    // the strategy deterministic: left to cost estimates the planner
+    // alternated between broadcasting the (tiny here) repartitioned
+    // side — which collapsed the explosion back onto the checkpointed
+    // frame's single partition — and the parallel plan (measured: the
+    // same rep flip-flopping 2.6 s ↔ 8 s). A shuffled-hash join keys
+    // BOTH sides by apex, so the wedge stage always runs wide; at scale
+    // neither adjacency side is broadcastable anyway.
     val wedges = apexes.select(col("a"), col("b").as("__b1"), col("__da"))
-      .join(apexes.select(col("a"), col("b").as("__b2")), Seq("a"))
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+        col("a"))
+      .join(apexes.select(col("a"), col("b").as("__b2"))
+        .hint("SHUFFLE_HASH"), Seq("a"))
       .filter(col("__b1") < col("__b2"))
     val scored = wedges
       .groupBy(col("__b1"), col("__b2"))

@@ -128,7 +128,11 @@ object TextOps {
   /** Deterministic 32-bit token hash shared with the oracle: value of the
     * first 8 hex chars of md5(prefix|token). */
   def tokenHash(token: Column, salt: Column): Column =
-    conv(substring(md5(concat_ws("|", salt, token)), 1, 8), 16, 10).cast("long")
+    // the native Md5Prefix32 kernel over the same "salt|token" bytes —
+    // bit-identical to the original conv(substring(md5(…),1,8),16,10)
+    // chain (HashExpressionsSpec pins the kernel against that form)
+    graft.functions.GraftFunctions.md5Prefix32(
+      concat_ws("|", salt, token))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

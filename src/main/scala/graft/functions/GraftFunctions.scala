@@ -700,10 +700,16 @@ object GraftFunctions {
     * first 8 hex chars of md5(salt || key) — the single definition behind
     * every hash-keyed sampler/splitter ([[graft.ops.Ops.sampleHash]],
     * `sampleStratifiedHash`, `TextOps.hashSplit`) and their oracle
-    * mirrors; cutoff = fraction · 2³². */
+    * mirrors; cutoff = fraction · 2³². Runs on the native [[Md5Prefix32]]
+    * kernel (digest bytes straight to a 32-bit word) instead of the
+    * original `conv(substring(md5(concat(…)),1,8),16,10)` chain — the hex
+    * string materialization + `conv`'s per-row BigInteger parse were the
+    * dominant cost of the resampling ops (bootstrapCI/permutationTest pay
+    * one hash per (row, rep)); bit-parity with the builtin-expression
+    * form is spec-pinned in HashExpressionsSpec. */
   def md5Prefix32(key: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
-      .cast("long")
+    Bridge.column(Md5Prefix32(
+      Bridge.expression(key.cast("string")), salt))
 
   /** Register every native kernel for SQL use in this session
     * (idempotent): graft_cosine, graft_minhash, graft_simhash,

@@ -617,3 +617,38 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }
+
+/** Unsigned value of the first 8 hex chars of `md5(salt || key)` — the
+  * native form of [[GraftFunctions.md5Prefix32]]'s
+  * `conv(substring(md5(concat(salt, key)), 1, 8), 16, 10)` column. The
+  * first 8 hex chars ARE the digest's first 4 bytes, so the kernel
+  * digests `saltBytes ++ keyBytes` (no concatenated string, no hex
+  * string, no BigInteger parse in `conv`) and reads one big-endian
+  * 32-bit word — bit-identical by construction, asserted against the
+  * builtin-expression form in HashExpressionsSpec. Every md5-keyed
+  * sampler/splitter/resampler shares this one definition, so their
+  * DuckDB strpos-parse oracles are untouched. */
+case class Md5Prefix32(child: Expression, salt: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_prefix32"
+
+  @transient private lazy val saltBytes: Array[Byte] =
+    salt.getBytes("UTF-8")
+
+  def compute(key: UTF8String): Long =
+    HashKernels.word32(
+      HashKernels.md5Prefixed(saltBytes, key.getBytes), 0)
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("md5Prefix32Kernel", this, classOf[Md5Prefix32].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix32 =
+    copy(child = newChild)
+}

@@ -1405,8 +1405,14 @@ object Ops {
       .localCheckpoint()
     var out: DataFrame = null
     for (l <- 0 until layers) {
+      // pinned: each shell is consumed TWICE (the output union and the
+      // next layer's anti-join), and unpinned the whole two-stage
+      // skyline subtree re-executed per consumer — plus once more in a
+      // caller's closing range-sort sampling pass. Front-sized (the
+      // output class), bit-identical.
       val front = paretoFrontNd(fields, buckets, groupCols)(remaining)
         .withColumn("layer", lit(l))
+        .localCheckpoint()
       out = if (out == null) front else out.unionByName(front)
       if (l < layers - 1)
         remaining = remaining.join(
@@ -1635,6 +1641,11 @@ object Ops {
         approx, accuracy).as("__b"))
       .select((keys.map(col) :+ element_at(col("__b"), 1).as("__lo") :+
         element_at(col("__b"), 2).as("__hi")): _*)
+      // pinned: ≤|groups| rows over a full-table exact percentile sort —
+      // a caller's closing range-sort would otherwise re-execute the
+      // whole percentile subtree in its sampling pass (the robustZScore
+      // note); bit-identical, one percentile pass total
+      .localCheckpoint()
     df.join(bounds, keys)
       .withColumn(out,
         when(col(field).isNull, lit(null))
@@ -1802,12 +1813,22 @@ object Ops {
       df: DataFrame): DataFrame = {
     require(keys.nonEmpty, "at least one grouping key required")
     val out = if (target.isEmpty) s"${field}_rz" else target
+    // both stats frames are ≤|groups| rows but sit on exact sort-based
+    // percentile aggregations over the FULL table; `withMed` is
+    // consumed twice (the MAD pass and the final join) and a caller's
+    // closing range-sort samples its child once more — unpinned, the
+    // median percentile subtree re-executed up to 4× (measured on the
+    // robust_z cell: 2 × ~1.6 s duplicate stages of a ~5 s cell).
+    // Pinning the tiny frames runs each percentile pass exactly once;
+    // values are bit-identical (same dag, materialized).
     val med = df.groupBy(keys.map(col): _*)
       .agg(pctlAgg(col(field), lit(0.5), approx, accuracy).as("__med"))
+      .localCheckpoint()
     val withMed = df.join(med, keys)
     val mad = withMed.groupBy(keys.map(col): _*)
       .agg(pctlAgg(abs(col(field) - col("__med")), lit(0.5),
         approx, accuracy).as("__mad"))
+      .localCheckpoint()
     withMed.join(mad, keys)
       .withColumn(out,
         when(col(field).isNull, lit(null))
@@ -2167,6 +2188,9 @@ object Ops {
     val cutTab = df.groupBy(keys.map(col): _*)
       .agg(pctlAgg(col(field), array(cuts.map(lit): _*),
         approx, accuracy).as("__cuts"))
+      // pinned: ≤|groups| rows over a full-table exact percentile sort
+      // (the robustZScore note — one percentile pass, bit-identical)
+      .localCheckpoint()
     df.join(cutTab, keys)
       .withColumn(out,
         when(col(field).isNull, lit(null))

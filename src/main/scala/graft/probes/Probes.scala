@@ -2135,6 +2135,11 @@ object Probes {
         min(when(col("__rn") === col("__rhi"), col("__d"))).as("__dhi"),
         min(when(col("__rn") === col("__md1"), col("__d"))).as("__dm1"),
         min(when(col("__rn") === col("__md2"), col("__d"))).as("__dm2"))
+      // pinned: the theilSenCI note — one rank-window pass over the
+      // n_a×n_b cross-pair frame instead of two (the closing
+      // range-sort's sampling pass re-executed it; measured 2 × ~2 s
+      // stages of the ~5 s sf0.1 cell). Bit-identical.
+      .localCheckpoint()
     val out = bounds.join(sel, Seq("__g"), "left")
     val unpack = groupCols.map(c => col("__g").getField(c).as(c))
     out.select(unpack ++ Seq(col("n_a"), col("n_b"),
@@ -4040,8 +4045,14 @@ object Probes {
     def medianOf(frame: DataFrame, v: String, ties: Seq[String],
         out: String, cntOut: String): DataFrame =
       selectionMedian(frame, "__g", v, ties, out, cntOut)
+    // ms is consumed TWICE (the residual frame below and the final
+    // join), and both consumers broadcast it — each broadcast build
+    // re-executed the whole guarded pair join + 2.5M-row median
+    // window subtree (measured: 2 × ~3.9 s window stages of theil_sen's
+    // 9.5 s at sf0.1). Pinning the ≤|groups|-row result runs that
+    // subtree ONCE; values are bit-identical (same dag, materialized).
     val ms = medianOf(pairs, "__s", Seq("__ia", "__ib"),
-      "slope", "n_pairs")
+      "slope", "n_pairs").localCheckpoint()
     val res = base.join(ms.select(col("__g"), col("slope")), Seq("__g"))
       .withColumn("__r", col("__y") - col("slope") * col("__x"))
     val mi = medianOf(res, "__r", Seq("__i"), "intercept", "__cpts")
@@ -4329,6 +4340,12 @@ object Probes {
         min(when(col("__rn") === col("__rhi"), col("__s"))).as("__shi"),
         min(when(col("__rn") === col("__md1"), col("__s"))).as("__sm1"),
         min(when(col("__rn") === col("__md2"), col("__s"))).as("__sm2"))
+      // pinned: ≤|groups| rows on top of the rank window over the
+      // quadratic pair frame — the caller's closing range-sort samples
+      // its child once before shuffling it, which re-executed the whole
+      // 2.5M-row window (measured: 2 × ~2.2 s stages of the ~7 s sf0.1
+      // cell). One window pass, bit-identical.
+      .localCheckpoint()
     bounds.join(sel, Seq("__g"), "left")
       .select(col("__g").as(groupField), col("__n").as("n"),
         col("__np").as("n_pairs"),
@@ -4384,6 +4401,11 @@ object Probes {
       col("__s"), col("__ia"), col("__ib"))
     val ms = selectionMedian(pooled, "__grp", "__s",
       Seq("__sea", "__ia", "__ib"), "slope", "n_pairs")
+      // pinned: the theilSen note — ≤|groups| rows over the pooled
+      // per-season pair window; the closing range-sort's sampling pass
+      // re-executed the 2.5M-row sort (measured 2 × ~2.8 s stages of
+      // the ~7 s sf0.1 cell). One window pass, bit-identical.
+      .localCheckpoint()
     szAgg.join(ms, Seq("__grp"), "left")
       .select(col("__grp").as(groupField), col("n"), col("n_seasons"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))

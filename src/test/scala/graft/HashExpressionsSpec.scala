@@ -416,4 +416,31 @@ class HashExpressionsSpec extends SparkSpec {
       .select(Dedup.minhashSignature($"text", 8, 3)).head().getSeq[Long](0)
     assert(sig === Seq.fill(8)(Long.MaxValue))
   }
+
+  test("native md5Prefix32 equals the builtin conv(substring(md5)) form") {
+    import graft.functions.GraftFunctions
+    // the original column definition every sampler/oracle was built
+    // against — the kernel must be bit-identical over unicode, empty
+    // strings, and non-string (cast) inputs, with and without salt
+    def reference(key: org.apache.spark.sql.Column, salt: String) =
+      conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8),
+        16, 10).cast("long")
+    val df = corpus.select($"id", $"text")
+      .withColumn("key", concat($"text", lit("_"), $"id"))
+    for (salt <- Seq("", "bs", "pt", "salt|3|")) {
+      val diffs = df.select(
+        GraftFunctions.md5Prefix32($"key", salt).as("n"),
+        reference($"key", salt).as("h"))
+        .filter($"n" =!= $"h" || $"n".isNull =!= $"h".isNull).count()
+      assert(diffs === 0L, s"md5Prefix32 kernel mismatch at salt=$salt")
+    }
+    // long (non-string) input takes the cast path; null stays null
+    val r = Seq((1L, Option(42L)), (2L, None))
+      .toDF("i", "k")
+      .select(GraftFunctions.md5Prefix32($"k", "s").as("n"),
+        reference($"k", "s").as("h"))
+      .collect()
+    assert(r(0).getLong(0) === r(0).getLong(1))
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1))
+  }
 }
