@@ -520,7 +520,13 @@ object TextOps {
       .groupBy(col("__id"), col("__n"), col("__h"))
       .agg(count(lit(1)).as("__cnt"), min(col("__gc")).as("__gc"),
         collect_list(col("__pos")).as("__poss"))
-      .localCheckpoint()
+    // NOT pinned (r20): both consumers' plans canonicalize to the same
+    // (id, n, h) exchange, which Spark reuses — each consumer re-runs
+    // only the post-exchange aggregation (~0.8 s here), while
+    // checkpointing the ~2.2M-row gram frame (32-char digest strings)
+    // cost ~5.6 s and dominated the cell. The original double-shuffle
+    // this pin predates came from the windowed-count formulation, not
+    // the current one-agg form.
     // top-share: winner by (cnt, digest)
     val tops = perGram.filter(col("__n").isin(topNs.map(Integer.valueOf): _*))
       .groupBy(col("__id"), col("__n"))
@@ -1899,11 +1905,20 @@ object TextOps {
     val cN = col(counts.columns(0))
     val cG = col(counts.columns(1))
     val cC = col(counts.columns(2))
-    val c1 = counts.filter(cN === 1)
-      .select(cG.as("__g1"), cC.as("__c1w")).localCheckpoint()
-    val c2 = counts.filter(cN === 2)
-      .select(cG.as("__g2"), cC.as("__c2")).localCheckpoint()
-    val c3 = counts.filter(cN === 3).select(cG.as("__g3"), cC.as("__c3"))
+    // ONE pin of the whole table instead of per-order pins: a
+    // freshly-built counts frame (lmCountTable = corpus gram explode +
+    // three hash-aggs) re-executed once per unpinned consumer — the
+    // c1/c2 pins each ran it, and the c3 leg ran it again inside the
+    // scoring plan plus once more in a caller's closing range-sort
+    // sampling pass (measured: four ~1.2-1.9 s table-build stages
+    // inside one ccnet_buckets run). Table-sized — the op's documented
+    // model-size class — and bit-identical.
+    val pinned = counts.localCheckpoint()
+    val c1 = pinned.filter(cN === 1)
+      .select(cG.as("__g1"), cC.as("__c1w"))
+    val c2 = pinned.filter(cN === 2)
+      .select(cG.as("__g2"), cC.as("__c2"))
+    val c3 = pinned.filter(cN === 3).select(cG.as("__g3"), cC.as("__c3"))
     // table-sized self-joins: trigram rows pick up their prefix-bigram
     // context, bigram rows their leading-unigram denominator
     val triStats = c3
