@@ -225,7 +225,9 @@ private[graft] object QueriesCore {
           .select("l_orderkey", "l_linenumber", "l_quantity",
             "l_extendedprice", "l_discount", "l_tax"))
         // (l_orderkey, l_linenumber) is NOT unique in lineitem: order by
-        // every output column for a total order
+        // every output column for a total order (a pre-sort pin was
+        // A/B'd in r20 and reverted: checkpointing the 2.4M-row melt
+        // costs what the sampling-pass re-melt saves)
         .orderBy("l_orderkey", "l_linenumber", "variable", "value")
     },
     "balance_classes" -> { (s, dir) =>
@@ -599,7 +601,11 @@ private[graft] object QueriesCore {
       val ord = table(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"),
           col("o_orderstatus"), col("o_totalprice"))
+      // pinned before the global sort: the range exchange's sampling
+      // pass re-executed both salted map sides + the join (measured
+      // 2 × ~1.4 s of the ~3 s cell); output bit-identical
       Ops.saltedJoin(ord, Seq("l_orderkey"), buckets = 8)(li)
+        .localCheckpoint()
         .orderBy("l_orderkey", "l_linenumber", "l_quantity",
           "o_orderstatus", "o_totalprice")
     },

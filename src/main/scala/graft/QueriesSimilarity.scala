@@ -259,11 +259,15 @@ private[graft] object QueriesSimilarity {
       // unit-sphere normalization: the sequential array-order fold
       // makes the float norm (and every element) bit-exact cross-engine;
       // exploded to (vec_id, dim, unit_val) rows for the compare
+      // pinned before the global sort: the range exchange's sampling
+      // pass re-executed the per-vector normalization fold + explode
+      // (measured 2 × ~0.9 s of the ~2 s cell); output bit-identical
       table(s, dir, "embeddings")
         .select(col("vec_id"),
           posexplode(Similarity.l2Normalize(col("embedding"))))
         .select(col("vec_id"), col("pos").as("dim"),
           col("col").as("unit_val"))
+        .localCheckpoint()
         .orderBy("vec_id", "dim")
     },
   )

@@ -1493,18 +1493,17 @@ object Dedup {
         (size(col("__ta")) + size(col("__tb")) - col("__ov"))
           .cast("double") >= threshold)
       .select(col("id_b"))
-    // pinned: the duplicate-id list is duplicate-count-sized, but its
-    // UNPINNED subtree (both candidate legs + verifies) re-executes in
-    // the anti-join's broadcast build and once more in a caller's
-    // closing range-sort sampling pass; pinning the ids runs the
-    // dedup decision exactly once. Bit-identical. (Pinning the
-    // candidate legs individually was measured SLOWER — the legs'
-    // broadcast builds overlap when left lazy, and eager pins
-    // serialize them.)
+    // NOT pinned (r20): the anti-join's broadcast of `dups` is one
+    // BroadcastExchange node, materialized once even when a caller's
+    // closing range-sort samples the plan — only the cheap batch-side
+    // probe re-executes. Pinning the candidate legs individually was
+    // measured SLOWER (the legs' broadcast builds overlap when left
+    // lazy; eager pins serialize them), and an op-level pin of `dups`
+    // hides the index scans from plan introspection (DedupSpec's
+    // ReadSchema pruning assertion) for no measured win.
     val dups = losers(crossCands, idxWide)
       .unionByName(losers(inCands, batchRows))
       .distinct()
-      .localCheckpoint()
     batch.join(dups, batch(idField) === dups("id_b"), "left_anti")
   }
 

@@ -3980,7 +3980,11 @@ object Probes {
     * lesson); the guard also enforces the unique-id contract
     * (duplicate ids raise — r19 ADVICE). Returns
     * (base, sized, pairs). */
-  private def theilSenPairs(groupField: String, idField: String,
+  // private[graft]: ProbesSpec asserts the guard-below-join plan shape
+  // on this shared generator directly — the public Theil–Sen ops pin
+  // their tiny medians/selections (r20), which hides the pair dag from
+  // their own optimized plans
+  private[graft] def theilSenPairs(groupField: String, idField: String,
       xField: String, yField: String, maxN: Int,
       op: String = "theilSen")(
       df: DataFrame): (DataFrame, DataFrame, DataFrame) = {
