@@ -1243,6 +1243,16 @@ object Dedup {
         least(x("__n") - x("__p"), y("__n") - y("__p"))) >=
         ceil(lit(tau) * (x("__n") + y("__n")) - lit(1e-9))
     prefixes
+      // explicit-count hash partitioning: the groupBy would exchange by
+      // __pt anyway, but AQE coalesces that exchange to a handful of
+      // partitions at bench scale and the bucket pair-generation above
+      // it (the op's quadratic-in-bucket stage) ran on 2-4 tasks
+      // (measured ~6 s). A REPARTITION_BY_NUM exchange is exempt from
+      // coalescing and satisfies the aggregation's distribution — same
+      // shuffle count, full-width stage; the count tracks the session's
+      // cores (scale-adaptive).
+      .repartition(base.sparkSession.sparkContext.defaultParallelism,
+        col("__pt"))
       .groupBy(col("__pt"))
       .agg(collect_list(struct(col("__id"), col("__n"), col("__p")))
         .as("__docs"))
@@ -1452,6 +1462,12 @@ object Dedup {
     val cap = if (maxBucket == 0) Int.MaxValue else maxBucket
     def buckets(d: DataFrame, out: String, minSize: Int) =
       prefixes(d)
+        // NO explicit-count partitioning here (unlike ssjCandidates):
+        // it was A/B'd and reverted — forcing both bucket sides to a
+        // matching wide hash layout flips the history×batch bucket
+        // join from a broadcast to a sort-merge over bucket-list array
+        // rows, and sorting those arrays measured 5-50× worse than the
+        // coalesced broadcast plan
         .groupBy(col("__pt"))
         .agg(collect_list(struct(col("__id"), col("__n"), col("__p")))
           .as(out))
