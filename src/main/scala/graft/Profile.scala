@@ -14,8 +14,8 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Usage: runMain graft.Profile <q1,q2,...> [sfDir]
   * Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_PLAN_DIR,
-  * SPARK_GRAFT_PLAN_SUFFIX, SPARK_GRAFT_PROFILE_REPS (default 2; the
-  * first timed rep after warm-up is reported per stage, every rep's
+  * SPARK_GRAFT_PLAN_SUFFIX, SPARK_GRAFT_PROFILE_REPS (default 2; rep 2
+  * — the first steady-state rep — is reported per stage, every rep's
   * wall time prints).
   */
 object Profile {
@@ -46,7 +46,12 @@ object Profile {
       // warm-up at the smallest SF so codegen/broadcast init is off-ledger
       if (new java.io.File(warmDir).isDirectory)
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          // r20 ADVICE: a query broken at small scale should say so
+          // here, not surface later as confusing timed numbers (and a
+          // fatal error — OOM etc. — must not be swallowed at all)
+          println(s"[profile] warm-up of $name failed: ${e.getMessage}")
+        }
       val df = fn(spark, sfDir)
       planDir.foreach { d =>
         new java.io.File(d).mkdirs()
@@ -78,7 +83,12 @@ object Profile {
       }
       println(s"==== $name ====")
       (1 to reps).foreach { r =>
+        // listener active for rep 2 ONLY (r20 ADVICE: with reps > 2 it
+        // used to aggregate stages from reps 2..N, contradicting the
+        // per-stage table's "one rep" doc)
         if (r == 2) spark.sparkContext.addSparkListener(listener)
+        if (r == 3) { Thread.sleep(200)
+          spark.sparkContext.removeSparkListener(listener) }
         System.gc()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
